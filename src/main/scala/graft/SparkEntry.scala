@@ -1,13 +1,112 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY.md §2 gets a `queries` entry; those
+  * expressible in ANSI SQL also get an `oracleSql` entry (the driver runs it
+  * in DuckDB over the same parquet and hash-compares). Column names are
+  * aliased identically on both sides — the compare sorts columns by name.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3RevenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"  -> (Relational.q1PricingSummary _),
+    "q2_filter_project"   -> (Relational.q2FilterProject _),
+    "q3_revenue_by_nation" -> (Relational.q3RevenueByNation _),
+    "q4_semi_join"        -> (Relational.q4SemiJoin _),
+    "q5_topk"             -> (Relational.q5TopK _),
+    "q6_distinct_counts"  -> (Relational.q6DistinctCounts _),
+    "q7_window_top_order" -> (Relational.q7WindowTopOrder _),
+    "q8_time_bucket"      -> (Relational.q8TimeBucket _),
+    "q9_anti_join"        -> (Relational.q9AntiJoin _),
+    "q10_rollup"          -> (Relational.q10Rollup _),
+    "q11_union"           -> (Relational.q11Union _),
+    "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
+  )
+
+  /** DuckDB-runnable oracle SQL per query key (same column aliases). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_extendedprice * (1.0 - l_discount) AS revenue
+         FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05""",
+    "q3_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS total_revenue,
+         count(*) AS order_count
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderpriority""",
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "q6_distinct_counts" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows FROM lineitem""",
+    "q7_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn = 1""",
+    "q8_time_bucket" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value,
+         count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "q9_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 300000.0)""",
+    "q10_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+    "q11_union" ->
+      """SELECT s_nationkey AS nationkey FROM supplier
+         UNION
+         SELECT c_nationkey AS nationkey FROM customer""",
+    "q12_shipping_priority" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         o_orderpriority,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+  )
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Core relational operator surface, expressed Spark-first.
+  *
+  * Each query here has a matching DuckDB oracle in [[graft.SparkEntry.oracleSql]].
+  * Conventions that keep the driver's hash-compare stable:
+  *   - every computed column is aliased identically in Spark and SQL;
+  *   - aggregates over doubles are rounded (2–6 dp) because Spark's partial
+  *     aggregation sums in a different order than DuckDB's — per-row
+  *     arithmetic is left exact (same IEEE op sequence in both engines);
+  *   - ties in top-k / window orderings are broken by a unique key.
+  *
+  * Scale notes (100 TB target): joins against `nation`/`region` (25/5 rows —
+  * dimension tables whose size is fixed, not SF-scaled) are explicitly
+  * broadcast; fact⋈fact joins (lineitem⋈orders) are left to Catalyst/AQE,
+  * which picks shuffled hash / sort-merge and handles skew at runtime.
+  * Aggregations are all partial-aggregated map-side by Spark's hash
+  * aggregate, so the shuffle carries one row per group per task, not data.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: the canonical full-scan hash aggregate.
+    * Scan → map-side partial agg (32 groups max) → tiny shuffle → final agg. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Projection + filter: Catalyst pushes the filter and prunes columns at
+    * the parquet scan (PushedFilters + 3-column ReadSchema). Per-row
+    * arithmetic is exact — no rounding needed. */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R" && $"l_discount" > 0.05)
+      .select(
+        $"l_orderkey",
+        $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+
+  /** Revenue by nation: fact ⋈ dim ⋈ dim. `customer` scales with SF → shuffle
+    * join chosen by AQE; `nation` is a fixed 25-row dim → explicit broadcast,
+    * so the big side never shuffles for it. */
+  def q3RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders   = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+  }
+
+  /** Existential semi-join: orders having a big lineitem. left_semi never
+    * materializes the probe side's payload columns — only the key crosses
+    * the shuffle. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val bigItems = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" > 45)
+      .select($"l_orderkey")
+    orders
+      .join(bigItems, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Top-k: orderBy + limit compiles to TakeOrderedAndProject — each task
+    * keeps a k-row heap, the driver merges 32 heaps; no global sort at any
+    * scale. Ties broken by unique o_orderkey. */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(20)
+  }
+
+  /** Distinct aggregates: exact count-distinct expands + reshuffles; the
+    * approx variant (HLL) is the 100 TB-friendly path, shown alongside. */
+  def q6DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      countDistinct($"l_partkey").as("n_parts"),
+      countDistinct($"l_suppkey").as("n_supps"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  /** Window function: each customer's single most expensive order.
+    * Partition by customer, order with a unique tiebreak → deterministic
+    * row_number; filter rn=1 then drop rn. */
+  def q7WindowTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+  }
+
+  /** Time-bucket aggregation over the events stream table: date_trunc to
+    * month → hash agg. The batch twin of a streaming tumbling window. */
+  def q8TimeBucket(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(to_date(date_trunc("month", $"ts")).as("month"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  /** Anti-join: customers with no high-value order. Like semi, only the
+    * filtered key column crosses the shuffle. */
+  def q9AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val orders   = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey")
+    customer
+      .join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+
+  /** ROLLUP over the region→nation hierarchy: grouping-set expansion happens
+    * inside the hash aggregate (Expand node), one pass over the fact side. */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.customer(spark, dir)
+    val nation   = Tables.nation(spark, dir)
+    val region   = Tables.region(spark, dir)
+    customer
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum($"c_acctbal"), 2).as("sum_acctbal"))
+  }
+
+  /** Set op: distinct union of nation keys present on suppliers vs customers.
+    * union is partition-local; the distinct is the only shuffle. */
+  def q11Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".cast("int").as("nationkey"))
+    val c = Tables.customer(spark, dir).select($"c_nationkey".cast("int").as("nationkey"))
+    s.union(c).distinct()
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, agg, top-10 by revenue.
+    * The revenue sum is rounded; ties broken by o_orderkey. */
+  def q12ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit(java.sql.Timestamp.valueOf("1995-03-15 00:00:00"))
+    val customer = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val orders   = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val lineitem = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    lineitem
+      .join(orders, $"l_orderkey" === $"o_orderkey")
+      .join(customer, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderkey", to_date($"o_orderdate").as("o_orderdate"), $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("every SparkEntry query runs and has a sane schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      val n = df.count()
+      assert(n >= 0, s"$name: count failed")
+      info(s"$name -> $n rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates match a direct computation") {
+    import spark.implicits._
+    val df = operators.Relational.q1PricingSummary(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+    val totalRows = li.count()
+    val sumRows = df.agg(sum($"count_order")).first().getLong(0)
+    assert(sumRows == totalRows)
+  }
+
+  test("q5 topk is ordered descending") {
+    val rows = operators.Relational.q5TopK(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q7 window yields one row per customer with orders") {
+    import spark.implicits._
+    val df = operators.Relational.q7WindowTopOrder(spark, sfDir)
+    val nCust = Tables.orders(spark, sfDir).select($"o_custkey").distinct().count()
+    assert(df.count() == nCust)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle without query: $extra")
+  }
+}

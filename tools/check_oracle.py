@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads oracle_sql.json from the verify output dir, runs each SQL in DuckDB
+with views over the sfDir parquet tables, reads the corresponding Spark
+parquet result, sorts columns by name + rows by all values, and compares.
+Dev-only tool; the real gate is driver-side.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t)), [cols[i] for i in order]
+
+
+def eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            orc = con.execute(sql)
+            ocols = [d[0] for d in orc.description]
+            orows = orc.fetchall()
+            sprk = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in sprk.description]
+            srows = sprk.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        if len(orows) != len(srows):
+            print(f"FAIL {name}: rows oracle={len(orows)} spark={len(srows)}")
+            n_fail += 1
+            continue
+        oc, cols = canon(orows, ocols)
+        sc, _ = canon(srows, scols)
+        bad = None
+        for i, (ra, rb) in enumerate(zip(oc, sc)):
+            if not all(eq(a, b) for a, b in zip(ra, rb)):
+                bad = (i, ra, rb)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} cols={cols}\n  oracle={bad[1]}\n  spark ={bad[2]}")
+            n_fail += 1
+        else:
+            # exact-match count to flag float drift even inside tolerance
+            exact = all(str(a) == str(b) for ra, rb in zip(oc, sc) for a, b in zip(ra, rb))
+            tag = "exact" if exact else "approx"
+            print(f"PASS {name} ({len(orows)} rows, {tag})")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
