@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft._
+
+/** Scala Column API + SQL registration for the graft function family.
+  *
+  * Usage:
+  * {{{
+  *   GraftFunctions.register(spark)          // once per session, for spark.sql
+  *   df.select(GraftFunctions.quadbin_zoom($"block"))   // DSL, no registration needed
+  * }}}
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def quadbin_from_tile(x: Column, y: Column, z: Column): Column =
+    col(QuadbinFromTile(ex(x), ex(y), ex(z)))
+  def quadbin_zoom(cell: Column): Column = col(QuadbinZoom(ex(cell)))
+  def quadbin_tile_x(cell: Column): Column = col(QuadbinTileX(ex(cell)))
+  def quadbin_tile_y(cell: Column): Column = col(QuadbinTileY(ex(cell)))
+  def quadbin_ancestor(cell: Column, parentZoom: Column): Column =
+    col(QuadbinAncestor(ex(cell), ex(parentZoom)))
+  def quadbin_from_lonlat(lon: Column, lat: Column, z: Column): Column =
+    col(QuadbinFromLonLat(ex(lon), ex(lat), ex(z)))
+  def quadbin_bounds(cell: Column): Column = col(QuadbinBounds(ex(cell)))
+  def quadbin_is_valid(cell: Column): Column = col(QuadbinIsValid(ex(cell)))
+
+  /** Register all functions for use from `spark.sql`. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    r("quadbin_from_tile") { case Seq(x, y, z) => QuadbinFromTile(x, y, z) }
+    r("quadbin_zoom") { case Seq(c) => QuadbinZoom(c) }
+    r("quadbin_tile_x") { case Seq(c) => QuadbinTileX(c) }
+    r("quadbin_tile_y") { case Seq(c) => QuadbinTileY(c) }
+    r("quadbin_ancestor") { case Seq(c, p) => QuadbinAncestor(c, p) }
+    r("quadbin_from_lonlat") { case Seq(lon, lat, z) => QuadbinFromLonLat(lon, lat, z) }
+    r("quadbin_bounds") { case Seq(c) => QuadbinBounds(c) }
+    r("quadbin_is_valid") { case Seq(c) => QuadbinIsValid(c) }
+  }
+}

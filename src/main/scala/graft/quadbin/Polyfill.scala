@@ -1,0 +1,121 @@
+package graft.quadbin
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.geo.{BBox, Geom, Wkt}
+
+/** Geometry → quadbin cell coverage at a zoom.
+  *
+  * Mirrors the reference's `__RAQUET_REGION_BLOCKS(geom, zmin, zmax, mode)`
+  * polyfill (reference `docs/performance.md:118-140`) with the three modes
+  * documented there: `intersects` (any overlap), `center` (tile center in
+  * geometry), `contains` (tile fully inside geometry).
+  *
+  * Two outputs:
+  *  - [[cells]] — explicit cell list, for equi-joins / explode;
+  *  - [[ranges]] — compacted Morton [lo, hi] id ranges, for pushdown-friendly
+  *    BETWEEN predicates on the sorted `block` column (the property quadbin
+  *    was designed for, reference `docs/quadbin.md:166-186`). Interior
+  *    subtrees collapse to one range without enumerating 4^Δz cells, so a
+  *    continent-sized polygon at zoom 17 stays a few hundred ranges.
+  */
+object Polyfill {
+  final val Intersects = "intersects"
+  final val Center     = "center"
+  final val Contains   = "contains"
+
+  private def tileBox(x: Long, y: Long, z: Int): BBox =
+    BBox(Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
+      Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
+
+  /** Cell ids at zoom `z` covering `geom` under `mode`. */
+  def cells(geom: Geom, z: Int, mode: String = Intersects): Array[Long] = {
+    val out = ArrayBuffer.empty[Long]
+    def emitSubtree(x: Long, y: Long, zoom: Int): Unit = {
+      if (zoom == z) out += Quadbin.tileToCell(x, y, z)
+      else {
+        // fully-contained subtree: every leaf qualifies under any mode
+        val (lo, hi) = Quadbin.childRange(Quadbin.tileToCell(x, y, zoom), z)
+        val loIdx = Quadbin.mortonIndex(lo)
+        var i = 0L
+        val n = Quadbin.mortonIndex(hi) - loIdx + 1
+        val shift = 52 - 2 * z
+        val base = Quadbin.Header | (z.toLong << 52)
+        while (i < n) {
+          out += base | ((loIdx + i) << shift) | ((1L << shift) - 1)
+          i += 1
+        }
+      }
+    }
+    def descend(x: Long, y: Long, zoom: Int): Unit = {
+      val box = tileBox(x, y, zoom)
+      if (!geom.intersectsBox(box)) return
+      if (geom.containsBox(box)) { emitSubtree(x, y, zoom); return }
+      if (zoom == z) {
+        mode match {
+          case Intersects => out += Quadbin.tileToCell(x, y, z)
+          case Center =>
+            if (geom.containsPoint(box.centerLon, box.centerLat))
+              out += Quadbin.tileToCell(x, y, z)
+          case Contains => // not fully contained (checked above) → skip
+          case other => throw new IllegalArgumentException(s"mode: $other")
+        }
+      } else {
+        descend(2 * x, 2 * y, zoom + 1); descend(2 * x + 1, 2 * y, zoom + 1)
+        descend(2 * x, 2 * y + 1, zoom + 1); descend(2 * x + 1, 2 * y + 1, zoom + 1)
+      }
+    }
+    descend(0, 0, 0)
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  def cells(wkt: String, z: Int, mode: String): Array[Long] =
+    cells(Wkt.parse(wkt), z, mode)
+
+  /** Compacted [lo, hi] ranges at zoom `z` covering `geom` (intersects mode —
+    * ranges are a superset filter; exact mode semantics are applied by a
+    * residual predicate or the join that follows). */
+  def ranges(geom: Geom, z: Int): Array[(Long, Long)] = {
+    val out = ArrayBuffer.empty[(Long, Long)]
+    def descend(x: Long, y: Long, zoom: Int): Unit = {
+      val box = tileBox(x, y, zoom)
+      if (!geom.intersectsBox(box)) return
+      val cell = Quadbin.tileToCell(x, y, zoom)
+      if (zoom == z || geom.containsBox(box)) {
+        out += Quadbin.childRange(cell, z)
+      } else {
+        descend(2 * x, 2 * y, zoom + 1); descend(2 * x + 1, 2 * y, zoom + 1)
+        descend(2 * x, 2 * y + 1, zoom + 1); descend(2 * x + 1, 2 * y + 1, zoom + 1)
+      }
+    }
+    descend(0, 0, 0)
+    merge(out.toArray)
+  }
+
+  def ranges(wkt: String, z: Int): Array[(Long, Long)] =
+    ranges(Wkt.parse(wkt), z)
+
+  /** Merge sorted-by-lo adjacent/overlapping ranges. Adjacent Morton ids at
+    * the same zoom differ by 2^(52-2z) + ... — ids at zoom z step by
+    * (hi_i + 1 + unusedMask) == lo_{i+1}; treat touching ranges as mergeable
+    * when lo_{i+1} <= hi_i + 1 + unused gap. */
+  def merge(rs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    if (rs.length <= 1) return rs
+    val sorted = rs.sortBy(_._1)
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var (clo, chi) = sorted(0)
+    val z = Quadbin.zoom(clo)
+    val step = 1L << (52 - 2 * z) // id distance between consecutive cells at z
+    var i = 1
+    while (i < sorted.length) {
+      val (lo, hi) = sorted(i)
+      if (lo <= chi + step) { if (hi > chi) chi = hi }
+      else { out += ((clo, chi)); clo = lo; chi = hi }
+      i += 1
+    }
+    out += ((clo, chi))
+    out.toArray
+  }
+}

@@ -1,0 +1,155 @@
+package graft.quadbin
+
+/** QUADBIN spatial index kernel — pure, allocation-free integer math.
+  *
+  * Encodes Web-Mercator XYZ tile coordinates into a sortable int64:
+  * 4-bit header (0x4), 5-bit zoom (bits 52-56), 2·z-bit Morton interleave of
+  * (x, y), unused low bits set to 1. Spec: reference `docs/quadbin.md:50-146`
+  * and `format-specs/raquet.md` (block column). Morton order makes spatially
+  * adjacent tiles numerically adjacent, which is what drives parquet
+  * row-group min/max pruning (`docs/quadbin.md:189-209`).
+  *
+  * All methods are static-forwarded so Catalyst codegen can call them
+  * directly from generated Java.
+  */
+object Quadbin {
+  final val Header: Long   = 0x4800000000000000L
+  final val MaxZoom: Int   = 26
+  final val LatLimit: Double = 85.051129 // web-mercator clamp (reference imageserver.py:562)
+
+  /** Spread the low 26 bits of v to even bit positions (Morton helper). */
+  def spreadBits(v: Long): Long = {
+    var x = v & 0x3FFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8))  & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4))  & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2))  & 0x3333333333333333L
+    x = (x | (x << 1))  & 0x5555555555555555L
+    x
+  }
+
+  /** Inverse of [[spreadBits]]: gather even bit positions into low 26 bits. */
+  def compactBits(v: Long): Long = {
+    var x = v & 0x5555555555555555L
+    x = (x | (x >>> 1)) & 0x3333333333333333L
+    x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+    x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+    x = (x | (x >>> 16)) & 0x3FFFFFFL
+    x
+  }
+
+  /** (x, y, z) tile → QUADBIN cell id. x bits at even, y bits at odd Morton
+    * positions — matches the public quadbin-py / CARTO Analytics Toolbox
+    * layout (validated against CARTO's published
+    * QUADBIN_FROMLONGLAT(-3.7038, 40.4168, 10) = 5234261499580514303; note
+    * the reference's own `docs/quadbin.md:147-176` worked example is
+    * internally inconsistent and disagrees with the real library). */
+  def tileToCell(x: Long, y: Long, z: Int): Long = {
+    val index = spreadBits(x) | (spreadBits(y) << 1)
+    val shift = 52 - 2 * z
+    Header | (z.toLong << 52) | (index << shift) | ((1L << shift) - 1)
+  }
+
+  /** Zoom level of a cell: bits 52-56. */
+  def zoom(cell: Long): Int = ((cell >>> 52) & 0x1FL).toInt
+
+  /** Morton index of a cell at its own zoom. */
+  def mortonIndex(cell: Long): Long = {
+    val z = zoom(cell)
+    val shift = 52 - 2 * z
+    (cell >>> shift) & ((1L << (2 * z)) - 1L)
+  }
+
+  def tileX(cell: Long): Long = compactBits(mortonIndex(cell))
+  def tileY(cell: Long): Long = compactBits(mortonIndex(cell) >>> 1)
+
+  /** cell → packed (x, y, z); use tileX/tileY/zoom for individual parts. */
+  def cellToTile(cell: Long): (Long, Long, Int) =
+    (tileX(cell), tileY(cell), zoom(cell))
+
+  /** Ancestor cell at a coarser zoom (Morton-bit truncation). */
+  def ancestor(cell: Long, parentZoom: Int): Long = {
+    val z = zoom(cell)
+    require(parentZoom <= z, s"parentZoom $parentZoom > cell zoom $z")
+    val d = z - parentZoom
+    val idx = mortonIndex(cell) >>> (2 * d)
+    val shift = 52 - 2 * parentZoom
+    Header | (parentZoom.toLong << 52) | (idx << shift) | ((1L << shift) - 1)
+  }
+
+  /** Contiguous id range [min, max] covering all descendants of `cell` at
+    * `childZoom` — the Morton property that turns spatial filters into
+    * parquet-prunable BETWEEN predicates. */
+  def childRange(cell: Long, childZoom: Int): (Long, Long) = {
+    val z = zoom(cell)
+    require(childZoom >= z, s"childZoom $childZoom < cell zoom $z")
+    val d = childZoom - z
+    val idx = mortonIndex(cell)
+    val loIdx = idx << (2 * d)
+    val hiIdx = loIdx + ((1L << (2 * d)) - 1)
+    val shift = 52 - 2 * childZoom
+    val base = Header | (childZoom.toLong << 52)
+    val lo = base | (loIdx << shift) | ((1L << shift) - 1)
+    val hi = base | (hiIdx << shift) | ((1L << shift) - 1)
+    (lo, hi)
+  }
+
+  /** Longitude/latitude (WGS84) → cell at zoom z (slippy-map tile math,
+    * reference `docs/quadbin.md:283` point_to_cell). */
+  def fromLonLat(lon: Double, lat: Double, z: Int): Long = {
+    val n = 1L << z
+    val latC = math.max(-LatLimit, math.min(LatLimit, lat))
+    var xt = math.floor((lon + 180.0) / 360.0 * n).toLong
+    if (xt < 0) xt = 0
+    if (xt >= n) xt = n - 1
+    val latR = math.toRadians(latC)
+    var yt = math.floor((1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n).toLong
+    if (yt < 0) yt = 0
+    if (yt >= n) yt = n - 1
+    tileToCell(xt, yt, z)
+  }
+
+  // --- tile bounds (WGS84) ---
+
+  def tileWest(x: Long, z: Int): Double  = x.toDouble / (1L << z) * 360.0 - 180.0
+  def tileEast(x: Long, z: Int): Double  = tileWest(x + 1, z)
+  def tileNorth(y: Long, z: Int): Double = {
+    val n = math.Pi * (1.0 - 2.0 * y.toDouble / (1L << z))
+    math.toDegrees(math.atan(math.sinh(n)))
+  }
+  def tileSouth(y: Long, z: Int): Double = tileNorth(y + 1, z)
+
+  /** WGS84 bounds (west, south, east, north) of a cell's tile. */
+  def cellBounds(cell: Long): Array[Double] = {
+    val z = zoom(cell); val x = tileX(cell); val y = tileY(cell)
+    Array(tileWest(x, z), tileSouth(y, z), tileEast(x, z), tileNorth(y, z))
+  }
+
+  // --- web-mercator (EPSG:3857) bounds ---
+
+  final val EarthRadius = 6378137.0
+  final val OriginShift = math.Pi * EarthRadius
+
+  def cellMercatorBounds(cell: Long): Array[Double] = {
+    val z = zoom(cell); val x = tileX(cell); val y = tileY(cell)
+    val size = 2.0 * OriginShift / (1L << z)
+    Array(-OriginShift + x * size, OriginShift - (y + 1) * size,
+      -OriginShift + (x + 1) * size, OriginShift - y * size)
+  }
+
+  /** The 4 children of a cell at zoom+1, in Morton order. */
+  def children(cell: Long): Array[Long] = {
+    val z = zoom(cell); val x = tileX(cell); val y = tileY(cell)
+    Array(
+      tileToCell(2 * x, 2 * y, z + 1), tileToCell(2 * x + 1, 2 * y, z + 1),
+      tileToCell(2 * x, 2 * y + 1, z + 1), tileToCell(2 * x + 1, 2 * y + 1, z + 1))
+  }
+
+  def isValid(cell: Long): Boolean = {
+    val z = zoom(cell)
+    if (((cell >>> 60) & 0xFL) != 0x4L || z > MaxZoom) return false
+    val shift = 52 - 2 * z
+    (cell & ((1L << shift) - 1)) == ((1L << shift) - 1) // trailing bits all 1s
+  }
+}

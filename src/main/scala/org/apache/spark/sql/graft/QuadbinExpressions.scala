@@ -1,0 +1,144 @@
+// Compiled inside the org.apache.spark.sql namespace so the expressions can
+// use private[sql] catalyst scaffolding (AbstractDataType, ExpressionUtils).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions for the quadbin function family (SURVEY.md §2.8
+  * F1-F6). All are codegen'd as direct static calls into the pure kernel
+  * [[graft.quadbin.Quadbin]] so they stay inside whole-stage codegen — no
+  * UDF boxing, null-safe via the standard unary/binary/ternary scaffolding.
+  *
+  * Reference semantics: `docs/quadbin.md:84-146` (encode/decode),
+  * `cli.py:1198-1210` (ancestor), `docs/quadbin.md:283` (point→cell).
+  */
+private[graft] object QB { final val K = "graft.quadbin.Quadbin" }
+
+/** Column↔Expression bridge for the public graft API (Spark 4's Column wraps
+  * a ColumnNode; the classic Expression bridge lives in private[sql] code). */
+object Bridge {
+  import org.apache.spark.sql.{Column, classic}
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
+
+/** quadbin_from_tile(x, y, z) → cell id (F1). */
+case class QuadbinFromTile(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_from_tile"
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    graft.quadbin.Quadbin.tileToCell(x.asInstanceOf[Long], y.asInstanceOf[Long], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, z) => s"${QB.K}.tileToCell($x, $y, $z)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** quadbin_zoom(cell) → zoom 0-26 (F3). */
+case class QuadbinZoom(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_zoom"
+  override protected def nullSafeEval(cell: Any): Any =
+    graft.quadbin.Quadbin.zoom(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${QB.K}.zoom($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** quadbin_tile_x(cell) (F2, x part). */
+case class QuadbinTileX(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_tile_x"
+  override protected def nullSafeEval(cell: Any): Any =
+    graft.quadbin.Quadbin.tileX(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${QB.K}.tileX($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** quadbin_tile_y(cell) (F2, y part). */
+case class QuadbinTileY(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_tile_y"
+  override protected def nullSafeEval(cell: Any): Any =
+    graft.quadbin.Quadbin.tileY(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${QB.K}.tileY($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** quadbin_ancestor(cell, parentZoom) → coarser-zoom cell (F4). */
+case class QuadbinAncestor(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_ancestor"
+  override protected def nullSafeEval(cell: Any, pz: Any): Any =
+    graft.quadbin.Quadbin.ancestor(cell.asInstanceOf[Long], pz.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, p) => s"${QB.K}.ancestor($c, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+/** quadbin_from_lonlat(lon, lat, z) → cell (F5). */
+case class QuadbinFromLonLat(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_from_lonlat"
+  override protected def nullSafeEval(lon: Any, lat: Any, z: Any): Any =
+    graft.quadbin.Quadbin.fromLonLat(lon.asInstanceOf[Double], lat.asInstanceOf[Double], z.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, z) => s"${QB.K}.fromLonLat($lon, $lat, $z)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** quadbin_bounds(cell) → array(west, south, east, north) WGS84 (F6).
+  * Array construction keeps this off hot aggregation paths; fine for
+  * projections. */
+case class QuadbinBounds(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_bounds"
+  override protected def nullSafeEval(cell: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      graft.quadbin.Quadbin.cellBounds(cell.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(${QB.K}.cellBounds($c))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** quadbin_is_valid(cell) (validator building block, M2). */
+case class QuadbinIsValid(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quadbin_is_valid"
+  override protected def nullSafeEval(cell: Any): Any =
+    graft.quadbin.Quadbin.isValid(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${QB.K}.isValid($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

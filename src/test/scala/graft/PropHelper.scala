@@ -1,0 +1,26 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Minimal deterministic property-check helper (scalatestplus bridge is not
+  * in the offline cache). Samples a Gen N times with a fixed seed. */
+trait PropHelper {
+  def forAll[A](gen: Gen[A], n: Int = 200)(body: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(a) =>
+          try body(a)
+          catch {
+            case e: Throwable =>
+              throw new AssertionError(s"property failed for input: $a", e)
+          }
+        case None =>
+      }
+      seed = seed.next
+      i += 1
+    }
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.quadbin.{Polyfill, Quadbin}
+import graft.geo.{BBox, PolygonGeom, Wkt}
+
+class QuadbinSpec extends AnyFunSuite with PropHelper {
+
+  // Golden vectors: (0,0,0) from reference docs/quadbin.md:152; the lonlat
+  // vector is CARTO's published QUADBIN_FROMLONGLAT example (the reference
+  // doc's own tile(1,2,3) example is internally inconsistent — its decimal
+  // and hex disagree — so the real library layout is authoritative).
+  test("known encodings from the spec") {
+    assert(Quadbin.tileToCell(0, 0, 0) == 5192650370358181887L) // 0x4800FFFFFFFFFFFF
+    assert(Quadbin.tileToCell(1, 2, 3) == 5202361257054699519L) // 0x48327FFFFFFFFFFF
+    assert(Quadbin.cellToTile(5202361257054699519L) == ((1L, 2L, 3)))
+    assert(Quadbin.fromLonLat(-3.7038, 40.4168, 10) == 5234261499580514303L)
+  }
+
+  val tileGen: Gen[(Long, Long, Int)] = for {
+    z <- Gen.choose(0, 26)
+    x <- Gen.choose(0L, (1L << z) - 1)
+    y <- Gen.choose(0L, (1L << z) - 1)
+  } yield (x, y, z)
+
+  test("round-trip: cellToTile(tileToCell(t)) == t") {
+    forAll(tileGen) { case (x, y, z) =>
+      val cell = Quadbin.tileToCell(x, y, z)
+      assert(Quadbin.cellToTile(cell) == ((x, y, z)))
+      assert(Quadbin.isValid(cell))
+      assert(Quadbin.zoom(cell) == z)
+    }
+  }
+
+  test("morton order: sibling cells in scan order are sorted") {
+    val z = 5
+    // Morton order within a quad: (0,0) < (1,0) < (0,1) < (1,1)
+    assert(Quadbin.tileToCell(0, 0, z) < Quadbin.tileToCell(1, 0, z))
+    assert(Quadbin.tileToCell(1, 0, z) < Quadbin.tileToCell(0, 1, z))
+    assert(Quadbin.tileToCell(0, 1, z) < Quadbin.tileToCell(1, 1, z))
+  }
+
+  test("ancestor/children consistency") {
+    forAll(tileGen.suchThat(_._3 >= 1)) { case (x, y, z) =>
+      val cell = Quadbin.tileToCell(x, y, z)
+      val parent = Quadbin.ancestor(cell, z - 1)
+      assert(Quadbin.cellToTile(parent) == ((x / 2, y / 2, z - 1)))
+      assert(Quadbin.children(parent).contains(cell))
+    }
+  }
+
+  test("childRange covers exactly the descendants") {
+    val cell = Quadbin.tileToCell(1, 1, 1)
+    val (lo, hi) = Quadbin.childRange(cell, 3)
+    // 16 descendants at zoom 3, contiguous morton ids
+    val step = 1L << (52 - 6)
+    assert((hi - lo) == 15 * step)
+    for (x <- 4L to 7L; y <- 4L to 7L) {
+      val c = Quadbin.tileToCell(x, y, 3)
+      assert(c >= lo && c <= hi, s"($x,$y,3) outside range")
+    }
+    // a cell outside the subtree is outside the range
+    assert(Quadbin.tileToCell(0, 0, 3) < lo)
+  }
+
+  test("fromLonLat matches tile math at known points") {
+    // lon=0,lat=0 at z=1 → tile (1,1)
+    assert(Quadbin.cellToTile(Quadbin.fromLonLat(0.0, 0.0, 1)) == ((1L, 1L, 1)))
+    // Madrid ~(-3.7, 40.4) z=10: compare against the slippy-map formulas
+    val (x, y, z) = Quadbin.cellToTile(Quadbin.fromLonLat(-3.7, 40.4, 10))
+    val expX = math.floor((-3.7 + 180.0) / 360.0 * 1024).toLong
+    val latR = math.toRadians(40.4)
+    val expY = math.floor(
+      (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * 1024).toLong
+    assert(z == 10 && x == expX && y == expY, s"got ($x,$y) want ($expX,$expY)")
+    // extreme latitudes clamp, not crash
+    assert(Quadbin.zoom(Quadbin.fromLonLat(-180.0, 90.0, 5)) == 5)
+    assert(Quadbin.zoom(Quadbin.fromLonLat(180.0, -90.0, 5)) == 5)
+  }
+
+  test("bounds round-trip: center of cell bounds maps back to the cell") {
+    forAll(tileGen.suchThat(t => t._3 >= 1 && t._3 <= 20)) { case (x, y, z) =>
+      val cell = Quadbin.tileToCell(x, y, z)
+      val b = Quadbin.cellBounds(cell)
+      val cLon = (b(0) + b(2)) / 2
+      val cLat = (b(1) + b(3)) / 2
+      assert(Quadbin.fromLonLat(cLon, cLat, z) == cell)
+    }
+  }
+
+  test("wkt parsing") {
+    val p = Wkt.parse("POINT (1.5 -2.5)")
+    assert(p.bbox == BBox(1.5, -2.5, 1.5, -2.5))
+    val poly = Wkt.parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))").asInstanceOf[PolygonGeom]
+    assert(poly.containsPoint(5, 5))
+    assert(!poly.containsPoint(15, 5))
+    val holed = Wkt.parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(holed.containsPoint(1, 1))
+    assert(!holed.containsPoint(5, 5)) // inside the hole
+    val mp = Wkt.parse("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert(mp.containsPoint(0.5, 0.5) && mp.containsPoint(5.5, 5.5) && !mp.containsPoint(3, 3))
+  }
+
+  test("polygon-box predicates") {
+    val poly = Wkt.parse("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))").asInstanceOf[PolygonGeom]
+    assert(poly.intersectsBox(BBox(-1, -1, 1, 1)))    // corner overlap
+    assert(poly.intersectsBox(BBox(4, 4, 6, 6)))      // box inside polygon
+    assert(poly.intersectsBox(BBox(-5, 4, 15, 6)))    // box spans polygon
+    assert(!poly.intersectsBox(BBox(11, 11, 12, 12))) // disjoint
+    assert(poly.containsBox(BBox(2, 2, 8, 8)))
+    assert(!poly.containsBox(BBox(-1, -1, 5, 5)))
+  }
+
+  test("polyfill covers a polygon; modes nest") {
+    val wkt = "POLYGON ((-10 -10, 30 -10, 30 25, -10 25, -10 -10))"
+    val z = 6
+    val inter = Polyfill.cells(wkt, z, Polyfill.Intersects)
+    val center = Polyfill.cells(wkt, z, Polyfill.Center)
+    val contained = Polyfill.cells(wkt, z, Polyfill.Contains)
+    assert(contained.toSet.subsetOf(center.toSet))
+    assert(center.toSet.subsetOf(inter.toSet))
+    assert(inter.nonEmpty && contained.nonEmpty)
+    // every intersecting cell's bounds actually intersect the polygon bbox
+    val g = Wkt.parse(wkt)
+    inter.foreach { c =>
+      val b = Quadbin.cellBounds(c)
+      assert(g.intersectsBox(BBox(b(0), b(1), b(2), b(3))))
+    }
+    // a cell well outside is not covered
+    assert(!inter.contains(Quadbin.fromLonLat(100.0, 50.0, z)))
+  }
+
+  test("polyfill ranges cover the same cells as the list, compacted") {
+    val wkt = "POLYGON ((-10 -10, 30 -10, 30 25, -10 25, -10 -10))"
+    val z = 8
+    val cells = Polyfill.cells(wkt, z, Polyfill.Intersects).toSet
+    val ranges = Polyfill.ranges(wkt, z)
+    // every cell falls in some range
+    assert(cells.forall(c => ranges.exists { case (lo, hi) => c >= lo && c <= hi }))
+    // ranges are sorted, non-overlapping
+    val flat = ranges.flatMap { case (lo, hi) => Seq(lo, hi) }
+    assert(flat.sameElements(flat.sorted))
+    // compaction is effective: far fewer ranges than cells
+    assert(ranges.length < cells.size / 2, s"${ranges.length} ranges for ${cells.size} cells")
+  }
+}
