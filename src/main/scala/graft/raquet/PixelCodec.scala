@@ -1,0 +1,170 @@
+package graft.raquet
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Band-blob codec + per-tile kernels. Pure JVM, primitive-array loops
+  * (JIT-friendly), called from Catalyst expression codegen as static methods.
+  *
+  * Format semantics from the reference: blobs are little-endian row-major
+  * pixel arrays, optionally gzip-compressed (`format-specs/raquet.md:40-47`);
+  * band types `raquet.md:337`; decode sites `raquet/raquet2geotiff.py:397-399`,
+  * `raquet/validate.py:231-247`. Stats semantics mirror
+  * `read_statistics_numpy` (`raquet/raster2raquet.py:525-574`): NaN/Inf are
+  * always masked, nodata masked when defined. Unlike the reference's
+  * `combine_stats` (`raster2raquet.py:473-499`, count-weighted stddev
+  * average — an approximation), we carry sum-of-squares so merges are exact.
+  */
+object PixelCodec {
+
+  def gzipCompress(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(data)
+    gz.close()
+    bos.toByteArray
+  }
+
+  def gzipDecompress(data: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(data), 8192)
+    val out = new ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  /** True if the blob starts with the gzip magic — lets decode work on mixed
+    * compressed/uncompressed data without trusting metadata blindly. */
+  def isGzip(data: Array[Byte]): Boolean =
+    data.length > 2 && data(0) == 0x1f.toByte && data(1) == 0x8b.toByte
+
+  def bytesPerPixel(dtype: String): Int = dtype match {
+    case "uint8" | "int8" => 1
+    case "uint16" | "int16" | "float16" => 2
+    case "uint32" | "int32" | "float32" => 4
+    case "uint64" | "int64" | "float64" => 8
+    case other => throw new IllegalArgumentException(s"band type: $other")
+  }
+
+  /** Decode a (possibly gzipped) band blob to doubles. int64/uint64 above
+    * 2^53 lose precision — same as any SQL-double engine surface. */
+  def decode(raw: Array[Byte], dtype: String): Array[Double] = {
+    val data = if (isGzip(raw)) gzipDecompress(raw) else raw
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val n = data.length / bytesPerPixel(dtype)
+    val out = new Array[Double](n)
+    var i = 0
+    dtype match {
+      case "uint8"   => while (i < n) { out(i) = bb.get(i) & 0xFF; i += 1 }
+      case "int8"    => while (i < n) { out(i) = bb.get(i); i += 1 }
+      case "uint16"  => while (i < n) { out(i) = bb.getShort(i * 2) & 0xFFFF; i += 1 }
+      case "int16"   => while (i < n) { out(i) = bb.getShort(i * 2); i += 1 }
+      case "uint32"  => while (i < n) { out(i) = bb.getInt(i * 4) & 0xFFFFFFFFL; i += 1 }
+      case "int32"   => while (i < n) { out(i) = bb.getInt(i * 4); i += 1 }
+      case "uint64"  => while (i < n) {
+        val v = bb.getLong(i * 8)
+        out(i) = if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+        i += 1
+      }
+      case "int64"   => while (i < n) { out(i) = bb.getLong(i * 8).toDouble; i += 1 }
+      case "float16" => while (i < n) { out(i) = halfToDouble(bb.getShort(i * 2)); i += 1 }
+      case "float32" => while (i < n) { out(i) = bb.getFloat(i * 4); i += 1 }
+      case "float64" => while (i < n) { out(i) = bb.getDouble(i * 8); i += 1 }
+      case other => throw new IllegalArgumentException(s"band type: $other")
+    }
+    out
+  }
+
+  /** Encode doubles to a little-endian blob of `dtype`, optionally gzipped. */
+  def encode(values: Array[Double], dtype: String, gzip: Boolean): Array[Byte] = {
+    val bpp = bytesPerPixel(dtype)
+    val bb = ByteBuffer.allocate(values.length * bpp).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    val n = values.length
+    dtype match {
+      case "uint8" | "int8"   => while (i < n) { bb.put(i, values(i).toByte); i += 1 }
+      case "uint16" | "int16" => while (i < n) { bb.putShort(i * 2, values(i).toShort); i += 1 }
+      case "uint32" | "int32" => while (i < n) { bb.putInt(i * 4, values(i).toInt); i += 1 }
+      case "uint64" | "int64" => while (i < n) { bb.putLong(i * 8, values(i).toLong); i += 1 }
+      case "float16" => while (i < n) { bb.putShort(i * 2, doubleToHalf(values(i))); i += 1 }
+      case "float32" => while (i < n) { bb.putFloat(i * 4, values(i).toFloat); i += 1 }
+      case "float64" => while (i < n) { bb.putDouble(i * 8, values(i)); i += 1 }
+      case other => throw new IllegalArgumentException(s"band type: $other")
+    }
+    val raw = bb.array()
+    if (gzip) gzipCompress(raw) else raw
+  }
+
+  def halfToDouble(h: Short): Double = {
+    val bits = h & 0xFFFF
+    val sign = if ((bits & 0x8000) != 0) -1.0 else 1.0
+    val exp = (bits >> 10) & 0x1F
+    val mant = bits & 0x3FF
+    if (exp == 0x1F) { if (mant == 0) sign * Double.PositiveInfinity else Double.NaN }
+    else if (exp == 0) sign * mant * math.pow(2, -24)
+    else sign * (1024 + mant) * math.pow(2, exp - 25)
+  }
+
+  def doubleToHalf(d: Double): Short = {
+    val fbits = java.lang.Float.floatToIntBits(d.toFloat)
+    val sign = (fbits >>> 16) & 0x8000
+    var v = (fbits & 0x7fffffff) + 0x1000
+    if (v >= 0x47800000) {
+      if ((fbits & 0x7fffffff) >= 0x47800000) {
+        if ((fbits & 0x7fffffff) < 0x7f800000) return (sign | 0x7c00).toShort
+        return (sign | 0x7c00 | ((fbits & 0x007fffff) >>> 13)).toShort
+      }
+      return (sign | 0x7bff).toShort
+    }
+    if (v >= 0x38800000) return (sign | ((v - 0x38000000) >>> 13)).toShort
+    if (v < 0x33000000) return sign.toShort
+    v = (fbits & 0x7fffffff) >>> 23
+    (sign | ((((fbits & 0x7fffff) | 0x800000) + (0x800000 >>> (v - 102))) >>> (126 - v))).toShort
+  }
+
+  // --- per-tile stats kernel (A1) ---
+  // layout of the stats vector: [count, min, max, sum, sum_sq]
+  final val StatCount = 0; final val StatMin = 1; final val StatMax = 2
+  final val StatSum = 3; final val StatSumSq = 4
+
+  /** Valid-pixel stats with NaN/Inf + nodata masking; mask(i)=true keeps the
+    * pixel (null mask = all kept). Returns null when no valid pixels (the
+    * reference's empty-tile semantics). */
+  def maskedStats(values: Array[Double], nodata: Double, mask: Array[Boolean]): Array[Double] = {
+    var count = 0L
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var sum = 0.0
+    var sumSq = 0.0
+    val hasNodata = !nodata.isNaN
+    var i = 0
+    val n = values.length
+    while (i < n) {
+      val v = values(i)
+      val keep = (mask == null || mask(i)) &&
+        !java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v) &&
+        !(hasNodata && v == nodata)
+      if (keep) {
+        count += 1
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        sumSq += v * v
+      }
+      i += 1
+    }
+    if (count == 0) null
+    else Array(count.toDouble, mn, mx, sum, sumSq)
+  }
+
+  def statsMean(s: Array[Double]): Double = s(StatSum) / s(StatCount)
+
+  /** Population stddev from count/sum/sum². */
+  def statsStddev(s: Array[Double]): Double = {
+    val n = s(StatCount); val mean = s(StatSum) / n
+    math.sqrt(math.max(0.0, s(StatSumSq) / n - mean * mean))
+  }
+}

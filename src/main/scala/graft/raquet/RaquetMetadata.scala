@@ -1,0 +1,191 @@
+package graft.raquet
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+
+/** Parsed raquet metadata (the JSON document in the `block = 0` row).
+  *
+  * Structure per reference `format-specs/raquet.md:195-249`; built by
+  * `create_metadata` (`raquet/raster2raquet.py:1755-1876`). Also handles the
+  * legacy v0.1/v0.2 flat layout (`minresolution`/`block_width` at top level)
+  * the way `raquet/raquet2geotiff.py:60-81` does. Unknown fields are ignored
+  * as the spec mandates (`raquet.md:739`).
+  *
+  * Parsed once per dataset on the driver and carried into expressions as
+  * literals/config — never re-parsed per row.
+  */
+final case class BandMeta(
+    name: String,
+    bandType: String,            // uint8…float64 (spec raquet.md:337)
+    nodata: Option[Double],      // "NaN"/"Infinity" strings handled (raquet.md:338-342)
+    scale: Option[Double],
+    offset: Option[Double],
+    colorinterp: Option[String],
+    colortable: Option[Map[String, Seq[Int]]])
+
+final case class TimeMeta(
+    cfUnits: String,
+    cfCalendar: String,
+    resolution: Option[String],
+    interpretation: Option[String],
+    count: Option[Long])
+
+final case class RaquetMetadata(
+    version: String,
+    width: Long,
+    height: Long,
+    crs: String,
+    bounds: Array[Double],       // WGS84 [w, s, e, n]
+    compression: Option[String], // gzip | jpeg | webp | None
+    blockWidth: Int,
+    blockHeight: Int,
+    minZoom: Int,
+    maxZoom: Int,
+    pixelZoom: Int,
+    numBlocks: Long,
+    bandLayout: String,          // "sequential" | "interleaved"
+    bands: Seq[BandMeta],
+    time: Option[TimeMeta]) {
+
+  def gzip: Boolean = compression.contains("gzip")
+  def band(name: String): BandMeta = bands.find(_.name == name)
+    .getOrElse(throw new IllegalArgumentException(s"no band $name"))
+  /** Clamp a requested zoom per spec raquet.md:288-316. */
+  def clampZoom(z: Int): Int = math.max(minZoom, math.min(maxZoom, z))
+}
+
+object RaquetMetadata {
+  private val mapper = new ObjectMapper()
+
+  private def optD(n: JsonNode, field: String): Option[Double] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None
+    else if (v.isTextual) v.asText() match {
+      case "NaN" => Some(Double.NaN)
+      case "Infinity" => Some(Double.PositiveInfinity)
+      case "-Infinity" => Some(Double.NegativeInfinity)
+      case s => Some(s.toDouble)
+    }
+    else Some(v.asDouble())
+  }
+
+  private def optS(n: JsonNode, field: String): Option[String] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) None else Some(v.asText())
+  }
+
+  def parse(json: String): RaquetMetadata = {
+    val root = mapper.readTree(json)
+    def i(f: String, dflt: Int = 0): Int =
+      Option(root.get(f)).filterNot(_.isNull).map(_.asInt).getOrElse(dflt)
+    val tiling = Option(root.get("tiling")).filterNot(_.isNull)
+    // v0.5 nested tiling vs legacy flat keys (raquet2geotiff.py:60-81)
+    val (bw, bh, minZ, maxZ, pxZ, nBlocks) = tiling match {
+      case Some(t) =>
+        (t.path("block_width").asInt(256), t.path("block_height").asInt(256),
+          t.path("min_zoom").asInt(0), t.path("max_zoom").asInt(0),
+          t.path("pixel_zoom").asInt(0), t.path("num_blocks").asLong(0))
+      case None =>
+        (i("block_width", 256), i("block_height", 256),
+          i("minresolution"), i("maxresolution"),
+          i("pixelresolution", i("maxresolution") + 8), root.path("num_blocks").asLong(0))
+    }
+    val bands = Option(root.get("bands")).filterNot(_.isNull).map { arr =>
+      (0 until arr.size()).map { k =>
+        val b = arr.get(k)
+        val ct = Option(b.get("colortable")).filterNot(_.isNull).map { c =>
+          val fields = c.properties().iterator()
+          val m = Map.newBuilder[String, Seq[Int]]
+          while (fields.hasNext) {
+            val e = fields.next()
+            m += e.getKey -> (0 until e.getValue.size()).map(e.getValue.get(_).asInt())
+          }
+          m.result()
+        }
+        BandMeta(
+          name = Option(b.get("name")).map(_.asText()).getOrElse(s"band_${k + 1}"),
+          bandType = b.path("type").asText("float64"),
+          nodata = optD(b, "nodata"),
+          scale = optD(b, "scale"),
+          offset = optD(b, "offset"),
+          colorinterp = optS(b, "colorinterp"),
+          colortable = ct)
+      }
+    }.getOrElse(Seq.empty)
+    val time = Option(root.get("time")).filterNot(_.isNull).map { t =>
+      TimeMeta(
+        cfUnits = t.path("cf:units").asText(""),
+        cfCalendar = t.path("cf:calendar").asText("standard"),
+        resolution = optS(t, "resolution"),
+        interpretation = optS(t, "interpretation"),
+        count = Option(t.get("count")).filterNot(_.isNull).map(_.asLong()))
+    }
+    val bounds = Option(root.get("bounds")).filterNot(_.isNull)
+      .map(b => (0 until b.size()).map(b.get(_).asDouble()).toArray)
+      .getOrElse(Array(-180.0, -85.051129, 180.0, 85.051129))
+    RaquetMetadata(
+      version = root.path("version").asText("0.5.0"),
+      width = root.path("width").asLong(0),
+      height = root.path("height").asLong(0),
+      crs = root.path("crs").asText("EPSG:3857"),
+      bounds = bounds,
+      compression = optS(root, "compression"),
+      blockWidth = bw, blockHeight = bh,
+      minZoom = minZ, maxZoom = maxZ, pixelZoom = pxZ, numBlocks = nBlocks,
+      bandLayout = root.path("band_layout").asText("sequential"),
+      bands = bands, time = time)
+  }
+
+  /** Serialize to spec-shaped JSON (v0.5 layout). NaN/Inf nodata become the
+    * Zarr-v3 strings the reference emits (`raster2raquet.py:1670-1687`). */
+  def toJson(m: RaquetMetadata): String = {
+    val f = JsonNodeFactory.instance
+    val root = f.objectNode()
+    root.put("file_format", "raquet")
+    root.put("version", m.version)
+    root.put("width", m.width)
+    root.put("height", m.height)
+    root.put("crs", m.crs)
+    val b = root.putArray("bounds")
+    m.bounds.foreach(b.add)
+    root.put("bounds_crs", "EPSG:4326")
+    m.compression match {
+      case Some(c) => root.put("compression", c)
+      case None => root.putNull("compression")
+    }
+    root.put("band_layout", m.bandLayout)
+    val t = root.putObject("tiling")
+    t.put("scheme", "quadbin")
+    t.put("block_width", m.blockWidth)
+    t.put("block_height", m.blockHeight)
+    t.put("min_zoom", m.minZoom)
+    t.put("max_zoom", m.maxZoom)
+    t.put("pixel_zoom", m.pixelZoom)
+    t.put("num_blocks", m.numBlocks)
+    val bandsArr = root.putArray("bands")
+    m.bands.foreach { bm =>
+      val bn = bandsArr.addObject()
+      bn.put("name", bm.name)
+      bn.put("type", bm.bandType)
+      bm.nodata match {
+        case Some(v) if v.isNaN => bn.put("nodata", "NaN")
+        case Some(v) if v.isPosInfinity => bn.put("nodata", "Infinity")
+        case Some(v) if v.isNegInfinity => bn.put("nodata", "-Infinity")
+        case Some(v) => bn.put("nodata", v)
+        case None => bn.putNull("nodata")
+      }
+      bm.scale.foreach(bn.put("scale", _))
+      bm.offset.foreach(bn.put("offset", _))
+      bm.colorinterp.foreach(bn.put("colorinterp", _))
+    }
+    m.time.foreach { tm =>
+      val tn = root.putObject("time")
+      tn.put("cf:units", tm.cfUnits)
+      tn.put("cf:calendar", tm.cfCalendar)
+      tm.resolution.foreach(tn.put("resolution", _))
+      tm.interpretation.foreach(tn.put("interpretation", _))
+      tm.count.foreach(tn.put("count", _))
+    }
+    mapper.writeValueAsString(root)
+  }
+}
