@@ -1,24 +1,60 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. One warm-up pass (absorbs JVM/codegen start-up), then
+  * median-of-3 timed runs per query. Each run forces full evaluation through
+  * the noop sink — `count()` would let Catalyst drop unused projections.
+  * Emits ONE JSON line on stdout and mirrors it to BENCH_LOCAL.json so the
+  * result survives sbt's log decoration.
+  */
 object Bench {
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val queries = SparkEntry.queries
+    // warm-up: one untimed pass over everything
+    queries.foreach { case (name, fn) =>
+      try once(fn)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up $name failed: $e") }
+    }
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val ts = (1 to 3).map { _ =>
+        try once(fn)
+        catch { case scala.util.control.NonFatal(_) => -1.0 }
+      }
+      name -> (if (ts.contains(-1.0)) -1.0 else median(ts))
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 }

@@ -26,10 +26,12 @@ object Sql {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       try Tables.load(spark, sfDir, t).createOrReplaceTempView(t)
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[sql] view $t not registered: $e") }
     }
     try Tables.events(spark, sfDir).createOrReplaceTempView("events")
-    catch { case _: Throwable => }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[sql] view events not registered: $e") }
     args.foreach { sql =>
       spark.sql(sql).show(100, truncate = false)
     }

@@ -151,6 +151,12 @@ final case class MultiPolygonGeom(polys: Array[PolygonGeom]) extends Geom {
       math.max(a.east, b.east), math.max(a.north, b.north)))
   def containsPoint(lon: Double, lat: Double): Boolean = polys.exists(_.containsPoint(lon, lat))
   def intersectsBox(b: BBox): Boolean = polys.exists(_.intersectsBox(b))
+  /** Per-polygon containment: a box covered only by the UNION of two
+    * adjacent members reports false. This is deliberately conservative —
+    * Polyfill uses containsBox purely as a subtree-collapse optimization
+    * (and contains-mode cells straddling internal boundaries are omitted,
+    * matching a strict per-polygon reading of the reference's contains
+    * mode). Union-exact containment would need boundary-overlap analysis. */
   def containsBox(b: BBox): Boolean = polys.exists(_.containsBox(b))
 }
 

@@ -87,8 +87,17 @@ object PixelCodec {
     dtype match {
       case "uint8" | "int8"   => while (i < n) { bb.put(i, values(i).toByte); i += 1 }
       case "uint16" | "int16" => while (i < n) { bb.putShort(i * 2, values(i).toShort); i += 1 }
-      case "uint32" | "int32" => while (i < n) { bb.putInt(i * 4, values(i).toInt); i += 1 }
-      case "uint64" | "int64" => while (i < n) { bb.putLong(i * 8, values(i).toLong); i += 1 }
+      // uint32/uint64 wrap through the full unsigned range instead of
+      // saturating at the signed max (Double.toInt clamps): go via toLong
+      // for uint32; mirror the decode bias for uint64 values >= 2^63.
+      case "uint32" => while (i < n) { bb.putInt(i * 4, values(i).toLong.toInt); i += 1 }
+      case "int32"  => while (i < n) { bb.putInt(i * 4, values(i).toInt); i += 1 }
+      case "uint64" => while (i < n) {
+        val v = values(i)
+        val bits = if (v >= 9.223372036854776E18) (v - 1.8446744073709552E19).toLong else v.toLong
+        bb.putLong(i * 8, bits); i += 1
+      }
+      case "int64"  => while (i < n) { bb.putLong(i * 8, values(i).toLong); i += 1 }
       case "float16" => while (i < n) { bb.putShort(i * 2, doubleToHalf(values(i))); i += 1 }
       case "float32" => while (i < n) { bb.putFloat(i * 4, values(i).toFloat); i += 1 }
       case "float64" => while (i < n) { bb.putDouble(i * 8, values(i)); i += 1 }

@@ -177,6 +177,13 @@ object RaquetMetadata {
       bm.scale.foreach(bn.put("scale", _))
       bm.offset.foreach(bn.put("offset", _))
       bm.colorinterp.foreach(bn.put("colorinterp", _))
+      bm.colortable.foreach { ct =>
+        val cn = bn.putObject("colortable")
+        ct.toSeq.sortBy(_._1).foreach { case (k, rgba) =>
+          val arr = cn.putArray(k)
+          rgba.foreach(arr.add)
+        }
+      }
     }
     m.time.foreach { tm =>
       val tn = root.putObject("time")
