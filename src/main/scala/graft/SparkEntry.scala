@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{QuadbinOracles, QuadbinQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,10 @@ object SparkEntry {
     "q10_rollup"          -> (Relational.q10Rollup _),
     "q11_union"           -> (Relational.q11Union _),
     "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
+    "q13_quadbin_roundtrip" -> (QuadbinQueries.q13QuadbinRoundtrip _),
+    "q14_quadbin_ancestor"  -> (QuadbinQueries.q14QuadbinAncestor _),
+    "q15_quadbin_lonlat"    -> (QuadbinQueries.q15QuadbinLonLat _),
+    "q16_quadbin_bounds"    -> (QuadbinQueries.q16QuadbinBounds _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -108,5 +112,9 @@ object SparkEntry {
            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q13_quadbin_roundtrip" -> QuadbinOracles.q13,
+    "q14_quadbin_ancestor"  -> QuadbinOracles.q14,
+    "q15_quadbin_lonlat"    -> QuadbinOracles.q15,
+    "q16_quadbin_bounds"    -> QuadbinOracles.q16,
   )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Driver-verifiable queries for the quadbin expression family (SURVEY.md §2.8
+  * F1-F6). Inputs are derived deterministically from `range(id)` with integer
+  * arithmetic that DuckDB reproduces bit-for-bit, so every query has a strict
+  * oracle: the DuckDB side re-implements Morton interleave / slippy-map math
+  * from scratch (52-term bit expression generated in [[QuadbinOracles]]),
+  * independent of the Scala kernel.
+  *
+  * Scale note: all of these are narrow projections over a generated range —
+  * no shuffle, whole-stage codegen end to end.
+  */
+object QuadbinQueries {
+
+  /** id → (z, x, y) tile derivation shared with the oracle SQL: zooms 0..26,
+    * x/y pseudo-random but < 2^z via multiplicative hash mod 2^z. */
+  private def tiles(spark: SparkSession, n: Int): DataFrame =
+    spark.range(n).toDF("id").selectExpr(
+      "id",
+      "CAST(id % 27 AS INT) AS z",
+      "(id * 48271) % shiftleft(CAST(1 AS BIGINT), CAST(id % 27 AS INT)) AS x",
+      "(id * 69621) % shiftleft(CAST(1 AS BIGINT), CAST(id % 27 AS INT)) AS y")
+
+  /** F1+F2+F3: encode tile → cell, then decode back (zoom/tile_x/tile_y must
+    * round-trip; the oracle re-derives `cell` with its own interleave). */
+  def q13QuadbinRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val t = tiles(spark, 4096)
+      .withColumn("cell", quadbin_from_tile(col("x"), col("y"), col("z")))
+    t.select(
+      col("id"), col("cell"),
+      quadbin_zoom(col("cell")).cast("long").as("zoom"),
+      quadbin_tile_x(col("cell")).as("tile_x"),
+      quadbin_tile_y(col("cell")).as("tile_y"))
+  }
+
+  /** F4: ancestor at pz = max(z - id%4, 0); oracle truncates Morton bits. */
+  def q14QuadbinAncestor(spark: SparkSession, dir: String): DataFrame = {
+    val t = tiles(spark, 4096)
+      .withColumn("cell", quadbin_from_tile(col("x"), col("y"), col("z")))
+      .withColumn("pz", greatest(col("z") - col("id") % 4, lit(0)).cast("int"))
+    t.select(col("id"), col("pz").cast("long").as("pz"),
+      quadbin_ancestor(col("cell"), col("pz")).as("anc"))
+  }
+
+  /** F5: lon/lat → cell at zooms 1..20; oracle does mercator forward +
+    * interleave in SQL. Points avoid tile-boundary values so an ulp of libm
+    * difference cannot flip a floor(). */
+  def q15QuadbinLonLat(spark: SparkSession, dir: String): DataFrame =
+    spark.range(4096).toDF("id").selectExpr(
+      "id",
+      "-179.9 + (id % 719) * 0.5002 AS lon",
+      "-83.9 + (id % 337) * 0.4981 AS lat",
+      "CAST(1 + id % 20 AS INT) AS z")
+      .select(col("id"),
+        quadbin_from_lonlat(col("lon"), col("lat"), col("z")).as("cell"))
+
+  /** F6 + validity: WGS84 tile bounds vs slippy-map trig in DuckDB. */
+  def q16QuadbinBounds(spark: SparkSession, dir: String): DataFrame = {
+    val t = tiles(spark, 512)
+      .withColumn("cell", quadbin_from_tile(col("x"), col("y"), col("z")))
+      .withColumn("b", quadbin_bounds(col("cell")))
+    t.select(
+      col("id"),
+      round(element_at(col("b"), 1), 7).as("west"),
+      round(element_at(col("b"), 2), 7).as("south"),
+      round(element_at(col("b"), 3), 7).as("east"),
+      round(element_at(col("b"), 4), 7).as("north"),
+      quadbin_is_valid(col("cell")).as("valid"))
+  }
+}
+
+/** DuckDB oracle SQL for [[QuadbinQueries]] — an independent re-implementation
+  * of the quadbin layout (`docs/quadbin.md:84-146` semantics) in pure SQL
+  * bit math, generated programmatically.
+  */
+object QuadbinOracles {
+  private val Header = "5188146770730811392" // 0x4800000000000000
+
+  /** 52-term Morton interleave of 26-bit x (even positions) and y (odd). */
+  private def interleave(x: String, y: String): String =
+    (0 until 26).flatMap { b =>
+      Seq(s"((($x >> $b) & 1) << ${2 * b})", s"((($y >> $b) & 1) << ${2 * b + 1})")
+    }.mkString("(", " | ", ")")
+
+  private def cellExpr(x: String, y: String, z: String): String =
+    s"($Header | (CAST($z AS BIGINT) << 52) | (${interleave(x, y)} << (52 - 2*$z))" +
+      s" | ((CAST(1 AS BIGINT) << (52 - 2*$z)) - 1))"
+
+  private val tileCte =
+    """WITH t AS (
+       SELECT id, CAST(id % 27 AS BIGINT) AS z,
+              (id * 48271) % (CAST(1 AS BIGINT) << CAST(id % 27 AS INT)) AS x,
+              (id * 69621) % (CAST(1 AS BIGINT) << CAST(id % 27 AS INT)) AS y
+       FROM range(0, NN) tbl(id))""".stripMargin
+
+  val q13: String =
+    tileCte.replace("NN", "4096") +
+      s" SELECT id, ${cellExpr("x", "y", "z")} AS cell, z AS zoom, x AS tile_x, y AS tile_y FROM t"
+
+  val q14: String =
+    tileCte.replace("NN", "4096") +
+      s""" SELECT id, greatest(z - id % 4, 0) AS pz,
+          ($Header | (greatest(z - id % 4, 0) << 52)
+           | ((${interleave("x", "y")} >> (2 * (z - greatest(z - id % 4, 0))))
+              << (52 - 2 * greatest(z - id % 4, 0)))
+           | ((CAST(1 AS BIGINT) << (52 - 2 * greatest(z - id % 4, 0))) - 1)) AS anc
+          FROM t"""
+
+  val q15: String = {
+    val xt = "least(greatest(CAST(floor((lon + 180.0) / 360.0 * n) AS BIGINT), 0), n - 1)"
+    val yt = "least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * n) AS BIGINT), 0), n - 1)"
+    s"""WITH p AS (
+        SELECT id, -179.9 + (id % 719) * 0.5002 AS lon,
+               -83.9 + (id % 337) * 0.4981 AS lat,
+               CAST(1 + id % 20 AS BIGINT) AS z,
+               (CAST(1 AS BIGINT) << CAST(1 + id % 20 AS INT)) AS n
+        FROM range(0, 4096) tbl(id)),
+       xy AS (SELECT id, z, $xt AS x, $yt AS y FROM p)
+       SELECT id, ${cellExpr("x", "y", "z")} AS cell FROM xy"""
+  }
+
+  val q16: String =
+    tileCte.replace("NN", "512") +
+      s""" SELECT id,
+          round(CAST(x AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(z AS INT)) * 360.0 - 180.0, 7) AS west,
+          round(degrees(atan((exp(pi() * (1.0 - 2.0 * (y + 1) / (CAST(1 AS BIGINT) << CAST(z AS INT))))
+                - exp(-pi() * (1.0 - 2.0 * (y + 1) / (CAST(1 AS BIGINT) << CAST(z AS INT))))) / 2.0)), 7) AS south,
+          round(CAST(x + 1 AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(z AS INT)) * 360.0 - 180.0, 7) AS east,
+          round(degrees(atan((exp(pi() * (1.0 - 2.0 * y / (CAST(1 AS BIGINT) << CAST(z AS INT))))
+                - exp(-pi() * (1.0 - 2.0 * y / (CAST(1 AS BIGINT) << CAST(z AS INT))))) / 2.0)), 7) AS north,
+          TRUE AS valid
+          FROM t"""
+}
