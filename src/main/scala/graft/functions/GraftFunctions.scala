@@ -1,8 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft._
+
+import graft.raquet.{BandKernel, BandPairKernel, RaquetMetadata}
 
 /** Scala Column API + SQL registration for the graft function family.
   *
@@ -29,6 +31,30 @@ object GraftFunctions {
   def quadbin_bounds(cell: Column): Column = col(QuadbinBounds(ex(cell)))
   def quadbin_is_valid(cell: Column): Column = col(QuadbinIsValid(ex(cell)))
 
+  // --- raster surface (kernel resolved at plan time from parsed metadata) ---
+
+  def rq_decode(band: Column, meta: RaquetMetadata, name: String): Column =
+    col(RqDecode(ex(band), BandKernel(meta, name)))
+  def rq_summary_stats(band: Column, meta: RaquetMetadata, name: String): Column =
+    col(RqSummaryStats(ex(band), BandKernel(meta, name)))
+  def rq_raster_value(band: Column, block: Column, lon: Column, lat: Column,
+      meta: RaquetMetadata, name: String): Column =
+    col(RqRasterValue(ex(band), ex(block), ex(lon), ex(lat), BandKernel(meta, name)))
+  def rq_clip_stats(band: Column, block: Column, meta: RaquetMetadata,
+      name: String, wkt: String): Column =
+    col(RqClipStats(ex(band), ex(block), BandKernel(meta, name), wkt))
+  def rq_normalized_difference(a: Column, b: Column, meta: RaquetMetadata,
+      nameA: String, nameB: String): Column =
+    col(RqNormalizedDifference(ex(a), ex(b),
+      BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB))))
+  def st_quadbin_intersects(block: Column, wkt: String): Column =
+    col(QuadbinIntersects(ex(block), wkt))
+
+  /** Exact partial→final stats merge (A3) over `rq_summary_stats` structs —
+    * a declarative aggregate (codegen'd hash agg, primitive buffers). */
+  def rq_stats_merge(stats: Column): Column =
+    col(RqStatsMerge(ex(stats)).toAggregateExpression())
+
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -42,5 +68,26 @@ object GraftFunctions {
     r("quadbin_from_lonlat") { case Seq(lon, lat, z) => QuadbinFromLonLat(lon, lat, z) }
     r("quadbin_bounds") { case Seq(c) => QuadbinBounds(c) }
     r("quadbin_is_valid") { case Seq(c) => QuadbinIsValid(c) }
+    // raster functions bind their kernel from foldable (metadata JSON, band)
+    // string args — parsed once at resolution, never per row
+    def litStr(e: Expression, what: String): String = e match {
+      case Literal(s, _) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+    def kernelOf(metaJson: Expression, band: Expression): BandKernel =
+      BandKernel(RaquetMetadata.parse(litStr(metaJson, "metadata")),
+        litStr(band, "band name"))
+    r("rq_decode") { case Seq(b, m, n) => RqDecode(b, kernelOf(m, n)) }
+    r("rq_summary_stats") { case Seq(b, m, n) => RqSummaryStats(b, kernelOf(m, n)) }
+    r("rq_raster_value") { case Seq(b, blk, lon, lat, m, n) =>
+      RqRasterValue(b, blk, lon, lat, kernelOf(m, n)) }
+    r("rq_clip_stats") { case Seq(b, blk, m, n, w) =>
+      RqClipStats(b, blk, kernelOf(m, n), litStr(w, "wkt")) }
+    r("rq_normalized_difference") { case Seq(a, b, m, na, nb) =>
+      RqNormalizedDifference(a, b, BandPairKernel(kernelOf(m, na), kernelOf(m, nb))) }
+    r("st_quadbin_intersects") { case Seq(c, w) =>
+      QuadbinIntersects(c, litStr(w, "wkt")) }
+    r("rq_stats_merge") { case Seq(s) => RqStatsMerge(s) }
   }
 }

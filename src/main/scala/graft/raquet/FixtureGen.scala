@@ -1,0 +1,139 @@
+package graft.raquet
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.quadbin.Quadbin
+
+/** Deterministic synthetic raster generator — the test/bench substitute for
+  * the reference's GDAL ingest (S6), whose real fixtures ship as git-LFS
+  * pointers and are unavailable offline.
+  *
+  * Pixel values are closed-form in GLOBAL pixel coordinates gx = x·bs + i,
+  * gy = y·bs + j, chosen so a SQL engine (the DuckDB oracle) can recompute
+  * every pixel, every tile stat, and every pyramid level independently:
+  *
+  *  - band_1 (uint8, nodata 255):  255 where (gx+gy) % 31 == 0,
+  *                                 else (7·gx + 13·gy) % 255
+  *  - band_2 (float32, scale 0.5, offset 16): DN = gx/2 + gy/4
+  *
+  * All band_2 values (and their squares and sums) are dyadic rationals well
+  * inside double's 2^53 exact range, so sums/means are EXACT in IEEE double
+  * regardless of accumulation order — float arithmetic cannot cause an
+  * engine-vs-oracle hash mismatch.
+  *
+  * Generation is distributed (one task per tile batch); the pyramid levels
+  * come from the real [[Pyramid]] operator so the fixture also exercises M5.
+  */
+object FixtureGen {
+
+  val Band1Nodata = 255.0
+
+  def v1(gx: Long, gy: Long): Double =
+    if ((gx + gy) % 31 == 0) Band1Nodata else ((7 * gx + 13 * gy) % 255).toDouble
+
+  def v2(gx: Long, gy: Long): Double = gx * 0.5 + gy * 0.25
+
+  def schema: StructType = {
+    def statFields(b: String) = Seq(
+      StructField(s"${b}_count", LongType), StructField(s"${b}_min", DoubleType),
+      StructField(s"${b}_max", DoubleType), StructField(s"${b}_sum", DoubleType),
+      StructField(s"${b}_mean", DoubleType), StructField(s"${b}_stddev", DoubleType))
+    StructType(
+      Seq(StructField("block", LongType, nullable = false),
+        StructField("metadata", StringType),
+        StructField("band_1", BinaryType), StructField("band_2", BinaryType)) ++
+        statFields("band_1") ++ statFields("band_2"))
+  }
+
+  def metadata(z: Int, x0: Long, y0: Long, nx: Int, ny: Int, bs: Int,
+      minZoom: Int, numBlocks: Long): RaquetMetadata =
+    RaquetMetadata(
+      version = "0.5.0",
+      width = nx.toLong * bs, height = ny.toLong * bs,
+      crs = "EPSG:3857",
+      bounds = Array(Quadbin.tileWest(x0, z), Quadbin.tileSouth(y0 + ny - 1, z),
+        Quadbin.tileEast(x0 + nx - 1, z), Quadbin.tileNorth(y0, z)),
+      compression = Some("gzip"),
+      blockWidth = bs, blockHeight = bs,
+      minZoom = minZoom, maxZoom = z,
+      pixelZoom = z + (math.log(bs.toDouble) / math.log(2.0)).round.toInt,
+      numBlocks = numBlocks,
+      bandLayout = "sequential",
+      bands = Seq(
+        BandMeta("band_1", "uint8", Some(Band1Nodata), None, None, Some("gray"), None),
+        BandMeta("band_2", "float32", None, Some(0.5), Some(16.0), None, None)),
+      time = None)
+
+  /** Native-zoom tiles as a distributed DataFrame (metadata column null). */
+  def nativeTiles(spark: SparkSession, z: Int, x0: Long, y0: Long,
+      nx: Int, ny: Int, bs: Int): DataFrame = {
+    val sc = spark.sparkContext
+    val tiles = for (ty <- 0 until ny; tx <- 0 until nx) yield (x0 + tx, y0 + ty)
+    val slices = math.min(tiles.size, sc.defaultParallelism * 2)
+    val rows = sc.parallelize(tiles, math.max(1, slices)).map { case (x, y) =>
+      val n = bs * bs
+      val a1 = new Array[Double](n)
+      val a2 = new Array[Double](n)
+      var j = 0
+      while (j < bs) {
+        val gy = y * bs + j
+        var i = 0
+        while (i < bs) {
+          val gx = x * bs + i
+          a1(j * bs + i) = v1(gx, gy)
+          a2(j * bs + i) = v2(gx, gy)
+          i += 1
+        }
+        j += 1
+      }
+      val s1 = PixelCodec.maskedStats(a1, Band1Nodata, null)
+      val s2 = PixelCodec.maskedStats(a2, Double.NaN, null)
+      def stat(s: Array[Double]): Seq[Any] =
+        if (s == null) Seq[Any](0L, null, null, null, null, null)
+        else Seq[Any](java.lang.Long.valueOf(s(0).toLong), s(1), s(2), s(3),
+          PixelCodec.statsMean(s), PixelCodec.statsStddev(s))
+      Row.fromSeq(
+        Seq(Quadbin.tileToCell(x, y, z), null,
+          PixelCodec.encode(a1, "uint8", gzip = true),
+          PixelCodec.encode(a2, "float32", gzip = true)) ++ stat(s1) ++ stat(s2))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Full dataset (native + pyramid to minZoom) and its metadata. */
+  def dataset(spark: SparkSession, z: Int, x0: Long, y0: Long,
+      nx: Int, ny: Int, bs: Int, minZoom: Int): (DataFrame, RaquetMetadata) = {
+    var numBlocks = 0L
+    var w = nx; var h = ny
+    for (_ <- minZoom to z) {
+      numBlocks += w.toLong * h
+      w = math.max(1, w / 2); h = math.max(1, h / 2)
+    }
+    val meta = metadata(z, x0, y0, nx, ny, bs, minZoom, numBlocks)
+    val all = Pyramid.build(nativeTiles(spark, z, x0, y0, nx, ny, bs), meta, minZoom)
+    (all, meta)
+  }
+
+  /** The committed unit/oracle fixture: zoom 6, tiles x 32-39 / y 24-31,
+    * 16×16 blocks, pyramid to zoom 3 → 64+16+4+1 = 85 data rows. */
+  def writeGradient16(spark: SparkSession, file: String): Unit = {
+    val (df, meta) = dataset(spark, z = 6, x0 = 32, y0 = 24, nx = 8, ny = 8,
+      bs = 16, minZoom = 3)
+    RaquetIO.writeSingleFile(df, meta, file)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0)
+      else "src/test/resources/raquet/gradient16.parquet"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    writeGradient16(spark, out)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

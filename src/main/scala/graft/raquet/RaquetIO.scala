@@ -1,0 +1,165 @@
+package graft.raquet
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.Wkt
+import graft.quadbin.{Polyfill, Quadbin}
+
+/** The raquet table API: read (S1-S5), write (S9/T1). This is the surface a
+  * reference user touches first (`docs/engines.md:36-52`): `read_raquet`,
+  * `read_raquet_metadata`, `read_raquet_at`, spatial-filtered read.
+  *
+  * Scale design: spatial filters become Morton-range BETWEEN predicates on
+  * the sorted `block` column, which Spark pushes into the parquet scan —
+  * row-group min/max pruning then skips the untouched 99% exactly as the
+  * reference's DuckDB extension does (`docs/performance.md:143-179`). The
+  * metadata row is one driver-side lookup, parsed once and carried into
+  * expressions as plan-time config — never re-parsed per row.
+  */
+object RaquetIO {
+
+  /** A raquet dataset: data rows (metadata row excluded) + parsed metadata. */
+  final case class RaquetDataset(data: DataFrame, meta: RaquetMetadata) {
+    def kernel(band: String): BandKernel = BandKernel(meta, band)
+  }
+
+  /** S2: fetch + parse the `block = 0` metadata row. Partitioned datasets
+    * have one per file; they describe the same dataset, so LIMIT 1 is the
+    * spec's own dedupe idiom (`format-specs/raquet.md:160-175`). */
+  def readMetadata(spark: SparkSession, path: String): RaquetMetadata = {
+    val rows = spark.read.parquet(path)
+      .filter(col("block") === 0L).select("metadata").limit(1).collect()
+    require(rows.nonEmpty, s"no metadata row (block=0) in $path")
+    RaquetMetadata.parse(rows(0).getString(0))
+  }
+
+  /** S1+S3: full scan, metadata row(s) excluded (`docs/engines.md:118-121`). */
+  def read(spark: SparkSession, path: String): RaquetDataset = {
+    val meta = readMetadata(spark, path)
+    val data = spark.read.parquet(path).filter(col("block") =!= 0L)
+    RaquetDataset(data, meta)
+  }
+
+  /** S4: point query — only the tile covering (lon, lat) at `zoom` (default
+    * max_zoom). Sorted `block` + pushed equality = a handful of pages read. */
+  def readAt(spark: SparkSession, path: String, lon: Double, lat: Double,
+      zoom: Int = -1): RaquetDataset = {
+    val meta = readMetadata(spark, path)
+    val z = if (zoom < 0) meta.maxZoom else meta.clampZoom(zoom)
+    val cell = Quadbin.fromLonLat(lon, lat, z)
+    val data = spark.read.parquet(path).filter(col("block") === cell)
+    RaquetDataset(data, meta)
+  }
+
+  /** OR-of-BETWEEN predicate over compacted Morton ranges. Ranges at zoom z
+    * only cover zoom-z ids (zoom bits sit above the Morton bits), so no
+    * residual zoom filter is needed. */
+  def blockRangeFilter(ranges: Array[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) => col("block").between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** S5: spatial-filter scan. `zoom` accepts an Int, "auto", "min", "max"
+    * (spec `raquet.md:293-316`); `mode` is intersects/center/contains
+    * (`docs/performance.md:118-126`).
+    *
+    * intersects-mode is exactly the compacted range predicate (pushdown only,
+    * zero residual work). center/contains modes add a broadcast semi-join
+    * against the exact cell set — bounded by the polyfill size, never a
+    * shuffle of the fact table.
+    */
+  def readRegion(spark: SparkSession, path: String, wkt: String,
+      zoom: String = "max", mode: String = Polyfill.Intersects): RaquetDataset = {
+    val meta = readMetadata(spark, path)
+    val geom = Wkt.parse(wkt)
+    val z = zoom match {
+      case "max" => meta.maxZoom
+      case "min" => meta.minZoom
+      case "auto" => autoZoom(geom, meta)
+      case s => meta.clampZoom(s.toInt)
+    }
+    val ranges = Polyfill.ranges(geom, z)
+    var df = spark.read.parquet(path).filter(blockRangeFilter(ranges))
+    if (mode != Polyfill.Intersects) {
+      val cells = Polyfill.cells(geom, z, mode)
+      val cellDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(cells.toIndexedSeq.map(Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      df = df.join(broadcast(cellDf), col("block") === col("cell"), "left_semi")
+    }
+    RaquetDataset(df, meta)
+  }
+
+  /** 'auto' resolution: finest zoom (clamped) where the geometry's bbox spans
+    * at most ~256 tiles — large areas read coarse overviews, small areas read
+    * native resolution (spec raquet.md:311-316 rationale). */
+  def autoZoom(geom: graft.geo.Geom, meta: RaquetMetadata, targetTiles: Int = 256): Int = {
+    val b = geom.bbox
+    var z = meta.maxZoom
+    while (z > meta.minZoom && estTiles(b, z) > targetTiles) z -= 1
+    z
+  }
+
+  private def estTiles(b: graft.geo.BBox, z: Int): Double = {
+    val n = (1L << z).toDouble
+    def yf(lat: Double): Double = {
+      val r = math.toRadians(math.max(-Quadbin.LatLimit, math.min(Quadbin.LatLimit, lat)))
+      (1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi) / 2.0
+    }
+    val tx = (b.east - b.west) / 360.0 * n + 1.0
+    val ty = (yf(b.south) - yf(b.north)) * n + 1.0
+    tx * ty
+  }
+
+  /** S9 (directory form): Morton-sorted data + a separate one-row metadata
+    * file with the same schema. Sorted writes are what make every later read
+    * prunable; `orderBy` range-partitions so each output file covers a
+    * disjoint block range (the property M4 partitioning formalizes). */
+  def write(data: DataFrame, meta: RaquetMetadata, dir: String): Unit = {
+    val sortCols = if (data.columns.contains("time_cf"))
+      Seq(col("block"), col("time_cf")) else Seq(col("block"))
+    data.orderBy(sortCols: _*).write.mode("overwrite").parquet(dir)
+    metadataDf(data, meta).write.mode("append").parquet(dir)
+  }
+
+  /** S9 (single-file form, small outputs / fixtures): one parquet FILE with
+    * sorted data rows and the metadata row appended last, mirroring the
+    * reference writer's layout (`raster2raquet.py:2265-2314`). */
+  def writeSingleFile(data: DataFrame, meta: RaquetMetadata, file: String): Unit = {
+    val sorted = data.repartition(1).sortWithinPartitions("block")
+    // union preserves partition order; coalesce(1) concatenates them in
+    // order, so the metadata row lands after the sorted data rows
+    val withMeta = sorted.unionByName(metadataDf(data, meta)).coalesce(1)
+    val tmp = file + ".tmpdir"
+    withMeta.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.createDirectories(Paths.get(file).toAbsolutePath.getParent)
+    Files.move(part, Paths.get(file), StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  private def metadataDf(data: DataFrame, meta: RaquetMetadata): DataFrame = {
+    val spark = data.sparkSession
+    val json = RaquetMetadata.toJson(meta)
+    val values = data.schema.fields.map { f =>
+      f.name match {
+        case "block" => 0L
+        case "metadata" => json
+        case _ => null
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(values.toIndexedSeq: _*)), data.schema)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively(_))
+    Files.deleteIfExists(p)
+  }
+}

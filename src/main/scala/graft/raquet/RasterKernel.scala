@@ -1,0 +1,187 @@
+package graft.raquet
+
+import graft.geo.Geom
+import graft.quadbin.Quadbin
+
+/** Per-band raster kernel: everything an expression needs to turn a band blob
+  * into values/stats, resolved ONCE at plan time from the dataset's
+  * [[RaquetMetadata]] and carried into generated code as a reference object
+  * (no per-row JSON parsing, no boxing in the pixel loops).
+  *
+  * Semantics from the reference:
+  *  - decode sites `raquet/raquet2geotiff.py:397-399`, `raquet/validate.py:231-247`
+  *  - stats masking `raquet/raster2raquet.py:525-574` (NaN/Inf always masked,
+  *    nodata masked when defined)
+  *  - physical value = DN * scale + offset (`format-specs/raquet.md:344-345`)
+  *  - point lookup NULL-if-nodata (`format-specs/raquet.md:306-309`,
+  *    `docs/engines.md:56-61`)
+  *
+  * @param nodata NaN means "no nodata defined" (NaN pixels are masked anyway)
+  */
+final case class BandKernel(
+    dtype: String,
+    nodata: Double,
+    width: Int,
+    height: Int,
+    scale: Double,
+    offset: Double) extends Serializable {
+
+  def decode(raw: Array[Byte]): Array[Double] = PixelCodec.decode(raw, dtype)
+
+  /** [count,min,max,sum,sumSq] over valid pixels, or null if none. */
+  def stats(raw: Array[Byte]): Array[Double] =
+    PixelCodec.maskedStats(decode(raw), nodata, null)
+
+  /** Physical (scaled) value at (lon, lat) inside tile `block`; NaN when the
+    * point misses the tile or hits a nodata/NaN pixel. */
+  def valueAt(raw: Array[Byte], block: Long, lon: Double, lat: Double): Double = {
+    val z = Quadbin.zoom(block)
+    val x = Quadbin.tileX(block)
+    val y = Quadbin.tileY(block)
+    val n = (1L << z).toDouble
+    // fractional slippy-map coords; linear in mercator => matches the grid
+    val xf = (lon + 180.0) / 360.0 * n
+    val latR = math.toRadians(lat)
+    val yf = (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n
+    val col = math.floor((xf - x) * width).toInt
+    val row = math.floor((yf - y) * height).toInt
+    if (col < 0 || col >= width || row < 0 || row >= height) return Double.NaN
+    val v = decode(raw)(row * width + col)
+    if (java.lang.Double.isNaN(v) || (!nodata.isNaN && v == nodata)) Double.NaN
+    else v * scale + offset
+  }
+
+  /** Pixel-center longitude of column i in tile (x, z). Pure add/mul/div
+    * ops so any IEEE engine reproduces it bit-for-bit. */
+  def pixelLon(x: Long, z: Int, i: Int): Double =
+    (x + (i + 0.5) / width) / (1L << z) * 360.0 - 180.0
+
+  /** Pixel-center latitude of row j in tile (y, z) (inverse mercator). */
+  def pixelLat(y: Long, z: Int, j: Int): Double = {
+    val t = (y + (j + 0.5) / height) / (1L << z)
+    math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * t))))
+  }
+
+  /** Stats over valid pixels whose CENTER falls inside `geom` ("center" mode,
+    * reference `docs/performance.md:118-126`); null if none. Skips the
+    * point-in-polygon loop entirely when the tile is fully inside. */
+  def clipStats(raw: Array[Byte], block: Long, geom: Geom): Array[Double] = {
+    val z = Quadbin.zoom(block)
+    val x = Quadbin.tileX(block)
+    val y = Quadbin.tileY(block)
+    val box = graft.geo.BBox(
+      Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
+      Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
+    val values = decode(raw)
+    if (geom.containsBox(box)) return PixelCodec.maskedStats(values, nodata, null)
+    if (!geom.intersectsBox(box)) return null
+    val mask = new Array[Boolean](width * height)
+    var j = 0
+    while (j < height) {
+      val lat = pixelLat(y, z, j)
+      var i = 0
+      while (i < width) {
+        mask(j * width + i) = geom.containsPoint(pixelLon(x, z, i), lat)
+        i += 1
+      }
+      j += 1
+    }
+    PixelCodec.maskedStats(values, nodata, mask)
+  }
+
+  /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
+  def physical(raw: Array[Byte]): Array[Double] = {
+    val v = decode(raw)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      v(i) = if (java.lang.Double.isNaN(x) || (!nodata.isNaN && x == nodata)) Double.NaN
+             else x * scale + offset
+      i += 1
+    }
+    v
+  }
+}
+
+object BandKernel {
+  /** Resolve a kernel from parsed metadata + band name. */
+  def apply(meta: RaquetMetadata, bandName: String): BandKernel = {
+    val bm = meta.band(bandName)
+    BandKernel(
+      dtype = bm.bandType,
+      nodata = bm.nodata.getOrElse(Double.NaN),
+      width = meta.blockWidth,
+      height = meta.blockHeight,
+      scale = bm.scale.getOrElse(1.0),
+      offset = bm.offset.getOrElse(0.0))
+  }
+}
+
+/** Two-band kernels for band-math (`ST_NormalizedDifference`,
+  * `docs/engines.md:49,96-101`): per-pixel (a-b)/(a+b) over physical values,
+  * NaN where either side is nodata/NaN or the sum is zero. */
+final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializable {
+  def normalizedDifference(rawA: Array[Byte], rawB: Array[Byte]): Array[Double] = {
+    val va = a.physical(rawA)
+    val vb = b.physical(rawB)
+    val n = math.min(va.length, vb.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val s = va(i) + vb(i)
+      out(i) = if (s == 0.0) Double.NaN else (va(i) - vb(i)) / s
+      i += 1
+    }
+    out
+  }
+}
+
+/** Nodata-aware 2×2 downsampling for pyramid/overview builds (M5): four child
+  * tiles (Morton order: (0,0),(1,0),(0,1),(1,1); null = absent/empty child)
+  * reduce to one parent tile at zoom-1. Mean of valid children per 2×2 cell;
+  * integer dtypes round half-even; all-invalid cells become nodata (or NaN
+  * for float bands without nodata). Replaces the reference's GDAL-warp
+  * recursive descent (`raster2raquet.py:1066-1187`) with a pure reduce.
+  */
+object Downsample {
+  def parentTile(k: BandKernel,
+      c00: Array[Byte], c10: Array[Byte], c01: Array[Byte], c11: Array[Byte]): Array[Byte] = {
+    val w = k.width; val h = k.height
+    val kids = Array(c00, c10, c01, c11).map(r => if (r == null) null else k.decode(r))
+    val out = new Array[Double](w * h)
+    val isInt = k.dtype != "float16" && k.dtype != "float32" && k.dtype != "float64"
+    val fill = if (!k.nodata.isNaN) k.nodata else Double.NaN
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        // source child: (i div (w/2), j div (h/2)); source pixel 2*(i mod w/2)+d
+        val child = kids((if (j >= h / 2) 2 else 0) + (if (i >= w / 2) 1 else 0))
+        var sum = 0.0
+        var cnt = 0
+        if (child != null) {
+          val si = 2 * (i % (w / 2)); val sj = 2 * (j % (h / 2))
+          var dj = 0
+          while (dj < 2) {
+            var di = 0
+            while (di < 2) {
+              val v = child((sj + dj) * w + (si + di))
+              if (!java.lang.Double.isNaN(v) && !(!k.nodata.isNaN && v == k.nodata)) {
+                sum += v; cnt += 1
+              }
+              di += 1
+            }
+            dj += 1
+          }
+        }
+        out(j * w + i) =
+          if (cnt == 0) fill
+          else if (isInt) math.rint(sum / cnt)
+          else sum / cnt
+        i += 1
+      }
+      j += 1
+    }
+    PixelCodec.encode(out, k.dtype, gzip = true)
+  }
+}

@@ -1,0 +1,223 @@
+// Compiled inside the org.apache.spark.sql namespace so the expressions can
+// use private[sql] catalyst scaffolding (AbstractDataType etc.).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.geo.{Geom, Wkt}
+import graft.raquet.{BandKernel, BandPairKernel}
+
+/** Catalyst expressions for the raster function surface (SURVEY.md §2.8
+  * F10-F14, §2.4 A1): decode, per-tile summary stats, point value, clip
+  * stats, normalized difference. The resolved [[BandKernel]] (dtype, nodata,
+  * tile size, scale/offset from the dataset's metadata) is a constructor
+  * parameter — bound once at plan time, carried into generated code via
+  * `addReferenceObj`, so the per-row work is a single static-shaped call into
+  * primitive-array loops. Reference semantics: `docs/engines.md:44-61`,
+  * `raquet/raster2raquet.py:525-574`, `format-specs/raquet.md:306-345`.
+  */
+object RqBridge {
+  val statsSchema: StructType = StructType(Seq(
+    StructField("count", LongType, nullable = false),
+    StructField("min", DoubleType, nullable = false),
+    StructField("max", DoubleType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("sum_sq", DoubleType, nullable = false),
+    StructField("mean", DoubleType, nullable = false),
+    StructField("stddev", DoubleType, nullable = false)))
+
+  /** [count,min,max,sum,sumSq] kernel vector → stats InternalRow (null in → null out). */
+  def statsRow(s: Array[Double]): InternalRow = {
+    if (s == null) return null
+    val n = s(0)
+    val mean = s(3) / n
+    val stddev = math.sqrt(math.max(0.0, s(4) / n - mean * mean))
+    InternalRow(s(0).toLong, s(1), s(2), s(3), s(4), mean, stddev)
+  }
+
+  def statsOf(k: BandKernel, raw: Array[Byte]): InternalRow = statsRow(k.stats(raw))
+
+  def clipStatsOf(k: BandKernel, raw: Array[Byte], block: Long, geom: Geom): InternalRow =
+    statsRow(k.clipStats(raw, block, geom))
+
+  def decodeOf(k: BandKernel, raw: Array[Byte]): ArrayData =
+    ArrayData.toArrayData(k.decode(raw))
+
+  def ndiffOf(k: BandPairKernel, a: Array[Byte], b: Array[Byte]): ArrayData =
+    ArrayData.toArrayData(k.normalizedDifference(a, b))
+
+  def intersectsCell(geom: Geom, cell: Long): Boolean = {
+    val b = graft.quadbin.Quadbin.cellBounds(cell)
+    geom.intersectsBox(graft.geo.BBox(b(0), b(1), b(2), b(3)))
+  }
+
+  val B = "org.apache.spark.sql.graft.RqBridge"
+}
+
+/** rq_decode(band) → ARRAY<DOUBLE> raw DN values (F10 + F7 gzip sniffing). */
+case class RqDecode(child: Expression, kernel: BandKernel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_decode"
+  override protected def nullSafeEval(raw: Any): Any =
+    RqBridge.decodeOf(kernel, raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, c => s"${RqBridge.B}.decodeOf($k, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_summary_stats(band) → stats struct over valid pixels (A1); null for
+  * empty tiles. The partial-merge fields (count/sum/sum_sq) make the output
+  * directly mergeable by [[graft.operators.StatsMerge]] (A3). */
+case class RqSummaryStats(child: Expression, kernel: BandKernel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = RqBridge.statsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_summary_stats"
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) null
+    else RqBridge.statsOf(kernel, raw.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val c = child.genCode(ctx)
+    val row = ctx.freshName("statsRow")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${c.isNull}) {
+          InternalRow $row = ${RqBridge.B}.statsOf($k, ${c.value});
+          if ($row != null) { ${ev.isNull} = false; ${ev.value} = $row; }
+        }
+      """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_raster_value(band, block, lon, lat) → physical value at a point (F12);
+  * NULL outside the tile / at nodata pixels. */
+case class RqRasterValue(
+    band: Expression, block: Expression, lon: Expression, lat: Expression,
+    kernel: BandKernel)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = band
+  override def second: Expression = block
+  override def third: Expression = lon
+  override def fourth: Expression = lat
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, LongType, DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_raster_value"
+  override protected def nullSafeEval(b: Any, blk: Any, x: Any, y: Any): Any = {
+    val v = kernel.valueAt(b.asInstanceOf[Array[Byte]], blk.asInstanceOf[Long],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+    if (java.lang.Double.isNaN(v)) null else v
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    nullSafeCodeGen(ctx, ev, (b, blk, x, y) => {
+      val v = ctx.freshName("v")
+      s"""
+         |double $v = $k.valueAt($b, $blk, $x, $y);
+         |if (Double.isNaN($v)) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(band = f, block = s, lon = t, lat = q)
+}
+
+/** rq_clip_stats(band, block) with a plan-time geometry → stats struct over
+  * valid pixels whose center is inside the geometry (F13+A1, the per-tile
+  * half of ST_RegionStats); null when the tile misses the geometry. */
+case class RqClipStats(band: Expression, block: Expression,
+    kernel: BandKernel, wkt: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val geom: Geom = Wkt.parse(wkt)
+  override def left: Expression = band
+  override def right: Expression = block
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = RqBridge.statsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_clip_stats"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    val blk = block.eval(input)
+    if (raw == null || blk == null) null
+    else RqBridge.clipStatsOf(kernel, raw.asInstanceOf[Array[Byte]],
+      blk.asInstanceOf[Long], geom)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val g = ctx.addReferenceObj("geom", geom, classOf[Geom].getName)
+    val b = band.genCode(ctx)
+    val blk = block.genCode(ctx)
+    val row = ctx.freshName("clipRow")
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${blk.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${b.isNull} && !${blk.isNull}) {
+          InternalRow $row = ${RqBridge.B}.clipStatsOf($k, ${b.value}, ${blk.value}, $g);
+          if ($row != null) { ${ev.isNull} = false; ${ev.value} = $row; }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, block = r)
+}
+
+/** rq_normalized_difference(band_a, band_b) → ARRAY<DOUBLE> of
+  * (a-b)/(a+b) over physical values (F14, NDVI); NaN where invalid. */
+case class RqNormalizedDifference(left: Expression, right: Expression,
+    kernel: BandPairKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_normalized_difference"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    RqBridge.ndiffOf(kernel, a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandPairKernel].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"${RqBridge.B}.ndiffOf($k, $a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_quadbin_intersects(block) with plan-time geometry → does the tile's
+  * WGS84 bbox intersect the geometry (P4, `docs/engines.md:47`)? Used as a
+  * residual predicate after coarse Morton-range pruning. */
+case class QuadbinIntersects(child: Expression, wkt: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val geom: Geom = Wkt.parse(wkt)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_quadbin_intersects"
+  override protected def nullSafeEval(cell: Any): Any =
+    RqBridge.intersectsCell(geom, cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("geom", geom, classOf[Geom].getName)
+    defineCodeGen(ctx, ev, c => s"${RqBridge.B}.intersectsCell($g, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

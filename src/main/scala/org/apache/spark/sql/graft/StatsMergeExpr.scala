@@ -1,0 +1,76 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** rq_stats_merge(stats_struct) — exact partial→final merge of per-tile
+  * stats (A3), as a DECLARATIVE aggregate: the whole update/merge path is
+  * Catalyst expressions, so it runs inside codegen'd HashAggregate with
+  * primitive buffers (vs. the reference's row-at-a-time `combine_stats`,
+  * `raquet/raster2raquet.py:473-499`, which also merges stddev approximately;
+  * carrying sum_sq makes this merge exact and associative).
+  *
+  * Input: the `rq_summary_stats` struct (null rows = empty tiles, ignored).
+  * Output: same 7-field struct over the merged population.
+  */
+case class RqStatsMerge(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def prettyName: String = "rq_stats_merge"
+  override def dataType: DataType = RqBridge.statsSchema
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.sameType(RqBridge.statsSchema))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rq_stats_merge expects a stats struct, got ${child.dataType.catalogString}")
+
+  private val count = AttributeReference("m_count", LongType, nullable = false)()
+  private val mn = AttributeReference("m_min", DoubleType, nullable = false)()
+  private val mx = AttributeReference("m_max", DoubleType, nullable = false)()
+  private val sum = AttributeReference("m_sum", DoubleType, nullable = false)()
+  private val sumSq = AttributeReference("m_sum_sq", DoubleType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(count, mn, mx, sum, sumSq)
+
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal(0L), Literal(Double.PositiveInfinity),
+    Literal(Double.NegativeInfinity), Literal(0.0), Literal(0.0))
+
+  private def f(i: Int): Expression = GetStructField(child, i)
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val skip = IsNull(child)
+    Seq(
+      If(skip, count, Add(count, f(0))),
+      If(skip, mn, Least(Seq(mn, f(1)))),
+      If(skip, mx, Greatest(Seq(mx, f(2)))),
+      If(skip, sum, Add(sum, f(3))),
+      If(skip, sumSq, Add(sumSq, f(4))))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Add(count.left, count.right),
+    Least(Seq(mn.left, mn.right)),
+    Greatest(Seq(mx.left, mx.right)),
+    Add(sum.left, sum.right),
+    Add(sumSq.left, sumSq.right))
+
+  override lazy val evaluateExpression: Expression = {
+    val n = Cast(count, DoubleType)
+    val mean = Divide(sum, n)
+    val variance = Greatest(Seq(Literal(0.0),
+      Subtract(Divide(sumSq, n), Multiply(mean, mean))))
+    If(EqualTo(count, Literal(0L)),
+      Literal(null, RqBridge.statsSchema),
+      CreateNamedStruct(Seq(
+        Literal("count"), count, Literal("min"), mn, Literal("max"), mx,
+        Literal("sum"), sum, Literal("sum_sq"), sumSq,
+        Literal("mean"), mean, Literal("stddev"), Sqrt(variance))))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

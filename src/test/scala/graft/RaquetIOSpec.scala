@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.quadbin.Quadbin
+import graft.raquet.{BandKernel, Downsample, FixtureGen, PixelCodec, RaquetIO}
+
+/** Reader/writer + raster expression tests over the committed gradient16
+  * fixture (see [[graft.raquet.FixtureGen]] for the closed-form pixel
+  * formulas; the same formulas back the driver's DuckDB oracles). */
+class RaquetIOSpec extends SparkSpec {
+
+  val fixture = "src/test/resources/raquet/gradient16.parquet"
+
+  test("metadata parses from the block=0 row") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    assert(meta.version == "0.5.0")
+    assert(meta.blockWidth == 16 && meta.blockHeight == 16)
+    assert(meta.minZoom == 3 && meta.maxZoom == 6)
+    assert(meta.numBlocks == 85)
+    assert(meta.bands.map(_.name) == Seq("band_1", "band_2"))
+    assert(meta.band("band_1").nodata.contains(255.0))
+    assert(meta.band("band_2").scale.contains(0.5))
+  }
+
+  test("read excludes the metadata row and sees all 85 tiles") {
+    val ds = RaquetIO.read(spark, fixture)
+    assert(ds.data.count() == 85)
+    assert(ds.data.filter(col("block") === 0L).count() == 0)
+  }
+
+  test("readAt hits exactly the covering tile and value matches the formula") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    // center-ish of tile (35, 27) at z6
+    val b = Quadbin.cellBounds(Quadbin.tileToCell(35, 27, 6))
+    val lon = (b(0) + b(2)) / 2 + 0.011
+    val lat = (b(1) + b(3)) / 2 + 0.017
+    val ds = RaquetIO.readAt(spark, fixture, lon, lat)
+    val rows = ds.data
+      .select(col("block"),
+        rq_raster_value(col("band_1"), col("block"), lit(lon), lit(lat), meta, "band_1").as("v1"),
+        rq_raster_value(col("band_2"), col("block"), lit(lon), lat = lit(lat), meta, "band_2").as("v2"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == Quadbin.tileToCell(35, 27, 6))
+    // recompute expected from the kernel's own pixel math + formulas
+    val k = BandKernel(meta, "band_1")
+    val n = 64.0
+    val xf = (lon + 180.0) / 360.0 * n
+    val latR = math.toRadians(lat)
+    val yf = (1.0 - math.log(math.tan(latR) + 1.0 / math.cos(latR)) / math.Pi) / 2.0 * n
+    val gx = math.floor(xf * 16).toLong
+    val gy = math.floor(yf * 16).toLong
+    val exp1 = FixtureGen.v1(gx, gy)
+    if (exp1 == FixtureGen.Band1Nodata) assert(rows(0).isNullAt(1))
+    else assert(rows(0).getDouble(1) == exp1)
+    assert(rows(0).getDouble(2) == FixtureGen.v2(gx, gy) * 0.5 + 16.0)
+  }
+
+  test("readRegion prunes: block range predicates are pushed to parquet") {
+    // a small box inside tiles (33..34, 25..26) at z6
+    val w = Quadbin.tileWest(33, 6) + 0.1
+    val e = Quadbin.tileEast(34, 6) - 0.1
+    val s = Quadbin.tileSouth(26, 6) + 0.1
+    val nn = Quadbin.tileNorth(25, 6) - 0.1
+    val wkt = s"POLYGON(($w $s, $e $s, $e $nn, $w $nn, $w $s))"
+    val ds = RaquetIO.readRegion(spark, fixture, wkt, zoom = "max")
+    val blocks = ds.data.select("block").collect().map(_.getLong(0)).sorted
+    val expected = (for (x <- 33L to 34L; y <- 25L to 26L)
+      yield Quadbin.tileToCell(x, y, 6)).sorted
+    assert(blocks.toSeq == expected)
+    // the physical plan must push the block ranges into the parquet scan
+    val plan = ds.data.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(block") || plan.contains("Or(And(")),
+      s"no pushed block filters in plan:\n$plan")
+  }
+
+  test("region stats via clip + merge match a brute-force JVM computation") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val w = Quadbin.tileWest(33, 6) + 0.05
+    val e = Quadbin.tileWest(33, 6) + 1.3
+    val s = Quadbin.tileSouth(26, 6) + 0.07
+    val nn = Quadbin.tileSouth(26, 6) + 0.9
+    val wkt = s"POLYGON(($w $s, $e $s, $e $nn, $w $nn, $w $s))"
+    val ds = RaquetIO.readRegion(spark, fixture, wkt, zoom = "max")
+    val row = ds.data
+      .select(rq_clip_stats(col("band_1"), col("block"), meta, "band_1", wkt).as("s"))
+      .agg(rq_stats_merge(col("s")).as("m"))
+      .select("m.count", "m.min", "m.max", "m.sum").collect()(0)
+    // brute force: every z6 pixel center in the box
+    val k = BandKernel(meta, "band_1")
+    var count = 0L; var mn = Double.MaxValue; var mx = Double.MinValue; var sum = 0.0
+    for (x <- 32L to 39L; y <- 24L to 31L; j <- 0 until 16; i <- 0 until 16) {
+      val lon = k.pixelLon(x, 6, i); val lat = k.pixelLat(y, 6, j)
+      if (lon >= w && lon <= e && lat >= s && lat <= nn) {
+        val v = FixtureGen.v1(x * 16 + i, y * 16 + j)
+        if (v != FixtureGen.Band1Nodata) {
+          count += 1; mn = math.min(mn, v); mx = math.max(mx, v); sum += v
+        }
+      }
+    }
+    assert(row.getLong(0) == count)
+    assert(row.getDouble(1) == mn && row.getDouble(2) == mx && row.getDouble(3) == sum)
+  }
+
+  test("pyramid tiles equal a direct downsample of their children") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val byBlock = ds.data.select("block", "band_1").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val k = BandKernel(meta, "band_1")
+    val parent = Quadbin.tileToCell(17, 13, 5) // a z5 overview tile
+    val kids = Quadbin.children(parent)
+    val expect = Downsample.parentTile(k,
+      byBlock(kids(0)), byBlock(kids(1)), byBlock(kids(2)), byBlock(kids(3)))
+    assert(PixelCodec.decode(byBlock(parent), "uint8").toSeq ==
+      PixelCodec.decode(expect, "uint8").toSeq)
+  }
+
+  test("normalized difference matches per-pixel formula") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val arr = ds.data.filter(col("block") === Quadbin.tileToCell(36, 28, 6))
+      .select(rq_normalized_difference(col("band_2"), col("band_1"), meta, "band_2", "band_1").as("nd"))
+      .collect()(0).getSeq[Double](0)
+    val gx0 = 36 * 16L; val gy0 = 28 * 16L
+    var j = 0
+    while (j < 16) {
+      var i = 0
+      while (i < 16) {
+        val a = FixtureGen.v2(gx0 + i, gy0 + j) * 0.5 + 16.0
+        val b = FixtureGen.v1(gx0 + i, gy0 + j)
+        val exp = if (b == 255.0) Double.NaN else (a - b) / (a + b)
+        val got = arr(j * 16 + i)
+        assert(got.isNaN == exp.isNaN)
+        if (!exp.isNaN) assert(got == exp)
+        i += 1
+      }
+      j += 1
+    }
+  }
+
+  test("write/read round-trip preserves rows and metadata (directory form)") {
+    val tmp = java.nio.file.Files.createTempDirectory("rq").toString + "/rt"
+    val ds = RaquetIO.read(spark, fixture)
+    RaquetIO.write(ds.data, ds.meta, tmp)
+    val back = RaquetIO.read(spark, tmp)
+    assert(back.data.count() == 85)
+    assert(back.meta.numBlocks == 85 && back.meta.maxZoom == 6)
+    val a = ds.data.select("block").collect().map(_.getLong(0)).sorted.toSeq
+    val b = back.data.select("block").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+}
