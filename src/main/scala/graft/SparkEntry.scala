@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{QuadbinOracles, QuadbinQueries, Relational}
+import graft.operators.{QuadbinOracles, QuadbinQueries, RaquetOracles, RaquetQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,15 @@ object SparkEntry {
     "q14_quadbin_ancestor"  -> (QuadbinQueries.q14QuadbinAncestor _),
     "q15_quadbin_lonlat"    -> (QuadbinQueries.q15QuadbinLonLat _),
     "q16_quadbin_bounds"    -> (QuadbinQueries.q16QuadbinBounds _),
+    "q17_raquet_scan"       -> (RaquetQueries.q17RaquetScan _),
+    "q18_zoom_histogram"    -> (RaquetQueries.q18ZoomHistogram _),
+    "q19_stats_filter"      -> (RaquetQueries.q19StatsFilter _),
+    "q20_point_value"       -> (RaquetQueries.q20PointValue _),
+    "q21_tile_stats"        -> (RaquetQueries.q21TileStats _),
+    "q22_region_stats"      -> (RaquetQueries.q22RegionStats _),
+    "q23_ndvi"              -> (RaquetQueries.q23Ndvi _),
+    "q24_pyramid_sums"      -> (RaquetQueries.q24PyramidSums _),
+    "q25_validate"          -> (RaquetQueries.q25Validate _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -116,5 +125,14 @@ object SparkEntry {
     "q14_quadbin_ancestor"  -> QuadbinOracles.q14,
     "q15_quadbin_lonlat"    -> QuadbinOracles.q15,
     "q16_quadbin_bounds"    -> QuadbinOracles.q16,
+    "q17_raquet_scan"       -> RaquetOracles.q17,
+    "q18_zoom_histogram"    -> RaquetOracles.q18,
+    "q19_stats_filter"      -> RaquetOracles.q19,
+    "q20_point_value"       -> RaquetOracles.q20,
+    "q21_tile_stats"        -> RaquetOracles.q21,
+    "q22_region_stats"      -> RaquetOracles.q22,
+    "q23_ndvi"              -> RaquetOracles.q23,
+    "q24_pyramid_sums"      -> RaquetOracles.q24,
+    "q25_validate"          -> RaquetOracles.q25,
   )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.quadbin.Quadbin
+
+/** DuckDB oracle SQL for [[RaquetQueries]] — independent SQL re-computation
+  * of quadbin bit math, fixture pixel formulas (see
+  * [[graft.raquet.FixtureGen]]), per-tile stats, clipping, and pyramid
+  * averaging. The oracle never touches the gzip blobs: it rebuilds expected
+  * values from the closed forms, which is a stronger check than re-reading
+  * our own bytes.
+  */
+object RaquetOracles {
+  private val F = RaquetQueries.Fixture
+  private val Z = "((block>>52)&31)"
+
+  /** Morton de-interleave: gather even (x) / odd (y) bits of `m`. */
+  private def compact(m: String, offset: Int): String =
+    (0 until 26).map(b => s"((($m >> ${2 * b + offset}) & 1) << $b)")
+      .mkString("(", " | ", ")")
+
+  private val Header = "5188146770730811392" // 0x4800000000000000
+
+  private def interleave(x: String, y: String): String =
+    (0 until 26).flatMap { b =>
+      Seq(s"((($x >> $b) & 1) << ${2 * b})", s"((($y >> $b) & 1) << ${2 * b + 1})")
+    }.mkString("(", " | ", ")")
+
+  private def cellExpr(x: String, y: String, z: Int): String =
+    s"($Header | (CAST($z AS BIGINT) << 52) | (${interleave(x, y)} << ${52 - 2 * z})" +
+      s" | ((CAST(1 AS BIGINT) << ${52 - 2 * z}) - 1))"
+
+  /** band_1 raw value (NULL at nodata pixels). */
+  private val V1 =
+    "CASE WHEN (gx+gy)%31=0 THEN NULL ELSE CAST((7*gx+13*gy)%255 AS DOUBLE) END"
+  /** band_2 physical value (DN·0.5 + 16; all dyadic-exact). */
+  private val V2Phys = "(CAST(gx AS DOUBLE)/4 + CAST(gy AS DOUBLE)/8 + 16)"
+
+  val q17: String =
+    s"""SELECT block, $Z AS zoom, band_1_count, band_1_min, band_1_max,
+        band_1_sum, band_2_count, band_2_sum
+        FROM read_parquet('$F') WHERE block <> 0"""
+
+  val q18: String =
+    s"""SELECT $Z AS zoom, count(*) AS n_tiles, sum(band_1_count) AS valid_px,
+        min(band_1_min) AS b1_min, max(band_1_max) AS b1_max,
+        sum(band_1_sum) AS b1_sum, sum(band_2_sum) AS b2_sum
+        FROM read_parquet('$F') WHERE block <> 0 GROUP BY 1"""
+
+  val q19: String =
+    s"""SELECT block, band_2_mean, band_2_sum FROM read_parquet('$F')
+        WHERE block <> 0 AND band_2_mean > 370.0 AND band_2_mean < 410.0
+        AND $Z = 6"""
+
+  val q20: String = {
+    val yf = "(1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0"
+    s"""WITH p AS (
+          SELECT id, CAST(0.3 AS DOUBLE) + CAST((id*137) % 4400 AS DOUBLE)/100 AS lon,
+                 CAST(0.7 AS DOUBLE) + CAST((id*91) % 3900 AS DOUBLE)/100 AS lat
+          FROM range(32) t(id)),
+        g AS (
+          SELECT id, CAST(floor((lon + 180.0)/360.0 * 1024.0) AS BIGINT) AS gx,
+                 CAST(floor($yf * 1024.0) AS BIGINT) AS gy
+          FROM p),
+        xy AS (SELECT id, gx, gy, gx//16 AS x, gy//16 AS y FROM g)
+        SELECT id, ${cellExpr("x", "y", 6)} AS block, $V1 AS v1, $V2Phys AS v2
+        FROM xy"""
+  }
+
+  val q21: String =
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, $V1 AS v1 FROM px)
+        SELECT block, count(v1) AS n_valid, min(v1) AS vmin, max(v1) AS vmax,
+          sum(v1) AS vsum, sum(v1*v1) AS vsumsq
+        FROM v GROUP BY block"""
+
+  val q22: String = {
+    // must match RaquetQueries.RegionWkt
+    val (w, e, s, n) = (5.6371, 11.9407, 24.7113, 30.2881)
+    val clon = "((CAST(gx AS DOUBLE) + 0.5)/1024*360 - 180)"
+    val t = "((CAST(gy AS DOUBLE) + 0.5)/1024)"
+    val clat = s"degrees(atan((exp(pi()*(1 - 2*$t)) - exp(-pi()*(1 - 2*$t)))/2))"
+    s"""WITH px AS (
+          SELECT x*16+i AS gx, y*16+j AS gy
+          FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),
+        q AS (SELECT gx, gy FROM px
+          WHERE $clon > $w AND $clon < $e AND $clat > $s AND $clat < $n),
+        v AS (SELECT $V1 AS v1 FROM q)
+        SELECT count(v1) AS n_valid, min(v1) AS vmin, max(v1) AS vmax,
+          sum(v1) AS vsum FROM v"""
+  }
+
+  val q23: String = {
+    val tiles = Seq((36L, 28L), (37L, 28L), (36L, 29L), (37L, 29L))
+      .map { case (x, y) => s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)" }
+      .mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, pos, $V2Phys AS va,
+          CASE WHEN (gx+gy)%31=0 THEN NULL ELSE CAST((7*gx+13*gy)%255 AS DOUBLE) END AS vb
+          FROM px)
+        SELECT block, pos, round((va - vb)/(va + vb), 7) AS nd FROM v"""
+  }
+
+  val q24: String = {
+    // value at zoom 6-k, global pixel g = native v2 at (2^k·g + 2^(k-1) - 0.5)
+    def e(g: String) =
+      s"""CASE WHEN k = 0 THEN CAST($g AS DOUBLE)
+          ELSE CAST((CAST(1 AS BIGINT) << CAST(k AS INT)) AS DOUBLE) * $g
+               + CAST((CAST(1 AS BIGINT) << CAST(k-1 AS INT)) AS DOUBLE) - 0.5 END"""
+    s"""WITH d AS (SELECT block, $Z AS z,
+          ((block >> CAST(52 - 2*$Z AS INT)) &
+           ((CAST(1 AS BIGINT) << CAST(2*$Z AS INT)) - 1)) AS m
+          FROM read_parquet('$F') WHERE block <> 0),
+        xy AS (SELECT block, z, (6 - z) AS k,
+          ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, z, k, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        ev AS (SELECT block, z, ${e("gx")} AS egx, ${e("gy")} AS egy FROM px)
+        SELECT block, z AS zoom, count(*) AS n_px,
+          sum(egx/2 + egy/4) AS vsum
+        FROM ev GROUP BY block, z"""
+  }
+
+  val q25: String = {
+    val unused = s"(CAST(1 AS BIGINT) << CAST(52 - 2*$Z AS INT)) - 1"
+    s"""SELECT count(*) AS n_blocks, count(DISTINCT block) AS n_distinct,
+        min($Z) AS min_zoom, max($Z) AS max_zoom,
+        bool_and(((block>>60)&15) = 4 AND $Z <= 26
+          AND (block & ($unused)) = ($unused)) AS all_valid,
+        bool_and(band_1 IS NOT NULL AND band_2 IS NOT NULL) AS bands_present,
+        (SELECT CAST(regexp_extract(metadata, 'num_blocks":([0-9]+)', 1) AS BIGINT)
+         FROM read_parquet('$F') WHERE block = 0 LIMIT 1) AS meta_num_blocks
+        FROM read_parquet('$F') WHERE block <> 0"""
+  }
+}

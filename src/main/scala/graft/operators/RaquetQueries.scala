@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.quadbin.Quadbin
+import graft.raquet.RaquetIO
+
+/** Driver-verifiable raster queries over the committed gradient16 fixture
+  * (see [[graft.raquet.FixtureGen]] for the closed-form pixel formulas).
+  *
+  * Verification strategy: the DuckDB oracle CANNOT gunzip band blobs, but it
+  * doesn't need to — every pixel of the fixture is a closed-form function of
+  * global pixel coordinates, and the quadbin bit-layout is pure integer math,
+  * so the oracle recomputes tile ids, pixel values, per-tile stats, and even
+  * pyramid levels from scratch in SQL. All band_2 arithmetic is dyadic
+  * rational (exact in IEEE double in any summation order), so engine-vs-
+  * oracle comparisons are exact, not approximate.
+  */
+object RaquetQueries {
+
+  /** Absolute path so the DuckDB oracle reads the same bytes. */
+  val Fixture = "/root/repo/src/test/resources/raquet/gradient16.parquet"
+
+  /** S1+S2+S3+P1+P7: scan, drop the metadata row, project stats columns +
+    * derived zoom. The driver-level proof that the raquet read path works. */
+  def q17RaquetScan(spark: SparkSession, dir: String): DataFrame =
+    RaquetIO.read(spark, Fixture).data
+      .select(col("block"), quadbin_zoom(col("block")).cast("long").as("zoom"),
+        col("band_1_count"), col("band_1_min"), col("band_1_max"),
+        col("band_1_sum"), col("band_2_count"), col("band_2_sum"))
+
+  /** A9+A7: tiles + pre-aggregated stats per zoom (no blob decode — the
+    * stats-column fast path, `docs/engines.md:327-350`). */
+  def q18ZoomHistogram(spark: SparkSession, dir: String): DataFrame =
+    RaquetIO.read(spark, Fixture).data
+      .groupBy(quadbin_zoom(col("block")).cast("long").as("zoom"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum("band_1_count").as("valid_px"),
+        min("band_1_min").as("b1_min"), max("band_1_max").as("b1_max"),
+        sum("band_1_sum").as("b1_sum"), sum("band_2_sum").as("b2_sum"))
+
+  /** P5: stats-threshold tile filter (benchmark Query B shape,
+    * `scripts/benchmark.py:172-176`). */
+  def q19StatsFilter(spark: SparkSession, dir: String): DataFrame =
+    RaquetIO.read(spark, Fixture).data
+      .filter(col("band_2_mean") > 370.0 && col("band_2_mean") < 410.0
+        && quadbin_zoom(col("block")) === 6)
+      .select(col("block"), col("band_2_mean"), col("band_2_sum"))
+
+  /** S4+F12: batched point queries — 32 deterministic probes, each resolved
+    * via quadbin_from_lonlat equality (pushdown-prunable) and decoded by
+    * rq_raster_value with nodata→NULL and scale/offset. */
+  def q20PointValue(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    // CAST-to-double everywhere: DuckDB would otherwise run this in DECIMAL
+    // arithmetic and diverge from Spark's double results
+    val probes = spark.range(32).toDF("id").selectExpr(
+      "id",
+      "CAST(0.3 AS DOUBLE) + CAST((id*137) % 4400 AS DOUBLE) / 100 AS lon",
+      "CAST(0.7 AS DOUBLE) + CAST((id*91) % 3900 AS DOUBLE) / 100 AS lat")
+      .withColumn("cell", quadbin_from_lonlat(col("lon"), col("lat"), lit(6)))
+    probes.join(ds.data, probes("cell") === ds.data("block"), "inner")
+      .select(col("id"), col("block"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").as("v1"),
+        rq_raster_value(col("band_2"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_2").as("v2"))
+  }
+
+  /** A1+F7+F10: per-tile summary stats from DECODING the gzip band blobs at
+    * native zoom — the oracle recomputes every pixel from the formula. */
+  def q21TileStats(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"), rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+      .select(col("block"), col("s.count").as("n_valid"),
+        col("s.min").as("vmin"), col("s.max").as("vmax"),
+        col("s.sum").as("vsum"), col("s.sum_sq").as("vsumsq"))
+  }
+
+  /** A6+F13+J1+S5: region stats — spatial read (Morton-range pruning) +
+    * center-mode clip + exact partial merge, one output row. */
+  val RegionWkt: String = {
+    // rectangle chosen with pixel-center margins >1e-3 degrees on every edge
+    val w = 5.6371; val e = 11.9407; val s = 24.7113; val n = 30.2881
+    s"POLYGON(($w $s, $e $s, $e $n, $w $n, $w $s))"
+  }
+
+  def q22RegionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.readRegion(spark, Fixture, RegionWkt, zoom = "max")
+    ds.data
+      .select(rq_clip_stats(col("band_1"), col("block"), ds.meta, "band_1", RegionWkt).as("s"))
+      .agg(rq_stats_merge(col("s")).as("m"))
+      .select(col("m.count").as("n_valid"), col("m.min").as("vmin"),
+        col("m.max").as("vmax"), col("m.sum").as("vsum"))
+  }
+
+  /** F14: per-pixel normalized difference over 4 tiles; NaN (nodata) → NULL
+    * so both engines hash identically. */
+  def q23Ndvi(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val tiles = Seq((36L, 28L), (37L, 28L), (36L, 29L), (37L, 29L))
+      .map { case (x, y) => Quadbin.tileToCell(x, y, 6) }
+    ds.data.filter(col("block").isin(tiles: _*))
+      .select(col("block"),
+        posexplode(rq_normalized_difference(col("band_2"), col("band_1"),
+          ds.meta, "band_2", "band_1")))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null)).otherwise(round(col("col"), 7)).as("nd"))
+  }
+
+  /** M5 proof at the driver level: band_2 per-tile pixel sums across ALL
+    * pyramid levels; the oracle re-derives every overview pixel from the
+    * native formula (averaging is exact on dyadic rationals). */
+  def q24PyramidSums(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data
+      .select(col("block"), quadbin_zoom(col("block")).cast("long").as("zoom"),
+        rq_summary_stats(col("band_2"), ds.meta, "band_2").as("s"))
+      .select(col("block"), col("zoom"),
+        col("s.count").as("n_px"), col("s.sum").as("vsum"))
+  }
+
+  /** M2: validator core as a query — structural invariants recomputed by
+    * both engines (counts, PK uniqueness, zoom range, quadbin validity,
+    * metadata num_blocks consistency). */
+  def q25Validate(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val data = ds.data
+    data.agg(
+      count(lit(1)).as("n_blocks"),
+      countDistinct(col("block")).as("n_distinct"),
+      min(quadbin_zoom(col("block"))).cast("long").as("min_zoom"),
+      max(quadbin_zoom(col("block"))).cast("long").as("max_zoom"),
+      bool_and(quadbin_is_valid(col("block"))).as("all_valid"),
+      bool_and(col("band_1").isNotNull && col("band_2").isNotNull).as("bands_present"))
+      .withColumn("meta_num_blocks", lit(ds.meta.numBlocks))
+  }
+}
