@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{QuadbinOracles, QuadbinQueries, RaquetOracles, RaquetQueries, Relational}
+import graft.operators.{LlmOracles, LlmQueries, QuadbinOracles, QuadbinQueries, RaquetOracles, RaquetQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,13 @@ object SparkEntry {
     "q23_ndvi"              -> (RaquetQueries.q23Ndvi _),
     "q24_pyramid_sums"      -> (RaquetQueries.q24PyramidSums _),
     "q25_validate"          -> (RaquetQueries.q25Validate _),
+    "q26_dedup_exact"       -> (LlmQueries.q26DedupExact _),
+    "q27_minhash_lsh"       -> (LlmQueries.q27MinhashLsh _),
+    "q28_simhash"           -> (LlmQueries.q28Simhash _),
+    "q29_embed_knn"         -> (LlmQueries.q29EmbedKnn _),
+    "q30_embed_lsh"         -> (LlmQueries.q30EmbedLsh _),
+    "q31_text_metrics"      -> (LlmQueries.q31TextMetrics _),
+    "q32_fingerprint"       -> (LlmQueries.q32Fingerprint _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -134,5 +141,12 @@ object SparkEntry {
     "q23_ndvi"              -> RaquetOracles.q23,
     "q24_pyramid_sums"      -> RaquetOracles.q24,
     "q25_validate"          -> RaquetOracles.q25,
+    "q26_dedup_exact"       -> LlmOracles.q26,
+    "q27_minhash_lsh"       -> LlmOracles.q27,
+    "q28_simhash"           -> LlmOracles.q28,
+    "q29_embed_knn"         -> LlmOracles.q29,
+    "q30_embed_lsh"         -> LlmOracles.q30,
+    "q31_text_metrics"      -> LlmOracles.q31,
+    "q32_fingerprint"       -> LlmOracles.q32,
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators (brief: ANN over an embedding
+  * column). Two tiers:
+  *
+  *  - [[cosineTopK]] — brute-force exact top-k for a SMALL broadcast query
+  *    set against a large corpus: the corpus is scanned once, k rows per
+  *    query survive the shuffle (window top-k). The baseline.
+  *  - [[hyperplaneBuckets]] / [[bucketedTopK]] — random-hyperplane LSH: each
+  *    vector gets a sign-pattern bucket; candidate generation is an
+  *    equi-join on bucket id, so the all-pairs product never materializes.
+  *    The scale path.
+  *
+  * All dot products fold left over explicit indices in DOUBLE — the exact
+  * fold any IEEE engine (incl. the DuckDB oracle) reproduces bit-for-bit.
+  */
+object EmbedOps {
+
+  /** Σ a[i]·b[i] as an explicit left fold in double. */
+  def dot(a: String, b: String, dim: Int): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  def norm2(a: String): Column = expr(
+    s"""aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  /** Exact cosine top-k of `corpus` rows per `queries` row (queries assumed
+    * small → broadcast; corpus side never shuffles more than k rows/query). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id"), col("embedding").as("ce"), col("label"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        dot("qe", "ce", dim) / (sqrt(norm2("qe")) * sqrt(norm2("ce"))), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos", "label")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane p, dim d):
+    * an LCG step mapped to [-0.5, 0.5) — exact dyadic rational, so any IEEE
+    * engine computes identical signs. */
+  private def planeExpr(vec: String, p: Int, dim: Int): String =
+    s"""aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), (acc, d) ->
+        acc + CAST(element_at($vec, d + 1) AS DOUBLE) *
+          (CAST((CAST(1103515245 AS BIGINT) * ($p * $dim + d) + 12345) % 2147483648 AS DOUBLE)
+           / 2147483648 - 0.5))"""
+
+  /** Sign-pattern bucket id over `planes` random hyperplanes. */
+  def hyperplaneBuckets(vecs: DataFrame, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucket = (0 until planes).map { p =>
+      when(expr(planeExpr("embedding", p, dim)) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    vecs.withColumn("bucket", bucket)
+  }
+
+  /** LSH-bucketed near-neighbour pairs: bucket equi-join + exact cosine. */
+  def bucketedTopK(vecs: DataFrame, planes: Int, dim: Int,
+      minCos: Double): DataFrame = {
+    val b = hyperplaneBuckets(vecs, planes, dim)
+    val l = b.select(col("bucket"), col("vec_id").as("ida"), col("embedding").as("ea"))
+    val r = b.select(col("bucket"), col("vec_id").as("idb"), col("embedding").as("eb"))
+    l.join(r, "bucket").filter(col("ida") < col("idb"))
+      .withColumn("cos", round(
+        dot("ea", "eb", dim) / (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))
+      .filter(col("cos") >= minCos)
+      .select("ida", "idb", "bucket", "cos")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+/** DuckDB oracle SQL for [[LlmQueries]] — the same algorithms re-expressed
+  * in DuckDB SQL (list lambdas + the portable `'0x'||substr(md5(x),1,15)`
+  * 60-bit hash), so every pipeline stage is independently recomputed.
+  */
+object LlmOracles {
+  private val P = "2147483647"
+  /** 60-bit md5-derived hash of expression `e`. */
+  private def h60(e: String): String = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+  /** Explicit left fold Σ f(i) for i in 1..n, starting at 0.0 — mirrors
+    * Spark's `aggregate(..., 0.0, (acc,v) -> acc+v)` order exactly. */
+  private def foldSum(n: Int, f: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $n), i -> $f)), (a, b) -> a + b)"
+
+  private val ExactDupCorpus =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+
+  private val NearDupCorpus =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000 AS doc_id, replace(text, 'table', 'tbl') AS text
+       FROM documents WHERE doc_id % 7 = 0)"""
+
+  val q26: String =
+    s"""WITH $ExactDupCorpus
+        SELECT md5(text) AS content_hash, count(*) AS n_copies,
+               min(doc_id) AS canonical_id
+        FROM corpus GROUP BY 1 HAVING count(*) > 1"""
+
+  val q27: String =
+    s"""WITH $NearDupCorpus,
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+                 WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks),
+        g AS (SELECT doc_id, ${h60("s")} % $P AS g FROM sh),
+        mh AS (SELECT doc_id, j,
+                 min((((j*2654435761 + 1) % $P) * g + ((j*40503 + 7) % $P)) % $P) AS mh
+               FROM g, range(16) r(j) GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, j // 4 AS band,
+                 sum((mh % 32768) * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 32768
+                   WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) AS key
+               FROM mh GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT c.da, c.db, count(*) AS n_common
+               FROM cand c
+               JOIN sh s1 ON s1.doc_id = c.da
+               JOIN sh s2 ON s2.doc_id = c.db AND s2.s = s1.s
+               GROUP BY c.da, c.db),
+        jj AS (SELECT m.da, m.db, m.n_common,
+                 round(CAST(m.n_common AS DOUBLE) / (sa.n + sb.n - m.n_common), 6) AS jac
+               FROM common m
+               JOIN sizes sa ON sa.doc_id = m.da
+               JOIN sizes sb ON sb.doc_id = m.db)
+        SELECT da, db, n_common, jac FROM jj WHERE jac >= 0.5"""
+
+  val q28: String =
+    s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+        h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks),
+        bits AS (SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+               FROM h, range(60) r(b) GROUP BY doc_id, b)
+        SELECT doc_id,
+          sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS fingerprint
+        FROM bits GROUP BY doc_id"""
+
+  val q29: String = {
+    val dotQC = foldSum(64, "qe[i]::DOUBLE * ce[i]::DOUBLE")
+    val nQ = foldSum(64, "qe[i]::DOUBLE * qe[i]::DOUBLE")
+    val nC = foldSum(64, "ce[i]::DOUBLE * ce[i]::DOUBLE")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id, embedding AS ce, label FROM embeddings),
+        s AS (SELECT qid, vec_id, label,
+                round($dotQC / (sqrt($nQ) * sqrt($nC)), 6) AS cos
+              FROM c, q),
+        r AS (SELECT qid, vec_id, label, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM s)
+        SELECT qid, rank, vec_id, cos, label FROM r WHERE rank <= 10"""
+  }
+
+  val q30: String = {
+    val w = s"(CAST((CAST(1103515245 AS BIGINT) * (p*64 + (i-1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5)"
+    val d = foldSum(64, s"embedding[i]::DOUBLE * $w")
+    s"""WITH planes AS (SELECT vec_id, label, p, $d AS d
+               FROM embeddings, range(8) r(p))
+        SELECT vec_id,
+          sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket,
+          any_value(label) AS label
+        FROM planes GROUP BY vec_id"""
+  }
+
+  val q31: String =
+    s"""WITH m AS (SELECT doc_id,
+          string_split(text, ' ') AS toks,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(array_distinct(string_split(text, ' '))) AS n_distinct,
+          len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','and','in','to','is'))) AS n_stop,
+          len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+          length(text) AS n_chars
+        FROM documents)
+        SELECT doc_id, n_tokens, n_distinct, n_stop, n_words, n_chars,
+          round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+          round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+          CASE WHEN n_stop > 0 THEN 'en' ELSE 'unk' END AS lang_guess
+        FROM m"""
+
+  val q32: String =
+    s"""SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % $P) AS h_text,
+          list_aggregate(list_transform(array_distinct(string_split(text, ' ')),
+            t -> ${h60("t")}), 'min') AS h_min,
+          list_aggregate(list_transform(array_distinct(string_split(text, ' ')),
+            t -> ${h60("t")}), 'max') AS h_max
+        FROM documents"""
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-verifiable LLM-training-data-pipeline queries over the synthetic
+  * `documents` / `embeddings` tables (TESTDATA.md). Dedup inputs are salted
+  * inside the query (exact copies / one-word mutations of a deterministic
+  * doc subset) so duplicate groups provably exist at every scale factor.
+  *
+  * The DuckDB oracles re-run the SAME algorithms (md5-derived 60-bit hashes,
+  * MinHash/LSH banding, hyperplane signs, explicit-fold dot products), so
+  * the comparison verifies the implementation exactly — no tolerance.
+  */
+object LlmQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select("doc_id", "text")
+
+  /** documents ∪ exact copies of every 10th doc (ingest-dup simulation). */
+  private def withExactDups(d: DataFrame): DataFrame =
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+
+  /** documents ∪ one-word-mutated copies of every 7th doc. */
+  private def withNearDups(d: DataFrame): DataFrame =
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("replace(text, 'table', 'tbl')").as("text")))
+
+  /** Exact dedup (hash groupBy): duplicate groups with canonical ids. */
+  def q26DedupExact(spark: SparkSession, dir: String): DataFrame =
+    TextOps.exactDupGroups(withExactDups(docs(spark, dir)))
+
+  /** Banded MinHash LSH near-dup join + exact-Jaccard confirm. */
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextOps.minhashNearDups(withNearDups(docs(spark, dir)), threshold = 0.5)
+
+  /** 60-bit SimHash fingerprints over distinct tokens. */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhash(docs(spark, dir))
+
+  /** Brute-force cosine top-10 for 5 query vectors (exact ANN baseline). */
+  def q29EmbedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    EmbedOps.cosineTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
+  }
+
+  /** Random-hyperplane LSH bucket assignment (the ANN scale path). */
+  def q30EmbedLsh(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.hyperplaneBuckets(Tables.embeddings(spark, dir))
+      .select("vec_id", "bucket", "label")
+
+  /** Per-doc text quality/analysis metrics. */
+  def q31TextMetrics(spark: SparkSession, dir: String): DataFrame =
+    TextOps.textMetrics(docs(spark, dir))
+
+  /** Document fingerprints (rolling hash + token-hash extremes). */
+  def q32Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(docs(spark, dir))
+}

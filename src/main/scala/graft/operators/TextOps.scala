@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators (brief: dedup, near-dup, text
+  * analysis as first-class engine components). Everything is built from
+  * codegen'd built-ins — no UDFs — and every shape is bucketed/blocked so it
+  * scales: LSH candidates come from equi-joins on band keys, never all-pairs.
+  *
+  * The 60-bit token hash is `conv(substr(md5(x),1,15),16,10)` — chosen
+  * because any SQL engine (the DuckDB oracle included) can recompute it
+  * exactly, making the whole pipeline independently verifiable.
+  */
+object TextOps {
+
+  final val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** 60-bit deterministic string hash (fits signed int64). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** doc_id + distinct 3-word shingles; docs with <3 tokens drop out. */
+  def shingles(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+        .as("s"))
+
+  /** MinHash signatures: one row per (doc, hash j) with
+    * mh_j = min over shingles of ((a_j·g + b_j) mod p), g = hash60 mod p.
+    * Map-side partial min means one row per (doc, j) crosses the shuffle. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val g = (hash60(col("s")) % MersennePrime).as("g")
+    sh.select(col("doc_id"), g)
+      .select(col("doc_id"), col("g"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .withColumn("a", (col("j") * 2654435761L + 1) % MersennePrime)
+      .withColumn("b", (col("j") * 40503L + 7) % MersennePrime)
+      .groupBy("doc_id", "j")
+      .agg(min((col("a") * col("g") + col("b")) % MersennePrime).as("mh"))
+  }
+
+  /** LSH band keys: bands of `rowsPerBand` hashes; the key packs each
+    * (mh mod 2^15) into a position given by j mod rowsPerBand, so it is
+    * order-independent (a plain SUM) yet position-sensitive. */
+  def lshBands(sig: DataFrame, rowsPerBand: Int = 4): DataFrame =
+    sig.withColumn("band", col("j") / rowsPerBand cast "int")
+      .withColumn("slot", pow(lit(32768.0), col("j") % rowsPerBand).cast("long"))
+      .groupBy("doc_id", "band")
+      .agg(sum((col("mh") % 32768) * col("slot")).as("key"))
+
+  /** Candidate pairs: equi-join on (band, key) — the scale-safe LSH join. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("da"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("db"))
+    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for candidate pairs only (never
+    * all-pairs): |A∩B| via a shingle equi-join, sizes via pre-aggregation. */
+  def jaccardOnCandidates(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", round(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")), 6))
+  }
+
+  /** Banded MinHash LSH near-duplicate join, end to end. */
+  def minhashNearDups(docs: DataFrame, numHashes: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs)
+    val cand = candidatePairs(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    jaccardOnCandidates(cand, sh).filter(col("jac") >= threshold)
+      .select("da", "db", "n_common", "jac")
+  }
+
+  /** Exact dedup by content hash (hash-partitioned groupBy, no collect). */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+
+  /** 60-bit SimHash over distinct unigram tokens: bit b set iff the count of
+    * tokens with hash-bit b set exceeds half the token count. One groupBy,
+    * 60 conditional sums — a single codegen'd hash aggregate. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val sums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = (0 until 60).map { b =>
+      when(col(s"b$b") > 0, 1L << b).otherwise(0L)
+    }.reduce((a, b) => a + b)
+    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  /** SimHash near-dup candidates: block on 4×15-bit chunks (a pair within
+    * hamming distance 3 of 60 bits shares at least one exact chunk), then
+    * exact hamming filter — again equi-join, never all-pairs. */
+  def simhashNearDups(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = fps.select(col("doc_id"), col("fingerprint"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(fingerprint, 15 * c) & 32767"))
+    val a = chunks.select(col("c"), col("chunk"),
+      col("doc_id").as("da"), col("fingerprint").as("fa"))
+    val b = chunks.select(col("c"), col("chunk"),
+      col("doc_id").as("db"), col("fingerprint").as("fb"))
+    a.join(b, Seq("c", "chunk")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Per-document quality/analysis metrics (F-text): token counts, distinct
+    * ratio, stopword ratio, BPE-ish word-token count, punct count, language
+    * guess by stopword evidence. All integer/exact-rational math. */
+  def textMetrics(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "to", "is")
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", size(expr(
+        s"filter(toks, t -> t IN (${stop.map("'" + _ + "'").mkString(",")}))")).cast("long"))
+      .withColumn("n_words", regexp_count(col("text"), lit("[a-z]+")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("distinct_ratio", round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("lang_guess", when(col("n_stop") > 0, lit("en")).otherwise(lit("unk")))
+      .select("doc_id", "n_tokens", "n_distinct", "n_stop", "n_words",
+        "n_chars", "distinct_ratio", "stop_ratio", "lang_guess")
+  }
+
+  /** Document fingerprints: full-text polynomial rolling hash mod p, plus
+    * min/max token hash60 (winnowing-style extremes). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h_text", expr(
+        s"""aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))),
+            CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % $MersennePrime)"""))
+      .withColumn("h_min", expr(
+        "array_min(transform(array_distinct(split(text, ' ')), t -> " +
+          "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"))
+      .withColumn("h_max", expr(
+        "array_max(transform(array_distinct(split(text, ' ')), t -> " +
+          "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"))
+      .select("doc_id", "h_text", "h_min", "h_max")
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbedOps, TextOps}
+
+/** Library-level tests for the LLM-pipeline operators whose driver queries
+  * only cover part of the surface. */
+class LlmOpsSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("simhash near-dups: exact copies collide at hamming 0") {
+    val corpus = docs.limit(50).unionByName(
+      docs.limit(50).select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    val pairs = TextOps.simhashNearDups(TextOps.simhash(corpus), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.limit(50).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 1000)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("hyperplane LSH: identical vectors land in the same bucket; bucketed join finds them") {
+    val corpus = emb.unionByName(
+      emb.limit(20).select((col("vec_id") + 1000).as("vec_id"),
+        col("embedding"), col("label")))
+    val pairs = EmbedOps.bucketedTopK(corpus, planes = 8, dim = 64, minCos = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = emb.limit(20).select("vec_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 1000)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("minhash near-dup join is symmetric-free and thresholds correctly") {
+    val corpus = docs.limit(100).unionByName(
+      docs.limit(100).filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("replace(text, 'table', 'tbl')").as("text")))
+    val out = TextOps.minhashNearDups(corpus, threshold = 0.5).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(3) >= 0.5 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("text metrics are internally consistent") {
+    val m = TextOps.textMetrics(docs.limit(20)).collect()
+    m.foreach { r =>
+      val nTokens = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("n_distinct") <= nTokens)
+      assert(r.getAs[Long]("n_stop") <= nTokens)
+      assert(r.getAs[Double]("distinct_ratio") > 0.0)
+    }
+  }
+}
