@@ -51,6 +51,8 @@ object SparkEntry {
     "q30_embed_lsh"         -> (LlmQueries.q30EmbedLsh _),
     "q31_text_metrics"      -> (LlmQueries.q31TextMetrics _),
     "q32_fingerprint"       -> (LlmQueries.q32Fingerprint _),
+    "q33_cf_time"           -> (RaquetQueries.q33CfTime _),
+    "q34_multimodal"        -> (RaquetQueries.q34Multimodal _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -148,5 +150,7 @@ object SparkEntry {
     "q30_embed_lsh"         -> LlmOracles.q30,
     "q31_text_metrics"      -> LlmOracles.q31,
     "q32_fingerprint"       -> LlmOracles.q32,
+    "q33_cf_time"           -> RaquetOracles.q33,
+    "q34_multimodal"        -> RaquetOracles.q34,
   )
 }

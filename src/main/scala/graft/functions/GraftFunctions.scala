@@ -55,6 +55,20 @@ object GraftFunctions {
   def rq_stats_merge(stats: Column): Column =
     col(RqStatsMerge(ex(stats)).toAggregateExpression())
 
+  // --- CF time + multimodal ---
+
+  def cf_to_timestamp(value: Column, units: String,
+      calendar: String = "standard"): Column =
+    col(CfToTimestamp(ex(value), units, calendar))
+  def rq_inflate(bin: Column): Column = col(RqInflate(ex(bin)))
+  def mm_image_stats(bin: Column): Column = col(MmImageStats(ex(bin)))
+  def mm_resize(bin: Column, w2: Column, h2: Column,
+      srcWidth: Int, srcHeight: Int, channels: Int): Column =
+    col(MmResize(ex(bin), ex(w2), ex(h2), srcWidth, srcHeight, channels))
+  def mm_deinterleave(bin: Column, band: Int, nBands: Int,
+      bytesPerSample: Int = 1): Column =
+    col(MmDeinterleave(ex(bin), band, nBands, bytesPerSample))
+
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -89,5 +103,9 @@ object GraftFunctions {
     r("st_quadbin_intersects") { case Seq(c, w) =>
       QuadbinIntersects(c, litStr(w, "wkt")) }
     r("rq_stats_merge") { case Seq(s) => RqStatsMerge(s) }
+    r("cf_to_timestamp") { case Seq(v, u, c) =>
+      CfToTimestamp(v, litStr(u, "units"), litStr(c, "calendar")) }
+    r("rq_inflate") { case Seq(b) => RqInflate(b) }
+    r("mm_image_stats") { case Seq(b) => MmImageStats(b) }
   }
 }

@@ -137,4 +137,33 @@ object RaquetOracles {
          FROM read_parquet('$F') WHERE block = 0 LIMIT 1) AS meta_num_blocks
         FROM read_parquet('$F') WHERE block <> 0"""
   }
+
+  val q33: String =
+    s"""WITH p AS (SELECT id, CAST((id*7) % 100 - 30 AS DOUBLE) AS v
+          FROM range(48) t(id))
+        SELECT id, v,
+          TIMESTAMP '1980-01-01 00:00:00' + to_microseconds(CAST(v * 60000000 AS BIGINT)) AS ts_min,
+          TIMESTAMP '1990-06-15 12:30:00' + to_microseconds(CAST(v * 3600000000 AS BIGINT)) AS ts_hr,
+          TIMESTAMP '1850-01-01 00:00:00' + to_microseconds(CAST(v * 86400000000 AS BIGINT)) AS ts_day,
+          TIMESTAMP '2000-01-15 00:00:00' + to_months(CAST(v AS INT)) AS ts_mon,
+          TIMESTAMP '1995-06-10 00:00:00' + to_years(CAST(v AS INT)) AS ts_yr,
+          CAST(NULL AS TIMESTAMP) AS ts_360
+        FROM p"""
+
+  val q34: String = {
+    val tiles = (32L to 39L)
+      .map(x => s"(${Quadbin.tileToCell(x, 24L, 6)}, $x)").mkString(", ")
+    val vAt = (gx: String, gy: String) =>
+      s"CAST(CASE WHEN (($gx)+($gy))%31=0 THEN 255 ELSE (7*($gx)+13*($gy))%255 END AS DOUBLE)"
+    s"""WITH t(block, x) AS (VALUES $tiles),
+        fpx AS (SELECT block, f, i, j2, x*16+i AS gx, 384 + f*4 + j2 AS gy
+          FROM t, range(4) r(f), range(16) a(i), range(4) b(j2)),
+        fr AS (SELECT block, f, sum(${vAt("gx", "gy")}) AS frame_sum,
+          max(CASE WHEN i = 0 AND j2 = 0 THEN ${vAt("gx", "gy")} END) AS first_px
+          FROM fpx GROUP BY block, f),
+        rz AS (SELECT block, sum(${vAt("x*16 + 2*i", "384 + 2*j")}) AS resize_sum
+          FROM t, range(8) a(i), range(8) b(j) GROUP BY block)
+        SELECT fr.block, fr.f, fr.first_px, fr.frame_sum, rz.resize_sum
+        FROM fr JOIN rz ON fr.block = rz.block"""
+  }
 }

@@ -138,4 +138,39 @@ object RaquetQueries {
       bool_and(col("band_1").isNotNull && col("band_2").isNotNull).as("bands_present"))
       .withColumn("meta_num_blocks", lit(ds.meta.numBlocks))
   }
+
+  /** F15-F17: CF numeric time → timestamps across every supported unit,
+    * incl. calendar-arithmetic months/years (negative offsets too) and the
+    * non-Gregorian→NULL path. */
+  def q33CfTime(spark: SparkSession, dir: String): DataFrame =
+    spark.range(48).toDF("id")
+      .selectExpr("id", "CAST((id*7) % 100 - 30 AS DOUBLE) AS v")
+      .select(col("id"), col("v"),
+        cf_to_timestamp(col("v"), "minutes since 1980-01-01 00:00:00").as("ts_min"),
+        cf_to_timestamp(col("v"), "hours since 1990-06-15 12:30:00").as("ts_hr"),
+        cf_to_timestamp(col("v"), "days since 1850-01-01").as("ts_day"),
+        cf_to_timestamp(col("v"), "months since 2000-01-15").as("ts_mon"),
+        cf_to_timestamp(col("v"), "years since 1995-06-10").as("ts_yr"),
+        cf_to_timestamp(col("v"), "days since 2000-01-01", "360_day").as("ts_360"))
+
+  /** Multimodal plumbing over the fixture's binary tiles: inflate (gzip),
+    * fixed-stride frame sampling via SQL substring, typed decode of each
+    * frame, nearest-neighbour resize — features the oracle recomputes from
+    * the pixel formula. */
+  def q34Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val tiles = ds.data
+      .filter(quadbin_zoom(col("block")) === 6 && quadbin_tile_y(col("block")) === 24)
+      .select(col("block"), rq_inflate(col("band_1")).as("raw"))
+    tiles
+      .select(col("block"), col("raw"), explode(sequence(lit(0), lit(3))).as("f"))
+      .withColumn("frame", expr("substring(raw, f*64 + 1, 64)"))
+      .withColumn("fpx", rq_decode(col("frame"), ds.meta, "band_1"))
+      .withColumn("rpx", rq_decode(
+        mm_resize(col("raw"), lit(8), lit(8), 16, 16, 1), ds.meta, "band_1"))
+      .select(col("block"), col("f"),
+        element_at(col("fpx"), 1).as("first_px"),
+        aggregate(col("fpx"), lit(0.0), (a, x) => a + x).as("frame_sum"),
+        aggregate(col("rpx"), lit(0.0), (a, x) => a + x).as("resize_sum"))
+  }
 }

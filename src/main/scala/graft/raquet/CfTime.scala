@@ -1,0 +1,105 @@
+package graft.raquet
+
+import java.time.{LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** CF-convention time handling (F15-F17), mirroring the reference
+  * (`raquet/raster2raquet.py:267-368`):
+  *
+  *  - units string `"<unit> since <reference-date>"`, unit aliases
+  *    normalized, six reference date formats accepted
+  *  - calendars: standard/gregorian/proleptic_gregorian convert to
+  *    timestamps; non-Gregorian calendars (360_day, noleap, …) → null
+  *    (`time_ts` stays NULL, spec `format-specs/raquet.md:74-79`)
+  *  - seconds/minutes/hours/days: fixed-length offsets (fractions kept to
+  *    microsecond precision)
+  *  - months/years: calendar arithmetic on the integer part, keeping the
+  *    reference date's day-of-month; invalid resulting dates → null —
+  *    approximate by design, exactly as the reference implements it
+  */
+final case class CfTimeInfo(unit: String, refDate: LocalDateTime, calendar: String)
+    extends Serializable {
+
+  def isGregorianCompatible: Boolean =
+    calendar == "standard" || calendar == "gregorian" || calendar == "proleptic_gregorian"
+
+  private def micros(d: LocalDateTime): Long = {
+    val inst = d.toInstant(ZoneOffset.UTC)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000
+  }
+  private val refMicros: Long = micros(refDate)
+
+  /** CF value → epoch micros, or Long.MinValue when not convertible. */
+  def toEpochMicros(v: Double): Long = {
+    if (!isGregorianCompatible) return Long.MinValue
+    unit match {
+      case "seconds" => refMicros + math.rint(v * 1e6).toLong
+      case "minutes" => refMicros + math.rint(v * 6e7).toLong
+      case "hours"   => refMicros + math.rint(v * 3.6e9).toLong
+      case "days"    => refMicros + math.rint(v * 8.64e10).toLong
+      case "months" =>
+        val total = refDate.getMonthValue + v.toInt - 1
+        val years = Math.floorDiv(total, 12)
+        val month = Math.floorMod(total, 12) + 1
+        try micros(LocalDateTime.of(refDate.getYear + years, month,
+          refDate.getDayOfMonth, refDate.getHour, refDate.getMinute, refDate.getSecond))
+        catch { case _: java.time.DateTimeException => Long.MinValue }
+      case "years" =>
+        try micros(refDate.withYear(refDate.getYear + v.toInt))
+        catch { case _: java.time.DateTimeException => Long.MinValue }
+      case _ => Long.MinValue
+    }
+  }
+}
+
+object CfTime {
+  private val aliases = Map(
+    "second" -> "seconds", "minute" -> "minutes", "hour" -> "hours",
+    "day" -> "days", "month" -> "months", "year" -> "years")
+
+  private val dateFormats = Seq(
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm", "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm", "yyyy-MM-dd", "yyyyMMdd")
+
+  private val UnitsRe = """^(\w+)\s+since\s+(.+)$""".r
+
+  /** Parse a CF units string; None when unparseable (reference behavior). */
+  def parseUnits(units: String, calendar: String = "standard"): Option[CfTimeInfo] =
+    units.trim match {
+      case UnitsRe(u, dateStr) =>
+        val unit = aliases.getOrElse(u.toLowerCase, u.toLowerCase)
+        val ds = dateStr.trim
+        val parsed = dateFormats.view.flatMap { f =>
+          try {
+            val fmt = DateTimeFormatter.ofPattern(f)
+            Some(
+              if (f.contains("H")) LocalDateTime.parse(ds, fmt)
+              else java.time.LocalDate.parse(ds, fmt).atStartOfDay())
+          } catch { case _: java.time.format.DateTimeParseException => None }
+        }.headOption
+        parsed.map(d => CfTimeInfo(unit,
+          d, Option(calendar).map(_.toLowerCase).getOrElse("standard")))
+      case _ => None
+    }
+
+  /** ISO-8601 duration inference from regular intervals
+    * (`CFTimeInfo.to_iso_duration`, reference `raster2raquet.py:238-264`). */
+  def toIsoDuration(unit: String, values: Seq[Double]): Option[String] = {
+    if (values.length < 2) return None
+    val intervals = values.sliding(2).map(p => p(1) - p(0)).toSeq
+    val avg = intervals.sum / intervals.length
+    val regular = if (avg == 0) true
+      else intervals.forall(i => math.abs(i - avg) / avg < 0.01)
+    if (!regular) return None
+    val key = math.round(avg).toString
+    val map: Map[String, Map[String, String]] = Map(
+      "minutes" -> Map("1" -> "PT1M", "60" -> "PT1H", "1440" -> "P1D",
+        "43200" -> "P1M", "44640" -> "P1M"),
+      "hours" -> Map("1" -> "PT1H", "24" -> "P1D", "720" -> "P1M", "744" -> "P1M"),
+      "days" -> Map("1" -> "P1D", "30" -> "P1M", "31" -> "P1M",
+        "365" -> "P1Y", "366" -> "P1Y"),
+      "months" -> Map("1" -> "P1M", "12" -> "P1Y"),
+      "years" -> Map("1" -> "P1Y"))
+    map.get(unit).flatMap(_.get(key))
+  }
+}

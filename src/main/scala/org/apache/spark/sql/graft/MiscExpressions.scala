@@ -1,0 +1,132 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import graft.raquet.{CfTime, CfTimeInfo, Multimodal, PixelCodec}
+
+/** CF-time and multimodal expressions. Same pattern as the raster family:
+  * config resolved at construction from literal args, kernels referenced
+  * into generated code. */
+
+/** cf_to_timestamp(value) with plan-time units/calendar (F16): CF numeric
+  * time → TimestampType; NULL for non-Gregorian calendars or invalid dates
+  * (reference `raster2raquet.py:331-368`). */
+case class CfToTimestamp(child: Expression, units: String, calendar: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val info: CfTimeInfo =
+    CfTime.parseUnits(units, calendar).getOrElse(
+      throw new IllegalArgumentException(s"unparseable CF units: $units"))
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cf_to_timestamp"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else {
+      val m = info.toEpochMicros(v.asInstanceOf[Double])
+      if (m == Long.MinValue) null else m
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("cfInfo", info, classOf[CfTimeInfo].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.freshName("micros")
+      s"""
+         |long $m = $k.toEpochMicros($v);
+         |if ($m == Long.MIN_VALUE) { ${ev.isNull} = true; } else { ${ev.value} = $m; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_inflate(binary): gunzip when gzip magic present, else pass through —
+  * exposes raw tile bytes to SQL-level slicing (frame sampling etc.). */
+case class RqInflate(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_inflate"
+  override protected def nullSafeEval(raw: Any): Any = {
+    val b = raw.asInstanceOf[Array[Byte]]
+    if (PixelCodec.isGzip(b)) PixelCodec.gzipDecompress(b) else b
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.raquet.PixelCodec.isGzip($c) ? graft.raquet.PixelCodec.gzipDecompress($c) : $c")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MmBridge {
+  val imageSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("mean", DoubleType, nullable = false)))
+
+  def imageStats(bytes: Array[Byte]): InternalRow = {
+    val img = Multimodal.decodeImage(bytes)
+    var sum = 0.0
+    var i = 0
+    while (i < img.pixels.length) { sum += img.pixels(i) & 0xFF; i += 1 }
+    InternalRow(img.width, img.height, img.channels,
+      sum / math.max(1, img.pixels.length))
+  }
+  val B = "org.apache.spark.sql.graft.MmBridge"
+}
+
+/** mm_image_stats(binary): REAL image decode (JPEG/PNG via javax.imageio) →
+  * (width, height, channels, mean brightness). The feature-extraction step
+  * of a multimodal pipeline; decode failures surface as errors, not nulls. */
+case class MmImageStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = MmBridge.imageSchema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_image_stats"
+  override protected def nullSafeEval(raw: Any): Any =
+    MmBridge.imageStats(raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${MmBridge.B}.imageStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_resize(binary, w, h) with plan-time source dims/channels: nearest-
+  * neighbour resample of raw uint8 pixels. */
+case class MmResize(first: Expression, second: Expression, third: Expression,
+    srcWidth: Int, srcHeight: Int, channels: Int)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_resize"
+  override protected def nullSafeEval(raw: Any, w2: Any, h2: Any): Any =
+    Multimodal.resizeNearest(raw.asInstanceOf[Array[Byte]], srcWidth, srcHeight,
+      channels, w2.asInstanceOf[Int], h2.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, w2, h2) =>
+      s"graft.raquet.Multimodal.resizeNearest($c, $srcWidth, $srcHeight, $channels, $w2, $h2)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(f, s, t)
+}
+
+/** mm_deinterleave(pixels) with plan-time (band, nBands, bytesPerSample):
+  * extract one band from a BIP-interleaved payload (F9 inverse). */
+case class MmDeinterleave(child: Expression, band: Int, nBands: Int, bytesPerSample: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_deinterleave"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.deinterleave(raw.asInstanceOf[Array[Byte]], band, nBands, bytesPerSample)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.raquet.Multimodal.deinterleave($c, $band, $nBands, $bytesPerSample)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

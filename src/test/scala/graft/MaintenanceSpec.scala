@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.{CfTime, Maintenance, Multimodal, PixelCodec, RaquetIO}
+
+class MaintenanceSpec extends SparkSpec {
+
+  val fixture = "src/test/resources/raquet/gradient16.parquet"
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft").toString
+
+  test("validate passes every check on the fixture") {
+    val report = Maintenance.validate(spark, fixture).collect()
+    assert(report.nonEmpty)
+    val failed = report.filterNot(_.getBoolean(1)).map(r => r.getString(0) + ": " + r.getString(2))
+    assert(failed.isEmpty, failed.mkString("; "))
+    val names = report.map(_.getString(0)).toSet
+    assert(names.contains("decode_band_1") && names.contains("pyramid_parents"))
+  }
+
+  test("inspect reports the metadata + per-zoom tile counts") {
+    val row = Maintenance.inspect(spark, fixture).collect()(0)
+    assert(row.getAs[String]("version") == "0.5.0")
+    assert(row.getAs[Long]("num_blocks") == 85L)
+    assert(row.getAs[String]("tiles_per_zoom") == "z3=1,z4=4,z5=16,z6=64")
+  }
+
+  test("splitZoom writes a standalone valid raquet dataset per zoom") {
+    val out = tmpDir() + "/split"
+    Maintenance.splitZoom(spark, fixture, out)
+    for (z <- 3 to 6) {
+      val ds = RaquetIO.read(spark, s"$out/z=$z")
+      assert(ds.meta.minZoom == z && ds.meta.maxZoom == z)
+      val n = ds.data.count()
+      assert(n == ds.meta.numBlocks)
+      assert(ds.data.filter(quadbin_zoom(col("block")) =!= z).count() == 0)
+    }
+  }
+
+  test("partition writes ancestor-keyed dirs, each sorted with its own metadata") {
+    val out = tmpDir() + "/part"
+    Maintenance.partition(spark, fixture, out, partZoom = 4)
+    // 64 native tiles at z6 → 4 ancestors at z4
+    val all = spark.read.parquet(out)
+    assert(all.select("part").distinct().count() == 4)
+    // whole-directory read: spec says dedupe metadata rows; data rows intact
+    assert(all.filter(col("block") =!= 0L).count() == 64)
+    assert(all.filter(col("block") === 0L).count() == 4)
+    // each partition: standalone metadata with per-partition num_blocks
+    val onePart = all.filter(col("block") === 0L).limit(1).select("metadata")
+      .collect()(0).getString(0)
+    assert(graft.raquet.RaquetMetadata.parse(onePart).numBlocks == 16)
+  }
+
+  test("auto partition zoom follows the log4 sizing rule") {
+    val ds = RaquetIO.read(spark, fixture)
+    // tiny target → stay at native zoom; huge target → clamp to 0
+    assert(Maintenance.autoPartitionZoom(ds, 1L) == 6)
+    assert(Maintenance.autoPartitionZoom(ds, 1L << 40) == 0)
+  }
+
+  test("CF units parse + ISO duration inference mirror the reference") {
+    val info = CfTime.parseUnits("Minutes since 1980-01-01 00:00:00").get
+    assert(info.unit == "minutes")
+    assert(CfTime.parseUnits("day since 2000-01-01").get.unit == "days")
+    assert(CfTime.parseUnits("fortnights hence 2000-01-01").isEmpty)
+    assert(CfTime.toIsoDuration("minutes", Seq(0.0, 60.0, 120.0)).contains("PT1H"))
+    assert(CfTime.toIsoDuration("days", Seq(0.0, 30.0, 60.0)).contains("P1M"))
+    assert(CfTime.toIsoDuration("days", Seq(0.0, 3.0, 40.0)).isEmpty)
+    // 360_day calendar → no timestamp
+    assert(CfTime.parseUnits("days since 2000-01-01", "360_day").get
+      .toEpochMicros(5.0) == Long.MinValue)
+  }
+
+  test("JPEG round-trip: gray and rgb encode/decode with bounded lossy error") {
+    val w = 32; val h = 32
+    val gray = Array.tabulate(w * h)(i => ((i * 7) % 256).toByte)
+    val jpeg = Multimodal.encodeJpeg(gray, w, h, 1, quality = 95)
+    val img = Multimodal.decodeImage(jpeg)
+    assert(img.width == w && img.height == h && img.channels == 1)
+    val maxErr = gray.zip(img.pixels).map { case (a, b) =>
+      math.abs((a & 0xFF) - (b & 0xFF)) }.max
+    assert(maxErr <= 40, s"jpeg error too large: $maxErr")
+
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 11) % 256).toByte)
+    val jr = Multimodal.encodeJpeg(rgb, w, h, 3, quality = 95)
+    val ir = Multimodal.decodeImage(jr)
+    assert(ir.width == w && ir.channels == 3)
+  }
+
+  test("BIP interleave/deinterleave round-trips and matches the expression") {
+    val b1 = Array.tabulate(16)(i => i.toByte)
+    val b2 = Array.tabulate(16)(i => (100 + i).toByte)
+    val inter = Multimodal.interleave(Array(b1, b2), 1)
+    assert(Multimodal.deinterleave(inter, 0, 2, 1).toSeq == b1.toSeq)
+    assert(Multimodal.deinterleave(inter, 1, 2, 1).toSeq == b2.toSeq)
+    import spark.implicits._
+    val df = Seq(Tuple1(inter)).toDF("px")
+    val got = df.select(mm_deinterleave(col("px"), 1, 2).as("b")).collect()(0)
+      .getAs[Array[Byte]](0)
+    assert(got.toSeq == b2.toSeq)
+  }
+
+  test("mm_image_stats decodes a real JPEG inside a query") {
+    val gray = Array.fill(64 * 64)(200.toByte)
+    val jpeg = Multimodal.encodeJpeg(gray, 64, 64, 1, quality = 95)
+    import spark.implicits._
+    val r = Seq(Tuple1(jpeg)).toDF("img")
+      .select(mm_image_stats(col("img")).as("s"))
+      .select("s.width", "s.height", "s.channels", "s.mean").collect()(0)
+    assert(r.getInt(0) == 64 && r.getInt(1) == 64 && r.getInt(2) == 1)
+    assert(math.abs(r.getDouble(3) - 200.0) < 3.0)
+  }
+
+  test("gzip codec round-trips through the inflate expression") {
+    val data = Array.tabulate(256)(i => (i % 251).toByte)
+    val gz = PixelCodec.gzipCompress(data)
+    import spark.implicits._
+    val out = Seq(Tuple1(gz)).toDF("b")
+      .select(rq_inflate(col("b"))).collect()(0).getAs[Array[Byte]](0)
+    assert(out.toSeq == data.toSeq)
+  }
+}
