@@ -53,6 +53,9 @@ object SparkEntry {
     "q32_fingerprint"       -> (LlmQueries.q32Fingerprint _),
     "q33_cf_time"           -> (RaquetQueries.q33CfTime _),
     "q34_multimodal"        -> (RaquetQueries.q34Multimodal _),
+    "q35_histogram"         -> (RaquetQueries.q35Histogram _),
+    "q36_raster_join"       -> (RaquetQueries.q36RasterJoin _),
+    "q37_interleaved"       -> (RaquetQueries.q37Interleaved _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -152,5 +155,8 @@ object SparkEntry {
     "q32_fingerprint"       -> LlmOracles.q32,
     "q33_cf_time"           -> RaquetOracles.q33,
     "q34_multimodal"        -> RaquetOracles.q34,
+    "q35_histogram"         -> RaquetOracles.q35,
+    "q36_raster_join"       -> RaquetOracles.q36,
+    "q37_interleaved"       -> RaquetOracles.q37,
   )
 }

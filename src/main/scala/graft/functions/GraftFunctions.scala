@@ -68,6 +68,7 @@ object GraftFunctions {
   def mm_deinterleave(bin: Column, band: Int, nBands: Int,
       bytesPerSample: Int = 1): Column =
     col(MmDeinterleave(ex(bin), band, nBands, bytesPerSample))
+  def mm_jpeg_pixels(bin: Column): Column = col(MmJpegPixels(ex(bin)))
 
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {

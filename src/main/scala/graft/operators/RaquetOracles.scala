@@ -166,4 +166,37 @@ object RaquetOracles {
         SELECT fr.block, fr.f, fr.first_px, fr.frame_sum, rz.resize_sum
         FROM fr JOIN rz ON fr.block = rz.block"""
   }
+
+  val q35: String =
+    s"""WITH px AS (SELECT x*16+i AS gx, y*16+j AS gy
+          FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),
+        v AS (SELECT CAST((7*gx+13*gy)%255 AS DOUBLE) AS v FROM px
+          WHERE (gx+gy)%31 <> 0)
+        SELECT CAST(floor(v/16) AS BIGINT) AS bucket, count(*) AS n, sum(v) AS vsum
+        FROM v GROUP BY 1"""
+
+  val q36: String =
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j))
+        SELECT block,
+          sum(CASE WHEN (gx+gy)%31 = 0 THEN 0 ELSE 1 END) AS n_valid,
+          sum(CASE WHEN (gx+gy)%31 = 0 THEN CAST(0 AS DOUBLE)
+              ELSE (CAST(gx AS DOUBLE)/4 + CAST(gy AS DOUBLE)/8 + 16)
+                   - CAST((7*gx+13*gy)%255 AS DOUBLE) END) AS diff_sum
+        FROM px GROUP BY block"""
+
+  val q37: String = {
+    val FB = RaquetQueries.FixtureBip
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FB') WHERE block <> 0),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, CAST((7*(x*16+i) + 11*(y*16+j)) % 256 AS DOUBLE) AS v
+          FROM xy, range(16) a(i), range(16) b(j))
+        SELECT block, count(*) AS n_px, min(v) AS vmin, max(v) AS vmax,
+          sum(v) AS vsum
+        FROM px GROUP BY block"""
+  }
 }

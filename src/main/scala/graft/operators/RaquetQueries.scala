@@ -22,6 +22,8 @@ object RaquetQueries {
 
   /** Absolute path so the DuckDB oracle reads the same bytes. */
   val Fixture = "/root/repo/src/test/resources/raquet/gradient16.parquet"
+  /** Interleaved (BIP+gzip) layout variant of the same grid. */
+  val FixtureBip = "/root/repo/src/test/resources/raquet/gradient16_bip.parquet"
 
   /** S1+S2+S3+P1+P7: scan, drop the metadata row, project stats columns +
     * derived zoom. The driver-level proof that the raquet read path works. */
@@ -172,5 +174,51 @@ object RaquetQueries {
         element_at(col("fpx"), 1).as("first_px"),
         aggregate(col("fpx"), lit(0.0), (a, x) => a + x).as("frame_sum"),
         aggregate(col("rpx"), lit(0.0), (a, x) => a + x).as("resize_sum"))
+  }
+
+  /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
+    * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
+    * shuffle carries one row per bucket per task, not per pixel. */
+  def q35Histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(explode(rq_decode(col("band_1"), ds.meta, "band_1")).as("v"))
+      .filter(col("v") =!= 255.0) // nodata
+      .groupBy(floor(col("v") / 16).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("vsum"))
+  }
+
+  /** J2: raster⋈raster alignment join on block — two reads of the dataset
+    * joined by tile id (the multi-file band-math shape), per-pixel
+    * cross-source difference reduced per tile. Same-zoom equi-join: AQE
+    * picks broadcast/SMJ; at scale both sides are Morton-sorted parquet so
+    * the sort-merge path is shuffle-light. The metric stays dyadic-rational
+    * (Σ of exact values) so the comparison is order-independent-exact. */
+  def q36RasterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = RaquetIO.read(spark, Fixture)
+    val b = RaquetIO.read(spark, Fixture)
+    val left = a.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"), col("band_2").as("ba"))
+    val right = b.data.select(col("block"), col("band_1").as("bb"))
+    left.join(right, "block")
+      .withColumn("pa", rq_decode(col("ba"), a.meta, "band_2"))
+      .withColumn("pb", rq_decode(col("bb"), b.meta, "band_1"))
+      .select(col("block"),
+        expr("""aggregate(zip_with(pa, pb, (x, y) -> IF(y = 255D, 0D, 1D)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").cast("long").as("n_valid"),
+        expr("""aggregate(zip_with(pa, pb, (x, y) ->
+                  IF(y = 255D, CAST(0 AS DOUBLE), (x * 0.5D + 16D) - y)),
+                CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("diff_sum"))
+  }
+
+  /** Interleaved (BIP) layout: gunzip the whole-tile payload, de-interleave
+    * band_2 (F9), decode, per-tile stats — the `tci_interleaved_gzip`-shaped
+    * read path, spec `raquet.md:49-57`. */
+  def q37Interleaved(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureBip)
+    ds.data
+      .select(col("block"), rq_summary_stats(ds.band("band_2"), ds.meta, "band_2").as("s"))
+      .select(col("block"), col("s.count").as("n_px"),
+        col("s.min").as("vmin"), col("s.max").as("vmax"), col("s.sum").as("vsum"))
   }
 }

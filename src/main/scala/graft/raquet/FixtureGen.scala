@@ -123,17 +123,78 @@ object FixtureGen {
     RaquetIO.writeSingleFile(df, meta, file)
   }
 
+  // --- interleaved (BIP) layout variant, spec raquet.md:49-57 ---
+
+  /** 3-band uint8 pixel formula for the interleaved fixtures. */
+  def v3(band: Int, gx: Long, gy: Long): Double = band match {
+    case 1 => ((3 * gx + 5 * gy) % 256).toDouble
+    case 2 => ((7 * gx + 11 * gy) % 256).toDouble
+    case 3 => ((13 * gx + 17 * gy) % 256).toDouble
+  }
+
+  def bipMetadata(z: Int, x0: Long, y0: Long, nx: Int, ny: Int, bs: Int,
+      compression: String): RaquetMetadata =
+    metadata(z, x0, y0, nx, ny, bs, minZoom = z, numBlocks = nx.toLong * ny).copy(
+      compression = Some(compression),
+      bandLayout = "interleaved",
+      bands = (1 to 3).map(k =>
+        BandMeta(s"band_$k", "uint8", None, None, None, None, None)))
+
+  /** Interleaved tiles with the whole-tile payload built by `pack`. */
+  private def bipTiles(spark: SparkSession, z: Int, x0: Long, y0: Long,
+      nx: Int, ny: Int, bs: Int)(pack: Array[Byte] => Array[Byte]): DataFrame = {
+    val sc = spark.sparkContext
+    val tiles = for (ty <- 0 until ny; tx <- 0 until nx) yield (x0 + tx, y0 + ty)
+    val rows = sc.parallelize(tiles, math.max(1, math.min(tiles.size, 16)))
+      .map { case (x, y) =>
+        val bands = (1 to 3).map { k =>
+          val a = new Array[Byte](bs * bs)
+          var j = 0
+          while (j < bs) {
+            var i = 0
+            while (i < bs) {
+              a(j * bs + i) = v3(k, x * bs + i, y * bs + j).toInt.toByte
+              i += 1
+            }
+            j += 1
+          }
+          a
+        }.toArray
+        Row(Quadbin.tileToCell(x, y, z), null: String,
+          pack(Multimodal.interleave(bands, 1)))
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("block", LongType, nullable = false),
+      StructField("metadata", StringType),
+      StructField("pixels", BinaryType))))
+  }
+
+  /** Committed BIP+gzip fixture (exact; driver-oracle-verifiable). */
+  def writeGradient16Bip(spark: SparkSession, file: String): Unit = {
+    val meta = bipMetadata(6, 32, 24, 8, 8, 16, "gzip")
+    val df = bipTiles(spark, 6, 32, 24, 8, 8, 16)(PixelCodec.gzipCompress)
+    RaquetIO.writeSingleFile(df, meta, file)
+  }
+
+  /** BIP+JPEG variant (lossy; structural/tolerance checks only). */
+  def writeGradient16Jpeg(spark: SparkSession, file: String): Unit = {
+    val meta = bipMetadata(6, 32, 24, 8, 8, 16, "jpeg")
+    val df = bipTiles(spark, 6, 32, 24, 8, 8, 16)(
+      Multimodal.encodeJpeg(_, 16, 16, 3, quality = 95))
+    RaquetIO.writeSingleFile(df, meta, file)
+  }
+
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0)
-      else "src/test/resources/raquet/gradient16.parquet"
+    val dir = if (args.nonEmpty) args(0) else "src/test/resources/raquet"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeGradient16(spark, out)
-    println(s"wrote $out")
+    writeGradient16(spark, s"$dir/gradient16.parquet")
+    writeGradient16Bip(spark, s"$dir/gradient16_bip.parquet")
+    println(s"wrote $dir/gradient16.parquet + gradient16_bip.parquet")
     spark.stop()
   }
 }

@@ -24,6 +24,25 @@ object RaquetIO {
   /** A raquet dataset: data rows (metadata row excluded) + parsed metadata. */
   final case class RaquetDataset(data: DataFrame, meta: RaquetMetadata) {
     def kernel(band: String): BandKernel = BandKernel(meta, band)
+
+    /** Band blob column regardless of layout (spec `raquet.md:40-57`):
+      * sequential → the band's own column; interleaved → extract the band
+      * from the `pixels` payload (gunzip or JPEG-decode, then BIP
+      * de-interleave). Composes with rq_decode / rq_summary_stats etc. */
+    def band(name: String): Column = {
+      import graft.functions.GraftFunctions._
+      if (meta.bandLayout != "interleaved") col(name)
+      else {
+        val idx = meta.bands.indexWhere(_.name == name)
+        require(idx >= 0, s"no band $name")
+        val bps = PixelCodec.bytesPerPixel(meta.bands(idx).bandType)
+        val raw =
+          if (meta.compression.exists(c => c == "jpeg" || c == "webp"))
+            graft.functions.GraftFunctions.mm_jpeg_pixels(col("pixels"))
+          else rq_inflate(col("pixels"))
+        mm_deinterleave(raw, idx, meta.bands.length, bps)
+      }
+    }
   }
 
   /** S2: fetch + parse the `block = 0` metadata row. Partitioned datasets

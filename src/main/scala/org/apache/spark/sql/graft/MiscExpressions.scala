@@ -115,6 +115,22 @@ case class MmResize(first: Expression, second: Expression, third: Expression,
     copy(f, s, t)
 }
 
+/** mm_jpeg_pixels(binary): decode a whole JPEG/PNG tile to its raw
+  * BIP-interleaved uint8 buffer (the interleaved-layout lossy path,
+  * spec `format-specs/raquet.md:49-57`). */
+case class MmJpegPixels(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_jpeg_pixels"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.decodeImage(raw.asInstanceOf[Array[Byte]]).pixels
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.raquet.Multimodal.decodeImage($c).pixels()")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** mm_deinterleave(pixels) with plan-time (band, nBands, bytesPerSample):
   * extract one band from a BIP-interleaved payload (F9 inverse). */
 case class MmDeinterleave(child: Expression, band: Int, nBands: Int, bytesPerSample: Int)

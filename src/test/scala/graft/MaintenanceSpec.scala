@@ -114,6 +114,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - 200.0) < 3.0)
   }
 
+  test("interleaved JPEG dataset: write, read, band-extract within lossy tolerance") {
+    val out = tmpDir() + "/jpeg.parquet"
+    graft.raquet.FixtureGen.writeGradient16Jpeg(spark, out)
+    val ds = RaquetIO.read(spark, out)
+    assert(ds.meta.bandLayout == "interleaved")
+    assert(ds.meta.compression.contains("jpeg"))
+    assert(ds.data.count() == 64)
+    // mean of band_2 across one tile vs the exact formula mean (JPEG lossy)
+    val got = ds.data
+      .filter(col("block") === graft.quadbin.Quadbin.tileToCell(32, 24, 6))
+      .select(rq_summary_stats(ds.band("band_2"), ds.meta, "band_2").as("s"))
+      .select("s.mean", "s.count").collect()(0)
+    assert(got.getLong(1) == 256)
+    var exact = 0.0
+    for (j <- 0 until 16; i <- 0 until 16)
+      exact += graft.raquet.FixtureGen.v3(2, 32 * 16 + i, 24 * 16 + j)
+    assert(math.abs(got.getDouble(0) - exact / 256) < 20.0,
+      s"jpeg band mean drifted: got ${got.getDouble(0)} want ~${exact / 256}")
+  }
+
   test("gzip codec round-trips through the inflate expression") {
     val data = Array.tabulate(256)(i => (i % 251).toByte)
     val gz = PixelCodec.gzipCompress(data)
