@@ -2,20 +2,123 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Benchmark main. One warm-up pass (absorbs JVM/codegen start-up), then
-  * median-of-3 timed runs per query. Each run forces full evaluation through
-  * the noop sink — `count()` would let Catalyst drop unused projections.
-  * Emits ONE JSON line on stdout and mirrors it to BENCH_LOCAL.json so the
-  * result survives sbt's log decoration.
+import graft.functions.GraftFunctions._
+import graft.operators.{EmbedOps, Relational, TextOps}
+import graft.quadbin.Quadbin
+import graft.raquet.{FixtureGen, RaquetIO}
+
+/** Benchmark main. Headline queries mirror BASELINE.md's published shapes:
+  * point query, single-tile stats, region stats, resolution distribution,
+  * full-table stats-column aggregation, full-scan decode stats, top-k tiles
+  * (the reference's interactive + Query A/B set), plus relational and
+  * LLM-pipeline headliners at the harness scale factor.
+  *
+  * The raster side runs against a generated ~335 MB-raw raquet dataset
+  * (1,024 native 256×256 tiles at zoom 10 + pyramid to zoom 5 → 1,365
+  * tiles) cached under target/ — the same size class as BASELINE's
+  * interactive TCI set (261 MB / 3,225 tiles).
+  *
+  * Methodology: one untimed warm-up pass (JVM/codegen), then median-of-3
+  * timed runs, each forcing full evaluation through the noop sink. Emits
+  * ONE JSON line on stdout and mirrors it to BENCH_LOCAL.json.
   */
 object Bench {
+
+  val RasterDir = "target/bench_raster"
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
   }
+
+  def ensureRaster(spark: SparkSession): Unit = {
+    val marker = Paths.get(RasterDir, "_META_OK")
+    if (Files.exists(marker)) return
+    val (df, meta) = FixtureGen.dataset(spark, z = 10, x0 = 512, y0 = 512,
+      nx = 32, ny = 32, bs = 256, minZoom = 5)
+    RaquetIO.write(df, meta, RasterDir)
+    Files.writeString(marker, "ok")
+  }
+
+  /** 100 deterministic probe points inside the bench raster's bounds. */
+  private def probePoints: Seq[(Double, Double)] =
+    (0 until 100).map { i =>
+      (0.2 + (i * 107) % 108 / 10.0, -10.8 + (i * 213) % 105 / 10.0)
+    }
+
+  def rasterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b_point_query" -> ((s: SparkSession, _: String) => {
+      val ds = RaquetIO.read(s, RasterDir)
+      val pts = probePoints
+      val cells = pts.map { case (lon, lat) => Quadbin.fromLonLat(lon, lat, 10) }
+      import s.implicits._
+      val ptsDf = broadcast(pts.zip(cells).map { case ((lon, lat), c) => (c, lon, lat) }
+        .toDF("cell", "lon", "lat"))
+      ds.data.filter(col("block").isin(cells.distinct: _*))
+        .join(ptsDf, col("block") === col("cell"))
+        .select(rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").as("v"))
+    }),
+    "b_tile_stats" -> ((s: SparkSession, _: String) => {
+      val ds = RaquetIO.read(s, RasterDir)
+      ds.data.filter(col("block") === Quadbin.tileToCell(520, 520, 10))
+        .select(rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+        .select("s.*")
+    }),
+    "b_region_stats" -> ((s: SparkSession, _: String) => {
+      val wkt = "POLYGON((0.51 -8.03, 7.52 -8.03, 7.52 -2.71, 0.51 -2.71, 0.51 -8.03))"
+      val ds = RaquetIO.readRegion(s, RasterDir, wkt, zoom = "max")
+      ds.data
+        .select(rq_clip_stats(col("band_1"), col("block"), ds.meta, "band_1", wkt).as("s"))
+        .agg(rq_stats_merge(col("s")).as("m")).select("m.*")
+    }),
+    "b_zoom_histogram" -> ((s: SparkSession, _: String) =>
+      RaquetIO.read(s, RasterDir).data
+        .groupBy(quadbin_zoom(col("block")).as("zoom"))
+        .agg(count(lit(1)).as("n"), sum("band_1_count").as("px"))),
+    "b_fullscan_agg" -> ((s: SparkSession, _: String) =>
+      RaquetIO.read(s, RasterDir).data
+        .agg(sum("band_1_sum").as("s1"), sum("band_2_sum").as("s2"),
+          min("band_1_min").as("mn"), max("band_1_max").as("mx"),
+          sum("band_1_count").as("n"))),
+    "b_fullscan_decode_stats" -> ((s: SparkSession, _: String) => {
+      // Query B shape: decode every native tile, stats threshold on the fly
+      val ds = RaquetIO.read(s, RasterDir)
+      ds.data.filter(quadbin_zoom(col("block")) === 10)
+        .select(rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+        .filter(col("s.mean") < 180.0)
+        .agg(rq_stats_merge(col("s")).as("m")).select("m.*")
+    }),
+    "b_topk_tiles" -> ((s: SparkSession, _: String) =>
+      RaquetIO.read(s, RasterDir).data
+        .filter(quadbin_zoom(col("block")) === 10)
+        .select(col("block"), col("band_2_mean"))
+        .orderBy(col("band_2_mean").asc, col("block").asc).limit(20)),
+    "b_pyramid_build" -> ((s: SparkSession, _: String) => {
+      val ds = RaquetIO.read(s, RasterDir)
+      val native = ds.data.filter(quadbin_zoom(col("block")) === 10)
+        .select("block", "band_1", "band_2")
+      graft.raquet.Pyramid.buildLevel(native, ds.meta, 9)
+    }))
+
+  def dataQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_revenue_by_nation" -> (Relational.q3RevenueByNation _),
+    "q12_shipping_priority" -> (Relational.q12ShippingPriority _),
+    "b_minhash_neardup" -> ((s: SparkSession, dir: String) =>
+      TextOps.minhashNearDups(
+        Tables.documents(s, dir).select("doc_id", "text"), threshold = 0.3)),
+    "b_simhash" -> ((s: SparkSession, dir: String) =>
+      TextOps.simhash(Tables.documents(s, dir).select("doc_id", "text"))),
+    "b_embed_knn" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      EmbedOps.cosineTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
+    }),
+    "b_dedup_exact" -> ((s: SparkSession, dir: String) =>
+      TextOps.exactDupGroups(Tables.documents(s, dir).select("doc_id", "text"))))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,15 +130,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensureRaster(spark)
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val queries = SparkEntry.queries
-    // warm-up: one untimed pass over everything
+    val queries = rasterQueries ++ dataQueries
     queries.foreach { case (name, fn) =>
       try once(fn)
       catch { case scala.util.control.NonFatal(e) =>
