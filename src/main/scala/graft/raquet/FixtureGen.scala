@@ -101,16 +101,12 @@ object FixtureGen {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Full dataset (native + pyramid to minZoom) and its metadata. */
+  /** Full dataset (native + pyramid to minZoom) and its metadata.
+    * `num_blocks` counts native-zoom tiles only (reference
+    * `raster2raquet.py:2157-2161`). */
   def dataset(spark: SparkSession, z: Int, x0: Long, y0: Long,
       nx: Int, ny: Int, bs: Int, minZoom: Int): (DataFrame, RaquetMetadata) = {
-    var numBlocks = 0L
-    var w = nx; var h = ny
-    for (_ <- minZoom to z) {
-      numBlocks += w.toLong * h
-      w = math.max(1, w / 2); h = math.max(1, h / 2)
-    }
-    val meta = metadata(z, x0, y0, nx, ny, bs, minZoom, numBlocks)
+    val meta = metadata(z, x0, y0, nx, ny, bs, minZoom, numBlocks = nx.toLong * ny)
     val all = Pyramid.build(nativeTiles(spark, z, x0, y0, nx, ny, bs), meta, minZoom)
     (all, meta)
   }

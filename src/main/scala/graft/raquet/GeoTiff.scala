@@ -1,0 +1,559 @@
+package graft.raquet
+
+import java.awt.image.IndexColorModel
+import java.io.File
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import javax.imageio.ImageIO
+import javax.imageio.plugins.tiff.TIFFDirectory
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col => column}
+import org.apache.spark.sql.types._
+
+import graft.quadbin.Quadbin
+
+/** GDAL-free GeoTIFF source/sink (S6 subset, S10) built on the JDK's TIFF
+  * ImageIO plugin (deflate/LZW/uncompressed decode) + direct GeoTIFF tag
+  * handling. Mirrors the reference ingest pipeline
+  * (`raquet/raster2raquet.py` §3.1 trace in SURVEY.md) with the scope cuts a
+  * no-GDAL build implies: sources must be EPSG:4326 or EPSG:3857 and
+  * resampling is nearest-neighbour (the reference's default algorithms
+  * beyond NN need GDAL's warp kernels).
+  *
+  * The conversion itself is the Spark shape the reference approximates with
+  * worker processes (M7): enumerate target tiles → `mapPartitions`-style
+  * warp+encode per tile (source broadcast) → pyramid reduce → sorted write.
+  */
+object GeoTiff {
+
+  final val CE = 2.0 * math.Pi * Quadbin.EarthRadius // web-mercator circumference
+  final val LatLimit = 85.05112877980659             // atan(sinh(pi))
+
+  final case class Source(
+      width: Int, height: Int, bands: Int, dtype: String,
+      nodata: Option[Double],
+      x0: Double, dx: Double, y0: Double, dy: Double,
+      geographic: Boolean,
+      colortable: Option[Map[String, Seq[Int]]],
+      pixels: Array[Array[Double]]) extends Serializable {
+    def sample(band: Int, px: Int, py: Int): Double = pixels(band)(py * width + px)
+  }
+
+  // --- TIFF/GeoTIFF reading ---
+
+  /** Direct first-IFD tag parse (ImageIO's TIFFDirectory drops the GDAL
+    * private tags 42112/42113). Little-endian classic TIFF only — which is
+    * what GDAL writes. */
+  private def parseTags(bytes: Array[Byte]): Map[Int, (Int, Array[Double], String)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    require(bytes(0) == 'I' && bytes(1) == 'I', "big-endian TIFF unsupported")
+    bb.order(ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getInt(4)
+    val n = bb.getShort(ifd) & 0xFFFF
+    (0 until n).map { k =>
+      val e = ifd + 2 + 12 * k
+      val id = bb.getShort(e) & 0xFFFF
+      val ttype = bb.getShort(e + 2) & 0xFFFF
+      val count = bb.getInt(e + 4)
+      val elemSize = ttype match {
+        case 1 | 2 | 6 | 7 => 1
+        case 3 | 8 => 2
+        case 4 | 9 | 11 => 4
+        case 5 | 10 | 12 => 8
+        case _ => 1
+      }
+      val at = if (elemSize * count <= 4) e + 8 else bb.getInt(e + 8)
+      val values = ttype match {
+        case 3 => (0 until count).map(i => (bb.getShort(at + 2 * i) & 0xFFFF).toDouble)
+        case 8 => (0 until count).map(i => bb.getShort(at + 2 * i).toDouble)
+        case 4 => (0 until count).map(i => (bb.getInt(at + 4 * i) & 0xFFFFFFFFL).toDouble)
+        case 9 => (0 until count).map(i => bb.getInt(at + 4 * i).toDouble)
+        case 11 => (0 until count).map(i => bb.getFloat(at + 4 * i).toDouble)
+        case 12 => (0 until count).map(i => bb.getDouble(at + 8 * i))
+        case 1 | 6 | 7 => (0 until count).map(i => (bb.get(at + i) & 0xFF).toDouble)
+        case _ => Seq.empty[Double]
+      }
+      val str = if (ttype == 2)
+        new String(bytes, at, math.max(0, count - 1), "ASCII") else ""
+      id -> ((ttype, values.toArray, str))
+    }.toMap
+  }
+
+  def read(path: String): Source = {
+    val fileBytes = Files.readAllBytes(Paths.get(path))
+    val tags = parseTags(fileBytes)
+    val iis = ImageIO.createImageInputStream(new File(path))
+    val reader = ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val img = reader.read(0)
+    val raster = img.getRaster
+    val w = raster.getWidth; val h = raster.getHeight
+    val nb = raster.getNumBands
+
+    def fieldDoubles(tag: Int): Option[Array[Double]] =
+      tags.get(tag).map(_._2).filter(_.nonEmpty)
+    def fieldString(tag: Int): Option[String] =
+      tags.get(tag).map(_._3).filter(_.nonEmpty)
+
+    // geotransform: ModelPixelScale+Tiepoint, or ModelTransformation matrix
+    val (x0, dx, y0, dy) =
+      (fieldDoubles(33550), fieldDoubles(33922), fieldDoubles(34264)) match {
+        case (Some(scale), Some(tie), _) =>
+          // tiepoint: raster (i,j,k) -> model (x,y,z); dy is negative (north-up)
+          (tie(3) - tie(0) * scale(0), scale(0), tie(4) + tie(1) * scale(1), -scale(1))
+        case (_, _, Some(m)) => (m(3), m(0), m(7), m(5))
+        case _ => throw new IllegalArgumentException(s"$path: no geotransform tags")
+      }
+
+    // GeoKeyDirectory: key 1024 GTModelType (1=projected, 2=geographic),
+    // key 3072 ProjectedCSType
+    val keys = fieldDoubles(34735).getOrElse(Array.empty).map(_.toInt)
+    val keyMap = keys.drop(4).grouped(4).collect {
+      case Array(k, 0, 1, v) => k -> v
+    }.toMap
+    val geographic = keyMap.getOrElse(1024, 2) == 2
+    if (!geographic) {
+      val epsg = keyMap.getOrElse(3072, 3857)
+      require(epsg == 3857, s"$path: projected CRS EPSG:$epsg unsupported (3857 only)")
+    }
+
+    val nodata = fieldString(42113).flatMap(s =>
+      try Some(s.trim.toDouble) catch { case _: NumberFormatException => None })
+
+    val dtype = (raster.getSampleModel.getDataType,
+      fieldDoubles(339).map(_(0).toInt).getOrElse(1)) match {
+      case (java.awt.image.DataBuffer.TYPE_BYTE, 2) => "int8"
+      case (java.awt.image.DataBuffer.TYPE_BYTE, _) => "uint8"
+      case (java.awt.image.DataBuffer.TYPE_USHORT, _) => "uint16"
+      case (java.awt.image.DataBuffer.TYPE_SHORT, _) => "int16"
+      case (java.awt.image.DataBuffer.TYPE_INT, 1) => "uint32"
+      case (java.awt.image.DataBuffer.TYPE_INT, _) => "int32"
+      case (java.awt.image.DataBuffer.TYPE_FLOAT, _) => "float32"
+      case (java.awt.image.DataBuffer.TYPE_DOUBLE, _) => "float64"
+      case (t, _) => throw new IllegalArgumentException(s"sample type $t")
+    }
+
+    val colortable = img.getColorModel match {
+      case icm: IndexColorModel if nb == 1 =>
+        Some((0 until icm.getMapSize).map(i => i.toString ->
+          Seq(icm.getRed(i), icm.getGreen(i), icm.getBlue(i), icm.getAlpha(i))).toMap)
+      case _ => None
+    }
+
+    val pixels = Array.tabulate(nb) { b =>
+      val a = new Array[Double](w * h)
+      var j = 0
+      while (j < h) {
+        var i = 0
+        while (i < w) { a(j * w + i) = raster.getSampleDouble(i, j, b); i += 1 }
+        j += 1
+      }
+      a
+    }
+    reader.dispose(); iis.close()
+    Source(w, h, nb, dtype, nodata, x0, dx, y0, dy, geographic, colortable, pixels)
+  }
+
+  // --- mercator helpers ---
+
+  def mercX(lon: Double): Double = Quadbin.EarthRadius * math.toRadians(lon)
+  def mercY(lat: Double): Double =
+    Quadbin.EarthRadius * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+  def invLon(mx: Double): Double = math.toDegrees(mx / Quadbin.EarthRadius)
+  def invLat(my: Double): Double =
+    math.toDegrees(math.atan(math.sinh(my / Quadbin.EarthRadius)))
+
+  /** Source coords of a mercator point (identity for 3857 sources). */
+  private def toSource(s: Source, mx: Double, my: Double): (Double, Double) =
+    if (s.geographic) (invLon(mx), invLat(my)) else (mx, my)
+
+  /** meters/pixel via the window-diagonal transform, mirroring
+    * `find_resolution` (`raster2raquet.py:672-697`). */
+  def resolution(s: Source, win: (Int, Int, Int, Int)): Double = {
+    val (wx, wy, ww, wh) = win
+    val ax = s.x0 + wx * s.dx; val ay = s.y0 + wy * s.dy
+    val bx = ax + ww * s.dx; val by = ay + wh * s.dy
+    val (x1, y1) = if (s.geographic) (mercX(ax), mercY(clampLat(ay))) else (ax, ay)
+    val (x2, y2) = if (s.geographic) (mercX(bx), mercY(clampLat(by))) else (bx, by)
+    math.hypot(x2 - x1, y2 - y1) / math.hypot(ww, wh)
+  }
+
+  private def clampLat(lat: Double): Double =
+    math.max(-LatLimit + 1e-9, math.min(LatLimit - 1e-9, lat))
+
+  /** Source pixel window clipped to web-mercator bounds
+    * (`find_pixel_window`, `raster2raquet.py:632-669`). */
+  def pixelWindow(s: Source): (Int, Int, Int, Int) = {
+    if (!s.geographic) return (0, 0, s.width, s.height)
+    val yTop = (LatLimit - s.y0) / s.dy    // dy < 0: row of north clip
+    val yBot = (-LatLimit - s.y0) / s.dy
+    val y3 = math.max(0, math.ceil(math.min(yTop, yBot)).toInt)
+    val y4 = math.min(s.height, math.floor(math.max(yTop, yBot)).toInt)
+    (0, y3, s.width, y4 - y3)
+  }
+
+  /** `find_zoom` (`raster2raquet.py:709-720`). */
+  def findZoom(res: Double, blockZoom: Int, strategy: String): Int = {
+    val raw = math.log(CE / (1 << blockZoom) / res) / math.log(2.0)
+    strategy match {
+      case "upper" => math.ceil(raw).toInt
+      case "lower" => math.floor(raw).toInt
+      case _ => math.round(raw).toInt
+    }
+  }
+
+  /** `find_minzoom` (`raster2raquet.py:688-697`): coarsest zoom that still
+    * renders the raster at ~128px. */
+  def findMinZoom(w: Double, s0: Double, e: Double, n: Double,
+      zoom: Int, blockZoom: Int): Int = {
+    val big = 32
+    val nTiles = (1L << big).toDouble
+    def xf(lon: Double) = (lon + 180.0) / 360.0 * nTiles
+    def yf(lat: Double) = {
+      val r = math.toRadians(clampLat(lat))
+      (1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi) / 2.0 * nTiles
+    }
+    val hiHypot = math.hypot(xf(e) - xf(w), yf(s0) - yf(n))
+    val target = math.hypot(128, 128)
+    val mz = big - math.log(hiHypot / target) / math.log(2.0) - blockZoom
+    math.max(0, math.min(zoom, math.round(mz).toInt))
+  }
+
+  /** Warp one mercator tile from the source, nearest-neighbour; null when
+    * every pixel is nodata (empty-tile filter P6). */
+  def warpTile(s: Source, band: Int, x: Long, y: Long, z: Int, bs: Int,
+      win: (Int, Int, Int, Int)): Array[Double] = {
+    val mb = {
+      val size = CE / (1L << z)
+      val west = -CE / 2 + x * size
+      val north = CE / 2 - y * size
+      (west, north, size / bs)
+    }
+    val (wx, wy, ww, wh) = win
+    val fill = s.nodata.getOrElse(0.0)
+    val out = new Array[Double](bs * bs)
+    var any = false
+    var j = 0
+    while (j < bs) {
+      val my = mb._2 - (j + 0.5) * mb._3
+      var i = 0
+      while (i < bs) {
+        val mx = mb._1 + (i + 0.5) * mb._3
+        val (sx, sy) = toSource(s, mx, my)
+        val px = math.floor((sx - s.x0) / s.dx).toInt
+        val py = math.floor((sy - s.y0) / s.dy).toInt
+        val v =
+          if (px < wx || px >= wx + ww || py < wy || py >= wy + wh) fill
+          else s.sample(band, px, py)
+        out(j * bs + i) = v
+        if (!any && !(s.nodata.contains(v) || v.isNaN)) any = true
+        i += 1
+      }
+      j += 1
+    }
+    if (any) out else null
+  }
+
+  /** S6/M7: convert a GeoTIFF to a raquet file (single parquet file, like
+    * the reference CLI). Returns the metadata written. */
+  def convert(spark: SparkSession, tifPath: String, outFile: String,
+      blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false): RaquetMetadata = {
+    val src = read(tifPath)
+    val bs = 1 << blockZoom
+    val win = pixelWindow(src)
+    val res = resolution(src, win)
+    val zoom = findZoom(res, blockZoom, zoomStrategy)
+
+    // tile envelope of the clipped window
+    val (wx, wy, ww, wh) = win
+    val corners = Seq(
+      (src.x0 + wx * src.dx, src.y0 + wy * src.dy),
+      (src.x0 + (wx + ww) * src.dx, src.y0 + (wy + wh) * src.dy))
+    val (mxs, mys) = corners.map { case (cx, cy) =>
+      if (src.geographic) (mercX(cx), mercY(clampLat(cy))) else (cx, cy)
+    }.unzip
+    val n = (1L << zoom).toDouble
+    def xt(mx: Double) = (mx + CE / 2) / CE * n
+    def yt(my: Double) = (CE / 2 - my) / CE * n
+    val xtMin = math.floor(math.min(xt(mxs.head), xt(mxs.last)) + 1e-9).toLong
+    val xtMax = math.floor(math.max(xt(mxs.head), xt(mxs.last)) - 1e-9).toLong
+    val ytMin = math.floor(math.min(yt(mys.head), yt(mys.last)) + 1e-9).toLong
+    val ytMax = math.floor(math.max(yt(mys.head), yt(mys.last)) - 1e-9).toLong
+
+    val bc = spark.sparkContext.broadcast(src)
+    val tiles = for (ty <- ytMin to ytMax; tx <- xtMin to xtMax) yield (tx, ty)
+    val bandNames = (1 to src.bands).map(k => s"band_$k")
+    val schema = StructType(
+      Seq(StructField("block", LongType, nullable = false),
+        StructField("metadata", StringType)) ++
+        bandNames.map(b => StructField(b, BinaryType)))
+
+    val rowsRdd = spark.sparkContext
+      .parallelize(tiles, math.max(1, math.min(tiles.size, 64)))
+      .flatMap { case (tx, ty) =>
+        val s = bc.value
+        val bands = (0 until s.bands).map(b => warpTile(s, b, tx, ty, zoom, bs, win))
+        if (bands.forall(_ == null)) None
+        else {
+          val blobs = bands.map { arr =>
+            val a = if (arr != null) arr
+              else Array.fill(bs * bs)(s.nodata.getOrElse(0.0))
+            PixelCodec.encode(a, s.dtype, gzip = true)
+          }
+          val statsVec = bands.map(a =>
+            if (a == null) null
+            else PixelCodec.maskedStats(a, s.nodata.getOrElse(Double.NaN), null))
+          Some((Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs),
+            statsVec))
+        }
+      }.cache()
+
+    // dataset-level band stats (A5): distributed partial-merge reduce
+    val globalStats = rowsRdd.map(_._2).reduce { (a, b) =>
+      a.zip(b).map {
+        case (null, y) => y
+        case (x, null) => x
+        case (x, y) => Array(x(0) + y(0), math.min(x(1), y(1)),
+          math.max(x(2), y(2)), x(3) + y(3), x(4) + y(4))
+      }
+    }
+    val numBlocks = rowsRdd.count()
+
+    val bounds = Array(
+      Quadbin.tileWest(xtMin, zoom), Quadbin.tileSouth(ytMax, zoom),
+      Quadbin.tileEast(xtMax, zoom), Quadbin.tileNorth(ytMin, zoom))
+    // min_zoom derives from the SOURCE window bounds (rg bounds in
+    // find_minzoom), not the tile-aligned envelope
+    val (srcLons, srcLats) = corners.map { case (cx, cy) =>
+      if (src.geographic) (cx, clampLat(cy)) else (invLon(cx), invLat(cy))
+    }.unzip
+    val colorinterp: Seq[String] =
+      if (src.colortable.isDefined) Seq("palette")
+      else src.bands match {
+        case 1 => Seq("gray")
+        case 2 => Seq("gray", "alpha")
+        case 3 => Seq("red", "green", "blue")
+        case _ => Seq("red", "green", "blue", "alpha") ++
+          (5 to src.bands).map(_ => "undefined")
+      }
+    val minZoom = findMinZoom(srcLons.min, srcLats.min, srcLons.max, srcLats.max,
+      zoom, blockZoom)
+    val meta = RaquetMetadata(
+      version = "0.5.0",
+      width = (xtMax - xtMin + 1) * bs, height = (ytMax - ytMin + 1) * bs,
+      crs = "EPSG:3857", bounds = bounds,
+      compression = Some("gzip"),
+      blockWidth = bs, blockHeight = bs,
+      minZoom = minZoom, maxZoom = zoom, pixelZoom = zoom + blockZoom,
+      numBlocks = numBlocks,
+      bandLayout = "sequential",
+      bands = bandNames.zipWithIndex.map { case (bn, i) =>
+        val st = Option(globalStats(i)).map(s =>
+          (s(1), s(2), PixelCodec.statsMean(s), PixelCodec.statsStddev(s)))
+        BandMeta(bn, src.dtype, src.nodata, None, None,
+          Some(colorinterp(i)), src.colortable, stats = st)
+      },
+      time = None)
+
+    val native = spark.createDataFrame(rowsRdd.map(_._1), schema)
+    val all = Pyramid.build(native, meta, minZoom)
+    RaquetIO.writeSingleFile(all, meta, outFile)
+    rowsRdd.unpersist()
+    meta
+  }
+
+  // --- S10: raquet → GeoTIFF export (driver-side single writer, matching
+  //     the reference's process model, raquet2geotiff.py:363-405) ---
+
+  def export(spark: SparkSession, raquetPath: String, outTif: String): Unit = {
+    val ds = RaquetIO.read(spark, raquetPath)
+    val m = ds.meta
+    import graft.functions.GraftFunctions.quadbin_zoom
+    val native = ds.data.filter(quadbin_zoom(column("block")) === m.maxZoom)
+      .select((Seq(column("block")) ++ m.bands.map(b => column(b.name))): _*)
+      .collect()
+    require(native.nonEmpty, "no native-zoom tiles")
+    val xs = native.map(r => Quadbin.tileX(r.getLong(0)))
+    val ys = native.map(r => Quadbin.tileY(r.getLong(0)))
+    val (xMin, yMin) = (xs.min, ys.min)
+    val bs = m.blockWidth
+    val w = ((xs.max - xMin + 1) * bs).toInt
+    val h = ((ys.max - yMin + 1) * bs).toInt
+    require(w.toLong * h <= 256L * 1024 * 1024, s"mosaic too large: ${w}x$h")
+    // TIFF requires one sample type for all bands: keep it when uniform,
+    // promote to float64 for mixed-type datasets
+    val dtype =
+      if (m.bands.map(_.bandType).distinct.size == 1) m.bands.head.bandType
+      else "float64"
+    val fill = m.bands.head.nodata.getOrElse(0.0)
+    val mosaic = m.bands.indices.map(_ => Array.fill(w * h)(fill)).toArray
+    native.foreach { r =>
+      val cell = r.getLong(0)
+      val ox = ((Quadbin.tileX(cell) - xMin) * bs).toInt
+      val oy = ((Quadbin.tileY(cell) - yMin) * bs).toInt
+      m.bands.indices.foreach { b =>
+        val blob = r.getAs[Array[Byte]](b + 1)
+        if (blob != null) {
+          val px = PixelCodec.decode(blob, m.bands(b).bandType)
+          var j = 0
+          while (j < bs) {
+            System.arraycopy(px, j * bs, mosaic(b), (oy + j) * w + ox, bs)
+            j += 1
+          }
+        }
+      }
+    }
+    val size = CE / (1L << m.maxZoom)
+    val originX = -CE / 2 + xMin * size
+    val originY = CE / 2 - yMin * size
+    TiffWriter.write(outTif, w, h, dtype, mosaic,
+      pixelSize = size / bs, originX = originX, originY = originY,
+      nodata = m.bands.head.nodata)
+  }
+}
+
+/** Minimal little-endian GeoTIFF writer: uncompressed, chunky-interleaved,
+  * one strip per 64 rows, ModelPixelScale/ModelTiepoint/GeoKeyDirectory
+  * (EPSG:3857) + GDAL_NODATA tags. Readable by GDAL and by the JDK TIFF
+  * plugin (which the round-trip test uses). */
+object TiffWriter {
+  def write(path: String, w: Int, h: Int, dtype: String,
+      bands: Array[Array[Double]], pixelSize: Double,
+      originX: Double, originY: Double, nodata: Option[Double]): Unit = {
+    val nb = bands.length
+    val bpp = PixelCodec.bytesPerPixel(dtype)
+    val (sampleFormat, bits) = dtype match {
+      case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
+      case "int8" | "int16" | "int32" => (2, bpp * 8)
+      case "float32" | "float64" => (3, bpp * 8)
+      case other => throw new IllegalArgumentException(s"tiff dtype $other")
+    }
+    // interleave samples row-major
+    val data = ByteBuffer.allocate(w * h * nb * bpp).order(ByteOrder.LITTLE_ENDIAN)
+    var p = 0
+    while (p < w * h) {
+      var b = 0
+      while (b < nb) {
+        val v = bands(b)(p)
+        dtype match {
+          case "uint8" | "int8" => data.put(v.toInt.toByte)
+          case "uint16" | "int16" => data.putShort(v.toInt.toShort)
+          case "uint32" | "int32" => data.putInt(v.toLong.toInt)
+          case "float32" => data.putFloat(v.toFloat)
+          case "float64" => data.putDouble(v)
+        }
+        b += 1
+      }
+      p += 1
+    }
+    val rowsPerStrip = 64
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val rowBytes = w * nb * bpp
+
+    val nodataStr = nodata.map(v =>
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString)
+
+    // tag payloads that don't fit inline go after the IFD
+    final case class Tag(id: Int, ttype: Int, count: Int, inline: Option[Long],
+        payload: Option[Array[Byte]])
+    def shorts(vs: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    def longs(vs: Seq[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putInt(v.toInt)); bb.array()
+    }
+    def doubles(vs: Seq[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+
+    val header = 8
+    val nTags = 14 + nodataStr.size
+    val ifdSize = 2 + nTags * 12 + 4
+    var cursor = (header + ifdSize).toLong
+
+    val payloads = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    def alloc(bytes: Array[Byte]): Long = {
+      val at = cursor
+      payloads += ((at, bytes))
+      cursor += bytes.length
+      if (cursor % 2 == 1) cursor += 1 // word-align
+      at
+    }
+
+    def tagArr(id: Int, ttype: Int, count: Int, bytes: Array[Byte],
+        elemSize: Int): Tag =
+      if (bytes.length <= 4) {
+        val v = ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 4))
+          .order(ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL
+        Tag(id, ttype, count, Some(v), None)
+      } else Tag(id, ttype, count, Some(alloc(bytes)), None)
+
+    val bitsTag = tagArr(258, 3, nb, shorts(Seq.fill(nb)(bits)), 2)
+    val sampleFormatTag = tagArr(339, 3, nb, shorts(Seq.fill(nb)(sampleFormat)), 2)
+
+    // strip layout: data begins after all payloads — two passes; reserve
+    // offsets arrays first with placeholder, patch after
+    val stripCounts = (0 until nStrips).map { s0 =>
+      val rows = math.min(rowsPerStrip, h - s0 * rowsPerStrip)
+      (rows * rowBytes).toLong
+    }
+    val countsTag = tagArr(279, 4, nStrips, longs(stripCounts), 4)
+    // offsets filled once data position is known
+    val offsetsPos = if (nStrips * 4 <= 4) -1L else alloc(new Array[Byte](nStrips * 4))
+    val scaleTag = tagArr(33550, 12, 3, doubles(Seq(pixelSize, pixelSize, 0.0)), 8)
+    val tieTag = tagArr(33922, 12, 6,
+      doubles(Seq(0, 0, 0, originX, originY, 0)), 8)
+    val geoKeys = Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
+    val geoTag = tagArr(34735, 3, geoKeys.length, shorts(geoKeys.map(_.toInt)), 2)
+    val nodataTag = nodataStr.map { s0 =>
+      val bytes = (s0 + "\u0000").getBytes("ASCII")
+      tagArr(42113, 2, bytes.length, bytes, 1)
+    }
+
+    val dataStart = cursor
+    val stripOffsets = stripCounts.scanLeft(dataStart)(_ + _).init
+
+    val tags: Seq[Tag] = (Seq(
+      Tag(256, 3, 1, Some(w.toLong), None),
+      Tag(257, 3, 1, Some(h.toLong), None),
+      bitsTag,
+      Tag(259, 3, 1, Some(1L), None),  // uncompressed
+      Tag(262, 3, 1, Some(1L), None),  // BlackIsZero
+      if (nStrips == 1) Tag(273, 4, 1, Some(stripOffsets.head), None)
+        else countsTag.copy(id = 273, inline = Some(offsetsPos)),
+      Tag(277, 3, 1, Some(nb.toLong), None),
+      Tag(278, 3, 1, Some(rowsPerStrip.toLong), None),
+      if (nStrips == 1) Tag(279, 4, 1, Some(stripCounts.head), None) else countsTag,
+      Tag(284, 3, 1, Some(1L), None),  // chunky
+      sampleFormatTag,
+      scaleTag, tieTag, geoTag) ++ nodataTag).sortBy(_.id)
+
+    val out = ByteBuffer.allocate(dataStart.toInt + data.capacity())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(header)
+    out.putShort(tags.length.toShort)
+    tags.foreach { t =>
+      out.putShort(t.id.toShort).putShort(t.ttype.toShort).putInt(t.count)
+      out.putInt(t.inline.getOrElse(0L).toInt)
+    }
+    out.putInt(0) // next IFD
+    payloads.foreach { case (at, bytes) =>
+      out.position(at.toInt); out.put(bytes)
+    }
+    // patch strip offsets payload
+    if (nStrips > 1) {
+      out.position(offsetsPos.toInt)
+      stripOffsets.foreach(o => out.putInt(o.toInt))
+    }
+    out.position(dataStart.toInt)
+    out.put(data.array())
+    Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
+    Files.write(Paths.get(path), out.array())
+  }
+}

@@ -56,7 +56,10 @@ object Maintenance {
       results += ((name, ok, detail))
 
     val n = data.count()
-    check("num_blocks", n == m.numBlocks, s"metadata=${m.numBlocks} actual=$n")
+    // num_blocks counts native-zoom tiles only (raster2raquet.py:2157-2161)
+    val nNative = data.filter(quadbin_zoom(col("block")) === m.maxZoom).count()
+    check("num_blocks", nNative == m.numBlocks,
+      s"metadata=${m.numBlocks} native=$nNative (total rows=$n)")
     val nDistinct = data.select(countDistinct(col("block"))).collect()(0).getLong(0)
     check("primary_key_unique", nDistinct == n, s"distinct=$nDistinct rows=$n")
     val zooms = data.select(

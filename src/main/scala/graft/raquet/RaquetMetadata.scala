@@ -21,7 +21,10 @@ final case class BandMeta(
     scale: Option[Double],
     offset: Option[Double],
     colorinterp: Option[String],
-    colortable: Option[Map[String, Seq[Int]]])
+    colortable: Option[Map[String, Seq[Int]]],
+    /** Dataset-level GDAL-style stats (A5): min, max, mean, stddev —
+      * `STATISTICS_*` keys in the band JSON (spec raquet.md:358-366). */
+    stats: Option[(Double, Double, Double, Double)] = None)
 
 final case class TimeMeta(
     cfUnits: String,
@@ -102,6 +105,10 @@ object RaquetMetadata {
           }
           m.result()
         }
+        val st = for {
+          mn <- optD(b, "STATISTICS_MINIMUM"); mx <- optD(b, "STATISTICS_MAXIMUM")
+          mean <- optD(b, "STATISTICS_MEAN"); sd <- optD(b, "STATISTICS_STDDEV")
+        } yield (mn, mx, mean, sd)
         BandMeta(
           name = Option(b.get("name")).map(_.asText()).getOrElse(s"band_${k + 1}"),
           bandType = b.path("type").asText("float64"),
@@ -109,7 +116,8 @@ object RaquetMetadata {
           scale = optD(b, "scale"),
           offset = optD(b, "offset"),
           colorinterp = optS(b, "colorinterp"),
-          colortable = ct)
+          colortable = ct,
+          stats = st)
       }
     }.getOrElse(Seq.empty)
     val time = Option(root.get("time")).filterNot(_.isNull).map { t =>
@@ -183,6 +191,12 @@ object RaquetMetadata {
           val arr = cn.putArray(k)
           rgba.foreach(arr.add)
         }
+      }
+      bm.stats.foreach { case (mn, mx, mean, sd) =>
+        bn.put("STATISTICS_MINIMUM", mn)
+        bn.put("STATISTICS_MAXIMUM", mx)
+        bn.put("STATISTICS_MEAN", mean)
+        bn.put("STATISTICS_STDDEV", sd)
       }
     }
     m.time.foreach { tm =>

@@ -23,7 +23,7 @@ class MaintenanceSpec extends SparkSpec {
   test("inspect reports the metadata + per-zoom tile counts") {
     val row = Maintenance.inspect(spark, fixture).collect()(0)
     assert(row.getAs[String]("version") == "0.5.0")
-    assert(row.getAs[Long]("num_blocks") == 85L)
+    assert(row.getAs[Long]("num_blocks") == 64L)
     assert(row.getAs[String]("tiles_per_zoom") == "z3=1,z4=4,z5=16,z6=64")
   }
 

@@ -18,7 +18,7 @@ class RaquetIOSpec extends SparkSpec {
     assert(meta.version == "0.5.0")
     assert(meta.blockWidth == 16 && meta.blockHeight == 16)
     assert(meta.minZoom == 3 && meta.maxZoom == 6)
-    assert(meta.numBlocks == 85)
+    assert(meta.numBlocks == 64)
     assert(meta.bands.map(_.name) == Seq("band_1", "band_2"))
     assert(meta.band("band_1").nodata.contains(255.0))
     assert(meta.band("band_2").scale.contains(0.5))
@@ -148,7 +148,7 @@ class RaquetIOSpec extends SparkSpec {
     RaquetIO.write(ds.data, ds.meta, tmp)
     val back = RaquetIO.read(spark, tmp)
     assert(back.data.count() == 85)
-    assert(back.meta.numBlocks == 85 && back.meta.maxZoom == 6)
+    assert(back.meta.numBlocks == 64 && back.meta.maxZoom == 6)
     val a = ds.data.select("block").collect().map(_.getLong(0)).sorted.toSeq
     val b = back.data.select("block").collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b)
