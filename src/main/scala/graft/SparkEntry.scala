@@ -56,6 +56,9 @@ object SparkEntry {
     "q35_histogram"         -> (RaquetQueries.q35Histogram _),
     "q36_raster_join"       -> (RaquetQueries.q36RasterJoin _),
     "q37_interleaved"       -> (RaquetQueries.q37Interleaved _),
+    "q38_ts_bucket"         -> (RaquetQueries.q38TsBucket _),
+    "q39_asof_join"         -> (RaquetQueries.q39AsofJoin _),
+    "q40_ts_window"         -> (RaquetQueries.q40TsWindow _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -158,5 +161,8 @@ object SparkEntry {
     "q35_histogram"         -> RaquetOracles.q35,
     "q36_raster_join"       -> RaquetOracles.q36,
     "q37_interleaved"       -> RaquetOracles.q37,
+    "q38_ts_bucket"         -> RaquetOracles.q38,
+    "q39_asof_join"         -> RaquetOracles.q39,
+    "q40_ts_window"         -> RaquetOracles.q40,
   )
 }

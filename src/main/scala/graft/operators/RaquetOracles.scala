@@ -188,6 +188,53 @@ object RaquetOracles {
                    - CAST((7*gx+13*gy)%255 AS DOUBLE) END) AS diff_sum
         FROM px GROUP BY block"""
 
+  /** Per-(block, t) pixel sum of the time fixture from the closed form. */
+  private def tsSums(src: String): String =
+    s"""d AS (SELECT block, time_cf, time_ts,
+          ((block >> 40) & 4095) AS m
+          FROM read_parquet('$src') WHERE block <> 0),
+        xy AS (SELECT block, time_cf, time_ts,
+          ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        ts AS (SELECT block, time_cf, time_ts,
+          sum(CAST(x*16+i AS DOUBLE)/2 + CAST(y*16+j AS DOUBLE)/4
+              + 16 * (time_cf / 1440)) AS vsum
+          FROM xy, range(16) a(i), range(16) b(j)
+          GROUP BY block, time_cf, time_ts)"""
+
+  val q38: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH ${tsSums(FT)}
+        SELECT CAST(time_cf / 1440 AS BIGINT) // 2 AS bucket,
+          count(*) AS n_rows, sum(vsum) AS vsum,
+          min(time_ts) AS t_min, max(time_ts) AS t_max
+        FROM ts GROUP BY 1"""
+  }
+
+  val q39: String = {
+    val FT = RaquetQueries.FixtureTime
+    val blocks = Seq((32L, 24L), (35L, 27L), (39L, 31L), (33L, 30L))
+      .map { case (x, y) => Quadbin.tileToCell(x, y, 6) }.mkString(", ")
+    s"""WITH ${tsSums(FT)},
+        probes AS (SELECT pid, CAST(700 + pid * 1650 AS DOUBLE) AS p
+          FROM range(5) r(pid)),
+        j AS (SELECT ts.block, probes.pid, probes.p, ts.time_cf, ts.vsum,
+            row_number() OVER (PARTITION BY ts.block, probes.pid
+              ORDER BY ts.time_cf DESC) AS rn
+          FROM ts, probes
+          WHERE ts.time_cf <= probes.p AND ts.block IN ($blocks))
+        SELECT block, pid, p, time_cf AS t_used, vsum FROM j WHERE rn = 1"""
+  }
+
+  val q40: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH ${tsSums(FT)}
+        SELECT block, time_cf, vsum,
+          lag(vsum, 1) OVER (PARTITION BY block ORDER BY time_cf) AS prev_sum,
+          sum(vsum) OVER (PARTITION BY block ORDER BY time_cf
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll3_sum
+        FROM ts"""
+  }
+
   val q37: String = {
     val FB = RaquetQueries.FixtureBip
     s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m

@@ -211,6 +211,55 @@ object RaquetQueries {
                 CAST(0 AS DOUBLE), (acc, v) -> acc + v)""").as("diff_sum"))
   }
 
+  /** Time-series variant of the same grid (spec raquet.md:67-87). */
+  val FixtureTime = "/root/repo/src/test/resources/raquet/gradient16_time.parquet"
+
+  /** A8 (raster flavor): time-bucket aggregation over (block, time_cf) rows —
+    * decode per-row pixel sums, bucket by 2-day CF windows, with time_ts
+    * round-tripping through the CF kernel. */
+  def q38TsBucket(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    ds.data
+      .select(expr("CAST(time_cf / 1440 AS BIGINT) DIV 2").as("bucket"),
+        col("time_ts"),
+        rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("s.sum")).as("vsum"),
+        min(col("time_ts")).as("t_min"), max(col("time_ts")).as("t_max"))
+  }
+
+  /** J3: as-of join — probe times resolve to the latest timestep at or
+    * before each probe, per block (window top-1, shuffle = one row per
+    * (block, probe)). */
+  def q39AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val blocks = Seq((32L, 24L), (35L, 27L), (39L, 31L), (33L, 30L))
+      .map { case (x, y) => graft.quadbin.Quadbin.tileToCell(x, y, 6) }
+    val probes = spark.range(5).toDF("pid")
+      .selectExpr("pid", "CAST(700 + pid * 1650 AS DOUBLE) AS p")
+    val joined = ds.data.filter(col("block").isin(blocks: _*))
+      .select(col("block"), col("time_cf"),
+        rq_summary_stats(col("band_1"), ds.meta, "band_1").getField("sum").as("vsum"))
+      .join(probes, col("time_cf") <= col("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("pid")).orderBy(col("time_cf").desc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("block"), col("pid"), col("p"), col("time_cf").as("t_used"), col("vsum"))
+  }
+
+  /** §2.5 over time series: per-(block) temporal window — lag and a
+    * 3-step rolling SUM (sums stay dyadic-exact) ordered by time_cf. */
+  def q40TsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("time_cf"))
+    ds.data
+      .select(col("block"), col("time_cf"),
+        rq_summary_stats(col("band_1"), ds.meta, "band_1").getField("sum").as("vsum"))
+      .withColumn("prev_sum", lag(col("vsum"), 1).over(w))
+      .withColumn("roll3_sum", sum(col("vsum")).over(w.rowsBetween(-2, 0)))
+  }
+
   /** Interleaved (BIP) layout: gunzip the whole-tile payload, de-interleave
     * band_2 (F9), decode, per-tile stats — the `tci_interleaved_gzip`-shaped
     * read path, spec `raquet.md:49-57`. */

@@ -180,6 +180,49 @@ object FixtureGen {
     RaquetIO.writeSingleFile(df, meta, file)
   }
 
+  // --- time-series variant, spec raquet.md:67-87 ---
+
+  /** Time-series pixel formula: native band_2 DN plus a per-step offset
+    * (all dyadic-exact). t is the step index 0..5; time_cf = 1440·t
+    * ("minutes since 2020-01-01", P1D resolution, period_start). */
+  def vT(gx: Long, gy: Long, t: Int): Double = gx * 0.5 + gy * 0.25 + 16.0 * t
+
+  def timeMetadata(z: Int, x0: Long, y0: Long, nx: Int, ny: Int, bs: Int): RaquetMetadata =
+    metadata(z, x0, y0, nx, ny, bs, minZoom = z, numBlocks = nx.toLong * ny).copy(
+      bands = Seq(BandMeta("band_1", "float32", None, None, None, None, None)),
+      time = Some(TimeMeta("minutes since 2020-01-01 00:00:00", "standard",
+        Some("P1D"), Some("period_start"), Some(6))))
+
+  /** Committed time-series fixture: one row per (tile, timestep), composite
+    * key (block, time_cf), 64 tiles × 6 daily steps. */
+  def writeGradient16Time(spark: SparkSession, file: String): Unit = {
+    val meta = timeMetadata(6, 32, 24, 8, 8, 16)
+    val info = CfTime.parseUnits(meta.time.get.cfUnits).get
+    val sc = spark.sparkContext
+    val tiles = for (ty <- 0 until 8; tx <- 0 until 8; t <- 0 until 6)
+      yield (32L + tx, 24L + ty, t)
+    val rows = sc.parallelize(tiles, 16).map { case (x, y, t) =>
+      val a = new Array[Double](256)
+      var j = 0
+      while (j < 16) {
+        var i = 0
+        while (i < 16) { a(j * 16 + i) = vT(x * 16 + i, y * 16 + j, t); i += 1 }
+        j += 1
+      }
+      val cf = 1440.0 * t
+      Row(Quadbin.tileToCell(x, y, 6), null: String,
+        PixelCodec.encode(a, "float32", gzip = true), cf,
+        new java.sql.Timestamp(info.toEpochMicros(cf) / 1000))
+    }
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("block", LongType, nullable = false),
+      StructField("metadata", StringType),
+      StructField("band_1", BinaryType),
+      StructField("time_cf", DoubleType),
+      StructField("time_ts", TimestampType))))
+    RaquetIO.writeSingleFile(df, meta, file)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "src/test/resources/raquet"
     val spark = SparkSession.builder()
@@ -190,7 +233,8 @@ object FixtureGen {
     spark.sparkContext.setLogLevel("WARN")
     writeGradient16(spark, s"$dir/gradient16.parquet")
     writeGradient16Bip(spark, s"$dir/gradient16_bip.parquet")
-    println(s"wrote $dir/gradient16.parquet + gradient16_bip.parquet")
+    writeGradient16Time(spark, s"$dir/gradient16_time.parquet")
+    println(s"wrote $dir/gradient16{,_bip,_time}.parquet")
     spark.stop()
   }
 }

@@ -171,6 +171,15 @@ object PixelCodec {
 
   def statsMean(s: Array[Double]): Double = s(StatSum) / s(StatCount)
 
+  /** A4: approximate native-zoom stats from a coarser zoom — count/sum/sumSq
+    * scale by 4^Δz, min/max/mean/stddev are zoom-invariant (reference
+    * `RasterStats.scale_by`, `raster2raquet.py:188-199`). */
+  def scaleStats(s: Array[Double], deltaZoom: Int): Array[Double] = {
+    if (s == null) return null
+    val f = math.pow(4.0, deltaZoom)
+    Array(s(StatCount) * f, s(StatMin), s(StatMax), s(StatSum) * f, s(StatSumSq) * f)
+  }
+
   /** Population stddev from count/sum/sum². */
   def statsStddev(s: Array[Double]): Double = {
     val n = s(StatCount); val mean = s(StatSum) / n

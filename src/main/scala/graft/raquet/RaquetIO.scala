@@ -149,7 +149,9 @@ object RaquetIO {
     * sorted data rows and the metadata row appended last, mirroring the
     * reference writer's layout (`raster2raquet.py:2265-2314`). */
   def writeSingleFile(data: DataFrame, meta: RaquetMetadata, file: String): Unit = {
-    val sorted = data.repartition(1).sortWithinPartitions("block")
+    val sortCols = if (data.columns.contains("time_cf"))
+      Seq(col("block"), col("time_cf")) else Seq(col("block"))
+    val sorted = data.repartition(1).sortWithinPartitions(sortCols: _*)
     // union preserves partition order; coalesce(1) concatenates them in
     // order, so the metadata row lands after the sorted data rows
     val withMeta = sorted.unionByName(metadataDf(data, meta)).coalesce(1)

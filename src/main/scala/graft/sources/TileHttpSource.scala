@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.net.{HttpURLConnection, URL}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.quadbin.Quadbin
+import graft.raquet.{Multimodal, PixelCodec}
+
+/** S7: ImageServer-style parallel HTTP tile source — the reference's
+  * `imageserver_to_raquet_table` (`raquet/imageserver.py:429-769`) as a
+  * Spark job: the tile list is the dataset, each partition fetches its
+  * tiles over HTTP, decodes (PNG/JPEG via the real javax.imageio codec),
+  * splits channels, and emits raquet rows. Embarrassingly parallel: no
+  * shuffle until the sorted write; fetch parallelism = partition count.
+  *
+  * The URL template uses `{z}`, `{x}`, `{y}` placeholders (a WMTS/XYZ or
+  * exportImage-per-tile endpoint).
+  */
+object TileHttpSource {
+
+  def fetchBytes(url: String, retries: Int = 3): Array[Byte] = {
+    var attempt = 0
+    var lastErr: Exception = null
+    while (attempt < retries) {
+      try {
+        val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+        conn.setConnectTimeout(10000)
+        conn.setReadTimeout(30000)
+        try {
+          require(conn.getResponseCode == 200, s"HTTP ${conn.getResponseCode}")
+          val in = conn.getInputStream
+          val out = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          return out.toByteArray
+        } finally conn.disconnect()
+      } catch {
+        case e: Exception =>
+          lastErr = e
+          attempt += 1
+          if (attempt < retries) Thread.sleep(200L << attempt)
+      }
+    }
+    throw new RuntimeException(s"fetch failed after $retries attempts: $url", lastErr)
+  }
+
+  def schema(bands: Int): StructType = StructType(
+    Seq(StructField("block", LongType, nullable = false),
+      StructField("metadata", StringType)) ++
+      (1 to bands).map(b => StructField(s"band_$b", BinaryType)))
+
+  /** Fetch `tiles` (x, y at `zoom`) from `urlTemplate`; returns raquet-shaped
+    * rows with one gzip band column per image channel. All-zero tiles are
+    * dropped when `skipEmpty` (the imageserver empty-tile filter,
+    * `imageserver.py:366-372`). */
+  def fetch(spark: SparkSession, urlTemplate: String, tiles: Seq[(Long, Long)],
+      zoom: Int, bands: Int, parallelism: Int = 16,
+      skipEmpty: Boolean = true): DataFrame = {
+    val rows = spark.sparkContext
+      .parallelize(tiles, math.max(1, math.min(tiles.size, parallelism)))
+      .flatMap { case (x, y) =>
+        val url = urlTemplate
+          .replace("{z}", zoom.toString)
+          .replace("{x}", x.toString)
+          .replace("{y}", y.toString)
+        val img = Multimodal.decodeImage(fetchBytes(url))
+        require(img.channels == bands,
+          s"expected $bands channels, got ${img.channels} at $url")
+        val perBand = (0 until bands).map(b =>
+          Multimodal.deinterleave(img.pixels, b, bands, 1))
+        val empty = skipEmpty && perBand.forall(_.forall(_ == 0))
+        if (empty) None
+        else Some(Row.fromSeq(
+          Seq(Quadbin.tileToCell(x, y, zoom), null) ++
+            perBand.map(PixelCodec.gzipCompress)))
+      }
+    spark.createDataFrame(rows, schema(bands))
+  }
+}

@@ -134,6 +134,14 @@ class MaintenanceSpec extends SparkSpec {
       s"jpeg band mean drifted: got ${got.getDouble(0)} want ~${exact / 256}")
   }
 
+  test("stats scale-up multiplies counts/sums by 4^dz (A4)") {
+    val s0 = Array(100.0, 1.0, 9.0, 500.0, 3000.0)
+    val s2 = PixelCodec.scaleStats(s0, 2)
+    assert(s2.toSeq == Seq(1600.0, 1.0, 9.0, 8000.0, 48000.0))
+    assert(PixelCodec.statsMean(s2) == PixelCodec.statsMean(s0))
+    assert(PixelCodec.statsStddev(s2) == PixelCodec.statsStddev(s0))
+  }
+
   test("gzip codec round-trips through the inflate expression") {
     val data = Array.tabulate(256)(i => (i % 251).toByte)
     val gz = PixelCodec.gzipCompress(data)

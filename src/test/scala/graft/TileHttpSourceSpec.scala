@@ -1,0 +1,62 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import graft.quadbin.Quadbin
+import graft.raquet.{FixtureGen, PixelCodec}
+import graft.sources.TileHttpSource
+
+/** S7 end-to-end against an in-process HTTP tile server serving
+  * deterministic PNGs (lossless → exact pixel comparison). */
+class TileHttpSourceSpec extends SparkSpec {
+
+  private def pngTile(x: Long, y: Long, bs: Int): Array[Byte] = {
+    val img = new BufferedImage(bs, bs, BufferedImage.TYPE_INT_RGB)
+    for (j <- 0 until bs; i <- 0 until bs) {
+      val gx = x * bs + i; val gy = y * bs + j
+      val r = FixtureGen.v3(1, gx, gy).toInt
+      val g = FixtureGen.v3(2, gx, gy).toInt
+      val b = FixtureGen.v3(3, gx, gy).toInt
+      img.setRGB(i, j, (r << 16) | (g << 8) | b)
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("HTTP tile fetch builds exact raquet rows from a local server") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var requests = 0
+    server.createContext("/tiles/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        requests += 1
+        val parts = ex.getRequestURI.getPath.split("/") // /tiles/z/x/y.png
+        val x = parts(3).toLong
+        val y = parts(4).stripSuffix(".png").toLong
+        val png = pngTile(x, y, 16)
+        ex.sendResponseHeaders(200, png.length)
+        ex.getResponseBody.write(png)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val tiles = for (x <- 32L to 35L; y <- 24L to 25L) yield (x, y)
+      val df = TileHttpSource.fetch(spark,
+        s"http://127.0.0.1:$port/tiles/{z}/{x}/{y}.png",
+        tiles, zoom = 6, bands = 3, parallelism = 4)
+      val rows = df.collect()
+      assert(rows.length == 8)
+      assert(requests >= 8)
+      val row = rows.find(_.getLong(0) == Quadbin.tileToCell(33, 25, 6)).get
+      val band2 = PixelCodec.decode(row.getAs[Array[Byte]](3), "uint8")
+      for (j <- 0 until 16; i <- 0 until 16)
+        assert(band2(j * 16 + i) == FixtureGen.v3(2, 33 * 16 + i, 25 * 16 + j))
+    } finally server.stop(0)
+  }
+}
