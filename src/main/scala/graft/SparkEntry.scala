@@ -59,6 +59,8 @@ object SparkEntry {
     "q38_ts_bucket"         -> (RaquetQueries.q38TsBucket _),
     "q39_asof_join"         -> (RaquetQueries.q39AsofJoin _),
     "q40_ts_window"         -> (RaquetQueries.q40TsWindow _),
+    "q41_top_order_hashagg" -> (Relational.q41TopOrderHashAgg _),
+    "q42_approx_distinct"   -> (Relational.q42ApproxDistinct _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -164,5 +166,14 @@ object SparkEntry {
     "q38_ts_bucket"         -> RaquetOracles.q38,
     "q39_asof_join"         -> RaquetOracles.q39,
     "q40_ts_window"         -> RaquetOracles.q40,
+    // q41 reuses q7's oracle: same result set from the scale-safe plan
+    "q41_top_order_hashagg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn = 1""",
+    // q42 intentionally has no oracle: HLL sketches are engine-specific
   )
 }

@@ -186,4 +186,28 @@ object Relational {
       .orderBy($"revenue".desc, $"o_orderkey".asc)
       .limit(10)
   }
+
+  /** The 100 TB-safe twin of [[q7WindowTopOrder]]: top-1-per-group as a hash
+    * aggregate over an ordered struct — one row per customer crosses the
+    * shuffle instead of a full partition sort. Same result set (the struct
+    * orders by totalprice desc via max, then smallest orderkey via the
+    * negated key), verified against the same oracle as q7. */
+  def q41TopOrderHashAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max(struct($"o_totalprice", (-$"o_orderkey").as("neg_key"))).as("m"))
+      .select($"o_custkey", (-$"m.neg_key").as("o_orderkey"), $"m.o_totalprice")
+  }
+
+  /** HLL distinct counts — the scale path flagged in q6's comment. No exact
+    * SQL oracle (sketch values are engine-specific); the driver records the
+    * weaker rows-only check. */
+  def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir).agg(
+      approx_count_distinct($"l_partkey").as("n_parts_approx"),
+      approx_count_distinct($"l_suppkey").as("n_supps_approx"),
+      count(lit(1)).as("n_rows"))
+  }
 }

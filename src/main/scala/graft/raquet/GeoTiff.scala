@@ -137,8 +137,11 @@ object GeoTiff {
 
     val colortable = img.getColorModel match {
       case icm: IndexColorModel if nb == 1 =>
-        Some((0 until icm.getMapSize).map(i => i.toString ->
-          Seq(icm.getRed(i), icm.getGreen(i), icm.getBlue(i), icm.getAlpha(i))).toMap)
+        // GDAL semantics: the nodata palette index renders transparent
+        Some((0 until icm.getMapSize).map { i =>
+          val alpha = if (nodata.contains(i.toDouble)) 0 else icm.getAlpha(i)
+          i.toString -> Seq(icm.getRed(i), icm.getGreen(i), icm.getBlue(i), alpha)
+        }.toMap)
       case _ => None
     }
 

@@ -137,11 +137,22 @@ object RaquetIO {
   /** S9 (directory form): Morton-sorted data + a separate one-row metadata
     * file with the same schema. Sorted writes are what make every later read
     * prunable; `orderBy` range-partitions so each output file covers a
-    * disjoint block range (the property M4 partitioning formalizes). */
-  def write(data: DataFrame, meta: RaquetMetadata, dir: String): Unit = {
+    * disjoint block range (the property M4 partitioning formalizes).
+    *
+    * @param maxRecordsPerFile M8 size split: roll to a new file every N rows
+    *        (0 = Spark default)
+    * @param rowGroupBytes parquet row-group budget — smaller groups give the
+    *        finer-grained remote pruning the reference tunes for with its
+    *        200-row groups (`docs/performance.md:196-210`); 0 = default
+    */
+  def write(data: DataFrame, meta: RaquetMetadata, dir: String,
+      maxRecordsPerFile: Long = 0, rowGroupBytes: Long = 0): Unit = {
     val sortCols = if (data.columns.contains("time_cf"))
       Seq(col("block"), col("time_cf")) else Seq(col("block"))
-    data.orderBy(sortCols: _*).write.mode("overwrite").parquet(dir)
+    var w = data.orderBy(sortCols: _*).write.mode("overwrite")
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (rowGroupBytes > 0) w = w.option("parquet.block.size", rowGroupBytes)
+    w.parquet(dir)
     metadataDf(data, meta).write.mode("append").parquet(dir)
   }
 

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.quadbin.Quadbin
+import graft.raquet.{PixelCodec, RaquetIO}
+
+/** S11 (demo tier): XYZ tile server over a raquet dataset — the reference's
+  * `examples/server_viewer.py:169-228` as a JVM endpoint. Each
+  * `GET /tile/{z}/{x}/{y}.png` is a point lookup: `block = cell` equality
+  * pushed into the parquet scan (the S4 path), decode, palette/gray/RGB
+  * render, PNG out. 404 for absent tiles.
+  */
+object RaquetTileServer {
+
+  def start(spark: SparkSession, path: String, port: Int = 0): HttpServer = {
+    val ds = RaquetIO.read(spark, path)
+    val m = ds.meta
+    val bandNames = m.bands.map(_.name)
+    val palette = m.bands.head.colortable
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/tile/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        try {
+          val parts = ex.getRequestURI.getPath.split("/") // /tile/z/x/y.png
+          val z = parts(2).toInt
+          val x = parts(3).toLong
+          val y = parts(4).stripSuffix(".png").toLong
+          val cell = Quadbin.tileToCell(x, y, z)
+          val rows = ds.data.filter(col("block") === cell)
+            .select(bandNames.map(b => ds.band(b)): _*).collect()
+          if (rows.isEmpty) { ex.sendResponseHeaders(404, -1); ex.close(); return }
+          val bands = bandNames.indices.map { i =>
+            PixelCodec.decode(rows(0).getAs[Array[Byte]](i), m.bands(i).bandType)
+          }
+          val png = render(bands, m.blockWidth, m.blockHeight, palette,
+            m.bands.head.nodata)
+          ex.getResponseHeaders.set("Content-Type", "image/png")
+          ex.sendResponseHeaders(200, png.length)
+          ex.getResponseBody.write(png)
+          ex.close()
+        } catch {
+          case _: Exception => ex.sendResponseHeaders(400, -1); ex.close()
+        }
+      }
+    })
+    server.start()
+    server
+  }
+
+  /** Render decoded bands as PNG: palette → RGBA lookup; 1 band → gray
+    * (clamped); ≥3 bands → RGB. Nodata pixels go transparent. */
+  private[sources] def render(bands: Seq[Array[Double]], w: Int, h: Int,
+      palette: Option[Map[String, Seq[Int]]], nodata: Option[Double]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    var p = 0
+    while (p < w * h) {
+      val v = bands.head(p)
+      val argb =
+        if (nodata.contains(v) || v.isNaN) 0
+        else palette match {
+          case Some(ct) =>
+            val c = ct.getOrElse(v.toInt.toString, Seq(0, 0, 0, 0))
+            (c(3) << 24) | (c(0) << 16) | (c(1) << 8) | c(2)
+          case None if bands.length >= 3 =>
+            def cl(d: Double) = math.max(0, math.min(255, d.toInt))
+            0xFF000000 | (cl(v) << 16) | (cl(bands(1)(p)) << 8) | cl(bands(2)(p))
+          case None =>
+            val g = math.max(0, math.min(255, v.toInt))
+            0xFF000000 | (g << 16) | (g << 8) | g
+        }
+      img.setRGB(p % w, p / w, argb)
+      p += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+}

@@ -63,6 +63,23 @@ class GeoTiffSpec extends SparkSpec {
     assert(math.abs(st._3 - 38.1) < 2.0, s"mean ${st._3}")
   }
 
+  test("colored.tif: palette band with the reference's golden colortable") {
+    val out = tmp("colored.parquet")
+    val meta = GeoTiff.convert(spark, "/root/reference/tests/colored.tif", out)
+    // goldens from tests/test_geotiff2raquet.py:333-363
+    assert(meta.bands.map(_.colorinterp.get) == Seq("palette"))
+    val ct = meta.bands.head.colortable.get
+    assert(ct("0") == Seq(0, 0, 0, 0))
+    assert(ct("1") == Seq(0, 255, 0, 255))
+    assert(ct("2") == Seq(0, 0, 255, 255))
+    assert(ct("3") == Seq(255, 255, 0, 255))
+    assert(ct("4") == Seq(255, 165, 0, 255))
+    assert(ct("5") == Seq(255, 0, 0, 255))
+    // colortable survives the metadata JSON round-trip
+    val back = RaquetIO.readMetadata(spark, out)
+    assert(back.bands.head.colortable.get("4") == Seq(255, 165, 0, 255))
+  }
+
   test("export: fixture mosaics to a GeoTIFF the JDK reader round-trips") {
     val out = tmp("export.tif")
     GeoTiff.export(spark, "src/test/resources/raquet/gradient16.parquet", out)

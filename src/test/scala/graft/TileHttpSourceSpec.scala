@@ -59,4 +59,27 @@ class TileHttpSourceSpec extends SparkSpec {
         assert(band2(j * 16 + i) == FixtureGen.v3(2, 33 * 16 + i, 25 * 16 + j))
     } finally server.stop(0)
   }
+
+  test("tile server renders fixture tiles as PNG and 404s misses (S11)") {
+    val server = graft.sources.RaquetTileServer.start(spark,
+      "src/test/resources/raquet/gradient16.parquet")
+    try {
+      val port = server.getAddress.getPort
+      val png = TileHttpSource.fetchBytes(s"http://127.0.0.1:$port/tile/6/34/26.png")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 16 && img.getHeight == 16)
+      // gray value at (2,3) = band_1 formula; nodata pixels are transparent
+      val gx = 34 * 16 + 2; val gy = 26 * 16 + 3
+      val exp = FixtureGen.v1(gx, gy).toInt
+      val argb = img.getRGB(2, 3)
+      if (exp == 255) assert((argb >>> 24) == 0)
+      else assert((argb & 0xFF) == exp && (argb >>> 24) == 0xFF)
+      // missing tile → 404
+      val missing = try {
+        TileHttpSource.fetchBytes(s"http://127.0.0.1:$port/tile/6/2/2.png", retries = 1)
+        false
+      } catch { case _: RuntimeException => true }
+      assert(missing)
+    } finally server.stop(0)
+  }
 }
