@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.GraftFunctions._
+import graft.raquet.RaquetMetadata
+
+/** Structured Streaming extensions (SURVEY.md §2.10 — beyond the reference,
+  * which is batch-only): continuous tile ingestion and event-time windowed
+  * raster aggregation over a `(block, time_ts, band)` stream.
+  *
+  * Both compose the SAME kernels/expressions as the batch path — a tile
+  * stream is just an unbounded raquet table, so `rq_summary_stats` +
+  * `rq_stats_merge` run unchanged inside a watermarked streaming aggregate
+  * (partial merge in the state store, late data dropped past the
+  * watermark).
+  */
+object StreamingTiles {
+
+  /** Event-time windowed per-block stats: the streaming twin of the batch
+    * time-bucket aggregation (q38). One state-store row per (window, block);
+    * the exact-merge aggregate keeps state O(1) per key. */
+  def windowedStats(tiles: DataFrame, meta: RaquetMetadata, band: String,
+      watermarkDelay: String = "2 days", windowLen: String = "1 day"): DataFrame =
+    tiles
+      .withWatermark("time_ts", watermarkDelay)
+      .groupBy(window(col("time_ts"), windowLen), col("block"))
+      .agg(rq_stats_merge(rq_summary_stats(col(band), meta, band)).as("stats"))
+      .select(col("window.start").as("window_start"), col("block"),
+        col("stats.count").as("n_valid"), col("stats.sum").as("vsum"),
+        col("stats.min").as("vmin"), col("stats.max").as("vmax"))
+
+  /** Continuous ingestion: follow a directory of incoming tile batches and
+    * append them, Morton-sorted per micro-batch, to a raquet directory. The
+    * foreachBatch body is the batch writer, so output files keep the sorted
+    * prunable layout. */
+  def ingest(spark: SparkSession, inDir: String, schema: StructType,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.orderBy("block").write.mode("append").parquet(outDir)
+      }
+      .start()
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.quadbin.Quadbin
+import graft.raquet.{FixtureGen, PixelCodec, RaquetIO}
+import graft.streaming.StreamingTiles
+
+class StreamingSpec extends SparkSpec {
+
+  private def tileBytes(x: Long, y: Long, t: Int): Array[Byte] = {
+    val a = Array.tabulate(256)(p => FixtureGen.vT(x * 16 + p % 16, y * 16 + p / 16, t))
+    PixelCodec.encode(a, "float32", gzip = true)
+  }
+
+  test("watermarked windowed stats over a tile stream match batch sums") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val meta = FixtureGen.timeMetadata(6, 32, 24, 8, 8, 16)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val tiles = input.toDF().toDF("block", "time_ts", "band_1")
+    val out = StreamingTiles.windowedStats(tiles, meta, "band_1",
+      watermarkDelay = "0 seconds", windowLen = "1 day")
+    val query = out.writeStream.format("memory").queryName("winstats")
+      .outputMode("append").start()
+    try {
+      val day = 86400000L
+      // two tiles × two days of data, then a late watermark-advancing batch
+      for (t <- 0 until 2; x <- 32L to 33L)
+        input.addData((Quadbin.tileToCell(x, 24, 6),
+          new Timestamp(1577836800000L + t * day), tileBytes(x, 24, t)))
+      query.processAllAvailable()
+      input.addData((Quadbin.tileToCell(39, 31, 6),
+        new Timestamp(1577836800000L + 30 * day), tileBytes(39, 31, 5)))
+      query.processAllAvailable()
+      val rows = spark.table("winstats").collect()
+      // append mode emits only windows sealed by the watermark: the 4 day-0/1 rows
+      assert(rows.length == 4)
+      val r = rows.find(r0 => r0.getLong(1) == Quadbin.tileToCell(32, 24, 6) &&
+        r0.getTimestamp(0).getTime == 1577836800000L).get
+      var expect = 0.0
+      for (j <- 0 until 16; i <- 0 until 16) expect += FixtureGen.vT(32 * 16 + i, 24 * 16 + j, 0)
+      assert(r.getLong(2) == 256 && r.getDouble(3) == expect)
+    } finally query.stop()
+  }
+
+  test("streaming ingest appends sorted micro-batches to a raquet directory") {
+    val base = java.nio.file.Files.createTempDirectory("stream").toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
+    val ds = RaquetIO.read(spark, "src/test/resources/raquet/gradient16.parquet")
+    def quadbin_zoom_is(z: Int) =
+      graft.functions.GraftFunctions.quadbin_zoom(col("block")) === z
+    val batch1 = ds.data.filter(quadbin_zoom_is(6)).select("block", "band_1")
+    batch1.limit(10).write.parquet(inDir)
+    val q = StreamingTiles.ingest(spark, inDir, batch1.schema, outDir, ck)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 10)
+      // second batch arrives → appended
+      ds.data.filter(quadbin_zoom_is(5)).select("block", "band_1")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir).count() == 26)
+    } finally q.stop()
+  }
+}
