@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{LlmQueries, RaquetQueries}
+
+/** Diagnostic main: dump formatted physical plans for the scale-critical
+  * queries so plan regressions (lost pushdown, surprise shuffles, missed
+  * broadcasts) are visible at a glance. Not part of the driver contract. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val targets = Seq(
+      "q22_region_stats" -> RaquetQueries.q22RegionStats _,
+      "q20_point_value" -> RaquetQueries.q20PointValue _,
+      "q27_minhash_lsh" -> LlmQueries.q27MinhashLsh _,
+      "q29_embed_knn" -> LlmQueries.q29EmbedKnn _,
+      "q36_raster_join" -> RaquetQueries.q36RasterJoin _,
+      "q39_asof_join" -> RaquetQueries.q39AsofJoin _)
+    targets.foreach { case (name, fn) =>
+      println(s"\n========== $name ==========")
+      fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
