@@ -61,6 +61,8 @@ object SparkEntry {
     "q40_ts_window"         -> (RaquetQueries.q40TsWindow _),
     "q41_top_order_hashagg" -> (Relational.q41TopOrderHashAgg _),
     "q42_approx_distinct"   -> (Relational.q42ApproxDistinct _),
+    "q43_sql_surface"       -> (RaquetQueries.q43SqlSurface _),
+    "q44_polyfill_join"     -> (RaquetQueries.q44PolyfillJoin _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -175,5 +177,7 @@ object SparkEntry {
            FROM orders) t
          WHERE rn = 1""",
     // q42 intentionally has no oracle: HLL sketches are engine-specific
+    "q43_sql_surface"       -> RaquetOracles.q43,
+    "q44_polyfill_join"     -> RaquetOracles.q44,
   )
 }

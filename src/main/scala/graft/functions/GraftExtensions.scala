@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension injection point: makes the whole graft function family
+  * available in any session configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
+  * library-integration path (no per-session register() call needed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injected.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.graft._
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s, _) if s != null => s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a literal: $other")
+  }
+  private def kernelOf(m: Expression, b: Expression) =
+    graft.raquet.BandKernel(
+      graft.raquet.RaquetMetadata.parse(litStr(m, "metadata")), litStr(b, "band"))
+
+  val injected: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "quadbin_from_tile" -> { case Seq(x, y, z) => QuadbinFromTile(x, y, z) },
+    "quadbin_zoom" -> { case Seq(c) => QuadbinZoom(c) },
+    "quadbin_tile_x" -> { case Seq(c) => QuadbinTileX(c) },
+    "quadbin_tile_y" -> { case Seq(c) => QuadbinTileY(c) },
+    "quadbin_ancestor" -> { case Seq(c, p) => QuadbinAncestor(c, p) },
+    "quadbin_from_lonlat" -> { case Seq(lon, lat, z) => QuadbinFromLonLat(lon, lat, z) },
+    "quadbin_bounds" -> { case Seq(c) => QuadbinBounds(c) },
+    "quadbin_is_valid" -> { case Seq(c) => QuadbinIsValid(c) },
+    "rq_decode" -> { case Seq(b, m, n) => RqDecode(b, kernelOf(m, n)) },
+    "rq_summary_stats" -> { case Seq(b, m, n) => RqSummaryStats(b, kernelOf(m, n)) },
+    "rq_raster_value" -> { case Seq(b, blk, lon, lat, m, n) =>
+      RqRasterValue(b, blk, lon, lat, kernelOf(m, n)) },
+    "rq_clip_stats" -> { case Seq(b, blk, m, n, w) =>
+      RqClipStats(b, blk, kernelOf(m, n), litStr(w, "wkt")) },
+    "rq_stats_merge" -> { case Seq(s) => RqStatsMerge(s) },
+    "rq_inflate" -> { case Seq(b) => RqInflate(b) },
+    "st_quadbin_intersects" -> { case Seq(c, w) =>
+      QuadbinIntersects(c, litStr(w, "wkt")) },
+    "st_polyfill" -> { case Seq(w, z, m) =>
+      RqPolyfill(litStr(w, "wkt"), z, litStr(m, "mode")) },
+    "cf_to_timestamp" -> { case Seq(v, u, c) =>
+      CfToTimestamp(v, litStr(u, "units"), litStr(c, "calendar")) },
+    "mm_image_stats" -> { case Seq(b) => MmImageStats(b) })
+}

@@ -49,6 +49,8 @@ object GraftFunctions {
       BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB))))
   def st_quadbin_intersects(block: Column, wkt: String): Column =
     col(QuadbinIntersects(ex(block), wkt))
+  def st_polyfill(wkt: String, zoom: Column, mode: String = "intersects"): Column =
+    col(RqPolyfill(wkt, ex(zoom), mode))
 
   /** Exact partial→final stats merge (A3) over `rq_summary_stats` structs —
     * a declarative aggregate (codegen'd hash agg, primitive buffers). */
@@ -103,6 +105,8 @@ object GraftFunctions {
       RqNormalizedDifference(a, b, BandPairKernel(kernelOf(m, na), kernelOf(m, nb))) }
     r("st_quadbin_intersects") { case Seq(c, w) =>
       QuadbinIntersects(c, litStr(w, "wkt")) }
+    r("st_polyfill") { case Seq(w, z, m) =>
+      RqPolyfill(litStr(w, "wkt"), z, litStr(m, "mode")) }
     r("rq_stats_merge") { case Seq(s) => RqStatsMerge(s) }
     r("cf_to_timestamp") { case Seq(v, u, c) =>
       CfToTimestamp(v, litStr(u, "units"), litStr(c, "calendar")) }

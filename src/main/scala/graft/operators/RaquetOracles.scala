@@ -235,6 +235,32 @@ object RaquetOracles {
         FROM ts"""
   }
 
+  val q43: String =
+    s"""WITH d AS (SELECT block, ((block >> 44) & 255) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 4),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block,
+          (4.0 * (x*16+i) + 1.5) AS egx, (4.0 * (y*16+j) + 1.5) AS egy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, egx/2 + egy/4 AS v FROM px)
+        SELECT block, count(*) AS n_px, min(v) AS vmin, sum(v) AS vsum
+        FROM v GROUP BY block"""
+
+  val q44: String = {
+    val (w, e, s, n) = (5.6371, 11.9407, 24.7113, 30.2881)
+    def yf(lat: Double) =
+      s"CAST(floor((1.0 - ln(tan(radians($lat)) + 1.0/cos(radians($lat)))/pi())/2.0*64.0) AS BIGINT)"
+    s"""WITH b AS (SELECT
+          CAST(floor(($w + 180.0)/360.0*64.0) AS BIGINT) AS xw,
+          CAST(floor(($e + 180.0)/360.0*64.0) AS BIGINT) AS xe,
+          ${yf(n)} AS yn, ${yf(s)} AS ys),
+        cells AS (SELECT ${cellExpr("x", "y", 6)} AS cell
+          FROM b, range(64) t1(x), range(64) t2(y)
+          WHERE x BETWEEN xw AND xe AND y BETWEEN yn AND ys)
+        SELECT p.block, p.band_1_count, p.band_1_sum
+        FROM read_parquet('$F') p JOIN cells ON p.block = cells.cell"""
+  }
+
   val q37: String = {
     val FB = RaquetQueries.FixtureBip
     s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m

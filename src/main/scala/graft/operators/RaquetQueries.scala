@@ -260,6 +260,34 @@ object RaquetQueries {
       .withColumn("roll3_sum", sum(col("vsum")).over(w.rowsBetween(-2, 0)))
   }
 
+  /** The SQL-text path: everything through `spark.sql` with the registered
+    * function family (metadata bound as a JSON literal, exactly how an
+    * external SQL user would call it). Values re-verify the band_2 pyramid
+    * identity at zoom 4. */
+  def q43SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data.createOrReplaceTempView("rq_gradient16")
+    val metaJson = graft.raquet.RaquetMetadata.toJson(ds.meta)
+    spark.sql(
+      s"""SELECT block, s.count AS n_px, s.min AS vmin, s.sum AS vsum
+          FROM (SELECT block,
+                  rq_summary_stats(band_2, '$metaJson', 'band_2') AS s
+                FROM rq_gradient16
+                WHERE quadbin_zoom(block) = 4) t""")
+  }
+
+  /** §2.9 generator shape: st_polyfill → explode → broadcast equi-join with
+    * the tiles (the reference's __RAQUET_REGION_BLOCKS + FLATTEN pattern).
+    * At scale the exploded cell list is the small build side. */
+  def q44PolyfillJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val cells = spark.range(1)
+      .select(explode(st_polyfill(RegionWkt, lit(6))).as("cell"))
+    ds.data.join(broadcast(cells), col("block") === col("cell"), "inner")
+      .select(col("block"), col("band_1_count"), col("band_1_sum"))
+  }
+
   /** Interleaved (BIP) layout: gunzip the whole-tile payload, de-interleave
     * band_2 (F9), decode, per-tile stats — the `tci_interleaved_gzip`-shaped
     * read path, spec `raquet.md:49-57`. */

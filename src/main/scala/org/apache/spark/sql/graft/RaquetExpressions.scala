@@ -203,6 +203,28 @@ case class RqNormalizedDifference(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** st_polyfill(zoom) with plan-time geometry + mode → ARRAY<LONG> of
+  * covering quadbin cells (the FLATTEN/UDTF shape of the reference's
+  * `__RAQUET_REGION_BLOCKS`, `docs/performance.md:118-140`); compose with
+  * `explode` for the raster⋈vector join build side. */
+case class RqPolyfill(wkt: String, child: Expression, mode: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val geom: Geom = Wkt.parse(wkt)
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_polyfill"
+  override protected def nullSafeEval(z: Any): Any =
+    ArrayData.toArrayData(graft.quadbin.Polyfill.cells(geom, z.asInstanceOf[Int], mode))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("geom", geom, classOf[Geom].getName)
+    defineCodeGen(ctx, ev, z =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          graft.quadbin.Polyfill.cells($g, $z, "$mode"))""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** st_quadbin_intersects(block) with plan-time geometry → does the tile's
   * WGS84 bbox intersect the geometry (P4, `docs/engines.md:47`)? Used as a
   * residual predicate after coarse Morton-range pruning. */

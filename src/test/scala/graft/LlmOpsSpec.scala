@@ -45,6 +45,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("salted join and salted aggregation equal their unsalted twins") {
+    import graft.operators.Skew
+    val orders = Tables.orders(spark, sfDir).select("o_custkey", "o_orderkey", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey").count()
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", salts = 7).count()
+    assert(plain == salted)
+
+    val plainAgg = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sum_o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val saltedAgg = Skew.saltedCountSum(orders, "o_custkey", "o_totalprice", salts = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(plainAgg == saltedAgg)
+  }
+
+  test("GraftExtensions injects the function family without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    assert(graft.functions.GraftExtensions.injected.size >= 18)
+  }
+
   test("text metrics are internally consistent") {
     val m = TextOps.textMetrics(docs.limit(20)).collect()
     m.foreach { r =>
