@@ -10,13 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * library-integration path (no per-session register() call needed).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injected.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", name),
           builder))
     }
+    // spatial predicate → Morton-range pushdown rewrite
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.QuadbinRangeRewrite)
+  }
 }
 
 object GraftExtensions {

@@ -97,6 +97,19 @@ object Polyfill {
   def ranges(wkt: String, z: Int): Array[(Long, Long)] =
     ranges(Wkt.parse(wkt), z)
 
+  /** Ranges at zoom `z` with the descent capped at `capZoom`: for deep
+    * zooms the cap's ranges are expanded to their descendant id spans
+    * (Morton keeps descendants of consecutive cells consecutive), so the
+    * range count stays bounded by the cap-zoom perimeter no matter how
+    * deep the target zoom is. Still an exact cover in intersects mode up to
+    * the cap's resolution — always a superset, so a residual predicate
+    * stays correct. */
+  def cappedRanges(geom: Geom, z: Int, capZoom: Int): Array[(Long, Long)] =
+    if (z <= capZoom) ranges(geom, z)
+    else ranges(geom, capZoom).map { case (lo, hi) =>
+      (Quadbin.childRange(lo, z)._1, Quadbin.childRange(hi, z)._2)
+    }
+
   /** Merge sorted-by-lo adjacent/overlapping ranges. Adjacent Morton ids at
     * the same zoom differ by 2^(52-2z) + ... — ids at zoom z step by
     * (hi_i + 1 + unusedMask) == lo_{i+1}; treat touching ranges as mergeable

@@ -1,0 +1,63 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.geo.Wkt
+import graft.quadbin.Polyfill
+
+/** Optimizer rule: a top-level `st_quadbin_intersects(block, wkt)` filter
+  * conjunct gains a pushdown-able Morton-range companion —
+  * `block BETWEEN lo AND hi OR …` per covered subtree, per zoom — so
+  * parquet row-group pruning fires even when a user writes the spatial
+  * predicate directly instead of going through `RaquetIO.readRegion`.
+  * This is the "spatial predicate → block pruning" rewrite SURVEY.md §4
+  * calls out as the one genuinely custom planning step.
+  *
+  * The ranges are a superset of the exact predicate (which remains in
+  * place as the residual), so the rewrite is always sound. Range count is
+  * bounded: zooms above `CapZoom` reuse the cap's perimeter decomposition
+  * ([[Polyfill.cappedRanges]]).
+  */
+object QuadbinRangeRewrite extends Rule[LogicalPlan] {
+
+  private val CapZoom = 10
+  private val MaxRangesPerZoom = 4
+  private val MaxTotalRanges = 64
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rewritten = conjuncts.map {
+        case q @ QuadbinIntersects(attr: Attribute, wkt, false) =>
+          And(rangePredicate(attr, wkt), QuadbinIntersects(attr, wkt, expanded = true))
+        case other => other
+      }
+      if (rewritten == conjuncts) f
+      else Filter(rewritten.reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+
+  /** OR over zooms 0..26 of the BETWEEN ranges covering the geometry —
+    * zoom bits sit above the Morton bits, so each zoom's ranges only match
+    * ids of that zoom and the union covers every possible block. */
+  private def rangePredicate(attr: Attribute, wkt: String): Expression = {
+    val geom = Wkt.parse(wkt)
+    var spans = (0 to 26).flatMap { z =>
+      val rs = Polyfill.cappedRanges(geom, z, CapZoom)
+      if (rs.length > MaxRangesPerZoom) Array((rs.head._1, rs.last._2)) else rs
+    }
+    // deep disjunctions stop translating to source filters — keep the leg
+    // count bounded by merging adjacent spans (still a sound superset)
+    while (spans.length > MaxTotalRanges)
+      spans = spans.grouped(2).map(g => (g.head._1, g.last._2)).toIndexedSeq
+    spans.map { case (lo, hi) =>
+      And(GreaterThanOrEqual(attr, Literal(lo)), LessThanOrEqual(attr, Literal(hi)))
+    }.reduceLeft[Expression](Or)
+  }
+}

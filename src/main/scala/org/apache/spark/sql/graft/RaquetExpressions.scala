@@ -228,7 +228,8 @@ case class RqPolyfill(wkt: String, child: Expression, mode: String)
 /** st_quadbin_intersects(block) with plan-time geometry → does the tile's
   * WGS84 bbox intersect the geometry (P4, `docs/engines.md:47`)? Used as a
   * residual predicate after coarse Morton-range pruning. */
-case class QuadbinIntersects(child: Expression, wkt: String)
+case class QuadbinIntersects(child: Expression, wkt: String,
+    expanded: Boolean = false)
     extends UnaryExpression with ImplicitCastInputTypes {
   @transient private lazy val geom: Geom = Wkt.parse(wkt)
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)

@@ -77,6 +77,41 @@ class RaquetIOSpec extends SparkSpec {
       s"no pushed block filters in plan:\n$plan")
   }
 
+  test("QuadbinRangeRewrite turns a bare spatial predicate into pushed ranges") {
+    import org.apache.spark.sql.graft.QuadbinRangeRewrite
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ QuadbinRangeRewrite
+    try {
+      val w = Quadbin.tileWest(33, 6) + 0.1
+      val e = Quadbin.tileEast(34, 6) - 0.1
+      val s = Quadbin.tileSouth(26, 6) + 0.1
+      val nn = Quadbin.tileNorth(25, 6) - 0.1
+      val wkt = s"POLYGON(($w $s, $e $s, $e $nn, $w $nn, $w $s))"
+      // user writes the predicate directly — no readRegion involved
+      val df = spark.read.parquet(fixture)
+        .filter(col("block") =!= 0L && st_quadbin_intersects(col("block"), wkt))
+      // the explain string elides long filter lists, so look for the pushed
+      // Or-chain marker right after the always-present IsNotNull entry
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(block), Not(EqualTo(block,0)), Or(Or("),
+        s"rewrite did not push ranges:\n${plan.take(2000)}")
+      // exact semantics preserved vs a brute-force bbox check on every tile
+      val got = df.select("block").collect().map(_.getLong(0)).toSet
+      val rect = graft.geo.BBox(w, s, e, nn)
+      val expected = spark.read.parquet(fixture)
+        .filter(col("block") =!= 0L).select("block").collect()
+        .map(_.getLong(0)).filter { c =>
+          val b = Quadbin.cellBounds(c)
+          graft.geo.BBox(b(0), b(1), b(2), b(3)).intersects(rect)
+        }.toSet
+      assert(got == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == org.apache.spark.sql.graft.QuadbinRangeRewrite)
+    }
+  }
+
   test("region stats via clip + merge match a brute-force JVM computation") {
     val meta = RaquetIO.readMetadata(spark, fixture)
     val w = Quadbin.tileWest(33, 6) + 0.05
