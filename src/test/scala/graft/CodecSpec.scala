@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{PixelCodec, RaquetMetadata}
+
+/** Bit-level codec proofs: float16 against IEEE 754 half-precision known
+  * values, encode/decode round-trips for every band dtype, and the legacy
+  * v0.1/v0.2 metadata shim. */
+class CodecSpec extends AnyFunSuite {
+
+  test("float16: known IEEE 754 half-precision bit patterns") {
+    val cases = Seq[(Int, Double)](
+      0x0000 -> 0.0, 0x3C00 -> 1.0, 0xC000 -> -2.0, 0x3555 -> 0.333251953125,
+      0x7BFF -> 65504.0,          // largest normal
+      0x0400 -> 6.103515625e-05,  // smallest normal
+      0x0001 -> 5.960464477539063e-08, // smallest subnormal
+      0x7C00 -> Double.PositiveInfinity)
+    cases.foreach { case (bits, expect) =>
+      assert(PixelCodec.halfToDouble(bits.toShort) == expect, f"0x$bits%04x")
+    }
+    assert(PixelCodec.halfToDouble(0xFC00.toShort) == Double.NegativeInfinity)
+    assert(PixelCodec.halfToDouble(0x7E00.toShort).isNaN)
+    // encode side hits the same patterns
+    assert(PixelCodec.doubleToHalf(1.0) == 0x3C00.toShort)
+    assert(PixelCodec.doubleToHalf(-2.0) == 0xC000.toShort)
+    assert(PixelCodec.doubleToHalf(65504.0) == 0x7BFF.toShort)
+    assert(PixelCodec.doubleToHalf(1e9) == 0x7C00.toShort) // overflow → +inf
+  }
+
+  test("float16 round-trips every representable half value") {
+    var bits = 0
+    while (bits < 0x10000) {
+      val d = PixelCodec.halfToDouble(bits.toShort)
+      if (!d.isNaN) {
+        val back = PixelCodec.doubleToHalf(d)
+        // +0/-0 both map to a zero pattern; everything else is exact
+        assert(PixelCodec.halfToDouble(back) == d, f"0x$bits%04x")
+      }
+      bits += 1
+    }
+  }
+
+  test("encode/decode round-trips for every dtype incl. unsigned extremes") {
+    val samples = Map(
+      "uint8" -> Array(0.0, 1.0, 127.0, 128.0, 255.0),
+      "int8" -> Array(-128.0, -1.0, 0.0, 127.0),
+      "uint16" -> Array(0.0, 65535.0, 32768.0),
+      "int16" -> Array(-32768.0, 32767.0, 0.0),
+      "uint32" -> Array(0.0, 4294967295.0, 2147483648.0),
+      "int32" -> Array(-2147483648.0, 2147483647.0),
+      // 2^63 (just past signed max) and 2^64-2048 (largest in-range double)
+      "uint64" -> Array(0.0, 9.223372036854776E18, 1.844674407370955E19),
+      "int64" -> Array(-9.007199254740992E15, 9.007199254740992E15),
+      "float32" -> Array(-1.5, 0.25, 3.0E38f.toDouble),
+      "float64" -> Array(-1.5E300, math.Pi),
+      "float16" -> Array(-2.0, 0.5, 1024.0))
+    samples.foreach { case (dtype, vals) =>
+      for (gzip <- Seq(true, false)) {
+        val back = PixelCodec.decode(PixelCodec.encode(vals, dtype, gzip), dtype)
+        assert(back.toSeq == vals.toSeq, s"$dtype gzip=$gzip")
+      }
+    }
+  }
+
+  test("legacy v0.1/v0.2 flat metadata layout parses through the shim") {
+    val legacy =
+      """{"file_format":"raquet","version":"0.2.0","width":512,"height":512,
+          "crs":"EPSG:3857","minresolution":3,"maxresolution":5,
+          "block_width":256,"block_height":256,"num_blocks":4,
+          "bands":[{"name":"band_1","type":"uint8","nodata":"NaN"}]}"""
+    val m = RaquetMetadata.parse(legacy)
+    assert(m.minZoom == 3 && m.maxZoom == 5)
+    assert(m.blockWidth == 256 && m.blockHeight == 256)
+    assert(m.pixelZoom == 13) // legacy default: maxresolution + 8
+    assert(m.bands.head.nodata.exists(_.isNaN))
+  }
+}
