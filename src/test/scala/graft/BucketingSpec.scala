@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.RaquetIO
+
+/** Co-located joins via bucketing: two raquet tables bucketed+sorted on
+  * `block` join with ZERO exchanges — the storage-level answer to the
+  * raster⋈raster alignment join at 100 TB (each executor reads matching
+  * buckets locally; no shuffle of either fact table). */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed raquet tables join without a shuffle") {
+    val ds = RaquetIO.read(spark, "src/test/resources/raquet/gradient16.parquet")
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select("block", "band_1_sum", "band_2_sum")
+    native.write.mode("overwrite")
+      .bucketBy(4, "block").sortBy("block").saveAsTable("rq_a")
+    native.withColumn("band_1_sum", col("band_1_sum") * 2)
+      .write.mode("overwrite")
+      .bucketBy(4, "block").sortBy("block").saveAsTable("rq_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path so bucket co-location (not broadcast) is
+      // what eliminates the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("rq_a").join(spark.table("rq_b"), "block")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketed read not used:\n$plan")
+      assert(joined.count() == 64)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS rq_a")
+      spark.sql("DROP TABLE IF EXISTS rq_b")
+    }
+  }
+
+  test("auto zoom selects coarser overviews for larger query areas") {
+    val meta = RaquetIO.readMetadata(spark,
+      "src/test/resources/raquet/gradient16.parquet")
+    // tiny box → native zoom; the whole extent → coarser
+    val small = graft.geo.Wkt.parse(
+      "POLYGON((5.1 27.1, 5.2 27.1, 5.2 27.2, 5.1 27.2, 5.1 27.1))")
+    val big = graft.geo.Wkt.parse(
+      "POLYGON((-170 -80, 170 -80, 170 80, -170 80, -170 -80))")
+    assert(RaquetIO.autoZoom(small, meta) == meta.maxZoom)
+    assert(RaquetIO.autoZoom(big, meta, targetTiles = 16) < meta.maxZoom)
+  }
+}
