@@ -186,15 +186,20 @@ object GeoTiff {
   private def clampLat(lat: Double): Double =
     math.max(-LatLimit + 1e-9, math.min(LatLimit - 1e-9, lat))
 
-  /** Source pixel window clipped to web-mercator bounds
-    * (`find_pixel_window`, `raster2raquet.py:632-669`). */
+  /** Source pixel window clipped to web-mercator world bounds on BOTH axes
+    * (`find_pixel_window`, `raster2raquet.py:632-669` — global sources can
+    * overshoot ±180° and ±85° and must be cropped to the 0/0/0 tile). */
   def pixelWindow(s: Source): (Int, Int, Int, Int) = {
     if (!s.geographic) return (0, 0, s.width, s.height)
     val yTop = (LatLimit - s.y0) / s.dy    // dy < 0: row of north clip
     val yBot = (-LatLimit - s.y0) / s.dy
     val y3 = math.max(0, math.ceil(math.min(yTop, yBot)).toInt)
     val y4 = math.min(s.height, math.floor(math.max(yTop, yBot)).toInt)
-    (0, y3, s.width, y4 - y3)
+    val xW = (-180.0 - s.x0) / s.dx
+    val xE = (180.0 - s.x0) / s.dx
+    val x3 = math.max(0, math.ceil(math.min(xW, xE)).toInt)
+    val x4 = math.min(s.width, math.floor(math.max(xW, xE)).toInt)
+    (x3, y3, x4 - x3, y4 - y3)
   }
 
   /** `find_zoom` (`raster2raquet.py:709-720`). */
@@ -296,22 +301,22 @@ object GeoTiff {
 
     val rowsRdd = spark.sparkContext
       .parallelize(tiles, math.max(1, math.min(tiles.size, 64)))
-      .flatMap { case (tx, ty) =>
+      .map { case (tx, ty) =>
+        // the reference keeps all-nodata tiles at convert (the empty-tile
+        // filter P6 belongs to the imageserver source), so every enumerated
+        // tile becomes a row
         val s = bc.value
         val bands = (0 until s.bands).map(b => warpTile(s, b, tx, ty, zoom, bs, win))
-        if (bands.forall(_ == null)) None
-        else {
-          val blobs = bands.map { arr =>
-            val a = if (arr != null) arr
-              else Array.fill(bs * bs)(s.nodata.getOrElse(0.0))
-            PixelCodec.encode(a, s.dtype, gzip = true)
-          }
-          val statsVec = bands.map(a =>
-            if (a == null) null
-            else PixelCodec.maskedStats(a, s.nodata.getOrElse(Double.NaN), null))
-          Some((Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs),
-            statsVec))
+        val blobs = bands.map { arr =>
+          val a = if (arr != null) arr
+            else Array.fill(bs * bs)(s.nodata.getOrElse(0.0))
+          PixelCodec.encode(a, s.dtype, gzip = true)
         }
+        val statsVec = bands.map(a =>
+          if (a == null) null
+          else PixelCodec.maskedStats(a, s.nodata.getOrElse(Double.NaN), null))
+        (Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs),
+          statsVec)
       }.cache()
 
     // dataset-level band stats (A5): distributed partial-merge reduce

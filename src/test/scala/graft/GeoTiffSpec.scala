@@ -63,6 +63,38 @@ class GeoTiffSpec extends SparkSpec {
     assert(math.abs(st._3 - 38.1) < 2.0, s"mean ${st._3}")
   }
 
+  test("big-world.tif (global wrap) matches golden tiling; validate is green") {
+    val out = tmp("bigworld.parquet")
+    val meta = GeoTiff.convert(spark, "/root/reference/tests/big-world.tif", out)
+    // goldens from tests/test_geotiff2raquet.py:365-389
+    assert(meta.width == 1024 && meta.height == 1024)
+    assert(meta.numBlocks == 16)
+    assert(meta.maxZoom == 2 && meta.minZoom == 0 && meta.pixelZoom == 10)
+    assert(meta.bands.head.nodata.isEmpty)
+    assert(meta.bands.map(_.colorinterp.get) == Seq("red", "green", "blue", "alpha"))
+    val report = graft.raquet.Maintenance.validate(spark, out).collect()
+    assert(report.forall(_.getBoolean(1)),
+      report.filterNot(_.getBoolean(1)).mkString(";"))
+  }
+
+  test("discreteloss (geographic uint8, nodata 0, deflate) matches golden tiling") {
+    val out = tmp("loss.parquet")
+    val meta = GeoTiff.convert(spark,
+      "/root/reference/tests/geotiff-discreteloss_2023.tif", out,
+      zoomStrategy = "upper")
+    // goldens from tests/test_geotiff2raquet.py:300-331
+    assert(meta.width == 1280 && meta.height == 1280)
+    assert(meta.numBlocks == 25)
+    assert(meta.maxZoom == 13 && meta.minZoom == 10 && meta.pixelZoom == 21)
+    assert(meta.bands.head.nodata.contains(0.0))
+    // binary loss mask: every valid pixel is exactly 1
+    val st = meta.bands.head.stats.get
+    assert(st == ((1.0, 1.0, 1.0, 0.0)))
+    val report = graft.raquet.Maintenance.validate(spark, out).collect()
+    assert(report.forall(_.getBoolean(1)),
+      report.filterNot(_.getBoolean(1)).mkString(";"))
+  }
+
   test("colored.tif: palette band with the reference's golden colortable") {
     val out = tmp("colored.parquet")
     val meta = GeoTiff.convert(spark, "/root/reference/tests/colored.tif", out)
