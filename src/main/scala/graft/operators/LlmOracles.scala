@@ -72,7 +72,7 @@ object LlmOracles {
                  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
                FROM h, range(60) r(b) GROUP BY doc_id, b)
         SELECT doc_id,
-          sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS fingerprint
+          CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS fingerprint
         FROM bits GROUP BY doc_id"""
 
   val q29: String = {
@@ -96,7 +96,7 @@ object LlmOracles {
     s"""WITH planes AS (SELECT vec_id, label, p, $d AS d
                FROM embeddings, range(8) r(p))
         SELECT vec_id,
-          sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS bucket,
+          CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket,
           any_value(label) AS label
         FROM planes GROUP BY vec_id"""
   }

@@ -41,7 +41,8 @@ object RaquetOracles {
         FROM read_parquet('$F') WHERE block <> 0"""
 
   val q18: String =
-    s"""SELECT $Z AS zoom, count(*) AS n_tiles, sum(band_1_count) AS valid_px,
+    s"""SELECT $Z AS zoom, count(*) AS n_tiles,
+        CAST(sum(band_1_count) AS BIGINT) AS valid_px,
         min(band_1_min) AS b1_min, max(band_1_max) AS b1_max,
         sum(band_1_sum) AS b1_sum, sum(band_2_sum) AS b2_sum
         FROM read_parquet('$F') WHERE block <> 0 GROUP BY 1"""
@@ -182,7 +183,7 @@ object RaquetOracles {
         px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
           FROM xy, range(16) a(i), range(16) b(j))
         SELECT block,
-          sum(CASE WHEN (gx+gy)%31 = 0 THEN 0 ELSE 1 END) AS n_valid,
+          CAST(sum(CASE WHEN (gx+gy)%31 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
           sum(CASE WHEN (gx+gy)%31 = 0 THEN CAST(0 AS DOUBLE)
               ELSE (CAST(gx AS DOUBLE)/4 + CAST(gy AS DOUBLE)/8 + 16)
                    - CAST((7*gx+13*gy)%255 AS DOUBLE) END) AS diff_sum

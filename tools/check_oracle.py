@@ -51,10 +51,12 @@ def main(sf_dir, out_dir):
         try:
             orc = con.execute(sql)
             ocols = [d[0] for d in orc.description]
+            otypes = {d[0]: str(d[1]) for d in orc.description}
             orows = orc.fetchall()
             sprk = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = [d[0] for d in sprk.description]
+            stypes = {d[0]: str(d[1]) for d in sprk.description}
             srows = sprk.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: error {e}")
@@ -62,6 +64,13 @@ def main(sf_dir, out_dir):
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        # The driver hashes typed values, so HUGEINT/DECIMAL drift between the
+        # oracle and Spark output fails there even when str() compares equal.
+        tbad = {c: (otypes[c], stypes[c]) for c in ocols if otypes[c] != stypes[c]}
+        if tbad:
+            print(f"FAIL {name}: column types differ (oracle vs spark): {tbad}")
             n_fail += 1
             continue
         if len(orows) != len(srows):
