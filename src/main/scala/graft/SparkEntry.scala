@@ -176,7 +176,16 @@ object SparkEntry {
                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) t
          WHERE rn = 1""",
-    // q42 intentionally has no oracle: HLL sketches are engine-specific
+    // q42's hashable invariant: exact counts + the 5%-envelope booleans.
+    // The sketch estimate itself is engine-specific, so the oracle asserts
+    // the envelope holds (literal true) rather than reproducing HLL.
+    "q42_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts_exact,
+                count(DISTINCT l_suppkey) AS n_supps_exact,
+                count(*) AS n_rows,
+                true AS parts_within_5pct,
+                true AS supps_within_5pct
+         FROM lineitem""",
     "q43_sql_surface"       -> RaquetOracles.q43,
     "q44_polyfill_join"     -> RaquetOracles.q44,
   )

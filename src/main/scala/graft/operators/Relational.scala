@@ -200,14 +200,25 @@ object Relational {
       .select($"o_custkey", (-$"m.neg_key").as("o_orderkey"), $"m.o_totalprice")
   }
 
-  /** HLL distinct counts — the scale path flagged in q6's comment. No exact
-    * SQL oracle (sketch values are engine-specific); the driver records the
-    * weaker rows-only check. */
+  /** HLL distinct counts — the scale path flagged in q6's comment. Sketch
+    * values are engine-specific, so the hashable output is the invariant:
+    * exact counts plus booleans asserting the HLL estimate lands within its
+    * 5% error envelope (default rsd = 0.05). The oracle emits the same exact
+    * counts and literal `true`s. */
   def q42ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir).agg(
-      approx_count_distinct($"l_partkey").as("n_parts_approx"),
-      approx_count_distinct($"l_suppkey").as("n_supps_approx"),
-      count(lit(1)).as("n_rows"))
+    Tables.lineitem(spark, dir)
+      .agg(
+        countDistinct($"l_partkey").as("n_parts_exact"),
+        countDistinct($"l_suppkey").as("n_supps_exact"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_suppkey").as("asup"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        $"n_parts_exact", $"n_supps_exact", $"n_rows",
+        (abs($"ap" - $"n_parts_exact").cast("double") <=
+          lit(0.05) * $"n_parts_exact".cast("double")).as("parts_within_5pct"),
+        (abs($"asup" - $"n_supps_exact").cast("double") <=
+          lit(0.05) * $"n_supps_exact".cast("double")).as("supps_within_5pct"))
   }
 }
