@@ -22,7 +22,8 @@ object PlanAudit {
       "q27_minhash_lsh" -> LlmQueries.q27MinhashLsh _,
       "q29_embed_knn" -> LlmQueries.q29EmbedKnn _,
       "q36_raster_join" -> RaquetQueries.q36RasterJoin _,
-      "q39_asof_join" -> RaquetQueries.q39AsofJoin _)
+      "q39_asof_join" -> RaquetQueries.q39AsofJoin _,
+      "q46_asof_join_scale" -> RaquetQueries.q46AsofJoinScale _)
     targets.foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       fn(spark, sfDir).explain("formatted")

@@ -247,6 +247,43 @@ object RaquetQueries {
       .select(col("block"), col("pid"), col("p"), col("time_cf").as("t_used"), col("vsum"))
   }
 
+  /** J3 scale twin of [[q39AsofJoin]] (same oracle): union + window instead
+    * of a theta join. Probe rows are unioned with the timestep rows and one
+    * per-block window carries the latest timestep at-or-before each row
+    * forward, so the only shuffle is the hash partition on block — no
+    * BroadcastNestedLoopJoin anywhere (PlanAudit-checked). Rows crossing the
+    * shuffle = timesteps + probes, which is the shape that survives 100×;
+    * q39's theta join is the small-probe-set interactive path. Ordering
+    * (t asc, is_probe asc) puts a timestep before a probe at equal t, which
+    * reproduces q39's `time_cf <= p` inclusive semantics. */
+  def q46AsofJoinScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val blocks = Seq((32L, 24L), (35L, 27L), (39L, 31L), (33L, 30L))
+      .map { case (x, y) => Quadbin.tileToCell(x, y, 6) }
+    val events = ds.data.filter(col("block").isin(blocks: _*))
+      .select(col("block"), col("time_cf").as("t"),
+        rq_summary_stats(col("band_1"), ds.meta, "band_1").getField("sum").as("v"),
+        lit(null).cast("long").as("pid"), lit(null).cast("double").as("p"),
+        lit(0).as("is_probe"))
+    // At scale the probe side arrives keyed by block already; here the
+    // 4×5 probe grid is built driver-side (no join needed to key it).
+    val probeRows = blocks.flatMap(b => (0L until 5L).map(pid =>
+        (b, 700.0 + pid * 1650, null.asInstanceOf[java.lang.Double], pid,
+          700.0 + pid * 1650, 1)))
+      .toDF("block", "t", "v", "pid", "p", "is_probe")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block")).orderBy(col("t").asc, col("is_probe").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events.unionByName(probeRows)
+      .withColumn("t_used",
+        last(when(col("is_probe") === 0, col("t")), ignoreNulls = true).over(w))
+      .withColumn("vsum",
+        last(when(col("is_probe") === 0, col("v")), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1 && col("t_used").isNotNull)
+      .select(col("block"), col("pid"), col("p"), col("t_used"), col("vsum"))
+  }
+
   /** §2.5 over time series: per-(block) temporal window — lag and a
     * 3-step rolling SUM (sums stay dyadic-exact) ordered by time_cf. */
   def q40TsWindow(spark: SparkSession, dir: String): DataFrame = {
