@@ -63,7 +63,9 @@ object SparkEntry {
     "q42_approx_distinct"   -> (Relational.q42ApproxDistinct _),
     "q43_sql_surface"       -> (RaquetQueries.q43SqlSurface _),
     "q44_polyfill_join"     -> (RaquetQueries.q44PolyfillJoin _),
+    "q45_partition_readback" -> (RaquetQueries.q45PartitionReadback _),
     "q46_asof_join_scale"   -> (RaquetQueries.q46AsofJoinScale _),
+    "q47_splitzoom_readback" -> (RaquetQueries.q47SplitZoomReadback _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -189,7 +191,9 @@ object SparkEntry {
          FROM lineitem""",
     "q43_sql_surface"       -> RaquetOracles.q43,
     "q44_polyfill_join"     -> RaquetOracles.q44,
+    "q45_partition_readback" -> RaquetOracles.q45,
     // q46 is the union+window scale twin of q39 — same oracle result set
     "q46_asof_join_scale"   -> RaquetOracles.q39,
+    "q47_splitzoom_readback" -> RaquetOracles.q47,
   )
 }

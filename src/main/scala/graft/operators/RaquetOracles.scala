@@ -262,6 +262,32 @@ object RaquetOracles {
         FROM read_parquet('$F') p JOIN cells ON p.block = cells.cell"""
   }
 
+  /** q45: recompute the zoom-4 ancestor partition cells and their contents
+    * from the fixture with pure bit math — zoom-6 Morton bits sit at 40..51,
+    * the zoom-4 ancestor keeps the top 8 and refills the trailing bits. */
+  val q45: String =
+    s"""WITH d AS (SELECT block, band_1_count FROM read_parquet('$F')
+          WHERE block <> 0 AND $Z = 6),
+        p AS (SELECT block, band_1_count,
+          ($Header | (CAST(4 AS BIGINT) << 52)
+            | ((((block >> 40) & 4095) >> 4) << 44)
+            | ((CAST(1 AS BIGINT) << 44) - 1)) AS part
+          FROM d)
+        SELECT part, count(*) AS n_tiles,
+          CAST(sum(band_1_count) AS BIGINT) AS valid_px,
+          min(block) AS min_block, max(block) AS max_block,
+          count(*) AS meta_num_blocks
+        FROM p GROUP BY part"""
+
+  /** q47: per-zoom self-consistency of the split datasets, recomputed from
+    * the unsplit fixture (each split's metadata collapses to its own zoom). */
+  val q47: String =
+    s"""SELECT $Z AS zoom, count(*) AS n_tiles,
+          $Z AS z_min, $Z AS z_max,
+          $Z AS meta_min_zoom, $Z AS meta_max_zoom,
+          count(*) AS meta_num_blocks, sum(band_2_sum) AS b2_sum
+        FROM read_parquet('$F') WHERE block <> 0 GROUP BY $Z"""
+
   val q37: String = {
     val FB = RaquetQueries.FixtureBip
     s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m

@@ -325,6 +325,55 @@ object RaquetQueries {
       .select(col("block"), col("band_1_count"), col("band_1_sum"))
   }
 
+  /** M4 driver proof: spatially partition the fixture at zoom 4 (4 ancestor
+    * cells × 16 native tiles), read the partitioned layout back, and verify
+    * per-partition tile counts, stats sums, block ranges, AND the
+    * per-partition metadata row's num_blocks — all against the oracle's
+    * closed-form recomputation from the original fixture (ancestor id is
+    * pure bit math). The write path is one shuffle
+    * (repartition(part) + sortWithinPartitions) so each file is
+    * Morton-sorted; pruning/sortedness are EXPLAIN-asserted in
+    * MaintenanceSpec. */
+  def q45PartitionReadback(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q45_partition"
+    graft.raquet.Maintenance.partition(spark, Fixture, out, partZoom = 4)
+    val back = spark.read.parquet(out)
+    val metaRows = back.filter(col("block") === 0L)
+      .select(col("part"),
+        regexp_extract(col("metadata"), "num_blocks\":([0-9]+)", 1)
+          .cast("long").as("meta_num_blocks"))
+    back.filter(col("block") =!= 0L)
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(col("band_1_count")).cast("long").as("valid_px"),
+        min(col("block")).as("min_block"), max(col("block")).as("max_block"))
+      .join(metaRows, "part")
+  }
+
+  /** M3 driver proof: split the fixture into one standalone raquet dataset
+    * per zoom, then read each back and verify it is self-consistent (tile
+    * count, zoom range, per-zoom metadata num_blocks, band_2 sums) against
+    * the oracle's per-zoom recomputation from the original fixture. */
+  def q47SplitZoomReadback(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q47_splitzoom"
+    graft.raquet.Maintenance.splitZoom(spark, Fixture, out)
+    val src = RaquetIO.read(spark, Fixture)
+    (src.meta.minZoom to src.meta.maxZoom).map { z =>
+      val ds = RaquetIO.read(spark, s"$out/z=$z")
+      ds.data.agg(
+        count(lit(1)).as("n_tiles"),
+        min(quadbin_zoom(col("block"))).cast("long").as("z_min"),
+        max(quadbin_zoom(col("block"))).cast("long").as("z_max"),
+        sum(col("band_2_sum")).as("b2_sum"))
+        .select(lit(z.toLong).as("zoom"), col("n_tiles"), col("z_min"),
+          col("z_max"),
+          lit(ds.meta.minZoom.toLong).as("meta_min_zoom"),
+          lit(ds.meta.maxZoom.toLong).as("meta_max_zoom"),
+          lit(ds.meta.numBlocks).cast("long").as("meta_num_blocks"),
+          col("b2_sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Interleaved (BIP) layout: gunzip the whole-tile payload, de-interleave
     * band_2 (F9), decode, per-tile stats — the `tci_interleaved_gzip`-shaped
     * read path, spec `raquet.md:49-57`. */

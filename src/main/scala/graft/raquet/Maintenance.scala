@@ -147,9 +147,12 @@ object Maintenance {
     }
     val metaDf = spark.createDataFrame(
       spark.sparkContext.parallelize(metaRows, 1), schema)
+    // sort leads with the partition column: FileFormatWriter requires rows
+    // ordered by partition cols and would otherwise insert its own
+    // (non-stable) sort on `part` alone, destroying the Morton order
     native.unionByName(metaDf)
       .repartition(col("part"))
-      .sortWithinPartitions("block")
+      .sortWithinPartitions("part", "block")
       .write.mode("overwrite").partitionBy("part").parquet(outDir)
   }
 }

@@ -54,6 +54,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(graft.raquet.RaquetMetadata.parse(onePart).numBlocks == 16)
   }
 
+  test("partitioned layout prunes on part and every file is Morton-sorted") {
+    import scala.jdk.CollectionConverters._
+    val out = tmpDir() + "/part_prune"
+    Maintenance.partition(spark, fixture, out, partZoom = 4)
+    val all = spark.read.parquet(out)
+    val onePart = all.select("part").distinct().orderBy("part")
+      .collect()(0).getLong(0)
+    val q = all.filter(col("part") === onePart && col("block") =!= 0L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(onePart.toString),
+      s"no partition pruning in plan:\n$plan")
+    assert(q.count() == 16) // one zoom-4 ancestor = 16 native tiles
+    // per-file Morton order: block=0 metadata row first, then ascending
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part=")).toSeq
+    assert(dirs.size == 4)
+    dirs.foreach { d =>
+      val blocks = spark.read.parquet(d.toString).coalesce(1)
+        .select("block").collect().map(_.getLong(0))
+      assert(blocks.sameElements(blocks.sorted), s"not Morton-sorted: $d")
+    }
+  }
+
   test("auto partition zoom follows the log4 sizing rule") {
     val ds = RaquetIO.read(spark, fixture)
     // tiny target → stay at native zoom; huge target → clamp to 0
