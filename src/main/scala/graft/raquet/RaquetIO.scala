@@ -36,8 +36,15 @@ object RaquetIO {
         val idx = meta.bands.indexWhere(_.name == name)
         require(idx >= 0, s"no band $name")
         val bps = PixelCodec.bytesPerPixel(meta.bands(idx).bandType)
+        // webp fails loudly rather than silently misrouting VP8 bytes into
+        // the JPEG decoder (reference writes webp via GDAL,
+        // raster2raquet.py:813-845; no pure-JVM decoder is bundled here)
+        if (meta.compression.contains("webp"))
+          throw new UnsupportedOperationException(
+            "webp compression is not supported: no pure-JVM WebP decoder " +
+              "is available; re-encode the dataset with gzip or jpeg")
         val raw =
-          if (meta.compression.exists(c => c == "jpeg" || c == "webp"))
+          if (meta.compression.contains("jpeg"))
             graft.functions.GraftFunctions.mm_jpeg_pixels(col("pixels"))
           else rq_inflate(col("pixels"))
         mm_deinterleave(raw, idx, meta.bands.length, bps)

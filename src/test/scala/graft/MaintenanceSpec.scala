@@ -158,6 +158,15 @@ class MaintenanceSpec extends SparkSpec {
       s"jpeg band mean drifted: got ${got.getDouble(0)} want ~${exact / 256}")
   }
 
+  test("webp-compressed interleaved dataset fails loudly, not via JPEG misroute") {
+    val ds = RaquetIO.read(spark, fixture)
+    val webpMeta = ds.meta.copy(
+      compression = Some("webp"), bandLayout = "interleaved")
+    val webpDs = RaquetIO.RaquetDataset(ds.data, webpMeta)
+    val e = intercept[UnsupportedOperationException](webpDs.band("band_1"))
+    assert(e.getMessage.contains("webp"))
+  }
+
   test("stats scale-up multiplies counts/sums by 4^dz (A4)") {
     val s0 = Array(100.0, 1.0, 9.0, 500.0, 3000.0)
     val s2 = PixelCodec.scaleStats(s0, 2)
