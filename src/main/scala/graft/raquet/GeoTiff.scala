@@ -22,80 +22,136 @@ import graft.quadbin.Quadbin
   * resampling is nearest-neighbour (the reference's default algorithms
   * beyond NN need GDAL's warp kernels).
   *
-  * The conversion itself is the Spark shape the reference approximates with
-  * worker processes (M7): enumerate target tiles → `mapPartitions`-style
-  * warp+encode per tile (source broadcast) → pyramid reduce → sorted write.
+  * Scale design (mirrors the reference's per-worker `gdal.Warp` windows,
+  * `raster2raquet.py:1091-1102`): the DRIVER touches only the TIFF header +
+  * IFD tags (random-access reads, never the pixel payload); each TASK opens
+  * the file itself and decodes only the strips/tiles covering its target
+  * tiles via ImageIO's source-region reads. Consecutive same-row target
+  * tiles share one windowed decode (bounded by [[MaxWindowBytes]]) so
+  * striped sources don't re-inflate the same strips per tile. Driver memory
+  * is O(tags); executor memory is O(window), independent of source size.
   */
 object GeoTiff {
 
   final val CE = 2.0 * math.Pi * Quadbin.EarthRadius // web-mercator circumference
   final val LatLimit = 85.05112877980659             // atan(sinh(pi))
 
-  final case class Source(
-      width: Int, height: Int, bands: Int, dtype: String,
+  /** Everything about a GeoTIFF except its pixels — cheap to build (tag
+    * reads only) and to ship to tasks. */
+  final case class SourceInfo(
+      path: String, width: Int, height: Int, bands: Int, dtype: String,
       nodata: Option[Double],
       x0: Double, dx: Double, y0: Double, dy: Double,
       geographic: Boolean,
-      colortable: Option[Map[String, Seq[Int]]],
-      pixels: Array[Array[Double]]) extends Serializable {
-    def sample(band: Int, px: Int, py: Int): Double = pixels(band)(py * width + px)
+      colortable: Option[Map[String, Seq[Int]]]) extends Serializable
+
+  /** Random access to pixel values; implementations carry only a window. */
+  trait PixelSampler {
+    def sample(band: Int, px: Int, py: Int): Double
+  }
+
+  /** Fully-materialized source (legacy/test surface; used for small files
+    * like export round-trips — convert() never builds one). */
+  final case class Source(info: SourceInfo, pixels: Array[Array[Double]])
+      extends PixelSampler {
+    def width: Int = info.width
+    def height: Int = info.height
+    def bands: Int = info.bands
+    def dtype: String = info.dtype
+    def nodata: Option[Double] = info.nodata
+    def x0: Double = info.x0
+    def dx: Double = info.dx
+    def y0: Double = info.y0
+    def dy: Double = info.dy
+    def geographic: Boolean = info.geographic
+    def colortable: Option[Map[String, Seq[Int]]] = info.colortable
+    def sample(band: Int, px: Int, py: Int): Double =
+      pixels(band)(py * info.width + px)
   }
 
   // --- TIFF/GeoTIFF reading ---
 
-  /** Direct first-IFD tag parse (ImageIO's TIFFDirectory drops the GDAL
-    * private tags 42112/42113). Little-endian classic TIFF only — which is
-    * what GDAL writes. */
-  private def parseTags(bytes: Array[Byte]): Map[Int, (Int, Array[Double], String)] = {
-    val bb = ByteBuffer.wrap(bytes)
-    require(bytes(0) == 'I' && bytes(1) == 'I', "big-endian TIFF unsupported")
-    bb.order(ByteOrder.LITTLE_ENDIAN)
-    val ifd = bb.getInt(4)
-    val n = bb.getShort(ifd) & 0xFFFF
-    (0 until n).map { k =>
-      val e = ifd + 2 + 12 * k
-      val id = bb.getShort(e) & 0xFFFF
-      val ttype = bb.getShort(e + 2) & 0xFFFF
-      val count = bb.getInt(e + 4)
-      val elemSize = ttype match {
-        case 1 | 2 | 6 | 7 => 1
-        case 3 | 8 => 2
-        case 4 | 9 | 11 => 4
-        case 5 | 10 | 12 => 8
-        case _ => 1
+  /** Direct first-IFD tag parse over RANDOM ACCESS reads (ImageIO's
+    * TIFFDirectory drops the GDAL private tags 42112/42113, and reading the
+    * whole file for its tags would be a driver-killer on multi-GB rasters).
+    * Classic TIFF, either byte order; BigTIFF is rejected. */
+  private final class TagReader(path: String) extends AutoCloseable {
+    private val raf = new java.io.RandomAccessFile(path, "r")
+    private var order: ByteOrder = ByteOrder.LITTLE_ENDIAN
+
+    private def buf(at: Long, n: Int): ByteBuffer = {
+      val a = new Array[Byte](n)
+      raf.seek(at); raf.readFully(a)
+      ByteBuffer.wrap(a).order(order)
+    }
+
+    def parse(): Map[Int, (Int, Array[Double], String)] = {
+      val magic = buf(0, 8)
+      order = (magic.get(0), magic.get(1)) match {
+        case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
+        case ('M', 'M') => ByteOrder.BIG_ENDIAN
+        case _ => throw new IllegalArgumentException(s"$path: not a TIFF")
       }
-      val at = if (elemSize * count <= 4) e + 8 else bb.getInt(e + 8)
-      val values = ttype match {
-        case 3 => (0 until count).map(i => (bb.getShort(at + 2 * i) & 0xFFFF).toDouble)
-        case 8 => (0 until count).map(i => bb.getShort(at + 2 * i).toDouble)
-        case 4 => (0 until count).map(i => (bb.getInt(at + 4 * i) & 0xFFFFFFFFL).toDouble)
-        case 9 => (0 until count).map(i => bb.getInt(at + 4 * i).toDouble)
-        case 11 => (0 until count).map(i => bb.getFloat(at + 4 * i).toDouble)
-        case 12 => (0 until count).map(i => bb.getDouble(at + 8 * i))
-        case 1 | 6 | 7 => (0 until count).map(i => (bb.get(at + i) & 0xFF).toDouble)
-        case _ => Seq.empty[Double]
-      }
-      val str = if (ttype == 2)
-        new String(bytes, at, math.max(0, count - 1), "ASCII") else ""
-      id -> ((ttype, values.toArray, str))
-    }.toMap
+      val header = buf(0, 8)
+      require((header.getShort(2) & 0xFFFF) == 42, s"$path: BigTIFF unsupported")
+      val ifd = header.getInt(4) & 0xFFFFFFFFL
+      val n = buf(ifd, 2).getShort(0) & 0xFFFF
+      val entries = buf(ifd + 2, 12 * n)
+      (0 until n).map { k =>
+        val e = 12 * k
+        val id = entries.getShort(e) & 0xFFFF
+        val ttype = entries.getShort(e + 2) & 0xFFFF
+        val count = entries.getInt(e + 4)
+        val elemSize = ttype match {
+          case 1 | 2 | 6 | 7 => 1
+          case 3 | 8 => 2
+          case 4 | 9 | 11 => 4
+          case 5 | 10 | 12 => 8
+          case _ => 1
+        }
+        val total = elemSize * count
+        val vb =
+          if (total <= 4) {
+            val a = new Array[Byte](math.max(4, total))
+            entries.position(e + 8)
+            entries.get(a, 0, math.min(4, a.length))
+            entries.rewind()
+            ByteBuffer.wrap(a).order(order)
+          } else buf(entries.getInt(e + 8) & 0xFFFFFFFFL, total)
+        val values = ttype match {
+          case 3 => (0 until count).map(i => (vb.getShort(2 * i) & 0xFFFF).toDouble)
+          case 8 => (0 until count).map(i => vb.getShort(2 * i).toDouble)
+          case 4 => (0 until count).map(i => (vb.getInt(4 * i) & 0xFFFFFFFFL).toDouble)
+          case 9 => (0 until count).map(i => vb.getInt(4 * i).toDouble)
+          case 11 => (0 until count).map(i => vb.getFloat(4 * i).toDouble)
+          case 12 => (0 until count).map(i => vb.getDouble(8 * i))
+          case 1 | 6 | 7 => (0 until count).map(i => (vb.get(i) & 0xFF).toDouble)
+          case _ => Seq.empty[Double]
+        }
+        val str = if (ttype == 2)
+          new String(vb.array(), 0, math.max(0, count - 1), "ASCII") else ""
+        id -> ((ttype, values.toArray, str))
+      }.toMap
+    }
+
+    def close(): Unit = raf.close()
   }
 
-  def read(path: String): Source = {
-    val fileBytes = Files.readAllBytes(Paths.get(path))
-    val tags = parseTags(fileBytes)
-    val iis = ImageIO.createImageInputStream(new File(path))
-    val reader = ImageIO.getImageReaders(iis).next()
-    reader.setInput(iis)
-    val img = reader.read(0)
-    val raster = img.getRaster
-    val w = raster.getWidth; val h = raster.getHeight
-    val nb = raster.getNumBands
+  /** Driver-side open: header + IFD tags only, never pixel bytes. */
+  def readInfo(path: String): SourceInfo = {
+    val tr = new TagReader(path)
+    val tags = try tr.parse() finally tr.close()
 
     def fieldDoubles(tag: Int): Option[Array[Double]] =
       tags.get(tag).map(_._2).filter(_.nonEmpty)
     def fieldString(tag: Int): Option[String] =
       tags.get(tag).map(_._3).filter(_.nonEmpty)
+
+    val w = fieldDoubles(256).map(_(0).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"$path: no ImageWidth"))
+    val h = fieldDoubles(257).map(_(0).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"$path: no ImageLength"))
+    val nb = fieldDoubles(277).map(_(0).toInt).getOrElse(1)
 
     // geotransform: ModelPixelScale+Tiepoint, or ModelTransformation matrix
     val (x0, dx, y0, dy) =
@@ -122,30 +178,45 @@ object GeoTiff {
     val nodata = fieldString(42113).flatMap(s =>
       try Some(s.trim.toDouble) catch { case _: NumberFormatException => None })
 
-    val dtype = (raster.getSampleModel.getDataType,
-      fieldDoubles(339).map(_(0).toInt).getOrElse(1)) match {
-      case (java.awt.image.DataBuffer.TYPE_BYTE, 2) => "int8"
-      case (java.awt.image.DataBuffer.TYPE_BYTE, _) => "uint8"
-      case (java.awt.image.DataBuffer.TYPE_USHORT, _) => "uint16"
-      case (java.awt.image.DataBuffer.TYPE_SHORT, _) => "int16"
-      case (java.awt.image.DataBuffer.TYPE_INT, 1) => "uint32"
-      case (java.awt.image.DataBuffer.TYPE_INT, _) => "int32"
-      case (java.awt.image.DataBuffer.TYPE_FLOAT, _) => "float32"
-      case (java.awt.image.DataBuffer.TYPE_DOUBLE, _) => "float64"
-      case (t, _) => throw new IllegalArgumentException(s"sample type $t")
+    val bits = fieldDoubles(258).map(_(0).toInt).getOrElse(8)
+    val format = fieldDoubles(339).map(_(0).toInt).getOrElse(1)
+    val dtype = (bits, format) match {
+      case (8, 2) => "int8"
+      case (8, _) => "uint8"
+      case (16, 1) => "uint16"
+      case (16, 2) => "int16"
+      case (32, 1) => "uint32"
+      case (32, 2) => "int32"
+      case (32, 3) => "float32"
+      case (64, 3) => "float64"
+      case other => throw new IllegalArgumentException(
+        s"$path: unsupported (bits, sampleFormat) $other")
     }
 
-    val colortable = img.getColorModel match {
-      case icm: IndexColorModel if nb == 1 =>
-        // GDAL semantics: the nodata palette index renders transparent
-        Some((0 until icm.getMapSize).map { i =>
-          val alpha = if (nodata.contains(i.toDouble)) 0 else icm.getAlpha(i)
-          i.toString -> Seq(icm.getRed(i), icm.getGreen(i), icm.getBlue(i), alpha)
+    // ColorMap tag 320: 2^bits 16-bit entries per channel, r..g..b planes.
+    // GDAL semantics: the nodata palette index renders transparent.
+    val colortable = (fieldDoubles(262).map(_(0).toInt), fieldDoubles(320)) match {
+      case (Some(3), Some(cm)) if nb == 1 =>
+        val size = cm.length / 3
+        Some((0 until size).map { i =>
+          val alpha = if (nodata.contains(i.toDouble)) 0 else 255
+          i.toString -> Seq(cm(i).toInt >> 8, cm(size + i).toInt >> 8,
+            cm(2 * size + i).toInt >> 8, alpha)
         }.toMap)
       case _ => None
     }
 
-    val pixels = Array.tabulate(nb) { b =>
+    SourceInfo(path, w, h, nb, dtype, nodata, x0, dx, y0, dy, geographic,
+      colortable)
+  }
+
+  /** Full in-memory decode (small sources / tests). convert() does NOT use
+    * this — it ships [[SourceInfo]] and window-reads per task. */
+  def read(path: String): Source = {
+    val info = readInfo(path)
+    val raster = readWindowRaster(path, 0, 0, info.width, info.height)
+    val w = info.width; val h = info.height
+    val pixels = Array.tabulate(info.bands) { b =>
       val a = new Array[Double](w * h)
       var j = 0
       while (j < h) {
@@ -155,8 +226,44 @@ object GeoTiff {
       }
       a
     }
-    reader.dispose(); iis.close()
-    Source(w, h, nb, dtype, nodata, x0, dx, y0, dy, geographic, colortable, pixels)
+    Source(info, pixels)
+  }
+
+  /** Decode only the strips/TIFF-tiles covering the window (ImageIO
+    * source-region read) — the per-task I/O primitive. */
+  def readWindowRaster(path: String, wx: Int, wy: Int, ww: Int,
+      wh: Int): java.awt.image.Raster = {
+    val iis = ImageIO.createImageInputStream(new File(path))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"$path: no ImageIO reader")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val param = reader.getDefaultReadParam
+        param.setSourceRegion(new java.awt.Rectangle(wx, wy, ww, wh))
+        if (reader.canReadRaster) reader.readRaster(0, param)
+        else reader.read(0, param).getRaster
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Sampler over a window raster: global pixel coords in, fill outside. */
+  final class WindowSampler(raster: java.awt.image.Raster, ox: Int, oy: Int,
+      fill: Double) extends PixelSampler {
+    private val w = raster.getWidth
+    private val h = raster.getHeight
+    private val minX = raster.getMinX
+    private val minY = raster.getMinY
+    def sample(band: Int, px: Int, py: Int): Double = {
+      val i = px - ox; val j = py - oy
+      if (i < 0 || j < 0 || i >= w || j >= h) fill
+      else raster.getSampleDouble(minX + i, minY + j, band)
+    }
+  }
+
+  private final class ConstSampler(fill: Double) extends PixelSampler {
+    def sample(band: Int, px: Int, py: Int): Double = fill
   }
 
   // --- mercator helpers ---
@@ -169,12 +276,12 @@ object GeoTiff {
     math.toDegrees(math.atan(math.sinh(my / Quadbin.EarthRadius)))
 
   /** Source coords of a mercator point (identity for 3857 sources). */
-  private def toSource(s: Source, mx: Double, my: Double): (Double, Double) =
+  private def toSource(s: SourceInfo, mx: Double, my: Double): (Double, Double) =
     if (s.geographic) (invLon(mx), invLat(my)) else (mx, my)
 
   /** meters/pixel via the window-diagonal transform, mirroring
     * `find_resolution` (`raster2raquet.py:672-697`). */
-  def resolution(s: Source, win: (Int, Int, Int, Int)): Double = {
+  def resolution(s: SourceInfo, win: (Int, Int, Int, Int)): Double = {
     val (wx, wy, ww, wh) = win
     val ax = s.x0 + wx * s.dx; val ay = s.y0 + wy * s.dy
     val bx = ax + ww * s.dx; val by = ay + wh * s.dy
@@ -189,7 +296,7 @@ object GeoTiff {
   /** Source pixel window clipped to web-mercator world bounds on BOTH axes
     * (`find_pixel_window`, `raster2raquet.py:632-669` — global sources can
     * overshoot ±180° and ±85° and must be cropped to the 0/0/0 tile). */
-  def pixelWindow(s: Source): (Int, Int, Int, Int) = {
+  def pixelWindow(s: SourceInfo): (Int, Int, Int, Int) = {
     if (!s.geographic) return (0, 0, s.width, s.height)
     val yTop = (LatLimit - s.y0) / s.dy    // dy < 0: row of north clip
     val yBot = (-LatLimit - s.y0) / s.dy
@@ -230,8 +337,10 @@ object GeoTiff {
   }
 
   /** Warp one mercator tile from the source, nearest-neighbour; null when
-    * every pixel is nodata (empty-tile filter P6). */
-  def warpTile(s: Source, band: Int, x: Long, y: Long, z: Int, bs: Int,
+    * every pixel is nodata (empty-tile filter P6). Pixels come from
+    * `sampler` (a window reader at scale, a full [[Source]] in tests). */
+  def warpTile(s: SourceInfo, sampler: PixelSampler, band: Int,
+      x: Long, y: Long, z: Int, bs: Int,
       win: (Int, Int, Int, Int)): Array[Double] = {
     val mb = {
       val size = CE / (1L << z)
@@ -254,7 +363,7 @@ object GeoTiff {
         val py = math.floor((sy - s.y0) / s.dy).toInt
         val v =
           if (px < wx || px >= wx + ww || py < wy || py >= wy + wh) fill
-          else s.sample(band, px, py)
+          else sampler.sample(band, px, py)
         out(j * bs + i) = v
         if (!any && !(s.nodata.contains(v) || v.isNaN)) any = true
         i += 1
@@ -264,12 +373,38 @@ object GeoTiff {
     if (any) out else null
   }
 
+  /** Source-pixel bounding window of one target tile's sample points
+    * (mercator→source is separable and monotone per axis, so the corner
+    * sample centers bound the whole tile; ±1 px margin absorbs rounding). */
+  def tileSourceWindow(s: SourceInfo, x: Long, y: Long, z: Int, bs: Int,
+      win: (Int, Int, Int, Int)): (Int, Int, Int, Int) = {
+    val size = CE / (1L << z)
+    val west = -CE / 2 + x * size
+    val north = CE / 2 - y * size
+    val step = size / bs
+    val mxs = Seq(west + 0.5 * step, west + size - 0.5 * step)
+    val mys = Seq(north - 0.5 * step, north - size + 0.5 * step)
+    val pts = for (mx <- mxs; my <- mys) yield {
+      val (sx, sy) = toSource(s, mx, my)
+      (math.floor((sx - s.x0) / s.dx).toInt, math.floor((sy - s.y0) / s.dy).toInt)
+    }
+    val (wx, wy, ww, wh) = win
+    val x3 = math.max(wx, pts.map(_._1).min - 1)
+    val x4 = math.min(wx + ww, pts.map(_._1).max + 2)
+    val y3 = math.max(wy, pts.map(_._2).min - 1)
+    val y4 = math.min(wy + wh, pts.map(_._2).max + 2)
+    (x3, y3, x4 - x3, y4 - y3)
+  }
+
+  /** Budget for one shared windowed decode (raster bytes, not doubles). */
+  final val MaxWindowBytes: Long = 64L << 20
+
   /** S6/M7: convert a GeoTIFF to a raquet file (single parquet file, like
     * the reference CLI). Returns the metadata written. */
   def convert(spark: SparkSession, tifPath: String, outFile: String,
       blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false): RaquetMetadata = {
-    val src = read(tifPath)
+    val src = readInfo(tifPath) // tags only — driver never touches pixels
     val bs = 1 << blockZoom
     val win = pixelWindow(src)
     val res = resolution(src, win)
@@ -291,7 +426,8 @@ object GeoTiff {
     val ytMin = math.floor(math.min(yt(mys.head), yt(mys.last)) + 1e-9).toLong
     val ytMax = math.floor(math.max(yt(mys.head), yt(mys.last)) - 1e-9).toLong
 
-    val bc = spark.sparkContext.broadcast(src)
+    // row-major tile order + contiguous split ⇒ each partition holds runs
+    // of same-row neighbours that can share one windowed decode
     val tiles = for (ty <- ytMin to ytMax; tx <- xtMin to xtMax) yield (tx, ty)
     val bandNames = (1 to src.bands).map(k => s"band_$k")
     val schema = StructType(
@@ -299,24 +435,55 @@ object GeoTiff {
         StructField("metadata", StringType)) ++
         bandNames.map(b => StructField(b, BinaryType)))
 
+    val bpp = PixelCodec.bytesPerPixel(src.dtype)
     val rowsRdd = spark.sparkContext
       .parallelize(tiles, math.max(1, math.min(tiles.size, 64)))
-      .map { case (tx, ty) =>
-        // the reference keeps all-nodata tiles at convert (the empty-tile
-        // filter P6 belongs to the imageserver source), so every enumerated
-        // tile becomes a row
-        val s = bc.value
-        val bands = (0 until s.bands).map(b => warpTile(s, b, tx, ty, zoom, bs, win))
-        val blobs = bands.map { arr =>
-          val a = if (arr != null) arr
-            else Array.fill(bs * bs)(s.nodata.getOrElse(0.0))
-          PixelCodec.encode(a, s.dtype, gzip = true)
+      .mapPartitions { it =>
+        val fill = src.nodata.getOrElse(0.0)
+        // greedy same-row runs whose union source window fits the budget
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Long)]]
+        var cur = Vector.empty[(Long, Long)]
+        var curBytes = 0L
+        it.foreach { case t @ (tx, ty) =>
+          val (_, _, tw, th) = tileSourceWindow(src, tx, ty, zoom, bs, win)
+          val tb = math.max(0L, tw.toLong * th * src.bands * bpp)
+          val contiguous = cur.nonEmpty && cur.last._2 == ty && cur.last._1 == tx - 1
+          if (!contiguous || curBytes + tb > MaxWindowBytes) {
+            if (cur.nonEmpty) runs += cur
+            cur = Vector(t); curBytes = tb
+          } else { cur :+= t; curBytes += tb }
         }
-        val statsVec = bands.map(a =>
-          if (a == null) null
-          else PixelCodec.maskedStats(a, s.nodata.getOrElse(Double.NaN), null))
-        (Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs),
-          statsVec)
+        if (cur.nonEmpty) runs += cur
+
+        runs.iterator.flatMap { run =>
+          // union window of a same-row run = x-span of ends × shared y-span
+          val ws = run.map { case (tx, ty) =>
+            tileSourceWindow(src, tx, ty, zoom, bs, win) }
+          val x3 = ws.map(_._1).min
+          val y3 = ws.map(_._2).min
+          val x4 = ws.map(w0 => w0._1 + w0._3).max
+          val y4 = ws.map(w0 => w0._2 + w0._4).max
+          val sampler: PixelSampler =
+            if (x4 <= x3 || y4 <= y3) new ConstSampler(fill)
+            else new WindowSampler(
+              readWindowRaster(src.path, x3, y3, x4 - x3, y4 - y3), x3, y3, fill)
+          run.iterator.map { case (tx, ty) =>
+            // the reference keeps all-nodata tiles at convert (the
+            // empty-tile filter P6 belongs to the imageserver source), so
+            // every enumerated tile becomes a row
+            val bands = (0 until src.bands).map(b =>
+              warpTile(src, sampler, b, tx, ty, zoom, bs, win))
+            val blobs = bands.map { arr =>
+              val a = if (arr != null) arr else Array.fill(bs * bs)(fill)
+              PixelCodec.encode(a, src.dtype, gzip = true)
+            }
+            val statsVec = bands.map(a =>
+              if (a == null) null
+              else PixelCodec.maskedStats(a, src.nodata.getOrElse(Double.NaN), null))
+            (Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs),
+              statsVec)
+          }
+        }
       }.cache()
 
     // dataset-level band stats (A5): distributed partial-merge reduce
