@@ -43,6 +43,92 @@ object Bench {
     Files.writeString(marker, "ok")
   }
 
+  /** BASELINE.md 15 GB-class raster: 690×690 native 256² float32 tiles at
+    * zoom 12 (476,100 data tiles ≈ the reference's 475,068) + one overview
+    * level (595,125 total ≈ 563,517), ~30 KB gzip per tile ≈ 17 GB written
+    * as ~156 Morton-sorted partition files — the multi-file layout of spec
+    * raquet.md:160-175. Generated once, cached under target/. */
+  val LargeRasterDir = "target/bench_raster_large"
+  val LZ = 12
+  private val LX0 = 1700L; private val LY0 = 1700L; private val LN = 690
+
+  def ensureLargeRaster(spark: SparkSession): Unit = {
+    val marker = Paths.get(LargeRasterDir, "_META_OK")
+    if (Files.exists(marker)) return
+    val t0 = System.nanoTime()
+    val meta = FixtureGen.slopeMetadata(LZ, LX0, LY0, LN, LN, 256, minZoom = LZ - 1)
+    // disk-persist: the union (native + pyramid) would otherwise regenerate
+    // every native tile twice, and 17 GB won't stay in an 8 GB heap
+    val native = FixtureGen.slopeTiles(spark, LZ, LX0, LY0, LN, LN, 256)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val all = graft.raquet.Pyramid.build(native, meta, LZ - 1)
+    // 8 MB row groups ≈ the reference's fine-grained remote-pruning layout
+    // (docs/performance.md:196-210) and keep 32 concurrent writers' buffers
+    // bounded (default 128 MB groups OOM a shared local[32] heap)
+    RaquetIO.write(all, meta, LargeRasterDir, maxRecordsPerFile = 3815,
+      rowGroupBytes = 8L << 20)
+    native.unpersist()
+    System.err.println(f"[bench] large raster generated in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.0f s")
+    Files.writeString(marker, "ok")
+  }
+
+  /** Rectangle covering exactly tiles [x1..x2]×[y1..y2] at zoom z (inset so
+    * the intersects-polyfill doesn't pick up neighbours). */
+  private def tileRectWkt(x1: Long, y1: Long, x2: Long, y2: Long, z: Int): String = {
+    val eps = 1e-7
+    val w = Quadbin.tileWest(x1, z) + eps
+    val e = Quadbin.tileEast(x2, z) - eps
+    val n = Quadbin.tileNorth(y1, z) - eps
+    val s0 = Quadbin.tileSouth(y2, z) + eps
+    s"POLYGON(($w $s0, $e $s0, $e $n, $w $n, $w $s0))"
+  }
+
+  private def largeRegionStats(s: SparkSession, wkt: String): DataFrame = {
+    val ds = RaquetIO.readRegion(s, LargeRasterDir, wkt, zoom = "max")
+    ds.data
+      .select(rq_clip_stats(col("band_1"), col("block"), ds.meta, "band_1", wkt).as("s"))
+      .agg(rq_stats_merge(col("s")).as("m")).select("m.*")
+  }
+
+  /** The reference's large-scale benchmark shapes (BASELINE.md:30-44,
+    * `scripts/benchmark.py:114-253`): Query A at the three published region
+    * sizes (16 / 1,776 / 60,390 tiles), Query B full-scan decode-stats
+    * suitability, and the top-20 sort. */
+  def largeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bL_region_stats_16" -> ((s: SparkSession, _: String) =>
+      largeRegionStats(s, tileRectWkt(1800, 1800, 1803, 1803, LZ))),
+    "bL_region_stats_1776" -> ((s: SparkSession, _: String) =>
+      largeRegionStats(s, tileRectWkt(1800, 1800, 1847, 1836, LZ))),
+    "bL_region_stats_60390" -> ((s: SparkSession, _: String) =>
+      largeRegionStats(s, tileRectWkt(1800, 1800, 2165, 1964, LZ))),
+    "bL_fullscan_suitable" -> ((s: SparkSession, _: String) => {
+      // Query B: decode every native tile, count mean-slope-suitable cells
+      val ds = RaquetIO.read(s, LargeRasterDir)
+      ds.data.filter(quadbin_zoom(col("block")) === LZ)
+        .select(rq_summary_stats(col("band_1"), ds.meta, "band_1")
+          .getField("mean").as("m"))
+        .agg(count(lit(1)).as("total_cells"),
+          sum(when(col("m") < 30.0, 1L).otherwise(0L)).as("suitable_cells"))
+    }),
+    "bL_top20_flattest" -> ((s: SparkSession, _: String) => {
+      val ds = RaquetIO.read(s, LargeRasterDir)
+      // The suitability filter runs AFTER the top-20: a pre-limit filter on
+      // struct fields gets pushed through the projection and re-expands
+      // rq_summary_stats into the Filter node — 3 tile decodes per row
+      // instead of 1 (measured: 36 s vs 21 s on the 15 GB set). Both
+      // predicates are prefix-closed over the sort order (mean asc; NaN
+      // sorts last, and count=0 ⇒ mean=NaN), so limit-then-filter returns
+      // the identical row set with one decode per tile.
+      ds.data.filter(quadbin_zoom(col("block")) === LZ)
+        .select(col("block"),
+          rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+        .select(col("block"), col("s.mean").as("mean_slope"),
+          col("s.max").as("max_slope"), col("s.count").as("pixel_count"))
+        .orderBy(col("mean_slope").asc, col("block").asc).limit(20)
+        .filter(col("mean_slope") < 30.0 && col("pixel_count") > 0)
+    }))
+
   /** 100 deterministic probe points inside the bench raster's bounds. */
   private def probePoints: Seq[(Double, Double)] =
     (0 until 100).map { i =>
@@ -128,9 +214,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's standard integration path — brings the
+      // QuadbinRangeRewrite pushdown rule into every bench plan
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensureRaster(spark)
+    // SPARK_GRAFT_LARGE=0 skips the 15 GB-class set (dev iteration)
+    val withLarge = sys.env.getOrElse("SPARK_GRAFT_LARGE", "1") != "0"
+    if (withLarge) ensureLargeRaster(spark)
 
     def once(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -138,7 +230,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val queries = rasterQueries ++ dataQueries
+    val queries = rasterQueries ++ dataQueries ++
+      (if (withLarge) largeQueries else Map.empty)
     queries.foreach { case (name, fn) =>
       try once(fn)
       catch { case scala.util.control.NonFatal(e) =>

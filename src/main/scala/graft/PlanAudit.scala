@@ -14,6 +14,7 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val targets = Seq(
@@ -23,7 +24,13 @@ object PlanAudit {
       "q29_embed_knn" -> LlmQueries.q29EmbedKnn _,
       "q36_raster_join" -> RaquetQueries.q36RasterJoin _,
       "q39_asof_join" -> RaquetQueries.q39AsofJoin _,
-      "q46_asof_join_scale" -> RaquetQueries.q46AsofJoinScale _)
+      "q46_asof_join_scale" -> RaquetQueries.q46AsofJoinScale _) ++
+      // the 15 GB-class shapes, when the cached bench raster exists
+      (if (java.nio.file.Files.exists(
+           java.nio.file.Paths.get(Bench.LargeRasterDir)))
+        Seq("bL_top20_flattest" -> Bench.largeQueries("bL_top20_flattest"),
+          "bL_region_stats_60390" -> Bench.largeQueries("bL_region_stats_60390"))
+      else Seq.empty)
     targets.foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
       fn(spark, sfDir).explain("formatted")

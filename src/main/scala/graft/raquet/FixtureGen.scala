@@ -119,6 +119,60 @@ object FixtureGen {
     RaquetIO.writeSingleFile(df, meta, file)
   }
 
+  // --- large-scale bench field (BASELINE.md 15 GB slope-raster class) ---
+
+  /** Slope-like single-band field for the large bench: a smooth base
+    * gradient (0..64°) plus 8×8-block quantized pseudo-noise, tuned so a
+    * gzipped float32 256² tile lands at ~30 KB — the same bytes-per-tile
+    * class as the reference's 14.1 GB / 563K-tile slope raster
+    * (`docs/performance.md:79-84`). All values are multiples of 1/64
+    * (dyadic), so sums stay engine-exact. */
+  def slopeValue(gx: Long, gy: Long): Double = {
+    val base = (((gx * 3 + gy * 7) % 4096 + 4096) % 4096) / 64.0
+    var h = (gx >> 3) * 0x9E3779B97F4A7C15L + (gy >> 3) * 0xC2B2AE3D27D4EB4FL
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    base + java.lang.Long.remainderUnsigned(h, 16L) / 16.0
+  }
+
+  def slopeSchema: StructType = StructType(
+    Seq(StructField("block", LongType, nullable = false),
+      StructField("metadata", StringType),
+      StructField("band_1", BinaryType),
+      StructField("band_1_count", LongType), StructField("band_1_min", DoubleType),
+      StructField("band_1_max", DoubleType), StructField("band_1_sum", DoubleType),
+      StructField("band_1_mean", DoubleType), StructField("band_1_stddev", DoubleType)))
+
+  def slopeMetadata(z: Int, x0: Long, y0: Long, nx: Int, ny: Int, bs: Int,
+      minZoom: Int): RaquetMetadata =
+    metadata(z, x0, y0, nx, ny, bs, minZoom, numBlocks = nx.toLong * ny).copy(
+      bands = Seq(BandMeta("band_1", "float32", None, None, None, Some("gray"), None)))
+
+  /** Native slope tiles, distributed; stats columns included (the
+    * reference's --tile-stats layout). */
+  def slopeTiles(spark: SparkSession, z: Int, x0: Long, y0: Long,
+      nx: Int, ny: Int, bs: Int): DataFrame = {
+    val sc = spark.sparkContext
+    val tiles = for (ty <- 0 until ny; tx <- 0 until nx) yield (x0 + tx, y0 + ty)
+    val slices = math.max(1, math.min(tiles.size, sc.defaultParallelism * 8))
+    val rows = sc.parallelize(tiles, slices).map { case (x, y) =>
+      val n = bs * bs
+      val a = new Array[Double](n)
+      var j = 0
+      while (j < bs) {
+        val gy = y * bs + j
+        var i = 0
+        while (i < bs) { a(j * bs + i) = slopeValue(x * bs + i, gy); i += 1 }
+        j += 1
+      }
+      val s = PixelCodec.maskedStats(a, Double.NaN, null)
+      Row(Quadbin.tileToCell(x, y, z), null,
+        PixelCodec.encode(a, "float32", gzip = true),
+        java.lang.Long.valueOf(s(0).toLong), s(1), s(2), s(3),
+        PixelCodec.statsMean(s), PixelCodec.statsStddev(s))
+    }
+    spark.createDataFrame(rows, slopeSchema)
+  }
+
   // --- interleaved (BIP) layout variant, spec raquet.md:49-57 ---
 
   /** 3-band uint8 pixel formula for the interleaved fixtures. */

@@ -82,10 +82,22 @@ object RaquetIO {
 
   /** OR-of-BETWEEN predicate over compacted Morton ranges. Ranges at zoom z
     * only cover zoom-z ids (zoom bits sit above the Morton bits), so no
-    * residual zoom filter is needed. */
-  def blockRangeFilter(ranges: Array[(Long, Long)]): Column =
-    ranges.map { case (lo, hi) => col("block").between(lo, hi) }
-      .reduceOption(_ || _).getOrElse(lit(false))
+    * residual zoom filter is needed. Reduced as a balanced tree — a
+    * left-nested OR over thousands of legs overflows the stack at plan
+    * conversion time. */
+  def blockRangeFilter(ranges: Array[(Long, Long)]): Column = {
+    if (ranges.isEmpty) return lit(false)
+    var cols = ranges.map { case (lo, hi) => col("block").between(lo, hi) }.toIndexedSeq
+    while (cols.length > 1)
+      cols = cols.grouped(2)
+        .map(g => if (g.length == 2) g(0) || g(1) else g(0)).toIndexedSeq
+    cols.head
+  }
+
+  /** Parquet source filters stop translating past ~64 OR legs, so larger
+    * regions keep a merged-span superset for pushdown (same budget as
+    * [[org.apache.spark.sql.graft.QuadbinRangeRewrite]]). */
+  private val MaxRangeLegs = 64
 
   /** S5: spatial-filter scan. `zoom` accepts an Int, "auto", "min", "max"
     * (spec `raquet.md:293-316`); `mode` is intersects/center/contains
@@ -107,7 +119,17 @@ object RaquetIO {
       case s => meta.clampZoom(s.toInt)
     }
     val ranges = Polyfill.ranges(geom, z)
-    var df = spark.read.parquet(path).filter(blockRangeFilter(ranges))
+    var df = spark.read.parquet(path)
+    if (ranges.length <= MaxRangeLegs) df = df.filter(blockRangeFilter(ranges))
+    else {
+      // merged spans stay pushable; the exact intersect predicate runs as
+      // the post-scan residual (and the optimizer rule keeps it capped)
+      var spans = ranges.toIndexedSeq
+      while (spans.length > MaxRangeLegs)
+        spans = spans.grouped(2).map(g => (g.head._1, g.last._2)).toIndexedSeq
+      df = df.filter(blockRangeFilter(spans.toArray) &&
+        graft.functions.GraftFunctions.st_quadbin_intersects(col("block"), wkt))
+    }
     if (mode != Polyfill.Intersects) {
       val cells = Polyfill.cells(geom, z, mode)
       val cellDf = spark.createDataFrame(
