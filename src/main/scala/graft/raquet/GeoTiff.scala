@@ -18,9 +18,10 @@ import graft.quadbin.Quadbin
   * ImageIO plugin (deflate/LZW/uncompressed decode) + direct GeoTIFF tag
   * handling. Mirrors the reference ingest pipeline
   * (`raquet/raster2raquet.py` §3.1 trace in SURVEY.md) with the scope cuts a
-  * no-GDAL build implies: sources must be EPSG:4326 or EPSG:3857 and
-  * resampling is nearest-neighbour (the reference's default algorithms
-  * beyond NN need GDAL's warp kernels).
+  * no-GDAL build implies: sources must be EPSG:4326 or EPSG:3857. All 14
+  * of the reference's gdalwarp resampling algorithms are implemented
+  * (near/bilinear/cubic/cubicspline/lanczos + the average/sum/rms/min/max/
+  * med/q1/q3/mode footprint statistics).
   *
   * Scale design (mirrors the reference's per-worker `gdal.Warp` windows,
   * `raster2raquet.py:1091-1102`): the DRIVER touches only the TIFF header +
@@ -336,12 +337,48 @@ object GeoTiff {
     math.max(0, math.min(zoom, math.round(mz).toInt))
   }
 
-  /** Warp one mercator tile from the source, nearest-neighbour; null when
-    * every pixel is nodata (empty-tile filter P6). Pixels come from
-    * `sampler` (a window reader at scale, a full [[Source]] in tests). */
+  /** Cubic B-spline basis (GDAL GRA_CubicSpline's smoothing kernel). */
+  private def bspline(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t < 1.0) (3 * t * t * t - 6 * t * t + 4) / 6.0
+    else if (t < 2.0) { val u = 2.0 - t; u * u * u / 6.0 }
+    else 0.0
+  }
+
+  /** Catmull-Rom cubic convolution, a = -0.5 (GDAL GRA_Cubic). */
+  private def catmullRom(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t < 1.0) 1.5 * t * t * t - 2.5 * t * t + 1.0
+    else if (t < 2.0) -0.5 * t * t * t + 2.5 * t * t - 4.0 * t + 2.0
+    else 0.0
+  }
+
+  /** Lanczos windowed sinc, 3 lobes (GDAL GRA_Lanczos). */
+  private def lanczos3(t0: Double): Double = {
+    val t = math.abs(t0)
+    if (t < 1e-12) 1.0
+    else if (t >= 3.0) 0.0
+    else {
+      val pt = math.Pi * t
+      3.0 * math.sin(pt) * math.sin(pt / 3.0) / (pt * pt)
+    }
+  }
+
+  /** Warp one mercator tile from the source; null when every pixel is
+    * nodata (empty-tile filter P6). Pixels come from `sampler` (a window
+    * reader at scale, a full [[Source]] in tests).
+    *
+    * `resampling` covers all 14 of the reference's gdalwarp algorithms
+    * (`raster2raquet.py:82-101`): the convolution kernels "near" (default),
+    * "bilinear", "cubic" (Catmull-Rom), "cubicspline" (4×4 B-spline),
+    * "lanczos" (3-lobe windowed sinc), and the footprint box statistics
+    * "average"/"sum"/"rms"/"min"/"max"/"med"/"q1"/"q3"/"mode". Kernels are
+    * nodata-aware: invalid/out-of-window neighbours drop out and the
+    * remaining weights renormalize; a pixel whose nearest source sample is
+    * nodata stays nodata. */
   def warpTile(s: SourceInfo, sampler: PixelSampler, band: Int,
       x: Long, y: Long, z: Int, bs: Int,
-      win: (Int, Int, Int, Int)): Array[Double] = {
+      win: (Int, Int, Int, Int), resampling: String = "near"): Array[Double] = {
     val mb = {
       val size = CE / (1L << z)
       val west = -CE / 2 + x * size
@@ -350,6 +387,108 @@ object GeoTiff {
     }
     val (wx, wy, ww, wh) = win
     val fill = s.nodata.getOrElse(0.0)
+    def isValid(v: Double): Boolean = !(s.nodata.contains(v) || v.isNaN)
+    def at(px: Int, py: Int): Double =
+      if (px < wx || px >= wx + ww || py < wy || py >= wy + wh) fill
+      else sampler.sample(band, px, py)
+
+    /** Weighted neighbourhood sum with nodata renormalization. */
+    def kernelAt(u: Double, v: Double, radius: Int,
+        wfn: Double => Double): Double = {
+      val i0 = math.floor(u - 0.5).toInt
+      val j0 = math.floor(v - 0.5).toInt
+      val nn = at(math.floor(u).toInt, math.floor(v).toInt)
+      if (!isValid(nn)) return fill
+      var num = 0.0; var den = 0.0
+      var dj = -radius + 1
+      while (dj <= radius) {
+        val wy0 = wfn(v - 0.5 - (j0 + dj))
+        if (wy0 != 0.0) {
+          var di = -radius + 1
+          while (di <= radius) {
+            val wx0 = wfn(u - 0.5 - (i0 + di))
+            if (wx0 != 0.0) {
+              val pv = at(i0 + di, j0 + dj)
+              if (isValid(pv)) { num += wx0 * wy0 * pv; den += wx0 * wy0 }
+            }
+            di += 1
+          }
+        }
+        dj += 1
+      }
+      if (den <= 0.0) fill else num / den
+    }
+
+    /** Reduce the valid source pixels in the target pixel's footprint with
+      * one of the box statistics (GDAL's average/sum/rms/min/max/med/q1/q3/
+      * mode family). Quartiles use the lower-interpolation convention and
+      * mode ties resolve to the smallest value, matching GDAL's overview
+      * resamplers. */
+    def footprintAt(u: Double, v: Double, su: Double, sv: Double,
+        stat: String): Double = {
+      val nn = at(math.floor(u).toInt, math.floor(v).toInt)
+      if (!isValid(nn)) return fill
+      val hu = math.max(0.5, su / 2); val hv = math.max(0.5, sv / 2)
+      val i1 = math.floor(u - hu + 0.5).toInt
+      val i2 = math.max(i1 + 1, math.ceil(u + hu - 0.5).toInt)
+      val j1 = math.floor(v - hv + 0.5).toInt
+      val j2 = math.max(j1 + 1, math.ceil(v + hv - 0.5).toInt)
+      val vals = new java.util.ArrayList[java.lang.Double]()
+      var j0 = j1
+      while (j0 < j2) {
+        var i0 = i1
+        while (i0 < i2) {
+          val pv = at(i0, j0)
+          if (isValid(pv)) vals.add(pv)
+          i0 += 1
+        }
+        j0 += 1
+      }
+      val n = vals.size
+      if (n == 0) return fill
+      stat match {
+        case "average" | "sum" | "rms" =>
+          var acc = 0.0
+          var k = 0
+          while (k < n) {
+            val pv = vals.get(k)
+            acc += (if (stat == "rms") pv * pv else pv.doubleValue); k += 1
+          }
+          if (stat == "sum") acc
+          else if (stat == "rms") math.sqrt(acc / n)
+          else acc / n
+        case "min" | "max" | "med" | "q1" | "q3" =>
+          val arr = new Array[Double](n)
+          var k = 0
+          while (k < n) { arr(k) = vals.get(k); k += 1 }
+          java.util.Arrays.sort(arr)
+          stat match {
+            case "min" => arr(0)
+            case "max" => arr(n - 1)
+            case "med" => arr((n - 1) / 2)
+            case "q1"  => arr((n - 1) / 4)
+            case "q3"  => arr(3 * (n - 1) / 4)
+          }
+        case "mode" =>
+          val arr = new Array[Double](n)
+          var k = 0
+          while (k < n) { arr(k) = vals.get(k); k += 1 }
+          java.util.Arrays.sort(arr)
+          var best = arr(0); var bestRun = 1
+          var run = 1
+          k = 1
+          while (k < n) {
+            if (arr(k) == arr(k - 1)) run += 1 else run = 1
+            if (run > bestRun) { bestRun = run; best = arr(k) }
+            k += 1
+          }
+          best
+      }
+    }
+
+    // interpolated values on integer dtypes round like GDAL (encode would
+    // otherwise truncate toward zero and bias the stats)
+    val integral = s.dtype.startsWith("int") || s.dtype.startsWith("uint")
     val out = new Array[Double](bs * bs)
     var any = false
     var j = 0
@@ -359,13 +498,30 @@ object GeoTiff {
       while (i < bs) {
         val mx = mb._1 + (i + 0.5) * mb._3
         val (sx, sy) = toSource(s, mx, my)
-        val px = math.floor((sx - s.x0) / s.dx).toInt
-        val py = math.floor((sy - s.y0) / s.dy).toInt
-        val v =
-          if (px < wx || px >= wx + ww || py < wy || py >= wy + wh) fill
-          else sampler.sample(band, px, py)
-        out(j * bs + i) = v
-        if (!any && !(s.nodata.contains(v) || v.isNaN)) any = true
+        val u = (sx - s.x0) / s.dx
+        val v = (sy - s.y0) / s.dy
+        val raw = resampling match {
+          case "near" => at(math.floor(u).toInt, math.floor(v).toInt)
+          case "bilinear" => kernelAt(u, v, 1, t => math.max(0.0, 1.0 - math.abs(t)))
+          case "cubic" => kernelAt(u, v, 2, catmullRom)
+          case "cubicspline" => kernelAt(u, v, 2, bspline)
+          case "lanczos" => kernelAt(u, v, 3, lanczos3)
+          case "average" | "sum" | "rms" | "min" | "max" | "med" | "q1" | "q3"
+             | "mode" =>
+            // footprint: one output step in source px, per axis
+            val (sx1, sy1) = toSource(s, mx + mb._3, my - mb._3)
+            footprintAt(u, v, math.abs((sx1 - sx) / s.dx),
+              math.abs((sy1 - sy) / s.dy), resampling)
+          case other => throw new IllegalArgumentException(
+            s"resampling $other unsupported — one of near/bilinear/cubic/" +
+              "cubicspline/lanczos/average/sum/rms/min/max/med/q1/q3/mode " +
+              "(gdalwarp -r, raster2raquet.py:82-101)")
+        }
+        val value =
+          if (integral && resampling != "near" && isValid(raw)) math.rint(raw)
+          else raw
+        out(j * bs + i) = value
+        if (!any && isValid(value)) any = true
         i += 1
       }
       j += 1
@@ -388,11 +544,14 @@ object GeoTiff {
       val (sx, sy) = toSource(s, mx, my)
       (math.floor((sx - s.x0) / s.dx).toInt, math.floor((sy - s.y0) / s.dy).toInt)
     }
+    // margin 3 covers every kernel's support (lanczos reaches ±3 px around
+    // floor(u-0.5), i.e. -3..+3 around floor(u); average footprints half an
+    // output step) plus floor rounding
     val (wx, wy, ww, wh) = win
-    val x3 = math.max(wx, pts.map(_._1).min - 1)
-    val x4 = math.min(wx + ww, pts.map(_._1).max + 2)
-    val y3 = math.max(wy, pts.map(_._2).min - 1)
-    val y4 = math.min(wy + wh, pts.map(_._2).max + 2)
+    val x3 = math.max(wx, pts.map(_._1).min - 3)
+    val x4 = math.min(wx + ww, pts.map(_._1).max + 4)
+    val y3 = math.max(wy, pts.map(_._2).min - 3)
+    val y4 = math.min(wy + wh, pts.map(_._2).max + 4)
     (x3, y3, x4 - x3, y4 - y3)
   }
 
@@ -403,7 +562,7 @@ object GeoTiff {
     * the reference CLI). Returns the metadata written. */
   def convert(spark: SparkSession, tifPath: String, outFile: String,
       blockZoom: Int = 8, zoomStrategy: String = "auto",
-      tileStats: Boolean = false): RaquetMetadata = {
+      tileStats: Boolean = false, resampling: String = "near"): RaquetMetadata = {
     val src = readInfo(tifPath) // tags only — driver never touches pixels
     val bs = 1 << blockZoom
     val win = pixelWindow(src)
@@ -472,7 +631,7 @@ object GeoTiff {
             // empty-tile filter P6 belongs to the imageserver source), so
             // every enumerated tile becomes a row
             val bands = (0 until src.bands).map(b =>
-              warpTile(src, sampler, b, tx, ty, zoom, bs, win))
+              warpTile(src, sampler, b, tx, ty, zoom, bs, win, resampling))
             val blobs = bands.map { arr =>
               val a = if (arr != null) arr else Array.fill(bs * bs)(fill)
               PixelCodec.encode(a, src.dtype, gzip = true)

@@ -46,8 +46,11 @@ class GeoTiffSpec extends SparkSpec {
 
   test("n37 DEM (geographic, int16, uncompressed) converts with golden tiling") {
     val out = tmp("n37.parquet")
+    // the reference test converts this DEM with CubicSpline
+    // (tests/test_geotiff2raquet.py:128); same kernel here
     val meta = GeoTiff.convert(spark,
-      "/root/reference/tests/n37_w123_1arc_v2.tif", out, zoomStrategy = "lower")
+      "/root/reference/tests/n37_w123_1arc_v2.tif", out, zoomStrategy = "lower",
+      resampling = "cubicspline")
     // goldens from tests/test_geotiff2raquet.py:120-157
     assert(meta.maxZoom == 11)
     assert(meta.minZoom == 10)
@@ -58,9 +61,54 @@ class GeoTiffSpec extends SparkSpec {
     assert(meta.bands.head.nodata.contains(-32767.0))
     val b = meta.bounds.map(v => math.rint(v * 1000) / 1000)
     assert(b.toSeq == Seq(-122.695, 37.579, -122.344, 37.858))
-    // NN vs reference CubicSpline: means agree loosely (golden 38.1 places=0)
+    // golden STATISTICS_MEAN 38.1 / STATISTICS_STDDEV 54.6 (places=0)
     val st = meta.bands.head.stats.get
-    assert(math.abs(st._3 - 38.1) < 2.0, s"mean ${st._3}")
+    assert(math.abs(st._3 - 38.1) < 0.5, s"mean ${st._3}")
+    // The golden stddev uses the reference's combine_stats, which merges
+    // per-tile stddevs as a count-weighted AVERAGE (raster2raquet.py:493)
+    // — it drops the between-tile mean variance. Ours is the exact pooled
+    // stddev (A3), so compare the golden against the same approximation
+    // recomputed from our tiles, and sanity-bound the exact value.
+    val ds = RaquetIO.read(spark, out)
+    val perTile = ds.data
+      .filter(graft.functions.GraftFunctions.quadbin_zoom(col("block")) === meta.maxZoom)
+      .select(graft.functions.GraftFunctions.rq_summary_stats(
+        col("band_1"), ds.meta, "band_1").as("s"))
+      .select("s.count", "s.sum", "s.sum_sq").collect()
+    val totalN = perTile.map(_.getLong(0)).sum.toDouble
+    val refStyle = perTile.map { r =>
+      val n = r.getLong(0).toDouble; val s = r.getDouble(1); val q = r.getDouble(2)
+      (n / totalN) * math.sqrt(math.max(0.0, q / n - (s / n) * (s / n)))
+    }.sum
+    assert(math.abs(refStyle - 54.6) < 0.5, s"reference-style stddev $refStyle")
+    assert(st._4 > refStyle && st._4 < 60.0, s"exact pooled stddev ${st._4}")
+  }
+
+  test("every non-near kernel reproduces an aligned identity warp") {
+    // europe.tif is exactly mercator-grid-aligned: every interpolating
+    // kernel must return the original pixels — convolution weights collapse
+    // onto sample centers, and each footprint statistic sees a single-pixel
+    // box (rms and mode included: |v| = v for uint8, mode of one value is
+    // itself). cubicspline is deliberately absent: a B-spline SMOOTHS even
+    // on aligned grids (w(0)=2/3), and is covered by the n37 golden test.
+    for (alg <- Seq("bilinear", "cubic", "lanczos", "average",
+        "sum", "rms", "min", "max", "med", "q1", "q3", "mode")) {
+      val out = tmp(s"europe_$alg.parquet")
+      val meta = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
+        out, resampling = alg)
+      val st = meta.bands.head.stats.get
+      assert(math.abs(st._3 - 166.0527229309082) < 1e-9, s"$alg mean ${st._3}")
+    }
+  }
+
+  test("unknown resampling algorithm fails loudly") {
+    val e = intercept[Exception] {
+      GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
+        tmp("bad.parquet"), resampling = "mediocre")
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause != null) rootMsg(t.getCause) else String.valueOf(t.getMessage)
+    assert((e.getMessage + rootMsg(e)).contains("unsupported"))
   }
 
   test("big-world.tif (global wrap) matches golden tiling; validate is green") {
