@@ -32,6 +32,16 @@ object QuadbinRangeRewrite extends Rule[LogicalPlan] {
       val rewritten = conjuncts.map {
         case q @ QuadbinIntersects(attr: Attribute, wkt, false) =>
           And(rangePredicate(attr, wkt), QuadbinIntersects(attr, wkt, expanded = true))
+        // zoom-equality: the zoom bits sit above the Morton bits, so all
+        // zoom-z ids form ONE contiguous block range — pushdown-able where
+        // the quadbin_zoom() expression itself is not. The already-present
+        // check keeps the rewrite idempotent across optimizer iterations.
+        case e @ EqualTo(QuadbinZoom(attr: Attribute), Literal(z: Int, _))
+            if z >= 0 && z <= 26 && !hasZoomRange(conjuncts, attr, z) =>
+          And(zoomRange(attr, z), e)
+        case e @ EqualTo(Literal(z: Int, _), QuadbinZoom(attr: Attribute))
+            if z >= 0 && z <= 26 && !hasZoomRange(conjuncts, attr, z) =>
+          And(zoomRange(attr, z), e)
         case other => other
       }
       if (rewritten == conjuncts) f
@@ -42,6 +52,22 @@ object QuadbinRangeRewrite extends Rule[LogicalPlan] {
     case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
     case other => Seq(other)
   }
+
+  /** All ids of one zoom: [header | z<<52, header | z<<52 | 2^52-1]. */
+  private def zoomLo(z: Int): Long = 0x4800000000000000L | (z.toLong << 52)
+
+  private def zoomRange(attr: Attribute, z: Int): Expression = {
+    val lo = zoomLo(z)
+    val hi = lo | ((1L << 52) - 1)
+    And(GreaterThanOrEqual(attr, Literal(lo)), LessThanOrEqual(attr, Literal(hi)))
+  }
+
+  private def hasZoomRange(conjuncts: Seq[Expression], attr: Attribute, z: Int): Boolean =
+    conjuncts.exists {
+      case GreaterThanOrEqual(a: Attribute, Literal(l: Long, _)) =>
+        a.semanticEquals(attr) && l == zoomLo(z)
+      case _ => false
+    }
 
   /** OR over zooms 0..26 of the BETWEEN ranges covering the geometry —
     * zoom bits sit above the Morton bits, so each zoom's ranges only match

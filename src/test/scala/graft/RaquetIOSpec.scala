@@ -112,6 +112,40 @@ class RaquetIOSpec extends SparkSpec {
     }
   }
 
+  test("QuadbinRangeRewrite pushes quadbin_zoom equality as one block range") {
+    import org.apache.spark.sql.graft.QuadbinRangeRewrite
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ QuadbinRangeRewrite
+    try {
+      val df = spark.read.parquet(fixture)
+        .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === 6)
+      // the explain string elides long PushedFilters lists, so assert the
+      // GTE marker there and the full pair on the optimized condition
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(block"),
+        s"zoom range not pushed:\n${plan.take(2000)}")
+      // idempotent across optimizer fixpoint iterations: exactly one range
+      // pair in the post-scan filter, not one per iteration
+      val cond = df.queryExecution.optimizedPlan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
+      val gte = cond.collect { case _: GreaterThanOrEqual => 1 }.sum
+      val lte = cond.collect { case _: LessThanOrEqual => 1 }.sum
+      assert(gte == 1 && lte == 1, s"zoom-range conjuncts gte=$gte lte=$lte: $cond")
+      // semantics preserved
+      val got = df.select("block").collect().map(_.getLong(0)).toSet
+      val expected = spark.read.parquet(fixture)
+        .filter(col("block") =!= 0L).select("block").collect()
+        .map(_.getLong(0)).filter(Quadbin.zoom(_) == 6).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == org.apache.spark.sql.graft.QuadbinRangeRewrite)
+    }
+  }
+
   test("region stats via clip + merge match a brute-force JVM computation") {
     val meta = RaquetIO.readMetadata(spark, fixture)
     val w = Quadbin.tileWest(33, 6) + 0.05
