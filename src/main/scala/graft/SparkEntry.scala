@@ -66,6 +66,9 @@ object SparkEntry {
     "q45_partition_readback" -> (RaquetQueries.q45PartitionReadback _),
     "q46_asof_join_scale"   -> (RaquetQueries.q46AsofJoinScale _),
     "q47_splitzoom_readback" -> (RaquetQueries.q47SplitZoomReadback _),
+    "q48_simhash_join"      -> (LlmQueries.q48SimhashJoin _),
+    "q49_salted_agg"        -> (Relational.q49SaltedAgg _),
+    "q50_inspect"           -> (RaquetQueries.q50Inspect _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -195,5 +198,12 @@ object SparkEntry {
     // q46 is the union+window scale twin of q39 — same oracle result set
     "q46_asof_join_scale"   -> RaquetOracles.q39,
     "q47_splitzoom_readback" -> RaquetOracles.q47,
+    "q48_simhash_join"      -> LlmOracles.q48,
+    // q49: the salted two-stage agg must equal the plain groupBy
+    "q49_salted_agg" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                sum(l_quantity) AS sum_l_quantity
+         FROM lineitem GROUP BY l_returnflag""",
+    "q50_inspect"           -> RaquetOracles.q50,
   )
 }

@@ -75,6 +75,28 @@ object LlmOracles {
           CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS fingerprint
         FROM bits GROUP BY doc_id"""
 
+  /** q48: the all-pairs answer the blocked join must equal — fingerprints
+    * re-derived as in q28 (over docs ∪ exact dups), then brute-force
+    * hamming ≤ 3. Proves the 4×15-bit pigeonhole blocking is lossless. */
+  val q48: String =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 100000 AS doc_id, text FROM documents
+               WHERE doc_id % 10 = 0),
+        toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM docs2),
+        h AS (SELECT doc_id, ${h60("tok")} AS h FROM toks),
+        bits AS (SELECT doc_id, b,
+                 sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+               FROM h, range(60) r(b) GROUP BY doc_id, b),
+        fp AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS f
+               FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS da, b.doc_id AS db,
+          CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3"""
+
   val q29: String = {
     val dotQC = foldSum(64, "qe[i]::DOUBLE * ce[i]::DOUBLE")
     val nQ = foldSum(64, "qe[i]::DOUBLE * qe[i]::DOUBLE")

@@ -53,6 +53,15 @@ object LlmQueries {
     EmbedOps.hyperplaneBuckets(Tables.embeddings(spark, dir))
       .select("vec_id", "bucket", "label")
 
+  /** SimHash blocked hamming self-join (the near-dup SCALE path): 4×15-bit
+    * chunk blocking — pigeonhole-complete for hamming ≤ 3 — then exact
+    * hamming on candidates only. Runs over docs ∪ exact copies so pairs
+    * provably exist; the oracle re-runs the fingerprint and confirms the
+    * full all-pairs answer, proving the blocking loses nothing. */
+  def q48SimhashJoin(spark: SparkSession, dir: String): DataFrame =
+    TextOps.simhashNearDups(TextOps.simhash(withExactDups(docs(spark, dir))),
+      maxHamming = 3)
+
   /** Per-doc text quality/analysis metrics. */
   def q31TextMetrics(spark: SparkSession, dir: String): DataFrame =
     TextOps.textMetrics(docs(spark, dir))

@@ -288,6 +288,34 @@ object RaquetOracles {
           count(*) AS meta_num_blocks, sum(band_2_sum) AS b2_sum
         FROM read_parquet('$F') WHERE block <> 0 GROUP BY $Z"""
 
+  /** q50: re-derive the inspect summary from raw parquet — metadata JSON
+    * fields by regexp (Jackson writes compact JSON, keys are unique; the
+    * quoted-key patterns can't match inside "block_width"/"block_height"),
+    * zoom census from block bit-math, band list by zipping the per-band
+    * "name"/"type" occurrences. */
+  val q50: String = {
+    val names = s"""regexp_extract_all(metadata, '"name":"([^"]+)"', 1)"""
+    val types = s"""regexp_extract_all(metadata, '"type":"([^"]+)"', 1)"""
+    s"""SELECT
+          regexp_extract(metadata, '"version":"([^"]+)"', 1) AS version,
+          CAST(regexp_extract(metadata, '"width":([0-9]+)', 1) AS INT) AS width,
+          CAST(regexp_extract(metadata, '"height":([0-9]+)', 1) AS INT) AS height,
+          regexp_extract(metadata, '"crs":"([^"]+)"', 1) AS crs,
+          coalesce(nullif(regexp_extract(metadata, '"compression":"([^"]+)"', 1), ''), 'none') AS compression,
+          regexp_extract(metadata, '"band_layout":"([^"]+)"', 1) AS band_layout,
+          CAST(regexp_extract(metadata, '"block_width":([0-9]+)', 1) AS INT) AS block_width,
+          CAST(regexp_extract(metadata, '"block_height":([0-9]+)', 1) AS INT) AS block_height,
+          CAST(regexp_extract(metadata, '"min_zoom":([0-9]+)', 1) AS INT) AS min_zoom,
+          CAST(regexp_extract(metadata, '"max_zoom":([0-9]+)', 1) AS INT) AS max_zoom,
+          CAST(regexp_extract(metadata, '"num_blocks":([0-9]+)', 1) AS BIGINT) AS num_blocks,
+          array_to_string(list_transform(range(1, len($names) + 1),
+            i -> $names[i] || ':' || $types[i]), ',') AS bands,
+          (SELECT string_agg(s, ',' ORDER BY s) FROM (
+             SELECT 'z' || CAST($Z AS VARCHAR) || '=' || CAST(count(*) AS VARCHAR) AS s
+             FROM read_parquet('$F') WHERE block <> 0 GROUP BY $Z)) AS tiles_per_zoom
+        FROM read_parquet('$F') WHERE block = 0"""
+  }
+
   val q37: String = {
     val FB = RaquetQueries.FixtureBip
     s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m

@@ -374,6 +374,14 @@ object RaquetQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** M1 inspect as a driver query: the one-row dataset summary
+    * (`cli.py` `inspect` semantics) over the fixture. The oracle re-derives
+    * every column from the raw parquet — metadata JSON via regexp, zoom
+    * census via block bit-math — so the metadata parse path is verified
+    * end-to-end. */
+  def q50Inspect(spark: SparkSession, dir: String): DataFrame =
+    graft.raquet.Maintenance.inspect(spark, Fixture)
+
   /** Interleaved (BIP) layout: gunzip the whole-tile payload, de-interleave
     * band_2 (F9), decode, per-tile stats — the `tci_interleaved_gzip`-shaped
     * read path, spec `raquet.md:49-57`. */

@@ -200,6 +200,15 @@ object Relational {
       .select($"o_custkey", (-$"m.neg_key").as("o_orderkey"), $"m.o_totalprice")
   }
 
+  /** Two-stage salted aggregation ([[Skew.saltedCountSum]], the hot-key
+    * mitigation path): partial agg on (key, salt) bounds any single task to
+    * ~1/salts of a hot key's rows; the final agg merges partials. Results
+    * are provably identical to the plain groupBy the oracle runs
+    * (l_quantity values are dyadic, so the extra merge step is exact). */
+  def q49SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountSum(Tables.lineitem(spark, dir), "l_returnflag",
+      "l_quantity", salts = 8)
+
   /** HLL distinct counts — the scale path flagged in q6's comment. Sketch
     * values are engine-specific, so the hashable output is the invariant:
     * exact counts plus booleans asserting the HLL estimate lands within its
