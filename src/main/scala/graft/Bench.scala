@@ -184,9 +184,11 @@ object Bench {
         .select(col("block"), col("band_2_mean"))
         .orderBy(col("band_2_mean").asc, col("block").asc).limit(20)),
     "b_pyramid_build" -> ((s: SparkSession, _: String) => {
+      // the realistic M5 workload: parents + recomputed per-band stats
+      // (what convert/write produce), not a stats-stripped projection
       val ds = RaquetIO.read(s, RasterDir)
       val native = ds.data.filter(quadbin_zoom(col("block")) === 10)
-        .select("block", "band_1", "band_2")
+        .drop("metadata")
       graft.raquet.Pyramid.buildLevel(native, ds.meta, 9)
     }))
 

@@ -57,6 +57,13 @@ object GraftFunctions {
   def rq_stats_merge(stats: Column): Column =
     col(RqStatsMerge(ex(stats)).toAggregateExpression())
 
+  /** Pyramid parent-tile build (M5) as a partial-mergeable aggregate: group
+    * by `quadbin_ancestor(block, z)` and fold each child into its quadrant
+    * map-side, so Morton-sorted inputs shuffle one buffer per parent. */
+  def rq_parent_tile(block: Column, band: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqParentTile(ex(block), ex(band), BandKernel(meta, name)).toAggregateExpression())
+
   // --- CF time + multimodal ---
 
   def cf_to_timestamp(value: Column, units: String,

@@ -1,75 +1,57 @@
 package graft.raquet
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-
-import graft.quadbin.Quadbin
+import org.apache.spark.sql.DataFrame
 
 /** Overview (pyramid) build as a bottom-up Spark reduce (M5).
   *
   * The reference builds overviews top-down with recursive GDAL-warped VRT
   * mosaics inside one process (`raquet/raster2raquet.py:1066-1187`). The
-  * Spark-native inversion: level z-1 = `groupByKey(ancestor(block, z-1))`
-  * over level z, each group of ≤4 children reducing to one parent tile via
-  * nodata-aware 2×2 averaging ([[Downsample.parentTile]]). One shuffle per
-  * level, each level 4× smaller than the last — total shuffle volume is
-  * bounded by 1/3 of the native level, and no level's fan-in exceeds 4.
+  * Spark-native inversion: level z-1 = `groupBy(ancestor(block, z-1))` over
+  * level z, each group of ≤4 children reducing to one parent tile via the
+  * nodata-aware 2×2 averaging aggregate
+  * ([[org.apache.spark.sql.graft.RqParentTile]]). One shuffle per level,
+  * each level 4× smaller than the last — total shuffle volume is bounded by
+  * 1/3 of the native level (and by ~1/12 with map-side partials on
+  * Morton-sorted input), and no level's fan-in exceeds 4.
   */
 object Pyramid {
 
   /** One level: parent tiles at `parentZoom` from child tiles at
     * `parentZoom + 1`. Input columns: `block`, one binary column per band in
     * `meta.bands`, and (optionally) `{band}_{stat}` columns, which are
-    * recomputed for the parents. */
+    * recomputed for the parents.
+    *
+    * Shape: `groupBy(ancestor)` + one [[RqParentTile]] aggregate per band —
+    * a partial-mergeable ObjectHashAggregate, NOT `mapGroups`. Children of a
+    * parent are Morton-adjacent, so on Morton-sorted inputs the map-side
+    * partial completes each parent locally and one dtype-encoded buffer per
+    * parent crosses the exchange (vs four full child rows + a Row-encoder
+    * round-trip in the groupByKey shape). */
   def buildLevel(level: DataFrame, meta: RaquetMetadata, parentZoom: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.GraftFunctions.{quadbin_ancestor, rq_parent_tile}
     val schema = level.schema
     val bandNames = meta.bands.map(_.name)
-    val kernels = bandNames.map(n => BandKernel(meta, n)).toArray
-    val blockIdx = schema.fieldIndex("block")
-    val bandIdx = bandNames.map(schema.fieldIndex).toArray
-    val statIdx: Array[Array[Int]] = bandNames.map { n =>
-      if (schema.fieldNames.contains(s"${n}_count"))
-        Array("count", "min", "max", "sum", "mean", "stddev")
-          .map(s => schema.fieldIndex(s"${n}_$s"))
-      else Array.empty[Int]
-    }.toArray
-
-    implicit val rowEnc = Encoders.row(schema)
-    level.groupByKey(r => Quadbin.ancestor(r.getLong(blockIdx), parentZoom))(Encoders.scalaLong)
-      .mapGroups { (parent, it) =>
-        // Morton child order: pos = (x&1) + 2*(y&1)
-        val kids = new Array[Row](4)
-        it.foreach { r =>
-          val b = r.getLong(blockIdx)
-          val pos = ((Quadbin.tileX(b) & 1) + 2 * (Quadbin.tileY(b) & 1)).toInt
-          kids(pos) = r
-        }
-        val values = new Array[Any](schema.length)
-        values(blockIdx) = parent
-        var k = 0
-        while (k < kernels.length) {
-          def blob(pos: Int): Array[Byte] =
-            if (kids(pos) == null) null
-            else kids(pos).getAs[Array[Byte]](bandIdx(k))
-          val tile = Downsample.parentTile(kernels(k), blob(0), blob(1), blob(2), blob(3))
-          values(bandIdx(k)) = tile
-          if (statIdx(k).nonEmpty) {
-            val s = PixelCodec.maskedStats(kernels(k).decode(tile), kernels(k).nodata, null)
-            val si = statIdx(k)
-            if (s == null) {
-              values(si(0)) = 0L
-            } else {
-              values(si(0)) = s(0).toLong
-              values(si(1)) = s(1)
-              values(si(2)) = s(2)
-              values(si(3)) = s(3)
-              values(si(4)) = PixelCodec.statsMean(s)
-              values(si(5)) = PixelCodec.statsStddev(s)
-            }
-          }
-          k += 1
-        }
-        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(values, schema): Row
-      }(rowEnc)
+    val aggs = bandNames.map(n =>
+      rq_parent_tile(col("block"), col(n), meta, n).as(s"_p_$n"))
+    val grouped = level
+      .groupBy(quadbin_ancestor(col("block"), lit(parentZoom)).as("block"))
+      .agg(aggs.head, aggs.tail: _*)
+    // project back to the input column order/names; non-band extras (e.g.
+    // the metadata string column) are null on parent rows
+    val statNames = Set("count", "min", "max", "sum", "mean", "stddev")
+    val out = schema.fields.map { f =>
+      val s = f.name
+      val cut = s.lastIndexOf('_')
+      val (band, stat) =
+        if (cut < 0) ("", "") else (s.substring(0, cut), s.substring(cut + 1))
+      if (s == "block") col("block")
+      else if (bandNames.contains(s)) col(s"_p_$s").getField("tile").as(s)
+      else if (bandNames.contains(band) && statNames.contains(stat))
+        col(s"_p_$band").getField(stat).as(s)
+      else lit(null).cast(f.dataType).as(s)
+    }
+    grouped.select(out.toIndexedSeq: _*)
   }
 
   /** Full pyramid: native tiles + all levels down to `minZoom`, unioned.

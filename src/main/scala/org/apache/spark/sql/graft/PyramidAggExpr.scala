@@ -1,0 +1,147 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types._
+
+import graft.raquet.{BandKernel, Downsample, PixelCodec}
+
+/** Mutable aggregation state for [[RqParentTile]]: the ≤4 child blobs of
+  * one parent, indexed by Morton quadrant ((x&1) + 2*(y&1)). Blobs are
+  * stashed as-is — no decode happens before [[RqParentTile.eval]]. */
+final class ParentTileBuffer(val blobs: Array[Array[Byte]])
+
+/** rq_parent_tile(block, band) — builds one overview (pyramid) parent tile
+  * from its ≤4 children as a partial-mergeable AGGREGATE (M5 scale path).
+  *
+  * Placement is deliberate: `update`/`merge`/`serialize` only move the
+  * already-compressed child blobs (zero decode work, exchange bytes ≈ the
+  * input data itself), and ALL pixel work — decode 4, nodata-aware 2×2
+  * average ([[graft.raquet.Downsample.parentTile]]), dtype+gzip encode,
+  * stats — runs once per parent in `eval` on the post-exchange side, which
+  * parallelizes across `spark.sql.shuffle.partitions` regardless of how few
+  * input partitions the level has. vs the previous `groupByKey`/`mapGroups`
+  * shape this drops the Row-encoder round-trip and the non-band columns
+  * (per-child stats, metadata) from the exchange, and being a real
+  * aggregate it partial-merges instead of requiring whole-group iterators.
+  *
+  * Output struct: `tile` (encoded parent blob) + the six `{band}_{stat}`
+  * values recomputed over the parent (count=0 + null stats when the parent
+  * has no valid pixels, matching the writer's empty-stats convention).
+  */
+case class RqParentTile(
+    block: Expression,
+    blob: Expression,
+    kernel: BandKernel,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ParentTileBuffer] with BinaryLike[Expression] {
+
+  override def prettyName: String = "rq_parent_tile"
+  override def left: Expression = block
+  override def right: Expression = blob
+  override def nullable: Boolean = false
+  override def dataType: DataType = RqParentTile.schema
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (block.dataType == LongType && blob.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rq_parent_tile expects (BIGINT block, BINARY band), got " +
+        s"(${block.dataType.catalogString}, ${blob.dataType.catalogString})")
+
+  override def createAggregationBuffer(): ParentTileBuffer =
+    new ParentTileBuffer(new Array[Array[Byte]](4))
+
+  override def update(buf: ParentTileBuffer, input: InternalRow): ParentTileBuffer = {
+    val blockVal = block.eval(input)
+    if (blockVal == null) return buf
+    val b = blockVal.asInstanceOf[Long]
+    val raw = blob.eval(input).asInstanceOf[Array[Byte]]
+    if (raw == null) return buf // empty child: quadrant stays absent → fill
+    val pos = ((graft.quadbin.Quadbin.tileX(b) & 1) +
+      2 * (graft.quadbin.Quadbin.tileY(b) & 1)).toInt
+    buf.blobs(pos) = raw
+    buf
+  }
+
+  override def merge(buf: ParentTileBuffer, other: ParentTileBuffer): ParentTileBuffer = {
+    // each child lands in exactly one partial, so quadrants are disjoint
+    var pos = 0
+    while (pos < 4) {
+      if (other.blobs(pos) != null) buf.blobs(pos) = other.blobs(pos)
+      pos += 1
+    }
+    buf
+  }
+
+  override def eval(buf: ParentTileBuffer): Any = {
+    val tile = Downsample.parentTile(kernel,
+      buf.blobs(0), buf.blobs(1), buf.blobs(2), buf.blobs(3))
+    // stats from the DECODED tile (post dtype rounding), exactly as the
+    // writer computes them — keeps parents and natives comparable
+    val s = PixelCodec.maskedStats(kernel.decode(tile), kernel.nodata, null)
+    if (s == null)
+      new GenericInternalRow(Array[Any](tile, 0L, null, null, null, null, null))
+    else
+      new GenericInternalRow(Array[Any](tile, s(0).toLong, s(1), s(2), s(3),
+        PixelCodec.statsMean(s), PixelCodec.statsStddev(s)))
+  }
+
+  /** [present mask byte][per present quadrant: 4-byte length + blob]. */
+  override def serialize(buf: ParentTileBuffer): Array[Byte] = {
+    var mask = 0
+    var total = 1
+    var pos = 0
+    while (pos < 4) {
+      if (buf.blobs(pos) != null) { mask |= 1 << pos; total += 4 + buf.blobs(pos).length }
+      pos += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.put(mask.toByte)
+    pos = 0
+    while (pos < 4) {
+      val b = buf.blobs(pos)
+      if (b != null) { bb.putInt(b.length); bb.put(b) }
+      pos += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ParentTileBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val mask = bb.get() & 0xF
+    val blobs = new Array[Array[Byte]](4)
+    var pos = 0
+    while (pos < 4) {
+      if ((mask & (1 << pos)) != 0) {
+        val b = new Array[Byte](bb.getInt())
+        bb.get(b)
+        blobs(pos) = b
+      }
+      pos += 1
+    }
+    new ParentTileBuffer(blobs)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RqParentTile =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RqParentTile =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, blob = r)
+}
+
+object RqParentTile {
+  /** tile blob + the writer's six per-band stats. */
+  val schema: StructType = StructType(Seq(
+    StructField("tile", BinaryType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("min", DoubleType, nullable = true),
+    StructField("max", DoubleType, nullable = true),
+    StructField("sum", DoubleType, nullable = true),
+    StructField("mean", DoubleType, nullable = true),
+    StructField("stddev", DoubleType, nullable = true)))
+}
