@@ -184,6 +184,114 @@ class GeoTiffSpec extends SparkSpec {
     assert(math.abs(src.x0 - GeoTiff.mercX(Quadbin.tileWest(32, 6))) < 1e-6)
   }
 
+  test("BigTIFF: forced-big streamed write reads back via the direct strip path") {
+    val tif = tmp("big.tif")
+    val w = 96; val h = 80
+    val bands = Array.tabulate(2)(b =>
+      Array.tabulate(w * h)(p => ((p * 31 + b * 7919) % 4001).toDouble))
+    // writeStrips with forceBig: same strip slicing as write()
+    val rowsPerStrip = 64
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val bpp = 2
+    val strips = (0 until nStrips).iterator.map { s0 =>
+      val rows = math.min(rowsPerStrip, h - s0 * rowsPerStrip)
+      val bb = java.nio.ByteBuffer.allocate(rows * w * 2 * bpp)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (p0 <- s0 * rowsPerStrip * w until (s0 * rowsPerStrip + rows) * w; b <- 0 until 2)
+        bb.putShort(bands(b)(p0).toInt.toShort)
+      bb.array()
+    }
+    graft.raquet.TiffWriter.writeStrips(tif, w, h, "uint16", 2,
+      pixelSize = 10.0, originX = -480.0, originY = 400.0,
+      nodata = Some(0.0), rowsPerStrip = rowsPerStrip, strips, forceBig = true)
+    // header says BigTIFF
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif)).take(4)
+    assert(head(2) == 43.toByte && head(3) == 0.toByte)
+    // full read goes through readWindowStripsDirect (ImageIO cannot open 43)
+    val src = GeoTiff.read(tif)
+    assert(src.width == w && src.height == h && src.bands == 2)
+    assert(src.dtype == "uint16" && src.nodata.contains(0.0))
+    assert(src.dx == 10.0 && src.x0 == -480.0 && src.y0 == 400.0)
+    val diffs = for (j <- 0 until h; i <- 0 until w; b <- 0 until 2)
+      yield math.abs(src.sample(b, i, j) - bands(b)(j * w + i))
+    assert(diffs.max == 0.0)
+    // windowed read matches too (offset window, partial strips)
+    val win = GeoTiff.readWindowStripsDirect(tif, 13, 57, 40, 20)
+    for (j <- 0 until 20; i <- 0 until 40; b <- 0 until 2)
+      assert(win.getSampleDouble(i, j, b) == bands(b)((57 + j) * w + (13 + i)))
+    // and the full S6 ingest runs off the BigTIFF source (tasks pull their
+    // windows through the direct strip path)
+    val rq = tmp("big-rq.parquet")
+    val meta = GeoTiff.convert(spark, tif, rq)
+    assert(meta.numBlocks > 0)
+    val back = RaquetIO.read(spark, rq)
+    assert(back.data.filter(col("block") =!= 0).count() == meta.numBlocks)
+  }
+
+  test("BigTIFF: big-endian deflate predictor-2 strips decode exactly") {
+    val w = 8; val h = 6; val nb = 2; val rps = 4
+    def v(i: Int, j: Int, b: Int): Int = (i * 13 + j * 29 + b * 517) % 65536
+    // interleaved rows, predictor-2 deltas per band, deflate per strip
+    def stripBytes(j0: Int, rows: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(rows * w * nb * 2)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      for (j <- j0 until j0 + rows; i <- 0 until w; b <- 0 until nb) {
+        val d = if (i == 0) v(i, j, b) else v(i, j, b) - v(i - 1, j, b)
+        bb.putShort(d.toShort)
+      }
+      val def0 = new java.util.zip.Deflater()
+      def0.setInput(bb.array()); def0.finish()
+      val out = new Array[Byte](bb.capacity() * 2 + 64)
+      val n = def0.deflate(out)
+      def0.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    val s1 = stripBytes(0, 4); val s2 = stripBytes(4, 2)
+    // hand-assembled big-endian BigTIFF: header, IFD (11 entries), payloads, strips
+    val nTags = 11
+    val ifdAt = 16L
+    val ifdSize = 8 + nTags * 20 + 8
+    var cur = ifdAt + ifdSize
+    val offsetsAt = cur; cur += 16
+    val countsAt = cur; cur += 16
+    val dataAt = cur
+    val total = (dataAt + s1.length + s2.length).toInt
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(43).putShort(8).putShort(0).putLong(ifdAt)
+    bb.putLong(nTags.toLong)
+    def entry(id: Int, ttype: Int, count: Long, value: Long): Unit = {
+      bb.putShort(id.toShort).putShort(ttype.toShort).putLong(count).putLong(value)
+    }
+    def inlineShorts(vs: Int*): Long = {
+      // big-endian inline payload packs from byte 0 of the 8-byte value field
+      val b8 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
+      vs.foreach(v0 => b8.putShort(v0.toShort))
+      b8.getLong(0)
+    }
+    entry(256, 3, 1, inlineShorts(w))
+    entry(257, 3, 1, inlineShorts(h))
+    entry(258, 3, 2, inlineShorts(16, 16))
+    entry(259, 3, 1, inlineShorts(8)) // deflate
+    entry(273, 16, 2, offsetsAt)
+    entry(277, 3, 1, inlineShorts(nb))
+    entry(278, 3, 1, inlineShorts(rps))
+    entry(279, 16, 2, countsAt)
+    entry(284, 3, 1, inlineShorts(1))
+    entry(317, 3, 1, inlineShorts(2)) // predictor 2
+    entry(339, 3, 2, inlineShorts(1, 1))
+    bb.putLong(0L) // next IFD
+    bb.putLong(dataAt).putLong(dataAt + s1.length)
+    bb.putLong(s1.length.toLong).putLong(s2.length.toLong)
+    bb.put(s1).put(s2)
+    val tif = tmp("be-deflate.tif")
+    java.nio.file.Files.write(java.nio.file.Paths.get(tif), bb.array())
+    // windowed decode straddling the strip boundary
+    val win = GeoTiff.readWindowStripsDirect(tif, 2, 1, 5, 5)
+    for (j <- 0 until 5; i <- 0 until 5; b <- 0 until nb)
+      assert(win.getSampleDouble(i, j, b) == v(2 + i, 1 + j, b),
+        s"pixel ($i,$j,$b)")
+  }
+
   test("convert → export round-trip preserves mercator-aligned pixels") {
     val rq = tmp("rt.parquet")
     GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq)
