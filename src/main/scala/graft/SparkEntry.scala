@@ -69,6 +69,7 @@ object SparkEntry {
     "q48_simhash_join"      -> (LlmQueries.q48SimhashJoin _),
     "q49_salted_agg"        -> (Relational.q49SaltedAgg _),
     "q50_inspect"           -> (RaquetQueries.q50Inspect _),
+    "q51_ivf_knn"           -> (LlmQueries.q51IvfKnn _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -205,5 +206,7 @@ object SparkEntry {
                 sum(l_quantity) AS sum_l_quantity
          FROM lineitem GROUP BY l_returnflag""",
     "q50_inspect"           -> RaquetOracles.q50,
+    // q51: full-probe IVF == brute-force top-k — same oracle as q29
+    "q51_ivf_knn"           -> LlmOracles.q29,
   )
 }

@@ -57,6 +57,15 @@ object GraftFunctions {
   def rq_stats_merge(stats: Column): Column =
     col(RqStatsMerge(ex(stats)).toAggregateExpression())
 
+  /** IVF coarse assignment: the vector's inverted-list id from a plan-time
+    * codebook (codegen'd tight loop, no UDF). */
+  def vec_ivf_cell(embedding: Column, cb: IvfCodebook): Column =
+    col(VecIvfCell(ex(embedding), cb))
+
+  /** The nprobe nearest list ids for a query vector (IVF probe side). */
+  def vec_ivf_probe_cells(embedding: Column, cb: IvfCodebook, nprobe: Int): Column =
+    col(VecIvfProbeCells(ex(embedding), cb, nprobe))
+
   /** Pyramid parent-tile build (M5) as a partial-mergeable aggregate: group
     * by `quadbin_ancestor(block, z)` and fold each child into its quadrant
     * map-side, so Morton-sorted inputs shuffle one buffer per parent. */

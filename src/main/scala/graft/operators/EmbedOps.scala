@@ -59,6 +59,68 @@ object EmbedOps {
     vecs.withColumn("bucket", bucket)
   }
 
+  // --- IVF (inverted-file) ANN: the centroid-partitioned scale path ---
+
+  /** Train an IVF codebook: deterministic seeding (evenly spaced over the
+    * first `sampleCap` vectors by id) + `iters` Lloyd rounds, on the DRIVER
+    * over a bounded sample — the standard IVF practice (faiss trains coarse
+    * quantizers on a sample); the codebook is nlist x dim doubles, tiny.
+    * The distributed hot path is assignment/search, never training. */
+  def ivfTrain(vecs: DataFrame, nlist: Int = 16, dim: Int = 64,
+      iters: Int = 5, sampleCap: Int = 4096): org.apache.spark.sql.graft.IvfCodebook = {
+    val sample = vecs.orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist, s"need >= $nlist vectors, got ${sample.length}")
+    var cents = Array.tabulate(nlist)(c => sample(c * sample.length / nlist).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nlist, dim)(0.0)
+      val counts = new Array[Long](nlist)
+      val cb = org.apache.spark.sql.graft.IvfCodebook(cents)
+      sample.foreach { v =>
+        val c = cb.cell(v)
+        counts(c) += 1
+        var d = 0
+        while (d < math.min(dim, v.length)) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(nlist) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(d => sums(c)(d) / counts(c))
+      }
+      it += 1
+    }
+    org.apache.spark.sql.graft.IvfCodebook(cents)
+  }
+
+  /** Index build: one scan adding the inverted-list id. At scale this is
+    * what you persist, partitioned/bucketed by `cell`. */
+  def ivfIndex(corpus: DataFrame, cb: org.apache.spark.sql.graft.IvfCodebook): DataFrame =
+    corpus.withColumn("cell",
+      graft.functions.GraftFunctions.vec_ivf_cell(col("embedding"), cb))
+
+  /** IVF top-k: probe the `nprobe` cells nearest each query (equi-join on
+    * cell — the corpus never cross-joins), exact cosine re-rank, window
+    * top-k. With nprobe = nlist the candidate set is the full corpus and
+    * the result provably equals [[cosineTopK]] (each corpus vector lives in
+    * exactly one cell, so full probe loses nothing — the q51 oracle). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      cb: org.apache.spark.sql.graft.IvfCodebook, k: Int, dim: Int,
+      nprobe: Int): DataFrame = {
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .withColumn("cell", explode(
+        graft.functions.GraftFunctions.vec_ivf_probe_cells(col("qe"), cb, nprobe)))
+    val c = ivfIndex(corpus, cb)
+      .select(col("cell"), col("vec_id"), col("embedding").as("ce"), col("label"))
+    val scored = c.join(broadcast(probes), "cell")
+      .withColumn("cos", round(
+        dot("qe", "ce", dim) / (sqrt(norm2("qe")) * sqrt(norm2("ce"))), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "cos", "label")
+  }
+
   /** LSH-bucketed near-neighbour pairs: bucket equi-join + exact cosine. */
   def bucketedTopK(vecs: DataFrame, planes: Int, dim: Int,
       minCos: Double): DataFrame = {

@@ -62,6 +62,18 @@ object LlmQueries {
     TextOps.simhashNearDups(TextOps.simhash(withExactDups(docs(spark, dir))),
       maxHamming = 3)
 
+  /** IVF ANN with FULL probe (nprobe = nlist): the inverted-file partition
+    * is provably lossless — every corpus vector lives in exactly one cell,
+    * so probing all cells reproduces the exact brute-force top-k, and the
+    * driver hash-compares it against the same oracle as q29. The partial-
+    * probe scale behavior (recall@nprobe<nlist) is spec-tested. */
+  def q51IvfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = EmbedOps.ivfTrain(emb, nlist = 16, dim = 64)
+    EmbedOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, cb, k = 10, dim = 64,
+      nprobe = 16)
+  }
+
   /** Per-doc text quality/analysis metrics. */
   def q31TextMetrics(spark: SparkSession, dir: String): DataFrame =
     TextOps.textMetrics(docs(spark, dir))

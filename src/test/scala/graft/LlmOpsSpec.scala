@@ -68,6 +68,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(graft.functions.GraftExtensions.injected.size >= 18)
   }
 
+  test("IVF: full probe equals brute force; partial probe keeps high recall; no cross join") {
+    val cb = graft.operators.EmbedOps.ivfTrain(emb, nlist = 16, dim = 64)
+    assert(cb.nlist == 16 && cb.dim == 64)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = graft.operators.EmbedOps.cosineTopK(queries, emb, k = 10, dim = 64)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.operators.EmbedOps.ivfTopK(queries, emb, cb, k = 10, dim = 64,
+      nprobe = 16)
+    assert(full.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == exact)
+    // partial probe: candidate generation is an equi-join on cell, and the
+    // per-query recall stays useful at nprobe = nlist/4
+    val part = graft.operators.EmbedOps.ivfTopK(queries, emb, cb, k = 10, dim = 64,
+      nprobe = 4)
+    val got = part.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@nprobe=4 too low: $recall")
+    val plan = part.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "IVF probe must be an equi-join")
+    assert(plan.contains("BroadcastHashJoin"), "probe side should broadcast")
+  }
+
   test("text metrics are internally consistent") {
     val m = TextOps.textMetrics(docs.limit(20)).collect()
     m.foreach { r =>
