@@ -27,6 +27,27 @@ object PixelCodec {
   }
 
   def gzipDecompress(data: Array[Byte]): Array[Byte] = {
+    // single-member gzip carries the uncompressed size (mod 2^32) in the
+    // ISIZE trailer: allocate once and fill, instead of growing a stream
+    val m = data.length
+    val isize = (data(m - 4) & 0xFF) | ((data(m - 3) & 0xFF) << 8) |
+      ((data(m - 2) & 0xFF) << 16) | ((data(m - 1) & 0xFF) << 24)
+    if (isize <= 0 || isize > (1 << 30)) return gzipDecompressStreaming(data)
+    val out = new Array[Byte](isize)
+    val in = new GZIPInputStream(new ByteArrayInputStream(data), 8192)
+    try {
+      var got = 0
+      while (got < isize) {
+        val r = in.read(out, got, isize - got)
+        if (r < 0) return gzipDecompressStreaming(data) // ISIZE lied
+        got += r
+      }
+      if (in.read() >= 0) return gzipDecompressStreaming(data) // more members
+      out
+    } finally in.close()
+  }
+
+  private def gzipDecompressStreaming(data: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(data), 8192)
     val out = new ByteArrayOutputStream(data.length * 4 + 64)
     val buf = new Array[Byte](8192)
@@ -164,6 +185,104 @@ object PixelCodec {
         sumSq += v * v
       }
       i += 1
+    }
+    if (count == 0) null
+    else Array(count.toDouble, mn, mx, sum, sumSq)
+  }
+
+  /** Fused decode→stats: inflate + ONE pass over the raw dtype bytes — no
+    * intermediate double array, no second memory sweep. The accumulation
+    * order is the sequential pixel order, identical to
+    * `maskedStats(decode(...))`, so results are bit-identical; dtypes
+    * without a fused loop fall back to exactly that. */
+  def fusedStats(raw: Array[Byte], dtype: String, nodata: Double): Array[Double] = {
+    val data = if (isGzip(raw)) gzipDecompress(raw) else raw
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    val n = data.length / bytesPerPixel(dtype)
+    var count = 0L
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var sum = 0.0
+    var sumSq = 0.0
+    val hasNodata = !nodata.isNaN
+    var i = 0
+    dtype match {
+      case "uint8" =>
+        while (i < n) {
+          val v = (bb.get(i) & 0xFF).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "int8" =>
+        while (i < n) {
+          val v = bb.get(i).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "uint16" =>
+        while (i < n) {
+          val v = (bb.getShort(i * 2) & 0xFFFF).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "int16" =>
+        while (i < n) {
+          val v = bb.getShort(i * 2).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "int32" =>
+        while (i < n) {
+          val v = bb.getInt(i * 4).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "uint32" =>
+        while (i < n) {
+          val v = (bb.getInt(i * 4) & 0xFFFFFFFFL).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "float32" =>
+        while (i < n) {
+          val v = bb.getFloat(i * 4).toDouble
+          if (!java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v) &&
+            !(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "float64" =>
+        while (i < n) {
+          val v = bb.getDouble(i * 8)
+          if (!java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v) &&
+            !(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case _ => // float16 / 64-bit ints: the decode path handles the bias math
+        return maskedStats(decode(raw, dtype), nodata, null)
     }
     if (count == 0) null
     else Array(count.toDouble, mn, mx, sum, sumSq)

@@ -28,9 +28,10 @@ final case class BandKernel(
 
   def decode(raw: Array[Byte]): Array[Double] = PixelCodec.decode(raw, dtype)
 
-  /** [count,min,max,sum,sumSq] over valid pixels, or null if none. */
+  /** [count,min,max,sum,sumSq] over valid pixels, or null if none —
+    * the fused single-pass kernel (no intermediate double array). */
   def stats(raw: Array[Byte]): Array[Double] =
-    PixelCodec.maskedStats(decode(raw), nodata, null)
+    PixelCodec.fusedStats(raw, dtype, nodata)
 
   /** Physical (scaled) value at (lon, lat) inside tile `block`; NaN when the
     * point misses the tile or hits a nodata/NaN pixel. */
