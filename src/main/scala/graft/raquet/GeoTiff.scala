@@ -302,8 +302,9 @@ object GeoTiff {
     val planar = tag1(284, 1).toInt
     require(planar == 1, s"$path: planar configuration $planar unsupported")
     val compression = tag1(259, 1).toInt
-    require(compression == 1 || compression == 8 || compression == 32946,
-      s"$path: BigTIFF compression $compression unsupported (none/deflate)")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32946,
+      s"$path: compression $compression unsupported (none/LZW/deflate)")
     val predictor = tag1(317, 1).toInt
     require(predictor == 1 || predictor == 2,
       s"$path: predictor $predictor unsupported")
@@ -330,20 +331,22 @@ object GeoTiff {
         val raw = new Array[Byte](counts(si).toLong.toInt)
         raf.seek(offsets(si).toLong)
         raf.readFully(raw)
-        val data =
-          if (compression == 1) raw
-          else {
-            val stripRows = math.min(rowsPerStrip.toLong, h - si.toLong * rowsPerStrip).toInt
+        val stripRows = math.min(rowsPerStrip.toLong, h - si.toLong * rowsPerStrip).toInt
+        val expect = (rowBytes * stripRows).toInt
+        val data = compression match {
+          case 1 => raw
+          case 5 => lzwDecompress(raw, expect)
+          case _ =>
             val inf = new java.util.zip.Inflater()
             inf.setInput(raw)
-            val outB = new Array[Byte]((rowBytes * stripRows).toInt)
+            val outB = new Array[Byte](expect)
             var got = 0
             while (got < outB.length && !inf.finished())
               got += inf.inflate(outB, got, outB.length - got)
             inf.end()
             require(got == outB.length, s"$path: strip $si inflated $got/${outB.length}")
             outB
-          }
+        }
         if (predictor == 2) undoPredictor2(data, w, nb, bpp, order)
         val bb = ByteBuffer.wrap(data).order(order)
         val stripY0 = si * rowsPerStrip
@@ -379,6 +382,81 @@ object GeoTiff {
         si += 1
       }
     } finally raf.close()
+    out
+  }
+
+  /** TIFF-flavor LZW (spec §13): MSB-first bit packing, 9→12-bit codes
+    * with EARLY change (width grows one code before the table fills),
+    * ClearCode 256 / EOI 257. */
+  private[raquet] def lzwDecompress(src: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val len = new Array[Int](4096)
+    var i = 0
+    while (i < 256) { prefix(i) = -1; suffix(i) = i.toByte; len(i) = 1; i += 1 }
+    var nextCode = 258
+    var codeBits = 9
+    var bitPos = 0L
+    val totalBits = src.length * 8L
+    def readCode(): Int = {
+      if (bitPos + codeBits > totalBits) return 257
+      var v = 0
+      var n = codeBits
+      while (n > 0) {
+        val bi = (bitPos >> 3).toInt
+        val bitOff = (bitPos & 7).toInt
+        val avail = 8 - bitOff
+        val take = math.min(avail, n)
+        v = (v << take) | (((src(bi) & 0xFF) >> (avail - take)) & ((1 << take) - 1))
+        bitPos += take
+        n -= take
+      }
+      v
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (prefix(c) >= 0) c = prefix(c)
+      suffix(c)
+    }
+    def emit(code: Int): Unit = {
+      val l = len(code)
+      require(outPos + l <= expected, s"LZW overrun at $outPos+$l/$expected")
+      var p = outPos + l - 1
+      var c = code
+      while (c >= 0) { out(p) = suffix(c); p -= 1; c = prefix(c) }
+      outPos += l
+    }
+    var oldCode = -1
+    var done = false
+    while (!done && outPos < expected) {
+      val code = readCode()
+      if (code == 257) done = true
+      else if (code == 256) { nextCode = 258; codeBits = 9; oldCode = -1 }
+      else if (oldCode < 0) { emit(code); oldCode = code }
+      else {
+        if (code < nextCode) {
+          emit(code)
+          if (nextCode < 4096) {
+            prefix(nextCode) = oldCode
+            suffix(nextCode) = firstByte(code)
+            len(nextCode) = len(oldCode) + 1
+            nextCode += 1
+          }
+        } else {
+          require(code == nextCode && nextCode < 4096, s"LZW bad code $code")
+          prefix(nextCode) = oldCode
+          suffix(nextCode) = firstByte(oldCode)
+          len(nextCode) = len(oldCode) + 1
+          nextCode += 1
+          emit(nextCode - 1)
+        }
+        oldCode = code
+        if (nextCode == (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
+      }
+    }
+    require(outPos == expected, s"LZW decoded $outPos of $expected bytes")
     out
   }
 

@@ -73,9 +73,11 @@ final case class BandKernel(
     val box = graft.geo.BBox(
       Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
       Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
-    val values = decode(raw)
-    if (geom.containsBox(box)) return PixelCodec.maskedStats(values, nodata, null)
+    // box tests BEFORE any decode: fully-inside tiles (the bulk of a large
+    // region) take the fused single-pass kernel, fully-outside decode nothing
+    if (geom.containsBox(box)) return PixelCodec.fusedStats(raw, dtype, nodata)
     if (!geom.intersectsBox(box)) return null
+    val values = decode(raw)
     val mask = new Array[Boolean](width * height)
     var j = 0
     while (j < height) {

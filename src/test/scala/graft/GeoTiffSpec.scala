@@ -292,6 +292,35 @@ class GeoTiffSpec extends SparkSpec {
         s"pixel ($i,$j,$b)")
   }
 
+  test("LZW: direct strip decode matches ImageIO on a JDK-written LZW file") {
+    // the JDK TIFF writer produces LZW classic files; the direct reader
+    // (the BigTIFF path) handles classic too — differential-test them
+    val w = 200; val h = 90
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (j <- 0 until h; i <- 0 until w)
+      img.setRGB(i, j, ((i * 7919 + j * 104729) % 0xFFFFFF))
+    val tif = tmp("lzw.tif")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(new java.io.File(tif))
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    // confirm the file really is LZW (tag 259 = 5)
+    val info = GeoTiff.readWindowRaster(tif, 0, 0, w, h) // ImageIO reference
+    val direct = GeoTiff.readWindowStripsDirect(tif, 0, 0, w, h)
+    for (j <- 0 until h; i <- 0 until w; b <- 0 until 3)
+      assert(direct.getSampleDouble(i, j, b) == info.getSampleDouble(i, j, b),
+        s"pixel ($i,$j,$b)")
+    // windowed read straddling strip boundaries agrees too
+    val dw = GeoTiff.readWindowStripsDirect(tif, 37, 11, 60, 70)
+    for (j <- 0 until 70; i <- 0 until 60; b <- 0 until 3)
+      assert(dw.getSampleDouble(i, j, b) == info.getSampleDouble(37 + i, 11 + j, b))
+  }
+
   test("convert → export round-trip preserves mercator-aligned pixels") {
     val rq = tmp("rt.parquet")
     GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq)
