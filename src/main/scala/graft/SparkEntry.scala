@@ -70,6 +70,8 @@ object SparkEntry {
     "q49_salted_agg"        -> (Relational.q49SaltedAgg _),
     "q50_inspect"           -> (RaquetQueries.q50Inspect _),
     "q51_ivf_knn"           -> (LlmQueries.q51IvfKnn _),
+    "q52_lsh_pairs"         -> (LlmQueries.q52LshPairs _),
+    "q53_salted_join"       -> (Relational.q53SaltedJoin _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -208,5 +210,16 @@ object SparkEntry {
     "q50_inspect"           -> RaquetOracles.q50,
     // q51: full-probe IVF == brute-force top-k — same oracle as q29
     "q51_ivf_knn"           -> LlmOracles.q29,
+    "q52_lsh_pairs"         -> LlmOracles.q52,
+    // q53: the salted join must equal the plain q3 join — same oracle
+    "q53_salted_join"       -> oracleSqlQ3,
   )
+
+  private def oracleSqlQ3: String =
+    """SELECT n_name, round(sum(o_totalprice), 2) AS total_revenue,
+       count(*) AS order_count
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name"""
 }

@@ -123,6 +123,29 @@ object LlmOracles {
         FROM planes GROUP BY vec_id"""
   }
 
+  /** q52: full re-run of the hyperplane-LSH near-dup pipeline — buckets as
+    * in q30, bucket self-join, fold-exact cosine, threshold. */
+  val q52: String = {
+    val w = s"(CAST((CAST(1103515245 AS BIGINT) * (p*64 + (i-1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5)"
+    val d = foldSum(64, s"embedding[i]::DOUBLE * $w")
+    val dotAB = foldSum(64, "ea[i]::DOUBLE * eb[i]::DOUBLE")
+    val nA = foldSum(64, "ea[i]::DOUBLE * ea[i]::DOUBLE")
+    val nB = foldSum(64, "eb[i]::DOUBLE * eb[i]::DOUBLE")
+    s"""WITH planes AS (SELECT vec_id, p, $d AS d
+               FROM embeddings, range(8) r(p)),
+        b AS (SELECT vec_id,
+                CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+              FROM planes GROUP BY vec_id),
+        v AS (SELECT b.vec_id, b.bucket, e.embedding
+              FROM b JOIN embeddings e ON b.vec_id = e.vec_id),
+        pairs AS (SELECT a.ida, b2.idb, a.bucket,
+                round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS cos
+              FROM (SELECT vec_id AS ida, bucket, embedding AS ea FROM v) a
+              JOIN (SELECT vec_id AS idb, bucket AS bb, embedding AS eb FROM v) b2
+                ON a.bucket = b2.bb AND a.ida < b2.idb)
+        SELECT ida, idb, bucket, cos FROM pairs WHERE cos >= 0.2"""
+  }
+
   val q31: String =
     s"""WITH m AS (SELECT doc_id,
           string_split(text, ' ') AS toks,

@@ -74,6 +74,14 @@ object LlmQueries {
       nprobe = 16)
   }
 
+  /** LSH-bucketed cosine near-dup PAIRS (the embedding near-dup scale
+    * path): sign-pattern bucket equi-join + exact cosine on candidates.
+    * The oracle re-runs the full algorithm (buckets, self-join, fold-exact
+    * cosine), so the banding itself is verified, not just the buckets. */
+  def q52LshPairs(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.bucketedTopK(Tables.embeddings(spark, dir), planes = 8, dim = 64,
+      minCos = 0.2)
+
   /** Per-doc text quality/analysis metrics. */
   def q31TextMetrics(spark: SparkSession, dir: String): DataFrame =
     TextOps.textMetrics(docs(spark, dir))

@@ -209,6 +209,25 @@ object Relational {
     Skew.saltedCountSum(Tables.lineitem(spark, dir), "l_returnflag",
       "l_quantity", salts = 8)
 
+  /** q3 through the SALTED join ([[Skew.saltedJoin]], the hot-key path):
+    * orders get a deterministic salt, the customer side replicates per
+    * salt, and the join key becomes (custkey, salt) — splitting any hot
+    * customer across `salts` tasks. Provably identical output, so it runs
+    * against q3's oracle unchanged (the q39/q46 twin pattern). */
+  def q53SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+      .select($"c_custkey".as("o_custkey"), $"c_nationkey")
+    val nation = Tables.nation(spark, dir)
+    Skew.saltedJoin(orders, customer, "o_custkey", salts = 8)
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        round(sum($"o_totalprice"), 2).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+  }
+
   /** HLL distinct counts — the scale path flagged in q6's comment. Sketch
     * values are engine-specific, so the hashable output is the invariant:
     * exact counts plus booleans asserting the HLL estimate lands within its
