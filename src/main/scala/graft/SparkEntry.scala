@@ -72,6 +72,7 @@ object SparkEntry {
     "q51_ivf_knn"           -> (LlmQueries.q51IvfKnn _),
     "q52_lsh_pairs"         -> (LlmQueries.q52LshPairs _),
     "q53_salted_join"       -> (Relational.q53SaltedJoin _),
+    "q54_sessionize"        -> (Relational.q54Sessionize _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -213,6 +214,20 @@ object SparkEntry {
     "q52_lsh_pairs"         -> LlmOracles.q52,
     // q53: the salted join must equal the plain q3 join — same oracle
     "q53_salted_join"       -> oracleSqlQ3,
+    // q54: gaps-and-islands re-derivation; epoch-micros keep hashes exact
+    "q54_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+          m AS (SELECT user_id, us, value,
+                CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                     OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 7200000000 THEN 1 ELSE 0 END AS new_s
+              FROM e),
+          s AS (SELECT user_id, us, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session
+              FROM m)
+          SELECT user_id, CAST(session AS BIGINT) AS session,
+            min(us) AS session_start_us, max(us) AS session_end_us,
+            count(*) AS n_events, round(sum(value), 2) AS total_value
+          FROM s GROUP BY user_id, session""",
   )
 
   private def oracleSqlQ3: String =

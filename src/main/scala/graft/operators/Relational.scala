@@ -228,6 +228,11 @@ object Relational {
         count(lit(1)).as("order_count"))
   }
 
+  /** Gap-based sessionization over the events stream (training-data
+    * activity grouping) — [[Sessions.sessionize]], 120-minute gap. */
+  def q54Sessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessions.sessionize(Tables.events(spark, dir), gapMinutes = 120)
+
   /** HLL distinct counts — the scale path flagged in q6's comment. Sketch
     * values are engine-specific, so the hashable output is the invariant:
     * exact counts plus booleans asserting the HLL estimate lands within its

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization (the training-data pipeline's activity
+  * grouping): consecutive events of one user belong to the same session
+  * while the inter-event gap stays under `gapMinutes`.
+  *
+  * Batch shape: classic gaps-and-islands — `lag` marks session starts,
+  * a running sum numbers them, one hash aggregate folds each session.
+  * Two window passes over the same (user_id, ts) sort order mean ONE
+  * shuffle + one sort at scale (the second window reuses the partitioning
+  * and ordering; the final groupBy is a hash agg on (user_id, session)).
+  * The streaming twin is [[graft.streaming.StreamingTiles.sessionize]],
+  * which holds one open-session state per user instead of sorting.
+  *
+  * Timestamps in/out are epoch MICROS (BIGINT) — exact across engines,
+  * per the oracle conventions.
+  */
+object Sessions {
+
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_prev", lag(col("_us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_us") - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum(col("_new")).over(run))
+      .groupBy(col("user_id"), col("session"))
+      .agg(
+        min(col("_us")).as("session_start_us"),
+        max(col("_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+}

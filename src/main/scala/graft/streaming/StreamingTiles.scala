@@ -20,6 +20,76 @@ import graft.raquet.RaquetMetadata
   */
 object StreamingTiles {
 
+  /** Per-user open session: carried in the state store between batches. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** One closed session, the streaming twin of a
+    * [[graft.operators.Sessions.sessionize]] output row (minus the
+    * batch-only session ordinal). */
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long, total_value: Double)
+
+  /** Streaming gap-based sessionization via `flatMapGroupsWithState`
+    * (custom state, the §2.10 path Spark reserves for semantics windows
+    * can't express): one [[SessionState]] per user in the state store; a
+    * session closes — and emits — when a later event arrives past the gap
+    * or the event-time timeout fires once the watermark passes
+    * lastSeen + gap. State is O(users), not O(events). */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[ClosedSession]
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+
+    def fn(userId: Long, rows: Iterator[Row],
+        state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      def close(st: SessionState): Unit =
+        out += ClosedSession(userId, st.startUs, st.lastUs, st.n,
+          math.rint(st.sum * 100) / 100)
+      if (rows.isEmpty && state.hasTimedOut) {
+        state.getOption.foreach(close)
+        state.remove()
+      } else {
+        // micro-batch events are unordered: sort this batch's slice
+        val sorted = rows.map(r =>
+          (r.getAs[java.sql.Timestamp]("ts").getTime * 1000L +
+            r.getAs[java.sql.Timestamp]("ts").getNanos / 1000 % 1000,
+            r.getAs[Double]("value"))).toArray.sortBy(_._1)
+        var st = state.getOption.orNull
+        sorted.foreach { case (us, v) =>
+          st =
+            if (st == null) SessionState(us, us, 1, v)
+            else if (us - st.lastUs > gapUs) { close(st); SessionState(us, us, 1, v) }
+            else SessionState(st.startUs, math.max(st.lastUs, us), st.n + 1, st.sum + v)
+        }
+        if (st != null) {
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastUs / 1000 + gapMinutes * 60L * 1000)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
+  /** Streaming exact dedup: watermark + dropDuplicates on the id — state
+    * holds one entry per id inside the watermark horizon, the streaming
+    * twin of the batch exact-dedup groupBy. */
+  def dedup(events: DataFrame, idCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Event-time windowed per-block stats: the streaming twin of the batch
     * time-bucket aggregation (q38). One state-store row per (window, block);
     * the exact-merge aggregate keeps state O(1) per key. */

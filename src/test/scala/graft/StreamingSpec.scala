@@ -48,6 +48,74 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionize closes sessions on gap and on watermark timeout") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val out = StreamingTiles.sessionize(events, gapMinutes = 30,
+      watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 1577836800000L
+      def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+      // user 1: two sessions split by a 40-min gap (the second event of
+      // s1 arrives out of order inside the batch); user 2: one session
+      input.addData((1L, ts(0), 1.25), (1L, ts(10), 2.5), (1L, ts(5), 0.25),
+        (2L, ts(3), 4.0))
+      query.processAllAvailable()
+      input.addData((1L, ts(50), 8.0)) // gap > 30 min → closes user 1's s1
+      query.processAllAvailable()
+      // watermark stands at ts(50); push it past every open session's
+      // timeout so the remaining sessions close via EventTimeTimeout
+      input.addData((9L, ts(200), 0.0))
+      query.processAllAvailable()
+      input.addData((9L, ts(400), 0.0))
+      query.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      def us(min: Long) = (t0 + min * 60000L) * 1000L
+      assert(got.contains((1L, us(0), us(10), 3L, 4.0)),   "user 1 session 1")
+      assert(got.contains((1L, us(50), us(50), 1L, 8.0)),  "user 1 session 2")
+      assert(got.contains((2L, us(3), us(3), 1L, 4.0)),    "user 2 session")
+      assert(got.contains((9L, us(200), us(200), 1L, 0.0)), "user 9 session 1")
+      // batch twin agrees on the same rows (modulo the session ordinal)
+      val batchDf = Seq((1L, ts(0), 1.25), (1L, ts(10), 2.5), (1L, ts(5), 0.25),
+        (2L, ts(3), 4.0), (1L, ts(50), 8.0), (9L, ts(200), 0.0), (9L, ts(400), 0.0))
+        .toDF("user_id", "ts", "value")
+      val batch = graft.operators.Sessions.sessionize(batchDf, gapMinutes = 30)
+        .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert((got -- Set((9L, us(400), us(400), 1L, 0.0))) subsetOf batch,
+        "streaming sessions must appear in the batch twin")
+    } finally query.stop()
+  }
+
+  test("streaming dedup drops repeated ids within the watermark") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingTiles.dedup(events, "doc_id", watermarkDelay = "1 hour")
+    val query = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1577836800000L)
+      input.addData((1L, t0, "a"), (2L, t0, "b"), (1L, t0, "a-dup"))
+      query.processAllAvailable()
+      input.addData((2L, t0, "b-dup"), (3L, t0, "c"))
+      query.processAllAvailable()
+      assert(spark.table("dedup").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming ingest appends sorted micro-batches to a raquet directory") {
     val base = java.nio.file.Files.createTempDirectory("stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
