@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{LlmQueries, RaquetQueries}
+import graft.operators.{LlmQueries, RaquetQueries, Relational}
 
 /** Diagnostic main: dump formatted physical plans for the scale-critical
   * queries so plan regressions (lost pushdown, surprise shuffles, missed
@@ -24,7 +24,11 @@ object PlanAudit {
       "q29_embed_knn" -> LlmQueries.q29EmbedKnn _,
       "q36_raster_join" -> RaquetQueries.q36RasterJoin _,
       "q39_asof_join" -> RaquetQueries.q39AsofJoin _,
-      "q46_asof_join_scale" -> RaquetQueries.q46AsofJoinScale _) ++
+      "q46_asof_join_scale" -> RaquetQueries.q46AsofJoinScale _,
+      "q51_ivf_knn" -> LlmQueries.q51IvfKnn _,
+      "q52_lsh_pairs" -> LlmQueries.q52LshPairs _,
+      "q54_sessionize" -> Relational.q54Sessionize _,
+      "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(
            java.nio.file.Paths.get(Bench.LargeRasterDir)))
