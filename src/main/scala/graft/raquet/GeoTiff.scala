@@ -89,7 +89,10 @@ object GeoTiff {
       ByteBuffer.wrap(a).order(order)
     }
 
-    def parse(): Map[Int, (Int, Array[Double], String)] = {
+    def parse(): Map[Int, (Int, Array[Double], String)] = parseAll().head
+
+    /** All IFDs in the chain (COG overviews are IFDs 1..n). */
+    def parseAll(): Seq[Map[Int, (Int, Array[Double], String)]] = {
       val magic = buf(0, 16)
       order = (magic.get(0), magic.get(1)) match {
         case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -102,14 +105,25 @@ object GeoTiff {
       require(version == 42 || version == 43, s"$path: TIFF version $version")
       if (big) require((header.getShort(4) & 0xFFFF) == 8,
         s"$path: BigTIFF offset size != 8")
-      val ifd = if (big) header.getLong(8) else header.getInt(4) & 0xFFFFFFFFL
+      var ifd = if (big) header.getLong(8) else header.getInt(4) & 0xFFFFFFFFL
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[Map[Int, (Int, Array[Double], String)]]
+      while (ifd != 0 && out.size < 32) {
+        val (tags, next) = parseOne(ifd)
+        out += tags
+        ifd = next
+      }
+      out.toSeq
+    }
+
+    private def parseOne(ifd: Long): (Map[Int, (Int, Array[Double], String)], Long) = {
       val n =
         if (big) buf(ifd, 8).getLong(0).toInt
         else buf(ifd, 2).getShort(0) & 0xFFFF
       val entrySize = if (big) 20 else 12
       val inlineCap = if (big) 8 else 4
       val entries = buf(ifd + (if (big) 8 else 2), entrySize * n)
-      (0 until n).map { k =>
+      val tagsOut = (0 until n).map { k =>
         val e = entrySize * k
         val id = entries.getShort(e) & 0xFFFF
         val ttype = entries.getShort(e + 2) & 0xFFFF
@@ -151,6 +165,11 @@ object GeoTiff {
           new String(vb.array(), 0, math.max(0, count - 1), "ASCII") else ""
         id -> ((ttype, values.toArray, str))
       }.toMap
+      val afterEntries = ifd + (if (big) 8 else 2) + entrySize.toLong * n
+      val next =
+        if (big) buf(afterEntries, 8).getLong(0)
+        else buf(afterEntries, 4).getInt(0) & 0xFFFFFFFFL
+      (tagsOut, next)
     }
 
     def close(): Unit = raf.close()
@@ -229,6 +248,23 @@ object GeoTiff {
       colortable)
   }
 
+  /** Reduced-resolution overview levels (COG IFDs 1..n), as [[SourceInfo]]s
+    * sharing the base grid origin with scaled resolution. Overview IFDs
+    * carry no geo tags of their own — the COG spec pins them to the base
+    * extent. Returns empty for plain single-IFD sources. */
+  def readOverviews(path: String): Seq[SourceInfo] = {
+    val base = readInfo(path)
+    val tr = new TagReader(path)
+    val all = try tr.parseAll() finally tr.close()
+    all.drop(1).flatMap { tags =>
+      for {
+        w <- tags.get(256).map(_._2.head.toInt)
+        h <- tags.get(257).map(_._2.head.toInt)
+      } yield base.copy(width = w, height = h,
+        dx = base.dx * base.width / w, dy = base.dy * base.height / h)
+    }
+  }
+
   /** Full in-memory decode (small sources / tests). convert() does NOT use
     * this — it ships [[SourceInfo]] and window-reads per task. */
   def read(path: String): Source = {
@@ -254,8 +290,8 @@ object GeoTiff {
     * which the JDK plugin cannot open — takes [[readWindowStripsDirect]],
     * the strip decoder over the same tag parse the driver already did. */
   def readWindowRaster(path: String, wx: Int, wy: Int, ww: Int,
-      wh: Int): java.awt.image.Raster = {
-    if (isBigTiff(path)) return readWindowStripsDirect(path, wx, wy, ww, wh)
+      wh: Int, ifd: Int = 0): java.awt.image.Raster = {
+    if (isBigTiff(path)) return readWindowStripsDirect(path, wx, wy, ww, wh, ifd)
     val iis = ImageIO.createImageInputStream(new File(path))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -265,8 +301,8 @@ object GeoTiff {
       try {
         val param = reader.getDefaultReadParam
         param.setSourceRegion(new java.awt.Rectangle(wx, wy, ww, wh))
-        if (reader.canReadRaster) reader.readRaster(0, param)
-        else reader.read(0, param).getRaster
+        if (reader.canReadRaster) reader.readRaster(ifd, param)
+        else reader.read(ifd, param).getRaster
       } finally reader.dispose()
     } finally iis.close()
   }
@@ -289,10 +325,10 @@ object GeoTiff {
     * order. Tiled/planar/other-codec BigTIFFs fail loudly — the JDK has no
     * BigTIFF reader to fall back to. */
   private[graft] def readWindowStripsDirect(path: String, wx: Int, wy: Int,
-      ww: Int, wh: Int): java.awt.image.Raster = {
+      ww: Int, wh: Int, ifd: Int = 0): java.awt.image.Raster = {
     val tr = new TagReader(path)
     val (tags, order) =
-      try { val t = tr.parse(); (t, tr.order) } finally tr.close()
+      try { val t = tr.parseAll().apply(ifd); (t, tr.order) } finally tr.close()
     def tag1(id: Int, dflt: => Double): Double =
       tags.get(id).map(_._2.head).getOrElse(dflt)
     require(!tags.contains(322), s"$path: tiled BigTIFF unsupported (strips only)")
@@ -819,16 +855,10 @@ object GeoTiff {
 
   /** S6/M7: convert a GeoTIFF to a raquet file (single parquet file, like
     * the reference CLI). Returns the metadata written. */
-  def convert(spark: SparkSession, tifPath: String, outFile: String,
-      blockZoom: Int = 8, zoomStrategy: String = "auto",
-      tileStats: Boolean = false, resampling: String = "near"): RaquetMetadata = {
-    val src = readInfo(tifPath) // tags only — driver never touches pixels
-    val bs = 1 << blockZoom
-    val win = pixelWindow(src)
-    val res = resolution(src, win)
-    val zoom = findZoom(res, blockZoom, zoomStrategy)
-
-    // tile envelope of the clipped window
+  /** Web-mercator tile range [xtMin..xtMax]×[ytMin..ytMax] covering the
+    * clipped source window at `zoom`. */
+  private def tileEnvelope(src: SourceInfo, win: (Int, Int, Int, Int),
+      zoom: Int): (Long, Long, Long, Long) = {
     val (wx, wy, ww, wh) = win
     val corners = Seq(
       (src.x0 + wx * src.dx, src.y0 + wy * src.dy),
@@ -839,22 +869,24 @@ object GeoTiff {
     val n = (1L << zoom).toDouble
     def xt(mx: Double) = (mx + CE / 2) / CE * n
     def yt(my: Double) = (CE / 2 - my) / CE * n
-    val xtMin = math.floor(math.min(xt(mxs.head), xt(mxs.last)) + 1e-9).toLong
-    val xtMax = math.floor(math.max(xt(mxs.head), xt(mxs.last)) - 1e-9).toLong
-    val ytMin = math.floor(math.min(yt(mys.head), yt(mys.last)) + 1e-9).toLong
-    val ytMax = math.floor(math.max(yt(mys.head), yt(mys.last)) - 1e-9).toLong
+    (math.floor(math.min(xt(mxs.head), xt(mxs.last)) + 1e-9).toLong,
+      math.floor(math.max(xt(mxs.head), xt(mxs.last)) - 1e-9).toLong,
+      math.floor(math.min(yt(mys.head), yt(mys.last)) + 1e-9).toLong,
+      math.floor(math.max(yt(mys.head), yt(mys.last)) - 1e-9).toLong)
+  }
 
+  /** One pyramid level's rows, warped from source IFD `ifd` at `zoom` —
+    * the distributed per-task windowed-read pipeline. Returns (row,
+    * per-band stats vector) pairs. */
+  private def levelRows(spark: SparkSession, src: SourceInfo, ifd: Int,
+      zoom: Int, bs: Int, win: (Int, Int, Int, Int), resampling: String)
+      : org.apache.spark.rdd.RDD[(Row, Seq[Array[Double]])] = {
+    val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)
     // row-major tile order + contiguous split ⇒ each partition holds runs
     // of same-row neighbours that can share one windowed decode
     val tiles = for (ty <- ytMin to ytMax; tx <- xtMin to xtMax) yield (tx, ty)
-    val bandNames = (1 to src.bands).map(k => s"band_$k")
-    val schema = StructType(
-      Seq(StructField("block", LongType, nullable = false),
-        StructField("metadata", StringType)) ++
-        bandNames.map(b => StructField(b, BinaryType)))
-
     val bpp = PixelCodec.bytesPerPixel(src.dtype)
-    val rowsRdd = spark.sparkContext
+    spark.sparkContext
       .parallelize(tiles, math.max(1, math.min(tiles.size, 64)))
       .mapPartitions { it =>
         val fill = src.nodata.getOrElse(0.0)
@@ -884,7 +916,7 @@ object GeoTiff {
           val sampler: PixelSampler =
             if (x4 <= x3 || y4 <= y3) new ConstSampler(fill)
             else new WindowSampler(
-              readWindowRaster(src.path, x3, y3, x4 - x3, y4 - y3), x3, y3, fill)
+              readWindowRaster(src.path, x3, y3, x4 - x3, y4 - y3, ifd), x3, y3, fill)
           run.iterator.map { case (tx, ty) =>
             // the reference keeps all-nodata tiles at convert (the
             // empty-tile filter P6 belongs to the imageserver source), so
@@ -902,7 +934,26 @@ object GeoTiff {
               statsVec)
           }
         }
-      }.cache()
+      }
+  }
+
+  def convert(spark: SparkSession, tifPath: String, outFile: String,
+      blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false, resampling: String = "near",
+      cogOverviews: Boolean = true): RaquetMetadata = {
+    val src = readInfo(tifPath) // tags only — driver never touches pixels
+    val bs = 1 << blockZoom
+    val win = pixelWindow(src)
+    val res = resolution(src, win)
+    val zoom = findZoom(res, blockZoom, zoomStrategy)
+    val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)
+    val bandNames = (1 to src.bands).map(k => s"band_$k")
+    val schema = StructType(
+      Seq(StructField("block", LongType, nullable = false),
+        StructField("metadata", StringType)) ++
+        bandNames.map(b => StructField(b, BinaryType)))
+
+    val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling).cache()
 
     // dataset-level band stats (A5): distributed partial-merge reduce
     val globalStats = rowsRdd.map(_._2).reduce { (a, b) =>
@@ -920,6 +971,10 @@ object GeoTiff {
       Quadbin.tileEast(xtMax, zoom), Quadbin.tileNorth(ytMin, zoom))
     // min_zoom derives from the SOURCE window bounds (rg bounds in
     // find_minzoom), not the tile-aligned envelope
+    val (winX, winY, winW, winH) = win
+    val corners = Seq(
+      (src.x0 + winX * src.dx, src.y0 + winY * src.dy),
+      (src.x0 + (winX + winW) * src.dx, src.y0 + (winY + winH) * src.dy))
     val (srcLons, srcLats) = corners.map { case (cx, cy) =>
       if (src.geographic) (cx, clampLat(cy)) else (invLon(cx), invLat(cy))
     }.unzip
@@ -952,7 +1007,26 @@ object GeoTiff {
       time = None)
 
     val native = spark.createDataFrame(rowsRdd.map(_._1), schema)
-    val all = Pyramid.build(native, meta, minZoom)
+    // M6 COG overview passthrough: when the source carries reduced-
+    // resolution IFDs, warp each pyramid level from the coarsest overview
+    // that still resolves it (GDAL's warp-time overview selection) instead
+    // of recomputing the pyramid from native tiles — overview I/O is
+    // 4^Δz smaller than the base.
+    val overviews = if (cogOverviews) readOverviews(tifPath) else Seq.empty
+    val all =
+      if (overviews.isEmpty) Pyramid.build(native, meta, minZoom)
+      else {
+        val sources = (0, src) +: overviews.zipWithIndex.map { case (o, i) => (i + 1, o) }
+        (minZoom until zoom).foldLeft(native) { (acc, z) =>
+          val targetRes = CE / (1L << z) / bs
+          val usable = sources.filter { case (_, o) =>
+            resolution(o, pixelWindow(o)) <= targetRes * (1 + 1e-9) }
+          val (ifd, osrc) = usable.maxBy { case (_, o) =>
+            resolution(o, pixelWindow(o)) }
+          val lr = levelRows(spark, osrc, ifd, z, bs, pixelWindow(osrc), resampling)
+          acc.unionByName(spark.createDataFrame(lr.map(_._1), schema))
+        }
+      }
     RaquetIO.writeSingleFile(all, meta, outFile)
     rowsRdd.unpersist()
     meta

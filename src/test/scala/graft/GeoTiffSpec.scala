@@ -321,6 +321,92 @@ class GeoTiffSpec extends SparkSpec {
       assert(dw.getSampleDouble(i, j, b) == info.getSampleDouble(37 + i, 11 + j, b))
   }
 
+  test("COG overview passthrough: pyramid levels warp from overview IFDs and match the computed build") {
+    // mercator-aligned 256x256 uint8 base + its exact 2x2-mean overview in
+    // one 2-IFD classic TIFF; the passthrough pyramid must equal the
+    // Pyramid.build result bit-for-bit (aligned NN warp of an exact-mean
+    // overview == nodata-free 2x2-mean downsample)
+    val z = 6; val bs = 16; val n = 256
+    val size = GeoTiff.CE / (1L << z)
+    val x0 = -GeoTiff.CE / 2 + 32 * size
+    val y0 = GeoTiff.CE / 2 - 24 * size
+    val px = size / bs
+    def v(i: Int, j: Int): Int = (i * 3 + j * 5) % 251
+    val base = Array.tabulate(n * n)(p0 => v(p0 % n, p0 / n).toDouble)
+    val ov = Array.tabulate(n / 2 * (n / 2)) { p0 =>
+      val i = p0 % (n / 2); val j = p0 / (n / 2)
+      math.rint((base(2 * j * n + 2 * i) + base(2 * j * n + 2 * i + 1) +
+        base((2 * j + 1) * n + 2 * i) + base((2 * j + 1) * n + 2 * i + 1)) / 4)
+    }
+
+    def assembleCog(path: String, withOverview: Boolean): Unit = {
+      val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+      def ifdSize(nTags: Int) = 2 + nTags * 12 + 4
+      val n0Tags = 14; val n1Tags = 12
+      val ifd0At = 8L
+      val pay0At = ifd0At + ifdSize(n0Tags)
+      val scaleAt = pay0At; val tieAt = scaleAt + 24; val geoAt = tieAt + 48
+      val ifd1At = geoAt + 32
+      val data0At = ifd1At + (if (withOverview) ifdSize(n1Tags) else 0)
+      val data1At = data0At + n * n
+      val total = (data1At + (if (withOverview) ov.length else 0)).toInt
+      val bb = java.nio.ByteBuffer.allocate(total).order(LE)
+      bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0At.toInt)
+      def entry(id: Int, ttype: Int, count: Int, value: Long): Unit =
+        bb.putShort(id.toShort).putShort(ttype.toShort).putInt(count).putInt(value.toInt)
+      // IFD0
+      bb.position(ifd0At.toInt); bb.putShort(n0Tags.toShort)
+      entry(256, 3, 1, n); entry(257, 3, 1, n); entry(258, 3, 1, 8)
+      entry(259, 3, 1, 1); entry(262, 3, 1, 1)
+      entry(273, 4, 1, data0At); entry(277, 3, 1, 1); entry(278, 3, 1, n)
+      entry(279, 4, 1, n.toLong * n); entry(284, 3, 1, 1)
+      entry(339, 3, 1, 1)
+      entry(33550, 12, 3, scaleAt); entry(33922, 12, 6, tieAt)
+      entry(34735, 3, 16, geoAt)
+      bb.putInt(if (withOverview) ifd1At.toInt else 0) // next IFD
+      bb.position(scaleAt.toInt); bb.putDouble(px).putDouble(px).putDouble(0)
+      bb.position(tieAt.toInt)
+      bb.putDouble(0).putDouble(0).putDouble(0).putDouble(x0).putDouble(y0).putDouble(0)
+      bb.position(geoAt.toInt)
+      Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
+        .foreach(k => bb.putShort(k.toShort))
+      if (withOverview) {
+        bb.position(ifd1At.toInt); bb.putShort(n1Tags.toShort)
+        entry(254, 4, 1, 1) // reduced-resolution subfile
+        entry(256, 3, 1, n / 2); entry(257, 3, 1, n / 2); entry(258, 3, 1, 8)
+        entry(259, 3, 1, 1); entry(262, 3, 1, 1)
+        entry(273, 4, 1, data1At); entry(277, 3, 1, 1); entry(278, 3, 1, n / 2)
+        entry(279, 4, 1, ov.length.toLong); entry(284, 3, 1, 1)
+        entry(339, 3, 1, 1)
+        bb.putInt(0)
+      }
+      bb.position(data0At.toInt)
+      base.foreach(d => bb.put(d.toInt.toByte))
+      if (withOverview) ov.foreach(d => bb.put(d.toInt.toByte))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array())
+    }
+
+    val cogTif = tmp("cog.tif"); val plainTif = tmp("plain.tif")
+    assembleCog(cogTif, withOverview = true)
+    assembleCog(plainTif, withOverview = false)
+    val ovs = GeoTiff.readOverviews(cogTif)
+    assert(ovs.size == 1 && ovs.head.width == 128 && ovs.head.dx == 2 * px)
+    assert(GeoTiff.readOverviews(plainTif).isEmpty)
+
+    val outCog = tmp("cog.parquet"); val outPlain = tmp("plain.parquet")
+    val mCog = GeoTiff.convert(spark, cogTif, outCog, blockZoom = 4)
+    val mPlain = GeoTiff.convert(spark, plainTif, outPlain, blockZoom = 4)
+    assert(mCog.maxZoom == z && mCog.minZoom < z, s"need a pyramid: $mCog")
+    assert(mCog.numBlocks == mPlain.numBlocks)
+    val a = RaquetIO.read(spark, outCog).data
+      .select("block", "band_1").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val b = RaquetIO.read(spark, outPlain).data
+      .select("block", "band_1").collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(a.keySet == b.keySet, "same tile set at every zoom")
+    val diff = a.keys.filter(k => a(k) != b(k))
+    assert(diff.isEmpty, s"tiles differing: ${diff.take(3).toList}")
+  }
+
   test("convert → export round-trip preserves mercator-aligned pixels") {
     val rq = tmp("rt.parquet")
     GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq)
