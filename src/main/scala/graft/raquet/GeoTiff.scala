@@ -879,7 +879,8 @@ object GeoTiff {
     * the distributed per-task windowed-read pipeline. Returns (row,
     * per-band stats vector) pairs. */
   private def levelRows(spark: SparkSession, src: SourceInfo, ifd: Int,
-      zoom: Int, bs: Int, win: (Int, Int, Int, Int), resampling: String)
+      zoom: Int, bs: Int, win: (Int, Int, Int, Int), resampling: String,
+      tileStats: Boolean = false)
       : org.apache.spark.rdd.RDD[(Row, Seq[Array[Double]])] = {
     val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)
     // row-major tile order + contiguous split ⇒ each partition holds runs
@@ -930,8 +931,17 @@ object GeoTiff {
             val statsVec = bands.map(a =>
               if (a == null) null
               else PixelCodec.maskedStats(a, src.nodata.getOrElse(Double.NaN), null))
-            (Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs),
-              statsVec)
+            val statCols =
+              if (!tileStats) Seq.empty[Any]
+              else statsVec.flatMap {
+                // Seq[Any]: a bare Seq would numerically WIDEN the Long
+                // count to Double and break the row encoder
+                case null => Seq[Any](0L, null, null, null, null, null)
+                case st => Seq[Any](st(0).toLong, st(1), st(2), st(3),
+                  PixelCodec.statsMean(st), PixelCodec.statsStddev(st))
+              }
+            (Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs ++
+              statCols), statsVec)
           }
         }
       }
@@ -948,12 +958,20 @@ object GeoTiff {
     val zoom = findZoom(res, blockZoom, zoomStrategy)
     val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)
     val bandNames = (1 to src.bands).map(k => s"band_$k")
+    // per-tile statistics columns (spec raquet.md:96-121) when requested
+    val statFields: Seq[StructField] =
+      if (!tileStats) Seq.empty
+      else bandNames.flatMap(b => Seq(
+        StructField(s"${b}_count", LongType),
+        StructField(s"${b}_min", DoubleType), StructField(s"${b}_max", DoubleType),
+        StructField(s"${b}_sum", DoubleType), StructField(s"${b}_mean", DoubleType),
+        StructField(s"${b}_stddev", DoubleType)))
     val schema = StructType(
       Seq(StructField("block", LongType, nullable = false),
         StructField("metadata", StringType)) ++
-        bandNames.map(b => StructField(b, BinaryType)))
+        bandNames.map(b => StructField(b, BinaryType)) ++ statFields)
 
-    val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling).cache()
+    val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling, tileStats).cache()
 
     // dataset-level band stats (A5): distributed partial-merge reduce
     val globalStats = rowsRdd.map(_._2).reduce { (a, b) =>
@@ -1023,7 +1041,8 @@ object GeoTiff {
             resolution(o, pixelWindow(o)) <= targetRes * (1 + 1e-9) }
           val (ifd, osrc) = usable.maxBy { case (_, o) =>
             resolution(o, pixelWindow(o)) }
-          val lr = levelRows(spark, osrc, ifd, z, bs, pixelWindow(osrc), resampling)
+          val lr = levelRows(spark, osrc, ifd, z, bs, pixelWindow(osrc),
+            resampling, tileStats)
           acc.unionByName(spark.createDataFrame(lr.map(_._1), schema))
         }
       }

@@ -407,6 +407,31 @@ class GeoTiffSpec extends SparkSpec {
     assert(diff.isEmpty, s"tiles differing: ${diff.take(3).toList}")
   }
 
+  test("convert tileStats=true writes the spec's per-tile statistics columns") {
+    val rq = tmp("stats.parquet")
+    val meta = GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq,
+      tileStats = true)
+    val ds = RaquetIO.read(spark, rq)
+    val statCols = (1 to 4).flatMap(b => Seq(s"band_${b}_count", s"band_${b}_min",
+      s"band_${b}_max", s"band_${b}_sum", s"band_${b}_mean", s"band_${b}_stddev"))
+    statCols.foreach(c => assert(ds.data.columns.contains(c), c))
+    // metadata row: all stats NULL (spec raquet.md:115)
+    val metaRow = spark.read.parquet(rq).filter(col("block") === 0)
+      .select(statCols.map(col): _*).head()
+    assert((0 until metaRow.length).forall(metaRow.isNullAt), "metadata row stats NULL")
+    // a data tile's columns equal stats recomputed from its own blob
+    val r = ds.data.filter(col("band_1").isNotNull)
+      .select("block", "band_1", "band_1_count", "band_1_min", "band_1_max",
+        "band_1_sum", "band_1_mean", "band_1_stddev").head()
+    val st = graft.raquet.BandKernel(meta, "band_1").stats(r.getAs[Array[Byte]](1))
+    assert(r.getLong(2) == st(0).toLong && r.getDouble(3) == st(1) &&
+      r.getDouble(4) == st(2) && r.getDouble(5) == st(3))
+    // pyramid rows carry stats too
+    import graft.functions.GraftFunctions.quadbin_zoom
+    val pyr = ds.data.filter(quadbin_zoom(col("block")) < meta.maxZoom)
+    assert(pyr.count() > 0 && pyr.filter(col("band_1_count") > 0).count() > 0)
+  }
+
   test("convert → export round-trip preserves mercator-aligned pixels") {
     val rq = tmp("rt.parquet")
     GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq)
