@@ -1054,23 +1054,28 @@ object GeoTiff {
   // --- S10: raquet → GeoTIFF export (driver-side single writer, matching
   //     the reference's process model, raquet2geotiff.py:363-405) ---
 
-  /** GeoTIFF export sink (S10): mosaic the native-zoom tiles back into one
-    * striped GeoTIFF, STREAMING one tile-row at a time through a sorted
+  /** GeoTIFF export sink (S10): mosaic the dataset back into one striped
+    * GeoTIFF, STREAMING one tile-row at a time through a sorted
     * `toLocalIterator` — driver memory is O(width x blockHeight x bands),
     * not O(mosaic), so there is no total-size cap (the reference's
     * single-process writer shape, `raquet/raquet2geotiff.py:363-405`,
     * without its whole-raster buffer). Outputs past the classic-TIFF 4 GB
-    * limit become BigTIFF automatically ([[TiffWriter.writeStrips]]). */
-  def export(spark: SparkSession, raquetPath: String, outTif: String): Unit = {
+    * limit become BigTIFF automatically, and with `overviews = true` the
+    * dataset's pyramid levels are written as reduced-resolution IFDs — a
+    * COG layout that [[readOverviews]]/[[convert]] ingest without
+    * recomputing the pyramid (M6 round-trip). */
+  def export(spark: SparkSession, raquetPath: String, outTif: String,
+      overviews: Boolean = true): Unit = {
     val ds = RaquetIO.read(spark, raquetPath)
     val m = ds.meta
     import graft.functions.GraftFunctions.{quadbin_tile_x, quadbin_tile_y, quadbin_zoom}
     import org.apache.spark.sql.functions.{count => fCount, lit, max => fMax, min => fMin}
-    val native = ds.data.filter(quadbin_zoom(column("block")) === m.maxZoom)
+    def levelDf(z: Int) = ds.data.filter(quadbin_zoom(column("block")) === z)
       .select((Seq(
         quadbin_tile_x(column("block")).as("_tx"),
         quadbin_tile_y(column("block")).as("_ty")) ++
         m.bands.map(b => column(b.name))): _*)
+    val native = levelDf(m.maxZoom)
     val ext = native.agg(fMin(column("_tx")), fMax(column("_tx")),
       fMin(column("_ty")), fMax(column("_ty")), fCount(lit(1))).head()
     require(ext.getLong(4) > 0, "no native-zoom tiles")
@@ -1086,67 +1091,84 @@ object GeoTiff {
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val nb = m.bands.size
     val fill = m.bands.head.nodata.getOrElse(0.0)
-
-    // global sort puts tile rows in order; toLocalIterator pulls partition
-    // by partition, so the driver holds one range-partition + one tile-row
-    val rows = native.orderBy(column("_ty").asc, column("_tx").asc).toLocalIterator()
-    var pending: Row = null
-    def nextRowTile(ty: Long): Option[(Long, Row)] = {
-      if (pending == null && rows.hasNext) pending = rows.next()
-      if (pending != null && pending.getLong(1) == ty) {
-        val r = pending; pending = null
-        Some((r.getLong(0), r))
-      } else None
-    }
-
-    val tilesPerRow = (xMax - xMin + 1).toInt
     val rowsPerStrip = math.min(64, bs)
-    val strips = (yMin to yMax).iterator.flatMap { ty =>
-      // decode this tile row: [band][tileIdx] -> pixels (null = absent)
-      val decoded = Array.ofDim[Array[Double]](nb, tilesPerRow)
-      var t = nextRowTile(ty)
-      while (t.isDefined) {
-        val (tx, r) = t.get
-        val ti = (tx - xMin).toInt
-        var b = 0
-        while (b < nb) {
-          val blob = r.getAs[Array[Byte]](b + 2)
-          if (blob != null) decoded(b)(ti) = PixelCodec.decode(blob, m.bands(b).bandType)
-          b += 1
-        }
-        t = nextRowTile(ty)
-      }
-      (0 until bs / rowsPerStrip).iterator.map { si =>
-        val bb = java.nio.ByteBuffer.allocate(rowsPerStrip * w * nb * bpp)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var j = si * rowsPerStrip
-        val jEnd = j + rowsPerStrip
-        while (j < jEnd) {
-          var ti = 0
-          while (ti < tilesPerRow) {
-            var i = 0
-            while (i < bs) {
-              var b = 0
-              while (b < nb) {
-                val px = decoded(b)(ti)
-                TiffWriter.putSample(bb, dtype,
-                  if (px == null) fill else px(j * bs + i))
-                b += 1
-              }
-              i += 1
+
+    /** Strips of one pyramid level rendered as an image of `w2`x`h2` px
+      * with global zoom-`z` pixel origin (ox, oy). Tiles stream in
+      * (ty, tx) order; at most two decoded tile-rows stay cached (overview
+      * origins are not tile-aligned, so a strip can straddle a boundary). */
+    def levelStrips(z: Int, ox: Long, oy: Long, w2: Int, h2: Int): Iterator[Array[Byte]] = {
+      val rows = levelDf(z).orderBy(column("_ty").asc, column("_tx").asc).toLocalIterator()
+      val cache = scala.collection.mutable.SortedMap.empty[Long, scala.collection.mutable.Map[Long, Array[Array[Double]]]]
+      var pending: Row = null
+      def pullThrough(ty: Long): Unit = {
+        var done = false
+        while (!done) {
+          if (pending == null && rows.hasNext) pending = rows.next()
+          if (pending == null) done = true
+          else if (pending.getLong(1) > ty) done = true
+          else {
+            val r = pending; pending = null
+            val bands = Array.tabulate(nb) { b =>
+              val blob = r.getAs[Array[Byte]](b + 2)
+              if (blob == null) null else PixelCodec.decode(blob, m.bands(b).bandType)
             }
-            ti += 1
+            cache.getOrElseUpdate(r.getLong(1),
+              scala.collection.mutable.Map.empty) += (r.getLong(0) -> bands)
+          }
+        }
+      }
+      val nStrips = (h2 + rowsPerStrip - 1) / rowsPerStrip
+      (0 until nStrips).iterator.map { si =>
+        val j0 = si * rowsPerStrip
+        val j1 = math.min(h2, j0 + rowsPerStrip)
+        val tyFirst = (oy + j0) / bs
+        val tyLast = (oy + j1 - 1) / bs
+        pullThrough(tyLast)
+        cache.keys.takeWhile(_ < tyFirst).toList.foreach(cache.remove)
+        val bb = java.nio.ByteBuffer.allocate((j1 - j0) * w2 * nb * bpp)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var j = j0
+        while (j < j1) {
+          val gy = oy + j
+          val rowTiles = cache.getOrElse(gy / bs, null)
+          val py = (gy % bs).toInt
+          var i = 0
+          while (i < w2) {
+            val gx = ox + i
+            val tile = if (rowTiles == null) null else rowTiles.getOrElse(gx / bs, null)
+            val px = (gx % bs).toInt
+            var b = 0
+            while (b < nb) {
+              val arr = if (tile == null) null else tile(b)
+              TiffWriter.putSample(bb, dtype,
+                if (arr == null) fill else arr(py * bs + px))
+              b += 1
+            }
+            i += 1
           }
           j += 1
         }
         bb.array()
       }
     }
+
+    // overview IFDs: one per pyramid level, while the halved grid stays
+    // pixel-aligned (always true for k <= log2(blockWidth))
+    val kMax =
+      if (!overviews) 0
+      else math.min(m.maxZoom - m.minZoom, Integer.numberOfTrailingZeros(bs))
+    val images = (0 to kMax).map { k =>
+      val z = m.maxZoom - k
+      TiffWriter.TiffImage((w >> k), (h >> k), rowsPerStrip,
+        () => levelStrips(z, (xMin * bs) >> k, (yMin * bs) >> k, w >> k, h >> k),
+        reduced = k > 0)
+    }
     val size = CE / (1L << m.maxZoom)
-    TiffWriter.writeStrips(outTif, w, h, dtype, nb,
+    TiffWriter.writeImages(outTif, dtype, nb,
       pixelSize = size / bs,
       originX = -CE / 2 + xMin * size, originY = CE / 2 - yMin * size,
-      nodata = m.bands.head.nodata, rowsPerStrip = rowsPerStrip, strips)
+      nodata = m.bands.head.nodata, images)
   }
 }
 
@@ -1207,7 +1229,25 @@ object TiffWriter {
   def writeStrips(path: String, w: Int, h: Int, dtype: String, nb: Int,
       pixelSize: Double, originX: Double, originY: Double,
       nodata: Option[Double], rowsPerStrip: Int,
-      strips: Iterator[Array[Byte]], forceBig: Boolean = false): Unit = {
+      strips: Iterator[Array[Byte]], forceBig: Boolean = false): Unit =
+    writeImages(path, dtype, nb, pixelSize, originX, originY, nodata,
+      Seq(TiffImage(w, h, rowsPerStrip, () => strips)), forceBig)
+
+  /** One image (IFD) of a multi-image file; `reduced` marks COG overview
+    * levels (NewSubfileType = 1). */
+  final case class TiffImage(w: Int, h: Int, rowsPerStrip: Int,
+      strips: () => Iterator[Array[Byte]], reduced: Boolean = false)
+
+  /** Multi-image streamed writer: image 0 is the full-resolution IFD with
+    * the geo tags; images 1..n are reduced-resolution overviews (a COG
+    * layout readable back by [[GeoTiff.readOverviews]]). All IFDs and tag
+    * payloads are written up front — the uncompressed strip layout is fully
+    * deterministic — then every image's pixel data streams through a
+    * bounded buffer. Switches to BigTIFF past the 4 GB offset limit. */
+  def writeImages(path: String, dtype: String, nb: Int,
+      pixelSize: Double, originX: Double, originY: Double,
+      nodata: Option[Double], images: Seq[TiffImage],
+      forceBig: Boolean = false): Unit = {
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val (sampleFormat, bits) = dtype match {
       case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
@@ -1215,20 +1255,20 @@ object TiffWriter {
       case "float32" | "float64" => (3, bpp * 8)
       case other => throw new IllegalArgumentException(s"tiff dtype $other")
     }
-    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-    val rowBytes = w.toLong * nb * bpp
-    val stripCounts = (0 until nStrips).map { s0 =>
-      val rows = math.min(rowsPerStrip, h - s0.toLong * rowsPerStrip)
-      rows * rowBytes
-    }
-    val dataBytes = stripCounts.sum
-    // classic TIFF offsets are uint32: switch to BigTIFF near the limit
-    val big = forceBig || dataBytes + (4L << 20) > 0xFFFF0000L
-
     val nodataStr = nodata.map(v =>
       if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString)
 
-    // ---- layout (shared classic/big logic, widths differ) ----
+    final case class ImgLayout(img: TiffImage, nStrips: Int, stripCounts: Seq[Long])
+    val layouts = images.map { im =>
+      val nStrips = (im.h + im.rowsPerStrip - 1) / im.rowsPerStrip
+      val rowBytes = im.w.toLong * nb * bpp
+      ImgLayout(im, nStrips, (0 until nStrips).map { s0 =>
+        math.min(im.rowsPerStrip.toLong, im.h - s0.toLong * im.rowsPerStrip) * rowBytes
+      })
+    }
+    val dataBytes = layouts.map(_.stripCounts.sum).sum
+    val big = forceBig || dataBytes + (4L << 20) > 0xFFFF0000L
+
     val headerSize = if (big) 16 else 8
     val entrySize = if (big) 20 else 12
     val inlineCap = if (big) 8 else 4
@@ -1236,7 +1276,6 @@ object TiffWriter {
     val offElem = if (big) 8 else 4
 
     final case class Tag(id: Int, ttype: Int, count: Long, inline: Long)
-
     def shorts(vs: Seq[Int]): Array[Byte] = {
       val bb = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
       vs.foreach(v => bb.putShort(v.toShort)); bb.array()
@@ -1250,9 +1289,12 @@ object TiffWriter {
       vs.foreach(bb.putDouble); bb.array()
     }
 
-    val nTags = 14 + nodataStr.size
-    val ifdSize = (if (big) 8 else 2) + nTags * entrySize + (if (big) 8 else 4)
-    var cursor = (headerSize + ifdSize).toLong
+    def nTagsOf(first: Boolean): Int =
+      (if (first) 14 else 12) + nodataStr.size
+    def ifdSizeOf(first: Boolean): Int =
+      (if (big) 8 else 2) + nTagsOf(first) * entrySize + (if (big) 8 else 4)
+
+    var cursor = headerSize.toLong
     val payloads = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
     def alloc(bytes: Array[Byte]): Long = {
       val at = cursor
@@ -1261,87 +1303,125 @@ object TiffWriter {
       if (cursor % 2 == 1) cursor += 1 // word-align
       at
     }
-    def tagArr(id: Int, ttype: Int, count: Long, bytes: Array[Byte]): Tag =
-      if (bytes.length <= inlineCap) {
-        val v = ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 8))
-          .order(ByteOrder.LITTLE_ENDIAN).getLong
-        Tag(id, ttype, count, v)
-      } else Tag(id, ttype, count, alloc(bytes))
 
-    val bitsTag = tagArr(258, 3, nb, shorts(Seq.fill(nb)(bits)))
-    val sampleFormatTag = tagArr(339, 3, nb, shorts(Seq.fill(nb)(sampleFormat)))
-    val countsTag = tagArr(279, offType, nStrips, offsetsArr(stripCounts))
-    // strip offsets: reserve payload space now, patch values once known
-    val offsetsPos =
-      if (nStrips.toLong * offElem <= inlineCap) -1L
-      else alloc(new Array[Byte](nStrips * offElem))
-    val scaleTag = tagArr(33550, 12, 3, doubles(Seq(pixelSize, pixelSize, 0.0)))
-    val tieTag = tagArr(33922, 12, 6, doubles(Seq(0, 0, 0, originX, originY, 0)))
-    val geoKeys = Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
-    val geoTag = tagArr(34735, 3, geoKeys.length, shorts(geoKeys))
-    val nodataTag = nodataStr.map { s0 =>
-      val bytes = (s0 + "\u0000").getBytes("ASCII")
-      tagArr(42113, 2, bytes.length, bytes)
+    // pass 1: per image, reserve its IFD slot then its variable payloads
+    final case class Planned(ifdAt: Long, first: Boolean, l: ImgLayout,
+        tagsPre: Seq[Tag], offsetsPos: Long)
+    val planned = layouts.zipWithIndex.map { case (l, idx) =>
+      val first = idx == 0
+      val ifdAt = cursor
+      cursor += ifdSizeOf(first)
+      val bitsTag = {
+        val b = shorts(Seq.fill(nb)(bits))
+        if (b.length <= inlineCap)
+          Tag(258, 3, nb, ByteBuffer.wrap(java.util.Arrays.copyOf(b, 8))
+            .order(ByteOrder.LITTLE_ENDIAN).getLong)
+        else Tag(258, 3, nb, alloc(b))
+      }
+      val sfTag = {
+        val b = shorts(Seq.fill(nb)(sampleFormat))
+        if (b.length <= inlineCap)
+          Tag(339, 3, nb, ByteBuffer.wrap(java.util.Arrays.copyOf(b, 8))
+            .order(ByteOrder.LITTLE_ENDIAN).getLong)
+        else Tag(339, 3, nb, alloc(b))
+      }
+      val countsTag = {
+        val b = offsetsArr(l.stripCounts)
+        if (b.length <= inlineCap)
+          Tag(279, offType, l.nStrips, ByteBuffer.wrap(java.util.Arrays.copyOf(b, 8))
+            .order(ByteOrder.LITTLE_ENDIAN).getLong)
+        else Tag(279, offType, l.nStrips, alloc(b))
+      }
+      val offsetsPos =
+        if (l.nStrips.toLong * offElem <= inlineCap) -1L
+        else alloc(new Array[Byte](l.nStrips * offElem))
+      val geoTags: Seq[Tag] =
+        if (!first) Seq(Tag(254, 4, 1, 1L))
+        else {
+          val scaleTag = Tag(33550, 12, 3, alloc(doubles(Seq(pixelSize, pixelSize, 0.0))))
+          val tieTag = Tag(33922, 12, 6, alloc(doubles(Seq(0, 0, 0, originX, originY, 0))))
+          val geoKeys = Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
+          Seq(scaleTag, tieTag, Tag(34735, 3, geoKeys.length, alloc(shorts(geoKeys))))
+        }
+      val nodataTag = nodataStr.map { s0 =>
+        val bytes = (s0 + "\u0000").getBytes("ASCII")
+        if (bytes.length <= inlineCap)
+          Tag(42113, 2, bytes.length, ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 8))
+            .order(ByteOrder.LITTLE_ENDIAN).getLong)
+        else Tag(42113, 2, bytes.length, alloc(bytes))
+      }
+      val tagsPre = Seq(
+        Tag(256, 3, 1, l.img.w.toLong),
+        Tag(257, 3, 1, l.img.h.toLong),
+        bitsTag,
+        Tag(259, 3, 1, 1L), // uncompressed
+        Tag(262, 3, 1, 1L), // BlackIsZero
+        Tag(277, 3, 1, nb.toLong),
+        Tag(278, 3, 1, l.img.rowsPerStrip.toLong),
+        countsTag,
+        Tag(284, 3, 1, 1L), // chunky
+        sfTag) ++ geoTags ++ nodataTag
+      Planned(ifdAt, first, l, tagsPre, offsetsPos)
     }
 
     val dataStart = cursor
-    val stripOffsets = stripCounts.scanLeft(dataStart)(_ + _).init
-
-    val tags: Seq[Tag] = (Seq(
-      Tag(256, 3, 1, w.toLong),
-      Tag(257, 3, 1, h.toLong),
-      bitsTag,
-      Tag(259, 3, 1, 1L), // uncompressed
-      Tag(262, 3, 1, 1L), // BlackIsZero
-      if (offsetsPos < 0) Tag(273, offType, nStrips, stripOffsets.head)
-        else Tag(273, offType, nStrips, offsetsPos),
-      Tag(277, 3, 1, nb.toLong),
-      Tag(278, 3, 1, rowsPerStrip.toLong),
-      countsTag,
-      Tag(284, 3, 1, 1L), // chunky
-      sampleFormatTag,
-      scaleTag, tieTag, geoTag) ++ nodataTag).sortBy(_.id)
+    // image data areas are sequential; strip offsets per image
+    val imageDataStarts = planned.map(_.l.stripCounts.sum)
+      .scanLeft(dataStart)(_ + _).init
+    val stripOffsetsPerImage = planned.zip(imageDataStarts).map {
+      case (pl, at) => pl.l.stripCounts.scanLeft(at)(_ + _).init
+    }
 
     val head = ByteBuffer.allocate(dataStart.toInt).order(ByteOrder.LITTLE_ENDIAN)
     if (big) {
       head.put('I'.toByte).put('I'.toByte).putShort(43)
-      head.putShort(8).putShort(0).putLong(headerSize)
-      head.putLong(tags.length.toLong)
+      head.putShort(8).putShort(0).putLong(planned.head.ifdAt)
     } else {
-      head.put('I'.toByte).put('I'.toByte).putShort(42).putInt(headerSize)
-      head.putShort(tags.length.toShort)
+      head.put('I'.toByte).put('I'.toByte).putShort(42)
+      head.putInt(planned.head.ifdAt.toInt)
     }
-    tags.foreach { t =>
-      head.putShort(t.id.toShort).putShort(t.ttype.toShort)
-      if (big) { head.putLong(t.count); head.putLong(t.inline) }
-      else { head.putInt(t.count.toInt); head.putInt(t.inline.toInt) }
-    }
-    if (big) head.putLong(0L) else head.putInt(0) // next IFD
+    // payloads first — the IFD pass below PATCHES the reserved offset
+    // arrays, so it must come after the zero-filled reservations land
     payloads.foreach { case (at, bytes) =>
       head.position(at.toInt); head.put(bytes)
     }
-    if (offsetsPos >= 0) {
-      head.position(offsetsPos.toInt)
-      stripOffsets.foreach(o => if (big) head.putLong(o) else head.putInt(o.toInt))
+    planned.zipWithIndex.foreach { case (pl, idx) =>
+      val offs = stripOffsetsPerImage(idx)
+      val offsetsTag =
+        if (pl.offsetsPos < 0) Tag(273, offType, pl.l.nStrips, offs.head)
+        else Tag(273, offType, pl.l.nStrips, pl.offsetsPos)
+      val tags = (pl.tagsPre :+ offsetsTag).sortBy(_.id)
+      head.position(pl.ifdAt.toInt)
+      if (big) head.putLong(tags.length.toLong) else head.putShort(tags.length.toShort)
+      tags.foreach { t =>
+        head.putShort(t.id.toShort).putShort(t.ttype.toShort)
+        if (big) { head.putLong(t.count); head.putLong(t.inline) }
+        else { head.putInt(t.count.toInt); head.putInt(t.inline.toInt) }
+      }
+      val next = if (idx + 1 < planned.size) planned(idx + 1).ifdAt else 0L
+      if (big) head.putLong(next) else head.putInt(next.toInt)
+      if (pl.offsetsPos >= 0) {
+        head.position(pl.offsetsPos.toInt)
+        offs.foreach(o => if (big) head.putLong(o) else head.putInt(o.toInt))
+      }
     }
-
     Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 4 << 20)
     try {
       out.write(head.array())
-      var s0 = 0
-      var written = 0L
-      while (s0 < nStrips) {
-        require(strips.hasNext, s"strip iterator exhausted at $s0/$nStrips")
-        val strip = strips.next()
-        require(strip.length == stripCounts(s0),
-          s"strip $s0: ${strip.length} bytes, expected ${stripCounts(s0)}")
-        out.write(strip)
-        written += strip.length
-        s0 += 1
+      planned.foreach { pl =>
+        val it = pl.l.img.strips()
+        var s0 = 0
+        while (s0 < pl.l.nStrips) {
+          require(it.hasNext, s"strip iterator exhausted at $s0/${pl.l.nStrips}")
+          val strip = it.next()
+          require(strip.length == pl.l.stripCounts(s0),
+            s"strip $s0: ${strip.length} bytes, expected ${pl.l.stripCounts(s0)}")
+          out.write(strip)
+          s0 += 1
+        }
       }
-      require(written == dataBytes, s"wrote $written of $dataBytes data bytes")
     } finally out.close()
   }
 }

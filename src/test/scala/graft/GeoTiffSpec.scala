@@ -434,7 +434,7 @@ class GeoTiffSpec extends SparkSpec {
 
   test("convert → export round-trip preserves mercator-aligned pixels") {
     val rq = tmp("rt.parquet")
-    GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq)
+    val meta = GeoTiff.convert(spark, "/root/reference/examples/europe.tif", rq)
     val tif = tmp("rt.tif")
     GeoTiff.export(spark, rq, tif)
     val back = GeoTiff.read(tif)
@@ -444,5 +444,28 @@ class GeoTiffSpec extends SparkSpec {
     val diffs = (0 until 1024 by 97).flatMap(j => (0 until 1024 by 89).map(i =>
       math.abs(orig.sample(0, i, j) - back.sample(0, i, j))))
     assert(diffs.forall(_ == 0.0), s"pixel drift: max=${diffs.max}")
+    // the export is a COG: pyramid levels became overview IFDs, and the
+    // overview pixels equal the dataset's own pyramid tiles
+    val ovs = GeoTiff.readOverviews(tif)
+    assert(ovs.size == math.min(meta.maxZoom - meta.minZoom, 8), s"overviews: $ovs")
+    if (ovs.nonEmpty) {
+      val ov = ovs.head
+      assert(ov.width == 512 && ov.dx == 2 * back.dx)
+      // overview pixel (i,j) averages the base 2x2 at (2i, 2j) — compare a
+      // probe grid against the nodata-aware mean of the full-res mosaic
+      val oimg = GeoTiff.readWindowRaster(tif, 0, 0, 512, 512, ifd = 1)
+      val nodata = back.nodata
+      def valid(v: Double) = !(v.isNaN || nodata.contains(v))
+      val bad = for {
+        j <- (0 until 512 by 41); i <- (0 until 512 by 37)
+        vs = Seq(back.sample(0, 2 * i, 2 * j), back.sample(0, 2 * i + 1, 2 * j),
+          back.sample(0, 2 * i, 2 * j + 1), back.sample(0, 2 * i + 1, 2 * j + 1))
+          .filter(valid)
+        exp = if (vs.isEmpty) nodata.getOrElse(0.0) else math.rint(vs.sum / vs.size)
+        got = oimg.getSampleDouble(i, j, 0)
+        if got != exp
+      } yield (i, j, got, exp)
+      assert(bad.isEmpty, s"overview mismatches: ${bad.take(3)}")
+    }
   }
 }
