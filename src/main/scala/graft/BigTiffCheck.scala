@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
 import graft.raquet.{GeoTiff, PixelCodec, RaquetIO}
 
 /** Scale check for the de-drivered S6 ingest: streams a >2 GB uncompressed
-  * GeoTIFF to disk (strip-at-a-time, bounded memory), then converts it with
+  * BIGTIFF (version 43 — exercises the direct strip decoder, since the JDK
+  * has no BigTIFF reader) to disk (strip-at-a-time, bounded memory), then
+  * converts it with
   * the WHOLE JVM heap capped (local mode: driver and executors share it):
   *
   *   SPARK_DRIVER_MEM=2g sbt "runMain graft.BigTiffCheck"
@@ -39,9 +41,10 @@ object BigTiffCheck {
     val y0 = 50.0; val dy = -80.0 / h
 
     final case class T(id: Int, ttype: Int, count: Int, value: Long)
-    val header = 8
+    // BigTIFF (version 43): 16-byte header, 20-byte entries, 8-byte counts
+    val header = 16
     val nTags = 14
-    val ifdSize = 2 + nTags * 12 + 4
+    val ifdSize = 8 + nTags * 20 + 8
     var cursor = (header + ifdSize).toLong
     def alloc(bytes: Int): Long = { val at = cursor; cursor += bytes; at }
     val offsetsAt = alloc(nStrips * 4)
@@ -61,13 +64,14 @@ object BigTiffCheck {
       T(34735, 3, 16, geoAt)).sortBy(_.id)
 
     val head = ByteBuffer.allocate(dataStart.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    head.put('I'.toByte).put('I'.toByte).putShort(42).putInt(header)
-    head.putShort(nTags.toShort)
+    head.put('I'.toByte).put('I'.toByte).putShort(43)
+    head.putShort(8).putShort(0).putLong(header.toLong)
+    head.putLong(nTags.toLong)
     tags.foreach { t =>
-      head.putShort(t.id.toShort).putShort(t.ttype.toShort).putInt(t.count)
-      head.putInt(t.value.toInt)
+      head.putShort(t.id.toShort).putShort(t.ttype.toShort).putLong(t.count.toLong)
+      head.putLong(t.value)
     }
-    head.putInt(0)
+    head.putLong(0L)
     (0 until nStrips).foreach(k => head.putInt((dataStart + k.toLong * stripBytes).toInt))
     (0 until nStrips).foreach(_ => head.putInt(stripBytes))
     Seq(dx, -dy, 0.0).foreach(head.putDouble)

@@ -281,8 +281,36 @@ object PixelCodec {
           }
           i += 1
         }
-      case _ => // float16 / 64-bit ints: the decode path handles the bias math
-        return maskedStats(decode(raw, dtype), nodata, null)
+      case "float16" =>
+        while (i < n) {
+          val v = halfToDouble(bb.getShort(i * 2))
+          if (!java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v) &&
+            !(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "int64" =>
+        while (i < n) {
+          val v = bb.getLong(i * 8).toDouble
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case "uint64" =>
+        while (i < n) {
+          val l = bb.getLong(i * 8)
+          val v = if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552E19
+          if (!(hasNodata && v == nodata)) {
+            count += 1; if (v < mn) mn = v; if (v > mx) mx = v
+            sum += v; sumSq += v * v
+          }
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(s"band type: $other")
     }
     if (count == 0) null
     else Array(count.toDouble, mn, mx, sum, sumSq)

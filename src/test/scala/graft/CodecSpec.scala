@@ -75,4 +75,33 @@ class CodecSpec extends AnyFunSuite {
     assert(m.pixelZoom == 13) // legacy default: maxresolution + 8
     assert(m.bands.head.nodata.exists(_.isNaN))
   }
+
+  test("fusedStats equals maskedStats-of-decode for every dtype, gzip and raw") {
+    val dtypes = Seq("uint8", "int8", "uint16", "int16", "uint32", "int32",
+      "uint64", "int64", "float16", "float32", "float64")
+    val rnd = new scala.util.Random(7)
+    for (dt <- dtypes; gz <- Seq(true, false); nodata <- Seq(Double.NaN, 3.0)) {
+      val vals = Array.tabulate(257) { i =>
+        if (i % 17 == 0) 3.0 // nodata hits
+        else if (dt.startsWith("float") && i % 23 == 0) Double.NaN
+        else dt match {
+          case "uint8" => rnd.nextInt(256).toDouble
+          case "int8" => (rnd.nextInt(256) - 128).toDouble
+          case "uint16" => rnd.nextInt(65536).toDouble
+          case "int16" => (rnd.nextInt(65536) - 32768).toDouble
+          case "uint32" => (rnd.nextLong() & 0xFFFFFFFFL).toDouble
+          case "int32" => rnd.nextInt().toDouble
+          case "uint64" | "int64" => rnd.nextInt(1 << 20).toDouble
+          case "float16" => PixelCodec.halfToDouble(rnd.nextInt(0x7C00).toShort)
+          case _ => rnd.nextDouble() * 100 - 50
+        }
+      }
+      val blob = PixelCodec.encode(vals, dt, gzip = gz)
+      val expected = PixelCodec.maskedStats(PixelCodec.decode(blob, dt), nodata, null)
+      val fused = PixelCodec.fusedStats(blob, dt, nodata)
+      assert((expected == null) == (fused == null), s"$dt gz=$gz nodata=$nodata")
+      if (expected != null)
+        assert(fused.toSeq == expected.toSeq, s"$dt gz=$gz nodata=$nodata")
+    }
+  }
 }
