@@ -292,6 +292,43 @@ class GeoTiffSpec extends SparkSpec {
         s"pixel ($i,$j,$b)")
   }
 
+  test("BigTIFF multi-image: COG layout round-trips through the direct reader") {
+    val w = 64; val h = 48
+    def img(scale: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate((w / scale) * (h / scale))
+      for (p0 <- 0 until (w / scale) * (h / scale)) bb.put(((p0 * 7 + scale) % 251).toByte)
+      bb.array()
+    }
+    val tif = tmp("big-cog.tif")
+    graft.raquet.TiffWriter.writeImages(tif, "uint8", 1,
+      pixelSize = 4.0, originX = -128.0, originY = 96.0, nodata = Some(255.0),
+      images = Seq(
+        graft.raquet.TiffWriter.TiffImage(w, h, 16, () => {
+          val d = img(1)
+          (0 until 3).iterator.map(si => java.util.Arrays.copyOfRange(d, si * 16 * w, (si + 1) * 16 * w))
+        }),
+        graft.raquet.TiffWriter.TiffImage(w / 2, h / 2, 16, () => {
+          val d = img(2)
+          (0 until 2).iterator.map(si =>
+            java.util.Arrays.copyOfRange(d, si * 16 * (w / 2),
+              math.min(d.length, (si + 1) * 16 * (w / 2))))
+        }, reduced = true)),
+      forceBig = true)
+    val headBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif)).take(4)
+    assert(headBytes(2) == 43.toByte)
+    val base = GeoTiff.readInfo(tif)
+    assert(base.width == w && base.height == h && base.nodata.contains(255.0))
+    val ovs = GeoTiff.readOverviews(tif)
+    assert(ovs.size == 1 && ovs.head.width == w / 2 && ovs.head.dx == 8.0)
+    val d0 = img(1); val d1 = img(2)
+    val r0 = GeoTiff.readWindowStripsDirect(tif, 0, 0, w, h, ifd = 0)
+    for (j <- 0 until h; i <- 0 until w)
+      assert(r0.getSampleDouble(i, j, 0) == (d0(j * w + i) & 0xFF).toDouble)
+    val r1 = GeoTiff.readWindowStripsDirect(tif, 0, 0, w / 2, h / 2, ifd = 1)
+    for (j <- 0 until h / 2; i <- 0 until w / 2)
+      assert(r1.getSampleDouble(i, j, 0) == (d1(j * w / 2 + i) & 0xFF).toDouble)
+  }
+
   test("LZW: direct strip decode matches ImageIO on a JDK-written LZW file") {
     // the JDK TIFF writer produces LZW classic files; the direct reader
     // (the BigTIFF path) handles classic too — differential-test them
