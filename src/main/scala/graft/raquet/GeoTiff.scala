@@ -91,8 +91,9 @@ object GeoTiff {
 
     def parse(): Map[Int, (Int, Array[Double], String)] = parseAll().head
 
-    /** All IFDs in the chain (COG overviews are IFDs 1..n). */
-    def parseAll(): Seq[Map[Int, (Int, Array[Double], String)]] = {
+    /** All IFDs in the chain (COG overviews are IFDs 1..n); `maxIfds`
+      * stops the walk early when only a prefix is needed. */
+    def parseAll(maxIfds: Int = 32): Seq[Map[Int, (Int, Array[Double], String)]] = {
       val magic = buf(0, 16)
       order = (magic.get(0), magic.get(1)) match {
         case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -108,7 +109,7 @@ object GeoTiff {
       var ifd = if (big) header.getLong(8) else header.getInt(4) & 0xFFFFFFFFL
       val out = scala.collection.mutable.ArrayBuffer
         .empty[Map[Int, (Int, Array[Double], String)]]
-      while (ifd != 0 && out.size < 32) {
+      while (ifd != 0 && out.size < maxIfds) {
         val (tags, next) = parseOne(ifd)
         out += tags
         ifd = next
@@ -256,10 +257,22 @@ object GeoTiff {
     val base = readInfo(path)
     val tr = new TagReader(path)
     val all = try tr.parseAll() finally tr.close()
+    val baseTags = all.head
+    def tag1(tags: Map[Int, (Int, Array[Double], String)], id: Int, dflt: Double) =
+      tags.get(id).map(_._2.head).getOrElse(dflt)
     all.drop(1).flatMap { tags =>
+      val subfile = tag1(tags, 254, 0).toLong
+      val isMask = (subfile & 0x4) != 0
+      val sameShape =
+        tag1(tags, 277, 1) == tag1(baseTags, 277, 1) &&
+        tag1(tags, 258, 8) == tag1(baseTags, 258, 8) &&
+        tag1(tags, 339, 1) == tag1(baseTags, 339, 1)
       for {
         w <- tags.get(256).map(_._2.head.toInt)
         h <- tags.get(257).map(_._2.head.toInt)
+        // only reduced-resolution pages of the SAME raster: skip transparency
+        // masks (subfile bit 2), extra full-res pages, and shape mismatches
+        if !isMask && sameShape && w < base.width && h < base.height
       } yield base.copy(width = w, height = h,
         dx = base.dx * base.width / w, dy = base.dy * base.height / h)
     }
@@ -328,7 +341,7 @@ object GeoTiff {
       ww: Int, wh: Int, ifd: Int = 0): java.awt.image.Raster = {
     val tr = new TagReader(path)
     val (tags, order) =
-      try { val t = tr.parseAll().apply(ifd); (t, tr.order) } finally tr.close()
+      try { val t = tr.parseAll(ifd + 1).apply(ifd); (t, tr.order) } finally tr.close()
     def tag1(id: Int, dflt: => Double): Double =
       tags.get(id).map(_._2.head).getOrElse(dflt)
     require(!tags.contains(322), s"$path: tiled BigTIFF unsupported (strips only)")
@@ -839,14 +852,19 @@ object GeoTiff {
       val (sx, sy) = toSource(s, mx, my)
       (math.floor((sx - s.x0) / s.dx).toInt, math.floor((sy - s.y0) / s.dy).toInt)
     }
-    // margin 3 covers every kernel's support (lanczos reaches ±3 px around
-    // floor(u-0.5), i.e. -3..+3 around floor(u); average footprints half an
-    // output step) plus floor rounding
+    // margin: 3 px covers every convolution kernel's support (lanczos
+    // reaches ±3 px around floor(u)); footprint statistics additionally
+    // reach ±half an OUTPUT step in source px, which grows with the
+    // downsampling ratio (an overview-passthrough level warped from a much
+    // finer source has su = span/bs >> 1), so pad by the per-axis step too
     val (wx, wy, ww, wh) = win
-    val x3 = math.max(wx, pts.map(_._1).min - 3)
-    val x4 = math.min(wx + ww, pts.map(_._1).max + 4)
-    val y3 = math.max(wy, pts.map(_._2).min - 3)
-    val y4 = math.min(wy + wh, pts.map(_._2).max + 4)
+    val xs = pts.map(_._1); val ys = pts.map(_._2)
+    val padX = 3 + (xs.max - xs.min) / (2 * bs) + 1
+    val padY = 3 + (ys.max - ys.min) / (2 * bs) + 1
+    val x3 = math.max(wx, xs.min - padX)
+    val x4 = math.min(wx + ww, xs.max + padX + 1)
+    val y3 = math.max(wy, ys.min - padY)
+    val y4 = math.min(wy + wh, ys.max + padY + 1)
     (x3, y3, x4 - x3, y4 - y3)
   }
 
@@ -1311,27 +1329,14 @@ object TiffWriter {
       val first = idx == 0
       val ifdAt = cursor
       cursor += ifdSizeOf(first)
-      val bitsTag = {
-        val b = shorts(Seq.fill(nb)(bits))
-        if (b.length <= inlineCap)
-          Tag(258, 3, nb, ByteBuffer.wrap(java.util.Arrays.copyOf(b, 8))
+      def tagArr(id: Int, ttype: Int, count: Long, bytes: Array[Byte]): Tag =
+        if (bytes.length <= inlineCap)
+          Tag(id, ttype, count, ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 8))
             .order(ByteOrder.LITTLE_ENDIAN).getLong)
-        else Tag(258, 3, nb, alloc(b))
-      }
-      val sfTag = {
-        val b = shorts(Seq.fill(nb)(sampleFormat))
-        if (b.length <= inlineCap)
-          Tag(339, 3, nb, ByteBuffer.wrap(java.util.Arrays.copyOf(b, 8))
-            .order(ByteOrder.LITTLE_ENDIAN).getLong)
-        else Tag(339, 3, nb, alloc(b))
-      }
-      val countsTag = {
-        val b = offsetsArr(l.stripCounts)
-        if (b.length <= inlineCap)
-          Tag(279, offType, l.nStrips, ByteBuffer.wrap(java.util.Arrays.copyOf(b, 8))
-            .order(ByteOrder.LITTLE_ENDIAN).getLong)
-        else Tag(279, offType, l.nStrips, alloc(b))
-      }
+        else Tag(id, ttype, count, alloc(bytes))
+      val bitsTag = tagArr(258, 3, nb, shorts(Seq.fill(nb)(bits)))
+      val sfTag = tagArr(339, 3, nb, shorts(Seq.fill(nb)(sampleFormat)))
+      val countsTag = tagArr(279, offType, l.nStrips, offsetsArr(l.stripCounts))
       val offsetsPos =
         if (l.nStrips.toLong * offElem <= inlineCap) -1L
         else alloc(new Array[Byte](l.nStrips * offElem))
@@ -1344,20 +1349,17 @@ object TiffWriter {
           Seq(scaleTag, tieTag, Tag(34735, 3, geoKeys.length, alloc(shorts(geoKeys))))
         }
       val nodataTag = nodataStr.map { s0 =>
-        val bytes = (s0 + "\u0000").getBytes("ASCII")
-        if (bytes.length <= inlineCap)
-          Tag(42113, 2, bytes.length, ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 8))
-            .order(ByteOrder.LITTLE_ENDIAN).getLong)
-        else Tag(42113, 2, bytes.length, alloc(bytes))
+        tagArr(42113, 2, s0.length + 1, (s0 + "\u0000").getBytes("ASCII"))
       }
       val tagsPre = Seq(
-        Tag(256, 3, 1, l.img.w.toLong),
-        Tag(257, 3, 1, l.img.h.toLong),
+        // LONG (not SHORT) dims: a streamed mosaic routinely exceeds 65535 px
+        Tag(256, 4, 1, l.img.w.toLong),
+        Tag(257, 4, 1, l.img.h.toLong),
         bitsTag,
         Tag(259, 3, 1, 1L), // uncompressed
         Tag(262, 3, 1, 1L), // BlackIsZero
         Tag(277, 3, 1, nb.toLong),
-        Tag(278, 3, 1, l.img.rowsPerStrip.toLong),
+        Tag(278, 4, 1, l.img.rowsPerStrip.toLong),
         countsTag,
         Tag(284, 3, 1, 1L), // chunky
         sfTag) ++ geoTags ++ nodataTag

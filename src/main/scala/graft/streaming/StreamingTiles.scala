@@ -39,6 +39,12 @@ object StreamingTiles {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.{Encoders, Row}
+    // with delay <= gap, an admitted late event can never be more than one
+    // gap behind the open session, so extending the open session backwards
+    // (min below) is always the batch-equivalent answer; a longer delay
+    // could require retroactively SPLITTING an emitted session
+    require(parseDelayMinutes(watermarkDelay).forall(_ <= gapMinutes),
+      s"watermarkDelay $watermarkDelay must not exceed the $gapMinutes-minute gap")
     val gapUs = gapMinutes * 60L * 1000000L
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[ClosedSession]
@@ -50,7 +56,9 @@ object StreamingTiles {
       val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
       def close(st: SessionState): Unit =
         out += ClosedSession(userId, st.startUs, st.lastUs, st.n,
-          math.rint(st.sum * 100) / 100)
+          // HALF_UP like Spark's round(sum, 2) in the batch twin — rint
+          // (half-even) diverges on exact half-cents
+          BigDecimal(st.sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       if (rows.isEmpty && state.hasTimedOut) {
         state.getOption.foreach(close)
         state.remove()
@@ -65,7 +73,10 @@ object StreamingTiles {
           st =
             if (st == null) SessionState(us, us, 1, v)
             else if (us - st.lastUs > gapUs) { close(st); SessionState(us, us, 1, v) }
-            else SessionState(st.startUs, math.max(st.lastUs, us), st.n + 1, st.sum + v)
+            // min: a cross-batch out-of-order event may precede the open
+            // session's start (bounded by the watermark <= gap, see require)
+            else SessionState(math.min(st.startUs, us), math.max(st.lastUs, us),
+              st.n + 1, st.sum + v)
         }
         if (st != null) {
           state.update(st)
@@ -80,6 +91,19 @@ object StreamingTiles {
       .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
+  }
+
+  private def parseDelayMinutes(delay: String): Option[Double] = {
+    val m = "([0-9.]+)\\s*(second|minute|hour|day)s?".r.findFirstMatchIn(delay.trim.toLowerCase)
+    m.map { g =>
+      val v = g.group(1).toDouble
+      g.group(2) match {
+        case "second" => v / 60
+        case "minute" => v
+        case "hour" => v * 60
+        case "day" => v * 1440
+      }
+    }
   }
 
   /** Streaming exact dedup: watermark + dropDuplicates on the id — state

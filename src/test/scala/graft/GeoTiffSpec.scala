@@ -329,6 +329,20 @@ class GeoTiffSpec extends SparkSpec {
       assert(r1.getSampleDouble(i, j, 0) == (d1(j * w / 2 + i) & 0xFF).toDouble)
   }
 
+  test("writer dims past 65535 survive (LONG-typed width/height tags)") {
+    val w = 70000; val h = 2
+    val tif = tmp("wide.tif")
+    val strips = Iterator.single(Array.tabulate(w * h)(i => (i % 251).toByte))
+    graft.raquet.TiffWriter.writeStrips(tif, w, h, "uint8", 1,
+      pixelSize = 1.0, originX = 0.0, originY = 0.0, nodata = None,
+      rowsPerStrip = h, strips)
+    val info = GeoTiff.readInfo(tif)
+    assert(info.width == w && info.height == h)
+    val r = GeoTiff.readWindowRaster(tif, 69990, 0, 10, 2)
+    for (j <- 0 until 2; i <- 0 until 10)
+      assert(r.getSampleDouble(i, j, 0) == ((j * w + 69990 + i) % 251).toDouble)
+  }
+
   test("LZW: direct strip decode matches ImageIO on a JDK-written LZW file") {
     // the JDK TIFF writer produces LZW classic files; the direct reader
     // (the BigTIFF path) handles classic too — differential-test them

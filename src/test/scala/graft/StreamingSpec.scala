@@ -54,8 +54,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sq = sqlCtx
     val input = MemoryStream[(Long, Timestamp, Double)]
     val events = input.toDF().toDF("user_id", "ts", "value")
+    // delay = gap: the maximum allowed, so the ts(1) late event below is
+    // still admitted (with 0s delay Spark's pre-filter would drop it)
     val out = StreamingTiles.sessionize(events, gapMinutes = 30,
-      watermarkDelay = "0 seconds")
+      watermarkDelay = "30 minutes")
     val query = out.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     try {
@@ -66,13 +68,19 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, ts(0), 1.25), (1L, ts(10), 2.5), (1L, ts(5), 0.25),
         (2L, ts(3), 4.0))
       query.processAllAvailable()
+      // cross-batch out-of-order INSIDE the session (watermark still at
+      // ts(10) - 0s): must extend the open session's start backwards
+      input.addData((2L, ts(1), 0.5))
+      query.processAllAvailable()
       input.addData((1L, ts(50), 8.0)) // gap > 30 min → closes user 1's s1
       query.processAllAvailable()
-      // watermark stands at ts(50); push it past every open session's
-      // timeout so the remaining sessions close via EventTimeTimeout
+      // push the watermark (maxEventTime - 30 min) past every open
+      // session's timeout so the rest close via EventTimeTimeout
       input.addData((9L, ts(200), 0.0))
       query.processAllAvailable()
       input.addData((9L, ts(400), 0.0))
+      query.processAllAvailable()
+      input.addData((9L, ts(700), 0.0))
       query.processAllAvailable()
       val got = spark.table("sessions")
         .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
@@ -81,17 +89,20 @@ class StreamingSpec extends SparkSpec {
       def us(min: Long) = (t0 + min * 60000L) * 1000L
       assert(got.contains((1L, us(0), us(10), 3L, 4.0)),   "user 1 session 1")
       assert(got.contains((1L, us(50), us(50), 1L, 8.0)),  "user 1 session 2")
-      assert(got.contains((2L, us(3), us(3), 1L, 4.0)),    "user 2 session")
+      assert(got.contains((2L, us(1), us(3), 2L, 4.5)),
+        "user 2 session extended backwards by the late event")
       assert(got.contains((9L, us(200), us(200), 1L, 0.0)), "user 9 session 1")
+      assert(got.contains((9L, us(400), us(400), 1L, 0.0)), "user 9 session 2")
       // batch twin agrees on the same rows (modulo the session ordinal)
       val batchDf = Seq((1L, ts(0), 1.25), (1L, ts(10), 2.5), (1L, ts(5), 0.25),
-        (2L, ts(3), 4.0), (1L, ts(50), 8.0), (9L, ts(200), 0.0), (9L, ts(400), 0.0))
+        (2L, ts(3), 4.0), (2L, ts(1), 0.5), (1L, ts(50), 8.0),
+        (9L, ts(200), 0.0), (9L, ts(400), 0.0), (9L, ts(700), 0.0))
         .toDF("user_id", "ts", "value")
       val batch = graft.operators.Sessions.sessionize(batchDf, gapMinutes = 30)
         .select("user_id", "session_start_us", "session_end_us", "n_events", "total_value")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
         .toSet
-      assert((got -- Set((9L, us(400), us(400), 1L, 0.0))) subsetOf batch,
+      assert((got -- Set((9L, us(700), us(700), 1L, 0.0))) subsetOf batch,
         "streaming sessions must appear in the batch twin")
     } finally query.stop()
   }
