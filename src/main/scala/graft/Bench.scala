@@ -84,12 +84,13 @@ object Bench {
     s"POLYGON(($w $s0, $e $s0, $e $n, $w $n, $w $s0))"
   }
 
-  private def largeRegionStats(s: SparkSession, wkt: String): DataFrame = {
-    val ds = RaquetIO.readRegion(s, LargeRasterDir, wkt, zoom = "max")
-    ds.data
-      .select(rq_clip_stats(col("band_1"), col("block"), ds.meta, "band_1", wkt).as("s"))
+  /** Query A via the stats-column fast path (RaquetIOSpec proves it equals
+    * the decode path): interior tiles read 6 numeric columns instead of the
+    * ~30 KB blob, so bytes and decode CPU scale with the region perimeter —
+    * the shape that survives 100×. */
+  private def largeRegionStats(s: SparkSession, wkt: String): DataFrame =
+    RaquetIO.regionStatsTiles(s, LargeRasterDir, wkt, "band_1")
       .agg(rq_stats_merge(col("s")).as("m")).select("m.*")
-  }
 
   /** The reference's large-scale benchmark shapes (BASELINE.md:30-44,
     * `scripts/benchmark.py:114-253`): Query A at the three published region

@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_lsh_pairs"         -> (LlmQueries.q52LshPairs _),
     "q53_salted_join"       -> (Relational.q53SaltedJoin _),
     "q54_sessionize"        -> (Relational.q54Sessionize _),
+    "q55_region_stats_fast" -> (RaquetQueries.q55RegionStatsFast _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -228,6 +229,7 @@ object SparkEntry {
             min(us) AS session_start_us, max(us) AS session_end_us,
             count(*) AS n_events, round(sum(value), 2) AS total_value
           FROM s GROUP BY user_id, session""",
+    "q55_region_stats_fast" -> RaquetOracles.q55,
   )
 
   private def oracleSqlQ3: String =

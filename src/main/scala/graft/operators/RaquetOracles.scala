@@ -94,6 +94,27 @@ object RaquetOracles {
           sum(v1) AS vsum FROM v"""
   }
 
+  /** q55 — the stats-column fast path must equal the ground truth that q22's
+    * style of pixel-level recomputation defines: every fixture pixel whose
+    * center lies in [[RaquetQueries.FastRegionWkt]], regardless of whether
+    * the engine answered it from stats columns (interior) or decode+clip
+    * (boundary). */
+  val q55: String = {
+    // must match RaquetQueries.FastRegionWkt
+    val (w, e, s, n) = (2.0, 19.0, 5.0, 32.0)
+    val clon = "((CAST(gx AS DOUBLE) + 0.5)/1024*360 - 180)"
+    val t = "((CAST(gy AS DOUBLE) + 0.5)/1024)"
+    val clat = s"degrees(atan((exp(pi()*(1 - 2*$t)) - exp(-pi()*(1 - 2*$t)))/2))"
+    s"""WITH px AS (
+          SELECT x*16+i AS gx, y*16+j AS gy
+          FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),
+        q AS (SELECT gx, gy FROM px
+          WHERE $clon > $w AND $clon < $e AND $clat > $s AND $clat < $n),
+        v AS (SELECT $V1 AS v1 FROM q)
+        SELECT count(v1) AS n_valid, min(v1) AS vmin, max(v1) AS vmax,
+          sum(v1) AS vsum FROM v"""
+  }
+
   val q23: String = {
     val tiles = Seq((36L, 28L), (37L, 28L), (36L, 29L), (37L, 29L))
       .map { case (x, y) => s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)" }

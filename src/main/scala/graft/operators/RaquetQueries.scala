@@ -99,6 +99,21 @@ object RaquetQueries {
         col("m.max").as("vmax"), col("m.sum").as("vsum"))
   }
 
+  /** A6 stats-column fast path (SURVEY §4's custom rewrite): same zonal
+    * stats as q22 but interior tiles are answered from the pre-aggregated
+    * `band_1_*` columns without decoding a single blob — only the boundary
+    * ring decodes. The polygon spans 4×6 zoom-6 tiles with a 2×5 interior,
+    * so both branches carry weight; the oracle recomputes every pixel from
+    * the closed form, proving fast-path ≡ decode-path ≡ ground truth. */
+  val FastRegionWkt: String =
+    "POLYGON((2.0 5.0, 19.0 5.0, 19.0 32.0, 2.0 32.0, 2.0 5.0))"
+
+  def q55RegionStatsFast(spark: SparkSession, dir: String): DataFrame =
+    RaquetIO.regionStatsTiles(spark, Fixture, FastRegionWkt, "band_1")
+      .agg(rq_stats_merge(col("s")).as("m"))
+      .select(col("m.count").as("n_valid"), col("m.min").as("vmin"),
+        col("m.max").as("vmax"), col("m.sum").as("vsum"))
+
   /** F14: per-pixel normalized difference over 4 tiles; NaN (nodata) → NULL
     * so both engines hash identically. */
   def q23Ndvi(spark: SparkSession, dir: String): DataFrame = {

@@ -97,6 +97,36 @@ object Polyfill {
   def ranges(wkt: String, z: Int): Array[(Long, Long)] =
     ranges(Wkt.parse(wkt), z)
 
+  /** Interior/boundary split of the intersects cover at zoom `z`: compacted
+    * Morton ranges for tiles FULLY contained in the geometry, plus the
+    * explicit boundary cells (intersecting but not contained). Interior
+    * tiles need no per-pixel clipping — every pixel center is inside — so a
+    * zonal-stats consumer can answer them from pre-aggregated stats columns
+    * without touching the blobs (the reference's stats-column fast path,
+    * `docs/engines.md:327-350`, generalized to partial coverage). Interior
+    * area grows as O(area) but its range count stays O(perimeter) thanks to
+    * subtree collapsing; boundary cells are O(perimeter) by definition. */
+  def splitCover(geom: Geom, z: Int): (Array[(Long, Long)], Array[Long]) = {
+    val interior = ArrayBuffer.empty[(Long, Long)]
+    val boundary = ArrayBuffer.empty[Long]
+    def descend(x: Long, y: Long, zoom: Int): Unit = {
+      val box = tileBox(x, y, zoom)
+      if (!geom.intersectsBox(box)) return
+      if (geom.containsBox(box)) {
+        interior += Quadbin.childRange(Quadbin.tileToCell(x, y, zoom), z)
+      } else if (zoom == z) {
+        boundary += Quadbin.tileToCell(x, y, z)
+      } else {
+        descend(2 * x, 2 * y, zoom + 1); descend(2 * x + 1, 2 * y, zoom + 1)
+        descend(2 * x, 2 * y + 1, zoom + 1); descend(2 * x + 1, 2 * y + 1, zoom + 1)
+      }
+    }
+    descend(0, 0, 0)
+    val b = boundary.toArray
+    java.util.Arrays.sort(b)
+    (merge(interior.toArray), b)
+  }
+
   /** Ranges at zoom `z` with the descent capped at `capZoom`: for deep
     * zooms the cap's ranges are expanded to their descendant id spans
     * (Morton keeps descendants of consecutive cells consecutive), so the

@@ -174,6 +174,83 @@ class RaquetIOSpec extends SparkSpec {
     assert(row.getDouble(1) == mn && row.getDouble(2) == mx && row.getDouble(3) == sum)
   }
 
+  test("stats-column fast path equals the decode path (and skips interior blobs)") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val wkt = graft.operators.RaquetQueries.FastRegionWkt
+
+    // the split must partition the intersects cover: interior + boundary
+    // together are exactly the intersect cells, with no overlap
+    val geom = graft.geo.Wkt.parse(wkt)
+    val (interior, boundary) = graft.quadbin.Polyfill.splitCover(geom, 6)
+    val interiorCells = interior.flatMap { case (lo, hi) =>
+      val step = 1L << (52 - 12)
+      Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi)
+    }.toSet
+    val intersectCells = graft.quadbin.Polyfill.cells(geom, 6).toSet
+    assert(interiorCells.nonEmpty && boundary.nonEmpty, "both branches must carry weight")
+    assert((interiorCells ++ boundary) == intersectCells)
+    assert(interiorCells.intersect(boundary.toSet).isEmpty)
+
+    def merged(df: org.apache.spark.sql.DataFrame) =
+      df.agg(rq_stats_merge(col("s")).as("m"))
+        .select("m.count", "m.min", "m.max", "m.sum", "m.mean", "m.stddev")
+        .collect()(0)
+
+    val fastDf = RaquetIO.regionStatsTiles(spark, fixture, wkt, "band_1")
+    val fast = merged(fastDf)
+    val dsSlow = RaquetIO.readRegion(spark, fixture, wkt, zoom = "max")
+    val slow = merged(dsSlow.data.select(
+      rq_clip_stats(col("band_1"), col("block"), meta, "band_1", wkt).as("s")))
+
+    assert(fast.getLong(0) == slow.getLong(0))          // count exact
+    assert(fast.getDouble(1) == slow.getDouble(1))      // min exact
+    assert(fast.getDouble(2) == slow.getDouble(2))      // max exact
+    assert(fast.getDouble(3) == slow.getDouble(3))      // sum exact
+    assert(fast.getDouble(4) == slow.getDouble(4))      // mean = sum/count exact
+    // stddev: interior sum_sq is reconstructed from mean/stddev columns
+    assert(math.abs(fast.getDouble(5) - slow.getDouble(5)) < 1e-9 * slow.getDouble(5))
+
+    // plan shape: the union has two parquet scans; the interior one must
+    // read stats columns but NOT the band_1 blob
+    val scans = fastDf.queryExecution.executedPlan.toString.split("Scan parquet")
+    assert(scans.length >= 3, "expected two parquet scans (interior + boundary)")
+    val readSchemas = scans.drop(1).map(c =>
+      c.linesIterator.find(_.contains("ReadSchema")).getOrElse(""))
+    assert(readSchemas.exists(s => s.contains("band_1_count") && !s.contains("band_1:binary")),
+      s"no blob-free interior scan in:\n${readSchemas.mkString("\n")}")
+    assert(readSchemas.exists(_.contains("band_1:binary")),
+      s"no decoding boundary scan in:\n${readSchemas.mkString("\n")}")
+  }
+
+  test("stats-column fast path degenerate covers: no interior / no boundary") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    def merged(df: org.apache.spark.sql.DataFrame) =
+      df.agg(rq_stats_merge(col("s")).as("m"))
+        .select("m.count", "m.min", "m.max", "m.sum").collect()(0)
+
+    // sub-tile polygon: interior empty, everything goes through clip
+    val w = Quadbin.tileWest(33, 6) + 0.05
+    val e = Quadbin.tileWest(33, 6) + 1.3
+    val s = Quadbin.tileSouth(26, 6) + 0.07
+    val nn = Quadbin.tileSouth(26, 6) + 0.9
+    val small = s"POLYGON(($w $s, $e $s, $e $nn, $w $nn, $w $s))"
+    val fastSmall = merged(RaquetIO.regionStatsTiles(spark, fixture, small, "band_1"))
+    val slowSmall = merged(
+      RaquetIO.readRegion(spark, fixture, small, zoom = "max").data
+        .select(rq_clip_stats(col("band_1"), col("block"), meta, "band_1", small).as("s")))
+    assert(fastSmall.toSeq == slowSmall.toSeq)
+
+    // dataset-swallowing polygon: every data tile interior (boundary cells
+    // exist but match no rows) — equals full-tile stats over native tiles.
+    // Tile row y=31 spans lat 0..5.62°, so the south edge must clear 0°.
+    val world = "POLYGON((-1.0 -1.0, 46.0 -1.0, 46.0 43.0, -1.0 43.0, -1.0 -1.0))"
+    val fastWorld = merged(RaquetIO.regionStatsTiles(spark, fixture, world, "band_1"))
+    val slowWorld = merged(
+      RaquetIO.read(spark, fixture).data.filter(quadbin_zoom(col("block")) === 6)
+        .select(rq_summary_stats(col("band_1"), meta, "band_1").as("s")))
+    assert(fastWorld.toSeq == slowWorld.toSeq)
+  }
+
   test("pyramid tiles equal a direct downsample of their children") {
     val meta = RaquetIO.readMetadata(spark, fixture)
     val ds = RaquetIO.read(spark, fixture)
