@@ -74,6 +74,7 @@ object SparkEntry {
     "q53_salted_join"       -> (Relational.q53SaltedJoin _),
     "q54_sessionize"        -> (Relational.q54Sessionize _),
     "q55_region_stats_fast" -> (RaquetQueries.q55RegionStatsFast _),
+    "q56_dup_clusters"      -> (LlmQueries.q56DupClusters _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -230,6 +231,7 @@ object SparkEntry {
             count(*) AS n_events, round(sum(value), 2) AS total_value
           FROM s GROUP BY user_id, session""",
     "q55_region_stats_fast" -> RaquetOracles.q55,
+    "q56_dup_clusters"      -> LlmOracles.q56,
   )
 
   private def oracleSqlQ3: String =

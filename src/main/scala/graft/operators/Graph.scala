@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * stage of a near-dup dedup pipeline. Pair generators (MinHash q27,
+  * SimHash q48, embedding LSH q52) emit duplicate PAIRS; dedup decisions
+  * need CLUSTERS (a doc duplicated twice yields pairs (a,b),(a,c) and
+  * possibly (b,c) — all three must land in one group with one canonical
+  * id). The reference has no analog; this is the standard transitive-
+  * closure step of large-scale corpus dedup.
+  *
+  * Algorithm: min-label propagation. Every node starts labeled with its own
+  * id; each round every node takes the min of its label and its neighbors'
+  * labels; at fixpoint each component is labeled by its smallest node id.
+  * Each round is one equi-join + one hash aggregate (both map-side partial,
+  * shuffle keyed on node id), with `localCheckpoint` truncating the plan
+  * between rounds — the same bounded-iteration shape as the pyramid build.
+  *
+  * Rounds needed = component diameter (labels can skip ahead, so usually
+  * fewer). Duplicate clusters are stars/cliques around a source doc —
+  * diameter ≤ 2-3 — so propagation beats the O(log n)-round star-contraction
+  * algorithms here (fewer, cheaper rounds, no re-edging shuffle). For
+  * adversarially long path-shaped graphs star contraction would win; that
+  * shape does not arise from similarity pairs.
+  */
+object Graph {
+
+  /** Components of the undirected graph given by `edges(src, dst)`.
+    * Returns (id, comp) for every node APPEARING IN AN EDGE; callers add
+    * isolated nodes back with a left join (see q56). Deterministic:
+    * comp = min node id of the component. */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+      maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("u").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among neighbors, then fold into each node's own label
+      val nbrMin = und.join(labels, und("v") === labels("id"))
+        .groupBy(und("u").as("nid"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") =!= col("old")).limit(1).count() == 0L
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+}

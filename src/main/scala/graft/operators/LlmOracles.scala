@@ -64,6 +64,53 @@ object LlmOracles {
                JOIN sizes sb ON sb.doc_id = m.db)
         SELECT da, db, n_common, jac FROM jj WHERE jac >= 0.5"""
 
+  /** q56: q27's pipeline re-run to the thresholded pair list, then the
+    * TRANSITIVE CLOSURE by recursive CTE — min reachable id per node is the
+    * component id, an independent definition of what the engine's min-label
+    * propagation must converge to. Docs in no pair are their own cluster. */
+  val q56: String =
+    s"""WITH RECURSIVE $NearDupCorpus,
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+                 WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks),
+        g AS (SELECT doc_id, ${h60("s")} % $P AS g FROM sh),
+        mh AS (SELECT doc_id, j,
+                 min((((j*2654435761 + 1) % $P) * g + ((j*40503 + 7) % $P)) % $P) AS mh
+               FROM g, range(16) r(j) GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, j // 4 AS band,
+                 sum((mh % 32768) * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 32768
+                   WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) AS key
+               FROM mh GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT c.da, c.db, count(*) AS n_common
+               FROM cand c
+               JOIN sh s1 ON s1.doc_id = c.da
+               JOIN sh s2 ON s2.doc_id = c.db AND s2.s = s1.s
+               GROUP BY c.da, c.db),
+        edges AS (SELECT m.da, m.db
+               FROM common m
+               JOIN sizes sa ON sa.doc_id = m.da
+               JOIN sizes sb ON sb.doc_id = m.db
+               WHERE round(CAST(m.n_common AS DOUBLE)
+                     / (sa.n + sb.n - m.n_common), 6) >= 0.5),
+        und AS (SELECT da AS u, db AS v FROM edges
+                UNION SELECT db AS u, da AS v FROM edges),
+        reach AS (
+          SELECT u AS id, u AS r FROM und
+          UNION
+          SELECT und.v AS id, reach.r FROM reach JOIN und ON und.u = reach.id),
+        comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        SELECT c.doc_id,
+          coalesce(comp.cluster, c.doc_id) AS cluster,
+          (coalesce(comp.cluster, c.doc_id) = c.doc_id) AS is_canonical
+        FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id"""
+
   val q28: String =
     s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM documents),

@@ -82,6 +82,25 @@ object LlmQueries {
     EmbedOps.bucketedTopK(Tables.embeddings(spark, dir), planes = 8, dim = 64,
       minCos = 0.2)
 
+  /** Duplicate-CLUSTER formation — the stage between pair generation and
+    * the dedup decision: MinHash near-dup pairs (q27's pipeline) →
+    * distributed connected components ([[Graph.connectedComponents]],
+    * min-label propagation) → every doc labeled with its cluster id
+    * (= smallest doc_id in the cluster) and a keep/drop verdict. Isolated
+    * docs are their own cluster. The oracle recomputes the full pipeline
+    * AND the transitive closure (recursive CTE), so the propagation's
+    * fixpoint is verified against an independent reachability definition. */
+  def q56DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = withNearDups(docs(spark, dir))
+    val pairs = TextOps.minhashNearDups(d, threshold = 0.5).select("da", "db")
+    val comp = Graph.connectedComponents(pairs, "da", "db")
+    d.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"),
+        (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+  }
+
   /** Per-doc text quality/analysis metrics. */
   def q31TextMetrics(spark: SparkSession, dir: String): DataFrame =
     TextOps.textMetrics(docs(spark, dir))

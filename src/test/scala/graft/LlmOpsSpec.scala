@@ -92,6 +92,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "probe side should broadcast")
   }
 
+  test("connected components equal a union-find ground truth") {
+    import spark.implicits._
+    // path (multi-round propagation), triangle+tail, isolated edge, star —
+    // all in one edge list
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),            // path, diameter 4
+      (10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L),    // triangle + tail
+      (20L, 21L),                                         // single edge
+      (30L, 31L), (30L, 32L), (30L, 33L))                 // star
+      .toDF("a", "b")
+    val got = graft.operators.Graph.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.collect().foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == expected)
+    assert(got(5L) == 1L && got(13L) == 10L && got(21L) == 20L && got(33L) == 30L)
+  }
+
   test("text metrics are internally consistent") {
     val m = TextOps.textMetrics(docs.limit(20)).collect()
     m.foreach { r =>
