@@ -28,6 +28,8 @@ object PlanAudit {
       "q51_ivf_knn" -> LlmQueries.q51IvfKnn _,
       "q52_lsh_pairs" -> LlmQueries.q52LshPairs _,
       "q54_sessionize" -> Relational.q54Sessionize _,
+      "q55_region_stats_fast" -> RaquetQueries.q55RegionStatsFast _,
+      "q56_dup_clusters" -> LlmQueries.q56DupClusters _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(

@@ -75,6 +75,7 @@ object SparkEntry {
     "q54_sessionize"        -> (Relational.q54Sessionize _),
     "q55_region_stats_fast" -> (RaquetQueries.q55RegionStatsFast _),
     "q56_dup_clusters"      -> (LlmQueries.q56DupClusters _),
+    "q57_sizesplit_readback" -> (RaquetQueries.q57SizeSplitReadback _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -232,6 +233,7 @@ object SparkEntry {
           FROM s GROUP BY user_id, session""",
     "q55_region_stats_fast" -> RaquetOracles.q55,
     "q56_dup_clusters"      -> LlmOracles.q56,
+    "q57_sizesplit_readback" -> RaquetOracles.q57,
   )
 
   private def oracleSqlQ3: String =

@@ -309,6 +309,17 @@ object RaquetOracles {
           count(*) AS meta_num_blocks, sum(band_2_sum) AS b2_sum
         FROM read_parquet('$F') WHERE block <> 0 GROUP BY $Z"""
 
+  /** q57: content totals from the fixture; the layout assertions (split
+    * happened, per-file cap, disjoint per-file block ranges) are engine-side
+    * booleans the oracle pins to literal true. */
+  val q57: String =
+    s"""SELECT count(*) AS n_tiles,
+          CAST(sum(band_1_count) AS BIGINT) AS valid_px,
+          min(block) AS min_block, max(block) AS max_block,
+          true AS split_happened, true AS all_within_cap,
+          true AS files_disjoint
+        FROM read_parquet('$F') WHERE block <> 0"""
+
   /** q50: re-derive the inspect summary from raw parquet — metadata JSON
     * fields by regexp (Jackson writes compact JSON, keys are unique; the
     * quoted-key patterns can't match inside "block_width"/"block_height"),

@@ -389,6 +389,34 @@ object RaquetQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** M8 driver proof: size-split write (`maxRecordsPerFile`) read back.
+    * The writer Morton-sorts then rolls to a new file every N rows, so the
+    * committed layout must (a) actually split, (b) respect the cap in every
+    * file, (c) cover disjoint block ranges per file (the property that makes
+    * multi-file min/max pruning work, spec `raquet.md:160-175`), and
+    * (d) preserve content exactly. (a)-(c) reduce to literal booleans the
+    * oracle emits as constants; (d) is recomputed from the fixture. */
+  def q57SizeSplitReadback(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q57_sizesplit"
+    val src = RaquetIO.read(spark, Fixture)
+    RaquetIO.write(src.data, src.meta, out, maxRecordsPerFile = 16)
+    val perFile = spark.read.parquet(out)
+      .filter(col("block") =!= 0L)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), min(col("block")).as("f_min"),
+        max(col("block")).as("f_max"), sum(col("band_1_count")).as("px"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("f_min"))
+    perFile
+      .withColumn("prev_max", lag(col("f_max"), 1).over(w))
+      .agg(
+        sum(col("rows")).as("n_tiles"),
+        sum(col("px")).cast("long").as("valid_px"),
+        min(col("f_min")).as("min_block"), max(col("f_max")).as("max_block"),
+        (count(lit(1)) >= 2).as("split_happened"),
+        (max(col("rows")) <= 16).as("all_within_cap"),
+        (count(when(col("prev_max") >= col("f_min"), 1)) === 0).as("files_disjoint"))
+  }
+
   /** M1 inspect as a driver query: the one-row dataset summary
     * (`cli.py` `inspect` semantics) over the fixture. The oracle re-derives
     * every column from the raw parquet — metadata JSON via regexp, zoom
