@@ -76,6 +76,8 @@ object SparkEntry {
     "q55_region_stats_fast" -> (RaquetQueries.q55RegionStatsFast _),
     "q56_dup_clusters"      -> (LlmQueries.q56DupClusters _),
     "q57_sizesplit_readback" -> (RaquetQueries.q57SizeSplitReadback _),
+    "q58_clip_pixels"       -> (RaquetQueries.q58ClipPixels _),
+    "q59_nd_stats"          -> (RaquetQueries.q59NdStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -234,6 +236,8 @@ object SparkEntry {
     "q55_region_stats_fast" -> RaquetOracles.q55,
     "q56_dup_clusters"      -> LlmOracles.q56,
     "q57_sizesplit_readback" -> RaquetOracles.q57,
+    "q58_clip_pixels"       -> RaquetOracles.q58,
+    "q59_nd_stats"          -> RaquetOracles.q59,
   )
 
   private def oracleSqlQ3: String =

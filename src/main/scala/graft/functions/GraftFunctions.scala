@@ -47,6 +47,13 @@ object GraftFunctions {
       nameA: String, nameB: String): Column =
     col(RqNormalizedDifference(ex(a), ex(b),
       BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB))))
+  def rq_clip(band: Column, block: Column, meta: RaquetMetadata,
+      name: String, wkt: String): Column =
+    col(RqClip(ex(band), ex(block), BandKernel(meta, name), wkt))
+  def rq_normalized_difference_stats(a: Column, b: Column, meta: RaquetMetadata,
+      nameA: String, nameB: String): Column =
+    col(RqNdStats(ex(a), ex(b),
+      BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB))))
   def st_quadbin_intersects(block: Column, wkt: String): Column =
     col(QuadbinIntersects(ex(block), wkt))
   def st_polyfill(wkt: String, zoom: Column, mode: String = "intersects"): Column =
@@ -119,6 +126,10 @@ object GraftFunctions {
       RqClipStats(b, blk, kernelOf(m, n), litStr(w, "wkt")) }
     r("rq_normalized_difference") { case Seq(a, b, m, na, nb) =>
       RqNormalizedDifference(a, b, BandPairKernel(kernelOf(m, na), kernelOf(m, nb))) }
+    r("rq_clip") { case Seq(b, blk, m, n, w) =>
+      RqClip(b, blk, kernelOf(m, n), litStr(w, "wkt")) }
+    r("rq_normalized_difference_stats") { case Seq(a, b, m, na, nb) =>
+      RqNdStats(a, b, BandPairKernel(kernelOf(m, na), kernelOf(m, nb))) }
     r("st_quadbin_intersects") { case Seq(c, w) =>
       QuadbinIntersects(c, litStr(w, "wkt")) }
     r("st_polyfill") { case Seq(w, z, m) =>

@@ -128,6 +128,42 @@ object RaquetOracles {
         SELECT block, pos, round((va - vb)/(va + vb), 7) AS nd FROM v"""
   }
 
+  /** q58: clip recomputed from the closed form — same pixel-center lon/lat
+    * formulas as q55 (bit-identical dyadic ops into exp/atan), polygon test
+    * reduces to range comparisons on the rectangle. */
+  val q58: String = {
+    val tiles = (for { x <- 32L to 35L; y <- 27L to 30L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    val clon = "((CAST(gx AS DOUBLE) + 0.5)/1024*360 - 180)"
+    val t = "((CAST(gy AS DOUBLE) + 0.5)/1024)"
+    val clat = s"degrees(atan((exp(pi()*(1 - 2*$t)) - exp(-pi()*(1 - 2*$t)))/2))"
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j))
+        SELECT block, pos,
+          CASE WHEN $clon > 2.0 AND $clon < 19.0 AND $clat > 5.0 AND $clat < 32.0
+               THEN $V2Phys ELSE NULL END AS v
+        FROM px"""
+  }
+
+  /** q59: fused ND stats vs per-pixel recomputation; count/min/max only
+    * (order-insensitive, bit-identical — see RaquetQueries.q59NdStats). */
+  val q59: String = {
+    val tiles = Seq((36L, 28L), (37L, 28L), (36L, 29L), (37L, 29L))
+      .map { case (x, y) => s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)" }
+      .mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM t, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, $V2Phys AS va,
+          CASE WHEN (gx+gy)%31=0 THEN NULL ELSE CAST((7*gx+13*gy)%255 AS DOUBLE) END AS vb
+          FROM px),
+        nd AS (SELECT block, (va - vb)/(va + vb) AS nd FROM v WHERE vb IS NOT NULL)
+        SELECT block, count(*) AS nd_count, round(min(nd), 7) AS nd_min,
+          round(max(nd), 7) AS nd_max
+        FROM nd GROUP BY block"""
+  }
+
   val q24: String = {
     // value at zoom 6-k, global pixel g = native v2 at (2^k·g + 2^(k-1) - 0.5)
     def e(g: String) =

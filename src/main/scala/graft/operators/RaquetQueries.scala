@@ -114,6 +114,42 @@ object RaquetQueries {
       .select(col("m.count").as("n_valid"), col("m.min").as("vmin"),
         col("m.max").as("vmax"), col("m.sum").as("vsum"))
 
+  /** F13 (ST_Clip proper, `docs/engines.md:48`): per-pixel clip over a 4×4
+    * tile window straddling the region's west (lon=2°) and east (lon=19°)
+    * edges — x∈{33,34} tiles take the fully-inside fast path (no
+    * point-in-polygon loop), x∈{32,35} take the masked path; pixels whose
+    * center is outside → NULL. band_2 physical values are dyadic-exact, so
+    * the oracle's closed-form recomputation hashes identically. */
+  def q58ClipPixels(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val tiles = for { x <- 32L to 35L; y <- 27L to 30L }
+      yield Quadbin.tileToCell(x, y, 6)
+    ds.data.filter(col("block").isin(tiles: _*))
+      .select(col("block"),
+        posexplode(rq_clip(col("band_2"), col("block"), ds.meta, "band_2",
+          FastRegionWkt)))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
+  }
+
+  /** F14 stats form (ST_NormalizedDifferenceStats, `docs/engines.md:100`):
+    * fused per-tile ND stats over q23's tiles. Driver-compares the
+    * order-insensitive fields (count, min, max — bit-identical across
+    * engines); sum/mean accumulate non-dyadic doubles whose value is
+    * summation-order-dependent, so those are spec-verified JVM-side against
+    * the per-pixel ND array instead. */
+  def q59NdStats(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val tiles = Seq((36L, 28L), (37L, 28L), (36L, 29L), (37L, 29L))
+      .map { case (x, y) => Quadbin.tileToCell(x, y, 6) }
+    ds.data.filter(col("block").isin(tiles: _*))
+      .select(col("block"),
+        rq_normalized_difference_stats(col("band_2"), col("band_1"),
+          ds.meta, "band_2", "band_1").as("s"))
+      .select(col("block"), col("s.count").as("nd_count"),
+        round(col("s.min"), 7).as("nd_min"), round(col("s.max"), 7).as("nd_max"))
+  }
+
   /** F14: per-pixel normalized difference over 4 tiles; NaN (nodata) → NULL
     * so both engines hash identically. */
   def q23Ndvi(spark: SparkSession, dir: String): DataFrame = {

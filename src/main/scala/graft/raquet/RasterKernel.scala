@@ -92,6 +92,33 @@ final case class BandKernel(
     PixelCodec.maskedStats(values, nodata, mask)
   }
 
+  /** ST_Clip (`docs/engines.md:48`): physical per-pixel values with pixels
+    * whose CENTER falls outside `geom` (and nodata/NaN pixels) set to NaN;
+    * null when the tile misses the geometry entirely. Same box fast paths as
+    * [[clipStats]]: fully-inside tiles skip the point-in-polygon loop. */
+  def clip(raw: Array[Byte], block: Long, geom: Geom): Array[Double] = {
+    val z = Quadbin.zoom(block)
+    val x = Quadbin.tileX(block)
+    val y = Quadbin.tileY(block)
+    val box = graft.geo.BBox(
+      Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
+      Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
+    if (!geom.intersectsBox(box)) return null
+    val v = physical(raw)
+    if (geom.containsBox(box)) return v
+    var j = 0
+    while (j < height) {
+      val lat = pixelLat(y, z, j)
+      var i = 0
+      while (i < width) {
+        if (!geom.containsPoint(pixelLon(x, z, i), lat)) v(j * width + i) = Double.NaN
+        i += 1
+      }
+      j += 1
+    }
+    v
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)
@@ -136,6 +163,35 @@ final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializab
       i += 1
     }
     out
+  }
+
+  /** ST_NormalizedDifferenceStats (`docs/engines.md:100`): fused
+    * [count,min,max,sum,sumSq] over the valid (non-NaN) normalized-difference
+    * pixels — one pass, no intermediate ND array; null if no valid pixel. */
+  def ndStats(rawA: Array[Byte], rawB: Array[Byte]): Array[Double] = {
+    val va = a.physical(rawA)
+    val vb = b.physical(rawB)
+    val n = math.min(va.length, vb.length)
+    var cnt = 0L
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val s = va(i) + vb(i)
+      // s is NaN when either side is invalid; the comparison rejects NaN too
+      if (s != 0.0 && !java.lang.Double.isNaN(s)) {
+        val nd = (va(i) - vb(i)) / s
+        cnt += 1
+        if (nd < mn) mn = nd
+        if (nd > mx) mx = nd
+        sum += nd
+        sumSq += nd * nd
+      }
+      i += 1
+    }
+    if (cnt == 0L) null else Array(cnt.toDouble, mn, mx, sum, sumSq)
   }
 }
 

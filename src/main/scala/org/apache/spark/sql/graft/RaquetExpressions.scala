@@ -51,6 +51,14 @@ object RqBridge {
   def ndiffOf(k: BandPairKernel, a: Array[Byte], b: Array[Byte]): ArrayData =
     ArrayData.toArrayData(k.normalizedDifference(a, b))
 
+  def ndStatsOf(k: BandPairKernel, a: Array[Byte], b: Array[Byte]): InternalRow =
+    statsRow(k.ndStats(a, b))
+
+  def clipOf(k: BandKernel, raw: Array[Byte], block: Long, geom: Geom): ArrayData = {
+    val v = k.clip(raw, block, geom)
+    if (v == null) null else ArrayData.toArrayData(v)
+  }
+
   def intersectsCell(geom: Geom, cell: Long): Boolean = {
     val b = graft.quadbin.Quadbin.cellBounds(cell)
     geom.intersectsBox(graft.geo.BBox(b(0), b(1), b(2), b(3)))
@@ -182,6 +190,87 @@ case class RqClipStats(band: Expression, block: Expression,
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(band = l, block = r)
+}
+
+/** rq_clip(band, block) with a plan-time geometry → ARRAY<DOUBLE> of
+  * physical pixel values, NaN where the pixel center is outside the geometry
+  * or the pixel is nodata (ST_Clip, `docs/engines.md:48`); NULL when the tile
+  * misses the geometry entirely. */
+case class RqClip(band: Expression, block: Expression,
+    kernel: BandKernel, wkt: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val geom: Geom = Wkt.parse(wkt)
+  override def left: Expression = band
+  override def right: Expression = block
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_clip"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    val blk = block.eval(input)
+    if (raw == null || blk == null) null
+    else RqBridge.clipOf(kernel, raw.asInstanceOf[Array[Byte]],
+      blk.asInstanceOf[Long], geom)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val g = ctx.addReferenceObj("geom", geom, classOf[Geom].getName)
+    val b = band.genCode(ctx)
+    val blk = block.genCode(ctx)
+    val arr = ctx.freshName("clipArr")
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${blk.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${b.isNull} && !${blk.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $arr =
+            ${RqBridge.B}.clipOf($k, ${b.value}, ${blk.value}, $g);
+          if ($arr != null) { ${ev.isNull} = false; ${ev.value} = $arr; }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, block = r)
+}
+
+/** rq_normalized_difference_stats(band_a, band_b) → stats struct over the
+  * valid normalized-difference pixels (ST_NormalizedDifferenceStats,
+  * `docs/engines.md:100`) — one fused pass, no intermediate ND array; NULL
+  * when no pixel pair is valid. */
+case class RqNdStats(left: Expression, right: Expression, kernel: BandPairKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = RqBridge.statsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_normalized_difference_stats"
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else RqBridge.ndStatsOf(kernel, a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandPairKernel].getName)
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val row = ctx.freshName("ndStatsRow")
+    ev.copy(code =
+      code"""
+        ${a.code}
+        ${b.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${a.isNull} && !${b.isNull}) {
+          InternalRow $row = ${RqBridge.B}.ndStatsOf($k, ${a.value}, ${b.value});
+          if ($row != null) { ${ev.isNull} = false; ${ev.value} = $row; }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** rq_normalized_difference(band_a, band_b) → ARRAY<DOUBLE> of

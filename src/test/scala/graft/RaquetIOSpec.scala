@@ -288,6 +288,60 @@ class RaquetIOSpec extends SparkSpec {
     }
   }
 
+  test("fused ND stats equal the aggregate of the per-pixel ND array") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val rows = ds.data
+      .select(
+        rq_normalized_difference_stats(col("band_2"), col("band_1"),
+          meta, "band_2", "band_1").as("s"),
+        rq_normalized_difference(col("band_2"), col("band_1"),
+          meta, "band_2", "band_1").as("nd"))
+      .collect()
+    assert(rows.length == 85)
+    rows.foreach { r =>
+      val nd = r.getSeq[Double](1).filterNot(_.isNaN)
+      val s = r.getStruct(0)
+      assert(s.getLong(0) == nd.length)          // count
+      assert(s.getDouble(1) == nd.min)           // min
+      assert(s.getDouble(2) == nd.max)           // max
+      // same accumulation order (row-major pixel loop) => bit-identical sum
+      assert(s.getDouble(3) == nd.foldLeft(0.0)(_ + _))
+    }
+  }
+
+  test("clip pixels: inside fast path, boundary mask, outside null") {
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val wkt = graft.operators.RaquetQueries.FastRegionWkt
+    def clipOf(x: Long, y: Long) = ds.data
+      .filter(col("block") === Quadbin.tileToCell(x, y, 6))
+      .select(rq_clip(col("band_2"), col("block"), meta, "band_2", wkt).as("c"),
+        rq_decode(col("band_2"), meta, "band_2").as("d"))
+      .collect()(0)
+    // (33,28): tile box fully inside the polygon -> clip == physical decode
+    val in = clipOf(33, 28)
+    val clip = in.getSeq[Double](0)
+    val dec = in.getSeq[Double](1)
+    assert(clip.length == 256)
+    clip.zip(dec).foreach { case (c, d) => assert(c == d * 0.5 + 16.0) }
+    // (32,28): straddles lon=2 -> NaN exactly where the center is west of it
+    val edge = clipOf(32, 28).getSeq[Double](0)
+    val k = BandKernel(meta, "band_2")
+    (0 until 16).foreach { j =>
+      (0 until 16).foreach { i =>
+        val inside = k.pixelLon(32, 6, i) > 2.0 // lat rows 27..30 are inside
+        assert(edge(j * 16 + i).isNaN == !inside)
+      }
+    }
+    // (39,24): north-east corner tile, fully outside -> NULL
+    val out = ds.data.filter(col("block") === Quadbin.tileToCell(39, 24, 6))
+      .select(rq_clip(col("band_2"), col("block"), meta, "band_2",
+        "POLYGON((2.0 5.0, 19.0 5.0, 19.0 32.0, 2.0 32.0, 2.0 5.0))").as("c"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
   test("write/read round-trip preserves rows and metadata (directory form)") {
     val tmp = java.nio.file.Files.createTempDirectory("rq").toString + "/rt"
     val ds = RaquetIO.read(spark, fixture)
