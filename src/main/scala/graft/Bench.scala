@@ -207,7 +207,13 @@ object Bench {
       EmbedOps.cosineTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
     }),
     "b_dedup_exact" -> ((s: SparkSession, dir: String) =>
-      TextOps.exactDupGroups(Tables.documents(s, dir).select("doc_id", "text"))))
+      TextOps.exactDupGroups(Tables.documents(s, dir).select("doc_id", "text"))),
+    // round-3 operators at the harness SF: gap sessionization (window +
+    // running-sum islands), near-dup clustering (minhash pairs → connected
+    // components), IVF ANN (codebook train + probe equi-join)
+    "b_sessionize" -> (Relational.q54Sessionize _),
+    "b_dup_clusters" -> (graft.operators.LlmQueries.q56DupClusters _),
+    "b_ivf_knn" -> (graft.operators.LlmQueries.q51IvfKnn _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
