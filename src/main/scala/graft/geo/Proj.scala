@@ -1,0 +1,151 @@
+package graft.geo
+
+/** Map projections for GeoTIFF ingest (S6). The reference delegates CRS
+  * handling to GDAL/PROJ (`raquet/raster2raquet.py:1016-1031` warps any
+  * source CRS to EPSG:3857); this no-GDAL build implements the projections
+  * that cover the overwhelming majority of wild rasters directly:
+  * geographic (EPSG:4326), web mercator (EPSG:3857), and the 120 WGS84 UTM
+  * zones (EPSG:326xx/327xx) via the Karney–Krüger transverse-mercator
+  * series ("Transverse Mercator with an accuracy of a few nanometers",
+  * Karney 2011 — public-domain math; series truncated at n⁴, error well
+  * under a micrometer for WGS84's n ≈ 0.00168).
+  */
+sealed trait Projection extends Serializable {
+  /** Projected/source coords → (lon, lat) degrees. */
+  def toLonLat(x: Double, y: Double): (Double, Double)
+  /** (lon, lat) degrees → projected/source coords. */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double)
+  /** True when lon/lat axis-aligned rectangles map to axis-aligned
+    * rectangles (geographic, mercator) — envelope = corner transform.
+    * False for UTM (meridian convergence bows edges) — envelopes must
+    * sample boundaries. */
+  def rectilinear: Boolean
+}
+
+/** EPSG:4326 — source coords ARE lon/lat degrees. */
+case object Geographic extends Projection {
+  def toLonLat(x: Double, y: Double): (Double, Double) = (x, y)
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+  def rectilinear: Boolean = true
+}
+
+/** EPSG:3857 — spherical web-mercator meters. */
+case object WebMercator extends Projection {
+  import graft.quadbin.Quadbin.EarthRadius
+  def toLonLat(x: Double, y: Double): (Double, Double) =
+    (math.toDegrees(x / EarthRadius),
+      math.toDegrees(math.atan(math.sinh(y / EarthRadius))))
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val r = math.toRadians(lat)
+    (EarthRadius * math.toRadians(lon),
+      EarthRadius * math.log(math.tan(math.Pi / 4 + r / 2)))
+  }
+  def rectilinear: Boolean = true
+}
+
+/** WGS84 transverse mercator (UTM when k0=0.9996, FE=500km): Karney–Krüger
+  * 4th-order series in the third flattening n. `lon0` = central meridian
+  * (degrees). */
+final case class TransverseMercator(
+    lon0: Double, k0: Double, falseEasting: Double, falseNorthing: Double)
+    extends Projection {
+  import TransverseMercator._
+
+  def rectilinear: Boolean = false
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(normLon(lon - lon0))
+    // conformal latitude via tau
+    val tau = math.tan(phi)
+    val sigma = math.sinh(E * atanh(E * tau / math.sqrt(1 + tau * tau)))
+    val taup = tau * math.sqrt(1 + sigma * sigma) - sigma * math.sqrt(1 + tau * tau)
+    val xiP = math.atan2(taup, math.cos(lam))
+    val etaP = asinh(math.sin(lam) / math.hypot(taup, math.cos(lam)))
+    var xi = xiP
+    var eta = etaP
+    var j = 1
+    while (j <= 4) {
+      xi += Alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+      eta += Alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+      j += 1
+    }
+    (falseEasting + k0 * A * eta, falseNorthing + k0 * A * xi)
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val xi = (y - falseNorthing) / (k0 * A)
+    val eta = (x - falseEasting) / (k0 * A)
+    var xiP = xi
+    var etaP = eta
+    var j = 1
+    while (j <= 4) {
+      xiP -= Beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+      etaP -= Beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+      j += 1
+    }
+    val lam = math.atan2(math.sinh(etaP), math.cos(xiP))
+    val taup = math.sin(xiP) / math.hypot(math.sinh(etaP), math.cos(xiP))
+    // invert tau'(tau) by Newton (Karney eq. 19-21); converges in ~2 steps
+    var tau = taup / (1 - E2)
+    var i = 0
+    var done = false
+    while (i < 8 && !done) {
+      val sigma = math.sinh(E * atanh(E * tau / math.sqrt(1 + tau * tau)))
+      val taupI = tau * math.sqrt(1 + sigma * sigma) - sigma * math.sqrt(1 + tau * tau)
+      val dtaup = (math.sqrt((1 + sigma * sigma) * (1 + tau * tau)) - sigma * tau) *
+        (1 - E2) * math.sqrt(1 + tau * tau) / (1 + (1 - E2) * tau * tau)
+      val d = (taup - taupI) / dtaup
+      tau += d
+      if (math.abs(d) < 1e-15 * math.max(1.0, math.abs(tau))) done = true
+      i += 1
+    }
+    (normLon(lon0 + math.toDegrees(lam)), math.toDegrees(math.atan(tau)))
+  }
+}
+
+object TransverseMercator {
+  // WGS84
+  val a = 6378137.0
+  val f = 1.0 / 298.257223563
+  val E2 = f * (2 - f)          // e²
+  val E = math.sqrt(E2)          // e
+  private val n = f / (2 - f)    // third flattening
+  /** Rectifying radius. */
+  val A = a / (1 + n) * (1 + n * n / 4 + n * n * n * n / 64)
+  /** Forward series coefficients α₁..α₄ (Krüger, order n⁴). */
+  val Alpha: Array[Double] = Array(
+    n / 2 - 2.0 / 3 * pow2(n) + 5.0 / 16 * pow3(n) + 41.0 / 180 * pow4(n),
+    13.0 / 48 * pow2(n) - 3.0 / 5 * pow3(n) + 557.0 / 1440 * pow4(n),
+    61.0 / 240 * pow3(n) - 103.0 / 140 * pow4(n),
+    49561.0 / 161280 * pow4(n))
+  /** Inverse series coefficients β₁..β₄. */
+  val Beta: Array[Double] = Array(
+    n / 2 - 2.0 / 3 * pow2(n) + 37.0 / 96 * pow3(n) - 1.0 / 360 * pow4(n),
+    pow2(n) / 48 + pow3(n) / 15 - 437.0 / 1440 * pow4(n),
+    17.0 / 480 * pow3(n) - 37.0 / 840 * pow4(n),
+    4397.0 / 161280 * pow4(n))
+
+  private def pow2(x: Double) = x * x
+  private def pow3(x: Double) = x * x * x
+  private def pow4(x: Double) = x * x * x * x
+
+  def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+  def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1))
+  def normLon(lon: Double): Double =
+    if (lon > 180) lon - 360 else if (lon < -180) lon + 360 else lon
+}
+
+object Projection {
+  /** EPSG code → projection; None for unsupported codes. Covers 4326, 3857,
+    * and the WGS84 UTM zones 32601-32660 (north) / 32701-32760 (south). */
+  def fromEpsg(code: Int): Option[Projection] = code match {
+    case 4326 => Some(Geographic)
+    case 3857 => Some(WebMercator)
+    case c if c >= 32601 && c <= 32660 =>
+      Some(TransverseMercator(-183.0 + 6.0 * (c - 32600), 0.9996, 500000.0, 0.0))
+    case c if c >= 32701 && c <= 32760 =>
+      Some(TransverseMercator(-183.0 + 6.0 * (c - 32700), 0.9996, 500000.0, 1e7))
+    case _ => None
+  }
+}

@@ -18,7 +18,8 @@ import graft.quadbin.Quadbin
   * ImageIO plugin (deflate/LZW/uncompressed decode) + direct GeoTIFF tag
   * handling. Mirrors the reference ingest pipeline
   * (`raquet/raster2raquet.py` §3.1 trace in SURVEY.md) with the scope cuts a
-  * no-GDAL build implies: sources must be EPSG:4326 or EPSG:3857. All 14
+  * no-GDAL build implies: sources must be EPSG:4326, EPSG:3857, or a WGS84
+  * UTM zone (EPSG:326xx/327xx, via [[graft.geo.TransverseMercator]]). All 14
   * of the reference's gdalwarp resampling algorithms are implemented
   * (near/bilinear/cubic/cubicspline/lanczos + the average/sum/rms/min/max/
   * med/q1/q3/mode footprint statistics).
@@ -43,8 +44,10 @@ object GeoTiff {
       path: String, width: Int, height: Int, bands: Int, dtype: String,
       nodata: Option[Double],
       x0: Double, dx: Double, y0: Double, dy: Double,
-      geographic: Boolean,
-      colortable: Option[Map[String, Seq[Int]]]) extends Serializable
+      proj: graft.geo.Projection,
+      colortable: Option[Map[String, Seq[Int]]]) extends Serializable {
+    def geographic: Boolean = proj eq graft.geo.Geographic
+  }
 
   /** Random access to pixel values; implementations carry only a window. */
   trait PixelSampler {
@@ -208,11 +211,14 @@ object GeoTiff {
     val keyMap = keys.drop(4).grouped(4).collect {
       case Array(k, 0, 1, v) => k -> v
     }.toMap
-    val geographic = keyMap.getOrElse(1024, 2) == 2
-    if (!geographic) {
-      val epsg = keyMap.getOrElse(3072, 3857)
-      require(epsg == 3857, s"$path: projected CRS EPSG:$epsg unsupported (3857 only)")
-    }
+    val proj: graft.geo.Projection =
+      if (keyMap.getOrElse(1024, 2) == 2) graft.geo.Geographic
+      else {
+        val epsg = keyMap.getOrElse(3072, 3857)
+        graft.geo.Projection.fromEpsg(epsg).getOrElse(
+          throw new IllegalArgumentException(s"$path: projected CRS " +
+            s"EPSG:$epsg unsupported (3857, 4326, or WGS84 UTM 326xx/327xx)"))
+      }
 
     val nodata = fieldString(42113).flatMap(s =>
       try Some(s.trim.toDouble) catch { case _: NumberFormatException => None })
@@ -245,7 +251,7 @@ object GeoTiff {
       case _ => None
     }
 
-    SourceInfo(path, w, h, nb, dtype, nodata, x0, dx, y0, dy, geographic,
+    SourceInfo(path, w, h, nb, dtype, nodata, x0, dx, y0, dy, proj,
       colortable)
   }
 
@@ -584,9 +590,50 @@ object GeoTiff {
   def invLat(my: Double): Double =
     math.toDegrees(math.atan(math.sinh(my / Quadbin.EarthRadius)))
 
-  /** Source coords of a mercator point (identity for 3857 sources). */
+  /** Source coords of a mercator point (identity for 3857 sources; UTM goes
+    * through lon/lat and the forward transverse-mercator projection). */
   private def toSource(s: SourceInfo, mx: Double, my: Double): (Double, Double) =
-    if (s.geographic) (invLon(mx), invLat(my)) else (mx, my)
+    s.proj match {
+      case graft.geo.WebMercator => (mx, my)
+      case graft.geo.Geographic => (invLon(mx), invLat(my))
+      case p => p.fromLonLat(invLon(mx), invLat(my))
+    }
+
+  /** Mercator coords of a source point (identity for 3857). */
+  private def srcToMerc(s: SourceInfo, cx: Double, cy: Double): (Double, Double) =
+    s.proj match {
+      case graft.geo.WebMercator => (cx, cy)
+      case graft.geo.Geographic => (mercX(cx), mercY(clampLat(cy)))
+      case p =>
+        val (lon, lat) = p.toLonLat(cx, cy)
+        (mercX(lon), mercY(clampLat(lat)))
+    }
+
+  /** Lon/lat of a source point. */
+  private def srcToLonLat(s: SourceInfo, cx: Double, cy: Double): (Double, Double) =
+    s.proj match {
+      case graft.geo.WebMercator => (invLon(cx), invLat(cy))
+      case graft.geo.Geographic => (cx, clampLat(cy))
+      case p => val (lon, lat) = p.toLonLat(cx, cy); (lon, clampLat(lat))
+    }
+
+  /** Sample points of a source-pixel window for envelope computation: the
+    * two corners for rectilinear projections (axis-aligned monotone maps);
+    * a boundary sweep for UTM, whose meridian convergence bows the edges. */
+  private def windowSamples(s: SourceInfo,
+      win: (Int, Int, Int, Int)): Seq[(Double, Double)] = {
+    val (wx, wy, ww, wh) = win
+    def at(fx: Double, fy: Double) =
+      (s.x0 + (wx + fx * ww) * s.dx, s.y0 + (wy + fy * wh) * s.dy)
+    if (s.proj.rectilinear) Seq(at(0, 0), at(1, 1))
+    else {
+      val steps = 16
+      (0 to steps).flatMap { k =>
+        val f = k.toDouble / steps
+        Seq(at(f, 0), at(f, 1), at(0, f), at(1, f))
+      }
+    }
+  }
 
   /** meters/pixel via the window-diagonal transform, mirroring
     * `find_resolution` (`raster2raquet.py:672-697`). */
@@ -594,8 +641,8 @@ object GeoTiff {
     val (wx, wy, ww, wh) = win
     val ax = s.x0 + wx * s.dx; val ay = s.y0 + wy * s.dy
     val bx = ax + ww * s.dx; val by = ay + wh * s.dy
-    val (x1, y1) = if (s.geographic) (mercX(ax), mercY(clampLat(ay))) else (ax, ay)
-    val (x2, y2) = if (s.geographic) (mercX(bx), mercY(clampLat(by))) else (bx, by)
+    val (x1, y1) = srcToMerc(s, ax, ay)
+    val (x2, y2) = srcToMerc(s, bx, by)
     math.hypot(x2 - x1, y2 - y1) / math.hypot(ww, wh)
   }
 
@@ -606,6 +653,8 @@ object GeoTiff {
     * (`find_pixel_window`, `raster2raquet.py:632-669` — global sources can
     * overshoot ±180° and ±85° and must be cropped to the 0/0/0 tile). */
   def pixelWindow(s: SourceInfo): (Int, Int, Int, Int) = {
+    // only geographic sources can overshoot the mercator world bounds
+    // (projected CRSes — 3857, UTM — are defined inside them)
     if (!s.geographic) return (0, 0, s.width, s.height)
     val yTop = (LatLimit - s.y0) / s.dy    // dy < 0: row of north clip
     val yBot = (-LatLimit - s.y0) / s.dy
@@ -837,17 +886,23 @@ object GeoTiff {
     if (any) out else null
   }
 
-  /** Source-pixel bounding window of one target tile's sample points
-    * (mercator→source is separable and monotone per axis, so the corner
-    * sample centers bound the whole tile; ±1 px margin absorbs rounding). */
+  /** Source-pixel bounding window of one target tile's sample points.
+    * Geographic/mercator→source is separable and monotone per axis, so the
+    * corner sample centers bound the whole tile; UTM edges bow, so a 3×3
+    * sample grid bounds them (sub-pixel bow at tile scale) and the kernel
+    * margin absorbs the rest. */
   def tileSourceWindow(s: SourceInfo, x: Long, y: Long, z: Int, bs: Int,
       win: (Int, Int, Int, Int)): (Int, Int, Int, Int) = {
     val size = CE / (1L << z)
     val west = -CE / 2 + x * size
     val north = CE / 2 - y * size
     val step = size / bs
-    val mxs = Seq(west + 0.5 * step, west + size - 0.5 * step)
-    val mys = Seq(north - 0.5 * step, north - size + 0.5 * step)
+    // UTM bows tile edges (meridian convergence): corner samples alone can
+    // under-cover, so sample a 3×3 grid there; 2×2 corners suffice for the
+    // separable monotone geographic/mercator maps
+    val fs = if (s.proj.rectilinear) Seq(0.0, 1.0) else Seq(0.0, 0.5, 1.0)
+    val mxs = fs.map(f => west + (0.5 + f * (bs - 1)) * step)
+    val mys = fs.map(f => north - (0.5 + f * (bs - 1)) * step)
     val pts = for (mx <- mxs; my <- mys) yield {
       val (sx, sy) = toSource(s, mx, my)
       (math.floor((sx - s.x0) / s.dx).toInt, math.floor((sy - s.y0) / s.dy).toInt)
@@ -877,20 +932,16 @@ object GeoTiff {
     * clipped source window at `zoom`. */
   private def tileEnvelope(src: SourceInfo, win: (Int, Int, Int, Int),
       zoom: Int): (Long, Long, Long, Long) = {
-    val (wx, wy, ww, wh) = win
-    val corners = Seq(
-      (src.x0 + wx * src.dx, src.y0 + wy * src.dy),
-      (src.x0 + (wx + ww) * src.dx, src.y0 + (wy + wh) * src.dy))
-    val (mxs, mys) = corners.map { case (cx, cy) =>
-      if (src.geographic) (mercX(cx), mercY(clampLat(cy))) else (cx, cy)
-    }.unzip
+    val (mxs, mys) = windowSamples(src, win)
+      .map { case (cx, cy) => srcToMerc(src, cx, cy) }.unzip
     val n = (1L << zoom).toDouble
     def xt(mx: Double) = (mx + CE / 2) / CE * n
     def yt(my: Double) = (CE / 2 - my) / CE * n
-    (math.floor(math.min(xt(mxs.head), xt(mxs.last)) + 1e-9).toLong,
-      math.floor(math.max(xt(mxs.head), xt(mxs.last)) - 1e-9).toLong,
-      math.floor(math.min(yt(mys.head), yt(mys.last)) + 1e-9).toLong,
-      math.floor(math.max(yt(mys.head), yt(mys.last)) - 1e-9).toLong)
+    val xts = mxs.map(xt); val yts = mys.map(yt)
+    (math.floor(xts.min + 1e-9).toLong,
+      math.floor(xts.max - 1e-9).toLong,
+      math.floor(yts.min + 1e-9).toLong,
+      math.floor(yts.max - 1e-9).toLong)
   }
 
   /** One pyramid level's rows, warped from source IFD `ifd` at `zoom` —
@@ -1007,13 +1058,8 @@ object GeoTiff {
       Quadbin.tileEast(xtMax, zoom), Quadbin.tileNorth(ytMin, zoom))
     // min_zoom derives from the SOURCE window bounds (rg bounds in
     // find_minzoom), not the tile-aligned envelope
-    val (winX, winY, winW, winH) = win
-    val corners = Seq(
-      (src.x0 + winX * src.dx, src.y0 + winY * src.dy),
-      (src.x0 + (winX + winW) * src.dx, src.y0 + (winY + winH) * src.dy))
-    val (srcLons, srcLats) = corners.map { case (cx, cy) =>
-      if (src.geographic) (cx, clampLat(cy)) else (invLon(cx), invLat(cy))
-    }.unzip
+    val (srcLons, srcLats) = windowSamples(src, win)
+      .map { case (cx, cy) => srcToLonLat(src, cx, cy) }.unzip
     val colorinterp: Seq[String] =
       if (src.colortable.isDefined) Seq("palette")
       else src.bands match {
@@ -1247,9 +1293,10 @@ object TiffWriter {
   def writeStrips(path: String, w: Int, h: Int, dtype: String, nb: Int,
       pixelSize: Double, originX: Double, originY: Double,
       nodata: Option[Double], rowsPerStrip: Int,
-      strips: Iterator[Array[Byte]], forceBig: Boolean = false): Unit =
+      strips: Iterator[Array[Byte]], forceBig: Boolean = false,
+      epsg: Int = 3857): Unit =
     writeImages(path, dtype, nb, pixelSize, originX, originY, nodata,
-      Seq(TiffImage(w, h, rowsPerStrip, () => strips)), forceBig)
+      Seq(TiffImage(w, h, rowsPerStrip, () => strips)), forceBig, epsg)
 
   /** One image (IFD) of a multi-image file; `reduced` marks COG overview
     * levels (NewSubfileType = 1). */
@@ -1265,7 +1312,7 @@ object TiffWriter {
   def writeImages(path: String, dtype: String, nb: Int,
       pixelSize: Double, originX: Double, originY: Double,
       nodata: Option[Double], images: Seq[TiffImage],
-      forceBig: Boolean = false): Unit = {
+      forceBig: Boolean = false, epsg: Int = 3857): Unit = {
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val (sampleFormat, bits) = dtype match {
       case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
@@ -1345,7 +1392,13 @@ object TiffWriter {
         else {
           val scaleTag = Tag(33550, 12, 3, alloc(doubles(Seq(pixelSize, pixelSize, 0.0))))
           val tieTag = Tag(33922, 12, 6, alloc(doubles(Seq(0, 0, 0, originX, originY, 0))))
-          val geoKeys = Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, 3857)
+          // geographic CRSes key GeographicType (2048), projected key
+          // ProjectedCSType (3072)
+          val geoKeys =
+            if (epsg == 4326)
+              Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+            else
+              Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
           Seq(scaleTag, tieTag, Tag(34735, 3, geoKeys.length, alloc(shorts(geoKeys))))
         }
       val nodataTag = nodataStr.map { s0 =>

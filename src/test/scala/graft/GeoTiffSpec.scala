@@ -160,6 +160,74 @@ class GeoTiffSpec extends SparkSpec {
     assert(back.bands.head.colortable.get("4") == Seq(255, 165, 0, 255))
   }
 
+  test("UTM source (EPSG:32633) converts via the transverse-mercator warp") {
+    val tif = tmp("utm33.tif")
+    val w = 512; val h = 512
+    val px = 100.0 // 100 m pixels ≈ 51.2 km square near Regensburg
+    val x0 = 400000.0; val y0 = 5500000.0
+    // value constant on 64×64-px (6.4 km) blocks so nearest-neighbour probes
+    // well inside a block are insensitive to sub-pixel warp placement
+    def v(i: Int, j: Int): Int = (j / 64) * 8 + i / 64
+    val strips = (0 until h / 64).iterator.map { s0 =>
+      val arr = new Array[Byte](64 * w)
+      var j = 0
+      while (j < 64) {
+        var i = 0
+        while (i < w) { arr(j * w + i) = v(i, s0 * 64 + j).toByte; i += 1 }
+        j += 1
+      }
+      arr
+    }
+    graft.raquet.TiffWriter.writeStrips(tif, w, h, "uint8", 1, px, x0, y0,
+      None, 64, strips, epsg = 32633)
+
+    val src = GeoTiff.readInfo(tif)
+    assert(!src.geographic)
+    assert(src.proj.isInstanceOf[graft.geo.TransverseMercator])
+
+    val out = tmp("utm33.parquet")
+    val meta = GeoTiff.convert(spark, tif, out)
+    assert(meta.crs == "EPSG:3857")
+    // 100 m ground ≈ 154 m mercator at lat ~49.4-50.1 → zoom 10 (152.9 m/px)
+    assert(meta.maxZoom == 10, s"zoom ${meta.maxZoom}")
+    // bounds must cover the raster's true lon/lat envelope
+    val utm = src.proj
+    val cornerLls = Seq((x0, y0), (x0 + w * px, y0), (x0, y0 - h * px),
+      (x0 + w * px, y0 - h * px)).map { case (e, n) => utm.toLonLat(e, n) }
+    assert(meta.bounds(0) <= cornerLls.map(_._1).min)
+    assert(meta.bounds(2) >= cornerLls.map(_._1).max)
+    assert(meta.bounds(1) <= cornerLls.map(_._2).min)
+    assert(meta.bounds(3) >= cornerLls.map(_._2).max)
+
+    // probe every block interior: source px (bi·64+32, bj·64+32) center
+    val ds = RaquetIO.read(spark, out)
+    val kernel = graft.raquet.BandKernel(meta, "band_1")
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.col
+    for (bi <- 0 until 8; bj <- 0 until 8) {
+      val e = x0 + (bi * 64 + 32 + 0.5) * px
+      val n = y0 - (bj * 64 + 32 + 0.5) * px
+      val (lon, lat) = utm.toLonLat(e, n)
+      val cell = graft.quadbin.Quadbin.fromLonLat(lon, lat, meta.maxZoom)
+      val got = ds.data.filter(col("block") === cell)
+        .select(rq_raster_value(col("band_1"), col("block"),
+          org.apache.spark.sql.functions.lit(lon),
+          org.apache.spark.sql.functions.lit(lat), meta, "band_1"))
+        .collect()
+      assert(got.length == 1, s"block ($bi,$bj): no covering tile")
+      assert(got(0).getDouble(0) == v(bi * 64 + 32, bj * 64 + 32).toDouble,
+        s"block ($bi,$bj)")
+    }
+  }
+
+  test("unsupported projected CRS still fails loudly") {
+    val tif = tmp("lambert.tif")
+    graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 100.0, 0.0, 0.0,
+      None, 4, Iterator(new Array[Byte](16)), epsg = 2154)
+    val ex = intercept[IllegalArgumentException](GeoTiff.readInfo(tif))
+    assert(ex.getMessage.contains("EPSG:2154"))
+  }
+
   test("export: fixture mosaics to a GeoTIFF the JDK reader round-trips") {
     val out = tmp("export.tif")
     GeoTiff.export(spark, "src/test/resources/raquet/gradient16.parquet", out)

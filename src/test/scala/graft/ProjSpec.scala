@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.{Projection, TransverseMercator, WebMercator}
+
+/** Validates the Karney–Krüger transverse-mercator implementation against
+  * independent formulations: exact UTM anchor identities, a numerically
+  * integrated meridian arc (the series' rectifying-latitude machinery never
+  * enters that computation), the equatorial scale factor, and round-trip
+  * closure over the full UTM domain. */
+class ProjSpec extends AnyFunSuite {
+
+  private val z33n = Projection.fromEpsg(32633).get.asInstanceOf[TransverseMercator]
+  private val z33s = Projection.fromEpsg(32733).get.asInstanceOf[TransverseMercator]
+
+  test("EPSG mapping: zones, hemispheres, unsupported codes") {
+    assert(z33n.lon0 == 15.0 && z33n.falseNorthing == 0.0)
+    assert(z33s.lon0 == 15.0 && z33s.falseNorthing == 1e7)
+    assert(Projection.fromEpsg(32601).get.asInstanceOf[TransverseMercator].lon0 == -177.0)
+    assert(Projection.fromEpsg(32660).get.asInstanceOf[TransverseMercator].lon0 == 177.0)
+    assert(Projection.fromEpsg(4326).contains(graft.geo.Geographic))
+    assert(Projection.fromEpsg(3857).contains(WebMercator))
+    assert(Projection.fromEpsg(2154).isEmpty) // Lambert-93: unsupported
+    assert(Projection.fromEpsg(32661).isEmpty) // UPS: unsupported
+  }
+
+  test("round-trip closes to sub-micrometer over the UTM domain") {
+    // full zone width ±3° plus the common 0.5° overlap, lats to the UTM limit
+    for (lon <- BigDecimal(11.4) to BigDecimal(18.6) by 1.2;
+         lat <- BigDecimal(-83.5) to BigDecimal(83.5) by 5.9) {
+      val (e, n) = z33n.fromLonLat(lon.toDouble, lat.toDouble)
+      val (lon2, lat2) = z33n.toLonLat(e, n)
+      assert(math.abs(lon2 - lon.toDouble) < 1e-9, s"lon $lon lat $lat")
+      assert(math.abs(lat2 - lat.toDouble) < 1e-9, s"lon $lon lat $lat")
+    }
+  }
+
+  test("central meridian: E is the false easting, N is k0 times the meridian arc") {
+    // independent meridian arc: Simpson integration of
+    // M(phi) = a(1-e^2) (1 - e^2 sin^2)^(-3/2) — no Krüger series involved
+    def meridianArc(latDeg: Double): Double = {
+      import TransverseMercator.{a, E2}
+      val phi = math.toRadians(latDeg)
+      val steps = 4096
+      val h = phi / steps
+      def f(x: Double) = {
+        val s = math.sin(x)
+        a * (1 - E2) * math.pow(1 - E2 * s * s, -1.5)
+      }
+      var acc = f(0) + f(phi)
+      var i = 1
+      while (i < steps) {
+        acc += (if (i % 2 == 1) 4.0 else 2.0) * f(i * h)
+        i += 1
+      }
+      acc * h / 3
+    }
+    for (lat <- Seq(0.0, 12.5, 45.0, 63.0, 80.0)) {
+      val (e, n) = z33n.fromLonLat(15.0, lat)
+      assert(math.abs(e - 500000.0) < 1e-6, s"easting at lat $lat: $e")
+      assert(math.abs(n - 0.9996 * meridianArc(lat)) < 1e-4,
+        s"northing at lat $lat: $n vs ${0.9996 * meridianArc(lat)}")
+    }
+  }
+
+  test("south zone is the north zone plus the 10,000 km false northing") {
+    val (eN, nN) = z33n.fromLonLat(13.2, -30.7)
+    val (eS, nS) = z33s.fromLonLat(13.2, -30.7)
+    assert(eS == eN)
+    assert(math.abs((nS - nN) - 1e7) < 1e-9)
+  }
+
+  test("equatorial scale at the central meridian is k0") {
+    // ds(projected)/ds(equator): the equator is a circle of radius a
+    import TransverseMercator.a
+    val dLam = 0.02
+    val (e1, _) = z33n.fromLonLat(15.0 - dLam / 2, 0.0)
+    val (e2, _) = z33n.fromLonLat(15.0 + dLam / 2, 0.0)
+    val k = (e2 - e1) / (a * math.toRadians(dLam))
+    assert(math.abs(k - 0.9996) < 1e-6, s"scale $k")
+  }
+
+  test("zone symmetry: east and west of the central meridian mirror") {
+    for (d <- Seq(0.5, 1.7, 2.9); lat <- Seq(-60.0, 10.0, 47.3)) {
+      val (eW, nW) = z33n.fromLonLat(15.0 - d, lat)
+      val (eE, nE) = z33n.fromLonLat(15.0 + d, lat)
+      assert(math.abs((eE - 500000.0) + (eW - 500000.0)) < 1e-6)
+      assert(math.abs(nE - nW) < 1e-6)
+    }
+  }
+}
