@@ -342,6 +342,38 @@ class RaquetIOSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(0))
   }
 
+  test("clip stats equal stats of the clip array across the whole fixture") {
+    // rq_clip_stats aggregates RAW DN (the stats-columns convention);
+    // rq_clip returns PHYSICAL values — related by the affine scale/offset,
+    // exact here because band_2 is dyadic (scale 0.5, offset 16)
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val wkt = graft.operators.RaquetQueries.FastRegionWkt
+    val rows = ds.data
+      .select(
+        rq_clip_stats(col("band_2"), col("block"), meta, "band_2", wkt).as("s"),
+        rq_clip(col("band_2"), col("block"), meta, "band_2", wkt).as("c"))
+      .collect()
+    assert(rows.exists(r => !r.isNullAt(0)))
+    rows.foreach { r =>
+      // stats may be null for a box-intersecting tile with zero pixel
+      // CENTERS inside (clip then yields an all-NaN array)
+      if (r.isNullAt(0))
+        assert(r.isNullAt(1) || r.getSeq[Double](1).forall(_.isNaN))
+      else {
+        assert(!r.isNullAt(1))
+        val s = r.getStruct(0)
+        val c = r.getSeq[Double](1).filterNot(_.isNaN)
+        assert(s.getLong(0) == c.length)
+        if (c.nonEmpty) {
+          assert(c.min == s.getDouble(1) * 0.5 + 16.0)
+          assert(c.max == s.getDouble(2) * 0.5 + 16.0)
+          assert(c.sum == s.getDouble(3) * 0.5 + 16.0 * c.length)
+        }
+      }
+    }
+  }
+
   test("write/read round-trip preserves rows and metadata (directory form)") {
     val tmp = java.nio.file.Files.createTempDirectory("rq").toString + "/rt"
     val ds = RaquetIO.read(spark, fixture)
