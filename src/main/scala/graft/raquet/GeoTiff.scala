@@ -846,29 +846,87 @@ object GeoTiff {
     // interpolated values on integer dtypes round like GDAL (encode would
     // otherwise truncate toward zero and bias the stats)
     val integral = s.dtype.startsWith("int") || s.dtype.startsWith("uint")
+
+    def exactUV(mx: Double, my: Double): (Double, Double) = {
+      val (sx, sy) = toSource(s, mx, my)
+      ((sx - s.x0) / s.dx, (sy - s.y0) / s.dy)
+    }
+    // GDAL-style approximating transformer for non-rectilinear (UTM)
+    // sources: the full Krüger forward per pixel would dominate the warp,
+    // so each scanline evaluates exactly at span endpoints + midpoint and
+    // fills linearly when the midpoint deviates < 1/64 source px, splitting
+    // the span otherwise. UTM's curvature is smooth, so the midpoint is the
+    // max error to 2nd order, and that error shrinks quadratically with
+    // span length — the tight tolerance still needs only a handful of exact
+    // evals per row. Geographic/3857 keep the exact per-pixel path
+    // (bit-identical to before — their transform is separable and cheap).
+    val approx = !s.proj.rectilinear
+    def rowUV(my: Double): (Array[Double], Array[Double]) = {
+      val us = new Array[Double](bs + 1)
+      val vs = new Array[Double](bs + 1)
+      def mxAt(i: Int) = mb._1 + (i + 0.5) * mb._3
+      def fillSpan(i0: Int, i1: Int,
+          u0: Double, v0: Double, u1: Double, v1: Double): Unit = {
+        us(i0) = u0; vs(i0) = v0; us(i1) = u1; vs(i1) = v1
+        if (i1 - i0 < 2) return
+        val im = (i0 + i1) / 2
+        val (um, vm) = exactUV(mxAt(im), my)
+        val t = (im - i0).toDouble / (i1 - i0)
+        if (math.abs(u0 + t * (u1 - u0) - um) <= 0.015625 &&
+            math.abs(v0 + t * (v1 - v0) - vm) <= 0.015625) {
+          var k = i0 + 1
+          while (k < i1) {
+            val tk = (k - i0).toDouble / (i1 - i0)
+            us(k) = u0 + tk * (u1 - u0); vs(k) = v0 + tk * (v1 - v0)
+            k += 1
+          }
+          us(im) = um; vs(im) = vm // keep the free exact midpoint
+        } else {
+          fillSpan(i0, im, u0, v0, um, vm)
+          fillSpan(im, i1, um, vm, u1, v1)
+        }
+      }
+      val (u0, v0) = exactUV(mxAt(0), my)
+      val (u1, v1) = exactUV(mxAt(bs), my)
+      fillSpan(0, bs, u0, v0, u1, v1)
+      (us, vs)
+    }
+    val footprint = Set("average", "sum", "rms", "min", "max", "med",
+      "q1", "q3", "mode").contains(resampling)
+
     val out = new Array[Double](bs * bs)
     var any = false
+    var rowCur: (Array[Double], Array[Double]) = null
+    var rowNext: (Array[Double], Array[Double]) =
+      if (approx) rowUV(mb._2 - 0.5 * mb._3) else null
     var j = 0
     while (j < bs) {
       val my = mb._2 - (j + 0.5) * mb._3
+      if (approx) {
+        rowCur = rowNext
+        rowNext = if (footprint || j < bs - 1) rowUV(my - mb._3) else rowCur
+      }
       var i = 0
       while (i < bs) {
         val mx = mb._1 + (i + 0.5) * mb._3
-        val (sx, sy) = toSource(s, mx, my)
-        val u = (sx - s.x0) / s.dx
-        val v = (sy - s.y0) / s.dy
+        val (u, v) =
+          if (approx) (rowCur._1(i), rowCur._2(i)) else exactUV(mx, my)
         val raw = resampling match {
           case "near" => at(math.floor(u).toInt, math.floor(v).toInt)
           case "bilinear" => kernelAt(u, v, 1, t => math.max(0.0, 1.0 - math.abs(t)))
           case "cubic" => kernelAt(u, v, 2, catmullRom)
           case "cubicspline" => kernelAt(u, v, 2, bspline)
           case "lanczos" => kernelAt(u, v, 3, lanczos3)
-          case "average" | "sum" | "rms" | "min" | "max" | "med" | "q1" | "q3"
-             | "mode" =>
+          case _ if footprint =>
             // footprint: one output step in source px, per axis
-            val (sx1, sy1) = toSource(s, mx + mb._3, my - mb._3)
-            footprintAt(u, v, math.abs((sx1 - sx) / s.dx),
-              math.abs((sy1 - sy) / s.dy), resampling)
+            val (su, sv) =
+              if (approx)
+                (math.abs(rowCur._1(i + 1) - u), math.abs(rowNext._2(i) - v))
+              else {
+                val (u1, v1) = exactUV(mx + mb._3, my - mb._3)
+                (math.abs(u1 - u), math.abs(v1 - v))
+              }
+            footprintAt(u, v, su, sv, resampling)
           case other => throw new IllegalArgumentException(
             s"resampling $other unsupported — one of near/bilinear/cubic/" +
               "cubicspline/lanczos/average/sum/rms/min/max/med/q1/q3/mode " +

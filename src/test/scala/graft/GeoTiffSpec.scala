@@ -220,6 +220,49 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("UTM warp approximation matches the exact per-pixel transform") {
+    // high latitude (~63°N) maximizes meridian convergence — the worst case
+    // for the scanline linear approximation
+    val utm = graft.geo.Projection.fromEpsg(32633).get
+    val s = GeoTiff.SourceInfo("mem", 4000, 4000, 1, "uint16", None,
+      300000.0, 30.0, 7000000.0, -30.0, utm, None)
+    val sampler = new GeoTiff.PixelSampler {
+      def sample(band: Int, px: Int, py: Int): Double =
+        ((px * 31 + py * 17) % 1000).toDouble
+    }
+    val (clon, clat) = utm.toLonLat(300000.0 + 2000 * 30, 7000000.0 - 2000 * 30)
+    val z = 11 // 30 m ground ≈ 66 m mercator at 63°N → ~76 m/px tiles
+    val cell = graft.quadbin.Quadbin.fromLonLat(clon, clat, z)
+    val tx = graft.quadbin.Quadbin.tileX(cell)
+    val ty = graft.quadbin.Quadbin.tileY(cell)
+    val win = (0, 0, 4000, 4000)
+    val out = GeoTiff.warpTile(s, sampler, 0, tx, ty, z, 256, win)
+    assert(out != null)
+    val size = GeoTiff.CE / (1L << z)
+    val west = -GeoTiff.CE / 2 + tx * size
+    val north = GeoTiff.CE / 2 - ty * size
+    val step = size / 256
+    var mismatches = 0
+    for (j <- 0 until 256; i <- 0 until 256) {
+      val mx = west + (i + 0.5) * step
+      val my = north - (j + 0.5) * step
+      val (e, n) = utm.fromLonLat(GeoTiff.invLon(mx), GeoTiff.invLat(my))
+      val u = math.floor((e - 300000.0) / 30.0).toInt
+      val v = math.floor((7000000.0 - n) / 30.0).toInt
+      val exact = sampler.sample(0, u, v)
+      if (out(j * 256 + i) != exact) {
+        mismatches += 1
+        // an approximation miss may only pick an adjacent source pixel
+        val nbrs = for (dj <- -1 to 1; di <- -1 to 1)
+          yield sampler.sample(0, u + di, v + dj)
+        assert(nbrs.contains(out(j * 256 + i)), s"px ($i,$j)")
+      }
+    }
+    // the 1/64-px error budget can flip NN only within 1/64 px of a source
+    // pixel boundary
+    assert(mismatches < 256 * 256 / 50, s"$mismatches NN mismatches")
+  }
+
   test("unsupported projected CRS still fails loudly") {
     val tif = tmp("lambert.tif")
     graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 100.0, 0.0, 0.0,
