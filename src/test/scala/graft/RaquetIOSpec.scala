@@ -374,6 +374,37 @@ class RaquetIOSpec extends SparkSpec {
     }
   }
 
+  test("SQL registrations of clip and nd-stats match the Column DSL") {
+    graft.functions.GraftFunctions.register(spark)
+    val ds = RaquetIO.read(spark, fixture)
+    ds.data.createOrReplaceTempView("rq_sqlreg")
+    val metaJson = graft.raquet.RaquetMetadata.toJson(ds.meta)
+    val wkt = graft.operators.RaquetQueries.FastRegionWkt
+    val viaSql = spark.sql(
+      s"""SELECT block, rq_clip(band_2, block, '$metaJson', 'band_2', '$wkt') AS c,
+            rq_normalized_difference_stats(band_2, band_1, '$metaJson',
+              'band_2', 'band_1') AS s
+          FROM rq_sqlreg""").collect()
+    val viaDsl = ds.data.select(col("block"),
+        rq_clip(col("band_2"), col("block"), ds.meta, "band_2", wkt).as("c"),
+        rq_normalized_difference_stats(col("band_2"), col("band_1"),
+          ds.meta, "band_2", "band_1").as("s"))
+      .collect()
+    val sqlByBlock = viaSql.map(r => r.getLong(0) -> r).toMap
+    assert(viaDsl.length == viaSql.length)
+    viaDsl.foreach { d =>
+      val q = sqlByBlock(d.getLong(0))
+      assert(d.isNullAt(1) == q.isNullAt(1))
+      if (!d.isNullAt(1)) {
+        val a = d.getSeq[Double](1); val b = q.getSeq[Double](1)
+        assert(a.length == b.length)
+        a.zip(b).foreach { case (x, y) =>
+          assert(x == y || (x.isNaN && y.isNaN)) }
+      }
+      assert(d.getStruct(2) == q.getStruct(2))
+    }
+  }
+
   test("write/read round-trip preserves rows and metadata (directory form)") {
     val tmp = java.nio.file.Files.createTempDirectory("rq").toString + "/rt"
     val ds = RaquetIO.read(spark, fixture)
