@@ -100,7 +100,11 @@ final case class TransverseMercator(
       if (math.abs(d) < 1e-15 * math.max(1.0, math.abs(tau))) done = true
       i += 1
     }
-    (normLon(lon0 + math.toDegrees(lam)), math.toDegrees(math.atan(tau)))
+    // keep the longitude CONTINUOUS around the central meridian (no ±180
+    // wrap): zone-1/60 rasters straddling the antimeridian would otherwise
+    // produce mixed-sign longitudes whose min/max envelope spans the world.
+    // Callers that need wrapped longitudes apply normLon themselves.
+    (lon0 + math.toDegrees(lam), math.toDegrees(math.atan(tau)))
   }
 }
 

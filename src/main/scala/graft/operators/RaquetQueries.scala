@@ -441,9 +441,12 @@ object RaquetQueries {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("rows"), min(col("block")).as("f_min"),
         max(col("block")).as("f_max"), sum(col("band_1_count")).as("px"))
+    // running max over ALL preceding files, not lag(1): a file may overlap a
+    // non-adjacent predecessor (e.g. [0,100],[30,40],[50,60] sorted by min)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("f_min"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     perFile
-      .withColumn("prev_max", lag(col("f_max"), 1).over(w))
+      .withColumn("prev_max", max(col("f_max")).over(w))
       .agg(
         sum(col("rows")).as("n_tiles"),
         sum(col("px")).cast("long").as("valid_px"),

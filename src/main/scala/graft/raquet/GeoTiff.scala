@@ -595,16 +595,14 @@ object GeoTiff {
   private def toSource(s: SourceInfo, mx: Double, my: Double): (Double, Double) =
     s.proj match {
       case graft.geo.WebMercator => (mx, my)
-      case graft.geo.Geographic => (invLon(mx), invLat(my))
-      case p => p.fromLonLat(invLon(mx), invLat(my))
+      case p => p.fromLonLat(invLon(mx), invLat(my)) // identity for Geographic
     }
 
   /** Mercator coords of a source point (identity for 3857). */
   private def srcToMerc(s: SourceInfo, cx: Double, cy: Double): (Double, Double) =
     s.proj match {
       case graft.geo.WebMercator => (cx, cy)
-      case graft.geo.Geographic => (mercX(cx), mercY(clampLat(cy)))
-      case p =>
+      case p => // identity for Geographic
         val (lon, lat) = p.toLonLat(cx, cy)
         (mercX(lon), mercY(clampLat(lat)))
     }
@@ -613,8 +611,8 @@ object GeoTiff {
   private def srcToLonLat(s: SourceInfo, cx: Double, cy: Double): (Double, Double) =
     s.proj match {
       case graft.geo.WebMercator => (invLon(cx), invLat(cy))
-      case graft.geo.Geographic => (cx, clampLat(cy))
-      case p => val (lon, lat) = p.toLonLat(cx, cy); (lon, clampLat(lat))
+      case p => // identity for Geographic
+        val (lon, lat) = p.toLonLat(cx, cy); (lon, clampLat(lat))
     }
 
   /** Sample points of a source-pixel window for envelope computation: the
@@ -1081,6 +1079,18 @@ object GeoTiff {
     val src = readInfo(tifPath) // tags only — driver never touches pixels
     val bs = 1 << blockZoom
     val win = pixelWindow(src)
+    // UTM zones 1/60 can legitimately cross ±180°; their mercator image is
+    // then discontinuous (two windows). Fail loudly rather than enumerate a
+    // world-spanning tile envelope. (TransverseMercator.toLonLat keeps
+    // longitudes continuous around the central meridian, so a crossing
+    // shows up as |lon| > 180 here.)
+    if (!src.proj.rectilinear) {
+      val lons = windowSamples(src, win)
+        .map { case (cx, cy) => src.proj.toLonLat(cx, cy)._1 }
+      require(lons.forall(l => l >= -180.0 && l <= 180.0),
+        s"$tifPath: source crosses the antimeridian " +
+          f"(lon range [${lons.min}%.3f, ${lons.max}%.3f]) — unsupported")
+    }
     val res = resolution(src, win)
     val zoom = findZoom(res, blockZoom, zoomStrategy)
     val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)

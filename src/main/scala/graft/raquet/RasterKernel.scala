@@ -180,14 +180,18 @@ final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializab
     var i = 0
     while (i < n) {
       val s = va(i) + vb(i)
-      // s is NaN when either side is invalid; the comparison rejects NaN too
+      // s is NaN when either side is invalid; nd is NaN for Inf/Inf inputs —
+      // both must be excluded (matching stats over the ND array, which
+      // skips exactly the NaN entries)
       if (s != 0.0 && !java.lang.Double.isNaN(s)) {
         val nd = (va(i) - vb(i)) / s
-        cnt += 1
-        if (nd < mn) mn = nd
-        if (nd > mx) mx = nd
-        sum += nd
-        sumSq += nd * nd
+        if (!java.lang.Double.isNaN(nd)) {
+          cnt += 1
+          if (nd < mn) mn = nd
+          if (nd > mx) mx = nd
+          sum += nd
+          sumSq += nd * nd
+        }
       }
       i += 1
     }

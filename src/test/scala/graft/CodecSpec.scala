@@ -76,6 +76,25 @@ class CodecSpec extends AnyFunSuite {
     assert(m.bands.head.nodata.exists(_.isNaN))
   }
 
+  test("ndStats excludes Inf/Inf pixels exactly like the per-pixel ND array") {
+    import graft.raquet.{BandKernel, BandPairKernel}
+    val k = BandKernel("float32", Double.NaN, 2, 2, 1.0, 0.0)
+    val pair = BandPairKernel(k, k)
+    val a = PixelCodec.encode(
+      Array(Double.PositiveInfinity, 8.0, 4.0, Double.PositiveInfinity), "float32", gzip = true)
+    val b = PixelCodec.encode(
+      Array(2.0, 4.0, Double.PositiveInfinity, -1.0), "float32", gzip = true)
+    // px0: (Inf-2)/Inf = NaN -> excluded; px1: (8-4)/12; px2: NaN; px3:
+    // (Inf+...)/(Inf) -> (Inf - -1)/Inf = NaN -> excluded
+    val nd = pair.normalizedDifference(a, b).filterNot(_.isNaN)
+    val s = pair.ndStats(a, b)
+    assert(s(0) == nd.length.toDouble)
+    assert(s(0) == 1.0)
+    assert(s(1) == nd.min && s(2) == nd.max)
+    assert(s(3) == nd.sum)
+    assert(!s.exists(_.isNaN))
+  }
+
   test("fusedStats equals maskedStats-of-decode for every dtype, gzip and raw") {
     val dtypes = Seq("uint8", "int8", "uint16", "int16", "uint32", "int32",
       "uint64", "int64", "float16", "float32", "float64")

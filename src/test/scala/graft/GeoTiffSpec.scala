@@ -263,6 +263,15 @@ class GeoTiffSpec extends SparkSpec {
     assert(mismatches < 256 * 256 / 50, s"$mismatches NN mismatches")
   }
 
+  test("antimeridian-crossing UTM source fails loudly instead of world-tiling") {
+    val tif = tmp("z60cross.tif")
+    // zone 60N (CM 177°E): eastings 800–920 km reach past 180° at the equator
+    graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 30000.0,
+      800000.0, 200000.0, None, 4, Iterator(new Array[Byte](16)), epsg = 32660)
+    val ex = intercept[IllegalArgumentException](GeoTiff.convert(spark, tif, tmp("z60.parquet")))
+    assert(ex.getMessage.contains("antimeridian"))
+  }
+
   test("unsupported projected CRS still fails loudly") {
     val tif = tmp("lambert.tif")
     graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 100.0, 0.0, 0.0,

@@ -64,6 +64,14 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("zone 60 keeps longitudes continuous across the antimeridian") {
+    val z60 = Projection.fromEpsg(32660).get.asInstanceOf[TransverseMercator]
+    val (e, n) = z60.fromLonLat(-178.9, -10.0) // = 181.1°, past the antimeridian
+    val (lon, lat) = z60.toLonLat(e, n)
+    assert(math.abs(lon - 181.1) < 1e-9, s"lon $lon (must stay continuous, not wrap)")
+    assert(math.abs(lat - -10.0) < 1e-9)
+  }
+
   test("south zone is the north zone plus the 10,000 km false northing") {
     val (eN, nN) = z33n.fromLonLat(13.2, -30.7)
     val (eS, nS) = z33s.fromLonLat(13.2, -30.7)
