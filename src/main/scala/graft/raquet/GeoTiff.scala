@@ -1072,10 +1072,18 @@ object GeoTiff {
       }
   }
 
+  /** @param overviews "auto" = full pyramid down to the computed min zoom;
+    *        "none" = native-resolution tiles only (CLI `--overviews`,
+    *        `cli.py:393-398`)
+    *  @param minZoomOverride pin the coarsest pyramid level (CLI
+    *        `--min-zoom`, `cli.py:399-403`); clamped to [0, maxZoom] */
   def convert(spark: SparkSession, tifPath: String, outFile: String,
       blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
-      cogOverviews: Boolean = true): RaquetMetadata = {
+      cogOverviews: Boolean = true, overviews: String = "auto",
+      minZoomOverride: Option[Int] = None): RaquetMetadata = {
+    require(overviews == "auto" || overviews == "none",
+      s"overviews must be auto or none, got $overviews")
     val src = readInfo(tifPath) // tags only — driver never touches pixels
     val bs = 1 << blockZoom
     val win = pixelWindow(src)
@@ -1137,8 +1145,11 @@ object GeoTiff {
         case _ => Seq("red", "green", "blue", "alpha") ++
           (5 to src.bands).map(_ => "undefined")
       }
-    val minZoom = findMinZoom(srcLons.min, srcLats.min, srcLons.max, srcLats.max,
-      zoom, blockZoom)
+    val minZoom =
+      if (overviews == "none") zoom
+      else minZoomOverride.map(z0 => math.max(0, math.min(zoom, z0)))
+        .getOrElse(findMinZoom(srcLons.min, srcLats.min, srcLons.max,
+          srcLats.max, zoom, blockZoom))
     val meta = RaquetMetadata(
       version = "0.5.0",
       width = (xtMax - xtMin + 1) * bs, height = (ytMax - ytMin + 1) * bs,
@@ -1162,11 +1173,11 @@ object GeoTiff {
     // that still resolves it (GDAL's warp-time overview selection) instead
     // of recomputing the pyramid from native tiles — overview I/O is
     // 4^Δz smaller than the base.
-    val overviews = if (cogOverviews) readOverviews(tifPath) else Seq.empty
+    val srcOverviews = if (cogOverviews) readOverviews(tifPath) else Seq.empty
     val all =
-      if (overviews.isEmpty) Pyramid.build(native, meta, minZoom)
+      if (srcOverviews.isEmpty) Pyramid.build(native, meta, minZoom)
       else {
-        val sources = (0, src) +: overviews.zipWithIndex.map { case (o, i) => (i + 1, o) }
+        val sources = (0, src) +: srcOverviews.zipWithIndex.map { case (o, i) => (i + 1, o) }
         (minZoom until zoom).foldLeft(native) { (acc, z) =>
           val targetRes = CE / (1L << z) / bs
           val usable = sources.filter { case (_, o) =>

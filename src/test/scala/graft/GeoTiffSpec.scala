@@ -220,6 +220,20 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("overviews=none and min-zoom override control the pyramid (cli.py:393-403)") {
+    val outNone = tmp("eu_none.parquet")
+    val mNone = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
+      outNone, overviews = "none")
+    assert(mNone.minZoom == 5 && mNone.maxZoom == 5)
+    assert(RaquetIO.read(spark, outNone).data.count() == 16) // native only
+
+    val outZ4 = tmp("eu_z4.parquet")
+    val mZ4 = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
+      outZ4, minZoomOverride = Some(4))
+    assert(mZ4.minZoom == 4)
+    assert(RaquetIO.read(spark, outZ4).data.count() == 20) // 16 native + 4 z4
+  }
+
   test("UTM warp approximation matches the exact per-pixel transform") {
     // high latitude (~63°N) maximizes meridian convergence — the worst case
     // for the scanline linear approximation
