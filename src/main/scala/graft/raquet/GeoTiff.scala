@@ -1076,12 +1076,21 @@ object GeoTiff {
     *        "none" = native-resolution tiles only (CLI `--overviews`,
     *        `cli.py:393-398`)
     *  @param minZoomOverride pin the coarsest pyramid level (CLI
-    *        `--min-zoom`, `cli.py:399-403`); clamped to [0, maxZoom] */
+    *        `--min-zoom`, `cli.py:399-403`); clamped to [0, maxZoom]
+    *  @param targetFileBytes CLI `--target-size` (`raster2raquet.py:
+    *        1928-1936, 2265-2298`): when > 0, `outFile` becomes a DIRECTORY
+    *        of Morton-sorted part files each targeting about this many
+    *        encoded bytes (approximated by a row cap from the measured mean
+    *        encoded row size, the Spark-native equivalent of the
+    *        reference's roll-on-overflow writer)
+    *  @param rowGroupBytes CLI `--row-group-size` analogue: parquet
+    *        row-group budget (smaller groups → finer remote pruning) */
   def convert(spark: SparkSession, tifPath: String, outFile: String,
       blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
       cogOverviews: Boolean = true, overviews: String = "auto",
-      minZoomOverride: Option[Int] = None): RaquetMetadata = {
+      minZoomOverride: Option[Int] = None,
+      targetFileBytes: Long = 0, rowGroupBytes: Long = 0): RaquetMetadata = {
     require(overviews == "auto" || overviews == "none",
       s"overviews must be auto or none, got $overviews")
     val src = readInfo(tifPath) // tags only — driver never touches pixels
@@ -1189,7 +1198,19 @@ object GeoTiff {
           acc.unionByName(spark.createDataFrame(lr.map(_._1), schema))
         }
       }
-    RaquetIO.writeSingleFile(all, meta, outFile)
+    if (targetFileBytes > 0) {
+      // mean encoded row size from the cached native rows (pyramid rows are
+      // strictly smaller); band columns sit right after (block, metadata)
+      val bandIdx = bandNames.indices.map(_ + 2)
+      val nativeBytes = rowsRdd.map { case (row, _) =>
+        bandIdx.map(i => Option(row.getAs[Array[Byte]](i))
+          .map(_.length.toLong).getOrElse(0L)).sum
+      }.reduce(_ + _)
+      val avgRow = math.max(1L, nativeBytes / math.max(1L, numBlocks)) + 64
+      val cap = math.max(1L, targetFileBytes / avgRow)
+      RaquetIO.write(all, meta, outFile, maxRecordsPerFile = cap,
+        rowGroupBytes = rowGroupBytes)
+    } else RaquetIO.writeSingleFile(all, meta, outFile, rowGroupBytes)
     rowsRdd.unpersist()
     meta
   }

@@ -260,7 +260,8 @@ object RaquetIO {
   /** S9 (single-file form, small outputs / fixtures): one parquet FILE with
     * sorted data rows and the metadata row appended last, mirroring the
     * reference writer's layout (`raster2raquet.py:2265-2314`). */
-  def writeSingleFile(data: DataFrame, meta: RaquetMetadata, file: String): Unit = {
+  def writeSingleFile(data: DataFrame, meta: RaquetMetadata, file: String,
+      rowGroupBytes: Long = 0): Unit = {
     val sortCols = if (data.columns.contains("time_cf"))
       Seq(col("block"), col("time_cf")) else Seq(col("block"))
     val sorted = data.repartition(1).sortWithinPartitions(sortCols: _*)
@@ -268,7 +269,9 @@ object RaquetIO {
     // order, so the metadata row lands after the sorted data rows
     val withMeta = sorted.unionByName(metadataDf(data, meta)).coalesce(1)
     val tmp = file + ".tmpdir"
-    withMeta.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+    var w = withMeta.write.mode("overwrite").option("compression", "snappy")
+    if (rowGroupBytes > 0) w = w.option("parquet.block.size", rowGroupBytes)
+    w.parquet(tmp)
     val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.endsWith(".parquet"))
       .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
     Files.createDirectories(Paths.get(file).toAbsolutePath.getParent)

@@ -234,6 +234,18 @@ class GeoTiffSpec extends SparkSpec {
     assert(RaquetIO.read(spark, outZ4).data.count() == 20) // 16 native + 4 z4
   }
 
+  test("target-size convert writes a Morton-sorted multi-file directory") {
+    val out = tmp("eu_split")
+    val meta = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
+      out, targetFileBytes = 400000)
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(parts.length >= 2, s"${parts.length} part files")
+    val ds = RaquetIO.read(spark, out)
+    assert(ds.data.count() == 22)
+    assert(ds.meta.numBlocks == meta.numBlocks)
+  }
+
   test("UTM warp approximation matches the exact per-pixel transform") {
     // high latitude (~63°N) maximizes meridian convergence — the worst case
     // for the scanline linear approximation
