@@ -78,6 +78,14 @@ object SparkEntry {
     "q57_sizesplit_readback" -> (RaquetQueries.q57SizeSplitReadback _),
     "q58_clip_pixels"       -> (RaquetQueries.q58ClipPixels _),
     "q59_nd_stats"          -> (RaquetQueries.q59NdStats _),
+    "q60_convert_readback"  -> (RaquetQueries.q60ConvertReadback _),
+    "q61_export_readback"   -> (RaquetQueries.q61ExportReadback _),
+    "q62_hash_split"        -> (LlmQueries.q62HashSplit _),
+    "q63_stratified_sample" -> (LlmQueries.q63StratifiedSample _),
+    "q64_token_budget"      -> (LlmQueries.q64TokenBudget _),
+    "q65_weighted_mix"      -> (LlmQueries.q65WeightedMix _),
+    "q66_vocab_topk"        -> (LlmQueries.q66VocabTopk _),
+    "q67_contamination"     -> (LlmQueries.q67Contamination _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -238,6 +246,16 @@ object SparkEntry {
     "q57_sizesplit_readback" -> RaquetOracles.q57,
     "q58_clip_pixels"       -> RaquetOracles.q58,
     "q59_nd_stats"          -> RaquetOracles.q59,
+    "q60_convert_readback"  -> RaquetOracles.q60,
+    // q61 is export∘convert on the same synthetic raster — identity on an
+    // aligned grid, so the q60 closed form is its oracle too
+    "q61_export_readback"   -> RaquetOracles.q60,
+    "q62_hash_split"        -> LlmOracles.q62,
+    "q63_stratified_sample" -> LlmOracles.q63,
+    "q64_token_budget"      -> LlmOracles.q64,
+    "q65_weighted_mix"      -> LlmOracles.q65,
+    "q66_vocab_topk"        -> LlmOracles.q66,
+    "q67_contamination"     -> LlmOracles.q67,
   )
 
   private def oracleSqlQ3: String =

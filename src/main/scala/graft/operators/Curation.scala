@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic dataset splitting,
+  * stratified sampling, token-budget selection, and weighted source mixing.
+  *
+  * These are the selection/mixing stages of a large-scale training-data
+  * pipeline (what sits between dedup/quality-scoring and tokenization).
+  * Everything is driven by a deterministic per-record hash rather than
+  * `rand()`: reproducible across runs, cluster sizes, and partitionings —
+  * the property a 100 TB pipeline needs so a re-run (or a backfill on one
+  * shard) lands every record in the same split/sample. The hash is the same
+  * `(acc·31 + c) mod (2³¹−1)` char fold used by [[TextOps.fingerprints]],
+  * so a DuckDB oracle re-derives it bit-for-bit.
+  *
+  * Scale notes: the split/mix operators are pure narrow projections (no
+  * shuffle, whole-stage codegen). The stratified sampler and budget
+  * selector use one window over the stratum/group key — a single shuffle
+  * by that key; strata are assumed coarse (language, source, shard), so
+  * per-partition data fits comfortably and skew maps to AQE's skew
+  * handling. None of them collect anything to the driver.
+  */
+object Curation {
+
+  /** 2³¹ − 1, the Mersenne modulus shared with [[TextOps]]' text hash. */
+  final val P: Long = 2147483647L
+
+  /** Deterministic hash of any column: polynomial char fold over its string
+    * form, mod P. Codegen'd built-ins only (sequence/transform/aggregate). */
+  def idHash(c: Column): Column = {
+    val s = c.cast("string")
+    aggregate(
+      transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ch.cast("long")) % P)
+  }
+
+  /** Uniform bucket in [0, buckets) derived from [[idHash]]. */
+  def hashBucket(c: Column, buckets: Int): Column = idHash(c) % buckets
+
+  /** Deterministic train/val/test split: adds a `split` column using
+    * percentage cut points over 100 hash buckets (e.g. 80/10 → 80% train,
+    * 10% val, 10% test). A record's split depends only on its id. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train").when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified sample: keeps ⌈frac·n_s⌉ records of each
+    * stratum s, chosen by hash order (ties broken by id). Exact per-stratum
+    * proportions — unlike `df.sample`, which is only proportional in
+    * expectation — and reproducible. One shuffle on the stratum key. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val w = Window.partitionBy(col(strataCol))
+    val order = w.orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", idHash(col(idCol)))
+      .withColumn("_rn", row_number().over(order))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn") <= ceil(col("_n") * frac))
+      .drop("_h", "_rn", "_n")
+  }
+
+  /** Token-budget selection: per group (source/domain), greedily keeps the
+    * highest-priority records until the group's token budget is spent.
+    * `orderBy` ranks candidates (quality score, recency, …); the running
+    * total uses one window over the group key. Records whose cumulative
+    * weight exceeds the budget are dropped — the standard data-mixing
+    * primitive ("at most N tokens of source X, best first"). */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, weightCol: String,
+      budget: Long, orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_weight", sum(col(weightCol)).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
+
+  /** Weighted source mixing: subsamples each source at its configured rate
+    * (hash-thresholded per mille, deterministic), the union-of-rates way a
+    * training mix downsamples over-represented sources. Sources missing
+    * from `rates` are dropped; rate 1.0 keeps everything. Narrow op. */
+  def weightedMix(df: DataFrame, sourceCol: String, idCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0,1]")
+    val rate = rates.foldLeft(lit(null).cast("double")) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, lit(r)).otherwise(acc)
+    }
+    // per-source salt so the kept sets of different sources are independent
+    val b = hashBucket(concat(col(sourceCol), lit(":"), col(idCol)), 1000)
+    df.withColumn("_rate", rate)
+      .filter(col("_rate").isNotNull && b < (col("_rate") * 1000).cast("long"))
+      .drop("_rate")
+  }
+}

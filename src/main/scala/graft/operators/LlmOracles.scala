@@ -219,4 +219,73 @@ object LlmOracles {
           list_aggregate(list_transform(array_distinct(string_split(text, ' ')),
             t -> ${h60("t")}), 'max') AS h_max
         FROM documents"""
+
+  /** [[graft.operators.Curation.idHash]] re-derived: char fold over the
+    * string form of `e`, `(acc·31 + ascii) mod P`. */
+  private def idHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(regexp_extract_all(CAST($e AS VARCHAR), '.'),
+           c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % $P)"""
+
+  val q62: String =
+    s"""WITH h AS (SELECT doc_id, n_chars, ${idHash("doc_id")} % 100 AS b
+          FROM documents),
+        s AS (SELECT doc_id, n_chars,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+               ELSE 'test' END AS split FROM h)
+        SELECT split, count(*) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM s GROUP BY split"""
+
+  val q63: String =
+    s"""WITH h AS (SELECT doc_id, lang, ${idHash("doc_id")} AS hh FROM documents),
+        r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn,
+          count(*) OVER (PARTITION BY lang) AS n FROM h)
+        SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2)"""
+
+  val q64: String =
+    s"""WITH c AS (SELECT doc_id, source, n_chars,
+          sum(n_chars) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents)
+        SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum_weight
+        FROM c WHERE cum <= 5000"""
+
+  val q66: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       SELECT token, count(*) AS n FROM t GROUP BY token
+       ORDER BY n DESC, token ASC LIMIT 100"""
+
+  val q67: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 13 = 0),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        hits AS (SELECT sh.doc_id, count(*) AS n_common
+                 FROM sh JOIN ev ON sh.s = ev.s GROUP BY sh.doc_id)
+        SELECT z.doc_id, z.n_shingles,
+          coalesce(h.n_common, 0) AS n_common,
+          round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / z.n_shingles, 6) AS overlap,
+          (CAST(coalesce(h.n_common, 0) AS DOUBLE) / z.n_shingles) >= 0.5 AS contaminated
+        FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id"""
+
+  val q65: String =
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+          CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750
+            WHEN 'src2' THEN 500 WHEN 'src3' THEN 250 WHEN 'src4' THEN 100
+            ELSE NULL END AS keep_below,
+          ${idHash("source || ':' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+        FROM documents)
+        SELECT source, count(*) AS n_kept,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM r WHERE keep_below IS NOT NULL AND b < keep_below
+        GROUP BY source"""
 }

@@ -108,4 +108,53 @@ object LlmQueries {
   /** Document fingerprints (rolling hash + token-hash extremes). */
   def q32Fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(spark, dir))
+
+  /** Deterministic 80/10/10 train/val/test split ([[Curation.hashSplit]]):
+    * per-split doc counts + char totals. The split is a pure projection —
+    * no shuffle beyond the verification aggregate. */
+  def q62HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(Tables.documents(spark, dir), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  /** Deterministic stratified sample: exactly ⌈20%·n⌉ docs per language,
+    * chosen by hash order ([[Curation.stratifiedSample]]). */
+  def q63StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(
+      Tables.documents(spark, dir).select("doc_id", "lang"),
+      strataCol = "lang", idCol = "doc_id", frac = 0.2)
+
+  /** Token-budget selection: per source keep the longest docs first until
+    * 5,000 chars are spent ([[Curation.tokenBudgetSelect]]). */
+  def q64TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetSelect(
+      Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+      groupCol = "source", weightCol = "n_chars", budget = 5000L,
+      orderBy = Seq(col("n_chars").desc, col("doc_id")))
+
+  /** Vocabulary building: global token counts, top-100 by (count desc,
+    * token asc) ([[TextOps.vocab]]). */
+  def q66VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    TextOps.vocab(docs(spark, dir), topN = 100)
+
+  /** Train/eval decontamination ([[TextOps.contamination]]): every 13th doc
+    * plays the benchmark; those docs must come back 100% contaminated and
+    * the rest score by genuine 3-gram overlap. */
+  def q67Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.contamination(d, d.filter(col("doc_id") % 13 === 0), minFrac = 0.5)
+  }
+
+  /** Weighted source mixing: five sources kept at descending rates, the
+    * rest dropped ([[Curation.weightedMix]]); per-source keep stats. */
+  def q65WeightedMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedMix(Tables.documents(spark, dir), "source", "doc_id",
+      rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,
+        "src3" -> 0.25, "src4" -> 0.1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
 }

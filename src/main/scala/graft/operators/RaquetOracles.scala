@@ -395,4 +395,21 @@ object RaquetOracles {
           sum(v) AS vsum
         FROM px GROUP BY block"""
   }
+
+  /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
+    * its stats from the synthetic TIFF's pixel formula
+    * v = (7·gx+13·gy) mod 256 with nodata 255 (see
+    * [[RaquetQueries.q60ConvertReadback]]) — no parquet input at all. */
+  val q60: String =
+    s"""WITH px AS (SELECT a.gx AS gx, b.gy AS gy
+          FROM range(512) a(gx), range(512) b(gy)),
+        v AS (SELECT gx // 256 AS tx, gy // 256 AS ty,
+          CASE WHEN (7*gx + 13*gy) % 256 = 255 THEN NULL
+               ELSE CAST((7*gx + 13*gy) % 256 AS DOUBLE) END AS v
+          FROM px)
+        SELECT ${cellExpr("tx", "ty", 1)} AS block,
+          count(v) AS n_px, CAST(min(v) AS BIGINT) AS px_min,
+          CAST(max(v) AS BIGINT) AS px_max, CAST(sum(v) AS BIGINT) AS px_sum,
+          count(v) AS dec_n, CAST(sum(v) AS BIGINT) AS dec_sum
+        FROM v GROUP BY tx, ty"""
 }

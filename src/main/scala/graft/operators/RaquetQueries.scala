@@ -474,4 +474,80 @@ object RaquetQueries {
       .select(col("block"), col("s.count").as("n_px"),
         col("s.min").as("vmin"), col("s.max").as("vmax"), col("s.sum").as("vsum"))
   }
+
+  /** Write the deterministic 512×512 uint8 convert-oracle TIFF: one band,
+    * v(gx,gy) = (7·gx+13·gy) mod 256, nodata 255, mercator-aligned to the
+    * world corner at a resolution that makes auto zoom exactly 1 (2×2 tiles
+    * of 256 px). Every pixel is a closed form the DuckDB oracle recomputes. */
+  private def writeConvertOracleTiff(path: String): Unit = {
+    val w = 512; val h = 512; val rowsPerStrip = 64
+    val strips = (0 until h by rowsPerStrip).iterator.map { y0 =>
+      val buf = new Array[Byte](rowsPerStrip * w)
+      var k = 0
+      var gy = y0
+      while (gy < y0 + rowsPerStrip) {
+        var gx = 0
+        while (gx < w) { buf(k) = ((7 * gx + 13 * gy) % 256).toByte; k += 1; gx += 1 }
+        gy += 1
+      }
+      buf
+    }
+    graft.raquet.TiffWriter.writeStrips(path, w, h, "uint8", 1,
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = Some(255.0), rowsPerStrip = rowsPerStrip, strips = strips)
+  }
+
+  /** Per-block readback of a convert output: the spec's tile-stats columns
+    * AND a fresh blob decode ([[rq_summary_stats]]) side by side, so both
+    * the stats writer and the pixel payload are hash-verified. */
+  private def convertReadback(spark: SparkSession, out: String): DataFrame = {
+    val ds = RaquetIO.read(spark, out)
+    ds.data
+      .select(col("block"), col("band_1_count").as("n_px"),
+        col("band_1_min").cast("long").as("px_min"),
+        col("band_1_max").cast("long").as("px_max"),
+        col("band_1_sum").cast("long").as("px_sum"),
+        rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+      .select(col("block"), col("n_px"), col("px_min"), col("px_max"),
+        col("px_sum"), col("s.count").as("dec_n"),
+        col("s.sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6+M7 driver proof: GeoTIFF → raquet convert end-to-end. A synthetic
+    * closed-form TIFF is converted (distributed warp, per-task windowed
+    * source reads, tile-stats columns) and read back; the oracle recomputes
+    * every block id, count, min/max, and sum from the pixel formula — the
+    * whole ingest path is verified, not just spot pixels. */
+  def q60ConvertReadback(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q60"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val out = s"$tmp/synth.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    convertReadback(spark, out)
+  }
+
+  /** S10 driver proof: raquet → GeoTIFF export → re-convert round-trip.
+    * The aligned grid makes export∘convert the identity on pixels, so the
+    * re-converted table must match the SAME closed-form oracle as q60 —
+    * any drift in the streamed strip writer, the nodata tag, or the mosaic
+    * layout breaks the hash. */
+  def q61ExportReadback(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q61"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val rq1 = s"$tmp/first.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, rq1,
+      tileStats = true, overviews = "none")
+    val tif2 = s"$tmp/exported.tif"
+    graft.raquet.GeoTiff.export(spark, rq1, tif2)
+    val rq2 = s"$tmp/second.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif2, rq2,
+      tileStats = true, overviews = "none")
+    convertReadback(spark, rq2)
+  }
 }

@@ -127,6 +127,37 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Token-frequency vocabulary: global token counts with the top-n kept by
+    * (count desc, token asc) — the base stage of vocab/BPE training. One
+    * hash aggregate with map-side partial counts, then TakeOrdered (each
+    * partition forwards only its local top-n — no global sort). */
+  def vocab(docs: DataFrame, topN: Int = 100): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(topN)
+
+  /** Train/eval decontamination: flags training docs whose 3-gram shingle
+    * overlap with the eval/benchmark corpus reaches `minFrac`. Eval
+    * shingles are distinct-ed and broadcast (benchmarks are small by
+    * nature); the probe is a shingle equi-join — never all-pairs, and the
+    * training side streams through one aggregation. Docs with <3 tokens
+    * have no shingles and drop out (same rule as [[shingles]]). */
+  def contamination(train: DataFrame, evalDocs: DataFrame,
+      minFrac: Double = 0.5): DataFrame = {
+    val trainSh = shingles(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = evalDocs.transform(shingles(_)).select("s").distinct()
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(broadcast(evalSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("overlap",
+        round(col("n_common").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated",
+        col("n_common").cast("double") / col("n_shingles") >= minFrac)
+  }
+
   /** Per-document quality/analysis metrics (F-text): token counts, distinct
     * ratio, stopword ratio, BPE-ish word-token count, punct count, language
     * guess by stopword evidence. All integer/exact-rational math. */

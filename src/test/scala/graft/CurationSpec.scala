@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Curation operators: the properties that make them safe at 100 TB —
+  * determinism under arbitrary repartitioning (a re-run or a per-shard
+  * backfill must land every record in the same split/sample) and exact
+  * per-stratum/budget accounting. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("hashSplit: partitions the table, deterministic under repartition") {
+    val s1 = Curation.hashSplit(docs, "doc_id").select("doc_id", "split")
+    val s2 = Curation.hashSplit(docs.repartition(13), "doc_id")
+      .select("doc_id", "split")
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // every record in exactly one split
+    assert(s1.count() == docs.count())
+    assert(s1.select("split").distinct().count() <= 3)
+  }
+
+  test("stratifiedSample: exactly ceil(frac*n) per stratum, stable") {
+    val sampled = Curation.stratifiedSample(
+      docs.select("doc_id", "lang"), "lang", "doc_id", frac = 0.3)
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.3).toLong).toMap
+    assert(got == want)
+    val again = Curation.stratifiedSample(
+      docs.repartition(7).select("doc_id", "lang"), "lang", "doc_id", frac = 0.3)
+    assert(sampled.exceptAll(again).isEmpty && again.exceptAll(sampled).isEmpty)
+  }
+
+  test("tokenBudgetSelect: cumulative weight never exceeds the budget and " +
+    "selection is greedy by the given order") {
+    val sel = Curation.tokenBudgetSelect(
+      docs.select("doc_id", "source", "n_chars"),
+      "source", "n_chars", budget = 3000L,
+      orderBy = Seq(col("n_chars").desc, col("doc_id")))
+    assert(sel.filter(col("cum_weight") > 3000L).isEmpty)
+    // greedy: an unselected doc must not fit under the budget ahead of a
+    // selected one — per source, every selected n_chars >= the largest
+    // unselected doc that would have been reachable (order check)
+    val maxSel = sel.groupBy("source").agg(min(col("n_chars")).as("min_sel"))
+    val unsel = docs.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(max(col("n_chars")).as("max_unsel"))
+    val bad = maxSel.join(unsel, "source")
+      .filter(col("max_unsel") > col("min_sel")).count()
+    assert(bad == 0)
+  }
+
+  test("weightedMix: rate 1.0 keeps everything, rate 0 keeps nothing, " +
+    "unlisted sources are dropped, deterministic") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val kept = Curation.weightedMix(docs, "source", "doc_id", rates)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("src0"))
+    assert(bySrc("src0") == docs.filter(col("source") === "src0").count())
+    val again = Curation.weightedMix(docs.repartition(5), "source", "doc_id", rates)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+}
