@@ -56,5 +56,11 @@ object GraftExtensions {
       RqPolyfill(litStr(w, "wkt"), z, litStr(m, "mode")) },
     "cf_to_timestamp" -> { case Seq(v, u, c) =>
       CfToTimestamp(v, litStr(u, "units"), litStr(c, "calendar")) },
-    "mm_image_stats" -> { case Seq(b) => MmImageStats(b) })
+    "mm_image_stats" -> { case Seq(b) => MmImageStats(b) },
+    "mm_webp_encode" -> { case Seq(b, w, h, c) =>
+      MmWebpEncode(b, litInt(w, "width"), litInt(h, "height"), litInt(c, "channels")) },
+    "mm_webp_pixels" -> { case Seq(b, c) => MmWebpPixels(b, litInt(c, "channels")) })
+
+  private def litInt(e: Expression, what: String): Int =
+    litStr(e, what).toInt
 }

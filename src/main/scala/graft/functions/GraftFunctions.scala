@@ -94,6 +94,10 @@ object GraftFunctions {
       bytesPerSample: Int = 1): Column =
     col(MmDeinterleave(ex(bin), band, nBands, bytesPerSample))
   def mm_jpeg_pixels(bin: Column): Column = col(MmJpegPixels(ex(bin)))
+  def mm_webp_encode(bin: Column, width: Int, height: Int, channels: Int): Column =
+    col(MmWebpEncode(ex(bin), width, height, channels))
+  def mm_webp_pixels(bin: Column, channels: Int): Column =
+    col(MmWebpPixels(ex(bin), channels))
 
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -139,5 +143,14 @@ object GraftFunctions {
       CfToTimestamp(v, litStr(u, "units"), litStr(c, "calendar")) }
     r("rq_inflate") { case Seq(b) => RqInflate(b) }
     r("mm_image_stats") { case Seq(b) => MmImageStats(b) }
+    def litInt(e: Expression, what: String): Int = e match {
+      case Literal(v, _) if v != null => v.toString.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    r("mm_webp_encode") { case Seq(b, w, h, c) =>
+      MmWebpEncode(b, litInt(w, "width"), litInt(h, "height"), litInt(c, "channels")) }
+    r("mm_webp_pixels") { case Seq(b, c) =>
+      MmWebpPixels(b, litInt(c, "channels")) }
   }
 }

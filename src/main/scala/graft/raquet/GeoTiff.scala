@@ -1005,7 +1005,8 @@ object GeoTiff {
     * per-band stats vector) pairs. */
   private def levelRows(spark: SparkSession, src: SourceInfo, ifd: Int,
       zoom: Int, bs: Int, win: (Int, Int, Int, Int), resampling: String,
-      tileStats: Boolean = false)
+      tileStats: Boolean = false, bandLayout: String = "sequential",
+      compression: String = "gzip")
       : org.apache.spark.rdd.RDD[(Row, Seq[Array[Double]])] = {
     val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)
     // row-major tile order + contiguous split ⇒ each partition holds runs
@@ -1049,10 +1050,28 @@ object GeoTiff {
             // every enumerated tile becomes a row
             val bands = (0 until src.bands).map(b =>
               warpTile(src, sampler, b, tx, ty, zoom, bs, win, resampling))
-            val blobs = bands.map { arr =>
-              val a = if (arr != null) arr else Array.fill(bs * bs)(fill)
-              PixelCodec.encode(a, src.dtype, gzip = true)
-            }
+            // sequential: one gzip blob per band column; interleaved: one
+            // BIP `pixels` blob, gzip/none/jpeg/webp-lossless encoded
+            // (reference `raster2raquet.py:806-867`; stats are computed
+            // from the warped arrays BEFORE any lossy encode, as the
+            // reference reads statistics pre-compression)
+            val blobs: Seq[Array[Byte]] =
+              if (bandLayout == "interleaved") {
+                val raw = bands.map { arr =>
+                  val a = if (arr != null) arr else Array.fill(bs * bs)(fill)
+                  PixelCodec.encode(a, src.dtype, gzip = false)
+                }
+                val inter = Multimodal.interleave(raw.toArray, bpp)
+                Seq(compression match {
+                  case "gzip" => PixelCodec.gzipCompress(inter)
+                  case "none" => inter
+                  case "jpeg" => Multimodal.encodeJpeg(inter, bs, bs, src.bands)
+                  case "webp" => Multimodal.encodeWebP(inter, bs, bs, src.bands)
+                })
+              } else bands.map { arr =>
+                val a = if (arr != null) arr else Array.fill(bs * bs)(fill)
+                PixelCodec.encode(a, src.dtype, gzip = true)
+              }
             val statsVec = bands.map(a =>
               if (a == null) null
               else PixelCodec.maskedStats(a, src.nodata.getOrElse(Double.NaN), null))
@@ -1090,10 +1109,30 @@ object GeoTiff {
       tileStats: Boolean = false, resampling: String = "near",
       cogOverviews: Boolean = true, overviews: String = "auto",
       minZoomOverride: Option[Int] = None,
-      targetFileBytes: Long = 0, rowGroupBytes: Long = 0): RaquetMetadata = {
+      targetFileBytes: Long = 0, rowGroupBytes: Long = 0,
+      compression: String = "gzip",
+      bandLayout: String = "sequential"): RaquetMetadata = {
     require(overviews == "auto" || overviews == "none",
       s"overviews must be auto or none, got $overviews")
+    require(Set("gzip", "none", "jpeg", "webp")(compression),
+      s"compression must be gzip/none/jpeg/webp, got $compression")
+    require(bandLayout == "sequential" || bandLayout == "interleaved",
+      s"band layout must be sequential or interleaved, got $bandLayout")
+    // the reference's constraint set (`raster2raquet.py:800-845,2389-2401`):
+    // lossy codecs need the interleaved layout and uint8 samples; JPEG has
+    // no 4-band (RGBA) mode, WebP-lossless has no 2-band mode
+    if (compression == "jpeg" || compression == "webp")
+      require(bandLayout == "interleaved",
+        s"$compression compression requires the interleaved band layout")
     val src = readInfo(tifPath) // tags only — driver never touches pixels
+    if (compression == "jpeg" || compression == "webp") {
+      require(src.dtype == "uint8",
+        s"$compression compression requires uint8 samples, got ${src.dtype}")
+      val okBands = if (compression == "jpeg") Set(1, 3) else Set(1, 3, 4)
+      require(okBands(src.bands),
+        s"$compression compression supports ${okBands.mkString("/")} bands, " +
+          s"got ${src.bands}")
+    }
     val bs = 1 << blockZoom
     val win = pixelWindow(src)
     // UTM zones 1/60 can legitimately cross ±180°; their mercator image is
@@ -1120,12 +1159,15 @@ object GeoTiff {
         StructField(s"${b}_min", DoubleType), StructField(s"${b}_max", DoubleType),
         StructField(s"${b}_sum", DoubleType), StructField(s"${b}_mean", DoubleType),
         StructField(s"${b}_stddev", DoubleType)))
+    val payloadFields: Seq[StructField] =
+      if (bandLayout == "interleaved") Seq(StructField("pixels", BinaryType))
+      else bandNames.map(b => StructField(b, BinaryType))
     val schema = StructType(
       Seq(StructField("block", LongType, nullable = false),
-        StructField("metadata", StringType)) ++
-        bandNames.map(b => StructField(b, BinaryType)) ++ statFields)
+        StructField("metadata", StringType)) ++ payloadFields ++ statFields)
 
-    val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling, tileStats).cache()
+    val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling, tileStats,
+      bandLayout, compression).cache()
 
     // dataset-level band stats (A5): distributed partial-merge reduce
     val globalStats = rowsRdd.map(_._2).reduce { (a, b) =>
@@ -1163,11 +1205,11 @@ object GeoTiff {
       version = "0.5.0",
       width = (xtMax - xtMin + 1) * bs, height = (ytMax - ytMin + 1) * bs,
       crs = "EPSG:3857", bounds = bounds,
-      compression = Some("gzip"),
+      compression = if (compression == "none") None else Some(compression),
       blockWidth = bs, blockHeight = bs,
       minZoom = minZoom, maxZoom = zoom, pixelZoom = zoom + blockZoom,
       numBlocks = numBlocks,
-      bandLayout = "sequential",
+      bandLayout = bandLayout,
       bands = bandNames.zipWithIndex.map { case (bn, i) =>
         val st = Option(globalStats(i)).map(s =>
           (s(1), s(2), PixelCodec.statsMean(s), PixelCodec.statsStddev(s)))
@@ -1183,8 +1225,12 @@ object GeoTiff {
     // of recomputing the pyramid from native tiles — overview I/O is
     // 4^Δz smaller than the base.
     val srcOverviews = if (cogOverviews) readOverviews(tifPath) else Seq.empty
+    // interleaved layouts build every overview level by warping from the
+    // source (the reference's VRT-descent shape) — Pyramid.build's 4-child
+    // reduce operates on sequential band columns only
     val all =
-      if (srcOverviews.isEmpty) Pyramid.build(native, meta, minZoom)
+      if (srcOverviews.isEmpty && bandLayout == "sequential")
+        Pyramid.build(native, meta, minZoom)
       else {
         val sources = (0, src) +: srcOverviews.zipWithIndex.map { case (o, i) => (i + 1, o) }
         (minZoom until zoom).foldLeft(native) { (acc, z) =>
@@ -1194,14 +1240,15 @@ object GeoTiff {
           val (ifd, osrc) = usable.maxBy { case (_, o) =>
             resolution(o, pixelWindow(o)) }
           val lr = levelRows(spark, osrc, ifd, z, bs, pixelWindow(osrc),
-            resampling, tileStats)
+            resampling, tileStats, bandLayout, compression)
           acc.unionByName(spark.createDataFrame(lr.map(_._1), schema))
         }
       }
     if (targetFileBytes > 0) {
       // mean encoded row size from the cached native rows (pyramid rows are
-      // strictly smaller); band columns sit right after (block, metadata)
-      val bandIdx = bandNames.indices.map(_ + 2)
+      // strictly smaller); payload columns sit right after (block, metadata)
+      val bandIdx =
+        if (bandLayout == "interleaved") Seq(2) else bandNames.indices.map(_ + 2)
       val nativeBytes = rowsRdd.map { case (row, _) =>
         bandIdx.map(i => Option(row.getAs[Array[Byte]](i))
           .map(_.length.toLong).getOrElse(0L)).sum

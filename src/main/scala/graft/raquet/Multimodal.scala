@@ -11,9 +11,9 @@ import javax.imageio.{ImageIO, ImageWriteParam}
   * multimodal column).
   *
   *  - JPEG encode/decode via javax.imageio (real codec, F8 — raquet's lossy
-  *    tile compression for 1/3-band uint8, `raster2raquet.py:813-845`;
-  *    WebP needs a native lib this container lacks → unsupported, callers
-  *    get a clear error)
+  *    tile compression for 1/3-band uint8, `raster2raquet.py:813-845`)
+  *  - WebP lossless (VP8L) via the pure-JVM [[WebP]] codec; lossy VP8
+  *    decoding needs a full VP8 intra decoder → callers get a clear error
   *  - BIP interleave/deinterleave (F9, `raster2raquet.py:846-867`)
   *  - nearest-neighbour resize and fixed-stride frame sampling for
   *    image/video-shaped payloads
@@ -22,8 +22,16 @@ object Multimodal {
 
   final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
 
-  /** Decode JPEG/PNG bytes → gray or BIP-interleaved uint8 pixels. */
+  /** Decode JPEG/PNG/WebP-lossless bytes → gray or BIP-interleaved uint8
+    * pixels. WebP channel count comes from the VP8L alpha-hint bit (4 when
+    * set, else 3); raquet callers that know the band count should use
+    * [[decodeWebP]] directly. */
   def decodeImage(bytes: Array[Byte]): Image = {
+    if (WebP.isWebP(bytes)) {
+      val a = WebP.decode(bytes)
+      val ch = if (a.alphaHint) 4 else 3
+      return Image(a.width, a.height, ch, a.toInterleaved(ch))
+    }
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "not a decodable image")
     val w = img.getWidth; val h = img.getHeight
@@ -83,6 +91,17 @@ object Multimodal {
     writer.dispose(); ios.close()
     bos.toByteArray
   }
+
+  /** Encode uint8 pixels (gray/BIP rgb/rgba) as lossless WebP (VP8L). */
+  def encodeWebP(pixels: Array[Byte], width: Int, height: Int,
+      channels: Int): Array[Byte] =
+    WebP.encodeLossless(pixels, width, height, channels)
+
+  /** Decode WebP to exactly `channels` interleaved uint8 samples (the
+    * raquet interleaved-layout read path, where the band count comes from
+    * the metadata row, spec `raquet.md:49-57`). Lossy VP8 raises. */
+  def decodeWebP(bytes: Array[Byte], channels: Int): Array[Byte] =
+    WebP.decode(bytes).toInterleaved(channels)
 
   /** F9: N per-band buffers → one BIP pixel-interleaved buffer. */
   def interleave(bands: Array[Array[Byte]], bytesPerSample: Int): Array[Byte] = {

@@ -36,15 +36,14 @@ object RaquetIO {
         val idx = meta.bands.indexWhere(_.name == name)
         require(idx >= 0, s"no band $name")
         val bps = PixelCodec.bytesPerPixel(meta.bands(idx).bandType)
-        // webp fails loudly rather than silently misrouting VP8 bytes into
-        // the JPEG decoder (reference writes webp via GDAL,
-        // raster2raquet.py:813-845; no pure-JVM decoder is bundled here)
-        if (meta.compression.contains("webp"))
-          throw new UnsupportedOperationException(
-            "webp compression is not supported: no pure-JVM WebP decoder " +
-              "is available; re-encode the dataset with gzip or jpeg")
+        // webp-lossless (VP8L) decodes via the pure-JVM WebP codec; lossy
+        // VP8 bytes raise a clear UnsupportedOperationException inside the
+        // decoder rather than misrouting into the JPEG path (reference
+        // writes webp via Pillow, raster2raquet.py:813-845)
         val raw =
-          if (meta.compression.contains("jpeg"))
+          if (meta.compression.contains("webp"))
+            graft.functions.GraftFunctions.mm_webp_pixels(col("pixels"), meta.bands.length)
+          else if (meta.compression.contains("jpeg"))
             graft.functions.GraftFunctions.mm_jpeg_pixels(col("pixels"))
           else rq_inflate(col("pixels"))
         mm_deinterleave(raw, idx, meta.bands.length, bps)

@@ -1,0 +1,1123 @@
+package graft.raquet
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-JVM WebP *lossless* (VP8L) codec — encoder and decoder.
+  *
+  * Raquet's interleaved lossy/lossless tile codec family is gzip | jpeg |
+  * webp (`format-specs/raquet.md:272-277`; written by the reference via
+  * Pillow, `raquet/raster2raquet.py:813-845`). The JVM has no bundled WebP
+  * support, so this file implements the public "WebP Lossless Bitstream
+  * Specification" (VP8L) directly: RIFF container, LSB-first bit I/O,
+  * canonical prefix codes with the 19-symbol code-length code, color cache,
+  * LZ77 backward references with the 120-entry distance plane-code
+  * neighborhood, meta prefix-code images, and all four transforms
+  * (predictor ×14 modes, cross-color, subtract-green, color indexing with
+  * sub-byte pixel bundling).
+  *
+  * Lossy WebP (VP8 key-frame coding) is intentionally NOT implemented —
+  * decoding it means a full VP8 intra decoder; callers get a clear
+  * `UnsupportedOperationException` instead of corrupt pixels. Lossless
+  * round-trips are bit-exact, so a raquet dataset written with
+  * `compression="webp"` here reads back identically (and is a conformant
+  * WebP file any spec-compliant reader can open).
+  *
+  * The encoder always emits raw distances (`plane code + 120`) — the plane
+  * short-codes are an optional shorter representation; the decoder accepts
+  * both. The 120-entry map itself is generated from the spec's ordering
+  * rule (close-neighborhood offsets sorted by squared distance, then larger
+  * dy first, then positive dx first) rather than transcribed, to avoid
+  * copy errors.
+  */
+object WebP {
+
+  // ---------------------------------------------------------------- bit I/O
+
+  /** LSB-first bit reader (VP8L reads bits little-endian within bytes). */
+  final class BitReader(buf: Array[Byte], start: Int) {
+    private var bytePos = start
+    private var bitPos = 0
+    def bit(): Int = {
+      val b = (buf(bytePos) >> bitPos) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v |= bit() << i; i += 1 }
+      v
+    }
+  }
+
+  /** LSB-first bit writer; prefix codes are written MSB-of-code first. */
+  final class BitWriter {
+    private val out = new ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def bit(b: Int): Unit = {
+      cur |= (b & 1) << nbits
+      nbits += 1
+      if (nbits == 8) { out += cur.toByte; cur = 0; nbits = 0 }
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) { bit((v >> i) & 1); i += 1 }
+    }
+    /** A canonical prefix code: MSB first in stream order. */
+    def code(c: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { bit((c >> i) & 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      val res = new Array[Byte](out.length + (if (nbits > 0) 1 else 0))
+      var i = 0
+      while (i < out.length) { res(i) = out(i); i += 1 }
+      if (nbits > 0) res(out.length) = cur.toByte
+      res
+    }
+  }
+
+  // --------------------------------------------------- canonical prefix code
+
+  /** Length-limited optimal code lengths via package-merge. Alphabets are
+    * ≤280 symbols and limits ≤15, so the simple O(n·L·log n) form is fine. */
+  def codeLengths(freq: Array[Long], maxLen: Int): Array[Int] = {
+    val lens = new Array[Int](freq.length)
+    val used = freq.indices.filter(freq(_) > 0)
+    if (used.isEmpty) return lens
+    if (used.size == 1) { lens(used.head) = 1; return lens }
+    require(used.size <= (1 << maxLen), "alphabet too large for length limit")
+    val items = used.map(s => (freq(s), List(s))).sortBy(_._1).toVector
+    var prev = Vector.empty[(Long, List[Int])]
+    var l = 0
+    while (l < maxLen) {
+      val paired = prev.grouped(2)
+        .collect { case Seq(a, b) => (a._1 + b._1, a._2 ::: b._2) }.toVector
+      prev = (items ++ paired).sortBy(_._1)
+      l += 1
+    }
+    prev.take(2 * used.size - 2).foreach(_._2.foreach(s => lens(s) += 1))
+    lens
+  }
+
+  /** Deflate-style canonical code assignment from lengths. */
+  def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val maxLen = lens.foldLeft(0)(math.max)
+    val codes = new Array[Int](lens.length)
+    if (maxLen == 0) return codes
+    val blCount = new Array[Int](maxLen + 1)
+    lens.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](maxLen + 1)
+    var c = 0
+    var l = 1
+    while (l <= maxLen) {
+      c = (c + (if (l >= 2) blCount(l - 1) else 0)) << 1
+      nextCode(l) = c
+      l += 1
+    }
+    lens.indices.foreach { i =>
+      if (lens(i) > 0) { codes(i) = nextCode(lens(i)); nextCode(lens(i)) += 1 }
+    }
+    codes
+  }
+
+  /** Canonical prefix decoder. A code with exactly one used symbol reads
+    * zero bits (the spec's degenerate-tree rule — also what the simple-code
+    * form with one symbol means). */
+  final class HuffTree(lens: Array[Int]) {
+    private val usedCount = lens.count(_ > 0)
+    private val single = if (usedCount == 1) lens.indexWhere(_ > 0) else -1
+    private val maxLen = lens.foldLeft(0)(math.max)
+    private val blCount = new Array[Int](maxLen + 1)
+    private val sorted: Array[Int] = {
+      lens.foreach(l => if (l > 0) blCount(l) += 1)
+      lens.indices.filter(lens(_) > 0).sortBy(i => (lens(i), i)).toArray
+    }
+    require(usedCount > 0, "empty prefix code")
+    def next(br: BitReader): Int = {
+      if (single >= 0) return single
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= maxLen) {
+        code = (code << 1) | br.bit()
+        val cnt = blCount(len)
+        if (code - first < cnt) return sorted(index + (code - first))
+        index += cnt
+        first = (first + cnt) << 1
+        len += 1
+      }
+      throw new IllegalArgumentException("malformed prefix code in VP8L stream")
+    }
+  }
+
+  /** Writer twin of [[HuffTree]]: same zero-bit degenerate rule. */
+  final class HuffWriter(lens: Array[Int]) {
+    private val codes = canonicalCodes(lens)
+    private val single = lens.count(_ > 0) == 1
+    def write(bw: BitWriter, sym: Int): Unit = {
+      if (single) return
+      require(lens(sym) > 0, s"symbol $sym has no code")
+      bw.code(codes(sym), lens(sym))
+    }
+  }
+
+  /** Code-length-code symbol order (shared constant of the format). */
+  private val ClcOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  // -------------------------------------------------------- distance codes
+
+  /** The 120 close-neighborhood (dx, dy) offsets of distance plane-codes
+    * 1..120, generated by the spec's ordering: all offsets with dy in 0..7
+    * (dx in 1..8 when dy=0, else -7..8), sorted by dx²+dy² ascending, then
+    * dy descending, then dx descending. Codes above 120 are raw distances
+    * minus 120. */
+  val DistanceMap: Array[(Int, Int)] = {
+    val cand =
+      (for { dy <- 0 to 7; dx <- -7 to 8; if dy > 0 || dx > 0 } yield (dx, dy))
+    cand.sortBy { case (dx, dy) => (dx * dx + dy * dy, -dy, -dx) }.toArray
+  }
+
+  private def planeToDistance(code: Int, xsize: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = DistanceMap(code - 1)
+      val d = dy * xsize + dx
+      if (d < 1) 1 else d
+    }
+
+  /** Prefix-coded value decode: codes 0..3 are values 1..4; above that,
+    * ((2 + (c&1)) << extra) + ReadBits(extra) + 1 with extra = (c-2)>>1. */
+  private def prefixValue(code: Int, br: BitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      ((2 + (code & 1)) << extra) + br.bits(extra) + 1
+    }
+
+  /** Inverse of [[prefixValue]]: (code, extraBits, extraValue) for v ≥ 1. */
+  def prefixCode(v: Int): (Int, Int, Int) = {
+    val x = v - 1
+    if (x < 4) (x, 0, 0)
+    else {
+      val hb = 31 - Integer.numberOfLeadingZeros(x)
+      val code = 2 * hb + ((x >> (hb - 1)) & 1)
+      (code, hb - 1, x & ((1 << (hb - 1)) - 1))
+    }
+  }
+
+  private def colorCacheHash(px: Int, bits: Int): Int =
+    (px * 0x1e35a7bd) >>> (32 - bits)
+
+  private def subSize(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+
+  // ---------------------------------------------------------------- decoder
+
+  private val TransformPredictor = 0
+  private val TransformColor = 1
+  private val TransformSubtractGreen = 2
+  private val TransformColorIndexing = 3
+
+  private final case class Transform(kind: Int, bits: Int, data: Array[Int],
+      dataW: Int, origW: Int)
+
+  /** Decoded ARGB image. */
+  final case class Argb(width: Int, height: Int, alphaHint: Boolean, px: Array[Int]) {
+    /** Interleaved uint8 bytes: 1 (gray = red channel), 3 (RGB) or 4 (RGBA). */
+    def toInterleaved(channels: Int): Array[Byte] = {
+      require(channels == 1 || channels == 3 || channels == 4,
+        s"webp supports 1, 3 or 4 channels, got $channels")
+      val out = new Array[Byte](px.length * channels)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        val base = i * channels
+        if (channels == 1) out(base) = ((p >> 16) & 0xFF).toByte
+        else {
+          out(base) = ((p >> 16) & 0xFF).toByte
+          out(base + 1) = ((p >> 8) & 0xFF).toByte
+          out(base + 2) = (p & 0xFF).toByte
+          if (channels == 4) out(base + 3) = ((p >>> 24) & 0xFF).toByte
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  def isWebP(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' &&
+      bytes(11) == 'P'
+
+  private def u32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Decode a WebP container. Lossless (VP8L) only; lossy VP8 raises. */
+  def decode(bytes: Array[Byte]): Argb = {
+    require(isWebP(bytes), "not a WebP file (RIFF/WEBP header missing)")
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32le(bytes, off + 4)
+      tag match {
+        case "VP8L" => return decodeVp8l(bytes, off + 8)
+        case "VP8 " =>
+          throw new UnsupportedOperationException(
+            "lossy (VP8) WebP is not supported — only lossless (VP8L); " +
+              "re-encode the data as webp-lossless, gzip, or jpeg")
+        case _ => off += 8 + size + (size & 1) // VP8X / ALPH / EXIF … skipped
+      }
+    }
+    throw new IllegalArgumentException("no VP8L chunk found in WebP container")
+  }
+
+  private def decodeVp8l(bytes: Array[Byte], start: Int): Argb = {
+    val br = new BitReader(bytes, start)
+    require(br.bits(8) == 0x2f, "bad VP8L signature byte")
+    val w = br.bits(14) + 1
+    val h = br.bits(14) + 1
+    val alphaHint = br.bit() == 1
+    require(br.bits(3) == 0, "unsupported VP8L version")
+    Argb(w, h, alphaHint, readImageStream(br, w, h, isLevel0 = true))
+  }
+
+  /** One "image stream": [transforms (level 0 only)] + entropy-coded image,
+    * with inverse transforms applied in reverse order of appearance. */
+  private def readImageStream(br: BitReader, xsize: Int, ysize: Int,
+      isLevel0: Boolean): Array[Int] = {
+    var w = xsize
+    val transforms = ArrayBuffer.empty[Transform]
+    if (isLevel0) {
+      var seen = 0
+      while (br.bit() == 1) {
+        val t = br.bits(2)
+        require((seen & (1 << t)) == 0, s"transform $t appears twice")
+        seen |= 1 << t
+        t match {
+          case TransformPredictor | TransformColor =>
+            val bits = br.bits(3) + 2
+            val tw = subSize(w, bits)
+            val th = subSize(ysize, bits)
+            transforms += Transform(t, bits, readImageStream(br, tw, th, false), tw, w)
+          case TransformSubtractGreen =>
+            transforms += Transform(t, 0, null, 0, w)
+          case TransformColorIndexing =>
+            val nColors = br.bits(8) + 1
+            val pal = readImageStream(br, nColors, 1, false)
+            var i = 1
+            while (i < nColors) { pal(i) = addPixels(pal(i), pal(i - 1)); i += 1 }
+            val widthBits =
+              if (nColors <= 2) 3 else if (nColors <= 4) 2 else if (nColors <= 16) 1 else 0
+            transforms += Transform(t, widthBits, pal, nColors, w)
+            if (widthBits > 0) w = subSize(w, widthBits)
+        }
+      }
+    }
+    var img = readEntropyCoded(br, w, ysize, isLevel0)
+    var curW = w
+    transforms.reverseIterator.foreach { tr =>
+      tr.kind match {
+        case TransformColorIndexing =>
+          img = inversePalette(img, curW, ysize, tr)
+          curW = tr.origW
+        case TransformSubtractGreen => inverseSubtractGreen(img)
+        case TransformColor => inverseColorTransform(img, curW, ysize, tr)
+        case TransformPredictor => inversePredictor(img, curW, ysize, tr)
+      }
+    }
+    img
+  }
+
+  /** The entropy-coded pixel stream: color-cache config, meta prefix-code
+    * image (level 0 only), prefix-code groups, then the literal/backref/
+    * cache-hit token loop. */
+  private def readEntropyCoded(br: BitReader, w: Int, h: Int,
+      isLevel0: Boolean): Array[Int] = {
+    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
+    require(cacheBits <= 11, s"color cache bits $cacheBits out of range")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+
+    var metaBits = 0
+    var metaW = 0
+    var metaImg: Array[Int] = null
+    var numGroups = 1
+    if (isLevel0 && br.bit() == 1) {
+      metaBits = br.bits(3) + 2
+      metaW = subSize(w, metaBits)
+      metaImg = readImageStream(br, metaW, subSize(h, metaBits), false)
+      var mx = 0
+      metaImg.foreach(p => mx = math.max(mx, (p >> 8) & 0xFFFF))
+      numGroups = mx + 1
+    }
+
+    val groups = Array.fill(numGroups)(readGroup(br, cacheSize))
+    val n = w * h
+    val out = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    var pos = 0
+    var x = 0
+    var y = 0
+    var g = groups(0)
+    while (pos < n) {
+      if (metaImg != null)
+        g = groups((metaImg((y >> metaBits) * metaW + (x >> metaBits)) >> 8) & 0xFFFF)
+      val s = g(0).next(br)
+      if (s < 256) {
+        val r = g(1).next(br)
+        val b = g(2).next(br)
+        val a = g(3).next(br)
+        val px = (a << 24) | (r << 16) | (s << 8) | b
+        out(pos) = px
+        if (cache != null) cache(colorCacheHash(px, cacheBits)) = px
+        pos += 1; x += 1; if (x == w) { x = 0; y += 1 }
+      } else if (s < 280) {
+        val len = prefixValue(s - 256, br)
+        val dist = planeToDistance(prefixValue(g(4).next(br), br), w)
+        require(dist >= 1 && dist <= pos, s"backref distance $dist at $pos")
+        var k = 0
+        while (k < len) {
+          val px = out(pos - dist)
+          out(pos) = px
+          if (cache != null) cache(colorCacheHash(px, cacheBits)) = px
+          pos += 1; x += 1; if (x == w) { x = 0; y += 1 }
+          k += 1
+        }
+      } else {
+        out(pos) = cache(s - 280)
+        pos += 1; x += 1; if (x == w) { x = 0; y += 1 }
+      }
+    }
+    out
+  }
+
+  /** One prefix-code group: green+length+cache, red, blue, alpha, distance. */
+  private def readGroup(br: BitReader, cacheSize: Int): Array[HuffTree] =
+    Array(
+      readHuffCode(br, 256 + 24 + cacheSize),
+      readHuffCode(br, 256),
+      readHuffCode(br, 256),
+      readHuffCode(br, 256),
+      readHuffCode(br, 40))
+
+  private def readHuffCode(br: BitReader, alphabet: Int): HuffTree = {
+    val lens = new Array[Int](alphabet)
+    if (br.bit() == 1) { // simple code: 1 or 2 symbols, lengths 0 / 1,1
+      val numSym = br.bit() + 1
+      val sym0 = if (br.bit() == 1) br.bits(8) else br.bit()
+      lens(sym0) = 1
+      if (numSym == 2) lens(br.bits(8)) = 1
+    } else {
+      val numCl = 4 + br.bits(4)
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLens(ClcOrder(i)) = br.bits(3); i += 1 }
+      val clTree = new HuffTree(clLens)
+      var maxSymbol =
+        if (br.bit() == 1) { val ln = 2 + 2 * br.bits(3); 2 + br.bits(ln) }
+        else alphabet
+      var sym = 0
+      var prevLen = 8
+      while (sym < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val c = clTree.next(br)
+        if (c < 16) {
+          lens(sym) = c; sym += 1
+          if (c != 0) prevLen = c
+        } else {
+          var rep = 0
+          var v = 0
+          c match {
+            case 16 => rep = 3 + br.bits(2); v = prevLen
+            case 17 => rep = 3 + br.bits(3)
+            case 18 => rep = 11 + br.bits(7)
+          }
+          while (rep > 0 && sym < alphabet) { lens(sym) = v; sym += 1; rep -= 1 }
+        }
+      }
+    }
+    new HuffTree(lens)
+  }
+
+  // ------------------------------------------------------ inverse transforms
+
+  /** Per-channel byte-wise add modulo 256 (SWAR over the two ARGB halves). */
+  private def addPixels(a: Int, b: Int): Int = {
+    val rb = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+    val ag = ((a >>> 8) & 0x00FF00FF) + ((b >>> 8) & 0x00FF00FF)
+    ((ag & 0x00FF00FF) << 8) | rb
+  }
+
+  private def subPixels(a: Int, b: Int): Int = {
+    val rb = ((a | 0x01000100) - (b & 0x00FF00FF)) & 0x00FF00FF
+    val ag = (((a >>> 8) | 0x01000100) - ((b >>> 8) & 0x00FF00FF)) & 0x00FF00FF
+    (ag << 8) | rb
+  }
+
+  private def inverseSubtractGreen(img: Array[Int]): Unit = {
+    var i = 0
+    while (i < img.length) {
+      val p = img(i)
+      val g = (p >> 8) & 0xFF
+      val r = ((p >> 16) + g) & 0xFF
+      val b = (p + g) & 0xFF
+      img(i) = (p & 0xFF00FF00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  def forwardSubtractGreen(img: Array[Int]): Unit = {
+    var i = 0
+    while (i < img.length) {
+      val p = img(i)
+      val g = (p >> 8) & 0xFF
+      val r = ((p >> 16) - g) & 0xFF
+      val b = (p - g) & 0xFF
+      img(i) = (p & 0xFF00FF00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xFEFEFEFE) >>> 1) + (a & b)
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** The 14 spatial predictors (spec §4.2.2). L/T/TL/TR are reconstructed
+    * neighbors; for the rightmost column TR is pixel (y-1)*w + x + 1 in flat
+    * scan order, i.e. the first pixel of the current row. */
+  def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
+    case 0 => 0xFF000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 => // Select: Manhattan-closer of L and T to the gradient estimate
+      val pa = math.abs(((t >>> 24) & 0xFF) - ((tl >>> 24) & 0xFF)) +
+        math.abs(((t >> 16) & 0xFF) - ((tl >> 16) & 0xFF)) +
+        math.abs(((t >> 8) & 0xFF) - ((tl >> 8) & 0xFF)) +
+        math.abs((t & 0xFF) - (tl & 0xFF))
+      val pb = math.abs(((l >>> 24) & 0xFF) - ((tl >>> 24) & 0xFF)) +
+        math.abs(((l >> 16) & 0xFF) - ((tl >> 16) & 0xFF)) +
+        math.abs(((l >> 8) & 0xFF) - ((tl >> 8) & 0xFF)) +
+        math.abs((l & 0xFF) - (tl & 0xFF))
+      if (pa < pb) l else t
+    case 12 => // ClampAddSubtractFull per channel
+      var res = 0
+      var sh = 0
+      while (sh < 32) {
+        val v = clamp255(((l >>> sh) & 0xFF) + ((t >>> sh) & 0xFF) - ((tl >>> sh) & 0xFF))
+        res |= v << sh
+        sh += 8
+      }
+      res
+    case 13 => // ClampAddSubtractHalf per channel on Average2(L, T) and TL
+      val av = avg2(l, t)
+      var res = 0
+      var sh = 0
+      while (sh < 32) {
+        val a = (av >>> sh) & 0xFF
+        val b = (tl >>> sh) & 0xFF
+        res |= clamp255(a + (a - b) / 2) << sh
+        sh += 8
+      }
+      res
+    case _ => throw new IllegalArgumentException(s"predictor mode $mode")
+  }
+
+  /** Neighbor-gather shared by the inverse (decode) and forward (encode)
+    * predictor paths; `get(i)` must return reconstructed pixels. */
+  private def predictAt(x: Int, y: Int, w: Int, mode: Int,
+      get: Int => Int): Int = {
+    if (x == 0 && y == 0) 0xFF000000
+    else if (y == 0) get(x - 1) // top row: L
+    else if (x == 0) get((y - 1) * w) // left column: T
+    else {
+      val i = y * w + x
+      predict(mode, get(i - 1), get(i - w), get(i - w - 1), get(i - w + 1))
+    }
+  }
+
+  private def inversePredictor(img: Array[Int], w: Int, h: Int, tr: Transform): Unit = {
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mode =
+          if (x == 0 || y == 0) 0 // border rules override the block mode
+          else (tr.data((y >> tr.bits) * tr.dataW + (x >> tr.bits)) >> 8) & 0xFF
+        val pred = predictAt(x, y, w, mode, img)
+        img(y * w + x) = addPixels(img(y * w + x), pred)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** (t * c) >> 5 with both operands as signed bytes (spec §4.2.3). */
+  private def ctDelta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  private def inverseColorTransform(img: Array[Int], w: Int, h: Int,
+      tr: Transform): Unit = {
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = tr.data((y >> tr.bits) * tr.dataW + (x >> tr.bits))
+        val g2r = cte & 0xFF // blue byte
+        val g2b = (cte >> 8) & 0xFF // green byte
+        val r2b = (cte >> 16) & 0xFF // red byte
+        val p = img(y * w + x)
+        val g = (p >> 8) & 0xFF
+        var r = (p >> 16) & 0xFF
+        var b = p & 0xFF
+        r = (r + ctDelta(g2r, g)) & 0xFF
+        b = (b + ctDelta(g2b, g) + ctDelta(r2b, r)) & 0xFF
+        img(y * w + x) = (p & 0xFF00FF00) | (r << 16) | b
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def inversePalette(img: Array[Int], bundledW: Int, h: Int,
+      tr: Transform): Array[Int] = {
+    val pal = tr.data
+    val origW = tr.origW
+    val out = new Array[Int](origW * h)
+    if (tr.bits == 0) {
+      var i = 0
+      while (i < img.length) {
+        val idx = (img(i) >> 8) & 0xFF
+        require(idx < pal.length, s"palette index $idx out of range")
+        out(i) = pal(idx)
+        i += 1
+      }
+    } else {
+      val pxPerUnit = 1 << tr.bits
+      val bitsPer = 8 >> tr.bits
+      val mask = (1 << bitsPer) - 1
+      var y = 0
+      while (y < h) {
+        var xb = 0
+        while (xb < bundledW) {
+          var packed = (img(y * bundledW + xb) >> 8) & 0xFF
+          var k = 0
+          while (k < pxPerUnit) {
+            val x = xb * pxPerUnit + k
+            if (x < origW) {
+              val idx = packed & mask
+              require(idx < pal.length, s"palette index $idx out of range")
+              out(y * origW + x) = pal(idx)
+            }
+            packed >>= bitsPer
+            k += 1
+          }
+          xb += 1
+        }
+        y += 1
+      }
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- encoder
+
+  /** Encoder feature switches. The defaults (chosen per-image by
+    * [[encodeLossless]]) favor robustness; the individual flags exist so
+    * tests can drive every decoder path through real encoded streams. */
+  final case class Options(
+      subtractGreen: Boolean = false,
+      predictorBits: Int = 0, // 0 = off; else log2 block size (≥2)
+      predictorMode: Int = -1, // fixed mode 0..13; -1 = per-block (bx+by)%14
+      colorBits: Int = 0, // 0 = off: cross-color transform block bits
+      cacheBits: Int = 0, // 0 = off; else 1..11
+      lz77: Boolean = false,
+      palette: Boolean = false, // requires ≤256 distinct colors
+      metaBits: Int = 0) // 0 = off; else split into 2 groups by x half
+
+  /** Encode interleaved uint8 pixels (1 = gray, 3 = RGB, 4 = RGBA) as a
+    * lossless WebP. Picks palette coding for ≤256-color images, else
+    * subtract-green + color cache + LZ77. */
+  def encodeLossless(pixels: Array[Byte], width: Int, height: Int,
+      channels: Int): Array[Byte] = {
+    val argb = toArgb(pixels, width, height, channels)
+    val distinct = new java.util.HashSet[Integer]()
+    var i = 0
+    while (i < argb.length && distinct.size <= 256) { distinct.add(argb(i)); i += 1 }
+    val opts =
+      if (distinct.size <= 256) Options(palette = true)
+      else Options(subtractGreen = true, cacheBits = 8, lz77 = true)
+    encode(argb, width, height, channels == 4, opts)
+  }
+
+  def encodeLossless(pixels: Array[Byte], width: Int, height: Int,
+      channels: Int, opts: Options): Array[Byte] =
+    encode(toArgb(pixels, width, height, channels), width, height, channels == 4, opts)
+
+  private def toArgb(pixels: Array[Byte], w: Int, h: Int, channels: Int): Array[Int] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"webp supports 1, 3 or 4 channels, got $channels")
+    require(pixels.length == w * h * channels,
+      s"pixel buffer ${pixels.length} != $w*$h*$channels")
+    val out = new Array[Int](w * h)
+    var i = 0
+    while (i < out.length) {
+      val base = i * channels
+      out(i) = channels match {
+        case 1 =>
+          val v = pixels(base) & 0xFF
+          0xFF000000 | (v << 16) | (v << 8) | v
+        case 3 =>
+          0xFF000000 | ((pixels(base) & 0xFF) << 16) |
+            ((pixels(base + 1) & 0xFF) << 8) | (pixels(base + 2) & 0xFF)
+        case 4 =>
+          ((pixels(base + 3) & 0xFF) << 24) | ((pixels(base) & 0xFF) << 16) |
+            ((pixels(base + 1) & 0xFF) << 8) | (pixels(base + 2) & 0xFF)
+      }
+      i += 1
+    }
+    out
+  }
+
+  def encode(argbIn: Array[Int], width: Int, height: Int, hasAlpha: Boolean,
+      opts: Options): Array[Byte] = {
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384,
+      s"VP8L size limit exceeded: ${width}x$height")
+    val bw = new BitWriter
+    bw.bits(0x2f, 8)
+    bw.bits(width - 1, 14)
+    bw.bits(height - 1, 14)
+    bw.bit(if (hasAlpha) 1 else 0)
+    bw.bits(0, 3) // version
+
+    var img = argbIn.clone()
+    var w = width
+
+    // ---- transforms (written in this order; decoder inverts in reverse) --
+    if (opts.predictorBits > 0) {
+      require(opts.predictorBits >= 2 && opts.predictorBits <= 9)
+      bw.bit(1); bw.bits(TransformPredictor, 2)
+      bw.bits(opts.predictorBits - 2, 3)
+      val tw = subSize(w, opts.predictorBits)
+      val th = subSize(height, opts.predictorBits)
+      val modes = Array.tabulate(tw * th) { i =>
+        val mode =
+          if (opts.predictorMode >= 0) opts.predictorMode
+          else (i % tw + i / tw) % 14
+        0xFF000000 | (mode << 8)
+      }
+      writeEntropyImage(bw, modes, tw)
+      img = forwardPredictor(img, w, height, opts.predictorBits, tw, modes)
+    }
+    if (opts.colorBits > 0) {
+      require(opts.colorBits >= 2 && opts.colorBits <= 9)
+      bw.bit(1); bw.bits(TransformColor, 2)
+      bw.bits(opts.colorBits - 2, 3)
+      val tw = subSize(w, opts.colorBits)
+      val th = subSize(height, opts.colorBits)
+      // deterministic non-trivial multipliers, varying per block
+      val ctes = Array.tabulate(tw * th) { i =>
+        0xFF000000 | (((i * 29 + 7) & 0xFF) << 16) | (((i * 17 + 3) & 0xFF) << 8) |
+          ((i * 13 + 11) & 0xFF)
+      }
+      writeEntropyImage(bw, ctes, tw)
+      img = forwardColorTransform(img, w, height, opts.colorBits, tw, ctes)
+    }
+    if (opts.subtractGreen) {
+      bw.bit(1); bw.bits(TransformSubtractGreen, 2)
+      forwardSubtractGreen(img)
+    }
+    if (opts.palette) {
+      val pal = buildPalette(img)
+      require(pal.length <= 256, "palette coding needs ≤256 distinct colors")
+      bw.bit(1); bw.bits(TransformColorIndexing, 2)
+      bw.bits(pal.length - 1, 8)
+      val diffs = Array.tabulate(pal.length)(i =>
+        if (i == 0) pal(0) else subPixels(pal(i), pal(i - 1)))
+      writeEntropyImage(bw, diffs, pal.length)
+      val index = pal.zipWithIndex.toMap
+      val widthBits =
+        if (pal.length <= 2) 3 else if (pal.length <= 4) 2 else if (pal.length <= 16) 1 else 0
+      img = bundleIndices(img, w, height, index, widthBits)
+      if (widthBits > 0) w = subSize(w, widthBits)
+    }
+    bw.bit(0) // end of transforms
+
+    writePixels(bw, img, w, height, opts)
+    wrapRiff(bw.toBytes)
+  }
+
+  /** Sub-resolution images (transform data, meta image): no transforms, no
+    * color cache, no meta bit; literal-only single group. */
+  private def writeEntropyImage(bw: BitWriter, img: Array[Int], w: Int): Unit = {
+    bw.bit(0) // no color cache
+    writeLiteralGroupAndTokens(bw, img, cacheBits = 0)
+  }
+
+  // ---- token stream -----------------------------------------------------
+
+  private sealed trait Token
+  private final case class Lit(px: Int) extends Token
+  private final case class CacheRef(idx: Int) extends Token
+  private final case class BackRef(len: Int, dist: Int) extends Token
+
+  /** Greedy tokenizer mirroring the decoder's state machine (cache inserts
+    * on every produced pixel, including inside backrefs). */
+  private def tokenize(img: Array[Int], cacheBits: Int, lz77: Boolean): ArrayBuffer[Token] = {
+    val tokens = new ArrayBuffer[Token](img.length / 2 + 8)
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    val cacheSeen = if (cacheBits > 0) new Array[Boolean](1 << cacheBits) else null
+    // LZ77 candidates: last position of each (px[i], px[i+1]) pair
+    val chain = if (lz77) new java.util.HashMap[Long, Integer]() else null
+    val MaxLen = 4096
+    var pos = 0
+    def insert(px: Int): Unit = if (cache != null) {
+      val hsh = colorCacheHash(px, cacheBits)
+      cache(hsh) = px; cacheSeen(hsh) = true
+    }
+    def pairKey(i: Int): Long = (img(i).toLong << 32) | (img(i + 1) & 0xFFFFFFFFL)
+    while (pos < img.length) {
+      var emitted = false
+      if (lz77 && pos + 1 < img.length) {
+        val key = pairKey(pos)
+        val cand = chain.get(key)
+        if (cand != null) {
+          val start = cand.intValue()
+          var len = 0
+          val maxL = math.min(MaxLen, img.length - pos)
+          while (len < maxL && img(start + len) == img(pos + len)) len += 1
+          // the 40-symbol distance alphabet tops out at value 2^20, so a
+          // match farther back than 2^20 - 120 pixels is not representable
+          if (len >= 4 && (pos - start) + 120 <= (1 << 20)) {
+            tokens += BackRef(len, pos - start)
+            var k = 0
+            while (k < len) {
+              insert(img(pos + k))
+              if (pos + k + 1 < img.length) chain.put(pairKey(pos + k), pos + k)
+              k += 1
+            }
+            pos += len
+            emitted = true
+          }
+        }
+        if (!emitted) chain.put(key, pos)
+      }
+      if (!emitted) {
+        val px = img(pos)
+        if (cache != null) {
+          val hsh = colorCacheHash(px, cacheBits)
+          if (cacheSeen(hsh) && cache(hsh) == px) tokens += CacheRef(hsh)
+          else tokens += Lit(px)
+        } else tokens += Lit(px)
+        insert(px)
+        pos += 1
+      }
+    }
+    tokens
+  }
+
+  private def histograms(tokens: ArrayBuffer[Token], cacheSize: Int):
+      (Array[Long], Array[Long], Array[Long], Array[Long], Array[Long]) = {
+    val green = new Array[Long](256 + 24 + cacheSize)
+    val red = new Array[Long](256)
+    val blue = new Array[Long](256)
+    val alpha = new Array[Long](256)
+    val dist = new Array[Long](40)
+    tokens.foreach {
+      case Lit(px) =>
+        green((px >> 8) & 0xFF) += 1
+        red((px >> 16) & 0xFF) += 1
+        blue(px & 0xFF) += 1
+        alpha((px >>> 24) & 0xFF) += 1
+      case CacheRef(idx) => green(256 + 24 + idx) += 1
+      case BackRef(len, d) =>
+        green(256 + prefixCode(len)._1) += 1
+        dist(prefixCode(d + 120)._1) += 1
+    }
+    (green, red, blue, alpha, dist)
+  }
+
+  private def writeTokens(bw: BitWriter, tokens: Iterable[Token],
+      g: HuffWriter, r: HuffWriter, b: HuffWriter, a: HuffWriter,
+      d: HuffWriter): Unit =
+    tokens.foreach {
+      case Lit(px) =>
+        g.write(bw, (px >> 8) & 0xFF)
+        r.write(bw, (px >> 16) & 0xFF)
+        b.write(bw, px & 0xFF)
+        a.write(bw, (px >>> 24) & 0xFF)
+      case CacheRef(idx) => g.write(bw, 256 + 24 + idx)
+      case BackRef(len, dst) =>
+        val (lc, leb, lev) = prefixCode(len)
+        g.write(bw, 256 + lc)
+        if (leb > 0) bw.bits(lev, leb)
+        val (dc, deb, dev) = prefixCode(dst + 120) // raw distance form
+        d.write(bw, dc)
+        if (deb > 0) bw.bits(dev, deb)
+    }
+
+  /** Write one group's five prefix codes + the token stream (single-group
+    * images; cache already configured by the caller). */
+  private def writeLiteralGroupAndTokens(bw: BitWriter, img: Array[Int],
+      cacheBits: Int): Unit = {
+    val tokens = tokenize(img, cacheBits, lz77 = false)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val (hg, hr, hb, ha, hd) = histograms(tokens, cacheSize)
+    val ws = writeGroupCodes(bw, hg, hr, hb, ha, hd)
+    writeTokens(bw, tokens, ws(0), ws(1), ws(2), ws(3), ws(4))
+  }
+
+  private def writeGroupCodes(bw: BitWriter, hists: Array[Long]*): Array[HuffWriter] =
+    hists.map { h =>
+      val lens = codeLengths(h, 15)
+      writeHuffCode(bw, lens, h)
+      new HuffWriter(lens)
+    }.toArray
+
+  /** Main (level-0) pixel stream: cache config, optional meta split, groups,
+    * tokens. */
+  private def writePixels(bw: BitWriter, img: Array[Int], w: Int, h: Int,
+      opts: Options): Unit = {
+    val cacheBits = opts.cacheBits
+    require(cacheBits >= 0 && cacheBits <= 11)
+    if (cacheBits > 0) { bw.bit(1); bw.bits(cacheBits, 4) } else bw.bit(0)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+
+    if (opts.metaBits > 0) {
+      require(!opts.lz77, "test meta-split encoder is literal/cache only")
+      require(opts.metaBits >= 2 && opts.metaBits <= 9)
+      bw.bit(1)
+      bw.bits(opts.metaBits - 2, 3)
+      val mw = subSize(w, opts.metaBits)
+      val mh = subSize(h, opts.metaBits)
+      // two groups, split by x half (group index lives in (r<<8)|g)
+      val metaImg = Array.tabulate(mw * mh) { i =>
+        val idx = if (i % mw >= (mw + 1) / 2) 1 else 0
+        0xFF000000 | (idx << 8)
+      }
+      writeEntropyImage(bw, metaImg, mw)
+      // tokenize per-pixel with the shared cache, tracking group switches
+      val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+      val cacheSeen = if (cacheSize > 0) new Array[Boolean](cacheSize) else null
+      val perGroup = Array.fill(2)(new ArrayBuffer[Token]())
+      val order = new ArrayBuffer[(Int, Token)](img.length)
+      var pos = 0
+      while (pos < img.length) {
+        val x = pos % w
+        val y = pos / w
+        val gi = (metaImg((y >> opts.metaBits) * mw + (x >> opts.metaBits)) >> 8) & 0xFFFF
+        val px = img(pos)
+        val tok =
+          if (cache != null) {
+            val hsh = colorCacheHash(px, cacheBits)
+            if (cacheSeen(hsh) && cache(hsh) == px) CacheRef(hsh)
+            else { Lit(px) }
+          } else Lit(px)
+        if (cache != null) {
+          val hsh = colorCacheHash(px, cacheBits)
+          cache(hsh) = px; cacheSeen(hsh) = true
+        }
+        perGroup(gi) += tok
+        order += ((gi, tok))
+        pos += 1
+      }
+      val writers = perGroup.map { toks =>
+        val (hg, hr, hb, ha, hd) = histograms(toks, cacheSize)
+        (codeLengths(hg, 15), codeLengths(hr, 15), codeLengths(hb, 15),
+          codeLengths(ha, 15), codeLengths(hd, 15),
+          hg, hr, hb, ha, hd)
+      }
+      writers.foreach { case (lg, lr, lb, la, ld, hg, hr, hb, ha, hd) =>
+        writeHuffCode(bw, lg, hg); writeHuffCode(bw, lr, hr)
+        writeHuffCode(bw, lb, hb); writeHuffCode(bw, la, ha)
+        writeHuffCode(bw, ld, hd)
+      }
+      val hw = writers.map { case (lg, lr, lb, la, ld, _, _, _, _, _) =>
+        (new HuffWriter(lg), new HuffWriter(lr), new HuffWriter(lb),
+          new HuffWriter(la), new HuffWriter(ld))
+      }
+      order.foreach { case (gi, tok) =>
+        val (g, r, b, a, d) = hw(gi)
+        writeTokens(bw, Seq(tok), g, r, b, a, d)
+      }
+    } else {
+      bw.bit(0) // no meta prefix codes
+      val tokens = tokenize(img, cacheBits, opts.lz77)
+      val (hg, hr, hb, ha, hd) = histograms(tokens, cacheSize)
+      val ws = writeGroupCodes(bw, hg, hr, hb, ha, hd)
+      writeTokens(bw, tokens, ws(0), ws(1), ws(2), ws(3), ws(4))
+    }
+  }
+
+  /** Serialize one prefix code: the simple 1-/2-symbol form when possible,
+    * else code lengths via the 19-symbol code-length code (using 17/18 for
+    * zero runs; no max_symbol shortcut). */
+  def writeHuffCode(bw: BitWriter, lens: Array[Int], hist: Array[Long]): Unit = {
+    val used = lens.indices.filter(lens(_) > 0)
+    if (used.isEmpty) {
+      // tree never consulted: emit the cheapest legal code (symbol 0 only)
+      bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(0)
+      return
+    }
+    if (used.size <= 2 && used.forall(_ <= 255)) {
+      bw.bit(1) // simple
+      bw.bit(used.size - 1)
+      val s0 = used.head
+      if (s0 <= 1) { bw.bit(0); bw.bit(s0) } else { bw.bit(1); bw.bits(s0, 8) }
+      if (used.size == 2) bw.bits(used(1), 8)
+      return
+    }
+    bw.bit(0) // normal
+    // RLE over the full alphabet: literals 0-15, zero runs via 17/18
+    val seq = new ArrayBuffer[(Int, Int, Int)]() // (clcSym, extraVal, extraBits)
+    var i = 0
+    while (i < lens.length) {
+      if (lens(i) == 0) {
+        var run = 0
+        while (i + run < lens.length && lens(i + run) == 0) run += 1
+        i += run
+        while (run > 0) {
+          if (run < 3) { seq += ((0, 0, 0)); run -= 1 }
+          else if (run <= 10) { seq += ((17, run - 3, 3)); run = 0 }
+          else { val take = math.min(run, 138); seq += ((18, take - 11, 7)); run -= take }
+        }
+      } else {
+        seq += ((lens(i), 0, 0))
+        i += 1
+      }
+    }
+    val clcHist = new Array[Long](19)
+    seq.foreach { case (s, _, _) => clcHist(s) += 1 }
+    val clcLens = codeLengths(clcHist, 7)
+    val maxOrderIdx = ClcOrder.indices.filter(j => clcLens(ClcOrder(j)) > 0).max
+    val numCl = math.max(4, maxOrderIdx + 1)
+    bw.bits(numCl - 4, 4)
+    var j = 0
+    while (j < numCl) { bw.bits(clcLens(ClcOrder(j)), 3); j += 1 }
+    bw.bit(0) // no max_symbol count
+    val clcW = new HuffWriter(clcLens)
+    seq.foreach { case (s, ev, eb) =>
+      clcW.write(bw, s)
+      if (eb > 0) bw.bits(ev, eb)
+    }
+  }
+
+  // ---- forward transforms ----------------------------------------------
+
+  /** Forward predictor: residual = pixel − predict(reconstructed neighbors).
+    * Scan order guarantees the neighbors are original pixels (encoder side
+    * reconstructed == original). */
+  private def forwardPredictor(img: Array[Int], w: Int, h: Int, bits: Int,
+      dataW: Int, modes: Array[Int]): Array[Int] = {
+    val out = new Array[Int](img.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val mode =
+          if (x == 0 || y == 0) 0
+          else (modes((y >> bits) * dataW + (x >> bits)) >> 8) & 0xFF
+        val pred = predictAt(x, y, w, mode, img)
+        out(y * w + x) = subPixels(img(y * w + x), pred)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def forwardColorTransform(img: Array[Int], w: Int, h: Int, bits: Int,
+      dataW: Int, ctes: Array[Int]): Array[Int] = {
+    val out = new Array[Int](img.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = ctes((y >> bits) * dataW + (x >> bits))
+        val g2r = cte & 0xFF
+        val g2b = (cte >> 8) & 0xFF
+        val r2b = (cte >> 16) & 0xFF
+        val p = img(y * w + x)
+        val g = (p >> 8) & 0xFF
+        val r0 = (p >> 16) & 0xFF
+        val b0 = p & 0xFF
+        val r = (r0 - ctDelta(g2r, g)) & 0xFF
+        val b = (b0 - ctDelta(g2b, g) - ctDelta(r2b, r0)) & 0xFF
+        out(y * w + x) = (p & 0xFF00FF00) | (r << 16) | b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def buildPalette(img: Array[Int]): Array[Int] = {
+    val seen = new java.util.LinkedHashSet[Integer]()
+    img.foreach(seen.add(_))
+    val arr = new Array[Int](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
+  }
+
+  private def bundleIndices(img: Array[Int], w: Int, h: Int,
+      index: Map[Int, Int], widthBits: Int): Array[Int] = {
+    if (widthBits == 0)
+      return img.map(p => 0xFF000000 | (index(p) << 8))
+    val pxPerUnit = 1 << widthBits
+    val bitsPer = 8 >> widthBits
+    val bw = subSize(w, widthBits)
+    val out = new Array[Int](bw * h)
+    var y = 0
+    while (y < h) {
+      var xb = 0
+      while (xb < bw) {
+        var packed = 0
+        var k = 0
+        while (k < pxPerUnit) {
+          val x = xb * pxPerUnit + k
+          if (x < w) packed |= index(img(y * w + x)) << (k * bitsPer)
+          k += 1
+        }
+        out(y * bw + xb) = 0xFF000000 | (packed << 8)
+        xb += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ---- container --------------------------------------------------------
+
+  private def wrapRiff(payload: Array[Byte]): Array[Byte] = {
+    val pad = payload.length & 1
+    val out = new Array[Byte](12 + 8 + payload.length + pad)
+    def put4(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putU32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    put4(0, "RIFF")
+    putU32(4, 4 + 8 + payload.length + pad)
+    put4(8, "WEBP")
+    put4(12, "VP8L")
+    putU32(16, payload.length)
+    System.arraycopy(payload, 0, out, 20, payload.length)
+    out
+  }
+}

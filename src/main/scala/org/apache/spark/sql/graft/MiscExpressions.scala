@@ -131,6 +131,41 @@ case class MmJpegPixels(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** mm_webp_encode(pixels) with plan-time (width, height, channels): encode
+  * raw uint8 gray/BIP pixels as lossless WebP (VP8L) — the `webp` member of
+  * raquet's interleaved codec family (spec `raquet.md:272-277`). Lossless,
+  * so raquet round-trips are bit-exact. */
+case class MmWebpEncode(child: Expression, imgWidth: Int, imgHeight: Int, channels: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_webp_encode"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.encodeWebP(raw.asInstanceOf[Array[Byte]], imgWidth, imgHeight, channels)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.raquet.Multimodal.encodeWebP($c, $imgWidth, $imgHeight, $channels)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_webp_pixels(bytes) with plan-time channels: decode a lossless WebP
+  * tile to its raw interleaved uint8 buffer. Lossy VP8 raises a clear
+  * error rather than producing wrong pixels. */
+case class MmWebpPixels(child: Expression, channels: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_webp_pixels"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.decodeWebP(raw.asInstanceOf[Array[Byte]], channels)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.raquet.Multimodal.decodeWebP($c, $channels)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** mm_deinterleave(pixels) with plan-time (band, nBands, bytesPerSample):
   * extract one band from a BIP-interleaved payload (F9 inverse). */
 case class MmDeinterleave(child: Expression, band: Int, nBands: Int, bytesPerSample: Int)

@@ -665,4 +665,71 @@ class GeoTiffSpec extends SparkSpec {
       assert(bad.isEmpty, s"overview mismatches: ${bad.take(3)}")
     }
   }
+
+  test("interleaved convert: gzip/none/webp bit-exact vs sequential, jpeg bounded") {
+    import graft.functions.GraftFunctions._
+    // mercator-aligned 64x64 uint8 RGB source → 4x4 tiles of 16px at zoom 6
+    val z = 6; val bs = 16; val n = 64
+    val size = GeoTiff.CE / (1L << z)
+    val x0 = -GeoTiff.CE / 2 + 32 * size
+    val y0 = GeoTiff.CE / 2 - 24 * size
+    val px = size / bs
+    // smooth (wrap-free) gradient: JPEG-representable, and exactness of the
+    // lossless paths is pattern-independent anyway
+    def v(b: Int, i: Int, j: Int): Int = i + j + b * 40
+    val tif = tmp("rgb.tif")
+    val strips = (0 until n / 16).iterator.map { s0 =>
+      val arr = new Array[Byte](16 * n * 3)
+      for (j <- 0 until 16; i <- 0 until n; b <- 0 until 3)
+        arr((j * n + i) * 3 + b) = v(b, i, s0 * 16 + j).toByte
+      arr
+    }
+    graft.raquet.TiffWriter.writeStrips(tif, n, n, "uint8", 3, px, x0, y0, None, 16, strips)
+
+    def bandVals(out: String, meta: graft.raquet.RaquetMetadata): Map[(Long, String), Seq[Double]] = {
+      val ds = RaquetIO.read(spark, out)
+      (1 to 3).flatMap { b =>
+        ds.data.filter(quadbin_zoom(col("block")) === z)
+          .select(col("block"), rq_decode(ds.band(s"band_$b"), ds.meta, s"band_$b").as("px"))
+          .collect().map(r => (r.getLong(0), s"band_$b") -> r.getSeq[Double](1).toSeq)
+      }.toMap
+    }
+
+    val seqOut = tmp("il_seq.parquet")
+    val seqMeta = GeoTiff.convert(spark, tif, seqOut, blockZoom = 4, tileStats = true)
+    val base = bandVals(seqOut, seqMeta)
+    assert(base.size == 48) // 16 tiles x 3 bands
+    val total = RaquetIO.read(spark, seqOut).data.count()
+
+    for (comp <- Seq("gzip", "none", "webp")) {
+      val out = tmp(s"il_$comp.parquet")
+      val meta = GeoTiff.convert(spark, tif, out, blockZoom = 4, tileStats = true,
+        compression = comp, bandLayout = "interleaved")
+      assert(meta.bandLayout == "interleaved")
+      assert(meta.compression == (if (comp == "none") None else Some(comp)))
+      val got = bandVals(out, meta)
+      assert(got == base, s"$comp interleaved decode differs from sequential")
+      // the interleaved pyramid (level-warped from source) has the same
+      // tile population as the sequential Pyramid.build
+      assert(RaquetIO.read(spark, out).data.count() == total, comp)
+    }
+
+    val jOut = tmp("il_jpeg.parquet")
+    GeoTiff.convert(spark, tif, jOut, blockZoom = 4, tileStats = true,
+      compression = "jpeg", bandLayout = "interleaved")
+    val jGot = bandVals(jOut, null)
+    // the % 251 test pattern has 250→0 wraparound edges, so per-pixel JPEG
+    // ringing is large and legitimate — bound the MEAN error per tile/band
+    val meanErr = base.keys.map { k =>
+      val d = base(k).zip(jGot(k)).map { case (a, b) => math.abs(a - b) }
+      d.sum / d.size
+    }.max
+    assert(meanErr < 20.0, s"jpeg mean error $meanErr")
+
+    // lossy codecs reject sequential layout and non-uint8 sources loudly
+    val e = intercept[IllegalArgumentException](
+      GeoTiff.convert(spark, tif, tmp("bad.parquet"), blockZoom = 4,
+        compression = "webp"))
+    assert(e.getMessage.contains("interleaved"))
+  }
 }

@@ -158,13 +158,33 @@ class MaintenanceSpec extends SparkSpec {
       s"jpeg band mean drifted: got ${got.getDouble(0)} want ~${exact / 256}")
   }
 
-  test("webp-compressed interleaved dataset fails loudly, not via JPEG misroute") {
-    val ds = RaquetIO.read(spark, fixture)
-    val webpMeta = ds.meta.copy(
-      compression = Some("webp"), bandLayout = "interleaved")
-    val webpDs = RaquetIO.RaquetDataset(ds.data, webpMeta)
-    val e = intercept[UnsupportedOperationException](webpDs.band("band_1"))
-    assert(e.getMessage.contains("webp"))
+  test("interleaved webp-lossless dataset: write, read, band-extract EXACTLY") {
+    val out = tmpDir() + "/webp.parquet"
+    graft.raquet.FixtureGen.writeGradient16WebP(spark, out)
+    val ds = RaquetIO.read(spark, out)
+    assert(ds.meta.compression.contains("webp"))
+    assert(ds.data.count() == 64)
+    // VP8L is lossless: every decoded pixel equals the formula, bit-exact
+    // (the JPEG twin above needs a ±20 tolerance)
+    val got = ds.data
+      .filter(col("block") === graft.quadbin.Quadbin.tileToCell(32, 24, 6))
+      .select(rq_decode(ds.band("band_2"), ds.meta, "band_2").as("px"))
+      .collect()(0).getSeq[Double](0)
+    for (j <- 0 until 16; i <- 0 until 16)
+      assert(got(j * 16 + i) == graft.raquet.FixtureGen.v3(2, 32 * 16 + i, 24 * 16 + j),
+        s"pixel ($i,$j)")
+  }
+
+  test("lossy VP8 webp bytes fail loudly, not via JPEG misroute") {
+    // a VP8 (lossy) container: the decoder must refuse with a clear message
+    val bos = new java.io.ByteArrayOutputStream()
+    def put4(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    def putU32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+    put4("RIFF"); putU32(4 + 8 + 4); put4("WEBP"); put4("VP8 "); putU32(4)
+    bos.write(Array[Byte](0, 0, 0, 0))
+    val e = intercept[UnsupportedOperationException](
+      graft.raquet.Multimodal.decodeWebP(bos.toByteArray, 3))
+    assert(e.getMessage.contains("lossless"))
   }
 
   test("stats scale-up multiplies counts/sums by 4^dz (A4)") {

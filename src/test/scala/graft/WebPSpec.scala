@@ -1,0 +1,203 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.WebP
+import graft.raquet.WebP.Options
+
+/** VP8L (lossless WebP) codec conformance-by-construction tests.
+  *
+  * The reference's WebP goldens are git-LFS stubs (no payload available),
+  * so the strategy is: (a) bit-exact round-trips through every decoder
+  * feature, driven by separate encoder paths so a shared bug in one
+  * feature's forward/inverse pair is caught by the plain-literal encoding
+  * of the same image; (b) pinned structural facts of the format (distance
+  * map, prefix-value coding, container layout) asserted directly.
+  */
+class WebPSpec extends AnyFunSuite {
+
+  private def randPixels(w: Int, h: Int, ch: Int, seed: Int,
+      palette: Int = 0): Array[Byte] = {
+    val r = new Random(seed)
+    val out = new Array[Byte](w * h * ch)
+    if (palette > 0) {
+      // draw from a small color set so indexed/cache/lz77 paths get hits
+      val colors = Array.fill(palette * ch)(r.nextInt(256).toByte)
+      var i = 0
+      while (i < w * h) {
+        val c = r.nextInt(palette)
+        var k = 0
+        while (k < ch) { out(i * ch + k) = colors(c * ch + k); k += 1 }
+        i += 1
+      }
+    } else r.nextBytes(out)
+    out
+  }
+
+  private def roundTrip(px: Array[Byte], w: Int, h: Int, ch: Int,
+      opts: Options, label: String): Unit = {
+    val enc = WebP.encodeLossless(px, w, h, ch, opts)
+    assert(enc.length >= 20 && new String(enc, 0, 4) == "RIFF" &&
+      new String(enc, 8, 4) == "WEBP", s"$label: bad container")
+    val dec = WebP.decode(enc)
+    assert(dec.width == w && dec.height == h, s"$label: size mismatch")
+    val back = dec.toInterleaved(ch)
+    assert(java.util.Arrays.equals(back, px), s"$label: pixels differ")
+  }
+
+  test("plain literal coding round-trips across shapes and channel counts") {
+    for ((w, h) <- Seq((1, 1), (3, 5), (16, 16), (65, 1), (1, 65), (33, 17));
+         ch <- Seq(1, 3, 4))
+      roundTrip(randPixels(w, h, ch, seed = w * 1000 + h * 10 + ch), w, h, ch,
+        Options(), s"plain ${w}x$h ch$ch")
+  }
+
+  test("subtract-green transform round-trips") {
+    roundTrip(randPixels(31, 22, 3, 1), 31, 22, 3,
+      Options(subtractGreen = true), "subtract-green")
+  }
+
+  test("all 14 predictor modes round-trip (fixed mode per image)") {
+    val px = randPixels(40, 28, 4, 7)
+    for (mode <- 0 until 14)
+      roundTrip(px, 40, 28, 4,
+        Options(predictorBits = 3, predictorMode = mode), s"predictor $mode")
+  }
+
+  test("per-block mixed predictor modes round-trip on non-aligned dims") {
+    roundTrip(randPixels(45, 37, 3, 11), 45, 37, 3,
+      Options(predictorBits = 2), "mixed predictors")
+  }
+
+  test("cross-color transform round-trips") {
+    roundTrip(randPixels(36, 24, 3, 13), 36, 24, 3,
+      Options(colorBits = 3), "cross-color")
+    roundTrip(randPixels(36, 24, 3, 13), 36, 24, 3,
+      Options(colorBits = 2, subtractGreen = true), "cross-color + sg")
+  }
+
+  test("palette coding round-trips at every bundling width") {
+    for (n <- Seq(2, 3, 4, 5, 16, 17, 200, 256)) {
+      val w = 37; val h = 19 // not a multiple of any pixels-per-byte packing
+      roundTrip(randPixels(w, h, 3, n, palette = n), w, h, 3,
+        Options(palette = true), s"palette $n colors")
+    }
+  }
+
+  test("color cache round-trips at several cache sizes") {
+    for (bits <- Seq(1, 4, 8, 11))
+      roundTrip(randPixels(48, 32, 3, bits, palette = 40), 48, 32, 3,
+        Options(cacheBits = bits), s"cache $bits bits")
+  }
+
+  test("LZ77 backrefs round-trip on repetitive and mixed content") {
+    // strongly repetitive: long runs + copied rows
+    val w = 64; val h = 48
+    val px = new Array[Byte](w * h * 3)
+    for (j <- 0 until h; i <- 0 until w; c <- 0 until 3)
+      px((j * w + i) * 3 + c) = (((i / 9) * 31 + (j % 5) * 17 + c * 7) % 256).toByte
+    roundTrip(px, w, h, 3, Options(lz77 = true), "lz77 repetitive")
+    roundTrip(randPixels(w, h, 3, 17, palette = 12), w, h, 3,
+      Options(lz77 = true, cacheBits = 6), "lz77 + cache")
+  }
+
+  test("meta prefix-code groups round-trip") {
+    roundTrip(randPixels(40, 24, 3, 19, palette = 30), 40, 24, 3,
+      Options(metaBits = 3, cacheBits = 4), "meta groups + cache")
+    roundTrip(randPixels(24, 24, 4, 23), 24, 24, 4,
+      Options(metaBits = 2), "meta groups literals")
+  }
+
+  test("production combos round-trip") {
+    roundTrip(randPixels(64, 64, 3, 29), 64, 64, 3,
+      Options(subtractGreen = true, cacheBits = 8, lz77 = true), "default combo")
+    roundTrip(randPixels(64, 64, 4, 31, palette = 100), 64, 64, 4,
+      Options(predictorBits = 4, subtractGreen = true, cacheBits = 8,
+        lz77 = true), "predictor combo")
+  }
+
+  test("encodeLossless default picks a working path for both color regimes") {
+    val few = randPixels(50, 40, 3, 37, palette = 64) // ≤256 distinct → palette
+    val many = randPixels(50, 40, 3, 41) // random → subtract-green+cache+lz77
+    for ((px, label) <- Seq((few, "few colors"), (many, "many colors"))) {
+      val dec = WebP.decode(WebP.encodeLossless(px, 50, 40, 3))
+      assert(java.util.Arrays.equals(dec.toInterleaved(3), px), label)
+    }
+  }
+
+  test("alpha hint bit reflects the channel count") {
+    assert(WebP.decode(WebP.encodeLossless(randPixels(8, 8, 4, 43), 8, 8, 4)).alphaHint)
+    assert(!WebP.decode(WebP.encodeLossless(randPixels(8, 8, 3, 47), 8, 8, 3)).alphaHint)
+  }
+
+  test("gray (1-channel) encode replicates to RGB and extracts back exactly") {
+    val px = randPixels(20, 12, 1, 53)
+    val dec = WebP.decode(WebP.encodeLossless(px, 20, 12, 1))
+    assert(java.util.Arrays.equals(dec.toInterleaved(1), px))
+    val rgb = dec.toInterleaved(3)
+    for (i <- 0 until 20 * 12)
+      assert(rgb(i * 3) == px(i) && rgb(i * 3 + 1) == px(i) && rgb(i * 3 + 2) == px(i))
+  }
+
+  test("lossy VP8 container fails loudly, unknown chunks are skipped") {
+    // hand-built container with an unknown chunk then a VP8 (lossy) chunk
+    val payload = Array.tabulate(10)(_.toByte)
+    val bos = new java.io.ByteArrayOutputStream()
+    def put4(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    def putU32(v: Int): Unit =
+      (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+    put4("RIFF"); putU32(4 + 8 + 10 + 8 + 10); put4("WEBP")
+    put4("XYZW"); putU32(10); bos.write(payload) // unknown chunk, even size
+    put4("VP8 "); putU32(10); bos.write(payload)
+    val e = intercept[UnsupportedOperationException](WebP.decode(bos.toByteArray))
+    assert(e.getMessage.contains("VP8L") || e.getMessage.contains("lossless"))
+    // and garbage is rejected as non-WebP
+    intercept[IllegalArgumentException](WebP.decode("nope".getBytes))
+  }
+
+  test("distance plane-code map matches the spec's pinned entries") {
+    val m = WebP.DistanceMap
+    assert(m.length == 120)
+    assert(m.distinct.length == 120)
+    // first 24 entries of the spec table
+    assert(m.take(24).toSeq == Seq(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0)))
+    // last entry is the farthest neighborhood offset
+    assert(m.last == (8, 7))
+    // every offset refers strictly backwards in scan order
+    assert(m.forall { case (dx, dy) => dy > 0 || dx > 0 })
+  }
+
+  test("prefix value coding is self-inverse over the representable range") {
+    for (v <- (1 to 5000) ++ Seq(65536, 1 << 19, (1 << 20) - 1, 1 << 20)) {
+      val (code, eb, ev) = WebP.prefixCode(v)
+      assert(code < 40, s"v=$v code=$code")
+      // re-derive the value the decoder would compute
+      val back =
+        if (code < 4) code + 1
+        else ((2 + (code & 1)) << ((code - 2) >> 1)) + ev + 1
+      assert(back == v, s"v=$v -> code=$code eb=$eb ev=$ev -> $back")
+      if (v <= 4096) assert(code < 24, s"length code for $v must fit 24 symbols")
+    }
+  }
+
+  test("package-merge lengths are Kraft-complete and length-limited") {
+    val r = new Random(59)
+    for (trial <- 0 until 50) {
+      val maxLen = Seq(7, 15)(trial % 2)
+      val n = 2 + r.nextInt(if (maxLen == 7) 17 else 280) // CLC alphabet is 19
+      val freq = Array.fill(n)(if (r.nextInt(4) == 0) 0L else r.nextInt(10000).toLong + 1)
+      if (freq.count(_ > 0) >= 2) {
+        val lens = WebP.codeLengths(freq, maxLen)
+        assert(lens.forall(_ <= maxLen))
+        val kraft = lens.filter(_ > 0).map(l => math.pow(2, -l)).sum
+        assert(math.abs(kraft - 1.0) < 1e-9, s"kraft=$kraft")
+        freq.indices.foreach(i => assert((freq(i) > 0) == (lens(i) > 0)))
+      }
+    }
+  }
+}
