@@ -86,6 +86,9 @@ object SparkEntry {
     "q65_weighted_mix"      -> (LlmQueries.q65WeightedMix _),
     "q66_vocab_topk"        -> (LlmQueries.q66VocabTopk _),
     "q67_contamination"     -> (LlmQueries.q67Contamination _),
+    "q68_webp_roundtrip"    -> (RaquetQueries.q68WebpRoundtrip _),
+    "q69_http_ingest"       -> (RaquetQueries.q69HttpIngest _),
+    "q70_tile_render"       -> (RaquetQueries.q70TileRender _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -256,6 +259,9 @@ object SparkEntry {
     "q65_weighted_mix"      -> LlmOracles.q65,
     "q66_vocab_topk"        -> LlmOracles.q66,
     "q67_contamination"     -> LlmOracles.q67,
+    "q68_webp_roundtrip"    -> RaquetOracles.q68,
+    "q69_http_ingest"       -> RaquetOracles.q69,
+    "q70_tile_render"       -> RaquetOracles.q70,
   )
 
   private def oracleSqlQ3: String =

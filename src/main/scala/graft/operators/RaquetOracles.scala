@@ -396,6 +396,55 @@ object RaquetOracles {
         FROM px GROUP BY block"""
   }
 
+  /** q69 HTTP-ingest oracle: the in-process endpoint serves lossless PNGs
+    * of the v3 formulas, so fetched per-band pixel sums equal the
+    * closed-form sums exactly. */
+  val q69: String = {
+    val tiles = (for (x <- 32L to 35L; y <- 24L to 25L)
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM t, range(16) a(i), range(16) b(j))
+        SELECT block,
+          sum(CAST((3*gx+5*gy)%256 AS DOUBLE)) AS b1_sum,
+          sum(CAST((7*gx+11*gy)%256 AS DOUBLE)) AS b2_sum,
+          sum(CAST((13*gx+17*gy)%256 AS DOUBLE)) AS b3_sum
+        FROM px GROUP BY block"""
+  }
+
+  /** q70 tile-render oracle: opaque pixels carry the band_1 DN, nodata
+    * pixels ((gx+gy)%31=0 → 255) render transparent. */
+  val q70: String = {
+    val tiles = (32L to 39L)
+      .map(x => s"(${Quadbin.tileToCell(x, 26L, 6)}, $x)").mkString(", ")
+    s"""WITH t(block, x) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, 416+j AS gy
+          FROM t, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, CASE WHEN (gx+gy)%31=0 THEN NULL
+          ELSE CAST((7*gx+13*gy)%255 AS DOUBLE) END AS v FROM px)
+        SELECT block, count(v) AS n_opaque,
+          CAST(256 - count(v) AS BIGINT) AS n_transparent,
+          coalesce(sum(v), 0.0) AS gray_sum
+        FROM v GROUP BY block"""
+  }
+
+  /** q68 webp-roundtrip oracle: VP8L is lossless, so `exact` is literally
+    * TRUE and the decoded-pixel aggregates equal the fixture's closed-form
+    * band_1 values on the y=25 tile row — recomputed here from the formula,
+    * no decoding involved. */
+  val q68: String = {
+    val tiles = (32L to 39L)
+      .map(x => s"(${Quadbin.tileToCell(x, 25L, 6)}, $x)").mkString(", ")
+    s"""WITH t(block, x) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, 400+j AS gy
+          FROM t, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, CAST(CASE WHEN (gx+gy)%31=0 THEN 255
+          ELSE (7*gx+13*gy)%255 END AS DOUBLE) AS v FROM px)
+        SELECT block, TRUE AS exact, sum(v) AS px_sum,
+          min(v) AS px_min, max(v) AS px_max
+        FROM v GROUP BY block"""
+  }
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

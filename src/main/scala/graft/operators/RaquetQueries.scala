@@ -550,4 +550,93 @@ object RaquetQueries {
       tileStats = true, overviews = "none")
     convertReadback(spark, rq2)
   }
+
+  /** S7 driver proof: ImageServer-style HTTP tile ingest end-to-end. An
+    * in-process localhost server (no egress) serves deterministic PNG
+    * tiles of the fixture's v3 formulas; `TileHttpSource.fetch` pulls them
+    * in parallel (executor-side HTTP + PNG decode + channel split, the
+    * `imageserver_to_raquet_table` shape, `raquet/imageserver.py:429-769`),
+    * and per-band pixel sums are checked against the closed-form oracle.
+    * The result is materialized (persist+count) before the server stops. */
+  def q69HttpIngest(spark: SparkSession, dir: String): DataFrame = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/tiles/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val parts = ex.getRequestURI.getPath.split("/") // /tiles/z/x/y.png
+        val png = graft.raquet.FixtureGen.pngTile3(
+          parts(3).toLong, parts(4).stripSuffix(".png").toLong, 16)
+        ex.sendResponseHeaders(200, png.length)
+        ex.getResponseBody.write(png)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val tiles = for (x <- 32L to 35L; y <- 24L to 25L) yield (x, y)
+      val df = graft.sources.TileHttpSource.fetch(spark,
+        s"http://127.0.0.1:$port/tiles/{z}/{x}/{y}.png",
+        tiles, zoom = 6, bands = 3, parallelism = 4)
+      val meta = graft.raquet.FixtureGen.bipMetadata(6, 32, 24, 4, 2, 16, "gzip")
+        .copy(bandLayout = "sequential")
+      val sums = (1 to 3).map { b =>
+        aggregate(rq_decode(col(s"band_$b"), meta, s"band_$b"),
+          lit(0.0), (a, x) => a + x).as(s"b${b}_sum")
+      }
+      val out = df.select(col("block") +: sums: _*).persist()
+      out.count() // force the fetch while the server is alive
+      out
+    } finally server.stop(0)
+  }
+
+  /** S11 driver proof: the raquet tile server renders `/tile/z/x/y.png`
+    * from the fixture (S4 lookup → decode → PNG, the
+    * `examples/server_viewer.py:169-228` shape) and the query re-decodes
+    * each PNG, splitting opaque pixels (value = band_1 DN) from the
+    * transparent nodata mask — all re-derived closed-form by the oracle. */
+  def q70TileRender(spark: SparkSession, dir: String): DataFrame = {
+    val server = graft.sources.RaquetTileServer.start(spark, Fixture)
+    try {
+      val port = server.getAddress.getPort
+      // fetch from the DRIVER thread: each render request runs its own
+      // Spark point query inside the server, so fetching from executor
+      // tasks would let the outer job starve the render jobs of task
+      // slots on a small local[n] (deadlock-until-timeout)
+      val rows = (32L to 39L).map { x =>
+        val png = graft.sources.TileHttpSource.fetchBytes(
+          s"http://127.0.0.1:$port/tile/6/$x/26.png")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        var sum = 0.0; var opaque = 0L; var transparent = 0L
+        for (j <- 0 until img.getHeight; i <- 0 until img.getWidth) {
+          val argb = img.getRGB(i, j)
+          if ((argb >>> 24) == 0) transparent += 1
+          else { sum += argb & 0xFF; opaque += 1 }
+        }
+        (Quadbin.tileToCell(x, 26L, 6), opaque, transparent, sum)
+      }
+      import spark.implicits._
+      rows.toDF("block", "n_opaque", "n_transparent", "gray_sum")
+    } finally server.stop(0)
+  }
+
+  /** F8 driver proof: WebP-lossless (VP8L) encode → decode round-trip of
+    * real tile bytes through the SQL expression surface (`mm_webp_encode` /
+    * `mm_webp_pixels`, pure-JVM codec in [[graft.raquet.WebP]]). `exact`
+    * asserts the decoded buffer is bit-identical to the input; the decoded
+    * pixel aggregates are re-derived closed-form by the oracle — if the
+    * codec dropped or altered a single byte, both checks break. */
+  def q68WebpRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data
+      .filter(quadbin_zoom(col("block")) === 6 && quadbin_tile_y(col("block")) === 25)
+      .select(col("block"), rq_inflate(col("band_1")).as("raw"))
+      .withColumn("webp", mm_webp_encode(col("raw"), 16, 16, 1))
+      .withColumn("back", mm_webp_pixels(col("webp"), 1))
+      .withColumn("exact", col("back") === col("raw"))
+      .select(col("block"), col("exact"),
+        explode(rq_decode(col("back"), ds.meta, "band_1")).as("v"))
+      .groupBy("block", "exact")
+      .agg(sum("v").as("px_sum"), min("v").as("px_min"), max("v").as("px_max"))
+  }
 }

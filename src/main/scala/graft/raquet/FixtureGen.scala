@@ -234,6 +234,31 @@ object FixtureGen {
     RaquetIO.writeSingleFile(df, meta, file)
   }
 
+  /** Deterministic RGB PNG tile of the [[v3]] formulas — what an in-process
+    * XYZ endpoint serves for S7 ingest proofs (PNG is lossless, so fetched
+    * rows compare exactly). */
+  def pngTile3(x: Long, y: Long, bs: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(bs, bs,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (j <- 0 until bs; i <- 0 until bs) {
+      val gx = x * bs + i; val gy = y * bs + j
+      img.setRGB(i, j, (v3(1, gx, gy).toInt << 16) |
+        (v3(2, gx, gy).toInt << 8) | v3(3, gx, gy).toInt)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Interleaved fixture with webp-lossless tiles — same grid/formula as the
+    * JPEG one, but round-trips bit-exactly (VP8L is lossless). */
+  def writeGradient16WebP(spark: SparkSession, file: String): Unit = {
+    val meta = bipMetadata(6, 32, 24, 8, 8, 16, "webp")
+    val df = bipTiles(spark, 6, 32, 24, 8, 8, 16)(
+      Multimodal.encodeWebP(_, 16, 16, 3))
+    RaquetIO.writeSingleFile(df, meta, file)
+  }
+
   // --- time-series variant, spec raquet.md:67-87 ---
 
   /** Time-series pixel formula: native band_2 DN plus a per-step offset

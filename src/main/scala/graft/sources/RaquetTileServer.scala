@@ -47,10 +47,18 @@ object RaquetTileServer {
           ex.getResponseBody.write(png)
           ex.close()
         } catch {
-          case _: Exception => ex.sendResponseHeaders(400, -1); ex.close()
+          case e: Exception =>
+            System.err.println(s"[tileserver] ${ex.getRequestURI}: $e\n  " +
+              e.getStackTrace.take(8).mkString("\n  "))
+            ex.sendResponseHeaders(400, -1); ex.close()
         }
       }
     })
+    // concurrent handler pool: each tile render runs a (fast) Spark point
+    // query; the default inline dispatcher would serialize all requests.
+    // Daemon threads so a stopped server never pins the JVM open.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r, "tileserver"); t.setDaemon(true); t }))
     server.start()
     server
   }

@@ -29,6 +29,11 @@ object TileHttpSource {
         val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
         conn.setConnectTimeout(10000)
         conn.setReadTimeout(30000)
+        // fresh socket per request: the JDK keep-alive pool is shared across
+        // threads, and disconnect() below closes pooled sockets other fetch
+        // threads may have just checked out (shows up as server-side
+        // "stream is closed" races under parallel fetch)
+        conn.setRequestProperty("Connection", "close")
         try {
           require(conn.getResponseCode == 200, s"HTTP ${conn.getResponseCode}")
           val in = conn.getInputStream

@@ -1,7 +1,5 @@
 package graft
 
-import java.awt.image.BufferedImage
-import java.io.ByteArrayOutputStream
 import java.net.InetSocketAddress
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
@@ -14,19 +12,8 @@ import graft.sources.TileHttpSource
   * deterministic PNGs (lossless → exact pixel comparison). */
 class TileHttpSourceSpec extends SparkSpec {
 
-  private def pngTile(x: Long, y: Long, bs: Int): Array[Byte] = {
-    val img = new BufferedImage(bs, bs, BufferedImage.TYPE_INT_RGB)
-    for (j <- 0 until bs; i <- 0 until bs) {
-      val gx = x * bs + i; val gy = y * bs + j
-      val r = FixtureGen.v3(1, gx, gy).toInt
-      val g = FixtureGen.v3(2, gx, gy).toInt
-      val b = FixtureGen.v3(3, gx, gy).toInt
-      img.setRGB(i, j, (r << 16) | (g << 8) | b)
-    }
-    val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  private def pngTile(x: Long, y: Long, bs: Int): Array[Byte] =
+    FixtureGen.pngTile3(x, y, bs)
 
   test("HTTP tile fetch builds exact raquet rows from a local server") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
