@@ -89,6 +89,8 @@ object SparkEntry {
     "q68_webp_roundtrip"    -> (RaquetQueries.q68WebpRoundtrip _),
     "q69_http_ingest"       -> (RaquetQueries.q69HttpIngest _),
     "q70_tile_render"       -> (RaquetQueries.q70TileRender _),
+    "q71_repetition"        -> (LlmQueries.q71Repetition _),
+    "q72_skip_empty"        -> (RaquetQueries.q72SkipEmpty _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -262,6 +264,8 @@ object SparkEntry {
     "q68_webp_roundtrip"    -> RaquetOracles.q68,
     "q69_http_ingest"       -> RaquetOracles.q69,
     "q70_tile_render"       -> RaquetOracles.q70,
+    "q71_repetition"        -> LlmOracles.q71,
+    "q72_skip_empty"        -> RaquetOracles.q72,
   )
 
   private def oracleSqlQ3: String =

@@ -288,4 +288,28 @@ object LlmOracles {
           min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM r WHERE keep_below IS NOT NULL AND b < keep_below
         GROUP BY source"""
+
+  /** q71 repetition-metrics oracle: re-derives the 2-/3-gram duplicate and
+    * top-2-gram fractions from the same space tokenization (1-based DuckDB
+    * list indexing; gram counting via unnest + group, like the engine's
+    * explode→hash-agg). */
+  val q71: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       g AS (SELECT doc_id,
+          list_transform(generate_series(1, len(l) - 1),
+            i -> l[i] || ' ' || l[i+1]) AS g2,
+          list_transform(generate_series(1, len(l) - 2),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS g3
+        FROM t),
+       d3 AS (SELECT doc_id, round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+          / greatest(len(g3), 1), 6) AS dup3_frac FROM g),
+       f AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+       c AS (SELECT doc_id, gram, count(*) AS c FROM f GROUP BY 1, 2),
+       a AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS n2,
+          count(*) AS d2 FROM c GROUP BY 1)
+       SELECT a.doc_id, a.n2,
+         round(1.0 - CAST(a.d2 AS DOUBLE) / a.n2, 6) AS dup2_frac,
+         round(CAST(a.maxc AS DOUBLE) / a.n2, 6) AS top2_frac,
+         d3.dup3_frac
+       FROM a JOIN d3 ON a.doc_id = d3.doc_id"""
 }

@@ -109,6 +109,11 @@ object LlmQueries {
   def q32Fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(docs(spark, dir))
 
+  /** Intra-doc repetition metrics (Gopher-style duplicate-n-gram quality
+    * signals, [[TextOps.repetitionMetrics]]). */
+  def q71Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(docs(spark, dir))
+
   /** Deterministic 80/10/10 train/val/test split ([[Curation.hashSplit]]):
     * per-split doc counts + char totals. The split is a pure projection —
     * no shuffle beyond the verification aggregate. */

@@ -412,6 +412,18 @@ object RaquetOracles {
         FROM px GROUP BY block"""
   }
 
+  /** q72 skip-empty oracle: the all-zero tile (37, 29) never becomes a
+    * row; the rest carry the closed-form band_1 sums. */
+  val q72: String = {
+    val tiles = (for (x <- 36L to 38L; y <- 28L to 30L; if !(x == 37 && y == 29))
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM t, range(16) a(i), range(16) b(j))
+        SELECT block, sum(CAST((3*gx+5*gy)%256 AS DOUBLE)) AS b1_sum
+        FROM px GROUP BY block"""
+  }
+
   /** q70 tile-render oracle: opaque pixels carry the band_1 DN, nodata
     * pixels ((gx+gy)%31=0 → 255) render transparent. */
   val q70: String = {

@@ -590,6 +590,49 @@ object RaquetQueries {
     } finally server.stop(0)
   }
 
+  /** P6 driver proof: the ingest-time empty-tile filter. The endpoint
+    * serves a 3×3 grid where one tile is all-zero; `fetch(skipEmpty=true)`
+    * must drop exactly that tile (the imageserver empty-tile filter,
+    * `raquet/imageserver.py:366-372`), and the surviving rows' band sums
+    * match the closed-form oracle over the 8 non-empty tiles. */
+  def q72SkipEmpty(spark: SparkSession, dir: String): DataFrame = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/tiles/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val parts = ex.getRequestURI.getPath.split("/")
+        val x = parts(3).toLong
+        val y = parts(4).stripSuffix(".png").toLong
+        val png =
+          if (x == 37 && y == 29) { // the empty tile: solid black
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          } else graft.raquet.FixtureGen.pngTile3(x, y, 16)
+        ex.sendResponseHeaders(200, png.length)
+        ex.getResponseBody.write(png)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val tiles = for (x <- 36L to 38L; y <- 28L to 30L) yield (x, y)
+      val df = graft.sources.TileHttpSource.fetch(spark,
+        s"http://127.0.0.1:$port/tiles/{z}/{x}/{y}.png",
+        tiles, zoom = 6, bands = 3, parallelism = 4, skipEmpty = true)
+      val meta = graft.raquet.FixtureGen.bipMetadata(6, 36, 28, 3, 3, 16, "gzip")
+        .copy(bandLayout = "sequential")
+      val out = df.select(col("block"),
+        aggregate(rq_decode(col("band_1"), meta, "band_1"),
+          lit(0.0), (a, x) => a + x).as("b1_sum")).persist()
+      out.count() // force the fetch while the server is alive
+      out
+    } finally server.stop(0)
+  }
+
   /** S11 driver proof: the raquet tile server renders `/tile/z/x/y.png`
     * from the fixture (S4 lookup → decode → PNG, the
     * `examples/server_viewer.py:169-228` shape) and the query re-decodes

@@ -192,4 +192,40 @@ object TextOps {
         "array_max(transform(array_distinct(split(text, ' ')), t -> " +
           "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"))
       .select("doc_id", "h_text", "h_min", "h_max")
+
+  /** Intra-document repetition metrics — the Gopher/RefinedWeb-style
+    * quality-filter signals (duplicate n-gram fraction, most-frequent-2-gram
+    * share). The per-gram counting goes through explode→hash-agg rather
+    * than a per-row nested scan, so work is linear in corpus token count
+    * and the shuffle carries one row per (doc, distinct gram) — the shape
+    * that survives 100 TB. The 3-gram duplicate fraction stays columnar
+    * (array_distinct inside the row, no second shuffle). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      // guard short docs: Spark's sequence(1, 0) DESCENDS instead of being
+      // empty (unlike DuckDB's generate_series), so gate on token count
+      .withColumn("g2", expr(
+        """CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),
+             i -> concat(toks[i-1], ' ', toks[i]))
+           ELSE array() END"""))
+      .withColumn("g3", expr(
+        """CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2),
+             i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
+           ELSE array() END"""))
+      .withColumn("dup3_frac", round(lit(1.0) -
+        size(array_distinct(col("g3"))).cast("double") /
+          greatest(size(col("g3")), lit(1)), 6))
+      .select(col("doc_id"), col("g2"), col("dup3_frac"))
+    val counts = base
+      .select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("maxc"),
+        sum("c").as("n2"), count(lit(1)).as("d2"))
+    base.select("doc_id", "dup3_frac").join(counts, "doc_id")
+      .select(col("doc_id"), col("n2"),
+        round(lit(1.0) - col("d2").cast("double") / col("n2"), 6).as("dup2_frac"),
+        round(col("maxc").cast("double") / col("n2"), 6).as("top2_frac"),
+        col("dup3_frac"))
+  }
 }
