@@ -161,4 +161,16 @@ object Polyfill {
     out += ((clo, chi))
     out.toArray
   }
+
+  /** Membership test against sorted, disjoint `[lo(i), hi(i)]` spans:
+    * binary search on the start points, then one upper-bound check. The
+    * per-row kernel behind `quadbin_in_ranges`. */
+  def inRanges(v: Long, lo: Array[Long], hi: Array[Long]): Boolean = {
+    var idx = java.util.Arrays.binarySearch(lo, v)
+    if (idx >= 0) true
+    else {
+      idx = -idx - 2
+      idx >= 0 && v <= hi(idx)
+    }
+  }
 }

@@ -148,14 +148,20 @@ object RaquetIO {
     * legs the parquet source stops translating filters, so a merged-span
     * SUPERSET goes to the scan (row-group pruning) and the exact balanced-OR
     * stays as the post-scan residual. Never widens the row set. */
+  /** Pushdown-friendly capped OR of merged spans (parquet row-group
+    * pruning) AND an exact residual. Past the leg cap the residual is
+    * `quadbin_in_ranges` — a binary search over the plan-time span arrays —
+    * because an OR chain of hundreds of BETWEEN legs exceeds janino's
+    * method-size limit and silently drops the stage out of whole-stage
+    * codegen (measured ~10x on the 15 GB bench's 60,390-tile region). */
   private def cappedExactRangeFilter(ranges: Array[(Long, Long)]): Column = {
-    val exact = blockRangeFilter(ranges)
-    if (ranges.length <= MaxRangeLegs) exact
+    if (ranges.length <= MaxRangeLegs) blockRangeFilter(ranges)
     else {
       var spans = ranges.toIndexedSeq
       while (spans.length > MaxRangeLegs)
         spans = spans.grouped(2).map(g => (g.head._1, g.last._2)).toIndexedSeq
-      blockRangeFilter(spans.toArray) && exact
+      blockRangeFilter(spans.toArray) &&
+        graft.functions.GraftFunctions.quadbin_in_ranges(col("block"), ranges)
     }
   }
 

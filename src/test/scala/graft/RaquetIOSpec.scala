@@ -416,4 +416,26 @@ class RaquetIOSpec extends SparkSpec {
     val b = back.data.select("block").collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b)
   }
+
+  test("quadbin_in_ranges equals the BETWEEN-OR chain on random spans") {
+    import graft.functions.GraftFunctions.quadbin_in_ranges
+    val rnd = new scala.util.Random(83)
+    // sorted disjoint spans over a small id domain
+    val cuts = Seq.fill(40)(rnd.nextInt(4000).toLong).distinct.sorted
+    val ranges = cuts.grouped(2).collect { case Seq(lo, hi) => (lo, hi) }.toArray
+    val df = spark.range(0, 4000).toDF("block")
+    val viaExpr = df.filter(quadbin_in_ranges(col("block"), ranges))
+      .collect().map(_.getLong(0)).toSet
+    val viaOr = df.filter(ranges.map { case (lo, hi) =>
+      col("block") >= lo && col("block") <= hi }.reduce(_ || _))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaExpr == viaOr)
+    // boundary cells: ends are inside, just-outside neighbors are not
+    ranges.foreach { case (lo, hi) =>
+      assert(graft.quadbin.Polyfill.inRanges(lo, ranges.map(_._1), ranges.map(_._2)))
+      assert(graft.quadbin.Polyfill.inRanges(hi, ranges.map(_._1), ranges.map(_._2)))
+    }
+    assert(!graft.quadbin.Polyfill.inRanges(ranges.head._1 - 1,
+      ranges.map(_._1), ranges.map(_._2)))
+  }
 }
