@@ -114,16 +114,7 @@ object RaquetIO {
     val z = resolveZoom(geom, meta, zoom)
     val ranges = Polyfill.ranges(geom, z)
     var df = spark.read.parquet(path)
-    if (ranges.length <= MaxRangeLegs) df = df.filter(blockRangeFilter(ranges))
-    else {
-      // merged spans stay pushable; the exact intersect predicate runs as
-      // the post-scan residual (and the optimizer rule keeps it capped)
-      var spans = ranges.toIndexedSeq
-      while (spans.length > MaxRangeLegs)
-        spans = spans.grouped(2).map(g => (g.head._1, g.last._2)).toIndexedSeq
-      df = df.filter(blockRangeFilter(spans.toArray) &&
-        graft.functions.GraftFunctions.st_quadbin_intersects(col("block"), wkt))
-    }
+    df = df.filter(cappedExactRangeFilter(ranges))
     if (mode != Polyfill.Intersects) {
       val cells = Polyfill.cells(geom, z, mode)
       val cellDf = spark.createDataFrame(

@@ -185,6 +185,95 @@ class WebPSpec extends AnyFunSuite {
     }
   }
 
+  /** Wrap a raw VP8L payload in a RIFF container (mirrors the encoder's
+    * private wrapRiff). */
+  private def riff(payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def put4(s: String): Unit = s.foreach(c => bos.write(c.toInt))
+    def putU32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
+    val pad = payload.length & 1
+    put4("RIFF"); putU32(4 + 8 + payload.length + pad); put4("WEBP")
+    put4("VP8L"); putU32(payload.length); bos.write(payload)
+    if (pad == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  test("handcrafted stream: max_symbol shortcut, CLC repeat-16, 1-bit simple symbols") {
+    // Features our encoder never emits, written bit-by-bit from the spec:
+    // a 2x2 image whose green code is a NORMAL code using the max_symbol
+    // count shortcut and CLC code 16 (repeat previous length), with
+    // 1-bit-form simple codes on the red/blue/distance trees.
+    val bw = new WebP.BitWriter
+    bw.bits(0x2f, 8); bw.bits(1, 14); bw.bits(1, 14); bw.bit(0); bw.bits(0, 3)
+    bw.bit(0) // no transforms
+    bw.bit(0) // no color cache
+    bw.bit(0) // no meta prefix codes
+    // GREEN: normal code; lengths {10->2, 11->2, 12->2, 13->2} via
+    // [17 zero-run 10] [literal 2] [16 repeat-prev x3], stop at max_symbol=3
+    bw.bit(0) // not simple
+    bw.bits(9 - 4, 4) // num_code_lengths = 9 (covers CLC syms 17@0, 2@4, 16@8)
+    // CLC lengths in order [17,18,0,1,2,3,4,5,16]: 17->2, 2->1, 16->2
+    Seq(2, 0, 0, 0, 1, 0, 0, 0, 2).foreach(l => bw.bits(l, 3))
+    // canonical CLC codes: 2->"0"(len1), 16->"10", 17->"11"
+    bw.bit(1) // use max_symbol
+    bw.bits(0, 3) // length_nbits = 2 + 2*0 = 2
+    bw.bits(1, 2) // max_symbol = 2 + 1 = 3 symbol reads
+    bw.code(3, 2); bw.bits(7, 3) // CLC 17 ("11"), zero-run 3+7=10
+    bw.code(0, 1) // CLC literal length 2 at symbol 10
+    bw.code(2, 2); bw.bits(0, 2) // CLC 16 ("10"), repeat len 2 x(3+0) -> 11,12,13
+    // RED: simple, 1 symbol, 1-BIT form, symbol 1
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(1)
+    // BLUE: simple, 1 symbol, 1-bit form, symbol 0
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(0)
+    // ALPHA: simple, 1 symbol, 8-bit form, symbol 255
+    bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(255, 8)
+    // DISTANCE: simple, 1 symbol, 1-bit form, symbol 0 (never read)
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(0)
+    // pixels: greens 10,11,12,13 -> canonical len-2 codes 00,01,10,11;
+    // red/blue/alpha are single-symbol trees (zero bits each)
+    bw.code(0, 2); bw.code(1, 2); bw.code(2, 2); bw.code(3, 2)
+    val img = WebP.decode(riff(bw.toBytes))
+    assert(img.width == 2 && img.height == 2 && !img.alphaHint)
+    assert(img.px.toSeq == Seq(0xFF010A00, 0xFF010B00, 0xFF010C00, 0xFF010D00)
+      .map(_.toInt))
+  }
+
+  test("handcrafted stream: LZ77 backref through a distance plane code") {
+    // 2x2 image: one literal then a length-3 backref at plane code 2
+    // (offset (1,0) -> distance 1), exercising the close-neighborhood
+    // distance mapping the encoder never emits (it writes raw dist+120).
+    val bw = new WebP.BitWriter
+    bw.bits(0x2f, 8); bw.bits(1, 14); bw.bits(1, 14); bw.bit(0); bw.bits(0, 3)
+    bw.bit(0); bw.bit(0); bw.bit(0) // no transforms / cache / meta
+    // GREEN: normal code, lengths {5->1, 258->1} (258 = length-prefix 2 = 3px)
+    bw.bit(0) // not simple
+    bw.bits(0, 4) // num_code_lengths = 4 (covers 17@0, 18@1, 1@3)
+    Seq(2, 2, 0, 1).foreach(l => bw.bits(l, 3)) // 17->2, 18->2, 1->1
+    // canonical CLC: 1->"0", 17->"10", 18->"11"
+    bw.bit(1) // use max_symbol
+    bw.bits(1, 3) // length_nbits = 4
+    bw.bits(3, 4) // max_symbol = 2 + 3 = 5 reads
+    bw.code(2, 2); bw.bits(2, 3) // 17: zero-run 3+2=5 (symbols 0..4)
+    bw.code(0, 1) // literal len 1 at symbol 5
+    bw.code(3, 2); bw.bits(127, 7) // 18: zero-run 11+127=138 (6..143)
+    bw.code(3, 2); bw.bits(103, 7) // 18: zero-run 11+103=114 (144..257)
+    bw.code(0, 1) // literal len 1 at symbol 258
+    // RED 7, BLUE 9 (8-bit simple), ALPHA 255, DIST simple 1-bit symbol 1
+    bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(7, 8)
+    bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(9, 8)
+    bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(255, 8)
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(1) // distance tree: symbol 1
+    // pixels: literal green 5 ("0"), then backref: green 258 ("1"),
+    // length code 2 -> 3 px, no extras; distance symbol 1 -> value 2 ->
+    // plane (1,0) -> dist 1 (zero bits: single-symbol tree)
+    bw.code(0, 1)
+    bw.code(1, 1)
+    val img = WebP.decode(riff(bw.toBytes))
+    assert(img.width == 2 && img.height == 2)
+    assert(img.px.forall(_ == 0xFF070509), // all four pixels copy pixel 0
+      img.px.map(_.toHexString).mkString(","))
+  }
+
   test("package-merge lengths are Kraft-complete and length-limited") {
     val r = new Random(59)
     for (trial <- 0 until 50) {
