@@ -91,6 +91,7 @@ object SparkEntry {
     "q70_tile_render"       -> (RaquetQueries.q70TileRender _),
     "q71_repetition"        -> (LlmQueries.q71Repetition _),
     "q72_skip_empty"        -> (RaquetQueries.q72SkipEmpty _),
+    "q73_datasource"        -> (RaquetQueries.q73DataSource _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -266,6 +267,7 @@ object SparkEntry {
     "q70_tile_render"       -> RaquetOracles.q70,
     "q71_repetition"        -> LlmOracles.q71,
     "q72_skip_empty"        -> RaquetOracles.q72,
+    "q73_datasource"        -> RaquetOracles.q73,
   )
 
   private def oracleSqlQ3: String =

@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // spatial predicate → Morton-range pushdown rewrite
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.QuadbinRangeRewrite)
+    // format("raquet") metadata-row exclusion (see RaquetDataSource.scala)
+    ext.injectPostHocResolutionRule(_ =>
+      org.apache.spark.sql.graft.RaquetMetadataExclusion)
   }
 }
 

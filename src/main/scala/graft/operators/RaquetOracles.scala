@@ -396,6 +396,14 @@ object RaquetOracles {
         FROM px GROUP BY block"""
   }
 
+  /** q73 registered-source oracle: same aggregate with the metadata-row
+    * exclusion written explicitly (the engine side gets it from the
+    * source's analyzer rule). */
+  val q73: String =
+    s"""SELECT $Z AS zoom, count(*) AS n_tiles,
+        CAST(sum(band_1_count) AS BIGINT) AS valid_px, sum(band_2_sum) AS b2_sum
+        FROM read_parquet('$F') WHERE block <> 0 GROUP BY 1"""
+
   /** q69 HTTP-ingest oracle: the in-process endpoint serves lossless PNGs
     * of the v3 formulas, so fetched per-band pixel sums equal the
     * closed-form sums exactly. */

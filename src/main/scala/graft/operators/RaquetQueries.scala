@@ -551,6 +551,18 @@ object RaquetQueries {
     convertReadback(spark, rq2)
   }
 
+  /** Registered-source driver proof: `spark.read.format("raquet")` — the
+    * DataSourceRegister path plus the RaquetMetadataExclusion analyzer rule
+    * (metadata row dropped by the SOURCE, not the query). The oracle reads
+    * the same parquet with an explicit `block <> 0`; if the rule failed,
+    * an extra NULL-zoom group appears and the row count mismatches. */
+  def q73DataSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("raquet").load(Fixture)
+      .groupBy(quadbin_zoom(col("block")).cast("long").as("zoom"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(col("band_1_count")).cast("long").as("valid_px"),
+        sum(col("band_2_sum")).as("b2_sum"))
+
   /** S7 driver proof: ImageServer-style HTTP tile ingest end-to-end. An
     * in-process localhost server (no egress) serves deterministic PNG
     * tiles of the fixture's v3 formulas; `TileHttpSource.fetch` pulls them
