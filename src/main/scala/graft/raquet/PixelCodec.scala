@@ -26,25 +26,71 @@ object PixelCodec {
     bos.toByteArray
   }
 
+  // Per-thread native zlib streams: a full-scan decodes hundreds of
+  // thousands of ~30 KB blobs, and constructing GZIPInputStream (a fresh
+  // native Inflater + 8 KB buffer) per blob is measurable against the
+  // ~100 µs inflate itself. Task threads are pooled, so the retained
+  // native state is bounded.
+  private val tlInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater(true) // raw deflate; gzip framing parsed here
+  }
+  private val tlCrc = new ThreadLocal[java.util.zip.CRC32] {
+    override def initialValue(): java.util.zip.CRC32 = new java.util.zip.CRC32
+  }
+
   def gzipDecompress(data: Array[Byte]): Array[Byte] = {
     // single-member gzip carries the uncompressed size (mod 2^32) in the
-    // ISIZE trailer: allocate once and fill, instead of growing a stream
+    // ISIZE trailer: allocate once and fill, instead of growing a stream.
+    // Anything unusual (multi-member, huge, truncated) falls back to the
+    // fully general streaming path.
     val m = data.length
+    if (m < 18) return gzipDecompressStreaming(data)
     val isize = (data(m - 4) & 0xFF) | ((data(m - 3) & 0xFF) << 8) |
       ((data(m - 2) & 0xFF) << 16) | ((data(m - 1) & 0xFF) << 24)
     if (isize <= 0 || isize > (1 << 30)) return gzipDecompressStreaming(data)
-    val out = new Array[Byte](isize)
-    val in = new GZIPInputStream(new ByteArrayInputStream(data), 8192)
+    // fixed 10-byte header + optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
+    val flg = data(3) & 0xFF
+    var off = 10
     try {
-      var got = 0
-      while (got < isize) {
-        val r = in.read(out, got, isize - got)
-        if (r < 0) return gzipDecompressStreaming(data) // ISIZE lied
+      if ((flg & 4) != 0) {
+        off += 2 + ((data(off) & 0xFF) | ((data(off + 1) & 0xFF) << 8))
+      }
+      if ((flg & 8) != 0) { while (data(off) != 0) off += 1; off += 1 }
+      if ((flg & 16) != 0) { while (data(off) != 0) off += 1; off += 1 }
+      if ((flg & 2) != 0) off += 2
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => return gzipDecompressStreaming(data)
+    }
+    if (off >= m - 8) return gzipDecompressStreaming(data)
+    val inf = tlInflater.get()
+    inf.reset()
+    inf.setInput(data, off, m - 8 - off)
+    val out = new Array[Byte](isize)
+    var got = 0
+    try {
+      while (got < isize && !inf.finished()) {
+        val r = inf.inflate(out, got, isize - got)
+        if (r == 0 && !inf.finished()) return gzipDecompressStreaming(data)
         got += r
       }
-      if (in.read() >= 0) return gzipDecompressStreaming(data) // more members
-      out
-    } finally in.close()
+    } catch {
+      case _: java.util.zip.DataFormatException => return gzipDecompressStreaming(data)
+    }
+    // multi-member blobs leave bytes before the final trailer; ISIZE may
+    // also understate — both go through the general path
+    if (got != isize || !inf.finished() || inf.getRemaining != 0)
+      return gzipDecompressStreaming(data)
+    // same integrity guarantee as GZIPInputStream: verify the CRC32 trailer
+    val crc = tlCrc.get()
+    crc.reset()
+    crc.update(out, 0, isize)
+    val want = (data(m - 8) & 0xFFL) | ((data(m - 7) & 0xFFL) << 8) |
+      ((data(m - 6) & 0xFFL) << 16) | ((data(m - 5) & 0xFFL) << 24)
+    if (crc.getValue != want)
+      throw new java.util.zip.ZipException(
+        f"corrupt gzip blob: CRC 0x${crc.getValue}%08x != 0x$want%08x")
+    out
   }
 
   private def gzipDecompressStreaming(data: Array[Byte]): Array[Byte] = {

@@ -123,4 +123,32 @@ class CodecSpec extends AnyFunSuite {
         assert(fused.toSeq == expected.toSeq, s"$dt gz=$gz nodata=$nodata")
     }
   }
+
+  test("gzipDecompress fast path: headers with optional fields, multi-member, corruption") {
+    val payload = Array.tabulate[Byte](5000)(i => (i * 37 % 251).toByte)
+    val plain = PixelCodec.gzipCompress(payload)
+    assert(PixelCodec.gzipDecompress(plain).toSeq == payload.toSeq)
+
+    // FNAME + FEXTRA + FCOMMENT header fields (java never writes these;
+    // foreign writers can) — splice them into the fixed header
+    val body = plain.drop(10)
+    val extra = Array[Byte](7, 0) ++ Array.fill[Byte](7)(42)
+    val fname = "tile.bin".getBytes :+ 0.toByte
+    val fcomment = "c".getBytes :+ 0.toByte
+    val hdr = plain.take(10)
+    hdr(3) = (4 | 8 | 16).toByte
+    val decorated = hdr ++ extra ++ fname ++ fcomment ++ body
+    assert(PixelCodec.gzipDecompress(decorated).toSeq == payload.toSeq)
+
+    // two concatenated members decompress to the concatenated payloads
+    // (gzip spec; handled by the streaming fallback)
+    val second = PixelCodec.gzipCompress(Array[Byte](1, 2, 3))
+    assert(PixelCodec.gzipDecompress(plain ++ second).toSeq ==
+      payload.toSeq ++ Seq[Byte](1, 2, 3))
+
+    // a flipped payload byte must be DETECTED, not silently returned
+    val corrupt = plain.clone()
+    corrupt(plain.length / 2) = (corrupt(plain.length / 2) ^ 0x55).toByte
+    intercept[Exception](PixelCodec.gzipDecompress(corrupt))
+  }
 }
