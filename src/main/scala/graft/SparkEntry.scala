@@ -92,6 +92,7 @@ object SparkEntry {
     "q71_repetition"        -> (LlmQueries.q71Repetition _),
     "q72_skip_empty"        -> (RaquetQueries.q72SkipEmpty _),
     "q73_datasource"        -> (RaquetQueries.q73DataSource _),
+    "q74_stream_sessions"   -> (Relational.q74StreamSessions _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -268,6 +269,20 @@ object SparkEntry {
     "q71_repetition"        -> LlmOracles.q71,
     "q72_skip_empty"        -> RaquetOracles.q72,
     "q73_datasource"        -> RaquetOracles.q73,
+    // same gaps-and-islands oracle as q54, without the session ordinal
+    // (streaming closes sessions by timeout; it has no per-user counter)
+    "q74_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+          m AS (SELECT user_id, us, value,
+                CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                     OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 7200000000 THEN 1 ELSE 0 END AS new_s
+              FROM e),
+          s AS (SELECT user_id, us, value,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session
+              FROM m)
+          SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+            count(*) AS n_events, round(sum(value), 2) AS total_value
+          FROM s GROUP BY user_id, session""",
   )
 
   private def oracleSqlQ3: String =

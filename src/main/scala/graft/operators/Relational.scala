@@ -233,6 +233,43 @@ object Relational {
   def q54Sessionize(spark: SparkSession, dir: String): DataFrame =
     Sessions.sessionize(Tables.events(spark, dir), gapMinutes = 120)
 
+  /** §2.10 driver proof: STRUCTURED STREAMING sessionization
+    * (`flatMapGroupsWithState` + event-time timeout) over the same events,
+    * checked against the same gaps-and-islands oracle as q54 (minus the
+    * per-user session ordinal, which streaming does not emit). The events
+    * flow through a MemoryStream micro-batch by micro-batch; far-future
+    * sentinel events push the watermark past every real session's timeout
+    * so the state store flushes deterministically. */
+  def q74StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)].collect()
+    val maxMs = ev.iterator.map(_._2.getTime).max
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingTiles.sessionize(
+      input.toDF().toDF("user_id", "ts", "value"),
+      gapMinutes = 120, watermarkDelay = "120 minutes")
+    val query = out.writeStream.format("memory").queryName("q74_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(ev.toIndexedSeq)
+      query.processAllAvailable()
+      def sentinel(offsetMin: Long) =
+        (-1L, new java.sql.Timestamp(maxMs + offsetMin * 60000L), 0.0)
+      // three pushes: raise max event time, advance the watermark, fire
+      // the remaining event-time timeouts
+      Seq(10000L, 20000L, 30000L).foreach { m =>
+        input.addData(sentinel(m)); query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table("q74_sessions").filter(col("user_id") >= 0)
+      .select("user_id", "session_start_us", "session_end_us",
+        "n_events", "total_value")
+  }
+
   /** HLL distinct counts — the scale path flagged in q6's comment. Sketch
     * values are engine-specific, so the hashable output is the invariant:
     * exact counts plus booleans asserting the HLL estimate lands within its
