@@ -93,6 +93,7 @@ object SparkEntry {
     "q72_skip_empty"        -> (RaquetQueries.q72SkipEmpty _),
     "q73_datasource"        -> (RaquetQueries.q73DataSource _),
     "q74_stream_sessions"   -> (Relational.q74StreamSessions _),
+    "q75_dataset_stats"     -> (RaquetQueries.q75DatasetStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -269,6 +270,7 @@ object SparkEntry {
     "q71_repetition"        -> LlmOracles.q71,
     "q72_skip_empty"        -> RaquetOracles.q72,
     "q73_datasource"        -> RaquetOracles.q73,
+    "q75_dataset_stats"     -> RaquetOracles.q75,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -396,6 +396,20 @@ object RaquetOracles {
         FROM px GROUP BY block"""
   }
 
+  /** q75 dataset-stats oracle: the four moments over every valid source
+    * pixel, with the engine's explicit stddev formula
+    * (sqrt(sumsq/n - mean²)) so IEEE arithmetic matches bit-for-bit. */
+  val q75: String =
+    """WITH v AS (SELECT CASE WHEN (7*gx + 13*gy) % 256 = 255 THEN NULL
+          ELSE CAST((7*gx + 13*gy) % 256 AS DOUBLE) END AS v
+        FROM range(512) a(gx), range(512) b(gy)),
+       a AS (SELECT count(v) AS n, min(v) AS mn, max(v) AS mx,
+          sum(v) AS s, sum(v*v) AS ss FROM v)
+       SELECT CAST(4 AS BIGINT) AS num_blocks, CAST(1 AS INTEGER) AS max_zoom,
+         mn AS stat_min, mx AS stat_max, s / n AS stat_mean,
+         sqrt(greatest(0, ss / n - (s / n) * (s / n))) AS stat_stddev
+       FROM a"""
+
   /** q73 registered-source oracle: same aggregate with the metadata-row
     * exclusion written explicitly (the engine side gets it from the
     * source's analyzer rule). */

@@ -551,6 +551,30 @@ object RaquetQueries {
     convertReadback(spark, rq2)
   }
 
+  /** A5 driver proof: dataset-level band statistics. Convert folds exact
+    * per-tile partials into the metadata's `STATISTICS_*` keys
+    * (`create_metadata`, `raster2raquet.py:1755-1876`; spec
+    * `raquet.md:358-366`); this re-reads them from the WRITTEN file (JSON
+    * round-trip included) and the oracle recomputes all four moments
+    * closed-form over every source pixel. All sums are integer-valued
+    * doubles below 2^53, so mean/stddev are bit-deterministic on both
+    * engines with the same explicit formula. */
+  def q75DatasetStats(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q75"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val out = s"$tmp/synth.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    val meta = RaquetIO.readMetadata(spark, out)
+    val (mn, mx, mean, sd) = meta.bands.head.stats.get
+    import spark.implicits._
+    Seq((meta.numBlocks, meta.maxZoom, mn, mx, mean, sd))
+      .toDF("num_blocks", "max_zoom", "stat_min", "stat_max",
+        "stat_mean", "stat_stddev")
+  }
+
   /** Registered-source driver proof: `spark.read.format("raquet")` — the
     * DataSourceRegister path plus the RaquetMetadataExclusion analyzer rule
     * (metadata row dropped by the SOURCE, not the query). The oracle reads
