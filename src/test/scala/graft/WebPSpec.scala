@@ -118,6 +118,21 @@ class WebPSpec extends AnyFunSuite {
         lz77 = true), "predictor combo")
   }
 
+  test("production tile size (256x256) round-trips through the default paths") {
+    // the raquet default block size — larger than any other case here, so
+    // LZ77 window bookkeeping, palette bundling, and cache behavior are
+    // exercised at the size convert actually emits
+    for ((px, label) <- Seq(
+        (randPixels(256, 256, 3, 61), "random rgb"),
+        (randPixels(256, 256, 3, 67, palette = 200), "200-color rgb"),
+        (randPixels(256, 256, 1, 71, palette = 9), "9-gray"),
+        (randPixels(256, 256, 4, 73), "random rgba"))) {
+      val ch = px.length / (256 * 256)
+      val dec = WebP.decode(WebP.encodeLossless(px, 256, 256, ch))
+      assert(java.util.Arrays.equals(dec.toInterleaved(ch), px), label)
+    }
+  }
+
   test("encodeLossless default picks a working path for both color regimes") {
     val few = randPixels(50, 40, 3, 37, palette = 64) // ≤256 distinct → palette
     val many = randPixels(50, 40, 3, 41) // random → subtract-green+cache+lz77
