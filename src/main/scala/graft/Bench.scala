@@ -258,8 +258,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // stop BEFORE the final print: Spark shutdown logging otherwise lands
+    // after the JSON line and the driver's tail-parser misses it
     spark.stop()
+    System.err.println(json)
+    println(json)
   }
 }

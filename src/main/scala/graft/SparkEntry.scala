@@ -94,6 +94,9 @@ object SparkEntry {
     "q73_datasource"        -> (RaquetQueries.q73DataSource _),
     "q74_stream_sessions"   -> (Relational.q74StreamSessions _),
     "q75_dataset_stats"     -> (RaquetQueries.q75DatasetStats _),
+    "q76_stats_scale"       -> (RaquetQueries.q76StatsScale _),
+    "q77_cog_passthrough"   -> (RaquetQueries.q77CogPassthrough _),
+    "q78_histogram_meta"    -> (RaquetQueries.q78HistogramMeta _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -271,6 +274,9 @@ object SparkEntry {
     "q72_skip_empty"        -> RaquetOracles.q72,
     "q73_datasource"        -> RaquetOracles.q73,
     "q75_dataset_stats"     -> RaquetOracles.q75,
+    "q76_stats_scale"       -> RaquetOracles.q76,
+    "q77_cog_passthrough"   -> RaquetOracles.q77,
+    "q78_histogram_meta"    -> RaquetOracles.q78,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

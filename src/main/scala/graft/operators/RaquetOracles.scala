@@ -479,6 +479,48 @@ object RaquetOracles {
         FROM v GROUP BY block"""
   }
 
+  /** q76 stats scale-up oracle: re-derive the ×4^Δz scaling in SQL from the
+    * same stats columns (Δz to the fixture's native zoom 6). Every factor is
+    * an exact power of two, so products and the final division are
+    * bit-deterministic on both engines. */
+  val q76: String =
+    s"""WITH z AS (SELECT $Z AS zoom, sum(band_1_count) AS n,
+          min(band_1_min) AS mn, max(band_1_max) AS mx, sum(band_1_sum) AS sm
+          FROM read_parquet('$F') WHERE block <> 0 GROUP BY 1)
+        SELECT CAST(zoom AS BIGINT) AS zoom,
+          CAST(n AS DOUBLE) * power(4.0, 6 - zoom) AS scaled_count,
+          mn AS scaled_min, mx AS scaled_max,
+          sm * power(4.0, 6 - zoom) AS scaled_sum,
+          (sm * power(4.0, 6 - zoom)) /
+            (CAST(n AS DOUBLE) * power(4.0, 6 - zoom)) AS scaled_mean
+        FROM z"""
+
+  /** q77 COG-passthrough oracle: structure (4 native + 1 overview tile),
+    * the passthrough≡computed block equalities pinned to the tile counts
+    * (the byte-level comparison runs engine-side on decoded pixels), and
+    * the native-level pixel sum recomputed from the source formula. */
+  val q77: String =
+    """WITH px AS (SELECT (7*gx + 13*gy) % 256 AS v
+          FROM range(512) a(gx), range(512) b(gy))
+       SELECT CAST(1 AS BIGINT) AS zoom, CAST(4 AS BIGINT) AS n_tiles,
+         CAST(4 AS BIGINT) AS n_equal,
+         (SELECT CAST(sum(v) AS BIGINT) FROM px WHERE v <> 255) AS px_sum
+       UNION ALL
+       SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(NULL AS BIGINT)"""
+
+  /** q78 histogram oracle: recount every DN of the synthetic raster (exact
+    * per-value uint8 buckets) and the valid-pixel percentage with the
+    * engine's operand order ((valid/total)·100 — dyadic-exact here). */
+  val q78: String =
+    """WITH px AS (SELECT (7*gx + 13*gy) % 256 AS v
+          FROM range(512) a(gx), range(512) b(gy)),
+        vp AS (SELECT (CAST(count(CASE WHEN v <> 255 THEN 1 END) AS DOUBLE)
+            / count(*)) * 100.0 AS p FROM px)
+       SELECT CAST(v AS BIGINT) AS bucket, count(*) AS n_px,
+         (SELECT p FROM vp) AS valid_pct
+       FROM px WHERE v <> 255 GROUP BY v"""
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

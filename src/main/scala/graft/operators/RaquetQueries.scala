@@ -575,6 +575,100 @@ object RaquetQueries {
         "stat_mean", "stat_stddev")
   }
 
+  /** A4 driver proof: stats scale-up. Each coarse pyramid level's merged
+    * stats are scaled to native zoom with [[graft.raquet.PixelCodec.scaleStats]]
+    * (count/sum ×4^Δz, min/max/mean zoom-invariant — reference
+    * `RasterStats.scale_by`, `raster2raquet.py:188-199`); the oracle
+    * re-derives the same scaling in SQL from the stats columns. The ×4^Δz
+    * factors are exact powers of two, so every product is bit-deterministic. */
+  def q76StatsScale(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val maxZ = ds.meta.maxZoom
+    val perZoom = ds.data
+      .groupBy(quadbin_zoom(col("block")).cast("long").as("zoom"))
+      .agg(sum(col("band_1_count")).as("n"), min(col("band_1_min")).as("mn"),
+        max(col("band_1_max")).as("mx"), sum(col("band_1_sum")).as("sm"))
+      .collect()
+    import spark.implicits._
+    perZoom.toSeq.map { r =>
+      val zoom = r.getLong(0)
+      val s = graft.raquet.PixelCodec.scaleStats(
+        Array(r.getLong(1).toDouble, r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), 0.0), (maxZ - zoom).toInt)
+      (zoom, s(0), s(1), s(2), s(3), graft.raquet.PixelCodec.statsMean(s))
+    }.toDF("zoom", "scaled_count", "scaled_min", "scaled_max", "scaled_sum",
+      "scaled_mean")
+  }
+
+  /** M6 driver proof: COG overview passthrough. The synthetic raster is
+    * converted (computed pyramid), exported WITH overview IFDs, then
+    * re-converted twice from the exported COG — once warping each pyramid
+    * level from the coarsest usable overview IFD (`cogOverviews = true`,
+    * GDAL's warp-time overview selection) and once forcing the computed
+    * pyramid (`cogOverviews = false`). Per zoom: tile counts, the number of
+    * blocks whose DECODED pixels and stats columns agree between the two
+    * paths (must equal the tile count), and the native-level pixel sum
+    * against the closed form. */
+  def q77CogPassthrough(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q77"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val rq0 = s"$tmp/first.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, rq0,
+      tileStats = true, overviews = "auto")
+    val cog = s"$tmp/cog.tif"
+    graft.raquet.GeoTiff.export(spark, rq0, cog, overviews = true)
+    val rqPass = s"$tmp/pass.parquet"
+    graft.raquet.GeoTiff.convert(spark, cog, rqPass,
+      tileStats = true, overviews = "auto", cogOverviews = true)
+    val rqComp = s"$tmp/comp.parquet"
+    graft.raquet.GeoTiff.convert(spark, cog, rqComp,
+      tileStats = true, overviews = "auto", cogOverviews = false)
+    val ds = RaquetIO.read(spark, rqPass)
+    val maxZ = ds.meta.maxZoom
+    val p = ds.data.select(col("block"),
+      rq_decode(col("band_1"), ds.meta, "band_1").as("ppx"),
+      col("band_1_count").as("pn"), col("band_1_sum").as("ps"))
+    val cds = RaquetIO.read(spark, rqComp)
+    val c = cds.data.select(col("block"),
+      rq_decode(col("band_1"), cds.meta, "band_1").as("cpx"),
+      col("band_1_count").as("cn"), col("band_1_sum").as("cs"))
+    p.join(c, "block")
+      .groupBy(quadbin_zoom(col("block")).cast("long").as("zoom"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("ppx") === col("cpx") && col("pn") === col("cn") &&
+          col("ps") === col("cs"), 1L).otherwise(0L)).as("n_equal"),
+        sum(col("ps")).cast("long").as("px_sum"))
+      .select(col("zoom"), col("n_tiles"), col("n_equal"),
+        when(col("zoom") === maxZ, col("px_sum")).as("px_sum"))
+  }
+
+  /** Band-histogram + valid-percent driver proof: convert emits the
+    * GDAL-style uint8 histogram (spec `raquet.md:367-372`: min −0.5, max
+    * 255.5, 256 buckets = exact per-DN counts) and
+    * `STATISTICS_VALID_PERCENT` (`raster2raquet.py:202,1750`) into the band
+    * metadata; this re-reads them from the WRITTEN file and the oracle
+    * recounts every DN from the pixel formula. */
+  def q78HistogramMeta(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q78"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val out = s"$tmp/synth.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    val b = RaquetIO.readMetadata(spark, out).bands.head
+    val h = b.histogram.get
+    require(h.min == -0.5 && h.max == 255.5 && h.buckets == 256,
+      s"unexpected histogram shape: [${h.min}, ${h.max}] x ${h.buckets}")
+    val vp = b.validPercent.get
+    import spark.implicits._
+    h.counts.zipWithIndex.collect { case (n, i) if n > 0 =>
+      (i.toLong, n, vp)
+    }.toDF("bucket", "n_px", "valid_pct")
+  }
+
   /** Registered-source driver proof: `spark.read.format("raquet")` — the
     * DataSourceRegister path plus the RaquetMetadataExclusion analyzer rule
     * (metadata row dropped by the SOURCE, not the query). The oracle reads

@@ -1075,6 +1075,29 @@ object GeoTiff {
             val statsVec = bands.map(a =>
               if (a == null) null
               else PixelCodec.maskedStats(a, src.nodata.getOrElse(Double.NaN), null))
+            // dataset-level reduce payload: the 5 stat moments extended with
+            // [5] total pixels (STATISTICS_VALID_PERCENT denominator) and,
+            // for uint8, [6..261] exact per-DN histogram counts (GDAL's Byte
+            // histogram: −0.5..255.5, 256 buckets). Doubles hold counts
+            // exactly below 2^53.
+            val histLen = if (src.dtype == "uint8") 256 else 0
+            val extVec: Seq[Array[Double]] = bands.zip(statsVec).map { case (a, s) =>
+              val ext = new Array[Double](6 + histLen)
+              if (s == null) { ext(1) = Double.PositiveInfinity; ext(2) = Double.NegativeInfinity }
+              else System.arraycopy(s, 0, ext, 0, 5)
+              ext(5) = (bs.toLong * bs).toDouble
+              if (histLen > 0 && a != null) {
+                val nod = src.nodata.getOrElse(Double.NaN)
+                var i = 0
+                while (i < a.length) {
+                  val v = a(i)
+                  if (v != nod && !java.lang.Double.isNaN(v))
+                    ext(6 + (v.toInt & 0xFF)) += 1.0
+                  i += 1
+                }
+              }
+              ext
+            }
             val statCols =
               if (!tileStats) Seq.empty[Any]
               else statsVec.flatMap {
@@ -1085,7 +1108,7 @@ object GeoTiff {
                   PixelCodec.statsMean(st), PixelCodec.statsStddev(st))
               }
             (Row.fromSeq(Seq(Quadbin.tileToCell(tx, ty, zoom), null) ++ blobs ++
-              statCols), statsVec)
+              statCols), extVec)
           }
         }
       }
@@ -1169,13 +1192,17 @@ object GeoTiff {
     val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling, tileStats,
       bandLayout, compression).cache()
 
-    // dataset-level band stats (A5): distributed partial-merge reduce
+    // dataset-level band stats (A5): distributed partial-merge reduce over
+    // the extended vectors — [0] count +, [1] min, [2] max, [3] sum +,
+    // [4] sum² +, [5] total px +, [6..] histogram counts +
     val globalStats = rowsRdd.map(_._2).reduce { (a, b) =>
-      a.zip(b).map {
-        case (null, y) => y
-        case (x, null) => x
-        case (x, y) => Array(x(0) + y(0), math.min(x(1), y(1)),
-          math.max(x(2), y(2)), x(3) + y(3), x(4) + y(4))
+      a.zip(b).map { case (x, y) =>
+        val r = new Array[Double](x.length)
+        r(0) = x(0) + y(0)
+        r(1) = math.min(x(1), y(1)); r(2) = math.max(x(2), y(2))
+        var i = 3
+        while (i < r.length) { r(i) = x(i) + y(i); i += 1 }
+        r
       }
     }
     val numBlocks = rowsRdd.count()
@@ -1211,10 +1238,19 @@ object GeoTiff {
       numBlocks = numBlocks,
       bandLayout = bandLayout,
       bands = bandNames.zipWithIndex.map { case (bn, i) =>
-        val st = Option(globalStats(i)).map(s =>
-          (s(1), s(2), PixelCodec.statsMean(s), PixelCodec.statsStddev(s)))
+        val g = globalStats(i)
+        val hasData = g(0) > 0
+        val st = if (hasData)
+          Some((g(1), g(2), PixelCodec.statsMean(g), PixelCodec.statsStddev(g)))
+        else None
+        val vp = if (g(5) > 0) Some(g(0) / g(5) * 100.0) else None
+        val hist = if (hasData && g.length == 262)
+          Some(BandHistogram(-0.5, 255.5, 256,
+            (6 until 262).map(k => g(k).toLong)))
+        else None
         BandMeta(bn, src.dtype, src.nodata, None, None,
-          Some(colorinterp(i)), src.colortable, stats = st)
+          Some(colorinterp(i)), src.colortable, stats = st,
+          validPercent = vp, histogram = hist)
       },
       time = None)
 

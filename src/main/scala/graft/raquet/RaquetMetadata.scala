@@ -14,6 +14,12 @@ import com.fasterxml.jackson.databind.node.JsonNodeFactory
   * Parsed once per dataset on the driver and carried into expressions as
   * literals/config — never re-parsed per row.
   */
+/** GDAL-style band histogram (spec raquet.md:367-372): `buckets` equal-width
+  * bins over [min, max]. graft's convert emits the exact per-DN Byte shape
+  * (min −0.5, max 255.5, 256 buckets) for uint8 bands. */
+final case class BandHistogram(
+    min: Double, max: Double, buckets: Int, counts: Seq[Long])
+
 final case class BandMeta(
     name: String,
     bandType: String,            // uint8…float64 (spec raquet.md:337)
@@ -24,7 +30,11 @@ final case class BandMeta(
     colortable: Option[Map[String, Seq[Int]]],
     /** Dataset-level GDAL-style stats (A5): min, max, mean, stddev —
       * `STATISTICS_*` keys in the band JSON (spec raquet.md:358-366). */
-    stats: Option[(Double, Double, Double, Double)] = None)
+    stats: Option[(Double, Double, Double, Double)] = None,
+    /** `STATISTICS_VALID_PERCENT` (spec raquet.md:366): valid px / total px
+      * ×100 (reference `RasterStats.valid_percent`, raster2raquet.py:202). */
+    validPercent: Option[Double] = None,
+    histogram: Option[BandHistogram] = None)
 
 final case class TimeMeta(
     cfUnits: String,
@@ -109,6 +119,12 @@ object RaquetMetadata {
           mn <- optD(b, "STATISTICS_MINIMUM"); mx <- optD(b, "STATISTICS_MAXIMUM")
           mean <- optD(b, "STATISTICS_MEAN"); sd <- optD(b, "STATISTICS_STDDEV")
         } yield (mn, mx, mean, sd)
+        val hist = Option(b.get("histogram")).filterNot(_.isNull).map { h =>
+          val cs = h.path("counts")
+          BandHistogram(h.path("min").asDouble(), h.path("max").asDouble(),
+            h.path("buckets").asInt(),
+            (0 until cs.size()).map(cs.get(_).asLong()))
+        }
         BandMeta(
           name = Option(b.get("name")).map(_.asText()).getOrElse(s"band_${k + 1}"),
           bandType = b.path("type").asText("float64"),
@@ -117,7 +133,9 @@ object RaquetMetadata {
           offset = optD(b, "offset"),
           colorinterp = optS(b, "colorinterp"),
           colortable = ct,
-          stats = st)
+          stats = st,
+          validPercent = optD(b, "STATISTICS_VALID_PERCENT"),
+          histogram = hist)
       }
     }.getOrElse(Seq.empty)
     val time = Option(root.get("time")).filterNot(_.isNull).map { t =>
@@ -197,6 +215,15 @@ object RaquetMetadata {
         bn.put("STATISTICS_MAXIMUM", mx)
         bn.put("STATISTICS_MEAN", mean)
         bn.put("STATISTICS_STDDEV", sd)
+      }
+      bm.validPercent.foreach(bn.put("STATISTICS_VALID_PERCENT", _))
+      bm.histogram.foreach { h =>
+        val hn = bn.putObject("histogram")
+        hn.put("min", h.min)
+        hn.put("max", h.max)
+        hn.put("buckets", h.buckets)
+        val cn = hn.putArray("counts")
+        h.counts.foreach(cn.add)
       }
     }
     m.time.foreach { tm =>

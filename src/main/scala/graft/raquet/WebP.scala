@@ -125,7 +125,7 @@ object WebP {
   /** Canonical prefix decoder. A code with exactly one used symbol reads
     * zero bits (the spec's degenerate-tree rule — also what the simple-code
     * form with one symbol means). */
-  final class HuffTree(lens: Array[Int]) {
+  final class HuffTree(lens: Array[Int], simplePair: Array[Int] = null) {
     private val usedCount = lens.count(_ > 0)
     private val single = if (usedCount == 1) lens.indexWhere(_ > 0) else -1
     private val maxLen = lens.foldLeft(0)(math.max)
@@ -136,6 +136,7 @@ object WebP {
     }
     require(usedCount > 0, "empty prefix code")
     def next(br: BitReader): Int = {
+      if (simplePair != null) return simplePair(br.bit())
       if (single >= 0) return single
       var code = 0; var first = 0; var index = 0
       var len = 1
@@ -268,7 +269,13 @@ object WebP {
           throw new UnsupportedOperationException(
             "lossy (VP8) WebP is not supported — only lossless (VP8L); " +
               "re-encode the data as webp-lossless, gzip, or jpeg")
-        case _ => off += 8 + size + (size & 1) // VP8X / ALPH / EXIF … skipped
+        case _ =>
+          // u32le can yield a negative Int on malformed/truncated input;
+          // reject before advancing (off could otherwise move backwards)
+          if (size < 0 || off + 8L + size > bytes.length)
+            throw new IllegalArgumentException(
+              s"malformed WebP container: chunk '$tag' size $size exceeds file")
+          off += 8 + size + (size & 1) // VP8X / ALPH / EXIF … skipped
       }
     }
     throw new IllegalArgumentException("no VP8L chunk found in WebP container")
@@ -408,7 +415,14 @@ object WebP {
       val numSym = br.bit() + 1
       val sym0 = if (br.bit() == 1) br.bits(8) else br.bit()
       lens(sym0) = 1
-      if (numSym == 2) lens(br.bits(8)) = 1
+      if (numSym == 2) {
+        // bit 0 maps to the FIRST symbol in stream order, not the lower
+        // index — a conformant stream may list them descending
+        val sym1 = br.bits(8)
+        lens(sym1) = 1
+        if (sym1 != sym0)
+          return new HuffTree(lens, simplePair = Array(sym0, sym1))
+      }
     } else {
       val numCl = 4 + br.bits(4)
       val clLens = new Array[Int](19)
@@ -904,11 +918,15 @@ object WebP {
         val idx = if (i % mw >= (mw + 1) / 2) 1 else 0
         0xFF000000 | (idx << 8)
       }
+      // group count must follow the meta image: the x-half split degenerates
+      // to ONE group when mw == 1, and the decoder reads max-index+1 groups
+      val numGroups =
+        metaImg.foldLeft(0)((m, px) => math.max(m, (px >> 8) & 0xFFFF)) + 1
       writeEntropyImage(bw, metaImg, mw)
       // tokenize per-pixel with the shared cache, tracking group switches
       val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
       val cacheSeen = if (cacheSize > 0) new Array[Boolean](cacheSize) else null
-      val perGroup = Array.fill(2)(new ArrayBuffer[Token]())
+      val perGroup = Array.fill(numGroups)(new ArrayBuffer[Token]())
       val order = new ArrayBuffer[(Int, Token)](img.length)
       var pos = 0
       while (pos < img.length) {

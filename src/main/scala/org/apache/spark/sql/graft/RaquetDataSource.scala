@@ -59,6 +59,11 @@ class RaquetDataSourceV2 extends ParquetDataSourceV2 {
 
 object RaquetDataSourceV2 {
   val Marker = "raquet!"
+  val MissingExtensionsMsg: String =
+    "spark.read.format(\"raquet\") requires the graft session extensions " +
+      "(the block = 0 metadata row would otherwise surface as data): build " +
+      "the session with spark.sql.extensions=graft.functions.GraftExtensions " +
+      "or builder.withExtensions(new graft.functions.GraftExtensions())"
 }
 
 /** Read-only parquet table (non-case subclass: the write path must fail
@@ -68,6 +73,15 @@ class RaquetReadTable(name: String, sparkSession: SparkSession,
     userSpecifiedSchema: Option[StructType])
     extends ParquetTable(name, sparkSession, options, paths, userSpecifiedSchema,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]) {
+  // When GraftExtensions is installed, RaquetMetadataExclusion replaces this
+  // marked table with a plain ParquetTable (plus the block != 0 filter)
+  // during analysis — so a scan build reaching THIS class means the rule
+  // never ran and the metadata row would silently surface as data. Fail
+  // loudly instead of returning wrong results.
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder =
+    throw new IllegalStateException(RaquetDataSourceV2.MissingExtensionsMsg)
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -82,6 +96,21 @@ class RaquetReadTable(name: String, sparkSession: SparkSession,
 class RaquetFileFormat extends ParquetFileFormat {
   override def shortName(): String = "raquet"
   override def toString: String = "Raquet"
+  // Same fail-fast contract as RaquetReadTable.newScanBuilder: the exclusion
+  // rule swaps this format for plain ParquetFileFormat, so building a reader
+  // here means the extensions are not installed in the active session.
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] =
+    throw new IllegalStateException(RaquetDataSourceV2.MissingExtensionsMsg)
+
   override def prepareWrite(sparkSession: SparkSession,
       job: org.apache.hadoop.mapreduce.Job,
       options: Map[String, String],

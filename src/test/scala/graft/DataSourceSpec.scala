@@ -66,6 +66,26 @@ class DataSourceSpec extends AnyFunSuite {
       s"unexpected error: $e")
   }
 
+  test("format(raquet) without the extensions fails fast instead of leaking the metadata row") {
+    SparkSpec.session // ensure the context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val bare = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val e = intercept[IllegalStateException] {
+        bare.read.format("raquet").load(fixture).count()
+      }
+      assert(e.getMessage.contains("GraftExtensions"), s"unexpected: $e")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   test("non-raquet parquet (no block column) reads unfiltered through the source") {
     val df = gspark.read.format("raquet").load("/root/testdata/sf0.001/nation.parquet")
     assert(df.count() == gspark.read.parquet("/root/testdata/sf0.001/nation.parquet").count())

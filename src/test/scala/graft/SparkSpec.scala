@@ -18,6 +18,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the library's standard session config — format("raquet") fails fast
+      // without it (metadata-row exclusion lives in an analyzer rule)
+      .withExtensions(new graft.functions.GraftExtensions())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

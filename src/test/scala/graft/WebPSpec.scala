@@ -253,6 +253,34 @@ class WebPSpec extends AnyFunSuite {
       .map(_.toInt))
   }
 
+  test("handcrafted stream: two-symbol simple code honors stream order") {
+    // The spec maps bit 0 to the FIRST symbol as listed in the stream, not
+    // to the lower symbol index — list them DESCENDING (200 then 10) and
+    // check the pixels come back unswapped (libwebp always emits ascending,
+    // so round-trips can't catch this).
+    val bw = new WebP.BitWriter
+    bw.bits(0x2f, 8); bw.bits(1, 14); bw.bits(1, 14); bw.bit(0); bw.bits(0, 3)
+    bw.bit(0) // no transforms
+    bw.bit(0) // no color cache
+    bw.bit(0) // no meta prefix codes
+    // GREEN: simple, 2 symbols, 8-bit form: 200 first, 10 second
+    bw.bit(1); bw.bit(1); bw.bit(1); bw.bits(200, 8); bw.bits(10, 8)
+    // RED: simple 1-symbol 1-bit form, symbol 0
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(0)
+    // BLUE: same
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(0)
+    // ALPHA: simple 1-symbol 8-bit form, symbol 255
+    bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(255, 8)
+    // DISTANCE: simple 1-symbol 1-bit form, symbol 0 (never read)
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bit(0)
+    // greens 200,10,10,200 -> bits 0,1,1,0
+    bw.bit(0); bw.bit(1); bw.bit(1); bw.bit(0)
+    val img = WebP.decode(riff(bw.toBytes))
+    assert(img.width == 2 && img.height == 2)
+    assert(img.px.toSeq ==
+      Seq(0xFF00C800, 0xFF000A00, 0xFF000A00, 0xFF00C800).map(_.toInt))
+  }
+
   test("handcrafted stream: LZ77 backref through a distance plane code") {
     // 2x2 image: one literal then a length-3 backref at plane code 2
     // (offset (1,0) -> distance 1), exercising the close-neighborhood
