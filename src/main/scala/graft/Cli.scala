@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.raquet.{GeoTiff, Maintenance, NetCdf}
+
+/** Thin command-line surface over the library — the Spark-side mirror of
+  * `raquet/cli.py:358-464,887-900,932-941,1058-1079,1296-1299` so the API
+  * parity is user-visible:
+  *
+  * {{{
+  * spark-submit --class graft.Cli graft.jar convert in.tif out.parquet \
+  *   --tile-stats --overviews auto --compression gzip
+  * ... inspect  file.parquet
+  * ... validate file.parquet
+  * ... export   file.parquet out.tif [--no-overviews]
+  * ... split-zoom file.parquet out_dir/
+  * ... partition  file.parquet out_dir/ [--partition-zoom N|auto]
+  *                                      [--target-size-mb N]
+  * }}}
+  *
+  * Flag names follow the reference CLI; flags that configure the Python
+  * process model (`--streaming`, `--workers`) do not exist here — Spark's
+  * task scheduler is the parallelism. `--row-group-size` (rows in the
+  * reference) becomes `--row-group-bytes` (Spark writers budget bytes).
+  */
+object Cli {
+
+  private val Usage =
+    """usage: graft.Cli <command> <args...>
+      |  convert <in.tif> <out.parquet>
+      |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
+      |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
+      |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
+      |      [--compression gzip|none|jpeg|webp]
+      |      [--band-layout sequential|interleaved]
+      |  export <in.parquet> <out.tif> [--no-overviews]
+      |  inspect <file.parquet>
+      |  validate <file.parquet>
+      |  split-zoom <in.parquet> <out_dir>
+      |  partition <in.parquet> <out_dir> [--partition-zoom auto|N]
+      |      [--target-size-mb 128]
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(Usage); sys.exit(2) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args.toSeq)
+    catch {
+      case e: CliError => System.err.println(s"error: ${e.getMessage}"); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  final class CliError(msg: String) extends RuntimeException(msg)
+  private def fail(msg: String): Nothing = throw new CliError(msg)
+
+  /** Parse `(positionals, flags)`; boolean flags map to "true". */
+  private def parseArgs(args: Seq[String], boolFlags: Set[String])
+      : (Seq[String], Map[String, String]) = {
+    val pos = Seq.newBuilder[String]
+    val flags = Map.newBuilder[String, String]
+    var rest = args.toList
+    while (rest.nonEmpty) rest match {
+      case f :: tail if f.startsWith("--") =>
+        val name = f.stripPrefix("--")
+        if (boolFlags(name)) { flags += name -> "true"; rest = tail }
+        else tail match {
+          case v :: t2 => flags += name -> v; rest = t2
+          case Nil => fail(s"flag --$name needs a value")
+        }
+      case p :: tail => pos += p; rest = tail
+    }
+    (pos.result(), flags.result())
+  }
+
+  private def log2Exact(n: Int, what: String): Int = {
+    val z = 31 - Integer.numberOfLeadingZeros(n)
+    if (n <= 0 || (1 << z) != n) fail(s"$what must be a power of two, got $n")
+    z
+  }
+
+  /** Dispatch — separated from `main` so specs drive it on a shared session. */
+  def run(spark: SparkSession, args: Seq[String]): Unit = args.head match {
+    case "convert" =>
+      val (pos, f) = parseArgs(args.tail, Set("tile-stats"))
+      val Seq(in, out) = expect(pos, 2, "convert <in.tif|in.nc> <out.parquet>")
+      if (in.endsWith(".nc")) NetCdf.convert(spark, in, out,
+        blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+        zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+        tileStats = f.contains("tile-stats"),
+        resampling = f.getOrElse("resampling", "near"),
+        overviews = f.getOrElse("overviews", "auto"),
+        minZoomOverride = f.get("min-zoom").map(_.toInt),
+        rowGroupBytes = f.getOrElse("row-group-bytes", "0").toLong)
+      else GeoTiff.convert(spark, in, out,
+        blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+        zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+        tileStats = f.contains("tile-stats"),
+        resampling = f.getOrElse("resampling", "near"),
+        overviews = f.getOrElse("overviews", "auto"),
+        minZoomOverride = f.get("min-zoom").map(_.toInt),
+        targetFileBytes = f.getOrElse("target-size", "0").toLong,
+        rowGroupBytes = f.getOrElse("row-group-bytes", "0").toLong,
+        compression = f.getOrElse("compression", "gzip"),
+        bandLayout = f.getOrElse("band-layout", "sequential"))
+      println(s"converted $in -> $out")
+    case "export" =>
+      val (pos, f) = parseArgs(args.tail, Set("no-overviews"))
+      val Seq(in, out) = expect(pos, 2, "export <in.parquet> <out.tif>")
+      GeoTiff.export(spark, in, out, overviews = !f.contains("no-overviews"))
+      println(s"exported $in -> $out")
+    case "inspect" =>
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(in) = expect(pos, 1, "inspect <file.parquet>")
+      Maintenance.inspect(spark, in).show(truncate = false)
+    case "validate" =>
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(in) = expect(pos, 1, "validate <file.parquet>")
+      val checks = Maintenance.validate(spark, in).collect()
+      checks.foreach(r => println(
+        s"${if (r.getBoolean(1)) "PASS" else "FAIL"} ${r.getString(0)}: ${r.getString(2)}"))
+      if (checks.exists(!_.getBoolean(1))) fail("validation failed")
+    case "split-zoom" =>
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(in, out) = expect(pos, 2, "split-zoom <in.parquet> <out_dir>")
+      Maintenance.splitZoom(spark, in, out)
+      println(s"split $in by zoom -> $out")
+    case "partition" =>
+      val (pos, f) = parseArgs(args.tail, Set.empty)
+      val Seq(in, out) = expect(pos, 2, "partition <in.parquet> <out_dir>")
+      val pz = f.getOrElse("partition-zoom", "auto") match {
+        case "auto" => -1
+        case n => n.toInt
+      }
+      Maintenance.partition(spark, in, out, partZoom = pz,
+        targetBytes = f.getOrElse("target-size-mb", "128").toLong << 20)
+      println(s"partitioned $in -> $out")
+    case other => fail(s"unknown command '$other'\n$Usage")
+  }
+
+  private def expect(pos: Seq[String], n: Int, usage: String): Seq[String] = {
+    if (pos.size != n) fail(s"expected: $usage")
+    pos
+  }
+}

@@ -97,6 +97,7 @@ object SparkEntry {
     "q76_stats_scale"       -> (RaquetQueries.q76StatsScale _),
     "q77_cog_passthrough"   -> (RaquetQueries.q77CogPassthrough _),
     "q78_histogram_meta"    -> (RaquetQueries.q78HistogramMeta _),
+    "q79_netcdf_ingest"     -> (RaquetQueries.q79NetcdfIngest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -277,6 +278,7 @@ object SparkEntry {
     "q76_stats_scale"       -> RaquetOracles.q76,
     "q77_cog_passthrough"   -> RaquetOracles.q77,
     "q78_histogram_meta"    -> RaquetOracles.q78,
+    "q79_netcdf_ingest"     -> RaquetOracles.q79,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -521,6 +521,59 @@ object RaquetOracles {
          (SELECT p FROM vp) AS valid_pct
        FROM px WHERE v <> 255 GROUP BY v"""
 
+  /** q79 NetCDF-ingest oracle: fully closed-form re-derivation. Columns:
+    * the mercator→lon map is linear and dyadic-exact, so the sampled source
+    * column (hence the value, which depends only on the column PAIR) is
+    * exact integer math. Rows: a mercator row is valid iff its latitude
+    * falls inside the source's ±84.375° extent — the same gudermannian
+    * closed form the engine's warp inverts (q22 pattern). Stats per
+    * (tile, timestep) = valid-row count × per-column aggregates. */
+  val q79: String = {
+    val lat = "degrees(atan((exp(pi()*(1 - 2*tf)) - exp(-pi()*(1 - 2*tf)))/2))"
+    s"""WITH zt(z, ty) AS (VALUES (1, 0), (1, 1), (0, 0)),
+        rowsv AS (
+          SELECT z, ty, count(*) AS nrows FROM (
+            SELECT z, ty,
+              (CAST(ty*256 + j AS DOUBLE) + 0.5) / (256 * CASE z WHEN 1 THEN 2 ELSE 1 END) AS tf
+            FROM zt, range(256) r(j)) s
+          WHERE floor((84.375 - $lat) / 0.703125) BETWEEN 0 AND 239
+          GROUP BY z, ty),
+        cols AS (
+          SELECT 1 AS z, tx, tx*128 + k AS p, 2 AS mult
+            FROM (VALUES (0), (1)) x(tx), range(128) r(k)
+          UNION ALL
+          SELECT 0, 0, k, 1 FROM range(256) r(k)),
+        vals AS (
+          SELECT z, tx, t, mult,
+            CASE WHEN p % 27 = 0 THEN NULL
+                 ELSE CAST((3*p + 7*t) % 251 AS DOUBLE) END AS v
+          FROM cols, range(3) ts(t)),
+        colagg AS (
+          SELECT z, tx, t,
+            coalesce(sum(CASE WHEN v IS NOT NULL THEN mult END), 0) AS ncols,
+            sum(v * mult) AS colsum, min(v) AS vmin, max(v) AS vmax
+          FROM vals GROUP BY z, tx, t),
+        tiles AS (
+          SELECT z, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty
+          FROM (VALUES (1,0,0), (1,1,0), (1,0,1), (1,1,1), (0,0,0)) v(z, tx, ty)),
+        joined AS (
+          SELECT t.z, t.tx, t.ty, c.t, r.nrows, c.ncols, c.colsum, c.vmin, c.vmax
+          FROM tiles t
+          JOIN rowsv r ON r.z = t.z AND r.ty = t.ty
+          JOIN colagg c ON c.z = t.z AND c.tx = t.tx)
+        SELECT
+          CASE z WHEN 1 THEN ${cellExpr("tx", "ty", 1)}
+                 ELSE ${cellExpr("tx", "ty", 0)} END AS block,
+          CAST(z AS BIGINT) AS zoom,
+          CAST(6*t AS DOUBLE) AS time_cf,
+          946684800000000 + CAST(t AS BIGINT)*21600000000 AS ts_us,
+          CAST(nrows * ncols AS BIGINT) AS n_px,
+          CAST(vmin AS BIGINT) AS px_min, CAST(vmax AS BIGINT) AS px_max,
+          CAST(nrows * colsum AS BIGINT) AS px_sum,
+          CAST(nrows * colsum AS BIGINT) AS dec_sum
+        FROM joined"""
+  }
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

@@ -669,6 +669,52 @@ object RaquetQueries {
     }.toDF("bucket", "n_px", "valid_pct")
   }
 
+  /** S6 (NetCDF) driver proof: classic-NetCDF time-series ingest end to
+    * end. A synthetic CDF-1 file (record `time` dimension with CF units,
+    * lat/lon coordinate variables, float32 `v(time, lat, lon)` with
+    * `_FillValue`) is converted — each timestep exploding into its own
+    * (`block`, `time_cf`) row with derived `time_ts`, the reference's
+    * row-explosion semantics (`raster2raquet.py:2107-2125`) — and read
+    * back per row: stats columns AND a fresh decode.
+    *
+    * Oracle safety: values depend only on the source COLUMN PAIR
+    * (`floor(gx/2)`), so the z0 overview's half-resolution sampling (which
+    * lands exactly on column boundaries, where float noise could flip
+    * `floor`) cannot change any value; latitude enters only through the
+    * valid-row count, which the oracle recomputes with the same
+    * gudermannian closed form as q22. */
+  def q79NetcdfIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q79"
+    new java.io.File(tmp).mkdirs()
+    val nc = s"$tmp/synth.nc"
+    // 512 x 240 world grid on exact dyadic spacing (360/512 = 0.703125),
+    // lat edges +-84.375 (inside the mercator clip), 3 six-hourly steps
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.NetCdfWriter.write(nc, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      })
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, nc, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** Registered-source driver proof: `spark.read.format("raquet")` — the
     * DataSourceRegister path plus the RaquetMetadataExclusion analyzer rule
     * (metadata row dropped by the SOURCE, not the query). The oracle reads

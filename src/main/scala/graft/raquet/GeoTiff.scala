@@ -986,7 +986,7 @@ object GeoTiff {
     * the reference CLI). Returns the metadata written. */
   /** Web-mercator tile range [xtMin..xtMax]×[ytMin..ytMax] covering the
     * clipped source window at `zoom`. */
-  private def tileEnvelope(src: SourceInfo, win: (Int, Int, Int, Int),
+  private[raquet] def tileEnvelope(src: SourceInfo, win: (Int, Int, Int, Int),
       zoom: Int): (Long, Long, Long, Long) = {
     val (mxs, mys) = windowSamples(src, win)
       .map { case (cx, cy) => srcToMerc(src, cx, cy) }.unzip

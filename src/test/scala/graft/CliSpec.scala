@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.quadbin.Quadbin
+
+/** End-to-end smoke of the `graft.Cli` command surface (reference
+  * `raquet/cli.py` parity): convert → inspect/validate → split-zoom →
+  * partition → export, all through the argv dispatcher. */
+class CliSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("cli").toString
+
+  private def synthTiff(path: String): Unit = {
+    val w = 512; val h = 512; val rps = 64
+    val strips = (0 until h by rps).iterator.map { y0 =>
+      val buf = new Array[Byte](rps * w)
+      var k = 0
+      for (gy <- y0 until y0 + rps; gx <- 0 until w) {
+        buf(k) = ((3 * gx + 5 * gy) % 256).toByte; k += 1
+      }
+      buf
+    }
+    graft.raquet.TiffWriter.writeStrips(path, w, h, "uint8", 1,
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = Some(255.0), rowsPerStrip = rps, strips = strips)
+  }
+
+  test("convert, inspect, validate, split-zoom, partition, export run via argv") {
+    val tif = s"$tmp/in.tif"
+    synthTiff(tif)
+    val rq = s"$tmp/out.parquet"
+    Cli.run(spark, Seq("convert", tif, rq, "--tile-stats", "--overviews", "auto",
+      "--block-size", "256", "--compression", "gzip"))
+    assert(new java.io.File(rq).exists())
+    val ds = graft.raquet.RaquetIO.read(spark, rq)
+    assert(ds.meta.maxZoom == 1 && ds.data.count() == 5) // 4 native + 1 overview
+
+    Cli.run(spark, Seq("inspect", rq))
+    Cli.run(spark, Seq("validate", rq))
+
+    val zdir = s"$tmp/by_zoom"
+    Cli.run(spark, Seq("split-zoom", rq, zdir))
+    assert(new java.io.File(s"$zdir/z=1").exists())
+
+    val pdir = s"$tmp/by_part"
+    Cli.run(spark, Seq("partition", rq, pdir, "--partition-zoom", "0"))
+    assert(new java.io.File(pdir).listFiles().exists(_.getName.startsWith("part=")))
+
+    val tif2 = s"$tmp/out.tif"
+    Cli.run(spark, Seq("export", rq, tif2, "--no-overviews"))
+    assert(new java.io.File(tif2).length() > 0)
+  }
+
+  test("bad usage fails with a CliError, not a stack trace") {
+    intercept[Cli.CliError] { Cli.run(spark, Seq("convert", "only-one-arg")) }
+    intercept[Cli.CliError] { Cli.run(spark, Seq("frobnicate")) }
+    intercept[Cli.CliError] {
+      Cli.run(spark, Seq("convert", "a", "b", "--block-size", "100"))
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.raquet.{NetCdf, NetCdfWriter}
+
+/** NetCDF classic parser + ingest semantics: header/coord round-trip through
+  * the synthetic writer, record-slab stride, south-up flip, CF time wiring,
+  * and loud failures on unsupported containers. */
+class NetCdfSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("nc").toString
+
+  test("header/coords round-trip through the CDF-1 writer (record time dim)") {
+    val path = s"$tmp/rt.nc"
+    val lats = Array.tabulate(8)(j => 70.0 - 10.0 * j)  // north-up
+    val lons = Array.tabulate(16)(i => -180.0 + 22.5 * (i + 0.5))
+    NetCdfWriter.write(path, lats, lons, Array(0.0, 24.0, 48.0),
+      "hours since 2001-02-03 00:00:00", -9999f,
+      (t, j, i) => (100 * t + 16 * j + i).toFloat)
+    val h = NetCdf.readHeader(path)
+    assert(h.version == 1 && h.numRecs == 3)
+    assert(h.dims.map(_.name) == Seq("time", "lat", "lon"))
+    assert(h.dims.head.length == 0) // record dim
+    val g = NetCdf.describe(path)
+    assert(g.width == 16 && g.height == 8 && g.dtype == "float32")
+    assert(g.nodata.contains(-9999.0))
+    assert(g.timeValues.toSeq == Seq(0.0, 24.0, 48.0))
+    assert(g.cfUnits.contains("hours since 2001-02-03 00:00:00"))
+    assert(!g.flipY && g.dy == -10.0 && g.dx == 22.5)
+    assert(g.x0 == -180.0) // first center − dx/2
+    // plane windows: record stride = 8 (time) + plane bytes
+    val s0 = new NetCdf.PlaneSampler(g, 0, 0, 0, 16, 8)
+    val s2 = new NetCdf.PlaneSampler(g, 2, 0, 0, 16, 8)
+    assert(s0.sample(0, 5, 3) == (16 * 3 + 5).toFloat.toDouble)
+    assert(s2.sample(0, 5, 3) == (200 + 16 * 3 + 5).toFloat.toDouble)
+  }
+
+  test("south-up (ascending lat) files flip to north-up on read") {
+    val path = s"$tmp/flip.nc"
+    val lats = Array.tabulate(8)(j => -70.0 + 20.0 * j) // ascending = south-up
+    val lons = Array.tabulate(8)(i => -180.0 + 45.0 * (i + 0.5))
+    NetCdfWriter.write(path, lats, lons, Array(0.0), "days since 2000-01-01",
+      255f, (_, j, i) => (10 * j + i).toFloat)
+    val g = NetCdf.describe(path)
+    assert(g.flipY && g.dy == -20.0)
+    val s = new NetCdf.PlaneSampler(g, 0, 0, 0, 8, 8)
+    // north-up row 0 = file row 7 (the northernmost stored last)
+    assert(s.sample(0, 2, 0) == 72.0)
+    assert(s.sample(0, 2, 7) == 2.0)
+  }
+
+  test("non-classic containers and projected grids fail loudly") {
+    val h5 = s"$tmp/fake.h5"
+    Files.write(java.nio.file.Paths.get(h5),
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    val e = intercept[IllegalArgumentException] { NetCdf.readHeader(h5) }
+    assert(e.getMessage.contains("not a NetCDF classic"))
+  }
+}
