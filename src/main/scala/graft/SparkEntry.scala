@@ -98,6 +98,7 @@ object SparkEntry {
     "q77_cog_passthrough"   -> (RaquetQueries.q77CogPassthrough _),
     "q78_histogram_meta"    -> (RaquetQueries.q78HistogramMeta _),
     "q79_netcdf_ingest"     -> (RaquetQueries.q79NetcdfIngest _),
+    "q80_vp8_decode"        -> (RaquetQueries.q80Vp8Decode _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -279,6 +280,7 @@ object SparkEntry {
     "q77_cog_passthrough"   -> RaquetOracles.q77,
     "q78_histogram_meta"    -> RaquetOracles.q78,
     "q79_netcdf_ingest"     -> RaquetOracles.q79,
+    "q80_vp8_decode"        -> RaquetOracles.q80,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -574,6 +574,16 @@ object RaquetOracles {
         FROM joined"""
   }
 
+  /** q80 VP8-decode oracle: aggregate the checked-in golden pixels (dumped
+    * by libwebp's own decoder from the same stream) — the engine's decode
+    * must match bit-exactly, not within a lossy tolerance. */
+  val q80: String =
+    s"""SELECT CAST(pos // 4096 AS BIGINT) AS band16, channel,
+          count(*) AS n_px, sum(v) AS vsum,
+          CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+        FROM read_parquet('/root/repo/src/test/resources/webp/vp8_256x256_q80_golden.parquet')
+        GROUP BY 1, 2"""
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

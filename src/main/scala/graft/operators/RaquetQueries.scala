@@ -715,6 +715,38 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** F8 (lossy) driver proof: VP8 key-frame decode conformance inside the
+    * engine. The checked-in 256×256 webp tile was encoded by libwebp (the
+    * same encoder Pillow uses for the reference's `compression="webp"`
+    * datasets, `raster2raquet.py:845`); [[graft.raquet.Vp8]] decodes it
+    * through the standard interleaved-tile kernel (`rq_decode`) and the
+    * oracle aggregates the CHECKED-IN golden pixels that libwebp's own
+    * decoder produced — bit-exact equality, not a lossy tolerance. */
+  def q80Vp8Decode(spark: SparkSession, dir: String): DataFrame = {
+    val res = "/root/repo/src/test/resources/webp"
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$res/vp8_256x256_q80.webp"))
+    val meta = graft.raquet.RaquetMetadata(
+      version = "0.5.0", width = 256, height = 256, crs = "EPSG:3857",
+      bounds = Array(-180.0, -85.0, 180.0, 85.0), compression = Some("webp"),
+      blockWidth = 256, blockHeight = 256, minZoom = 0, maxZoom = 0,
+      pixelZoom = 8, numBlocks = 1, bandLayout = "interleaved",
+      bands = (1 to 3).map(k => graft.raquet.BandMeta(
+        s"band_$k", "uint8", None, None, None, None, None)),
+      time = None)
+    import spark.implicits._
+    val df = Seq(Tuple1(bytes)).toDF("webp")
+      .withColumn("pixels", mm_webp_pixels(col("webp"), 3))
+    (1 to 3).map { b =>
+      df.select(lit(b).as("channel"),
+        posexplode(rq_decode(mm_deinterleave(col("pixels"), b - 1, 3, 1),
+          meta, s"band_$b")).as(Seq("pos", "v")))
+    }.reduce(_ unionByName _)
+      .groupBy((col("pos") / lit(4096)).cast("long").as("band16"), col("channel"))
+      .agg(count(lit(1)).as("n_px"), sum(col("v")).as("vsum"),
+        min(col("v")).cast("long").as("vmin"), max(col("v")).cast("long").as("vmax"))
+  }
+
   /** Registered-source driver proof: `spark.read.format("raquet")` — the
     * DataSourceRegister path plus the RaquetMetadataExclusion analyzer rule
     * (metadata row dropped by the SOURCE, not the query). The oracle reads

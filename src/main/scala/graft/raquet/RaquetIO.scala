@@ -37,9 +37,9 @@ object RaquetIO {
         require(idx >= 0, s"no band $name")
         val bps = PixelCodec.bytesPerPixel(meta.bands(idx).bandType)
         // webp-lossless (VP8L) decodes via the pure-JVM WebP codec; lossy
-        // VP8 bytes raise a clear UnsupportedOperationException inside the
-        // decoder rather than misrouting into the JPEG path (reference
-        // writes webp via Pillow, raster2raquet.py:813-845)
+        // both webp flavors decode: VP8L losslessly, lossy VP8 key frames
+        // via the RFC 6386 decoder (reference writes webp via Pillow,
+        // raster2raquet.py:813-845 — lossy VP8 unless lossless=True)
         val raw =
           if (meta.compression.contains("webp"))
             graft.functions.GraftFunctions.mm_webp_pixels(col("pixels"), meta.bands.length)

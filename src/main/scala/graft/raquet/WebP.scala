@@ -256,29 +256,94 @@ object WebP {
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
 
-  /** Decode a WebP container. Lossless (VP8L) only; lossy VP8 raises. */
+  /** Decode a WebP container: lossless (VP8L) or lossy (VP8 key frame, RFC
+    * 6386 via [[Vp8]]), with optional ALPH alpha channel on the lossy path. */
   def decode(bytes: Array[Byte]): Argb = {
     require(isWebP(bytes), "not a WebP file (RIFF/WEBP header missing)")
     var off = 12
+    var alph = -1 // offset of ALPH payload (past the 8-byte chunk header)
+    var alphLen = 0
     while (off + 8 <= bytes.length) {
       val tag = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = u32le(bytes, off + 4)
+      if (size < 0 || off + 8L + size > bytes.length)
+        throw new IllegalArgumentException(
+          s"malformed WebP container: chunk '$tag' size $size exceeds file")
       tag match {
         case "VP8L" => return decodeVp8l(bytes, off + 8)
         case "VP8 " =>
-          throw new UnsupportedOperationException(
-            "lossy (VP8) WebP is not supported — only lossless (VP8L); " +
-              "re-encode the data as webp-lossless, gzip, or jpeg")
+          val frame = Vp8.decode(bytes, off + 8, size)
+          val rgb = Vp8.toRgb(frame)
+          val n = frame.width * frame.height
+          val a =
+            if (alph >= 0) decodeAlpha(bytes, alph, alphLen, frame.width, frame.height)
+            else null
+          val px = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val av = if (a == null) 0xFF else a(i) & 0xFF
+            px(i) = (av << 24) | ((rgb(i * 3) & 0xFF) << 16) |
+              ((rgb(i * 3 + 1) & 0xFF) << 8) | (rgb(i * 3 + 2) & 0xFF)
+            i += 1
+          }
+          return Argb(frame.width, frame.height, a != null, px)
+        case "ALPH" =>
+          alph = off + 8; alphLen = size
+          off += 8 + size + (size & 1)
         case _ =>
-          // u32le can yield a negative Int on malformed/truncated input;
-          // reject before advancing (off could otherwise move backwards)
-          if (size < 0 || off + 8L + size > bytes.length)
-            throw new IllegalArgumentException(
-              s"malformed WebP container: chunk '$tag' size $size exceeds file")
-          off += 8 + size + (size & 1) // VP8X / ALPH / EXIF … skipped
+          off += 8 + size + (size & 1) // VP8X / EXIF … skipped
       }
     }
-    throw new IllegalArgumentException("no VP8L chunk found in WebP container")
+    throw new IllegalArgumentException("no VP8L/VP8 chunk found in WebP container")
+  }
+
+  /** ALPH chunk (container spec): header byte = [pre(2) filter(2) compr(2)]
+    * from bit 4 down; compression 0 = raw, 1 = a headerless VP8L stream
+    * whose GREEN channel carries the alpha; then the inverse predictor
+    * filter (none/horizontal/vertical/gradient). */
+  private def decodeAlpha(bytes: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val hdr = bytes(off) & 0xFF
+    val compression = hdr & 3
+    val filter = (hdr >> 2) & 3
+    val a = new Array[Byte](w * h)
+    compression match {
+      case 0 =>
+        require(len - 1 >= w * h, s"raw ALPH too short: ${len - 1} < ${w * h}")
+        System.arraycopy(bytes, off + 1, a, 0, w * h)
+      case 1 =>
+        val px = readImageStream(new BitReader(bytes, off + 1), w, h, isLevel0 = true)
+        var i = 0
+        while (i < w * h) { a(i) = ((px(i) >> 8) & 0xFF).toByte; i += 1 }
+      case other =>
+        throw new UnsupportedOperationException(s"ALPH compression method $other")
+    }
+    if (filter > 0) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val pred =
+            if (x == 0 && y == 0) 0
+            else filter match {
+              case 1 => if (x > 0) a(i - 1) & 0xFF else a(i - w) & 0xFF
+              case 2 => if (y > 0) a(i - w) & 0xFF else a(i - 1) & 0xFF
+              case 3 =>
+                if (x == 0) a(i - w) & 0xFF
+                else if (y == 0) a(i - 1) & 0xFF
+                else {
+                  val g = (a(i - 1) & 0xFF) + (a(i - w) & 0xFF) - (a(i - w - 1) & 0xFF)
+                  if (g < 0) 0 else if (g > 255) 255 else g
+                }
+            }
+          a(i) = ((a(i) + pred) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    a
   }
 
   private def decodeVp8l(bytes: Array[Byte], start: Int): Argb = {

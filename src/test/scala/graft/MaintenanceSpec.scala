@@ -175,16 +175,23 @@ class MaintenanceSpec extends SparkSpec {
         s"pixel ($i,$j)")
   }
 
-  test("lossy VP8 webp bytes fail loudly, not via JPEG misroute") {
-    // a VP8 (lossy) container: the decoder must refuse with a clear message
+  test("lossy VP8 webp decodes through the multimodal path (F8 complete)") {
+    // a real libwebp-encoded lossy container through Multimodal.decodeWebP —
+    // bit-exact conformance lives in Vp8Spec; this pins the routing
+    val webp = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/webp/vp8_16x16_q80.webp"))
+    val px = graft.raquet.Multimodal.decodeWebP(webp, 3)
+    val golden = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/webp/vp8_16x16_q80.rgb"))
+    assert(px.toSeq == golden.toSeq)
+    // truncated/garbage VP8 payloads still fail loudly
     val bos = new java.io.ByteArrayOutputStream()
     def put4(s: String): Unit = s.foreach(c => bos.write(c.toInt))
     def putU32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xFF))
     put4("RIFF"); putU32(4 + 8 + 4); put4("WEBP"); put4("VP8 "); putU32(4)
     bos.write(Array[Byte](0, 0, 0, 0))
-    val e = intercept[UnsupportedOperationException](
+    intercept[IllegalArgumentException](
       graft.raquet.Multimodal.decodeWebP(bos.toByteArray, 3))
-    assert(e.getMessage.contains("lossless"))
   }
 
   test("stats scale-up multiplies counts/sums by 4^dz (A4)") {

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.Vp8
+
+/** VP8 conformance against libwebp-produced fixtures: each .webp under
+  * src/test/resources/webp/ was encoded AND decoded by the system libwebp
+  * (tools/gen_vp8_fixtures.py); the Scala decoder must reproduce the golden
+  * RGB bytes exactly. */
+class Vp8Spec extends AnyFunSuite {
+
+  private val dir = "src/test/resources/webp"
+
+  private def vp8Chunk(webp: Array[Byte]): (Int, Int) = {
+    var off = 12
+    while (off + 8 <= webp.length) {
+      val tag = new String(webp, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = (webp(off + 4) & 0xFF) | ((webp(off + 5) & 0xFF) << 8) |
+        ((webp(off + 6) & 0xFF) << 16) | ((webp(off + 7) & 0xFF) << 24)
+      if (tag == "VP8 ") return (off + 8, size)
+      off += 8 + size + (size & 1)
+    }
+    fail("no VP8 chunk")
+  }
+
+  private def check(name: String): Unit = {
+    val webp = Files.readAllBytes(Paths.get(s"$dir/$name.webp"))
+    val golden = Files.readAllBytes(Paths.get(s"$dir/$name.rgb"))
+    val (off, len) = vp8Chunk(webp)
+    val frame = Vp8.decode(webp, off, len)
+    val rgb = Vp8.toRgb(frame)
+    assert(rgb.length == golden.length, s"$name: size ${rgb.length} vs ${golden.length}")
+    var worst = 0
+    var worstAt = -1
+    var i = 0
+    while (i < rgb.length) {
+      val d = math.abs((rgb(i) & 0xFF) - (golden(i) & 0xFF))
+      if (d > worst) { worst = d; worstAt = i }
+      i += 1
+    }
+    if (worst != 0)
+      fail(s"$name: max pixel diff $worst at byte $worstAt " +
+        s"(got ${rgb(worstAt) & 0xFF}, want ${golden(worstAt) & 0xFF})")
+  }
+
+  test("RGBA with lossless-compressed gradient-filtered ALPH matches libwebp") {
+    val webp = Files.readAllBytes(Paths.get(s"$dir/vp8a_32x32_q80.webp"))
+    val golden = Files.readAllBytes(Paths.get(s"$dir/vp8a_32x32_q80.rgba"))
+    val img = graft.raquet.WebP.decode(webp)
+    assert(img.width == 32 && img.height == 32 && img.alphaHint)
+    var worst = 0; var at = -1
+    var i = 0
+    while (i < img.px.length) {
+      val p = img.px(i)
+      val g = ((golden(i * 4) & 0xFF) << 16) | ((golden(i * 4 + 1) & 0xFF) << 8) |
+        (golden(i * 4 + 2) & 0xFF) | ((golden(i * 4 + 3) & 0xFF) << 24)
+      var c = 0
+      while (c < 4) {
+        val d = math.abs(((p >> (c * 8)) & 0xFF) - ((g >> (c * 8)) & 0xFF))
+        if (d > worst) { worst = d; at = i }
+        c += 1
+      }
+      i += 1
+    }
+    if (worst != 0) fail(s"max channel diff $worst at px $at " +
+      f"(got 0x${img.px(at)}%08x)")
+  }
+
+  test("16x16 q80 matches libwebp bit-exactly")(check("vp8_16x16_q80"))
+  test("33x17 q80 (partial edge macroblocks)")(check("vp8_33x17_q80"))
+  test("64x48 q50 (heavy quantization)")(check("vp8_64x48_q50"))
+  test("64x48 q95 (dense coefficients)")(check("vp8_64x48_q95"))
+  test("256x256 q80 (production tile size)")(check("vp8_256x256_q80"))
+}

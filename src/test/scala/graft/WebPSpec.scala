@@ -156,8 +156,9 @@ class WebPSpec extends AnyFunSuite {
       assert(rgb(i * 3) == px(i) && rgb(i * 3 + 1) == px(i) && rgb(i * 3 + 2) == px(i))
   }
 
-  test("lossy VP8 container fails loudly, unknown chunks are skipped") {
-    // hand-built container with an unknown chunk then a VP8 (lossy) chunk
+  test("malformed VP8 payloads fail loudly, unknown chunks are skipped") {
+    // hand-built container with an unknown chunk then a garbage VP8 chunk:
+    // the lossy decoder must reject it (bad start code), not misdecode
     val payload = Array.tabulate(10)(_.toByte)
     val bos = new java.io.ByteArrayOutputStream()
     def put4(s: String): Unit = s.foreach(c => bos.write(c.toInt))
@@ -166,8 +167,8 @@ class WebPSpec extends AnyFunSuite {
     put4("RIFF"); putU32(4 + 8 + 10 + 8 + 10); put4("WEBP")
     put4("XYZW"); putU32(10); bos.write(payload) // unknown chunk, even size
     put4("VP8 "); putU32(10); bos.write(payload)
-    val e = intercept[UnsupportedOperationException](WebP.decode(bos.toByteArray))
-    assert(e.getMessage.contains("VP8L") || e.getMessage.contains("lossless"))
+    val e = intercept[IllegalArgumentException](WebP.decode(bos.toByteArray))
+    assert(e.getMessage.contains("start code") || e.getMessage.contains("keyframe"))
     // and garbage is rejected as non-WebP
     intercept[IllegalArgumentException](WebP.decode("nope".getBytes))
   }

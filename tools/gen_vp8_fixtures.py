@@ -1,0 +1,82 @@
+"""Generate lossy-VP8 conformance fixtures with the system libwebp:
+deterministic RGB(A) images -> WebPEncodeRGB(A) -> .webp, plus the
+libwebp-decoded RGB(A) bytes as golden pixels. The Scala decoder must
+reproduce the goldens (libwebp decode of its own stream is deterministic)."""
+import ctypes, os, sys
+
+lib = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libwebp.so.7")
+lib.WebPEncodeRGB.restype = ctypes.c_size_t
+lib.WebPEncodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_float,
+                              ctypes.POINTER(ctypes.c_void_p)]
+lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+lib.WebPEncodeRGBA.argtypes = lib.WebPEncodeRGB.argtypes
+lib.WebPDecodeRGB.restype = ctypes.c_void_p
+lib.WebPDecodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+lib.WebPDecodeRGBA.argtypes = lib.WebPDecodeRGB.argtypes
+lib.WebPFree.argtypes = [ctypes.c_void_p]
+
+def img_rgb(w, h):
+    b = bytearray(w * h * 3)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            b[i]   = (3 * x + 5 * y) % 256
+            b[i+1] = (x * x // 7 + 2 * y) % 256
+            b[i+2] = (11 * x ^ 3 * y) % 256
+    return bytes(b)
+
+def img_rgba(w, h):
+    b = bytearray(w * h * 4)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 4
+            b[i]   = (7 * x + 13 * y) % 256
+            b[i+1] = (x + y * y // 5) % 256
+            b[i+2] = (5 * x ^ y) % 256
+            b[i+3] = 255 if (x // 8 + y // 8) % 2 == 0 else (17 * x + 29 * y) % 256
+    return bytes(b)
+
+outdir = "/root/repo/src/test/resources/webp"
+os.makedirs(outdir, exist_ok=True)
+
+def gen(name, w, h, q, alpha=False):
+    raw = img_rgba(w, h) if alpha else img_rgb(w, h)
+    out = ctypes.c_void_p()
+    enc = lib.WebPEncodeRGBA if alpha else lib.WebPEncodeRGB
+    stride = w * (4 if alpha else 3)
+    n = enc(raw, w, h, stride, ctypes.c_float(q), ctypes.byref(out))
+    assert n > 0, name
+    webp = ctypes.string_at(out.value, n)
+    lib.WebPFree(out)
+    ww, hh = ctypes.c_int(), ctypes.c_int()
+    dec = lib.WebPDecodeRGBA if alpha else lib.WebPDecodeRGB
+    p = dec(webp, len(webp), ctypes.byref(ww), ctypes.byref(hh))
+    assert p and ww.value == w and hh.value == h, name
+    golden = ctypes.string_at(p, w * h * (4 if alpha else 3))
+    lib.WebPFree(p)
+    open(f"{outdir}/{name}.webp", "wb").write(webp)
+    open(f"{outdir}/{name}.{'rgba' if alpha else 'rgb'}", "wb").write(golden)
+    print(f"{name}: {w}x{h} q{q} webp={len(webp)}B golden={len(golden)}B")
+
+gen("vp8_16x16_q80", 16, 16, 80)
+gen("vp8_33x17_q80", 33, 17, 80)      # partial edge macroblocks
+gen("vp8_64x48_q50", 64, 48, 50)      # heavier quantization
+gen("vp8_64x48_q95", 64, 48, 95)      # dense coefficients
+gen("vp8_256x256_q80", 256, 256, 80)  # production tile size
+gen("vp8a_32x32_q80", 32, 32, 80, alpha=True)
+
+# golden pixels of the 256x256 fixture as parquet for the q80 DuckDB oracle
+import pyarrow as pa, pyarrow.parquet as pq
+rgb = open(f"{outdir}/vp8_256x256_q80.rgb", "rb").read()
+pos, chan, val = [], [], []
+for p in range(256 * 256):
+    for c in range(3):
+        pos.append(p); chan.append(c + 1); val.append(rgb[p * 3 + c])
+t = pa.table({"pos": pa.array(pos, pa.int64()),
+              "channel": pa.array(chan, pa.int32()),
+              "v": pa.array(val, pa.float64())})
+pq.write_table(t, f"{outdir}/vp8_256x256_q80_golden.parquet")
+print("golden parquet written")
