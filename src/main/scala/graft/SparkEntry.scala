@@ -99,6 +99,7 @@ object SparkEntry {
     "q78_histogram_meta"    -> (RaquetQueries.q78HistogramMeta _),
     "q79_netcdf_ingest"     -> (RaquetQueries.q79NetcdfIngest _),
     "q80_vp8_decode"        -> (RaquetQueries.q80Vp8Decode _),
+    "q81_http_tiff"         -> (RaquetQueries.q81HttpTiff _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -281,6 +282,8 @@ object SparkEntry {
     "q78_histogram_meta"    -> RaquetOracles.q78,
     "q79_netcdf_ingest"     -> RaquetOracles.q79,
     "q80_vp8_decode"        -> RaquetOracles.q80,
+    // q81 is the q60 convert over HTTP Range transport — identical oracle
+    "q81_http_tiff"         -> RaquetOracles.q60,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -4,11 +4,14 @@ package graft.geo
   * handling to GDAL/PROJ (`raquet/raster2raquet.py:1016-1031` warps any
   * source CRS to EPSG:3857); this no-GDAL build implements the projections
   * that cover the overwhelming majority of wild rasters directly:
-  * geographic (EPSG:4326), web mercator (EPSG:3857), and the 120 WGS84 UTM
+  * geographic (EPSG:4326), web mercator (EPSG:3857), the 120 WGS84 UTM
   * zones (EPSG:326xx/327xx) via the Karney–Krüger transverse-mercator
   * series ("Transverse Mercator with an accuracy of a few nanometers",
   * Karney 2011 — public-domain math; series truncated at n⁴, error well
-  * under a micrometer for WGS84's n ≈ 0.00168).
+  * under a micrometer for WGS84's n ≈ 0.00168), plus the ellipsoidal
+  * Lambert conformal conic, Albers equal-area, and polar stereographic
+  * families (Snyder, USGS PP 1395 — public formulas) common in public
+  * DEM / land-cover / polar datasets.
   */
 sealed trait Projection extends Serializable {
   /** Projected/source coords → (lon, lat) degrees. */
@@ -140,9 +143,193 @@ object TransverseMercator {
     if (lon > 180) lon - 360 else if (lon < -180) lon + 360 else lon
 }
 
+/** Shared ellipsoidal helpers for the conic/azimuthal projections (Snyder,
+  * "Map Projections — A Working Manual", USGS PP 1395: public formulas;
+  * eq. numbers cited per projection). */
+object Ellipsoidal {
+  /** (a, 1/f) pairs. GRS80 and WGS84 differ by ~0.1 mm in f. */
+  val Wgs84: (Double, Double) = (6378137.0, 298.257223563)
+  val Grs80: (Double, Double) = (6378137.0, 298.257222101)
+
+  def e2Of(invF: Double): Double = { val f = 1.0 / invF; f * (2 - f) }
+
+  /** m(φ) = cosφ/√(1−e²sin²φ) — Snyder 14-15. */
+  def m(e2: Double, phi: Double): Double =
+    math.cos(phi) / math.sqrt(1 - e2 * sq(math.sin(phi)))
+
+  /** Isometric-latitude kernel t(φ) = tan(π/4−φ/2)/((1−e sinφ)/(1+e sinφ))^(e/2)
+    * — Snyder 15-9. */
+  def t(e2: Double, phi: Double): Double = {
+    val e = math.sqrt(e2)
+    val es = e * math.sin(phi)
+    math.tan(math.Pi / 4 - phi / 2) / math.pow((1 - es) / (1 + es), e / 2)
+  }
+
+  /** Inverse of [[t]] by fixed-point iteration (Snyder 7-9, converges in a
+    * handful of steps for |e| of real ellipsoids). */
+  def phiFromT(e2: Double, tv: Double): Double = {
+    val e = math.sqrt(e2)
+    var phi = math.Pi / 2 - 2 * math.atan(tv)
+    var i = 0
+    while (i < 15) {
+      val es = e * math.sin(phi)
+      val next = math.Pi / 2 -
+        2 * math.atan(tv * math.pow((1 - es) / (1 + es), e / 2))
+      if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 } else phi = next
+      i += 1
+    }
+    phi
+  }
+
+  /** Authalic-latitude kernel q(φ) — Snyder 3-12. */
+  def q(e2: Double, phi: Double): Double = {
+    val e = math.sqrt(e2)
+    val s = math.sin(phi)
+    (1 - e2) * (s / (1 - e2 * s * s) -
+      (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+  }
+
+  def sq(x: Double): Double = x * x
+}
+
+/** Lambert conformal conic, 2 standard parallels (Snyder §15, eqs.
+  * 15-1..15-11 forward, 14-11/15-11 inverse). Angles in degrees. */
+final case class LambertConformalConic(
+    a: Double, invF: Double, sp1: Double, sp2: Double,
+    lat0: Double, lon0: Double, falseEasting: Double, falseNorthing: Double)
+    extends Projection {
+  import Ellipsoidal._
+  private val e2 = e2Of(invF)
+  private val phi1 = math.toRadians(sp1)
+  private val phi2 = math.toRadians(sp2)
+  private val m1 = m(e2, phi1)
+  private val m2 = m(e2, phi2)
+  private val t1 = t(e2, phi1)
+  private val t2 = t(e2, phi2)
+  /** Cone constant n — equals sin(sp1) when sp1 = sp2. */
+  private val n =
+    if (math.abs(sp1 - sp2) < 1e-12) math.sin(phi1)
+    else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+  private val bigF = m1 / (n * math.pow(t1, n))
+  private val rho0 = a * bigF * math.pow(t(e2, math.toRadians(lat0)), n)
+
+  def rectilinear: Boolean = false
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val rho = a * bigF * math.pow(t(e2, math.toRadians(lat)), n)
+    val theta = n * math.toRadians(TransverseMercator.normLon(lon - lon0))
+    (falseEasting + rho * math.sin(theta),
+      falseNorthing + rho0 - rho * math.cos(theta))
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseEasting
+    val dy = rho0 - (y - falseNorthing)
+    val sign = if (n < 0) -1.0 else 1.0
+    val rho = sign * math.hypot(dx, dy)
+    val theta = math.atan2(sign * dx, sign * dy)
+    val tv = math.pow(rho / (a * bigF), 1 / n)
+    (lon0 + math.toDegrees(theta / n), math.toDegrees(phiFromT(e2, tv)))
+  }
+}
+
+/** Albers equal-area conic (Snyder §14, eqs. 14-1..14-11 forward, inverse by
+  * the 3-16 iteration on the authalic latitude). Angles in degrees. */
+final case class AlbersEqualArea(
+    a: Double, invF: Double, sp1: Double, sp2: Double,
+    lat0: Double, lon0: Double, falseEasting: Double, falseNorthing: Double)
+    extends Projection {
+  import Ellipsoidal._
+  private val e2 = e2Of(invF)
+  private val phi1 = math.toRadians(sp1)
+  private val phi2 = math.toRadians(sp2)
+  private val m1 = m(e2, phi1)
+  private val m2 = m(e2, phi2)
+  private val q1 = q(e2, phi1)
+  private val q2 = q(e2, phi2)
+  private val n =
+    if (math.abs(sp1 - sp2) < 1e-12) math.sin(phi1)
+    else (m1 * m1 - m2 * m2) / (q2 - q1)
+  private val c = m1 * m1 + n * q1
+  private val rho0 = a * math.sqrt(c - n * q(e2, math.toRadians(lat0))) / n
+
+  def rectilinear: Boolean = false
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val rho = a * math.sqrt(c - n * q(e2, math.toRadians(lat))) / n
+    val theta = n * math.toRadians(TransverseMercator.normLon(lon - lon0))
+    (falseEasting + rho * math.sin(theta),
+      falseNorthing + rho0 - rho * math.cos(theta))
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseEasting
+    val dy = rho0 - (y - falseNorthing)
+    val sign = if (n < 0) -1.0 else 1.0
+    val rho = sign * math.hypot(dx, dy)
+    val theta = math.atan2(sign * dx, sign * dy)
+    val qv = (c - sq(rho * n / a)) / n
+    // Snyder 3-16: iterate φ from the authalic latitude
+    val e = math.sqrt(e2)
+    var phi = math.asin(math.max(-1, math.min(1, qv / 2)))
+    var i = 0
+    while (i < 15) {
+      val s = math.sin(phi)
+      val corr = sq(1 - e2 * s * s) / (2 * math.cos(phi)) *
+        (qv / (1 - e2) - s / (1 - e2 * s * s) +
+          (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      phi += corr
+      if (math.abs(corr) < 1e-14) i = 15
+      i += 1
+    }
+    (lon0 + math.toDegrees(theta / n), math.toDegrees(phi))
+  }
+}
+
+/** Polar stereographic, variant B (standard parallel; Snyder §21, eqs.
+  * 21-33..21-40; EPSG method 9829). `latTs` signs the aspect: negative =
+  * south pole. Angles in degrees. */
+final case class PolarStereographic(
+    a: Double, invF: Double, latTs: Double, lon0: Double,
+    falseEasting: Double, falseNorthing: Double) extends Projection {
+  import Ellipsoidal._
+  private val e2 = e2Of(invF)
+  private val south = latTs < 0
+  private val phiTs = math.toRadians(math.abs(latTs))
+  private val mc = m(e2, phiTs)
+  private val tc = t(e2, phiTs)
+
+  def rectilinear: Boolean = false
+
+  /** EPSG 9829 axis convention: E = FE + ρ sinθ for both aspects;
+    * N = FN − ρ cosθ (north) / FN + ρ cosθ (south), θ = λ − λ0. */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val theta = math.toRadians(TransverseMercator.normLon(lon - lon0))
+    val phiAbs = math.toRadians(if (south) -lat else lat)
+    val rho = a * mc * t(e2, phiAbs) / tc
+    (falseEasting + rho * math.sin(theta),
+      if (south) falseNorthing + rho * math.cos(theta)
+      else falseNorthing - rho * math.cos(theta))
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseEasting
+    val dy = if (south) y - falseNorthing else falseNorthing - y
+    val rho = math.hypot(dx, dy)
+    val tv = rho * tc / (a * mc)
+    val phi = math.toDegrees(phiFromT(e2, tv))
+    val theta = math.toDegrees(math.atan2(dx, dy))
+    (TransverseMercator.normLon(lon0 + theta), if (south) -phi else phi)
+  }
+}
+
 object Projection {
+  import Ellipsoidal.{Grs80, Wgs84}
+
   /** EPSG code → projection; None for unsupported codes. Covers 4326, 3857,
-    * and the WGS84 UTM zones 32601-32660 (north) / 32701-32760 (south). */
+    * the WGS84 UTM zones 326xx/327xx, and the widely used conic/polar
+    * systems 5070 (NAD83 CONUS Albers), 2154 (RGF93 Lambert-93),
+    * 3031/3413 (Antarctic / NSIDC Arctic polar stereographic). */
   def fromEpsg(code: Int): Option[Projection] = code match {
     case 4326 => Some(Geographic)
     case 3857 => Some(WebMercator)
@@ -150,6 +337,15 @@ object Projection {
       Some(TransverseMercator(-183.0 + 6.0 * (c - 32600), 0.9996, 500000.0, 0.0))
     case c if c >= 32701 && c <= 32760 =>
       Some(TransverseMercator(-183.0 + 6.0 * (c - 32700), 0.9996, 500000.0, 1e7))
+    case 5070 => // NAD83 / Conus Albers (GRS80)
+      Some(AlbersEqualArea(Grs80._1, Grs80._2, 29.5, 45.5, 23.0, -96.0, 0, 0))
+    case 2154 => // RGF93 / Lambert-93 (GRS80)
+      Some(LambertConformalConic(Grs80._1, Grs80._2, 49.0, 44.0, 46.5, 3.0,
+        700000.0, 6600000.0))
+    case 3031 => // WGS84 / Antarctic Polar Stereographic
+      Some(PolarStereographic(Wgs84._1, Wgs84._2, -71.0, 0.0, 0, 0))
+    case 3413 => // WGS84 / NSIDC Sea Ice Polar Stereographic North
+      Some(PolarStereographic(Wgs84._1, Wgs84._2, 70.0, -45.0, 0, 0))
     case _ => None
   }
 }

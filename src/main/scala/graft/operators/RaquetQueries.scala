@@ -715,6 +715,51 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** Remote-ingest driver proof (vsicurl parity, `raquet/cli.py:22-46`):
+    * the q60 synthetic TIFF served by an in-process localhost server that
+    * honors HTTP Range; `convert("http://…")` pulls tag headers on the
+    * driver and per-window strip ranges from executor tasks — no full-file
+    * download — and the read-back must match the SAME closed-form oracle
+    * as the local-file convert (q60), so the transport provably changes
+    * nothing. */
+  def q81HttpTiff(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q81"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/synth.tif", new com.sun.net.httpserver.HttpHandler {
+      private val RangeRe = """bytes=(\d+)-(\d+)""".r
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(RangeRe(a, b)) =>
+            val from = a.toLong.toInt
+            val to = math.min(b.toLong, bytes.length - 1L).toInt
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, to - from + 1L)
+            ex.getResponseBody.write(bytes, from, to - from + 1)
+          case _ =>
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/synth.tif"
+      val out = s"$tmp/synth.parquet"
+      graft.raquet.GeoTiff.convert(spark, url, out,
+        tileStats = true, overviews = "none")
+      val result = convertReadback(spark, out)
+      result.persist().count() // materialize before the server stops
+      result
+    } finally server.stop(0)
+  }
+
   /** F8 (lossy) driver proof: VP8 key-frame decode conformance inside the
     * engine. The checked-in 256×256 webp tile was encoded by libwebp (the
     * same encoder Pillow uses for the reference's `compression="webp"`

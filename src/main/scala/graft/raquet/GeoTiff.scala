@@ -17,9 +17,11 @@ import graft.quadbin.Quadbin
 /** GDAL-free GeoTIFF source/sink (S6 subset, S10) built on the JDK's TIFF
   * ImageIO plugin (deflate/LZW/uncompressed decode) + direct GeoTIFF tag
   * handling. Mirrors the reference ingest pipeline
-  * (`raquet/raster2raquet.py` §3.1 trace in SURVEY.md) with the scope cuts a
-  * no-GDAL build implies: sources must be EPSG:4326, EPSG:3857, or a WGS84
-  * UTM zone (EPSG:326xx/327xx, via [[graft.geo.TransverseMercator]]). All 14
+  * (`raquet/raster2raquet.py` §3.1 trace in SURVEY.md). Supported source
+  * CRSes: EPSG:4326, EPSG:3857, the WGS84 UTM zones (326xx/327xx), the
+  * common conic/polar systems 5070/2154/3031/3413, and user-defined
+  * Lambert-conformal-conic / Albers / polar-stereographic projections read
+  * from GeoTIFF projection keys (see `userDefinedProjection`). All 14
   * of the reference's gdalwarp resampling algorithms are implemented
   * (near/bilinear/cubic/cubicspline/lanczos + the average/sum/rms/min/max/
   * med/q1/q3/mode footprint statistics).
@@ -82,15 +84,12 @@ object GeoTiff {
     * order. Strip offsets/counts parse into doubles, exact to 2^53 — far
     * past any real file size. */
   private final class TagReader(path: String) extends AutoCloseable {
-    private val raf = new java.io.RandomAccessFile(path, "r")
+    private val rr = graft.sources.RandomReader(path)
     var order: ByteOrder = ByteOrder.LITTLE_ENDIAN
     var big: Boolean = false
 
-    private def buf(at: Long, n: Int): ByteBuffer = {
-      val a = new Array[Byte](n)
-      raf.seek(at); raf.readFully(a)
-      ByteBuffer.wrap(a).order(order)
-    }
+    private def buf(at: Long, n: Int): ByteBuffer =
+      ByteBuffer.wrap(rr.readAt(at, n)).order(order)
 
     def parse(): Map[Int, (Int, Array[Double], String)] = parseAll().head
 
@@ -176,7 +175,7 @@ object GeoTiff {
       (tagsOut, next)
     }
 
-    def close(): Unit = raf.close()
+    def close(): Unit = rr.close()
   }
 
   /** Driver-side open: header + IFD tags only, never pixel bytes. */
@@ -206,18 +205,57 @@ object GeoTiff {
       }
 
     // GeoKeyDirectory: key 1024 GTModelType (1=projected, 2=geographic),
-    // key 3072 ProjectedCSType
+    // key 3072 ProjectedCSType; user-defined projections (32767) carry
+    // their parameters as doubles in GeoDoubleParams (34736) referenced by
+    // TIFFTagLocation
     val keys = fieldDoubles(34735).getOrElse(Array.empty).map(_.toInt)
-    val keyMap = keys.drop(4).grouped(4).collect {
-      case Array(k, 0, 1, v) => k -> v
+    val doubleParams = fieldDoubles(34736).getOrElse(Array.empty)
+    val entries = keys.drop(4).grouped(4).toSeq
+    val keyMap = entries.collect { case Array(k, 0, 1, v) => k -> v }.toMap
+    val dblKeys = entries.collect {
+      case Array(k, 34736, 1, off) if off < doubleParams.length =>
+        k -> doubleParams(off)
     }.toMap
+    def userDefinedProjection(): graft.geo.Projection = {
+      import graft.geo._
+      def d(primary: Int, alt: Int, what: String): Double =
+        dblKeys.get(primary).orElse(dblKeys.get(alt)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: projection parameter $what (geokey $primary) missing"))
+      def opt(primary: Int, alt: Int): Double =
+        dblKeys.get(primary).orElse(dblKeys.get(alt)).getOrElse(0.0)
+      val aAx = dblKeys.getOrElse(2057, Ellipsoidal.Wgs84._1)
+      val invF = dblKeys.getOrElse(2059, Ellipsoidal.Wgs84._2)
+      keyMap.getOrElse(3075, -1) match {
+        case 8 => // CT_LambertConfConic_2SP
+          LambertConformalConic(aAx, invF,
+            d(3078, -1, "std parallel 1"), d(3079, 3078, "std parallel 2"),
+            d(3085, 3081, "origin lat"), d(3084, 3080, "origin lon"),
+            opt(3082, 3086), opt(3083, 3087))
+        case 11 => // CT_AlbersEqualArea
+          AlbersEqualArea(aAx, invF,
+            d(3078, -1, "std parallel 1"), d(3079, 3078, "std parallel 2"),
+            d(3081, 3085, "origin lat"), d(3080, 3084, "origin lon"),
+            opt(3082, 3086), opt(3083, 3087))
+        case 15 => // CT_PolarStereographic
+          PolarStereographic(aAx, invF,
+            d(3081, 3078, "std parallel (lat_ts)"),
+            d(3095, 3080, "straight vertical pole lon"),
+            opt(3082, 3086), opt(3083, 3087))
+        case ct => throw new IllegalArgumentException(
+          s"$path: user-defined projection with coordinate transform code " +
+            s"$ct unsupported (LCC-2SP=8, Albers=11, PolarStereographic=15)")
+      }
+    }
     val proj: graft.geo.Projection =
       if (keyMap.getOrElse(1024, 2) == 2) graft.geo.Geographic
       else {
         val epsg = keyMap.getOrElse(3072, 3857)
-        graft.geo.Projection.fromEpsg(epsg).getOrElse(
+        if (epsg == 32767) userDefinedProjection()
+        else graft.geo.Projection.fromEpsg(epsg).getOrElse(
           throw new IllegalArgumentException(s"$path: projected CRS " +
-            s"EPSG:$epsg unsupported (3857, 4326, or WGS84 UTM 326xx/327xx)"))
+            s"EPSG:$epsg unsupported (3857, 4326, WGS84 UTM 326xx/327xx, " +
+            "5070, 2154, 3031, 3413, or user-defined LCC/Albers/polar-stereo)"))
       }
 
     val nodata = fieldString(42113).flatMap(s =>
@@ -310,7 +348,10 @@ object GeoTiff {
     * the strip decoder over the same tag parse the driver already did. */
   def readWindowRaster(path: String, wx: Int, wy: Int, ww: Int,
       wh: Int, ifd: Int = 0): java.awt.image.Raster = {
-    if (isBigTiff(path)) return readWindowStripsDirect(path, wx, wy, ww, wh, ifd)
+    // remote sources go through the direct strip reader: it fetches exactly
+    // the byte ranges the window touches (ImageIO would need a local file)
+    if (isBigTiff(path) || graft.sources.RandomReader.isRemote(path))
+      return readWindowStripsDirect(path, wx, wy, ww, wh, ifd)
     val iis = ImageIO.createImageInputStream(new File(path))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -327,15 +368,14 @@ object GeoTiff {
   }
 
   private def isBigTiff(path: String): Boolean = {
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val rr = graft.sources.RandomReader(path)
     try {
-      val a = new Array[Byte](4)
-      raf.readFully(a)
+      val a = rr.readAt(0, 4)
       val le = a(0) == 'I'.toByte
       val v = if (le) ((a(2) & 0xFF) | ((a(3) & 0xFF) << 8))
               else ((a(3) & 0xFF) | ((a(2) & 0xFF) << 8))
       v == 43
-    } finally raf.close()
+    } finally rr.close()
   }
 
   /** Windowed read over raw STRIP layout (BigTIFF path): seeks only the
@@ -377,15 +417,13 @@ object GeoTiff {
     val out = java.awt.image.Raster.createWritableRaster(sm, db, null)
     val banks = (0 until nb).map(db.getData).toArray
 
-    val raf = new java.io.RandomAccessFile(path, "r")
+    val rr = graft.sources.RandomReader(path)
     try {
       val s0 = wy / rowsPerStrip
       val s1 = (wy + wh - 1) / rowsPerStrip
       var si = s0
       while (si <= s1) {
-        val raw = new Array[Byte](counts(si).toLong.toInt)
-        raf.seek(offsets(si).toLong)
-        raf.readFully(raw)
+        val raw = rr.readAt(offsets(si).toLong, counts(si).toLong.toInt)
         val stripRows = math.min(rowsPerStrip.toLong, h - si.toLong * rowsPerStrip).toInt
         val expect = (rowBytes * stripRows).toInt
         val data = compression match {
@@ -436,7 +474,7 @@ object GeoTiff {
         }
         si += 1
       }
-    } finally raf.close()
+    } finally rr.close()
     out
   }
 
@@ -1477,9 +1515,11 @@ object TiffWriter {
       pixelSize: Double, originX: Double, originY: Double,
       nodata: Option[Double], rowsPerStrip: Int,
       strips: Iterator[Array[Byte]], forceBig: Boolean = false,
-      epsg: Int = 3857): Unit =
+      epsg: Int = 3857,
+      geoKeysOverride: Option[(Seq[Int], Seq[Double])] = None): Unit =
     writeImages(path, dtype, nb, pixelSize, originX, originY, nodata,
-      Seq(TiffImage(w, h, rowsPerStrip, () => strips)), forceBig, epsg)
+      Seq(TiffImage(w, h, rowsPerStrip, () => strips)), forceBig, epsg,
+      geoKeysOverride)
 
   /** One image (IFD) of a multi-image file; `reduced` marks COG overview
     * levels (NewSubfileType = 1). */
@@ -1495,7 +1535,8 @@ object TiffWriter {
   def writeImages(path: String, dtype: String, nb: Int,
       pixelSize: Double, originX: Double, originY: Double,
       nodata: Option[Double], images: Seq[TiffImage],
-      forceBig: Boolean = false, epsg: Int = 3857): Unit = {
+      forceBig: Boolean = false, epsg: Int = 3857,
+      geoKeysOverride: Option[(Seq[Int], Seq[Double])] = None): Unit = {
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val (sampleFormat, bits) = dtype match {
       case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
@@ -1576,13 +1617,22 @@ object TiffWriter {
           val scaleTag = Tag(33550, 12, 3, alloc(doubles(Seq(pixelSize, pixelSize, 0.0))))
           val tieTag = Tag(33922, 12, 6, alloc(doubles(Seq(0, 0, 0, originX, originY, 0))))
           // geographic CRSes key GeographicType (2048), projected key
-          // ProjectedCSType (3072)
-          val geoKeys =
-            if (epsg == 4326)
-              Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
-            else
-              Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
-          Seq(scaleTag, tieTag, Tag(34735, 3, geoKeys.length, alloc(shorts(geoKeys))))
+          // ProjectedCSType (3072); geoKeysOverride supplies a full custom
+          // directory + GeoDoubleParams (user-defined projections)
+          geoKeysOverride match {
+            case Some((gk, dbl)) =>
+              Seq(scaleTag, tieTag,
+                Tag(34735, 3, gk.length, alloc(shorts(gk))),
+                Tag(34736, 12, dbl.length, alloc(doubles(dbl))))
+            case None =>
+              val geoKeys =
+                if (epsg == 4326)
+                  Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+                else
+                  Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
+              Seq(scaleTag, tieTag,
+                Tag(34735, 3, geoKeys.length, alloc(shorts(geoKeys))))
+          }
         }
       val nodataTag = nodataStr.map { s0 =>
         tagArr(42113, 2, s0.length + 1, (s0 + "\u0000").getBytes("ASCII"))

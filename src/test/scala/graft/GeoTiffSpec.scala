@@ -220,6 +220,62 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("LCC source (user-defined geokeys, Lambert-93 params) converts end to end") {
+    val tif = tmp("lcc93.tif")
+    val w = 512; val h = 512
+    val px = 100.0 // 51.2 km square near Paris
+    val x0 = 650000.0; val y0 = 6870000.0
+    def v(i: Int, j: Int): Int = (j / 64) * 8 + i / 64
+    val strips = (0 until h / 64).iterator.map { s0 =>
+      val arr = new Array[Byte](64 * w)
+      for (j <- 0 until 64; i <- 0 until w) arr(j * w + i) = v(i, s0 * 64 + j).toByte
+      arr
+    }
+    // user-defined projected CRS: CT_LambertConfConic_2SP with the RGF93 /
+    // Lambert-93 parameters in GeoDoubleParams
+    val geoKeys = Seq(
+      1, 1, 0, 8,
+      1024, 0, 1, 1, // projected
+      1025, 0, 1, 1,
+      3072, 0, 1, 32767, // user-defined PCS
+      3075, 0, 1, 8, // CT_LambertConfConic_2SP
+      3078, 34736, 1, 0, 3079, 34736, 1, 1, // std parallels
+      3084, 34736, 1, 2, 3085, 34736, 1, 3) // false origin lon/lat
+    val dbl = Seq(49.0, 44.0, 3.0, 46.5)
+    // false easting/northing omitted → default 0; shift origin accordingly
+    val (fe, fn) = (700000.0, 6600000.0)
+    graft.raquet.TiffWriter.writeStrips(tif, w, h, "uint8", 1, px,
+      x0 - fe, y0 - fn, None, 64, strips,
+      geoKeysOverride = Some((geoKeys, dbl)))
+
+    val src = GeoTiff.readInfo(tif)
+    assert(src.proj.isInstanceOf[graft.geo.LambertConformalConic])
+    assert(!src.proj.rectilinear)
+
+    val out = tmp("lcc93.parquet")
+    val meta = GeoTiff.convert(spark, tif, out)
+    assert(meta.crs == "EPSG:3857")
+    val lcc = src.proj
+    // probe every 64-px block interior (UTM-test pattern): nearest-neighbour
+    // warp must reproduce the block-constant source value
+    val ds = RaquetIO.read(spark, out)
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    for (bi <- 0 until 8; bj <- 0 until 8) {
+      val e = (x0 - fe) + (bi * 64 + 32 + 0.5) * px
+      val n = (y0 - fn) - (bj * 64 + 32 + 0.5) * px
+      val (lon, lat) = lcc.toLonLat(e, n)
+      val cell = graft.quadbin.Quadbin.fromLonLat(lon, lat, meta.maxZoom)
+      val got = ds.data.filter(col("block") === cell)
+        .select(rq_raster_value(col("band_1"), col("block"),
+          lit(lon), lit(lat), meta, "band_1"))
+        .collect()
+      assert(got.length == 1, s"block ($bi,$bj): no covering tile")
+      assert(got(0).getDouble(0) == v(bi * 64 + 32, bj * 64 + 32).toDouble,
+        s"block ($bi,$bj)")
+    }
+  }
+
   test("overviews=none and min-zoom override control the pyramid (cli.py:393-403)") {
     val outNone = tmp("eu_none.parquet")
     val mNone = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
@@ -299,11 +355,12 @@ class GeoTiffSpec extends SparkSpec {
   }
 
   test("unsupported projected CRS still fails loudly") {
-    val tif = tmp("lambert.tif")
+    // 32661 (UPS North) is not in the supported set
+    val tif = tmp("ups.tif")
     graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 100.0, 0.0, 0.0,
-      None, 4, Iterator(new Array[Byte](16)), epsg = 2154)
+      None, 4, Iterator(new Array[Byte](16)), epsg = 32661)
     val ex = intercept[IllegalArgumentException](GeoTiff.readInfo(tif))
-    assert(ex.getMessage.contains("EPSG:2154"))
+    assert(ex.getMessage.contains("EPSG:32661"))
   }
 
   test("export: fixture mosaics to a GeoTIFF the JDK reader round-trips") {

@@ -21,7 +21,9 @@ class ProjSpec extends AnyFunSuite {
     assert(Projection.fromEpsg(32660).get.asInstanceOf[TransverseMercator].lon0 == 177.0)
     assert(Projection.fromEpsg(4326).contains(graft.geo.Geographic))
     assert(Projection.fromEpsg(3857).contains(WebMercator))
-    assert(Projection.fromEpsg(2154).isEmpty) // Lambert-93: unsupported
+    assert(Projection.fromEpsg(2154).exists(_.isInstanceOf[graft.geo.LambertConformalConic]))
+    assert(Projection.fromEpsg(5070).exists(_.isInstanceOf[graft.geo.AlbersEqualArea]))
+    assert(Projection.fromEpsg(3031).exists(_.isInstanceOf[graft.geo.PolarStereographic]))
     assert(Projection.fromEpsg(32661).isEmpty) // UPS: unsupported
   }
 
@@ -96,5 +98,120 @@ class ProjSpec extends AnyFunSuite {
       assert(math.abs((eE - 500000.0) + (eW - 500000.0)) < 1e-6)
       assert(math.abs(nE - nW) < 1e-6)
     }
+  }
+
+  // --- conic / azimuthal projections (LCC, Albers, polar stereographic) ---
+  // Validated against the families' DEFINING properties via numeric
+  // differentials — checks that are independent of the implementation's
+  // series/iterations: conformality, unit scale on standard parallels,
+  // area preservation, and the EPSG axis conventions.
+
+  private val lcc93 = Projection.fromEpsg(2154).get
+  private val albersConus = Projection.fromEpsg(5070).get
+  private val psSouth = Projection.fromEpsg(3031).get
+  private val psNorth = Projection.fromEpsg(3413).get
+
+  private val A = 6378137.0
+  private val E2grs = { val f = 1 / 298.257222101; f * (2 - f) }
+  private val E2wgs = { val f = 1 / 298.257223563; f * (2 - f) }
+
+  /** Radius of the parallel circle a·m(φ). */
+  private def rPar(e2: Double, lat: Double): Double = {
+    val p = math.toRadians(lat)
+    A * math.cos(p) / math.sqrt(1 - e2 * math.sin(p) * math.sin(p))
+  }
+  /** Meridional radius of curvature M(φ). */
+  private def rMer(e2: Double, lat: Double): Double = {
+    val s = math.sin(math.toRadians(lat))
+    A * (1 - e2) / math.pow(1 - e2 * s * s, 1.5)
+  }
+  private def dist(p: graft.geo.Projection, lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val (x1, y1) = p.fromLonLat(lon1, lat1)
+    val (x2, y2) = p.fromLonLat(lon2, lat2)
+    math.hypot(x2 - x1, y2 - y1)
+  }
+  /** Numeric scale factor along the parallel / meridian. */
+  private def kPar(p: graft.geo.Projection, e2: Double, lon: Double, lat: Double): Double = {
+    val d = 1e-6
+    dist(p, lon - d / 2, lat, lon + d / 2, lat) / (rPar(e2, lat) * math.toRadians(d))
+  }
+  private def kMer(p: graft.geo.Projection, e2: Double, lon: Double, lat: Double): Double = {
+    val d = 1e-6
+    dist(p, lon, lat - d / 2, lon, lat + d / 2) / (rMer(e2, lat) * math.toRadians(d))
+  }
+
+  test("conic/polar round-trips close to sub-micrometer over their domains") {
+    for (lon <- (-10 to 15 by 5).map(_.toDouble); lat <- (41 to 51 by 2).map(_.toDouble)) {
+      val (x, y) = lcc93.fromLonLat(lon, lat)
+      val (lo, la) = lcc93.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-11 && math.abs(la - lat) < 1e-11, s"lcc $lon,$lat")
+    }
+    for (lon <- (-125 to -65 by 10).map(_.toDouble); lat <- (0 to 6).map(23.0 + 4.5 * _)) {
+      val (x, y) = albersConus.fromLonLat(lon, lat)
+      val (lo, la) = albersConus.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-11 && math.abs(la - lat) < 1e-11, s"albers $lon,$lat")
+    }
+    for (lon <- (-180 until 180 by 30).map(_.toDouble); lat <- Seq(-89.0, -80.0, -71.0, -60.0)) {
+      val (x, y) = psSouth.fromLonLat(lon, lat)
+      val (lo, la) = psSouth.toLonLat(x, y)
+      assert(math.abs(TransverseMercator.normLon(lo - lon)) < 1e-11 &&
+        math.abs(la - lat) < 1e-11, s"ps-south $lon,$lat")
+    }
+    for (lon <- (-180 until 180 by 30).map(_.toDouble); lat <- Seq(60.0, 70.0, 80.0, 89.0)) {
+      val (x, y) = psNorth.fromLonLat(lon, lat)
+      val (lo, la) = psNorth.toLonLat(x, y)
+      assert(math.abs(TransverseMercator.normLon(lo - lon)) < 1e-11 &&
+        math.abs(la - lat) < 1e-11, s"ps-north $lon,$lat")
+    }
+  }
+
+  test("LCC: unit scale on both standard parallels, conformal everywhere") {
+    // Lambert-93 standard parallels 44°N and 49°N
+    for (lon <- Seq(-4.0, 3.0, 9.0)) {
+      assert(math.abs(kPar(lcc93, E2grs, lon, 44.0) - 1) < 1e-7, s"sp1 @$lon")
+      assert(math.abs(kPar(lcc93, E2grs, lon, 49.0) - 1) < 1e-7, s"sp2 @$lon")
+      // between the parallels the cone cuts below the ellipsoid: k < 1
+      assert(kPar(lcc93, E2grs, lon, 46.5) < 1)
+      assert(kPar(lcc93, E2grs, lon, 42.0) > 1)
+      // conformality: meridian scale == parallel scale off the parallels too
+      for (lat <- Seq(42.0, 44.0, 46.5, 49.0, 50.5))
+        assert(math.abs(kMer(lcc93, E2grs, lon, lat) / kPar(lcc93, E2grs, lon, lat) - 1) < 1e-6,
+          s"anisotropy at $lon,$lat")
+    }
+    // grid origin maps exactly to the false origin
+    val (x0, y0) = lcc93.fromLonLat(3.0, 46.5)
+    assert(math.abs(x0 - 700000.0) < 1e-6 && math.abs(y0 - 6600000.0) < 1e-6)
+  }
+
+  test("Albers: unit scale on standard parallels, area preserved everywhere") {
+    for (lon <- Seq(-120.0, -96.0, -75.0)) {
+      assert(math.abs(kPar(albersConus, E2grs, lon, 29.5) - 1) < 1e-7)
+      assert(math.abs(kPar(albersConus, E2grs, lon, 45.5) - 1) < 1e-7)
+      // equal-area: k_par · k_mer == 1 (principal directions multiply to 1)
+      for (lat <- Seq(24.0, 29.5, 37.0, 45.5, 49.0))
+        assert(math.abs(kPar(albersConus, E2grs, lon, lat) *
+          kMer(albersConus, E2grs, lon, lat) - 1) < 1e-6, s"area at $lon,$lat")
+    }
+    val (x0, y0) = albersConus.fromLonLat(-96.0, 23.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+  }
+
+  test("polar stereographic: unit scale at lat_ts, conformal, EPSG axes") {
+    for (lon <- Seq(-120.0, 0.0, 45.0, 170.0)) {
+      assert(math.abs(kPar(psSouth, E2wgs, lon, -71.0) - 1) < 1e-7)
+      assert(math.abs(kPar(psNorth, E2wgs, lon, 70.0) - 1) < 1e-7)
+      for (lat <- Seq(-85.0, -71.0, -60.0))
+        assert(math.abs(kMer(psSouth, E2wgs, lon, lat) / kPar(psSouth, E2wgs, lon, lat) - 1) < 1e-6)
+    }
+    // EPSG 9829 axis conventions: 3031 (λ0=0): 75°S on the Greenwich
+    // meridian lies on +Y; on 90°E it lies on +X. 3413 (λ0=-45°, north):
+    // 80°N at λ0 lies on -Y.
+    val (xs, ys) = psSouth.fromLonLat(0.0, -75.0)
+    assert(math.abs(xs) < 1e-6 && ys > 1e6, s"3031 axes ($xs,$ys)")
+    val (xe, ye) = psSouth.fromLonLat(90.0, -75.0)
+    assert(xe > 1e6 && math.abs(ye) < 1e-6, s"3031 axes 90E ($xe,$ye)")
+    val (xn, yn) = psNorth.fromLonLat(-45.0, 80.0)
+    assert(math.abs(xn) < 1e-6 && yn < -1e5, s"3413 axes ($xn,$yn)")
   }
 }
