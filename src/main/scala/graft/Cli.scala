@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.raquet.{GeoTiff, Maintenance, NetCdf}
+import graft.raquet.{AaiGrid, GeoTiff, Maintenance, NetCdf}
 
 /** Thin command-line surface over the library — the Spark-side mirror of
   * `raquet/cli.py:358-464,887-900,932-941,1058-1079,1296-1299` so the API
@@ -94,7 +94,13 @@ object Cli {
     case "convert" =>
       val (pos, f) = parseArgs(args.tail, Set("tile-stats"))
       val Seq(in, out) = expect(pos, 2, "convert <in.tif|in.nc> <out.parquet>")
-      if (in.endsWith(".nc")) NetCdf.convert(spark, in, out,
+      if (in.endsWith(".asc") || in.endsWith(".agr")) AaiGrid.convert(spark, in, out,
+        blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+        zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+        tileStats = f.contains("tile-stats"),
+        resampling = f.getOrElse("resampling", "near"),
+        overviews = f.getOrElse("overviews", "auto"))
+      else if (in.endsWith(".nc")) NetCdf.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
         zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
         tileStats = f.contains("tile-stats"),

@@ -100,6 +100,7 @@ object SparkEntry {
     "q79_netcdf_ingest"     -> (RaquetQueries.q79NetcdfIngest _),
     "q80_vp8_decode"        -> (RaquetQueries.q80Vp8Decode _),
     "q81_http_tiff"         -> (RaquetQueries.q81HttpTiff _),
+    "q82_aaigrid_ingest"    -> (RaquetQueries.q82AaigridIngest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -284,6 +285,7 @@ object SparkEntry {
     "q80_vp8_decode"        -> RaquetOracles.q80,
     // q81 is the q60 convert over HTTP Range transport — identical oracle
     "q81_http_tiff"         -> RaquetOracles.q60,
+    "q82_aaigrid_ingest"    -> RaquetOracles.q82,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

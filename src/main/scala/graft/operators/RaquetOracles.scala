@@ -584,6 +584,58 @@ object RaquetOracles {
         FROM read_parquet('/root/repo/src/test/resources/webp/vp8_256x256_q80_golden.parquet')
         GROUP BY 1, 2"""
 
+  /** q82 AAIGrid-ingest oracle: the q79 closed form restricted to one band,
+    * with one structural difference — the TIFF convert path builds the z0
+    * overview by PYRAMID AVERAGING (not warp-from-source), so a z0 row is
+    * valid iff EITHER of its two z1 child rows is (the pair-constant
+    * columns make averaging equal subsampling on values). */
+  val q82: String = {
+    val lat = "degrees(atan((exp(pi()*(1 - 2*tf)) - exp(-pi()*(1 - 2*tf)))/2))"
+    s"""WITH z1rows AS (
+          SELECT r, floor((84.375 - $lat) / 0.703125) BETWEEN 0 AND 239 AS ok
+          FROM (SELECT r, (CAST(r AS DOUBLE) + 0.5) / 512 AS tf
+                FROM range(512) t(r)) s),
+        rowsv AS (
+          SELECT 1 AS z, CAST(r // 256 AS INT) AS ty, count(*) AS nrows
+          FROM z1rows WHERE ok GROUP BY 2
+          UNION ALL
+          SELECT 0, 0, count(*) FROM (
+            SELECT r // 2 AS j, bool_or(ok) AS anyok FROM z1rows GROUP BY 1)
+          WHERE anyok),
+        cols AS (
+          SELECT 1 AS z, tx, tx*128 + k AS p, 2 AS mult
+            FROM (VALUES (0), (1)) x(tx), range(128) r(k)
+          UNION ALL
+          SELECT 0, 0, k, 1 FROM range(256) r(k)),
+        vals AS (
+          SELECT z, tx, mult,
+            CASE WHEN p % 27 = 0 THEN NULL
+                 ELSE CAST(3*p % 251 AS DOUBLE) END AS v
+          FROM cols),
+        colagg AS (
+          SELECT z, tx,
+            coalesce(sum(CASE WHEN v IS NOT NULL THEN mult END), 0) AS ncols,
+            sum(v * mult) AS colsum, min(v) AS vmin, max(v) AS vmax
+          FROM vals GROUP BY z, tx),
+        tiles AS (
+          SELECT z, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty
+          FROM (VALUES (1,0,0), (1,1,0), (1,0,1), (1,1,1), (0,0,0)) v(z, tx, ty)),
+        joined AS (
+          SELECT t.z, t.tx, t.ty, r.nrows, c.ncols, c.colsum, c.vmin, c.vmax
+          FROM tiles t
+          JOIN rowsv r ON r.z = t.z AND r.ty = t.ty
+          JOIN colagg c ON c.z = t.z AND c.tx = t.tx)
+        SELECT
+          CASE z WHEN 1 THEN ${cellExpr("tx", "ty", 1)}
+                 ELSE ${cellExpr("tx", "ty", 0)} END AS block,
+          CAST(z AS BIGINT) AS zoom,
+          CAST(nrows * ncols AS BIGINT) AS n_px,
+          CAST(vmin AS BIGINT) AS px_min, CAST(vmax AS BIGINT) AS px_max,
+          CAST(nrows * colsum AS BIGINT) AS px_sum,
+          CAST(nrows * colsum AS BIGINT) AS dec_sum
+        FROM joined"""
+  }
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

@@ -715,6 +715,53 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** S6 (AAIGrid) driver proof: Esri ASCII grid ingest (`docs/cli.md:154`)
+    * — the q79 world grid as a single-band `.asc` (streamed ASCII→TIFF
+    * transcode, then the distributed warp). Same float-immune oracle
+    * design: values depend only on the source column pair. */
+  def q82AaigridIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q82"
+    new java.io.File(tmp).mkdirs()
+    val asc = s"$tmp/synth.asc"
+    val w = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(asc), 1 << 20))
+    try {
+      w.println("ncols 512")
+      w.println("nrows 240")
+      w.println("xllcorner -180")
+      w.println("yllcorner -84.375")
+      w.println("cellsize 0.703125")
+      w.println("NODATA_value 255")
+      var j = 0
+      while (j < 240) {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < 512) {
+          val p = i >> 1
+          sb.append(if (p % 27 == 0) 255 else 3 * p % 251)
+          sb.append(if (i == 511) "" else " ")
+          i += 1
+        }
+        w.println(sb.toString)
+        j += 1
+      }
+    } finally w.close()
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.AaiGrid.convert(spark, asc, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** Remote-ingest driver proof (vsicurl parity, `raquet/cli.py:22-46`):
     * the q60 synthetic TIFF served by an in-process localhost server that
     * honors HTTP Range; `convert("http://…")` pulls tag headers on the

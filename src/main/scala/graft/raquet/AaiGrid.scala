@@ -1,0 +1,112 @@
+package graft.raquet
+
+import java.io.{BufferedReader, FileReader}
+
+/** Esri ASCII grid (AAIGrid) ingest — S6 breadth (`docs/cli.md:154`,
+  * `docs/faq.md:32`: one of the reference's headline compression
+  * comparisons). The format is a 6-line text header
+  * (`ncols/nrows/xllcorner|xllcenter/yllcorner/cellsize/NODATA_value`)
+  * followed by row-major whitespace-separated samples, north row first —
+  * fully public (Esri ARC/INFO documentation).
+  *
+  * ASCII has no random access, so scale comes from a single streaming pass:
+  * [[toTiff]] transcodes strip-by-strip into a temporary GeoTIFF (O(strip)
+  * memory, BigTIFF automatic past 4 GB) and [[convert]] hands that to the
+  * distributed [[GeoTiff.convert]] pipeline — the same two-stage shape GDAL
+  * uses when warping from a non-seekable driver. Coordinates are treated as
+  * geographic degrees (the common AAIGrid case; cellsize in degrees). */
+object AaiGrid {
+
+  final case class Header(ncols: Int, nrows: Int, x0: Double, y0North: Double,
+      cellsize: Double, nodata: Option[Double])
+
+  /** Parse the header lines (driver-side, O(header)). */
+  def readHeader(path: String): Header = {
+    val in = new BufferedReader(new FileReader(path))
+    try {
+      var ncols = -1; var nrows = -1
+      var xll = Double.NaN; var yll = Double.NaN
+      var cell = Double.NaN; var nodata: Option[Double] = None
+      var xCenter = false; var yCenter = false
+      var more = true
+      while (more) {
+        in.mark(256)
+        val line = in.readLine()
+        require(line != null, s"$path: truncated AAIGrid header")
+        val parts = line.trim.split("\\s+")
+        if (parts.length == 2 && parts(0).headOption.exists(c =>
+          c.isLetter || c == '_')) {
+          parts(0).toLowerCase match {
+            case "ncols" => ncols = parts(1).toInt
+            case "nrows" => nrows = parts(1).toInt
+            case "xllcorner" => xll = parts(1).toDouble
+            case "xllcenter" => xll = parts(1).toDouble; xCenter = true
+            case "yllcorner" => yll = parts(1).toDouble
+            case "yllcenter" => yll = parts(1).toDouble; yCenter = true
+            case "cellsize" => cell = parts(1).toDouble
+            case "nodata_value" => nodata = Some(parts(1).toDouble)
+            case other => throw new IllegalArgumentException(
+              s"$path: unknown AAIGrid header key '$other'")
+          }
+        } else { in.reset(); more = false } // first data row
+      }
+      require(ncols > 0 && nrows > 0 && !cell.isNaN && !xll.isNaN && !yll.isNaN,
+        s"$path: incomplete AAIGrid header")
+      val x0 = if (xCenter) xll - cell / 2 else xll
+      val yBottom = if (yCenter) yll - cell / 2 else yll
+      Header(ncols, nrows, x0, yBottom + nrows * cell, cell, nodata)
+    } finally in.close()
+  }
+
+  /** Stream the ASCII samples into a float32 GeoTIFF (north-up strips, the
+    * source row order). One pass, O(strip) memory. */
+  def toTiff(ascPath: String, tifPath: String, rowsPerStrip: Int = 64): Unit = {
+    val h = readHeader(ascPath)
+    val in = new BufferedReader(new FileReader(ascPath), 1 << 20)
+    try {
+      def isHeaderLine(l: String): Boolean = {
+        val p = l.trim.split("\\s+")
+        p.length == 2 && p(0).headOption.exists(c => c.isLetter || c == '_')
+      }
+      var line = in.readLine()
+      while (line != null && isHeaderLine(line)) line = in.readLine()
+      var tok = new java.util.StringTokenizer(if (line == null) "" else line)
+      def nextSample(): Double = {
+        while (!tok.hasMoreTokens) {
+          val l = in.readLine()
+          require(l != null, s"$ascPath: ran out of samples")
+          tok = new java.util.StringTokenizer(l)
+        }
+        tok.nextToken().toDouble
+      }
+      // the strip iterator is consumed inside writeStrips, while `in` is
+      // still open — single pass, O(strip) memory
+      val strips = (0 until h.nrows by rowsPerStrip).iterator.map { y0 =>
+        val rows = math.min(rowsPerStrip, h.nrows - y0)
+        val bb = java.nio.ByteBuffer.allocate(rows * h.ncols * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var k = 0
+        while (k < rows * h.ncols) { bb.putFloat(nextSample().toFloat); k += 1 }
+        bb.array()
+      }
+      TiffWriter.writeStrips(tifPath, h.ncols, h.nrows, "float32", 1,
+        pixelSize = h.cellsize, originX = h.x0, originY = h.y0North,
+        nodata = h.nodata, rowsPerStrip = rowsPerStrip, strips = strips,
+        epsg = 4326)
+    } finally in.close()
+  }
+
+  /** AAIGrid → raquet: streaming transcode + the distributed TIFF convert. */
+  def convert(spark: org.apache.spark.sql.SparkSession, ascPath: String,
+      outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false, resampling: String = "near",
+      overviews: String = "auto"): RaquetMetadata = {
+    val tmp = java.nio.file.Files.createTempFile("aaigrid", ".tif")
+    try {
+      toTiff(ascPath, tmp.toString)
+      GeoTiff.convert(spark, tmp.toString, outFile, blockZoom = blockZoom,
+        zoomStrategy = zoomStrategy, tileStats = tileStats,
+        resampling = resampling, overviews = overviews)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}
