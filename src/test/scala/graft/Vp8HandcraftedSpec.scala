@@ -1,0 +1,229 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{Vp8, Vp8Tables}
+
+/** Handcrafted VP8 key-frame streams (the VP8L conformance approach) for
+  * paths the libwebp simple-API fixtures never exercise: multiple token
+  * partitions, segmentation maps with per-segment quantizers, and the
+  * simple-filter header. Streams are written bit-by-bit with the RFC 6386
+  * §7.8 boolean encoder; assertions are cross-stream (a 2-partition stream
+  * must decode identically to the 1-partition stream of the same content)
+  * plus a closed-form per-segment dequantization delta. */
+class Vp8HandcraftedSpec extends AnyFunSuite {
+
+  /** RFC 6386 §7.8 reference boolean encoder (carry-propagating). */
+  private final class BoolEncoder {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var bottom = 0L
+    private var range = 255
+    private var bitCount = 24
+
+    private def carry(): Unit = {
+      var i = out.length - 1
+      var go = true
+      while (go) {
+        require(i >= 0, "carry past stream start")
+        val v = (out(i) & 0xFF) + 1
+        out(i) = (v & 0xFF).toByte
+        go = v > 0xFF
+        i -= 1
+      }
+    }
+    def bool(prob: Int, bit: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (bit == 1) { bottom += split; range -= split }
+      else range = split
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & (1L << 31)) != 0) carry()
+        bottom = (bottom << 1) & 0xFFFFFFFFL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out += ((bottom >> 24) & 0xFF).toByte
+          bottom &= 0xFFFFFF
+          bitCount = 8
+        }
+      }
+    }
+    def literal(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
+    }
+    def flush(): Array[Byte] = {
+      var c = bitCount
+      var v = bottom
+      if ((v & (1L << (32 - c))) != 0) carry()
+      v = (v << (c & 7)) & 0xFFFFFFFFL
+      c >>= 3
+      while (c > 0) { v = (v << 8) & 0xFFFFFFFFL; c -= 1 }
+      var k = 4
+      while (k > 0) {
+        out += ((v >> 24) & 0xFF).toByte
+        v = (v << 8) & 0xFFFFFFFFL
+        k -= 1
+      }
+      out.toArray
+    }
+  }
+
+  private def prob(plane: Int, band: Int, ctx: Int, node: Int): Int =
+    Vp8Tables.DefaultCoeffProbs(((plane * 8 + band) * 3 + ctx) * 11 + node) & 0xFF
+
+  /** Build a 32×32 (2×2 MB) keyframe: every MB is B_PRED/all-B_DC with DC
+    * uv, zero chroma; `dcOf(mbIdx)` adds one +1 DC token on each Y block of
+    * that MB (0 = skip the MB entirely). */
+  private def buildFrame(nPartsLog2: Int, segQi: Option[(Array[Int], Array[Int])],
+      dcOf: Int => Boolean, skipOf: Int => Boolean, baseQi: Int = 10): Array[Byte] = {
+    val hdr = new BoolEncoder
+    hdr.literal(0, 1); hdr.literal(0, 1) // colorspace, clamping
+    segQi match {
+      case Some((qis, segOf)) =>
+        hdr.bool(128, 1) // segmentation enabled
+        hdr.bool(128, 1) // update map
+        hdr.bool(128, 1) // update data
+        hdr.bool(128, 1) // absolute values
+        for (q <- qis) { hdr.bool(128, 1); hdr.literal(q, 7); hdr.bool(128, 0) }
+        for (_ <- 0 until 4) hdr.bool(128, 0) // no per-segment filter values
+        for (_ <- 0 until 3) { hdr.bool(128, 1); hdr.literal(128, 8) } // tree probs
+        require(segOf.length == 4)
+      case None =>
+        hdr.bool(128, 0)
+    }
+    hdr.literal(1, 1) // filter type: simple (parse-only; level 0 disables)
+    hdr.literal(0, 6) // filter level 0
+    hdr.literal(0, 3) // sharpness
+    hdr.bool(128, 0) // no lf deltas
+    hdr.literal(nPartsLog2, 2)
+    hdr.literal(baseQi, 7) // y_ac_qi
+    for (_ <- 0 until 5) hdr.bool(128, 0) // no quant deltas
+    hdr.literal(0, 1) // refresh entropy
+    var i = 0
+    while (i < 4 * 8 * 3 * 11) { // keep default coeff probs
+      hdr.bool(Vp8Tables.CoeffUpdateProbs(i) & 0xFF, 0); i += 1
+    }
+    hdr.bool(128, 1) // mb_no_coeff_skip on
+    hdr.literal(200, 8) // prob_skip_false
+
+    // per-MB records (raster): segment id, skip, B_PRED + 16×B_DC, uv DC
+    for (mb <- 0 until 4) {
+      segQi.foreach { case (_, segOf) =>
+        val s = segOf(mb) // tree {2,4,-0,-1,-2,-3} with probs 128
+        hdr.bool(128, s >> 1)
+        hdr.bool(128, s & 1)
+      }
+      hdr.bool(200, if (skipOf(mb)) 1 else 0)
+      hdr.bool(145, 0) // kf ymode: first bit 0 → B_PRED
+      for (_ <- 0 until 16) hdr.bool(231, 0) // bmode B_DC (ctx stays DC/DC)
+      hdr.bool(142, 0) // uv DC
+    }
+    val part0 = hdr.flush()
+
+    // token partitions: MB row r → partition r % n
+    val nParts = 1 << nPartsLog2
+    val parts = Array.fill(nParts)(new BoolEncoder)
+    // nz context per Y subblock column (above) and row (left), per MB grid
+    val aboveNz = Array.fill(2 * 4)(false)
+    for (mbY <- 0 until 2) {
+      val leftNz = Array.fill(4)(false)
+      for (mbX <- 0 until 2) {
+        val mb = mbY * 2 + mbX
+        val e = parts(mbY % nParts)
+        if (!skipOf(mb)) {
+          val one = dcOf(mb)
+          for (sb <- 0 until 16) {
+            val sx = sb & 3; val sy = sb >> 2
+            val ctx = (if (leftNz(sy)) 1 else 0) + (if (aboveNz(mbX * 4 + sx)) 1 else 0)
+            if (one) {
+              // token "1" at c=0: tree bits (1,1,0), then sign 0
+              e.bool(prob(3, 0, ctx, 0), 1)
+              e.bool(prob(3, 0, ctx, 1), 1)
+              e.bool(prob(3, 0, ctx, 2), 0)
+              e.bool(128, 0) // sign +
+              // EOB at c=1, band 1, ctx 1 (last coeff was ±1)
+              e.bool(prob(3, 1, 1, 0), 0)
+            } else {
+              e.bool(prob(3, 0, ctx, 0), 0) // EOB immediately
+            }
+            leftNz(sy) = one; aboveNz(mbX * 4 + sx) = one
+          }
+          // 8 chroma blocks, all empty (plane 2, ctx 0 everywhere)
+          for (_ <- 0 until 8) e.bool(prob(2, 0, 0, 0), 0)
+        } else {
+          for (k <- 0 until 4) { leftNz(k) = false; aboveNz(mbX * 4 + k) = false }
+        }
+      }
+    }
+    val partBytes = parts.map(_.flush())
+
+    // assemble: frame tag + start code + dims + part0 + size table + parts
+    val bos = new java.io.ByteArrayOutputStream()
+    val tag = (part0.length << 5) | (1 << 4) | 0 // keyframe, show, version 0
+    bos.write(tag & 0xFF); bos.write((tag >> 8) & 0xFF); bos.write((tag >> 16) & 0xFF)
+    bos.write(0x9d); bos.write(0x01); bos.write(0x2a)
+    bos.write(32); bos.write(0) // width 32
+    bos.write(32); bos.write(0) // height 32
+    bos.write(part0)
+    for (k <- 0 until nParts - 1) {
+      val sz = partBytes(k).length
+      bos.write(sz & 0xFF); bos.write((sz >> 8) & 0xFF); bos.write((sz >> 16) & 0xFF)
+    }
+    partBytes.foreach(bos.write)
+    bos.toByteArray
+  }
+
+  private def decodeY(bytes: Array[Byte]): Array[Int] = {
+    val f = Vp8.decode(bytes, 0, bytes.length)
+    assert(f.width == 32 && f.height == 32)
+    f.y.clone()
+  }
+
+  test("two token partitions decode identically to one (row routing)") {
+    val one = decodeY(buildFrame(0, None, dcOf = _ => true, skipOf = _ => false))
+    val two = decodeY(buildFrame(1, None, dcOf = _ => true, skipOf = _ => false))
+    assert(one.sameElements(two))
+  }
+
+  test("segmentation map parses; equal segment quantizers change nothing") {
+    val plain = decodeY(buildFrame(0, None, dcOf = _ => true, skipOf = _ => false))
+    val seg = decodeY(buildFrame(0,
+      Some((Array(10, 10, 10, 10), Array(0, 1, 2, 3))),
+      dcOf = _ => true, skipOf = _ => false))
+    assert(plain.sameElements(seg))
+  }
+
+  test("per-segment quantizer applies: MB3's DC step follows its segment") {
+    // MB3 (bottom-right) alone in segment 1 with qi 60; everything else
+    // identical — only MB3's region may differ, by the dequant delta on
+    // its first subblock (its prediction context is identical across runs)
+    val q10 = decodeY(buildFrame(0,
+      Some((Array(10, 10, 10, 10), Array(0, 0, 0, 1))),
+      dcOf = _ => true, skipOf = _ => false))
+    val q60 = decodeY(buildFrame(0,
+      Some((Array(10, 60, 10, 10), Array(0, 0, 0, 1))),
+      dcOf = _ => true, skipOf = _ => false))
+    val stride = 32
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val inMb3 = x >= 16 && y >= 16
+      if (!inMb3)
+        assert(q10(y * stride + x) == q60(y * stride + x), s"bleed at $x,$y")
+    }
+    val d10 = (Vp8Tables.DcQLookup(10) + 4) >> 3
+    val d60 = (Vp8Tables.DcQLookup(60) + 4) >> 3
+    // first subblock of MB3: same B_DC prediction, different residual step
+    assert(q60(16 * stride + 16) - q10(16 * stride + 16) == d60 - d10,
+      s"dc step ${q60(16 * stride + 16)} - ${q10(16 * stride + 16)} != ${d60 - d10}")
+  }
+
+  test("mb_skip_coeff is equivalent to explicit all-EOB tokens (ctx resets)") {
+    // MB2 skipped vs MB2 carrying explicit empty blocks, MB3 with real
+    // tokens either way: identical output proves the skip path zeroes the
+    // residual AND resets the contexts MB3's token decode depends on
+    val skipped = decodeY(buildFrame(1, None,
+      dcOf = mb => mb != 2, skipOf = mb => mb == 2))
+    val explicit = decodeY(buildFrame(1, None,
+      dcOf = mb => mb != 2, skipOf = _ => false))
+    assert(skipped.sameElements(explicit))
+  }
+}

@@ -74,4 +74,7 @@ class Vp8Spec extends AnyFunSuite {
   test("64x48 q50 (heavy quantization)")(check("vp8_64x48_q50"))
   test("64x48 q95 (dense coefficients)")(check("vp8_64x48_q95"))
   test("256x256 q80 (production tile size)")(check("vp8_256x256_q80"))
+  test("32x32 constant color (skip/EOB-dominated stream)")(check("vp8_32x32_const"))
+  test("48x80 q99 noise (near-lossless, saturated token trees)")(check("vp8_48x80_q99_noise"))
+  test("64x64 q5 (extreme quantization, max dequant steps)")(check("vp8_64x64_q5"))
 }
