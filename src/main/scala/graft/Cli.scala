@@ -32,7 +32,7 @@ object Cli {
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
-      |      [--compression gzip|none|jpeg|webp]
+      |      [--compression gzip|none|jpeg|webp] [--quality 0-100]
       |      [--band-layout sequential|interleaved]
       |  export <in.parquet> <out.tif> [--no-overviews]
       |  inspect <file.parquet>
@@ -118,7 +118,8 @@ object Cli {
         targetFileBytes = f.getOrElse("target-size", "0").toLong,
         rowGroupBytes = f.getOrElse("row-group-bytes", "0").toLong,
         compression = f.getOrElse("compression", "gzip"),
-        bandLayout = f.getOrElse("band-layout", "sequential"))
+        bandLayout = f.getOrElse("band-layout", "sequential"),
+        quality = f.get("quality").map(_.toInt))
       println(s"converted $in -> $out")
     case "export" =>
       val (pos, f) = parseArgs(args.tail, Set("no-overviews"))

@@ -101,6 +101,7 @@ object SparkEntry {
     "q80_vp8_decode"        -> (RaquetQueries.q80Vp8Decode _),
     "q81_http_tiff"         -> (RaquetQueries.q81HttpTiff _),
     "q82_aaigrid_ingest"    -> (RaquetQueries.q82AaigridIngest _),
+    "q83_webp_lossy"        -> (RaquetQueries.q83WebpLossyEncode _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -286,6 +287,7 @@ object SparkEntry {
     // q81 is the q60 convert over HTTP Range transport — identical oracle
     "q81_http_tiff"         -> RaquetOracles.q60,
     "q82_aaigrid_ingest"    -> RaquetOracles.q82,
+    "q83_webp_lossy"        -> RaquetOracles.q83,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -62,7 +62,10 @@ object GraftExtensions {
     "mm_image_stats" -> { case Seq(b) => MmImageStats(b) },
     "mm_webp_encode" -> { case Seq(b, w, h, c) =>
       MmWebpEncode(b, litInt(w, "width"), litInt(h, "height"), litInt(c, "channels")) },
-    "mm_webp_pixels" -> { case Seq(b, c) => MmWebpPixels(b, litInt(c, "channels")) })
+    "mm_webp_pixels" -> { case Seq(b, c) => MmWebpPixels(b, litInt(c, "channels")) },
+    "mm_webp_lossy" -> { case Seq(b, w, h, c, q) =>
+      MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
+        litInt(c, "channels"), litInt(q, "quality")) })
 
   private def litInt(e: Expression, what: String): Int =
     litStr(e, what).toInt

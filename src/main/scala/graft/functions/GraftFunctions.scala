@@ -100,6 +100,9 @@ object GraftFunctions {
     col(MmWebpEncode(ex(bin), width, height, channels))
   def mm_webp_pixels(bin: Column, channels: Int): Column =
     col(MmWebpPixels(ex(bin), channels))
+  def mm_webp_lossy(bin: Column, width: Int, height: Int, channels: Int,
+      quality: Int): Column =
+    col(MmWebpLossy(ex(bin), width, height, channels, quality))
 
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -154,5 +157,8 @@ object GraftFunctions {
       MmWebpEncode(b, litInt(w, "width"), litInt(h, "height"), litInt(c, "channels")) }
     r("mm_webp_pixels") { case Seq(b, c) =>
       MmWebpPixels(b, litInt(c, "channels")) }
+    r("mm_webp_lossy") { case Seq(b, w, h, c, q) =>
+      MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
+        litInt(c, "channels"), litInt(q, "quality")) }
   }
 }

@@ -323,6 +323,41 @@ final case class PolarStereographic(
   }
 }
 
+/** Polar stereographic, variant A (scale factor at the natural origin, i.e.
+  * the pole; EPSG method 9810, Snyder §21 eqs. 21-33 with 21-39). This is
+  * the UPS parameterization: `k0` replaces variant B's standard parallel,
+  * ρ = 2·a·k0·t / √((1+e)^(1+e)·(1−e)^(1−e)). Axis/aspect conventions are
+  * identical to [[PolarStereographic]] (EPSG 9829 shares them). */
+final case class PolarStereographicA(
+    a: Double, invF: Double, k0: Double, north: Boolean, lon0: Double,
+    falseEasting: Double, falseNorthing: Double) extends Projection {
+  import Ellipsoidal._
+  private val e2 = e2Of(invF)
+  private val e = math.sqrt(e2)
+  private val rhoFactor =
+    2.0 * a * k0 / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+
+  def rectilinear: Boolean = false
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val theta = math.toRadians(TransverseMercator.normLon(lon - lon0))
+    val phiAbs = math.toRadians(if (north) lat else -lat)
+    val rho = rhoFactor * t(e2, phiAbs)
+    (falseEasting + rho * math.sin(theta),
+      if (north) falseNorthing - rho * math.cos(theta)
+      else falseNorthing + rho * math.cos(theta))
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val dx = x - falseEasting
+    val dy = if (north) falseNorthing - y else y - falseNorthing
+    val rho = math.hypot(dx, dy)
+    val phi = math.toDegrees(phiFromT(e2, rho / rhoFactor))
+    val theta = math.toDegrees(math.atan2(dx, dy))
+    (TransverseMercator.normLon(lon0 + theta), if (north) phi else -phi)
+  }
+}
+
 object Projection {
   import Ellipsoidal.{Grs80, Wgs84}
 
@@ -346,6 +381,12 @@ object Projection {
       Some(PolarStereographic(Wgs84._1, Wgs84._2, -71.0, 0.0, 0, 0))
     case 3413 => // WGS84 / NSIDC Sea Ice Polar Stereographic North
       Some(PolarStereographic(Wgs84._1, Wgs84._2, 70.0, -45.0, 0, 0))
+    case 5041 | 32661 => // WGS84 / UPS North (E,N)
+      Some(PolarStereographicA(Wgs84._1, Wgs84._2, 0.994, north = true,
+        0.0, 2000000.0, 2000000.0))
+    case 5042 | 32761 => // WGS84 / UPS South (E,N)
+      Some(PolarStereographicA(Wgs84._1, Wgs84._2, 0.994, north = false,
+        0.0, 2000000.0, 2000000.0))
     case _ => None
   }
 }

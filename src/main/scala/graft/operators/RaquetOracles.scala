@@ -584,6 +584,17 @@ object RaquetOracles {
         FROM read_parquet('/root/repo/src/test/resources/webp/vp8_256x256_q80_golden.parquet')
         GROUP BY 1, 2"""
 
+  /** q83 lossy-VP8-ENCODE oracle: aggregate the pixels the system libwebp
+    * decoder produced for the byte-identical pinned stream our encoder
+    * wrote (blessed by tools/gen_vp8enc_goldens.py) — bit-exact, not a
+    * lossy tolerance. */
+  val q83: String =
+    s"""SELECT CAST(pos // 4096 AS BIGINT) AS band16, channel,
+          count(*) AS n_px, sum(v) AS vsum,
+          CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+        FROM read_parquet('/root/repo/src/test/resources/webp/enc/enc_256x256_q80_golden.parquet')
+        GROUP BY 1, 2"""
+
   /** q82 AAIGrid-ingest oracle: the q79 closed form restricted to one band,
     * with one structural difference — the TIFF convert path builds the z0
     * overview by PYRAMID AVERAGING (not warp-from-source), so a z0 row is

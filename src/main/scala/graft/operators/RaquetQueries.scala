@@ -839,6 +839,39 @@ object RaquetQueries {
         min(col("v")).cast("long").as("vmin"), max(col("v")).cast("long").as("vmax"))
   }
 
+  /** F8 WRITE-side driver proof: lossy VP8 ENCODE conformance inside the
+    * engine. The deterministic test card is encoded at q=80 by
+    * [[graft.raquet.Vp8Enc]] ON EXECUTORS (`mm_webp_lossy`, the same kernel
+    * the convert path uses for `compression="webp"` with a quality), decoded
+    * back through the standard read kernels, and aggregated; the oracle
+    * aggregates the pixels the SYSTEM libwebp's decoder produced for the
+    * byte-identical pinned stream (`tools/gen_vp8enc_goldens.py`) —
+    * bit-exact equality, proving streams we write are decoded identically
+    * by the reference implementation. */
+  def q83WebpLossyEncode(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.raquet.FixtureGen.testCardRgb(256, 256, 3)
+    val meta = graft.raquet.RaquetMetadata(
+      version = "0.5.0", width = 256, height = 256, crs = "EPSG:3857",
+      bounds = Array(-180.0, -85.0, 180.0, 85.0), compression = Some("webp"),
+      blockWidth = 256, blockHeight = 256, minZoom = 0, maxZoom = 0,
+      pixelZoom = 8, numBlocks = 1, bandLayout = "interleaved",
+      bands = (1 to 3).map(k => graft.raquet.BandMeta(
+        s"band_$k", "uint8", None, None, None, None, None)),
+      time = None)
+    import spark.implicits._
+    val df = Seq(Tuple1(src)).toDF("raw")
+      .withColumn("webp", mm_webp_lossy(col("raw"), 256, 256, 3, 80))
+      .withColumn("pixels", mm_webp_pixels(col("webp"), 3))
+    (1 to 3).map { b =>
+      df.select(lit(b).as("channel"),
+        posexplode(rq_decode(mm_deinterleave(col("pixels"), b - 1, 3, 1),
+          meta, s"band_$b")).as(Seq("pos", "v")))
+    }.reduce(_ unionByName _)
+      .groupBy((col("pos") / lit(4096)).cast("long").as("band16"), col("channel"))
+      .agg(count(lit(1)).as("n_px"), sum(col("v")).as("vsum"),
+        min(col("v")).cast("long").as("vmin"), max(col("v")).cast("long").as("vmax"))
+  }
+
   /** Registered-source driver proof: `spark.read.format("raquet")` — the
     * DataSourceRegister path plus the RaquetMetadataExclusion analyzer rule
     * (metadata row dropped by the SOURCE, not the query). The oracle reads

@@ -250,6 +250,43 @@ object FixtureGen {
     bos.toByteArray
   }
 
+  /** Deterministic multi-feature RGB test card shared by [[Vp8EncSpec]],
+    * `tools/gen_vp8enc_goldens.py` (via the dumped streams) and the q83
+    * driver query: smooth color gradients, a sharp LUMA edge, and gray
+    * noise. Chroma is kept smooth on purpose — 4:2:0 subsampling (inherent
+    * to VP8) would cap PSNR at ~17 dB for ANY encoder on pixel-rate chroma
+    * noise. Formula changes require re-blessing the encoder goldens. */
+  def testCardRgb(w: Int, h: Int, channels: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * channels)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) =
+          if (x < w / 2 && y < h / 2) { // smooth warm gradient
+            val t = x * 255 / math.max(1, w - 1)
+            (t, t * 3 / 4 + 32, 64)
+          } else if (x >= w / 2 && y < h / 2) { // sharp luma edge, no chroma edge
+            val v = if (x > w * 3 / 4) 230 else 25
+            (v, v, v)
+          } else if (x < w / 2) { // gray texture (chroma-free noise)
+            val v = ((x * 7 + y * 13) * 31) % 256
+            (v, v, v)
+          } else { // smooth cool gradient
+            val t = y * 255 / math.max(1, h - 1)
+            (96, t, 255 - t / 2)
+          }
+        val o = (y * w + x) * channels
+        out(o) = r.toByte
+        if (channels >= 3) { out(o + 1) = g.toByte; out(o + 2) = b.toByte }
+        if (channels == 4) out(o + 3) = ((x * 5 + y * 3) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Interleaved fixture with webp-lossless tiles — same grid/formula as the
     * JPEG one, but round-trips bit-exactly (VP8L is lossless). */
   def writeGradient16WebP(spark: SparkSession, file: String): Unit = {

@@ -238,10 +238,20 @@ object GeoTiff {
             d(3081, 3085, "origin lat"), d(3080, 3084, "origin lon"),
             opt(3082, 3086), opt(3083, 3087))
         case 15 => // CT_PolarStereographic
-          PolarStereographic(aAx, invF,
-            d(3081, 3078, "std parallel (lat_ts)"),
-            d(3095, 3080, "straight vertical pole lon"),
-            opt(3082, 3086), opt(3083, 3087))
+          // ScaleAtNatOrigin (3092) present → variant A (EPSG 9810, the
+          // UPS shape: k0 at the pole); else variant B via lat_ts (9829)
+          dblKeys.get(3092) match {
+            case Some(k0) =>
+              PolarStereographicA(aAx, invF, k0,
+                north = d(3081, 3078, "natural-origin lat") >= 0,
+                d(3095, 3080, "straight vertical pole lon"),
+                opt(3082, 3086), opt(3083, 3087))
+            case None =>
+              PolarStereographic(aAx, invF,
+                d(3081, 3078, "std parallel (lat_ts)"),
+                d(3095, 3080, "straight vertical pole lon"),
+                opt(3082, 3086), opt(3083, 3087))
+          }
         case ct => throw new IllegalArgumentException(
           s"$path: user-defined projection with coordinate transform code " +
             s"$ct unsupported (LCC-2SP=8, Albers=11, PolarStereographic=15)")
@@ -1044,7 +1054,7 @@ object GeoTiff {
   private def levelRows(spark: SparkSession, src: SourceInfo, ifd: Int,
       zoom: Int, bs: Int, win: (Int, Int, Int, Int), resampling: String,
       tileStats: Boolean = false, bandLayout: String = "sequential",
-      compression: String = "gzip")
+      compression: String = "gzip", quality: Option[Int] = None)
       : org.apache.spark.rdd.RDD[(Row, Seq[Array[Double]])] = {
     val (xtMin, xtMax, ytMin, ytMax) = tileEnvelope(src, win, zoom)
     // row-major tile order + contiguous split ⇒ each partition holds runs
@@ -1103,8 +1113,17 @@ object GeoTiff {
                 Seq(compression match {
                   case "gzip" => PixelCodec.gzipCompress(inter)
                   case "none" => inter
-                  case "jpeg" => Multimodal.encodeJpeg(inter, bs, bs, src.bands)
-                  case "webp" => Multimodal.encodeWebP(inter, bs, bs, src.bands)
+                  case "jpeg" =>
+                    Multimodal.encodeJpeg(inter, bs, bs, src.bands,
+                      quality.getOrElse(85))
+                  case "webp" => quality match {
+                    // the reference's Pillow path is LOSSY VP8 whenever a
+                    // quality is given (raster2raquet.py:844-845); without
+                    // one we keep the bit-exact VP8L default
+                    case Some(q) => Multimodal.encodeWebPLossy(inter, bs, bs,
+                      src.bands, q)
+                    case None => Multimodal.encodeWebP(inter, bs, bs, src.bands)
+                  }
                 })
               } else bands.map { arr =>
                 val a = if (arr != null) arr else Array.fill(bs * bs)(fill)
@@ -1172,7 +1191,10 @@ object GeoTiff {
       minZoomOverride: Option[Int] = None,
       targetFileBytes: Long = 0, rowGroupBytes: Long = 0,
       compression: String = "gzip",
-      bandLayout: String = "sequential"): RaquetMetadata = {
+      bandLayout: String = "sequential",
+      quality: Option[Int] = None): RaquetMetadata = {
+    quality.foreach(q => require(q >= 0 && q <= 100,
+      s"quality must be 0-100, got $q"))
     require(overviews == "auto" || overviews == "none",
       s"overviews must be auto or none, got $overviews")
     require(Set("gzip", "none", "jpeg", "webp")(compression),
@@ -1228,7 +1250,7 @@ object GeoTiff {
         StructField("metadata", StringType)) ++ payloadFields ++ statFields)
 
     val rowsRdd = levelRows(spark, src, 0, zoom, bs, win, resampling, tileStats,
-      bandLayout, compression).cache()
+      bandLayout, compression, quality).cache()
 
     // dataset-level band stats (A5): distributed partial-merge reduce over
     // the extended vectors — [0] count +, [1] min, [2] max, [3] sum +,
@@ -1314,7 +1336,7 @@ object GeoTiff {
           val (ifd, osrc) = usable.maxBy { case (_, o) =>
             resolution(o, pixelWindow(o)) }
           val lr = levelRows(spark, osrc, ifd, z, bs, pixelWindow(osrc),
-            resampling, tileStats, bandLayout, compression)
+            resampling, tileStats, bandLayout, compression, quality)
           acc.unionByName(spark.createDataFrame(lr.map(_._1), schema))
         }
       }

@@ -97,6 +97,14 @@ object Multimodal {
       channels: Int): Array[Byte] =
     WebP.encodeLossless(pixels, width, height, channels)
 
+  /** Encode uint8 pixels as LOSSY WebP (VP8 key frame) at `quality` 0-100 —
+    * the format the reference's Pillow path emits for `compression="webp"`
+    * (`raster2raquet.py:844-845`); alpha (4-channel) rides a raw ALPH
+    * chunk losslessly. */
+  def encodeWebPLossy(pixels: Array[Byte], width: Int, height: Int,
+      channels: Int, quality: Int): Array[Byte] =
+    Vp8Enc.encode(pixels, width, height, channels, quality)
+
   /** Decode WebP to exactly `channels` interleaved uint8 samples (the
     * raquet interleaved-layout read path, where the band count comes from
     * the metadata row, spec `raquet.md:49-57`). Lossy VP8 raises. */

@@ -85,10 +85,10 @@ object Vp8 {
   // 4x4 modes in the numbering of the extracted probability table (libwebp's
   // enum, a permutation of the RFC's listing): B_DC=0, B_TM=1, B_VE=2,
   // B_HE=3, B_RD=4, B_VR=5, B_LD=6, B_VL=7, B_HD=8, B_HU=9
-  private val KfYModeTree = Array(-BPred, 2, 4, 6, -0, -1, -2, -3)
-  private val KfYModeProb = Array(145, 156, 163, 128)
-  private val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
-  private val KfUvModeProb = Array(142, 114, 183)
+  private[raquet] val KfYModeTree = Array(-BPred, 2, 4, 6, -0, -1, -2, -3)
+  private[raquet] val KfYModeProb = Array(145, 156, 163, 128)
+  private[raquet] val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
+  private[raquet] val KfUvModeProb = Array(142, 114, 183)
   private val BModeTree = Array(
     -0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
   private val SegmentTree = Array(2, 4, -0, -1, -2, -3)
@@ -96,23 +96,23 @@ object Vp8 {
   private val ImpliedBMode = Array(0, 2, 3, 1) // DC→B_DC, V→B_VE, H→B_HE, TM→B_TM
 
   // token tree (§13.2): DCT_0..4, cat1..6, EOB=11
-  private val CoeffTree = Array(
+  private[raquet] val CoeffTree = Array(
     -11, 2, -0, 4, -1, 6, 8, 12, -2, 10, -3, -4, 14, 16, -5, -6, 18, 20,
     -7, -8, -9, -10)
-  private val CatProbs: Array[Array[Int]] = Array(
+  private[raquet] val CatProbs: Array[Array[Int]] = Array(
     Array(159), Array(165, 145), Array(173, 148, 140),
     Array(176, 155, 140, 135), Array(180, 157, 141, 134, 130),
     Array(254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129))
-  private val CatBase = Array(5, 7, 11, 19, 35, 67)
-  private val CoeffBands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
-  private val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+  private[raquet] val CatBase = Array(5, 7, 11, 19, 35, 67)
+  private[raquet] val CoeffBands = Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+  private[raquet] val Zigzag = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
 
-  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
-  private def clampQ(v: Int, hi: Int = 127): Int = if (v < 0) 0 else if (v > hi) hi else v
+  private[raquet] def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  private[raquet] def clampQ(v: Int, hi: Int = 127): Int = if (v < 0) 0 else if (v > hi) hi else v
 
   // unsigned coeff-prob tables as Int arrays (fast, no & 0xFF per read)
-  private val CoeffProbsDefault: Array[Int] = Vp8Tables.DefaultCoeffProbs.map(_ & 0xFF)
-  private val CoeffUpdate: Array[Int] = Vp8Tables.CoeffUpdateProbs.map(_ & 0xFF)
+  private[raquet] val CoeffProbsDefault: Array[Int] = Vp8Tables.DefaultCoeffProbs.map(_ & 0xFF)
+  private[raquet] val CoeffUpdate: Array[Int] = Vp8Tables.CoeffUpdateProbs.map(_ & 0xFF)
   private val KfBMode: Array[Int] = Vp8Tables.KfBModeProb.map(_ & 0xFF)
 
   // ------------------------------------------------------------ frame model
@@ -486,7 +486,7 @@ object Vp8 {
   // ------------------------------------------------------------ transforms
 
   /** Inverse 4×4 Walsh-Hadamard (§14.3), in place at `off`. */
-  private def iwht4x4(b: Array[Int], off: Int): Unit = {
+  private[raquet] def iwht4x4(b: Array[Int], off: Int): Unit = {
     var i = 0
     while (i < 4) {
       val a1 = b(off + i) + b(off + 12 + i)
@@ -515,7 +515,7 @@ object Vp8 {
   }
 
   /** Inverse 4×4 DCT (§14.4), adding into `dst` with clamping. */
-  private def idct4x4Add(c: Array[Int], off: Int,
+  private[raquet] def idct4x4Add(c: Array[Int], off: Int,
       dst: Array[Int], dOff: Int, stride: Int): Unit = {
     val tmp = new Array[Int](16)
     var i = 0
@@ -656,11 +656,11 @@ object Vp8 {
     }
   }
 
-  private def predict16(Y: Array[Int], stride: Int, off: Int, mode: Int,
+  private[raquet] def predict16(Y: Array[Int], stride: Int, off: Int, mode: Int,
       mbX: Int, mbY: Int): Unit =
     predictBlock(Y, stride, off, 16, mode, mbY == 0, mbX == 0)
 
-  private def predict8(p: Array[Int], stride: Int, off: Int, mode: Int,
+  private[raquet] def predict8(p: Array[Int], stride: Int, off: Int, mode: Int,
       mbX: Int, mbY: Int): Unit =
     predictBlock(p, stride, off, 8, mode, mbY == 0, mbX == 0)
 

@@ -1,0 +1,721 @@
+package graft.raquet
+
+/** Lossy WebP (VP8) key-frame ENCODER — the write-side twin of [[Vp8]],
+  * giving `compression="webp"` the same lossy option the reference gets
+  * from Pillow (`raquet/raster2raquet.py:844-845` passes `quality=` with no
+  * `lossless=True`, which emits VP8 intra frames).
+  *
+  * Encoder shape (all encoder-side choices are non-normative; conformance
+  * is that the STREAM decodes correctly):
+  *  - 16×16 intra modes only (DC/V/H/TM, picked by SAD against the
+  *    reconstructed-neighbor prediction), so every macroblock carries a Y2
+  *    block; chroma modes picked jointly for U+V as the format requires.
+  *  - one segment, loop filter level 0 (the filter is a decoder-side
+  *    smoothing pass; level 0 keeps encode reconstruction trivially equal
+  *    to decode reconstruction), one token partition, default coefficient
+  *    probabilities, `mb_no_coeff_skip` with a frequency-fitted skip prob.
+  *  - the forward DCT/WHT are derived NUMERICALLY at init by inverting the
+  *    decoder's own linear inverse transforms ([[Vp8.idct4x4Add]] /
+  *    [[Vp8.iwht4x4]] with rounding dropped) — encoder and decoder are
+  *    consistent by construction, no second set of transform constants.
+  *  - reconstruction inside the encode loop reuses the decoder's
+  *    [[Vp8.predict16]]/[[Vp8.predict8]]/[[Vp8.idct4x4Add]]/[[Vp8.iwht4x4]]
+  *    bit for bit, so intra prediction chains never drift.
+  *
+  * RGB→YUV 4:2:0 uses libwebp's fixed-point BT.601 studio-range constants
+  * (2×2 box average for chroma); [[Vp8.toRgb]] is its inverse, so a
+  * round-trip at high quality is near-identity.
+  *
+  * Conformance: [[Vp8EncSpec]] pins encoded bytes and checks our decode of
+  * them against goldens produced by the system libwebp's decoder
+  * (`tools/gen_vp8enc_goldens.py`) — the same decode-side oracle discipline
+  * as [[Vp8Spec]], now applied to streams WE wrote.
+  */
+object Vp8Enc {
+
+  // ------------------------------------------------------------ bool encoder
+
+  /** RFC 6386 §7.8 reference boolean encoder (carry-propagating). The
+    * mirror of [[Vp8.BoolDecoder]]; also exercised by Vp8HandcraftedSpec. */
+  final class BoolEncoder {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var bottom = 0L
+    private var range = 255
+    private var bitCount = 24
+
+    private def carry(): Unit = {
+      var i = out.length - 1
+      var go = true
+      while (go) {
+        require(i >= 0, "carry past stream start")
+        val v = (out(i) & 0xFF) + 1
+        out(i) = (v & 0xFF).toByte
+        go = v > 0xFF
+        i -= 1
+      }
+    }
+    def bool(prob: Int, bit: Int): Unit = {
+      val split = 1 + (((range - 1) * prob) >> 8)
+      if (bit == 1) { bottom += split; range -= split }
+      else range = split
+      while (range < 128) {
+        range <<= 1
+        if ((bottom & (1L << 31)) != 0) carry()
+        bottom = (bottom << 1) & 0xFFFFFFFFL
+        bitCount -= 1
+        if (bitCount == 0) {
+          out += ((bottom >> 24) & 0xFF).toByte
+          bottom &= 0xFFFFFF
+          bitCount = 8
+        }
+      }
+    }
+    /** n-bit literal, MSB first (each bit at prob 128). */
+    def literal(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
+    }
+    def flush(): Array[Byte] = {
+      var c = bitCount
+      var v = bottom
+      if ((v & (1L << (32 - c))) != 0) carry()
+      v = (v << (c & 7)) & 0xFFFFFFFFL
+      c >>= 3
+      while (c > 0) { v = (v << 8) & 0xFFFFFFFFL; c -= 1 }
+      var k = 4
+      while (k > 0) {
+        out += ((v >> 24) & 0xFF).toByte
+        v = (v << 8) & 0xFFFFFFFFL
+        k -= 1
+      }
+      out.toArray
+    }
+  }
+
+  // ------------------------------------------------------------ tree paths
+
+  /** Per-symbol (node, bit) path through a decoder token tree, so the
+    * encoder walks exactly the branches [[Vp8.BoolDecoder.tree]] reads.
+    * `paths(sym)` = flat [node0, bit0, node1, bit1, ...]. */
+  private def treePaths(tree: Array[Int], startAt: Int): Array[Array[Int]] = {
+    val acc = scala.collection.mutable.Map.empty[Int, Array[Int]]
+    def walk(node: Int, path: List[Int]): Unit = {
+      var b = 0
+      while (b < 2) {
+        val child = tree(node + b)
+        val p = path ::: List(node, b)
+        if (child <= 0) acc(-child) = p.toArray else walk(child, p)
+        b += 1
+      }
+    }
+    walk(startAt, Nil)
+    val n = acc.keys.max + 1
+    Array.tabulate(n)(s => acc.getOrElse(s, null))
+  }
+
+  private val CoeffPaths = treePaths(Vp8.CoeffTree, 0)
+  private val CoeffPathsNoEob = treePaths(Vp8.CoeffTree, 2) // after a DCT_0
+  private val YModePaths = treePaths(Vp8.KfYModeTree, 0)
+  private val UvModePaths = treePaths(Vp8.UvModeTree, 0)
+
+  private def emitTree(be: BoolEncoder, path: Array[Int], probs: Array[Int],
+      probOff: Int): Unit = {
+    var i = 0
+    while (i < path.length) {
+      be.bool(probs(probOff + (path(i) >> 1)), path(i + 1))
+      i += 2
+    }
+  }
+
+  // ------------------------------------------------------ forward transforms
+
+  /** Invert a 16×16 linear map (Gauss-Jordan, partial pivot). */
+  private def invert16(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = 16
+    val a = Array.tabulate(n, 2 * n) { (i, j) =>
+      if (j < n) m(i)(j) else if (j - n == i) 1.0 else 0.0
+    }
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val d = a(col)(col)
+      require(math.abs(d) > 1e-9, "singular transform matrix")
+      var j = 0
+      while (j < 2 * n) { a(col)(j) /= d; j += 1 }
+      r = 0
+      while (r < n) {
+        if (r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col)
+          var k = 0
+          while (k < 2 * n) { a(r)(k) -= f * a(col)(k); k += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Array.tabulate(16, 16)((i, j) => a(i)(16 + j))
+  }
+
+  /** The decoder's inverse DCT (§14.4) as an exact linear map: the integer
+    * kernel with `(x*35468)>>16` → `x*35468/65536` and the `(s+4)>>3`
+    * rounding dropped. Column j = IDCT of the j-th unit coefficient. */
+  private val IdctMatrix: Array[Array[Double]] = {
+    val m = Array.ofDim[Double](16, 16)
+    val c1 = 20091.0 / 65536.0
+    val c2 = 35468.0 / 65536.0
+    var j = 0
+    while (j < 16) {
+      val c = new Array[Double](16); c(j) = 1.0
+      val tmp = new Array[Double](16)
+      var i = 0
+      while (i < 4) {
+        val a1 = c(i) + c(8 + i)
+        val b1 = c(i) - c(8 + i)
+        val cc = c(4 + i) * c2 - (c(12 + i) + c(12 + i) * c1)
+        val d1 = (c(4 + i) + c(4 + i) * c1) + c(12 + i) * c2
+        tmp(i) = a1 + d1; tmp(12 + i) = a1 - d1
+        tmp(4 + i) = b1 + cc; tmp(8 + i) = b1 - cc
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val r = i * 4
+        val a1 = tmp(r) + tmp(r + 2)
+        val b1 = tmp(r) - tmp(r + 2)
+        val cc = tmp(r + 1) * c2 - (tmp(r + 3) + tmp(r + 3) * c1)
+        val d1 = (tmp(r + 1) + tmp(r + 1) * c1) + tmp(r + 3) * c2
+        m(r)(j) = (a1 + d1) / 8.0; m(r + 3)(j) = (a1 - d1) / 8.0
+        m(r + 1)(j) = (b1 + cc) / 8.0; m(r + 2)(j) = (b1 - cc) / 8.0
+        i += 1
+      }
+      j += 1
+    }
+    m
+  }
+
+  /** The decoder's inverse WHT (§14.3) as a linear map (`(s+3)>>3` → /8). */
+  private val IwhtMatrix: Array[Array[Double]] = {
+    val m = Array.ofDim[Double](16, 16)
+    var j = 0
+    while (j < 16) {
+      val b = new Array[Double](16); b(j) = 1.0
+      var i = 0
+      while (i < 4) {
+        val a1 = b(i) + b(12 + i)
+        val b1 = b(4 + i) + b(8 + i)
+        val c1 = b(4 + i) - b(8 + i)
+        val d1 = b(i) - b(12 + i)
+        b(i) = a1 + b1; b(4 + i) = c1 + d1
+        b(8 + i) = a1 - b1; b(12 + i) = d1 - c1
+        i += 1
+      }
+      i = 0
+      while (i < 4) {
+        val r = i * 4
+        val a1 = b(r) + b(r + 3)
+        val b1 = b(r + 1) + b(r + 2)
+        val c1 = b(r + 1) - b(r + 2)
+        val d1 = b(r) - b(r + 3)
+        m(r)(j) = (a1 + b1) / 8.0; m(r + 1)(j) = (c1 + d1) / 8.0
+        m(r + 2)(j) = (a1 - b1) / 8.0; m(r + 3)(j) = (d1 - c1) / 8.0
+        i += 1
+      }
+      j += 1
+    }
+    m
+  }
+
+  private val FdctMatrix = invert16(IdctMatrix)
+  private val FwhtMatrix = invert16(IwhtMatrix)
+
+  private def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](16)
+    var i = 0
+    while (i < 16) {
+      var s = 0.0
+      var j = 0
+      val row = m(i)
+      while (j < 16) { s += row(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------ color
+
+  /** libwebp's fixed-point RGB→YUV (BT.601 studio range), the inverse of
+    * [[Vp8.yuvToR]]/G/B. The U/V coefficient triples sum to zero exactly,
+    * so gray input (r=g=b) lands on U=V=128. */
+  private def rgbToY(r: Int, g: Int, b: Int): Int =
+    Vp8.clamp255((16839 * r + 33059 * g + 6420 * b + 32768 + (16 << 16)) >> 16)
+  private def rgbToU(r: Int, g: Int, b: Int): Int =
+    Vp8.clamp255((-9719 * r - 19081 * g + 28800 * b + 32768 + (128 << 16)) >> 16)
+  private def rgbToV(r: Int, g: Int, b: Int): Int =
+    Vp8.clamp255((28800 * r - 24116 * g - 4684 * b + 32768 + (128 << 16)) >> 16)
+
+  // ------------------------------------------------------------ encode
+
+  private final val MaxLevel = 2047 // cat6 ceiling: 67 + (1<<11)-1
+
+  private def quantize(coef: Double, q: Int): Int = {
+    val a = math.abs(coef)
+    val lvl0 = ((a + q * 0.5) / q).toInt
+    val lvl = if (lvl0 > MaxLevel) MaxLevel else lvl0
+    if (coef < 0) -lvl else lvl
+  }
+
+  /** Encode one 4×4 block's token run (the mirror of the decoder's `block`
+    * closure in [[Vp8.decode]]). `lvls` indexed by SCAN position c (already
+    * zigzag-ordered). Returns whether any coefficient is nonzero. */
+  private def encodeBlockTokens(be: BoolEncoder, lvls: Array[Int],
+      planeType: Int, first: Int, ctx0: Int): Boolean = {
+    val planeOff = planeType * 8 * 3 * 11
+    val probs = Vp8.CoeffProbsDefault
+    var lastNz = -1
+    var c = first
+    while (c < 16) { if (lvls(c) != 0) lastNz = c; c += 1 }
+    var ctx = ctx0
+    var skipEob = false
+    c = first
+    while (c <= lastNz) {
+      val probOff = planeOff + (Vp8.CoeffBands(c) * 3 + ctx) * 11
+      val v = lvls(c)
+      if (v == 0) {
+        emitTree(be, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(0), probs, probOff)
+        skipEob = true; ctx = 0
+      } else {
+        val a = math.abs(v)
+        val tok =
+          if (a <= 4) a
+          else {
+            var cat = 0
+            while (cat < 5 && a >= Vp8.CatBase(cat + 1)) cat += 1
+            cat + 5
+          }
+        emitTree(be, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(tok), probs, probOff)
+        if (tok >= 5) {
+          val catProbs = Vp8.CatProbs(tok - 5)
+          val extra = a - Vp8.CatBase(tok - 5)
+          var b = 0
+          while (b < catProbs.length) {
+            be.bool(catProbs(b), (extra >> (catProbs.length - 1 - b)) & 1)
+            b += 1
+          }
+        }
+        be.bool(128, if (v < 0) 1 else 0)
+        skipEob = false
+        ctx = if (a == 1) 1 else 2
+      }
+      c += 1
+    }
+    if (lastNz < 15) {
+      val probOff = planeOff + (Vp8.CoeffBands(c) * 3 + ctx) * 11
+      emitTree(be, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(11), probs, probOff)
+    }
+    lastNz >= first
+  }
+
+  private def sad(src: Array[Int], sOff: Int, sStride: Int,
+      rec: Array[Int], rOff: Int, rStride: Int, n: Int): Long = {
+    var s = 0L
+    var j = 0
+    while (j < n) {
+      var i = 0
+      while (i < n) {
+        s += math.abs(src(sOff + j * sStride + i) - rec(rOff + j * rStride + i))
+        i += 1
+      }
+      j += 1
+    }
+    s
+  }
+
+  /** Quality 0..100 → quantizer index 127..0 (linear; the reference's
+    * Pillow path takes the same 0..100 scale). */
+  def qualityToQIndex(quality: Int): Int =
+    Vp8.clampQ(math.round((100 - math.max(0, math.min(100, quality))) * 1.27).toInt)
+
+  private final class MbRecord {
+    var yMode = 0
+    var uvMode = 0
+    var skip = false
+    // scan-ordered levels
+    val y2 = new Array[Int](16)
+    val y = Array.ofDim[Int](16, 16)
+    val u = Array.ofDim[Int](4, 16)
+    val v = Array.ofDim[Int](4, 16)
+  }
+
+  /** Encode interleaved uint8 `rgb` (3 or 4 channels; channel 1 = gray,
+    * replicated) as a VP8 key frame; returns the bare VP8 chunk payload.
+    * For 4-channel input the alpha plane is returned via `alphaOut`. */
+  private def encodeFrame(rgb: Array[Byte], width: Int, height: Int,
+      channels: Int, qIndex: Int, alphaOut: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && width < 16384 && height < 16384,
+      s"VP8 dims out of range: ${width}x$height")
+    val mbW = (width + 15) >> 4
+    val mbH = (height + 15) >> 4
+    val yStride = mbW * 16
+    val uvStride = mbW * 8
+
+    // --- color convert with edge replication into MB-padded planes ---
+    val srcY = new Array[Int](yStride * mbH * 16)
+    val srcU = new Array[Int](uvStride * mbH * 8)
+    val srcV = new Array[Int](uvStride * mbH * 8)
+    def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+      val sx = if (x >= width) width - 1 else x
+      val sy = if (y >= height) height - 1 else y
+      val o = (sy * width + sx) * channels
+      if (channels == 1) { val g = rgb(o) & 0xFF; (g, g, g) }
+      else ((rgb(o) & 0xFF), (rgb(o + 1) & 0xFF), (rgb(o + 2) & 0xFF))
+    }
+    var y0 = 0
+    while (y0 < mbH * 16) {
+      var x0 = 0
+      while (x0 < yStride) {
+        val (r, g, b) = rgbAt(x0, y0)
+        srcY(y0 * yStride + x0) = rgbToY(r, g, b)
+        x0 += 1
+      }
+      y0 += 1
+    }
+    var cy = 0
+    while (cy < mbH * 8) {
+      var cx = 0
+      while (cx < uvStride) {
+        var rs = 0; var gs = 0; var bs = 0
+        var k = 0
+        while (k < 4) {
+          val (r, g, b) = rgbAt(cx * 2 + (k & 1), cy * 2 + (k >> 1))
+          rs += r; gs += g; bs += b
+          k += 1
+        }
+        val r = (rs + 2) >> 2; val g = (gs + 2) >> 2; val b = (bs + 2) >> 2
+        srcU(cy * uvStride + cx) = rgbToU(r, g, b)
+        srcV(cy * uvStride + cx) = rgbToV(r, g, b)
+        cx += 1
+      }
+      cy += 1
+    }
+    if (alphaOut != null) {
+      var i = 0
+      val n = width * height
+      while (i < n) { alphaOut(i) = rgb(i * channels + 3); i += 1 }
+    }
+
+    // --- dequant factors, identical derivation to the decoder (§14.1) ---
+    val qi = Vp8.clampQ(qIndex)
+    // no y1dc: in 16×16 modes the luma DC rides the Y2/WHT path (§13.3)
+    val y1ac = Vp8Tables.AcQLookup(qi)
+    val y2dc = Vp8Tables.DcQLookup(qi) * 2
+    val y2ac = math.max(8, Vp8Tables.AcQLookup(qi) * 155 / 100)
+    val uvdc = Vp8Tables.DcQLookup(Vp8.clampQ(qi, 117))
+    val uvac = Vp8Tables.AcQLookup(qi)
+
+    // --- analysis + reconstruction pass (decoder-identical recon) ---
+    val Y = new Array[Int](yStride * mbH * 16)
+    val U = new Array[Int](uvStride * mbH * 8)
+    val V = new Array[Int](uvStride * mbH * 8)
+    val mbs = Array.fill(mbW * mbH)(new MbRecord)
+    val resid = new Array[Double](16)
+    val deq = new Array[Int](16)
+
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbs(mbY * mbW + mbX)
+        val yOff = mbY * 16 * yStride + mbX * 16
+        val uvOff = mbY * 8 * uvStride + mbX * 8
+
+        // 16x16 luma mode by SAD over candidate predictions
+        var bestMode = 0; var bestSad = Long.MaxValue
+        var m = 0
+        while (m < 4) {
+          Vp8.predict16(Y, yStride, yOff, m, mbX, mbY)
+          val s = sad(srcY, yOff, yStride, Y, yOff, yStride, 16)
+          if (s < bestSad) { bestSad = s; bestMode = m }
+          m += 1
+        }
+        mb.yMode = bestMode
+        Vp8.predict16(Y, yStride, yOff, bestMode, mbX, mbY)
+
+        // forward DCT per subblock; DCs go through the Y2/WHT path
+        val dcVec = new Array[Double](16)
+        val acCoef = Array.ofDim[Double](16, 16)
+        var sb = 0
+        while (sb < 16) {
+          val bOff = yOff + (sb >> 2) * 4 * yStride + (sb & 3) * 4
+          var j = 0
+          while (j < 4) {
+            var i = 0
+            while (i < 4) {
+              resid(j * 4 + i) =
+                (srcY(bOff + j * yStride + i) - Y(bOff + j * yStride + i)).toDouble
+              i += 1
+            }
+            j += 1
+          }
+          val coef = matVec(FdctMatrix, resid)
+          acCoef(sb) = coef
+          dcVec(sb) = coef(0)
+          sb += 1
+        }
+        val y2coef = matVec(FwhtMatrix, dcVec)
+        var c = 0
+        while (c < 16) {
+          val pos = Vp8.Zigzag(c)
+          mb.y2(c) = quantize(y2coef(pos), if (pos == 0) y2dc else y2ac)
+          c += 1
+        }
+        // reconstructed luma DCs: dequant Y2, integer inverse WHT
+        val y2deq = new Array[Int](25 * 16) // reuse decoder offset convention
+        c = 0
+        while (c < 16) {
+          val pos = Vp8.Zigzag(c)
+          y2deq(24 * 16 + pos) = mb.y2(c) * (if (pos == 0) y2dc else y2ac)
+          c += 1
+        }
+        Vp8.iwht4x4(y2deq, 24 * 16)
+
+        sb = 0
+        while (sb < 16) {
+          val bOff = yOff + (sb >> 2) * 4 * yStride + (sb & 3) * 4
+          java.util.Arrays.fill(deq, 0)
+          c = 1
+          while (c < 16) {
+            val pos = Vp8.Zigzag(c)
+            val lvl = quantize(acCoef(sb)(pos), y1ac)
+            mb.y(sb)(c) = lvl
+            deq(pos) = lvl * y1ac
+            c += 1
+          }
+          deq(0) = y2deq(24 * 16 + sb)
+          Vp8.idct4x4Add(deq, 0, Y, bOff, yStride)
+          sb += 1
+        }
+
+        // chroma: one mode for both planes (format constraint)
+        bestMode = 0; bestSad = Long.MaxValue
+        m = 0
+        while (m < 4) {
+          Vp8.predict8(U, uvStride, uvOff, m, mbX, mbY)
+          Vp8.predict8(V, uvStride, uvOff, m, mbX, mbY)
+          val s = sad(srcU, uvOff, uvStride, U, uvOff, uvStride, 8) +
+            sad(srcV, uvOff, uvStride, V, uvOff, uvStride, 8)
+          if (s < bestSad) { bestSad = s; bestMode = m }
+          m += 1
+        }
+        mb.uvMode = bestMode
+        Vp8.predict8(U, uvStride, uvOff, bestMode, mbX, mbY)
+        Vp8.predict8(V, uvStride, uvOff, bestMode, mbX, mbY)
+
+        def chromaBlock(plane: Array[Int], srcP: Array[Int], lvls: Array[Int],
+            cb: Int): Unit = {
+          val bOff = uvOff + (cb >> 1) * 4 * uvStride + (cb & 1) * 4
+          var j = 0
+          while (j < 4) {
+            var i = 0
+            while (i < 4) {
+              resid(j * 4 + i) =
+                (srcP(bOff + j * uvStride + i) - plane(bOff + j * uvStride + i)).toDouble
+              i += 1
+            }
+            j += 1
+          }
+          val coef = matVec(FdctMatrix, resid)
+          java.util.Arrays.fill(deq, 0)
+          var cc = 0
+          while (cc < 16) {
+            val pos = Vp8.Zigzag(cc)
+            val lvl = quantize(coef(pos), if (pos == 0) uvdc else uvac)
+            lvls(cc) = lvl
+            deq(pos) = lvl * (if (pos == 0) uvdc else uvac)
+            cc += 1
+          }
+          Vp8.idct4x4Add(deq, 0, plane, bOff, uvStride)
+        }
+        var cb = 0
+        while (cb < 4) {
+          chromaBlock(U, srcU, mb.u(cb), cb)
+          chromaBlock(V, srcV, mb.v(cb), cb)
+          cb += 1
+        }
+
+        mb.skip = mb.y2.forall(_ == 0) &&
+          mb.y.forall(b => { var k = 1; var z = true; while (k < 16) { if (b(k) != 0) z = false; k += 1 }; z }) &&
+          mb.u.forall(_.forall(_ == 0)) && mb.v.forall(_.forall(_ == 0))
+        mbX += 1
+      }
+      mbY += 1
+    }
+
+    // --- emission pass ---
+    val nMb = mbW * mbH
+    val nSkip = mbs.count(_.skip)
+    val skipProb = math.max(1, math.min(254, ((nMb - nSkip) * 255 + nMb / 2) / nMb))
+
+    val hdr = new BoolEncoder
+    hdr.literal(0, 1) // color space
+    hdr.literal(0, 1) // clamping
+    hdr.bool(128, 0) // segmentation off
+    hdr.literal(0, 1) // normal filter
+    hdr.literal(0, 6) // filter level 0
+    hdr.literal(0, 3) // sharpness
+    hdr.bool(128, 0) // no lf deltas
+    hdr.literal(0, 2) // one token partition
+    hdr.literal(qi, 7)
+    var k = 0
+    while (k < 5) { hdr.bool(128, 0); k += 1 } // no quant deltas
+    hdr.literal(1, 1) // refresh entropy probs
+    k = 0
+    while (k < 4 * 8 * 3 * 11) { // keep default coefficient probs
+      hdr.bool(Vp8.CoeffUpdate(k), 0); k += 1
+    }
+    hdr.bool(128, 1) // mb_no_coeff_skip
+    hdr.literal(skipProb, 8)
+    var mi = 0
+    while (mi < nMb) {
+      val mb = mbs(mi)
+      hdr.bool(skipProb, if (mb.skip) 1 else 0)
+      emitTree(hdr, YModePaths(mb.yMode), Vp8.KfYModeProb, 0)
+      emitTree(hdr, UvModePaths(mb.uvMode), Vp8.KfUvModeProb, 0)
+      mi += 1
+    }
+    val part0 = hdr.flush()
+    require(part0.length < (1 << 19), s"VP8 header partition too large: ${part0.length}")
+
+    val tok = new BoolEncoder
+    val aboveNzY = new Array[Boolean](mbW * 4)
+    val aboveNzU = new Array[Boolean](mbW * 2)
+    val aboveNzV = new Array[Boolean](mbW * 2)
+    val aboveNzY2 = new Array[Boolean](mbW)
+    mbY = 0
+    while (mbY < mbH) {
+      val leftNzY = new Array[Boolean](4)
+      val leftNzU = new Array[Boolean](2)
+      val leftNzV = new Array[Boolean](2)
+      var leftNzY2 = false
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbs(mbY * mbW + mbX)
+        if (mb.skip) {
+          java.util.Arrays.fill(leftNzY, false)
+          java.util.Arrays.fill(leftNzU, false)
+          java.util.Arrays.fill(leftNzV, false)
+          var q = 0
+          while (q < 4) { aboveNzY(mbX * 4 + q) = false; q += 1 }
+          q = 0
+          while (q < 2) {
+            aboveNzU(mbX * 2 + q) = false; aboveNzV(mbX * 2 + q) = false; q += 1
+          }
+          leftNzY2 = false; aboveNzY2(mbX) = false
+        } else {
+          val ctxY2 = (if (leftNzY2) 1 else 0) + (if (aboveNzY2(mbX)) 1 else 0)
+          val nzY2 = encodeBlockTokens(tok, mb.y2, 1, 0, ctxY2)
+          leftNzY2 = nzY2; aboveNzY2(mbX) = nzY2
+          var sb = 0
+          while (sb < 16) {
+            val sx = sb & 3; val sy = sb >> 2
+            val ctx = (if (leftNzY(sy)) 1 else 0) + (if (aboveNzY(mbX * 4 + sx)) 1 else 0)
+            val nz = encodeBlockTokens(tok, mb.y(sb), 0, 1, ctx)
+            leftNzY(sy) = nz; aboveNzY(mbX * 4 + sx) = nz
+            sb += 1
+          }
+          var cb = 0
+          while (cb < 4) {
+            val sx = cb & 1; val sy = cb >> 1
+            val ctx = (if (leftNzU(sy)) 1 else 0) + (if (aboveNzU(mbX * 2 + sx)) 1 else 0)
+            val nz = encodeBlockTokens(tok, mb.u(cb), 2, 0, ctx)
+            leftNzU(sy) = nz; aboveNzU(mbX * 2 + sx) = nz
+            cb += 1
+          }
+          cb = 0
+          while (cb < 4) {
+            val sx = cb & 1; val sy = cb >> 1
+            val ctx = (if (leftNzV(sy)) 1 else 0) + (if (aboveNzV(mbX * 2 + sx)) 1 else 0)
+            val nz = encodeBlockTokens(tok, mb.v(cb), 2, 0, ctx)
+            leftNzV(sy) = nz; aboveNzV(mbX * 2 + sx) = nz
+            cb += 1
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val part1 = tok.flush()
+
+    // --- assemble the VP8 chunk payload ---
+    val out = new Array[Byte](10 + part0.length + part1.length)
+    val tag = (0 /* keyframe */) | (0 << 1) /* version */ |
+      (1 << 4) /* show_frame */ | (part0.length << 5)
+    out(0) = (tag & 0xFF).toByte
+    out(1) = ((tag >> 8) & 0xFF).toByte
+    out(2) = ((tag >> 16) & 0xFF).toByte
+    out(3) = 0x9d.toByte; out(4) = 0x01.toByte; out(5) = 0x2a.toByte
+    out(6) = (width & 0xFF).toByte
+    out(7) = ((width >> 8) & 0x3F).toByte
+    out(8) = (height & 0xFF).toByte
+    out(9) = ((height >> 8) & 0x3F).toByte
+    System.arraycopy(part0, 0, out, 10, part0.length)
+    System.arraycopy(part1, 0, out, 10 + part0.length, part1.length)
+    out
+  }
+
+  /** Encode interleaved uint8 pixels (1 = gray, 3 = RGB, 4 = RGBA) as a
+    * lossy WebP container. 4-channel input adds VP8X + a raw ALPH chunk
+    * (alpha is lossless, as in libwebp's default). */
+  def encode(pixels: Array[Byte], width: Int, height: Int, channels: Int,
+      quality: Int): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"lossy WebP supports 1/3/4 channels, got $channels")
+    val hasAlpha = channels == 4
+    val alpha = if (hasAlpha) new Array[Byte](width * height) else null
+    val vp8 = encodeFrame(pixels, width, height, channels,
+      qualityToQIndex(quality), alpha)
+
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    if (hasAlpha) {
+      val vp8x = new Array[Byte](10)
+      vp8x(0) = 0x10 // alpha flag
+      def put24(off: Int, v: Int): Unit = {
+        vp8x(off) = (v & 0xFF).toByte
+        vp8x(off + 1) = ((v >> 8) & 0xFF).toByte
+        vp8x(off + 2) = ((v >> 16) & 0xFF).toByte
+      }
+      put24(4, width - 1); put24(7, height - 1)
+      chunks += (("VP8X", vp8x))
+      val alph = new Array[Byte](1 + alpha.length)
+      alph(0) = 0 // no preprocessing, filter none, raw
+      System.arraycopy(alpha, 0, alph, 1, alpha.length)
+      chunks += (("ALPH", alph))
+    }
+    chunks += (("VP8 ", vp8))
+
+    var total = 4 // "WEBP"
+    chunks.foreach { case (_, d) => total += 8 + d.length + (d.length & 1) }
+    val out = new Array[Byte](8 + total)
+    def put4(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putU32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte
+      out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte
+      out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    put4(0, "RIFF"); putU32(4, total); put4(8, "WEBP")
+    var off = 12
+    chunks.foreach { case (tagName, d) =>
+      put4(off, tagName); putU32(off + 4, d.length)
+      System.arraycopy(d, 0, out, off + 8, d.length)
+      off += 8 + d.length + (d.length & 1)
+    }
+    out
+  }
+}

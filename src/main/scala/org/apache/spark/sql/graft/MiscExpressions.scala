@@ -149,9 +149,29 @@ case class MmWebpEncode(child: Expression, imgWidth: Int, imgHeight: Int, channe
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** mm_webp_pixels(bytes) with plan-time channels: decode a lossless WebP
-  * tile to its raw interleaved uint8 buffer. Lossy VP8 raises a clear
-  * error rather than producing wrong pixels. */
+/** mm_webp_lossy(pixels) with plan-time (width, height, channels, quality):
+  * encode raw uint8 pixels as LOSSY WebP (VP8 key frame) — the format the
+  * reference's Pillow path writes for `compression="webp"` with a quality
+  * (`raster2raquet.py:844-845`). */
+case class MmWebpLossy(child: Expression, imgWidth: Int, imgHeight: Int,
+    channels: Int, quality: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_webp_lossy"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.encodeWebPLossy(raw.asInstanceOf[Array[Byte]], imgWidth,
+      imgHeight, channels, quality)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.raquet.Multimodal.encodeWebPLossy($c, $imgWidth, $imgHeight, $channels, $quality)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_webp_pixels(bytes) with plan-time channels: decode a WebP tile —
+  * lossless VP8L or lossy VP8 ([[graft.raquet.Vp8]]) — to its raw
+  * interleaved uint8 buffer. */
 case class MmWebpPixels(child: Expression, channels: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)

@@ -354,13 +354,18 @@ class GeoTiffSpec extends SparkSpec {
     assert(ex.getMessage.contains("antimeridian"))
   }
 
-  test("unsupported projected CRS still fails loudly") {
-    // 32661 (UPS North) is not in the supported set
-    val tif = tmp("ups.tif")
-    graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 100.0, 0.0, 0.0,
+  test("unsupported projected CRS still fails loudly; UPS now reads") {
+    // 32661 (UPS North) joined the supported set (PolarStereographicA)
+    val ups = tmp("ups.tif")
+    graft.raquet.TiffWriter.writeStrips(ups, 4, 4, "uint8", 1, 100.0, 2e6, 2e6 + 400,
       None, 4, Iterator(new Array[Byte](16)), epsg = 32661)
+    assert(GeoTiff.readInfo(ups).width == 4)
+    // 27700 (OSGB non-UTM transverse mercator) is not
+    val tif = tmp("osgb.tif")
+    graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 100.0, 0.0, 0.0,
+      None, 4, Iterator(new Array[Byte](16)), epsg = 27700)
     val ex = intercept[IllegalArgumentException](GeoTiff.readInfo(tif))
-    assert(ex.getMessage.contains("EPSG:32661"))
+    assert(ex.getMessage.contains("EPSG:27700"))
   }
 
   test("export: fixture mosaics to a GeoTIFF the JDK reader round-trips") {
@@ -788,5 +793,22 @@ class GeoTiffSpec extends SparkSpec {
       GeoTiff.convert(spark, tif, tmp("bad.parquet"), blockZoom = 4,
         compression = "webp"))
     assert(e.getMessage.contains("interleaved"))
+
+    // webp WITH a quality switches to lossy VP8 (the reference's Pillow
+    // behavior): blobs carry a VP8 key frame, values stay close on the
+    // smooth gradient, and the standard read path decodes them
+    val wOut = tmp("il_webp_lossy.parquet")
+    GeoTiff.convert(spark, tif, wOut, blockZoom = 4, tileStats = true,
+      compression = "webp", bandLayout = "interleaved", quality = Some(88))
+    val blob = spark.read.parquet(wOut).filter(col("block") =!= 0L)
+      .select(col("pixels")).head().getAs[Array[Byte]](0)
+    assert(new String(blob, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      == "VP8 ", "quality=Some(..) should emit lossy VP8, not VP8L")
+    val wGot = bandVals(wOut, null)
+    val wMeanErr = base.keys.map { k =>
+      val d = base(k).zip(wGot(k)).map { case (a, b) => math.abs(a - b) }
+      d.sum / d.size
+    }.max
+    assert(wMeanErr < 8.0, s"lossy webp q88 mean error $wMeanErr")
   }
 }

@@ -24,7 +24,8 @@ class ProjSpec extends AnyFunSuite {
     assert(Projection.fromEpsg(2154).exists(_.isInstanceOf[graft.geo.LambertConformalConic]))
     assert(Projection.fromEpsg(5070).exists(_.isInstanceOf[graft.geo.AlbersEqualArea]))
     assert(Projection.fromEpsg(3031).exists(_.isInstanceOf[graft.geo.PolarStereographic]))
-    assert(Projection.fromEpsg(32661).isEmpty) // UPS: unsupported
+    assert(Projection.fromEpsg(5041).exists(_.isInstanceOf[graft.geo.PolarStereographicA]))
+    assert(Projection.fromEpsg(32662).isEmpty) // plate carrée: unsupported
   }
 
   test("round-trip closes to sub-micrometer over the UTM domain") {
@@ -213,5 +214,49 @@ class ProjSpec extends AnyFunSuite {
     assert(xe > 1e6 && math.abs(ye) < 1e-6, s"3031 axes 90E ($xe,$ye)")
     val (xn, yn) = psNorth.fromLonLat(-45.0, 80.0)
     assert(math.abs(xn) < 1e-6 && yn < -1e5, s"3413 axes ($xn,$yn)")
+  }
+
+  test("UPS (polar stereographic variant A): k0 at pole, conformal, EPSG example") {
+    val upsN = Projection.fromEpsg(5041).get
+    val upsS = Projection.fromEpsg(5042).get
+    assert(Projection.fromEpsg(32661).contains(upsN))
+    assert(Projection.fromEpsg(32761).contains(upsS))
+
+    // the pole maps to the false origin exactly
+    val (px, py) = upsN.fromLonLat(0.0, 90.0)
+    assert(math.abs(px - 2e6) < 1e-6 && math.abs(py - 2e6) < 1e-6)
+
+    // defining property of variant A: local scale → k0 = 0.994 at the pole.
+    // Snyder 21-32 (k = ρ / (a·m)) evaluated analytically — a numeric
+    // two-point differential this close to the pole would cancel in
+    // double precision (points ~1e-9 m apart at coordinates ~2e6 m)
+    for (lon <- Seq(-90.0, 0.0, 117.0); lat <- Seq(89.99, 89.999)) {
+      val (x, y) = upsN.fromLonLat(lon, lat)
+      val k = math.hypot(x - 2e6, y - 2e6) / rPar(E2wgs, lat)
+      assert(math.abs(k - 0.994) < 1e-6, s"pole scale $k at ($lon,$lat)")
+    }
+    // conformal everywhere in the UPS domain (|φ| ≥ 60°)
+    for (lon <- Seq(-135.0, 30.0); lat <- Seq(64.0, 75.0, 89.0)) {
+      assert(math.abs(kMer(upsN, E2wgs, lon, lat) / kPar(upsN, E2wgs, lon, lat) - 1) < 1e-6)
+      assert(math.abs(kMer(upsS, E2wgs, lon, -lat) / kPar(upsS, E2wgs, lon, -lat) - 1) < 1e-6)
+    }
+    // round-trip closes
+    for (lon <- Seq(-170.0, -45.0, 0.0, 60.0, 179.0); lat <- Seq(60.5, 75.0, 89.9)) {
+      val (x, y) = upsN.fromLonLat(lon, lat)
+      val (lo, la) = upsN.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9, s"($lon,$lat)")
+      val (xs2, ys2) = upsS.fromLonLat(lon, -lat)
+      val (lo2, la2) = upsS.toLonLat(xs2, ys2)
+      assert(math.abs(lo2 - lon) < 1e-9 && math.abs(la2 + lat) < 1e-9)
+    }
+    // EPSG Guidance Note 7-2 worked example for Polar Stereographic
+    // variant A (WGS84, k0=0.994, FE=FN=2,000,000; UPS North):
+    // φ=73°N, λ=44°E → E=3,320,416.75 m, N=632,668.43 m
+    val (ex, ny) = upsN.fromLonLat(44.0, 73.0)
+    assert(math.abs(ex - 3320416.75) < 0.01, s"EPSG example E: $ex")
+    assert(math.abs(ny - 632668.43) < 0.01, s"EPSG example N: $ny")
+    // north/south mirror symmetry through the false origin
+    val (sx2, sy2) = upsS.fromLonLat(44.0, -73.0)
+    assert(math.abs(sx2 - ex) < 1e-6 && math.abs((sy2 - 2e6) + (ny - 2e6)) < 1e-6)
   }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{Vp8Enc, WebP}
+
+/** Lossy VP8 encoder conformance.
+  *
+  * Tier 1 (this suite, self-contained): streams we encode must decode
+  * through [[graft.raquet.Vp8]] — which is itself proven bit-exact against
+  * libwebp's decoder on nine fixtures plus handcrafted streams — with
+  * quality-appropriate PSNR against the source, monotone size vs quality,
+  * exact alpha round-trip, and gray staying gray.
+  *
+  * Tier 2 (blessed goldens): `tools/gen_vp8enc_goldens.py` decodes the
+  * deterministic fixture streams with the SYSTEM libwebp; once blessed,
+  * this suite pins the encoded bytes and requires our decode to equal
+  * libwebp's decode byte for byte.
+  */
+class Vp8EncSpec extends AnyFunSuite {
+
+  /** Delegates to the shared generator — the encoder goldens are blessed
+    * against exactly this formula ([[graft.raquet.FixtureGen.testCardRgb]]). */
+  private def testCard(w: Int, h: Int, channels: Int): Array[Byte] =
+    graft.raquet.FixtureGen.testCardRgb(w, h, channels)
+
+  private def psnr(a: Array[Byte], b: Array[Byte], channels: Int): Double = {
+    require(a.length == b.length, s"${a.length} vs ${b.length}")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+      se += d * d
+      i += 1
+    }
+    val mse = se / a.length
+    if (mse == 0) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  private def decodeRgb(bytes: Array[Byte]): (Array[Byte], Int) = {
+    val img = WebP.decode(bytes)
+    val stride = if (img.alphaHint) 4 else 3
+    val out = new Array[Byte](img.width * img.height * stride)
+    var i = 0
+    while (i < img.width * img.height) {
+      val p = img.px(i)
+      out(i * stride) = ((p >> 16) & 0xFF).toByte
+      out(i * stride + 1) = ((p >> 8) & 0xFF).toByte
+      out(i * stride + 2) = (p & 0xFF).toByte
+      if (stride == 4) out(i * stride + 3) = ((p >>> 24) & 0xFF).toByte
+      i += 1
+    }
+    (out, stride)
+  }
+
+  test("high quality round-trip: 64x64 RGB at q=95, PSNR > 38 dB") {
+    val src = testCard(64, 64, 3)
+    val enc = Vp8Enc.encode(src, 64, 64, 3, 95)
+    val (dec, stride) = decodeRgb(enc)
+    assert(stride == 3)
+    val p = psnr(dec, src, 3)
+    assert(p > 38.0, s"PSNR $p too low at q=95")
+  }
+
+  test("low quality still decodes and is smaller: q=10 vs q=95") {
+    val src = testCard(64, 64, 3)
+    val hi = Vp8Enc.encode(src, 64, 64, 3, 95)
+    val lo = Vp8Enc.encode(src, 64, 64, 3, 10)
+    assert(lo.length < hi.length,
+      s"q=10 (${lo.length} B) not smaller than q=95 (${hi.length} B)")
+    val (dec, _) = decodeRgb(lo)
+    val p = psnr(dec, src, 3)
+    assert(p > 18.0, s"PSNR $p collapsed at q=10")
+  }
+
+  test("odd dimensions (partial edge macroblocks): 75x41") {
+    val src = testCard(75, 41, 3)
+    val enc = Vp8Enc.encode(src, 75, 41, 3, 90)
+    val (dec, _) = decodeRgb(enc)
+    assert(dec.length == 75 * 41 * 3)
+    assert(psnr(dec, src, 3) > 34.0)
+  }
+
+  test("constant color collapses to skip macroblocks (tiny stream)") {
+    val src = Array.fill[Byte](96 * 96 * 3)(77)
+    val enc = Vp8Enc.encode(src, 96, 96, 3, 80)
+    assert(enc.length < 200, s"constant 96x96 should be ~header-sized, got ${enc.length}")
+    val (dec, _) = decodeRgb(enc)
+    // constant input → single DC level everywhere; spot-check uniformity
+    assert(dec.distinct.length <= 3)
+    assert(psnr(dec, src, 3) > 30.0)
+  }
+
+  test("gray input stays gray through the YUV path") {
+    val src = testCard(48, 48, 1)
+    val enc = Vp8Enc.encode(src, 48, 48, 1, 90)
+    val (dec, _) = decodeRgb(enc)
+    var i = 0
+    while (i < 48 * 48) {
+      val r = dec(i * 3) & 0xFF; val g = dec(i * 3 + 1) & 0xFF
+      val b = dec(i * 3 + 2) & 0xFF
+      assert(math.abs(r - g) <= 2 && math.abs(g - b) <= 2,
+        s"gray drifted at $i: ($r,$g,$b)")
+      i += 1
+    }
+    // compare luminance against the gray source
+    val gray3 = new Array[Byte](48 * 48 * 3)
+    i = 0
+    while (i < 48 * 48) {
+      gray3(i * 3) = src(i); gray3(i * 3 + 1) = src(i); gray3(i * 3 + 2) = src(i)
+      i += 1
+    }
+    assert(psnr(dec, gray3, 3) > 36.0)
+  }
+
+  test("RGBA adds VP8X+ALPH; alpha round-trips losslessly") {
+    val src = testCard(40, 56, 4)
+    val enc = Vp8Enc.encode(src, 40, 56, 4, 90)
+    assert(new String(enc, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "VP8X")
+    val (dec, stride) = decodeRgb(enc)
+    assert(stride == 4)
+    var i = 0
+    while (i < 40 * 56) {
+      assert(dec(i * 4 + 3) == src(i * 4 + 3), s"alpha mismatch at $i")
+      i += 1
+    }
+    assert(psnr(dec, src, 4) > 30.0)
+  }
+
+  test("quality → quantizer index mapping is monotone and spans the range") {
+    assert(Vp8Enc.qualityToQIndex(100) == 0)
+    assert(Vp8Enc.qualityToQIndex(0) == 127)
+    var prev = 128
+    var q = 0
+    while (q <= 100) {
+      val qi = Vp8Enc.qualityToQIndex(q)
+      assert(qi <= prev, s"non-monotone at q=$q")
+      prev = qi
+      q += 5
+    }
+  }
+
+  test("production tile size 256x256 encodes and round-trips") {
+    val src = testCard(256, 256, 3)
+    val enc = Vp8Enc.encode(src, 256, 256, 3, 80)
+    val (dec, _) = decodeRgb(enc)
+    assert(dec.length == 256 * 256 * 3)
+    assert(psnr(dec, src, 3) > 30.0)
+  }
+
+  // ---- tier 2: system-libwebp cross-check -------------------------------
+
+  /** (name, width, height, channels, quality, constant-fill). Shared with
+    * `tools/gen_vp8enc_goldens.py` via the dumped files. */
+  private val fixtures = Seq(
+    ("enc_64x64_q95", 64, 64, 3, 95, false),
+    ("enc_64x64_q50", 64, 64, 3, 50, false),
+    ("enc_75x41_q90", 75, 41, 3, 90, false),
+    ("enc_96x96_const_q80", 96, 96, 3, 80, true),
+    ("enc_40x56_rgba_q90", 40, 56, 4, 90, false),
+    ("enc_256x256_q80", 256, 256, 3, 80, false))
+
+  private def fixtureSrc(w: Int, h: Int, ch: Int, const: Boolean): Array[Byte] =
+    if (const) Array.fill[Byte](w * h * ch)(77) else testCard(w, h, ch)
+
+  test("dump fixture streams for the libwebp cross-check tool") {
+    val dir = java.nio.file.Paths.get("target/vp8enc")
+    java.nio.file.Files.createDirectories(dir)
+    for ((name, w, h, ch, q, const) <- fixtures) {
+      val enc = Vp8Enc.encode(fixtureSrc(w, h, ch, const), w, h, ch, q)
+      val (dec, stride) = decodeRgb(enc)
+      assert(stride == ch || (ch == 1 && stride == 3))
+      java.nio.file.Files.write(dir.resolve(s"$name.webp"), enc)
+      java.nio.file.Files.write(dir.resolve(s"$name.ourdec.rgb"), dec)
+    }
+  }
+
+  test("blessed goldens: encoded bytes pinned, our decode == libwebp decode") {
+    val res = java.nio.file.Paths.get("src/test/resources/webp/enc")
+    for ((name, w, h, ch, q, const) <- fixtures) {
+      val webpPath = res.resolve(s"$name.webp")
+      val goldenPath = res.resolve(s"$name.libwebp.rgb")
+      assert(java.nio.file.Files.exists(webpPath) &&
+        java.nio.file.Files.exists(goldenPath),
+        s"goldens for $name missing — run `sbt test` then tools/gen_vp8enc_goldens.py")
+      val pinned = java.nio.file.Files.readAllBytes(webpPath)
+      val enc = Vp8Enc.encode(fixtureSrc(w, h, ch, const), w, h, ch, q)
+      assert(java.util.Arrays.equals(enc, pinned),
+        s"$name: encoder output drifted from the libwebp-verified pinned bytes; " +
+          "re-bless with tools/gen_vp8enc_goldens.py")
+      val (dec, _) = decodeRgb(pinned)
+      val golden = java.nio.file.Files.readAllBytes(goldenPath)
+      assert(java.util.Arrays.equals(dec, golden),
+        s"$name: our decode of our own stream differs from libwebp's decode")
+    }
+  }
+}

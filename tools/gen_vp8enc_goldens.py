@@ -1,0 +1,63 @@
+"""Cross-validate the Scala VP8 ENCODER against the system libwebp decoder,
+then bless goldens.
+
+Flow: `sbt "testOnly graft.Vp8EncSpec"` dumps each deterministic fixture as
+  target/vp8enc/<name>.webp        (our encoder's stream)
+  target/vp8enc/<name>.ourdec.rgb  (our decoder's pixels for that stream)
+This tool decodes each .webp with libwebp (WebPDecodeRGB/RGBA — the same
+calls that produced the Vp8Spec decode goldens) and requires bit-exact
+equality with our decoder's pixels. On success it copies the stream and the
+libwebp pixels into src/test/resources/webp/enc/ so the spec's tier-2 test
+pins them from then on."""
+import ctypes, glob, os, shutil, sys
+
+lib = ctypes.CDLL("/usr/lib/x86_64-linux-gnu/libwebp.so.7")
+lib.WebPDecodeRGB.restype = ctypes.c_void_p
+lib.WebPDecodeRGB.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                              ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+lib.WebPDecodeRGBA.restype = ctypes.c_void_p
+lib.WebPDecodeRGBA.argtypes = lib.WebPDecodeRGB.argtypes
+lib.WebPFree.argtypes = [ctypes.c_void_p]
+
+srcdir = "/root/repo/target/vp8enc"
+outdir = "/root/repo/src/test/resources/webp/enc"
+os.makedirs(outdir, exist_ok=True)
+
+fail = 0
+for path in sorted(glob.glob(f"{srcdir}/*.webp")):
+    name = os.path.basename(path)[:-5]
+    webp = open(path, "rb").read()
+    ours = open(f"{srcdir}/{name}.ourdec.rgb", "rb").read()
+    alpha = b"VP8X" in webp[:16]
+    dec = lib.WebPDecodeRGBA if alpha else lib.WebPDecodeRGB
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = dec(webp, len(webp), ctypes.byref(w), ctypes.byref(h))
+    assert p, f"{name}: libwebp refused our stream"
+    nch = 4 if alpha else 3
+    golden = ctypes.string_at(p, w.value * h.value * nch)
+    lib.WebPFree(p)
+    if golden != ours:
+        diffs = sum(1 for a, b in zip(golden, ours) if a != b)
+        maxd = max((abs(a - b) for a, b in zip(golden, ours)), default=0)
+        print(f"FAIL {name}: {diffs}/{len(golden)} bytes differ (max |d|={maxd})")
+        fail += 1
+        continue
+    shutil.copy(path, f"{outdir}/{name}.webp")
+    open(f"{outdir}/{name}.libwebp.rgb", "wb").write(golden)
+    print(f"ok   {name}: {w.value}x{h.value} ch={nch} "
+          f"{len(webp)} B, decode bit-exact -> blessed")
+
+    if name == "enc_256x256_q80":
+        # q83 DuckDB oracle: libwebp's pixels for the in-engine-encoded
+        # stream as parquet (same layout as the q80 golden)
+        import pyarrow as pa, pyarrow.parquet as pq
+        pos, chan, val = [], [], []
+        for p2 in range(256 * 256):
+            for c in range(3):
+                pos.append(p2); chan.append(c + 1); val.append(golden[p2 * 3 + c])
+        t = pa.table({"pos": pa.array(pos, pa.int64()),
+                      "channel": pa.array(chan, pa.int32()),
+                      "v": pa.array(val, pa.float64())})
+        pq.write_table(t, f"{outdir}/{name}_golden.parquet")
+        print(f"     {name}_golden.parquet written")
+sys.exit(1 if fail else 0)
