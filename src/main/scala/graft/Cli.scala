@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.raquet.{AaiGrid, GeoTiff, Maintenance, NetCdf}
+import graft.raquet.{AaiGrid, GeoTiff, Maintenance, NetCdf, SrtmHgt}
 
 /** Thin command-line surface over the library — the Spark-side mirror of
   * `raquet/cli.py:358-464,887-900,932-941,1058-1079,1296-1299` so the API
@@ -28,7 +28,7 @@ object Cli {
 
   private val Usage =
     """usage: graft.Cli <command> <args...>
-      |  convert <in.tif> <out.parquet>
+      |  convert <in.tif|.nc|.asc|.hgt> <out.parquet>
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
@@ -94,7 +94,13 @@ object Cli {
     case "convert" =>
       val (pos, f) = parseArgs(args.tail, Set("tile-stats"))
       val Seq(in, out) = expect(pos, 2, "convert <in.tif|in.nc> <out.parquet>")
-      if (in.endsWith(".asc") || in.endsWith(".agr")) AaiGrid.convert(spark, in, out,
+      if (in.toLowerCase.endsWith(".hgt")) SrtmHgt.convert(spark, in, out,
+        blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+        zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+        tileStats = f.contains("tile-stats"),
+        resampling = f.getOrElse("resampling", "near"),
+        overviews = f.getOrElse("overviews", "auto"))
+      else if (in.endsWith(".asc") || in.endsWith(".agr")) AaiGrid.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
         zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
         tileStats = f.contains("tile-stats"),

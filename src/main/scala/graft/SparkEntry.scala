@@ -102,6 +102,7 @@ object SparkEntry {
     "q81_http_tiff"         -> (RaquetQueries.q81HttpTiff _),
     "q82_aaigrid_ingest"    -> (RaquetQueries.q82AaigridIngest _),
     "q83_webp_lossy"        -> (RaquetQueries.q83WebpLossyEncode _),
+    "q84_srtm_ingest"       -> (RaquetQueries.q84SrtmIngest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -288,6 +289,7 @@ object SparkEntry {
     "q81_http_tiff"         -> RaquetOracles.q60,
     "q82_aaigrid_ingest"    -> RaquetOracles.q82,
     "q83_webp_lossy"        -> RaquetOracles.q83,
+    "q84_srtm_ingest"       -> RaquetOracles.q84,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -595,6 +595,48 @@ object RaquetOracles {
         FROM read_parquet('/root/repo/src/test/resources/webp/enc/enc_256x256_q80_golden.parquet')
         GROUP BY 1, 2"""
 
+  /** q84 SRTM-ingest oracle: values depend only on the source column, so
+    * per-tile stats factor into (valid target rows per ty, from the
+    * gudermannian) × (per-column values per tx, from the dyadic-exact
+    * u = floor((lon(gx) − x0)·1200) nearest-neighbor map). Geometry:
+    * N00E000, n=1201, cell=1/1200°, native zoom 11, tiles
+    * tx∈[1023,1029] × ty∈[1018,1024]; u≡0 (mod 37) is void (-32768), which
+    * leaves tile column tx=1023 with zero valid pixels → NULL stats. */
+  val q84: String = {
+    val lat = "degrees(atan((exp(pi()*(1 - 2*tf)) - exp(-pi()*(1 - 2*tf)))/2))"
+    s"""WITH trows AS (
+          SELECT gy, floor(1200.5 - 1200*($lat)) AS sv
+          FROM (SELECT gy, (CAST(gy AS DOUBLE) + 0.5) / 524288 AS tf
+                FROM range(260608, 262400) t(gy)) s),
+        rowsv AS (
+          SELECT CAST(gy // 256 AS BIGINT) AS ty, count(*) AS nrows
+          FROM trows WHERE sv BETWEEN 0 AND 1200 GROUP BY 1),
+        tcols AS (
+          SELECT gx, CAST(floor(((CAST(gx AS DOUBLE) + 0.5)/524288*360 - 180
+            + 1.0/2400) * 1200) AS INT) AS u
+          FROM range(261888, 263680) t(gx)),
+        colv AS (
+          SELECT CAST(gx // 256 AS BIGINT) AS tx,
+            CASE WHEN u BETWEEN 0 AND 1200 AND u % 37 <> 0
+                 THEN CAST((5*u) % 1999 AS DOUBLE) END AS v
+          FROM tcols),
+        colagg AS (
+          SELECT tx, count(v) AS ncols, sum(v) AS colsum,
+            min(v) AS vmin, max(v) AS vmax
+          FROM colv GROUP BY 1),
+        tiles AS (SELECT a.tx, b.ty FROM range(1023, 1030) a(tx),
+          range(1018, 1025) b(ty))
+        SELECT ${cellExpr("t.tx", "t.ty", 11)} AS block,
+          CAST(r.nrows * c.ncols AS BIGINT) AS n_px,
+          CAST(c.vmin AS BIGINT) AS px_min,
+          CAST(c.vmax AS BIGINT) AS px_max,
+          CAST(r.nrows * c.colsum AS BIGINT) AS px_sum,
+          CAST(r.nrows * c.colsum AS BIGINT) AS dec_sum
+        FROM tiles t
+        JOIN rowsv r ON r.ty = t.ty
+        JOIN colagg c ON c.tx = t.tx"""
+  }
+
   /** q82 AAIGrid-ingest oracle: the q79 closed form restricted to one band,
     * with one structural difference — the TIFF convert path builds the z0
     * overview by PYRAMID AVERAGING (not warp-from-source), so a z0 row is

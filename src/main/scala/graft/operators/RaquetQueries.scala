@@ -762,6 +762,51 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** S6-breadth driver proof: SRTM `.hgt` ingest (the most mirrored public
+    * DEM format; GDAL's SRTMHGT driver). A synthetic N00E000.hgt (1201²
+    * big-endian int16, grid-center registration, -32768 voids) converts
+    * through [[graft.raquet.SrtmHgt]] → the distributed warp at native zoom
+    * 11 (overviews off — the pyramid path is q24/q82's proof), and per-tile
+    * stats + a decode-path sum are checked against a fully closed-form
+    * oracle. Values depend only on the source COLUMN (rows constant), so
+    * y-resampling cannot move them; latitude enters solely through
+    * valid-row counts (the q82 gudermannian device), and the u mapping is
+    * dyadic-exact with ≥1.2e-4 distance to every floor boundary. Column
+    * class u≡0 (mod 37) is void, which makes one whole tile column
+    * (tx=1023) all-nodata — the NULL-stats path is part of the oracle. */
+  def q84SrtmIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q84"
+    new java.io.File(tmp).mkdirs()
+    val hgt = s"$tmp/N00E000.hgt"
+    val n = 1201
+    val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(hgt), 1 << 20))
+    try {
+      var r = 0
+      while (r < n) {
+        var c = 0
+        while (c < n) {
+          dos.writeShort(if (c % 37 == 0) -32768 else (5 * c) % 1999)
+          c += 1
+        }
+        r += 1
+      }
+    } finally dos.close()
+    val out = s"$tmp/srtm.parquet"
+    val meta = graft.raquet.SrtmHgt.convert(spark, hgt, out,
+      tileStats = true, overviews = "none")
+    require(meta.maxZoom == 11 && meta.minZoom == 11,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** Remote-ingest driver proof (vsicurl parity, `raquet/cli.py:22-46`):
     * the q60 synthetic TIFF served by an in-process localhost server that
     * honors HTTP Range; `convert("http://…")` pulls tag headers on the

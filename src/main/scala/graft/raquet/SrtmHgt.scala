@@ -1,0 +1,89 @@
+package graft.raquet
+
+/** SRTM `.hgt` ingest — S6 breadth for the most widely mirrored public DEM
+  * format (NASA SRTM / viewfinderpanoramas tiles; GDAL's SRTMHGT driver,
+  * `raster2raquet.py:950-963` opens it like any other driver).
+  *
+  * The format is fully public: a bare big-endian int16 grid, row-major from
+  * the north-west corner, covering a 1°×1° cell whose SOUTH-WEST corner is
+  * encoded in the file name (`N52E013.hgt`, `S14W077.hgt`). Grid registration
+  * is point/center: an n×n file has cellsize 1/(n−1) degrees and shares its
+  * outermost rows/columns with the neighbouring tiles, so the upper-left
+  * pixel-area corner sits half a cell outside the 1° box (the GDAL SRTMHGT
+  * geotransform). Voids are -32768. SRTM3 is 1201², SRTM1 3601²; any n²
+  * payload is accepted (n ≥ 2).
+  *
+  * Scale shape: like [[AaiGrid]], the single-file source is transcoded
+  * strip-by-strip (O(strip) memory, byte-order swap only) into a temporary
+  * int16 GeoTIFF and handed to the distributed [[GeoTiff.convert]] pipeline,
+  * which warps on executors with windowed reads. */
+object SrtmHgt {
+
+  final case class Header(lonSW: Int, latSW: Int, n: Int)
+
+  /** SW corner from the file name + grid size from the file length. */
+  def readHeader(path: String): Header = {
+    val name = new java.io.File(path).getName.toUpperCase
+    val m = java.util.regex.Pattern
+      .compile("^([NS])(\\d{1,2})([EW])(\\d{1,3})\\.HGT$").matcher(name)
+    require(m.matches(),
+      s"$path: SRTM file names encode the SW corner, e.g. N52E013.hgt")
+    val lat = m.group(2).toInt * (if (m.group(1) == "N") 1 else -1)
+    val lon = m.group(4).toInt * (if (m.group(3) == "E") 1 else -1)
+    require(lat >= -90 && lat < 90 && lon >= -180 && lon < 180,
+      s"$path: SW corner ($lat, $lon) outside the globe")
+    val bytes = new java.io.File(path).length()
+    require(bytes > 0 && bytes % 2 == 0, s"$path: odd byte count $bytes")
+    val n = math.round(math.sqrt(bytes / 2.0)).toInt
+    require(n >= 2 && 2L * n * n == bytes,
+      s"$path: $bytes bytes is not a square int16 grid (SRTM3=1201², SRTM1=3601²)")
+    Header(lon, lat, n)
+  }
+
+  /** Stream the big-endian samples into a little-endian int16 GeoTIFF
+    * (north-up strips, the source row order). One pass, O(strip) memory. */
+  def toTiff(hgtPath: String, tifPath: String, rowsPerStrip: Int = 64): Unit = {
+    val h = readHeader(hgtPath)
+    val cell = 1.0 / (h.n - 1)
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(hgtPath), 1 << 20)
+    try {
+      val strips = (0 until h.n by rowsPerStrip).iterator.map { y0 =>
+        val rows = math.min(rowsPerStrip, h.n - y0)
+        val buf = new Array[Byte](rows * h.n * 2)
+        var off = 0
+        while (off < buf.length) {
+          val k = in.read(buf, off, buf.length - off)
+          require(k > 0, s"$hgtPath: truncated at byte $off of strip $y0")
+          off += k
+        }
+        // big-endian → little-endian int16 in place
+        var i = 0
+        while (i < buf.length) {
+          val t = buf(i); buf(i) = buf(i + 1); buf(i + 1) = t
+          i += 2
+        }
+        buf
+      }
+      TiffWriter.writeStrips(tifPath, h.n, h.n, "int16", 1,
+        pixelSize = cell, originX = h.lonSW - cell / 2,
+        originY = h.latSW + 1 + cell / 2,
+        nodata = Some(-32768.0), rowsPerStrip = rowsPerStrip,
+        strips = strips, epsg = 4326)
+    } finally in.close()
+  }
+
+  /** SRTM → raquet: streaming transcode + the distributed TIFF convert. */
+  def convert(spark: org.apache.spark.sql.SparkSession, hgtPath: String,
+      outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false, resampling: String = "near",
+      overviews: String = "auto"): RaquetMetadata = {
+    val tmp = java.nio.file.Files.createTempFile("srtm", ".tif")
+    try {
+      toTiff(hgtPath, tmp.toString)
+      GeoTiff.convert(spark, tmp.toString, outFile, blockZoom = blockZoom,
+        zoomStrategy = zoomStrategy, tileStats = tileStats,
+        resampling = resampling, overviews = overviews)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}

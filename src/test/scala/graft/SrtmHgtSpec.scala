@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{GeoTiff, SrtmHgt}
+
+/** SRTM `.hgt` parsing + transcode. The end-to-end warp correctness is
+  * q84's closed-form driver oracle; this spec covers the format edges:
+  * file-name corner encoding (all four quadrants), size inference,
+  * truncation/non-square rejection, big-endian int16 decode including
+  * negatives and the -32768 void, and the GDAL SRTMHGT grid-center
+  * registration (origin half a cell outside the 1° box). */
+class SrtmHgtSpec extends AnyFunSuite {
+
+  private def tmpDir = {
+    val d = java.nio.file.Files.createTempDirectory("srtmspec")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def writeHgt(path: java.nio.file.Path, n: Int,
+      v: (Int, Int) => Int): Unit = {
+    val dos = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      for (r <- 0 until n; c <- 0 until n) dos.writeShort(v(r, c))
+    } finally dos.close()
+  }
+
+  test("file name encodes the SW corner in all four quadrants") {
+    val d = tmpDir
+    for ((name, lon, lat) <- Seq(("N52E013.hgt", 13, 52), ("S14W077.hgt", -77, -14),
+        ("N00E000.hgt", 0, 0), ("S01W180.hgt", -180, -1), ("n52e013.hgt", 13, 52))) {
+      val p = d.resolve(name)
+      writeHgt(p, 3, (_, _) => 0)
+      val h = SrtmHgt.readHeader(p.toString)
+      assert(h.lonSW == lon && h.latSW == lat && h.n == 3, name)
+    }
+  }
+
+  test("malformed names and non-square payloads are rejected loudly") {
+    val d = tmpDir
+    val bad = d.resolve("tile_52_13.hgt")
+    writeHgt(bad, 3, (_, _) => 0)
+    assert(intercept[IllegalArgumentException](
+      SrtmHgt.readHeader(bad.toString)).getMessage.contains("SW corner"))
+    val nsq = d.resolve("N10E010.hgt")
+    java.nio.file.Files.write(nsq, new Array[Byte](2 * 10)) // 10 samples: not n²
+    assert(intercept[IllegalArgumentException](
+      SrtmHgt.readHeader(nsq.toString)).getMessage.contains("square"))
+    val odd = d.resolve("N11E011.hgt")
+    java.nio.file.Files.write(odd, new Array[Byte](9)) // odd byte count
+    assert(intercept[IllegalArgumentException](
+      SrtmHgt.readHeader(odd.toString)).getMessage.contains("odd"))
+  }
+
+  test("transcode: big-endian int16 (negatives + void) and GDAL registration") {
+    val d = tmpDir
+    val p = d.resolve("S33E151.hgt")
+    val n = 4
+    val vals = Array(
+      Array(0, 1, -1, 32767),
+      Array(-32768, 100, -100, 7),
+      Array(12345, -12345, 3, 4),
+      Array(5, 6, 7, 8))
+    writeHgt(p, n, (r, c) => vals(r)(c))
+    val tif = d.resolve("out.tif").toString
+    SrtmHgt.toTiff(p.toString, tif, rowsPerStrip = 3) // strip boundary mid-grid
+    val info = GeoTiff.readInfo(tif)
+    assert(info.width == 4 && info.height == 4 && info.dtype == "int16")
+    assert(info.nodata.contains(-32768.0))
+    val cell = 1.0 / 3
+    assert(math.abs(info.x0 - (151 - cell / 2)) < 1e-12)
+    assert(math.abs(info.y0 - (-33 + 1 + cell / 2)) < 1e-12)
+    assert(math.abs(info.dx - cell) < 1e-12 && math.abs(info.dy + cell) < 1e-12)
+    // pixel values survive the byte swap (the production read path)
+    val raster = GeoTiff.readWindowRaster(tif, 0, 0, n, n)
+    for (r <- 0 until n; c <- 0 until n)
+      assert(raster.getSample(c, r, 0).toShort.toInt == vals(r)(c), s"($r,$c)")
+  }
+}
