@@ -1,0 +1,38 @@
+package graft.tools
+
+/** Single-thread tile-codec microbench (no Spark): encode/decode throughput
+  * of the interleaved codec family on the 256×256×3 test card. Run with
+  * `sbt "runMain graft.tools.BenchCodecs"`. Convert-scale context: one
+  * executor thread encoding N tiles/s means a 32-thread local run encodes
+  * ~32N tiles/s; the warp + stats pass usually dominates, so a codec is
+  * "fast enough" once it clears a few hundred tiles/s per thread. */
+object BenchCodecs {
+  def main(args: Array[String]): Unit = {
+    val src = graft.raquet.FixtureGen.testCardRgb(256, 256, 3)
+    def time(n: Int)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < n) { f; k += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    var i = 0
+    while (i < 20) { graft.raquet.Vp8Enc.encode(src, 256, 256, 3, 80); i += 1 }
+
+    val n = 100
+    val dt = time(n)(graft.raquet.Vp8Enc.encode(src, 256, 256, 3, 80))
+    println(f"lossy VP8 encode q80:  ${n / dt}%8.1f tiles/s  (${dt / n * 1000}%6.2f ms/tile)")
+    val dt1 = time(n)(graft.raquet.Multimodal.encodeWebP(src, 256, 256, 3))
+    println(f"VP8L lossless encode:  ${n / dt1}%8.1f tiles/s  (${dt1 / n * 1000}%6.2f ms/tile)")
+    val dt2 = time(n)(graft.raquet.Multimodal.encodeJpeg(src, 256, 256, 3, 85))
+    println(f"JPEG encode q85:       ${n / dt2}%8.1f tiles/s  (${dt2 / n * 1000}%6.2f ms/tile)")
+    val lossy = graft.raquet.Vp8Enc.encode(src, 256, 256, 3, 80)
+    val dt3 = time(n)(graft.raquet.WebP.decode(lossy))
+    println(f"lossy VP8 decode:      ${n / dt3}%8.1f tiles/s  (${dt3 / n * 1000}%6.2f ms/tile)")
+    val lossless = graft.raquet.Multimodal.encodeWebP(src, 256, 256, 3)
+    val dt4 = time(n)(graft.raquet.WebP.decode(lossless))
+    println(f"VP8L decode:           ${n / dt4}%8.1f tiles/s  (${dt4 / n * 1000}%6.2f ms/tile)")
+    val gz = graft.raquet.PixelCodec.gzipCompress(src)
+    val dt5 = time(n)(graft.raquet.PixelCodec.gzipDecompress(gz))
+    println(f"gzip decode:           ${n / dt5}%8.1f tiles/s  (${dt5 / n * 1000}%6.2f ms/tile)")
+  }
+}
