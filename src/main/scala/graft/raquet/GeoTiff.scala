@@ -238,20 +238,22 @@ object GeoTiff {
             d(3081, 3085, "origin lat"), d(3080, 3084, "origin lon"),
             opt(3082, 3086), opt(3083, 3087))
         case 15 => // CT_PolarStereographic
-          // ScaleAtNatOrigin (3092) present → variant A (EPSG 9810, the
-          // UPS shape: k0 at the pole); else variant B via lat_ts (9829)
-          dblKeys.get(3092) match {
-            case Some(k0) =>
-              PolarStereographicA(aAx, invF, k0,
-                north = d(3081, 3078, "natural-origin lat") >= 0,
-                d(3095, 3080, "straight vertical pole lon"),
-                opt(3082, 3086), opt(3083, 3087))
-            case None =>
-              PolarStereographic(aAx, invF,
-                d(3081, 3078, "std parallel (lat_ts)"),
-                d(3095, 3080, "straight vertical pole lon"),
-                opt(3082, 3086), opt(3083, 3087))
-          }
+          // Variant A vs B discriminates on the ORIGIN LATITUDE, not on
+          // geokey presence: GDAL/libgeotiff write ScaleAtNatOrigin
+          // (3092, = 1.0) for variant-B files too. Variant A (EPSG 9810,
+          // the UPS shape) has its natural origin AT the pole (±90°) with
+          // k0 from 3092; anything else is a standard parallel → variant
+          // B (EPSG 9829).
+          val originLat = d(3081, 3078, "origin lat / std parallel")
+          if (math.abs(math.abs(originLat) - 90.0) < 1e-9)
+            PolarStereographicA(aAx, invF, dblKeys.getOrElse(3092, 1.0),
+              north = originLat >= 0,
+              d(3095, 3080, "straight vertical pole lon"),
+              opt(3082, 3086), opt(3083, 3087))
+          else
+            PolarStereographic(aAx, invF, originLat,
+              d(3095, 3080, "straight vertical pole lon"),
+              opt(3082, 3086), opt(3083, 3087))
         case ct => throw new IllegalArgumentException(
           s"$path: user-defined projection with coordinate transform code " +
             s"$ct unsupported (LCC-2SP=8, Albers=11, PolarStereographic=15)")
@@ -265,7 +267,8 @@ object GeoTiff {
         else graft.geo.Projection.fromEpsg(epsg).getOrElse(
           throw new IllegalArgumentException(s"$path: projected CRS " +
             s"EPSG:$epsg unsupported (3857, 4326, WGS84 UTM 326xx/327xx, " +
-            "5070, 2154, 3031, 3413, or user-defined LCC/Albers/polar-stereo)"))
+            "5070, 2154, 3031, 3413, UPS 5041/5042/32661/32761, " +
+            "or user-defined LCC/Albers/polar-stereo)"))
       }
 
     val nodata = fieldString(42113).flatMap(s =>
@@ -1193,8 +1196,11 @@ object GeoTiff {
       compression: String = "gzip",
       bandLayout: String = "sequential",
       quality: Option[Int] = None): RaquetMetadata = {
-    quality.foreach(q => require(q >= 0 && q <= 100,
-      s"quality must be 0-100, got $q"))
+    quality.foreach { q =>
+      require(q >= 0 && q <= 100, s"quality must be 0-100, got $q")
+      require(compression == "jpeg" || compression == "webp",
+        s"quality only applies to jpeg/webp compression, got $compression")
+    }
     require(overviews == "auto" || overviews == "none",
       s"overviews must be auto or none, got $overviews")
     require(Set("gzip", "none", "jpeg", "webp")(compression),

@@ -259,7 +259,9 @@ object Vp8Enc {
 
   // ------------------------------------------------------------ encode
 
-  private final val MaxLevel = 2047 // cat6 ceiling: 67 + (1<<11)-1
+  // conservative cap below cat6's true ceiling of 67 + (1<<11) - 1 = 2114
+  // (libwebp clamps to the same 2047)
+  private final val MaxLevel = 2047
 
   private def quantize(coef: Double, q: Int): Int = {
     val a = math.abs(coef)
@@ -366,19 +368,29 @@ object Vp8Enc {
     val srcY = new Array[Int](yStride * mbH * 16)
     val srcU = new Array[Int](uvStride * mbH * 8)
     val srcV = new Array[Int](uvStride * mbH * 8)
-    def rgbAt(x: Int, y: Int): (Int, Int, Int) = {
+    // allocation-free sample fetch: fills `px3` (hot path — one call per
+    // luma pixel + four per chroma sample; a tuple here is ~130k boxed
+    // allocations per 256x256 tile)
+    val px3 = new Array[Int](3)
+    def rgbAt(x: Int, y: Int): Unit = {
       val sx = if (x >= width) width - 1 else x
       val sy = if (y >= height) height - 1 else y
       val o = (sy * width + sx) * channels
-      if (channels == 1) { val g = rgb(o) & 0xFF; (g, g, g) }
-      else ((rgb(o) & 0xFF), (rgb(o + 1) & 0xFF), (rgb(o + 2) & 0xFF))
+      if (channels == 1) {
+        val g = rgb(o) & 0xFF
+        px3(0) = g; px3(1) = g; px3(2) = g
+      } else {
+        px3(0) = rgb(o) & 0xFF
+        px3(1) = rgb(o + 1) & 0xFF
+        px3(2) = rgb(o + 2) & 0xFF
+      }
     }
     var y0 = 0
     while (y0 < mbH * 16) {
       var x0 = 0
       while (x0 < yStride) {
-        val (r, g, b) = rgbAt(x0, y0)
-        srcY(y0 * yStride + x0) = rgbToY(r, g, b)
+        rgbAt(x0, y0)
+        srcY(y0 * yStride + x0) = rgbToY(px3(0), px3(1), px3(2))
         x0 += 1
       }
       y0 += 1
@@ -390,8 +402,8 @@ object Vp8Enc {
         var rs = 0; var gs = 0; var bs = 0
         var k = 0
         while (k < 4) {
-          val (r, g, b) = rgbAt(cx * 2 + (k & 1), cy * 2 + (k >> 1))
-          rs += r; gs += g; bs += b
+          rgbAt(cx * 2 + (k & 1), cy * 2 + (k >> 1))
+          rs += px3(0); gs += px3(1); bs += px3(2)
           k += 1
         }
         val r = (rs + 2) >> 2; val g = (gs + 2) >> 2; val b = (bs + 2) >> 2
@@ -673,6 +685,9 @@ object Vp8Enc {
       quality: Int): Array[Byte] = {
     require(channels == 1 || channels == 3 || channels == 4,
       s"lossy WebP supports 1/3/4 channels, got $channels")
+    require(pixels.length == width * height * channels,
+      s"pixel buffer is ${pixels.length} B, expected " +
+        s"$width*$height*$channels = ${width * height * channels}")
     val hasAlpha = channels == 4
     val alpha = if (hasAlpha) new Array[Byte](width * height) else null
     val vp8 = encodeFrame(pixels, width, height, channels,

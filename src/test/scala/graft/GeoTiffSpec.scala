@@ -354,6 +354,37 @@ class GeoTiffSpec extends SparkSpec {
     assert(ex.getMessage.contains("antimeridian"))
   }
 
+  test("user-defined polar stereo: 3092 presence does NOT imply variant A") {
+    // GDAL/libgeotiff write ProjScaleAtNatOriginGeoKey (3092, = 1.0) even
+    // for variant-B (standard parallel) files: the discriminator is the
+    // origin latitude (±90° = variant A / UPS shape, else lat_ts).
+    def writePs(name: String, originLat: Double, k0: Double): String = {
+      val tif = tmp(name)
+      val geoKeys = Seq(
+        1, 1, 0, 7,
+        1024, 0, 1, 1, 1025, 0, 1, 1,
+        3072, 0, 1, 32767,
+        3075, 0, 1, 15, // CT_PolarStereographic
+        3081, 34736, 1, 0, // origin lat / std parallel
+        3095, 34736, 1, 1, // straight vertical pole lon
+        3092, 34736, 1, 2) // scale at natural origin
+      graft.raquet.TiffWriter.writeStrips(tif, 4, 4, "uint8", 1, 1000.0,
+        0.0, -6000000.0, None, 4, Iterator(new Array[Byte](16)),
+        geoKeysOverride = Some((geoKeys, Seq(originLat, 0.0, k0))))
+      tif
+    }
+    // variant B: lat_ts=-71 with GDAL's redundant 3092=1.0 → must NOT
+    // be read as variant A (k0=1 at the pole would shift 71°S ~58 km)
+    val b = GeoTiff.readInfo(writePs("psB.tif", -71.0, 1.0))
+    assert(b.proj.isInstanceOf[graft.geo.PolarStereographic], b.proj)
+    assert(b.proj == graft.geo.Projection.fromEpsg(3031).get)
+    // variant A: origin AT the pole picks up k0 from 3092 (UPS south)
+    val a = GeoTiff.readInfo(writePs("psA.tif", -90.0, 0.994))
+    assert(a.proj.isInstanceOf[graft.geo.PolarStereographicA], a.proj)
+    val ups = a.proj.asInstanceOf[graft.geo.PolarStereographicA]
+    assert(ups.k0 == 0.994 && !ups.north)
+  }
+
   test("unsupported projected CRS still fails loudly; UPS now reads") {
     // 32661 (UPS North) joined the supported set (PolarStereographicA)
     val ups = tmp("ups.tif")
