@@ -704,9 +704,17 @@ object Vp8Enc {
       }
       put24(4, width - 1); put24(7, height - 1)
       chunks += (("VP8X", vp8x))
-      val alph = new Array[Byte](1 + alpha.length)
-      alph(0) = 0 // no preprocessing, filter none, raw
-      System.arraycopy(alpha, 0, alph, 1, alpha.length)
+      // like libwebp: try VP8L-compressed alpha (method 1), keep raw
+      // (method 0) when the plane is incompressible and raw is smaller
+      val compressed = WebP.encodeAlpha(alpha, width, height)
+      val alph =
+        if (compressed.length < 1 + alpha.length) compressed
+        else {
+          val raw = new Array[Byte](1 + alpha.length)
+          raw(0) = 0 // no preprocessing, filter none, raw
+          System.arraycopy(alpha, 0, raw, 1, alpha.length)
+          raw
+        }
       chunks += (("ALPH", alph))
     }
     chunks += (("VP8 ", vp8))

@@ -777,7 +777,17 @@ object WebP {
     bw.bits(height - 1, 14)
     bw.bit(if (hasAlpha) 1 else 0)
     bw.bits(0, 3) // version
+    encodeImageStream(bw, argbIn, width, height, opts)
+    wrapRiff(bw.toBytes)
+  }
 
+  /** Headerless VP8L image stream (transforms + token data, no signature/
+    * size header) — the level-0 stream [[decode]]'s `readImageStream`
+    * parses, and exactly the payload an ALPH chunk carries with
+    * compression method 1 (container spec: alpha rides the GREEN channel,
+    * dimensions come from the frame). */
+  private[raquet] def encodeImageStream(bw: BitWriter, argbIn: Array[Int],
+      width: Int, height: Int, opts: Options): Unit = {
     var img = argbIn.clone()
     var w = width
 
@@ -832,7 +842,28 @@ object WebP {
     bw.bit(0) // end of transforms
 
     writePixels(bw, img, w, height, opts)
-    wrapRiff(bw.toBytes)
+  }
+
+  /** ALPH chunk payload, compression method 1: a headerless VP8L stream
+    * whose green channel carries the alpha plane (always losslessly;
+    * only ≤256 distinct greens exist, so palette coding applies). The
+    * header byte is [pre=0 filter=0 compression=1]. */
+  def encodeAlpha(alpha: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(alpha.length == width * height,
+      s"alpha plane ${alpha.length} != $width*$height")
+    val argb = new Array[Int](alpha.length)
+    var i = 0
+    while (i < alpha.length) {
+      argb(i) = 0xFF000000 | ((alpha(i) & 0xFF) << 8)
+      i += 1
+    }
+    val bw = new BitWriter
+    encodeImageStream(bw, argb, width, height, Options(palette = true))
+    val body = bw.toBytes
+    val out = new Array[Byte](1 + body.length)
+    out(0) = 1 // compression method 1, no filter, no preprocessing
+    System.arraycopy(body, 0, out, 1, body.length)
+    out
   }
 
   /** Sub-resolution images (transform data, meta image): no transforms, no

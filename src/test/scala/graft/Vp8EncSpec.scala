@@ -159,7 +159,8 @@ class Vp8EncSpec extends AnyFunSuite {
     ("enc_96x96_const_q80", 96, 96, 3, 80, true),
     ("enc_40x56_rgba_q90", 40, 56, 4, 90, false),
     ("enc_256x256_q80", 256, 256, 3, 80, false),
-    ("enc_1x1_q90", 1, 1, 3, 90, false))
+    ("enc_1x1_q90", 1, 1, 3, 90, false),
+    ("enc_32x48_rgba_const_q80", 32, 48, 4, 80, true))
 
   private def fixtureSrc(w: Int, h: Int, ch: Int, const: Boolean): Array[Byte] =
     if (const) Array.fill[Byte](w * h * ch)(77) else testCard(w, h, ch)
