@@ -263,20 +263,53 @@ object Vp8Enc {
   // (libwebp clamps to the same 2047)
   private final val MaxLevel = 2047
 
-  private def quantize(coef: Double, q: Int): Int = {
+  private final val AcBias = 0.40
+
+  /** Deadzone quantizer: `bias` < 0.5 drops marginal coefficients whose
+    * rate cost exceeds their distortion value (the standard encoder-side
+    * trick; libwebp's default bias is in the same range). DC keeps plain
+    * rounding — a biased DC shifts the whole block's mean. */
+  private def quantize(coef: Double, q: Int, bias: Double): Int = {
     val a = math.abs(coef)
-    val lvl0 = ((a + q * 0.5) / q).toInt
+    val lvl0 = (a / q + bias).toInt
     val lvl = if (lvl0 > MaxLevel) MaxLevel else lvl0
     if (coef < 0) -lvl else lvl
+  }
+
+  /** Token output abstraction: the same emission pass either WRITES bits
+    * (via the bool encoder) or COUNTS per-probability-slot bit frequencies
+    * for the header's coefficient-probability fitting. `coeffBool` carries
+    * the flat [4][8][3][11] probability index (the updatable table);
+    * category extra bits and signs ride fixed probabilities. */
+  private trait TokenSink {
+    def coeffBool(probIdx: Int, bit: Int): Unit
+    def fixedBool(prob: Int, bit: Int): Unit
+  }
+  private final class WriteSink(be: BoolEncoder, probs: Array[Int])
+      extends TokenSink {
+    def coeffBool(probIdx: Int, bit: Int): Unit = be.bool(probs(probIdx), bit)
+    def fixedBool(prob: Int, bit: Int): Unit = be.bool(prob, bit)
+  }
+  private final class CountSink(counts: Array[Int]) extends TokenSink {
+    def coeffBool(probIdx: Int, bit: Int): Unit = counts(2 * probIdx + bit) += 1
+    def fixedBool(prob: Int, bit: Int): Unit = ()
+  }
+
+  private def emitCoeffTree(sink: TokenSink, path: Array[Int],
+      probOff: Int): Unit = {
+    var i = 0
+    while (i < path.length) {
+      sink.coeffBool(probOff + (path(i) >> 1), path(i + 1))
+      i += 2
+    }
   }
 
   /** Encode one 4×4 block's token run (the mirror of the decoder's `block`
     * closure in [[Vp8.decode]]). `lvls` indexed by SCAN position c (already
     * zigzag-ordered). Returns whether any coefficient is nonzero. */
-  private def encodeBlockTokens(be: BoolEncoder, lvls: Array[Int],
+  private def encodeBlockTokens(sink: TokenSink, lvls: Array[Int],
       planeType: Int, first: Int, ctx0: Int): Boolean = {
     val planeOff = planeType * 8 * 3 * 11
-    val probs = Vp8.CoeffProbsDefault
     var lastNz = -1
     var c = first
     while (c < 16) { if (lvls(c) != 0) lastNz = c; c += 1 }
@@ -287,7 +320,7 @@ object Vp8Enc {
       val probOff = planeOff + (Vp8.CoeffBands(c) * 3 + ctx) * 11
       val v = lvls(c)
       if (v == 0) {
-        emitTree(be, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(0), probs, probOff)
+        emitCoeffTree(sink, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(0), probOff)
         skipEob = true; ctx = 0
       } else {
         val a = math.abs(v)
@@ -298,17 +331,17 @@ object Vp8Enc {
             while (cat < 5 && a >= Vp8.CatBase(cat + 1)) cat += 1
             cat + 5
           }
-        emitTree(be, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(tok), probs, probOff)
+        emitCoeffTree(sink, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(tok), probOff)
         if (tok >= 5) {
           val catProbs = Vp8.CatProbs(tok - 5)
           val extra = a - Vp8.CatBase(tok - 5)
           var b = 0
           while (b < catProbs.length) {
-            be.bool(catProbs(b), (extra >> (catProbs.length - 1 - b)) & 1)
+            sink.fixedBool(catProbs(b), (extra >> (catProbs.length - 1 - b)) & 1)
             b += 1
           }
         }
-        be.bool(128, if (v < 0) 1 else 0)
+        sink.fixedBool(128, if (v < 0) 1 else 0)
         skipEob = false
         ctx = if (a == 1) 1 else 2
       }
@@ -316,9 +349,104 @@ object Vp8Enc {
     }
     if (lastNz < 15) {
       val probOff = planeOff + (Vp8.CoeffBands(c) * 3 + ctx) * 11
-      emitTree(be, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(11), probs, probOff)
+      emitCoeffTree(sink, (if (skipEob) CoeffPathsNoEob else CoeffPaths)(11), probOff)
     }
     lastNz >= first
+  }
+
+  /** The whole-frame token pass (nz-context bookkeeping mirrors the
+    * decoder); runs once counting and once writing. */
+  private def emitTokens(sink: TokenSink, mbs: Array[MbRecord],
+      mbW: Int, mbH: Int): Unit = {
+    val aboveNzY = new Array[Boolean](mbW * 4)
+    val aboveNzU = new Array[Boolean](mbW * 2)
+    val aboveNzV = new Array[Boolean](mbW * 2)
+    val aboveNzY2 = new Array[Boolean](mbW)
+    var mbY = 0
+    while (mbY < mbH) {
+      val leftNzY = new Array[Boolean](4)
+      val leftNzU = new Array[Boolean](2)
+      val leftNzV = new Array[Boolean](2)
+      var leftNzY2 = false
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbs(mbY * mbW + mbX)
+        if (mb.skip) {
+          java.util.Arrays.fill(leftNzY, false)
+          java.util.Arrays.fill(leftNzU, false)
+          java.util.Arrays.fill(leftNzV, false)
+          var q = 0
+          while (q < 4) { aboveNzY(mbX * 4 + q) = false; q += 1 }
+          q = 0
+          while (q < 2) {
+            aboveNzU(mbX * 2 + q) = false; aboveNzV(mbX * 2 + q) = false; q += 1
+          }
+          leftNzY2 = false; aboveNzY2(mbX) = false
+        } else {
+          val ctxY2 = (if (leftNzY2) 1 else 0) + (if (aboveNzY2(mbX)) 1 else 0)
+          val nzY2 = encodeBlockTokens(sink, mb.y2, 1, 0, ctxY2)
+          leftNzY2 = nzY2; aboveNzY2(mbX) = nzY2
+          var sb = 0
+          while (sb < 16) {
+            val sx = sb & 3; val sy = sb >> 2
+            val ctx = (if (leftNzY(sy)) 1 else 0) + (if (aboveNzY(mbX * 4 + sx)) 1 else 0)
+            val nz = encodeBlockTokens(sink, mb.y(sb), 0, 1, ctx)
+            leftNzY(sy) = nz; aboveNzY(mbX * 4 + sx) = nz
+            sb += 1
+          }
+          var cb = 0
+          while (cb < 4) {
+            val sx = cb & 1; val sy = cb >> 1
+            val ctx = (if (leftNzU(sy)) 1 else 0) + (if (aboveNzU(mbX * 2 + sx)) 1 else 0)
+            val nz = encodeBlockTokens(sink, mb.u(cb), 2, 0, ctx)
+            leftNzU(sy) = nz; aboveNzU(mbX * 2 + sx) = nz
+            cb += 1
+          }
+          cb = 0
+          while (cb < 4) {
+            val sx = cb & 1; val sy = cb >> 1
+            val ctx = (if (leftNzV(sy)) 1 else 0) + (if (aboveNzV(mbX * 2 + sx)) 1 else 0)
+            val nz = encodeBlockTokens(sink, mb.v(cb), 2, 0, ctx)
+            leftNzV(sy) = nz; aboveNzV(mbX * 2 + sx) = nz
+            cb += 1
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+  }
+
+  /** Per-slot probability fitting: with bit counts (c0, c1) the ideal prob
+    * is 255·c0/(c0+c1); an update is written only when the exact entropy
+    * saving beats the header cost of signalling it (flag flip + 8-bit
+    * literal against the RFC's update probabilities). */
+  private def fitCoeffProbs(counts: Array[Int])
+      : (Array[Int], Array[Boolean]) = {
+    val fitted = Vp8.CoeffProbsDefault.clone()
+    val updated = new Array[Boolean](fitted.length)
+    val log2 = math.log(2.0)
+    def bits(c0: Int, c1: Int, p: Int): Double =
+      c0 * math.log(256.0 / p) / log2 + c1 * math.log(256.0 / (256 - p)) / log2
+    var ci = 0
+    while (ci < fitted.length) {
+      val c0 = counts(2 * ci); val c1 = counts(2 * ci + 1)
+      if (c0 + c1 > 0) {
+        val n = c0 + c1
+        val popt = math.max(1, math.min(255, (255 * c0 + n / 2) / n))
+        if (popt != fitted(ci)) {
+          val pu = Vp8.CoeffUpdate(ci)
+          val signalCost =
+            8.0 + (math.log(256.0 / (256 - pu)) - math.log(256.0 / pu)) / log2
+          if (bits(c0, c1, fitted(ci)) - bits(c0, c1, popt) > signalCost) {
+            fitted(ci) = popt
+            updated(ci) = true
+          }
+        }
+      }
+      ci += 1
+    }
+    (fitted, updated)
   }
 
   private def sad(src: Array[Int], sOff: Int, sStride: Int,
@@ -481,7 +609,8 @@ object Vp8Enc {
         var c = 0
         while (c < 16) {
           val pos = Vp8.Zigzag(c)
-          mb.y2(c) = quantize(y2coef(pos), if (pos == 0) y2dc else y2ac)
+          mb.y2(c) = quantize(y2coef(pos), if (pos == 0) y2dc else y2ac,
+            if (pos == 0) 0.5 else AcBias)
           c += 1
         }
         // reconstructed luma DCs: dequant Y2, integer inverse WHT
@@ -501,7 +630,7 @@ object Vp8Enc {
           c = 1
           while (c < 16) {
             val pos = Vp8.Zigzag(c)
-            val lvl = quantize(acCoef(sb)(pos), y1ac)
+            val lvl = quantize(acCoef(sb)(pos), y1ac, AcBias)
             mb.y(sb)(c) = lvl
             deq(pos) = lvl * y1ac
             c += 1
@@ -544,7 +673,8 @@ object Vp8Enc {
           var cc = 0
           while (cc < 16) {
             val pos = Vp8.Zigzag(cc)
-            val lvl = quantize(coef(pos), if (pos == 0) uvdc else uvac)
+            val lvl = quantize(coef(pos), if (pos == 0) uvdc else uvac,
+              if (pos == 0) 0.5 else AcBias)
             lvls(cc) = lvl
             deq(pos) = lvl * (if (pos == 0) uvdc else uvac)
             cc += 1
@@ -584,9 +714,18 @@ object Vp8Enc {
     var k = 0
     while (k < 5) { hdr.bool(128, 0); k += 1 } // no quant deltas
     hdr.literal(1, 1) // refresh entropy probs
+    // content-fitted coefficient probabilities: count the token pass, fit
+    // per-slot, signal only profitable updates (§13.4)
+    val counts = new Array[Int](2 * 4 * 8 * 3 * 11)
+    emitTokens(new CountSink(counts), mbs, mbW, mbH)
+    val (fittedProbs, updated) = fitCoeffProbs(counts)
     k = 0
-    while (k < 4 * 8 * 3 * 11) { // keep default coefficient probs
-      hdr.bool(Vp8.CoeffUpdate(k), 0); k += 1
+    while (k < 4 * 8 * 3 * 11) {
+      if (updated(k)) {
+        hdr.bool(Vp8.CoeffUpdate(k), 1)
+        hdr.literal(fittedProbs(k), 8)
+      } else hdr.bool(Vp8.CoeffUpdate(k), 0)
+      k += 1
     }
     hdr.bool(128, 1) // mb_no_coeff_skip
     hdr.literal(skipProb, 8)
@@ -602,63 +741,7 @@ object Vp8Enc {
     require(part0.length < (1 << 19), s"VP8 header partition too large: ${part0.length}")
 
     val tok = new BoolEncoder
-    val aboveNzY = new Array[Boolean](mbW * 4)
-    val aboveNzU = new Array[Boolean](mbW * 2)
-    val aboveNzV = new Array[Boolean](mbW * 2)
-    val aboveNzY2 = new Array[Boolean](mbW)
-    mbY = 0
-    while (mbY < mbH) {
-      val leftNzY = new Array[Boolean](4)
-      val leftNzU = new Array[Boolean](2)
-      val leftNzV = new Array[Boolean](2)
-      var leftNzY2 = false
-      var mbX = 0
-      while (mbX < mbW) {
-        val mb = mbs(mbY * mbW + mbX)
-        if (mb.skip) {
-          java.util.Arrays.fill(leftNzY, false)
-          java.util.Arrays.fill(leftNzU, false)
-          java.util.Arrays.fill(leftNzV, false)
-          var q = 0
-          while (q < 4) { aboveNzY(mbX * 4 + q) = false; q += 1 }
-          q = 0
-          while (q < 2) {
-            aboveNzU(mbX * 2 + q) = false; aboveNzV(mbX * 2 + q) = false; q += 1
-          }
-          leftNzY2 = false; aboveNzY2(mbX) = false
-        } else {
-          val ctxY2 = (if (leftNzY2) 1 else 0) + (if (aboveNzY2(mbX)) 1 else 0)
-          val nzY2 = encodeBlockTokens(tok, mb.y2, 1, 0, ctxY2)
-          leftNzY2 = nzY2; aboveNzY2(mbX) = nzY2
-          var sb = 0
-          while (sb < 16) {
-            val sx = sb & 3; val sy = sb >> 2
-            val ctx = (if (leftNzY(sy)) 1 else 0) + (if (aboveNzY(mbX * 4 + sx)) 1 else 0)
-            val nz = encodeBlockTokens(tok, mb.y(sb), 0, 1, ctx)
-            leftNzY(sy) = nz; aboveNzY(mbX * 4 + sx) = nz
-            sb += 1
-          }
-          var cb = 0
-          while (cb < 4) {
-            val sx = cb & 1; val sy = cb >> 1
-            val ctx = (if (leftNzU(sy)) 1 else 0) + (if (aboveNzU(mbX * 2 + sx)) 1 else 0)
-            val nz = encodeBlockTokens(tok, mb.u(cb), 2, 0, ctx)
-            leftNzU(sy) = nz; aboveNzU(mbX * 2 + sx) = nz
-            cb += 1
-          }
-          cb = 0
-          while (cb < 4) {
-            val sx = cb & 1; val sy = cb >> 1
-            val ctx = (if (leftNzV(sy)) 1 else 0) + (if (aboveNzV(mbX * 2 + sx)) 1 else 0)
-            val nz = encodeBlockTokens(tok, mb.v(cb), 2, 0, ctx)
-            leftNzV(sy) = nz; aboveNzV(mbX * 2 + sx) = nz
-            cb += 1
-          }
-        }
-        mbX += 1
-      }
-      mbY += 1
-    }
+    emitTokens(new WriteSink(tok, fittedProbs), mbs, mbW, mbH)
     val part1 = tok.flush()
 
     // --- assemble the VP8 chunk payload ---
