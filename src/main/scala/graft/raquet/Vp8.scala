@@ -89,11 +89,11 @@ object Vp8 {
   private[raquet] val KfYModeProb = Array(145, 156, 163, 128)
   private[raquet] val UvModeTree = Array(-0, 2, -1, 4, -2, -3)
   private[raquet] val KfUvModeProb = Array(142, 114, 183)
-  private val BModeTree = Array(
+  private[raquet] val BModeTree = Array(
     -0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -4, -5, -6, 14, -7, 16, -8, -9)
   private val SegmentTree = Array(2, 4, -0, -1, -2, -3)
   /** 16×16 mode → implied subblock mode for B-mode context (§11.3). */
-  private val ImpliedBMode = Array(0, 2, 3, 1) // DC→B_DC, V→B_VE, H→B_HE, TM→B_TM
+  private[raquet] val ImpliedBMode = Array(0, 2, 3, 1) // DC→B_DC, V→B_VE, H→B_HE, TM→B_TM
 
   // token tree (§13.2): DCT_0..4, cat1..6, EOB=11
   private[raquet] val CoeffTree = Array(
@@ -113,7 +113,7 @@ object Vp8 {
   // unsigned coeff-prob tables as Int arrays (fast, no & 0xFF per read)
   private[raquet] val CoeffProbsDefault: Array[Int] = Vp8Tables.DefaultCoeffProbs.map(_ & 0xFF)
   private[raquet] val CoeffUpdate: Array[Int] = Vp8Tables.CoeffUpdateProbs.map(_ & 0xFF)
-  private val KfBMode: Array[Int] = Vp8Tables.KfBModeProb.map(_ & 0xFF)
+  private[raquet] val KfBMode: Array[Int] = Vp8Tables.KfBModeProb.map(_ & 0xFF)
 
   // ------------------------------------------------------------ frame model
 
@@ -605,7 +605,7 @@ object Vp8 {
       atTop: Boolean, atLeft: Boolean): Int =
     if (atTop) 127 else if (atLeft) 129 else p(off - stride - 1)
 
-  private def predictBlock(p: Array[Int], stride: Int, off: Int, n: Int,
+  private[raquet] def predictBlock(p: Array[Int], stride: Int, off: Int, n: Int,
       mode: Int, atTop: Boolean, atLeft: Boolean): Unit = {
     mode match {
       case 0 => // DC
@@ -666,7 +666,7 @@ object Vp8 {
 
   /** 4×4 intra predictors (§12.3). `bx`, `by` are subblock coordinates on
     * the frame's 4×4 grid; `bw` the grid width. */
-  private def predictB(Y: Array[Int], stride: Int, off: Int, mode: Int,
+  private[raquet] def predictB(Y: Array[Int], stride: Int, off: Int, mode: Int,
       bx: Int, by: Int, bw: Int): Unit = {
     val atTop = by == 0
     val atLeft = bx == 0

@@ -7,13 +7,15 @@ package graft.raquet
   *
   * Encoder shape (all encoder-side choices are non-normative; conformance
   * is that the STREAM decodes correctly):
-  *  - 16×16 intra modes only (DC/V/H/TM, picked by SAD against the
-  *    reconstructed-neighbor prediction), so every macroblock carries a Y2
-  *    block; chroma modes picked jointly for U+V as the format requires.
+  *  - per-MB 16×16 (DC/V/H/TM + Y2) or B_PRED (greedy per-subblock 4×4
+  *    from all ten predictors), decided by prediction SAD against a
+  *    quantizer-scaled lambda for the mode-signalling cost; chroma modes
+  *    picked jointly for U+V as the format requires.
   *  - one segment, loop filter level 0 (the filter is a decoder-side
   *    smoothing pass; level 0 keeps encode reconstruction trivially equal
   *    to decode reconstruction), one token partition, default coefficient
-  *    probabilities, `mb_no_coeff_skip` with a frequency-fitted skip prob.
+  *    probabilities refitted per slot where the entropy saving beats the
+  *    signalling cost (§13.4), `mb_no_coeff_skip` with a fitted skip prob.
   *  - the forward DCT/WHT are derived NUMERICALLY at init by inverting the
   *    decoder's own linear inverse transforms ([[Vp8.idct4x4Add]] /
   *    [[Vp8.iwht4x4]] with rounding dropped) — encoder and decoder are
@@ -371,6 +373,7 @@ object Vp8Enc {
       var mbX = 0
       while (mbX < mbW) {
         val mb = mbs(mbY * mbW + mbX)
+        val hasY2 = mb.yMode != BPredMode
         if (mb.skip) {
           java.util.Arrays.fill(leftNzY, false)
           java.util.Arrays.fill(leftNzU, false)
@@ -381,16 +384,20 @@ object Vp8Enc {
           while (q < 2) {
             aboveNzU(mbX * 2 + q) = false; aboveNzV(mbX * 2 + q) = false; q += 1
           }
-          leftNzY2 = false; aboveNzY2(mbX) = false
+          if (hasY2) { leftNzY2 = false; aboveNzY2(mbX) = false }
         } else {
-          val ctxY2 = (if (leftNzY2) 1 else 0) + (if (aboveNzY2(mbX)) 1 else 0)
-          val nzY2 = encodeBlockTokens(sink, mb.y2, 1, 0, ctxY2)
-          leftNzY2 = nzY2; aboveNzY2(mbX) = nzY2
+          if (hasY2) {
+            val ctxY2 = (if (leftNzY2) 1 else 0) + (if (aboveNzY2(mbX)) 1 else 0)
+            val nzY2 = encodeBlockTokens(sink, mb.y2, 1, 0, ctxY2)
+            leftNzY2 = nzY2; aboveNzY2(mbX) = nzY2
+          }
+          val yPlane = if (hasY2) 0 else 3
+          val yFirst = if (hasY2) 1 else 0
           var sb = 0
           while (sb < 16) {
             val sx = sb & 3; val sy = sb >> 2
             val ctx = (if (leftNzY(sy)) 1 else 0) + (if (aboveNzY(mbX * 4 + sx)) 1 else 0)
-            val nz = encodeBlockTokens(sink, mb.y(sb), 0, 1, ctx)
+            val nz = encodeBlockTokens(sink, mb.y(sb), yPlane, yFirst, ctx)
             leftNzY(sy) = nz; aboveNzY(mbX * 4 + sx) = nz
             sb += 1
           }
@@ -469,10 +476,17 @@ object Vp8Enc {
   def qualityToQIndex(quality: Int): Int =
     Vp8.clampQ(math.round((100 - math.max(0, math.min(100, quality))) * 1.27).toInt)
 
+  private final val BPredMode = 4
+
+  private val BModePaths = treePaths(Vp8.BModeTree, 0)
+
   private final class MbRecord {
     var yMode = 0
     var uvMode = 0
     var skip = false
+    // 4x4 modes (real for B_PRED, implied for 16x16 — neighbours' mode
+    // contexts read them either way, like the decoder's bModes array)
+    val bModes = new Array[Byte](16)
     // scan-ordered levels
     val y2 = new Array[Int](16)
     val y = Array.ofDim[Int](16, 16)
@@ -549,7 +563,7 @@ object Vp8Enc {
 
     // --- dequant factors, identical derivation to the decoder (§14.1) ---
     val qi = Vp8.clampQ(qIndex)
-    // no y1dc: in 16×16 modes the luma DC rides the Y2/WHT path (§13.3)
+    val y1dc = Vp8Tables.DcQLookup(qi) // B_PRED blocks carry their DC in-block
     val y1ac = Vp8Tables.AcQLookup(qi)
     val y2dc = Vp8Tables.DcQLookup(qi) * 2
     val y2ac = math.max(8, Vp8Tables.AcQLookup(qi) * 155 / 100)
@@ -572,24 +586,38 @@ object Vp8Enc {
         val yOff = mbY * 16 * yStride + mbX * 16
         val uvOff = mbY * 8 * uvStride + mbX * 8
 
-        // 16x16 luma mode by SAD over candidate predictions
-        var bestMode = 0; var bestSad = Long.MaxValue
+        // ---- luma: 16x16 (DC/V/H/TM + Y2) vs B_PRED (per-subblock 4x4).
+        // Trials overwrite the MB pixel area freely — neighbours only read
+        // the MB's final content, and the winning path runs last.
+        var bestMode = 0; var sad16 = Long.MaxValue
         var m = 0
         while (m < 4) {
           Vp8.predict16(Y, yStride, yOff, m, mbX, mbY)
           val s = sad(srcY, yOff, yStride, Y, yOff, yStride, 16)
-          if (s < bestSad) { bestSad = s; bestMode = m }
+          if (s < sad16) { sad16 = s; bestMode = m }
           m += 1
         }
-        mb.yMode = bestMode
-        Vp8.predict16(Y, yStride, yOff, bestMode, mbX, mbY)
-
-        // forward DCT per subblock; DCs go through the Y2/WHT path
-        val dcVec = new Array[Double](16)
-        val acCoef = Array.ofDim[Double](16, 16)
+        // greedy B_PRED with immediate reconstruction — later subblocks
+        // predict from reconstructed earlier ones, exactly like the decoder
+        val bLvls = Array.ofDim[Int](16, 16)
+        val bTrial = new Array[Byte](16)
+        var sadB = 0L
         var sb = 0
         while (sb < 16) {
-          val bOff = yOff + (sb >> 2) * 4 * yStride + (sb & 3) * 4
+          val sx = sb & 3; val sy = sb >> 2
+          val bOff = yOff + sy * 4 * yStride + sx * 4
+          val bx = mbX * 4 + sx; val by = mbY * 4 + sy
+          var bm = 0; var bs = Long.MaxValue
+          var mm = 0
+          while (mm < 10) {
+            Vp8.predictB(Y, yStride, bOff, mm, bx, by, mbW * 4)
+            val sv = sad(srcY, bOff, yStride, Y, bOff, yStride, 4)
+            if (sv < bs) { bs = sv; bm = mm }
+            mm += 1
+          }
+          Vp8.predictB(Y, yStride, bOff, bm, bx, by, mbW * 4)
+          sadB += bs
+          bTrial(sb) = bm.toByte
           var j = 0
           while (j < 4) {
             var i = 0
@@ -601,54 +629,103 @@ object Vp8Enc {
             j += 1
           }
           val coef = matVec(FdctMatrix, resid)
-          acCoef(sb) = coef
-          dcVec(sb) = coef(0)
-          sb += 1
-        }
-        val y2coef = matVec(FwhtMatrix, dcVec)
-        var c = 0
-        while (c < 16) {
-          val pos = Vp8.Zigzag(c)
-          mb.y2(c) = quantize(y2coef(pos), if (pos == 0) y2dc else y2ac,
-            if (pos == 0) 0.5 else AcBias)
-          c += 1
-        }
-        // reconstructed luma DCs: dequant Y2, integer inverse WHT
-        val y2deq = new Array[Int](25 * 16) // reuse decoder offset convention
-        c = 0
-        while (c < 16) {
-          val pos = Vp8.Zigzag(c)
-          y2deq(24 * 16 + pos) = mb.y2(c) * (if (pos == 0) y2dc else y2ac)
-          c += 1
-        }
-        Vp8.iwht4x4(y2deq, 24 * 16)
-
-        sb = 0
-        while (sb < 16) {
-          val bOff = yOff + (sb >> 2) * 4 * yStride + (sb & 3) * 4
           java.util.Arrays.fill(deq, 0)
-          c = 1
+          var c = 0
           while (c < 16) {
             val pos = Vp8.Zigzag(c)
-            val lvl = quantize(acCoef(sb)(pos), y1ac, AcBias)
-            mb.y(sb)(c) = lvl
-            deq(pos) = lvl * y1ac
+            val lvl = quantize(coef(pos), if (pos == 0) y1dc else y1ac,
+              if (pos == 0) 0.5 else AcBias)
+            bLvls(sb)(c) = lvl
+            deq(pos) = lvl * (if (pos == 0) y1dc else y1ac)
             c += 1
           }
-          deq(0) = y2deq(24 * 16 + sb)
           Vp8.idct4x4Add(deq, 0, Y, bOff, yStride)
           sb += 1
         }
 
+        // B_PRED signals ~16 extra mode trees; a quantizer-scaled lambda
+        // keeps marginal prediction wins from buying that cost
+        if (sadB + 48L * y1ac < sad16) {
+          mb.yMode = BPredMode
+          System.arraycopy(bTrial, 0, mb.bModes, 0, 16)
+          sb = 0
+          while (sb < 16) {
+            System.arraycopy(bLvls(sb), 0, mb.y(sb), 0, 16)
+            sb += 1
+          }
+          // B_PRED reconstruction is already in the frame buffer
+        } else {
+          mb.yMode = bestMode
+          java.util.Arrays.fill(mb.bModes, Vp8.ImpliedBMode(bestMode).toByte)
+          Vp8.predict16(Y, yStride, yOff, bestMode, mbX, mbY)
+
+          // forward DCT per subblock; DCs go through the Y2/WHT path
+          val dcVec = new Array[Double](16)
+          val acCoef = Array.ofDim[Double](16, 16)
+          sb = 0
+          while (sb < 16) {
+            val bOff = yOff + (sb >> 2) * 4 * yStride + (sb & 3) * 4
+            var j = 0
+            while (j < 4) {
+              var i = 0
+              while (i < 4) {
+                resid(j * 4 + i) =
+                  (srcY(bOff + j * yStride + i) - Y(bOff + j * yStride + i)).toDouble
+                i += 1
+              }
+              j += 1
+            }
+            val coef = matVec(FdctMatrix, resid)
+            acCoef(sb) = coef
+            dcVec(sb) = coef(0)
+            sb += 1
+          }
+          val y2coef = matVec(FwhtMatrix, dcVec)
+          var c = 0
+          while (c < 16) {
+            val pos = Vp8.Zigzag(c)
+            mb.y2(c) = quantize(y2coef(pos), if (pos == 0) y2dc else y2ac,
+              if (pos == 0) 0.5 else AcBias)
+            c += 1
+          }
+          // reconstructed luma DCs: dequant Y2, integer inverse WHT
+          val y2deq = new Array[Int](25 * 16) // decoder offset convention
+          c = 0
+          while (c < 16) {
+            val pos = Vp8.Zigzag(c)
+            y2deq(24 * 16 + pos) = mb.y2(c) * (if (pos == 0) y2dc else y2ac)
+            c += 1
+          }
+          Vp8.iwht4x4(y2deq, 24 * 16)
+
+          sb = 0
+          while (sb < 16) {
+            val bOff = yOff + (sb >> 2) * 4 * yStride + (sb & 3) * 4
+            java.util.Arrays.fill(deq, 0)
+            c = 1
+            while (c < 16) {
+              val pos = Vp8.Zigzag(c)
+              val lvl = quantize(acCoef(sb)(pos), y1ac, AcBias)
+              mb.y(sb)(c) = lvl
+              deq(pos) = lvl * y1ac
+              c += 1
+            }
+            deq(0) = y2deq(24 * 16 + sb)
+            Vp8.idct4x4Add(deq, 0, Y, bOff, yStride)
+            sb += 1
+          }
+        }
+
         // chroma: one mode for both planes (format constraint)
-        bestMode = 0; bestSad = Long.MaxValue
+        bestMode = 0
+        var bestSadC = Long.MaxValue
         m = 0
         while (m < 4) {
           Vp8.predict8(U, uvStride, uvOff, m, mbX, mbY)
           Vp8.predict8(V, uvStride, uvOff, m, mbX, mbY)
           val s = sad(srcU, uvOff, uvStride, U, uvOff, uvStride, 8) +
             sad(srcV, uvOff, uvStride, V, uvOff, uvStride, 8)
-          if (s < bestSad) { bestSad = s; bestMode = m }
+          if (s < bestSadC) { bestSadC = s; bestMode = m }
           m += 1
         }
         mb.uvMode = bestMode
@@ -688,8 +765,7 @@ object Vp8Enc {
           cb += 1
         }
 
-        mb.skip = mb.y2.forall(_ == 0) &&
-          mb.y.forall(b => { var k = 1; var z = true; while (k < 16) { if (b(k) != 0) z = false; k += 1 }; z }) &&
+        mb.skip = mb.y2.forall(_ == 0) && mb.y.forall(_.forall(_ == 0)) &&
           mb.u.forall(_.forall(_ == 0)) && mb.v.forall(_.forall(_ == 0))
         mbX += 1
       }
@@ -729,13 +805,39 @@ object Vp8Enc {
     }
     hdr.bool(128, 1) // mb_no_coeff_skip
     hdr.literal(skipProb, 8)
-    var mi = 0
-    while (mi < nMb) {
-      val mb = mbs(mi)
-      hdr.bool(skipProb, if (mb.skip) 1 else 0)
-      emitTree(hdr, YModePaths(mb.yMode), Vp8.KfYModeProb, 0)
-      emitTree(hdr, UvModePaths(mb.uvMode), Vp8.KfUvModeProb, 0)
-      mi += 1
+    // per-MB records; B_PRED sub-modes code with the above/left 4x4-mode
+    // contexts, tracked exactly like the decoder's parse loop (outside
+    // the frame = B_DC = 0)
+    val aboveB = new Array[Byte](mbW * 4)
+    mbY = 0
+    while (mbY < mbH) {
+      val leftB = new Array[Byte](4)
+      var mbX = 0
+      while (mbX < mbW) {
+        val mb = mbs(mbY * mbW + mbX)
+        hdr.bool(skipProb, if (mb.skip) 1 else 0)
+        emitTree(hdr, YModePaths(mb.yMode), Vp8.KfYModeProb, 0)
+        if (mb.yMode == BPredMode) {
+          var sb = 0
+          while (sb < 16) {
+            val sx = sb & 3; val sy = sb >> 2
+            val above = if (sy > 0) mb.bModes(sb - 4) else aboveB(mbX * 4 + sx)
+            val left = if (sx > 0) mb.bModes(sb - 1) else leftB(sy)
+            emitTree(hdr, BModePaths(mb.bModes(sb) & 0xFF), Vp8.KfBMode,
+              ((above & 0xFF) * 10 + (left & 0xFF)) * 9)
+            sb += 1
+          }
+        }
+        var k2 = 0
+        while (k2 < 4) {
+          aboveB(mbX * 4 + k2) = mb.bModes(12 + k2)
+          leftB(k2) = mb.bModes(k2 * 4 + 3)
+          k2 += 1
+        }
+        emitTree(hdr, UvModePaths(mb.uvMode), Vp8.KfUvModeProb, 0)
+        mbX += 1
+      }
+      mbY += 1
     }
     val part0 = hdr.flush()
     require(part0.length < (1 << 19), s"VP8 header partition too large: ${part0.length}")
