@@ -26,7 +26,10 @@ object Vp8 {
   /** RFC 6386 §7.3 reference decoder: 16-bit value window over the stream,
     * byte-fed on renormalization. Reads past the end yield zero bytes (the
     * spec's convention for trailing bits). */
-  final class BoolDecoder(buf: Array[Byte], start: Int, end: Int) {
+  final class BoolDecoder(buf: Array[Byte], start: Int, end0: Int) {
+    // clamp: malformed partition sizes must read as zero bits past the
+    // buffer (the spec's trailing-bits convention), not index out of range
+    private val end = math.min(end0, buf.length)
     private var pos = start
     private var value = {
       val b0 = if (pos < end) buf(pos) & 0xFF else 0

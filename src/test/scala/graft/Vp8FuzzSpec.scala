@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.WebP
+
+/** Robustness of the WebP/VP8 decode path against malformed input: every
+  * truncation and every single-byte corruption of a valid stream must
+  * either decode (corrupted pixels are fine — VP8 has no payload checksum)
+  * or fail with a CLEAN exception, in bounded time. No hangs, no OOM, no
+  * index errors from pointer-like fields (partition sizes, chunk sizes). */
+class Vp8FuzzSpec extends AnyFunSuite {
+
+  private val base = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+    "src/test/resources/webp/enc/enc_75x41_q90.webp"))
+  private val rgbaBase = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+    "src/test/resources/webp/enc/enc_40x56_rgba_q90.webp"))
+
+  private def attempt(bytes: Array[Byte]): Unit =
+    try WebP.decode(bytes)
+    catch {
+      case _: IllegalArgumentException | _: UnsupportedOperationException => ()
+      case e: Throwable => fail(s"unclean failure ${e.getClass.getName}: ${e.getMessage}")
+    }
+
+  test("every truncation of a valid lossy stream fails cleanly or decodes") {
+    var n = 0
+    while (n < base.length) {
+      attempt(java.util.Arrays.copyOf(base, n))
+      n += 1
+    }
+  }
+
+  test("every truncation of a VP8X+ALPH stream fails cleanly or decodes") {
+    var n = 0
+    while (n < rgbaBase.length) {
+      attempt(java.util.Arrays.copyOf(rgbaBase, n))
+      n += 7 // denser would be slow; offsets cover every chunk boundary ±
+    }
+  }
+
+  test("single-byte corruptions fail cleanly or decode") {
+    // every position, three adversarial values (0x00 kills sizes/flags,
+    // 0xFF maxes them, 0x80 flips high bits)
+    for (v <- Seq(0x00, 0xFF, 0x80); i <- base.indices) {
+      val mut = base.clone()
+      mut(i) = v.toByte
+      attempt(mut)
+    }
+  }
+
+  test("pathological partition sizes cannot index out of bounds") {
+    // firstPartSize lives in the frame tag bits 5..23 (bytes 0-2 of the
+    // VP8 payload at offset 20); force its maximum
+    val mut = base.clone()
+    mut(20) = (mut(20) | 0xE0).toByte; mut(21) = 0xFF.toByte; mut(22) = 0xFF.toByte
+    attempt(mut)
+  }
+}
