@@ -33,11 +33,16 @@ object WebP {
 
   // ---------------------------------------------------------------- bit I/O
 
-  /** LSB-first bit reader (VP8L reads bits little-endian within bytes). */
+  /** LSB-first bit reader (VP8L reads bits little-endian within bytes).
+    * Reads past the end yield zero bits (libwebp's eos convention) so a
+    * truncated stream decodes to garbage or a clean require failure
+    * instead of indexing out of range; every entropy symbol advances the
+    * pixel cursor, so termination is unaffected. */
   final class BitReader(buf: Array[Byte], start: Int) {
     private var bytePos = start
     private var bitPos = 0
     def bit(): Int = {
+      if (bytePos >= buf.length) return 0
       val b = (buf(bytePos) >> bitPos) & 1
       bitPos += 1
       if (bitPos == 8) { bitPos = 0; bytePos += 1 }
@@ -449,6 +454,7 @@ object WebP {
         val len = prefixValue(s - 256, br)
         val dist = planeToDistance(prefixValue(g(4).next(br), br), w)
         require(dist >= 1 && dist <= pos, s"backref distance $dist at $pos")
+        require(pos + len <= n, s"backref length $len overruns $n pixels at $pos")
         var k = 0
         while (k < len) {
           val px = out(pos - dist)
@@ -479,11 +485,13 @@ object WebP {
     if (br.bit() == 1) { // simple code: 1 or 2 symbols, lengths 0 / 1,1
       val numSym = br.bit() + 1
       val sym0 = if (br.bit() == 1) br.bits(8) else br.bit()
+      require(sym0 < alphabet, s"simple-code symbol $sym0 outside alphabet $alphabet")
       lens(sym0) = 1
       if (numSym == 2) {
         // bit 0 maps to the FIRST symbol in stream order, not the lower
         // index — a conformant stream may list them descending
         val sym1 = br.bits(8)
+        require(sym1 < alphabet, s"simple-code symbol $sym1 outside alphabet $alphabet")
         lens(sym1) = 1
         if (sym1 != sym0)
           return new HuffTree(lens, simplePair = Array(sym0, sym1))

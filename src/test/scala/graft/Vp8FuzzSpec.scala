@@ -49,6 +49,21 @@ class Vp8FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("VP8L truncations and corruptions fail cleanly or decode") {
+    val src = graft.raquet.FixtureGen.testCardRgb(48, 40, 3)
+    val lossless = graft.raquet.WebP.encodeLossless(src, 48, 40, 3)
+    var n = 0
+    while (n < lossless.length) {
+      attempt(java.util.Arrays.copyOf(lossless, n))
+      n += 1
+    }
+    for (v <- Seq(0x00, 0xFF); i <- lossless.indices) {
+      val mut = lossless.clone()
+      mut(i) = v.toByte
+      attempt(mut)
+    }
+  }
+
   test("pathological partition sizes cannot index out of bounds") {
     // firstPartSize lives in the frame tag bits 5..23 (bytes 0-2 of the
     // VP8 payload at offset 20); force its maximum
