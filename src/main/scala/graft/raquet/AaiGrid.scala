@@ -30,7 +30,9 @@ object AaiGrid {
       var xCenter = false; var yCenter = false
       var more = true
       while (more) {
-        in.mark(256)
+        // no mark/reset: nothing is read after the first data row is seen
+        // (a mark would be invalidated by data rows wider than the buffer —
+        // real AAIGrid DEMs easily exceed any fixed read-ahead limit)
         val line = in.readLine()
         require(line != null, s"$path: truncated AAIGrid header")
         val parts = line.trim.split("\\s+")
@@ -48,7 +50,7 @@ object AaiGrid {
             case other => throw new IllegalArgumentException(
               s"$path: unknown AAIGrid header key '$other'")
           }
-        } else { in.reset(); more = false } // first data row
+        } else more = false // first data row — header complete
       }
       require(ncols > 0 && nrows > 0 && !cell.isNaN && !xll.isNaN && !yll.isNaN,
         s"$path: incomplete AAIGrid header")

@@ -79,6 +79,11 @@ object NetCdf {
         s"$path: NetCDF version $version unsupported (classic CDF-1/CDF-2 only; " +
           "NetCDF-4/HDF5 containers are out of scope)")
       val numRecs = in.readInt().toLong & 0xFFFFFFFFL
+      // 0xFFFFFFFF is the spec's STREAMING sentinel (numrecs unknown at
+      // write time); downstream uses numRecs as an array length, so fail
+      // loudly here instead of NegativeArraySizeException later.
+      require(numRecs != 0xFFFFFFFFL,
+        s"$path: streaming NetCDF (numrecs sentinel) unsupported")
 
       def readName(): String = {
         val n = in.readInt()

@@ -208,6 +208,11 @@ object Vp8 {
     val nParts = 1 << bd.literal(2)
     val partStart = part0 + firstPartSize
     val sizesEnd = partStart + 3 * (nParts - 1)
+    // A corrupt/oversized firstPartSize can push the 3-byte partition-size
+    // table past the chunk; the sizes live between partition 0 and the
+    // token data, so they must fit inside [partStart, end).
+    require(sizesEnd <= end && sizesEnd <= data.length,
+      s"VP8 token-partition size table out of bounds ($sizesEnd > $end)")
     val partBounds = new Array[(Int, Int)](nParts)
     var cursor = sizesEnd
     var pi = 0

@@ -64,6 +64,25 @@ class Vp8FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("double-byte header corruptions fail cleanly or decode (multi-partition)") {
+    // The 2-bit token-partition count is bool-coded inside partition 0, so
+    // a single corrupt byte can simultaneously flip nParts > 1 AND push
+    // firstPartSize past the chunk — the partition-size table read must
+    // still be bounds-checked (advisor repro: 23/148 double-byte
+    // corruptions of this fixture indexed out of bounds).
+    val big = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "src/test/resources/webp/vp8_256x256_q80.webp"))
+    val lim = math.min(big.length - 1, 168)
+    for {
+      i <- 20 until lim
+      (a, b) <- Seq((0xFF, 0xFF), (0x00, 0x00), (0xFF, 0x00), (0x00, 0xFF))
+    } {
+      val mut = big.clone()
+      mut(i) = a.toByte; mut(i + 1) = b.toByte
+      attempt(mut)
+    }
+  }
+
   test("pathological partition sizes cannot index out of bounds") {
     // firstPartSize lives in the frame tag bits 5..23 (bytes 0-2 of the
     // VP8 payload at offset 20); force its maximum
