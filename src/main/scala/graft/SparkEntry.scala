@@ -103,6 +103,8 @@ object SparkEntry {
     "q82_aaigrid_ingest"    -> (RaquetQueries.q82AaigridIngest _),
     "q83_webp_lossy"        -> (RaquetQueries.q83WebpLossyEncode _),
     "q84_srtm_ingest"       -> (RaquetQueries.q84SrtmIngest _),
+    "q85_tiled_bigtiff"     -> (RaquetQueries.q85TiledBigtiff _),
+    "q86_jpeg_tiff"         -> (RaquetQueries.q86JpegTiff _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -290,6 +292,10 @@ object SparkEntry {
     "q82_aaigrid_ingest"    -> RaquetOracles.q82,
     "q83_webp_lossy"        -> RaquetOracles.q83,
     "q84_srtm_ingest"       -> RaquetOracles.q84,
+    // q85 is the q60 raster in the tiled-BigTIFF (COG) layout — identical
+    // oracle; the chunk layout must be invisible to the convert
+    "q85_tiled_bigtiff"     -> RaquetOracles.q60,
+    "q86_jpeg_tiff"         -> RaquetOracles.q86,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -689,6 +689,21 @@ object RaquetOracles {
         FROM joined"""
   }
 
+  /** q86 JPEG-in-TIFF oracle: per-block per-band stats of the pixels an
+    * independent whole-stream decode produced for the committed fixture
+    * (golden parquet written by `GenJpegTiffFixture` OUTSIDE the direct
+    * tiled reader under test — JPEG entropy decode is not bit-portable
+    * across decoder implementations, so the oracle pins the JDK decoder's
+    * output, the q80/q83 golden pattern). */
+  val q86: String =
+    s"""WITH g AS (SELECT CAST(gx // 256 AS BIGINT) AS tx,
+          CAST(gy // 256 AS BIGINT) AS ty, band, CAST(v AS DOUBLE) AS v
+          FROM read_parquet('/root/repo/src/test/resources/tiff/jpeg_tiled_golden.parquet'))
+        SELECT ${cellExpr("tx", "ty", 1)} AS block, band, count(*) AS n_px,
+          CAST(min(v) AS BIGINT) AS px_min, CAST(max(v) AS BIGINT) AS px_max,
+          CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
+        FROM g GROUP BY tx, ty, band"""
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

@@ -530,6 +530,58 @@ object RaquetQueries {
     convertReadback(spark, out)
   }
 
+  /** S6 driver proof for the COG interior layout: the SAME closed-form
+    * raster as q60 but written as a TILED BigTIFF (tags 322-325, 128×128
+    * deflate tiles, version 43) — the layout real-world COGs ship
+    * (`gdal_translate -co TILED=YES`; reference converts them via GDAL,
+    * `raster2raquet.py:950-963`). Identical oracle to q60: the chunk
+    * layout must be invisible to the convert. */
+  def q85TiledBigtiff(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q85"
+    val tif = s"$tmp/synth_tiled.tif"
+    new java.io.File(tmp).mkdirs()
+    val w = 512; val h = 512
+    val band = Array.tabulate(w * h)(p =>
+      ((7 * (p % w) + 13 * (p / w)) % 256).toDouble)
+    graft.raquet.TiffWriter.writeTiled(tif, w, h, "uint8", Array(band),
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = Some(255.0), tileW = 128, tileL = 128, compression = 8,
+      forceBig = true)
+    val out = s"$tmp/synth_tiled.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    convertReadback(spark, out)
+  }
+
+  /** S6 driver proof: JPEG-in-TIFF (compression 7, YCbCr, shared JPEGTables
+    * tag — the public-ortho-imagery layout) ingests through the direct
+    * tiled reader: per-chunk abbreviated streams are spliced with the
+    * shared tables and decoded by the JDK JPEG path
+    * ([[graft.raquet.GeoTiff.jpegDecompress]]). The committed fixture is a
+    * tiled BigTIFF on the q60 grid; every block's per-band stats AND a
+    * fresh band_2 blob decode must match the independent whole-stream
+    * decode pinned in the golden parquet. */
+  def q86JpegTiff(spark: SparkSession, dir: String): DataFrame = {
+    val tif = "/root/repo/src/test/resources/tiff/jpeg_tiled.tif"
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q86"
+    new java.io.File(tmp).mkdirs()
+    val out = s"$tmp/jpeg_tiled.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    val ds = RaquetIO.read(spark, out)
+    (1 to 3).map { b =>
+      ds.data.select(col("block"), lit(b).as("band"),
+        col(s"band_${b}_count").as("n_px"),
+        col(s"band_${b}_min").cast("long").as("px_min"),
+        col(s"band_${b}_max").cast("long").as("px_max"),
+        col(s"band_${b}_sum").cast("long").as("px_sum"),
+        rq_summary_stats(ds.band(s"band_$b"), ds.meta, s"band_$b").as("s"))
+        .select(col("block"), col("band"), col("n_px"), col("px_min"),
+          col("px_max"), col("px_sum"), col("s.sum").cast("long").as("dec_sum"))
+    }.reduce(_ unionByName _)
+  }
+
   /** S10 driver proof: raquet → GeoTIFF export → re-convert round-trip.
     * The aligned grid makes export∘convert the identity on pixels, so the
     * re-converted table must match the SAME closed-form oracle as q60 —

@@ -357,14 +357,14 @@ object GeoTiff {
   /** Decode only the strips/TIFF-tiles covering the window — the per-task
     * I/O primitive. Classic TIFF goes through ImageIO's source-region read
     * (deflate/LZW/PackBits, any layout the JDK plugin handles); BigTIFF —
-    * which the JDK plugin cannot open — takes [[readWindowStripsDirect]],
-    * the strip decoder over the same tag parse the driver already did. */
+    * which the JDK plugin cannot open — takes [[readWindowDirect]],
+    * the strip/tile decoder over the same tag parse the driver already did. */
   def readWindowRaster(path: String, wx: Int, wy: Int, ww: Int,
       wh: Int, ifd: Int = 0): java.awt.image.Raster = {
     // remote sources go through the direct strip reader: it fetches exactly
     // the byte ranges the window touches (ImageIO would need a local file)
     if (isBigTiff(path) || graft.sources.RandomReader.isRemote(path))
-      return readWindowStripsDirect(path, wx, wy, ww, wh, ifd)
+      return readWindowDirect(path, wx, wy, ww, wh, ifd)
     val iis = ImageIO.createImageInputStream(new File(path))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -391,38 +391,61 @@ object GeoTiff {
     } finally rr.close()
   }
 
-  /** Windowed read over raw STRIP layout (BigTIFF path): seeks only the
-    * strips intersecting [wy, wy+wh), inflates (none/deflate) and undoes
-    * horizontal-differencing predictor 2; chunky interleave, either byte
-    * order. Tiled/planar/other-codec BigTIFFs fail loudly — the JDK has no
-    * BigTIFF reader to fall back to. */
-  private[graft] def readWindowStripsDirect(path: String, wx: Int, wy: Int,
+  /** Windowed read over raw STRIP or TILE layout (BigTIFF / remote path):
+    * seeks only the chunks intersecting the window, decompresses
+    * (none/LZW/deflate/JPEG) and undoes horizontal-differencing predictor 2;
+    * chunky interleave, either byte order.
+    *
+    * Both layouts are "grids of chunks": a strip is a chunk of the full
+    * image width (`chunksAcross` = 1, rows clipped at the image bottom); a
+    * TIFF tile (tags 322/323/324/325 — the COG layout) is a fixed
+    * `tileW`×`tileL` chunk, edge chunks PADDED to full size per the spec.
+    * One decode + copy loop serves both. */
+  private[graft] def readWindowDirect(path: String, wx: Int, wy: Int,
       ww: Int, wh: Int, ifd: Int = 0): java.awt.image.Raster = {
     val tr = new TagReader(path)
     val (tags, order) =
       try { val t = tr.parseAll(ifd + 1).apply(ifd); (t, tr.order) } finally tr.close()
     def tag1(id: Int, dflt: => Double): Double =
       tags.get(id).map(_._2.head).getOrElse(dflt)
-    require(!tags.contains(322), s"$path: tiled BigTIFF unsupported (strips only)")
     val w = tag1(256, sys.error(s"$path: no width")).toInt
     val h = tag1(257, sys.error(s"$path: no height")).toInt
     val nb = tag1(277, 1).toInt
     val planar = tag1(284, 1).toInt
     require(planar == 1, s"$path: planar configuration $planar unsupported")
     val compression = tag1(259, 1).toInt
-    require(compression == 1 || compression == 5 || compression == 8 ||
-      compression == 32946,
-      s"$path: compression $compression unsupported (none/LZW/deflate)")
+    require(compression == 1 || compression == 5 || compression == 7 ||
+      compression == 8 || compression == 32946,
+      s"$path: compression $compression unsupported (none/LZW/JPEG/deflate)")
     val predictor = tag1(317, 1).toInt
     require(predictor == 1 || predictor == 2,
       s"$path: predictor $predictor unsupported")
     val bits = tags(258)._2.head.toInt
     val format = tag1(339, 1).toInt
     val bpp = bits / 8
-    val rowsPerStrip = tag1(278, h).toInt
-    val offsets = tags(273)._2
-    val counts = tags(279)._2
-    val rowBytes = w.toLong * nb * bpp
+    // JPEG-in-TIFF (compression 7): per-chunk abbreviated JPEG streams with
+    // the shared tables in tag 347; photometric 6 means the streams carry
+    // YCbCr that decodes to RGB (what GDAL returns for such files)
+    val jpegTables: Option[Array[Byte]] =
+      if (compression != 7) None
+      else tags.get(347).map(_._2.map(_.toInt.toByte))
+    if (compression == 7)
+      require(bits == 8, s"$path: JPEG-in-TIFF requires 8-bit samples, got $bits")
+
+    val tiled = tags.contains(322)
+    // chunk grid: (chunk width, chunk length, offsets, counts, chunks across)
+    val (chunkW, chunkL, offsets, counts, chunksAcross) =
+      if (tiled) {
+        val tw = tag1(322, sys.error(s"$path: no TileWidth")).toInt
+        val tl = tag1(323, sys.error(s"$path: no TileLength")).toInt
+        require(tags.contains(324) && tags.contains(325),
+          s"$path: tiled layout missing TileOffsets/TileByteCounts")
+        (tw, tl, tags(324)._2, tags(325)._2, (w + tw - 1) / tw)
+      } else {
+        val rps = tag1(278, h).toInt
+        (w, rps, tags(273)._2, tags(279)._2, 1)
+      }
+    val chunkRowBytes = chunkW.toLong * nb * bpp
 
     val sm = new java.awt.image.BandedSampleModel(
       java.awt.image.DataBuffer.TYPE_DOUBLE, ww, wh, nb)
@@ -432,63 +455,127 @@ object GeoTiff {
 
     val rr = graft.sources.RandomReader(path)
     try {
-      val s0 = wy / rowsPerStrip
-      val s1 = (wy + wh - 1) / rowsPerStrip
-      var si = s0
-      while (si <= s1) {
-        val raw = rr.readAt(offsets(si).toLong, counts(si).toLong.toInt)
-        val stripRows = math.min(rowsPerStrip.toLong, h - si.toLong * rowsPerStrip).toInt
-        val expect = (rowBytes * stripRows).toInt
-        val data = compression match {
-          case 1 => raw
-          case 5 => lzwDecompress(raw, expect)
-          case _ =>
-            val inf = new java.util.zip.Inflater()
-            inf.setInput(raw)
-            val outB = new Array[Byte](expect)
-            var got = 0
-            while (got < outB.length && !inf.finished())
-              got += inf.inflate(outB, got, outB.length - got)
-            inf.end()
-            require(got == outB.length, s"$path: strip $si inflated $got/${outB.length}")
-            outB
-        }
-        if (predictor == 2) undoPredictor2(data, w, nb, bpp, order)
-        val bb = ByteBuffer.wrap(data).order(order)
-        val stripY0 = si * rowsPerStrip
-        val j0 = math.max(wy, stripY0)
-        val j1 = math.min(wy + wh, stripY0 + rowsPerStrip)
-        var j = j0
-        while (j < j1) {
-          val rowOff = (j - stripY0).toLong * rowBytes
-          var i = 0
-          while (i < ww) {
-            val px = wx + i
-            var b = 0
-            while (b < nb) {
-              val at = (rowOff + (px.toLong * nb + b) * bpp).toInt
-              val v = (bits, format) match {
-                case (8, 1) => (bb.get(at) & 0xFF).toDouble
-                case (8, 2) => bb.get(at).toDouble
-                case (16, 1) => (bb.getShort(at) & 0xFFFF).toDouble
-                case (16, 2) => bb.getShort(at).toDouble
-                case (32, 1) => (bb.getInt(at) & 0xFFFFFFFFL).toDouble
-                case (32, 2) => bb.getInt(at).toDouble
-                case (32, 3) => bb.getFloat(at).toDouble
-                case (64, 3) => bb.getDouble(at)
-                case other => sys.error(s"$path: sample $other unsupported")
-              }
-              banks(b)((j - wy) * ww + i) = v
-              b += 1
-            }
-            i += 1
+      val cx0 = if (tiled) wx / chunkW else 0
+      val cx1 = if (tiled) (wx + ww - 1) / chunkW else 0
+      val cy0 = wy / chunkL
+      val cy1 = (wy + wh - 1) / chunkL
+      var cy = cy0
+      while (cy <= cy1) {
+        // strips are clipped at the image bottom; tiles are always padded
+        val chunkRows =
+          if (tiled) chunkL
+          else math.min(chunkL.toLong, h - cy.toLong * chunkL).toInt
+        val expect = (chunkRowBytes * chunkRows).toInt
+        var cx = cx0
+        while (cx <= cx1) {
+          val ci = cy * chunksAcross + cx
+          require(ci < offsets.length && ci < counts.length,
+            s"$path: chunk $ci outside offset table (${offsets.length})")
+          val raw = rr.readAt(offsets(ci).toLong, counts(ci).toLong.toInt)
+          val data = compression match {
+            case 1 => raw
+            case 5 => lzwDecompress(raw, expect)
+            case 7 => jpegDecompress(raw, jpegTables, chunkW, chunkRows, nb,
+              s"$path chunk $ci")
+            case _ =>
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(raw)
+              val outB = new Array[Byte](expect)
+              var got = 0
+              while (got < outB.length && !inf.finished())
+                got += inf.inflate(outB, got, outB.length - got)
+              inf.end()
+              require(got == outB.length, s"$path: chunk $ci inflated $got/${outB.length}")
+              outB
           }
-          j += 1
+          require(data.length >= expect, s"$path: chunk $ci ${data.length}/$expect bytes")
+          if (predictor == 2) undoPredictor2(data, chunkW, nb, bpp, order)
+          val bb = ByteBuffer.wrap(data).order(order)
+          val px0 = cx * chunkW; val py0 = cy * chunkL
+          val j0 = math.max(wy, py0)
+          val j1 = math.min(wy + wh, py0 + chunkRows)
+          val i0 = math.max(wx, px0)
+          val i1 = math.min(wx + ww, px0 + chunkW)
+          var j = j0
+          while (j < j1) {
+            val rowOff = (j - py0).toLong * chunkRowBytes
+            var i = i0
+            while (i < i1) {
+              var b = 0
+              while (b < nb) {
+                val at = (rowOff + ((i - px0).toLong * nb + b) * bpp).toInt
+                val v = (bits, format) match {
+                  case (8, 1) => (bb.get(at) & 0xFF).toDouble
+                  case (8, 2) => bb.get(at).toDouble
+                  case (16, 1) => (bb.getShort(at) & 0xFFFF).toDouble
+                  case (16, 2) => bb.getShort(at).toDouble
+                  case (32, 1) => (bb.getInt(at) & 0xFFFFFFFFL).toDouble
+                  case (32, 2) => bb.getInt(at).toDouble
+                  case (32, 3) => bb.getFloat(at).toDouble
+                  case (64, 3) => bb.getDouble(at)
+                  case other => sys.error(s"$path: sample $other unsupported")
+                }
+                banks(b)((j - wy) * ww + (i - wx)) = v
+                b += 1
+              }
+              i += 1
+            }
+            j += 1
+          }
+          cx += 1
         }
-        si += 1
+        cy += 1
       }
     } finally rr.close()
     out
+  }
+
+  /** Decode one JPEG-in-TIFF chunk to raw interleaved samples. The chunk is
+    * an abbreviated JPEG stream sharing quantization/Huffman tables via the
+    * JPEGTables tag (TIFF TechNote 2): splice the tables' marker segments
+    * after the chunk's SOI so any baseline JPEG decoder reads it. Chunks
+    * written without a tables tag are self-contained full streams. */
+  private[graft] def jpegDecompress(raw: Array[Byte],
+      tables: Option[Array[Byte]], cw: Int, rows: Int, nb: Int,
+      what: String): Array[Byte] = {
+    val stream = tables match {
+      case Some(t) =>
+        require(t.length >= 4 && (t(0) & 0xFF) == 0xFF && (t(1) & 0xFF) == 0xD8,
+          s"$what: JPEGTables does not start with SOI")
+        require(raw.length >= 2 && (raw(0) & 0xFF) == 0xFF && (raw(1) & 0xFF) == 0xD8,
+          s"$what: JPEG chunk does not start with SOI")
+        // tables interior = between its SOI and trailing EOI (if present)
+        val tEnd = if ((t(t.length - 2) & 0xFF) == 0xFF &&
+          (t(t.length - 1) & 0xFF) == 0xD9) t.length - 2 else t.length
+        val outB = new Array[Byte](2 + (tEnd - 2) + (raw.length - 2))
+        outB(0) = 0xFF.toByte; outB(1) = 0xD8.toByte
+        System.arraycopy(t, 2, outB, 2, tEnd - 2)
+        System.arraycopy(raw, 2, outB, tEnd, raw.length - 2)
+        outB
+      case None => raw
+    }
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+    require(img != null, s"$what: JPEG chunk failed to decode")
+    require(img.getWidth == cw && img.getHeight >= rows,
+      s"$what: JPEG chunk ${img.getWidth}x${img.getHeight}, expected ${cw}x$rows")
+    val outB = new Array[Byte](cw * rows * nb)
+    val r = img.getRaster
+    val decBands = r.getNumBands
+    require(decBands >= nb, s"$what: JPEG decoded $decBands bands, need $nb")
+    var j = 0
+    while (j < rows) {
+      var i = 0
+      while (i < cw) {
+        var b = 0
+        while (b < nb) {
+          outB((j * cw + i) * nb + b) = r.getSample(i, j, b).toByte
+          b += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    outB
   }
 
   /** TIFF-flavor LZW (spec §13): MSB-first bit packing, 9→12-bit codes
@@ -1536,6 +1623,187 @@ object TiffWriter {
       case "float64" => bb.putDouble(v)
       case other => throw new IllegalArgumentException(s"tiff dtype $other")
     }
+
+  /** Tiled-layout writer (tags 322/323/324/325 — the COG interior layout):
+    * chops `bands` into `tileW`×`tileL` chunks, edge tiles PADDED to full
+    * size with `nodata` (TIFF spec §Image Tiles), optionally
+    * deflate-compressed, classic or BigTIFF. Exists so the direct reader's
+    * tiled path has a same-repo producer to differential-test against
+    * (real-world producers: gdal_translate -co TILED=YES). */
+  def writeTiled(path: String, w: Int, h: Int, dtype: String,
+      bands: Array[Array[Double]], pixelSize: Double,
+      originX: Double, originY: Double, nodata: Option[Double],
+      tileW: Int = 256, tileL: Int = 256, compression: Int = 1,
+      forceBig: Boolean = false, epsg: Int = 3857): Unit = {
+    require(compression == 1 || compression == 8,
+      s"writeTiled compression $compression (1=none, 8=deflate)")
+    val nb = bands.length
+    val bpp = PixelCodec.bytesPerPixel(dtype)
+    val across = (w + tileW - 1) / tileW
+    val down = (h + tileL - 1) / tileL
+    val fill = nodata.getOrElse(0.0)
+    val tiles = for {
+      tr <- 0 until down
+      tc <- 0 until across
+    } yield {
+      val bb = ByteBuffer.allocate(tileW * tileL * nb * bpp)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      var j = 0
+      while (j < tileL) {
+        val gy = tr * tileL + j
+        var i = 0
+        while (i < tileW) {
+          val gx = tc * tileW + i
+          val inside = gx < w && gy < h
+          var b = 0
+          while (b < nb) {
+            putSample(bb, dtype, if (inside) bands(b)(gy * w + gx) else fill)
+            b += 1
+          }
+          i += 1
+        }
+        j += 1
+      }
+      val raw = bb.array()
+      if (compression == 8) {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        java.util.Arrays.copyOf(buf, n)
+      } else raw
+    }
+    writeTiledRaw(path, w, h, dtype, nb, tileW, tileL, compression,
+      tiles, jpegTables = None, pixelSize = pixelSize, originX = originX,
+      originY = originY, nodata = nodata, forceBig = forceBig, epsg = epsg)
+  }
+
+  /** Low-level tiled writer over PRE-ENCODED tile chunks in row-major
+    * (tileRow, tileCol) order — the JPEG-in-TIFF fixture path hands this
+    * abbreviated JPEG streams plus the shared `jpegTables` (tag 347). */
+  def writeTiledRaw(path: String, w: Int, h: Int, dtype: String, nb: Int,
+      tileW: Int, tileL: Int, compression: Int, tiles: Seq[Array[Byte]],
+      jpegTables: Option[Array[Byte]], pixelSize: Double,
+      originX: Double, originY: Double, nodata: Option[Double],
+      forceBig: Boolean = false, epsg: Int = 3857,
+      photometric: Int = 1): Unit = {
+    val bpp = PixelCodec.bytesPerPixel(dtype)
+    val (sampleFormat, bits) = dtype match {
+      case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
+      case "int8" | "int16" | "int32" => (2, bpp * 8)
+      case "float32" | "float64" => (3, bpp * 8)
+      case other => throw new IllegalArgumentException(s"tiff dtype $other")
+    }
+    val across = (w + tileW - 1) / tileW
+    val down = (h + tileL - 1) / tileL
+    require(tiles.size == across * down,
+      s"${tiles.size} tiles for a ${across}x$down grid")
+    val big = forceBig || tiles.map(_.length.toLong).sum + (4L << 20) > 0xFFFF0000L
+    val headerSize = if (big) 16 else 8
+    val entrySize = if (big) 20 else 12
+    val inlineCap = if (big) 8 else 4
+    val offType = if (big) 16 else 4
+    val offElem = if (big) 8 else 4
+
+    final case class Tag(id: Int, ttype: Int, count: Long, inline: Long)
+    def shorts(vs: Seq[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => bb.putShort(v.toShort)); bb.array()
+    }
+    def doubles(vs: Seq[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(bb.putDouble); bb.array()
+    }
+    val nodataStr = nodata.map(v =>
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString)
+    val nTags = 15 + nodataStr.size + jpegTables.size
+    val ifdAt = headerSize.toLong
+    val ifdSize = (if (big) 8 else 2) + nTags * entrySize + (if (big) 8 else 4)
+    var cursor = ifdAt + ifdSize
+    val payloads = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    def alloc(bytes: Array[Byte]): Long = {
+      val at = cursor
+      payloads += ((at, bytes))
+      cursor += bytes.length
+      if (cursor % 2 == 1) cursor += 1
+      at
+    }
+    def tagArr(id: Int, ttype: Int, count: Long, bytes: Array[Byte]): Tag =
+      if (bytes.length <= inlineCap)
+        Tag(id, ttype, count, ByteBuffer.wrap(java.util.Arrays.copyOf(bytes, 8))
+          .order(ByteOrder.LITTLE_ENDIAN).getLong)
+      else Tag(id, ttype, count, alloc(bytes))
+
+    val bitsTag = tagArr(258, 3, nb, shorts(Seq.fill(nb)(bits)))
+    val sfTag = tagArr(339, 3, nb, shorts(Seq.fill(nb)(sampleFormat)))
+    val scaleTag = Tag(33550, 12, 3, alloc(doubles(Seq(pixelSize, pixelSize, 0.0))))
+    val tieTag = Tag(33922, 12, 6, alloc(doubles(Seq(0, 0, 0, originX, originY, 0))))
+    val geoKeys =
+      if (epsg == 4326) Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+      else Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
+    val geoTag = Tag(34735, 3, geoKeys.length, alloc(shorts(geoKeys)))
+    val nodataTag = nodataStr.map(s0 =>
+      tagArr(42113, 2, s0.length + 1, (s0 + "\u0000").getBytes("ASCII")))
+    val jtTag = jpegTables.map(t => tagArr(347, 7, t.length, t))
+    def offsetsArr(vs: Seq[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(vs.length * offElem).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => if (big) bb.putLong(v) else bb.putInt(v.toInt)); bb.array()
+    }
+    val countsTag = tagArr(325, offType, tiles.size,
+      offsetsArr(tiles.map(_.length.toLong)))
+    // tile data start is only known after ALL payloads (incl. the offsets
+    // array reservation) are allocated — reserve, then patch
+    val offsetsPos =
+      if (tiles.size.toLong * offElem <= inlineCap) -1L
+      else alloc(new Array[Byte](tiles.size * offElem))
+    val dataStart = cursor
+    val tileOffsets = tiles.map(_.length.toLong).scanLeft(dataStart)(_ + _).init
+    val offsetsTag =
+      if (offsetsPos < 0) Tag(324, offType, tiles.size, tileOffsets.head)
+      else Tag(324, offType, tiles.size, offsetsPos)
+
+    val tags = (Seq(
+      Tag(256, 4, 1, w.toLong), Tag(257, 4, 1, h.toLong), bitsTag,
+      Tag(259, 3, 1, compression.toLong), Tag(262, 3, 1, photometric.toLong),
+      Tag(277, 3, 1, nb.toLong), Tag(284, 3, 1, 1L),
+      Tag(322, 4, 1, tileW.toLong), Tag(323, 4, 1, tileL.toLong),
+      countsTag, offsetsTag, sfTag, scaleTag, tieTag, geoTag) ++
+      nodataTag ++ jtTag).sortBy(_.id)
+    require(tags.length == nTags, s"planned $nTags tags, built ${tags.length}")
+
+    val head = ByteBuffer.allocate(dataStart.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    if (big) {
+      head.put('I'.toByte).put('I'.toByte).putShort(43)
+      head.putShort(8).putShort(0).putLong(ifdAt)
+    } else {
+      head.put('I'.toByte).put('I'.toByte).putShort(42)
+      head.putInt(ifdAt.toInt)
+    }
+    head.position(ifdAt.toInt)
+    if (big) head.putLong(tags.length.toLong) else head.putShort(tags.length.toShort)
+    tags.foreach { t =>
+      head.putShort(t.id.toShort).putShort(t.ttype.toShort)
+      if (big) { head.putLong(t.count); head.putLong(t.inline) }
+      else { head.putInt(t.count.toInt); head.putInt(t.inline.toInt) }
+    }
+    if (big) head.putLong(0L) else head.putInt(0) // no next IFD
+    payloads.foreach { case (at, bytes) =>
+      head.position(at.toInt); head.put(bytes)
+    }
+    if (offsetsPos >= 0) {
+      head.position(offsetsPos.toInt)
+      tileOffsets.foreach(o => if (big) head.putLong(o) else head.putInt(o.toInt))
+    }
+    Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 4 << 20)
+    try {
+      out.write(head.array())
+      tiles.foreach(out.write)
+    } finally out.close()
+  }
 
   /** Streamed writer: `strips` must yield exactly `ceil(h/rowsPerStrip)`
     * buffers of `rows*w*nb*bpp` bytes (chunky-interleaved, little-endian). */

@@ -446,7 +446,7 @@ class GeoTiffSpec extends SparkSpec {
     // header says BigTIFF
     val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif)).take(4)
     assert(head(2) == 43.toByte && head(3) == 0.toByte)
-    // full read goes through readWindowStripsDirect (ImageIO cannot open 43)
+    // full read goes through readWindowDirect (ImageIO cannot open 43)
     val src = GeoTiff.read(tif)
     assert(src.width == w && src.height == h && src.bands == 2)
     assert(src.dtype == "uint16" && src.nodata.contains(0.0))
@@ -455,7 +455,7 @@ class GeoTiffSpec extends SparkSpec {
       yield math.abs(src.sample(b, i, j) - bands(b)(j * w + i))
     assert(diffs.max == 0.0)
     // windowed read matches too (offset window, partial strips)
-    val win = GeoTiff.readWindowStripsDirect(tif, 13, 57, 40, 20)
+    val win = GeoTiff.readWindowDirect(tif, 13, 57, 40, 20)
     for (j <- 0 until 20; i <- 0 until 40; b <- 0 until 2)
       assert(win.getSampleDouble(i, j, b) == bands(b)((57 + j) * w + (13 + i)))
     // and the full S6 ingest runs off the BigTIFF source (tasks pull their
@@ -525,7 +525,7 @@ class GeoTiffSpec extends SparkSpec {
     val tif = tmp("be-deflate.tif")
     java.nio.file.Files.write(java.nio.file.Paths.get(tif), bb.array())
     // windowed decode straddling the strip boundary
-    val win = GeoTiff.readWindowStripsDirect(tif, 2, 1, 5, 5)
+    val win = GeoTiff.readWindowDirect(tif, 2, 1, 5, 5)
     for (j <- 0 until 5; i <- 0 until 5; b <- 0 until nb)
       assert(win.getSampleDouble(i, j, b) == v(2 + i, 1 + j, b),
         s"pixel ($i,$j,$b)")
@@ -560,10 +560,10 @@ class GeoTiffSpec extends SparkSpec {
     val ovs = GeoTiff.readOverviews(tif)
     assert(ovs.size == 1 && ovs.head.width == w / 2 && ovs.head.dx == 8.0)
     val d0 = img(1); val d1 = img(2)
-    val r0 = GeoTiff.readWindowStripsDirect(tif, 0, 0, w, h, ifd = 0)
+    val r0 = GeoTiff.readWindowDirect(tif, 0, 0, w, h, ifd = 0)
     for (j <- 0 until h; i <- 0 until w)
       assert(r0.getSampleDouble(i, j, 0) == (d0(j * w + i) & 0xFF).toDouble)
-    val r1 = GeoTiff.readWindowStripsDirect(tif, 0, 0, w / 2, h / 2, ifd = 1)
+    val r1 = GeoTiff.readWindowDirect(tif, 0, 0, w / 2, h / 2, ifd = 1)
     for (j <- 0 until h / 2; i <- 0 until w / 2)
       assert(r1.getSampleDouble(i, j, 0) == (d1(j * w / 2 + i) & 0xFF).toDouble)
   }
@@ -601,14 +601,193 @@ class GeoTiffSpec extends SparkSpec {
     writer.dispose(); ios.close()
     // confirm the file really is LZW (tag 259 = 5)
     val info = GeoTiff.readWindowRaster(tif, 0, 0, w, h) // ImageIO reference
-    val direct = GeoTiff.readWindowStripsDirect(tif, 0, 0, w, h)
+    val direct = GeoTiff.readWindowDirect(tif, 0, 0, w, h)
     for (j <- 0 until h; i <- 0 until w; b <- 0 until 3)
       assert(direct.getSampleDouble(i, j, b) == info.getSampleDouble(i, j, b),
         s"pixel ($i,$j,$b)")
     // windowed read straddling strip boundaries agrees too
-    val dw = GeoTiff.readWindowStripsDirect(tif, 37, 11, 60, 70)
+    val dw = GeoTiff.readWindowDirect(tif, 37, 11, 60, 70)
     for (j <- 0 until 70; i <- 0 until 60; b <- 0 until 3)
       assert(dw.getSampleDouble(i, j, b) == info.getSampleDouble(37 + i, 11 + j, b))
+  }
+
+  test("tiled layout: direct decode ≡ strip decode on the same pixels") {
+    // same bands through the strip writer and the tiled writer (tile size
+    // NOT dividing the image: right/bottom edge tiles are padded) must
+    // produce identical pixels through the direct reader — the layout is
+    // an encoding detail, not a semantic one
+    val w = 150; val h = 70; val nb = 2
+    val bands = Array.tabulate(nb)(b =>
+      Array.tabulate(w * h)(p => ((p * 17 + b * 4099) % 60000).toDouble))
+    val sTif = tmp("layout-strips.tif"); val tTif = tmp("layout-tiles.tif")
+    graft.raquet.TiffWriter.write(sTif, w, h, "uint16", bands,
+      pixelSize = 10.0, originX = 0.0, originY = 700.0, nodata = None)
+    graft.raquet.TiffWriter.writeTiled(tTif, w, h, "uint16", bands,
+      pixelSize = 10.0, originX = 0.0, originY = 700.0, nodata = None,
+      tileW = 64, tileL = 32, compression = 8)
+    val rs = GeoTiff.readWindowDirect(sTif, 0, 0, w, h)
+    val rt = GeoTiff.readWindowDirect(tTif, 0, 0, w, h)
+    for (j <- 0 until h; i <- 0 until w; b <- 0 until nb)
+      assert(rt.getSampleDouble(i, j, b) == rs.getSampleDouble(i, j, b),
+        s"pixel ($i,$j,$b)")
+    // windows straddling tile boundaries in both axes
+    for ((wx, wy, ww2, wh2) <- Seq((60, 28, 10, 10), (0, 0, 65, 33),
+        (149, 69, 1, 1), (120, 40, 30, 30))) {
+      val ws = GeoTiff.readWindowDirect(sTif, wx, wy, ww2, wh2)
+      val wt = GeoTiff.readWindowDirect(tTif, wx, wy, ww2, wh2)
+      for (j <- 0 until wh2; i <- 0 until ww2; b <- 0 until nb)
+        assert(wt.getSampleDouble(i, j, b) == ws.getSampleDouble(i, j, b),
+          s"window ($wx,$wy,$ww2,$wh2) pixel ($i,$j,$b)")
+    }
+  }
+
+  test("tiled BigTIFF: float32 tiles convert end-to-end") {
+    val w = 96; val h = 96
+    val bands = Array(Array.tabulate(w * h)(p => (p % 977).toDouble / 4.0))
+    val tif = tmp("tiled-big.tif")
+    graft.raquet.TiffWriter.writeTiled(tif, w, h, "float32", bands,
+      pixelSize = 4.0, originX = -192.0, originY = 192.0, nodata = Some(-1.0),
+      tileW = 48, tileL = 48, compression = 8, forceBig = true)
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif)).take(4)
+    assert(head(2) == 43.toByte, "must be BigTIFF (version 43)")
+    val src = GeoTiff.read(tif) // goes through readWindowDirect
+    assert(src.dtype == "float32" && src.nodata.contains(-1.0))
+    for (j <- 0 until h; i <- 0 until w)
+      assert(src.sample(0, i, j) == ((j * w + i) % 977).toDouble / 4.0f)
+    val rq = tmp("tiled-big-rq.parquet")
+    val meta = GeoTiff.convert(spark, tif, rq)
+    assert(meta.numBlocks > 0)
+  }
+
+  test("tiled: hand-built big-endian classic tiled TIFF decodes exactly") {
+    // 12x10 uint8, 8x8 tiles => 2x2 grid, right/bottom tiles padded; MM
+    // byte order, uncompressed — the layout a big-endian writer (or an
+    // old Sun workstation) would produce
+    val w = 12; val h = 10; val tw = 8; val tl = 8
+    def v(i: Int, j: Int): Int = (i * 11 + j * 23) % 256
+    def tileBytes(tc: Int, trow: Int): Array[Byte] =
+      Array.tabulate(tw * tl) { p =>
+        val i = tc * tw + p % tw; val j = trow * tl + p / tw
+        (if (i < w && j < h) v(i, j) else 0).toByte
+      }
+    val tiles = Seq(tileBytes(0, 0), tileBytes(1, 0), tileBytes(0, 1), tileBytes(1, 1))
+    val nTags = 10
+    val ifdAt = 8L
+    val ifdSize = 2 + nTags * 12 + 4
+    var cur = ifdAt + ifdSize
+    val offsetsAt = cur; cur += 16 // 4 LONG offsets
+    val countsAt = cur; cur += 16
+    val dataAt = cur
+    val bb = java.nio.ByteBuffer.allocate((dataAt + 4 * tw * tl).toInt)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdAt.toInt)
+    bb.putShort(nTags.toShort)
+    def entry(id: Int, ttype: Int, count: Int, value: Long): Unit = {
+      bb.putShort(id.toShort).putShort(ttype.toShort).putInt(count)
+      if (ttype == 3) { bb.putShort(value.toShort); bb.putShort(0) }
+      else bb.putInt(value.toInt)
+    }
+    entry(256, 3, 1, w); entry(257, 3, 1, h)
+    entry(258, 3, 1, 8); entry(259, 3, 1, 1)
+    entry(277, 3, 1, 1); entry(284, 3, 1, 1)
+    entry(322, 3, 1, tw); entry(323, 3, 1, tl)
+    entry(324, 4, 4, offsetsAt); entry(325, 4, 4, countsAt)
+    bb.putInt(0) // next IFD
+    tiles.indices.foreach(k => bb.putInt((dataAt + k * tw * tl).toInt))
+    tiles.foreach(t => bb.putInt(t.length))
+    tiles.foreach(bb.put)
+    val tif = tmp("be-tiled.tif")
+    java.nio.file.Files.write(java.nio.file.Paths.get(tif), bb.array())
+    val full = GeoTiff.readWindowDirect(tif, 0, 0, w, h)
+    for (j <- 0 until h; i <- 0 until w)
+      assert(full.getSampleDouble(i, j, 0) == v(i, j).toDouble, s"pixel ($i,$j)")
+    // window crossing all four tiles
+    val win = GeoTiff.readWindowDirect(tif, 6, 6, 5, 4)
+    for (j <- 0 until 4; i <- 0 until 5)
+      assert(win.getSampleDouble(i, j, 0) == v(6 + i, 6 + j).toDouble)
+  }
+
+  test("tiled: direct decode matches ImageIO on a JDK-written tiled LZW file") {
+    // external-producer check: the JDK TIFF writer emits its own tiled LZW
+    // layout; the direct reader must agree with the JDK's own decode
+    val w = 130; val h = 75
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (j <- 0 until h; i <- 0 until w)
+      img.setRGB(i, j, ((i * 104729 + j * 7919) % 0xFFFFFF))
+    val tif = tmp("jdk-tiled-lzw.tif")
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(new java.io.File(tif))
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(32, 32, 0, 0)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val ref = GeoTiff.readWindowRaster(tif, 0, 0, w, h) // ImageIO reference
+    val direct = GeoTiff.readWindowDirect(tif, 0, 0, w, h)
+    for (j <- 0 until h; i <- 0 until w; b <- 0 until 3)
+      assert(direct.getSampleDouble(i, j, b) == ref.getSampleDouble(i, j, b),
+        s"pixel ($i,$j,$b)")
+    val dw = GeoTiff.readWindowDirect(tif, 25, 30, 70, 40)
+    for (j <- 0 until 40; i <- 0 until 70; b <- 0 until 3)
+      assert(dw.getSampleDouble(i, j, b) == ref.getSampleDouble(25 + i, 30 + j, b))
+  }
+
+  test("JPEG-in-TIFF: windowed direct reads match the committed golden decode") {
+    // the committed fixture (BigTIFF, YCbCr, shared JPEGTables) must decode
+    // to the golden parquet's pixels — full image and windows crossing
+    // tile boundaries (the window plumbing must not re-decode wrongly)
+    val tif = "src/test/resources/tiff/jpeg_tiled.tif"
+    val golden = spark.read.parquet("src/test/resources/tiff/jpeg_tiled_golden.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    val full = GeoTiff.readWindowDirect(tif, 0, 0, 512, 512)
+    for (j <- 0 until 512 by 7; i <- 0 until 512 by 7; b <- 0 until 3)
+      assert(full.getSampleDouble(i, j, b) == golden((i, j, b + 1)).toDouble,
+        s"pixel ($i,$j,$b)")
+    val win = GeoTiff.readWindowDirect(tif, 120, 250, 20, 16)
+    for (j <- 0 until 16; i <- 0 until 20; b <- 0 until 3)
+      assert(win.getSampleDouble(i, j, b) == golden((120 + i, 250 + j, b + 1)).toDouble)
+  }
+
+  test("JPEG-in-TIFF: classic layout and self-contained streams (no tables tag)") {
+    // a producer may skip the JPEGTables tag and write full per-tile
+    // streams; grayscale single-band JPEG is also legal
+    val w = 96; val h = 64; val tw = 32; val tl = 32
+    def encodeGray(tc: Int, tr: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(tw, tl,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (j <- 0 until tl; i <- 0 until tw) {
+        val v = ((tc * tw + i) * 2 + (tr * tl + j) * 3) % 200 + 20
+        img.getRaster.setSample(i, j, 0, v)
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.9f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val tiles = for (tr <- 0 until h / tl; tc <- 0 until w / tw) yield encodeGray(tc, tr)
+    val tif = tmp("jpeg-gray.tif")
+    graft.raquet.TiffWriter.writeTiledRaw(tif, w, h, "uint8", 1, tw, tl,
+      compression = 7, tiles = tiles, jpegTables = None,
+      pixelSize = 1.0, originX = 0.0, originY = 64.0, nodata = None)
+    // reference: decode each tile stream directly with ImageIO
+    val direct = GeoTiff.readWindowDirect(tif, 0, 0, w, h)
+    for ((tile, k) <- tiles.zipWithIndex) {
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tile))
+      val tc = k % (w / tw); val tr = k / (w / tw)
+      for (j <- 0 until tl; i <- 0 until tw)
+        assert(direct.getSampleDouble(tc * tw + i, tr * tl + j, 0) ==
+          ref.getRaster.getSampleDouble(i, j, 0), s"tile $k pixel ($i,$j)")
+    }
   }
 
   test("COG overview passthrough: pyramid levels warp from overview IFDs and match the computed build") {
