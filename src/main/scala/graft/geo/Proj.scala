@@ -358,6 +358,66 @@ final case class PolarStereographicA(
   }
 }
 
+/** Sinusoidal (Sanson–Flamsteed) equal-area projection — Snyder, USGS PP
+  * 1395 §30: sphere eqs. 30-1/30-2, ellipsoid 30-8/30-9 with the meridian
+  * arc 3-21 and its footpoint inverse 3-26. `invF <= 0` selects the
+  * spherical case — the one that matters in the wild: the MODIS land grid
+  * (and most NASA sinusoidal products) uses the authalic sphere
+  * R = 6371007.181 m. GeoTIFF coordinate-transform code 24.
+  */
+final case class Sinusoidal(a: Double, invF: Double, lon0: Double,
+    falseEasting: Double, falseNorthing: Double) extends Projection {
+  import Ellipsoidal.sq
+  private val e2 = if (invF > 0) Ellipsoidal.e2Of(invF) else 0.0
+  // meridian-arc series (Snyder 3-21); degenerates to M = a·φ for e² = 0
+  private val c0 = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+  private val c2 = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+  private val c4 = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+  private val c6 = 35 * e2 * e2 * e2 / 3072
+  // footpoint series (Snyder 3-26)
+  private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+  private val f2 = 3 * e1 / 2 - 27 * e1 * e1 * e1 / 32
+  private val f4 = 21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32
+  private val f6 = 151 * e1 * e1 * e1 / 96
+  private val f8 = 1097 * math.pow(e1, 4) / 512
+
+  def rectilinear: Boolean = false
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val lam = math.toRadians(TransverseMercator.normLon(lon - lon0))
+    val x = a * lam * math.cos(phi) / math.sqrt(1 - e2 * sq(math.sin(phi)))
+    val mM = a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi) -
+      c6 * math.sin(6 * phi))
+    (falseEasting + x, falseNorthing + mM)
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val mM = y - falseNorthing
+    val mu = mM / (a * c0)
+    var phi = mu + f2 * math.sin(2 * mu) + f4 * math.sin(4 * mu) +
+      f6 * math.sin(6 * mu) + f8 * math.sin(8 * mu)
+    // Newton-polish the truncated footpoint series on the exact meridian
+    // arc (M' = a(1−e²)(1−e²sin²φ)^−3/2): λ = x/(a·cosφ) near the poles
+    // amplifies any φ error by 1/cosφ, so the series alone is not enough
+    // for sub-nanodegree round-trips
+    var it = 0
+    while (it < 3 && e2 > 0) {
+      val s = math.sin(phi)
+      val mPhi = a * (c0 * phi - c2 * math.sin(2 * phi) + c4 * math.sin(4 * phi) -
+        c6 * math.sin(6 * phi))
+      val dM = a * (1 - e2) * math.pow(1 - e2 * s * s, -1.5)
+      phi -= (mPhi - mM) / dM
+      it += 1
+    }
+    val cphi = math.cos(phi)
+    // at the poles every x maps to the pole point; λ is indeterminate
+    val lam = if (math.abs(cphi) < 1e-12) 0.0
+    else (x - falseEasting) * math.sqrt(1 - e2 * sq(math.sin(phi))) / (a * cphi)
+    (TransverseMercator.normLon(lon0 + math.toDegrees(lam)), math.toDegrees(phi))
+  }
+}
+
 object Projection {
   import Ellipsoidal.{Grs80, Wgs84}
 

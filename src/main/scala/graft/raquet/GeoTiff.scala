@@ -254,9 +254,22 @@ object GeoTiff {
             PolarStereographic(aAx, invF, originLat,
               d(3095, 3080, "straight vertical pole lon"),
               opt(3082, 3086), opt(3083, 3087))
+        case 24 => // CT_Sinusoidal (the MODIS land grid and kin)
+          // NASA sinusoidal products use the authalic SPHERE
+          // (R = 6371007.181): a present inv-flattening of 0 — or an
+          // absent one next to a semi-major axis equal to the semi-minor
+          // — must NOT default to the WGS84 ellipsoid
+          val sphere = dblKeys.get(2059) match {
+            case Some(f) => !(f > 0)
+            case None => dblKeys.get(2058).forall(b => b == aAx) // semi-minor
+          }
+          Sinusoidal(aAx, if (sphere) 0.0 else invF,
+            dblKeys.getOrElse(3089, opt(3084, 3080)), // proj center lon
+            opt(3082, 3086), opt(3083, 3087))
         case ct => throw new IllegalArgumentException(
           s"$path: user-defined projection with coordinate transform code " +
-            s"$ct unsupported (LCC-2SP=8, Albers=11, PolarStereographic=15)")
+            s"$ct unsupported (LCC-2SP=8, Albers=11, PolarStereographic=15, " +
+            "Sinusoidal=24)")
       }
     }
     val proj: graft.geo.Projection =

@@ -276,6 +276,57 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("sinusoidal (MODIS-style) source converts end to end") {
+    // MODIS-grid shape: CT_Sinusoidal (24) on the authalic SPHERE
+    // R = 6371007.181 (inv-flattening written as 0 — must not default to
+    // the WGS84 ellipsoid), center lon 0, 250 m pixels at ~40°N
+    val tif = tmp("sinu.tif")
+    val w = 512; val h = 512
+    val px = 250.0
+    val R = 6371007.181
+    val x0 = 1000000.0; val y0 = 4448000.0
+    def v(i: Int, j: Int): Int = (j / 64) * 8 + i / 64
+    val strips = (0 until h / 64).iterator.map { s0 =>
+      val arr = new Array[Byte](64 * w)
+      for (j <- 0 until 64; i <- 0 until w) arr(j * w + i) = v(i, s0 * 64 + j).toByte
+      arr
+    }
+    val geoKeys = Seq(
+      1, 1, 0, 6,
+      1024, 0, 1, 1, // projected
+      1025, 0, 1, 1,
+      3072, 0, 1, 32767, // user-defined PCS
+      3075, 0, 1, 24, // CT_Sinusoidal
+      2057, 34736, 1, 0, // semi-major = MODIS sphere
+      2059, 34736, 1, 1) // inv-flattening 0 => sphere
+    val dbl = Seq(R, 0.0)
+    graft.raquet.TiffWriter.writeStrips(tif, w, h, "uint8", 1, px,
+      x0, y0, None, 64, strips, geoKeysOverride = Some((geoKeys, dbl)))
+
+    val src = GeoTiff.readInfo(tif)
+    assert(src.proj == graft.geo.Sinusoidal(R, 0.0, 0.0, 0.0, 0.0))
+
+    val out = tmp("sinu.parquet")
+    val meta = GeoTiff.convert(spark, tif, out)
+    assert(meta.crs == "EPSG:3857")
+    val ds = RaquetIO.read(spark, out)
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    for (bi <- 0 until 8; bj <- 0 until 8) {
+      val e = x0 + (bi * 64 + 32 + 0.5) * px
+      val n = y0 - (bj * 64 + 32 + 0.5) * px
+      val (lon, lat) = src.proj.toLonLat(e, n)
+      val cell = graft.quadbin.Quadbin.fromLonLat(lon, lat, meta.maxZoom)
+      val got = ds.data.filter(col("block") === cell)
+        .select(rq_raster_value(col("band_1"), col("block"),
+          lit(lon), lit(lat), meta, "band_1"))
+        .collect()
+      assert(got.length == 1, s"block ($bi,$bj): no covering tile")
+      assert(got(0).getDouble(0) == v(bi * 64 + 32, bj * 64 + 32).toDouble,
+        s"block ($bi,$bj)")
+    }
+  }
+
   test("overviews=none and min-zoom override control the pyramid (cli.py:393-403)") {
     val outNone = tmp("eu_none.parquet")
     val mNone = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",

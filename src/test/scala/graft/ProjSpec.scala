@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.geo.{Projection, TransverseMercator, WebMercator}
+import graft.geo.{Projection, Sinusoidal, TransverseMercator, WebMercator}
 
 /** Validates the Karney–Krüger transverse-mercator implementation against
   * independent formulations: exact UTM anchor identities, a numerically
@@ -164,6 +164,68 @@ class ProjSpec extends AnyFunSuite {
       val (lo, la) = psNorth.toLonLat(x, y)
       assert(math.abs(TransverseMercator.normLon(lo - lon)) < 1e-11 &&
         math.abs(la - lat) < 1e-11, s"ps-north $lon,$lat")
+    }
+  }
+
+  /** Full numeric Jacobian determinant ∂(x,y)/∂(λ,φ) — sinusoidal shears
+    * off the central meridian, so the principal-direction product used for
+    * Albers is not applicable; equal-area must be checked with the
+    * determinant itself. */
+  private def jacDet(p: graft.geo.Projection, lon: Double, lat: Double): Double = {
+    val d = 1e-6
+    val (x1, y1) = p.fromLonLat(lon - d / 2, lat)
+    val (x2, y2) = p.fromLonLat(lon + d / 2, lat)
+    val (x3, y3) = p.fromLonLat(lon, lat - d / 2)
+    val (x4, y4) = p.fromLonLat(lon, lat + d / 2)
+    val rd = math.toRadians(d)
+    ((x2 - x1) / rd) * ((y4 - y3) / rd) - ((x4 - x3) / rd) * ((y2 - y1) / rd)
+  }
+
+  test("sinusoidal (MODIS sphere): anchors, equal-area Jacobian, round-trip") {
+    val R = 6371007.181 // the MODIS authalic sphere
+    val sinu = Sinusoidal(R, 0.0, 0.0, 0.0, 0.0)
+    // defining anchors: x spans ±πR on the equator, y = R·φ on the
+    // central meridian (matches the published MODIS grid extent
+    // ±20015109.354 m)
+    val (xe, ye) = sinu.fromLonLat(180.0, 0.0)
+    assert(math.abs(xe - math.Pi * R) < 1e-3 && math.abs(ye) < 1e-9)
+    assert(math.abs(math.Pi * R - 20015109.354) < 1e-2)
+    val (x45, y45) = sinu.fromLonLat(0.0, 45.0)
+    assert(math.abs(x45) < 1e-9 && math.abs(y45 - R * math.Pi / 4) < 1e-6)
+    // equal-area: det J == R² cosφ everywhere (the sphere's area element)
+    for (lon <- -150 to 150 by 50; lat <- -80 to 80 by 20) {
+      val expect = R * R * math.cos(math.toRadians(lat.toDouble))
+      assert(math.abs(jacDet(sinu, lon.toDouble, lat.toDouble) / expect - 1) < 1e-5,
+        s"area at $lon,$lat")
+    }
+    // round-trip
+    for (lon <- -170 to 170 by 20; lat <- -85 to 85 by 10) {
+      val (x, y) = sinu.fromLonLat(lon.toDouble, lat.toDouble)
+      val (lo, la) = sinu.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"round-trip $lon,$lat")
+    }
+    // a central meridian shifts x by the cos-weighted longitude offset
+    val shifted = Sinusoidal(R, 0.0, -90.0, 0.0, 0.0)
+    val (xs, _) = shifted.fromLonLat(-90.0, 30.0)
+    assert(math.abs(xs) < 1e-9)
+  }
+
+  test("sinusoidal (ellipsoid): equal-area on the WGS84 area element, round-trip") {
+    val sinu = Sinusoidal(A, 298.257223563, 0.0, 0.0, 0.0)
+    // ellipsoid area element: a²(1−e²)cosφ/(1−e²sin²φ)²
+    for (lon <- Seq(-120.0, 0.0, 60.0); lat <- Seq(-60.0, -20.0, 0.0, 35.0, 70.0)) {
+      val s = math.sin(math.toRadians(lat))
+      val expect = A * A * (1 - E2wgs) * math.cos(math.toRadians(lat)) /
+        math.pow(1 - E2wgs * s * s, 2)
+      assert(math.abs(jacDet(sinu, lon, lat) / expect - 1) < 1e-5,
+        s"area at $lon,$lat")
+    }
+    for (lon <- -170 to 170 by 40; lat <- -85 to 85 by 17) {
+      val (x, y) = sinu.fromLonLat(lon.toDouble, lat.toDouble)
+      val (lo, la) = sinu.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 5e-9,
+        s"round-trip $lon,$lat")
     }
   }
 
