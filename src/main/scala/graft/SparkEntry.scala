@@ -105,6 +105,7 @@ object SparkEntry {
     "q84_srtm_ingest"       -> (RaquetQueries.q84SrtmIngest _),
     "q85_tiled_bigtiff"     -> (RaquetQueries.q85TiledBigtiff _),
     "q86_jpeg_tiff"         -> (RaquetQueries.q86JpegTiff _),
+    "q87_s3_tiff"           -> (RaquetQueries.q87S3Tiff _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -296,6 +297,9 @@ object SparkEntry {
     // oracle; the chunk layout must be invisible to the convert
     "q85_tiled_bigtiff"     -> RaquetOracles.q60,
     "q86_jpeg_tiff"         -> RaquetOracles.q86,
+    // q87 is the q60 convert through the s3:// path-style transport —
+    // identical oracle; the transport must not change one byte
+    "q87_s3_tiff"           -> RaquetOracles.q60,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

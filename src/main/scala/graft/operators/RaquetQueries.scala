@@ -904,6 +904,60 @@ object RaquetQueries {
     } finally server.stop(0)
   }
 
+  /** Object-store-transport driver proof: the q60 convert through an
+    * `s3://bucket/key` source. `RandomReader` rewrites the scheme to the
+    * path-style HTTPS endpoint (`cli.py:22-46` — the reference prefixes
+    * GDAL's `/vsis3/`; graft speaks plain ranged HTTPS, public buckets
+    * only) — here pointed at an in-process server speaking that layout.
+    * Identical oracle to q60: the transport must not change one byte. */
+  def q87S3Tiff(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q87"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // path-style object layout: /<bucket>/<key>
+    server.createContext("/test-bucket/rasters/synth.tif",
+      new com.sun.net.httpserver.HttpHandler {
+        private val RangeRe = """bytes=(\d+)-(\d+)""".r
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          Option(ex.getRequestHeaders.getFirst("Range")) match {
+            case Some(RangeRe(a, b)) =>
+              val from = a.toLong.toInt
+              val to = math.min(b.toLong, bytes.length - 1L).toInt
+              ex.getResponseHeaders.set("Content-Range",
+                s"bytes $from-$to/${bytes.length}")
+              ex.sendResponseHeaders(206, to - from + 1L)
+              ex.getResponseBody.write(bytes, from, to - from + 1)
+            case _ =>
+              ex.sendResponseHeaders(200, bytes.length.toLong)
+              ex.getResponseBody.write(bytes)
+          }
+          ex.close()
+        }
+      })
+    server.start()
+    val prevEndpoint = sys.props.get("graft.s3.endpoint")
+    sys.props("graft.s3.endpoint") =
+      s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val out = s"$tmp/synth.parquet"
+      graft.raquet.GeoTiff.convert(spark, "s3://test-bucket/rasters/synth.tif",
+        out, tileStats = true, overviews = "none")
+      val result = convertReadback(spark, out)
+      result.persist().count() // materialize before the server stops
+      result
+    } finally {
+      server.stop(0)
+      prevEndpoint match {
+        case Some(v) => sys.props("graft.s3.endpoint") = v
+        case None => sys.props.remove("graft.s3.endpoint")
+      }
+    }
+  }
+
   /** F8 (lossy) driver proof: VP8 key-frame decode conformance inside the
     * engine. The checked-in 256×256 webp tile was encoded by libwebp (the
     * same encoder Pillow uses for the reference's `compression="webp"`

@@ -472,19 +472,24 @@ object GeoTiff {
       val cx1 = if (tiled) (wx + ww - 1) / chunkW else 0
       val cy0 = wy / chunkL
       val cy1 = (wy + wh - 1) / chunkL
-      var cy = cy0
-      while (cy <= cy1) {
-        // strips are clipped at the image bottom; tiles are always padded
-        val chunkRows =
-          if (tiled) chunkL
-          else math.min(chunkL.toLong, h - cy.toLong * chunkL).toInt
-        val expect = (chunkRowBytes * chunkRows).toInt
-        var cx = cx0
-        while (cx <= cx1) {
+      // gather every chunk range the window touches, then read them in ONE
+      // readRanges call — the HTTP transport coalesces adjacent chunks into
+      // merged GETs (O(1) requests per window instead of one per strip)
+      val chunkIds = for (cy <- cy0 to cy1; cx <- cx0 to cx1) yield (cx, cy)
+      val rawChunks = rr.readRanges(chunkIds.map { case (cx, cy) =>
+        val ci = cy * chunksAcross + cx
+        require(ci < offsets.length && ci < counts.length,
+          s"$path: chunk $ci outside offset table (${offsets.length})")
+        (offsets(ci).toLong, counts(ci).toLong.toInt)
+      })
+      chunkIds.zip(rawChunks).foreach { case ((cx, cy), raw) =>
+        {
           val ci = cy * chunksAcross + cx
-          require(ci < offsets.length && ci < counts.length,
-            s"$path: chunk $ci outside offset table (${offsets.length})")
-          val raw = rr.readAt(offsets(ci).toLong, counts(ci).toLong.toInt)
+          // strips are clipped at the image bottom; tiles are always padded
+          val chunkRows =
+            if (tiled) chunkL
+            else math.min(chunkL.toLong, h - cy.toLong * chunkL).toInt
+          val expect = (chunkRowBytes * chunkRows).toInt
           val data = compression match {
             case 1 => raw
             case 5 => lzwDecompress(raw, expect)
@@ -535,9 +540,7 @@ object GeoTiff {
             }
             j += 1
           }
-          cx += 1
         }
-        cy += 1
       }
     } finally rr.close()
     out

@@ -4,25 +4,51 @@ package graft.sources
   * file, or a remote URL read with HTTP `Range` requests — the `/vsicurl`
   * parity path (`raquet/cli.py:22-46`: the reference accepts
   * `http(s)://`, `gs://`, `s3://` sources by prefixing GDAL's virtual
-  * readers; graft covers the http(s) transport, which is also what the
-  * cloud-storage schemes speak underneath).
+  * readers; graft rewrites the cloud schemes to their public HTTPS
+  * endpoints and speaks Range over them — public buckets work, signed
+  * requests do not and fail loudly).
   *
   * Every read is an independent bounded request: the driver pulls tag
-  * headers (a few KB), executor tasks pull exactly the strip byte ranges
-  * their tile windows intersect — no full-file download anywhere, the same
-  * access pattern vsicurl produces for a windowed `gdal.Warp`.
+  * headers (a few KB), executor tasks pull exactly the strip/tile byte
+  * ranges their windows intersect — no full-file download anywhere, the
+  * same access pattern vsicurl produces for a windowed `gdal.Warp`.
+  * [[RandomReader.readRanges]] lets a task hand over ALL the chunk ranges
+  * of one window at once so the HTTP transport can coalesce adjacent
+  * chunks into single ranged GETs (one TLS handshake per window instead of
+  * one per strip — the 100 TB-ingest fix for object storage).
   */
 trait RandomReader extends AutoCloseable {
   /** Read exactly `n` bytes at absolute offset `at`. */
   def readAt(at: Long, n: Int): Array[Byte]
+
+  /** Read many ranges, returned in input order. Transports may coalesce
+    * adjacent/near ranges into fewer requests; the default is one
+    * [[readAt]] per range (right for local files — the page cache already
+    * coalesces). */
+  def readRanges(ranges: Seq[(Long, Int)]): Seq[Array[Byte]] =
+    ranges.map { case (at, n) => readAt(at, n) }
 }
 
 object RandomReader {
+  /** Public-bucket object-store URLs rewrite to their path-style HTTPS
+    * endpoints (overridable for tests via system properties). No request
+    * signing: private objects answer 403, which [[HttpRangeReader]] turns
+    * into a clear "authenticated access unsupported" error instead of a
+    * silent retry loop. */
+  private[graft] def rewrite(path: String): String =
+    if (path.startsWith("s3://"))
+      s"${sys.props.getOrElse("graft.s3.endpoint", "https://s3.amazonaws.com")}/${path.stripPrefix("s3://")}"
+    else if (path.startsWith("gs://"))
+      s"${sys.props.getOrElse("graft.gs.endpoint", "https://storage.googleapis.com")}/${path.stripPrefix("gs://")}"
+    else path
+
   def isRemote(path: String): Boolean =
-    path.startsWith("http://") || path.startsWith("https://")
+    path.startsWith("http://") || path.startsWith("https://") ||
+      path.startsWith("s3://") || path.startsWith("gs://")
 
   def apply(path: String): RandomReader =
-    if (isRemote(path)) new HttpRangeReader(path) else new LocalReader(path)
+    if (isRemote(path)) new HttpRangeReader(rewrite(path))
+    else new LocalReader(path)
 }
 
 final class LocalReader(path: String) extends RandomReader {
@@ -39,8 +65,17 @@ final class LocalReader(path: String) extends RandomReader {
 /** One HTTP request per read, `Connection: close` (the JDK keep-alive pool
   * races with disconnect() across executor threads). Servers must honor
   * Range (206); a 200 answer to a non-zero offset fails loudly rather than
-  * silently reading from the file start. */
+  * silently reading from the file start. [[readRanges]] coalesces nearby
+  * ranges into merged GETs so a window covering k contiguous strips costs
+  * O(1) requests, not k. */
 final class HttpRangeReader(url: String) extends RandomReader {
+
+  /** Ranges closer than this ride the same GET: re-reading a small gap is
+    * far cheaper than a fresh TLS handshake against object storage. */
+  private val CoalesceGap = 256L << 10
+  /** Cap one merged GET; windows stay bounded regardless of layout. */
+  private val CoalesceMax = 16L << 20
+
   def readAt(at: Long, n: Int): Array[Byte] = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
@@ -49,6 +84,9 @@ final class HttpRangeReader(url: String) extends RandomReader {
     conn.setConnectTimeout(15000)
     conn.setReadTimeout(60000)
     val code = conn.getResponseCode
+    require(code != 403, s"$url: HTTP 403 — authenticated object-store " +
+      "access is unsupported (public buckets only; make the object public " +
+      "or download it first)")
     require(code == 206 || (code == 200 && at == 0L),
       s"$url: HTTP $code for Range bytes=$at-${at + n - 1} " +
         "(server must support Range requests)")
@@ -65,5 +103,33 @@ final class HttpRangeReader(url: String) extends RandomReader {
       buf
     } finally in.close()
   }
+
+  override def readRanges(ranges: Seq[(Long, Int)]): Seq[Array[Byte]] = {
+    val out = new Array[Array[Byte]](ranges.size)
+    // group input indices into merged spans, in offset order
+    val byOff = ranges.zipWithIndex.sortBy(_._1._1)
+    var group = List.empty[((Long, Int), Int)]
+    var spanStart = 0L
+    var spanEnd = 0L // exclusive
+    def flush(): Unit = if (group.nonEmpty) {
+      val buf = readAt(spanStart, (spanEnd - spanStart).toInt)
+      group.foreach { case ((at, n), i) =>
+        out(i) = java.util.Arrays.copyOfRange(
+          buf, (at - spanStart).toInt, (at - spanStart).toInt + n)
+      }
+      group = Nil
+    }
+    byOff.foreach { case r @ ((at, n), _) =>
+      if (group.isEmpty) { spanStart = at; spanEnd = at + n; group = List(r) }
+      else if (at <= spanEnd + CoalesceGap &&
+        math.max(spanEnd, at + n) - spanStart <= CoalesceMax) {
+        spanEnd = math.max(spanEnd, at + n)
+        group = r :: group
+      } else { flush(); spanStart = at; spanEnd = at + n; group = List(r) }
+    }
+    flush()
+    out.toSeq
+  }
+
   def close(): Unit = ()
 }

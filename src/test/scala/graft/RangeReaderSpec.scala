@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HttpRangeReader, RandomReader}
+
+/** Transport-level behavior of the HTTP Range reader: request coalescing,
+  * object-store URL rewrites, and clean failures on misbehaving servers
+  * (truncated 206 bodies, auth walls, Range-less answers). */
+class RangeReaderSpec extends AnyFunSuite {
+
+  /** Serve `bytes`, recording every Range header received. */
+  private def withServer[T](bytes: Array[Byte], path: String = "/data.bin",
+      truncateBody: Int = 0, forceCode: Int = 0)(
+      f: (String, () => Seq[(Long, Long)]) => T): T = {
+    val requests = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(path, new com.sun.net.httpserver.HttpHandler {
+      private val RangeRe = """bytes=(\d+)-(\d+)""".r
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case _ if forceCode != 0 =>
+            ex.sendResponseHeaders(forceCode, -1)
+          case Some(RangeRe(a, b)) =>
+            requests.add((a.toLong, b.toLong))
+            val from = a.toLong.toInt
+            val to = math.min(b.toLong, bytes.length - 1L).toInt
+            val n = to - from + 1 - truncateBody
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, to - from + 1L)
+            ex.getResponseBody.write(bytes, from, math.max(0, n))
+          case _ =>
+            requests.add((-1L, -1L))
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}$path",
+      () => { import scala.jdk.CollectionConverters._; requests.asScala.toSeq })
+    finally server.stop(0)
+  }
+
+  test("readRanges coalesces adjacent and near ranges into one GET") {
+    val bytes = Array.tabulate(1 << 20)(i => (i * 31 % 251).toByte)
+    withServer(bytes) { (url, reqs) =>
+      val rr = new HttpRangeReader(url)
+      // 8 contiguous 4 KB "strips", handed over out of order
+      val ranges = (0 until 8).map(k => (k * 4096L, 4096)).reverse
+      val got = rr.readRanges(ranges)
+      ranges.zip(got).foreach { case ((at, n), buf) =>
+        assert(buf.toSeq == bytes.slice(at.toInt, at.toInt + n).toSeq,
+          s"range at $at")
+      }
+      assert(reqs().size == 1, s"expected 1 coalesced GET, saw ${reqs()}")
+      assert(reqs().head == ((0L, 8L * 4096 - 1)))
+    }
+  }
+
+  test("readRanges keeps far-apart ranges as separate GETs, in-order results") {
+    val bytes = Array.tabulate(4 << 20)(i => (i * 17 % 249).toByte)
+    withServer(bytes) { (url, reqs) =>
+      val rr = new HttpRangeReader(url)
+      // gap of 2 MB > the 256 KB coalesce threshold
+      val ranges = Seq((0L, 1024), ((3L << 20), 1024), (4096L, 1024))
+      val got = rr.readRanges(ranges)
+      ranges.zip(got).foreach { case ((at, n), buf) =>
+        assert(buf.toSeq == bytes.slice(at.toInt, at.toInt + n).toSeq)
+      }
+      assert(reqs().size == 2, s"expected 2 GETs, saw ${reqs()}")
+    }
+  }
+
+  test("a striped TIFF window costs one pixel-data GET after coalescing") {
+    // 256x256 uint8, 32 rows/strip => 8 strips of 8 KB; a full-height
+    // window touches all 8 but must fetch them in ONE merged request
+    val w = 256; val h = 256; val rps = 32
+    val tifPath = java.nio.file.Files.createTempDirectory("rrspec")
+      .resolve("striped.tif").toString
+    val band = Array.tabulate(w * h)(p => ((p * 7) % 250).toDouble)
+    graft.raquet.TiffWriter.write(tifPath, w, h, "uint8", Array(band),
+      pixelSize = 1.0, originX = 0.0, originY = h.toDouble, nodata = None)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tifPath))
+    withServer(bytes, "/striped.tif") { (url, reqs) =>
+      val r = graft.raquet.GeoTiff.readWindowDirect(url, 10, 0, 64, h)
+      for (j <- 0 until h by 13; i <- 0 until 64)
+        assert(r.getSampleDouble(i, j, 0) == band(j * w + 10 + i))
+      // strips are 8 KB; tag/header reads are far smaller — the pixel
+      // phase is exactly the large requests
+      val big = reqs().filter { case (a, b) => b - a + 1 >= 8 * 1024 }
+      assert(big.size == 1, s"expected 1 coalesced pixel GET, saw ${reqs()}")
+    }
+  }
+
+  test("s3:// and gs:// rewrite to path-style public HTTPS endpoints") {
+    assert(RandomReader.isRemote("s3://bkt/k/obj.tif"))
+    assert(RandomReader.isRemote("gs://bkt/obj.tif"))
+    assert(graft.sources.RandomReader.rewrite("s3://bkt/k/obj.tif") ==
+      "https://s3.amazonaws.com/bkt/k/obj.tif")
+    assert(graft.sources.RandomReader.rewrite("gs://bkt/obj.tif") ==
+      "https://storage.googleapis.com/bkt/obj.tif")
+    assert(graft.sources.RandomReader.rewrite("/local/file.tif") == "/local/file.tif")
+  }
+
+  test("403 answers fail loudly with the authenticated-access message") {
+    withServer(new Array[Byte](16), forceCode = 403) { (url, _) =>
+      val rr = new HttpRangeReader(url)
+      val e = intercept[IllegalArgumentException](rr.readAt(0, 8))
+      assert(e.getMessage.contains("authenticated object-store"))
+    }
+  }
+
+  test("truncated 206 bodies fail with EOFException, not silent short data") {
+    val bytes = Array.tabulate(64 << 10)(i => (i % 251).toByte)
+    withServer(bytes, truncateBody = 100) { (url, _) =>
+      val rr = new HttpRangeReader(url)
+      intercept[java.io.EOFException](rr.readAt(0, 4096))
+    }
+  }
+
+  test("200 answer to a non-zero offset fails instead of reading file start") {
+    val bytes = Array.tabulate(1024)(i => i.toByte)
+    // a server that ignores Range entirely
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/x", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val rr = new HttpRangeReader(
+        s"http://127.0.0.1:${server.getAddress.getPort}/x")
+      val e = intercept[IllegalArgumentException](rr.readAt(512, 16))
+      assert(e.getMessage.contains("HTTP 200"))
+    } finally server.stop(0)
+  }
+}
