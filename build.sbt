@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify contract: the bench's JSON record must be the LAST stdout
+// line. StdoutOutput passes the forked JVM's stdout through un-prefixed
+// (no "[info] " wrapper), and showSuccess drops the trailing
+// "[success] Total time: ..." banner that otherwise lands after it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -253,6 +253,15 @@ object Bench {
     val results = queries.toSeq
       .sortBy { case (name, _) => (name.startsWith("bL_"), name) }
       .map { case (name, fn) =>
+      // fixed cache-state protocol for the 15 GB-class scans: one untimed
+      // pass of THE SAME query immediately before its timed runs, so every
+      // bL_ query measures the warm-page-cache shape regardless of what the
+      // preceding queries evicted (r4's bL_top20 +32% swing was exactly
+      // this ordering effect — the two full scans do near-identical work
+      // and must report near-identical times)
+      if (name.startsWith("bL_"))
+        try once(fn)
+        catch { case scala.util.control.NonFatal(_) => () }
       val ts = (1 to 3).map { _ =>
         try once(fn)
         catch { case scala.util.control.NonFatal(_) => -1.0 }
