@@ -52,8 +52,12 @@ object AaiGrid {
           }
         } else more = false // first data row — header complete
       }
-      require(ncols > 0 && nrows > 0 && !cell.isNaN && !xll.isNaN && !yll.isNaN,
+      require(ncols > 0 && nrows > 0 && cell > 0 && !xll.isNaN && !yll.isNaN,
         s"$path: incomplete AAIGrid header")
+      // a text format cannot plausibly carry a petapixel grid; a corrupt
+      // count must fail here, not overflow strip-size math downstream
+      require(ncols <= (1 << 28) && nrows <= (1 << 28),
+        s"$path: implausible AAIGrid dimensions $ncols x $nrows")
       val x0 = if (xCenter) xll - cell / 2 else xll
       val yBottom = if (yCenter) yll - cell / 2 else yll
       Header(ncols, nrows, x0, yBottom + nrows * cell, cell, nodata)
@@ -83,6 +87,9 @@ object AaiGrid {
       }
       // the strip iterator is consumed inside writeStrips, while `in` is
       // still open — single pass, O(strip) memory
+      require(rowsPerStrip.toLong * h.ncols * 4 <= Int.MaxValue,
+        s"$ascPath: strip of $rowsPerStrip x ${h.ncols} float32 exceeds 2 GB" +
+          " — reduce rowsPerStrip")
       val strips = (0 until h.nrows by rowsPerStrip).iterator.map { y0 =>
         val rows = math.min(rowsPerStrip, h.nrows - y0)
         val bb = java.nio.ByteBuffer.allocate(rows * h.ncols * 4)

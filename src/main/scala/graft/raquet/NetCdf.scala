@@ -84,16 +84,27 @@ object NetCdf {
       // loudly here instead of NegativeArraySizeException later.
       require(numRecs != 0xFFFFFFFFL,
         s"$path: streaming NetCDF (numrecs sentinel) unsupported")
+      require(numRecs <= Int.MaxValue,
+        s"$path: implausible record count $numRecs")
 
+      // header-field sanity caps: every count below sizes an allocation, so
+      // a corrupt header must fail loudly here, not as an OOM / negative-
+      // size error deeper in (same contract as the VP8/VP8L fuzz hardening)
+      def sane(n: Int, cap: Int, what: String): Int = {
+        require(n >= 0 && n <= cap, s"$path: implausible $what count $n")
+        n
+      }
+      def typeSize(t: Int): Int = TypeSize.getOrElse(t,
+        throw new IllegalArgumentException(s"$path: unknown NetCDF type $t"))
       def readName(): String = {
-        val n = in.readInt()
+        val n = sane(in.readInt(), 1 << 16, "name byte")
         val b = new Array[Byte](n)
         in.readFully(b)
         in.skipBytes((4 - n % 4) % 4)
         new String(b, StandardCharsets.UTF_8)
       }
       def readAttrValues(t: Int, n: Int): NcAttr = {
-        val size = TypeSize(t) * n
+        val size = typeSize(t) * sane(n, 1 << 24, "attribute value")
         val b = new Array[Byte](size)
         in.readFully(b)
         in.skipBytes((4 - size % 4) % 4)
@@ -111,7 +122,7 @@ object NetCdf {
         }
       }
       def readAttrList(): Map[String, NcAttr] = {
-        val tag = in.readInt(); val n = in.readInt()
+        val tag = in.readInt(); val n = sane(in.readInt(), 1 << 16, "attribute")
         require(tag == 0x0C || (tag == 0 && n == 0), s"bad attr-list tag $tag")
         (0 until n).map { _ =>
           val name = readName()
@@ -121,19 +132,28 @@ object NetCdf {
       }
 
       // dim_list
-      val dimTag = in.readInt(); val nDims = in.readInt()
+      val dimTag = in.readInt(); val nDims = sane(in.readInt(), 1 << 16, "dimension")
       require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim-list tag $dimTag")
-      val dims = (0 until nDims).map(_ => NcDim(readName(), in.readInt()))
+      val dims = (0 until nDims).map { _ =>
+        val nm = readName()
+        NcDim(nm, sane(in.readInt(), Int.MaxValue, s"dimension '$nm' length"))
+      }
       val gatts = readAttrList()
       // var_list
-      val varTag = in.readInt(); val nVars = in.readInt()
+      val varTag = in.readInt(); val nVars = sane(in.readInt(), 1 << 16, "variable")
       require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var-list tag $varTag")
       val vars = (0 until nVars).map { _ =>
         val name = readName()
-        val nd = in.readInt()
-        val dimIds = (0 until nd).map(_ => in.readInt())
+        val nd = sane(in.readInt(), 1 << 10, "variable dimension")
+        val dimIds = (0 until nd).map { _ =>
+          val id = in.readInt()
+          require(id >= 0 && id < nDims,
+            s"$path: variable '$name' references dimension $id of $nDims")
+          id
+        }
         val atts = readAttrList()
         val t = in.readInt()
+        typeSize(t) // reject unknown types at parse time, not mid-read
         val vsize = in.readInt().toLong & 0xFFFFFFFFL
         val begin = if (version == 1) in.readInt().toLong & 0xFFFFFFFFL
         else in.readLong()
@@ -150,7 +170,12 @@ object NetCdf {
     require(v.dimIds.size == 1, s"${v.name}: coordinate variables must be 1-D")
     val isRec = h.dims(v.dimIds.head).length == 0
     val n = if (isRec) h.numRecs.toInt else h.dims(v.dimIds.head).length
-    val sz = TypeSize(v.ncType)
+    // coordinate variables are axes, not data: a corrupt header claiming a
+    // multi-hundred-MB axis must fail loudly, not attempt the allocation
+    require(n >= 0 && n <= (1 << 24),
+      s"$path: implausible coordinate variable '${v.name}' length $n")
+    val sz = TypeSize.getOrElse(v.ncType, throw new IllegalArgumentException(
+      s"$path: coordinate '${v.name}' has non-numeric NetCDF type ${v.ncType}"))
     val raf = new RandomAccessFile(path, "r")
     try {
       def decode(bb: java.nio.ByteBuffer, i: Int): Double = v.ncType match {
@@ -159,6 +184,8 @@ object NetCdf {
         case 4 => bb.getInt(4 * i).toDouble
         case 5 => bb.getFloat(4 * i).toDouble
         case 6 => bb.getDouble(8 * i)
+        case t => throw new IllegalArgumentException(
+          s"$path: coordinate '${v.name}' has non-numeric NetCDF type $t")
       }
       if (isRec) Array.tabulate(n) { t =>
         val b = new Array[Byte](sz)

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{AaiGrid, NetCdf, NetCdfWriter, SrtmHgt}
+
+/** Malformed-container robustness for the text/binary raster ingest parsers
+  * — the same contract `Vp8FuzzSpec` enforces for the codec layer: every
+  * truncation and byte/token corruption of a valid file must either parse
+  * (garbage values are fine) or fail with a CLEAN, bounded-time exception
+  * (`IllegalArgumentException` — which `NumberFormatException` extends —
+  * `UnsupportedOperationException`, or `IOException`/`EOFException`). No
+  * hangs, no OOM from corrupt counts, no `MatchError`/index errors from
+  * pointer-like header fields, and no silent empty output. */
+class ContainerFuzzSpec extends AnyFunSuite {
+
+  private lazy val tmp: Path = {
+    val d = Files.createTempDirectory("containerfuzz")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def attempt(what: => Any, ctx: String): Unit =
+    try { what; () }
+    catch {
+      case _: IllegalArgumentException | _: UnsupportedOperationException |
+          _: java.io.IOException => ()
+      case e: Throwable =>
+        fail(s"unclean failure [$ctx] ${e.getClass.getName}: ${e.getMessage}")
+    }
+
+  // ------------------------------------------------------------- NetCDF
+
+  private lazy val ncBytes: Array[Byte] = {
+    val p = tmp.resolve("base.nc").toString
+    NetCdfWriter.write(p, Array.tabulate(6)(j => 60.0 - 10 * j),
+      Array.tabulate(8)(i => -180.0 + 45.0 * (i + 0.5)), Array(0.0, 24.0),
+      "hours since 2001-01-01 00:00:00", -9999f,
+      (t, j, i) => (100 * t + 8 * j + i).toFloat)
+    Files.readAllBytes(java.nio.file.Paths.get(p))
+  }
+
+  private def attemptNc(bytes: Array[Byte], ctx: String): Unit = {
+    val p = tmp.resolve("mut.nc")
+    Files.write(p, bytes)
+    attempt(NetCdf.describe(p.toString), ctx)
+  }
+
+  test("NetCDF: every truncation fails cleanly or parses") {
+    var n = 0
+    while (n < ncBytes.length) {
+      attemptNc(java.util.Arrays.copyOf(ncBytes, n), s"truncate@$n")
+      n += 1
+    }
+  }
+
+  test("NetCDF: single-byte corruptions fail cleanly or parse") {
+    // all counts/tags/offsets live in the header; corrupt every byte of it
+    // with the three adversarial values, plus a sparse pass over the data
+    val headerEnd = math.min(ncBytes.length, 640)
+    for (v <- Seq(0x00, 0xFF, 0x80); i <- 0 until headerEnd) {
+      val mut = ncBytes.clone(); mut(i) = v.toByte
+      attemptNc(mut, s"corrupt@$i=$v")
+    }
+    for (i <- headerEnd until ncBytes.length by 97) {
+      val mut = ncBytes.clone(); mut(i) = 0xFF.toByte
+      attemptNc(mut, s"corrupt-data@$i")
+    }
+  }
+
+  test("NetCDF: adversarial counts fail loudly, not as OOM/negative-size") {
+    // numrecs = huge (but not the streaming sentinel)
+    val big = ncBytes.clone()
+    big(4) = 0x7F.toByte; big(5) = 0xFF.toByte
+    big(6) = 0xFF.toByte; big(7) = 0xFF.toByte
+    val e1 = intercept[IllegalArgumentException](attemptOrThrow(big))
+    assert(e1.getMessage != null)
+    // dim-count = enormous → "implausible ... count"
+    val dims = ncBytes.clone()
+    dims(12) = 0x7F.toByte; dims(13) = 0xFF.toByte
+    dims(14) = 0xFF.toByte; dims(15) = 0xFF.toByte
+    val e2 = intercept[IllegalArgumentException](attemptOrThrow(dims))
+    assert(e2.getMessage.contains("implausible"))
+  }
+
+  private def attemptOrThrow(bytes: Array[Byte]): Any = {
+    val p = tmp.resolve("adv.nc")
+    Files.write(p, bytes)
+    NetCdf.describe(p.toString)
+  }
+
+  // ------------------------------------------------------------- AAIGrid
+
+  private val ascBase: Seq[String] = Seq(
+    "ncols 6", "nrows 4", "xllcorner -180.0", "yllcorner 30.0",
+    "cellsize 0.5", "NODATA_value -9999") ++
+    (0 until 4).map(r => (0 until 6).map(c => s"${10 * r + c}").mkString(" "))
+
+  private def attemptAsc(lines: Seq[String], ctx: String): Unit = {
+    val p = tmp.resolve("mut.asc")
+    Files.write(p, lines.mkString("\n").getBytes)
+    val out = tmp.resolve("mut.tif").toString
+    attempt(AaiGrid.toTiff(p.toString, out, rowsPerStrip = 2), ctx)
+  }
+
+  test("AAIGrid: dropped/duplicated/corrupted header lines fail cleanly") {
+    for (i <- ascBase.indices)
+      attemptAsc(ascBase.patch(i, Nil, 1), s"drop-line@$i")
+    for (bad <- Seq("ncols abc", "ncols -5", "ncols 0", "ncols 2147483647",
+        "ncols 999999999", "cellsize 0", "cellsize -1", "cellsize abc",
+        "xllcorner", "bogus_key 7", "ncols 6 7 8"))
+      attemptAsc(bad +: ascBase.tail, s"header '$bad'")
+  }
+
+  test("AAIGrid: corrupt/missing samples fail cleanly") {
+    attemptAsc(ascBase.dropRight(1), "missing last row")
+    attemptAsc(ascBase.init :+ "1 2 3", "short last row")
+    attemptAsc(ascBase.init :+ "1 2 3 x 5 6", "non-numeric sample")
+    attemptAsc(ascBase.map(_.replace("13", "1e999999")), "overflow literal")
+    // oversized counts vs tiny data: must say "ran out", not hang or OOM
+    attemptAsc("ncols 1000" +: ascBase.tail, "ncols >> data")
+  }
+
+  test("AAIGrid: implausible grid sizes are rejected before allocation") {
+    val p = tmp.resolve("huge.asc")
+    Files.write(p, ("ncols 268435457\nnrows 268435457\nxllcorner 0\n" +
+      "yllcorner 0\ncellsize 0.001\n1 2 3\n").getBytes)
+    val e = intercept[IllegalArgumentException](
+      AaiGrid.readHeader(p.toString))
+    assert(e.getMessage.contains("implausible"))
+  }
+
+  // ------------------------------------------------------------- SRTM .hgt
+
+  test("SRTM: truncations and size lies fail cleanly") {
+    val full = new Array[Byte](2 * 5 * 5)
+    for (len <- 0 until full.length) {
+      val p = tmp.resolve("N40W105.hgt")
+      Files.write(p, java.util.Arrays.copyOf(full, len))
+      attempt(SrtmHgt.readHeader(p.toString), s"truncate@$len")
+      attempt(SrtmHgt.toTiff(p.toString, tmp.resolve("t.tif").toString),
+        s"toTiff-truncate@$len")
+    }
+    for (name <- Seq("X40W105.hgt", "N91E000.hgt", "N40.hgt", "N40W500.hgt",
+        "NxxEyyy.hgt", ".hgt")) {
+      val p = tmp.resolve(name)
+      Files.write(p, full)
+      attempt(SrtmHgt.readHeader(p.toString), s"name '$name'")
+    }
+  }
+}
