@@ -106,6 +106,8 @@ object SparkEntry {
     "q85_tiled_bigtiff"     -> (RaquetQueries.q85TiledBigtiff _),
     "q86_jpeg_tiff"         -> (RaquetQueries.q86JpegTiff _),
     "q87_s3_tiff"           -> (RaquetQueries.q87S3Tiff _),
+    "q88_nc4_ingest"        -> (RaquetQueries.q88Nc4Ingest _),
+    "q89_cdf5_ingest"       -> (RaquetQueries.q89Cdf5Ingest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -300,6 +302,10 @@ object SparkEntry {
     // q87 is the q60 convert through the s3:// path-style transport —
     // identical oracle; the transport must not change one byte
     "q87_s3_tiff"           -> RaquetOracles.q60,
+    // q88/q89 are the q79 grid in an HDF5 container / 64-bit classic —
+    // identical oracle; the container layout must not change one value
+    "q88_nc4_ingest"        -> RaquetOracles.q79,
+    "q89_cdf5_ingest"       -> RaquetOracles.q79,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -767,6 +767,76 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** S6 (netCDF-4) driver proof: the q79 world grid written as an HDF5
+    * container (chunked 64×128, shuffle+deflate — the `nc_def_var_deflate`
+    * layout) and converted through the SAME `NetCdf.convert` entry point,
+    * which dispatches on the container magic. Identical oracle to q79: the
+    * container format must not change one value. Chunk dims deliberately
+    * misalign with the 256-px tile windows so every task stitches multiple
+    * chunks. */
+  def q88Nc4Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q88"
+    new java.io.File(tmp).mkdirs()
+    val nc4 = s"$tmp/synth.nc4"
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.Hdf5Writer.write(nc4, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      }, chunkY = 64, chunkX = 128, filters = Seq("shuffle", "deflate"))
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, nc4, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6 (CDF-5) driver proof: the q79 grid as 64-bit classic NetCDF —
+    * every NON_NEG header field widens to int64; values must be
+    * untouched. Same oracle as q79. */
+  def q89Cdf5Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q89"
+    new java.io.File(tmp).mkdirs()
+    val nc = s"$tmp/synth.nc"
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.NetCdfWriter.write(nc, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      }, version = 5)
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, nc, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6 (AAIGrid) driver proof: Esri ASCII grid ingest (`docs/cli.md:154`)
     * — the q79 world grid as a single-band `.asc` (streamed ASCII→TIFF
     * transcode, then the distributed warp). Same float-immune oracle

@@ -1,0 +1,407 @@
+package graft.raquet
+
+import java.nio.charset.StandardCharsets
+
+/** Synthetic netCDF-4 (HDF5) writer — the fixture source for the [[Hdf5Nc]]
+  * ingest path (the q88 pattern: graft must READ nc4; writing raquet output
+  * is [[RaquetIO]]'s job, so this writer only needs to emit the container
+  * layout `libhdf5` produces for a classic-model raster, byte-for-byte
+  * structure-compatible with the public HDF5 File Format Specification):
+  *
+  *  - superblock v0, v1 object headers, root group as a v1 symbol table
+  *    (B-tree + SNOD + local heap) — the default `libhdf5` layout; or
+  *  - superblock v2 with `OHDR` v2 headers and compact link messages (the
+  *    latest-format layout). v2 trailing checksums are written as zeros:
+  *    readers (including graft's) locate structures by address, not by
+  *    validating checksums, and no HDF5 library exists in this environment
+  *    to produce reference values.
+  *
+  * Datasets: `lat(lat)`, `lon(lon)`, `time(time)` as contiguous float64
+  * with CF attributes, and `v(time, lat, lon)` as float32 chunked
+  * `1 × chunkY × chunkX` with any of deflate / shuffle / fletcher32 and a
+  * `_FillValue` attribute — the shape `nc_def_var_deflate` produces. */
+object Hdf5Writer {
+
+  private val Unset = -1L
+
+  private final class B {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): B = { bos.write(v & 0xFF); this }
+    def u16(v: Int): B = { u8(v); u8(v >> 8) }
+    def u32(v: Long): B = { u16(v.toInt); u16((v >> 16).toInt) }
+    def u64(v: Long): B = { u32(v); u32(v >> 32) }
+    def raw(b: Array[Byte]): B = { bos.write(b); this }
+    def f32(v: Float): B = u32(java.lang.Float.floatToIntBits(v).toLong & 0xFFFFFFFFL)
+    def f64(v: Double): B = u64(java.lang.Double.doubleToLongBits(v))
+    def pad(align: Int): B = { while (bos.size % align != 0) u8(0); this }
+    def size: Int = bos.size
+    def bytes: Array[Byte] = bos.toByteArray
+  }
+
+  // ---------------------------------------------------------- messages
+
+  private def dataspaceMsg(dims: Array[Long]): Array[Byte] = {
+    val b = new B
+    b.u8(1).u8(dims.length).u8(0).u8(0).u32(0) // v1, rank, flags, reserved
+    dims.foreach(b.u64)
+    b.pad(8).bytes
+  }
+
+  private def datatypeMsg(cls: Int, size: Int): Array[Byte] = {
+    val b = new B
+    // version 1, class; bit field 0: LE + signed (fixed-point) or LE +
+    // implied-msb mantissa normalization (float, libhdf5's IEEE encoding)
+    b.u8(0x10 | cls)
+    b.u8(cls match { case 0 => 0x08; case 1 => 0x20; case _ => 0x00 })
+    b.u8(0).u8(0).u32(size.toLong)
+    cls match {
+      case 0 => b.u16(0).u16(size * 8) // bit offset, precision
+      case 1 =>
+        b.u16(0).u16(size * 8) // bit offset, precision
+        if (size == 4) b.u8(23).u8(8).u8(0).u8(23).u32(127L) // IEEE binary32
+        else b.u8(52).u8(11).u8(0).u8(52).u32(1023L) // IEEE binary64
+      case 3 => () // fixed string: no properties
+      case _ => throw new IllegalArgumentException(s"writer datatype class $cls")
+    }
+    b.pad(8).bytes
+  }
+
+  private def fillMsg(fill: Option[Array[Byte]]): Array[Byte] = {
+    val b = new B
+    b.u8(2).u8(2).u8(0) // v2, alloc on write, fill at alloc
+    fill match {
+      case Some(f) => b.u8(1).u32(f.length.toLong).raw(f)
+      case None => b.u8(0)
+    }
+    b.pad(8).bytes
+  }
+
+  private def contiguousLayoutMsg(addr: Long, size: Long): Array[Byte] =
+    new B().u8(3).u8(1).u64(addr).u64(size).pad(8).bytes
+
+  private def chunkedLayoutMsg(btreeAddr: Long, chunkDims: Array[Int],
+      elemSize: Int): Array[Byte] = {
+    val b = new B().u8(3).u8(2).u8(chunkDims.length + 1).u64(btreeAddr)
+    chunkDims.foreach(d => b.u32(d.toLong))
+    b.u32(elemSize.toLong)
+    b.pad(8).bytes
+  }
+
+  /** deflate(level) / shuffle(elemSize) / fletcher32, pipeline v1. */
+  private def filtersMsg(filters: Seq[(Int, Array[Int])]): Array[Byte] = {
+    val b = new B().u8(1).u8(filters.length).u16(0).u32(0)
+    filters.foreach { case (id, vals) =>
+      // id, zero-length name, flags (bit 0 clear: mandatory), value count
+      b.u16(id).u16(0).u16(0).u16(vals.length)
+      vals.foreach(v => b.u32(v.toLong))
+      if (vals.length % 2 == 1) b.u32(0)
+    }
+    b.pad(8).bytes
+  }
+
+  private def attrMsg(name: String, dtCls: Int, dtSize: Int,
+      dims: Array[Long], data: Array[Byte]): Array[Byte] = {
+    val dt = datatypeMsg(dtCls, dtSize)
+    val ds = dataspaceMsg(dims)
+    val nb = name.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    val b = new B
+    b.u8(1).u8(0).u16(nb.length).u16(dt.length).u16(ds.length)
+    b.raw(nb).pad(8)
+    b.raw(dt) // already 8-padded
+    b.raw(ds)
+    b.raw(data)
+    b.pad(8).bytes
+  }
+
+  private def textAttr(name: String, v: String): Array[Byte] = {
+    val vb = v.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    attrMsg(name, 3, vb.length, Array.empty, vb)
+  }
+
+  private def symbolTableMsg(btree: Long, heap: Long): Array[Byte] =
+    new B().u64(btree).u64(heap).bytes
+
+  // ---------------------------------------------------------- object headers
+
+  /** v1 object header: 16-byte prefix (12 + 4 alignment), 8-aligned bodies. */
+  private def objectHeaderV1(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val b = new B
+    val bodySize = msgs.map(m => 8 + m._2.length).sum
+    b.u8(1).u8(0).u16(msgs.length).u32(1L).u32(bodySize.toLong).u32(0L)
+    msgs.foreach { case (t, body) =>
+      b.u16(t).u16(body.length).u8(0).u8(0).u16(0)
+      b.raw(body)
+    }
+    b.bytes
+  }
+
+  /** v2 `OHDR`: flags bit 1 → 2-byte chunk-0 size; zeroed trailing checksum. */
+  private def objectHeaderV2(msgs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val body = new B
+    msgs.foreach { case (t, m) => body.u8(t).u16(m.length).u8(0).raw(m) }
+    val b = new B
+    b.raw("OHDR".getBytes(StandardCharsets.US_ASCII))
+    b.u8(2).u8(0x01).u16(body.size)
+    b.raw(body.bytes)
+    b.u32(0L) // checksum (not validated by readers that walk by address)
+    b.bytes
+  }
+
+  private def linkMsg(name: String, ohAddr: Long): Array[Byte] = {
+    val nb = name.getBytes(StandardCharsets.UTF_8)
+    new B().u8(1).u8(0).u8(nb.length).raw(nb).u64(ohAddr).bytes
+  }
+
+  // ---------------------------------------------------------- group plumbing
+
+  private def localHeap(names: Seq[String], dataAddr: Long): (Array[Byte], Array[Byte], Map[String, Long]) = {
+    val data = new B
+    data.u64(0L) // offset 0: empty name (the B-tree's leftmost key) + pad
+    val offsets = names.map { n =>
+      val off = data.size.toLong
+      data.raw(n.getBytes(StandardCharsets.UTF_8)).u8(0).pad(8)
+      n -> off
+    }.toMap
+    val header = new B
+    header.raw("HEAP".getBytes(StandardCharsets.US_ASCII)).u8(0).u8(0).u16(0)
+    header.u64(data.size.toLong).u64(1L).u64(dataAddr) // free-list head 1 = none
+    (header.bytes, data.bytes, offsets)
+  }
+
+  private def groupBtree(snodAddr: Long, lastNameOff: Long): Array[Byte] = {
+    val b = new B
+    b.raw("TREE".getBytes(StandardCharsets.US_ASCII)).u8(0).u8(0).u16(1)
+    b.u64(Unset).u64(Unset)
+    b.u64(0L) // leftmost key: heap offset 0 (empty name)
+    b.u64(snodAddr)
+    b.u64(lastNameOff)
+    b.bytes
+  }
+
+  private def snod(entries: Seq[(Long, Long)]): Array[Byte] = {
+    val b = new B
+    b.raw("SNOD".getBytes(StandardCharsets.US_ASCII)).u8(1).u8(0).u16(entries.length)
+    entries.foreach { case (nameOff, oh) =>
+      b.u64(nameOff).u64(oh).u32(0L).u32(0L)
+      b.u64(0L).u64(0L) // scratch
+    }
+    b.bytes
+  }
+
+  private def chunkBtree(rank: Int, chunks: Seq[(Array[Long], Long, Int)]): Array[Byte] = {
+    val b = new B
+    b.raw("TREE".getBytes(StandardCharsets.US_ASCII)).u8(1).u8(0).u16(chunks.length)
+    b.u64(Unset).u64(Unset)
+    chunks.foreach { case (offs, addr, size) =>
+      b.u32(size.toLong).u32(0L)
+      offs.foreach(b.u64); b.u64(0L) // trailing element-size offset
+      b.u64(addr)
+    }
+    // the final (upper-bound) key
+    b.u32(0L).u32(0L)
+    (0 to rank).foreach(_ => b.u64(0L))
+    b.bytes
+  }
+
+  // ---------------------------------------------------------- deflate etc.
+
+  private def deflate(data: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def shuffle(data: Array[Byte], es: Int): Array[Byte] = {
+    val n = data.length / es
+    val out = new Array[Byte](data.length)
+    var j = 0
+    while (j < es) {
+      var k = 0
+      while (k < n) { out(j * n + k) = data(k * es + j); k += 1 }
+      j += 1
+    }
+    out
+  }
+
+  private def fletcherAppend(data: Array[Byte]): Array[Byte] = {
+    val ck = Hdf5.fletcher32(data, data.length)
+    val out = java.util.Arrays.copyOf(data, data.length + 4)
+    out(data.length) = (ck & 0xFF).toByte
+    out(data.length + 1) = ((ck >> 8) & 0xFF).toByte
+    out(data.length + 2) = ((ck >> 16) & 0xFF).toByte
+    out(data.length + 3) = ((ck >> 24) & 0xFF).toByte
+    out
+  }
+
+  // ---------------------------------------------------------- write
+
+  /** Write a netCDF-4-shaped raster. `filters` ⊆ {"deflate", "shuffle",
+    * "fletcher32"} applied in nc4's order (shuffle → deflate → fletcher32).
+    * `superblockV2` selects the latest-format layout. */
+  def write(path: String, lats: Array[Double], lons: Array[Double],
+      times: Array[Double], timeUnits: String, fill: Float,
+      value: (Int, Int, Int) => Float,
+      chunkY: Int = 0, chunkX: Int = 0,
+      filters: Seq[String] = Seq("shuffle", "deflate"),
+      superblockV2: Boolean = false,
+      contiguousData: Boolean = false): Unit = {
+    val ny = lats.length; val nx = lons.length; val nt = times.length
+    val cy = if (chunkY > 0) chunkY else ny
+    val cx = if (chunkX > 0) chunkX else nx
+    require(filters.forall(Set("deflate", "shuffle", "fletcher32")),
+      s"unknown filter in $filters")
+    require(!contiguousData || (filters.isEmpty && chunkY <= 0 && chunkX <= 0),
+      "contiguous layout cannot carry filters or chunk dims")
+
+    // ---- chunk payloads (file-storage order: shuffle, deflate, fletcher)
+    val chunkList = for {
+      t <- 0 until nt
+      cyi <- 0 until (ny + cy - 1) / cy
+      cxi <- 0 until (nx + cx - 1) / cx
+    } yield {
+      val b = new B
+      for (j <- 0 until cy; i <- 0 until cx) {
+        val y = cyi * cy + j; val x = cxi * cx + i
+        // chunks are edge-padded to full size with the fill value
+        b.f32(if (y < ny && x < nx) value(t, y, x) else fill)
+      }
+      var data = b.bytes
+      if (filters.contains("shuffle")) data = shuffle(data, 4)
+      if (filters.contains("deflate")) data = deflate(data, 6)
+      if (filters.contains("fletcher32")) data = fletcherAppend(data)
+      (Array(t.toLong, cyi.toLong * cy, cxi.toLong * cx), data)
+    }
+    // nc4 filter-pipeline order as stored: shuffle first, then deflate,
+    // then fletcher32 (decode runs the list in reverse)
+    val pipeline = Seq(
+      filters.find(_ == "shuffle").map(_ => (2, Array(4))),
+      filters.find(_ == "deflate").map(_ => (1, Array(6))),
+      filters.find(_ == "fletcher32").map(_ => (3, Array.empty[Int]))).flatten
+
+    // ---- per-dataset object headers, built twice (sizes, then addresses)
+    val fillBytes = new B().f32(fill).bytes
+    def coordOH(name: String, values: Array[Double], dataAddr: Long,
+        attrs: Seq[Array[Byte]]): Seq[(Int, Array[Byte])] =
+      Seq(0x0001 -> dataspaceMsg(Array(values.length.toLong)),
+        0x0003 -> datatypeMsg(1, 8),
+        0x0005 -> fillMsg(None),
+        0x0008 -> contiguousLayoutMsg(dataAddr, values.length * 8L)) ++
+        attrs.map(0x000C -> _)
+    def dataOH(btreeOrDataAddr: Long): Seq[(Int, Array[Byte])] =
+      Seq(0x0001 -> dataspaceMsg(Array(nt.toLong, ny.toLong, nx.toLong)),
+        0x0003 -> datatypeMsg(1, 4),
+        0x0005 -> fillMsg(Some(fillBytes)),
+        0x0008 -> (if (contiguousData)
+          contiguousLayoutMsg(btreeOrDataAddr, nt.toLong * ny * nx * 4)
+        else chunkedLayoutMsg(btreeOrDataAddr, Array(1, cy, cx), 4))) ++
+        (if (pipeline.nonEmpty) Seq(0x000B -> filtersMsg(pipeline)) else Nil) ++
+        Seq(0x000C -> attrMsg("_FillValue", 1, 4, Array.empty, fillBytes))
+
+    val mkOH: Seq[(Int, Array[Byte])] => Array[Byte] =
+      if (superblockV2) objectHeaderV2 else objectHeaderV1
+
+    val latAttrs = Seq(textAttr("units", "degrees_north"))
+    val lonAttrs = Seq(textAttr("units", "degrees_east"))
+    val timeAttrs = Seq(textAttr("units", timeUnits), textAttr("calendar", "standard"))
+
+    val names = Seq("lat", "lon", "time", "v") // B-tree order: ascending
+    def ohSizes: Seq[Int] = Seq(
+      mkOH(coordOH("lat", lats, 0L, latAttrs)).length,
+      mkOH(coordOH("lon", lons, 0L, lonAttrs)).length,
+      mkOH(coordOH("time", times, 0L, timeAttrs)).length,
+      mkOH(dataOH(0L)).length)
+
+    // ---- lay out the file
+    val out = new B
+    if (superblockV2) {
+      // superblock v2 (48 bytes incl. zeroed checksum) + root OHDR with
+      // link messages; per-dataset OHDRs; then data
+      val rootMsgsOf: Seq[Long] => Seq[(Int, Array[Byte])] =
+        addrs => names.zip(addrs).map { case (n, a) => 0x0006 -> linkMsg(n, a) }
+      val rootSize = objectHeaderV2(rootMsgsOf(Seq(0L, 0L, 0L, 0L))).length
+      val sizes = ohSizes
+      val rootAddr = 48L
+      val ohAddrs = sizes.scanLeft(rootAddr + rootSize)(_ + _)
+      var cursor = ohAddrs.last
+      val latAddr = cursor; cursor += ny * 8L
+      val lonAddr = cursor; cursor += nx * 8L
+      val timeAddr = cursor; cursor += nt * 8L
+      val btreeAddr = cursor
+      val btreeBytes =
+        if (contiguousData) Array.empty[Byte]
+        else chunkBtree(3, chunkList.map { case (o, d) => (o, 0L, d.length) })
+      cursor += btreeBytes.length
+      val chunkAddrs = chunkList.map { case (_, d) =>
+        val a = cursor; cursor += d.length; a
+      }
+      // contiguous: the layout message points straight at the data
+      val dataRef = if (contiguousData) chunkAddrs.head else btreeAddr
+      out.raw(Hdf5.Signature).u8(2).u8(8).u8(8).u8(0)
+      out.u64(0L).u64(Unset).u64(cursor).u64(rootAddr).u32(0L)
+      out.raw(objectHeaderV2(rootMsgsOf(ohAddrs.take(4).map(_.toLong))))
+      out.raw(mkOH(coordOH("lat", lats, latAddr, latAttrs)))
+      out.raw(mkOH(coordOH("lon", lons, lonAddr, lonAttrs)))
+      out.raw(mkOH(coordOH("time", times, timeAddr, timeAttrs)))
+      out.raw(mkOH(dataOH(dataRef)))
+      lats.foreach(out.f64); lons.foreach(out.f64); times.foreach(out.f64)
+      if (!contiguousData)
+        out.raw(chunkBtree(3, chunkList.zip(chunkAddrs).map { case ((o, d), a) =>
+          (o, a, d.length)
+        }))
+      chunkList.foreach { case (_, d) => out.raw(d) }
+    } else {
+      // superblock v0 (96 bytes incl. root symbol-table entry)
+      val (heapHdr0, heapData, nameOffs) = localHeap(names, 0L)
+      val heapAddr = 96L
+      val heapDataAddr = heapAddr + heapHdr0.length
+      val btreeAddr = heapDataAddr + heapData.length
+      val btreeBytes = groupBtree(0L, nameOffs("v"))
+      val snodAddr = btreeAddr + btreeBytes.length
+      val snodBytes = snod(names.map(n => (nameOffs(n), 0L)))
+      val rootOHAddr = snodAddr + snodBytes.length
+      val rootOH = objectHeaderV1(Seq(0x0011 -> symbolTableMsg(btreeAddr, heapAddr)))
+      val sizes = ohSizes
+      val ohAddrs = sizes.scanLeft(rootOHAddr + rootOH.length)(_ + _)
+      var cursor = ohAddrs.last
+      val latAddr = cursor; cursor += ny * 8L
+      val lonAddr = cursor; cursor += nx * 8L
+      val timeAddr = cursor; cursor += nt * 8L
+      val chunkBtreeAddr = cursor
+      val cbtBytes =
+        if (contiguousData) Array.empty[Byte]
+        else chunkBtree(3, chunkList.map { case (o, d) => (o, 0L, d.length) })
+      cursor += cbtBytes.length
+      val chunkAddrs = chunkList.map { case (_, d) =>
+        val a = cursor; cursor += d.length; a
+      }
+      val dataRef = if (contiguousData) chunkAddrs.head else chunkBtreeAddr
+      out.raw(Hdf5.Signature)
+      out.u8(0).u8(0).u8(0).u8(0).u8(0) // versions: sb, fs, root, res, shared
+      out.u8(8).u8(8).u8(0) // offset size, length size, reserved
+      out.u16(4).u16(16).u32(0L) // leaf K, internal K, consistency flags
+      out.u64(0L).u64(Unset).u64(cursor).u64(Unset) // base, free, EOF, driver
+      out.u64(0L).u64(rootOHAddr).u32(1L).u32(0L) // root STE (cached symtab)
+      out.u64(btreeAddr).u64(heapAddr) // STE scratch: B-tree + heap
+      out.raw(localHeap(names, heapDataAddr)._1)
+      out.raw(heapData)
+      out.raw(groupBtree(snodAddr, nameOffs("v")))
+      out.raw(snod(names.map(n => (nameOffs(n), ohAddrs(names.indexOf(n))))))
+      out.raw(rootOH)
+      out.raw(mkOH(coordOH("lat", lats, latAddr, latAttrs)))
+      out.raw(mkOH(coordOH("lon", lons, lonAddr, lonAttrs)))
+      out.raw(mkOH(coordOH("time", times, timeAddr, timeAttrs)))
+      out.raw(mkOH(dataOH(dataRef)))
+      lats.foreach(out.f64); lons.foreach(out.f64); times.foreach(out.f64)
+      if (!contiguousData)
+        out.raw(chunkBtree(3, chunkList.zip(chunkAddrs).map { case ((o, d), a) =>
+          (o, a, d.length)
+        }))
+      chunkList.foreach { case (_, d) => out.raw(d) }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.bytes)
+  }
+}

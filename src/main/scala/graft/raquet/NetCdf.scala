@@ -75,16 +75,19 @@ object NetCdf {
       require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
         s"$path: not a NetCDF classic file")
       val version = magic(3).toInt
-      require(version == 1 || version == 2,
-        s"$path: NetCDF version $version unsupported (classic CDF-1/CDF-2 only; " +
+      // CDF-1 (32-bit), CDF-2 (64-bit offsets), CDF-5 (64-bit everything:
+      // every NON_NEG production in the classic spec widens to int64)
+      require(version == 1 || version == 2 || version == 5,
+        s"$path: NetCDF version $version unsupported (classic CDF-1/2/5 only; " +
           "NetCDF-4/HDF5 containers are out of scope)")
-      val numRecs = in.readInt().toLong & 0xFFFFFFFFL
-      // 0xFFFFFFFF is the spec's STREAMING sentinel (numrecs unknown at
+      val numRecs =
+        if (version == 5) in.readLong() else in.readInt().toLong & 0xFFFFFFFFL
+      // all-ones is the spec's STREAMING sentinel (numrecs unknown at
       // write time); downstream uses numRecs as an array length, so fail
       // loudly here instead of NegativeArraySizeException later.
-      require(numRecs != 0xFFFFFFFFL,
+      require(numRecs != 0xFFFFFFFFL && numRecs != -1L,
         s"$path: streaming NetCDF (numrecs sentinel) unsupported")
-      require(numRecs <= Int.MaxValue,
+      require(numRecs >= 0 && numRecs <= Int.MaxValue,
         s"$path: implausible record count $numRecs")
 
       // header-field sanity caps: every count below sizes an allocation, so
@@ -96,8 +99,15 @@ object NetCdf {
       }
       def typeSize(t: Int): Int = TypeSize.getOrElse(t,
         throw new IllegalArgumentException(s"$path: unknown NetCDF type $t"))
+      // NON_NEG: int32 in CDF-1/2, int64 in CDF-5 (counts, lengths, ranks,
+      // dimids, vsize all use this production — tags and nc_type stay int32)
+      def readNonNeg(): Int = {
+        val v = if (version == 5) in.readLong() else in.readInt().toLong
+        require(v >= 0 && v <= Int.MaxValue, s"$path: NON_NEG field $v out of range")
+        v.toInt
+      }
       def readName(): String = {
-        val n = sane(in.readInt(), 1 << 16, "name byte")
+        val n = sane(readNonNeg(), 1 << 16, "name byte")
         val b = new Array[Byte](n)
         in.readFully(b)
         in.skipBytes((4 - n % 4) % 4)
@@ -122,31 +132,31 @@ object NetCdf {
         }
       }
       def readAttrList(): Map[String, NcAttr] = {
-        val tag = in.readInt(); val n = sane(in.readInt(), 1 << 16, "attribute")
+        val tag = in.readInt(); val n = sane(readNonNeg(), 1 << 16, "attribute")
         require(tag == 0x0C || (tag == 0 && n == 0), s"bad attr-list tag $tag")
         (0 until n).map { _ =>
           val name = readName()
-          val t = in.readInt(); val cnt = in.readInt()
+          val t = in.readInt(); val cnt = readNonNeg()
           name -> readAttrValues(t, cnt).copy(name = name)
         }.toMap
       }
 
       // dim_list
-      val dimTag = in.readInt(); val nDims = sane(in.readInt(), 1 << 16, "dimension")
+      val dimTag = in.readInt(); val nDims = sane(readNonNeg(), 1 << 16, "dimension")
       require(dimTag == 0x0A || (dimTag == 0 && nDims == 0), s"bad dim-list tag $dimTag")
       val dims = (0 until nDims).map { _ =>
         val nm = readName()
-        NcDim(nm, sane(in.readInt(), Int.MaxValue, s"dimension '$nm' length"))
+        NcDim(nm, sane(readNonNeg(), Int.MaxValue, s"dimension '$nm' length"))
       }
       val gatts = readAttrList()
       // var_list
-      val varTag = in.readInt(); val nVars = sane(in.readInt(), 1 << 16, "variable")
+      val varTag = in.readInt(); val nVars = sane(readNonNeg(), 1 << 16, "variable")
       require(varTag == 0x0B || (varTag == 0 && nVars == 0), s"bad var-list tag $varTag")
       val vars = (0 until nVars).map { _ =>
         val name = readName()
-        val nd = sane(in.readInt(), 1 << 10, "variable dimension")
+        val nd = sane(readNonNeg(), 1 << 10, "variable dimension")
         val dimIds = (0 until nd).map { _ =>
-          val id = in.readInt()
+          val id = readNonNeg()
           require(id >= 0 && id < nDims,
             s"$path: variable '$name' references dimension $id of $nDims")
           id
@@ -154,7 +164,8 @@ object NetCdf {
         val atts = readAttrList()
         val t = in.readInt()
         typeSize(t) // reject unknown types at parse time, not mid-read
-        val vsize = in.readInt().toLong & 0xFFFFFFFFL
+        val vsize =
+          if (version == 5) in.readLong() else in.readInt().toLong & 0xFFFFFFFFL
         val begin = if (version == 1) in.readInt().toLong & 0xFFFFFFFFL
         else in.readLong()
         NcVar(name, dimIds, atts, t, vsize, begin)
@@ -202,6 +213,25 @@ object NetCdf {
 
   // ------------------------------------------------------------- grid model
 
+  /** A georeferenced `(time, y, x)` grid any container can expose to
+    * [[NetCdf.convert]]: classic CDF files ([[NcGrid]]) and HDF5-backed
+    * netCDF-4 ([[Hdf5Nc.H5Grid]]) share the warp/convert pipeline; only the
+    * bounded window read differs. Implementations are Serializable — the
+    * driver builds one from the header (O(header), never O(file)) and tasks
+    * call [[NcGridSource.sampler]] for exactly their window. */
+  trait NcGridSource extends Serializable {
+    def info: GeoTiff.SourceInfo
+    def dtype: String
+    def nodata: Option[Double]
+    def scale: Option[Double]
+    def offset: Option[Double]
+    def timeValues: Array[Double]
+    def cfUnits: Option[String]
+    def cfCalendar: String
+    /** Open a bounded window read of timestep `t` (north-up coordinates). */
+    def sampler(t: Int, wx: Int, wy: Int, ww: Int, wh: Int): GeoTiff.PixelSampler
+  }
+
   /** Everything needed to read planes of the data variable from tasks. */
   final case class NcGrid(
       path: String, width: Int, height: Int, dtype: String, ncType: Int,
@@ -212,15 +242,30 @@ object NetCdf {
       /** byte offset of each timestep's (y, x) plane */
       planeOffsets: Array[Long],
       timeValues: Array[Double], cfUnits: Option[String], cfCalendar: String)
-      extends Serializable {
+      extends NcGridSource {
     def info: GeoTiff.SourceInfo = GeoTiff.SourceInfo(
       path, width, height, bands = 1, dtype, nodata,
       x0, dx, y0, dy, graft.geo.Geographic, None)
+    def sampler(t: Int, wx: Int, wy: Int, ww: Int, wh: Int): GeoTiff.PixelSampler =
+      new PlaneSampler(this, t, wx, wy, ww, wh)
   }
 
-  private val LatNames = Set("lat", "latitude", "y")
-  private val LonNames = Set("lon", "longitude", "x")
-  private val TimeNames = Set("time", "t")
+  private[raquet] val LatNames = Set("lat", "latitude", "y")
+  private[raquet] val LonNames = Set("lon", "longitude", "x")
+  private[raquet] val TimeNames = Set("time", "t")
+
+  /** Container dispatch: classic CDF-1/2/5 files parse here; an HDF5
+    * signature routes to the scoped netCDF-4 reader ([[Hdf5Nc]]). */
+  def describeAny(path: String): NcGridSource = {
+    val raf = new RandomAccessFile(path, "r")
+    val magic = new Array[Byte](8)
+    try {
+      require(raf.length >= 8, s"$path: too short to be a NetCDF container")
+      raf.readFully(magic)
+    } finally raf.close()
+    if (java.util.Arrays.equals(magic, Hdf5.Signature)) Hdf5Nc.describe(path)
+    else describe(path)
+  }
 
   /** Resolve dims/coords/time → an [[NcGrid]] (driver-side, header + coords). */
   def describe(path: String): NcGrid = {
@@ -345,7 +390,7 @@ object NetCdf {
       rowGroupBytes: Long = 0): RaquetMetadata = {
     require(overviews == "auto" || overviews == "none",
       s"overviews must be auto or none, got $overviews")
-    val g = describe(ncPath)
+    val g = describeAny(ncPath)
     val info = g.info
     val bs = 1 << blockZoom
     val win = GeoTiff.pixelWindow(info)
@@ -384,7 +429,7 @@ object NetCdf {
           (0 until nt).iterator.map { t =>
             val sampler =
               if (ww <= 0 || wh <= 0) null
-              else new PlaneSampler(g, t, wx, wy, ww, wh)
+              else g.sampler(t, wx, wy, ww, wh)
             val arr =
               if (sampler == null) null
               else GeoTiff.warpTile(info, sampler, 0, tx, ty, z, bs, win, resampling)
@@ -483,7 +528,8 @@ object NetCdfWriter {
 
   def write(path: String, lats: Array[Double], lons: Array[Double],
       times: Array[Double], timeUnits: String, fill: Float,
-      value: (Int, Int, Int) => Float): Unit = {
+      value: (Int, Int, Int) => Float, version: Int = 1): Unit = {
+    require(version == 1 || version == 5, s"writer emits CDF-1 or CDF-5, not $version")
     val ny = lats.length; val nx = lons.length; val nt = times.length
     val planeBytes = ny * nx * 4
     val planePadded = (planeBytes + 3) / 4 * 4
@@ -492,45 +538,49 @@ object NetCdfWriter {
     def headerBytes(bLat: Int, bLon: Int, bTime: Int, bV: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
+      // NON_NEG production: int32 in CDF-1, int64 in CDF-5 (applies to all
+      // counts/lengths/ranks/dimids/vsize AND the begin offsets here)
+      def nn(v: Long): Unit =
+        if (version == 5) out.writeLong(v) else out.writeInt(v.toInt)
       def name(s: String): Unit = {
         val b = s.getBytes(StandardCharsets.UTF_8)
-        out.writeInt(b.length); out.write(b)
+        nn(b.length); out.write(b)
         (0 until (4 - b.length % 4) % 4).foreach(_ => out.writeByte(0))
       }
       def textAttr(n: String, v: String): Unit = {
         name(n); out.writeInt(2) // NC_CHAR
         val b = v.getBytes(StandardCharsets.UTF_8)
-        out.writeInt(b.length); out.write(b)
+        nn(b.length); out.write(b)
         (0 until (4 - b.length % 4) % 4).foreach(_ => out.writeByte(0))
       }
       def floatAttr(n: String, v: Float): Unit = {
-        name(n); out.writeInt(5); out.writeInt(1); out.writeFloat(v)
+        name(n); out.writeInt(5); nn(1); out.writeFloat(v)
       }
-      out.writeBytes("CDF"); out.writeByte(1) // CDF-1
-      out.writeInt(nt) // numrecs
-      out.writeInt(0x0A); out.writeInt(3) // dim_list
-      name("time"); out.writeInt(0) // record dim
-      name("lat"); out.writeInt(ny)
-      name("lon"); out.writeInt(nx)
-      out.writeInt(0); out.writeInt(0) // no global attrs
-      out.writeInt(0x0B); out.writeInt(4) // var_list
+      out.writeBytes("CDF"); out.writeByte(version)
+      nn(nt) // numrecs
+      out.writeInt(0x0A); nn(3) // dim_list
+      name("time"); nn(0) // record dim
+      name("lat"); nn(ny)
+      name("lon"); nn(nx)
+      out.writeInt(0); nn(0) // no global attrs
+      out.writeInt(0x0B); nn(4) // var_list
       // lat(lat): double, units attr
-      name("lat"); out.writeInt(1); out.writeInt(1)
-      out.writeInt(0x0C); out.writeInt(1); textAttr("units", "degrees_north")
-      out.writeInt(6); out.writeInt(ny * 8); out.writeInt(bLat)
+      name("lat"); nn(1); nn(1)
+      out.writeInt(0x0C); nn(1); textAttr("units", "degrees_north")
+      out.writeInt(6); nn(ny * 8); nn(bLat)
       // lon(lon)
-      name("lon"); out.writeInt(1); out.writeInt(2)
-      out.writeInt(0x0C); out.writeInt(1); textAttr("units", "degrees_east")
-      out.writeInt(6); out.writeInt(nx * 8); out.writeInt(bLon)
+      name("lon"); nn(1); nn(2)
+      out.writeInt(0x0C); nn(1); textAttr("units", "degrees_east")
+      out.writeInt(6); nn(nx * 8); nn(bLon)
       // time(time): record coordinate with CF units + calendar
-      name("time"); out.writeInt(1); out.writeInt(0)
-      out.writeInt(0x0C); out.writeInt(2)
+      name("time"); nn(1); nn(0)
+      out.writeInt(0x0C); nn(2)
       textAttr("units", timeUnits); textAttr("calendar", "standard")
-      out.writeInt(6); out.writeInt(8); out.writeInt(bTime)
+      out.writeInt(6); nn(8); nn(bTime)
       // v(time, lat, lon): float32 with _FillValue
-      name("v"); out.writeInt(3); out.writeInt(0); out.writeInt(1); out.writeInt(2)
-      out.writeInt(0x0C); out.writeInt(1); floatAttr("_FillValue", fill)
-      out.writeInt(5); out.writeInt(planePadded); out.writeInt(bV)
+      name("v"); nn(3); nn(0); nn(1); nn(2)
+      out.writeInt(0x0C); nn(1); floatAttr("_FillValue", fill)
+      out.writeInt(5); nn(planePadded); nn(bV)
       out.flush()
       bos.toByteArray
     }

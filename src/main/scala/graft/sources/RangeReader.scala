@@ -54,6 +54,9 @@ object RandomReader {
 final class LocalReader(path: String) extends RandomReader {
   private val raf = new java.io.RandomAccessFile(path, "r")
   def readAt(at: Long, n: Int): Array[Byte] = {
+    // corrupt container headers produce pointer-like garbage: fail as a
+    // clean parse error here, never NegativeArraySize/absurd allocation
+    require(at >= 0 && n >= 0, s"$path: invalid read range ($at, $n)")
     val a = new Array[Byte](n)
     raf.seek(at)
     raf.readFully(a)

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.raquet.{AaiGrid, NetCdf, NetCdfWriter, SrtmHgt}
+import graft.raquet.{AaiGrid, Hdf5Nc, NetCdf, NetCdfWriter, SrtmHgt}
 
 /** Malformed-container robustness for the text/binary raster ingest parsers
   * — the same contract `Vp8FuzzSpec` enforces for the codec layer: every
@@ -70,6 +70,23 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("NetCDF: CDF-5 truncations and corruptions fail cleanly or parse") {
+    val p = tmp.resolve("base5.nc").toString
+    NetCdfWriter.write(p, Array.tabulate(6)(j => 60.0 - 10 * j),
+      Array.tabulate(8)(i => -180.0 + 45.0 * (i + 0.5)), Array(0.0),
+      "days since 2001-01-01", -9999f, (t, j, i) => i.toFloat, version = 5)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    var n = 0
+    while (n < bytes.length) {
+      attemptNc(java.util.Arrays.copyOf(bytes, n), s"cdf5-truncate@$n")
+      n += 1
+    }
+    for (v <- Seq(0x00, 0xFF, 0x80); i <- 0 until math.min(bytes.length, 700)) {
+      val mut = bytes.clone(); mut(i) = v.toByte
+      attemptNc(mut, s"cdf5-corrupt@$i=$v")
+    }
+  }
+
   test("NetCDF: adversarial counts fail loudly, not as OOM/negative-size") {
     // numrecs = huge (but not the streaming sentinel)
     val big = ncBytes.clone()
@@ -130,6 +147,51 @@ class ContainerFuzzSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       AaiGrid.readHeader(p.toString))
     assert(e.getMessage.contains("implausible"))
+  }
+
+  // ------------------------------------------------------------- HDF5
+
+  private lazy val h5Bytes: Array[Byte] = {
+    val p = tmp.resolve("base.h5").toString
+    graft.raquet.Hdf5Writer.write(p, Array.tabulate(6)(j => 60.0 - 10 * j),
+      Array.tabulate(8)(i => -180.0 + 45.0 * (i + 0.5)), Array(0.0, 24.0),
+      "hours since 2001-01-01 00:00:00", -9999f,
+      (t, j, i) => (100 * t + 8 * j + i).toFloat, chunkY = 3, chunkX = 5)
+    Files.readAllBytes(java.nio.file.Paths.get(p))
+  }
+
+  private def attemptH5(bytes: Array[Byte], ctx: String): Unit = {
+    val p = tmp.resolve("mut.h5")
+    Files.write(p, bytes)
+    attempt({
+      val g = Hdf5Nc.describe(p.toString)
+      // drive a real window read too: layout corruption often only
+      // surfaces at chunk decode
+      val s = g.sampler(0, 0, 0, g.width, g.height)
+      s.sample(0, 0, 0)
+    }, ctx)
+  }
+
+  test("HDF5: every truncation fails cleanly or parses") {
+    var n = 0
+    while (n < h5Bytes.length) {
+      attemptH5(java.util.Arrays.copyOf(h5Bytes, n), s"truncate@$n")
+      n += 1
+    }
+  }
+
+  test("HDF5: single-byte corruptions fail cleanly or parse") {
+    // all structure (superblock, group graph, object headers, B-trees)
+    // precedes the data; corrupt every byte of it, sparse over chunk data
+    val structEnd = math.min(h5Bytes.length, 2048)
+    for (v <- Seq(0x00, 0xFF, 0x80); i <- 0 until structEnd) {
+      val mut = h5Bytes.clone(); mut(i) = v.toByte
+      attemptH5(mut, s"corrupt@$i=$v")
+    }
+    for (i <- structEnd until h5Bytes.length by 53) {
+      val mut = h5Bytes.clone(); mut(i) = 0xFF.toByte
+      attemptH5(mut, s"corrupt-data@$i")
+    }
   }
 
   // ------------------------------------------------------------- SRTM .hgt

@@ -50,6 +50,29 @@ class NetCdfSpec extends SparkSpec {
     assert(s.sample(0, 2, 7) == 2.0)
   }
 
+  test("CDF-5 (64-bit classic): same grid parses identically to CDF-1") {
+    val lats = Array.tabulate(8)(j => 70.0 - 10.0 * j)
+    val lons = Array.tabulate(16)(i => -180.0 + 22.5 * (i + 0.5))
+    val p1 = s"$tmp/v1.nc"; val p5 = s"$tmp/v5.nc"
+    for ((p, v) <- Seq((p1, 1), (p5, 5)))
+      NetCdfWriter.write(p, lats, lons, Array(0.0, 24.0),
+        "hours since 2001-02-03 00:00:00", -9999f,
+        (t, j, i) => (100 * t + 16 * j + i).toFloat, version = v)
+    val h = NetCdf.readHeader(p5)
+    assert(h.version == 5 && h.numRecs == 2)
+    assert(h.dims.map(_.name) == Seq("time", "lat", "lon"))
+    val g1 = NetCdf.describe(p1); val g5 = NetCdf.describe(p5)
+    assert(g5.width == g1.width && g5.height == g1.height &&
+      g5.dtype == g1.dtype && g5.nodata == g1.nodata &&
+      g5.x0 == g1.x0 && g5.dx == g1.dx && g5.y0 == g1.y0 && g5.dy == g1.dy)
+    assert(g5.timeValues.toSeq == g1.timeValues.toSeq)
+    // identical samples through the CDF-5 offsets
+    val s1 = new NetCdf.PlaneSampler(g1, 1, 0, 0, 16, 8)
+    val s5 = new NetCdf.PlaneSampler(g5, 1, 0, 0, 16, 8)
+    for (j <- 0 until 8; i <- 0 until 16)
+      assert(s5.sample(0, i, j) == s1.sample(0, i, j), s"($i,$j)")
+  }
+
   test("non-classic containers and projected grids fail loudly") {
     val h5 = s"$tmp/fake.h5"
     Files.write(java.nio.file.Paths.get(h5),
