@@ -418,6 +418,51 @@ final case class Sinusoidal(a: Double, invF: Double, lon0: Double,
   }
 }
 
+/** CF `rotated_latitude_longitude` (COSMO/CORDEX regional climate grids):
+  * a spherical rotation placing the grid's north pole at true
+  * (`poleLat`, `poleLon`). "Projected" coordinates are rotated-grid
+  * degrees (rlon, rlat). `lon0` is CF's optional
+  * `north_pole_grid_longitude` (rotated longitude of the true pole,
+  * default 0). Formulas are the public COSMO documentation set — pure
+  * spherical trig, an isometry of the sphere; defining property: rotated
+  * (0, 0) lies at true latitude `90 − poleLat` on the `poleLon + 180`
+  * meridian. */
+final case class RotatedPole(poleLat: Double, poleLon: Double,
+    lon0: Double = 0.0) extends Projection {
+  private val sp = math.sin(math.toRadians(poleLat))
+  private val cp = math.cos(math.toRadians(poleLat))
+
+  def rectilinear: Boolean = false
+
+  /** rotated (rlon, rlat) degrees → true (lon, lat). The sign of the
+    * atan2 numerator makes this a PROPER rotation (east stays east): a
+    * +1° rlon step at the rotated equator moves true longitude eastward
+    * — checked by ProjSpec's orientation test. */
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val lr = math.toRadians(x - lon0)
+    val pr = math.toRadians(y)
+    val sphi = math.sin(pr) * sp + math.cos(pr) * cp * math.cos(lr)
+    val phi = math.asin(math.max(-1.0, math.min(1.0, sphi)))
+    val lam = math.atan2(-math.cos(pr) * math.sin(lr),
+      math.sin(pr) * cp - sp * math.cos(pr) * math.cos(lr))
+    (TransverseMercator.normLon(poleLon + math.toDegrees(lam)),
+      math.toDegrees(phi))
+  }
+
+  /** true (lon, lat) → rotated (rlon, rlat) — the same form with the pole
+    * roles swapped (the rotation is an involution up to the λ shifts). */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val dl = math.toRadians(lon - poleLon)
+    val phi = math.toRadians(lat)
+    val sphir = math.sin(phi) * sp + math.cos(phi) * cp * math.cos(dl)
+    val phir = math.asin(math.max(-1.0, math.min(1.0, sphir)))
+    val lamr = math.atan2(-math.cos(phi) * math.sin(dl),
+      math.sin(phi) * cp - sp * math.cos(phi) * math.cos(dl))
+    (TransverseMercator.normLon(math.toDegrees(lamr) + lon0),
+      math.toDegrees(phir))
+  }
+}
+
 object Projection {
   import Ellipsoidal.{Grs80, Wgs84}
 

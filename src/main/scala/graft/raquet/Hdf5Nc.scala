@@ -32,11 +32,12 @@ object Hdf5Nc {
       nodata: Option[Double], scale: Option[Double], offset: Option[Double],
       x0: Double, dx: Double, y0: Double, dy: Double,
       flipY: Boolean, layout: H5DataLayout, nt: Int,
-      timeValues: Array[Double], cfUnits: Option[String], cfCalendar: String)
+      timeValues: Array[Double], cfUnits: Option[String], cfCalendar: String,
+      proj: graft.geo.Projection = graft.geo.Geographic)
       extends NetCdf.NcGridSource {
     def info: GeoTiff.SourceInfo = GeoTiff.SourceInfo(
       path, width, height, bands = 1, dtype, nodata,
-      x0, dx, y0, dy, graft.geo.Geographic, None)
+      x0, dx, y0, dy, proj, None)
     def sampler(t: Int, wx: Int, wy: Int, ww: Int, wh: Int): GeoTiff.PixelSampler =
       new ChunkSampler(this, t, wx, wy, ww, wh)
   }
@@ -75,10 +76,15 @@ object Hdf5Nc {
     def find(names: Set[String]): Option[Hdf5.Dataset] =
       sets.valuesIterator.filter(d => names(d.name.toLowerCase) && d.dims.length == 1)
         .toSeq.sortBy(_.name).headOption
-    val lat = find(NetCdf.LatNames).getOrElse(throw new IllegalArgumentException(
-      s"$path: no latitude coordinate dataset (lat/latitude/y)"))
-    val lon = find(NetCdf.LonNames).getOrElse(throw new IllegalArgumentException(
-      s"$path: no longitude coordinate dataset (lon/longitude/x)"))
+    // rotated-pole grids name their axes rlat/rlon (grid_latitude/longitude)
+    val RotLat = Set("rlat", "grid_latitude")
+    val RotLon = Set("rlon", "grid_longitude")
+    val lat = find(NetCdf.LatNames).orElse(find(RotLat))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no latitude coordinate dataset (lat/latitude/y/rlat)"))
+    val lon = find(NetCdf.LonNames).orElse(find(RotLon))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no longitude coordinate dataset (lon/longitude/x/rlon)"))
     val timeDs = find(NetCdf.TimeNames)
     val coordNames = Set(lat.name, lon.name) ++ timeDs.map(_.name)
     val ny = lat.dims(0).toInt; val nx = lon.dims(0).toInt
@@ -90,6 +96,28 @@ object Hdf5Nc {
     }.toSeq.sortBy(d => (-d.dims.length, d.name)).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"$path: no (…, lat, lon) data dataset found"))
+    // CF grid-mapping: same contract as the classic reader
+    val proj: graft.geo.Projection = data.attrs.get("grid_mapping")
+      .flatMap(_.text).flatMap(sets.get) match {
+      case None => graft.geo.Geographic
+      case Some(gm) =>
+        def num(a: String): Option[Double] = gm.attrs.get(a).flatMap(_.num)
+        gm.attrs.get("grid_mapping_name").flatMap(_.text).getOrElse("?") match {
+          case "latitude_longitude" => graft.geo.Geographic
+          case "rotated_latitude_longitude" =>
+            graft.geo.RotatedPole(
+              num("grid_north_pole_latitude").getOrElse(
+                throw new IllegalArgumentException(
+                  s"$path: rotated grid without grid_north_pole_latitude")),
+              num("grid_north_pole_longitude").getOrElse(
+                throw new IllegalArgumentException(
+                  s"$path: rotated grid without grid_north_pole_longitude")),
+              num("north_pole_grid_longitude").getOrElse(0.0))
+          case other => throw new IllegalArgumentException(
+            s"$path: grid mapping '$other' unsupported " +
+              "(latitude_longitude, rotated_latitude_longitude)")
+        }
+    }
     val nt = if (data.dims.length == 3) data.dims(0).toInt else 1
     require(data.dtype.littleEndian,
       s"$path: big-endian data variable '${data.name}' unsupported " +
@@ -156,7 +184,7 @@ object Hdf5Nc {
       nodata,
       data.attrs.get("scale_factor").flatMap(_.num),
       data.attrs.get("add_offset").flatMap(_.num),
-      gx0, dLon, gy0, gdy, flip, layout, nt, timeVals, cfUnits, cfCal)
+      gx0, dLon, gy0, gdy, flip, layout, nt, timeVals, cfUnits, cfCal, proj)
   }
 
   /** Bounded window read of one timestep: decodes exactly the chunks the

@@ -248,10 +248,14 @@ object Hdf5Writer {
       chunkY: Int = 0, chunkX: Int = 0,
       filters: Seq[String] = Seq("shuffle", "deflate"),
       superblockV2: Boolean = false,
-      contiguousData: Boolean = false): Unit = {
+      contiguousData: Boolean = false,
+      rotatedPole: Option[(Double, Double)] = None): Unit = {
     val ny = lats.length; val nx = lons.length; val nt = times.length
     val cy = if (chunkY > 0) chunkY else ny
     val cx = if (chunkX > 0) chunkX else nx
+    // CF rotated-pole: rlat/rlon axes + a scalar grid-mapping dataset
+    val latName = if (rotatedPole.isDefined) "rlat" else "lat"
+    val lonName = if (rotatedPole.isDefined) "rlon" else "lon"
     require(filters.forall(Set("deflate", "shuffle", "fletcher32")),
       s"unknown filter in $filters")
     require(!contiguousData || (filters.isEmpty && chunkY <= 0 && chunkX <= 0),
@@ -299,37 +303,53 @@ object Hdf5Writer {
           contiguousLayoutMsg(btreeOrDataAddr, nt.toLong * ny * nx * 4)
         else chunkedLayoutMsg(btreeOrDataAddr, Array(1, cy, cx), 4))) ++
         (if (pipeline.nonEmpty) Seq(0x000B -> filtersMsg(pipeline)) else Nil) ++
-        Seq(0x000C -> attrMsg("_FillValue", 1, 4, Array.empty, fillBytes))
+        Seq(0x000C -> attrMsg("_FillValue", 1, 4, Array.empty, fillBytes)) ++
+        rotatedPole.map(_ =>
+          0x000C -> textAttr("grid_mapping", "rotated_pole")).toSeq
 
     val mkOH: Seq[(Int, Array[Byte])] => Array[Byte] =
       if (superblockV2) objectHeaderV2 else objectHeaderV1
 
-    val latAttrs = Seq(textAttr("units", "degrees_north"))
-    val lonAttrs = Seq(textAttr("units", "degrees_east"))
+    def doubleAttr(name: String, v: Double): Array[Byte] =
+      attrMsg(name, 1, 8, Array.empty, new B().f64(v).bytes)
+    def rpOH(dataAddr: Long): Seq[(Int, Array[Byte])] =
+      Seq(0x0001 -> dataspaceMsg(Array.empty), // scalar
+        0x0003 -> datatypeMsg(0, 4),
+        0x0005 -> fillMsg(None),
+        0x0008 -> contiguousLayoutMsg(dataAddr, 4L),
+        0x000C -> textAttr("grid_mapping_name", "rotated_latitude_longitude"),
+        0x000C -> doubleAttr("grid_north_pole_latitude", rotatedPole.get._1),
+        0x000C -> doubleAttr("grid_north_pole_longitude", rotatedPole.get._2))
+
+    val latAttrs = Seq(textAttr("units",
+      if (rotatedPole.isDefined) "degrees" else "degrees_north"))
+    val lonAttrs = Seq(textAttr("units",
+      if (rotatedPole.isDefined) "degrees" else "degrees_east"))
     val timeAttrs = Seq(textAttr("units", timeUnits), textAttr("calendar", "standard"))
+    def f64s(values: Array[Double]): Array[Byte] = {
+      val b = new B; values.foreach(b.f64); b.bytes
+    }
 
-    val names = Seq("lat", "lon", "time", "v") // B-tree order: ascending
-    def ohSizes: Seq[Int] = Seq(
-      mkOH(coordOH("lat", lats, 0L, latAttrs)).length,
-      mkOH(coordOH("lon", lons, 0L, lonAttrs)).length,
-      mkOH(coordOH("time", times, 0L, timeAttrs)).length,
-      mkOH(dataOH(0L)).length)
+    // pre-data datasets: (name, object header for a data address, raw data).
+    // Names are ascending — the B-tree/SNOD sort order (rlat < rlon <
+    // rotated_pole < time < v; lat < lon < time < v).
+    val coordSets: Seq[(String, Long => Seq[(Int, Array[Byte])], Array[Byte])] =
+      Seq((latName, (a: Long) => coordOH(latName, lats, a, latAttrs), f64s(lats)),
+        (lonName, (a: Long) => coordOH(lonName, lons, a, lonAttrs), f64s(lons))) ++
+        rotatedPole.map(_ =>
+          ("rotated_pole", (a: Long) => rpOH(a), new Array[Byte](4))).toSeq ++
+        Seq(("time", (a: Long) => coordOH("time", times, a, timeAttrs), f64s(times)))
+    val names = coordSets.map(_._1) :+ "v"
+    val sizes = coordSets.map(d => mkOH(d._2(0L)).length) :+ mkOH(dataOH(0L)).length
 
-    // ---- lay out the file
-    val out = new B
-    if (superblockV2) {
-      // superblock v2 (48 bytes incl. zeroed checksum) + root OHDR with
-      // link messages; per-dataset OHDRs; then data
-      val rootMsgsOf: Seq[Long] => Seq[(Int, Array[Byte])] =
-        addrs => names.zip(addrs).map { case (n, a) => 0x0006 -> linkMsg(n, a) }
-      val rootSize = objectHeaderV2(rootMsgsOf(Seq(0L, 0L, 0L, 0L))).length
-      val sizes = ohSizes
-      val rootAddr = 48L
-      val ohAddrs = sizes.scanLeft(rootAddr + rootSize)(_ + _)
+    /** Everything after the group plumbing: object headers at `ohStart`,
+      * then coordinate data, then the chunk B-tree + chunks. */
+    def emitDatasets(out: B, ohStart: Long): Unit = {
+      val ohAddrs = sizes.scanLeft(ohStart)(_ + _)
       var cursor = ohAddrs.last
-      val latAddr = cursor; cursor += ny * 8L
-      val lonAddr = cursor; cursor += nx * 8L
-      val timeAddr = cursor; cursor += nt * 8L
+      val dataAddrs = coordSets.map { case (_, _, d) =>
+        val a = cursor; cursor += d.length; a
+      }
       val btreeAddr = cursor
       val btreeBytes =
         if (contiguousData) Array.empty[Byte]
@@ -340,67 +360,64 @@ object Hdf5Writer {
       }
       // contiguous: the layout message points straight at the data
       val dataRef = if (contiguousData) chunkAddrs.head else btreeAddr
-      out.raw(Hdf5.Signature).u8(2).u8(8).u8(8).u8(0)
-      out.u64(0L).u64(Unset).u64(cursor).u64(rootAddr).u32(0L)
-      out.raw(objectHeaderV2(rootMsgsOf(ohAddrs.take(4).map(_.toLong))))
-      out.raw(mkOH(coordOH("lat", lats, latAddr, latAttrs)))
-      out.raw(mkOH(coordOH("lon", lons, lonAddr, lonAttrs)))
-      out.raw(mkOH(coordOH("time", times, timeAddr, timeAttrs)))
+      coordSets.zip(dataAddrs).foreach { case ((_, oh, _), a) =>
+        out.raw(mkOH(oh(a)))
+      }
       out.raw(mkOH(dataOH(dataRef)))
-      lats.foreach(out.f64); lons.foreach(out.f64); times.foreach(out.f64)
+      coordSets.foreach { case (_, _, d) => out.raw(d) }
       if (!contiguousData)
         out.raw(chunkBtree(3, chunkList.zip(chunkAddrs).map { case ((o, d), a) =>
           (o, a, d.length)
         }))
       chunkList.foreach { case (_, d) => out.raw(d) }
+    }
+    def ohAddrsFrom(ohStart: Long): Seq[Long] = sizes.scanLeft(ohStart)(_ + _)
+    def eofFrom(ohStart: Long): Long =
+      ohAddrsFrom(ohStart).last + coordSets.map(_._3.length).sum +
+        (if (contiguousData) 0
+        else chunkBtree(3, chunkList.map { case (o, d) => (o, 0L, d.length) }).length) +
+        chunkList.map(_._2.length).sum
+
+    // ---- lay out the file
+    val out = new B
+    if (superblockV2) {
+      // superblock v2 (48 bytes incl. zeroed checksum) + root OHDR with
+      // link messages; per-dataset OHDRs; then data
+      val rootMsgsOf: Seq[Long] => Seq[(Int, Array[Byte])] =
+        addrs => names.zip(addrs).map { case (n, a) => 0x0006 -> linkMsg(n, a) }
+      val rootSize = objectHeaderV2(rootMsgsOf(names.map(_ => 0L))).length
+      val rootAddr = 48L
+      val ohStart = rootAddr + rootSize
+      out.raw(Hdf5.Signature).u8(2).u8(8).u8(8).u8(0)
+      out.u64(0L).u64(Unset).u64(eofFrom(ohStart)).u64(rootAddr).u32(0L)
+      out.raw(objectHeaderV2(rootMsgsOf(ohAddrsFrom(ohStart).init)))
+      emitDatasets(out, ohStart)
     } else {
       // superblock v0 (96 bytes incl. root symbol-table entry)
       val (heapHdr0, heapData, nameOffs) = localHeap(names, 0L)
       val heapAddr = 96L
       val heapDataAddr = heapAddr + heapHdr0.length
       val btreeAddr = heapDataAddr + heapData.length
-      val btreeBytes = groupBtree(0L, nameOffs("v"))
+      val btreeBytes = groupBtree(0L, nameOffs(names.last))
       val snodAddr = btreeAddr + btreeBytes.length
       val snodBytes = snod(names.map(n => (nameOffs(n), 0L)))
       val rootOHAddr = snodAddr + snodBytes.length
       val rootOH = objectHeaderV1(Seq(0x0011 -> symbolTableMsg(btreeAddr, heapAddr)))
-      val sizes = ohSizes
-      val ohAddrs = sizes.scanLeft(rootOHAddr + rootOH.length)(_ + _)
-      var cursor = ohAddrs.last
-      val latAddr = cursor; cursor += ny * 8L
-      val lonAddr = cursor; cursor += nx * 8L
-      val timeAddr = cursor; cursor += nt * 8L
-      val chunkBtreeAddr = cursor
-      val cbtBytes =
-        if (contiguousData) Array.empty[Byte]
-        else chunkBtree(3, chunkList.map { case (o, d) => (o, 0L, d.length) })
-      cursor += cbtBytes.length
-      val chunkAddrs = chunkList.map { case (_, d) =>
-        val a = cursor; cursor += d.length; a
-      }
-      val dataRef = if (contiguousData) chunkAddrs.head else chunkBtreeAddr
+      val ohStart = rootOHAddr + rootOH.length
+      val ohAddrs = ohAddrsFrom(ohStart)
       out.raw(Hdf5.Signature)
       out.u8(0).u8(0).u8(0).u8(0).u8(0) // versions: sb, fs, root, res, shared
       out.u8(8).u8(8).u8(0) // offset size, length size, reserved
       out.u16(4).u16(16).u32(0L) // leaf K, internal K, consistency flags
-      out.u64(0L).u64(Unset).u64(cursor).u64(Unset) // base, free, EOF, driver
+      out.u64(0L).u64(Unset).u64(eofFrom(ohStart)).u64(Unset) // base, free, EOF, driver
       out.u64(0L).u64(rootOHAddr).u32(1L).u32(0L) // root STE (cached symtab)
       out.u64(btreeAddr).u64(heapAddr) // STE scratch: B-tree + heap
       out.raw(localHeap(names, heapDataAddr)._1)
       out.raw(heapData)
-      out.raw(groupBtree(snodAddr, nameOffs("v")))
+      out.raw(groupBtree(snodAddr, nameOffs(names.last)))
       out.raw(snod(names.map(n => (nameOffs(n), ohAddrs(names.indexOf(n))))))
       out.raw(rootOH)
-      out.raw(mkOH(coordOH("lat", lats, latAddr, latAttrs)))
-      out.raw(mkOH(coordOH("lon", lons, lonAddr, lonAttrs)))
-      out.raw(mkOH(coordOH("time", times, timeAddr, timeAttrs)))
-      out.raw(mkOH(dataOH(dataRef)))
-      lats.foreach(out.f64); lons.foreach(out.f64); times.foreach(out.f64)
-      if (!contiguousData)
-        out.raw(chunkBtree(3, chunkList.zip(chunkAddrs).map { case ((o, d), a) =>
-          (o, a, d.length)
-        }))
-      chunkList.foreach { case (_, d) => out.raw(d) }
+      emitDatasets(out, ohStart)
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(path), out.bytes)
   }

@@ -241,11 +241,13 @@ object NetCdf {
       flipY: Boolean,
       /** byte offset of each timestep's (y, x) plane */
       planeOffsets: Array[Long],
-      timeValues: Array[Double], cfUnits: Option[String], cfCalendar: String)
+      timeValues: Array[Double], cfUnits: Option[String], cfCalendar: String,
+      /** axis CRS: geographic, or the CF grid-mapping (rotated pole) */
+      proj: graft.geo.Projection = graft.geo.Geographic)
       extends NcGridSource {
     def info: GeoTiff.SourceInfo = GeoTiff.SourceInfo(
       path, width, height, bands = 1, dtype, nodata,
-      x0, dx, y0, dy, graft.geo.Geographic, None)
+      x0, dx, y0, dy, proj, None)
     def sampler(t: Int, wx: Int, wy: Int, ww: Int, wh: Int): GeoTiff.PixelSampler =
       new PlaneSampler(this, t, wx, wy, ww, wh)
   }
@@ -267,16 +269,50 @@ object NetCdf {
     else describe(path)
   }
 
+  /** Resolve the CF grid-mapping of a data variable: geographic when
+    * absent, [[graft.geo.RotatedPole]] for `rotated_latitude_longitude`
+    * (COSMO/CORDEX regional climate grids), loud failure for anything
+    * else projected. */
+  private[raquet] def gridMapping(path: String, data: NcVar,
+      vars: Seq[NcVar]): graft.geo.Projection =
+    data.attrs.get("grid_mapping").flatMap(_.text)
+      .flatMap(n => vars.find(_.name == n)) match {
+      case None => graft.geo.Geographic
+      case Some(gm) =>
+        def num(a: String): Option[Double] = gm.attrs.get(a).flatMap(_.num)
+        gm.attrs.get("grid_mapping_name").flatMap(_.text).getOrElse("?") match {
+          case "latitude_longitude" => graft.geo.Geographic
+          case "rotated_latitude_longitude" =>
+            graft.geo.RotatedPole(
+              num("grid_north_pole_latitude").getOrElse(
+                throw new IllegalArgumentException(
+                  s"$path: rotated grid without grid_north_pole_latitude")),
+              num("grid_north_pole_longitude").getOrElse(
+                throw new IllegalArgumentException(
+                  s"$path: rotated grid without grid_north_pole_longitude")),
+              num("north_pole_grid_longitude").getOrElse(0.0))
+          case other => throw new IllegalArgumentException(
+            s"$path: grid mapping '$other' unsupported " +
+              "(latitude_longitude, rotated_latitude_longitude)")
+        }
+    }
+
   /** Resolve dims/coords/time → an [[NcGrid]] (driver-side, header + coords). */
   def describe(path: String): NcGrid = {
     val h = readHeader(path)
     def dimName(i: Int) = h.dims(i).name.toLowerCase
-    // the data variable: highest-rank 2-D/3-D var ending in (lat-ish, lon-ish)
+    // the data variable: highest-rank 2-D/3-D var ending in (lat-ish,
+    // lon-ish) — or, for CF grid-mapped files whose axes are rotated-grid
+    // coordinates (rlat/rlon), the var that declares a grid_mapping
     val data = h.vars.filter { v =>
       v.dimIds.size >= 2 && LatNames(dimName(v.dimIds(v.dimIds.size - 2))) &&
         LonNames(dimName(v.dimIds.last)) && v.ncType != 2
-    }.sortBy(-_.dimIds.size).headOption.getOrElse(throw new IllegalArgumentException(
-      s"$path: no (…, lat, lon) data variable found"))
+    }.sortBy(-_.dimIds.size).headOption
+      .orElse(h.vars.filter(v => v.dimIds.size >= 2 && v.ncType != 2 &&
+        v.attrs.contains("grid_mapping")).sortBy(-_.dimIds.size).headOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no (…, lat, lon) data variable found"))
+    val proj = gridMapping(path, data, h.vars)
     val latDim = data.dimIds(data.dimIds.size - 2)
     val lonDim = data.dimIds.last
     val ny = h.dims(latDim).length
@@ -296,6 +332,8 @@ object NetCdf {
         math.abs(v - (a.head + i * d)) <= math.abs(d) * 0.01 }
     require(uniform(lons, dLon) && uniform(lats, dLat),
       s"$path: non-uniform coordinate spacing is unsupported")
+    // degree bounds hold for true AND rotated-grid axes; anything else
+    // (projected meters without a supported grid mapping) fails loudly
     require(math.abs(lons.head) <= 360 && math.abs(lats.head) <= 90,
       s"$path: coordinates are not geographic degrees — projected NetCDF is unsupported")
     val flip = dLat > 0 // south-up storage
@@ -337,7 +375,7 @@ object NetCdf {
     NcGrid(path, nx, ny, dtypeName(data.ncType), data.ncType, nodata,
       data.attrs.get("scale_factor").flatMap(_.num),
       data.attrs.get("add_offset").flatMap(_.num),
-      x0, dLon, y0, dy, flip, planes, timeVals, cfUnits, cfCal)
+      x0, dLon, y0, dy, flip, planes, timeVals, cfUnits, cfCal, proj)
   }
 
   // ------------------------------------------------------------- window reads
@@ -528,14 +566,19 @@ object NetCdfWriter {
 
   def write(path: String, lats: Array[Double], lons: Array[Double],
       times: Array[Double], timeUnits: String, fill: Float,
-      value: (Int, Int, Int) => Float, version: Int = 1): Unit = {
+      value: (Int, Int, Int) => Float, version: Int = 1,
+      rotatedPole: Option[(Double, Double)] = None): Unit = {
     require(version == 1 || version == 5, s"writer emits CDF-1 or CDF-5, not $version")
     val ny = lats.length; val nx = lons.length; val nt = times.length
     val planeBytes = ny * nx * 4
     val planePadded = (planeBytes + 3) / 4 * 4
     val recSize = 8 + planePadded // time (8) + v plane, both 4-aligned
+    // CF rotated-pole fixtures: axes become rlat/rlon and a scalar
+    // grid-mapping variable carries the pole
+    val latName = if (rotatedPole.isDefined) "rlat" else "lat"
+    val lonName = if (rotatedPole.isDefined) "rlon" else "lon"
 
-    def headerBytes(bLat: Int, bLon: Int, bTime: Int, bV: Int): Array[Byte] = {
+    def headerBytes(bLat: Int, bLon: Int, bRp: Int, bTime: Int, bV: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
       // NON_NEG production: int32 in CDF-1, int64 in CDF-5 (applies to all
@@ -556,46 +599,64 @@ object NetCdfWriter {
       def floatAttr(n: String, v: Float): Unit = {
         name(n); out.writeInt(5); nn(1); out.writeFloat(v)
       }
+      def doubleAttr(n: String, v: Double): Unit = {
+        name(n); out.writeInt(6); nn(1); out.writeDouble(v)
+      }
       out.writeBytes("CDF"); out.writeByte(version)
       nn(nt) // numrecs
       out.writeInt(0x0A); nn(3) // dim_list
       name("time"); nn(0) // record dim
-      name("lat"); nn(ny)
-      name("lon"); nn(nx)
+      name(latName); nn(ny)
+      name(lonName); nn(nx)
       out.writeInt(0); nn(0) // no global attrs
-      out.writeInt(0x0B); nn(4) // var_list
+      out.writeInt(0x0B); nn(if (rotatedPole.isDefined) 5 else 4) // var_list
       // lat(lat): double, units attr
-      name("lat"); nn(1); nn(1)
-      out.writeInt(0x0C); nn(1); textAttr("units", "degrees_north")
+      name(latName); nn(1); nn(1)
+      out.writeInt(0x0C); nn(1)
+      textAttr("units", if (rotatedPole.isDefined) "degrees" else "degrees_north")
       out.writeInt(6); nn(ny * 8); nn(bLat)
       // lon(lon)
-      name("lon"); nn(1); nn(2)
-      out.writeInt(0x0C); nn(1); textAttr("units", "degrees_east")
+      name(lonName); nn(1); nn(2)
+      out.writeInt(0x0C); nn(1)
+      textAttr("units", if (rotatedPole.isDefined) "degrees" else "degrees_east")
       out.writeInt(6); nn(nx * 8); nn(bLon)
+      // the scalar grid-mapping variable (CF rotated_latitude_longitude)
+      rotatedPole.foreach { case (pLat, pLon) =>
+        name("rotated_pole"); nn(0)
+        out.writeInt(0x0C); nn(3)
+        textAttr("grid_mapping_name", "rotated_latitude_longitude")
+        doubleAttr("grid_north_pole_latitude", pLat)
+        doubleAttr("grid_north_pole_longitude", pLon)
+        out.writeInt(4); nn(4); nn(bRp) // int, 4 bytes
+      }
       // time(time): record coordinate with CF units + calendar
       name("time"); nn(1); nn(0)
       out.writeInt(0x0C); nn(2)
       textAttr("units", timeUnits); textAttr("calendar", "standard")
       out.writeInt(6); nn(8); nn(bTime)
-      // v(time, lat, lon): float32 with _FillValue
+      // v(time, lat, lon): float32 with _FillValue (+ grid_mapping link)
       name("v"); nn(3); nn(0); nn(1); nn(2)
-      out.writeInt(0x0C); nn(1); floatAttr("_FillValue", fill)
+      out.writeInt(0x0C); nn(if (rotatedPole.isDefined) 2 else 1)
+      floatAttr("_FillValue", fill)
+      if (rotatedPole.isDefined) textAttr("grid_mapping", "rotated_pole")
       out.writeInt(5); nn(planePadded); nn(bV)
       out.flush()
       bos.toByteArray
     }
 
-    val headerLen = headerBytes(0, 0, 0, 0).length
+    val headerLen = headerBytes(0, 0, 0, 0, 0).length
     val bLat = headerLen
     val bLon = bLat + ny * 8
-    val bTime = bLon + nx * 8
+    val bRp = bLon + nx * 8
+    val bTime = bRp + (if (rotatedPole.isDefined) 4 else 0)
     val bV = bTime + 8
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path)))
     try {
-      out.write(headerBytes(bLat, bLon, bTime, bV))
+      out.write(headerBytes(bLat, bLon, bRp, bTime, bV))
       lats.foreach(out.writeDouble)
       lons.foreach(out.writeDouble)
+      if (rotatedPole.isDefined) out.writeInt(0) // the scalar mapping var
       var t = 0
       while (t < nt) {
         out.writeDouble(times(t))

@@ -121,6 +121,27 @@ class Hdf5Spec extends AnyFunSuite {
     }
   }
 
+  test("rotated-pole nc4: grid mapping resolves and samples match classic") {
+    val p = s"$tmp/rot.h5"; val pc = s"$tmp/rot.nc"
+    val rlats = Array.tabulate(10)(j => 4.0 - 1.0 * j)
+    val rlons = Array.tabulate(14)(i => -6.0 + 1.0 * (i + 0.5))
+    def rv(t: Int, j: Int, i: Int): Float = (100 * t + 14 * j + i).toFloat
+    Hdf5Writer.write(p, rlats, rlons, Array(0.0), "days since 2006-01-01",
+      -9999f, rv, chunkY = 4, chunkX = 5, rotatedPole = Some((39.25, -162.0)))
+    NetCdfWriter.write(pc, rlats, rlons, Array(0.0), "days since 2006-01-01",
+      -9999f, rv, rotatedPole = Some((39.25, -162.0)))
+    val gh = NetCdf.describeAny(p)
+    val gc = NetCdf.describeAny(pc)
+    assert(gh.info.proj == graft.geo.RotatedPole(39.25, -162.0))
+    assert(gh.info.proj == gc.info.proj)
+    assert(gh.info.x0 == gc.info.x0 && gh.info.dy == gc.info.dy)
+    val sh = gh.sampler(0, 0, 0, 14, 10)
+    val sc = gc.sampler(0, 0, 0, 14, 10)
+    for (j <- 0 until 10; i <- 0 until 14)
+      assert(sh.sample(0, i, j) == sc.sample(0, i, j) &&
+        sh.sample(0, i, j) == rv(0, j, i).toDouble, s"($i,$j)")
+  }
+
   test("fill value: chunks absent from the B-tree read back as nodata") {
     // hand-remove one chunk entry by writing a file whose data has fewer
     // chunks: emulate via a grid where the writer emits all chunks, then

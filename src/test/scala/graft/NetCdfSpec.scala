@@ -73,6 +73,40 @@ class NetCdfSpec extends SparkSpec {
       assert(s5.sample(0, i, j) == s1.sample(0, i, j), s"($i,$j)")
   }
 
+  test("rotated-pole (CF rotated_latitude_longitude) converts end to end") {
+    // CORDEX EUR-11 pole; a 64x64 0.25-degree rotated grid around the
+    // rotated origin. Values are constant on 8x8 source patches so probes
+    // at patch centers are immune to nearest-resampling jitter.
+    val path = s"$tmp/rot.nc"
+    val rlats = Array.tabulate(64)(j => 8.0 - 0.25 * (j + 0.5))
+    val rlons = Array.tabulate(64)(i => -8.0 + 0.25 * (i + 0.5))
+    def v(j: Int, i: Int): Float = ((j / 8) * 8 + i / 8).toFloat
+    NetCdfWriter.write(path, rlats, rlons, Array(0.0),
+      "days since 2006-01-01", -9999f, (_, j, i) => v(j, i),
+      rotatedPole = Some((39.25, -162.0)))
+    val g = NetCdf.describe(path)
+    assert(g.proj == graft.geo.RotatedPole(39.25, -162.0))
+    assert(!g.info.geographic)
+
+    val out = s"$tmp/rot.parquet"
+    val meta = NetCdf.convert(spark, path, out, overviews = "none")
+    assert(meta.crs == "EPSG:3857")
+    val ds = graft.raquet.RaquetIO.read(spark, out)
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    for (bj <- 1 until 8 by 2; bi <- 1 until 8 by 2) {
+      val (j, i) = (bj * 8 + 4, bi * 8 + 4) // patch center
+      val (lon, lat) = g.proj.toLonLat(rlons(i), rlats(j))
+      val cell = graft.quadbin.Quadbin.fromLonLat(lon, lat, meta.maxZoom)
+      val got = ds.data.filter(col("block") === cell)
+        .select(rq_raster_value(col("band_1"), col("block"),
+          lit(lon), lit(lat), meta, "band_1"))
+        .collect()
+      assert(got.length == 1, s"patch ($bi,$bj): no covering tile")
+      assert(got(0).getDouble(0) == v(j, i).toDouble, s"patch ($bi,$bj)")
+    }
+  }
+
   test("non-classic containers and projected grids fail loudly") {
     val h5 = s"$tmp/fake.h5"
     Files.write(java.nio.file.Paths.get(h5),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.geo.{Projection, Sinusoidal, TransverseMercator, WebMercator}
+import graft.geo.{Projection, RotatedPole, Sinusoidal, TransverseMercator, WebMercator}
 
 /** Validates the Karney–Krüger transverse-mercator implementation against
   * independent formulations: exact UTM anchor identities, a numerically
@@ -320,5 +320,66 @@ class ProjSpec extends AnyFunSuite {
     // north/south mirror symmetry through the false origin
     val (sx2, sy2) = upsS.fromLonLat(44.0, -73.0)
     assert(math.abs(sx2 - ex) < 1e-6 && math.abs((sy2 - 2e6) + (ny - 2e6)) < 1e-6)
+  }
+
+  test("rotated pole: defining anchors, isometry, orientation, round-trip") {
+    def gcDist(a: (Double, Double), b: (Double, Double)): Double = {
+      val (l1, p1) = (math.toRadians(a._1), math.toRadians(a._2))
+      val (l2, p2) = (math.toRadians(b._1), math.toRadians(b._2))
+      math.acos(math.max(-1, math.min(1,
+        math.sin(p1) * math.sin(p2) +
+          math.cos(p1) * math.cos(p2) * math.cos(l1 - l2))))
+    }
+    for ((pLat, pLon) <- Seq((39.25, -162.0), (40.0, -170.0), (70.0, 30.0),
+        (6.55, 0.0))) {
+      val rp = RotatedPole(pLat, pLon)
+      // the rotated origin sits at true latitude 90-poleLat on the
+      // poleLon+180 meridian (the stated CF/COSMO property)
+      val (l0, p0) = rp.toLonLat(0, 0)
+      assert(math.abs(p0 - (90 - pLat)) < 1e-12, s"pole ($pLat,$pLon) lat")
+      assert(math.abs(TransverseMercator.normLon(l0 - (pLon + 180))) < 1e-9,
+        s"pole ($pLat,$pLon) lon: $l0")
+      // the true north pole has rotated latitude = poleLat
+      val (_, rpl) = rp.fromLonLat(0.0, 90.0)
+      assert(math.abs(rpl - pLat) < 1e-9)
+      // isometry: great-circle distances are preserved
+      val pts = Seq((0.0, 0.0), (10.0, 5.0), (-7.0, 22.0), (31.0, -14.0),
+        (120.0, 47.0), (-60.0, -35.0))
+      for (Seq(a, b) <- pts.combinations(2)) {
+        val d0 = gcDist(a, b)
+        val d1 = gcDist(rp.toLonLat(a._1, a._2), rp.toLonLat(b._1, b._2))
+        assert(math.abs(d0 - d1) < 1e-12, s"($pLat,$pLon) $a-$b")
+      }
+      // orientation: a proper rotation, not a reflection — east × north
+      // stays a right-handed frame (signed area of a small triangle)
+      val eps = 1e-4
+      val o = rp.toLonLat(0, 0); val e = rp.toLonLat(eps, 0)
+      val n2 = rp.toLonLat(0, eps)
+      val cosp = math.cos(math.toRadians(o._2))
+      val cross = (TransverseMercator.normLon(e._1 - o._1) * cosp) *
+        (n2._2 - o._2) -
+        (TransverseMercator.normLon(n2._1 - o._1) * cosp) * (e._2 - o._2)
+      assert(cross > 0, s"($pLat,$pLon) orientation flipped: $cross")
+      // round-trip
+      for ((lon, lat) <- Seq((10.5, 48.2), (-75.0, -33.0), (179.0, 5.0),
+          (0.0, 89.0), (-120.0, 60.0))) {
+        val (rx, ry) = rp.fromLonLat(lon, lat)
+        val (lo, la) = rp.toLonLat(rx, ry)
+        assert(math.abs(TransverseMercator.normLon(lo - lon)) < 1e-11 &&
+          math.abs(la - lat) < 1e-11, s"($pLat,$pLon) rt ($lon,$lat)")
+      }
+    }
+    // unrotated pole (90, 180) is the identity
+    val id = RotatedPole(90.0, 180.0)
+    for ((lon, lat) <- Seq((12.0, 34.0), (-120.0, -45.0))) {
+      val (lo, la) = id.toLonLat(lon, lat)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9)
+    }
+    // north_pole_grid_longitude shifts the rotated-longitude origin
+    val a = RotatedPole(40.0, -170.0, lon0 = 13.0)
+    val b = RotatedPole(40.0, -170.0)
+    val (x1, y1) = a.toLonLat(20.0, 7.0)
+    val (x2, y2) = b.toLonLat(7.0, 7.0)
+    assert(math.abs(x1 - x2) < 1e-12 && math.abs(y1 - y2) < 1e-12)
   }
 }
