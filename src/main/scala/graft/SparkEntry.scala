@@ -108,6 +108,8 @@ object SparkEntry {
     "q87_s3_tiff"           -> (RaquetQueries.q87S3Tiff _),
     "q88_nc4_ingest"        -> (RaquetQueries.q88Nc4Ingest _),
     "q89_cdf5_ingest"       -> (RaquetQueries.q89Cdf5Ingest _),
+    "q90_s3_signed"         -> (RaquetQueries.q90S3Signed _),
+    "q91_packbits_planar"   -> (RaquetQueries.q91PackbitsPlanar _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -306,6 +308,12 @@ object SparkEntry {
     // identical oracle; the container layout must not change one value
     "q88_nc4_ingest"        -> RaquetOracles.q79,
     "q89_cdf5_ingest"       -> RaquetOracles.q79,
+    // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
+    // identical oracle; authentication must not change one byte
+    "q90_s3_signed"         -> RaquetOracles.q60,
+    // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
+    // oracle; compression codec and interleave must be invisible
+    "q91_packbits_planar"   -> RaquetOracles.q60,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -554,6 +554,32 @@ object RaquetQueries {
     convertReadback(spark, out)
   }
 
+  /** S6 driver proof for two more real-world TIFF layout axes at once:
+    * PackBits compression (32773 — the classic scanned-DEM codec) and
+    * band-separate planar configuration 2 (`gdal_translate -co
+    * INTERLEAVE=BAND`), on the q60 closed-form grid as a tiled BigTIFF so
+    * the direct reader owns the file (no ImageIO fallback). Identical
+    * oracle to q60: codec and interleave must be invisible to the convert.
+    * Multi-band plane separation is differentially proven in
+    * `TiffLayoutSpec`; this query pins the end-to-end ingest. */
+  def q91PackbitsPlanar(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q91"
+    val tif = s"$tmp/synth_pb.tif"
+    new java.io.File(tmp).mkdirs()
+    val w = 512; val h = 512
+    val band = Array.tabulate(w * h)(p =>
+      ((7 * (p % w) + 13 * (p / w)) % 256).toDouble)
+    graft.raquet.TiffWriter.writeTiled(tif, w, h, "uint8", Array(band),
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = Some(255.0), tileW = 128, tileL = 128, compression = 32773,
+      forceBig = true, planar = 2)
+    val out = s"$tmp/synth_pb.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    convertReadback(spark, out)
+  }
+
   /** S6 driver proof: JPEG-in-TIFF (compression 7, YCbCr, shared JPEGTables
     * tag — the public-ortho-imagery layout) ingests through the direct
     * tiled reader: per-chunk abbreviated streams are spliced with the
@@ -1024,6 +1050,76 @@ object RaquetQueries {
       prevEndpoint match {
         case Some(v) => sys.props("graft.s3.endpoint") = v
         case None => sys.props.remove("graft.s3.endpoint")
+      }
+    }
+  }
+
+  /** Authenticated-transport driver proof: the q60 convert through an
+    * `s3://` source whose server ENFORCES AWS SigV4 — every request (tag
+    * reads and the coalesced pixel GETs alike) is verified server-side via
+    * [[graft.sources.SigV4.verify]] and 403s without a valid signature, so
+    * a pass proves the signer end-to-end, not just the transport. The
+    * reference reaches private buckets via GDAL `/vsis3/`
+    * (`raquet/cli.py:22-46`); graft signs its own ranged GETs with
+    * credentials from the standard AWS names. Identical oracle to q60:
+    * auth must not change one byte. */
+  def q90S3Signed(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q90"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif))
+    val accessKey = "AKGRAFTQ90TEST"
+    val secretKey = "graft-q90-fixture-secret"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/private-bucket/rasters/synth.tif",
+      new com.sun.net.httpserver.HttpHandler {
+        private val RangeRe = """bytes=(\d+)-(\d+)""".r
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          def header(n: String) = Option(ex.getRequestHeaders.getFirst(n))
+          graft.sources.SigV4.verify(ex.getRequestMethod,
+            ex.getRequestURI.getRawPath,
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""), header,
+            k => if (k == accessKey) Some(secretKey) else None) match {
+            case Left(_) => ex.sendResponseHeaders(403, -1)
+            case Right(_) => header("Range") match {
+              case Some(RangeRe(a, b)) =>
+                val from = a.toLong.toInt
+                val to = math.min(b.toLong, bytes.length - 1L).toInt
+                ex.getResponseHeaders.set("Content-Range",
+                  s"bytes $from-$to/${bytes.length}")
+                ex.sendResponseHeaders(206, to - from + 1L)
+                ex.getResponseBody.write(bytes, from, to - from + 1)
+              case _ =>
+                ex.sendResponseHeaders(200, bytes.length.toLong)
+                ex.getResponseBody.write(bytes)
+            }
+          }
+          ex.close()
+        }
+      })
+    server.start()
+    val props = Seq(
+      "graft.s3.endpoint" -> s"http://127.0.0.1:${server.getAddress.getPort}",
+      "aws.accessKeyId" -> accessKey,
+      "aws.secretAccessKey" -> secretKey,
+      "aws.region" -> "us-east-1")
+    val prev = props.map { case (k, _) => k -> sys.props.get(k) }
+    props.foreach { case (k, v) => sys.props(k) = v }
+    try {
+      val out = s"$tmp/synth.parquet"
+      graft.raquet.GeoTiff.convert(spark,
+        "s3://private-bucket/rasters/synth.tif", out,
+        tileStats = true, overviews = "none")
+      val result = convertReadback(spark, out)
+      result.persist().count() // materialize before the server stops
+      result
+    } finally {
+      server.stop(0)
+      prev.foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None) => sys.props.remove(k)
       }
     }
   }

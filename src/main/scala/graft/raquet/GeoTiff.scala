@@ -406,8 +406,9 @@ object GeoTiff {
 
   /** Windowed read over raw STRIP or TILE layout (BigTIFF / remote path):
     * seeks only the chunks intersecting the window, decompresses
-    * (none/LZW/deflate/JPEG) and undoes horizontal-differencing predictor 2;
-    * chunky interleave, either byte order.
+    * (none/LZW/deflate/JPEG/PackBits) and undoes horizontal-differencing
+    * predictor 2; chunky OR band-separate (planar config 2) interleave,
+    * either byte order.
     *
     * Both layouts are "grids of chunks": a strip is a chunk of the full
     * image width (`chunksAcross` = 1, rows clipped at the image bottom); a
@@ -425,11 +426,14 @@ object GeoTiff {
     val h = tag1(257, sys.error(s"$path: no height")).toInt
     val nb = tag1(277, 1).toInt
     val planar = tag1(284, 1).toInt
-    require(planar == 1, s"$path: planar configuration $planar unsupported")
+    require(planar == 1 || planar == 2,
+      s"$path: planar configuration $planar unsupported (1=chunky, 2=separate)")
     val compression = tag1(259, 1).toInt
     require(compression == 1 || compression == 5 || compression == 7 ||
-      compression == 8 || compression == 32946,
-      s"$path: compression $compression unsupported (none/LZW/JPEG/deflate)")
+      compression == 8 || compression == 32773 || compression == 32946,
+      s"$path: compression $compression unsupported (none/LZW/JPEG/deflate/PackBits)")
+    require(planar == 1 || compression != 7,
+      s"$path: JPEG-in-TIFF requires chunky interleave")
     val predictor = tag1(317, 1).toInt
     require(predictor == 1 || predictor == 2,
       s"$path: predictor $predictor unsupported")
@@ -458,7 +462,13 @@ object GeoTiff {
         val rps = tag1(278, h).toInt
         (w, rps, tags(273)._2, tags(279)._2, 1)
       }
-    val chunkRowBytes = chunkW.toLong * nb * bpp
+    // planar config 2 (band-separate): one full chunk grid PER BAND,
+    // band-major in the offset tables (TIFF spec §PlanarConfiguration);
+    // each chunk then carries one sample per pixel
+    val planes = if (planar == 2) nb else 1
+    val sppChunk = if (planar == 2) 1 else nb
+    val chunksDown = (h + chunkL - 1) / chunkL
+    val chunkRowBytes = chunkW.toLong * sppChunk * bpp
 
     val sm = new java.awt.image.BandedSampleModel(
       java.awt.image.DataBuffer.TYPE_DOUBLE, ww, wh, nb)
@@ -475,16 +485,17 @@ object GeoTiff {
       // gather every chunk range the window touches, then read them in ONE
       // readRanges call — the HTTP transport coalesces adjacent chunks into
       // merged GETs (O(1) requests per window instead of one per strip)
-      val chunkIds = for (cy <- cy0 to cy1; cx <- cx0 to cx1) yield (cx, cy)
-      val rawChunks = rr.readRanges(chunkIds.map { case (cx, cy) =>
-        val ci = cy * chunksAcross + cx
+      val chunkIds = for (pb <- 0 until planes; cy <- cy0 to cy1; cx <- cx0 to cx1)
+        yield (pb, cx, cy)
+      val rawChunks = rr.readRanges(chunkIds.map { case (pb, cx, cy) =>
+        val ci = (pb * chunksDown + cy) * chunksAcross + cx
         require(ci < offsets.length && ci < counts.length,
           s"$path: chunk $ci outside offset table (${offsets.length})")
         (offsets(ci).toLong, counts(ci).toLong.toInt)
       })
-      chunkIds.zip(rawChunks).foreach { case ((cx, cy), raw) =>
+      chunkIds.zip(rawChunks).foreach { case ((pb, cx, cy), raw) =>
         {
-          val ci = cy * chunksAcross + cx
+          val ci = (pb * chunksDown + cy) * chunksAcross + cx
           // strips are clipped at the image bottom; tiles are always padded
           val chunkRows =
             if (tiled) chunkL
@@ -495,6 +506,7 @@ object GeoTiff {
             case 5 => lzwDecompress(raw, expect)
             case 7 => jpegDecompress(raw, jpegTables, chunkW, chunkRows, nb,
               s"$path chunk $ci")
+            case 32773 => packbitsDecompress(raw, expect)
             case _ =>
               val inf = new java.util.zip.Inflater()
               inf.setInput(raw)
@@ -507,7 +519,7 @@ object GeoTiff {
               outB
           }
           require(data.length >= expect, s"$path: chunk $ci ${data.length}/$expect bytes")
-          if (predictor == 2) undoPredictor2(data, chunkW, nb, bpp, order)
+          if (predictor == 2) undoPredictor2(data, chunkW, sppChunk, bpp, order)
           val bb = ByteBuffer.wrap(data).order(order)
           val px0 = cx * chunkW; val py0 = cy * chunkL
           val j0 = math.max(wy, py0)
@@ -520,8 +532,8 @@ object GeoTiff {
             var i = i0
             while (i < i1) {
               var b = 0
-              while (b < nb) {
-                val at = (rowOff + ((i - px0).toLong * nb + b) * bpp).toInt
+              while (b < sppChunk) {
+                val at = (rowOff + ((i - px0).toLong * sppChunk + b) * bpp).toInt
                 val v = (bits, format) match {
                   case (8, 1) => (bb.get(at) & 0xFF).toDouble
                   case (8, 2) => bb.get(at).toDouble
@@ -533,7 +545,7 @@ object GeoTiff {
                   case (64, 3) => bb.getDouble(at)
                   case other => sys.error(s"$path: sample $other unsupported")
                 }
-                banks(b)((j - wy) * ww + (i - wx)) = v
+                banks(if (planar == 2) pb else b)((j - wy) * ww + (i - wx)) = v
                 b += 1
               }
               i += 1
@@ -667,6 +679,63 @@ object GeoTiff {
     }
     require(outPos == expected, s"LZW decoded $outPos of $expected bytes")
     out
+  }
+
+  /** PackBits (TIFF spec §9): control byte n in [0,127] copies n+1 literal
+    * bytes, n in [-127,-1] repeats the next byte 1−n times, −128 is a
+    * no-op. Bounds-checked both sides — corrupt streams fail cleanly. */
+  private[graft] def packbitsDecompress(src: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var ip = 0
+    var op = 0
+    while (op < expected && ip < src.length) {
+      val n = src(ip); ip += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(ip + cnt <= src.length && op + cnt <= expected,
+          s"PackBits literal overrun at byte $ip ($op+$cnt/$expected)")
+        System.arraycopy(src, ip, out, op, cnt)
+        ip += cnt; op += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(ip < src.length && op + cnt <= expected,
+          s"PackBits run overrun at byte $ip ($op+$cnt/$expected)")
+        java.util.Arrays.fill(out, op, op + cnt, src(ip))
+        ip += 1; op += cnt
+      }
+    }
+    require(op == expected, s"PackBits decoded $op of $expected bytes")
+    out
+  }
+
+  /** PackBits encoder (for fixtures + the export path's symmetry with
+    * [[packbitsDecompress]]): longest-run-first, literals batched ≤128. */
+  private[graft] def packbitsCompress(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length + src.length / 64 + 8)
+    var i = 0
+    var litStart = 0
+    def flushLiterals(until: Int): Unit = {
+      var s = litStart
+      while (s < until) {
+        val n = math.min(128, until - s)
+        out.write(n - 1)
+        out.write(src, s, n)
+        s += n
+      }
+    }
+    while (i < src.length) {
+      var run = 1
+      while (i + run < src.length && src(i + run) == src(i) && run < 128) run += 1
+      if (run >= 3) {
+        flushLiterals(i)
+        out.write(1 - run) // two's-complement −(run−1)
+        out.write(src(i))
+        i += run
+        litStart = i
+      } else i += run
+    }
+    flushLiterals(src.length)
+    out.toByteArray
   }
 
   /** TIFF predictor 2 (horizontal differencing): each SAMPLE is stored as
@@ -1650,19 +1719,23 @@ object TiffWriter {
       bands: Array[Array[Double]], pixelSize: Double,
       originX: Double, originY: Double, nodata: Option[Double],
       tileW: Int = 256, tileL: Int = 256, compression: Int = 1,
-      forceBig: Boolean = false, epsg: Int = 3857): Unit = {
-    require(compression == 1 || compression == 8,
-      s"writeTiled compression $compression (1=none, 8=deflate)")
+      forceBig: Boolean = false, epsg: Int = 3857, planar: Int = 1): Unit = {
+    require(compression == 1 || compression == 8 || compression == 32773,
+      s"writeTiled compression $compression (1=none, 8=deflate, 32773=PackBits)")
     val nb = bands.length
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val across = (w + tileW - 1) / tileW
     val down = (h + tileL - 1) / tileL
     val fill = nodata.getOrElse(0.0)
+    // planar 2 = band-major tile grids; each chunk carries one band's samples
+    val chunkBands: Seq[Seq[Int]] =
+      if (planar == 2) (0 until nb).map(Seq(_)) else Seq(0 until nb)
     val tiles = for {
+      bs <- chunkBands
       tr <- 0 until down
       tc <- 0 until across
     } yield {
-      val bb = ByteBuffer.allocate(tileW * tileL * nb * bpp)
+      val bb = ByteBuffer.allocate(tileW * tileL * bs.size * bpp)
         .order(ByteOrder.LITTLE_ENDIAN)
       var j = 0
       while (j < tileL) {
@@ -1671,40 +1744,44 @@ object TiffWriter {
         while (i < tileW) {
           val gx = tc * tileW + i
           val inside = gx < w && gy < h
-          var b = 0
-          while (b < nb) {
+          bs.foreach { b =>
             putSample(bb, dtype, if (inside) bands(b)(gy * w + gx) else fill)
-            b += 1
           }
           i += 1
         }
         j += 1
       }
       val raw = bb.array()
-      if (compression == 8) {
-        val d = new java.util.zip.Deflater()
-        d.setInput(raw); d.finish()
-        val buf = new Array[Byte](raw.length + 64)
-        var n = 0
-        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
-        d.end()
-        java.util.Arrays.copyOf(buf, n)
-      } else raw
+      compression match {
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+          d.end()
+          java.util.Arrays.copyOf(buf, n)
+        case 32773 => GeoTiff.packbitsCompress(raw)
+        case _ => raw
+      }
     }
     writeTiledRaw(path, w, h, dtype, nb, tileW, tileL, compression,
       tiles, jpegTables = None, pixelSize = pixelSize, originX = originX,
-      originY = originY, nodata = nodata, forceBig = forceBig, epsg = epsg)
+      originY = originY, nodata = nodata, forceBig = forceBig, epsg = epsg,
+      planar = planar)
   }
 
   /** Low-level tiled writer over PRE-ENCODED tile chunks in row-major
     * (tileRow, tileCol) order — the JPEG-in-TIFF fixture path hands this
-    * abbreviated JPEG streams plus the shared `jpegTables` (tag 347). */
+    * abbreviated JPEG streams plus the shared `jpegTables` (tag 347).
+    * `planar = 2` writes band-separate layout: one full tile grid per
+    * band, band-major in the chunk tables. */
   def writeTiledRaw(path: String, w: Int, h: Int, dtype: String, nb: Int,
       tileW: Int, tileL: Int, compression: Int, tiles: Seq[Array[Byte]],
       jpegTables: Option[Array[Byte]], pixelSize: Double,
       originX: Double, originY: Double, nodata: Option[Double],
       forceBig: Boolean = false, epsg: Int = 3857,
-      photometric: Int = 1): Unit = {
+      photometric: Int = 1, planar: Int = 1): Unit = {
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val (sampleFormat, bits) = dtype match {
       case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
@@ -1714,8 +1791,10 @@ object TiffWriter {
     }
     val across = (w + tileW - 1) / tileW
     val down = (h + tileL - 1) / tileL
-    require(tiles.size == across * down,
-      s"${tiles.size} tiles for a ${across}x$down grid")
+    require(planar == 1 || planar == 2, s"planar $planar")
+    val grids = if (planar == 2) nb else 1
+    require(tiles.size == across * down * grids,
+      s"${tiles.size} tiles for a ${across}x$down grid ×$grids planes")
     val big = forceBig || tiles.map(_.length.toLong).sum + (4L << 20) > 0xFFFF0000L
     val headerSize = if (big) 16 else 8
     val entrySize = if (big) 20 else 12
@@ -1783,7 +1862,7 @@ object TiffWriter {
     val tags = (Seq(
       Tag(256, 4, 1, w.toLong), Tag(257, 4, 1, h.toLong), bitsTag,
       Tag(259, 3, 1, compression.toLong), Tag(262, 3, 1, photometric.toLong),
-      Tag(277, 3, 1, nb.toLong), Tag(284, 3, 1, 1L),
+      Tag(277, 3, 1, nb.toLong), Tag(284, 3, 1, planar.toLong),
       Tag(322, 4, 1, tileW.toLong), Tag(323, 4, 1, tileL.toLong),
       countsTag, offsetsTag, sfTag, scaleTag, tieTag, geoTag) ++
       nodataTag ++ jtTag).sortBy(_.id)

@@ -5,8 +5,14 @@ package graft.sources
   * parity path (`raquet/cli.py:22-46`: the reference accepts
   * `http(s)://`, `gs://`, `s3://` sources by prefixing GDAL's virtual
   * readers; graft rewrites the cloud schemes to their public HTTPS
-  * endpoints and speaks Range over them — public buckets work, signed
-  * requests do not and fail loudly).
+  * endpoints and speaks Range over them). Private objects work too:
+  * `s3://` requests are SigV4-signed when credentials resolve from the
+  * standard AWS names (`AWS_ACCESS_KEY_ID`/`AWS_SECRET_ACCESS_KEY`/
+  * `AWS_SESSION_TOKEN`/`AWS_REGION`, or their `aws.*` system-property
+  * twins), and `gs://` requests carry `Authorization: Bearer` when a
+  * token resolves from `GS_OAUTH2_TOKEN` (GDAL's documented name) —
+  * with nothing resolvable, unsigned requests still serve public
+  * buckets and a 403 fails loudly with the variable names to set.
   *
   * Every read is an independent bounded request: the driver pulls tag
   * headers (a few KB), executor tasks pull exactly the strip/tile byte
@@ -30,11 +36,12 @@ trait RandomReader extends AutoCloseable {
 }
 
 object RandomReader {
-  /** Public-bucket object-store URLs rewrite to their path-style HTTPS
-    * endpoints (overridable for tests via system properties). No request
-    * signing: private objects answer 403, which [[HttpRangeReader]] turns
-    * into a clear "authenticated access unsupported" error instead of a
-    * silent retry loop. */
+  /** Extra request headers for one GET: (method, target URI, headers that
+    * will be sent and must be covered by the signature — e.g. `Range`). */
+  type Signer = (String, java.net.URI, Seq[(String, String)]) => Seq[(String, String)]
+
+  /** Object-store URLs rewrite to their path-style HTTPS endpoints
+    * (overridable for tests via system properties). */
   private[graft] def rewrite(path: String): String =
     if (path.startsWith("s3://"))
       s"${sys.props.getOrElse("graft.s3.endpoint", "https://s3.amazonaws.com")}/${path.stripPrefix("s3://")}"
@@ -46,9 +53,41 @@ object RandomReader {
     path.startsWith("http://") || path.startsWith("https://") ||
       path.startsWith("s3://") || path.startsWith("gs://")
 
+  /** System property first (the AWS SDK's documented `aws.*` names — and
+    * settable from test code), then the environment. */
+  private def cfg(prop: String, envs: String*): Option[String] =
+    sys.props.get(prop).orElse(envs.iterator.flatMap(sys.env.get).buffered.headOption)
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** SigV4 signer for `s3://`, present iff both key halves resolve. */
+  private[graft] def s3Signer(): Option[Signer] =
+    for {
+      ak <- cfg("aws.accessKeyId", "AWS_ACCESS_KEY_ID")
+      sk <- cfg("aws.secretAccessKey", "AWS_SECRET_ACCESS_KEY")
+    } yield {
+      val creds = SigV4.Credentials(ak, sk,
+        cfg("aws.sessionToken", "AWS_SESSION_TOKEN"))
+      val region = cfg("aws.region", "AWS_REGION", "AWS_DEFAULT_REGION")
+        .getOrElse("us-east-1")
+      (method, uri, hdrs) =>
+        SigV4.signedHeaders(method, uri, hdrs, creds, region, "s3",
+          SigV4.amzNow())
+    }
+
+  /** Bearer-token auth for `gs://` (GDAL's `GS_OAUTH2_TOKEN` contract). */
+  private[graft] def gsSigner(): Option[Signer] =
+    cfg("graft.gs.token", "GS_OAUTH2_TOKEN").map { tok =>
+      (_, _, _) => Seq("Authorization" -> s"Bearer $tok")
+    }
+
   def apply(path: String): RandomReader =
-    if (isRemote(path)) new HttpRangeReader(rewrite(path))
-    else new LocalReader(path)
+    if (isRemote(path)) {
+      val signer =
+        if (path.startsWith("s3://")) s3Signer()
+        else if (path.startsWith("gs://")) gsSigner()
+        else None
+      new HttpRangeReader(rewrite(path), signer)
+    } else new LocalReader(path)
 }
 
 final class LocalReader(path: String) extends RandomReader {
@@ -71,7 +110,8 @@ final class LocalReader(path: String) extends RandomReader {
   * silently reading from the file start. [[readRanges]] coalesces nearby
   * ranges into merged GETs so a window covering k contiguous strips costs
   * O(1) requests, not k. */
-final class HttpRangeReader(url: String) extends RandomReader {
+final class HttpRangeReader(url: String,
+    signer: Option[RandomReader.Signer] = None) extends RandomReader {
 
   /** Ranges closer than this ride the same GET: re-reading a small gap is
     * far cheaper than a fresh TLS handshake against object storage. */
@@ -82,14 +122,25 @@ final class HttpRangeReader(url: String) extends RandomReader {
   def readAt(at: Long, n: Int): Array[Byte] = {
     val conn = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestProperty("Range", s"bytes=$at-${at + n - 1}")
+    val range = s"bytes=$at-${at + n - 1}"
+    conn.setRequestProperty("Range", range)
     conn.setRequestProperty("Connection", "close")
+    signer.foreach { s =>
+      s("GET", java.net.URI.create(url), Seq("Range" -> range))
+        .foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    }
     conn.setConnectTimeout(15000)
     conn.setReadTimeout(60000)
     val code = conn.getResponseCode
-    require(code != 403, s"$url: HTTP 403 — authenticated object-store " +
-      "access is unsupported (public buckets only; make the object public " +
-      "or download it first)")
+    require(code != 403,
+      if (signer.isDefined)
+        s"$url: HTTP 403 with signed request — credentials rejected " +
+          "(check AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY / AWS_REGION " +
+          "and the object's policy)"
+      else
+        s"$url: HTTP 403 — private object and no credentials resolved " +
+          "(set AWS_ACCESS_KEY_ID + AWS_SECRET_ACCESS_KEY for s3://, " +
+          "GS_OAUTH2_TOKEN for gs://, or make the object public)")
     require(code == 206 || (code == 200 && at == 0L),
       s"$url: HTTP $code for Range bytes=$at-${at + n - 1} " +
         "(server must support Range requests)")

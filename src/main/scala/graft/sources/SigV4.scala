@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** AWS Signature Version 4 request signing — the algorithm behind
+  * authenticated `s3://` reads (the reference reaches private buckets via
+  * GDAL's `/vsis3/`, `raquet/cli.py:22-46`; graft signs its own Range GETs).
+  *
+  * Pure JVM (`HmacSHA256` + `SHA-256`), no SDK. The algorithm is the public
+  * AWS "Signature Version 4 signing process" spec; [[SigV4Spec]] pins the
+  * signer against the published S3 GET-object documentation example
+  * (signature `f0e8bdb8…`), so this is verified against AWS's own vector,
+  * not just self-consistent.
+  *
+  * S3 specifics honored here: the payload hash rides in
+  * `x-amz-content-sha256` (empty-body hash for GET), the canonical path is
+  * used as sent (S3 does not normalize), and temporary credentials add
+  * `x-amz-security-token` to the signed set.
+  */
+object SigV4 {
+
+  final case class Credentials(accessKey: String, secretKey: String,
+      sessionToken: Option[String])
+
+  /** sha256("") — the payload hash of every (bodyless) GET we sign. */
+  val EmptyPayloadSha256 =
+    "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    hex(d.digest(s.getBytes(UTF_8)))
+  }
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  private def hex(b: Array[Byte]): String = {
+    val sb = new StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xFF}%02x"))
+    sb.toString
+  }
+
+  /** Core signature over an already-canonicalized request. `headerValues`
+    * are the (lowercase-name → sent-value) pairs of every signed header,
+    * in any order; sorting happens here. Exposed so a verifying server can
+    * recompute the expected signature from the request it actually saw. */
+  def signature(method: String, canonicalPath: String, canonicalQuery: String,
+      headerValues: Seq[(String, String)], payloadHash: String,
+      secretKey: String, amzDate: String, region: String,
+      service: String): String = {
+    val sorted = headerValues
+      .map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedList = sorted.map(_._1).mkString(";")
+    val canonicalRequest = List(method, canonicalPath, canonicalQuery,
+      canonicalHeaders, signedList, payloadHash).mkString("\n")
+    val date = amzDate.take(8)
+    val scope = s"$date/$region/$service/aws4_request"
+    val stringToSign = List("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest)).mkString("\n")
+    val kSigning = hmac(hmac(hmac(hmac(
+      ("AWS4" + secretKey).getBytes(UTF_8), date), region), service),
+      "aws4_request")
+    hex(hmac(kSigning, stringToSign))
+  }
+
+  /** The Host header value the JDK HTTP client will send for `uri`
+    * (port only when non-default) — the signed value must match the wire. */
+  def hostHeader(uri: URI): String = {
+    val p = uri.getPort
+    val default = (uri.getScheme == "http" && p == 80) ||
+      (uri.getScheme == "https" && p == 443)
+    if (p == -1 || default) uri.getHost else s"${uri.getHost}:$p"
+  }
+
+  /** Headers to attach to one GET of `uri`: `x-amz-date`,
+    * `x-amz-content-sha256`, optional `x-amz-security-token`, and the
+    * `Authorization` header covering those plus `host` and every entry of
+    * `extraHeaders` (e.g. `Range`). */
+  def signedHeaders(method: String, uri: URI,
+      extraHeaders: Seq[(String, String)], creds: Credentials,
+      region: String, service: String, amzDate: String): Seq[(String, String)] = {
+    val amzHeaders = Seq(
+      "x-amz-content-sha256" -> EmptyPayloadSha256,
+      "x-amz-date" -> amzDate) ++
+      creds.sessionToken.map("x-amz-security-token" -> _)
+    val signedSet = (("host" -> hostHeader(uri)) +: amzHeaders) ++
+      extraHeaders
+    val path = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/")
+    val query = canonicalQuery(Option(uri.getRawQuery).getOrElse(""))
+    val sig = signature(method, path, query, signedSet, EmptyPayloadSha256,
+      creds.secretKey, amzDate, region, service)
+    val signedList = signedSet.map(_._1.toLowerCase).sorted.mkString(";")
+    val date = amzDate.take(8)
+    val auth = s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/" +
+      s"$date/$region/$service/aws4_request, SignedHeaders=$signedList, " +
+      s"Signature=$sig"
+    amzHeaders :+ ("Authorization" -> auth)
+  }
+
+  /** Canonical query string: key-sorted, RFC 3986-encoded pairs. */
+  def canonicalQuery(rawQuery: String): String =
+    if (rawQuery.isEmpty) ""
+    else rawQuery.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (kv, "") else (kv.take(i), kv.drop(i + 1))
+    }.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+
+  /** Server-side verification: recompute the signature for a received
+    * request and compare against its `Authorization` header. `header` looks
+    * up a received header (case-insensitive on the server's side);
+    * `secretFor` maps an access-key id to its secret. Right = the verified
+    * access key; Left = why the request must be rejected (403). Drives the
+    * signature-enforcing fixture servers in [[SigV4Spec]] and q90. */
+  def verify(method: String, rawPath: String, rawQuery: String,
+      header: String => Option[String],
+      secretFor: String => Option[String]): Either[String, String] = {
+    val AuthRe =
+      """AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)/aws4_request,\s*SignedHeaders=([^,]+),\s*Signature=([0-9a-f]{64})""".r
+    header("Authorization") match {
+      case None => Left("missing Authorization header")
+      case Some(AuthRe(ak, date, region, service, signedList, gotSig)) =>
+        secretFor(ak) match {
+          case None => Left(s"unknown access key $ak")
+          case Some(secret) =>
+            val names = signedList.split(";").toSeq
+            val missing = names.filter(n => header(n).isEmpty)
+            if (missing.nonEmpty)
+              Left(s"signed headers not present: ${missing.mkString(",")}")
+            else header("x-amz-date") match {
+              case Some(amzDate) if amzDate.startsWith(date) =>
+                val payloadHash = header("x-amz-content-sha256")
+                  .getOrElse(EmptyPayloadSha256)
+                val values = names.map(n => n -> header(n).get)
+                val want = signature(method, rawPath,
+                  canonicalQuery(rawQuery), values, payloadHash, secret,
+                  amzDate, region, service)
+                if (want == gotSig) Right(ak)
+                else Left("signature mismatch")
+              case _ => Left("x-amz-date missing or disagrees with scope")
+            }
+        }
+      case Some(_) => Left("malformed Authorization header")
+    }
+  }
+
+  /** current UTC instant in the `yyyyMMdd'T'HHmmss'Z'` form SigV4 wants */
+  def amzNow(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+}

@@ -106,11 +106,12 @@ class RangeReaderSpec extends AnyFunSuite {
     assert(graft.sources.RandomReader.rewrite("/local/file.tif") == "/local/file.tif")
   }
 
-  test("403 answers fail loudly with the authenticated-access message") {
+  test("403 answers fail loudly with the credential-hint message") {
     withServer(new Array[Byte](16), forceCode = 403) { (url, _) =>
       val rr = new HttpRangeReader(url)
       val e = intercept[IllegalArgumentException](rr.readAt(0, 8))
-      assert(e.getMessage.contains("authenticated object-store"))
+      assert(e.getMessage.contains("no credentials resolved"))
+      assert(e.getMessage.contains("AWS_ACCESS_KEY_ID"))
     }
   }
 
