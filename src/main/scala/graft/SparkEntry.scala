@@ -110,6 +110,7 @@ object SparkEntry {
     "q89_cdf5_ingest"       -> (RaquetQueries.q89Cdf5Ingest _),
     "q90_s3_signed"         -> (RaquetQueries.q90S3Signed _),
     "q91_packbits_planar"   -> (RaquetQueries.q91PackbitsPlanar _),
+    "q92_float_predictor"   -> (RaquetQueries.q92FloatPredictor _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -314,6 +315,9 @@ object SparkEntry {
     // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
     // oracle; compression codec and interleave must be invisible
     "q91_packbits_planar"   -> RaquetOracles.q60,
+    // q92 is the q60 grid as float32 + deflate + predictor 3 — integer
+    // values, so the float storage changes no stat; same oracle
+    "q92_float_predictor"   -> RaquetOracles.q60,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

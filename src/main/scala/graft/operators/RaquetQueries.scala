@@ -580,6 +580,32 @@ object RaquetQueries {
     convertReadback(spark, out)
   }
 
+  /** S6 driver proof for the compressed-float-DEM layout: float32 samples,
+    * deflate, floating-point predictor 3 (TIFF TechNote 3 — what
+    * `gdal_translate -co COMPRESS=DEFLATE -co PREDICTOR=3` emits for
+    * elevation COGs), tiled BigTIFF so the direct reader owns the file.
+    * The q60 grid values are integers, so storing them as float32 changes
+    * no stat and the q60 oracle applies unchanged: the predictor must be
+    * invisible to the convert. Byte-level decode is differentially proven
+    * in `TiffLayoutSpec`; this query pins the end-to-end ingest. */
+  def q92FloatPredictor(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q92"
+    val tif = s"$tmp/synth_fp.tif"
+    new java.io.File(tmp).mkdirs()
+    val w = 512; val h = 512
+    val band = Array.tabulate(w * h)(p =>
+      ((7 * (p % w) + 13 * (p / w)) % 256).toDouble)
+    graft.raquet.TiffWriter.writeTiled(tif, w, h, "float32", Array(band),
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = Some(255.0), tileW = 128, tileL = 128, compression = 8,
+      forceBig = true, predictor = 3)
+    val out = s"$tmp/synth_fp.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out,
+      tileStats = true, overviews = "none")
+    convertReadback(spark, out)
+  }
+
   /** S6 driver proof: JPEG-in-TIFF (compression 7, YCbCr, shared JPEGTables
     * tag — the public-ortho-imagery layout) ingests through the direct
     * tiled reader: per-chunk abbreviated streams are spliced with the

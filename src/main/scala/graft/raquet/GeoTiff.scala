@@ -435,10 +435,12 @@ object GeoTiff {
     require(planar == 1 || compression != 7,
       s"$path: JPEG-in-TIFF requires chunky interleave")
     val predictor = tag1(317, 1).toInt
-    require(predictor == 1 || predictor == 2,
+    require(predictor == 1 || predictor == 2 || predictor == 3,
       s"$path: predictor $predictor unsupported")
     val bits = tags(258)._2.head.toInt
     val format = tag1(339, 1).toInt
+    require(predictor != 3 || format == 3,
+      s"$path: predictor 3 (floating point) requires sample format 3, got $format")
     val bpp = bits / 8
     // JPEG-in-TIFF (compression 7): per-chunk abbreviated JPEG streams with
     // the shared tables in tag 347; photometric 6 means the streams carry
@@ -520,6 +522,7 @@ object GeoTiff {
           }
           require(data.length >= expect, s"$path: chunk $ci ${data.length}/$expect bytes")
           if (predictor == 2) undoPredictor2(data, chunkW, sppChunk, bpp, order)
+          else if (predictor == 3) undoPredictor3(data, chunkW, sppChunk, bpp, order)
           val bb = ByteBuffer.wrap(data).order(order)
           val px0 = cx * chunkW; val py0 = cy * chunkL
           val j0 = math.max(wy, py0)
@@ -783,6 +786,45 @@ object GeoTiff {
           row += 1
         }
       case other => sys.error(s"predictor 2 with $other-byte samples unsupported")
+    }
+  }
+
+  /** TIFF predictor 3 (floating-point horizontal differencing, TIFF
+    * Technical Note 3 — `gdal_translate -co PREDICTOR=3`, the standard
+    * layout for compressed float DEM COGs). Per ROW, the encoder splits
+    * samples into byte-significance planes (plane 0 = most significant
+    * byte, regardless of the file's byte order), concatenates the planes,
+    * then byte-differences the whole row with a stride of samples-per-
+    * pixel. Decode reverses: byte-accumulate, then regather each sample's
+    * bytes — emitted here in the FILE's byte order so the downstream
+    * ByteBuffer reads are unchanged. */
+  private def undoPredictor3(data: Array[Byte], w: Int, nb: Int, bpp: Int,
+      order: ByteOrder): Unit = {
+    val rowBytes = w * nb * bpp
+    val nRows = data.length / rowBytes
+    val wc = w * nb // samples per row
+    val tmp = new Array[Byte](rowBytes)
+    val le = order == ByteOrder.LITTLE_ENDIAN
+    var row = 0
+    while (row < nRows) {
+      val base = row * rowBytes
+      var i = nb
+      while (i < rowBytes) {
+        data(base + i) = (data(base + i) + data(base + i - nb)).toByte
+        i += 1
+      }
+      var s = 0
+      while (s < wc) {
+        var b = 0
+        while (b < bpp) {
+          val v = data(base + b * wc + s)
+          if (le) tmp(bpp * s + (bpp - 1 - b)) = v else tmp(bpp * s + b) = v
+          b += 1
+        }
+        s += 1
+      }
+      System.arraycopy(tmp, 0, data, base, rowBytes)
+      row += 1
     }
   }
 
@@ -1719,9 +1761,15 @@ object TiffWriter {
       bands: Array[Array[Double]], pixelSize: Double,
       originX: Double, originY: Double, nodata: Option[Double],
       tileW: Int = 256, tileL: Int = 256, compression: Int = 1,
-      forceBig: Boolean = false, epsg: Int = 3857, planar: Int = 1): Unit = {
+      forceBig: Boolean = false, epsg: Int = 3857, planar: Int = 1,
+      predictor: Int = 1): Unit = {
     require(compression == 1 || compression == 8 || compression == 32773,
       s"writeTiled compression $compression (1=none, 8=deflate, 32773=PackBits)")
+    require(predictor == 1 || predictor == 2 || predictor == 3,
+      s"writeTiled predictor $predictor")
+    val isFloat = dtype == "float32" || dtype == "float64"
+    require(predictor != 3 || isFloat, "predictor 3 requires a float dtype")
+    require(predictor != 2 || !isFloat, "predictor 2 requires an integer dtype")
     val nb = bands.length
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val across = (w + tileW - 1) / tileW
@@ -1752,6 +1800,10 @@ object TiffWriter {
         j += 1
       }
       val raw = bb.array()
+      if (predictor == 2)
+        encodePredictor2(raw, tileW, bs.size, bpp)
+      else if (predictor == 3)
+        encodePredictor3(raw, tileW, bs.size, bpp)
       compression match {
         case 8 =>
           val d = new java.util.zip.Deflater()
@@ -1768,7 +1820,76 @@ object TiffWriter {
     writeTiledRaw(path, w, h, dtype, nb, tileW, tileL, compression,
       tiles, jpegTables = None, pixelSize = pixelSize, originX = originX,
       originY = originY, nodata = nodata, forceBig = forceBig, epsg = epsg,
-      planar = planar)
+      planar = planar, predictor = predictor)
+  }
+
+  /** Predictor 2 encode (inverse of the reader's accumulate): per row,
+    * right-to-left, each sample becomes its delta vs one pixel left.
+    * Tile chunks are little-endian (this writer's layout). */
+  private[raquet] def encodePredictor2(data: Array[Byte], w: Int, nb: Int,
+      bpp: Int): Unit = {
+    val rowBytes = w * nb * bpp
+    val nRows = data.length / rowBytes
+    val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+    var row = 0
+    while (row < nRows) {
+      val base = row * rowBytes
+      bpp match {
+        case 1 =>
+          var i = rowBytes - 1
+          while (i >= nb) {
+            data(base + i) = (data(base + i) - data(base + i - nb)).toByte
+            i -= 1
+          }
+        case 2 =>
+          var i = rowBytes - 2
+          while (i >= nb * 2) {
+            bb.putShort(base + i,
+              (bb.getShort(base + i) - bb.getShort(base + i - nb * 2)).toShort)
+            i -= 2
+          }
+        case 4 =>
+          var i = rowBytes - 4
+          while (i >= nb * 4) {
+            bb.putInt(base + i, bb.getInt(base + i) - bb.getInt(base + i - nb * 4))
+            i -= 4
+          }
+        case other => sys.error(s"predictor 2 encode with $other-byte samples")
+      }
+      row += 1
+    }
+  }
+
+  /** Predictor 3 encode (TIFF TechNote 3): per row, split samples into
+    * byte-significance planes (plane 0 = MSB; source chunks are
+    * little-endian), then byte-difference the concatenated planes with a
+    * stride of samples-per-pixel, right-to-left. */
+  private[raquet] def encodePredictor3(data: Array[Byte], w: Int, nb: Int,
+      bpp: Int): Unit = {
+    val rowBytes = w * nb * bpp
+    val nRows = data.length / rowBytes
+    val wc = w * nb
+    val tmp = new Array[Byte](rowBytes)
+    var row = 0
+    while (row < nRows) {
+      val base = row * rowBytes
+      var s = 0
+      while (s < wc) {
+        var b = 0
+        while (b < bpp) {
+          tmp(b * wc + s) = data(base + bpp * s + (bpp - 1 - b))
+          b += 1
+        }
+        s += 1
+      }
+      var i = rowBytes - 1
+      while (i >= nb) {
+        tmp(i) = (tmp(i) - tmp(i - nb)).toByte
+        i -= 1
+      }
+      System.arraycopy(tmp, 0, data, base, rowBytes)
+      row += 1
+    }
   }
 
   /** Low-level tiled writer over PRE-ENCODED tile chunks in row-major
@@ -1781,7 +1902,7 @@ object TiffWriter {
       jpegTables: Option[Array[Byte]], pixelSize: Double,
       originX: Double, originY: Double, nodata: Option[Double],
       forceBig: Boolean = false, epsg: Int = 3857,
-      photometric: Int = 1, planar: Int = 1): Unit = {
+      photometric: Int = 1, planar: Int = 1, predictor: Int = 1): Unit = {
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val (sampleFormat, bits) = dtype match {
       case "uint8" | "uint16" | "uint32" => (1, bpp * 8)
@@ -1813,7 +1934,8 @@ object TiffWriter {
     }
     val nodataStr = nodata.map(v =>
       if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString)
-    val nTags = 15 + nodataStr.size + jpegTables.size
+    val nTags = 15 + nodataStr.size + jpegTables.size +
+      (if (predictor != 1) 1 else 0)
     val ifdAt = headerSize.toLong
     val ifdSize = (if (big) 8 else 2) + nTags * entrySize + (if (big) 8 else 4)
     var cursor = ifdAt + ifdSize
@@ -1865,6 +1987,7 @@ object TiffWriter {
       Tag(277, 3, 1, nb.toLong), Tag(284, 3, 1, planar.toLong),
       Tag(322, 4, 1, tileW.toLong), Tag(323, 4, 1, tileL.toLong),
       countsTag, offsetsTag, sfTag, scaleTag, tieTag, geoTag) ++
+      (if (predictor != 1) Seq(Tag(317, 3, 1, predictor.toLong)) else Nil) ++
       nodataTag ++ jtTag).sortBy(_.id)
     require(tags.length == nTags, s"planned $nTags tags, built ${tags.length}")
 

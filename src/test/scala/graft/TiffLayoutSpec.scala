@@ -107,4 +107,68 @@ class TiffLayoutSpec extends AnyFunSuite {
     for (j <- 0 until 80; i <- 0 until 80; bd <- 0 until nb)
       assert(a.getSampleDouble(i, j, bd) == b.getSampleDouble(i, j, bd))
   }
+
+  private def makeFloatBands(w: Int, h: Int, nb: Int): Array[Array[Double]] =
+    Array.tabulate(nb)(b => Array.tabulate(w * h)(p =>
+      // smooth terrain-like field with fractional values — the shape
+      // predictor 3 exists for (neighbor deltas share high-order bytes)
+      math.sin(p % w * 0.05 + b) * 100.0 + (p / w) * 0.25 +
+        (if (p % 17 == 0) -999.25 else 0.0)))
+
+  test("predictor-3 (float) deflate differential: same pixels as predictor 1") {
+    val (w, h, nb) = (150, 120, 2)
+    val bands = makeFloatBands(w, h, nb)
+    val dir = tmpDir()
+    for (dtype <- Seq("float32", "float64"); planar <- Seq(1, 2)) {
+      val plain = s"$dir/${dtype}_p1_$planar.tif"
+      val pred = s"$dir/${dtype}_p3_$planar.tif"
+      graft.raquet.TiffWriter.writeTiled(plain, w, h, dtype, bands, 1.0, 0.0,
+        h.toDouble, nodata = None, tileW = 64, tileL = 64, compression = 8,
+        forceBig = true, planar = planar)
+      graft.raquet.TiffWriter.writeTiled(pred, w, h, dtype, bands, 1.0, 0.0,
+        h.toDouble, nodata = None, tileW = 64, tileL = 64, compression = 8,
+        forceBig = true, planar = planar, predictor = 3)
+      val a = GeoTiff.readWindowDirect(plain, 13, 11, 120, 100)
+      val b = GeoTiff.readWindowDirect(pred, 13, 11, 120, 100)
+      for (j <- 0 until 100; i <- 0 until 120; bd <- 0 until nb)
+        assert(a.getSampleDouble(i, j, bd) == b.getSampleDouble(i, j, bd),
+          s"$dtype planar $planar pixel ($i,$j) band $bd")
+    }
+  }
+
+  test("predictor-3 actually shrinks the deflate stream on smooth data") {
+    val (w, h) = (256, 256)
+    val bands = makeFloatBands(w, h, 1)
+    val dir = tmpDir()
+    val plain = s"$dir/sm_p1.tif"; val pred = s"$dir/sm_p3.tif"
+    graft.raquet.TiffWriter.writeTiled(plain, w, h, "float32", bands, 1.0, 0.0,
+      h.toDouble, nodata = None, tileW = 128, tileL = 128, compression = 8)
+    graft.raquet.TiffWriter.writeTiled(pred, w, h, "float32", bands, 1.0, 0.0,
+      h.toDouble, nodata = None, tileW = 128, tileL = 128, compression = 8,
+      predictor = 3)
+    val s1 = new java.io.File(plain).length
+    val s3 = new java.io.File(pred).length
+    assert(s3 < s1, s"predictor 3 ($s3 B) should beat none ($s1 B)")
+  }
+
+  test("predictor-2 (integer) tiled writer round-trips through the reader") {
+    val (w, h, nb) = (200, 150, 2)
+    val bands = makeBands(w, h, nb)
+    val dir = tmpDir()
+    for (dtype <- Seq("uint8", "uint16", "int32")) {
+      val p = s"$dir/p2_$dtype.tif"
+      graft.raquet.TiffWriter.writeTiled(p, w, h, dtype, bands, 1.0, 0.0,
+        h.toDouble, nodata = None, tileW = 64, tileL = 64, compression = 8,
+        forceBig = true, predictor = 2)
+      checkWindows(p, w, h, bands)
+    }
+  }
+
+  test("predictor-3 with an integer dtype is rejected at write and read") {
+    val dir = tmpDir()
+    intercept[IllegalArgumentException] {
+      graft.raquet.TiffWriter.writeTiled(s"$dir/bad.tif", 64, 64, "uint16",
+        makeBands(64, 64, 1), 1.0, 0.0, 64.0, nodata = None, predictor = 3)
+    }
+  }
 }
