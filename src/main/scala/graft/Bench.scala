@@ -262,17 +262,37 @@ object Bench {
       if (name.startsWith("bL_"))
         try once(fn)
         catch { case scala.util.control.NonFatal(_) => () }
+      var err: String = null
       val ts = (1 to 3).map { _ =>
         try once(fn)
-        catch { case scala.util.control.NonFatal(_) => -1.0 }
+        catch { case scala.util.control.NonFatal(e) =>
+          // keep the first exception text: a -1.0 in the record without its
+          // cause is undiagnosable from the driver's truncated log tail
+          if (err == null) err = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          -1.0
+        }
       }
-      name -> (if (ts.contains(-1.0)) -1.0 else median(ts))
+      (name, if (ts.contains(-1.0)) -1.0 else median(ts), Option(err))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":" + jstr(e.take(500)) }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    // per-sf mirror: totals are only comparable within one scale factor, so
+    // each sf keeps its own baseline file (BENCH_LOCAL.json stays as the
+    // latest-run mirror for tooling that expects the fixed name)
+    val sfName = Paths.get(sfDir).getFileName.toString
+    Files.writeString(Paths.get(s"BENCH_LOCAL_$sfName.json"), json + "\n")
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     // stop BEFORE the final print: Spark shutdown logging otherwise lands
     // after the JSON line and the driver's tail-parser misses it

@@ -19,17 +19,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as a long (legacy conf) and convert to a microsecond
-    * TimestampType column of the same name — all downstream code sees a
-    * normal timestamp. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, so it must be read as a long under
+    * the legacy conf and divided down — and plain TIMESTAMP(MICROS), which
+    * reads natively. Adapt to whichever encoding the file carries so every
+    * downstream query sees one microsecond TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer division: nano epochs (~1.7e18) exceed double's 2^53 exact
-    // range, so `col/1000` would drift by ±1µs vs the DuckDB oracle
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer division: nano epochs (~1.7e18) exceed double's 2^53 exact
+        // range, so `col/1000` would drift by ±1µs vs the DuckDB oracle
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions run with spark.sql.session.timeZone=UTC, so NTZ→TZ is the
+        // identity on the underlying micros; downstream unix_micros/date
+        // functions require TimestampType
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
