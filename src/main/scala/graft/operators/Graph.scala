@@ -14,9 +14,25 @@ import org.apache.spark.sql.functions._
   * Algorithm: min-label propagation. Every node starts labeled with its own
   * id; each round every node takes the min of its label and its neighbors'
   * labels; at fixpoint each component is labeled by its smallest node id.
-  * Each round is one equi-join + one hash aggregate (both map-side partial,
-  * shuffle keyed on node id), with `localCheckpoint` truncating the plan
-  * between rounds — the same bounded-iteration shape as the pyramid build.
+  *
+  * Scale shape, per round: one equi-join + one hash aggregate (both
+  * map-side partial). Self-loops are folded into the symmetrized edge list
+  * up front, so "min over neighbors and self" is that single pass — no
+  * second left-join to merge a node's own label back in. While the label
+  * table fits the broadcast threshold (it is one (id, comp) pair per node —
+  * far smaller than the corpus it indexes), the join is a broadcast hash
+  * join and the edge list never shuffles at all; past that size it
+  * degrades to the standard shuffle join, which is what GraphFrames-style
+  * propagation does every round too. (Pre-partitioning the edges does NOT
+  * help: `localCheckpoint` drops outputPartitioning, verified against the
+  * physical plan — the Exchange reappears.) `localCheckpoint` between
+  * rounds truncates the growing plan (as in the pyramid build).
+  *
+  * Convergence is detected without a labels-vs-labels join: per-node labels
+  * only ever decrease, so the label SUM is strictly monotonically
+  * decreasing until fixpoint, and one Decimal(38,0) aggregate per round
+  * (exact — no double rounding, no bigint overflow on 2^60-range ids)
+  * decides termination.
   *
   * Rounds needed = component diameter (labels can skip ahead, so usually
   * fewer). Duplicate clusters are stars/cliques around a source doc —
@@ -33,28 +49,32 @@ object Graph {
     * comp = min node id of the component. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
+    // symmetrize + add self-loops: one join+agg then computes
+    // min(label over {self} ∪ neighbors) in a single pass
+    val nodes = edges.select(col(src).as("u"))
+      .unionByName(edges.select(col(dst).as("u")))
+      .distinct()
     val und = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .unionByName(nodes.select(col("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
-    var labels = und.select(col("u").as("id"))
-      .distinct()
-      .withColumn("comp", col("id"))
+    var labels = nodes.select(col("u").as("id"), col("u").as("comp"))
       .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among neighbors, then fold into each node's own label
-      val nbrMin = und.join(labels, und("v") === labels("id"))
-        .groupBy(und("u").as("nid"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(col("id"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      val next = und.join(labels, und("v") === labels("id"))
+        .groupBy(und("u").as("id"))
+        .agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.filter(col("comp") =!= col("old")).limit(1).count() == 0L
-      labels = next.select("id", "comp")
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
