@@ -111,6 +111,7 @@ object SparkEntry {
     "q90_s3_signed"         -> (RaquetQueries.q90S3Signed _),
     "q91_packbits_planar"   -> (RaquetQueries.q91PackbitsPlanar _),
     "q92_float_predictor"   -> (RaquetQueries.q92FloatPredictor _),
+    "q93_langid"            -> (LlmQueries.q93LangId _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -318,6 +319,7 @@ object SparkEntry {
     // q92 is the q60 grid as float32 + deflate + predictor 3 — integer
     // values, so the float storage changes no stat; same oracle
     "q92_float_predictor"   -> RaquetOracles.q60,
+    "q93_langid"            -> LlmOracles.q93,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -312,4 +312,26 @@ object LlmOracles {
          round(CAST(a.maxc AS DOUBLE) / a.n2, 6) AS top2_frac,
          d3.dup3_frac
        FROM a JOIN d3 ON a.doc_id = d3.doc_id"""
+
+  /** q93 language-ID oracle: the score fragments and the argmax CASE are
+    * GENERATED from the same [[TextOps.langProfiles]] table the Spark
+    * operator uses, so the two engines cannot drift. Scores are pure
+    * integer length/replace arithmetic (no division, no floats). */
+  val q93: String = {
+    val scores = TextOps.langProfiles.map { case (l, _) =>
+      s"${TextOps.langScoreSql(l)} AS s_$l" }.mkString(",\n          ")
+    val names = TextOps.langProfiles.map(p => s"s_${p._1}").mkString(", ")
+    s"""WITH corpus AS (
+          SELECT doc_id, ${LlmQueries.langIdCorpusCase} AS text FROM documents),
+        padded AS (
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM corpus),
+        s AS (
+          SELECT doc_id,
+          $scores
+          FROM padded)
+        SELECT doc_id,
+          ${TextOps.langCaseSql(l => s"s_$l")} AS lang,
+          greatest($names) AS score
+        FROM s"""
+  }
 }

@@ -114,6 +114,22 @@ object LlmQueries {
   def q71Repetition(spark: SparkSession, dir: String): DataFrame =
     TextOps.repetitionMetrics(docs(spark, dir))
 
+  /** Shared corpus CASE for q93: the synthetic docs are English-ish, so a
+    * deterministic subset is replaced with fixed German/French/Spanish
+    * sample sentences ([[TextOps.langSamples]]) — the oracle echoes the
+    * same CASE verbatim. */
+  private[operators] val langIdCorpusCase: String =
+    s"""CASE WHEN doc_id % 13 = 3 THEN '${TextOps.langSamples("de")}'
+            WHEN doc_id % 13 = 7 THEN '${TextOps.langSamples("fr")}'
+            WHEN doc_id % 13 = 11 THEN '${TextOps.langSamples("es")}'
+            ELSE text END"""
+
+  /** N-gram-profile language ID ([[TextOps.langId]]) over the corpus with
+    * injected foreign-language docs. */
+  def q93LangId(spark: SparkSession, dir: String): DataFrame =
+    TextOps.langId(docs(spark, dir)
+      .withColumn("text", expr(langIdCorpusCase)))
+
   /** Deterministic 80/10/10 train/val/test split ([[Curation.hashSplit]]):
     * per-split doc counts + char totals. The split is a pure projection —
     * no shuffle beyond the verification aggregate. */

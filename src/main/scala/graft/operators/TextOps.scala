@@ -228,4 +228,79 @@ object TextOps {
         round(col("maxc").cast("double") / col("n2"), 6).as("top2_frac"),
         col("dup3_frac"))
   }
+
+  // ---------------------------------------------------------------------
+  // Language identification (n-gram profile heuristic)
+  // ---------------------------------------------------------------------
+
+  /** Character/word n-gram profiles per language, weights on REMOVED CHARS:
+    * a gram `g` with weight `w` contributes `w * count(g) * len(g)` to the
+    * language score, computed as `w * (len(p) - len(replace(p, g, '')))` —
+    * pure integer string arithmetic with no division, so Spark and the
+    * DuckDB oracle produce bit-identical scores. `p` is the lowercased text
+    * padded with one space each side so word-boundary grams match at the
+    * edges. Languages sorted ascending: ties break toward the earlier name.
+    * Profiles are original common-knowledge function words + digraphs
+    * (ASCII only — no codepoint-length ambiguity across engines). */
+  val langProfiles: List[(String, List[(String, Int)])] = List(
+    "de" -> List(" der " -> 3, " die " -> 3, " und " -> 3, " nicht " -> 3,
+      " ich " -> 2, "sch" -> 2, "ein" -> 1),
+    "en" -> List(" the " -> 3, " and " -> 3, " of " -> 3, " not " -> 2,
+      " is " -> 2, "ing " -> 2, "tion" -> 1),
+    "es" -> List(" el " -> 3, " los " -> 3, " que " -> 3, " una " -> 2,
+      " no " -> 2, "cion" -> 2, "ado" -> 1),
+    "fr" -> List(" les " -> 3, " des " -> 3, " est " -> 3, " une " -> 2,
+      " pas " -> 2, "eau" -> 2, "aux" -> 1))
+
+  /** Short all-ASCII sample sentences, one per non-English profile — used
+    * by the driver query to inject foreign-language docs into the synthetic
+    * (English-ish) corpus, and echoed verbatim into the oracle SQL. */
+  val langSamples: Map[String, String] = Map(
+    "de" -> ("der hund und die katze laufen schnell durch die stadt und " +
+      "ich sehe ein schiff nicht weit von der bruecke aber die leute " +
+      "sind nicht hier und ich warte"),
+    "fr" -> ("les enfants et des amis sont pres du chateau et une chanson " +
+      "est jolie mais les oiseaux ne chantent pas des chansons au bord " +
+      "de l eau avec les bateaux"),
+    "es" -> ("el perro y los gatos que viven en una casa no comen nada " +
+      "porque el nino ha jugado en la nacion y los amigos que cantan " +
+      "una cancion no han llegado"))
+
+  /** SQL fragment `Σ w * (length(p) - length(replace(p, g, '')))` for one
+    * language — parses identically in Spark SQL and DuckDB. */
+  def langScoreSql(lang: String): String =
+    langProfiles.find(_._1 == lang).get._2
+      .map { case (g, w) =>
+        s"$w * (length(p) - length(replace(p, '$g', '')))" }
+      .mkString("(", " + ", ")")
+
+  /** `CASE` expression choosing the max-score language, ties to the
+    * alphabetically first; zero evidence in every profile → 'unk'. Same
+    * text on both engines. */
+  def langCaseSql(scoreCol: String => String): String = {
+    val langs = langProfiles.map(_._1)
+    val all = langs.map(scoreCol)
+    val arms = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(scoreCol)
+      val hi = if (rest.size == 1) rest.head
+               else s"greatest(${rest.mkString(", ")})"
+      s"WHEN ${scoreCol(l)} >= $hi THEN '$l'"
+    }
+    s"CASE WHEN greatest(${all.mkString(", ")}) = 0 THEN 'unk' " +
+      s"${arms.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** Per-document language ID: (doc_id, lang, score). One projection —
+    * codegen'd string arithmetic, no shuffle, trivially linear at scale. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = docs
+      .withColumn("p", expr("' ' || lower(text) || ' '"))
+      .withColumns(langProfiles.map { case (l, _) =>
+        s"s_$l" -> expr(langScoreSql(l)).cast("long")
+      }.toMap)
+    scored.select(
+      col("doc_id"),
+      expr(langCaseSql(l => s"s_$l")).as("lang"),
+      greatest(langProfiles.map(p => col(s"s_${p._1}")): _*).as("score"))
+  }
 }

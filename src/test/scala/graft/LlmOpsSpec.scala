@@ -128,4 +128,21 @@ class LlmOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("distinct_ratio") > 0.0)
     }
   }
+
+  test("language ID: profile samples classify to their language, zero evidence is unk") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> TextOps.langSamples("de"),
+      2L -> TextOps.langSamples("fr"),
+      3L -> TextOps.langSamples("es"),
+      4L -> "the cat and the dog of the house is not walking",
+      5L -> "zzz qqq xyzzy")
+      .toDF("doc_id", "text")
+    val got = TextOps.langId(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(got === Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en", 5L -> "unk"))
+    val scores = TextOps.langId(rows).filter($"doc_id" === 5L)
+      .select("score").as[Long].head()
+    assert(scores === 0L)
+  }
 }
