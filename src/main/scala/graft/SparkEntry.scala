@@ -112,6 +112,7 @@ object SparkEntry {
     "q91_packbits_planar"   -> (RaquetQueries.q91PackbitsPlanar _),
     "q92_float_predictor"   -> (RaquetQueries.q92FloatPredictor _),
     "q93_langid"            -> (LlmQueries.q93LangId _),
+    "q94_stream_dedup"      -> (LlmQueries.q94StreamDedup _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -320,6 +321,7 @@ object SparkEntry {
     // values, so the float storage changes no stat; same oracle
     "q92_float_predictor"   -> RaquetOracles.q60,
     "q93_langid"            -> LlmOracles.q93,
+    "q94_stream_dedup"      -> LlmOracles.q94,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -313,6 +313,14 @@ object LlmOracles {
          d3.dup3_frac
        FROM a JOIN d3 ON a.doc_id = d3.doc_id"""
 
+  /** q94 streaming-dedup oracle: first-seen canonical per content hash.
+    * Originals stream before copies and copies' ids are +100000, so the
+    * streaming first-batch winner IS the global min doc_id. */
+  val q94: String =
+    s"""WITH $ExactDupCorpus
+        SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
+        FROM corpus GROUP BY 1"""
+
   /** q93 language-ID oracle: the score fragments and the argmax CASE are
     * GENERATED from the same [[TextOps.langProfiles]] table the Spark
     * operator uses, so the two engines cannot drift. Scores are pure

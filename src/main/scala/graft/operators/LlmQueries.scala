@@ -130,6 +130,35 @@ object LlmQueries {
     TextOps.langId(docs(spark, dir)
       .withColumn("text", expr(langIdCorpusCase)))
 
+  /** §2.10 driver proof: STRUCTURED STREAMING exact dedup
+    * ([[graft.streaming.StreamingTiles.dedupFirstSeen]]) over the exact-dup
+    * corpus, fed as two micro-batches — all originals first, then the
+    * duplicate copies — so every copy's hash hits an existing state entry
+    * and is suppressed ACROSS batches, not merely within one. Output equals
+    * the batch `md5(text) → min(doc_id)` oracle because originals precede
+    * copies and copies' ids are originals' + 100000. */
+  def q94StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = withExactDups(docs(spark, dir))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (originals, copies) = corpus.partition(_._1 < 100000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingTiles.dedupFirstSeen(
+      input.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("q94_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(originals.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(copies.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q94_dedup")
+  }
+
   /** Deterministic 80/10/10 train/val/test split ([[Curation.hashSplit]]):
     * per-split doc counts + char totals. The split is a pure projection —
     * no shuffle beyond the verification aggregate. */

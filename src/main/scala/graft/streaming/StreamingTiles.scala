@@ -114,6 +114,39 @@ object StreamingTiles {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** One surviving document per content hash. */
+  case class DedupCanonical(content_hash: String, canonical_id: Long)
+
+  /** Streaming first-seen content dedup over a `(doc_id, text)` stream —
+    * the streaming twin of the batch exact-dedup groupBy (q26), emitting
+    * each distinct content hash ONCE, in the first micro-batch where it
+    * appears, with the smallest doc_id of that batch's group as canonical.
+    * Deterministic (unlike `dropDuplicates`, which keeps an arbitrary row):
+    * later batches are suppressed by a seen-flag in the state store, so the
+    * output equals the batch `md5(text) → min(doc_id)` aggregate whenever
+    * canonical docs precede their copies in stream order. State is one
+    * boolean per distinct hash (the unbounded-retention variant; [[dedup]]
+    * above is the watermark-horizon one). */
+  def dedupFirstSeen(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val stateEnc = Encoders.scalaBoolean
+    implicit val outEnc = Encoders.product[DedupCanonical]
+    def fn(hash: String, rows: Iterator[Row],
+        state: GroupState[Boolean]): Iterator[DedupCanonical] =
+      if (state.exists) Iterator.empty
+      else {
+        state.update(true)
+        Iterator.single(DedupCanonical(hash,
+          rows.map(_.getAs[Long]("doc_id")).min))
+      }
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .groupByKey((r: Row) => r.getAs[String]("content_hash"))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Event-time windowed per-block stats: the streaming twin of the batch
     * time-bucket aggregation (q38). One state-store row per (window, block);
     * the exact-merge aggregate keeps state O(1) per key. */

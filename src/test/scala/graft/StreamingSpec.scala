@@ -127,6 +127,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("first-seen content dedup is deterministic across micro-batches") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingTiles.dedupFirstSeen(input.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("fsd")
+      .outputMode("append").start()
+    try {
+      input.addData((5L, "x"), (9L, "x"), (7L, "y"))
+      query.processAllAvailable()
+      // "x" reappears with a SMALLER id: first-seen keeps batch-1's winner
+      input.addData((1L, "x"), (2L, "z"))
+      query.processAllAvailable()
+      val got = spark.table("fsd").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got === Map(md5("x") -> 5L, md5("y") -> 7L, md5("z") -> 2L))
+    } finally query.stop()
+  }
+
   test("streaming ingest appends sorted micro-batches to a raquet directory") {
     val base = java.nio.file.Files.createTempDirectory("stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
