@@ -321,6 +321,24 @@ object LlmOracles {
         SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
         FROM corpus GROUP BY 1"""
 
+  /** q95 PII-redaction oracle: same pattern table as the Spark operator
+    * (RE2-compatible subset), nested global regexp_replace in the same
+    * order, counts via regexp_extract_all on the original text. */
+  val q95: String = {
+    val redacted = TextOps.piiPatterns.foldLeft("text") {
+      case (e, (_, pat, repl)) => s"regexp_replace($e, '$pat', '$repl', 'g')"
+    }
+    val counts = TextOps.piiPatterns.map { case (label, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$label"
+    }.mkString(",\n          ")
+    s"""WITH corpus AS (
+          SELECT doc_id, ${LlmQueries.piiCorpusCase} AS text FROM documents)
+        SELECT doc_id,
+          $redacted AS text,
+          $counts
+        FROM corpus"""
+  }
+
   /** q93 language-ID oracle: the score fragments and the argmax CASE are
     * GENERATED from the same [[TextOps.langProfiles]] table the Spark
     * operator uses, so the two engines cannot drift. Scores are pure

@@ -130,6 +130,22 @@ object LlmQueries {
     TextOps.langId(docs(spark, dir)
       .withColumn("text", expr(langIdCorpusCase)))
 
+  /** Shared corpus CASE for q95: append synthetic PII to a deterministic
+    * subset so redaction and counts are non-trivial; echoed verbatim into
+    * the oracle. */
+  private[operators] val piiCorpusCase: String =
+    """CASE WHEN doc_id % 17 = 2 THEN text ||
+            ' contact name.surname+tag@example-mail.org or call 415-555-0133 from 10.0.42.7 today'
+           WHEN doc_id % 17 = 9 THEN text ||
+            ' mail ops@example.org and ops2@internal.example.net or ping 192.168.1.77'
+           ELSE text END"""
+
+  /** PII redaction + per-class counts ([[TextOps.redactPii]]) over the
+    * corpus with injected synthetic emails/phones/IPs. */
+  def q95RedactPii(spark: SparkSession, dir: String): DataFrame =
+    TextOps.redactPii(docs(spark, dir)
+      .withColumn("text", expr(piiCorpusCase)))
+
   /** §2.10 driver proof: STRUCTURED STREAMING exact dedup
     * ([[graft.streaming.StreamingTiles.dedupFirstSeen]]) over the exact-dup
     * corpus, fed as two micro-batches — all originals first, then the

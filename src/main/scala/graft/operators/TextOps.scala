@@ -290,6 +290,33 @@ object TextOps {
       s"${arms.mkString(" ")} ELSE '${langs.last}' END"
   }
 
+  // ---------------------------------------------------------------------
+  // PII redaction
+  // ---------------------------------------------------------------------
+
+  /** (label, pattern, replacement) per PII class. Patterns restrict to the
+    * regex subset Java (Spark) and RE2 (the DuckDB oracle) interpret
+    * identically: no lookaround, no backreferences, ASCII classes only.
+    * Replacement tokens contain no digits or '@', so redaction passes can
+    * never create a match for a later pattern regardless of order. */
+  val piiPatterns: List[(String, String, String)] = List(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** Scrub emails / IPv4s / phone numbers from `text` and count each class
+    * (counts over the ORIGINAL text, before any replacement). One codegen'd
+    * projection — no shuffle, no UDF — so it runs at ingest scan speed. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    docs.select(
+      Seq(col("doc_id"), redacted.as("text")) ++
+        piiPatterns.map { case (label, pat, _) =>
+          regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$label") }: _*)
+  }
+
   /** Per-document language ID: (doc_id, lang, score). One projection —
     * codegen'd string arithmetic, no shuffle, trivially linear at scale. */
   def langId(docs: DataFrame): DataFrame = {

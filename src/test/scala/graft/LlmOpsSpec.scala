@@ -145,4 +145,22 @@ class LlmOpsSpec extends SparkSpec {
       .select("score").as[Long].head()
     assert(scores === 0L)
   }
+
+  test("PII redaction scrubs emails/IPs/phones and counts each class") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "write a.b+c@ex.org or x@y.io, dial 415-555-0133, host 10.0.42.7",
+      2L -> "nothing sensitive here 1234-5678")
+      .toDF("doc_id", "text")
+    val out = TextOps.redactPii(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("text") ===
+      "write <EMAIL> or <EMAIL>, dial <PHONE>, host <IP>")
+    assert(out(1L).getAs[Long]("n_email") === 2L)
+    assert(out(1L).getAs[Long]("n_ip") === 1L)
+    assert(out(1L).getAs[Long]("n_phone") === 1L)
+    assert(out(2L).getAs[String]("text") === "nothing sensitive here 1234-5678")
+    assert(out(2L).getAs[Long]("n_email") + out(2L).getAs[Long]("n_ip") +
+      out(2L).getAs[Long]("n_phone") === 0L)
+  }
 }
