@@ -39,16 +39,44 @@ object PixelCodec {
     override def initialValue(): java.util.zip.CRC32 = new java.util.zip.CRC32
   }
 
-  def gzipDecompress(data: Array[Byte]): Array[Byte] = {
-    // single-member gzip carries the uncompressed size (mod 2^32) in the
-    // ISIZE trailer: allocate once and fill, instead of growing a stream.
-    // Anything unusual (multi-member, huge, truncated) falls back to the
-    // fully general streaming path.
+  def gzipDecompress(data: Array[Byte]): Array[Byte] =
+    gzipInflate(data, new Array[Byte](_))._1
+
+  // Scratch for the fused decode→stats path: the kernel reads the inflated
+  // bytes once and never retains them, so one reusable ~256 KB buffer per
+  // pooled task thread replaces a fresh allocation per tile (a 595k-tile
+  // full scan otherwise churns ~150 GB through the young gen).
+  private val tlScratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1 << 18)
+  }
+
+  /** Inflate into a caller-provided buffer; returns (buffer, validLength).
+    * CALLER MUST NOT RETAIN the buffer past one tile when it is the
+    * thread-local scratch. */
+  private def gzipInflateScratch(data: Array[Byte]): (Array[Byte], Int) =
+    gzipInflate(data, sz => {
+      var s = tlScratch.get()
+      if (s.length < sz) { s = new Array[Byte](sz); tlScratch.set(s) }
+      s
+    })
+
+  /** Single-member gzip carries the uncompressed size (mod 2^32) in the
+    * ISIZE trailer: obtain one right-sized buffer from `alloc` and fill it,
+    * instead of growing a stream. Anything unusual (multi-member, huge,
+    * truncated) falls back to the fully general streaming path. Returns
+    * (buffer, validLength) — buffer may exceed validLength only when
+    * `alloc` over-provisions (scratch reuse). */
+  private def gzipInflate(data: Array[Byte],
+      alloc: Int => Array[Byte]): (Array[Byte], Int) = {
+    def streamed: (Array[Byte], Int) = {
+      val a = gzipDecompressStreaming(data)
+      (a, a.length)
+    }
     val m = data.length
-    if (m < 18) return gzipDecompressStreaming(data)
+    if (m < 18) return streamed
     val isize = (data(m - 4) & 0xFF) | ((data(m - 3) & 0xFF) << 8) |
       ((data(m - 2) & 0xFF) << 16) | ((data(m - 1) & 0xFF) << 24)
-    if (isize <= 0 || isize > (1 << 30)) return gzipDecompressStreaming(data)
+    if (isize <= 0 || isize > (1 << 30)) return streamed
     // fixed 10-byte header + optional FEXTRA/FNAME/FCOMMENT/FHCRC fields
     val flg = data(3) & 0xFF
     var off = 10
@@ -60,27 +88,27 @@ object PixelCodec {
       if ((flg & 16) != 0) { while (data(off) != 0) off += 1; off += 1 }
       if ((flg & 2) != 0) off += 2
     } catch {
-      case _: ArrayIndexOutOfBoundsException => return gzipDecompressStreaming(data)
+      case _: ArrayIndexOutOfBoundsException => return streamed
     }
-    if (off >= m - 8) return gzipDecompressStreaming(data)
+    if (off >= m - 8) return streamed
     val inf = tlInflater.get()
     inf.reset()
     inf.setInput(data, off, m - 8 - off)
-    val out = new Array[Byte](isize)
+    val out = alloc(isize)
     var got = 0
     try {
       while (got < isize && !inf.finished()) {
         val r = inf.inflate(out, got, isize - got)
-        if (r == 0 && !inf.finished()) return gzipDecompressStreaming(data)
+        if (r == 0 && !inf.finished()) return streamed
         got += r
       }
     } catch {
-      case _: java.util.zip.DataFormatException => return gzipDecompressStreaming(data)
+      case _: java.util.zip.DataFormatException => return streamed
     }
     // multi-member blobs leave bytes before the final trailer; ISIZE may
     // also understate — both go through the general path
     if (got != isize || !inf.finished() || inf.getRemaining != 0)
-      return gzipDecompressStreaming(data)
+      return streamed
     // same integrity guarantee as GZIPInputStream: verify the CRC32 trailer
     val crc = tlCrc.get()
     crc.reset()
@@ -90,7 +118,7 @@ object PixelCodec {
     if (crc.getValue != want)
       throw new java.util.zip.ZipException(
         f"corrupt gzip blob: CRC 0x${crc.getValue}%08x != 0x$want%08x")
-    out
+    (out, isize)
   }
 
   private def gzipDecompressStreaming(data: Array[Byte]): Array[Byte] = {
@@ -242,9 +270,10 @@ object PixelCodec {
     * `maskedStats(decode(...))`, so results are bit-identical; dtypes
     * without a fused loop fall back to exactly that. */
   def fusedStats(raw: Array[Byte], dtype: String, nodata: Double): Array[Double] = {
-    val data = if (isGzip(raw)) gzipDecompress(raw) else raw
+    val (data, len) =
+      if (isGzip(raw)) gzipInflateScratch(raw) else (raw, raw.length)
     val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
-    val n = data.length / bytesPerPixel(dtype)
+    val n = len / bytesPerPixel(dtype)
     var count = 0L
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
