@@ -114,6 +114,7 @@ object SparkEntry {
     "q93_langid"            -> (LlmQueries.q93LangId _),
     "q94_stream_dedup"      -> (LlmQueries.q94StreamDedup _),
     "q95_redact_pii"        -> (LlmQueries.q95RedactPii _),
+    "q96_tfidf"             -> (LlmQueries.q96Tfidf _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -324,6 +325,7 @@ object SparkEntry {
     "q93_langid"            -> LlmOracles.q93,
     "q94_stream_dedup"      -> LlmOracles.q94,
     "q95_redact_pii"        -> LlmOracles.q95,
+    "q96_tfidf"             -> LlmOracles.q96,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -321,6 +321,29 @@ object LlmOracles {
         SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
         FROM corpus GROUP BY 1"""
 
+  /** q96 TF-IDF oracle: smoothed sklearn-style idf, same tie-break
+    * (tfidf desc, term asc). `ln` is the one non-IEEE-specified function
+    * shared with Spark; round(6) absorbs the ≤2-ulp libm spread. */
+  val q96: String =
+    """WITH pairs AS (
+         SELECT doc_id, t.term, count(*) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents) t
+         WHERE t.term <> '' GROUP BY 1, 2),
+       n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       dfreq AS (SELECT term, count(*) AS df_count FROM pairs GROUP BY 1),
+       scored AS (
+         SELECT p.doc_id, p.term, p.tf, d.df_count,
+           round(p.tf * (ln((n.n_docs + 1.0) / (d.df_count + 1.0)) + 1.0), 6)
+             AS tfidf
+         FROM pairs p, n JOIN dfreq d ON p.term = d.term),
+       ranked AS (
+         SELECT *, row_number() OVER
+           (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+         FROM scored)
+       SELECT doc_id, term, tf, df_count, tfidf, CAST(rk AS BIGINT) AS rk
+       FROM ranked WHERE rk <= 5"""
+
   /** q95 PII-redaction oracle: same pattern table as the Spark operator
     * (RE2-compatible subset), nested global regexp_replace in the same
     * order, counts via regexp_extract_all on the original text. */

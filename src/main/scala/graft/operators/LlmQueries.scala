@@ -146,6 +146,10 @@ object LlmQueries {
     TextOps.redactPii(docs(spark, dir)
       .withColumn("text", expr(piiCorpusCase)))
 
+  /** Top-5 TF-IDF terms per document ([[TextOps.tfidfTopK]]). */
+  def q96Tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopK(docs(spark, dir), k = 5)
+
   /** §2.10 driver proof: STRUCTURED STREAMING exact dedup
     * ([[graft.streaming.StreamingTiles.dedupFirstSeen]]) over the exact-dup
     * corpus, fed as two micro-batches — all originals first, then the

@@ -291,6 +291,40 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------------
+  // TF-IDF
+  // ---------------------------------------------------------------------
+
+  /** Top-`k` terms per document by smoothed TF-IDF
+    * (`tf * (ln((N+1)/(df+1)) + 1)`, the sklearn-style smoothing that never
+    * divides by zero). Scale shape: explode → per-(doc,term) hash count
+    * (map-side partial), document frequencies from the same pairs (term
+    * vocabulary ≪ corpus, broadcast back), then one window per doc_id for
+    * the top-k — two shuffles total, both on high-cardinality keys. Ties
+    * break by term ascending, so output is deterministic. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf-idf ranks every (doc, term) twice below (df agg + window);
+      // persist so the corpus is tokenized once
+      .persist()
+    val nDocs = docs.select(countDistinct(col("doc_id"))).head.getLong(0)
+    val df = pairs.groupBy("term").agg(count(lit(1)).as("df_count"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    pairs
+      .join(broadcast(df), "term")
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(nDocs) + 1.0) / (col("df_count") + 1.0)) + 1.0), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_count"),
+        col("tfidf"), col("rk").cast("long").as("rk"))
+  }
+
+  // ---------------------------------------------------------------------
   // PII redaction
   // ---------------------------------------------------------------------
 
