@@ -115,6 +115,7 @@ object SparkEntry {
     "q94_stream_dedup"      -> (LlmQueries.q94StreamDedup _),
     "q95_redact_pii"        -> (LlmQueries.q95RedactPii _),
     "q96_tfidf"             -> (LlmQueries.q96Tfidf _),
+    "q97_focal_mean"        -> (RaquetQueries.q97FocalMean _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -326,6 +327,7 @@ object SparkEntry {
     "q94_stream_dedup"      -> LlmOracles.q94,
     "q95_redact_pii"        -> LlmOracles.q95,
     "q96_tfidf"             -> LlmOracles.q96,
+    "q97_focal_mean"        -> RaquetOracles.q97,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

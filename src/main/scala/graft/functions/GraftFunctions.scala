@@ -50,6 +50,9 @@ object GraftFunctions {
   def rq_clip(band: Column, block: Column, meta: RaquetMetadata,
       name: String, wkt: String): Column =
     col(RqClip(ex(band), ex(block), BandKernel(meta, name), wkt))
+  def rq_focal_mean(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqFocalMean(ex(band), ex(halos), BandKernel(meta, name)))
   def rq_normalized_difference_stats(a: Column, b: Column, meta: RaquetMetadata,
       nameA: String, nameB: String): Column =
     col(RqNdStats(ex(a), ex(b),

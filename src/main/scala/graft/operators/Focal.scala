@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.RaquetMetadata
+
+/** Focal (neighborhood) raster operators — beyond the reference, which has
+  * no cross-tile map algebra. A 3×3 focal statistic needs one pixel of
+  * context past every tile edge, which in a tile-per-row table means a HALO
+  * EXCHANGE between the 8 neighboring rows.
+  *
+  * Scale shape: each tile decodes ONCE and emits only its 4 edge strips +
+  * 4 corner pixels (~2(w+h)+4 of w·h pixels ≈ 3% for 256² tiles) keyed by
+  * the neighbor that needs them; one hash aggregate groups the ≤8 strips
+  * per target; the strips then join back to the original rows, so the
+  * shuffle carries the compressed blobs once plus the tiny strips — never
+  * 9× the raster, never a decoded-pixel shuffle of tile interiors. The
+  * per-tile window computation is a plan-time kernel expression
+  * ([[org.apache.spark.sql.graft.RqFocalMean]]).
+  */
+object Focal {
+
+  /** 3×3 nodata-aware focal mean over every native-zoom tile of a raquet
+    * table. Output: (block, vals) with vals row-major w×h physical-value
+    * means; raster-edge windows truncate (mean over in-raster neighbors),
+    * matching GIS "ignore nodata" focal semantics. */
+  def focalMean3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    val w = meta.blockWidth
+    val h = meta.blockHeight
+    val z = meta.maxZoom
+    val native = data
+      .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
+    val dec = native.select(
+      quadbin_tile_x(col("block")).as("tx"),
+      quadbin_tile_y(col("block")).as("ty"),
+      rq_decode(col(band), meta, band).as("dec"))
+    // strip content per label (dx, dy) = source minus target: the source's
+    // edge facing the target. Bracket indexing is 0-based, slice 1-based.
+    def strip(dx: Int, dy: Int): Column = (dx, dy) match {
+      case (-1, 0)  => expr(s"transform(sequence(0, ${h - 1}), r -> dec[r * $w + ${w - 1}])")
+      case (1, 0)   => expr(s"transform(sequence(0, ${h - 1}), r -> dec[r * $w])")
+      case (0, -1)  => expr(s"slice(dec, ${w * (h - 1) + 1}, $w)")
+      case (0, 1)   => expr(s"slice(dec, 1, $w)")
+      case (-1, -1) => array(expr(s"dec[${h * w - 1}]"))
+      case (1, -1)  => array(expr(s"dec[${w * (h - 1)}]"))
+      case (-1, 1)  => array(expr(s"dec[${w - 1}]"))
+      case (1, 1)   => array(expr("dec[0]"))
+      case other    => throw new IllegalArgumentException(other.toString)
+    }
+    val labels = for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
+      yield (dx, dy)
+    val contrib = dec
+      // one explode over 9-1 pre-sliced strips: the tile decodes once here
+      .select(explode(array(labels.map { case (dx, dy) =>
+        struct(
+          (col("tx") - dx).as("ntx"), (col("ty") - dy).as("nty"),
+          lit(dx).as("dx"), lit(dy).as("dy"), strip(dx, dy).as("vals"))
+      }: _*)).as("c"))
+      .select(col("c.ntx"), col("c.nty"), col("c.dx"), col("c.dy"), col("c.vals"))
+      // drop targets outside the tile grid BEFORE forming cell ids: out-of-
+      // range coords must never reach the Morton encoder
+      .filter(col("ntx") >= 0 && col("ntx") < (1L << z) &&
+        col("nty") >= 0 && col("nty") < (1L << z))
+      .select(quadbin_from_tile(col("ntx"), col("nty"), lit(z)).as("target"),
+        col("dx"), col("dy"), col("vals"))
+    val halos = contrib
+      .groupBy(col("target"))
+      .agg(collect_list(struct(col("dx"), col("dy"), col("vals"))).as("halos"))
+    native
+      .join(halos, native("block") === halos("target"), "left")
+      .select(col("block"),
+        rq_focal_mean(col(band), col("halos"), meta, band).as("vals"))
+  }
+}

@@ -128,6 +128,25 @@ object RaquetOracles {
         SELECT block, pos, round((va - vb)/(va + vb), 7) AS nd FROM v"""
   }
 
+  /** q97: 3×3 focal mean recomputed from the closed form — for every pixel
+    * of all 64 native tiles, average band_1 over the in-raster, non-nodata
+    * neighbors (raster pixel bounds gx∈[512,640), gy∈[384,512); nodata on
+    * the (gx+gy)%31 stripes). Integer sums, one division — engine-exact. */
+  val q97: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        nb AS (SELECT block, pos, gx+ox AS nx, gy+oy AS ny
+          FROM px, range(-1, 2) o1(ox), range(-1, 2) o2(oy)
+          WHERE gx+ox BETWEEN 512 AND 639 AND gy+oy BETWEEN 384 AND 511
+            AND (gx+ox+gy+oy) % 31 <> 0)
+        SELECT block, pos,
+          sum(CAST((7*nx + 13*ny) % 255 AS DOUBLE)) / count(*) AS v
+        FROM nb GROUP BY 1, 2"""
+  }
+
   /** q58: clip recomputed from the closed form — same pixel-center lon/lat
     * formulas as q55 (bit-identical dyadic ops into exp/atan), polygon test
     * reduces to range comparisons on the rectangle. */

@@ -120,6 +120,20 @@ object RaquetQueries {
     * point-in-polygon loop), x∈{32,35} take the masked path; pixels whose
     * center is outside → NULL. band_2 physical values are dyadic-exact, so
     * the oracle's closed-form recomputation hashes identically. */
+  /** Focal 3×3 mean over the whole fixture raster ([[Focal.focalMean3x3]]):
+    * every native tile, halo strips exchanged between the 64 tiles, raster
+    * edges truncated. band_1 is integer-valued with a nonlinear (mod 255)
+    * pattern and nodata stripes, so a misplaced or swapped halo strip — the
+    * failure mode a linear field cannot see — changes values and fails the
+    * oracle hash. Sums are exact integers, one division per pixel. */
+  def q97FocalMean(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    Focal.focalMean3x3(ds.data, ds.meta, "band_1")
+      .select(col("block"), posexplode(col("vals")))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
+  }
+
   def q58ClipPixels(spark: SparkSession, dir: String): DataFrame = {
     val ds = RaquetIO.read(spark, Fixture)
     val tiles = for { x <- 32L to 35L; y <- 27L to 30L }

@@ -64,6 +64,82 @@ object RqBridge {
     geom.intersectsBox(graft.geo.BBox(b(0), b(1), b(2), b(3)))
   }
 
+  /** 3×3 focal mean over one tile + its halo strips. `halos` elements are
+    * (dx, dy, vals) with (dx, dy) = source tile minus this tile, so (-1, 0)
+    * carries the WEST neighbor's east column, (0, -1) the NORTH neighbor's
+    * south row, corners a single pixel. Missing halo cells (raster edge)
+    * and nodata/NaN pixels are excluded from the window; each output value
+    * is sum(physical)/count with ONE division, so engines that sum the same
+    * exact (dyadic/integer) pixel values agree bit-for-bit regardless of
+    * accumulation order. Output is row-major w×h; NaN where the whole
+    * window is invalid. */
+  def focalOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): ArrayData = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = Array.fill(pw * (h + 2))(Double.NaN)
+    val center = k.decode(raw)
+    var j = 0
+    while (j < h) {
+      System.arraycopy(center, j * w, pad, (j + 1) * pw + 1, w)
+      j += 1
+    }
+    if (halos != null) {
+      var p = 0
+      while (p < halos.numElements()) {
+        val r = halos.getStruct(p, 3)
+        if (r != null) {
+          val dx = r.getInt(0); val dy = r.getInt(1)
+          val vals = r.getArray(2).toDoubleArray()
+          (dx, dy) match {
+            case (-1, 0) =>
+              var i = 0; while (i < h) { pad((i + 1) * pw) = vals(i); i += 1 }
+            case (1, 0) =>
+              var i = 0; while (i < h) { pad((i + 1) * pw + w + 1) = vals(i); i += 1 }
+            case (0, -1) =>
+              var i = 0; while (i < w) { pad(i + 1) = vals(i); i += 1 }
+            case (0, 1) =>
+              var i = 0; while (i < w) { pad((h + 1) * pw + i + 1) = vals(i); i += 1 }
+            case (-1, -1) => pad(0) = vals(0)
+            case (1, -1)  => pad(w + 1) = vals(0)
+            case (-1, 1)  => pad((h + 1) * pw) = vals(0)
+            case (1, 1)   => pad((h + 1) * pw + w + 1) = vals(0)
+            case _        => ()
+          }
+        }
+        p += 1
+      }
+    }
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val out = new Array[Double](w * h)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        var s = 0.0
+        var c = 0
+        var oy = 0
+        while (oy < 3) {
+          val base = (jj + oy) * pw + ii
+          var ox = 0
+          while (ox < 3) {
+            val v = pad(base + ox)
+            if (!java.lang.Double.isNaN(v) && !(hasNd && v == nodata)) {
+              s += v * k.scale + k.offset
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        out(jj * w + ii) = if (c == 0) Double.NaN else s / c
+        ii += 1
+      }
+      jj += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   val B = "org.apache.spark.sql.graft.RqBridge"
 }
 
@@ -234,6 +310,52 @@ case class RqClip(band: Expression, block: Expression,
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(band = l, block = r)
+}
+
+/** rq_focal_mean(band, halos) → row-major w×h array of 3×3 neighborhood
+  * means (physical values, nodata-aware), given the tile's blob and the
+  * halo strips collected from its 8 neighbors (see
+  * [[graft.operators.Focal]] for the exchange shape and [[RqBridge.focalOf]]
+  * for halo-label semantics). A NULL halo list (isolated tile / raster
+  * corner) means an empty halo, NOT a null result. */
+case class RqFocalMean(band: Expression, halos: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_focal_mean"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.focalOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.focalOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
 }
 
 /** rq_normalized_difference_stats(band_a, band_b) → stats struct over the

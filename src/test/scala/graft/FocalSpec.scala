@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Focal
+import graft.quadbin.Quadbin
+import graft.raquet.FixtureGen
+
+/** Focal 3×3 mean: the oracle (q97) proves cross-tile halo placement on the
+  * 8×8 fixture; this spec covers what it cannot — an ISOLATED tile whose
+  * halo list is NULL after the left join (raster of one tile), and a
+  * brute-force check of the nodata-aware truncated-window math. */
+class FocalSpec extends SparkSpec {
+
+  private def expected(gx: Long, gy: Long, x0: Long, y0: Long, n: Int): Double = {
+    val lo = 16 * x0; val hiX = 16 * (x0 + n); val loY = 16 * y0; val hiY = 16 * (y0 + n)
+    var s = 0.0; var c = 0
+    for (oy <- -1 to 1; ox <- -1 to 1) {
+      val nx = gx + ox; val ny = gy + oy
+      if (nx >= lo && nx < hiX && ny >= loY && ny < hiY) {
+        val v = FixtureGen.v1(nx, ny)
+        if (v != FixtureGen.Band1Nodata) { s += v; c += 1 }
+      }
+    }
+    s / c
+  }
+
+  private def check(n: Int): Unit = {
+    val (x0, y0, z, bs) = (40L, 40L, 6, 16)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = n.toLong * n)
+    val got = Focal.focalMean3x3(tiles, meta, "band_1")
+      .select(col("block"), posexplode(col("vals")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === n * n * bs * bs)
+    got.foreach { case ((block, pos), v) =>
+      val gx = Quadbin.tileX(block) * bs + pos % bs
+      val gy = Quadbin.tileY(block) * bs + pos / bs
+      assert(v === expected(gx, gy, x0, y0, n),
+        s"pixel ($gx, $gy) of ${n}x$n raster")
+    }
+  }
+
+  test("isolated tile (null halos) truncates every window to the tile") {
+    check(1)
+  }
+
+  test("2x2 tiles: cross-tile windows match brute force, nodata excluded") {
+    check(2)
+  }
+}
