@@ -179,6 +179,12 @@ object Bench {
         .filter(col("s.mean") < 180.0)
         .agg(rq_stats_merge(col("s")).as("m")).select("m.*")
     }),
+    "b_focal_mean" -> ((s: SparkSession, _: String) => {
+      // cross-tile halo exchange + per-pixel 3×3 window over every native
+      // tile — the hardest raster shape (decode + strip shuffle + assemble)
+      val ds = RaquetIO.read(s, RasterDir)
+      graft.operators.Focal.focalMean3x3(ds.data, ds.meta, "band_1")
+    }),
     "b_topk_tiles" -> ((s: SparkSession, _: String) =>
       RaquetIO.read(s, RasterDir).data
         .filter(quadbin_zoom(col("block")) === 10)
