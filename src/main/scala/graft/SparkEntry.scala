@@ -116,6 +116,7 @@ object SparkEntry {
     "q95_redact_pii"        -> (LlmQueries.q95RedactPii _),
     "q96_tfidf"             -> (LlmQueries.q96Tfidf _),
     "q97_focal_mean"        -> (RaquetQueries.q97FocalMean _),
+    "q98_focal_slope"       -> (RaquetQueries.q98FocalSlope _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -328,6 +329,7 @@ object SparkEntry {
     "q95_redact_pii"        -> LlmOracles.q95,
     "q96_tfidf"             -> LlmOracles.q96,
     "q97_focal_mean"        -> RaquetOracles.q97,
+    "q98_focal_slope"       -> RaquetOracles.q98,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -53,6 +53,9 @@ object GraftFunctions {
   def rq_focal_mean(band: Column, halos: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqFocalMean(ex(band), ex(halos), BandKernel(meta, name)))
+  def rq_focal_slope(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String, cell: Double): Column =
+    col(RqFocalSlope(ex(band), ex(halos), BandKernel(meta, name), cell))
   def rq_normalized_difference_stats(a: Column, b: Column, meta: RaquetMetadata,
       nameA: String, nameB: String): Column =
     col(RqNdStats(ex(a), ex(b),

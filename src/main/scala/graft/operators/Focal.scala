@@ -17,8 +17,9 @@ import graft.raquet.RaquetMetadata
   * per target; the strips then join back to the original rows, so the
   * shuffle carries the compressed blobs once plus the tiny strips — never
   * 9× the raster, never a decoded-pixel shuffle of tile interiors. The
-  * per-tile window computation is a plan-time kernel expression
-  * ([[org.apache.spark.sql.graft.RqFocalMean]]).
+  * per-tile window computations are plan-time kernel expressions
+  * ([[org.apache.spark.sql.graft.RqFocalMean]],
+  * [[org.apache.spark.sql.graft.RqFocalSlope]]).
   */
 object Focal {
 
@@ -26,7 +27,24 @@ object Focal {
     * table. Output: (block, vals) with vals row-major w×h physical-value
     * means; raster-edge windows truncate (mean over in-raster neighbors),
     * matching GIS "ignore nodata" focal semantics. */
-  def focalMean3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+  def focalMean3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_focal_mean(col(band), col("halos"), meta, band).as("vals"))
+
+  /** Horn's-method slope in degrees over every native-zoom tile; NaN where
+    * the window has any missing/nodata cell (strict GIS convention).
+    * `cell` is the ground distance per pixel in value units. */
+  def focalSlope3x3(data: DataFrame, meta: RaquetMetadata, band: String,
+      cell: Double = 1.0): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_focal_slope(col(band), col("halos"), meta, band, cell).as("vals"))
+
+  /** Native tiles left-joined with their collected halo strips (column
+    * `halos`; NULL for an isolated tile). */
+  private def withHalos(data: DataFrame, meta: RaquetMetadata,
+      band: String): DataFrame = {
     val w = meta.blockWidth
     val h = meta.blockHeight
     val z = meta.maxZoom
@@ -52,7 +70,7 @@ object Focal {
     val labels = for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
       yield (dx, dy)
     val contrib = dec
-      // one explode over 9-1 pre-sliced strips: the tile decodes once here
+      // one explode over the 8 pre-sliced strips: the tile decodes once here
       .select(explode(array(labels.map { case (dx, dy) =>
         struct(
           (col("tx") - dx).as("ntx"), (col("ty") - dy).as("nty"),
@@ -68,9 +86,6 @@ object Focal {
     val halos = contrib
       .groupBy(col("target"))
       .agg(collect_list(struct(col("dx"), col("dy"), col("vals"))).as("halos"))
-    native
-      .join(halos, native("block") === halos("target"), "left")
-      .select(col("block"),
-        rq_focal_mean(col(band), col("halos"), meta, band).as("vals"))
+    native.join(halos, native("block") === halos("target"), "left")
   }
 }

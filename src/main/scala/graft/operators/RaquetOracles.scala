@@ -147,6 +147,41 @@ object RaquetOracles {
         FROM nb GROUP BY 1, 2"""
   }
 
+  /** q98: Horn slope from the closed form. The 9 window cells are inline
+    * CASE expressions (in-bounds + non-nodata, else NULL); slope only where
+    * all 9 are present — NULL propagation through the arithmetic gives that
+    * for free. round(7) matches the Spark side (see q98FocalSlope). */
+  val q98: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def v(dx: Int, dy: Int): String =
+      s"""CASE WHEN gx+($dx) BETWEEN 512 AND 639 AND gy+($dy) BETWEEN 384 AND 511
+              AND (gx+($dx)+gy+($dy)) % 31 <> 0
+          THEN CAST((7*(gx+($dx)) + 13*(gy+($dy))) % 255 AS DOUBLE) END"""
+    // window cells row-major: a b c / d e f / g h i
+    val Seq(a, b, c, d, _, f, g, hh, i) =
+      for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield v(dx, dy)
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        w9 AS (SELECT block, pos,
+          $a AS a, $b AS b, $c AS c, $d AS d, $f AS f,
+          $g AS g, $hh AS h, $i AS i
+          FROM px),
+        -- the center cell must be valid too, or the window is incomplete
+        ctr AS (SELECT block, pos, a, b, c, d, f, g, h, i,
+          CASE WHEN (gx+gy) % 31 <> 0 THEN 1 END AS e_ok
+          FROM w9 JOIN px USING (block, pos)),
+        dz AS (SELECT block, pos, e_ok,
+          ((c + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzdx,
+          ((g + 2*h + i) - (a + 2*b + c)) / 8.0 AS dzdy
+          FROM ctr)
+        SELECT block, pos,
+          CASE WHEN e_ok = 1 THEN
+            round(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 7) END AS v
+        FROM dz"""
+  }
+
   /** q58: clip recomputed from the closed form — same pixel-center lon/lat
     * formulas as q55 (bit-identical dyadic ops into exp/atan), polygon test
     * reduces to range comparisons on the rectangle. */

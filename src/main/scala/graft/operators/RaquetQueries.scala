@@ -134,6 +134,20 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
+    * halo exchange as q97 but with the strict all-9-cells window (any
+    * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact
+    * on the integer band; round(7) on both engines absorbs the ≤2-ulp libm
+    * spread of atan/degrees, the only non-correctly-rounded ops. */
+  def q98FocalSlope(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    Focal.focalSlope3x3(ds.data, ds.meta, "band_1")
+      .select(col("block"), posexplode(col("vals")))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null))
+          .otherwise(round(col("col"), 7)).as("v"))
+  }
+
   def q58ClipPixels(spark: SparkSession, dir: String): DataFrame = {
     val ds = RaquetIO.read(spark, Fixture)
     val tiles = for { x <- 32L to 35L; y <- 27L to 30L }

@@ -76,6 +76,93 @@ object RqBridge {
   def focalOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): ArrayData = {
     val w = k.width; val h = k.height
     val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val out = new Array[Double](w * h)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        var s = 0.0
+        var c = 0
+        var oy = 0
+        while (oy < 3) {
+          val base = (jj + oy) * pw + ii
+          var ox = 0
+          while (ox < 3) {
+            val v = pad(base + ox)
+            if (!java.lang.Double.isNaN(v) && !(hasNd && v == nodata)) {
+              s += v * k.scale + k.offset
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        out(jj * w + ii) = if (c == 0) Double.NaN else s / c
+        ii += 1
+      }
+      jj += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Horn's-method slope (degrees) over one tile + halo strips (same
+    * exchange/label contract as [[focalOf]]). Window cells a..i row-major:
+    * dz/dx = ((c+2f+i)−(a+2d+g))/(8·cell), dz/dy = ((g+2h+i)−(a+2b+c))/
+    * (8·cell), slope = atan(√(dz/dx²+dz/dy²)) in degrees. Any missing or
+    * nodata cell in the window → NaN output for that pixel (the strict GIS
+    * convention — a gradient over a hole is not a gradient). For integer /
+    * dyadic rasters every op before atan is IEEE-exact, so engines agree
+    * to atan's correctly-rounded-input ulp. */
+  def slopeOf(k: BandKernel, raw: Array[Byte], halos: ArrayData,
+      cell: Double): ArrayData = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val out = new Array[Double](w * h)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        val base = jj * pw + ii
+        var ok = true
+        val win = new Array[Double](9)
+        var oy = 0
+        while (oy < 3 && ok) {
+          var ox = 0
+          while (ox < 3 && ok) {
+            val v = pad(base + oy * pw + ox)
+            if (java.lang.Double.isNaN(v) || (hasNd && v == nodata)) ok = false
+            else win(oy * 3 + ox) = v * k.scale + k.offset
+            ox += 1
+          }
+          oy += 1
+        }
+        out(jj * w + ii) =
+          if (!ok) Double.NaN
+          else {
+            val dzdx = ((win(2) + 2.0 * win(5) + win(8)) -
+              (win(0) + 2.0 * win(3) + win(6))) / (8.0 * cell)
+            val dzdy = ((win(6) + 2.0 * win(7) + win(8)) -
+              (win(0) + 2.0 * win(1) + win(2))) / (8.0 * cell)
+            math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
+          }
+        ii += 1
+      }
+      jj += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Shared halo assembly: (w+2)×(h+2) padded raw-DN grid, NaN outside. */
+  private def assemblePadded(k: BandKernel, raw: Array[Byte],
+      halos: ArrayData): Array[Double] = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
     val pad = Array.fill(pw * (h + 2))(Double.NaN)
     val center = k.decode(raw)
     var j = 0
@@ -109,35 +196,7 @@ object RqBridge {
         p += 1
       }
     }
-    val nodata = k.nodata
-    val hasNd = !nodata.isNaN
-    val out = new Array[Double](w * h)
-    var jj = 0
-    while (jj < h) {
-      var ii = 0
-      while (ii < w) {
-        var s = 0.0
-        var c = 0
-        var oy = 0
-        while (oy < 3) {
-          val base = (jj + oy) * pw + ii
-          var ox = 0
-          while (ox < 3) {
-            val v = pad(base + ox)
-            if (!java.lang.Double.isNaN(v) && !(hasNd && v == nodata)) {
-              s += v * k.scale + k.offset
-              c += 1
-            }
-            ox += 1
-          }
-          oy += 1
-        }
-        out(jj * w + ii) = if (c == 0) Double.NaN else s / c
-        ii += 1
-      }
-      jj += 1
-    }
-    ArrayData.toArrayData(out)
+    pad
   }
 
   val B = "org.apache.spark.sql.graft.RqBridge"
@@ -351,6 +410,50 @@ case class RqFocalMean(band: Expression, halos: Expression, kernel: BandKernel)
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.focalOf($k, ${b.value},
             ${hl.isNull} ? null : ${hl.value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
+}
+
+/** rq_focal_slope(band, halos) → row-major w×h array of Horn's-method slope
+  * degrees (see [[RqBridge.slopeOf]]); NaN where the 3×3 window has any
+  * missing or nodata cell. Same halo contract as [[RqFocalMean]]. */
+case class RqFocalSlope(band: Expression, halos: Expression,
+    kernel: BandKernel, cell: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_focal_slope"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.slopeOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData], cell)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.slopeOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value}, $cell);
         }
       """)
   }

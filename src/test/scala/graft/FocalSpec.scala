@@ -50,4 +50,33 @@ class FocalSpec extends SparkSpec {
   test("2x2 tiles: cross-tile windows match brute force, nodata excluded") {
     check(2)
   }
+
+  test("slope: flat field is 0, unit ramp is 45 degrees, holes are NaN") {
+    val (x0, y0, z, bs, n) = (40L, 40L, 6, 16, 1)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = 1L)
+    // band_2 is linear (phys = gx/4 + gy/8 + 16): every full window has the
+    // same gradient (0.25, 0.125) ⇒ slope = atan(sqrt(0.0625 + 0.015625))
+    val want = math.toDegrees(math.atan(math.sqrt(0.25 * 0.25 + 0.125 * 0.125)))
+    val got = Focal.focalSlope3x3(tiles, meta, "band_2")
+      .select(posexplode(col("vals")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (j <- 0 until bs; i <- 0 until bs) {
+      val v = got(j * bs + i)
+      if (i == 0 || i == bs - 1 || j == 0 || j == bs - 1)
+        assert(v.isNaN, s"edge pixel ($i, $j) must be NaN (incomplete window)")
+      else assert(v === want, s"interior pixel ($i, $j)")
+    }
+    // band_1 has nodata stripes: every window touching one must be NaN
+    val s1 = Focal.focalSlope3x3(tiles, meta, "band_1")
+      .select(posexplode(col("vals")))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (j <- 1 until bs - 1; i <- 1 until bs - 1) {
+      val touchesNodata = (for (oy <- -1 to 1; ox <- -1 to 1) yield
+        FixtureGen.v1(16 * x0 + i + ox, 16 * y0 + j + oy))
+        .contains(FixtureGen.Band1Nodata)
+      assert(s1(j * bs + i).isNaN === touchesNodata, s"pixel ($i, $j)")
+    }
+  }
 }
