@@ -117,6 +117,7 @@ object SparkEntry {
     "q96_tfidf"             -> (LlmQueries.q96Tfidf _),
     "q97_focal_mean"        -> (RaquetQueries.q97FocalMean _),
     "q98_focal_slope"       -> (RaquetQueries.q98FocalSlope _),
+    "q99_sq_knn"            -> (LlmQueries.q99SqKnn _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -330,6 +331,7 @@ object SparkEntry {
     "q96_tfidf"             -> LlmOracles.q96,
     "q97_focal_mean"        -> RaquetOracles.q97,
     "q98_focal_slope"       -> RaquetOracles.q98,
+    "q99_sq_knn"            -> LlmOracles.q99,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -321,6 +321,39 @@ object LlmOracles {
         SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id
         FROM corpus GROUP BY 1"""
 
+  /** q99 SQ8-ANN oracle: recompute the whole pipeline — per-dim min/step
+    * (order-insensitive exact aggregates), 8-bit codes (IEEE-exact double
+    * arithmetic into the same clamp/floor), bucket-center reconstruction,
+    * and the left-folded asymmetric squared-L2 — then rank. Mirrors
+    * [[EmbedOps.sqTopK]] op for op. */
+  val q99: String = {
+    val dim = 64
+    val mmAggs = (0 until dim).map(d =>
+      s"min(embedding[${d + 1}]::DOUBLE) AS mn$d, max(embedding[${d + 1}]::DOUBLE) AS mx$d")
+      .mkString(", ")
+    val mnList = (0 until dim).map(d => s"mn$d").mkString("list_value(", ", ", ")")
+    val stList = (0 until dim).map(d => s"(mx$d - mn$d) / 255.0")
+      .mkString("list_value(", ", ", ")")
+    val recon = "(mn[i] + (CAST(code[i] AS DOUBLE) + 0.5) * st[i])"
+    val dist = foldSum(dim, s"(qe[i]::DOUBLE - $recon) * (qe[i]::DOUBLE - $recon)")
+    s"""WITH mm AS (SELECT $mmAggs FROM embeddings),
+        qz AS (SELECT $mnList AS mn, $stList AS st FROM mm),
+        c AS (SELECT vec_id, label,
+                list_transform(generate_series(1, $dim), i ->
+                  CASE WHEN st[i] = 0 THEN 0
+                       ELSE CAST(least(255.0, greatest(0.0,
+                         CAST(floor((embedding[i]::DOUBLE - mn[i]) / st[i]) AS DOUBLE)))
+                         AS INT) END) AS code
+              FROM embeddings, qz),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        s AS (SELECT qid, vec_id, label, round($dist, 6) AS dist
+              FROM c, q, qz),
+        r AS (SELECT qid, vec_id, label, dist,
+                row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rank
+              FROM s)
+        SELECT qid, rank, vec_id, dist, label FROM r WHERE rank <= 10"""
+  }
+
   /** q96 TF-IDF oracle: smoothed sklearn-style idf, same tie-break
     * (tfidf desc, term asc). `ln` is the one non-IEEE-specified function
     * shared with Spark; round(6) absorbs the ≤2-ulp libm spread. */

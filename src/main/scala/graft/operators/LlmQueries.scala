@@ -150,6 +150,16 @@ object LlmQueries {
   def q96Tfidf(spark: SparkSession, dir: String): DataFrame =
     TextOps.tfidfTopK(docs(spark, dir), k = 5)
 
+  /** SQ8 compressed-corpus ANN ([[EmbedOps.sqTopK]]): same query set as
+    * q29 but over the 8-bit quantized corpus. The oracle recomputes the
+    * quantizer (min/max/step), the codes, the reconstruction, and the
+    * folded asymmetric distances from scratch in SQL — full-algorithm
+    * verification, possible because uniform SQ has no k-means step. */
+  def q99SqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    EmbedOps.sqTopK(emb.filter(col("vec_id") < 5), emb, k = 10, dim = 64)
+  }
+
   /** §2.10 driver proof: STRUCTURED STREAMING exact dedup
     * ([[graft.streaming.StreamingTiles.dedupFirstSeen]]) over the exact-dup
     * corpus, fed as two micro-batches — all originals first, then the

@@ -146,6 +146,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(scores === 0L)
   }
 
+  test("SQ8 codes are in range and quantized top-10 recalls exact top-10 well") {
+    import graft.operators.EmbedOps
+    val (mins, steps) = EmbedOps.sqTrain(emb, dim = 64)
+    assert(mins.length === 64 && steps.forall(_ >= 0.0))
+    val codes = EmbedOps.sqEncode(emb, mins, steps)
+      .select(explode(col("code"))).as[Int](org.apache.spark.sql.Encoders.scalaInt)
+      .collect()
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    val q = emb.filter(col("vec_id") < 5)
+    val sq = EmbedOps.sqTopK(q, emb, k = 10, dim = 64).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    // exact SAME-METRIC ground truth (unquantized squared L2), driver-side:
+    // isolates pure quantization loss from any metric difference
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recall = (0L until 5L).map { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val exact = all.sortBy { case (id, v) => (l2(qv, v), id) }
+        .take(10).map(_._1).toSet
+      (exact & sq(qid)).size
+    }.sum / 50.0
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("PII redaction scrubs emails/IPs/phones and counts each class") {
     import spark.implicits._
     val rows = Seq(
