@@ -118,6 +118,7 @@ object SparkEntry {
     "q97_focal_mean"        -> (RaquetQueries.q97FocalMean _),
     "q98_focal_slope"       -> (RaquetQueries.q98FocalSlope _),
     "q99_sq_knn"            -> (LlmQueries.q99SqKnn _),
+    "q100_zonal_stats"      -> (RaquetQueries.q100ZonalStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -332,6 +333,7 @@ object SparkEntry {
     "q97_focal_mean"        -> RaquetOracles.q97,
     "q98_focal_slope"       -> RaquetOracles.q98,
     "q99_sq_knn"            -> LlmOracles.q99,
+    "q100_zonal_stats"      -> RaquetOracles.q100,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

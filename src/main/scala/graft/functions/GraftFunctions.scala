@@ -66,6 +66,14 @@ object GraftFunctions {
     col(QuadbinInRanges(ex(block), ranges.map(_._1), ranges.map(_._2)))
   def st_polyfill(wkt: String, zoom: Column, mode: String = "intersects"): Column =
     col(RqPolyfill(wkt, ex(zoom), mode))
+  /** Polygon-table form: WKT as a column (zonal joins). */
+  def st_polyfill_col(wkt: Column, zoom: Column,
+      mode: String = "intersects"): Column =
+    col(RqPolyfillDyn(ex(wkt), ex(zoom), mode))
+  /** Zonal form: WKT as a column. */
+  def rq_clip_stats_col(band: Column, block: Column, wkt: Column,
+      meta: RaquetMetadata, name: String): Column =
+    col(RqClipStatsDyn(ex(band), ex(block), ex(wkt), BandKernel(meta, name)))
 
   /** Exact partial→final stats merge (A3) over `rq_summary_stats` structs —
     * a declarative aggregate (codegen'd hash agg, primitive buffers). */

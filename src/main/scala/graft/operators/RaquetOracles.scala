@@ -94,6 +94,29 @@ object RaquetOracles {
           sum(v1) AS vsum FROM v"""
   }
 
+  /** q100 — zonal stats over a polygon table: the q22-style pixel-level
+    * recomputation once per zone, unioned with zone ids. Bounds must match
+    * RegionWkt / FastRegionWkt / Zone3Wkt. */
+  val q100: String = {
+    val zones = Seq(
+      (1, 5.6371, 11.9407, 24.7113, 30.2881),
+      (2, 2.0, 19.0, 5.0, 32.0),
+      (3, 25.0, 40.0, 2.0, 15.0))
+    val clon = "((CAST(gx AS DOUBLE) + 0.5)/1024*360 - 180)"
+    val t = "((CAST(gy AS DOUBLE) + 0.5)/1024)"
+    val clat = s"degrees(atan((exp(pi()*(1 - 2*$t)) - exp(-pi()*(1 - 2*$t)))/2))"
+    val perZone = zones.map { case (id, w, e, s, n) =>
+      s"""SELECT $id AS zone_id, count(v1) AS n_valid, min(v1) AS vmin,
+            max(v1) AS vmax, sum(v1) AS vsum
+          FROM (SELECT $V1 AS v1 FROM px
+                WHERE $clon > $w AND $clon < $e AND $clat > $s AND $clat < $n)"""
+    }.mkString(" UNION ALL ")
+    s"""WITH px AS (
+          SELECT x*16+i AS gx, y*16+j AS gy
+          FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j))
+        $perZone"""
+  }
+
   /** q55 — the stats-column fast path must equal the ground truth that q22's
     * style of pixel-level recomputation defines: every fixture pixel whose
     * center lies in [[RaquetQueries.FastRegionWkt]], regardless of whether

@@ -114,6 +114,41 @@ object RaquetQueries {
       .select(col("m.count").as("n_valid"), col("m.min").as("vmin"),
         col("m.max").as("vmax"), col("m.sum").as("vsum"))
 
+  /** Third q100 zone — distinct from the q22/q55 rectangles. */
+  val Zone3Wkt: String =
+    "POLYGON((25.0 2.0, 40.0 2.0, 40.0 15.0, 25.0 15.0, 25.0 2.0))"
+
+  /** Zonal statistics for a polygon TABLE (zone_id, wkt) — the many-region
+    * generalization of q22's single-region path. Scale shape: zones explode
+    * to (zone, cell) pairs via the dynamic polyfill (zones table ≪ raster →
+    * broadcast), tiles join on cell id (no shuffle of the raster side
+    * beyond the scan), per-(tile, zone) clip stats, then one exact-merge
+    * hash aggregate per zone. Overlapping zones each see the tile — the
+    * join, not a partitioner, defines membership. */
+  def zonalStats(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String, zones: DataFrame): DataFrame = {
+    val z = meta.maxZoom
+    val cells = zones.select(col("zone_id"), col("wkt"),
+      explode(st_polyfill_col(col("wkt"), lit(z))).as("cell"))
+    data.filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
+      .join(broadcast(cells), col("block") === col("cell"))
+      .select(col("zone_id"),
+        rq_clip_stats_col(col(band), col("block"), col("wkt"), meta, band).as("s"))
+      .groupBy("zone_id")
+      .agg(rq_stats_merge(col("s")).as("m"))
+      .select(col("zone_id"), col("m.count").as("n_valid"),
+        col("m.min").as("vmin"), col("m.max").as("vmax"),
+        col("m.sum").as("vsum"))
+  }
+
+  def q100ZonalStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, Fixture)
+    val zones = Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt))
+      .toDF("zone_id", "wkt")
+    zonalStats(ds.data, ds.meta, "band_1", zones)
+  }
+
   /** F13 (ST_Clip proper, `docs/engines.md:48`): per-pixel clip over a 4×4
     * tile window straddling the region's west (lon=2°) and east (lon=19°)
     * edges — x∈{33,34} tiles take the fully-inside fast path (no

@@ -199,6 +199,27 @@ object RqBridge {
     pad
   }
 
+  // Per-thread last-parsed WKT: zonal joins deliver long runs of rows for
+  // the same polygon, so a 1-entry cache removes re-parsing without any
+  // plan-time binding. Keyed by string equality (cheap next to clip work).
+  private val tlGeom = new ThreadLocal[(String, Geom)]
+  def geomOf(wkt: String): Geom = {
+    val c = tlGeom.get()
+    if (c != null && c._1 == wkt) c._2
+    else {
+      val g = Wkt.parse(wkt)
+      tlGeom.set((wkt, g))
+      g
+    }
+  }
+
+  def polyfillDyn(wkt: String, z: Int, mode: String): ArrayData =
+    ArrayData.toArrayData(graft.quadbin.Polyfill.cells(geomOf(wkt), z, mode))
+
+  def clipStatsDyn(k: BandKernel, raw: Array[Byte], block: Long,
+      wkt: String): InternalRow =
+    statsRow(k.clipStats(raw, block, geomOf(wkt)))
+
   val B = "org.apache.spark.sql.graft.RqBridge"
 }
 
@@ -369,6 +390,73 @@ case class RqClip(band: Expression, block: Expression,
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(band = l, block = r)
+}
+
+/** st_polyfill over a WKT COLUMN (the polygon-table / zonal form of
+  * [[RqPolyfill]]): cells at `zoom` intersecting each row's geometry. The
+  * per-row parse is amortized by [[RqBridge.geomOf]]'s run-cache. */
+case class RqPolyfillDyn(wkt: Expression, zoom: Expression, mode: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = wkt
+  override def right: Expression = zoom
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_polyfill"
+  override protected def nullSafeEval(w: Any, z: Any): Any =
+    RqBridge.polyfillDyn(w.toString, z.asInstanceOf[Int], mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, z) =>
+      s"""${RqBridge.B}.polyfillDyn($w.toString(), $z, "$mode")""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(wkt = l, zoom = r)
+}
+
+/** rq_clip_stats over a WKT COLUMN — the zonal-statistics form of
+  * [[RqClipStats]]: per-(tile, zone) stats struct, NULL when no pixel
+  * center falls inside. Same interior fast path (fused stats, no
+  * point-in-polygon loop) via the shared kernel. */
+case class RqClipStatsDyn(band: Expression, block: Expression,
+    wkt: Expression, kernel: BandKernel)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = band
+  override def second: Expression = block
+  override def third: Expression = wkt
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, LongType, StringType)
+  override def dataType: DataType = RqBridge.statsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_clip_stats"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    val blk = block.eval(input)
+    val w = wkt.eval(input)
+    if (raw == null || blk == null || w == null) null
+    else RqBridge.clipStatsDyn(kernel, raw.asInstanceOf[Array[Byte]],
+      blk.asInstanceOf[Long], w.toString)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val blk = block.genCode(ctx)
+    val w = wkt.genCode(ctx)
+    val row = ctx.freshName("zonalStats")
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${blk.code}
+        ${w.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${b.isNull} && !${blk.isNull} && !${w.isNull}) {
+          InternalRow $row = ${RqBridge.B}.clipStatsDyn(
+            $k, ${b.value}, ${blk.value}, ${w.value}.toString());
+          if ($row != null) { ${ev.isNull} = false; ${ev.value} = $row; }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(band = f, block = s, wkt = t)
 }
 
 /** rq_focal_mean(band, halos) → row-major w×h array of 3×3 neighborhood
