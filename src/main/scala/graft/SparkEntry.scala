@@ -119,6 +119,7 @@ object SparkEntry {
     "q98_focal_slope"       -> (RaquetQueries.q98FocalSlope _),
     "q99_sq_knn"            -> (LlmQueries.q99SqKnn _),
     "q100_zonal_stats"      -> (RaquetQueries.q100ZonalStats _),
+    "q101_zonal_fast"       -> (RaquetQueries.q101ZonalStatsFast _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -334,6 +335,9 @@ object SparkEntry {
     "q98_focal_slope"       -> RaquetOracles.q98,
     "q99_sq_knn"            -> LlmOracles.q99,
     "q100_zonal_stats"      -> RaquetOracles.q100,
+    // q101 is q100 through the stats-column fast path — identical result
+    // set, so the same oracle proves fast ≡ decode ≡ ground truth
+    "q101_zonal_fast"       -> RaquetOracles.q100,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

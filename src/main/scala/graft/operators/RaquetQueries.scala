@@ -149,6 +149,19 @@ object RaquetQueries {
     zonalStats(ds.data, ds.meta, "band_1", zones)
   }
 
+  /** Same three zones through the STATS-COLUMN fast path
+    * ([[RaquetIO.zonalStatsFastTiles]]): interior tiles never decode.
+    * Shares q100's oracle — the driver hash proves fast ≡ decode ≡ ground
+    * truth for the many-zone case, the q22/q55 pairing generalized. */
+  def q101ZonalStatsFast(spark: SparkSession, dir: String): DataFrame =
+    RaquetIO.zonalStatsFastTiles(spark, Fixture,
+      Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt)), "band_1")
+      .groupBy("zone_id")
+      .agg(rq_stats_merge(col("s")).as("m"))
+      .select(col("zone_id"), col("m.count").as("n_valid"),
+        col("m.min").as("vmin"), col("m.max").as("vmax"),
+        col("m.sum").as("vsum"))
+
   /** F13 (ST_Clip proper, `docs/engines.md:48`): per-pixel clip over a 4×4
     * tile window straddling the region's west (lon=2°) and east (lon=19°)
     * edges — x∈{33,34} tiles take the fully-inside fast path (no

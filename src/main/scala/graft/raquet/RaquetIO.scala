@@ -210,6 +210,63 @@ object RaquetIO {
     }
   }
 
+  /** Many-zone generalization of [[regionStatsTiles]]: per-(zone, tile)
+    * stats structs for a TABLE of zones, with interior tiles answered from
+    * the pre-aggregated stats columns — no decode. The zone covers resolve
+    * on the driver (`Polyfill.splitCover` per zone; the zone table is small
+    * by definition, which is also what makes the (zone, cell) pairs
+    * broadcastable), the raster scans ONCE behind a merged-range pruning
+    * filter, and each joined row takes the stats-column or decode+clip
+    * branch by its interior flag — `when` branches execute conditionally in
+    * codegen, so interior rows never touch the blob. Tiles inside several
+    * overlapping zones appear once per zone: membership comes from the
+    * join, not a partitioner. */
+  def zonalStatsFastTiles(spark: SparkSession, path: String,
+      zones: Seq[(Long, String)], band: String): DataFrame = {
+    import graft.functions.GraftFunctions._
+    val meta = readMetadata(spark, path)
+    val z = meta.maxZoom
+    val base = spark.read.parquet(path)
+    val statCols = Seq("count", "min", "max", "sum", "mean", "stddev")
+      .map(s => s"${band}_$s")
+    require(statCols.forall(base.columns.contains),
+      s"zonalStatsFastTiles needs the $band stats columns")
+    val step = 1L << (52 - 2 * z)
+    val cellRows = zones.flatMap { case (id, wkt) =>
+      val (intRanges, bCells) = Polyfill.splitCover(Wkt.parse(wkt), z)
+      val interior = intRanges.iterator.flatMap { case (lo, hi) =>
+        // consecutive cells at one zoom differ by `step`; the low mask bits
+        // are all ones in both endpoints, so plain addition walks the range
+        Iterator.iterate(lo)(_ + step).takeWhile(_ <= hi)
+      }
+      interior.map(c => (id, c, true, None: Option[String])).toSeq ++
+        bCells.map(c => (id, c, false, Some(wkt)))
+    }
+    val pruneRanges = Polyfill.merge(cellRows.map(r => (r._2, r._2)).toArray)
+    import spark.implicits._
+    val cells = broadcast(cellRows.toDF("zone_id", "cell", "interior", "zwkt"))
+    val ds = RaquetDataset(base, meta)
+    val c = col(statCols.head)
+    base
+      .filter(col("block") =!= 0L && cappedExactRangeFilter(pruneRanges))
+      .join(cells, col("block") === col("cell"))
+      .select(col("zone_id"),
+        when(col("interior"),
+          when(c > 0L, struct(
+            c.as("count"),
+            col(s"${band}_min").as("min"),
+            col(s"${band}_max").as("max"),
+            col(s"${band}_sum").as("sum"),
+            ((col(s"${band}_stddev") * col(s"${band}_stddev") +
+              col(s"${band}_mean") * col(s"${band}_mean")) * c.cast("double"))
+              .as("sum_sq"),
+            col(s"${band}_mean").as("mean"),
+            col(s"${band}_stddev").as("stddev"))))
+        .otherwise(rq_clip_stats_col(ds.band(band), col("block"), col("zwkt"),
+          meta, band)).as("s"))
+      .select(col("zone_id"), col("s"))
+  }
+
   /** 'auto' resolution: finest zoom (clamped) where the geometry's bbox spans
     * at most ~256 tiles — large areas read coarse overviews, small areas read
     * native resolution (spec raquet.md:311-316 rationale). */
