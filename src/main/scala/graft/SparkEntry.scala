@@ -120,6 +120,7 @@ object SparkEntry {
     "q99_sq_knn"            -> (LlmQueries.q99SqKnn _),
     "q100_zonal_stats"      -> (RaquetQueries.q100ZonalStats _),
     "q101_zonal_fast"       -> (RaquetQueries.q101ZonalStatsFast _),
+    "q102_focal_terrain"    -> (RaquetQueries.q102FocalTerrain _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -338,6 +339,7 @@ object SparkEntry {
     // q101 is q100 through the stats-column fast path — identical result
     // set, so the same oracle proves fast ≡ decode ≡ ground truth
     "q101_zonal_fast"       -> RaquetOracles.q100,
+    "q102_focal_terrain"    -> RaquetOracles.q102,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -56,6 +56,11 @@ object GraftFunctions {
   def rq_focal_slope(band: Column, halos: Column, meta: RaquetMetadata,
       name: String, cell: Double): Column =
     col(RqFocalSlope(ex(band), ex(halos), BandKernel(meta, name), cell))
+  def rq_focal_terrain(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String, cell: Double, azimuthDeg: Double,
+      altitudeDeg: Double): Column =
+    col(RqFocalTerrain(ex(band), ex(halos), BandKernel(meta, name), cell,
+      azimuthDeg, altitudeDeg))
   def rq_normalized_difference_stats(a: Column, b: Column, meta: RaquetMetadata,
       nameA: String, nameB: String): Column =
     col(RqNdStats(ex(a), ex(b),

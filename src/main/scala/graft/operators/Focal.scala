@@ -41,6 +41,18 @@ object Focal {
       .select(col("block"),
         rq_focal_slope(col(band), col("halos"), meta, band, cell).as("vals"))
 
+  /** Slope + aspect + hillshade in one window pass ([[focalSlope3x3]]'s
+    * strict-window semantics; GDAL-style defaults: sun azimuth 315°,
+    * altitude 45°). Output: (block, t) with t.slope / t.aspect /
+    * t.hillshade row-major arrays. */
+  def focalTerrain3x3(data: DataFrame, meta: RaquetMetadata, band: String,
+      cell: Double = 1.0, azimuthDeg: Double = 315.0,
+      altitudeDeg: Double = 45.0): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_focal_terrain(col(band), col("halos"), meta, band, cell,
+          azimuthDeg, altitudeDeg).as("t"))
+
   /** Native tiles left-joined with their collected halo strips (column
     * `halos`; NULL for an isolated tile). */
   private def withHalos(data: DataFrame, meta: RaquetMetadata,

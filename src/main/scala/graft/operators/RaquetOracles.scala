@@ -205,6 +205,52 @@ object RaquetOracles {
         FROM dz"""
   }
 
+  /** q102: terrain triple from the closed form — q98's scaffold plus
+    * aspect (downslope azimuth from the raw atan2, normalized 0-360) and
+    * Lambertian hillshade (sun az 315°, alt 45°, clamped at 0). */
+  val q102: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def v(dx: Int, dy: Int): String =
+      s"""CASE WHEN gx+($dx) BETWEEN 512 AND 639 AND gy+($dy) BETWEEN 384 AND 511
+              AND (gx+($dx)+gy+($dy)) % 31 <> 0
+          THEN CAST((7*(gx+($dx)) + 13*(gy+($dy))) % 255 AS DOUBLE) END"""
+    val Seq(a, b, c, d, _, f, g, hh, i) =
+      for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield v(dx, dy)
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        w9 AS (SELECT block, pos,
+          $a AS a, $b AS b, $c AS c, $d AS d, $f AS f,
+          $g AS g, $hh AS h, $i AS i
+          FROM px),
+        ctr AS (SELECT block, pos, a, b, c, d, f, g, h, i,
+          CASE WHEN (gx+gy) % 31 <> 0 THEN 1 END AS e_ok
+          FROM w9 JOIN px USING (block, pos)),
+        dz AS (SELECT block, pos, e_ok,
+          ((c + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzdx,
+          ((g + 2*h + i) - (a + 2*b + c)) / 8.0 AS dzdy
+          FROM ctr),
+        tr AS (SELECT block, pos, e_ok, dzdx, dzdy,
+          atan(sqrt(dzdx*dzdx + dzdy*dzdy)) AS srad,
+          atan2(-dzdx, dzdy) AS arad
+          FROM dz),
+        hs AS (SELECT block, pos, e_ok, dzdx, dzdy, srad, arad,
+          255 * (cos(radians(45)) * cos(srad)
+            + sin(radians(45)) * sin(srad) * cos(radians(315) - arad)) AS hs_raw
+          FROM tr)
+        SELECT block, pos,
+          CASE WHEN e_ok = 1 THEN round(degrees(srad), 7) END AS slope,
+          CASE WHEN e_ok = 1 AND NOT (dzdx = 0 AND dzdy = 0) THEN
+            round(fmod(fmod(degrees(arad), 360) + 360, 360), 7) END AS aspect,
+          -- NOT greatest(): DuckDB's greatest skips NULLs, which would turn
+          -- an incomplete-window NULL into 0.0; this CASE propagates it
+          CASE WHEN e_ok = 1 THEN
+            round(CASE WHEN hs_raw < 0 THEN 0.0 ELSE hs_raw END, 7) END
+            AS hillshade
+        FROM hs"""
+  }
+
   /** q58: clip recomputed from the closed form — same pixel-center lon/lat
     * formulas as q55 (bit-identical dyadic ops into exp/atan), polygon test
     * reduces to range comparisons on the rectangle. */

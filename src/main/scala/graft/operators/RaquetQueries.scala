@@ -196,6 +196,23 @@ object RaquetQueries {
           .otherwise(round(col("col"), 7)).as("v"))
   }
 
+  /** Full terrain triple (slope/aspect/hillshade, [[Focal.focalTerrain3x3]])
+    * per pixel — q98's window machinery, three derived surfaces in one
+    * pass. round(7) absorbs the atan/atan2/trig libm spread, everything
+    * else is IEEE-exact on the integer band. */
+  def q102FocalTerrain(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    def r7(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(round(c, 7))
+    Focal.focalTerrain3x3(ds.data, ds.meta, "band_1")
+      .select(col("block"),
+        posexplode(expr("arrays_zip(t.slope, t.aspect, t.hillshade)")))
+      .select(col("block"), col("pos"),
+        r7(col("col.slope")).as("slope"),
+        r7(col("col.aspect")).as("aspect"),
+        r7(col("col.hillshade")).as("hillshade"))
+  }
+
   def q58ClipPixels(spark: SparkSession, dir: String): DataFrame = {
     val ds = RaquetIO.read(spark, Fixture)
     val tiles = for { x <- 32L to 35L; y <- 27L to 30L }

@@ -158,6 +158,74 @@ object RqBridge {
     ArrayData.toArrayData(out)
   }
 
+  val terrainSchema: StructType = StructType(Seq(
+    StructField("slope", ArrayType(DoubleType, containsNull = false)),
+    StructField("aspect", ArrayType(DoubleType, containsNull = false)),
+    StructField("hillshade", ArrayType(DoubleType, containsNull = false))))
+
+  /** Full terrain triple from one window pass: Horn slope (degrees, as
+    * [[slopeOf]]), downslope aspect (azimuth degrees clockwise from north;
+    * NaN when flat — gy grows southward, so north is −dzdy), and
+    * Lambertian hillshade `255·(cos z·cos s + sin z·sin s·cos(az−aspect))`
+    * clamped at 0 (z = 90−altitude; for flat cells the aspect term
+    * vanishes with sin s = 0, so hillshade stays defined). Any missing or
+    * nodata cell in the 3×3 window → NaN for all three. */
+  def terrainOf(k: BandKernel, raw: Array[Byte], halos: ArrayData,
+      cell: Double, azimuthDeg: Double, altitudeDeg: Double): InternalRow = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val slope = new Array[Double](w * h)
+    val aspect = new Array[Double](w * h)
+    val shade = new Array[Double](w * h)
+    val zenRad = math.toRadians(90.0 - altitudeDeg)
+    val azRad = math.toRadians(azimuthDeg)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        val base = jj * pw + ii
+        var ok = true
+        val win = new Array[Double](9)
+        var oy = 0
+        while (oy < 3 && ok) {
+          var ox = 0
+          while (ox < 3 && ok) {
+            val v = pad(base + oy * pw + ox)
+            if (java.lang.Double.isNaN(v) || (hasNd && v == nodata)) ok = false
+            else win(oy * 3 + ox) = v * k.scale + k.offset
+            ox += 1
+          }
+          oy += 1
+        }
+        val o = jj * w + ii
+        if (!ok) {
+          slope(o) = Double.NaN; aspect(o) = Double.NaN; shade(o) = Double.NaN
+        } else {
+          val dzdx = ((win(2) + 2.0 * win(5) + win(8)) -
+            (win(0) + 2.0 * win(3) + win(6))) / (8.0 * cell)
+          val dzdy = ((win(6) + 2.0 * win(7) + win(8)) -
+            (win(0) + 2.0 * win(1) + win(2))) / (8.0 * cell)
+          val sRad = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+          slope(o) = math.toDegrees(sRad)
+          val aRad = math.atan2(-dzdx, dzdy)
+          aspect(o) =
+            if (dzdx == 0.0 && dzdy == 0.0) Double.NaN
+            else ((math.toDegrees(aRad) % 360.0) + 360.0) % 360.0
+          val hs = 255.0 * (math.cos(zenRad) * math.cos(sRad) +
+            math.sin(zenRad) * math.sin(sRad) * math.cos(azRad - aRad))
+          shade(o) = if (hs < 0.0) 0.0 else hs
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    InternalRow(ArrayData.toArrayData(slope), ArrayData.toArrayData(aspect),
+      ArrayData.toArrayData(shade))
+  }
+
   /** Shared halo assembly: (w+2)×(h+2) padded raw-DN grid, NaN outside. */
   private def assemblePadded(k: BandKernel, raw: Array[Byte],
       halos: ArrayData): Array[Double] = {
@@ -542,6 +610,50 @@ case class RqFocalSlope(band: Expression, halos: Expression,
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.slopeOf($k, ${b.value},
             ${hl.isNull} ? null : ${hl.value}, $cell);
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
+}
+
+/** rq_focal_terrain(band, halos) → struct of slope/aspect/hillshade arrays
+  * from one window pass (see [[RqBridge.terrainOf]]). Same halo contract as
+  * [[RqFocalMean]]. */
+case class RqFocalTerrain(band: Expression, halos: Expression,
+    kernel: BandKernel, cell: Double, azimuthDeg: Double, altitudeDeg: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = RqBridge.terrainSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_focal_terrain"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.terrainOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData], cell, azimuthDeg, altitudeDeg)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.terrainOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value}, $cell, $azimuthDeg, $altitudeDeg);
         }
       """)
   }

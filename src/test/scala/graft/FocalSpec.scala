@@ -51,6 +51,30 @@ class FocalSpec extends SparkSpec {
     check(2)
   }
 
+  test("terrain: linear ramp gives the analytic downslope azimuth and bounded hillshade") {
+    val (x0, y0, z, bs, n) = (40L, 40L, 6, 16, 1)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z, numBlocks = 1L)
+    // band_2 phys gradient (0.25 east, 0.125 south) ⇒ downslope WNW:
+    val wantAspect =
+      ((math.toDegrees(math.atan2(-0.25, 0.125)) % 360.0) + 360.0) % 360.0
+    val rows = graft.operators.Focal.focalTerrain3x3(tiles, meta, "band_2")
+      .select(posexplode(expr("arrays_zip(t.slope, t.aspect, t.hillshade)")))
+      .select(col("pos"), col("col.slope"), col("col.aspect"), col("col.hillshade"))
+      .collect()
+    rows.foreach { r =>
+      val pos = r.getInt(0)
+      val (i, j) = (pos % bs, pos / bs)
+      val interior = i > 0 && i < bs - 1 && j > 0 && j < bs - 1
+      if (interior) {
+        assert(r.getDouble(2) === wantAspect)
+        val hs = r.getDouble(3)
+        assert(hs >= 0.0 && hs <= 255.0)
+      } else assert(r.getDouble(1).isNaN && r.getDouble(2).isNaN &&
+        r.getDouble(3).isNaN)
+    }
+  }
+
   test("slope: flat field is 0, unit ramp is 45 degrees, holes are NaN") {
     val (x0, y0, z, bs, n) = (40L, 40L, 6, 16, 1)
     val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
