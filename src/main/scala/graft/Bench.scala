@@ -179,6 +179,17 @@ object Bench {
         .filter(col("s.mean") < 180.0)
         .agg(rq_stats_merge(col("s")).as("m")).select("m.*")
     }),
+    "b_zonal_fast" -> ((s: SparkSession, _: String) => {
+      // three overlapping zones through the stats-column fast path:
+      // interior tiles answered without decoding, one pruned scan
+      val zones = Seq(
+        (1L, "POLYGON((0.51 -8.03, 7.52 -8.03, 7.52 -2.71, 0.51 -2.71, 0.51 -8.03))"),
+        (2L, "POLYGON((2.0 -10.5, 10.8 -10.5, 10.8 -1.2, 2.0 -1.2, 2.0 -10.5))"),
+        (3L, "POLYGON((5.0 -6.0, 11.0 -6.0, 11.0 -0.3, 5.0 -0.3, 5.0 -6.0))"))
+      RaquetIO.zonalStatsFastTiles(s, RasterDir, zones, "band_1")
+        .groupBy("zone_id").agg(rq_stats_merge(col("s")).as("m"))
+        .select(col("zone_id"), col("m.*"))
+    }),
     "b_focal_mean" -> ((s: SparkSession, _: String) => {
       // cross-tile halo exchange + per-pixel 3×3 window over every native
       // tile — the hardest raster shape (decode + strip shuffle + assemble)
