@@ -12,8 +12,10 @@ import graft.raquet.FixtureGen
   * brute-force check of the nodata-aware truncated-window math. */
 class FocalSpec extends SparkSpec {
 
-  private def expected(gx: Long, gy: Long, x0: Long, y0: Long, n: Int): Double = {
-    val lo = 16 * x0; val hiX = 16 * (x0 + n); val loY = 16 * y0; val hiY = 16 * (y0 + n)
+  private def expected(gx: Long, gy: Long, x0: Long, y0: Long, n: Int,
+      bs: Int = 16): Double = {
+    val lo = bs * x0; val hiX = bs * (x0 + n)
+    val loY = bs * y0; val hiY = bs * (y0 + n)
     var s = 0.0; var c = 0
     for (oy <- -1 to 1; ox <- -1 to 1) {
       val nx = gx + ox; val ny = gy + oy
@@ -25,8 +27,8 @@ class FocalSpec extends SparkSpec {
     s / c
   }
 
-  private def check(n: Int): Unit = {
-    val (x0, y0, z, bs) = (40L, 40L, 6, 16)
+  private def check(n: Int, bs: Int = 16): Unit = {
+    val (x0, y0, z) = (40L, 40L, 6)
     val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
     val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
       numBlocks = n.toLong * n)
@@ -38,8 +40,8 @@ class FocalSpec extends SparkSpec {
     got.foreach { case ((block, pos), v) =>
       val gx = Quadbin.tileX(block) * bs + pos % bs
       val gy = Quadbin.tileY(block) * bs + pos / bs
-      assert(v === expected(gx, gy, x0, y0, n),
-        s"pixel ($gx, $gy) of ${n}x$n raster")
+      assert(v === expected(gx, gy, x0, y0, n, bs),
+        s"pixel ($gx, $gy) of ${n}x$n raster, $bs px tiles")
     }
   }
 
@@ -49,6 +51,10 @@ class FocalSpec extends SparkSpec {
 
   test("2x2 tiles: cross-tile windows match brute force, nodata excluded") {
     check(2)
+  }
+
+  test("2x2 tiles at production 256px size: strip indexing holds") {
+    check(2, bs = 256)
   }
 
   test("terrain: linear ramp gives the analytic downslope azimuth and bounded hillshade") {
