@@ -121,6 +121,7 @@ object SparkEntry {
     "q100_zonal_stats"      -> (RaquetQueries.q100ZonalStats _),
     "q101_zonal_fast"       -> (RaquetQueries.q101ZonalStatsFast _),
     "q102_focal_terrain"    -> (RaquetQueries.q102FocalTerrain _),
+    "q103_tile_percentiles" -> (RaquetQueries.q103TilePercentiles _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -340,6 +341,7 @@ object SparkEntry {
     // set, so the same oracle proves fast ≡ decode ≡ ground truth
     "q101_zonal_fast"       -> RaquetOracles.q100,
     "q102_focal_terrain"    -> RaquetOracles.q102,
+    "q103_tile_percentiles" -> RaquetOracles.q103,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

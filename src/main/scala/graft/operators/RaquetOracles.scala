@@ -251,6 +251,29 @@ object RaquetOracles {
         FROM hs"""
   }
 
+  /** q103: exact per-tile p50/p95 from the closed form — rank the valid
+    * pixel values per tile and pick by position; selection by rank makes
+    * tie order among equal values irrelevant. */
+  val q103: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM t, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, $V1 AS v FROM px),
+        f AS (SELECT block, v FROM v WHERE v IS NOT NULL),
+        ranked AS (SELECT block, v,
+          row_number() OVER (PARTITION BY block ORDER BY v) AS rn,
+          count(*) OVER (PARTITION BY block) AS n
+          FROM f)
+        SELECT block, CAST(any_value(n) AS BIGINT) AS n_valid,
+          max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+              THEN v END) AS p50,
+          max(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+              THEN v END) AS p95
+        FROM ranked GROUP BY block"""
+  }
+
   /** q58: clip recomputed from the closed form — same pixel-center lon/lat
     * formulas as q55 (bit-identical dyadic ops into exp/atan), polygon test
     * reduces to range comparisons on the rectangle. */

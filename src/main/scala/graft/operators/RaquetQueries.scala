@@ -213,6 +213,24 @@ object RaquetQueries {
         r7(col("col.hillshade")).as("hillshade"))
   }
 
+  /** Exact per-tile percentiles (p50/p95) over valid pixels — pure
+    * built-ins: decode → filter nodata/NaN → array_sort → index pick at
+    * floor(q·(n−1)), all inside whole-stage codegen, no new kernel and no
+    * shuffle. The order-statistic convention (lower value at the fractional
+    * rank) is chosen because both engines select by POSITION in the sorted
+    * list, making ties and floats irrelevant to determinism. */
+  def q103TilePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data.filter(quadbin_zoom(col("block")) === ds.meta.maxZoom)
+      .select(col("block"), rq_decode(col("band_1"), ds.meta, "band_1").as("px"))
+      .withColumn("vals", expr(
+        "array_sort(filter(px, x -> NOT isnan(x) AND NOT (x = 255.0D)))"))
+      .withColumn("n_valid", expr("CAST(size(vals) AS BIGINT)"))
+      .select(col("block"), col("n_valid"),
+        expr("element_at(vals, CAST(floor(0.5 * (n_valid - 1)) AS INT) + 1)").as("p50"),
+        expr("element_at(vals, CAST(floor(0.95 * (n_valid - 1)) AS INT) + 1)").as("p95"))
+  }
+
   def q58ClipPixels(spark: SparkSession, dir: String): DataFrame = {
     val ds = RaquetIO.read(spark, Fixture)
     val tiles = for { x <- 32L to 35L; y <- 27L to 30L }
