@@ -122,6 +122,8 @@ object SparkEntry {
     "q101_zonal_fast"       -> (RaquetQueries.q101ZonalStatsFast _),
     "q102_focal_terrain"    -> (RaquetQueries.q102FocalTerrain _),
     "q103_tile_percentiles" -> (RaquetQueries.q103TilePercentiles _),
+    "q104_rotated_pole"     -> (RaquetQueries.q104RotatedPole _),
+    "q105_reclassify"       -> (RaquetQueries.q105Reclassify _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -342,6 +344,8 @@ object SparkEntry {
     "q101_zonal_fast"       -> RaquetOracles.q100,
     "q102_focal_terrain"    -> RaquetOracles.q102,
     "q103_tile_percentiles" -> RaquetOracles.q103,
+    "q104_rotated_pole"     -> RaquetOracles.q104,
+    "q105_reclassify"       -> RaquetOracles.q105,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

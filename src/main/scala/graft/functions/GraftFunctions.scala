@@ -40,6 +40,9 @@ object GraftFunctions {
   def rq_raster_value(band: Column, block: Column, lon: Column, lat: Column,
       meta: RaquetMetadata, name: String): Column =
     col(RqRasterValue(ex(band), ex(block), ex(lon), ex(lat), BandKernel(meta, name)))
+  def rq_reclassify(band: Column, meta: RaquetMetadata, name: String,
+      breaks: Array[Double], classes: Array[Double]): Column =
+    col(RqReclassify(ex(band), BandKernel(meta, name), breaks, classes))
   def rq_clip_stats(band: Column, block: Column, meta: RaquetMetadata,
       name: String, wkt: String): Column =
     col(RqClipStats(ex(band), ex(block), BandKernel(meta, name), wkt))

@@ -850,6 +850,53 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q105 reclassify oracle: every pixel's class re-derived from the
+    * fixture's closed-form value with the same left-closed bins; nodata
+    * pixels (NULL in V1) stay excluded — if the engine's reclassify touched
+    * them, counts would change. */
+  val q105: String =
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, $V1 AS v1 FROM px),
+        c AS (SELECT block, CASE WHEN v1 IS NULL THEN NULL
+              WHEN v1 < 64 THEN 10 WHEN v1 < 128 THEN 20
+              WHEN v1 < 192 THEN 30 ELSE 40 END AS cv FROM v)
+        SELECT block, count(cv) AS n_valid,
+          CAST(min(cv) AS BIGINT) AS cmin, CAST(max(cv) AS BIGINT) AS cmax,
+          CAST(sum(cv) AS BIGINT) AS csum
+        FROM c GROUP BY block"""
+
+  /** q104 rotated-pole oracle: the CF `rotated_latitude_longitude` rotation
+    * re-derived INDEPENDENTLY in SQL (the public COSMO spherical-trig
+    * formulas — asin/atan2 over the pole at 39.25N/-162E) for the 16
+    * patch-center probes, rounded to 1e-5 degrees (cross-libm noise is
+    * ~1e-12); expected raster value = the patch index bj*8 + bi. If the
+    * engine's rotation or the warp sampled the wrong cell, lon/lat or v
+    * breaks. */
+  val q104: String =
+    """WITH probes AS (
+          SELECT bi, bj,
+            radians(-8.0 + 0.25*(bi*8 + 4 + 0.5)) AS lr,
+            radians(8.0 - 0.25*(bj*8 + 4 + 0.5)) AS pr
+          FROM (VALUES (1),(3),(5),(7)) a(bi), (VALUES (1),(3),(5),(7)) b(bj)),
+        rot AS (
+          SELECT bi, bj,
+            degrees(asin(sin(pr)*sin(radians(39.25))
+              + cos(pr)*cos(radians(39.25))*cos(lr))) AS lat,
+            -162.0 + degrees(atan2(-cos(pr)*sin(lr),
+              sin(pr)*cos(radians(39.25))
+              - sin(radians(39.25))*cos(pr)*cos(lr))) AS lon
+          FROM probes)
+        SELECT CAST(bi AS BIGINT) AS bi, CAST(bj AS BIGINT) AS bj,
+          round(CASE WHEN lon > 180 THEN lon - 360
+                     WHEN lon < -180 THEN lon + 360 ELSE lon END, 5) AS lon_r,
+          round(lat, 5) AS lat_r,
+          CAST(bj*8 + bi AS BIGINT) AS v
+        FROM rot"""
+
   /** q60/q61 convert-readback oracle: re-derives every zoom-1 block id and
     * its stats from the synthetic TIFF's pixel formula
     * v = (7·gx+13·gy) mod 256 with nodata 255 (see

@@ -1469,4 +1469,70 @@ object RaquetQueries {
       .groupBy("block", "exact")
       .agg(sum("v").as("px_sum"), min("v").as("px_min"), max("v").as("px_max"))
   }
+
+  /** Reclassify (ST_Reclass shape) driver proof: band_1 binned into four
+    * classes by plan-time breaks, then per-tile stats of the RECLASSIFIED
+    * blob — the output blob feeds the standard stats kernel, proving it is
+    * a well-formed band (same dtype/nodata, gzip). The oracle re-derives
+    * every pixel's class from the fixture's closed-form value; nodata
+    * pixels must pass through (count unchanged vs q21). Left-closed bins:
+    * a value exactly on a break (64/128/192 all occur in (7gx+13gy)%255)
+    * falls in the upper class. */
+  def q105Reclassify(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val breaks = Array(64.0, 128.0, 192.0)
+    val classes = Array(10.0, 20.0, 30.0, 40.0)
+    ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"),
+        rq_summary_stats(
+          rq_reclassify(col("band_1"), ds.meta, "band_1", breaks, classes),
+          ds.meta, "band_1").as("s"))
+      .select(col("block"), col("s.count").as("n_valid"),
+        col("s.min").cast("long").as("cmin"),
+        col("s.max").cast("long").as("cmax"),
+        col("s.sum").cast("long").as("csum"))
+  }
+
+  /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`
+    * grid (CORDEX EUR pole 39.25N/-162E, the COSMO public convention —
+    * `graft.geo.RotatedPole`) converts end to end, and the rotation itself
+    * is oracle-verified: the query reports, per probe, the true lon/lat our
+    * projection assigns to the probe's ROTATED coordinates, and the DuckDB
+    * oracle re-derives them from the public spherical-trig formulas
+    * independently (asin/atan2 in SQL), rounded to 1e-5 degrees — far above
+    * the ~1e-12 cross-libm noise, far below the 0.25-degree grid step.
+    *
+    * Value safety: source values are constant on 8x8 source patches
+    * (2 degrees square) and probes sit at patch centers, so the
+    * nearest-neighbor warp (target pixel ~0.176 degrees at native z3) cannot
+    * land a probe's covering pixel in a neighboring patch. */
+  def q104RotatedPole(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q104"
+    new java.io.File(tmp).mkdirs()
+    val nc = s"$tmp/rot.nc"
+    val rlats = Array.tabulate(64)(j => 8.0 - 0.25 * (j + 0.5))
+    val rlons = Array.tabulate(64)(i => -8.0 + 0.25 * (i + 0.5))
+    graft.raquet.NetCdfWriter.write(nc, rlats, rlons, Array(0.0),
+      "days since 2006-01-01", -9999f,
+      (_, j, i) => ((j / 8) * 8 + i / 8).toFloat,
+      rotatedPole = Some((39.25, -162.0)))
+    val out = s"$tmp/rot.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, nc, out, overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.RotatedPole(39.25, -162.0)
+    val probes = for (bj <- 1 until 8 by 2; bi <- 1 until 8 by 2) yield {
+      val (j, i) = (bj * 8 + 4, bi * 8 + 4)
+      val (lon, lat) = proj.toLonLat(rlons(i), rlats(j))
+      (bi.toLong, bj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("bi", "bj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("bi"), col("bj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
 }

@@ -119,6 +119,36 @@ final case class BandKernel(
     v
   }
 
+  /** Reclassify (the PostGIS `ST_Reclass` shape): map each valid pixel's
+    * PHYSICAL value into `classes(k)` where `k` is the number of `breaks`
+    * ≤ the value — left-closed bins `[b(k-1), b(k))`, so
+    * `classes.length == breaks.length + 1` and a value exactly on a break
+    * falls in the upper bin. Nodata/NaN pixels pass through untouched; the
+    * output blob keeps the band's dtype + nodata and is gzip-encoded, so it
+    * feeds every existing kernel (stats, clip, focal) unchanged. */
+  def reclassify(raw: Array[Byte], breaks: Array[Double],
+      classes: Array[Double]): Array[Byte] = {
+    require(classes.length == breaks.length + 1,
+      s"reclassify: ${breaks.length} breaks need ${breaks.length + 1} classes")
+    val v = decode(raw)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (!(java.lang.Double.isNaN(x) || (!nodata.isNaN && x == nodata))) {
+        val p = x * scale + offset
+        var lo = 0
+        var hi = breaks.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (p < breaks(mid)) hi = mid else lo = mid + 1
+        }
+        v(i) = classes(lo)
+      }
+      i += 1
+    }
+    PixelCodec.encode(v, dtype, gzip = true)
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)

@@ -307,6 +307,28 @@ case class RqDecode(child: Expression, kernel: BandKernel)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rq_reclassify(band) with plan-time `breaks`/`classes` → new band blob of
+  * the same dtype/nodata (gzip) with each valid pixel's physical value
+  * mapped to its bin's class (ST_Reclass shape; left-closed bins, binary
+  * search). The output composes with every blob kernel downstream. */
+case class RqReclassify(child: Expression, kernel: BandKernel,
+    breaks: Array[Double], classes: Array[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_reclassify"
+  override protected def nullSafeEval(raw: Any): Any =
+    kernel.reclassify(raw.asInstanceOf[Array[Byte]], breaks, classes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = ctx.addReferenceObj("breaks", breaks, "double[]")
+    val c = ctx.addReferenceObj("classes", classes, "double[]")
+    defineCodeGen(ctx, ev, raw => s"$k.reclassify($raw, $b, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** rq_summary_stats(band) → stats struct over valid pixels (A1); null for
   * empty tiles. The partial-merge fields (count/sum/sum_sq) make the output
   * directly mergeable by [[graft.operators.StatsMerge]] (A3). */
