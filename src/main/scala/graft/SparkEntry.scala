@@ -124,6 +124,7 @@ object SparkEntry {
     "q103_tile_percentiles" -> (RaquetQueries.q103TilePercentiles _),
     "q104_rotated_pole"     -> (RaquetQueries.q104RotatedPole _),
     "q105_reclassify"       -> (RaquetQueries.q105Reclassify _),
+    "q106_mosaic"           -> (RaquetQueries.q106Mosaic _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -346,6 +347,7 @@ object SparkEntry {
     "q103_tile_percentiles" -> RaquetOracles.q103,
     "q104_rotated_pole"     -> RaquetOracles.q104,
     "q105_reclassify"       -> RaquetOracles.q105,
+    "q106_mosaic"           -> RaquetOracles.q106,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

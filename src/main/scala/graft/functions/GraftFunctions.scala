@@ -43,6 +43,9 @@ object GraftFunctions {
   def rq_reclassify(band: Column, meta: RaquetMetadata, name: String,
       breaks: Array[Double], classes: Array[Double]): Column =
     col(RqReclassify(ex(band), BandKernel(meta, name), breaks, classes))
+  def rq_composite(a: Column, b: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqComposite(ex(a), ex(b), BandKernel(meta, name)))
   def rq_clip_stats(band: Column, block: Column, meta: RaquetMetadata,
       name: String, wkt: String): Column =
     col(RqClipStats(ex(band), ex(block), BandKernel(meta, name), wkt))

@@ -850,6 +850,25 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q106 mosaic oracle: per-pixel coalesce of the two closed-form sources
+    * (A first where valid; A absent entirely on tile (1,1); both-nodata
+    * stays a hole), aggregated per zoom-1 tile. */
+  val q106: String =
+    s"""WITH px AS (SELECT gx, gy, gx//256 AS tx, gy//256 AS ty
+          FROM range(512) a(gx), range(512) b(gy)),
+        v AS (SELECT tx, ty,
+          CASE WHEN tx = 1 AND ty = 1 THEN NULL
+               WHEN (7*gx + 13*gy) % 256 = 255 THEN NULL
+               ELSE (7*gx + 13*gy) % 256 END AS va,
+          CASE WHEN (11*gx + 3*gy + 5) % 256 = 255 THEN NULL
+               ELSE (11*gx + 3*gy + 5) % 256 END AS vb
+          FROM px),
+        c AS (SELECT tx, ty, CAST(coalesce(va, vb) AS DOUBLE) AS v FROM v)
+        SELECT ${cellExpr("tx", "ty", 1)} AS block, count(v) AS n_valid,
+          CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+          CAST(sum(v) AS BIGINT) AS vsum
+        FROM c GROUP BY tx, ty"""
+
   /** q105 reclassify oracle: every pixel's class re-derived from the
     * fixture's closed-form value with the same left-closed bins; nodata
     * pixels (NULL in V1) stay excluded — if the engine's reclassify touched

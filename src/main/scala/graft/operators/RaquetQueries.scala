@@ -590,7 +590,13 @@ object RaquetQueries {
     * v(gx,gy) = (7·gx+13·gy) mod 256, nodata 255, mercator-aligned to the
     * world corner at a resolution that makes auto zoom exactly 1 (2×2 tiles
     * of 256 px). Every pixel is a closed form the DuckDB oracle recomputes. */
-  private def writeConvertOracleTiff(path: String): Unit = {
+  private def writeConvertOracleTiff(path: String): Unit =
+    writeSynthTiff(path, (gx, gy) => (7 * gx + 13 * gy) % 256)
+
+  /** 512×512 uint8 world-mercator TIFF with per-pixel formula `f` and
+    * nodata 255 — the q60 synthetic generalized to arbitrary closed-form
+    * patterns (q106 needs two differently-patterned sources). */
+  private def writeSynthTiff(path: String, f: (Int, Int) => Int): Unit = {
     val w = 512; val h = 512; val rowsPerStrip = 64
     val strips = (0 until h by rowsPerStrip).iterator.map { y0 =>
       val buf = new Array[Byte](rowsPerStrip * w)
@@ -598,7 +604,7 @@ object RaquetQueries {
       var gy = y0
       while (gy < y0 + rowsPerStrip) {
         var gx = 0
-        while (gx < w) { buf(k) = ((7 * gx + 13 * gy) % 256).toByte; k += 1; gx += 1 }
+        while (gx < w) { buf(k) = f(gx, gy).toByte; k += 1; gx += 1 }
         gy += 1
       }
       buf
@@ -1491,6 +1497,35 @@ object RaquetQueries {
         col("s.min").cast("long").as("cmin"),
         col("s.max").cast("long").as("cmax"),
         col("s.sum").cast("long").as("csum"))
+  }
+
+  /** Mosaic driver proof: two differently-patterned synthetic converts
+    * composited first-valid-wins via [[graft.raquet.Mosaic]] (full-outer
+    * join on block + `rq_composite`). Dataset A drops tile (1,1) entirely,
+    * exercising the missing-side byte-identical pass-through; elsewhere A's
+    * nodata stripes ((7gx+13gy)%256 = 255) are filled from B. The oracle
+    * re-derives every pixel as coalesce(vA, vB) from the two closed forms,
+    * with BOTH-nodata pixels staying holes. */
+  def q106Mosaic(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q106"
+    new java.io.File(tmp).mkdirs()
+    val (tifA, tifB) = (s"$tmp/a.tif", s"$tmp/b.tif")
+    writeSynthTiff(tifA, (gx, gy) => (7 * gx + 13 * gy) % 256)
+    writeSynthTiff(tifB, (gx, gy) => (11 * gx + 3 * gy + 5) % 256)
+    val (outA, outB) = (s"$tmp/a.parquet", s"$tmp/b.parquet")
+    graft.raquet.GeoTiff.convert(spark, tifA, outA, tileStats = true, overviews = "none")
+    graft.raquet.GeoTiff.convert(spark, tifB, outB, tileStats = true, overviews = "none")
+    val a = RaquetIO.read(spark, outA)
+    val b = RaquetIO.read(spark, outB)
+    val aSub = a.copy(data = a.data.filter(
+      !(quadbin_tile_x(col("block")) === 1 && quadbin_tile_y(col("block")) === 1)))
+    graft.raquet.Mosaic.mosaic(aSub, b, Seq("band_1"))
+      .select(col("block"),
+        rq_summary_stats(col("band_1"), a.meta, "band_1").as("s"))
+      .select(col("block"), col("s.count").as("n_valid"),
+        col("s.min").cast("long").as("vmin"),
+        col("s.max").cast("long").as("vmax"),
+        col("s.sum").cast("long").as("vsum"))
   }
 
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`

@@ -1,0 +1,44 @@
+package graft.raquet
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.RaquetIO.RaquetDataset
+
+/** Mosaic: first-valid-wins per-pixel composite of two raquet datasets on
+  * the same grid (the `gdal_merge` / mosaicking shape the reference gets by
+  * converting pre-merged VRTs; here it is a pure table operation).
+  *
+  * Plan shape at scale: one full-outer sort-merge join on `block` — both
+  * sides are Morton-sorted on disk so the shuffle is the co-partitioning a
+  * 100 TB mosaic needs anyway, and every pixel kernel runs post-join, fully
+  * parallel. Tiles covered by only ONE input pass their blobs through
+  * byte-identical ([[org.apache.spark.sql.graft.RqComposite]] short-circuits
+  * the null side), so decode cost is paid only where coverage overlaps —
+  * for continental mosaics the overlap seam is a vanishing fraction of
+  * tiles.
+  */
+object Mosaic {
+
+  /** Composite `a` over `b` (a wins where valid) per band. Returns
+    * `block` + the composited band blobs; callers needing a full raquet
+    * table re-derive stats columns with `rq_summary_stats` (exactly what
+    * the writer's stats pass does). */
+  def mosaic(a: RaquetDataset, b: RaquetDataset,
+      bands: Seq[String]): DataFrame = {
+    require(a.meta.blockWidth == b.meta.blockWidth &&
+      a.meta.blockHeight == b.meta.blockHeight,
+      s"mosaic: grid mismatch ${a.meta.blockWidth}x${a.meta.blockHeight} vs " +
+        s"${b.meta.blockWidth}x${b.meta.blockHeight}")
+    bands.foreach { n =>
+      require(a.meta.band(n).bandType == b.meta.band(n).bandType,
+        s"mosaic: dtype mismatch on $n")
+    }
+    val left = a.data.select(col("block") +: bands.map(n => col(n).as(s"a_$n")): _*)
+    val right = b.data.select(col("block") +: bands.map(n => col(n).as(s"b_$n")): _*)
+    val joined = left.join(right, Seq("block"), "full_outer")
+    joined.select(col("block") +: bands.map(n =>
+      rq_composite(col(s"a_$n"), col(s"b_$n"), a.meta, n).as(n)): _*)
+  }
+}

@@ -149,6 +149,24 @@ final case class BandKernel(
     PixelCodec.encode(v, dtype, gzip = true)
   }
 
+  /** First-valid-wins per-pixel composite (mosaic): a's pixel where valid
+    * (non-nodata/non-NaN), else b's — which may itself be nodata, so holes
+    * survive only where BOTH inputs are holes. Inputs must share this
+    * kernel's grid/dtype; output is a well-formed gzip band blob. */
+  def composite(rawA: Array[Byte], rawB: Array[Byte]): Array[Byte] = {
+    val va = decode(rawA)
+    val vb = decode(rawB)
+    require(va.length == vb.length,
+      s"composite: mismatched tile sizes ${va.length} vs ${vb.length}")
+    var i = 0
+    while (i < va.length) {
+      val x = va(i)
+      if (java.lang.Double.isNaN(x) || (!nodata.isNaN && x == nodata)) va(i) = vb(i)
+      i += 1
+    }
+    PixelCodec.encode(va, dtype, gzip = true)
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)

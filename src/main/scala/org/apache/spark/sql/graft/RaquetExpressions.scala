@@ -329,6 +329,46 @@ case class RqReclassify(child: Expression, kernel: BandKernel,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rq_composite(a, b) → first-valid-wins per-pixel mosaic blob. NULL
+  * handling is the mosaic's outer-join semantics: a missing side passes the
+  * other side's blob through BYTE-IDENTICAL (no decode/re-encode), so
+  * single-source regions of a mosaic cost nothing per tile. */
+case class RqComposite(a: Expression, b: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = a.nullable && b.nullable
+  override def prettyName: String = "rq_composite"
+  override def eval(input: InternalRow): Any = {
+    val ra = a.eval(input)
+    val rb = b.eval(input)
+    if (ra == null) rb
+    else if (rb == null) ra
+    else kernel.composite(ra.asInstanceOf[Array[Byte]], rb.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val ea = a.genCode(ctx)
+    val eb = b.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${ea.code}
+        ${eb.code}
+        boolean ${ev.isNull} = ${ea.isNull} && ${eb.isNull};
+        byte[] ${ev.value} = null;
+        if (!${ev.isNull}) {
+          if (${ea.isNull}) { ${ev.value} = ${eb.value}; }
+          else if (${eb.isNull}) { ${ev.value} = ${ea.value}; }
+          else { ${ev.value} = $k.composite(${ea.value}, ${eb.value}); }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
 /** rq_summary_stats(band) → stats struct over valid pixels (A1); null for
   * empty tiles. The partial-merge fields (count/sum/sum_sq) make the output
   * directly mergeable by [[graft.operators.StatsMerge]] (A3). */
