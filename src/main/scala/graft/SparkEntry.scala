@@ -125,6 +125,7 @@ object SparkEntry {
     "q104_rotated_pole"     -> (RaquetQueries.q104RotatedPole _),
     "q105_reclassify"       -> (RaquetQueries.q105Reclassify _),
     "q106_mosaic"           -> (RaquetQueries.q106Mosaic _),
+    "q107_lm_score"         -> (LlmQueries.q107LmScore _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -348,6 +349,7 @@ object SparkEntry {
     "q104_rotated_pole"     -> RaquetOracles.q104,
     "q105_reclassify"       -> RaquetOracles.q105,
     "q106_mosaic"           -> RaquetOracles.q106,
+    "q107_lm_score"         -> LlmOracles.q107,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

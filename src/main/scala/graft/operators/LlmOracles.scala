@@ -416,4 +416,28 @@ object LlmOracles {
           greatest($names) AS score
         FROM s"""
   }
+
+  /** q107: the whole bigram-LM pipeline re-derived — corpus unigram/bigram
+    * counts, vocabulary size, add-one smoothing, per-bigram −ln P rounded
+    * to integer micro-nats, per-doc integer totals. Token/bigram
+    * construction mirrors TextOps.lmScore exactly (split on ' ', 1-based
+    * adjacent pairs, docs with <2 tokens drop out); bigram keys are
+    * "w1 w2" strings, and w1 is recovered with split_part — safe because
+    * tokens cannot contain the separator. */
+  val q107: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       uni AS (SELECT unnest(t) AS w FROM toks),
+       cw AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       v AS (SELECT count(DISTINCT w) AS v FROM uni),
+       bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1])) AS b
+              FROM toks WHERE len(t) >= 2),
+       cb AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+       sc AS (SELECT bg.doc_id,
+                CAST(round(-ln((cb.c + 1.0) / (cw.c + (SELECT v FROM v)))
+                  * 1000000) AS BIGINT) AS nm
+              FROM bg JOIN cb USING (b)
+                JOIN cw ON cw.w = split_part(bg.b, ' ', 1))
+       SELECT doc_id, count(*) AS n_bigrams, sum(nm) AS nll_micros
+       FROM sc GROUP BY doc_id"""
 }

@@ -237,4 +237,11 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_kept"),
         sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
+  /** Bigram-LM perplexity quality scoring ([[TextOps.lmScore]]): the model
+    * is self-trained on the corpus, so the DuckDB oracle re-derives the
+    * ENTIRE pipeline — counts, smoothing, per-bigram micro-nat rounding,
+    * integer totals — from scratch (full-algorithm verification). */
+  def q107LmScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(docs(spark, dir))
 }

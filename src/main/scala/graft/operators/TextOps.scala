@@ -351,6 +351,41 @@ object TextOps {
           regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$label") }: _*)
   }
 
+  /** Per-document bigram language-model negative log-likelihood — the
+    * classic KenLM-style perplexity quality filter, self-trained on the
+    * corpus: P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) with add-one smoothing
+    * over the corpus's own counts, scored as the SUM of −ln P over each
+    * doc's bigram occurrences. High values = improbable token sequences
+    * (boilerplate, mojibake, shuffled text) — threshold to filter.
+    *
+    * Exactness: each bigram's −ln P is rounded to integer MICRO-nats first
+    * and the per-doc total is an integer sum, so the result is independent
+    * of Spark's aggregation order (double sums are not) and hash-matches
+    * the DuckDB oracle. Scale shape: tokenize once, two hash aggs for the
+    * count tables, then an equi-join of bigram occurrences against their
+    * counts — linear in corpus tokens, no all-pairs anywhere; V is a
+    * driver scalar (one exact distinct count, the tfidf nDocs pattern).
+    * Docs with <2 tokens have no bigrams and drop out. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val cw = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+    val v = uni.select(countDistinct(col("w"))).head.getLong(0)
+    val bg = toks.filter(size(col("t")) >= 2)
+      .withColumn("bs", expr(
+        "transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .persist()
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    bg.join(cb, "b")
+      .withColumn("w1", expr("split_part(b, ' ', 1)"))
+      .join(cw.withColumnRenamed("w", "w1"), "w1")
+      .withColumn("nm", round(-log((col("cb") + 1.0) / (col("cw") + v.toDouble))
+        * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nm").as("nll_micros"))
+  }
+
   /** Per-document language ID: (doc_id, lang, score). One projection —
     * codegen'd string arithmetic, no shuffle, trivially linear at scale. */
   def langId(docs: DataFrame): DataFrame = {
