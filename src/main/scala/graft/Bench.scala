@@ -256,8 +256,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val queries = rasterQueries ++ dataQueries ++
+    val all = rasterQueries ++ dataQueries ++
       (if (withLarge) largeQueries else Map.empty)
+    // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY):
+    // SPARK_GRAFT_BENCH_ONLY=b_dup_clusters times a subset
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(o => all.filter { case (n, _) => o(n) })
+      .getOrElse(all)
     queries.foreach { case (name, fn) =>
       try once(fn)
       catch { case scala.util.control.NonFatal(e) =>

@@ -49,13 +49,20 @@ object Graph {
     * comp = min node id of the component. */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
+    // materialize the INPUT once: `edges` is typically the tail of an
+    // expensive pair-generation pipeline (minhash/simhash/LSH), and the
+    // symmetrize + nodes + label-init plans below reference it four times —
+    // without this checkpoint the whole upstream pipeline re-executes per
+    // reference (~4x the pair-gen cost before the first round even runs)
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
     // symmetrize + add self-loops: one join+agg then computes
     // min(label over {self} ∪ neighbors) in a single pass
-    val nodes = edges.select(col(src).as("u"))
-      .unionByName(edges.select(col(dst).as("u")))
+    val nodes = e0.select(col("u"))
+      .unionByName(e0.select(col("v").as("u")))
       .distinct()
-    val und = edges.select(col(src).as("u"), col(dst).as("v"))
-      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .localCheckpoint()
+    val und = e0
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .unionByName(nodes.select(col("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint()
