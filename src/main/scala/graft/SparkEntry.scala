@@ -126,6 +126,7 @@ object SparkEntry {
     "q105_reclassify"       -> (RaquetQueries.q105Reclassify _),
     "q106_mosaic"           -> (RaquetQueries.q106Mosaic _),
     "q107_lm_score"         -> (LlmQueries.q107LmScore _),
+    "q108_rasterize"        -> (RaquetQueries.q108Rasterize _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -350,6 +351,7 @@ object SparkEntry {
     "q105_reclassify"       -> RaquetOracles.q105,
     "q106_mosaic"           -> RaquetOracles.q106,
     "q107_lm_score"         -> LlmOracles.q107,
+    "q108_rasterize"        -> RaquetOracles.q108,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -35,6 +35,10 @@ object GraftFunctions {
 
   def rq_decode(band: Column, meta: RaquetMetadata, name: String): Column =
     col(RqDecode(ex(band), BandKernel(meta, name)))
+  /** Kernel-direct decode for tiles created in-plan (e.g. rq_rasterize)
+    * where no dataset metadata exists. */
+  def rq_decode(band: Column, kernel: BandKernel): Column =
+    col(RqDecode(ex(band), kernel))
   def rq_summary_stats(band: Column, meta: RaquetMetadata, name: String): Column =
     col(RqSummaryStats(ex(band), BandKernel(meta, name)))
   def rq_raster_value(band: Column, block: Column, lon: Column, lat: Column,
@@ -46,6 +50,8 @@ object GraftFunctions {
   def rq_composite(a: Column, b: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqComposite(ex(a), ex(b), BandKernel(meta, name)))
+  def rq_rasterize(block: Column, zones: Column, kernel: BandKernel): Column =
+    col(RqRasterize(ex(block), ex(zones), kernel))
   def rq_clip_stats(band: Column, block: Column, meta: RaquetMetadata,
       name: String, wkt: String): Column =
     col(RqClipStats(ex(band), ex(block), BandKernel(meta, name), wkt))

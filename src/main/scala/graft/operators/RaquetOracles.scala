@@ -850,6 +850,38 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q108 rasterize oracle: every pixel's winning zone re-derived from the
+    * rectangle bounds (strict center containment, max zone id on overlap)
+    * over exactly the tiles whose bbox intersects a zone — the polyfill
+    * set for rectangles. Tile/pixel geometry uses the same dyadic lon and
+    * gudermannian lat closed forms as q22. */
+  val q108: String = {
+    def gud(t: String) =
+      s"degrees(atan((exp(pi()*(1 - 2*($t))) - exp(-pi()*(1 - 2*($t))))/2))"
+    s"""WITH zones(zid, w, e, s, n) AS (VALUES
+          (1, 5.6371, 11.9407, 24.7113, 30.2881),
+          (2, 2.0, 19.0, 5.0, 32.0),
+          (3, 25.0, 40.0, 2.0, 15.0)),
+        tb AS (SELECT x, y,
+            x*5.625 - 180 AS tw, (x+1)*5.625 - 180 AS te,
+            ${gud("CAST(y+1 AS DOUBLE)/64")} AS ts,
+            ${gud("CAST(y AS DOUBLE)/64")} AS tn
+          FROM range(64) a(x), range(64) b(y)),
+        hit AS (SELECT DISTINCT x, y FROM tb JOIN zones
+            ON tw < e AND te > w AND ts < n AND tn > s),
+        pc AS (SELECT x, y,
+            (CAST(x*16+i AS DOUBLE)+0.5)/1024*360 - 180 AS clon,
+            ${gud("(CAST(y*16+j AS DOUBLE)+0.5)/1024")} AS clat
+          FROM hit, range(16) c(i), range(16) d(j)),
+        v AS (SELECT x, y,
+            (SELECT max(zid) FROM zones z
+             WHERE clon > z.w AND clon < z.e AND clat > z.s AND clat < z.n) AS v
+          FROM pc)
+        SELECT ${cellExpr("x", "y", 6)} AS block, CAST(v AS BIGINT) AS v,
+          count(*) AS n
+        FROM v WHERE v IS NOT NULL GROUP BY x, y, v"""
+  }
+
   /** q106 mosaic oracle: per-pixel coalesce of the two closed-form sources
     * (A first where valid; A absent entirely on tile (1,1); both-nodata
     * stays a hole), aggregated per zoom-1 tile. */

@@ -1476,6 +1476,40 @@ object RaquetQueries {
       .agg(sum("v").as("px_sum"), min("v").as("px_min"), max("v").as("px_max"))
   }
 
+  /** Vector→raster burn-in (the `gdal_rasterize` shape, inverse of
+    * rq_clip): each zone polyfills to its intersecting cells, one hash agg
+    * collects the (value, wkt) list per cell — zone lists per tile are
+    * small by construction — and the paint kernel runs post-agg, fully
+    * parallel. The raster is CREATED, never shuffled; zones ≪ output, so
+    * the only exchange is the polyfill explode's groupBy. Overlaps resolve
+    * by max value; untouched pixels are nodata. */
+  def rasterizeZones(zones: DataFrame, zoom: Int,
+      kernel: graft.raquet.BandKernel): DataFrame =
+    zones.select(col("zone_id").cast("double").as("value"), col("wkt"))
+      .withColumn("block", explode(st_polyfill_col(col("wkt"), lit(zoom))))
+      .groupBy("block")
+      .agg(collect_list(struct(col("value"), col("wkt"))).as("zones"))
+      .select(col("block"),
+        rq_rasterize(col("block"), col("zones"), kernel).as("band_1"))
+
+  /** Rasterize driver proof: the q100 zone table burned into fresh 16×16
+    * uint8 tiles at zoom 6 (nodata 0, max zone id wins on overlap), then
+    * decoded back and counted per (tile, value). The oracle re-derives
+    * every pixel's winning zone from the rectangle bounds and the
+    * pixel-center mercator formulas — tiles whose intersection is a sliver
+    * with no pixel center inside drop from both sides. */
+  def q108Rasterize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zones = Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt))
+      .toDF("zone_id", "wkt")
+    val kernel = graft.raquet.BandKernel("uint8", 0.0, 16, 16, 1.0, 0.0)
+    rasterizeZones(zones, zoom = 6, kernel)
+      .select(col("block"), explode(rq_decode(col("band_1"), kernel)).as("pv"))
+      .filter(col("pv") =!= 0.0)
+      .groupBy(col("block"), col("pv").cast("long").as("v"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Reclassify (ST_Reclass shape) driver proof: band_1 binned into four
     * classes by plan-time breaks, then per-tile stats of the RECLASSIFIED
     * blob — the output blob feeds the standard stats kernel, proving it is

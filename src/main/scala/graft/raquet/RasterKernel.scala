@@ -167,6 +167,53 @@ final case class BandKernel(
     PixelCodec.encode(va, dtype, gzip = true)
   }
 
+  /** Rasterize (vector burn-in, the `gdal_rasterize` shape): paint each
+    * zone's value onto every pixel whose CENTER falls inside its geometry
+    * (the same center rule as [[clipStats]]); overlaps resolve
+    * deterministically by MAX value; untouched pixels stay nodata. Whole-
+    * tile zones take the containsBox fast path (no point-in-polygon loop).
+    * Returns a well-formed gzip band blob of this kernel's dtype. */
+  def rasterize(block: Long, values: Array[Double],
+      geoms: Array[Geom]): Array[Byte] = {
+    val z = Quadbin.zoom(block)
+    val x = Quadbin.tileX(block)
+    val y = Quadbin.tileY(block)
+    val fill = if (nodata.isNaN) Double.NaN else nodata
+    val out = new Array[Double](width * height)
+    java.util.Arrays.fill(out, fill)
+    val box = graft.geo.BBox(
+      Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
+      Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
+    def burn(p: Int, v: Double): Unit = {
+      val cur = out(p)
+      val unset = java.lang.Double.isNaN(cur) || (!nodata.isNaN && cur == nodata)
+      if (unset || v > cur) out(p) = v
+    }
+    var k = 0
+    while (k < geoms.length) {
+      val g = geoms(k)
+      if (g.intersectsBox(box)) {
+        if (g.containsBox(box)) {
+          var p = 0
+          while (p < out.length) { burn(p, values(k)); p += 1 }
+        } else {
+          var j = 0
+          while (j < height) {
+            val lat = pixelLat(y, z, j)
+            var i = 0
+            while (i < width) {
+              if (g.containsPoint(pixelLon(x, z, i), lat)) burn(j * width + i, values(k))
+              i += 1
+            }
+            j += 1
+          }
+        }
+      }
+      k += 1
+    }
+    PixelCodec.encode(out, dtype, gzip = true)
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)

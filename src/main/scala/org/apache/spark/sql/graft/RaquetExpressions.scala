@@ -284,6 +284,23 @@ object RqBridge {
   def polyfillDyn(wkt: String, z: Int, mode: String): ArrayData =
     ArrayData.toArrayData(graft.quadbin.Polyfill.cells(geomOf(wkt), z, mode))
 
+  /** Unpack the per-tile zone list (value, wkt) and burn it into a fresh
+    * band blob. Zone counts per tile are small (polyfill join), so the
+    * per-row WKT parse is bounded by the zone list, not the pixel count. */
+  def rasterizeOf(k: BandKernel, block: Long, zones: ArrayData): Array[Byte] = {
+    val n = zones.numElements()
+    val vals = new Array[Double](n)
+    val geoms = new Array[Geom](n)
+    var i = 0
+    while (i < n) {
+      val row = zones.getStruct(i, 2)
+      vals(i) = row.getDouble(0)
+      geoms(i) = Wkt.parse(row.getUTF8String(1).toString)
+      i += 1
+    }
+    k.rasterize(block, vals, geoms)
+  }
+
   def clipStatsDyn(k: BandKernel, raw: Array[Byte], block: Long,
       wkt: String): InternalRow =
     statsRow(k.clipStats(raw, block, geomOf(wkt)))
@@ -327,6 +344,33 @@ case class RqReclassify(child: Expression, kernel: BandKernel,
     defineCodeGen(ctx, ev, raw => s"$k.reclassify($raw, $b, $c)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_rasterize(block, zones) → band blob with each zone's value burned
+  * onto pixels whose center falls inside its geometry (max value wins on
+  * overlap, untouched pixels = nodata). `zones` is the per-tile
+  * ARRAY<STRUCT<value DOUBLE, wkt STRING>> a polyfill join + collect_list
+  * produces — the vector→raster half of the engine (gdal_rasterize shape,
+  * inverse of rq_clip). */
+case class RqRasterize(block: Expression, zones: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = zones
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType,
+    ArrayType(StructType(Seq(
+      StructField("value", DoubleType, nullable = false),
+      StructField("wkt", StringType, nullable = false))), containsNull = false))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_rasterize"
+  override protected def nullSafeEval(b: Any, zs: Any): Any =
+    RqBridge.rasterizeOf(kernel, b.asInstanceOf[Long], zs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, zs) => s"${RqBridge.B}.rasterizeOf($k, $b, $zs)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, zones = r)
 }
 
 /** rq_composite(a, b) → first-valid-wins per-pixel mosaic blob. NULL
