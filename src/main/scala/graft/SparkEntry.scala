@@ -127,6 +127,7 @@ object SparkEntry {
     "q106_mosaic"           -> (RaquetQueries.q106Mosaic _),
     "q107_lm_score"         -> (LlmQueries.q107LmScore _),
     "q108_rasterize"        -> (RaquetQueries.q108Rasterize _),
+    "q109_dataset_pctl"     -> (RaquetQueries.q109DatasetPercentiles _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -352,6 +353,7 @@ object SparkEntry {
     "q106_mosaic"           -> RaquetOracles.q106,
     "q107_lm_score"         -> LlmOracles.q107,
     "q108_rasterize"        -> RaquetOracles.q108,
+    "q109_dataset_pctl"     -> RaquetOracles.q109,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -52,6 +52,9 @@ object GraftFunctions {
     col(RqComposite(ex(a), ex(b), BandKernel(meta, name)))
   def rq_rasterize(block: Column, zones: Column, kernel: BandKernel): Column =
     col(RqRasterize(ex(block), ex(zones), kernel))
+  def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
+      min: Double, max: Double, buckets: Int): Column =
+    col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))
   def rq_clip_stats(band: Column, block: Column, meta: RaquetMetadata,
       name: String, wkt: String): Column =
     col(RqClipStats(ex(band), ex(block), BandKernel(meta, name), wkt))

@@ -850,6 +850,26 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q109 dataset-percentile oracle: recount every valid DN from the
+    * fixture closed form, build the cumulative distribution, and apply the
+    * identical integer rule — smallest DN with cum ≥ (p·N + 99) div 100. */
+  val q109: String =
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        v AS (SELECT $V1 AS v1 FROM px),
+        c AS (SELECT CAST(v1 AS BIGINT) AS dn, count(*) AS n FROM v
+          WHERE v1 IS NOT NULL GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c),
+        cum AS (SELECT dn, n, sum(n) OVER (ORDER BY dn) AS cum FROM c),
+        ps(p) AS (VALUES (25), (50), (75), (90), (99))
+        SELECT CAST(p AS BIGINT) AS p, CAST(min(dn) AS BIGINT) AS v,
+          (SELECT total FROM t) AS n_total
+        FROM ps JOIN cum ON cum.cum >= (p*(SELECT total FROM t) + 99) // 100
+        GROUP BY p"""
+
   /** q108 rasterize oracle: every pixel's winning zone re-derived from the
     * rectangle bounds (strict center containment, max zone id on overlap)
     * over exactly the tiles whose bbox intersects a zone — the polyfill

@@ -1510,6 +1510,37 @@ object RaquetQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Dataset-level EXACT percentiles without a global sort: per-tile
+    * `rq_histogram` count vectors (per-DN buckets, nodata excluded) merge
+    * element-wise through posexplode + hash agg — map-side combine leaves
+    * ≤256 rows per partition regardless of tile count — then a 256-row
+    * cumulative window picks each percentile as the smallest DN whose
+    * cumulative count reaches ceil(p·N/100), in INTEGER arithmetic
+    * (`(p·N + 99) div 100`), so the result is exact at any scale. This
+    * mergeable-histogram shape is how a 100 TB median is actually
+    * computed; the oracle recounts every DN from the fixture closed form
+    * and applies the same rule. */
+  def q109DatasetPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, Fixture)
+    val counts = ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(rq_histogram(col("band_1"), ds.meta, "band_1", -0.5, 255.5, 256).as("h"))
+      .select(posexplode(col("h")).as(Seq("dn", "n")))
+      .groupBy("dn").agg(sum("n").as("n"))
+      .filter(col("n") > 0)
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("dn")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total",
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val ps = Seq(25, 50, 75, 90, 99).toDF("p")
+    cum.join(broadcast(ps),
+        col("cum") >= expr("(p * total + 99) div 100"))
+      .groupBy(col("p").cast("long").as("p"))
+      .agg(min(col("dn")).cast("long").as("v"), max("total").as("n_total"))
+  }
+
   /** Reclassify (ST_Reclass shape) driver proof: band_1 binned into four
     * classes by plan-time breaks, then per-tile stats of the RECLASSIFIED
     * blob — the output blob feeds the standard stats kernel, proving it is

@@ -214,6 +214,29 @@ final case class BandKernel(
     PixelCodec.encode(out, dtype, gzip = true)
   }
 
+  /** Per-tile bucket histogram over valid (non-nodata/non-NaN) raw DN
+    * values: GDAL bucket convention, `idx = floor((v − min)/width)`,
+    * values outside [min, max) dropped. With min −0.5 / max 255.5 / 256
+    * buckets this is the spec's exact per-DN count (`raquet.md:367-372`).
+    * Returns a mergeable count vector — element-wise sums across tiles
+    * give the exact dataset distribution without a global sort. */
+  def histogram(raw: Array[Byte], min: Double, max: Double,
+      buckets: Int): Array[Long] = {
+    val v = decode(raw)
+    val w = (max - min) / buckets
+    val out = new Array[Long](buckets)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (!(java.lang.Double.isNaN(x) || (!nodata.isNaN && x == nodata))) {
+        val b = ((x - min) / w).toInt
+        if (x >= min && b >= 0 && b < buckets) out(b) += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)

@@ -373,6 +373,29 @@ case class RqRasterize(block: Expression, zones: Expression, kernel: BandKernel)
     copy(block = l, zones = r)
 }
 
+/** rq_histogram(band) with plan-time [min, max) × buckets → ARRAY<BIGINT>
+  * per-tile bucket counts (GDAL convention). Element-wise sums across
+  * tiles give exact dataset-level distributions/percentiles without a
+  * global sort — the mergeable-sketch shape, exact for bounded DN ranges. */
+case class RqHistogram(child: Expression, kernel: BandKernel,
+    min: Double, max: Double, buckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_histogram"
+  override protected def nullSafeEval(raw: Any): Any =
+    ArrayData.toArrayData(
+      kernel.histogram(raw.asInstanceOf[Array[Byte]], min, max, buckets))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, raw =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"$k.histogram($raw, $min, $max, $buckets))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** rq_composite(a, b) → first-valid-wins per-pixel mosaic blob. NULL
   * handling is the mosaic's outer-join semantics: a missing side passes the
   * other side's blob through BYTE-IDENTICAL (no decode/re-encode), so
