@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Wkt
+import graft.quadbin.Quadbin
+import graft.raquet.{BandKernel, PixelCodec}
+
+/** Kernel-level edge semantics for the round-6 raster operators —
+  * reclassify, composite (mosaic), rasterize, histogram. The driver
+  * queries (q105/q106/q108/q109) prove the distributed pipelines against
+  * closed-form oracles; these tests pin the per-kernel corner cases those
+  * aggregate checks could mask (bin boundaries, nodata pass-through,
+  * both-nodata holes, overlap priority, out-of-range buckets). */
+class RasterOpsSpec extends AnyFunSuite {
+
+  private val k = BandKernel("uint8", 255.0, 4, 4, 1.0, 0.0)
+  private def enc(vs: Double*): Array[Byte] =
+    PixelCodec.encode(vs.toArray, "uint8", gzip = true)
+  private def dec(raw: Array[Byte]): Seq[Double] = k.decode(raw).toSeq
+
+  test("reclassify: left-closed bins, boundary value goes to the upper class") {
+    val raw = enc(0, 63, 64, 127, 128, 191, 192, 254, 255, 10, 100, 200,
+      64, 128, 192, 1)
+    val out = k.reclassify(raw, Array(64.0, 128.0, 192.0),
+      Array(10.0, 20.0, 30.0, 40.0))
+    assert(dec(out) == Seq(10, 10, 20, 20, 30, 30, 40, 40, 255, 10, 20, 40,
+      20, 30, 40, 10).map(_.toDouble))
+  }
+
+  test("reclassify: nodata pixels pass through untouched") {
+    val raw = enc(Seq.fill(16)(255.0): _*)
+    assert(dec(k.reclassify(raw, Array(100.0), Array(1.0, 2.0))) ==
+      Seq.fill(16)(255.0))
+  }
+
+  test("reclassify: class count must be breaks + 1") {
+    intercept[IllegalArgumentException] {
+      k.reclassify(enc(Seq.fill(16)(0.0): _*), Array(1.0, 2.0), Array(1.0, 2.0))
+    }
+  }
+
+  test("composite: a wins where valid, b fills holes, both-nodata stays a hole") {
+    val a = enc(1, 255, 3, 255, 5, 255, 7, 255, 9, 255, 11, 255, 13, 255, 15, 255)
+    val b = enc(100, 200, 100, 255, 100, 200, 100, 255,
+      100, 200, 100, 255, 100, 200, 100, 255)
+    assert(dec(k.composite(a, b)) == Seq(1, 200, 3, 255, 5, 200, 7, 255,
+      9, 200, 11, 255, 13, 200, 15, 255).map(_.toDouble))
+  }
+
+  test("composite rejects mismatched tile sizes") {
+    intercept[IllegalArgumentException] {
+      k.composite(enc(Seq.fill(16)(1.0): _*), enc(Seq.fill(4)(1.0): _*))
+    }
+  }
+
+  test("rasterize: max zone wins on overlap, untouched pixels stay nodata") {
+    // tile (0,0) at zoom 0 spans the whole world; zone A covers the NW
+    // quadrant (lon<0, lat>0), zone B a band overlapping A's east half
+    val block = Quadbin.tileToCell(0, 0, 0)
+    val a = Wkt.parse("POLYGON((-170 5, -5 5, -5 80, -170 80, -170 5))")
+    val b = Wkt.parse("POLYGON((-100 5, 170 5, 170 80, -100 80, -100 5))")
+    val out = k.rasterize(block, Array(1.0, 2.0), Array(a, b))
+    val px = dec(out)
+    // rows 0-1 are north of the equator at 4px resolution; pixel-center
+    // lons are -135, -45, 45, 135
+    assert(px.take(8) == Seq(1, 2, 2, 2, 1, 2, 2, 2).map(_.toDouble))
+    assert(px.drop(8) == Seq.fill(8)(255.0)) // south half untouched
+  }
+
+  test("rasterize: whole-tile zone takes the containsBox path") {
+    val block = Quadbin.tileToCell(2, 3, 3)
+    val world = Wkt.parse("POLYGON((-180 -86, 180 -86, 180 86, -180 86, -180 -86))")
+    assert(dec(k.rasterize(block, Array(7.0), Array(world))) == Seq.fill(16)(7.0))
+  }
+
+  test("histogram: per-DN counts, nodata and out-of-range dropped") {
+    val raw = enc(0, 0, 1, 5, 5, 5, 255, 255, 3, 3, 3, 3, 0, 1, 5, 2)
+    val h = k.histogram(raw, -0.5, 255.5, 256)
+    assert(h(0) == 3 && h(1) == 2 && h(2) == 1 && h(3) == 4 && h(5) == 4)
+    assert(h(255) == 0) // nodata masked
+    assert(h.sum == 14)
+    // narrowed range drops values outside it
+    val h2 = k.histogram(raw, -0.5, 2.5, 3)
+    assert(h2.toSeq == Seq(3L, 2L, 1L))
+  }
+}
