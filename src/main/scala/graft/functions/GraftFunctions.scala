@@ -194,5 +194,24 @@ object GraftFunctions {
     r("mm_webp_lossy") { case Seq(b, w, h, c, q) =>
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(q, "quality")) }
+    def litDouble(e: Expression, what: String): Double = e match {
+      case Literal(v, _) if v != null => v.toString.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric literal, got $other")
+    }
+    // numeric lists as CSV string literals ("64,128,192") — foldable,
+    // parsed once at resolution like the metadata JSON
+    def litDoubles(e: Expression, what: String): Array[Double] =
+      litStr(e, what).split(",").map(_.trim.toDouble)
+    r("rq_reclassify") { case Seq(b, m, n, br, cl) =>
+      RqReclassify(b, kernelOf(m, n),
+        litDoubles(br, "breaks"), litDoubles(cl, "classes")) }
+    r("rq_composite") { case Seq(a, b, m, n) =>
+      RqComposite(a, b, kernelOf(m, n)) }
+    r("rq_histogram") { case Seq(b, m, n, lo, hi, k) =>
+      RqHistogram(b, kernelOf(m, n), litDouble(lo, "min"),
+        litDouble(hi, "max"), litInt(k, "buckets")) }
+    r("rq_rasterize") { case Seq(blk, zs, m, n) =>
+      RqRasterize(blk, zs, kernelOf(m, n)) }
   }
 }

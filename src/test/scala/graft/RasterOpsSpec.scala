@@ -1,7 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.geo.Wkt
 import graft.quadbin.Quadbin
 import graft.raquet.{BandKernel, PixelCodec}
@@ -12,7 +10,7 @@ import graft.raquet.{BandKernel, PixelCodec}
   * closed-form oracles; these tests pin the per-kernel corner cases those
   * aggregate checks could mask (bin boundaries, nodata pass-through,
   * both-nodata holes, overlap priority, out-of-range buckets). */
-class RasterOpsSpec extends AnyFunSuite {
+class RasterOpsSpec extends SparkSpec {
 
   private val k = BandKernel("uint8", 255.0, 4, 4, 1.0, 0.0)
   private def enc(vs: Double*): Array[Byte] =
@@ -72,6 +70,36 @@ class RasterOpsSpec extends AnyFunSuite {
     val block = Quadbin.tileToCell(2, 3, 3)
     val world = Wkt.parse("POLYGON((-180 -86, 180 -86, 180 86, -180 86, -180 -86))")
     assert(dec(k.rasterize(block, Array(7.0), Array(world))) == Seq.fill(16)(7.0))
+  }
+
+  test("SQL registrations of reclassify/composite/histogram match the DSL") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions._
+    graft.functions.GraftFunctions.register(spark)
+    val ds = graft.raquet.RaquetIO.read(spark,
+      graft.operators.RaquetQueries.Fixture)
+    ds.data.createOrReplaceTempView("rq_ops_sqlreg")
+    val mj = graft.raquet.RaquetMetadata.toJson(ds.meta)
+    val viaSql = spark.sql(
+      s"""SELECT block,
+            rq_reclassify(band_1, '$mj', 'band_1', '64,128,192', '10,20,30,40') AS r,
+            rq_composite(band_1, band_1, '$mj', 'band_1') AS c,
+            rq_histogram(band_1, '$mj', 'band_1', -0.5, 255.5, 256) AS h
+          FROM rq_ops_sqlreg""").collect()
+    val viaDsl = ds.data.select(col("block"),
+        rq_reclassify(col("band_1"), ds.meta, "band_1",
+          Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0)).as("r"),
+        rq_composite(col("band_1"), col("band_1"), ds.meta, "band_1").as("c"),
+        rq_histogram(col("band_1"), ds.meta, "band_1", -0.5, 255.5, 256).as("h"))
+      .collect()
+    val byBlock = viaSql.map(r => r.getLong(0) -> r).toMap
+    assert(viaDsl.length == viaSql.length)
+    viaDsl.foreach { d =>
+      val q = byBlock(d.getLong(0))
+      assert(java.util.Arrays.equals(d.getAs[Array[Byte]](1), q.getAs[Array[Byte]](1)))
+      assert(java.util.Arrays.equals(d.getAs[Array[Byte]](2), q.getAs[Array[Byte]](2)))
+      assert(d.getSeq[Long](3) == q.getSeq[Long](3))
+    }
   }
 
   test("histogram: per-DN counts, nodata and out-of-range dropped") {
