@@ -201,6 +201,25 @@ object Bench {
         .filter(quadbin_zoom(col("block")) === 10)
         .select(col("block"), col("band_2_mean"))
         .orderBy(col("band_2_mean").asc, col("block").asc).limit(20)),
+    "b_rasterize" -> ((s: SparkSession, _: String) => {
+      // vector burn-in at zoom 9: three country-scale rectangles explode
+      // to ~2k tiles each; interior tiles take the containsBox fast path
+      import s.implicits._
+      val zones = Seq(
+        (1L, "POLYGON((5.6371 24.7113, 11.9407 24.7113, 11.9407 30.2881, 5.6371 30.2881, 5.6371 24.7113))"),
+        (2L, "POLYGON((2.0 5.0, 19.0 5.0, 19.0 32.0, 2.0 32.0, 2.0 5.0))"),
+        (3L, "POLYGON((25.0 2.0, 40.0 2.0, 40.0 15.0, 25.0 15.0, 25.0 2.0))"))
+        .toDF("zone_id", "wkt")
+      val kernel = graft.raquet.BandKernel("uint8", 0.0, 256, 256, 1.0, 0.0)
+      graft.operators.RaquetQueries.rasterizeZones(zones, zoom = 9, kernel)
+    }),
+    "b_mosaic" -> ((s: SparkSession, _: String) => {
+      // self-mosaic of the bench raster: every tile present on both sides,
+      // so this times the full decode+composite+encode kernel path
+      val ds = RaquetIO.read(s, RasterDir)
+      val native = ds.copy(data = ds.data.filter(quadbin_zoom(col("block")) === 10))
+      graft.raquet.Mosaic.mosaic(native, native, Seq("band_1"))
+    }),
     "b_pyramid_build" -> ((s: SparkSession, _: String) => {
       // the realistic M5 workload: parents + recomputed per-band stats
       // (what convert/write produce), not a stats-stripped projection
@@ -229,6 +248,8 @@ object Bench {
     // running-sum islands), near-dup clustering (minhash pairs → connected
     // components), IVF ANN (codebook train + probe equi-join)
     "b_sessionize" -> (Relational.q54Sessionize _),
+    "b_lm_score" -> ((s: SparkSession, dir: String) =>
+      TextOps.lmScore(Tables.documents(s, dir).select("doc_id", "text"))),
     "b_dup_clusters" -> (graft.operators.LlmQueries.q56DupClusters _),
     "b_ivf_knn" -> (graft.operators.LlmQueries.q51IvfKnn _))
 

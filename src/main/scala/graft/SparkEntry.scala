@@ -128,6 +128,7 @@ object SparkEntry {
     "q107_lm_score"         -> (LlmQueries.q107LmScore _),
     "q108_rasterize"        -> (RaquetQueries.q108Rasterize _),
     "q109_dataset_pctl"     -> (RaquetQueries.q109DatasetPercentiles _),
+    "q110_dup_windows"      -> (LlmQueries.q110DupWindows _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -354,6 +355,7 @@ object SparkEntry {
     "q107_lm_score"         -> LlmOracles.q107,
     "q108_rasterize"        -> RaquetOracles.q108,
     "q109_dataset_pctl"     -> RaquetOracles.q109,
+    "q110_dup_windows"      -> LlmOracles.q110,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

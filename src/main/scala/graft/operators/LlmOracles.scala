@@ -440,4 +440,23 @@ object LlmOracles {
                 JOIN cw ON cw.w = split_part(bg.b, ' ', 1))
        SELECT doc_id, count(*) AS n_bigrams, sum(nm) AS nll_micros
        FROM sc GROUP BY doc_id"""
+
+  /** q110: duplicated-window fractions re-derived — 8-token windows via
+    * 1-based inclusive list slices (t[i:i+7] ≡ Spark slice(t,i,8)),
+    * per-doc DISTINCT, cross-doc = window seen in ≥2 docs. The division
+    * runs once per doc on exact integer counts, so both engines produce
+    * the identical double before rounding. */
+  val q110: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(generate_series(1, len(t) - 7),
+                  i -> array_to_string(t[i:i+7], ' '))) AS s
+              FROM toks WHERE len(t) >= 8),
+       multi AS (SELECT s FROM (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+                 WHERE nd >= 2),
+       j AS (SELECT sh.doc_id, CASE WHEN m.s IS NOT NULL THEN 1 END AS hit
+             FROM sh LEFT JOIN multi m USING (s))
+       SELECT doc_id, count(*) AS n_windows, count(hit) AS n_dup,
+         round(CAST(count(hit) AS DOUBLE)/count(*), 6) AS dup_frac
+       FROM j GROUP BY doc_id"""
 }

@@ -244,4 +244,10 @@ object LlmQueries {
     * integer totals — from scratch (full-algorithm verification). */
   def q107LmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(docs(spark, dir))
+
+  /** Cross-doc duplicated-window fractions ([[TextOps.dupWindowFraction]]):
+    * the oracle re-derives the whole pipeline (8-token windows, per-doc
+    * distinct, cross-doc counts) in SQL. */
+  def q110DupWindows(spark: SparkSession, dir: String): DataFrame =
+    TextOps.dupWindowFraction(docs(spark, dir), w = 8)
 }

@@ -386,6 +386,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("nm").as("nll_micros"))
   }
 
+  /** Cross-document exact-substring duplication signal (the public
+    * ExactSubstr idea from "Deduplicating Training Data Makes Language
+    * Models Better" re-expressed relationally): per doc, the fraction of
+    * its distinct `w`-token windows that also occur in ANOTHER document.
+    * High fractions = boilerplate/mirrored content that MinHash (whole-doc
+    * Jaccard) under-weights. Distinct-ing (doc, window) first means a
+    * window repeated INSIDE one doc does not count as cross-doc.
+    *
+    * Scale shape: explode → distinct → one hash agg for the window→doc
+    * counts → equi-join back. Linear in corpus tokens; the dup_frac
+    * division happens once per doc on exact integer counts, so both
+    * engines compute the identical double. */
+  def dupWindowFraction(docs: DataFrame, w: Int = 8): DataFrame = {
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= w)
+      .withColumn("s", expr(
+        s"transform(sequence(1, size(t) - ${w - 1}), i -> concat_ws(' ', slice(t, i, $w)))"))
+      .select(col("doc_id"), explode(col("s")).as("s"))
+      .distinct()
+      .persist()
+    val multi = sh.groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    sh.join(multi, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("nd")).as("n_dup"),
+        round(count(col("nd")).cast("double") / count(lit(1)), 6).as("dup_frac"))
+  }
+
   /** Per-document language ID: (doc_id, lang, score). One projection —
     * codegen'd string arithmetic, no shuffle, trivially linear at scale. */
   def langId(docs: DataFrame): DataFrame = {
