@@ -30,6 +30,11 @@ object PlanAudit {
       "q54_sessionize" -> Relational.q54Sessionize _,
       "q55_region_stats_fast" -> RaquetQueries.q55RegionStatsFast _,
       "q56_dup_clusters" -> LlmQueries.q56DupClusters _,
+      "q106_mosaic" -> RaquetQueries.q106Mosaic _,
+      "q107_lm_score" -> LlmQueries.q107LmScore _,
+      "q108_rasterize" -> RaquetQueries.q108Rasterize _,
+      "q109_dataset_pctl" -> RaquetQueries.q109DatasetPercentiles _,
+      "q110_dup_windows" -> LlmQueries.q110DupWindows _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(
