@@ -850,6 +850,21 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q111 tile-cache oracle: per native tile, opaque = valid pixels,
+    * transparent = nodata pixels, gray sum = value sum (render is
+    * gray = DN for uint8) — all from the fixture closed form. */
+  val q111: String =
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, $V1 AS v1 FROM px)
+        SELECT block, count(v1) AS n_opaque,
+          256 - count(v1) AS n_transparent,
+          CAST(sum(v1) AS BIGINT) AS gray_sum
+        FROM v GROUP BY block"""
+
   /** q109 dataset-percentile oracle: recount every valid DN from the
     * fixture closed form, build the cumulative distribution, and apply the
     * identical integer rule — smallest DN with cum ≥ (p·N + 99) div 100. */

@@ -1593,6 +1593,34 @@ object RaquetQueries {
         col("s.sum").cast("long").as("vsum"))
   }
 
+  /** Static tile-cache export driver proof ([[graft.sources.TileCache]]):
+    * the whole fixture (all 85 tiles across zooms) renders to a z/x/y.png
+    * tree by EXECUTORS, then the 64 native-zoom files are re-decoded via
+    * ImageIO and aggregated — opaque/transparent pixel counts and gray
+    * sums must match the fixture closed form (render is gray = DN for
+    * uint8, nodata → transparent, the q70 contract). */
+  def q111TileCache(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q111/tiles"
+    val n = graft.sources.TileCache.export(spark, Fixture, tmp)
+    require(n == 85, s"expected 85 tiles written, got $n")
+    val rows = for {
+      xd <- new java.io.File(s"$tmp/6").listFiles.toSeq.sortBy(_.getName)
+      yf <- xd.listFiles.toSeq.sortBy(_.getName)
+    } yield {
+      val img = javax.imageio.ImageIO.read(yf)
+      var sum = 0L; var opaque = 0L; var transparent = 0L
+      for (j <- 0 until img.getHeight; i <- 0 until img.getWidth) {
+        val argb = img.getRGB(i, j)
+        if ((argb >>> 24) == 0) transparent += 1
+        else { sum += argb & 0xFF; opaque += 1 }
+      }
+      val (x, y) = (xd.getName.toLong, yf.getName.stripSuffix(".png").toLong)
+      (Quadbin.tileToCell(x, y, 6), opaque, transparent, sum)
+    }
+    import spark.implicits._
+    rows.toDF("block", "n_opaque", "n_transparent", "gray_sum")
+  }
+
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`
     * grid (CORDEX EUR pole 39.25N/-162E, the COSMO public convention —
     * `graft.geo.RotatedPole`) converts end to end, and the rotation itself

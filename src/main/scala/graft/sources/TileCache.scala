@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.quadbin.Quadbin
+import graft.raquet.{PixelCodec, RaquetIO}
+
+/** Static XYZ tile-cache export — the "publish" path: render every tile of
+  * a raquet dataset into a `z/x/y.png` file tree, the precomputed twin of
+  * the on-demand [[RaquetTileServer]] (what a CDN or object store serves
+  * directly). Rendering is a pure projection, so there is NO shuffle and no
+  * driver funnel: each executor renders and writes the tiles of its own
+  * partitions (on a cluster, `outDir` is a shared filesystem/object store).
+  * Wall-clock is decode+PNG-encode bound and linear in tiles. Returns the
+  * number of tiles written (accumulator-counted). */
+object TileCache {
+
+  def export(spark: SparkSession, path: String, outDir: String): Long = {
+    val ds = RaquetIO.read(spark, path)
+    val m = ds.meta
+    val bandNames = m.bands.map(_.name)
+    val palette = m.bands.head.colortable
+    val nodata = m.bands.head.nodata
+    val dtypes = m.bands.map(_.bandType)
+    val (w, h) = (m.blockWidth, m.blockHeight)
+    val rows = ds.data.select(col("block") +: bandNames.map(b => ds.band(b)): _*)
+    val counter = spark.sparkContext.longAccumulator("tiles_written")
+    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      it.foreach { r =>
+        val block = r.getLong(0)
+        val z = Quadbin.zoom(block)
+        val x = Quadbin.tileX(block)
+        val y = Quadbin.tileY(block)
+        val bands = dtypes.indices.map(i =>
+          PixelCodec.decode(r.getAs[Array[Byte]](i + 1), dtypes(i)))
+        val png = RaquetTileServer.render(bands, w, h, palette, nodata)
+        val dir = java.nio.file.Paths.get(outDir, z.toString, x.toString)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"$y.png"), png)
+        counter.add(1)
+      }
+    }
+    counter.value
+  }
+}
