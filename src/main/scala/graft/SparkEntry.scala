@@ -130,6 +130,7 @@ object SparkEntry {
     "q109_dataset_pctl"     -> (RaquetQueries.q109DatasetPercentiles _),
     "q110_dup_windows"      -> (LlmQueries.q110DupWindows _),
     "q111_tile_cache"       -> (RaquetQueries.q111TileCache _),
+    "q112_upsample"         -> (RaquetQueries.q112Upsample _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -358,6 +359,7 @@ object SparkEntry {
     "q109_dataset_pctl"     -> RaquetOracles.q109,
     "q110_dup_windows"      -> LlmOracles.q110,
     "q111_tile_cache"       -> RaquetOracles.q111,
+    "q112_upsample"         -> RaquetOracles.q112,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -55,6 +55,9 @@ object GraftFunctions {
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
       min: Double, max: Double, buckets: Int): Column =
     col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))
+  def rq_child_tile(band: Column, quadrant: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqChildTile(ex(band), ex(quadrant), BandKernel(meta, name)))
   def rq_clip_stats(band: Column, block: Column, meta: RaquetMetadata,
       name: String, wkt: String): Column =
     col(RqClipStats(ex(band), ex(block), BandKernel(meta, name), wkt))

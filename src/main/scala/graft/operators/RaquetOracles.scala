@@ -850,6 +850,23 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q112 upsample oracle: each z7 child pixel carries the parent value at
+    * half its global coordinates — recount per child tile from V1 with
+    * gx = gx'//2. */
+  val q112: String =
+    s"""WITH d AS (SELECT ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        kids AS (SELECT 2*x + qx AS cx, 2*y + qy AS cy
+          FROM xy, (VALUES (0,0), (1,0), (0,1), (1,1)) q(qx, qy)),
+        px AS (SELECT cx, cy, (cx*16+i)//2 AS gx, (cy*16+j)//2 AS gy
+          FROM kids, range(16) a(i), range(16) b(j)),
+        v AS (SELECT cx, cy, $V1 AS v1 FROM px)
+        SELECT ${cellExpr("cx", "cy", 7)} AS block, count(v1) AS n_valid,
+          CAST(min(v1) AS BIGINT) AS vmin, CAST(max(v1) AS BIGINT) AS vmax,
+          CAST(sum(v1) AS BIGINT) AS vsum
+        FROM v GROUP BY cx, cy"""
+
   /** q111 tile-cache oracle: per native tile, opaque = valid pixels,
     * transparent = nodata pixels, gray sum = value sum (render is
     * gray = DN for uint8) — all from the fixture closed form. */

@@ -1621,6 +1621,23 @@ object RaquetQueries {
     rows.toDF("block", "n_opaque", "n_transparent", "gray_sum")
   }
 
+  /** Zoom-refinement driver proof ([[graft.raquet.Pyramid.upsampleLevel]]):
+    * every native z6 tile explodes into its 4 z7 children (nearest ×2
+    * replication, no shuffle), stats per child vs the closed form — child
+    * global pixel (gx', gy') carries V1(gx'/2, gy'/2), so each parent
+    * value appears exactly 4× and nodata holes replicate. */
+  def q112Upsample(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    graft.raquet.Pyramid.upsampleLevel(native, ds.meta, childZoom = 7)
+      .select(col("block"),
+        rq_summary_stats(col("band_1"), ds.meta, "band_1").as("s"))
+      .select(col("block"), col("s.count").as("n_valid"),
+        col("s.min").cast("long").as("vmin"),
+        col("s.max").cast("long").as("vmax"),
+        col("s.sum").cast("long").as("vsum"))
+  }
+
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`
     * grid (CORDEX EUR pole 39.25N/-162E, the COSMO public convention —
     * `graft.geo.RotatedPole`) converts end to end, and the rotation itself

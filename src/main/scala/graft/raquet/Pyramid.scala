@@ -57,6 +57,29 @@ object Pyramid {
   /** Full pyramid: native tiles + all levels down to `minZoom`, unioned.
     * Levels are built strictly one at a time (each from the previous), so
     * low-zoom fan-in never exceeds 4 per task (SURVEY §7.3 skew note). */
+  /** Zoom refinement — the inverse of [[buildLevel]]: every tile at
+    * `childZoom − 1` explodes into its 4 children at `childZoom` by
+    * nearest-neighbour ×2 replication (aligning a coarse dataset to a
+    * finer one for raster⋈raster math / mosaics across native zooms).
+    * Pure Generate + projection: NO shuffle at any scale — the child cell
+    * ids come from the codegen'd quadbin bit math and the blobs from the
+    * `rq_child_tile` kernel. Returns `block` + band blobs at childZoom. */
+  def upsampleLevel(level: DataFrame, meta: RaquetMetadata,
+      childZoom: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr, lit, typedLit}
+    import graft.functions.GraftFunctions._
+    val bandNames = meta.bands.map(_.name)
+    level
+      .select(col("block") +: bandNames.map(col): _*)
+      .withColumn("q", explode(typedLit(Seq(0, 1, 2, 3))))
+      .select(
+        quadbin_from_tile(
+          quadbin_tile_x(col("block")) * 2 + expr("CAST(q % 2 AS BIGINT)"),
+          quadbin_tile_y(col("block")) * 2 + expr("CAST(q div 2 AS BIGINT)"),
+          lit(childZoom)).as("block") +:
+        bandNames.map(n => rq_child_tile(col(n), col("q"), meta, n).as(n)): _*)
+  }
+
   def build(native: DataFrame, meta: RaquetMetadata, minZoom: Int): DataFrame = {
     val nativeZoom = meta.maxZoom
     var all = native

@@ -237,6 +237,30 @@ final case class BandKernel(
     out
   }
 
+  /** Child tile for zoom refinement (the inverse of [[Downsample]]):
+    * quadrant `q` (0..3, Morton order — qx = q&1, qy = q>>1) of this tile
+    * upsampled ×2 by nearest-neighbour pixel replication. Child pixel
+    * (i, j) = parent ((qx·w+i)/2, (qy·h+j)/2); nodata replicates like any
+    * value, so holes stay holes. */
+  def childTile(raw: Array[Byte], q: Int): Array[Byte] = {
+    require(q >= 0 && q < 4, s"quadrant must be 0..3, got $q")
+    val qx = q & 1
+    val qy = q >> 1
+    val v = decode(raw)
+    val out = new Array[Double](width * height)
+    var j = 0
+    while (j < height) {
+      val pj = (qy * height + j) >> 1
+      var i = 0
+      while (i < width) {
+        out(j * width + i) = v(pj * width + ((qx * width + i) >> 1))
+        i += 1
+      }
+      j += 1
+    }
+    PixelCodec.encode(out, dtype, gzip = true)
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)

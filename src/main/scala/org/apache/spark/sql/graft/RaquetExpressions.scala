@@ -396,6 +396,28 @@ case class RqHistogram(child: Expression, kernel: BandKernel,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rq_child_tile(band, quadrant) → the ×2-upsampled child blob for
+  * quadrant 0..3 (Morton order) — zoom refinement, the inverse of the
+  * pyramid's 2×2-average reduce. Composes with quadbin_from_tile bit math
+  * for the child cell ids; see [[graft.raquet.Pyramid.upsampleLevel]]. */
+case class RqChildTile(band: Expression, quadrant: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = quadrant
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_child_tile"
+  override protected def nullSafeEval(raw: Any, q: Any): Any =
+    kernel.childTile(raw.asInstanceOf[Array[Byte]], q.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (raw, q) => s"$k.childTile($raw, $q)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, quadrant = r)
+}
+
 /** rq_composite(a, b) → first-valid-wins per-pixel mosaic blob. NULL
   * handling is the mosaic's outer-join semantics: a missing side passes the
   * other side's blob through BYTE-IDENTICAL (no decode/re-encode), so
