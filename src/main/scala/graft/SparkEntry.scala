@@ -131,6 +131,7 @@ object SparkEntry {
     "q110_dup_windows"      -> (LlmQueries.q110DupWindows _),
     "q111_tile_cache"       -> (RaquetQueries.q111TileCache _),
     "q112_upsample"         -> (RaquetQueries.q112Upsample _),
+    "q113_embed_clusters"   -> (LlmQueries.q113EmbedClusters _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -360,6 +361,7 @@ object SparkEntry {
     "q110_dup_windows"      -> LlmOracles.q110,
     "q111_tile_cache"       -> RaquetOracles.q111,
     "q112_upsample"         -> RaquetOracles.q112,
+    "q113_embed_clusters"   -> LlmOracles.q113,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

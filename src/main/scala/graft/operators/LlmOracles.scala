@@ -170,15 +170,15 @@ object LlmOracles {
         FROM planes GROUP BY vec_id"""
   }
 
-  /** q52: full re-run of the hyperplane-LSH near-dup pipeline — buckets as
-    * in q30, bucket self-join, fold-exact cosine, threshold. */
-  val q52: String = {
+  /** Shared CTE chain re-running the hyperplane-LSH pair pipeline (q52's
+    * buckets → bucket self-join → fold-exact cosine); ends at `pairs`. */
+  private val lshPairsCte: String = {
     val w = s"(CAST((CAST(1103515245 AS BIGINT) * (p*64 + (i-1)) + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5)"
     val d = foldSum(64, s"embedding[i]::DOUBLE * $w")
     val dotAB = foldSum(64, "ea[i]::DOUBLE * eb[i]::DOUBLE")
     val nA = foldSum(64, "ea[i]::DOUBLE * ea[i]::DOUBLE")
     val nB = foldSum(64, "eb[i]::DOUBLE * eb[i]::DOUBLE")
-    s"""WITH planes AS (SELECT vec_id, p, $d AS d
+    s"""planes AS (SELECT vec_id, p, $d AS d
                FROM embeddings, range(8) r(p)),
         b AS (SELECT vec_id,
                 CAST(sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS bucket
@@ -189,9 +189,34 @@ object LlmOracles {
                 round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS cos
               FROM (SELECT vec_id AS ida, bucket, embedding AS ea FROM v) a
               JOIN (SELECT vec_id AS idb, bucket AS bb, embedding AS eb FROM v) b2
-                ON a.bucket = b2.bb AND a.ida < b2.idb)
-        SELECT ida, idb, bucket, cos FROM pairs WHERE cos >= 0.2"""
+                ON a.bucket = b2.bb AND a.ida < b2.idb)"""
   }
+
+  /** q52: full re-run of the hyperplane-LSH near-dup pipeline — buckets as
+    * in q30, bucket self-join, fold-exact cosine, threshold. */
+  val q52: String =
+    s"""WITH $lshPairsCte
+        SELECT ida, idb, bucket, cos FROM pairs WHERE cos >= 0.2"""
+
+  /** q113: embedding near-dup CLUSTERS — the q52 pair pipeline composed
+    * with the q56 transitive closure (recursive CTE), every vector labeled
+    * with its component's min vec_id; isolated vectors are their own
+    * cluster. Proves the LSH pair generator and connected components
+    * compose end to end. */
+  val q113: String =
+    s"""WITH RECURSIVE $lshPairsCte,
+        edges AS (SELECT ida AS da, idb AS db FROM pairs WHERE cos >= 0.2),
+        und AS (SELECT da AS u, db AS v FROM edges
+                UNION SELECT db AS u, da AS v FROM edges),
+        reach AS (
+          SELECT u AS id, u AS r FROM und
+          UNION
+          SELECT und.v AS id, reach.r FROM reach JOIN und ON und.u = reach.id),
+        comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        SELECT e.vec_id,
+          coalesce(comp.cluster, e.vec_id) AS cluster,
+          (coalesce(comp.cluster, e.vec_id) = e.vec_id) AS is_canonical
+        FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id"""
 
   val q31: String =
     s"""WITH m AS (SELECT doc_id,

@@ -250,4 +250,20 @@ object LlmQueries {
     * distinct, cross-doc counts) in SQL. */
   def q110DupWindows(spark: SparkSession, dir: String): DataFrame =
     TextOps.dupWindowFraction(docs(spark, dir), w = 8)
+
+  /** Embedding near-dup clusters: the q52 LSH pair pipeline composed with
+    * [[Graph.connectedComponents]] — the full embedding-dedup decision
+    * chain (pairs → components → canonical per cluster), mirroring q56's
+    * text-side shape. Isolated vectors are their own cluster. */
+  def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)
+      .select(col("ida"), col("idb"))
+    val comp = Graph.connectedComponents(pairs, "ida", "idb")
+    emb.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster"),
+        (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("is_canonical"))
+  }
 }
