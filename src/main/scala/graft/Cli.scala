@@ -39,6 +39,8 @@ object Cli {
       |  validate <file.parquet>
       |  split-zoom <in.parquet> <out_dir>
       |  partition <in.parquet> <out_dir> [--partition-zoom auto|N]
+      |  mosaic <a.parquet> <b.parquet> <out.parquet>
+      |  tile-cache <in.parquet> <out_dir>
       |      [--target-size-mb 128]
       |""".stripMargin
 
@@ -158,6 +160,16 @@ object Cli {
       Maintenance.partition(spark, in, out, partZoom = pz,
         targetBytes = f.getOrElse("target-size-mb", "128").toLong << 20)
       println(s"partitioned $in -> $out")
+    case "mosaic" =>
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(a, b, out) = expect(pos, 3, "mosaic <a.parquet> <b.parquet> <out.parquet>")
+      graft.raquet.Mosaic.mosaicToFile(spark, a, b, out)
+      println(s"mosaicked $a over $b -> $out")
+    case "tile-cache" =>
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(in, out) = expect(pos, 2, "tile-cache <in.parquet> <out_dir>")
+      val n = graft.sources.TileCache.export(spark, in, out)
+      println(s"rendered $n tiles -> $out")
     case other => fail(s"unknown command '$other'\n$Usage")
   }
 

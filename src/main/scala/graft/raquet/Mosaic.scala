@@ -41,4 +41,34 @@ object Mosaic {
     joined.select(col("block") +: bands.map(n =>
       rq_composite(col(s"a_$n"), col(s"b_$n"), a.meta, n).as(n)): _*)
   }
+
+  /** End-to-end mosaic: composite `pathA` over `pathB` and write a
+    * COMPLETE raquet dataset — composited blobs, recomputed per-tile
+    * tile-statistics columns (the spec's `band_*_count/min/max/sum/mean/
+    * stddev`), and the metadata row — to `out`. Metadata comes from A
+    * (grids must match; [[mosaic]] enforces it). Readable by every query
+    * path like any convert output. */
+  def mosaicToFile(spark: org.apache.spark.sql.SparkSession, pathA: String,
+      pathB: String, out: String, maxRecordsPerFile: Long = 0): RaquetMetadata = {
+    val a = RaquetIO.read(spark, pathA)
+    val b = RaquetIO.read(spark, pathB)
+    val bands = a.meta.bands.map(_.name)
+    val merged = mosaic(a, b, bands)
+    val withStats = bands.foldLeft(merged) { (df, n) =>
+      df.withColumn(s"_s_$n", rq_summary_stats(col(n), a.meta, n))
+        .withColumn(s"${n}_count", coalesce(col(s"_s_$n").getField("count"), lit(0L)))
+        .withColumn(s"${n}_min", col(s"_s_$n").getField("min"))
+        .withColumn(s"${n}_max", col(s"_s_$n").getField("max"))
+        .withColumn(s"${n}_sum", col(s"_s_$n").getField("sum"))
+        .withColumn(s"${n}_mean", col(s"_s_$n").getField("mean"))
+        .withColumn(s"${n}_stddev", col(s"_s_$n").getField("stddev"))
+        .drop(s"_s_$n")
+    }.withColumn("metadata", lit(null).cast("string"))
+    val cols = Seq("block", "metadata") ++ bands ++
+      bands.flatMap(n => Seq(s"${n}_count", s"${n}_min", s"${n}_max",
+        s"${n}_sum", s"${n}_mean", s"${n}_stddev"))
+    RaquetIO.write(withStats.select(cols.map(col): _*), a.meta, out,
+      maxRecordsPerFile = maxRecordsPerFile)
+    a.meta
+  }
 }

@@ -51,6 +51,14 @@ class CliSpec extends SparkSpec {
     val tif2 = s"$tmp/out.tif"
     Cli.run(spark, Seq("export", rq, tif2, "--no-overviews"))
     assert(new java.io.File(tif2).length() > 0)
+
+    val mdir = s"$tmp/mosaic.parquet"
+    Cli.run(spark, Seq("mosaic", rq, rq, mdir))
+    assert(graft.raquet.RaquetIO.read(spark, mdir).data.count() == 5)
+
+    val cdir = s"$tmp/cache"
+    Cli.run(spark, Seq("tile-cache", rq, cdir))
+    assert(new java.io.File(s"$cdir/1").exists())
   }
 
   test("bad usage fails with a CliError, not a stack trace") {

@@ -102,6 +102,30 @@ class RasterOpsSpec extends SparkSpec {
     }
   }
 
+  test("mosaicToFile writes a complete raquet dataset that validates") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val fixture = graft.operators.RaquetQueries.Fixture
+    val out = java.nio.file.Files.createTempDirectory("mosaic").toString + "/m.parquet"
+    // self-mosaic: both sides present everywhere → decode+composite+encode
+    // of every blob; values (hence stats) must be preserved exactly
+    graft.raquet.Mosaic.mosaicToFile(spark, fixture, fixture, out)
+    val orig = graft.raquet.RaquetIO.read(spark, fixture)
+    val back = graft.raquet.RaquetIO.read(spark, out)
+    assert(back.data.count() == orig.data.count())
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      d.agg(sum("band_1_sum"), sum("band_1_count"), sum("band_2_sum")).head()
+    assert(sums(back.data) == sums(orig.data))
+    val checks = graft.raquet.Maintenance.validate(spark, out).collect()
+    assert(checks.forall(_.getBoolean(1)),
+      checks.filterNot(_.getBoolean(1)).mkString(", "))
+    // decoded pixels identical to the original through the standard kernel
+    val diff = back.data.as("b").join(orig.data.as("o"), "block")
+      .select(graft.functions.GraftFunctions.rq_decode(col("b.band_1"), back.meta, "band_1").as("vb"),
+        graft.functions.GraftFunctions.rq_decode(col("o.band_1"), orig.meta, "band_1").as("vo"))
+      .filter(col("vb") =!= col("vo")).count()
+    assert(diff == 0)
+  }
+
   test("histogram: per-DN counts, nodata and out-of-range dropped") {
     val raw = enc(0, 0, 1, 5, 5, 5, 255, 255, 3, 3, 3, 3, 0, 1, 5, 2)
     val h = k.histogram(raw, -0.5, 255.5, 256)
