@@ -132,6 +132,7 @@ object SparkEntry {
     "q111_tile_cache"       -> (RaquetQueries.q111TileCache _),
     "q112_upsample"         -> (RaquetQueries.q112Upsample _),
     "q113_embed_clusters"   -> (LlmQueries.q113EmbedClusters _),
+    "q114_stream_pyramid"   -> (RaquetQueries.q114StreamPyramid _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -362,6 +363,7 @@ object SparkEntry {
     "q111_tile_cache"       -> RaquetOracles.q111,
     "q112_upsample"         -> RaquetOracles.q112,
     "q113_embed_clusters"   -> LlmOracles.q113,
+    "q114_stream_pyramid"   -> RaquetOracles.q114,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -330,6 +330,22 @@ object RaquetOracles {
         FROM ev GROUP BY block, z"""
   }
 
+  /** q114 streaming-pyramid oracle: the q24 closed form restricted to the
+    * zoom-5 overview level (k = 1). The incrementally maintained parents
+    * must match the from-scratch pyramid math exactly. */
+  val q114: String = {
+    def e(g: String) = s"(2.0 * $g + 0.5)"
+    s"""WITH d AS (SELECT block,
+          ((block >> 42) & ((CAST(1 AS BIGINT) << 10) - 1)) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 5),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        ev AS (SELECT block, ${e("gx")} AS egx, ${e("gy")} AS egy FROM px)
+        SELECT block, count(*) AS n_px, sum(egx/2 + egy/4) AS vsum
+        FROM ev GROUP BY block"""
+  }
+
   val q25: String = {
     val unused = s"(CAST(1 AS BIGINT) << CAST(52 - 2*$Z AS INT)) - 1"
     s"""SELECT count(*) AS n_blocks, count(DISTINCT block) AS n_distinct,

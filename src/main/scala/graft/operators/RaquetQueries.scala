@@ -1638,6 +1638,46 @@ object RaquetQueries {
         col("s.sum").cast("long").as("vsum"))
   }
 
+  /** Streaming incremental-pyramid driver proof
+    * ([[graft.streaming.StreamingTiles.incrementalPyramid]]): the fixture's
+    * 64 native z6 tiles arrive over three micro-batches — the third
+    * RE-SENDS the first (upsert path) — and each batch recomputes only the
+    * touched z5 parents. The final parent state must equal a from-scratch
+    * pyramid level, verified against the q24 closed form restricted to
+    * zoom 5. */
+  def q114StreamPyramid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"), col("band_1"), col("band_2"))
+      .as[(Long, Array[Byte], Array[Byte])].collect()
+    val (b1, b2) = native.partition(_._1 % 3 == 0)
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_q114/state"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(stateDir))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val q = graft.streaming.StreamingTiles.incrementalPyramid(
+      input.toDF().toDF("block", "band_1", "band_2"), ds.meta, stateDir,
+      parentZoom = 5)
+    try {
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b1.toIndexedSeq) // idempotent upsert
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(s"$stateDir/parents")
+      .select(col("block"),
+        rq_summary_stats(col("band_2"), ds.meta, "band_2").as("s"))
+      .select(col("block"), col("s.count").as("n_px"), col("s.sum").as("vsum"))
+  }
+
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`
     * grid (CORDEX EUR pole 39.25N/-162E, the COSMO public convention —
     * `graft.geo.RotatedPole`) converts end to end, and the rotation itself

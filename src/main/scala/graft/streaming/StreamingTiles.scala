@@ -160,6 +160,50 @@ object StreamingTiles {
         col("stats.count").as("n_valid"), col("stats.sum").as("vsum"),
         col("stats.min").as("vmin"), col("stats.max").as("vmax"))
 
+  /** Incremental pyramid maintenance — a streaming MATERIALIZED VIEW over
+    * the overview level: each micro-batch of native-tile upserts merges
+    * into the native state and recomputes ONLY the parents whose child set
+    * changed (`quadbin_ancestor` of the batch's blocks), so per-batch cost
+    * scales with the batch's footprint, not the dataset. Re-sent tiles
+    * upsert (latest batch wins, anti-join + union), and the final parent
+    * state provably equals a from-scratch [[graft.raquet.Pyramid.buildLevel]]
+    * over all natives (q114). State lives as two parquet dirs under
+    * `stateDir` (a shared filesystem on a cluster); `localCheckpoint`
+    * breaks the read-then-overwrite cycle per batch. */
+  def incrementalPyramid(tiles: DataFrame, meta: RaquetMetadata,
+      stateDir: String, parentZoom: Int): StreamingQuery = {
+    def exists(d: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d))
+    tiles.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val nativeDir = s"$stateDir/native"
+        val parentDir = s"$stateDir/parents"
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val native = (if (exists(nativeDir))
+            spark.read.parquet(nativeDir)
+              .join(b, Seq("block"), "left_anti").unionByName(b)
+          else b).localCheckpoint()
+          native.write.mode("overwrite").parquet(nativeDir)
+          val touched = b
+            .select(quadbin_ancestor(col("block"), lit(parentZoom)).as("p"))
+            .distinct()
+          val children = native.join(broadcast(touched),
+            quadbin_ancestor(col("block"), lit(parentZoom)) === col("p"))
+            .drop("p")
+          val fresh = graft.raquet.Pyramid.buildLevel(children, meta, parentZoom)
+          val parents = (if (exists(parentDir))
+            spark.read.parquet(parentDir)
+              .join(fresh, Seq("block"), "left_anti").unionByName(fresh)
+          else fresh).localCheckpoint()
+          parents.write.mode("overwrite").parquet(parentDir)
+        }
+      }
+      .start()
+  }
+
   /** Continuous ingestion: follow a directory of incoming tile batches and
     * append them, Morton-sorted per micro-batch, to a raquet directory. The
     * foreachBatch body is the batch writer, so output files keep the sorted
