@@ -133,6 +133,7 @@ object SparkEntry {
     "q112_upsample"         -> (RaquetQueries.q112Upsample _),
     "q113_embed_clusters"   -> (LlmQueries.q113EmbedClusters _),
     "q114_stream_pyramid"   -> (RaquetQueries.q114StreamPyramid _),
+    "q115_chunk_docs"       -> (LlmQueries.q115ChunkDocs _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -364,6 +365,7 @@ object SparkEntry {
     "q112_upsample"         -> RaquetOracles.q112,
     "q113_embed_clusters"   -> LlmOracles.q113,
     "q114_stream_pyramid"   -> RaquetOracles.q114,
+    "q115_chunk_docs"       -> LlmOracles.q115,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

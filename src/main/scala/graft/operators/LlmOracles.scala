@@ -466,6 +466,23 @@ object LlmOracles {
        SELECT doc_id, count(*) AS n_bigrams, sum(nm) AS nll_micros
        FROM sc GROUP BY doc_id"""
 
+  /** q115: chunk boundaries re-derived — same integer-ceiling chunk count
+    * (stride 48 = 64 − 16) and the 1-based inclusive slice
+    * t[k·48+1 : min(k·48+64, n)] ≡ Spark slice(t, k·48+1, 64). */
+  val q115: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       n AS (SELECT doc_id, t,
+               CASE WHEN len(t) <= 64 THEN 1
+                    ELSE 1 + ((len(t) - 64 + 47) // 48) END AS nc
+             FROM toks),
+       c AS (SELECT doc_id, t,
+               unnest(generate_series(0, CAST(nc - 1 AS INT))) AS k
+             FROM n)
+       SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         CAST(len(t[k*48 + 1 : least(k*48 + 64, len(t))]) AS BIGINT) AS n_tokens,
+         array_to_string(t[k*48 + 1 : least(k*48 + 64, len(t))], ' ') AS chunk
+       FROM c"""
+
   /** q110: duplicated-window fractions re-derived — 8-token windows via
     * 1-based inclusive list slices (t[i:i+7] ≡ Spark slice(t,i,8)),
     * per-doc DISTINCT, cross-doc = window seen in ≥2 docs. The division

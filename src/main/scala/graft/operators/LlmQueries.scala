@@ -251,6 +251,12 @@ object LlmQueries {
   def q110DupWindows(spark: SparkSession, dir: String): DataFrame =
     TextOps.dupWindowFraction(docs(spark, dir), w = 8)
 
+  /** Token-window chunking ([[TextOps.chunkDocs]], 64-token chunks with a
+    * 16-token overlap): the oracle re-derives every chunk boundary and its
+    * text with the same integer-ceiling count and 1-based slices. */
+  def q115ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocs(docs(spark, dir), chunkTokens = 64, overlap = 16)
+
   /** Embedding near-dup clusters: the q52 LSH pair pipeline composed with
     * [[Graph.connectedComponents]] — the full embedding-dedup decision
     * chain (pairs → components → canonical per cluster), mirroring q56's

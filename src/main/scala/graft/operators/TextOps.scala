@@ -415,6 +415,30 @@ object TextOps {
         round(count(col("nd")).cast("double") / count(lit(1)), 6).as("dup_frac"))
   }
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * context-window preparation step of a training pipeline. Chunk k
+    * covers tokens [k·stride, k·stride + chunkTokens) with
+    * stride = chunkTokens − overlap; the chunk count is the integer
+    * ceiling 1 + ⌈(n − chunkTokens)/stride⌉ (one chunk for short docs),
+    * so every token is covered and consecutive chunks share `overlap`
+    * tokens. Pure projection + Generate: no shuffle, linear in tokens. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    val stride = chunkTokens - overlap
+    require(stride > 0, s"overlap $overlap must be < chunkTokens $chunkTokens")
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("nc", expr(
+        s"""CASE WHEN size(t) <= $chunkTokens THEN 1
+            ELSE 1 + ((size(t) - $chunkTokens + $stride - 1) div $stride) END"""))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(0, CAST(nc - 1 AS INT))")).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        expr(s"slice(t, k*$stride + 1, $chunkTokens)").as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        expr("concat_ws(' ', ctoks)").as("chunk"))
+  }
+
   /** Per-document language ID: (doc_id, lang, score). One projection —
     * codegen'd string arithmetic, no shuffle, trivially linear at scale. */
   def langId(docs: DataFrame): DataFrame = {

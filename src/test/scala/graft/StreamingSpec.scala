@@ -168,4 +168,40 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(outDir).count() == 26)
     } finally q.stop()
   }
+
+  test("incremental pyramid: changed-content upsert wins and parents follow") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val meta = FixtureGen.timeMetadata(6, 32, 24, 8, 8, 16)
+    // four sibling tiles under one zoom-5 parent
+    val cells = for (dx <- 0 to 1; dy <- 0 to 1)
+      yield Quadbin.tileToCell(32 + dx, 24 + dy, 6)
+    def const(v: Double): Array[Byte] =
+      PixelCodec.encode(Array.fill(256)(v), "float32", gzip = true)
+    val stateDir = java.nio.file.Files.createTempDirectory("incpyr").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingTiles.incrementalPyramid(
+      input.toDF().toDF("block", "band_1"), meta, stateDir, parentZoom = 5)
+    try {
+      input.addData(cells.map(c => (c, const(8.0))))
+      q.processAllAvailable()
+      val p1 = spark.read.parquet(s"$stateDir/parents")
+      assert(p1.count() == 1)
+      def parentMean(df: org.apache.spark.sql.DataFrame): Double = {
+        import graft.functions.GraftFunctions._
+        df.select(rq_summary_stats(col("band_1"), meta, "band_1")
+          .getField("mean")).head().getDouble(0)
+      }
+      assert(parentMean(p1) == 8.0)
+      // UPSERT with different content: two of the four children change
+      input.addData(cells.take(2).map(c => (c, const(24.0))))
+      q.processAllAvailable()
+      val native = spark.read.parquet(s"$stateDir/native")
+      assert(native.count() == 4) // upsert, not append
+      val p2 = spark.read.parquet(s"$stateDir/parents")
+      assert(p2.count() == 1)
+      // parent mean = (24+24+8+8)/4 = 16 — latest content won
+      assert(parentMean(p2) == 16.0)
+    } finally q.stop()
+  }
 }
