@@ -346,6 +346,26 @@ object RaquetOracles {
         FROM ev GROUP BY block"""
   }
 
+  /** q116 multi-level streaming-pyramid oracle: the q24 closed form for
+    * zooms 3..5 (k = 6 − z). */
+  val q116: String = {
+    def e(g: String) =
+      s"""(CAST((CAST(1 AS BIGINT) << CAST(k AS INT)) AS DOUBLE) * $g
+           + CAST((CAST(1 AS BIGINT) << CAST(k-1 AS INT)) AS DOUBLE) - 0.5)"""
+    s"""WITH d AS (SELECT block, $Z AS z,
+          ((block >> CAST(52 - 2*$Z AS INT)) &
+           ((CAST(1 AS BIGINT) << CAST(2*$Z AS INT)) - 1)) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z BETWEEN 3 AND 5),
+        xy AS (SELECT block, z, (6 - z) AS k,
+          ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, z, k, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        ev AS (SELECT block, z, ${e("gx")} AS egx, ${e("gy")} AS egy FROM px)
+        SELECT block, z AS zoom, count(*) AS n_px,
+          sum(egx/2 + egy/4) AS vsum
+        FROM ev GROUP BY block, z"""
+  }
+
   val q25: String = {
     val unused = s"(CAST(1 AS BIGINT) << CAST(52 - 2*$Z AS INT)) - 1"
     s"""SELECT count(*) AS n_blocks, count(DISTINCT block) AS n_distinct,

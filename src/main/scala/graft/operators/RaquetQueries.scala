@@ -1672,10 +1672,51 @@ object RaquetQueries {
       input.addData(b1.toIndexedSeq) // idempotent upsert
       q.processAllAvailable()
     } finally q.stop()
-    spark.read.parquet(s"$stateDir/parents")
+    spark.read.parquet(s"$stateDir/parents_z5")
       .select(col("block"),
         rq_summary_stats(col("band_2"), ds.meta, "band_2").as("s"))
       .select(col("block"), col("s.count").as("n_px"), col("s.sum").as("vsum"))
+  }
+
+  /** Multi-level twin of q114: the same three micro-batches maintain the
+    * WHOLE overview stack z5→z3 — per batch the touched set shrinks ×4
+    * per level, and each level feeds the next. Final state across all
+    * three levels must equal the from-scratch pyramid (the q24 closed form
+    * for zooms 3..5). */
+  def q116StreamPyramidDeep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"), col("band_1"), col("band_2"))
+      .as[(Long, Array[Byte], Array[Byte])].collect()
+    val (b1, b2) = native.partition(_._1 % 3 == 0)
+    val stateDir = s"${System.getProperty("java.io.tmpdir")}/graft_q116/state"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(stateDir))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val q = graft.streaming.StreamingTiles.incrementalPyramid(
+      input.toDF().toDF("block", "band_1", "band_2"), ds.meta, stateDir,
+      parentZoom = 5, minZoom = 3)
+    try {
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    (3 to 5).map(z => spark.read.parquet(s"$stateDir/parents_z$z"))
+      .reduce(_ unionByName _)
+      .select(col("block"),
+        quadbin_zoom(col("block")).cast("long").as("zoom"),
+        rq_summary_stats(col("band_2"), ds.meta, "band_2").as("s"))
+      .select(col("block"), col("zoom"), col("s.count").as("n_px"),
+        col("s.sum").as("vsum"))
   }
 
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`

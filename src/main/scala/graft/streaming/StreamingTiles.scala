@@ -171,7 +171,9 @@ object StreamingTiles {
     * `stateDir` (a shared filesystem on a cluster); `localCheckpoint`
     * breaks the read-then-overwrite cycle per batch. */
   def incrementalPyramid(tiles: DataFrame, meta: RaquetMetadata,
-      stateDir: String, parentZoom: Int): StreamingQuery = {
+      stateDir: String, parentZoom: Int, minZoom: Int = -1): StreamingQuery = {
+    val mz = if (minZoom < 0) parentZoom else minZoom
+    require(mz <= parentZoom, s"minZoom $mz must be <= parentZoom $parentZoom")
     def exists(d: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(d))
     tiles.writeStream
@@ -179,7 +181,6 @@ object StreamingTiles {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val nativeDir = s"$stateDir/native"
-        val parentDir = s"$stateDir/parents"
         val b = batch.localCheckpoint()
         if (!b.isEmpty) {
           val native = (if (exists(nativeDir))
@@ -187,18 +188,32 @@ object StreamingTiles {
               .join(b, Seq("block"), "left_anti").unionByName(b)
           else b).localCheckpoint()
           native.write.mode("overwrite").parquet(nativeDir)
-          val touched = b
+          // walk the levels top-down: at each zoom only the parents whose
+          // (transitive) child set changed rebuild, and the merged level
+          // feeds the next one — the touched set shrinks 4x per level
+          var touched = b
             .select(quadbin_ancestor(col("block"), lit(parentZoom)).as("p"))
-            .distinct()
-          val children = native.join(broadcast(touched),
-            quadbin_ancestor(col("block"), lit(parentZoom)) === col("p"))
-            .drop("p")
-          val fresh = graft.raquet.Pyramid.buildLevel(children, meta, parentZoom)
-          val parents = (if (exists(parentDir))
-            spark.read.parquet(parentDir)
-              .join(fresh, Seq("block"), "left_anti").unionByName(fresh)
-          else fresh).localCheckpoint()
-          parents.write.mode("overwrite").parquet(parentDir)
+            .distinct().localCheckpoint()
+          var childSource = native
+          var z = parentZoom
+          while (z >= mz) {
+            val dir = s"$stateDir/parents_z$z"
+            val children = childSource.join(broadcast(touched),
+              quadbin_ancestor(col("block"), lit(z)) === col("p"))
+              .drop("p")
+            val fresh = graft.raquet.Pyramid.buildLevel(children, meta, z)
+            val merged = (if (exists(dir))
+              spark.read.parquet(dir)
+                .join(fresh, Seq("block"), "left_anti").unionByName(fresh)
+            else fresh).localCheckpoint()
+            merged.write.mode("overwrite").parquet(dir)
+            childSource = merged
+            if (z > mz)
+              touched = touched
+                .select(quadbin_ancestor(col("p"), lit(z - 1)).as("p"))
+                .distinct().localCheckpoint()
+            z -= 1
+          }
         }
       }
       .start()

@@ -185,7 +185,7 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(cells.map(c => (c, const(8.0))))
       q.processAllAvailable()
-      val p1 = spark.read.parquet(s"$stateDir/parents")
+      val p1 = spark.read.parquet(s"$stateDir/parents_z5")
       assert(p1.count() == 1)
       def parentMean(df: org.apache.spark.sql.DataFrame): Double = {
         import graft.functions.GraftFunctions._
@@ -198,7 +198,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val native = spark.read.parquet(s"$stateDir/native")
       assert(native.count() == 4) // upsert, not append
-      val p2 = spark.read.parquet(s"$stateDir/parents")
+      val p2 = spark.read.parquet(s"$stateDir/parents_z5")
       assert(p2.count() == 1)
       // parent mean = (24+24+8+8)/4 = 16 — latest content won
       assert(parentMean(p2) == 16.0)
