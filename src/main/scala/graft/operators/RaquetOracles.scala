@@ -886,6 +886,20 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q117 point-sampling oracle: forward mercator to the containing global
+    * pixel, then V1; nodata pixels → NULL (the rq_raster_value contract). */
+  val q117: String =
+    s"""WITH p AS (SELECT pid, (pid % 44) + 0.3 AS lon,
+          22.4 + (pid % 18) AS lat FROM range(200) t(pid)),
+        g AS (SELECT pid, lon, lat,
+          CAST(floor((lon + 180)/360*1024) AS BIGINT) AS gx,
+          CAST(floor((1 - ln(tan(radians(lat)) + 1/cos(radians(lat)))/pi())/2*1024) AS BIGINT) AS gy
+          FROM p)
+        SELECT pid, lon, lat,
+          CASE WHEN (gx+gy) % 31 = 0 THEN NULL
+               ELSE CAST((7*gx + 13*gy) % 255 AS BIGINT) END AS v
+        FROM g"""
+
   /** q112 upsample oracle: each z7 child pixel carries the parent value at
     * half its global coordinates — recount per child tile from V1 with
     * gx = gx'//2. */

@@ -1719,6 +1719,39 @@ object RaquetQueries {
         col("s.sum").as("vsum"))
   }
 
+  /** Sample a raster at a TABLE of points — the drive-by labeling shape
+    * (attach a raster covariate to every training example). Each point
+    * maps to its covering native tile via the codegen'd
+    * `quadbin_from_lonlat`, the join is a plain equi-join on cell id
+    * (points ≪ raster → broadcast; at scale both sides co-partition on
+    * the cell), and `rq_raster_value` reads one pixel per row. Never a
+    * cross join, never a full decode. */
+  def sampleAtPoints(ds: RaquetIO.RaquetDataset, points: DataFrame,
+      band: String): DataFrame = {
+    val z = ds.meta.maxZoom
+    val p = points.withColumn("cell",
+      quadbin_from_lonlat(col("lon"), col("lat"), lit(z)))
+    ds.data.join(broadcast(p), col("block") === col("cell"))
+      .select(col("pid"), col("lon"), col("lat"),
+        rq_raster_value(col(band), col("block"), col("lon"), col("lat"),
+          ds.meta, band).as("v"))
+  }
+
+  /** Point-sampling driver proof: 200 deterministic points across the
+    * fixture extent (offsets .3/.4 keep every point ~30% of a pixel away
+    * from any pixel boundary, so engine/oracle floor math cannot
+    * disagree); the oracle recomputes each point's pixel via the forward
+    * mercator closed form and its value via V1, nodata → NULL. */
+  def q117SamplePoints(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, Fixture)
+    val points = (0 until 200).map { pid =>
+      (pid.toLong, (pid % 44).toDouble + 0.3, 22.4 + (pid % 18).toDouble)
+    }.toDF("pid", "lon", "lat")
+    sampleAtPoints(ds, points, "band_1")
+      .select(col("pid"), col("lon"), col("lat"), col("v").cast("long").as("v"))
+  }
+
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`
     * grid (CORDEX EUR pole 39.25N/-162E, the COSMO public convention —
     * `graft.geo.RotatedPole`) converts end to end, and the rotation itself
