@@ -167,11 +167,15 @@ object Wkt {
     val upper = s.toUpperCase
     if (upper.startsWith("POINT")) {
       val nums = numbers(s)
+      if (nums.length < 2)
+        throw new IllegalArgumentException(s"POINT needs 2 coords: ${s.take(30)}")
       PointGeom(nums(0), nums(1))
     } else if (upper.startsWith("POLYGON")) {
       PolygonGeom(parseRings(body(s)))
     } else if (upper.startsWith("MULTIPOLYGON")) {
       val polys = splitTopLevel(body(s)).map(p => PolygonGeom(parseRings(p)))
+      if (polys.isEmpty)
+        throw new IllegalArgumentException(s"empty MULTIPOLYGON: ${s.take(30)}")
       MultiPolygonGeom(polys.toArray)
     } else throw new IllegalArgumentException(s"unsupported WKT: ${s.take(30)}")
   }
@@ -179,6 +183,8 @@ object Wkt {
   private def body(s: String): String = {
     val i = s.indexOf('(')
     val j = s.lastIndexOf(')')
+    if (i < 0 || j <= i)
+      throw new IllegalArgumentException(s"malformed WKT body: ${s.take(30)}")
     s.substring(i + 1, j)
   }
 
@@ -204,8 +210,19 @@ object Wkt {
   }
 
   /** POLYGON body is "(ring1),(ring2),…" — one coord list per ring. */
-  private def parseRings(s: String): Array[Array[Double]] =
-    splitTopLevel(s).map(numbers).toArray
+  private def parseRings(s: String): Array[Array[Double]] = {
+    val rings = splitTopLevel(s).map(numbers).toArray
+    if (rings.isEmpty)
+      throw new IllegalArgumentException(s"polygon with no rings: ${s.take(30)}")
+    rings.foreach { r =>
+      // a closed ring needs >= 4 points of (x, y) pairs; odd counts would
+      // index out of bounds deep inside executor pixel loops
+      if (r.length < 8 || r.length % 2 != 0)
+        throw new IllegalArgumentException(
+          s"ring needs >= 4 (x, y) pairs, got ${r.length} coords")
+    }
+    rings
+  }
 
   private def isNumChar(d: Char): Boolean =
     d == '.' || d == 'e' || d == 'E' || d == '-' || d == '+' || (d >= '0' && d <= '9')

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.Wkt
+
+/** Malformed-WKT hardening (the ContainerFuzzSpec contract for the geometry
+  * parser): the dynamic zonal/rasterize paths feed USER WKT columns into
+  * executor pixel loops, so parse failures must be clean
+  * IllegalArgumentExceptions at parse time — never index errors deep inside
+  * a tile kernel, never hangs, never silently wrong geometry. */
+class WktFuzzSpec extends AnyFunSuite {
+
+  private val bad = Seq(
+    "",
+    "   ",
+    "POINT",
+    "POINT ()",
+    "POINT (1)",
+    "POLYGON",
+    "POLYGON )",
+    "POLYGON (",
+    "POLYGON (())",
+    "POLYGON ((1 2, 3 4))",               // < 4 points
+    "POLYGON ((1 2, 3 4, 5 6, 1))",       // odd coord count
+    "MULTIPOLYGON ()",
+    "MULTIPOLYGON",
+    "LINESTRING (0 0, 1 1)",              // unsupported type
+    "GARBAGE ((0 0))",
+    "POLYGON ((a b, c d, e f, a b))")     // no numbers at all
+
+  test("malformed WKT fails with a clean IllegalArgumentException") {
+    bad.foreach { w =>
+      val e = intercept[IllegalArgumentException](Wkt.parse(w))
+      assert(e.getMessage != null, s"no message for: '$w'")
+    }
+  }
+
+  test("well-formed WKT still parses after the hardening") {
+    assert(Wkt.parse("POINT (3.5 -2.25)") != null)
+    assert(Wkt.parse(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))").containsPoint(2, 2))
+    assert(Wkt.parse(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")
+      .containsPoint(0.5, 0.5))
+    assert(Wkt.parse(
+      "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))")
+      .containsPoint(6, 6))
+  }
+}
