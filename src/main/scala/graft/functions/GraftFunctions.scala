@@ -97,6 +97,12 @@ object GraftFunctions {
   def rq_clip_stats_col(band: Column, block: Column, wkt: Column,
       meta: RaquetMetadata, name: String): Column =
     col(RqClipStatsDyn(ex(band), ex(block), ex(wkt), BandKernel(meta, name)))
+  /** Zonal histogram form: per-(tile, zone) mergeable bucket counts. */
+  def rq_clip_histogram_col(band: Column, block: Column, wkt: Column,
+      meta: RaquetMetadata, name: String, min: Double, max: Double,
+      buckets: Int): Column =
+    col(RqClipHistDyn(ex(band), ex(block), ex(wkt), BandKernel(meta, name),
+      min, max, buckets))
 
   /** Exact partial→final stats merge (A3) over `rq_summary_stats` structs —
     * a declarative aggregate (codegen'd hash agg, primitive buffers). */

@@ -886,6 +886,36 @@ object RaquetOracles {
           CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM g GROUP BY tx, ty, band"""
 
+  /** q118 zonal-percentile oracle: per zone rectangle, enumerate every
+    * native pixel whose center falls strictly inside, recount DNs from V1,
+    * and apply the same integer percentile rule per zone. */
+  val q118: String = {
+    val clon = "((CAST(gx AS DOUBLE) + 0.5)/1024*360 - 180)"
+    val t = "((CAST(gy AS DOUBLE) + 0.5)/1024)"
+    val clat = s"degrees(atan((exp(pi()*(1 - 2*$t)) - exp(-pi()*(1 - 2*$t)))/2))"
+    s"""WITH zones(zid, w, e, s, n) AS (VALUES
+          (1, 5.6371, 11.9407, 24.7113, 30.2881),
+          (2, 2.0, 19.0, 5.0, 32.0),
+          (3, 25.0, 40.0, 2.0, 15.0)),
+        px AS (SELECT x*16+i AS gx, y*16+j AS gy
+          FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),
+        pc AS (SELECT gx, gy, $clon AS clon, $clat AS clat FROM px),
+        zp AS (SELECT z.zid, $V1 AS v
+          FROM pc JOIN zones z
+            ON clon > z.w AND clon < z.e AND clat > z.s AND clat < z.n),
+        c AS (SELECT zid, CAST(v AS BIGINT) AS dn, count(*) AS n
+          FROM zp WHERE v IS NOT NULL GROUP BY 1, 2),
+        tt AS (SELECT zid, sum(n) AS total FROM c GROUP BY 1),
+        cum AS (SELECT zid, dn, sum(n) OVER (PARTITION BY zid ORDER BY dn) AS cum
+          FROM c),
+        ps(p) AS (VALUES (25), (50), (75))
+        SELECT CAST(cum.zid AS BIGINT) AS zone_id, CAST(p AS BIGINT) AS p,
+          CAST(min(dn) AS BIGINT) AS v, tt.total AS n_total
+        FROM ps, cum JOIN tt ON tt.zid = cum.zid
+        WHERE cum.cum >= (p * tt.total + 99) // 100
+        GROUP BY cum.zid, p, tt.total"""
+  }
+
   /** q117 point-sampling oracle: forward mercator to the containing global
     * pixel, then V1; nodata pixels → NULL (the rq_raster_value contract). */
   val q117: String =

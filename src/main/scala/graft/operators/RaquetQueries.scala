@@ -1719,6 +1719,56 @@ object RaquetQueries {
         col("s.sum").as("vsum"))
   }
 
+  /** EXACT zonal percentiles (zonal median & friends) — the composition of
+    * the zonal join and the mergeable-histogram machinery: per (tile,
+    * zone) clip-histograms (containsBox fast path for interior tiles),
+    * element-wise sums per zone, a per-zone cumulative window over ≤256
+    * rows, and the integer percentile rule. No pixel sort anywhere; cost
+    * is one pruned scan + a hash agg whose output is bounded by
+    * zones × buckets regardless of raster size. */
+  def zonalPercentiles(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String, zones: DataFrame, ps: Seq[Int],
+      histMin: Double = -0.5, histMax: Double = 255.5,
+      buckets: Int = 256): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val z = meta.maxZoom
+    val cells = zones.select(col("zone_id"), col("wkt"),
+      explode(st_polyfill_col(col("wkt"), lit(z))).as("cell"))
+    val counts = data
+      .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
+      .join(broadcast(cells), col("block") === col("cell"))
+      .select(col("zone_id"),
+        rq_clip_histogram_col(col(band), col("block"), col("wkt"),
+          meta, band, histMin, histMax, buckets).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("zone_id"), posexplode(col("h")).as(Seq("dn", "n")))
+      .groupBy("zone_id", "dn").agg(sum("n").as("n"))
+      .filter(col("n") > 0)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("zone_id").orderBy("dn")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("cum", sum("n").over(wCum))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("zone_id")))
+    cum.join(broadcast(ps.toDF("p")),
+        col("cum") >= expr("(p * total + 99) div 100"))
+      .groupBy(col("zone_id"), col("p").cast("long").as("p"))
+      .agg(min(col("dn")).cast("long").as("v"), max("total").as("n_total"))
+  }
+
+  /** Zonal-percentile driver proof: the q100 zone table, quartiles per
+    * zone; the oracle enumerates every zone pixel from the closed form
+    * and applies the identical integer rule. */
+  def q118ZonalMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, Fixture)
+    val zones = Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt))
+      .toDF("zone_id", "wkt")
+    zonalPercentiles(ds.data, ds.meta, "band_1", zones, Seq(25, 50, 75))
+  }
+
   /** Sample a raster at a TABLE of points — the drive-by labeling shape
     * (attach a raster covariate to every training example). Each point
     * maps to its covering native tile via the codegen'd

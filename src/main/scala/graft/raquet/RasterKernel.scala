@@ -261,6 +261,42 @@ final case class BandKernel(
     PixelCodec.encode(out, dtype, gzip = true)
   }
 
+  /** Per-tile bucket histogram restricted to pixels whose CENTER falls
+    * inside `geom` — the zonal twin of [[histogram]], with [[clipStats]]'s
+    * box fast paths (fully-inside tiles skip the point-in-polygon loop,
+    * fully-outside tiles return null before any decode). Merging these
+    * vectors per zone gives exact zonal distributions/percentiles. */
+  def clipHistogram(raw: Array[Byte], block: Long, geom: Geom,
+      min: Double, max: Double, buckets: Int): Array[Long] = {
+    val z = Quadbin.zoom(block)
+    val x = Quadbin.tileX(block)
+    val y = Quadbin.tileY(block)
+    val box = graft.geo.BBox(
+      Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
+      Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
+    if (!geom.intersectsBox(box)) return null
+    if (geom.containsBox(box)) return histogram(raw, min, max, buckets)
+    val v = decode(raw)
+    val bw = (max - min) / buckets
+    val out = new Array[Long](buckets)
+    var j = 0
+    while (j < height) {
+      val lat = pixelLat(y, z, j)
+      var i = 0
+      while (i < width) {
+        val p = v(j * width + i)
+        if (!(java.lang.Double.isNaN(p) || (!nodata.isNaN && p == nodata)) &&
+            geom.containsPoint(pixelLon(x, z, i), lat)) {
+          val b = ((p - min) / bw).toInt
+          if (p >= min && b >= 0 && b < buckets) out(b) += 1
+        }
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Scaled (physical) per-pixel values; nodata/NaN → NaN. */
   def physical(raw: Array[Byte]): Array[Double] = {
     val v = decode(raw)

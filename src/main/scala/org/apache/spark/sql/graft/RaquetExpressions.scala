@@ -305,6 +305,12 @@ object RqBridge {
       wkt: String): InternalRow =
     statsRow(k.clipStats(raw, block, geomOf(wkt)))
 
+  def clipHistDyn(k: BandKernel, raw: Array[Byte], block: Long, wkt: String,
+      min: Double, max: Double, buckets: Int): ArrayData = {
+    val h = k.clipHistogram(raw, block, geomOf(wkt), min, max, buckets)
+    if (h == null) null else ArrayData.toArrayData(h)
+  }
+
   val B = "org.apache.spark.sql.graft.RqBridge"
 }
 
@@ -629,6 +635,54 @@ case class RqPolyfillDyn(wkt: Expression, zoom: Expression, mode: String)
       s"""${RqBridge.B}.polyfillDyn($w.toString(), $z, "$mode")""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(wkt = l, zoom = r)
+}
+
+/** rq_clip_histogram over a WKT COLUMN: per-(tile, zone) bucket counts,
+  * NULL when the tile misses the zone — the mergeable-histogram form of
+  * zonal statistics. Element-wise sums per zone give exact zonal
+  * distributions and percentiles (zonal median) without sorting pixels. */
+case class RqClipHistDyn(band: Expression, block: Expression,
+    wkt: Expression, kernel: BandKernel, min: Double, max: Double,
+    buckets: Int)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = band
+  override def second: Expression = block
+  override def third: Expression = wkt
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, LongType, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_clip_histogram"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    val blk = block.eval(input)
+    val w = wkt.eval(input)
+    if (raw == null || blk == null || w == null) null
+    else RqBridge.clipHistDyn(kernel, raw.asInstanceOf[Array[Byte]],
+      blk.asInstanceOf[Long], w.toString, min, max, buckets)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val blk = block.genCode(ctx)
+    val w = wkt.genCode(ctx)
+    val arr = ctx.freshName("zonalHist")
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${blk.code}
+        ${w.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${b.isNull} && !${blk.isNull} && !${w.isNull}) {
+          org.apache.spark.sql.catalyst.util.ArrayData $arr = ${RqBridge.B}.clipHistDyn(
+            $k, ${b.value}, ${blk.value}, ${w.value}.toString(), $min, $max, $buckets);
+          if ($arr != null) { ${ev.isNull} = false; ${ev.value} = $arr; }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(band = f, block = s, wkt = t)
 }
 
 /** rq_clip_stats over a WKT COLUMN — the zonal-statistics form of
