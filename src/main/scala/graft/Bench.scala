@@ -201,6 +201,20 @@ object Bench {
         .filter(quadbin_zoom(col("block")) === 10)
         .select(col("block"), col("band_2_mean"))
         .orderBy(col("band_2_mean").asc, col("block").asc).limit(20)),
+    "b_zonal_median" -> ((s: SparkSession, _: String) => {
+      // exact zonal quartiles over three overlapping zones: per-(tile,
+      // zone) clip-histograms merged element-wise — no pixel sort
+      import s.implicits._
+      val zones = Seq(
+        (1L, "POLYGON((0.51 -8.03, 7.52 -8.03, 7.52 -2.71, 0.51 -2.71, 0.51 -8.03))"),
+        (2L, "POLYGON((2.0 -10.5, 10.8 -10.5, 10.8 -1.2, 2.0 -1.2, 2.0 -10.5))"),
+        (3L, "POLYGON((5.0 -6.0, 11.0 -6.0, 11.0 -0.3, 5.0 -0.3, 5.0 -6.0))"))
+        .toDF("zone_id", "wkt")
+      val ds = RaquetIO.read(s, RasterDir)
+      graft.operators.RaquetQueries.zonalPercentiles(ds.data, ds.meta,
+        "band_1", zones, Seq(25, 50, 75), histMin = 0.0, histMax = 1024.0,
+        buckets = 4096)
+    }),
     "b_rasterize" -> ((s: SparkSession, _: String) => {
       // vector burn-in at zoom 9: three country-scale rectangles explode
       // to ~2k tiles each; interior tiles take the containsBox fast path

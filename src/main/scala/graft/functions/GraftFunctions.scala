@@ -103,6 +103,12 @@ object GraftFunctions {
       buckets: Int): Column =
     col(RqClipHistDyn(ex(band), ex(block), ex(wkt), BandKernel(meta, name),
       min, max, buckets))
+  /** Multi-zone histogram form: one decode per tile for a zone LIST. */
+  def rq_zonal_histograms(band: Column, block: Column, zones: Column,
+      meta: RaquetMetadata, name: String, min: Double, max: Double,
+      buckets: Int): Column =
+    col(RqZonalHists(ex(band), ex(block), ex(zones), BandKernel(meta, name),
+      min, max, buckets))
 
   /** Exact partial→final stats merge (A3) over `rq_summary_stats` structs —
     * a declarative aggregate (codegen'd hash agg, primitive buffers). */

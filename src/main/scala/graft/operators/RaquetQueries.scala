@@ -1733,16 +1733,20 @@ object RaquetQueries {
     val spark = data.sparkSession
     import spark.implicits._
     val z = meta.maxZoom
-    val cells = zones.select(col("zone_id"), col("wkt"),
-      explode(st_polyfill_col(col("wkt"), lit(z))).as("cell"))
+    // one decode per tile no matter how many zones overlap it: collect the
+    // zone list per cell, run the multi-zone kernel post-join
+    val cells = zones
+      .select(col("zone_id").cast("long").as("zid"), col("wkt"),
+        explode(st_polyfill_col(col("wkt"), lit(z))).as("cell"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("zid"), col("wkt"))).as("zs"))
     val counts = data
       .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
       .join(broadcast(cells), col("block") === col("cell"))
-      .select(col("zone_id"),
-        rq_clip_histogram_col(col(band), col("block"), col("wkt"),
-          meta, band, histMin, histMax, buckets).as("h"))
-      .filter(col("h").isNotNull)
-      .select(col("zone_id"), posexplode(col("h")).as(Seq("dn", "n")))
+      .select(explode(rq_zonal_histograms(col(band), col("block"), col("zs"),
+        meta, band, histMin, histMax, buckets)).as("zh"))
+      .select(col("zh.zid").as("zone_id"),
+        posexplode(col("zh.h")).as(Seq("dn", "n")))
       .groupBy("zone_id", "dn").agg(sum("n").as("n"))
       .filter(col("n") > 0)
     val wCum = org.apache.spark.sql.expressions.Window

@@ -267,6 +267,12 @@ final case class BandKernel(
     * fully-outside tiles return null before any decode). Merging these
     * vectors per zone gives exact zonal distributions/percentiles. */
   def clipHistogram(raw: Array[Byte], block: Long, geom: Geom,
+      min: Double, max: Double, buckets: Int): Array[Long] =
+    clipHistogramOn(decode(raw), block, geom, min, max, buckets)
+
+  /** [[clipHistogram]] over PRE-DECODED values — the multi-zone path
+    * decodes each tile once and runs this per overlapping zone. */
+  def clipHistogramOn(v: Array[Double], block: Long, geom: Geom,
       min: Double, max: Double, buckets: Int): Array[Long] = {
     val z = Quadbin.zoom(block)
     val x = Quadbin.tileX(block)
@@ -275,18 +281,17 @@ final case class BandKernel(
       Quadbin.tileWest(x, z), Quadbin.tileSouth(y, z),
       Quadbin.tileEast(x, z), Quadbin.tileNorth(y, z))
     if (!geom.intersectsBox(box)) return null
-    if (geom.containsBox(box)) return histogram(raw, min, max, buckets)
-    val v = decode(raw)
+    val inside = geom.containsBox(box)
     val bw = (max - min) / buckets
     val out = new Array[Long](buckets)
     var j = 0
     while (j < height) {
-      val lat = pixelLat(y, z, j)
+      val lat = if (inside) 0.0 else pixelLat(y, z, j)
       var i = 0
       while (i < width) {
         val p = v(j * width + i)
         if (!(java.lang.Double.isNaN(p) || (!nodata.isNaN && p == nodata)) &&
-            geom.containsPoint(pixelLon(x, z, i), lat)) {
+            (inside || geom.containsPoint(pixelLon(x, z, i), lat))) {
           val b = ((p - min) / bw).toInt
           if (p >= min && b >= 0 && b < buckets) out(b) += 1
         }

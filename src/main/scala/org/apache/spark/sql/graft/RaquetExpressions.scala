@@ -311,6 +311,27 @@ object RqBridge {
     if (h == null) null else ArrayData.toArrayData(h)
   }
 
+  /** Multi-zone clip histograms with ONE decode per tile: `zones` is the
+    * per-tile ARRAY<STRUCT<zid BIGINT, wkt STRING>> a polyfill join +
+    * collect_list produces; returns (zid, counts) per zone that actually
+    * touches the tile. */
+  def zonalHistsOf(k: BandKernel, raw: Array[Byte], block: Long,
+      zones: ArrayData, min: Double, max: Double, buckets: Int): ArrayData = {
+    val n = zones.numElements()
+    val v = k.decode(raw)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n)
+    var i = 0
+    while (i < n) {
+      val row = zones.getStruct(i, 2)
+      val zid = row.getLong(0)
+      val g = Wkt.parse(row.getUTF8String(1).toString)
+      val h = k.clipHistogramOn(v, block, g, min, max, buckets)
+      if (h != null) out += InternalRow(zid, ArrayData.toArrayData(h))
+      i += 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
   val B = "org.apache.spark.sql.graft.RqBridge"
 }
 
@@ -683,6 +704,38 @@ case class RqClipHistDyn(band: Expression, block: Expression,
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(band = f, block = s, wkt = t)
+}
+
+/** rq_zonal_histograms(band, block, zones) → per-zone bucket counts with
+  * ONE decode per tile regardless of how many zones overlap it (the
+  * collect_list-per-tile shape rq_rasterize uses). */
+case class RqZonalHists(band: Expression, block: Expression,
+    zones: Expression, kernel: BandKernel, min: Double, max: Double,
+    buckets: Int)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = band
+  override def second: Expression = block
+  override def third: Expression = zones
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, LongType,
+    ArrayType(StructType(Seq(
+      StructField("zid", LongType, nullable = false),
+      StructField("wkt", StringType, nullable = false))), containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("zid", LongType, nullable = false),
+    StructField("h", ArrayType(LongType, containsNull = false), nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_zonal_histograms"
+  override protected def nullSafeEval(raw: Any, blk: Any, zs: Any): Any =
+    RqBridge.zonalHistsOf(kernel, raw.asInstanceOf[Array[Byte]],
+      blk.asInstanceOf[Long], zs.asInstanceOf[ArrayData], min, max, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (raw, blk, zs) =>
+      s"${RqBridge.B}.zonalHistsOf($k, $raw, $blk, $zs, $min, $max, $buckets)")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(band = f, block = s, zones = t)
 }
 
 /** rq_clip_stats over a WKT COLUMN — the zonal-statistics form of
