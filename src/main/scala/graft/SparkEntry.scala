@@ -137,6 +137,7 @@ object SparkEntry {
     "q116_stream_pyr_deep"  -> (RaquetQueries.q116StreamPyramidDeep _),
     "q117_sample_points"    -> (RaquetQueries.q117SamplePoints _),
     "q118_zonal_median"     -> (RaquetQueries.q118ZonalMedian _),
+    "q119_point_in_zone"    -> (RaquetQueries.q119PointInZone _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -372,6 +373,7 @@ object SparkEntry {
     "q116_stream_pyr_deep"  -> RaquetOracles.q116,
     "q117_sample_points"    -> RaquetOracles.q117,
     "q118_zonal_median"     -> RaquetOracles.q118,
+    "q119_point_in_zone"    -> RaquetOracles.q119,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -85,6 +85,8 @@ object GraftFunctions {
       BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB))))
   def st_quadbin_intersects(block: Column, wkt: String): Column =
     col(QuadbinIntersects(ex(block), wkt))
+  def st_contains(wkt: Column, lon: Column, lat: Column): Column =
+    col(StContains(ex(wkt), ex(lon), ex(lat)))
   def quadbin_in_ranges(block: Column, ranges: Array[(Long, Long)]): Column =
     col(QuadbinInRanges(ex(block), ranges.map(_._1), ranges.map(_._2)))
   def st_polyfill(wkt: String, zoom: Column, mode: String = "intersects"): Column =

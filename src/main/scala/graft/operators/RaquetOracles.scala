@@ -916,6 +916,19 @@ object RaquetOracles {
         GROUP BY cum.zid, p, tt.total"""
   }
 
+  /** q119 spatial-join oracle: strict rectangle containment per
+    * (point, zone) pair — blocking must be invisible. */
+  val q119: String =
+    s"""WITH p AS (SELECT pid, (pid % 44) + 0.3 AS lon,
+          22.4 + (pid % 18) AS lat FROM range(200) t(pid)),
+        zones(zone_id, w, e, s, n) AS (VALUES
+          (1, 5.6371, 11.9407, 24.7113, 30.2881),
+          (2, 2.0, 19.0, 5.0, 32.0),
+          (3, 25.0, 40.0, 2.0, 15.0))
+        SELECT pid, lon, lat, CAST(zone_id AS BIGINT) AS zone_id
+        FROM p JOIN zones z
+          ON lon > z.w AND lon < z.e AND lat > z.s AND lat < z.n"""
+
   /** q117 point-sampling oracle: forward mercator to the containing global
     * pixel, then V1; nodata pixels → NULL (the rq_raster_value contract). */
   val q117: String =

@@ -1773,6 +1773,38 @@ object RaquetQueries {
     zonalPercentiles(ds.data, ds.meta, "band_1", zones, Seq(25, 50, 75))
   }
 
+  /** Blocked point-in-polygon SPATIAL JOIN — never a cross join: zones
+    * polyfill to quadbin cells at `zoom` (the coarse blocking stage),
+    * points map to their covering cell with one codegen'd expression, an
+    * equi-join on cell id prunes to candidate (point, zone) pairs, and the
+    * exact `st_contains` test runs only on those. Blocking is provably
+    * lossless (a containing zone's polyfill always includes the point's
+    * cell); cost is linear in points + candidate pairs. */
+  def pointInZoneJoin(points: DataFrame, zones: DataFrame,
+      zoom: Int): DataFrame = {
+    val cells = zones.select(col("zone_id"), col("wkt"),
+      explode(st_polyfill_col(col("wkt"), lit(zoom))).as("cell"))
+    points
+      .withColumn("cell", quadbin_from_lonlat(col("lon"), col("lat"), lit(zoom)))
+      .join(cells, "cell")
+      .filter(st_contains(col("wkt"), col("lon"), col("lat")))
+      .select(col("pid"), col("lon"), col("lat"), col("zone_id"))
+  }
+
+  /** Spatial-join driver proof: the q117 point grid against the q100
+    * zones at blocking zoom 6; overlapping zones emit one row per
+    * containing zone. The oracle re-derives strict rectangle containment
+    * per (point, zone) pair. */
+  def q119PointInZone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val points = (0 until 200).map { pid =>
+      (pid.toLong, (pid % 44).toDouble + 0.3, 22.4 + (pid % 18).toDouble)
+    }.toDF("pid", "lon", "lat")
+    val zones = Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt))
+      .toDF("zone_id", "wkt")
+    pointInZoneJoin(points, zones, zoom = 6)
+  }
+
   /** Sample a raster at a TABLE of points — the drive-by labeling shape
     * (attach a raster covariate to every training example). Each point
     * maps to its covering native tile via the codegen'd

@@ -706,6 +706,30 @@ case class RqClipHistDyn(band: Expression, block: Expression,
       t: Expression): Expression = copy(band = f, block = s, wkt = t)
 }
 
+/** st_contains(wkt, lon, lat) → whether the point lies inside the
+  * geometry (center-rule semantics shared with the clip kernels). The
+  * per-row WKT parse is amortized by [[RqBridge.geomOf]]'s run-cache —
+  * the exact-test stage of a blocked spatial join. */
+case class StContains(wkt: Expression, lon: Expression, lat: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = wkt
+  override def second: Expression = lon
+  override def third: Expression = lat
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains"
+  override protected def nullSafeEval(w: Any, x: Any, y: Any): Any =
+    RqBridge.geomOf(w.toString)
+      .containsPoint(x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, x, y) =>
+      s"${RqBridge.B}.geomOf($w.toString()).containsPoint($x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(wkt = f, lon = s, lat = t)
+}
+
 /** rq_zonal_histograms(band, block, zones) → per-zone bucket counts with
   * ONE decode per tile regardless of how many zones overlap it (the
   * collect_list-per-tile shape rq_rasterize uses). */
