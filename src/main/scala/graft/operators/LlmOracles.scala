@@ -64,13 +64,11 @@ object LlmOracles {
                JOIN sizes sb ON sb.doc_id = m.db)
         SELECT da, db, n_common, jac FROM jj WHERE jac >= 0.5"""
 
-  /** q56: q27's pipeline re-run to the thresholded pair list, then the
-    * TRANSITIVE CLOSURE by recursive CTE — min reachable id per node is the
-    * component id, an independent definition of what the engine's min-label
-    * propagation must converge to. Docs in no pair are their own cluster. */
-  val q56: String =
-    s"""WITH RECURSIVE $NearDupCorpus,
-        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+  /** The q27 pipeline re-run to thresholded pairs, then the transitive
+    * closure by recursive CTE, ending at `comp(id, cluster)` — shared by
+    * q56 and the q120 pipeline capstone. */
+  private val nearDupCompCte: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
                  WHERE len(string_split(text, ' ')) >= 3),
         sh AS (SELECT DISTINCT doc_id,
                  unnest(list_transform(generate_series(1, len(t) - 2),
@@ -105,11 +103,55 @@ object LlmOracles {
           SELECT u AS id, u AS r FROM und
           UNION
           SELECT und.v AS id, reach.r FROM reach JOIN und ON und.u = reach.id),
-        comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)"""
+
+  /** q56: min reachable id per node is the component id — an independent
+    * definition of what the engine's min-label propagation must converge
+    * to. Docs in no pair are their own cluster. */
+  val q56: String =
+    s"""WITH RECURSIVE $NearDupCorpus,
+        $nearDupCompCte
         SELECT c.doc_id,
           coalesce(comp.cluster, c.doc_id) AS cluster,
           (coalesce(comp.cluster, c.doc_id) = c.doc_id) AS is_canonical
         FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id"""
+
+  /** q120 pipeline capstone: near-dup clusters → canonical survivors →
+    * 3-gram decontamination vs the eval set → deterministic hash split —
+    * the verified oracles composed end to end (the closure chain, the q67
+    * contamination rule, the q62 hash). Docs too short for shingles are
+    * never flagged, matching the engine's left-anti on flagged ids. */
+  val q120: String =
+    s"""WITH RECURSIVE $NearDupCorpus,
+        $nearDupCompCte,
+        canon AS (SELECT c.doc_id, c.text FROM corpus c
+          LEFT JOIN comp ON comp.id = c.doc_id
+          WHERE coalesce(comp.cluster, c.doc_id) = c.doc_id),
+        ev AS (SELECT DISTINCT
+            unnest(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM (SELECT string_split(text, ' ') AS t FROM documents
+                WHERE doc_id % 13 = 0) e
+          WHERE len(t) >= 3),
+        csh AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM canon) c
+          WHERE len(t) >= 3),
+        ssize AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+        hits AS (SELECT csh.doc_id, count(*) AS c
+          FROM csh JOIN ev USING (s) GROUP BY 1),
+        dirty AS (SELECT z.doc_id FROM ssize z JOIN hits h USING (doc_id)
+          WHERE CAST(h.c AS DOUBLE) / z.n >= 0.5),
+        clean AS (SELECT doc_id, text FROM canon
+          WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        sp AS (SELECT doc_id, length(text) AS n_chars,
+          ${idHash("doc_id")} % 100 AS b FROM clean)
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+          count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM sp GROUP BY 1"""
 
   val q28: String =
     s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -257,6 +257,34 @@ object LlmQueries {
   def q115ChunkDocs(spark: SparkSession, dir: String): DataFrame =
     TextOps.chunkDocs(docs(spark, dir), chunkTokens = 64, overlap = 16)
 
+  /** The curation-pipeline CAPSTONE: near-dup cluster dedup → canonical
+    * survivors → 3-gram decontamination against the eval set → the
+    * deterministic hash split, reported per split — every stage is an
+    * already-verified operator and the oracle composes their verified SQL
+    * re-derivations end to end. The distributed shape is the union of the
+    * stages' shapes (banded LSH join, per-round CC join+agg, broadcast
+    * eval shingles, pure-projection split): nothing quadratic anywhere. */
+  def q120CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = withNearDups(docs(spark, dir))
+    val pairs = TextOps.minhashNearDups(corpus, threshold = 0.5)
+      .select("da", "db")
+    val comp = Graph.connectedComponents(pairs, "da", "db")
+    val canon = corpus
+      .join(comp, corpus("doc_id") === comp("id"), "left")
+      .filter(coalesce(col("comp"), corpus("doc_id")) === corpus("doc_id"))
+      .select(corpus("doc_id").as("doc_id"), col("text"))
+    val evalSet = docs(spark, dir).filter(col("doc_id") % 13 === 0)
+    val flagged = TextOps.contamination(canon, evalSet, minFrac = 0.5)
+      .filter(col("contaminated"))
+      .select(col("doc_id"))
+    val clean = canon.join(flagged, Seq("doc_id"), "left_anti")
+    Curation.hashSplit(clean, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
   /** Embedding near-dup clusters: the q52 LSH pair pipeline composed with
     * [[Graph.connectedComponents]] — the full embedding-dedup decision
     * chain (pairs → components → canonical per cluster), mirroring q56's
