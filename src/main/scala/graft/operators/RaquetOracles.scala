@@ -441,6 +441,22 @@ object RaquetOracles {
           FROM xy, range(16) a(i), range(16) b(j)
           GROUP BY block, time_cf, time_ts)"""
 
+  /** q121 trend oracle: the same OLS sufficient-sum formulas over the
+    * closed-form per-(block, timestep) sums — every input is dyadic-exact
+    * so slope/intercept match bit for bit without rounding. */
+  val q121: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH ${tsSums(FT)},
+        a AS (SELECT block, CAST(count(*) AS DOUBLE) AS n,
+            sum(time_cf) AS sx, sum(vsum) AS sy,
+            sum(time_cf * vsum) AS sxy, sum(time_cf * time_cf) AS sxx
+          FROM ts GROUP BY block)
+        SELECT block, CAST(n AS BIGINT) AS n_steps,
+          (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+          (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n AS intercept
+        FROM a"""
+  }
+
   val q38: String = {
     val FT = RaquetQueries.FixtureTime
     s"""WITH ${tsSums(FT)}

@@ -1805,6 +1805,39 @@ object RaquetQueries {
     pointInZoneJoin(points, zones, zoom = 6)
   }
 
+  /** Per-block temporal TREND over a raster time series: ordinary
+    * least-squares slope + intercept of the per-tile band sum against
+    * `time_cf`, from the four order-independent sufficient sums (Σx, Σy,
+    * Σxy, Σx²) — one hash aggregate per block, no window, no sort, linear
+    * in (block, timestep) rows at any scale. Change-detection's first
+    * derivative, computed relationally. */
+  def temporalTrend(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String): DataFrame =
+    data.select(col("block"), col("time_cf"),
+        rq_summary_stats(col(band), meta, band).getField("sum").as("y"))
+      .groupBy("block")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("time_cf")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("time_cf") * col("y")).as("sxy"),
+        sum(col("time_cf") * col("time_cf")).as("sxx"))
+      .select(col("block"), col("n").cast("long").as("n_steps"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
+          / col("n")).as("intercept"))
+
+  /** Trend driver proof: the time fixture's per-tile sums are exactly
+    * linear in time (vT adds 16 per pixel per step ⇒ slope 4096/1440 per
+    * minute for every block), and the intercept recovers each block's
+    * t=0 spatial sum — block-discriminating. All sufficient sums are
+    * exact dyadic doubles, so slope/intercept are bit-identical across
+    * engines with no rounding. */
+  def q121TsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    temporalTrend(ds.data, ds.meta, "band_1")
+  }
+
   /** Sample a raster at a TABLE of points — the drive-by labeling shape
     * (attach a raster covariate to every training example). Each point
     * maps to its covering native tile via the codegen'd
