@@ -140,6 +140,7 @@ object SparkEntry {
     "q119_point_in_zone"    -> (RaquetQueries.q119PointInZone _),
     "q120_curation_pipeline" -> (LlmQueries.q120CurationPipeline _),
     "q121_ts_trend"         -> (RaquetQueries.q121TsTrend _),
+    "q122_ts_trend_px"      -> (RaquetQueries.q122TsTrendPixels _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -378,6 +379,7 @@ object SparkEntry {
     "q119_point_in_zone"    -> RaquetOracles.q119,
     "q120_curation_pipeline" -> LlmOracles.q120,
     "q121_ts_trend"         -> RaquetOracles.q121,
+    "q122_ts_trend_px"      -> RaquetOracles.q122,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

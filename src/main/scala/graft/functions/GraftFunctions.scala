@@ -87,6 +87,9 @@ object GraftFunctions {
     col(QuadbinIntersects(ex(block), wkt))
   def st_contains(wkt: Column, lon: Column, lat: Column): Column =
     col(StContains(ex(wkt), ex(lon), ex(lat)))
+  def rq_temporal_fit(series: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqTemporalFit(ex(series), BandKernel(meta, name)))
   def quadbin_in_ranges(block: Column, ranges: Array[(Long, Long)]): Column =
     col(QuadbinInRanges(ex(block), ranges.map(_._1), ranges.map(_._2)))
   def st_polyfill(wkt: String, zoom: Column, mode: String = "intersects"): Column =

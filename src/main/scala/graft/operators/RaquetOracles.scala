@@ -441,6 +441,23 @@ object RaquetOracles {
           FROM xy, range(16) a(i), range(16) b(j)
           GROUP BY block, time_cf, time_ts)"""
 
+  /** q122 per-pixel trend oracle: with the step regressor the slope is
+    * exactly 16 everywhere (1680/105 is an exact IEEE division) and each
+    * pixel's intercept is its dyadic t=0 value — per-block sums recover
+    * the spatial closed form. */
+  val q122: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH d AS (SELECT DISTINCT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FT') WHERE block <> 0),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j))
+        SELECT block, count(*) AS n_px,
+          16.0 AS slope_min, 16.0 AS slope_max,
+          sum(CAST(gx AS DOUBLE)/2 + CAST(gy AS DOUBLE)/4) AS icpt_sum
+        FROM px GROUP BY block"""
+  }
+
   /** q121 trend oracle: the same OLS sufficient-sum formulas over the
     * closed-form per-(block, timestep) sums — every input is dyadic-exact
     * so slope/intercept match bit for bit without rounding. */

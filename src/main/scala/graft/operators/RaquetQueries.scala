@@ -1827,6 +1827,33 @@ object RaquetQueries {
           (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
           / col("n")).as("intercept"))
 
+  /** PER-PIXEL temporal trend — the raster-out change-detection product
+    * (trend maps): each block's timesteps collect into a sorted series
+    * (one hash agg) and the fit kernel produces slope/intercept blobs
+    * post-aggregation, fully parallel; `x` supplies the regressor (step
+    * index, epoch days, …). */
+  def temporalTrendPixels(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String, x: org.apache.spark.sql.Column): DataFrame =
+    data.select(col("block"), struct(x.as("x"), col(band).as("b")).as("s"))
+      .groupBy("block")
+      .agg(sort_array(collect_list(col("s"))).as("series"))
+      .select(col("block"), rq_temporal_fit(col("series"), meta, band).as("fit"))
+
+  /** Per-pixel trend driver proof: with the step index as regressor every
+    * quantity stays dyadic-exact — slope is exactly 16 for every pixel
+    * and each pixel's intercept recovers its t=0 value, so the per-block
+    * intercept sum is block-discriminating and bit-exact. */
+  def q122TsTrendPixels(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    temporalTrendPixels(ds.data, ds.meta, "band_1", col("time_cf") / 1440.0)
+      .select(col("block"),
+        size(col("fit.slope")).cast("long").as("n_px"),
+        array_min(col("fit.slope")).as("slope_min"),
+        array_max(col("fit.slope")).as("slope_max"),
+        expr("aggregate(fit.intercept, CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+          .as("icpt_sum"))
+  }
+
   /** Trend driver proof: the time fixture's per-tile sums are exactly
     * linear in time (vT adds 16 per pixel per step ⇒ slope 4096/1440 per
     * minute for every block), and the intercept recovers each block's

@@ -311,6 +311,59 @@ object RqBridge {
     if (h == null) null else ArrayData.toArrayData(h)
   }
 
+  /** Per-pixel OLS fit over a tile's time series: `series` is the sorted
+    * ARRAY<STRUCT<x DOUBLE, b BINARY>> a collect_list per block produces;
+    * returns (slope[], intercept[]) row-major arrays. A pixel with ANY
+    * invalid (nodata/NaN) step fits to NaN (strict, the focal convention);
+    * with exact dyadic inputs the sufficient sums are order-independent-
+    * exact, so results are bit-reproducible. */
+  def temporalFitOf(k: BandKernel, series: ArrayData): InternalRow = {
+    val steps = series.numElements()
+    val n = k.width * k.height
+    val xs = new Array[Double](steps)
+    val vals = new Array[Array[Double]](steps)
+    var t = 0
+    while (t < steps) {
+      val row = series.getStruct(t, 2)
+      xs(t) = row.getDouble(0)
+      vals(t) = k.decode(row.getBinary(1))
+      t += 1
+    }
+    var sx = 0.0
+    var sxx = 0.0
+    t = 0
+    while (t < steps) { sx += xs(t); sxx += xs(t) * xs(t); t += 1 }
+    val denom = steps * sxx - sx * sx
+    val slope = new Array[Double](n)
+    val icpt = new Array[Double](n)
+    val hasNd = !k.nodata.isNaN
+    var p = 0
+    while (p < n) {
+      var sy = 0.0
+      var sxy = 0.0
+      var bad = steps < 2 || denom == 0.0
+      t = 0
+      while (t < steps && !bad) {
+        val v = vals(t)(p)
+        if (java.lang.Double.isNaN(v) || (hasNd && v == k.nodata)) bad = true
+        else { sy += v; sxy += xs(t) * v }
+        t += 1
+      }
+      if (bad) { slope(p) = Double.NaN; icpt(p) = Double.NaN }
+      else {
+        val m = (steps * sxy - sx * sy) / denom
+        slope(p) = m
+        icpt(p) = (sy - m * sx) / steps
+      }
+      p += 1
+    }
+    InternalRow(ArrayData.toArrayData(slope), ArrayData.toArrayData(icpt))
+  }
+
+  val temporalFitSchema: StructType = StructType(Seq(
+    StructField("slope", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("intercept", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
   /** Multi-zone clip histograms with ONE decode per tile: `zones` is the
     * per-tile ARRAY<STRUCT<zid BIGINT, wkt STRING>> a polyfill join +
     * collect_list produces; returns (zid, counts) per zone that actually
@@ -704,6 +757,29 @@ case class RqClipHistDyn(band: Expression, block: Expression,
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(band = f, block = s, wkt = t)
+}
+
+/** rq_temporal_fit(series) → per-pixel OLS (slope[], intercept[]) blobs
+  * over a tile's sorted time series — pixel-level change detection (trend
+  * maps). One expression per block, post-aggregation, fully parallel. */
+case class RqTemporalFit(series: Expression, kernel: BandKernel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def child: Expression = series
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(StructType(Seq(
+      StructField("x", DoubleType, nullable = false),
+      StructField("b", BinaryType, nullable = false))), containsNull = false))
+  override def dataType: DataType = RqBridge.temporalFitSchema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_temporal_fit"
+  override protected def nullSafeEval(s: Any): Any =
+    RqBridge.temporalFitOf(kernel, s.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, s => s"${RqBridge.B}.temporalFitOf($k, $s)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(series = c)
 }
 
 /** st_contains(wkt, lon, lat) → whether the point lies inside the
