@@ -141,6 +141,7 @@ object SparkEntry {
     "q120_curation_pipeline" -> (LlmQueries.q120CurationPipeline _),
     "q121_ts_trend"         -> (RaquetQueries.q121TsTrend _),
     "q122_ts_trend_px"      -> (RaquetQueries.q122TsTrendPixels _),
+    "q123_band_math"        -> (RaquetQueries.q123BandMath _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -380,6 +381,7 @@ object SparkEntry {
     "q120_curation_pipeline" -> LlmOracles.q120,
     "q121_ts_trend"         -> RaquetOracles.q121,
     "q122_ts_trend_px"      -> RaquetOracles.q122,
+    "q123_band_math"        -> RaquetOracles.q123,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -441,6 +441,21 @@ object RaquetOracles {
           FROM xy, range(16) a(i), range(16) b(j)
           GROUP BY block, time_cf, time_ts)"""
 
+  /** q123 band-math oracle: per-pixel physical band_2 − band_1 from the
+    * closed forms; nodata pixels excluded. */
+  val q123: String =
+    s"""WITH d AS (SELECT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$F') WHERE block <> 0 AND $Z = 6),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block,
+          CASE WHEN ($V1) IS NULL THEN NULL
+               ELSE $V2Phys - ($V1) END AS v FROM px)
+        SELECT block, count(v) AS n_valid, sum(v) AS vsum,
+          min(v) AS vmin, max(v) AS vmax
+        FROM v GROUP BY block"""
+
   /** q122 per-pixel trend oracle: with the step regressor the slope is
     * exactly 16 everywhere (1680/105 is an exact IEEE division) and each
     * pixel's intercept is its dyadic t=0 value — per-block sums recover

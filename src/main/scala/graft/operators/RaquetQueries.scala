@@ -1827,6 +1827,22 @@ object RaquetQueries {
           (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx"))
           / col("n")).as("intercept"))
 
+  /** Generic map-algebra driver proof: band_2 − band_1 over PHYSICAL
+    * values through `rq_band_math` (the ND family generalized to
+    * add/sub/mul/div/min/max); nodata propagates as NaN and drops from
+    * the per-tile aggregates. All arithmetic dyadic-exact. */
+  def q123BandMath(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"),
+        explode(rq_band_math(col("band_2"), col("band_1"), ds.meta,
+          "band_2", "band_1", "sub")).as("v"))
+      .filter(!isnan(col("v")))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_valid"), sum("v").as("vsum"),
+        min("v").as("vmin"), max("v").as("vmax"))
+  }
+
   /** PER-PIXEL temporal trend — the raster-out change-detection product
     * (trend maps): each block's timesteps collect into a sorted series
     * (one hash agg) and the fit kernel produces slope/intercept blobs

@@ -334,6 +334,32 @@ object BandKernel {
   * `docs/engines.md:49,96-101`): per-pixel (a-b)/(a+b) over physical values,
   * NaN where either side is nodata/NaN or the sum is zero. */
 final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializable {
+
+  /** Generic per-pixel map algebra over physical values: op ∈
+    * add/sub/mul/div/min/max/ratio; NaN propagates from either side and
+    * div/ratio guard zero denominators with NaN (never ±Inf surprises). */
+  def bandMath(rawA: Array[Byte], rawB: Array[Byte], op: String): Array[Double] = {
+    val va = a.physical(rawA)
+    val vb = b.physical(rawB)
+    val n = math.min(va.length, vb.length)
+    val out = new Array[Double](n)
+    var i = 0
+    op match {
+      case "add" => while (i < n) { out(i) = va(i) + vb(i); i += 1 }
+      case "sub" => while (i < n) { out(i) = va(i) - vb(i); i += 1 }
+      case "mul" => while (i < n) { out(i) = va(i) * vb(i); i += 1 }
+      case "div" | "ratio" =>
+        while (i < n) {
+          out(i) = if (vb(i) == 0.0) Double.NaN else va(i) / vb(i)
+          i += 1
+        }
+      case "min" => while (i < n) { out(i) = math.min(va(i), vb(i)); i += 1 }
+      case "max" => while (i < n) { out(i) = math.max(va(i), vb(i)); i += 1 }
+      case other => throw new IllegalArgumentException(
+        s"bandMath: unsupported op '$other' (add/sub/mul/div/ratio/min/max)")
+    }
+    out
+  }
   def normalizedDifference(rawA: Array[Byte], rawB: Array[Byte]): Array[Double] = {
     val va = a.physical(rawA)
     val vb = b.physical(rawB)

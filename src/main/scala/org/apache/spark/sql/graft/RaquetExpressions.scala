@@ -1058,6 +1058,28 @@ case class RqNdStats(left: Expression, right: Expression, kernel: BandPairKernel
 
 /** rq_normalized_difference(band_a, band_b) → ARRAY<DOUBLE> of
   * (a-b)/(a+b) over physical values (F14, NDVI); NaN where invalid. */
+/** rq_band_math(a, b) with a plan-time op → per-pixel ARRAY<DOUBLE> over
+  * physical values (add/sub/mul/div/ratio/min/max) — generic map algebra
+  * completing the ND/clip family. */
+case class RqBandMath(left: Expression, right: Expression,
+    kernel: BandPairKernel, op: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_band_math"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayData.toArrayData(kernel.bandMath(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], op))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandPairKernel].getName)
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($k.bandMath($a, $b, "$op"))""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class RqNormalizedDifference(left: Expression, right: Expression,
     kernel: BandPairKernel)
     extends BinaryExpression with ImplicitCastInputTypes {
