@@ -142,6 +142,7 @@ object SparkEntry {
     "q121_ts_trend"         -> (RaquetQueries.q121TsTrend _),
     "q122_ts_trend_px"      -> (RaquetQueries.q122TsTrendPixels _),
     "q123_band_math"        -> (RaquetQueries.q123BandMath _),
+    "q124_band_math_stats"  -> (RaquetQueries.q124BandMathStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -382,6 +383,8 @@ object SparkEntry {
     "q121_ts_trend"         -> RaquetOracles.q121,
     "q122_ts_trend_px"      -> RaquetOracles.q122,
     "q123_band_math"        -> RaquetOracles.q123,
+    // q124 is q123 through the fused one-pass kernel — identical result
+    "q124_band_math_stats"  -> RaquetOracles.q123,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

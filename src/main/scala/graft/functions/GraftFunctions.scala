@@ -94,6 +94,10 @@ object GraftFunctions {
       nameA: String, nameB: String, op: String): Column =
     col(RqBandMath(ex(a), ex(b),
       BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB)), op))
+  def rq_band_math_stats(a: Column, b: Column, meta: RaquetMetadata,
+      nameA: String, nameB: String, op: String): Column =
+    col(RqBandMathStats(ex(a), ex(b),
+      BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB)), op))
   def quadbin_in_ranges(block: Column, ranges: Array[(Long, Long)]): Column =
     col(QuadbinInRanges(ex(block), ranges.map(_._1), ranges.map(_._2)))
   def st_polyfill(wkt: String, zoom: Column, mode: String = "intersects"): Column =

@@ -1843,6 +1843,21 @@ object RaquetQueries {
         min("v").as("vmin"), max("v").as("vmax"))
   }
 
+  /** Fused twin of q123 (the q23/q59 pairing generalized): ONE pass per
+    * tile, no intermediate array, no explode — the plan every scale
+    * band-math query should use. Shares q123's oracle: fused ≡ per-pixel
+    * ≡ closed form. */
+  def q124BandMathStats(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"),
+        rq_band_math_stats(col("band_2"), col("band_1"), ds.meta,
+          "band_2", "band_1", "sub").as("s"))
+      .select(col("block"), col("s.count").as("n_valid"),
+        col("s.sum").as("vsum"), col("s.min").as("vmin"),
+        col("s.max").as("vmax"))
+  }
+
   /** PER-PIXEL temporal trend — the raster-out change-detection product
     * (trend maps): each block's timesteps collect into a sorted series
     * (one hash agg) and the fit kernel produces slope/intercept blobs

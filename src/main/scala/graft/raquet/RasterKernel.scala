@@ -374,6 +374,32 @@ final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializab
     out
   }
 
+  /** Fused one-pass stats over [[bandMath]]'s result — no intermediate
+    * array, the ndStats pattern for arbitrary ops; null if no valid
+    * pixel. */
+  def bandMathStats(rawA: Array[Byte], rawB: Array[Byte],
+      op: String): Array[Double] = {
+    val v = bandMath(rawA, rawB, op)
+    var cnt = 0L
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      if (!java.lang.Double.isNaN(x)) {
+        cnt += 1
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        sum += x
+        sumSq += x * x
+      }
+      i += 1
+    }
+    if (cnt == 0L) null else Array(cnt.toDouble, mn, mx, sum, sumSq)
+  }
+
   /** ST_NormalizedDifferenceStats (`docs/engines.md:100`): fused
     * [count,min,max,sum,sumSq] over the valid (non-NaN) normalized-difference
     * pixels — one pass, no intermediate ND array; null if no valid pixel. */

@@ -1080,6 +1080,45 @@ case class RqBandMath(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** rq_band_math_stats(a, b) → stats struct over the band-math result in
+  * one fused pass (the decode-then-select shape every scale query should
+  * use; the pixel-returning twin is [[RqBandMath]]). */
+case class RqBandMathStats(left: Expression, right: Expression,
+    kernel: BandPairKernel, op: String)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = RqBridge.statsSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_band_math_stats"
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else RqBridge.statsRow(kernel.bandMathStats(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], op))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandPairKernel].getName)
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val row = ctx.freshName("bmStats")
+    ev.copy(code =
+      code"""
+        ${a.code}
+        ${b.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${a.isNull} && !${b.isNull}) {
+          InternalRow $row = ${RqBridge.B}.statsRow(
+            $k.bandMathStats(${a.value}, ${b.value}, "$op"));
+          if ($row != null) { ${ev.isNull} = false; ${ev.value} = $row; }
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class RqNormalizedDifference(left: Expression, right: Expression,
     kernel: BandPairKernel)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -126,6 +126,27 @@ class RasterOpsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("temporal fit: nodata at any step makes that pixel NaN; others exact") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def step(x: Double, vs: Seq[Double]) =
+      InternalRow(x, PixelCodec.encode(vs.toArray, "uint8", gzip = true))
+    // pixel 0 trends 1,2,3 (slope 1, intercept 1); pixel 1 hits nodata at
+    // step 1 → strict NaN; every other pixel is constant 5 (slope 0)
+    val base = Seq.fill(16)(5.0)
+    val fit = org.apache.spark.sql.graft.RqBridge.temporalFitOf(k,
+      new GenericArrayData(Array[Any](
+        step(0.0, base.updated(0, 1.0).updated(1, 7.0)),
+        step(1.0, base.updated(0, 2.0).updated(1, 255.0)),
+        step(2.0, base.updated(0, 3.0).updated(1, 9.0)))))
+    val slope = fit.getArray(0).toDoubleArray()
+    val icpt = fit.getArray(1).toDoubleArray()
+    assert(slope(0) == 1.0 && icpt(0) == 1.0)
+    assert(slope(1).isNaN && icpt(1).isNaN)
+    assert(slope(2) == 0.0 && icpt(2) == 5.0)
+    assert(slope.length == 16 && slope.drop(2).forall(_ == 0.0))
+  }
+
   test("histogram: per-DN counts, nodata and out-of-range dropped") {
     val raw = enc(0, 0, 1, 5, 5, 5, 255, 255, 3, 3, 3, 3, 0, 1, 5, 2)
     val h = k.histogram(raw, -0.5, 255.5, 256)
