@@ -241,5 +241,15 @@ object GraftFunctions {
         litDouble(hi, "max"), litInt(k, "buckets")) }
     r("rq_rasterize") { case Seq(blk, zs, m, n) =>
       RqRasterize(blk, zs, kernelOf(m, n)) }
+    r("st_contains") { case Seq(w, x, y) => StContains(w, x, y) }
+    r("rq_band_math") { case Seq(a, b, m, na, nb, op) =>
+      RqBandMath(a, b, BandPairKernel(kernelOf(m, na), kernelOf(m, nb)),
+        litStr(op, "op")) }
+    r("rq_band_math_stats") { case Seq(a, b, m, na, nb, op) =>
+      RqBandMathStats(a, b, BandPairKernel(kernelOf(m, na), kernelOf(m, nb)),
+        litStr(op, "op")) }
+    r("rq_clip_histogram") { case Seq(b, blk, w, m, n, lo, hi, k) =>
+      RqClipHistDyn(b, blk, w, kernelOf(m, n), litDouble(lo, "min"),
+        litDouble(hi, "max"), litInt(k, "buckets")) }
   }
 }

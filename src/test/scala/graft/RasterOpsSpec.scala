@@ -102,6 +102,38 @@ class RasterOpsSpec extends SparkSpec {
     }
   }
 
+  test("SQL registrations of band-math/st_contains match the DSL") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions._
+    graft.functions.GraftFunctions.register(spark)
+    val ds = graft.raquet.RaquetIO.read(spark,
+      graft.operators.RaquetQueries.Fixture)
+    ds.data.createOrReplaceTempView("rq_bm_sqlreg")
+    val mj = graft.raquet.RaquetMetadata.toJson(ds.meta)
+    val viaSql = spark.sql(
+      s"""SELECT block,
+            rq_band_math(band_2, band_1, '$mj', 'band_2', 'band_1', 'sub') AS v,
+            rq_band_math_stats(band_2, band_1, '$mj', 'band_2', 'band_1', 'sub') AS s,
+            st_contains('POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0))', 5.0, 5.0) AS c
+          FROM rq_bm_sqlreg""").collect()
+    val viaDsl = ds.data.select(col("block"),
+        rq_band_math(col("band_2"), col("band_1"), ds.meta,
+          "band_2", "band_1", "sub").as("v"),
+        rq_band_math_stats(col("band_2"), col("band_1"), ds.meta,
+          "band_2", "band_1", "sub").as("s"))
+      .collect()
+    val byB = viaSql.map(r => r.getLong(0) -> r).toMap
+    assert(viaDsl.length == viaSql.length)
+    viaDsl.foreach { d =>
+      val q = byB(d.getLong(0))
+      val a = d.getSeq[Double](1); val b = q.getSeq[Double](1)
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x == y || (x.isNaN && y.isNaN)) }
+      assert(d.getStruct(2) == q.getStruct(2))
+      assert(q.getBoolean(3))
+    }
+  }
+
   test("mosaicToFile writes a complete raquet dataset that validates") {
     import org.apache.spark.sql.functions.{col, sum}
     val fixture = graft.operators.RaquetQueries.Fixture
