@@ -143,6 +143,7 @@ object SparkEntry {
     "q122_ts_trend_px"      -> (RaquetQueries.q122TsTrendPixels _),
     "q123_band_math"        -> (RaquetQueries.q123BandMath _),
     "q124_band_math_stats"  -> (RaquetQueries.q124BandMathStats _),
+    "q125_stream_tilecache" -> (RaquetQueries.q125StreamTileCache _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -385,6 +386,8 @@ object SparkEntry {
     "q123_band_math"        -> RaquetOracles.q123,
     // q124 is q123 through the fused one-pass kernel — identical result
     "q124_band_math_stats"  -> RaquetOracles.q123,
+    // q125 is q111's tree built incrementally — identical final content
+    "q125_stream_tilecache" -> RaquetOracles.q111,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -1929,6 +1929,53 @@ object RaquetQueries {
       .select(col("pid"), col("lon"), col("lat"), col("v").cast("long").as("v"))
   }
 
+  /** Streaming tile-cache driver proof ([[graft.sources.TileCache
+    * .incremental]]): the fixture's 85 tiles arrive over three
+    * micro-batches — the third RE-SENDS a subset (overwrite-in-place) —
+    * and the final z/x/y tree must equal a full export, verified by the
+    * same re-decode + closed-form oracle as q111. */
+  def q125StreamTileCache(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = RaquetIO.read(spark, Fixture)
+    val rows = ds.data.select(col("block"), col("band_1"), col("band_2"))
+      .as[(Long, Array[Byte], Array[Byte])].collect()
+    val (b1, b2) = rows.partition(_._1 % 2 == 0)
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q125/tiles"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val q = graft.sources.TileCache.incremental(
+      input.toDF().toDF("block", "band_1", "band_2"), ds.meta, tmp)
+    try {
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b1.take(10).toIndexedSeq) // idempotent overwrite
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = for {
+      xd <- new java.io.File(s"$tmp/6").listFiles.toSeq.sortBy(_.getName)
+      yf <- xd.listFiles.toSeq.sortBy(_.getName)
+    } yield {
+      val img = javax.imageio.ImageIO.read(yf)
+      var sum = 0L; var opaque = 0L; var transparent = 0L
+      for (j <- 0 until img.getHeight; i <- 0 until img.getWidth) {
+        val argb = img.getRGB(i, j)
+        if ((argb >>> 24) == 0) transparent += 1
+        else { sum += argb & 0xFF; opaque += 1 }
+      }
+      val (x, y) = (xd.getName.toLong, yf.getName.stripSuffix(".png").toLong)
+      (Quadbin.tileToCell(x, y, 6), opaque, transparent, sum)
+    }
+    out.toDF("block", "n_opaque", "n_transparent", "gray_sum")
+  }
+
   /** S6 (rotated-pole CRS) driver proof: a CF `rotated_latitude_longitude`
     * grid (CORDEX EUR pole 39.25N/-162E, the COSMO public convention —
     * `graft.geo.RotatedPole`) converts end to end, and the rotation itself

@@ -1,10 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.quadbin.Quadbin
-import graft.raquet.{PixelCodec, RaquetIO}
+import graft.raquet.{PixelCodec, RaquetIO, RaquetMetadata}
 
 /** Static XYZ tile-cache export — the "publish" path: render every tile of
   * a raquet dataset into a `z/x/y.png` file tree, the precomputed twin of
@@ -16,6 +17,24 @@ import graft.raquet.{PixelCodec, RaquetIO}
   * number of tiles written (accumulator-counted). */
 object TileCache {
 
+  /** Render + write one partition's rows; columns are (block, bands…). */
+  private def writeRows(it: Iterator[Row], dtypes: Seq[String], w: Int, h: Int,
+      palette: Option[Map[String, Seq[Int]]], nodata: Option[Double],
+      outDir: String, count: Long => Unit): Unit =
+    it.foreach { r =>
+      val block = r.getLong(0)
+      val z = Quadbin.zoom(block)
+      val x = Quadbin.tileX(block)
+      val y = Quadbin.tileY(block)
+      val bands = dtypes.indices.map(i =>
+        PixelCodec.decode(r.getAs[Array[Byte]](i + 1), dtypes(i)))
+      val png = RaquetTileServer.render(bands, w, h, palette, nodata)
+      val dir = java.nio.file.Paths.get(outDir, z.toString, x.toString)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(s"$y.png"), png)
+      count(1)
+    }
+
   def export(spark: SparkSession, path: String, outDir: String): Long = {
     val ds = RaquetIO.read(spark, path)
     val m = ds.meta
@@ -26,21 +45,31 @@ object TileCache {
     val (w, h) = (m.blockWidth, m.blockHeight)
     val rows = ds.data.select(col("block") +: bandNames.map(b => ds.band(b)): _*)
     val counter = spark.sparkContext.longAccumulator("tiles_written")
-    rows.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-      it.foreach { r =>
-        val block = r.getLong(0)
-        val z = Quadbin.zoom(block)
-        val x = Quadbin.tileX(block)
-        val y = Quadbin.tileY(block)
-        val bands = dtypes.indices.map(i =>
-          PixelCodec.decode(r.getAs[Array[Byte]](i + 1), dtypes(i)))
-        val png = RaquetTileServer.render(bands, w, h, palette, nodata)
-        val dir = java.nio.file.Paths.get(outDir, z.toString, x.toString)
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.write(dir.resolve(s"$y.png"), png)
-        counter.add(1)
-      }
+    rows.foreachPartition { it: Iterator[Row] =>
+      writeRows(it, dtypes, w, h, palette, nodata, outDir, counter.add)
     }
     counter.value
+  }
+
+  /** Streaming twin — incremental CDN publish: each micro-batch renders
+    * and overwrites ONLY its own tiles in the z/x/y tree (re-sent tiles
+    * overwrite in place), so per-batch cost is the batch footprint and
+    * the tree converges to exactly what a full [[export]] would write.
+    * `tiles` carries (block, band columns…) in the metadata's band
+    * order. */
+  def incremental(tiles: DataFrame, meta: RaquetMetadata,
+      outDir: String): StreamingQuery = {
+    val palette = meta.bands.head.colortable
+    val nodata = meta.bands.head.nodata
+    val dtypes = meta.bands.map(_.bandType)
+    val (w, h) = (meta.blockWidth, meta.blockHeight)
+    tiles.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.foreachPartition { it: Iterator[Row] =>
+          writeRows(it, dtypes, w, h, palette, nodata, outDir, _ => ())
+        }
+      }
+      .start()
   }
 }
