@@ -1535,6 +1535,9 @@ object RaquetQueries {
       .withColumn("total",
         sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy()))
     val ps = Seq(25, 50, 75, 90, 99).toDF("p")
+    // theta-join (plans as a broadcast nested loop) — fine at ANY scale:
+    // the left side is the merged histogram, bounded by `buckets` rows
+    // regardless of raster size, and the right side is the percentile list
     cum.join(broadcast(ps),
         col("cum") >= expr("(p * total + 99) div 100"))
       .groupBy(col("p").cast("long").as("p"))
@@ -1756,6 +1759,7 @@ object RaquetQueries {
       .withColumn("cum", sum("n").over(wCum))
       .withColumn("total", sum("n").over(
         org.apache.spark.sql.expressions.Window.partitionBy("zone_id")))
+    // bucket-bounded theta-join, same argument as q109's percentile pick
     cum.join(broadcast(ps.toDF("p")),
         col("cum") >= expr("(p * total + 99) div 100"))
       .groupBy(col("zone_id"), col("p").cast("long").as("p"))
