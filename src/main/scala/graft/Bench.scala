@@ -201,6 +201,16 @@ object Bench {
         .filter(quadbin_zoom(col("block")) === 10)
         .select(col("block"), col("band_2_mean"))
         .orderBy(col("band_2_mean").asc, col("block").asc).limit(20)),
+    "b_sample_points" -> ((s: SparkSession, _: String) => {
+      // 100k covariate lookups: equi-join on cell id + one pixel read per
+      // point — the training-data labeling shape at volume
+      val pts = s.range(100000).toDF("pid")
+        .selectExpr("pid",
+          "0.005 + (pid % 997) * 0.01122 AS lon",
+          "-0.01 - ((pid * 31) % 983) * 0.01119 AS lat")
+      val ds = RaquetIO.read(s, RasterDir)
+      graft.operators.RaquetQueries.sampleAtPoints(ds, pts, "band_1")
+    }),
     "b_zonal_median" -> ((s: SparkSession, _: String) => {
       // exact zonal quartiles over three overlapping zones: per-(tile,
       // zone) clip-histograms merged element-wise — no pixel sort

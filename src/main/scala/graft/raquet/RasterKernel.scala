@@ -33,6 +33,18 @@ final case class BandKernel(
   def stats(raw: Array[Byte]): Array[Double] =
     PixelCodec.fusedStats(raw, dtype, nodata)
 
+  /** Last-blob decode cache for [[valueAt]]: point-sampling joins deliver
+    * MANY consecutive rows against the same tile (the raster side stays
+    * Morton-ordered through the join), and decoding the whole tile per
+    * point is the difference between O(points) and O(points × pixels).
+    * Keyed by (block, length, trailing 8 bytes) — codegen re-materializes
+    * the byte[] per output row so identity would always miss, and for
+    * gzip blobs the trailer IS the content CRC32+ISIZE, making the key
+    * content-derived. Per thread; private to valueAt because other
+    * kernels mutate their decode buffers in place. */
+  @transient private lazy val tlValueDecode =
+    new ThreadLocal[(Long, Int, Long, Array[Double])]
+
   /** Physical (scaled) value at (lon, lat) inside tile `block`; NaN when the
     * point misses the tile or hits a nodata/NaN pixel. */
   def valueAt(raw: Array[Byte], block: Long, lon: Double, lat: Double): Double = {
@@ -47,7 +59,19 @@ final case class BandKernel(
     val col = math.floor((xf - x) * width).toInt
     val row = math.floor((yf - y) * height).toInt
     if (col < 0 || col >= width || row < 0 || row >= height) return Double.NaN
-    val v = decode(raw)(row * width + col)
+    var tail = 0L
+    var ti = math.max(0, raw.length - 8)
+    while (ti < raw.length) { tail = (tail << 8) | (raw(ti) & 0xFFL); ti += 1 }
+    val cached = tlValueDecode.get()
+    val dec =
+      if (cached != null && cached._1 == block && cached._2 == raw.length &&
+          cached._3 == tail) cached._4
+      else {
+        val d = decode(raw)
+        tlValueDecode.set((block, raw.length, tail, d))
+        d
+      }
+    val v = dec(row * width + col)
     if (java.lang.Double.isNaN(v) || (!nodata.isNaN && v == nodata)) Double.NaN
     else v * scale + offset
   }
