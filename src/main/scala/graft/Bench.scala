@@ -211,6 +211,21 @@ object Bench {
       val ds = RaquetIO.read(s, RasterDir)
       graft.operators.RaquetQueries.sampleAtPoints(ds, pts, "band_1")
     }),
+    "b_point_in_zone" -> ((s: SparkSession, _: String) => {
+      // blocked spatial join at volume: 100k points against three zones,
+      // polyfill blocking at zoom 9 + exact containment residual
+      import s.implicits._
+      val pts = s.range(100000).toDF("pid")
+        .selectExpr("pid",
+          "0.005 + (pid % 997) * 0.01122 AS lon",
+          "-0.01 - ((pid * 31) % 983) * 0.01119 AS lat")
+      val zones = Seq(
+        (1L, "POLYGON((0.51 -8.03, 7.52 -8.03, 7.52 -2.71, 0.51 -2.71, 0.51 -8.03))"),
+        (2L, "POLYGON((2.0 -10.5, 10.8 -10.5, 10.8 -1.2, 2.0 -1.2, 2.0 -10.5))"),
+        (3L, "POLYGON((5.0 -6.0, 11.0 -6.0, 11.0 -0.3, 5.0 -0.3, 5.0 -6.0))"))
+        .toDF("zone_id", "wkt")
+      graft.operators.RaquetQueries.pointInZoneJoin(pts, zones, zoom = 9)
+    }),
     "b_zonal_median" -> ((s: SparkSession, _: String) => {
       // exact zonal quartiles over three overlapping zones: per-(tile,
       // zone) clip-histograms merged element-wise — no pixel sort
