@@ -144,6 +144,9 @@ object SparkEntry {
     "q123_band_math"        -> (RaquetQueries.q123BandMath _),
     "q124_band_math_stats"  -> (RaquetQueries.q124BandMathStats _),
     "q125_stream_tilecache" -> (RaquetQueries.q125StreamTileCache _),
+    "q126_wav_features"     -> (graft.operators.AudioQueries.q126WavFeatures _),
+    "q127_wav_frames"       -> (graft.operators.AudioQueries.q127WavFrames _),
+    "q128_video_frames"     -> (RaquetQueries.q128VideoFrames _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -388,6 +391,11 @@ object SparkEntry {
     "q124_band_math_stats"  -> RaquetOracles.q123,
     // q125 is q111's tree built incrementally — identical final content
     "q125_stream_tilecache" -> RaquetOracles.q111,
+    // q126/q127: WAV codec round-trip features vs the closed-form signal
+    "q126_wav_features"     -> graft.operators.AudioQueries.oracleQ126,
+    "q127_wav_frames"       -> graft.operators.AudioQueries.oracleQ127,
+    // q128: animated-WebP frame sampling vs the q34 strip closed form
+    "q128_video_frames"     -> RaquetOracles.q128,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

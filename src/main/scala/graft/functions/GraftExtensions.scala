@@ -65,7 +65,25 @@ object GraftExtensions {
     "mm_webp_pixels" -> { case Seq(b, c) => MmWebpPixels(b, litInt(c, "channels")) },
     "mm_webp_lossy" -> { case Seq(b, w, h, c, q) =>
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
-        litInt(c, "channels"), litInt(q, "quality")) })
+        litInt(c, "channels"), litInt(q, "quality")) },
+    "mm_u8_sum" -> { case Seq(b) => MmU8Sum(b) },
+    "mm_webp_anim" -> { case Seq(f, w, h, c, d) =>
+      MmWebpAnimEncode(f, litInt(w, "width"), litInt(h, "height"),
+        litInt(c, "channels"), litInt(d, "duration_ms")) },
+    "mm_webp_anim_info" -> { case Seq(b) => MmWebpAnimInfo(b) },
+    "mm_webp_frame" -> { case Seq(b, i, c) =>
+      MmWebpFramePixels(b, i, litInt(c, "channels")) },
+    "mm_wav_encode" -> { case Seq(s, rate, ch, bits) =>
+      MmWavEncode(s, litInt(rate, "sample_rate"), litInt(ch, "channels"),
+        litInt(bits, "bits")) },
+    "mm_wav_info" -> { case Seq(b) => MmWavInfo(b) },
+    "mm_wav_stats" -> { case Seq(b, ch) => MmWavStats(b, litInt(ch, "channel")) },
+    "mm_wav_resample" -> { case Seq(b, rate) =>
+      MmWavResample(b, litInt(rate, "target_rate")) },
+    "mm_wav_frames" -> { case Seq(b, fl, hop, ch) =>
+      MmWavFrames(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
+        litInt(ch, "channel")) },
+    "mm_wav_trim" -> { case Seq(b, t) => MmWavTrim(b, litInt(t, "threshold")) })
 
   private def litInt(e: Expression, what: String): Int =
     litStr(e, what).toInt

@@ -166,6 +166,29 @@ object GraftFunctions {
       quality: Int): Column =
     col(MmWebpLossy(ex(bin), width, height, channels, quality))
 
+  def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
+  def mm_webp_anim(frames: Column, width: Int, height: Int, channels: Int,
+      durationMs: Int): Column =
+    col(MmWebpAnimEncode(ex(frames), width, height, channels, durationMs))
+  def mm_webp_anim_info(bin: Column): Column = col(MmWebpAnimInfo(ex(bin)))
+  def mm_webp_frame(bin: Column, idx: Column, channels: Int): Column =
+    col(MmWebpFramePixels(ex(bin), ex(idx), channels))
+
+  // --- audio (WAV/PCM) members of the multimodal family ---
+
+  def mm_wav_encode(samples: Column, sampleRate: Int, channels: Int,
+      bits: Int): Column =
+    col(MmWavEncode(ex(samples), sampleRate, channels, bits))
+  def mm_wav_info(bin: Column): Column = col(MmWavInfo(ex(bin)))
+  def mm_wav_stats(bin: Column, channel: Int): Column =
+    col(MmWavStats(ex(bin), channel))
+  def mm_wav_resample(bin: Column, dstRate: Int): Column =
+    col(MmWavResample(ex(bin), dstRate))
+  def mm_wav_frames(bin: Column, frameLen: Int, hop: Int, channel: Int): Column =
+    col(MmWavFrames(ex(bin), frameLen, hop, channel))
+  def mm_wav_trim(bin: Column, threshold: Int): Column =
+    col(MmWavTrim(ex(bin), threshold))
+
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -222,6 +245,24 @@ object GraftFunctions {
     r("mm_webp_lossy") { case Seq(b, w, h, c, q) =>
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(q, "quality")) }
+    r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
+    r("mm_webp_anim") { case Seq(f, w, h, c, d) =>
+      MmWebpAnimEncode(f, litInt(w, "width"), litInt(h, "height"),
+        litInt(c, "channels"), litInt(d, "duration_ms")) }
+    r("mm_webp_anim_info") { case Seq(b) => MmWebpAnimInfo(b) }
+    r("mm_webp_frame") { case Seq(b, i, c) =>
+      MmWebpFramePixels(b, i, litInt(c, "channels")) }
+    r("mm_wav_encode") { case Seq(s, rate, ch, bits) =>
+      MmWavEncode(s, litInt(rate, "sample_rate"), litInt(ch, "channels"),
+        litInt(bits, "bits")) }
+    r("mm_wav_info") { case Seq(b) => MmWavInfo(b) }
+    r("mm_wav_stats") { case Seq(b, ch) => MmWavStats(b, litInt(ch, "channel")) }
+    r("mm_wav_resample") { case Seq(b, rate) =>
+      MmWavResample(b, litInt(rate, "target_rate")) }
+    r("mm_wav_frames") { case Seq(b, fl, hop, ch) =>
+      MmWavFrames(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
+        litInt(ch, "channel")) }
+    r("mm_wav_trim") { case Seq(b, t) => MmWavTrim(b, litInt(t, "threshold")) }
     def litDouble(e: Expression, what: String): Double = e match {
       case Literal(v, _) if v != null => v.toString.toDouble
       case other => throw new IllegalArgumentException(

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Audio (WAV/PCM) multimodal pipeline queries + their closed-form DuckDB
+  * oracles. The audio payloads are synthesized in-plan from an integer
+  * closed form (odd-valued PCM so zero crossings are unambiguous), padded
+  * with true silence at both ends, then pushed through the REAL container
+  * codec: encode → parse → features / trim / resample all exercise
+  * [[graft.raquet.Audio]] byte-for-byte, and every emitted feature is an
+  * exact integer the oracle re-derives without touching the codec.
+  *
+  * Signal: 800 core samples s(id,k) = 2·((id·37 + k·113) mod 2001) − 2001
+  * (odd ⇒ never zero), wrapped in 50 + 30 zero frames, mono 16-bit 8 kHz.
+  */
+object AudioQueries {
+
+  private def synth(spark: SparkSession): DataFrame =
+    spark.range(24).toDF("id")
+      .withColumn("samples", expr(
+        """concat(array_repeat(0, 50),
+                  transform(sequence(0, 799),
+                    k -> CAST(2 * ((id*37 + k*113) % 2001) - 2001 AS INT)),
+                  array_repeat(0, 30))"""))
+      .withColumn("wav", mm_wav_encode(col("samples"), 8000, 1, 16))
+
+  /** Header info, exact channel stats, silence trim, and nearest-neighbour
+    * resample to 3 kHz — one projection, no shuffle. */
+  def q126WavFeatures(spark: SparkSession, dir: String): DataFrame =
+    synth(spark)
+      .withColumn("inf", mm_wav_info(col("wav")))
+      .withColumn("st", mm_wav_stats(col("wav"), 0))
+      .withColumn("tr", mm_wav_stats(mm_wav_trim(col("wav"), 0), 0))
+      .withColumn("rs", mm_wav_stats(mm_wav_resample(col("wav"), 3000), 0))
+      .select(col("id"),
+        col("inf.sample_rate").as("sample_rate"),
+        col("inf.n_frames").as("n_frames"),
+        col("inf.duration_us").as("duration_us"),
+        col("st.min").as("v_min"), col("st.max").as("v_max"),
+        col("st.sum").as("v_sum"), col("st.sum_sq").as("v_sum_sq"),
+        col("st.zero_crossings").as("n_zc"),
+        col("tr.n").as("n_trim"),
+        col("rs.n").as("rs_n"), col("rs.sum").as("rs_sum"),
+        col("rs.sum_sq").as("rs_sum_sq"))
+
+  /** Fixed-window frame energies (160-frame windows, 80-frame hop — the
+    * 20 ms/10 ms convention at 8 kHz), exploded to one row per window. */
+  def q127WavFrames(spark: SparkSession, dir: String): DataFrame =
+    synth(spark)
+      .select(col("id"),
+        posexplode(mm_wav_frames(col("wav"), 160, 80, 0)).as(Seq("w", "energy")))
+
+  /** The padded signal as the oracle sees it: v(id, k) over 880 frames. */
+  private val oracleSignal: String =
+    """s AS (SELECT t.id, k.k,
+         CASE WHEN k.k < 50 OR k.k >= 850 THEN 0
+              ELSE 2 * ((t.id*37 + (k.k-50)*113) % 2001) - 2001 END AS v
+       FROM range(24) t(id), range(880) k(k))"""
+
+  val oracleQ126: String =
+    s"""WITH $oracleSignal,
+        base AS (SELECT id,
+            CAST(min(v) AS BIGINT) AS v_min, CAST(max(v) AS BIGINT) AS v_max,
+            CAST(sum(v) AS BIGINT) AS v_sum,
+            CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS v_sum_sq
+          FROM s GROUP BY id),
+        zc2 AS (SELECT id, CAST(count(*) AS BIGINT) AS n_zc FROM (
+            SELECT id, v, lag(v) OVER (PARTITION BY id ORDER BY k) AS pv FROM s)
+          WHERE v * pv < 0 GROUP BY id),
+        rs AS (SELECT t.id,
+            CAST(count(*) AS BIGINT) AS rs_n,
+            CAST(sum(s.v) AS BIGINT) AS rs_sum,
+            CAST(sum(CAST(s.v AS BIGINT) * s.v) AS BIGINT) AS rs_sum_sq
+          FROM range(24) t(id), range(330) k(k)
+          JOIN s ON s.id = t.id AND s.k = (k.k * 8000) // 3000
+          GROUP BY t.id)
+        SELECT base.id,
+          CAST(8000 AS INTEGER) AS sample_rate,
+          CAST(880 AS BIGINT) AS n_frames,
+          CAST(110000 AS BIGINT) AS duration_us,
+          base.v_min, base.v_max, base.v_sum, base.v_sum_sq,
+          coalesce(zc2.n_zc, 0) AS n_zc,
+          CAST(800 AS BIGINT) AS n_trim,
+          rs.rs_n, rs.rs_sum, rs.rs_sum_sq
+        FROM base JOIN rs ON base.id = rs.id
+        LEFT JOIN zc2 ON base.id = zc2.id"""
+
+  val oracleQ127: String =
+    s"""WITH $oracleSignal
+        SELECT t.id, CAST(w.w AS INTEGER) AS w,
+          CAST(sum(abs(s.v)) AS BIGINT) AS energy
+        FROM range(24) t(id), range(10) w(w), range(160) i(i)
+        JOIN s ON s.id = t.id AND s.k = w.w * 80 + i.i
+        GROUP BY t.id, w.w"""
+}

@@ -407,6 +407,24 @@ object RaquetOracles {
         FROM fr JOIN rz ON fr.block = rz.block"""
   }
 
+  /** q128: the q34 closed form restricted to the sampled frames (0, 2),
+    * with the animation header fields as constants. */
+  val q128: String = {
+    val tiles = (32L to 39L)
+      .map(x => s"(${Quadbin.tileToCell(x, 24L, 6)}, $x)").mkString(", ")
+    val vAt = (gx: String, gy: String) =>
+      s"(CASE WHEN (($gx)+($gy))%31=0 THEN 255 ELSE (7*($gx)+13*($gy))%255 END)"
+    s"""WITH t(block, x) AS (VALUES $tiles),
+        fpx AS (SELECT block, f, i, j2, x*16+i AS gx, 384 + f*4 + j2 AS gy
+          FROM t, (VALUES (0), (2)) r(f), range(16) a(i), range(4) b(j2))
+        SELECT block, CAST(f AS INTEGER) AS f,
+          CAST(16 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+          CAST(4 AS INTEGER) AS n_frames, CAST(400 AS BIGINT) AS duration_ms,
+          CAST(sum(${vAt("gx", "gy")}) AS BIGINT) AS frame_sum,
+          CAST(max(CASE WHEN i = 0 AND j2 = 0 THEN ${vAt("gx", "gy")} END) AS BIGINT) AS first_px
+        FROM fpx GROUP BY block, f"""
+  }
+
   val q35: String =
     s"""WITH px AS (SELECT x*16+i AS gx, y*16+j AS gy
           FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),

@@ -338,6 +338,31 @@ object RaquetQueries {
         aggregate(col("rpx"), lit(0.0), (a, x) => a + x).as("resize_sum"))
   }
 
+  /** Video-shaped multimodal: q34's frame strips assembled into a REAL
+    * animated-WebP clip (VP8X/ANIM/ANMF, lossless VP8L frames) per tile,
+    * then frame-SAMPLED every 2nd frame through the container kernel
+    * (`mm_webp_frame` decodes only the requested frame's bitstream). VP8L
+    * is lossless, so sampled pixel sums equal the fixture closed form —
+    * proving assemble → container walk → single-frame decode end to end. */
+  def q128VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    ds.data
+      .filter(quadbin_zoom(col("block")) === 6 && quadbin_tile_y(col("block")) === 24)
+      .select(col("block"), rq_inflate(col("band_1")).as("raw"))
+      .withColumn("frames",
+        expr("transform(sequence(0, 3), f -> substring(raw, f*64 + 1, 64))"))
+      .withColumn("clip", mm_webp_anim(col("frames"), 16, 4, 1, 100))
+      .withColumn("inf", mm_webp_anim_info(col("clip")))
+      .withColumn("f", explode(sequence(lit(0), lit(3), lit(2))))
+      .withColumn("px", mm_webp_frame(col("clip"), col("f"), 1))
+      .select(col("block"), col("f"),
+        col("inf.width").as("width"), col("inf.height").as("height"),
+        col("inf.n_frames").as("n_frames"),
+        col("inf.duration_ms").as("duration_ms"),
+        mm_u8_sum(col("px")).as("frame_sum"),
+        expr("CAST(conv(hex(substring(px, 1, 1)), 16, 10) AS BIGINT)").as("first_px"))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

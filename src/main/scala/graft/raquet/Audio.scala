@@ -1,0 +1,245 @@
+package graft.raquet
+
+/** Audio binary-column kernels: WAV (RIFF/PCM) parse, encode, feature
+  * extraction, resampling and fixed-window framing — the audio member of
+  * the multimodal family (images/tiles ride [[Multimodal]], audio rides
+  * here). Payloads stay opaque `binary` columns; every kernel is invoked
+  * from a codegen'd Catalyst expression, so audio curation pipelines
+  * (dedup by content stats, silence filtering, rate normalization,
+  * frame-level energy features) run as plain projections with no shuffle.
+  *
+  * Format scope: canonical RIFF WAVE with integer PCM (format tag 1) at
+  * 8/16/24/32 bits. 8-bit is unsigned-biased, wider widths are signed
+  * little-endian, per the public WAVE spec. Anything else — float PCM,
+  * ADPCM, WAVE_FORMAT_EXTENSIBLE — fails loudly; nothing is guessed.
+  *
+  * All features are exact integer arithmetic (sums, sums of squares,
+  * zero crossings) so results are aggregation-order independent and
+  * reproducible bit-for-bit against an external oracle.
+  */
+object Audio {
+
+  /** Parsed WAV: format fields plus the raw PCM payload (interleaved,
+    * little-endian, `blockAlign = channels * bits/8` bytes per frame). */
+  final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte]) {
+    val bytesPerSample: Int = bitsPerSample / 8
+    val nFrames: Int = data.length / (channels * bytesPerSample)
+    def durationUs: Long = nFrames * 1000000L / sampleRate
+
+    /** Sample at frame `i`, channel `ch`, as a signed Int (8-bit is
+      * un-biased to signed so silence is 0 at every width). */
+    def sample(i: Int, ch: Int): Int = {
+      val off = (i * channels + ch) * bytesPerSample
+      bitsPerSample match {
+        case 8  => (data(off) & 0xFF) - 128
+        case 16 => ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toInt
+        case 24 => (data(off) & 0xFF) | ((data(off + 1) & 0xFF) << 8) |
+          (data(off + 2) << 16)
+        case 32 => (data(off) & 0xFF) | ((data(off + 1) & 0xFF) << 8) |
+          ((data(off + 2) & 0xFF) << 16) | (data(off + 3) << 24)
+      }
+    }
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) |
+      ((b(o + 3) & 0xFF) << 24)).toLong & 0xFFFFFFFFL
+
+  /** Parse a RIFF/WAVE container. Chunk-walks to `fmt ` then `data`,
+    * skipping LIST/fact/cue etc.; validates PCM tag, sample width, and that
+    * the data chunk fits the file (truncated files fail, never over-read). */
+  def parse(bytes: Array[Byte]): Wav = {
+    require(bytes.length >= 44, s"not a WAV file: ${bytes.length} bytes < minimal header")
+    require(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
+      "not a WAV file (RIFF magic missing)")
+    require(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a WAV file (WAVE form type missing)")
+    var off = 12
+    var sampleRate = 0; var channels = 0; var bits = 0
+    var haveFmt = false
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(bytes, off + 4)
+      if (size > bytes.length - off - 8)
+        throw new IllegalArgumentException(
+          s"malformed WAV: chunk '$id' size $size exceeds file (${bytes.length} bytes)")
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"malformed WAV: fmt chunk size $size < 16")
+          val tag = u16(bytes, off + 8)
+          require(tag == 1, s"unsupported WAV format tag $tag (integer PCM only)")
+          channels = u16(bytes, off + 10)
+          require(channels >= 1 && channels <= 64, s"unsupported channel count $channels")
+          val rate = u32(bytes, off + 12)
+          require(rate >= 1 && rate <= 10000000, s"unsupported sample rate $rate")
+          sampleRate = rate.toInt
+          bits = u16(bytes, off + 22)
+          require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+            s"unsupported PCM width $bits bits")
+          haveFmt = true
+        case "data" =>
+          require(haveFmt, "malformed WAV: data chunk before fmt chunk")
+          val blockAlign = channels * (bits / 8)
+          val usable = size.toInt - (size.toInt % blockAlign)
+          val data = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + usable)
+          return Wav(sampleRate, channels, bits, data)
+        case _ => // LIST / fact / cue / bext … skipped
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    throw new IllegalArgumentException(
+      if (haveFmt) "malformed WAV: no data chunk" else "malformed WAV: no fmt chunk")
+  }
+
+  /** Encode interleaved signed samples (length = frames × channels; 8-bit
+    * values are re-biased to unsigned on write) as a canonical 44-byte-header
+    * WAV. The inverse of [[parse]] ∘ [[Wav.sample]]. */
+  def encode(samples: Array[Int], sampleRate: Int, channels: Int,
+      bits: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+      s"unsupported PCM width $bits bits")
+    require(channels >= 1 && channels <= 64, s"unsupported channel count $channels")
+    require(samples.length % channels == 0,
+      s"sample count ${samples.length} not a multiple of $channels channels")
+    val bps = bits / 8
+    val dataLen = samples.length * bps
+    val out = new Array[Byte](44 + dataLen)
+    def put4(o: Int, s: String): Unit = { var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 } }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    put4(0, "RIFF"); p32(4, 36 + dataLen); put4(8, "WAVE")
+    put4(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, channels)
+    p32(24, sampleRate); p32(28, sampleRate * channels * bps)
+    p16(32, channels * bps); p16(34, bits)
+    put4(36, "data"); p32(40, dataLen)
+    var i = 0
+    var o = 44
+    while (i < samples.length) {
+      val v = if (bits == 8) samples(i) + 128 else samples(i)
+      out(o) = v.toByte
+      if (bps > 1) out(o + 1) = (v >> 8).toByte
+      if (bps > 2) out(o + 2) = (v >> 16).toByte
+      if (bps > 3) out(o + 3) = (v >> 24).toByte
+      i += 1; o += bps
+    }
+    out
+  }
+
+  /** Re-wrap a parsed/derived [[Wav]] as container bytes (canonical
+    * 44-byte header + its PCM payload verbatim). */
+  def toBytes(wav: Wav): Array[Byte] = {
+    val out = encode(Array.emptyIntArray, wav.sampleRate, wav.channels, wav.bitsPerSample)
+    val full = new Array[Byte](44 + wav.data.length)
+    System.arraycopy(out, 0, full, 0, 44)
+    System.arraycopy(wav.data, 0, full, 44, wav.data.length)
+    def p32(o: Int, v: Int): Unit = {
+      full(o) = v.toByte; full(o + 1) = (v >> 8).toByte
+      full(o + 2) = (v >> 16).toByte; full(o + 3) = (v >> 24).toByte
+    }
+    p32(4, 36 + wav.data.length)
+    p32(40, wav.data.length)
+    full
+  }
+
+  /** Exact per-channel PCM statistics: frame count, min, max, sum, sum of
+    * squares, and sign-change zero crossings (s_k · s_{k−1} < 0; a zero
+    * sample ends no crossing). Integer-exact for ≤16-bit audio at any
+    * length a single payload can hold (|sum_sq| ≤ n · 2^30). */
+  final case class ChannelStats(n: Long, min: Long, max: Long, sum: Long,
+      sumSq: Long, zeroCrossings: Long)
+
+  def channelStats(wav: Wav, ch: Int): ChannelStats = {
+    require(ch >= 0 && ch < wav.channels,
+      s"channel $ch out of range (audio has ${wav.channels})")
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var sum = 0L; var sq = 0L; var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < wav.nFrames) {
+      val v = wav.sample(i, ch)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v; sq += v.toLong * v
+      if (i > 0 && prev.toLong * v < 0) zc += 1
+      prev = v
+      i += 1
+    }
+    if (wav.nFrames == 0) ChannelStats(0, 0, 0, 0, 0, 0)
+    else ChannelStats(wav.nFrames, mn, mx, sum, sq, zc)
+  }
+
+  /** Nearest-neighbour resample to `dstRate`: output frame k reads source
+    * frame ⌊k·srcRate/dstRate⌋ — pure integer index math (the audio twin of
+    * [[Multimodal.resizeNearest]]), so an external oracle can reproduce it
+    * closed-form. Output length ⌊n·dstRate/srcRate⌋. */
+  def resampleNearest(wav: Wav, dstRate: Int): Wav = {
+    require(dstRate >= 1 && dstRate <= 10000000, s"unsupported target rate $dstRate")
+    if (dstRate == wav.sampleRate) return wav
+    val nOut = (wav.nFrames.toLong * dstRate / wav.sampleRate).toInt
+    val bps = wav.bytesPerSample
+    val frameBytes = wav.channels * bps
+    val out = new Array[Byte](nOut * frameBytes)
+    var k = 0
+    while (k < nOut) {
+      val si = (k.toLong * wav.sampleRate / dstRate).toInt
+      System.arraycopy(wav.data, si * frameBytes, out, k * frameBytes, frameBytes)
+      k += 1
+    }
+    Wav(dstRate, wav.channels, wav.bitsPerSample, out)
+  }
+
+  /** Fixed-window framing: energy (Σ|x|) of each COMPLETE `frameLen`-frame
+    * window starting at multiples of `hop`, one channel — the frame-sample
+    * feature for VAD/silence curation. Trailing partial windows drop. */
+  def frameEnergies(wav: Wav, frameLen: Int, hop: Int, ch: Int): Array[Long] = {
+    require(frameLen >= 1 && hop >= 1, s"frameLen/hop must be positive")
+    require(ch >= 0 && ch < wav.channels,
+      s"channel $ch out of range (audio has ${wav.channels})")
+    val n = wav.nFrames
+    val nWin = if (n < frameLen) 0 else (n - frameLen) / hop + 1
+    val out = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val base = w * hop
+      var e = 0L
+      var i = 0
+      while (i < frameLen) {
+        val v = wav.sample(base + i, ch)
+        e += math.abs(v.toLong)
+        i += 1
+      }
+      out(w) = e
+      w += 1
+    }
+    out
+  }
+
+  /** Silence trim: cut to [first, last] frame of any channel whose |sample|
+    * exceeds `threshold`; all-silent audio yields zero frames. Linear, one
+    * pass from each end. */
+  def trimSilence(wav: Wav, threshold: Int): Wav = {
+    val n = wav.nFrames
+    def loud(i: Int): Boolean = {
+      var c = 0
+      while (c < wav.channels) {
+        if (math.abs(wav.sample(i, c)) > threshold) return true
+        c += 1
+      }
+      false
+    }
+    var first = 0
+    while (first < n && !loud(first)) first += 1
+    if (first == n) return Wav(wav.sampleRate, wav.channels, wav.bitsPerSample, Array.emptyByteArray)
+    var last = n - 1
+    while (last > first && !loud(last)) last -= 1
+    val frameBytes = wav.channels * wav.bytesPerSample
+    Wav(wav.sampleRate, wav.channels, wav.bitsPerSample,
+      java.util.Arrays.copyOfRange(wav.data, first * frameBytes, (last + 1) * frameBytes))
+  }
+}

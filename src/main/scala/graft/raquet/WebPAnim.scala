@@ -1,0 +1,150 @@
+package graft.raquet
+
+/** Animated WebP (VP8X + ANIM + ANMF chunks, per the public WebP Container
+  * Specification) — the "video-shaped payload" member of the multimodal
+  * family. A clip is an opaque `binary` column; frame extraction is a
+  * plan-time kernel, so frame-sampling a corpus is a projection with no
+  * shuffle and no whole-clip decode (only the requested frame's bitstream
+  * is entropy-decoded).
+  *
+  * Scope: full-canvas frames (offset 0,0, frame size = canvas size) with
+  * no-blend semantics — every frame fully replaces the canvas, which is
+  * what a frame SAMPLER needs (no dependency on prior frames). The writer
+  * only emits that shape; the reader rejects anything else loudly rather
+  * than compositing wrong pixels.
+  */
+object WebPAnim {
+
+  private def u24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+  private def u32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) |
+      ((b(o + 3) & 0xFF) << 24)
+
+  final case class AnimInfo(width: Int, height: Int, frameCount: Int,
+      loopCount: Int, totalDurationMs: Long)
+
+  /** Offsets of each ANMF chunk's payload (past the 8-byte chunk header),
+    * with sizes, plus canvas/loop info. The single container walk every
+    * accessor shares. */
+  private final case class Parsed(width: Int, height: Int, loopCount: Int,
+      frames: Vector[(Int, Int)]) // (payloadOffset, payloadSize)
+
+  private def walk(bytes: Array[Byte]): Parsed = {
+    require(WebP.isWebP(bytes), "not a WebP file (RIFF/WEBP header missing)")
+    var off = 12
+    var w = -1; var h = -1; var loop = 0
+    var sawVp8x = false; var sawAnim = false
+    val frames = Vector.newBuilder[(Int, Int)]
+    while (off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(bytes, off + 4)
+      if (size < 0 || off + 8L + size > bytes.length)
+        throw new IllegalArgumentException(
+          s"malformed WebP container: chunk '$tag' size $size exceeds file")
+      tag match {
+        case "VP8X" =>
+          require(size >= 10, s"malformed VP8X chunk: size $size < 10")
+          require((bytes(off + 8) & 0x02) != 0,
+            "WebP has no animation flag — use WebP.decode for still images")
+          w = u24(bytes, off + 12) + 1
+          h = u24(bytes, off + 15) + 1
+          sawVp8x = true
+        case "ANIM" =>
+          require(size >= 6, s"malformed ANIM chunk: size $size < 6")
+          loop = (bytes(off + 12) & 0xFF) | ((bytes(off + 13) & 0xFF) << 8)
+          sawAnim = true
+        case "ANMF" =>
+          require(sawVp8x && sawAnim, "ANMF before VP8X/ANIM chunks")
+          frames += ((off + 8, size))
+        case _ => // ICCP/EXIF/XMP … skipped
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(sawVp8x, "no VP8X chunk — not an extended-format WebP")
+    require(sawAnim, "no ANIM chunk — not an animated WebP")
+    Parsed(w, h, loop, frames.result())
+  }
+
+  def info(bytes: Array[Byte]): AnimInfo = {
+    val p = walk(bytes)
+    var total = 0L
+    p.frames.foreach { case (o, _) => total += u24(bytes, o + 12) }
+    AnimInfo(p.width, p.height, p.frames.length, p.loopCount, total)
+  }
+
+  def frameCount(bytes: Array[Byte]): Int = walk(bytes).frames.length
+
+  /** Decode frame `idx` to ARGB. Only this frame's bitstream is entropy-
+    * decoded; the container walk is O(chunks). Frames must be full-canvas
+    * (the only shape the writer emits); anything else fails loudly. */
+  def decodeFrame(bytes: Array[Byte], idx: Int): WebP.Argb = {
+    val p = walk(bytes)
+    require(idx >= 0 && idx < p.frames.length,
+      s"frame $idx out of range (animation has ${p.frames.length})")
+    val (o, size) = p.frames(idx)
+    require(size >= 16, s"malformed ANMF chunk: payload $size < 16")
+    val fx = u24(bytes, o) * 2
+    val fy = u24(bytes, o + 3) * 2
+    val fw = u24(bytes, o + 6) + 1
+    val fh = u24(bytes, o + 9) + 1
+    if (fx != 0 || fy != 0 || fw != p.width || fh != p.height)
+      throw new UnsupportedOperationException(
+        s"subframe animation unsupported: frame at ($fx,$fy) ${fw}x$fh on " +
+          s"${p.width}x${p.height} canvas (full-canvas frames only)")
+    // wrap the frame's inner chunks as a standalone still WebP
+    val innerLen = size - 16
+    val still = new Array[Byte](12 + innerLen)
+    still(0) = 'R'; still(1) = 'I'; still(2) = 'F'; still(3) = 'F'
+    val riffLen = 4 + innerLen
+    still(4) = riffLen.toByte; still(5) = (riffLen >> 8).toByte
+    still(6) = (riffLen >> 16).toByte; still(7) = (riffLen >> 24).toByte
+    still(8) = 'W'; still(9) = 'E'; still(10) = 'B'; still(11) = 'P'
+    System.arraycopy(bytes, o + 16, still, 12, innerLen)
+    WebP.decode(still)
+  }
+
+  /** Encode `frames` (each an interleaved uint8 pixel buffer) as a lossless
+    * animated WebP: VP8X(anim) + ANIM + one full-canvas no-blend ANMF per
+    * frame, each carrying a VP8L bitstream. `durationMs` applies per frame;
+    * `loopCount` 0 = infinite. */
+  def encodeAnimation(frames: Seq[Array[Byte]], width: Int, height: Int,
+      channels: Int, durationMs: Int, loopCount: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty, "animation needs at least one frame")
+    require(durationMs >= 0 && durationMs < (1 << 24), s"duration $durationMs out of 24-bit range")
+    require(loopCount >= 0 && loopCount <= 0xFFFF, s"loop count $loopCount out of u16 range")
+    val stills = frames.map { px =>
+      val riff = WebP.encodeLossless(px, width, height, channels)
+      // strip the 12-byte RIFF/WEBP header, keep the chunk sequence (VP8L)
+      java.util.Arrays.copyOfRange(riff, 12, riff.length)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def p24(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF); bos.write((v >> 16) & 0xFF) }
+    def p32(v: Int): Unit = { p24(v); bos.write((v >> 24) & 0xFF) }
+    def tag(s: String): Unit = { var i = 0; while (i < 4) { bos.write(s.charAt(i)); i += 1 } }
+    tag("RIFF"); p32(0) // RIFF size patched below
+    tag("WEBP")
+    tag("VP8X"); p32(10)
+    bos.write(0x02 | (if (channels == 4) 0x10 else 0)) // anim (+ alpha hint)
+    p24(0) // reserved
+    p24(width - 1); p24(height - 1)
+    tag("ANIM"); p32(6)
+    p32(0) // background color BGRA (transparent black)
+    bos.write(loopCount & 0xFF); bos.write((loopCount >> 8) & 0xFF)
+    stills.foreach { inner =>
+      val payload = 16 + inner.length
+      tag("ANMF"); p32(payload)
+      p24(0); p24(0) // frame X/2, Y/2
+      p24(width - 1); p24(height - 1)
+      p24(durationMs)
+      bos.write(0x02) // no-blend, dispose = keep
+      bos.write(inner, 0, inner.length)
+      if ((payload & 1) == 1) bos.write(0)
+    }
+    val out = bos.toByteArray
+    val riffLen = out.length - 8
+    out(4) = riffLen.toByte; out(5) = (riffLen >> 8).toByte
+    out(6) = (riffLen >> 16).toByte; out(7) = (riffLen >> 24).toByte
+    out
+  }
+}

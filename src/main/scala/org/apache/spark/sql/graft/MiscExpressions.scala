@@ -186,6 +186,114 @@ case class MmWebpPixels(child: Expression, channels: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object AnimBridge {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import graft.raquet.WebPAnim
+
+  val infoSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("loop_count", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  def info(bytes: Array[Byte]): InternalRow = {
+    val i = WebPAnim.info(bytes)
+    InternalRow(i.width, i.height, i.frameCount, i.loopCount, i.totalDurationMs)
+  }
+
+  def encode(frames: ArrayData, w: Int, h: Int, ch: Int, durMs: Int): Array[Byte] = {
+    val n = frames.numElements()
+    val seq = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { seq(i) = frames.getBinary(i); i += 1 }
+    WebPAnim.encodeAnimation(seq.toSeq, w, h, ch, durMs)
+  }
+
+  def framePixels(bytes: Array[Byte], idx: Int, channels: Int): Array[Byte] =
+    WebPAnim.decodeFrame(bytes, idx).toInterleaved(channels)
+
+  val B = "org.apache.spark.sql.graft.AnimBridge"
+}
+
+/** mm_webp_anim(frames) with plan-time (width, height, channels,
+  * duration_ms): an array of interleaved uint8 frame buffers → one lossless
+  * animated WebP (full-canvas no-blend frames). The video-assembly step of
+  * a multimodal pipeline. */
+case class MmWebpAnimEncode(child: Expression, imgWidth: Int, imgHeight: Int,
+    channels: Int, durationMs: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_webp_anim"
+  override protected def nullSafeEval(frames: Any): Any =
+    AnimBridge.encode(frames.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      imgWidth, imgHeight, channels, durationMs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${AnimBridge.B}.encode($c, $imgWidth, $imgHeight, $channels, $durationMs)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MmU8 {
+  def sum(b: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < b.length) { s += b(i) & 0xFF; i += 1 }
+    s
+  }
+}
+
+/** mm_u8_sum(binary): Σ of the payload's unsigned bytes — the cheap
+  * content-check / brightness-mass feature for raw uint8 pixel buffers. */
+case class MmU8Sum(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_u8_sum"
+  override protected def nullSafeEval(raw: Any): Any =
+    MmU8.sum(raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.MmU8.sum($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_webp_anim_info(binary): container-walk an animated WebP → (canvas
+  * width/height, frame count, loop count, total duration). No bitstream
+  * decode — O(chunks). */
+case class MmWebpAnimInfo(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = AnimBridge.infoSchema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_webp_anim_info"
+  override protected def nullSafeEval(raw: Any): Any =
+    AnimBridge.info(raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${AnimBridge.B}.info($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_webp_frame(clip, idx) with plan-time channels: decode ONE frame of an
+  * animated WebP to interleaved uint8 pixels — the frame-sample kernel
+  * (idx is a runtime column, so `explode(sequence(...))` samples every Nth
+  * frame without decoding the rest). */
+case class MmWebpFramePixels(left: Expression, right: Expression, channels: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_webp_frame"
+  override protected def nullSafeEval(raw: Any, idx: Any): Any =
+    AnimBridge.framePixels(raw.asInstanceOf[Array[Byte]], idx.asInstanceOf[Int], channels)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, i) => s"${AnimBridge.B}.framePixels($c, $i, $channels)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** mm_deinterleave(pixels) with plan-time (band, nBands, bytesPerSample):
   * extract one band from a BIP-interleaved payload (F9 inverse). */
 case class MmDeinterleave(child: Expression, band: Int, nBands: Int, bytesPerSample: Int)

@@ -1,0 +1,164 @@
+package graft
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.Audio
+
+/** WAV codec + kernel proofs. The container layout is cross-checked against
+  * the JVM's own WAV implementation (javax.sound.sampled) in BOTH
+  * directions — our bytes parse there, its bytes parse here — so the
+  * encode/parse pair can't be mutually-inverse-but-wrong. */
+class AudioSpec extends SparkSpec {
+
+  private def ramp(n: Int, f: Int => Int): Array[Int] = Array.tabulate(n)(f)
+
+  test("encode→parse round-trips every PCM width, mono and stereo") {
+    for (bits <- Seq(8, 16, 24, 32); ch <- Seq(1, 2)) {
+      val full = bits match {
+        case 8 => 127; case 16 => 32767; case 24 => 8388607; case 32 => 2147483647
+      }
+      val n = 50 * ch
+      val samples = ramp(n, i => ((i * 7919) % (2 * full + 1)) - full)
+      val wav = Audio.parse(Audio.encode(samples, 44100, ch, bits))
+      assert(wav.sampleRate == 44100 && wav.channels == ch && wav.bitsPerSample == bits)
+      assert(wav.nFrames == 50)
+      for (i <- 0 until 50; c <- 0 until ch)
+        assert(wav.sample(i, c) == samples(i * ch + c), s"bits=$bits ch=$ch i=$i c=$c")
+    }
+  }
+
+  test("our WAV bytes parse under javax.sound.sampled with identical PCM") {
+    val samples = ramp(200, i => (i * 331) % 30000 - 15000)
+    val bytes = Audio.encode(samples, 16000, 2, 16)
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 16000f && fmt.getChannels == 2 &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    assert(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED)
+    assert(in.getFrameLength == 100)
+    val pcm = in.readAllBytes()
+    assert(java.util.Arrays.equals(pcm, Audio.parse(bytes).data))
+  }
+
+  test("javax.sound.sampled WAV bytes parse under our parser") {
+    val samples = ramp(120, i => (i * 97) % 200 - 100)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = v.toByte; pcm(2 * i + 1) = (v >> 8).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = Audio.parse(bos.toByteArray)
+    assert(wav.sampleRate == 8000 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.nFrames == 120)
+    samples.zipWithIndex.foreach { case (v, i) => assert(wav.sample(i, 0) == v) }
+  }
+
+  test("channelStats: exact sums, per-channel separation, zero-crossing rule") {
+    // ch0 = +1,-1,+1,… (alternating: 5 crossings over 6 frames);
+    // ch1 = 1,0,-1,0,1,0 — every sign change is separated by a zero, and
+    // zeros end no crossing, so 0 crossings
+    val s = Array(1, 1, -1, 0, 1, -1, -1, 0, 1, 1, -1, 0)
+    val wav = Audio.parse(Audio.encode(s, 8000, 2, 16))
+    val c0 = Audio.channelStats(wav, 0)
+    assert(c0 == Audio.ChannelStats(6, -1, 1, 0, 6, 5))
+    val c1 = Audio.channelStats(wav, 1)
+    assert(c1.zeroCrossings == 0 && c1.sum == 1 && c1.sumSq == 3)
+    intercept[IllegalArgumentException](Audio.channelStats(wav, 2))
+  }
+
+  test("resampleNearest: index map, identity, and length floor") {
+    val s = ramp(10, i => i * 100)
+    val wav = Audio.parse(Audio.encode(s, 8000, 1, 16))
+    val down = Audio.resampleNearest(wav, 3000) // 10*3000/8000 = 3 frames
+    assert(down.sampleRate == 3000 && down.nFrames == 3)
+    // k → floor(k*8000/3000): 0, 2, 5
+    assert(Seq(down.sample(0, 0), down.sample(1, 0), down.sample(2, 0)) ==
+      Seq(0, 200, 500))
+    val up = Audio.resampleNearest(wav, 16000)
+    assert(up.nFrames == 20 && up.sample(7, 0) == s(3))
+    assert(Audio.resampleNearest(wav, 8000) eq wav)
+  }
+
+  test("frameEnergies: complete windows only, hop arithmetic") {
+    val s = ramp(11, i => if (i < 4) 2 else -3)
+    val wav = Audio.parse(Audio.encode(s, 8000, 1, 16))
+    // frameLen 4, hop 3 → windows at 0,3,6 (9+4>11 ⇒ window at 9 drops)
+    val e = Audio.frameEnergies(wav, 4, 3, 0)
+    assert(e.toSeq == Seq(8L, 2 + 3 * 3L, 12L))
+    assert(Audio.frameEnergies(wav, 12, 1, 0).isEmpty)
+  }
+
+  test("trimSilence: edges, any-channel rule, all-silent") {
+    val s = Array(0, 0, 0, 5, 0, -7, 0, 0)
+    val wav = Audio.parse(Audio.encode(s, 8000, 1, 16))
+    val t = Audio.trimSilence(wav, 0)
+    assert(t.nFrames == 3 && t.sample(0, 0) == 5 && t.sample(2, 0) == -7)
+    assert(Audio.trimSilence(wav, 10).nFrames == 0)
+    // stereo: frame kept if ANY channel is loud
+    val st = Audio.parse(Audio.encode(Array(0, 0, 0, 9, 0, 0), 8000, 2, 16))
+    assert(Audio.trimSilence(st, 0).nFrames == 1)
+    // threshold is strict: |x| must EXCEED it
+    assert(Audio.trimSilence(wav, 5).nFrames == 1)
+  }
+
+  test("parser: junk chunks skipped, odd-size padding honored") {
+    val base = Audio.encode(Array(100, -100), 8000, 1, 16)
+    // splice a 3-byte LIST chunk (odd size → 1 pad byte) between fmt and data
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = base.slice(0, 36) ++ junk ++ base.slice(36, base.length)
+    // fix RIFF size
+    val total = spliced.length - 8
+    spliced(4) = total.toByte; spliced(5) = (total >> 8).toByte
+    val wav = Audio.parse(spliced)
+    assert(wav.nFrames == 2 && wav.sample(0, 0) == 100 && wav.sample(1, 0) == -100)
+  }
+
+  test("parser: malformed inputs fail loudly, never over-read") {
+    val good = Audio.encode(ramp(8, _ * 3), 8000, 1, 16)
+    intercept[IllegalArgumentException](Audio.parse(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](Audio.parse(good.map(b => (b ^ 1).toByte))) // broken magic
+    // data chunk claiming more bytes than the file has
+    val lying = good.clone()
+    lying(40) = -1; lying(41) = -1 // data size → huge
+    intercept[IllegalArgumentException](Audio.parse(lying))
+    // float PCM (format tag 3) refused, not misread
+    val f32 = good.clone(); f32(20) = 3
+    intercept[IllegalArgumentException](Audio.parse(f32))
+    // truncated mid-header
+    intercept[IllegalArgumentException](Audio.parse(good.slice(0, 30)))
+  }
+
+  test("Spark end to end: SQL surface ≡ DSL, codegen path") {
+    GraftFunctions_register()
+    val sql = spark.sql(
+      """SELECT id, mm_wav_stats(
+           mm_wav_encode(transform(sequence(0, 99), k -> CAST(k % 21 - 10 AS INT)),
+             8000, 1, 16), 0) AS st
+         FROM range(4)""")
+      .select(col("id"), col("st.n"), col("st.sum"), col("st.sum_sq"))
+      .collect()
+    assert(sql.length == 4)
+    // 100 samples cycling -10..10: sum of one full cycle is 0 → sum = partial
+    val vals = (0 until 100).map(k => k % 21 - 10)
+    assert(sql.head.getLong(1) == 100)
+    assert(sql.head.getLong(2) == vals.sum)
+    assert(sql.head.getLong(3) == vals.map(v => v * v).sum)
+    val dsl = spark.range(4).toDF("id")
+      .withColumn("wav", mm_wav_encode(
+        expr("transform(sequence(0, 99), k -> CAST(k % 21 - 10 AS INT))"), 8000, 1, 16))
+      .select(col("id"), mm_wav_info(col("wav")).getField("duration_us").as("d"))
+      .collect()
+    assert(dsl.forall(_.getLong(1) == 100L * 1000000L / 8000))
+  }
+
+  private def GraftFunctions_register(): Unit =
+    graft.functions.GraftFunctions.register(spark)
+}

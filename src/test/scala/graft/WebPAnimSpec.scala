@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{WebP, WebPAnim}
+
+/** Animated-WebP container proofs: spec-layout bytes, frame round-trips
+  * over the (separately goldened) VP8L codec, sampling isolation, and
+  * malformed-container hardening per the ContainerFuzzSpec contract. */
+class WebPAnimSpec extends AnyFunSuite {
+
+  private def grayFrames(n: Int, w: Int, h: Int): Seq[Array[Byte]] =
+    (0 until n).map(f => Array.tabulate(w * h)(i => ((f * 41 + i * 7) % 251).toByte))
+
+  test("container layout: VP8X flags, canvas dims, ANIM loop, ANMF headers") {
+    val frames = grayFrames(3, 20, 9)
+    val b = WebPAnim.encodeAnimation(frames, 20, 9, 1, 120, loopCount = 5)
+    assert(WebP.isWebP(b))
+    // VP8X at offset 12: tag + size 10 + flags(anim=0x02)
+    assert(new String(b, 12, 4, "US-ASCII") == "VP8X")
+    assert((b(20) & 0x02) != 0 && (b(20) & 0x10) == 0)
+    // canvas minus-one 24-bit LE at offsets 24 / 27
+    assert((b(24) & 0xFF) == 19 && (b(27) & 0xFF) == 8)
+    val info = WebPAnim.info(b)
+    assert(info == WebPAnim.AnimInfo(20, 9, 3, 5, 360))
+  }
+
+  test("gray / RGB / RGBA frames round-trip bit-exactly") {
+    for (ch <- Seq(1, 3, 4)) {
+      val w = 11; val h = 7
+      val frames = (0 until 4).map(f =>
+        Array.tabulate(w * h * ch)(i => ((f * 97 + i * 13) % 256).toByte))
+      val clip = WebPAnim.encodeAnimation(frames, w, h, ch, 33)
+      assert(WebPAnim.frameCount(clip) == 4)
+      for (f <- 0 until 4) {
+        val got = WebPAnim.decodeFrame(clip, f).toInterleaved(ch)
+        assert(java.util.Arrays.equals(got, frames(f)), s"ch=$ch frame=$f")
+      }
+    }
+  }
+
+  test("frame sampling decodes only the requested frame (bad frames stay latent)") {
+    val frames = grayFrames(3, 8, 8)
+    val clip = WebPAnim.encodeAnimation(frames, 8, 8, 1, 40)
+    // corrupt frame 1's VP8L payload, leaving the chunk walk intact: frames
+    // 0 and 2 must still decode (sampling never touches frame 1's bits)
+    val bad = clip.clone()
+    // find second ANMF, then its inner VP8L payload byte
+    var off = 12; var anmf = 0; var target = -1
+    while (off + 8 <= bad.length && target < 0) {
+      val tag = new String(bad, off, 4, "US-ASCII")
+      val size = (bad(off + 4) & 0xFF) | ((bad(off + 5) & 0xFF) << 8) |
+        ((bad(off + 6) & 0xFF) << 16) | ((bad(off + 7) & 0xFF) << 24)
+      if (tag == "ANMF") {
+        anmf += 1
+        if (anmf == 2) target = off + 8 + 16 + 8 + 2 // into frame 1's VP8L bits
+      }
+      off += 8 + size + (size & 1)
+    }
+    assert(target > 0)
+    bad(target) = (bad(target) ^ 0x5A).toByte
+    assert(java.util.Arrays.equals(
+      WebPAnim.decodeFrame(bad, 0).toInterleaved(1), frames(0)))
+    assert(java.util.Arrays.equals(
+      WebPAnim.decodeFrame(bad, 2).toInterleaved(1), frames(2)))
+  }
+
+  test("rejects: still WebP, subframes, out-of-range index, truncation") {
+    val still = WebP.encodeLossless(grayFrames(1, 8, 8).head, 8, 8, 1)
+    intercept[IllegalArgumentException](WebPAnim.info(still))
+    val clip = WebPAnim.encodeAnimation(grayFrames(2, 8, 8), 8, 8, 1, 40)
+    intercept[IllegalArgumentException](WebPAnim.decodeFrame(clip, 2))
+    intercept[IllegalArgumentException](WebPAnim.decodeFrame(clip, -1))
+    // flip frame 0's width-minus-one (full-canvas guard)
+    val sub = clip.clone()
+    var off = 12; var found = -1
+    while (off + 8 <= sub.length && found < 0) {
+      if (new String(sub, off, 4, "US-ASCII") == "ANMF") found = off + 8 + 6
+      else {
+        val size = (sub(off + 4) & 0xFF) | ((sub(off + 5) & 0xFF) << 8) |
+          ((sub(off + 6) & 0xFF) << 16) | ((sub(off + 7) & 0xFF) << 24)
+        off += 8 + size + (size & 1)
+      }
+    }
+    sub(found) = 3 // frame width 4 ≠ canvas 8
+    intercept[UnsupportedOperationException](WebPAnim.decodeFrame(sub, 0))
+    // truncations anywhere must fail cleanly, never hang or over-read
+    for (cut <- Seq(4, 11, 20, 31, clip.length / 2, clip.length - 1))
+      intercept[Exception](WebPAnim.decodeFrame(clip.slice(0, cut), 0))
+    // chunk size lying past EOF
+    val lying = clip.clone()
+    lying(16) = -1; lying(17) = -1
+    intercept[IllegalArgumentException](WebPAnim.info(lying))
+  }
+}
