@@ -147,6 +147,8 @@ object SparkEntry {
     "q126_wav_features"     -> (graft.operators.AudioQueries.q126WavFeatures _),
     "q127_wav_frames"       -> (graft.operators.AudioQueries.q127WavFrames _),
     "q128_video_frames"     -> (RaquetQueries.q128VideoFrames _),
+    "q129_audio_dedup"      -> (graft.operators.MediaDedup.q129AudioDedup _),
+    "q130_image_dedup"      -> (graft.operators.MediaDedup.q130ImageDedup _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -396,6 +398,10 @@ object SparkEntry {
     "q127_wav_frames"       -> graft.operators.AudioQueries.oracleQ127,
     // q128: animated-WebP frame sampling vs the q34 strip closed form
     "q128_video_frames"     -> RaquetOracles.q128,
+    // q129/q130: cross-modal near-dup — full-algorithm oracles (q130's is
+    // the all-pairs answer, proving the 4×16-bit blocking lossless)
+    "q129_audio_dedup"      -> graft.operators.MediaDedup.oracleQ129,
+    "q130_image_dedup"      -> graft.operators.MediaDedup.oracleQ130,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

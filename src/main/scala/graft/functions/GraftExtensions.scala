@@ -67,6 +67,7 @@ object GraftExtensions {
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(q, "quality")) },
     "mm_u8_sum" -> { case Seq(b) => MmU8Sum(b) },
+    "mm_u8_pack" -> { case Seq(a) => MmU8Pack(a) },
     "mm_webp_anim" -> { case Seq(f, w, h, c, d) =>
       MmWebpAnimEncode(f, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(d, "duration_ms")) },
@@ -83,7 +84,12 @@ object GraftExtensions {
     "mm_wav_frames" -> { case Seq(b, fl, hop, ch) =>
       MmWavFrames(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
         litInt(ch, "channel")) },
-    "mm_wav_trim" -> { case Seq(b, t) => MmWavTrim(b, litInt(t, "threshold")) })
+    "mm_wav_trim" -> { case Seq(b, t) => MmWavTrim(b, litInt(t, "threshold")) },
+    "mm_wav_fingerprint" -> { case Seq(b, fl, hop, ch) =>
+      MmWavFingerprint(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
+        litInt(ch, "channel")) },
+    "mm_dhash" -> { case Seq(b, w, h) =>
+      MmDhash(b, litInt(w, "width"), litInt(h, "height")) })
 
   private def litInt(e: Expression, what: String): Int =
     litStr(e, what).toInt

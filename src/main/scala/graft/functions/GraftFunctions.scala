@@ -167,6 +167,9 @@ object GraftFunctions {
     col(MmWebpLossy(ex(bin), width, height, channels, quality))
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
+  def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
+  def mm_dhash(bin: Column, width: Int, height: Int): Column =
+    col(MmDhash(ex(bin), width, height))
   def mm_webp_anim(frames: Column, width: Int, height: Int, channels: Int,
       durationMs: Int): Column =
     col(MmWebpAnimEncode(ex(frames), width, height, channels, durationMs))
@@ -188,6 +191,9 @@ object GraftFunctions {
     col(MmWavFrames(ex(bin), frameLen, hop, channel))
   def mm_wav_trim(bin: Column, threshold: Int): Column =
     col(MmWavTrim(ex(bin), threshold))
+  def mm_wav_fingerprint(bin: Column, frameLen: Int, hop: Int,
+      channel: Int): Column =
+    col(MmWavFingerprint(ex(bin), frameLen, hop, channel))
 
   /** Register all functions for use from `spark.sql`. Idempotent. */
   def register(spark: SparkSession): Unit = {
@@ -246,6 +252,7 @@ object GraftFunctions {
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(q, "quality")) }
     r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
+    r("mm_u8_pack") { case Seq(a) => MmU8Pack(a) }
     r("mm_webp_anim") { case Seq(f, w, h, c, d) =>
       MmWebpAnimEncode(f, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(d, "duration_ms")) }
@@ -263,6 +270,11 @@ object GraftFunctions {
       MmWavFrames(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
         litInt(ch, "channel")) }
     r("mm_wav_trim") { case Seq(b, t) => MmWavTrim(b, litInt(t, "threshold")) }
+    r("mm_wav_fingerprint") { case Seq(b, fl, hop, ch) =>
+      MmWavFingerprint(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
+        litInt(ch, "channel")) }
+    r("mm_dhash") { case Seq(b, w, h) =>
+      MmDhash(b, litInt(w, "width"), litInt(h, "height")) }
     def litDouble(e: Expression, what: String): Double = e match {
       case Literal(v, _) if v != null => v.toString.toDouble
       case other => throw new IllegalArgumentException(

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Cross-modal near-duplicate curation: the text-dedup shapes (exact
+  * groupBy; hamming-blocked pair join) pointed at audio and image binary
+  * columns via the multimodal fingerprint kernels.
+  *
+  *  - Audio: [[graft.raquet.Audio.fingerprint]] (energy-contour delta
+  *    signs) → dedup IS an exact groupBy on a 64-bit key — one hash
+  *    aggregate, the q26 shape, linear at any corpus size.
+  *  - Image: [[graft.raquet.Multimodal.dHash]] (64-bit gradient hash) →
+  *    near-dup pairs via 4×16-bit block bucketing + exact hamming residual
+  *    — pigeonhole-lossless for hamming ≤ 3, the q28/q48 shape, an
+  *    equi-join that never goes all-pairs.
+  *
+  * Both driver queries synthesize their corpora from integer closed forms
+  * (clips per group differ by polarity inversion + sub-quantization noise;
+  * images per group differ by off-grid noise, with one planted variant),
+  * push REAL payload bytes through the REAL codecs/kernels, and are
+  * checked against full-algorithm DuckDB oracles (the image oracle is the
+  * all-pairs answer, proving the blocking lossless).
+  */
+object MediaDedup {
+
+  /** 64-bit hamming-blocked near-dup pair join: a pair within hamming
+    * distance ≤ 3 shares at least one of four exact 16-bit blocks
+    * (pigeonhole), so candidates come from an equi-join on (block index,
+    * block value); the exact XOR popcount filters the residual. */
+  def hashNearDups(fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, s"4-block bucketing is lossless only to hamming 3, got $maxHamming")
+    val chunks = fps.select(col(idCol), col(fpCol),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr(s"shiftright($fpCol, 16 * c) & 65535"))
+    val a = chunks.select(col("c"), col("chunk"),
+      col(idCol).as("ia"), col(fpCol).as("fa"))
+    val b = chunks.select(col("c"), col("chunk"),
+      col(idCol).as("ib"), col(fpCol).as("fb"))
+    a.join(b, Seq("c", "chunk")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 500 clips, 100 groups of 5: within a group the PCM differs by polarity
+    * inversion (id parity) — exact bytes differ, |energy| contour doesn't —
+    * so the delta-sign fingerprint groups them exactly. */
+  def q129AudioDedup(spark: SparkSession, dir: String): DataFrame =
+    spark.range(500).toDF("id")
+      .withColumn("samples", expr(
+        """transform(sequence(0, 879), k -> CAST(
+             ((id % 2) * 2 - 1)
+             * (2 * ((((id div 5) + 7)*k*k + (id div 5)*37 + k*113) % 2001) - 2001)
+           AS INT))"""))
+      .withColumn("wav", mm_wav_encode(col("samples"), 8000, 1, 16))
+      .withColumn("fp", mm_wav_fingerprint(col("wav"), 40, 40, 0))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_clips"),
+        countDistinct(md5(col("wav"))).as("n_payloads"),
+        countDistinct(expr("id div 5")).as("n_groups"),
+        min("id").as("min_id"))
+
+  /** 300 images (32×32 gray), 60 groups of 5: four members differ only by
+    * sub-gradient noise at every pixel (adjacent dHash sample diffs are
+    * ≥ 87 gray levels, noise ≤ 2 — no bit can flip), the fifth carries a
+    * planted local edit at sample pixel (10,8) that disturbs ≤ 2 gradient
+    * signs. The blocked join must reproduce the all-pairs hamming-≤3
+    * answer exactly. */
+  def q130ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val imgs = spark.range(300).toDF("id")
+      .withColumn("px", mm_u8_pack(expr(
+        """transform(sequence(0, 1023), i -> CAST(
+             ( ((id % 60)*53 + (i % 32)*29 + (i div 32)*17) % 241
+               + IF(id div 60 = 4 AND i % 32 = 10 AND i div 32 = 8, 100, 0)
+             ) % 241
+             + (id*7 + i % 32 + i div 32) % 3
+           AS INT))""")))
+      .withColumn("fp", mm_dhash(col("px"), 32, 32))
+      .select(col("id"), col("fp"))
+    hashNearDups(imgs, "id", "fp", maxHamming = 3)
+  }
+
+  /** q129 oracle: energies and delta signs re-derived from the closed-form
+    * signal; |polarity| invariance makes (group) the payload key, so
+    * n_payloads = distinct (group, parity) members per fingerprint. */
+  val oracleQ129: String =
+    """WITH s AS (SELECT t.id, k.k,
+           ((t.id % 2) * 2 - 1)
+           * (2 * ((((t.id // 5) + 7)*k.k*k.k + (t.id // 5)*37 + k.k*113) % 2001) - 2001) AS v
+         FROM range(500) t(id), range(880) k(k)),
+       e AS (SELECT id, k // 40 AS w, sum(abs(v)) AS e
+         FROM s GROUP BY id, k // 40),
+       d AS (SELECT id, w, e, lead(e) OVER (PARTITION BY id ORDER BY w) AS ne
+         FROM e),
+       fp AS (SELECT id,
+           CAST(coalesce(sum(CASE WHEN ne > e THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END), 0) AS BIGINT) AS fp
+         FROM d WHERE w < 21 GROUP BY id)
+       SELECT fp,
+         CAST(count(*) AS BIGINT) AS n_clips,
+         CAST(count(DISTINCT (id // 5) * 2 + (id % 2)) AS BIGINT) AS n_payloads,
+         CAST(count(DISTINCT id // 5) AS BIGINT) AS n_groups,
+         min(id) AS min_id
+       FROM fp GROUP BY fp"""
+
+  /** q130 oracle: dHash re-derived from the closed form (9×8 nearest
+    * sample grid, horizontal gradient signs), then the ALL-PAIRS hamming
+    * answer — the blocked join must equal it (pigeonhole losslessness). */
+  val oracleQ130: String =
+    """WITH px AS (SELECT t.id, r.r, c.c,
+           ( ((t.id % 60)*53 + ((c.c * 32) // 9)*29 + (r.r * 4)*17) % 241
+             + CASE WHEN t.id // 60 = 4 AND (c.c * 32) // 9 = 10 AND r.r * 4 = 8
+                    THEN 100 ELSE 0 END
+           ) % 241
+           + (t.id*7 + (c.c * 32) // 9 + r.r * 4) % 3 AS p
+         FROM range(300) t(id), range(8) r(r), range(9) c(c)),
+       g AS (SELECT id, r, c, p, lead(p) OVER (PARTITION BY id, r ORDER BY c) AS np
+         FROM px),
+       fp AS (SELECT id,
+           CAST(coalesce(sum(CASE WHEN np <= p THEN 0
+                  WHEN r*8 + c = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                  ELSE (CAST(1 AS BIGINT) << CAST(r*8 + c AS INT)) END), 0) AS BIGINT) AS f
+         FROM g WHERE c < 8 GROUP BY id)
+       SELECT a.id AS ia, b.id AS ib,
+         CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+       FROM fp a JOIN fp b ON a.id < b.id
+       WHERE bit_count(xor(a.f, b.f)) <= 3"""
+}

@@ -220,6 +220,26 @@ object Audio {
     out
   }
 
+  /** Acoustic fingerprint: the energy-contour delta-sign signature (the
+    * shape robust hashes like echoprint/shazam-style landmarks reduce to in
+    * 1-D) — bit w is set iff window w+1 is louder than window w, packed
+    * little-endian into a Long (≤63 bits; longer contours truncate).
+    * Invariant under phase inversion and uniform gain ≥1-sample precision,
+    * so perceptual near-duplicates (re-encodes, polarity flips) collide
+    * while different content separates — dedup is then an exact groupBy on
+    * the fingerprint, the same shape as text exact-dedup at any scale. */
+  def fingerprint(wav: Wav, frameLen: Int, hop: Int, ch: Int): Long = {
+    val e = frameEnergies(wav, frameLen, hop, ch)
+    var fp = 0L
+    var w = 0
+    val n = math.min(e.length - 1, 63)
+    while (w < n) {
+      if (e(w + 1) > e(w)) fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
   /** Silence trim: cut to [first, last] frame of any channel whose |sample|
     * exceeds `threshold`; all-silent audio yields zero frames. Linear, one
     * pass from each end. */

@@ -143,6 +143,29 @@ object Multimodal {
     out
   }
 
+  /** Perceptual difference-hash (dHash, the public aHash/dHash/pHash family's
+    * gradient member) of a gray uint8 image: nearest-neighbour resize to
+    * 9×8, then bit r·8+c set iff p(r,c+1) > p(r,c) — 64 bits of horizontal
+    * gradient signs, robust to rescaling and small brightness shifts.
+    * Near-dup lookup is then a hamming-ball join, bucketable by 16-bit
+    * blocks exactly like the SimHash text path (pigeonhole: ≤3 differing
+    * bits ⇒ one of four 16-bit blocks is equal). */
+  def dHash(pixels: Array[Byte], width: Int, height: Int): Long = {
+    val small = resizeNearest(pixels, width, height, 1, 9, 8)
+    var fp = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if ((small(r * 9 + c + 1) & 0xFF) > (small(r * 9 + c) & 0xFF))
+          fp |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    fp
+  }
+
   /** Nearest-neighbour resize of a gray/interleaved uint8 image. */
   def resizeNearest(pixels: Array[Byte], w: Int, h: Int, channels: Int,
       w2: Int, h2: Int): Array[Byte] = {

@@ -55,6 +55,9 @@ object AudioBridge {
   def trim(bytes: Array[Byte], threshold: Int): Array[Byte] =
     Audio.toBytes(Audio.trimSilence(Audio.parse(bytes), threshold))
 
+  def fingerprint(bytes: Array[Byte], frameLen: Int, hop: Int, channel: Int): Long =
+    Audio.fingerprint(Audio.parse(bytes), frameLen, hop, channel)
+
   val B = "org.apache.spark.sql.graft.AudioBridge"
 }
 
@@ -135,6 +138,23 @@ case class MmWavFrames(child: Expression, frameLen: Int, hop: Int, channel: Int)
     AudioBridge.frames(raw.asInstanceOf[Array[Byte]], frameLen, hop, channel)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"${AudioBridge.B}.frames($c, $frameLen, $hop, $channel)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_wav_fingerprint(binary) with plan-time (frame_len, hop, channel):
+  * energy-contour delta-sign fingerprint (≤63 bits) — audio near-dup
+  * detection as an exact groupBy, invariant under polarity/gain changes. */
+case class MmWavFingerprint(child: Expression, frameLen: Int, hop: Int, channel: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_wav_fingerprint"
+  override protected def nullSafeEval(raw: Any): Any =
+    AudioBridge.fingerprint(raw.asInstanceOf[Array[Byte]], frameLen, hop, channel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${AudioBridge.B}.fingerprint($c, $frameLen, $hop, $channel)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -243,6 +243,53 @@ object MmU8 {
     while (i < b.length) { s += b(i) & 0xFF; i += 1 }
     s
   }
+
+  def pack(a: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = a.getInt(i)
+      if (v < 0 || v > 255)
+        throw new IllegalArgumentException(s"mm_u8_pack: value $v at $i outside [0,255]")
+      out(i) = v.toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** mm_u8_pack(array<int>): values 0..255 → a raw uint8 binary buffer — the
+  * in-plan payload builder (inverse view of mm_u8_sum; out-of-range values
+  * error rather than truncate). */
+case class MmU8Pack(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_u8_pack"
+  override protected def nullSafeEval(raw: Any): Any =
+    MmU8.pack(raw.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"org.apache.spark.sql.graft.MmU8.pack($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_dhash(pixels) with plan-time (width, height): 64-bit perceptual
+  * difference-hash of a gray uint8 buffer — image near-dup detection via
+  * hamming-blocked joins (the SimHash machinery, pointed at pixels). */
+case class MmDhash(child: Expression, imgWidth: Int, imgHeight: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_dhash"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.dHash(raw.asInstanceOf[Array[Byte]], imgWidth, imgHeight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.raquet.Multimodal.dHash($c, $imgWidth, $imgHeight)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** mm_u8_sum(binary): Σ of the payload's unsigned bytes — the cheap

@@ -136,6 +136,36 @@ class AudioSpec extends SparkSpec {
     intercept[IllegalArgumentException](Audio.parse(good.slice(0, 30)))
   }
 
+  test("fingerprint: polarity/gain invariant, content sensitive, ≤63 bits") {
+    val base = ramp(400, k => 2 * ((k * k * 11 + k * 113) % 2001) - 2001)
+    def fpOf(s: Array[Int]) =
+      Audio.fingerprint(Audio.parse(Audio.encode(s, 8000, 1, 16)), 40, 40, 0)
+    val fp = fpOf(base)
+    assert(fpOf(base.map(-_)) == fp) // polarity inversion
+    assert(fpOf(base.map(_ * 3)) == fp) // uniform gain
+    val other = ramp(400, k => 2 * ((k * k * 13 + k * 113) % 2001) - 2001)
+    assert(fpOf(other) != fp) // different content separates
+    // 400/40 = 10 windows → 9 delta bits; nothing above bit 8
+    assert((fp >>> 9) == 0)
+  }
+
+  test("dHash: noise under the gradient floor never flips a bit; edits do") {
+    import graft.raquet.Multimodal
+    def img(noise: Int => Int, edit: Boolean): Array[Byte] =
+      Array.tabulate(32 * 32) { i =>
+        val x = i % 32; val y = i / 32
+        val core = ((x * 29 + y * 17) % 241 +
+          (if (edit && x == 10 && y == 8) 100 else 0)) % 241
+        (core + noise(i)).toByte
+      }
+    val h0 = Multimodal.dHash(img(_ => 0, edit = false), 32, 32)
+    val h1 = Multimodal.dHash(img(i => (i * 7) % 3, edit = false), 32, 32)
+    assert(h0 == h1) // ≤2-level noise vs ≥87-level gradients
+    val h2 = Multimodal.dHash(img(_ => 0, edit = true), 32, 32)
+    val d = java.lang.Long.bitCount(h0 ^ h2)
+    assert(d >= 1 && d <= 2, s"local edit flipped $d bits") // only 2 comparisons touch (10,8)
+  }
+
   test("Spark end to end: SQL surface ≡ DSL, codegen path") {
     GraftFunctions_register()
     val sql = spark.sql(
