@@ -149,6 +149,7 @@ object SparkEntry {
     "q128_video_frames"     -> (RaquetQueries.q128VideoFrames _),
     "q129_audio_dedup"      -> (graft.operators.MediaDedup.q129AudioDedup _),
     "q130_image_dedup"      -> (graft.operators.MediaDedup.q130ImageDedup _),
+    "q131_pmtiles"          -> (RaquetQueries.q131PmTiles _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -402,6 +403,8 @@ object SparkEntry {
     // the all-pairs answer, proving the 4×16-bit blocking lossless)
     "q129_audio_dedup"      -> graft.operators.MediaDedup.oracleQ129,
     "q130_image_dedup"      -> graft.operators.MediaDedup.oracleQ130,
+    // q131: PMTiles archive round trip vs the closed-form tile content
+    "q131_pmtiles"          -> RaquetOracles.q131,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -425,6 +425,21 @@ object RaquetOracles {
         FROM fpx GROUP BY block, f"""
   }
 
+  /** q131: closed-form pixel sums per z=2 tile. Tile ids come from
+    * [[graft.sources.PmTiles.tileId]], whose Hilbert mapping is pinned
+    * independently in PmTilesSpec against the published spec vectors
+    * (z=1 ids 1-4; z=12 (3423,1763) → 19078479). */
+  val q131: String = {
+    val rows = (for (y <- 0L until 4L; x <- 0L until 4L)
+      yield s"($x, $y, ${graft.sources.PmTiles.tileId(2, x, y)})").mkString(", ")
+    s"""WITH t(x, y, tid) AS (VALUES $rows)
+        SELECT CAST(2 AS INTEGER) AS zoom, CAST(x AS BIGINT) AS x,
+          CAST(y AS BIGINT) AS y, CAST(tid AS BIGINT) AS tile_id,
+          CAST(sum((((x + 4*y) % 15) * 31 + i.i*5 + j.j*3) % 251) AS BIGINT) AS px_sum
+        FROM t, range(16) i(i), range(16) j(j)
+        GROUP BY x, y, tid"""
+  }
+
   val q35: String =
     s"""WITH px AS (SELECT x*16+i AS gx, y*16+j AS gy
           FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),

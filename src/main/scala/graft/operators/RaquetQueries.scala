@@ -363,6 +363,28 @@ object RaquetQueries {
         expr("CAST(conv(hex(substring(px, 1, 1)), 16, 10) AS BIGINT)").as("first_px"))
   }
 
+  /** PMTiles v3 archive round trip (S7/S11 family: the static single-file
+    * tile archive, public protomaps spec): 16 closed-form WebP-lossless
+    * tiles at z=2 — two sharing identical content to exercise the spec's
+    * tile dedup — written clustered + Hilbert-ordered, then scanned back
+    * distributed (driver reads header/directories only; executors fetch
+    * coalesced ranges). Pixel sums must equal the closed form through
+    * write → directory walk → range fetch → WebP decode. */
+  def q131PmTiles(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q131"
+    new java.io.File(tmp).mkdirs()
+    val path = s"$tmp/fixture.pmtiles"
+    val tiles = for (y <- 0L until 4L; x <- 0L until 4L) yield {
+      val c = (x + 4 * y) % 15 // tiles (0,0) and (3,3) share content
+      val px = Array.tabulate(16 * 16)(i => ((c * 31 + (i % 16) * 5 + (i / 16) * 3) % 251).toByte)
+      (2, x, y, graft.raquet.Multimodal.encodeWebP(px, 16, 16, 1))
+    }
+    graft.sources.PmTiles.write(path, tiles, graft.sources.PmTiles.TypeWebp)
+    graft.sources.PmTiles.scanDf(spark, path)
+      .select(col("zoom"), col("x"), col("y"), col("tile_id"),
+        mm_u8_sum(mm_webp_pixels(col("tile"), 1)).as("px_sum"))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

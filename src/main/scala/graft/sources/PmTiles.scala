@@ -1,0 +1,348 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** PMTiles v3 — the public single-file tile-archive format (spec:
+  * github.com/protomaps/PMTiles, spec/v3/README.md): a 127-byte header,
+  * varint-delta directories (gzip-compressed), Hilbert-ordered tile ids,
+  * and a clustered tile-data section. The static-archive sibling of the
+  * XYZ tile server (S7/S11): one HTTP-range-readable file serves a whole
+  * pyramid, so it slots straight onto [[RandomReader]] (local / http(s) /
+  * public s3/gs) with the coalesced readRanges batching.
+  *
+  * Read path is built for the 100 TB shape: the DRIVER reads only the
+  * header + directories (KBs); tile ranges are fetched BY EXECUTORS, each
+  * partition issuing one coalesced ranged read for its span of the
+  * clustered data section.
+  */
+object PmTiles {
+
+  // ---- tile addressing (spec §"Tile IDs": Hilbert curve per zoom) -------
+
+  /** (z,x,y) → PMTiles tile id: tiles-below-z prefix + Hilbert index. */
+  def tileId(z: Int, x: Long, y: Long): Long = {
+    require(z >= 0 && z <= 31, s"zoom $z out of range")
+    require(x >= 0 && x < (1L << z) && y >= 0 && y < (1L << z),
+      s"tile ($x,$y) outside zoom $z")
+    val acc = ((1L << (2 * z)) - 1) / 3 // (4^z - 1) / 3
+    var rx = 0L; var ry = 0L; var d = 0L
+    var tx = x; var ty = y
+    var s = (1L << z) >> 1
+    while (s > 0) {
+      rx = if ((tx & s) > 0) 1 else 0
+      ry = if ((ty & s) > 0) 1 else 0
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0) {
+        if (rx == 1) { tx = s - 1 - tx; ty = s - 1 - ty }
+        val t = tx; tx = ty; ty = t
+      }
+      s >>= 1
+    }
+    acc + d
+  }
+
+  /** Inverse of [[tileId]]. */
+  def tileIdToZxy(id: Long): (Int, Long, Long) = {
+    require(id >= 0, s"negative tile id $id")
+    var z = 0
+    var acc = 0L
+    while (acc + (1L << (2 * z)) <= id) { acc += 1L << (2 * z); z += 1 }
+    var d = id - acc
+    var tx = 0L; var ty = 0L
+    var s = 1L
+    while (s < (1L << z)) {
+      val rx = 1L & (d >> 1)
+      val ry = 1L & (d ^ rx)
+      if (ry == 0) {
+        if (rx == 1) { tx = s - 1 - tx; ty = s - 1 - ty }
+        val t = tx; tx = ty; ty = t
+      }
+      tx += s * rx
+      ty += s * ry
+      d /= 4
+      s <<= 1
+    }
+    (z, tx, ty)
+  }
+
+  // ---- header (127 bytes, spec §"Header") -------------------------------
+
+  final case class Header(rootOff: Long, rootLen: Long, metaOff: Long,
+      metaLen: Long, leafOff: Long, leafLen: Long, dataOff: Long,
+      dataLen: Long, nAddressed: Long, nEntries: Long, nContents: Long,
+      clustered: Boolean, internalComp: Int, tileComp: Int, tileType: Int,
+      minZoom: Int, maxZoom: Int)
+
+  val CompNone = 1
+  val CompGzip = 2
+  val TypeMvt = 1
+  val TypePng = 2
+  val TypeJpeg = 3
+  val TypeWebp = 4
+
+  def parseHeader(b: Array[Byte]): Header = {
+    require(b.length >= 127, s"PMTiles header needs 127 bytes, got ${b.length}")
+    require(b(0) == 'P' && b(1) == 'M' && b(2) == 'T' && b(3) == 'i' &&
+      b(4) == 'l' && b(5) == 'e' && b(6) == 's', "not a PMTiles file (magic missing)")
+    require(b(7) == 3, s"unsupported PMTiles version ${b(7)} (v3 only)")
+    def u64(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v |= (b(o + i) & 0xFFL) << (8 * i); i += 1 }
+      v
+    }
+    val h = Header(u64(8), u64(16), u64(24), u64(32), u64(40), u64(48),
+      u64(56), u64(64), u64(72), u64(80), u64(88), b(96) == 1,
+      b(97) & 0xFF, b(98) & 0xFF, b(99) & 0xFF, b(100) & 0xFF, b(101) & 0xFF)
+    require(h.internalComp == CompNone || h.internalComp == CompGzip,
+      s"unsupported internal compression ${h.internalComp}")
+    require(h.tileComp == CompNone || h.tileComp == CompGzip,
+      s"unsupported tile compression ${h.tileComp}")
+    h
+  }
+
+  // ---- directories (spec §"Directories": varint columns) ----------------
+
+  /** offset/length into the tile-data section; runLength ≥ 1 addresses a
+    * Hilbert-contiguous run of identical tiles. */
+  final case class Entry(tileId: Long, offset: Long, length: Int, runLength: Int)
+
+  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    require(v >= 0, s"varint out of range: $v")
+    while ((v & ~0x7FL) != 0) { bos.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+
+  private final class VarintReader(b: Array[Byte]) {
+    var pos = 0
+    def read(): Long = {
+      var v = 0L; var shift = 0
+      while (true) {
+        require(pos < b.length, "truncated varint in PMTiles directory")
+        require(shift < 64, "overlong varint in PMTiles directory")
+        val x = b(pos); pos += 1
+        v |= (x & 0x7FL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+  }
+
+  /** Serialize a directory: entry count, tile-id deltas, run lengths,
+    * lengths, then offsets (0 = previous offset + previous length). */
+  def serializeDir(entries: Seq[Entry]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeVarint(bos, entries.length.toLong)
+    var last = 0L
+    entries.foreach { e =>
+      require(e.tileId >= last, "directory entries must be tile-id sorted")
+      writeVarint(bos, e.tileId - last); last = e.tileId
+    }
+    entries.foreach(e => writeVarint(bos, e.runLength.toLong))
+    entries.foreach(e => writeVarint(bos, e.length.toLong))
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      if (i > 0 && e.offset == entries(i - 1).offset + entries(i - 1).length)
+        writeVarint(bos, 0L)
+      else writeVarint(bos, e.offset + 1)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  def parseDir(b: Array[Byte]): Vector[Entry] = {
+    val r = new VarintReader(b)
+    val n0 = r.read()
+    require(n0 >= 0 && n0 <= 10000000, s"implausible directory entry count $n0")
+    val n = n0.toInt
+    val ids = new Array[Long](n)
+    var last = 0L
+    var i = 0
+    while (i < n) { last += r.read(); ids(i) = last; i += 1 }
+    val runs = Array.fill(n)(0L)
+    i = 0; while (i < n) { runs(i) = r.read(); i += 1 }
+    val lens = Array.fill(n)(0L)
+    i = 0; while (i < n) { lens(i) = r.read(); i += 1 }
+    val out = Vector.newBuilder[Entry]
+    var prevOff = 0L; var prevLen = 0L
+    i = 0
+    while (i < n) {
+      val o = r.read()
+      val off = if (o == 0) prevOff + prevLen else o - 1
+      require(lens(i) <= Int.MaxValue && runs(i) <= Int.MaxValue, "entry field overflow")
+      out += Entry(ids(i), off, lens(i).toInt, runs(i).toInt)
+      prevOff = off; prevLen = lens(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  private def gunzip(b: Array[Byte]): Array[Byte] =
+    graft.raquet.PixelCodec.gzipDecompress(b)
+
+  // ---- writer (clustered, root-dir only; content-dedup) -----------------
+
+  /** Write a clustered v3 archive. Tiles are laid out in Hilbert tile-id
+    * order; identical payloads are stored once (the spec's dedup —
+    * `tile_contents_count` < `tile_entries_count`). Root directory only
+    * (fixtures and per-dataset archives fit; a leaf-writer is a size
+    * optimization, not a semantic). */
+  def write(path: String, tiles: Seq[(Int, Long, Long, Array[Byte])],
+      tileType: Int, tileComp: Int = CompNone,
+      metadataJson: String = "{}"): Unit = {
+    require(tiles.nonEmpty, "PMTiles archive needs at least one tile")
+    val byId = tiles.map { case (z, x, y, b) => (tileId(z, x, y), b) }
+      .sortBy(_._1)
+    require(byId.map(_._1).distinct.length == byId.length, "duplicate (z,x,y) tile")
+    val data = new java.io.ByteArrayOutputStream()
+    val seen = scala.collection.mutable.HashMap.empty[Seq[Byte], (Long, Int)]
+    val entries = byId.map { case (id, raw) =>
+      val payload = if (tileComp == CompGzip) gzip(raw) else raw
+      val key = payload.toSeq
+      val (off, len) = seen.getOrElseUpdate(key, {
+        val o = data.size().toLong
+        data.write(payload)
+        (o, payload.length)
+      })
+      Entry(id, off, len, 1)
+    }
+    val rootRaw = serializeDir(entries)
+    val root = gzip(rootRaw)
+    val meta = gzip(metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val zs = tiles.map(_._1)
+    val hdr = new Array[Byte](127)
+    "PMTiles".getBytes.copyToArray(hdr)
+    hdr(7) = 3
+    def p64(o: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { hdr(o + i) = ((v >> (8 * i)) & 0xFF).toByte; i += 1 }
+    }
+    val rootOff = 127L
+    val metaOff = rootOff + root.length
+    val dataOff = metaOff + meta.length
+    p64(8, rootOff); p64(16, root.length.toLong)
+    p64(24, metaOff); p64(32, meta.length.toLong)
+    p64(40, 0L); p64(48, 0L) // no leaf directories
+    p64(56, dataOff); p64(64, data.size().toLong)
+    p64(72, entries.length.toLong) // addressed tiles
+    p64(80, entries.length.toLong) // tile entries
+    p64(88, seen.size.toLong) // tile contents (deduped)
+    hdr(96) = 1 // clustered
+    hdr(97) = CompGzip.toByte // internal compression
+    hdr(98) = tileComp.toByte
+    hdr(99) = tileType.toByte
+    hdr(100) = zs.min.toByte
+    hdr(101) = zs.max.toByte
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      out.write(hdr); out.write(root); out.write(meta); out.write(data.toByteArray)
+    } finally out.close()
+  }
+
+  // ---- reader -----------------------------------------------------------
+
+  final class Reader(val reader: RandomReader) extends AutoCloseable {
+    val header: Header = parseHeader(reader.readAt(0L, 127))
+
+    private def dir(off: Long, len: Long): Vector[Entry] = {
+      require(len > 0 && len <= Int.MaxValue, s"implausible directory length $len")
+      val raw = reader.readAt(off, len.toInt)
+      parseDir(if (header.internalComp == CompGzip) gunzip(raw) else raw)
+    }
+
+    lazy val root: Vector[Entry] = dir(header.rootOff, header.rootLen)
+
+    /** All leaf-resolved tile entries (root entries with runLength 0 point
+      * at leaf directories, spec §"Directories"). */
+    lazy val entries: Vector[Entry] = root.flatMap { e =>
+      if (e.runLength == 0) dir(header.leafOff + e.offset, e.length.toLong)
+      else Vector(e)
+    }
+
+    def metadataJson: String = {
+      if (header.metaLen == 0) return "{}"
+      val raw = reader.readAt(header.metaOff, header.metaLen.toInt)
+      val b = if (header.internalComp == CompGzip) gunzip(raw) else raw
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+    private def inflate(b: Array[Byte]): Array[Byte] =
+      if (header.tileComp == CompGzip) gunzip(b) else b
+
+    /** Point lookup: binary search entries on (tileId, runLength). */
+    def getTile(z: Int, x: Long, y: Long): Option[Array[Byte]] = {
+      val id = tileId(z, x, y)
+      val es = entries
+      var lo = 0; var hi = es.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val e = es(mid)
+        if (id < e.tileId) hi = mid - 1
+        else if (id >= e.tileId + math.max(1, e.runLength)) lo = mid + 1
+        else return Some(inflate(reader.readAt(header.dataOff + e.offset, e.length)))
+      }
+      None
+    }
+
+    def close(): Unit = reader.close()
+  }
+
+  def open(path: String): Reader = new Reader(RandomReader(path))
+
+  // ---- Spark scan -------------------------------------------------------
+
+  val scanSchema: StructType = StructType(Seq(
+    StructField("zoom", IntegerType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false),
+    StructField("tile_id", LongType, nullable = false),
+    StructField("tile", BinaryType, nullable = false)))
+
+  /** Scan a whole archive as a DataFrame. The driver reads header +
+    * directories only; entries are partitioned in Hilbert order so each
+    * executor partition covers a contiguous clustered span, fetched with
+    * ONE coalesced readRanges batch per partition. Run-length entries
+    * expand to one row per addressed tile (payload fetched once). */
+  def scanDf(spark: SparkSession, path: String, partitions: Int = 0): DataFrame = {
+    val (entries, tileComp, dataOff) = {
+      val r = open(path)
+      try (r.entries, r.header.tileComp, r.header.dataOff) finally r.close()
+    }
+    val nPart = if (partitions > 0) partitions
+      else math.min(spark.sparkContext.defaultParallelism, math.max(1, entries.length / 64))
+    val rows = spark.sparkContext
+      .parallelize(entries.zipWithIndex, math.max(1, nPart))
+      .mapPartitions { it =>
+        val es = it.map(_._1).toVector
+        if (es.isEmpty) Iterator.empty
+        else {
+          val rd = RandomReader(path)
+          try {
+            val payloads = rd.readRanges(es.map(e => (dataOff + e.offset, e.length)))
+            es.iterator.zip(payloads.iterator).flatMap { case (e, raw) =>
+              val tile =
+                if (tileComp == CompGzip) graft.raquet.PixelCodec.gzipDecompress(raw)
+                else raw
+              (0 until math.max(1, e.runLength)).iterator.map { k =>
+                val (z, x, y) = tileIdToZxy(e.tileId + k)
+                Row(z, x, y, e.tileId + k, tile)
+              }
+            }.toVector.iterator
+          } finally rd.close()
+        }
+      }
+    spark.createDataFrame(rows, scanSchema)
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.Multimodal
+import graft.sources.PmTiles
+
+/** PMTiles v3 proofs: the Hilbert tile-id mapping against the published
+  * spec vectors, directory varint layout against hand-derived bytes,
+  * write→read round trips (incl. content dedup and gzip'd tiles), the
+  * distributed scan, the HTTP range path, and malformed-input hardening. */
+class PmTilesSpec extends SparkSpec {
+
+  test("tile ids match the published spec vectors; zxy round-trips") {
+    assert(PmTiles.tileId(0, 0, 0) == 0)
+    // z=1 Hilbert order per the spec: (0,0) (0,1) (1,1) (1,0)
+    assert(PmTiles.tileId(1, 0, 0) == 1)
+    assert(PmTiles.tileId(1, 0, 1) == 2)
+    assert(PmTiles.tileId(1, 1, 1) == 3)
+    assert(PmTiles.tileId(1, 1, 0) == 4)
+    // the PMTiles reference implementation's test vector
+    assert(PmTiles.tileId(12, 3423, 1763) == 19078479L)
+    // every id in a zoom is distinct and round-trips
+    for (z <- 0 to 4) {
+      val ids = for (x <- 0L until (1L << z); y <- 0L until (1L << z))
+        yield PmTiles.tileId(z, x, y)
+      assert(ids.distinct.length == ids.length)
+      val lo = ((1L << (2 * z)) - 1) / 3
+      assert(ids.min == lo && ids.max == lo + (1L << (2 * z)) - 1)
+      ids.foreach { id =>
+        val (zz, x, y) = PmTiles.tileIdToZxy(id)
+        assert(zz == z && PmTiles.tileId(zz, x, y) == id)
+      }
+    }
+  }
+
+  test("directory serialization: hand-derived bytes, shortcut offsets, round trip") {
+    // two contiguous entries: count=2; deltas 5, 3; runs 1,1; lens 10,20;
+    // offsets: 0+1=1, then 0 (contiguous shortcut)
+    val es = Seq(PmTiles.Entry(5, 0, 10, 1), PmTiles.Entry(8, 10, 20, 1))
+    assert(PmTiles.serializeDir(es).toSeq ==
+      Seq[Byte](2, 5, 3, 1, 1, 10, 20, 1, 0))
+    assert(PmTiles.parseDir(PmTiles.serializeDir(es)) == es.toVector)
+    // non-contiguous (deduped) offsets use the offset+1 encoding
+    val dedup = Seq(PmTiles.Entry(1, 0, 100, 1), PmTiles.Entry(2, 100, 50, 1),
+      PmTiles.Entry(3, 0, 100, 1), PmTiles.Entry(9, 150, 7, 4))
+    assert(PmTiles.parseDir(PmTiles.serializeDir(dedup)) == dedup.toVector)
+    // multi-byte varints round-trip
+    val big = Seq(PmTiles.Entry(19078479L, 1234567L, 890123, 1))
+    assert(PmTiles.parseDir(PmTiles.serializeDir(big)) == big.toVector)
+  }
+
+  private def synthTiles(z: Int): Seq[(Int, Long, Long, Array[Byte])] =
+    for (y <- 0L until (1L << z); x <- 0L until (1L << z)) yield {
+      val c = (x + (1L << z) * y) % 15
+      val px = Array.tabulate(16 * 16)(i =>
+        ((c * 31 + (i % 16) * 5 + (i / 16) * 3) % 251).toByte)
+      (z, x, y, Multimodal.encodeWebP(px, 16, 16, 1))
+    }
+
+  test("write → open → getTile round trip, dedup counts, metadata") {
+    val tmp = java.nio.file.Files.createTempDirectory("pmtiles").toString
+    val path = s"$tmp/t.pmtiles"
+    val tiles = synthTiles(2)
+    PmTiles.write(path, tiles, PmTiles.TypeWebp,
+      metadataJson = """{"name":"fixture"}""")
+    val r = PmTiles.open(path)
+    try {
+      assert(r.header.tileType == PmTiles.TypeWebp)
+      assert(r.header.minZoom == 2 && r.header.maxZoom == 2)
+      assert(r.header.nEntries == 16 && r.header.nAddressed == 16)
+      // tiles (0,0) and (3,3) share content → one stored payload fewer
+      assert(r.header.nContents == 15)
+      assert(r.header.clustered)
+      assert(r.metadataJson == """{"name":"fixture"}""")
+      tiles.foreach { case (z, x, y, b) =>
+        assert(r.getTile(z, x, y).exists(java.util.Arrays.equals(_, b)), s"($x,$y)")
+      }
+      assert(r.getTile(3, 0, 0).isEmpty)
+      assert(r.getTile(2, 0, 0).get.toSeq == r.getTile(2, 3, 3).get.toSeq)
+    } finally r.close()
+  }
+
+  test("gzip'd tiles inflate transparently on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("pmtiles").toString
+    val path = s"$tmp/gz.pmtiles"
+    val tiles = synthTiles(1)
+    PmTiles.write(path, tiles, PmTiles.TypeMvt, tileComp = PmTiles.CompGzip)
+    val r = PmTiles.open(path)
+    try tiles.foreach { case (z, x, y, b) =>
+      assert(r.getTile(z, x, y).exists(java.util.Arrays.equals(_, b)))
+    } finally r.close()
+  }
+
+  test("distributed scan equals the archive, locally and over HTTP ranges") {
+    val tmp = java.nio.file.Files.createTempDirectory("pmtiles").toString
+    val path = s"$tmp/scan.pmtiles"
+    val tiles = synthTiles(2)
+    PmTiles.write(path, tiles, PmTiles.TypeWebp)
+    def check(url: String): Unit = {
+      val rows = PmTiles.scanDf(spark, url)
+        .select(col("zoom"), col("x"), col("y"),
+          mm_u8_sum(mm_webp_pixels(col("tile"), 1)).as("s"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+      assert(rows.size == 16)
+      tiles.foreach { case (z, x, y, _) =>
+        val c = (x + 4 * y) % 15
+        val expect = (0 until 256).map(i => (c * 31 + (i % 16) * 5 + (i / 16) * 3) % 251).sum
+        assert(rows((z, x, y)) == expect, s"($x,$y)")
+      }
+    }
+    check(path)
+    // same archive over an HTTP server exercising the range transport
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/a.pmtiles", new com.sun.net.httpserver.HttpHandler {
+      private val RangeRe = """bytes=(\d+)-(\d+)""".r
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(RangeRe(a, b)) =>
+            val from = a.toInt; val to = math.min(b.toLong, bytes.length - 1L).toInt
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, to - from + 1L)
+            ex.getResponseBody.write(bytes, from, to - from + 1)
+          case _ =>
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try check(s"http://127.0.0.1:${server.getAddress.getPort}/a.pmtiles")
+    finally server.stop(0)
+  }
+
+  test("malformed archives fail loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("pmtiles").toString
+    val path = s"$tmp/m.pmtiles"
+    PmTiles.write(path, synthTiles(1), PmTiles.TypeWebp)
+    val good = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    def withBytes[T](b: Array[Byte])(f: String => T): T = {
+      val p = s"$tmp/mut.pmtiles"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+      f(p)
+    }
+    // bad magic
+    withBytes("XMTiles".getBytes ++ good.drop(7)) { p =>
+      intercept[IllegalArgumentException](PmTiles.open(p))
+    }
+    // wrong version
+    withBytes { val b = good.clone(); b(7) = 2; b } { p =>
+      intercept[IllegalArgumentException](PmTiles.open(p))
+    }
+    // truncated mid-directory: root dir length says more than the file has
+    withBytes(good.slice(0, 130)) { p =>
+      intercept[Exception] { val r = PmTiles.open(p); r.entries }
+    }
+    // corrupt the gzip'd root directory INSIDE the deflate payload: must
+    // either throw or at minimum not silently reproduce the real entries
+    val realEntries = { val r = PmTiles.open(path); try r.entries finally r.close() }
+    withBytes { val b = good.clone(); b(141) = (b(141) ^ 0x5A).toByte; b } { p =>
+      val ok = try { PmTiles.open(p).entries != realEntries } catch { case _: Exception => true }
+      assert(ok, "corrupted directory read back as if intact")
+    }
+    // header too short
+    withBytes(good.slice(0, 60)) { p =>
+      intercept[Exception](PmTiles.open(p))
+    }
+  }
+}
