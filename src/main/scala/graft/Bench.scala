@@ -290,7 +290,11 @@ object Bench {
     "b_lm_score" -> ((s: SparkSession, dir: String) =>
       TextOps.lmScore(Tables.documents(s, dir).select("doc_id", "text"))),
     "b_dup_clusters" -> (graft.operators.LlmQueries.q56DupClusters _),
-    "b_ivf_knn" -> (graft.operators.LlmQueries.q51IvfKnn _))
+    "b_ivf_knn" -> (graft.operators.LlmQueries.q51IvfKnn _),
+    // 30k synthesized 32x32 images: dHash (codegen'd kernel projection)
+    // + the 4x16-bit hamming-blocked pair join, collision-heavy on purpose
+    "b_image_dedup" -> ((s: SparkSession, _: String) =>
+      graft.operators.MediaDedup.imageDedupBench(s, 30000)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

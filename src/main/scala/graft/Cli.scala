@@ -41,6 +41,7 @@ object Cli {
       |  partition <in.parquet> <out_dir> [--partition-zoom auto|N]
       |  mosaic <a.parquet> <b.parquet> <out.parquet>
       |  tile-cache <in.parquet> <out_dir>
+      |  pmtiles <in.parquet> <out.pmtiles>
       |      [--target-size-mb 128]
       |""".stripMargin
 
@@ -170,6 +171,11 @@ object Cli {
       val Seq(in, out) = expect(pos, 2, "tile-cache <in.parquet> <out_dir>")
       val n = graft.sources.TileCache.export(spark, in, out)
       println(s"rendered $n tiles -> $out")
+    case "pmtiles" =>
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(in, out) = expect(pos, 2, "pmtiles <in.parquet> <out.pmtiles>")
+      val n = graft.sources.TileCache.exportPmTiles(spark, in, out)
+      println(s"published $n tiles -> $out")
     case other => fail(s"unknown command '$other'\n$Usage")
   }
 

@@ -150,6 +150,7 @@ object SparkEntry {
     "q129_audio_dedup"      -> (graft.operators.MediaDedup.q129AudioDedup _),
     "q130_image_dedup"      -> (graft.operators.MediaDedup.q130ImageDedup _),
     "q131_pmtiles"          -> (RaquetQueries.q131PmTiles _),
+    "q132_pmtiles_export"   -> (RaquetQueries.q132PmTilesExport _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -405,6 +406,9 @@ object SparkEntry {
     "q130_image_dedup"      -> graft.operators.MediaDedup.oracleQ130,
     // q131: PMTiles archive round trip vs the closed-form tile content
     "q131_pmtiles"          -> RaquetOracles.q131,
+    // q132 is q111's render published as one PMTiles archive — identical
+    // per-tile content, so it shares q111's closed-form oracle
+    "q132_pmtiles_export"   -> RaquetOracles.q111,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -84,6 +84,26 @@ object MediaDedup {
     hashNearDups(imgs, "id", "fp", maxHamming = 3)
   }
 
+  /** Bench-scale twin of q130: n images (n/5 groups). The mod-241 base
+    * aliases distant groups onto identical pixel classes, so the hash
+    * space is deliberately heavy with hamming-0 collisions — a STRESS
+    * shape for the blocked join (big buckets, distinct() under load),
+    * not a tuned-easy one. */
+  def imageDedupBench(spark: SparkSession, n: Int): DataFrame = {
+    val groups = n / 5
+    val imgs = spark.range(n.toLong).toDF("id")
+      .withColumn("px", mm_u8_pack(expr(
+        s"""transform(sequence(0, 1023), i -> CAST(
+             ( ((id % $groups)*53 + (i % 32)*29 + (i div 32)*17) % 241
+               + IF(id div $groups = 4 AND i % 32 = 10 AND i div 32 = 8, 100, 0)
+             ) % 241
+             + (id*7 + i % 32 + i div 32) % 3
+           AS INT))""")))
+      .withColumn("fp", mm_dhash(col("px"), 32, 32))
+      .select(col("id"), col("fp"))
+    hashNearDups(imgs, "id", "fp", maxHamming = 3)
+  }
+
   /** q129 oracle: energies and delta signs re-derived from the closed-form
     * signal; |polarity| invariance makes (group) the payload key, so
     * n_payloads = distinct (group, parity) members per fingerprint. */

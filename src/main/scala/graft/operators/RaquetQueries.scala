@@ -385,6 +385,38 @@ object RaquetQueries {
         mm_u8_sum(mm_webp_pixels(col("tile"), 1)).as("px_sum"))
   }
 
+  /** PMTiles publish: [[graft.sources.TileCache.exportPmTiles]] renders the
+    * fixture (executor-side) into one archive, which is then re-opened and
+    * every PNG decoded — identical content contract to the q111 file tree
+    * (same oracle), proving the publish twin byte-for-meaning. */
+  def q132PmTilesExport(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q132"
+    new java.io.File(tmp).mkdirs()
+    val out = s"$tmp/fixture_export.pmtiles"
+    val n = graft.sources.TileCache.exportPmTiles(spark, Fixture, out)
+    require(n == 85, s"expected 85 tiles exported, got $n")
+    val r = graft.sources.PmTiles.open(out)
+    val rows = try {
+      require(r.header.tileType == graft.sources.PmTiles.TypePng, "tile type must be PNG")
+      r.entries.flatMap { e =>
+        (0 until math.max(1, e.runLength)).map { k =>
+          val (z, x, y) = graft.sources.PmTiles.tileIdToZxy(e.tileId + k)
+          val png = r.getTile(z, x, y).get
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          var sum = 0L; var opaque = 0L; var transparent = 0L
+          for (j <- 0 until img.getHeight; i <- 0 until img.getWidth) {
+            val argb = img.getRGB(i, j)
+            if ((argb >>> 24) == 0) transparent += 1
+            else { sum += argb & 0xFF; opaque += 1 }
+          }
+          (Quadbin.tileToCell(x, y, z), opaque, transparent, sum)
+        }
+      }.filter { case (block, _, _, _) => Quadbin.zoom(block) == 6 }
+    } finally r.close()
+    import spark.implicits._
+    rows.toDF("block", "n_opaque", "n_transparent", "gray_sum")
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

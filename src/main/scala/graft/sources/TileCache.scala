@@ -17,18 +17,25 @@ import graft.raquet.{PixelCodec, RaquetIO, RaquetMetadata}
   * number of tiles written (accumulator-counted). */
 object TileCache {
 
+  /** Render one row (columns (block, bands…)) to its PNG payload. */
+  private def renderRow(r: Row, dtypes: Seq[String], w: Int, h: Int,
+      palette: Option[Map[String, Seq[Int]]],
+      nodata: Option[Double]): (Long, Array[Byte]) = {
+    val block = r.getLong(0)
+    val bands = dtypes.indices.map(i =>
+      PixelCodec.decode(r.getAs[Array[Byte]](i + 1), dtypes(i)))
+    (block, RaquetTileServer.render(bands, w, h, palette, nodata))
+  }
+
   /** Render + write one partition's rows; columns are (block, bands…). */
   private def writeRows(it: Iterator[Row], dtypes: Seq[String], w: Int, h: Int,
       palette: Option[Map[String, Seq[Int]]], nodata: Option[Double],
       outDir: String, count: Long => Unit): Unit =
     it.foreach { r =>
-      val block = r.getLong(0)
+      val (block, png) = renderRow(r, dtypes, w, h, palette, nodata)
       val z = Quadbin.zoom(block)
       val x = Quadbin.tileX(block)
       val y = Quadbin.tileY(block)
-      val bands = dtypes.indices.map(i =>
-        PixelCodec.decode(r.getAs[Array[Byte]](i + 1), dtypes(i)))
-      val png = RaquetTileServer.render(bands, w, h, palette, nodata)
       val dir = java.nio.file.Paths.get(outDir, z.toString, x.toString)
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve(s"$y.png"), png)
@@ -49,6 +56,32 @@ object TileCache {
       writeRows(it, dtypes, w, h, palette, nodata, outDir, counter.add)
     }
     counter.value
+  }
+
+  /** PMTiles publish twin of [[export]]: the same per-tile render, but
+    * assembled into ONE [[PmTiles]] v3 archive instead of a file tree —
+    * what a CDN range-serves as a single object. Rendering (decode + PNG
+    * encode, the CPU cost) stays on executors; the driver only receives
+    * finished payloads and writes header + directory + clustered data —
+    * O(archive bytes) driver I/O, inherent to any single-file format.
+    * Returns the tile count. */
+  def exportPmTiles(spark: SparkSession, path: String, out: String): Long = {
+    val ds = RaquetIO.read(spark, path)
+    val m = ds.meta
+    val bandNames = m.bands.map(_.name)
+    val palette = m.bands.head.colortable
+    val nodata = m.bands.head.nodata
+    val dtypes = m.bands.map(_.bandType)
+    val (w, h) = (m.blockWidth, m.blockHeight)
+    val rows = ds.data.select(col("block") +: bandNames.map(b => ds.band(b)): _*)
+    val rendered = rows.rdd.mapPartitions { it =>
+      it.map { r =>
+        val (block, png) = renderRow(r, dtypes, w, h, palette, nodata)
+        (Quadbin.zoom(block), Quadbin.tileX(block), Quadbin.tileY(block), png)
+      }
+    }.collect()
+    PmTiles.write(out, rendered.toSeq, PmTiles.TypePng)
+    rendered.length.toLong
   }
 
   /** Streaming twin — incremental CDN publish: each micro-batch renders
