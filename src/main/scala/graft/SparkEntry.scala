@@ -151,6 +151,7 @@ object SparkEntry {
     "q130_image_dedup"      -> (graft.operators.MediaDedup.q130ImageDedup _),
     "q131_pmtiles"          -> (RaquetQueries.q131PmTiles _),
     "q132_pmtiles_export"   -> (RaquetQueries.q132PmTilesExport _),
+    "q133_upsert"           -> (RaquetQueries.q133Upsert _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -409,6 +410,8 @@ object SparkEntry {
     // q132 is q111's render published as one PMTiles archive — identical
     // per-tile content, so it shares q111's closed-form oracle
     "q132_pmtiles_export"   -> RaquetOracles.q111,
+    // q133: upsert (replace + insert) vs the closed form with swaps applied
+    "q133_upsert"           -> RaquetOracles.q133,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -425,6 +425,28 @@ object RaquetOracles {
         FROM fpx GROUP BY block, f"""
   }
 
+  /** q133: the fixture closed form with the upsert applied — tile (32,24)
+    * carries (39,31)'s content, the inserted (40,24) carries (33,25)'s,
+    * and num_blocks counts one more native tile. */
+  val q133: String = {
+    val tiles = ((for (y <- 24L to 31L; x <- 32L to 39L) yield (x, y)) :+ ((40L, 24L)))
+      .map { case (x, y) => s"($x, $y, ${Quadbin.tileToCell(x, y, 6)})" }.mkString(", ")
+    s"""WITH t(x, y, block) AS (VALUES $tiles),
+        eff AS (SELECT x, y, block,
+            CASE WHEN x = 32 AND y = 24 THEN 39
+                 WHEN x = 40 AND y = 24 THEN 33 ELSE x END AS sx,
+            CASE WHEN x = 32 AND y = 24 THEN 31
+                 WHEN x = 40 AND y = 24 THEN 25 ELSE y END AS sy
+          FROM t),
+        px AS (SELECT block, sx*16 + i.i AS gx, sy*16 + j.j AS gy
+          FROM eff, range(16) i(i), range(16) j(j))
+        SELECT block,
+          CAST(sum(CASE WHEN (gx + gy) % 31 = 0 THEN 255
+                        ELSE (7*gx + 13*gy) % 255 END) AS BIGINT) AS s1,
+          CAST(65 AS BIGINT) AS meta_num_blocks
+        FROM px GROUP BY block"""
+  }
+
   /** q131: closed-form pixel sums per z=2 tile. Tile ids come from
     * [[graft.sources.PmTiles.tileId]], whose Hilbert mapping is pinned
     * independently in PmTilesSpec against the published spec vectors

@@ -417,6 +417,38 @@ object RaquetQueries {
     rows.toDF("block", "n_opaque", "n_transparent", "gray_sum")
   }
 
+  /** M9 driver proof — file-level tile UPSERT: the fixture materialized as
+    * a multi-file directory dataset, then one tile replaced (content of
+    * another tile) and one brand-new native tile inserted. Only the files
+    * whose block range overlaps the two keys may be rewritten; num_blocks
+    * refreshes incrementally. Output: per-tile raw sums over the result,
+    * which the oracle re-derives from the closed form with the swap
+    * applied, plus the refreshed metadata count. */
+  def q133Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q133"
+    graft.raquet.RaquetIO.deleteTree(tmp)
+    val out = s"$tmp/ds"
+    val ds = RaquetIO.read(spark, Fixture)
+    RaquetIO.write(ds.data, ds.meta, out, maxRecordsPerFile = 16)
+    val c3931 = Quadbin.tileToCell(39, 31, 6)
+    val c3224 = Quadbin.tileToCell(32, 24, 6)
+    val c3325 = Quadbin.tileToCell(33, 25, 6)
+    val c4024 = Quadbin.tileToCell(40, 24, 6)
+    val d0 = RaquetIO.read(spark, out).data
+    val updates = d0.filter(col("block") === c3931).withColumn("block", lit(c3224))
+      .unionByName(d0.filter(col("block") === c3325).withColumn("block", lit(c4024)))
+    val rep = graft.raquet.Maintenance.upsert(spark, out, updates)
+    require(rep.rowsReplaced == 1 && rep.rowsInserted == 1,
+      s"expected 1 replace + 1 insert, got $rep")
+    require(rep.filesRewritten < rep.filesTotal,
+      s"upsert must be file-local, rewrote ${rep.filesRewritten}/${rep.filesTotal}")
+    val d2 = RaquetIO.read(spark, out)
+    d2.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"),
+        mm_u8_sum(rq_inflate(col("band_1"))).as("s1"))
+      .withColumn("meta_num_blocks", lit(d2.meta.numBlocks))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

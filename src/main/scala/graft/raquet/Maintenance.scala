@@ -155,4 +155,99 @@ object Maintenance {
       .sortWithinPartitions("part", "block")
       .write.mode("overwrite").partitionBy("part").parquet(outDir)
   }
+
+  final case class UpsertReport(filesTotal: Int, filesRewritten: Int,
+      rowsReplaced: Long, rowsInserted: Long)
+
+  /** M9: tile UPSERT into a directory dataset — replace-by-key (`block`,
+    * plus `time_cf` when the dataset is a time series) with inserts for
+    * unseen keys, rewriting ONLY the part files whose block range overlaps
+    * an updated key. Because [[RaquetIO.write]] range-partitions by block,
+    * a localized update touches a localized set of files: cost scales with
+    * the update footprint, not the dataset (the 100 TB maintenance shape).
+    * Untouched files are left byte-identical; the metadata row is refreshed
+    * incrementally (`num_blocks` += inserted native tiles — no full scan).
+    *
+    * `updates` needs the data columns (`block`, band blobs, `time_cf` if
+    * present); any missing columns (e.g. `metadata`, stats columns) are
+    * null-filled to the dataset schema, matching what the writer emits for
+    * data rows. */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame): UpsertReport = {
+    val meta = RaquetIO.readMetadata(spark, dir)
+    val all = spark.read.parquet(dir)
+    val schema = all.schema
+    val keyCols =
+      if (schema.fieldNames.contains("time_cf")) Seq("block", "time_cf")
+      else Seq("block")
+
+    // align updates to the dataset schema (null-fill non-key extras)
+    val up = updates.select(schema.fields.map { f =>
+      if (updates.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*).cache()
+
+    // per-file block ranges from ONE column-pruned scan (metadata rows are
+    // block=0, so the file holding them is only touched if it also holds
+    // data; the metadata file itself is rewritten separately below)
+    val ranges = all.filter(col("block") =!= 0L)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("block").as("lo"), max("block").as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val metaFiles = all.filter(col("block") === 0L)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+
+    // touched files: updated keys joined against the (bounded) range table
+    val rangeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(ranges.toIndexedSeq.map(t => Row(t._1, t._2, t._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.LongType))))
+    val touched = up.select(col("block")).distinct()
+      .join(broadcast(rangeDf), col("block") >= col("lo") && col("block") <= col("hi"))
+      .select("f").distinct().collect().map(_.getString(0)).toSet
+
+    val dataFilesTouched = ranges.map(_._1).filter(touched.contains)
+    val oldTouched =
+      if (dataFilesTouched.isEmpty) up.limit(0)
+      else spark.read.parquet(dataFilesTouched.toIndexedSeq: _*).filter(col("block") =!= 0L)
+
+    val replaced = oldTouched.join(up.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_semi").count()
+    val inserted = up.count() - replaced
+    val nativeInserted = up.join(oldTouched.select(keyCols.map(col): _*).distinct(),
+      keyCols, "left_anti")
+      .filter(quadbin_zoom(col("block")) === meta.maxZoom).count()
+
+    // survivors ∪ updates → new part files (unique names, then swap)
+    val merged = oldTouched.join(up.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_anti")
+      .unionByName(up)
+    val tmp = dir + "/.upsert-tmp"
+    merged.orderBy(keyCols.map(col): _*).write.mode("overwrite").parquet(tmp)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val moved = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+    var k = 0
+    while (moved.hasNext) {
+      val p = moved.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, s"part-upsert-$stamp-$k.parquet"))
+        k += 1
+      }
+    }
+    RaquetIO.deleteRecursivelyPublic(java.nio.file.Paths.get(tmp))
+    def local(uri: String): java.nio.file.Path =
+      java.nio.file.Paths.get(java.net.URI.create(
+        if (uri.startsWith("file:")) uri else "file://" + uri).getPath)
+    dataFilesTouched.foreach(f => java.nio.file.Files.deleteIfExists(local(f)))
+
+    // refresh the metadata row (num_blocks grows by inserted native tiles)
+    val meta2 = meta.copy(numBlocks = meta.numBlocks + nativeInserted)
+    metaFiles.foreach(f => java.nio.file.Files.deleteIfExists(local(f)))
+    RaquetIO.writeMetadataFile(spark, schema, meta2, dir, s"metadata-$stamp")
+    up.unpersist()
+    UpsertReport(ranges.length + metaFiles.length, dataFilesTouched.length,
+      replaced, inserted)
+  }
 }

@@ -351,4 +351,37 @@ object RaquetIO {
       Files.list(p).forEach(deleteRecursively(_))
     Files.deleteIfExists(p)
   }
+
+  private[raquet] def deleteRecursivelyPublic(p: Path): Unit = deleteRecursively(p)
+
+  /** Best-effort recursive delete of a local path (temp trees). */
+  def deleteTree(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) deleteRecursively(p)
+  }
+
+  /** Write a standalone one-row metadata file into `dir` (the upsert
+    * refresh path): same schema as the data rows, block = 0. */
+  private[raquet] def writeMetadataFile(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, meta: RaquetMetadata,
+      dir: String, name: String): Unit = {
+    val json = RaquetMetadata.toJson(meta)
+    val values = schema.fields.map { f =>
+      f.name match {
+        case "block" => 0L
+        case "metadata" => json
+        case _ => null
+      }
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(values.toIndexedSeq: _*)), schema)
+    val tmp = s"$dir/.meta-tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.move(part, Paths.get(dir, s"$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(tmp))
+  }
 }

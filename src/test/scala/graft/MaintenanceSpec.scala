@@ -85,6 +85,53 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.autoPartitionZoom(ds, 1L << 40) == 0)
   }
 
+  test("upsert: replaces + inserts by key, rewrites ONLY overlapping files") {
+    val dir = tmpDir() + "/ds"
+    val ds = RaquetIO.read(spark, fixture)
+    RaquetIO.write(ds.data, ds.meta, dir, maxRecordsPerFile = 16)
+    def files(): Map[String, Array[Byte]] = {
+      val d = new java.io.File(dir)
+      d.listFiles.filter(_.getName.endsWith(".parquet")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    }
+    val before = files()
+    assert(before.size >= 5, s"need a multi-file layout, got ${before.size}")
+    import graft.quadbin.Quadbin
+    val cSrc = Quadbin.tileToCell(39, 31, 6)
+    val cDst = Quadbin.tileToCell(32, 24, 6) // exists → replace
+    val cNew = Quadbin.tileToCell(41, 26, 6) // absent → insert
+    val d0 = RaquetIO.read(spark, dir).data
+    val updates = d0.filter(col("block") === cSrc).withColumn("block", lit(cDst))
+      .unionByName(d0.filter(col("block") === cSrc).withColumn("block", lit(cNew)))
+    val rep = Maintenance.upsert(spark, dir, updates)
+    assert(rep.rowsReplaced == 1 && rep.rowsInserted == 1, rep.toString)
+    assert(rep.filesRewritten >= 1 && rep.filesRewritten < rep.filesTotal, rep.toString)
+    val after = files()
+    // every surviving original file is byte-identical
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty)
+    survivors.foreach { f =>
+      assert(java.util.Arrays.equals(before(f), after(f)), s"$f changed bytes")
+    }
+    // content: replaced tile now carries the source tile's blobs; insert present
+    val d2 = RaquetIO.read(spark, dir)
+    assert(d2.meta.numBlocks == ds.meta.numBlocks + 1)
+    val rows = d2.data.filter(col("block").isin(cDst, cNew, cSrc))
+      .select(col("block"), col("band_1")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(rows.size == 3)
+    assert(java.util.Arrays.equals(rows(cDst), rows(cSrc)))
+    assert(java.util.Arrays.equals(rows(cNew), rows(cSrc)))
+    // total row count: one insert over the original
+    assert(d2.data.count() == ds.data.count() + 1)
+    // idempotent re-upsert of the same content replaces, inserts nothing
+    // (updates built from the CURRENT files — the originals are gone)
+    val rep2 = Maintenance.upsert(spark, dir,
+      d2.data.filter(col("block") === cSrc).withColumn("block", lit(cDst)))
+    assert(rep2.rowsReplaced == 1 && rep2.rowsInserted == 0)
+    assert(RaquetIO.read(spark, dir).meta.numBlocks == ds.meta.numBlocks + 1)
+  }
+
   test("CF units parse + ISO duration inference mirror the reference") {
     val info = CfTime.parseUnits("Minutes since 1980-01-01 00:00:00").get
     assert(info.unit == "minutes")
