@@ -35,6 +35,7 @@ object PlanAudit {
       "q108_rasterize" -> RaquetQueries.q108Rasterize _,
       "q109_dataset_pctl" -> RaquetQueries.q109DatasetPercentiles _,
       "q110_dup_windows" -> LlmQueries.q110DupWindows _,
+      "q130_image_dedup" -> graft.operators.MediaDedup.q130ImageDedup _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(

@@ -152,6 +152,7 @@ object SparkEntry {
     "q131_pmtiles"          -> (RaquetQueries.q131PmTiles _),
     "q132_pmtiles_export"   -> (RaquetQueries.q132PmTilesExport _),
     "q133_upsert"           -> (RaquetQueries.q133Upsert _),
+    "q134_vector_measures"  -> (RaquetQueries.q134VectorMeasures _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -412,6 +413,8 @@ object SparkEntry {
     "q132_pmtiles_export"   -> RaquetOracles.q111,
     // q133: upsert (replace + insert) vs the closed form with swaps applied
     "q133_upsert"           -> RaquetOracles.q133,
+    // q134: WKB bridge + planar measures vs hand-derived closed forms
+    "q134_vector_measures"  -> RaquetOracles.q134,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

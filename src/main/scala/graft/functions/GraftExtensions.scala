@@ -66,6 +66,11 @@ object GraftExtensions {
     "mm_webp_lossy" -> { case Seq(b, w, h, c, q) =>
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(q, "quality")) },
+    "st_area" -> { case Seq(w) => StArea(w) },
+    "st_perimeter" -> { case Seq(w) => StPerimeter(w) },
+    "st_centroid" -> { case Seq(w) => StCentroid(w) },
+    "st_geom_from_wkb" -> { case Seq(b) => StGeomFromWkb(b) },
+    "st_as_wkb" -> { case Seq(w) => StAsWkb(w) },
     "mm_u8_sum" -> { case Seq(b) => MmU8Sum(b) },
     "mm_u8_pack" -> { case Seq(a) => MmU8Pack(a) },
     "mm_webp_anim" -> { case Seq(f, w, h, c, d) =>

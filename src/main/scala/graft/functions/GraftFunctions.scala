@@ -166,6 +166,14 @@ object GraftFunctions {
       quality: Int): Column =
     col(MmWebpLossy(ex(bin), width, height, channels, quality))
 
+  // --- vector measures + WKB bridge ---
+
+  def st_area(wkt: Column): Column = col(StArea(ex(wkt)))
+  def st_perimeter(wkt: Column): Column = col(StPerimeter(ex(wkt)))
+  def st_centroid(wkt: Column): Column = col(StCentroid(ex(wkt)))
+  def st_geom_from_wkb(bin: Column): Column = col(StGeomFromWkb(ex(bin)))
+  def st_as_wkb(wkt: Column): Column = col(StAsWkb(ex(wkt)))
+
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
   def mm_dhash(bin: Column, width: Int, height: Int): Column =
@@ -251,6 +259,11 @@ object GraftFunctions {
     r("mm_webp_lossy") { case Seq(b, w, h, c, q) =>
       MmWebpLossy(b, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(q, "quality")) }
+    r("st_area") { case Seq(w) => StArea(w) }
+    r("st_perimeter") { case Seq(w) => StPerimeter(w) }
+    r("st_centroid") { case Seq(w) => StCentroid(w) }
+    r("st_geom_from_wkb") { case Seq(b) => StGeomFromWkb(b) }
+    r("st_as_wkb") { case Seq(w) => StAsWkb(w) }
     r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
     r("mm_u8_pack") { case Seq(a) => MmU8Pack(a) }
     r("mm_webp_anim") { case Seq(f, w, h, c, d) =>

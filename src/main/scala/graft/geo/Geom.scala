@@ -242,4 +242,103 @@ object Wkt {
     }
     out.result()
   }
+
+  /** Canonical WKT text for a [[Geom]] (the inverse of [[parse]]; doubles
+    * render via Double.toString, which [[parse]] reads back exactly). */
+  def format(g: Geom): String = g match {
+    case PointGeom(lon, lat) => s"POINT ($lon $lat)"
+    case p: PolygonGeom => "POLYGON " + polyBody(p)
+    case MultiPolygonGeom(polys) =>
+      polys.map(polyBody).mkString("MULTIPOLYGON (", ", ", ")")
+  }
+
+  private def polyBody(p: PolygonGeom): String =
+    p.rings.map { r =>
+      r.grouped(2).map(xy => s"${xy(0)} ${xy(1)}").mkString("(", ", ", ")")
+    }.mkString("(", ", ", ")")
+}
+
+/** Planar measures in coordinate units (ST_Area / ST_Perimeter /
+  * ST_Centroid semantics on the engine's geometry model): shoelace areas
+  * with holes subtracting, perimeter over every ring, area-weighted
+  * centroid. Rings are treated as closed whether or not the last point
+  * repeats the first; orientation is normalized (ring 0 = outer adds,
+  * later rings = holes subtract), so input winding doesn't matter. */
+object Measure {
+
+  /** (signedArea, Σ(x-moment), Σ(y-moment)) of one ring, shoelace form. */
+  private def ringSums(r: Array[Double]): (Double, Double, Double) = {
+    val n = r.length / 2
+    var a = 0.0; var sx = 0.0; var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val cross = r(2 * i) * r(2 * j + 1) - r(2 * j) * r(2 * i + 1)
+      a += cross
+      sx += (r(2 * i) + r(2 * j)) * cross
+      sy += (r(2 * i + 1) + r(2 * j + 1)) * cross
+      i += 1
+    }
+    (a / 2, sx / 6, sy / 6)
+  }
+
+  private def ringLength(r: Array[Double]): Double = {
+    val n = r.length / 2
+    var len = 0.0
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val dx = r(2 * j) - r(2 * i)
+      val dy = r(2 * j + 1) - r(2 * i + 1)
+      len += math.sqrt(dx * dx + dy * dy)
+      i += 1
+    }
+    len
+  }
+
+  /** (area, perimeter, Σx·w, Σy·w) with hole-corrected weights. */
+  private def polySums(p: PolygonGeom): (Double, Double, Double, Double) = {
+    var area = 0.0; var perim = 0.0; var mx = 0.0; var my = 0.0
+    var i = 0
+    while (i < p.rings.length) {
+      val (a, sx, sy) = ringSums(p.rings(i))
+      val sign = if (i == 0) 1.0 else -1.0 // ring 0 outer, rest holes
+      val orient = if (a == 0) 0.0 else math.signum(a)
+      area += sign * math.abs(a)
+      mx += sign * orient * sx
+      my += sign * orient * sy
+      perim += ringLength(p.rings(i))
+      i += 1
+    }
+    (area, perim, mx, my)
+  }
+
+  def area(g: Geom): Double = g match {
+    case _: PointGeom => 0.0
+    case p: PolygonGeom => polySums(p)._1
+    case MultiPolygonGeom(polys) => polys.map(polySums(_)._1).sum
+  }
+
+  def perimeter(g: Geom): Double = g match {
+    case _: PointGeom => 0.0
+    case p: PolygonGeom => polySums(p)._2
+    case MultiPolygonGeom(polys) => polys.map(polySums(_)._2).sum
+  }
+
+  /** Area-weighted centroid; a zero-area geometry (point) is itself. */
+  def centroid(g: Geom): (Double, Double) = g match {
+    case PointGeom(lon, lat) => (lon, lat)
+    case p: PolygonGeom =>
+      val (a, _, mx, my) = polySums(p)
+      require(a != 0, "centroid of a zero-area polygon")
+      (mx / a, my / a)
+    case MultiPolygonGeom(polys) =>
+      var a = 0.0; var mx = 0.0; var my = 0.0
+      polys.foreach { p =>
+        val (pa, _, px, py) = polySums(p)
+        a += pa; mx += px; my += py
+      }
+      require(a != 0, "centroid of a zero-area multipolygon")
+      (mx / a, my / a)
+  }
 }

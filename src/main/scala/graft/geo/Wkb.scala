@@ -1,0 +1,135 @@
+package graft.geo
+
+/** OGC Well-Known Binary (ISO 19125 / OGC 06-103r4) for the geometry types
+  * the engine models: Point, Polygon, MultiPolygon. Both byte orders are
+  * read; EWKB's PostGIS SRID flag (0x20000000) is accepted and the SRID
+  * skipped (coordinates are taken as-is, matching the WKT path). Writes are
+  * little-endian canonical WKB. Everything else — Z/M flags, curves, other
+  * types — fails loudly rather than mis-parsing.
+  *
+  * This is the binary twin of [[Wkt]]: `wkb_to_wkt`-shaped kernels let
+  * GeoParquet-style vector tables (geometry as a WKB binary column) feed
+  * every existing WKT-consuming operator (polyfill, st_contains, zonal
+  * stats, rasterize) unchanged.
+  */
+object Wkb {
+
+  private final class Cursor(b: Array[Byte]) {
+    var pos = 0
+    var little = true
+    def order(): Unit = {
+      require(pos < b.length, "truncated WKB (byte order)")
+      val v = b(pos); pos += 1
+      require(v == 0 || v == 1, s"invalid WKB byte order $v")
+      little = v == 1
+    }
+    def u32(): Long = {
+      require(pos + 4 <= b.length, "truncated WKB (uint32)")
+      val v =
+        if (little)
+          (b(pos) & 0xFFL) | ((b(pos + 1) & 0xFFL) << 8) |
+            ((b(pos + 2) & 0xFFL) << 16) | ((b(pos + 3) & 0xFFL) << 24)
+        else
+          (b(pos + 3) & 0xFFL) | ((b(pos + 2) & 0xFFL) << 8) |
+            ((b(pos + 1) & 0xFFL) << 16) | ((b(pos) & 0xFFL) << 24)
+      pos += 4
+      v
+    }
+    def f64(): Double = {
+      require(pos + 8 <= b.length, "truncated WKB (double)")
+      var bits = 0L
+      var i = 0
+      while (i < 8) {
+        val idx = if (little) pos + i else pos + 7 - i
+        bits |= (b(idx) & 0xFFL) << (8 * i)
+        i += 1
+      }
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    }
+  }
+
+  private val SridFlag = 0x20000000L
+  private val ZFlag = 0x80000000L
+  private val MFlag = 0x40000000L
+
+  def parse(bytes: Array[Byte]): Geom = {
+    val c = new Cursor(bytes)
+    val g = parseGeom(c)
+    require(c.pos == bytes.length,
+      s"trailing bytes in WKB: ${bytes.length - c.pos} after geometry")
+    g
+  }
+
+  private def parseGeom(c: Cursor): Geom = {
+    c.order()
+    var t = c.u32()
+    require((t & (ZFlag | MFlag)) == 0, s"unsupported EWKB Z/M flags in type $t (XY only)")
+    if ((t & SridFlag) != 0) { c.u32(); t &= ~SridFlag } // EWKB: skip SRID
+    require(t < 1000, s"unsupported ISO WKB dimensionality in type $t (XY only)")
+    t match {
+      case 1 => PointGeom(c.f64(), c.f64())
+      case 3 =>
+        val nRings = c.u32()
+        require(nRings >= 1 && nRings <= 100000, s"implausible ring count $nRings")
+        PolygonGeom(Array.fill(nRings.toInt)(ring(c)))
+      case 6 =>
+        val nPolys = c.u32()
+        require(nPolys >= 1 && nPolys <= 100000, s"implausible polygon count $nPolys")
+        MultiPolygonGeom(Array.fill(nPolys.toInt) {
+          parseGeom(c) match {
+            case p: PolygonGeom => p
+            case other => throw new IllegalArgumentException(
+              s"MultiPolygon member is not a Polygon: $other")
+          }
+        })
+      case other => throw new IllegalArgumentException(
+        s"unsupported WKB geometry type $other (Point/Polygon/MultiPolygon only)")
+    }
+  }
+
+  private def ring(c: Cursor): Array[Double] = {
+    val n = c.u32()
+    require(n >= 4 && n <= 10000000, s"implausible ring point count $n")
+    val out = new Array[Double](n.toInt * 2)
+    var i = 0
+    while (i < out.length) { out(i) = c.f64(); out(i + 1) = c.f64(); i += 2 }
+    out
+  }
+
+  /** Canonical little-endian WKB. */
+  def write(g: Geom): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeGeom(bos, g)
+    bos.toByteArray
+  }
+
+  private def writeGeom(bos: java.io.ByteArrayOutputStream, g: Geom): Unit = {
+    def u32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def f64(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { bos.write(((bits >> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+    bos.write(1)
+    g match {
+      case PointGeom(lon, lat) => u32(1); f64(lon); f64(lat)
+      case PolygonGeom(rings) =>
+        u32(3); u32(rings.length.toLong)
+        rings.foreach { r =>
+          u32(r.length / 2L)
+          r.foreach(f64)
+        }
+      case MultiPolygonGeom(polys) =>
+        u32(6); u32(polys.length.toLong)
+        polys.foreach(writeGeom(bos, _))
+    }
+  }
+
+  /** WKB → the engine's canonical WKT text (the bridge that lets a
+    * GeoParquet-style binary geometry column feed every WKT operator). */
+  def toWkt(bytes: Array[Byte]): String = Wkt.format(parse(bytes))
+}

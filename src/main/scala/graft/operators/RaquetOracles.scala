@@ -447,6 +447,19 @@ object RaquetOracles {
         FROM px GROUP BY block"""
   }
 
+  /** q134: hand-derived planar measures — rectangle, rectangle-with-hole
+    * (centroid = hole-weighted 960/112), 3-4-5 triangle, two-square
+    * multipolygon, point. The WKB round trip must be byte-identical. */
+  val q134: String =
+    """WITH t(id, area, perimeter, cx, cy) AS (VALUES
+         (1, 32.0, 24.0, 4.0, 2.0),
+         (2, 112.0, 64.0, round(960.0/112.0, 6), 4.0),
+         (3, 6.0, 12.0, 1.0, round(4.0/3.0, 6)),
+         (4, 2.0, 8.0, 5.5, 0.5),
+         (5, 0.0, 0.0, 2.5, -3.5))
+       SELECT CAST(id AS BIGINT) AS id, area, perimeter, cx, cy,
+         true AS roundtrip FROM t"""
+
   /** q131: closed-form pixel sums per z=2 tile. Tile ids come from
     * [[graft.sources.PmTiles.tileId]], whose Hilbert mapping is pinned
     * independently in PmTilesSpec against the published spec vectors

@@ -449,6 +449,32 @@ object RaquetQueries {
       .withColumn("meta_num_blocks", lit(d2.meta.numBlocks))
   }
 
+  /** Vector measures + the WKB bridge (GeoParquet interop): geometries
+    * arrive as OGC WKB binary, cross `st_geom_from_wkb` into the WKT
+    * surface, get measured (shoelace area with holes, ring perimeter,
+    * area-weighted centroid), and round-trip back through `st_as_wkb`
+    * byte-identically. Oracle: hand-derived closed-form measures. */
+  def q134VectorMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val wkts = Seq(
+      1L -> "POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))",
+      2L -> "POLYGON ((0 0, 16 0, 16 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))",
+      3L -> "POLYGON ((0 0, 3 0, 0 4, 0 0))",
+      4L -> "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))",
+      5L -> "POINT (2.5 -3.5)")
+    val rows = wkts.map { case (id, w) =>
+      (id, graft.geo.Wkb.write(graft.geo.Wkt.parse(w)))
+    }
+    import spark.implicits._
+    rows.toDF("id", "wkb")
+      .withColumn("wkt", st_geom_from_wkb(col("wkb")))
+      .select(col("id"),
+        round(st_area(col("wkt")), 6).as("area"),
+        round(st_perimeter(col("wkt")), 6).as("perimeter"),
+        round(st_centroid(col("wkt")).getField("x"), 6).as("cx"),
+        round(st_centroid(col("wkt")).getField("y"), 6).as("cy"),
+        (st_as_wkb(col("wkt")) === col("wkb")).as("roundtrip"))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

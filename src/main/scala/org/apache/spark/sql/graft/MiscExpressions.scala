@@ -236,6 +236,94 @@ case class MmWebpAnimEncode(child: Expression, imgWidth: Int, imgHeight: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object GeoBridge {
+  import graft.geo.{Measure, Wkb}
+
+  val centroidSchema: StructType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+
+  def area(wkt: String): Double = Measure.area(RqBridge.geomOf(wkt))
+  def perimeter(wkt: String): Double = Measure.perimeter(RqBridge.geomOf(wkt))
+  def centroid(wkt: String): InternalRow = {
+    val (x, y) = Measure.centroid(RqBridge.geomOf(wkt))
+    InternalRow(x, y)
+  }
+  def wkbToWkt(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(Wkb.toWkt(b))
+  def wktToWkb(wkt: String): Array[Byte] = Wkb.write(RqBridge.geomOf(wkt))
+
+  val B = "org.apache.spark.sql.graft.GeoBridge"
+}
+
+/** st_area(wkt): planar shoelace area in coordinate units (holes
+  * subtract). Per-row parse amortized by the [[RqBridge.geomOf]] run-cache. */
+case class StArea(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_area"
+  override protected def nullSafeEval(w: Any): Any = GeoBridge.area(w.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"${GeoBridge.B}.area($w.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_perimeter(wkt): summed ring lengths in coordinate units. */
+case class StPerimeter(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_perimeter"
+  override protected def nullSafeEval(w: Any): Any = GeoBridge.perimeter(w.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"${GeoBridge.B}.perimeter($w.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_centroid(wkt) → (x, y): area-weighted centroid. */
+case class StCentroid(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = GeoBridge.centroidSchema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_centroid"
+  override protected def nullSafeEval(w: Any): Any = GeoBridge.centroid(w.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"${GeoBridge.B}.centroid($w.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_geom_from_wkb(binary) → WKT: the GeoParquet bridge — a WKB geometry
+  * column becomes text every existing WKT operator consumes. */
+case class StGeomFromWkb(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geom_from_wkb"
+  override protected def nullSafeEval(b: Any): Any =
+    GeoBridge.wkbToWkt(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"${GeoBridge.B}.wkbToWkt($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_as_wkb(wkt) → canonical little-endian WKB (the inverse bridge). */
+case class StAsWkb(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_as_wkb"
+  override protected def nullSafeEval(w: Any): Any = GeoBridge.wktToWkb(w.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"${GeoBridge.B}.wktToWkb($w.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object MmU8 {
   def sum(b: Array[Byte]): Long = {
     var s = 0L

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geo.{Measure, MultiPolygonGeom, PointGeom, PolygonGeom, Wkb, Wkt}
+
+/** OGC WKB proofs: hand-pinned spec bytes (both byte orders, EWKB SRID),
+  * WKT↔WKB round trips, planar measures, and malformed-input hardening. */
+class WkbSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("pinned OGC bytes: POINT(1 2) little- and big-endian, EWKB SRID") {
+    val le = hex("01 01000000 000000000000F03F 0000000000000040")
+    assert(Wkb.parse(le) == PointGeom(1.0, 2.0))
+    assert(Wkb.write(PointGeom(1.0, 2.0)).toSeq == le.toSeq) // canonical LE
+    val be = hex("00 00000001 3FF0000000000000 4000000000000000")
+    assert(Wkb.parse(be) == PointGeom(1.0, 2.0))
+    // EWKB: SRID flag + 4326, then the coordinates
+    val ewkb = hex("01 01000020 E6100000 000000000000F03F 0000000000000040")
+    assert(Wkb.parse(ewkb) == PointGeom(1.0, 2.0))
+  }
+
+  test("WKT ↔ WKB round trips for every supported type") {
+    val wkts = Seq(
+      "POINT (2.5 -3.5)",
+      "POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))",
+      "POLYGON ((0 0, 16 0, 16 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))")
+    wkts.foreach { w =>
+      val g = Wkt.parse(w)
+      val b = Wkb.write(g)
+      val g2 = Wkb.parse(b)
+      assert(Wkb.write(g2).toSeq == b.toSeq, w)
+      // formatted WKT re-parses to the same geometry
+      assert(Wkb.write(Wkt.parse(Wkt.format(g2))).toSeq == b.toSeq, w)
+    }
+  }
+
+  test("planar measures: shoelace with holes, winding-independent") {
+    val rect = Wkt.parse("POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))")
+    assert(Measure.area(rect) == 32.0)
+    assert(Measure.perimeter(rect) == 24.0)
+    assert(Measure.centroid(rect) == ((4.0, 2.0)))
+    // clockwise winding gives the same answers
+    val cw = Wkt.parse("POLYGON ((0 0, 0 4, 8 4, 8 0, 0 0))")
+    assert(Measure.area(cw) == 32.0 && Measure.centroid(cw) == ((4.0, 2.0)))
+    val holed = Wkt.parse(
+      "POLYGON ((0 0, 16 0, 16 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))")
+    assert(Measure.area(holed) == 112.0)
+    assert(Measure.perimeter(holed) == 64.0) // outer 48 + hole ring 16
+    val (cx, cy) = Measure.centroid(holed)
+    assert(cx == 960.0 / 112.0 && cy == 4.0)
+    // 3-4-5 triangle: integer perimeter, area 6
+    val tri = Wkt.parse("POLYGON ((0 0, 3 0, 0 4, 0 0))")
+    assert(Measure.area(tri) == 6.0 && Measure.perimeter(tri) == 12.0)
+    assert(Measure.area(PointGeom(1, 1)) == 0.0)
+    val mp = Wkt.parse(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))")
+    assert(Measure.area(mp) == 2.0 && Measure.centroid(mp) == ((5.5, 0.5)))
+  }
+
+  test("malformed WKB fails loudly, never mis-parses") {
+    val good = Wkb.write(Wkt.parse("POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))"))
+    // truncations at every prefix
+    for (cut <- 0 until good.length)
+      intercept[Exception](Wkb.parse(good.slice(0, cut)))
+    // trailing garbage
+    intercept[IllegalArgumentException](Wkb.parse(good :+ 0.toByte))
+    // bad byte-order marker
+    intercept[IllegalArgumentException](Wkb.parse { val b = good.clone(); b(0) = 2; b })
+    // unsupported type: LineString (2)
+    intercept[IllegalArgumentException](
+      Wkb.parse(hex("01 02000000 00000000")))
+    // Z geometry (ISO 1001 and EWKB flag) rejected
+    intercept[IllegalArgumentException](
+      Wkb.parse(hex("01 E9030000 0000000000000000 0000000000000000 0000000000000000")))
+    intercept[IllegalArgumentException](
+      Wkb.parse(hex("01 01000080 0000000000000000 0000000000000000 0000000000000000")))
+    // implausible ring count: must throw before allocating
+    intercept[IllegalArgumentException](
+      Wkb.parse(hex("01 03000000 FFFFFF7F")))
+  }
+}
