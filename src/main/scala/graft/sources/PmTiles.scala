@@ -196,12 +196,14 @@ object PmTiles {
 
   /** Write a clustered v3 archive. Tiles are laid out in Hilbert tile-id
     * order; identical payloads are stored once (the spec's dedup —
-    * `tile_contents_count` < `tile_entries_count`). Root directory only
-    * (fixtures and per-dataset archives fit; a leaf-writer is a size
-    * optimization, not a semantic). */
+    * `tile_contents_count` < `tile_entries_count`). Once the entry count
+    * exceeds `leafThreshold` the directory splits into leaves (the spec's
+    * scale path: the root must stay small enough that one ranged read
+    * resolves any tile in ≤2 directory fetches), with root entries
+    * pointing at leaf spans via the runLength-0 convention. */
   def write(path: String, tiles: Seq[(Int, Long, Long, Array[Byte])],
       tileType: Int, tileComp: Int = CompNone,
-      metadataJson: String = "{}"): Unit = {
+      metadataJson: String = "{}", leafThreshold: Int = 4096): Unit = {
     require(tiles.nonEmpty, "PMTiles archive needs at least one tile")
     val byId = tiles.map { case (z, x, y, b) => (tileId(z, x, y), b) }
       .sortBy(_._1)
@@ -218,8 +220,21 @@ object PmTiles {
       })
       Entry(id, off, len, 1)
     }
-    val rootRaw = serializeDir(entries)
-    val root = gzip(rootRaw)
+    // root-only for small archives; otherwise split into leaves of
+    // ~sqrt(n) entries (spec guidance: bounded root, bounded leaf reads)
+    val (root, leaves) =
+      if (entries.length <= leafThreshold) (gzip(serializeDir(entries)), Array.emptyByteArray)
+      else {
+        val per = math.max(1, math.ceil(math.sqrt(entries.length.toDouble)).toInt)
+        val leafBytes = new java.io.ByteArrayOutputStream()
+        val rootEntries = entries.grouped(per).map { chunk =>
+          val lz = gzip(serializeDir(chunk))
+          val off = leafBytes.size().toLong
+          leafBytes.write(lz)
+          Entry(chunk.head.tileId, off, lz.length, 0) // runLength 0 = leaf pointer
+        }.toSeq
+        (gzip(serializeDir(rootEntries)), leafBytes.toByteArray)
+      }
     val meta = gzip(metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val zs = tiles.map(_._1)
     val hdr = new Array[Byte](127)
@@ -231,10 +246,11 @@ object PmTiles {
     }
     val rootOff = 127L
     val metaOff = rootOff + root.length
-    val dataOff = metaOff + meta.length
+    val leafOff = metaOff + meta.length
+    val dataOff = leafOff + leaves.length
     p64(8, rootOff); p64(16, root.length.toLong)
     p64(24, metaOff); p64(32, meta.length.toLong)
-    p64(40, 0L); p64(48, 0L) // no leaf directories
+    p64(40, leafOff); p64(48, leaves.length.toLong)
     p64(56, dataOff); p64(64, data.size().toLong)
     p64(72, entries.length.toLong) // addressed tiles
     p64(80, entries.length.toLong) // tile entries
@@ -247,7 +263,8 @@ object PmTiles {
     hdr(101) = zs.max.toByte
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
     try {
-      out.write(hdr); out.write(root); out.write(meta); out.write(data.toByteArray)
+      out.write(hdr); out.write(root); out.write(meta); out.write(leaves)
+      out.write(data.toByteArray)
     } finally out.close()
   }
 
@@ -281,19 +298,29 @@ object PmTiles {
     private def inflate(b: Array[Byte]): Array[Byte] =
       if (header.tileComp == CompGzip) gunzip(b) else b
 
-    /** Point lookup: binary search entries on (tileId, runLength). */
-    def getTile(z: Int, x: Long, y: Long): Option[Array[Byte]] = {
-      val id = tileId(z, x, y)
-      val es = entries
-      var lo = 0; var hi = es.length - 1
+    /** Greatest entry with tileId ≤ id (directory entries are sorted). */
+    private def floorEntry(es: Vector[Entry], id: Long): Option[Entry] = {
+      var lo = 0; var hi = es.length - 1; var best = -1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        val e = es(mid)
-        if (id < e.tileId) hi = mid - 1
-        else if (id >= e.tileId + math.max(1, e.runLength)) lo = mid + 1
-        else return Some(inflate(reader.readAt(header.dataOff + e.offset, e.length)))
+        if (es(mid).tileId <= id) { best = mid; lo = mid + 1 } else hi = mid - 1
       }
-      None
+      if (best < 0) None else Some(es(best))
+    }
+
+    /** Point lookup: ≤2 directory reads — root, then (for big archives)
+      * exactly the one leaf whose span covers the id. Never materializes
+      * the full entry list. */
+    def getTile(z: Int, x: Long, y: Long): Option[Array[Byte]] = {
+      val id = tileId(z, x, y)
+      floorEntry(root, id).flatMap { e =>
+        val hit =
+          if (e.runLength == 0)
+            floorEntry(dir(header.leafOff + e.offset, e.length.toLong), id)
+          else Some(e)
+        hit.filter(h => h.runLength > 0 && id < h.tileId + h.runLength)
+          .map(h => inflate(reader.readAt(header.dataOff + h.offset, h.length)))
+      }
     }
 
     def close(): Unit = reader.close()

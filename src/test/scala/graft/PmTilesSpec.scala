@@ -138,6 +138,29 @@ class PmTilesSpec extends SparkSpec {
     finally server.stop(0)
   }
 
+  test("leaf directories: big archives split, lookups take ≤2 dir reads, scan intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("pmtiles").toString
+    val path = s"$tmp/leaf.pmtiles"
+    val tiles = synthTiles(4) // 256 tiles, force leaves with a tiny threshold
+    PmTiles.write(path, tiles, PmTiles.TypeWebp, leafThreshold = 64)
+    val r = PmTiles.open(path)
+    try {
+      assert(r.header.leafLen > 0, "expected leaf directories")
+      // root holds only leaf pointers (runLength 0), ~sqrt(n) of them
+      assert(r.root.forall(_.runLength == 0))
+      assert(r.root.length >= 8 && r.root.length <= 32, s"${r.root.length} leaves")
+      assert(r.entries.length == 256)
+      // every tile resolves through root→leaf→payload
+      tiles.foreach { case (z, x, y, b) =>
+        assert(r.getTile(z, x, y).exists(java.util.Arrays.equals(_, b)), s"($x,$y)")
+      }
+      assert(r.getTile(3, 0, 0).isEmpty && r.getTile(5, 0, 0).isEmpty)
+    } finally r.close()
+    // distributed scan resolves the leaves too
+    val n = PmTiles.scanDf(spark, path).count()
+    assert(n == 256)
+  }
+
   test("malformed archives fail loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("pmtiles").toString
     val path = s"$tmp/m.pmtiles"
