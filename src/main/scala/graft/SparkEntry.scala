@@ -153,6 +153,7 @@ object SparkEntry {
     "q132_pmtiles_export"   -> (RaquetQueries.q132PmTilesExport _),
     "q133_upsert"           -> (RaquetQueries.q133Upsert _),
     "q134_vector_measures"  -> (RaquetQueries.q134VectorMeasures _),
+    "q135_geojson"          -> (RaquetQueries.q135Geojson _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -415,6 +416,8 @@ object SparkEntry {
     "q133_upsert"           -> RaquetOracles.q133,
     // q134: WKB bridge + planar measures vs hand-derived closed forms
     "q134_vector_measures"  -> RaquetOracles.q134,
+    // q135: GeoJSON bridge (incl. Feature + hole) vs hand-derived forms
+    "q135_geojson"          -> RaquetOracles.q135,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -173,6 +173,8 @@ object GraftFunctions {
   def st_centroid(wkt: Column): Column = col(StCentroid(ex(wkt)))
   def st_geom_from_wkb(bin: Column): Column = col(StGeomFromWkb(ex(bin)))
   def st_as_wkb(wkt: Column): Column = col(StAsWkb(ex(wkt)))
+  def st_geom_from_geojson(s: Column): Column = col(StGeomFromGeojson(ex(s)))
+  def st_as_geojson(wkt: Column): Column = col(StAsGeojson(ex(wkt)))
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
@@ -264,6 +266,8 @@ object GraftFunctions {
     r("st_centroid") { case Seq(w) => StCentroid(w) }
     r("st_geom_from_wkb") { case Seq(b) => StGeomFromWkb(b) }
     r("st_as_wkb") { case Seq(w) => StAsWkb(w) }
+    r("st_geom_from_geojson") { case Seq(s) => StGeomFromGeojson(s) }
+    r("st_as_geojson") { case Seq(w) => StAsGeojson(w) }
     r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
     r("mm_u8_pack") { case Seq(a) => MmU8Pack(a) }
     r("mm_webp_anim") { case Seq(f, w, h, c, d) =>

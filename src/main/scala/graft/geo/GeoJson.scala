@@ -1,0 +1,80 @@
+package graft.geo
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** GeoJSON (RFC 7946) for the engine's geometry model: Point, Polygon,
+  * MultiPolygon, plus unwrapping a single Feature. The third geometry
+  * interchange format next to [[Wkt]] and [[Wkb]] — zone tables commonly
+  * arrive as GeoJSON columns. FeatureCollections and other geometry types
+  * fail loudly (a collection is a table, not a geometry). */
+object GeoJson {
+
+  private val mapper = new ObjectMapper()
+
+  def parse(s: String): Geom = geom(mapper.readTree(s))
+
+  private def geom(root: JsonNode): Geom = {
+    require(root != null && root.isObject, "GeoJSON must be an object")
+    val t = Option(root.get("type")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException("GeoJSON without a type"))
+    t match {
+      case "Feature" =>
+        val g = root.get("geometry")
+        require(g != null && !g.isNull, "Feature without a geometry")
+        geom(g)
+      case "Point" =>
+        val c = coordsNode(root)
+        require(c.size() >= 2, "Point needs [x, y]")
+        PointGeom(c.get(0).asDouble(), c.get(1).asDouble())
+      case "Polygon" =>
+        PolygonGeom(rings(coordsNode(root)))
+      case "MultiPolygon" =>
+        val c = coordsNode(root)
+        require(c.isArray && c.size() >= 1, "MultiPolygon needs >= 1 polygon")
+        MultiPolygonGeom((0 until c.size()).map(k => PolygonGeom(rings(c.get(k)))).toArray)
+      case other => throw new IllegalArgumentException(
+        s"unsupported GeoJSON type '$other' (Point/Polygon/MultiPolygon/Feature)")
+    }
+  }
+
+  private def coordsNode(root: JsonNode): JsonNode = {
+    val c = root.get("coordinates")
+    require(c != null && c.isArray, "GeoJSON geometry without coordinates")
+    c
+  }
+
+  private def rings(c: JsonNode): Array[Array[Double]] = {
+    require(c.isArray && c.size() >= 1, "Polygon needs >= 1 ring")
+    (0 until c.size()).map { r =>
+      val ring = c.get(r)
+      require(ring.isArray && ring.size() >= 4,
+        s"ring needs >= 4 positions, got ${ring.size()}")
+      val out = new Array[Double](ring.size() * 2)
+      var i = 0
+      while (i < ring.size()) {
+        val p = ring.get(i)
+        require(p.isArray && p.size() >= 2, "position needs [x, y]")
+        out(2 * i) = p.get(0).asDouble()
+        out(2 * i + 1) = p.get(1).asDouble()
+        i += 1
+      }
+      out
+    }.toArray
+  }
+
+  /** RFC 7946 text for a [[Geom]] (inverse of [[parse]]). */
+  def format(g: Geom): String = g match {
+    case PointGeom(lon, lat) =>
+      s"""{"type":"Point","coordinates":[$lon,$lat]}"""
+    case p: PolygonGeom =>
+      s"""{"type":"Polygon","coordinates":${ringsJson(p)}}"""
+    case MultiPolygonGeom(polys) =>
+      polys.map(ringsJson).mkString(
+        """{"type":"MultiPolygon","coordinates":[""", ",", "]}")
+  }
+
+  private def ringsJson(p: PolygonGeom): String =
+    p.rings.map { r =>
+      r.grouped(2).map(xy => s"[${xy(0)},${xy(1)}]").mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+}

@@ -460,6 +460,18 @@ object RaquetOracles {
        SELECT CAST(id AS BIGINT) AS id, area, perimeter, cx, cy,
          true AS roundtrip FROM t"""
 
+  /** q135: hand-derived GeoJSON-bridge measures — rect, Feature-wrapped
+    * holed polygon (the (6,6) probe sits IN the hole → outside), two-rect
+    * multipolygon (centroid 100/12, 92/12), point. */
+  val q135: String =
+    """WITH t(id, area, perimeter, cx, cy, inside1, inside2) AS (VALUES
+         (1, 200.0, 60.0, 20.0, 15.0, true, false),
+         (2, 128.0, 64.0, 6.0, 6.0, true, false),
+         (3, 12.0, 20.0, round(100.0/12.0, 6), round(92.0/12.0, 6), true, false),
+         (4, 0.0, 0.0, 3.5, 4.25, true, false))
+       SELECT CAST(id AS BIGINT) AS id, area, perimeter, cx, cy,
+         inside1, inside2, true AS roundtrip FROM t"""
+
   /** q131: closed-form pixel sums per z=2 tile. Tile ids come from
     * [[graft.sources.PmTiles.tileId]], whose Hilbert mapping is pinned
     * independently in PmTilesSpec against the published spec vectors

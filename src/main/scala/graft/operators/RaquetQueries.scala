@@ -475,6 +475,37 @@ object RaquetQueries {
         (st_as_wkb(col("wkt")) === col("wkb")).as("roundtrip"))
   }
 
+  /** GeoJSON bridge (RFC 7946): zones arriving as GeoJSON — bare
+    * geometries, a Feature wrapper, a polygon with a hole — cross into the
+    * WKT surface, get measured and point-tested (the hole probe must read
+    * OUTSIDE), and round-trip through `st_as_geojson` to the same
+    * canonical WKT. Oracle: hand-derived closed forms. */
+  def q135Geojson(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Seq(
+      (1L, """{"type":"Polygon","coordinates":[[[10,10],[30,10],[30,20],[10,20],[10,10]]]}""",
+        15.0, 15.0, 5.0, 5.0),
+      (2L, """{"type":"Feature","properties":{"name":"z"},"geometry":
+              {"type":"Polygon","coordinates":[[[0,0],[12,0],[12,12],[0,12],[0,0]],
+               [[4,4],[8,4],[8,8],[4,8],[4,4]]]}}""",
+        2.0, 2.0, 6.0, 6.0),
+      (3L, """{"type":"MultiPolygon","coordinates":[
+               [[[0,0],[2,0],[2,2],[0,2],[0,0]]],
+               [[[10,10],[14,10],[14,12],[10,12],[10,10]]]]}""",
+        1.0, 1.0, 5.0, 5.0),
+      (4L, """{"type":"Point","coordinates":[3.5,4.25]}""", 3.5, 4.25, 0.0, 0.0))
+    import spark.implicits._
+    rows.toDF("id", "geojson", "px1", "py1", "px2", "py2")
+      .withColumn("wkt", st_geom_from_geojson(col("geojson")))
+      .select(col("id"),
+        round(st_area(col("wkt")), 6).as("area"),
+        round(st_perimeter(col("wkt")), 6).as("perimeter"),
+        round(st_centroid(col("wkt")).getField("x"), 6).as("cx"),
+        round(st_centroid(col("wkt")).getField("y"), 6).as("cy"),
+        st_contains(col("wkt"), col("px1"), col("py1")).as("inside1"),
+        st_contains(col("wkt"), col("px2"), col("py2")).as("inside2"),
+        (st_geom_from_geojson(st_as_geojson(col("wkt"))) === col("wkt")).as("roundtrip"))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

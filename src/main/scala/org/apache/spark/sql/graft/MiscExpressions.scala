@@ -252,6 +252,12 @@ object GeoBridge {
   def wkbToWkt(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(Wkb.toWkt(b))
   def wktToWkb(wkt: String): Array[Byte] = Wkb.write(RqBridge.geomOf(wkt))
+  def geojsonToWkt(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.geo.Wkt.format(graft.geo.GeoJson.parse(s)))
+  def wktToGeojson(wkt: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.geo.GeoJson.format(RqBridge.geomOf(wkt)))
 
   val B = "org.apache.spark.sql.graft.GeoBridge"
 }
@@ -308,6 +314,35 @@ case class StGeomFromWkb(child: Expression)
     GeoBridge.wkbToWkt(b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"${GeoBridge.B}.wkbToWkt($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_geom_from_geojson(string) → WKT: the RFC 7946 bridge (accepts bare
+  * geometries and single Features). */
+case class StGeomFromGeojson(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_geom_from_geojson"
+  override protected def nullSafeEval(s: Any): Any =
+    GeoBridge.geojsonToWkt(s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"${GeoBridge.B}.geojsonToWkt($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_as_geojson(wkt) → RFC 7946 text (the inverse bridge). */
+case class StAsGeojson(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_as_geojson"
+  override protected def nullSafeEval(s: Any): Any =
+    GeoBridge.wktToGeojson(s.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"${GeoBridge.B}.wktToGeojson($s.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
