@@ -61,6 +61,37 @@ class WkbSpec extends AnyFunSuite {
     assert(Measure.area(mp) == 2.0 && Measure.centroid(mp) == ((5.5, 0.5)))
   }
 
+  test("GeoJSON: parse/format round trips, Feature unwrap, hardening") {
+    import graft.geo.GeoJson
+    val wkts = Seq(
+      "POINT (2.5 -3.5)",
+      "POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 0, 11 0, 11 1, 10 1, 10 0)))")
+    wkts.foreach { w =>
+      val g = Wkt.parse(w)
+      assert(Wkb.write(GeoJson.parse(GeoJson.format(g))).toSeq ==
+        Wkb.write(g).toSeq, w)
+    }
+    val feat = """{"type":"Feature","properties":null,
+      "geometry":{"type":"Point","coordinates":[1,2]}}"""
+    assert(GeoJson.parse(feat) == PointGeom(1, 2))
+    // hardening: every malformed shape fails loudly
+    val bad = Seq(
+      "",
+      "42",
+      """{"coordinates":[[0,0]]}""",
+      """{"type":"FeatureCollection","features":[]}""",
+      """{"type":"LineString","coordinates":[[0,0],[1,1]]}""",
+      """{"type":"Polygon"}""",
+      """{"type":"Polygon","coordinates":[[[0,0],[1,0],[0,1]]]}""", // 3-pos ring
+      """{"type":"Point","coordinates":[1]}""",
+      """{"type":"Feature","geometry":null}""",
+      """{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0]]]}""") // bad position
+    bad.foreach { s =>
+      intercept[Exception](GeoJson.parse(s))
+    }
+  }
+
   test("malformed WKB fails loudly, never mis-parses") {
     val good = Wkb.write(Wkt.parse("POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))"))
     // truncations at every prefix
