@@ -154,6 +154,7 @@ object SparkEntry {
     "q133_upsert"           -> (RaquetQueries.q133Upsert _),
     "q134_vector_measures"  -> (RaquetQueries.q134VectorMeasures _),
     "q135_geojson"          -> (RaquetQueries.q135Geojson _),
+    "q136_stream_join"      -> (Relational.q136StreamJoin _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -418,6 +419,14 @@ object SparkEntry {
     "q134_vector_measures"  -> RaquetOracles.q134,
     // q135: GeoJSON bridge (incl. Feature + hole) vs hand-derived forms
     "q135_geojson"          -> RaquetOracles.q135,
+    // q136: streaming interval join ≡ the batch interval join
+    "q136_stream_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value, event_type FROM events)
+         SELECT p.user_id, p.us AS p_us, c.us AS c_us,
+           round(p.value, 2) AS p_value, round(c.value, 2) AS c_value
+         FROM e p JOIN e c ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.us BETWEEN p.us - 43200000000 AND p.us""",
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

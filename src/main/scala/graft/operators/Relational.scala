@@ -270,6 +270,51 @@ object Relational {
         "n_events", "total_value")
   }
 
+  /** §2.10 driver proof: stream-STREAM interval join
+    * ([[graft.streaming.StreamingTiles.intervalJoin]]) — purchases
+    * enriched with the same user's clicks from the preceding hour, both
+    * sides flowing through MemoryStreams with watermarks + the event-time
+    * bound that lets the symmetric hash join expire state. Checked against
+    * the identical batch interval join in DuckDB (epoch-micro keys keep
+    * the hash exact). The 12-hour window yields a dense pair set (~440
+    * rows at sf0.01), so a silently-empty join can't read as a pass. */
+  def q136StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Double, String)].collect()
+    val lIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingTiles.intervalJoin(
+      lIn.toDF().toDF("user_id", "ts", "value"),
+      rIn.toDF().toDF("r_user_id", "r_ts", "r_value"),
+      "user_id", "r_user_id", "ts", "r_ts",
+      windowMinutes = 720, watermarkDelay = "120 minutes")
+    val query = out.writeStream.format("memory").queryName("q136_pairs")
+      .outputMode("append").start()
+    try {
+      // feed in two slices per side to cross micro-batch boundaries
+      val (purch, clicks) = (
+        ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3)),
+        ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3)))
+      lIn.addData(purch.take(purch.length / 2).toIndexedSeq)
+      rIn.addData(clicks.take(clicks.length / 2).toIndexedSeq)
+      query.processAllAvailable()
+      lIn.addData(purch.drop(purch.length / 2).toIndexedSeq)
+      rIn.addData(clicks.drop(clicks.length / 2).toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q136_pairs")
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("p_us"),
+        unix_micros(col("r_ts")).as("c_us"),
+        round(col("value"), 2).as("p_value"),
+        round(col("r_value"), 2).as("c_value"))
+  }
+
   /** HLL distinct counts — the scale path flagged in q6's comment. Sketch
     * values are engine-specific, so the hashable output is the invariant:
     * exact counts plus booleans asserting the HLL estimate lands within its

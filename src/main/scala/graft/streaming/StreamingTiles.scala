@@ -29,6 +29,26 @@ object StreamingTiles {
   case class ClosedSession(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Long, total_value: Double)
 
+  /** §2.10: stream-STREAM interval join — each left event pairs with the
+    * right-stream events of the same key whose event time lies within
+    * [leftTs − windowMinutes, leftTs] (the enrichment join: purchases ←
+    * preceding clicks, requests ← preceding auth events). BOTH sides are
+    * watermarked and the join condition carries the event-time bound, so
+    * Spark's symmetric hash join can expire state: right rows older than
+    * watermark − window and left rows older than the watermark drop from
+    * the state store — state is O(key-rate × window), never O(stream).
+    * Column names must already be disjoint across the two sides. */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTs: String, rightTs: String,
+      windowMinutes: Int, watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+          $rightTs BETWEEN $leftTs - INTERVAL $windowMinutes MINUTES
+          AND $leftTs"""))
+  }
+
   /** Streaming gap-based sessionization via `flatMapGroupsWithState`
     * (custom state, the §2.10 path Spark reserves for semantics windows
     * can't express): one [[SessionState]] per user in the state store; a

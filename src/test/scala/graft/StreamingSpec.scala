@@ -107,6 +107,46 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("intervalJoin: pairs match the batch join and state expires with the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offset from epoch: a row AT the initial watermark (0) would be
+    // dropped as late by the join's pre-filter
+    def ts(min: Long) = new Timestamp(1577836800000L + min * 60000L)
+    val l = MemoryStream[(Long, Timestamp, Double)]
+    val r = MemoryStream[(Long, Timestamp, Double)]
+    val out = graft.streaming.StreamingTiles.intervalJoin(
+      l.toDF().toDF("k", "ts", "v"),
+      r.toDF().toDF("rk", "r_ts", "rv"),
+      "k", "rk", "ts", "r_ts", windowMinutes = 10, watermarkDelay = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("ij_pairs")
+      .outputMode("append").start()
+    try {
+      // key 1: right events at t=0..4, left probe at t=8 → pairs with all 5
+      // (window 10). key 2: right at t=0, left at t=20 → outside window.
+      r.addData((0L to 4L).map(m => (1L, ts(m), m.toDouble)) :+ ((2L, ts(0), 9.0)))
+      l.addData(Seq((1L, ts(8), 100.0), (2L, ts(20), 200.0)))
+      q.processAllAvailable()
+      val pairs = spark.table("ij_pairs")
+        .select($"k", $"v", $"rv").as[(Long, Double, Double)].collect().toSet
+      assert(pairs == (0 to 4).map(m => (1L, 100.0, m.toDouble)).toSet)
+      val stateAfterData = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterData >= 7, s"expected all rows in state, saw $stateAfterData")
+      // jump event time far ahead on both sides → watermark passes every
+      // earlier row + window → the symmetric hash join drops them
+      l.addData(Seq((99L, ts(100000), 0.0)))
+      r.addData(Seq((98L, ts(100000), 0.0)))
+      q.processAllAvailable()
+      l.addData(Seq((97L, ts(100001), 0.0)))
+      r.addData(Seq((96L, ts(100001), 0.0)))
+      q.processAllAvailable()
+      val stateAfterWm = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterWm < stateAfterData,
+        s"state did not shrink: $stateAfterData -> $stateAfterWm")
+      assert(stateAfterWm <= 4, s"only the far-future rows should remain, saw $stateAfterWm")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     val sqlCtx = spark.sqlContext
     import spark.implicits._
