@@ -42,6 +42,7 @@ object Cli {
       |  mosaic <a.parquet> <b.parquet> <out.parquet>
       |  tile-cache <in.parquet> <out_dir>
       |  pmtiles <in.parquet> <out.pmtiles>
+      |  compact <dataset_dir> [--max-rows N]
       |      [--target-size-mb 128]
       |""".stripMargin
 
@@ -171,6 +172,12 @@ object Cli {
       val Seq(in, out) = expect(pos, 2, "tile-cache <in.parquet> <out_dir>")
       val n = graft.sources.TileCache.export(spark, in, out)
       println(s"rendered $n tiles -> $out")
+    case "compact" =>
+      val (pos, opts) = parseArgs(args.tail, Set("max-rows"))
+      val Seq(dir) = expect(pos, 1, "compact <dataset_dir> [--max-rows N]")
+      val rep = graft.raquet.Maintenance.compact(spark, dir,
+        opts.get("max-rows").map(_.toLong).getOrElse(0L))
+      println(s"compacted ${rep.filesBefore} -> ${rep.filesAfter} files (${rep.rows} rows)")
     case "pmtiles" =>
       val (pos, _) = parseArgs(args.tail, Set.empty)
       val Seq(in, out) = expect(pos, 2, "pmtiles <in.parquet> <out.pmtiles>")

@@ -155,6 +155,7 @@ object SparkEntry {
     "q134_vector_measures"  -> (RaquetQueries.q134VectorMeasures _),
     "q135_geojson"          -> (RaquetQueries.q135Geojson _),
     "q136_stream_join"      -> (Relational.q136StreamJoin _),
+    "q137_compact"          -> (RaquetQueries.q137Compact _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -427,6 +428,8 @@ object SparkEntry {
          FROM e p JOIN e c ON p.user_id = c.user_id
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND c.us BETWEEN p.us - 43200000000 AND p.us""",
+    // q137 compacts the q133 dataset — content-identical, same oracle
+    "q137_compact"          -> RaquetOracles.q133,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

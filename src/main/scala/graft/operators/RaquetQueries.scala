@@ -506,6 +506,40 @@ object RaquetQueries {
         (st_geom_from_geojson(st_as_geojson(col("wkt"))) === col("wkt")).as("roundtrip"))
   }
 
+  /** M10 driver proof — compaction: the q133 upsert flow repeated (each
+    * upsert appends fresh part files, fragmenting the layout), then
+    * [[graft.raquet.Maintenance.compact]] rewrites into fewer sorted
+    * range-partitioned files. Content must be IDENTICAL to q133's (shared
+    * oracle); the file count must strictly shrink. */
+  def q137Compact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q137"
+    graft.raquet.RaquetIO.deleteTree(tmp)
+    val out = s"$tmp/ds"
+    val ds = RaquetIO.read(spark, Fixture)
+    RaquetIO.write(ds.data, ds.meta, out, maxRecordsPerFile = 16)
+    val c3931 = Quadbin.tileToCell(39, 31, 6)
+    val c3224 = Quadbin.tileToCell(32, 24, 6)
+    val c3325 = Quadbin.tileToCell(33, 25, 6)
+    val c4024 = Quadbin.tileToCell(40, 24, 6)
+    val d0 = RaquetIO.read(spark, out).data
+    graft.raquet.Maintenance.upsert(spark, out,
+      d0.filter(col("block") === c3931).withColumn("block", lit(c3224))
+        .unionByName(d0.filter(col("block") === c3325).withColumn("block", lit(c4024))))
+    // fragment further: re-replace the same tile (content unchanged)
+    val d1 = RaquetIO.read(spark, out).data
+    graft.raquet.Maintenance.upsert(spark, out,
+      d1.filter(col("block") === c3931).withColumn("block", lit(c3224)))
+    val rep = graft.raquet.Maintenance.compact(spark, out, maxRecordsPerFile = 64)
+    require(rep.filesAfter < rep.filesBefore,
+      s"compaction must shrink the layout: $rep")
+    require(rep.rows == 86, s"expected 86 data rows, got ${rep.rows}")
+    val d2 = RaquetIO.read(spark, out)
+    d2.data.filter(quadbin_zoom(col("block")) === 6)
+      .select(col("block"),
+        mm_u8_sum(rq_inflate(col("band_1"))).as("s1"))
+      .withColumn("meta_num_blocks", lit(d2.meta.numBlocks))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

@@ -159,6 +159,46 @@ object Maintenance {
   final case class UpsertReport(filesTotal: Int, filesRewritten: Int,
       rowsReplaced: Long, rowsInserted: Long)
 
+  final case class CompactReport(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** M10: compaction — after repeated [[upsert]]s fragment a dataset into
+    * many small part files, rewrite the data rows into a fresh Morton-
+    * sorted range-partitioned layout (`maxRecordsPerFile` rows per file)
+    * and drop the old files. Content-preserving by construction: the same
+    * rows, the same metadata (refreshed into a single metadata file). The
+    * swap is write-new-then-delete-old, so a concurrent reader sees a
+    * superset, never a hole. */
+  def compact(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 0): CompactReport = {
+    val meta = RaquetIO.readMetadata(spark, dir)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val data = spark.read.parquet(dir).filter(col("block") =!= 0L)
+    val schema = data.schema
+    val rows = data.count()
+    val tmp = dir + "/.compact-tmp"
+    val sortCols = if (schema.fieldNames.contains("time_cf"))
+      Seq(col("block"), col("time_cf")) else Seq(col("block"))
+    var w = data.orderBy(sortCols: _*).write.mode("overwrite")
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    w.parquet(tmp)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    var k = 0
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        java.nio.file.Files.move(p,
+          java.nio.file.Paths.get(dir, s"part-compact-$stamp-$k.parquet"))
+        k += 1
+      }
+    }
+    RaquetIO.deleteRecursivelyPublic(java.nio.file.Paths.get(tmp))
+    RaquetIO.writeMetadataFile(spark, schema, meta, dir, s"metadata-$stamp")
+    before.foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    CompactReport(before.length, k + 1, rows)
+  }
+
   /** M9: tile UPSERT into a directory dataset — replace-by-key (`block`,
     * plus `time_cf` when the dataset is a time series) with inserts for
     * unseen keys, rewriting ONLY the part files whose block range overlaps
