@@ -156,6 +156,7 @@ object SparkEntry {
     "q135_geojson"          -> (RaquetQueries.q135Geojson _),
     "q136_stream_join"      -> (Relational.q136StreamJoin _),
     "q137_compact"          -> (RaquetQueries.q137Compact _),
+    "q138_mvt_tiles"        -> (RaquetQueries.q138MvtTiles _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -430,6 +431,8 @@ object SparkEntry {
           AND c.us BETWEEN p.us - 43200000000 AND p.us""",
     // q137 compacts the q133 dataset — content-identical, same oracle
     "q137_compact"          -> RaquetOracles.q133,
+    // q138: MVT render+decode vs the closed-form clip arithmetic
+    "q138_mvt_tiles"        -> RaquetOracles.q138,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

@@ -447,6 +447,39 @@ object RaquetOracles {
         FROM px GROUP BY block"""
   }
 
+  /** q138: the MVT clip arithmetic in closed form — fraction-unit rect ∩
+    * tile boxes (64 units per z=2 tile), scaled ×64 into extent-4096 tile
+    * coordinates; the point feature lands at exact multiples of 64. */
+  val q138: String = {
+    val bmap = (for (y <- 0L until 4L; x <- 0L until 4L)
+      yield s"($x, $y, ${Quadbin.tileToCell(x, y, 2)})").mkString(", ")
+    val ptBlock = Quadbin.tileToCell(3, 1, 2)
+    s"""WITH bm(x, y, block) AS (VALUES $bmap),
+        zp(zid, kw, ke, mn, mx) AS (VALUES (1, 70, 90, 80, 100),
+                                           (2, 60, 130, 60, 130)),
+        c AS (SELECT zid, bm.x, bm.y, bm.block,
+            greatest(kw, bm.x*64) AS cw, least(ke, (bm.x+1)*64) AS ce,
+            greatest(mn, bm.y*64) AS cs, least(mx, (bm.y+1)*64) AS cn
+          FROM zp, bm
+          WHERE greatest(kw, bm.x*64) < least(ke, (bm.x+1)*64)
+            AND greatest(mn, bm.y*64) < least(mx, (bm.y+1)*64)),
+        poly AS (SELECT block, CAST(zid AS BIGINT) AS zid,
+            CAST(4 AS BIGINT) AS n_vertices,
+            CAST((cw - x*64)*64 AS BIGINT) AS min_px,
+            CAST((ce - x*64)*64 AS BIGINT) AS max_px,
+            CAST((cs - y*64)*64 AS BIGINT) AS min_py,
+            CAST((cn - y*64)*64 AS BIGINT) AS max_py,
+            CAST(((cw - x*64) + (ce - x*64))*2*64 AS BIGINT) AS sum_px,
+            CAST(((cs - y*64) + (cn - y*64))*2*64 AS BIGINT) AS sum_py
+          FROM c),
+        pt AS (SELECT CAST($ptBlock AS BIGINT) AS block, CAST(3 AS BIGINT) AS zid,
+            CAST(1 AS BIGINT) AS n_vertices,
+            CAST(576 AS BIGINT) AS min_px, CAST(576 AS BIGINT) AS max_px,
+            CAST(832 AS BIGINT) AS min_py, CAST(832 AS BIGINT) AS max_py,
+            CAST(576 AS BIGINT) AS sum_px, CAST(832 AS BIGINT) AS sum_py)
+        SELECT * FROM poly UNION ALL SELECT * FROM pt"""
+  }
+
   /** q134: hand-derived planar measures — rectangle, rectangle-with-hole
     * (centroid = hole-weighted 960/112), 3-4-5 triangle, two-square
     * multipolygon, point. The WKB round trip must be byte-identical. */

@@ -540,6 +540,39 @@ object RaquetQueries {
       .withColumn("meta_num_blocks", lit(d2.meta.numBlocks))
   }
 
+  /** Vector-tile publish (MVT 2.1): a zone table renders to per-tile MVT
+    * blobs at z=2 — polyfill blocking, Sutherland–Hodgman clip per tile,
+    * spec command-stream encoding — then decodes back to per-feature
+    * vertex stats. Zone corners sit on 1/256 mercator fractions, so every
+    * projected tile coordinate is an EXACT multiple of 64 (no rounding
+    * ambiguity) and the oracle re-derives the clip arithmetic in closed
+    * form. */
+  def q138MvtTiles(spark: SparkSession, dir: String): DataFrame = {
+    def lon(k: Int) = k / 256.0 * 360.0 - 180.0
+    def lat(m: Int) = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * m / 256.0))))
+    def rect(kw: Int, ke: Int, mn: Int, mx: Int) =
+      s"POLYGON ((${lon(kw)} ${lat(mn)}, ${lon(ke)} ${lat(mn)}, " +
+        s"${lon(ke)} ${lat(mx)}, ${lon(kw)} ${lat(mx)}, ${lon(kw)} ${lat(mn)}))"
+    import spark.implicits._
+    val zones = Seq(
+      (1L, rect(70, 90, 80, 100)),           // interior of tile (1,1)
+      (2L, rect(60, 130, 60, 130)),          // spans a 3×3 tile block
+      (3L, s"POINT (${lon(201)} ${lat(77)})") // a point feature in (3,1)
+    ).toDF("zone_id", "wkt")
+    graft.sources.Mvt.tiles(spark, zones, zoom = 2)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (block, bytes) =>
+        graft.sources.Mvt.decodeTile(bytes).flatMap(_.features.map { f =>
+          val vs = f.rings.flatMap(_.grouped(2).toSeq)
+          val xs = vs.map(_(0)); val ys = vs.map(_(1))
+          (block, f.attrs.head._2, xs.length.toLong, xs.min, xs.max,
+            ys.min, ys.max, xs.sum, ys.sum)
+        })
+      }
+      .toDF("block", "zid", "n_vertices", "min_px", "max_px",
+        "min_py", "max_py", "sum_px", "sum_py")
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

@@ -1,0 +1,403 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geo.{BBox, Geom, MultiPolygonGeom, PointGeom, PolygonGeom, Wkt}
+import graft.quadbin.Quadbin
+
+/** Mapbox Vector Tiles (MVT 2.1, the public protobuf spec) — the VECTOR
+  * publish path next to the raster PNG pipeline: zone/feature tables render
+  * to per-tile MVT blobs (what a PMTiles type-1 archive or a vector tile
+  * server delivers). Hand-rolled protobuf wire format (varint / zigzag /
+  * length-delimited), geometry command stream per spec §4.3, and a
+  * Sutherland–Hodgman clip to the tile box.
+  *
+  * Scale shape: zones polyfill to covering tiles (the same blocking as
+  * rasterize), one hash aggregate groups features per tile, and encoding is
+  * a per-tile kernel after the aggregate — blobs are created, never
+  * shuffled.
+  */
+object Mvt {
+
+  // ---- protobuf wire helpers -------------------------------------------
+
+  private final class PbWriter {
+    val bos = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { bos.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      bos.write(v.toInt)
+    }
+    def key(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def bytes(field: Int, b: Array[Byte]): Unit = {
+      key(field, 2); varint(b.length.toLong); bos.write(b)
+    }
+    def str(field: Int, s: String): Unit =
+      bytes(field, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def uint(field: Int, v: Long): Unit = { key(field, 0); varint(v) }
+    def packed(field: Int, vs: Seq[Long]): Unit = {
+      val w = new PbWriter
+      vs.foreach(w.varint)
+      bytes(field, w.toBytes)
+    }
+    def toBytes: Array[Byte] = bos.toByteArray
+  }
+
+  private final class PbReader(b: Array[Byte], from: Int, to: Int) {
+    var pos = from
+    def hasNext: Boolean = pos < to
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while (true) {
+        require(pos < to, "truncated MVT varint")
+        require(shift < 64, "overlong MVT varint")
+        val x = b(pos); pos += 1
+        v |= (x & 0x7FL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    /** (field, wireType); positions after the key. */
+    def key(): (Int, Int) = {
+      val k = varint()
+      ((k >>> 3).toInt, (k & 7).toInt)
+    }
+    def lenDelim(): (Int, Int) = {
+      val n = varint()
+      require(n >= 0 && pos + n <= to, s"MVT length $n exceeds message")
+      val r = (pos, pos + n.toInt)
+      pos += n.toInt
+      r
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 2 => lenDelim()
+      case 5 => require(pos + 4 <= to, "truncated fixed32"); pos += 4
+      case 1 => require(pos + 8 <= to, "truncated fixed64"); pos += 8
+      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+    }
+  }
+
+  def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1)
+
+  // ---- model ------------------------------------------------------------
+
+  /** Geometry in integer TILE coordinates: rings of (x, y) pairs for
+    * polygons (no closing duplicate; ClosePath carries it), single pair
+    * for points. */
+  final case class MvtFeature(id: Long, geomType: Int,
+      attrs: Seq[(String, Long)], rings: Seq[Array[Long]])
+
+  final case class MvtLayer(name: String, extent: Int, features: Seq[MvtFeature])
+
+  val TypePoint = 1
+  val TypePolygon = 3
+
+  // ---- geometry commands (spec §4.3) ------------------------------------
+
+  def encodeGeometry(geomType: Int,
+      rings: Seq[Array[Long]]): Seq[Long] = {
+    val out = Seq.newBuilder[Long]
+    var cx = 0L; var cy = 0L
+    rings.foreach { r =>
+      val n = r.length / 2
+      require(n >= 1, "empty ring")
+      out += (1L | (1L << 3)) // MoveTo, count 1
+      out += zigzag(r(0) - cx); out += zigzag(r(1) - cy)
+      cx = r(0); cy = r(1)
+      if (geomType == TypePolygon) {
+        require(n >= 3, s"polygon ring needs >= 3 points, got $n")
+        out += (2L | ((n - 1).toLong << 3)) // LineTo, count n-1
+        var i = 1
+        while (i < n) {
+          out += zigzag(r(2 * i) - cx); out += zigzag(r(2 * i + 1) - cy)
+          cx = r(2 * i); cy = r(2 * i + 1)
+          i += 1
+        }
+        out += 7L | (1L << 3) // ClosePath
+      }
+    }
+    out.result()
+  }
+
+  def decodeGeometry(cmds: Seq[Long]): Seq[Array[Long]] = {
+    val rings = Seq.newBuilder[Array[Long]]
+    var cur = Vector.newBuilder[Long]
+    var open = false
+    var cx = 0L; var cy = 0L
+    var i = 0
+    def flush(): Unit = { if (open) rings += cur.result().toArray; cur = Vector.newBuilder; open = false }
+    while (i < cmds.length) {
+      val cmd = cmds(i); i += 1
+      val id = cmd & 7
+      val count = cmd >>> 3
+      id match {
+        case 1 => // MoveTo starts a new ring/point sequence
+          var k = 0L
+          while (k < count) {
+            flush()
+            cx += unzigzag(cmds(i)); cy += unzigzag(cmds(i + 1)); i += 2
+            cur += cx; cur += cy; open = true
+            k += 1
+          }
+        case 2 =>
+          require(open, "LineTo before MoveTo")
+          var k = 0L
+          while (k < count) {
+            cx += unzigzag(cmds(i)); cy += unzigzag(cmds(i + 1)); i += 2
+            cur += cx; cur += cy
+            k += 1
+          }
+        case 7 => flush()
+        case other => throw new IllegalArgumentException(s"unknown MVT command $other")
+      }
+    }
+    flush()
+    rings.result()
+  }
+
+  // ---- tile encode / decode ---------------------------------------------
+
+  def encodeTile(layers: Seq[MvtLayer]): Array[Byte] = {
+    val tile = new PbWriter
+    layers.foreach { layer =>
+      val keys = layer.features.flatMap(_.attrs.map(_._1)).distinct
+      val values = layer.features.flatMap(_.attrs.map(_._2)).distinct
+      val lw = new PbWriter
+      lw.uint(15, 2) // version
+      lw.str(1, layer.name)
+      layer.features.foreach { f =>
+        val fw = new PbWriter
+        fw.uint(1, f.id)
+        fw.packed(2, f.attrs.flatMap { case (k, v) =>
+          Seq(keys.indexOf(k).toLong, values.indexOf(v).toLong) })
+        fw.uint(3, f.geomType.toLong)
+        fw.packed(4, encodeGeometry(f.geomType, f.rings))
+        lw.bytes(2, fw.toBytes)
+      }
+      keys.foreach(lw.str(3, _))
+      values.foreach { v =>
+        val vw = new PbWriter
+        vw.key(4, 0); vw.varint(v) // int_value
+        lw.bytes(4, vw.toBytes)
+      }
+      lw.uint(5, layer.extent.toLong)
+      tile.bytes(3, lw.toBytes)
+    }
+    tile.toBytes
+  }
+
+  def decodeTile(bytes: Array[Byte]): Seq[MvtLayer] = {
+    val r = new PbReader(bytes, 0, bytes.length)
+    val layers = Seq.newBuilder[MvtLayer]
+    while (r.hasNext) {
+      val (f, w) = r.key()
+      if (f == 3 && w == 2) {
+        val (a, b) = r.lenDelim()
+        layers += decodeLayer(bytes, a, b)
+      } else r.skip(w)
+    }
+    layers.result()
+  }
+
+  private def decodeLayer(bytes: Array[Byte], from: Int, to: Int): MvtLayer = {
+    val r = new PbReader(bytes, from, to)
+    var name = ""; var extent = 4096
+    val keys = Seq.newBuilder[String]
+    val values = Seq.newBuilder[Long]
+    val rawFeatures = Seq.newBuilder[(Int, Int)]
+    var version = -1L
+    while (r.hasNext) {
+      val (f, w) = r.key()
+      f match {
+        case 15 => version = r.varint()
+        case 1 => val (a, b) = r.lenDelim()
+          name = new String(bytes, a, b - a, java.nio.charset.StandardCharsets.UTF_8)
+        case 2 => rawFeatures += r.lenDelim()
+        case 3 => val (a, b) = r.lenDelim()
+          keys += new String(bytes, a, b - a, java.nio.charset.StandardCharsets.UTF_8)
+        case 4 =>
+          val (a, b) = r.lenDelim()
+          val vr = new PbReader(bytes, a, b)
+          var v = 0L
+          while (vr.hasNext) {
+            val (vf, vw) = vr.key()
+            if (vw == 0 && (vf == 4 || vf == 5)) v = vr.varint()
+            else if (vw == 0 && vf == 6) v = unzigzag(vr.varint())
+            else vr.skip(vw)
+          }
+          values += v
+        case 5 => extent = r.varint().toInt
+        case _ => r.skip(w)
+      }
+    }
+    require(version == 2, s"unsupported MVT layer version $version")
+    val ks = keys.result(); val vs = values.result()
+    val feats = rawFeatures.result().map { case (a, b) =>
+      val fr = new PbReader(bytes, a, b)
+      var id = 0L; var gt = 0
+      var tags = Seq.empty[Long]; var cmds = Seq.empty[Long]
+      while (fr.hasNext) {
+        val (f, w) = fr.key()
+        f match {
+          case 1 => id = fr.varint()
+          case 3 => gt = fr.varint().toInt
+          case 2 =>
+            val (ta, tb) = fr.lenDelim()
+            val tr = new PbReader(bytes, ta, tb)
+            val out = Seq.newBuilder[Long]
+            while (tr.hasNext) out += tr.varint()
+            tags = out.result()
+          case 4 =>
+            val (ga, gb) = fr.lenDelim()
+            val gr = new PbReader(bytes, ga, gb)
+            val out = Seq.newBuilder[Long]
+            while (gr.hasNext) out += gr.varint()
+            cmds = out.result()
+          case _ => fr.skip(w)
+        }
+      }
+      val attrs = tags.grouped(2).map { p =>
+        require(p.length == 2 && p(0) < ks.length && p(1) < vs.length,
+          "malformed MVT tag pair")
+        (ks(p(0).toInt), vs(p(1).toInt))
+      }.toSeq
+      MvtFeature(id, gt, attrs, decodeGeometry(cmds))
+    }
+    MvtLayer(name, extent, feats)
+  }
+
+  // ---- clip + project ---------------------------------------------------
+
+  /** Sutherland–Hodgman: clip one ring (closed, no dup end point, doubles)
+    * to an axis-aligned box. Returns the clipped ring, possibly empty. */
+  def clipRing(r: Array[Double], box: BBox): Array[Double] = {
+    var pts = r.grouped(2).map(p => (p(0), p(1))).toVector
+    def clipEdge(inside: ((Double, Double)) => Boolean,
+        cross: ((Double, Double), (Double, Double)) => (Double, Double)): Unit = {
+      if (pts.isEmpty) return
+      val out = Vector.newBuilder[(Double, Double)]
+      var prev = pts.last
+      pts.foreach { cur =>
+        val pi = inside(prev); val ci = inside(cur)
+        if (ci) {
+          if (!pi) out += cross(prev, cur)
+          out += cur
+        } else if (pi) out += cross(prev, cur)
+        prev = cur
+      }
+      pts = out.result()
+    }
+    def xAt(a: (Double, Double), b: (Double, Double), x: Double) =
+      (x, a._2 + (b._2 - a._2) * (x - a._1) / (b._1 - a._1))
+    def yAt(a: (Double, Double), b: (Double, Double), y: Double) =
+      (a._1 + (b._1 - a._1) * (y - a._2) / (b._2 - a._2), y)
+    clipEdge(_._1 >= box.west, (a, b) => xAt(a, b, box.west))
+    clipEdge(_._1 <= box.east, (a, b) => xAt(a, b, box.east))
+    clipEdge(_._2 >= box.south, (a, b) => yAt(a, b, box.south))
+    clipEdge(_._2 <= box.north, (a, b) => yAt(a, b, box.north))
+    pts.flatMap(p => Seq(p._1, p._2)).toArray
+  }
+
+  /** Web-mercator fraction coords of a lon/lat point (x right, y DOWN —
+    * the tile-space orientation MVT uses). */
+  private def mercFrac(lon: Double, lat: Double): (Double, Double) = {
+    val fx = (lon + 180.0) / 360.0
+    val rad = math.toRadians(lat)
+    val fy = (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.Pi) / 2.0
+    (fx, fy)
+  }
+
+  /** Project + clip one geometry into a tile's integer coordinate space.
+    * Returns polygon rings in tile units (may be empty if disjoint). */
+  def projectToTile(g: Geom, z: Int, tx: Long, ty: Long,
+      extent: Int): Seq[Array[Long]] = {
+    val scale = (1L << z).toDouble * extent
+    def toTile(lon: Double, lat: Double): (Double, Double) = {
+      val (fx, fy) = mercFrac(lon, lat)
+      (fx * scale - tx * extent, fy * scale - ty * extent)
+    }
+    val box = BBox(0, 0, extent.toDouble, extent.toDouble)
+    def rings(p: PolygonGeom): Seq[Array[Long]] =
+      p.rings.toSeq.flatMap { r =>
+        val proj = new Array[Double](r.length)
+        var i = 0
+        while (i < r.length) {
+          val (px, py) = toTile(r(i), r(i + 1))
+          proj(i) = px; proj(i + 1) = py
+          i += 2
+        }
+        // drop the closing duplicate before clipping if present
+        val open =
+          if (proj.length >= 4 && proj(0) == proj(proj.length - 2) &&
+            proj(1) == proj(proj.length - 1)) proj.dropRight(2)
+          else proj
+        val clipped = clipRing(open, box)
+        if (clipped.length < 6) None
+        else Some(clipped.grouped(2).map(p0 =>
+          Array(math.round(p0(0)), math.round(p0(1)))).flatten.toArray)
+      }
+    g match {
+      case p: PointGeom =>
+        val (px, py) = toTile(p.lon, p.lat)
+        if (px < 0 || px > extent || py < 0 || py > extent) Seq.empty
+        else Seq(Array(math.round(px), math.round(py)))
+      case p: PolygonGeom => rings(p)
+      case MultiPolygonGeom(polys) => polys.toSeq.flatMap(rings)
+    }
+  }
+
+  // ---- Spark operator ----------------------------------------------------
+
+  /** Publish a zone table as a PMTiles type-1 (MVT) archive: the [[tiles]]
+    * render (distributed), assembled into one gzip'd-tile archive — the
+    * full vector-tile serving path (what protomaps basemaps ship as). */
+  def toPmTiles(spark: SparkSession, zones: DataFrame, zoom: Int,
+      path: String, extent: Int = 4096, layerName: String = "zones"): Long = {
+    val rendered = tiles(spark, zones, zoom, extent, layerName)
+      .collect().map { r =>
+        val block = r.getLong(0)
+        (Quadbin.zoom(block), Quadbin.tileX(block), Quadbin.tileY(block),
+          r.getAs[Array[Byte]](1))
+      }
+    PmTiles.write(path, rendered.toSeq, PmTiles.TypeMvt,
+      tileComp = PmTiles.CompGzip)
+    rendered.length.toLong
+  }
+
+  /** Render a zone table (zone_id, wkt) into per-tile MVT blobs at `zoom`:
+    * zones polyfill to their covering tiles (blocking — each zone touches
+    * only its tiles), one hash aggregate groups (zone, wkt) per tile, and
+    * the encode kernel runs per tile after the aggregate. Output:
+    * (block, mvt). */
+  def tiles(spark: SparkSession, zones: DataFrame, zoom: Int,
+      extent: Int = 4096, layerName: String = "zones"): DataFrame = {
+    import graft.functions.GraftFunctions.st_polyfill_col
+    val perTile = zones
+      .withColumn("block", explode(st_polyfill_col(col("wkt"), lit(zoom))))
+      .groupBy("block")
+      .agg(collect_list(struct(col("zone_id"), col("wkt"))).as("zs"))
+    val enc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.BINARY)
+    perTile.map { row =>
+      val block = row.getLong(0)
+      val z = Quadbin.zoom(block)
+      val tx = Quadbin.tileX(block)
+      val ty = Quadbin.tileY(block)
+      val feats = row.getSeq[Row](1).sortBy(_.getLong(0)).flatMap { zr =>
+        val zid = zr.getLong(0)
+        val g = Wkt.parse(zr.getString(1))
+        val rings = projectToTile(g, z, tx, ty, extent)
+        if (rings.isEmpty) None
+        else Some(MvtFeature(zid,
+          if (g.isInstanceOf[PointGeom]) TypePoint else TypePolygon,
+          Seq("zid" -> zid), rings))
+      }
+      (block, encodeTile(Seq(MvtLayer(layerName, extent, feats))))
+    }(enc).toDF("block", "mvt")
+  }
+}

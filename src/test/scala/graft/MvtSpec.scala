@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.geo.{BBox, Wkt}
+import graft.sources.Mvt
+
+/** MVT 2.1 proofs: geometry command streams pinned to the spec's own
+  * worked examples, tile round trips through the hand-rolled protobuf,
+  * clipping, dyadic projection exactness, and malformed-input hardening. */
+class MvtSpec extends SparkSpec {
+
+  test("geometry commands match the spec's worked examples") {
+    // spec §4.3.5.1: Point(25,17) → [9, 50, 34]
+    assert(Mvt.encodeGeometry(Mvt.TypePoint, Seq(Array(25L, 17L))) ==
+      Seq(9L, 50L, 34L))
+    // spec §4.3.5.3: Polygon (3,6)-(8,12)-(20,34) → [9,6,12, 18,10,12,24,44, 15]
+    assert(Mvt.encodeGeometry(Mvt.TypePolygon,
+      Seq(Array(3L, 6L, 8L, 12L, 20L, 34L))) ==
+      Seq(9L, 6L, 12L, 18L, 10L, 12L, 24L, 44L, 15L))
+    // decode inverts
+    assert(Mvt.decodeGeometry(Seq(9L, 6L, 12L, 18L, 10L, 12L, 24L, 44L, 15L))
+      .map(_.toSeq) == Seq(Seq(3L, 6L, 8L, 12L, 20L, 34L)))
+    // a foreign encoder's multipoint (MoveTo count 2) decodes too:
+    // spec §4.3.5.2: [17, 10, 14, 3, 9] = points (5,7), (3,2)
+    assert(Mvt.decodeGeometry(Seq(17L, 10L, 14L, 3L, 9L)).map(_.toSeq) ==
+      Seq(Seq(5L, 7L), Seq(3L, 2L)))
+  }
+
+  test("tile encode → decode round trip with layers, attrs, extent") {
+    val f1 = Mvt.MvtFeature(7, Mvt.TypePolygon, Seq("zid" -> 7L),
+      Seq(Array(0L, 0L, 100L, 0L, 100L, 80L, 0L, 80L)))
+    val f2 = Mvt.MvtFeature(9, Mvt.TypePoint, Seq("zid" -> 9L),
+      Seq(Array(25L, 17L)))
+    val layers = Seq(
+      Mvt.MvtLayer("zones", 4096, Seq(f1, f2)),
+      Mvt.MvtLayer("labels", 256, Seq(f2)))
+    val got = Mvt.decodeTile(Mvt.encodeTile(layers))
+    assert(got.map(_.name) == Seq("zones", "labels"))
+    assert(got.head.extent == 4096 && got(1).extent == 256)
+    assert(got.head.features.map(f => (f.id, f.geomType, f.attrs)) ==
+      Seq((7L, 3, Seq("zid" -> 7L)), (9L, 1, Seq("zid" -> 9L))))
+    assert(got.head.features.head.rings.head.toSeq ==
+      Seq(0L, 0L, 100L, 0L, 100L, 80L, 0L, 80L))
+  }
+
+  test("Sutherland–Hodgman clip: containment, rect overlap, corner cut, disjoint") {
+    val box = BBox(0, 0, 10, 10)
+    // fully inside → unchanged
+    assert(Mvt.clipRing(Array(1, 1, 4, 1, 4, 4, 1, 4), box).toSeq ==
+      Seq(1.0, 1.0, 4.0, 1.0, 4.0, 4.0, 1.0, 4.0))
+    // rect overlapping the east edge → clipped at x=10
+    val r = Mvt.clipRing(Array(5, 2, 15, 2, 15, 8, 5, 8), box)
+    assert(r.grouped(2).map(_.toSeq).toSet ==
+      Set(Seq(5.0, 2.0), Seq(10.0, 2.0), Seq(10.0, 8.0), Seq(5.0, 8.0)))
+    // triangle cutting a corner → a new vertex at each crossing
+    val t = Mvt.clipRing(Array(8, 8, 16, 8, 8, 16), box)
+    assert(t.length >= 6 && t.grouped(2).forall(p =>
+      p(0) >= 0 && p(0) <= 10 && p(1) >= 0 && p(1) <= 10))
+    // disjoint → empty
+    assert(Mvt.clipRing(Array(20, 20, 30, 20, 30, 30, 20, 30), box).isEmpty)
+  }
+
+  test("dyadic zones project to exact integer tile coordinates") {
+    // zone corners at k/256 of the mercator square → tile coords k*64 at
+    // z=2/extent 4096: no rounding ambiguity anywhere
+    def lon(k: Int) = k / 256.0 * 360.0 - 180.0
+    def lat(m: Int) = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * m / 256.0))))
+    val wkt = s"POLYGON ((${lon(70)} ${lat(80)}, ${lon(90)} ${lat(80)}, " +
+      s"${lon(90)} ${lat(100)}, ${lon(70)} ${lat(100)}, ${lon(70)} ${lat(80)}))"
+    val g = Wkt.parse(wkt)
+    // tile (1,1) at z=2 covers fractions [64/256, 128/256)²
+    val rings = Mvt.projectToTile(g, 2, 1, 1, 4096)
+    assert(rings.length == 1)
+    assert(rings.head.grouped(2).map(_.toSeq).toSet ==
+      Set(Seq((70 - 64) * 64L, (80 - 64) * 64L), Seq((90 - 64) * 64L, (80 - 64) * 64L),
+        Seq((90 - 64) * 64L, (100 - 64) * 64L), Seq((70 - 64) * 64L, (100 - 64) * 64L)))
+    // the same zone against a disjoint tile → nothing
+    assert(Mvt.projectToTile(g, 2, 3, 3, 4096).isEmpty)
+  }
+
+  test("zone table → PMTiles type-1 archive → decoded features round trip") {
+    import spark.implicits._
+    def lon(k: Int) = k / 256.0 * 360.0 - 180.0
+    def lat(m: Int) = math.toDegrees(math.atan(math.sinh(math.Pi * (1 - 2 * m / 256.0))))
+    val zones = Seq(
+      (1L, s"POLYGON ((${lon(70)} ${lat(80)}, ${lon(90)} ${lat(80)}, " +
+        s"${lon(90)} ${lat(100)}, ${lon(70)} ${lat(100)}, ${lon(70)} ${lat(80)}))"))
+      .toDF("zone_id", "wkt")
+    val tmp = java.nio.file.Files.createTempDirectory("mvt").toString
+    val path = s"$tmp/zones.pmtiles"
+    val n = Mvt.toPmTiles(spark, zones, zoom = 2, path)
+    assert(n == 1)
+    val r = graft.sources.PmTiles.open(path)
+    try {
+      assert(r.header.tileType == graft.sources.PmTiles.TypeMvt)
+      val tile = r.getTile(2, 1, 1).get // gunzipped by the reader
+      val layers = Mvt.decodeTile(tile)
+      assert(layers.map(_.name) == Seq("zones"))
+      val f = layers.head.features.head
+      assert(f.attrs == Seq("zid" -> 1L))
+      assert(f.rings.head.grouped(2).map(_.toSeq).toSet ==
+        Set(Seq(384L, 1024L), Seq(1664L, 1024L), Seq(1664L, 2304L), Seq(384L, 2304L)))
+    } finally r.close()
+  }
+
+  test("malformed tiles fail loudly") {
+    val good = Mvt.encodeTile(Seq(Mvt.MvtLayer("l", 4096, Seq(
+      Mvt.MvtFeature(1, Mvt.TypePolygon, Seq("k" -> 1L),
+        Seq(Array(0L, 0L, 10L, 0L, 10L, 10L)))))))
+    for (cut <- 1 until good.length)
+      intercept[Exception](Mvt.decodeTile(good.slice(0, cut)).foreach(_.features))
+    // unknown geometry command id
+    intercept[IllegalArgumentException](Mvt.decodeGeometry(Seq(3L | (1L << 3))))
+    // LineTo before MoveTo
+    intercept[IllegalArgumentException](Mvt.decodeGeometry(Seq(18L, 2L, 2L)))
+    // layer version != 2
+    val v1 = good.clone()
+    // find the version varint (key 0x78 = field 15 wire 0, value 2) and flip it
+    val idx = v1.indexOfSlice(Seq[Byte](0x78, 2))
+    assert(idx > 0)
+    v1(idx + 1) = 1
+    intercept[IllegalArgumentException](Mvt.decodeTile(v1))
+  }
+}
