@@ -43,6 +43,7 @@ object Cli {
       |  tile-cache <in.parquet> <out_dir>
       |  pmtiles <in.parquet> <out.pmtiles>
       |  compact <dataset_dir> [--max-rows N]
+      |  mvt <zones.parquet> <out.pmtiles> [--zoom N] [--extent N] [--layer name]
       |      [--target-size-mb 128]
       |""".stripMargin
 
@@ -172,8 +173,18 @@ object Cli {
       val Seq(in, out) = expect(pos, 2, "tile-cache <in.parquet> <out_dir>")
       val n = graft.sources.TileCache.export(spark, in, out)
       println(s"rendered $n tiles -> $out")
+    case "mvt" =>
+      val (pos, opts) = parseArgs(args.tail, Set.empty)
+      val Seq(in, out) = expect(pos, 2,
+        "mvt <zones.parquet> <out.pmtiles> [--zoom N] [--extent N] [--layer name]")
+      val zones = spark.read.parquet(in)
+      val n = graft.sources.Mvt.toPmTiles(spark, zones,
+        opts.get("zoom").map(_.toInt).getOrElse(8), out,
+        opts.get("extent").map(_.toInt).getOrElse(4096),
+        opts.getOrElse("layer", "zones"))
+      println(s"rendered $n vector tiles -> $out")
     case "compact" =>
-      val (pos, opts) = parseArgs(args.tail, Set("max-rows"))
+      val (pos, opts) = parseArgs(args.tail, Set.empty)
       val Seq(dir) = expect(pos, 1, "compact <dataset_dir> [--max-rows N]")
       val rep = graft.raquet.Maintenance.compact(spark, dir,
         opts.get("max-rows").map(_.toLong).getOrElse(0L))

@@ -61,6 +61,44 @@ class CliSpec extends SparkSpec {
     assert(new java.io.File(s"$cdir/1").exists())
   }
 
+  test("pmtiles, compact, mvt subcommands run via argv") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tif = s"$tmp/in2.tif"
+    synthTiff(tif)
+    val rq = s"$tmp/out2.parquet"
+    Cli.run(spark, Seq("convert", tif, rq, "--tile-stats", "--block-size", "256"))
+
+    val pm = s"$tmp/raster.pmtiles"
+    Cli.run(spark, Seq("pmtiles", rq, pm))
+    val pr = graft.sources.PmTiles.open(pm)
+    try assert(pr.entries.nonEmpty &&
+      pr.header.tileType == graft.sources.PmTiles.TypePng)
+    finally pr.close()
+
+    // compact a directory dataset
+    val dsDir = s"$tmp/dir_ds"
+    val ds = graft.raquet.RaquetIO.read(spark, rq)
+    graft.raquet.RaquetIO.write(ds.data, ds.meta, dsDir, maxRecordsPerFile = 1)
+    Cli.run(spark, Seq("compact", dsDir, "--max-rows", "100"))
+    assert(graft.raquet.RaquetIO.read(spark, dsDir).data.count() == ds.data.count())
+
+    // vector tiles from a zones parquet
+    val zonesPq = s"$tmp/zones.parquet"
+    import spark.implicits._
+    Seq((1L, "POLYGON ((-40 -30, 40 -30, 40 30, -40 30, -40 -30))"))
+      .toDF("zone_id", "wkt").write.parquet(zonesPq)
+    val vm = s"$tmp/zones.pmtiles"
+    Cli.run(spark, Seq("mvt", zonesPq, vm, "--zoom", "1"))
+    val vr = graft.sources.PmTiles.open(vm)
+    try {
+      assert(vr.header.tileType == graft.sources.PmTiles.TypeMvt)
+      assert(vr.entries.length == 4) // the zone straddles all four z=1 tiles
+      val feats = graft.sources.Mvt.decodeTile(vr.getTile(1, 0, 0).get)
+        .head.features
+      assert(feats.map(_.attrs.head) == Seq("zid" -> 1L))
+    } finally vr.close()
+  }
+
   test("bad usage fails with a CliError, not a stack trace") {
     intercept[Cli.CliError] { Cli.run(spark, Seq("convert", "only-one-arg")) }
     intercept[Cli.CliError] { Cli.run(spark, Seq("frobnicate")) }
