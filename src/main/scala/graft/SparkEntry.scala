@@ -157,6 +157,8 @@ object SparkEntry {
     "q136_stream_join"      -> (Relational.q136StreamJoin _),
     "q137_compact"          -> (RaquetQueries.q137Compact _),
     "q138_mvt_tiles"        -> (RaquetQueries.q138MvtTiles _),
+    "q139_simplify"         -> (RaquetQueries.q139Simplify _),
+    "q140_topk_sketch"      -> (LlmQueries.q140TopkSketch _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -433,6 +435,13 @@ object SparkEntry {
     "q137_compact"          -> RaquetOracles.q133,
     // q138: MVT render+decode vs the closed-form clip arithmetic
     "q138_mvt_tiles"        -> RaquetOracles.q138,
+    // q139: Douglas-Peucker outcomes vs hand-derived vertex counts/measures
+    "q139_simplify"         -> RaquetOracles.q139,
+    // q140: space-saving sketch at capacity ≥ distinct ≡ the exact top-k
+    "q140_topk_sketch" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

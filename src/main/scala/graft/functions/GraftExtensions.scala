@@ -73,6 +73,8 @@ object GraftExtensions {
     "st_as_wkb" -> { case Seq(w) => StAsWkb(w) },
     "st_geom_from_geojson" -> { case Seq(s) => StGeomFromGeojson(s) },
     "st_as_geojson" -> { case Seq(w) => StAsGeojson(w) },
+    "st_simplify" -> { case Seq(w, t) => StSimplify(w, litStr(t, "tolerance").toDouble) },
+    "st_npoints" -> { case Seq(w) => StNPoints(w) },
     "mm_u8_sum" -> { case Seq(b) => MmU8Sum(b) },
     "mm_u8_pack" -> { case Seq(a) => MmU8Pack(a) },
     "mm_webp_anim" -> { case Seq(f, w, h, c, d) =>

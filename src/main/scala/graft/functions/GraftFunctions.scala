@@ -175,6 +175,11 @@ object GraftFunctions {
   def st_as_wkb(wkt: Column): Column = col(StAsWkb(ex(wkt)))
   def st_geom_from_geojson(s: Column): Column = col(StGeomFromGeojson(ex(s)))
   def st_as_geojson(wkt: Column): Column = col(StAsGeojson(ex(wkt)))
+  def st_simplify(wkt: Column, tolerance: Double): Column =
+    col(StSimplify(ex(wkt), tolerance))
+  def st_npoints(wkt: Column): Column = col(StNPoints(ex(wkt)))
+  def topk_sketch(item: Column, capacity: Int, k: Int): Column =
+    col(TopKSketch(ex(item), capacity, k).toAggregateExpression())
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
@@ -268,6 +273,10 @@ object GraftFunctions {
     r("st_as_wkb") { case Seq(w) => StAsWkb(w) }
     r("st_geom_from_geojson") { case Seq(s) => StGeomFromGeojson(s) }
     r("st_as_geojson") { case Seq(w) => StAsGeojson(w) }
+    r("st_simplify") { case Seq(w, t) => StSimplify(w, litDouble(t, "tolerance")) }
+    r("st_npoints") { case Seq(w) => StNPoints(w) }
+    r("topk_sketch") { case Seq(i, cap, k) =>
+      TopKSketch(i, litInt(cap, "capacity"), litInt(k, "k")).toAggregateExpression() }
     r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
     r("mm_u8_pack") { case Seq(a) => MmU8Pack(a) }
     r("mm_webp_anim") { case Seq(f, w, h, c, d) =>

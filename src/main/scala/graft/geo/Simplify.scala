@@ -1,0 +1,112 @@
+package graft.geo
+
+/** Douglas–Peucker polyline/ring simplification — the vertex-thinning step
+  * a vector-tile pipeline runs before [[graft.sources.Mvt]] encoding (at
+  * tile resolution, sub-pixel vertices are pure payload). Tolerance is the
+  * maximum perpendicular deviation, in coordinate units.
+  *
+  * Rings are simplified CLOSED: the two anchor points are ring vertex 0
+  * and the vertex farthest from it (so a convex ring can't collapse to a
+  * chord), and a ring that would drop below 3 distinct points keeps its
+  * extremal 3. Deterministic: ties keep the earliest vertex.
+  */
+object Simplify {
+
+  /** Perpendicular distance of p from segment a-b (degenerate a==b →
+    * euclidean). */
+  private def perp(ax: Double, ay: Double, bx: Double, by: Double,
+      px: Double, py: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) math.hypot(px - ax, py - ay)
+    else math.abs(dy * (px - ax) - dx * (py - ay)) / math.sqrt(len2)
+  }
+
+  /** DP over pts(from..to) inclusive, anchors kept; marks survivors. */
+  private def dp(xs: Array[Double], ys: Array[Double], keep: Array[Boolean],
+      from: Int, to: Int, tol: Double): Unit = {
+    if (to <= from + 1) return
+    var worst = -1.0
+    var idx = -1
+    var i = from + 1
+    while (i < to) {
+      val d = perp(xs(from), ys(from), xs(to), ys(to), xs(i), ys(i))
+      if (d > worst) { worst = d; idx = i }
+      i += 1
+    }
+    if (worst > tol) {
+      keep(idx) = true
+      dp(xs, ys, keep, from, idx, tol)
+      dp(xs, ys, keep, idx, to, tol)
+    }
+  }
+
+  /** Simplify one closed ring (flat lon/lat pairs, closing duplicate
+    * optional). Returns a closed-form ring WITHOUT a closing duplicate. */
+  def ring(r: Array[Double], tol: Double): Array[Double] = {
+    val closed = r.length >= 4 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1)
+    val n = (if (closed) r.length - 2 else r.length) / 2
+    if (n <= 3) return r.slice(0, n * 2)
+    val xs = Array.tabulate(n)(i => r(2 * i))
+    val ys = Array.tabulate(n)(i => r(2 * i + 1))
+    // second anchor: vertex farthest from vertex 0
+    var far = 1
+    var best = -1.0
+    var i = 1
+    while (i < n) {
+      val d = math.hypot(xs(i) - xs(0), ys(i) - ys(0))
+      if (d > best) { best = d; far = i }
+      i += 1
+    }
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(far) = true
+    dp(xs, ys, keep, 0, far, tol)
+    // the wrap-around half: rotate so [far..n-1, 0] is contiguous
+    val m = n - far + 1
+    val wx = new Array[Double](m); val wy = new Array[Double](m)
+    i = 0
+    while (i < m) {
+      val src = (far + i) % n
+      wx(i) = xs(src); wy(i) = ys(src)
+      i += 1
+    }
+    val wkeep = new Array[Boolean](m)
+    wkeep(0) = true; wkeep(m - 1) = true
+    dp(wx, wy, wkeep, 0, m - 1, tol)
+    i = 1
+    while (i < m - 1) { if (wkeep(i)) keep((far + i) % n) = true; i += 1 }
+    val out = Array.newBuilder[Double]
+    i = 0
+    while (i < n) {
+      if (keep(i)) { out += xs(i); out += ys(i) }
+      i += 1
+    }
+    val res = out.result()
+    if (res.length >= 6) res else r.slice(0, n * 2)
+  }
+
+  private def closeRing(r: Array[Double]): Array[Double] =
+    r ++ Array(r(0), r(1))
+
+  def simplify(g: Geom, tol: Double): Geom = g match {
+    case p: PointGeom => p
+    case p: PolygonGeom =>
+      PolygonGeom(p.rings.map(r => closeRing(ring(r, tol))))
+    case MultiPolygonGeom(polys) =>
+      MultiPolygonGeom(polys.map(p =>
+        PolygonGeom(p.rings.map(r => closeRing(ring(r, tol))))))
+  }
+
+  /** Vertex count (closing duplicates not double-counted). */
+  def nPoints(g: Geom): Long = g match {
+    case _: PointGeom => 1L
+    case p: PolygonGeom => p.rings.map(distinctCount).sum
+    case MultiPolygonGeom(polys) =>
+      polys.map(p => p.rings.map(distinctCount).sum).sum
+  }
+
+  private def distinctCount(r: Array[Double]): Long = {
+    val closed = r.length >= 4 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1)
+    (if (closed) r.length - 2 else r.length) / 2L
+  }
+}

@@ -219,6 +219,21 @@ object LlmQueries {
   def q66VocabTopk(spark: SparkSession, dir: String): DataFrame =
     TextOps.vocab(docs(spark, dir), topN = 100)
 
+  /** Space-saving top-k sketch ([[org.apache.spark.sql.graft.TopKSketch]])
+    * over the same token stream as q66 — O(capacity) state per group at
+    * any stream length (the 100 TB vocabulary shape). Capacity exceeds the
+    * corpus's distinct-token count, so the sketch is provably EXACT here:
+    * same rows as the exact vocab top-k, every err = 0, driver-verified
+    * against the q66 closed form. */
+  def q140TopkSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.topk_sketch
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(topk_sketch(col("token"), capacity = 200000, k = 100).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.token").as("token"), col("t.n").as("n"), col("t.err").as("err"))
+  }
+
   /** Train/eval decontamination ([[TextOps.contamination]]): every 13th doc
     * plays the benchmark; those docs must come back 100% contaminated and
     * the rest score by genuine 3-gram overlap. */

@@ -480,6 +480,19 @@ object RaquetOracles {
         SELECT * FROM poly UNION ALL SELECT * FROM pt"""
   }
 
+  /** q139: hand-derived simplification outcomes — collinear subdivisions
+    * vanish, the bump survives tol 0.5 (area 36) and drops at tol 2
+    * (area 32, perimeter 24). */
+  val q139: String =
+    """WITH t(id, n_pts, n_tol_small, n_tol_big, area_small, area_big, perim_big) AS
+         (VALUES (1, 24, 4, 4, 32.0, 32.0, 24.0),
+                 (2, 5, 5, 4, 36.0, 32.0, 24.0),
+                 (3, 40, 8, 8, 112.0, 112.0, 64.0))
+       SELECT CAST(id AS BIGINT) AS id, CAST(n_pts AS BIGINT) AS n_pts,
+         CAST(n_tol_small AS BIGINT) AS n_tol_small,
+         CAST(n_tol_big AS BIGINT) AS n_tol_big,
+         area_small, area_big, perim_big FROM t"""
+
   /** q134: hand-derived planar measures — rectangle, rectangle-with-hole
     * (centroid = hole-weighted 960/112), 3-4-5 triangle, two-square
     * multipolygon, point. The WKB round trip must be byte-identical. */

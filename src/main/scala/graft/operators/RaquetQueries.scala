@@ -573,6 +573,37 @@ object RaquetQueries {
         "min_py", "max_py", "sum_px", "sum_py")
   }
 
+  /** st_simplify (Douglas–Peucker) driver proof: collinear edge
+    * subdivisions vanish at any tolerance (id 1, 3 — incl. a hole ring);
+    * a 1-unit bump survives tol 0.5 and drops at tol 2 with the area
+    * moving 36 → 32 (id 2). Vertex counts and measures are hand-derived.
+    * The thin-then-measure chain runs entirely through the WKT surface. */
+  def q139Simplify(spark: SparkSession, dir: String): DataFrame = {
+    def subdivRect(x0: Int, y0: Int, x1: Int, y1: Int, step: Int): String = {
+      val pts =
+        (x0 until x1 by step).map(x => s"$x $y0") ++
+        (y0 until y1 by step).map(y => s"$x1 $y") ++
+        (x1 until x0 by -step).map(x => s"$x $y1") ++
+        (y1 until y0 by -step).map(y => s"$x0 $y")
+      (pts :+ s"$x0 $y0").mkString("POLYGON ((", ", ", "))")
+    }
+    import spark.implicits._
+    val rows = Seq(
+      (1L, subdivRect(0, 0, 8, 4, 1)), // 24 collinear-subdivided vertices
+      (2L, "POLYGON ((0 0, 8 0, 8 4, 4 5, 0 4, 0 0))"), // 1-unit roof bump
+      (3L, subdivRect(0, 0, 16, 8, 2).replace("))", "), (" +
+        (Seq("2 2", "3 2", "4 2", "5 2", "6 2", "6 3", "6 4", "6 5", "6 6",
+          "5 6", "4 6", "3 6", "2 6", "2 5", "2 4", "2 3", "2 2").mkString(", ")) + "))")))
+      .toDF("id", "wkt")
+    rows.select(col("id"),
+      st_npoints(col("wkt")).as("n_pts"),
+      st_npoints(st_simplify(col("wkt"), 0.5)).as("n_tol_small"),
+      st_npoints(st_simplify(col("wkt"), 2.0)).as("n_tol_big"),
+      round(st_area(st_simplify(col("wkt"), 0.5)), 6).as("area_small"),
+      round(st_area(st_simplify(col("wkt"), 2.0)), 6).as("area_big"),
+      round(st_perimeter(st_simplify(col("wkt"), 2.0)), 6).as("perim_big"))
+  }
+
   /** A11: GDAL-style value histogram (16-wide buckets) over decoded band_1
     * pixels at native zoom. explode→groupBy hash-aggregates map-side, so the
     * shuffle carries one row per bucket per task, not per pixel. */

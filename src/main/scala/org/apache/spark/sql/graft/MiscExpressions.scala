@@ -252,6 +252,11 @@ object GeoBridge {
   def wkbToWkt(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(Wkb.toWkt(b))
   def wktToWkb(wkt: String): Array[Byte] = Wkb.write(RqBridge.geomOf(wkt))
+  def simplify(wkt: String, tol: Double): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.geo.Wkt.format(graft.geo.Simplify.simplify(RqBridge.geomOf(wkt), tol)))
+  def nPoints(wkt: String): Long =
+    graft.geo.Simplify.nPoints(RqBridge.geomOf(wkt))
   def geojsonToWkt(s: String): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(
       graft.geo.Wkt.format(graft.geo.GeoJson.parse(s)))
@@ -314,6 +319,35 @@ case class StGeomFromWkb(child: Expression)
     GeoBridge.wkbToWkt(b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"${GeoBridge.B}.wkbToWkt($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_simplify(wkt) with a plan-time tolerance: Douglas–Peucker vertex
+  * thinning (closed-ring form, collapse-guarded) — the pre-encode step of
+  * a vector-tile pipeline. */
+case class StSimplify(child: Expression, tolerance: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_simplify"
+  override protected def nullSafeEval(w: Any): Any =
+    GeoBridge.simplify(w.toString, tolerance)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"${GeoBridge.B}.simplify($w.toString(), $tolerance)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_npoints(wkt): vertex count (ring-closing duplicates not counted). */
+case class StNPoints(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_npoints"
+  override protected def nullSafeEval(w: Any): Any = GeoBridge.nPoints(w.toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"${GeoBridge.B}.nPoints($w.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

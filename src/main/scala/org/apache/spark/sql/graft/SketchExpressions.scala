@@ -1,0 +1,157 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-saving heavy-hitters state: item → (count, overestimate error).
+  * Bounded at `capacity` items — the O(m) sketch that answers top-k over
+  * unbounded streams (Metwally et al., "Efficient Computation of Frequent
+  * and Top-k Elements in Data Streams", public literature). */
+final class TopKBuffer(val capacity: Int) {
+  val counts = mutable.HashMap.empty[String, Long]
+  val errs = mutable.HashMap.empty[String, Long]
+
+  def minCount: Long = if (counts.size < capacity) 0L else counts.valuesIterator.min
+
+  def offer(item: String, by: Long, err: Long): Unit = {
+    counts.get(item) match {
+      case Some(c) =>
+        counts(item) = c + by
+        if (err > 0) errs(item) = errs.getOrElse(item, 0L) + err
+      case None if counts.size < capacity =>
+        counts(item) = by
+        if (err > 0) errs(item) = err
+      case None =>
+        // evict the min-count item (ties: lexicographically largest goes,
+        // keeping the scan deterministic), inherit its count as error
+        var mk: String = null
+        var mc = Long.MaxValue
+        counts.foreach { case (k, c) =>
+          if (c < mc || (c == mc && (mk == null || k > mk))) { mc = c; mk = k }
+        }
+        counts.remove(mk); errs.remove(mk)
+        counts(item) = mc + by
+        errs(item) = mc + err
+    }
+  }
+}
+
+/** topk_sketch(item) with plan-time (capacity, k): mergeable space-saving
+  * heavy hitters → the top k of `array<struct(token, n, err)>`, ordered
+  * (n desc, token asc). State is O(capacity) per group REGARDLESS of
+  * stream length — the 100 TB vocabulary shape when the exact groupBy's
+  * key set itself would blow memory. EXACT (every err = 0) whenever
+  * capacity ≥ the true distinct count — the driver-provable configuration;
+  * under capacity pressure, counts overestimate by ≤ err per the
+  * space-saving guarantee. Merge follows the mergeable-summaries recipe:
+  * absent keys take the other summary's floor as added error. */
+case class TopKSketch(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with UnaryLike[Expression] {
+
+  require(capacity >= k && k >= 1, s"need capacity >= k >= 1, got ($capacity, $k)")
+
+  override def prettyName: String = "topk_sketch"
+  override def nullable: Boolean = false
+  override def dataType: DataType = TopKSketch.schema
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_sketch expects STRING, got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(capacity)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.offer(v.toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    val floorThis = buf.minCount
+    val floorOther = other.minCount
+    val keys = buf.counts.keySet ++ other.counts.keySet
+    val merged = new TopKBuffer(capacity)
+    // combine exactly first (no capacity limit during the walk) …
+    val all = keys.toSeq.map { k0 =>
+      val inThis = buf.counts.contains(k0)
+      val inOther = other.counts.contains(k0)
+      val c = buf.counts.getOrElse(k0, if (inOther) floorThis else 0L) +
+        other.counts.getOrElse(k0, if (inThis) floorOther else 0L)
+      val e = buf.errs.getOrElse(k0, 0L) + other.errs.getOrElse(k0, 0L) +
+        (if (!inThis && inOther) floorThis else 0L) +
+        (if (!inOther && inThis) floorOther else 0L)
+      (k0, c, e)
+    }
+    // … then keep the top `capacity` (count desc, key asc — deterministic)
+    all.sortBy { case (k0, c, _) => (-c, k0) }.take(capacity).foreach {
+      case (k0, c, e) =>
+        merged.counts(k0) = c
+        if (e > 0) merged.errs(k0) = e
+    }
+    merged
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val top = buf.counts.toSeq.sortBy { case (k0, c) => (-c, k0) }.take(k)
+    new GenericArrayData(top.map { case (k0, c) =>
+      InternalRow(UTF8String.fromString(k0), c, buf.errs.getOrElse(k0, 0L))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.counts.size)
+    buf.counts.foreach { case (k0, c) =>
+      val kb = k0.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(buf.errs.getOrElse(k0, 0L))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKBuffer(capacity)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val k0 = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
+      buf.counts(k0) = c
+      if (e > 0) buf.errs(k0) = e
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TopKSketch {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.topk_sketch
+
+/** Space-saving sketch proofs beyond q140's exact configuration: behavior
+  * UNDER capacity pressure (the regime the driver query can't hash-check
+  * because results become partitioning-dependent) — the classic guarantees
+  * as properties: heavy hitters survive, counts overestimate by ≤ err,
+  * err is bounded by the stream-over-capacity ratio. */
+class SketchSpec extends SparkSpec {
+
+  test("exact when capacity ≥ distinct: equals groupBy counts, err 0") {
+    import spark.implicits._
+    val toks = (0 until 2000).map(i => s"t${i % 40}")
+    val df = toks.toDF("token").repartition(7)
+    val got = df.agg(topk_sketch(col("token"), 100, 10).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select($"t.token", $"t.n", $"t.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 10)
+    assert(got.forall(_._3 == 0L))
+    assert(got.forall(_._2 == 50L)) // 2000 / 40 exactly
+    // deterministic tie order: count desc, token asc
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+  }
+
+  test("under pressure: heavy hitters survive with bounded overestimates") {
+    import spark.implicits._
+    // 5 heavies × 1000 + 10k singletons; capacity 50 ≪ 10,005 distinct
+    val heavy = (0 until 5000).map(i => s"h${i % 5}")
+    val noise = (0 until 10000).map(i => s"n$i")
+    val df = (heavy ++ noise).toDF("token").repartition(8)
+    val got = df.agg(topk_sketch(col("token"), 50, 5).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select($"t.token", $"t.n", $"t.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 5)
+    // every heavy hitter (true count 1000 ≫ N/m = 300) must surface
+    assert(got.map(_._1).toSet == (0 until 5).map(i => s"h$i").toSet, got.toSeq)
+    got.foreach { case (tok, n, err) =>
+      assert(n >= 1000L, s"$tok undercounted: $n") // never undercounts
+      assert(n - err <= 1000L, s"$tok guarantee broken: n=$n err=$err")
+      assert(err <= 15000L / 50 * 8, s"$tok err $err above the merged bound")
+    }
+  }
+}

@@ -92,6 +92,31 @@ class WkbSpec extends AnyFunSuite {
     }
   }
 
+  test("Douglas–Peucker: collinear drop, bump threshold, collapse guards") {
+    import graft.geo.Simplify
+    // collinear midpoints vanish at any tolerance
+    val sub = Wkt.parse(
+      "POLYGON ((0 0, 2 0, 4 0, 8 0, 8 2, 8 4, 4 4, 0 4, 0 2, 0 0))")
+    assert(Simplify.nPoints(sub) == 9)
+    val s = Simplify.simplify(sub, 0.0)
+    assert(Simplify.nPoints(s) == 4)
+    assert(Measure.area(s) == 32.0 && Measure.perimeter(s) == 24.0)
+    // bump: kept under, dropped over its height
+    val bump = Wkt.parse("POLYGON ((0 0, 8 0, 8 4, 4 5, 0 4, 0 0))")
+    assert(Simplify.nPoints(Simplify.simplify(bump, 0.5)) == 5)
+    assert(Simplify.nPoints(Simplify.simplify(bump, 2.0)) == 4)
+    // a triangle can never collapse
+    val tri = Wkt.parse("POLYGON ((0 0, 3 0, 0 4, 0 0))")
+    assert(Simplify.nPoints(Simplify.simplify(tri, 1000.0)) == 3)
+    // near-degenerate sliver keeps its extremal 3 rather than vanishing
+    val sliver = Wkt.parse("POLYGON ((0 0, 10 0, 10 1, 5 1, 0 1, 0 0))")
+    assert(Simplify.nPoints(Simplify.simplify(sliver, 1000.0)) >= 3)
+    // points and multipolygons pass through structurally
+    assert(Simplify.simplify(PointGeom(1, 2), 5.0) == PointGeom(1, 2))
+    val mp = Wkt.parse("MULTIPOLYGON (((0 0, 1 0, 2 0, 2 2, 0 2, 0 0)))")
+    assert(Simplify.nPoints(Simplify.simplify(mp, 0.0)) == 4)
+  }
+
   test("malformed WKB fails loudly, never mis-parses") {
     val good = Wkb.write(Wkt.parse("POLYGON ((0 0, 8 0, 8 4, 0 4, 0 0))"))
     // truncations at every prefix
