@@ -36,6 +36,8 @@ object PlanAudit {
       "q109_dataset_pctl" -> RaquetQueries.q109DatasetPercentiles _,
       "q110_dup_windows" -> LlmQueries.q110DupWindows _,
       "q130_image_dedup" -> graft.operators.MediaDedup.q130ImageDedup _,
+      "q138_mvt_tiles" -> RaquetQueries.q138MvtTiles _,
+      "q140_topk_sketch" -> graft.operators.LlmQueries.q140TopkSketch _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(
