@@ -159,6 +159,7 @@ object SparkEntry {
     "q138_mvt_tiles"        -> (RaquetQueries.q138MvtTiles _),
     "q139_simplify"         -> (RaquetQueries.q139Simplify _),
     "q140_topk_sketch"      -> (LlmQueries.q140TopkSketch _),
+    "q141_exif_orient"      -> (graft.operators.MediaDedup.q141ExifOrient _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -442,6 +443,8 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
+    // q141: EXIF read + all 8 orientation maps vs the closed-form indices
+    "q141_exif_orient"      -> graft.operators.MediaDedup.oracleQ141,
     // same gaps-and-islands oracle as q54, without the session ordinal
     // (streaming closes sessions by timeout; it has no per-user counter)
     "q74_stream_sessions" ->

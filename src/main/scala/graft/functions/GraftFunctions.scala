@@ -183,6 +183,10 @@ object GraftFunctions {
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
+  def mm_exif_orientation(jpeg: Column): Column = col(MmExifOrientation(ex(jpeg)))
+  def mm_orient(bin: Column, orientation: Column, width: Int, height: Int,
+      channels: Int): Column =
+    col(MmOrient(ex(bin), ex(orientation), width, height, channels))
   def mm_dhash(bin: Column, width: Int, height: Int): Column =
     col(MmDhash(ex(bin), width, height))
   def mm_webp_anim(frames: Column, width: Int, height: Int, channels: Int,
@@ -279,6 +283,10 @@ object GraftFunctions {
       TopKSketch(i, litInt(cap, "capacity"), litInt(k, "k")).toAggregateExpression() }
     r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
     r("mm_u8_pack") { case Seq(a) => MmU8Pack(a) }
+    r("mm_exif_orientation") { case Seq(b) => MmExifOrientation(b) }
+    r("mm_orient") { case Seq(b, o, w, h, c) =>
+      MmOrient(b, o, litInt(w, "width"), litInt(h, "height"),
+        litInt(c, "channels")) }
     r("mm_webp_anim") { case Seq(f, w, h, c, d) =>
       MmWebpAnimEncode(f, litInt(w, "width"), litInt(h, "height"),
         litInt(c, "channels"), litInt(d, "duration_ms")) }

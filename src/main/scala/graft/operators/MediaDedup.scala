@@ -104,6 +104,71 @@ object MediaDedup {
     hashNearDups(imgs, "id", "fp", maxHamming = 3)
   }
 
+  /** Minimal JPEG shell carrying an EXIF APP1 with orientation `o` —
+    * the metadata carrier for q141 (orientation reading never decodes
+    * pixels, so the shell needs no scan data). */
+  private def exifJpeg(o: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = bos.write(v & 0xFF)
+    b(0xFF); b(0xD8)
+    val t = new java.io.ByteArrayOutputStream()
+    def t16(v: Int): Unit = { t.write(v & 0xFF); t.write((v >> 8) & 0xFF) }
+    def t32(v: Int): Unit = { t16(v & 0xFFFF); t16(v >>> 16) }
+    t.write('I'); t.write('I'); t16(42); t32(8)
+    t16(1); t16(0x0112); t16(3); t32(1); t16(o); t16(0); t32(0)
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ t.toByteArray
+    b(0xFF); b(0xE1); val len = payload.length + 2
+    b(len >> 8); b(len)
+    bos.write(payload)
+    b(0xFF); b(0xD9)
+    bos.toByteArray
+  }
+
+  /** q141 — EXIF-aware image normalization: each row carries a JPEG whose
+    * APP1 declares one of the 8 orientations plus a closed-form 8×6 gray
+    * buffer; the pipeline reads the tag (`mm_exif_orientation`, no pixel
+    * decode) and uprights the buffer (`mm_orient`). The position-weighted
+    * checksum distinguishes every orientation; the plain byte sum is the
+    * rotation invariant. Oracle re-derives the full orientation index
+    * maps in SQL. */
+  def q141ExifOrient(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = (1 to 8).map(o => (o.toLong, exifJpeg(o)))
+    rows.toDF("id", "jpeg")
+      .withColumn("px", mm_u8_pack(expr(
+        "transform(sequence(0, 47), i -> CAST(((i % 8)*13 + (i div 8)*31) % 251 AS INT))")))
+      .withColumn("o", mm_exif_orientation(col("jpeg")))
+      .withColumn("up", mm_orient(col("px"), col("o"), 8, 6, 1))
+      .select(col("id"), col("o"),
+        expr("CAST(conv(hex(substring(up, 1, 1)), 16, 10) AS BIGINT)").as("first_px"),
+        mm_u8_sum(col("up")).as("total"),
+        expr("""aggregate(sequence(0, 47),
+                CAST(0 AS BIGINT),
+                (acc, i) -> acc + i * CAST(conv(hex(substring(up, i + 1, 1)), 16, 10) AS BIGINT))""")
+          .as("wsum"))
+  }
+
+  val oracleQ141: String =
+    """WITH o(id) AS (SELECT * FROM range(1, 9)),
+       px AS (SELECT id, i.i,
+           CASE WHEN id <= 4 THEN i.i % 8 ELSE i.i % 6 END AS x,
+           CASE WHEN id <= 4 THEN i.i // 8 ELSE i.i // 6 END AS y
+         FROM o, range(48) i(i)),
+       src AS (SELECT id, i, x, y,
+           CASE id WHEN 1 THEN x WHEN 2 THEN 7 - x WHEN 3 THEN 7 - x
+                   WHEN 4 THEN x WHEN 5 THEN y WHEN 6 THEN y
+                   WHEN 7 THEN 7 - y WHEN 8 THEN 7 - y END AS sx,
+           CASE id WHEN 1 THEN y WHEN 2 THEN y WHEN 3 THEN 5 - y
+                   WHEN 4 THEN 5 - y WHEN 5 THEN x WHEN 6 THEN 5 - x
+                   WHEN 7 THEN 5 - x WHEN 8 THEN x END AS sy
+         FROM px),
+       v AS (SELECT id, i, (sx*13 + sy*31) % 251 AS v FROM src)
+       SELECT CAST(id AS BIGINT) AS id, CAST(id AS INTEGER) AS o,
+         CAST(max(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_px,
+         CAST(sum(v) AS BIGINT) AS total,
+         CAST(sum(i * v) AS BIGINT) AS wsum
+       FROM v GROUP BY id"""
+
   /** q129 oracle: energies and delta signs re-derived from the closed-form
     * signal; |polarity| invariance makes (group) the payload key, so
     * n_payloads = distinct (group, parity) members per fingerprint. */

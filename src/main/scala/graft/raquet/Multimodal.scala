@@ -143,6 +143,95 @@ object Multimodal {
     out
   }
 
+  /** EXIF orientation (tag 274) from a JPEG's APP1 segment — the metadata
+    * a real-world image pipeline must honor before any pixel math (phone
+    * photos ship rotated). Walks JPEG markers to APP1 "Exif\0\0", then the
+    * TIFF IFD0 inside (both byte orders). Returns 1 (normal) when the
+    * segment or tag is absent; malformed structures fail loudly. */
+  def exifOrientation(jpeg: Array[Byte]): Int = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xFF) == 0xFF && (jpeg(1) & 0xFF) == 0xD8,
+      "not a JPEG (SOI missing)")
+    var off = 2
+    while (off + 4 <= jpeg.length) {
+      require((jpeg(off) & 0xFF) == 0xFF, f"bad JPEG marker at $off: 0x${jpeg(off)}%02x")
+      val marker = jpeg(off + 1) & 0xFF
+      if (marker == 0xDA || marker == 0xD9) return 1 // SOS/EOI: no EXIF
+      val len = ((jpeg(off + 2) & 0xFF) << 8) | (jpeg(off + 3) & 0xFF)
+      require(len >= 2 && off + 2 + len <= jpeg.length,
+        s"JPEG segment length $len overruns file")
+      if (marker == 0xE1 && len >= 16 &&
+        jpeg(off + 4) == 'E' && jpeg(off + 5) == 'x' && jpeg(off + 6) == 'i' &&
+        jpeg(off + 7) == 'f' && jpeg(off + 8) == 0 && jpeg(off + 9) == 0) {
+        val tiff = off + 10
+        val little = (jpeg(tiff) & 0xFF) == 'I'
+        require(little || (jpeg(tiff) & 0xFF) == 'M', "bad EXIF TIFF byte order")
+        def u16(o: Int): Int =
+          if (little) (jpeg(o) & 0xFF) | ((jpeg(o + 1) & 0xFF) << 8)
+          else ((jpeg(o) & 0xFF) << 8) | (jpeg(o + 1) & 0xFF)
+        def u32(o: Int): Long =
+          if (little) (u16(o) | (u16(o + 2).toLong << 16))
+          else ((u16(o).toLong << 16) | u16(o + 2))
+        require(u16(tiff + 2) == 42, "bad EXIF TIFF magic")
+        val ifd = tiff + u32(tiff + 4).toInt
+        require(ifd + 2 <= off + 2 + len, "EXIF IFD0 outside APP1")
+        val n = u16(ifd)
+        var i = 0
+        while (i < n) {
+          val e = ifd + 2 + 12 * i
+          require(e + 12 <= off + 2 + len, "EXIF IFD entry outside APP1")
+          if (u16(e) == 0x0112) {
+            val v = u16(e + 8)
+            require(v >= 1 && v <= 8, s"EXIF orientation $v out of range")
+            return v
+          }
+          i += 1
+        }
+        return 1
+      }
+      off += 2 + len
+    }
+    1
+  }
+
+  /** Apply an EXIF orientation to an interleaved uint8 buffer, returning
+    * the upright (buffer, width, height). Orientations 5-8 transpose, so
+    * the output dims swap. */
+  def applyOrientation(pixels: Array[Byte], w: Int, h: Int, channels: Int,
+      orientation: Int): (Array[Byte], Int, Int) = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    require(pixels.length == w * h * channels,
+      s"pixel buffer ${pixels.length} != $w*$h*$channels")
+    if (orientation == 1) return (pixels, w, h)
+    val swap = orientation >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](pixels.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // source pixel for upright (x, y), per the EXIF orientation table
+        val (sx, sy) = orientation match {
+          case 2 => (ow - 1 - x, y)           // flip horizontal
+          case 3 => (ow - 1 - x, oh - 1 - y)  // rotate 180
+          case 4 => (x, oh - 1 - y)           // flip vertical
+          case 5 => (y, x)                    // transpose
+          case 6 => (y, h - 1 - x)            // rotate 90 CW to display
+          case 7 => (w - 1 - y, h - 1 - x)    // transverse
+          case 8 => (w - 1 - y, x)            // rotate 270 CW to display
+        }
+        var c = 0
+        while (c < channels) {
+          out((y * ow + x) * channels + c) = pixels((sy * w + sx) * channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (out, ow, oh)
+  }
+
   /** Perceptual difference-hash (dHash, the public aHash/dHash/pHash family's
     * gradient member) of a gray uint8 image: nearest-neighbour resize to
     * 9×8, then bit r·8+c set iff p(r,c+1) > p(r,c) — 64 bits of horizontal

@@ -449,6 +449,41 @@ case class MmDhash(child: Expression, imgWidth: Int, imgHeight: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** mm_exif_orientation(jpeg): EXIF tag 274 from the APP1 segment (1 when
+  * absent) — what a real image pipeline must read before pixel math. */
+case class MmExifOrientation(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_exif_orientation"
+  override protected def nullSafeEval(raw: Any): Any =
+    Multimodal.exifOrientation(raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.raquet.Multimodal.exifOrientation($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** mm_orient(pixels, orientation) with plan-time (width, height, channels):
+  * apply an EXIF orientation to a raw uint8 buffer (orientations 5-8 swap
+  * the output dims — the caller tracks that, as with mm_resize). */
+case class MmOrient(left: Expression, right: Expression,
+    imgWidth: Int, imgHeight: Int, channels: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mm_orient"
+  override protected def nullSafeEval(raw: Any, o: Any): Any =
+    Multimodal.applyOrientation(raw.asInstanceOf[Array[Byte]], imgWidth,
+      imgHeight, channels, o.asInstanceOf[Int])._1
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, o) =>
+      s"(byte[]) graft.raquet.Multimodal.applyOrientation($c, $imgWidth, $imgHeight, $channels, $o)._1()")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** mm_u8_sum(binary): Σ of the payload's unsigned bytes — the cheap
   * content-check / brightness-mass feature for raw uint8 pixel buffers. */
 case class MmU8Sum(child: Expression)

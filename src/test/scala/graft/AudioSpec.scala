@@ -166,6 +166,61 @@ class AudioSpec extends SparkSpec {
     assert(d >= 1 && d <= 2, s"local edit flipped $d bits") // only 2 comparisons touch (10,8)
   }
 
+  test("EXIF: orientation tag read (both byte orders) and the 8 transforms") {
+    import graft.raquet.Multimodal
+    // hand-built JPEG shell: SOI + APP1(Exif TIFF, one IFD entry) + EOI
+    def jpegWithExif(orientation: Int, little: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def b(v: Int): Unit = bos.write(v & 0xFF)
+      b(0xFF); b(0xD8) // SOI
+      val tiff = new java.io.ByteArrayOutputStream()
+      def t16(v: Int): Unit =
+        if (little) { tiff.write(v & 0xFF); tiff.write((v >> 8) & 0xFF) }
+        else { tiff.write((v >> 8) & 0xFF); tiff.write(v & 0xFF) }
+      def t32(v: Int): Unit =
+        if (little) { t16(v & 0xFFFF); t16(v >>> 16) } else { t16(v >>> 16); t16(v & 0xFFFF) }
+      tiff.write(if (little) 'I' else 'M'); tiff.write(if (little) 'I' else 'M')
+      t16(42); t32(8) // magic, IFD0 at offset 8
+      t16(1) // one entry
+      t16(0x0112); t16(3); t32(1); t16(orientation); t16(0) // SHORT, count 1
+      t32(0) // next IFD
+      val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff.toByteArray
+      b(0xFF); b(0xE1); val len = payload.length + 2
+      b(len >> 8); b(len)
+      bos.write(payload)
+      b(0xFF); b(0xD9) // EOI
+      bos.toByteArray
+    }
+    for (o <- 1 to 8; little <- Seq(true, false))
+      assert(Multimodal.exifOrientation(jpegWithExif(o, little)) == o, s"o=$o le=$little")
+    // a real encoder's JPEG has no EXIF → orientation 1
+    val plain = Multimodal.encodeJpeg(Array.fill(16)(7.toByte), 4, 4, 1)
+    assert(Multimodal.exifOrientation(plain) == 1)
+    intercept[IllegalArgumentException](Multimodal.exifOrientation(Array[Byte](1, 2, 3, 4)))
+
+    // transforms on an asymmetric 3×2 gray image: a b c / d e f
+    val src = Array[Byte]('a', 'b', 'c', 'd', 'e', 'f')
+    def run(o: Int) = {
+      val (p, w, h) = Multimodal.applyOrientation(src, 3, 2, 1, o)
+      (new String(p.map(_.toChar)), w, h)
+    }
+    assert(run(1) == (("abcdef", 3, 2)))
+    assert(run(2) == (("cbafed", 3, 2))) // flip H
+    assert(run(3) == (("fedcba", 3, 2))) // 180
+    assert(run(4) == (("defabc", 3, 2))) // flip V
+    assert(run(5) == (("adbecf", 2, 3))) // transpose
+    assert(run(6) == (("daebfc", 2, 3))) // rotate 90 CW
+    assert(run(7) == (("fcebda", 2, 3))) // transverse
+    assert(run(8) == (("cfbead", 2, 3))) // rotate 270 CW
+    // every orientation round-trips through its inverse partner
+    val inverse = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5, 6 -> 8, 7 -> 7, 8 -> 6)
+    for ((o, inv) <- inverse) {
+      val (p, w, h) = Multimodal.applyOrientation(src, 3, 2, 1, o)
+      val (back, w2, h2) = Multimodal.applyOrientation(p, w, h, 1, inv)
+      assert(w2 == 3 && h2 == 2 && back.toSeq == src.toSeq, s"o=$o")
+    }
+  }
+
   test("Spark end to end: SQL surface ≡ DSL, codegen path") {
     GraftFunctions_register()
     val sql = spark.sql(
