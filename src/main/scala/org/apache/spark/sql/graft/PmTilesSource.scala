@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.PmTiles
+
+/** `spark.read.format("pmtiles").load(path)` — a PMTiles v3 archive as a
+  * Spark table of (zoom, x, y, tile_id, tile). Registered via
+  * META-INF/services; `path` accepts the same transports as
+  * [[graft.sources.RandomReader]] (local, http(s), public s3://, gs://).
+  *
+  * The scan is [[PmTiles.scanDf]]'s shape: the DRIVER reads only header +
+  * directories; executors fetch their Hilbert-contiguous tile spans with
+  * one coalesced ranged read per partition. Writes go through
+  * [[graft.sources.TileCache.exportPmTiles]] / [[graft.sources.Mvt.toPmTiles]]
+  * — a generic DataFrame write can't produce a clustered archive, so the
+  * source is read-only by design. */
+class PmTilesSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "pmtiles"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("pmtiles source needs a path"))
+    new PmTilesRelation(sqlContext, path,
+      parameters.get("partitions").map(_.toInt).getOrElse(0))
+  }
+}
+
+class PmTilesRelation(override val sqlContext: SQLContext, path: String,
+    partitions: Int) extends BaseRelation with TableScan {
+  override def schema: StructType = PmTiles.scanSchema
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    PmTiles.scanDf(sqlContext.sparkSession, path, partitions)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
