@@ -28,7 +28,7 @@ object Cli {
 
   private val Usage =
     """usage: graft.Cli <command> <args...>
-      |  convert <in.tif|.nc|.asc|.hgt> <out.parquet>
+      |  convert <in.tif|.nc|.zarr|.asc|.hgt> <out.parquet>
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
@@ -111,7 +111,8 @@ object Cli {
         tileStats = f.contains("tile-stats"),
         resampling = f.getOrElse("resampling", "near"),
         overviews = f.getOrElse("overviews", "auto"))
-      else if (in.endsWith(".nc")) NetCdf.convert(spark, in, out,
+      else if (in.endsWith(".nc") || in.endsWith(".nc4") ||
+        graft.raquet.Zarr.isStore(in)) NetCdf.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
         zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
         tileStats = f.contains("tile-stats"),

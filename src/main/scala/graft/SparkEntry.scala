@@ -160,6 +160,8 @@ object SparkEntry {
     "q139_simplify"         -> (RaquetQueries.q139Simplify _),
     "q140_topk_sketch"      -> (LlmQueries.q140TopkSketch _),
     "q141_exif_orient"      -> (graft.operators.MediaDedup.q141ExifOrient _),
+    "q142_zarr_ingest"      -> (RaquetQueries.q142ZarrIngest _),
+    "q143_zarr_v3"          -> (RaquetQueries.q143ZarrV3Ingest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -358,6 +360,10 @@ object SparkEntry {
     // identical oracle; the container layout must not change one value
     "q88_nc4_ingest"        -> RaquetOracles.q79,
     "q89_cdf5_ingest"       -> RaquetOracles.q79,
+    // q142 is the q79 grid as a Zarr v2 store (blosc lz4+shuffle chunks)
+    // — fourth container, identical oracle
+    "q142_zarr_ingest"      -> RaquetOracles.q79,
+    "q143_zarr_v3"          -> RaquetOracles.q79,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -1272,6 +1272,80 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** S6 (Zarr) driver proof: the q79 grid as a Zarr v2 store — blosc
+    * (lz4 + byte-shuffle, the numcodecs default) data chunks, zlib
+    * coordinates, consolidated `.zmetadata` — converted through the SAME
+    * `NetCdf.convert` entry point, which dispatches on the store layout.
+    * Identical oracle to q79/q88/q89: the fourth container format for the
+    * same grid must not change one value. Chunk dims (64×128) deliberately
+    * misalign with the 256-px tile windows so every task stitches multiple
+    * chunk objects. */
+  def q142ZarrIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q142"
+    val zarrDir = s"$tmp/synth.zarr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zarrDir))
+    new java.io.File(tmp).mkdirs()
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.ZarrWriter.write(zarrDir, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      }, chunkY = 64, chunkX = 128, dataComp = "blosc", coordComp = "zlib")
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, zarrDir, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6 (Zarr v3) driver proof: the q79 grid as a Zarr v3 store —
+    * `zarr.json` metadata with zarr-python's inline consolidated
+    * metadata, `bytes`+`blosc` codec chain, `c/`-prefixed chunk keys.
+    * Fifth container for the same grid, same oracle. */
+  def q143ZarrV3Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q143"
+    val zarrDir = s"$tmp/synth_v3.zarr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zarrDir))
+    new java.io.File(tmp).mkdirs()
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.ZarrWriter.writeV3(zarrDir, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      }, chunkY = 64, chunkX = 128, dataComp = "blosc", coordComp = "gzip")
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, zarrDir, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6 (AAIGrid) driver proof: Esri ASCII grid ingest (`docs/cli.md:154`)
     * — the q79 world grid as a single-band `.asc` (streamed ASCII→TIFF
     * transcode, then the distributed warp). Same float-immune oracle

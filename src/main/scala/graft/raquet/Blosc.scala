@@ -1,0 +1,222 @@
+package graft.raquet
+
+/** Blosc v1 chunk codec — the default `compressor` of Zarr v2 stores
+  * (numcodecs `Blosc(cname='lz4', shuffle=SHUFFLE)`). Format per the
+  * public c-blosc README_CHUNK_FORMAT.rst: a 16-byte header
+  * `[version][versionlz][flags][typesize][nbytes u32LE][blocksize u32LE]
+  * [cbytes u32LE]`, then (unless the memcpy flag is set) one u32LE start
+  * offset per block, each block holding one or more length-prefixed
+  * compressed streams ("splits"), with an optional byte-shuffle filter
+  * applied per block before splitting.
+  *
+  * Flags: bit 0 byte-shuffle, bit 1 pure-memcpy payload, bit 2
+  * bit-shuffle (unsupported here — fails loudly), bits 5-7 codec id
+  * (0 blosclz, 1 lz4/lz4hc, 3 zlib, 5 zstd; lz4 and zlib decode here,
+  * the rest fail loudly with the codec name).
+  *
+  * c-blosc derives the split count at decode time instead of storing it;
+  * since that derivation has varied across releases, [[decompress]]
+  * validates the length-prefix chain for the two layouts c-blosc ever
+  * writes (typesize splits for shuffled lz4/blosclz, else one) and uses
+  * whichever is structurally consistent — corrupt chunks fail both checks
+  * loudly rather than decoding into garbage pixels. */
+object Blosc {
+
+  private val FlagShuffle = 0x1
+  private val FlagMemcpy = 0x2
+  private val FlagBitShuffle = 0x4
+
+  private def u32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  def decompress(chunk: Array[Byte], where: String): Array[Byte] = {
+    require(chunk.length >= 16, s"$where: blosc chunk shorter than its header")
+    val flags = chunk(2) & 0xFF
+    val typesize = chunk(3) & 0xFF
+    val nbytes = u32(chunk, 4)
+    val blocksize = u32(chunk, 8)
+    val cbytes = u32(chunk, 12)
+    require(nbytes >= 0 && nbytes <= (1 << 30), s"$where: implausible blosc nbytes $nbytes")
+    require(cbytes == chunk.length,
+      s"$where: blosc header claims $cbytes bytes, chunk has ${chunk.length}")
+    require((flags & FlagBitShuffle) == 0,
+      s"$where: blosc bit-shuffle filter unsupported (byte-shuffle and none decode)")
+    if ((flags & FlagMemcpy) != 0) {
+      // uncompressible input stored verbatim (never shuffled in this mode)
+      require(chunk.length >= 16 + nbytes, s"$where: truncated memcpy blosc chunk")
+      return java.util.Arrays.copyOfRange(chunk, 16, 16 + nbytes)
+    }
+    require(blocksize > 0 && blocksize <= (1 << 30), s"$where: bad blosc blocksize $blocksize")
+    val codec = (flags >>> 5) & 0x7
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    require(chunk.length >= 16 + 4 * nblocks, s"$where: truncated blosc block index")
+    val out = new Array[Byte](nbytes)
+    val shuffled = (flags & FlagShuffle) != 0 && typesize > 1
+    var bi = 0
+    while (bi < nblocks) {
+      val bstart = u32(chunk, 16 + 4 * bi)
+      require(bstart >= 0 && bstart < chunk.length, s"$where: blosc block $bi start $bstart out of range")
+      val blockBytes = math.min(blocksize, nbytes - bi * blocksize)
+      val block = decodeBlock(chunk, bstart, blockBytes, typesize, shuffled,
+        codec, where, bi)
+      val dst =
+        if (shuffled) unshuffle(block, typesize)
+        else block
+      System.arraycopy(dst, 0, out, bi * blocksize, blockBytes)
+      bi += 1
+    }
+    out
+  }
+
+  /** Decode one block: try the typesize-split layout (what c-blosc writes
+    * for shuffled lz4/blosclz when the block divides evenly), fall back to
+    * the single-stream layout; each candidate must consume a structurally
+    * valid length-prefix chain to be accepted. */
+  private def decodeBlock(chunk: Array[Byte], bstart: Int, blockBytes: Int,
+      typesize: Int, shuffled: Boolean, codec: Int, where: String,
+      bi: Int): Array[Byte] = {
+    val candidates =
+      if (shuffled && typesize <= 255 && blockBytes % typesize == 0 &&
+          (codec == 0 || codec == 1)) Seq(typesize, 1)
+      else Seq(1)
+    var lastErr: Throwable = null
+    candidates.foreach { nsplits =>
+      try return decodeSplits(chunk, bstart, blockBytes, nsplits, codec, where)
+      catch { case e: IllegalArgumentException => lastErr = e }
+    }
+    throw new IllegalArgumentException(
+      s"$where: blosc block $bi decodes under no split layout " +
+        s"(tried ${candidates.mkString("/")}): ${lastErr.getMessage}")
+  }
+
+  private def decodeSplits(chunk: Array[Byte], bstart: Int, blockBytes: Int,
+      nsplits: Int, codec: Int, where: String): Array[Byte] = {
+    require(blockBytes % nsplits == 0, s"$where: block not divisible into $nsplits splits")
+    val neblock = blockBytes / nsplits
+    val out = new Array[Byte](blockBytes)
+    var p = bstart
+    var s = 0
+    while (s < nsplits) {
+      require(p + 4 <= chunk.length, s"$where: truncated blosc split header")
+      val cb = u32(chunk, p); p += 4
+      require(cb > 0 && p + cb <= chunk.length, s"$where: blosc split length $cb overruns chunk")
+      if (cb == neblock) {
+        // stored uncompressed (codec could not shrink this split)
+        System.arraycopy(chunk, p, out, s * neblock, neblock)
+      } else codec match {
+        case 1 => // lz4 / lz4hc (same block format)
+          val dec = Lz4.decompress(chunk, p, cb, neblock)
+          System.arraycopy(dec, 0, out, s * neblock, neblock)
+        case 3 => // zlib-wrapped deflate
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(chunk, p, cb)
+          var off = s * neblock
+          val lim = off + neblock
+          try {
+            while (off < lim && !inf.finished()) {
+              val n = inf.inflate(out, off, lim - off)
+              if (n == 0 && inf.needsInput())
+                throw new IllegalArgumentException(s"$where: truncated zlib split")
+              off += n
+            }
+            require(off == lim, s"$where: zlib split short by ${lim - off} bytes")
+          } catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(s"$where: corrupt zlib split: $e")
+          } finally inf.end()
+        case 0 => throw new IllegalArgumentException(s"$where: blosc codec blosclz unsupported")
+        case 5 => throw new IllegalArgumentException(s"$where: blosc codec zstd unsupported")
+        case c => throw new IllegalArgumentException(s"$where: unknown blosc codec id $c")
+      }
+      p += cb
+      s += 1
+    }
+    out
+  }
+
+  /** Undo the byte-shuffle filter: shuffled layout stores byte j of every
+    * element contiguously; any tail shorter than one element is verbatim. */
+  private[graft] def unshuffle(b: Array[Byte], typesize: Int): Array[Byte] = {
+    if (typesize <= 1) return b
+    val nElem = b.length / typesize
+    val body = nElem * typesize
+    val out = new Array[Byte](b.length)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      val base = j * nElem
+      while (i < nElem) { out(i * typesize + j) = b(base + i); i += 1 }
+      j += 1
+    }
+    System.arraycopy(b, body, out, body, b.length - body)
+    out
+  }
+
+  private[graft] def shuffle(b: Array[Byte], typesize: Int): Array[Byte] = {
+    if (typesize <= 1) return b
+    val nElem = b.length / typesize
+    val body = nElem * typesize
+    val out = new Array[Byte](b.length)
+    var j = 0
+    while (j < typesize) {
+      var i = 0
+      val base = j * nElem
+      while (i < nElem) { out(base + i) = b(i * typesize + j); i += 1 }
+      j += 1
+    }
+    System.arraycopy(b, body, out, body, b.length - body)
+    out
+  }
+
+  /** Encode one chunk in the shape c-blosc writes for the numcodecs
+    * default (`cname='lz4'`, byte-shuffle): single block, typesize splits
+    * when the element count divides evenly, raw-split fallback whenever a
+    * split fails to shrink. Fixture/sink path for the Zarr writer. */
+  def compress(data: Array[Byte], typesize: Int, shuffle: Boolean): Array[Byte] = {
+    val ts = math.max(1, typesize)
+    val doShuf = shuffle && ts > 1 && data.length % ts == 0 && data.length > 0
+    val payload = if (doShuf) this.shuffle(data, ts) else data
+    val nsplits = if (doShuf && ts <= 255) ts else 1
+    val body = new java.io.ByteArrayOutputStream(data.length + 64)
+    val neblock = if (nsplits == 0) 0 else payload.length / nsplits
+    var ok = payload.length > 0 && (nsplits == 1 || payload.length % nsplits == 0)
+    if (ok) {
+      var s = 0
+      while (s < nsplits && ok) {
+        val split = java.util.Arrays.copyOfRange(payload, s * neblock, (s + 1) * neblock)
+        val comp = Lz4.compress(split)
+        val (lenOut, bytesOut) =
+          if (comp.length < neblock) (comp.length, comp) else (neblock, split)
+        if (16 + 4 + body.size() + 4 + lenOut >= data.length + 16) ok = false
+        else {
+          body.write(lenOut & 0xFF); body.write((lenOut >>> 8) & 0xFF)
+          body.write((lenOut >>> 16) & 0xFF); body.write((lenOut >>> 24) & 0xFF)
+          body.write(bytesOut, 0, lenOut)
+          s += 1
+        }
+      }
+    } else ok = data.length > 0
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    def u32w(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    if (ok && body.size() > 0) {
+      out.write(2); out.write(1) // format version, codec version
+      out.write((if (doShuf) FlagShuffle else 0) | (1 << 5)) // lz4
+      out.write(ts & 0xFF)
+      u32w(data.length); u32w(data.length) // one block: blocksize = nbytes
+      u32w(16 + 4 + body.size())
+      u32w(20) // single block start, right after the index
+      body.writeTo(out)
+    } else {
+      // incompressible (or empty): memcpy chunk, original byte order
+      out.write(2); out.write(1)
+      out.write(FlagMemcpy); out.write(ts & 0xFF)
+      u32w(data.length); u32w(math.max(1, data.length)); u32w(16 + data.length)
+      out.write(data, 0, data.length)
+    }
+    out.toByteArray
+  }
+}

@@ -257,8 +257,11 @@ object NetCdf {
   private[raquet] val TimeNames = Set("time", "t")
 
   /** Container dispatch: classic CDF-1/2/5 files parse here; an HDF5
-    * signature routes to the scoped netCDF-4 reader ([[Hdf5Nc]]). */
+    * signature routes to the scoped netCDF-4 reader ([[Hdf5Nc]]); a Zarr
+    * store (directory with zarr metadata, or any `*.zarr` path incl.
+    * remote stores) routes to [[Zarr.describe]]. */
   def describeAny(path: String): NcGridSource = {
+    if (Zarr.isStore(path)) return Zarr.describe(path)
     val raf = new RandomAccessFile(path, "r")
     val magic = new Array[Byte](8)
     try {

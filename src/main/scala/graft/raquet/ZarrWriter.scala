@@ -1,0 +1,234 @@
+package graft.raquet
+
+/** Minimal Zarr v2 store writer — the fixture/round-trip twin of
+  * [[Hdf5Writer]]: a flat xarray-style group with `lat`/`lon`(/`time`)
+  * coordinate arrays and one `(time, lat, lon)` float32 data variable,
+  * written with `.zgroup`/`.zarray`/`.zattrs` plus consolidated
+  * `.zmetadata` (so the remote-store read path is exercisable too).
+  *
+  * Per-array compressors cover the whole read matrix: `"blosc"` (lz4 +
+  * byte-shuffle via [[Blosc.compress]] — the numcodecs default), `"zlib"`,
+  * `"gzip"`, `"raw"` (compressor null). */
+object ZarrWriter {
+
+  private def deflate(data: Array[Byte], gzip: Boolean): Array[Byte] =
+    if (gzip) {
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(data); gz.close()
+      bos.toByteArray
+    } else {
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(data); d.finish()
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      val tmp = new Array[Byte](64 << 10)
+      while (!d.finished()) bos.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      bos.toByteArray
+    }
+
+  private def encodeChunk(data: Array[Byte], comp: String, typesize: Int): Array[Byte] =
+    comp match {
+      case "blosc" => Blosc.compress(data, typesize, shuffle = true)
+      case "zlib" => deflate(data, gzip = false)
+      case "gzip" => deflate(data, gzip = true)
+      case "raw" => data
+      case c => throw new IllegalArgumentException(s"unknown fixture compressor '$c'")
+    }
+
+  private def compressorJson(comp: String): String = comp match {
+    case "blosc" => """{"id":"blosc","cname":"lz4","clevel":5,"shuffle":1,"blocksize":0}"""
+    case "zlib" => """{"id":"zlib","level":6}"""
+    case "gzip" => """{"id":"gzip","level":6}"""
+    case "raw" => "null"
+  }
+
+  private def put(root: java.nio.file.Path, key: String, bytes: Array[Byte]): Unit = {
+    val p = root.resolve(key)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, bytes)
+  }
+  private def putS(root: java.nio.file.Path, key: String, s: String): Unit =
+    put(root, key, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Write the store; returns the per-file key → embedded-JSON pairs that
+    * went into `.zmetadata` (handy for specs). */
+  def write(path: String, lats: Array[Double], lons: Array[Double],
+      times: Array[Double], timeUnits: String, fill: Float,
+      value: (Int, Int, Int) => Float,
+      chunkY: Int = 0, chunkX: Int = 0,
+      dataComp: String = "blosc", coordComp: String = "zlib",
+      varName: String = "band", dimSeparator: String = ".",
+      consolidate: Boolean = true): Unit = {
+    val ny = lats.length; val nx = lons.length; val nt = times.length
+    val cy = if (chunkY > 0) chunkY else ny
+    val cx = if (chunkX > 0) chunkX else nx
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(root)
+
+    val meta = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def record(key: String, jsonStr: String): Unit = {
+      putS(root, key, jsonStr); meta(key) = jsonStr
+    }
+
+    record(".zgroup", """{"zarr_format":2}""")
+    writeBody(root, record, lats, lons, times, timeUnits, fill, value,
+      cy, cx, dataComp, coordComp, varName, dimSeparator)
+
+    if (consolidate) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val entries = meta.map { case (k, v) =>
+        s""""${k}": ${v}"""
+      }.mkString(",")
+      val doc = s"""{"zarr_consolidated_format":1,"metadata":{$entries}}"""
+      mapper.readTree(doc) // self-check: the writer must emit valid JSON
+      putS(root, ".zmetadata", doc)
+    }
+  }
+
+  private def writeBody(root: java.nio.file.Path,
+      record: (String, String) => Unit,
+      lats: Array[Double], lons: Array[Double],
+      times: Array[Double], timeUnits: String, fill: Float,
+      value: (Int, Int, Int) => Float, cy: Int, cx: Int,
+      dataComp: String, coordComp: String, varName: String,
+      dimSeparator: String): Unit = {
+    val ny = lats.length; val nx = lons.length; val nt = times.length
+
+    def coordArray(name: String, vals: Array[Double], attrs: String): Unit = {
+      record(s"$name/.zarray",
+        s"""{"zarr_format":2,"shape":[${vals.length}],"chunks":[${vals.length}],""" +
+          s""""dtype":"<f8","compressor":${compressorJson(coordComp)},""" +
+          """"fill_value":null,"order":"C","filters":null}""")
+      record(s"$name/.zattrs", attrs)
+      val bb = java.nio.ByteBuffer.allocate(8 * vals.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      put(root, s"$name/0", encodeChunk(bb.array(), coordComp, 8))
+    }
+    coordArray("lat", lats,
+      """{"_ARRAY_DIMENSIONS":["lat"],"units":"degrees_north"}""")
+    coordArray("lon", lons,
+      """{"_ARRAY_DIMENSIONS":["lon"],"units":"degrees_east"}""")
+    coordArray("time", times,
+      s"""{"_ARRAY_DIMENSIONS":["time"],"units":"$timeUnits","calendar":"standard"}""")
+
+    record(s"$varName/.zarray",
+      s"""{"zarr_format":2,"shape":[$nt,$ny,$nx],"chunks":[1,$cy,$cx],""" +
+        s""""dtype":"<f4","compressor":${compressorJson(dataComp)},""" +
+        s""""fill_value":"NaN","order":"C","filters":null""" +
+        (if (dimSeparator != ".") s""","dimension_separator":"$dimSeparator"""" else "") +
+        "}")
+    record(s"$varName/.zattrs",
+      s"""{"_ARRAY_DIMENSIONS":["time","lat","lon"],"_FillValue":$fill}""")
+
+    val ncy = (ny + cy - 1) / cy
+    val ncx = (nx + cx - 1) / cx
+    for (t <- 0 until nt; jc <- 0 until ncy; ic <- 0 until ncx) {
+      // v2 edge chunks are stored full-size, padded with fill
+      val bb = java.nio.ByteBuffer.allocate(4 * cy * cx)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var j = 0
+      while (j < cy) {
+        var i = 0
+        while (i < cx) {
+          val gj = jc * cy + j; val gi = ic * cx + i
+          bb.putFloat(if (gj < ny && gi < nx) value(t, gj, gi) else Float.NaN)
+          i += 1
+        }
+        j += 1
+      }
+      put(root, s"$varName/$t$dimSeparator$jc$dimSeparator$ic",
+        encodeChunk(bb.array(), dataComp, 4))
+    }
+  }
+
+  // ----------------------------------------------------------------- v3
+
+  private def codecsJson(comp: String, typesize: Int): String = {
+    val bytes = """{"name":"bytes","configuration":{"endian":"little"}}"""
+    comp match {
+      case "blosc" => bytes + "," +
+        s"""{"name":"blosc","configuration":{"cname":"lz4","clevel":5,""" +
+        s""""shuffle":"shuffle","typesize":$typesize,"blocksize":0}}"""
+      case "gzip" => bytes + "," + """{"name":"gzip","configuration":{"level":6}}"""
+      case "raw" => bytes
+      case c => throw new IllegalArgumentException(s"v3 fixture compressor '$c'")
+    }
+  }
+
+  /** v3 twin of [[write]]: root `zarr.json` group (with zarr-python's
+    * `consolidated_metadata` when asked), per-array `zarr.json`, chunk
+    * keys under the default `c/`-prefixed encoding. Compressors here are
+    * v3 codec chains: `"blosc"`, `"gzip"`, `"raw"` (bytes only). */
+  def writeV3(path: String, lats: Array[Double], lons: Array[Double],
+      times: Array[Double], timeUnits: String, fill: Float,
+      value: (Int, Int, Int) => Float,
+      chunkY: Int = 0, chunkX: Int = 0,
+      dataComp: String = "blosc", coordComp: String = "gzip",
+      varName: String = "band", consolidate: Boolean = true): Unit = {
+    val ny = lats.length; val nx = lons.length; val nt = times.length
+    val cy = if (chunkY > 0) chunkY else ny
+    val cx = if (chunkX > 0) chunkX else nx
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(root)
+    val arrays = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    def arrayJson(shape: Seq[Long], chunks: Seq[Int], dtype: String,
+        comp: String, typesize: Int, fillJson: String, attrs: String): String =
+      s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
+        s""""data_type":"$dtype","chunk_grid":{"name":"regular",""" +
+        s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
+        """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
+        s""""fill_value":$fillJson,"codecs":[${codecsJson(comp, typesize)}],""" +
+        s""""attributes":$attrs,"dimension_names":null}"""
+
+    def coord(name: String, vals: Array[Double], attrs: String): Unit = {
+      val aj = arrayJson(Seq(vals.length.toLong), Seq(vals.length), "float64",
+        coordComp, 8, "0.0", attrs)
+      putS(root, s"$name/zarr.json", aj); arrays(name) = aj
+      val bb = java.nio.ByteBuffer.allocate(8 * vals.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble)
+      put(root, s"$name/c/0", encodeChunk(bb.array(), coordComp, 8))
+    }
+    coord("lat", lats, """{"units":"degrees_north"}""")
+    coord("lon", lons, """{"units":"degrees_east"}""")
+    coord("time", times,
+      s"""{"units":"$timeUnits","calendar":"standard"}""")
+
+    val dj = arrayJson(Seq(nt.toLong, ny.toLong, nx.toLong), Seq(1, cy, cx),
+      "float32", dataComp, 4, "\"NaN\"",
+      s"""{"_FillValue":$fill}""")
+    putS(root, s"$varName/zarr.json", dj); arrays(varName) = dj
+
+    val ncy = (ny + cy - 1) / cy
+    val ncx = (nx + cx - 1) / cx
+    for (t <- 0 until nt; jc <- 0 until ncy; ic <- 0 until ncx) {
+      val bb = java.nio.ByteBuffer.allocate(4 * cy * cx)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var j = 0
+      while (j < cy) {
+        var i = 0
+        while (i < cx) {
+          val gj = jc * cy + j; val gi = ic * cx + i
+          bb.putFloat(if (gj < ny && gi < nx) value(t, gj, gi) else Float.NaN)
+          i += 1
+        }
+        j += 1
+      }
+      put(root, s"$varName/c/$t/$jc/$ic", encodeChunk(bb.array(), dataComp, 4))
+    }
+
+    val cons =
+      if (!consolidate) ""
+      else {
+        val entries = arrays.map { case (k, v) => s""""$k": $v""" }.mkString(",")
+        s""","consolidated_metadata":{"kind":"inline","must_understand":false,""" +
+          s""""metadata":{$entries}}"""
+      }
+    val doc = s"""{"zarr_format":3,"node_type":"group","attributes":{}$cons}"""
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc) // validity self-check
+    putS(root, "zarr.json", doc)
+  }
+}

@@ -1,0 +1,318 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.{Blosc, Hdf5Writer, Lz4, NetCdf, Zarr, ZarrWriter}
+
+/** Zarr v2 ingest: LZ4 block codec, Blosc chunk codec (shuffle + splits),
+  * store metadata (plain + consolidated), windowed sampling across chunk
+  * boundaries, the full compressor matrix, and — the load-bearing check —
+  * cross-container equivalence: the same grid written as Zarr and as
+  * HDF5/netCDF-4 must produce identical describe() geometry and samples.
+  * Malformed stores/chunks must fail loudly, never decode garbage. */
+class ZarrSpec extends AnyFunSuite {
+
+  private lazy val tmp = Files.createTempDirectory("zarr").toString
+
+  // ------------------------------------------------------------- lz4
+
+  private def lz4RoundTrip(data: Array[Byte]): Unit = {
+    val c = Lz4.compress(data)
+    val d = Lz4.decompress(c, 0, c.length, data.length)
+    assert(d.toSeq == data.toSeq)
+  }
+
+  test("lz4: round-trips empty, tiny, repetitive, and random payloads") {
+    val rnd = new scala.util.Random(7)
+    lz4RoundTrip(Array.empty)
+    lz4RoundTrip(Array[Byte](1))
+    lz4RoundTrip("abcabcabcabcabcabcabcabcabcabcabc".getBytes)
+    lz4RoundTrip(Array.fill[Byte](100000)(42)) // long overlapping match
+    lz4RoundTrip(Array.fill[Byte](65536)(rnd.nextInt(256).toByte)) // incompressible
+    lz4RoundTrip(Array.tabulate[Byte](300000)(i => (i / 1000).toByte)) // >64KB offsets stay in window
+    val mixed = Array.tabulate[Byte](50000)(i =>
+      if ((i / 100) % 2 == 0) (i % 7).toByte else rnd.nextInt(256).toByte)
+    lz4RoundTrip(mixed)
+  }
+
+  test("lz4: hand-built sequences decode per the block spec") {
+    // one sequence: 5 literals 'hello', match offset 5 len 5, then literal tail
+    // token: litLen=5, matchLen-4=1 -> 0x51
+    val s = Array[Byte](0x51, 'h', 'e', 'l', 'l', 'o', 5, 0,
+      0x50, 'w', 'o', 'r', 'l', 'd')
+    val d = Lz4.decompress(s, 0, s.length, 15)
+    assert(new String(d) == "hellohelloworld")
+    // overlapping match: 1 literal 'a', offset 1, len 8 => 'a' * 9
+    val o = Array[Byte](0x14, 'a', 1, 0)
+    assert(new String(Lz4.decompress(o, 0, o.length, 9)) == "aaaaaaaaa")
+    // extended literal length: 15+240=255 literals, via an extra byte
+    val litExt = Array[Byte](0xF0.toByte, 240.toByte) ++ Array.fill[Byte](255)('x')
+    assert(Lz4.decompress(litExt, 0, litExt.length, 255).forall(_ == 'x'))
+  }
+
+  test("lz4: malformed streams fail loudly") {
+    intercept[IllegalArgumentException] { // offset beyond output written so far
+      Lz4.decompress(Array[Byte](0x14, 'a', 9, 0), 0, 4, 9)
+    }
+    intercept[IllegalArgumentException] { // literals overrun input
+      Lz4.decompress(Array[Byte](0x70, 'a'), 0, 2, 7)
+    }
+    intercept[IllegalArgumentException] { // match overruns declared output
+      Lz4.decompress(Array[Byte](0x1F, 'a', 1, 0, 100.toByte, 0), 0, 6, 5)
+    }
+    intercept[IllegalArgumentException] { // short output
+      Lz4.decompress(Array[Byte](0x20, 'a', 'b'), 0, 3, 5)
+    }
+  }
+
+  // ------------------------------------------------------------- blosc
+
+  private def bloscRoundTrip(data: Array[Byte], typesize: Int, shuffle: Boolean): Unit = {
+    val c = Blosc.compress(data, typesize, shuffle)
+    val d = Blosc.decompress(c, "test")
+    assert(d.toSeq == data.toSeq, s"typesize=$typesize shuffle=$shuffle")
+  }
+
+  test("blosc: round-trips the typesize/shuffle matrix") {
+    val f32 = {
+      val bb = java.nio.ByteBuffer.allocate(4 * 4096)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 4096).foreach(i => bb.putFloat(i * 0.25f))
+      bb.array()
+    }
+    for (ts <- Seq(1, 2, 4, 8); sh <- Seq(true, false))
+      bloscRoundTrip(f32, ts, sh)
+    bloscRoundTrip(Array.empty, 4, shuffle = true)
+    val rnd = new scala.util.Random(3)
+    bloscRoundTrip(Array.fill[Byte](8192)(rnd.nextInt(256).toByte), 4, shuffle = true)
+  }
+
+  test("blosc: byte-shuffle is its own inverse and interleaves correctly") {
+    val data = Array.tabulate[Byte](24)(_.toByte)
+    val sh = Blosc.shuffle(data, 4)
+    // byte 0 of each of the 6 elements first
+    assert(sh.take(6).toSeq == Seq[Byte](0, 4, 8, 12, 16, 20))
+    assert(Blosc.unshuffle(sh, 4).toSeq == data.toSeq)
+    // non-multiple tail stays verbatim
+    val odd = Array.tabulate[Byte](10)(_.toByte)
+    assert(Blosc.unshuffle(Blosc.shuffle(odd, 4), 4).toSeq == odd.toSeq)
+  }
+
+  test("blosc: malformed chunks fail loudly") {
+    val good = Blosc.compress(Array.tabulate[Byte](1024)(i => (i % 97).toByte), 4, true)
+    intercept[IllegalArgumentException] { Blosc.decompress(good.take(10), "t") }
+    intercept[IllegalArgumentException] { // header/cbytes mismatch
+      Blosc.decompress(good ++ Array[Byte](0), "t")
+    }
+    val bitshuf = good.clone(); bitshuf(2) = (bitshuf(2) | 0x4).toByte
+    intercept[IllegalArgumentException] { Blosc.decompress(bitshuf, "t") }
+    val zstd = good.clone(); zstd(2) = ((zstd(2) & 0x1F) | (5 << 5)).toByte
+    intercept[IllegalArgumentException] { Blosc.decompress(zstd, "t") }
+    val trunc = good.take(good.length - 5)
+    // fix up cbytes so only the payload is short — must still fail, not OOB
+    trunc(12) = (trunc.length & 0xFF).toByte
+    trunc(13) = ((trunc.length >>> 8) & 0xFF).toByte
+    trunc(14) = ((trunc.length >>> 16) & 0xFF).toByte
+    trunc(15) = ((trunc.length >>> 24) & 0xFF).toByte
+    intercept[IllegalArgumentException] { Blosc.decompress(trunc, "t") }
+  }
+
+  // ------------------------------------------------------------- store
+
+  private val lats = Array.tabulate(12)(j => 66.0 - 12.0 * j) // north-up
+  private val lons = Array.tabulate(20)(i => -180.0 + 18.0 * (i + 0.5))
+  private val times = Array(0.0, 24.0)
+  private def v(t: Int, j: Int, i: Int): Float =
+    if ((i + j) % 11 == 0) -9999f else (1000 * t + 20 * j + i).toFloat
+
+  private def writeStore(path: String, chunkY: Int = 5, chunkX: Int = 8,
+      dataComp: String = "blosc", coordComp: String = "zlib",
+      sep: String = ".", consolidate: Boolean = true): Unit =
+    ZarrWriter.write(path, lats, lons, times,
+      "hours since 2010-06-01 00:00:00", -9999f, v,
+      chunkY = chunkY, chunkX = chunkX, dataComp = dataComp,
+      coordComp = coordComp, dimSeparator = sep, consolidate = consolidate)
+
+  private def checkAll(path: String): Unit = {
+    val g = Zarr.describe(path)
+    assert(g.width == 20 && g.height == 12 && g.dtype == "float32")
+    assert(g.nodata.contains(-9999.0))
+    assert(g.cfUnits.contains("hours since 2010-06-01 00:00:00"))
+    assert(g.timeValues.toSeq == times.toSeq)
+    assert(!g.flipY && g.dy == -12.0 && g.dx == 18.0 && g.x0 == -180.0)
+    for (t <- times.indices) {
+      val s = g.sampler(t, 0, 0, 20, 12)
+      for (j <- 0 until 12; i <- 0 until 20)
+        assert(s.sample(0, i, j) == v(t, j, i).toDouble, s"t=$t ($i,$j)")
+    }
+    // bounded window crossing chunk boundaries
+    val w = g.sampler(1, 7, 3, 9, 6)
+    for (j <- 3 until 9; i <- 7 until 16)
+      assert(w.sample(0, i, j) == v(1, j, i).toDouble, s"window ($i,$j)")
+  }
+
+  test("store: blosc data + zlib coords, chunked, consolidated") {
+    val p = s"$tmp/blosc.zarr"; writeStore(p); checkAll(p)
+  }
+
+  test("store: every compressor and the '/' separator decode identically") {
+    for (comp <- Seq("zlib", "gzip", "raw")) {
+      val p = s"$tmp/c_$comp.zarr"
+      writeStore(p, dataComp = comp, coordComp = "raw"); checkAll(p)
+    }
+    val p = s"$tmp/slash.zarr"; writeStore(p, sep = "/"); checkAll(p)
+  }
+
+  test("store: directory listing path (no .zmetadata) reads identically") {
+    val p = s"$tmp/nometa.zarr"
+    writeStore(p, consolidate = false)
+    assert(!new java.io.File(p, ".zmetadata").isFile)
+    checkAll(p)
+  }
+
+  test("store: south-up coordinate order flips to north-up") {
+    val p = s"$tmp/southup.zarr"
+    ZarrWriter.write(p, lats.reverse, lons, times,
+      "hours since 2010-06-01 00:00:00", -9999f,
+      // writer rows follow the (ascending) lat array: row j stores what
+      // north-up row (11-j) holds
+      (t, j, i) => v(t, 11 - j, i), chunkY = 5, chunkX = 8)
+    val g = Zarr.describe(p)
+    assert(g.flipY) // storage ascends in latitude; sampler mirrors
+    assert(g.dy == -12.0 && g.y0 == 72.0 && g.dx == 18.0 && g.x0 == -180.0)
+    val s = g.sampler(1, 0, 0, 20, 12) // north-up window: same values as the
+    for (j <- 0 until 12; i <- 0 until 20) // north-up store in checkAll
+      assert(s.sample(0, i, j) == v(1, j, i).toDouble, s"($i,$j)")
+    val w = g.sampler(0, 6, 2, 11, 7) // chunk-misaligned window, mirrored rows
+    for (j <- 2 until 9; i <- 6 until 17)
+      assert(w.sample(0, i, j) == v(0, j, i).toDouble, s"window ($i,$j)")
+  }
+
+  test("cross-container: Zarr ≡ HDF5 describe geometry and samples") {
+    val zp = s"$tmp/xc.zarr"; writeStore(zp)
+    val hp = s"$tmp/xc.h5"
+    Hdf5Writer.write(hp, lats, lons, times, "hours since 2010-06-01 00:00:00",
+      -9999f, v, chunkY = 5, chunkX = 8)
+    val zg = NetCdf.describeAny(zp); val hg = NetCdf.describeAny(hp)
+    assert(zg.info.copy(path = "") == hg.info.copy(path = ""))
+    assert(zg.timeValues.toSeq == hg.timeValues.toSeq)
+    val zs = zg.sampler(1, 2, 1, 15, 10); val hs = hg.sampler(1, 2, 1, 15, 10)
+    for (j <- 1 until 11; i <- 2 until 17) {
+      val a = zs.sample(0, i, j); val b = hs.sample(0, i, j)
+      assert(a == b, s"($i,$j): zarr=$a h5=$b")
+    }
+  }
+
+  test("store: missing chunks read as fill, absent stores fail loudly") {
+    val p = s"$tmp/holes.zarr"
+    writeStore(p, dataComp = "raw", coordComp = "raw")
+    // delete one interior chunk: it must read back as the fill value (NaN)
+    assert(new java.io.File(s"$p/band/1.0.1").delete())
+    val g = Zarr.describe(p)
+    val s = g.sampler(1, 0, 0, 20, 12)
+    assert(s.sample(0, 8, 2).isNaN) // inside the deleted chunk
+    assert(s.sample(0, 8, 6) == v(1, 6, 8).toDouble) // chunk below intact
+    intercept[Exception] { Zarr.describe(s"$tmp/nonexistent.zarr") }
+  }
+
+  test("store: malformed metadata fails loudly with the offending key") {
+    def bad(name: String, zarrayJson: String): Unit = {
+      val p = java.nio.file.Paths.get(s"$tmp/bad_$name.zarr/x")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(".zarray"),
+        zarrayJson.getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        Zarr.describe(s"$tmp/bad_$name.zarr")
+      }
+      assert(e.getMessage != null)
+    }
+    bad("v3", """{"zarr_format":3,"shape":[4],"chunks":[4],"dtype":"<f4","order":"C"}""")
+    bad("fortran", """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4","order":"F"}""")
+    bad("dtype", """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<c8","order":"C"}""")
+    bad("filters", """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4","order":"C","filters":[{"id":"delta"}]}""")
+    bad("comp", """{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4","order":"C","compressor":{"id":"lzma"}}""")
+    bad("json", """{nope""")
+  }
+
+  // ------------------------------------------------------------- v3
+
+  private def writeV3(path: String, dataComp: String = "blosc",
+      consolidate: Boolean = true): Unit =
+    ZarrWriter.writeV3(path, lats, lons, times,
+      "hours since 2010-06-01 00:00:00", -9999f, v,
+      chunkY = 5, chunkX = 8, dataComp = dataComp, consolidate = consolidate)
+
+  test("v3 store: blosc and gzip codec chains decode identically to v2") {
+    for (comp <- Seq("blosc", "gzip", "raw")) {
+      val p = s"$tmp/v3_$comp.zarr"; writeV3(p, dataComp = comp); checkAll(p)
+    }
+    val p = s"$tmp/v3_nocons.zarr"; writeV3(p, consolidate = false); checkAll(p)
+  }
+
+  test("v3 store: unsupported codec chains and node shapes fail loudly") {
+    def badArr(name: String, arrayJson: String): Unit = {
+      val root = java.nio.file.Paths.get(s"$tmp/v3bad_$name.zarr")
+      java.nio.file.Files.createDirectories(root.resolve("x"))
+      java.nio.file.Files.write(root.resolve("zarr.json"),
+        """{"zarr_format":3,"node_type":"group","attributes":{}}""".getBytes("UTF-8"))
+      java.nio.file.Files.write(root.resolve("x/zarr.json"), arrayJson.getBytes("UTF-8"))
+      intercept[IllegalArgumentException] { Zarr.describe(root.toString) }
+    }
+    val base = """"shape":[4],"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},"data_type":"float32","fill_value":0"""
+    badArr("sharding",
+      s"""{"zarr_format":3,"node_type":"array",$base,"codecs":[{"name":"sharding_indexed","configuration":{}}]}""")
+    badArr("zstd",
+      s"""{"zarr_format":3,"node_type":"array",$base,"codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"zstd","configuration":{}}]}""")
+    badArr("bitshuffle",
+      s"""{"zarr_format":3,"node_type":"array",$base,"codecs":[{"name":"bytes","configuration":{"endian":"little"}},{"name":"blosc","configuration":{"shuffle":"bitshuffle"}}]}""")
+    badArr("dtype",
+      s"""{"zarr_format":3,"node_type":"array","shape":[4],"chunk_grid":{"name":"regular","configuration":{"chunk_shape":[4]}},"data_type":"complex64","fill_value":0,"codecs":[{"name":"bytes"}]}""")
+  }
+
+  // ------------------------------------------------------------- remote
+
+  test("remote store over HTTP reads via consolidated metadata (v2 and v3)") {
+    val v2p = s"$tmp/http_v2.zarr"; writeStore(v2p)
+    val v3p = s"$tmp/http_v3.zarr"; writeV3(v3p)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val f = java.nio.file.Paths.get(tmp, ex.getRequestURI.getPath.stripPrefix("/"))
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val b = java.nio.file.Files.readAllBytes(f)
+          ex.sendResponseHeaders(200, b.length.toLong)
+          ex.getResponseBody.write(b)
+        } else ex.sendResponseHeaders(404, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      checkAll(s"http://127.0.0.1:$port/http_v2.zarr")
+      checkAll(s"http://127.0.0.1:$port/http_v3.zarr")
+      // no .zmetadata and no listing → must fail loudly, not hang
+      val nolist = s"$tmp/http_nolist.zarr"
+      writeStore(nolist, consolidate = false)
+      val e = intercept[IllegalArgumentException] {
+        Zarr.describe(s"http://127.0.0.1:$port/http_nolist.zarr")
+      }
+      assert(e.getMessage.contains("consolidated"))
+    } finally server.stop(0)
+  }
+
+  test("dtype parser: endianness, kinds, and rejects") {
+    import Zarr.parseDtype
+    assert(parseDtype("<f4", "t") == Zarr.ZDtype(true, 'f', 4))
+    assert(parseDtype(">i2", "t") == Zarr.ZDtype(false, 'i', 2))
+    assert(parseDtype("|u1", "t") == Zarr.ZDtype(true, 'u', 1))
+    assert(parseDtype("<f4", "t").dtypeName == "float32")
+    assert(parseDtype("<u2", "t").dtypeName == "uint16")
+    intercept[IllegalArgumentException] { parseDtype("<M8", "t") } // datetime64
+    intercept[IllegalArgumentException] { parseDtype("<f2", "t") } // float16 npy
+    intercept[IllegalArgumentException] { parseDtype("S10", "t") }
+  }
+}
