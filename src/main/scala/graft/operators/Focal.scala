@@ -23,18 +23,39 @@ import graft.raquet.RaquetMetadata
   */
 object Focal {
 
+  /** Float64 band kernel describing every focal output band (gzip blob,
+    * physical values, NaN = no valid window) — decode focal results with
+    * `rq_decode(col, Focal.outKernel(meta))`, or write them back as a
+    * first-class raster via [[outMeta]]. */
+  def outKernel(meta: RaquetMetadata): graft.raquet.BandKernel =
+    graft.raquet.BandKernel("float64", Double.NaN,
+      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
+
+  /** Derived-raster metadata for focal output written via RaquetIO.write:
+    * the source grid with each output band re-typed float64/no-nodata
+    * (NaN pixels carry the missing-window mask). */
+  def outMeta(meta: RaquetMetadata, bandNames: Seq[String]): RaquetMetadata =
+    meta.copy(
+      compression = Some("gzip"),
+      bandLayout = "sequential",
+      bands = bandNames.map(n => graft.raquet.BandMeta(
+        name = n, bandType = "float64", nodata = None,
+        scale = None, offset = None, colorinterp = None, colortable = None)))
+
   /** 3×3 nodata-aware focal mean over every native-zoom tile of a raquet
-    * table. Output: (block, vals) with vals row-major w×h physical-value
-    * means; raster-edge windows truncate (mean over in-raster neighbors),
+    * table. Output: (block, vals) with vals a FIRST-CLASS float64 band
+    * blob ([[outKernel]] decodes it) of w×h physical-value means;
+    * raster-edge windows truncate (mean over in-raster neighbors),
     * matching GIS "ignore nodata" focal semantics. */
   def focalMean3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame =
     withHalos(data, meta, band)
       .select(col("block"),
         rq_focal_mean(col(band), col("halos"), meta, band).as("vals"))
 
-  /** Horn's-method slope in degrees over every native-zoom tile; NaN where
-    * the window has any missing/nodata cell (strict GIS convention).
-    * `cell` is the ground distance per pixel in value units. */
+  /** Horn's-method slope in degrees over every native-zoom tile ([[outKernel]]
+    * float64 blob output); NaN where the window has any missing/nodata cell
+    * (strict GIS convention). `cell` is the ground distance per pixel in
+    * value units. */
   def focalSlope3x3(data: DataFrame, meta: RaquetMetadata, band: String,
       cell: Double = 1.0): DataFrame =
     withHalos(data, meta, band)
@@ -44,7 +65,7 @@ object Focal {
   /** Slope + aspect + hillshade in one window pass ([[focalSlope3x3]]'s
     * strict-window semantics; GDAL-style defaults: sun azimuth 315°,
     * altitude 45°). Output: (block, t) with t.slope / t.aspect /
-    * t.hillshade row-major arrays. */
+    * t.hillshade float64 band blobs ([[outKernel]] decodes each). */
   def focalTerrain3x3(data: DataFrame, meta: RaquetMetadata, band: String,
       cell: Double = 1.0, azimuthDeg: Double = 315.0,
       altitudeDeg: Double = 45.0): DataFrame =

@@ -505,7 +505,7 @@ object LlmOracles {
                   * 1000000) AS BIGINT) AS nm
               FROM bg JOIN cb USING (b)
                 JOIN cw ON cw.w = split_part(bg.b, ' ', 1))
-       SELECT doc_id, count(*) AS n_bigrams, sum(nm) AS nll_micros
+       SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nm) AS BIGINT) AS nll_micros
        FROM sc GROUP BY doc_id"""
 
   /** q115: chunk boundaries re-derived — same integer-ceiling chunk count

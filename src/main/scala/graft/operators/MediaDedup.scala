@@ -29,21 +29,42 @@ object MediaDedup {
   /** 64-bit hamming-blocked near-dup pair join: a pair within hamming
     * distance ≤ 3 shares at least one of four exact 16-bit blocks
     * (pigeonhole), so candidates come from an equi-join on (block index,
-    * block value); the exact XOR popcount filters the residual. */
+    * block value); the exact XOR popcount filters the residual.
+    *
+    * The blocked join runs over DISTINCT fingerprints only: a real dedup
+    * corpus is heavy with hamming-0 collisions (boilerplate images), and
+    * with members in the join each identical-fp clique of n members lands
+    * in the same 4 buckets and generates n² candidates before distinct()
+    * can drop any — Σn² at corpus scale. Collapsed, a clique is ONE node;
+    * candidate count depends only on the number of distinct hash values.
+    * Member pairs are then re-expanded by two output-bound equi-joins on
+    * fp (cross-fp pairs via the surviving fp pairs; hamming-0 pairs via a
+    * self-join on fp), so no stage is ever quadratic in multiplicity. */
   def hashNearDups(fps: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, s"4-block bucketing is lossless only to hamming 3, got $maxHamming")
-    val chunks = fps.select(col(idCol), col(fpCol),
+    val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
+    val uniq = m.select(col("fp")).distinct()
+    val chunks = uniq.select(col("fp"),
       explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr(s"shiftright($fpCol, 16 * c) & 65535"))
-    val a = chunks.select(col("c"), col("chunk"),
-      col(idCol).as("ia"), col(fpCol).as("fa"))
-    val b = chunks.select(col("c"), col("chunk"),
-      col(idCol).as("ib"), col(fpCol).as("fb"))
-    a.join(b, Seq("c", "chunk")).filter(col("ia") < col("ib"))
-      .select(col("ia"), col("ib"),
+      .withColumn("chunk", expr("shiftright(fp, 16 * c) & 65535"))
+    val a = chunks.select(col("c"), col("chunk"), col("fp").as("fa"))
+    val b = chunks.select(col("c"), col("chunk"), col("fp").as("fb"))
+    val fpPairs = a.join(b, Seq("c", "chunk")).filter(col("fa") < col("fb"))
+      .select(col("fa"), col("fb"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming")).distinct()
       .filter(col("hamming") <= maxHamming)
+    val cross = fpPairs
+      .join(m.select(col("mid").as("ida"), col("fp").as("fa")), Seq("fa"))
+      .join(m.select(col("mid").as("idb"), col("fp").as("fb")), Seq("fb"))
+      .select(least(col("ida"), col("idb")).as("ia"),
+        greatest(col("ida"), col("idb")).as("ib"), col("hamming"))
+    val within = m.select(col("mid").as("ida"), col("fp"))
+      .join(m.select(col("mid").as("idb"), col("fp")), Seq("fp"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida").as("ia"), col("idb").as("ib"),
+        lit(0).as("hamming"))
+    within.union(cross)
   }
 
   /** 500 clips, 100 groups of 5: within a group the PCM differs by polarity

@@ -1084,7 +1084,7 @@ object RaquetOracles {
           FROM c),
         ps(p) AS (VALUES (25), (50), (75))
         SELECT CAST(cum.zid AS BIGINT) AS zone_id, CAST(p AS BIGINT) AS p,
-          CAST(min(dn) AS BIGINT) AS v, tt.total AS n_total
+          CAST(min(dn) AS BIGINT) AS v, CAST(tt.total AS BIGINT) AS n_total
         FROM ps, cum JOIN tt ON tt.zid = cum.zid
         WHERE cum.cum >= (p * tt.total + 99) // 100
         GROUP BY cum.zid, p, tt.total"""
@@ -1165,7 +1165,7 @@ object RaquetOracles {
         cum AS (SELECT dn, n, sum(n) OVER (ORDER BY dn) AS cum FROM c),
         ps(p) AS (VALUES (25), (50), (75), (90), (99))
         SELECT CAST(p AS BIGINT) AS p, CAST(min(dn) AS BIGINT) AS v,
-          (SELECT total FROM t) AS n_total
+          CAST((SELECT total FROM t) AS BIGINT) AS n_total
         FROM ps JOIN cum ON cum.cum >= (p*(SELECT total FROM t) + 99) // 100
         GROUP BY p"""
 

@@ -177,7 +177,8 @@ object RaquetQueries {
   def q97FocalMean(spark: SparkSession, dir: String): DataFrame = {
     val ds = RaquetIO.read(spark, Fixture)
     Focal.focalMean3x3(ds.data, ds.meta, "band_1")
-      .select(col("block"), posexplode(col("vals")))
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(ds.meta))))
       .select(col("block"), col("pos"),
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
@@ -190,7 +191,8 @@ object RaquetQueries {
   def q98FocalSlope(spark: SparkSession, dir: String): DataFrame = {
     val ds = RaquetIO.read(spark, Fixture)
     Focal.focalSlope3x3(ds.data, ds.meta, "band_1")
-      .select(col("block"), posexplode(col("vals")))
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(ds.meta))))
       .select(col("block"), col("pos"),
         when(isnan(col("col")), lit(null))
           .otherwise(round(col("col"), 7)).as("v"))
@@ -204,9 +206,14 @@ object RaquetQueries {
     val ds = RaquetIO.read(spark, Fixture)
     def r7(c: org.apache.spark.sql.Column) =
       when(isnan(c), lit(null)).otherwise(round(c, 7))
+    val k = Focal.outKernel(ds.meta)
     Focal.focalTerrain3x3(ds.data, ds.meta, "band_1")
       .select(col("block"),
-        posexplode(expr("arrays_zip(t.slope, t.aspect, t.hillshade)")))
+        rq_decode(col("t.slope"), k).as("slope"),
+        rq_decode(col("t.aspect"), k).as("aspect"),
+        rq_decode(col("t.hillshade"), k).as("hillshade"))
+      .select(col("block"),
+        posexplode(expr("arrays_zip(slope, aspect, hillshade)")))
       .select(col("block"), col("pos"),
         r7(col("col.slope")).as("slope"),
         r7(col("col.aspect")).as("aspect"),

@@ -18,9 +18,16 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   */
 object PixelCodec {
 
-  def gzipCompress(data: Array[Byte]): Array[Byte] = {
+  def gzipCompress(data: Array[Byte]): Array[Byte] =
+    gzipCompress(data, java.util.zip.Deflater.DEFAULT_COMPRESSION)
+
+  /** Level-parameterized gzip. Derived rasters (focal output: float64 mean
+    * mantissas, near-incompressible) use BEST_SPEED — ~4× the deflate
+    * throughput for a few % size — while ingested data keeps the default
+    * level that matches the reference's output sizes. */
+  def gzipCompress(data: Array[Byte], level: Int): Array[Byte] = {
     val bos = new ByteArrayOutputStream(data.length / 2 + 64)
-    val gz = new GZIPOutputStream(bos)
+    val gz = new GZIPOutputStream(bos) { `def`.setLevel(level) }
     gz.write(data)
     gz.close()
     bos.toByteArray
@@ -174,7 +181,11 @@ object PixelCodec {
   }
 
   /** Encode doubles to a little-endian blob of `dtype`, optionally gzipped. */
-  def encode(values: Array[Double], dtype: String, gzip: Boolean): Array[Byte] = {
+  def encode(values: Array[Double], dtype: String, gzip: Boolean): Array[Byte] =
+    encode(values, dtype, gzip, java.util.zip.Deflater.DEFAULT_COMPRESSION)
+
+  def encode(values: Array[Double], dtype: String, gzip: Boolean,
+      level: Int): Array[Byte] = {
     val bpp = bytesPerPixel(dtype)
     val bb = ByteBuffer.allocate(values.length * bpp).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0
@@ -199,7 +210,7 @@ object PixelCodec {
       case other => throw new IllegalArgumentException(s"band type: $other")
     }
     val raw = bb.array()
-    if (gzip) gzipCompress(raw) else raw
+    if (gzip) gzipCompress(raw, level) else raw
   }
 
   def halfToDouble(h: Short): Double = {

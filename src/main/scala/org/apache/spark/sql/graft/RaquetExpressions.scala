@@ -71,9 +71,12 @@ object RqBridge {
     * and nodata/NaN pixels are excluded from the window; each output value
     * is sum(physical)/count with ONE division, so engines that sum the same
     * exact (dyadic/integer) pixel values agree bit-for-bit regardless of
-    * accumulation order. Output is row-major w×h; NaN where the whole
-    * window is invalid. */
-  def focalOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): ArrayData = {
+    * accumulation order. Output is a FIRST-CLASS float64 band blob (gzip,
+    * scale 1 / offset 0, NaN where the whole window is invalid) — the
+    * RqReclassify/RqComposite shape — so focal output feeds every
+    * downstream blob kernel and the writer without re-encoding, and no
+    * 65k-element array ever materializes in the row. */
+  def focalOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): Array[Byte] = {
     val w = k.width; val h = k.height
     val pw = w + 2
     val pad = assemblePadded(k, raw, halos)
@@ -105,7 +108,8 @@ object RqBridge {
       }
       jj += 1
     }
-    ArrayData.toArrayData(out)
+    graft.raquet.PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
   }
 
   /** Horn's-method slope (degrees) over one tile + halo strips (same
@@ -115,9 +119,10 @@ object RqBridge {
     * nodata cell in the window → NaN output for that pixel (the strict GIS
     * convention — a gradient over a hole is not a gradient). For integer /
     * dyadic rasters every op before atan is IEEE-exact, so engines agree
-    * to atan's correctly-rounded-input ulp. */
+    * to atan's correctly-rounded-input ulp. Output: float64 band blob
+    * (same first-class-raster contract as [[focalOf]]). */
   def slopeOf(k: BandKernel, raw: Array[Byte], halos: ArrayData,
-      cell: Double): ArrayData = {
+      cell: Double): Array[Byte] = {
     val w = k.width; val h = k.height
     val pw = w + 2
     val pad = assemblePadded(k, raw, halos)
@@ -155,13 +160,14 @@ object RqBridge {
       }
       jj += 1
     }
-    ArrayData.toArrayData(out)
+    graft.raquet.PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
   }
 
   val terrainSchema: StructType = StructType(Seq(
-    StructField("slope", ArrayType(DoubleType, containsNull = false)),
-    StructField("aspect", ArrayType(DoubleType, containsNull = false)),
-    StructField("hillshade", ArrayType(DoubleType, containsNull = false))))
+    StructField("slope", BinaryType),
+    StructField("aspect", BinaryType),
+    StructField("hillshade", BinaryType)))
 
   /** Full terrain triple from one window pass: Horn slope (degrees, as
     * [[slopeOf]]), downslope aspect (azimuth degrees clockwise from north;
@@ -222,8 +228,13 @@ object RqBridge {
       }
       jj += 1
     }
-    InternalRow(ArrayData.toArrayData(slope), ArrayData.toArrayData(aspect),
-      ArrayData.toArrayData(shade))
+    InternalRow(
+      graft.raquet.PixelCodec.encode(slope, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      graft.raquet.PixelCodec.encode(aspect, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      graft.raquet.PixelCodec.encode(shade, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED))
   }
 
   /** Shared halo assembly: (w+2)×(h+2) padded raw-DN grid, NaN outside. */
@@ -885,9 +896,9 @@ case class RqClipStatsDyn(band: Expression, block: Expression,
       t: Expression): Expression = copy(band = f, block = s, wkt = t)
 }
 
-/** rq_focal_mean(band, halos) → row-major w×h array of 3×3 neighborhood
-  * means (physical values, nodata-aware), given the tile's blob and the
-  * halo strips collected from its 8 neighbors (see
+/** rq_focal_mean(band, halos) → float64 band BLOB of 3×3 neighborhood
+  * means (physical values, nodata-aware, NaN = no valid window), given the
+  * tile's blob and the halo strips collected from its 8 neighbors (see
   * [[graft.operators.Focal]] for the exchange shape and [[RqBridge.focalOf]]
   * for halo-label semantics). A NULL halo list (isolated tile / raster
   * corner) means an empty halo, NOT a null result. */
@@ -901,7 +912,7 @@ case class RqFocalMean(band: Expression, halos: Expression, kernel: BandKernel)
       StructField("dy", IntegerType),
       StructField("vals", ArrayType(DoubleType, containsNull = true)))),
       containsNull = true))
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "rq_focal_mean"
   override def eval(input: InternalRow): Any = {
@@ -919,7 +930,7 @@ case class RqFocalMean(band: Expression, halos: Expression, kernel: BandKernel)
         ${b.code}
         ${hl.code}
         boolean ${ev.isNull} = true;
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        byte[] ${ev.value} = null;
         if (!${b.isNull}) {
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.focalOf($k, ${b.value},
@@ -931,7 +942,7 @@ case class RqFocalMean(band: Expression, halos: Expression, kernel: BandKernel)
     copy(band = l, halos = r)
 }
 
-/** rq_focal_slope(band, halos) → row-major w×h array of Horn's-method slope
+/** rq_focal_slope(band, halos) → float64 band blob of Horn's-method slope
   * degrees (see [[RqBridge.slopeOf]]); NaN where the 3×3 window has any
   * missing or nodata cell. Same halo contract as [[RqFocalMean]]. */
 case class RqFocalSlope(band: Expression, halos: Expression,
@@ -945,7 +956,7 @@ case class RqFocalSlope(band: Expression, halos: Expression,
       StructField("dy", IntegerType),
       StructField("vals", ArrayType(DoubleType, containsNull = true)))),
       containsNull = true))
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "rq_focal_slope"
   override def eval(input: InternalRow): Any = {
@@ -963,7 +974,7 @@ case class RqFocalSlope(band: Expression, halos: Expression,
         ${b.code}
         ${hl.code}
         boolean ${ev.isNull} = true;
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        byte[] ${ev.value} = null;
         if (!${b.isNull}) {
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.slopeOf($k, ${b.value},
@@ -975,9 +986,9 @@ case class RqFocalSlope(band: Expression, halos: Expression,
     copy(band = l, halos = r)
 }
 
-/** rq_focal_terrain(band, halos) → struct of slope/aspect/hillshade arrays
-  * from one window pass (see [[RqBridge.terrainOf]]). Same halo contract as
-  * [[RqFocalMean]]. */
+/** rq_focal_terrain(band, halos) → struct of slope/aspect/hillshade float64
+  * band blobs from one window pass (see [[RqBridge.terrainOf]]). Same halo
+  * contract as [[RqFocalMean]]. */
 case class RqFocalTerrain(band: Expression, halos: Expression,
     kernel: BandKernel, cell: Double, azimuthDeg: Double, altitudeDeg: Double)
     extends BinaryExpression with ImplicitCastInputTypes {

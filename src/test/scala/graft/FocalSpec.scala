@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions._
 import graft.operators.Focal
 import graft.quadbin.Quadbin
 import graft.raquet.FixtureGen
@@ -33,7 +34,8 @@ class FocalSpec extends SparkSpec {
     val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
       numBlocks = n.toLong * n)
     val got = Focal.focalMean3x3(tiles, meta, "band_1")
-      .select(col("block"), posexplode(col("vals")))
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(got.size === n * n * bs * bs)
@@ -64,8 +66,12 @@ class FocalSpec extends SparkSpec {
     // band_2 phys gradient (0.25 east, 0.125 south) ⇒ downslope WNW:
     val wantAspect =
       ((math.toDegrees(math.atan2(-0.25, 0.125)) % 360.0) + 360.0) % 360.0
+    val k = Focal.outKernel(meta)
     val rows = graft.operators.Focal.focalTerrain3x3(tiles, meta, "band_2")
-      .select(posexplode(expr("arrays_zip(t.slope, t.aspect, t.hillshade)")))
+      .select(rq_decode(col("t.slope"), k).as("slope"),
+        rq_decode(col("t.aspect"), k).as("aspect"),
+        rq_decode(col("t.hillshade"), k).as("hillshade"))
+      .select(posexplode(expr("arrays_zip(slope, aspect, hillshade)")))
       .select(col("pos"), col("col.slope"), col("col.aspect"), col("col.hillshade"))
       .collect()
     rows.foreach { r =>
@@ -90,7 +96,7 @@ class FocalSpec extends SparkSpec {
     // same gradient (0.25, 0.125) ⇒ slope = atan(sqrt(0.0625 + 0.015625))
     val want = math.toDegrees(math.atan(math.sqrt(0.25 * 0.25 + 0.125 * 0.125)))
     val got = Focal.focalSlope3x3(tiles, meta, "band_2")
-      .select(posexplode(col("vals")))
+      .select(posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     for (j <- 0 until bs; i <- 0 until bs) {
       val v = got(j * bs + i)
@@ -100,7 +106,7 @@ class FocalSpec extends SparkSpec {
     }
     // band_1 has nodata stripes: every window touching one must be NaN
     val s1 = Focal.focalSlope3x3(tiles, meta, "band_1")
-      .select(posexplode(col("vals")))
+      .select(posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     for (j <- 1 until bs - 1; i <- 1 until bs - 1) {
       val touchesNodata = (for (oy <- -1 to 1; ox <- -1 to 1) yield
