@@ -43,6 +43,7 @@ object Cli {
       |  tile-cache <in.parquet> <out_dir>
       |  pmtiles <in.parquet> <out.pmtiles>
       |  compact <dataset_dir> [--max-rows N]
+      |  stamp-footer <file.parquet|dataset_dir>
       |  mvt <zones.parquet> <out.pmtiles> [--zoom N] [--extent N] [--layer name]
       |      [--target-size-mb 128]
       |""".stripMargin
@@ -190,6 +191,13 @@ object Cli {
       val rep = graft.raquet.Maintenance.compact(spark, dir,
         opts.get("max-rows").map(_.toLong).getOrElse(0L))
       println(s"compacted ${rep.filesBefore} -> ${rep.filesAfter} files (${rep.rows} rows)")
+    case "stamp-footer" =>
+      // retrofit the spec's footer contract (raquet:version KV +
+      // SortingColumn) onto files written before the stamp existed
+      val (pos, _) = parseArgs(args.tail, Set.empty)
+      val Seq(in) = expect(pos, 1, "stamp-footer <file.parquet|dataset_dir>")
+      graft.raquet.ParquetFooter.stampAll(in)
+      println(s"stamped $in")
     case "pmtiles" =>
       val (pos, _) = parseArgs(args.tail, Set.empty)
       val Seq(in, out) = expect(pos, 2, "pmtiles <in.parquet> <out.pmtiles>")

@@ -162,6 +162,7 @@ object SparkEntry {
     "q141_exif_orient"      -> (graft.operators.MediaDedup.q141ExifOrient _),
     "q142_zarr_ingest"      -> (RaquetQueries.q142ZarrIngest _),
     "q143_zarr_v3"          -> (RaquetQueries.q143ZarrV3Ingest _),
+    "q144_footer_meta"      -> (RaquetQueries.q144FooterMeta _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -364,6 +365,7 @@ object SparkEntry {
     // — fourth container, identical oracle
     "q142_zarr_ingest"      -> RaquetOracles.q79,
     "q143_zarr_v3"          -> RaquetOracles.q79,
+    "q144_footer_meta"      -> RaquetOracles.q144,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -378,6 +378,22 @@ object RaquetOracles {
         FROM read_parquet('$F') WHERE block <> 0"""
   }
 
+  /** q144: DuckDB reads the footer of the file q144 wrote — KV via
+    * parquet_kv_metadata (BLOB key/value decoded), row groups via
+    * parquet_metadata, rows via read_parquet. sorting_declared is asserted
+    * by the Spark side's independent thrift re-read (DuckDB does not
+    * expose SortingColumn), so the oracle emits the expected literal. */
+  val q144: String = {
+    val out = RaquetQueries.Q144Out
+    s"""SELECT
+        (SELECT decode(value) FROM parquet_kv_metadata('$out')
+         WHERE decode(key) = 'raquet:version') AS version,
+        (SELECT count(*) FROM read_parquet('$out')) AS n_rows,
+        (SELECT count(DISTINCT row_group_id) FROM parquet_metadata('$out'))
+          AS n_row_groups,
+        true AS sorting_declared"""
+  }
+
   val q33: String =
     s"""WITH p AS (SELECT id, CAST((id*7) % 100 - 30 AS DOUBLE) AS v
           FROM range(48) t(id))

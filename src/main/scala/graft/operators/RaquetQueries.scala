@@ -840,6 +840,31 @@ object RaquetQueries {
         (count(when(col("prev_max") >= col("f_min"), 1)) === 0).as("files_disjoint"))
   }
 
+  /** S9 footer contract (spec raquet.md:685-695): write the fixture through
+    * the standard writer, then prove the parquet FOOTER carries the
+    * `raquet:version` key-value pair and per-row-group SortingColumn the
+    * reference writer emits (`raster2raquet.py:1662-1665`, `2269-2274`;
+    * its `tests/test_cli.py:557-561` asserts the same). The oracle is
+    * DuckDB — a real reference-ecosystem consumer — reading the SAME file:
+    * version via parquet_kv_metadata, row-group census via
+    * parquet_metadata, rows via read_parquet. Sorting declarations are
+    * invisible to DuckDB SQL, so that bit is asserted by our independent
+    * thrift re-read here and emitted as a literal on the oracle side. */
+  def q144FooterMeta(spark: SparkSession, dir: String): DataFrame = {
+    val out = Q144Out
+    val src = RaquetIO.read(spark, Fixture)
+    RaquetIO.writeSingleFile(src.data, src.meta, out)
+    val (version, nRgs, nSorted) =
+      graft.raquet.ParquetFooter.inspect(java.nio.file.Paths.get(out))
+    val nRows = spark.read.parquet(out).count()
+    import spark.implicits._
+    Seq((version.getOrElse("missing"), nRows, nRgs.toLong, nSorted == nRgs))
+      .toDF("version", "n_rows", "n_row_groups", "sorting_declared")
+  }
+
+  val Q144Out: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_q144_footer.parquet"
+
   /** M1 inspect as a driver query: the one-row dataset summary
     * (`cli.py` `inspect` semantics) over the fixture. The oracle re-derives
     * every column from the raw parquet — metadata JSON via regexp, zoom

@@ -88,6 +88,27 @@ object Maintenance {
       val missing = parents.join(data.select(col("block").as("p")), Seq("p"), "left_anti").count()
       check("pyramid_parents", missing == 0, s"missing=$missing")
     }
+    // spec footer contract (raquet.md:685-695): every file carries the
+    // raquet:version KV and declares the Morton sort per row group
+    val fp = java.nio.file.Paths.get(path)
+    val files =
+      if (java.nio.file.Files.isRegularFile(fp)) Seq(fp)
+      else {
+        val it = java.nio.file.Files.list(fp).iterator()
+        val b = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) b += f
+        }
+        b.toSeq
+      }
+    val stamps = files.map(f => ParquetFooter.inspect(f))
+    check("footer_version",
+      stamps.nonEmpty && stamps.forall(_._1.contains(ParquetFooter.Version)),
+      s"files=${files.size} stamped=${stamps.count(_._1.contains(ParquetFooter.Version))}")
+    check("footer_sorting",
+      stamps.forall(t => t._3 == t._2),
+      s"row_groups=${stamps.map(_._2).sum} sorted=${stamps.map(_._3).sum}")
     data.unpersist()
     import spark.implicits._
     results.toSeq.toDF("check", "ok", "detail")
@@ -154,6 +175,14 @@ object Maintenance {
       .repartition(col("part"))
       .sortWithinPartitions("part", "block")
       .write.mode("overwrite").partitionBy("part").parquet(outDir)
+    val subdirs = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .iterator()
+    while (subdirs.hasNext) {
+      val d = subdirs.next()
+      if (java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("part="))
+        ParquetFooter.stampAll(d.toString)
+    }
   }
 
   final case class UpsertReport(filesTotal: Int, filesRewritten: Int,
@@ -188,8 +217,9 @@ object Maintenance {
     while (it.hasNext) {
       val p = it.next()
       if (p.getFileName.toString.endsWith(".parquet")) {
-        java.nio.file.Files.move(p,
-          java.nio.file.Paths.get(dir, s"part-compact-$stamp-$k.parquet"))
+        val dst = java.nio.file.Paths.get(dir, s"part-compact-$stamp-$k.parquet")
+        java.nio.file.Files.move(p, dst)
+        ParquetFooter.stamp(dst)
         k += 1
       }
     }
@@ -271,8 +301,9 @@ object Maintenance {
     while (moved.hasNext) {
       val p = moved.next()
       if (p.getFileName.toString.endsWith(".parquet")) {
-        java.nio.file.Files.move(p,
-          java.nio.file.Paths.get(dir, s"part-upsert-$stamp-$k.parquet"))
+        val dst = java.nio.file.Paths.get(dir, s"part-upsert-$stamp-$k.parquet")
+        java.nio.file.Files.move(p, dst)
+        ParquetFooter.stamp(dst)
         k += 1
       }
     }

@@ -301,13 +301,17 @@ object RaquetIO {
     */
   def write(data: DataFrame, meta: RaquetMetadata, dir: String,
       maxRecordsPerFile: Long = 0, rowGroupBytes: Long = 0): Unit = {
-    val sortCols = if (data.columns.contains("time_cf"))
-      Seq(col("block"), col("time_cf")) else Seq(col("block"))
-    var w = data.orderBy(sortCols: _*).write.mode("overwrite")
+    val sortNames = if (data.columns.contains("time_cf"))
+      Seq("block", "time_cf") else Seq("block")
+    var w = data.orderBy(sortNames.map(col): _*).write.mode("overwrite")
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     if (rowGroupBytes > 0) w = w.option("parquet.block.size", rowGroupBytes)
     w.parquet(dir)
     metadataDf(data, meta).write.mode("append").parquet(dir)
+    // spec footer contract (raquet.md:685-695): raquet:version KV +
+    // SortingColumn per row group — Spark's writer exposes neither, so the
+    // footers are stamped in place (O(footer) per file)
+    ParquetFooter.stampAll(dir, sortNames)
   }
 
   /** S9 (single-file form, small outputs / fixtures): one parquet FILE with
@@ -315,9 +319,9 @@ object RaquetIO {
     * reference writer's layout (`raster2raquet.py:2265-2314`). */
   def writeSingleFile(data: DataFrame, meta: RaquetMetadata, file: String,
       rowGroupBytes: Long = 0): Unit = {
-    val sortCols = if (data.columns.contains("time_cf"))
-      Seq(col("block"), col("time_cf")) else Seq(col("block"))
-    val sorted = data.repartition(1).sortWithinPartitions(sortCols: _*)
+    val sortNames = if (data.columns.contains("time_cf"))
+      Seq("block", "time_cf") else Seq("block")
+    val sorted = data.repartition(1).sortWithinPartitions(sortNames.map(col): _*)
     // union preserves partition order; coalesce(1) concatenates them in
     // order, so the metadata row lands after the sorted data rows
     val withMeta = sorted.unionByName(metadataDf(data, meta)).coalesce(1)
@@ -330,6 +334,7 @@ object RaquetIO {
     Files.createDirectories(Paths.get(file).toAbsolutePath.getParent)
     Files.move(part, Paths.get(file), StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(Paths.get(tmp))
+    ParquetFooter.stamp(Paths.get(file), sortNames)
   }
 
   private def metadataDf(data: DataFrame, meta: RaquetMetadata): DataFrame = {

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Paths
+
+import graft.raquet.{ParquetFooter, RaquetIO}
+
+/** Spec footer contract (raquet.md:685-695): the writer stamps
+  * `raquet:version` + per-row-group SortingColumn, the stamp is idempotent,
+  * and the rewritten file stays readable by both our reader and Spark.
+  * DuckDB visibility is proven end-to-end by q144's oracle. */
+class ParquetFooterSpec extends SparkSpec {
+
+  private val fixture = "src/test/resources/raquet/gradient16.parquet"
+
+  test("writeSingleFile stamps version KV and block sorting on every row group") {
+    val out = java.nio.file.Files.createTempDirectory("footer").toString + "/f.parquet"
+    val src = RaquetIO.read(spark, fixture)
+    // small row groups force a multi-group file: every group must declare
+    RaquetIO.writeSingleFile(src.data, src.meta, out, rowGroupBytes = 64 << 10)
+    val (version, nRgs, nSorted) = ParquetFooter.inspect(Paths.get(out))
+    assert(version.contains(ParquetFooter.Version))
+    assert(nRgs >= 1 && nSorted == nRgs, s"rgs=$nRgs sorted=$nSorted")
+    val back = RaquetIO.read(spark, out)
+    assert(back.data.count() == src.data.count())
+  }
+
+  test("stamp is idempotent and preserves content") {
+    val out = java.nio.file.Files.createTempDirectory("footer").toString + "/g.parquet"
+    val src = RaquetIO.read(spark, fixture)
+    RaquetIO.writeSingleFile(src.data, src.meta, out)
+    val before = ParquetFooter.inspect(Paths.get(out))
+    ParquetFooter.stamp(Paths.get(out))
+    ParquetFooter.stamp(Paths.get(out))
+    assert(ParquetFooter.inspect(Paths.get(out)) == before)
+    val n = spark.read.parquet(out).count()
+    assert(n == src.data.count() + 1) // data rows + metadata row
+  }
+
+  test("directory write stamps every part file") {
+    val out = java.nio.file.Files.createTempDirectory("footer").toString + "/d"
+    val src = RaquetIO.read(spark, fixture)
+    RaquetIO.write(src.data, src.meta, out, maxRecordsPerFile = 16)
+    val parts = java.nio.file.Files.list(Paths.get(out)).iterator()
+    var n = 0
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        n += 1
+        val (v, rgs, sorted) = ParquetFooter.inspect(p)
+        assert(v.contains(ParquetFooter.Version), s"$p missing version KV")
+        assert(sorted == rgs, s"$p rgs=$rgs sorted=$sorted")
+      }
+    }
+    assert(n >= 3) // split data files + metadata file
+  }
+}
