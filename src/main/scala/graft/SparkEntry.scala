@@ -163,6 +163,8 @@ object SparkEntry {
     "q142_zarr_ingest"      -> (RaquetQueries.q142ZarrIngest _),
     "q143_zarr_v3"          -> (RaquetQueries.q143ZarrV3Ingest _),
     "q144_footer_meta"      -> (RaquetQueries.q144FooterMeta _),
+    "q145_stream_ingest"    -> (RaquetQueries.q145StreamIngest _),
+    "q146_stream_winstats"  -> (RaquetQueries.q146StreamWinStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -366,6 +368,8 @@ object SparkEntry {
     "q142_zarr_ingest"      -> RaquetOracles.q79,
     "q143_zarr_v3"          -> RaquetOracles.q79,
     "q144_footer_meta"      -> RaquetOracles.q144,
+    "q145_stream_ingest"    -> RaquetOracles.q145,
+    "q146_stream_winstats"  -> RaquetOracles.q146,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

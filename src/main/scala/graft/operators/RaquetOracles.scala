@@ -394,6 +394,42 @@ object RaquetOracles {
         true AS sorting_declared"""
   }
 
+  /** q145: ingest is content-preserving, so the aggregate recomputes
+    * directly from the fixture's data rows (stats columns); the layout
+    * booleans (multi-batch split, per-file Morton sort) are structural
+    * facts the Spark side verified and the oracle states as the expected
+    * literals — the q57 pattern. */
+  val q145: String =
+    s"""SELECT count(*) AS n_rows, count(DISTINCT block) AS n_distinct,
+        CAST(sum(band_1_count) AS BIGINT) AS valid_px,
+        sum(band_2_sum) AS b2_sum,
+        min(block) AS min_block, max(block) AS max_block,
+        true AS n_batches_split, true AS files_sorted
+        FROM read_parquet('$F') WHERE block <> 0"""
+
+  /** q146: the batch twin of the watermarked 2-day windowed per-block
+    * stats — per-pixel closed form, epoch-aligned 2-day windows (Spark's
+    * window() alignment), DATE-cast group key. Every value is dyadic so
+    * both engines agree bit for bit. */
+  val q146: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH d AS (SELECT block, time_cf, time_ts,
+          ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FT') WHERE block <> 0),
+        xy AS (SELECT block, time_cf, time_ts,
+          ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        pxv AS (SELECT block, time_ts,
+          CAST(x*16+i AS DOUBLE)/2 + CAST(y*16+j AS DOUBLE)/4
+            + 16 * (time_cf / 1440) AS v
+          FROM xy, range(16) a(i), range(16) b(j)),
+        w AS (SELECT CAST(TIMESTAMP 'epoch' + to_microseconds(
+            (epoch_us(time_ts) // 172800000000) * 172800000000) AS DATE)
+            AS window_day, block, v FROM pxv)
+        SELECT window_day, block, CAST(count(*) AS BIGINT) AS n_valid,
+          sum(v) AS vsum, min(v) AS vmin, max(v) AS vmax
+        FROM w GROUP BY 1, 2"""
+  }
+
   val q33: String =
     s"""WITH p AS (SELECT id, CAST((id*7) % 100 - 30 AS DOUBLE) AS v
           FROM range(48) t(id))

@@ -2013,6 +2013,120 @@ object RaquetQueries {
         col("s.sum").cast("long").as("vsum"))
   }
 
+  /** Str1 driver proof — continuous sorted tile ingestion
+    * ([[graft.streaming.StreamingTiles.ingest]]): the fixture's data rows
+    * arrive as two directory drops; the file-source stream appends each
+    * micro-batch Morton-sorted to the output dataset. The read-back must
+    * (a) preserve content exactly (the oracle recomputes the aggregate
+    * from the fixture file) and (b) leave every output file internally
+    * block-sorted — the prunable layout. The per-file sort check collects
+    * only the 85-row fixture's block column (test plumbing, not a data
+    * path). */
+  def q145StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q145"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rm)
+      p.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    val ds = RaquetIO.read(spark, Fixture)
+    val data = ds.data
+    val b1 = data.filter(col("block") % 3 === 0)
+    val b2 = data.filter(col("block") % 3 =!= 0)
+    // drop = write one part file elsewhere, then move it into the watched
+    // dir (the file source sees whole files appear, the ingest contract)
+    def drop(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      // deliberately unsorted input: the ingest sort must do the work
+      df.orderBy(col("band_1_sum")).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .iterator()
+      while (part.hasNext) {
+        val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(f,
+            java.nio.file.Paths.get(inDir, s"$name.parquet"))
+      }
+    }
+    drop(b1, "drop1")
+    val q = graft.streaming.StreamingTiles.ingest(
+      spark, inDir, data.schema, outDir, ck)
+    try {
+      q.processAllAvailable()
+      drop(b2, "drop2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(outDir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      .iterator()
+    var nFiles = 0
+    var allSorted = true
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getFileName.toString.endsWith(".parquet")) {
+        nFiles += 1
+        val blocks = spark.read.parquet(f.toString).coalesce(1)
+          .select("block").collect().map(_.getLong(0))
+        allSorted &&= blocks.sameElements(blocks.sorted)
+      }
+    }
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("block")).as("n_distinct"),
+      sum(col("band_1_count")).cast("long").as("valid_px"),
+      sum(col("band_2_sum")).as("b2_sum"),
+      min(col("block")).as("min_block"), max(col("block")).as("max_block"))
+      .withColumn("n_batches_split", lit(nFiles >= 2))
+      .withColumn("files_sorted", lit(allSorted))
+  }
+
+  /** Str2 driver proof — watermarked event-time windowed tile stats
+    * ([[graft.streaming.StreamingTiles.windowedStats]]): the full time
+    * fixture streams in two time-ordered micro-batches (each internally
+    * unordered), a far-future sentinel advances the watermark so append
+    * mode seals every real window, and the sealed output must equal the
+    * batch 2-day-window aggregate the oracle recomputes per (window,
+    * block) from the closed form. window_start is cast to DATE (epoch-
+    * aligned 2-day windows start at midnight UTC) so the group key hashes
+    * identically across engines. */
+  def q146StreamWinStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val rows = ds.data
+      .select(col("block"), col("time_ts"), col("band_1"), col("time_cf"))
+      .as[(Long, java.sql.Timestamp, Array[Byte], Double)].collect()
+    val tMid = rows.map(_._4).sorted.apply(rows.length / 2)
+    val early = rows.filter(_._4 < tMid).map(r => (r._1, r._2, r._3))
+    val late = rows.filter(_._4 >= tMid).map(r => (r._1, r._2, r._3))
+    val maxTs = rows.map(_._2.getTime).max
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Array[Byte])]
+    val tiles = input.toDF().toDF("block", "time_ts", "band_1")
+    val out = graft.streaming.StreamingTiles.windowedStats(
+      tiles, ds.meta, "band_1", watermarkDelay = "0 seconds",
+      windowLen = "2 days")
+    val q = out.writeStream.format("memory").queryName("q146_winstats")
+      .outputMode("append").start()
+    try {
+      input.addData(early.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(late.toIndexedSeq)
+      q.processAllAvailable()
+      // sentinel 100 days out: pushes the watermark past every real window
+      input.addData((rows.head._1,
+        new java.sql.Timestamp(maxTs + 100L * 86400000L), rows.head._3))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table("q146_winstats")
+      .filter(col("window_start") <= lit(new java.sql.Timestamp(maxTs)))
+      .select(col("window_start").cast("date").as("window_day"), col("block"),
+        col("n_valid"), col("vsum"), col("vmin"), col("vmax"))
+  }
+
   /** Streaming incremental-pyramid driver proof
     * ([[graft.streaming.StreamingTiles.incrementalPyramid]]): the fixture's
     * 64 native z6 tiles arrive over three micro-batches — the third

@@ -53,13 +53,23 @@ object Blosc {
     require(chunk.length >= 16 + 4 * nblocks, s"$where: truncated blosc block index")
     val out = new Array[Byte](nbytes)
     val shuffled = (flags & FlagShuffle) != 0 && typesize > 1
+    val starts = Array.tabulate(nblocks)(i => u32(chunk, 16 + 4 * i))
     var bi = 0
     while (bi < nblocks) {
-      val bstart = u32(chunk, 16 + 4 * bi)
+      val bstart = starts(bi)
       require(bstart >= 0 && bstart < chunk.length, s"$where: blosc block $bi start $bstart out of range")
+      // a block's split chain must consume EXACTLY up to the next block's
+      // start (blocks are laid out back to back; cbytes bounds the last) —
+      // this is what disambiguates the split-count layouts
+      var bend = chunk.length
+      var k = 0
+      while (k < nblocks) {
+        if (starts(k) > bstart && starts(k) < bend) bend = starts(k)
+        k += 1
+      }
       val blockBytes = math.min(blocksize, nbytes - bi * blocksize)
-      val block = decodeBlock(chunk, bstart, blockBytes, typesize, shuffled,
-        codec, where, bi)
+      val block = decodeBlock(chunk, bstart, bend, blockBytes, blocksize,
+        typesize, shuffled, codec, where, bi)
       val dst =
         if (shuffled) unshuffle(block, typesize)
         else block
@@ -69,20 +79,29 @@ object Blosc {
     out
   }
 
-  /** Decode one block: try the typesize-split layout (what c-blosc writes
-    * for shuffled lz4/blosclz when the block divides evenly), fall back to
-    * the single-stream layout; each candidate must consume a structurally
-    * valid length-prefix chain to be accepted. */
-  private def decodeBlock(chunk: Array[Byte], bstart: Int, blockBytes: Int,
-      typesize: Int, shuffled: Boolean, codec: Int, where: String,
-      bi: Int): Array[Byte] = {
+  /** Decode one block. c-blosc derives the split count instead of storing
+    * it; its rule (blosc.c `split_block`): split into typesize streams
+    * only for blosclz/lz4, shuffled, typesize <= 16 (MAX_STREAMS) and
+    * blocksize/typesize >= 128 (MIN_BUFFERSIZE) — and NEVER for a leftover
+    * (short last) block. The rule has varied across releases, so the
+    * preferred layout per that rule is tried first and the other second;
+    * a candidate is accepted ONLY if its length-prefix chain consumes
+    * exactly [bstart, bend) — the end check rejects the wrong layout
+    * instead of decoding garbage pixels. */
+  private def decodeBlock(chunk: Array[Byte], bstart: Int, bend: Int,
+      blockBytes: Int, blocksize: Int, typesize: Int, shuffled: Boolean,
+      codec: Int, where: String, bi: Int): Array[Byte] = {
+    val cbloscSplits = shuffled && typesize <= 16 &&
+      blocksize / math.max(1, typesize) >= 128 && blockBytes == blocksize &&
+      (codec == 0 || codec == 1)
+    val divisible = typesize > 1 && typesize <= 255 && blockBytes % typesize == 0
     val candidates =
-      if (shuffled && typesize <= 255 && blockBytes % typesize == 0 &&
-          (codec == 0 || codec == 1)) Seq(typesize, 1)
+      if (cbloscSplits) Seq(typesize, 1)
+      else if (shuffled && divisible && (codec == 0 || codec == 1)) Seq(1, typesize)
       else Seq(1)
     var lastErr: Throwable = null
     candidates.foreach { nsplits =>
-      try return decodeSplits(chunk, bstart, blockBytes, nsplits, codec, where)
+      try return decodeSplits(chunk, bstart, bend, blockBytes, nsplits, codec, where)
       catch { case e: IllegalArgumentException => lastErr = e }
     }
     throw new IllegalArgumentException(
@@ -90,17 +109,17 @@ object Blosc {
         s"(tried ${candidates.mkString("/")}): ${lastErr.getMessage}")
   }
 
-  private def decodeSplits(chunk: Array[Byte], bstart: Int, blockBytes: Int,
-      nsplits: Int, codec: Int, where: String): Array[Byte] = {
+  private def decodeSplits(chunk: Array[Byte], bstart: Int, bend: Int,
+      blockBytes: Int, nsplits: Int, codec: Int, where: String): Array[Byte] = {
     require(blockBytes % nsplits == 0, s"$where: block not divisible into $nsplits splits")
     val neblock = blockBytes / nsplits
     val out = new Array[Byte](blockBytes)
     var p = bstart
     var s = 0
     while (s < nsplits) {
-      require(p + 4 <= chunk.length, s"$where: truncated blosc split header")
+      require(p + 4 <= bend, s"$where: truncated blosc split header")
       val cb = u32(chunk, p); p += 4
-      require(cb > 0 && p + cb <= chunk.length, s"$where: blosc split length $cb overruns chunk")
+      require(cb > 0 && p + cb <= bend, s"$where: blosc split length $cb overruns its block")
       if (cb == neblock) {
         // stored uncompressed (codec could not shrink this split)
         System.arraycopy(chunk, p, out, s * neblock, neblock)
@@ -132,6 +151,8 @@ object Blosc {
       p += cb
       s += 1
     }
+    require(p == bend,
+      s"$where: blosc split chain ends at $p, block region ends at $bend")
     out
   }
 
@@ -177,7 +198,10 @@ object Blosc {
     val ts = math.max(1, typesize)
     val doShuf = shuffle && ts > 1 && data.length % ts == 0 && data.length > 0
     val payload = if (doShuf) this.shuffle(data, ts) else data
-    val nsplits = if (doShuf && ts <= 255) ts else 1
+    // c-blosc's own split rule (blosc.c `split_block`): real decoders
+    // DERIVE the split count, so our writer must match it exactly
+    val nsplits =
+      if (doShuf && ts <= 16 && data.length / ts >= 128) ts else 1
     val body = new java.io.ByteArrayOutputStream(data.length + 64)
     val neblock = if (nsplits == 0) 0 else payload.length / nsplits
     var ok = payload.length > 0 && (nsplits == 1 || payload.length % nsplits == 0)

@@ -444,6 +444,9 @@ object Zarr {
             case e: java.util.zip.DataFormatException =>
               throw new IllegalArgumentException(s"$where: corrupt zlib chunk: $e")
           } finally inf.end()
+          // the buffer is pre-allocated at `expect`, so the outer length
+          // check cannot catch a stream that finished short — fail here
+          require(off == expect, s"$where: zlib chunk short by ${expect - off} bytes")
           buf
         }
     }
@@ -466,7 +469,10 @@ object Zarr {
       case ('u', 1) => (bb.get(k) & 0xFF).toDouble
       case ('u', 2) => (bb.getShort(2 * k) & 0xFFFF).toDouble
       case ('u', 4) => (bb.getInt(4 * k) & 0xFFFFFFFFL).toDouble
-      case _ => bb.getLong(8 * k).toDouble // u8: best-effort (values < 2^63)
+      case _ => // u8: exact for values < 2^63, loud past it (not silently negative)
+        val v = bb.getLong(8 * k)
+        require(v >= 0, s"uint64 value ${java.lang.Long.toUnsignedString(v)} exceeds 2^63")
+        v.toDouble
     }
   }
 
@@ -617,7 +623,10 @@ object Zarr {
         case ('u', 1) => (bb.get(k) & 0xFF).toDouble
         case ('u', 2) => (bb.getShort(2 * k) & 0xFFFF).toDouble
         case ('u', 4) => (bb.getInt(4 * k) & 0xFFFFFFFFL).toDouble
-        case _ => bb.getLong(8 * k).toDouble
+        case _ =>
+          val v = bb.getLong(8 * k)
+          require(v >= 0, s"uint64 value ${java.lang.Long.toUnsignedString(v)} exceeds 2^63")
+          v.toDouble
       }
     }
   }
@@ -698,6 +707,12 @@ object Zarr {
       case Some(ta) => readDoubles1d(store, ta).take(nt)
       case None => Array.tabulate(nt)(_.toDouble)
     }
+    // nodata precedence: CF _FillValue / missing_value attrs, then the
+    // zarr fill_value — EXCEPT 0.0, which is zarr v2's implicit default
+    // for every numeric dtype and overwhelmingly means "unwritten chunk
+    // background", not a real missing-data sentinel (a store that does use
+    // 0 as nodata declares it via _FillValue). NaN fill also drops here
+    // because NaN pixels are always masked by the kernels anyway.
     val nodata = attrNum(data, "_FillValue")
       .orElse(attrNum(data, "missing_value"))
       .orElse(data.fillValue.filterNot(f => f.isNaN || f == 0.0))

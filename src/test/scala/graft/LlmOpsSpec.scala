@@ -119,6 +119,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) == 1L && got(13L) == 10L && got(21L) == 20L && got(33L) == 30L)
   }
 
+  test("q107 micro-nat values keep a margin from rounding boundaries") {
+    // The bigram-LM contract rounds -ln(p)*1e6 to an integer on BOTH
+    // engines; a libm ulp difference at an exact half boundary would flip
+    // the rounded value and fail the typed hash on a DuckDB build change.
+    // Spread bound: |x| < 16 nats, so a ≤4-ulp cross-libm ln() difference
+    // moves x by < 4 * ulp(16) * 1e6 ≈ 1e-8 micro-nats. Guard at 1e-6 —
+    // 100x that bound, and well under the measured corpus margins
+    // (2.3e-4 on sf0.001, 4.2e-5 on the driver gate corpus sf0.01).
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables.documents(spark, sf).select("doc_id", "text")
+      val toks = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+      val cw = uni.groupBy("w").agg(count(lit(1)).as("cw"))
+      val v = uni.select(countDistinct(col("w"))).head.getLong(0)
+      val occ = toks.filter(size(col("t")) >= 2)
+        .withColumn("bs", expr(
+          "transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"))
+        .select(explode(col("bs")).as("b"))
+      // occurrence counts (lmScore's cb), evaluated once per distinct bigram
+      val cb = occ.groupBy("b").agg(count(lit(1)).as("cb"))
+      val margins = cb
+        .withColumn("w1", expr("split_part(b, ' ', 1)"))
+        .join(cw.withColumnRenamed("w", "w1"), "w1")
+        .withColumn("x", -log((col("cb") + 1.0) / (col("cw") + v.toDouble)) * 1e6)
+        .withColumn("margin", abs(col("x") - floor(col("x")) - 0.5))
+        .agg(min("margin").as("m"), count(lit(1)).as("n")).head()
+      assert(margins.getLong(1) > 0, s"$sf: no bigrams")
+      assert(margins.getDouble(0) > 1e-6,
+        s"$sf: a bigram micro-nat value is ${margins.getDouble(0)} from a rounding boundary")
+    }
+  }
+
   test("text metrics are internally consistent") {
     val m = TextOps.textMetrics(docs.limit(20)).collect()
     m.foreach { r =>

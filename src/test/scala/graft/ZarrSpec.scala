@@ -100,6 +100,35 @@ class ZarrSpec extends AnyFunSuite {
     assert(Blosc.unshuffle(Blosc.shuffle(odd, 4), 4).toSeq == odd.toSeq)
   }
 
+  test("blosc: hand-laid-out chunks per the c-blosc format doc decode (not our writer's shape)") {
+    // Chunks built byte-by-byte from README_CHUNK_FORMAT.rst, independent
+    // of Blosc.compress, covering the layouts a real c-blosc writes that
+    // our writer doesn't: raw (incompressible) splits with cb == neblock.
+    val data = Array.tabulate[Byte](2048)(i => ((i * 31 + (i >> 5)) % 251).toByte)
+    val shuffled = Blosc.shuffle(data, 4)
+    def u32(v: Int) = Array[Byte](
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def header(flags: Int, typesize: Int, cbytes: Int) =
+      Array[Byte](2, 1, flags.toByte, typesize.toByte) ++
+        u32(2048) ++ u32(2048) ++ u32(cbytes)
+    // A: shuffled lz4 chunk, 4 raw splits of 512 (typesize 4 <= 16,
+    //    blocksize/typesize = 512 >= 128 → c-blosc's split layout)
+    val splits4 = (0 until 4).flatMap(k =>
+      u32(512).toSeq ++ shuffled.slice(k * 512, (k + 1) * 512)).toArray
+    val chunkA = header(0x21, 4, 16 + 4 + splits4.length) ++ u32(20) ++ splits4
+    assert(Blosc.decompress(chunkA, "handA").toSeq == data.toSeq)
+    // B: unshuffled single raw split (split rule says 1 stream)
+    val chunkB = header(0x20, 4, 16 + 4 + 4 + 2048) ++ u32(20) ++ u32(2048) ++ data
+    assert(Blosc.decompress(chunkB, "handB").toSeq == data.toSeq)
+    // C: regression for the end-position check — a chain that parses but
+    //    stops short of the block region's end must fail loudly instead of
+    //    silently accepting an ambiguous layout
+    val chunkC = header(0x20, 4, 16 + 4 + 4 + 2048 + 4) ++ u32(20) ++
+      u32(2048) ++ data ++ u32(0xDEAD)
+    intercept[IllegalArgumentException] { Blosc.decompress(chunkC, "handC") }
+  }
+
   test("blosc: malformed chunks fail loudly") {
     val good = Blosc.compress(Array.tabulate[Byte](1024)(i => (i % 97).toByte), 4, true)
     intercept[IllegalArgumentException] { Blosc.decompress(good.take(10), "t") }
