@@ -165,6 +165,8 @@ object SparkEntry {
     "q144_footer_meta"      -> (RaquetQueries.q144FooterMeta _),
     "q145_stream_ingest"    -> (RaquetQueries.q145StreamIngest _),
     "q146_stream_winstats"  -> (RaquetQueries.q146StreamWinStats _),
+    "q147_grib_ingest"      -> (RaquetQueries.q147GribIngest _),
+    "q148_grib_complex"     -> (RaquetQueries.q148GribComplex _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -370,6 +372,11 @@ object SparkEntry {
     "q144_footer_meta"      -> RaquetOracles.q144,
     "q145_stream_ingest"    -> RaquetOracles.q145,
     "q146_stream_winstats"  -> RaquetOracles.q146,
+    // q147/q148 ingest the q79 grid from GRIB2 containers (simple and
+    // complex-packed) — identical oracle; the container must not change
+    // one statistic
+    "q147_grib_ingest"      -> RaquetOracles.q79,
+    "q148_grib_complex"     -> RaquetOracles.q79,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -1378,6 +1378,55 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** Shared body of the GRIB2 ingest proofs: the q79 grid (240×512 cells
+    * of 45/64°, 3 six-hourly timesteps) written as one GRIB2 message per
+    * timestep — coordinates exact via the basic-angle rational 1/128°
+    * (45/64 = 90/128), missing points (p%27==0) as a section-6 bitmap —
+    * then converted through the shared NetCDF/Zarr/GRIB pipeline. Sixth
+    * container for the same grid, same oracle. */
+  private def gribIngest(spark: SparkSession, packing: String,
+      tag: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/synth.grib2"
+    val planes = (0 until 3).map { ti =>
+      graft.raquet.Grib2Writer.Plane(6 * ti, Array.tabulate(240 * 512) { k =>
+        val p = (k % 512) >> 1
+        if (p % 27 == 0) None else Some((3 * p + 7 * ti) % 251)
+      })
+    }
+    graft.raquet.Grib2Writer.write(gribPath, ni = 512, nj = 240,
+      basicAngle = 1, subdiv = 128,
+      la1 = (84.0234375 * 128).round, lo1 = (180.3515625 * 128).round,
+      di = 90, dj = 90, refTime = (2000, 1, 1, 0),
+      planes = planes, nbits = 8, packing = packing)
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6 (GRIB2, simple packing + bitmap) driver proof. */
+  def q147GribIngest(spark: SparkSession, dir: String): DataFrame =
+    gribIngest(spark, "simple", "q147")
+
+  /** S6 (GRIB2, complex packing with second-order spatial differencing —
+    * the NCEP archive default) driver proof. */
+  def q148GribComplex(spark: SparkSession, dir: String): DataFrame =
+    gribIngest(spark, "complex_sd2", "q148")
+
   /** S6 (AAIGrid) driver proof: Esri ASCII grid ingest (`docs/cli.md:154`)
     * — the q79 world grid as a single-band `.asc` (streamed ASCII→TIFF
     * transcode, then the distributed warp). Same float-immune oracle

@@ -56,6 +56,13 @@ object GeoTiff {
     def sample(band: Int, px: Int, py: Int): Double
   }
 
+  /** Fill for uncovered target pixels when the source declares no nodata:
+    * NaN for float dtypes (blob-representable, masked by every kernel),
+    * 0 for integer dtypes (the reference's GDAL parity — an int blob
+    * cannot carry NaN, and encode/stats must agree). */
+  def noDataFill(dtype: String): Double =
+    if (dtype.startsWith("float")) Double.NaN else 0.0
+
   /** Fully-materialized source (legacy/test surface; used for small files
     * like export round-trips — convert() never builds one). */
   final case class Source(info: SourceInfo, pixels: Array[Array[Double]])
@@ -1006,7 +1013,15 @@ object GeoTiff {
       (west, north, size / bs)
     }
     val (wx, wy, ww, wh) = win
-    val fill = s.nodata.getOrElse(0.0)
+    // target pixels outside the source (or with no valid neighbourhood)
+    // carry the declared nodata; with none declared, float sources fill
+    // NaN (representable in the blob, masked by every kernel — a literal
+    // 0.0 would fabricate a measurement that pollutes tile stats; found
+    // via GRIB ingest, whose missing data is bitmap/NaN-coded) while
+    // integer sources keep 0, the reference's own GDAL behavior
+    // (`raster2raquet.py:739-748` fills only when nodata is declared, and
+    // its stats mask non-finite values only for float dtypes, 526-545)
+    val fill = s.nodata.getOrElse(noDataFill(s.dtype))
     def isValid(v: Double): Boolean = !(s.nodata.contains(v) || v.isNaN)
     def at(px: Int, py: Int): Double =
       if (px < wx || px >= wx + ww || py < wy || py >= wy + wh) fill
@@ -1281,7 +1296,7 @@ object GeoTiff {
     spark.sparkContext
       .parallelize(tiles, math.max(1, math.min(tiles.size, 64)))
       .mapPartitions { it =>
-        val fill = src.nodata.getOrElse(0.0)
+        val fill = src.nodata.getOrElse(noDataFill(src.dtype))
         // greedy same-row runs whose union source window fits the budget
         val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[(Long, Long)]]
         var cur = Vector.empty[(Long, Long)]

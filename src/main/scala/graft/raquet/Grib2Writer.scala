@@ -1,0 +1,232 @@
+package graft.raquet
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+
+/** GRIB2 fixture encoder — spec/driver-test counterpart of [[Grib2]],
+  * written independently from the WMO FM 92 section/template layouts so the
+  * reader round-trips a second implementation of the format, not its own
+  * mirror (the discipline [[ZarrWriter]]/[[Hdf5Writer]] follow). Emits one
+  * message per timestep: sections 0-1, 3 (template 3.0 with an explicit
+  * basic-angle rational so binary-fraction grids are exact), 4 (template
+  * 4.0), 5 (template 5.0 simple / 5.2 complex / 5.3 complex with
+  * second-order spatial differencing / 5.4 IEEE32), 6 (bitmap when any
+  * point is missing) and 7.
+  *
+  * Values must be integers in [0, 2^nbits) after `round(v·10^D − R)·2^−E`
+  * with E=0 — the fixture contract (R = floor of the value range, D = 0),
+  * which keeps every engine's arithmetic exact.
+  */
+object Grib2Writer {
+
+  private def u16(v: Int): Array[Byte] =
+    Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u32(v: Long): Array[Byte] =
+    Array[Byte](((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u64(v: Long): Array[Byte] =
+    Array.tabulate[Byte](8)(i => ((v >> (56 - 8 * i)) & 0xFF).toByte)
+  /** GRIB sign-magnitude of `n` octets. */
+  private def sN(v: Long, n: Int): Array[Byte] = {
+    val mag = math.abs(v)
+    require(mag < (1L << (8 * n - 1)), s"value $v does not fit $n sign-magnitude octets")
+    val raw = mag | (if (v < 0) 1L << (8 * n - 1) else 0L)
+    Array.tabulate[Byte](n)(i => ((raw >> (8 * (n - 1 - i))) & 0xFF).toByte)
+  }
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nb = 0
+    def write(v: Long, nbits: Int): Unit = {
+      var n = nbits
+      while (n > 0) {
+        val take = math.min(8 - nb, n)
+        val chunk = ((v >> (n - take)) & ((1L << take) - 1)).toInt
+        cur = (cur << take) | chunk
+        nb += take
+        n -= take
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      }
+    }
+    def alignByte(): Unit = if (nb > 0) { buf += (cur << (8 - nb)).toByte; cur = 0; nb = 0 }
+    def bytes: Array[Byte] = { alignByte(); buf.toArray }
+  }
+
+  private def section(num: Int, body: Array[Byte]): Array[Byte] =
+    u32(body.length + 5L) ++ Array(num.toByte) ++ body
+
+  /** One grid's worth of integer values; None = missing (bitmap). */
+  final case class Plane(forecastHours: Int, values: Array[Option[Int]])
+
+  /** Write a GRIB2 file. Coordinates are counts of `basicAngle/subdiv`
+    * degrees; `la1/lo1` locate the FIRST grid point (center, scan mode
+    * 0x00: W→E then N→S). `packing`: "simple" | "complex" | "complex_sd2"
+    * | "ieee". */
+  def write(path: String, ni: Int, nj: Int,
+      basicAngle: Int, subdiv: Int,
+      la1: Long, lo1: Long, di: Long, dj: Long,
+      refTime: (Int, Int, Int, Int), // (year, month, day, hour)
+      planes: Seq[Plane], nbits: Int, packing: String = "simple",
+      discipline: Int = 0, paramCategory: Int = 0, paramNumber: Int = 0): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    try {
+      planes.foreach { p =>
+        require(p.values.length == ni * nj,
+          s"plane has ${p.values.length} values for $ni x $nj grid")
+        val msg = message(ni, nj, basicAngle, subdiv, la1, lo1, di, dj,
+          refTime, p, nbits, packing, discipline, paramCategory, paramNumber)
+        out.write(msg)
+      }
+    } finally out.close()
+  }
+
+  /** One complete message (sections 0-8) as bytes — also used directly by
+    * the spec to hand-assemble multi-field and edge-case files. */
+  def message(ni: Int, nj: Int, basicAngle: Int, subdiv: Int,
+      la1: Long, lo1: Long, di: Long, dj: Long,
+      refTime: (Int, Int, Int, Int), plane: Plane, nbits: Int,
+      packing: String, discipline: Int, paramCategory: Int,
+      paramNumber: Int): Array[Byte] = {
+    val (year, month, day, hour) = refTime
+    val sec1 = section(1, u16(7) ++ u16(0) ++ Array[Byte](2, 1, 1) ++
+      u16(year) ++ Array[Byte](month.toByte, day.toByte, hour.toByte, 0, 0,
+        0 /*production status*/, 1 /*type: forecast*/))
+    val sec3 = section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(0 /*template 3.0*/) ++
+      Array[Byte](6 /*shape of earth: sphere r=6371229*/, 0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++ u32(basicAngle) ++ u32(subdiv) ++
+      sN(la1, 4) ++ sN(lo1, 4) ++ Array[Byte](0x30 /*res flags: di,dj given*/) ++
+      sN(la1 - (nj - 1) * dj, 4) ++ sN(lo1 + (ni - 1) * di, 4) ++
+      u32(di) ++ u32(dj) ++ Array[Byte](0x00 /*scan: W→E, N→S*/))
+    val sec4 = section(4, u16(0) ++ u16(0 /*template 4.0*/) ++
+      Array[Byte](paramCategory.toByte, paramNumber.toByte,
+        2 /*octet 12, generating process: forecast*/, 0 /*13 background*/,
+        0 /*14 process id*/, 0, 0 /*15-16 cutoff hours*/, 0 /*17 cutoff min*/,
+        1 /*18 time unit: hour*/) ++ sN(plane.forecastHours, 4) ++
+      Array[Byte](1 /*surface: ground*/, 0) ++ u32(0) ++
+      Array[Byte](255.toByte, 0) ++ u32(0))
+
+    val present = plane.values.map(_.isDefined)
+    val anyMissing = present.contains(false)
+    val xs = plane.values.flatten.toArray
+    xs.foreach(x => require(x >= 0 && (nbits >= 31 || x < (1 << nbits)),
+      s"value $x outside [0, 2^$nbits)"))
+    val npacked = xs.length
+
+    val (sec5body, sec7body) = packing match {
+      case "simple" =>
+        val bw = new BitWriter
+        xs.foreach(x => bw.write(x.toLong, nbits))
+        (u32(npacked) ++ u16(0) ++ u32(0 /*R = 0f*/) ++ sN(0, 2) ++ sN(0, 2) ++
+          Array[Byte](nbits.toByte, 0 /*original field: float*/), bw.bytes)
+      case "ieee" =>
+        val bw = new BitWriter
+        xs.foreach(x => bw.write(
+          java.lang.Float.floatToIntBits(x.toFloat).toLong & 0xFFFFFFFFL, 32))
+        (u32(npacked) ++ u16(4) ++ Array[Byte](1 /*precision: IEEE32*/),
+          bw.bytes)
+      case "complex" | "complex_sd2" =>
+        val sd2 = packing == "complex_sd2"
+        // the packed series: raw X for 5.2; second-order differences for 5.3
+        val series: Array[Long] =
+          if (!sd2) xs.map(_.toLong)
+          else {
+            val d = new Array[Long](xs.length)
+            var i = 2
+            while (i < xs.length) {
+              d(i) = xs(i).toLong - 2L * xs(i - 1) + xs(i - 2); i += 1
+            }
+            d
+          }
+        val order = 2
+        val start = if (sd2) order else 0
+        // gmin exists only in 5.3's stream head; 5.2 carries raw X values
+        // (group references absorb the offsets)
+        val gmin = if (sd2 && series.length > start)
+          series.drop(start).min else 0L
+        val shifted = series.zipWithIndex.map { case (v, i) =>
+          if (i < start) 0L else v - gmin }
+        // fixed split: groups of 33 points (odd size exercises the byte
+        // padding between the four packed vectors)
+        val L = 33
+        val ng = (npacked + L - 1) / L
+        val refs = new Array[Long](ng)
+        val widths = new Array[Int](ng)
+        val lens = new Array[Int](ng)
+        var g = 0
+        while (g < ng) {
+          val lo = g * L
+          val hi = math.min(npacked, lo + L)
+          lens(g) = hi - lo
+          val slice = shifted.slice(lo, hi)
+          refs(g) = slice.min
+          val span = slice.max - refs(g)
+          widths(g) = if (span == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(span)
+          g += 1
+        }
+        val refBits = if (refs.forall(_ == 0)) 0
+          else refs.map(r => 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, r))).max
+        val widthBits = 8
+        val lenBits = 8 // scaled lengths: len - L in [.. small]
+        val bw = new BitWriter
+        if (sd2) {
+          // head: order initial values + gmin, sign-magnitude 4 octets each
+          sN(xs(0), 4).foreach(b => bw.write(b & 0xFFL, 8))
+          sN(xs(1), 4).foreach(b => bw.write(b & 0xFFL, 8))
+          sN(gmin, 4).foreach(b => bw.write(b & 0xFFL, 8))
+        }
+        refs.foreach(r => if (refBits > 0) bw.write(r, refBits))
+        bw.alignByte()
+        widths.foreach(w => bw.write(w.toLong, widthBits))
+        bw.alignByte()
+        lens.foreach { l =>
+          val scaled = L - l // ref L, increment -? lengths must be ref + scaled*inc
+          require(scaled == 0 || l == lens.last, "only last group may be short")
+          bw.write(0L, lenBits) // every scaled length 0; true last len in sec5
+        }
+        bw.alignByte()
+        g = 0
+        var k = 0
+        while (g < ng) {
+          val w = widths(g)
+          var i = 0
+          while (i < lens(g)) {
+            if (w > 0) bw.write(shifted(k) - refs(g), w)
+            k += 1; i += 1
+          }
+          g += 1
+        }
+        val tmplNum = if (sd2) 3 else 2
+        val base = u32(npacked) ++ u16(tmplNum) ++ u32(0 /*R*/) ++
+          sN(0, 2) ++ sN(0, 2) ++
+          Array[Byte](refBits.toByte, 0 /*float*/, 1 /*general group split*/,
+            0 /*no missing mgmt*/) ++ u32(0) ++ u32(0) ++
+          u32(ng) ++ Array[Byte](0 /*ref group width*/, widthBits.toByte) ++
+          u32(L /*ref group length*/) ++ Array[Byte](1 /*len increment*/) ++
+          u32(lens.last) ++ Array[Byte](lenBits.toByte)
+        val body =
+          if (sd2) base ++ Array[Byte](order.toByte, 4 /*extra octets*/)
+          else base
+        (body, bw.bytes)
+      case other =>
+        throw new IllegalArgumentException(s"packing '$other' unknown")
+    }
+    val sec5 = section(5, sec5body)
+    val sec6 =
+      if (!anyMissing) section(6, Array[Byte](255.toByte))
+      else {
+        val bw = new BitWriter
+        present.foreach(p => bw.write(if (p) 1 else 0, 1))
+        section(6, Array[Byte](0) ++ bw.bytes)
+      }
+    val sec7 = section(7, sec7body)
+
+    val bodyLen = 16L + sec1.length + sec3.length + sec4.length +
+      sec5.length + sec6.length + sec7.length + 4
+    val sec0 = Array[Byte]('G', 'R', 'I', 'B', 0, 0,
+      discipline.toByte, 2) ++ u64(bodyLen)
+    sec0 ++ sec1 ++ sec3 ++ sec4 ++ sec5 ++ sec6 ++ sec7 ++
+      Array[Byte]('7', '7', '7', '7')
+  }
+}

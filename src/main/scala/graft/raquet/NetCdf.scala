@@ -257,9 +257,10 @@ object NetCdf {
   private[raquet] val TimeNames = Set("time", "t")
 
   /** Container dispatch: classic CDF-1/2/5 files parse here; an HDF5
-    * signature routes to the scoped netCDF-4 reader ([[Hdf5Nc]]); a Zarr
-    * store (directory with zarr metadata, or any `*.zarr` path incl.
-    * remote stores) routes to [[Zarr.describe]]. */
+    * signature routes to the scoped netCDF-4 reader ([[Hdf5Nc]]); a GRIB
+    * indicator routes to [[Grib2.describe]]; a Zarr store (directory with
+    * zarr metadata, or any `*.zarr` path incl. remote stores) routes to
+    * [[Zarr.describe]]. */
   def describeAny(path: String): NcGridSource = {
     if (Zarr.isStore(path)) return Zarr.describe(path)
     val raf = new RandomAccessFile(path, "r")
@@ -269,6 +270,7 @@ object NetCdf {
       raf.readFully(magic)
     } finally raf.close()
     if (java.util.Arrays.equals(magic, Hdf5.Signature)) Hdf5Nc.describe(path)
+    else if (magic.startsWith(Grib2.Magic)) Grib2.describe(path)
     else describe(path)
   }
 
@@ -475,7 +477,7 @@ object NetCdf {
               if (sampler == null) null
               else GeoTiff.warpTile(info, sampler, 0, tx, ty, z, bs, win, resampling)
             val a = if (arr != null) arr
-              else Array.fill(bs * bs)(g.nodata.getOrElse(0.0))
+              else Array.fill(bs * bs)(g.nodata.getOrElse(GeoTiff.noDataFill(g.dtype)))
             val blob = PixelCodec.encode(a, g.dtype, gzip = true)
             val s = PixelCodec.maskedStats(a, g.nodata.getOrElse(Double.NaN), null)
             val ext = new Array[Double](6 + histLen)

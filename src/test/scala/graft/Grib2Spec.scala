@@ -1,0 +1,241 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raquet.{Grib2, Grib2Writer}
+import graft.raquet.Grib2Writer.Plane
+
+class Grib2Spec extends AnyFunSuite {
+
+  private def tmpFile(name: String): String = {
+    val f = java.io.File.createTempFile(name, ".grib2")
+    f.deleteOnExit()
+    f.toString
+  }
+
+  // 12x8 grid of exact 1/8-degree cells (basic angle 1/8): first center
+  // (59.9375, -179.9375), values 0..250-ish deterministic
+  private val Ni = 12
+  private val Nj = 8
+  private def v(t: Int, j: Int, i: Int): Int = (3 * (j * Ni + i) + 7 * t) % 251
+
+  private def writeFixture(path: String, packing: String,
+      missing: (Int, Int) => Boolean = (_, _) => false,
+      nts: Int = 2): Unit = {
+    val planes = (0 until nts).map { t =>
+      Plane(6 * t, Array.tabulate(Ni * Nj) { k =>
+        val (j, i) = (k / Ni, k % Ni)
+        if (missing(j, i)) None else Some(v(t, j, i))
+      })
+    }
+    Grib2Writer.write(path, Ni, Nj, basicAngle = 1, subdiv = 16,
+      la1 = (59.9375 * 16).round, lo1 = ((360 - 179.9375) * 16).round,
+      di = 2, dj = 2, refTime = (2000, 1, 1, 0), planes = planes,
+      nbits = 8, packing = packing)
+  }
+
+  private def checkValues(path: String, missing: (Int, Int) => Boolean,
+      nts: Int = 2): Unit = {
+    val g = Grib2.describe(path)
+    assert(g.timeValues.toSeq == (0 until nts).map(_ * 6.0))
+    assert(g.cfUnits.contains("hours since 2000-01-01 00:00:00"))
+    val info = g.info
+    assert(info.width == Ni && info.height == Nj)
+    assert(math.abs(info.x0 - -180.0) < 1e-12)
+    assert(math.abs(info.y0 - 60.0) < 1e-12)
+    assert(math.abs(info.dx - 0.125) < 1e-12)
+    assert(math.abs(info.dy - -0.125) < 1e-12)
+    for (t <- 0 until nts) {
+      val s = g.sampler(t, 0, 0, Ni, Nj)
+      for (j <- 0 until Nj; i <- 0 until Ni) {
+        val got = s.sample(0, i, j)
+        if (missing(j, i)) assert(got.isNaN, s"($i,$j) t=$t should be missing")
+        else assert(got == v(t, j, i).toDouble, s"($i,$j) t=$t")
+      }
+    }
+  }
+
+  test("simple packing round-trips (no bitmap)") {
+    val p = tmpFile("simple")
+    writeFixture(p, "simple")
+    checkValues(p, (_, _) => false)
+  }
+
+  test("simple packing with bitmap: absent points surface as NaN") {
+    val p = tmpFile("simple_bm")
+    def miss(j: Int, i: Int): Boolean = (j * Ni + i) % 11 == 0
+    writeFixture(p, "simple", miss)
+    checkValues(p, miss)
+  }
+
+  test("IEEE packing round-trips") {
+    val p = tmpFile("ieee")
+    writeFixture(p, "ieee")
+    checkValues(p, (_, _) => false)
+  }
+
+  test("complex packing round-trips, with and without bitmap") {
+    val p = tmpFile("complex")
+    writeFixture(p, "complex")
+    checkValues(p, (_, _) => false)
+    val p2 = tmpFile("complex_bm")
+    def miss(j: Int, i: Int): Boolean = (i + j) % 7 == 3
+    writeFixture(p2, "complex", miss)
+    checkValues(p2, miss)
+  }
+
+  test("complex packing with second-order spatial differencing round-trips") {
+    val p = tmpFile("sd2")
+    writeFixture(p, "complex_sd2")
+    checkValues(p, (_, _) => false)
+    val p2 = tmpFile("sd2_bm")
+    def miss(j: Int, i: Int): Boolean = (j * Ni + i) % 13 == 5
+    writeFixture(p2, "complex_sd2", miss)
+    checkValues(p2, miss)
+  }
+
+  test("scan mode 0x40 (south->north) maps rows to north-up") {
+    // hand-flip a simple-packed message: reverse the row order of the
+    // values AND set the scan byte — the north-up samples must not change
+    val msg = Grib2Writer.message(Ni, Nj, 1, 16,
+      la1 = (59.0625 * 16).round /*first point now the SOUTH row center*/,
+      lo1 = ((360 - 179.9375) * 16).round, di = 2, dj = 2,
+      refTime = (2000, 1, 1, 0),
+      Plane(0, Array.tabulate(Ni * Nj) { k =>
+        val (jFlipped, i) = (k / Ni, k % Ni)
+        Some(v(0, Nj - 1 - jFlipped, i)) // south row first
+      }), nbits = 8, packing = "simple",
+      discipline = 0, paramCategory = 0, paramNumber = 0)
+    // locate section 3 (starts at byte 16 + sec1) and patch its scan octet
+    val sec1Len = ((msg(16) & 0xFF) << 24) | ((msg(17) & 0xFF) << 16) |
+      ((msg(18) & 0xFF) << 8) | (msg(19) & 0xFF)
+    val sec3Start = 16 + sec1Len
+    assert(msg(sec3Start + 4) == 3, "expected section 3")
+    msg(sec3Start + 71) = 0x40.toByte
+    val p = tmpFile("scan40")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    assert(g.grid.jPositive)
+    assert(math.abs(g.info.y0 - 60.0) < 1e-12, s"north edge ${g.info.y0}")
+    val s = g.sampler(0, 0, 0, Ni, Nj)
+    for (j <- 0 until Nj; i <- 0 until Ni)
+      assert(s.sample(0, i, j) == v(0, j, i).toDouble, s"($i,$j)")
+  }
+
+  test("hand-assembled message bytes decode (spec layout, not the writer's path)") {
+    // A 4x2 grid, simple packing, nbits=8, built octet by octet from the
+    // WMO section layouts so the READER is checked against the spec
+    // document, not against Grib2Writer.
+    def u16b(v: Int) = Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32b(v: Long) = Array[Byte](((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def sec(num: Int, body: Array[Byte]) =
+      u32b(body.length + 5L) ++ Array(num.toByte) ++ body
+    val sec1 = sec(1, u16b(7) ++ u16b(0) ++ Array[Byte](2, 1, 1) ++
+      u16b(2024) ++ Array[Byte](3, 15, 12, 0, 0, 0, 1))
+    val sec3 = sec(3, Array[Byte](0) ++ u32b(8) ++ Array[Byte](0, 0) ++
+      u16b(0) ++ Array[Byte](6, 0) ++ u32b(0) ++ Array[Byte](0) ++ u32b(0) ++
+      Array[Byte](0) ++ u32b(0) ++
+      u32b(4) /*Ni*/ ++ u32b(2) /*Nj*/ ++
+      u32b(0) /*basic angle: default microdegrees*/ ++ u32b(0) ++
+      u32b(1500000) /*La1 = 1.5N*/ ++ u32b(500000) /*Lo1 = 0.5E*/ ++
+      Array[Byte](0x30) ++
+      u32b(500000) /*La2*/ ++ u32b(3500000) /*Lo2*/ ++
+      u32b(1000000) /*Di = 1 deg*/ ++ u32b(1000000) /*Dj*/ ++
+      Array[Byte](0x00))
+    val sec4 = sec(4, u16b(0) ++ u16b(0) ++
+      Array[Byte](0, 0, 2, 0, 0, 0, 0, 0, 1) ++ u32b(3) /*fcst +3h*/ ++
+      Array[Byte](1, 0) ++ u32b(0) ++ Array[Byte](255.toByte, 0) ++ u32b(0))
+    // R = 10.0f, E = 1 (x2), D = 0, nbits = 4: Y = 10 + 2*X
+    val sec5 = sec(5, u32b(8) ++ u16b(0) ++
+      u32b(java.lang.Float.floatToIntBits(10.0f).toLong & 0xFFFFFFFFL) ++
+      u16b(1) ++ u16b(0) ++ Array[Byte](4, 0))
+    val sec6 = sec(6, Array[Byte](255.toByte))
+    // X = 0,1,2,3,4,5,6,7 packed 4 bits each -> bytes 0x01 0x23 0x45 0x67
+    val sec7 = sec(7, Array[Byte](0x01, 0x23, 0x45, 0x67))
+    val total = 16L + sec1.length + sec3.length + sec4.length +
+      sec5.length + sec6.length + sec7.length + 4
+    val msg = Array[Byte]('G', 'R', 'I', 'B', 0, 0, 0, 2) ++
+      Array.tabulate[Byte](8)(i => ((total >> (56 - 8 * i)) & 0xFF).toByte) ++
+      sec1 ++ sec3 ++ sec4 ++ sec5 ++ sec6 ++ sec7 ++
+      Array[Byte]('7', '7', '7', '7')
+    val p = tmpFile("hand")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    // single message: units anchor at ITS reference time, value = +3h fcst
+    assert(g.timeValues.toSeq == Seq(3.0))
+    assert(g.cfUnits.contains("hours since 2024-03-15 12:00:00"))
+    assert(g.info.width == 4 && g.info.height == 2)
+    assert(math.abs(g.info.x0 - 0.0) < 1e-9) // 0.5E center - 0.5 half-cell
+    assert(math.abs(g.info.y0 - 2.0) < 1e-9) // 1.5N center + 0.5
+    val s = g.sampler(0, 0, 0, 4, 2)
+    val want = Array(10.0, 12, 14, 16, 18, 20, 22, 24)
+    for (j <- 0 until 2; i <- 0 until 4)
+      assert(s.sample(0, i, j) == want(j * 4 + i), s"($i,$j)")
+  }
+
+  test("multi-parameter and malformed files fail loudly") {
+    // two messages with different parameter numbers
+    val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
+      ((360 - 179.9375) * 16).round, 2, 2, (2000, 1, 1, 0),
+      Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 100))), 8, "simple", 0, 0, 0)
+    val m2 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
+      ((360 - 179.9375) * 16).round, 2, 2, (2000, 1, 1, 0),
+      Plane(6, Array.tabulate(Ni * Nj)(k => Some(k % 100))), 8, "simple", 0, 0, 5)
+    val p = tmpFile("multiparam")
+    val out = new java.io.FileOutputStream(p)
+    try { out.write(m1); out.write(m2) } finally out.close()
+    val e = intercept[IllegalArgumentException] { Grib2.describe(p) }
+    assert(e.getMessage.contains("parameters"))
+
+    // GRIB1 edition byte
+    val g1 = m1.clone(); g1(7) = 1
+    val p1 = tmpFile("grib1")
+    val o1 = new java.io.FileOutputStream(p1)
+    try o1.write(g1) finally o1.close()
+    val e1 = intercept[IllegalArgumentException] { Grib2.describe(p1) }
+    assert(e1.getMessage.contains("edition 1"))
+
+    // truncated file
+    val pt = tmpFile("trunc")
+    val ot = new java.io.FileOutputStream(pt)
+    try ot.write(m1, 0, m1.length - 10) finally ot.close()
+    intercept[IllegalArgumentException] { Grib2.describe(pt) }
+
+    // unsupported packing template (5.40 JPEG2000): patch template number
+    val mj = m1.clone()
+    // find section 5: walk sections
+    var off = 16
+    var s5 = -1
+    while (s5 < 0) {
+      val len = ((mj(off) & 0xFF) << 24) | ((mj(off + 1) & 0xFF) << 16) |
+        ((mj(off + 2) & 0xFF) << 8) | (mj(off + 3) & 0xFF)
+      if (mj(off + 4) == 5) s5 = off else off += len
+    }
+    mj(s5 + 9) = 0; mj(s5 + 10) = 40
+    val pj = tmpFile("jp2")
+    val oj = new java.io.FileOutputStream(pj)
+    try oj.write(mj) finally oj.close()
+    val ej = intercept[IllegalArgumentException] {
+      val g = Grib2.describe(pj); g.sampler(0, 0, 0, Ni, Nj)
+    }
+    assert(ej.getMessage.contains("5.40"))
+  }
+
+  test("trailing zero padding between messages is tolerated") {
+    val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
+      ((360 - 179.9375) * 16).round, 2, 2, (2000, 1, 1, 0),
+      Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 100))), 8, "simple", 0, 0, 0)
+    val m2 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
+      ((360 - 179.9375) * 16).round, 2, 2, (2000, 1, 1, 0),
+      Plane(6, Array.tabulate(Ni * Nj)(k => Some((k * 3) % 100))), 8, "simple", 0, 0, 0)
+    val p = tmpFile("padded")
+    val out = new java.io.FileOutputStream(p)
+    try {
+      out.write(m1); out.write(new Array[Byte](64)); out.write(m2)
+    } finally out.close()
+    val g = Grib2.describe(p)
+    assert(g.timeValues.toSeq == Seq(0.0, 6.0))
+  }
+}
