@@ -167,6 +167,7 @@ object SparkEntry {
     "q146_stream_winstats"  -> (RaquetQueries.q146StreamWinStats _),
     "q147_grib_ingest"      -> (RaquetQueries.q147GribIngest _),
     "q148_grib_complex"     -> (RaquetQueries.q148GribComplex _),
+    "q149_grib1_ingest"     -> (RaquetQueries.q149Grib1Ingest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -377,6 +378,7 @@ object SparkEntry {
     // one statistic
     "q147_grib_ingest"      -> RaquetOracles.q79,
     "q148_grib_complex"     -> RaquetOracles.q79,
+    "q149_grib1_ingest"     -> RaquetOracles.q149,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

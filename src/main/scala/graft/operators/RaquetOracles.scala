@@ -430,6 +430,35 @@ object RaquetOracles {
         FROM w GROUP BY 1, 2"""
   }
 
+  /** q149: the GRIB1 grid's single z0 tile recomputed per-pixel. Column
+    * mapping (i+0.5)·15/16 is an exact multiple of 1/32, so floor never
+    * sits on a boundary; row validity uses the q79 gudermannian closed
+    * form with the 84.25°N top edge and 1.5° spacing. Values are NULL for
+    * the bitmap-missing column pairs (p%27==0). */
+  val q149: String = {
+    val lat = "degrees(atan((exp(pi()*(1 - 2*tf)) - exp(-pi()*(1 - 2*tf)))/2))"
+    s"""WITH px AS (
+          SELECT t,
+            (CAST(j AS DOUBLE) + 0.5) / 256 AS tf,
+            CAST(floor((CAST(i AS DOUBLE) + 0.5) * 0.9375) AS BIGINT) AS c
+          FROM range(3) ts(t), range(256) rj(j), range(256) ri(i)),
+        vals AS (
+          SELECT t,
+            CASE WHEN (c // 2) % 27 = 0 THEN NULL
+                 ELSE CAST((3 * (c // 2) + 7 * t) % 251 AS DOUBLE) END AS v
+          FROM px
+          WHERE floor((84.25 - $lat) / 1.5) BETWEEN 0 AND 99)
+        SELECT 5192650370358181887 AS block, CAST(0 AS BIGINT) AS zoom,
+          CAST(t * 6 AS DOUBLE) AS time_cf,
+          946684800000000 + t * 21600000000 AS ts_us,
+          CAST(count(v) AS BIGINT) AS n_px,
+          CAST(min(v) AS BIGINT) AS px_min,
+          CAST(max(v) AS BIGINT) AS px_max,
+          CAST(sum(v) AS BIGINT) AS px_sum,
+          CAST(sum(v) AS BIGINT) AS dec_sum
+        FROM vals GROUP BY t"""
+  }
+
   val q33: String =
     s"""WITH p AS (SELECT id, CAST((id*7) % 100 - 30 AS DOUBLE) AS v
           FROM range(48) t(id))

@@ -1427,6 +1427,46 @@ object RaquetQueries {
   def q148GribComplex(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "complex_sd2", "q148")
 
+  /** S6 (GRIB edition 1) driver proof: a 240×100 grid of exact 1.5° cells
+    * (1500 millidegrees — edition 1 carries only millidegree coordinates,
+    * so the q79 45/64° grid cannot exist in it), top edge 84.25°N, full
+    * 360° width, three six-hourly messages, bitmap-missing columns
+    * (p%27==0), simple packing with an IBM-hexadecimal-float reference.
+    * Resolution 1.5° ⇒ one native z0 tile; the oracle recomputes the three
+    * (tile, timestep) stats rows per-pixel: col = floor((i+0.5)·15/16)
+    * (dyadic, never integral — no floor ambiguity), row validity by the
+    * same gudermannian closed form as q79. */
+  def q149Grib1Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q149"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/synth.grib"
+    val planes = (0 until 3).map { ti =>
+      graft.raquet.Grib2Writer.Plane(6 * ti, Array.tabulate(100 * 240) { k =>
+        val p = (k % 240) >> 1
+        if (p % 27 == 0) None else Some((3 * p + 7 * ti) % 251)
+      })
+    }
+    graft.raquet.Grib1Writer.write(gribPath, ni = 240, nj = 100,
+      la1Milli = 83500, lo1Milli = 180750, diMilli = 1500, djMilli = 1500,
+      refTime = (2000, 1, 1, 0), planes = planes, nbits = 8)
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 0 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6 (AAIGrid) driver proof: Esri ASCII grid ingest (`docs/cli.md:154`)
     * — the q79 world grid as a single-band `.asc` (streamed ASCII→TIFF
     * transcode, then the distributed warp). Same float-immune oracle

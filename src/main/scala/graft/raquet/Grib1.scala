@@ -1,0 +1,329 @@
+package graft.raquet
+
+import java.io.RandomAccessFile
+
+/** GRIB edition 1 ingest — the legacy half of the reference's GDAL GRIB
+  * support (`docs/cli.md:154`): ERA-era reanalyses and pre-2000s NCEP/ECMWF
+  * archives ship as GRIB1. Implemented from the public WMO "Manual on Codes"
+  * edition-1 layout, sharing [[Grib2]]'s grid model downstream:
+  *
+  *  - Sections: IS ("GRIB" + 3-octet total length + edition 1), PDS, GDS
+  *    (grid type 0 = regular lat/lon, millidegree coordinates), optional
+  *    BMS bitmap, BDS, "7777".
+  *  - BDS packing: grid-point simple packing only (the format's dominant
+  *    case); spherical-harmonic and second-order flags fail loudly.
+  *  - The BDS reference value R is an IBM System/360 hexadecimal float
+  *    (sign, 7-bit excess-64 base-16 exponent, 24-bit fraction) — decoded
+  *    exactly, not via a float cast.
+  *  - E (BDS) and D (PDS octets 27-28) are sign-magnitude.
+  *  - Scan modes 0x00 (W→E, N→S) and 0x40 (W→E, S→N).
+  *  - Multi-message files are the CF time axis, PDS reference time + P1
+  *    forecast offset, exactly like GRIB2 ingest.
+  *
+  * Coordinates are millidegrees, so a GRIB1 grid can only be located to
+  * 0.001° — real GRIB1 products (0.5°, 1°, 2.5°) are exact; grids whose
+  * spacing is not a millidegree multiple cannot exist in edition 1.
+  */
+object Grib1 {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def u24(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 16) | ((b(i + 1) & 0xFF) << 8) | (b(i + 2) & 0xFF)
+  /** Sign-magnitude (GRIB regulation 92.1.5). */
+  private def s16(b: Array[Byte], i: Int): Int = {
+    val v = u16(b, i)
+    if ((v & 0x8000) != 0) -(v & 0x7FFF) else v
+  }
+  private def s24(b: Array[Byte], i: Int): Int = {
+    val v = u24(b, i)
+    if ((v & 0x800000) != 0) -(v & 0x7FFFFF) else v
+  }
+
+  /** IBM System/360 hexadecimal float: (-1)^s · (fraction/2^24) · 16^(exp-64). */
+  def ibmFloat(b: Array[Byte], i: Int): Double = {
+    val a = b(i) & 0xFF
+    val frac = u24(b, i + 1)
+    if (frac == 0 && (a & 0x7F) == 0) return 0.0
+    val sign = if ((a & 0x80) != 0) -1.0 else 1.0
+    sign * (frac / 16777216.0) * math.pow(16.0, (a & 0x7F) - 64)
+  }
+
+  /** One message's decodable field. */
+  final case class Field(refTimeUtcMillis: Long, forecastHours: Double,
+      parameter: Int, levelType: Int, level: Int,
+      grid: Grib2.Grid, decScale: Int,
+      bitmapOffset: Long, bitmapLen: Int,
+      bdsOffset: Long, bdsLen: Int)
+
+  /** Scan a GRIB1 file's messages (O(section headers), seeks over data). */
+  def scan(path: String): Seq[Field] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val fileLen = raf.length
+      val fields = Seq.newBuilder[Field]
+      var off = 0L
+      while (off + 8 <= fileLen) {
+        val is = new Array[Byte](8)
+        raf.seek(off); raf.readFully(is)
+        require(is(0) == 'G' && is(1) == 'R' && is(2) == 'I' && is(3) == 'B',
+          s"$path: no GRIB indicator at offset $off")
+        val msgLen = u24(is, 4)
+        val edition = u8(is, 7)
+        require(edition == 1,
+          s"$path: GRIB edition $edition in an edition-1 stream")
+        require(msgLen >= 8 && off + msgLen <= fileLen,
+          s"$path: message at $off declares length $msgLen past EOF")
+
+        def readSec(at: Long, name: String): Array[Byte] = {
+          val hdr = new Array[Byte](3)
+          raf.seek(at); raf.readFully(hdr)
+          val len = u24(hdr, 0)
+          require(len >= 3 && at + len <= off + msgLen,
+            s"$path: $name at $at overruns message")
+          val b = new Array[Byte](len)
+          raf.seek(at); raf.readFully(b)
+          b
+        }
+
+        var p = off + 8
+        val pds = readSec(p, "PDS")
+        require(pds.length >= 28, s"$path: PDS of ${pds.length} octets")
+        p += pds.length
+        val flags = u8(pds, 7)
+        require((flags & 0x80) != 0,
+          s"$path: message without GDS (catalogued grid ids) unsupported")
+        val hasBms = (flags & 0x40) != 0
+        val parameter = u8(pds, 8)
+        val levelType = u8(pds, 9)
+        val level = u16(pds, 10)
+        val yearOfCentury = u8(pds, 12)
+        val month = u8(pds, 13); val day = u8(pds, 14)
+        val hh = u8(pds, 15); val mi = u8(pds, 16)
+        val timeUnit = u8(pds, 17)
+        val p1 = u8(pds, 18)
+        val century = u8(pds, 24)
+        val decScale = s16(pds, 26)
+        val year = (century - 1) * 100 + yearOfCentury
+        val refMillis = java.time.LocalDateTime
+          .of(year, month, day, hh, mi, 0)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val fh = timeUnit match {
+          case 0 => p1 / 60.0
+          case 1 => p1.toDouble
+          case 2 => p1 * 24.0
+          case 10 => p1 * 3.0
+          case 11 => p1 * 6.0
+          case 12 => p1 * 12.0
+          case other => throw new IllegalArgumentException(
+            s"$path: PDS time unit $other unsupported")
+        }
+
+        val gds = readSec(p, "GDS")
+        p += gds.length
+        val gridType = u8(gds, 5)
+        require(gridType == 0,
+          s"$path: GDS grid type $gridType unsupported (0 = regular lat/lon)")
+        require(gds.length >= 32, s"$path: lat/lon GDS of ${gds.length} octets")
+        val ni = u16(gds, 6)
+        val nj = u16(gds, 8)
+        require(ni != 0xFFFF && nj != 0xFFFF,
+          s"$path: quasi-regular grid (Ni/Nj missing) unsupported")
+        val la1 = s24(gds, 10) * 1e-3
+        val lo1raw = s24(gds, 13) * 1e-3
+        val resFlags = u8(gds, 16)
+        require((resFlags & 0x80) != 0,
+          s"$path: GDS without direction increments unsupported")
+        val di = u16(gds, 23)
+        val dj = u16(gds, 25)
+        require(di != 0xFFFF && dj != 0xFFFF,
+          s"$path: direction increments missing")
+        val scan = u8(gds, 27)
+        require(scan == 0x00 || scan == 0x40,
+          f"$path: scanning mode 0x$scan%02x unsupported (0x00 or 0x40)")
+        val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
+        val grid = Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3,
+          (scan & 0x40) != 0, ni.toLong * nj)
+
+        var bmOff = 0L; var bmLen = 0
+        if (hasBms) {
+          val bmsHdr = new Array[Byte](6)
+          raf.seek(p); raf.readFully(bmsHdr)
+          val len = u24(bmsHdr, 0)
+          require(len >= 6 && p + len <= off + msgLen,
+            s"$path: BMS at $p overruns message")
+          require(u16(bmsHdr, 4) == 0,
+            s"$path: catalogued (pre-defined) bitmap unsupported")
+          bmOff = p + 6; bmLen = len - 6
+          p += len
+        }
+
+        val bdsHdr = new Array[Byte](3)
+        raf.seek(p); raf.readFully(bdsHdr)
+        val bdsLen = u24(bdsHdr, 0)
+        require(bdsLen >= 11 && p + bdsLen <= off + msgLen,
+          s"$path: BDS at $p overruns message")
+        fields += Field(refMillis, fh, parameter, levelType, level, grid,
+          decScale, bmOff, bmLen, p, bdsLen)
+        p += bdsLen
+
+        val end = new Array[Byte](4)
+        raf.seek(p); raf.readFully(end)
+        require(end.sameElements("7777".getBytes),
+          s"$path: message at $off not terminated by 7777")
+        off += msgLen
+        while (off < fileLen && { raf.seek(off); raf.read() == 0 }) off += 1
+      }
+      val out = fields.result()
+      require(out.nonEmpty, s"$path: no GRIB1 fields found")
+      out
+    } finally raf.close()
+  }
+
+  /** Decode one field's values in file scan order (bitmap applied). */
+  def unpack(f: Field, bds: Array[Byte], bitmap: Array[Byte],
+      where: String): Array[Double] = {
+    val npts = f.grid.npoints.toInt
+    val flags = u8(bds, 3) >> 4
+    require((flags & 0x8) == 0,
+      s"$where: spherical-harmonic BDS unsupported (grid-point data only)")
+    require((flags & 0x4) == 0,
+      s"$where: second-order (complex) GRIB1 packing unsupported")
+    val unusedBits = u8(bds, 3) & 0x0F
+    val e = s16(bds, 4)
+    val r = ibmFloat(bds, 6)
+    val nbits = u8(bds, 10)
+    val scaleE = math.pow(2.0, e)
+    val scaleD = math.pow(10.0, -f.decScale)
+
+    val present: Array[Boolean] =
+      if (bitmap == null) null
+      else {
+        require(bitmap.length.toLong * 8 >= npts, s"$where: bitmap too short")
+        Array.tabulate(npts)(k => (bitmap(k >> 3) & (0x80 >> (k & 7))) != 0)
+      }
+    val nPresent = if (present == null) npts
+      else present.count(identity)
+    if (nbits > 0) {
+      val dataBits = (bds.length - 11).toLong * 8 - unusedBits
+      require(dataBits >= nPresent.toLong * nbits,
+        s"$where: BDS carries $dataBits bits for $nPresent x $nbits-bit values")
+    }
+
+    val vals = new Array[Double](nPresent)
+    if (nbits == 0) java.util.Arrays.fill(vals, r * scaleD)
+    else {
+      var bit = 11L * 8
+      var k = 0
+      while (k < nPresent) {
+        var x = 0L
+        var n = nbits
+        while (n > 0) {
+          val byteIdx = (bit >> 3).toInt
+          val bitIdx = (bit & 7).toInt
+          val take = math.min(8 - bitIdx, n)
+          val chunk = (bds(byteIdx) >> (8 - bitIdx - take)) & ((1 << take) - 1)
+          x = (x << take) | chunk
+          bit += take; n -= take
+        }
+        vals(k) = (r + x * scaleE) * scaleD
+        k += 1
+      }
+    }
+    if (present == null) vals
+    else {
+      val out = new Array[Double](npts)
+      var src = 0
+      var k = 0
+      while (k < npts) {
+        if (present(k)) { out(k) = vals(src); src += 1 } else out(k) = Double.NaN
+        k += 1
+      }
+      out
+    }
+  }
+
+  /** Serializable (time, y, x) grid over one GRIB1 file. */
+  final case class Grib1Grid(path: String, grid: Grib2.Grid,
+      fields: Array[Field], timeValues: Array[Double], units: String)
+      extends NetCdf.NcGridSource {
+    def info: GeoTiff.SourceInfo = {
+      val northCenter =
+        if (grid.jPositive) grid.latFirst + (grid.nj - 1) * grid.dj
+        else grid.latFirst
+      GeoTiff.SourceInfo(path, grid.ni, grid.nj, bands = 1, "float64",
+        nodata = None,
+        x0 = grid.lonFirst - grid.di / 2, dx = grid.di,
+        y0 = northCenter + grid.dj / 2, dy = -grid.dj,
+        proj = graft.geo.Geographic, colortable = None)
+    }
+    def dtype: String = "float64"
+    def nodata: Option[Double] = None
+    def scale: Option[Double] = None
+    def offset: Option[Double] = None
+    def cfUnits: Option[String] = Some(units)
+    def cfCalendar: String = "standard"
+    def sampler(t: Int, wx: Int, wy: Int, ww: Int, wh: Int): GeoTiff.PixelSampler =
+      new Grib1Sampler(this, t)
+  }
+
+  private final class Grib1Sampler(g: Grib1Grid, t: Int)
+      extends GeoTiff.PixelSampler {
+    private val plane: Array[Double] = {
+      val f = g.fields(t)
+      val raf = new RandomAccessFile(g.path, "r")
+      try {
+        val bds = new Array[Byte](f.bdsLen)
+        raf.seek(f.bdsOffset); raf.readFully(bds)
+        val bitmap =
+          if (f.bitmapLen == 0) null
+          else {
+            val b = new Array[Byte](f.bitmapLen)
+            raf.seek(f.bitmapOffset); raf.readFully(b)
+            b
+          }
+        unpack(f, bds, bitmap, g.path)
+      } finally raf.close()
+    }
+    def sample(band: Int, px: Int, py: Int): Double = {
+      val fileRow = if (g.grid.jPositive) g.grid.nj - 1 - py else py
+      plane(fileRow * g.grid.ni + px)
+    }
+  }
+
+  /** Describe a GRIB1 file (homogeneous grid + parameter required). */
+  def describe(path: String): Grib1Grid = {
+    val fields = scan(path)
+    val grid = fields.head.grid
+    fields.foreach(f => require(f.grid == grid,
+      s"$path: messages disagree on grid (${f.grid} vs $grid)"))
+    val params = fields.map(f => (f.parameter, f.levelType, f.level)).distinct
+    require(params.size == 1,
+      s"$path: ${params.size} parameters/levels in one file " +
+        s"(${params.map(p => s"p${p._1}l${p._2}v${p._3}").mkString(", ")}) — " +
+        "split per-parameter upstream (wgrib -s | wgrib -i)")
+    val t0 = fields.map(_.refTimeUtcMillis).min
+    val ordered = fields.sortBy(f =>
+      (f.refTimeUtcMillis - t0) / 3600000.0 + f.forecastHours).toArray
+    val times = ordered.map(f =>
+      (f.refTimeUtcMillis - t0) / 3600000.0 + f.forecastHours)
+    require(times.distinct.length == times.length,
+      s"$path: duplicate valid times across messages")
+    val inst = java.time.Instant.ofEpochMilli(t0)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+    val units = f"hours since ${inst.getYear}%04d-${inst.getMonthValue}%02d-" +
+      f"${inst.getDayOfMonth}%02d ${inst.getHour}%02d:${inst.getMinute}%02d:" +
+      f"${inst.getSecond}%02d"
+    Grib1Grid(path, grid, ordered, times, units)
+  }
+
+  /** GRIB1 → raquet through the shared convert pipeline. */
+  def convert(spark: org.apache.spark.sql.SparkSession, gribPath: String,
+      outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false, resampling: String = "near",
+      overviews: String = "auto"): RaquetMetadata =
+    NetCdf.convert(spark, gribPath, outFile, blockZoom = blockZoom,
+      zoomStrategy = zoomStrategy, tileStats = tileStats,
+      resampling = resampling, overviews = overviews)
+}

@@ -1,0 +1,137 @@
+package graft.raquet
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+
+/** GRIB edition-1 fixture encoder — the spec-side counterpart of [[Grib1]],
+  * assembled from the WMO edition-1 octet layouts independently of the
+  * reader. One message per timestep: IS, PDS (with sign-magnitude decimal
+  * scale), GDS (grid type 0, millidegrees), BMS when any point is missing,
+  * BDS (simple packing, IBM hexadecimal-float reference value), "7777". */
+object Grib1Writer {
+
+  private def u16(v: Int): Array[Byte] =
+    Array[Byte](((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def u24(v: Int): Array[Byte] =
+    Array[Byte](((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      (v & 0xFF).toByte)
+  private def s24(v: Int): Array[Byte] = {
+    val mag = math.abs(v)
+    require(mag < (1 << 23), s"$v does not fit sign-magnitude 24 bits")
+    u24(mag | (if (v < 0) 0x800000 else 0))
+  }
+  private def s16sm(v: Int): Array[Byte] = {
+    val mag = math.abs(v)
+    require(mag < (1 << 15), s"$v does not fit sign-magnitude 16 bits")
+    u16(mag | (if (v < 0) 0x8000 else 0))
+  }
+
+  /** Encode an IBM System/360 hexadecimal float (exact for the fixture's
+    * small integers; loud when the fraction cannot be represented). */
+  def ibmFloat(v: Double): Array[Byte] = {
+    if (v == 0.0) return Array[Byte](0, 0, 0, 0)
+    val sign = if (v < 0) 0x80 else 0
+    var mag = math.abs(v)
+    var exp = 64
+    while (mag >= 1.0) { mag /= 16.0; exp += 1 }
+    while (mag < 1.0 / 16.0) { mag *= 16.0; exp -= 1 }
+    require(exp >= 0 && exp <= 127, s"IBM float exponent out of range for $v")
+    val frac = math.round(mag * 16777216.0)
+    require(frac / 16777216.0 == mag, s"$v not exactly representable as IBM float")
+    Array[Byte]((sign | exp).toByte) ++ u24(frac.toInt)
+  }
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nb = 0
+    def write(v: Long, nbits: Int): Unit = {
+      var n = nbits
+      while (n > 0) {
+        val take = math.min(8 - nb, n)
+        cur = (cur << take) | ((v >> (n - take)) & ((1L << take) - 1)).toInt
+        nb += take; n -= take
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      }
+    }
+    /** Returns (bytes, unused bits in the final byte). */
+    def bytesWithSlack: (Array[Byte], Int) = {
+      val slack = if (nb == 0) 0 else 8 - nb
+      if (nb > 0) { buf += (cur << slack).toByte; cur = 0; nb = 0 }
+      (buf.toArray, slack)
+    }
+  }
+
+  /** One complete edition-1 message. Coordinates in millidegrees; la1/lo1
+    * locate the FIRST grid point (center, scan 0x00). R is fixed at 0 and
+    * E/D at 0, so integer values round-trip exactly. */
+  def message(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      diMilli: Int, djMilli: Int, refTime: (Int, Int, Int, Int),
+      plane: Grib2Writer.Plane, nbits: Int, parameter: Int = 11): Array[Byte] = {
+    val (year, month, day, hour) = refTime
+    require(plane.values.length == ni * nj,
+      s"plane has ${plane.values.length} values for $ni x $nj grid")
+    val present = plane.values.map(_.isDefined)
+    val anyMissing = present.contains(false)
+    val xs = plane.values.flatten.toArray
+    xs.foreach(x => require(x >= 0 && (nbits >= 31 || x < (1 << nbits)),
+      s"value $x outside [0, 2^$nbits)"))
+
+    val century = (year - 1) / 100 + 1
+    val yearOfCentury = year - (century - 1) * 100
+    val pds = u24(28) ++ Array[Byte](
+      0 /*table version... octet 4*/, 7 /*centre*/, 0 /*process*/,
+      255.toByte /*grid id: GDS defines it*/,
+      (0x80 | (if (anyMissing) 0x40 else 0)).toByte /*GDS [+BMS] present*/,
+      parameter.toByte, 1 /*level type: ground*/) ++ u16(0) ++
+      Array[Byte](yearOfCentury.toByte, month.toByte, day.toByte, hour.toByte,
+        0 /*minute*/, 1 /*time unit: hour*/, plane.forecastHours.toByte,
+        0 /*P2*/, 0 /*range indicator: at P1*/) ++ u16(0) ++
+      Array[Byte](0 /*missing in avg*/, century.toByte, 0 /*subcentre*/) ++
+      s16sm(0 /*decimal scale D*/)
+    require(pds.length == 28, s"PDS is ${pds.length} octets")
+
+    val gds = u24(32) ++ Array[Byte](0 /*NV*/, 255.toByte /*PV: none*/,
+      0 /*grid type: lat/lon*/) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte /*res flags: increments given*/) ++
+      s24(la1Milli - (nj - 1) * djMilli) ++ s24(lo1Milli + (ni - 1) * diMilli) ++
+      u16(diMilli) ++ u16(djMilli) ++
+      Array[Byte](0x00 /*scan: W→E, N→S*/) ++ Array.fill[Byte](4)(0)
+    require(gds.length == 32, s"GDS is ${gds.length} octets")
+
+    val bms: Array[Byte] =
+      if (!anyMissing) Array.emptyByteArray
+      else {
+        val bw = new BitWriter
+        present.foreach(p => bw.write(if (p) 1 else 0, 1))
+        val (bits, slack) = bw.bytesWithSlack
+        u24(6 + bits.length) ++ Array[Byte](slack.toByte) ++ u16(0) ++ bits
+      }
+
+    val bw = new BitWriter
+    xs.foreach(x => bw.write(x.toLong, nbits))
+    val (data, slack) = bw.bytesWithSlack
+    val bdsLenRaw = 11 + data.length
+    // BDS length must be even per the spec; pad with a zero octet
+    val pad = bdsLenRaw % 2
+    val bds = u24(bdsLenRaw + pad) ++
+      Array[Byte](((0x0 << 4) | (slack + 8 * pad)).toByte /*flags + unused bits*/) ++
+      s16sm(0 /*binary scale E*/) ++ ibmFloat(0.0) ++
+      Array[Byte](nbits.toByte) ++ data ++ Array.fill[Byte](pad)(0)
+
+    val total = 8 + pds.length + gds.length + bms.length + bds.length + 4
+    Array[Byte]('G', 'R', 'I', 'B') ++ u24(total) ++ Array[Byte](1) ++
+      pds ++ gds ++ bms ++ bds ++ "7777".getBytes
+  }
+
+  /** Write one message per plane. */
+  def write(path: String, ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      diMilli: Int, djMilli: Int, refTime: (Int, Int, Int, Int),
+      planes: Seq[Grib2Writer.Plane], nbits: Int): Unit = {
+    val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+    try planes.foreach(p => out.write(
+      message(ni, nj, la1Milli, lo1Milli, diMilli, djMilli, refTime, p, nbits)))
+    finally out.close()
+  }
+}

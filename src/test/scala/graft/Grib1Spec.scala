@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raquet.{Grib1, Grib1Writer, Grib2Writer}
+import graft.raquet.Grib2Writer.Plane
+
+class Grib1Spec extends AnyFunSuite {
+
+  private def tmpFile(name: String): String = {
+    val f = java.io.File.createTempFile(s"grib1_$name", ".grib")
+    f.deleteOnExit()
+    f.toString
+  }
+
+  // 10x6 grid of exact 0.25-degree cells: first center (49.875, -179.875)
+  private val Ni = 10
+  private val Nj = 6
+  private def v(t: Int, j: Int, i: Int): Int = (5 * (j * Ni + i) + 11 * t) % 251
+
+  private def writeFixture(path: String,
+      missing: (Int, Int) => Boolean = (_, _) => false, nts: Int = 3): Unit = {
+    val planes = (0 until nts).map { t =>
+      Plane(6 * t, Array.tabulate(Ni * Nj) { k =>
+        val (j, i) = (k / Ni, k % Ni)
+        if (missing(j, i)) None else Some(v(t, j, i))
+      })
+    }
+    Grib1Writer.write(path, Ni, Nj, la1Milli = 49875, lo1Milli = 180125,
+      diMilli = 250, djMilli = 250, refTime = (2000, 1, 1, 0),
+      planes = planes, nbits = 8)
+  }
+
+  private def check(path: String, missing: (Int, Int) => Boolean,
+      nts: Int = 3): Unit = {
+    val g = Grib1.describe(path)
+    assert(g.timeValues.toSeq == (0 until nts).map(_ * 6.0))
+    assert(g.cfUnits.contains("hours since 2000-01-01 00:00:00"))
+    val info = g.info
+    assert(info.width == Ni && info.height == Nj)
+    assert(math.abs(info.x0 - -180.0) < 1e-12)
+    assert(math.abs(info.y0 - 50.0) < 1e-12)
+    assert(math.abs(info.dx - 0.25) < 1e-12)
+    assert(math.abs(info.dy - -0.25) < 1e-12)
+    for (t <- 0 until nts) {
+      val s = g.sampler(t, 0, 0, Ni, Nj)
+      for (j <- 0 until Nj; i <- 0 until Ni) {
+        val got = s.sample(0, i, j)
+        if (missing(j, i)) assert(got.isNaN, s"($i,$j) t=$t should be missing")
+        else assert(got == v(t, j, i).toDouble, s"($i,$j) t=$t")
+      }
+    }
+  }
+
+  test("edition-1 simple packing round-trips, with and without bitmap") {
+    val p = tmpFile("g1")
+    writeFixture(p)
+    check(p, (_, _) => false)
+    val p2 = tmpFile("g1bm")
+    def miss(j: Int, i: Int): Boolean = (j * Ni + i) % 7 == 2
+    writeFixture(p2, miss)
+    check(p2, miss)
+  }
+
+  test("IBM hexadecimal float decodes exactly") {
+    // 10.0 = 0.625 * 16^1 -> sign 0, exponent 65, fraction 0.625*2^24
+    assert(Grib1.ibmFloat(Array[Byte](0x41, 0xA0.toByte, 0, 0), 0) == 10.0)
+    // -118.625 = -(0.46337890625) * 16^2 -> 0xC2 0x76 0xA0 0x00 (the
+    // canonical IBM-float example value)
+    assert(Grib1.ibmFloat(Array[Byte](0xC2.toByte, 0x76, 0xA0.toByte, 0), 0)
+      == -118.625)
+    assert(Grib1.ibmFloat(Array[Byte](0, 0, 0, 0), 0) == 0.0)
+    // writer encode is the exact inverse on representable values
+    for (x <- Seq(0.0, 1.0, 10.0, 255.0, 0.5, -3.25, 1024.0))
+      assert(Grib1.ibmFloat(Grib1Writer.ibmFloat(x), 0) == x, s"x=$x")
+  }
+
+  test("a nonzero IBM reference value offsets every decoded point") {
+    // hand-patch the writer's message: set R = 10.0 and re-decode; each
+    // value must grow by exactly 10 (E=0, D=0)
+    val msg = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
+      (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),
+      nbits = 8)
+    // BDS starts after IS(8) + PDS(28) + GDS(32); R is BDS octets 7-10
+    val bds = 8 + 28 + 32
+    val r = Grib1Writer.ibmFloat(10.0)
+    System.arraycopy(r, 0, msg, bds + 6, 4)
+    val p = tmpFile("g1r")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib1.describe(p)
+    val s = g.sampler(0, 0, 0, Ni, Nj)
+    for (j <- 0 until Nj; i <- 0 until Ni)
+      assert(s.sample(0, i, j) == (j * Ni + i) % 200 + 10.0, s"($i,$j)")
+  }
+
+  test("edition dispatch: describeAny routes GRIB1 and GRIB2 by edition octet") {
+    val p1 = tmpFile("disp1")
+    writeFixture(p1)
+    assert(graft.raquet.NetCdf.describeAny(p1).isInstanceOf[Grib1.Grib1Grid])
+    val p2 = tmpFile("disp2")
+    Grib2Writer.write(p2, ni = 8, nj = 4, basicAngle = 1, subdiv = 16,
+      la1 = (49.96875 * 16).round, lo1 = (180.03125 * 16).round,
+      di = 1, dj = 1, refTime = (2000, 1, 1, 0),
+      planes = Seq(Plane(0, Array.tabulate(32)(k => Some(k)))),
+      nbits = 8, packing = "simple")
+    assert(graft.raquet.NetCdf.describeAny(p2)
+      .isInstanceOf[graft.raquet.Grib2.GribGrid])
+  }
+
+  test("unsupported edition-1 shapes fail loudly") {
+    val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
+      (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),
+      nbits = 8)
+    def writeAnd(name: String)(mut: Array[Byte] => Unit): IllegalArgumentException = {
+      val m = base.clone(); mut(m)
+      val p = tmpFile(name)
+      val o = new java.io.FileOutputStream(p)
+      try o.write(m) finally o.close()
+      intercept[IllegalArgumentException] {
+        val g = Grib1.describe(p); g.sampler(0, 0, 0, Ni, Nj)
+      }
+    }
+    // spherical-harmonic flag in BDS octet 4 (index 8+28+32+3)
+    val eH = writeAnd("harm")(m => m(8 + 28 + 32 + 3) = 0x80.toByte)
+    assert(eH.getMessage.contains("spherical-harmonic"))
+    // second-order packing flag
+    val eC = writeAnd("cplx")(m => m(8 + 28 + 32 + 3) = 0x40.toByte)
+    assert(eC.getMessage.contains("second-order"))
+    // GDS grid type 5 (polar stereographic): GDS octet 6 = index 8+28+5
+    val eG = writeAnd("polar")(m => m(8 + 28 + 5) = 5)
+    assert(eG.getMessage.contains("grid type 5"))
+    // truncation
+    val pt = tmpFile("trunc")
+    val ot = new java.io.FileOutputStream(pt)
+    try ot.write(base, 0, base.length - 6) finally ot.close()
+    intercept[Exception] { Grib1.describe(pt) }
+  }
+}
