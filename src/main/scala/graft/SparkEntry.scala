@@ -168,6 +168,8 @@ object SparkEntry {
     "q147_grib_ingest"      -> (RaquetQueries.q147GribIngest _),
     "q148_grib_complex"     -> (RaquetQueries.q148GribComplex _),
     "q149_grib1_ingest"     -> (RaquetQueries.q149Grib1Ingest _),
+    "q150_grib_lcc"         -> (RaquetQueries.q150GribLcc _),
+    "q151_grib_polar"       -> (RaquetQueries.q151GribPolar _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -379,6 +381,8 @@ object SparkEntry {
     "q147_grib_ingest"      -> RaquetOracles.q79,
     "q148_grib_complex"     -> RaquetOracles.q79,
     "q149_grib1_ingest"     -> RaquetOracles.q149,
+    "q150_grib_lcc"         -> RaquetOracles.q150,
+    "q151_grib_polar"       -> RaquetOracles.q151,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

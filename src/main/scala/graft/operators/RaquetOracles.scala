@@ -459,6 +459,78 @@ object RaquetOracles {
         FROM vals GROUP BY t"""
   }
 
+  /** q150: re-derives each LCC probe's geographic position via the
+    * closed-form SPHERICAL single-parallel Lambert conformal formulas
+    * (Snyder eqs. 15-1..15-5 with φ1 = φ2 = φ0 = 38.5, a = 6371229,
+    * λ0 = −97.5): n = sin φ1, F = cos φ1/(n·tan(π/4−φ1/2)^n),
+    * ρ(φ) = a·F·tan(π/4−φ/2)^n; forward locates the first grid point
+    * (35N, −100E), the probe offsets are exact plane arithmetic, and the
+    * inverse recovers lon/lat. Patch values need no trig at all. */
+  val q150: String =
+    """WITH c AS (
+          SELECT sin(radians(38.5)) AS n,
+            cos(radians(38.5)) / (sin(radians(38.5)) *
+              pow(tan(pi()/4 - radians(38.5)/2), sin(radians(38.5)))) AS f),
+        base AS (
+          SELECT n, f,
+            6371229.0 * f * pow(tan(pi()/4 - radians(38.5)/2), n) AS rho0,
+            6371229.0 * f * pow(tan(pi()/4 - radians(35.0)/2), n) AS rho1
+          FROM c),
+        first_pt AS (
+          SELECT n, f, rho0,
+            rho1 * sin(n * radians(-100.0 - (-97.5))) AS x1,
+            rho0 - rho1 * cos(n * radians(-100.0 - (-97.5))) AS y1
+          FROM base),
+        probes AS (
+          SELECT pi, pj, n, f, rho0,
+            x1 + (16*pi + 7.5) * 3000.0 AS xc,
+            y1 + (119.5 - 16*pj) * 3000.0 AS yc
+          FROM first_pt,
+            (VALUES (1),(3),(5),(7)) a(pi), (VALUES (1),(3),(5),(7)) b(pj)),
+        inv AS (
+          SELECT pi, pj,
+            90.0 - 2*degrees(atan(pow(
+              sqrt(xc*xc + (rho0 - yc)*(rho0 - yc)) / (6371229.0 * f),
+              1.0/n))) AS lat,
+            -97.5 + degrees(atan2(xc, rho0 - yc)) / n AS lon
+          FROM probes)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(lon, 5) AS lon_r, round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi AS BIGINT) AS v
+        FROM inv"""
+
+  /** q151: spherical north-polar stereographic closed form (Snyder §21,
+    * variant with standard parallel 70N): ρ(φ) = a·cos70·tan(π/4−φ/2) /
+    * tan(π/4−70/2·rad), E = ρ sinθ, N = −ρ cosθ, θ = λ−λ0. */
+  val q151: String =
+    """WITH c AS (
+          SELECT 6371229.0 * cos(radians(70.0)) /
+              tan(pi()/4 - radians(70.0)/2) AS k),
+        first_pt AS (
+          SELECT k,
+            k * tan(pi()/4 - radians(60.0)/2)
+              * sin(radians(10.0 - (-45.0))) AS x1,
+            -(k * tan(pi()/4 - radians(60.0)/2)
+              * cos(radians(10.0 - (-45.0)))) AS y1
+          FROM c),
+        probes AS (
+          SELECT pi, pj, k,
+            x1 + (16*pi + 7.5) * 25000.0 AS xc,
+            y1 + (119.5 - 16*pj) * 25000.0 AS yc
+          FROM first_pt,
+            (VALUES (1),(3),(5),(7)) a(pi), (VALUES (1),(3),(5),(7)) b(pj)),
+        inv AS (
+          SELECT pi, pj,
+            90.0 - 2*degrees(atan(sqrt(xc*xc + yc*yc) / k)) AS lat,
+            -45.0 + degrees(atan2(xc, -yc)) AS lon
+          FROM probes)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(CASE WHEN lon > 180 THEN lon - 360
+                     WHEN lon < -180 THEN lon + 360 ELSE lon END, 5) AS lon_r,
+          round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi AS BIGINT) AS v
+        FROM inv"""
+
   val q33: String =
     s"""WITH p AS (SELECT id, CAST((id*7) % 100 - 30 AS DOUBLE) AS v
           FROM range(48) t(id))

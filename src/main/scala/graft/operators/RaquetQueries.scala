@@ -1427,6 +1427,109 @@ object RaquetQueries {
   def q148GribComplex(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "complex_sd2", "q148")
 
+  /** S6 (GRIB2 template 3.30, Lambert conformal — the HRRR/NAM/NDFD CONUS
+    * grid family) driver proof, the q104 pattern: source values are
+    * constant on 16×16-cell patches (48 km square at 3 km spacing), probes
+    * sit at patch centers in the LCC plane, and the oracle re-derives each
+    * probe's geographic position independently via the closed-form
+    * SPHERICAL Lambert formulas (the grid declares earth shape 6 = sphere
+    * 6371229, so the engine's ellipsoidal path degenerates to the same
+    * math at e²=0), rounded to 1e-5° — far above cross-libm noise, far
+    * below the patch size. The nearest-neighbor warp plus the
+    * approximating transformer can move a sampled source cell by well
+    * under a cell, so a patch-center probe can never read a neighboring
+    * patch: the VALUE equality is exact. */
+  def q150GribLcc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q150"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/lcc.grib2"
+    val (ni, nj) = (128, 128)
+    // scan 0x40 (+j): file row 0 is the SOUTH row; patch value is defined
+    // on north-up coordinates
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some(((nj - 1 - jf) / 16) * 8 + i / 16)
+      })
+    val sec3 = graft.raquet.Grib2Writer.sec3Lambert(ni, nj,
+      la1Micro = 35000000L, lo1Micro = 260000000L,
+      laDMicro = 38500000L, loVMicro = 262500000L,
+      dxMm = 3000000L, dyMm = 3000000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/lcc.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.LambertConformalConic(6371229.0,
+      Double.PositiveInfinity, 38.5, 38.5, 38.5, -97.5, 0.0, 0.0)
+    val (x1, y1) = proj.fromLonLat(-100.0, 35.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = x1 + (16 * pi + 7.5) * 3000.0
+      val yc = y1 + (119.5 - 16 * pj) * 3000.0
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
+  /** S6 (GRIB2 template 3.20, north-polar stereographic — NCEP sea-ice /
+    * arctic product grids) driver proof: the q150 patch/probe pattern with
+    * the spherical PS closed form in the oracle. 25 km cells, standard
+    * parallel 70N, orientation −45E (the NSIDC arctic convention). */
+  def q151GribPolar(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q151"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/ps.grib2"
+    val (ni, nj) = (128, 128)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some(((nj - 1 - jf) / 16) * 8 + i / 16)
+      })
+    // first grid point: 60N, 10E — the grid sits across the pole's flank
+    val sec3 = graft.raquet.Grib2Writer.sec3PolarStereo(ni, nj,
+      la1Micro = 60000000L, lo1Micro = 10000000L,
+      laDMicro = 70000000L, loVMicro = 315000000L,
+      dxMm = 25000000L, dyMm = 25000000L)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/ps.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.PolarStereographic(6371229.0,
+      Double.PositiveInfinity, 70.0, -45.0, 0.0, 0.0)
+    val (x1, y1) = proj.fromLonLat(10.0, 60.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = x1 + (16 * pi + 7.5) * 25000.0
+      val yc = y1 + (119.5 - 16 * pj) * 25000.0
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB edition 1) driver proof: a 240×100 grid of exact 1.5° cells
     * (1500 millidegrees — edition 1 carries only millidegree coordinates,
     * so the q79 45/64° grid cannot exist in it), top edge 84.25°N, full

@@ -250,11 +250,11 @@ object Grib1 {
       extends NetCdf.NcGridSource {
     def info: GeoTiff.SourceInfo = {
       val northCenter =
-        if (grid.jPositive) grid.latFirst + (grid.nj - 1) * grid.dj
-        else grid.latFirst
+        if (grid.jPositive) grid.yFirst + (grid.nj - 1) * grid.dj
+        else grid.yFirst
       GeoTiff.SourceInfo(path, grid.ni, grid.nj, bands = 1, "float64",
         nodata = None,
-        x0 = grid.lonFirst - grid.di / 2, dx = grid.di,
+        x0 = grid.xFirst - grid.di / 2, dx = grid.di,
         y0 = northCenter + grid.dj / 2, dy = -grid.dj,
         proj = graft.geo.Geographic, colortable = None)
     }

@@ -99,15 +99,51 @@ object Grib2 {
       bitmapOffset: Long, bitmapLen: Int, // 0 = no bitmap
       dataOffset: Long, dataLen: Int)
 
-  /** Regular lat/lon grid decoded from template 3.0. `unit` is degrees per
-    * coordinate count (basic-angle rational or the 10⁻⁶ default). */
-  final case class Grid(ni: Int, nj: Int, latFirst: Double, lonFirst: Double,
-      di: Double, dj: Double, jPositive: Boolean, npoints: Long)
+  /** A GRIB grid as a uniform raster in its own plane: `xFirst`/`yFirst`
+    * locate the FIRST grid point (center) in `proj` coordinates — degrees
+    * for template 3.0 (geographic), meters for the projected templates
+    * 3.20 (polar stereographic) and 3.30 (Lambert conformal). */
+  final case class Grid(ni: Int, nj: Int, yFirst: Double, xFirst: Double,
+      di: Double, dj: Double, jPositive: Boolean, npoints: Long,
+      proj: graft.geo.Projection = graft.geo.Geographic)
+
+  /** Earth shape (octets 15-30 of every 3.x template): (semi-major a,
+    * inverse flattening; spheres use invF = ∞, which the projection math
+    * degrades to exactly — e² = 0). */
+  private def parseEarth(sec3: Array[Byte], where: String): (Double, Double) = {
+    def scaled(fOff: Int, vOff: Int): Double = {
+      val f = u8(sec3, fOff)
+      val v = u32(sec3, vOff)
+      v * math.pow(10.0, -f)
+    }
+    u8(sec3, 14) match {
+      case 0 => (6367470.0, Double.PositiveInfinity)
+      case 1 => (scaled(15, 16), Double.PositiveInfinity)
+      case 2 => (6378160.0, 297.0)
+      case 4 => (6378137.0, 298.257222101) // GRS80
+      case 5 => (6378137.0, 298.257223563) // WGS84
+      case 6 => (6371229.0, Double.PositiveInfinity)
+      case 3 | 7 =>
+        val scale = if (u8(sec3, 14) == 3) 1000.0 else 1.0 // km vs m
+        val major = scaled(20, 21) * scale
+        val minor = scaled(25, 26) * scale
+        require(major > 0 && minor > 0 && major >= minor,
+          s"$where: bad custom ellipsoid $major/$minor")
+        (major, if (major == minor) Double.PositiveInfinity
+          else major / (major - minor))
+      case other => throw new IllegalArgumentException(
+        s"$where: shape of earth $other unsupported")
+    }
+  }
+
+  private def checkScan(scan: Int, where: String): Boolean = {
+    require(scan == 0x00 || scan == 0x40,
+      f"$where: scanning mode 0x$scan%02x unsupported (0x00 or 0x40)")
+    (scan & 0x40) != 0
+  }
 
   private def parseGrid(sec3: Array[Byte], where: String): Grid = {
     val tmpl = u16(sec3, 12)
-    require(tmpl == 0, s"$where: grid definition template 3.$tmpl unsupported " +
-      "(only 3.0 regular lat/lon)")
     require(u8(sec3, 10) == 0,
       s"$where: optional grid point lists (quasi-regular grids) unsupported")
     val npoints = u32(sec3, 6)
@@ -116,27 +152,73 @@ object Grib2 {
     require(ni > 0 && nj > 0 && ni.toLong * nj == npoints,
       s"$where: grid $ni x $nj does not cover $npoints data points " +
         "(quasi-regular grids unsupported)")
-    val basicAngle = u32(sec3, 38)
-    val subdiv = u32(sec3, 42)
     val missing = 0xFFFFFFFFL
-    val unit =
-      if (basicAngle == 0 || basicAngle == missing) 1e-6
-      else {
-        require(subdiv != 0 && subdiv != missing,
-          s"$where: basic angle $basicAngle without subdivisions")
-        basicAngle.toDouble / subdiv.toDouble
-      }
-    val la1 = s32(sec3, 46) * unit
-    val lo1raw = s32(sec3, 50) * unit
-    val di = u32(sec3, 63)
-    val dj = u32(sec3, 67)
-    require(di != missing && dj != missing,
-      s"$where: i/j direction increments not given — unsupported")
-    val scan = u8(sec3, 71)
-    require(scan == 0x00 || scan == 0x40,
-      f"$where: scanning mode 0x$scan%02x unsupported (0x00 or 0x40)")
-    val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
-    Grid(ni, nj, la1, lo1, di * unit, dj * unit, (scan & 0x40) != 0, npoints)
+    tmpl match {
+      case 0 => // regular lat/lon
+        val basicAngle = u32(sec3, 38)
+        val subdiv = u32(sec3, 42)
+        val unit =
+          if (basicAngle == 0 || basicAngle == missing) 1e-6
+          else {
+            require(subdiv != 0 && subdiv != missing,
+              s"$where: basic angle $basicAngle without subdivisions")
+            basicAngle.toDouble / subdiv.toDouble
+          }
+        val la1 = s32(sec3, 46) * unit
+        val lo1raw = s32(sec3, 50) * unit
+        val di = u32(sec3, 63)
+        val dj = u32(sec3, 67)
+        require(di != missing && dj != missing,
+          s"$where: i/j direction increments not given — unsupported")
+        val jPos = checkScan(u8(sec3, 71), where)
+        val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
+        Grid(ni, nj, la1, lo1, di * unit, dj * unit, jPos, npoints)
+
+      case 20 => // polar stereographic (NCEP arctic/antarctic products)
+        val (a, invF) = parseEarth(sec3, where)
+        val la1 = s32(sec3, 38) * 1e-6
+        val lo1 = s32(sec3, 42) * 1e-6
+        val laD = s32(sec3, 47) * 1e-6 // lat where Dx/Dy are true
+        val loV = s32(sec3, 51) * 1e-6 // orientation longitude
+        val dx = u32(sec3, 55) * 1e-3 // mm → m
+        val dy = u32(sec3, 59) * 1e-3
+        val centre = u8(sec3, 63)
+        val southPole = (centre & 0x80) != 0
+        require((centre & 0x40) == 0, s"$where: bipolar grids unsupported")
+        val jPos = checkScan(u8(sec3, 64), where)
+        val proj = graft.geo.PolarStereographic(a, invF,
+          latTs = if (southPole) -math.abs(laD) else math.abs(laD),
+          lon0 = if (loV > 180.0) loV - 360.0 else loV,
+          falseEasting = 0.0, falseNorthing = 0.0)
+        val (x1, y1) = proj.fromLonLat(
+          if (lo1 > 180.0) lo1 - 360.0 else lo1, la1)
+        Grid(ni, nj, y1, x1, dx, dy, jPos, npoints, proj)
+
+      case 30 => // Lambert conformal (HRRR/NAM/NDFD CONUS products)
+        val (a, invF) = parseEarth(sec3, where)
+        val la1 = s32(sec3, 38) * 1e-6
+        val lo1 = s32(sec3, 42) * 1e-6
+        val laD = s32(sec3, 47) * 1e-6
+        val loV = s32(sec3, 51) * 1e-6
+        val dx = u32(sec3, 55) * 1e-3
+        val dy = u32(sec3, 59) * 1e-3
+        val centre = u8(sec3, 63)
+        require((centre & 0x40) == 0, s"$where: bipolar grids unsupported")
+        val jPos = checkScan(u8(sec3, 64), where)
+        val latin1 = s32(sec3, 65) * 1e-6
+        val latin2 = s32(sec3, 69) * 1e-6
+        val proj = graft.geo.LambertConformalConic(a, invF,
+          sp1 = latin1, sp2 = latin2, lat0 = laD,
+          lon0 = if (loV > 180.0) loV - 360.0 else loV,
+          falseEasting = 0.0, falseNorthing = 0.0)
+        val (x1, y1) = proj.fromLonLat(
+          if (lo1 > 180.0) lo1 - 360.0 else lo1, la1)
+        Grid(ni, nj, y1, x1, dx, dy, jPos, npoints, proj)
+
+      case other => throw new IllegalArgumentException(
+        s"$where: grid definition template 3.$other unsupported " +
+          "(3.0 lat/lon, 3.20 polar stereographic, 3.30 Lambert conformal)")
+    }
   }
 
   /** Scan a file's messages into decodable fields. O(section headers):
@@ -505,16 +587,16 @@ object Grib2 {
       fields: Array[Field], timeValues: Array[Double], units: String)
       extends NetCdf.NcGridSource {
     def info: GeoTiff.SourceInfo = {
-      // la1/lo1 are the FIRST GRID POINT (cell center); north edge derives
-      // from the scan direction
-      val northCenter =
-        if (grid.jPositive) grid.latFirst + (grid.nj - 1) * grid.dj
-        else grid.latFirst
+      // xFirst/yFirst locate the FIRST GRID POINT (cell center) in the
+      // grid's own plane; the top edge derives from the scan direction
+      val topCenter =
+        if (grid.jPositive) grid.yFirst + (grid.nj - 1) * grid.dj
+        else grid.yFirst
       GeoTiff.SourceInfo(path, grid.ni, grid.nj, bands = 1, "float64",
         nodata = None,
-        x0 = grid.lonFirst - grid.di / 2, dx = grid.di,
-        y0 = northCenter + grid.dj / 2, dy = -grid.dj,
-        proj = graft.geo.Geographic, colortable = None)
+        x0 = grid.xFirst - grid.di / 2, dx = grid.di,
+        y0 = topCenter + grid.dj / 2, dy = -grid.dj,
+        proj = grid.proj, colortable = None)
     }
     def dtype: String = "float64"
     def nodata: Option[Double] = None

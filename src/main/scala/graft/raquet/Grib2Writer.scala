@@ -80,18 +80,10 @@ object Grib2Writer {
     } finally out.close()
   }
 
-  /** One complete message (sections 0-8) as bytes — also used directly by
-    * the spec to hand-assemble multi-field and edge-case files. */
-  def message(ni: Int, nj: Int, basicAngle: Int, subdiv: Int,
-      la1: Long, lo1: Long, di: Long, dj: Long,
-      refTime: (Int, Int, Int, Int), plane: Plane, nbits: Int,
-      packing: String, discipline: Int, paramCategory: Int,
-      paramNumber: Int): Array[Byte] = {
-    val (year, month, day, hour) = refTime
-    val sec1 = section(1, u16(7) ++ u16(0) ++ Array[Byte](2, 1, 1) ++
-      u16(year) ++ Array[Byte](month.toByte, day.toByte, hour.toByte, 0, 0,
-        0 /*production status*/, 1 /*type: forecast*/))
-    val sec3 = section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+  /** Template 3.0 (regular lat/lon) section 3 body + header. */
+  def sec3LatLon(ni: Int, nj: Int, basicAngle: Int, subdiv: Int,
+      la1: Long, lo1: Long, di: Long, dj: Long): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
       Array[Byte](0, 0) ++ u16(0 /*template 3.0*/) ++
       Array[Byte](6 /*shape of earth: sphere r=6371229*/, 0) ++ u32(0) ++
       Array[Byte](0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
@@ -99,6 +91,61 @@ object Grib2Writer {
       sN(la1, 4) ++ sN(lo1, 4) ++ Array[Byte](0x30 /*res flags: di,dj given*/) ++
       sN(la1 - (nj - 1) * dj, 4) ++ sN(lo1 + (ni - 1) * di, 4) ++
       u32(di) ++ u32(dj) ++ Array[Byte](0x00 /*scan: W→E, N→S*/))
+
+  /** Template 3.30 (Lambert conformal) section 3: sphere r=6371229 (the
+    * NCEP CONUS convention), first point + LaD/LoV/Latin1/Latin2 in
+    * micro-degrees, Dx/Dy in millimeters, scan W→E S→N (0x40, the NCEP
+    * LCC layout). */
+  def sec3Lambert(ni: Int, nj: Int, la1Micro: Long, lo1Micro: Long,
+      laDMicro: Long, loVMicro: Long, dxMm: Long, dyMm: Long,
+      latin1Micro: Long, latin2Micro: Long): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(30 /*template 3.30*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++
+      sN(la1Micro, 4) ++ sN(lo1Micro, 4) ++
+      Array[Byte](0x30) ++
+      sN(laDMicro, 4) ++ sN(loVMicro, 4) ++
+      u32(dxMm) ++ u32(dyMm) ++
+      Array[Byte](0 /*projection centre: north*/, 0x40 /*scan: +j*/) ++
+      sN(latin1Micro, 4) ++ sN(latin2Micro, 4) ++
+      sN(-90000000L, 4) ++ u32(0))
+
+  /** Template 3.20 (polar stereographic) section 3: sphere r=6371229,
+    * north-pole aspect, scan W→E S→N. */
+  def sec3PolarStereo(ni: Int, nj: Int, la1Micro: Long, lo1Micro: Long,
+      laDMicro: Long, loVMicro: Long, dxMm: Long, dyMm: Long): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(20 /*template 3.20*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++
+      sN(la1Micro, 4) ++ sN(lo1Micro, 4) ++
+      Array[Byte](0x30) ++
+      sN(laDMicro, 4) ++ sN(loVMicro, 4) ++
+      u32(dxMm) ++ u32(dyMm) ++
+      Array[Byte](0 /*projection centre: north*/, 0x40 /*scan: +j*/))
+
+  /** One complete message (sections 0-8) as bytes — also used directly by
+    * the spec to hand-assemble multi-field and edge-case files. */
+  def message(ni: Int, nj: Int, basicAngle: Int, subdiv: Int,
+      la1: Long, lo1: Long, di: Long, dj: Long,
+      refTime: (Int, Int, Int, Int), plane: Plane, nbits: Int,
+      packing: String, discipline: Int, paramCategory: Int,
+      paramNumber: Int): Array[Byte] =
+    messageWithSec3(sec3LatLon(ni, nj, basicAngle, subdiv, la1, lo1, di, dj),
+      refTime, plane, nbits, packing, discipline, paramCategory, paramNumber)
+
+  /** One complete message around a caller-supplied section 3 (projected
+    * grid templates). */
+  def messageWithSec3(sec3: Array[Byte], refTime: (Int, Int, Int, Int),
+      plane: Plane, nbits: Int, packing: String, discipline: Int,
+      paramCategory: Int, paramNumber: Int): Array[Byte] = {
+    val (year, month, day, hour) = refTime
+    val sec1 = section(1, u16(7) ++ u16(0) ++ Array[Byte](2, 1, 1) ++
+      u16(year) ++ Array[Byte](month.toByte, day.toByte, hour.toByte, 0, 0,
+        0 /*production status*/, 1 /*type: forecast*/))
     val sec4 = section(4, u16(0) ++ u16(0 /*template 4.0*/) ++
       Array[Byte](paramCategory.toByte, paramNumber.toByte,
         2 /*octet 12, generating process: forecast*/, 0 /*13 background*/,

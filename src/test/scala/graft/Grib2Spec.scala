@@ -175,6 +175,64 @@ class Grib2Spec extends AnyFunSuite {
       assert(s.sample(0, i, j) == want(j * 4 + i), s"($i,$j)")
   }
 
+  test("template 3.30 Lambert conformal grids georeference through the LCC projection") {
+    // HRRR-style parameters: sphere 6371229, Latin1 = Latin2 = LaD = 38.5,
+    // LoV = 262.5 (-97.5), 3 km cells, scan +j (south row first)
+    val (ni, nj) = (8, 6)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some((k * 7) % 200))
+    val sec3 = Grib2Writer.sec3Lambert(ni, nj,
+      la1Micro = 21138123L, lo1Micro = 237280472L,
+      laDMicro = 38500000L, loVMicro = 262500000L,
+      dxMm = 3000000L, dyMm = 3000000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L)
+    val msg = Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val p = tmpFile("lcc")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    val proj = g.grid.proj
+    assert(proj == graft.geo.LambertConformalConic(6371229.0,
+      Double.PositiveInfinity, 38.5, 38.5, 38.5, -97.5, 0.0, 0.0))
+    assert(g.grid.jPositive)
+    // first grid point round-trips through the projection
+    val (lon1, lat1) = proj.toLonLat(g.grid.xFirst, g.grid.yFirst)
+    assert(math.abs(lat1 - 21.138123) < 1e-9, s"lat1=$lat1")
+    assert(math.abs(lon1 - (237.280472 - 360)) < 1e-9, s"lon1=$lon1")
+    // info: projected plane, 3 km cells, top edge above the LAST row
+    val info = g.info
+    assert(!info.geographic)
+    assert(info.dx == 3000.0 && info.dy == -3000.0)
+    assert(math.abs(info.y0 - (g.grid.yFirst + (nj - 1) * 3000.0 + 1500.0)) < 1e-9)
+    assert(math.abs(info.x0 - (g.grid.xFirst - 1500.0)) < 1e-9)
+    // +j scan: file row 0 is the SOUTH row; north-up sample flips it
+    val s = g.sampler(0, 0, 0, ni, nj)
+    for (j <- 0 until nj; i <- 0 until ni)
+      assert(s.sample(0, i, j) == ((nj - 1 - j) * ni + i) * 7 % 200, s"($i,$j)")
+  }
+
+  test("template 3.20 polar stereographic grids georeference through the PS projection") {
+    val (ni, nj) = (6, 4)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k))
+    val sec3 = Grib2Writer.sec3PolarStereo(ni, nj,
+      la1Micro = 60000000L, lo1Micro = 10000000L,
+      laDMicro = 70000000L, loVMicro = 315000000L,
+      dxMm = 25000000L, dyMm = 25000000L)
+    val msg = Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val p = tmpFile("pstereo")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    assert(g.grid.proj == graft.geo.PolarStereographic(6371229.0,
+      Double.PositiveInfinity, 70.0, -45.0, 0.0, 0.0))
+    val (lon1, lat1) = g.grid.proj.toLonLat(g.grid.xFirst, g.grid.yFirst)
+    assert(math.abs(lat1 - 60.0) < 1e-9 && math.abs(lon1 - 10.0) < 1e-9)
+    assert(g.info.dx == 25000.0 && g.info.dy == -25000.0)
+    val s = g.sampler(0, 0, 0, ni, nj)
+    assert(s.sample(0, 2, 0) == (nj - 1) * ni + 2.0) // top row = last file row
+  }
+
   test("multi-parameter and malformed files fail loudly") {
     // two messages with different parameter numbers
     val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
