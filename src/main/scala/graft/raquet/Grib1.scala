@@ -106,9 +106,7 @@ object Grib1 {
         val century = u8(pds, 24)
         val decScale = s16(pds, 26)
         val year = (century - 1) * 100 + yearOfCentury
-        val refMillis = java.time.LocalDateTime
-          .of(year, month, day, hh, mi, 0)
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val refMillis = Grib2.utcMillis(year, month, day, hh, mi, 0, path)
         val fh = timeUnit match {
           case 0 => p1 / 60.0
           case 1 => p1.toDouble
@@ -130,6 +128,8 @@ object Grib1 {
         val nj = u16(gds, 8)
         require(ni != 0xFFFF && nj != 0xFFFF,
           s"$path: quasi-regular grid (Ni/Nj missing) unsupported")
+        require(ni > 0 && nj > 0 && ni.toLong * nj <= (1L << 28),
+          s"$path: implausible grid $ni x $nj")
         val la1 = s24(gds, 10) * 1e-3
         val lo1raw = s24(gds, 13) * 1e-3
         val resFlags = u8(gds, 16)
@@ -194,6 +194,7 @@ object Grib1 {
     val e = s16(bds, 4)
     val r = ibmFloat(bds, 6)
     val nbits = u8(bds, 10)
+    require(nbits <= 32, s"$where: $nbits-bit packing is implausible")
     val scaleE = math.pow(2.0, e)
     val scaleD = math.pow(10.0, -f.decScale)
 

@@ -71,6 +71,8 @@ object Grib2 {
   private final class BitReader(val b: Array[Byte], startBit: Long) {
     var pos: Long = startBit
     def read(nbits: Int): Long = {
+      require(pos + nbits <= b.length.toLong * 8,
+        s"bitstream truncated at bit $pos (+$nbits of ${b.length * 8L})")
       var v = 0L
       var n = nbits
       while (n > 0) {
@@ -143,7 +145,14 @@ object Grib2 {
   }
 
   private def parseGrid(sec3: Array[Byte], where: String): Grid = {
+    require(sec3.length >= 15, s"$where: truncated grid definition section")
     val tmpl = u16(sec3, 12)
+    require(sec3.length >= (tmpl match {
+      case 0 => 72
+      case 20 => 65
+      case 30 => 81
+      case _ => 15
+    }), s"$where: section 3 too short for template 3.$tmpl")
     require(u8(sec3, 10) == 0,
       s"$where: optional grid point lists (quasi-regular grids) unsupported")
     val npoints = u32(sec3, 6)
@@ -152,6 +161,11 @@ object Grib2 {
     require(ni > 0 && nj > 0 && ni.toLong * nj == npoints,
       s"$where: grid $ni x $nj does not cover $npoints data points " +
         "(quasi-regular grids unsupported)")
+    // a single field cannot plausibly carry a quarter-billion points
+    // (0.1-degree global is ~6.5M); a corrupt count must fail here, not
+    // overflow Int or allocate gigabytes downstream
+    require(npoints <= (1L << 28),
+      s"$where: implausible field size $npoints points")
     val missing = 0xFFFFFFFFL
     tmpl match {
       case 0 => // regular lat/lon
@@ -281,6 +295,7 @@ object Grib2 {
             secNum match {
               case 1 =>
                 val b = body()
+                require(b.length >= 19, s"$path: truncated identification section")
                 refTime = utcMillis(u16(b, 12), u8(b, 14), u8(b, 15),
                   u8(b, 16), u8(b, 17), u8(b, 18), path)
               case 2 => // local use — skipped
@@ -329,18 +344,20 @@ object Grib2 {
     } finally raf.close()
   }
 
-  private def utcMillis(y: Int, m: Int, d: Int, h: Int, mi: Int, s: Int,
-      where: String): Long = {
-    require(m >= 1 && m <= 12 && d >= 1 && d <= 31,
-      s"$where: bad reference time $y-$m-$d")
-    java.time.LocalDateTime.of(y, m, d, h, mi, s)
+  private[raquet] def utcMillis(y: Int, m: Int, d: Int, h: Int, mi: Int,
+      s: Int, where: String): Long =
+    try java.time.LocalDateTime.of(y, m, d, h, mi, s)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-  }
+    catch {
+      case e: java.time.DateTimeException => throw new IllegalArgumentException(
+        s"$where: bad reference time $y-$m-$d $h:$mi:$s (${e.getMessage})")
+    }
 
   /** (parameterCategory, parameterNumber, forecastHours) from PDT 4.x.
     * Octets 10/11 and 18-22 sit at the same place in every analysis/
     * forecast template (4.0, 4.1, 4.2, 4.8 …). */
   private def parseProduct(sec4: Array[Byte], where: String): (Int, Int, Double) = {
+    require(sec4.length >= 22, s"$where: truncated product definition section")
     val tmpl = u16(sec4, 7)
     require(tmpl <= 15 || tmpl == 8,
       s"$where: product definition template 4.$tmpl unsupported")
@@ -371,8 +388,19 @@ object Grib2 {
       where: String): Array[Double] = {
     val grid = parseGrid(f.sec3, where)
     val npts = grid.npoints.toInt
+    require(f.sec5.length >= 11, s"$where: truncated data representation section")
     val packed = u32(f.sec5, 5).toInt
     val tmpl = u16(f.sec5, 9)
+    val neededSec5 = tmpl match {
+      case 0 => 21
+      case 2 => 47
+      case 3 => 49
+      case 4 => 12
+      case _ => 11
+    }
+    require(f.sec5.length >= neededSec5,
+      s"$where: section 5 carries ${f.sec5.length} octets, " +
+        s"template 5.$tmpl needs $neededSec5")
     val present: Array[Boolean] =
       if (bitmap == null) null
       else {
@@ -420,6 +448,7 @@ object Grib2 {
       java.util.Arrays.fill(out, r * scaleD)
       return out
     }
+    require(nbits <= 32, s"$where: $nbits-bit simple packing is implausible")
     require(sec7.length.toLong * 8 >= n.toLong * nbits,
       s"$where: simple-packed data section too short")
     val br = new BitReader(sec7, 0)
@@ -484,7 +513,8 @@ object Grib2 {
       s"$where: spatial differencing order $order unsupported")
     require(tmpl != 3 || missingMgmt == 0,
       s"$where: spatial differencing with missing-value management unsupported")
-    require(ng >= 0, s"$where: negative group count")
+    require(ng >= 0 && ng <= n + 1,
+      s"$where: $ng groups for $n points is implausible")
 
     var bitPos = 0L
     // 5.3 head: `order` initial field values + overall minimum of the
@@ -511,6 +541,8 @@ object Grib2 {
     while (g < ng) {
       groupWidths(g) = refGroupWidths +
         (if (nbitsWidths == 0) 0 else br.read(nbitsWidths).toInt)
+      require(groupWidths(g) <= 32,
+        s"$where: ${groupWidths(g)}-bit group width is implausible")
       g += 1
     }
     br.alignByte()

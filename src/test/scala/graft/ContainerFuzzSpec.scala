@@ -212,4 +212,82 @@ class ContainerFuzzSpec extends AnyFunSuite {
       attempt(SrtmHgt.readHeader(p.toString), s"name '$name'")
     }
   }
+
+  // ------------------------------------------------------------- GRIB 1/2
+
+  /** describe + decode the full first plane — corrupt counts that survive
+    * the header walk must still fail cleanly at unpack. */
+  private def attemptGrib(bytes: Array[Byte], ctx: String): Unit = {
+    val p = tmp.resolve("mut.grib2")
+    Files.write(p, bytes)
+    attempt({
+      val g = graft.raquet.NetCdf.describeAny(p.toString)
+      val s = g.sampler(0, 0, 0, g.info.width, g.info.height)
+      s.sample(0, 0, 0)
+    }, ctx)
+  }
+
+  private def gribFixture(packing: String): Array[Byte] = {
+    val planes = (0 until 2).map { t =>
+      graft.raquet.Grib2Writer.Plane(6 * t,
+        Array.tabulate[Option[Int]](16 * 8) { k =>
+          if (k % 11 == 3) None else Some((k * 3 + t) % 200)
+        })
+    }
+    val p = tmp.resolve(s"base_$packing.grib2").toString
+    graft.raquet.Grib2Writer.write(p, ni = 16, nj = 8, basicAngle = 1,
+      subdiv = 16, la1 = 800, lo1 = 80, di = 2, dj = 2,
+      refTime = (2012, 6, 1, 0), planes = planes, nbits = 8,
+      packing = packing)
+    Files.readAllBytes(java.nio.file.Paths.get(p))
+  }
+
+  test("GRIB2: every truncation fails cleanly or parses") {
+    for (packing <- Seq("simple", "complex_sd2")) {
+      val bytes = gribFixture(packing)
+      var n = 0
+      while (n < bytes.length) {
+        attemptGrib(java.util.Arrays.copyOf(bytes, n), s"$packing-truncate@$n")
+        n += 1
+      }
+    }
+  }
+
+  test("GRIB2: single-byte corruptions fail cleanly or parse") {
+    for (packing <- Seq("simple", "complex", "complex_sd2", "ieee")) {
+      val bytes = gribFixture(packing)
+      for (i <- bytes.indices; delta <- Seq(1, 0x80)) {
+        val m = bytes.clone()
+        m(i) = (m(i) + delta).toByte
+        attemptGrib(m, s"$packing-corrupt@$i+$delta")
+      }
+    }
+  }
+
+  private lazy val grib1Bytes: Array[Byte] = {
+    val planes = (0 until 2).map { t =>
+      graft.raquet.Grib2Writer.Plane(6 * t,
+        Array.tabulate[Option[Int]](16 * 8) { k =>
+          if (k % 13 == 5) None else Some((k * 5 + t) % 200)
+        })
+    }
+    val p = tmp.resolve("base1.grib").toString
+    graft.raquet.Grib1Writer.write(p, ni = 16, nj = 8, la1Milli = 50000,
+      lo1Milli = 5000, diMilli = 250, djMilli = 250,
+      refTime = (1999, 6, 1, 0), planes = planes, nbits = 8)
+    Files.readAllBytes(java.nio.file.Paths.get(p))
+  }
+
+  test("GRIB1: truncations and single-byte corruptions fail cleanly or parse") {
+    var n = 0
+    while (n < grib1Bytes.length) {
+      attemptGrib(java.util.Arrays.copyOf(grib1Bytes, n), s"truncate@$n")
+      n += 1
+    }
+    for (i <- grib1Bytes.indices; delta <- Seq(1, 0x80)) {
+      val m = grib1Bytes.clone()
+      m(i) = (m(i) + delta).toByte
+      attemptGrib(m, s"corrupt@$i+$delta")
+    }
+  }
 }
