@@ -343,6 +343,30 @@ object LlmOracles {
           (CAST(coalesce(h.n_common, 0) AS DOUBLE) / z.n_shingles) >= 0.5 AS contaminated
         FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id"""
 
+  /** q152: the next-fit-decreasing fill replayed sequentially with a
+    * recursive CTE — each recursion step advances every bucket by one
+    * document in (n_chars desc, id) order, carrying (bin, fill). */
+  val q152: String =
+    s"""WITH RECURSIVE
+        h AS (SELECT CAST(doc_id AS VARCHAR) AS id, n_chars,
+          ${idHash("doc_id")} % 8 AS b FROM documents),
+        d AS (SELECT id, n_chars, b,
+          row_number() OVER (PARTITION BY b ORDER BY n_chars DESC, id) AS rn
+          FROM h),
+        fill AS (
+          SELECT b, rn, id, n_chars,
+            CAST(0 AS BIGINT) AS bin, CAST(n_chars AS BIGINT) AS f
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.b, d.rn, d.id, d.n_chars,
+            CASE WHEN f.f + d.n_chars <= 4000 THEN f.bin ELSE f.bin + 1 END,
+            CASE WHEN f.f + d.n_chars <= 4000 THEN f.f + d.n_chars
+                 ELSE CAST(d.n_chars AS BIGINT) END
+          FROM d JOIN fill f ON d.b = f.b AND d.rn = f.rn + 1)
+        SELECT id AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+          CAST(b AS BIGINT) AS bucket, bin, f AS bin_fill
+        FROM fill"""
+
   val q65: String =
     s"""WITH r AS (SELECT doc_id, source, n_chars,
           CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 750

@@ -244,6 +244,16 @@ object LlmQueries {
 
   /** Weighted source mixing: five sources kept at descending rates, the
     * rest dropped ([[Curation.weightedMix]]); per-source keep stats. */
+  /** Sequence packing ([[Curation.packSequences]]): every document
+    * assigned to a fixed-capacity context bin, next-fit-decreasing within
+    * 8 hash buckets, 4000-char budget. The oracle replays the greedy fill
+    * with a recursive CTE, so the full per-document assignment (not just
+    * aggregates) is verified. */
+  def q152PackSequences(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(
+      Tables.documents(spark, dir).select("doc_id", "n_chars"),
+      idCol = "doc_id", weightCol = "n_chars", budget = 4000L, buckets = 8)
+
   def q65WeightedMix(spark: SparkSession, dir: String): DataFrame =
     Curation.weightedMix(Tables.documents(spark, dir), "source", "doc_id",
       rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5,

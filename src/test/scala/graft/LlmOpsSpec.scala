@@ -151,6 +151,35 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: capacity, coverage, and repartition invariance") {
+    import graft.operators.Curation
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_chars")
+    val packed = Curation.packSequences(d, "doc_id", "n_chars",
+      budget = 4000L, buckets = 4).collect()
+    // every document appears exactly once
+    assert(packed.length == d.count())
+    assert(packed.map(_.getString(0)).distinct.length == packed.length)
+    // bin_fill within a (bucket, bin) is monotone and respects the budget
+    // unless the bin holds a single oversized document
+    val byBin = packed.groupBy(r => (r.getLong(2), r.getLong(3)))
+    byBin.foreach { case ((bucket, bin), rows) =>
+      val fin = rows.map(_.getLong(4)).max
+      val total = rows.map(_.getLong(1)).sum
+      assert(fin == total, s"bucket $bucket bin $bin fill mismatch")
+      assert(total <= 4000 || rows.length == 1,
+        s"bucket $bucket bin $bin over budget with ${rows.length} docs")
+    }
+    // determinism under arbitrary partitioning — the property a re-run on
+    // a different cluster size needs
+    val repacked = Curation.packSequences(d.repartition(13), "doc_id",
+      "n_chars", budget = 4000L, buckets = 4).collect()
+    assert(packed.map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+      r.getLong(4))).sortBy(_._1).toSeq ==
+      repacked.map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq)
+  }
+
   test("text metrics are internally consistent") {
     val m = TextOps.textMetrics(docs.limit(20)).collect()
     m.foreach { r =>
