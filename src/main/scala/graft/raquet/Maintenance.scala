@@ -174,7 +174,8 @@ object Maintenance {
     native.unionByName(metaDf)
       .repartition(col("part"))
       .sortWithinPartitions("part", "block")
-      .write.mode("overwrite").partitionBy("part").parquet(outDir)
+      .write.mode("overwrite").option("compression", RaquetIO.pageCodec(ds.meta))
+      .partitionBy("part").parquet(outDir)
     val subdirs = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
       .iterator()
     while (subdirs.hasNext) {
@@ -209,6 +210,7 @@ object Maintenance {
     val sortCols = if (schema.fieldNames.contains("time_cf"))
       Seq(col("block"), col("time_cf")) else Seq(col("block"))
     var w = data.orderBy(sortCols: _*).write.mode("overwrite")
+      .option("compression", RaquetIO.pageCodec(meta))
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
     w.parquet(tmp)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -294,7 +296,8 @@ object Maintenance {
         keyCols, "left_anti")
       .unionByName(up)
     val tmp = dir + "/.upsert-tmp"
-    merged.orderBy(keyCols.map(col): _*).write.mode("overwrite").parquet(tmp)
+    merged.orderBy(keyCols.map(col): _*).write.mode("overwrite")
+      .option("compression", RaquetIO.pageCodec(meta)).parquet(tmp)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val moved = java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).iterator()
     var k = 0
