@@ -171,6 +171,7 @@ object SparkEntry {
     "q150_grib_lcc"         -> (RaquetQueries.q150GribLcc _),
     "q151_grib_polar"       -> (RaquetQueries.q151GribPolar _),
     "q152_pack_sequences"   -> (LlmQueries.q152PackSequences _),
+    "q153_upsert_pyramid"   -> (RaquetQueries.q153UpsertPyramid _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -385,6 +386,7 @@ object SparkEntry {
     "q150_grib_lcc"         -> RaquetOracles.q150,
     "q151_grib_polar"       -> RaquetOracles.q151,
     "q152_pack_sequences"   -> LlmOracles.q152,
+    "q153_upsert_pyramid"   -> RaquetOracles.q153,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -310,6 +310,37 @@ object RaquetOracles {
         FROM nd GROUP BY block"""
   }
 
+  /** q153: the q24 pyramid closed form with the aligned-swap shift. A
+    * pyramid pixel's mean source position (egx, egy) lies inside a moved
+    * region iff its whole footprint does (regions are 64-px aligned,
+    * footprints are 2^k ≤ 64 px), so the post-swap value is the original
+    * linear form evaluated at the ±64-shifted position. */
+  val q153: String = {
+    def e(g: String) =
+      s"""CASE WHEN k = 0 THEN CAST($g AS DOUBLE)
+          ELSE CAST((CAST(1 AS BIGINT) << CAST(k AS INT)) AS DOUBLE) * $g
+               + CAST((CAST(1 AS BIGINT) << CAST(k-1 AS INT)) AS DOUBLE) - 0.5 END"""
+    s"""WITH d AS (SELECT block, $Z AS z,
+          ((block >> CAST(52 - 2*$Z AS INT)) &
+           ((CAST(1 AS BIGINT) << CAST(2*$Z AS INT)) - 1)) AS m
+          FROM read_parquet('$F') WHERE block <> 0),
+        xy AS (SELECT block, z, (6 - z) AS k,
+          ${compact("m", 0)} AS x, ${compact("m", 1)} AS y FROM d),
+        px AS (SELECT block, z, k, x*16+i AS gx, y*16+j AS gy
+          FROM xy, range(16) a(i), range(16) b(j)),
+        ev AS (SELECT block, z, ${e("gx")} AS egx, ${e("gy")} AS egy FROM px),
+        sh AS (SELECT block, z, egx, egy,
+          CASE WHEN egx >= 512 AND egx < 576 AND egy >= 384 AND egy < 448
+                 THEN 64.0
+               WHEN egx >= 576 AND egx < 640 AND egy >= 448 AND egy < 512
+                 THEN -64.0
+               ELSE 0.0 END AS f
+          FROM ev)
+        SELECT block, z AS zoom, count(*) AS n_px,
+          sum((egx + f)/2 + (egy + f)/4) AS vsum
+        FROM sh GROUP BY block, z"""
+  }
+
   val q24: String = {
     // value at zoom 6-k, global pixel g = native v2 at (2^k·g + 2^(k-1) - 0.5)
     def e(g: String) =

@@ -456,6 +456,44 @@ object RaquetQueries {
       .withColumn("meta_num_blocks", lit(d2.meta.numBlocks))
   }
 
+  /** M9 + pyramid refresh driver proof
+    * ([[graft.raquet.Maintenance.upsertWithPyramid]]): two 64-px-ALIGNED
+    * 4×4 native-tile groups swap contents (A = tiles x∈[32,36) y∈[24,28),
+    * B = x∈[36,40) y∈[28,32)), then the incremental ancestor rebuild must
+    * leave every overview level equal to a from-scratch pyramid of the
+    * swapped natives. The alignment makes the oracle exact at every zoom:
+    * each pyramid pixel's native-px footprint (2^k ≤ 64, dividing the
+    * region size) lies wholly inside or outside the moved regions, so its
+    * value is the fixture's closed form evaluated at a ±64-shifted source
+    * position. The z3 root exercises the mixed rebuild (two of its z4
+    * children rebuilt, two read back untouched). */
+  def q153UpsertPyramid(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q153"
+    graft.raquet.RaquetIO.deleteTree(tmp)
+    val out = s"$tmp/ds"
+    val ds = RaquetIO.read(spark, Fixture)
+    RaquetIO.write(ds.data, ds.meta, out, maxRecordsPerFile = 16)
+    val d0 = RaquetIO.read(spark, out).data
+    def inGroup(x0: Int, y0: Int) =
+      quadbin_tile_x(col("block")).between(x0, x0 + 3) &&
+        quadbin_tile_y(col("block")).between(y0, y0 + 3)
+    def shifted(dx: Int) = quadbin_from_tile(
+      quadbin_tile_x(col("block")) + dx, quadbin_tile_y(col("block")) + dx,
+      lit(6))
+    val native = d0.filter(quadbin_zoom(col("block")) === 6)
+    val updates = native.filter(inGroup(32, 24)).withColumn("block", shifted(4))
+      .unionByName(native.filter(inGroup(36, 28)).withColumn("block", shifted(-4)))
+    val rep = graft.raquet.Maintenance.upsertWithPyramid(spark, out, updates)
+    require(rep.rowsReplaced == 32 && rep.rowsInserted == 0,
+      s"expected 32 replacements, got $rep")
+    val d2 = RaquetIO.read(spark, out)
+    d2.data
+      .select(col("block"), quadbin_zoom(col("block")).cast("long").as("zoom"),
+        rq_summary_stats(col("band_2"), d2.meta, "band_2").as("s"))
+      .select(col("block"), col("zoom"),
+        col("s.count").as("n_px"), col("s.sum").as("vsum"))
+  }
+
   /** Vector measures + the WKB bridge (GeoParquet interop): geometries
     * arrive as OGC WKB binary, cross `st_geom_from_wkb` into the WKT
     * surface, get measured (shoelace area with holes, ring perimeter,

@@ -324,4 +324,56 @@ object Maintenance {
     UpsertReport(ranges.length + metaFiles.length, dataFilesTouched.length,
       replaced, inserted)
   }
+
+  /** M9 + overview refresh: [[upsert]] native-zoom tiles, then rebuild
+    * exactly the pyramid ancestors whose subtree changed — without this, a
+    * pyramidal dataset's overviews silently go stale after an upsert and
+    * low-zoom reads show pre-update content.
+    *
+    * Level by level from `maxZoom−1` down to `minZoom`: the touched
+    * parents are the distinct ancestors of the updated blocks, each parent
+    * is rebuilt from its CURRENT children ([[Pyramid.buildLevel]] — the
+    * same partial-mergeable aggregate the full build uses, so siblings the
+    * update never touched are read back, not recomputed), and the rebuilt
+    * rows go through the same file-local [[upsert]]. Cost per level is
+    * O(touched parents), not O(level): an upsert of one tile rebuilds one
+    * ancestor per level — the incremental shape the streaming pyramid
+    * ([[graft.streaming.StreamingTiles.incrementalPyramid]]) maintains,
+    * available to batch maintenance. Time-series datasets (`time_cf`) are
+    * rejected loudly: their pyramid key would be (block, time), which
+    * [[Pyramid.buildLevel]] does not group by. */
+  def upsertWithPyramid(spark: SparkSession, dir: String,
+      updates: DataFrame): UpsertReport = {
+    val meta = RaquetIO.readMetadata(spark, dir)
+    require(!updates.columns.contains("time_cf") &&
+      !spark.read.parquet(dir).columns.contains("time_cf"),
+      s"$dir: pyramid refresh over time-series datasets is unsupported")
+    val badZoom = updates
+      .filter(quadbin_zoom(col("block")) =!= meta.maxZoom).count()
+    require(badZoom == 0,
+      s"updates must be native-zoom (z=${meta.maxZoom}) tiles; " +
+        s"$badZoom rows are not — overviews are derived, upsert the source")
+    // materialize the touched-block list BEFORE the upsert swaps files out
+    // from under the (lazy) updates plan
+    var frontier = updates.select(col("block")).distinct().localCheckpoint()
+    val rep = upsert(spark, dir, updates)
+    if (meta.minZoom >= meta.maxZoom) return rep
+    var z = meta.maxZoom - 1
+    var touchedOverviews = 0L
+    while (z >= meta.minZoom) {
+      val parents = frontier
+        .select(quadbin_ancestor(col("block"), lit(z)).as("pblock"))
+        .distinct().localCheckpoint()
+      val current = RaquetIO.read(spark, dir).data
+        .filter(quadbin_zoom(col("block")) === z + 1)
+        .join(broadcast(parents),
+          quadbin_ancestor(col("block"), lit(z)) === col("pblock"), "left_semi")
+      val rebuilt = Pyramid.buildLevel(current, meta, z)
+      upsert(spark, dir, rebuilt)
+      touchedOverviews += parents.count()
+      frontier = parents.select(col("pblock").as("block"))
+      z -= 1
+    }
+    rep
+  }
 }

@@ -132,6 +132,43 @@ class MaintenanceSpec extends SparkSpec {
     assert(RaquetIO.read(spark, dir).meta.numBlocks == ds.meta.numBlocks + 1)
   }
 
+  test("upsertWithPyramid: refreshes exactly the changed ancestors; rejects bad input") {
+    val dir = tmpDir() + "/pyds"
+    val ds = RaquetIO.read(spark, fixture)
+    RaquetIO.write(ds.data, ds.meta, dir, maxRecordsPerFile = 16)
+    import graft.quadbin.Quadbin
+    import graft.functions.GraftFunctions._
+    val cSrc = Quadbin.tileToCell(39, 31, 6)
+    val cDst = Quadbin.tileToCell(32, 24, 6)
+    val d0 = RaquetIO.read(spark, dir).data
+    // overview rows in updates must be rejected — overviews are derived
+    val eZ = intercept[IllegalArgumentException] {
+      Maintenance.upsertWithPyramid(spark, dir,
+        d0.filter(quadbin_zoom(col("block")) === 5).limit(1))
+    }
+    assert(eZ.getMessage.contains("native-zoom"))
+    // one-tile content change: its 3 ancestors (z5, z4, z3) must change,
+    // every other overview must stay byte-equal in content
+    val beforeOv = RaquetIO.read(spark, dir).data
+      .filter(quadbin_zoom(col("block")) < 6)
+      .select(col("block"), mm_u8_sum(rq_inflate(col("band_2"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rep = Maintenance.upsertWithPyramid(spark, dir,
+      d0.filter(col("block") === cSrc).withColumn("block", lit(cDst)))
+    assert(rep.rowsReplaced == 1 && rep.rowsInserted == 0, rep.toString)
+    val afterOv = RaquetIO.read(spark, dir).data
+      .filter(quadbin_zoom(col("block")) < 6)
+      .select(col("block"), mm_u8_sum(rq_inflate(col("band_2"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterOv.keySet == beforeOv.keySet)
+    val expectChanged = Set(
+      Quadbin.tileToCell(16, 12, 5), Quadbin.tileToCell(8, 6, 4),
+      Quadbin.tileToCell(4, 3, 3))
+    val changed = afterOv.filter { case (b, s) => beforeOv(b) != s }.keySet
+    assert(changed == expectChanged,
+      s"changed=$changed expected=$expectChanged")
+  }
+
   test("CF units parse + ISO duration inference mirror the reference") {
     val info = CfTime.parseUnits("Minutes since 1980-01-01 00:00:00").get
     assert(info.unit == "minutes")
