@@ -293,9 +293,22 @@ object Grib1 {
     }
   }
 
-  /** Describe a GRIB1 file (homogeneous grid + parameter required). */
-  def describe(path: String): Grib1Grid = {
-    val fields = scan(path)
+  /** Describe a GRIB1 file; `param` = (parameter, levelType, level)
+    * selects within a multi-variable file (the `wgrib -match` shape). */
+  def describe(path: String): Grib1Grid = describe(path, None)
+
+  def describe(path: String, param: Option[(Int, Int, Int)]): Grib1Grid = {
+    val all = scan(path)
+    val fields = param match {
+      case None => all
+      case Some((pp, lt, lv)) =>
+        val sel = all.filter(f =>
+          f.parameter == pp && f.levelType == lt && f.level == lv)
+        require(sel.nonEmpty, s"$path: no fields match parameter p${pp}l${lt}v$lv " +
+          s"(present: ${all.map(f => s"p${f.parameter}l${f.levelType}v${f.level}")
+            .distinct.mkString(", ")})")
+        sel
+    }
     val grid = fields.head.grid
     fields.foreach(f => require(f.grid == grid,
       s"$path: messages disagree on grid (${f.grid} vs $grid)"))
@@ -303,7 +316,8 @@ object Grib1 {
     require(params.size == 1,
       s"$path: ${params.size} parameters/levels in one file " +
         s"(${params.map(p => s"p${p._1}l${p._2}v${p._3}").mkString(", ")}) — " +
-        "split per-parameter upstream (wgrib -s | wgrib -i)")
+        "pass param = Some((parameter, levelType, level)) to select one, " +
+        "or split upstream (wgrib -s | wgrib -i)")
     val t0 = fields.map(_.refTimeUtcMillis).min
     val ordered = fields.sortBy(f =>
       (f.refTimeUtcMillis - t0) / 3600000.0 + f.forecastHours).toArray
@@ -323,8 +337,9 @@ object Grib1 {
   def convert(spark: org.apache.spark.sql.SparkSession, gribPath: String,
       outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
-      overviews: String = "auto"): RaquetMetadata =
-    NetCdf.convert(spark, gribPath, outFile, blockZoom = blockZoom,
-      zoomStrategy = zoomStrategy, tileStats = tileStats,
-      resampling = resampling, overviews = overviews)
+      overviews: String = "auto",
+      param: Option[(Int, Int, Int)] = None): RaquetMetadata =
+    NetCdf.convertGrid(spark, describe(gribPath, param), outFile,
+      blockZoom = blockZoom, zoomStrategy = zoomStrategy,
+      tileStats = tileStats, resampling = resampling, overviews = overviews)
 }

@@ -670,10 +670,25 @@ object Grib2 {
   }
 
   /** Describe a GRIB2 file as a (time, y, x) grid source. All fields must
-    * share one grid and one parameter; heterogeneous files fail loudly
-    * with the parameter list. */
-  def describe(path: String): GribGrid = {
-    val fields = scan(path)
+    * share one grid; heterogeneous parameters fail loudly with the
+    * parameter list UNLESS `param` selects one — the in-engine equivalent
+    * of `wgrib2 -match` for the common multi-variable archive file. */
+  def describe(path: String): GribGrid = describe(path, None)
+
+  /** `param` = (discipline, parameterCategory, parameterNumber). */
+  def describe(path: String,
+      param: Option[(Int, Int, Int)]): GribGrid = {
+    val all = scan(path)
+    val fields = param match {
+      case None => all
+      case Some((d, c, n)) =>
+        val sel = all.filter(f =>
+          f.discipline == d && f.paramCategory == c && f.paramNumber == n)
+        require(sel.nonEmpty, s"$path: no fields match parameter d${d}c${c}n$n " +
+          s"(present: ${all.map(f => s"d${f.discipline}c${f.paramCategory}n${f.paramNumber}")
+            .distinct.mkString(", ")})")
+        sel
+    }
     val grid = parseGrid(fields.head.sec3, path)
     fields.foreach { f =>
       val gi = parseGrid(f.sec3, path)
@@ -684,7 +699,8 @@ object Grib2 {
     require(params.size == 1,
       s"$path: ${params.size} parameters in one file " +
         s"(${params.map(p => s"d${p._1}c${p._2}n${p._3}").mkString(", ")}) — " +
-        "split per-parameter upstream (wgrib2 -match / gdal_translate -b)")
+        "pass param = Some((discipline, category, number)) to select one, " +
+        "or split upstream (wgrib2 -match / gdal_translate -b)")
     val t0 = fields.map(_.refTimeUtcMillis).min
     val ordered = fields.sortBy(f =>
       (f.refTimeUtcMillis - t0) / 3600000.0 + f.forecastHours).toArray
@@ -700,12 +716,15 @@ object Grib2 {
     GribGrid(path, grid, ordered, times, units)
   }
 
-  /** GRIB2 → raquet through the shared NetCDF/Zarr convert pipeline. */
+  /** GRIB2 → raquet through the shared NetCDF/Zarr convert pipeline.
+    * `param` selects one (discipline, category, number) from a
+    * multi-parameter file. */
   def convert(spark: org.apache.spark.sql.SparkSession, gribPath: String,
       outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
-      overviews: String = "auto"): RaquetMetadata =
-    NetCdf.convert(spark, gribPath, outFile, blockZoom = blockZoom,
-      zoomStrategy = zoomStrategy, tileStats = tileStats,
-      resampling = resampling, overviews = overviews)
+      overviews: String = "auto",
+      param: Option[(Int, Int, Int)] = None): RaquetMetadata =
+    NetCdf.convertGrid(spark, describe(gribPath, param), outFile,
+      blockZoom = blockZoom, zoomStrategy = zoomStrategy,
+      tileStats = tileStats, resampling = resampling, overviews = overviews)
 }

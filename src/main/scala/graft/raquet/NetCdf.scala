@@ -433,10 +433,20 @@ object NetCdf {
       blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
       overviews: String = "auto", minZoomOverride: Option[Int] = None,
+      rowGroupBytes: Long = 0): RaquetMetadata =
+    convertGrid(spark, describeAny(ncPath), outFile, blockZoom, zoomStrategy,
+      tileStats, resampling, overviews, minZoomOverride, rowGroupBytes)
+
+  /** [[convert]] over a pre-described grid source — the hook for callers
+    * that select within a container first (e.g. one parameter of a
+    * multi-variable GRIB file). */
+  def convertGrid(spark: SparkSession, g: NcGridSource, outFile: String,
+      blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false, resampling: String = "near",
+      overviews: String = "auto", minZoomOverride: Option[Int] = None,
       rowGroupBytes: Long = 0): RaquetMetadata = {
     require(overviews == "auto" || overviews == "none",
       s"overviews must be auto or none, got $overviews")
-    val g = describeAny(ncPath)
     val info = g.info
     val bs = 1 << blockZoom
     val win = GeoTiff.pixelWindow(info)

@@ -281,6 +281,36 @@ class Grib2Spec extends AnyFunSuite {
     assert(ej.getMessage.contains("5.40"))
   }
 
+  test("multi-parameter file: param selection extracts one variable") {
+    // temperature (d0c0n0) and relative humidity (d0c1n1) interleaved
+    val mk = (num: Int, t: Int, base: Int) => Grib2Writer.message(Ni, Nj, 1, 16,
+      (59.9375 * 16).round, ((360 - 179.9375) * 16).round, 2, 2,
+      (2000, 1, 1, 0),
+      Plane(6 * t, Array.tabulate(Ni * Nj)(k => Some((base + k) % 200))),
+      8, "simple", 0, if (num == 0) 0 else 1, num)
+    val p = tmpFile("multisel")
+    val out = new java.io.FileOutputStream(p)
+    try {
+      out.write(mk(0, 0, 10)); out.write(mk(1, 0, 90))
+      out.write(mk(0, 1, 20)); out.write(mk(1, 1, 80))
+    } finally out.close()
+    // unselected: loud failure naming both parameters
+    val e = intercept[IllegalArgumentException] { Grib2.describe(p) }
+    assert(e.getMessage.contains("d0c0n0") && e.getMessage.contains("d0c1n1"))
+    // selected: two timesteps of the right variable
+    val g = Grib2.describe(p, Some((0, 0, 0)))
+    assert(g.timeValues.toSeq == Seq(0.0, 6.0))
+    assert(g.sampler(0, 0, 0, Ni, Nj).sample(0, 0, 0) == 10.0)
+    assert(g.sampler(1, 0, 0, Ni, Nj).sample(0, 0, 0) == 20.0)
+    val h = Grib2.describe(p, Some((0, 1, 1)))
+    assert(h.sampler(0, 0, 0, Ni, Nj).sample(0, 0, 0) == 90.0)
+    // absent parameter: loud with the present list
+    val e2 = intercept[IllegalArgumentException] {
+      Grib2.describe(p, Some((2, 0, 7)))
+    }
+    assert(e2.getMessage.contains("no fields match"))
+  }
+
   test("trailing zero padding between messages is tolerated") {
     val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
       ((360 - 179.9375) * 16).round, 2, 2, (2000, 1, 1, 0),
