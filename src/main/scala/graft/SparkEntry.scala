@@ -172,6 +172,7 @@ object SparkEntry {
     "q151_grib_polar"       -> (RaquetQueries.q151GribPolar _),
     "q152_pack_sequences"   -> (LlmQueries.q152PackSequences _),
     "q153_upsert_pyramid"   -> (RaquetQueries.q153UpsertPyramid _),
+    "q154_temporal_comp"    -> (RaquetQueries.q154TemporalComposite _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -387,6 +388,7 @@ object SparkEntry {
     "q151_grib_polar"       -> RaquetOracles.q151,
     "q152_pack_sequences"   -> LlmOracles.q152,
     "q153_upsert_pyramid"   -> RaquetOracles.q153,
+    "q154_temporal_comp"    -> RaquetOracles.q154,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -144,6 +144,14 @@ object GraftFunctions {
       name: String): Column =
     col(RqParentTile(ex(block), ex(band), BandKernel(meta, name)).toAggregateExpression())
 
+  /** Per-pixel composite across a tile stack's time axis (group by block):
+    * op ∈ mean | sum | min | max | count. Emits a float64 gzip band blob
+    * ([[graft.operators.Focal.outKernel]] decodes it). */
+  def rq_temporal_composite(band: Column, meta: RaquetMetadata, name: String,
+      op: String): Column =
+    col(RqTemporalComposite(ex(band), BandKernel(meta, name), op)
+      .toAggregateExpression())
+
   // --- CF time + multimodal ---
 
   def cf_to_timestamp(value: Column, units: String,

@@ -442,6 +442,24 @@ object RaquetOracles {
     * stats — per-pixel closed form, epoch-aligned 2-day windows (Spark's
     * window() alignment), DATE-cast group key. Every value is dyadic so
     * both engines agree bit for bit. */
+  /** q154: temporal composites recomputed per-pixel from the time
+    * fixture's closed form v = (x·16+i)/2 + (y·16+j)/4 + 16t, t ∈ 0..5:
+    * mean = base + 40, max = base + 80, count = 6 — all dyadic. pos is
+    * the row-major float64-blob pixel index. */
+  val q154: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH d AS (SELECT DISTINCT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FT') WHERE block <> 0),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y
+          FROM d),
+        px AS (SELECT block, CAST(j*16 + i AS BIGINT) AS pos,
+          CAST(x*16+i AS DOUBLE)/2 + CAST(y*16+j AS DOUBLE)/4 AS base
+          FROM xy, range(16) a(i), range(16) b(j))
+        SELECT block, pos, base + 40 AS v_mean, base + 80 AS v_max,
+          CAST(6 AS DOUBLE) AS n_obs
+        FROM px"""
+  }
+
   val q146: String = {
     val FT = RaquetQueries.FixtureTime
     s"""WITH d AS (SELECT block, time_cf, time_ts,

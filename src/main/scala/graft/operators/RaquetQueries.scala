@@ -494,6 +494,26 @@ object RaquetQueries {
         col("s.count").as("n_px"), col("s.sum").as("vsum"))
   }
 
+  /** Temporal composite driver proof ([[graft.operators.Temporal]]): the
+    * six-timestep CF time fixture collapses into per-block mean / max /
+    * valid-count composites in ONE block-grouped aggregate; every pixel of
+    * every derived blob compares against the closed form (all dyadic —
+    * mean of 16·{0..5} is exactly 40). */
+  def q154TemporalComposite(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val comp = graft.operators.Temporal.composite(ds.data, ds.meta, "band_1",
+      Seq("mean", "max", "count"))
+    val k = graft.operators.Focal.outKernel(ds.meta)
+    comp.select(col("block"),
+        posexplode(arrays_zip(
+          rq_decode(col("band_1_mean"), k),
+          rq_decode(col("band_1_max"), k),
+          rq_decode(col("band_1_count"), k))))
+      .select(col("block"), col("pos").cast("long").as("pos"),
+        col("col.0").as("v_mean"), col("col.1").as("v_max"),
+        col("col.2").as("n_obs"))
+  }
+
   /** Vector measures + the WKB bridge (GeoParquet interop): geometries
     * arrive as OGC WKB binary, cross `st_geom_from_wkb` into the WKT
     * surface, get measured (shoelace area with holes, ring perimeter,

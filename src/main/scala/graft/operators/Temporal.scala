@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.RaquetMetadata
+
+/** Temporal (time-axis) raster reductions over a CF time-series raquet
+  * table — the EO composite / climatology stage: collapse a tile STACK
+  * (one row per (block, time)) into one derived tile per block. The
+  * reference reads CF time series but has no in-engine composite; at
+  * training-data scale this is how "cloud-free mosaic" / "monthly
+  * climatology" / "observation count" layers are built.
+  *
+  * Shape: ONE hash aggregate on `block`
+  * ([[org.apache.spark.sql.graft.RqTemporalComposite]], partial-mergeable)
+  * — with Morton-sorted inputs each block's partial completes map-side and
+  * one gzip-framed accumulator crosses the exchange, never T decoded
+  * planes. Output blobs are first-class float64 rasters
+  * ([[Focal.outKernel]] decodes them; [[Focal.outMeta]] writes them). */
+object Temporal {
+
+  /** One composite column per op (named `{band}_{op}`), ops from
+    * mean | sum | min | max | count. */
+  def composite(data: DataFrame, meta: RaquetMetadata, band: String,
+      ops: Seq[String] = Seq("mean")): DataFrame = {
+    require(ops.nonEmpty, "at least one op")
+    val aggs = ops.map(op =>
+      rq_temporal_composite(col(band), meta, band, op).as(s"${band}_$op"))
+    data.groupBy(col("block")).agg(aggs.head, aggs.tail: _*)
+  }
+}

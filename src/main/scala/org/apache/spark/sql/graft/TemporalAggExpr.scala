@@ -1,0 +1,193 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+import graft.raquet.{BandKernel, PixelCodec}
+
+/** Mutable per-pixel accumulators for [[RqTemporalComposite]] — which of
+  * the three arrays exist depends on the op; all are allocated lazily on
+  * the first update so empty partials serialize to a flag byte. */
+final class TemporalBuffer(
+    var sums: Array[Double], var counts: Array[Int], var extreme: Array[Double])
+
+/** rq_temporal_composite(band, op) — per-PIXEL reduction of a tile stack
+  * across its time axis (grouped by `block`): the EO composite /
+  * climatology shape ("cloud-free max-NDVI composite", "monthly mean",
+  * "valid-observation count"). op ∈ mean | sum | min | max | count.
+  *
+  * Semantics: inputs decode to PHYSICAL values (DN·scale+offset);
+  * nodata/NaN pixels don't contribute. mean/sum emit NaN where no timestep
+  * had a valid pixel; count emits the per-pixel valid-observation count
+  * (0.0 where none). Output is a first-class float64 gzip band blob — the
+  * [[graft.operators.Focal.outKernel]] convention, so composites feed
+  * rq_decode / stats kernels / the writer directly.
+  *
+  * Scale shape: a partial-mergeable aggregate over the `block` hash
+  * shuffle. update/merge do the per-pixel arithmetic map-side, so with
+  * Morton-sorted inputs (timesteps of one block adjacent) each block's
+  * partial completes locally and ONE accumulator buffer (~12 B/px,
+  * gzip-framed) crosses the exchange instead of T decoded planes. */
+case class RqTemporalComposite(
+    blob: Expression,
+    kernel: BandKernel,
+    op: String,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TemporalBuffer] with UnaryLike[Expression] {
+
+  require(RqTemporalComposite.Ops.contains(op),
+    s"rq_temporal_composite op '$op' unknown (${RqTemporalComposite.Ops.mkString("/")})")
+
+  private val npx = kernel.width * kernel.height
+  private val needSums = op == "mean" || op == "sum"
+  private val needCounts = op == "mean" || op == "sum" || op == "count"
+  private val needExtreme = op == "min" || op == "max"
+
+  override def prettyName: String = "rq_temporal_composite"
+  override def child: Expression = blob
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (blob.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rq_temporal_composite expects a BINARY band, got ${blob.dataType.catalogString}")
+
+  override def createAggregationBuffer(): TemporalBuffer =
+    new TemporalBuffer(null, null, null)
+
+  private def ensure(buf: TemporalBuffer): Unit = {
+    if (needSums && buf.sums == null) buf.sums = new Array[Double](npx)
+    if (needCounts && buf.counts == null) buf.counts = new Array[Int](npx)
+    if (needExtreme && buf.extreme == null) {
+      buf.extreme = new Array[Double](npx)
+      java.util.Arrays.fill(buf.extreme, Double.NaN)
+    }
+  }
+
+  override def update(buf: TemporalBuffer, input: InternalRow): TemporalBuffer = {
+    val raw = blob.eval(input).asInstanceOf[Array[Byte]]
+    if (raw == null) return buf
+    val vals = kernel.decode(raw)
+    require(vals.length == npx,
+      s"tile carries ${vals.length} pixels, kernel expects $npx")
+    ensure(buf)
+    val nod = kernel.nodata
+    val hasNod = !nod.isNaN
+    var i = 0
+    while (i < npx) {
+      val v = vals(i)
+      if (!(java.lang.Double.isNaN(v) || (hasNod && v == nod))) {
+        val pv = v * kernel.scale + kernel.offset
+        if (needSums) buf.sums(i) += pv
+        if (needCounts) buf.counts(i) += 1
+        if (needExtreme) {
+          val cur = buf.extreme(i)
+          if (java.lang.Double.isNaN(cur) ||
+              (if (op == "min") pv < cur else pv > cur))
+            buf.extreme(i) = pv
+        }
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: TemporalBuffer, other: TemporalBuffer): TemporalBuffer = {
+    if (other.sums == null && other.counts == null && other.extreme == null)
+      return buf
+    ensure(buf)
+    var i = 0
+    while (i < npx) {
+      if (needSums && other.sums != null) buf.sums(i) += other.sums(i)
+      if (needCounts && other.counts != null) buf.counts(i) += other.counts(i)
+      if (needExtreme && other.extreme != null) {
+        val ov = other.extreme(i)
+        if (!java.lang.Double.isNaN(ov)) {
+          val cur = buf.extreme(i)
+          if (java.lang.Double.isNaN(cur) ||
+              (if (op == "min") ov < cur else ov > cur))
+            buf.extreme(i) = ov
+        }
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TemporalBuffer): Any = {
+    val out = new Array[Double](npx)
+    var i = 0
+    while (i < npx) {
+      out(i) = op match {
+        case "mean" =>
+          if (buf.counts == null || buf.counts(i) == 0) Double.NaN
+          else buf.sums(i) / buf.counts(i)
+        case "sum" =>
+          if (buf.counts == null || buf.counts(i) == 0) Double.NaN
+          else buf.sums(i)
+        case "count" =>
+          if (buf.counts == null) 0.0 else buf.counts(i).toDouble
+        case _ =>
+          if (buf.extreme == null) Double.NaN else buf.extreme(i)
+      }
+      i += 1
+    }
+    // derived-raster convention (Focal.outKernel): float64 gzip blob,
+    // BEST_SPEED — recompression ratio hardly matters on doubles
+    PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  /** [flags byte][sums?][counts?][extreme?], gzip-framed (BEST_SPEED). */
+  override def serialize(buf: TemporalBuffer): Array[Byte] = {
+    val flags = (if (buf.sums != null) 1 else 0) |
+      (if (buf.counts != null) 2 else 0) | (if (buf.extreme != null) 4 else 0)
+    val size = 1 + (if (buf.sums != null) 8 * npx else 0) +
+      (if (buf.counts != null) 4 * npx else 0) +
+      (if (buf.extreme != null) 8 * npx else 0)
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(flags.toByte)
+    if (buf.sums != null) { var i = 0; while (i < npx) { bb.putDouble(buf.sums(i)); i += 1 } }
+    if (buf.counts != null) { var i = 0; while (i < npx) { bb.putInt(buf.counts(i)); i += 1 } }
+    if (buf.extreme != null) { var i = 0; while (i < npx) { bb.putDouble(buf.extreme(i)); i += 1 } }
+    PixelCodec.gzipCompress(bb.array(), java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  override def deserialize(bytes: Array[Byte]): TemporalBuffer = {
+    val raw = PixelCodec.gzipDecompress(bytes)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val flags = bb.get()
+    val buf = new TemporalBuffer(null, null, null)
+    if ((flags & 1) != 0) {
+      buf.sums = new Array[Double](npx)
+      var i = 0; while (i < npx) { buf.sums(i) = bb.getDouble(); i += 1 }
+    }
+    if ((flags & 2) != 0) {
+      buf.counts = new Array[Int](npx)
+      var i = 0; while (i < npx) { buf.counts(i) = bb.getInt(); i += 1 }
+    }
+    if ((flags & 4) != 0) {
+      buf.extreme = new Array[Double](npx)
+      var i = 0; while (i < npx) { buf.extreme(i) = bb.getDouble(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RqTemporalComposite =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RqTemporalComposite =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(blob = c)
+}
+
+object RqTemporalComposite {
+  val Ops: Set[String] = Set("mean", "sum", "min", "max", "count")
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions._
+import graft.operators.{Focal, Temporal}
+import graft.raquet.{BandMeta, PixelCodec, RaquetMetadata}
+
+class TemporalSpec extends SparkSpec {
+
+  /** 2×2-px uint8 tiles, nodata 255, two blocks × three timesteps. */
+  private val meta = RaquetMetadata(
+    version = "0.5.0", width = 4, height = 2, crs = "EPSG:3857",
+    bounds = Array(0, 0, 1, 1), compression = Some("gzip"),
+    blockWidth = 2, blockHeight = 2, minZoom = 3, maxZoom = 3, pixelZoom = 4,
+    numBlocks = 2, bandLayout = "sequential",
+    bands = Seq(BandMeta("band_1", "uint8", Some(255.0), None, None, None, None)),
+    time = None)
+
+  private def blob(vs: Int*): Array[Byte] =
+    PixelCodec.encode(vs.map(_.toDouble).toArray, "uint8", gzip = true)
+
+  test("temporal composites: nodata-aware, partition-merge invariant") {
+    val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
+    val b2 = graft.quadbin.Quadbin.tileToCell(2, 1, 3)
+    val rows = Seq(
+      // block 1: pixel 0 valid thrice, px1 twice (one nodata), px2 never,
+      // px3 mixes extremes
+      Row(b1, 0.0, blob(10, 255, 255, 7)),
+      Row(b1, 1.0, blob(20, 4, 255, 1)),
+      Row(b1, 2.0, blob(30, 6, 255, 4)),
+      // block 2: single timestep
+      Row(b2, 0.0, blob(1, 2, 3, 4)))
+    val schema = StructType(Seq(
+      StructField("block", LongType), StructField("time_cf", DoubleType),
+      StructField("band_1", BinaryType)))
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      val out = Temporal.composite(df, meta, "band_1",
+          Seq("mean", "min", "max", "sum", "count"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val k = Focal.outKernel(meta)
+      def dec(b: Long, i: Int): Array[Double] =
+        k.decode(out(b).getAs[Array[Byte]](i))
+      val mean1 = dec(b1, 1)
+      assert(mean1.length == 4)
+      assert(mean1(0) == 20.0 && mean1(1) == 5.0 && mean1(3) == 4.0)
+      assert(mean1(2).isNaN)
+      val min1 = dec(b1, 2)
+      assert(min1(0) == 10.0 && min1(1) == 4.0 && min1(3) == 1.0 && min1(2).isNaN)
+      val max1 = dec(b1, 3)
+      assert(max1(0) == 30.0 && max1(1) == 6.0 && max1(3) == 7.0 && max1(2).isNaN)
+      val sum1 = dec(b1, 4)
+      assert(sum1(0) == 60.0 && sum1(1) == 10.0 && sum1(3) == 12.0 && sum1(2).isNaN)
+      val cnt1 = dec(b1, 5)
+      assert(cnt1.toSeq == Seq(3.0, 2.0, 0.0, 3.0))
+      assert(dec(b2, 1).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+      assert(dec(b2, 5).toSeq == Seq(1.0, 1.0, 1.0, 1.0))
+    }
+  }
+
+  test("composite output is a first-class raster: stats kernels accept it") {
+    val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(b1, 0.0, blob(10, 255, 30, 40)),
+        Row(b1, 1.0, blob(20, 255, 10, 0))), 2),
+      StructType(Seq(
+        StructField("block", LongType), StructField("time_cf", DoubleType),
+        StructField("band_1", BinaryType))))
+    val comp = Temporal.composite(df, meta, "band_1", Seq("mean"))
+    val fmeta = Focal.outMeta(meta, Seq("band_1_mean"))
+    val s = comp.select(rq_summary_stats(col("band_1_mean"), fmeta,
+      "band_1_mean").as("s")).select("s.*").head()
+    // valid pixels: (15, 20, 20); the all-nodata pixel masks out as NaN
+    assert(s.getLong(0) == 3 && s.getDouble(3) == 55.0)
+  }
+
+  test("unknown op fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Temporal.composite(spark.emptyDataFrame, meta, "band_1", Seq("median"))
+    }
+    assert(e.getMessage.contains("median"))
+  }
+}
