@@ -294,7 +294,39 @@ object Bench {
     // 30k synthesized 32x32 images: dHash (codegen'd kernel projection)
     // + the 4x16-bit hamming-blocked pair join, collision-heavy on purpose
     "b_image_dedup" -> ((s: SparkSession, _: String) =>
-      graft.operators.MediaDedup.imageDedupBench(s, 30000)))
+      graft.operators.MediaDedup.imageDedupBench(s, 30000)),
+    // context-window assembly: one shuffle on the bucket key + a greedy
+    // per-bucket pass — the repartition-invariant training-batch packer
+    "b_pack_sequences" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Curation.packSequences(
+        graft.Tables.documents(s, dir).select("doc_id", "n_chars"),
+        idCol = "doc_id", weightCol = "n_chars", budget = 4000L,
+        buckets = 64)),
+    // GRIB2 ingest throughput: the q147 grid (240x512x3, simple packing +
+    // bitmap) through the full scan->warp->pyramid->write pipeline; the
+    // fixture encodes once per session
+    "b_grib_ingest" -> ((s: SparkSession, _: String) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bench_grib"
+      val gribPath = s"$tmp/synth.grib2"
+      if (!new java.io.File(gribPath).isFile) {
+        new java.io.File(tmp).mkdirs()
+        val planes = (0 until 3).map { ti =>
+          graft.raquet.Grib2Writer.Plane(6 * ti,
+            Array.tabulate[Option[Int]](240 * 512) { k =>
+              val p = (k % 512) >> 1
+              if (p % 27 == 0) None else Some((3 * p + 7 * ti) % 251)
+            })
+        }
+        graft.raquet.Grib2Writer.write(gribPath, ni = 512, nj = 240,
+          basicAngle = 1, subdiv = 128,
+          la1 = (84.0234375 * 128).round, lo1 = (180.3515625 * 128).round,
+          di = 90, dj = 90, refTime = (2000, 1, 1, 0),
+          planes = planes, nbits = 8, packing = "simple")
+      }
+      val out = s"$tmp/out.parquet"
+      graft.raquet.Grib2.convert(s, gribPath, out, tileStats = true)
+      s.read.parquet(out)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -289,6 +289,9 @@ object GraftFunctions {
     r("st_npoints") { case Seq(w) => StNPoints(w) }
     r("topk_sketch") { case Seq(i, cap, k) =>
       TopKSketch(i, litInt(cap, "capacity"), litInt(k, "k")).toAggregateExpression() }
+    r("rq_temporal_composite") { case Seq(b, m, n, op) =>
+      RqTemporalComposite(b, kernelOf(m, n), litStr(op, "op"))
+        .toAggregateExpression() }
     r("mm_u8_sum") { case Seq(b) => MmU8Sum(b) }
     r("mm_u8_pack") { case Seq(a) => MmU8Pack(a) }
     r("mm_exif_orientation") { case Seq(b) => MmExifOrientation(b) }
