@@ -173,6 +173,7 @@ object SparkEntry {
     "q152_pack_sequences"   -> (LlmQueries.q152PackSequences _),
     "q153_upsert_pyramid"   -> (RaquetQueries.q153UpsertPyramid _),
     "q154_temporal_comp"    -> (RaquetQueries.q154TemporalComposite _),
+    "q155_temporal_anom"    -> (RaquetQueries.q155TemporalAnomaly _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -389,6 +390,7 @@ object SparkEntry {
     "q152_pack_sequences"   -> LlmOracles.q152,
     "q153_upsert_pyramid"   -> RaquetOracles.q153,
     "q154_temporal_comp"    -> RaquetOracles.q154,
+    "q155_temporal_anom"    -> RaquetOracles.q155,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -94,6 +94,11 @@ object GraftFunctions {
       nameA: String, nameB: String, op: String): Column =
     col(RqBandMath(ex(a), ex(b),
       BandPairKernel(BandKernel(meta, nameA), BandKernel(meta, nameB)), op))
+  /** Kernel-pair form: map algebra across bands of DIFFERENT datasets /
+    * dtypes (e.g. a source band vs a float64 derived composite). */
+  def rq_band_math(a: Column, b: Column, kernelA: BandKernel,
+      kernelB: BandKernel, op: String): Column =
+    col(RqBandMath(ex(a), ex(b), BandPairKernel(kernelA, kernelB), op))
   def rq_band_math_stats(a: Column, b: Column, meta: RaquetMetadata,
       nameA: String, nameB: String, op: String): Column =
     col(RqBandMathStats(ex(a), ex(b),

@@ -460,6 +460,18 @@ object RaquetOracles {
         FROM px"""
   }
 
+  /** q155: anomaly = observation − temporal mean = 16·(time_cf/1440) − 40
+    * on the time fixture, identical at every pixel of every block. */
+  val q155: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""SELECT block, time_cf,
+          CAST(256 AS BIGINT) AS n_px,
+          16 * (time_cf / 1440) - 40 AS a_min,
+          16 * (time_cf / 1440) - 40 AS a_max,
+          256 * (16 * (time_cf / 1440) - 40) AS a_sum
+        FROM read_parquet('$FT') WHERE block <> 0"""
+  }
+
   val q146: String = {
     val FT = RaquetQueries.FixtureTime
     s"""WITH d AS (SELECT block, time_cf, time_ts,

@@ -514,6 +514,22 @@ object RaquetQueries {
         col("col.2").as("n_obs"))
   }
 
+  /** Temporal anomaly driver proof ([[graft.operators.Temporal.anomaly]]):
+    * observation minus climatology per pixel. On the time fixture the
+    * anomaly is pixel-independent — 16·t − 40 for t ∈ 0..5 — so the
+    * per-(block, timestep) aggregate pins every pixel: count 256,
+    * min = max = the closed form, sum = 256·(16t − 40). */
+  def q155TemporalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val an = graft.operators.Temporal.anomaly(ds.data, ds.meta, "band_1")
+    an.select(col("block"), col("time_cf"),
+        explode(col("band_1_anomaly")).as("a"))
+      .groupBy(col("block"), col("time_cf"))
+      .agg(count(lit(1)).as("n_px"),
+        min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+        sum(col("a")).as("a_sum"))
+  }
+
   /** Vector measures + the WKB bridge (GeoParquet interop): geometries
     * arrive as OGC WKB binary, cross `st_geom_from_wkb` into the WKT
     * surface, get measured (shoelace area with holes, ring perimeter,

@@ -30,4 +30,22 @@ object Temporal {
       rq_temporal_composite(col(band), meta, band, op).as(s"${band}_$op"))
     data.groupBy(col("block")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-pixel anomaly: each timestep's tile minus the block's temporal
+    * mean (climatology) — the deseasonalized-signal shape. One aggregate
+    * (the climatology) + one equi-join back on `block`: the composite is
+    * already hash-partitioned by block coming out of its aggregate, so
+    * only the observation side exchanges. Returns (block, time columns,
+    * `{band}_anomaly` float64 pixels); NaN where either side is missing. */
+  def anomaly(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    val clim = composite(data, meta, band, Seq("mean"))
+      .withColumnRenamed("block", "_c_block")
+    val kA = graft.raquet.BandKernel(meta, band)
+    val kB = Focal.outKernel(meta)
+    val timeCols = Seq("time_cf", "time_ts").filter(data.columns.contains)
+    data.join(clim, col("block") === col("_c_block"))
+      .select(col("block") +: timeCols.map(col) :+
+        rq_band_math(col(band), col(s"${band}_mean"), kA, kB, "sub")
+          .as(s"${band}_anomaly"): _*)
+  }
 }
