@@ -38,6 +38,9 @@ object PlanAudit {
       "q130_image_dedup" -> graft.operators.MediaDedup.q130ImageDedup _,
       "q138_mvt_tiles" -> RaquetQueries.q138MvtTiles _,
       "q140_topk_sketch" -> graft.operators.LlmQueries.q140TopkSketch _,
+      "q152_pack_sequences" -> LlmQueries.q152PackSequences _,
+      "q154_temporal_comp" -> RaquetQueries.q154TemporalComposite _,
+      "q155_temporal_anom" -> RaquetQueries.q155TemporalAnomaly _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(

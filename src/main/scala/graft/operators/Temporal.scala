@@ -39,11 +39,13 @@ object Temporal {
     * `{band}_anomaly` float64 pixels); NaN where either side is missing. */
   def anomaly(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
     val clim = composite(data, meta, band, Seq("mean"))
-      .withColumnRenamed("block", "_c_block")
     val kA = graft.raquet.BandKernel(meta, band)
     val kB = Focal.outKernel(meta)
     val timeCols = Seq("time_cf", "time_ts").filter(data.columns.contains)
-    data.join(clim, col("block") === col("_c_block"))
+    // using-column join: the climatology keeps its aggregate's `block`
+    // attribute, so its hash partitioning is reused — only the observation
+    // side exchanges (plan-audited; a renamed key re-shuffles both sides)
+    data.join(clim, Seq("block"))
       .select(col("block") +: timeCols.map(col) :+
         rq_band_math(col(band), col(s"${band}_mean"), kA, kB, "sub")
           .as(s"${band}_anomaly"): _*)
