@@ -174,6 +174,7 @@ object SparkEntry {
     "q153_upsert_pyramid"   -> (RaquetQueries.q153UpsertPyramid _),
     "q154_temporal_comp"    -> (RaquetQueries.q154TemporalComposite _),
     "q155_temporal_anom"    -> (RaquetQueries.q155TemporalAnomaly _),
+    "q156_stream_composite" -> (RaquetQueries.q156StreamComposite _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -391,6 +392,8 @@ object SparkEntry {
     "q153_upsert_pyramid"   -> RaquetOracles.q153,
     "q154_temporal_comp"    -> RaquetOracles.q154,
     "q155_temporal_anom"    -> RaquetOracles.q155,
+    // streaming composite == batch composite: identical q154 oracle
+    "q156_stream_composite" -> RaquetOracles.q154,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -530,6 +530,43 @@ object RaquetQueries {
         sum(col("a")).as("a_sum"))
   }
 
+  /** Streaming twin of q154 — [[graft.operators.Temporal.composite]] is a
+    * plain block-grouped aggregate, so it runs UNCHANGED on a stream: the
+    * six timesteps arrive over three micro-batches, the composite
+    * accumulates in the state store (one mergeable buffer per block —
+    * bounded state), and complete-mode output after the last batch must
+    * equal the batch result, hence the identical q154 oracle. */
+  def q156StreamComposite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val rows = ds.data.select(col("block"), col("time_cf"), col("band_1"))
+      .as[(Long, Double, Array[Byte])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Array[Byte])]
+    val tiles = input.toDF().toDF("block", "time_cf", "band_1")
+    val comp = graft.operators.Temporal.composite(tiles, ds.meta, "band_1",
+      Seq("mean", "max", "count"))
+    val q = comp.writeStream.format("memory").queryName("q156_composite")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val k = graft.operators.Focal.outKernel(ds.meta)
+    spark.table("q156_composite")
+      .select(col("block"),
+        posexplode(arrays_zip(
+          rq_decode(col("band_1_mean"), k),
+          rq_decode(col("band_1_max"), k),
+          rq_decode(col("band_1_count"), k))))
+      .select(col("block"), col("pos").cast("long").as("pos"),
+        col("col.0").as("v_mean"), col("col.1").as("v_max"),
+        col("col.2").as("n_obs"))
+  }
+
   /** Vector measures + the WKB bridge (GeoParquet interop): geometries
     * arrive as OGC WKB binary, cross `st_geom_from_wkb` into the WKT
     * surface, get measured (shoelace area with holes, ring perimeter,
