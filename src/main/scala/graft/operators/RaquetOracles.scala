@@ -527,15 +527,21 @@ object RaquetOracles {
     * ρ(φ) = a·F·tan(π/4−φ/2)^n; forward locates the first grid point
     * (35N, −100E), the probe offsets are exact plane arithmetic, and the
     * inverse recovers lon/lat. Patch values need no trig at all. */
-  val q150: String =
-    """WITH c AS (
+  val q150: String = lccProbeOracle(6371229.0)
+
+  /** q157: the identical probe recomputation on GRIB edition 1's
+    * conventional sphere (6367470 m). */
+  val q157: String = lccProbeOracle(6367470.0)
+
+  private def lccProbeOracle(a: Double): String =
+    s"""WITH c AS (
           SELECT sin(radians(38.5)) AS n,
             cos(radians(38.5)) / (sin(radians(38.5)) *
               pow(tan(pi()/4 - radians(38.5)/2), sin(radians(38.5)))) AS f),
         base AS (
           SELECT n, f,
-            6371229.0 * f * pow(tan(pi()/4 - radians(38.5)/2), n) AS rho0,
-            6371229.0 * f * pow(tan(pi()/4 - radians(35.0)/2), n) AS rho1
+            $a * f * pow(tan(pi()/4 - radians(38.5)/2), n) AS rho0,
+            $a * f * pow(tan(pi()/4 - radians(35.0)/2), n) AS rho1
           FROM c),
         first_pt AS (
           SELECT n, f, rho0,
@@ -551,7 +557,7 @@ object RaquetOracles {
         inv AS (
           SELECT pi, pj,
             90.0 - 2*degrees(atan(pow(
-              sqrt(xc*xc + (rho0 - yc)*(rho0 - yc)) / (6371229.0 * f),
+              sqrt(xc*xc + (rho0 - yc)*(rho0 - yc)) / ($a * f),
               1.0/n))) AS lat,
             -97.5 + degrees(atan2(xc, rho0 - yc)) / n AS lon
           FROM probes)

@@ -1641,6 +1641,52 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB edition-1 Lambert conformal, GDS type 3) driver proof: the
+    * q150 patch/probe pattern on the edition-1 conventional sphere
+    * (6367470 m), same 128×128 / 3 km / 16×16-patch design; the oracle is
+    * the identical closed-form spherical Lambert recomputation with only
+    * the radius constant changed. */
+  def q157Grib1Lcc(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q157"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/lcc.grib"
+    val (ni, nj) = (128, 128)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some(((nj - 1 - jf) / 16) * 8 + i / 16)
+      })
+    val gds = graft.raquet.Grib1Writer.gdsLambert(ni, nj,
+      la1Milli = 35000, lo1Milli = 260000, loVMilli = 262500,
+      dxM = 3000, dyM = 3000, latin1Milli = 38500, latin2Milli = 38500)
+    val msg = graft.raquet.Grib1Writer.messageWithGds(gds, ni * nj,
+      (2004, 5, 1, 6), plane, nbits = 8)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/lcc.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.LambertConformalConic(6367470.0,
+      Double.PositiveInfinity, 38.5, 38.5, 38.5, -97.5, 0.0, 0.0)
+    val (x1, y1) = proj.fromLonLat(-100.0, 35.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = x1 + (16 * pi + 7.5) * 3000.0
+      val yc = y1 + (119.5 - 16 * pj) * 3000.0
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB edition 1) driver proof: a 240×100 grid of exact 1.5° cells
     * (1500 millidegrees — edition 1 carries only millidegree coordinates,
     * so the q79 45/64° grid cannot exist in it), top edge 84.25°N, full

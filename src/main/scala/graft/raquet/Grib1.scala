@@ -120,31 +120,7 @@ object Grib1 {
 
         val gds = readSec(p, "GDS")
         p += gds.length
-        val gridType = u8(gds, 5)
-        require(gridType == 0,
-          s"$path: GDS grid type $gridType unsupported (0 = regular lat/lon)")
-        require(gds.length >= 32, s"$path: lat/lon GDS of ${gds.length} octets")
-        val ni = u16(gds, 6)
-        val nj = u16(gds, 8)
-        require(ni != 0xFFFF && nj != 0xFFFF,
-          s"$path: quasi-regular grid (Ni/Nj missing) unsupported")
-        require(ni > 0 && nj > 0 && ni.toLong * nj <= (1L << 28),
-          s"$path: implausible grid $ni x $nj")
-        val la1 = s24(gds, 10) * 1e-3
-        val lo1raw = s24(gds, 13) * 1e-3
-        val resFlags = u8(gds, 16)
-        require((resFlags & 0x80) != 0,
-          s"$path: GDS without direction increments unsupported")
-        val di = u16(gds, 23)
-        val dj = u16(gds, 25)
-        require(di != 0xFFFF && dj != 0xFFFF,
-          s"$path: direction increments missing")
-        val scan = u8(gds, 27)
-        require(scan == 0x00 || scan == 0x40,
-          f"$path: scanning mode 0x$scan%02x unsupported (0x00 or 0x40)")
-        val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
-        val grid = Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3,
-          (scan & 0x40) != 0, ni.toLong * nj)
+        val grid = parseGds(gds, path)
 
         var bmOff = 0L; var bmLen = 0
         if (hasBms) {
@@ -179,6 +155,87 @@ object Grib1 {
       require(out.nonEmpty, s"$path: no GRIB1 fields found")
       out
     } finally raf.close()
+  }
+
+  /** GDS → grid. Types: 0 regular lat/lon (millidegrees), 3 Lambert
+    * conformal and 5 polar stereographic (projected meters — the NAM /
+    * AWIPS-era CONUS and arctic grids). Edition 1 has no earth-shape
+    * section: the sphere is the conventional 6367.47 km; the oblate-earth
+    * resolution flag fails loudly. GRIB1 polar stereographic is true at
+    * ±60° by definition (no LaD octet). */
+  private def parseGds(gds: Array[Byte], path: String): Grib2.Grid = {
+    val gridType = u8(gds, 5)
+    val ni = u16(gds, 6)
+    val nj = u16(gds, 8)
+    require(ni != 0xFFFF && nj != 0xFFFF,
+      s"$path: quasi-regular grid (Ni/Nj missing) unsupported")
+    require(ni > 0 && nj > 0 && ni.toLong * nj <= (1L << 28),
+      s"$path: implausible grid $ni x $nj")
+    val resFlags = u8(gds, 16)
+    require((resFlags & 0x80) != 0,
+      s"$path: GDS without direction increments unsupported")
+    require(gridType == 0 || (resFlags & 0x40) == 0,
+      s"$path: oblate-earth (IAU 1965) projected grids unsupported " +
+        "(spherical earth only)")
+    val la1 = s24(gds, 10) * 1e-3
+    val lo1raw = s24(gds, 13) * 1e-3
+    val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
+    val Radius = 6367470.0
+
+    def scanAt(idx: Int): Boolean = {
+      val scan = u8(gds, idx)
+      require(scan == 0x00 || scan == 0x40,
+        f"$path: scanning mode 0x$scan%02x unsupported (0x00 or 0x40)")
+      (scan & 0x40) != 0
+    }
+
+    gridType match {
+      case 0 =>
+        require(gds.length >= 32, s"$path: lat/lon GDS of ${gds.length} octets")
+        val di = u16(gds, 23)
+        val dj = u16(gds, 25)
+        require(di != 0xFFFF && dj != 0xFFFF,
+          s"$path: direction increments missing")
+        Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3,
+          scanAt(27), ni.toLong * nj)
+
+      case 3 => // Lambert conformal, Dx/Dy in meters
+        require(gds.length >= 42, s"$path: Lambert GDS of ${gds.length} octets")
+        val loVraw = s24(gds, 17) * 1e-3
+        val dx = u24(gds, 20).toDouble
+        val dy = u24(gds, 23).toDouble
+        val centre = u8(gds, 26)
+        require((centre & 0x40) == 0, s"$path: bipolar grids unsupported")
+        val jPos = scanAt(27)
+        val latin1 = s24(gds, 28) * 1e-3
+        val latin2 = s24(gds, 31) * 1e-3
+        val proj = graft.geo.LambertConformalConic(Radius,
+          Double.PositiveInfinity, sp1 = latin1, sp2 = latin2, lat0 = latin1,
+          lon0 = if (loVraw > 180.0) loVraw - 360.0 else loVraw,
+          falseEasting = 0.0, falseNorthing = 0.0)
+        val (x1, y1) = proj.fromLonLat(lo1, la1)
+        Grib2.Grid(ni, nj, y1, x1, dx, dy, jPos, ni.toLong * nj, proj)
+
+      case 5 => // polar stereographic, true at ±60 by edition-1 definition
+        require(gds.length >= 32, s"$path: polar GDS of ${gds.length} octets")
+        val loVraw = s24(gds, 17) * 1e-3
+        val dx = u24(gds, 20).toDouble
+        val dy = u24(gds, 23).toDouble
+        val centre = u8(gds, 26)
+        require((centre & 0x40) == 0, s"$path: bipolar grids unsupported")
+        val jPos = scanAt(27)
+        val south = (centre & 0x80) != 0
+        val proj = graft.geo.PolarStereographic(Radius,
+          Double.PositiveInfinity, latTs = if (south) -60.0 else 60.0,
+          lon0 = if (loVraw > 180.0) loVraw - 360.0 else loVraw,
+          falseEasting = 0.0, falseNorthing = 0.0)
+        val (x1, y1) = proj.fromLonLat(lo1, la1)
+        Grib2.Grid(ni, nj, y1, x1, dx, dy, jPos, ni.toLong * nj, proj)
+
+      case other => throw new IllegalArgumentException(
+        s"$path: GDS grid type $other unsupported " +
+          "(0 lat/lon, 3 Lambert conformal, 5 polar stereographic)")
+    }
   }
 
   /** Decode one field's values in file scan order (bitmap applied). */
@@ -257,7 +314,7 @@ object Grib1 {
         nodata = None,
         x0 = grid.xFirst - grid.di / 2, dx = grid.di,
         y0 = northCenter + grid.dj / 2, dy = -grid.dj,
-        proj = graft.geo.Geographic, colortable = None)
+        proj = grid.proj, colortable = None)
     }
     def dtype: String = "float64"
     def nodata: Option[Double] = None

@@ -61,15 +61,69 @@ object Grib1Writer {
     }
   }
 
+  /** Regular lat/lon GDS (grid type 0), millidegrees, scan 0x00. */
+  def gdsLatLon(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      diMilli: Int, djMilli: Int): Array[Byte] = {
+    val gds = u24(32) ++ Array[Byte](0 /*NV*/, 255.toByte /*PV: none*/,
+      0 /*grid type: lat/lon*/) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte /*res flags: increments given*/) ++
+      s24(la1Milli - (nj - 1) * djMilli) ++ s24(lo1Milli + (ni - 1) * diMilli) ++
+      u16(diMilli) ++ u16(djMilli) ++
+      Array[Byte](0x00 /*scan: W→E, N→S*/) ++ Array.fill[Byte](4)(0)
+    require(gds.length == 32, s"GDS is ${gds.length} octets")
+    gds
+  }
+
+  /** Lambert conformal GDS (grid type 3): Dx/Dy in meters, scan +j
+    * (south row first — the NCEP edition-1 convention). */
+  def gdsLambert(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      loVMilli: Int, dxM: Int, dyM: Int, latin1Milli: Int,
+      latin2Milli: Int): Array[Byte] = {
+    val gds = u24(42) ++ Array[Byte](0, 255.toByte, 3) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte) ++
+      s24(loVMilli) ++ u24(dxM) ++ u24(dyM) ++
+      Array[Byte](0 /*centre: north*/, 0x40 /*scan: +j*/) ++
+      s24(latin1Milli) ++ s24(latin2Milli) ++
+      s24(-90000) ++ u24(0) ++ Array.fill[Byte](2)(0)
+    require(gds.length == 42, s"Lambert GDS is ${gds.length} octets")
+    gds
+  }
+
+  /** North polar stereographic GDS (grid type 5): Dx/Dy meters, true at
+    * 60N by the edition-1 definition, scan +j. */
+  def gdsPolar(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      loVMilli: Int, dxM: Int, dyM: Int): Array[Byte] = {
+    val gds = u24(32) ++ Array[Byte](0, 255.toByte, 5) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte) ++
+      s24(loVMilli) ++ u24(dxM) ++ u24(dyM) ++
+      Array[Byte](0 /*centre: north*/, 0x40 /*scan: +j*/) ++
+      Array.fill[Byte](4)(0)
+    require(gds.length == 32, s"polar GDS is ${gds.length} octets")
+    gds
+  }
+
   /** One complete edition-1 message. Coordinates in millidegrees; la1/lo1
     * locate the FIRST grid point (center, scan 0x00). R is fixed at 0 and
     * E/D at 0, so integer values round-trip exactly. */
   def message(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
       diMilli: Int, djMilli: Int, refTime: (Int, Int, Int, Int),
-      plane: Grib2Writer.Plane, nbits: Int, parameter: Int = 11): Array[Byte] = {
+      plane: Grib2Writer.Plane, nbits: Int, parameter: Int = 11): Array[Byte] =
+    messageWithGds(gdsLatLon(ni, nj, la1Milli, lo1Milli, diMilli, djMilli),
+      ni * nj, refTime, plane, nbits, parameter)
+
+  /** One complete message around a caller-supplied GDS (projected types). */
+  def messageWithGds(gds: Array[Byte], npts: Int,
+      refTime: (Int, Int, Int, Int), plane: Grib2Writer.Plane, nbits: Int,
+      parameter: Int = 11): Array[Byte] = {
     val (year, month, day, hour) = refTime
-    require(plane.values.length == ni * nj,
-      s"plane has ${plane.values.length} values for $ni x $nj grid")
+    require(plane.values.length == npts,
+      s"plane has ${plane.values.length} values for $npts-point grid")
     val present = plane.values.map(_.isDefined)
     val anyMissing = present.contains(false)
     val xs = plane.values.flatten.toArray
@@ -89,16 +143,6 @@ object Grib1Writer {
       Array[Byte](0 /*missing in avg*/, century.toByte, 0 /*subcentre*/) ++
       s16sm(0 /*decimal scale D*/)
     require(pds.length == 28, s"PDS is ${pds.length} octets")
-
-    val gds = u24(32) ++ Array[Byte](0 /*NV*/, 255.toByte /*PV: none*/,
-      0 /*grid type: lat/lon*/) ++
-      u16(ni) ++ u16(nj) ++
-      s24(la1Milli) ++ s24(lo1Milli) ++
-      Array[Byte](0x80.toByte /*res flags: increments given*/) ++
-      s24(la1Milli - (nj - 1) * djMilli) ++ s24(lo1Milli + (ni - 1) * diMilli) ++
-      u16(diMilli) ++ u16(djMilli) ++
-      Array[Byte](0x00 /*scan: W→E, N→S*/) ++ Array.fill[Byte](4)(0)
-    require(gds.length == 32, s"GDS is ${gds.length} octets")
 
     val bms: Array[Byte] =
       if (!anyMissing) Array.emptyByteArray

@@ -107,6 +107,52 @@ class Grib1Spec extends AnyFunSuite {
       .isInstanceOf[graft.raquet.Grib2.GribGrid])
   }
 
+  test("GDS type 3 (Lambert) and 5 (polar stereo) georeference through the projections") {
+    val (ni, nj) = (8, 6)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some((k * 7) % 200))
+    // Lambert: NAM-style CONUS parameters on the edition-1 sphere; scan +j
+    val gdsL = Grib1Writer.gdsLambert(ni, nj, la1Milli = 21138,
+      lo1Milli = 237280, loVMilli = 262500, dxM = 12000, dyM = 12000,
+      latin1Milli = 25000, latin2Milli = 25000)
+    val mL = Grib1Writer.messageWithGds(gdsL, ni * nj, (2004, 5, 1, 6),
+      Plane(0, vals), nbits = 8)
+    val pL = tmpFile("lcc1")
+    val oL = new java.io.FileOutputStream(pL)
+    try oL.write(mL) finally oL.close()
+    val gL = Grib1.describe(pL)
+    assert(gL.grid.proj == graft.geo.LambertConformalConic(6367470.0,
+      Double.PositiveInfinity, 25.0, 25.0, 25.0, -97.5, 0.0, 0.0))
+    val (lonL, latL) = gL.grid.proj.toLonLat(gL.grid.xFirst, gL.grid.yFirst)
+    assert(math.abs(latL - 21.138) < 1e-9 && math.abs(lonL - -122.72) < 1e-9)
+    assert(gL.info.dx == 12000.0 && gL.info.dy == -12000.0)
+    val sL = gL.sampler(0, 0, 0, ni, nj)
+    for (j <- 0 until nj; i <- 0 until ni) // +j scan: south row first in file
+      assert(sL.sample(0, i, j) == ((nj - 1 - j) * ni + i) * 7 % 200, s"($i,$j)")
+
+    // polar stereographic: true at 60N by definition, orientation -80E
+    val gdsP = Grib1Writer.gdsPolar(ni, nj, la1Milli = 52000,
+      lo1Milli = 10000, loVMilli = 280000, dxM = 25000, dyM = 25000)
+    val mP = Grib1Writer.messageWithGds(gdsP, ni * nj, (2004, 5, 1, 6),
+      Plane(0, vals), nbits = 8)
+    val pP = tmpFile("ps1")
+    val oP = new java.io.FileOutputStream(pP)
+    try oP.write(mP) finally oP.close()
+    val gP = Grib1.describe(pP)
+    assert(gP.grid.proj == graft.geo.PolarStereographic(6367470.0,
+      Double.PositiveInfinity, 60.0, -80.0, 0.0, 0.0))
+    val (lonP, latP) = gP.grid.proj.toLonLat(gP.grid.xFirst, gP.grid.yFirst)
+    assert(math.abs(latP - 52.0) < 1e-9 && math.abs(lonP - 10.0) < 1e-9)
+
+    // oblate-earth flag fails loudly (res flags octet 17 bit 2)
+    val mBad = mL.clone()
+    mBad(8 + 28 + 16) = (mBad(8 + 28 + 16) | 0x40).toByte
+    val pB = tmpFile("oblate")
+    val oB = new java.io.FileOutputStream(pB)
+    try oB.write(mBad) finally oB.close()
+    val e = intercept[IllegalArgumentException] { Grib1.describe(pB) }
+    assert(e.getMessage.contains("oblate"))
+  }
+
   test("unsupported edition-1 shapes fail loudly") {
     val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
       (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),
@@ -126,9 +172,9 @@ class Grib1Spec extends AnyFunSuite {
     // second-order packing flag
     val eC = writeAnd("cplx")(m => m(8 + 28 + 32 + 3) = 0x40.toByte)
     assert(eC.getMessage.contains("second-order"))
-    // GDS grid type 5 (polar stereographic): GDS octet 6 = index 8+28+5
-    val eG = writeAnd("polar")(m => m(8 + 28 + 5) = 5)
-    assert(eG.getMessage.contains("grid type 5"))
+    // GDS grid type 4 (Gaussian): GDS octet 6 = index 8+28+5
+    val eG = writeAnd("gaussian")(m => m(8 + 28 + 5) = 4)
+    assert(eG.getMessage.contains("grid type 4"))
     // truncation
     val pt = tmpFile("trunc")
     val ot = new java.io.FileOutputStream(pt)
