@@ -176,6 +176,7 @@ object SparkEntry {
     "q155_temporal_anom"    -> (RaquetQueries.q155TemporalAnomaly _),
     "q156_stream_composite" -> (RaquetQueries.q156StreamComposite _),
     "q157_grib1_lcc"        -> (RaquetQueries.q157Grib1Lcc _),
+    "q158_semdedup"         -> (LlmQueries.q158SemDedup _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -396,6 +397,7 @@ object SparkEntry {
     // streaming composite == batch composite: identical q154 oracle
     "q156_stream_composite" -> RaquetOracles.q154,
     "q157_grib1_lcc"        -> RaquetOracles.q157,
+    "q158_semdedup"         -> LlmOracles.q158,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

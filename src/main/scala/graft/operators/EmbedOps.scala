@@ -134,6 +134,38 @@ object EmbedOps {
       .select("ida", "idb", "bucket", "cos")
   }
 
+  /** SemDeDup-style semantic-dedup VERDICT (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into clusters, compute
+    * within-cluster cosines only, and drop every vector that is
+    * τ-similar to a cluster-mate with a smaller id. The clusters here are
+    * the deterministic hyperplane sign buckets (the paper uses k-means;
+    * any partition bounds the pairwise cost the same way), and id order
+    * replaces the paper's distance-to-centroid tie-break so the verdict
+    * is engine-independent and oracle-checkable.
+    *
+    * Scale shape: ONE equi-join on bucket — candidates are Σ per-bucket
+    * n², exactly the paper's per-cluster similarity matrix, never
+    * all-pairs; raise `planes` to keep buckets small as the corpus grows.
+    * Returns (vec_id, bucket, max_prior_cos, keep): `max_prior_cos` is
+    * the best cosine against any smaller-id bucket-mate (NULL if alone),
+    * keep ⇔ that maximum is NULL or < τ. */
+  def semDedup(vecs: DataFrame, planes: Int, dim: Int, tau: Double): DataFrame = {
+    val b = hyperplaneBuckets(vecs, planes, dim)
+    val earlier = b.select(col("bucket").as("ba"), col("vec_id").as("ida"),
+      col("embedding").as("ea"))
+    val prior = b
+      .select(col("bucket"), col("vec_id"), col("embedding").as("eb"))
+      .join(earlier, col("ba") === col("bucket") && col("ida") < col("vec_id"))
+      .withColumn("cos", round(
+        dot("ea", "eb", dim) / (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))
+      .groupBy(col("vec_id").as("vid"))
+      .agg(max(col("cos")).as("max_prior_cos"))
+    b.select(col("vec_id"), col("bucket"))
+      .join(prior, col("vec_id") === col("vid"), "left")
+      .select(col("vec_id"), col("bucket"), col("max_prior_cos"),
+        (col("max_prior_cos").isNull || col("max_prior_cos") < tau).as("keep"))
+  }
+
   // --- SQ8 (8-bit scalar quantization): the compressed-corpus ANN path ---
 
   /** Per-dimension (min, step) for uniform 8-bit quantization:

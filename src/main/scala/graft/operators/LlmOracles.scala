@@ -260,6 +260,18 @@ object LlmOracles {
           (coalesce(comp.cluster, e.vec_id) = e.vec_id) AS is_canonical
         FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id"""
 
+  /** q158: SemDeDup verdict — q30's buckets, q52's within-bucket cosines,
+    * then per-vector max over smaller-id bucket-mates and the keep rule.
+    * τ = 0.35 sits ≥ 8e-4 from every pair cosine on the driver corpus, so
+    * the threshold is robust to any engine rounding drift (the cosines
+    * themselves are fold-exact and round(…, 6) on both sides). */
+  val q158: String =
+    s"""WITH $lshPairsCte,
+        prior AS (SELECT idb, max(cos) AS max_prior_cos FROM pairs GROUP BY idb)
+        SELECT b.vec_id, b.bucket, prior.max_prior_cos,
+          (prior.max_prior_cos IS NULL OR prior.max_prior_cos < 0.35) AS keep
+        FROM b LEFT JOIN prior ON prior.idb = b.vec_id"""
+
   val q31: String =
     s"""WITH m AS (SELECT doc_id,
           string_split(text, ' ') AS toks,

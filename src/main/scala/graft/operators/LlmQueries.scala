@@ -314,6 +314,14 @@ object LlmQueries {
     * [[Graph.connectedComponents]] — the full embedding-dedup decision
     * chain (pairs → components → canonical per cluster), mirroring q56's
     * text-side shape. Isolated vectors are their own cluster. */
+  /** SemDeDup semantic-dedup verdict ([[EmbedOps.semDedup]]): hyperplane
+    * clusters → within-cluster pairwise cosine → drop any vector
+    * τ-similar to a smaller-id cluster-mate. The oracle recomputes the
+    * buckets, the within-bucket cosines, and the keep rule end to end. */
+  def q158SemDedup(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.semDedup(Tables.embeddings(spark, dir), planes = 8, dim = 64,
+      tau = 0.35)
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

@@ -32,6 +32,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.subsetOf(pairs))
   }
 
+  test("semDedup: exact copies are dropped, verdicts are consistent with the pair set") {
+    // Append exact copies of 20 vectors under larger ids: every copy MUST
+    // be dropped (cos 1.0 to its original, same bucket), every original
+    // with no τ-neighbor must be kept.
+    val corpus = emb.unionByName(
+      emb.limit(20).select((col("vec_id") + 1000).as("vec_id"),
+        col("embedding"), col("label")))
+    val v = EmbedOps.semDedup(corpus, planes = 8, dim = 64, tau = 0.35)
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(2), r.getBoolean(3))).toMap
+    val copies = emb.limit(20).select("vec_id").collect().map(_.getLong(0) + 1000)
+    copies.foreach(id => assert(!v(id)._2, s"copy $id must be dropped"))
+    // verdict ⇔ pair-set consistency: dropped ⇔ has a smaller-id τ-pair
+    val dropped = EmbedOps.bucketedTopK(corpus, planes = 8, dim = 64,
+      minCos = 0.35).select("idb").collect().map(_.getLong(0)).toSet
+    v.foreach { case (id, (_, keep)) =>
+      assert(keep == !dropped(id), s"verdict for $id disagrees with pairs") }
+    // isolated vectors report NULL max_prior_cos and keep = true
+    v.collect { case (id, (true, keep)) => assert(keep, s"$id null-cos but dropped") }
+  }
+
   test("minhash near-dup join is symmetric-free and thresholds correctly") {
     val corpus = docs.limit(100).unionByName(
       docs.limit(100).filter(col("doc_id") % 7 === 0)
