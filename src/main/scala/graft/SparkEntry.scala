@@ -177,6 +177,8 @@ object SparkEntry {
     "q156_stream_composite" -> (RaquetQueries.q156StreamComposite _),
     "q157_grib1_lcc"        -> (RaquetQueries.q157Grib1Lcc _),
     "q158_semdedup"         -> (LlmQueries.q158SemDedup _),
+    "q159_grib_mercator"    -> (RaquetQueries.q159GribMercator _),
+    "q160_grib1_mercator"   -> (RaquetQueries.q160Grib1Mercator _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -398,6 +400,8 @@ object SparkEntry {
     "q156_stream_composite" -> RaquetOracles.q154,
     "q157_grib1_lcc"        -> RaquetOracles.q157,
     "q158_semdedup"         -> LlmOracles.q158,
+    "q159_grib_mercator"    -> RaquetOracles.q159,
+    "q160_grib1_mercator"   -> RaquetOracles.q160,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

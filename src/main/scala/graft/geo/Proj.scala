@@ -46,6 +46,36 @@ case object WebMercator extends Projection {
   def rectilinear: Boolean = true
 }
 
+/** Mercator with a standard parallel (EPSG method 9805 "variant B";
+  * Snyder §7 — forward 7-7/15-9, inverse via the 7-9 iteration). Spherical
+  * when invF = ∞ (e² = 0 degrades the kernels exactly). This is the GRIB
+  * Mercator grid projection (GRIB2 template 3.10, GRIB1 grid type 1),
+  * where Di/Dj are true at `latTs`, the latitude at which the cylinder
+  * intersects the earth. */
+final case class Mercator(a: Double, invF: Double, latTs: Double,
+    lon0: Double, falseEasting: Double, falseNorthing: Double)
+    extends Projection {
+  import Ellipsoidal._
+  private val e2 = e2Of(invF)
+  /** k = m(latTs): scale factor carrying a·Δλ to true meters at latTs. */
+  private val mc = m(e2, math.toRadians(latTs))
+
+  /** Meridians ↔ x, parallels ↔ y: lon depends only on x, lat only on y. */
+  def rectilinear: Boolean = true
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) =
+    (falseEasting +
+      a * mc * math.toRadians(TransverseMercator.normLon(lon - lon0)),
+      falseNorthing - a * mc * math.log(t(e2, math.toRadians(lat))))
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val tv = math.exp(-(y - falseNorthing) / (a * mc))
+    (TransverseMercator.normLon(
+      lon0 + math.toDegrees((x - falseEasting) / (a * mc))),
+      math.toDegrees(phiFromT(e2, tv)))
+  }
+}
+
 /** WGS84 transverse mercator (UTM when k0=0.9996, FE=500km): Karney–Krüger
   * 4th-order series in the third flattening n. `lon0` = central meridian
   * (degrees). */

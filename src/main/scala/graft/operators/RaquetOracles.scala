@@ -566,6 +566,37 @@ object RaquetOracles {
           CAST(pj*8 + pi AS BIGINT) AS v
         FROM inv"""
 
+  /** q159/q160: spherical Mercator closed form (Snyder §7 — x = R·k·λ,
+    * y = R·k·ln tan(π/4+φ/2), k = cos 20°; the inverse written in the same
+    * functional shape the engine's [[graft.geo.Mercator]] evaluates, so
+    * any libm drift stays at the ulp level, far inside the round-5). */
+  val q159: String = mercProbeOracle(6371229.0)
+
+  /** q160: identical probes on GRIB edition 1's sphere (6367470 m). */
+  val q160: String = mercProbeOracle(6367470.0)
+
+  private def mercProbeOracle(a: Double): String =
+    s"""WITH f AS (SELECT $a * cos(radians(20.0)) AS rk),
+        first_pt AS (
+          SELECT rk, rk * radians(-150.0) AS x1,
+            -rk * ln(tan(pi()/4 - radians(0.0)/2)) AS y1
+          FROM f),
+        probes AS (
+          SELECT pi, pj, rk,
+            x1 + (16*pi + 7.5) * 10000.0 AS xc,
+            y1 + (119.5 - 16*pj) * 10000.0 AS yc
+          FROM first_pt,
+            (VALUES (1),(3),(5),(7)) a(pi), (VALUES (1),(3),(5),(7)) b(pj)),
+        inv AS (
+          SELECT pi, pj,
+            degrees(xc / rk) AS lon,
+            degrees(pi()/2 - 2*atan(exp(-yc / rk))) AS lat
+          FROM probes)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(lon, 5) AS lon_r, round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi AS BIGINT) AS v
+        FROM inv"""
+
   /** q151: spherical north-polar stereographic closed form (Snyder §21,
     * variant with standard parallel 70N): ρ(φ) = a·cos70·tan(π/4−φ/2) /
     * tan(π/4−70/2·rad), E = ρ sinθ, N = −ρ cosθ, θ = λ−λ0. */

@@ -1641,6 +1641,56 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB2 template 3.10, Mercator — NCEP tropical/oceanic product
+    * grids) driver proof: the q150 patch/probe pattern with the spherical
+    * Mercator closed form (Snyder §7: x = R·k·λ, y = R·k·ln tan(π/4+φ/2),
+    * k = cos φ_ts) recomputed by the oracle. 10 km cells true at 20°N,
+    * first point (0°, −150°E), 128×128 / 16×16 patches. */
+  def q159GribMercator(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q159"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/merc.grib2"
+    val (ni, nj) = (128, 128)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some(((nj - 1 - jf) / 16) * 8 + i / 16)
+      })
+    val proj = graft.geo.Mercator(6371229.0, Double.PositiveInfinity,
+      latTs = 20.0, lon0 = 0.0, falseEasting = 0.0, falseNorthing = 0.0)
+    val (x1, y1) = proj.fromLonLat(-150.0, 0.0)
+    // last grid point (north-east corner) for the informational La2/Lo2
+    val (lo2, la2) = proj.toLonLat(x1 + (ni - 1) * 10000.0,
+      y1 + (nj - 1) * 10000.0)
+    val sec3 = graft.raquet.Grib2Writer.sec3Mercator(ni, nj,
+      la1Micro = 0L, lo1Micro = 210000000L, laDMicro = 20000000L,
+      la2Micro = math.round(la2 * 1e6), lo2Micro = math.round((lo2 + 360.0) * 1e6),
+      dxMm = 10000000L, dyMm = 10000000L)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/merc.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = x1 + (16 * pi + 7.5) * 10000.0
+      val yc = y1 + (119.5 - 16 * pj) * 10000.0
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB edition-1 Lambert conformal, GDS type 3) driver proof: the
     * q150 patch/probe pattern on the edition-1 conventional sphere
     * (6367470 m), same 128×128 / 3 km / 16×16-patch design; the oracle is
@@ -1674,6 +1724,54 @@ object RaquetQueries {
     val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
       val xc = x1 + (16 * pi + 7.5) * 3000.0
       val yc = y1 + (119.5 - 16 * pj) * 3000.0
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
+  /** S6 (GRIB edition-1 Mercator, GDS type 1) driver proof: the q159
+    * patch/probe design on the edition-1 conventional sphere (6367470 m),
+    * millidegree coordinates, Di/Dj in whole meters true at 20°N. */
+  def q160Grib1Mercator(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q160"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/merc.grib"
+    val (ni, nj) = (128, 128)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some(((nj - 1 - jf) / 16) * 8 + i / 16)
+      })
+    val proj = graft.geo.Mercator(6367470.0, Double.PositiveInfinity,
+      latTs = 20.0, lon0 = 0.0, falseEasting = 0.0, falseNorthing = 0.0)
+    val (x1, y1) = proj.fromLonLat(-150.0, 0.0)
+    val (lo2, la2) = proj.toLonLat(x1 + (ni - 1) * 10000.0,
+      y1 + (nj - 1) * 10000.0)
+    val gds = graft.raquet.Grib1Writer.gdsMercator(ni, nj,
+      la1Milli = 0, lo1Milli = 210000,
+      la2Milli = math.round(la2 * 1e3).toInt,
+      lo2Milli = math.round((lo2 + 360.0) * 1e3).toInt,
+      latinMilli = 20000, diM = 10000, djM = 10000)
+    val msg = graft.raquet.Grib1Writer.messageWithGds(gds, ni * nj,
+      (2004, 5, 1, 6), plane, nbits = 8)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/merc.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = x1 + (16 * pi + 7.5) * 10000.0
+      val yc = y1 + (119.5 - 16 * pj) * 10000.0
       val (lon, lat) = proj.toLonLat(xc, yc)
       (pi.toLong, pj.toLong, lon, lat,
         Quadbin.fromLonLat(lon, lat, meta.maxZoom))

@@ -157,9 +157,10 @@ object Grib1 {
     } finally raf.close()
   }
 
-  /** GDS → grid. Types: 0 regular lat/lon (millidegrees), 3 Lambert
-    * conformal and 5 polar stereographic (projected meters — the NAM /
-    * AWIPS-era CONUS and arctic grids). Edition 1 has no earth-shape
+  /** GDS → grid. Types: 0 regular lat/lon (millidegrees), 1 Mercator,
+    * 3 Lambert conformal and 5 polar stereographic (projected meters — the
+    * NAM / AWIPS-era CONUS, tropical and arctic grids). Edition 1 has no
+    * earth-shape
     * section: the sphere is the conventional 6367.47 km; the oblate-earth
     * resolution flag fails loudly. GRIB1 polar stereographic is true at
     * ±60° by definition (no LaD octet). */
@@ -199,6 +200,17 @@ object Grib1 {
         Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3,
           scanAt(27), ni.toLong * nj)
 
+      case 1 => // Mercator: Di/Dj in meters, true at Latin
+        require(gds.length >= 42, s"$path: Mercator GDS of ${gds.length} octets")
+        val latin = s24(gds, 23) * 1e-3
+        val jPos = scanAt(27)
+        val di = u24(gds, 28).toDouble
+        val dj = u24(gds, 31).toDouble
+        val proj = graft.geo.Mercator(Radius, Double.PositiveInfinity,
+          latTs = latin, lon0 = 0.0, falseEasting = 0.0, falseNorthing = 0.0)
+        val (x1, y1) = proj.fromLonLat(lo1, la1)
+        Grib2.Grid(ni, nj, y1, x1, di, dj, jPos, ni.toLong * nj, proj)
+
       case 3 => // Lambert conformal, Dx/Dy in meters
         require(gds.length >= 42, s"$path: Lambert GDS of ${gds.length} octets")
         val loVraw = s24(gds, 17) * 1e-3
@@ -233,8 +245,8 @@ object Grib1 {
         Grib2.Grid(ni, nj, y1, x1, dx, dy, jPos, ni.toLong * nj, proj)
 
       case other => throw new IllegalArgumentException(
-        s"$path: GDS grid type $other unsupported " +
-          "(0 lat/lon, 3 Lambert conformal, 5 polar stereographic)")
+        s"$path: GDS grid type $other unsupported (0 lat/lon, 1 Mercator, " +
+          "3 Lambert conformal, 5 polar stereographic)")
     }
   }
 

@@ -76,6 +76,21 @@ object Grib1Writer {
     gds
   }
 
+  /** Mercator GDS (grid type 1): Di/Dj in meters true at Latin, scan +j. */
+  def gdsMercator(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      la2Milli: Int, lo2Milli: Int, latinMilli: Int, diM: Int,
+      djM: Int): Array[Byte] = {
+    val gds = u24(42) ++ Array[Byte](0, 255.toByte, 1) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte) ++
+      s24(la2Milli) ++ s24(lo2Milli) ++ s24(latinMilli) ++
+      Array[Byte](0 /*reserved*/, 0x40 /*scan: +j*/) ++
+      u24(diM) ++ u24(djM) ++ Array.fill[Byte](8)(0)
+    require(gds.length == 42, s"Mercator GDS is ${gds.length} octets")
+    gds
+  }
+
   /** Lambert conformal GDS (grid type 3): Dx/Dy in meters, scan +j
     * (south row first — the NCEP edition-1 convention). */
   def gdsLambert(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,

@@ -149,6 +149,7 @@ object Grib2 {
     val tmpl = u16(sec3, 12)
     require(sec3.length >= (tmpl match {
       case 0 => 72
+      case 10 => 72
       case 20 => 65
       case 30 => 81
       case _ => 15
@@ -187,6 +188,23 @@ object Grib2 {
         val jPos = checkScan(u8(sec3, 71), where)
         val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
         Grid(ni, nj, la1, lo1, di * unit, dj * unit, jPos, npoints)
+
+      case 10 => // Mercator (NCEP tropical/oceanic products)
+        val (a, invF) = parseEarth(sec3, where)
+        val la1 = s32(sec3, 38) * 1e-6
+        val lo1 = s32(sec3, 42) * 1e-6
+        val laD = s32(sec3, 47) * 1e-6 // lat where the cylinder intersects
+        val jPos = checkScan(u8(sec3, 59), where)
+        val orient = u32(sec3, 60)
+        require(orient == 0,
+          s"$where: oblique Mercator (orientation $orient) unsupported")
+        val di = u32(sec3, 64) * 1e-3 // mm → m, true at laD
+        val dj = u32(sec3, 68) * 1e-3
+        val proj = graft.geo.Mercator(a, invF, latTs = laD, lon0 = 0.0,
+          falseEasting = 0.0, falseNorthing = 0.0)
+        val (x1, y1) = proj.fromLonLat(
+          if (lo1 > 180.0) lo1 - 360.0 else lo1, la1)
+        Grid(ni, nj, y1, x1, di, dj, jPos, npoints, proj)
 
       case 20 => // polar stereographic (NCEP arctic/antarctic products)
         val (a, invF) = parseEarth(sec3, where)
@@ -230,8 +248,9 @@ object Grib2 {
         Grid(ni, nj, y1, x1, dx, dy, jPos, npoints, proj)
 
       case other => throw new IllegalArgumentException(
-        s"$where: grid definition template 3.$other unsupported " +
-          "(3.0 lat/lon, 3.20 polar stereographic, 3.30 Lambert conformal)")
+        s"$where: grid definition template 3.$other unsupported (3.0 " +
+          "lat/lon, 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert " +
+          "conformal)")
     }
   }
 

@@ -112,6 +112,24 @@ object Grib2Writer {
       sN(latin1Micro, 4) ++ sN(latin2Micro, 4) ++
       sN(-90000000L, 4) ++ u32(0))
 
+  /** Template 3.10 (Mercator) section 3: sphere r=6371229, cylinder
+    * intersection at laD (Di/Dj true there, millimeters), orientation 0,
+    * scan W→E S→N. La2/Lo2 name the last grid point (informational). */
+  def sec3Mercator(ni: Int, nj: Int, la1Micro: Long, lo1Micro: Long,
+      laDMicro: Long, la2Micro: Long, lo2Micro: Long, dxMm: Long,
+      dyMm: Long): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(10 /*template 3.10*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++
+      sN(la1Micro, 4) ++ sN(lo1Micro, 4) ++
+      Array[Byte](0x30) ++
+      sN(laDMicro, 4) ++
+      sN(la2Micro, 4) ++ sN(lo2Micro, 4) ++
+      Array[Byte](0x40 /*scan: +j*/) ++ u32(0 /*orientation*/) ++
+      u32(dxMm) ++ u32(dyMm))
+
   /** Template 3.20 (polar stereographic) section 3: sphere r=6371229,
     * north-pole aspect, scan W→E S→N. */
   def sec3PolarStereo(ni: Int, nj: Int, la1Micro: Long, lo1Micro: Long,

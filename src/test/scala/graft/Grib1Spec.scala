@@ -153,6 +153,28 @@ class Grib1Spec extends AnyFunSuite {
     assert(e.getMessage.contains("oblate"))
   }
 
+  test("GDS type 1 (Mercator) georeferences through the Mercator projection") {
+    val (ni, nj) = (8, 6)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some((k * 3) % 200))
+    val gds = Grib1Writer.gdsMercator(ni, nj, la1Milli = 5000,
+      lo1Milli = 210000, la2Milli = 5500, lo2Milli = 210700,
+      latinMilli = 20000, diM = 10000, djM = 10000)
+    val m = Grib1Writer.messageWithGds(gds, ni * nj, (2004, 5, 1, 6),
+      Plane(0, vals), nbits = 8)
+    val p = tmpFile("merc1")
+    val o = new java.io.FileOutputStream(p)
+    try o.write(m) finally o.close()
+    val g = Grib1.describe(p)
+    assert(g.grid.proj == graft.geo.Mercator(6367470.0,
+      Double.PositiveInfinity, 20.0, 0.0, 0.0, 0.0))
+    val (lon1, lat1) = g.grid.proj.toLonLat(g.grid.xFirst, g.grid.yFirst)
+    assert(math.abs(lat1 - 5.0) < 1e-9 && math.abs(lon1 - -150.0) < 1e-9)
+    assert(g.info.dx == 10000.0 && g.info.dy == -10000.0)
+    val s = g.sampler(0, 0, 0, ni, nj)
+    for (j <- 0 until nj; i <- 0 until ni) // +j scan: south row first in file
+      assert(s.sample(0, i, j) == ((nj - 1 - j) * ni + i) * 3 % 200, s"($i,$j)")
+  }
+
   test("unsupported edition-1 shapes fail loudly") {
     val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
       (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),

@@ -233,6 +233,28 @@ class Grib2Spec extends AnyFunSuite {
     assert(s.sample(0, 2, 0) == (nj - 1) * ni + 2.0) // top row = last file row
   }
 
+  test("template 3.10 Mercator grids georeference through the Mercator projection") {
+    val (ni, nj) = (6, 4)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k))
+    val sec3 = Grib2Writer.sec3Mercator(ni, nj,
+      la1Micro = 5000000L, lo1Micro = 210000000L, laDMicro = 20000000L,
+      la2Micro = 6000000L, lo2Micro = 211000000L,
+      dxMm = 10000000L, dyMm = 10000000L)
+    val msg = Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val p = tmpFile("mercator")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    assert(g.grid.proj == graft.geo.Mercator(6371229.0,
+      Double.PositiveInfinity, 20.0, 0.0, 0.0, 0.0))
+    val (lon1, lat1) = g.grid.proj.toLonLat(g.grid.xFirst, g.grid.yFirst)
+    assert(math.abs(lat1 - 5.0) < 1e-9 && math.abs(lon1 - -150.0) < 1e-9)
+    assert(g.info.dx == 10000.0 && g.info.dy == -10000.0)
+    val s = g.sampler(0, 0, 0, ni, nj)
+    assert(s.sample(0, 2, 0) == (nj - 1) * ni + 2.0) // top row = last file row
+  }
+
   test("multi-parameter and malformed files fail loudly") {
     // two messages with different parameter numbers
     val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,

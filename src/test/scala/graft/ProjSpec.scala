@@ -167,6 +167,24 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("mercator: scale at the standard parallel, equator anchor, round-trip") {
+    val sph = graft.geo.Mercator(6371229.0, Double.PositiveInfinity,
+      20.0, 0.0, 0.0, 0.0)
+    // equator maps to y = 0; x is true-scale at 20°: 1° of lon = R·cos20·π/180
+    assert(math.abs(sph.fromLonLat(0.0, 0.0)._2) < 1e-6)
+    val dx = sph.fromLonLat(1.0, 20.0)._1 - sph.fromLonLat(0.0, 20.0)._1
+    assert(math.abs(dx - 6371229.0 * math.cos(math.toRadians(20)) *
+      math.Pi / 180) < 1e-6)
+    val ell = graft.geo.Mercator(6378137.0, 298.257223563, 41.0, 12.0, 0.0, 0.0)
+    for (p <- Seq(sph, ell); lon <- (-170 to 170 by 20).map(_.toDouble);
+         lat <- (-80 to 80 by 10).map(_.toDouble)) {
+      val (x, y) = p.fromLonLat(lon, lat)
+      val (lo, la) = p.toLonLat(x, y)
+      assert(math.abs(graft.geo.TransverseMercator.normLon(lo - lon)) < 1e-11 &&
+        math.abs(la - lat) < 1e-11, s"merc $p $lon,$lat")
+    }
+  }
+
   /** Full numeric Jacobian determinant ∂(x,y)/∂(λ,φ) — sinusoidal shears
     * off the central meridian, so the principal-direction product used for
     * Albers is not applicable; equal-area must be checked with the
