@@ -179,6 +179,8 @@ object SparkEntry {
     "q158_semdedup"         -> (LlmQueries.q158SemDedup _),
     "q159_grib_mercator"    -> (RaquetQueries.q159GribMercator _),
     "q160_grib1_mercator"   -> (RaquetQueries.q160Grib1Mercator _),
+    "q161_grib_gaussian"    -> (RaquetQueries.q161GribGaussian _),
+    "q162_grib1_gaussian"   -> (RaquetQueries.q162Grib1Gaussian _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -402,6 +404,8 @@ object SparkEntry {
     "q158_semdedup"         -> LlmOracles.q158,
     "q159_grib_mercator"    -> RaquetOracles.q159,
     "q160_grib1_mercator"   -> RaquetOracles.q160,
+    "q161_grib_gaussian"    -> RaquetOracles.q161,
+    "q162_grib1_gaussian"   -> RaquetOracles.q162,
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,

@@ -448,6 +448,90 @@ final case class Sinusoidal(a: Double, invF: Double, lon0: Double,
   }
 }
 
+/** Gauss–Legendre quadrature nodes — the latitude rows of a regular
+  * Gaussian grid (ECMWF/ERA-style NWP output). Roots of the Legendre
+  * polynomial Pₙ by Newton iteration with the classic cos-law initial
+  * guess (Numerical Recipes §4.6 — public algorithm). The iteration is a
+  * FIXED 8 steps of the three-term recurrence + Newton update with a
+  * pinned expression shape: every operation is exactly-rounded IEEE
+  * arithmetic, so any engine replaying the same shape (e.g. the q161
+  * oracle's recursive CTE) reproduces the roots bit-for-bit. */
+object GaussianLatitudes {
+  /** The n roots of Pₙ, descending (x₀ nearest +1 → northmost latitude). */
+  def roots(n: Int): Array[Double] = {
+    require(n >= 2 && n % 2 == 0 && n <= 4096, s"bad Gaussian N=$n")
+    Array.tabulate(n) { i =>
+      var x = math.cos(math.Pi * (i + 0.75) / (n + 0.5))
+      var it = 0
+      while (it < 8) {
+        var pkm1 = 1.0
+        var pk = x
+        var k = 1
+        while (k < n) {
+          val next = ((2 * k + 1) * x * pk - k * pkm1) / (k + 1)
+          pkm1 = pk; pk = next; k += 1
+        }
+        x = x - (pk * (x * x - 1) / n) / (x * pk - pkm1)
+        it += 1
+      }
+      x
+    }
+  }
+
+  /** The grid's latitudes in degrees, north → south. */
+  def latsDeg(n: Int): Array[Double] =
+    roots(n).map(x => math.toDegrees(math.asin(x)))
+}
+
+/** Regular Gaussian grid "projection": x = longitude degrees, y = a
+  * continuous ROW coordinate in which the grid is uniform — y(latₖ) =
+  * n−1−k for the k-th Gaussian latitude (north → south), piecewise-linear
+  * between rows and extrapolated with the end slopes beyond them. Pixel
+  * centers land on integer y exactly, so nearest-row selection in y equals
+  * nearest-latitude selection (piecewise-linear maps preserve segment
+  * midpoints); sub-row interpolation weights are linear in row index
+  * rather than latitude — the standard geolocation-array treatment.
+  * `n` = total number of parallels (2 × the N coded in GRIB). */
+final case class GaussianGrid(n: Int) extends Projection {
+  /** lats[k], descending; y = n−1−k. */
+  @transient private lazy val lats: Array[Double] = GaussianLatitudes.latsDeg(n)
+
+  def rectilinear: Boolean = true
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val l = lats
+    // k = first row with lat >= lats(k) (descending array)
+    var lo = 0; var hi = l.length - 1
+    if (lat >= l(0)) {
+      // extrapolate north of the first row with the first segment's slope
+      val y = (n - 1) + (lat - l(0)) / (l(0) - l(1))
+      return (lon, y)
+    }
+    if (lat <= l(l.length - 1)) {
+      val y = 0.0 - (l(l.length - 1) - lat) / (l(l.length - 2) - l(l.length - 1))
+      return (lon, y)
+    }
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (lat <= l(mid)) lo = mid else hi = mid
+    }
+    // l(lo) >= lat > l(hi) is impossible (descending): l(lo) > lat >= l(hi)
+    val y = (n - 1 - lo) - (l(lo) - lat) / (l(lo) - l(lo + 1))
+    (lon, y)
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val l = lats
+    val kc = (n - 1) - y // continuous row index, 0 = north
+    val k0 = math.floor(kc).toInt
+    val lat =
+      if (k0 < 0) l(0) + (-kc) * (l(0) - l(1))
+      else if (k0 >= n - 1) l(n - 1) - (kc - (n - 1)) * (l(n - 2) - l(n - 1))
+      else l(k0) - (kc - k0) * (l(k0) - l(k0 + 1))
+    (x, lat)
+  }
+}
+
 /** CF `rotated_latitude_longitude` (COSMO/CORDEX regional climate grids):
   * a spherical rotation placing the grid's north pole at true
   * (`poleLat`, `poleLon`). "Projected" coordinates are rotated-grid

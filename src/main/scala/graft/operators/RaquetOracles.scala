@@ -597,6 +597,52 @@ object RaquetOracles {
           CAST(pj*8 + pi AS BIGINT) AS v
         FROM inv"""
 
+  /** q161/q162: regular Gaussian grid — the oracle recomputes the N16
+    * Gaussian latitudes INDEPENDENTLY: Newton iteration on the Legendre
+    * polynomial P₃₂ (classic cos-law initial guess, 8 fixed iterations of
+    * the three-term recurrence — Numerical Recipes §4.6) inside a single
+    * recursive CTE with two loop variables (`stp` walks the recurrence,
+    * `it` the Newton updates). Both engines converge to within 1e-14 of
+    * the true quadrature nodes, far inside the round-5 probe contract.
+    * Longitudes are pure increment arithmetic written in the same form
+    * the Spark side evaluates. */
+  val q161: String = gaussProbeOracle("(2812500 * 1e-6)")
+
+  /** q162: edition-1 millidegree increment (2.812°). */
+  val q162: String = gaussProbeOracle("(2812 * 1e-3)")
+
+  private def gaussProbeOracle(diExpr: String): String =
+    s"""WITH RECURSIVE newt AS (
+          SELECT i, 0 AS it, 1 AS stp,
+            cos(pi() * (i + 0.75) / 32.5) AS x,
+            CAST(1 AS DOUBLE) AS pkm1,
+            cos(pi() * (i + 0.75) / 32.5) AS pk
+          FROM range(32) r(i)
+          UNION ALL
+          SELECT i,
+            CASE WHEN stp < 32 THEN it ELSE it + 1 END,
+            CASE WHEN stp < 32 THEN stp + 1 ELSE 1 END,
+            CASE WHEN stp < 32 THEN x
+                 ELSE x - (pk * (x*x - 1) / 32) / (x * pk - pkm1) END,
+            CASE WHEN stp < 32 THEN pk ELSE CAST(1 AS DOUBLE) END,
+            CASE WHEN stp < 32
+                 THEN ((2*stp + 1) * x * pk - stp * pkm1) / (stp + 1)
+                 ELSE x - (pk * (x*x - 1) / 32) / (x * pk - pkm1) END
+          FROM newt WHERE it < 8),
+        roots AS (
+          SELECT i AS gk, degrees(asin(x)) AS glat
+          FROM newt WHERE it = 8 AND stp = 1),
+        probes AS (
+          SELECT pi, pj, glat
+          FROM (VALUES (3),(11),(19),(25)) a(pj)
+          CROSS JOIN (VALUES (5),(21),(37),(53)) b(pi)
+          JOIN roots ON gk = pj + 2)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(-88.0 + $diExpr * pi, 5) AS lon_r,
+          round(glat, 5) AS lat_r,
+          CAST((pj // 16) * 8 + pi // 16 AS BIGINT) AS v
+        FROM probes"""
+
   /** q151: spherical north-polar stereographic closed form (Snyder §21,
     * variant with standard parallel 70N): ρ(φ) = a·cos70·tan(π/4−φ/2) /
     * tan(π/4−70/2·rad), E = ρ sinθ, N = −ρ cosθ, θ = λ−λ0. */

@@ -1737,6 +1737,98 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB2 template 3.40, regular Gaussian — the ECMWF/ERA spectral
+    * grid) driver proof: a 28-row SUBSET of the N16 grid (rows 2..29, so
+    * the top row stays inside web-mercator's 85.05° limit and the subset
+    * path is exercised), 64 columns of exact 2.8125° (= 45/16), patch
+    * values, probes at grid points. The oracle recomputes the Gaussian
+    * latitudes INDEPENDENTLY — Newton on the Legendre polynomial P₃₂ via
+    * a recursive CTE (8 iterations of the three-term recurrence; agrees
+    * with quadrature references to 1e-14). */
+  def q161GribGaussian(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q161"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/gauss.grib2"
+    val (ni, nj) = (64, 28)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni // scan 0x00: north row first
+        Some((jf / 16) * 8 + i / 16)
+      })
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val sec3 = graft.raquet.Grib2Writer.sec3Gaussian(ni, nj,
+      la1Micro = math.round(lats(2) * 1e6),
+      lo1Micro = 272000000L, // 272°E = −88°
+      la2Micro = math.round(lats(29) * 1e6),
+      diMicro = 2812500L, nPar = 16)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/gauss.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (jf <- Seq(3, 11, 19, 25); i <- Seq(5, 21, 37, 53)) yield {
+      val lon = -88.0 + (2812500L * 1e-6) * i
+      val lat = lats(jf + 2)
+      (i.toLong, jf.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
+  /** S6 (GRIB edition-1 Gaussian, GDS type 4) driver proof: the q161
+    * subset design in edition-1 millidegree coordinates (Di = 2.812°; the
+    * 45/16 increment is not millidegree-expressible), conventional
+    * sphere irrelevant — the grid is angular. */
+  def q162Grib1Gaussian(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q162"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/gauss.grib"
+    val (ni, nj) = (64, 28)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some((jf / 16) * 8 + i / 16)
+      })
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val gds = graft.raquet.Grib1Writer.gdsGaussian(ni, nj,
+      la1Milli = math.round(lats(2) * 1e3).toInt,
+      lo1Milli = 272000,
+      la2Milli = math.round(lats(29) * 1e3).toInt,
+      diMilli = 2812, nPar = 16)
+    val msg = graft.raquet.Grib1Writer.messageWithGds(gds, ni * nj,
+      (2004, 5, 1, 6), plane, nbits = 8)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/gauss.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (jf <- Seq(3, 11, 19, 25); i <- Seq(5, 21, 37, 53)) yield {
+      val lon = -88.0 + (2812 * 1e-3) * i
+      val lat = lats(jf + 2)
+      (i.toLong, jf.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB edition-1 Mercator, GDS type 1) driver proof: the q159
     * patch/probe design on the edition-1 conventional sphere (6367470 m),
     * millidegree coordinates, Di/Dj in whole meters true at 20°N. */

@@ -940,11 +940,13 @@ object GeoTiff {
   /** `find_zoom` (`raster2raquet.py:709-720`). */
   def findZoom(res: Double, blockZoom: Int, strategy: String): Int = {
     val raw = math.log(CE / (1 << blockZoom) / res) / math.log(2.0)
-    strategy match {
+    // a source coarser than one z0 tile (planetary-scale NWP grids) still
+    // lands at zoom 0 — negative zooms would corrupt the tile arithmetic
+    math.max(0, strategy match {
       case "upper" => math.ceil(raw).toInt
       case "lower" => math.floor(raw).toInt
       case _ => math.round(raw).toInt
-    }
+    })
   }
 
   /** `find_minzoom` (`raster2raquet.py:688-697`): coarsest zoom that still

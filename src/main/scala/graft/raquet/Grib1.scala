@@ -159,8 +159,8 @@ object Grib1 {
 
   /** GDS → grid. Types: 0 regular lat/lon (millidegrees), 1 Mercator,
     * 3 Lambert conformal and 5 polar stereographic (projected meters — the
-    * NAM / AWIPS-era CONUS, tropical and arctic grids). Edition 1 has no
-    * earth-shape
+    * NAM / AWIPS-era CONUS, tropical and arctic grids), 4 regular Gaussian
+    * (the ECMWF spectral-model rows). Edition 1 has no earth-shape
     * section: the sphere is the conventional 6367.47 km; the oblate-earth
     * resolution flag fails loudly. GRIB1 polar stereographic is true at
     * ±60° by definition (no LaD octet). */
@@ -175,7 +175,7 @@ object Grib1 {
     val resFlags = u8(gds, 16)
     require((resFlags & 0x80) != 0,
       s"$path: GDS without direction increments unsupported")
-    require(gridType == 0 || (resFlags & 0x40) == 0,
+    require(gridType == 0 || gridType == 4 || (resFlags & 0x40) == 0,
       s"$path: oblate-earth (IAU 1965) projected grids unsupported " +
         "(spherical earth only)")
     val la1 = s24(gds, 10) * 1e-3
@@ -199,6 +199,24 @@ object Grib1 {
           s"$path: direction increments missing")
         Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3,
           scanAt(27), ni.toLong * nj)
+
+      case 4 => // regular Gaussian: Di millideg, "Dj" slot carries N
+        require(gds.length >= 32,
+          s"$path: Gaussian GDS of ${gds.length} octets")
+        val di = u16(gds, 23)
+        val nPar = u16(gds, 25)
+        require(di != 0xFFFF && nPar != 0xFFFF,
+          s"$path: Di / N not given — unsupported")
+        require(nPar >= 1 && nPar <= 2048 && nj <= 2 * nPar,
+          s"$path: implausible Gaussian N=$nPar for Nj=$nj")
+        val jPos = scanAt(27)
+        val proj = graft.geo.GaussianGrid(2 * nPar)
+        val yRaw = proj.fromLonLat(lo1, la1)._2
+        val y1 = math.round(yRaw).toDouble
+        // la1 is coded in millidegrees — allow that rounding in the snap
+        require(math.abs(yRaw - y1) < 0.05,
+          s"$path: first latitude $la1 is not a Gaussian N$nPar row")
+        Grib2.Grid(ni, nj, y1, lo1, di * 1e-3, 1.0, jPos, ni.toLong * nj, proj)
 
       case 1 => // Mercator: Di/Dj in meters, true at Latin
         require(gds.length >= 42, s"$path: Mercator GDS of ${gds.length} octets")
@@ -246,7 +264,7 @@ object Grib1 {
 
       case other => throw new IllegalArgumentException(
         s"$path: GDS grid type $other unsupported (0 lat/lon, 1 Mercator, " +
-          "3 Lambert conformal, 5 polar stereographic)")
+          "3 Lambert conformal, 4 Gaussian, 5 polar stereographic)")
     }
   }
 

@@ -76,6 +76,21 @@ object Grib1Writer {
     gds
   }
 
+  /** Regular Gaussian GDS (grid type 4): Di in millidegrees, the Dj slot
+    * carries N (parallels pole→equator), scan 0x00 (N→S). */
+  def gdsGaussian(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      la2Milli: Int, diMilli: Int, nPar: Int): Array[Byte] = {
+    val gds = u24(32) ++ Array[Byte](0, 255.toByte, 4) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte) ++
+      s24(la2Milli) ++ s24(lo1Milli + (ni - 1) * diMilli) ++
+      u16(diMilli) ++ u16(nPar) ++
+      Array[Byte](0x00 /*scan: N→S*/) ++ Array.fill[Byte](4)(0)
+    require(gds.length == 32, s"Gaussian GDS is ${gds.length} octets")
+    gds
+  }
+
   /** Mercator GDS (grid type 1): Di/Dj in meters true at Latin, scan +j. */
   def gdsMercator(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
       la2Milli: Int, lo2Milli: Int, latinMilli: Int, diM: Int,

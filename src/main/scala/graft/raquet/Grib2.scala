@@ -152,6 +152,7 @@ object Grib2 {
       case 10 => 72
       case 20 => 65
       case 30 => 81
+      case 40 => 72
       case _ => 15
     }), s"$where: section 3 too short for template 3.$tmpl")
     require(u8(sec3, 10) == 0,
@@ -188,6 +189,29 @@ object Grib2 {
         val jPos = checkScan(u8(sec3, 71), where)
         val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
         Grid(ni, nj, la1, lo1, di * unit, dj * unit, jPos, npoints)
+
+      case 40 => // regular Gaussian (ECMWF/ERA-style spectral-model output)
+        val basicAngle = u32(sec3, 38)
+        require(basicAngle == 0 || basicAngle == missing,
+          s"$where: Gaussian grid with basic angle unsupported")
+        val la1 = s32(sec3, 46) * 1e-6
+        val lo1raw = s32(sec3, 50) * 1e-6
+        val di = u32(sec3, 63)
+        require(di != missing,
+          s"$where: i direction increment not given — unsupported")
+        val nPar = u32(sec3, 67) // parallels between a pole and the equator
+        require(nPar != missing && nPar >= 1 && nPar <= 2048 &&
+          nj <= 2 * nPar, s"$where: implausible Gaussian N=$nPar for Nj=$nj")
+        val jPos = checkScan(u8(sec3, 71), where)
+        val proj = graft.geo.GaussianGrid(2 * nPar.toInt)
+        val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
+        val yRaw = proj.fromLonLat(lo1, la1)._2
+        val y1 = math.round(yRaw).toDouble
+        // la1 must name a row of the N-grid (it is coded in micro-degrees,
+        // so allow that rounding); a mismatch means N and La1 disagree
+        require(math.abs(yRaw - y1) < 0.01,
+          s"$where: first latitude $la1 is not a Gaussian N$nPar row")
+        Grid(ni, nj, y1, lo1, di * 1e-6, 1.0, jPos, npoints, proj)
 
       case 10 => // Mercator (NCEP tropical/oceanic products)
         val (a, invF) = parseEarth(sec3, where)
@@ -250,7 +274,7 @@ object Grib2 {
       case other => throw new IllegalArgumentException(
         s"$where: grid definition template 3.$other unsupported (3.0 " +
           "lat/lon, 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert " +
-          "conformal)")
+          "conformal, 3.40 regular Gaussian)")
     }
   }
 

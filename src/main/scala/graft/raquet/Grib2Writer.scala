@@ -112,6 +112,20 @@ object Grib2Writer {
       sN(latin1Micro, 4) ++ sN(latin2Micro, 4) ++
       sN(-90000000L, 4) ++ u32(0))
 
+  /** Template 3.40 (regular Gaussian) section 3: sphere r=6371229, Di in
+    * micro-degrees, octets 68-71 carry N (the number of parallels between
+    * a pole and the equator), scan N→S. La2/Lo2 informational. */
+  def sec3Gaussian(ni: Int, nj: Int, la1Micro: Long, lo1Micro: Long,
+      la2Micro: Long, diMicro: Long, nPar: Int): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(40 /*template 3.40*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++ u32(0 /*basic angle*/) ++ u32(0) ++
+      sN(la1Micro, 4) ++ sN(lo1Micro, 4) ++ Array[Byte](0x30) ++
+      sN(la2Micro, 4) ++ sN(lo1Micro + (ni - 1) * diMicro, 4) ++
+      u32(diMicro) ++ u32(nPar) ++ Array[Byte](0x00 /*scan: N→S*/))
+
   /** Template 3.10 (Mercator) section 3: sphere r=6371229, cylinder
     * intersection at laD (Di/Dj true there, millimeters), orientation 0,
     * scan W→E S→N. La2/Lo2 name the last grid point (informational). */

@@ -175,6 +175,26 @@ class Grib1Spec extends AnyFunSuite {
       assert(s.sample(0, i, j) == ((nj - 1 - j) * ni + i) * 3 % 200, s"($i,$j)")
   }
 
+  test("GDS type 4 (Gaussian) georeferences to the quadrature rows") {
+    val (ni, nj) = (8, 28)
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k % 200))
+    val gds = Grib1Writer.gdsGaussian(ni, nj,
+      la1Milli = math.round(lats(2) * 1e3).toInt, lo1Milli = 272000,
+      la2Milli = math.round(lats(29) * 1e3).toInt, diMilli = 2812, nPar = 16)
+    val m = Grib1Writer.messageWithGds(gds, ni * nj, (2004, 5, 1, 6),
+      Plane(0, vals), nbits = 8)
+    val p = tmpFile("gauss1")
+    val o = new java.io.FileOutputStream(p)
+    try o.write(m) finally o.close()
+    val g = Grib1.describe(p)
+    assert(g.grid.proj == graft.geo.GaussianGrid(32))
+    assert(g.grid.yFirst == 29.0 && g.grid.dj == 1.0)
+    val s = g.sampler(0, 0, 0, ni, nj)
+    for (j <- 0 until nj; i <- 0 until ni) // scan 0x00: north row first
+      assert(s.sample(0, i, j) == (j * ni + i) % 200, s"($i,$j)")
+  }
+
   test("unsupported edition-1 shapes fail loudly") {
     val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
       (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),
@@ -194,9 +214,9 @@ class Grib1Spec extends AnyFunSuite {
     // second-order packing flag
     val eC = writeAnd("cplx")(m => m(8 + 28 + 32 + 3) = 0x40.toByte)
     assert(eC.getMessage.contains("second-order"))
-    // GDS grid type 4 (Gaussian): GDS octet 6 = index 8+28+5
-    val eG = writeAnd("gaussian")(m => m(8 + 28 + 5) = 4)
-    assert(eG.getMessage.contains("grid type 4"))
+    // GDS grid type 50 (spherical harmonics): GDS octet 6 = index 8+28+5
+    val eG = writeAnd("sphharm")(m => m(8 + 28 + 5) = 50)
+    assert(eG.getMessage.contains("grid type 50"))
     // truncation
     val pt = tmpFile("trunc")
     val ot = new java.io.FileOutputStream(pt)

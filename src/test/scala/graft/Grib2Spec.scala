@@ -255,6 +255,37 @@ class Grib2Spec extends AnyFunSuite {
     assert(s.sample(0, 2, 0) == (nj - 1) * ni + 2.0) // top row = last file row
   }
 
+  test("template 3.40 Gaussian grids georeference to the quadrature rows") {
+    val (ni, nj) = (8, 28) // rows 2..29 of the N16 grid
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k % 200))
+    val sec3 = Grib2Writer.sec3Gaussian(ni, nj,
+      la1Micro = math.round(lats(2) * 1e6), lo1Micro = 272000000L,
+      la2Micro = math.round(lats(29) * 1e6), diMicro = 2812500L, nPar = 16)
+    val msg = Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val p = tmpFile("gauss")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    assert(g.grid.proj == graft.geo.GaussianGrid(32))
+    assert(g.grid.yFirst == 29.0 && g.grid.dj == 1.0) // snapped to row 2
+    // every row center maps back to its exact Gaussian latitude
+    for (j <- 0 until nj)
+      assert(math.abs(g.grid.proj.toLonLat(0.0, 29.0 - j)._2 - lats(2 + j)) < 1e-12)
+    // N inconsistent with La1 fails loudly
+    val bad = Grib2Writer.sec3Gaussian(ni, nj,
+      la1Micro = math.round(lats(2) * 1e6), lo1Micro = 272000000L,
+      la2Micro = 0L, diMicro = 2812500L, nPar = 24)
+    val msgBad = Grib2Writer.messageWithSec3(bad, (2021, 1, 1, 0),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val pb = tmpFile("gaussbad")
+    val ob = new java.io.FileOutputStream(pb)
+    try ob.write(msgBad) finally ob.close()
+    val e = intercept[IllegalArgumentException] { Grib2.describe(pb) }
+    assert(e.getMessage.contains("Gaussian"))
+  }
+
   test("multi-parameter and malformed files fail loudly") {
     // two messages with different parameter numbers
     val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,

@@ -185,6 +185,30 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("gaussian latitudes: known quadrature nodes, symmetry, grid round-trip") {
+    // P₄ roots are textbook values (Abramowitz & Stegun table 25.4)
+    val r4 = graft.geo.GaussianLatitudes.roots(4)
+    assert(math.abs(r4(0) - 0.8611363115940526) < 1e-14)
+    assert(math.abs(r4(1) - 0.3399810435848563) < 1e-14)
+    assert(math.abs(r4(2) + 0.3399810435848563) < 1e-14)
+    assert(math.abs(r4(3) + 0.8611363115940526) < 1e-14)
+    // N16: 32 strictly descending, antisymmetric latitudes
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    assert(lats.length == 32)
+    for (k <- 1 until 32) assert(lats(k) < lats(k - 1))
+    for (k <- 0 until 16) assert(math.abs(lats(k) + lats(31 - k)) < 1e-12)
+    // grid projection: rows sit at integer y; round-trip closes everywhere
+    val g = graft.geo.GaussianGrid(32)
+    for (k <- 0 until 32) {
+      assert(math.abs(g.fromLonLat(10.0, lats(k))._2 - (31 - k)) < 1e-12)
+      assert(math.abs(g.toLonLat(10.0, (31 - k).toDouble)._2 - lats(k)) < 1e-12)
+    }
+    for (lat <- Seq(-89.0, -52.3, -0.01, 17.77, 61.2, 88.5)) {
+      val (_, y) = g.fromLonLat(0.0, lat)
+      assert(math.abs(g.toLonLat(0.0, y)._2 - lat) < 1e-9, s"lat $lat")
+    }
+  }
+
   /** Full numeric Jacobian determinant ∂(x,y)/∂(λ,φ) — sinusoidal shears
     * off the central meridian, so the principal-direction product used for
     * Albers is not applicable; equal-area must be checked with the
