@@ -1538,6 +1538,13 @@ object RaquetQueries {
   def q148GribComplex(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "complex_sd2", "q148")
 
+  /** S6 (GRIB2, template 5.41 PNG packing — the NCEP/MRMS image packing)
+    * driver proof: the q147 container with the X plane carried as PNG
+    * images (bitmapped timesteps included), identical oracle — the codec
+    * must not change one value. */
+  def q163GribPng(spark: SparkSession, dir: String): DataFrame =
+    gribIngest(spark, "png", "q163")
+
   /** S6 (GRIB2 template 3.30, Lambert conformal — the HRRR/NAM/NDFD CONUS
     * grid family) driver proof, the q104 pattern: source values are
     * constant on 16×16-cell patches (48 km square at 3 km spacing), probes

@@ -439,6 +439,7 @@ object Grib2 {
       case 2 => 47
       case 3 => 49
       case 4 => 12
+      case 41 => 21
       case _ => 11
     }
     require(f.sec5.length >= neededSec5,
@@ -458,10 +459,11 @@ object Grib2 {
       case 0 => unpackSimple(f.sec5, sec7, packed, where)
       case 2 | 3 => unpackComplex(f.sec5, sec7, packed, tmpl, where)
       case 4 => unpackIeee(f.sec5, sec7, packed, where)
+      case 41 => unpackPng(f.sec5, sec7, packed, where)
       case other => throw new IllegalArgumentException(
         s"$where: data representation template 5.$other unsupported " +
-          "(5.0 simple, 5.2/5.3 complex, 5.4 IEEE; JPEG2000/PNG packing " +
-          "needs gdal_translate upstream)")
+          "(5.0 simple, 5.2/5.3 complex, 5.4 IEEE, 5.41 PNG; JPEG2000 " +
+          "packing needs gdal_translate upstream)")
     }
     if (present == null) vals
     else {
@@ -498,6 +500,31 @@ object Grib2 {
     var k = 0
     while (k < n) {
       out(k) = (r + br.read(nbits) * scaleE) * scaleD
+      k += 1
+    }
+    out
+  }
+
+  /** Template 5.41: Y = (R + X·2^E)/10^D with the X plane carried as one
+    * PNG image (w·h = packed points; grayscale 1-16 bit, RGB8 = 24,
+    * RGBA8 = 32 — the NCEP/MRMS packing). */
+  private def unpackPng(sec5: Array[Byte], sec7: Array[Byte], n: Int,
+      where: String): Array[Double] = {
+    val r = java.lang.Float.intBitsToFloat(u32(sec5, 11).toInt).toDouble
+    val e = s16(sec5, 15)
+    val d = s16(sec5, 17)
+    val nbits = u8(sec5, 19)
+    val scaleE = math.pow(2.0, e)
+    val scaleD = math.pow(10.0, -d)
+    val out = new Array[Double](n)
+    if (nbits == 0) {
+      java.util.Arrays.fill(out, r * scaleD)
+      return out
+    }
+    val xs = Png.decode(sec7, n, nbits, where)
+    var k = 0
+    while (k < n) {
+      out(k) = (r + xs(k) * scaleE) * scaleD
       k += 1
     }
     out

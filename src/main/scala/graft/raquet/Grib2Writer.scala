@@ -61,7 +61,7 @@ object Grib2Writer {
   /** Write a GRIB2 file. Coordinates are counts of `basicAngle/subdiv`
     * degrees; `la1/lo1` locate the FIRST grid point (center, scan mode
     * 0x00: W→E then N→S). `packing`: "simple" | "complex" | "complex_sd2"
-    * | "ieee". */
+    * | "ieee" | "png". */
   def write(path: String, ni: Int, nj: Int,
       basicAngle: Int, subdiv: Int,
       la1: Long, lo1: Long, di: Long, dj: Long,
@@ -205,6 +205,14 @@ object Grib2Writer {
           java.lang.Float.floatToIntBits(x.toFloat).toLong & 0xFFFFFFFFL, 32))
         (u32(npacked) ++ u16(4) ++ Array[Byte](1 /*precision: IEEE32*/),
           bw.bytes)
+      case "png" =>
+        // template 5.41: the X plane as one PNG; pick the squarest exact
+        // factorization so multi-row scanline handling is exercised
+        var h = math.max(1, math.sqrt(npacked.toDouble).toInt)
+        while (npacked % h != 0) h -= 1
+        (u32(npacked) ++ u16(41) ++ u32(0 /*R = 0f*/) ++ sN(0, 2) ++ sN(0, 2) ++
+          Array[Byte](nbits.toByte, 0 /*original field: float*/),
+          Png.encode(xs.map(_.toLong), npacked / h, h, nbits))
       case "complex" | "complex_sd2" =>
         val sd2 = packing == "complex_sd2"
         // the packed series: raw X for 5.2; second-order differences for 5.3

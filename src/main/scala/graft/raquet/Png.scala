@@ -1,0 +1,238 @@
+package graft.raquet
+
+/** Minimal PNG codec for GRIB2 template 5.41 (PNG packing) payloads —
+  * RFC 2083 / ISO 15948 (public spec). GRIB2 stores the scaled integer
+  * field as one image whose pixel count equals the packed-point count
+  * (the reference toolchains pick the w×h factorization freely, so only
+  * w·h is contracted): grayscale at bit depths 1/2/4/8/16, RGB8 for
+  * 24-bit samples, RGBA8 for 32-bit. Non-interlaced only; every chunk
+  * CRC is verified and any structural surprise fails loudly rather than
+  * decoding garbage pixels. */
+object Png {
+
+  private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+      ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+
+  /** (colorType, channelDepth, channels) for a GRIB sample width. */
+  private def layout(sampleBits: Int, where: String): (Int, Int, Int) =
+    sampleBits match {
+      case 1 | 2 | 4 | 8 | 16 => (0, sampleBits, 1)
+      case 24 => (2, 8, 3)
+      case 32 => (6, 8, 4)
+      case other => throw new IllegalArgumentException(
+        s"$where: PNG packing with $other-bit samples unsupported")
+    }
+
+  /** Decode `n` samples of `sampleBits` each. Returns unsigned values. */
+  def decode(data: Array[Byte], n: Int, sampleBits: Int,
+      where: String): Array[Long] = {
+    require(data.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(data, 8), Signature),
+      s"$where: bad PNG signature")
+    val (wantColor, wantDepth, channels) = layout(sampleBits, where)
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd) {
+      require(off + 12 <= data.length, s"$where: truncated PNG chunk header")
+      val len = u32(data, off).toInt
+      require(len >= 0 && off + 12 + len <= data.length,
+        s"$where: PNG chunk overruns the payload")
+      val ctype = new String(data, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(data, off + 4, 4 + len)
+      require(crc.getValue == u32(data, off + 8 + len),
+        s"$where: PNG $ctype chunk CRC mismatch")
+      ctype match {
+        case "IHDR" =>
+          require(len == 13, s"$where: IHDR of $len bytes")
+          w = u32(data, off + 8).toInt
+          h = u32(data, off + 12).toInt
+          val depth = data(off + 16) & 0xFF
+          val color = data(off + 17) & 0xFF
+          require(depth == wantDepth && color == wantColor,
+            s"$where: PNG depth $depth / color type $color does not carry " +
+              s"$sampleBits-bit samples")
+          require((data(off + 18) & 0xFF) == 0, s"$where: PNG compression != deflate")
+          require((data(off + 19) & 0xFF) == 0, s"$where: PNG filter method != 0")
+          require((data(off + 20) & 0xFF) == 0, s"$where: interlaced PNG unsupported")
+          require(w > 0 && h > 0 && w.toLong * h == n,
+            s"$where: PNG is $w x $h for $n packed points")
+        case "IDAT" => idat.write(data, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks carry no pixel data
+      }
+      off += 12 + len
+    }
+    require(w > 0, s"$where: PNG without IHDR")
+    val bitsPerPixel = wantDepth * channels
+    val rowBytes = (w.toLong * bitsPerPixel + 7) / 8
+    require(rowBytes <= Int.MaxValue / 2, s"$where: implausible PNG row")
+    val raw = inflate(idat.toByteArray, (h * (rowBytes + 1)).toInt, where)
+    unfilter(raw, h, rowBytes.toInt, math.max(1, bitsPerPixel / 8), where)
+    // samples, row-major, MSB-first within a byte for sub-byte depths
+    val out = new Array[Long](n)
+    var k = 0
+    var row = 0
+    while (row < h) {
+      val base = row * (rowBytes.toInt + 1) + 1
+      var i = 0
+      while (i < w) {
+        var v = 0L
+        if (wantDepth < 8) {
+          val bit = i * wantDepth
+          v = ((raw(base + (bit >> 3)) & 0xFF) >> (8 - wantDepth - (bit & 7))) &
+            ((1 << wantDepth) - 1)
+        } else {
+          val bytesPer = (wantDepth / 8) * channels
+          val o = base + i * bytesPer
+          var b = 0
+          while (b < bytesPer) { v = (v << 8) | (raw(o + b) & 0xFFL); b += 1 }
+        }
+        out(k) = v
+        k += 1; i += 1
+      }
+      row += 1
+    }
+    out
+  }
+
+  /** Encode samples as a single-IDAT PNG (filter 0 rows). `w` is chosen
+    * as the grid width by the caller; any factorization decodes. */
+  def encode(samples: Array[Long], w: Int, h: Int, sampleBits: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w.toLong * h == samples.length, "bad PNG dims")
+    val (color, depth, channels) = layout(sampleBits, "png-encode")
+    val bitsPerPixel = depth * channels
+    val rowBytes = ((w.toLong * bitsPerPixel + 7) / 8).toInt
+    val raw = new Array[Byte](h * (rowBytes + 1))
+    var k = 0
+    var row = 0
+    while (row < h) {
+      val base = row * (rowBytes + 1) + 1 // filter byte 0 at base-1
+      var i = 0
+      while (i < w) {
+        val v = samples(k)
+        if (depth < 8) {
+          val bit = i * depth
+          raw(base + (bit >> 3)) = (raw(base + (bit >> 3)) |
+            ((v & ((1 << depth) - 1)) << (8 - depth - (bit & 7)))).toByte
+        } else {
+          val bytesPer = (depth / 8) * channels
+          val o = base + i * bytesPer
+          var b = 0
+          while (b < bytesPer) {
+            raw(o + b) = (v >> (8 * (bytesPer - 1 - b))).toByte
+            b += 1
+          }
+        }
+        k += 1; i += 1
+      }
+      row += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Signature)
+    val ihdr = new Array[Byte](13)
+    def put32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v >> 24).toByte; b(o + 1) = (v >> 16).toByte
+      b(o + 2) = (v >> 8).toByte; b(o + 3) = v.toByte
+    }
+    put32(ihdr, 0, w); put32(ihdr, 4, h)
+    ihdr(8) = depth.toByte; ihdr(9) = color.toByte
+    writeChunk(bos, "IHDR", ihdr)
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    writeChunk(bos, "IDAT", comp.toByteArray)
+    writeChunk(bos, "IEND", Array.emptyByteArray)
+    bos.toByteArray
+  }
+
+  private def writeChunk(bos: java.io.ByteArrayOutputStream, ctype: String,
+      payload: Array[Byte]): Unit = {
+    val len = payload.length
+    bos.write(Array[Byte]((len >> 24).toByte, (len >> 16).toByte,
+      (len >> 8).toByte, len.toByte))
+    val tb = ctype.getBytes("US-ASCII")
+    bos.write(tb)
+    bos.write(payload)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(payload)
+    val c = crc.getValue
+    bos.write(Array[Byte]((c >> 24).toByte, (c >> 16).toByte,
+      (c >> 8).toByte, c.toByte))
+  }
+
+  private def inflate(comp: Array[Byte], expect: Int, where: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    val out = new Array[Byte](expect)
+    var off = 0
+    try {
+      while (off < expect && !inf.finished()) {
+        val n = inf.inflate(out, off, expect - off)
+        require(n > 0 || !inf.needsInput, s"$where: truncated PNG IDAT stream")
+        if (n == 0 && inf.needsInput) throw new IllegalArgumentException(
+          s"$where: truncated PNG IDAT stream")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"$where: corrupt PNG IDAT: ${e.getMessage}")
+    } finally inf.end()
+    require(off == expect, s"$where: PNG IDAT short by ${expect - off} bytes")
+    out
+  }
+
+  /** In-place reconstruction of filtered scanlines (RFC 2083 §6). */
+  private def unfilter(raw: Array[Byte], h: Int, rowBytes: Int, bpp: Int,
+      where: String): Unit = {
+    var row = 0
+    while (row < h) {
+      val base = row * (rowBytes + 1)
+      val ft = raw(base) & 0xFF
+      val cur = base + 1
+      val prev = cur - (rowBytes + 1)
+      var i = 0
+      ft match {
+        case 0 => ()
+        case 1 => // Sub
+          i = bpp
+          while (i < rowBytes) {
+            raw(cur + i) = (raw(cur + i) + raw(cur + i - bpp)).toByte; i += 1
+          }
+        case 2 => // Up
+          if (row > 0) {
+            while (i < rowBytes) {
+              raw(cur + i) = (raw(cur + i) + raw(prev + i)).toByte; i += 1
+            }
+          }
+        case 3 => // Average
+          while (i < rowBytes) {
+            val a = if (i >= bpp) raw(cur + i - bpp) & 0xFF else 0
+            val b = if (row > 0) raw(prev + i) & 0xFF else 0
+            raw(cur + i) = (raw(cur + i) + ((a + b) >> 1)).toByte; i += 1
+          }
+        case 4 => // Paeth
+          while (i < rowBytes) {
+            val a = if (i >= bpp) raw(cur + i - bpp) & 0xFF else 0
+            val b = if (row > 0) raw(prev + i) & 0xFF else 0
+            val c = if (i >= bpp && row > 0) raw(prev + i - bpp) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            raw(cur + i) = (raw(cur + i) + pred).toByte; i += 1
+          }
+        case other => throw new IllegalArgumentException(
+          s"$where: PNG filter type $other unsupported")
+      }
+      row += 1
+    }
+  }
+}

@@ -73,6 +73,49 @@ class Grib2Spec extends AnyFunSuite {
     checkValues(p, (_, _) => false)
   }
 
+  test("PNG packing (5.41) round-trips, with and without bitmap") {
+    val p = tmpFile("png")
+    writeFixture(p, "png")
+    checkValues(p, (_, _) => false)
+    val pb = tmpFile("png_bm")
+    def miss(j: Int, i: Int): Boolean = (j * Ni + i) % 7 == 0
+    writeFixture(pb, "png", miss)
+    checkValues(pb, miss)
+  }
+
+  test("PNG codec decodes the JDK encoder's output and rejects corruption") {
+    // interop: a REAL third-party encoder (ImageIO) with its own filter
+    // choices must decode to the same samples
+    val (w, h) = (23, 17)
+    val samples = Array.tabulate(w * h)(k => ((k * 37) % 256).toLong)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, samples(y * w + x).toInt)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val got = graft.raquet.Png.decode(bos.toByteArray, w * h, 8, "jdk-png")
+    assert(got.toSeq == samples.toSeq)
+    // 16-bit grayscale through our own encoder
+    val s16 = Array.tabulate(64)(k => (k * 1021L) % 65536)
+    assert(graft.raquet.Png.decode(
+      graft.raquet.Png.encode(s16, 8, 8, 16), 64, 16, "t16").toSeq == s16.toSeq)
+    // 24-bit RGB samples
+    val s24 = Array.tabulate(30)(k => (k * 567891L) % (1L << 24))
+    assert(graft.raquet.Png.decode(
+      graft.raquet.Png.encode(s24, 6, 5, 24), 30, 24, "t24").toSeq == s24.toSeq)
+    // corrupt a byte inside IDAT → CRC mismatch, loud failure
+    val ok = graft.raquet.Png.encode(s16, 8, 8, 16)
+    val bad = ok.clone(); bad(ok.length - 20) = (bad(ok.length - 20) ^ 0x5A).toByte
+    val e = intercept[IllegalArgumentException] {
+      graft.raquet.Png.decode(bad, 64, 16, "corrupt") }
+    assert(e.getMessage.contains("CRC") || e.getMessage.contains("IDAT"))
+    // wrong pixel count fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      graft.raquet.Png.decode(ok, 63, 16, "count") }
+    assert(e2.getMessage.contains("packed points"))
+  }
+
   test("complex packing round-trips, with and without bitmap") {
     val p = tmpFile("complex")
     writeFixture(p, "complex")
