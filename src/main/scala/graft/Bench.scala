@@ -291,6 +291,10 @@ object Bench {
       TextOps.lmScore(Tables.documents(s, dir).select("doc_id", "text"))),
     "b_dup_clusters" -> (graft.operators.LlmQueries.q56DupClusters _),
     "b_ivf_knn" -> (graft.operators.LlmQueries.q51IvfKnn _),
+    // SemDeDup verdict: bucket equi-join, Σ per-bucket n² candidates
+    "b_semdedup" -> ((s: SparkSession, dir: String) =>
+      EmbedOps.semDedup(Tables.embeddings(s, dir), planes = 8, dim = 64,
+        tau = 0.35)),
     // 30k synthesized 32x32 images: dHash (codegen'd kernel projection)
     // + the 4x16-bit hamming-blocked pair join, collision-heavy on purpose
     "b_image_dedup" -> ((s: SparkSession, _: String) =>
