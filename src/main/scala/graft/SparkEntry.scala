@@ -182,6 +182,7 @@ object SparkEntry {
     "q161_grib_gaussian"    -> (RaquetQueries.q161GribGaussian _),
     "q162_grib1_gaussian"   -> (RaquetQueries.q162Grib1Gaussian _),
     "q163_grib_png"         -> (RaquetQueries.q163GribPng _),
+    "q164_grib_reduced"     -> (RaquetQueries.q164GribReduced _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -394,6 +395,7 @@ object SparkEntry {
     "q148_grib_complex"     -> RaquetOracles.q79,
     // q163 is the q147 container with PNG (5.41) packing — same oracle
     "q163_grib_png"         -> RaquetOracles.q79,
+    "q164_grib_reduced"     -> RaquetOracles.q164,
     "q149_grib1_ingest"     -> RaquetOracles.q149,
     "q150_grib_lcc"         -> RaquetOracles.q150,
     "q151_grib_polar"       -> RaquetOracles.q151,

@@ -643,6 +643,43 @@ object RaquetOracles {
           CAST((pj // 16) * 8 + pi // 16 AS BIGINT) AS v
         FROM probes"""
 
+  /** q164: reduced Gaussian — the q161 latitude CTE, plus each probed
+    * row's point count derived from the same |lat| > 45° rule the grid
+    * was built with, so probe longitudes are m·(360/rowN). Values are
+    * the ((row·7 + point·3) mod 200) plane. */
+  val q164: String =
+    s"""WITH RECURSIVE newt AS (
+          SELECT i, 0 AS it, 1 AS stp,
+            cos(pi() * (i + 0.75) / 32.5) AS x,
+            CAST(1 AS DOUBLE) AS pkm1,
+            cos(pi() * (i + 0.75) / 32.5) AS pk
+          FROM range(32) r(i)
+          UNION ALL
+          SELECT i,
+            CASE WHEN stp < 32 THEN it ELSE it + 1 END,
+            CASE WHEN stp < 32 THEN stp + 1 ELSE 1 END,
+            CASE WHEN stp < 32 THEN x
+                 ELSE x - (pk * (x*x - 1) / 32) / (x * pk - pkm1) END,
+            CASE WHEN stp < 32 THEN pk ELSE CAST(1 AS DOUBLE) END,
+            CASE WHEN stp < 32
+                 THEN ((2*stp + 1) * x * pk - stp * pkm1) / (stp + 1)
+                 ELSE x - (pk * (x*x - 1) / 32) / (x * pk - pkm1) END
+          FROM newt WHERE it < 8),
+        roots AS (
+          SELECT i AS gk, degrees(asin(x)) AS glat
+          FROM newt WHERE it = 8 AND stp = 1),
+        probes AS (
+          SELECT pm, pj, glat,
+            CASE WHEN abs(glat) > 45 THEN 16 ELSE 32 END AS rn
+          FROM (VALUES (3),(11),(19),(25)) a(pj)
+          CROSS JOIN (VALUES (1),(3),(5),(7)) b(pm)
+          JOIN roots ON gk = pj + 2)
+        SELECT CAST(pm AS BIGINT) AS pm, CAST(pj AS BIGINT) AS pj,
+          round(pm * (360.0 / rn), 5) AS lon_r,
+          round(glat, 5) AS lat_r,
+          CAST(((pj + 2) * 7 + pm * 3) % 200 AS BIGINT) AS v
+        FROM probes"""
+
   /** q151: spherical north-polar stereographic closed form (Snyder §21,
     * variant with standard parallel 70N): ρ(φ) = a·cos70·tan(π/4−φ/2) /
     * tan(π/4−70/2·rad), E = ρ sinθ, N = −ρ cosθ, θ = λ−λ0. */

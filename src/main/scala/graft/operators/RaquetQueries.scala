@@ -1792,6 +1792,53 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB2 template 3.40, REDUCED Gaussian — ERA5's native layout)
+    * driver proof: the q161 28-row subset with per-row point counts from
+    * the |lat| > 45° rule (16 points on polar rows, 32 on temperate —
+    * both divisors of the 32-wide virtual raster, so every probe's
+    * virtual column resolves to its own row point exactly). The oracle
+    * recomputes the Gaussian latitudes by Newton-on-Legendre AND derives
+    * each probed row's point count from the same latitude rule, so the
+    * reduced-row geometry is verified end to end. */
+  def q164GribReduced(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q164"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/reduced.grib2"
+    val nj = 28
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val rowNi = (0 until nj).map(jf => if (math.abs(lats(jf + 2)) > 45) 16 else 32)
+    val values = rowNi.zipWithIndex.flatMap { case (rn, jf) =>
+      (0 until rn).map(m => Some(((jf + 2) * 7 + m * 3) % 200))
+    }.toArray[Option[Int]]
+    val plane = graft.raquet.Grib2Writer.Plane(0, values)
+    val sec3 = graft.raquet.Grib2Writer.sec3GaussianReduced(nj,
+      la1Micro = math.round(lats(2) * 1e6), lo1Micro = 0L,
+      la2Micro = math.round(lats(29) * 1e6), nPar = 16, rowNi = rowNi)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/reduced.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (jf <- Seq(3, 11, 19, 25); m <- Seq(1, 3, 5, 7)) yield {
+      val rn = rowNi(jf)
+      val lon = m * (360.0 / rn)
+      val lat = lats(jf + 2)
+      (m.toLong, jf.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pm", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pm"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB edition-1 Gaussian, GDS type 4) driver proof: the q161
     * subset design in edition-1 millidegree coordinates (Di = 2.812°; the
     * 45/16 increment is not millidegree-expressible), conventional

@@ -104,10 +104,14 @@ object Grib2 {
   /** A GRIB grid as a uniform raster in its own plane: `xFirst`/`yFirst`
     * locate the FIRST grid point (center) in `proj` coordinates — degrees
     * for template 3.0 (geographic), meters for the projected templates
-    * 3.20 (polar stereographic) and 3.30 (Lambert conformal). */
+    * 3.20 (polar stereographic) and 3.30 (Lambert conformal). For REDUCED
+    * Gaussian grids `rowNi` holds the per-row point counts (file order)
+    * and `ni`/`di` describe the VIRTUAL regular grid at the widest row;
+    * sampling resolves each virtual column to the row's nearest point. */
   final case class Grid(ni: Int, nj: Int, yFirst: Double, xFirst: Double,
       di: Double, dj: Double, jPositive: Boolean, npoints: Long,
-      proj: graft.geo.Projection = graft.geo.Geographic)
+      proj: graft.geo.Projection = graft.geo.Geographic,
+      rowNi: Seq[Int] = Nil)
 
   /** Earth shape (octets 15-30 of every 3.x template): (semi-major a,
     * inverse flattening; spheres use invF = ∞, which the projection math
@@ -155,20 +159,39 @@ object Grib2 {
       case 40 => 72
       case _ => 15
     }), s"$where: section 3 too short for template 3.$tmpl")
-    require(u8(sec3, 10) == 0,
-      s"$where: optional grid point lists (quasi-regular grids) unsupported")
+    val plOctets = u8(sec3, 10)
+    require(plOctets == 0 ||
+      (tmpl == 40 && plOctets == 2 && u8(sec3, 11) == 1),
+      s"$where: optional grid point lists unsupported outside " +
+        "reduced-Gaussian template 3.40 (2-octet entries, interpretation 1)")
     val npoints = u32(sec3, 6)
     val ni = u32(sec3, 30).toInt
     val nj = u32(sec3, 34).toInt
-    require(ni > 0 && nj > 0 && ni.toLong * nj == npoints,
-      s"$where: grid $ni x $nj does not cover $npoints data points " +
-        "(quasi-regular grids unsupported)")
     // a single field cannot plausibly carry a quarter-billion points
     // (0.1-degree global is ~6.5M); a corrupt count must fail here, not
     // overflow Int or allocate gigabytes downstream
     require(npoints <= (1L << 28),
       s"$where: implausible field size $npoints points")
     val missing = 0xFFFFFFFFL
+    /** Reduced-Gaussian per-row point counts (PL list after octet 72). */
+    val rowNi: Seq[Int] =
+      if (plOctets == 0) Nil
+      else {
+        require(ni == missing.toInt,
+          s"$where: Ni coded alongside a per-row point list")
+        require(nj > 0 && nj <= (1 << 16), s"$where: implausible Nj=$nj")
+        require(sec3.length >= 72 + 2 * nj, s"$where: PL list truncated")
+        val l = Vector.tabulate(nj)(r => u16(sec3, 72 + 2 * r))
+        require(l.forall(_ > 0), s"$where: empty row in PL list")
+        require(l.map(_.toLong).sum == npoints,
+          s"$where: PL list sums to ${l.map(_.toLong).sum}, " +
+            s"section declares $npoints points")
+        l
+      }
+    if (plOctets == 0)
+      require(ni > 0 && nj > 0 && ni.toLong * nj == npoints,
+        s"$where: grid $ni x $nj does not cover $npoints data points " +
+          "(quasi-regular grids unsupported)")
     tmpl match {
       case 0 => // regular lat/lon
         val basicAngle = u32(sec3, 38)
@@ -190,15 +213,12 @@ object Grib2 {
         val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
         Grid(ni, nj, la1, lo1, di * unit, dj * unit, jPos, npoints)
 
-      case 40 => // regular Gaussian (ECMWF/ERA-style spectral-model output)
+      case 40 => // regular/reduced Gaussian (ECMWF/ERA spectral-model grids)
         val basicAngle = u32(sec3, 38)
         require(basicAngle == 0 || basicAngle == missing,
           s"$where: Gaussian grid with basic angle unsupported")
         val la1 = s32(sec3, 46) * 1e-6
         val lo1raw = s32(sec3, 50) * 1e-6
-        val di = u32(sec3, 63)
-        require(di != missing,
-          s"$where: i direction increment not given — unsupported")
         val nPar = u32(sec3, 67) // parallels between a pole and the equator
         require(nPar != missing && nPar >= 1 && nPar <= 2048 &&
           nj <= 2 * nPar, s"$where: implausible Gaussian N=$nPar for Nj=$nj")
@@ -211,7 +231,18 @@ object Grib2 {
         // so allow that rounding); a mismatch means N and La1 disagree
         require(math.abs(yRaw - y1) < 0.01,
           s"$where: first latitude $la1 is not a Gaussian N$nPar row")
-        Grid(ni, nj, y1, lo1, di * 1e-6, 1.0, jPos, npoints, proj)
+        if (rowNi.isEmpty) {
+          val di = u32(sec3, 63)
+          require(di != missing,
+            s"$where: i direction increment not given — unsupported")
+          Grid(ni, nj, y1, lo1, di * 1e-6, 1.0, jPos, npoints, proj)
+        } else {
+          // reduced grid: every row spans the full circle from lo1 with
+          // its own spacing; expose the widest row as the virtual raster
+          val niV = rowNi.max
+          Grid(niV, nj, y1, lo1, 360.0 / niV, 1.0, jPos, npoints, proj,
+            rowNi)
+        }
 
       case 10 => // Mercator (NCEP tropical/oceanic products)
         val (a, invF) = parseEarth(sec3, where)
@@ -732,10 +763,22 @@ object Grib2 {
         unpack(f, sec7, bitmap, g.path)
       } finally raf.close()
     }
+    // reduced-Gaussian row offsets into the flat plane (file order)
+    private val rowStart: Array[Int] =
+      if (g.grid.rowNi.isEmpty) null
+      else g.grid.rowNi.scanLeft(0)(_ + _).toArray
     def sample(band: Int, px: Int, py: Int): Double = {
       // py is north-up; scan 0x00 stores north row first, 0x40 south first
       val fileRow = if (g.grid.jPositive) g.grid.nj - 1 - py else py
-      plane(fileRow * g.grid.ni + px)
+      if (rowStart == null) plane(fileRow * g.grid.ni + px)
+      else {
+        // virtual column px → the row's nearest own point (both start at
+        // lo1 and span the full circle, so this is pure index arithmetic)
+        val rn = g.grid.rowNi(fileRow)
+        val niV = g.grid.ni
+        val idx = ((2 * px * rn + niV) / (2 * niV)) % rn
+        plane(rowStart(fileRow) + idx)
+      }
     }
   }
 

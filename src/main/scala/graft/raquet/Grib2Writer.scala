@@ -126,6 +126,26 @@ object Grib2Writer {
       sN(la2Micro, 4) ++ sN(lo1Micro + (ni - 1) * diMicro, 4) ++
       u32(diMicro) ++ u32(nPar) ++ Array[Byte](0x00 /*scan: N→S*/))
 
+  /** Template 3.40 REDUCED Gaussian section 3: Ni and Di missing, a
+    * 2-octet PL list (points per row, interpretation 1) after octet 72.
+    * Every row starts at lo1 and spans the full circle. */
+  def sec3GaussianReduced(nj: Int, la1Micro: Long, lo1Micro: Long,
+      la2Micro: Long, nPar: Int, rowNi: Seq[Int]): Array[Byte] = {
+    require(rowNi.length == nj, s"PL list has ${rowNi.length} rows for Nj=$nj")
+    section(3, Array[Byte](0) ++ u32(rowNi.map(_.toLong).sum) ++
+      Array[Byte](2 /*PL entry octets*/, 1 /*interpretation: per row*/) ++
+      u16(40 /*template 3.40*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(0xFFFFFFFFL /*Ni missing*/) ++ u32(nj) ++
+      u32(0 /*basic angle*/) ++ u32(0) ++
+      sN(la1Micro, 4) ++ sN(lo1Micro, 4) ++ Array[Byte](0x30) ++
+      sN(la2Micro, 4) ++ sN(lo1Micro, 4) ++
+      u32(0xFFFFFFFFL /*Di missing*/) ++ u32(nPar) ++
+      Array[Byte](0x00 /*scan: N→S*/) ++
+      rowNi.flatMap(n => u16(n)).toArray)
+  }
+
   /** Template 3.10 (Mercator) section 3: sphere r=6371229, cylinder
     * intersection at laD (Di/Dj true there, millimeters), orientation 0,
     * scan W→E S→N. La2/Lo2 name the last grid point (informational). */

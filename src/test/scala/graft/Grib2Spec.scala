@@ -329,6 +329,48 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("Gaussian"))
   }
 
+  test("reduced Gaussian (PL list): virtual columns resolve to each row's nearest point") {
+    val nj = 4
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val rowNi = Seq(8, 16, 16, 8) // rows 2..5 of N16, mixed widths
+    val values = rowNi.zipWithIndex.flatMap { case (rn, jf) =>
+      (0 until rn).map(m => Some(jf * 20 + m))
+    }.toArray[Option[Int]]
+    val sec3 = Grib2Writer.sec3GaussianReduced(nj,
+      la1Micro = math.round(lats(2) * 1e6), lo1Micro = 0L,
+      la2Micro = math.round(lats(5) * 1e6), nPar = 16, rowNi = rowNi)
+    val msg = Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      Plane(0, values), nbits = 8, packing = "simple", 0, 0, 0)
+    val p = tmpFile("reduced")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    assert(g.grid.ni == 16 && g.grid.rowNi == rowNi)
+    assert(math.abs(g.grid.di - 22.5) < 1e-12)
+    val s = g.sampler(0, 0, 0, 16, nj)
+    // north row (8 points through 16 virtual columns): px 2k and the
+    // adjacent px 2k+1 both resolve to point k (nearest; ties round up)
+    for (k <- 0 until 8) {
+      assert(s.sample(0, 2 * k, 0) == k.toDouble, s"px=${2 * k}")
+      assert(s.sample(0, math.min(15, 2 * k + 1), 0) ==
+        (if (k == 7) 0.0 else (k + 1).toDouble), s"px=${2 * k + 1}") // wraps at 360°
+    }
+    // full-width row passes straight through
+    for (px <- 0 until 16) assert(s.sample(0, px, 1) == 20.0 + px)
+    // PL sum disagreeing with the declared point count fails loudly
+    val bad = Grib2Writer.sec3GaussianReduced(nj,
+      la1Micro = math.round(lats(2) * 1e6), lo1Micro = 0L,
+      la2Micro = math.round(lats(5) * 1e6), nPar = 16, rowNi = rowNi)
+    bad(72 + 1) = (bad(72 + 1) ^ 0x04).toByte // corrupt a PL entry
+    val msgBad = Grib2Writer.messageWithSec3(bad, (2021, 1, 1, 0),
+      Plane(0, values), nbits = 8, packing = "simple", 0, 0, 0)
+    val pb = tmpFile("reducedbad")
+    val ob = new java.io.FileOutputStream(pb)
+    try ob.write(msgBad) finally ob.close()
+    val e = intercept[IllegalArgumentException] { Grib2.describe(pb) }
+    assert(e.getMessage.contains("PL list"))
+  }
+
   test("multi-parameter and malformed files fail loudly") {
     // two messages with different parameter numbers
     val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,
