@@ -183,6 +183,7 @@ object SparkEntry {
     "q162_grib1_gaussian"   -> (RaquetQueries.q162Grib1Gaussian _),
     "q163_grib_png"         -> (RaquetQueries.q163GribPng _),
     "q164_grib_reduced"     -> (RaquetQueries.q164GribReduced _),
+    "q165_grib1_reduced"    -> (RaquetQueries.q165Grib1Reduced _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -396,6 +397,8 @@ object SparkEntry {
     // q163 is the q147 container with PNG (5.41) packing — same oracle
     "q163_grib_png"         -> RaquetOracles.q79,
     "q164_grib_reduced"     -> RaquetOracles.q164,
+    // q165 is q164's grid through the edition-1 container — same oracle
+    "q165_grib1_reduced"    -> RaquetOracles.q164,
     "q149_grib1_ingest"     -> RaquetOracles.q149,
     "q150_grib_lcc"         -> RaquetOracles.q150,
     "q151_grib_polar"       -> RaquetOracles.q151,

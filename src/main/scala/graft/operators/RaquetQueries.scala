@@ -1839,6 +1839,48 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB edition-1 REDUCED Gaussian — ERA-Interim's native layout)
+    * driver proof: the q164 design through the edition-1 GDS (Ni missing,
+    * PL list at octet 33, millidegree La1). Identical oracle — the grid
+    * is angular, so the edition changes only the container bytes. */
+  def q165Grib1Reduced(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q165"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/reduced.grib"
+    val nj = 28
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val rowNi = (0 until nj).map(jf => if (math.abs(lats(jf + 2)) > 45) 16 else 32)
+    val values = rowNi.zipWithIndex.flatMap { case (rn, jf) =>
+      (0 until rn).map(m => Some(((jf + 2) * 7 + m * 3) % 200))
+    }.toArray[Option[Int]]
+    val gds = graft.raquet.Grib1Writer.gdsGaussianReduced(nj,
+      la1Milli = math.round(lats(2) * 1e3).toInt, lo1Milli = 0,
+      la2Milli = math.round(lats(29) * 1e3).toInt, nPar = 16, rowNi = rowNi)
+    val msg = graft.raquet.Grib1Writer.messageWithGds(gds, values.length,
+      (2004, 5, 1, 6), graft.raquet.Grib2Writer.Plane(0, values), nbits = 8)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/reduced.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (jf <- Seq(3, 11, 19, 25); m <- Seq(1, 3, 5, 7)) yield {
+      val rn = rowNi(jf)
+      val lon = m * (360.0 / rn)
+      val lat = lats(jf + 2)
+      (m.toLong, jf.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pm", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pm"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB edition-1 Gaussian, GDS type 4) driver proof: the q161
     * subset design in edition-1 millidegree coordinates (Di = 2.812°; the
     * 45/16 increment is not millidegree-expressible), conventional

@@ -168,12 +168,26 @@ object Grib1 {
     val gridType = u8(gds, 5)
     val ni = u16(gds, 6)
     val nj = u16(gds, 8)
-    require(ni != 0xFFFF && nj != 0xFFFF,
-      s"$path: quasi-regular grid (Ni/Nj missing) unsupported")
-    require(ni > 0 && nj > 0 && ni.toLong * nj <= (1L << 28),
+    require(nj != 0xFFFF && nj > 0, s"$path: Nj missing")
+    // Ni missing ⇒ reduced grid: allowed only for Gaussian (type 4) with a
+    // PL list (octet 5 locates it; NV must be 0 so the list is row counts)
+    val rowNi: Seq[Int] =
+      if (ni != 0xFFFF) Nil
+      else {
+        val pl = u8(gds, 4)
+        require(gridType == 4 && u8(gds, 3) == 0 && pl != 255 && pl >= 33,
+          s"$path: quasi-regular grid outside Gaussian-with-PL unsupported")
+        require(gds.length >= pl - 1 + 2 * nj, s"$path: PL list truncated")
+        val l = Vector.tabulate(nj)(r => u16(gds, pl - 1 + 2 * r))
+        require(l.forall(n => n > 0 && n != 0xFFFF),
+          s"$path: empty row in PL list")
+        l
+      }
+    require(rowNi.nonEmpty ||
+      (ni > 0 && ni.toLong * nj <= (1L << 28)),
       s"$path: implausible grid $ni x $nj")
     val resFlags = u8(gds, 16)
-    require((resFlags & 0x80) != 0,
+    require(rowNi.nonEmpty || (resFlags & 0x80) != 0,
       s"$path: GDS without direction increments unsupported")
     require(gridType == 0 || gridType == 4 || (resFlags & 0x40) == 0,
       s"$path: oblate-earth (IAU 1965) projected grids unsupported " +
@@ -200,15 +214,12 @@ object Grib1 {
         Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3,
           scanAt(27), ni.toLong * nj)
 
-      case 4 => // regular Gaussian: Di millideg, "Dj" slot carries N
+      case 4 => // regular/reduced Gaussian: Di millideg, "Dj" slot is N
         require(gds.length >= 32,
           s"$path: Gaussian GDS of ${gds.length} octets")
-        val di = u16(gds, 23)
         val nPar = u16(gds, 25)
-        require(di != 0xFFFF && nPar != 0xFFFF,
-          s"$path: Di / N not given — unsupported")
-        require(nPar >= 1 && nPar <= 2048 && nj <= 2 * nPar,
-          s"$path: implausible Gaussian N=$nPar for Nj=$nj")
+        require(nPar != 0xFFFF && nPar >= 1 && nPar <= 2048 &&
+          nj <= 2 * nPar, s"$path: implausible Gaussian N=$nPar for Nj=$nj")
         val jPos = scanAt(27)
         val proj = graft.geo.GaussianGrid(2 * nPar)
         val yRaw = proj.fromLonLat(lo1, la1)._2
@@ -216,7 +227,16 @@ object Grib1 {
         // la1 is coded in millidegrees — allow that rounding in the snap
         require(math.abs(yRaw - y1) < 0.05,
           s"$path: first latitude $la1 is not a Gaussian N$nPar row")
-        Grib2.Grid(ni, nj, y1, lo1, di * 1e-3, 1.0, jPos, ni.toLong * nj, proj)
+        if (rowNi.isEmpty) {
+          val di = u16(gds, 23)
+          require(di != 0xFFFF, s"$path: Di not given — unsupported")
+          Grib2.Grid(ni, nj, y1, lo1, di * 1e-3, 1.0, jPos,
+            ni.toLong * nj, proj)
+        } else {
+          val niV = rowNi.max
+          Grib2.Grid(niV, nj, y1, lo1, 360.0 / niV, 1.0, jPos,
+            rowNi.map(_.toLong).sum, proj, rowNi)
+        }
 
       case 1 => // Mercator: Di/Dj in meters, true at Latin
         require(gds.length >= 42, s"$path: Mercator GDS of ${gds.length} octets")
@@ -374,9 +394,19 @@ object Grib1 {
         unpack(f, bds, bitmap, g.path)
       } finally raf.close()
     }
+    // reduced-Gaussian row offsets into the flat plane (file order)
+    private val rowStart: Array[Int] =
+      if (g.grid.rowNi.isEmpty) null
+      else g.grid.rowNi.scanLeft(0)(_ + _).toArray
     def sample(band: Int, px: Int, py: Int): Double = {
       val fileRow = if (g.grid.jPositive) g.grid.nj - 1 - py else py
-      plane(fileRow * g.grid.ni + px)
+      if (rowStart == null) plane(fileRow * g.grid.ni + px)
+      else {
+        val rn = g.grid.rowNi(fileRow)
+        val niV = g.grid.ni
+        val idx = ((2 * px * rn + niV) / (2 * niV)) % rn
+        plane(rowStart(fileRow) + idx)
+      }
     }
   }
 

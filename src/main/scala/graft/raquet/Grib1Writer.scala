@@ -76,6 +76,23 @@ object Grib1Writer {
     gds
   }
 
+  /** REDUCED Gaussian GDS (grid type 4): Ni and increments missing, octet
+    * 5 points at the PL list of 2-octet per-row counts (octet 33). */
+  def gdsGaussianReduced(nj: Int, la1Milli: Int, lo1Milli: Int,
+      la2Milli: Int, nPar: Int, rowNi: Seq[Int]): Array[Byte] = {
+    require(rowNi.length == nj, s"PL list has ${rowNi.length} rows for Nj=$nj")
+    val gds = u24(32 + 2 * nj) ++ Array[Byte](0 /*NV*/, 33 /*PL at octet 33*/, 4) ++
+      u16(0xFFFF /*Ni missing*/) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x00 /*res flags: no increments*/) ++
+      s24(la2Milli) ++ s24(lo1Milli) ++
+      u16(0xFFFF /*Di missing*/) ++ u16(nPar) ++
+      Array[Byte](0x00 /*scan: N→S*/) ++ Array.fill[Byte](4)(0) ++
+      rowNi.flatMap(n => u16(n)).toArray
+    require(gds.length == 32 + 2 * nj, s"reduced GDS is ${gds.length} octets")
+    gds
+  }
+
   /** Regular Gaussian GDS (grid type 4): Di in millidegrees, the Dj slot
     * carries N (parallels pole→equator), scan 0x00 (N→S). */
   def gdsGaussian(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,

@@ -195,6 +195,28 @@ class Grib1Spec extends AnyFunSuite {
       assert(s.sample(0, i, j) == (j * ni + i) % 200, s"($i,$j)")
   }
 
+  test("reduced Gaussian (PL list at octet 33) samples through the virtual raster") {
+    val nj = 4
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val rowNi = Seq(8, 16, 16, 8)
+    val values = rowNi.zipWithIndex.flatMap { case (rn, jf) =>
+      (0 until rn).map(m => Some(jf * 20 + m))
+    }.toArray[Option[Int]]
+    val gds = Grib1Writer.gdsGaussianReduced(nj,
+      la1Milli = math.round(lats(2) * 1e3).toInt, lo1Milli = 0,
+      la2Milli = math.round(lats(5) * 1e3).toInt, nPar = 16, rowNi = rowNi)
+    val m = Grib1Writer.messageWithGds(gds, values.length, (2004, 5, 1, 6),
+      Plane(0, values), nbits = 8)
+    val p = tmpFile("reduced1")
+    val o = new java.io.FileOutputStream(p)
+    try o.write(m) finally o.close()
+    val g = Grib1.describe(p)
+    assert(g.grid.ni == 16 && g.grid.rowNi == rowNi && g.grid.npoints == 48)
+    val s = g.sampler(0, 0, 0, 16, nj)
+    for (k <- 0 until 8) assert(s.sample(0, 2 * k, 0) == k.toDouble)
+    for (px <- 0 until 16) assert(s.sample(0, px, 1) == 20.0 + px)
+  }
+
   test("unsupported edition-1 shapes fail loudly") {
     val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
       (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),
