@@ -184,6 +184,7 @@ object SparkEntry {
     "q163_grib_png"         -> (RaquetQueries.q163GribPng _),
     "q164_grib_reduced"     -> (RaquetQueries.q164GribReduced _),
     "q165_grib1_reduced"    -> (RaquetQueries.q165Grib1Reduced _),
+    "q166_zarr_sharded"     -> (RaquetQueries.q166ZarrSharded _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -399,6 +400,8 @@ object SparkEntry {
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,
+    // q166 is the q143 grid through a SHARDED v3 store — same oracle
+    "q166_zarr_sharded"     -> RaquetOracles.q79,
     "q149_grib1_ingest"     -> RaquetOracles.q149,
     "q150_grib_lcc"         -> RaquetOracles.q150,
     "q151_grib_polar"       -> RaquetOracles.q151,

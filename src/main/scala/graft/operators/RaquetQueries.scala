@@ -1458,6 +1458,42 @@ object RaquetQueries {
     * `zarr.json` metadata with zarr-python's inline consolidated
     * metadata, `bytes`+`blosc` codec chain, `c/`-prefixed chunk keys.
     * Fifth container for the same grid, same oracle. */
+  /** S6 (Zarr v3 `sharding_indexed`) driver proof: the q143 store with
+    * the data array written as one shard per timestep (60×128 inner
+    * chunks, CRC-32C'd index at the end) — identical oracle; the shard
+    * container must not change one value. */
+  def q166ZarrSharded(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q166"
+    val zarrDir = s"$tmp/synth_shard.zarr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zarrDir))
+    new java.io.File(tmp).mkdirs()
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.ZarrWriter.writeV3(zarrDir, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      }, chunkY = 60, chunkX = 128, dataComp = "blosc", coordComp = "gzip",
+      shard = true)
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, zarrDir, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   def q143ZarrV3Ingest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q143"
     val zarrDir = s"$tmp/synth_v3.zarr"

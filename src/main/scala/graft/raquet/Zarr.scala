@@ -129,6 +129,12 @@ object Zarr {
   case object GzipComp extends Compressor
   case object BloscComp extends Compressor
 
+  /** v3 `sharding_indexed`: each stored chunk is a SHARD of `inner`-shaped
+    * sub-chunks (encoded with `innerComp`) plus a uint64-pair index at
+    * `indexAtEnd`, optionally CRC-32C-protected. */
+  final case class Shard(inner: Seq[Int], innerComp: Compressor,
+      indexAtEnd: Boolean, indexCrc: Boolean) extends Serializable
+
   final case class ZArray(
       name: String, shape: Array[Long], chunks: Array[Int], dtype: ZDtype,
       compressor: Compressor, fillValue: Option[Double], sep: String,
@@ -136,7 +142,8 @@ object Zarr {
       attrsText: Map[String, String], attrsNum: Map[String, Double],
       /** v3 default chunk-key encoding prefixes indices with `c` +
         * separator; v2 (and v3's "v2" encoding) joins indices bare. */
-      cPrefix: Boolean = false) extends Serializable {
+      cPrefix: Boolean = false,
+      shard: Option[Shard] = None) extends Serializable {
     def rank: Int = shape.length
     def chunkKey(idx: Array[Int]): String =
       name + "/" + (if (cPrefix) "c" + sep else "") + idx.mkString(sep)
@@ -291,29 +298,46 @@ object Zarr {
       }
     }
     require(sep == "." || sep == "/", s"$where: chunk key separator '$sep' unsupported")
-    // codec chain: exactly one array→bytes codec (`bytes`), then at most
-    // one supported bytes→bytes compressor
+    // codec chain: one array→bytes codec — `bytes`, or `sharding_indexed`
+    // wrapping an inner `bytes` chain — then at most one supported
+    // bytes→bytes compressor
     val codecs = node.get("codecs")
     require(codecs != null && codecs.isArray && codecs.size() >= 1,
       s"$where: v3 array without codecs")
     val names = (0 until codecs.size()).map(i => codecs.get(i).path("name").asText(""))
-    require(names.head == "bytes",
-      s"$where: first codec '${names.head}' unsupported " +
-        "(bytes array→bytes codec required; sharding/transpose unsupported)")
-    val littleEndian =
-      codecs.get(0).path("configuration").path("endian").asText("little") == "little"
-    val comp: Compressor = names.drop(1) match {
-      case Seq() => NoComp
-      case Seq("gzip") => GzipComp
-      case Seq("blosc") =>
-        require(codecs.get(1).path("configuration").path("shuffle")
-          .asText("shuffle") != "bitshuffle",
-          s"$where: blosc bitshuffle unsupported")
-        BloscComp
-      case other => throw new IllegalArgumentException(
-        s"$where: codec chain [${other.mkString(", ")}] unsupported " +
-          "(none/gzip/blosc after bytes)")
-    }
+    val (littleEndian, comp, shard) =
+      if (names.head == "sharding_indexed") {
+        require(names.length == 1,
+          s"$where: codecs after sharding_indexed unsupported")
+        val cfg = codecs.get(0).path("configuration")
+        val ics = cfg.get("chunk_shape")
+        require(ics != null && ics.isArray && ics.size() == shape.length,
+          s"$where: shard chunk_shape rank != shape rank")
+        val inner = Vector.tabulate(ics.size())(i => ics.get(i).asInt(-1))
+        require(inner.forall(c => c > 0 && c <= (1 << 28)),
+          s"$where: bad shard inner chunk dims")
+        val (le, ic) = parseCodecChain(cfg.get("codecs"), where + " (shard)")
+        val idx = cfg.get("index_codecs")
+        val idxNames =
+          if (idx == null || !idx.isArray) Seq("bytes", "crc32c")
+          else (0 until idx.size()).map(i => idx.get(i).path("name").asText(""))
+        val crc = idxNames match {
+          case Seq("bytes") => false
+          case Seq("bytes", "crc32c") => true
+          case other => throw new IllegalArgumentException(
+            s"$where: shard index_codecs [${other.mkString(", ")}] unsupported")
+        }
+        val atEnd = cfg.path("index_location").asText("end") match {
+          case "end" => true
+          case "start" => false
+          case other => throw new IllegalArgumentException(
+            s"$where: shard index_location '$other' unsupported")
+        }
+        (le, NoComp: Compressor, Some(Shard(inner, ic, atEnd, crc)))
+      } else {
+        val (le, c) = parseCodecChain(codecs, where)
+        (le, c, None)
+      }
     val dtype = parseDtypeV3(node.path("data_type").asText(""), littleEndian, where)
     val fill = node.get("fill_value") match {
       case null => None
@@ -329,7 +353,34 @@ object Zarr {
         s"$where: non-scalar fill_value ${f.getNodeType} unsupported")
     }
     val (ts, ns) = attrMaps(node.get("attributes"))
-    ZArray(name, shape, chunks, dtype, comp, fill, sep, ts, ns, cPrefix)
+    ZArray(name, shape, chunks, dtype, comp, fill, sep, ts, ns, cPrefix, shard)
+  }
+
+  /** A `bytes` array→bytes codec followed by at most one supported
+    * bytes→bytes compressor → (littleEndian, compressor). */
+  private def parseCodecChain(codecs: JsonNode,
+      where: String): (Boolean, Compressor) = {
+    require(codecs != null && codecs.isArray && codecs.size() >= 1,
+      s"$where: missing codecs")
+    val names = (0 until codecs.size()).map(i => codecs.get(i).path("name").asText(""))
+    require(names.head == "bytes",
+      s"$where: first codec '${names.head}' unsupported " +
+        "(bytes array→bytes codec required; transpose unsupported)")
+    val littleEndian =
+      codecs.get(0).path("configuration").path("endian").asText("little") == "little"
+    val comp: Compressor = names.drop(1) match {
+      case Seq() => NoComp
+      case Seq("gzip") => GzipComp
+      case Seq("blosc") =>
+        require(codecs.get(1).path("configuration").path("shuffle")
+          .asText("shuffle") != "bitshuffle",
+          s"$where: blosc bitshuffle unsupported")
+        BloscComp
+      case other => throw new IllegalArgumentException(
+        s"$where: codec chain [${other.mkString(", ")}] unsupported " +
+          "(none/gzip/blosc after bytes)")
+    }
+    (littleEndian, comp)
   }
 
   /** v3 discovery: root `zarr.json` group, arrays one level down — from
@@ -410,6 +461,7 @@ object Zarr {
   /** Decode one chunk object to its raw (still possibly big-endian) array
     * bytes; chunks are stored FULL-SIZE in v2 (edge chunks padded). */
   private[raquet] def decodeChunk(raw: Array[Byte], a: ZArray, where: String): Array[Byte] = {
+    a.shard.foreach(sh => return decodeShard(raw, a, sh, where))
     val expect = a.chunks.foldLeft(1L)(_ * _) * a.dtype.size
     require(expect <= (1 << 30), s"$where: chunk too large ($expect bytes)")
     val out = a.compressor match {
@@ -453,6 +505,113 @@ object Zarr {
     require(out.length == expect,
       s"$where: chunk decoded ${out.length} of expected $expect bytes")
     out
+  }
+
+  /** Reassemble one `sharding_indexed` shard into full outer-chunk bytes:
+    * read the uint64 (offset, nbytes) index (CRC-32C-checked when the
+    * index codec chain says so), decode each present inner chunk through
+    * the inner codec chain, and fill absent inner chunks with the fill
+    * value. Every structural inconsistency fails loudly. */
+  private def decodeShard(raw: Array[Byte], a: ZArray, sh: Shard,
+      where: String): Array[Byte] = {
+    val size = a.dtype.size
+    val rank = a.chunks.length
+    val grid = Array.tabulate(rank) { d =>
+      require(a.chunks(d) % sh.inner(d) == 0,
+        s"$where: shard inner dim ${sh.inner(d)} does not divide chunk " +
+          s"dim ${a.chunks(d)}")
+      a.chunks(d) / sh.inner(d)
+    }
+    val nInner = grid.foldLeft(1L)(_ * _)
+    require(nInner >= 1 && nInner <= (1 << 22),
+      s"$where: implausible shard inner-chunk count $nInner")
+    val idxLen = 16 * nInner.toInt + (if (sh.indexCrc) 4 else 0)
+    require(raw.length >= idxLen, s"$where: shard smaller than its index")
+    val idxOff = if (sh.indexAtEnd) raw.length - idxLen else 0
+    if (sh.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(raw, idxOff, 16 * nInner.toInt)
+      val o = idxOff + 16 * nInner.toInt
+      val stored = (raw(o) & 0xFFL) | ((raw(o + 1) & 0xFFL) << 8) |
+        ((raw(o + 2) & 0xFFL) << 16) | ((raw(o + 3) & 0xFFL) << 24)
+      require(crc.getValue == stored, s"$where: shard index CRC-32C mismatch")
+    }
+    val bb = java.nio.ByteBuffer.wrap(raw, idxOff, 16 * nInner.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val outBytes = a.chunks.foldLeft(1L)(_ * _) * size
+    require(outBytes <= (1 << 30), s"$where: chunk too large ($outBytes bytes)")
+    val out = new Array[Byte](outBytes.toInt)
+    // pre-fill with the fill-value byte pattern (absent inner chunks)
+    val fb = fillBytes(a.dtype, a.fillValue)
+    var k = 0
+    while (k < out.length) { out(k) = fb(k % size); k += 1 }
+    // C-order strides of the outer chunk, in elements
+    val stride = new Array[Long](rank)
+    stride(rank - 1) = 1
+    var d = rank - 2
+    while (d >= 0) { stride(d) = stride(d + 1) * a.chunks(d + 1); d -= 1 }
+    val innerA = a.copy(chunks = sh.inner.toArray, compressor = sh.innerComp,
+      shard = None)
+    val rowLen = sh.inner(rank - 1) * size
+    val gc = new Array[Int](rank) // inner-chunk grid coords, C order
+    var n = 0
+    while (n < nInner) {
+      val off = bb.getLong(idxOff + 16 * n)
+      val len = bb.getLong(idxOff + 16 * n + 8)
+      if (off != -1L || len != -1L) { // (-1, -1) = absent inner chunk
+        require(off >= 0 && len >= 0 && off + len <= raw.length,
+          s"$where: shard index entry $n out of bounds")
+        val dec = decodeChunk(
+          java.util.Arrays.copyOfRange(raw, off.toInt, (off + len).toInt),
+          innerA, s"$where[inner $n]")
+        // copy contiguous last-dim rows into place
+        val r = new Array[Int](math.max(1, rank - 1))
+        var srcRow = 0
+        var done = false
+        while (!done) {
+          var dst = gc(rank - 1).toLong * sh.inner(rank - 1)
+          var i = 0
+          while (i < rank - 1) {
+            dst += (gc(i).toLong * sh.inner(i) + r(i)) * stride(i); i += 1
+          }
+          System.arraycopy(dec, srcRow * rowLen, out, (dst * size).toInt, rowLen)
+          srcRow += 1
+          var c = rank - 2
+          var carry = true
+          while (carry && c >= 0) {
+            r(c) += 1
+            if (r(c) == sh.inner(c)) { r(c) = 0; c -= 1 } else carry = false
+          }
+          if (carry) done = true
+        }
+      }
+      // advance the inner-chunk odometer (C order, last dim fastest)
+      var c = rank - 1
+      var carry = true
+      while (carry && c >= 0) {
+        gc(c) += 1
+        if (gc(c) == grid(c)) { gc(c) = 0; c -= 1 } else carry = false
+      }
+      n += 1
+    }
+    out
+  }
+
+  /** One element's byte pattern for the fill value (0 when unset). */
+  private def fillBytes(dt: ZDtype, fill: Option[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(dt.size).order(
+      if (dt.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    val v = fill.getOrElse(0.0)
+    (dt.kind, dt.size) match {
+      case ('f', 4) => bb.putFloat(v.toFloat)
+      case ('f', 8) => bb.putDouble(v)
+      case (_, 1) => bb.put(v.toLong.toByte)
+      case (_, 2) => bb.putShort(v.toLong.toShort)
+      case (_, 4) => bb.putInt(v.toLong.toInt)
+      case (_, 8) => bb.putLong(v.toLong)
+    }
+    bb.array()
   }
 
   private def numAt(b: Array[Byte], k: Int, dt: ZDtype): Double = {

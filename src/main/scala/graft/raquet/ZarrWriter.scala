@@ -166,7 +166,8 @@ object ZarrWriter {
       value: (Int, Int, Int) => Float,
       chunkY: Int = 0, chunkX: Int = 0,
       dataComp: String = "blosc", coordComp: String = "gzip",
-      varName: String = "band", consolidate: Boolean = true): Unit = {
+      varName: String = "band", consolidate: Boolean = true,
+      shard: Boolean = false): Unit = {
     val ny = lats.length; val nx = lons.length; val nt = times.length
     val cy = if (chunkY > 0) chunkY else ny
     val cx = if (chunkX > 0) chunkX else nx
@@ -175,12 +176,14 @@ object ZarrWriter {
     val arrays = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def arrayJson(shape: Seq[Long], chunks: Seq[Int], dtype: String,
-        comp: String, typesize: Int, fillJson: String, attrs: String): String =
+        comp: String, typesize: Int, fillJson: String, attrs: String,
+        codecsOverride: Option[String] = None): String =
       s"""{"zarr_format":3,"node_type":"array","shape":[${shape.mkString(",")}],""" +
         s""""data_type":"$dtype","chunk_grid":{"name":"regular",""" +
         s""""configuration":{"chunk_shape":[${chunks.mkString(",")}]}},""" +
         """"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},""" +
-        s""""fill_value":$fillJson,"codecs":[${codecsJson(comp, typesize)}],""" +
+        s""""fill_value":$fillJson,""" +
+        s""""codecs":[${codecsOverride.getOrElse(codecsJson(comp, typesize))}],""" +
         s""""attributes":$attrs,"dimension_names":null}"""
 
     def coord(name: String, vals: Array[Double], attrs: String): Unit = {
@@ -197,14 +200,23 @@ object ZarrWriter {
     coord("time", times,
       s"""{"units":"$timeUnits","calendar":"standard"}""")
 
-    val dj = arrayJson(Seq(nt.toLong, ny.toLong, nx.toLong), Seq(1, cy, cx),
+    val shardCodecs =
+      s"""{"name":"sharding_indexed","configuration":{""" +
+        s""""chunk_shape":[1,$cy,$cx],"codecs":[${codecsJson(dataComp, 4)}],""" +
+        """"index_codecs":[{"name":"bytes","configuration":{"endian":"little"}},""" +
+        """{"name":"crc32c"}],"index_location":"end"}}"""
+    val dj = arrayJson(Seq(nt.toLong, ny.toLong, nx.toLong),
+      if (shard) Seq(1, ny, nx) else Seq(1, cy, cx),
       "float32", dataComp, 4, "\"NaN\"",
-      s"""{"_FillValue":$fill}""")
+      s"""{"_FillValue":$fill}""",
+      codecsOverride = if (shard) Some(shardCodecs) else None)
     putS(root, s"$varName/zarr.json", dj); arrays(varName) = dj
 
+    if (shard) require(ny % cy == 0 && nx % cx == 0,
+      s"sharded fixture needs inner ($cy,$cx) dividing ($ny,$nx)")
     val ncy = (ny + cy - 1) / cy
     val ncx = (nx + cx - 1) / cx
-    for (t <- 0 until nt; jc <- 0 until ncy; ic <- 0 until ncx) {
+    def innerBytes(t: Int, jc: Int, ic: Int): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(4 * cy * cx)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var j = 0
@@ -217,7 +229,41 @@ object ZarrWriter {
         }
         j += 1
       }
-      put(root, s"$varName/c/$t/$jc/$ic", encodeChunk(bb.array(), dataComp, 4))
+      bb.array()
+    }
+    if (!shard) {
+      for (t <- 0 until nt; jc <- 0 until ncy; ic <- 0 until ncx)
+        put(root, s"$varName/c/$t/$jc/$ic",
+          encodeChunk(innerBytes(t, jc, ic), dataComp, 4))
+    } else {
+      // one shard per timestep: encoded inner chunks back to back, then
+      // the (offset, nbytes) uint64 index + CRC-32C, index at the end.
+      // Inner chunks whose floats are ALL NaN (the fill) are left absent
+      // — (2^64−1, 2^64−1) entries — like zarr's write_empty_chunks=False.
+      for (t <- 0 until nt) {
+        val body = new java.io.ByteArrayOutputStream()
+        val idx = java.nio.ByteBuffer.allocate(16 * ncy * ncx)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (jc <- 0 until ncy; ic <- 0 until ncx) {
+          val raw = innerBytes(t, jc, ic)
+          val fb = java.nio.ByteBuffer.wrap(raw)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val allFill = (0 until cy * cx).forall(k => fb.getFloat(4 * k).isNaN)
+          if (allFill) { idx.putLong(-1L); idx.putLong(-1L) }
+          else {
+            val enc = encodeChunk(raw, dataComp, 4)
+            idx.putLong(body.size().toLong); idx.putLong(enc.length.toLong)
+            body.write(enc)
+          }
+        }
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx.array())
+        val c = crc.getValue
+        body.write(idx.array())
+        body.write(Array[Byte](c.toByte, (c >> 8).toByte, (c >> 16).toByte,
+          (c >> 24).toByte))
+        put(root, s"$varName/c/$t/0/0", body.toByteArray)
+      }
     }
 
     val cons =

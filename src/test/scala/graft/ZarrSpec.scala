@@ -280,6 +280,38 @@ class ZarrSpec extends AnyFunSuite {
     val p = s"$tmp/v3_nocons.zarr"; writeV3(p, consolidate = false); checkAll(p)
   }
 
+  test("v3 sharding_indexed: decodes identically; absent inner chunks are fill; bad CRC is loud") {
+    for (comp <- Seq("blosc", "gzip")) {
+      val p = s"$tmp/v3_shard_$comp.zarr"
+      ZarrWriter.writeV3(p, lats, lons, times,
+        "hours since 2010-06-01 00:00:00", -9999f, v,
+        chunkY = 6, chunkX = 5, dataComp = comp, shard = true)
+      checkAll(p)
+    }
+    // a fully-NaN inner chunk is left absent ((2^64−1, 2^64−1) index
+    // entry); it must read back as the fill value (NaN)
+    val pa = s"$tmp/v3_shard_absent.zarr"
+    def v2(t: Int, j: Int, i: Int): Float =
+      if (j < 6 && i < 5) Float.NaN else v(t, j, i)
+    ZarrWriter.writeV3(pa, lats, lons, times,
+      "hours since 2010-06-01 00:00:00", -9999f, v2,
+      chunkY = 6, chunkX = 5, dataComp = "blosc", shard = true)
+    val g = Zarr.describe(pa)
+    val s = g.sampler(0, 0, 0, 20, 12)
+    assert(s.sample(0, 0, 0).isNaN && s.sample(0, 4, 5).isNaN)
+    assert(s.sample(0, 5, 0) == v(0, 0, 5).toDouble) // neighbour chunks intact
+    assert(s.sample(0, 0, 6) == v(0, 6, 0).toDouble)
+    // corrupt the shard's index CRC → loud failure at decode time
+    val shardPath = java.nio.file.Paths.get(pa, "band", "c", "0", "0", "0")
+    val bytes = java.nio.file.Files.readAllBytes(shardPath)
+    bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x55).toByte
+    java.nio.file.Files.write(shardPath, bytes)
+    val e = intercept[IllegalArgumentException] {
+      Zarr.describe(pa).sampler(0, 0, 0, 20, 12).sample(0, 5, 0)
+    }
+    assert(e.getMessage.contains("CRC"))
+  }
+
   test("v3 store: unsupported codec chains and node shapes fail loudly") {
     def badArr(name: String, arrayJson: String): Unit = {
       val root = java.nio.file.Paths.get(s"$tmp/v3bad_$name.zarr")
