@@ -185,6 +185,7 @@ object SparkEntry {
     "q164_grib_reduced"     -> (RaquetQueries.q164GribReduced _),
     "q165_grib1_reduced"    -> (RaquetQueries.q165Grib1Reduced _),
     "q166_zarr_sharded"     -> (RaquetQueries.q166ZarrSharded _),
+    "q167_zarr_delta"       -> (RaquetQueries.q167ZarrDelta _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -402,6 +403,8 @@ object SparkEntry {
     "q165_grib1_reduced"    -> RaquetOracles.q164,
     // q166 is the q143 grid through a SHARDED v3 store — same oracle
     "q166_zarr_sharded"     -> RaquetOracles.q79,
+    // q167 is the q142 store with delta-filtered chunks — same oracle
+    "q167_zarr_delta"       -> RaquetOracles.q79,
     "q149_grib1_ingest"     -> RaquetOracles.q149,
     "q150_grib_lcc"         -> RaquetOracles.q150,
     "q151_grib_polar"       -> RaquetOracles.q151,

@@ -1423,6 +1423,42 @@ object RaquetQueries {
     * same grid must not change one value. Chunk dims (64×128) deliberately
     * misalign with the 256-px tile windows so every task stitches multiple
     * chunk objects. */
+  /** S6 (Zarr v2, numcodecs `delta` array filter) driver proof: the q142
+    * store with differenced chunks — identical oracle; the filter must
+    * reconstruct every value exactly (integer-valued float32, so the
+    * running sum is lossless). */
+  def q167ZarrDelta(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q167"
+    val zarrDir = s"$tmp/synth_delta.zarr"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(zarrDir))
+    new java.io.File(tmp).mkdirs()
+    val lats = Array.tabulate(240)(j => 84.375 - 0.703125 * (j + 0.5))
+    val lons = Array.tabulate(512)(i => -180.0 + 0.703125 * (i + 0.5))
+    graft.raquet.ZarrWriter.write(zarrDir, lats, lons, Array(0.0, 6.0, 12.0),
+      "hours since 2000-01-01 00:00:00", 255f,
+      (t, _, i) => {
+        val p = i >> 1
+        if (p % 27 == 0) 255f else ((3 * p + 7 * t) % 251).toFloat
+      }, chunkY = 64, chunkX = 128, dataComp = "blosc", coordComp = "zlib",
+      dataFilter = "delta")
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, zarrDir, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   def q142ZarrIngest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q142"
     val zarrDir = s"$tmp/synth.zarr"

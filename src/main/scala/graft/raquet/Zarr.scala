@@ -129,6 +129,15 @@ object Zarr {
   case object GzipComp extends Compressor
   case object BloscComp extends Compressor
 
+  /** numcodecs v2 array filters (decode side). */
+  sealed trait ZFilter extends Serializable
+  /** `delta`: stored = [v₀, v₁−v₀, …]; decode = running (wrapping) sum. */
+  final case class DeltaF(dt: ZDtype) extends ZFilter
+  /** `fixedscaleoffset`: stored = round((v − offset)·scale) in `enc`;
+    * decode v = stored/scale + offset in `dec`. */
+  final case class FixedScaleOffsetF(offset: Double, scale: Double,
+      dec: ZDtype, enc: ZDtype) extends ZFilter
+
   /** v3 `sharding_indexed`: each stored chunk is a SHARD of `inner`-shaped
     * sub-chunks (encoded with `innerComp`) plus a uint64-pair index at
     * `indexAtEnd`, optionally CRC-32C-protected. */
@@ -143,7 +152,8 @@ object Zarr {
       /** v3 default chunk-key encoding prefixes indices with `c` +
         * separator; v2 (and v3's "v2" encoding) joins indices bare. */
       cPrefix: Boolean = false,
-      shard: Option[Shard] = None) extends Serializable {
+      shard: Option[Shard] = None,
+      filter: Option[ZFilter] = None) extends Serializable {
     def rank: Int = shape.length
     def chunkKey(idx: Array[Int]): String =
       name + "/" + (if (cPrefix) "c" + sep else "") + idx.mkString(sep)
@@ -206,10 +216,7 @@ object Zarr {
       s"$where: zarr_format ${za.path("zarr_format").asText("?")} unsupported (v2 only)")
     require(za.path("order").asText("C") == "C",
       s"$where: Fortran chunk order unsupported")
-    val filters = za.get("filters")
-    require(filters == null || filters.isNull ||
-      (filters.isArray && filters.size() == 0),
-      s"$where: zarr array filters unsupported")
+    val filtersNode = za.get("filters")
     val shape = {
       val s = za.get("shape")
       require(s != null && s.isArray && s.size() > 0, s"$where: missing shape")
@@ -251,8 +258,47 @@ object Zarr {
     }
     val sep = za.path("dimension_separator").asText(".")
     require(sep == "." || sep == "/", s"$where: dimension_separator '$sep' unsupported")
+    // numcodecs array filters: at most ONE of the two supported —
+    //  delta             (stored = first value + successive differences)
+    //  fixedscaleoffset  (stored = round((v − offset)·scale) as int astype)
+    val filter: Option[ZFilter] =
+      if (filtersNode == null || filtersNode.isNull ||
+        (filtersNode.isArray && filtersNode.size() == 0)) None
+      else {
+        require(filtersNode.isArray && filtersNode.size() == 1,
+          s"$where: ${filtersNode.size()} zarr array filters unsupported " +
+            "(at most one of delta/fixedscaleoffset)")
+        val f = filtersNode.get(0)
+        f.path("id").asText("") match {
+          case "delta" =>
+            val fdt = parseDtype(f.path("dtype").asText(""), where)
+            val adt = f.get("astype") match {
+              case null => fdt
+              case a if a.isNull => fdt
+              case a => parseDtype(a.asText(""), where)
+            }
+            require(fdt == dtype && adt == dtype,
+              s"$where: delta filter dtype/astype must match the array dtype")
+            Some(DeltaF(dtype))
+          case "fixedscaleoffset" =>
+            val dec = parseDtype(f.path("dtype").asText(""), where)
+            val enc = parseDtype(f.path("astype").asText(
+              f.path("dtype").asText("")), where)
+            require(dec == dtype, s"$where: fixedscaleoffset dtype != array dtype")
+            require(enc.kind == 'i' || enc.kind == 'u',
+              s"$where: fixedscaleoffset astype must be integral")
+            val off = f.path("offset").asDouble(Double.NaN)
+            val sc = f.path("scale").asDouble(Double.NaN)
+            require(!off.isNaN && !sc.isNaN && sc != 0.0,
+              s"$where: fixedscaleoffset needs offset and a nonzero scale")
+            Some(FixedScaleOffsetF(off, sc, dec, enc))
+          case other => throw new IllegalArgumentException(
+            s"$where: zarr filter '$other' unsupported (delta/fixedscaleoffset)")
+        }
+      }
     val (ts, ns) = attrMaps(attrs)
-    ZArray(name, shape, chunks, dtype, comp, fill, sep, ts, ns)
+    ZArray(name, shape, chunks, dtype, comp, fill, sep, ts, ns,
+      filter = filter)
   }
 
   // ----------------------------------------------------------------- v3
@@ -462,7 +508,14 @@ object Zarr {
     * bytes; chunks are stored FULL-SIZE in v2 (edge chunks padded). */
   private[raquet] def decodeChunk(raw: Array[Byte], a: ZArray, where: String): Array[Byte] = {
     a.shard.foreach(sh => return decodeShard(raw, a, sh, where))
-    val expect = a.chunks.foldLeft(1L)(_ * _) * a.dtype.size
+    // with a fixedscaleoffset filter the stored element type is the
+    // filter's integral astype, not the array dtype
+    val storedDt = a.filter match {
+      case Some(FixedScaleOffsetF(_, _, _, enc)) => enc
+      case _ => a.dtype
+    }
+    val elems = a.chunks.foldLeft(1L)(_ * _)
+    val expect = elems * storedDt.size
     require(expect <= (1 << 30), s"$where: chunk too large ($expect bytes)")
     val out = a.compressor match {
       case NoComp => raw
@@ -504,7 +557,82 @@ object Zarr {
     }
     require(out.length == expect,
       s"$where: chunk decoded ${out.length} of expected $expect bytes")
-    out
+    a.filter match {
+      case None => out
+      case Some(DeltaF(dt)) =>
+        // running sum in place; integral kinds wrap at their width like
+        // numpy's subtract/cumsum pair, floats sum in their own precision
+        val n = elems.toInt
+        if (dt.isFloat) {
+          var acc = 0.0
+          var k = 0
+          while (k < n) {
+            acc = if (k == 0) numAt(out, 0, dt) else acc + numAt(out, k, dt)
+            // float32 arrays cumsum in float32 (numpy semantics)
+            if (dt.size == 4) acc = acc.toFloat.toDouble
+            numPut(out, k, dt, acc); k += 1
+          }
+        } else {
+          var acc = 0L
+          var k = 0
+          while (k < n) {
+            acc += intAt(out, k, dt)
+            intPut(out, k, dt, acc); k += 1
+          }
+        }
+        out
+      case Some(FixedScaleOffsetF(off, sc, dec, enc)) =>
+        val n = elems.toInt
+        val res = new Array[Byte](n * dec.size)
+        var k = 0
+        while (k < n) {
+          numPut(res, k, dec, intAt(out, k, enc) / sc + off); k += 1
+        }
+        res
+    }
+  }
+
+  /** Raw integral value at element k (signed or zero-extended unsigned). */
+  private def intAt(b: Array[Byte], k: Int, dt: ZDtype): Long = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(
+      if (dt.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    (dt.kind, dt.size) match {
+      case ('i', 1) => b(k).toLong
+      case ('i', 2) => bb.getShort(2 * k).toLong
+      case ('i', 4) => bb.getInt(4 * k).toLong
+      case (_, 8) => bb.getLong(8 * k)
+      case ('u', 1) => b(k) & 0xFFL
+      case ('u', 2) => bb.getShort(2 * k) & 0xFFFFL
+      case ('u', 4) => bb.getInt(4 * k) & 0xFFFFFFFFL
+      case _ => throw new IllegalArgumentException(s"intAt on $dt")
+    }
+  }
+
+  private def intPut(b: Array[Byte], k: Int, dt: ZDtype, v: Long): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(
+      if (dt.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    dt.size match {
+      case 1 => b(k) = v.toByte
+      case 2 => bb.putShort(2 * k, v.toShort)
+      case 4 => bb.putInt(4 * k, v.toInt)
+      case 8 => bb.putLong(8 * k, v)
+    }
+  }
+
+  private def numPut(b: Array[Byte], k: Int, dt: ZDtype, v: Double): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(
+      if (dt.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    (dt.kind, dt.size) match {
+      case ('f', 4) => bb.putFloat(4 * k, v.toFloat)
+      case ('f', 8) => bb.putDouble(8 * k, v)
+      case (_, 1) => b(k) = math.round(v).toByte
+      case (_, 2) => bb.putShort(2 * k, math.round(v).toShort)
+      case (_, 4) => bb.putInt(4 * k, math.round(v).toInt)
+      case (_, 8) => bb.putLong(8 * k, math.round(v))
+    }
   }
 
   /** Reassemble one `sharding_indexed` shard into full outer-chunk bytes:

@@ -59,7 +59,7 @@ object ZarrWriter {
       chunkY: Int = 0, chunkX: Int = 0,
       dataComp: String = "blosc", coordComp: String = "zlib",
       varName: String = "band", dimSeparator: String = ".",
-      consolidate: Boolean = true): Unit = {
+      consolidate: Boolean = true, dataFilter: String = "none"): Unit = {
     val ny = lats.length; val nx = lons.length; val nt = times.length
     val cy = if (chunkY > 0) chunkY else ny
     val cx = if (chunkX > 0) chunkX else nx
@@ -73,7 +73,7 @@ object ZarrWriter {
 
     record(".zgroup", """{"zarr_format":2}""")
     writeBody(root, record, lats, lons, times, timeUnits, fill, value,
-      cy, cx, dataComp, coordComp, varName, dimSeparator)
+      cy, cx, dataComp, coordComp, varName, dimSeparator, dataFilter)
 
     if (consolidate) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -92,7 +92,7 @@ object ZarrWriter {
       times: Array[Double], timeUnits: String, fill: Float,
       value: (Int, Int, Int) => Float, cy: Int, cx: Int,
       dataComp: String, coordComp: String, varName: String,
-      dimSeparator: String): Unit = {
+      dimSeparator: String, dataFilter: String = "none"): Unit = {
     val ny = lats.length; val nx = lons.length; val nt = times.length
 
     def coordArray(name: String, vals: Array[Double], attrs: String): Unit = {
@@ -113,10 +113,44 @@ object ZarrWriter {
     coordArray("time", times,
       s"""{"_ARRAY_DIMENSIONS":["time"],"units":"$timeUnits","calendar":"standard"}""")
 
+    // numcodecs filter JSON + encode-side transform for the data array
+    val filtersJson = dataFilter match {
+      case "none" => "null"
+      case "delta" => """[{"id":"delta","dtype":"<f4","astype":"<f4"}]"""
+      case "fixedscaleoffset" =>
+        """[{"id":"fixedscaleoffset","offset":0.0,"scale":1.0,""" +
+          """"dtype":"<f4","astype":"<i4"}]"""
+      case other => throw new IllegalArgumentException(s"data filter '$other'")
+    }
+    def applyFilter(raw: Array[Byte]): (Array[Byte], Int) = dataFilter match {
+      case "none" => (raw, 4)
+      case "delta" =>
+        val bb = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = raw.length / 4
+        val outB = java.nio.ByteBuffer.allocate(raw.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var prev = 0f
+        for (k <- 0 until n) {
+          val x = bb.getFloat(4 * k)
+          outB.putFloat(if (k == 0) x else x - prev)
+          prev = x
+        }
+        (outB.array(), 4)
+      case "fixedscaleoffset" =>
+        val bb = java.nio.ByteBuffer.wrap(raw)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = raw.length / 4
+        val outB = java.nio.ByteBuffer.allocate(4 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (k <- 0 until n)
+          outB.putInt(math.round(bb.getFloat(4 * k)))
+        (outB.array(), 4)
+    }
     record(s"$varName/.zarray",
       s"""{"zarr_format":2,"shape":[$nt,$ny,$nx],"chunks":[1,$cy,$cx],""" +
         s""""dtype":"<f4","compressor":${compressorJson(dataComp)},""" +
-        s""""fill_value":"NaN","order":"C","filters":null""" +
+        s""""fill_value":"NaN","order":"C","filters":$filtersJson""" +
         (if (dimSeparator != ".") s""","dimension_separator":"$dimSeparator"""" else "") +
         "}")
     record(s"$varName/.zattrs",
@@ -138,8 +172,9 @@ object ZarrWriter {
         }
         j += 1
       }
+      val (filtered, ts) = applyFilter(bb.array())
       put(root, s"$varName/$t$dimSeparator$jc$dimSeparator$ic",
-        encodeChunk(bb.array(), dataComp, 4))
+        encodeChunk(filtered, dataComp, ts))
     }
   }
 

@@ -280,6 +280,31 @@ class ZarrSpec extends AnyFunSuite {
     val p = s"$tmp/v3_nocons.zarr"; writeV3(p, consolidate = false); checkAll(p)
   }
 
+  test("v2 numcodecs filters: delta and fixedscaleoffset decode exactly; unknown ids are loud") {
+    // chunk dims divide the grid: no NaN padding, so both filters are
+    // exact on the integer-valued fixture (float32 arithmetic on small
+    // integers is lossless)
+    for (f <- Seq("delta", "fixedscaleoffset")) {
+      val p = s"$tmp/v2_filt_$f.zarr"
+      ZarrWriter.write(p, lats, lons, times,
+        "hours since 2010-06-01 00:00:00", -9999f, v,
+        chunkY = 6, chunkX = 5, dataFilter = f)
+      checkAll(p)
+    }
+    // an unsupported filter id fails loudly
+    val root = java.nio.file.Paths.get(s"$tmp/v2_filt_bad.zarr")
+    java.nio.file.Files.createDirectories(root.resolve("x"))
+    java.nio.file.Files.write(root.resolve(".zgroup"),
+      """{"zarr_format":2}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(root.resolve("x/.zarray"),
+      ("""{"zarr_format":2,"shape":[4],"chunks":[4],"dtype":"<f4",""" +
+        """"compressor":null,"fill_value":null,"order":"C",""" +
+        """"filters":[{"id":"quantize","digits":2,"dtype":"<f4"}]}""")
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { Zarr.describe(root.toString) }
+    assert(e.getMessage.contains("quantize"))
+  }
+
   test("v3 sharding_indexed: decodes identically; absent inner chunks are fill; bad CRC is loud") {
     for (comp <- Seq("blosc", "gzip")) {
       val p = s"$tmp/v3_shard_$comp.zarr"
