@@ -186,6 +186,7 @@ object SparkEntry {
     "q165_grib1_reduced"    -> (RaquetQueries.q165Grib1Reduced _),
     "q166_zarr_sharded"     -> (RaquetQueries.q166ZarrSharded _),
     "q167_zarr_delta"       -> (RaquetQueries.q167ZarrDelta _),
+    "q168_az_signed"        -> (RaquetQueries.q168AzSigned _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -423,6 +424,8 @@ object SparkEntry {
     // q90 is the q60 convert through a SigV4-ENFORCING s3:// server —
     // identical oracle; authentication must not change one byte
     "q90_s3_signed"         -> RaquetOracles.q60,
+    // q168 is the same through a SharedKey-ENFORCING az:// server
+    "q168_az_signed"        -> RaquetOracles.q60,
     // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
     // oracle; compression codec and interleave must be invisible
     "q91_packbits_planar"   -> RaquetOracles.q60,

@@ -2285,6 +2285,82 @@ object RaquetQueries {
     * (`raquet/cli.py:22-46`); graft signs its own ranged GETs with
     * credentials from the standard AWS names. Identical oracle to q60:
     * auth must not change one byte. */
+  /** Authenticated-transport driver proof #2: the q60 convert through an
+    * `az://` source whose server ENFORCES Azure Blob SharedKey — every
+    * ranged GET is verified via [[graft.sources.AzSharedKey.verify]] and
+    * 403s without a valid signature. The reference reaches Azure via GDAL
+    * `/vsiaz/` (`raquet/cli.py:22-46`); graft signs its own Range GETs
+    * with the same `AZURE_STORAGE_ACCOUNT`/`AZURE_STORAGE_ACCESS_KEY`
+    * names. Identical oracle to q60: auth must not change one byte. */
+  def q168AzSigned(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q168"
+    val tif = s"$tmp/synth.tif"
+    new java.io.File(tmp).mkdirs()
+    writeConvertOracleTiff(tif)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif))
+    val account = "graftq168acct"
+    val key64 = java.util.Base64.getEncoder.encodeToString(
+      "graft-q168-fixture-shared-key!!!".getBytes("UTF-8"))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rasters/synth.tif",
+      new com.sun.net.httpserver.HttpHandler {
+        private val RangeRe = """bytes=(\d+)-(\d+)""".r
+        override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+          val all = {
+            val it = ex.getRequestHeaders.entrySet().iterator()
+            val b = Seq.newBuilder[(String, String)]
+            while (it.hasNext) {
+              val e = it.next()
+              if (!e.getValue.isEmpty) b += e.getKey -> e.getValue.get(0)
+            }
+            b.result()
+          }
+          graft.sources.AzSharedKey.verify(ex.getRequestMethod,
+            ex.getRequestURI.getRawPath,
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""), all,
+            a => if (a == account) Some(key64) else None) match {
+            case Left(_) => ex.sendResponseHeaders(403, -1)
+            case Right(_) =>
+              Option(ex.getRequestHeaders.getFirst("Range")) match {
+                case Some(RangeRe(a, b)) =>
+                  val from = a.toLong.toInt
+                  val to = math.min(b.toLong, bytes.length - 1L).toInt
+                  ex.getResponseHeaders.set("Content-Range",
+                    s"bytes $from-$to/${bytes.length}")
+                  ex.sendResponseHeaders(206, to - from + 1L)
+                  ex.getResponseBody.write(bytes, from, to - from + 1)
+                case _ =>
+                  ex.sendResponseHeaders(200, bytes.length.toLong)
+                  ex.getResponseBody.write(bytes)
+              }
+          }
+          ex.close()
+        }
+      })
+    server.start()
+    val props = Seq(
+      "graft.az.endpoint" -> s"http://127.0.0.1:${server.getAddress.getPort}",
+      "graft.az.account" -> account,
+      "graft.az.key" -> key64)
+    val prev = props.map { case (k, _) => k -> sys.props.get(k) }
+    props.foreach { case (k, v) => sys.props(k) = v }
+    try {
+      val out = s"$tmp/synth.parquet"
+      graft.raquet.GeoTiff.convert(spark, "az://rasters/synth.tif", out,
+        tileStats = true, overviews = "none")
+      val result = convertReadback(spark, out)
+      result.persist().count() // materialize before the server stops
+      result
+    } finally {
+      server.stop(0)
+      prev.foreach {
+        case (k, Some(v)) => sys.props(k) = v
+        case (k, None) => sys.props.remove(k)
+      }
+    }
+  }
+
   def q90S3Signed(spark: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q90"
     val tif = s"$tmp/synth.tif"

@@ -41,17 +41,29 @@ object RandomReader {
   type Signer = (String, java.net.URI, Seq[(String, String)]) => Seq[(String, String)]
 
   /** Object-store URLs rewrite to their path-style HTTPS endpoints
-    * (overridable for tests via system properties). */
+    * (overridable for tests via system properties). `az://` follows
+    * GDAL's `/vsiaz/` shape — `az://container/blob` with the account
+    * from `AZURE_STORAGE_ACCOUNT` — and resolves to the account's blob
+    * endpoint. */
   private[graft] def rewrite(path: String): String =
     if (path.startsWith("s3://"))
       s"${sys.props.getOrElse("graft.s3.endpoint", "https://s3.amazonaws.com")}/${path.stripPrefix("s3://")}"
     else if (path.startsWith("gs://"))
       s"${sys.props.getOrElse("graft.gs.endpoint", "https://storage.googleapis.com")}/${path.stripPrefix("gs://")}"
-    else path
+    else if (path.startsWith("az://")) {
+      val endpoint = sys.props.get("graft.az.endpoint").getOrElse {
+        val acct = azAccount().getOrElse(throw new IllegalArgumentException(
+          s"$path: az:// needs the storage account — set " +
+            "AZURE_STORAGE_ACCOUNT (GDAL's /vsiaz/ name)"))
+        s"https://$acct.blob.core.windows.net"
+      }
+      s"$endpoint/${path.stripPrefix("az://")}"
+    } else path
 
   def isRemote(path: String): Boolean =
     path.startsWith("http://") || path.startsWith("https://") ||
-      path.startsWith("s3://") || path.startsWith("gs://")
+      path.startsWith("s3://") || path.startsWith("gs://") ||
+      path.startsWith("az://")
 
   /** System property first (the AWS SDK's documented `aws.*` names — and
     * settable from test code), then the environment. */
@@ -80,11 +92,25 @@ object RandomReader {
       (_, _, _) => Seq("Authorization" -> s"Bearer $tok")
     }
 
+  private def azAccount(): Option[String] =
+    cfg("graft.az.account", "AZURE_STORAGE_ACCOUNT")
+
+  /** SharedKey signer for `az://` (GDAL's `AZURE_STORAGE_ACCOUNT` /
+    * `AZURE_STORAGE_ACCESS_KEY` contract), present iff both resolve. */
+  private[graft] def azSigner(): Option[Signer] =
+    for {
+      acct <- azAccount()
+      key <- cfg("graft.az.key", "AZURE_STORAGE_ACCESS_KEY")
+    } yield (method, uri, hdrs) =>
+      AzSharedKey.signedHeaders(method, uri, hdrs, acct, key,
+        AzSharedKey.rfc1123Now())
+
   def apply(path: String): RandomReader =
     if (isRemote(path)) {
       val signer =
         if (path.startsWith("s3://")) s3Signer()
         else if (path.startsWith("gs://")) gsSigner()
+        else if (path.startsWith("az://")) azSigner()
         else None
       new HttpRangeReader(rewrite(path), signer)
     } else new LocalReader(path)
@@ -140,7 +166,8 @@ final class HttpRangeReader(url: String,
       else
         s"$url: HTTP 403 — private object and no credentials resolved " +
           "(set AWS_ACCESS_KEY_ID + AWS_SECRET_ACCESS_KEY for s3://, " +
-          "GS_OAUTH2_TOKEN for gs://, or make the object public)")
+          "GS_OAUTH2_TOKEN for gs://, AZURE_STORAGE_ACCOUNT + " +
+          "AZURE_STORAGE_ACCESS_KEY for az://, or make the object public)")
     require(code == 206 || (code == 200 && at == 0L),
       s"$url: HTTP $code for Range bytes=$at-${at + n - 1} " +
         "(server must support Range requests)")
