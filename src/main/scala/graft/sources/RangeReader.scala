@@ -57,7 +57,14 @@ object RandomReader {
             "AZURE_STORAGE_ACCOUNT (GDAL's /vsiaz/ name)"))
         s"https://$acct.blob.core.windows.net"
       }
-      s"$endpoint/${path.stripPrefix("az://")}"
+      val base = s"$endpoint/${path.stripPrefix("az://")}"
+      // SAS-token auth (GDAL's AZURE_SAS): the token IS the query string;
+      // an account key, when present, wins (header auth)
+      cfg("graft.az.sas", "AZURE_SAS", "AZURE_STORAGE_SAS_TOKEN") match {
+        case Some(sas) if cfg("graft.az.key", "AZURE_STORAGE_ACCESS_KEY").isEmpty =>
+          s"$base?${sas.stripPrefix("?")}"
+        case _ => base
+      }
     } else path
 
   def isRemote(path: String): Boolean =
@@ -81,9 +88,15 @@ object RandomReader {
         cfg("aws.sessionToken", "AWS_SESSION_TOKEN"))
       val region = cfg("aws.region", "AWS_REGION", "AWS_DEFAULT_REGION")
         .getOrElse("us-east-1")
-      (method, uri, hdrs) =>
-        SigV4.signedHeaders(method, uri, hdrs, creds, region, "s3",
-          SigV4.amzNow())
+      (method, uri, hdrs) => {
+        // requester-pays buckets: the opt-in header must ride SIGNED
+        // (GDAL's AWS_REQUEST_PAYER contract)
+        val payer = cfg("graft.s3.requestPayer", "AWS_REQUEST_PAYER")
+          .filter(_.equalsIgnoreCase("requester"))
+          .map(_ => "x-amz-request-payer" -> "requester").toSeq
+        payer ++ SigV4.signedHeaders(method, uri, hdrs ++ payer, creds,
+          region, "s3", SigV4.amzNow())
+      }
     }
 
   /** Bearer-token auth for `gs://` (GDAL's `GS_OAUTH2_TOKEN` contract). */

@@ -124,6 +124,43 @@ class AzSharedKeySpec extends AnyFunSuite {
     }
   }
 
+  test("SAS-token az:// rides the query string; an account key wins over SAS") {
+    val bytes = Array.tabulate(4096)(i => (i % 199).toByte)
+    val sas = "sv=2021-08-06&sig=fixture-token&sp=r"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cont/s.bin", new com.sun.net.httpserver.HttpHandler {
+      private val RangeRe = """bytes=(\d+)-(\d+)""".r
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        if (Option(ex.getRequestURI.getRawQuery).getOrElse("") != sas)
+          ex.sendResponseHeaders(403, -1)
+        else Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(RangeRe(a, b)) =>
+            val from = a.toLong.toInt; val to = b.toLong.toInt
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, to - from + 1L)
+            ex.getResponseBody.write(bytes, from, to - from + 1)
+          case _ => ex.sendResponseHeaders(400, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try withProps(
+      "graft.az.endpoint" -> s"http://127.0.0.1:${server.getAddress.getPort}",
+      "graft.az.sas" -> s"?$sas") {
+      val rr = RandomReader("az://cont/s.bin")
+      try assert(rr.readAt(100, 50).toSeq == bytes.slice(100, 150).toSeq)
+      finally rr.close()
+    } finally server.stop(0)
+    // with BOTH key and SAS configured the key wins: no query appended
+    withProps("graft.az.endpoint" -> "http://h", "graft.az.sas" -> "x=y",
+      "graft.az.key" -> Key64, "graft.az.account" -> Account) {
+      assert(RandomReader.rewrite("az://c/b.bin") == "http://h/c/b.bin")
+    }
+  }
+
   test("wrong key and missing account fail with actionable messages") {
     val bytes = new Array[Byte](2048)
     withEnforcingServer(bytes, "/cont/x.bin") { port =>

@@ -148,6 +148,42 @@ class SigV4Spec extends AnyFunSuite {
     }
   }
 
+  test("requester-pays: AWS_REQUEST_PAYER adds x-amz-request-payer, signed") {
+    val bytes = Array.tabulate(8192)(i => (i % 163).toByte)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rp-bkt/x.bin", new com.sun.net.httpserver.HttpHandler {
+      private val RangeRe = """bytes=(\d+)-(\d+)""".r
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        def header(n: String) = Option(ex.getRequestHeaders.getFirst(n))
+        val ok = header("x-amz-request-payer").contains("requester") &&
+          SigV4.verify(ex.getRequestMethod, ex.getRequestURI.getRawPath,
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""), header,
+            k => if (k == "AKTEST") Some("s3cr3t") else None).isRight
+        if (!ok) ex.sendResponseHeaders(403, -1)
+        else header("Range") match {
+          case Some(RangeRe(a, b)) =>
+            val from = a.toLong.toInt; val to = b.toLong.toInt
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, to - from + 1L)
+            ex.getResponseBody.write(bytes, from, to - from + 1)
+          case _ => ex.sendResponseHeaders(400, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try withProps(
+      "graft.s3.endpoint" -> s"http://127.0.0.1:${server.getAddress.getPort}",
+      "aws.accessKeyId" -> "AKTEST", "aws.secretAccessKey" -> "s3cr3t",
+      "aws.region" -> "us-east-1", "graft.s3.requestPayer" -> "requester") {
+      val rr = RandomReader("s3://rp-bkt/x.bin")
+      try assert(rr.readAt(64, 32).toSeq == bytes.slice(64, 96).toSeq)
+      finally rr.close()
+    } finally server.stop(0)
+  }
+
   test("gs:// sends the GS_OAUTH2_TOKEN bearer header") {
     val bytes = Array.tabulate(4096)(i => (i % 127).toByte)
     val server = com.sun.net.httpserver.HttpServer.create(
