@@ -187,6 +187,7 @@ object SparkEntry {
     "q166_zarr_sharded"     -> (RaquetQueries.q166ZarrSharded _),
     "q167_zarr_delta"       -> (RaquetQueries.q167ZarrDelta _),
     "q168_az_signed"        -> (RaquetQueries.q168AzSigned _),
+    "q169_grib_spaceview"   -> (RaquetQueries.q169GribSpaceView _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -426,6 +427,7 @@ object SparkEntry {
     "q90_s3_signed"         -> RaquetOracles.q60,
     // q168 is the same through a SharedKey-ENFORCING az:// server
     "q168_az_signed"        -> RaquetOracles.q60,
+    "q169_grib_spaceview"   -> RaquetOracles.q169,
     // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
     // oracle; compression codec and interleave must be invisible
     "q91_packbits_planar"   -> RaquetOracles.q60,

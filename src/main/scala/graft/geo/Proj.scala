@@ -448,6 +448,75 @@ final case class Sinusoidal(a: Double, invF: Double, lon0: Double,
   }
 }
 
+/** Normalized geostationary (space-view) projection — the CGMS LRIT/HRIT
+  * convention implemented by PROJ's `geos` (public math): the satellite
+  * sits at `height` meters above the sub-satellite point on the equator
+  * at `lon0`, and projected coordinates are scan angles scaled by
+  * a·(height/a). `sweepX` selects the GOES axis order (x-angle sweeps
+  * about the x axis); Meteosat/GRIB use sweep-y (false). Points beyond
+  * the visible disc project to NaN rather than throwing, so warps simply
+  * fill them. Spherical when invF = ∞; the ellipsoidal path applies the
+  * geodetic↔geocentric latitude and radius corrections. */
+final case class Geostationary(a: Double, invF: Double, height: Double,
+    lon0: Double, sweepX: Boolean = false) extends Projection {
+  import Ellipsoidal._
+  private val e2 = e2Of(invF)
+  private val radiusP = math.sqrt(1 - e2) // b/a
+  private val radiusP2 = 1 - e2
+  private val radiusPInv2 = 1.0 / (1 - e2)
+  private val radiusG1 = height / a
+  private val radiusG = 1.0 + radiusG1
+  private val cc = radiusG * radiusG - 1.0
+
+  def rectilinear: Boolean = false
+
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val lam = math.toRadians(TransverseMercator.normLon(lon - lon0))
+    // geodetic → geocentric latitude; local earth radius in units of a
+    val phi = math.atan(radiusP2 * math.tan(math.toRadians(lat)))
+    val r = radiusP / math.hypot(radiusP * math.cos(phi), math.sin(phi))
+    val vx = r * math.cos(lam) * math.cos(phi)
+    val vy = r * math.sin(lam) * math.cos(phi)
+    val vz = r * math.sin(phi)
+    // visibility: the line of sight must not pass through the earth
+    if (((radiusG - vx) * vx - vy * vy - vz * vz * radiusPInv2) < 0)
+      return (Double.NaN, Double.NaN)
+    val tmp = radiusG - vx
+    if (sweepX)
+      (a * radiusG1 * math.atan(vy / math.hypot(vz, tmp)),
+        a * radiusG1 * math.atan(vz / tmp))
+    else
+      (a * radiusG1 * math.atan(vy / tmp),
+        a * radiusG1 * math.atan(vz / math.hypot(vy, tmp)))
+  }
+
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    // the view ray in satellite coordinates, then its near intersection
+    // with the (unit-a) ellipsoid via the quadratic
+    var vy = 0.0; var vz = 0.0
+    if (sweepX) {
+      vz = math.tan(y / (a * radiusG1))
+      vy = math.tan(x / (a * radiusG1)) * math.hypot(1.0, vz)
+    } else {
+      vy = math.tan(x / (a * radiusG1))
+      vz = math.tan(y / (a * radiusG1)) * math.hypot(1.0, vy)
+    }
+    val zc = vz / radiusP
+    val aq = vy * vy + zc * zc + 1.0
+    val bq = 2.0 * radiusG
+    val det = bq * bq - 4.0 * aq * cc
+    if (det < 0) return (Double.NaN, Double.NaN)
+    val k = (bq - math.sqrt(det)) / (2.0 * aq)
+    val vxk = radiusG - k
+    val vyk = vy * k
+    val vzk = vz * k
+    val lam = math.atan2(vyk, vxk)
+    val phi = math.atan(radiusPInv2 * (vzk * math.cos(lam) / vxk))
+    (TransverseMercator.normLon(lon0 + math.toDegrees(lam)),
+      math.toDegrees(phi))
+  }
+}
+
 /** Gauss–Legendre quadrature nodes — the latitude rows of a regular
   * Gaussian grid (ECMWF/ERA-style NWP output). Roots of the Legendre
   * polynomial Pₙ by Newton iteration with the classic cos-law initial

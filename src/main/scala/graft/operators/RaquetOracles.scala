@@ -680,6 +680,39 @@ object RaquetOracles {
           CAST(((pj + 2) * 7 + pm * 3) % 200 AS BIGINT) AS v
         FROM probes"""
 
+  /** q169: spherical normalized-geostationary inverse (CGMS LRIT/HRIT /
+    * PROJ `geos` math): scan angles from grid geometry, view-ray
+    * components, quadratic near-intersection with the sphere, lon/lat —
+    * written in the same functional shape the engine's
+    * [[graft.geo.Geostationary]] evaluates. */
+  val q169: String =
+    s"""WITH c AS (SELECT 6.61 AS rg, 2*asin(1/6.61)/1024 AS r1),
+        probes AS (
+          SELECT pi, pj, rg,
+            (448 + 16*pi + 7.5 - 512.0) * r1 AS xa,
+            (512.0 - (448 + 16*pj + 7.5)) * r1 AS ya
+          FROM c,
+            (VALUES (1),(3),(5),(7)) a(pi), (VALUES (1),(3),(5),(7)) b(pj)),
+        ray AS (
+          SELECT pi, pj, rg, tan(xa) AS vy,
+            tan(ya) * sqrt(1 + tan(xa)*tan(xa)) AS vz
+          FROM probes),
+        sol AS (
+          SELECT pi, pj, rg, vy, vz,
+            (2*rg - sqrt(4*rg*rg -
+              4*(vy*vy + vz*vz + 1)*(rg*rg - 1))) /
+              (2*(vy*vy + vz*vz + 1)) AS k
+          FROM ray),
+        inv AS (
+          SELECT pi, pj,
+            degrees(atan2(vy*k, rg - k)) AS lon,
+            degrees(atan((vz*k * cos(atan2(vy*k, rg - k))) / (rg - k))) AS lat
+          FROM sol)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(lon, 5) AS lon_r, round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi AS BIGINT) AS v
+        FROM inv"""
+
   /** q151: spherical north-polar stereographic closed form (Snyder §21,
     * variant with standard parallel 70N): ρ(φ) = a·cos70·tan(π/4−φ/2) /
     * tan(π/4−70/2·rad), E = ρ sinθ, N = −ρ cosθ, θ = λ−λ0. */

@@ -1816,6 +1816,59 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB2 template 3.90, space view — the Meteosat/GOES full-disk
+    * geostationary geometry) driver proof: a 128×128 sector centered on
+    * the nadir of a satellite 6.61 earth radii from the centre, 16×16
+    * patches, probes at patch centers. The oracle recomputes the CGMS
+    * normalized-geostationary inverse closed-form: scan angles from the
+    * grid geometry (the disc subtends 2·asin(1/Rg) over 1024 grid
+    * lengths), the view ray, its near intersection with the sphere via
+    * the quadratic, then lon/lat. */
+  def q169GribSpaceView(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q169"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/geos.grib2"
+    val (ni, nj) = (128, 128)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni // scan 0x00: north row first
+        Some((jf / 16) * 8 + i / 16)
+      })
+    val sec3 = graft.raquet.Grib2Writer.sec3SpaceView(ni, nj,
+      lopMicro = 0L, dxDisc = 1024L, dyDisc = 1024L,
+      xpMilli = 512000L, ypMilli = 512000L, nr = 6610000L,
+      xo = 448L, yo = 448L)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/geos.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val a = 6371229.0
+    val rg = 6.61
+    val proj = graft.geo.Geostationary(a, Double.PositiveInfinity,
+      height = a * (rg - 1.0), lon0 = 0.0)
+    val scale = a * (rg - 1.0)
+    val rx = 2.0 * math.asin(1.0 / rg) / 1024.0
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = scale * ((448 + 16 * pi + 7.5 - 512.0) * rx)
+      val yc = scale * ((512.0 - (448 + 16 * pj + 7.5)) * rx)
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** S6 (GRIB2 template 3.40, regular Gaussian — the ECMWF/ERA spectral
     * grid) driver proof: a 28-row SUBSET of the N16 grid (rows 2..29, so
     * the top row stays inside web-mercator's 85.05° limit and the subset

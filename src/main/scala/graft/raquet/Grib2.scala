@@ -157,6 +157,7 @@ object Grib2 {
       case 20 => 65
       case 30 => 81
       case 40 => 72
+      case 90 => 80
       case _ => 15
     }), s"$where: section 3 too short for template 3.$tmpl")
     val plOctets = u8(sec3, 10)
@@ -244,6 +245,48 @@ object Grib2 {
             rowNi)
         }
 
+      case 90 => // space view / geostationary (Meteosat/GOES full disk)
+        val (a, invF) = parseEarth(sec3, where)
+        val lap = s32(sec3, 38)
+        require(lap == 0,
+          s"$where: space-view with non-equatorial sub-satellite point " +
+            "unsupported (geostationary only)")
+        val lopRaw = s32(sec3, 42) * 1e-6
+        val lop = if (lopRaw > 180.0) lopRaw - 360.0 else lopRaw
+        val dxDisc = u32(sec3, 47) // apparent disc diameter in grid lengths
+        val dyDisc = u32(sec3, 51)
+        val xp = u32(sec3, 55) * 1e-3 // sub-satellite grid coords
+        val yp = u32(sec3, 59) * 1e-3
+        val jPos = checkScan(u8(sec3, 63), where)
+        val orient = u32(sec3, 64)
+        require(orient == 0,
+          s"$where: rotated space-view grid (orientation $orient) unsupported")
+        val nr = u32(sec3, 68)
+        require(nr != missing,
+          s"$where: orthographic space view (Nr missing) unsupported")
+        require(dxDisc > 0 && dyDisc > 0 && nr > 1000000L,
+          s"$where: implausible space-view geometry dx=$dxDisc dy=$dyDisc Nr=$nr")
+        val xo = u32(sec3, 72).toDouble
+        val yo = u32(sec3, 76).toDouble
+        val rg = nr * 1e-6 // satellite distance from centre, in units of a
+        val proj = graft.geo.Geostationary(a, invF, height = a * (rg - 1.0),
+          lon0 = lop)
+        // the instrument scans at constant angular steps: the full disc
+        // subtends 2·asin(1/Rg) over dxDisc grid lengths; projected
+        // coordinates are scan angles × a·(Rg−1)
+        val rx = 2.0 * math.asin(1.0 / rg) / dxDisc
+        val ry = 2.0 * math.asin(1.0 / rg) / dyDisc
+        val scale = a * (rg - 1.0)
+        val di = scale * rx
+        val dj = scale * ry
+        val x1 = scale * ((xo - xp) * rx)
+        // row 0 sits at grid y (yp − yo); with scan −j it is the TOP row
+        val yTopGrid = yp - yo
+        val y1 =
+          if (jPos) scale * ((yTopGrid - (nj - 1)) * ry) // first row = south
+          else scale * (yTopGrid * ry)
+        Grid(ni, nj, y1, x1, di, dj, jPos, npoints, proj)
+
       case 10 => // Mercator (NCEP tropical/oceanic products)
         val (a, invF) = parseEarth(sec3, where)
         val la1 = s32(sec3, 38) * 1e-6
@@ -305,7 +348,7 @@ object Grib2 {
       case other => throw new IllegalArgumentException(
         s"$where: grid definition template 3.$other unsupported (3.0 " +
           "lat/lon, 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert " +
-          "conformal, 3.40 regular Gaussian)")
+          "conformal, 3.40 Gaussian, 3.90 space view)")
     }
   }
 

@@ -146,6 +146,25 @@ object Grib2Writer {
       rowNi.flatMap(n => u16(n)).toArray)
   }
 
+  /** Template 3.90 (space view / geostationary) section 3: sphere
+    * r=6371229, equatorial sub-satellite point at `lopMicro`, apparent
+    * disc diameter `dxDisc`/`dyDisc` grid lengths, sub-satellite grid
+    * coordinates `xpMilli`/`ypMilli` (10⁻³ grid lengths), camera at
+    * `nr`·10⁻⁶ earth radii from the centre, sector origin (`xo`,`yo`),
+    * scan N→S. */
+  def sec3SpaceView(ni: Int, nj: Int, lopMicro: Long, dxDisc: Long,
+      dyDisc: Long, xpMilli: Long, ypMilli: Long, nr: Long, xo: Long,
+      yo: Long): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(90 /*template 3.90*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++
+      sN(0, 4) ++ sN(lopMicro, 4) ++ Array[Byte](0x30) ++
+      u32(dxDisc) ++ u32(dyDisc) ++ u32(xpMilli) ++ u32(ypMilli) ++
+      Array[Byte](0x00 /*scan: N→S*/) ++ u32(0 /*orientation*/) ++
+      u32(nr) ++ u32(xo) ++ u32(yo))
+
   /** Template 3.10 (Mercator) section 3: sphere r=6371229, cylinder
     * intersection at laD (Di/Dj true there, millimeters), orientation 0,
     * scan W→E S→N. La2/Lo2 name the last grid point (informational). */

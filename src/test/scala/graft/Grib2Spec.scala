@@ -371,6 +371,42 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("PL list"))
   }
 
+  test("template 3.90 space view georeferences through the geostationary projection") {
+    val (ni, nj) = (8, 6)
+    val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k))
+    val sec3 = Grib2Writer.sec3SpaceView(ni, nj, lopMicro = 41500000L,
+      dxDisc = 1024L, dyDisc = 1024L, xpMilli = 512000L, ypMilli = 512000L,
+      nr = 6610000L, xo = 508L, yo = 509L)
+    val msg = Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val p = tmpFile("geos")
+    val out = new java.io.FileOutputStream(p)
+    try out.write(msg) finally out.close()
+    val g = Grib2.describe(p)
+    val a = 6371229.0
+    assert(g.grid.proj == graft.geo.Geostationary(a,
+      Double.PositiveInfinity, a * (6610000L * 1e-6 - 1.0), 41.5))
+    // the sub-satellite point sits at grid (512, 512): column 4 of this
+    // sector (xo 508), row 3 (yo 509) — that pixel center projects to the
+    // projection origin, i.e. lon 41.5, lat 0
+    val xNadir = g.grid.xFirst + 4 * g.grid.di
+    val yNadir = g.grid.yFirst - 3 * g.grid.dj // scan 0x00: yFirst is top
+    val (lon, lat) = g.grid.proj.toLonLat(xNadir, yNadir)
+    assert(math.abs(lon - 41.5) < 1e-9 && math.abs(lat) < 1e-9)
+    val s = g.sampler(0, 0, 0, ni, nj)
+    assert(s.sample(0, 4, 3) == (3 * ni + 4).toDouble)
+    // orthographic (Nr missing) fails loudly
+    val bad = Grib2Writer.sec3SpaceView(ni, nj, 0L, 1024L, 1024L,
+      512000L, 512000L, nr = 0xFFFFFFFFL, 508L, 509L)
+    val msgBad = Grib2Writer.messageWithSec3(bad, (2021, 1, 1, 0),
+      Plane(0, vals), nbits = 8, packing = "simple", 0, 0, 0)
+    val pb = tmpFile("geosbad")
+    val ob = new java.io.FileOutputStream(pb)
+    try ob.write(msgBad) finally ob.close()
+    val e = intercept[IllegalArgumentException] { Grib2.describe(pb) }
+    assert(e.getMessage.contains("orthographic"))
+  }
+
   test("multi-parameter and malformed files fail loudly") {
     // two messages with different parameter numbers
     val m1 = Grib2Writer.message(Ni, Nj, 1, 16, (59.9375 * 16).round,

