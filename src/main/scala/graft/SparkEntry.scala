@@ -188,6 +188,7 @@ object SparkEntry {
     "q167_zarr_delta"       -> (RaquetQueries.q167ZarrDelta _),
     "q168_az_signed"        -> (RaquetQueries.q168AzSigned _),
     "q169_grib_spaceview"   -> (RaquetQueries.q169GribSpaceView _),
+    "q170_stream_semdedup"  -> (LlmQueries.q170StreamSemDedup _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -428,6 +429,8 @@ object SparkEntry {
     // q168 is the same through a SharedKey-ENFORCING az:// server
     "q168_az_signed"        -> RaquetOracles.q60,
     "q169_grib_spaceview"   -> RaquetOracles.q169,
+    // streaming semdedup == batch semdedup: identical q158 oracle
+    "q170_stream_semdedup"  -> LlmOracles.q158,
     // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
     // oracle; compression codec and interleave must be invisible
     "q91_packbits_planar"   -> RaquetOracles.q60,

@@ -322,6 +322,35 @@ object LlmQueries {
     EmbedOps.semDedup(Tables.embeddings(spark, dir), planes = 8, dim = 64,
       tau = 0.35)
 
+  /** Streaming SemDeDup ([[graft.streaming.StreamingTiles.semDedup]]):
+    * the corpus arrives id-ordered in two micro-batches; per-bucket state
+    * carries every seen embedding, so the verdicts hash-match the BATCH
+    * q158 oracle exactly — the dedup decision is stream/batch
+    * independent. */
+  def q170StreamSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val mid = corpus(corpus.length / 2)._1
+    val (first, second) = corpus.partition(_._1 < mid)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.StreamingTiles.semDedup(
+      input.toDF().toDF("vec_id", "embedding"), planes = 8, dim = 64,
+      tau = 0.35)
+    val query = out.writeStream.format("memory").queryName("q170_semdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q170_semdedup")
+  }
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

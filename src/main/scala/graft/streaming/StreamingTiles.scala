@@ -167,6 +167,71 @@ object StreamingTiles {
       .toDF()
   }
 
+  /** One streaming SemDeDup verdict row — the twin of a
+    * [[graft.operators.EmbedOps.semDedup]] output row. */
+  case class SemVerdict(vec_id: Long, bucket: Long,
+      max_prior_cos: Option[Double], keep: Boolean)
+
+  /** Per-bucket state: every embedding seen so far (as doubles), with its
+    * id. The batch rule compares a vector against ALL smaller ids — kept
+    * or dropped — so the whole bucket persists; state is bounded by
+    * bucket size, the same Σ per-bucket n² the batch operator pays. */
+  case class SemBucketState(ids: Seq[Long], embs: Seq[Seq[Double]])
+
+  /** Streaming SemDeDup: the q158 semantic-dedup verdict as vectors
+    * arrive. Keyed on the deterministic hyperplane bucket; within a
+    * micro-batch rows are processed in vec_id order, so with id-ordered
+    * arrival the verdicts equal the batch operator's EXACTLY (the cosine
+    * is the same left-fold double arithmetic, rounded like Spark's
+    * `round(_, 6)`). */
+  def semDedup(vecs: DataFrame, planes: Int, dim: Int,
+      tau: Double): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    implicit val stateEnc = Encoders.product[SemBucketState]
+    implicit val outEnc = Encoders.product[SemVerdict]
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      // Spark's round(_, 6) on doubles: decimal HALF_UP via the string
+      // representation (BigDecimal.decimal semantics)
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def fn(bucket: Long, rows: Iterator[Row],
+        state: GroupState[SemBucketState]): Iterator[SemVerdict] = {
+      val prev = state.getOption.getOrElse(SemBucketState(Nil, Nil))
+      val seenIds = scala.collection.mutable.ArrayBuffer[Long](prev.ids: _*)
+      val seen = scala.collection.mutable.ArrayBuffer[Array[Double]](
+        prev.embs.map(_.toArray): _*)
+      val out = Seq.newBuilder[SemVerdict]
+      rows.toSeq.sortBy(_.getAs[Long]("vec_id")).foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        val emb = r.getSeq[Float](r.fieldIndex("embedding"))
+          .iterator.map(_.toDouble).toArray
+        var best = Double.NaN
+        var any = false
+        seen.foreach { e =>
+          val c = cos(e, emb)
+          if (!any || c > best) { best = c; any = true }
+        }
+        out += SemVerdict(id, bucket,
+          if (any) Some(best) else None, !any || best < tau)
+        seenIds += id
+        seen += emb
+      }
+      state.update(SemBucketState(seenIds.toSeq, seen.map(_.toSeq).toSeq))
+      out.result().iterator
+    }
+    graft.operators.EmbedOps.hyperplaneBuckets(vecs, planes, dim)
+      .groupByKey((r: Row) => r.getAs[Long]("bucket"))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Event-time windowed per-block stats: the streaming twin of the batch
     * time-bucket aggregation (q38). One state-store row per (window, block);
     * the exact-merge aggregate keeps state O(1) per key. */
