@@ -28,7 +28,9 @@ object Cli {
 
   private val Usage =
     """usage: graft.Cli <command> <args...>
-      |  convert <in.tif|.nc|.zarr|.asc|.hgt> <out.parquet>
+      |  convert <in.tif|.nc|.zarr|.grib(2)|.asc|.hgt> <out.parquet>
+      |          [--param d,c,n]  (GRIB multi-parameter files: GRIB2
+      |           discipline,category,number; GRIB1 parameter,level-type,level)
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
@@ -89,6 +91,21 @@ object Cli {
     (pos.result(), flags.result())
   }
 
+  /** GRIB magic + edition octet — extension-independent local detection
+    * (.grib/.grb/.grib2/.grb2 naming is inconsistent in the wild). */
+  private def gribEdition(path: String): Option[Int] = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length < 8) return None
+    val in = new java.io.FileInputStream(f)
+    try {
+      val b = new Array[Byte](8)
+      if (in.read(b) != 8) None
+      else if (b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B')
+        Some(b(7) & 0xFF)
+      else None
+    } finally in.close()
+  }
+
   private def log2Exact(n: Int, what: String): Int = {
     val z = 31 - Integer.numberOfLeadingZeros(n)
     if (n <= 0 || (1 << z) != n) fail(s"$what must be a power of two, got $n")
@@ -112,6 +129,24 @@ object Cli {
         tileStats = f.contains("tile-stats"),
         resampling = f.getOrElse("resampling", "near"),
         overviews = f.getOrElse("overviews", "auto"))
+      else if (gribEdition(in).nonEmpty) {
+        // --param "d,c,n" (GRIB2 discipline/category/number) or
+        // "p,lt,lv" (GRIB1 parameter/levelType/level)
+        val param = f.get("param").map { s =>
+          val ps = s.split(",").map(_.trim.toInt)
+          require(ps.length == 3, "--param needs three comma-separated ints")
+          (ps(0), ps(1), ps(2))
+        }
+        val bz = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size")
+        val zs = f.getOrElse("zoom-strategy", "auto")
+        val ts = f.contains("tile-stats")
+        val rs = f.getOrElse("resampling", "near")
+        val ov = f.getOrElse("overviews", "auto")
+        if (gribEdition(in).contains(1))
+          graft.raquet.Grib1.convert(spark, in, out, bz, zs, ts, rs, ov, param)
+        else
+          graft.raquet.Grib2.convert(spark, in, out, bz, zs, ts, rs, ov, param)
+      }
       else if (in.endsWith(".nc") || in.endsWith(".nc4") ||
         graft.raquet.Zarr.isStore(in)) NetCdf.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),

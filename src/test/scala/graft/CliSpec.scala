@@ -61,6 +61,31 @@ class CliSpec extends SparkSpec {
     assert(new java.io.File(s"$cdir/1").exists())
   }
 
+  test("convert routes GRIB by magic bytes, both editions, with --param") {
+    // GRIB2, two parameters — --param selects one
+    val g2 = s"$tmp/multi.grib2"
+    val vals = Array.tabulate[Option[Int]](24 * 10)(k => Some(k % 200))
+    val msgs = Seq((0, 0, 0), (0, 0, 5)).flatMap { case (d, c, n) =>
+      graft.raquet.Grib2Writer.message(24, 10, 1, 8, (55.0 * 8).round,
+        (200.0 * 8).round, 4, 4, (2020, 1, 1, 0),
+        graft.raquet.Grib2Writer.Plane(0, vals), 8, "simple", d, c, n)
+    }.toArray
+    java.nio.file.Files.write(java.nio.file.Paths.get(g2), msgs)
+    val out2 = s"$tmp/grib2.parquet"
+    Cli.run(spark, Seq("convert", g2, out2, "--param", "0,0,5",
+      "--overviews", "none"))
+    assert(graft.raquet.RaquetIO.read(spark, out2).data.count() > 0)
+    // GRIB1 routes to the edition-1 reader despite a misleading name
+    val g1 = s"$tmp/ed1.tif" // wrong extension on purpose: magic wins
+    val m1 = graft.raquet.Grib1Writer.message(24, 10, 55000, 200000,
+      1000, 1000, (2004, 5, 1, 6),
+      graft.raquet.Grib2Writer.Plane(0, vals), nbits = 8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(g1), m1)
+    val out1 = s"$tmp/grib1.parquet"
+    Cli.run(spark, Seq("convert", g1, out1, "--overviews", "none"))
+    assert(graft.raquet.RaquetIO.read(spark, out1).data.count() > 0)
+  }
+
   test("pmtiles, compact, mvt subcommands run via argv") {
     import org.apache.spark.sql.functions.{col, lit}
     val tif = s"$tmp/in2.tif"
