@@ -189,6 +189,7 @@ object SparkEntry {
     "q168_az_signed"        -> (RaquetQueries.q168AzSigned _),
     "q169_grib_spaceview"   -> (RaquetQueries.q169GribSpaceView _),
     "q170_stream_semdedup"  -> (LlmQueries.q170StreamSemDedup _),
+    "q171_contour"          -> (RaquetQueries.q171Contour _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -431,6 +432,7 @@ object SparkEntry {
     "q169_grib_spaceview"   -> RaquetOracles.q169,
     // streaming semdedup == batch semdedup: identical q158 oracle
     "q170_stream_semdedup"  -> LlmOracles.q158,
+    "q171_contour"          -> RaquetOracles.q171,
     // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
     // oracle; compression codec and interleave must be invisible
     "q91_packbits_planar"   -> RaquetOracles.q60,

@@ -50,6 +50,9 @@ object GraftFunctions {
   def rq_composite(a: Column, b: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqComposite(ex(a), ex(b), BandKernel(meta, name)))
+  def rq_contour(band: Column, meta: RaquetMetadata, name: String,
+      level: Double): Column =
+    col(RqContour(ex(band), BandKernel(meta, name), level))
   def rq_rasterize(block: Column, zones: Column, kernel: BandKernel): Column =
     col(RqRasterize(ex(block), ex(zones), kernel))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
@@ -339,6 +342,8 @@ object GraftFunctions {
         litDoubles(br, "breaks"), litDoubles(cl, "classes")) }
     r("rq_composite") { case Seq(a, b, m, n) =>
       RqComposite(a, b, kernelOf(m, n)) }
+    r("rq_contour") { case Seq(b, m, n, lv) =>
+      RqContour(b, kernelOf(m, n), litDouble(lv, "level")) }
     r("rq_histogram") { case Seq(b, m, n, lo, hi, k) =>
       RqHistogram(b, kernelOf(m, n), litDouble(lo, "min"),
         litDouble(hi, "max"), litInt(k, "buckets")) }

@@ -680,6 +680,28 @@ object RaquetOracles {
           CAST(((pj + 2) * 7 + pm * 3) % 200 AS BIGINT) AS v
         FROM probes"""
 
+  /** q171: marching squares on the v = gx + 2·gy plane at level 300.5 —
+    * crossing cells have gx + 2·gy ∈ {298, 299, 300} (d = 300 − gx − 2·gy
+    * ∈ {0,1,2}); each case's segment endpoints are exact dyadic edge
+    * interpolations, canonically ordered like the engine's. Cells
+    * spanning a 256-px tile boundary emit nothing (per-tile semantics).
+    * Within tile (tx, ty): i = gx mod 256, j = gy mod 256. */
+  val q171: String =
+    s"""WITH cells AS (
+          SELECT CAST(gx // 256 AS BIGINT) AS tx,
+            CAST(gy // 256 AS BIGINT) AS ty,
+            CAST(gx % 256 AS DOUBLE) AS i, CAST(gy % 256 AS DOUBLE) AS j,
+            300 - gx - 2*gy AS d
+          FROM range(512) a(gx), range(512) b(gy)
+          WHERE gx % 256 < 255 AND gy % 256 < 255
+            AND 300 - gx - 2*gy BETWEEN 0 AND 2)
+        SELECT tx, ty,
+          CASE d WHEN 0 THEN i        WHEN 1 THEN i        ELSE i + 0.5  END AS x1,
+          CASE d WHEN 0 THEN j + 0.25 WHEN 1 THEN j + 0.75 ELSE j + 1.0  END AS y1,
+          CASE d WHEN 0 THEN i + 0.5  WHEN 1 THEN i + 1.0  ELSE i + 1.0  END AS x2,
+          CASE d WHEN 0 THEN j        WHEN 1 THEN j + 0.25 ELSE j + 0.75 END AS y2
+        FROM cells"""
+
   /** q169: spherical normalized-geostationary inverse (CGMS LRIT/HRIT /
     * PROJ `geos` math): scan angles from grid geometry, view-ray
     * components, quadratic near-intersection with the sphere, lon/lat —

@@ -1816,6 +1816,36 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** Contour extraction (gdal_contour shape, raster→vector) driver proof:
+    * a mercator-aligned 512×512 plane v = gx + 2·gy converts losslessly
+    * (grid-aligned, nearest warp = identity), and rq_contour at level
+    * 300.5 crosses cells where gx + 2·gy ∈ {298, 299, 300} — every
+    * segment endpoint is exact dyadic arithmetic the oracle re-derives
+    * per marching-squares case. Per-tile semantics: cells spanning tile
+    * boundaries emit nothing (the focal halo-exchange stage's job). */
+  def q171Contour(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q171"
+    new java.io.File(tmp).mkdirs()
+    val tif = s"$tmp/plane.tif"
+    val (w, h) = (512, 512)
+    val band = Array.tabulate(w * h)(k => ((k % w) + 2.0 * (k / w)))
+    graft.raquet.TiffWriter.write(tif, w, h, "uint16", Array(band),
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = None)
+    val out = s"$tmp/plane.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out, overviews = "none")
+    val ds = RaquetIO.read(spark, out)
+    ds.data
+      .filter(quadbin_zoom(col("block")) === 1)
+      .select(quadbin_tile_x(col("block")).cast("long").as("tx"),
+        quadbin_tile_y(col("block")).cast("long").as("ty"),
+        explode(rq_contour(col("band_1"), ds.meta, "band_1", 300.5)).as("s"))
+      .select(col("tx"), col("ty"),
+        element_at(col("s"), 1).as("x1"), element_at(col("s"), 2).as("y1"),
+        element_at(col("s"), 3).as("x2"), element_at(col("s"), 4).as("y2"))
+  }
+
   /** S6 (GRIB2 template 3.90, space view — the Meteosat/GOES full-disk
     * geostationary geometry) driver proof: a 128×128 sector centered on
     * the nadir of a satellite 6.61 earth radii from the centre, 16×16

@@ -177,6 +177,65 @@ final case class BandKernel(
     * (non-nodata/non-NaN), else b's — which may itself be nodata, so holes
     * survive only where BOTH inputs are holes. Inputs must share this
     * kernel's grid/dtype; output is a well-formed gzip band blob. */
+  /** Marching-squares contour segments at `level` over the PHYSICAL
+    * pixel-center grid (gdal_contour's model): each 2×2 cell with a sign
+    * change emits one segment (two for saddles, disambiguated by the
+    * center average — GDAL's rule), endpoints linearly interpolated along
+    * the crossing edges in fractional PIXEL coordinates (x → column,
+    * y → row). Cells touching any masked pixel emit nothing. Endpoints
+    * are canonically ordered ((x, y) lexicographic) and cells walk in
+    * row-major order, so output is deterministic. Per-tile only —
+    * cross-tile cells belong to a halo-exchange stage like the focal
+    * kernels'; segment output needs no stitching to be useful (length /
+    * density / rendering all aggregate segments). */
+  def contour(raw: Array[Byte], level: Double): Array[Array[Double]] = {
+    val v = decode(raw)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def phys(p: Double): Double =
+      if (java.lang.Double.isNaN(p) || (!nodata.isNaN && p == nodata))
+        Double.NaN
+      else p * scale + offset
+    def seg(p: Array[Double], q: Array[Double]): Unit =
+      out += (if (p(0) < q(0) || (p(0) == q(0) && p(1) <= q(1)))
+        Array(p(0), p(1), q(0), q(1)) else Array(q(0), q(1), p(0), p(1)))
+    var j = 0
+    while (j < height - 1) {
+      var i = 0
+      while (i < width - 1) {
+        val a = phys(v(j * width + i))
+        val b = phys(v(j * width + i + 1))
+        val c = phys(v((j + 1) * width + i))
+        val d = phys(v((j + 1) * width + i + 1))
+        if (!a.isNaN && !b.isNaN && !c.isNaN && !d.isNaN) {
+          val sa = a > level; val sb = b > level
+          val sc = c > level; val sd = d > level
+          if (!(sa == sb && sb == sc && sc == sd)) {
+            def t(va: Double, vb: Double) = (level - va) / (vb - va)
+            val top = if (sa != sb) Array(i + t(a, b), j.toDouble) else null
+            val right = if (sb != sd) Array(i + 1.0, j + t(b, d)) else null
+            val bottom =
+              if (sc != sd) Array(i + t(c, d), j + 1.0) else null
+            val left = if (sa != sc) Array(i.toDouble, j + t(a, c)) else null
+            if (top != null && right != null && bottom != null && left != null) {
+              // saddle: the center average decides which corners connect
+              if (sa == ((a + b + c + d) / 4 > level)) {
+                seg(top, right); seg(left, bottom) // b and c isolated
+              } else {
+                seg(top, left); seg(right, bottom) // a and d isolated
+              }
+            } else {
+              val pts = Array(top, right, bottom, left).filter(_ != null)
+              seg(pts(0), pts(1))
+            }
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    out.toArray
+  }
+
   def composite(rawA: Array[Byte], rawB: Array[Byte]): Array[Byte] = {
     val va = decode(rawA)
     val vb = decode(rawB)

@@ -48,6 +48,10 @@ object RqBridge {
   def decodeOf(k: BandKernel, raw: Array[Byte]): ArrayData =
     ArrayData.toArrayData(k.decode(raw))
 
+  def contourOf(k: BandKernel, raw: Array[Byte], level: Double): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      k.contour(raw, level).map(s => ArrayData.toArrayData(s): Any))
+
   def ndiffOf(k: BandPairKernel, a: Array[Byte], b: Array[Byte]): ArrayData =
     ArrayData.toArrayData(k.normalizedDifference(a, b))
 
@@ -433,6 +437,25 @@ case class RqReclassify(child: Expression, kernel: BandKernel,
     val b = ctx.addReferenceObj("breaks", breaks, "double[]")
     val c = ctx.addReferenceObj("classes", classes, "double[]")
     defineCodeGen(ctx, ev, raw => s"$k.reclassify($raw, $b, $c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_contour(band) with a plan-time `level` → ARRAY<ARRAY<DOUBLE>> of
+  * [x1,y1,x2,y2] marching-squares segments in fractional pixel
+  * coordinates (the gdal_contour shape; see [[BandKernel.contour]]). */
+case class RqContour(child: Expression, kernel: BandKernel, level: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_contour"
+  override protected def nullSafeEval(raw: Any): Any =
+    RqBridge.contourOf(kernel, raw.asInstanceOf[Array[Byte]], level)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, c => s"${RqBridge.B}.contourOf($k, $c, ${level}D)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -38,6 +38,33 @@ class RasterOpsSpec extends SparkSpec {
     }
   }
 
+  test("contour: crossings interpolate, saddles split by center, masked cells skip") {
+    // 2×2 cell raster (one cell per quadrant of the 4×4 tile is overkill;
+    // use the single top-left cell via tailored values)
+    // simple crossing: a=0 b=10 / c=0 d=10 at level 5 → vertical line x=0.5
+    val simple = k.contour(enc(0, 10, 0, 0, 0, 10, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0), 5.0)
+    assert(simple.exists(s => s.toSeq == Seq(0.5, 0.0, 0.5, 1.0)))
+    // saddle: a=10 d=10 above, b=0 c=0 below; center avg 5 ≤ level(6) →
+    // a and d isolated: (top,left) + (right,bottom)
+    val sad = k.contour(enc(10, 0, 0, 0, 0, 10, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0), 6.0)
+      .filter(s => s.forall(_ <= 1.0)) // cell (0,0) only
+    assert(sad.length == 2)
+    assert(sad.exists(s => s(0) == 0.0 && s(1) == 0.4 && s(2) == 0.4 && s(3) == 0.0))
+    assert(sad.exists(s => s.toSeq == Seq(0.6, 1.0, 1.0, 0.6)))
+    // center ABOVE the level → b and c isolated instead
+    val sad2 = k.contour(enc(10, 0, 0, 0, 0, 10, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0), 4.0).filter(s => s.forall(_ <= 1.0))
+    assert(sad2.exists(s => s(1) == 0.0 && s(0) > 0.5)) // top–right pairing
+    // a masked corner silences the cell
+    val masked = k.contour(enc(255, 10, 0, 0, 0, 10, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0), 5.0)
+    assert(!masked.exists(s => s(0) <= 1 && s(1) <= 1 && s(2) <= 1 && s(3) <= 1))
+    // no crossings → empty
+    assert(k.contour(enc(Seq.fill(16)(1.0): _*), 5.0).isEmpty)
+  }
+
   test("composite: a wins where valid, b fills holes, both-nodata stays a hole") {
     val a = enc(1, 255, 3, 255, 5, 255, 7, 255, 9, 255, 11, 255, 13, 255, 15, 255)
     val b = enc(100, 200, 100, 255, 100, 200, 100, 255,
