@@ -190,6 +190,7 @@ object SparkEntry {
     "q169_grib_spaceview"   -> (RaquetQueries.q169GribSpaceView _),
     "q170_stream_semdedup"  -> (LlmQueries.q170StreamSemDedup _),
     "q171_contour"          -> (RaquetQueries.q171Contour _),
+    "q172_contour_halo"     -> (RaquetQueries.q172ContourHalo _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -433,6 +434,7 @@ object SparkEntry {
     // streaming semdedup == batch semdedup: identical q158 oracle
     "q170_stream_semdedup"  -> LlmOracles.q158,
     "q171_contour"          -> RaquetOracles.q171,
+    "q172_contour_halo"     -> RaquetOracles.q172,
     // q91 is the q60 raster as PackBits + planar-2 BigTIFF — identical
     // oracle; compression codec and interleave must be invisible
     "q91_packbits_planar"   -> RaquetOracles.q60,

@@ -53,6 +53,9 @@ object GraftFunctions {
   def rq_contour(band: Column, meta: RaquetMetadata, name: String,
       level: Double): Column =
     col(RqContour(ex(band), BandKernel(meta, name), level))
+  def rq_focal_contour(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String, level: Double): Column =
+    col(RqFocalContour(ex(band), ex(halos), BandKernel(meta, name), level))
   def rq_rasterize(block: Column, zones: Column, kernel: BandKernel): Column =
     col(RqRasterize(ex(block), ex(zones), kernel))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,

@@ -74,6 +74,20 @@ object Focal {
         rq_focal_terrain(col(band), col("halos"), meta, band, cell,
           azimuthDeg, altitudeDeg).as("t"))
 
+  /** Contour segments at `level` over the WHOLE dataset, cross-tile cells
+    * included: the same halo exchange as the focal statistics supplies
+    * the east/south neighbor pixels, and each cell is owned by the tile
+    * holding its top-left pixel — every cell of the raster is contoured
+    * exactly once, with no stitching pass. Output: (block, segments)
+    * with segments ARRAY<ARRAY<DOUBLE>> of [x1,y1,x2,y2] in the owning
+    * tile's pixel frame (boundary cells reach x = w / y = h). */
+  def contour(data: DataFrame, meta: RaquetMetadata, band: String,
+      level: Double): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_focal_contour(col(band), col("halos"), meta, band, level)
+          .as("segments"))
+
   /** Native tiles left-joined with their collected halo strips (column
     * `halos`; NULL for an isolated tile). */
   private def withHalos(data: DataFrame, meta: RaquetMetadata,

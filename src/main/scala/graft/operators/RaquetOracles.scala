@@ -702,6 +702,24 @@ object RaquetOracles {
           CASE d WHEN 0 THEN j        WHEN 1 THEN j + 0.25 ELSE j + 0.75 END AS y2
         FROM cells"""
 
+  /** q172: q171's marching-squares oracle WITHOUT the boundary-cell
+    * exclusion — with the halo exchange every cell of the 512×512 plane
+    * contours, owned by the tile of its top-left pixel. */
+  val q172: String =
+    s"""WITH cells AS (
+          SELECT CAST(gx // 256 AS BIGINT) AS tx,
+            CAST(gy // 256 AS BIGINT) AS ty,
+            CAST(gx % 256 AS DOUBLE) AS i, CAST(gy % 256 AS DOUBLE) AS j,
+            300 - gx - 2*gy AS d
+          FROM range(511) a(gx), range(511) b(gy)
+          WHERE 300 - gx - 2*gy BETWEEN 0 AND 2)
+        SELECT tx, ty,
+          CASE d WHEN 0 THEN i        WHEN 1 THEN i        ELSE i + 0.5  END AS x1,
+          CASE d WHEN 0 THEN j + 0.25 WHEN 1 THEN j + 0.75 ELSE j + 1.0  END AS y1,
+          CASE d WHEN 0 THEN i + 0.5  WHEN 1 THEN i + 1.0  ELSE i + 1.0  END AS x2,
+          CASE d WHEN 0 THEN j        WHEN 1 THEN j + 0.25 ELSE j + 0.75 END AS y2
+        FROM cells"""
+
   /** q169: spherical normalized-geostationary inverse (CGMS LRIT/HRIT /
     * PROJ `geos` math): scan angles from grid geometry, view-ray
     * components, quadratic near-intersection with the sphere, lon/lat —

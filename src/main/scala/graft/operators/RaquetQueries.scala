@@ -1846,6 +1846,33 @@ object RaquetQueries {
         element_at(col("s"), 3).as("x2"), element_at(col("s"), 4).as("y2"))
   }
 
+  /** Contour with halo exchange ([[graft.operators.Focal.contour]])
+    * driver proof: the q171 plane, but EVERY cell contours — including
+    * the ones spanning tile boundaries, owned by the tile holding their
+    * top-left pixel. The oracle is q171's without the boundary-cell
+    * exclusion. */
+  def q172ContourHalo(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q172"
+    new java.io.File(tmp).mkdirs()
+    val tif = s"$tmp/plane.tif"
+    val (w, h) = (512, 512)
+    val band = Array.tabulate(w * h)(k => ((k % w) + 2.0 * (k / w)))
+    graft.raquet.TiffWriter.write(tif, w, h, "uint16", Array(band),
+      pixelSize = 2.0 * Quadbin.OriginShift / w,
+      originX = -Quadbin.OriginShift, originY = Quadbin.OriginShift,
+      nodata = None)
+    val out = s"$tmp/plane.parquet"
+    graft.raquet.GeoTiff.convert(spark, tif, out, overviews = "none")
+    val ds = RaquetIO.read(spark, out)
+    Focal.contour(ds.data, ds.meta, "band_1", 300.5)
+      .select(quadbin_tile_x(col("block")).cast("long").as("tx"),
+        quadbin_tile_y(col("block")).cast("long").as("ty"),
+        explode(col("segments")).as("s"))
+      .select(col("tx"), col("ty"),
+        element_at(col("s"), 1).as("x1"), element_at(col("s"), 2).as("y1"),
+        element_at(col("s"), 3).as("x2"), element_at(col("s"), 4).as("y2"))
+  }
+
   /** S6 (GRIB2 template 3.90, space view — the Meteosat/GOES full-disk
     * geostationary geometry) driver proof: a 128×128 sector centered on
     * the nadir of a satellite 6.61 earth radii from the centre, 16×16

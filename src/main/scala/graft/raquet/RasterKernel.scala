@@ -189,51 +189,24 @@ final case class BandKernel(
     * kernels'; segment output needs no stitching to be useful (length /
     * density / rendering all aggregate segments). */
   def contour(raw: Array[Byte], level: Double): Array[Array[Double]] = {
-    val v = decode(raw)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    def phys(p: Double): Double =
-      if (java.lang.Double.isNaN(p) || (!nodata.isNaN && p == nodata))
-        Double.NaN
-      else p * scale + offset
-    def seg(p: Array[Double], q: Array[Double]): Unit =
-      out += (if (p(0) < q(0) || (p(0) == q(0) && p(1) <= q(1)))
-        Array(p(0), p(1), q(0), q(1)) else Array(q(0), q(1), p(0), p(1)))
-    var j = 0
-    while (j < height - 1) {
-      var i = 0
-      while (i < width - 1) {
-        val a = phys(v(j * width + i))
-        val b = phys(v(j * width + i + 1))
-        val c = phys(v((j + 1) * width + i))
-        val d = phys(v((j + 1) * width + i + 1))
-        if (!a.isNaN && !b.isNaN && !c.isNaN && !d.isNaN) {
-          val sa = a > level; val sb = b > level
-          val sc = c > level; val sd = d > level
-          if (!(sa == sb && sb == sc && sc == sd)) {
-            def t(va: Double, vb: Double) = (level - va) / (vb - va)
-            val top = if (sa != sb) Array(i + t(a, b), j.toDouble) else null
-            val right = if (sb != sd) Array(i + 1.0, j + t(b, d)) else null
-            val bottom =
-              if (sc != sd) Array(i + t(c, d), j + 1.0) else null
-            val left = if (sa != sc) Array(i.toDouble, j + t(a, c)) else null
-            if (top != null && right != null && bottom != null && left != null) {
-              // saddle: the center average decides which corners connect
-              if (sa == ((a + b + c + d) / 4 > level)) {
-                seg(top, right); seg(left, bottom) // b and c isolated
-              } else {
-                seg(top, left); seg(right, bottom) // a and d isolated
-              }
-            } else {
-              val pts = Array(top, right, bottom, left).filter(_ != null)
-              seg(pts(0), pts(1))
-            }
-          }
-        }
-        i += 1
-      }
-      j += 1
+    val v = physicalMasked(decode(raw))
+    BandKernel.marchingSquares(v, width, 0, width - 1, 0, height - 1,
+      0.0, 0.0, level)
+  }
+
+  /** Decoded DN grid → physical values with nodata/NaN masked to NaN. */
+  def physicalMasked(v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var k = 0
+    while (k < v.length) {
+      val p = v(k)
+      out(k) =
+        if (java.lang.Double.isNaN(p) || (!nodata.isNaN && p == nodata))
+          Double.NaN
+        else p * scale + offset
+      k += 1
     }
-    out.toArray
+    out
   }
 
   def composite(rawA: Array[Byte], rawB: Array[Byte]): Array[Byte] = {
@@ -400,6 +373,58 @@ final case class BandKernel(
 }
 
 object BandKernel {
+
+  /** Marching squares over an already-physical, already-masked grid `g`
+    * of row width `gw`: cells (ci, cj) for ci in [ci0, ciEnd), cj in
+    * [cj0, cjEnd), top-left pixel g(cj·gw + ci); emitted coordinates are
+    * (ci + xOff + t, cj + yOff + t). Cells touching a NaN pixel emit
+    * nothing; saddles split by the center average (GDAL's rule);
+    * endpoints canonically ordered, cells row-major → deterministic. */
+  def marchingSquares(g: Array[Double], gw: Int, ci0: Int, ciEnd: Int,
+      cj0: Int, cjEnd: Int, xOff: Double, yOff: Double,
+      level: Double): Array[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def seg(p: Array[Double], q: Array[Double]): Unit =
+      out += (if (p(0) < q(0) || (p(0) == q(0) && p(1) <= q(1)))
+        Array(p(0), p(1), q(0), q(1)) else Array(q(0), q(1), p(0), p(1)))
+    var cj = cj0
+    while (cj < cjEnd) {
+      var ci = ci0
+      while (ci < ciEnd) {
+        val a = g(cj * gw + ci)
+        val b = g(cj * gw + ci + 1)
+        val c = g((cj + 1) * gw + ci)
+        val d = g((cj + 1) * gw + ci + 1)
+        if (!a.isNaN && !b.isNaN && !c.isNaN && !d.isNaN) {
+          val sa = a > level; val sb = b > level
+          val sc = c > level; val sd = d > level
+          if (!(sa == sb && sb == sc && sc == sd)) {
+            val x = ci + xOff
+            val y = cj + yOff
+            def t(va: Double, vb: Double) = (level - va) / (vb - va)
+            val top = if (sa != sb) Array(x + t(a, b), y) else null
+            val right = if (sb != sd) Array(x + 1.0, y + t(b, d)) else null
+            val bottom = if (sc != sd) Array(x + t(c, d), y + 1.0) else null
+            val left = if (sa != sc) Array(x, y + t(a, c)) else null
+            if (top != null && right != null && bottom != null && left != null) {
+              // saddle: the center average decides which corners connect
+              if (sa == ((a + b + c + d) / 4 > level)) {
+                seg(top, right); seg(left, bottom) // b and c isolated
+              } else {
+                seg(top, left); seg(right, bottom) // a and d isolated
+              }
+            } else {
+              val pts = Array(top, right, bottom, left).filter(_ != null)
+              seg(pts(0), pts(1))
+            }
+          }
+        }
+        ci += 1
+      }
+      cj += 1
+    }
+    out.toArray
+  }
   /** Resolve a kernel from parsed metadata + band name. */
   def apply(meta: RaquetMetadata, bandName: String): BandKernel = {
     val bm = meta.band(bandName)

@@ -52,6 +52,22 @@ object RqBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       k.contour(raw, level).map(s => ArrayData.toArrayData(s): Any))
 
+  /** Contour segments INCLUDING the cells that span into the east/south
+    * neighbors, via the focal halo exchange: the padded grid supplies the
+    * missing corner pixels, and cells are owned by the tile holding their
+    * TOP-LEFT pixel, so every cell of the dataset is emitted exactly once.
+    * Coordinates stay in this tile's pixel frame (boundary cells reach
+    * x = w / y = h). Raster-edge cells with no halo stay silent (NaN
+    * padding), identical to the per-tile kernel. */
+  def contourHaloOf(k: BandKernel, raw: Array[Byte], halos: ArrayData,
+      level: Double): ArrayData = {
+    val pad = k.physicalMasked(assemblePadded(k, raw, halos))
+    val segs = graft.raquet.BandKernel.marchingSquares(pad, k.width + 2,
+      1, k.width + 1, 1, k.height + 1, -1.0, -1.0, level)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      segs.map(s => ArrayData.toArrayData(s): Any))
+  }
+
   def ndiffOf(k: BandPairKernel, a: Array[Byte], b: Array[Byte]): ArrayData =
     ArrayData.toArrayData(k.normalizedDifference(a, b))
 
@@ -458,6 +474,50 @@ case class RqContour(child: Expression, kernel: BandKernel, level: Double)
     defineCodeGen(ctx, ev, c => s"${RqBridge.B}.contourOf($k, $c, ${level}D)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_focal_contour(band, halos) with a plan-time `level` → contour
+  * segments INCLUDING cross-tile cells (halo-label contract of
+  * [[RqFocalMean]]; see [[RqBridge.contourHaloOf]] for ownership). */
+case class RqFocalContour(band: Expression, halos: Expression,
+    kernel: BandKernel, level: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_focal_contour"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.contourHaloOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData], level)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.contourHaloOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value}, ${level}D);
+        }""")
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(band = l, halos = r)
 }
 
 /** rq_rasterize(block, zones) → band blob with each zone's value burned
