@@ -196,6 +196,14 @@ object Bench {
       val ds = RaquetIO.read(s, RasterDir)
       graft.operators.Focal.focalMean3x3(ds.data, ds.meta, "band_1")
     }),
+    "b_contour" -> ((s: SparkSession, _: String) => {
+      // whole-dataset marching squares at the median-ish level: the focal
+      // halo shape with a segment-list output instead of a blob
+      val ds = RaquetIO.read(s, RasterDir)
+      graft.operators.Focal.contour(ds.data, ds.meta, "band_1", 100.5)
+        .select(org.apache.spark.sql.functions.size(col("segments")).as("n"))
+        .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_segments"))
+    }),
     "b_topk_tiles" -> ((s: SparkSession, _: String) =>
       RaquetIO.read(s, RasterDir).data
         .filter(quadbin_zoom(col("block")) === 10)
