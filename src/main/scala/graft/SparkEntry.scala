@@ -191,6 +191,8 @@ object SparkEntry {
     "q170_stream_semdedup"  -> (LlmQueries.q170StreamSemDedup _),
     "q171_contour"          -> (RaquetQueries.q171Contour _),
     "q172_contour_halo"     -> (RaquetQueries.q172ContourHalo _),
+    "q173_grib_rotated"     -> (RaquetQueries.q173GribRotated _),
+    "q174_grib1_rotated"    -> (RaquetQueries.q174Grib1Rotated _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -455,6 +457,10 @@ object SparkEntry {
     "q102_focal_terrain"    -> RaquetOracles.q102,
     "q103_tile_percentiles" -> RaquetOracles.q103,
     "q104_rotated_pole"     -> RaquetOracles.q104,
+    // q173/q174: the q104 CORDEX grid through GRIB2/GRIB1 rotated-lat/lon
+    // containers — identical oracle
+    "q173_grib_rotated"     -> RaquetOracles.q104,
+    "q174_grib1_rotated"    -> RaquetOracles.q104,
     "q105_reclassify"       -> RaquetOracles.q105,
     "q106_mosaic"           -> RaquetOracles.q106,
     "q107_lm_score"         -> LlmOracles.q107,

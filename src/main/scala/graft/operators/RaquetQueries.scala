@@ -1816,6 +1816,84 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (GRIB2 template 3.1, rotated lat/lon — the COSMO/ICON/CORDEX
+    * regional grid) driver proof: the q104 CORDEX grid (pole 39.25/−162,
+    * 0.25° rotated cells) through a GRIB2 container — identical oracle;
+    * the container must not change the georeferencing. */
+  def q173GribRotated(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q173"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/rot.grib2"
+    val (ni, nj) = (64, 64)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni // scan 0x00: north (rotated) first
+        Some((jf / 8) * 8 + i / 8)
+      })
+    val sec3 = graft.raquet.Grib2Writer.sec3Rotated(ni, nj,
+      la1Micro = 7875000L, lo1Micro = 352125000L,
+      diMicro = 250000L, djMicro = 250000L,
+      lapSMicro = -39250000L, lopSMicro = 18000000L)
+    val msg = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 7, 4, 12),
+      plane, nbits = 8, packing = "simple", 0, 0, 0)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/rot.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    rotatedProbeReadback(spark, out, meta)
+  }
+
+  /** S6 (GRIB edition-1 rotated lat/lon, GDS type 10) driver proof: the
+    * q104 grid through the edition-1 container (millidegree rotated
+    * coordinates, IBM-float rotation angle zero). Identical oracle. */
+  def q174Grib1Rotated(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q174"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/rot.grib"
+    val (ni, nj) = (64, 64)
+    val plane = graft.raquet.Grib2Writer.Plane(0,
+      Array.tabulate[Option[Int]](ni * nj) { k =>
+        val jf = k / ni; val i = k % ni
+        Some((jf / 8) * 8 + i / 8)
+      })
+    val gds = graft.raquet.Grib1Writer.gdsRotated(ni, nj,
+      la1Milli = 7875, lo1Milli = 352125, diMilli = 250, djMilli = 250,
+      lapSMilli = -39250, lopSMilli = 18000)
+    val msg = graft.raquet.Grib1Writer.messageWithGds(gds, ni * nj,
+      (2004, 5, 1, 6), plane, nbits = 8)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try fos.write(msg) finally fos.close()
+    val out = s"$tmp/rot.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    rotatedProbeReadback(spark, out, meta)
+  }
+
+  /** The q104 probe pattern over a converted rotated-pole dataset. */
+  private def rotatedProbeReadback(spark: SparkSession, out: String,
+      meta: graft.raquet.RaquetMetadata): DataFrame = {
+    val ds = RaquetIO.read(spark, out)
+    val rlats = Array.tabulate(64)(j => 8.0 - 0.25 * (j + 0.5))
+    val rlons = Array.tabulate(64)(i => -8.0 + 0.25 * (i + 0.5))
+    val proj = graft.geo.RotatedPole(39.25, -162.0)
+    val probes = for (bj <- 1 until 8 by 2; bi <- 1 until 8 by 2) yield {
+      val (j, i) = (bj * 8 + 4, bi * 8 + 4)
+      val (lon, lat) = proj.toLonLat(rlons(i), rlats(j))
+      (bi.toLong, bj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("bi", "bj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("bi"), col("bj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** Contour extraction (gdal_contour shape, raster→vector) driver proof:
     * a mercator-aligned 512×512 plane v = gx + 2·gy converts losslessly
     * (grid-aligned, nearest warp = identity), and rq_contour at level

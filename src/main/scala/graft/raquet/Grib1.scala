@@ -189,7 +189,8 @@ object Grib1 {
     val resFlags = u8(gds, 16)
     require(rowNi.nonEmpty || (resFlags & 0x80) != 0,
       s"$path: GDS without direction increments unsupported")
-    require(gridType == 0 || gridType == 4 || (resFlags & 0x40) == 0,
+    require(gridType == 0 || gridType == 4 || gridType == 10 ||
+      (resFlags & 0x40) == 0,
       s"$path: oblate-earth (IAU 1965) projected grids unsupported " +
         "(spherical earth only)")
     val la1 = s24(gds, 10) * 1e-3
@@ -238,6 +239,27 @@ object Grib1 {
             rowNi.map(_.toLong).sum, proj, rowNi)
         }
 
+      case 10 => // rotated lat/lon (COSMO/CORDEX edition-1 output)
+        require(gds.length >= 42,
+          s"$path: rotated-lat/lon GDS of ${gds.length} octets")
+        val di = u16(gds, 23)
+        val dj = u16(gds, 25)
+        require(di != 0xFFFF && dj != 0xFFFF,
+          s"$path: direction increments missing")
+        val jPos = scanAt(27)
+        val lapS = s24(gds, 32) * 1e-3 // south pole of projection
+        val lopSraw = s24(gds, 35) * 1e-3
+        // octets 39-42 carry the rotation angle as an IBM float; we
+        // support only the unrotated-axes case (all-zero bytes)
+        require(gds(38) == 0 && gds(39) == 0 && gds(40) == 0 && gds(41) == 0,
+          s"$path: rotated grid with nonzero rotation angle unsupported")
+        val lopS = if (lopSraw > 180.0) lopSraw - 360.0 else lopSraw
+        val poleLon0 = lopS - 180.0
+        val proj = graft.geo.RotatedPole(-lapS,
+          if (poleLon0 < -180.0) poleLon0 + 360.0 else poleLon0)
+        Grib2.Grid(ni, nj, la1, lo1, di * 1e-3, dj * 1e-3, jPos,
+          ni.toLong * nj, proj)
+
       case 1 => // Mercator: Di/Dj in meters, true at Latin
         require(gds.length >= 42, s"$path: Mercator GDS of ${gds.length} octets")
         val latin = s24(gds, 23) * 1e-3
@@ -284,7 +306,8 @@ object Grib1 {
 
       case other => throw new IllegalArgumentException(
         s"$path: GDS grid type $other unsupported (0 lat/lon, 1 Mercator, " +
-          "3 Lambert conformal, 4 Gaussian, 5 polar stereographic)")
+          "3 Lambert conformal, 4 Gaussian, 5 polar stereographic, " +
+          "10 rotated lat/lon)")
     }
   }
 

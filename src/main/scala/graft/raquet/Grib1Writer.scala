@@ -76,6 +76,25 @@ object Grib1Writer {
     gds
   }
 
+  /** Rotated lat/lon GDS (grid type 10): millidegree ROTATED coordinates,
+    * south pole of projection at (lapS, lopS), rotation angle zero,
+    * scan 0x00 (N→S). */
+  def gdsRotated(ni: Int, nj: Int, la1Milli: Int, lo1Milli: Int,
+      diMilli: Int, djMilli: Int, lapSMilli: Int,
+      lopSMilli: Int): Array[Byte] = {
+    val gds = u24(42) ++ Array[Byte](0, 255.toByte, 10) ++
+      u16(ni) ++ u16(nj) ++
+      s24(la1Milli) ++ s24(lo1Milli) ++
+      Array[Byte](0x80.toByte) ++
+      s24(la1Milli - (nj - 1) * djMilli) ++
+      s24(lo1Milli + (ni - 1) * diMilli) ++
+      u16(diMilli) ++ u16(djMilli) ++
+      Array[Byte](0x00 /*scan: N→S*/) ++ Array.fill[Byte](4)(0) ++
+      s24(lapSMilli) ++ s24(lopSMilli) ++ Array.fill[Byte](4)(0)
+    require(gds.length == 42, s"rotated GDS is ${gds.length} octets")
+    gds
+  }
+
   /** REDUCED Gaussian GDS (grid type 4): Ni and increments missing, octet
     * 5 points at the PL list of 2-octet per-row counts (octet 33). */
   def gdsGaussianReduced(nj: Int, la1Milli: Int, lo1Milli: Int,

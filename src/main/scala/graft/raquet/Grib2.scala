@@ -153,6 +153,7 @@ object Grib2 {
     val tmpl = u16(sec3, 12)
     require(sec3.length >= (tmpl match {
       case 0 => 72
+      case 1 => 84
       case 10 => 72
       case 20 => 65
       case 30 => 81
@@ -244,6 +245,30 @@ object Grib2 {
           Grid(niV, nj, y1, lo1, 360.0 / niV, 1.0, jPos, npoints, proj,
             rowNi)
         }
+
+      case 1 => // rotated lat/lon (COSMO/ICON/CORDEX regional grids)
+        val basicAngle = u32(sec3, 38)
+        require(basicAngle == 0 || basicAngle == missing,
+          s"$where: rotated grid with basic angle unsupported")
+        val la1 = s32(sec3, 46) * 1e-6
+        val lo1raw = s32(sec3, 50) * 1e-6
+        val di = u32(sec3, 63)
+        val dj = u32(sec3, 67)
+        require(di != missing && dj != missing,
+          s"$where: i/j direction increments not given — unsupported")
+        val jPos = checkScan(u8(sec3, 71), where)
+        val lapS = s32(sec3, 72) * 1e-6 // south pole of projection
+        val lopSraw = s32(sec3, 76) * 1e-6
+        val rot = s32(sec3, 80)
+        require(rot == 0,
+          s"$where: rotated grid with nonzero rotation angle unsupported")
+        val lopS = if (lopSraw > 180.0) lopSraw - 360.0 else lopSraw
+        // CF convention: the grid NORTH pole is the antipode
+        val poleLon0 = lopS - 180.0
+        val proj = graft.geo.RotatedPole(-lapS,
+          if (poleLon0 < -180.0) poleLon0 + 360.0 else poleLon0)
+        val lo1 = if (lo1raw > 180.0) lo1raw - 360.0 else lo1raw
+        Grid(ni, nj, la1, lo1, di * 1e-6, dj * 1e-6, jPos, npoints, proj)
 
       case 90 => // space view / geostationary (Meteosat/GOES full disk)
         val (a, invF) = parseEarth(sec3, where)
@@ -347,8 +372,9 @@ object Grib2 {
 
       case other => throw new IllegalArgumentException(
         s"$where: grid definition template 3.$other unsupported (3.0 " +
-          "lat/lon, 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert " +
-          "conformal, 3.40 Gaussian, 3.90 space view)")
+          "lat/lon, 3.1 rotated lat/lon, 3.10 Mercator, 3.20 polar " +
+          "stereographic, 3.30 Lambert conformal, 3.40 Gaussian, " +
+          "3.90 space view)")
     }
   }
 

@@ -112,6 +112,23 @@ object Grib2Writer {
       sN(latin1Micro, 4) ++ sN(latin2Micro, 4) ++
       sN(-90000000L, 4) ++ u32(0))
 
+  /** Template 3.1 (rotated lat/lon) section 3: sphere r=6371229,
+    * micro-degree ROTATED coordinates, the south pole of projection at
+    * (lapS, lopS), rotation angle 0, scan N→S. */
+  def sec3Rotated(ni: Int, nj: Int, la1Micro: Long, lo1Micro: Long,
+      diMicro: Long, djMicro: Long, lapSMicro: Long,
+      lopSMicro: Long): Array[Byte] =
+    section(3, Array[Byte](0) ++ u32(ni.toLong * nj) ++
+      Array[Byte](0, 0) ++ u16(1 /*template 3.1*/) ++
+      Array[Byte](6, 0) ++ u32(0) ++ Array[Byte](0) ++ u32(0) ++
+      Array[Byte](0) ++ u32(0) ++
+      u32(ni) ++ u32(nj) ++ u32(0 /*basic angle*/) ++ u32(0) ++
+      sN(la1Micro, 4) ++ sN(lo1Micro, 4) ++ Array[Byte](0x30) ++
+      sN(la1Micro - (nj - 1) * djMicro, 4) ++
+      sN(lo1Micro + (ni - 1) * diMicro, 4) ++
+      u32(diMicro) ++ u32(djMicro) ++ Array[Byte](0x00 /*scan: N→S*/) ++
+      sN(lapSMicro, 4) ++ sN(lopSMicro, 4) ++ sN(0, 4))
+
   /** Template 3.40 (regular Gaussian) section 3: sphere r=6371229, Di in
     * micro-degrees, octets 68-71 carry N (the number of parallels between
     * a pole and the equator), scan N→S. La2/Lo2 informational. */
