@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.raquet.{AaiGrid, GeoTiff, Maintenance, NetCdf, SrtmHgt}
+import graft.raquet.{AaiGrid, Envi, GeoTiff, Maintenance, NetCdf, SrtmHgt}
 
 /** Thin command-line surface over the library — the Spark-side mirror of
   * `raquet/cli.py:358-464,887-900,932-941,1058-1079,1296-1299` so the API
@@ -28,7 +28,7 @@ object Cli {
 
   private val Usage =
     """usage: graft.Cli <command> <args...>
-      |  convert <in.tif|.nc|.zarr|.grib(2)|.asc|.hgt> <out.parquet>
+      |  convert <in.tif|.nc|.zarr|.grib(2)|.asc|.hgt|ENVI .dat+.hdr> <out.parquet>
       |          [--param d,c,n]  (GRIB multi-parameter files: GRIB2
       |           discipline,category,number; GRIB1 parameter,level-type,level)
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
@@ -118,6 +118,16 @@ object Cli {
       val (pos, f) = parseArgs(args.tail, Set("tile-stats"))
       val Seq(in, out) = expect(pos, 2, "convert <in.tif|in.nc> <out.parquet>")
       if (in.toLowerCase.endsWith(".hgt")) SrtmHgt.convert(spark, in, out,
+        blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+        zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+        tileStats = f.contains("tile-stats"),
+        resampling = f.getOrElse("resampling", "near"),
+        overviews = f.getOrElse("overviews", "auto"))
+      else if (in.toLowerCase.endsWith(".hdr") ||
+        (new java.io.File(in + ".hdr").isFile &&
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(in + ".hdr")), "US-ASCII")
+            .trim.startsWith("ENVI"))) Envi.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
         zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
         tileStats = f.contains("tile-stats"),

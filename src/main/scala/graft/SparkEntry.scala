@@ -193,6 +193,7 @@ object SparkEntry {
     "q172_contour_halo"     -> (RaquetQueries.q172ContourHalo _),
     "q173_grib_rotated"     -> (RaquetQueries.q173GribRotated _),
     "q174_grib1_rotated"    -> (RaquetQueries.q174Grib1Rotated _),
+    "q175_envi_ingest"      -> (RaquetQueries.q175EnviIngest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -378,6 +379,8 @@ object SparkEntry {
     // q81 is the q60 convert over HTTP Range transport — identical oracle
     "q81_http_tiff"         -> RaquetOracles.q60,
     "q82_aaigrid_ingest"    -> RaquetOracles.q82,
+    // q175 is the q82 grid in an ENVI raw cube — same oracle
+    "q175_envi_ingest"      -> RaquetOracles.q82,
     "q83_webp_lossy"        -> RaquetOracles.q83,
     "q84_srtm_ingest"       -> RaquetOracles.q84,
     // q85 is the q60 raster in the tiled-BigTIFF (COG) layout — identical

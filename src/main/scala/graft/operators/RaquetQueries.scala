@@ -2277,6 +2277,54 @@ object RaquetQueries {
     * — the q79 world grid as a single-band `.asc` (streamed ASCII→TIFF
     * transcode, then the distributed warp). Same float-immune oracle
     * design: values depend only on the source column pair. */
+  /** S6 (ENVI raw-binary cube) driver proof: the q82 grid as a BSQ uint8
+    * ENVI pair (text header + bare samples, geographic map info) —
+    * identical oracle; the container must not change one value. */
+  def q175EnviIngest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q175"
+    new java.io.File(tmp).mkdirs()
+    val dat = s"$tmp/synth.dat"
+    val buf = new Array[Byte](512 * 240)
+    var k = 0
+    var j = 0
+    while (j < 240) {
+      var i = 0
+      while (i < 512) {
+        val p = i >> 1
+        buf(k) = (if (p % 27 == 0) 255 else 3 * p % 251).toByte
+        k += 1; i += 1
+      }
+      j += 1
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(dat), buf)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dat.hdr"),
+      """ENVI
+        |samples = 512
+        |lines = 240
+        |bands = 1
+        |data type = 1
+        |interleave = bsq
+        |byte order = 0
+        |map info = {Geographic Lat/Lon, 1.0, 1.0, -180.0, 84.375,
+        |  0.703125, 0.703125, WGS-84, units=Degrees}
+        |data ignore value = 255
+        |""".stripMargin.getBytes("US-ASCII"))
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Envi.convert(spark, dat, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   def q82AaigridIngest(spark: SparkSession, dir: String): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q82"
     new java.io.File(tmp).mkdirs()

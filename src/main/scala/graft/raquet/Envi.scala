@@ -1,0 +1,229 @@
+package graft.raquet
+
+/** ENVI raster ingest — S6 breadth for the raw-binary + text-header format
+  * hyperspectral toolchains emit (GDAL's ENVI driver opens it like any
+  * other, `raster2raquet.py:950-963`). The format is public ENVI
+  * documentation: a `.hdr` of `key = value` entries (brace values span
+  * lines) describing a bare sample cube in BSQ/BIL/BIP interleave, and a
+  * `map info` record georeferencing a reference pixel.
+  *
+  * Supported: data types 1/2/3/4/5/12/13 (u8..f64), both byte orders,
+  * all three interleaves, `Geographic Lat/Lon` and `UTM` projections,
+  * `data ignore value`. Anything else — complex types, named datums
+  * beyond WGS-84, arbitrary `coordinate system string` CRSes — fails
+  * loudly with the offending key.
+  *
+  * Scale shape: like [[SrtmHgt]], the single-file source transcodes
+  * strip-by-strip (O(strip) memory, pixel-interleave + byte-order only)
+  * into a temporary GeoTIFF and rides the distributed
+  * [[GeoTiff.convert]] pipeline. */
+object Envi {
+
+  final case class Header(samples: Int, lines: Int, bands: Int,
+      dtype: String, littleEndian: Boolean, interleave: String,
+      headerOffset: Long, x0: Double, y0: Double, dx: Double, dy: Double,
+      epsg: Int, nodata: Option[Double])
+
+  /** The header path for a data path (or itself when given the `.hdr`):
+    * ENVI convention is a sibling `cube.hdr` or `cube.dat.hdr`. */
+  def headerPath(path: String): String = {
+    if (path.toLowerCase.endsWith(".hdr")) return path
+    val appended = path + ".hdr"
+    if (new java.io.File(appended).isFile) return appended
+    val dot = path.lastIndexOf('.')
+    val swapped = (if (dot > path.lastIndexOf('/')) path.take(dot) else path) + ".hdr"
+    require(new java.io.File(swapped).isFile,
+      s"$path: no ENVI header ($appended or $swapped)")
+    swapped
+  }
+
+  /** The data path for a header path. */
+  def dataPath(hdr: String): String = {
+    val base = hdr.dropRight(4) // strip ".hdr"
+    if (new java.io.File(base).isFile) base
+    else {
+      val cands = Seq(".dat", ".img", ".bsq", ".bil", ".bip", ".raw")
+        .map(base + _).filter(p => new java.io.File(p).isFile)
+      require(cands.nonEmpty, s"$hdr: no data file next to the header")
+      cands.head
+    }
+  }
+
+  private val DtypeNames = Map(1 -> "uint8", 2 -> "int16", 3 -> "int32",
+    4 -> "float32", 5 -> "float64", 12 -> "uint16", 13 -> "uint32")
+
+  /** Parse `key = value` entries; `{...}` values may span lines. */
+  private[raquet] def parseEntries(text: String,
+      where: String): Map[String, String] = {
+    require(text.trim.startsWith("ENVI"),
+      s"$where: not an ENVI header (missing magic)")
+    val out = Map.newBuilder[String, String]
+    val body = text.trim.drop(4)
+    var i = 0
+    while (i < body.length) {
+      val eq = body.indexOf('=', i)
+      if (eq < 0) i = body.length
+      else {
+        val key = body.substring(i, eq).trim.toLowerCase
+          .replaceAll("\\s+", " ")
+        var vEnd = 0
+        val after = body.substring(eq + 1).dropWhile(c => c == ' ' || c == '\t')
+        val value =
+          if (after.startsWith("{")) {
+            val close = after.indexOf('}')
+            require(close > 0, s"$where: unterminated {value} for '$key'")
+            vEnd = (eq + 1) + (body.substring(eq + 1).length - after.length) +
+              close + 1
+            after.substring(1, close)
+          } else {
+            val nl = after.indexOf('\n')
+            val v = if (nl < 0) after else after.take(nl)
+            vEnd = (eq + 1) + (body.substring(eq + 1).length - after.length) +
+              (if (nl < 0) after.length else nl)
+            v
+          }
+        if (key.nonEmpty) out += key -> value.trim
+        i = vEnd
+      }
+    }
+    out.result()
+  }
+
+  def readHeader(path: String): Header = {
+    val hp = headerPath(path)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hp)), "US-ASCII")
+    val e = parseEntries(text, hp)
+    def need(k: String): String = e.getOrElse(k,
+      throw new IllegalArgumentException(s"$hp: missing '$k'"))
+    val samples = need("samples").toInt
+    val lines = need("lines").toInt
+    val bands = e.getOrElse("bands", "1").toInt
+    require(samples > 0 && lines > 0 && bands > 0 &&
+      samples.toLong * lines <= (1L << 34) && bands <= 1024,
+      s"$hp: implausible cube $samples x $lines x $bands")
+    val dtCode = need("data type").toInt
+    val dtype = DtypeNames.getOrElse(dtCode, throw new IllegalArgumentException(
+      s"$hp: ENVI data type $dtCode unsupported " +
+        "(1/2/3/4/5/12/13 = u8..f64)"))
+    val interleave = e.getOrElse("interleave", "bsq").toLowerCase
+    require(Seq("bsq", "bil", "bip").contains(interleave),
+      s"$hp: interleave '$interleave' unsupported")
+    val little = e.getOrElse("byte order", "0").toInt == 0
+    val off = e.getOrElse("header offset", "0").toLong
+    val mi = need("map info").split(",").map(_.trim)
+    require(mi.length >= 8, s"$hp: map info with ${mi.length} fields")
+    val proj = mi(0)
+    val refX = mi(1).toDouble; val refY = mi(2).toDouble
+    val refE = mi(3).toDouble; val refN = mi(4).toDouble
+    val dx = mi(5).toDouble; val dy = mi(6).toDouble
+    require(dx > 0 && dy > 0, s"$hp: non-positive pixel size")
+    // the reference pixel names the top-left CORNER of pixel (refX, refY),
+    // 1-based — the ENVI/GDAL convention
+    val x0 = refE - (refX - 1.0) * dx
+    val y0 = refN + (refY - 1.0) * dy
+    val (epsg, datumIdx) = proj.toLowerCase match {
+      case p if p.startsWith("geographic") => (4326, 7)
+      case "utm" =>
+        require(mi.length >= 10, s"$hp: UTM map info needs zone + hemisphere")
+        val zone = mi(7).toInt
+        require(zone >= 1 && zone <= 60, s"$hp: UTM zone $zone")
+        val south = mi(8).equalsIgnoreCase("South")
+        ((if (south) 32700 else 32600) + zone, 9)
+      case other => throw new IllegalArgumentException(
+        s"$hp: map info projection '$other' unsupported (Geographic/UTM)")
+    }
+    if (mi.length > datumIdx) {
+      val datum = mi(datumIdx)
+      require(datum.isEmpty || datum.equalsIgnoreCase("WGS-84") ||
+        datum.startsWith("units="),
+        s"$hp: datum '$datum' unsupported (WGS-84 only)")
+    }
+    val nodata = e.get("data ignore value").map(_.toDouble)
+    Header(samples, lines, bands, dtype, little, interleave, off,
+      x0, y0, dx, dy, epsg, nodata)
+  }
+
+  /** Stream the cube into a pixel-interleaved little-endian GeoTIFF. */
+  def toTiff(enviPath: String, tifPath: String, rowsPerStrip: Int = 64): Header = {
+    val h = readHeader(enviPath)
+    val data = dataPath(headerPath(enviPath))
+    val bpp = PixelCodec.bytesPerPixel(h.dtype)
+    val raf = new java.io.RandomAccessFile(data, "r")
+    try {
+      val rowBytes = h.samples.toLong * bpp
+      require(raf.length >= h.headerOffset +
+        rowBytes * h.lines * h.bands,
+        s"$data: file shorter than the declared cube")
+      def bandRow(b: Int, j: Int): Array[Byte] = {
+        val at = h.interleave match {
+          case "bsq" => h.headerOffset + (b.toLong * h.lines + j) * rowBytes
+          case "bil" => h.headerOffset + (j.toLong * h.bands + b) * rowBytes
+          case _ => 0L // bip handled whole-row below
+        }
+        val buf = new Array[Byte](rowBytes.toInt)
+        raf.seek(at); raf.readFully(buf)
+        buf
+      }
+      val strips = (0 until h.lines by rowsPerStrip).iterator.map { y0 =>
+        val rows = math.min(rowsPerStrip, h.lines - y0)
+        val outB = new Array[Byte](rows * h.samples * h.bands * bpp)
+        var r = 0
+        while (r < rows) {
+          val j = y0 + r
+          if (h.interleave == "bip") {
+            raf.seek(h.headerOffset + j.toLong * h.bands * rowBytes)
+            raf.readFully(outB, r * h.samples * h.bands * bpp,
+              h.samples * h.bands * bpp)
+          } else {
+            var b = 0
+            while (b < h.bands) {
+              val row = bandRow(b, j)
+              var i = 0
+              while (i < h.samples) {
+                System.arraycopy(row, i * bpp, outB,
+                  ((r * h.samples + i) * h.bands + b) * bpp, bpp)
+                i += 1
+              }
+              b += 1
+            }
+          }
+          r += 1
+        }
+        if (!h.littleEndian && bpp > 1) { // swap to little-endian in place
+          var k = 0
+          while (k < outB.length) {
+            var lo = 0; var hi = bpp - 1
+            while (lo < hi) {
+              val t = outB(k + lo); outB(k + lo) = outB(k + hi); outB(k + hi) = t
+              lo += 1; hi -= 1
+            }
+            k += bpp
+          }
+        }
+        outB
+      }
+      require(h.dx == h.dy,
+        s"$enviPath: non-square pixels (${h.dx} x ${h.dy}) unsupported")
+      TiffWriter.writeStrips(tifPath, h.samples, h.lines, h.dtype, h.bands,
+        pixelSize = h.dx, originX = h.x0, originY = h.y0,
+        nodata = h.nodata, rowsPerStrip = rowsPerStrip, strips = strips,
+        epsg = h.epsg)
+      h
+    } finally raf.close()
+  }
+
+  /** ENVI → raquet: streaming transcode + the distributed TIFF convert. */
+  def convert(spark: org.apache.spark.sql.SparkSession, enviPath: String,
+      outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
+      tileStats: Boolean = false, resampling: String = "near",
+      overviews: String = "auto"): RaquetMetadata = {
+    val tmp = java.nio.file.Files.createTempFile("envi", ".tif")
+    try {
+      toTiff(enviPath, tmp.toString)
+      GeoTiff.convert(spark, tmp.toString, outFile, blockZoom = blockZoom,
+        zoomStrategy = zoomStrategy, tileStats = tileStats,
+        resampling = resampling, overviews = overviews)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raquet.Envi
+
+/** ENVI header parsing, georeferencing arithmetic, and the interleave /
+  * byte-order matrix — all three interleaves and both byte orders must
+  * transcode to byte-identical GeoTIFFs. */
+class EnviSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("envi").toString
+
+  private def writeCube(dir: String, name: String, interleave: String,
+      littleEndian: Boolean, extraHdr: String = ""): String = {
+    val (w, h, nb) = (5, 4, 2)
+    def v(b: Int, j: Int, i: Int): Int = 1000 * b + 10 * j + i + 1
+    val bb = java.nio.ByteBuffer.allocate(w * h * nb * 2).order(
+      if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    interleave match {
+      case "bsq" =>
+        for (b <- 0 until nb; j <- 0 until h; i <- 0 until w)
+          bb.putShort(v(b, j, i).toShort)
+      case "bil" =>
+        for (j <- 0 until h; b <- 0 until nb; i <- 0 until w)
+          bb.putShort(v(b, j, i).toShort)
+      case "bip" =>
+        for (j <- 0 until h; i <- 0 until w; b <- 0 until nb)
+          bb.putShort(v(b, j, i).toShort)
+    }
+    val dat = s"$dir/$name.dat"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dat), bb.array())
+    val hdr =
+      s"""ENVI
+         |samples = 5
+         |lines = 4
+         |bands = 2
+         |header offset = 0
+         |data type = 2
+         |interleave = $interleave
+         |byte order = ${if (littleEndian) 0 else 1}
+         |map info = {Geographic Lat/Lon, 1.0, 1.0, -10.0, 52.0,
+         |  0.25, 0.25, WGS-84, units=Degrees}
+         |$extraHdr""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.dat.hdr"),
+      hdr.getBytes("US-ASCII"))
+    dat
+  }
+
+  test("header: brace values span lines, corner arithmetic, nodata") {
+    val dir = tmpDir()
+    val dat = writeCube(dir, "a", "bsq", littleEndian = true,
+      extraHdr = "data ignore value = -99\n")
+    val hd = Envi.readHeader(dat)
+    assert(hd.samples == 5 && hd.lines == 4 && hd.bands == 2)
+    assert(hd.dtype == "int16" && hd.interleave == "bsq" && hd.littleEndian)
+    assert(hd.x0 == -10.0 && hd.y0 == 52.0 && hd.dx == 0.25 && hd.epsg == 4326)
+    assert(hd.nodata.contains(-99.0))
+    // UTM south zone maps to 327xx; a shifted reference pixel moves x0/y0
+    val utm = s"""ENVI
+      |samples = 3
+      |lines = 3
+      |data type = 1
+      |map info = {UTM, 2.0, 3.0, 500000, 4000000, 30, 30, 33, South, WGS-84}
+      |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/u.dat"),
+      new Array[Byte](9))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/u.dat.hdr"),
+      utm.getBytes("US-ASCII"))
+    val hu = Envi.readHeader(s"$dir/u.dat")
+    assert(hu.epsg == 32733)
+    assert(hu.x0 == 500000 - 30.0 && hu.y0 == 4000000 + 60.0)
+    // unsupported datum fails loudly
+    val bad = utm.replace("WGS-84", "NAD-27")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.dat"),
+      new Array[Byte](9))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.dat.hdr"),
+      bad.getBytes("US-ASCII"))
+    val e = intercept[IllegalArgumentException] { Envi.readHeader(s"$dir/b.dat") }
+    assert(e.getMessage.contains("NAD-27"))
+  }
+
+  test("all interleaves and both byte orders transcode to identical TIFFs") {
+    val dir = tmpDir()
+    val tiffs = Seq(("bsq", true), ("bil", true), ("bip", true),
+      ("bsq", false)).map { case (il, le) =>
+      val dat = writeCube(dir, s"c_${il}_$le", il, le)
+      val tif = s"$dir/c_${il}_$le.tif"
+      Envi.toTiff(dat, tif)
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tif)).toSeq
+    }
+    assert(tiffs.distinct.size == 1, "interleave/byte-order variants differ")
+  }
+}
