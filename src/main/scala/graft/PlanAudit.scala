@@ -42,6 +42,7 @@ object PlanAudit {
       "q154_temporal_comp" -> RaquetQueries.q154TemporalComposite _,
       "q155_temporal_anom" -> RaquetQueries.q155TemporalAnomaly _,
       "q158_semdedup" -> LlmQueries.q158SemDedup _,
+      "q172_contour_halo" -> RaquetQueries.q172ContourHalo _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(

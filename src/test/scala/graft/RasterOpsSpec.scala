@@ -111,13 +111,15 @@ class RasterOpsSpec extends SparkSpec {
       s"""SELECT block,
             rq_reclassify(band_1, '$mj', 'band_1', '64,128,192', '10,20,30,40') AS r,
             rq_composite(band_1, band_1, '$mj', 'band_1') AS c,
-            rq_histogram(band_1, '$mj', 'band_1', -0.5, 255.5, 256) AS h
+            rq_histogram(band_1, '$mj', 'band_1', -0.5, 255.5, 256) AS h,
+            rq_contour(band_1, '$mj', 'band_1', 100.5) AS ct
           FROM rq_ops_sqlreg""").collect()
     val viaDsl = ds.data.select(col("block"),
         rq_reclassify(col("band_1"), ds.meta, "band_1",
           Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0)).as("r"),
         rq_composite(col("band_1"), col("band_1"), ds.meta, "band_1").as("c"),
-        rq_histogram(col("band_1"), ds.meta, "band_1", -0.5, 255.5, 256).as("h"))
+        rq_histogram(col("band_1"), ds.meta, "band_1", -0.5, 255.5, 256).as("h"),
+        rq_contour(col("band_1"), ds.meta, "band_1", 100.5).as("ct"))
       .collect()
     val byBlock = viaSql.map(r => r.getLong(0) -> r).toMap
     assert(viaDsl.length == viaSql.length)
@@ -126,6 +128,7 @@ class RasterOpsSpec extends SparkSpec {
       assert(java.util.Arrays.equals(d.getAs[Array[Byte]](1), q.getAs[Array[Byte]](1)))
       assert(java.util.Arrays.equals(d.getAs[Array[Byte]](2), q.getAs[Array[Byte]](2)))
       assert(d.getSeq[Long](3) == q.getSeq[Long](3))
+      assert(d.getSeq[Seq[Double]](4) == q.getSeq[Seq[Double]](4))
     }
   }
 
