@@ -253,6 +253,98 @@ class ContainerFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("GRIB2: PNG-packed and reduced-Gaussian messages fuzz cleanly") {
+    // PNG packing (the in-engine codec behind template 5.41)
+    val png = gribFixture("png")
+    var n = 0
+    while (n < png.length) {
+      attemptGrib(java.util.Arrays.copyOf(png, n), s"png-truncate@$n")
+      n += 4 // the full byte sweep runs in the corruption loop below
+    }
+    for (i <- png.indices; delta <- Seq(1, 0x80)) {
+      val m = png.clone()
+      m(i) = (m(i) + delta).toByte
+      attemptGrib(m, s"png-corrupt@$i+$delta")
+    }
+    // reduced Gaussian (PL list parsing + virtual-raster sampling)
+    val lats = graft.geo.GaussianLatitudes.latsDeg(32)
+    val rowNi = Seq(8, 16, 16, 8)
+    val values = rowNi.zipWithIndex.flatMap { case (rn, jf) =>
+      (0 until rn).map(m => Some(jf * 20 + m))
+    }.toArray[Option[Int]]
+    val sec3 = graft.raquet.Grib2Writer.sec3GaussianReduced(4,
+      la1Micro = math.round(lats(2) * 1e6), lo1Micro = 0L,
+      la2Micro = math.round(lats(5) * 1e6), nPar = 16, rowNi = rowNi)
+    val red = graft.raquet.Grib2Writer.messageWithSec3(sec3, (2021, 1, 1, 0),
+      graft.raquet.Grib2Writer.Plane(0, values), nbits = 8,
+      packing = "simple", 0, 0, 0)
+    for (i <- red.indices; delta <- Seq(1, 0x80)) {
+      val m = red.clone()
+      m(i) = (m(i) + delta).toByte
+      attemptGrib(m, s"reduced-corrupt@$i+$delta")
+    }
+  }
+
+  test("ENVI: header corruptions and data truncations fail cleanly") {
+    val dir = Files.createTempDirectory(tmp, "envi").toString
+    val dat = s"$dir/c.dat"
+    Files.write(java.nio.file.Paths.get(dat), Array.tabulate[Byte](48)(_.toByte))
+    val hdr =
+      """ENVI
+        |samples = 4
+        |lines = 3
+        |bands = 2
+        |data type = 2
+        |interleave = bil
+        |byte order = 1
+        |map info = {Geographic Lat/Lon, 1.0, 1.0, -10.0, 52.0, 0.25, 0.25, WGS-84}
+        |""".stripMargin
+    def attemptEnvi(hdrText: String, datBytes: Array[Byte], ctx: String): Unit = {
+      Files.write(java.nio.file.Paths.get(s"$dat.hdr"),
+        hdrText.getBytes("US-ASCII"))
+      Files.write(java.nio.file.Paths.get(dat), datBytes)
+      attempt(graft.raquet.Envi.toTiff(dat, s"$dir/out.tif"), ctx)
+    }
+    val base = Array.tabulate[Byte](48)(_.toByte)
+    // line-level header mutations: drop each line, duplicate each line
+    val lines = hdr.split("\n").toSeq
+    for (k <- lines.indices) {
+      attemptEnvi(lines.patch(k, Nil, 1).mkString("\n"), base, s"drop-line$k")
+      attemptEnvi(lines.patch(k, Seq(lines(k), lines(k)), 1).mkString("\n"),
+        base, s"dup-line$k")
+    }
+    // hostile counts must be rejected before allocation
+    attemptEnvi(hdr.replace("samples = 4", "samples = 2000000000"), base, "huge")
+    attemptEnvi(hdr.replace("lines = 3", "lines = -3"), base, "negative")
+    attemptEnvi(hdr.replace("data type = 2", "data type = 6"), base, "complex")
+    // truncated cube
+    for (n <- Seq(0, 7, 47))
+      attemptEnvi(hdr, java.util.Arrays.copyOf(base, n), s"trunc@$n")
+  }
+
+  test("Zarr shard: single-byte corruptions fail cleanly or decode") {
+    val store = Files.createTempDirectory(tmp, "shard").toString
+    graft.raquet.ZarrWriter.writeV3(store,
+      Array.tabulate(6)(j => 60.0 - 10 * j),
+      Array.tabulate(8)(i => -180.0 + 45.0 * (i + 0.5)), Array(0.0),
+      "hours since 2001-01-01 00:00:00", -9f,
+      (_, j, i) => (10 * j + i).toFloat, chunkY = 3, chunkX = 4,
+      dataComp = "gzip", shard = true)
+    val shardPath = java.nio.file.Paths.get(store, "band", "c", "0", "0", "0")
+    val good = Files.readAllBytes(shardPath)
+    for (i <- good.indices; delta <- Seq(1, 0x80)) {
+      val m = good.clone()
+      m(i) = (m(i) + delta).toByte
+      Files.write(shardPath, m)
+      attempt({
+        val g = graft.raquet.Zarr.describe(store)
+        val s = g.sampler(0, 0, 0, 8, 6)
+        for (j <- 0 until 6; i2 <- 0 until 8) s.sample(0, i2, j)
+      }, s"shard-corrupt@$i+$delta")
+    }
+    Files.write(shardPath, good)
+  }
+
   test("GRIB2: single-byte corruptions fail cleanly or parse") {
     for (packing <- Seq("simple", "complex", "complex_sd2", "ieee")) {
       val bytes = gribFixture(packing)
