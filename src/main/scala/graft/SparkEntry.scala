@@ -194,6 +194,7 @@ object SparkEntry {
     "q173_grib_rotated"     -> (RaquetQueries.q173GribRotated _),
     "q174_grib1_rotated"    -> (RaquetQueries.q174Grib1Rotated _),
     "q175_envi_ingest"      -> (RaquetQueries.q175EnviIngest _),
+    "q176_nc_projected"     -> (RaquetQueries.q176NcProjected _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -381,6 +382,9 @@ object SparkEntry {
     "q82_aaigrid_ingest"    -> RaquetOracles.q82,
     // q175 is the q82 grid in an ENVI raw cube — same oracle
     "q175_envi_ingest"      -> RaquetOracles.q82,
+    // q176 is the q150 LCC grid as CF-projected netCDF (km axes) — same
+    // closed-form spherical Lambert oracle
+    "q176_nc_projected"     -> RaquetOracles.q150,
     "q83_webp_lossy"        -> RaquetOracles.q83,
     "q84_srtm_ingest"       -> RaquetOracles.q84,
     // q85 is the q60 raster in the tiled-BigTIFF (COG) layout — identical

@@ -1894,6 +1894,54 @@ object RaquetQueries {
           ds.meta, "band_1").cast("long").as("v"))
   }
 
+  /** S6 (CF PROJECTED NetCDF — the CONUS404/HRRR-as-netCDF shape) driver
+    * proof: the q150 LCC grid carried as a netCDF with x/y KILOMETER axes
+    * and a `lambert_conformal_conic` grid-mapping variable (earth_radius
+    * sphere). Identical oracle — the container and the CF attribute
+    * plumbing must reproduce the same georeferencing. */
+  def q176NcProjected(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q176"
+    new java.io.File(tmp).mkdirs()
+    val nc = s"$tmp/lcc.nc"
+    val (ni, nj) = (128, 128)
+    val proj = graft.geo.LambertConformalConic(6371229.0,
+      Double.PositiveInfinity, 38.5, 38.5, 38.5, -97.5, 0.0, 0.0)
+    val (x1, y1) = proj.fromLonLat(-100.0, 35.0)
+    // y axis north-first (descending), in KILOMETERS; x ascending
+    val ys = Array.tabulate(nj)(j => (y1 + (nj - 1 - j) * 3000.0) / 1000.0)
+    val xs = Array.tabulate(ni)(i => (x1 + i * 3000.0) / 1000.0)
+    graft.raquet.NetCdfWriter.write(nc, ys, xs, Array(0.0),
+      "days since 2021-07-04", -9999f,
+      (_, j, i) => ((j / 16) * 8 + i / 16).toFloat, // north-up patches
+      gridMapping = Some(graft.raquet.NetCdfWriter.Mapping(
+        "lambert_conformal_conic",
+        Seq("standard_parallel" -> Array(38.5, 38.5),
+          "latitude_of_projection_origin" -> Array(38.5),
+          "longitude_of_central_meridian" -> Array(-97.5),
+          "earth_radius" -> Array(6371229.0),
+          "false_easting" -> Array(0.0),
+          "false_northing" -> Array(0.0)),
+        "y", "x", "km")))
+    val out = s"$tmp/lcc.parquet"
+    val meta = graft.raquet.NetCdf.convert(spark, nc, out, overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = x1 + (16 * pi + 7.5) * 3000.0
+      val yc = y1 + (119.5 - 16 * pj) * 3000.0
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
   /** Contour extraction (gdal_contour shape, raster→vector) driver proof:
     * a mercator-aligned 512×512 plane v = gx + 2·gy converts losslessly
     * (grid-aligned, nearest warp = identity), and rq_contour at level

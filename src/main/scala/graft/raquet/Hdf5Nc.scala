@@ -96,35 +96,31 @@ object Hdf5Nc {
     }.toSeq.sortBy(d => (-d.dims.length, d.name)).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"$path: no (…, lat, lon) data dataset found"))
-    // CF grid-mapping: same contract as the classic reader
+    // CF grid-mapping: the SAME resolver as the classic reader (incl.
+    // the projected families)
     val proj: graft.geo.Projection = data.attrs.get("grid_mapping")
       .flatMap(_.text).flatMap(sets.get) match {
       case None => graft.geo.Geographic
       case Some(gm) =>
-        def num(a: String): Option[Double] = gm.attrs.get(a).flatMap(_.num)
-        gm.attrs.get("grid_mapping_name").flatMap(_.text).getOrElse("?") match {
-          case "latitude_longitude" => graft.geo.Geographic
-          case "rotated_latitude_longitude" =>
-            graft.geo.RotatedPole(
-              num("grid_north_pole_latitude").getOrElse(
-                throw new IllegalArgumentException(
-                  s"$path: rotated grid without grid_north_pole_latitude")),
-              num("grid_north_pole_longitude").getOrElse(
-                throw new IllegalArgumentException(
-                  s"$path: rotated grid without grid_north_pole_longitude")),
-              num("north_pole_grid_longitude").getOrElse(0.0))
-          case other => throw new IllegalArgumentException(
-            s"$path: grid mapping '$other' unsupported " +
-              "(latitude_longitude, rotated_latitude_longitude)")
-        }
+        NetCdf.projFromGridMapping(path,
+          gm.attrs.get("grid_mapping_name").flatMap(_.text),
+          a => gm.attrs.get(a).flatMap(_.num),
+          a => gm.attrs.get(a).map(_.nums).getOrElse(Array.empty),
+          a => gm.attrs.get(a).flatMap(_.text))
     }
     val nt = if (data.dims.length == 3) data.dims(0).toInt else 1
     require(data.dtype.littleEndian,
       s"$path: big-endian data variable '${data.name}' unsupported " +
         "(netCDF-4 writes native little-endian)")
 
-    val lats = doubles(path, rr, lat)
-    val lons = doubles(path, rr, lon)
+    // projected axes may be in kilometers (the classic reader's rule)
+    def unitScale(d: Hdf5.Dataset): Double =
+      d.attrs.get("units").flatMap(_.text).map(_.trim) match {
+        case Some("km") | Some("kilometers") | Some("kilometer") => 1000.0
+        case _ => 1.0
+      }
+    val lats = doubles(path, rr, lat).map(_ * unitScale(lat))
+    val lons = doubles(path, rr, lon).map(_ * unitScale(lon))
     require(ny >= 2 && nx >= 2, s"$path: grid too small ($nx x $ny)")
     val dLon = (lons.last - lons.head) / (nx - 1)
     val dLat = (lats.last - lats.head) / (ny - 1)
@@ -133,8 +129,12 @@ object Hdf5Nc {
         math.abs(v - (a.head + i * d)) <= math.abs(d) * 0.01 }
     require(uniform(lons, dLon) && uniform(lats, dLat),
       s"$path: non-uniform coordinate spacing is unsupported")
-    require(math.abs(lons.head) <= 360 && math.abs(lats.head) <= 90,
-      s"$path: coordinates are not geographic degrees — projected netCDF-4 is unsupported")
+    val angular = proj == graft.geo.Geographic ||
+      proj.isInstanceOf[graft.geo.RotatedPole]
+    require(!angular ||
+      (math.abs(lons.head) <= 360 && math.abs(lats.head) <= 90),
+      s"$path: coordinates are not geographic degrees and no projected " +
+        "grid mapping is declared")
     val flip = dLat > 0
     val gx0 = lons.head - dLon / 2
     val (gy0, gdy) =

@@ -20,9 +20,12 @@ import graft.quadbin.Quadbin
   * tags / tasks-read-windows split as [[GeoTiff.convert]], so a multi-GB
   * `.nc` never has to fit in any single heap.
   *
-  * Scope: lat/lon (geographic) grids with uniformly spaced 1-D coordinate
-  * variables — the shape GDAL reports for `NETCDF:` subdatasets of CF
-  * files; projected NetCDF fails loudly. A CF `time` dimension maps each
+  * Scope: uniformly spaced 1-D coordinate axes — geographic lat/lon, CF
+  * rotated-pole grids, and PROJECTED grids whose `grid_mapping` names one
+  * of the engine's projections (Lambert conformal, Albers, polar
+  * stereographic A/B, Mercator, transverse Mercator, sinusoidal,
+  * geostationary; m or km axes); anything else fails loudly with the
+  * mapping name. A CF `time` dimension maps each
   * timestep to its own row with the (`block`, `time_cf`) composite key and a
   * derived `time_ts`, matching the reference's row explosion
   * (`raster2raquet.py:2107-2125`) and spec `raquet.md:67-87`.
@@ -287,23 +290,115 @@ object NetCdf {
       .flatMap(n => vars.find(_.name == n)) match {
       case None => graft.geo.Geographic
       case Some(gm) =>
-        def num(a: String): Option[Double] = gm.attrs.get(a).flatMap(_.num)
-        gm.attrs.get("grid_mapping_name").flatMap(_.text).getOrElse("?") match {
-          case "latitude_longitude" => graft.geo.Geographic
-          case "rotated_latitude_longitude" =>
-            graft.geo.RotatedPole(
-              num("grid_north_pole_latitude").getOrElse(
-                throw new IllegalArgumentException(
-                  s"$path: rotated grid without grid_north_pole_latitude")),
-              num("grid_north_pole_longitude").getOrElse(
-                throw new IllegalArgumentException(
-                  s"$path: rotated grid without grid_north_pole_longitude")),
-              num("north_pole_grid_longitude").getOrElse(0.0))
-          case other => throw new IllegalArgumentException(
-            s"$path: grid mapping '$other' unsupported " +
-              "(latitude_longitude, rotated_latitude_longitude)")
-        }
+        projFromGridMapping(path,
+          gm.attrs.get("grid_mapping_name").flatMap(_.text),
+          a => gm.attrs.get(a).flatMap(_.num),
+          a => gm.attrs.get(a).map(_.nums).getOrElse(Array.empty),
+          a => gm.attrs.get(a).flatMap(_.text))
     }
+
+  /** CF `grid_mapping` attributes → the engine projection (shared by the
+    * classic and netCDF-4 readers): geographic, rotated pole, and the
+    * projected families the warp implements; anything else fails loudly
+    * with the mapping name. The earth model honors explicit ellipsoid /
+    * sphere attrs and defaults to WGS84 like GDAL's netCDF driver. */
+  private[raquet] def projFromGridMapping(path: String,
+      mappingName: Option[String], num: String => Option[Double],
+      nums: String => Array[Double],
+      text: String => Option[String]): graft.geo.Projection = {
+    def need(a: String): Double = num(a).getOrElse(
+      throw new IllegalArgumentException(s"$path: grid mapping needs $a"))
+    def earth(): (Double, Double) =
+      (num("semi_major_axis"), num("inverse_flattening"),
+        num("semi_minor_axis"), num("earth_radius")) match {
+        case (Some(a), Some(f), _, _) =>
+          (a, if (f == 0.0) Double.PositiveInfinity else f)
+        case (Some(a), None, Some(b), _) =>
+          (a, if (a == b) Double.PositiveInfinity else a / (a - b))
+        case (Some(a), None, None, _) => (a, Double.PositiveInfinity)
+        case (None, _, _, Some(r)) => (r, Double.PositiveInfinity)
+        case _ => graft.geo.Ellipsoidal.Wgs84
+      }
+    val fe = num("false_easting").getOrElse(0.0)
+    val fn = num("false_northing").getOrElse(0.0)
+    mappingName.getOrElse("?") match {
+      case "latitude_longitude" => graft.geo.Geographic
+      case "rotated_latitude_longitude" =>
+        graft.geo.RotatedPole(
+          num("grid_north_pole_latitude").getOrElse(
+            throw new IllegalArgumentException(
+              s"$path: rotated grid without grid_north_pole_latitude")),
+          num("grid_north_pole_longitude").getOrElse(
+            throw new IllegalArgumentException(
+              s"$path: rotated grid without grid_north_pole_longitude")),
+          num("north_pole_grid_longitude").getOrElse(0.0))
+      case "lambert_conformal_conic" =>
+        val (a, invF) = earth()
+        val sp = nums("standard_parallel")
+        require(sp.nonEmpty, s"$path: LCC without standard_parallel")
+        val (sp1, sp2) = if (sp.length >= 2) (sp(0), sp(1)) else (sp(0), sp(0))
+        graft.geo.LambertConformalConic(a, invF, sp1, sp2,
+          need("latitude_of_projection_origin"),
+          need("longitude_of_central_meridian"), fe, fn)
+      case "albers_conical_equal_area" =>
+        val (a, invF) = earth()
+        val sp = nums("standard_parallel")
+        require(sp.nonEmpty, s"$path: Albers without standard_parallel")
+        val (sp1, sp2) = if (sp.length >= 2) (sp(0), sp(1)) else (sp(0), sp(0))
+        graft.geo.AlbersEqualArea(a, invF, sp1, sp2,
+          need("latitude_of_projection_origin"),
+          need("longitude_of_central_meridian"), fe, fn)
+      case "polar_stereographic" =>
+        val (a, invF) = earth()
+        val lat0 = need("latitude_of_projection_origin")
+        require(lat0 == 90.0 || lat0 == -90.0,
+          s"$path: polar_stereographic origin latitude $lat0 (±90 only)")
+        val lon0 = need("straight_vertical_longitude_from_pole")
+        (num("standard_parallel"), num("scale_factor_at_projection_origin")) match {
+          case (Some(ts), _) =>
+            graft.geo.PolarStereographic(a, invF,
+              if (lat0 < 0) -math.abs(ts) else math.abs(ts), lon0, fe, fn)
+          case (None, Some(k0)) =>
+            graft.geo.PolarStereographicA(a, invF, k0, lat0 > 0, lon0, fe, fn)
+          case _ => throw new IllegalArgumentException(
+            s"$path: polar_stereographic needs standard_parallel or " +
+              "scale_factor_at_projection_origin")
+        }
+      case "mercator" =>
+        val (a, invF) = earth()
+        val ts = num("standard_parallel").getOrElse {
+          val k0 = num("scale_factor_at_projection_origin").getOrElse(1.0)
+          require(k0 == 1.0, s"$path: mercator scale factor $k0 " +
+            "unsupported (standard_parallel form only)")
+          0.0
+        }
+        graft.geo.Mercator(a, invF, ts,
+          num("longitude_of_projection_origin").getOrElse(0.0), fe, fn)
+      case "transverse_mercator" =>
+        require(need("latitude_of_projection_origin") == 0.0,
+          s"$path: transverse_mercator with nonzero origin latitude " +
+            "unsupported")
+        graft.geo.TransverseMercator(
+          need("longitude_of_central_meridian"),
+          num("scale_factor_at_central_meridian").getOrElse(1.0), fe, fn)
+      case "sinusoidal" =>
+        val (a, invF) = earth()
+        graft.geo.Sinusoidal(a, invF,
+          num("longitude_of_projection_origin").getOrElse(0.0), fe, fn)
+      case "geostationary" =>
+        val (a, invF) = earth()
+        graft.geo.Geostationary(a, invF,
+          need("perspective_point_height"),
+          num("longitude_of_projection_origin").getOrElse(0.0),
+          sweepX = text("sweep_angle_axis").contains("x"))
+      case other => throw new IllegalArgumentException(
+        s"$path: grid mapping '$other' unsupported " +
+          "(latitude_longitude, rotated_latitude_longitude, " +
+          "lambert_conformal_conic, albers_conical_equal_area, " +
+          "polar_stereographic, mercator, transverse_mercator, " +
+          "sinusoidal, geostationary)")
+    }
+  }
 
   /** Resolve dims/coords/time → an [[NcGrid]] (driver-side, header + coords). */
   def describe(path: String): NcGrid = {
@@ -327,10 +422,20 @@ object NetCdf {
     val nx = h.dims(lonDim).length
     def coordOf(dimId: Int): Option[Array[Double]] =
       h.vars.find(v => v.dimIds == Seq(dimId)).map(readCoord(path, h, _))
-    val lats = coordOf(latDim).getOrElse(throw new IllegalArgumentException(
-      s"$path: no coordinate variable for dimension '${h.dims(latDim).name}'"))
-    val lons = coordOf(lonDim).getOrElse(throw new IllegalArgumentException(
-      s"$path: no coordinate variable for dimension '${h.dims(lonDim).name}'"))
+    // projected axes may be in kilometers (CF allows any length unit on
+    // projection_x/y_coordinate; km is the one the wild actually uses)
+    def unitScale(dimId: Int): Double =
+      h.vars.find(v => v.dimIds == Seq(dimId))
+        .flatMap(_.attrs.get("units")).flatMap(_.text).map(_.trim) match {
+        case Some("km") | Some("kilometers") | Some("kilometer") => 1000.0
+        case _ => 1.0
+      }
+    val lats = coordOf(latDim).map(_.map(_ * unitScale(latDim)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no coordinate variable for dimension '${h.dims(latDim).name}'"))
+    val lons = coordOf(lonDim).map(_.map(_ * unitScale(lonDim)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path: no coordinate variable for dimension '${h.dims(lonDim).name}'"))
     require(ny >= 2 && nx >= 2, s"$path: grid too small ($nx x $ny)")
     val dLon = (lons.last - lons.head) / (nx - 1)
     val dLat = (lats.last - lats.head) / (ny - 1)
@@ -340,10 +445,14 @@ object NetCdf {
         math.abs(v - (a.head + i * d)) <= math.abs(d) * 0.01 }
     require(uniform(lons, dLon) && uniform(lats, dLat),
       s"$path: non-uniform coordinate spacing is unsupported")
-    // degree bounds hold for true AND rotated-grid axes; anything else
-    // (projected meters without a supported grid mapping) fails loudly
-    require(math.abs(lons.head) <= 360 && math.abs(lats.head) <= 90,
-      s"$path: coordinates are not geographic degrees — projected NetCDF is unsupported")
+    // degree bounds hold for true AND rotated-grid axes; PROJECTED grid
+    // mappings carry meter axes, so the check applies only to angular CRSes
+    val angular = proj == graft.geo.Geographic ||
+      proj.isInstanceOf[graft.geo.RotatedPole]
+    require(!angular ||
+      (math.abs(lons.head) <= 360 && math.abs(lats.head) <= 90),
+      s"$path: coordinates are not geographic degrees and no projected " +
+        "grid mapping is declared")
     val flip = dLat > 0 // south-up storage
     // GDAL-style origin: first cell CENTER minus half a step, north-up
     val x0 = lons.head - dLon / 2
@@ -582,19 +691,32 @@ object NetCdf {
   * exercising the record-slab stride path of the reader. */
 object NetCdfWriter {
 
+  /** A CF grid-mapping fixture: the scalar mapping variable's name-value
+    * attributes plus the axis naming/units the mapped file uses. */
+  final case class Mapping(mappingName: String,
+      numAttrs: Seq[(String, Array[Double])],
+      latAxis: String, lonAxis: String, axisUnits: String)
+
   def write(path: String, lats: Array[Double], lons: Array[Double],
       times: Array[Double], timeUnits: String, fill: Float,
       value: (Int, Int, Int) => Float, version: Int = 1,
-      rotatedPole: Option[(Double, Double)] = None): Unit = {
+      rotatedPole: Option[(Double, Double)] = None,
+      gridMapping: Option[Mapping] = None): Unit = {
     require(version == 1 || version == 5, s"writer emits CDF-1 or CDF-5, not $version")
+    require(rotatedPole.isEmpty || gridMapping.isEmpty,
+      "pass rotatedPole OR gridMapping, not both")
+    val mapping = gridMapping.orElse(rotatedPole.map { case (pLat, pLon) =>
+      Mapping("rotated_latitude_longitude",
+        Seq("grid_north_pole_latitude" -> Array(pLat),
+          "grid_north_pole_longitude" -> Array(pLon)),
+        "rlat", "rlon", "degrees")
+    })
     val ny = lats.length; val nx = lons.length; val nt = times.length
     val planeBytes = ny * nx * 4
     val planePadded = (planeBytes + 3) / 4 * 4
     val recSize = 8 + planePadded // time (8) + v plane, both 4-aligned
-    // CF rotated-pole fixtures: axes become rlat/rlon and a scalar
-    // grid-mapping variable carries the pole
-    val latName = if (rotatedPole.isDefined) "rlat" else "lat"
-    val lonName = if (rotatedPole.isDefined) "rlon" else "lon"
+    val latName = mapping.map(_.latAxis).getOrElse("lat")
+    val lonName = mapping.map(_.lonAxis).getOrElse("lon")
 
     def headerBytes(bLat: Int, bLon: Int, bRp: Int, bTime: Int, bV: Int): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -620,6 +742,9 @@ object NetCdfWriter {
       def doubleAttr(n: String, v: Double): Unit = {
         name(n); out.writeInt(6); nn(1); out.writeDouble(v)
       }
+      def doublesAttr(n: String, vs: Array[Double]): Unit = {
+        name(n); out.writeInt(6); nn(vs.length); vs.foreach(out.writeDouble)
+      }
       out.writeBytes("CDF"); out.writeByte(version)
       nn(nt) // numrecs
       out.writeInt(0x0A); nn(3) // dim_list
@@ -627,24 +752,23 @@ object NetCdfWriter {
       name(latName); nn(ny)
       name(lonName); nn(nx)
       out.writeInt(0); nn(0) // no global attrs
-      out.writeInt(0x0B); nn(if (rotatedPole.isDefined) 5 else 4) // var_list
+      out.writeInt(0x0B); nn(if (mapping.isDefined) 5 else 4) // var_list
       // lat(lat): double, units attr
       name(latName); nn(1); nn(1)
       out.writeInt(0x0C); nn(1)
-      textAttr("units", if (rotatedPole.isDefined) "degrees" else "degrees_north")
+      textAttr("units", mapping.map(_.axisUnits).getOrElse("degrees_north"))
       out.writeInt(6); nn(ny * 8); nn(bLat)
       // lon(lon)
       name(lonName); nn(1); nn(2)
       out.writeInt(0x0C); nn(1)
-      textAttr("units", if (rotatedPole.isDefined) "degrees" else "degrees_east")
+      textAttr("units", mapping.map(_.axisUnits).getOrElse("degrees_east"))
       out.writeInt(6); nn(nx * 8); nn(bLon)
-      // the scalar grid-mapping variable (CF rotated_latitude_longitude)
-      rotatedPole.foreach { case (pLat, pLon) =>
-        name("rotated_pole"); nn(0)
-        out.writeInt(0x0C); nn(3)
-        textAttr("grid_mapping_name", "rotated_latitude_longitude")
-        doubleAttr("grid_north_pole_latitude", pLat)
-        doubleAttr("grid_north_pole_longitude", pLon)
+      // the scalar CF grid-mapping variable
+      mapping.foreach { m =>
+        name("crs"); nn(0)
+        out.writeInt(0x0C); nn(1 + m.numAttrs.length)
+        textAttr("grid_mapping_name", m.mappingName)
+        m.numAttrs.foreach { case (n, vs) => doublesAttr(n, vs) }
         out.writeInt(4); nn(4); nn(bRp) // int, 4 bytes
       }
       // time(time): record coordinate with CF units + calendar
@@ -654,9 +778,9 @@ object NetCdfWriter {
       out.writeInt(6); nn(8); nn(bTime)
       // v(time, lat, lon): float32 with _FillValue (+ grid_mapping link)
       name("v"); nn(3); nn(0); nn(1); nn(2)
-      out.writeInt(0x0C); nn(if (rotatedPole.isDefined) 2 else 1)
+      out.writeInt(0x0C); nn(if (mapping.isDefined) 2 else 1)
       floatAttr("_FillValue", fill)
-      if (rotatedPole.isDefined) textAttr("grid_mapping", "rotated_pole")
+      if (mapping.isDefined) textAttr("grid_mapping", "crs")
       out.writeInt(5); nn(planePadded); nn(bV)
       out.flush()
       bos.toByteArray
@@ -666,7 +790,7 @@ object NetCdfWriter {
     val bLat = headerLen
     val bLon = bLat + ny * 8
     val bRp = bLon + nx * 8
-    val bTime = bRp + (if (rotatedPole.isDefined) 4 else 0)
+    val bTime = bRp + (if (mapping.isDefined) 4 else 0)
     val bV = bTime + 8
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path)))
@@ -674,7 +798,7 @@ object NetCdfWriter {
       out.write(headerBytes(bLat, bLon, bRp, bTime, bV))
       lats.foreach(out.writeDouble)
       lons.foreach(out.writeDouble)
-      if (rotatedPole.isDefined) out.writeInt(0) // the scalar mapping var
+      if (mapping.isDefined) out.writeInt(0) // the scalar mapping var
       var t = 0
       while (t < nt) {
         out.writeDouble(times(t))
