@@ -302,7 +302,7 @@ object NetCdf {
     * projected families the warp implements; anything else fails loudly
     * with the mapping name. The earth model honors explicit ellipsoid /
     * sphere attrs and defaults to WGS84 like GDAL's netCDF driver. */
-  private[raquet] def projFromGridMapping(path: String,
+  private[graft] def projFromGridMapping(path: String,
       mappingName: Option[String], num: String => Option[Double],
       nums: String => Array[Double],
       text: String => Option[String]): graft.geo.Projection = {

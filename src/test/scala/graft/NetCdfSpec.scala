@@ -114,4 +114,65 @@ class NetCdfSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { NetCdf.readHeader(h5) }
     assert(e.getMessage.contains("not a NetCDF classic"))
   }
+
+  test("CF grid-mapping resolver: every projected family, earth models, loud unknowns") {
+    def resolve(name: String, attrs: (String, Array[Double])*): graft.geo.Projection = {
+      val m = attrs.toMap
+      NetCdf.projFromGridMapping("t", Some(name),
+        a => m.get(a).flatMap(_.headOption), a => m.getOrElse(a, Array.empty),
+        _ => None)
+    }
+    // LCC with two parallels + explicit ellipsoid
+    assert(resolve("lambert_conformal_conic",
+      "standard_parallel" -> Array(30.0, 50.0),
+      "latitude_of_projection_origin" -> Array(40.0),
+      "longitude_of_central_meridian" -> Array(-96.0),
+      "semi_major_axis" -> Array(6378137.0),
+      "inverse_flattening" -> Array(298.257222101)) ==
+      graft.geo.LambertConformalConic(6378137.0, 298.257222101,
+        30.0, 50.0, 40.0, -96.0, 0.0, 0.0))
+    // polar stereographic, both CF forms
+    assert(resolve("polar_stereographic",
+      "latitude_of_projection_origin" -> Array(-90.0),
+      "straight_vertical_longitude_from_pole" -> Array(0.0),
+      "standard_parallel" -> Array(-71.0),
+      "earth_radius" -> Array(6371000.0)) ==
+      graft.geo.PolarStereographic(6371000.0, Double.PositiveInfinity,
+        -71.0, 0.0, 0.0, 0.0))
+    assert(resolve("polar_stereographic",
+      "latitude_of_projection_origin" -> Array(90.0),
+      "straight_vertical_longitude_from_pole" -> Array(-45.0),
+      "scale_factor_at_projection_origin" -> Array(0.994),
+      "false_easting" -> Array(2000000.0),
+      "false_northing" -> Array(2000000.0)).isInstanceOf[
+        graft.geo.PolarStereographicA])
+    // mercator, sinusoidal, transverse mercator, geostationary sweep
+    assert(resolve("mercator", "standard_parallel" -> Array(20.0),
+      "earth_radius" -> Array(6371229.0)) ==
+      graft.geo.Mercator(6371229.0, Double.PositiveInfinity, 20.0, 0.0, 0.0, 0.0))
+    assert(resolve("sinusoidal",
+      "earth_radius" -> Array(6371007.181)).isInstanceOf[graft.geo.Sinusoidal])
+    assert(resolve("transverse_mercator",
+      "latitude_of_projection_origin" -> Array(0.0),
+      "longitude_of_central_meridian" -> Array(9.0),
+      "scale_factor_at_central_meridian" -> Array(0.9996),
+      "false_easting" -> Array(500000.0)) ==
+      graft.geo.TransverseMercator(9.0, 0.9996, 500000.0, 0.0))
+    val gmAttrs = Map("perspective_point_height" -> 35786023.0,
+      "longitude_of_projection_origin" -> -75.0)
+    val geos = NetCdf.projFromGridMapping("t", Some("geostationary"),
+      a => gmAttrs.get(a), _ => Array.empty,
+      a => if (a == "sweep_angle_axis") Some("x") else None)
+    assert(geos == graft.geo.Geostationary(6378137.0, 298.257223563,
+      35786023.0, -75.0, sweepX = true)) // WGS84 default earth, GOES sweep
+    // unknown mapping names fail loudly with the name
+    val eu = intercept[IllegalArgumentException] {
+      resolve("oblique_mercator") }
+    assert(eu.getMessage.contains("oblique_mercator"))
+    // missing required attributes fail loudly with the attribute
+    val em = intercept[IllegalArgumentException] {
+      resolve("lambert_conformal_conic",
+        "standard_parallel" -> Array(30.0)) }
+    assert(em.getMessage.contains("latitude_of_projection_origin"))
+  }
 }
