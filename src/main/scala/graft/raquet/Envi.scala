@@ -45,6 +45,11 @@ object Envi {
       val cands = Seq(".dat", ".img", ".bsq", ".bil", ".bip", ".raw")
         .map(base + _).filter(p => new java.io.File(p).isFile)
       require(cands.nonEmpty, s"$hdr: no data file next to the header")
+      // Several siblings means the header is ambiguous (stale cubes from a
+      // prior export, say) — picking one silently could ingest the wrong
+      // data. Fail loudly and name them all.
+      require(cands.size == 1,
+        s"$hdr: ambiguous data file — candidates: ${cands.mkString(", ")}")
       cands.head
     }
   }

@@ -102,7 +102,20 @@ object Grib1 {
         val month = u8(pds, 13); val day = u8(pds, 14)
         val hh = u8(pds, 15); val mi = u8(pds, 16)
         val timeUnit = u8(pds, 17)
-        val p1 = u8(pds, 18)
+        // Time-range indicator (PDS octet 21) governs how octets 19-20 are
+        // read: 0/1 = instantaneous forecast at P1 (one octet); 10 = P1 is a
+        // 16-bit value spanning both octets (required past 255 steps; ECMWF
+        // standard). Averages/accumulations (2-9, 51, 113+) need P2 and an
+        // interval semantic this ingest does not model — fail loudly instead
+        // of silently decoding their P1 as a valid time.
+        val timeRangeInd = u8(pds, 20)
+        val p1 = timeRangeInd match {
+          case 0 | 1 => u8(pds, 18)
+          case 10 => u16(pds, 18)
+          case other => throw new IllegalArgumentException(
+            s"$path: PDS time-range indicator $other unsupported " +
+              "(only instantaneous 0/1 and 16-bit P1 indicator 10)")
+        }
         val century = u8(pds, 24)
         val decScale = s16(pds, 26)
         val year = (century - 1) * 100 + yearOfCentury

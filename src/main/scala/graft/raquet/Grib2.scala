@@ -465,7 +465,7 @@ object Grib2 {
               case 7 =>
                 require(sec3 != null && sec4 != null && sec5 != null,
                   s"$path: data section before grid/product/representation")
-                val (cat, num, fh) = parseProduct(sec4, path)
+                val (cat, num, fh) = parseProduct(sec4, refTime, path)
                 fields += Field(refTime, fh, discipline, cat, num,
                   sec3, sec5, bitmapOffset, bitmapLen, p + 5, secLen.toInt - 5)
               case other => throw new IllegalArgumentException(
@@ -497,27 +497,42 @@ object Grib2 {
     }
 
   /** (parameterCategory, parameterNumber, forecastHours) from PDT 4.x.
-    * Octets 10/11 and 18-22 sit at the same place in every analysis/
-    * forecast template (4.0, 4.1, 4.2, 4.8 …). */
-  private def parseProduct(sec4: Array[Byte], where: String): (Int, Int, Double) = {
+    * Octets 10/11 and 18-22 sit at the same place in templates 4.0-4.15.
+    * For the statistical template 4.8 (accumulations/averages) the CF valid
+    * time is the END of the overall interval — octets 35-41 — matching
+    * wgrib2/GDAL; octets 18-22 alone would date an accumulation at its
+    * start, offset by the interval length. 4.9-4.15 place their
+    * end-of-interval octets at template-specific offsets and fail loudly
+    * rather than decode a mis-offset time. */
+  private def parseProduct(sec4: Array[Byte], refTimeMillis: Long,
+      where: String): (Int, Int, Double) = {
     require(sec4.length >= 22, s"$where: truncated product definition section")
     val tmpl = u16(sec4, 7)
-    require(tmpl <= 15 || tmpl == 8,
-      s"$where: product definition template 4.$tmpl unsupported")
+    require(tmpl <= 8,
+      s"$where: product definition template 4.$tmpl unsupported " +
+        "(instantaneous 4.0-4.7 and statistical 4.8 only)")
     val cat = u8(sec4, 9)
     val num = u8(sec4, 10)
-    val unitCode = u8(sec4, 17)
-    val fv = s32(sec4, 18)
-    val hours = unitCode match {
-      case 0 => fv / 60.0 // minute
-      case 1 => fv.toDouble // hour
-      case 2 => fv * 24.0 // day
-      case 10 => fv * 3.0
-      case 11 => fv * 6.0
-      case 12 => fv * 12.0
-      case 13 => fv / 3600.0 // second
-      case other => throw new IllegalArgumentException(
-        s"$where: forecast time unit $other unsupported")
+    val hours = if (tmpl == 8) {
+      require(sec4.length >= 41,
+        s"$where: statistical template 4.8 truncated before end-of-interval")
+      val endMillis = utcMillis(u16(sec4, 34), u8(sec4, 36), u8(sec4, 37),
+        u8(sec4, 38), u8(sec4, 39), u8(sec4, 40), where)
+      (endMillis - refTimeMillis) / 3600000.0
+    } else {
+      val unitCode = u8(sec4, 17)
+      val fv = s32(sec4, 18)
+      unitCode match {
+        case 0 => fv / 60.0 // minute
+        case 1 => fv.toDouble // hour
+        case 2 => fv * 24.0 // day
+        case 10 => fv * 3.0
+        case 11 => fv * 6.0
+        case 12 => fv * 12.0
+        case 13 => fv / 3600.0 // second
+        case other => throw new IllegalArgumentException(
+          s"$where: forecast time unit $other unsupported")
+      }
     }
     (cat, num, hours)
   }

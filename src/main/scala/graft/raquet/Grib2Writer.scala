@@ -229,18 +229,33 @@ object Grib2Writer {
     * grid templates). */
   def messageWithSec3(sec3: Array[Byte], refTime: (Int, Int, Int, Int),
       plane: Plane, nbits: Int, packing: String, discipline: Int,
-      paramCategory: Int, paramNumber: Int): Array[Byte] = {
+      paramCategory: Int, paramNumber: Int,
+      statEndOfInterval: Option[(Int, Int, Int, Int)] = None): Array[Byte] = {
     val (year, month, day, hour) = refTime
     val sec1 = section(1, u16(7) ++ u16(0) ++ Array[Byte](2, 1, 1) ++
       u16(year) ++ Array[Byte](month.toByte, day.toByte, hour.toByte, 0, 0,
         0 /*production status*/, 1 /*type: forecast*/))
-    val sec4 = section(4, u16(0) ++ u16(0 /*template 4.0*/) ++
-      Array[Byte](paramCategory.toByte, paramNumber.toByte,
-        2 /*octet 12, generating process: forecast*/, 0 /*13 background*/,
-        0 /*14 process id*/, 0, 0 /*15-16 cutoff hours*/, 0 /*17 cutoff min*/,
-        1 /*18 time unit: hour*/) ++ sN(plane.forecastHours, 4) ++
+    // Octets 10-34 are shared by PDT 4.0 and 4.8; a statistical message
+    // (template 4.8) appends the end-of-overall-interval octets 35-41,
+    // the range count/missing octets 42-46 and ONE 12-octet time-range
+    // specification (accumulation over the whole interval).
+    val sec4common = Array[Byte](paramCategory.toByte, paramNumber.toByte,
+      2 /*octet 12, generating process: forecast*/, 0 /*13 background*/,
+      0 /*14 process id*/, 0, 0 /*15-16 cutoff hours*/, 0 /*17 cutoff min*/,
+      1 /*18 time unit: hour*/) ++ sN(plane.forecastHours, 4) ++
       Array[Byte](1 /*surface: ground*/, 0) ++ u32(0) ++
-      Array[Byte](255.toByte, 0) ++ u32(0))
+      Array[Byte](255.toByte, 0) ++ u32(0)
+    val sec4 = statEndOfInterval match {
+      case None => section(4, u16(0) ++ u16(0 /*template 4.0*/) ++ sec4common)
+      case Some((ey, em, ed, eh)) =>
+        section(4, u16(0) ++ u16(8 /*template 4.8*/) ++ sec4common ++
+          u16(ey) ++ Array[Byte](em.toByte, ed.toByte, eh.toByte, 0, 0,
+            1 /*42: one time range*/) ++ u32(0 /*43-46: missing in stat*/) ++
+          Array[Byte](1 /*47: statistical process — accumulation*/,
+            2 /*48: successive times, same forecast time*/,
+            1 /*49: range unit — hour*/) ++ u32(0 /*50-53: range length*/) ++
+          Array[Byte](1 /*54: increment unit*/) ++ u32(0 /*55-58: increment*/))
+    }
 
     val present = plane.values.map(_.isDefined)
     val anyMissing = present.contains(false)

@@ -995,14 +995,14 @@ object Zarr {
       case None => Array.tabulate(nt)(_.toDouble)
     }
     // nodata precedence: CF _FillValue / missing_value attrs, then the
-    // zarr fill_value — EXCEPT 0.0, which is zarr v2's implicit default
-    // for every numeric dtype and overwhelmingly means "unwritten chunk
-    // background", not a real missing-data sentinel (a store that does use
-    // 0 as nodata declares it via _FillValue). NaN fill also drops here
-    // because NaN pixels are always masked by the kernels anyway.
+    // zarr fill_value. An EXPLICIT fill_value — including 0 — is honored
+    // as the nodata sentinel, matching GDAL's Zarr driver (the metadata
+    // parse maps an absent or null fill_value key to None, so only a
+    // deliberately-written scalar reaches here). NaN fill drops because
+    // NaN pixels are always masked by the kernels anyway.
     val nodata = attrNum(data, "_FillValue")
       .orElse(attrNum(data, "missing_value"))
-      .orElse(data.fillValue.filterNot(f => f.isNaN || f == 0.0))
+      .orElse(data.fillValue.filterNot(_.isNaN))
     ZarrGrid(path, nx, ny, data, nodata,
       attrNum(data, "scale_factor"), attrNum(data, "add_offset"),
       gx0, dLon, gy0, gdy, flip, nt, timeVals,

@@ -82,6 +82,23 @@ class EnviSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NAD-27"))
   }
 
+  test("ambiguous data-file candidates next to one header fail loudly") {
+    val dir = tmpDir()
+    // header named cube.hdr (no cube file) with TWO plausible siblings
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cube.img"),
+      new Array[Byte](4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cube.bsq"),
+      new Array[Byte](4))
+    val e = intercept[IllegalArgumentException] {
+      Envi.dataPath(s"$dir/cube.hdr")
+    }
+    assert(e.getMessage.contains("ambiguous") &&
+      e.getMessage.contains("cube.img") && e.getMessage.contains("cube.bsq"))
+    // a single candidate resolves
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/cube.bsq"))
+    assert(Envi.dataPath(s"$dir/cube.hdr") == s"$dir/cube.img")
+  }
+
   test("all interleaves and both byte orders transcode to identical TIFFs") {
     val dir = tmpDir()
     val tiffs = Seq(("bsq", true), ("bil", true), ("bip", true),

@@ -217,6 +217,29 @@ class Grib1Spec extends AnyFunSuite {
     for (px <- 0 until 16) assert(s.sample(0, px, 1) == 20.0 + px)
   }
 
+  test("PDS time-range indicator: 16-bit P1 (indicator 10) and loud statistical rejects") {
+    val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
+      (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),
+      nbits = 8)
+    def patched(name: String)(mut: Array[Byte] => Unit): String = {
+      val m = base.clone(); mut(m)
+      val p = tmpFile(name)
+      val o = new java.io.FileOutputStream(p)
+      try o.write(m) finally o.close()
+      p
+    }
+    // indicator 10: P1 spans PDS octets 19-20 (msg idx 8+18, 8+19);
+    // 300 hours = 0x012C — impossible in the single-octet reading
+    val p10 = patched("tri10") { m =>
+      m(8 + 18) = 0x01; m(8 + 19) = 0x2C; m(8 + 20) = 10
+    }
+    assert(Grib1.describe(p10).timeValues.toSeq == Seq(300.0))
+    // an average (indicator 3) must fail loudly, not decode P1 as valid time
+    val p3 = patched("tri3")(m => m(8 + 20) = 3)
+    val e = intercept[IllegalArgumentException] { Grib1.describe(p3) }
+    assert(e.getMessage.contains("time-range indicator 3"))
+  }
+
   test("unsupported edition-1 shapes fail loudly") {
     val base = Grib1Writer.message(Ni, Nj, 49875, 180125, 250, 250,
       (2000, 1, 1, 0), Plane(0, Array.tabulate(Ni * Nj)(k => Some(k % 200))),

@@ -337,6 +337,37 @@ class ZarrSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CRC"))
   }
 
+  test("v2 explicit fill_value 0 is honored as nodata (GDAL Zarr parity)") {
+    // a store that deliberately writes fill_value: 0 (and no CF _FillValue
+    // attr) uses 0 as its sentinel — it must surface as nodata, not be
+    // dropped as "the implicit default" (an absent/null key still maps to
+    // no nodata because the metadata parse yields None there)
+    val p = s"$tmp/fill0.zarr"
+    ZarrWriter.write(p, lats, lons, times,
+      "hours since 2010-06-01 00:00:00", -9999f,
+      (t, j, i) => (1000 * t + 20 * j + i + 1).toFloat, consolidate = false)
+    val za = java.nio.file.Paths.get(p, "band", ".zarray")
+    val txt = new String(java.nio.file.Files.readAllBytes(za), "UTF-8")
+    java.nio.file.Files.write(za,
+      txt.replace("\"fill_value\":\"NaN\"", "\"fill_value\":0").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "band", ".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["time","lat","lon"]}""".getBytes("UTF-8"))
+    val g = Zarr.describe(p)
+    assert(g.nodata.contains(0.0))
+    // null fill_value stays nodata-free
+    val p2 = s"$tmp/fillnull.zarr"
+    ZarrWriter.write(p2, lats, lons, times,
+      "hours since 2010-06-01 00:00:00", -9999f,
+      (t, j, i) => (1000 * t + 20 * j + i + 1).toFloat, consolidate = false)
+    val za2 = java.nio.file.Paths.get(p2, "band", ".zarray")
+    val txt2 = new String(java.nio.file.Files.readAllBytes(za2), "UTF-8")
+    java.nio.file.Files.write(za2,
+      txt2.replace("\"fill_value\":\"NaN\"", "\"fill_value\":null").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2, "band", ".zattrs"),
+      """{"_ARRAY_DIMENSIONS":["time","lat","lon"]}""".getBytes("UTF-8"))
+    assert(Zarr.describe(p2).nodata.isEmpty)
+  }
+
   test("v3 store: unsupported codec chains and node shapes fail loudly") {
     def badArr(name: String, arrayJson: String): Unit = {
       val root = java.nio.file.Paths.get(s"$tmp/v3bad_$name.zarr")
