@@ -195,6 +195,7 @@ object SparkEntry {
     "q174_grib1_rotated"    -> (RaquetQueries.q174Grib1Rotated _),
     "q175_envi_ingest"      -> (RaquetQueries.q175EnviIngest _),
     "q176_nc_projected"     -> (RaquetQueries.q176NcProjected _),
+    "q177_grib_jpeg2000"    -> (RaquetQueries.q177GribJpeg2000 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -412,6 +413,10 @@ object SparkEntry {
     "q148_grib_complex"     -> RaquetOracles.q79,
     // q163 is the q147 container with PNG (5.41) packing — same oracle
     "q163_grib_png"         -> RaquetOracles.q79,
+    // q177 is q147 with JPEG 2000 (5.40) packing — the NCEP GFS wire
+    // format; same oracle, the in-engine J2K codec must not change one
+    // statistic
+    "q177_grib_jpeg2000"    -> RaquetOracles.q79,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1617,6 +1617,15 @@ object RaquetQueries {
   def q163GribPng(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "png", "q163")
 
+  /** S6 (GRIB2, template 5.40 JPEG 2000 packing — the NCEP GFS/NAM wire
+    * format, g2clib's jpcpack) driver proof: the q147 container with the X
+    * plane carried as lossless JPEG 2000 codestreams decoded by the
+    * in-engine [[graft.raquet.Jpeg2000]] codec (MQ coder + T1 + 5/3 DWT),
+    * bitmapped timesteps included; identical oracle — the codec must not
+    * change one value. */
+  def q177GribJpeg2000(spark: SparkSession, dir: String): DataFrame =
+    gribIngest(spark, "jpeg2000", "q177")
+
   /** S6 (GRIB2 template 3.30, Lambert conformal — the HRRR/NAM/NDFD CONUS
     * grid family) driver proof, the q104 pattern: source values are
     * constant on 16×16-cell patches (48 km square at 3 km spacing), probes

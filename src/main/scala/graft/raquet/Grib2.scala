@@ -554,6 +554,7 @@ object Grib2 {
       case 2 => 47
       case 3 => 49
       case 4 => 12
+      case 40 => 23
       case 41 => 21
       case _ => 11
     }
@@ -574,11 +575,12 @@ object Grib2 {
       case 0 => unpackSimple(f.sec5, sec7, packed, where)
       case 2 | 3 => unpackComplex(f.sec5, sec7, packed, tmpl, where)
       case 4 => unpackIeee(f.sec5, sec7, packed, where)
+      case 40 => unpackJpeg2000(f.sec5, sec7, packed, where)
       case 41 => unpackPng(f.sec5, sec7, packed, where)
       case other => throw new IllegalArgumentException(
         s"$where: data representation template 5.$other unsupported " +
-          "(5.0 simple, 5.2/5.3 complex, 5.4 IEEE, 5.41 PNG; JPEG2000 " +
-          "packing needs gdal_translate upstream)")
+          "(5.0 simple, 5.2/5.3 complex, 5.4 IEEE, 5.40 JPEG 2000, " +
+          "5.41 PNG)")
     }
     if (present == null) vals
     else {
@@ -640,6 +642,38 @@ object Grib2 {
     var k = 0
     while (k < n) {
       out(k) = (r + xs(k) * scaleE) * scaleD
+      k += 1
+    }
+    out
+  }
+
+  /** Template 5.40: Y = (R + X·2^E)/10^D with the X plane carried as one
+    * lossless JPEG 2000 codestream (the NCEP GFS/NAM packing — g2clib's
+    * jpcpack; GDAL reaches it via Jasper, ref `raquet/raster2raquet.py:
+    * 950-963`). The codestream's own SIZ dims flatten in raster order. */
+  private def unpackJpeg2000(sec5: Array[Byte], sec7: Array[Byte], n: Int,
+      where: String): Array[Double] = {
+    val r = java.lang.Float.intBitsToFloat(u32(sec5, 11).toInt).toDouble
+    val e = s16(sec5, 15)
+    val d = s16(sec5, 17)
+    val nbits = u8(sec5, 19)
+    val ctype = u8(sec5, 21)
+    require(ctype == 0,
+      s"$where: JPEG 2000 compression type $ctype unsupported (lossless only)")
+    val scaleE = math.pow(2.0, e)
+    val scaleD = math.pow(10.0, -d)
+    val out = new Array[Double](n)
+    if (nbits == 0) {
+      java.util.Arrays.fill(out, r * scaleD)
+      return out
+    }
+    val dec = Jpeg2000.decode(sec7, where)
+    require(!dec.signed, s"$where: signed JPEG 2000 samples in GRIB field")
+    require(dec.w.toLong * dec.h == n,
+      s"$where: codestream carries ${dec.w}x${dec.h} points, expected $n")
+    var k = 0
+    while (k < n) {
+      out(k) = (r + dec.xs(k) * scaleE) * scaleD
       k += 1
     }
     out

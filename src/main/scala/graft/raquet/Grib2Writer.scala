@@ -61,7 +61,7 @@ object Grib2Writer {
   /** Write a GRIB2 file. Coordinates are counts of `basicAngle/subdiv`
     * degrees; `la1/lo1` locate the FIRST grid point (center, scan mode
     * 0x00: W→E then N→S). `packing`: "simple" | "complex" | "complex_sd2"
-    * | "ieee" | "png". */
+    * | "ieee" | "png" | "jpeg2000". */
   def write(path: String, ni: Int, nj: Int,
       basicAngle: Int, subdiv: Int,
       la1: Long, lo1: Long, di: Long, dj: Long,
@@ -284,6 +284,15 @@ object Grib2Writer {
         (u32(npacked) ++ u16(41) ++ u32(0 /*R = 0f*/) ++ sN(0, 2) ++ sN(0, 2) ++
           Array[Byte](nbits.toByte, 0 /*original field: float*/),
           Png.encode(xs.map(_.toLong), npacked / h, h, nbits))
+      case "jpeg2000" =>
+        // template 5.40: the X plane as one lossless JPEG 2000 codestream
+        // (octet 22 = 0 lossless, octet 23 = 255 target ratio missing)
+        var h = math.max(1, math.sqrt(npacked.toDouble).toInt)
+        while (npacked % h != 0) h -= 1
+        (u32(npacked) ++ u16(40) ++ u32(0 /*R = 0f*/) ++ sN(0, 2) ++ sN(0, 2) ++
+          Array[Byte](nbits.toByte, 0 /*original field: float*/,
+            0 /*lossless*/, 255.toByte /*ratio: missing*/),
+          Jpeg2000.encode(xs, npacked / h, h, nbits))
       case "complex" | "complex_sd2" =>
         val sd2 = packing == "complex_sd2"
         // the packed series: raw X for 5.2; second-order differences for 5.3

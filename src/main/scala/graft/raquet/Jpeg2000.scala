@@ -1,0 +1,1384 @@
+package graft.raquet
+
+import scala.collection.mutable.ArrayBuffer
+
+/** JPEG 2000 Part-1 codestream codec — the GRIB2 template 5.40 packing
+  * (NCEP GFS distributes 5.40-packed fields; ref `raquet/raster2raquet.py:
+  * 950-963` reaches them through GDAL's GRIB driver) and the Sentinel-2
+  * `.jp2` band-file codestream.
+  *
+  * Scope — the subset the GRIB/NWP world actually produces (Jasper via
+  * g2clib, OpenJPEG via ecCodes): raw codestream (SOC..EOC), ONE tile, ONE
+  * component, reversible 5/3 wavelet, no quantization, default code-block
+  * style, LRCP/RLCP progressions, maximal precincts, 1..N quality layers,
+  * optional SOP/EPH. The irreversible 9/7 path, multi-tile, multi-component,
+  * ROI, and user precincts fail loudly.
+  *
+  * Both directions are implemented from the PUBLIC spec's two separate
+  * normative flowchart sets (ISO/IEC 15444-1: Annex C MQ coder, Annex D
+  * coefficient modeling, Annex B.10 packet headers + tag trees, Annex F
+  * reversible 5/3 lifting), so encode∘decode cannot be mutually-inverse-
+  * but-wrong by construction of one from the other; the spec cross-checks
+  * the normative Qe table, pass counts, and exhaustive round trips across
+  * sizes/depths/levels plus truncation fuzz.
+  */
+object Jpeg2000 {
+
+  // ------------------------------------------------------- MQ coder tables
+  // ISO/IEC 15444-1 Table C.2 (normative): Qe, NMPS, NLPS, SWITCH.
+  private val QE = Array(
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401,
+    0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401,
+    0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201,
+    0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1,
+    0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141, 0x0111, 0x0085,
+    0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001, 0x5601)
+  private val NMPS = Array(
+    1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38,
+    39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val NLPS = Array(
+    1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21, 14, 14, 15, 16, 17,
+    18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val SW = Array(
+    1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  // T1 context numbering: 0-8 significance, 9-13 sign, 14-16 magnitude
+  // refinement, 17 run-length, 18 UNIFORM.
+  private val NCTX = 19
+  private val CTX_RUN = 17
+  private val CTX_UNI = 18
+
+  private def initStates(states: Array[Int], mps: Array[Int]): Unit = {
+    java.util.Arrays.fill(states, 0)
+    java.util.Arrays.fill(mps, 0)
+    states(0) = 4          // first significance context
+    states(CTX_RUN) = 3
+    states(CTX_UNI) = 46
+  }
+
+  // ----------------------------------------------------------- MQ decoder
+  /** Annex C decoder, software conventions (the OpenJPEG register layout).
+    * Reads past-the-end as 0xFF so truncated segments decode to 1-fills
+    * instead of crashing — the spec's marker-found behavior. */
+  private final class MqDec(data: Array[Byte], off: Int, len: Int) {
+    private val states = new Array[Int](NCTX)
+    private val mps = new Array[Int](NCTX)
+    initStates(states, mps)
+    private var i = off            // index of the CURRENT byte B
+    private val end = off + len
+    private var c = 0
+    private var a = 0
+    private var ct = 0
+
+    private def b(k: Int): Int = if (k < end) data(k) & 0xFF else 0xFF
+
+    private def bytein(): Unit = {
+      if (b(i) == 0xFF) {
+        if (b(i + 1) > 0x8F) { c += 0xFF00; ct = 8 }
+        else { i += 1; c += b(i) << 9; ct = 7 }
+      } else { i += 1; c += b(i) << 8; ct = 8 }
+    }
+
+    // INITDEC
+    c = b(i) << 16
+    bytein()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    def decode(cx: Int): Int = {
+      val st = states(cx)
+      val qe = QE(st)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xFFFF) < qe) {
+        // LPS exchange
+        if (a < qe) { d = mps(cx); states(cx) = NMPS(st) }
+        else {
+          d = 1 - mps(cx)
+          if (SW(st) == 1) mps(cx) = 1 - mps(cx)
+          states(cx) = NLPS(st)
+        }
+        a = qe
+        renorm()
+      } else {
+        c -= qe << 16
+        if ((a & 0x8000) == 0) {
+          if (a < qe) {
+            d = 1 - mps(cx)
+            if (SW(st) == 1) mps(cx) = 1 - mps(cx)
+            states(cx) = NLPS(st)
+          } else { d = mps(cx); states(cx) = NMPS(st) }
+          renorm()
+        } else d = mps(cx)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        if (ct == 0) bytein()
+        a <<= 1; c <<= 1; ct -= 1
+        (a & 0x8000) == 0
+      }) ()
+    }
+  }
+
+  // ----------------------------------------------------------- MQ encoder
+  /** Annex C encoder (CODEMPS/CODELPS/BYTEOUT/FLUSH, software conventions).
+    * buf(0) is the carry-absorbing scratch byte before the stream; the
+    * first BYTEOUT provably cannot carry past it (C < 0x5601·2^12). */
+  private final class MqEnc {
+    private val states = new Array[Int](NCTX)
+    private val mps = new Array[Int](NCTX)
+    initStates(states, mps)
+    private val buf = ArrayBuffer[Byte](0)
+    private var bp = 0
+    private var c = 0
+    private var a = 0x8000
+    private var ct = 12
+
+    def encode(d: Int, cx: Int): Unit = {
+      val st = states(cx)
+      val qe = QE(st)
+      if (d == mps(cx)) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          states(cx) = NMPS(st)
+          renorme()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (SW(st) == 1) mps(cx) = 1 - mps(cx)
+        states(cx) = NLPS(st)
+        renorme()
+      }
+    }
+
+    private def renorme(): Unit = {
+      while ({
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) byteout()
+        (a & 0x8000) == 0
+      }) ()
+    }
+
+    private def put(v: Int): Unit = { bp += 1; buf += v.toByte }
+
+    private def byteout(): Unit = {
+      if ((buf(bp) & 0xFF) == 0xFF) {
+        put(c >>> 20); c &= 0xFFFFF; ct = 7
+      } else if ((c & 0x8000000) == 0) {
+        put(c >>> 19); c &= 0x7FFFF; ct = 8
+      } else {
+        buf(bp) = (buf(bp) + 1).toByte // carry into the previous byte
+        if ((buf(bp) & 0xFF) == 0xFF) {
+          c &= 0x7FFFFFF
+          put(c >>> 20); c &= 0xFFFFF; ct = 7
+        } else {
+          put(c >>> 19); c &= 0x7FFFF; ct = 8
+        }
+      }
+    }
+
+    /** FLUSH; returns the terminated segment (a trailing 0xFF is dropped
+      * per the spec — the decoder's marker rule regenerates its bits). */
+    def flush(): Array[Byte] = {
+      // SETBITS
+      val tempc = c + a
+      c |= 0xFFFF
+      if (c >= tempc) c -= 0x8000
+      c <<= ct; byteout()
+      c <<= ct; byteout()
+      if ((buf(bp) & 0xFF) != 0xFF) bp += 1
+      buf.slice(1, bp).toArray
+    }
+  }
+
+  // --------------------------------------------- packet-header bit stream
+  /** Annex B.10.1 bit-stuffed header writer: after an emitted 0xFF the next
+    * byte carries 7 bits (MSB stuffed 0); a header never ends with 0xFF. */
+  private final class HdrWriter {
+    private val out = ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var filled = 0
+    private var capacity = 8 // 7 right after an 0xFF byte (stuffed MSB)
+
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      filled += 1
+      if (filled == capacity) {
+        out += cur.toByte
+        // a 7-bit byte is ≤ 0x7F, so capacity 7 always resets to 8 here
+        capacity = if (cur == 0xFF) 7 else 8
+        cur = 0; filled = 0
+      }
+    }
+
+    def bits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit((v >>> k) & 1); k -= 1 }
+    }
+
+    def alignAndBytes(): Array[Byte] = {
+      if (filled > 0) {
+        cur <<= (capacity - filled)
+        out += cur.toByte
+        if (cur == 0xFF) out += 0x00.toByte // header must not end in 0xFF
+      } else if (capacity == 7) {
+        // last payload byte was 0xFF: the stuffed byte must still exist
+        out += 0x00.toByte
+      }
+      val r = out.toArray
+      out.clear(); cur = 0; filled = 0; capacity = 8
+      r
+    }
+  }
+
+  /** Mirror reader. */
+  private final class HdrReader(data: Array[Byte], var pos: Int, end: Int,
+      where: String) {
+    private var cur = 0
+    private var left = 0
+    private var last = 0
+
+    def bit(): Int = {
+      if (left == 0) {
+        require(pos < end, s"$where: packet header truncated")
+        last = cur
+        cur = data(pos) & 0xFF; pos += 1
+        left = if (last == 0xFF) 7 else 8
+        if (last == 0xFF) require((cur & 0x80) == 0,
+          s"$where: missing stuffed bit after 0xFF in packet header")
+      }
+      left -= 1
+      (cur >>> left) & 1
+    }
+
+    def bits(n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+
+    /** Byte-align; consume the stuffed byte if the header ended on 0xFF. */
+    def align(): Unit = {
+      left = 0
+      if (cur == 0xFF) {
+        require(pos < end, s"$where: packet header truncated at stuffing")
+        require((data(pos) & 0x80) == 0,
+          s"$where: bad stuffing byte after 0xFF")
+        pos += 1
+      }
+      cur = 0
+    }
+  }
+
+  // -------------------------------------------------------------- tag trees
+  /** B.10.2 tag tree. Nodes level 0 = leaves; parent of (i,j) at the next
+    * level is (i/2, j/2); single root. */
+  private final class TagTree(val w: Int, val h: Int) {
+    private val dims = {
+      val b = ArrayBuffer.empty[(Int, Int)]
+      var cw = w; var ch = h
+      if (cw > 0 && ch > 0) {
+        b += ((cw, ch))
+        while (cw > 1 || ch > 1) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; b += ((cw, ch)) }
+      }
+      b.toArray
+    }
+    private val off = dims.scanLeft(0)((acc, d) => acc + d._1 * d._2)
+    private val n = if (dims.isEmpty) 0 else off.last
+    val value = new Array[Int](math.max(n, 1))
+    private val low = new Array[Int](math.max(n, 1))
+    private val known = new Array[Boolean](math.max(n, 1))
+
+    def reset(): Unit = {
+      java.util.Arrays.fill(low, 0)
+      java.util.Arrays.fill(known, false)
+      java.util.Arrays.fill(value, Int.MaxValue)
+    }
+    reset()
+
+    /** Encoder: populate leaf values then fold mins upward. */
+    def setValues(leaf: (Int, Int) => Int): Unit = {
+      reset()
+      for (j <- 0 until h; i <- 0 until w) value(j * w + i) = leaf(i, j)
+      var lev = 0
+      while (lev + 1 < dims.length) {
+        val (cw, ch) = dims(lev)
+        val (pw, _) = dims(lev + 1)
+        for (j <- 0 until ch; i <- 0 until cw) {
+          val p = off(lev + 1) + (j / 2) * pw + (i / 2)
+          val c = off(lev) + j * cw + i
+          if (value(c) < value(p)) value(p) = value(c)
+        }
+        lev += 1
+      }
+    }
+
+    private def path(i: Int, j: Int): Array[Int] = {
+      val p = new Array[Int](dims.length)
+      var ci = i; var cj = j
+      var lev = 0
+      while (lev < dims.length) {
+        p(dims.length - 1 - lev) = off(lev) + cj * dims(lev)._1 + ci
+        ci /= 2; cj /= 2; lev += 1
+      }
+      p // root first
+    }
+
+    /** Encode leaf (i,j) against `threshold` (B.10.2 procedure). */
+    def encode(w1: HdrWriter, i: Int, j: Int, threshold: Int): Unit = {
+      var lowBound = 0
+      for (nd <- path(i, j)) {
+        if (low(nd) < lowBound) low(nd) = lowBound
+        var l = low(nd)
+        var done = false
+        while (!done && l < threshold) {
+          if (l >= value(nd)) {
+            if (!known(nd)) { w1.bit(1); known(nd) = true }
+            done = true
+          } else { w1.bit(0); l += 1 }
+        }
+        low(nd) = l
+        lowBound = if (known(nd)) value(nd) else l
+      }
+    }
+
+    def leafValue(i: Int, j: Int): Int = value(j * w + i)
+
+    /** Decode: true iff leaf value is determined and < threshold. */
+    def decode(r: HdrReader, i: Int, j: Int, threshold: Int): Boolean = {
+      var lowBound = 0
+      var leaf = 0
+      for (nd <- path(i, j)) {
+        leaf = nd
+        if (low(nd) < lowBound) low(nd) = lowBound
+        var l = low(nd)
+        while (!known(nd) && l < threshold) {
+          if (r.bit() == 1) { value(nd) = l; known(nd) = true }
+          else l += 1
+        }
+        low(nd) = l
+        lowBound = if (known(nd)) value(nd) else l
+      }
+      known(leaf) && value(leaf) < threshold
+    }
+  }
+
+  // ------------------------------------------------------------ T1 shared
+  // Significance context from neighbor counts (Table D.1).
+  private def ctxSigLLLH(hh: Int, vv: Int, dd: Int): Int =
+    if (hh == 2) 8
+    else if (hh == 1) { if (vv >= 1) 7 else if (dd >= 1) 6 else 5 }
+    else if (vv == 2) 4
+    else if (vv == 1) 3
+    else if (dd >= 2) 2
+    else if (dd == 1) 1
+    else 0
+
+  private def ctxSigHH(hh: Int, vv: Int, dd: Int): Int =
+    if (dd >= 3) 8
+    else if (dd == 2) { if (hh + vv >= 1) 7 else 6 }
+    else if (dd == 1) {
+      if (hh + vv >= 2) 5 else if (hh + vv == 1) 4 else 3
+    } else {
+      if (hh + vv >= 2) 2 else if (hh + vv == 1) 1 else 0
+    }
+
+  // band orientation codes
+  private val BAND_LL = 0
+  private val BAND_HL = 1
+  private val BAND_LH = 2
+  private val BAND_HH = 3
+
+  /** Per-block coding state shared by the T1 encoder and decoder: bordered
+    * significance/sign planes plus per-pixel visited/refined flags. */
+  private final class T1State(val w: Int, val h: Int, val band: Int) {
+    val stride = w + 2
+    val sig = new Array[Boolean](stride * (h + 2))
+    val neg = new Array[Boolean](stride * (h + 2))
+    val visited = new Array[Boolean](w * h)
+    val refined = new Array[Boolean](w * h)
+    val mag = new Array[Int](w * h)
+
+    @inline def bi(x: Int, y: Int): Int = (y + 1) * stride + (x + 1)
+
+    def counts(x: Int, y: Int): (Int, Int, Int) = {
+      val c = bi(x, y)
+      val hh = (if (sig(c - 1)) 1 else 0) + (if (sig(c + 1)) 1 else 0)
+      val vv = (if (sig(c - stride)) 1 else 0) + (if (sig(c + stride)) 1 else 0)
+      val dd = (if (sig(c - stride - 1)) 1 else 0) +
+        (if (sig(c - stride + 1)) 1 else 0) +
+        (if (sig(c + stride - 1)) 1 else 0) +
+        (if (sig(c + stride + 1)) 1 else 0)
+      (hh, vv, dd)
+    }
+
+    def ctxSig(x: Int, y: Int): Int = {
+      val (hh, vv, dd) = counts(x, y)
+      band match {
+        case BAND_HL => ctxSigLLLH(vv, hh, dd)
+        case BAND_HH => ctxSigHH(hh, vv, dd)
+        case _ => ctxSigLLLH(hh, vv, dd)
+      }
+    }
+
+    def anySigNeighbor(x: Int, y: Int): Boolean = {
+      val (hh, vv, dd) = counts(x, y)
+      hh + vv + dd > 0
+    }
+
+    /** Sign context and XOR bit (Table D.3/D.4). */
+    def ctxSign(x: Int, y: Int): (Int, Int) = {
+      val c = bi(x, y)
+      def contrib(a: Int, b2: Int): Int = {
+        val pa = sig(a) && !neg(a); val na = sig(a) && neg(a)
+        val pb = sig(b2) && !neg(b2); val nb = sig(b2) && neg(b2)
+        val pos = pa || pb; val negc = na || nb
+        if (pos && !negc) 1 else if (negc && !pos) -1 else 0
+      }
+      val hc = contrib(c - 1, c + 1)
+      val vc = contrib(c - stride, c + stride)
+      (hc, vc) match {
+        case (1, 1) => (13, 0)
+        case (1, 0) => (12, 0)
+        case (1, -1) => (11, 0)
+        case (0, 1) => (10, 0)
+        case (0, 0) => (9, 0)
+        case (0, -1) => (10, 1)
+        case (-1, 1) => (11, 1)
+        case (-1, 0) => (12, 1)
+        case (-1, -1) => (13, 1)
+      }
+    }
+
+    def ctxMag(x: Int, y: Int): Int =
+      if (refined(y * w + x)) 16
+      else if (anySigNeighbor(x, y)) 15
+      else 14
+
+    def setSig(x: Int, y: Int, isNeg: Boolean): Unit = {
+      sig(bi(x, y)) = true
+      neg(bi(x, y)) = isNeg
+    }
+  }
+
+  // ------------------------------------------------------------ T1 decode
+  /** Decode one code block: `npasses` coding passes over `np` magnitude
+    * bitplanes from the (possibly multi-layer concatenated) MQ segment. */
+  private def t1Decode(data: Array[Byte], off: Int, len: Int, w: Int, h: Int,
+      band: Int, np: Int, npasses: Int, where: String): (Array[Int], Array[Boolean]) = {
+    val st = new T1State(w, h, band)
+    val mq = new MqDec(data, off, len)
+    var passNo = 0
+    var bp = np - 1
+    var passKind = 2 // 0=SPP 1=MRP 2=CUP; the first plane starts at CUP
+    while (passNo < npasses && bp >= 0) {
+      passKind match {
+        case 0 => // significance propagation
+          var k = 0
+          while (k < h) {
+            val sh = math.min(4, h - k)
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < sh) {
+                val y = k + dy
+                val p = y * w + x
+                if (!st.sig(st.bi(x, y)) && st.anySigNeighbor(x, y)) {
+                  val bit = mq.decode(st.ctxSig(x, y))
+                  if (bit == 1) {
+                    val (scx, sxor) = st.ctxSign(x, y)
+                    val s = mq.decode(scx) ^ sxor
+                    st.setSig(x, y, s == 1)
+                    st.mag(p) |= 1 << bp
+                  }
+                  st.visited(p) = true
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            k += 4
+          }
+        case 1 => // magnitude refinement
+          var k = 0
+          while (k < h) {
+            val sh = math.min(4, h - k)
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < sh) {
+                val y = k + dy
+                val p = y * w + x
+                if (st.sig(st.bi(x, y)) && !st.visited(p)) {
+                  val cx = st.ctxMag(x, y)
+                  val bit = mq.decode(cx)
+                  st.mag(p) |= bit << bp
+                  st.refined(p) = true
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            k += 4
+          }
+        case 2 => // cleanup
+          var k = 0
+          while (k < h) {
+            val sh = math.min(4, h - k)
+            var x = 0
+            while (x < w) {
+              var start = 0
+              var runMode = false
+              if (sh == 4) {
+                runMode = true
+                var dy = 0
+                while (dy < 4 && runMode) {
+                  val y = k + dy
+                  if (st.sig(st.bi(x, y)) || st.visited(y * w + x) ||
+                      st.anySigNeighbor(x, y)) runMode = false
+                  dy += 1
+                }
+              }
+              if (runMode) {
+                if (mq.decode(CTX_RUN) == 0) start = 4 // whole column stays 0
+                else {
+                  val r = (mq.decode(CTX_UNI) << 1) | mq.decode(CTX_UNI)
+                  val y = k + r
+                  val (scx, sxor) = st.ctxSign(x, y)
+                  val s = mq.decode(scx) ^ sxor
+                  st.setSig(x, y, s == 1)
+                  st.mag(y * w + x) |= 1 << bp
+                  start = r + 1
+                }
+              }
+              var dy = start
+              while (dy < sh) {
+                val y = k + dy
+                val p = y * w + x
+                if (!st.sig(st.bi(x, y)) && !st.visited(p)) {
+                  val bit = mq.decode(st.ctxSig(x, y))
+                  if (bit == 1) {
+                    val (scx, sxor) = st.ctxSign(x, y)
+                    val s = mq.decode(scx) ^ sxor
+                    st.setSig(x, y, s == 1)
+                    st.mag(p) |= 1 << bp
+                  }
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            k += 4
+          }
+          java.util.Arrays.fill(st.visited, false)
+      }
+      passNo += 1
+      if (passKind == 2) { passKind = 0; bp -= 1 } else passKind += 1
+    }
+    val out = new Array[Int](w * h)
+    val negOut = new Array[Boolean](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        out(p) = st.mag(p)
+        negOut(p) = st.neg(st.bi(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    (out, negOut)
+  }
+
+  // ------------------------------------------------------------ T1 encode
+  /** Encode one code block; returns (segment bytes, passes, planes). A block
+    * of all zeros returns (empty, 0, 0) — signalled as never-included. */
+  private def t1Encode(coeff: Array[Int], w: Int, h: Int,
+      band: Int): (Array[Byte], Int, Int) = {
+    var maxMag = 0
+    var i = 0
+    while (i < coeff.length) {
+      val m = math.abs(coeff(i))
+      if (m > maxMag) maxMag = m
+      i += 1
+    }
+    if (maxMag == 0) return (Array.emptyByteArray, 0, 0)
+    val np = 32 - Integer.numberOfLeadingZeros(maxMag)
+    val st = new T1State(w, h, band)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        st.mag(y * w + x) = math.abs(coeff(y * w + x))
+        x += 1
+      }
+      y += 1
+    }
+    def isNegAt(x: Int, y: Int): Boolean = coeff(y * w + x) < 0
+    val mq = new MqEnc
+    var bp = np - 1
+    var passKind = 2
+    var passes = 0
+    val totalPasses = 3 * np - 2
+    while (passes < totalPasses) {
+      passKind match {
+        case 0 => // SPP
+          var k = 0
+          while (k < h) {
+            val sh = math.min(4, h - k)
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < sh) {
+                val yy = k + dy
+                val p = yy * w + x
+                if (!st.sig(st.bi(x, yy)) && st.anySigNeighbor(x, yy)) {
+                  val bit = (st.mag(p) >>> bp) & 1
+                  mq.encode(bit, st.ctxSig(x, yy))
+                  if (bit == 1) {
+                    val (scx, sxor) = st.ctxSign(x, yy)
+                    mq.encode((if (isNegAt(x, yy)) 1 else 0) ^ sxor, scx)
+                    st.setSig(x, yy, isNegAt(x, yy))
+                  }
+                  st.visited(p) = true
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            k += 4
+          }
+        case 1 => // MRP
+          var k = 0
+          while (k < h) {
+            val sh = math.min(4, h - k)
+            var x = 0
+            while (x < w) {
+              var dy = 0
+              while (dy < sh) {
+                val yy = k + dy
+                val p = yy * w + x
+                if (st.sig(st.bi(x, yy)) && !st.visited(p)) {
+                  val cx = st.ctxMag(x, yy)
+                  mq.encode((st.mag(p) >>> bp) & 1, cx)
+                  st.refined(p) = true
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            k += 4
+          }
+        case 2 => // CUP
+          var k = 0
+          while (k < h) {
+            val sh = math.min(4, h - k)
+            var x = 0
+            while (x < w) {
+              var start = 0
+              var runMode = false
+              if (sh == 4) {
+                runMode = true
+                var dy = 0
+                while (dy < 4 && runMode) {
+                  val yy = k + dy
+                  if (st.sig(st.bi(x, yy)) || st.visited(yy * w + x) ||
+                      st.anySigNeighbor(x, yy)) runMode = false
+                  dy += 1
+                }
+              }
+              if (runMode) {
+                var first = -1
+                var dy = 0
+                while (dy < 4 && first < 0) {
+                  if (((st.mag((k + dy) * w + x) >>> bp) & 1) == 1) first = dy
+                  dy += 1
+                }
+                if (first < 0) { mq.encode(0, CTX_RUN); start = 4 }
+                else {
+                  mq.encode(1, CTX_RUN)
+                  mq.encode((first >>> 1) & 1, CTX_UNI)
+                  mq.encode(first & 1, CTX_UNI)
+                  val yy = k + first
+                  val (scx, sxor) = st.ctxSign(x, yy)
+                  mq.encode((if (isNegAt(x, yy)) 1 else 0) ^ sxor, scx)
+                  st.setSig(x, yy, isNegAt(x, yy))
+                  start = first + 1
+                }
+              }
+              var dy = start
+              while (dy < sh) {
+                val yy = k + dy
+                val p = yy * w + x
+                if (!st.sig(st.bi(x, yy)) && !st.visited(p)) {
+                  val bit = (st.mag(p) >>> bp) & 1
+                  mq.encode(bit, st.ctxSig(x, yy))
+                  if (bit == 1) {
+                    val (scx, sxor) = st.ctxSign(x, yy)
+                    mq.encode((if (isNegAt(x, yy)) 1 else 0) ^ sxor, scx)
+                    st.setSig(x, yy, isNegAt(x, yy))
+                  }
+                }
+                dy += 1
+              }
+              x += 1
+            }
+            k += 4
+          }
+          java.util.Arrays.fill(st.visited, false)
+      }
+      passes += 1
+      if (passKind == 2) { passKind = 0; bp -= 1 } else passKind += 1
+    }
+    (mq.flush(), totalPasses, np)
+  }
+
+  // ------------------------------------------------------------- 5/3 DWT
+  /** Reversible 5/3 lifting on an interleaved signal (Annex F; origin-0
+    * intervals only — every tile here is anchored at (0,0)). */
+  private def lift53Fwd(a: Array[Int], off: Int, n: Int, stride: Int): Unit = {
+    if (n <= 1) return
+    @inline def g(k: Int): Int = {
+      val m = if (k < 0) -k else if (k > n - 1) 2 * (n - 1) - k else k
+      a(off + m * stride)
+    }
+    var i = 1
+    while (i < n) { // high-pass (odd)
+      a(off + i * stride) -= Math.floorDiv(g(i - 1) + g(i + 1), 2)
+      i += 2
+    }
+    i = 0
+    while (i < n) { // low-pass (even)
+      a(off + i * stride) += Math.floorDiv(g(i - 1) + g(i + 1) + 2, 4)
+      i += 2
+    }
+  }
+
+  private def lift53Inv(a: Array[Int], off: Int, n: Int, stride: Int): Unit = {
+    if (n <= 1) return
+    @inline def g(k: Int): Int = {
+      val m = if (k < 0) -k else if (k > n - 1) 2 * (n - 1) - k else k
+      a(off + m * stride)
+    }
+    var i = 0
+    while (i < n) { // undo low-pass update
+      a(off + i * stride) -= Math.floorDiv(g(i - 1) + g(i + 1) + 2, 4)
+      i += 2
+    }
+    i = 1
+    while (i < n) { // undo high-pass predict
+      a(off + i * stride) += Math.floorDiv(g(i - 1) + g(i + 1), 2)
+      i += 2
+    }
+  }
+
+  /** One forward decomposition of the w×h top-left region of `a` (row-major,
+    * rowStride): vertical pass then horizontal (the spec's 2D_SD order),
+    * leaving low coefficients at even indices. */
+  private def dwtFwdLevel(a: Array[Int], w: Int, h: Int, rowStride: Int): Unit = {
+    var x = 0
+    while (x < w) { lift53Fwd(a, x, h, rowStride); x += 1 }
+    var y = 0
+    while (y < h) { lift53Fwd(a, y * rowStride, w, 1); y += 1 }
+  }
+
+  private def dwtInvLevel(a: Array[Int], w: Int, h: Int, rowStride: Int): Unit = {
+    var y = 0
+    while (y < h) { lift53Inv(a, y * rowStride, w, 1); y += 1 }
+    var x = 0
+    while (x < w) { lift53Inv(a, x, h, rowStride); x += 1 }
+  }
+
+  /** Band dims at decomposition level d (tile anchored at 0): returns
+    * ((lowW, highW), (lowH, highH)) of the level-d split of the level-(d-1)
+    * LL. */
+  private def splitDims(w: Int, h: Int, d: Int): ((Int, Int), (Int, Int)) = {
+    var cw = w; var ch = h
+    var k = 1
+    while (k < d) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; k += 1 }
+    (((cw + 1) / 2, cw / 2), ((ch + 1) / 2, ch / 2))
+  }
+
+  // -------------------------------------------------------------- helpers
+  private def u16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def u32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def w16(v: Int): Array[Byte] =
+    Array[Byte](((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def w32(v: Long): Array[Byte] =
+    Array[Byte](((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  private def floorLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  /** Number-of-coding-passes codeword (Table B.4). */
+  private def writeNumPasses(w1: HdrWriter, n: Int): Unit = {
+    require(n >= 1 && n <= 164, s"coding passes $n out of range")
+    if (n == 1) w1.bit(0)
+    else if (n == 2) { w1.bit(1); w1.bit(0) }
+    else if (n <= 5) { w1.bits(0x3, 2); w1.bits(n - 3, 2) }
+    else if (n <= 36) { w1.bits(0xF, 4); w1.bits(n - 6, 5) }
+    else { w1.bits(0x1FF, 9); w1.bits(n - 37, 7) }
+  }
+
+  private def readNumPasses(r: HdrReader): Int = {
+    if (r.bit() == 0) 1
+    else if (r.bit() == 0) 2
+    else {
+      val v = r.bits(2)
+      if (v < 3) 3 + v
+      else {
+        val w = r.bits(5)
+        if (w < 31) 6 + w
+        else 37 + r.bits(7)
+      }
+    }
+  }
+
+  // band gain for the reversible path (Table E.1)
+  private def bandGain(band: Int): Int = band match {
+    case BAND_LL => 0
+    case BAND_HH => 2
+    case _ => 1
+  }
+
+  /** A code block's geometry + decode state. */
+  private final class Blk(val x0: Int, val y0: Int, val w: Int, val h: Int) {
+    var included = false
+    var zbp = 0
+    var lblock = 3
+    var npasses = 0
+    val segs = ArrayBuffer.empty[(Int, Int)] // (offset, len) into codestream
+  }
+
+  /** One subband with its code-block grid. */
+  private final class Band(val band: Int, val w: Int, val h: Int,
+      cbw: Int, cbh: Int) {
+    val nbx = if (w == 0) 0 else (w + cbw - 1) / cbw
+    val nby = if (h == 0) 0 else (h + cbh - 1) / cbh
+    val blocks: Array[Blk] = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
+      val x0 = bx * cbw; val y0 = by * cbh
+      new Blk(x0, y0, math.min(cbw, w - x0), math.min(cbh, h - y0))
+    }).toArray
+    val inclTree = new TagTree(nbx, nby)
+    val zbpTree = new TagTree(nbx, nby)
+    val coeff = new Array[Int](w * h)
+  }
+
+  // ================================================================ decode
+  final case class Decoded(w: Int, h: Int, depth: Int, signed: Boolean,
+      xs: Array[Int])
+
+  /** Decode a raw JPEG 2000 codestream (SOC..EOC). */
+  def decode(cs: Array[Byte], where: String): Decoded = {
+    require(cs.length >= 4 && u16(cs, 0) == 0xFF4F,
+      s"$where: not a JPEG 2000 codestream (no SOC)")
+    var p = 2
+    var w = 0; var h = 0; var depth = 0; var signed = false
+    var levels = -1; var cbw = 0; var cbh = 0; var layers = 0
+    var progression = 0
+    var useSop = false; var useEph = false
+    var guard = 0
+    var haveSiz = false; var haveCod = false; var haveQcd = false
+    var tileDataOff = -1; var tileDataEnd = -1
+
+    def need(n: Int): Unit =
+      require(p + n <= cs.length, s"$where: truncated codestream")
+
+    var done = false
+    while (!done) {
+      need(2)
+      val marker = u16(cs, p)
+      p += 2
+      marker match {
+        case 0xFF51 => // SIZ
+          need(2); val l = u16(cs, p)
+          need(l); require(l >= 41, s"$where: SIZ too short")
+          val b = p // Lsiz; fields per Table A.9
+          val xsiz = u32(cs, b + 4); val ysiz = u32(cs, b + 8)
+          val xo = u32(cs, b + 12); val yo = u32(cs, b + 16)
+          val xt = u32(cs, b + 20); val yt = u32(cs, b + 24)
+          val xto = u32(cs, b + 28); val yto = u32(cs, b + 32)
+          val ncomp = u16(cs, b + 36)
+          require(ncomp == 1,
+            s"$where: $ncomp-component codestream unsupported (grayscale only)")
+          require(xo == 0 && yo == 0 && xto == 0 && yto == 0,
+            s"$where: nonzero image/tile offsets unsupported")
+          require(xt >= xsiz && yt >= ysiz,
+            s"$where: multi-tile codestream unsupported")
+          require(xsiz >= 1 && ysiz >= 1 && xsiz * ysiz <= (1L << 26),
+            s"$where: implausible image size ${xsiz}x$ysiz")
+          val ssiz = cs(b + 38) & 0xFF
+          signed = (ssiz & 0x80) != 0
+          depth = (ssiz & 0x7F) + 1
+          require(depth >= 1 && depth <= 26,
+            s"$where: $depth-bit samples unsupported (1-26)")
+          require((cs(b + 39) & 0xFF) == 1 && (cs(b + 40) & 0xFF) == 1,
+            s"$where: subsampled component unsupported")
+          w = xsiz.toInt; h = ysiz.toInt
+          haveSiz = true
+          p += l
+        case 0xFF52 => // COD
+          need(2); val l = u16(cs, p)
+          need(l); require(l >= 12, s"$where: COD too short")
+          val b = p
+          val scod = cs(b + 2) & 0xFF
+          require((scod & 0x01) == 0,
+            s"$where: user-defined precincts unsupported")
+          useSop = (scod & 0x02) != 0
+          useEph = (scod & 0x04) != 0
+          progression = cs(b + 3) & 0xFF
+          require(progression <= 1,
+            s"$where: progression order $progression unsupported (LRCP/RLCP)")
+          layers = u16(cs, b + 4)
+          require(layers >= 1 && layers <= 64, s"$where: $layers layers")
+          require((cs(b + 6) & 0xFF) == 0,
+            s"$where: multi-component transform on grayscale")
+          levels = cs(b + 7) & 0xFF
+          require(levels <= 32, s"$where: $levels decomposition levels")
+          val xcb = (cs(b + 8) & 0x0F) + 2
+          val ycb = (cs(b + 9) & 0x0F) + 2
+          require(xcb <= 10 && ycb <= 10 && xcb + ycb <= 12,
+            s"$where: code-block ${1 << xcb}x${1 << ycb} out of spec")
+          cbw = 1 << xcb; cbh = 1 << ycb
+          require((cs(b + 10) & 0xFF) == 0,
+            s"$where: code-block style ${cs(b + 10) & 0xFF} unsupported " +
+              "(default context modeling only)")
+          require((cs(b + 11) & 0xFF) == 1,
+            s"$where: irreversible 9/7 wavelet unsupported (5/3 only)")
+          haveCod = true
+          p += l
+        case 0xFF5C => // QCD
+          need(2); val l = u16(cs, p)
+          need(l); require(l >= 4, s"$where: QCD too short")
+          val sqcd = cs(p + 2) & 0xFF
+          require((sqcd & 0x1F) == 0,
+            s"$where: quantization style ${sqcd & 0x1F} unsupported " +
+              "(reversible no-quantization only)")
+          guard = (sqcd >>> 5) & 7
+          haveQcd = true
+          p += l
+        case 0xFF90 => // SOT
+          need(2); val l = u16(cs, p)
+          need(l); require(l == 10, s"$where: SOT length $l")
+          val isot = u16(cs, p + 2)
+          val psot = u32(cs, p + 4)
+          val tpsot = cs(p + 8) & 0xFF
+          require(isot == 0 && tpsot == 0,
+            s"$where: multiple tiles / tile-parts unsupported")
+          p += l
+          need(2)
+          require(u16(cs, p) == 0xFF93, s"$where: expected SOD after SOT")
+          p += 2
+          val end =
+            if (psot == 0) cs.length - 2
+            else {
+              val e = (p - 12 - 2) + psot // Psot counts from the SOT marker
+              require(e >= p && e <= cs.length,
+                s"$where: Psot $psot overruns codestream")
+              e.toInt
+            }
+          tileDataOff = p; tileDataEnd = end
+          p = end
+          done = true
+        case 0xFF64 | 0xFF55 | 0xFF57 | 0xFF58 | 0xFF63 | 0xFF74 | 0xFF75 =>
+          // COM, TLM, PLM, PLT, CRG, ... skip
+          need(2); val l = u16(cs, p); need(l); p += l
+        case 0xFF53 | 0xFF5D =>
+          throw new IllegalArgumentException(
+            s"$where: per-component COC/QCC overrides unsupported")
+        case 0xFF5E | 0xFF5F =>
+          throw new IllegalArgumentException(
+            s"$where: RGN/POC markers unsupported")
+        case 0xFF60 | 0xFF61 =>
+          throw new IllegalArgumentException(
+            s"$where: packed packet headers (PPM/PPT) unsupported")
+        case other =>
+          throw new IllegalArgumentException(
+            f"$where: unexpected marker 0x$other%04X in main header")
+      }
+    }
+    require(haveSiz && haveCod && haveQcd,
+      s"$where: missing SIZ/COD/QCD before tile data")
+    require(!signed || depth <= 25, s"$where: deep signed samples unsupported")
+
+    // build resolution/band structure
+    val bands = ArrayBuffer.empty[Band] // codestream order: LL_L, then d=L..1: HL,LH,HH
+    val effLevels = levels
+    val (llw, llh) = {
+      var cw = w; var ch = h
+      var k = 0
+      while (k < effLevels) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; k += 1 }
+      (cw, ch)
+    }
+    bands += new Band(BAND_LL, llw, llh, cbw, cbh)
+    var d = effLevels
+    while (d >= 1) {
+      val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
+      bands += new Band(BAND_HL, hw, lh, cbw, cbh)
+      bands += new Band(BAND_LH, lw, hh2, cbw, cbh)
+      bands += new Band(BAND_HH, hw, hh2, cbw, cbh)
+      d -= 1
+    }
+    def resBands(r: Int): Seq[Band] =
+      if (r == 0) Seq(bands(0))
+      else bands.slice(1 + 3 * (r - 1), 1 + 3 * r).toSeq
+
+    // walk packets
+    var pos = tileDataOff
+    val order: Seq[(Int, Int)] =
+      if (progression == 0) for (l <- 0 until layers; r <- 0 to effLevels) yield (l, r)
+      else for (r <- 0 to effLevels; l <- 0 until layers) yield (l, r)
+
+    for ((layer, r) <- order) {
+      if (useSop && pos + 6 <= tileDataEnd && u16(cs, pos) == 0xFF91) pos += 6
+      val hr = new HdrReader(cs, pos, tileDataEnd, where)
+      val contributions = ArrayBuffer.empty[(Blk, Int, Int)] // blk, passes, len
+      if (hr.bit() == 1) {
+        for (bd <- resBands(r); by <- 0 until bd.nby; bx <- 0 until bd.nbx) {
+          val blk = bd.blocks(by * bd.nbx + bx)
+          val includedNow =
+            if (!blk.included) bd.inclTree.decode(hr, bx, by, layer + 1)
+            else hr.bit() == 1
+          if (includedNow) {
+            if (!blk.included) {
+              var t = 1
+              while (!bd.zbpTree.decode(hr, bx, by, t)) {
+                t += 1
+                require(t <= 74, s"$where: implausible zero-bitplane count")
+              }
+              blk.zbp = t - 1
+              blk.included = true
+              blk.lblock = 3
+            }
+            val np2 = readNumPasses(hr)
+            while (hr.bit() == 1) blk.lblock += 1
+            val lenBits = blk.lblock + floorLog2(np2)
+            require(lenBits <= 31, s"$where: packet length field overflow")
+            val segLen = hr.bits(lenBits)
+            contributions += ((blk, np2, segLen))
+          }
+        }
+      }
+      hr.align()
+      pos = hr.pos
+      if (useEph) {
+        require(pos + 2 <= tileDataEnd && u16(cs, pos) == 0xFF92,
+          s"$where: missing EPH")
+        pos += 2
+      }
+      for ((blk, np2, segLen) <- contributions) {
+        require(pos + segLen <= tileDataEnd,
+          s"$where: packet body overruns tile data")
+        blk.segs += ((pos, segLen))
+        blk.npasses += np2
+        pos += segLen
+      }
+    }
+
+    // T1-decode every included block into its band plane
+    var bandIdx = 0
+    for (bd <- bands) {
+      val gain = bandGain(bd.band)
+      val mb = guard + (depth + gain) - 1
+      require(mb >= 0 && mb <= 31, s"$where: $mb magnitude bitplanes")
+      for (blk <- bd.blocks if blk.included && blk.npasses > 0) {
+        val np2 = mb - blk.zbp
+        require(np2 >= 0, s"$where: zero bitplanes ${blk.zbp} exceed Mb $mb")
+        if (np2 > 0) {
+          // concatenate this block's codeword segments
+          val total = blk.segs.map(_._2).sum
+          val seg = new Array[Byte](total)
+          var o = 0
+          for ((so, sl) <- blk.segs) {
+            System.arraycopy(cs, so, seg, o, sl); o += sl
+          }
+          val (mags, negs) = t1Decode(seg, 0, total, blk.w, blk.h, bd.band,
+            np2, blk.npasses, where)
+          var yy = 0
+          while (yy < blk.h) {
+            var xx = 0
+            while (xx < blk.w) {
+              val m = mags(yy * blk.w + xx)
+              bd.coeff((blk.y0 + yy) * bd.w + (blk.x0 + xx)) =
+                if (negs(yy * blk.w + xx)) -m else m
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+      }
+      bandIdx += 1
+    }
+
+    // inverse DWT: interleave LL+HL+LH+HH level by level
+    var cur = bands(0).coeff
+    var cw = llw; var ch = llh
+    d = effLevels
+    var resIdx = 1
+    while (d >= 1) {
+      val hl = bands(resIdx); val lh = bands(resIdx + 1); val hh2 = bands(resIdx + 2)
+      val nw = cw + hl.w; val nh = ch + lh.h
+      val merged = new Array[Int](nw * nh)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) { merged(2 * y * nw + 2 * x) = cur(y * cw + x); x += 1 }
+        x = 0
+        while (x < hl.w) { merged(2 * y * nw + 2 * x + 1) = hl.coeff(y * hl.w + x); x += 1 }
+        y += 1
+      }
+      y = 0
+      while (y < lh.h) {
+        var x = 0
+        while (x < lh.w) { merged((2 * y + 1) * nw + 2 * x) = lh.coeff(y * lh.w + x); x += 1 }
+        x = 0
+        while (x < hh2.w) { merged((2 * y + 1) * nw + 2 * x + 1) = hh2.coeff(y * hh2.w + x); x += 1 }
+        y += 1
+      }
+      dwtInvLevel(merged, nw, nh, nw)
+      cur = merged; cw = nw; ch = nh
+      resIdx += 3
+      d -= 1
+    }
+    require(cw == w && ch == h, s"$where: reconstructed ${cw}x$ch != ${w}x$h")
+
+    // undo DC level shift for unsigned data
+    val xs = cur
+    if (!signed) {
+      val shift = 1 << (depth - 1)
+      var k = 0
+      while (k < xs.length) { xs(k) += shift; k += 1 }
+    }
+    Decoded(w, h, depth, signed, xs)
+  }
+
+  // ================================================================ encode
+  /** Encode w×h samples as a raw codestream: unsigned `depth`-bit values
+    * (after the DC shift), reversible 5/3, one tile/component/layer, LRCP,
+    * 64×64 code blocks, `levels` decompositions, 2 guard bits. */
+  def encode(samples: Array[Int], w: Int, h: Int, depth: Int,
+      levels: Int = 5): Array[Byte] = {
+    require(w >= 1 && h >= 1 && samples.length == w * h,
+      s"bad image ${w}x$h for ${samples.length} samples")
+    require(depth >= 1 && depth <= 26, s"depth $depth unsupported (1-26)")
+    require(levels >= 0 && levels <= 32, s"levels $levels")
+    val lim = 1 << math.min(depth, 30)
+    var k = 0
+    while (k < samples.length) {
+      require(samples(k) >= 0 && (depth > 30 || samples(k) < lim),
+        s"sample ${samples(k)} outside [0, 2^$depth)")
+      k += 1
+    }
+    // clamp levels so the coarsest LL keeps at least 1 pixel of structure
+    val effLevels = math.min(levels, math.max(0,
+      floorLog2(math.max(1, math.min(w, h)))))
+    val guard = 2
+    val cbExp = 6 // 64x64
+    val cbw = 1 << cbExp; val cbh = 1 << cbExp
+
+    // DC shift + forward DWT (in place over a working copy)
+    val a = new Array[Int](w * h)
+    val shift = 1 << (depth - 1)
+    k = 0
+    while (k < a.length) { a(k) = samples(k) - shift; k += 1 }
+    // Each level lifts the current LL, which after level d-1 sits on the
+    // dyadic grid with step 2^(d-1): gather dense, lift, scatter back, so
+    // low coefficients land on step 2^d and highs on the offset grid.
+    var cw = w; var ch = h
+    var d = 1
+    while (d <= effLevels) {
+      val step = 1 << (d - 1)
+      if (step == 1) dwtFwdLevel(a, cw, ch, w)
+      else {
+        val dense = new Array[Int](cw * ch)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) { dense(y * cw + x) = a(y * step * w + x * step); x += 1 }
+          y += 1
+        }
+        dwtFwdLevel(dense, cw, ch, cw)
+        y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) { a(y * step * w + x * step) = dense(y * cw + x); x += 1 }
+          y += 1
+        }
+      }
+      cw = (cw + 1) / 2; ch = (ch + 1) / 2
+      d += 1
+    }
+
+    // extract bands in codestream order
+    def extract(x0: Int, y0: Int, bw: Int, bh: Int, sx: Int, sy: Int): Array[Int] = {
+      val out = new Array[Int](bw * bh)
+      var y = 0
+      while (y < bh) {
+        var x = 0
+        while (x < bw) {
+          out(y * bw + x) = a((y0 + y * sy) * w + (x0 + x * sx))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+    // after ALL levels, coefficients of decomposition level d sit on the
+    // dyadic grid: stride 2^d, offsets (0/2^(d-1))
+    final case class BandData(band: Int, bw: Int, bh: Int, coeff: Array[Int])
+    val bandList = ArrayBuffer.empty[BandData]
+    val llStride = 1 << effLevels
+    val (llw2, llh2) = {
+      var cw2 = w; var ch2 = h
+      var i2 = 0
+      while (i2 < effLevels) { cw2 = (cw2 + 1) / 2; ch2 = (ch2 + 1) / 2; i2 += 1 }
+      (cw2, ch2)
+    }
+    bandList += BandData(BAND_LL, llw2, llh2,
+      if (effLevels == 0) a else extract(0, 0, llw2, llh2, llStride, llStride))
+    d = effLevels
+    while (d >= 1) {
+      val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
+      val s = 1 << d; val ho = 1 << (d - 1)
+      bandList += BandData(BAND_HL, hw, lh, extract(ho, 0, hw, lh, s, s))
+      bandList += BandData(BAND_LH, lw, hh2, extract(0, ho, lw, hh2, s, s))
+      bandList += BandData(BAND_HH, hw, hh2, extract(ho, ho, hw, hh2, s, s))
+      d -= 1
+    }
+
+    // T1-encode all code blocks
+    final case class EncBlk(bx: Int, by: Int, data: Array[Byte], passes: Int,
+        zbp: Int)
+    final case class EncBand(band: BandData, nbx: Int, nby: Int,
+        blks: Array[EncBlk])
+    val encBands = bandList.map { bd =>
+      val nbx = if (bd.bw == 0) 0 else (bd.bw + cbw - 1) / cbw
+      val nby = if (bd.bh == 0) 0 else (bd.bh + cbh - 1) / cbh
+      val gain = bandGain(bd.band)
+      val mb = guard + (depth + gain) - 1
+      val blks = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
+        val x0 = bx * cbw; val y0 = by * cbh
+        val bw2 = math.min(cbw, bd.bw - x0); val bh2 = math.min(cbh, bd.bh - y0)
+        val cb = new Array[Int](bw2 * bh2)
+        var y = 0
+        while (y < bh2) {
+          System.arraycopy(bd.coeff, (y0 + y) * bd.bw + x0, cb, y * bw2, bw2)
+          y += 1
+        }
+        val (bytes, passes, np2) = t1Encode(cb, bw2, bh2, bd.band)
+        require(np2 <= mb,
+          s"coefficient overflow: block needs $np2 planes, band allows $mb")
+        EncBlk(bx, by, bytes, passes, if (passes == 0) 0 else mb - np2)
+      }).toArray
+      EncBand(bd, nbx, nby, blks)
+    }
+
+    // packets (single layer, LRCP ≡ res order)
+    val body = new java.io.ByteArrayOutputStream()
+    def resEncBands(r: Int): Seq[EncBand] =
+      if (r == 0) Seq(encBands(0)) else encBands.slice(1 + 3 * (r - 1), 1 + 3 * r).toSeq
+    for (r <- 0 to effLevels) {
+      val hw2 = new HdrWriter
+      val any = resEncBands(r).exists(_.blks.exists(_.passes > 0))
+      if (!any) hw2.bit(0)
+      else {
+        hw2.bit(1)
+        for (eb <- resEncBands(r)) {
+          if (eb.blks.nonEmpty) {
+            val incl = new TagTree(eb.nbx, eb.nby)
+            incl.setValues((i, j) =>
+              if (eb.blks(j * eb.nbx + i).passes > 0) 0 else 1)
+            val zbpT = new TagTree(eb.nbx, eb.nby)
+            zbpT.setValues((i, j) => eb.blks(j * eb.nbx + i).zbp)
+            for (by <- 0 until eb.nby; bx <- 0 until eb.nbx) {
+              val blk = eb.blks(by * eb.nbx + bx)
+              incl.encode(hw2, bx, by, 1)
+              if (blk.passes > 0) {
+                // zero bitplanes: thresholds 1,2,… until the leaf resolves,
+                // mirroring the decoder's raising loop exactly
+                var t = 1
+                var zdone = false
+                while (!zdone) {
+                  zbpT.encode(hw2, bx, by, t)
+                  zdone = zbpT.leafValue(bx, by) < t
+                  t += 1
+                }
+                writeNumPasses(hw2, blk.passes)
+                // Lblock: raise until the segment length fits
+                val lenBits0 = 3 + floorLog2(blk.passes)
+                val needBits = math.max(1, 32 - Integer.numberOfLeadingZeros(
+                  math.max(1, blk.data.length)))
+                val extra = math.max(0, needBits - lenBits0)
+                var e2 = extra
+                while (e2 > 0) { hw2.bit(1); e2 -= 1 }
+                hw2.bit(0)
+                hw2.bits(blk.data.length, lenBits0 + extra)
+              }
+            }
+          }
+        }
+      }
+      body.write(hw2.alignAndBytes())
+      for (eb <- resEncBands(r); blk <- eb.blks if blk.passes > 0)
+        body.write(blk.data)
+    }
+
+    // markers
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(w16(0xFF4F)) // SOC
+    out.write(w16(0xFF51)) // SIZ
+    out.write(w16(41))
+    out.write(w16(0)) // Rsiz
+    out.write(w32(w)); out.write(w32(h)); out.write(w32(0)); out.write(w32(0))
+    out.write(w32(w)); out.write(w32(h)); out.write(w32(0)); out.write(w32(0))
+    out.write(w16(1)) // Csiz
+    out.write(depth - 1) // Ssiz (unsigned)
+    out.write(1); out.write(1) // XRsiz, YRsiz
+    out.write(w16(0xFF52)) // COD
+    out.write(w16(12))
+    out.write(0) // Scod: default precincts, no SOP/EPH
+    out.write(0) // progression LRCP
+    out.write(w16(1)) // layers
+    out.write(0) // no MCT
+    out.write(effLevels)
+    out.write(cbExp - 2); out.write(cbExp - 2)
+    out.write(0) // code-block style
+    out.write(1) // 5/3 reversible
+    val nsb = 3 * effLevels + 1
+    out.write(w16(0xFF5C)) // QCD
+    out.write(w16(3 + nsb))
+    out.write(guard << 5) // Sqcd: no quantization, 2 guard bits
+    // exponents in codestream band order
+    out.write((depth + bandGain(BAND_LL)) << 3)
+    var dd = effLevels
+    while (dd >= 1) {
+      out.write((depth + bandGain(BAND_HL)) << 3)
+      out.write((depth + bandGain(BAND_LH)) << 3)
+      out.write((depth + bandGain(BAND_HH)) << 3)
+      dd -= 1
+    }
+    val tileBody = body.toByteArray
+    out.write(w16(0xFF90)) // SOT
+    out.write(w16(10))
+    out.write(w16(0)) // Isot
+    out.write(w32(12 + 2 + tileBody.length.toLong)) // Psot
+    out.write(0) // TPsot
+    out.write(1) // TNsot
+    out.write(w16(0xFF93)) // SOD
+    out.write(tileBody)
+    out.write(w16(0xFFD9)) // EOC
+    out.toByteArray
+  }
+
+}

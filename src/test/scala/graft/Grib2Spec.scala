@@ -83,6 +83,34 @@ class Grib2Spec extends AnyFunSuite {
     checkValues(pb, miss)
   }
 
+  test("JPEG 2000 packing (5.40) round-trips, with and without bitmap") {
+    val p = tmpFile("j2k")
+    writeFixture(p, "jpeg2000")
+    checkValues(p, (_, _) => false)
+    val pb = tmpFile("j2k_bm")
+    def miss(j: Int, i: Int): Boolean = (j * Ni + i) % 7 == 0
+    writeFixture(pb, "jpeg2000", miss)
+    checkValues(pb, miss)
+    // lossy compression type (octet 22 = 1) fails loudly: find sec5 and
+    // patch the compression-type octet
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    var q = 16
+    var sec5At = -1
+    while (sec5At < 0 && q + 5 < bytes.length) {
+      val len = ((bytes(q) & 0xFF) << 24) | ((bytes(q + 1) & 0xFF) << 16) |
+        ((bytes(q + 2) & 0xFF) << 8) | (bytes(q + 3) & 0xFF)
+      if ((bytes(q + 4) & 0xFF) == 5) sec5At = q else q += len
+    }
+    assert(sec5At > 0)
+    bytes(sec5At + 21) = 1
+    val pl = tmpFile("j2k_lossy")
+    java.nio.file.Files.write(java.nio.file.Paths.get(pl), bytes)
+    val e = intercept[IllegalArgumentException] {
+      val g = Grib2.describe(pl); g.sampler(0, 0, 0, Ni, Nj)
+    }
+    assert(e.getMessage.contains("lossless only"))
+  }
+
   test("PNG codec decodes the JDK encoder's output and rejects corruption") {
     // interop: a REAL third-party encoder (ImageIO) with its own filter
     // choices must decode to the same samples

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raquet.Jpeg2000
+
+/** JPEG 2000 codec conformance: encoder and decoder are written from the
+  * spec's two separate normative flowchart sets (Annex C encoder vs decoder,
+  * B.10.2 tag-tree encode vs decode, F forward vs inverse lifting), so a
+  * bit-exact round trip across the size/depth/level matrix plus structural
+  * pins (marker layout, normative Qe table behavior via known streams) is
+  * the conformance argument — no reference J2K encoder exists offline. */
+class Jp2kSpec extends AnyFunSuite {
+
+  /** Deterministic pseudo-random fill (splitmix-style). */
+  private def rnd(seed: Long, n: Int, depth: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var s = seed
+    val mask = (1L << depth) - 1
+    var i = 0
+    while (i < n) {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(i) = ((z ^ (z >>> 31)) & mask).toInt
+      i += 1
+    }
+    out
+  }
+
+  private def roundTrip(w: Int, h: Int, depth: Int, levels: Int,
+      xs: Array[Int]): Unit = {
+    val cs = Jpeg2000.encode(xs, w, h, depth, levels)
+    val d = Jpeg2000.decode(cs, s"${w}x$h/d$depth/L$levels")
+    assert(d.w == w && d.h == h && d.depth == depth && !d.signed)
+    var i = 0
+    while (i < xs.length) {
+      assert(d.xs(i) == xs(i),
+        s"${w}x$h depth=$depth levels=$levels pixel $i: ${d.xs(i)} != ${xs(i)}")
+      i += 1
+    }
+  }
+
+  test("random images round-trip bit-exactly across sizes, depths, levels") {
+    val cases = Seq(
+      (1, 1, 8, 0), (1, 1, 8, 5), (3, 2, 4, 1), (7, 5, 8, 2), (8, 8, 12, 3),
+      (16, 16, 1, 2), (64, 64, 12, 5), (65, 66, 10, 5), (130, 47, 16, 5),
+      (33, 129, 20, 4), (256, 200, 8, 5), (100, 1, 8, 3), (1, 100, 8, 3),
+      (96, 72, 25, 5))
+    for (((w, h, depth, levels), k) <- cases.zipWithIndex)
+      roundTrip(w, h, depth, levels, rnd(1000 + k, w * h, depth))
+  }
+
+  test("structured fields: constants, ramps, impulses, stripes") {
+    val (w, h) = (67, 43)
+    // constant (all packets empty except the DC), including zero
+    roundTrip(w, h, 12, 5, Array.fill(w * h)(0))
+    roundTrip(w, h, 12, 5, Array.fill(w * h)(2047))
+    roundTrip(w, h, 12, 5, Array.fill(w * h)(4095))
+    // horizontal/vertical ramps — catch any transposed DWT pass order
+    roundTrip(w, h, 12, 5, Array.tabulate(w * h)(i => (i % w) * 4095 / (w - 1)))
+    roundTrip(w, h, 12, 5, Array.tabulate(w * h)(i => (i / w) * 4095 / (h - 1)))
+    // single impulse in each corner + center (code-block edge handling)
+    for (p <- Seq(0, w - 1, (h - 1) * w, h * w - 1, (h / 2) * w + w / 2)) {
+      val xs = new Array[Int](w * h); xs(p) = 4095
+      roundTrip(w, h, 12, 5, xs)
+    }
+    // 4-row stripes exercise the run-length column mode both ways
+    roundTrip(w, h, 8, 3, Array.tabulate(w * h)(i => if ((i / w) % 8 < 4) 0 else 255))
+  }
+
+  test("a GRIB-shaped field (smooth + noise) round-trips at every level count") {
+    val (w, h) = (144, 73) // 2.5-degree global grid shape
+    val xs = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val smooth = 500.0 + 300.0 * math.sin(x * 0.1) * math.cos(y * 0.15)
+      (smooth + (i * 2654435761L % 17)).toInt & 0x3FF
+    }
+    for (levels <- 0 to 5) roundTrip(w, h, 10, levels, xs)
+  }
+
+  test("codestream structure: markers, single tile, reversible 5/3 declared") {
+    val xs = rnd(7, 32 * 24, 9)
+    val cs = Jpeg2000.encode(xs, 32, 24, 9, 3)
+    def u16(i: Int) = ((cs(i) & 0xFF) << 8) | (cs(i + 1) & 0xFF)
+    assert(u16(0) == 0xFF4F, "SOC")
+    assert(u16(2) == 0xFF51, "SIZ")
+    assert(u16(4) == 41, "Lsiz for one component")
+    assert(cs(2 + 2 + 2 + 36) == 8, "Ssiz = depth-1, unsigned") // depth 9
+    val codAt = 2 + 2 + 41
+    assert(u16(codAt) == 0xFF52, "COD")
+    assert(cs(codAt + 4) == 0, "Scod default")
+    assert(cs(codAt + 5) == 0, "LRCP")
+    assert(u16(codAt + 6) == 1, "one layer")
+    assert(cs(codAt + 9) == 3, "three decomposition levels")
+    assert(cs(codAt + 13) == 1, "5/3 reversible transform")
+    val qcdAt = codAt + 2 + 12
+    assert(u16(qcdAt) == 0xFF5C, "QCD")
+    assert(u16(qcdAt + 2) == 3 + 10, "Lqcd: 3·3+1 subbands")
+    assert((cs(qcdAt + 4) & 0xFF) == (2 << 5), "no quantization, 2 guard bits")
+    assert((cs(qcdAt + 5) & 0xFF) == (9 << 3), "LL exponent = depth")
+    assert(u16(cs.length - 2) == 0xFFD9, "EOC")
+  }
+
+  test("decoder rejects the shapes outside the NWP profile loudly") {
+    val xs = rnd(11, 16 * 16, 8)
+    val good = Jpeg2000.encode(xs, 16, 16, 8, 2)
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val m = good.clone(); f(m); m
+    }
+    def failsWith(b: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Jpeg2000.decode(b, "t") }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    failsWith(good.drop(2), "SOC")
+    // SIZ Csiz at offset 2+2+2+34: force 3 components
+    failsWith(mut(m => m(2 + 2 + 2 + 35) = 3), "component")
+    val codAt = 2 + 2 + 41
+    failsWith(mut(m => m(codAt + 13) = 0), "9/7")
+    failsWith(mut(m => m(codAt + 5) = 4), "progression")
+    failsWith(mut(m => m(codAt + 12) = 0x20), "code-block style")
+    val qcdAt = codAt + 2 + 12
+    failsWith(mut(m => m(qcdAt + 4) = 0x42), "quantization style")
+  }
+
+  test("truncation and corruption fail cleanly (no OOB, no hangs)") {
+    val xs = rnd(13, 48 * 37, 12)
+    val good = Jpeg2000.encode(xs, 48, 37, 12, 4)
+    // every truncation: clean IllegalArgumentException or a decode of the
+    // surviving prefix — never an out-of-bounds/negative-size error
+    var t = 0
+    while (t < good.length) {
+      try Jpeg2000.decode(good.take(t), "trunc")
+      catch {
+        case _: IllegalArgumentException => ()
+      }
+      t += (if (t < 120) 1 else 7)
+    }
+    // byte corruptions across the stream
+    var k = 0
+    while (k < good.length) {
+      val m = good.clone()
+      m(k) = (m(k) ^ 0x5A).toByte
+      try Jpeg2000.decode(m, "corrupt")
+      catch {
+        case _: IllegalArgumentException => ()
+      }
+      k += 11
+    }
+  }
+
+  test("encoded size is entropy-plausible, not an escape to raw") {
+    // 16-bit noise is incompressible: size must stay within ~1.35x raw.
+    val (w, h) = (128, 128)
+    val noisy = rnd(17, w * h, 16)
+    val cs = Jpeg2000.encode(noisy, w, h, 16, 5)
+    assert(cs.length < (w * h * 2 * 135) / 100, s"noise blew up: ${cs.length}")
+    // a smooth field must compress far below raw
+    val smooth = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (30000.0 + 20000.0 * math.sin(x * 0.05) * math.sin(y * 0.07)).toInt
+    }
+    val cs2 = Jpeg2000.encode(smooth, w, h, 16, 5)
+    assert(cs2.length < w * h * 2 / 4, s"smooth did not compress: ${cs2.length}")
+    roundTrip(w, h, 16, 5, smooth)
+  }
+}
