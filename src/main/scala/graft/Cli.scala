@@ -28,7 +28,7 @@ object Cli {
 
   private val Usage =
     """usage: graft.Cli <command> <args...>
-      |  convert <in.tif|.nc|.zarr|.grib(2)|.asc|.hgt|ENVI .dat+.hdr> <out.parquet>
+      |  convert <in.tif|.nc|.zarr|.grib(2)|.jp2|.asc|.hgt|ENVI .dat+.hdr> <out.parquet>
       |          [--param d,c,n]  (GRIB multi-parameter files: GRIB2
       |           discipline,category,number; GRIB1 parameter,level-type,level)
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
@@ -157,6 +157,14 @@ object Cli {
         else
           graft.raquet.Grib2.convert(spark, in, out, bz, zs, ts, rs, ov, param)
       }
+      else if (in.toLowerCase.endsWith(".jp2") ||
+        in.toLowerCase.endsWith(".j2k")) graft.raquet.Jp2.convert(spark, in, out,
+        blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+        zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+        tileStats = f.contains("tile-stats"),
+        resampling = f.getOrElse("resampling", "near"),
+        overviews = f.getOrElse("overviews", "auto"),
+        nodata = f.get("nodata").map(_.toDouble))
       else if (in.endsWith(".nc") || in.endsWith(".nc4") ||
         graft.raquet.Zarr.isStore(in)) NetCdf.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),

@@ -196,6 +196,8 @@ object SparkEntry {
     "q175_envi_ingest"      -> (RaquetQueries.q175EnviIngest _),
     "q176_nc_projected"     -> (RaquetQueries.q176NcProjected _),
     "q177_grib_jpeg2000"    -> (RaquetQueries.q177GribJpeg2000 _),
+    "q178_grib_ccsds"       -> (RaquetQueries.q178GribCcsds _),
+    "q179_jp2_ingest"       -> (RaquetQueries.q179Jp2Ingest _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -417,6 +419,12 @@ object SparkEntry {
     // format; same oracle, the in-engine J2K codec must not change one
     // statistic
     "q177_grib_jpeg2000"    -> RaquetOracles.q79,
+    // q178 is q147 with CCSDS/AEC (5.42) packing — the ECMWF open-data
+    // wire format; same oracle
+    "q178_grib_ccsds"       -> RaquetOracles.q79,
+    // q179 ingests the q82 grid from a JP2 container (GeoJP2 + in-engine
+    // JPEG 2000 codestream — the Sentinel-2 band-file shape); same oracle
+    "q179_jp2_ingest"       -> RaquetOracles.q82,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1626,6 +1626,47 @@ object RaquetQueries {
   def q177GribJpeg2000(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "jpeg2000", "q177")
 
+  /** S6 (GRIB2, template 5.42 CCSDS/AEC packing — the ECMWF open-data wire
+    * format, ecCodes via libaec) driver proof: the q147 container with the
+    * X plane Rice-coded by the in-engine [[graft.raquet.Ccsds]] coder
+    * (k-split / zero-run / second-extension / references), bitmapped
+    * timesteps included; identical oracle. */
+  def q178GribCcsds(spark: SparkSession, dir: String): DataFrame =
+    gribIngest(spark, "ccsds", "q178")
+
+  /** S6 (JP2 container — the Sentinel-2 band-file format) driver proof:
+    * the q175/q82 grid written as a JP2 (signature/ftyp/jp2h boxes, GeoJP2
+    * uuid georeferencing, [[graft.raquet.Jpeg2000]] codestream), converted
+    * through [[graft.raquet.Jp2.convert]]; shares q82's closed-form oracle
+    * — container + codec must not change one statistic. */
+  def q179Jp2Ingest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q179"
+    new java.io.File(tmp).mkdirs()
+    val jp2 = s"$tmp/synth.jp2"
+    val xs = Array.tabulate(512 * 240) { k =>
+      val p = (k % 512) >> 1
+      if (p % 27 == 0) 255 else 3 * p % 251
+    }
+    graft.raquet.Jp2.write(jp2, xs, 512, 240, depth = 8,
+      pixelSize = 0.703125, originX = -180.0, originY = 84.375,
+      geoKeys = Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1,
+        2048, 0, 1, 4326))
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Jp2.convert(spark, jp2, out,
+      tileStats = true, overviews = "auto", nodata = Some(255.0))
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6 (GRIB2 template 3.30, Lambert conformal — the HRRR/NAM/NDFD CONUS
     * grid family) driver proof, the q104 pattern: source values are
     * constant on 16×16-cell patches (48 km square at 3 km spacing), probes

@@ -1,0 +1,381 @@
+package graft.raquet
+
+import scala.collection.mutable.ArrayBuffer
+
+/** CCSDS 121.0-B lossless coder (the "AEC"/Rice coder) — GRIB2 data
+  * representation template 5.42, the packing ECMWF open data ships (ecCodes
+  * encodes through libaec; ref reaches it via GDAL, `raquet/raster2raquet
+  * .py:950-963`).
+  *
+  * The adaptive entropy coder splits the sample stream into blocks of J
+  * samples; each block is coded by the best of four options selected by an
+  * ID field: k-bit split (unary fundamental sequence of the high parts then
+  * k LSBs each), zero-block runs (with the ROS remainder-of-segment code,
+  * segments = 64 blocks), second extension (pairs folded through the
+  * triangular γ = (d1+d2)(d1+d2+1)/2 + d2), and no-compression. The
+  * unit-delay preprocessor maps prediction errors to non-negative values
+  * and emits a raw reference sample at each reference sample interval.
+  *
+  * Scope: unsigned samples 1-32 bit, block sizes 8/16/32/64, preprocessed
+  * or direct; the SIGNED, RESTRICTED (n≤4 low-entropy) and PAD_RSI modes
+  * fail loudly. Encoder and decoder are written from the standard's two
+  * directions and cross-checked by exhaustive round trips + fuzz (CcsdsSpec)
+  * plus the q-level GRIB oracle.
+  */
+object Ccsds {
+
+  // option flags (CCSDS compression options mask, GRIB2 5.42 octet 22 —
+  // the libaec bit assignment)
+  val FlagSigned = 1
+  val Flag3Byte = 2
+  val FlagMsb = 4
+  val FlagPreprocess = 8
+  val FlagRestricted = 16
+  val FlagPadRsi = 32
+
+  private val SegmentBlocks = 64
+  private val RosCode = 5 // zero-run value meaning "to end of segment"
+
+  private def idLen(nbits: Int): Int =
+    if (nbits > 16) 5 else if (nbits > 8) 4 else 3
+
+  // ------------------------------------------------------------- bit I/O
+  private final class BitWriter {
+    private val buf = ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nb = 0
+    def put(v: Long, n: Int): Unit = {
+      var k = n
+      while (k > 0) {
+        val take = math.min(8 - nb, k)
+        cur = (cur << take) | ((v >>> (k - take)) & ((1L << take) - 1)).toInt
+        nb += take; k -= take
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+      }
+    }
+    /** Unary fundamental sequence: v zeros then a one. */
+    def fs(v: Long): Unit = {
+      var k = v
+      while (k >= 32) { put(0, 32); k -= 32 }
+      put(1, k.toInt + 1)
+    }
+    def bytes: Array[Byte] = {
+      if (nb > 0) { buf += (cur << (8 - nb)).toByte; cur = 0; nb = 0 }
+      buf.toArray
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], where: String) {
+    private var pos = 0 // bit position
+    private val end = data.length * 8
+    def bit(): Int = {
+      require(pos < end, s"$where: CCSDS stream truncated")
+      val b = (data(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      b
+    }
+    def get(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+    /** Fundamental sequence: count zeros to the next one. */
+    def fs(): Long = {
+      var v = 0L
+      while (bit() == 0) {
+        v += 1
+        require(v <= (1L << 32), s"$where: runaway fundamental sequence")
+      }
+      v
+    }
+  }
+
+  // ------------------------------------------------------ preprocessing
+  /** Unit-delay predictor mapping for unsigned samples (xmin=0,
+    * xmax=2^n−1): Δ within ±θ interleaves sign into even/odd; beyond θ
+    * the sign is implied by which bound is closer. */
+  private def mapDelta(x: Long, pred: Long, xmax: Long): Long = {
+    val d = x - pred
+    val theta = math.min(pred, xmax - pred)
+    if (d >= -theta && d <= theta) {
+      if (d < 0) 2 * -d - 1 else 2 * d
+    } else theta + math.abs(d)
+  }
+
+  private def unmapDelta(m: Long, pred: Long, xmax: Long,
+      where: String): Long = {
+    val theta = math.min(pred, xmax - pred)
+    val d =
+      if (m <= 2 * theta) { if ((m & 1) == 1) -(m + 1) / 2 else m / 2 }
+      else if (theta == pred) m - theta // more room upward
+      else theta - m // more room downward
+    val x = pred + d
+    require(x >= 0 && x <= xmax, s"$where: CCSDS sample $x out of range")
+    x
+  }
+
+  // ================================================================ encode
+  /** Encode `xs` (unsigned, < 2^nbits) with block size J and reference
+    * sample interval `rsi` (in blocks). `preprocess` = the unit-delay
+    * predictor (the ecCodes default). */
+  def encode(xs: Array[Int], nbits: Int, blockSize: Int, rsi: Int,
+      preprocess: Boolean = true): Array[Byte] = {
+    require(nbits >= 1 && nbits <= 32, s"nbits $nbits")
+    require(Set(8, 16, 32, 64).contains(blockSize), s"block size $blockSize")
+    require(rsi >= 1 && rsi <= 4096, s"rsi $rsi")
+    val xmax = (1L << nbits) - 1
+    xs.foreach(x => require((x & 0xFFFFFFFFL) <= xmax,
+      s"sample $x exceeds $nbits bits"))
+    val j = blockSize
+    val nBlocks = (xs.length + j - 1) / j
+    val il = idLen(nbits)
+    val kMax = (1 << il) - 3
+    val bw = new BitWriter
+
+    // preprocess into mapped values; refs(b) = Some(raw) when block b opens
+    // an RSI (its slot 0 is the raw reference, mapped stream skips it)
+    val mapped = new Array[Long](nBlocks * j)
+    val refs = new Array[Long](nBlocks)
+    val hasRef = new Array[Boolean](nBlocks)
+    if (preprocess) {
+      var pred = 0L
+      var i = 0
+      while (i < nBlocks * j) {
+        val b = i / j
+        val x = if (i < xs.length) xs(i) & 0xFFFFFFFFL
+          else pred // pad with "no change"
+        if (i % (rsi.toLong * j) == 0) {
+          refs(b) = x; hasRef(b) = true
+          mapped(i) = 0 // slot not coded
+        } else mapped(i) = mapDelta(x, pred, xmax)
+        pred = x
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < nBlocks * j) {
+        mapped(i) = if (i < xs.length) xs(i) & 0xFFFFFFFFL else 0L
+        i += 1
+      }
+    }
+
+    def blockVals(b: Int): (Int, Int) = { // (start sample, count)
+      val skip = if (hasRef(b)) 1 else 0
+      (b * j + skip, j - skip)
+    }
+
+    def costSplit(b: Int, k: Int): Long = {
+      val (s, c) = blockVals(b)
+      var bits = 0L
+      var i = s
+      while (i < s + c) { bits += (mapped(i) >>> k) + 1 + k; i += 1 }
+      bits
+    }
+    def costSE(b: Int): Long = {
+      val (s, c) = blockVals(b)
+      if (c % 2 == 1) return Long.MaxValue // ref block pairs misalign: skip
+      var bits = 1L // extension discriminator
+      var i = s
+      while (i < s + c) {
+        val sum = mapped(i) + mapped(i + 1)
+        if (sum > 90000) return Long.MaxValue // γ explodes; never optimal
+        bits += sum * (sum + 1) / 2 + mapped(i + 1) + 1
+        i += 2
+      }
+      bits
+    }
+
+    var b = 0
+    var segStart = 0 // block index where the current 64-block segment began
+    while (b < nBlocks) {
+      if (b % rsi == 0) segStart = b // segments restart at each RSI
+      else if ((b - segStart) % SegmentBlocks == 0) segStart = b
+      if (hasRef(b)) bw.put(refs(b), nbits)
+      val (s, c) = blockVals(b)
+      var allZero = true
+      var i = s
+      while (allZero && i < s + c) { if (mapped(i) != 0) allZero = false; i += 1 }
+      if (allZero && preprocess) {
+        // accumulate the zero run: following all-zero blocks (without refs)
+        // up to the segment/RSI boundary
+        val segEnd = math.min(nBlocks, math.min(segStart + SegmentBlocks,
+          (b / rsi + 1) * rsi))
+        var run = 1
+        while (b + run < segEnd && !hasRef(b + run) && {
+          val (s2, c2) = blockVals(b + run)
+          var z = true; var i2 = s2
+          while (z && i2 < s2 + c2) { if (mapped(i2) != 0) z = false; i2 += 1 }
+          z
+        }) run += 1
+        bw.put(0, il) // low-entropy ID
+        bw.put(0, 1) // zero-block
+        if (b + run == segEnd && segEnd != nBlocks && run >= RosCode) {
+          bw.fs(RosCode - 1) // ROS: run to end of segment
+        } else {
+          val code = if (run <= 4) run.toLong else run.toLong + 1
+          bw.fs(code - 1)
+        }
+        b += run
+      } else {
+        // choose the best non-zero option
+        var bestK = -1
+        var bestBits = nbits.toLong * c // no-compression
+        var k = 0
+        while (k <= kMax) {
+          val bits = costSplit(b, k)
+          if (bits < bestBits) { bestBits = bits; bestK = k }
+          k += 1
+        }
+        val seBits = if (preprocess) costSE(b) else Long.MaxValue
+        if (seBits < bestBits) {
+          bw.put(0, il); bw.put(1, 1) // second extension
+          var i2 = s
+          while (i2 < s + c) {
+            val sum = mapped(i2) + mapped(i2 + 1)
+            bw.fs(sum * (sum + 1) / 2 + mapped(i2 + 1))
+            i2 += 2
+          }
+        } else if (bestK < 0) {
+          bw.put((1 << il) - 1, il) // no compression
+          var i2 = s
+          while (i2 < s + c) { bw.put(mapped(i2), nbits); i2 += 1 }
+        } else {
+          bw.put(bestK + 1, il)
+          var i2 = s
+          while (i2 < s + c) { bw.fs(mapped(i2) >>> bestK); i2 += 1 }
+          if (bestK > 0) {
+            i2 = s
+            while (i2 < s + c) {
+              bw.put(mapped(i2) & ((1L << bestK) - 1), bestK); i2 += 1
+            }
+          }
+        }
+        b += 1
+      }
+    }
+    bw.bytes
+  }
+
+  // ================================================================ decode
+  /** Decode `n` samples. `flags` is the GRIB octet-22 options mask. */
+  def decode(data: Array[Byte], n: Int, nbits: Int, flags: Int,
+      blockSize: Int, rsi: Int, where: String): Array[Int] = {
+    require(nbits >= 1 && nbits <= 32, s"$where: CCSDS nbits $nbits")
+    require(Set(8, 16, 32, 64).contains(blockSize),
+      s"$where: CCSDS block size $blockSize unsupported")
+    require(rsi >= 1 && rsi <= 4096, s"$where: CCSDS rsi $rsi implausible")
+    require((flags & FlagSigned) == 0,
+      s"$where: signed CCSDS samples unsupported in GRIB")
+    require((flags & FlagRestricted) == 0,
+      s"$where: CCSDS restricted low-entropy mode unsupported")
+    require((flags & FlagPadRsi) == 0,
+      s"$where: CCSDS RSI padding unsupported")
+    val preprocess = (flags & FlagPreprocess) != 0
+    val j = blockSize
+    val nBlocks = (n + j - 1) / j
+    require(nBlocks <= (1 << 24), s"$where: implausible CCSDS block count")
+    val il = idLen(nbits)
+    val kMax = (1 << il) - 3
+    val xmax = (1L << nbits) - 1
+    val br = new BitReader(data, where)
+    val mapped = new Array[Long](nBlocks * j)
+    val refs = new Array[Long](nBlocks)
+    val hasRef = new Array[Boolean](nBlocks)
+
+    var b = 0
+    var segStart = 0
+    while (b < nBlocks) {
+      if (b % rsi == 0) segStart = b
+      else if ((b - segStart) % SegmentBlocks == 0) segStart = b
+      val ref = preprocess && b % rsi == 0
+      if (ref) { refs(b) = br.get(nbits); hasRef(b) = true }
+      val skip = if (ref) 1 else 0
+      val s = b * j + skip
+      val c = j - skip
+      val id = br.get(il).toInt
+      if (id == 0) {
+        if (br.bit() == 1) {
+          // second extension: J/2 γ pairs; on a reference block the first
+          // pair's d1 is the (already read) reference slot and is dropped
+          // — the libaec parity convention
+          var i = s
+          var pi = 0
+          while (pi < j / 2) {
+            val gamma = br.fs()
+            require(gamma <= (1L << 40), s"$where: implausible SE gamma")
+            // invert γ = m(m+1)/2 + d2
+            var m = ((math.sqrt(8.0 * gamma + 1) - 1) / 2).toLong
+            while (m * (m + 1) / 2 > gamma) m -= 1
+            while ((m + 1) * (m + 2) / 2 <= gamma) m += 1
+            val d2 = gamma - m * (m + 1) / 2
+            val d1 = m - d2
+            require(d1 <= xmax && d2 <= xmax,
+              s"$where: SE pair ($d1,$d2) exceeds $nbits bits")
+            if (pi == 0 && skip == 1) { mapped(i) = d2; i += 1 }
+            else { mapped(i) = d1; mapped(i + 1) = d2; i += 2 }
+            pi += 1
+          }
+          b += 1
+        } else {
+          // zero-block run
+          val fsv = br.fs()
+          require(fsv <= SegmentBlocks + 1, s"$where: zero run $fsv blocks")
+          val segEnd = math.min(nBlocks, math.min(segStart + SegmentBlocks,
+            (b / rsi + 1) * rsi))
+          val run =
+            if (fsv + 1 == RosCode) segEnd - b // ROS: to end of segment
+            else if (fsv + 1 > RosCode) (fsv + 1 - 1).toInt
+            else (fsv + 1).toInt
+          require(run >= 1 && b + run <= segEnd,
+            s"$where: zero run $run crosses the segment end at $segEnd")
+          // mapped already zero
+          b += run
+        }
+      } else if (id == (1 << il) - 1) {
+        var i = s
+        while (i < s + c) { mapped(i) = br.get(nbits); i += 1 }
+        b += 1
+      } else {
+        val k = id - 1
+        require(k <= kMax, s"$where: split index $k")
+        var i = s
+        while (i < s + c) {
+          val f = br.fs()
+          require(f <= (xmax >>> k),
+            s"$where: fundamental-sequence value $f exceeds $nbits bits")
+          mapped(i) = f << k
+          i += 1
+        }
+        if (k > 0) {
+          i = s
+          while (i < s + c) { mapped(i) |= br.get(k); i += 1 }
+        }
+        b += 1
+      }
+    }
+
+    val out = new Array[Int](n)
+    if (preprocess) {
+      var pred = 0L
+      var i = 0
+      while (i < n) {
+        val blk = i / j
+        val x =
+          if (hasRef(blk) && i % j == 0) refs(blk)
+          else unmapDelta(mapped(i), pred, xmax, where)
+        out(i) = x.toInt
+        pred = x
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        require(mapped(i) <= xmax, s"$where: CCSDS sample out of range")
+        out(i) = mapped(i).toInt
+        i += 1
+      }
+    }
+    out
+  }
+}

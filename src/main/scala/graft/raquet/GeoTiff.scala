@@ -2109,8 +2109,12 @@ object TiffWriter {
       vs.foreach(bb.putDouble); bb.array()
     }
 
+    // the override path writes GeoDoubleParams (34736) as a 15th tag;
+    // undercounting here would let the last IFD entry overwrite the first
+    // payload's leading bytes (the reserved region would be one entry short)
     def nTagsOf(first: Boolean): Int =
-      (if (first) 14 else 12) + nodataStr.size
+      (if (first) 14 + (if (geoKeysOverride.isDefined) 1 else 0) else 12) +
+        nodataStr.size
     def ifdSizeOf(first: Boolean): Int =
       (if (big) 8 else 2) + nTagsOf(first) * entrySize + (if (big) 8 else 4)
 
@@ -2210,6 +2214,9 @@ object TiffWriter {
         if (pl.offsetsPos < 0) Tag(273, offType, pl.l.nStrips, offs.head)
         else Tag(273, offType, pl.l.nStrips, pl.offsetsPos)
       val tags = (pl.tagsPre :+ offsetsTag).sortBy(_.id)
+      require(tags.length == nTagsOf(pl.first),
+        s"planned ${nTagsOf(pl.first)} tags, built ${tags.length} — IFD " +
+          "reservation would clobber payloads")
       head.position(pl.ifdAt.toInt)
       if (big) head.putLong(tags.length.toLong) else head.putShort(tags.length.toShort)
       tags.foreach { t =>

@@ -556,6 +556,7 @@ object Grib2 {
       case 4 => 12
       case 40 => 23
       case 41 => 21
+      case 42 => 25
       case _ => 11
     }
     require(f.sec5.length >= neededSec5,
@@ -577,10 +578,11 @@ object Grib2 {
       case 4 => unpackIeee(f.sec5, sec7, packed, where)
       case 40 => unpackJpeg2000(f.sec5, sec7, packed, where)
       case 41 => unpackPng(f.sec5, sec7, packed, where)
+      case 42 => unpackCcsds(f.sec5, sec7, packed, where)
       case other => throw new IllegalArgumentException(
         s"$where: data representation template 5.$other unsupported " +
           "(5.0 simple, 5.2/5.3 complex, 5.4 IEEE, 5.40 JPEG 2000, " +
-          "5.41 PNG)")
+          "5.41 PNG, 5.42 CCSDS)")
     }
     if (present == null) vals
     else {
@@ -674,6 +676,35 @@ object Grib2 {
     var k = 0
     while (k < n) {
       out(k) = (r + dec.xs(k) * scaleE) * scaleD
+      k += 1
+    }
+    out
+  }
+
+  /** Template 5.42: Y = (R + X·2^E)/10^D with the X plane CCSDS 121.0-B
+    * (AEC/Rice) coded — the ECMWF open-data packing (ecCodes via libaec).
+    * Octet 22 = options mask, 23 = block size, 24-25 = reference sample
+    * interval in blocks. */
+  private def unpackCcsds(sec5: Array[Byte], sec7: Array[Byte], n: Int,
+      where: String): Array[Double] = {
+    val r = java.lang.Float.intBitsToFloat(u32(sec5, 11).toInt).toDouble
+    val e = s16(sec5, 15)
+    val d = s16(sec5, 17)
+    val nbits = u8(sec5, 19)
+    val flags = u8(sec5, 21)
+    val blockSize = u8(sec5, 22)
+    val rsi = u16(sec5, 23)
+    val scaleE = math.pow(2.0, e)
+    val scaleD = math.pow(10.0, -d)
+    val out = new Array[Double](n)
+    if (nbits == 0) {
+      java.util.Arrays.fill(out, r * scaleD)
+      return out
+    }
+    val xs = Ccsds.decode(sec7, n, nbits, flags, blockSize, rsi, where)
+    var k = 0
+    while (k < n) {
+      out(k) = (r + (xs(k) & 0xFFFFFFFFL) * scaleE) * scaleD
       k += 1
     }
     out

@@ -293,6 +293,16 @@ object Grib2Writer {
           Array[Byte](nbits.toByte, 0 /*original field: float*/,
             0 /*lossless*/, 255.toByte /*ratio: missing*/),
           Jpeg2000.encode(xs, npacked / h, h, nbits))
+      case "ccsds" =>
+        // template 5.42: X plane CCSDS/AEC coded — ecCodes-style options
+        // (MSB + preprocess), 32-sample blocks, 128-block RSI
+        val flags = Ccsds.FlagMsb | Ccsds.FlagPreprocess
+        val blockSz = 32
+        val rsi = 128
+        (u32(npacked) ++ u16(42) ++ u32(0 /*R = 0f*/) ++ sN(0, 2) ++ sN(0, 2) ++
+          Array[Byte](nbits.toByte, 0 /*original field: float*/,
+            flags.toByte, blockSz.toByte) ++ u16(rsi),
+          Ccsds.encode(xs, nbits, blockSz, rsi))
       case "complex" | "complex_sd2" =>
         val sd2 = packing == "complex_sd2"
         // the packed series: raw X for 5.2; second-order differences for 5.3

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raquet.Ccsds
+
+/** CCSDS 121.0-B (AEC/Rice) coder: encoder and decoder written from the
+  * standard's two directions, cross-checked by exhaustive round trips that
+  * force every coding option (zero runs incl. ROS, every k-split, second
+  * extension, no-compression, references) plus truncation/corruption fuzz. */
+class CcsdsSpec extends AnyFunSuite {
+
+  private def rnd(seed: Long, n: Int, nbits: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    var s = seed
+    val mask = (1L << nbits) - 1
+    var i = 0
+    while (i < n) {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(i) = ((z ^ (z >>> 31)) & mask).toInt
+      i += 1
+    }
+    out
+  }
+
+  private def roundTrip(xs: Array[Int], nbits: Int, blockSize: Int, rsi: Int,
+      preprocess: Boolean = true): Array[Byte] = {
+    val enc = Ccsds.encode(xs, nbits, blockSize, rsi, preprocess)
+    val flags = Ccsds.FlagMsb | (if (preprocess) Ccsds.FlagPreprocess else 0)
+    val dec = Ccsds.decode(enc, xs.length, nbits, flags, blockSize, rsi,
+      s"n${xs.length}/b$blockSize/r$rsi")
+    assert(dec.toSeq == xs.toSeq,
+      s"nbits=$nbits J=$blockSize rsi=$rsi pre=$preprocess")
+    enc
+  }
+
+  test("random data round-trips across bit depths, block sizes, RSIs") {
+    for {
+      nbits <- Seq(1, 4, 8, 12, 16, 24, 32)
+      blockSize <- Seq(8, 16, 32, 64)
+      rsi <- Seq(1, 4, 128)
+    } roundTrip(rnd(nbits * 100 + blockSize + rsi, 1000, nbits),
+      nbits, blockSize, rsi)
+  }
+
+  test("smooth fields compress well and round-trip (the NWP shape)") {
+    val n = 10000
+    val xs = Array.tabulate(n) { i =>
+      (2000 + 800 * math.sin(i * 0.01) + (i * 2654435761L % 7)).toInt
+    }
+    val enc = roundTrip(xs, 12, 32, 128)
+    assert(enc.length < n * 12 / 8 / 2, s"smooth did not compress: ${enc.length}")
+    // incompressible noise stays near raw (no-compression option bounds it)
+    val noisy = rnd(99, n, 16)
+    val encN = roundTrip(noisy, 16, 32, 128)
+    assert(encN.length < (n * 16 / 8 * 108) / 100, s"noise blew up: ${encN.length}")
+  }
+
+  test("zero runs: long constant stretches force zero-blocks and ROS") {
+    // constant data → all mapped deltas zero after the reference
+    for ((n, j, rsi) <- Seq((4096, 8, 512), (4096, 32, 16), (777, 16, 64),
+        (64 * 64 + 17, 64, 128))) {
+      val xs = Array.fill(n)(12345 & ((1 << 14) - 1))
+      val enc = roundTrip(xs, 14, j, rsi)
+      // a constant field must code to a tiny fraction of raw
+      assert(enc.length < n * 14 / 8 / 20, s"constant coded ${enc.length} B")
+    }
+    // zeros with one spike per segment exercises run+literal interleave
+    val xs2 = Array.tabulate(3000)(i => if (i % 700 == 13) 999 else 0)
+    roundTrip(xs2, 10, 16, 32)
+  }
+
+  test("second extension: near-zero pair data picks SE and round-trips") {
+    // tiny alternating deltas make SE cheaper than 0-split
+    val xs = Array.tabulate(2048)(i => 100 + (i % 2))
+    roundTrip(xs, 8, 16, 2048)
+    val xs2 = Array.tabulate(2048)(i => 50 + (if (i % 3 == 0) 1 else 0))
+    roundTrip(xs2, 16, 32, 64)
+  }
+
+  test("no-preprocess mode codes raw samples") {
+    for (nbits <- Seq(4, 8, 16)) {
+      roundTrip(rnd(7 * nbits, 500, nbits), nbits, 16, 128, preprocess = false)
+      roundTrip(Array.fill(500)(0), nbits, 16, 128, preprocess = false)
+    }
+  }
+
+  test("partial final blocks and single-sample streams") {
+    for (n <- Seq(1, 7, 8, 9, 31, 33, 63, 65))
+      roundTrip(rnd(n, n, 12), 12, 32, 4)
+  }
+
+  test("unsupported modes and malformed streams fail loudly") {
+    val xs = rnd(3, 256, 12)
+    val enc = Ccsds.encode(xs, 12, 32, 8)
+    def fails(f: => Any, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](f)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    fails(Ccsds.decode(enc, 256, 12, Ccsds.FlagSigned, 32, 8, "t"), "signed")
+    fails(Ccsds.decode(enc, 256, 12, Ccsds.FlagRestricted, 32, 8, "t"),
+      "restricted")
+    fails(Ccsds.decode(enc, 256, 12, Ccsds.FlagPadRsi, 32, 8, "t"), "padding")
+    fails(Ccsds.decode(enc, 256, 12, Ccsds.FlagPreprocess, 12, 8, "t"),
+      "block size")
+    // truncations and corruptions: clean failure or a decode, never OOB
+    var t = 0
+    while (t < enc.length) {
+      try Ccsds.decode(enc.take(t), 256, 12, Ccsds.FlagPreprocess, 32, 8, "t")
+      catch { case _: IllegalArgumentException => () }
+      t += 3
+    }
+    var k = 0
+    while (k < enc.length) {
+      val m = enc.clone(); m(k) = (m(k) ^ 0x5A).toByte
+      try Ccsds.decode(m, 256, 12, Ccsds.FlagPreprocess, 32, 8, "t")
+      catch { case _: IllegalArgumentException => () }
+      k += 5
+    }
+  }
+}

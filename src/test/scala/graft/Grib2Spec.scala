@@ -111,6 +111,16 @@ class Grib2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("lossless only"))
   }
 
+  test("CCSDS packing (5.42) round-trips, with and without bitmap") {
+    val p = tmpFile("ccsds")
+    writeFixture(p, "ccsds")
+    checkValues(p, (_, _) => false)
+    val pb = tmpFile("ccsds_bm")
+    def miss(j: Int, i: Int): Boolean = (j * Ni + i) % 7 == 0
+    writeFixture(pb, "ccsds", miss)
+    checkValues(pb, miss)
+  }
+
   test("PNG codec decodes the JDK encoder's output and rejects corruption") {
     // interop: a REAL third-party encoder (ImageIO) with its own filter
     // choices must decode to the same samples

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raquet.{Jp2, TiffWriter}
+
+/** JP2 container: box walk, GeoJP2 key-directory passthrough, and the
+  * transcode — the output TIFF must be BYTE-IDENTICAL to writing the same
+  * samples directly (the EnviSpec discipline), for geographic and
+  * projected (UTM) key directories. */
+class Jp2Spec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("jp2").toString
+
+  private val GeoKeys4326 =
+    Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+  private def geoKeysUtm(epsg: Int) =
+    Seq(1, 1, 0, 3, 1024, 0, 1, 1, 1025, 0, 1, 1, 3072, 0, 1, epsg)
+
+  private def samples(w: Int, h: Int, depth: Int): Array[Int] =
+    Array.tabulate(w * h) { k =>
+      ((k * 2654435761L) % (1L << math.min(depth, 20))).toInt
+    }
+
+  test("transcode is byte-identical to a direct TIFF of the same samples") {
+    val dir = tmpDir()
+    for ((depth, dtype) <- Seq((8, "uint8"), (12, "uint16"), (20, "uint32"))) {
+      val (w, h) = (95, 57)
+      val xs = samples(w, h, depth)
+      val jp2 = s"$dir/a$depth.jp2"
+      Jp2.write(jp2, xs, w, h, depth, pixelSize = 0.25,
+        originX = -20.0, originY = 45.0, geoKeys = GeoKeys4326)
+      val got = s"$dir/got$depth.tif"
+      val img = Jp2.toTiff(jp2, got)
+      assert(img.w == w && img.h == h && img.pixelSize == 0.25)
+      assert(img.originX == -20.0 && img.originY == 45.0)
+      // expected: same samples through the same strip writer
+      val bpp = graft.raquet.PixelCodec.bytesPerPixel(dtype)
+      val want = s"$dir/want$depth.tif"
+      val strips = (0 until h by 64).iterator.map { y0 =>
+        val rows = math.min(64, h - y0)
+        val bb = java.nio.ByteBuffer.allocate(rows * w * bpp)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        for (k <- y0 * w until (y0 + rows) * w) dtype match {
+          case "uint8" => bb.put(xs(k).toByte)
+          case "uint16" => bb.putShort(xs(k).toShort)
+          case _ => bb.putInt(xs(k))
+        }
+        bb.array()
+      }
+      TiffWriter.writeStrips(want, w, h, dtype, 1, pixelSize = 0.25,
+        originX = -20.0, originY = 45.0, nodata = None, rowsPerStrip = 64,
+        strips = strips, geoKeysOverride = Some((GeoKeys4326, Seq.empty)))
+      val gb = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(got))
+      val wb = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(want))
+      assert(gb.sameElements(wb), s"depth $depth transcode differs")
+    }
+  }
+
+  test("UTM GeoJP2 keys pass through and resolve to the UTM projection") {
+    val dir = tmpDir()
+    val (w, h) = (33, 21)
+    val xs = samples(w, h, 10)
+    val jp2 = s"$dir/utm.jp2"
+    Jp2.write(jp2, xs, w, h, 10, pixelSize = 10.0,
+      originX = 399960.0, originY = 5300040.0, geoKeys = geoKeysUtm(32633))
+    val tif = s"$dir/utm.tif"
+    Jp2.toTiff(jp2, tif)
+    val info = graft.raquet.GeoTiff.readInfo(tif)
+    assert(info.width == w && info.height == h)
+    assert(info.x0 == 399960.0 && info.y0 == 5300040.0 && info.dx == 10.0)
+    assert(!info.geographic)
+    assert(info.proj == graft.geo.Projection.fromEpsg(32633).get)
+  }
+
+  test("malformed containers fail loudly") {
+    val dir = tmpDir()
+    val (w, h) = (16, 12)
+    val xs = samples(w, h, 8)
+    val good = s"$dir/good.jp2"
+    Jp2.write(good, xs, w, h, 8, 0.5, 0.0, 10.0, GeoKeys4326)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
+    def mut(name: String)(f: Array[Byte] => Array[Byte]): String = {
+      val p = s"$dir/$name.jp2"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), f(bytes.clone()))
+      p
+    }
+    def fails(p: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] { Jp2.read(p) }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    fails(mut("sig")(b => { b(8) = 0; b }), "signature")
+    // ihdr nc=2: nc is a u16 at ihdr payload +8; locate 'ihdr'
+    val ihdrAt = bytes.indexOfSlice("ihdr".getBytes)
+    fails(mut("nc")(b => { b(ihdrAt + 4 + 9) = 2; b }), "component")
+    // drop the uuid box: truncate from its header and re-append jp2c
+    val uuidAt = bytes.indexOfSlice("uuid".getBytes) - 4
+    val jp2cAt = bytes.indexOfSlice("jp2c".getBytes) - 4
+    fails(mut("nouuid")(b => b.take(uuidAt) ++ b.drop(jp2cAt)), "GeoJP2")
+    // truncations fail cleanly
+    var t = 0
+    while (t < bytes.length) {
+      try Jp2.read(mut(s"t$t")(_.take(t)))
+      catch { case _: IllegalArgumentException => () }
+      t += 13
+    }
+  }
+}
