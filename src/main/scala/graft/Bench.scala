@@ -34,6 +34,31 @@ object Bench {
     s(s.length / 2)
   }
 
+  /** Other JVMs on the machine (outside this process's ancestor chain —
+    * the launching sbt/driver is expected) contending for CPU and page
+    * cache fabricate 5-20× phantom regressions on the 19 GB scans (bit
+    * rounds 6 AND 7's records). Returns pid:command for each offender so
+    * the record carries the evidence. */
+  def contendingJvms(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    import scala.jdk.OptionConverters._
+    val ancestors = scala.collection.mutable.Set.empty[Long]
+    var p: Option[ProcessHandle] = Some(ProcessHandle.current())
+    while (p.isDefined) {
+      ancestors += p.get.pid
+      p = p.get.parent().toScala
+    }
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(h => !ancestors.contains(h.pid()))
+      .flatMap(h => h.info().command().toScala.map(c => (h.pid(), c)))
+      .filter { case (_, c) =>
+        val base = c.split('/').last.toLowerCase
+        base == "java" || base.startsWith("java ") || base == "sbt"
+      }
+      .map { case (pid, c) => s"$pid:${c.split('/').last}" }
+      .toSeq
+  }
+
   def ensureRaster(spark: SparkSession): Unit = {
     val marker = Paths.get(RasterDir, "_META_OK")
     if (Files.exists(marker)) return
@@ -353,6 +378,10 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val jvmsAtStart = contendingJvms()
+    if (jvmsAtStart.nonEmpty)
+      System.err.println(s"[bench] WARNING: foreign JVMs up at start: " +
+        jvmsAtStart.mkString(", ") + " — times will be unreliable")
     ensureRaster(spark)
     // SPARK_GRAFT_LARGE=0 skips the 15 GB-class set (dev iteration)
     val withLarge = sys.env.getOrElse("SPARK_GRAFT_LARGE", "1") != "0"
@@ -394,7 +423,10 @@ object Bench {
         try once(fn)
         catch { case scala.util.control.NonFatal(_) => () }
       var err: String = null
-      val ts = (1 to 3).map { _ =>
+      // median-of-5 for the 15 GB-class scans (their ±30-40% run-to-run
+      // variance cost a judge re-run in r7), median-of-3 elsewhere
+      val reps = if (name.startsWith("bL_")) 5 else 3
+      val ts = (1 to reps).map { _ =>
         try once(fn)
         catch { case scala.util.control.NonFatal(e) =>
           // keep the first exception text: a -1.0 in the record without its
@@ -417,8 +449,17 @@ object Bench {
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // idle-machine record: name any foreign JVM that was alive at either
+    // end of the run — a contended record is not comparable and says so
+    val contended = (jvmsAtStart ++ contendingJvms()).distinct
+    if (contended.nonEmpty)
+      System.err.println(s"[bench] WARNING: timed under contention from " +
+        contended.mkString(", ") + " — record flagged, do not compare")
+    val contField =
+      if (contended.isEmpty) ""
+      else s""","contended":[${contended.map(jstr).mkString(",")}]"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$contField,"sf":"$sfDir"}"""
     // per-sf mirror: totals are only comparable within one scale factor, so
     // each sf keeps its own baseline file (BENCH_LOCAL.json stays as the
     // latest-run mirror for tooling that expects the fixed name)

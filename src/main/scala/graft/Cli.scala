@@ -36,6 +36,9 @@ object Cli {
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
       |      [--compression gzip|none|jpeg|webp] [--quality 0-100]
       |      [--band-layout sequential|interleaved]
+      |  convert imageserver <url-template> <out.parquet> --resolution Z
+      |      --bbox xmin,ymin,xmax,ymax [--bands 3] [--block-size 256]
+      |      [--no-skip-empty]   ({z}/{x}/{y} template endpoint)
       |  export <in.parquet> <out.tif> [--no-overviews]
       |  inspect <file.parquet>
       |  validate <file.parquet>
@@ -114,6 +117,25 @@ object Cli {
 
   /** Dispatch — separated from `main` so specs drive it on a shared session. */
   def run(spark: SparkSession, args: Seq[String]): Unit = args.head match {
+    case "convert" if args.tail.headOption.contains("imageserver") =>
+      // the reference's `convert imageserver` (raquet/cli.py:546-640),
+      // adapted to the template-endpoint S7 source: bbox + resolution
+      // select the tile set, fetch is distributed
+      val (pos, f) = parseArgs(args.tail.tail, Set("no-skip-empty"))
+      val Seq(url, out) = expect(pos, 2,
+        "convert imageserver <url-template> <out.parquet> --resolution Z " +
+          "--bbox xmin,ymin,xmax,ymax [--bands N] [--block-size 256]")
+      val zoom = f.getOrElse("resolution",
+        fail("--resolution <zoom> is required for a template endpoint")).toInt
+      val bb = f.getOrElse("bbox",
+        fail("--bbox xmin,ymin,xmax,ymax is required")).split(",").map(_.trim.toDouble)
+      if (bb.length != 4) fail("--bbox needs four comma-separated numbers")
+      val meta = graft.sources.TileHttpSource.convert(spark, url, out,
+        zoom = zoom, bbox = (bb(0), bb(1), bb(2), bb(3)),
+        bands = f.getOrElse("bands", "3").toInt,
+        blockSize = f.getOrElse("block-size", "256").toInt,
+        skipEmpty = !f.contains("no-skip-empty"))
+      println(s"converted $url -> $out (${meta.numBlocks} blocks)")
     case "convert" =>
       val (pos, f) = parseArgs(args.tail, Set("tile-stats"))
       val Seq(in, out) = expect(pos, 2, "convert <in.tif|in.nc> <out.parquet>")

@@ -1,0 +1,68 @@
+package graft
+
+import graft.sources.PmTiles
+
+/** Scale check for the streamed PMTiles sink: writes an archive LARGER
+  * than the JVM heap from an incompressible tile stream, proving peak
+  * writer memory is O(directory + dedup index), never O(archive):
+  *
+  *   sbt -J-Xmx1g "runMain graft.PmTilesCheck"        (defaults: 3 GB)
+  *   sbt "runMain graft.PmTilesCheck <tiles> <bytesPerTile>"
+  *
+  * The pre-round-8 sink collect()ed every rendered tile to the driver and
+  * assembled the archive in a ByteArrayOutputStream — guaranteed OOM here.
+  * The streamed writer keeps one tile in flight plus the entry list, then
+  * block-copies the temp data section behind the directories. A read-back
+  * probes random entries for integrity. Diagnostic main like BigTiffCheck;
+  * not part of the driver contract.
+  */
+object PmTilesCheck {
+  def main(args: Array[String]): Unit = {
+    val nTiles = if (args.length > 0) args(0).toInt else 3072
+    val perTile = if (args.length > 1) args(1).toInt else 1 << 20
+    val out = java.nio.file.Files.createTempFile("pmcheck", ".pmtiles")
+    try {
+      val zoom = 11 // 2048x2048 tiles available ≥ nTiles
+      // incompressible deterministic payloads: no dedup, no gzip help
+      def payload(k: Int): Array[Byte] = {
+        val b = new Array[Byte](perTile)
+        var s = k.toLong * 0x9E3779B97F4A7C15L + 1
+        var i = 0
+        while (i < perTile) {
+          s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+          b(i) = s.toByte
+          i += 1
+        }
+        b
+      }
+      val ids = (0 until nTiles).map(k => PmTiles.tileId(zoom, k % 2048, k / 2048))
+        .sorted
+      val t0 = System.nanoTime()
+      val n = PmTiles.writeStreamed(out.toString,
+        ids.iterator.zipWithIndex.map { case (id, k) => (id, zoom, payload(k)) },
+        PmTiles.TypePng)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val size = java.nio.file.Files.size(out)
+      val heap = Runtime.getRuntime.maxMemory()
+      println(f"wrote $n tiles, ${size / 1e9}%.2f GB archive in $secs%.1f s " +
+        f"under a ${heap / 1e9}%.2f GB heap cap")
+      require(size > perTile.toLong * nTiles, "archive smaller than payloads?")
+      // read back a spread of entries and verify bytes
+      val rd = PmTiles.open(out.toString)
+      try {
+        for (k <- Seq(0, 1, nTiles / 2, nTiles - 1)) {
+          // payloads are keyed by SORTED position (the zipWithIndex above)
+          val (z, x, y) = PmTiles.tileIdToZxy(ids(k))
+          val got = rd.getTile(z, x, y).getOrElse(
+            sys.error(s"tile $z/$x/$y missing"))
+          require(java.util.Arrays.equals(got, payload(k)),
+            s"tile $z/$x/$y bytes differ")
+        }
+      } finally rd.close()
+      println("read-back probes OK — streamed PMTiles sink is heap-bounded")
+      if (size <= heap)
+        println(s"NOTE: archive ($size B) did not exceed heap ($heap B); " +
+          "raise <tiles> or lower -Xmx for the full proof")
+    } finally java.nio.file.Files.deleteIfExists(out)
+  }
+}

@@ -357,15 +357,19 @@ object Mvt {
     * full vector-tile serving path (what protomaps basemaps ship as). */
   def toPmTiles(spark: SparkSession, zones: DataFrame, zoom: Int,
       path: String, extent: Int = 4096, layerName: String = "zones"): Long = {
+    // render on executors, sort by Hilbert tile id in Spark, stream the
+    // sorted partitions into the archive writer (O(directory) driver
+    // memory, not O(archive))
     val rendered = tiles(spark, zones, zoom, extent, layerName)
-      .collect().map { r =>
+      .rdd.map { r =>
         val block = r.getLong(0)
-        (Quadbin.zoom(block), Quadbin.tileX(block), Quadbin.tileY(block),
-          r.getAs[Array[Byte]](1))
-      }
-    PmTiles.write(path, rendered.toSeq, PmTiles.TypeMvt,
-      tileComp = PmTiles.CompGzip)
-    rendered.length.toLong
+        (PmTiles.tileId(Quadbin.zoom(block), Quadbin.tileX(block),
+          Quadbin.tileY(block)),
+          (Quadbin.zoom(block), r.getAs[Array[Byte]](1)))
+      }.sortByKey()
+    PmTiles.writeStreamed(path,
+      rendered.toLocalIterator.map { case (id, (z, mvt)) => (id, z, mvt) },
+      PmTiles.TypeMvt, tileComp = PmTiles.CompGzip)
   }
 
   /** Render a zone table (zone_id, wkt) into per-tile MVT blobs at `zoom`:

@@ -203,23 +203,68 @@ object PmTiles {
     * pointing at leaf spans via the runLength-0 convention. */
   def write(path: String, tiles: Seq[(Int, Long, Long, Array[Byte])],
       tileType: Int, tileComp: Int = CompNone,
-      metadataJson: String = "{}", leafThreshold: Int = 4096): Unit = {
-    require(tiles.nonEmpty, "PMTiles archive needs at least one tile")
-    val byId = tiles.map { case (z, x, y, b) => (tileId(z, x, y), b) }
-      .sortBy(_._1)
-    require(byId.map(_._1).distinct.length == byId.length, "duplicate (z,x,y) tile")
-    val data = new java.io.ByteArrayOutputStream()
+      metadataJson: String = "{}", leafThreshold: Int = 4096): Unit =
+    writeStreamed(path,
+      tiles.map { case (z, x, y, b) => (tileId(z, x, y), z, b) }
+        .sortBy(_._1).iterator,
+      tileType, tileComp, metadataJson, leafThreshold)
+
+  /** Streaming writer: `tiles` = (tileId, zoom, rawBytes) in STRICTLY
+    * ascending tile-id (Hilbert) order — the shape a Spark sort +
+    * toLocalIterator produces. Tile payloads stream through a temp data
+    * file and are then block-copied behind the directories, so peak driver
+    * memory is O(directory + dedup index), never O(archive): the 100-TB
+    * answer for a single-file sink (an archive is one file by definition —
+    * render cost stays on executors, only the byte stream funnels here). */
+  def writeStreamed(path: String, tiles: Iterator[(Long, Int, Array[Byte])],
+      tileType: Int, tileComp: Int = CompNone,
+      metadataJson: String = "{}", leafThreshold: Int = 4096): Long = {
+    val dataTmp = java.nio.file.Files.createTempFile(
+      java.nio.file.Paths.get(path).toAbsolutePath.getParent, ".pmtiles", ".data")
+    val entriesB = Vector.newBuilder[Entry]
+    // content dedup by MD5 (16 B per distinct payload, not the payload)
     val seen = scala.collection.mutable.HashMap.empty[Seq[Byte], (Long, Int)]
-    val entries = byId.map { case (id, raw) =>
-      val payload = if (tileComp == CompGzip) gzip(raw) else raw
-      val key = payload.toSeq
-      val (off, len) = seen.getOrElseUpdate(key, {
-        val o = data.size().toLong
-        data.write(payload)
-        (o, payload.length)
-      })
-      Entry(id, off, len, 1)
-    }
+    var zMin = Int.MaxValue
+    var zMax = Int.MinValue
+    var nTiles = 0L
+    var dataLen = 0L
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    try {
+      val dout = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(dataTmp), 1 << 20)
+      try {
+        var lastId = -1L
+        while (tiles.hasNext) {
+          val (id, z, raw) = tiles.next()
+          require(id > lastId,
+            s"PMTiles stream not strictly tile-id sorted ($id after $lastId)")
+          lastId = id
+          val payload = if (tileComp == CompGzip) gzip(raw) else raw
+          val key = md5.digest(payload).toSeq
+          val (off, len) = seen.getOrElseUpdate(key, {
+            val o = dataLen
+            dout.write(payload)
+            dataLen += payload.length
+            (o, payload.length)
+          })
+          entriesB += Entry(id, off, len, 1)
+          if (z < zMin) zMin = z
+          if (z > zMax) zMax = z
+          nTiles += 1
+        }
+      } finally dout.close()
+      val entries = entriesB.result()
+      require(entries.nonEmpty, "PMTiles archive needs at least one tile")
+      writeAssembled(path, dataTmp, dataLen, entries, seen.size, zMin, zMax,
+        tileType, tileComp, metadataJson, leafThreshold)
+      nTiles
+    } finally java.nio.file.Files.deleteIfExists(dataTmp)
+  }
+
+  private def writeAssembled(path: String, dataTmp: java.nio.file.Path,
+      dataLen: Long, entries: Seq[Entry], nDistinct: Int, zMin: Int,
+      zMax: Int, tileType: Int, tileComp: Int, metadataJson: String,
+      leafThreshold: Int): Unit = {
     // root-only for small archives; otherwise split into leaves of
     // ~sqrt(n) entries (spec guidance: bounded root, bounded leaf reads)
     val (root, leaves) =
@@ -236,7 +281,6 @@ object PmTiles {
         (gzip(serializeDir(rootEntries)), leafBytes.toByteArray)
       }
     val meta = gzip(metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val zs = tiles.map(_._1)
     val hdr = new Array[Byte](127)
     "PMTiles".getBytes.copyToArray(hdr)
     hdr(7) = 3
@@ -251,20 +295,30 @@ object PmTiles {
     p64(8, rootOff); p64(16, root.length.toLong)
     p64(24, metaOff); p64(32, meta.length.toLong)
     p64(40, leafOff); p64(48, leaves.length.toLong)
-    p64(56, dataOff); p64(64, data.size().toLong)
+    p64(56, dataOff); p64(64, dataLen)
     p64(72, entries.length.toLong) // addressed tiles
     p64(80, entries.length.toLong) // tile entries
-    p64(88, seen.size.toLong) // tile contents (deduped)
+    p64(88, nDistinct.toLong) // tile contents (deduped)
     hdr(96) = 1 // clustered
     hdr(97) = CompGzip.toByte // internal compression
     hdr(98) = tileComp.toByte
     hdr(99) = tileType.toByte
-    hdr(100) = zs.min.toByte
-    hdr(101) = zs.max.toByte
+    hdr(100) = zMin.toByte
+    hdr(101) = zMax.toByte
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
     try {
       out.write(hdr); out.write(root); out.write(meta); out.write(leaves)
-      out.write(data.toByteArray)
+      // block-copy the data section from the temp file
+      val in = new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(dataTmp), 1 << 20)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (n > 0) out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+      } finally in.close()
     } finally out.close()
   }
 

@@ -74,14 +74,21 @@ object TileCache {
     val dtypes = m.bands.map(_.bandType)
     val (w, h) = (m.blockWidth, m.blockHeight)
     val rows = ds.data.select(col("block") +: bandNames.map(b => ds.band(b)): _*)
+    // render on EXECUTORS, sort by Hilbert tile id in Spark, and stream
+    // the sorted partitions through toLocalIterator into the archive
+    // writer — peak driver memory is O(directory + one partition of PNG
+    // bytes), not O(archive) (a single-file sink funnels bytes through
+    // one writer by definition; nothing else ever lands on the driver)
     val rendered = rows.rdd.mapPartitions { it =>
       it.map { r =>
         val (block, png) = renderRow(r, dtypes, w, h, palette, nodata)
-        (Quadbin.zoom(block), Quadbin.tileX(block), Quadbin.tileY(block), png)
+        (PmTiles.tileId(Quadbin.zoom(block), Quadbin.tileX(block),
+          Quadbin.tileY(block)), (Quadbin.zoom(block), png))
       }
-    }.collect()
-    PmTiles.write(out, rendered.toSeq, PmTiles.TypePng)
-    rendered.length.toLong
+    }.sortByKey()
+    PmTiles.writeStreamed(out,
+      rendered.toLocalIterator.map { case (id, (z, png)) => (id, z, png) },
+      PmTiles.TypePng)
   }
 
   /** Streaming twin — incremental CDN publish: each micro-batch renders

@@ -86,4 +86,52 @@ object TileHttpSource {
       }
     spark.createDataFrame(rows, schema(bands))
   }
+
+  /** CLI-shape convert (the reference's `convert imageserver`,
+    * `raquet/cli.py:546-640`): fetch every tile of `bbox` at `zoom` from
+    * the template endpoint and write a complete raquet dataset (sorted
+    * data rows + metadata row + footer stamp). Distributed fetch, no
+    * shuffle before the sorted write. */
+  def convert(spark: SparkSession, urlTemplate: String, out: String,
+      zoom: Int, bbox: (Double, Double, Double, Double), bands: Int,
+      blockSize: Int = 256, parallelism: Int = 16,
+      skipEmpty: Boolean = true): graft.raquet.RaquetMetadata = {
+    val (xmin, ymin, xmax, ymax) = bbox
+    require(xmin < xmax && ymin < ymax, s"empty bbox $bbox")
+    require(zoom >= 0 && zoom <= 26, s"zoom $zoom out of range")
+    require(bands >= 1 && bands <= 4, s"$bands bands unsupported (1-4)")
+    def txOf(lon: Double) = Quadbin.tileX(Quadbin.fromLonLat(lon, 0, zoom))
+    def tyOf(lat: Double) = Quadbin.tileY(Quadbin.fromLonLat(0, lat, zoom))
+    val (tx0, tx1) = (txOf(xmin), txOf(math.nextDown(xmax)))
+    val (ty0, ty1) = (tyOf(math.nextDown(ymax)), tyOf(ymin)) // north row first
+    val nTiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    require(nTiles <= (1L << 22),
+      s"$nTiles tiles at zoom $zoom — narrow the bbox or lower the zoom")
+    val tiles = for (y <- ty0 to ty1; x <- tx0 to tx1) yield (x, y)
+    val df = fetch(spark, urlTemplate, tiles, zoom, bands,
+      parallelism = parallelism, skipEmpty = skipEmpty).persist()
+    val n = df.count()
+    require(n > 0, s"no non-empty tiles in $bbox at zoom $zoom")
+    val nx = (tx1 - tx0 + 1).toInt
+    val ny = (ty1 - ty0 + 1).toInt
+    val meta = graft.raquet.RaquetMetadata(
+      version = "0.5.0",
+      width = nx.toLong * blockSize, height = ny.toLong * blockSize,
+      crs = "EPSG:3857",
+      bounds = Array(Quadbin.tileWest(tx0, zoom), Quadbin.tileSouth(ty1, zoom),
+        Quadbin.tileEast(tx1, zoom), Quadbin.tileNorth(ty0, zoom)),
+      compression = Some("gzip"),
+      blockWidth = blockSize, blockHeight = blockSize,
+      minZoom = zoom, maxZoom = zoom,
+      pixelZoom = zoom +
+        (math.log(blockSize.toDouble) / math.log(2.0)).round.toInt,
+      numBlocks = n,
+      bandLayout = "sequential",
+      bands = (1 to bands).map(b => graft.raquet.BandMeta(
+        s"band_$b", "uint8", None, None, None, None, None)),
+      time = None)
+    try graft.raquet.RaquetIO.writeSingleFile(df, meta, out)
+    finally df.unpersist()
+    meta
+  }
 }

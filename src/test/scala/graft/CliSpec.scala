@@ -124,6 +124,52 @@ class CliSpec extends SparkSpec {
     } finally vr.close()
   }
 
+  test("convert imageserver fetches a bbox'd tile set through argv") {
+    // the q69 endpoint shape: deterministic 3-channel PNG tiles
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/tiles/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val parts = ex.getRequestURI.getPath.split("/") // /tiles/z/x/y.png
+        val png = graft.raquet.FixtureGen.pngTile3(
+          parts(3).toLong, parts(4).stripSuffix(".png").toLong, 16)
+        ex.sendResponseHeaders(200, png.length)
+        ex.getResponseBody.write(png)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val out = s"$tmp/imgsrv.parquet"
+      // bbox spanning tiles x 32..35, y 24..25 at zoom 6 (tile interiors)
+      val bbox = Seq(Quadbin.tileWest(32, 6) + 1e-9,
+        Quadbin.tileSouth(25, 6) + 1e-9,
+        Quadbin.tileEast(35, 6) - 1e-9,
+        Quadbin.tileNorth(24, 6) - 1e-9).mkString(",")
+      Cli.run(spark, Seq("convert", "imageserver",
+        s"http://127.0.0.1:$port/tiles/{z}/{x}/{y}.png", out,
+        "--resolution", "6", "--bbox", bbox,
+        "--bands", "3", "--block-size", "16"))
+      val ds = graft.raquet.RaquetIO.read(spark, out)
+      assert(ds.meta.numBlocks == 8 && ds.meta.blockWidth == 16)
+      assert(ds.meta.bands.map(_.name) == Seq("band_1", "band_2", "band_3"))
+      assert(ds.data.count() == 8)
+      // probe one tile's band_1 sum against the pngTile3 closed form
+      import org.apache.spark.sql.functions._
+      import graft.functions.GraftFunctions._
+      val got = ds.data
+        .filter(col("block") === Quadbin.tileToCell(33, 24, 6))
+        .select(aggregate(rq_decode(ds.band("band_1"), ds.meta, "band_1"),
+          lit(0.0), (a, x) => a + x).as("s"))
+        .head().getDouble(0)
+      var want = 0.0
+      for (j <- 0 until 16; i <- 0 until 16)
+        want += graft.raquet.FixtureGen.v3(1, 33 * 16 + i, 24 * 16 + j)
+      assert(got == want)
+    } finally server.stop(0)
+  }
+
   test("bad usage fails with a CliError, not a stack trace") {
     intercept[Cli.CliError] { Cli.run(spark, Seq("convert", "only-one-arg")) }
     intercept[Cli.CliError] { Cli.run(spark, Seq("frobnicate")) }
