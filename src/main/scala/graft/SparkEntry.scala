@@ -198,6 +198,8 @@ object SparkEntry {
     "q177_grib_jpeg2000"    -> (RaquetQueries.q177GribJpeg2000 _),
     "q178_grib_ccsds"       -> (RaquetQueries.q178GribCcsds _),
     "q179_jp2_ingest"       -> (RaquetQueries.q179Jp2Ingest _),
+    "q180_grib_stat_ensemble" -> (RaquetQueries.q180GribStatEnsemble _),
+    "q181_grib1_accum"      -> (RaquetQueries.q181Grib1Accum _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -425,6 +427,13 @@ object SparkEntry {
     // q179 ingests the q82 grid from a JP2 container (GeoJP2 + in-engine
     // JPEG 2000 codestream — the Sentinel-2 band-file shape); same oracle
     "q179_jp2_ingest"       -> RaquetOracles.q82,
+    // q180 is the q147 grid as statistical PDT 4.11 ensemble accumulations
+    // dated by the END of each interval — the valid-time axis and every
+    // value must land exactly on q147's; same oracle
+    "q180_grib_stat_ensemble" -> RaquetOracles.q79,
+    // q181 is the q149 grid as edition-1 TRI-4 accumulations (valid at
+    // ref+P2) — same axis, same oracle
+    "q181_grib1_accum"      -> RaquetOracles.q149,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

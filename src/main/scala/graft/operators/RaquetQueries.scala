@@ -1634,6 +1634,92 @@ object RaquetQueries {
   def q178GribCcsds(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "ccsds", "q178")
 
+  /** S6 (GRIB2 statistical PDT 4.11 — ensemble-member accumulations, the
+    * ECMWF/NCEP ensemble-archive shape) driver proof: the q147 grid with
+    * every message a template-4.11 statistical product whose octet-18-22
+    * forecast time is ZERO and whose overall interval ENDS at ref + 6·ti —
+    * the CF valid time must come from the template-specific
+    * end-of-interval septet (shifted by the ensemble triplet), landing on
+    * exactly q147's 6-hourly axis. Identical oracle: a reader that dated
+    * from the forecast-time octets, or read the septet at 4.8's offset,
+    * collapses all timesteps to 0 or garbage. */
+  def q180GribStatEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q180"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/synth.grib2"
+    val sec3 = graft.raquet.Grib2Writer.sec3LatLon(512, 240,
+      basicAngle = 1, subdiv = 128,
+      la1 = (84.0234375 * 128).round, lo1 = (180.3515625 * 128).round,
+      di = 90, dj = 90)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try (0 until 3).foreach { ti =>
+      val values = Array.tabulate[Option[Int]](240 * 512) { k =>
+        val p = (k % 512) >> 1
+        if (p % 27 == 0) None else Some((3 * p + 7 * ti) % 251)
+      }
+      fos.write(graft.raquet.Grib2Writer.messageWithSec3(sec3, (2000, 1, 1, 0),
+        graft.raquet.Grib2Writer.Plane(0, values), nbits = 8,
+        packing = "simple", 0, 0, 0,
+        statEndOfInterval = Some((2000, 1, 1, 6 * ti)), statTemplate = 11))
+    } finally fos.close()
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6 (GRIB edition-1, time-range indicator 4 — accumulations, the
+    * ERA-class archive shape) driver proof: the q149 grid with every
+    * message an accumulation over [ref+P1=0, ref+P2=6·ti]; the CF valid
+    * time is the interval END (P2), landing on exactly q149's 6-hourly
+    * axis. Identical oracle: a reader that decoded P1 as the valid time
+    * would collapse every timestep to 0. */
+  def q181Grib1Accum(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q181"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/synth.grib"
+    val gds = graft.raquet.Grib1Writer.gdsLatLon(240, 100,
+      la1Milli = 83500, lo1Milli = 180750, diMilli = 1500, djMilli = 1500)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try (0 until 3).foreach { ti =>
+      val values = Array.tabulate[Option[Int]](100 * 240) { k =>
+        val p = (k % 240) >> 1
+        if (p % 27 == 0) None else Some((3 * p + 7 * ti) % 251)
+      }
+      fos.write(graft.raquet.Grib1Writer.messageWithGds(gds, 100 * 240,
+        (2000, 1, 1, 0), graft.raquet.Grib2Writer.Plane(6 * ti, values),
+        nbits = 8, timeRange = 4, p1Hours = 0))
+    } finally fos.close()
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Grib1.convert(spark, gribPath, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 0 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6 (JP2 container — the Sentinel-2 band-file format) driver proof:
     * the q175/q82 grid written as a JP2 (signature/ftyp/jp2h boxes, GeoJP2
     * uuid georeferencing, [[graft.raquet.Jpeg2000]] codestream), converted

@@ -296,9 +296,16 @@ object Ccsds {
       val id = br.get(il).toInt
       if (id == 0) {
         if (br.bit() == 1) {
-          // second extension: J/2 γ pairs; on a reference block the first
-          // pair's d1 is the (already read) reference slot and is dropped
-          // — the libaec parity convention
+          // second extension: J/2 γ pairs. On a REFERENCE block the pairing
+          // convention (whether the reference slot occupies the first pair's
+          // d1) has not been verified against a libaec/ecCodes-produced
+          // stream — no foreign encoder is available in this environment —
+          // and our encoder never selects SE there (costSE is MaxValue for
+          // odd-count blocks), so reject loudly rather than risk a silent
+          // mis-decode of real ECMWF 5.42 data.
+          require(skip == 0,
+            s"$where: second-extension on a reference block is unverified " +
+              "against the CCSDS 121.0-B wire convention; refusing to guess")
           var i = s
           var pi = 0
           while (pi < j / 2) {
@@ -312,8 +319,7 @@ object Ccsds {
             val d1 = m - d2
             require(d1 <= xmax && d2 <= xmax,
               s"$where: SE pair ($d1,$d2) exceeds $nbits bits")
-            if (pi == 0 && skip == 1) { mapped(i) = d2; i += 1 }
-            else { mapped(i) = d1; mapped(i + 1) = d2; i += 2 }
+            mapped(i) = d1; mapped(i + 1) = d2; i += 2
             pi += 1
           }
           b += 1

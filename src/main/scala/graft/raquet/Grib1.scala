@@ -102,19 +102,24 @@ object Grib1 {
         val month = u8(pds, 13); val day = u8(pds, 14)
         val hh = u8(pds, 15); val mi = u8(pds, 16)
         val timeUnit = u8(pds, 17)
-        // Time-range indicator (PDS octet 21) governs how octets 19-20 are
-        // read: 0/1 = instantaneous forecast at P1 (one octet); 10 = P1 is a
-        // 16-bit value spanning both octets (required past 255 steps; ECMWF
-        // standard). Averages/accumulations (2-9, 51, 113+) need P2 and an
-        // interval semantic this ingest does not model — fail loudly instead
-        // of silently decoding their P1 as a valid time.
+        // Time-range indicator (PDS octet 21, WMO code table 5) governs how
+        // octets 19-20 are read: 0/1 = instantaneous forecast at P1 (one
+        // octet); 10 = P1 is a 16-bit value spanning both octets (required
+        // past 255 steps; ECMWF standard); 2-5 = interval products (valid
+        // between / average / accumulation / difference over [ref+P1,
+        // ref+P2]) whose CF valid time is the END of the interval, ref+P2 —
+        // the same end-of-interval rule the GRIB2 statistical templates use
+        // (wgrib/GDAL convention; ERA-class archives ship TRI 3/4).
+        // Climatological means (51) and 113+ multi-P averages keep failing
+        // loudly: their valid time needs a repetition model.
         val timeRangeInd = u8(pds, 20)
         val p1 = timeRangeInd match {
           case 0 | 1 => u8(pds, 18)
+          case 2 | 3 | 4 | 5 => u8(pds, 19) // P2: end of interval
           case 10 => u16(pds, 18)
           case other => throw new IllegalArgumentException(
             s"$path: PDS time-range indicator $other unsupported " +
-              "(only instantaneous 0/1 and 16-bit P1 indicator 10)")
+              "(instantaneous 0/1, interval 2-5, 16-bit P1 indicator 10)")
         }
         val century = u8(pds, 24)
         val decScale = s16(pds, 26)

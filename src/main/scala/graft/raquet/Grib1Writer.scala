@@ -183,10 +183,15 @@ object Grib1Writer {
     messageWithGds(gdsLatLon(ni, nj, la1Milli, lo1Milli, diMilli, djMilli),
       ni * nj, refTime, plane, nbits, parameter)
 
-  /** One complete message around a caller-supplied GDS (projected types). */
+  /** One complete message around a caller-supplied GDS (projected types).
+    * `timeRange` is the PDS octet-21 indicator: 0 (instantaneous at P1,
+    * the default) or an interval indicator 2-5 (valid between / average /
+    * accumulation / difference over [ref+P1, ref+P2]) — for those,
+    * `plane.forecastHours` becomes P2 (the interval end, which is the CF
+    * valid time) and P1 is written as `p1Hours`. */
   def messageWithGds(gds: Array[Byte], npts: Int,
       refTime: (Int, Int, Int, Int), plane: Grib2Writer.Plane, nbits: Int,
-      parameter: Int = 11): Array[Byte] = {
+      parameter: Int = 11, timeRange: Int = 0, p1Hours: Int = 0): Array[Byte] = {
     val (year, month, day, hour) = refTime
     require(plane.values.length == npts,
       s"plane has ${plane.values.length} values for $npts-point grid")
@@ -204,8 +209,15 @@ object Grib1Writer {
       (0x80 | (if (anyMissing) 0x40 else 0)).toByte /*GDS [+BMS] present*/,
       parameter.toByte, 1 /*level type: ground*/) ++ u16(0) ++
       Array[Byte](yearOfCentury.toByte, month.toByte, day.toByte, hour.toByte,
-        0 /*minute*/, 1 /*time unit: hour*/, plane.forecastHours.toByte,
-        0 /*P2*/, 0 /*range indicator: at P1*/) ++ u16(0) ++
+        0 /*minute*/, 1 /*time unit: hour*/) ++
+      (timeRange match {
+        case 0 => Array[Byte](plane.forecastHours.toByte, 0 /*P2*/, 0)
+        case t if t >= 2 && t <= 5 =>
+          Array[Byte](p1Hours.toByte, plane.forecastHours.toByte /*P2*/,
+            t.toByte)
+        case other => throw new IllegalArgumentException(
+          s"time-range indicator $other unsupported by the writer")
+      }) ++ u16(0) ++
       Array[Byte](0 /*missing in avg*/, century.toByte, 0 /*subcentre*/) ++
       s16sm(0 /*decimal scale D*/)
     require(pds.length == 28, s"PDS is ${pds.length} octets")

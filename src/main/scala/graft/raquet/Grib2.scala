@@ -498,26 +498,44 @@ object Grib2 {
 
   /** (parameterCategory, parameterNumber, forecastHours) from PDT 4.x.
     * Octets 10/11 and 18-22 sit at the same place in templates 4.0-4.15.
-    * For the statistical template 4.8 (accumulations/averages) the CF valid
-    * time is the END of the overall interval — octets 35-41 — matching
-    * wgrib2/GDAL; octets 18-22 alone would date an accumulation at its
-    * start, offset by the interval length. 4.9-4.15 place their
-    * end-of-interval octets at template-specific offsets and fail loudly
-    * rather than decode a mis-offset time. */
+    * For the statistical templates (accumulations/averages) the CF valid
+    * time is the END of the overall time interval — matching wgrib2/GDAL;
+    * octets 18-22 alone would date an accumulation at its start, offset by
+    * the interval length. The end-of-interval septet sits at a
+    * template-specific offset: each statistical template appends the
+    * interval block after its instantaneous counterpart's fields —
+    * 4.8 after 4.0 (34 octets → end at 35-41), 4.9 after the probability
+    * block of 4.5 (47 → 48-54), 4.10 after the percentile octet of 4.6
+    * (35 → 36-42), 4.11 after the ensemble triplet of 4.1 (37 → 38-44),
+    * 4.12 after the derived pair of 4.2 (36 → 37-43). 4.15 is spatial
+    * statistics at a POINT in time (no interval; plain octets 18-22).
+    * Cluster products 4.13/4.14 fail loudly rather than decode a
+    * mis-offset time. */
   private def parseProduct(sec4: Array[Byte], refTimeMillis: Long,
       where: String): (Int, Int, Double) = {
     require(sec4.length >= 22, s"$where: truncated product definition section")
     val tmpl = u16(sec4, 7)
-    require(tmpl <= 8,
+    require(tmpl <= 12 || tmpl == 15,
       s"$where: product definition template 4.$tmpl unsupported " +
-        "(instantaneous 4.0-4.7 and statistical 4.8 only)")
+        "(instantaneous 4.0-4.7/4.15, statistical 4.8-4.12)")
     val cat = u8(sec4, 9)
     val num = u8(sec4, 10)
-    val hours = if (tmpl == 8) {
-      require(sec4.length >= 41,
-        s"$where: statistical template 4.8 truncated before end-of-interval")
-      val endMillis = utcMillis(u16(sec4, 34), u8(sec4, 36), u8(sec4, 37),
-        u8(sec4, 38), u8(sec4, 39), u8(sec4, 40), where)
+    // 0-based offset of the interval-end year field, per template
+    val endOff = tmpl match {
+      case 8 => 34
+      case 9 => 47
+      case 10 => 35
+      case 11 => 37
+      case 12 => 36
+      case _ => -1
+    }
+    val hours = if (endOff >= 0) {
+      require(sec4.length >= endOff + 7,
+        s"$where: statistical template 4.$tmpl truncated before " +
+          "end-of-interval")
+      val endMillis = utcMillis(u16(sec4, endOff), u8(sec4, endOff + 2),
+        u8(sec4, endOff + 3), u8(sec4, endOff + 4), u8(sec4, endOff + 5),
+        u8(sec4, endOff + 6), where)
       (endMillis - refTimeMillis) / 3600000.0
     } else {
       val unitCode = u8(sec4, 17)

@@ -61,7 +61,7 @@ object Grib2Writer {
   /** Write a GRIB2 file. Coordinates are counts of `basicAngle/subdiv`
     * degrees; `la1/lo1` locate the FIRST grid point (center, scan mode
     * 0x00: W→E then N→S). `packing`: "simple" | "complex" | "complex_sd2"
-    * | "ieee" | "png" | "jpeg2000". */
+    * | "ieee" | "png" | "jpeg2000" | "ccsds". */
   def write(path: String, ni: Int, nj: Int,
       basicAngle: Int, subdiv: Int,
       la1: Long, lo1: Long, di: Long, dj: Long,
@@ -230,7 +230,8 @@ object Grib2Writer {
   def messageWithSec3(sec3: Array[Byte], refTime: (Int, Int, Int, Int),
       plane: Plane, nbits: Int, packing: String, discipline: Int,
       paramCategory: Int, paramNumber: Int,
-      statEndOfInterval: Option[(Int, Int, Int, Int)] = None): Array[Byte] = {
+      statEndOfInterval: Option[(Int, Int, Int, Int)] = None,
+      statTemplate: Int = 8): Array[Byte] = {
     val (year, month, day, hour) = refTime
     val sec1 = section(1, u16(7) ++ u16(0) ++ Array[Byte](2, 1, 1) ++
       u16(year) ++ Array[Byte](month.toByte, day.toByte, hour.toByte, 0, 0,
@@ -248,13 +249,32 @@ object Grib2Writer {
     val sec4 = statEndOfInterval match {
       case None => section(4, u16(0) ++ u16(0 /*template 4.0*/) ++ sec4common)
       case Some((ey, em, ed, eh)) =>
-        section(4, u16(0) ++ u16(8 /*template 4.8*/) ++ sec4common ++
+        // Each statistical template 4.8-4.12 appends the interval block
+        // after its instantaneous counterpart's trailing fields; `mid` is
+        // that counterpart-specific insert (empty for 4.8, probability
+        // block for 4.9, percentile for 4.10, ensemble triplet for 4.11,
+        // derived pair for 4.12).
+        val mid: Array[Byte] = statTemplate match {
+          case 8 => Array.empty
+          case 9 => Array[Byte](1 /*35 prob number*/, 2 /*36 total*/,
+            3 /*37 type: above lower limit*/, 0 /*38 lower scale*/) ++
+            u32(0 /*39-42 lower value*/) ++ Array[Byte](0 /*43 upper scale*/) ++
+            u32(100 /*44-47 upper value*/)
+          case 10 => Array[Byte](90 /*35: percentile value*/)
+          case 11 => Array[Byte](3 /*35 ensemble type*/,
+            4 /*36 perturbation number*/, 20 /*37 members*/)
+          case 12 => Array[Byte](0 /*35 derivation: ensemble mean*/,
+            20 /*36 members*/)
+          case other => throw new IllegalArgumentException(
+            s"statistical template 4.$other unsupported by the writer")
+        }
+        section(4, u16(0) ++ u16(statTemplate) ++ sec4common ++ mid ++
           u16(ey) ++ Array[Byte](em.toByte, ed.toByte, eh.toByte, 0, 0,
-            1 /*42: one time range*/) ++ u32(0 /*43-46: missing in stat*/) ++
-          Array[Byte](1 /*47: statistical process — accumulation*/,
-            2 /*48: successive times, same forecast time*/,
-            1 /*49: range unit — hour*/) ++ u32(0 /*50-53: range length*/) ++
-          Array[Byte](1 /*54: increment unit*/) ++ u32(0 /*55-58: increment*/))
+            1 /*one time range*/) ++ u32(0 /*missing in stat*/) ++
+          Array[Byte](1 /*statistical process — accumulation*/,
+            2 /*successive times, same forecast time*/,
+            1 /*range unit — hour*/) ++ u32(0 /*range length*/) ++
+          Array[Byte](1 /*increment unit*/) ++ u32(0 /*increment*/))
     }
 
     val present = plane.values.map(_.isDefined)

@@ -889,6 +889,7 @@ object Jpeg2000 {
     var progression = 0
     var useSop = false; var useEph = false
     var guard = 0
+    var qcdExps: Array[Int] = null // eps_b per sub-band, codestream order
     var haveSiz = false; var haveCod = false; var haveQcd = false
     var tileDataOff = -1; var tileDataEnd = -1
 
@@ -966,6 +967,12 @@ object Jpeg2000 {
             s"$where: quantization style ${sqcd & 0x1F} unsupported " +
               "(reversible no-quantization only)")
           guard = (sqcd >>> 5) & 7
+          // For the no-quantization style each sub-band carries one SPqcd
+          // byte whose top 5 bits are the exponent eps_b (Table A.30).
+          // Mb derives from the SIGNALED exponent, not from an assumed
+          // depth+gain: a conforming encoder may choose different eps_b
+          // and the samples would otherwise come out scaled by 2^delta.
+          qcdExps = Array.tabulate(l - 3)(i => (cs(p + 3 + i) & 0xFF) >>> 3)
           haveQcd = true
           p += l
         case 0xFF90 => // SOT
@@ -1087,10 +1094,15 @@ object Jpeg2000 {
     }
 
     // T1-decode every included block into its band plane
+    require(qcdExps.length == bands.length,
+      s"$where: QCD signals ${qcdExps.length} sub-band exponents, " +
+        s"expected ${bands.length} for $effLevels decomposition levels")
     var bandIdx = 0
     for (bd <- bands) {
-      val gain = bandGain(bd.band)
-      val mb = guard + (depth + gain) - 1
+      // Mb = G + eps_b - 1 (Equation E-2) with the exponent the encoder
+      // actually wrote; Jasper/OpenJPEG write depth+gain but any value
+      // is conforming and changes the magnitude-bitplane count.
+      val mb = guard + qcdExps(bandIdx) - 1
       require(mb >= 0 && mb <= 31, s"$where: $mb magnitude bitplanes")
       for (blk <- bd.blocks if blk.included && blk.npasses > 0) {
         val np2 = mb - blk.zbp
@@ -1168,11 +1180,16 @@ object Jpeg2000 {
     * (after the DC shift), reversible 5/3, one tile/component/layer, LRCP,
     * 64×64 code blocks, `levels` decompositions, 2 guard bits. */
   def encode(samples: Array[Int], w: Int, h: Int, depth: Int,
-      levels: Int = 5): Array[Byte] = {
+      levels: Int = 5, expBias: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad image ${w}x$h for ${samples.length} samples")
     require(depth >= 1 && depth <= 26, s"depth $depth unsupported (1-26)")
     require(levels >= 0 && levels <= 32, s"levels $levels")
+    // expBias widens every signaled QCD exponent (eps_b = depth+gain+bias),
+    // still conforming: Mb grows and the zero-bitplane tag trees absorb the
+    // extra empty planes. Used by specs to pin decoders to the SIGNALED
+    // exponent rather than the Jasper/OpenJPEG depth+gain convention.
+    require(expBias >= 0 && expBias <= 4, s"expBias $expBias")
     val lim = 1 << math.min(depth, 30)
     var k = 0
     while (k < samples.length) {
@@ -1266,7 +1283,7 @@ object Jpeg2000 {
       val nbx = if (bd.bw == 0) 0 else (bd.bw + cbw - 1) / cbw
       val nby = if (bd.bh == 0) 0 else (bd.bh + cbh - 1) / cbh
       val gain = bandGain(bd.band)
-      val mb = guard + (depth + gain) - 1
+      val mb = guard + (depth + gain + expBias) - 1
       val blks = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
         val x0 = bx * cbw; val y0 = by * cbh
         val bw2 = math.min(cbw, bd.bw - x0); val bh2 = math.min(cbh, bd.bh - y0)
@@ -1360,12 +1377,12 @@ object Jpeg2000 {
     out.write(w16(3 + nsb))
     out.write(guard << 5) // Sqcd: no quantization, 2 guard bits
     // exponents in codestream band order
-    out.write((depth + bandGain(BAND_LL)) << 3)
+    out.write((depth + bandGain(BAND_LL) + expBias) << 3)
     var dd = effLevels
     while (dd >= 1) {
-      out.write((depth + bandGain(BAND_HL)) << 3)
-      out.write((depth + bandGain(BAND_LH)) << 3)
-      out.write((depth + bandGain(BAND_HH)) << 3)
+      out.write((depth + bandGain(BAND_HL) + expBias) << 3)
+      out.write((depth + bandGain(BAND_LH) + expBias) << 3)
+      out.write((depth + bandGain(BAND_HH) + expBias) << 3)
       dd -= 1
     }
     val tileBody = body.toByteArray

@@ -80,6 +80,19 @@ class CcsdsSpec extends AnyFunSuite {
     roundTrip(xs2, 16, 32, 64)
   }
 
+  test("second extension on a REFERENCE block is rejected loudly") {
+    // The pairing convention when the reference sample shares a block with
+    // SE data is unverified against libaec (no foreign encoder available);
+    // our encoder never emits it. A hand-built stream that selects it must
+    // fail loudly, not decode to guessed values. Bits for nbits=8, J=8,
+    // rsi=1, preprocess: ref=0x55 (8b), id=000 (3b), SE flag=1 → 0x55 0x10.
+    val e = intercept[IllegalArgumentException] {
+      Ccsds.decode(Array[Byte](0x55, 0x10), 8, 8, Ccsds.FlagPreprocess, 8, 1,
+        "t")
+    }
+    assert(e.getMessage.contains("reference block"), e.getMessage)
+  }
+
   test("no-preprocess mode codes raw samples") {
     for (nbits <- Seq(4, 8, 16)) {
       roundTrip(rnd(7 * nbits, 500, nbits), nbits, 16, 128, preprocess = false)

@@ -234,10 +234,19 @@ class Grib1Spec extends AnyFunSuite {
       m(8 + 18) = 0x01; m(8 + 19) = 0x2C; m(8 + 20) = 10
     }
     assert(Grib1.describe(p10).timeValues.toSeq == Seq(300.0))
-    // an average (indicator 3) must fail loudly, not decode P1 as valid time
-    val p3 = patched("tri3")(m => m(8 + 20) = 3)
-    val e = intercept[IllegalArgumentException] { Grib1.describe(p3) }
-    assert(e.getMessage.contains("time-range indicator 3"))
+    // interval indicators 2-5 (valid-between/average/accumulation/
+    // difference over [ref+P1, ref+P2]): valid time is the END, ref+P2 —
+    // the GRIB2 statistical end-of-interval rule (ERA-class archives)
+    for (tri <- 2 to 5) {
+      val pI = patched(s"tri$tri") { m =>
+        m(8 + 18) = 6 /*P1*/; m(8 + 19) = 30 /*P2*/; m(8 + 20) = tri.toByte
+      }
+      assert(Grib1.describe(pI).timeValues.toSeq == Seq(30.0), s"TRI $tri")
+    }
+    // a climatological mean (51) still fails loudly: repetition semantics
+    val p51 = patched("tri51")(m => m(8 + 20) = 51)
+    val e = intercept[IllegalArgumentException] { Grib1.describe(p51) }
+    assert(e.getMessage.contains("time-range indicator 51"))
   }
 
   test("unsupported edition-1 shapes fail loudly") {

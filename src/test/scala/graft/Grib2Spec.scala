@@ -256,34 +256,43 @@ class Grib2Spec extends AnyFunSuite {
       assert(s.sample(0, i, j) == want(j * 4 + i), s"($i,$j)")
   }
 
-  test("statistical PDT 4.8 dates at the END of the interval; 4.9+ fail loudly") {
+  test("statistical PDTs 4.8-4.12 date at the END of the interval; clusters fail loudly") {
     val (ni, nj) = (4, 2)
     val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k))
     val sec3 = Grib2Writer.sec3LatLon(ni, nj, basicAngle = 1, subdiv = 16,
       la1 = (1.53125 * 16).round, lo1 = (0.03125 * 16).round, di = 1, dj = 1)
     // reference 2024-03-15 00Z, forecast offset P1 = +6h, but the
     // accumulation interval ENDS at 2024-03-16 06Z (+30h): wgrib2/GDAL
-    // (and CF) date the field at the interval end, not at P1
-    val msg = Grib2Writer.messageWithSec3(sec3, (2024, 3, 15, 0),
+    // (and CF) date the field at the interval end, not at P1. Each
+    // statistical template shifts that septet by its own mid-block
+    // (probability / percentile / ensemble / derived) — all must resolve
+    // to the same +30h.
+    for (tmpl <- Seq(8, 9, 10, 11, 12)) {
+      val msg = Grib2Writer.messageWithSec3(sec3, (2024, 3, 15, 0),
+        Plane(6, vals), nbits = 8, packing = "simple", 0, 0, 0,
+        statEndOfInterval = Some((2024, 3, 16, 6)), statTemplate = tmpl)
+      val p = tmpFile(s"pdt4$tmpl")
+      val out = new java.io.FileOutputStream(p)
+      try out.write(msg) finally out.close()
+      val g = Grib2.describe(p)
+      assert(g.timeValues.toSeq == Seq(30.0), s"template 4.$tmpl")
+      // the template number really is on the wire (not writer-normalized)
+      val sec4Off = 16 + 21 + sec3.length
+      assert(((msg(sec4Off + 7) & 0xFF) << 8 | (msg(sec4Off + 8) & 0xFF)) == tmpl)
+    }
+    // cluster templates 4.13/4.14 have yet-different offsets — must
+    // reject, not decode a mis-offset time
+    val msg8 = Grib2Writer.messageWithSec3(sec3, (2024, 3, 15, 0),
       Plane(6, vals), nbits = 8, packing = "simple", 0, 0, 0,
       statEndOfInterval = Some((2024, 3, 16, 6)))
-    val p = tmpFile("pdt48")
-    val out = new java.io.FileOutputStream(p)
-    try out.write(msg) finally out.close()
-    val g = Grib2.describe(p)
-    assert(g.timeValues.toSeq == Seq(30.0))
-    // template 4.9 (probability in interval) has template-specific
-    // end-of-interval offsets — must reject, not decode a mis-offset time
-    val bad = msg.clone()
-    // sec4 template number u16 sits at sec4 offset 7-8; sec4 follows
-    // sec0 (16) + sec1 (21) + sec3
+    val bad = msg8.clone()
     val sec4Off = 16 + 21 + sec3.length
-    bad(sec4Off + 8) = 9
-    val pb = tmpFile("pdt49")
+    bad(sec4Off + 8) = 13
+    val pb = tmpFile("pdt413")
     val ob = new java.io.FileOutputStream(pb)
     try ob.write(bad) finally ob.close()
     val e = intercept[IllegalArgumentException] { Grib2.describe(pb) }
-    assert(e.getMessage.contains("template 4.9"))
+    assert(e.getMessage.contains("template 4.13"))
   }
 
   test("template 3.30 Lambert conformal grids georeference through the LCC projection") {

@@ -149,6 +149,39 @@ class Jp2kSpec extends AnyFunSuite {
     }
   }
 
+  test("decoder honors the SIGNALED QCD exponents, not depth+gain") {
+    // A conforming encoder may write eps_b larger than depth+gain (Mb grows,
+    // the zero-bitplane trees absorb the empty planes). A decoder that
+    // assumes eps_b = depth+gain instead of reading SPqcd decodes every
+    // sample scaled by 2^bias — silently. expBias re-encodes with widened
+    // exponents; decode must stay bit-exact.
+    val (w, h) = (67, 53)
+    val xs = rnd(23, w * h, 10)
+    for (bias <- 1 to 3) {
+      val cs = Jpeg2000.encode(xs, w, h, 10, 4, expBias = bias)
+      // the signaled LL exponent really is depth+bias, not depth
+      val qcdAt = 2 + 2 + 41 + 2 + 12
+      assert(((cs(qcdAt + 5) & 0xFF) >>> 3) == 10 + bias,
+        "biased LL exponent signaled")
+      val d = Jpeg2000.decode(cs, s"expbias$bias")
+      assert(d.xs.sameElements(xs), s"bias $bias mis-scaled the samples")
+    }
+  }
+
+  test("QCD with the wrong sub-band exponent count is rejected") {
+    val xs = rnd(29, 16 * 16, 8)
+    val good = Jpeg2000.encode(xs, 16, 16, 8, 2)
+    // COD declares 2 levels => 7 sub-bands; shrink Lqcd so only 5 SPqcd
+    // bytes are in scope (bytes remain in-stream; parser must balk at use)
+    val qcdAt = 2 + 2 + 41 + 2 + 12
+    val m = good.clone()
+    m(qcdAt + 3) = (3 + 5).toByte
+    // re-park the two orphaned exponent bytes as a COM so markers re-align
+    val e = intercept[IllegalArgumentException] { Jpeg2000.decode(m, "t") }
+    assert(e.getMessage.contains("exponent") ||
+      e.getMessage.contains("marker"), e.getMessage)
+  }
+
   test("encoded size is entropy-plausible, not an escape to raw") {
     // 16-bit noise is incompressible: size must stay within ~1.35x raw.
     val (w, h) = (128, 128)
