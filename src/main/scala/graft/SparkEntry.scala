@@ -200,6 +200,8 @@ object SparkEntry {
     "q179_jp2_ingest"       -> (RaquetQueries.q179Jp2Ingest _),
     "q180_grib_stat_ensemble" -> (RaquetQueries.q180GribStatEnsemble _),
     "q181_grib1_accum"      -> (RaquetQueries.q181Grib1Accum _),
+    "q182_jp2_rgb"          -> (RaquetQueries.q182Jp2Rgb _),
+    "q183_jp2_granule"      -> (RaquetQueries.q183Jp2Granule _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -434,6 +436,11 @@ object SparkEntry {
     // q181 is the q149 grid as edition-1 TRI-4 accumulations (valid at
     // ref+P2) — same axis, same oracle
     "q181_grib1_accum"      -> RaquetOracles.q149,
+    // q182 ingests a 3-component RCT JP2 (Sentinel-2 TCI shape); q183
+    // stacks three single-band JP2s via the granule workflow — both must
+    // land on the same closed-form per-band statistics
+    "q182_jp2_rgb"          -> RaquetOracles.q182,
+    "q183_jp2_granule"      -> RaquetOracles.q182,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1452,6 +1452,59 @@ object RaquetOracles {
         FROM joined"""
   }
 
+  /** q182/q183 RGB-JP2 oracle: the q82 closed form with a band dimension —
+    * band c's pair value is (3p + 101(c−1)) % 251, NULL at the p%27 nodata
+    * pairs. Shared by the single-file 3-component convert (q182, RCT
+    * codestream) and the granule band-stack (q183, three 1-component
+    * files): both must land on identical per-band statistics. */
+  val q182: String = {
+    val lat = "degrees(atan((exp(pi()*(1 - 2*tf)) - exp(-pi()*(1 - 2*tf)))/2))"
+    s"""WITH z1rows AS (
+          SELECT r, floor((84.375 - $lat) / 0.703125) BETWEEN 0 AND 239 AS ok
+          FROM (SELECT r, (CAST(r AS DOUBLE) + 0.5) / 512 AS tf
+                FROM range(512) t(r)) s),
+        rowsv AS (
+          SELECT 1 AS z, CAST(r // 256 AS INT) AS ty, count(*) AS nrows
+          FROM z1rows WHERE ok GROUP BY 2
+          UNION ALL
+          SELECT 0, 0, count(*) FROM (
+            SELECT r // 2 AS j, bool_or(ok) AS anyok FROM z1rows GROUP BY 1)
+          WHERE anyok),
+        cols AS (
+          SELECT 1 AS z, tx, tx*128 + k AS p, 2 AS mult
+            FROM (VALUES (0), (1)) x(tx), range(128) r(k)
+          UNION ALL
+          SELECT 0, 0, k, 1 FROM range(256) r(k)),
+        vals AS (
+          SELECT z, tx, c, mult,
+            CASE WHEN p % 27 = 0 THEN NULL
+                 ELSE CAST((3*p + 101*(c-1)) % 251 AS DOUBLE) END AS v
+          FROM cols, (VALUES (1), (2), (3)) b(c)),
+        colagg AS (
+          SELECT z, tx, c,
+            coalesce(sum(CASE WHEN v IS NOT NULL THEN mult END), 0) AS ncols,
+            sum(v * mult) AS colsum, min(v) AS vmin, max(v) AS vmax
+          FROM vals GROUP BY z, tx, c),
+        tiles AS (
+          SELECT z, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty
+          FROM (VALUES (1,0,0), (1,1,0), (1,0,1), (1,1,1), (0,0,0)) v(z, tx, ty)),
+        joined AS (
+          SELECT t.z, t.tx, t.ty, c.c, r.nrows, c.ncols, c.colsum, c.vmin,
+            c.vmax
+          FROM tiles t
+          JOIN rowsv r ON r.z = t.z AND r.ty = t.ty
+          JOIN colagg c ON c.z = t.z AND c.tx = t.tx)
+        SELECT
+          CASE z WHEN 1 THEN ${cellExpr("tx", "ty", 1)}
+                 ELSE ${cellExpr("tx", "ty", 0)} END AS block,
+          CAST(z AS BIGINT) AS zoom, CAST(c AS BIGINT) AS band,
+          CAST(nrows * ncols AS BIGINT) AS n_px,
+          CAST(vmin AS BIGINT) AS px_min, CAST(vmax AS BIGINT) AS px_max,
+          CAST(nrows * colsum AS BIGINT) AS px_sum,
+          CAST(nrows * colsum AS BIGINT) AS dec_sum
+        FROM joined"""
+  }
+
   /** q86 JPEG-in-TIFF oracle: per-block per-band stats of the pixels an
     * independent whole-stream decode produced for the committed fixture
     * (golden parquet written by `GenJpegTiffFixture` OUTSIDE the direct

@@ -1634,6 +1634,73 @@ object RaquetQueries {
   def q178GribCcsds(spark: SparkSession, dir: String): DataFrame =
     gribIngest(spark, "ccsds", "q178")
 
+  private def jp2RgbMelt(spark: SparkSession, out: String): DataFrame = {
+    val ds = RaquetIO.read(spark, out)
+    (1 to 3).map { c =>
+      ds.data.select(col("block"),
+        quadbin_zoom(col("block")).cast("long").as("zoom"),
+        lit(c.toLong).as("band"),
+        col(s"band_${c}_count").as("n_px"),
+        col(s"band_${c}_min").cast("long").as("px_min"),
+        col(s"band_${c}_max").cast("long").as("px_max"),
+        col(s"band_${c}_sum").cast("long").as("px_sum"),
+        rq_summary_stats(col(s"band_$c"), ds.meta, s"band_$c")
+          .getField("sum").cast("long").as("dec_sum"))
+    }.reduce(_ unionAll _)
+  }
+
+  private val Jp2GeoKeys =
+    Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+
+  private def jp2RgbPlane(c: Int): Array[Int] =
+    Array.tabulate(512 * 240) { k =>
+      val p = (k % 512) >> 1
+      if (p % 27 == 0) 255 else (3 * p + 101 * c) % 251
+    }
+
+  /** S6 (3-component JP2 with the reversible color transform — the
+    * Sentinel-2 TCI preview shape) driver proof: an RGB codestream (RCT,
+    * shared QCD with the widened chroma exponents) through the container
+    * parse, multi-component decode, inverse RCT, and the 3-band distributed
+    * convert; per-band stats against the closed-form [[RaquetOracles.q182]]
+    * — the color transform must not change one value in any band. */
+  def q182Jp2Rgb(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q182"
+    new java.io.File(tmp).mkdirs()
+    val jp2 = s"$tmp/tci.jp2"
+    graft.raquet.Jp2.writeMulti(jp2, Array.tabulate(3)(jp2RgbPlane),
+      512, 240, depth = 8, pixelSize = 0.703125,
+      originX = -180.0, originY = 84.375, geoKeys = Jp2GeoKeys, rct = true)
+    val out = s"$tmp/tci.parquet"
+    val meta = graft.raquet.Jp2.convert(spark, jp2, out,
+      tileStats = true, overviews = "auto", nodata = Some(255.0))
+    require(meta.bands.size == 3, s"expected 3 bands, got ${meta.bands.size}")
+    jp2RgbMelt(spark, out)
+  }
+
+  /** S6/M7 (Sentinel-2 granule workflow) driver proof: three single-band
+    * JP2s on one grid → [[graft.raquet.Jp2.convertGranule]] — per-FILE
+    * decode on executors (no driver funnel), the distributed convert per
+    * band, then the J2 block equi-join band stack into ONE multi-band
+    * raquet. Identical oracle to q182: the granule path and the
+    * 3-component path must produce byte-identical per-band statistics. */
+  def q183Jp2Granule(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q183"
+    new java.io.File(tmp).mkdirs()
+    val paths = (0 until 3).map { c =>
+      val p = s"$tmp/band_B0${c + 2}.jp2"
+      graft.raquet.Jp2.write(p, jp2RgbPlane(c), 512, 240, depth = 8,
+        pixelSize = 0.703125, originX = -180.0, originY = 84.375,
+        geoKeys = Jp2GeoKeys)
+      p
+    }
+    val out = s"$tmp/granule.parquet"
+    val meta = graft.raquet.Jp2.convertGranule(spark, paths, out,
+      tileStats = true, overviews = "auto", nodata = Some(255.0))
+    require(meta.bands.size == 3, s"expected 3 bands, got ${meta.bands.size}")
+    jp2RgbMelt(spark, out)
+  }
+
   /** S6 (GRIB2 statistical PDT 4.11 — ensemble-member accumulations, the
     * ECMWF/NCEP ensemble-archive shape) driver proof: the q147 grid with
     * every message a template-4.11 statistical product whose octet-18-22

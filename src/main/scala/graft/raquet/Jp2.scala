@@ -64,7 +64,8 @@ object Jp2 {
     out.result()
   }
 
-  final case class Jp2Image(w: Int, h: Int, codestream: Array[Byte],
+  final case class Jp2Image(w: Int, h: Int, nc: Int,
+      codestream: Array[Byte],
       pixelSize: Double, originX: Double, originY: Double,
       geoKeys: Seq[Int], geoDoubles: Seq[Double])
 
@@ -95,8 +96,9 @@ object Jp2 {
     val iw = u32(bytes, ihdr.off.toInt + 4)
     val nc = ((bytes(ihdr.off.toInt + 8) & 0xFF) << 8) |
       (bytes(ihdr.off.toInt + 9) & 0xFF)
-    require(nc == 1,
-      s"$path: $nc-component JP2 unsupported (grayscale band files only)")
+    require(nc >= 1 && nc <= 3,
+      s"$path: $nc-component JP2 unsupported (grayscale band files and " +
+        "3-component TCI previews only)")
 
     val jp2c = top.find(_.tbox == "jp2c").getOrElse(
       throw new IllegalArgumentException(s"$path: no jp2c codestream box"))
@@ -118,7 +120,8 @@ object Jp2 {
 
     require(iw >= 1 && ih >= 1 && iw * ih <= (1L << 26),
       s"$path: implausible ihdr dims ${iw}x$ih")
-    Jp2Image(iw.toInt, ih.toInt, cs, scale(0), originX, originY, keys, dbls)
+    Jp2Image(iw.toInt, ih.toInt, nc, cs, scale(0), originX, originY, keys,
+      dbls)
   }
 
   /** Minimal classic-TIFF tag parse (both byte orders) for the four GeoJP2
@@ -182,8 +185,10 @@ object Jp2 {
   }
 
   /** Transcode into a strip GeoTIFF carrying the GeoJP2 key directory
-    * verbatim; O(image) memory on the driver, bounded per file (the
-    * AAIGrid/SRTM shape — a 100 TB corpus is a parallel map over files). */
+    * verbatim (all components, chunky-interleaved); O(image) memory in
+    * WHICHEVER process runs it — the archive path runs one per executor
+    * task via [[transcodeFiles]], never funneling decodes through the
+    * driver. */
   def toTiff(jp2Path: String, tifPath: String, rowsPerStrip: Int = 64,
       nodata: Option[Double] = None): Jp2Image = {
     val img = read(jp2Path)
@@ -192,33 +197,43 @@ object Jp2 {
     require(dec.w == img.w && dec.h == img.h,
       s"$jp2Path: ihdr ${img.w}x${img.h} disagrees with codestream " +
         s"${dec.w}x${dec.h}")
+    require(dec.ncomp == img.nc,
+      s"$jp2Path: ihdr declares ${img.nc} components, codestream has " +
+        s"${dec.ncomp}")
+    val nb = dec.ncomp
     val dtype =
       if (dec.depth <= 8) "uint8" else if (dec.depth <= 16) "uint16" else "uint32"
     val bpp = PixelCodec.bytesPerPixel(dtype)
     val strips = (0 until img.h by rowsPerStrip).iterator.map { y0 =>
       val rows = math.min(rowsPerStrip, img.h - y0)
-      val out = ByteBuffer.allocate(rows * img.w * bpp)
+      val out = ByteBuffer.allocate(rows * img.w * nb * bpp)
         .order(ByteOrder.LITTLE_ENDIAN)
       var k = y0 * img.w
       val end = (y0 + rows) * img.w
       while (k < end) {
-        dtype match {
-          case "uint8" => out.put(dec.xs(k).toByte)
-          case "uint16" => out.putShort(dec.xs(k).toShort)
-          case _ => out.putInt(dec.xs(k))
+        var c = 0
+        while (c < nb) {
+          dtype match {
+            case "uint8" => out.put(dec.comps(c)(k).toByte)
+            case "uint16" => out.putShort(dec.comps(c)(k).toShort)
+            case _ => out.putInt(dec.comps(c)(k))
+          }
+          c += 1
         }
         k += 1
       }
       out.array()
     }
-    TiffWriter.writeStrips(tifPath, img.w, img.h, dtype, 1,
+    TiffWriter.writeStrips(tifPath, img.w, img.h, dtype, nb,
       pixelSize = img.pixelSize, originX = img.originX, originY = img.originY,
       nodata = nodata, rowsPerStrip = rowsPerStrip, strips = strips,
       geoKeysOverride = Some((img.geoKeys, img.geoDoubles)))
     img
   }
 
-  /** JP2 → raquet: transcode + the distributed TIFF convert. */
+  /** JP2 → raquet: transcode + the distributed TIFF convert. One file —
+    * archives go through [[convertGranule]], which keeps every decode on
+    * an executor. */
   def convert(spark: org.apache.spark.sql.SparkSession, jp2Path: String,
       outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
@@ -232,14 +247,105 @@ object Jp2 {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  /** Distributed per-FILE JP2→TIFF transcode (the reference's M7 worker
+    * pattern, `raquet/raster2raquet.py:1194-1294`): each executor task
+    * decodes one codestream — the CPU-heavy step for a Sentinel-2 archive
+    * of thousands of granule bands — and writes `<workDir>/<stem>.tif`.
+    * `workDir` must be storage every executor can write and later tasks
+    * can read (local disk on local[n], shared storage on a cluster).
+    * Returns the TIFF paths in input order. */
+  def transcodeFiles(spark: org.apache.spark.sql.SparkSession,
+      jp2Paths: Seq[String], workDir: String,
+      nodata: Option[Double] = None): Seq[String] = {
+    require(jp2Paths.nonEmpty, "no JP2 inputs")
+    new java.io.File(workDir).mkdirs()
+    val pairs = jp2Paths.map { p =>
+      val stem = new java.io.File(p).getName.replaceAll("\\.[^.]+$", "")
+      (p, s"$workDir/$stem.tif")
+    }
+    require(pairs.map(_._2).distinct.size == pairs.size,
+      s"duplicate JP2 stems collide in $workDir")
+    spark.sparkContext
+      .parallelize(pairs, math.min(pairs.size, 64))
+      .foreach { case (src, dst) => toTiff(src, dst, nodata = nodata) }
+    pairs.map(_._2)
+  }
+
+  /** Sentinel-2 granule workflow: N single-band JP2s (one per spectral
+    * band, same grid) → ONE multi-band raquet dataset. Stage 1 transcodes
+    * every file in parallel on executors ([[transcodeFiles]]); stage 2
+    * runs the distributed convert per band; stage 3 stacks the bands with
+    * a J2 block equi-join (shuffle on the Morton key only) and rewrites
+    * the sorted sink with merged per-band metadata. */
+  def convertGranule(spark: org.apache.spark.sql.SparkSession,
+      jp2Paths: Seq[String], outFile: String, blockZoom: Int = 8,
+      zoomStrategy: String = "auto", tileStats: Boolean = false,
+      resampling: String = "near", overviews: String = "auto",
+      nodata: Option[Double] = None): RaquetMetadata = {
+    import org.apache.spark.sql.functions.col
+    require(jp2Paths.nonEmpty, "no JP2 inputs")
+    val work = java.nio.file.Files.createTempDirectory("jp2granule").toString
+    try {
+      val tifs = transcodeFiles(spark, jp2Paths, s"$work/tif", nodata)
+      val parts = tifs.zipWithIndex.map { case (tif, i) =>
+        val dir = s"$work/band_${i + 1}.parquet"
+        val m = GeoTiff.convert(spark, tif, dir, blockZoom = blockZoom,
+          zoomStrategy = zoomStrategy, tileStats = tileStats,
+          resampling = resampling, overviews = overviews)
+        require(m.bands.size == 1,
+          s"granule band file ${jp2Paths(i)} has ${m.bands.size} bands")
+        (dir, m)
+      }
+      val meta0 = parts.head._2
+      parts.foreach { case (_, m) =>
+        require(m.minZoom == meta0.minZoom && m.maxZoom == meta0.maxZoom &&
+          m.numBlocks == meta0.numBlocks &&
+          m.bounds.sameElements(meta0.bounds),
+          "granule bands disagree on the tile grid — not one granule?")
+      }
+      val stacked = parts.zipWithIndex.map { case ((dir, _), i) =>
+        val ds = RaquetIO.read(spark, dir)
+        val renames = ds.data.columns.collect {
+          case c if c.startsWith("band_1") =>
+            c -> c.replaceFirst("band_1", s"band_${i + 1}")
+        }
+        val renamed = renames.foldLeft(ds.data) { case (df, (from, to)) =>
+          if (from == to) df else df.withColumnRenamed(from, to)
+        }
+        if (i == 0) renamed else renamed.drop("metadata")
+      }.reduce { (a, b) => a.join(b, "block") }
+      val mergedMeta = meta0.copy(bands = parts.zipWithIndex.map {
+        case ((_, m), i) => m.bands.head.copy(name = s"band_${i + 1}")
+      })
+      RaquetIO.write(stacked, mergedMeta, outFile)
+      mergedMeta
+    } finally {
+      // best-effort scratch cleanup
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   // ---------------------------------------------------------------- write
   /** Fixture/export encoder: assemble a minimal conformant JP2 around a
     * [[Jpeg2000]] codestream with a GeoJP2 uuid box (degenerate 1-pixel
     * GeoTIFF referencing the given key directory). */
   def write(path: String, xs: Array[Int], w: Int, h: Int, depth: Int,
       pixelSize: Double, originX: Double, originY: Double,
-      geoKeys: Seq[Int], geoDoubles: Seq[Double] = Seq.empty): Unit = {
-    val cs = Jpeg2000.encode(xs, w, h, depth)
+      geoKeys: Seq[Int], geoDoubles: Seq[Double] = Seq.empty): Unit =
+    writeMulti(path, Array(xs), w, h, depth, pixelSize, originX, originY,
+      geoKeys, geoDoubles, rct = false)
+
+  /** Multi-component fixture writer (the TCI preview shape: 3 components,
+    * optional reversible color transform). */
+  def writeMulti(path: String, planes: Array[Array[Int]], w: Int, h: Int,
+      depth: Int, pixelSize: Double, originX: Double, originY: Double,
+      geoKeys: Seq[Int], geoDoubles: Seq[Double] = Seq.empty,
+      rct: Boolean = false): Unit = {
+    val cs = Jpeg2000.encodeMulti(planes, w, h, depth, rct = rct)
     val out = new java.io.ByteArrayOutputStream()
     def u32b(v: Long): Array[Byte] = Array(
       ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
@@ -251,11 +357,12 @@ object Jp2 {
     }
     box("jP  ", u32b(0x0D0A870AL))
     box("ftyp", "jp2 ".getBytes ++ u32b(0) ++ "jp2 ".getBytes)
-    val ihdr = u32b(h) ++ u32b(w) ++ Array[Byte](0, 1 /*nc=1*/,
+    val nc = planes.length
+    val ihdr = u32b(h) ++ u32b(w) ++ Array[Byte](0, nc.toByte,
       (depth - 1).toByte /*unsigned*/, 7 /*compression: jpeg2000*/, 0, 0)
     val ihdrBox = u32b(8L + ihdr.length) ++ "ihdr".getBytes ++ ihdr
-    // colr: method 1 (enumerated), greyscale (17)
-    val colr = Array[Byte](1, 0, 0) ++ u32b(17)
+    // colr: method 1 (enumerated), greyscale (17) or sRGB (16)
+    val colr = Array[Byte](1, 0, 0) ++ u32b(if (nc == 3) 16 else 17)
     val colrBox = u32b(8L + colr.length) ++ "colr".getBytes ++ colr
     box("jp2h", ihdrBox ++ colrBox)
     // degenerate 1x1 GeoTIFF with the caller's keys

@@ -7,12 +7,14 @@ import scala.collection.mutable.ArrayBuffer
   * 950-963` reaches them through GDAL's GRIB driver) and the Sentinel-2
   * `.jp2` band-file codestream.
   *
-  * Scope — the subset the GRIB/NWP world actually produces (Jasper via
-  * g2clib, OpenJPEG via ecCodes): raw codestream (SOC..EOC), ONE tile, ONE
-  * component, reversible 5/3 wavelet, no quantization, default code-block
-  * style, LRCP/RLCP progressions, maximal precincts, 1..N quality layers,
-  * optional SOP/EPH. The irreversible 9/7 path, multi-tile, multi-component,
-  * ROI, and user precincts fail loudly.
+  * Scope — the subset the GRIB/NWP and Sentinel worlds actually produce
+  * (Jasper via g2clib, OpenJPEG via ecCodes, Kakadu band/TCI files): raw
+  * codestream (SOC..EOC), ONE tile, 1-3 components at 4:4:4 with equal
+  * depths (optional reversible color transform), reversible 5/3 wavelet,
+  * no quantization, default code-block style, LRCP/RLCP progressions,
+  * maximal precincts, 1..N quality layers, optional SOP/EPH. The
+  * irreversible 9/7 path, multi-tile, subsampled chroma, ROI, and user
+  * precincts fail loudly.
   *
   * Both directions are implemented from the PUBLIC spec's two separate
   * normative flowchart sets (ISO/IEC 15444-1: Annex C MQ coder, Annex D
@@ -876,8 +878,14 @@ object Jpeg2000 {
   }
 
   // ================================================================ decode
+  /** `comps` holds one plane per component (1 for grayscale, 3 for RGB —
+    * RCT already inverted); `xs` is the first plane for the single-band
+    * callers (GRIB 5.40 fields, Sentinel-2 band files). */
   final case class Decoded(w: Int, h: Int, depth: Int, signed: Boolean,
-      xs: Array[Int])
+      comps: Array[Array[Int]]) {
+    def xs: Array[Int] = comps(0)
+    def ncomp: Int = comps.length
+  }
 
   /** Decode a raw JPEG 2000 codestream (SOC..EOC). */
   def decode(cs: Array[Byte], where: String): Decoded = {
@@ -890,6 +898,7 @@ object Jpeg2000 {
     var useSop = false; var useEph = false
     var guard = 0
     var qcdExps: Array[Int] = null // eps_b per sub-band, codestream order
+    var ncomp = 1; var mct = 0
     var haveSiz = false; var haveCod = false; var haveQcd = false
     var tileDataOff = -1; var tileDataEnd = -1
 
@@ -910,22 +919,31 @@ object Jpeg2000 {
           val xo = u32(cs, b + 12); val yo = u32(cs, b + 16)
           val xt = u32(cs, b + 20); val yt = u32(cs, b + 24)
           val xto = u32(cs, b + 28); val yto = u32(cs, b + 32)
-          val ncomp = u16(cs, b + 36)
-          require(ncomp == 1,
-            s"$where: $ncomp-component codestream unsupported (grayscale only)")
+          ncomp = u16(cs, b + 36)
+          require(ncomp >= 1 && ncomp <= 3,
+            s"$where: $ncomp-component codestream unsupported (1-3)")
+          require(l >= 38 + 3 * ncomp, s"$where: SIZ short for $ncomp comps")
           require(xo == 0 && yo == 0 && xto == 0 && yto == 0,
             s"$where: nonzero image/tile offsets unsupported")
           require(xt >= xsiz && yt >= ysiz,
             s"$where: multi-tile codestream unsupported")
           require(xsiz >= 1 && ysiz >= 1 && xsiz * ysiz <= (1L << 26),
             s"$where: implausible image size ${xsiz}x$ysiz")
-          val ssiz = cs(b + 38) & 0xFF
-          signed = (ssiz & 0x80) != 0
-          depth = (ssiz & 0x7F) + 1
+          // all components must share depth/sign and be unsubsampled: the
+          // RGB band files this scope targets (Sentinel-2 TCI) are 4:4:4
+          for (c <- 0 until ncomp) {
+            val ssiz = cs(b + 38 + 3 * c) & 0xFF
+            val sg = (ssiz & 0x80) != 0
+            val dp = (ssiz & 0x7F) + 1
+            if (c == 0) { signed = sg; depth = dp }
+            else require(sg == signed && dp == depth,
+              s"$where: heterogeneous component depths unsupported")
+            require((cs(b + 39 + 3 * c) & 0xFF) == 1 &&
+              (cs(b + 40 + 3 * c) & 0xFF) == 1,
+              s"$where: subsampled component unsupported")
+          }
           require(depth >= 1 && depth <= 26,
             s"$where: $depth-bit samples unsupported (1-26)")
-          require((cs(b + 39) & 0xFF) == 1 && (cs(b + 40) & 0xFF) == 1,
-            s"$where: subsampled component unsupported")
           w = xsiz.toInt; h = ysiz.toInt
           haveSiz = true
           p += l
@@ -943,8 +961,9 @@ object Jpeg2000 {
             s"$where: progression order $progression unsupported (LRCP/RLCP)")
           layers = u16(cs, b + 4)
           require(layers >= 1 && layers <= 64, s"$where: $layers layers")
-          require((cs(b + 6) & 0xFF) == 0,
-            s"$where: multi-component transform on grayscale")
+          mct = cs(b + 6) & 0xFF
+          require(mct == 0 || mct == 1,
+            s"$where: multi-component transform code $mct unsupported")
           levels = cs(b + 7) & 0xFF
           require(levels <= 32, s"$where: $levels decomposition levels")
           val xcb = (cs(b + 8) & 0x0F) + 2
@@ -1018,9 +1037,13 @@ object Jpeg2000 {
     require(haveSiz && haveCod && haveQcd,
       s"$where: missing SIZ/COD/QCD before tile data")
     require(!signed || depth <= 25, s"$where: deep signed samples unsupported")
+    require(mct == 0 || ncomp == 3,
+      s"$where: MCT declared on a $ncomp-component stream")
+    require(!(mct == 1 && signed),
+      s"$where: RCT on signed components unsupported")
 
-    // build resolution/band structure
-    val bands = ArrayBuffer.empty[Band] // codestream order: LL_L, then d=L..1: HL,LH,HH
+    // build resolution/band structure — one identical set per component
+    // (single COD/QCD; per-component COC/QCC overrides were rejected above)
     val effLevels = levels
     val (llw, llh) = {
       var cw = w; var ch = h
@@ -1028,31 +1051,41 @@ object Jpeg2000 {
       while (k < effLevels) { cw = (cw + 1) / 2; ch = (ch + 1) / 2; k += 1 }
       (cw, ch)
     }
-    bands += new Band(BAND_LL, llw, llh, cbw, cbh)
-    var d = effLevels
-    while (d >= 1) {
-      val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
-      bands += new Band(BAND_HL, hw, lh, cbw, cbh)
-      bands += new Band(BAND_LH, lw, hh2, cbw, cbh)
-      bands += new Band(BAND_HH, hw, hh2, cbw, cbh)
-      d -= 1
+    def buildBands(): ArrayBuffer[Band] = {
+      val bs = ArrayBuffer.empty[Band] // LL_L, then d=L..1: HL,LH,HH
+      bs += new Band(BAND_LL, llw, llh, cbw, cbh)
+      var d = effLevels
+      while (d >= 1) {
+        val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
+        bs += new Band(BAND_HL, hw, lh, cbw, cbh)
+        bs += new Band(BAND_LH, lw, hh2, cbw, cbh)
+        bs += new Band(BAND_HH, hw, hh2, cbw, cbh)
+        d -= 1
+      }
+      bs
     }
-    def resBands(r: Int): Seq[Band] =
-      if (r == 0) Seq(bands(0))
-      else bands.slice(1 + 3 * (r - 1), 1 + 3 * r).toSeq
+    val compBands: Array[ArrayBuffer[Band]] = Array.fill(ncomp)(buildBands())
+    def resBands(c: Int, r: Int): Seq[Band] =
+      if (r == 0) Seq(compBands(c)(0))
+      else compBands(c).slice(1 + 3 * (r - 1), 1 + 3 * r).toSeq
 
-    // walk packets
+    // walk packets: LRCP (0) = layer→res→comp, RLCP (1) = res→layer→comp;
+    // with maximal precincts each (l,r,c) is exactly one packet
     var pos = tileDataOff
-    val order: Seq[(Int, Int)] =
-      if (progression == 0) for (l <- 0 until layers; r <- 0 to effLevels) yield (l, r)
-      else for (r <- 0 to effLevels; l <- 0 until layers) yield (l, r)
+    val order: Seq[(Int, Int, Int)] =
+      if (progression == 0)
+        for (l <- 0 until layers; r <- 0 to effLevels; c <- 0 until ncomp)
+          yield (l, r, c)
+      else
+        for (r <- 0 to effLevels; l <- 0 until layers; c <- 0 until ncomp)
+          yield (l, r, c)
 
-    for ((layer, r) <- order) {
+    for ((layer, r, comp) <- order) {
       if (useSop && pos + 6 <= tileDataEnd && u16(cs, pos) == 0xFF91) pos += 6
       val hr = new HdrReader(cs, pos, tileDataEnd, where)
       val contributions = ArrayBuffer.empty[(Blk, Int, Int)] // blk, passes, len
       if (hr.bit() == 1) {
-        for (bd <- resBands(r); by <- 0 until bd.nby; bx <- 0 until bd.nbx) {
+        for (bd <- resBands(comp, r); by <- 0 until bd.nby; bx <- 0 until bd.nbx) {
           val blk = bd.blocks(by * bd.nbx + bx)
           val includedNow =
             if (!blk.included) bd.inclTree.decode(hr, bx, by, layer + 1)
@@ -1093,86 +1126,107 @@ object Jpeg2000 {
       }
     }
 
-    // T1-decode every included block into its band plane
-    require(qcdExps.length == bands.length,
+    // T1-decode every included block into its band plane, per component
+    require(qcdExps.length == compBands(0).length,
       s"$where: QCD signals ${qcdExps.length} sub-band exponents, " +
-        s"expected ${bands.length} for $effLevels decomposition levels")
-    var bandIdx = 0
-    for (bd <- bands) {
-      // Mb = G + eps_b - 1 (Equation E-2) with the exponent the encoder
-      // actually wrote; Jasper/OpenJPEG write depth+gain but any value
-      // is conforming and changes the magnitude-bitplane count.
-      val mb = guard + qcdExps(bandIdx) - 1
-      require(mb >= 0 && mb <= 31, s"$where: $mb magnitude bitplanes")
-      for (blk <- bd.blocks if blk.included && blk.npasses > 0) {
-        val np2 = mb - blk.zbp
-        require(np2 >= 0, s"$where: zero bitplanes ${blk.zbp} exceed Mb $mb")
-        if (np2 > 0) {
-          // concatenate this block's codeword segments
-          val total = blk.segs.map(_._2).sum
-          val seg = new Array[Byte](total)
-          var o = 0
-          for ((so, sl) <- blk.segs) {
-            System.arraycopy(cs, so, seg, o, sl); o += sl
-          }
-          val (mags, negs) = t1Decode(seg, 0, total, blk.w, blk.h, bd.band,
-            np2, blk.npasses, where)
-          var yy = 0
-          while (yy < blk.h) {
-            var xx = 0
-            while (xx < blk.w) {
-              val m = mags(yy * blk.w + xx)
-              bd.coeff((blk.y0 + yy) * bd.w + (blk.x0 + xx)) =
-                if (negs(yy * blk.w + xx)) -m else m
-              xx += 1
+        s"expected ${compBands(0).length} for $effLevels decomposition levels")
+    for (bands <- compBands) {
+      var bandIdx = 0
+      for (bd <- bands) {
+        // Mb = G + eps_b - 1 (Equation E-2) with the exponent the encoder
+        // actually wrote; Jasper/OpenJPEG write depth+gain but any value
+        // is conforming and changes the magnitude-bitplane count.
+        val mb = guard + qcdExps(bandIdx) - 1
+        require(mb >= 0 && mb <= 31, s"$where: $mb magnitude bitplanes")
+        for (blk <- bd.blocks if blk.included && blk.npasses > 0) {
+          val np2 = mb - blk.zbp
+          require(np2 >= 0, s"$where: zero bitplanes ${blk.zbp} exceed Mb $mb")
+          if (np2 > 0) {
+            // concatenate this block's codeword segments
+            val total = blk.segs.map(_._2).sum
+            val seg = new Array[Byte](total)
+            var o = 0
+            for ((so, sl) <- blk.segs) {
+              System.arraycopy(cs, so, seg, o, sl); o += sl
             }
-            yy += 1
+            val (mags, negs) = t1Decode(seg, 0, total, blk.w, blk.h, bd.band,
+              np2, blk.npasses, where)
+            var yy = 0
+            while (yy < blk.h) {
+              var xx = 0
+              while (xx < blk.w) {
+                val m = mags(yy * blk.w + xx)
+                bd.coeff((blk.y0 + yy) * bd.w + (blk.x0 + xx)) =
+                  if (negs(yy * blk.w + xx)) -m else m
+                xx += 1
+              }
+              yy += 1
+            }
           }
         }
+        bandIdx += 1
       }
-      bandIdx += 1
     }
 
-    // inverse DWT: interleave LL+HL+LH+HH level by level
-    var cur = bands(0).coeff
-    var cw = llw; var ch = llh
-    d = effLevels
-    var resIdx = 1
-    while (d >= 1) {
-      val hl = bands(resIdx); val lh = bands(resIdx + 1); val hh2 = bands(resIdx + 2)
-      val nw = cw + hl.w; val nh = ch + lh.h
-      val merged = new Array[Int](nw * nh)
-      var y = 0
-      while (y < ch) {
-        var x = 0
-        while (x < cw) { merged(2 * y * nw + 2 * x) = cur(y * cw + x); x += 1 }
-        x = 0
-        while (x < hl.w) { merged(2 * y * nw + 2 * x + 1) = hl.coeff(y * hl.w + x); x += 1 }
-        y += 1
+    // inverse DWT per component: interleave LL+HL+LH+HH level by level
+    val comps: Array[Array[Int]] = compBands.map { bands =>
+      var cur = bands(0).coeff
+      var cw = llw; var ch = llh
+      var d = effLevels
+      var resIdx = 1
+      while (d >= 1) {
+        val hl = bands(resIdx); val lh = bands(resIdx + 1); val hh2 = bands(resIdx + 2)
+        val nw = cw + hl.w; val nh = ch + lh.h
+        val merged = new Array[Int](nw * nh)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) { merged(2 * y * nw + 2 * x) = cur(y * cw + x); x += 1 }
+          x = 0
+          while (x < hl.w) { merged(2 * y * nw + 2 * x + 1) = hl.coeff(y * hl.w + x); x += 1 }
+          y += 1
+        }
+        y = 0
+        while (y < lh.h) {
+          var x = 0
+          while (x < lh.w) { merged((2 * y + 1) * nw + 2 * x) = lh.coeff(y * lh.w + x); x += 1 }
+          x = 0
+          while (x < hh2.w) { merged((2 * y + 1) * nw + 2 * x + 1) = hh2.coeff(y * hh2.w + x); x += 1 }
+          y += 1
+        }
+        dwtInvLevel(merged, nw, nh, nw)
+        cur = merged; cw = nw; ch = nh
+        resIdx += 3
+        d -= 1
       }
-      y = 0
-      while (y < lh.h) {
-        var x = 0
-        while (x < lh.w) { merged((2 * y + 1) * nw + 2 * x) = lh.coeff(y * lh.w + x); x += 1 }
-        x = 0
-        while (x < hh2.w) { merged((2 * y + 1) * nw + 2 * x + 1) = hh2.coeff(y * hh2.w + x); x += 1 }
-        y += 1
-      }
-      dwtInvLevel(merged, nw, nh, nw)
-      cur = merged; cw = nw; ch = nh
-      resIdx += 3
-      d -= 1
+      require(cw == w && ch == h, s"$where: reconstructed ${cw}x$ch != ${w}x$h")
+      cur
     }
-    require(cw == w && ch == h, s"$where: reconstructed ${cw}x$ch != ${w}x$h")
+
+    // inverse RCT (Annex G.2, reversible): G = Y − ⌊(U+V)/4⌋, R = V + G,
+    // B = U + G — BEFORE the DC level shift, which applies to the
+    // transform's output components
+    if (mct == 1) {
+      val y0 = comps(0); val u0 = comps(1); val v0 = comps(2)
+      var k = 0
+      while (k < y0.length) {
+        val g = y0(k) - ((u0(k) + v0(k)) >> 2)
+        val r0 = v0(k) + g
+        val b0 = u0(k) + g
+        y0(k) = r0; u0(k) = g; v0(k) = b0
+        k += 1
+      }
+    }
 
     // undo DC level shift for unsigned data
-    val xs = cur
     if (!signed) {
       val shift = 1 << (depth - 1)
-      var k = 0
-      while (k < xs.length) { xs(k) += shift; k += 1 }
+      for (xs <- comps) {
+        var k = 0
+        while (k < xs.length) { xs(k) += shift; k += 1 }
+      }
     }
-    Decoded(w, h, depth, signed, xs)
+    Decoded(w, h, depth, signed, comps)
   }
 
   // ================================================================ encode
@@ -1180,9 +1234,21 @@ object Jpeg2000 {
     * (after the DC shift), reversible 5/3, one tile/component/layer, LRCP,
     * 64×64 code blocks, `levels` decompositions, 2 guard bits. */
   def encode(samples: Array[Int], w: Int, h: Int, depth: Int,
-      levels: Int = 5, expBias: Int = 0): Array[Byte] = {
-    require(w >= 1 && h >= 1 && samples.length == w * h,
-      s"bad image ${w}x$h for ${samples.length} samples")
+      levels: Int = 5, expBias: Int = 0): Array[Byte] =
+    encodeMulti(Array(samples), w, h, depth, levels, expBias, rct = false)
+
+  /** Multi-component encode (1-3 components, 4:4:4, equal depths): the
+    * Sentinel-2 TCI RGB shape. With `rct` the reversible color transform
+    * (Annex G.2) is applied before the per-component DWT and the signaled
+    * QCD exponents grow by one (the chroma differences span depth+1 bits —
+    * still one shared QCD, exponent honored by conforming decoders). */
+  def encodeMulti(planes: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int = 5, expBias: Int = 0, rct: Boolean = false): Array[Byte] = {
+    val ncomp = planes.length
+    require(ncomp >= 1 && ncomp <= 3, s"$ncomp components unsupported (1-3)")
+    require(!rct || ncomp == 3, "RCT requires exactly 3 components")
+    require(w >= 1 && h >= 1 && planes.forall(_.length == w * h),
+      s"bad image ${w}x$h")
     require(depth >= 1 && depth <= 26, s"depth $depth unsupported (1-26)")
     require(levels >= 0 && levels <= 32, s"levels $levels")
     // expBias widens every signaled QCD exponent (eps_b = depth+gain+bias),
@@ -1191,11 +1257,13 @@ object Jpeg2000 {
     // exponent rather than the Jasper/OpenJPEG depth+gain convention.
     require(expBias >= 0 && expBias <= 4, s"expBias $expBias")
     val lim = 1 << math.min(depth, 30)
-    var k = 0
-    while (k < samples.length) {
-      require(samples(k) >= 0 && (depth > 30 || samples(k) < lim),
-        s"sample ${samples(k)} outside [0, 2^$depth)")
-      k += 1
+    for (samples <- planes) {
+      var k = 0
+      while (k < samples.length) {
+        require(samples(k) >= 0 && (depth > 30 || samples(k) < lim),
+          s"sample ${samples(k)} outside [0, 2^$depth)")
+        k += 1
+      }
     }
     // clamp levels so the coarsest LL keeps at least 1 pixel of structure
     val effLevels = math.min(levels, math.max(0,
@@ -1203,115 +1271,138 @@ object Jpeg2000 {
     val guard = 2
     val cbExp = 6 // 64x64
     val cbw = 1 << cbExp; val cbh = 1 << cbExp
+    val bias = expBias + (if (rct) 1 else 0)
 
-    // DC shift + forward DWT (in place over a working copy)
-    val a = new Array[Int](w * h)
+    // DC shift, then (optionally) the forward RCT over the shifted planes
     val shift = 1 << (depth - 1)
-    k = 0
-    while (k < a.length) { a(k) = samples(k) - shift; k += 1 }
-    // Each level lifts the current LL, which after level d-1 sits on the
-    // dyadic grid with step 2^(d-1): gather dense, lift, scatter back, so
-    // low coefficients land on step 2^d and highs on the offset grid.
-    var cw = w; var ch = h
-    var d = 1
-    while (d <= effLevels) {
-      val step = 1 << (d - 1)
-      if (step == 1) dwtFwdLevel(a, cw, ch, w)
-      else {
-        val dense = new Array[Int](cw * ch)
-        var y = 0
-        while (y < ch) {
-          var x = 0
-          while (x < cw) { dense(y * cw + x) = a(y * step * w + x * step); x += 1 }
-          y += 1
-        }
-        dwtFwdLevel(dense, cw, ch, cw)
-        y = 0
-        while (y < ch) {
-          var x = 0
-          while (x < cw) { a(y * step * w + x * step) = dense(y * cw + x); x += 1 }
-          y += 1
-        }
+    val comps: Array[Array[Int]] = planes.map { s =>
+      val a = new Array[Int](w * h)
+      var k = 0
+      while (k < a.length) { a(k) = s(k) - shift; k += 1 }
+      a
+    }
+    if (rct) {
+      val r0 = comps(0); val g0 = comps(1); val b0 = comps(2)
+      var k = 0
+      while (k < r0.length) {
+        val y = (r0(k) + 2 * g0(k) + b0(k)) >> 2
+        val u = b0(k) - g0(k)
+        val v = r0(k) - g0(k)
+        r0(k) = y; g0(k) = u; b0(k) = v
+        k += 1
       }
-      cw = (cw + 1) / 2; ch = (ch + 1) / 2
-      d += 1
     }
 
-    // extract bands in codestream order
-    def extract(x0: Int, y0: Int, bw: Int, bh: Int, sx: Int, sy: Int): Array[Int] = {
-      val out = new Array[Int](bw * bh)
-      var y = 0
-      while (y < bh) {
-        var x = 0
-        while (x < bw) {
-          out(y * bw + x) = a((y0 + y * sy) * w + (x0 + x * sx))
-          x += 1
-        }
-        y += 1
-      }
-      out
-    }
-    // after ALL levels, coefficients of decomposition level d sit on the
-    // dyadic grid: stride 2^d, offsets (0/2^(d-1))
     final case class BandData(band: Int, bw: Int, bh: Int, coeff: Array[Int])
-    val bandList = ArrayBuffer.empty[BandData]
-    val llStride = 1 << effLevels
-    val (llw2, llh2) = {
-      var cw2 = w; var ch2 = h
-      var i2 = 0
-      while (i2 < effLevels) { cw2 = (cw2 + 1) / 2; ch2 = (ch2 + 1) / 2; i2 += 1 }
-      (cw2, ch2)
-    }
-    bandList += BandData(BAND_LL, llw2, llh2,
-      if (effLevels == 0) a else extract(0, 0, llw2, llh2, llStride, llStride))
-    d = effLevels
-    while (d >= 1) {
-      val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
-      val s = 1 << d; val ho = 1 << (d - 1)
-      bandList += BandData(BAND_HL, hw, lh, extract(ho, 0, hw, lh, s, s))
-      bandList += BandData(BAND_LH, lw, hh2, extract(0, ho, lw, hh2, s, s))
-      bandList += BandData(BAND_HH, hw, hh2, extract(ho, ho, hw, hh2, s, s))
-      d -= 1
-    }
-
-    // T1-encode all code blocks
     final case class EncBlk(bx: Int, by: Int, data: Array[Byte], passes: Int,
         zbp: Int)
     final case class EncBand(band: BandData, nbx: Int, nby: Int,
         blks: Array[EncBlk])
-    val encBands = bandList.map { bd =>
-      val nbx = if (bd.bw == 0) 0 else (bd.bw + cbw - 1) / cbw
-      val nby = if (bd.bh == 0) 0 else (bd.bh + cbh - 1) / cbh
-      val gain = bandGain(bd.band)
-      val mb = guard + (depth + gain + expBias) - 1
-      val blks = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
-        val x0 = bx * cbw; val y0 = by * cbh
-        val bw2 = math.min(cbw, bd.bw - x0); val bh2 = math.min(cbh, bd.bh - y0)
-        val cb = new Array[Int](bw2 * bh2)
+
+    /** Forward DWT + band extraction + T1 for ONE component. */
+    def encodeComponent(a: Array[Int]): IndexedSeq[EncBand] = {
+      // Each level lifts the current LL, which after level d-1 sits on the
+      // dyadic grid with step 2^(d-1): gather dense, lift, scatter back, so
+      // low coefficients land on step 2^d and highs on the offset grid.
+      var cw = w; var ch = h
+      var d = 1
+      while (d <= effLevels) {
+        val step = 1 << (d - 1)
+        if (step == 1) dwtFwdLevel(a, cw, ch, w)
+        else {
+          val dense = new Array[Int](cw * ch)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) { dense(y * cw + x) = a(y * step * w + x * step); x += 1 }
+            y += 1
+          }
+          dwtFwdLevel(dense, cw, ch, cw)
+          y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) { a(y * step * w + x * step) = dense(y * cw + x); x += 1 }
+            y += 1
+          }
+        }
+        cw = (cw + 1) / 2; ch = (ch + 1) / 2
+        d += 1
+      }
+
+      // extract bands in codestream order
+      def extract(x0: Int, y0: Int, bw: Int, bh: Int, sx: Int, sy: Int): Array[Int] = {
+        val out = new Array[Int](bw * bh)
         var y = 0
-        while (y < bh2) {
-          System.arraycopy(bd.coeff, (y0 + y) * bd.bw + x0, cb, y * bw2, bw2)
+        while (y < bh) {
+          var x = 0
+          while (x < bw) {
+            out(y * bw + x) = a((y0 + y * sy) * w + (x0 + x * sx))
+            x += 1
+          }
           y += 1
         }
-        val (bytes, passes, np2) = t1Encode(cb, bw2, bh2, bd.band)
-        require(np2 <= mb,
-          s"coefficient overflow: block needs $np2 planes, band allows $mb")
-        EncBlk(bx, by, bytes, passes, if (passes == 0) 0 else mb - np2)
-      }).toArray
-      EncBand(bd, nbx, nby, blks)
-    }
+        out
+      }
+      // after ALL levels, coefficients of decomposition level d sit on the
+      // dyadic grid: stride 2^d, offsets (0/2^(d-1))
+      val bandList = ArrayBuffer.empty[BandData]
+      val llStride = 1 << effLevels
+      val (llw2, llh2) = {
+        var cw2 = w; var ch2 = h
+        var i2 = 0
+        while (i2 < effLevels) { cw2 = (cw2 + 1) / 2; ch2 = (ch2 + 1) / 2; i2 += 1 }
+        (cw2, ch2)
+      }
+      bandList += BandData(BAND_LL, llw2, llh2,
+        if (effLevels == 0) a else extract(0, 0, llw2, llh2, llStride, llStride))
+      d = effLevels
+      while (d >= 1) {
+        val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
+        val s = 1 << d; val ho = 1 << (d - 1)
+        bandList += BandData(BAND_HL, hw, lh, extract(ho, 0, hw, lh, s, s))
+        bandList += BandData(BAND_LH, lw, hh2, extract(0, ho, lw, hh2, s, s))
+        bandList += BandData(BAND_HH, hw, hh2, extract(ho, ho, hw, hh2, s, s))
+        d -= 1
+      }
 
-    // packets (single layer, LRCP ≡ res order)
+      // T1-encode all code blocks
+      bandList.map { bd =>
+        val nbx = if (bd.bw == 0) 0 else (bd.bw + cbw - 1) / cbw
+        val nby = if (bd.bh == 0) 0 else (bd.bh + cbh - 1) / cbh
+        val gain = bandGain(bd.band)
+        val mb = guard + (depth + gain + bias) - 1
+        val blks = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
+          val x0 = bx * cbw; val y0 = by * cbh
+          val bw2 = math.min(cbw, bd.bw - x0); val bh2 = math.min(cbh, bd.bh - y0)
+          val cb = new Array[Int](bw2 * bh2)
+          var y = 0
+          while (y < bh2) {
+            System.arraycopy(bd.coeff, (y0 + y) * bd.bw + x0, cb, y * bw2, bw2)
+            y += 1
+          }
+          val (bytes, passes, np2) = t1Encode(cb, bw2, bh2, bd.band)
+          require(np2 <= mb,
+            s"coefficient overflow: block needs $np2 planes, band allows $mb")
+          EncBlk(bx, by, bytes, passes, if (passes == 0) 0 else mb - np2)
+        }).toArray
+        EncBand(bd, nbx, nby, blks)
+      }.toIndexedSeq
+    }
+    val compEnc: Array[IndexedSeq[EncBand]] = comps.map(encodeComponent)
+
+    // packets (single layer, LRCP: the layer loop is trivial, so the order
+    // is res → component; one packet per (r, c) with maximal precincts)
     val body = new java.io.ByteArrayOutputStream()
-    def resEncBands(r: Int): Seq[EncBand] =
-      if (r == 0) Seq(encBands(0)) else encBands.slice(1 + 3 * (r - 1), 1 + 3 * r).toSeq
-    for (r <- 0 to effLevels) {
+    def resEncBands(c: Int, r: Int): Seq[EncBand] =
+      if (r == 0) Seq(compEnc(c)(0))
+      else compEnc(c).slice(1 + 3 * (r - 1), 1 + 3 * r)
+    for (r <- 0 to effLevels; c <- 0 until ncomp) {
       val hw2 = new HdrWriter
-      val any = resEncBands(r).exists(_.blks.exists(_.passes > 0))
+      val any = resEncBands(c, r).exists(_.blks.exists(_.passes > 0))
       if (!any) hw2.bit(0)
       else {
         hw2.bit(1)
-        for (eb <- resEncBands(r)) {
+        for (eb <- resEncBands(c, r)) {
           if (eb.blks.nonEmpty) {
             val incl = new TagTree(eb.nbx, eb.nby)
             incl.setValues((i, j) =>
@@ -1347,7 +1438,7 @@ object Jpeg2000 {
         }
       }
       body.write(hw2.alignAndBytes())
-      for (eb <- resEncBands(r); blk <- eb.blks if blk.passes > 0)
+      for (eb <- resEncBands(c, r); blk <- eb.blks if blk.passes > 0)
         body.write(blk.data)
     }
 
@@ -1355,19 +1446,21 @@ object Jpeg2000 {
     val out = new java.io.ByteArrayOutputStream()
     out.write(w16(0xFF4F)) // SOC
     out.write(w16(0xFF51)) // SIZ
-    out.write(w16(41))
+    out.write(w16(38 + 3 * ncomp))
     out.write(w16(0)) // Rsiz
     out.write(w32(w)); out.write(w32(h)); out.write(w32(0)); out.write(w32(0))
     out.write(w32(w)); out.write(w32(h)); out.write(w32(0)); out.write(w32(0))
-    out.write(w16(1)) // Csiz
-    out.write(depth - 1) // Ssiz (unsigned)
-    out.write(1); out.write(1) // XRsiz, YRsiz
+    out.write(w16(ncomp)) // Csiz
+    for (_ <- 0 until ncomp) {
+      out.write(depth - 1) // Ssiz (unsigned)
+      out.write(1); out.write(1) // XRsiz, YRsiz
+    }
     out.write(w16(0xFF52)) // COD
     out.write(w16(12))
     out.write(0) // Scod: default precincts, no SOP/EPH
     out.write(0) // progression LRCP
     out.write(w16(1)) // layers
-    out.write(0) // no MCT
+    out.write(if (rct) 1 else 0) // MCT
     out.write(effLevels)
     out.write(cbExp - 2); out.write(cbExp - 2)
     out.write(0) // code-block style
@@ -1377,12 +1470,12 @@ object Jpeg2000 {
     out.write(w16(3 + nsb))
     out.write(guard << 5) // Sqcd: no quantization, 2 guard bits
     // exponents in codestream band order
-    out.write((depth + bandGain(BAND_LL) + expBias) << 3)
+    out.write((depth + bandGain(BAND_LL) + bias) << 3)
     var dd = effLevels
     while (dd >= 1) {
-      out.write((depth + bandGain(BAND_HL) + expBias) << 3)
-      out.write((depth + bandGain(BAND_LH) + expBias) << 3)
-      out.write((depth + bandGain(BAND_HH) + expBias) << 3)
+      out.write((depth + bandGain(BAND_HL) + bias) << 3)
+      out.write((depth + bandGain(BAND_LH) + bias) << 3)
+      out.write((depth + bandGain(BAND_HH) + bias) << 3)
       dd -= 1
     }
     val tileBody = body.toByteArray

@@ -90,9 +90,15 @@ class Jp2Spec extends AnyFunSuite {
       assert(e.getMessage.contains(frag), e.getMessage)
     }
     fails(mut("sig")(b => { b(8) = 0; b }), "signature")
-    // ihdr nc=2: nc is a u16 at ihdr payload +8; locate 'ihdr'
+    // ihdr nc beyond scope fails at the container parse; nc=2 (in scope
+    // but disagreeing with the 1-component codestream) fails at transcode
     val ihdrAt = bytes.indexOfSlice("ihdr".getBytes)
-    fails(mut("nc")(b => { b(ihdrAt + 4 + 9) = 2; b }), "component")
+    fails(mut("nc5")(b => { b(ihdrAt + 4 + 9) = 5; b }), "component")
+    val p2 = mut("nc2")(b => { b(ihdrAt + 4 + 9) = 2; b })
+    val e2 = intercept[IllegalArgumentException] {
+      Jp2.toTiff(p2, p2 + ".tif")
+    }
+    assert(e2.getMessage.contains("component"), e2.getMessage)
     // drop the uuid box: truncate from its header and re-append jp2c
     val uuidAt = bytes.indexOfSlice("uuid".getBytes) - 4
     val jp2cAt = bytes.indexOfSlice("jp2c".getBytes) - 4

@@ -113,8 +113,10 @@ class Jp2kSpec extends AnyFunSuite {
       assert(e.getMessage.contains(frag), e.getMessage)
     }
     failsWith(good.drop(2), "SOC")
-    // SIZ Csiz at offset 2+2+2+34: force 3 components
-    failsWith(mut(m => m(2 + 2 + 2 + 35) = 3), "component")
+    // SIZ Csiz at offset 2+2+2+34: claim 3 components in a 41-octet SIZ
+    failsWith(mut(m => m(2 + 2 + 2 + 35) = 3), "SIZ short")
+    // 5 components are out of scope outright
+    failsWith(mut(m => m(2 + 2 + 2 + 35) = 5), "component")
     val codAt = 2 + 2 + 41
     failsWith(mut(m => m(codAt + 13) = 0), "9/7")
     failsWith(mut(m => m(codAt + 5) = 4), "progression")
@@ -180,6 +182,41 @@ class Jp2kSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] { Jpeg2000.decode(m, "t") }
     assert(e.getMessage.contains("exponent") ||
       e.getMessage.contains("marker"), e.getMessage)
+  }
+
+  test("3-component RGB round-trips bit-exactly, with and without RCT") {
+    for ((w, h, depth) <- Seq((67, 43, 8), (64, 64, 12), (33, 129, 8),
+        (7, 5, 8), (1, 1, 8))) {
+      val planes = Array.tabulate(3)(c => rnd(100 + c, w * h, depth))
+      for (rct <- Seq(false, true)) {
+        val cs = Jpeg2000.encodeMulti(planes, w, h, depth, 5, rct = rct)
+        val d = Jpeg2000.decode(cs, s"rgb/${w}x$h/d$depth/rct$rct")
+        assert(d.ncomp == 3 && d.w == w && d.h == h && d.depth == depth)
+        for (c <- 0 until 3)
+          assert(d.comps(c).sameElements(planes(c)),
+            s"${w}x$h depth=$depth rct=$rct comp $c differs")
+      }
+    }
+  }
+
+  test("RCT compresses correlated RGB better than independent coding") {
+    // natural-image-like: channels are a shared luma field plus small
+    // per-channel offsets — exactly what the RCT decorrelates
+    val (w, h) = (128, 96)
+    val base = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (128.0 + 90.0 * math.sin(x * 0.07) * math.cos(y * 0.05)).toInt
+    }
+    val planes = Array.tabulate(3) { c =>
+      Array.tabulate(w * h)(i =>
+        math.max(0, math.min(255, base(i) + ((i * 31 + c * 7) % 11) - 5)))
+    }
+    val indep = Jpeg2000.encodeMulti(planes, w, h, 8, 5, rct = false)
+    val withRct = Jpeg2000.encodeMulti(planes, w, h, 8, 5, rct = true)
+    assert(withRct.length < indep.length,
+      s"RCT ${withRct.length} should beat independent ${indep.length}")
+    val d = Jpeg2000.decode(withRct, "rct-gain")
+    for (c <- 0 until 3) assert(d.comps(c).sameElements(planes(c)))
   }
 
   test("encoded size is entropy-plausible, not an escape to raw") {
