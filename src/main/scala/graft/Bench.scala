@@ -515,8 +515,12 @@ object Bench {
     val perQField =
       if (perQ.isEmpty) ""
       else perQ.mkString(""","contended_queries":{""", ",", "}")
+    // record the thread count: heavy scans are decode-bound and scale with
+    // cores, so an 8-thread record vs a 32-thread record differs 3-4x on
+    // bL_* with NO regression — self-describing records stop that
+    // misreading (the round-8/9 phantom-regression lesson)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField$contField$perQField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs$errField$contField$perQField,"sf":"$sfDir"}"""
     // per-sf mirror: totals are only comparable within one scale factor, so
     // each sf keeps its own baseline file (BENCH_LOCAL.json stays as the
     // latest-run mirror for tooling that expects the fixed name)

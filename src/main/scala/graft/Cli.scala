@@ -28,9 +28,11 @@ object Cli {
 
   private val Usage =
     """usage: graft.Cli <command> <args...>
-      |  convert <in.tif|.nc|.zarr|.grib(2)|.jp2|.asc|.hgt|ENVI .dat+.hdr> <out.parquet>
+      |  convert <in.tif|.nc|.zarr|.grib(2)|.jp2|.hdf|.asc|.hgt|ENVI .dat+.hdr> <out.parquet>
       |          [--param d,c,n]  (GRIB multi-parameter files: GRIB2
       |           discipline,category,number; GRIB1 parameter,level-type,level)
+      |          [--field NAME | --fields a,b|all]  (HDF4/HDF-EOS data
+      |           fields: one band, or a multi-band stack)
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
@@ -187,6 +189,25 @@ object Cli {
         resampling = f.getOrElse("resampling", "near"),
         overviews = f.getOrElse("overviews", "auto"),
         nodata = f.get("nodata").map(_.toDouble))
+      else if (in.toLowerCase.endsWith(".hdf") ||
+        in.toLowerCase.endsWith(".hdf4")) {
+        // --field NAME converts one data field; --fields a,b (or "all")
+        // stacks several into one multi-band dataset
+        val bz = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size")
+        val zs = f.getOrElse("zoom-strategy", "auto")
+        val ts = f.contains("tile-stats")
+        val rs = f.getOrElse("resampling", "near")
+        val ov = f.getOrElse("overviews", "auto")
+        f.get("fields") match {
+          case Some(fs) =>
+            val names = if (fs == "all") Seq.empty
+              else fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            graft.raquet.Hdf4.convertFields(spark, in, out, names, bz, zs, ts, rs, ov)
+          case None =>
+            graft.raquet.Hdf4.convert(spark, in, out, bz, zs, ts, rs, ov,
+              field = f.get("field"))
+        }
+      }
       else if (in.endsWith(".nc") || in.endsWith(".nc4") ||
         graft.raquet.Zarr.isStore(in)) NetCdf.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),

@@ -202,6 +202,9 @@ object SparkEntry {
     "q181_grib1_accum"      -> (RaquetQueries.q181Grib1Accum _),
     "q182_jp2_rgb"          -> (RaquetQueries.q182Jp2Rgb _),
     "q183_jp2_granule"      -> (RaquetQueries.q183Jp2Granule _),
+    "q184_hdf4_modis"       -> (RaquetQueries.q184Hdf4Modis _),
+    "q185_hdf4_rle"         -> (RaquetQueries.q185Hdf4Rle _),
+    "q186_hdf4_fields"      -> (RaquetQueries.q186Hdf4Fields _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -441,6 +444,11 @@ object SparkEntry {
     // land on the same closed-form per-band statistics
     "q182_jp2_rgb"          -> RaquetOracles.q182,
     "q183_jp2_granule"      -> RaquetOracles.q182,
+    // q184/q185: HDF4 (MODIS) ingest — sinusoidal probe recomputation and
+    // the q82 z1 closed form over a GEO grid with RLE chunks
+    "q184_hdf4_modis"       -> RaquetOracles.q184,
+    "q185_hdf4_rle"         -> RaquetOracles.q185,
+    "q186_hdf4_fields"      -> RaquetOracles.q186,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1743,4 +1743,93 @@ object RaquetOracles {
           CAST(max(v) AS BIGINT) AS px_max, CAST(sum(v) AS BIGINT) AS px_sum,
           count(v) AS dec_n, CAST(sum(v) AS BIGINT) AS dec_sum
         FROM v GROUP BY tx, ty"""
+
+  /** q184 HDF4/MODIS sinusoidal probe oracle: re-derives each probe's
+    * geographic position via the closed-form spherical sinusoidal inverse
+    * (Snyder, USGS PP 1395 eqs. 30-6/30-7: φ = y/R, λ = λ0 + x/(R·cosφ))
+    * on the MODIS authalic sphere, rounded to 1e-5° — far above cross-libm
+    * noise, far below the 16-cell patch size. Patch value pj·8+pi is
+    * exact: the nearest warp cannot move a patch-center probe into a
+    * neighboring patch. */
+  val q184: String =
+    s"""WITH g AS (
+          SELECT CAST(6371007.181 AS DOUBLE) AS R,
+            CAST(-8895604.157333 AS DOUBLE) AS ulx,
+            CAST(4447802.078667 AS DOUBLE) AS uly,
+            CAST(926.625433055556 AS DOUBLE) AS c),
+        probes AS (
+          SELECT pi, pj, R,
+            ulx + (16*pi + 8) * c AS xc,
+            uly - (16*pj + 8) * c AS yc
+          FROM g, (VALUES (1),(3),(5),(7)) a(pi), (VALUES (1),(3),(5),(7)) b(pj)),
+        inv AS (
+          SELECT pi, pj,
+            degrees(yc / R) AS lat,
+            degrees(xc / (R * cos(yc / R))) AS lon
+          FROM probes)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(lon, 5) AS lon_r, round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi AS BIGINT) AS v
+        FROM inv"""
+
+  /** q186 HDF4 multi-field oracle: the q184 probe recomputation with both
+    * bands' closed-form patch values (band 2 = 77 − patch). */
+  val q186: String =
+    s"""WITH g AS (
+          SELECT CAST(6371007.181 AS DOUBLE) AS R,
+            CAST(-8895604.157333 AS DOUBLE) AS ulx,
+            CAST(4447802.078667 AS DOUBLE) AS uly,
+            CAST(926.625433055556 AS DOUBLE) AS c),
+        probes AS (
+          SELECT pi, pj, R,
+            ulx + (16*pi + 8) * c AS xc,
+            uly - (16*pj + 8) * c AS yc
+          FROM g, (VALUES (1),(3),(5),(7)) a(pi), (VALUES (1),(3),(5),(7)) b(pj)),
+        inv AS (
+          SELECT pi, pj,
+            degrees(yc / R) AS lat,
+            degrees(xc / (R * cos(yc / R))) AS lon
+          FROM probes)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          round(lon, 5) AS lon_r, round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi AS BIGINT) AS v1,
+          CAST(77 - (pj*8 + pi) AS BIGINT) AS v2
+        FROM inv"""
+
+  /** q185 HDF4 GEO-grid oracle: the q82 closed form restricted to the four
+    * z1 tiles (`overviews=none` — the grid-convert path has no pyramid
+    * stage): per mercator z1 row, valid iff its nearest source row exists;
+    * per tile column, pair-value sums with the p%27 nodata pairs. */
+  val q185: String = {
+    val lat = "degrees(atan((exp(pi()*(1 - 2*tf)) - exp(-pi()*(1 - 2*tf)))/2))"
+    s"""WITH z1rows AS (
+          SELECT r, floor((84.375 - $lat) / 0.703125) BETWEEN 0 AND 239 AS ok
+          FROM (SELECT r, (CAST(r AS DOUBLE) + 0.5) / 512 AS tf
+                FROM range(512) t(r)) s),
+        rowsv AS (
+          SELECT CAST(r // 256 AS BIGINT) AS ty, count(*) AS nrows
+          FROM z1rows WHERE ok GROUP BY 1),
+        pairs AS (
+          SELECT CAST(tx AS BIGINT) AS tx, tx*128 + k AS p
+          FROM (VALUES (0), (1)) x(tx), range(128) r(k)),
+        vals AS (
+          SELECT tx, CASE WHEN p % 27 = 0 THEN NULL
+                          ELSE CAST(3*p % 251 AS DOUBLE) END AS v
+          FROM pairs),
+        colagg AS (
+          SELECT tx, 2*count(v) AS ncols, 2*sum(v) AS colsum,
+            min(v) AS vmin, max(v) AS vmax
+          FROM vals GROUP BY 1),
+        tiles AS (SELECT CAST(a.tx AS BIGINT) AS tx, CAST(b.ty AS BIGINT) AS ty
+          FROM (VALUES (0), (1)) a(tx), (VALUES (0), (1)) b(ty))
+        SELECT ${cellExpr("t.tx", "t.ty", 1)} AS block,
+          CAST(r.nrows * c.ncols AS BIGINT) AS n_px,
+          CAST(c.vmin AS BIGINT) AS px_min,
+          CAST(c.vmax AS BIGINT) AS px_max,
+          CAST(r.nrows * c.colsum AS BIGINT) AS px_sum,
+          CAST(r.nrows * c.colsum AS BIGINT) AS dec_sum
+        FROM tiles t
+        JOIN rowsv r ON r.ty = t.ty
+        JOIN colagg c ON c.tx = t.tx"""
+  }
 }

@@ -3778,4 +3778,143 @@ object RaquetQueries {
         rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
           ds.meta, "band_1").cast("long").as("v"))
   }
+
+  /** S6 (HDF4 / HDF-EOS2, the MODIS archive container) driver proof: a
+    * synthetic MODIS-shaped sinusoidal grid (`GCTP_SNSOID`, authalic
+    * sphere R=6371007.181, 1-km cells) written as chunked+deflate int16
+    * SDS ([[graft.raquet.Hdf4Writer]]) and converted through
+    * [[graft.raquet.Hdf4.convert]]. The q150 patch/probe pattern: values
+    * constant on 16×16-cell patches, probes at patch centers, and the
+    * oracle re-derives each probe's geographic position via the
+    * closed-form SPHERICAL sinusoidal inverse (Snyder 30-6/30-7:
+    * φ = y/R, λ = λ0 + x/(R·cos φ)) rounded to 1e-5°. */
+  def q184Hdf4Modis(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q184"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/mod.hdf"
+    val (ny, nx) = (128, 128)
+    val cell = 926.625433055556
+    // the h11v05-adjacent corner of the MODIS land grid (mid-latitude)
+    val ulx = -8895604.157333
+    val uly = 4447802.078667
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "MOD_Grid_Q184",
+      Seq(graft.raquet.Hdf4Writer.Field("ndvi", 22, ny, nx,
+        (j, i) => ((j / 16) * 8 + i / 16).toDouble,
+        layout = "chunked-deflate", chunkY = 48, chunkX = 40,
+        fill = Some(-3000),
+        // no scale_factor: rq_raster_value reports PHYSICAL values, and
+        // the probe oracle pins raw patch ids (scale decode is spec-level:
+        // Hdf4Spec "sinusoidal chunked-deflate int16")
+        attrs = Seq(graft.raquet.Hdf4Writer.shortAttr("_FillValue", -3000)))),
+      ulx, uly, ulx + nx * cell, uly - ny * cell, projection = "snsoid"))
+    val out = s"$tmp/mod.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out, overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    require(meta.bands.head.nodata.contains(-3000.0),
+      s"fill attribute lost: ${meta.bands.head.nodata}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.Sinusoidal(6371007.181, 0.0, 0.0, 0.0, 0.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = ulx + (16 * pi + 8) * cell
+      val yc = uly - (16 * pj + 8) * cell
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
+  /** S6 (HDF4, GEO grid + RLE chunks) driver proof: the q82 world grid
+    * (512×240 at 0.703125°, pair-constant columns, nodata at p%27 pairs)
+    * written as a `GCTP_GEO` HDF-EOS grid — corners in packed GCTP DMS —
+    * with chunked+RLE uint8 data in chunk extents that do NOT divide the
+    * grid (edge-chunk stitching on both axes), converted with
+    * `overviews=none`; per-tile stats against a closed-form z1 oracle. */
+  def q185Hdf4Rle(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q185"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/cmg.hdf"
+    val d2 = graft.raquet.Hdf4Writer.degToDms _
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "CMG_Q185",
+      Seq(graft.raquet.Hdf4Writer.Field("refl", 21, 240, 512,
+        (_, i) => { val p = i >> 1; if (p % 27 == 0) 255 else 3 * p % 251 },
+        layout = "chunked-rle", chunkY = 52, chunkX = 48, fill = Some(255),
+        attrs = Seq(graft.raquet.Hdf4Writer.Attr("_FillValue", 21, 1,
+          Array(255.toByte))))),
+      d2(-180.0), d2(84.375), d2(180.0), d2(-84.375), projection = "geo"))
+    val out = s"$tmp/cmg.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out,
+      tileStats = true, overviews = "none")
+    require(meta.maxZoom == 1, s"unexpected maxZoom ${meta.maxZoom}")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6/M7 (HDF4 multi-field workflow) driver proof: TWO data fields of
+    * the q184 MODIS grid — different pixel formulas AND different chunk
+    * layouts (deflate vs RLE) — converted through
+    * [[graft.raquet.Hdf4.convertFields]] into ONE multi-band raquet via
+    * the [[graft.raquet.BandStack]] block equi-join. The q184 probe oracle
+    * extended with the second band: both bands must land on their own
+    * closed-form patch values at identical probe positions. */
+  def q186Hdf4Fields(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q186"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/mod.hdf"
+    val (ny, nx) = (128, 128)
+    val cell = 926.625433055556
+    val ulx = -8895604.157333
+    val uly = 4447802.078667
+    def patch(j: Int, i: Int): Double = ((j / 16) * 8 + i / 16).toDouble
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "MOD_Grid_Q186",
+      Seq(
+        graft.raquet.Hdf4Writer.Field("ndvi", 22, ny, nx, patch,
+          layout = "chunked-deflate", chunkY = 48, chunkX = 40,
+          fill = Some(-3000),
+          attrs = Seq(graft.raquet.Hdf4Writer.shortAttr("_FillValue", -3000))),
+        graft.raquet.Hdf4Writer.Field("evi", 22, ny, nx,
+          (j, i) => 77.0 - patch(j, i),
+          layout = "chunked-rle", chunkY = 32, chunkX = 56,
+          fill = Some(-3000),
+          attrs = Seq(graft.raquet.Hdf4Writer.shortAttr("_FillValue", -3000)))),
+      ulx, uly, ulx + nx * cell, uly - ny * cell, projection = "snsoid"))
+    val out = s"$tmp/mod.parquet"
+    val meta = graft.raquet.Hdf4.convertFields(spark, hdf, out,
+      overviews = "none")
+    require(meta.bands.map(_.name) == Seq("band_1", "band_2"),
+      s"unexpected bands ${meta.bands.map(_.name)}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.Sinusoidal(6371007.181, 0.0, 0.0, 0.0, 0.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = ulx + (16 * pi + 8) * cell
+      val yc = uly - (16 * pj + 8) * cell
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v1"),
+        rq_raster_value(col("band_2"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_2").cast("long").as("v2"))
+  }
 }

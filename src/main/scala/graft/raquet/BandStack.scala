@@ -1,0 +1,53 @@
+package graft.raquet
+
+import org.apache.spark.sql.SparkSession
+
+/** Stack N single-band raquet datasets (same tile grid) into ONE
+  * multi-band dataset with a J2 block equi-join — the shared final stage
+  * of the Sentinel-2 granule workflow ([[Jp2.convertGranule]]) and the
+  * MODIS multi-field convert ([[Hdf4.convertFields]]). One shuffle on the
+  * Morton key only; per-band blobs ride the exchange once (the reference
+  * assembles multi-band output inside one GDAL dataset,
+  * `raquet/raster2raquet.py:1063-1125` — here bands arrive as separate
+  * converts and meet on the sorted sink). */
+object BandStack {
+
+  /** Join the per-band part datasets on `block` (band i's columns renamed
+    * `band_1*` → `band_{i+1}*`), verify they agree on the tile grid, and
+    * write the merged dataset. `parts` = (directory, its metadata). */
+  def stack(spark: SparkSession, parts: Seq[(String, RaquetMetadata)],
+      outFile: String): RaquetMetadata = {
+    require(parts.nonEmpty, "no band parts to stack")
+    val meta0 = parts.head._2
+    parts.foreach { case (_, m) =>
+      require(m.bands.size == 1, s"band part has ${m.bands.size} bands")
+      require(m.minZoom == meta0.minZoom && m.maxZoom == meta0.maxZoom &&
+        m.numBlocks == meta0.numBlocks && m.bounds.sameElements(meta0.bounds),
+        "band parts disagree on the tile grid — not one granule?")
+    }
+    val dfs = parts.zipWithIndex.map { case ((dir, _), i) =>
+      val ds = RaquetIO.read(spark, dir)
+      val renames = ds.data.columns.collect {
+        case c if c.startsWith("band_1") =>
+          c -> c.replaceFirst("band_1", s"band_${i + 1}")
+      }
+      renames.foldLeft(ds.data) { case (df, (from, to)) =>
+        if (from == to) df else df.withColumnRenamed(from, to)
+      }
+    }
+    // time-series grids join per (block, timestep); later parts carry only
+    // the keys + their own band columns (metadata/time_ts stay with part 0)
+    val keys = Seq("block") ++
+      (if (dfs.head.columns.contains("time_cf")) Seq("time_cf") else Nil)
+    val stacked = dfs.zipWithIndex.map { case (df, i) =>
+      if (i == 0) df
+      else df.drop(df.columns.filter(c =>
+        !keys.contains(c) && !c.startsWith(s"band_${i + 1}")): _*)
+    }.reduce { (a, b) => a.join(b, keys) }
+    val mergedMeta = meta0.copy(bands = parts.zipWithIndex.map {
+      case ((_, m), i) => m.bands.head.copy(name = s"band_${i + 1}")
+    })
+    RaquetIO.write(stacked, mergedMeta, outFile)
+    mergedMeta
+  }
+}

@@ -1,0 +1,408 @@
+package graft.raquet
+
+import java.nio.charset.StandardCharsets
+
+/** Synthetic HDF4 / HDF-EOS2 writer — the fixture source for the [[Hdf4]]
+  * ingest path (the q88 pattern: graft must READ `.hdf`; this writer only
+  * emits the container layout libhdf4's SD + HDF-EOS2 grid APIs produce,
+  * per the public HDF 4.2 specification):
+  *
+  *  - one DD block catalog;
+  *  - per field: `DFTAG_NT` + `DFTAG_SDD` + `DFTAG_NDG`, data as plain,
+  *    whole-element compressed (`SPECIAL_COMP`: RLE / deflate), or
+  *    chunked (`SPECIAL_CHUNKED` + chunk-table Vdata + per-chunk
+  *    `SPECIAL_COMP` elements) — MODIS products ship the chunked forms;
+  *  - attributes as one-record `Attr0.0` Vdatas (`VALUES` field), grouped
+  *    per variable under `Var0.0` Vgroups, global attributes free-standing;
+  *  - HDF-EOS `StructMetadata.0` (ODL text, padded to the 32000-byte
+  *    block the EOS toolkit writes) declaring the grid: `GCTP_SNSOID`
+  *    (MODIS land tiles) or `GCTP_GEO` (CMG, packed-DMS corners).
+  *
+  * All multi-byte values big-endian — HDF4's standard representation. */
+object Hdf4Writer {
+
+  import Hdf4.{TagNT, TagSDD, TagSD, TagNDG, TagCompressed, TagChunk,
+    TagVH, TagVS, TagVG, SpecialBit, CompNone, CompRle, CompDeflate}
+
+  private final class B {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): B = { bos.write(v & 0xFF); this }
+    def u16(v: Int): B = { u8(v >> 8); u8(v) }
+    def u32(v: Long): B = { u16((v >> 16).toInt); u16(v.toInt) }
+    def raw(b: Array[Byte]): B = { bos.write(b); this }
+    def str(s: String): B = { u16(s.length); raw(s.getBytes(StandardCharsets.US_ASCII)) }
+    def bytes: Array[Byte] = bos.toByteArray
+  }
+
+  /** One attribute: name + DFNT + already-encoded big-endian payload. */
+  final case class Attr(name: String, dfnt: Int, count: Int, raw: Array[Byte])
+
+  def charAttr(name: String, v: String): Attr =
+    Attr(name, 4, v.length, v.getBytes(StandardCharsets.US_ASCII))
+  def floatAttr(name: String, v: Double): Attr = {
+    val b = java.nio.ByteBuffer.allocate(4).putFloat(v.toFloat)
+    Attr(name, 5, 1, b.array())
+  }
+  def doubleAttr(name: String, v: Double): Attr = {
+    val b = java.nio.ByteBuffer.allocate(8).putDouble(v)
+    Attr(name, 6, 1, b.array())
+  }
+  def shortAttr(name: String, v: Int): Attr = {
+    val b = java.nio.ByteBuffer.allocate(2).putShort(v.toShort)
+    Attr(name, 22, 1, b.array())
+  }
+
+  /** One SDS: `values(j, i)` in file row order (row 0 = north).
+    * `layout`: plain | rle | deflate | chunked | chunked-rle |
+    * chunked-deflate. */
+  final case class Field(name: String, dfnt: Int, ny: Int, nx: Int,
+      values: (Int, Int) => Double, layout: String = "chunked-deflate",
+      chunkY: Int = 64, chunkX: Int = 64, fill: Option[Double] = None,
+      attrs: Seq[Attr] = Nil)
+
+  /** One HDF-EOS grid; `projection` = "snsoid" (corners in meters,
+    * `sphere` radius) or "geo" (corners ALREADY packed as GCTP DMS — use
+    * [[degToDms]]). */
+  final case class Grid(name: String, fields: Seq[Field],
+      ulx: Double, uly: Double, lrx: Double, lry: Double,
+      projection: String = "snsoid", sphere: Double = 6371007.181)
+
+  /** Decimal degrees → packed GCTP DMS (±DDDMMMSSS.ss). */
+  def degToDms(deg: Double): Double = {
+    val sign = if (deg < 0) -1.0 else 1.0
+    val a = math.abs(deg)
+    val d = math.floor(a)
+    val m = math.floor((a - d) * 60.0)
+    val s = (a - d - m / 60.0) * 3600.0
+    sign * (d * 1000000.0 + m * 1000.0 + s)
+  }
+
+  private def elemSize(dfnt: Int): Int = dfnt match {
+    case 3 | 4 | 20 | 21 => 1
+    case 22 | 23 => 2
+    case 24 | 25 | 5 => 4
+    case 6 => 8
+    case t => throw new IllegalArgumentException(s"unsupported DFNT $t")
+  }
+
+  private def encodeVal(dfnt: Int, v: Double, bb: java.nio.ByteBuffer): Unit =
+    dfnt match {
+      case 3 | 21 => bb.put((v.toInt & 0xFF).toByte)
+      case 20 => bb.put(v.toByte)
+      case 22 => bb.putShort(v.toShort)
+      case 23 => bb.putShort((v.toInt & 0xFFFF).toShort)
+      case 24 => bb.putInt(v.toInt)
+      case 25 => bb.putInt((v.toLong & 0xFFFFFFFFL).toInt)
+      case 5 => bb.putFloat(v.toFloat)
+      case 6 => bb.putDouble(v)
+      case t => throw new IllegalArgumentException(s"unsupported DFNT $t")
+    }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  // ------------------------------------------------------------ Vdata
+
+  private def vdataHeader(name: String, cls: String, fieldName: String,
+      dfnt: Int, order: Int, baseSize: Int, nRecords: Int): Array[Byte] = {
+    val b = new B
+    b.u16(0) // FULL_INTERLACE
+    b.u32(nRecords.toLong)
+    b.u16(order * baseSize) // ivsize
+    b.u16(1) // nfields
+    b.u16(dfnt) // field type
+    b.u16(order * baseSize) // field isize
+    b.u16(0) // field offset
+    b.u16(order)
+    b.str(fieldName)
+    b.str(name)
+    b.str(cls)
+    b.u16(0).u16(0) // extag/exref
+    b.u16(3).u16(0) // version, more
+    b.bytes
+  }
+
+  /** Chunk-table Vdata header: origin:int32×ndims, chk_tag/chk_ref. */
+  private def chunkTableHeader(ndims: Int, nRecords: Int): Array[Byte] = {
+    val b = new B
+    val ivsize = 4 * ndims + 4
+    b.u16(0)
+    b.u32(nRecords.toLong)
+    b.u16(ivsize)
+    b.u16(3) // nfields
+    b.u16(24).u16(23).u16(23) // types: int32, uint16, uint16
+    b.u16(4 * ndims).u16(2).u16(2) // isizes
+    b.u16(0).u16(4 * ndims).u16(4 * ndims + 2) // offsets
+    b.u16(ndims).u16(1).u16(1) // orders
+    b.str("origin"); b.str("chk_tag"); b.str("chk_ref")
+    b.str("_HDF_CHK_TBL_")
+    b.str("_HDF_CHK_TBL_CLASS")
+    b.u16(0).u16(0)
+    b.u16(3).u16(0)
+    b.bytes
+  }
+
+  private def vgroup(name: String, cls: String, members: Seq[(Int, Int)]): Array[Byte] = {
+    val b = new B
+    b.u16(members.length)
+    members.foreach { case (t, _) => b.u16(t) }
+    members.foreach { case (_, r) => b.u16(r) }
+    b.str(name)
+    b.str(cls)
+    b.u16(0).u16(0)
+    b.u16(3).u16(0)
+    b.bytes
+  }
+
+  // --------------------------------------------------------- assembly
+
+  def write(path: String, grid: Grid,
+      globalAttrs: Seq[Attr] = Nil): Unit = {
+    val elems = Seq.newBuilder[(Int, Int, Array[Byte])] // (tag, ref, bytes)
+    var nextRef = 2
+    def ref(): Int = { val r = nextRef; nextRef += 1; r }
+
+    def attrVdata(a: Attr): Int = {
+      val r = ref()
+      val base = elemSize(a.dfnt)
+      elems += ((TagVH, r, vdataHeader(a.name, "Attr0.0", "VALUES",
+        a.dfnt, a.count, base, 1)))
+      elems += ((TagVS, r, a.raw))
+      r
+    }
+
+    val varRefs = Seq.newBuilder[Int]
+    for (f <- grid.fields) {
+      val esz = elemSize(f.dfnt)
+      val ntRef = ref()
+      elems += ((TagNT, ntRef, Array[Byte](1, f.dfnt.toByte, (esz * 8).toByte, 0)))
+      val sddRef = ref()
+      val sdd = new B
+      sdd.u16(2).u32(f.ny.toLong).u32(f.nx.toLong)
+      sdd.u16(TagNT).u16(ntRef) // data NT
+      sdd.u16(TagNT).u16(ntRef).u16(TagNT).u16(ntRef) // per-dim scale NTs
+      elems += ((TagSDD, sddRef, sdd.bytes))
+
+      val dataRef = ref()
+      val planeBytes = {
+        val bb = java.nio.ByteBuffer.allocate(f.ny * f.nx * esz)
+        var j = 0
+        while (j < f.ny) {
+          var i = 0
+          while (i < f.nx) { encodeVal(f.dfnt, f.values(j, i), bb); i += 1 }
+          j += 1
+        }
+        bb.array()
+      }
+
+      def compElement(dRef: Int, payload: Array[Byte], coder: Int,
+          uncompLen: Int, specialTag: Int): Unit = {
+        val cRef = ref()
+        val enc = coder match {
+          case CompRle => Hdf4.rleEncode(payload)
+          case CompDeflate => deflate(payload)
+          case _ => payload
+        }
+        val h = new B
+        h.u16(3) // SPECIAL_COMP
+        h.u16(0) // header version
+        h.u32(uncompLen.toLong)
+        h.u16(cRef)
+        h.u16(0) // model: stdio
+        h.u16(coder)
+        if (coder == CompDeflate) h.u16(6) // deflate level
+        elems += ((specialTag | SpecialBit, dRef, h.bytes))
+        elems += ((TagCompressed, cRef, enc))
+      }
+
+      f.layout match {
+        case "plain" =>
+          elems += ((TagSD, dataRef, planeBytes))
+        case "rle" =>
+          compElement(dataRef, planeBytes, CompRle, planeBytes.length, TagSD)
+        case "deflate" =>
+          compElement(dataRef, planeBytes, CompDeflate, planeBytes.length, TagSD)
+        case l if l.startsWith("chunked") =>
+          val coder = l match {
+            case "chunked" => CompNone
+            case "chunked-rle" => CompRle
+            case "chunked-deflate" => CompDeflate
+            case x => throw new IllegalArgumentException(s"unknown layout $x")
+          }
+          val (cy, cx) = (f.chunkY, f.chunkX)
+          val nyC = (f.ny + cy - 1) / cy
+          val nxC = (f.nx + cx - 1) / cx
+          val chunkBytes = cy * cx * esz
+          val fillV = f.fill.getOrElse(0.0)
+          val recs = new B
+          var nRecs = 0
+          for (yi <- 0 until nyC; xi <- 0 until nxC) {
+            val cb = java.nio.ByteBuffer.allocate(chunkBytes)
+            var j = 0
+            while (j < cy) {
+              var i = 0
+              while (i < cx) {
+                val (gj, gi) = (yi * cy + j, xi * cx + i)
+                encodeVal(f.dfnt,
+                  if (gj < f.ny && gi < f.nx) f.values(gj, gi) else fillV, cb)
+                i += 1
+              }
+              j += 1
+            }
+            val cRef = ref()
+            if (coder == CompNone) elems += ((TagChunk, cRef, cb.array()))
+            else compElement(cRef, cb.array(), coder, chunkBytes, TagChunk)
+            recs.u32(yi.toLong).u32(xi.toLong) // origin in chunk coords
+            recs.u16(TagChunk).u16(cRef)
+            nRecs += 1
+          }
+          val tblRef = ref()
+          elems += ((TagVH, tblRef, chunkTableHeader(2, nRecs)))
+          elems += ((TagVS, tblRef, recs.bytes))
+          // the SPECIAL_CHUNKED description element
+          val fillBytes = {
+            val bb = java.nio.ByteBuffer.allocate(esz)
+            encodeVal(f.dfnt, fillV, bb); bb.array()
+          }
+          val tail = new B // everything after sp_tag_head_len
+          tail.u8(1) // version
+          tail.u32(if (coder == CompNone) 0L else 1L) // flag
+          tail.u32(f.ny.toLong * f.nx * esz) // elem_tot_length
+          tail.u32(chunkBytes.toLong)
+          tail.u32(esz.toLong)
+          tail.u16(TagVH).u16(tblRef)
+          tail.u16(Hdf4.TagNull).u16(0) // sp_tag/sp_ref: unused
+          tail.u32(2L) // ndims
+          tail.u32(0L).u32(f.ny.toLong).u32(cy.toLong)
+          tail.u32(0L).u32(f.nx.toLong).u32(cx.toLong)
+          tail.u32(esz.toLong)
+          tail.raw(fillBytes)
+          if (coder != CompNone) {
+            tail.u16(3).u16(0) // comp info tail (metadata only)
+            tail.u32(chunkBytes.toLong).u16(0).u16(0).u16(coder)
+            if (coder == CompDeflate) tail.u16(6)
+          }
+          val hdr = new B
+          hdr.u16(6) // SPECIAL_CHUNKED
+          hdr.u32(tail.bytes.length.toLong)
+          hdr.raw(tail.bytes)
+          elems += ((TagSD | SpecialBit, dataRef, hdr.bytes))
+        case x => throw new IllegalArgumentException(s"unknown layout $x")
+      }
+
+      val ndgRef = ref()
+      val ndg = new B
+      ndg.u16(TagSDD).u16(sddRef)
+      ndg.u16(TagSD).u16(dataRef)
+      elems += ((TagNDG, ndgRef, ndg.bytes))
+
+      val attrRefs = f.attrs.map(attrVdata)
+      val vgRef = ref()
+      elems += ((TagVG, vgRef, vgroup(f.name, "Var0.0",
+        (TagNDG, ndgRef) +: attrRefs.map(r => (TagVH, r)))))
+      varRefs += vgRef
+    }
+
+    // StructMetadata.0 + extra global attributes
+    val sm = structMetadataText(grid)
+    val smAttrRef = attrVdata(charAttr("StructMetadata.0", sm))
+    val globalRefs = smAttrRef +: globalAttrs.map(attrVdata)
+
+    val topRef = ref()
+    elems += ((TagVG, topRef, vgroup("CDF0.0", "CDF0.0",
+      varRefs.result().map(r => (TagVG, r)) ++ globalRefs.map(r => (TagVH, r)))))
+
+    // ------------------------------------------------------ DD assembly
+    val all = elems.result()
+    val ddStart = 4L
+    val headerLen = 6 + 12 * all.length
+    var off = ddStart + headerLen
+    val dds = all.map { case (tag, r, bytes) =>
+      val d = (tag, r, off, bytes.length)
+      off += bytes.length
+      d
+    }
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(path))
+    try {
+      out.write(Hdf4.Magic)
+      val h = new B
+      h.u16(all.length)
+      h.u32(0L) // no next DD block
+      dds.foreach { case (tag, r, o, len) =>
+        h.u16(tag).u16(r).u32(o).u32(len.toLong)
+      }
+      out.write(h.bytes)
+      all.foreach { case (_, _, bytes) => out.write(bytes) }
+    } finally out.close()
+  }
+
+  private def dfntName(t: Int): String = t match {
+    case 3 => "DFNT_UCHAR8"
+    case 5 => "DFNT_FLOAT32"
+    case 6 => "DFNT_FLOAT64"
+    case 20 => "DFNT_INT8"
+    case 21 => "DFNT_UINT8"
+    case 22 => "DFNT_INT16"
+    case 23 => "DFNT_UINT16"
+    case 24 => "DFNT_INT32"
+    case 25 => "DFNT_UINT32"
+    case _ => "DFNT_CHAR8"
+  }
+
+  /** The ODL text the HDF-EOS2 grid API emits, padded to its fixed
+    * 32000-byte attribute block. */
+  private[graft] def structMetadataText(g: Grid): String = {
+    val f0 = g.fields.head
+    val (projLine, ppLine) = g.projection match {
+      case "snsoid" =>
+        ("Projection=GCTP_SNSOID",
+          f"ProjParams=(${g.sphere}%.6f,0,0,0,0,0,0,0,0,0,0,0,0)")
+      case "geo" => ("Projection=GCTP_GEO", "ProjParams=(0,0,0,0,0,0,0,0,0,0,0,0,0)")
+      case p => throw new IllegalArgumentException(s"unknown projection $p")
+    }
+    val fieldObjs = g.fields.zipWithIndex.map { case (f, k) =>
+      s"""\t\t\tOBJECT=DataField_${k + 1}
+\t\t\t\tDataFieldName="${f.name}"
+\t\t\t\tDataType=${dfntName(f.dfnt)}
+\t\t\t\tDimList=("YDim","XDim")
+\t\t\tEND_OBJECT=DataField_${k + 1}"""
+    }.mkString("\n")
+    val body =
+      s"""GROUP=SwathStructure
+END_GROUP=SwathStructure
+GROUP=GridStructure
+\tGROUP=GRID_1
+\t\tGridName="${g.name}"
+\t\tXDim=${f0.nx}
+\t\tYDim=${f0.ny}
+\t\tUpperLeftPointMtrs=(${g.ulx},${g.uly})
+\t\tLowerRightMtrs=(${g.lrx},${g.lry})
+\t\t$projLine
+\t\t$ppLine
+\t\tSphereCode=-1
+\t\tGridOrigin=HDFE_GD_UL
+\t\tGROUP=Dimension
+\t\tEND_GROUP=Dimension
+\t\tGROUP=DataField
+$fieldObjs
+\t\tEND_GROUP=DataField
+\t\tGROUP=MergedFields
+\t\tEND_GROUP=MergedFields
+\tEND_GROUP=GRID_1
+END_GROUP=GridStructure
+GROUP=PointStructure
+END_GROUP=PointStructure
+END
+"""
+    if (body.length >= 32000) body
+    else body + " " * (32000 - body.length)
+  }
+}

@@ -282,7 +282,6 @@ object Jp2 {
       zoomStrategy: String = "auto", tileStats: Boolean = false,
       resampling: String = "near", overviews: String = "auto",
       nodata: Option[Double] = None): RaquetMetadata = {
-    import org.apache.spark.sql.functions.col
     require(jp2Paths.nonEmpty, "no JP2 inputs")
     val work = java.nio.file.Files.createTempDirectory("jp2granule").toString
     try {
@@ -296,29 +295,7 @@ object Jp2 {
           s"granule band file ${jp2Paths(i)} has ${m.bands.size} bands")
         (dir, m)
       }
-      val meta0 = parts.head._2
-      parts.foreach { case (_, m) =>
-        require(m.minZoom == meta0.minZoom && m.maxZoom == meta0.maxZoom &&
-          m.numBlocks == meta0.numBlocks &&
-          m.bounds.sameElements(meta0.bounds),
-          "granule bands disagree on the tile grid — not one granule?")
-      }
-      val stacked = parts.zipWithIndex.map { case ((dir, _), i) =>
-        val ds = RaquetIO.read(spark, dir)
-        val renames = ds.data.columns.collect {
-          case c if c.startsWith("band_1") =>
-            c -> c.replaceFirst("band_1", s"band_${i + 1}")
-        }
-        val renamed = renames.foldLeft(ds.data) { case (df, (from, to)) =>
-          if (from == to) df else df.withColumnRenamed(from, to)
-        }
-        if (i == 0) renamed else renamed.drop("metadata")
-      }.reduce { (a, b) => a.join(b, "block") }
-      val mergedMeta = meta0.copy(bands = parts.zipWithIndex.map {
-        case ((_, m), i) => m.bands.head.copy(name = s"band_${i + 1}")
-      })
-      RaquetIO.write(stacked, mergedMeta, outFile)
-      mergedMeta
+      BandStack.stack(spark, parts, outFile)
     } finally {
       // best-effort scratch cleanup
       def rm(f: java.io.File): Unit = {

@@ -273,6 +273,8 @@ object NetCdf {
       raf.readFully(magic)
     } finally raf.close()
     if (java.util.Arrays.equals(magic, Hdf5.Signature)) Hdf5Nc.describe(path)
+    else if (java.util.Arrays.equals(magic.take(4), Hdf4.Magic))
+      Hdf4.describe(path)
     else if (magic.startsWith(Grib2.Magic)) {
       // octet 8 is the edition in BOTH editions' indicator sections
       if ((magic(7) & 0xFF) == 1) Grib1.describe(path) else Grib2.describe(path)

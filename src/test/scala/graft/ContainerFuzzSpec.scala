@@ -382,4 +382,50 @@ class ContainerFuzzSpec extends AnyFunSuite {
       attemptGrib(m, s"corrupt@$i+$delta")
     }
   }
+
+  // --------------------------------------------------------------- HDF4
+
+  private lazy val hdf4Bytes: Array[Byte] = {
+    val p = tmp.resolve("base.hdf").toString
+    graft.raquet.Hdf4Writer.write(p, graft.raquet.Hdf4Writer.Grid("FuzzGrid",
+      Seq(graft.raquet.Hdf4Writer.Field("v", 22, 16, 16,
+        (j, i) => (j * 16 + i) % 100, layout = "chunked-rle",
+        chunkY = 8, chunkX = 8, fill = Some(-1),
+        attrs = Seq(graft.raquet.Hdf4Writer.shortAttr("_FillValue", -1)))),
+      0.0, 16 * 926.0, 16 * 926.0, 0.0, projection = "snsoid"))
+    Files.readAllBytes(java.nio.file.Paths.get(p))
+  }
+
+  private def attemptHdf4(bytes: Array[Byte], ctx: String): Unit = {
+    val p = tmp.resolve("mut.hdf")
+    Files.write(p, bytes)
+    attempt({
+      val g = graft.raquet.Hdf4.describe(p.toString)
+      // drive one bounded window so chunk-table corruption surfaces too
+      g.sampler(0, 0, 0, math.min(4, g.width), math.min(4, g.height))
+        .sample(0, 0, 0)
+    }, ctx)
+  }
+
+  test("HDF4: truncations fail cleanly or parse") {
+    // dense over the DD/element region, sparse across the 32 kB
+    // StructMetadata padding tail
+    var n = 0
+    while (n < hdf4Bytes.length) {
+      attemptHdf4(java.util.Arrays.copyOf(hdf4Bytes, n), s"truncate@$n")
+      n += (if (n < 2048) 1 else 509)
+    }
+  }
+
+  test("HDF4: single-byte corruptions fail cleanly or parse") {
+    val dense = math.min(hdf4Bytes.length, 2048)
+    for (v <- Seq(0x00, 0xFF, 0x80); i <- 0 until dense) {
+      val m = hdf4Bytes.clone(); m(i) = v.toByte
+      attemptHdf4(m, s"corrupt@$i=$v")
+    }
+    for (i <- dense until hdf4Bytes.length by 251) {
+      val m = hdf4Bytes.clone(); m(i) = 0xFF.toByte
+      attemptHdf4(m, s"corrupt-tail@$i")
+    }
+  }
 }

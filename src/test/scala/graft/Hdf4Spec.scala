@@ -1,0 +1,230 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.raquet.{Hdf4, Hdf4Writer}
+
+class Hdf4Spec extends AnyFunSuite {
+
+  private def tmpFile(name: String): String = {
+    val f = java.io.File.createTempFile(s"hdf4_$name", ".hdf")
+    f.deleteOnExit()
+    f.toString
+  }
+
+  // ------------------------------------------------------------- RLE codec
+
+  test("RLE round-trips runs, literals and boundaries") {
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array.fill(1)(7.toByte),
+      Array.fill(2)(7.toByte), // below RLE_MIN_RUN: literal
+      Array.fill(3)(7.toByte), // exactly min run
+      Array.fill(130)(9.toByte), // max run
+      Array.fill(131)(9.toByte), // max run + 1 literal... re-run
+      Array.tabulate(300)(i => (i % 251).toByte), // long literal > 128
+      Array.tabulate(1000)(i => if ((i / 7) % 2 == 0) 0.toByte else (i % 5).toByte))
+    for (c <- cases) {
+      val enc = Hdf4.rleEncode(c)
+      assert(Hdf4.rleDecode("t", enc, c.length).toSeq == c.toSeq)
+    }
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val n = rnd.nextInt(2048)
+      val c = Array.fill(n)((rnd.nextInt(4)).toByte) // run-heavy
+      val enc = Hdf4.rleEncode(c)
+      assert(Hdf4.rleDecode("t", enc, n).toSeq == c.toSeq)
+    }
+  }
+
+  test("RLE decode rejects truncated and overflowing streams") {
+    intercept[IllegalArgumentException] {
+      Hdf4.rleDecode("t", Array[Byte](0x85.toByte), 8) // run without value byte
+    }
+    intercept[IllegalArgumentException] {
+      Hdf4.rleDecode("t", Array[Byte](5, 1, 2), 6) // literal shorter than control
+    }
+    intercept[IllegalArgumentException] {
+      Hdf4.rleDecode("t", Array[Byte](0x87.toByte, 1), 5) // run exceeds out
+    }
+  }
+
+  // ------------------------------------------------------------- DMS
+
+  test("packed GCTP DMS converts both ways") {
+    assert(math.abs(Hdf4.dmsToDeg(-110000000.0) - -110.0) < 1e-9)
+    assert(math.abs(Hdf4.dmsToDeg(45030000.0) - 45.5) < 1e-9)
+    // 12° 34' 56.78"
+    val packed = 12034056.78
+    val deg = 12.0 + 34.0 / 60 + 56.78 / 3600
+    assert(math.abs(Hdf4.dmsToDeg(packed) - deg) < 1e-9)
+    for (d <- Seq(-179.99, -60.25, 0.0, 0.5, 89.875, 123.456789))
+      assert(math.abs(Hdf4.dmsToDeg(Hdf4Writer.degToDms(d)) - d) < 1e-9)
+  }
+
+  // ------------------------------------------------- container round trip
+
+  private val R = 6371007.181
+  private def sinGrid(layout: String, dfnt: Int = 22,
+      chunkY: Int = 48, chunkX: Int = 40): Hdf4Writer.Grid = {
+    val (ny, nx) = (120, 100)
+    val cell = 926.625433055556
+    val ulx = -1.0e7; val uly = 5.5e6
+    Hdf4Writer.Grid("MOD_Grid_Test",
+      Seq(Hdf4Writer.Field("ndvi", dfnt, ny, nx,
+        (j, i) => if ((i + j) % 31 == 0) -3000 else (7 * i + 13 * j) % 2001,
+        layout = layout, chunkY = chunkY, chunkX = chunkX,
+        fill = Some(-3000),
+        attrs = Seq(Hdf4Writer.shortAttr("_FillValue", -3000),
+          Hdf4Writer.doubleAttr("scale_factor", 1.0e-4),
+          Hdf4Writer.doubleAttr("add_offset", 0.0),
+          Hdf4Writer.charAttr("units", "NDVI")))),
+      ulx, uly, ulx + nx * cell, uly - ny * cell, projection = "snsoid")
+  }
+
+  private def checkValues(g: Hdf4.H4Grid): Unit = {
+    assert(g.width == 100 && g.height == 120)
+    // full-plane window
+    val s = g.sampler(0, 0, 0, g.width, g.height)
+    for (j <- 0 until 120; i <- 0 until 100) {
+      val want = if ((i + j) % 31 == 0) -3000.0 else ((7 * i + 13 * j) % 2001).toDouble
+      assert(s.sample(0, i, j) == want, s"($i,$j)")
+    }
+    // a sub-window crossing chunk boundaries
+    val w = g.sampler(0, 33, 41, 37, 29)
+    for (j <- 41 until 70; i <- 33 until 70) {
+      val want = if ((i + j) % 31 == 0) -3000.0 else ((7 * i + 13 * j) % 2001).toDouble
+      assert(w.sample(0, i, j) == want, s"win ($i,$j)")
+    }
+  }
+
+  test("sinusoidal chunked-deflate int16 SDS reads back exactly") {
+    val p = tmpFile("sin_deflate")
+    Hdf4Writer.write(p, sinGrid("chunked-deflate"))
+    val g = Hdf4.describe(p)
+    assert(g.dtype == "int16")
+    assert(g.nodata.contains(-3000.0))
+    assert(g.scale.contains(1.0e-4))
+    assert(g.offset.contains(0.0))
+    val sin = g.proj.asInstanceOf[graft.geo.Sinusoidal]
+    assert(sin.a == R)
+    assert(math.abs(g.x0 - -1.0e7) < 1e-6 && math.abs(g.y0 - 5.5e6) < 1e-6)
+    assert(math.abs(g.dx - 926.625433055556) < 1e-6)
+    assert(math.abs(g.dy + 926.625433055556) < 1e-6)
+    checkValues(g)
+  }
+
+  test("chunked-RLE and uncompressed-chunk layouts read back exactly") {
+    for (l <- Seq("chunked-rle", "chunked")) {
+      val p = tmpFile(l)
+      Hdf4Writer.write(p, sinGrid(l))
+      checkValues(Hdf4.describe(p))
+    }
+  }
+
+  test("plain, whole-element RLE and whole-element deflate read back exactly") {
+    for (l <- Seq("plain", "rle", "deflate")) {
+      val p = tmpFile(s"we_$l")
+      Hdf4Writer.write(p, sinGrid(l))
+      checkValues(Hdf4.describe(p))
+    }
+  }
+
+  test("edge chunks (grid not divisible by chunk) are stitched correctly") {
+    val p = tmpFile("edge")
+    // 120x100 with 64x64 chunks: 2x2 chunk grid, heavy padding
+    Hdf4Writer.write(p, sinGrid("chunked-deflate", chunkY = 64, chunkX = 64))
+    checkValues(Hdf4.describe(p))
+  }
+
+  test("GEO grid decodes packed-DMS corners to degrees") {
+    val (ny, nx) = (40, 80)
+    val grid = Hdf4Writer.Grid("CMG_Test",
+      Seq(Hdf4Writer.Field("lst", 23, ny, nx, (j, i) => (j * nx + i) % 50000,
+        layout = "chunked-rle", chunkY = 16, chunkX = 32)),
+      Hdf4Writer.degToDms(-180.0), Hdf4Writer.degToDms(90.0),
+      Hdf4Writer.degToDms(180.0), Hdf4Writer.degToDms(-90.0),
+      projection = "geo")
+    val p = tmpFile("geo")
+    Hdf4Writer.write(p, grid)
+    val g = Hdf4.describe(p)
+    assert(g.proj == graft.geo.Geographic)
+    assert(g.dtype == "uint16")
+    assert(math.abs(g.x0 + 180.0) < 1e-9 && math.abs(g.y0 - 90.0) < 1e-9)
+    assert(math.abs(g.dx - 4.5) < 1e-9 && math.abs(g.dy + 4.5) < 1e-9)
+    val s = g.sampler(0, 0, 0, nx, ny)
+    for (j <- 0 until ny; i <- 0 until nx)
+      assert(s.sample(0, i, j) == ((j * nx + i) % 50000).toDouble)
+  }
+
+  test("multiple fields resolve by name; fieldNames lists them") {
+    val (ny, nx) = (32, 32)
+    val grid = Hdf4Writer.Grid("Multi",
+      Seq(
+        Hdf4Writer.Field("red", 21, ny, nx, (j, i) => (i + j) % 256,
+          layout = "plain"),
+        Hdf4Writer.Field("nir", 21, ny, nx, (j, i) => (3 * i + j) % 256,
+          layout = "deflate")),
+      0.0, 32 * 926.0, 32 * 926.0, 0.0, projection = "snsoid")
+    val p = tmpFile("multi")
+    Hdf4Writer.write(p, grid)
+    assert(Hdf4.fieldNames(p) == Seq("red", "nir"))
+    val red = Hdf4.describe(p, Some("red"))
+    val nir = Hdf4.describe(p, Some("nir"))
+    val sr = red.sampler(0, 0, 0, nx, ny)
+    val sn = nir.sampler(0, 0, 0, nx, ny)
+    assert(sr.sample(0, 5, 7) == 12.0)
+    assert(sn.sample(0, 5, 7) == 22.0)
+    // default = first StructMetadata field
+    assert(Hdf4.describe(p).sampler(0, 0, 0, nx, ny).sample(0, 5, 7) == 12.0)
+    intercept[IllegalArgumentException] { Hdf4.describe(p, Some("missing")) }
+  }
+
+  test("float32 data and global attributes survive") {
+    val grid = Hdf4Writer.Grid("F32",
+      Seq(Hdf4Writer.Field("v", 5, 16, 16, (j, i) => 0.5 * i - 0.25 * j,
+        layout = "chunked-deflate", chunkY = 8, chunkX = 8)),
+      0.0, 16 * 926.0, 16 * 926.0, 0.0, projection = "snsoid")
+    val p = tmpFile("f32")
+    Hdf4Writer.write(p, grid,
+      globalAttrs = Seq(Hdf4Writer.charAttr("PGEVERSION", "6.1.2")))
+    val g = Hdf4.describe(p)
+    assert(g.dtype == "float32")
+    val s = g.sampler(0, 0, 0, 16, 16)
+    assert(s.sample(0, 6, 8) == (0.5 * 6 - 0.25 * 8))
+    val rr = graft.sources.RandomReader(p)
+    try {
+      val cat = Hdf4.openCatalog(p, rr)
+      assert(cat.globalAttrs.get("PGEVERSION").flatMap(_.text).contains("6.1.2"))
+      assert(cat.globalAttrs.contains("StructMetadata.0"))
+    } finally rr.close()
+  }
+
+  test("StructMetadata parser reads the EOS grid block") {
+    val g = sinGrid("plain")
+    val text = Hdf4Writer.structMetadataText(g)
+    assert(text.length >= 32000)
+    val grids = Hdf4.parseStructMetadata("t", text)
+    assert(grids.length == 1)
+    assert(grids.head.name == "MOD_Grid_Test")
+    assert(grids.head.xDim == 100 && grids.head.yDim == 120)
+    assert(grids.head.projection == "GCTP_SNSOID")
+    assert(math.abs(grids.head.projParams(0) - R) < 1e-6)
+    assert(grids.head.fields == Seq("ndvi"))
+  }
+
+  test("unsupported projections and non-HDF4 files fail loudly") {
+    val g = sinGrid("plain")
+    val bad = Hdf4Writer.structMetadataText(g)
+      .replace("GCTP_SNSOID", "GCTP_LAMAZ")
+    val p = tmpFile("badproj")
+    // write a file then patch the metadata text through a custom grid:
+    // simpler — parse-level check plus describe-level check via geo writer
+    val grids = Hdf4.parseStructMetadata("t", bad)
+    assert(grids.head.projection == "GCTP_LAMAZ")
+    Hdf4Writer.write(p, g.copy(fields = g.fields))
+    // corrupt the magic
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try { raf.seek(0); raf.writeInt(0x12345678) } finally raf.close()
+    intercept[IllegalArgumentException] { Hdf4.describe(p) }
+  }
+}
