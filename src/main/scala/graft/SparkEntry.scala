@@ -205,6 +205,8 @@ object SparkEntry {
     "q184_hdf4_modis"       -> (RaquetQueries.q184Hdf4Modis _),
     "q185_hdf4_rle"         -> (RaquetQueries.q185Hdf4Rle _),
     "q186_hdf4_fields"      -> (RaquetQueries.q186Hdf4Fields _),
+    "q187_grib_cluster"     -> (RaquetQueries.q187GribCluster _),
+    "q188_hdf4_time"        -> (RaquetQueries.q188Hdf4Time _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -449,6 +451,10 @@ object SparkEntry {
     "q184_hdf4_modis"       -> RaquetOracles.q184,
     "q185_hdf4_rle"         -> RaquetOracles.q185,
     "q186_hdf4_fields"      -> RaquetOracles.q186,
+    // q187: cluster statistical PDTs 4.13/4.14 — end-of-interval after the
+    // variable-length member list; same q79 axis/statistics as q180
+    "q187_grib_cluster"     -> RaquetOracles.q79,
+    "q188_hdf4_time"        -> RaquetOracles.q188,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1796,6 +1796,31 @@ object RaquetOracles {
           CAST(77 - (pj*8 + pi) AS BIGINT) AS v2
         FROM inv"""
 
+  /** q188 HDF4 rank-3 oracle: the q184 probes × 3 timesteps, v = patch
+    * + 16·t (index time axis — no CF units in the container). */
+  val q188: String =
+    s"""WITH g AS (
+          SELECT CAST(6371007.181 AS DOUBLE) AS R,
+            CAST(-8895604.157333 AS DOUBLE) AS ulx,
+            CAST(4447802.078667 AS DOUBLE) AS uly,
+            CAST(926.625433055556 AS DOUBLE) AS c),
+        probes AS (
+          SELECT pi, pj, t, R,
+            ulx + (16*pi + 8) * c AS xc,
+            uly - (16*pj + 8) * c AS yc
+          FROM g, (VALUES (1),(3),(5),(7)) a(pi),
+            (VALUES (1),(3),(5),(7)) b(pj), (VALUES (0),(1),(2)) tt(t)),
+        inv AS (
+          SELECT pi, pj, t,
+            degrees(yc / R) AS lat,
+            degrees(xc / (R * cos(yc / R))) AS lon
+          FROM probes)
+        SELECT CAST(pi AS BIGINT) AS pi, CAST(pj AS BIGINT) AS pj,
+          CAST(t AS DOUBLE) AS time_cf,
+          round(lon, 5) AS lon_r, round(lat, 5) AS lat_r,
+          CAST(pj*8 + pi + 16*t AS BIGINT) AS v
+        FROM inv"""
+
   /** q185 HDF4 GEO-grid oracle: the q82 closed form restricted to the four
     * z1 tiles (`overviews=none` — the grid-convert path has no pyramid
     * stage): per mercator z1 row, valid iff its nearest source row exists;

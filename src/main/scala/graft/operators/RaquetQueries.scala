@@ -3917,4 +3917,90 @@ object RaquetQueries {
         rq_raster_value(col("band_2"), col("block"), col("lon"), col("lat"),
           ds.meta, "band_2").cast("long").as("v2"))
   }
+
+  /** S6 (GRIB2 cluster statistical templates 4.13/4.14) driver proof: the
+    * q180 pattern with the CLUSTER products — the end-of-interval septet
+    * sits after a VARIABLE-length member list (57+N / 53+N, N = octet
+    * 36), so a fixed-offset reader would decode garbage dates. Timesteps
+    * alternate 4.13/4.14/4.13; the q79 oracle pins the 6-hourly axis and
+    * every statistic. */
+  def q187GribCluster(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q187"
+    new java.io.File(tmp).mkdirs()
+    val gribPath = s"$tmp/synth.grib2"
+    val sec3 = graft.raquet.Grib2Writer.sec3LatLon(512, 240,
+      basicAngle = 1, subdiv = 128,
+      la1 = (84.0234375 * 128).round, lo1 = (180.3515625 * 128).round,
+      di = 90, dj = 90)
+    val fos = new java.io.FileOutputStream(gribPath)
+    try (0 until 3).foreach { ti =>
+      val values = Array.tabulate[Option[Int]](240 * 512) { k =>
+        val p = (k % 512) >> 1
+        if (p % 27 == 0) None else Some((3 * p + 7 * ti) % 251)
+      }
+      fos.write(graft.raquet.Grib2Writer.messageWithSec3(sec3, (2000, 1, 1, 0),
+        graft.raquet.Grib2Writer.Plane(0, values), nbits = 8,
+        packing = "simple", 0, 0, 0,
+        statEndOfInterval = Some((2000, 1, 1, 6 * ti)),
+        statTemplate = if (ti == 1) 14 else 13))
+    } finally fos.close()
+    val out = s"$tmp/synth.parquet"
+    val meta = graft.raquet.Grib2.convert(spark, gribPath, out,
+      tileStats = true, overviews = "auto")
+    require(meta.maxZoom == 1 && meta.minZoom == 0,
+      s"unexpected zoom range [${meta.minZoom}, ${meta.maxZoom}]")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      quadbin_zoom(col("block")).cast("long").as("zoom"),
+      col("time_cf"),
+      unix_micros(col("time_ts")).as("ts_us"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6 (HDF4 rank-3 `(time, y, x)` SDS) driver proof: the q184 sinusoidal
+    * grid with THREE timesteps in one chunked SDS (chunk extent 1 along
+    * time, libhdf4's shape) — each timestep converts to its own
+    * `(block, time_cf)` rows, probed per timestep with t-dependent patch
+    * values (v = patch + 16·t). */
+  def q188Hdf4Time(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q188"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/mod3.hdf"
+    val (nt, ny, nx) = (3, 128, 128)
+    val cell = 926.625433055556
+    val ulx = -8895604.157333
+    val uly = 4447802.078667
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "MOD_Grid_Q188",
+      Seq(graft.raquet.Hdf4Writer.Field("ndvi", 22, ny, nx, (_, _) => 0.0,
+        layout = "chunked-deflate", chunkY = 48, chunkX = 40,
+        fill = Some(-3000), nt = nt,
+        tvalues = (t, j, i) => ((j / 16) * 8 + i / 16 + 16 * t).toDouble,
+        attrs = Seq(graft.raquet.Hdf4Writer.shortAttr("_FillValue", -3000)))),
+      ulx, uly, ulx + nx * cell, uly - ny * cell, projection = "snsoid"))
+    val out = s"$tmp/mod3.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out, overviews = "none")
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.Sinusoidal(6371007.181, 0.0, 0.0, 0.0, 0.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = ulx + (16 * pi + 8) * cell
+      val yc = uly - (16 * pj + 8) * cell
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"), col("time_cf"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
 }

@@ -507,17 +507,18 @@ object Grib2 {
     * 4.8 after 4.0 (34 octets → end at 35-41), 4.9 after the probability
     * block of 4.5 (47 → 48-54), 4.10 after the percentile octet of 4.6
     * (35 → 36-42), 4.11 after the ensemble triplet of 4.1 (37 → 38-44),
-    * 4.12 after the derived pair of 4.2 (36 → 37-43). 4.15 is spatial
-    * statistics at a POINT in time (no interval; plain octets 18-22).
-    * Cluster products 4.13/4.14 fail loudly rather than decode a
-    * mis-offset time. */
+    * 4.12 after the derived pair of 4.2 (36 → 37-43), and the cluster
+    * products 4.13/4.14 after their VARIABLE-length member lists — the
+    * rectangular block of 4.3 (57+N, N = octet 36) and the circular
+    * block of 4.4 (53+N). 4.15 is spatial statistics at a POINT in
+    * time (no interval; plain octets 18-22). */
   private def parseProduct(sec4: Array[Byte], refTimeMillis: Long,
       where: String): (Int, Int, Double) = {
     require(sec4.length >= 22, s"$where: truncated product definition section")
     val tmpl = u16(sec4, 7)
-    require(tmpl <= 12 || tmpl == 15,
+    require(tmpl <= 15,
       s"$where: product definition template 4.$tmpl unsupported " +
-        "(instantaneous 4.0-4.7/4.15, statistical 4.8-4.12)")
+        "(instantaneous 4.0-4.7/4.15, statistical 4.8-4.14)")
     val cat = u8(sec4, 9)
     val num = u8(sec4, 10)
     // 0-based offset of the interval-end year field, per template
@@ -527,6 +528,10 @@ object Grib2 {
       case 10 => 35
       case 11 => 37
       case 12 => 36
+      case 13 | 14 =>
+        // clusters carry N member octets before the interval block
+        require(sec4.length >= 36, s"$where: cluster template 4.$tmpl truncated")
+        (if (tmpl == 13) 57 else 53) + u8(sec4, 35)
       case _ => -1
     }
     val hours = if (endOff >= 0) {

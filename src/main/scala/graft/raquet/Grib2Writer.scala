@@ -265,6 +265,17 @@ object Grib2Writer {
             4 /*36 perturbation number*/, 20 /*37 members*/)
           case 12 => Array[Byte](0 /*35 derivation: ensemble mean*/,
             20 /*36 members*/)
+          case 13 => Array[Byte](0 /*35 derived: mean*/, 3 /*36 N members*/,
+            1 /*37 cluster id*/, 0 /*38 NH*/, 0 /*39 NL*/,
+            2 /*40 total clusters*/, 0 /*41 method: anomaly correlation*/) ++
+            u32(60000000 /*42-45 N lat*/) ++ u32(30000000 /*46-49 S lat*/) ++
+            u32(40000000 /*50-53 E lon*/) ++ u32(10000000 /*54-57 W lon*/) ++
+            Array[Byte](1, 2, 3) /*58-60: the N member numbers*/
+          case 14 => Array[Byte](0, 3, 1, 0, 0, 2, 0) ++
+            u32(45000000 /*42-45 central lat*/) ++
+            u32(20000000 /*46-49 central lon*/) ++
+            u32(500000 /*50-53 radius*/) ++
+            Array[Byte](1, 2, 3) /*54-56: member numbers*/
           case other => throw new IllegalArgumentException(
             s"statistical template 4.$other unsupported by the writer")
         }

@@ -289,7 +289,7 @@ object Hdf4 {
   /** Resolve a data element's DD into its read plan: plain, whole-element
     * compressed, or chunked (loud failure for linked/external). */
   private[raquet] def resolveData(path: String, rr: RandomReader, dds: Seq[DD],
-      tag: Int, ref: Int, rank: Int): H4Data = {
+      tag: Int, ref: Int, dims: Array[Int]): H4Data = {
     val dd = find(dds, tag, ref).getOrElse(throw new IllegalArgumentException(
       s"$path: missing data element (tag $tag, ref $ref)"))
     if ((dd.tag & SpecialBit) == 0) return H4Plain(dd.offset, dd.length, CompNone, dd.length)
@@ -302,7 +302,7 @@ object Hdf4 {
             s"$path: missing DFTAG_COMPRESSED payload (ref ${h.dataRef})"))
         H4Plain(cdd.offset, cdd.length, h.coder, h.uncompLen)
       case SpChunked =>
-        parseChunked(path, rr, dds, head, rank)
+        parseChunked(path, rr, dds, head, dims)
       case SpLinked => throw new IllegalArgumentException(
         s"$path: linked-block HDF4 elements are unsupported")
       case SpExt => throw new IllegalArgumentException(
@@ -320,7 +320,8 @@ object Hdf4 {
     * `chk_ref:uint16`; each chunk element is itself plain or
     * SPECIAL_COMP. */
   private def parseChunked(path: String, rr: RandomReader, dds: Seq[DD],
-      head: Array[Byte], rank: Int): H4Chunked = {
+      head: Array[Byte], dims: Array[Int]): H4Chunked = {
+    val rank = dims.length
     var p = 2
     p += 4 // sp_tag_head_len
     p += 1 // version
@@ -385,7 +386,25 @@ object Hdf4 {
       }
       r += 1
     }
-    H4Chunked(chunkDims, chunks.result())
+    // Origin units: the spec describes origins as chunk-array coordinates,
+    // but an element-offset convention (origin = chunk index x chunk
+    // extent) also exists in the wild. Detect and normalize: if any origin
+    // exceeds the chunk count AND every origin is a multiple of its chunk
+    // extent, divide — then require all indices in range either way.
+    val arr = chunks.result()
+    val nChunks = Array.tabulate(ndims)(d =>
+      (dims(d) + chunkDims(d) - 1) / chunkDims(d))
+    val elementCoords = arr.nonEmpty &&
+      arr.exists(c => (0 until ndims).exists(d => c.idx(d) >= nChunks(d))) &&
+      arr.forall(c => (0 until ndims).forall(d => c.idx(d) % chunkDims(d) == 0))
+    val norm = if (!elementCoords) arr
+      else arr.map(c => c.copy(idx =
+        Array.tabulate(ndims)(d => c.idx(d) / chunkDims(d))))
+    norm.foreach(c => require((0 until ndims).forall(d =>
+      c.idx(d) >= 0 && c.idx(d) < nChunks(d)),
+      s"$path: chunk origin (${c.idx.mkString(",")}) outside the " +
+        s"(${nChunks.mkString(",")}) chunk grid"))
+    H4Chunked(chunkDims, norm)
   }
 
   // ------------------------------------------------------ Vdata/Vgroup
@@ -707,7 +726,7 @@ object Hdf4 {
 
     val (dtype, esz) = dtypeOf(path, sds.dfnt)
     val data = resolveData(path, rr, cat.dds, sds.dataTag, sds.dataRef,
-      sds.dims.length)
+      sds.dims)
     data match {
       case H4Plain(_, _, coder, u) =>
         val need = nt.toLong * ny * nx * esz

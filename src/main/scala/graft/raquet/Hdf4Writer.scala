@@ -58,7 +58,16 @@ object Hdf4Writer {
   final case class Field(name: String, dfnt: Int, ny: Int, nx: Int,
       values: (Int, Int) => Double, layout: String = "chunked-deflate",
       chunkY: Int = 64, chunkX: Int = 64, fill: Option[Double] = None,
-      attrs: Seq[Attr] = Nil)
+      attrs: Seq[Attr] = Nil,
+      /** write chunk-table origins as ELEMENT offsets (origin × extent) —
+        * the alternative convention [[Hdf4]] must also normalize */
+      originInElements: Boolean = false,
+      /** rank-3 `(time, y, x)` SDS: timestep count and `(t, j, i)` values
+        * (chunk extent along time is 1 — libhdf4's usual choice) */
+      nt: Int = 1, tvalues: (Int, Int, Int) => Double = null) {
+    def at(t: Int, j: Int, i: Int): Double =
+      if (nt == 1) values(j, i) else tvalues(t, j, i)
+  }
 
   /** One HDF-EOS grid; `projection` = "snsoid" (corners in meters,
     * `sphere` radius) or "geo" (corners ALREADY packed as GCTP DMS — use
@@ -185,20 +194,27 @@ object Hdf4Writer {
       val ntRef = ref()
       elems += ((TagNT, ntRef, Array[Byte](1, f.dfnt.toByte, (esz * 8).toByte, 0)))
       val sddRef = ref()
+      val rank = if (f.nt > 1) 3 else 2
       val sdd = new B
-      sdd.u16(2).u32(f.ny.toLong).u32(f.nx.toLong)
+      sdd.u16(rank)
+      if (rank == 3) sdd.u32(f.nt.toLong)
+      sdd.u32(f.ny.toLong).u32(f.nx.toLong)
       sdd.u16(TagNT).u16(ntRef) // data NT
-      sdd.u16(TagNT).u16(ntRef).u16(TagNT).u16(ntRef) // per-dim scale NTs
+      (0 until rank).foreach(_ => sdd.u16(TagNT).u16(ntRef)) // dim scale NTs
       elems += ((TagSDD, sddRef, sdd.bytes))
 
       val dataRef = ref()
       val planeBytes = {
-        val bb = java.nio.ByteBuffer.allocate(f.ny * f.nx * esz)
-        var j = 0
-        while (j < f.ny) {
-          var i = 0
-          while (i < f.nx) { encodeVal(f.dfnt, f.values(j, i), bb); i += 1 }
-          j += 1
+        val bb = java.nio.ByteBuffer.allocate(f.nt * f.ny * f.nx * esz)
+        var t = 0
+        while (t < f.nt) {
+          var j = 0
+          while (j < f.ny) {
+            var i = 0
+            while (i < f.nx) { encodeVal(f.dfnt, f.at(t, j, i), bb); i += 1 }
+            j += 1
+          }
+          t += 1
         }
         bb.array()
       }
@@ -242,9 +258,10 @@ object Hdf4Writer {
           val nxC = (f.nx + cx - 1) / cx
           val chunkBytes = cy * cx * esz
           val fillV = f.fill.getOrElse(0.0)
+          val rank3 = f.nt > 1
           val recs = new B
           var nRecs = 0
-          for (yi <- 0 until nyC; xi <- 0 until nxC) {
+          for (ti <- 0 until f.nt; yi <- 0 until nyC; xi <- 0 until nxC) {
             val cb = java.nio.ByteBuffer.allocate(chunkBytes)
             var j = 0
             while (j < cy) {
@@ -252,7 +269,7 @@ object Hdf4Writer {
               while (i < cx) {
                 val (gj, gi) = (yi * cy + j, xi * cx + i)
                 encodeVal(f.dfnt,
-                  if (gj < f.ny && gi < f.nx) f.values(gj, gi) else fillV, cb)
+                  if (gj < f.ny && gi < f.nx) f.at(ti, gj, gi) else fillV, cb)
                 i += 1
               }
               j += 1
@@ -260,12 +277,18 @@ object Hdf4Writer {
             val cRef = ref()
             if (coder == CompNone) elems += ((TagChunk, cRef, cb.array()))
             else compElement(cRef, cb.array(), coder, chunkBytes, TagChunk)
-            recs.u32(yi.toLong).u32(xi.toLong) // origin in chunk coords
+            if (rank3) {
+              if (f.originInElements)
+                recs.u32(ti.toLong).u32(yi.toLong * cy).u32(xi.toLong * cx)
+              else recs.u32(ti.toLong).u32(yi.toLong).u32(xi.toLong)
+            }
+            else if (f.originInElements) recs.u32(yi.toLong * cy).u32(xi.toLong * cx)
+            else recs.u32(yi.toLong).u32(xi.toLong) // chunk coords
             recs.u16(TagChunk).u16(cRef)
             nRecs += 1
           }
           val tblRef = ref()
-          elems += ((TagVH, tblRef, chunkTableHeader(2, nRecs)))
+          elems += ((TagVH, tblRef, chunkTableHeader(if (rank3) 3 else 2, nRecs)))
           elems += ((TagVS, tblRef, recs.bytes))
           // the SPECIAL_CHUNKED description element
           val fillBytes = {
@@ -275,12 +298,13 @@ object Hdf4Writer {
           val tail = new B // everything after sp_tag_head_len
           tail.u8(1) // version
           tail.u32(if (coder == CompNone) 0L else 1L) // flag
-          tail.u32(f.ny.toLong * f.nx * esz) // elem_tot_length
+          tail.u32(f.nt.toLong * f.ny * f.nx * esz) // elem_tot_length
           tail.u32(chunkBytes.toLong)
           tail.u32(esz.toLong)
           tail.u16(TagVH).u16(tblRef)
           tail.u16(Hdf4.TagNull).u16(0) // sp_tag/sp_ref: unused
-          tail.u32(2L) // ndims
+          tail.u32(if (rank3) 3L else 2L) // ndims
+          if (rank3) tail.u32(0L).u32(f.nt.toLong).u32(1L)
           tail.u32(0L).u32(f.ny.toLong).u32(cy.toLong)
           tail.u32(0L).u32(f.nx.toLong).u32(cx.toLong)
           tail.u32(esz.toLong)
@@ -372,7 +396,7 @@ object Hdf4Writer {
       s"""\t\t\tOBJECT=DataField_${k + 1}
 \t\t\t\tDataFieldName="${f.name}"
 \t\t\t\tDataType=${dfntName(f.dfnt)}
-\t\t\t\tDimList=("YDim","XDim")
+\t\t\t\tDimList=${if (f.nt > 1) "(\"Time\",\"YDim\",\"XDim\")" else "(\"YDim\",\"XDim\")"}
 \t\t\tEND_OBJECT=DataField_${k + 1}"""
     }.mkString("\n")
     val body =
@@ -403,6 +427,6 @@ END_GROUP=PointStructure
 END
 """
     if (body.length >= 32000) body
-    else body + " " * (32000 - body.length)
+    else body + "\u0000" * (32000 - body.length)
   }
 }

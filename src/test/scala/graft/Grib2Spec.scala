@@ -256,7 +256,7 @@ class Grib2Spec extends AnyFunSuite {
       assert(s.sample(0, i, j) == want(j * 4 + i), s"($i,$j)")
   }
 
-  test("statistical PDTs 4.8-4.12 date at the END of the interval; clusters fail loudly") {
+  test("statistical PDTs 4.8-4.14 date at the END of the interval") {
     val (ni, nj) = (4, 2)
     val vals = Array.tabulate[Option[Int]](ni * nj)(k => Some(k))
     val sec3 = Grib2Writer.sec3LatLon(ni, nj, basicAngle = 1, subdiv = 16,
@@ -265,9 +265,9 @@ class Grib2Spec extends AnyFunSuite {
     // accumulation interval ENDS at 2024-03-16 06Z (+30h): wgrib2/GDAL
     // (and CF) date the field at the interval end, not at P1. Each
     // statistical template shifts that septet by its own mid-block
-    // (probability / percentile / ensemble / derived) — all must resolve
-    // to the same +30h.
-    for (tmpl <- Seq(8, 9, 10, 11, 12)) {
+    // (probability / percentile / ensemble / derived / cluster with a
+    // VARIABLE-length member list) — all must resolve to the same +30h.
+    for (tmpl <- Seq(8, 9, 10, 11, 12, 13, 14)) {
       val msg = Grib2Writer.messageWithSec3(sec3, (2024, 3, 15, 0),
         Plane(6, vals), nbits = 8, packing = "simple", 0, 0, 0,
         statEndOfInterval = Some((2024, 3, 16, 6)), statTemplate = tmpl)
@@ -280,19 +280,19 @@ class Grib2Spec extends AnyFunSuite {
       val sec4Off = 16 + 21 + sec3.length
       assert(((msg(sec4Off + 7) & 0xFF) << 8 | (msg(sec4Off + 8) & 0xFF)) == tmpl)
     }
-    // cluster templates 4.13/4.14 have yet-different offsets — must
-    // reject, not decode a mis-offset time
-    val msg8 = Grib2Writer.messageWithSec3(sec3, (2024, 3, 15, 0),
+    // a cluster PDT truncated before its member count must reject, not
+    // index past the section
+    val msg13 = Grib2Writer.messageWithSec3(sec3, (2024, 3, 15, 0),
       Plane(6, vals), nbits = 8, packing = "simple", 0, 0, 0,
-      statEndOfInterval = Some((2024, 3, 16, 6)))
-    val bad = msg8.clone()
+      statEndOfInterval = Some((2024, 3, 16, 6)), statTemplate = 13)
     val sec4Off = 16 + 21 + sec3.length
-    bad(sec4Off + 8) = 13
-    val pb = tmpFile("pdt413")
+    // shrink section 4's declared length to 30 octets (before octet 36)
+    val bad = msg13.clone()
+    bad(sec4Off + 3) = 30
+    val pb = tmpFile("pdt413trunc")
     val ob = new java.io.FileOutputStream(pb)
     try ob.write(bad) finally ob.close()
-    val e = intercept[IllegalArgumentException] { Grib2.describe(pb) }
-    assert(e.getMessage.contains("template 4.13"))
+    intercept[IllegalArgumentException] { Grib2.describe(pb) }
   }
 
   test("template 3.30 Lambert conformal grids georeference through the LCC projection") {

@@ -129,11 +129,48 @@ class Hdf4Spec extends AnyFunSuite {
     }
   }
 
+  test("element-offset chunk-table origins normalize to chunk coordinates") {
+    val p = tmpFile("elemorigin")
+    val g = sinGrid("chunked-deflate")
+    Hdf4Writer.write(p, g.copy(fields =
+      g.fields.map(_.copy(originInElements = true))))
+    checkValues(Hdf4.describe(p))
+  }
+
   test("edge chunks (grid not divisible by chunk) are stitched correctly") {
     val p = tmpFile("edge")
     // 120x100 with 64x64 chunks: 2x2 chunk grid, heavy padding
     Hdf4Writer.write(p, sinGrid("chunked-deflate", chunkY = 64, chunkX = 64))
     checkValues(Hdf4.describe(p))
+  }
+
+  test("rank-3 (time, y, x) chunked SDS reads each timestep exactly") {
+    val (nt, ny, nx) = (3, 40, 50)
+    def v(t: Int, j: Int, i: Int): Double = ((5 * j + 7 * i + 11 * t) % 997).toDouble
+    val grid = Hdf4Writer.Grid("T3",
+      Seq(Hdf4Writer.Field("v", 22, ny, nx, (_, _) => 0.0,
+        layout = "chunked-deflate", chunkY = 16, chunkX = 24,
+        nt = nt, tvalues = v)),
+      0.0, ny * 926.0, nx * 926.0, 0.0, projection = "snsoid")
+    val p = tmpFile("t3")
+    Hdf4Writer.write(p, grid)
+    val g = Hdf4.describe(p)
+    assert(g.nt == 3 && g.timeValues.toSeq == Seq(0.0, 1.0, 2.0))
+    for (t <- 0 until nt) {
+      val s = g.sampler(t, 5, 3, 37, 29) // crosses chunk boundaries
+      for (j <- 3 until 32; i <- 5 until 42)
+        assert(s.sample(0, i, j) == v(t, j, i), s"t=$t ($i,$j)")
+    }
+    // plain rank-3 layout too (contiguous t planes)
+    val p2 = tmpFile("t3plain")
+    Hdf4Writer.write(p2, grid.copy(fields =
+      grid.fields.map(_.copy(layout = "plain"))))
+    val g2 = Hdf4.describe(p2)
+    for (t <- 0 until nt) {
+      val s = g2.sampler(t, 0, 0, nx, ny)
+      for (j <- 0 until ny; i <- 0 until nx)
+        assert(s.sample(0, i, j) == v(t, j, i), s"plain t=$t ($i,$j)")
+    }
   }
 
   test("GEO grid decodes packed-DMS corners to degrees") {
