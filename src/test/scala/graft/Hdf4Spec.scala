@@ -236,6 +236,39 @@ class Hdf4Spec extends AnyFunSuite {
     } finally rr.close()
   }
 
+  test("HDF4 over HTTP Range: describe + windowed chunk reads") {
+    val p = tmpFile("http")
+    Hdf4Writer.write(p, sinGrid("chunked-deflate"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/mod.hdf", new com.sun.net.httpserver.HttpHandler {
+      private val RangeRe = """bytes=(\d+)-(\d+)""".r
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        Option(ex.getRequestHeaders.getFirst("Range")) match {
+          case Some(RangeRe(a, b)) =>
+            val from = a.toInt
+            val to = math.min(b.toLong, bytes.length - 1L).toInt
+            ex.getResponseHeaders.set("Content-Range",
+              s"bytes $from-$to/${bytes.length}")
+            ex.sendResponseHeaders(206, to - from + 1L)
+            ex.getResponseBody.write(bytes, from, to - from + 1)
+          case _ =>
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/mod.hdf"
+      val g = Hdf4.describe(url)
+      assert(g.dtype == "int16" && g.nodata.contains(-3000.0))
+      checkValues(g)
+    } finally server.stop(0)
+  }
+
   test("StructMetadata parser reads the EOS grid block") {
     val g = sinGrid("plain")
     val text = Hdf4Writer.structMetadataText(g)
