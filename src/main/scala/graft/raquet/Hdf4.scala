@@ -610,6 +610,12 @@ object Hdf4 {
             case ("Projection", v) => proj = v
             case ("ProjParams", v) => pp = nums(v).padTo(13, 0.0)
             case ("DataFieldName", v) => fields += unq(v)
+            // the geotransform below assumes the HDF-EOS default grid
+            // origin (upper-left); any other corner would silently flip
+            // the raster — reject loudly instead
+            case ("GridOrigin", v) =>
+              require(v == "HDFE_GD_UL",
+                s"$path: HDF-EOS GridOrigin $v unsupported (HDFE_GD_UL only)")
             case _ => ()
           }
           i += 1

@@ -174,6 +174,12 @@ object Hdf4Writer {
   // --------------------------------------------------------- assembly
 
   def write(path: String, grid: Grid,
+      globalAttrs: Seq[Attr]): Unit = writeGrids(path, Seq(grid), globalAttrs)
+  def write(path: String, grid: Grid): Unit = writeGrids(path, Seq(grid), Nil)
+
+  /** Multi-grid file (the MOD09GA shape: a 500 m grid and a 1 km grid in
+    * one container, each with its own geotransform and field list). */
+  def writeGrids(path: String, grids: Seq[Grid],
       globalAttrs: Seq[Attr] = Nil): Unit = {
     val elems = Seq.newBuilder[(Int, Int, Array[Byte])] // (tag, ref, bytes)
     var nextRef = 2
@@ -189,7 +195,7 @@ object Hdf4Writer {
     }
 
     val varRefs = Seq.newBuilder[Int]
-    for (f <- grid.fields) {
+    for (grid <- grids; f <- grid.fields) {
       val esz = elemSize(f.dfnt)
       val ntRef = ref()
       elems += ((TagNT, ntRef, Array[Byte](1, f.dfnt.toByte, (esz * 8).toByte, 0)))
@@ -336,9 +342,11 @@ object Hdf4Writer {
     }
 
     // StructMetadata.0 + extra global attributes
-    val sm = structMetadataText(grid)
-    val smAttrRef = attrVdata(charAttr("StructMetadata.0", sm))
-    val globalRefs = smAttrRef +: globalAttrs.map(attrVdata)
+    val sm = structMetadataTextMulti(grids)
+    val smRefs = sm.grouped(32000).zipWithIndex.map { case (part, k) =>
+      attrVdata(charAttr(s"StructMetadata.$k", part))
+    }.toSeq
+    val globalRefs = smRefs ++ globalAttrs.map(attrVdata)
 
     val topRef = ref()
     elems += ((TagVG, topRef, vgroup("CDF0.0", "CDF0.0",
@@ -381,9 +389,8 @@ object Hdf4Writer {
     case _ => "DFNT_CHAR8"
   }
 
-  /** The ODL text the HDF-EOS2 grid API emits, padded to its fixed
-    * 32000-byte attribute block. */
-  private[graft] def structMetadataText(g: Grid): String = {
+  /** One GRID block of the ODL text the HDF-EOS2 grid API emits. */
+  private def gridBlock(g: Grid, idx: Int): String = {
     val f0 = g.fields.head
     val (projLine, ppLine) = g.projection match {
       case "snsoid" =>
@@ -399,11 +406,7 @@ object Hdf4Writer {
 \t\t\t\tDimList=${if (f.nt > 1) "(\"Time\",\"YDim\",\"XDim\")" else "(\"YDim\",\"XDim\")"}
 \t\t\tEND_OBJECT=DataField_${k + 1}"""
     }.mkString("\n")
-    val body =
-      s"""GROUP=SwathStructure
-END_GROUP=SwathStructure
-GROUP=GridStructure
-\tGROUP=GRID_1
+    s"""\tGROUP=GRID_$idx
 \t\tGridName="${g.name}"
 \t\tXDim=${f0.nx}
 \t\tYDim=${f0.ny}
@@ -420,13 +423,26 @@ $fieldObjs
 \t\tEND_GROUP=DataField
 \t\tGROUP=MergedFields
 \t\tEND_GROUP=MergedFields
-\tEND_GROUP=GRID_1
+\tEND_GROUP=GRID_$idx"""
+  }
+
+  /** The full ODL document over all grids, padded to the EOS toolkit's
+    * fixed 32000-byte attribute blocks. */
+  private[graft] def structMetadataTextMulti(grids: Seq[Grid]): String = {
+    val body =
+      s"""GROUP=SwathStructure
+END_GROUP=SwathStructure
+GROUP=GridStructure
+${grids.zipWithIndex.map { case (g, k) => gridBlock(g, k + 1) }.mkString("\n")}
 END_GROUP=GridStructure
 GROUP=PointStructure
 END_GROUP=PointStructure
 END
 """
-    if (body.length >= 32000) body
-    else body + "\u0000" * (32000 - body.length)
+    val blocks = math.max(1, (body.length + 31999) / 32000)
+    body + "\u0000" * (blocks * 32000 - body.length)
   }
+
+  private[graft] def structMetadataText(g: Grid): String =
+    structMetadataTextMulti(Seq(g))
 }

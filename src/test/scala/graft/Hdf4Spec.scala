@@ -282,6 +282,60 @@ class Hdf4Spec extends AnyFunSuite {
     assert(grids.head.fields == Seq("ndvi"))
   }
 
+  test("multi-grid file (MOD09GA shape): per-grid geotransforms resolve") {
+    val cell = 463.312716527778 // the 500 m MODIS cell
+    val ulx = -1.0e7; val uly = 5.5e6
+    val g500 = Hdf4Writer.Grid("MODIS_Grid_500m",
+      Seq(Hdf4Writer.Field("b01_500m", 22, 80, 80,
+        (j, i) => (3 * i + 5 * j) % 1000, layout = "chunked-deflate",
+        chunkY = 32, chunkX = 32)),
+      ulx, uly, ulx + 80 * cell, uly - 80 * cell, projection = "snsoid")
+    val g1km = Hdf4Writer.Grid("MODIS_Grid_1km",
+      Seq(Hdf4Writer.Field("lst_1km", 23, 40, 40,
+        (j, i) => (7 * i + 11 * j) % 50000, layout = "chunked-rle",
+        chunkY = 16, chunkX = 16)),
+      ulx, uly, ulx + 40 * 2 * cell, uly - 40 * 2 * cell, projection = "snsoid")
+    val p = tmpFile("mod09ga")
+    Hdf4Writer.writeGrids(p, Seq(g500, g1km))
+    assert(Hdf4.fieldNames(p) == Seq("b01_500m", "lst_1km"))
+    val a = Hdf4.describe(p, Some("b01_500m"))
+    val b = Hdf4.describe(p, Some("lst_1km"))
+    assert(a.width == 80 && math.abs(a.dx - cell) < 1e-9)
+    assert(b.width == 40 && math.abs(b.dx - 2 * cell) < 1e-9)
+    assert(a.sampler(0, 0, 0, 80, 80).sample(0, 7, 9) == (21 + 45) % 1000)
+    assert(b.sampler(0, 0, 0, 40, 40).sample(0, 7, 9) == (49 + 99) % 50000)
+    // default field = the first grid's first field
+    assert(Hdf4.describe(p).width == 80)
+  }
+
+  test("StructMetadata splits past 32000 chars and re-concatenates") {
+    val g = sinGrid("plain")
+    val many = Seq.tabulate(80)(k => g.copy(name = s"G$k",
+      fields = g.fields.map(_.copy(name = s"f$k"))))
+    val text = Hdf4Writer.structMetadataTextMulti(many)
+    assert(text.length % 32000 == 0 && text.length >= 64000)
+    val grids = Hdf4.parseStructMetadata("t", text)
+    assert(grids.map(_.name) == (0 until 80).map(k => s"G$k"))
+    // file-level: the reader concatenates StructMetadata.0/.1/... attrs
+    val p = tmpFile("split")
+    val tiny = Seq.tabulate(40)(k => Hdf4Writer.Grid(s"G$k",
+      Seq(Hdf4Writer.Field(s"f$k", 21, 8, 8, (j, i) => (k + i + j) % 256,
+        layout = "plain")),
+      0.0, 8 * 926.0, 8 * 926.0, 0.0, projection = "snsoid"))
+    Hdf4Writer.writeGrids(p, tiny)
+    val g7 = Hdf4.describe(p, Some("f7"))
+    assert(g7.sampler(0, 0, 0, 8, 8).sample(0, 2, 3) == (7 + 2 + 3) % 256)
+  }
+
+  test("non-upper-left GridOrigin rejects loudly") {
+    val text = Hdf4Writer.structMetadataText(sinGrid("plain"))
+      .replace("GridOrigin=HDFE_GD_UL", "GridOrigin=HDFE_GD_LL")
+    val e = intercept[IllegalArgumentException] {
+      Hdf4.parseStructMetadata("t", text)
+    }
+    assert(e.getMessage.contains("HDFE_GD_LL"))
+  }
+
   test("unsupported projections and non-HDF4 files fail loudly") {
     val g = sinGrid("plain")
     val bad = Hdf4Writer.structMetadataText(g)
