@@ -86,6 +86,32 @@ class CliSpec extends SparkSpec {
     assert(graft.raquet.RaquetIO.read(spark, out1).data.count() > 0)
   }
 
+  test("convert routes .hdf with --field and --fields stacking") {
+    val hdf = s"$tmp/mod.hdf"
+    graft.raquet.Hdf4Writer.writeGrids(hdf, Seq(graft.raquet.Hdf4Writer.Grid(
+      "CliGrid",
+      Seq(
+        graft.raquet.Hdf4Writer.Field("a", 21, 64, 64,
+          (j, i) => (i + j) % 256, layout = "chunked-deflate",
+          chunkY = 32, chunkX = 32),
+        graft.raquet.Hdf4Writer.Field("b", 21, 64, 64,
+          (j, i) => (3 * i + j) % 256, layout = "chunked-rle",
+          chunkY = 32, chunkX = 32)),
+      0.0, 64 * 926.0, 64 * 926.0, 0.0, projection = "snsoid")))
+    val one = s"$tmp/hdf_one.parquet"
+    Cli.run(spark, Seq("convert", hdf, one, "--field", "b",
+      "--overviews", "none"))
+    val dsOne = graft.raquet.RaquetIO.read(spark, one)
+    assert(dsOne.meta.bands.map(_.name) == Seq("band_1"))
+    assert(dsOne.data.count() > 0)
+    val all = s"$tmp/hdf_all.parquet"
+    Cli.run(spark, Seq("convert", hdf, all, "--fields", "all",
+      "--overviews", "none"))
+    val dsAll = graft.raquet.RaquetIO.read(spark, all)
+    assert(dsAll.meta.bands.map(_.name) == Seq("band_1", "band_2"))
+    assert(dsAll.data.count() > 0)
+  }
+
   test("pmtiles, compact, mvt subcommands run via argv") {
     import org.apache.spark.sql.functions.{col, lit}
     val tif = s"$tmp/in2.tif"
