@@ -98,6 +98,18 @@ object Cli {
 
   /** GRIB magic + edition octet — extension-independent local detection
     * (.grib/.grb/.grib2/.grb2 naming is inconsistent in the wild). */
+  /** HDF4 magic sniff — MODIS archives ship with assorted extensions, so
+    * (like GRIB) the container bytes win over the name. */
+  private def isHdf4(path: String): Boolean = {
+    val f = new java.io.File(path)
+    if (!f.isFile || f.length < 4) return false
+    val in = new java.io.FileInputStream(f)
+    try {
+      val b = new Array[Byte](4)
+      in.read(b) == 4 && java.util.Arrays.equals(b, graft.raquet.Hdf4.Magic)
+    } finally in.close()
+  }
+
   private def gribEdition(path: String): Option[Int] = {
     val f = new java.io.File(path)
     if (!f.isFile || f.length < 8) return None
@@ -190,7 +202,7 @@ object Cli {
         overviews = f.getOrElse("overviews", "auto"),
         nodata = f.get("nodata").map(_.toDouble))
       else if (in.toLowerCase.endsWith(".hdf") ||
-        in.toLowerCase.endsWith(".hdf4")) {
+        in.toLowerCase.endsWith(".hdf4") || isHdf4(in)) {
         // --field NAME converts one data field; --fields a,b (or "all")
         // stacks several into one multi-band dataset
         val bz = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size")

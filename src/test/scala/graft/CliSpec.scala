@@ -104,6 +104,14 @@ class CliSpec extends SparkSpec {
     val dsOne = graft.raquet.RaquetIO.read(spark, one)
     assert(dsOne.meta.bands.map(_.name) == Seq("band_1"))
     assert(dsOne.data.count() > 0)
+    // magic-based routing: wrong extension, container bytes win
+    val alias = s"$tmp/misnamed.dat"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(hdf),
+      java.nio.file.Paths.get(alias))
+    val one2 = s"$tmp/hdf_alias.parquet"
+    Cli.run(spark, Seq("convert", alias, one2, "--field", "a",
+      "--overviews", "none"))
+    assert(graft.raquet.RaquetIO.read(spark, one2).data.count() > 0)
     val all = s"$tmp/hdf_all.parquet"
     Cli.run(spark, Seq("convert", hdf, all, "--fields", "all",
       "--overviews", "none"))
