@@ -210,7 +210,9 @@ object Hdf4Writer {
       elems += ((TagSDD, sddRef, sdd.bytes))
 
       val dataRef = ref()
-      val planeBytes = {
+      // lazy: chunked layouts encode per chunk and never materialize the
+      // cube (the Hdf4Check larger-than-heap writer path)
+      lazy val planeBytes = {
         val bb = java.nio.ByteBuffer.allocate(f.nt * f.ny * f.nx * esz)
         var t = 0
         while (t < f.nt) {
