@@ -519,8 +519,11 @@ object Bench {
     // cores, so an 8-thread record vs a 32-thread record differs 3-4x on
     // bL_* with NO regression — self-describing records stop that
     // misreading (the round-8/9 phantom-regression lesson)
+    // cpus may be non-numeric (local[*] is legal): keep the JSON valid
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else jstr(cpus)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs$errField$contField$perQField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"queries":$qs$errField$contField$perQField,"sf":"$sfDir"}"""
     // per-sf mirror: totals are only comparable within one scale factor, so
     // each sf keeps its own baseline file (BENCH_LOCAL.json stays as the
     // latest-run mirror for tooling that expects the fixed name)

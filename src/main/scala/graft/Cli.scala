@@ -98,17 +98,26 @@ object Cli {
 
   /** GRIB magic + edition octet — extension-independent local detection
     * (.grib/.grb/.grib2/.grb2 naming is inconsistent in the wild). */
-  /** HDF4 magic sniff — MODIS archives ship with assorted extensions, so
-    * (like GRIB) the container bytes win over the name. */
-  private def isHdf4(path: String): Boolean = {
+  /** First bytes of a local file (empty for remote/missing paths). */
+  private def sniff(path: String, n: Int): Array[Byte] = {
     val f = new java.io.File(path)
-    if (!f.isFile || f.length < 4) return false
+    if (!f.isFile || f.length < n) return Array.emptyByteArray
     val in = new java.io.FileInputStream(f)
     try {
-      val b = new Array[Byte](4)
-      in.read(b) == 4 && java.util.Arrays.equals(b, graft.raquet.Hdf4.Magic)
+      val b = new Array[Byte](n)
+      if (in.read(b) == n) b else Array.emptyByteArray
     } finally in.close()
   }
+
+  /** HDF4 magic sniff — MODIS archives ship with assorted extensions, so
+    * (like GRIB) the container bytes win over the name. */
+  private def isHdf4(path: String): Boolean =
+    java.util.Arrays.equals(sniff(path, 4), graft.raquet.Hdf4.Magic)
+
+  /** Newer NASA products ship HDF5 containers under a `.hdf` name — those
+    * must route to the HDF5/netCDF-4 reader, not the HDF4 one. */
+  private def isHdf5(path: String): Boolean =
+    java.util.Arrays.equals(sniff(path, 8), graft.raquet.Hdf5.Signature)
 
   private def gribEdition(path: String): Option[Int] = {
     val f = new java.io.File(path)
@@ -201,8 +210,9 @@ object Cli {
         resampling = f.getOrElse("resampling", "near"),
         overviews = f.getOrElse("overviews", "auto"),
         nodata = f.get("nodata").map(_.toDouble))
-      else if (in.toLowerCase.endsWith(".hdf") ||
-        in.toLowerCase.endsWith(".hdf4") || isHdf4(in)) {
+      else if (isHdf4(in) ||
+        ((in.toLowerCase.endsWith(".hdf") || in.toLowerCase.endsWith(".hdf4"))
+          && !isHdf5(in))) {
         // --field NAME converts one data field; --fields a,b (or "all")
         // stacks several into one multi-band dataset
         val bz = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size")
@@ -221,6 +231,7 @@ object Cli {
         }
       }
       else if (in.endsWith(".nc") || in.endsWith(".nc4") ||
+        isHdf5(in) ||
         graft.raquet.Zarr.isStore(in)) NetCdf.convert(spark, in, out,
         blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
         zoomStrategy = f.getOrElse("zoom-strategy", "auto"),

@@ -67,8 +67,10 @@ object Hdf4 {
   final case class SDS(ref: Int, name: String, dims: Array[Int], dfnt: Int,
       dataTag: Int, dataRef: Int, attrs: Map[String, H4Attr])
 
-  /** A decoded attribute value (from an `Attr0.0` Vdata). */
-  final case class H4Attr(dfnt: Int, count: Int, raw: Array[Byte]) {
+  /** A decoded attribute value (from an `Attr0.0` Vdata).
+    * `littleEndian` = the Vdata field carried DFNT_LITEND (0x4000). */
+  final case class H4Attr(dfnt: Int, count: Int, raw: Array[Byte],
+      littleEndian: Boolean = false) {
     def text: Option[String] =
       if (dfnt == 4 || dfnt == 3)
         Some(new String(raw, java.nio.charset.StandardCharsets.US_ASCII)
@@ -84,7 +86,9 @@ object Hdf4 {
       }
       if (count < 1 || raw.length < need) None
       else {
-        val bb = java.nio.ByteBuffer.wrap(raw)
+        val bb = java.nio.ByteBuffer.wrap(raw).order(
+          if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+          else java.nio.ByteOrder.BIG_ENDIAN)
         dfnt match {
           case 5 => Some(bb.getFloat(0).toDouble)
           case 6 => Some(bb.getDouble(0))
@@ -135,7 +139,7 @@ object Hdf4 {
   /** Walk the DD block chain into one catalog (spec §2: each block is
     * `ndd:int16, next:uint32, ndd × (tag:uint16, ref:uint16, off:uint32,
     * len:uint32)`). */
-  private[raquet] def readDDs(path: String, rr: RandomReader): Seq[DD] = {
+  private[graft] def readDDs(path: String, rr: RandomReader): Seq[DD] = {
     val head = rr.readAt(0, 4)
     require(java.util.Arrays.equals(head, Magic), s"$path: not an HDF4 file")
     val out = Seq.newBuilder[DD]
@@ -359,6 +363,12 @@ object Hdf4 {
       s"$path: chunk table lacks origin/chk_tag/chk_ref fields")
     require(vh.fields(originF).order == ndims,
       s"$path: chunk-table origin order ${vh.fields(originF).order} != rank $ndims")
+    // chunk resolution is the hot lookup (one per table record, two DDs
+    // per compressed chunk): index the catalog once, O(chunks) total
+    val byKey: Map[(Int, Int), DD] =
+      dds.iterator.map(d => ((d.tag, d.ref), d)).toMap
+    def findFast(tag: Int, ref: Int): Option[DD] =
+      byKey.get((tag, ref)).orElse(byKey.get((tag | SpecialBit, ref)))
     val chunks = Array.newBuilder[H4ChunkRef]
     var r = 0
     while (r < vh.nRecords) {
@@ -368,7 +378,7 @@ object Hdf4 {
       val cTag = u16(rec, vh.fields(tagF).offset)
       val cRef = u16(rec, vh.fields(refF).offset)
       if (cTag != TagNull && !(cTag == 0 && cRef == 0)) {
-        val cdd = find(dds, cTag, cRef).getOrElse(
+        val cdd = findFast(cTag, cRef).getOrElse(
           throw new IllegalArgumentException(
             s"$path: missing chunk element (tag $cTag, ref $cRef)"))
         if ((cdd.tag & SpecialBit) == 0)
@@ -378,7 +388,7 @@ object Hdf4 {
           require(u16(ch, 0) == SpComp,
             s"$path: chunk special code ${u16(ch, 0)} unsupported")
           val h = parseCompHeader(path, ch)
-          val pdd = find(dds, TagCompressed, h.dataRef).getOrElse(
+          val pdd = findFast(TagCompressed, h.dataRef).getOrElse(
             throw new IllegalArgumentException(
               s"$path: missing compressed chunk payload (ref ${h.dataRef})"))
           chunks += H4ChunkRef(idx, pdd.offset, pdd.length, h.coder, h.uncompLen)
@@ -502,7 +512,8 @@ object Hdf4 {
           v.data.length - f.offset))
         val raw = new Array[Byte](n)
         System.arraycopy(v.data, f.offset, raw, 0, n)
-        (v.name, H4Attr(f.dfnt & ~SpecialBit, f.order, raw))
+        (v.name, H4Attr(f.dfnt & ~SpecialBit, f.order, raw,
+          littleEndian = (f.dfnt & SpecialBit) != 0))
     }
 
   // ----------------------------------------------------------- catalog
@@ -546,6 +557,14 @@ object Hdf4 {
         throw new IllegalArgumentException(s"$path: missing NT $ntRef"))
       val ntb = rr.readAt(nt.offset, 4)
       val dfnt = ntb(1) & 0xFF
+      // class octet: DFNTF_IEEE (0) / DFNTI_MBO (1) are the big-endian
+      // standard representations; DFNTI_IBO / DFNTF_PC (4) mark
+      // little-endian SDS data, which would silently byte-swap every
+      // sample if decoded big-endian — fail loudly (VAX/Cray likewise)
+      val ntClass = ntb(3) & 0xFF
+      require(ntClass == 0 || ntClass == 1,
+        s"$path: SDS number-type class $ntClass unsupported " +
+          "(big-endian standard representations only)")
       val vg = varGroups.find(_.members.contains((TagNDG, g.ref)))
       val name = vg.map(_.name).getOrElse(s"SDS_${g.ref}")
       val attrs: Map[String, H4Attr] = vg.map(_.members.collect {
@@ -754,6 +773,21 @@ object Hdf4 {
       Array.tabulate(nt)(_.toDouble), None, "standard", proj)
   }
 
+  /** The first HDF-EOS grid's field list (else all SDS names) — the
+    * [[convertFields]] default: one grid = one stackable tile grid. */
+  private def firstGridFields(path: String): Seq[String] = {
+    val rr = RandomReader(path)
+    try {
+      val cat = openCatalog(path, rr)
+      val grids = cat.globalAttrs.get("StructMetadata.0")
+        .flatMap(_ => structMetadata(cat)).map(parseStructMetadata(path, _))
+        .getOrElse(Seq.empty)
+      grids.headOption.map(_.fields).getOrElse(
+        cat.sdses.filter(d => d.dims.length == 2 || d.dims.length == 3)
+          .map(_.name))
+    } finally rr.close()
+  }
+
   /** List the raster fields the file exposes (HDF-EOS field names, else
     * SDS names) — the CLI's discovery surface. */
   def fieldNames(path: String): Seq[String] = {
@@ -765,6 +799,26 @@ object Hdf4 {
       if (eos.nonEmpty) eos
       else cat.sdses.filter(d => d.dims.length == 2 || d.dims.length == 3).map(_.name)
     } finally rr.close()
+  }
+
+  /** Whole-element decode cache: a non-chunked compressed SDS is not
+    * seekable, so every window of it needs the full decoded element —
+    * share ONE decode per (path, offset) across a JVM's tasks behind a
+    * SoftReference (GC evicts under pressure; describe already bounds
+    * such elements to 1 GB). Chunked layouts never touch this. */
+  private val elemCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      java.lang.ref.SoftReference[Array[Byte]]]()
+
+  private def cachedDecode(path: String, rr: RandomReader, off: Long,
+      len: Int, coder: Int, uncompLen: Int): Array[Byte] = {
+    val key = (path, off)
+    val hit = Option(elemCache.get(key)).flatMap(r => Option(r.get))
+    hit.getOrElse {
+      val dec = decomp(path, coder, rr.readAt(off, len), uncompLen)
+      elemCache.put(key, new java.lang.ref.SoftReference(dec))
+      dec
+    }
   }
 
   /** Bounded window read of one timestep: the [[Hdf5Nc.ChunkSampler]]
@@ -793,11 +847,12 @@ object Hdf4 {
               }
             } else {
               // whole-element compression is not seekable: decode the
-              // element once, copy the window (HDF4's own constraint —
-              // chunked files avoid this path; describe bounds the size)
+              // element once PER JVM (soft-cached), copy the window
+              // (HDF4's own constraint — chunked files avoid this path;
+              // describe bounds the size)
               val need = (g.nt.toLong * planeBytes).toInt
-              val dec = decomp(g.path, coder, rr.readAt(off, len),
-                math.min(uncompLen, need))
+              val dec = cachedDecode(g.path, rr, off, len,
+                coder, math.min(uncompLen, need))
               var j = 0
               while (j < wh) {
                 System.arraycopy(dec,
@@ -903,7 +958,10 @@ object Hdf4 {
       outFile: String, fields: Seq[String] = Seq.empty, blockZoom: Int = 8,
       zoomStrategy: String = "auto", tileStats: Boolean = false,
       resampling: String = "near", overviews: String = "auto"): RaquetMetadata = {
-    val names = if (fields.nonEmpty) fields else fieldNames(path)
+    // default = the FIRST grid's fields only: a multi-grid file (the
+    // MOD09GA 500 m + 1 km shape) has incompatible tile grids across
+    // grids, and stacking them is never meaningful
+    val names = if (fields.nonEmpty) fields else firstGridFields(path)
     require(names.nonEmpty, s"$path: no raster fields")
     val work = java.nio.file.Files.createTempDirectory("hdf4fields").toString
     try {
@@ -914,12 +972,6 @@ object Hdf4 {
         (dir, m)
       }
       BandStack.stack(spark, parts, outFile)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(work))
-    }
+    } finally RaquetIO.deleteRecursively(java.nio.file.Paths.get(work))
   }
 }

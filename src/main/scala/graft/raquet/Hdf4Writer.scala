@@ -198,7 +198,11 @@ object Hdf4Writer {
     for (grid <- grids; f <- grid.fields) {
       val esz = elemSize(f.dfnt)
       val ntRef = ref()
-      elems += ((TagNT, ntRef, Array[Byte](1, f.dfnt.toByte, (esz * 8).toByte, 0)))
+      // NT class octet: DFNTF_IEEE (0) for floats, DFNTI_MBO (1) for
+      // ints — the big-endian standard representations libhdf4 writes
+      val ntClass: Byte = if (f.dfnt == 5 || f.dfnt == 6) 0 else 1
+      elems += ((TagNT, ntRef,
+        Array[Byte](1, f.dfnt.toByte, (esz * 8).toByte, ntClass)))
       val sddRef = ref()
       val rank = if (f.nt > 1) 3 else 2
       val sdd = new B

@@ -296,14 +296,7 @@ object Jp2 {
         (dir, m)
       }
       BandStack.stack(spark, parts, outFile)
-    } finally {
-      // best-effort scratch cleanup
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(work))
-    }
+    } finally RaquetIO.deleteRecursively(java.nio.file.Paths.get(work))
   }
 
   // ---------------------------------------------------------------- write

@@ -361,7 +361,7 @@ object RaquetIO {
       java.util.Arrays.asList(Row(values.toIndexedSeq: _*)), data.schema)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).forEach(deleteRecursively(_))
     Files.deleteIfExists(p)

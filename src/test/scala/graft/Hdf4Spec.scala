@@ -282,6 +282,28 @@ class Hdf4Spec extends AnyFunSuite {
     assert(grids.head.fields == Seq("ndvi"))
   }
 
+  test("little-endian attribute payloads decode; little-endian SDS rejects") {
+    // DFNT_LITEND Vdata field: the same -3000 int16, little-endian bytes
+    val le = Hdf4.H4Attr(22, 1, Array(0x48.toByte, 0xF4.toByte),
+      littleEndian = true)
+    assert(le.num.contains(-3000.0))
+    val be = Hdf4.H4Attr(22, 1, Array(0xF4.toByte, 0x48.toByte))
+    assert(be.num.contains(-3000.0))
+    // SDS data in a non-big-endian number-type class must reject loudly,
+    // not byte-swap every sample
+    val p = tmpFile("litend")
+    Hdf4Writer.write(p, sinGrid("plain"))
+    val rr = graft.sources.RandomReader(p)
+    val ntOff = try {
+      Hdf4.readDDs(p, rr).find(_.tag == 106).get.offset // DFTAG_NT
+    } finally rr.close()
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try { raf.seek(ntOff + 3); raf.writeByte(4) } // DFNTI_IBO: little-endian
+    finally raf.close()
+    val e = intercept[IllegalArgumentException] { Hdf4.describe(p) }
+    assert(e.getMessage.contains("number-type class"))
+  }
+
   test("multi-grid file (MOD09GA shape): per-grid geotransforms resolve") {
     val cell = 463.312716527778 // the 500 m MODIS cell
     val ulx = -1.0e7; val uly = 5.5e6
