@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.raquet.{Hdf4, Hdf4Writer, RaquetIO}
+
+/** Spark-side HDF4 convert coverage the driver queries don't reach: the
+  * multi-field band stack over a rank-3 (time, y, x) file — BandStack
+  * must join per `(block, time_cf)`, not just per block, or timesteps
+  * cross-pair. */
+class Hdf4ConvertSpec extends SparkSpec {
+
+  test("convertFields stacks rank-3 fields per (block, time_cf)") {
+    val tmp = java.nio.file.Files.createTempDirectory("h4conv").toString
+    val hdf = s"$tmp/t3multi.hdf"
+    val (nt, n) = (3, 64)
+    def v1(t: Int, j: Int, i: Int): Double = ((i + j) % 50 + 100 * t).toDouble
+    def v2(t: Int, j: Int, i: Int): Double = ((3 * i + j) % 50 + 100 * t).toDouble
+    Hdf4Writer.write(hdf, Hdf4Writer.Grid("T3M",
+      Seq(
+        Hdf4Writer.Field("a", 22, n, n, (_, _) => 0.0,
+          layout = "chunked-deflate", chunkY = 32, chunkX = 32,
+          nt = nt, tvalues = v1),
+        Hdf4Writer.Field("b", 22, n, n, (_, _) => 0.0,
+          layout = "chunked-rle", chunkY = 16, chunkX = 48,
+          nt = nt, tvalues = v2)),
+      0.0, n * 926.0, n * 926.0, 0.0, projection = "snsoid"))
+    val out = s"$tmp/t3multi.parquet"
+    val meta = Hdf4.convertFields(spark, hdf, out, overviews = "none")
+    assert(meta.bands.map(_.name) == Seq("band_1", "band_2"))
+    val ds = RaquetIO.read(spark, out)
+    val rows = ds.data.select("block", "time_cf", "band_1", "band_2").collect()
+    val tiles = rows.map(_.getLong(0)).distinct.length
+    assert(rows.length == tiles * nt, s"${rows.length} rows for $tiles tiles")
+    // every row's bands must carry the SAME timestep: decode one pixel of
+    // each band and check both sit in time_cf's 100·t value band
+    for (r <- rows) {
+      val t = r.getDouble(1).toInt
+      val p1 = graft.raquet.PixelCodec.decode(r.getAs[Array[Byte]](2), "int16")
+      val p2 = graft.raquet.PixelCodec.decode(r.getAs[Array[Byte]](3), "int16")
+      val s1 = p1.find(x => !x.isNaN && x != 0.0)
+      val s2 = p2.find(x => !x.isNaN && x != 0.0)
+      for (x <- s1) assert(x >= 100 * t && x < 100 * t + 50,
+        s"band_1 value $x outside timestep $t")
+      for (x <- s2) assert(x >= 100 * t && x < 100 * t + 50,
+        s"band_2 value $x outside timestep $t")
+    }
+  }
+}
