@@ -207,6 +207,7 @@ object SparkEntry {
     "q186_hdf4_fields"      -> (RaquetQueries.q186Hdf4Fields _),
     "q187_grib_cluster"     -> (RaquetQueries.q187GribCluster _),
     "q188_hdf4_time"        -> (RaquetQueries.q188Hdf4Time _),
+    "q189_hdf4_multigrid"   -> (RaquetQueries.q189Hdf4MultiGrid _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -455,6 +456,10 @@ object SparkEntry {
     // variable-length member list; same q79 axis/statistics as q180
     "q187_grib_cluster"     -> RaquetOracles.q79,
     "q188_hdf4_time"        -> RaquetOracles.q188,
+    // q189: the 1 km field of a TWO-grid MOD09GA-shaped container sits on
+    // q184's exact grid — same probe oracle; wrong grid association would
+    // shift every probe
+    "q189_hdf4_multigrid"   -> RaquetOracles.q184,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -4003,4 +4003,54 @@ object RaquetQueries {
         rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
           ds.meta, "band_1").cast("long").as("v"))
   }
+
+  /** S6 (HDF4 multi-GRID container — the MOD09GA 500 m + 1 km shape)
+    * driver proof: one file carries TWO HDF-EOS grids with different
+    * geotransforms; converting a field of the SECOND (1 km) grid must
+    * georeference with THAT grid's cell size — a reader that associates
+    * fields with the wrong grid lands every probe on the wrong patch.
+    * Same q184 probe oracle: the 1 km fixture grid reuses q184's exact
+    * corner and cell so the closed-form sinusoidal inverse is shared. */
+  def q189Hdf4MultiGrid(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q189"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/mod09.hdf"
+    val cell = 926.625433055556
+    val ulx = -8895604.157333
+    val uly = 4447802.078667
+    val g500 = graft.raquet.Hdf4Writer.Grid("MODIS_Grid_500m",
+      Seq(graft.raquet.Hdf4Writer.Field("sur_refl_500m", 22, 256, 256,
+        (j, i) => ((3 * i + 5 * j) % 1000).toDouble,
+        layout = "chunked-deflate", chunkY = 128, chunkX = 128)),
+      ulx, uly, ulx + 256 * cell / 2, uly - 256 * cell / 2,
+      projection = "snsoid")
+    val g1km = graft.raquet.Hdf4Writer.Grid("MODIS_Grid_1km",
+      Seq(graft.raquet.Hdf4Writer.Field("ndvi_1km", 22, 128, 128,
+        (j, i) => ((j / 16) * 8 + i / 16).toDouble,
+        layout = "chunked-rle", chunkY = 48, chunkX = 40,
+        fill = Some(-3000),
+        attrs = Seq(graft.raquet.Hdf4Writer.shortAttr("_FillValue", -3000)))),
+      ulx, uly, ulx + 128 * cell, uly - 128 * cell, projection = "snsoid")
+    graft.raquet.Hdf4Writer.writeGrids(hdf, Seq(g500, g1km))
+    val out = s"$tmp/mod09.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out,
+      overviews = "none", field = Some("ndvi_1km"))
+    require(meta.crs == "EPSG:3857", s"unexpected CRS ${meta.crs}")
+    val ds = RaquetIO.read(spark, out)
+    val proj = graft.geo.Sinusoidal(6371007.181, 0.0, 0.0, 0.0, 0.0)
+    val probes = for (pj <- 1 until 8 by 2; pi <- 1 until 8 by 2) yield {
+      val xc = ulx + (16 * pi + 8) * cell
+      val yc = uly - (16 * pj + 8) * cell
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi.toLong, pj.toLong, lon, lat,
+        Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
 }
