@@ -25,4 +25,55 @@ class BenchProbeSpec extends AnyFunSuite {
       assert(foreign > Bench.ContendedCores, s"foreign=$foreign")
     } finally burners.foreach(_.destroyForcibly())
   }
+
+  // --- self-adjudicating record, r9 verdict #1: a quota-squeezed or
+  // probe-dead environment must be visible FROM THE RECORD (unconditional
+  // per-query foreign_cores + throttle counters + start/end env snapshots),
+  // not only via a foreign-CPU reading that quota squeezes never trip. ---
+
+  private def fakeCgroup(files: (String, String)*): java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("cg")
+    files.foreach { case (rel, text) =>
+      val p = root.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, text)
+    }
+    root
+  }
+
+  test("quotaCores reads a v2 cpu.max squeeze") {
+    val root = fakeCgroup("cpu.max" -> "400000 100000\n",
+      "cpu.stat" -> "usage_usec 1\nthrottled_usec 123456\nnr_throttled 9\n")
+    assert(math.abs(Bench.quotaCores(root.toString) - 4.0) < 1e-9)
+    assert(Bench.throttledUsec(root.toString) == 123456L)
+  }
+
+  test("quotaCores reads a v1 cfs quota; throttled_time ns normalizes to µs") {
+    val root = fakeCgroup(
+      "cpu/cpu.cfs_quota_us" -> "200000\n",
+      "cpu/cpu.cfs_period_us" -> "100000\n",
+      "cpu/cpu.stat" -> "nr_periods 5\nnr_throttled 2\nthrottled_time 7000000\n")
+    assert(math.abs(Bench.quotaCores(root.toString) - 2.0) < 1e-9)
+    assert(Bench.throttledUsec(root.toString) == 7000L)
+  }
+
+  test("unlimited v2 quota and unreadable roots report -1, never throw") {
+    val unlimited = fakeCgroup("cpu.max" -> "max 100000\n")
+    assert(Bench.quotaCores(unlimited.toString) == -1.0)
+    assert(Bench.quotaCores("/nonexistent-cgroup") == -1.0)
+    assert(Bench.throttledUsec("/nonexistent-cgroup") == -1L)
+    // env snapshot stays valid JSON with the -1 sentinels
+    val json = Bench.cpuEnvJson("/nonexistent-cgroup")
+    assert(json.contains("\"quota_cores\":-1.00"), json)
+    assert(json.contains("\"throttled_usec\":-1"), json)
+    assert(json.contains("\"available_processors\":"), json)
+  }
+
+  test("ContentionProbe throttle delta sees throttling accrued in-window") {
+    val root = fakeCgroup("cpu.stat" -> "throttled_usec 1000\n")
+    val probe = new Bench.ContentionProbe(root.toString)
+    java.nio.file.Files.writeString(root.resolve("cpu.stat"),
+      "throttled_usec 51000\n")
+    assert(probe.throttledDeltaUsec() == 50000L)
+  }
 }
