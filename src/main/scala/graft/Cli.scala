@@ -220,14 +220,25 @@ object Cli {
         val ts = f.contains("tile-stats")
         val rs = f.getOrElse("resampling", "near")
         val ov = f.getOrElse("overviews", "auto")
+        // generic convert flags the HDF4 grid path honors — and loud
+        // failure for the ones it doesn't, instead of silently dropping
+        val mz = f.get("min-zoom").map(_.toInt)
+        val rgb = f.getOrElse("row-group-bytes", "0").toLong
+        if (f.contains("target-size"))
+          fail("--target-size is not supported for HDF4 inputs")
+        if (f.contains("nodata"))
+          fail("--nodata is not supported for HDF4 inputs (the _FillValue " +
+            "attribute / chunked-header fill in the file governs)")
         f.get("fields") match {
           case Some(fs) =>
             val names = if (fs == "all") Seq.empty
               else fs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            graft.raquet.Hdf4.convertFields(spark, in, out, names, bz, zs, ts, rs, ov)
+            graft.raquet.Hdf4.convertFields(spark, in, out, names, bz, zs,
+              ts, rs, ov, rowGroupBytes = rgb, minZoomOverride = mz)
           case None =>
             graft.raquet.Hdf4.convert(spark, in, out, bz, zs, ts, rs, ov,
-              field = f.get("field"))
+              field = f.get("field"), rowGroupBytes = rgb,
+              minZoomOverride = mz)
         }
       }
       else if (in.endsWith(".nc") || in.endsWith(".nc4") ||

@@ -16,7 +16,7 @@ object BandStack {
     * `band_1*` → `band_{i+1}*`), verify they agree on the tile grid, and
     * write the merged dataset. `parts` = (directory, its metadata). */
   def stack(spark: SparkSession, parts: Seq[(String, RaquetMetadata)],
-      outFile: String): RaquetMetadata = {
+      outFile: String, rowGroupBytes: Long = 0): RaquetMetadata = {
     require(parts.nonEmpty, "no band parts to stack")
     val meta0 = parts.head._2
     parts.foreach { case (_, m) =>
@@ -36,9 +36,25 @@ object BandStack {
       }
     }
     // time-series grids join per (block, timestep); later parts carry only
-    // the keys + their own band columns (metadata/time_ts stay with part 0)
-    val keys = Seq("block") ++
-      (if (dfs.head.columns.contains("time_cf")) Seq("time_cf") else Nil)
+    // the keys + their own band columns (metadata/time_ts stay with part 0).
+    // ALL parts must agree on time_cf presence AND row count: the grid
+    // convert writes time_cf unconditionally (0.0 for static grids), so a
+    // rank-2 part stacked with a rank-3 part passes the column check yet
+    // inner-joins to ONE timestep, silently truncating the other part's
+    // time axis — equal numBlocks with unequal row counts is exactly that
+    // mixed-rank shape. Counts are parquet count-star (metadata-only).
+    val withTime = dfs.map(_.columns.contains("time_cf"))
+    require(withTime.forall(_ == withTime.head),
+      "band parts disagree on time axis (mixed rank-2/rank-3 field stack): " +
+        parts.map(_._1).zip(withTime).map { case (d, t) =>
+          s"$d=${if (t) "time series" else "static"}" }.mkString(", "))
+    val counts = dfs.map(_.count())
+    require(counts.forall(_ == counts.head),
+      "band parts disagree on row count — a mixed rank-2/rank-3 time axis " +
+        "or unequal block sets; the join would silently truncate: " +
+        parts.map(_._1).zip(counts).map { case (d, c) =>
+          s"$d=$c" }.mkString(", ") + s" over ${meta0.numBlocks} blocks")
+    val keys = Seq("block") ++ (if (withTime.head) Seq("time_cf") else Nil)
     val stacked = dfs.zipWithIndex.map { case (df, i) =>
       if (i == 0) df
       else df.drop(df.columns.filter(c =>
@@ -47,7 +63,17 @@ object BandStack {
     val mergedMeta = meta0.copy(bands = parts.zipWithIndex.map {
       case ((_, m), i) => m.bands.head.copy(name = s"band_${i + 1}")
     })
-    RaquetIO.write(stacked, mergedMeta, outFile)
+    RaquetIO.write(stacked, mergedMeta, outFile, rowGroupBytes = rowGroupBytes)
+    // equal numBlocks/bounds do NOT guarantee identical block sets; the
+    // inner join would silently drop any block missing from one band.
+    // Parquet count-star on the written file and on part 0 are both
+    // metadata-only reads, so this costs no second join evaluation.
+    val written = RaquetIO.read(spark, outFile).data.count()
+    val expected = counts.head
+    require(written == expected,
+      s"band stack dropped ${expected - written} of $expected rows — " +
+        "parts cover different block sets (same grid bounds, different " +
+        "tiles); refusing to write a silently incomplete dataset")
     mergedMeta
   }
 }

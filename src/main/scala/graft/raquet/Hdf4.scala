@@ -287,8 +287,11 @@ object Hdf4 {
   /** One chunk: index per dim (file order), payload range, coder. */
   final case class H4ChunkRef(idx: Array[Int], offset: Long, length: Int,
       coder: Int, uncompLen: Int) extends Serializable
-  final case class H4Chunked(chunkDims: Array[Int], chunks: Array[H4ChunkRef])
-      extends H4Data
+  /** `fill`: the NT-encoded fill value stored in the SPECIAL_CHUNKED
+    * description record (spec §10.3 fill_val) — what unwritten chunks
+    * read as; the `_FillValue` attribute overrides it when present. */
+  final case class H4Chunked(chunkDims: Array[Int], chunks: Array[H4ChunkRef],
+      fill: Option[Array[Byte]]) extends H4Data
 
   /** Resolve a data element's DD into its read plan: plain, whole-element
     * compressed, or chunked (loud failure for linked/external). */
@@ -354,6 +357,19 @@ object Hdf4 {
     }
     require(chunkElems <= (1L << 26),
       s"$path: implausible chunk volume $chunkElems elements")
+    // fill_val_num_bytes + fill_val follow the per-dim triples (spec §10.3):
+    // the value absent chunks read as. Parse it here — backfilling only
+    // from the _FillValue ATTRIBUTE silently read 0 for sparse files whose
+    // fill lives (only) in this header.
+    val fillN = u32(head, p).toInt; p += 4
+    require(fillN >= 0 && fillN <= 64, s"$path: implausible fill size $fillN")
+    val fill =
+      if (fillN == 0) None
+      else {
+        require(p + fillN <= head.length,
+          s"$path: chunked header truncated before its fill value")
+        Some(java.util.Arrays.copyOfRange(head, p, p + fillN))
+      }
     require(tblTag == TagVH, s"$path: chunk table is not a Vdata (tag $tblTag)")
     val vh = readVdata(path, rr, dds, tblRef)
     val originF = vh.fields.indexWhere(_.name == "origin")
@@ -414,7 +430,7 @@ object Hdf4 {
       c.idx(d) >= 0 && c.idx(d) < nChunks(d)),
       s"$path: chunk origin (${c.idx.mkString(",")}) outside the " +
         s"(${nChunks.mkString(",")}) chunk grid"))
-    H4Chunked(chunkDims, norm)
+    H4Chunked(chunkDims, norm, fill)
   }
 
   // ------------------------------------------------------ Vdata/Vgroup
@@ -519,9 +535,13 @@ object Hdf4 {
   // ----------------------------------------------------------- catalog
 
   /** Everything `describe` needs in one pass: SDSes with their attribute
-    * maps, plus file-global attributes. */
+    * maps, file-global attributes, and `gridNdgs` — HDF-EOS grid Vgroup
+    * name → member NDG refs (the class-GRID Vgroup skeleton the EOS
+    * library writes), what tells same-named fields in different grids
+    * apart (the MOD09GA per-grid QA-field shape). */
   final case class Catalog(dds: Seq[DD], sdses: Seq[SDS],
-      globalAttrs: Map[String, H4Attr])
+      globalAttrs: Map[String, H4Attr],
+      gridNdgs: Map[String, Set[Int]] = Map.empty)
 
   def openCatalog(path: String, rr: RandomReader): Catalog = {
     val dds = readDDs(path, rr)
@@ -572,7 +592,15 @@ object Hdf4 {
       }.toMap).getOrElse(Map.empty)
       SDS(g.ref, name, dims, dfnt, TagSD, dataRef, attrs)
     }
-    Catalog(dds, sdses, globalAttrs)
+    // HDF-EOS grid membership: class-GRID Vgroup (named after the grid) →
+    // child Vgroups ("Data Fields" etc.) → member NDG refs
+    val byRef = vgroups.map(v => v.ref -> v).toMap
+    val gridNdgs = vgroups.filter(_.cls == "GRID").map { g =>
+      val nested = g.members.collect { case (TagVG, r) => r }
+        .flatMap(byRef.get).flatMap(_.members)
+      g.name -> (g.members ++ nested).collect { case (TagNDG, r) => r }.toSet
+    }.toMap
+    Catalog(dds, sdses, globalAttrs, gridNdgs)
   }
 
   // -------------------------------------------------- HDF-EOS metadata
@@ -694,14 +722,57 @@ object Hdf4 {
     val (sds, geo) = grids.flatMap(g => g.fields.map(f => (g, f))) match {
       case eosFields if eosFields.nonEmpty =>
         val (g, fname) = field match {
-          case Some(f) => eosFields.find(_._2 == f).getOrElse(
-            throw new IllegalArgumentException(
-              s"$path: no HDF-EOS data field '$f' (have ${eosFields.map(_._2).mkString(", ")})"))
+          case Some(f) =>
+            // grid-qualified "gridname:fieldname" pins the grid directly;
+            // a bare name must be unique ACROSS grids (real MOD09GA ships
+            // same-named QA fields per grid — first-match-by-name could
+            // silently mis-georeference)
+            val qualified = f.split(":", 2) match {
+              case Array(gn, fn) if grids.exists(_.name == gn) =>
+                Some(eosFields.find(p => p._1.name == gn && p._2 == fn)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"$path: grid '$gn' has no data field '$fn' " +
+                      s"(have ${grids.find(_.name == gn).get.fields.mkString(", ")})")))
+              case _ => None
+            }
+            qualified.getOrElse {
+              val hits = eosFields.filter(_._2 == f)
+              if (hits.isEmpty) throw new IllegalArgumentException(
+                s"$path: no HDF-EOS data field '$f' (have ${eosFields.map(_._2).mkString(", ")})")
+              require(hits.size == 1,
+                s"$path: field '$f' exists in ${hits.size} grids " +
+                  s"(${hits.map(_._1.name).mkString(", ")}) — qualify it as " +
+                  s"'${hits.head._1.name}:$f'")
+              hits.head
+            }
           case None => eosFields.head
         }
-        val s = cat.sdses.find(_.name == fname).getOrElse(
-          throw new IllegalArgumentException(
-            s"$path: StructMetadata field '$fname' has no SDS"))
+        val candidates = cat.sdses.filter(_.name == fname)
+        require(candidates.nonEmpty,
+          s"$path: StructMetadata field '$fname' has no SDS")
+        // same-named SDSes across grids: resolve through the grid's own
+        // Vgroup membership when the file carries the EOS skeleton, else
+        // fall back to the grid-dimension backstop — ambiguity fails loudly
+        val s = cat.gridNdgs.get(g.name).filter(_.nonEmpty) match {
+          case Some(members) =>
+            val hits = candidates.filter(c => members(c.ref))
+            require(hits.size == 1,
+              s"$path: ${hits.size} SDSes named '$fname' under grid " +
+                s"'${g.name}''s Vgroup (expected exactly 1)")
+            hits.head
+          case None =>
+            val hits = candidates.filter { c =>
+              val (cy, cx) =
+                if (c.dims.length == 3) (c.dims(1), c.dims(2))
+                else (c.dims(0), c.dims(1))
+              cy == g.yDim && cx == g.xDim
+            }
+            require(hits.size == 1,
+              s"$path: ${hits.size} SDSes named '$fname' match grid " +
+                s"'${g.name}' (${g.xDim} x ${g.yDim}) and the file has no " +
+                "GRID Vgroup skeleton to disambiguate")
+            hits.head
+        }
         (s, Some(g))
       case _ =>
         val s = field match {
@@ -861,9 +932,13 @@ object Hdf4 {
                 j += 1
               }
             }
-          case H4Chunked(cd, chunks) =>
-            if (g.nodata.isDefined) {
-              val one = encodeOne(g.nodata.get)
+          case H4Chunked(cd, chunks, hdrFill) =>
+            // _FillValue attribute overrides the chunked-header fill; the
+            // header fill bytes are already NT-encoded straight from the
+            // file, so they prefill verbatim
+            val fillBytes = g.nodata.map(encodeOne)
+              .orElse(hdrFill.filter(_.length == sz))
+            fillBytes.foreach { one =>
               var k = 0
               while (k < buf.length) { buf(k) = one(k % sz); k += 1 }
             }
@@ -881,6 +956,19 @@ object Hdf4 {
                 else (0, c.idx(0), c.idx(1))
               ti * ct <= t && t < (ti + 1) * ct &&
                 yi >= cy0 && yi <= cy1 && xi >= cx0 && xi <= cx1
+            }
+            // sparse file + no fill from either source: the prefill above
+            // never ran, so absent chunks would silently read 0 — refuse
+            if (fillBytes.isEmpty) {
+              val nyC = (g.height + cy - 1) / cy
+              val nxC = (g.width + cx - 1) / cx
+              val expect = (math.min(cy1, nyC - 1) - cy0 + 1).toLong *
+                (math.min(cx1, nxC - 1) - cx0 + 1)
+              require(wanted.length >= expect,
+                s"${g.path}: window has ${expect - wanted.length} unwritten " +
+                  "chunks but the file carries no fill value (neither a " +
+                  "_FillValue attribute nor a chunked-header fill) — " +
+                  "refusing to silently read zeros")
             }
             val raws = rr.readRanges(wanted.toSeq.map(c => (c.offset, c.length)))
             val chunkBytes = ct * cy * cx * sz
@@ -945,9 +1033,11 @@ object Hdf4 {
       outFile: String, blockZoom: Int = 8, zoomStrategy: String = "auto",
       tileStats: Boolean = false, resampling: String = "near",
       overviews: String = "auto", field: Option[String] = None,
-      rowGroupBytes: Long = 0): RaquetMetadata =
+      rowGroupBytes: Long = 0,
+      minZoomOverride: Option[Int] = None): RaquetMetadata =
     NetCdf.convertGrid(spark, describe(path, field), outFile, blockZoom,
-      zoomStrategy, tileStats, resampling, overviews, None, rowGroupBytes)
+      zoomStrategy, tileStats, resampling, overviews, minZoomOverride,
+      rowGroupBytes)
 
   /** MODIS multi-field workflow: N data fields of ONE grid (e.g. NDVI +
     * EVI + QA) → one multi-band raquet dataset. Each field runs the
@@ -957,7 +1047,9 @@ object Hdf4 {
   def convertFields(spark: org.apache.spark.sql.SparkSession, path: String,
       outFile: String, fields: Seq[String] = Seq.empty, blockZoom: Int = 8,
       zoomStrategy: String = "auto", tileStats: Boolean = false,
-      resampling: String = "near", overviews: String = "auto"): RaquetMetadata = {
+      resampling: String = "near", overviews: String = "auto",
+      rowGroupBytes: Long = 0,
+      minZoomOverride: Option[Int] = None): RaquetMetadata = {
     // default = the FIRST grid's fields only: a multi-grid file (the
     // MOD09GA 500 m + 1 km shape) has incompatible tile grids across
     // grids, and stacking them is never meaningful
@@ -968,10 +1060,11 @@ object Hdf4 {
       val parts = names.zipWithIndex.map { case (f, i) =>
         val dir = s"$work/band_${i + 1}.parquet"
         val m = NetCdf.convertGrid(spark, describe(path, Some(f)), dir,
-          blockZoom, zoomStrategy, tileStats, resampling, overviews, None, 0)
+          blockZoom, zoomStrategy, tileStats, resampling, overviews,
+          minZoomOverride, 0)
         (dir, m)
       }
-      BandStack.stack(spark, parts, outFile)
+      BandStack.stack(spark, parts, outFile, rowGroupBytes)
     } finally RaquetIO.deleteRecursively(java.nio.file.Paths.get(work))
   }
 }

@@ -64,7 +64,14 @@ object Hdf4Writer {
       originInElements: Boolean = false,
       /** rank-3 `(time, y, x)` SDS: timestep count and `(t, j, i)` values
         * (chunk extent along time is 1 — libhdf4's usual choice) */
-      nt: Int = 1, tvalues: (Int, Int, Int) => Double = null) {
+      nt: Int = 1, tvalues: (Int, Int, Int) => Double = null,
+      /** chunk coords `(t, yi, xi)` to leave UNWRITTEN (no element, no
+        * table record) — the sparse files the chunked-header fill serves */
+      omitChunks: Set[(Int, Int, Int)] = Set.empty,
+      /** write the fill value into the SPECIAL_CHUNKED header (libhdf4
+        * always does; false models a writer that doesn't, for the
+        * no-fill-anywhere loud-fail path) */
+      headerFill: Boolean = true) {
     def at(t: Int, j: Int, i: Int): Double =
       if (nt == 1) values(j, i) else tvalues(t, j, i)
   }
@@ -195,7 +202,10 @@ object Hdf4Writer {
     }
 
     val varRefs = Seq.newBuilder[Int]
-    for (grid <- grids; f <- grid.fields) {
+    val gridVgRefs = Seq.newBuilder[Int]
+    for (grid <- grids) {
+    val gridNdgRefs = Seq.newBuilder[Int]
+    for (f <- grid.fields) {
       val esz = elemSize(f.dfnt)
       val ntRef = ref()
       // NT class octet: DFNTF_IEEE (0) for floats, DFNTI_MBO (1) for
@@ -273,7 +283,8 @@ object Hdf4Writer {
           val rank3 = f.nt > 1
           val recs = new B
           var nRecs = 0
-          for (ti <- 0 until f.nt; yi <- 0 until nyC; xi <- 0 until nxC) {
+          for (ti <- 0 until f.nt; yi <- 0 until nyC; xi <- 0 until nxC
+               if !f.omitChunks((ti, yi, xi))) {
             val cb = java.nio.ByteBuffer.allocate(chunkBytes)
             var j = 0
             while (j < cy) {
@@ -303,10 +314,12 @@ object Hdf4Writer {
           elems += ((TagVH, tblRef, chunkTableHeader(if (rank3) 3 else 2, nRecs)))
           elems += ((TagVS, tblRef, recs.bytes))
           // the SPECIAL_CHUNKED description element
-          val fillBytes = {
-            val bb = java.nio.ByteBuffer.allocate(esz)
-            encodeVal(f.dfnt, fillV, bb); bb.array()
-          }
+          val fillBytes =
+            if (!f.headerFill) Array.emptyByteArray
+            else {
+              val bb = java.nio.ByteBuffer.allocate(esz)
+              encodeVal(f.dfnt, fillV, bb); bb.array()
+            }
           val tail = new B // everything after sp_tag_head_len
           tail.u8(1) // version
           tail.u32(if (coder == CompNone) 0L else 1L) // flag
@@ -319,7 +332,7 @@ object Hdf4Writer {
           if (rank3) tail.u32(0L).u32(f.nt.toLong).u32(1L)
           tail.u32(0L).u32(f.ny.toLong).u32(cy.toLong)
           tail.u32(0L).u32(f.nx.toLong).u32(cx.toLong)
-          tail.u32(esz.toLong)
+          tail.u32(fillBytes.length.toLong)
           tail.raw(fillBytes)
           if (coder != CompNone) {
             tail.u16(3).u16(0) // comp info tail (metadata only)
@@ -339,12 +352,23 @@ object Hdf4Writer {
       ndg.u16(TagSDD).u16(sddRef)
       ndg.u16(TagSD).u16(dataRef)
       elems += ((TagNDG, ndgRef, ndg.bytes))
+      gridNdgRefs += ndgRef
 
       val attrRefs = f.attrs.map(attrVdata)
       val vgRef = ref()
       elems += ((TagVG, vgRef, vgroup(f.name, "Var0.0",
         (TagNDG, ndgRef) +: attrRefs.map(r => (TagVH, r)))))
       varRefs += vgRef
+    }
+    // the HDF-EOS2 grid API's Vgroup skeleton: one class-GRID Vgroup per
+    // grid (named after it) whose "Data Fields" child owns the grid's NDGs
+    // — what lets a reader tell same-named fields in different grids apart
+    val dfRef = ref()
+    elems += ((TagVG, dfRef, vgroup("Data Fields", "GRID Vgroup",
+      gridNdgRefs.result().map(r => (TagNDG, r)))))
+    val gRef = ref()
+    elems += ((TagVG, gRef, vgroup(grid.name, "GRID", Seq((TagVG, dfRef)))))
+    gridVgRefs += gRef
     }
 
     // StructMetadata.0 + extra global attributes

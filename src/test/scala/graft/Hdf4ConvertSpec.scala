@@ -46,4 +46,57 @@ class Hdf4ConvertSpec extends SparkSpec {
         s"band_2 value $x outside timestep $t")
     }
   }
+
+  test("convertFields fails loudly on a mixed rank-2/rank-3 field stack") {
+    // part 0 rank-2 (no time_cf), part 1 rank-3: the join keys come from
+    // part 0, so before the guard the rank-3 part's T timesteps silently
+    // cross-paired against the single band_1 row per block
+    val tmp = java.nio.file.Files.createTempDirectory("h4mixed").toString
+    val hdf = s"$tmp/mixed.hdf"
+    val n = 64
+    Hdf4Writer.write(hdf, Hdf4Writer.Grid("MIXED",
+      Seq(
+        Hdf4Writer.Field("flat", 22, n, n, (j, i) => ((i + j) % 50).toDouble,
+          layout = "plain"),
+        Hdf4Writer.Field("cube", 22, n, n, (_, _) => 0.0,
+          layout = "chunked-deflate", chunkY = 32, chunkX = 32,
+          nt = 3, tvalues = (t, j, i) => ((i + j) % 50 + 100 * t).toDouble)),
+      0.0, n * 926.0, n * 926.0, 0.0, projection = "snsoid"))
+    val e = intercept[IllegalArgumentException] {
+      Hdf4.convertFields(spark, hdf, s"$tmp/mixed.parquet", overviews = "none")
+    }
+    assert(e.getMessage.contains("rank-2/rank-3"), e.getMessage)
+  }
+
+  test("BandStack fails loudly when parts cover different block sets") {
+    val tmp = java.nio.file.Files.createTempDirectory("h4drop").toString
+    val hdf = s"$tmp/one.hdf"
+    val n = 64
+    Hdf4Writer.write(hdf, Hdf4Writer.Grid("D",
+      Seq(Hdf4Writer.Field("x", 22, n, n, (j, i) => ((i + j) % 50).toDouble,
+        layout = "plain")),
+      0.0, n * 926.0, n * 926.0, 0.0, projection = "snsoid"))
+    val partA = s"$tmp/a.parquet"
+    val metaA = Hdf4.convert(spark, hdf, partA, overviews = "none")
+    val dsA = RaquetIO.read(spark, partA)
+    // one block MISSING from part B (count differs): pre-join guard
+    val someBlock = dsA.data.select("block").orderBy(col("block")).head.getLong(0)
+    val partB = s"$tmp/b.parquet"
+    RaquetIO.write(dsA.data.filter(col("block") =!= someBlock), metaA, partB)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.raquet.BandStack.stack(spark,
+        Seq((partA, metaA), (partB, metaA)), s"$tmp/stacked1.parquet")
+    }
+    assert(e1.getMessage.contains("row count"), e1.getMessage)
+    // SAME count but a shifted block set (equal bounds/numBlocks claims):
+    // only the post-write row-count check can catch the silent inner-join
+    // drop
+    val partC = s"$tmp/c.parquet"
+    RaquetIO.write(dsA.data.withColumn("block", col("block") + 1), metaA, partC)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.raquet.BandStack.stack(spark,
+        Seq((partA, metaA), (partC, metaA)), s"$tmp/stacked2.parquet")
+    }
+    assert(e2.getMessage.contains("dropped"), e2.getMessage)
+  }
 }

@@ -173,6 +173,81 @@ class Hdf4Spec extends AnyFunSuite {
     }
   }
 
+  test("sparse chunked SDS backfills absent chunks from the header fill") {
+    // chunk (yi=1, xi=1) left unwritten: rows 48-95 x cols 40-79. The fill
+    // lives ONLY in the SPECIAL_CHUNKED header (no _FillValue attribute) —
+    // reading 0 there was the r9 ADVICE silent-wrong-answer.
+    val p = tmpFile("sparsefill")
+    val g0 = sinGrid("chunked-deflate")
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      fill = Some(7), attrs = Nil, omitChunks = Set((0, 1, 1))))))
+    val g = Hdf4.describe(p)
+    assert(g.nodata.isEmpty) // no attribute — header fill must carry it
+    val s = g.sampler(0, 0, 0, g.width, g.height)
+    for (j <- 0 until 120; i <- 0 until 100) {
+      val absent = j >= 48 && j < 96 && i >= 40 && i < 80
+      val want = if (absent) 7.0
+        else if ((i + j) % 31 == 0) -3000.0
+        else ((7 * i + 13 * j) % 2001).toDouble
+      assert(s.sample(0, i, j) == want, s"($i,$j)")
+    }
+  }
+
+  test("_FillValue attribute overrides the chunked-header fill") {
+    val p = tmpFile("filloverride")
+    val g0 = sinGrid("chunked-deflate") // attrs carry _FillValue = -3000
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      fill = Some(7), omitChunks = Set((0, 2, 0))))))
+    val g = Hdf4.describe(p)
+    val s = g.sampler(0, 0, 96, g.width, 24) // rows 96-119: yi=2 chunk row
+    for (j <- 96 until 120; i <- 0 until 40)
+      assert(s.sample(0, i, j) == -3000.0, s"($i,$j)") // attr, not header 7
+  }
+
+  test("sparse chunks with no fill anywhere fail loudly, never read 0") {
+    val p = tmpFile("nofill")
+    val g0 = sinGrid("chunked-deflate")
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      attrs = Nil, headerFill = false, omitChunks = Set((0, 1, 1))))))
+    val g = Hdf4.describe(p)
+    val e = intercept[IllegalArgumentException] {
+      g.sampler(0, 30, 40, 60, 60) // window crosses the absent chunk
+    }
+    assert(e.getMessage.contains("unwritten"), e.getMessage)
+    // windows that avoid the absent chunk still read fine
+    val ok = g.sampler(0, 0, 0, 40, 48)
+    assert(ok.sample(0, 3, 5) == ((7 * 3 + 13 * 5) % 2001).toDouble)
+  }
+
+  test("same-named fields in different grids resolve by grid qualification") {
+    // the real MOD09GA shape: both grids declare a 'QA' field with
+    // IDENTICAL dims, so only the GRID Vgroup membership can tell the
+    // SDSes apart — a wrong pick silently mis-georeferences
+    val (ny, nx) = (40, 40)
+    val f500 = Hdf4Writer.Field("QA", 22, ny, nx,
+      (j, i) => ((i + 2 * j) % 100).toDouble, layout = "chunked-deflate",
+      chunkY = 20, chunkX = 20)
+    val f1k = Hdf4Writer.Field("QA", 22, ny, nx,
+      (j, i) => ((3 * i + j) % 100 + 500).toDouble, layout = "plain")
+    val cell = 926.625433055556
+    val p = tmpFile("samename")
+    Hdf4Writer.writeGrids(p, Seq(
+      Hdf4Writer.Grid("G500", Seq(f500), 0.0, ny * cell, nx * cell, 0.0),
+      Hdf4Writer.Grid("G1K", Seq(f1k),
+        1.0e6, 1.0e6 + ny * 2 * cell, 1.0e6 + nx * 2 * cell, 1.0e6)))
+    val bare = intercept[IllegalArgumentException](Hdf4.describe(p, Some("QA")))
+    assert(bare.getMessage.contains("2 grids"), bare.getMessage)
+    val a = Hdf4.describe(p, Some("G500:QA"))
+    assert(math.abs(a.x0 - 0.0) < 1e-6)
+    assert(a.sampler(0, 0, 0, nx, ny).sample(0, 7, 5) == ((7 + 2 * 5) % 100).toDouble)
+    val b = Hdf4.describe(p, Some("G1K:QA"))
+    assert(math.abs(b.x0 - 1.0e6) < 1e-6)
+    assert(b.sampler(0, 0, 0, nx, ny).sample(0, 7, 5) == ((3 * 7 + 5) % 100 + 500).toDouble)
+    val noSuch = intercept[IllegalArgumentException](
+      Hdf4.describe(p, Some("G500:nope")))
+    assert(noSuch.getMessage.contains("no data field"), noSuch.getMessage)
+  }
+
   test("GEO grid decodes packed-DMS corners to degrees") {
     val (ny, nx) = (40, 80)
     val grid = Hdf4Writer.Grid("CMG_Test",
