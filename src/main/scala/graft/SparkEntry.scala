@@ -208,6 +208,8 @@ object SparkEntry {
     "q187_grib_cluster"     -> (RaquetQueries.q187GribCluster _),
     "q188_hdf4_time"        -> (RaquetQueries.q188Hdf4Time _),
     "q189_hdf4_multigrid"   -> (RaquetQueries.q189Hdf4MultiGrid _),
+    "q190_hdf4_linked"      -> (RaquetQueries.q190Hdf4Linked _),
+    "q191_hdf4_external"    -> (RaquetQueries.q191Hdf4External _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -460,6 +462,11 @@ object SparkEntry {
     // q184's exact grid — same probe oracle; wrong grid association would
     // shift every probe
     "q189_hdf4_multigrid"   -> RaquetOracles.q184,
+    // q190/q191: linked-block and external-file HDF4 elements (spec
+    // §10.1/§10.4) carrying the q185 world grid — identical closed-form
+    // oracle; the storage layout must be invisible to the pixels
+    "q190_hdf4_linked"      -> RaquetOracles.q185,
+    "q191_hdf4_external"    -> RaquetOracles.q185,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -3864,6 +3864,74 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** S6 (HDF4 LINKED-BLOCK elements, spec §10.1) driver proof: the q185
+    * world grid stored as an uncompressed SPECIAL_LINKED element — a
+    * 3,000-byte first block, 7,000-byte successive blocks (deliberately
+    * not row-aligned) chained through 4-entry block tables — the layout
+    * older NASA products (SeaWiFS, early MODIS collections) ship.
+    * Identical closed-form z1 stats oracle as q185: the storage layout
+    * must be invisible to the pixels. Ref: HDF 4.2 spec §10.1
+    * (`hblocks.c` semantics). */
+  def q190Hdf4Linked(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q190"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/linked.hdf"
+    val d2 = graft.raquet.Hdf4Writer.degToDms _
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "CMG_Q190",
+      Seq(graft.raquet.Hdf4Writer.Field("refl", 21, 240, 512,
+        (_, i) => { val p = i >> 1; if (p % 27 == 0) 255 else 3 * p % 251 },
+        layout = "plain-linked", linkFirst = 3000, linkBlk = 7000,
+        linkPerTable = 4,
+        attrs = Seq(graft.raquet.Hdf4Writer.Attr("_FillValue", 21, 1,
+          Array(255.toByte))))),
+      d2(-180.0), d2(84.375), d2(180.0), d2(-84.375), projection = "geo"))
+    val out = s"$tmp/linked.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out,
+      tileStats = true, overviews = "none")
+    require(meta.maxZoom == 1, s"unexpected maxZoom ${meta.maxZoom}")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
+  /** S6 (HDF4 EXTERNAL elements, spec §10.4) driver proof: the q185 world
+    * grid whose SDS data lives in a COMPANION FILE at a non-zero byte
+    * offset, referenced by a SPECIAL_EXT description record — executors
+    * resolve and range-read the external file directly. Same closed-form
+    * oracle as q185/q190. */
+  def q191Hdf4External(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q191"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/extmain.hdf"
+    val d2 = graft.raquet.Hdf4Writer.degToDms _
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "CMG_Q191",
+      Seq(graft.raquet.Hdf4Writer.Field("refl", 21, 240, 512,
+        (_, i) => { val p = i >> 1; if (p % 27 == 0) 255 else 3 * p % 251 },
+        layout = "external", extFile = "q191_payload.dat", extOffset = 512,
+        attrs = Seq(graft.raquet.Hdf4Writer.Attr("_FillValue", 21, 1,
+          Array(255.toByte))))),
+      d2(-180.0), d2(84.375), d2(180.0), d2(-84.375), projection = "geo"))
+    val out = s"$tmp/ext.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out,
+      tileStats = true, overviews = "none")
+    require(meta.maxZoom == 1, s"unexpected maxZoom ${meta.maxZoom}")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6/M7 (HDF4 multi-field workflow) driver proof: TWO data fields of
     * the q184 MODIS grid — different pixel formulas AND different chunk
     * layouts (deflate vs RLE) — converted through

@@ -39,6 +39,7 @@ object Hdf4 {
 
   // tags (hdf.h, public)
   private[raquet] val TagNull = 1
+  private[raquet] val TagLinked = 20
   private[raquet] val TagNT = 106
   private[raquet] val TagSDD = 701
   private[raquet] val TagSD = 702
@@ -287,14 +288,97 @@ object Hdf4 {
   /** One chunk: index per dim (file order), payload range, coder. */
   final case class H4ChunkRef(idx: Array[Int], offset: Long, length: Int,
       coder: Int, uncompLen: Int) extends Serializable
+  /** One physical byte span of a linked-block element. */
+  final case class Span(offset: Long, length: Int) extends Serializable
+  /** Element stored as LINKED BLOCKS (spec §10.1): ordered physical spans
+    * whose concatenation is the element; `coder`/`uncompLen` as in
+    * [[H4Plain]] (a SPECIAL_COMP payload can itself go linked when the
+    * writer appends to a compressed element). */
+  final case class H4Spans(spans: Array[Span], coder: Int, uncompLen: Int)
+      extends H4Data
+  /** Element stored in an EXTERNAL FILE (spec §10.4): raw uncompressed
+    * bytes at `offset` in `extPath` (resolved against the main file's
+    * directory at describe time, so executors can open it directly). */
+  final case class H4Ext(extPath: String, offset: Long, length: Long)
+      extends H4Data
   /** `fill`: the NT-encoded fill value stored in the SPECIAL_CHUNKED
     * description record (spec §10.3 fill_val) — what unwritten chunks
     * read as; the `_FillValue` attribute overrides it when present. */
   final case class H4Chunked(chunkDims: Array[Int], chunks: Array[H4ChunkRef],
       fill: Option[Array[Byte]]) extends H4Data
 
+  /** Parse a SPECIAL_LINKED description record (spec §10.1: total length,
+    * first-block length, successive-block length, blocks per table, ref of
+    * the first block table) and walk the DFTAG_LINKED table chain into the
+    * ordered physical spans. Tables hold `next_ref:uint16` then `num_blk`
+    * block refs (0 = slot unwritten); each block is a DFTAG_LINKED
+    * element whose DD length is authoritative for the (possibly short)
+    * last block. */
+  private def parseLinked(path: String, rr: RandomReader, dds: Seq[DD],
+      head: Array[Byte]): Array[Span] = {
+    require(u16(head, 0) == SpLinked, s"$path: not a SPECIAL_LINKED element")
+    val total = u32(head, 2)
+    require(total >= 0 && total <= (1L << 31),
+      s"$path: implausible linked-element length $total")
+    val firstLen = u32(head, 6)
+    val blkLen = u32(head, 10)
+    require(firstLen > 0 && blkLen > 0,
+      s"$path: linked-block lengths ($firstLen, $blkLen) must be positive")
+    val numBlk = u32(head, 14).toInt
+    require(numBlk >= 1 && numBlk <= (1 << 16),
+      s"$path: implausible linked-table size $numBlk")
+    var tref = u16(head, 18)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val spans = Array.newBuilder[Span]
+    var remaining = total
+    var first = true
+    while (tref != 0 && remaining > 0) {
+      require(seen.add(tref), s"$path: cyclic linked-block table chain")
+      val tdd = find(dds, TagLinked, tref).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: missing linked-block table (ref $tref)"))
+      val tb = rr.readAt(tdd.offset, tdd.length)
+      require(tb.length >= 2 + 2 * numBlk,
+        s"$path: linked-block table shorter than $numBlk entries")
+      val nextRef = u16(tb, 0)
+      var k = 0
+      while (k < numBlk && remaining > 0) {
+        val bref = u16(tb, 2 + 2 * k)
+        require(bref != 0,
+          s"$path: linked element declares $total bytes but block slot " +
+            s"$k of table $tref is unwritten with $remaining bytes left")
+        val bdd = find(dds, TagLinked, bref).getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: missing linked data block (ref $bref)"))
+        val expect = math.min(if (first) firstLen else blkLen, remaining)
+        val take = math.min(bdd.length.toLong, expect)
+        require(take > 0, s"$path: empty linked data block (ref $bref)")
+        spans += Span(bdd.offset, take.toInt)
+        remaining -= take
+        first = false
+        k += 1
+      }
+      tref = nextRef
+    }
+    require(remaining == 0,
+      s"$path: linked element truncated — $remaining of $total bytes " +
+        "have no data block")
+    spans.result()
+  }
+
+  /** Resolve an external element's file name against the main file's
+    * location (libhdf4's default search: the HDF file's own directory). */
+  private def resolveExt(path: String, name: String): String = {
+    require(name.nonEmpty, s"$path: empty external-element file name")
+    if (name.contains("://") || name.startsWith("/")) name
+    else {
+      val slash = math.max(path.lastIndexOf('/'), path.lastIndexOf('\\'))
+      if (slash < 0) name else path.substring(0, slash + 1) + name
+    }
+  }
+
   /** Resolve a data element's DD into its read plan: plain, whole-element
-    * compressed, or chunked (loud failure for linked/external). */
+    * compressed, chunked, linked-block, or external-file. */
   private[raquet] def resolveData(path: String, rr: RandomReader, dds: Seq[DD],
       tag: Int, ref: Int, dims: Array[Int]): H4Data = {
     val dd = find(dds, tag, ref).getOrElse(throw new IllegalArgumentException(
@@ -307,13 +391,33 @@ object Hdf4 {
         val cdd = find(dds, TagCompressed, h.dataRef)
           .getOrElse(throw new IllegalArgumentException(
             s"$path: missing DFTAG_COMPRESSED payload (ref ${h.dataRef})"))
-        H4Plain(cdd.offset, cdd.length, h.coder, h.uncompLen)
+        if ((cdd.tag & SpecialBit) == 0)
+          H4Plain(cdd.offset, cdd.length, h.coder, h.uncompLen)
+        else {
+          // appendable compressed element: the payload itself went linked
+          val chead = rr.readAt(cdd.offset, math.min(cdd.length, 4096))
+          require(u16(chead, 0) == SpLinked,
+            s"$path: special code ${u16(chead, 0)} under a SPECIAL_COMP " +
+              "payload unsupported (linked blocks only)")
+          H4Spans(parseLinked(path, rr, dds, chead), h.coder, h.uncompLen)
+        }
       case SpChunked =>
         parseChunked(path, rr, dds, head, dims)
-      case SpLinked => throw new IllegalArgumentException(
-        s"$path: linked-block HDF4 elements are unsupported")
-      case SpExt => throw new IllegalArgumentException(
-        s"$path: external-file HDF4 elements are unsupported")
+      case SpLinked =>
+        val spans = parseLinked(path, rr, dds, head)
+        val total = spans.map(_.length.toLong).sum
+        require(total <= Int.MaxValue, s"$path: linked element too large")
+        H4Spans(spans, CompNone, total.toInt)
+      case SpExt =>
+        // spec §10.4: length, offset in the external file, name length, name
+        val len = u32(head, 2)
+        val extOff = u32(head, 6)
+        val fnLen = u32(head, 10).toInt
+        require(fnLen > 0 && fnLen <= 4096 - 14 && 14 + fnLen <= head.length,
+          s"$path: implausible external file-name length $fnLen")
+        val name = new String(head, 14, fnLen,
+          java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0.toChar)
+        H4Ext(resolveExt(path, name), extOff, len)
       case c => throw new IllegalArgumentException(
         s"$path: unknown HDF4 special-element code $c")
     }
@@ -823,15 +927,23 @@ object Hdf4 {
     val (dtype, esz) = dtypeOf(path, sds.dfnt)
     val data = resolveData(path, rr, cat.dds, sds.dataTag, sds.dataRef,
       sds.dims)
+    val need = nt.toLong * ny * nx * esz
     data match {
       case H4Plain(_, _, coder, u) =>
-        val need = nt.toLong * ny * nx * esz
         require(u >= need, s"$path: SDS '${sds.name}' stores $u of $need bytes")
         // whole-element compression is not seekable — the sampler must
         // materialize the element, so bound it (chunked layouts scale)
         require(coder == CompNone || need <= (1L << 30),
           s"$path: whole-element compressed SDS '${sds.name}' too large " +
             s"($need bytes) — chunked layout required")
+      case H4Spans(_, coder, u) =>
+        require(u >= need, s"$path: SDS '${sds.name}' stores $u of $need bytes")
+        require(coder == CompNone || need <= (1L << 30),
+          s"$path: whole-element compressed SDS '${sds.name}' too large " +
+            s"($need bytes) — chunked layout required")
+      case H4Ext(ep, _, len) =>
+        require(len >= need,
+          s"$path: external element $ep stores $len of $need bytes")
       case _ => ()
     }
     val nodata = sds.attrs.get("_FillValue").flatMap(_.num)
@@ -892,6 +1004,71 @@ object Hdf4 {
     }
   }
 
+  /** Whole-element decode of a LINKED compressed payload: concatenate the
+    * spans (one coalesced range batch), then decode — cached like
+    * [[cachedDecode]], keyed by the first span's offset. */
+  private def cachedDecodeSpans(path: String, rr: RandomReader,
+      spans: Array[Span], coder: Int, uncompLen: Int): Array[Byte] = {
+    val key = (path, spans(0).offset)
+    val hit = Option(elemCache.get(key)).flatMap(r => Option(r.get))
+    hit.getOrElse {
+      val parts = rr.readRanges(spans.toSeq.map(s => (s.offset, s.length)))
+      val rawAll = new Array[Byte](spans.map(_.length).sum)
+      var o = 0
+      parts.foreach { p =>
+        System.arraycopy(p, 0, rawAll, o, p.length); o += p.length
+      }
+      val dec = decomp(path, coder, rawAll, uncompLen)
+      elemCache.put(key, new java.lang.ref.SoftReference(dec))
+      dec
+    }
+  }
+
+  /** Read logical byte ranges of a linked-block element: each logical
+    * range splits into the physical sub-ranges its spans cover, ONE
+    * coalesced readRanges fetches them all, and the pieces reassemble per
+    * original range — request count stays O(ranges), the H4Plain shape. */
+  private[raquet] def readLogical(rr: RandomReader, spans: Array[Span],
+      ranges: Seq[(Long, Int)]): Seq[Array[Byte]] = {
+    val starts = new Array[Long](spans.length)
+    var acc = 0L
+    var i = 0
+    while (i < spans.length) { starts(i) = acc; acc += spans(i).length; i += 1 }
+    val pieces = Seq.newBuilder[(Long, Int)]
+    val cuts = ranges.map { case (lo, n) =>
+      require(lo >= 0 && lo + n <= acc,
+        s"logical range [$lo, ${lo + n}) outside linked element of $acc bytes")
+      var remaining = n
+      var pos = lo
+      var k = java.util.Arrays.binarySearch(starts, pos)
+      if (k < 0) k = -k - 2
+      var cnt = 0
+      while (remaining > 0) {
+        val sp = spans(k)
+        val within = (pos - starts(k)).toInt
+        val take = math.min(remaining, sp.length - within)
+        pieces += ((sp.offset + within, take))
+        remaining -= take; pos += take; k += 1; cnt += 1
+      }
+      cnt
+    }
+    val raw = rr.readRanges(pieces.result())
+    var idx = 0
+    ranges.zip(cuts).map { case ((_, n), cnt) =>
+      if (cnt == 1) { val r = raw(idx); idx += 1; r }
+      else {
+        val out = new Array[Byte](n)
+        var o = 0
+        var c = 0
+        while (c < cnt) {
+          val b = raw(idx); idx += 1
+          System.arraycopy(b, 0, out, o, b.length); o += b.length; c += 1
+        }
+        out
+      }
+    }
+  }
+
   /** Bounded window read of one timestep: the [[Hdf5Nc.ChunkSampler]]
     * shape — intersecting chunks fetched in one coalesced range batch,
     * executor memory O(window + intersecting chunks). HDF4 grids are
@@ -932,6 +1109,45 @@ object Hdf4 {
                 j += 1
               }
             }
+          case H4Spans(spans, coder, uncompLen) =>
+            val planeBytes = g.height.toLong * g.width * sz
+            if (coder == CompNone) {
+              // uncompressed linked blocks: the H4Plain per-row shape, with
+              // logical offsets mapped through the span table
+              val rows = (0 until wh).map { j =>
+                (t * planeBytes + ((wy + j).toLong * g.width + wx) * sz,
+                  ww * sz)
+              }
+              readLogical(rr, spans, rows).zipWithIndex.foreach { case (b, j) =>
+                System.arraycopy(b, 0, buf, j * ww * sz, ww * sz)
+              }
+            } else {
+              // linked COMPRESSED payload: whole-element decode, soft-cached
+              val need = (g.nt.toLong * planeBytes).toInt
+              val dec = cachedDecodeSpans(g.path, rr, spans, coder,
+                math.min(uncompLen, need))
+              var j = 0
+              while (j < wh) {
+                System.arraycopy(dec,
+                  (t * planeBytes + ((wy + j).toLong * g.width + wx) * sz).toInt,
+                  buf, j * ww * sz, ww * sz)
+                j += 1
+              }
+            }
+          case H4Ext(ep, off, _) =>
+            // external file: raw uncompressed bytes — same per-row ranges,
+            // read from the companion file (resolved at describe time)
+            val planeBytes = g.height.toLong * g.width * sz
+            val err = RandomReader(ep)
+            try {
+              val rows = (0 until wh).map { j =>
+                (off + t * planeBytes + ((wy + j).toLong * g.width + wx) * sz,
+                  ww * sz)
+              }
+              err.readRanges(rows).zipWithIndex.foreach { case (b, j) =>
+                System.arraycopy(b, 0, buf, j * ww * sz, ww * sz)
+              }
+            } finally err.close()
           case H4Chunked(cd, chunks, hdrFill) =>
             // _FillValue attribute overrides the chunked-header fill; the
             // header fill bytes are already NT-encoded straight from the

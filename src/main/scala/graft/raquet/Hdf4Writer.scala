@@ -71,7 +71,13 @@ object Hdf4Writer {
       /** write the fill value into the SPECIAL_CHUNKED header (libhdf4
         * always does; false models a writer that doesn't, for the
         * no-fill-anywhere loud-fail path) */
-      headerFill: Boolean = true) {
+      headerFill: Boolean = true,
+      /** linked-block layouts: first-block length (0 = same as linkBlk),
+        * successive-block length, block refs per table (spec §10.1) */
+      linkFirst: Int = 0, linkBlk: Int = 4096, linkPerTable: Int = 8,
+      /** external layout: companion file name (default `<name>.dat`) and
+        * byte offset of the data within it */
+      extFile: String = null, extOffset: Int = 0) {
     def at(t: Int, j: Int, i: Int): Double =
       if (nt == 1) values(j, i) else tvalues(t, j, i)
   }
@@ -261,6 +267,41 @@ object Hdf4Writer {
         elems += ((TagCompressed, cRef, enc))
       }
 
+      /** Emit `payload` as a SPECIAL_LINKED element under (tag, r): data
+        * blocks + chained block tables + the description record
+        * (spec §10.1). */
+      def linkedElement(tag: Int, r: Int, payload: Array[Byte]): Unit = {
+        val firstLen = if (f.linkFirst > 0) f.linkFirst else f.linkBlk
+        val blocks = Seq.newBuilder[Array[Byte]]
+        var p = 0
+        while (p < payload.length) {
+          val n = math.min(if (p == 0) firstLen else f.linkBlk,
+            payload.length - p)
+          blocks += java.util.Arrays.copyOfRange(payload, p, p + n)
+          p += n
+        }
+        val blockRefs = blocks.result().map { b =>
+          val br = ref(); elems += ((Hdf4.TagLinked, br, b)); br
+        }
+        val groups = blockRefs.grouped(f.linkPerTable).toSeq
+        val trefs = groups.map(_ => ref())
+        groups.zipWithIndex.foreach { case (grp, i) =>
+          val tb = new B
+          tb.u16(if (i + 1 < trefs.length) trefs(i + 1) else 0)
+          grp.foreach(tb.u16)
+          (grp.length until f.linkPerTable).foreach(_ => tb.u16(0))
+          elems += ((Hdf4.TagLinked, trefs(i), tb.bytes))
+        }
+        val h = new B
+        h.u16(1) // SPECIAL_LINKED
+        h.u32(payload.length.toLong)
+        h.u32(firstLen.toLong)
+        h.u32(f.linkBlk.toLong)
+        h.u32(f.linkPerTable.toLong)
+        h.u16(trefs.head)
+        elems += ((tag | SpecialBit, r, h.bytes))
+      }
+
       f.layout match {
         case "plain" =>
           elems += ((TagSD, dataRef, planeBytes))
@@ -268,6 +309,36 @@ object Hdf4Writer {
           compElement(dataRef, planeBytes, CompRle, planeBytes.length, TagSD)
         case "deflate" =>
           compElement(dataRef, planeBytes, CompDeflate, planeBytes.length, TagSD)
+        case "plain-linked" =>
+          linkedElement(TagSD, dataRef, planeBytes)
+        case "deflate-linked" =>
+          // appendable compressed element: SPECIAL_COMP header whose
+          // DFTAG_COMPRESSED payload is itself a linked element
+          val cRef = ref()
+          val h = new B
+          h.u16(3).u16(0).u32(planeBytes.length.toLong)
+          h.u16(cRef).u16(0).u16(CompDeflate).u16(6)
+          elems += ((TagSD | SpecialBit, dataRef, h.bytes))
+          linkedElement(TagCompressed, cRef, deflate(planeBytes))
+        case "external" =>
+          val name = Option(f.extFile).getOrElse(s"${f.name}.dat")
+          val extPath = {
+            val slash = path.lastIndexOf('/')
+            if (slash < 0) name else path.substring(0, slash + 1) + name
+          }
+          val out = new java.io.FileOutputStream(extPath)
+          try {
+            out.write(new Array[Byte](f.extOffset)) // leading pad
+            out.write(planeBytes)
+          } finally out.close()
+          val nb = name.getBytes(StandardCharsets.US_ASCII)
+          val h = new B
+          h.u16(2) // SPECIAL_EXT
+          h.u32(planeBytes.length.toLong)
+          h.u32(f.extOffset.toLong)
+          h.u32(nb.length.toLong)
+          h.raw(nb)
+          elems += ((TagSD | SpecialBit, dataRef, h.bytes))
         case l if l.startsWith("chunked") =>
           val coder = l match {
             case "chunked" => CompNone

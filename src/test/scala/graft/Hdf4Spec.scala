@@ -248,6 +248,86 @@ class Hdf4Spec extends AnyFunSuite {
     assert(noSuch.getMessage.contains("no data field"), noSuch.getMessage)
   }
 
+  test("linked-block SDS (spec §10.1) reads back exactly across tables") {
+    // 120x100 int16 = 24,000 bytes; first block 3,000 + 2,048-byte blocks
+    // (NOT row-aligned) over 4-entry tables → an 11-block, 3-table chain
+    val p = tmpFile("linked")
+    val g0 = sinGrid("plain-linked")
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      linkFirst = 3000, linkBlk = 2048, linkPerTable = 4))))
+    checkValues(Hdf4.describe(p))
+  }
+
+  test("SPECIAL_COMP over a linked payload (appendable deflate) reads back") {
+    val p = tmpFile("linkeddef")
+    val g0 = sinGrid("deflate-linked")
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      linkBlk = 1500, linkPerTable = 3))))
+    checkValues(Hdf4.describe(p))
+  }
+
+  test("rank-3 linked-block SDS reads each timestep exactly") {
+    val (nt, ny, nx) = (3, 40, 50)
+    def v(t: Int, j: Int, i: Int): Double = ((5 * j + 7 * i + 11 * t) % 997).toDouble
+    val p = tmpFile("t3linked")
+    Hdf4Writer.write(p, Hdf4Writer.Grid("T3L",
+      Seq(Hdf4Writer.Field("v", 22, ny, nx, (_, _) => 0.0,
+        layout = "plain-linked", linkFirst = 900, linkBlk = 1024,
+        linkPerTable = 5, nt = nt, tvalues = v)),
+      0.0, ny * 926.0, nx * 926.0, 0.0, projection = "snsoid"))
+    val g = Hdf4.describe(p)
+    for (t <- 0 until nt) {
+      val s = g.sampler(t, 5, 3, 37, 29)
+      for (j <- 3 until 32; i <- 5 until 42)
+        assert(s.sample(0, i, j) == v(t, j, i), s"t=$t ($i,$j)")
+    }
+  }
+
+  test("external-file SDS (spec §10.4) reads through the companion file") {
+    val p = tmpFile("extmain")
+    val g0 = sinGrid("external")
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      extFile = "ext_payload.dat", extOffset = 128))))
+    checkValues(Hdf4.describe(p))
+    // a missing companion file fails loudly at read time
+    val dir = p.substring(0, p.lastIndexOf('/'))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "ext_payload.dat"))
+    val g = Hdf4.describe(p) // header-only describe still works
+    intercept[Exception](g.sampler(0, 0, 0, 10, 10))
+  }
+
+  test("truncated linked chain (declared bytes with no block) fails loudly") {
+    val p = tmpFile("linktrunc")
+    val g0 = sinGrid("plain-linked")
+    Hdf4Writer.write(p, g0.copy(fields = g0.fields.map(_.copy(
+      linkBlk = 2048, linkPerTable = 4))))
+    // grow the declared element length past the stored blocks: the u32 at
+    // header offset +2 of the SPECIAL_LINKED description record
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // find the DD for SPECIAL(TagSD): walk the DD block like the reader
+    val nDds = ((bytes(4) & 0xFF) << 8) | (bytes(5) & 0xFF)
+    var ddOff = -1L
+    for (k <- 0 until nDds) {
+      val base = 10 + 12 * k
+      val tag = ((bytes(base) & 0xFF) << 8) | (bytes(base + 1) & 0xFF)
+      if (tag == (702 | 0x4000)) // SPECIAL | DFTAG_SD
+        ddOff = ((bytes(base + 4) & 0xFFL) << 24) | ((bytes(base + 5) & 0xFFL) << 16) |
+          ((bytes(base + 6) & 0xFFL) << 8) | (bytes(base + 7) & 0xFFL)
+    }
+    assert(ddOff > 0, "no SPECIAL_LINKED data element found")
+    val lenOff = ddOff.toInt + 2
+    val declared = ((bytes(lenOff) & 0xFFL) << 24) | ((bytes(lenOff + 1) & 0xFFL) << 16) |
+      ((bytes(lenOff + 2) & 0xFFL) << 8) | (bytes(lenOff + 3) & 0xFFL)
+    val bigger = declared + 10000
+    bytes(lenOff) = ((bigger >> 24) & 0xFF).toByte
+    bytes(lenOff + 1) = ((bigger >> 16) & 0xFF).toByte
+    bytes(lenOff + 2) = ((bigger >> 8) & 0xFF).toByte
+    bytes(lenOff + 3) = (bigger & 0xFF).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), bytes)
+    val e = intercept[IllegalArgumentException](Hdf4.describe(p))
+    assert(e.getMessage.contains("linked"), e.getMessage)
+  }
+
   test("GEO grid decodes packed-DMS corners to degrees") {
     val (ny, nx) = (40, 80)
     val grid = Hdf4Writer.Grid("CMG_Test",
