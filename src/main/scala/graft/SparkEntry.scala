@@ -210,6 +210,7 @@ object SparkEntry {
     "q189_hdf4_multigrid"   -> (RaquetQueries.q189Hdf4MultiGrid _),
     "q190_hdf4_linked"      -> (RaquetQueries.q190Hdf4Linked _),
     "q191_hdf4_external"    -> (RaquetQueries.q191Hdf4External _),
+    "q192_jp2k_lossy"       -> (RaquetQueries.q192Jp2kLossy _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -467,6 +468,9 @@ object SparkEntry {
     // oracle; the storage layout must be invisible to the pixels
     "q190_hdf4_linked"      -> RaquetOracles.q185,
     "q191_hdf4_external"    -> RaquetOracles.q185,
+    // q192: the irreversible 9/7 codec — patch error bounds in-engine,
+    // patch source sums closed-form (pure integer field, exact in SQL)
+    "q192_jp2k_lossy"       -> RaquetOracles.q192,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1857,4 +1857,16 @@ object RaquetOracles {
         JOIN rowsv r ON r.ty = t.ty
         JOIN colagg c ON c.tx = t.tx"""
   }
+
+  /** q192: the 9/7 lossy codec proof — 48 32x32 patches of the pure-integer
+    * closed-form field; n_px and src_sum re-derive exactly, `bounded` is
+    * the engine-side error-bound verdict (TRUE everywhere). */
+  val q192: String =
+    """WITH px AS (
+         SELECT (y // 32) * 8 + (x // 32) AS patch,
+           1200 + (x*x*7 + y*y*5 + x*y*3) % 801 AS v
+         FROM range(256) a(x), range(192) b(y))
+       SELECT patch, count(*) AS n_px, TRUE AS bounded,
+         CAST(sum(v) AS BIGINT) AS src_sum
+       FROM px GROUP BY 1"""
 }

@@ -3932,6 +3932,35 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** F (JPEG 2000 irreversible 9/7, ISO 15444-1 Annex F.4.8 + Annex E
+    * scalar-expounded quantization) driver proof: a 256x192 integer field
+    * (pure integer closed form — exact in both engines) encodes through
+    * the in-engine 9/7 encoder at a genuinely lossy step
+    * (coarseBits=2, mant=512 → delta = 5 in the LL), decodes back, and
+    * every 32x32 patch must sit within the quantization error bound while
+    * the patch source sums re-derive closed-form in the oracle. The
+    * distributed per-file decode path is q183's transcodeFiles; this entry
+    * pins the lossy codec itself. */
+  def q192Jp2kLossy(spark: SparkSession, dir: String): DataFrame = {
+    val (w, h) = (256, 192)
+    def f(x: Int, y: Int): Int = 1200 + (x * x * 7 + y * y * 5 + x * y * 3) % 801
+    val src = Array.tabulate(w * h)(k => f(k % w, k / w))
+    val cs = graft.raquet.Jpeg2000.encode97(Array(src), w, h, 12,
+      levels = 4, coarseBits = 2, mant = 512)
+    val dec = graft.raquet.Jpeg2000.decode(cs, "q192").xs
+    import spark.implicits._
+    val rows = (0 until w * h).map { k =>
+      val x = k % w; val y = k / w
+      ((y / 32).toLong * 8 + x / 32,
+        math.abs(dec(k) - src(k)).toLong, f(x, y).toLong)
+    }
+    rows.toDF("patch", "abs_err", "src")
+      .groupBy(col("patch"))
+      .agg(count(lit(1)).as("n_px"),
+        (max(col("abs_err")) <= 30L).as("bounded"),
+        sum(col("src")).as("src_sum"))
+  }
+
   /** S6/M7 (HDF4 multi-field workflow) driver proof: TWO data fields of
     * the q184 MODIS grid — different pixel formulas AND different chunk
     * layouts (deflate vs RLE) — converted through

@@ -799,6 +799,72 @@ object Jpeg2000 {
     while (x < w) { lift53Inv(a, x, h, rowStride); x += 1 }
   }
 
+  // ------------------------------------------------------------- 9/7 DWT
+  // Irreversible 9/7 lifting constants (ISO 15444-1 Annex F, Table F.4).
+  // Sanity anchor: on a constant signal the four lifting steps leave the
+  // even samples at K x c and the odd samples at ~0, so the final scaling
+  // must divide evens by K (analysis low-pass DC gain 1) and multiply
+  // odds by K — the JPEG 2000 normalization.
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  private def lift97Fwd(a: Array[Double], off: Int, n: Int, stride: Int): Unit = {
+    if (n <= 1) return
+    @inline def g(k: Int): Double = {
+      val m = if (k < 0) -k else if (k > n - 1) 2 * (n - 1) - k else k
+      a(off + m * stride)
+    }
+    var i = 1
+    while (i < n) { a(off + i * stride) += A97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { a(off + i * stride) += B97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) += G97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { a(off + i * stride) += D97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { a(off + i * stride) /= K97; i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) *= K97; i += 2 }
+  }
+
+  private def lift97Inv(a: Array[Double], off: Int, n: Int, stride: Int): Unit = {
+    if (n <= 1) return
+    @inline def g(k: Int): Double = {
+      val m = if (k < 0) -k else if (k > n - 1) 2 * (n - 1) - k else k
+      a(off + m * stride)
+    }
+    var i = 0
+    while (i < n) { a(off + i * stride) *= K97; i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) /= K97; i += 2 }
+    i = 0
+    while (i < n) { a(off + i * stride) -= D97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) -= G97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 0
+    while (i < n) { a(off + i * stride) -= B97 * (g(i - 1) + g(i + 1)); i += 2 }
+    i = 1
+    while (i < n) { a(off + i * stride) -= A97 * (g(i - 1) + g(i + 1)); i += 2 }
+  }
+
+  private def dwt97FwdLevel(a: Array[Double], w: Int, h: Int, rowStride: Int): Unit = {
+    var x = 0
+    while (x < w) { lift97Fwd(a, x, h, rowStride); x += 1 }
+    var y = 0
+    while (y < h) { lift97Fwd(a, y * rowStride, w, 1); y += 1 }
+  }
+
+  private def dwt97InvLevel(a: Array[Double], w: Int, h: Int, rowStride: Int): Unit = {
+    var y = 0
+    while (y < h) { lift97Inv(a, y * rowStride, w, 1); y += 1 }
+    var x = 0
+    while (x < w) { lift97Inv(a, x, h, rowStride); x += 1 }
+  }
+
   /** Band dims at decomposition level d (tile anchored at 0): returns
     * ((lowW, highW), (lowH, highH)) of the level-d split of the level-(d-1)
     * LL. */
@@ -898,6 +964,8 @@ object Jpeg2000 {
     var useSop = false; var useEph = false
     var guard = 0
     var qcdExps: Array[Int] = null // eps_b per sub-band, codestream order
+    var qcdMants: Array[Int] = null // mu_b (style 2); null = no quantization
+    var wavelet97 = false
     var ncomp = 1; var mct = 0
     var haveSiz = false; var haveCod = false; var haveQcd = false
     var tileDataOff = -1; var tileDataEnd = -1
@@ -974,24 +1042,38 @@ object Jpeg2000 {
           require((cs(b + 10) & 0xFF) == 0,
             s"$where: code-block style ${cs(b + 10) & 0xFF} unsupported " +
               "(default context modeling only)")
-          require((cs(b + 11) & 0xFF) == 1,
-            s"$where: irreversible 9/7 wavelet unsupported (5/3 only)")
+          val wav = cs(b + 11) & 0xFF
+          require(wav == 0 || wav == 1,
+            s"$where: wavelet transform code $wav unsupported")
+          wavelet97 = wav == 0
           haveCod = true
           p += l
         case 0xFF5C => // QCD
           need(2); val l = u16(cs, p)
           need(l); require(l >= 4, s"$where: QCD too short")
           val sqcd = cs(p + 2) & 0xFF
-          require((sqcd & 0x1F) == 0,
-            s"$where: quantization style ${sqcd & 0x1F} unsupported " +
-              "(reversible no-quantization only)")
           guard = (sqcd >>> 5) & 7
-          // For the no-quantization style each sub-band carries one SPqcd
-          // byte whose top 5 bits are the exponent eps_b (Table A.30).
-          // Mb derives from the SIGNALED exponent, not from an assumed
-          // depth+gain: a conforming encoder may choose different eps_b
-          // and the samples would otherwise come out scaled by 2^delta.
-          qcdExps = Array.tabulate(l - 3)(i => (cs(p + 3 + i) & 0xFF) >>> 3)
+          (sqcd & 0x1F) match {
+            case 0 =>
+              // No quantization (5/3): one SPqcd byte per sub-band, top 5
+              // bits = eps_b (Table A.30). Mb derives from the SIGNALED
+              // exponent, not an assumed depth+gain: a conforming encoder
+              // may choose different eps_b and the samples would otherwise
+              // come out scaled by 2^delta.
+              qcdExps = Array.tabulate(l - 3)(i => (cs(p + 3 + i) & 0xFF) >>> 3)
+            case 2 =>
+              // Scalar expounded (9/7): 16-bit SPqcd per sub-band —
+              // exponent in the top 5 bits, 11-bit mantissa mu_b; the
+              // dequant step is delta_b = 2^(Rb - eps_b) (1 + mu_b/2^11)
+              // (Equation E-3)
+              require((l - 3) % 2 == 0, s"$where: odd expounded QCD length")
+              val nsb = (l - 3) / 2
+              qcdExps = Array.tabulate(nsb)(i => u16(cs, p + 3 + 2 * i) >>> 11)
+              qcdMants = Array.tabulate(nsb)(i => u16(cs, p + 3 + 2 * i) & 0x7FF)
+            case s => throw new IllegalArgumentException(
+              s"$where: quantization style $s unsupported " +
+                "(no-quantization and scalar-expounded only)")
+          }
           haveQcd = true
           p += l
         case 0xFF90 => // SOT
@@ -1041,6 +1123,11 @@ object Jpeg2000 {
       s"$where: MCT declared on a $ncomp-component stream")
     require(!(mct == 1 && signed),
       s"$where: RCT on signed components unsupported")
+    // the wavelet choice pins the quantization style (and the MCT flavor:
+    // RCT with 5/3, ICT with 9/7 — handled below)
+    require(wavelet97 == (qcdMants != null),
+      s"$where: wavelet/quantization mismatch — 9/7 pairs with " +
+        "scalar-expounded QCD, 5/3 with no-quantization")
 
     // build resolution/band structure — one identical set per component
     // (single COD/QCD; per-component COC/QCC overrides were rejected above)
@@ -1168,62 +1255,147 @@ object Jpeg2000 {
       }
     }
 
-    // inverse DWT per component: interleave LL+HL+LH+HH level by level
-    val comps: Array[Array[Int]] = compBands.map { bands =>
-      var cur = bands(0).coeff
-      var cw = llw; var ch = llh
-      var d = effLevels
-      var resIdx = 1
-      while (d >= 1) {
-        val hl = bands(resIdx); val lh = bands(resIdx + 1); val hh2 = bands(resIdx + 2)
-        val nw = cw + hl.w; val nh = ch + lh.h
-        val merged = new Array[Int](nw * nh)
-        var y = 0
-        while (y < ch) {
-          var x = 0
-          while (x < cw) { merged(2 * y * nw + 2 * x) = cur(y * cw + x); x += 1 }
-          x = 0
-          while (x < hl.w) { merged(2 * y * nw + 2 * x + 1) = hl.coeff(y * hl.w + x); x += 1 }
-          y += 1
+    val comps: Array[Array[Int]] = if (!wavelet97) {
+      // inverse 5/3 DWT per component: interleave LL+HL+LH+HH level by level
+      val cint = compBands.map { bands =>
+        var cur = bands(0).coeff
+        var cw = llw; var ch = llh
+        var d = effLevels
+        var resIdx = 1
+        while (d >= 1) {
+          val hl = bands(resIdx); val lh = bands(resIdx + 1); val hh2 = bands(resIdx + 2)
+          val nw = cw + hl.w; val nh = ch + lh.h
+          val merged = new Array[Int](nw * nh)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) { merged(2 * y * nw + 2 * x) = cur(y * cw + x); x += 1 }
+            x = 0
+            while (x < hl.w) { merged(2 * y * nw + 2 * x + 1) = hl.coeff(y * hl.w + x); x += 1 }
+            y += 1
+          }
+          y = 0
+          while (y < lh.h) {
+            var x = 0
+            while (x < lh.w) { merged((2 * y + 1) * nw + 2 * x) = lh.coeff(y * lh.w + x); x += 1 }
+            x = 0
+            while (x < hh2.w) { merged((2 * y + 1) * nw + 2 * x + 1) = hh2.coeff(y * hh2.w + x); x += 1 }
+            y += 1
+          }
+          dwtInvLevel(merged, nw, nh, nw)
+          cur = merged; cw = nw; ch = nh
+          resIdx += 3
+          d -= 1
         }
-        y = 0
-        while (y < lh.h) {
-          var x = 0
-          while (x < lh.w) { merged((2 * y + 1) * nw + 2 * x) = lh.coeff(y * lh.w + x); x += 1 }
-          x = 0
-          while (x < hh2.w) { merged((2 * y + 1) * nw + 2 * x + 1) = hh2.coeff(y * hh2.w + x); x += 1 }
-          y += 1
-        }
-        dwtInvLevel(merged, nw, nh, nw)
-        cur = merged; cw = nw; ch = nh
-        resIdx += 3
-        d -= 1
+        require(cw == w && ch == h, s"$where: reconstructed ${cw}x$ch != ${w}x$h")
+        cur
       }
-      require(cw == w && ch == h, s"$where: reconstructed ${cw}x$ch != ${w}x$h")
-      cur
+      // inverse RCT (Annex G.2, reversible): G = Y − ⌊(U+V)/4⌋, R = V + G,
+      // B = U + G — BEFORE the DC level shift, which applies to the
+      // transform's output components
+      if (mct == 1) {
+        val y0 = cint(0); val u0 = cint(1); val v0 = cint(2)
+        var k = 0
+        while (k < y0.length) {
+          val g = y0(k) - ((u0(k) + v0(k)) >> 2)
+          val r0 = v0(k) + g
+          val b0 = u0(k) + g
+          y0(k) = r0; u0(k) = g; v0(k) = b0
+          k += 1
+        }
+      }
+      cint
+    } else {
+      // 9/7 path: dequantize each band coefficient (Equation E-3, midpoint
+      // reconstruction r = 1/2 for nonzero magnitudes), float inverse DWT,
+      // inverse ICT, then round
+      val deltas = qcdExps.indices.map { i =>
+        val band = compBands(0)(i).band
+        math.pow(2.0, depth + bandGain(band) - qcdExps(i)) *
+          (1.0 + qcdMants(i) / 2048.0)
+      }.toArray
+      val cdbl: Array[Array[Double]] = compBands.map { bands =>
+        var cw = llw; var ch = llh
+        var cur = {
+          val d0 = deltas(0)
+          val src = bands(0).coeff
+          val out = new Array[Double](src.length)
+          var k = 0
+          while (k < src.length) {
+            val m = src(k)
+            out(k) = if (m == 0) 0.0
+              else if (m > 0) (m + 0.5) * d0 else (m - 0.5) * d0
+            k += 1
+          }
+          out
+        }
+        var d = effLevels
+        var resIdx = 1
+        while (d >= 1) {
+          val hl = bands(resIdx); val lh = bands(resIdx + 1); val hh2 = bands(resIdx + 2)
+          val (dHl, dLh, dHh) = (deltas(resIdx), deltas(resIdx + 1), deltas(resIdx + 2))
+          @inline def dq(m: Int, dl: Double): Double =
+            if (m == 0) 0.0 else if (m > 0) (m + 0.5) * dl else (m - 0.5) * dl
+          val nw = cw + hl.w; val nh = ch + lh.h
+          val merged = new Array[Double](nw * nh)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) { merged(2 * y * nw + 2 * x) = cur(y * cw + x); x += 1 }
+            x = 0
+            while (x < hl.w) { merged(2 * y * nw + 2 * x + 1) = dq(hl.coeff(y * hl.w + x), dHl); x += 1 }
+            y += 1
+          }
+          y = 0
+          while (y < lh.h) {
+            var x = 0
+            while (x < lh.w) { merged((2 * y + 1) * nw + 2 * x) = dq(lh.coeff(y * lh.w + x), dLh); x += 1 }
+            x = 0
+            while (x < hh2.w) { merged((2 * y + 1) * nw + 2 * x + 1) = dq(hh2.coeff(y * hh2.w + x), dHh); x += 1 }
+            y += 1
+          }
+          dwt97InvLevel(merged, nw, nh, nw)
+          cur = merged; cw = nw; ch = nh
+          resIdx += 3
+          d -= 1
+        }
+        require(cw == w && ch == h, s"$where: reconstructed ${cw}x$ch != ${w}x$h")
+        cur
+      }
+      // inverse ICT (Annex G.3, irreversible): the lossy MCT flavor
+      if (mct == 1) {
+        val y0 = cdbl(0); val cb = cdbl(1); val cr = cdbl(2)
+        var k = 0
+        while (k < y0.length) {
+          val r0 = y0(k) + 1.402 * cr(k)
+          val g0 = y0(k) - 0.344136 * cb(k) - 0.714136 * cr(k)
+          val b0 = y0(k) + 1.772 * cb(k)
+          y0(k) = r0; cb(k) = g0; cr(k) = b0
+          k += 1
+        }
+      }
+      cdbl.map { xs =>
+        val out = new Array[Int](xs.length)
+        var k = 0
+        while (k < xs.length) { out(k) = Math.round(xs(k)).toInt; k += 1 }
+        out
+      }
     }
 
-    // inverse RCT (Annex G.2, reversible): G = Y − ⌊(U+V)/4⌋, R = V + G,
-    // B = U + G — BEFORE the DC level shift, which applies to the
-    // transform's output components
-    if (mct == 1) {
-      val y0 = comps(0); val u0 = comps(1); val v0 = comps(2)
-      var k = 0
-      while (k < y0.length) {
-        val g = y0(k) - ((u0(k) + v0(k)) >> 2)
-        val r0 = v0(k) + g
-        val b0 = u0(k) + g
-        y0(k) = r0; u0(k) = g; v0(k) = b0
-        k += 1
-      }
-    }
-
-    // undo DC level shift for unsigned data
+    // undo DC level shift for unsigned data; the lossy path can overshoot
+    // the sample range, so clamp it back (the 5/3 path is exact and never
+    // clamps — a clamp there would hide decoder bugs)
     if (!signed) {
       val shift = 1 << (depth - 1)
+      val maxV = (1 << math.min(depth, 30)) - 1
       for (xs <- comps) {
         var k = 0
-        while (k < xs.length) { xs(k) += shift; k += 1 }
+        while (k < xs.length) {
+          val v = xs(k) + shift
+          xs(k) = if (!wavelet97) v
+            else if (v < 0) 0 else if (v > maxV) maxV else v
+          k += 1
+        }
       }
     }
     Decoded(w, h, depth, signed, comps)
@@ -1242,11 +1414,29 @@ object Jpeg2000 {
     * (Annex G.2) is applied before the per-component DWT and the signaled
     * QCD exponents grow by one (the chroma differences span depth+1 bits —
     * still one shared QCD, exponent honored by conforming decoders). */
+  /** Irreversible 9/7 encode (ISO 15444-1 Annex F.4.8 analysis + Annex E
+    * deadzone scalar quantization, scalar-expounded QCD). `coarseBits`
+    * widens every quantization step by 2^coarseBits and `mant` sets the
+    * 11-bit step mantissa — (0,0) is the finest step (delta = 1), real
+    * lossy archives use coarser. `ict` applies the irreversible YCbCr
+    * transform (Annex G.3) on 3-component input. */
+  def encode97(planes: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int = 5, coarseBits: Int = 0, mant: Int = 0,
+      ict: Boolean = false): Array[Byte] =
+    encodeMulti(planes, w, h, depth, levels, 0, rct = ict,
+      lossy97 = true, coarseBits = coarseBits, mant = mant)
+
   def encodeMulti(planes: Array[Array[Int]], w: Int, h: Int, depth: Int,
-      levels: Int = 5, expBias: Int = 0, rct: Boolean = false): Array[Byte] = {
+      levels: Int = 5, expBias: Int = 0, rct: Boolean = false,
+      lossy97: Boolean = false, coarseBits: Int = 0,
+      mant: Int = 0): Array[Byte] = {
     val ncomp = planes.length
     require(ncomp >= 1 && ncomp <= 3, s"$ncomp components unsupported (1-3)")
     require(!rct || ncomp == 3, "RCT requires exactly 3 components")
+    require(coarseBits >= 0 && coarseBits <= 8, s"coarseBits $coarseBits")
+    require(mant >= 0 && mant <= 2047, s"mantissa $mant out of 11 bits")
+    require(lossy97 || (coarseBits == 0 && mant == 0),
+      "quantization knobs require the 9/7 path")
     require(w >= 1 && h >= 1 && planes.forall(_.length == w * h),
       s"bad image ${w}x$h")
     require(depth >= 1 && depth <= 26, s"depth $depth unsupported (1-26)")
@@ -1271,7 +1461,18 @@ object Jpeg2000 {
     val guard = 2
     val cbExp = 6 // 64x64
     val cbw = 1 << cbExp; val cbh = 1 << cbExp
-    val bias = expBias + (if (rct) 1 else 0)
+    // RCT's chroma differences span depth+1 bits; ICT's don't grow range
+    val bias = expBias + (if (rct && !lossy97) 1 else 0)
+    /** Signaled exponent per band gain: eps = Rb + bias − coarseBits with
+      * Rb = depth + gain, making the 9/7 step
+      * delta_b = 2^(Rb − eps)(1 + mant/2048) = 2^(coarseBits − bias)
+      * × (1 + mant/2048) — (0,0) is the finest conforming step. */
+    def epsOf(gain: Int): Int = {
+      val e = depth + gain + bias - (if (lossy97) coarseBits else 0)
+      require(e >= 1 && e <= 31, s"signaled exponent $e out of range " +
+        "(coarseBits too large for this depth)")
+      e
+    }
 
     // DC shift, then (optionally) the forward RCT over the shifted planes
     val shift = 1 << (depth - 1)
@@ -1281,7 +1482,7 @@ object Jpeg2000 {
       while (k < a.length) { a(k) = s(k) - shift; k += 1 }
       a
     }
-    if (rct) {
+    if (rct && !lossy97) {
       val r0 = comps(0); val g0 = comps(1); val b0 = comps(2)
       var k = 0
       while (k < r0.length) {
@@ -1292,12 +1493,130 @@ object Jpeg2000 {
         k += 1
       }
     }
+    // float component planes for the 9/7 path (+ forward ICT, Annex G.3)
+    val dcomps: Array[Array[Double]] =
+      if (!lossy97) null
+      else {
+        val ds = comps.map { a =>
+          val o = new Array[Double](a.length)
+          var k = 0
+          while (k < a.length) { o(k) = a(k).toDouble; k += 1 }
+          o
+        }
+        if (rct) {
+          val r0 = ds(0); val g0 = ds(1); val b0 = ds(2)
+          var k = 0
+          while (k < r0.length) {
+            val y = 0.299 * r0(k) + 0.587 * g0(k) + 0.114 * b0(k)
+            val cb = -0.168736 * r0(k) - 0.331264 * g0(k) + 0.5 * b0(k)
+            val cr = 0.5 * r0(k) - 0.418688 * g0(k) - 0.081312 * b0(k)
+            r0(k) = y; g0(k) = cb; b0(k) = cr
+            k += 1
+          }
+        }
+        ds
+      }
 
     final case class BandData(band: Int, bw: Int, bh: Int, coeff: Array[Int])
     final case class EncBlk(bx: Int, by: Int, data: Array[Byte], passes: Int,
         zbp: Int)
     final case class EncBand(band: BandData, nbx: Int, nby: Int,
         blks: Array[EncBlk])
+
+    /** T1-encode a component's extracted band list (shared tail of the
+      * 5/3-int and 9/7-quantized paths). */
+    def t1Bands(bandList: scala.collection.Seq[BandData]): IndexedSeq[EncBand] =
+      bandList.map { bd =>
+        val nbx = if (bd.bw == 0) 0 else (bd.bw + cbw - 1) / cbw
+        val nby = if (bd.bh == 0) 0 else (bd.bh + cbh - 1) / cbh
+        val mb = guard + epsOf(bandGain(bd.band)) - 1
+        val blks = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
+          val x0 = bx * cbw; val y0 = by * cbh
+          val bw2 = math.min(cbw, bd.bw - x0); val bh2 = math.min(cbh, bd.bh - y0)
+          val cb = new Array[Int](bw2 * bh2)
+          var y = 0
+          while (y < bh2) {
+            System.arraycopy(bd.coeff, (y0 + y) * bd.bw + x0, cb, y * bw2, bw2)
+            y += 1
+          }
+          val (bytes, passes, np2) = t1Encode(cb, bw2, bh2, bd.band)
+          require(np2 <= mb,
+            s"coefficient overflow: block needs $np2 planes, band allows $mb")
+          EncBlk(bx, by, bytes, passes, if (passes == 0) 0 else mb - np2)
+        }).toArray
+        EncBand(bd, nbx, nby, blks)
+      }.toIndexedSeq
+
+    /** 9/7 forward DWT + deadzone quantization + band extraction for ONE
+      * component (the float twin of the 5/3 path below). */
+    def encodeComponent97(a: Array[Double]): IndexedSeq[EncBand] = {
+      var cw = w; var ch = h
+      var d = 1
+      while (d <= effLevels) {
+        val step = 1 << (d - 1)
+        if (step == 1) dwt97FwdLevel(a, cw, ch, w)
+        else {
+          val dense = new Array[Double](cw * ch)
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) { dense(y * cw + x) = a(y * step * w + x * step); x += 1 }
+            y += 1
+          }
+          dwt97FwdLevel(dense, cw, ch, cw)
+          y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) { a(y * step * w + x * step) = dense(y * cw + x); x += 1 }
+            y += 1
+          }
+        }
+        cw = (cw + 1) / 2; ch = (ch + 1) / 2
+        d += 1
+      }
+      // extract + quantize: q = sign(c) floor(|c| / delta_b) (Equation E-1)
+      def extractQ(x0: Int, y0: Int, bw: Int, bh: Int, sx: Int, sy: Int,
+          gain: Int): Array[Int] = {
+        val delta = math.pow(2.0, depth + gain - epsOf(gain)) *
+          (1.0 + mant / 2048.0)
+        val out = new Array[Int](bw * bh)
+        var y = 0
+        while (y < bh) {
+          var x = 0
+          while (x < bw) {
+            val c = a((y0 + y * sy) * w + (x0 + x * sx))
+            val q = math.floor(math.abs(c) / delta).toInt
+            out(y * bw + x) = if (c < 0) -q else q
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+      val bandList = ArrayBuffer.empty[BandData]
+      val llStride = 1 << effLevels
+      val (llw2, llh2) = {
+        var cw2 = w; var ch2 = h
+        var i2 = 0
+        while (i2 < effLevels) { cw2 = (cw2 + 1) / 2; ch2 = (ch2 + 1) / 2; i2 += 1 }
+        (cw2, ch2)
+      }
+      bandList += BandData(BAND_LL, llw2, llh2,
+        extractQ(0, 0, llw2, llh2, llStride, llStride, bandGain(BAND_LL)))
+      d = effLevels
+      while (d >= 1) {
+        val ((lw, hw), (lh, hh2)) = splitDims(w, h, d)
+        val s = 1 << d; val ho = 1 << (d - 1)
+        bandList += BandData(BAND_HL, hw, lh,
+          extractQ(ho, 0, hw, lh, s, s, bandGain(BAND_HL)))
+        bandList += BandData(BAND_LH, lw, hh2,
+          extractQ(0, ho, lw, hh2, s, s, bandGain(BAND_LH)))
+        bandList += BandData(BAND_HH, hw, hh2,
+          extractQ(ho, ho, hw, hh2, s, s, bandGain(BAND_HH)))
+        d -= 1
+      }
+      t1Bands(bandList)
+    }
 
     /** Forward DWT + band extraction + T1 for ONE component. */
     def encodeComponent(a: Array[Int]): IndexedSeq[EncBand] = {
@@ -1365,30 +1684,11 @@ object Jpeg2000 {
         d -= 1
       }
 
-      // T1-encode all code blocks
-      bandList.map { bd =>
-        val nbx = if (bd.bw == 0) 0 else (bd.bw + cbw - 1) / cbw
-        val nby = if (bd.bh == 0) 0 else (bd.bh + cbh - 1) / cbh
-        val gain = bandGain(bd.band)
-        val mb = guard + (depth + gain + bias) - 1
-        val blks = (for (by <- 0 until nby; bx <- 0 until nbx) yield {
-          val x0 = bx * cbw; val y0 = by * cbh
-          val bw2 = math.min(cbw, bd.bw - x0); val bh2 = math.min(cbh, bd.bh - y0)
-          val cb = new Array[Int](bw2 * bh2)
-          var y = 0
-          while (y < bh2) {
-            System.arraycopy(bd.coeff, (y0 + y) * bd.bw + x0, cb, y * bw2, bw2)
-            y += 1
-          }
-          val (bytes, passes, np2) = t1Encode(cb, bw2, bh2, bd.band)
-          require(np2 <= mb,
-            s"coefficient overflow: block needs $np2 planes, band allows $mb")
-          EncBlk(bx, by, bytes, passes, if (passes == 0) 0 else mb - np2)
-        }).toArray
-        EncBand(bd, nbx, nby, blks)
-      }.toIndexedSeq
+      t1Bands(bandList)
     }
-    val compEnc: Array[IndexedSeq[EncBand]] = comps.map(encodeComponent)
+    val compEnc: Array[IndexedSeq[EncBand]] =
+      if (lossy97) dcomps.map(encodeComponent97)
+      else comps.map(encodeComponent)
 
     // packets (single layer, LRCP: the layer loop is trivial, so the order
     // is res → component; one packet per (r, c) with maximal precincts)
@@ -1464,19 +1764,33 @@ object Jpeg2000 {
     out.write(effLevels)
     out.write(cbExp - 2); out.write(cbExp - 2)
     out.write(0) // code-block style
-    out.write(1) // 5/3 reversible
+    out.write(if (lossy97) 0 else 1) // wavelet: 9/7 irreversible or 5/3
     val nsb = 3 * effLevels + 1
     out.write(w16(0xFF5C)) // QCD
-    out.write(w16(3 + nsb))
-    out.write(guard << 5) // Sqcd: no quantization, 2 guard bits
-    // exponents in codestream band order
-    out.write((depth + bandGain(BAND_LL) + bias) << 3)
-    var dd = effLevels
-    while (dd >= 1) {
-      out.write((depth + bandGain(BAND_HL) + bias) << 3)
-      out.write((depth + bandGain(BAND_LH) + bias) << 3)
-      out.write((depth + bandGain(BAND_HH) + bias) << 3)
-      dd -= 1
+    if (!lossy97) {
+      out.write(w16(3 + nsb))
+      out.write(guard << 5) // Sqcd: no quantization, 2 guard bits
+      // exponents in codestream band order
+      out.write(epsOf(bandGain(BAND_LL)) << 3)
+      var dd = effLevels
+      while (dd >= 1) {
+        out.write(epsOf(bandGain(BAND_HL)) << 3)
+        out.write(epsOf(bandGain(BAND_LH)) << 3)
+        out.write(epsOf(bandGain(BAND_HH)) << 3)
+        dd -= 1
+      }
+    } else {
+      // scalar expounded: 16-bit (eps << 11 | mant) per sub-band
+      out.write(w16(3 + 2 * nsb))
+      out.write((guard << 5) | 2)
+      out.write(w16((epsOf(bandGain(BAND_LL)) << 11) | mant))
+      var dd = effLevels
+      while (dd >= 1) {
+        out.write(w16((epsOf(bandGain(BAND_HL)) << 11) | mant))
+        out.write(w16((epsOf(bandGain(BAND_LH)) << 11) | mant))
+        out.write(w16((epsOf(bandGain(BAND_HH)) << 11) | mant))
+        dd -= 1
+      }
     }
     val tileBody = body.toByteArray
     out.write(w16(0xFF90)) // SOT

@@ -122,7 +122,7 @@ class Jp2kSpec extends AnyFunSuite {
     failsWith(mut(m => m(codAt + 5) = 4), "progression")
     failsWith(mut(m => m(codAt + 12) = 0x20), "code-block style")
     val qcdAt = codAt + 2 + 12
-    failsWith(mut(m => m(qcdAt + 4) = 0x42), "quantization style")
+    failsWith(mut(m => m(qcdAt + 4) = 0x41), "quantization style")
   }
 
   test("truncation and corruption fail cleanly (no OOB, no hangs)") {
@@ -233,5 +233,115 @@ class Jp2kSpec extends AnyFunSuite {
     val cs2 = Jpeg2000.encode(smooth, w, h, 16, 5)
     assert(cs2.length < w * h * 2 / 4, s"smooth did not compress: ${cs2.length}")
     roundTrip(w, h, 16, 5, smooth)
+  }
+
+  // ------------------------------------------------- irreversible 9/7 path
+
+  private def maxErr(a: Array[Int], b: Array[Int]): Int =
+    a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+
+  test("9/7: constant and smooth fields decode with bounded error") {
+    val (w, h) = (96, 80)
+    // constant: every high band must be ~0 (pins the K/1-K normalization —
+    // a swapped scaling would blow the constant up by K^2 per level)
+    val const = Array.fill(w * h)(913)
+    val dc = Jpeg2000.decode(Jpeg2000.encode97(Array(const), w, h, 12, levels = 4),
+      "97const")
+    assert(maxErr(dc.xs, const) <= 1, s"constant err ${maxErr(dc.xs, const)}")
+    // smooth closed-form field at the finest conforming step
+    val smooth = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      (1000.0 + 800.0 * math.sin(x / 11.0) * math.cos(y / 7.0)).toInt
+    }
+    val cs = Jpeg2000.encode97(Array(smooth), w, h, 12, levels = 4)
+    val d = Jpeg2000.decode(cs, "97smooth")
+    assert(d.w == w && d.h == h && d.depth == 12)
+    assert(maxErr(d.xs, smooth) <= 4, s"smooth err ${maxErr(d.xs, smooth)}")
+  }
+
+  test("9/7: coarser quantization degrades gracefully and compresses more") {
+    val (w, h) = (128, 96)
+    val smooth = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      (2000.0 + 1500.0 * math.sin(x / 13.0) * math.sin(y / 9.0)).toInt
+    }
+    val fine = Jpeg2000.encode97(Array(smooth), w, h, 12, levels = 4)
+    val coarse = Jpeg2000.encode97(Array(smooth), w, h, 12, levels = 4,
+      coarseBits = 3, mant = 512)
+    assert(coarse.length < fine.length,
+      s"coarse ${coarse.length} !< fine ${fine.length}")
+    val df = Jpeg2000.decode(fine, "97fine")
+    val dcr = Jpeg2000.decode(coarse, "97coarse")
+    val (ef, ec) = (maxErr(df.xs, smooth), maxErr(dcr.xs, smooth))
+    assert(ef <= 4, s"fine err $ef")
+    // step = 2^3 * 1.25 = 10: synthesis-filter gain keeps the error within
+    // a few steps, never unbounded
+    assert(ec <= 40, s"coarse err $ec")
+    assert(ec > ef, "coarser step should cost accuracy")
+  }
+
+  test("9/7: RGB with the irreversible color transform (ICT)") {
+    val (w, h) = (64, 48)
+    val r = Array.tabulate(w * h)(k => 100 + (k % w))
+    val g = Array.tabulate(w * h)(k => 80 + (k % w) * 3 / 4)
+    val b = Array.tabulate(w * h)(k => 60 + (k / w))
+    val cs = Jpeg2000.encode97(Array(r, g, b), w, h, 8, levels = 3, ict = true)
+    val d = Jpeg2000.decode(cs, "97ict")
+    assert(d.comps.length == 3)
+    assert(maxErr(d.comps(0), r) <= 5 && maxErr(d.comps(1), g) <= 5 &&
+      maxErr(d.comps(2), b) <= 5,
+      s"ict errs ${maxErr(d.comps(0), r)}/${maxErr(d.comps(1), g)}/${maxErr(d.comps(2), b)}")
+  }
+
+  test("9/7: codestream declares transform 0 + scalar-expounded QCD") {
+    val xs = rnd(11, 32 * 24, 9)
+    val cs = Jpeg2000.encode97(Array(xs), 32, 24, 9, levels = 3)
+    def u16(i: Int) = ((cs(i) & 0xFF) << 8) | (cs(i + 1) & 0xFF)
+    val codAt = 2 + 2 + 41
+    assert(u16(codAt) == 0xFF52, "COD")
+    assert(cs(codAt + 13) == 0, "9/7 irreversible transform")
+    val qcdAt = codAt + 2 + 12
+    assert(u16(qcdAt) == 0xFF5C, "QCD")
+    assert(u16(qcdAt + 2) == 3 + 2 * 10, "Lqcd: 16-bit SPqcd per subband")
+    assert((cs(qcdAt + 4) & 0x1F) == 2, "scalar expounded")
+    assert((u16(qcdAt + 5) >>> 11) == 9, "LL exponent = depth (gain 0)")
+  }
+
+  test("9/7: wavelet/quantization mismatches and derived style reject") {
+    val xs = rnd(13, 16 * 16, 8)
+    val cs97 = Jpeg2000.encode97(Array(xs), 16, 16, 8, levels = 2)
+    val cs53 = Jpeg2000.encode(xs, 16, 16, 8, 2)
+    def codTransformAt(cs: Array[Byte]): Int = 2 + 2 + 41 + 13
+    // flip the 9/7 stream's COD byte to claim 5/3: the expounded QCD no
+    // longer matches and must be rejected, not mis-dequantized
+    val m1 = cs97.clone(); m1(codTransformAt(m1)) = 1
+    val e1 = intercept[IllegalArgumentException](Jpeg2000.decode(m1, "t"))
+    assert(e1.getMessage.contains("mismatch"), e1.getMessage)
+    val m2 = cs53.clone(); m2(codTransformAt(m2)) = 0
+    val e2 = intercept[IllegalArgumentException](Jpeg2000.decode(m2, "t"))
+    assert(e2.getMessage.contains("mismatch"), e2.getMessage)
+    // scalar DERIVED (style 1) stays a loud failure
+    val qcdStyleAt = 2 + 2 + 41 + 2 + 12 + 4
+    val m3 = cs53.clone(); m3(qcdStyleAt) = ((2 << 5) | 1).toByte
+    val e3 = intercept[IllegalArgumentException](Jpeg2000.decode(m3, "t"))
+    assert(e3.getMessage.contains("quantization style"), e3.getMessage)
+  }
+
+  test("9/7: truncations and corruptions still fail cleanly") {
+    val xs = rnd(17, 48 * 37, 12)
+    val good = Jpeg2000.encode97(Array(xs), 48, 37, 12, levels = 4)
+    for (t <- 0 until good.length by 7) {
+      try Jpeg2000.decode(good.take(t), "trunc")
+      catch { case _: IllegalArgumentException => () }
+    }
+    var s = 99L
+    for (_ <- 0 until 200) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val at = math.abs(s % good.length).toInt
+      val m = good.clone()
+      m(at) = (m(at) ^ (1 + (s >>> 17) % 255).toInt).toByte
+      try Jpeg2000.decode(m, "corrupt")
+      catch { case _: IllegalArgumentException => () }
+    }
   }
 }
