@@ -182,7 +182,20 @@ object Hdf4 {
   /** Comp-header view of a SPECIAL_COMP element (spec §10.2: code,
     * version, uncompressed length, data ref, model, coder). */
   private[raquet] final case class CompHeader(uncompLen: Int, dataRef: Int,
-      coder: Int)
+      coder: Int, szip: Option[SzipInfo] = None)
+
+  /** HDF4 szip parameters (cszip.c coder info, 20 bytes after the shared
+    * comp header: pixels, pixels_per_scanline, options_mask,
+    * bits_per_pixel, pixels_per_block). */
+  private[graft] final case class SzipInfo(pixels: Long, perScanline: Int,
+      mask: Int, bits: Int, perBlock: Int) extends Serializable
+
+  // szip options-mask bits (public szlib.h)
+  private[raquet] val SzMaskRaw = 128
+  private[raquet] val SzMaskNn = 32
+  private[raquet] val SzMaskMsb = 16
+
+  private[raquet] val CompSzip = 5
 
   private[raquet] def parseCompHeader(path: String, b: Array[Byte]): CompHeader = {
     require(b.length >= 14, s"$path: truncated SPECIAL_COMP header")
@@ -196,12 +209,63 @@ object Hdf4 {
     val model = u16(b, 10)
     require(model == 0, s"$path: compression model $model unsupported (stdio only)")
     val coder = u16(b, 12)
-    CompHeader(uncomp.toInt, dataRef, coder)
+    val szip =
+      if (coder != CompSzip) None
+      else {
+        require(b.length >= 34, s"$path: truncated szip coder info")
+        Some(SzipInfo(u32(b, 14), u32(b, 18).toInt, u32(b, 22).toInt,
+          u32(b, 26).toInt, u32(b, 30).toInt))
+      }
+    CompHeader(uncomp.toInt, dataRef, coder, szip)
+  }
+
+  /** HDF4 szip payload → raw big-endian sample bytes, through the
+    * in-engine CCSDS 121 core ([[Ccsds]] — szip IS the CCSDS Rice coder):
+    * nbits = bits_per_pixel, J = pixels_per_block, RSI =
+    * pixels_per_scanline / pixels_per_block (references restart per
+    * scanline), SZ_NN = the unit-delay preprocessor. Self-consistency is
+    * spec-tested (Hdf4Spec round-trips this segmenting against the Ccsds
+    * coder both ways), but two wire conventions cannot be pinned without
+    * real libsz bytes: the padding of non-block-aligned scanlines and the
+    * entropy-coder option interplay — so [[decomp]] keeps szip behind a
+    * loud FIXTURE GATE (FIXTURES.md §4) until a vendored MODIS szip SDS
+    * lands; enabling is then the -Dgraft.hdf4.szip=on flip. */
+  private[graft] def szipDecode(path: String, info: SzipInfo,
+      raw: Array[Byte], uncompLen: Int): Array[Byte] = {
+    require((info.mask & SzMaskRaw) == 0,
+      s"$path: szip raw-mode payloads unsupported")
+    require(info.bits >= 1 && info.bits <= 32,
+      s"$path: szip bits_per_pixel ${info.bits}")
+    require(Set(8, 16, 32, 64).contains(info.perBlock),
+      s"$path: szip pixels_per_block ${info.perBlock}")
+    require(info.perScanline > 0 &&
+      info.perScanline % info.perBlock == 0,
+      s"$path: szip scanline ${info.perScanline} is not a whole number of " +
+        s"${info.perBlock}-pixel blocks (padding convention unverified)")
+    val esz = (info.bits + 7) / 8
+    require(esz >= 1 && esz <= 4 && uncompLen % esz == 0,
+      s"$path: szip element size $esz vs $uncompLen bytes")
+    val n = uncompLen / esz
+    val rsi = info.perScanline / info.perBlock
+    val flags = if ((info.mask & SzMaskNn) != 0) Ccsds.FlagPreprocess else 0
+    val xs = Ccsds.decode(raw, n, info.bits, flags, info.perBlock, rsi, path)
+    val out = new Array[Byte](uncompLen)
+    var i = 0
+    while (i < n) {
+      val v = xs(i)
+      var b = 0
+      while (b < esz) {
+        out(i * esz + b) = ((v >>> (8 * (esz - 1 - b))) & 0xFF).toByte
+        b += 1
+      }
+      i += 1
+    }
+    out
   }
 
   /** Decode one compressed payload per the coder code. */
   private[raquet] def decomp(path: String, coder: Int, raw: Array[Byte],
-      uncompLen: Int): Array[Byte] = coder match {
+      uncompLen: Int, szip: Option[SzipInfo] = None): Array[Byte] = coder match {
     case CompNone =>
       require(raw.length >= uncompLen,
         s"$path: uncompressed element shorter than declared")
@@ -224,9 +288,24 @@ object Hdf4 {
           s"$path: deflate stream yields $got of $uncompLen bytes")
         out
       } finally inf.end()
+    case CompSzip =>
+      val info = szip.getOrElse(throw new IllegalArgumentException(
+        s"$path: szip payload without its coder parameters"))
+      // FIXTURE GATE: the CCSDS-backed decoder below is built and
+      // spec-tested self-consistently, but no real libsz wire bytes exist
+      // in this sandbox to pin the scanline-padding and option-mask
+      // conventions (FIXTURES.md §4). Refuse rather than risk a silently
+      // mis-decoded raster; flipping the gate is the one-line enablement
+      // once a vendored szip fixture lands.
+      if (sys.props.get("graft.hdf4.szip").contains("on"))
+        szipDecode(path, info, raw, uncompLen)
+      else throw new IllegalArgumentException(
+        s"$path: HDF4 szip decoding is fixture-gated (decoder present; " +
+          "run with -Dgraft.hdf4.szip=on once a real szip fixture " +
+          "validates the wire conventions — FIXTURES.md §4)")
     case c => throw new IllegalArgumentException(
       s"$path: HDF4 compression coder $c unsupported " +
-        "(RLE and deflate are implemented; szip/nbit/skphuff are not)")
+        "(RLE, deflate and gated szip are implemented; nbit/skphuff are not)")
   }
 
   /** HDF4 byte RLE (crle.c, public): control byte `c < 0x80` = literal run
@@ -284,18 +363,19 @@ object Hdf4 {
   sealed trait H4Data extends Serializable
   /** Raw bytes at `offset` (coder [[CompNone]] = stored verbatim). */
   final case class H4Plain(offset: Long, length: Int, coder: Int,
-      uncompLen: Int) extends H4Data
+      uncompLen: Int, szip: Option[SzipInfo] = None) extends H4Data
   /** One chunk: index per dim (file order), payload range, coder. */
   final case class H4ChunkRef(idx: Array[Int], offset: Long, length: Int,
-      coder: Int, uncompLen: Int) extends Serializable
+      coder: Int, uncompLen: Int,
+      szip: Option[SzipInfo] = None) extends Serializable
   /** One physical byte span of a linked-block element. */
   final case class Span(offset: Long, length: Int) extends Serializable
   /** Element stored as LINKED BLOCKS (spec §10.1): ordered physical spans
     * whose concatenation is the element; `coder`/`uncompLen` as in
     * [[H4Plain]] (a SPECIAL_COMP payload can itself go linked when the
     * writer appends to a compressed element). */
-  final case class H4Spans(spans: Array[Span], coder: Int, uncompLen: Int)
-      extends H4Data
+  final case class H4Spans(spans: Array[Span], coder: Int, uncompLen: Int,
+      szip: Option[SzipInfo] = None) extends H4Data
   /** Element stored in an EXTERNAL FILE (spec §10.4): raw uncompressed
     * bytes at `offset` in `extPath` (resolved against the main file's
     * directory at describe time, so executors can open it directly). */
@@ -392,14 +472,15 @@ object Hdf4 {
           .getOrElse(throw new IllegalArgumentException(
             s"$path: missing DFTAG_COMPRESSED payload (ref ${h.dataRef})"))
         if ((cdd.tag & SpecialBit) == 0)
-          H4Plain(cdd.offset, cdd.length, h.coder, h.uncompLen)
+          H4Plain(cdd.offset, cdd.length, h.coder, h.uncompLen, h.szip)
         else {
           // appendable compressed element: the payload itself went linked
           val chead = rr.readAt(cdd.offset, math.min(cdd.length, 4096))
           require(u16(chead, 0) == SpLinked,
             s"$path: special code ${u16(chead, 0)} under a SPECIAL_COMP " +
               "payload unsupported (linked blocks only)")
-          H4Spans(parseLinked(path, rr, dds, chead), h.coder, h.uncompLen)
+          H4Spans(parseLinked(path, rr, dds, chead), h.coder, h.uncompLen,
+            h.szip)
         }
       case SpChunked =>
         parseChunked(path, rr, dds, head, dims)
@@ -511,7 +592,8 @@ object Hdf4 {
           val pdd = findFast(TagCompressed, h.dataRef).getOrElse(
             throw new IllegalArgumentException(
               s"$path: missing compressed chunk payload (ref ${h.dataRef})"))
-          chunks += H4ChunkRef(idx, pdd.offset, pdd.length, h.coder, h.uncompLen)
+          chunks += H4ChunkRef(idx, pdd.offset, pdd.length, h.coder,
+            h.uncompLen, h.szip)
         }
       }
       r += 1
@@ -929,14 +1011,14 @@ object Hdf4 {
       sds.dims)
     val need = nt.toLong * ny * nx * esz
     data match {
-      case H4Plain(_, _, coder, u) =>
+      case H4Plain(_, _, coder, u, _) =>
         require(u >= need, s"$path: SDS '${sds.name}' stores $u of $need bytes")
         // whole-element compression is not seekable — the sampler must
         // materialize the element, so bound it (chunked layouts scale)
         require(coder == CompNone || need <= (1L << 30),
           s"$path: whole-element compressed SDS '${sds.name}' too large " +
             s"($need bytes) — chunked layout required")
-      case H4Spans(_, coder, u) =>
+      case H4Spans(_, coder, u, _) =>
         require(u >= need, s"$path: SDS '${sds.name}' stores $u of $need bytes")
         require(coder == CompNone || need <= (1L << 30),
           s"$path: whole-element compressed SDS '${sds.name}' too large " +
@@ -994,11 +1076,12 @@ object Hdf4 {
       java.lang.ref.SoftReference[Array[Byte]]]()
 
   private def cachedDecode(path: String, rr: RandomReader, off: Long,
-      len: Int, coder: Int, uncompLen: Int): Array[Byte] = {
+      len: Int, coder: Int, uncompLen: Int,
+      szip: Option[SzipInfo]): Array[Byte] = {
     val key = (path, off)
     val hit = Option(elemCache.get(key)).flatMap(r => Option(r.get))
     hit.getOrElse {
-      val dec = decomp(path, coder, rr.readAt(off, len), uncompLen)
+      val dec = decomp(path, coder, rr.readAt(off, len), uncompLen, szip)
       elemCache.put(key, new java.lang.ref.SoftReference(dec))
       dec
     }
@@ -1008,7 +1091,8 @@ object Hdf4 {
     * spans (one coalesced range batch), then decode — cached like
     * [[cachedDecode]], keyed by the first span's offset. */
   private def cachedDecodeSpans(path: String, rr: RandomReader,
-      spans: Array[Span], coder: Int, uncompLen: Int): Array[Byte] = {
+      spans: Array[Span], coder: Int, uncompLen: Int,
+      szip: Option[SzipInfo]): Array[Byte] = {
     val key = (path, spans(0).offset)
     val hit = Option(elemCache.get(key)).flatMap(r => Option(r.get))
     hit.getOrElse {
@@ -1018,7 +1102,7 @@ object Hdf4 {
       parts.foreach { p =>
         System.arraycopy(p, 0, rawAll, o, p.length); o += p.length
       }
-      val dec = decomp(path, coder, rawAll, uncompLen)
+      val dec = decomp(path, coder, rawAll, uncompLen, szip)
       elemCache.put(key, new java.lang.ref.SoftReference(dec))
       dec
     }
@@ -1082,7 +1166,7 @@ object Hdf4 {
       val rr = RandomReader(g.path)
       try {
         g.data match {
-          case H4Plain(off, len, coder, uncompLen) =>
+          case H4Plain(off, len, coder, uncompLen, szInfo) =>
             val planeBytes = g.height.toLong * g.width * sz
             if (coder == CompNone) {
               // uncompressed: per-row ranges, coalesced by the transport
@@ -1100,7 +1184,7 @@ object Hdf4 {
               // describe bounds the size)
               val need = (g.nt.toLong * planeBytes).toInt
               val dec = cachedDecode(g.path, rr, off, len,
-                coder, math.min(uncompLen, need))
+                coder, math.min(uncompLen, need), szInfo)
               var j = 0
               while (j < wh) {
                 System.arraycopy(dec,
@@ -1109,7 +1193,7 @@ object Hdf4 {
                 j += 1
               }
             }
-          case H4Spans(spans, coder, uncompLen) =>
+          case H4Spans(spans, coder, uncompLen, szInfo) =>
             val planeBytes = g.height.toLong * g.width * sz
             if (coder == CompNone) {
               // uncompressed linked blocks: the H4Plain per-row shape, with
@@ -1125,7 +1209,7 @@ object Hdf4 {
               // linked COMPRESSED payload: whole-element decode, soft-cached
               val need = (g.nt.toLong * planeBytes).toInt
               val dec = cachedDecodeSpans(g.path, rr, spans, coder,
-                math.min(uncompLen, need))
+                math.min(uncompLen, need), szInfo)
               var j = 0
               while (j < wh) {
                 System.arraycopy(dec,
@@ -1191,7 +1275,7 @@ object Hdf4 {
             wanted.zip(raws).foreach { case (c, raw) =>
               require(c.uncompLen >= chunkBytes,
                 s"${g.path}: chunk stores ${c.uncompLen} of $chunkBytes bytes")
-              val dec = decomp(g.path, c.coder, raw, chunkBytes)
+              val dec = decomp(g.path, c.coder, raw, chunkBytes, c.szip)
               val (yi, xi) =
                 if (cd.length == 3) (c.idx(1), c.idx(2)) else (c.idx(0), c.idx(1))
               val tOff = if (cd.length == 3) (t - c.idx(0) * ct) * cy * cx * sz else 0

@@ -309,6 +309,37 @@ object Hdf4Writer {
           compElement(dataRef, planeBytes, CompRle, planeBytes.length, TagSD)
         case "deflate" =>
           compElement(dataRef, planeBytes, CompDeflate, planeBytes.length, TagSD)
+        case "szip" =>
+          // cszip.c layout: shared comp header (coder 5) + 20-byte szip
+          // parameter record, payload = one CCSDS 121 stream with
+          // references restarting per scanline (rsi = nx / pixels_per_block)
+          val perBlock = 16
+          require(f.nx % perBlock == 0,
+            s"szip fixture rows must be $perBlock-pixel aligned, nx=${f.nx}")
+          val nbits = 8 * esz
+          val nPix = f.nt * f.ny * f.nx
+          val samples = new Array[Int](nPix)
+          var k = 0
+          while (k < nPix) {
+            var v = 0
+            var b = 0
+            while (b < esz) { v = (v << 8) | (planeBytes(k * esz + b) & 0xFF); b += 1 }
+            samples(k) = v
+            k += 1
+          }
+          val enc = Ccsds.encode(samples, nbits, perBlock,
+            rsi = f.nx / perBlock, preprocess = true)
+          val cRef = ref()
+          val h = new B
+          h.u16(3).u16(0).u32(planeBytes.length.toLong)
+          h.u16(cRef).u16(0).u16(5) // coder 5 = COMP_CODE_SZIP
+          h.u32(nPix.toLong) // pixels
+          h.u32(f.nx.toLong) // pixels_per_scanline
+          h.u32(32L | 16L) // options: SZ_NN | SZ_MSB
+          h.u32(nbits.toLong)
+          h.u32(perBlock.toLong)
+          elems += ((TagSD | SpecialBit, dataRef, h.bytes))
+          elems += ((TagCompressed, cRef, enc))
         case "plain-linked" =>
           linkedElement(TagSD, dataRef, planeBytes)
         case "deflate-linked" =>

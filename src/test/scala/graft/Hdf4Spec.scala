@@ -328,6 +328,45 @@ class Hdf4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("linked"), e.getMessage)
   }
 
+  test("szip (CCSDS-backed) decodes the self-consistent layout behind the gate") {
+    // 120x96 so rows are 16-pixel block-aligned (the writer's szip layout)
+    val (ny, nx) = (120, 96)
+    val cell = 926.625433055556
+    val grid = Hdf4Writer.Grid("SZ",
+      Seq(Hdf4Writer.Field("v", 21, ny, nx,
+        (j, i) => ((7 * i + 13 * j) % 241).toDouble, layout = "szip")),
+      0.0, ny * cell, nx * cell, 0.0, projection = "snsoid")
+    val p = tmpFile("szip")
+    Hdf4Writer.write(p, grid)
+    // gate CLOSED (default): loud failure naming the gate, never zeros
+    val closed = intercept[IllegalArgumentException] {
+      Hdf4.describe(p).sampler(0, 0, 0, nx, ny)
+    }
+    assert(closed.getMessage.contains("fixture-gated"), closed.getMessage)
+    // gate OPEN: the CCSDS core must reproduce every sample
+    System.setProperty("graft.hdf4.szip", "on")
+    try {
+      val g = Hdf4.describe(p)
+      val s = g.sampler(0, 0, 0, nx, ny)
+      for (j <- 0 until ny; i <- 0 until nx)
+        assert(s.sample(0, i, j) == ((7 * i + 13 * j) % 241).toDouble, s"($i,$j)")
+    } finally System.clearProperty("graft.hdf4.szip")
+  }
+
+  test("szip guards: raw mode, odd scanlines and bad block sizes reject") {
+    import Hdf4.SzipInfo
+    val raw = Array[Byte](1, 2, 3)
+    def bad(info: SzipInfo, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        Hdf4.szipDecode("t", info, raw, 64))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    bad(SzipInfo(64, 16, 128 | 32, 8, 16), "raw-mode")
+    bad(SzipInfo(64, 20, 32, 8, 16), "whole number")
+    bad(SzipInfo(64, 16, 32, 8, 12), "pixels_per_block")
+    bad(SzipInfo(64, 16, 32, 0, 16), "bits_per_pixel")
+  }
+
   test("GEO grid decodes packed-DMS corners to degrees") {
     val (ny, nx) = (40, 80)
     val grid = Hdf4Writer.Grid("CMG_Test",
