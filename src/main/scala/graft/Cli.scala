@@ -32,7 +32,13 @@ object Cli {
       |          [--param d,c,n]  (GRIB multi-parameter files: GRIB2
       |           discipline,category,number; GRIB1 parameter,level-type,level)
       |          [--field NAME | --fields a,b|all]  (HDF4/HDF-EOS data
-      |           fields: one band, or a multi-band stack)
+      |           fields: one band, or a multi-band stack; NAME may be
+      |           grid-qualified as grid:field in multi-grid files)
+      |          convert <granule_dir> routes a DIRECTORY of per-band .jp2
+      |           files (the Sentinel-2 granule shape) through the
+      |           distributed multi-band granule convert; single .jp2
+      |           decodes one codestream on the driver — use the directory
+      |           form for archives
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
@@ -201,6 +207,28 @@ object Cli {
           graft.raquet.Grib1.convert(spark, in, out, bz, zs, ts, rs, ov, param)
         else
           graft.raquet.Grib2.convert(spark, in, out, bz, zs, ts, rs, ov, param)
+      }
+      else if (new java.io.File(in).isDirectory && {
+        val fs = new java.io.File(in).listFiles()
+        fs != null && fs.exists(x => x.getName.toLowerCase.endsWith(".jp2") ||
+          x.getName.toLowerCase.endsWith(".j2k"))
+      }) {
+        // granule autodetect: a directory of per-band JP2s (the Sentinel-2
+        // granule layout) routes to the distributed multi-band convert —
+        // per-FILE executor parallelism via transcodeFiles, bands meeting
+        // on the BandStack block equi-join; name-sorted for a stable
+        // band_1..band_N order
+        val bands = new java.io.File(in).listFiles()
+          .filter(x => x.getName.toLowerCase.endsWith(".jp2") ||
+            x.getName.toLowerCase.endsWith(".j2k"))
+          .map(_.getPath).sorted.toSeq
+        graft.raquet.Jp2.convertGranule(spark, bands, out,
+          blockZoom = log2Exact(f.getOrElse("block-size", "256").toInt, "--block-size"),
+          zoomStrategy = f.getOrElse("zoom-strategy", "auto"),
+          tileStats = f.contains("tile-stats"),
+          resampling = f.getOrElse("resampling", "near"),
+          overviews = f.getOrElse("overviews", "auto"),
+          nodata = f.get("nodata").map(_.toDouble))
       }
       else if (in.toLowerCase.endsWith(".jp2") ||
         in.toLowerCase.endsWith(".j2k")) graft.raquet.Jp2.convert(spark, in, out,

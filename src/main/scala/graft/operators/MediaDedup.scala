@@ -110,6 +110,30 @@ object MediaDedup {
     * space is deliberately heavy with hamming-0 collisions — a STRESS
     * shape for the blocked join (big buckets, distinct() under load),
     * not a tuned-easy one. */
+  /** Scale-ladder / large-bench twin of [[imageDedupBench]] with
+    * REPRESENTATIVE fingerprint diversity: per-group Murmur3 pixel content
+    * (planted 5-member near-dup groups, sub-gradient noise), so dHash band
+    * values distribute near-uniformly over the 2^16 buckets and the
+    * blocked join stays near-linear — the property real image corpora
+    * have. The interactive bench's ramp content is the ADVERSARIAL case:
+    * most of its images share band values, so past ~10^5 distinct
+    * fingerprints its candidate volume degenerates toward all-pairs (the
+    * round-10 ladder measured growth exponent 2.35 on ramps vs ~linear
+    * here) — content-degenerate corpora need a skew guard (drop or
+    * exact-hash the handful of mega-buckets) before the pair join. */
+  def imageDedupDiverseBench(spark: SparkSession, n: Int): DataFrame = {
+    val groups = n / 5
+    val imgs = spark.range(n.toLong).toDF("id")
+      .withColumn("px", mm_u8_pack(expr(
+        s"""transform(sequence(0, 1023), i -> CAST(
+             pmod(hash(CAST(id % $groups AS INT), i), 239)
+             + (id*7 + i % 32 + i div 32) % 3
+           AS INT))""")))
+      .withColumn("fp", mm_dhash(col("px"), 32, 32))
+      .select(col("id"), col("fp"))
+    hashNearDups(imgs, "id", "fp", maxHamming = 3)
+  }
+
   def imageDedupBench(spark: SparkSession, n: Int): DataFrame = {
     val groups = n / 5
     val imgs = spark.range(n.toLong).toDF("id")

@@ -120,6 +120,26 @@ class CliSpec extends SparkSpec {
     assert(dsAll.data.count() > 0)
   }
 
+  test("convert routes a directory of per-band JP2s to the granule convert") {
+    val gdir = s"$tmp/granule_in"
+    new java.io.File(gdir).mkdirs()
+    val keys = Seq(1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326)
+    for (c <- 0 until 2) {
+      val xs = Array.tabulate(512 * 240) { k =>
+        val p = (k % 512) >> 1
+        (3 * p + 101 * c) % 251
+      }
+      graft.raquet.Jp2.write(s"$gdir/band_B0${c + 2}.jp2", xs, 512, 240,
+        depth = 8, pixelSize = 0.703125, originX = -180.0, originY = 84.375,
+        geoKeys = keys)
+    }
+    val out = s"$tmp/granule_out.parquet"
+    Cli.run(spark, Seq("convert", gdir, out, "--overviews", "none"))
+    val ds = graft.raquet.RaquetIO.read(spark, out)
+    assert(ds.meta.bands.map(_.name) == Seq("band_1", "band_2"))
+    assert(ds.data.count() > 0)
+  }
+
   test("pmtiles, compact, mvt subcommands run via argv") {
     import org.apache.spark.sql.functions.{col, lit}
     val tif = s"$tmp/in2.tif"
