@@ -314,8 +314,14 @@ object Jp2 {
   def writeMulti(path: String, planes: Array[Array[Int]], w: Int, h: Int,
       depth: Int, pixelSize: Double, originX: Double, originY: Double,
       geoKeys: Seq[Int], geoDoubles: Seq[Double] = Seq.empty,
-      rct: Boolean = false): Unit = {
-    val cs = Jpeg2000.encodeMulti(planes, w, h, depth, rct = rct)
+      rct: Boolean = false, lossy97: Boolean = false,
+      coarseBits: Int = 0): Unit = {
+    // lossy97 emits an irreversible 9/7 codestream (ICT when 3-component
+    // and rct is set) — the aerial-imagery / NITF-adjacent archive shape
+    val cs =
+      if (lossy97) Jpeg2000.encode97(planes, w, h, depth,
+        coarseBits = coarseBits, ict = rct)
+      else Jpeg2000.encodeMulti(planes, w, h, depth, rct = rct)
     val out = new java.io.ByteArrayOutputStream()
     def u32b(v: Long): Array[Byte] = Array(
       ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,

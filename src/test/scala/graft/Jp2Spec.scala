@@ -57,6 +57,27 @@ class Jp2Spec extends AnyFunSuite {
     }
   }
 
+  test("a lossy 9/7 JP2 container transcodes with bounded error") {
+    val dir = tmpDir()
+    val (w, h) = (96, 64)
+    // smooth 12-bit field: the aerial-imagery archive shape
+    val xs = Array.tabulate(w * h) { k =>
+      val x = k % w; val y = k / w
+      1000 + (x * x * 3 + y * y * 7 + x * y) % 701
+    }
+    val jp2 = s"$dir/lossy.jp2"
+    Jp2.writeMulti(jp2, Array(xs), w, h, 12, pixelSize = 0.25,
+      originX = -20.0, originY = 45.0, geoKeys = GeoKeys4326,
+      lossy97 = true, coarseBits = 2)
+    val img = Jp2.toTiff(jp2, s"$dir/lossy.tif")
+    assert(img.w == w && img.h == h)
+    // decode again through the container walk and bound the error
+    val d = graft.raquet.Jpeg2000.decode(Jp2.read(jp2).codestream, "lossy")
+    val errs = xs.indices.map(k => math.abs(d.xs(k) - xs(k)))
+    assert(errs.max <= 30, s"maxErr ${errs.max}")
+    assert(errs.max > 0, "a genuinely lossy step should not be exact")
+  }
+
   test("UTM GeoJP2 keys pass through and resolve to the UTM projection") {
     val dir = tmpDir()
     val (w, h) = (33, 21)
