@@ -33,7 +33,9 @@ object Cli {
       |           discipline,category,number; GRIB1 parameter,level-type,level)
       |          [--field NAME | --fields a,b|all]  (HDF4/HDF-EOS data
       |           fields: one band, or a multi-band stack; NAME may be
-      |           grid-qualified as grid:field in multi-grid files)
+      |           grid-qualified as grid:field in multi-grid files;
+      |           SWATH products route through the geolocation-array warp
+      |           automatically — one --field, optional --zoom N)
       |          convert <granule_dir> routes a DIRECTORY of per-band .jp2
       |           files (the Sentinel-2 granule shape) through the
       |           distributed multi-band granule convert; single .jp2
@@ -257,6 +259,18 @@ object Cli {
         if (f.contains("nodata"))
           fail("--nodata is not supported for HDF4 inputs (the _FillValue " +
             "attribute / chunked-header fill in the file governs)")
+        if (graft.raquet.Hdf4Swath.isSwath(in)) {
+          // SWATH products (MODIS L1B/L2): geolocation-array warp;
+          // --zoom pins the target zoom, else resolution-matched auto
+          if (f.contains("fields"))
+            fail("swath convert takes one --field at a time")
+          graft.raquet.Hdf4Swath.convert(spark, in, out,
+            field = f.get("field"), tileStats = ts,
+            zoomOverride = f.get("zoom").map(_.toInt),
+            rowGroupBytes = rgb)
+          println(s"converted $in -> $out (swath)")
+          return
+        }
         f.get("fields") match {
           case Some(fs) =>
             val names = if (fs == "all") Seq.empty

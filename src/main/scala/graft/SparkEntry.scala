@@ -211,6 +211,8 @@ object SparkEntry {
     "q190_hdf4_linked"      -> (RaquetQueries.q190Hdf4Linked _),
     "q191_hdf4_external"    -> (RaquetQueries.q191Hdf4External _),
     "q192_jp2k_lossy"       -> (RaquetQueries.q192Jp2kLossy _),
+    "q193_hdf4_polar"       -> (RaquetQueries.q193Hdf4Polar _),
+    "q194_hdf4_swath"       -> (RaquetQueries.q194Hdf4Swath _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -471,6 +473,11 @@ object SparkEntry {
     // q192: the irreversible 9/7 codec — patch error bounds in-engine,
     // patch source sums closed-form (pure integer field, exact in SQL)
     "q192_jp2k_lossy"       -> RaquetOracles.q192,
+    // q193: HDF-EOS GCTP_PS grid aligned onto the q151 GRIB polar probes —
+    // identical Snyder closed-form oracle; a wrong GCTP mapping shifts all
+    "q193_hdf4_polar"       -> RaquetOracles.q151,
+    // q194: exactly-aligned HDF-EOS swath — geolocation scatter = identity
+    "q194_hdf4_swath"       -> RaquetOracles.q194,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

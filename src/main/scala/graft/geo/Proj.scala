@@ -211,10 +211,13 @@ object Ellipsoidal {
     phi
   }
 
-  /** Authalic-latitude kernel q(φ) — Snyder 3-12. */
+  /** Authalic-latitude kernel q(φ) — Snyder 3-12; the e → 0 limit is
+    * 2 sinφ (the spherical GCTP_ALBERS case would otherwise NaN on the
+    * 1/(2e) term). */
   def q(e2: Double, phi: Double): Double = {
-    val e = math.sqrt(e2)
     val s = math.sin(phi)
+    if (e2 == 0) return 2 * s
+    val e = math.sqrt(e2)
     (1 - e2) * (s / (1 - e2 * s * s) -
       (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
   }
@@ -305,9 +308,12 @@ final case class AlbersEqualArea(
     var i = 0
     while (i < 15) {
       val s = math.sin(phi)
-      val corr = sq(1 - e2 * s * s) / (2 * math.cos(phi)) *
-        (qv / (1 - e2) - s / (1 - e2 * s * s) +
-          (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      // spherical limit of Snyder 3-16: Newton on qv = 2 sinφ
+      val corr =
+        if (e2 == 0) (qv - 2 * s) / (2 * math.cos(phi))
+        else sq(1 - e2 * s * s) / (2 * math.cos(phi)) *
+          (qv / (1 - e2) - s / (1 - e2 * s * s) +
+            (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
       phi += corr
       if (math.abs(corr) < 1e-14) i = 15
       i += 1

@@ -1858,6 +1858,27 @@ object RaquetOracles {
         JOIN colagg c ON c.tx = t.tx"""
   }
 
+  /** q194: the exactly-aligned swath — 4 zoom-1 tiles whose per-tile stats
+    * re-derive from the pure-integer column formula (every target pixel
+    * carries the source value of its own column; 256 identical rows per
+    * tile). */
+  val q194: String =
+    s"""WITH cols AS (
+          SELECT tx, (3 * ((tx*256 + k) // 2)) % 251 AS v
+          FROM (VALUES (0), (1)) t(tx), range(256) r(k)),
+        colagg AS (
+          SELECT tx, sum(v) AS s, min(v) AS mn, max(v) AS mx
+          FROM cols GROUP BY 1),
+        tiles AS (SELECT CAST(a.tx AS BIGINT) AS tx, CAST(b.ty AS BIGINT) AS ty
+          FROM (VALUES (0), (1)) a(tx), (VALUES (0), (1)) b(ty))
+        SELECT ${cellExpr("t.tx", "t.ty", 1)} AS block,
+          CAST(65536 AS BIGINT) AS n_px,
+          CAST(c.mn AS BIGINT) AS px_min,
+          CAST(c.mx AS BIGINT) AS px_max,
+          CAST(256 * c.s AS BIGINT) AS px_sum,
+          CAST(256 * c.s AS BIGINT) AS dec_sum
+        FROM tiles t JOIN colagg c ON c.tx = t.tx"""
+
   /** q192: the 9/7 lossy codec proof — 48 32x32 patches of the pure-integer
     * closed-form field; n_px and src_sum re-derive exactly, `bounded` is
     * the engine-side error-bound verdict (TRUE everywhere). */

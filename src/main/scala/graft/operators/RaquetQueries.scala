@@ -3961,6 +3961,99 @@ object RaquetQueries {
         sum(col("src")).as("src_sum"))
   }
 
+  /** S6 (HDF-EOS2 GCTP_PS — the NSIDC sea-ice / polar product grid shape)
+    * driver proof: a 128x128 / 25 km north-polar-stereographic HDF-EOS
+    * grid (spherical R = 6371229, true at 70N, orientation -45E) aligned
+    * so the q151 GRIB template-3.20 probes land on pixel centers — the
+    * SAME closed-form Snyder §21 oracle re-derives every probe. A wrong
+    * GCTP parameter mapping (lon0/latTs swap, DMS mis-decode, ellipsoid
+    * misread) shifts every probe. */
+  def q193Hdf4Polar(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q193"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/ps.hdf"
+    val d2 = graft.raquet.Hdf4Writer.degToDms _
+    val proj = graft.geo.PolarStereographic(6371229.0,
+      Double.PositiveInfinity, 70.0, -45.0, 0.0, 0.0)
+    val (x1, y1) = proj.fromLonLat(10.0, 60.0)
+    val cell = 25000.0
+    val n = 128
+    // pixel center (i, jf) at (x1 + i·cell, y1 + (127 − jf)·cell): the
+    // q151 oracle probes (xc = x1 + (16·pi + 7.5)·cell, yc = y1 +
+    // (119.5 − 16·pj)·cell) land at i = 16·pi + 7.5, jf = 16·pj + 7.5 —
+    // mid-patch on both axes, exactly like the GRIB twin
+    val ulx = x1 - 0.5 * cell
+    val uly = y1 + 127.5 * cell
+    graft.raquet.Hdf4Writer.write(hdf, graft.raquet.Hdf4Writer.Grid(
+      "PS_Q193",
+      Seq(graft.raquet.Hdf4Writer.Field("ice", 21, n, n,
+        (jf, i) => ((jf / 16) * 8 + i / 16).toDouble,
+        layout = "chunked-deflate", chunkY = 48, chunkX = 40)),
+      ulx, uly, ulx + n * cell, uly - n * cell,
+      projection = "GCTP_PS",
+      projParams = Seq(6371229.0, 0, 0, 0, d2(-45.0), d2(70.0), 0, 0)))
+    val out = s"$tmp/ps.parquet"
+    val meta = graft.raquet.Hdf4.convert(spark, hdf, out, overviews = "none")
+    val ds = RaquetIO.read(spark, out)
+    val probes = for (pj <- Seq(1L, 3L, 5L, 7L); pi <- Seq(1L, 3L, 5L, 7L)) yield {
+      val xc = x1 + (16 * pi + 7.5) * cell
+      val yc = y1 + (119.5 - 16 * pj) * cell
+      val (lon, lat) = proj.toLonLat(xc, yc)
+      (pi, pj, lon, lat, Quadbin.fromLonLat(lon, lat, meta.maxZoom))
+    }
+    import spark.implicits._
+    val pdf = probes.toDF("pi", "pj", "lon", "lat", "cell")
+    ds.data.join(broadcast(pdf), col("block") === col("cell"))
+      .select(col("pi"), col("pj"),
+        round(col("lon"), 5).as("lon_r"), round(col("lat"), 5).as("lat_r"),
+        rq_raster_value(col("band_1"), col("block"), col("lon"), col("lat"),
+          ds.meta, "band_1").cast("long").as("v"))
+  }
+
+  /** S6 (HDF-EOS2 SWATH — the MODIS L1B/L2 unprojected product shape)
+    * driver proof: a 512x512 swath whose geolocation arrays place every
+    * source pixel EXACTLY on a zoom-1 target pixel center (latitude rows
+    * are the inverse-gudermannian of the target rows, longitudes the
+    * column centers), converted through the geolocation scatter
+    * (broadcast geo arrays, per-partition tile buffers, one min-distance
+    * reduceByKey). Alignment makes the warp the identity: per-tile counts
+    * and stats re-derive closed-form from the pure-integer column value
+    * formula. Any geolocation misread, interpolation slip, off-by-half or
+    * dropped scatter shifts counts or sums. */
+  def q194Hdf4Swath(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q194"
+    new java.io.File(tmp).mkdirs()
+    val hdf = s"$tmp/swath.hdf"
+    val n = 512
+    def fOf(i: Int): Double = ((3 * (i >> 1)) % 251).toDouble
+    def latOf(jf: Double): Double = math.toDegrees(
+      math.atan(math.sinh(math.Pi * (1.0 - 2.0 * (jf + 0.5) / 512.0))))
+    def lonOf(i: Double): Double = -180.0 + (i + 0.5) * 360.0 / 512.0
+    graft.raquet.Hdf4Writer.writeSwath(hdf, graft.raquet.Hdf4Writer.Swath(
+      "Q194",
+      dataFields = Seq(graft.raquet.Hdf4Writer.Field("sst", 21, n, n,
+        (j, i) => fOf(i), layout = "chunked-deflate", chunkY = 64,
+        chunkX = 128,
+        attrs = Seq(graft.raquet.Hdf4Writer.Attr("_FillValue", 21, 1,
+          Array(255.toByte))))),
+      lat = graft.raquet.Hdf4Writer.Field("Latitude", 6, n, n,
+        (j, _) => latOf(j), layout = "plain"),
+      lon = graft.raquet.Hdf4Writer.Field("Longitude", 6, n, n,
+        (_, i) => lonOf(i), layout = "plain")))
+    val out = s"$tmp/swath.parquet"
+    val meta = graft.raquet.Hdf4Swath.convert(spark, hdf, out,
+      zoomOverride = Some(1), tileStats = true)
+    require(meta.numBlocks == 4, s"expected 4 tiles, got ${meta.numBlocks}")
+    val ds = RaquetIO.read(spark, out)
+    ds.data.select(col("block"),
+      col("band_1_count").as("n_px"),
+      col("band_1_min").cast("long").as("px_min"),
+      col("band_1_max").cast("long").as("px_max"),
+      col("band_1_sum").cast("long").as("px_sum"),
+      rq_summary_stats(col("band_1"), ds.meta, "band_1")
+        .getField("sum").cast("long").as("dec_sum"))
+  }
+
   /** S6/M7 (HDF4 multi-field workflow) driver proof: TWO data fields of
     * the q184 MODIS grid — different pixel formulas AND different chunk
     * layouts (deflate vs RLE) — converted through

@@ -800,6 +800,31 @@ object Hdf4 {
     def dy: Double = (lry - uly) / yDim
   }
 
+  /** GCTP ellipsoid from ProjParams(0)/(1) per the public GCTP convention:
+    * params(0) = semi-major axis in meters (required here — the datum-code
+    * table behind params(0) = 0 is out of scope, fail loudly); params(1) =
+    * 0 for a sphere, an eccentricity SQUARED when < 1, else a semi-minor
+    * axis in meters. Returns (a, 1/f) with 1/f = +Inf for spheres (the
+    * engine-wide convention). */
+  private def gctpEllipsoid(path: String, pp: Array[Double]): (Double, Double) = {
+    require(pp.length >= 8, s"$path: GCTP ProjParams too short (${pp.length})")
+    val a = pp(0)
+    require(a > 6.0e6 && a < 7.0e6,
+      s"$path: GCTP semi-major axis ${pp(0)} missing or implausible " +
+        "(datum-code defaults unsupported — write the axis into ProjParams)")
+    val invF = pp(1) match {
+      case 0 => Double.PositiveInfinity
+      case e2v if e2v > 0 && e2v < 1 =>
+        1.0 / (1.0 - math.sqrt(1.0 - e2v)) // from e² to 1/f
+      case b if b >= a => Double.PositiveInfinity // b = a: a sphere after all
+      case b if b > 6.0e6 => a / (a - b)
+      case x => throw new IllegalArgumentException(
+        s"$path: GCTP ProjParams(1) = $x is neither 0, an e², nor a " +
+          "semi-minor axis")
+    }
+    (a, invF)
+  }
+
   /** Packed GCTP DMS (±DDDMMMSSS.ss) → decimal degrees. */
   private[graft] def dmsToDeg(v: Double): Double = {
     val sign = if (v < 0) -1.0 else 1.0
@@ -872,6 +897,11 @@ object Hdf4 {
       .takeWhile(_.isDefined).flatten.flatMap(_.text).toSeq
     if (parts.isEmpty) None else Some(parts.mkString)
   }
+
+  /** The concatenated StructMetadata text, for the swath reader's parse
+    * ([[Hdf4Swath]]) and routing predicates. */
+  private[raquet] def structMetadataText(cat: Catalog): Option[String] =
+    structMetadata(cat)
 
   // ----------------------------------------------------------- describe
 
@@ -996,9 +1026,44 @@ object Hdf4 {
             val (lrxD, lryD) = (dmsToDeg(g.lrx), dmsToDeg(g.lry))
             (graft.geo.Geographic, ulxD, (lrxD - ulxD) / nx, ulyD,
               (lryD - ulyD) / ny)
+          case "GCTP_PS" =>
+            // NSIDC sea-ice / polar product grids: params 4/5 = orientation
+            // longitude and latitude of true scale (packed DMS, the sign of
+            // lat_ts selecting the hemisphere), 6/7 = false easting/northing
+            val (a, invF) = gctpEllipsoid(path, g.projParams)
+            val lon0 = dmsToDeg(g.projParams(4))
+            val latTs = dmsToDeg(g.projParams(5))
+            require(math.abs(latTs) > 0.0 && math.abs(latTs) <= 90.0,
+              s"$path: GCTP_PS latitude of true scale $latTs out of range")
+            val proj =
+              if (math.abs(latTs) >= 89.999999)
+                // true at the pole: the variant-A form (k0 = 1); the
+                // variant-B ratio m(ts)/t(ts) is 0/0 there
+                graft.geo.PolarStereographicA(a, invF, 1.0,
+                  north = latTs > 0, lon0, g.projParams(6), g.projParams(7))
+              else graft.geo.PolarStereographic(a, invF, latTs, lon0,
+                g.projParams(6), g.projParams(7))
+            (proj, g.ulx, g.dx, g.uly, g.dy)
+          case "GCTP_LAMCC" =>
+            // params 2/3 = standard parallels, 4 = central meridian,
+            // 5 = origin latitude (all packed DMS), 6/7 = FE/FN
+            val (a, invF) = gctpEllipsoid(path, g.projParams)
+            (graft.geo.LambertConformalConic(a, invF,
+              dmsToDeg(g.projParams(2)), dmsToDeg(g.projParams(3)),
+              dmsToDeg(g.projParams(5)), dmsToDeg(g.projParams(4)),
+              g.projParams(6), g.projParams(7)),
+              g.ulx, g.dx, g.uly, g.dy)
+          case "GCTP_ALBERS" =>
+            // same parameter layout as LAMCC
+            val (a, invF) = gctpEllipsoid(path, g.projParams)
+            (graft.geo.AlbersEqualArea(a, invF,
+              dmsToDeg(g.projParams(2)), dmsToDeg(g.projParams(3)),
+              dmsToDeg(g.projParams(5)), dmsToDeg(g.projParams(4)),
+              g.projParams(6), g.projParams(7)),
+              g.ulx, g.dx, g.uly, g.dy)
           case p => throw new IllegalArgumentException(
-            s"$path: HDF-EOS projection $p unsupported " +
-              "(GCTP_SNSOID and GCTP_GEO are implemented)")
+            s"$path: HDF-EOS projection $p unsupported (GCTP_SNSOID, " +
+              "GCTP_GEO, GCTP_PS, GCTP_LAMCC and GCTP_ALBERS are implemented)")
         }
       case None =>
         throw new IllegalArgumentException(

@@ -1,0 +1,388 @@
+package graft.raquet
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.quadbin.Quadbin
+import graft.sources.RandomReader
+
+/** HDF-EOS2 SWATH ingest — the MODIS L1B / L2 product shape (MOD021KM,
+  * MOD06, ocean SST…): unprojected (along-track, cross-track) arrays
+  * georeferenced by Latitude/Longitude GEOLOCATION FIELDS instead of a
+  * projection + geotransform (the reference reaches swaths through GDAL's
+  * GEOLOCATION-array warper; `raquet/raster2raquet.py` opens them like any
+  * other GDAL dataset).
+  *
+  * Pipeline (gdalwarp -geoloc semantics, Spark-first):
+  *  1. the driver parses StructMetadata SwathStructure + the SD catalog,
+  *     reads the (bounded, ≤16M-sample) geolocation arrays once and
+  *     broadcasts them;
+  *  2. executors each take a band of source SCAN ROWS, read exactly their
+  *     window of the data SDS (the standard chunk-range reader), map every
+  *     source pixel through the (bilinearly interpolated, DimensionMap-
+  *     subsampled) geolocation into web-mercator target pixels at the
+  *     chosen zoom, and assemble PER-PARTITION per-tile buffers keeping
+  *     the nearest source sample per target pixel;
+  *  3. one reduceByKey on the tile key merges partial buffers by
+  *     min-distance — shuffle rows are O(touched tiles × partitions),
+  *     never O(source pixels) — and each merged tile encodes its blob +
+  *     stats post-shuffle. At 100 TB the work scales with source pixels
+  *     (one pass) plus touched-tile partials; no all-pairs, no driver
+  *     funnel beyond the bounded geolocation read.
+  *
+  * Target pixels no source sample reaches stay at the fill value (honest
+  * holes — swaths cover irregular footprints); `maxGapPx` bounds how far
+  * a source sample may claim a target pixel.
+  */
+object Hdf4Swath {
+
+  /** One SwathStructure block: data/geolocation field names and the
+    * DimensionMaps ((offset, increment) per map, in declaration order). */
+  final case class EosSwath(name: String, fields: Seq[String],
+      geoFields: Seq[String], dimMaps: Seq[(Int, Int)])
+
+  /** Subsampled-geolocation mapping: data index = offset + increment·geo
+    * index, per axis (HDF-EOS DimensionMap semantics). */
+  final case class GeoMap(geoNy: Int, geoNx: Int,
+      offY: Int, incY: Int, offX: Int, incX: Int) extends Serializable
+
+  /** Parse the ODL SwathStructure blocks (same tolerant line-oriented
+    * shape as the grid parser). */
+  private[graft] def parseSwathMetadata(path: String, text: String): Seq[EosSwath] = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val out = Seq.newBuilder[EosSwath]
+    var i = 0
+    def kv(l: String): Option[(String, String)] = {
+      val e = l.indexOf('=')
+      if (e < 0) None else Some((l.take(e).trim, l.drop(e + 1).trim))
+    }
+    def unq(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
+    while (i < lines.length) {
+      if (lines(i).startsWith("GROUP=SWATH_")) {
+        var name = ""
+        val fields = Seq.newBuilder[String]
+        val geo = Seq.newBuilder[String]
+        val maps = Seq.newBuilder[(Int, Int)]
+        var mapOff = 0
+        val end = "END_" + lines(i)
+        i += 1
+        while (i < lines.length && lines(i) != end) {
+          kv(lines(i)).foreach {
+            case ("SwathName", v) => name = unq(v)
+            case ("DataFieldName", v) => fields += unq(v)
+            case ("GeoFieldName", v) => geo += unq(v)
+            case ("Offset", v) => mapOff = v.trim.toInt
+            case ("Increment", v) => maps += ((mapOff, v.trim.toInt))
+            case _ => ()
+          }
+          i += 1
+        }
+        require(name.nonEmpty, s"$path: unnamed SWATH block in StructMetadata")
+        out += EosSwath(name, fields.result(), geo.result(), maps.result())
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Everything the convert needs, resolved on the driver. */
+  final case class SwathInfo(path: String, swath: EosSwath, field: String,
+      nx: Int, ny: Int, dtype: String, elemSize: Int, signed: Boolean,
+      isFloat: Boolean, nodata: Option[Double], scale: Option[Double],
+      offset: Option[Double], data: Hdf4.H4Data, gm: GeoMap,
+      lat: Array[Double], lon: Array[Double])
+
+  /** True when the file's StructMetadata declares swaths and no grids —
+    * the CLI routing predicate. */
+  def isSwath(path: String): Boolean = {
+    val rr = RandomReader(path)
+    try {
+      val cat = Hdf4.openCatalog(path, rr)
+      Hdf4.structMetadataText(cat) match {
+        case Some(t) => parseSwathMetadata(path, t).nonEmpty &&
+          Hdf4.parseStructMetadata(path, t).isEmpty
+        case None => false
+      }
+    } finally rr.close()
+  }
+
+  def describe(path: String, field: Option[String]): SwathInfo = {
+    val rr = RandomReader(path)
+    try {
+      val cat = Hdf4.openCatalog(path, rr)
+      val text = Hdf4.structMetadataText(cat).getOrElse(
+        throw new IllegalArgumentException(
+          s"$path: no StructMetadata — not an HDF-EOS file"))
+      val swaths = parseSwathMetadata(path, text)
+      require(swaths.nonEmpty, s"$path: no SwathStructure in StructMetadata")
+      val sw = swaths.head
+      val fname = field.getOrElse(sw.fields.headOption.getOrElse(
+        throw new IllegalArgumentException(s"$path: swath has no data fields")))
+      require(sw.fields.contains(fname),
+        s"$path: swath '${sw.name}' has no data field '$fname' " +
+          s"(have ${sw.fields.mkString(", ")})")
+      def sds(name: String): Hdf4.SDS = cat.sdses.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: swath field '$name' has no SDS"))
+      val d = sds(fname)
+      require(d.dims.length == 2,
+        s"$path: swath field '$fname' rank ${d.dims.length} unsupported " +
+          "(2-D along x cross fields only)")
+      val (ny, nx) = (d.dims(0), d.dims(1))
+      val latS = sds("Latitude"); val lonS = sds("Longitude")
+      require(latS.dims.length == 2 && lonS.dims.sameElements(latS.dims),
+        s"$path: Latitude/Longitude geolocation must be 2-D and congruent")
+      val (gNy, gNx) = (latS.dims(0), latS.dims(1))
+      require(gNy.toLong * gNx <= (1L << 24),
+        s"$path: geolocation ${gNy}x$gNx too large to broadcast")
+      // how many data indices a (offset, increment) map spans with gN geo
+      // samples — it must cover the data dimension to within one step
+      def fits(o: Int, inc: Int, gN: Int, dN: Int): Boolean =
+        inc >= 1 && o >= 0 &&
+          o + inc.toLong * (gN - 1) >= dN - inc && o < dN &&
+          inc.toLong * gN <= 2L * dN + inc
+      val gm = sw.dimMaps match {
+        case Seq() =>
+          require(gNy == ny && gNx == nx,
+            s"$path: geolocation ${gNy}x$gNx != data ${ny}x$nx and no " +
+              "DimensionMap to relate them")
+          GeoMap(gNy, gNx, 0, 1, 0, 1)
+        case Seq((o1, i1), (o2, i2)) =>
+          if (fits(o1, i1, gNy, ny) && fits(o2, i2, gNx, nx))
+            GeoMap(gNy, gNx, o1, i1, o2, i2)
+          else if (fits(o2, i2, gNy, ny) && fits(o1, i1, gNx, nx))
+            GeoMap(gNy, gNx, o2, i2, o1, i1)
+          else throw new IllegalArgumentException(
+            s"$path: DimensionMaps ($o1,$i1)/($o2,$i2) do not relate the " +
+              s"${gNy}x$gNx geolocation to the ${ny}x$nx data")
+        case ms => throw new IllegalArgumentException(
+          s"$path: expected 0 or 2 DimensionMaps, got ${ms.size}")
+      }
+      val (dtype, esz) = Hdf4.dtypeOf(path, d.dfnt)
+      val data = Hdf4.resolveData(path, rr, cat.dds, d.dataTag, d.dataRef,
+        d.dims)
+      // read the geolocation arrays once (driver, bounded above)
+      def geoArray(s: Hdf4.SDS): Array[Double] = {
+        val (gt, ge) = Hdf4.dtypeOf(path, s.dfnt)
+        require(gt == "float32" || gt == "float64",
+          s"$path: geolocation field '${s.name}' must be float, got $gt")
+        val plan = Hdf4.resolveData(path, rr, cat.dds, s.dataTag, s.dataRef,
+          s.dims)
+        val g = Hdf4.H4Grid(path, gNx, gNy, gt, ge, true, true,
+          None, None, None, 0, 1, 0, -1, plan, 1,
+          Array(0.0), None, "standard", graft.geo.Geographic)
+        val smp = g.sampler(0, 0, 0, gNx, gNy)
+        val out = new Array[Double](gNy * gNx)
+        var j = 0
+        while (j < gNy) {
+          var i = 0
+          while (i < gNx) { out(j * gNx + i) = smp.sample(0, i, j); i += 1 }
+          j += 1
+        }
+        out
+      }
+      SwathInfo(path, sw, fname, nx, ny, dtype, esz,
+        signed = d.dfnt == 20 || d.dfnt == 22 || d.dfnt == 24,
+        isFloat = d.dfnt == 5 || d.dfnt == 6,
+        nodata = d.attrs.get("_FillValue").flatMap(_.num),
+        scale = d.attrs.get("scale_factor").flatMap(_.num),
+        offset = d.attrs.get("add_offset").flatMap(_.num),
+        data = data, gm = gm, lat = geoArray(latS), lon = geoArray(lonS))
+    } finally rr.close()
+  }
+
+  /** Bilinearly interpolated (lon, lat) of data pixel (i, jf). Geo
+    * coordinate = (dataIdx − offset) / increment, clamped at the geo grid
+    * boundary (edge extrapolation holds the boundary value — the GDAL
+    * geolocation-array convention for the rows subsampling trims). */
+  private def lonLatAt(gm: GeoMap, i: Int, jf: Int,
+      lat: Array[Double], lon: Array[Double]): (Double, Double) = {
+    val gy = (jf - gm.offY).toDouble / gm.incY
+    val gx = (i - gm.offX).toDouble / gm.incX
+    val y0 = math.max(0, math.min(gm.geoNy - 1, math.floor(gy).toInt))
+    val x0 = math.max(0, math.min(gm.geoNx - 1, math.floor(gx).toInt))
+    val y1 = math.min(gm.geoNy - 1, y0 + 1)
+    val x1 = math.min(gm.geoNx - 1, x0 + 1)
+    val fy = math.max(0.0, math.min(1.0, gy - y0))
+    val fx = math.max(0.0, math.min(1.0, gx - x0))
+    @inline def bil(a: Array[Double]): Double = {
+      val t = a(y0 * gm.geoNx + x0) * (1 - fx) + a(y0 * gm.geoNx + x1) * fx
+      val b = a(y1 * gm.geoNx + x0) * (1 - fx) + a(y1 * gm.geoNx + x1) * fx
+      t * (1 - fy) + b * fy
+    }
+    (bil(lon), bil(lat))
+  }
+
+  /** Global target pixel coordinates at zoom z (256-px tiles). */
+  @inline private def pxOf(lon: Double, z: Int): Double =
+    (lon + 180.0) / 360.0 * (256L << z).toDouble
+  @inline private def pyOf(lat: Double, z: Int): Double = {
+    val s = math.sin(math.toRadians(
+      math.max(-85.05112878, math.min(85.05112878, lat))))
+    (0.5 - math.log((1 + s) / (1 - s)) / (4 * math.Pi)) * (256L << z).toDouble
+  }
+
+  /** The zoom whose target pixel best matches the swath's median ground
+    * sample (measured in zoom-0 mercator pixels over the geolocation). */
+  private def autoZoom(info: SwathInfo): Int = {
+    val gm = info.gm
+    val steps = Seq.newBuilder[Double]
+    var j = 0
+    while (j < gm.geoNy) {
+      var i = 1
+      while (i < gm.geoNx) {
+        val dx = (pxOf(info.lon(j * gm.geoNx + i), 0) -
+          pxOf(info.lon(j * gm.geoNx + i - 1), 0)) / gm.incX
+        val dy = (pyOf(info.lat(j * gm.geoNx + i), 0) -
+          pyOf(info.lat(j * gm.geoNx + i - 1), 0)) / gm.incX
+        val d = math.hypot(dx, dy)
+        if (d > 0 && !d.isNaN) steps += d
+        i += math.max(1, gm.geoNx / 16)
+      }
+      j += math.max(1, gm.geoNy / 16)
+    }
+    val s = steps.result().sorted
+    require(s.nonEmpty, s"${info.path}: degenerate geolocation")
+    val med = s(s.length / 2)
+    val z = math.round(math.log(1.0 / med) / math.log(2.0)).toInt
+    math.max(0, math.min(24, z))
+  }
+
+  /** Convert one swath data field to a raquet dataset at `zoomOverride`
+    * (or the resolution-matched auto zoom). */
+  def convert(spark: SparkSession, path: String, outFile: String,
+      field: Option[String] = None, blockZoom: Int = 8,
+      zoomOverride: Option[Int] = None, tileStats: Boolean = false,
+      maxGapPx: Double = 1.5, rowGroupBytes: Long = 0): RaquetMetadata = {
+    require(blockZoom == 8, s"$path: swath tiles are 256x256 (blockZoom 8)")
+    val info = describe(path, field)
+    val bs = 1 << blockZoom
+    val zoom = zoomOverride.getOrElse(autoZoom(info))
+    require(zoom + blockZoom <= 26, s"$path: zoom $zoom too deep")
+    val latB = spark.sparkContext.broadcast(info.lat)
+    val lonB = spark.sparkContext.broadcast(info.lon)
+    val fill = info.nodata.getOrElse(GeoTiff.noDataFill(info.dtype))
+    // closure scalars only — SwathInfo carries the geolocation arrays and
+    // must not ride the task binary (they are broadcast)
+    val (pathS, nx, ny, dtype, esz) =
+      (info.path, info.nx, info.ny, info.dtype, info.elemSize)
+    val (isF, sg, nod, dataPlan, gm) =
+      (info.isFloat, info.signed, info.nodata, info.data, info.gm)
+    val nParts = math.max(1, math.min(ny / 16, 64))
+    val rowsPer = (ny + nParts - 1) / nParts
+    val bands = (0 until nParts).map(p =>
+      (p * rowsPer, math.min(ny, (p + 1) * rowsPer)))
+    val maxGap2 = maxGapPx * maxGapPx
+
+    val partials = spark.sparkContext
+      .parallelize(bands.filter { case (r0, r1) => r1 > r0 }, nParts)
+      .flatMap { case (r0, r1) =>
+        val g = Hdf4.H4Grid(pathS, nx, ny, dtype, esz, isF, sg, nod,
+          None, None, 0, 1, 0, -1, dataPlan, 1, Array(0.0), None,
+          "standard", graft.geo.Geographic)
+        val smp = g.sampler(0, 0, r0, nx, r1 - r0)
+        val lat = latB.value; val lon = lonB.value
+        val npx = (256L << zoom).toDouble
+        val nTiles = 1L << zoom
+        val tiles = scala.collection.mutable.HashMap
+          .empty[Long, (Array[Double], Array[Float])]
+        var jf = r0
+        while (jf < r1) {
+          var i = 0
+          while (i < nx) {
+            val v = smp.sample(0, i, jf)
+            if (!v.isNaN && !nod.contains(v)) {
+              val (lo, la) = lonLatAt(gm, i, jf, lat, lon)
+              if (!lo.isNaN && !la.isNaN && la >= -85.06 && la <= 85.06) {
+                var px = pxOf(lo, zoom)
+                if (px >= npx) px -= npx else if (px < 0) px += npx
+                val py = pyOf(la, zoom)
+                val tx = math.max(0L, math.min(nTiles - 1, (px / 256).toLong))
+                val ty = math.max(0L, math.min(nTiles - 1, (py / 256).toLong))
+                val ix = math.max(0, math.min(bs - 1, (px - tx * 256).toInt))
+                val iy = math.max(0, math.min(bs - 1, (py - ty * 256).toInt))
+                val ddx = px - (tx * 256 + ix + 0.5)
+                val ddy = py - (ty * 256 + iy + 0.5)
+                val d2 = ddx * ddx + ddy * ddy
+                if (d2 <= maxGap2) {
+                  val cell = Quadbin.tileToCell(tx, ty, zoom)
+                  val (vals, dist) = tiles.getOrElseUpdate(cell, {
+                    val vs = new Array[Double](bs * bs)
+                    java.util.Arrays.fill(vs, fill)
+                    (vs, Array.fill(bs * bs)(Float.MaxValue))
+                  })
+                  val k = iy * bs + ix
+                  if (d2 < dist(k)) { dist(k) = d2.toFloat; vals(k) = v }
+                }
+              }
+            }
+            i += 1
+          }
+          jf += 1
+        }
+        tiles.iterator
+      }
+      .reduceByKey { (a, b) =>
+        val (va, da) = a; val (vb, db) = b
+        var k = 0
+        while (k < va.length) {
+          if (db(k) < da(k)) { da(k) = db(k); va(k) = vb(k) }
+          k += 1
+        }
+        a
+      }
+
+    val statFields: Seq[StructField] =
+      if (!tileStats) Seq.empty
+      else Seq(
+        StructField("band_1_count", LongType),
+        StructField("band_1_min", DoubleType), StructField("band_1_max", DoubleType),
+        StructField("band_1_sum", DoubleType), StructField("band_1_mean", DoubleType),
+        StructField("band_1_stddev", DoubleType))
+    val schema = StructType(Seq(
+      StructField("block", LongType, nullable = false),
+      StructField("metadata", StringType),
+      StructField("band_1", BinaryType)) ++ statFields)
+
+    val fillForStats = info.nodata.getOrElse(fill)
+    val rows = partials.map { case (cell, (vals, _)) =>
+      val blob = PixelCodec.encode(vals, dtype, gzip = true)
+      val statCols: Seq[Any] =
+        if (!tileStats) Seq.empty
+        else {
+          val s = PixelCodec.maskedStats(vals, fillForStats, null)
+          if (s == null) Seq[Any](0L, null, null, null, null, null)
+          else Seq[Any](s(0).toLong, s(1), s(2), s(3),
+            PixelCodec.statsMean(s), PixelCodec.statsStddev(s))
+        }
+      Row.fromSeq(Seq(cell, null, blob) ++ statCols)
+    }.cache()
+
+    val cells = rows.map(_.getLong(0)).collect()
+    require(cells.nonEmpty, s"$path: swath mapped to zero tiles")
+    val tilesXy = cells.map(Quadbin.cellToTile)
+    val (xtMin, xtMax) = (tilesXy.map(_._1).min, tilesXy.map(_._1).max)
+    val (ytMin, ytMax) = (tilesXy.map(_._2).min, tilesXy.map(_._2).max)
+    val bounds = Array(
+      Quadbin.tileWest(xtMin, zoom), Quadbin.tileSouth(ytMax, zoom),
+      Quadbin.tileEast(xtMax, zoom), Quadbin.tileNorth(ytMin, zoom))
+    val meta = RaquetMetadata(
+      version = "0.5.0",
+      width = ((xtMax - xtMin + 1) * bs).toInt,
+      height = ((ytMax - ytMin + 1) * bs).toInt,
+      crs = "EPSG:3857", bounds = bounds,
+      compression = Some("gzip"),
+      blockWidth = bs, blockHeight = bs,
+      minZoom = zoom, maxZoom = zoom, pixelZoom = zoom + blockZoom,
+      numBlocks = cells.length.toLong,
+      bandLayout = "sequential",
+      bands = Seq(BandMeta("band_1", info.dtype,
+        info.nodata.orElse(Some(fill)), info.scale, info.offset,
+        Some("gray"), None)),
+      time = None)
+    RaquetIO.write(spark.createDataFrame(rows, schema), meta, outFile,
+      rowGroupBytes = rowGroupBytes)
+    rows.unpersist()
+    meta
+  }
+}

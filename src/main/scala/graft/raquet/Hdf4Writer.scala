@@ -83,11 +83,13 @@ object Hdf4Writer {
   }
 
   /** One HDF-EOS grid; `projection` = "snsoid" (corners in meters,
-    * `sphere` radius) or "geo" (corners ALREADY packed as GCTP DMS — use
-    * [[degToDms]]). */
+    * `sphere` radius), "geo" (corners ALREADY packed as GCTP DMS — use
+    * [[degToDms]]), or any "GCTP_*" name with explicit `projParams`
+    * (13 GCTP doubles; angles packed DMS) — corners in meters. */
   final case class Grid(name: String, fields: Seq[Field],
       ulx: Double, uly: Double, lrx: Double, lry: Double,
-      projection: String = "snsoid", sphere: Double = 6371007.181)
+      projection: String = "snsoid", sphere: Double = 6371007.181,
+      projParams: Seq[Double] = Nil)
 
   /** Decimal degrees → packed GCTP DMS (±DDDMMMSSS.ss). */
   def degToDms(deg: Double): Double = {
@@ -190,10 +192,59 @@ object Hdf4Writer {
       globalAttrs: Seq[Attr]): Unit = writeGrids(path, Seq(grid), globalAttrs)
   def write(path: String, grid: Grid): Unit = writeGrids(path, Seq(grid), Nil)
 
+  /** One HDF-EOS SWATH: data fields + Latitude/Longitude geolocation
+    * fields (float SDSes), with optional DimensionMaps (offset, increment)
+    * per axis — (track map, scan map). */
+  final case class Swath(name: String, dataFields: Seq[Field],
+      lat: Field, lon: Field, dimMaps: Seq[(Int, Int)] = Nil)
+
+  def writeSwath(path: String, s: Swath, globalAttrs: Seq[Attr] = Nil): Unit = {
+    val maps = s.dimMaps.zipWithIndex.map { case ((off, inc), k) =>
+      s"""\t\t\tOBJECT=DimensionMap_${k + 1}
+\t\t\t\tGeoDimension="${if (k == 0) "nscans" else "npixels"}"
+\t\t\t\tDataDimension="${if (k == 0) "Along" else "Cross"}"
+\t\t\t\tOffset=$off
+\t\t\t\tIncrement=$inc
+\t\t\tEND_OBJECT=DimensionMap_${k + 1}"""
+    }.mkString("\n")
+    val geos = Seq(s.lat, s.lon).zipWithIndex.map { case (f, k) =>
+      s"""\t\t\tOBJECT=GeoField_${k + 1}
+\t\t\t\tGeoFieldName="${f.name}"
+\t\t\t\tDataType=${dfntName(f.dfnt)}
+\t\t\tEND_OBJECT=GeoField_${k + 1}"""
+    }.mkString("\n")
+    val datas = s.dataFields.zipWithIndex.map { case (f, k) =>
+      s"""\t\t\tOBJECT=DataField_${k + 1}
+\t\t\t\tDataFieldName="${f.name}"
+\t\t\t\tDataType=${dfntName(f.dfnt)}
+\t\t\tEND_OBJECT=DataField_${k + 1}"""
+    }.mkString("\n")
+    val sm =
+      s"""GROUP=SwathStructure
+\tGROUP=SWATH_1
+\t\tSwathName="${s.name}"
+\t\tGROUP=DimensionMap
+$maps
+\t\tEND_GROUP=DimensionMap
+\t\tGROUP=GeoField
+$geos
+\t\tEND_GROUP=GeoField
+\t\tGROUP=DataField
+$datas
+\t\tEND_GROUP=DataField
+\tEND_GROUP=SWATH_1
+END_GROUP=SwathStructure
+END"""
+    writeGrids(path,
+      Seq(Grid(s.name, s.dataFields ++ Seq(s.lat, s.lon), 0, 0, 0, 0)),
+      globalAttrs, smOverride = Some(sm))
+  }
+
   /** Multi-grid file (the MOD09GA shape: a 500 m grid and a 1 km grid in
     * one container, each with its own geotransform and field list). */
   def writeGrids(path: String, grids: Seq[Grid],
-      globalAttrs: Seq[Attr] = Nil): Unit = {
+      globalAttrs: Seq[Attr] = Nil,
+      smOverride: Option[String] = None): Unit = {
     val elems = Seq.newBuilder[(Int, Int, Array[Byte])] // (tag, ref, bytes)
     var nextRef = 2
     def ref(): Int = { val r = nextRef; nextRef += 1; r }
@@ -474,7 +525,7 @@ object Hdf4Writer {
     }
 
     // StructMetadata.0 + extra global attributes
-    val sm = structMetadataTextMulti(grids)
+    val sm = smOverride.getOrElse(structMetadataTextMulti(grids))
     val smRefs = sm.grouped(32000).zipWithIndex.map { case (part, k) =>
       attrVdata(charAttr(s"StructMetadata.$k", part))
     }.toSeq
@@ -529,6 +580,12 @@ object Hdf4Writer {
         ("Projection=GCTP_SNSOID",
           f"ProjParams=(${g.sphere}%.6f,0,0,0,0,0,0,0,0,0,0,0,0)")
       case "geo" => ("Projection=GCTP_GEO", "ProjParams=(0,0,0,0,0,0,0,0,0,0,0,0,0)")
+      case p if p.startsWith("GCTP_") =>
+        val pp = (g.projParams ++ Seq.fill(13)(0.0)).take(13)
+        // shortest round-trip representation: %.6f would truncate an
+        // eccentricity-squared to 6 decimals (~0.3 m of projection error)
+        (s"Projection=$p", "ProjParams=(" +
+          pp.map(_.toString).mkString(",") + ")")
       case p => throw new IllegalArgumentException(s"unknown projection $p")
     }
     val fieldObjs = g.fields.zipWithIndex.map { case (f, k) =>

@@ -367,6 +367,59 @@ class Hdf4Spec extends AnyFunSuite {
     bad(SzipInfo(64, 16, 32, 0, 16), "bits_per_pixel")
   }
 
+  test("GCTP_PS / GCTP_LAMCC / GCTP_ALBERS ProjParams map onto the engine projections") {
+    val d2 = Hdf4Writer.degToDms _
+    val (ny, nx) = (40, 40)
+    def gridFor(projName: String, pp: Seq[Double]): Hdf4.H4Grid = {
+      val p = tmpFile(s"gctp_${projName.toLowerCase}")
+      Hdf4Writer.write(p, Hdf4Writer.Grid(s"G_$projName",
+        Seq(Hdf4Writer.Field("v", 21, ny, nx, (j, i) => ((i + j) % 200).toDouble,
+          layout = "plain")),
+        -500000.0, 500000.0, 500000.0, -500000.0,
+        projection = projName, projParams = pp))
+      Hdf4.describe(p)
+    }
+    // PS on the WGS84 ellipsoid via e² in params(1) — the EPSG:3413 shape
+    val e2w = 0.00669437999014
+    val ps = gridFor("GCTP_PS",
+      Seq(6378137.0, e2w, 0, 0, d2(-45.0), d2(70.0), 0, 0))
+    val want = graft.geo.PolarStereographic(6378137.0, 298.257223563,
+      70.0, -45.0, 0.0, 0.0)
+    for ((lon, lat) <- Seq((-45.0, 75.0), (10.0, 82.5), (-120.0, 66.0))) {
+      val (gx, gy) = ps.proj.fromLonLat(lon, lat)
+      val (wx2, wy2) = want.fromLonLat(lon, lat)
+      assert(math.abs(gx - wx2) < 1e-3 && math.abs(gy - wy2) < 1e-3,
+        s"PS ($lon,$lat): ($gx,$gy) != ($wx2,$wy2)")
+    }
+    // LAMCC with the semi-minor axis in params(1) — CONUS-style parallels
+    val lcc = gridFor("GCTP_LAMCC",
+      Seq(6378137.0, 6356752.314245, d2(33.0), d2(45.0), d2(-96.0),
+        d2(39.0), 100000.0, 200000.0))
+    val wantL = graft.geo.LambertConformalConic(6378137.0, 298.257223563,
+      33.0, 45.0, 39.0, -96.0, 100000.0, 200000.0)
+    for ((lon, lat) <- Seq((-96.0, 39.0), (-75.0, 45.0), (-120.0, 30.0))) {
+      val (gx, gy) = lcc.proj.fromLonLat(lon, lat)
+      val (wx2, wy2) = wantL.fromLonLat(lon, lat)
+      assert(math.abs(gx - wx2) < 1e-2 && math.abs(gy - wy2) < 1e-2,
+        s"LAMCC ($lon,$lat): ($gx,$gy) != ($wx2,$wy2)")
+    }
+    // ALBERS, spherical (params(1) = 0)
+    val alb = gridFor("GCTP_ALBERS",
+      Seq(6370997.0, 0, d2(29.5), d2(45.5), d2(-96.0), d2(23.0), 0, 0))
+    val wantA = graft.geo.AlbersEqualArea(6370997.0,
+      Double.PositiveInfinity, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+    for ((lon, lat) <- Seq((-96.0, 23.0), (-80.0, 40.0))) {
+      val (gx, gy) = alb.proj.fromLonLat(lon, lat)
+      val (wx2, wy2) = wantA.fromLonLat(lon, lat)
+      assert(math.abs(gx - wx2) < 1e-2 && math.abs(gy - wy2) < 1e-2,
+        s"ALBERS ($lon,$lat): ($gx,$gy) != ($wx2,$wy2)")
+    }
+    // missing semi-major axis fails loudly instead of guessing a datum
+    val e = intercept[IllegalArgumentException](gridFor("GCTP_PS",
+      Seq(0, 0, 0, 0, d2(-45.0), d2(70.0), 0, 0)))
+    assert(e.getMessage.contains("semi-major"), e.getMessage)
+  }
+
   test("GEO grid decodes packed-DMS corners to degrees") {
     val (ny, nx) = (40, 80)
     val grid = Hdf4Writer.Grid("CMG_Test",

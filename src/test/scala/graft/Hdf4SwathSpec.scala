@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.raquet.{Hdf4Swath, Hdf4Writer, PixelCodec, RaquetIO}
+
+/** HDF-EOS2 swath ingest: geolocation-array warping (the MODIS L1B/L2
+  * shape). The exact-alignment fixture places every source pixel ON a
+  * target pixel center (the latitude rows are the inverse-gudermannian of
+  * the zoom-1 target rows), so the scatter must reproduce the source
+  * values identically — any geolocation misread, interpolation slip or
+  * off-by-half shifts pixels. */
+class Hdf4SwathSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("h4swath").toString
+
+  /** f(i): the column value formula (never 255 = the fill). */
+  private def fOf(i: Int): Double = ((3 * (i >> 1)) % 251).toDouble
+
+  /** lat of target row jf at zoom 1 (512-px world): the inverse-mercator
+    * of the row center — see the py algebra in the spec scaladoc. */
+  private def latOf(jf: Double): Double =
+    math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * (jf + 0.5) / 512.0))))
+  private def lonOf(i: Double): Double = -180.0 + (i + 0.5) * 360.0 / 512.0
+
+  test("exactly-aligned swath converts to the identity raster at zoom 1") {
+    val dir = tmp()
+    val hdf = s"$dir/swath.hdf"
+    val n = 512
+    Hdf4Writer.writeSwath(hdf, Hdf4Writer.Swath("ALIGNED",
+      dataFields = Seq(Hdf4Writer.Field("sst", 21, n, n,
+        (j, i) => fOf(i), layout = "chunked-deflate", chunkY = 64,
+        chunkX = 128,
+        attrs = Seq(Hdf4Writer.Attr("_FillValue", 21, 1, Array(255.toByte))))),
+      lat = Hdf4Writer.Field("Latitude", 6, n, n, (j, _) => latOf(j),
+        layout = "plain"),
+      lon = Hdf4Writer.Field("Longitude", 6, n, n, (_, i) => lonOf(i),
+        layout = "plain")))
+    assert(Hdf4Swath.isSwath(hdf))
+    val out = s"$dir/swath.parquet"
+    val meta = Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(1),
+      tileStats = true)
+    assert(meta.numBlocks == 4 && meta.minZoom == 1 && meta.maxZoom == 1)
+    assert(meta.bands.head.nodata.contains(255.0))
+    val ds = RaquetIO.read(spark, out)
+    val rows = ds.data.collect()
+    assert(rows.length == 4)
+    for (r <- rows) {
+      val (tx, ty, z) = graft.quadbin.Quadbin.cellToTile(r.getLong(0))
+      assert(z == 1)
+      val px = PixelCodec.decode(r.getAs[Array[Byte]](
+        r.fieldIndex("band_1")), "uint8")
+      // every pixel covered; value = f(global column)
+      for (iy <- 0 until 256 by 17; ix <- 0 until 256 by 13)
+        assert(px(iy * 256 + ix) == fOf((tx * 256 + ix).toInt),
+          s"tile ($tx,$ty) px ($ix,$iy)")
+      val count = r.getLong(r.fieldIndex("band_1_count"))
+      assert(count == 65536L, s"tile ($tx,$ty) count $count")
+      val sum = r.getDouble(r.fieldIndex("band_1_sum"))
+      val want = 256.0 * (0 until 256).map(k => fOf((tx * 256 + k).toInt)).sum
+      assert(sum == want, s"tile ($tx,$ty) sum $sum != $want")
+    }
+  }
+
+  test("subsampled geolocation (DimensionMaps) interpolates bilinearly") {
+    val dir = tmp()
+    val hdf = s"$dir/sub.hdf"
+    val (ny, nx) = (200, 240)
+    // affine geolocation (interpolation exact): a 0.1-degree swath
+    def lat(j: Double): Double = 60.0 - 0.1 * j
+    def lon(i: Double): Double = -30.0 + 0.1 * i
+    val (incY, incX) = (4, 2)
+    val (gNy, gNx) = (ny / incY, nx / incX)
+    Hdf4Writer.writeSwath(hdf, Hdf4Writer.Swath("SUB",
+      dataFields = Seq(Hdf4Writer.Field("v", 22, ny, nx,
+        (j, i) => ((7 * i + 13 * j) % 2001).toDouble, layout = "plain")),
+      lat = Hdf4Writer.Field("Latitude", 6, gNy, gNx,
+        (gj, _) => lat(gj.toDouble * incY), layout = "plain"),
+      lon = Hdf4Writer.Field("Longitude", 6, gNy, gNx,
+        (_, gi) => lon(gi.toDouble * incX), layout = "plain"),
+      dimMaps = Seq((0, incY), (0, incX))))
+    val out = s"$dir/sub.parquet"
+    // zoom 3: target pixels ~0.176 degrees, coarser than the 0.1-degree
+    // source, so every target pixel in the footprint has a source sample
+    val meta = Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(3))
+    val ds = RaquetIO.read(spark, out)
+    val tiles = ds.data.collect().map { r =>
+      val (tx, ty, _) = graft.quadbin.Quadbin.cellToTile(r.getLong(0))
+      ((tx, ty), PixelCodec.decode(r.getAs[Array[Byte]](
+        r.fieldIndex("band_1")), "int16"))
+    }.toMap
+    // spot-check target pixels: expected value = the SOURCE pixel whose
+    // mapped position is nearest the target pixel center (local search
+    // around the affine inverse)
+    val npx = 256L << 3
+    def pxOf(lo: Double): Double = (lo + 180.0) / 360.0 * npx
+    def pyOf(la: Double): Double = {
+      val s = math.sin(math.toRadians(la))
+      (0.5 - math.log((1 + s) / (1 - s)) / (4 * math.Pi)) * npx
+    }
+    var checked = 0
+    for (j0 <- 20 until 180 by 37; i0 <- 20 until 220 by 41) {
+      // the target pixel this source pixel lands in
+      val px = pxOf(lon(i0)); val py = pyOf(lat(j0))
+      val (tx, ty) = ((px / 256).toLong, (py / 256).toLong)
+      val (ix, iy) = ((px - tx * 256).toInt, (py - ty * 256).toInt)
+      val cx = tx * 256 + ix + 0.5; val cy = ty * 256 + iy + 0.5
+      // nearest source to that pixel center, by local search
+      var best = Double.MaxValue; var bv = -1.0
+      for (j <- math.max(0, j0 - 3) to math.min(ny - 1, j0 + 3);
+           i <- math.max(0, i0 - 3) to math.min(nx - 1, i0 + 3)) {
+        val dx = pxOf(lon(i)) - cx; val dy = pyOf(lat(j)) - cy
+        val d2 = dx * dx + dy * dy
+        if (d2 < best) { best = d2; bv = ((7 * i + 13 * j) % 2001).toDouble }
+      }
+      for (arr <- tiles.get((tx, ty))) {
+        assert(arr(iy * 256 + ix) == bv, s"src ($i0,$j0) -> ($tx,$ty)($ix,$iy)")
+        checked += 1
+      }
+    }
+    assert(checked >= 20, s"only $checked probes landed on tiles")
+  }
+
+  test("swath routing and guards fail loudly") {
+    val dir = tmp()
+    // a GRID file is not a swath
+    val grid = s"$dir/grid.hdf"
+    Hdf4Writer.write(grid, Hdf4Writer.Grid("G",
+      Seq(Hdf4Writer.Field("x", 21, 32, 32, (j, i) => (i + j) % 200,
+        layout = "plain")),
+      0.0, 32 * 926.0, 32 * 926.0, 0.0, projection = "snsoid"))
+    assert(!Hdf4Swath.isSwath(grid))
+    // missing Longitude geolocation
+    val bad = s"$dir/bad.hdf"
+    Hdf4Writer.writeSwath(bad, Hdf4Writer.Swath("BAD",
+      dataFields = Seq(Hdf4Writer.Field("v", 21, 32, 32,
+        (j, i) => (i + j) % 200, layout = "plain")),
+      lat = Hdf4Writer.Field("Latitude", 6, 32, 32, (j, _) => 50.0 - j,
+        layout = "plain"),
+      lon = Hdf4Writer.Field("NotLongitude", 6, 32, 32, (_, i) => i.toDouble,
+        layout = "plain")))
+    val e = intercept[IllegalArgumentException](
+      Hdf4Swath.describe(bad, None))
+    assert(e.getMessage.contains("Longitude"), e.getMessage)
+    // unknown field name
+    val ok = s"$dir/ok.hdf"
+    Hdf4Writer.writeSwath(ok, Hdf4Writer.Swath("OK",
+      dataFields = Seq(Hdf4Writer.Field("v", 21, 32, 32,
+        (j, i) => (i + j) % 200, layout = "plain")),
+      lat = Hdf4Writer.Field("Latitude", 6, 32, 32, (j, _) => 50.0 - j,
+        layout = "plain"),
+      lon = Hdf4Writer.Field("Longitude", 6, 32, 32, (_, i) => i.toDouble,
+        layout = "plain")))
+    val e2 = intercept[IllegalArgumentException](
+      Hdf4Swath.describe(ok, Some("nope")))
+    assert(e2.getMessage.contains("no data field"), e2.getMessage)
+  }
+}
