@@ -140,6 +140,23 @@ class CliSpec extends SparkSpec {
     assert(ds.data.count() > 0)
   }
 
+  test("convert autoroutes a swath .hdf through the geolocation warp") {
+    val hdf = s"$tmp/swath_cli.hdf"
+    val n = 64
+    graft.raquet.Hdf4Writer.writeSwath(hdf, graft.raquet.Hdf4Writer.Swath(
+      "CLI_SW",
+      dataFields = Seq(graft.raquet.Hdf4Writer.Field("v", 21, n, n,
+        (j, i) => ((i + j) % 200).toDouble, layout = "plain")),
+      lat = graft.raquet.Hdf4Writer.Field("Latitude", 6, n, n,
+        (j, _) => 50.0 - 0.1 * j, layout = "plain"),
+      lon = graft.raquet.Hdf4Writer.Field("Longitude", 6, n, n,
+        (_, i) => -10.0 + 0.1 * i, layout = "plain")))
+    val out = s"$tmp/swath_cli.parquet"
+    Cli.run(spark, Seq("convert", hdf, out, "--zoom", "4", "--tile-stats"))
+    val ds = graft.raquet.RaquetIO.read(spark, out)
+    assert(ds.meta.minZoom == 4 && ds.data.count() > 0)
+  }
+
   test("pmtiles, compact, mvt subcommands run via argv") {
     import org.apache.spark.sql.functions.{col, lit}
     val tif = s"$tmp/in2.tif"
