@@ -267,7 +267,8 @@ object Cli {
           graft.raquet.Hdf4Swath.convert(spark, in, out,
             field = f.get("field"), tileStats = ts,
             zoomOverride = f.get("zoom").map(_.toInt),
-            rowGroupBytes = rgb)
+            rowGroupBytes = rgb,
+            band = f.getOrElse("band", "0").toInt)
           println(s"converted $in -> $out (swath)")
           return
         }

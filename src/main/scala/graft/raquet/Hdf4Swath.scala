@@ -85,12 +85,15 @@ object Hdf4Swath {
     out.result()
   }
 
-  /** Everything the convert needs, resolved on the driver. */
+  /** Everything the convert needs, resolved on the driver. `nb`/`band`:
+    * band-dimensioned rank-3 fields (the MOD021KM EV shape, (band, along,
+    * cross)) select one band plane — the rank-3 sampler reads it as its
+    * "timestep". */
   final case class SwathInfo(path: String, swath: EosSwath, field: String,
-      nx: Int, ny: Int, dtype: String, elemSize: Int, signed: Boolean,
-      isFloat: Boolean, nodata: Option[Double], scale: Option[Double],
-      offset: Option[Double], data: Hdf4.H4Data, gm: GeoMap,
-      lat: Array[Double], lon: Array[Double])
+      nx: Int, ny: Int, nb: Int, band: Int, dtype: String, elemSize: Int,
+      signed: Boolean, isFloat: Boolean, nodata: Option[Double],
+      scale: Option[Double], offset: Option[Double], data: Hdf4.H4Data,
+      gm: GeoMap, lat: Array[Double], lon: Array[Double])
 
   /** True when the file's StructMetadata declares swaths and no grids —
     * the CLI routing predicate. */
@@ -106,7 +109,10 @@ object Hdf4Swath {
     } finally rr.close()
   }
 
-  def describe(path: String, field: Option[String]): SwathInfo = {
+  def describe(path: String, field: Option[String]): SwathInfo =
+    describe(path, field, band = 0)
+
+  def describe(path: String, field: Option[String], band: Int): SwathInfo = {
     val rr = RandomReader(path)
     try {
       val cat = Hdf4.openCatalog(path, rr)
@@ -125,10 +131,14 @@ object Hdf4Swath {
         .getOrElse(throw new IllegalArgumentException(
           s"$path: swath field '$name' has no SDS"))
       val d = sds(fname)
-      require(d.dims.length == 2,
+      require(d.dims.length == 2 || d.dims.length == 3,
         s"$path: swath field '$fname' rank ${d.dims.length} unsupported " +
-          "(2-D along x cross fields only)")
-      val (ny, nx) = (d.dims(0), d.dims(1))
+          "(2-D along x cross, or 3-D band x along x cross)")
+      val (nb, ny, nx) =
+        if (d.dims.length == 3) (d.dims(0), d.dims(1), d.dims(2))
+        else (1, d.dims(0), d.dims(1))
+      require(band >= 0 && band < nb,
+        s"$path: band $band out of range for '$fname' ($nb bands)")
       val latS = sds("Latitude"); val lonS = sds("Longitude")
       require(latS.dims.length == 2 && lonS.dims.sameElements(latS.dims),
         s"$path: Latitude/Longitude geolocation must be 2-D and congruent")
@@ -181,7 +191,7 @@ object Hdf4Swath {
         }
         out
       }
-      SwathInfo(path, sw, fname, nx, ny, dtype, esz,
+      SwathInfo(path, sw, fname, nx, ny, nb, band, dtype, esz,
         signed = d.dfnt == 20 || d.dfnt == 22 || d.dfnt == 24,
         isFloat = d.dfnt == 5 || d.dfnt == 6,
         nodata = d.attrs.get("_FillValue").flatMap(_.num),
@@ -253,9 +263,10 @@ object Hdf4Swath {
   def convert(spark: SparkSession, path: String, outFile: String,
       field: Option[String] = None, blockZoom: Int = 8,
       zoomOverride: Option[Int] = None, tileStats: Boolean = false,
-      maxGapPx: Double = 1.5, rowGroupBytes: Long = 0): RaquetMetadata = {
+      maxGapPx: Double = 1.5, rowGroupBytes: Long = 0,
+      band: Int = 0): RaquetMetadata = {
     require(blockZoom == 8, s"$path: swath tiles are 256x256 (blockZoom 8)")
-    val info = describe(path, field)
+    val info = describe(path, field, band)
     val bs = 1 << blockZoom
     val zoom = zoomOverride.getOrElse(autoZoom(info))
     require(zoom + blockZoom <= 26, s"$path: zoom $zoom too deep")
@@ -268,6 +279,7 @@ object Hdf4Swath {
       (info.path, info.nx, info.ny, info.dtype, info.elemSize)
     val (isF, sg, nod, dataPlan, gm) =
       (info.isFloat, info.signed, info.nodata, info.data, info.gm)
+    val (nb, bandIdx) = (info.nb, info.band)
     val nParts = math.max(1, math.min(ny / 16, 64))
     val rowsPer = (ny + nParts - 1) / nParts
     val bands = (0 until nParts).map(p =>
@@ -278,9 +290,10 @@ object Hdf4Swath {
       .parallelize(bands.filter { case (r0, r1) => r1 > r0 }, nParts)
       .flatMap { case (r0, r1) =>
         val g = Hdf4.H4Grid(pathS, nx, ny, dtype, esz, isF, sg, nod,
-          None, None, 0, 1, 0, -1, dataPlan, 1, Array(0.0), None,
+          None, None, 0, 1, 0, -1, dataPlan, nb,
+          Array.tabulate(nb)(_.toDouble), None,
           "standard", graft.geo.Geographic)
-        val smp = g.sampler(0, 0, r0, nx, r1 - r0)
+        val smp = g.sampler(bandIdx, 0, r0, nx, r1 - r0)
         val lat = latB.value; val lon = lonB.value
         val npx = (256L << zoom).toDouble
         val nTiles = 1L << zoom

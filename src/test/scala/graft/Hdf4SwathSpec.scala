@@ -122,6 +122,66 @@ class Hdf4SwathSpec extends SparkSpec {
     assert(checked >= 20, s"only $checked probes landed on tiles")
   }
 
+  test("rank-3 (band, along, cross) swath fields select one band plane") {
+    val dir = tmp()
+    val hdf = s"$dir/bands.hdf"
+    val (nb, ny, nx) = (4, 96, 128)
+    def v(b: Int, j: Int, i: Int): Double = ((7 * i + 13 * j + 1000 * b) % 2001).toDouble
+    Hdf4Writer.writeSwath(hdf, Hdf4Writer.Swath("EV",
+      dataFields = Seq(Hdf4Writer.Field("EV_Bands", 22, ny, nx,
+        (_, _) => 0.0, layout = "chunked-deflate", chunkY = 32, chunkX = 64,
+        nt = nb, tvalues = v)),
+      lat = Hdf4Writer.Field("Latitude", 6, ny, nx,
+        (j, _) => 50.0 - 0.05 * j, layout = "plain"),
+      lon = Hdf4Writer.Field("Longitude", 6, ny, nx,
+        (_, i) => -10.0 + 0.05 * i, layout = "plain")))
+    val info = Hdf4Swath.describe(hdf, Some("EV_Bands"), band = 2)
+    assert(info.nb == 4 && info.band == 2)
+    intercept[IllegalArgumentException](
+      Hdf4Swath.describe(hdf, Some("EV_Bands"), band = 4))
+    // convert band 2; the coarse zoom guarantees full coverage of the
+    // footprint, and every target pixel must carry a BAND-2 value
+    val out = s"$dir/band2.parquet"
+    Hdf4Swath.convert(spark, hdf, out, field = Some("EV_Bands"),
+      zoomOverride = Some(4), band = 2)
+    val ds = RaquetIO.read(spark, out)
+    val tiles = ds.data.collect().map { r =>
+      val (tx, ty, _) = graft.quadbin.Quadbin.cellToTile(r.getLong(0))
+      ((tx, ty), PixelCodec.decode(r.getAs[Array[Byte]](
+        r.fieldIndex("band_1")), "int16"))
+    }.toMap
+    def lat(j: Double): Double = 50.0 - 0.05 * j
+    def lon(i: Double): Double = -10.0 + 0.05 * i
+    val npx = 256L << 4
+    def pxOf(lo: Double): Double = (lo + 180.0) / 360.0 * npx
+    def pyOf(la: Double): Double = {
+      val s = math.sin(math.toRadians(la))
+      (0.5 - math.log((1 + s) / (1 - s)) / (4 * math.Pi)) * npx
+    }
+    // decisive band check: the expected value at a probed target pixel is
+    // v(2, nearest source) — a decoder reading band 0/1/3 differs by a
+    // multiple of 1000 (mod 2001) at every probe
+    var checked = 0
+    for (j0 <- 10 until 90 by 19; i0 <- 10 until 120 by 23) {
+      val px = pxOf(lon(i0)); val py = pyOf(lat(j0))
+      val (tx, ty) = ((px / 256).toLong, (py / 256).toLong)
+      val (ix, iy) = ((px - tx * 256).toInt, (py - ty * 256).toInt)
+      val cx = tx * 256 + ix + 0.5; val cy = ty * 256 + iy + 0.5
+      var best = Double.MaxValue; var bv = -1.0
+      for (j <- math.max(0, j0 - 3) to math.min(ny - 1, j0 + 3);
+           i <- math.max(0, i0 - 3) to math.min(nx - 1, i0 + 3)) {
+        val dx = pxOf(lon(i)) - cx; val dy = pyOf(lat(j)) - cy
+        val d2 = dx * dx + dy * dy
+        if (d2 < best) { best = d2; bv = v(2, j, i) }
+      }
+      for (arr <- tiles.get((tx, ty))) {
+        assert(arr(iy * 256 + ix) == bv, s"src ($i0,$j0) -> ($tx,$ty)($ix,$iy)")
+        checked += 1
+      }
+    }
+    assert(checked >= 15, s"only $checked probes landed on tiles")
+  }
+
   test("swath routing and guards fail loudly") {
     val dir = tmp()
     // a GRID file is not a swath
