@@ -306,7 +306,12 @@ object Hdf4Swath {
             val v = smp.sample(0, i, jf)
             if (!v.isNaN && !nod.contains(v)) {
               val (lo, la) = lonLatAt(gm, i, jf, lat, lon)
-              if (!lo.isNaN && !la.isNaN && la >= -85.06 && la <= 85.06) {
+              // skip fill-valued geolocation (real MODIS granules carry
+              // -999 at scan edges): a -999 longitude would otherwise wrap
+              // into a VALID-looking pixel and scatter the sample silently
+              // into the wrong tile
+              if (!lo.isNaN && !la.isNaN && la >= -85.06 && la <= 85.06 &&
+                  lo >= -360.0 && lo <= 360.0) {
                 var px = pxOf(lo, zoom)
                 if (px >= npx) px -= npx else if (px < 0) px += npx
                 val py = pyOf(la, zoom)

@@ -182,6 +182,33 @@ class Hdf4SwathSpec extends SparkSpec {
     assert(checked >= 15, s"only $checked probes landed on tiles")
   }
 
+  test("fill-valued geolocation rows (-999, the MODIS scan-edge shape) are skipped") {
+    val dir = tmp()
+    val hdf = s"$dir/fill.hdf"
+    val (ny, nx) = (80, 100)
+    // the last 8 scan rows carry -999 geolocation: their samples must not
+    // scatter anywhere (a -999 longitude wraps into a legal pixel if the
+    // guard is missing)
+    def lat(j: Int): Double = if (j >= 72) -999.0 else 40.0 - 0.1 * j
+    def lon(j: Int, i: Int): Double = if (j >= 72) -999.0 else -20.0 + 0.1 * i
+    Hdf4Writer.writeSwath(hdf, Hdf4Writer.Swath("FILLGEO",
+      dataFields = Seq(Hdf4Writer.Field("v", 22, ny, nx,
+        (j, i) => 500.0 + (if (j >= 72) 10000 else 0), layout = "plain")),
+      lat = Hdf4Writer.Field("Latitude", 6, ny, nx, (j, _) => lat(j),
+        layout = "plain"),
+      lon = Hdf4Writer.Field("Longitude", 6, ny, nx, (j, i) => lon(j, i),
+        layout = "plain")))
+    val out = s"$dir/fill.parquet"
+    Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(3))
+    val ds = RaquetIO.read(spark, out)
+    for (r <- ds.data.collect()) {
+      val px = PixelCodec.decode(r.getAs[Array[Byte]](
+        r.fieldIndex("band_1")), "int16")
+      assert(!px.exists(_ == 10500.0),
+        "a fill-geolocated sample leaked into the raster")
+    }
+  }
+
   test("swath routing and guards fail loudly") {
     val dir = tmp()
     // a GRID file is not a swath
