@@ -1025,8 +1025,9 @@ object Jpeg2000 {
           useSop = (scod & 0x02) != 0
           useEph = (scod & 0x04) != 0
           progression = cs(b + 3) & 0xFF
-          require(progression <= 1,
-            s"$where: progression order $progression unsupported (LRCP/RLCP)")
+          require(progression <= 4,
+            s"$where: progression order $progression unsupported " +
+              "(LRCP/RLCP/RPCL/PCRL/CPRL)")
           layers = u16(cs, b + 4)
           require(layers >= 1 && layers <= 64, s"$where: $layers layers")
           mct = cs(b + 6) & 0xFF
@@ -1156,16 +1157,26 @@ object Jpeg2000 {
       if (r == 0) Seq(compBands(c)(0))
       else compBands(c).slice(1 + 3 * (r - 1), 1 + 3 * r).toSeq
 
-    // walk packets: LRCP (0) = layer→res→comp, RLCP (1) = res→layer→comp;
-    // with maximal precincts each (l,r,c) is exactly one packet
+    // walk packets. With maximal precincts (one precinct per resolution)
+    // each (l, r, c) is exactly one packet and the five progressions
+    // collapse to three distinct walks: LRCP = layer-major, RLCP/RPCL =
+    // resolution-major (RPCL's position loop is a single precinct, its
+    // layer loop innermost), PCRL/CPRL = component-major.
     var pos = tileDataOff
-    val order: Seq[(Int, Int, Int)] =
-      if (progression == 0)
+    val order: Seq[(Int, Int, Int)] = progression match {
+      case 0 => // LRCP: l, r, c
         for (l <- 0 until layers; r <- 0 to effLevels; c <- 0 until ncomp)
           yield (l, r, c)
-      else
+      case 1 => // RLCP: r, l, c
         for (r <- 0 to effLevels; l <- 0 until layers; c <- 0 until ncomp)
           yield (l, r, c)
+      case 2 => // RPCL: r, (p), c, l
+        for (r <- 0 to effLevels; c <- 0 until ncomp; l <- 0 until layers)
+          yield (l, r, c)
+      case _ => // PCRL (3) / CPRL (4): (p,) c, r, l — component-major
+        for (c <- 0 until ncomp; r <- 0 to effLevels; l <- 0 until layers)
+          yield (l, r, c)
+    }
 
     for ((layer, r, comp) <- order) {
       if (useSop && pos + 6 <= tileDataEnd && u16(cs, pos) == 0xFF91) pos += 6
@@ -1429,7 +1440,9 @@ object Jpeg2000 {
   def encodeMulti(planes: Array[Array[Int]], w: Int, h: Int, depth: Int,
       levels: Int = 5, expBias: Int = 0, rct: Boolean = false,
       lossy97: Boolean = false, coarseBits: Int = 0,
-      mant: Int = 0): Array[Byte] = {
+      mant: Int = 0, progression: Int = 0): Array[Byte] = {
+    require(progression >= 0 && progression <= 4,
+      s"progression $progression unsupported")
     val ncomp = planes.length
     require(ncomp >= 1 && ncomp <= 3, s"$ncomp components unsupported (1-3)")
     require(!rct || ncomp == 3, "RCT requires exactly 3 components")
@@ -1690,13 +1703,19 @@ object Jpeg2000 {
       if (lossy97) dcomps.map(encodeComponent97)
       else comps.map(encodeComponent)
 
-    // packets (single layer, LRCP: the layer loop is trivial, so the order
-    // is res → component; one packet per (r, c) with maximal precincts)
+    // packets (single layer, maximal precincts): LRCP/RLCP/RPCL all walk
+    // res → component with a trivial layer loop; PCRL/CPRL walk
+    // component → res
     val body = new java.io.ByteArrayOutputStream()
     def resEncBands(c: Int, r: Int): Seq[EncBand] =
       if (r == 0) Seq(compEnc(c)(0))
       else compEnc(c).slice(1 + 3 * (r - 1), 1 + 3 * r)
-    for (r <- 0 to effLevels; c <- 0 until ncomp) {
+    val packetOrder: Seq[(Int, Int)] =
+      if (progression <= 2)
+        for (r <- 0 to effLevels; c <- 0 until ncomp) yield (r, c)
+      else
+        for (c <- 0 until ncomp; r <- 0 to effLevels) yield (r, c)
+    for ((r, c) <- packetOrder) {
       val hw2 = new HdrWriter
       val any = resEncBands(c, r).exists(_.blks.exists(_.passes > 0))
       if (!any) hw2.bit(0)
@@ -1758,7 +1777,7 @@ object Jpeg2000 {
     out.write(w16(0xFF52)) // COD
     out.write(w16(12))
     out.write(0) // Scod: default precincts, no SOP/EPH
-    out.write(0) // progression LRCP
+    out.write(progression)
     out.write(w16(1)) // layers
     out.write(if (rct) 1 else 0) // MCT
     out.write(effLevels)

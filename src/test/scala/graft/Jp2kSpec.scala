@@ -119,7 +119,7 @@ class Jp2kSpec extends AnyFunSuite {
     failsWith(mut(m => m(2 + 2 + 2 + 35) = 5), "component")
     val codAt = 2 + 2 + 41
     failsWith(mut(m => m(codAt + 13) = 0), "9/7")
-    failsWith(mut(m => m(codAt + 5) = 4), "progression")
+    failsWith(mut(m => m(codAt + 5) = 5), "progression")
     failsWith(mut(m => m(codAt + 12) = 0x20), "code-block style")
     val qcdAt = codAt + 2 + 12
     failsWith(mut(m => m(qcdAt + 4) = 0x41), "quantization style")
@@ -325,6 +325,51 @@ class Jp2kSpec extends AnyFunSuite {
     val m3 = cs53.clone(); m3(qcdStyleAt) = ((2 << 5) | 1).toByte
     val e3 = intercept[IllegalArgumentException](Jpeg2000.decode(m3, "t"))
     assert(e3.getMessage.contains("quantization style"), e3.getMessage)
+  }
+
+  test("RPCL/PCRL/CPRL progressions decode (single layer, max precincts)") {
+    // with one layer and one precinct per resolution, the five walks
+    // collapse to three: layer-major (LRCP), res-major (RLCP/RPCL),
+    // component-major (PCRL/CPRL). Kakadu-style lossy archives commonly
+    // ship RPCL.
+    val (w, h) = (67, 53)
+    val xs = rnd(31, w * h, 10)
+    for (prog <- 0 to 4) {
+      val cs = Jpeg2000.encodeMulti(Array(xs), w, h, 10, levels = 3,
+        progression = prog)
+      assert(cs(2 + 2 + 41 + 5) == prog, s"signaled progression $prog")
+      val d = Jpeg2000.decode(cs, s"prog$prog")
+      assert(d.xs.sameElements(xs), s"progression $prog mis-decoded")
+    }
+    // 3-component RGB: the component-major orders genuinely reorder the
+    // packet stream — a decoder walking r-major on a CPRL stream reads
+    // the wrong packets
+    val r = Array.tabulate(48 * 32)(k => (k * 7) % 251)
+    val g = Array.tabulate(48 * 32)(k => (k * 11) % 251)
+    val b = Array.tabulate(48 * 32)(k => (k * 13) % 251)
+    for (prog <- Seq(0, 1, 2, 3, 4)) {
+      val cs = Jpeg2000.encodeMulti(Array(r, g, b), 48, 32, 8, levels = 2,
+        progression = prog)
+      val d = Jpeg2000.decode(cs, s"rgbprog$prog")
+      assert(d.comps(0).sameElements(r) && d.comps(1).sameElements(g) &&
+        d.comps(2).sameElements(b), s"RGB progression $prog mis-decoded")
+    }
+    // a CPRL stream whose COD byte is flipped to RLCP must NOT decode to
+    // the same pixels (proves the walks really differ, i.e. the test has
+    // teeth)
+    val cprl = Jpeg2000.encodeMulti(Array(r, g, b), 48, 32, 8, levels = 2,
+      progression = 4)
+    // 3-component SIZ is 47 octets, so COD sits at 2 + 2 + 47
+    val m = cprl.clone(); m(2 + 2 + 47 + 5) = 1
+    val wrong = try {
+      val d = Jpeg2000.decode(m, "flipped")
+      d.comps(0).sameElements(r) && d.comps(1).sameElements(g)
+    } catch { case _: IllegalArgumentException => false }
+    assert(!wrong, "r-major walk of a c-major stream decoded identically?")
+    // progression 5+ still rejects loudly
+    val m5 = cprl.clone(); m5(2 + 2 + 47 + 5) = 5
+    val e = intercept[IllegalArgumentException](Jpeg2000.decode(m5, "p5"))
+    assert(e.getMessage.contains("progression"), e.getMessage)
   }
 
   test("9/7: truncations and corruptions still fail cleanly") {
