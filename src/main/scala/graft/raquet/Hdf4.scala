@@ -1118,15 +1118,20 @@ object Hdf4 {
     } finally rr.close()
   }
 
-  /** List the raster fields the file exposes (HDF-EOS field names, else
-    * SDS names) — the CLI's discovery surface. */
+  /** List the raster fields the file exposes (HDF-EOS grid field names,
+    * else swath data-field names, else SDS names) — the CLI's discovery
+    * surface. */
   def fieldNames(path: String): Seq[String] = {
     val rr = RandomReader(path)
     try {
       val cat = openCatalog(path, rr)
-      val eos = structMetadata(cat).map(parseStructMetadata(path, _))
+      val text = structMetadata(cat)
+      val eos = text.map(parseStructMetadata(path, _))
+        .getOrElse(Seq.empty).flatMap(_.fields)
+      val swath = text.map(Hdf4Swath.parseSwathMetadata(path, _))
         .getOrElse(Seq.empty).flatMap(_.fields)
       if (eos.nonEmpty) eos
+      else if (swath.nonEmpty) swath
       else cat.sdses.filter(d => d.dims.length == 2 || d.dims.length == 3).map(_.name)
     } finally rr.close()
   }
