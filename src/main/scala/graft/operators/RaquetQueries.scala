@@ -4042,7 +4042,7 @@ object RaquetQueries {
         (_, i) => lonOf(i), layout = "plain")))
     val out = s"$tmp/swath.parquet"
     val meta = graft.raquet.Hdf4Swath.convert(spark, hdf, out,
-      zoomOverride = Some(1), tileStats = true)
+      zoomOverride = Some(1), tileStats = true, overviews = "none")
     require(meta.numBlocks == 4, s"expected 4 tiles, got ${meta.numBlocks}")
     val ds = RaquetIO.read(spark, out)
     ds.data.select(col("block"),

@@ -264,7 +264,9 @@ object Hdf4Swath {
       field: Option[String] = None, blockZoom: Int = 8,
       zoomOverride: Option[Int] = None, tileStats: Boolean = false,
       maxGapPx: Double = 1.5, rowGroupBytes: Long = 0,
-      band: Int = 0): RaquetMetadata = {
+      band: Int = 0, overviews: String = "auto"): RaquetMetadata = {
+    require(overviews == "auto" || overviews == "none",
+      s"overviews must be auto or none, got $overviews")
     require(blockZoom == 8, s"$path: swath tiles are 256x256 (blockZoom 8)")
     val info = describe(path, field, band)
     val bs = 1 << blockZoom
@@ -384,7 +386,7 @@ object Hdf4Swath {
     val bounds = Array(
       Quadbin.tileWest(xtMin, zoom), Quadbin.tileSouth(ytMax, zoom),
       Quadbin.tileEast(xtMax, zoom), Quadbin.tileNorth(ytMin, zoom))
-    val meta = RaquetMetadata(
+    val metaN = RaquetMetadata(
       version = "0.5.0",
       width = ((xtMax - xtMin + 1) * bs).toInt,
       height = ((ytMax - ytMin + 1) * bs).toInt,
@@ -398,8 +400,17 @@ object Hdf4Swath {
         info.nodata.orElse(Some(fill)), info.scale, info.offset,
         Some("gray"), None)),
       time = None)
-    RaquetIO.write(spark.createDataFrame(rows, schema), meta, outFile,
-      rowGroupBytes = rowGroupBytes)
+    val df = spark.createDataFrame(rows, schema)
+    // overviews: the standard mergeable pyramid aggregate over the native
+    // tiles (the M5 shape) — same machinery every other convert uses
+    val (all, meta) =
+      if (overviews == "none") (df, metaN)
+      else {
+        val mz = GeoTiff.findMinZoom(bounds(0), bounds(1), bounds(2),
+          bounds(3), zoom, blockZoom)
+        (Pyramid.build(df, metaN, mz), metaN.copy(minZoom = mz))
+      }
+    RaquetIO.write(all, meta, outFile, rowGroupBytes = rowGroupBytes)
     rows.unpersist()
     meta
   }

@@ -154,7 +154,8 @@ class CliSpec extends SparkSpec {
     val out = s"$tmp/swath_cli.parquet"
     Cli.run(spark, Seq("convert", hdf, out, "--zoom", "4", "--tile-stats"))
     val ds = graft.raquet.RaquetIO.read(spark, out)
-    assert(ds.meta.minZoom == 4 && ds.data.count() > 0)
+    assert(ds.meta.maxZoom == 4 && ds.meta.minZoom <= 4)
+    assert(ds.data.count() > 0)
   }
 
   test("pmtiles, compact, mvt subcommands run via argv") {

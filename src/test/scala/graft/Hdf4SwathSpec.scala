@@ -40,7 +40,7 @@ class Hdf4SwathSpec extends SparkSpec {
     assert(Hdf4Swath.isSwath(hdf))
     val out = s"$dir/swath.parquet"
     val meta = Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(1),
-      tileStats = true)
+      tileStats = true, overviews = "none")
     assert(meta.numBlocks == 4 && meta.minZoom == 1 && meta.maxZoom == 1)
     assert(meta.bands.head.nodata.contains(255.0))
     val ds = RaquetIO.read(spark, out)
@@ -83,7 +83,8 @@ class Hdf4SwathSpec extends SparkSpec {
     val out = s"$dir/sub.parquet"
     // zoom 3: target pixels ~0.176 degrees, coarser than the 0.1-degree
     // source, so every target pixel in the footprint has a source sample
-    val meta = Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(3))
+    val meta = Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(3),
+      overviews = "none")
     val ds = RaquetIO.read(spark, out)
     val tiles = ds.data.collect().map { r =>
       val (tx, ty, _) = graft.quadbin.Quadbin.cellToTile(r.getLong(0))
@@ -143,7 +144,7 @@ class Hdf4SwathSpec extends SparkSpec {
     // footprint, and every target pixel must carry a BAND-2 value
     val out = s"$dir/band2.parquet"
     Hdf4Swath.convert(spark, hdf, out, field = Some("EV_Bands"),
-      zoomOverride = Some(4), band = 2)
+      zoomOverride = Some(4), band = 2, overviews = "none")
     val ds = RaquetIO.read(spark, out)
     val tiles = ds.data.collect().map { r =>
       val (tx, ty, _) = graft.quadbin.Quadbin.cellToTile(r.getLong(0))
@@ -199,7 +200,8 @@ class Hdf4SwathSpec extends SparkSpec {
       lon = Hdf4Writer.Field("Longitude", 6, ny, nx, (j, i) => lon(j, i),
         layout = "plain")))
     val out = s"$dir/fill.parquet"
-    Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(3))
+    Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(3),
+      overviews = "none")
     val ds = RaquetIO.read(spark, out)
     for (r <- ds.data.collect()) {
       val px = PixelCodec.decode(r.getAs[Array[Byte]](
@@ -207,6 +209,32 @@ class Hdf4SwathSpec extends SparkSpec {
       assert(!px.exists(_ == 10500.0),
         "a fill-geolocated sample leaked into the raster")
     }
+  }
+
+  test("overviews=auto builds the standard pyramid over the swath natives") {
+    val dir = tmp()
+    val hdf = s"$dir/pyr.hdf"
+    val n = 512
+    Hdf4Writer.writeSwath(hdf, Hdf4Writer.Swath("PYR",
+      dataFields = Seq(Hdf4Writer.Field("sst", 21, n, n,
+        (j, i) => fOf(i), layout = "plain",
+        attrs = Seq(Hdf4Writer.Attr("_FillValue", 21, 1, Array(255.toByte))))),
+      lat = Hdf4Writer.Field("Latitude", 6, n, n, (j, _) => latOf(j),
+        layout = "plain"),
+      lon = Hdf4Writer.Field("Longitude", 6, n, n, (_, i) => lonOf(i),
+        layout = "plain")))
+    val out = s"$dir/pyr.parquet"
+    val meta = Hdf4Swath.convert(spark, hdf, out, zoomOverride = Some(1),
+      tileStats = true) // overviews default auto
+    assert(meta.minZoom == 0 && meta.maxZoom == 1)
+    val ds = RaquetIO.read(spark, out)
+    import graft.functions.GraftFunctions.quadbin_zoom
+    val byZoom = ds.data.groupBy(quadbin_zoom(col("block")).as("z"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byZoom == Map(1 -> 4L, 0 -> 1L), byZoom.toString)
+    // the z0 overview covers the whole world: every pixel valid
+    val z0 = ds.data.filter(quadbin_zoom(col("block")) === 0).head
+    assert(z0.getLong(z0.fieldIndex("band_1_count")) == 65536L)
   }
 
   test("swath routing and guards fail loudly") {
