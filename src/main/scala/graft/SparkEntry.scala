@@ -213,6 +213,7 @@ object SparkEntry {
     "q192_jp2k_lossy"       -> (RaquetQueries.q192Jp2kLossy _),
     "q193_hdf4_polar"       -> (RaquetQueries.q193Hdf4Polar _),
     "q194_hdf4_swath"       -> (RaquetQueries.q194Hdf4Swath _),
+    "q195_geoparquet"       -> (RaquetQueries.q195GeoParquet _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -478,6 +479,8 @@ object SparkEntry {
     "q193_hdf4_polar"       -> RaquetOracles.q151,
     // q194: exactly-aligned HDF-EOS swath — geolocation scatter = identity
     "q194_hdf4_swath"       -> RaquetOracles.q194,
+    // q195: GeoParquet footer-metadata round trip + WKB bridge + measures
+    "q195_geoparquet"       -> RaquetOracles.q195,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

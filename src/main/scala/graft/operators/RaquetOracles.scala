@@ -1879,6 +1879,17 @@ object RaquetOracles {
           CAST(256 * c.s AS BIGINT) AS dec_sum
         FROM tiles t JOIN colagg c ON c.tx = t.tx"""
 
+  /** q195: GeoParquet round trip — planar measures of the 60 closed-form
+    * rectangles (area = w·h, perimeter = 2(w+h), centroid at the box
+    * center), re-derived from the generating formulas. */
+  val q195: String =
+    """SELECT CAST(id AS BIGINT) AS id,
+         CAST((1 + id % 4) * (1 + id % 3) AS DOUBLE) AS area,
+         CAST(2 * ((1 + id % 4) + (1 + id % 3)) AS DOUBLE) AS perim,
+         round((id % 10) * 3.0 + (1 + id % 4) / 2.0, 6) AS cx,
+         round((id // 10) * 2.0 + (1 + id % 3) / 2.0, 6) AS cy
+       FROM range(60) t(id)"""
+
   /** q192: the 9/7 lossy codec proof — 48 32x32 patches of the pure-integer
     * closed-form field; n_px and src_sum re-derive exactly, `bounded` is
     * the engine-side error-bound verdict (TRUE everywhere). */

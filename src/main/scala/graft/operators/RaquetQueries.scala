@@ -4054,6 +4054,34 @@ object RaquetQueries {
         .getField("sum").cast("long").as("dec_sum"))
   }
 
+  /** F11/S-interop (GeoParquet 1.x) driver proof: 60 closed-form
+    * rectangles write as GeoParquet (WKB geometry column + the `geo`
+    * footer key-value entry stamped per part file), read back through the
+    * footer parse + `st_geom_from_wkb` bridge, and planar measures
+    * re-derive exactly in the oracle — a wrong primary-column pick, WKB
+    * byte-order slip or footer mis-stamp breaks every row. */
+  def q195GeoParquet(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q195"
+    new java.io.File(tmp).mkdirs()
+    import spark.implicits._
+    val feats = (0 until 60).map { id =>
+      val x0 = (id % 10) * 3.0; val y0 = (id / 10) * 2.0
+      val w = 1.0 + id % 4; val h = 1.0 + id % 3
+      (id.toLong, s"POLYGON(($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, " +
+        s"$x0 ${y0 + h}, $x0 $y0))")
+    }.toDF("id", "wkt")
+    val path = s"$tmp/features.parquet"
+    graft.sources.GeoParquet.write(feats, path, "wkt")
+    val (gdf, gi) = graft.sources.GeoParquet.read(spark, path)
+    require(gi.primaryColumn == "geometry" && gi.encoding == "WKB",
+      s"unexpected geo metadata $gi")
+    gdf.select(col("id"),
+      st_area(col("geometry_wkt")).cast("double").as("area"),
+      st_perimeter(col("geometry_wkt")).cast("double").as("perim"),
+      round(st_centroid(col("geometry_wkt")).getField("x"), 6).as("cx"),
+      round(st_centroid(col("geometry_wkt")).getField("y"), 6).as("cy"))
+  }
+
   /** S6/M7 (HDF4 multi-field workflow) driver proof: TWO data fields of
     * the q184 MODIS grid — different pixel formulas AND different chunk
     * layouts (deflate vs RLE) — converted through

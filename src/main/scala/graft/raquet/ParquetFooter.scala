@@ -97,6 +97,70 @@ object ParquetFooter {
     }
   }
 
+  /** Read one footer key-value entry (e.g. GeoParquet's `geo` JSON). */
+  def keyValue(file: Path, key: String): Option[String] = {
+    val raf = new RandomAccessFile(file.toFile, "r")
+    try {
+      val len = raf.length()
+      require(len > 12, s"$file: too short for a parquet file ($len bytes)")
+      val tail = new Array[Byte](8)
+      raf.seek(len - 8)
+      raf.readFully(tail)
+      require(tail.slice(4, 8).sameElements(Magic), s"$file: missing PAR1 magic")
+      val footerLen = (tail(0) & 0xFF) | ((tail(1) & 0xFF) << 8) |
+        ((tail(2) & 0xFF) << 16) | ((tail(3) & 0xFF) << 24)
+      val footerStart = len - 8 - footerLen
+      require(footerStart >= 4, s"$file: footer length $footerLen out of range")
+      val fb = new Array[Byte](footerLen)
+      raf.seek(footerStart)
+      raf.readFully(fb)
+      val md = Util.readFileMetaData(new ByteArrayInputStream(fb))
+      Option(md.getKey_value_metadata).toSeq.flatMap(_.asScala)
+        .find(_.getKey == key).flatMap(kv => Option(kv.getValue))
+    } finally raf.close()
+  }
+
+  /** Add (or replace) one footer key-value entry in place — the same
+    * O(footer) rewrite as [[stamp]]; used by the GeoParquet sink. */
+  def stampKeyValue(file: Path, key: String, value: String): Unit = {
+    val raf = new RandomAccessFile(file.toFile, "rw")
+    try {
+      val len = raf.length()
+      require(len > 12, s"$file: too short for a parquet file ($len bytes)")
+      val tail = new Array[Byte](8)
+      raf.seek(len - 8)
+      raf.readFully(tail)
+      require(tail.slice(4, 8).sameElements(Magic), s"$file: missing PAR1 magic")
+      val footerLen = (tail(0) & 0xFF) | ((tail(1) & 0xFF) << 8) |
+        ((tail(2) & 0xFF) << 16) | ((tail(3) & 0xFF) << 24)
+      val footerStart = len - 8 - footerLen
+      require(footerStart >= 4, s"$file: footer length $footerLen out of range")
+      val fb = new Array[Byte](footerLen)
+      raf.seek(footerStart)
+      raf.readFully(fb)
+      val md = Util.readFileMetaData(new ByteArrayInputStream(fb))
+      Option(md.getKey_value_metadata).foreach { kvs =>
+        val it = kvs.iterator()
+        while (it.hasNext) if (it.next().getKey == key) it.remove()
+      }
+      val kv = new KeyValue(key)
+      kv.setValue(value)
+      md.addToKey_value_metadata(kv)
+      val bos = new ByteArrayOutputStream(footerLen + value.length + 256)
+      Util.writeFileMetaData(md, bos)
+      val nb = bos.toByteArray
+      raf.seek(footerStart)
+      raf.write(nb)
+      raf.write(Array[Byte](
+        (nb.length & 0xFF).toByte, ((nb.length >> 8) & 0xFF).toByte,
+        ((nb.length >> 16) & 0xFF).toByte, ((nb.length >> 24) & 0xFF).toByte))
+      raf.write(Magic)
+      raf.setLength(footerStart + nb.length + 8)
+    } finally raf.close()
+    Files.deleteIfExists(
+      file.resolveSibling("." + file.getFileName.toString + ".crc"))
+  }
+
   /** Read back the footer contract of one file: (raquet:version value or
     * null, number of row groups, number of row groups declaring an
     * ascending sort on `sortCol` first). */

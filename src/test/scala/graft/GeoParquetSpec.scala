@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.GeoParquet
+
+/** GeoParquet interop: the `geo` footer entry round-trips through the
+  * in-place stamp, multi-part directories stamp every file, and non-
+  * GeoParquet / non-WKB inputs fail loudly. */
+class GeoParquetSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("geopq").toString
+
+  test("write stamps every part file; read bridges WKB to the WKT surface") {
+    import spark.implicits._
+    val dir = s"${tmp()}/multi.parquet"
+    val feats = (0 until 40).map { id =>
+      (id.toLong, s"POLYGON((0 0, ${id + 1} 0, ${id + 1} 1, 0 1, 0 0))")
+    }.toDF("id", "wkt").repartition(4)
+    GeoParquet.write(feats, dir, "wkt")
+    // every part file carries the geo entry
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.length >= 2, "want a multi-part fixture")
+    for (p <- parts) {
+      val gi = GeoParquet.geoInfo(p.getPath)
+      assert(gi.primaryColumn == "geometry" && gi.encoding == "WKB")
+      assert(gi.geometryTypes == Seq("Polygon"))
+    }
+    val (gdf, gi) = GeoParquet.read(spark, dir)
+    assert(gi.version == "1.0.0")
+    val areas = gdf.select(col("id"),
+      graft.functions.GraftFunctions.st_area(col("geometry_wkt")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (id <- 0 until 40) assert(areas(id.toLong) == (id + 1).toDouble)
+  }
+
+  test("non-GeoParquet parquet and non-WKB encodings fail loudly") {
+    import spark.implicits._
+    val plain = s"${tmp()}/plain.parquet"
+    Seq((1L, "x")).toDF("id", "s").write.parquet(plain)
+    val e = intercept[IllegalArgumentException](GeoParquet.geoInfo(plain))
+    assert(e.getMessage.contains("geo"), e.getMessage)
+    // a geo entry declaring a GeoArrow encoding must reject, not mis-read
+    val dir = s"${tmp()}/arrow.parquet"
+    Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "geometry").write.parquet(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    graft.raquet.ParquetFooter.stampKeyValue(part, "geo",
+      """{"version":"1.1.0","primary_column":"geometry","columns":{"geometry":{"encoding":"point"}}}""")
+    val e2 = intercept[IllegalArgumentException](GeoParquet.read(spark, dir))
+    assert(e2.getMessage.contains("encoding"), e2.getMessage)
+    // stampKeyValue REPLACES an existing entry (idempotent re-stamp)
+    graft.raquet.ParquetFooter.stampKeyValue(part, "geo",
+      """{"version":"1.0.0","primary_column":"geometry","columns":{"geometry":{"encoding":"WKB"}}}""")
+    val gi = GeoParquet.geoInfo(dir)
+    assert(gi.encoding == "WKB" && gi.version == "1.0.0")
+  }
+}
