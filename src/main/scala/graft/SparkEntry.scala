@@ -214,6 +214,7 @@ object SparkEntry {
     "q193_hdf4_polar"       -> (RaquetQueries.q193Hdf4Polar _),
     "q194_hdf4_swath"       -> (RaquetQueries.q194Hdf4Swath _),
     "q195_geoparquet"       -> (RaquetQueries.q195GeoParquet _),
+    "q196_line_dedup"       -> (LlmQueries.q196LineDedup _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -481,6 +482,8 @@ object SparkEntry {
     "q194_hdf4_swath"       -> RaquetOracles.q194,
     // q195: GeoParquet footer-metadata round trip + WKB bridge + measures
     "q195_geoparquet"       -> RaquetOracles.q195,
+    // q196: line-level boilerplate removal — full algorithm in the oracle
+    "q196_line_dedup"       -> LlmOracles.q196,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

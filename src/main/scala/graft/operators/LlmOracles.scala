@@ -579,4 +579,36 @@ object LlmOracles {
        SELECT doc_id, count(*) AS n_windows, count(hit) AS n_dup,
          round(CAST(count(hit) AS DOUBLE)/count(*), 6) AS dup_frac
        FROM j GROUP BY doc_id"""
+
+  /** q196: line-level boilerplate removal — the full algorithm re-derived
+    * from the raw corpus: the deterministic multi-line injection (every
+    * ' table ' becomes a newline; boilerplate footer on doc_id % 3 = 0),
+    * per-line distinct-document counts, the >4 cut, order-preserving
+    * re-assembly. */
+  val q196: String =
+    """WITH docs2 AS (
+         SELECT doc_id,
+           concat(replace(text, ' table ', chr(10)),
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || 'FOLLOW US | COOKIE SETTINGS | TERMS'
+                  ELSE '' END) AS text
+         FROM documents),
+       lines AS (
+         SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(parts)),
+             i -> struct_pack(pos := i - 1, line := parts[i]))) AS e
+         FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs2)),
+       l AS (SELECT doc_id, e.pos AS pos, e.line AS line FROM lines),
+       boiler AS (
+         SELECT line FROM (
+           SELECT line, count(DISTINCT doc_id) AS nd
+           FROM l WHERE length(trim(line)) > 0 GROUP BY 1)
+         WHERE nd > 4)
+       SELECT l.doc_id,
+         coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+           chr(10) ORDER BY l.pos), '') AS text,
+         count(CASE WHEN b.line IS NULL THEN 1 END) AS n_kept,
+         count(b.line) AS n_dropped
+       FROM l LEFT JOIN boiler b ON l.line = b.line
+       GROUP BY 1"""
 }

@@ -276,6 +276,26 @@ object LlmQueries {
   def q110DupWindows(spark: SparkSession, dir: String): DataFrame =
     TextOps.dupWindowFraction(docs(spark, dir), w = 8)
 
+  /** Deterministic multi-line twin of the corpus for q196: every ' table '
+    * occurrence becomes a line break (the word salad has plenty), and a
+    * shared boilerplate footer lands on doc_id % 3 = 0 — the subset the
+    * line-dedup verdict must strip. The oracle applies the IDENTICAL
+    * transformation in SQL, then the full algorithm. */
+  private[operators] val lineCorpusSpark =
+    "concat(replace(text, ' table ', '\n'), " +
+      "CASE WHEN doc_id % 3 = 0 THEN '\nFOLLOW US | COOKIE SETTINGS | TERMS' ELSE '' END)"
+
+  /** Line-level boilerplate removal ([[TextOps.lineDedup]], CCNet/
+    * RefinedWeb): lines shared by more than 4 distinct documents drop;
+    * the oracle recomputes the whole verdict — injection, line explosion,
+    * distinct-doc counts, the >4 cut, and the order-preserving
+    * re-assembly — from the raw corpus. */
+  def q196LineDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lineDedup(
+      docs(spark, dir).select(col("doc_id"),
+        expr(lineCorpusSpark).as("text")),
+      maxDocs = 4)
+
   /** Token-window chunking ([[TextOps.chunkDocs]], 64-token chunks with a
     * 16-token overlap): the oracle re-derives every chunk boundary and its
     * text with the same integer-ceiling count and 1-based slices. */

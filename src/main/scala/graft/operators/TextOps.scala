@@ -398,6 +398,35 @@ object TextOps {
     * counts → equi-join back. Linear in corpus tokens; the dup_frac
     * division happens once per doc on exact integer counts, so both
     * engines compute the identical double. */
+  /** Line-level boilerplate removal (the CCNet/RefinedWeb preprocessing
+    * trick): a line occurring in more than `maxDocs` DISTINCT documents is
+    * boilerplate (navigation, cookie banners, repeated headers) and is
+    * dropped from every document; remaining lines re-assemble in order.
+    * Returns (doc_id, text, n_kept, n_dropped).
+    *
+    * Scale: explode lines → distinct (doc, line) → ONE hash aggregate on
+    * the line → join back → order-preserving re-assembly in a second hash
+    * aggregate. Two shuffles, linear in total lines; the boilerplate side
+    * is usually small enough to broadcast. */
+  def lineDedup(docs: DataFrame, maxDocs: Int = 4): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > maxDocs)
+      .select(col("line"), lit(1).as("boiler"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN boiler IS NULL THEN struct(pos, line) END)), " +
+            "x -> x.line)"), "\n").as("text"),
+        count(when(col("boiler").isNull, 1)).as("n_kept"),
+        count(col("boiler")).as("n_dropped"))
+  }
+
   def dupWindowFraction(docs: DataFrame, w: Int = 8): DataFrame = {
     val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= w)
