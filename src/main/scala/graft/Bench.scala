@@ -21,9 +21,12 @@ import graft.raquet.{FixtureGen, RaquetIO}
   * tiles) cached under target/ — the same size class as BASELINE's
   * interactive TCI set (261 MB / 3,225 tiles).
   *
-  * Methodology: one untimed warm-up pass (JVM/codegen), then median-of-3
-  * timed runs, each forcing full evaluation through the noop sink. Emits
-  * ONE JSON line on stdout and mirrors it to BENCH_LOCAL.json.
+  * Methodology: per-query untimed warm-up immediately before its timed
+  * window (JVM/codegen/page-cache), then median-of-3 timed runs
+  * (median-of-5 for the 15 GB-class bL_ scans), each forcing full
+  * evaluation through the noop sink. Emits the main JSON record (stdout +
+  * BENCH_LOCAL.json) as soon as the query loop ends; the opt-in
+  * scale ladder (SPARK_GRAFT_LADDER=1) runs after and can never lose it.
   */
 object Bench {
 
@@ -99,6 +102,19 @@ object Bench {
       val machineSec = (machineBusyJiffies() - j0) / 100.0 // USER_HZ=100
       val oursSec = (ourCpuNanos() - c0) / 1e9
       math.max(0.0, machineSec - oursSec) / wall
+    }
+    /** OWN cores burned over the window: this process's CPU ÷ wall. The
+      * starvation tell the foreign/throttle probes can't see (r10 verdict
+      * #3): an I/O- or memory-starved window blocks every thread without
+      * burning CPU anywhere, so foreign≈0 AND throttled=0 — but a long
+      * wall at near-zero own-CPU on a 32-thread pool is self-evidently a
+      * starved environment, rejectable from the record alone. Idle-machine
+      * compute-bound windows read several cores. -1 when unavailable. */
+    def ownCores(): Double = {
+      if (c0 < 0) return -1.0
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (wall <= 0.05) return -1.0
+      ((ourCpuNanos() - c0) / 1e9) / wall
     }
     /** µs this cgroup spent CPU-throttled during the window; -1 when the
       * scheduler stats are unreadable. A quota squeeze slows every thread
@@ -546,12 +562,26 @@ object Bench {
     val vecs = Tables.embeddings(spark, sfDir)
     val nVecs = vecs.count()
     val entries = Seq(
-      // hash-DIVERSE content (the realistic case): the interactive bench's
-      // ramp images are the adversarial band-skew corpus and degenerate
-      // toward all-pairs past ~10^5 distinct fps (measured exponent 2.35) —
-      // that finding lives in the imageDedupDiverseBench scaladoc
+      // hash-DIVERSE content (the realistic case): near-uniform dHash band
+      // values over the 2^16 buckets — the property real image corpora have
       series("image_dedup", Seq(30000L, 100000L, 300000L),
         n => graft.operators.MediaDedup.imageDedupDiverseBench(spark, n.toInt)),
+      // BAND-SKEW content (letterboxed images: ~all distinct fps share one
+      // (block, value) mega-bucket, true pairs sparse): the mega-bucket
+      // guard's target. Unguarded blocking is Σk² ≈ all-pairs here —
+      // the r10 2.35-exponent hazard class; the guard's sub-split must
+      // hold it near-linear while q130/q48 stay ≡ their all-pairs oracles.
+      series("image_dedup_bandskew", Seq(30000L, 100000L, 300000L),
+        n => graft.operators.MediaDedup.imageDedupLetterboxBench(spark, n.toInt)),
+      // CLIQUE-degenerate content (the r10 skew finding, correctly
+      // diagnosed): the ramp corpus has ~103 DISTINCT fps at any n, so its
+      // true pair count is ~n²/103 — pair ENUMERATION is quadratic in
+      // OUTPUT by definition and no candidate guard can change that. The
+      // linear dedup decision is cluster ASSIGNMENT (fp-graph components +
+      // one member join), and that is what must scale:
+      series("image_dedup_clusters", Seq(30000L, 100000L, 300000L),
+        n => graft.operators.MediaDedup.hashDedupClusters(
+          graft.operators.MediaDedup.rampImages(spark, n.toInt), "id", "fp")),
       series("minhash", Seq(nDocs, 2 * nDocs, 4 * nDocs),
         n => TextOps.minhashNearDups(docsTimes(docs, (n / nDocs).toInt),
           threshold = 0.3)),
@@ -560,8 +590,10 @@ object Bench {
           planes = 8, dim = 64, tau = 0.35)),
       // probe sanity: an explicit all-pairs 64-dim dot-product cross join
       // must read quadratic — per-pair work is real array math, not a
-      // codegen-trivial modulo the row overhead would swamp
-      series("quadratic_control", Seq(3000L, 6000L, 12000L), { n =>
+      // codegen-trivial modulo the row overhead would swamp. Sizes are the
+      // smallest whose largest rung still dwarfs per-run noise (~6 s): the
+      // r10 12k rung cost 67 s idle and proved nothing more (r10 verdict #1)
+      series("quadratic_control", Seq(1500L, 3000L, 6000L), { n =>
         def side(vc: String, idc: String) = spark.range(n).select(
           col("id").as(idc),
           expr("transform(sequence(0, 63), k -> " +
@@ -572,9 +604,10 @@ object Bench {
           .agg(sum(col("dot")).as("s"))
       }))
     val fc = probe.foreignCores()
+    val oc = probe.ownCores()
     val thr = probe.throttledDeltaUsec()
     entries.mkString("{", ",",
-      f""","probe":{"foreign_cores":$fc%.2f,"throttled_usec":$thr}}""")
+      f""","probe":{"foreign_cores":$fc%.2f,"own_cores":$oc%.2f,"throttled_usec":$thr}}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -614,11 +647,6 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .map(o => all.filter { case (n, _) => o(n) })
       .getOrElse(all)
-    queries.foreach { case (name, fn) =>
-      try once(fn)
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warm-up $name failed: $e") }
-    }
     // run the 15 GB-class bL_ scans LAST: alphabetical order put them first,
     // where they evicted the interactive set's 335 MB from page cache between
     // the warm-up pass and its timed runs (r3's apparent b_pyramid_build
@@ -626,15 +654,19 @@ object Bench {
     val results = queries.toSeq
       .sortBy { case (name, _) => (name.startsWith("bL_"), name) }
       .map { case (name, fn) =>
-      // fixed cache-state protocol for the 15 GB-class scans: one untimed
-      // pass of THE SAME query immediately before its timed runs, so every
-      // bL_ query measures the warm-page-cache shape regardless of what the
-      // preceding queries evicted (r4's bL_top20 +32% swing was exactly
-      // this ordering effect — the two full scans do near-identical work
-      // and must report near-identical times)
-      if (name.startsWith("bL_"))
-        try once(fn)
-        catch { case scala.util.control.NonFatal(_) => () }
+      // fixed cache-state protocol for EVERY query: one untimed pass of THE
+      // SAME query immediately before its timed runs, so each query measures
+      // the warm-cache/warm-codegen shape regardless of what ran before it.
+      // This replaces the old global warm-up loop, which warmed each query
+      // once at the START of the run — by the time the timed loop reached
+      // the first query, ~30 others had evicted its pages and the first
+      // timed window inherited a ~10x cold artifact (r10 verdict #4:
+      // b_contour 23.4 s full-suite vs 2.5 s in a 3-query subset). Same
+      // total executions per query (1 warm + reps), strictly better placed;
+      // it also stops running every bL_ scan one extra, redundant time.
+      try once(fn)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up $name failed: $e") }
       var err: String = null
       // median-of-5 for the 15 GB-class scans (their ±30-40% run-to-run
       // variance cost a judge re-run in r7), median-of-3 elsewhere
@@ -653,6 +685,7 @@ object Bench {
         }
       }
       val foreign = probe.foreignCores()
+      val own = probe.ownCores()
       val throttled = probe.throttledDeltaUsec()
       if (foreign > ContendedCores)
         System.err.println(f"[bench] WARNING: $name timed with $foreign%.1f " +
@@ -664,16 +697,16 @@ object Bench {
         System.err.println(s"[bench] WARNING: $name ran under cgroup CPU " +
           s"throttling (${throttled / 1000} ms) — its number is not comparable")
       (name, if (ts.contains(-1.0)) -1.0 else median(ts), Option(err), foreign,
-        throttled)
+        throttled, own)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _, _) =>
+    val errs = results.collect { case (k, _, Some(e), _, _, _) =>
       "\"" + k + "\":" + jstr(e.take(500)) }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
@@ -689,7 +722,7 @@ object Bench {
       else s""","contended":[${contended.map(jstr).mkString(",")}]"""
     // per-query verdicts: queries whose OWN timed window saw significant
     // foreign CPU — the record adjudicates instead of costing a judge re-run
-    val perQ = results.collect { case (k, _, _, fc, _) if fc > ContendedCores =>
+    val perQ = results.collect { case (k, _, _, fc, _, _) if fc > ContendedCores =>
       "\"" + k + "\":" + f"$fc%.2f" }
     val perQField =
       if (perQ.isEmpty) ""
@@ -699,9 +732,13 @@ object Bench {
     // flagged), and a cgroup quota squeeze burns zero foreign CPU — both
     // failure modes produced an unflagged bad record (r9 verdict #1). A
     // reader now rejects any record whose windows show -1 probes or
-    // nonzero throttle without re-running anything.
-    val probeField = results.map { case (k, _, _, fc, thr) =>
-      "\"" + k + "\":{" + f""""foreign_cores":$fc%.2f,"throttled_usec":$thr}"""
+    // nonzero throttle without re-running anything. own_cores closes the
+    // LAST unflagged mode, starvation (r10 verdict #3): every thread
+    // blocked on I/O or memory burns zero CPU anywhere — foreign 0,
+    // throttle 0 — but a long wall at near-zero own-CPU names itself.
+    val probeField = results.map { case (k, _, _, fc, thr, oc) =>
+      "\"" + k + "\":{" +
+        f""""foreign_cores":$fc%.2f,"own_cores":$oc%.2f,"throttled_usec":$thr}"""
     }.mkString(""","probe":{""", ",", "}")
     // record the thread count: heavy scans are decode-bound and scale with
     // cores, so an 8-thread record vs a 32-thread record differs 3-4x on
@@ -710,33 +747,48 @@ object Bench {
     // cpus may be non-numeric (local[*] is legal): keep the JSON valid
     val cpusJson =
       if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else jstr(cpus)
-    // growth-exponent ladder (r9 verdict task 3); SPARK_GRAFT_LADDER=0
-    // skips it for dev iteration, and a subset bench run skips it too
-    // unless SPARK_GRAFT_LADDER=1 forces it (ladder-only iteration)
-    val ladderEnv = sys.env.get("SPARK_GRAFT_LADDER")
-    val ladderField =
-      if (ladderEnv.contains("0") ||
-          (sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
-            !ladderEnv.contains("1"))) ""
-      else {
-        System.err.println("[bench] running the dedup/ANN scale ladder")
-        try s""","scale_ladder":${scaleLadderJson(spark, sfDir)}"""
-        catch { case scala.util.control.NonFatal(e) =>
-          s""","scale_ladder_error":${jstr(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))}"""
-        }
-      }
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"env_start":$envAtStart,"env_end":${cpuEnvJson()},"queries":$qs$errField$contField$perQField$probeField$ladderField,"sf":"$sfDir"}"""
+    def record(extra: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpusJson,"env_start":$envAtStart,"env_end":${cpuEnvJson()},"queries":$qs$errField$contField$perQField$probeField$extra,"sf":"$sfDir"}"""
     // per-sf mirror: totals are only comparable within one scale factor, so
     // each sf keeps its own baseline file (BENCH_LOCAL.json stays as the
     // latest-run mirror for tooling that expects the fixed name)
     val sfName = Paths.get(sfDir).getFileName.toString
-    Files.writeString(Paths.get(s"BENCH_LOCAL_$sfName.json"), json + "\n")
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
-    // stop BEFORE the final print: Spark shutdown logging otherwise lands
-    // after the JSON line and the driver's tail-parser misses it
-    spark.stop()
-    System.err.println(json)
-    println(json)
+    def emit(json: String): Unit = {
+      Files.writeString(Paths.get(s"BENCH_LOCAL_$sfName.json"), json + "\n")
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+      System.err.println(json)
+      println(json)
+      System.out.flush()
+    }
+    // growth-exponent ladder: OPT-IN (SPARK_GRAFT_LADDER=1). The r10 driver
+    // record died rc:124/parsed:null because the then-default-on ladder ran
+    // AFTER the query loop but BEFORE the record was emitted, and the
+    // driver's timeout landed mid-ladder — all query timings lost (r10
+    // verdict #1). The exponents only change when dedup/ANN code changes,
+    // so they live in a committed side record (BENCH_LADDER.json) refreshed
+    // on such changes, not in every driver run.
+    val runLadder = sys.env.get("SPARK_GRAFT_LADDER").contains("1")
+    if (!runLadder) {
+      // stop BEFORE the final print: Spark shutdown logging otherwise lands
+      // after the JSON line and the driver's tail-parser misses it
+      spark.stop()
+      emit(record(""))
+    } else {
+      // record-first: the query timings are on disk and on stdout before
+      // the ladder starts, so a timeout mid-ladder can never lose them
+      emit(record(""))
+      System.err.println("[bench] running the dedup/ANN scale ladder")
+      val ladderJson =
+        try scaleLadderJson(spark, sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          s"""{"error":${jstr(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(300))}}"""
+        }
+      Files.writeString(Paths.get("BENCH_LADDER.json"),
+        s"""{"cpus":$cpusJson,"sf":"$sfDir","scale_ladder":$ladderJson}""" + "\n")
+      spark.stop()
+      // final merged line LAST so a tail-parser that takes the last JSON
+      // line gets the full record when the ladder completes
+      emit(record(s""","scale_ladder":$ladderJson"""))
+    }
   }
 }

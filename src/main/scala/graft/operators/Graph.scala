@@ -34,12 +34,15 @@ import org.apache.spark.sql.functions._
   * (exact — no double rounding, no bigint overflow on 2^60-range ids)
   * decides termination.
   *
-  * Rounds needed = component diameter (labels can skip ahead, so usually
-  * fewer). Duplicate clusters are stars/cliques around a source doc —
-  * diameter ≤ 2-3 — so propagation beats the O(log n)-round star-contraction
-  * algorithms here (fewer, cheaper rounds, no re-edging shuffle). For
-  * adversarially long path-shaped graphs star contraction would win; that
-  * shape does not arise from similarity pairs.
+  * Each round is one propagation (min over neighbors) plus one POINTER
+  * JUMP (comp ← comp's comp — every label is a node id, so the lookup is
+  * a self-join on the label table): the jump halves remaining label-chain
+  * length, so rounds = O(log diameter), not O(diameter). That matters in
+  * practice, not just adversarially: fingerprint graphs DO produce long
+  * paths (hamming-adjacent dHash chains from ramp/gradient content made
+  * plain propagation blow past 25 rounds on a 103-node graph), while
+  * duplicate clusters proper (stars/cliques, diameter ≤ 2-3) still
+  * converge in ~2 rounds and only pay one extra small-table join.
   */
 object Graph {
 
@@ -74,9 +77,15 @@ object Graph {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = und.join(labels, und("v") === labels("id"))
+      val prop = und.join(labels, und("v") === labels("id"))
         .groupBy(und("u").as("id"))
         .agg(min(col("comp")).as("comp"))
+      // pointer jump: comp ← comp(comp). Labels are always node ids (they
+      // start as ids and only min-combine), so the inner self-join is total.
+      val next = prop
+        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"))
+        .select(col("id"), col("ccomp").as("comp"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0

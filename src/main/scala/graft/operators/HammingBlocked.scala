@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared hamming-blocked candidate join over DISTINCT fingerprints, with
+  * a two-level mega-bucket skew guard — the common core of the image
+  * near-dup join ([[MediaDedup.hashNearDups]], 64-bit dHash) and the text
+  * one ([[TextOps.simhashNearDups]], 60-bit SimHash).
+  *
+  * Level 1 (pigeonhole): a pair within hamming distance ≤ 3 differs in at
+  * most 3 of 4 equal-width blocks, so it agrees EXACTLY on at least one —
+  * candidates come from an equi-join on (block index, block value), never
+  * an all-pairs join.
+  *
+  * Skew guard (level 2): a (block, value) bucket of k distinct fingerprints
+  * yields k² candidates, and band-degenerate content — near-uniform frames,
+  * blank pages, ramps, letterboxed images — concentrates most distinct
+  * fingerprints into a handful of mega-buckets, degenerating the join
+  * toward all-pairs (the round-10 scale ladder measured growth exponent
+  * 2.35 on a ramp-content corpus vs 0.85 on hash-diverse content). Members
+  * of an over-cap bucket already agree on that block, so a qualifying
+  * pair's ≤ 3 remaining diffs all live in the other blocks' bits; those
+  * re-split into 4 equal-ish sub-blocks and pigeonhole applies again (≥ 1
+  * sub-block agrees exactly), so over-cap buckets join on the finer key
+  * (block, value, sub index, sub value) losslessly. Sub-buckets STILL over
+  * cap are dropped — the only recall loss, and it requires ≥ cap distinct
+  * fingerprints agreeing on block + sub-block (28 of 64 bits): content that
+  * degenerate is exact-hash territory, not near-dup territory (its pairs
+  * differ in ≤ 3 of the remaining 36 bits and mostly surface via their
+  * OTHER, diverse blocks anyway). With the cap in place candidate volume is
+  * O(N · cap) by construction — linear in corpus size at fixed cap — and
+  * the bucket-size aggregates that drive the routing are one extra hash
+  * aggregate over 4N (fp, block) rows, with the heavy/over-cap key sets
+  * broadcast (≤ 4N/cap rows each by construction).
+  */
+private[operators] object HammingBlocked {
+
+  /** Default per-bucket cap: 1024² = ~1M candidate pairs per worst-case
+    * surviving bucket — safely inside one task — while real (non-degenerate)
+    * buckets run orders of magnitude smaller. */
+  val DefaultBucketCap = 1024
+
+  /** Candidate fingerprint pairs (fa < fb, hamming ≤ maxHamming, distinct)
+    * from a single-column ("fp") DataFrame of DISTINCT fingerprint longs
+    * occupying the low `totalBits` bits (totalBits = 64 uses the sign bit;
+    * comparisons only need a consistent total order). */
+  def fpPairs(uniq: DataFrame, totalBits: Int, maxHamming: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-block pigeonhole is lossless only to hamming 3, got $maxHamming")
+    require(totalBits % 4 == 0 && totalBits <= 64, s"totalBits=$totalBits")
+    require(bucketCap >= 1, s"bucketCap=$bucketCap")
+    val bw = totalBits / 4
+    val restBits = totalBits - bw
+    val widths = {
+      val base = restBits / 4; val extra = restBits % 4
+      Seq.tabulate(4)(i => if (i < extra) base + 1 else base)
+    }
+    val entries: Seq[Column] = (0 until 4).map { c =>
+      val chunk = shiftrightunsigned(col("fp"), bw * c)
+        .bitwiseAND(lit((1L << bw) - 1))
+      // the fingerprint with block c's bits excised (low | high>>block):
+      // the ≤3 remaining diffs of an in-bucket pair all live here
+      val lowBits = bw * c
+      val hiShift = bw * (c + 1)
+      val low =
+        if (lowBits == 0) lit(0L)
+        else col("fp").bitwiseAND(lit((1L << lowBits) - 1))
+      val high =
+        if (hiShift >= 64) lit(0L) // JVM shifts are mod-64: guard c=3 at 64 bits
+        else shiftleft(shiftrightunsigned(col("fp"), hiShift), lowBits)
+      val rest = low.bitwiseOR(high)
+      var off = 0
+      val subs = widths.map { w =>
+        val s = shiftrightunsigned(rest, off).bitwiseAND(lit((1L << w) - 1))
+        off += w
+        s
+      }
+      struct(lit(c).as("c"), chunk.as("chunk"), array(subs: _*).as("subs"))
+    }
+    // persist: the routing branches below (bucket sizes, light anti-join ×2
+    // sides, heavy semi-join, sub-bucket sizes, heavy self-join ×2 sides)
+    // reference this table up to 7 times, and its upstream is typically an
+    // EXPENSIVE fingerprint pipeline (image decode + dHash) — unpersisted,
+    // that pipeline re-executes per reference (measured 27× on the 30k
+    // ramp bench: 81 s vs ~3 s). One materialization of 4 narrow rows per
+    // DISTINCT fingerprint is small by construction (the collapse already
+    // happened). Same precedent as minhashNearDups' shingle persist.
+    val chunks = uniq.select(col("fp"), explode(array(entries: _*)).as("e"))
+      .select(col("fp"), col("e.c").as("c"), col("e.chunk").as("chunk"),
+        col("e.subs").as("subs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // heavy is ≤ 4N/cap rows by construction — broadcast routing keys.
+    val heavy = chunks.groupBy("c", "chunk").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap).select("c", "chunk")
+    val light = chunks.join(broadcast(heavy), Seq("c", "chunk"), "left_anti")
+    val la = light.select(col("c"), col("chunk"), col("fp").as("fa"))
+    val lb = light.select(col("c"), col("chunk"), col("fp").as("fb"))
+    val lightPairs = la.join(lb, Seq("c", "chunk")).select("fa", "fb")
+    val hm = chunks.join(broadcast(heavy), Seq("c", "chunk"), "left_semi")
+      .select(col("c"), col("chunk"), col("fp"),
+        posexplode(col("subs")).as(Seq("s", "sub")))
+    val overSub = hm.groupBy("c", "chunk", "s", "sub")
+      .agg(count(lit(1)).as("sn"))
+      .filter(col("sn") > bucketCap).select("c", "chunk", "s", "sub")
+    val hv = hm.join(broadcast(overSub), Seq("c", "chunk", "s", "sub"),
+      "left_anti")
+    val ha = hv.select(col("c"), col("chunk"), col("s"), col("sub"),
+      col("fp").as("fa"))
+    val hb = hv.select(col("c"), col("chunk"), col("s"), col("sub"),
+      col("fp").as("fb"))
+    val heavyPairs = ha.join(hb, Seq("c", "chunk", "s", "sub"))
+      .select("fa", "fb")
+    lightPairs.union(heavyPairs)
+      .filter(col("fa") < col("fb"))
+      .select(col("fa"), col("fb"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

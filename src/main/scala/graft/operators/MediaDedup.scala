@@ -39,21 +39,23 @@ object MediaDedup {
     * candidate count depends only on the number of distinct hash values.
     * Member pairs are then re-expanded by two output-bound equi-joins on
     * fp (cross-fp pairs via the surviving fp pairs; hamming-0 pairs via a
-    * self-join on fp), so no stage is ever quadratic in multiplicity. */
+    * self-join on fp), so no stage is ever quadratic in multiplicity.
+    *
+    * Band-degenerate content (ramps, near-uniform frames, blank pages)
+    * concentrates distinct fingerprints into a few mega-buckets — the
+    * round-10 scale ladder measured growth exponent 2.35 on a ramp corpus —
+    * so the blocked join carries [[HammingBlocked]]'s two-level skew guard:
+    * buckets over `bucketCap` re-split on a secondary 12-bit sub-block
+    * (pigeonhole again: still lossless), and only doubly-degenerate
+    * sub-buckets (≥ cap distinct fps agreeing on 28 of 64 bits) are
+    * dropped. Candidate volume is O(N · cap) by construction. */
   def hashNearDups(fps: DataFrame, idCol: String, fpCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, s"4-block bucketing is lossless only to hamming 3, got $maxHamming")
+      maxHamming: Int = 3,
+      bucketCap: Int = HammingBlocked.DefaultBucketCap): DataFrame = {
     val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
     val uniq = m.select(col("fp")).distinct()
-    val chunks = uniq.select(col("fp"),
-      explode(sequence(lit(0), lit(3))).as("c"))
-      .withColumn("chunk", expr("shiftright(fp, 16 * c) & 65535"))
-    val a = chunks.select(col("c"), col("chunk"), col("fp").as("fa"))
-    val b = chunks.select(col("c"), col("chunk"), col("fp").as("fb"))
-    val fpPairs = a.join(b, Seq("c", "chunk")).filter(col("fa") < col("fb"))
-      .select(col("fa"), col("fb"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming")).distinct()
-      .filter(col("hamming") <= maxHamming)
+    val fpPairs = HammingBlocked.fpPairs(uniq, totalBits = 64,
+      maxHamming = maxHamming, bucketCap = bucketCap)
     val cross = fpPairs
       .join(m.select(col("mid").as("ida"), col("fp").as("fa")), Seq("fa"))
       .join(m.select(col("mid").as("idb"), col("fp").as("fb")), Seq("fb"))
@@ -117,10 +119,11 @@ object MediaDedup {
     * blocked join stays near-linear — the property real image corpora
     * have. The interactive bench's ramp content is the ADVERSARIAL case:
     * most of its images share band values, so past ~10^5 distinct
-    * fingerprints its candidate volume degenerates toward all-pairs (the
-    * round-10 ladder measured growth exponent 2.35 on ramps vs ~linear
-    * here) — content-degenerate corpora need a skew guard (drop or
-    * exact-hash the handful of mega-buckets) before the pair join. */
+    * fingerprints the UNGUARDED candidate volume degenerates toward
+    * all-pairs (the round-10 ladder measured growth exponent 2.35 on ramps
+    * vs ~linear here) — [[HammingBlocked]]'s mega-bucket guard now routes
+    * those buckets through a secondary sub-block split; the ladder's
+    * image_dedup_skew series pins the guarded exponent. */
   def imageDedupDiverseBench(spark: SparkSession, n: Int): DataFrame = {
     val groups = n / 5
     val imgs = spark.range(n.toLong).toDF("id")
@@ -134,9 +137,16 @@ object MediaDedup {
     hashNearDups(imgs, "id", "fp", maxHamming = 3)
   }
 
-  def imageDedupBench(spark: SparkSession, n: Int): DataFrame = {
+  /** Ramp-content (id, fp) corpus — the CLIQUE-degenerate case: the mod-241
+    * ramp aliases most groups onto the same fingerprint, so the corpus has
+    * ~103 distinct fingerprints at ANY n (measured at 30k and 300k alike)
+    * and duplicate cliques of ~n/103 members. Enumerating its near-dup
+    * PAIRS is therefore Ω(n²) in OUTPUT alone — that, not join blowup, is
+    * what the round-10 ladder's 2.35 exponent measured. The linear-output
+    * dedup decision for such corpora is [[hashDedupClusters]]. */
+  def rampImages(spark: SparkSession, n: Int): DataFrame = {
     val groups = n / 5
-    val imgs = spark.range(n.toLong).toDF("id")
+    spark.range(n.toLong).toDF("id")
       .withColumn("px", mm_u8_pack(expr(
         s"""transform(sequence(0, 1023), i -> CAST(
              ( ((id % $groups)*53 + (i % 32)*29 + (i div 32)*17) % 241
@@ -146,7 +156,60 @@ object MediaDedup {
            AS INT))""")))
       .withColumn("fp", mm_dhash(col("px"), 32, 32))
       .select(col("id"), col("fp"))
+  }
+
+  def imageDedupBench(spark: SparkSession, n: Int): DataFrame =
+    hashNearDups(rampImages(spark, n), "id", "fp", maxHamming = 3)
+
+  /** Band-skew ladder corpus — the guard's true target: LETTERBOXED images
+    * (constant top bar, rows 0-7) pin dHash block 0 (bits 0-15 = sample
+    * rows 0 and 4) to ONE value corpus-wide, while the remaining rows carry
+    * per-group Murmur3 diversity — so ~all DISTINCT fingerprints share one
+    * (block, value) mega-bucket but true near-pairs stay sparse (5-member
+    * groups). Unguarded blocking goes Σk² ≈ all-pairs on that bucket;
+    * [[HammingBlocked]]'s secondary sub-split keeps it linear — and
+    * LOSSLESS here: with a single constant block, a qualifying pair's ≤ 3
+    * remaining diffs leave ≥ 1 agreeing 12-bit sub-block, and sub-buckets
+    * are diverse. This is the realistic degenerate shape (letterboxing,
+    * uniform borders, template frames around varying content). */
+  def imageDedupLetterboxBench(spark: SparkSession, n: Int): DataFrame = {
+    val groups = n / 5
+    val imgs = spark.range(n.toLong).toDF("id")
+      .withColumn("px", mm_u8_pack(expr(
+        s"""transform(sequence(0, 1023), i -> CAST(
+             IF(i < 256, 8,
+               pmod(hash(CAST(id % $groups AS INT), i), 239)
+               + (id*7 + i % 32 + i div 32) % 3)
+           AS INT))""")))
+      .withColumn("fp", mm_dhash(col("px"), 32, 32))
+      .select(col("id"), col("fp"))
     hashNearDups(imgs, "id", "fp", maxHamming = 3)
+  }
+
+  /** Near-dup CLUSTER ASSIGNMENT — the dedup DECISION operator, linear in
+    * corpus size even on clique-degenerate content. Pair enumeration is
+    * Ω(#true pairs) by definition, and a corpus whose duplicate cliques
+    * grow with n (the ramp bench: ~103 distinct fps at any n ⇒ ~n²/103
+    * true pairs) makes ANY pairs API quadratic in output alone. The
+    * keep/drop decision only needs each member's cluster: fp-level pairs
+    * from the guarded blocked join (O(distinct fps)), connected components
+    * over the fp GRAPH (nodes = distinct fingerprints, not members), then
+    * ONE equi-join assigns every member its cluster — no stage touches
+    * member pairs. Returns (idCol, fpCol, cluster); cluster = min
+    * fingerprint of the component (fingerprints with no ≤maxHamming
+    * neighbor are their own cluster). */
+  def hashDedupClusters(fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3,
+      bucketCap: Int = HammingBlocked.DefaultBucketCap): DataFrame = {
+    val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
+    val uniq = m.select(col("fp")).distinct()
+    val fpPairs = HammingBlocked.fpPairs(uniq, totalBits = 64,
+      maxHamming = maxHamming, bucketCap = bucketCap)
+    val comps = Graph.connectedComponents(
+      fpPairs.select("fa", "fb"), "fa", "fb")
+    m.join(comps.select(col("id").as("fp"), col("comp")), Seq("fp"), "left")
+      .select(col("mid").as(idCol), col("fp").as(fpCol),
+        coalesce(col("comp"), col("fp")).as("cluster"))
   }
 
   /** Minimal JPEG shell carrying an EXIF APP1 with orientation `o` —

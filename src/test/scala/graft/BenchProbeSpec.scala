@@ -26,6 +26,24 @@ class BenchProbeSpec extends AnyFunSuite {
     } finally burners.foreach(_.destroyForcibly())
   }
 
+  test("ownCores separates a busy window from a starved (all-blocked) one") {
+    // starvation is the one contamination mode foreign/throttle probes
+    // can't see (r10 verdict #3): every thread blocked, nobody burning CPU.
+    // A window where THIS process sleeps reads ~0 own cores; a window where
+    // it spins reads ~1 per spinning thread — so a record showing long wall
+    // at near-zero own-CPU on a 32-thread pool rejects itself.
+    val starved = new Bench.ContentionProbe
+    Thread.sleep(800)
+    val ocStarved = starved.ownCores()
+    assert(ocStarved >= 0.0 && ocStarved < 0.5, s"starved own=$ocStarved")
+    val busy = new Bench.ContentionProbe
+    val end = System.nanoTime() + 800L * 1000000L
+    var x = 0L
+    while (System.nanoTime() < end) { x += 1 }
+    val ocBusy = busy.ownCores()
+    assert(ocBusy > 0.5, s"busy own=$ocBusy (x=$x)")
+  }
+
   // --- self-adjudicating record, r9 verdict #1: a quota-squeezed or
   // probe-dead environment must be visible FROM THE RECORD (unconditional
   // per-query foreign_cores + throttle counters + start/end env snapshots),
