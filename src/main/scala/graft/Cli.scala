@@ -61,6 +61,11 @@ object Cli {
       |  stamp-footer <file.parquet|dataset_dir>
       |  mvt <zones.parquet> <out.pmtiles> [--zoom N] [--extent N] [--layer name]
       |      [--target-size-mb 128]
+      |  geoparquet-convert <in.parquet> <out.parquet>   (autoroutes on the
+      |      `geo` footer key: GeoParquet in -> WKT-bridged table out;
+      |      plain parquet in -> spec GeoParquet out)
+      |      [--wkt-col wkt] [--geometry-col geometry] [--types Polygon,...]
+      |      [--crs-file projjson.json]
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -261,13 +266,27 @@ object Cli {
             "attribute / chunked-header fill in the file governs)")
         if (graft.raquet.Hdf4Swath.isSwath(in)) {
           // SWATH products (MODIS L1B/L2): geolocation-array warp;
-          // --zoom pins the target zoom, else resolution-matched auto
+          // --zoom pins the target zoom, else resolution-matched auto.
+          // Loud-fail every generic convert flag this path does not honor
+          // (same policy as --target-size/--nodata above): silently
+          // accepting them would ship a dataset the user didn't ask for.
           if (f.contains("fields"))
             fail("swath convert takes one --field at a time")
+          if (f.contains("min-zoom"))
+            fail("--min-zoom is not supported for swath inputs (pyramid " +
+              "depth follows the warp zoom; use --zoom to pin it)")
+          if (f.contains("block-size") && f("block-size") != "256")
+            fail("--block-size is fixed at 256 for swath inputs")
+          if (f.contains("zoom-strategy"))
+            fail("--zoom-strategy is not supported for swath inputs " +
+              "(resolution-matched auto; use --zoom to pin)")
+          if (f.contains("resampling"))
+            fail("--resampling is not supported for swath inputs " +
+              "(geolocation-array warp is nearest-sample by construction)")
           graft.raquet.Hdf4Swath.convert(spark, in, out,
             field = f.get("field"), tileStats = ts,
             zoomOverride = f.get("zoom").map(_.toInt),
-            rowGroupBytes = rgb,
+            rowGroupBytes = rgb, overviews = ov,
             band = f.getOrElse("band", "0").toInt)
           println(s"converted $in -> $out (swath)")
           return
@@ -376,6 +395,35 @@ object Cli {
       val Seq(in, out) = expect(pos, 2, "pmtiles <in.parquet> <out.pmtiles>")
       val n = graft.sources.TileCache.exportPmTiles(spark, in, out)
       println(s"published $n tiles -> $out")
+    case "geoparquet-convert" =>
+      // both directions, autorouted on the input's `geo` footer key (the
+      // same detection GDAL/GeoPandas use): a GeoParquet input bridges its
+      // primary geometry to the engine's WKT surface; a plain parquet
+      // input with a WKT column writes spec GeoParquet (footer-stamped
+      // per part file, optional PROJJSON --crs-file passthrough)
+      val (pos, f) = parseArgs(args.tail, Set.empty)
+      val Seq(in, out) = expect(pos, 2,
+        "geoparquet-convert <in.parquet> <out.parquet> [--wkt-col wkt] " +
+          "[--geometry-col geometry] [--types Polygon,...] [--crs-file f.json]")
+      if (graft.sources.GeoParquet.isGeoParquet(in)) {
+        val (df, gi) = graft.sources.GeoParquet.read(spark, in)
+        df.drop(gi.primaryColumn).write.mode("overwrite").parquet(out)
+        println(s"converted $in (GeoParquet '${gi.primaryColumn}') -> $out " +
+          s"(WKT column '${gi.primaryColumn}_wkt')")
+      } else {
+        val wktCol = f.getOrElse("wkt-col", "wkt")
+        val df = spark.read.parquet(in)
+        if (!df.columns.contains(wktCol))
+          fail(s"$in: no '$wktCol' column (set --wkt-col; columns: " +
+            df.columns.mkString(", ") + ")")
+        graft.sources.GeoParquet.write(df, out, wktCol,
+          geometryCol = f.getOrElse("geometry-col", "geometry"),
+          geometryTypes = f.getOrElse("types", "Polygon")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          crs = f.get("crs-file").map(p => java.nio.file.Files.readString(
+            java.nio.file.Paths.get(p))))
+        println(s"converted $in -> $out (GeoParquet)")
+      }
     case other => fail(s"unknown command '$other'\n$Usage")
   }
 

@@ -63,17 +63,35 @@ object BandStack {
     val mergedMeta = meta0.copy(bands = parts.zipWithIndex.map {
       case ((_, m), i) => m.bands.head.copy(name = s"band_${i + 1}")
     })
-    RaquetIO.write(stacked, mergedMeta, outFile, rowGroupBytes = rowGroupBytes)
-    // equal numBlocks/bounds do NOT guarantee identical block sets; the
-    // inner join would silently drop any block missing from one band.
-    // Parquet count-star on the written file and on part 0 are both
-    // metadata-only reads, so this costs no second join evaluation.
-    val written = RaquetIO.read(spark, outFile).data.count()
-    val expected = counts.head
-    require(written == expected,
-      s"band stack dropped ${expected - written} of $expected rows — " +
-        "parts cover different block sets (same grid bounds, different " +
-        "tiles); refusing to write a silently incomplete dataset")
+    // write to a temp path and only rename onto outFile once the row-count
+    // re-check passes: the check alone would still leave a readable-but-
+    // truncated dataset AT THE TARGET for a later reader to pick up (the
+    // r10 ADVICE finding). Rename is same-directory, so it stays a pure
+    // metadata move on any local/posix fs.
+    val tmpOut = outFile + ".stack-tmp"
+    val tmpFile = new java.io.File(tmpOut)
+    if (tmpFile.exists()) org.apache.commons.io.FileUtils.deleteQuietly(tmpFile)
+    try {
+      RaquetIO.write(stacked, mergedMeta, tmpOut, rowGroupBytes = rowGroupBytes)
+      // equal numBlocks/bounds do NOT guarantee identical block sets; the
+      // inner join would silently drop any block missing from one band.
+      // Parquet count-star on the written file and on part 0 are both
+      // metadata-only reads, so this costs no second join evaluation.
+      val written = RaquetIO.read(spark, tmpOut).data.count()
+      val expected = counts.head
+      require(written == expected,
+        s"band stack dropped ${expected - written} of $expected rows — " +
+          "parts cover different block sets (same grid bounds, different " +
+          "tiles); refusing to write a silently incomplete dataset")
+      val dst = new java.io.File(outFile)
+      if (dst.exists()) {
+        if (dst.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        else dst.delete()
+      }
+      java.nio.file.Files.move(tmpFile.toPath, dst.toPath)
+    } finally {
+      if (tmpFile.exists()) org.apache.commons.io.FileUtils.deleteQuietly(tmpFile)
+    }
     mergedMeta
   }
 }

@@ -234,6 +234,12 @@ object Hdf4 {
       raw: Array[Byte], uncompLen: Int): Array[Byte] = {
     require((info.mask & SzMaskRaw) == 0,
       s"$path: szip raw-mode payloads unsupported")
+    // the decode below emits big-endian sample bytes; an LSB-first stream
+    // (SZ_MSB_OPTION_MASK clear) would decode to silently byte-swapped
+    // samples, so fail loudly instead (r10 ADVICE: guard BEFORE the
+    // -Dgraft.hdf4.szip=on fixture gate ever flips on)
+    require((info.mask & SzMaskMsb) != 0,
+      s"$path: LSB-first szip payloads unsupported (options_mask=${info.mask})")
     require(info.bits >= 1 && info.bits <= 32,
       s"$path: szip bits_per_pixel ${info.bits}")
     require(Set(8, 16, 32, 64).contains(info.perBlock),

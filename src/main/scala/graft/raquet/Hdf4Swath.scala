@@ -299,6 +299,17 @@ object Hdf4Swath {
         val lat = latB.value; val lon = lonB.value
         val npx = (256L << zoom).toDouble
         val nTiles = 1L << zoom
+        // per-partition working set: one (256² double + float) pair per
+        // DISTINCT tile this partition's scanlines touch. Bound: a
+        // partition covers ≤ rowsPer scanlines × nx samples; at the
+        // resolution-matched auto zoom one sample ≈ one output pixel, so
+        // tiles-touched ≈ rowsPer·nx/65536 (+ a swath-curvature fringe) —
+        // ~8 tiles ≈ 5 MB for a MODIS 1 km granule's 128-row partition.
+        // A zoomOverride DEEPER than the source resolution multiplies this
+        // by 4^Δz; anyone pointing a 10 m-resolution swath (nx ~ 40k) at
+        // this should either keep the auto zoom or shrink rowsPer — the
+        // emit-early alternative (flatMap per scanline band + one more
+        // reduce stage) only pays off past ~10³ tiles per partition.
         val tiles = scala.collection.mutable.HashMap
           .empty[Long, (Array[Double], Array[Float])]
         var jf = r0

@@ -36,13 +36,46 @@ object GeoParquet {
         throw new IllegalArgumentException(s"$path: no parquet files"))
   }
 
+  /** Cheap routing probe: does `path` carry a `geo` footer entry? False
+    * for plain parquet, missing paths, or non-parquet files (never throws
+    * — used by the CLI to autoroute). */
+  def isGeoParquet(path: String): Boolean =
+    try ParquetFooter.keyValue(firstParquet(path), "geo").isDefined
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** Parse the `geo` footer metadata of `path` (a file or a directory of
-    * part files — GeoParquet writers stamp every file identically). */
+    * part files). GeoParquet writers stamp every part file identically;
+    * rather than TRUST that, a directory read verifies every part footer
+    * agrees on the load-bearing fields (primary column + encoding) — an
+    * O(#files) driver-side footer pass, the same cost class as parquet's
+    * own schema-merge listing — so a directory with one foreign or stale
+    * part fails loudly instead of mis-decoding its geometry column. */
   def geoInfo(path: String): GeoInfo = {
     val f = firstParquet(path)
     val json = ParquetFooter.keyValue(f, "geo").getOrElse(
       throw new IllegalArgumentException(
         s"$path: no 'geo' footer metadata — not a GeoParquet file"))
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val parts = Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      parts.foreach { part =>
+        val pj = ParquetFooter.keyValue(part, "geo").getOrElse(
+          throw new IllegalArgumentException(
+            s"$part: part file lacks the 'geo' footer entry"))
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        def key(s: String): (String, String) = {
+          val r = m.readTree(s)
+          val pc = Option(r.get("primary_column")).map(_.asText).getOrElse("")
+          val enc = Option(r.get("columns")).flatMap(c => Option(c.get(pc)))
+            .flatMap(c => Option(c.get("encoding"))).map(_.asText).getOrElse("WKB")
+          (pc, enc)
+        }
+        require(key(pj) == key(json),
+          s"$part: 'geo' footer disagrees with ${f.getFileName} " +
+            s"(${key(pj)} vs ${key(json)})")
+      }
+    }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val primary = Option(root.get("primary_column")).map(_.asText).getOrElse(
@@ -74,14 +107,28 @@ object GeoParquet {
 
   /** Write `df` as GeoParquet: `wktCol` serializes to a WKB column named
     * `geometryCol`, and every part file's footer gains the `geo` entry
-    * (primary column, WKB encoding, declared geometry types, OGC:CRS84). */
+    * (primary column, WKB encoding, declared geometry types). `crs`, when
+    * given, is a PROJJSON document passed through verbatim (e.g. the
+    * [[GeoInfo.crs]] of a read — round-trips a projected input); omitted
+    * means the spec default OGC:CRS84. The entry is serialized with
+    * Jackson, not string interpolation, so column names and type strings
+    * containing quotes/backslashes stay valid JSON. */
   def write(df: DataFrame, path: String, wktCol: String,
       geometryCol: String = "geometry",
-      geometryTypes: Seq[String] = Seq("Polygon")): Unit = {
+      geometryTypes: Seq[String] = Seq("Polygon"),
+      crs: Option[String] = None): Unit = {
     df.withColumn(geometryCol, st_as_wkb(col(wktCol))).drop(wktCol)
       .write.mode("overwrite").parquet(path)
-    val geo =
-      s"""{"version":"1.0.0","primary_column":"$geometryCol","columns":{"$geometryCol":{"encoding":"WKB","geometry_types":[${geometryTypes.map("\"" + _ + "\"").mkString(",")}]}}}"""
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "1.0.0")
+    root.put("primary_column", geometryCol)
+    val colNode = root.putObject("columns").putObject(geometryCol)
+    colNode.put("encoding", "WKB")
+    val types = colNode.putArray("geometry_types")
+    geometryTypes.foreach(types.add)
+    crs.foreach(c => colNode.replace("crs", mapper.readTree(c)))
+    val geo = mapper.writeValueAsString(root)
     Files.list(Paths.get(path)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .foreach(ParquetFooter.stampKeyValue(_, "geo", geo))

@@ -196,6 +196,56 @@ class CliSpec extends SparkSpec {
     } finally vr.close()
   }
 
+  test("geoparquet-convert autoroutes both directions on the geo footer key") {
+    import spark.implicits._
+    val plainPq = s"$tmp/gp_zones.parquet"
+    Seq((1L, "POLYGON ((-40 -30, 40 -30, 40 30, -40 30, -40 -30))"),
+      (2L, "POINT (10 20)"))
+      .toDF("zone_id", "wkt").write.parquet(plainPq)
+    // plain parquet + wkt column -> spec GeoParquet
+    val gpDir = s"$tmp/gp_out.parquet"
+    Cli.run(spark, Seq("geoparquet-convert", plainPq, gpDir,
+      "--types", "Polygon,Point"))
+    val gi = graft.sources.GeoParquet.geoInfo(gpDir)
+    assert(gi.primaryColumn == "geometry" && gi.encoding == "WKB")
+    assert(gi.geometryTypes == Seq("Polygon", "Point"))
+    // GeoParquet -> WKT-bridged table
+    val back = s"$tmp/gp_back.parquet"
+    Cli.run(spark, Seq("geoparquet-convert", gpDir, back))
+    val df = spark.read.parquet(back)
+    assert(df.columns.contains("geometry_wkt") && !df.columns.contains("geometry"))
+    assert(df.count() == 2)
+    // missing wkt column fails loudly, not silently
+    val e = intercept[Cli.CliError](Cli.run(spark,
+      Seq("geoparquet-convert", back, s"$tmp/gp_bad", "--wkt-col", "nope")))
+    assert(e.getMessage.contains("--wkt-col"))
+  }
+
+  test("swath convert loud-fails the generic flags it does not honor") {
+    val hdf = s"$tmp/swath_flags.hdf"
+    val n = 64
+    graft.raquet.Hdf4Writer.writeSwath(hdf, graft.raquet.Hdf4Writer.Swath(
+      "CLI_SW2",
+      dataFields = Seq(graft.raquet.Hdf4Writer.Field("v", 21, n, n,
+        (j, i) => ((i + j) % 200).toDouble, layout = "plain")),
+      lat = graft.raquet.Hdf4Writer.Field("Latitude", 6, n, n,
+        (j, _) => 50.0 - 0.1 * j, layout = "plain"),
+      lon = graft.raquet.Hdf4Writer.Field("Longitude", 6, n, n,
+        (_, i) => -10.0 + 0.1 * i, layout = "plain")))
+    for (flags <- Seq(Seq("--min-zoom", "2"), Seq("--zoom-strategy", "lower"),
+        Seq("--resampling", "average"), Seq("--block-size", "512"))) {
+      val e = intercept[Cli.CliError](Cli.run(spark,
+        Seq("convert", hdf, s"$tmp/swath_flags.parquet", "--zoom", "4") ++ flags))
+      assert(e.getMessage.contains(flags.head.drop(2)) ||
+        e.getMessage.contains(flags.head), s"$flags -> ${e.getMessage}")
+    }
+    // and --overviews none is FORWARDED, not silently dropped: no pyramid
+    val out = s"$tmp/swath_noov.parquet"
+    Cli.run(spark, Seq("convert", hdf, out, "--zoom", "4", "--overviews", "none"))
+    val ds = graft.raquet.RaquetIO.read(spark, out)
+    assert(ds.meta.minZoom == 4 && ds.meta.maxZoom == 4)
+  }
+
   test("convert imageserver fetches a bbox'd tile set through argv") {
     // the q69 endpoint shape: deterministic 3-channel PNG tiles
     val server = com.sun.net.httpserver.HttpServer.create(

@@ -36,6 +36,42 @@ class GeoParquetSpec extends SparkSpec {
     for (id <- 0 until 40) assert(areas(id.toLong) == (id + 1).toDouble)
   }
 
+  test("crs passes through as PROJJSON; names with quotes stay valid JSON") {
+    import spark.implicits._
+    val dir = s"${tmp()}/crs.parquet"
+    val projjson = """{"type":"GeographicCRS","name":"WGS 84 \"G2139\"","id":{"authority":"EPSG","code":4326}}"""
+    // a geometry column name containing a quote: raw interpolation would
+    // emit invalid JSON and the read side would throw on parse
+    val feats = Seq((1L, "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"))
+      .toDF("id", "wkt")
+    GeoParquet.write(feats, dir, "wkt", geometryCol = "geo\"m",
+      geometryTypes = Seq("Poly\\gon"), crs = Some(projjson))
+    val gi = GeoParquet.geoInfo(dir)
+    assert(gi.primaryColumn == "geo\"m")
+    assert(gi.geometryTypes == Seq("Poly\\gon"))
+    val crsNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(gi.crs.get)
+    assert(crsNode.get("name").asText == "WGS 84 \"G2139\"")
+    assert(crsNode.get("id").get("code").asInt == 4326)
+    val (gdf, _) = GeoParquet.read(spark, dir)
+    assert(gdf.columns.contains("geo\"m_wkt"))
+  }
+
+  test("a directory with one disagreeing part footer fails loudly") {
+    import spark.implicits._
+    val dir = s"${tmp()}/mixed.parquet"
+    val feats = (0 until 8).map(id =>
+      (id.toLong, "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("id", "wkt").repartition(2)
+    GeoParquet.write(feats, dir, "wkt")
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).last.toPath
+    graft.raquet.ParquetFooter.stampKeyValue(part, "geo",
+      """{"version":"1.0.0","primary_column":"other","columns":{"other":{"encoding":"WKB"}}}""")
+    val e = intercept[IllegalArgumentException](GeoParquet.geoInfo(dir))
+    assert(e.getMessage.contains("disagrees"), e.getMessage)
+  }
+
   test("non-GeoParquet parquet and non-WKB encodings fail loudly") {
     import spark.implicits._
     val plain = s"${tmp()}/plain.parquet"

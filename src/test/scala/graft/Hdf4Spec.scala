@@ -361,10 +361,12 @@ class Hdf4Spec extends AnyFunSuite {
         Hdf4.szipDecode("t", info, raw, 64))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    bad(SzipInfo(64, 16, 128 | 32, 8, 16), "raw-mode")
-    bad(SzipInfo(64, 20, 32, 8, 16), "whole number")
-    bad(SzipInfo(64, 16, 32, 8, 12), "pixels_per_block")
-    bad(SzipInfo(64, 16, 32, 0, 16), "bits_per_pixel")
+    bad(SzipInfo(64, 16, 128 | 32 | 16, 8, 16), "raw-mode")
+    // MSB clear: an LSB-first stream would decode byte-swapped — reject
+    bad(SzipInfo(64, 16, 32, 8, 16), "LSB-first")
+    bad(SzipInfo(64, 20, 32 | 16, 8, 16), "whole number")
+    bad(SzipInfo(64, 16, 32 | 16, 8, 12), "pixels_per_block")
+    bad(SzipInfo(64, 16, 32 | 16, 0, 16), "bits_per_pixel")
   }
 
   test("GCTP_PS / GCTP_LAMCC / GCTP_ALBERS ProjParams map onto the engine projections") {
