@@ -215,6 +215,8 @@ object SparkEntry {
     "q194_hdf4_swath"       -> (RaquetQueries.q194Hdf4Swath _),
     "q195_geoparquet"       -> (RaquetQueries.q195GeoParquet _),
     "q196_line_dedup"       -> (LlmQueries.q196LineDedup _),
+    "q197_hamming_guard"    -> (graft.operators.MediaDedup.q197HammingGuard _),
+    "q198_dedup_clusters"   -> (graft.operators.MediaDedup.q198DedupClusters _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -484,6 +486,12 @@ object SparkEntry {
     "q195_geoparquet"       -> RaquetOracles.q195,
     // q196: line-level boilerplate removal — full algorithm in the oracle
     "q196_line_dedup"       -> LlmOracles.q196,
+    // q197: the mega-bucket skew guard ENGAGED (block-0 bucket 5x the cap)
+    // must still equal the all-pairs hamming join
+    "q197_hamming_guard"    -> graft.operators.MediaDedup.oracleQ197,
+    // q198: cluster assignment over path-shaped fp cliques — the oracle
+    // recomputes the transitive closure recursively
+    "q198_dedup_clusters"   -> graft.operators.MediaDedup.oracleQ198,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -212,6 +212,62 @@ object MediaDedup {
         coalesce(col("comp"), col("fp")).as("cluster"))
   }
 
+  /** q197 — the mega-bucket guard, driver-proven lossless where it ENGAGES:
+    * 5,000 synthetic 64-bit fingerprints all share block-0 value 23130
+    * (one mega-bucket ~5× the default 1024 cap, so the secondary sub-split
+    * route is what answers this query); odd ids plant a hamming-3 neighbor
+    * of their even predecessor flipping one bit in EACH of blocks 1..3 —
+    * the guarded mega-bucket is those pairs' ONLY meeting point. The
+    * oracle is the full all-pairs hamming join (single constant block ⇒
+    * the guard is lossless here, see [[HammingBlocked]]). */
+  def q197HammingGuard(spark: SparkSession, dir: String): DataFrame = {
+    val fps = spark.range(5000).toDF("id").selectExpr("id",
+      """((((CASE WHEN id % 2 = 0 THEN id ELSE id - 1 END) * 2654435761)
+           % 140737488355328) * 65536 + 23130)
+         ^ (CASE WHEN id % 2 = 1 THEN 4503668347895808 ELSE 0 END) AS fp""")
+    hashNearDups(fps, "id", "fp", maxHamming = 3)
+  }
+
+  val oracleQ197: String =
+    """WITH f AS (SELECT id,
+         xor((((CASE WHEN id % 2 = 0 THEN id ELSE id - 1 END) * 2654435761)
+              % 140737488355328) * 65536 + 23130,
+             CASE WHEN id % 2 = 1 THEN 4503668347895808 ELSE 0 END) AS fp
+       FROM range(5000) t(id))
+       SELECT a.id AS ia, b.id AS ib,
+         CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       FROM f a JOIN f b ON a.id < b.id
+       WHERE bit_count(xor(a.fp, b.fp)) <= 3"""
+
+  /** q198 — near-dup cluster ASSIGNMENT (the linear dedup decision): 60
+    * 8-member fingerprint PATHS (member k carries `3 << (16+k)`, so
+    * adjacent members differ in 2 bits but members two apart differ in 4 —
+    * clusters exist only via transitive closure, exercising the
+    * pointer-jumping components, not just single-hop grouping). The oracle
+    * recomputes the closure with a recursive CTE over the all-pairs
+    * hamming graph and labels each member with its component's min fp. */
+  def q198DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val fps = spark.range(480).toDF("id").selectExpr("id",
+      """((((id div 8) * 2654435761) % 140737488355328) * 65536 + 51)
+         ^ shiftleft(CAST(3 AS BIGINT), CAST(16 + id % 8 AS INT)) AS fp""")
+    hashDedupClusters(fps, "id", "fp")
+  }
+
+  val oracleQ198: String =
+    """WITH RECURSIVE f AS (SELECT id,
+         xor((((id // 8) * 2654435761) % 140737488355328) * 65536 + 51,
+             (CAST(3 AS BIGINT) << CAST(16 + id % 8 AS INT))) AS fp
+       FROM range(480) t(id)),
+       u AS (SELECT DISTINCT fp FROM f),
+       e AS (SELECT a.fp AS src, b.fp AS dst FROM u a JOIN u b
+             ON bit_count(xor(a.fp, b.fp)) <= 3),
+       reach(fp, comp) AS (
+         SELECT fp, fp FROM u
+         UNION
+         SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.fp),
+       m AS (SELECT fp, min(comp) AS comp FROM reach GROUP BY fp)
+       SELECT f.id, f.fp, m.comp AS cluster FROM f JOIN m USING (fp)"""
+
   /** Minimal JPEG shell carrying an EXIF APP1 with orientation `o` —
     * the metadata carrier for q141 (orientation reading never decodes
     * pixels, so the shell needs no scan data). */
