@@ -488,6 +488,11 @@ object Bench {
     "b_semdedup" -> ((s: SparkSession, dir: String) =>
       EmbedOps.semDedup(Tables.embeddings(s, dir), planes = 8, dim = 64,
         tau = 0.35)),
+    // full-corpus k-means: per round ONE hash agg whose shuffle carries
+    // k*(dim+1) doubles per map partition — corpus never crosses the wire
+    "b_kmeans" -> ((s: SparkSession, dir: String) =>
+      EmbedOps.kmeansAssign(Tables.embeddings(s, dir), k = 16, dim = 64,
+        iters = 3)),
     // 30k synthesized 32x32 images: dHash (codegen'd kernel projection)
     // + the 4x16-bit hamming-blocked pair join, collision-heavy on purpose
     "b_image_dedup" -> ((s: SparkSession, _: String) =>

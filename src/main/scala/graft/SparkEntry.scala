@@ -217,6 +217,8 @@ object SparkEntry {
     "q196_line_dedup"       -> (LlmQueries.q196LineDedup _),
     "q197_hamming_guard"    -> (graft.operators.MediaDedup.q197HammingGuard _),
     "q198_dedup_clusters"   -> (graft.operators.MediaDedup.q198DedupClusters _),
+    "q199_kmeans"           -> (LlmQueries.q199Kmeans _),
+    "q200_bloom_decontam"   -> (LlmQueries.q200BloomContamination _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -492,6 +494,10 @@ object SparkEntry {
     // q198: cluster assignment over path-shaped fp cliques — the oracle
     // recomputes the transitive closure recursively
     "q198_dedup_clusters"   -> graft.operators.MediaDedup.oracleQ198,
+    // q199: full-corpus k-means, both Lloyd rounds replayed in SQL
+    "q199_kmeans"           -> LlmOracles.q199,
+    // q200: the Bloom-pruned decontamination path is exact — q67's oracle
+    "q200_bloom_decontam"   -> LlmOracles.q67,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -98,7 +98,11 @@ object GraftExtensions {
       MmWavFingerprint(b, litInt(fl, "frame_len"), litInt(hop, "hop"),
         litInt(ch, "channel")) },
     "mm_dhash" -> { case Seq(b, w, h) =>
-      MmDhash(b, litInt(w, "width"), litInt(h, "height")) })
+      MmDhash(b, litInt(w, "width"), litInt(h, "height")) },
+    "bloom_agg" -> { case Seq(h, bits, k) =>
+      BloomAgg(h, litInt(bits, "numBits"), litInt(k, "numHashes"))
+        .toAggregateExpression() },
+    "bloom_might_contain" -> { case Seq(f, h) => BloomMightContain(f, h) })
 
   private def litInt(e: Expression, what: String): Int =
     litStr(e, what).toInt

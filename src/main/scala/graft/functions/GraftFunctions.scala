@@ -199,6 +199,10 @@ object GraftFunctions {
   def st_npoints(wkt: Column): Column = col(StNPoints(ex(wkt)))
   def topk_sketch(item: Column, capacity: Int, k: Int): Column =
     col(TopKSketch(ex(item), capacity, k).toAggregateExpression())
+  def bloom_agg(h: Column, numBits: Int, numHashes: Int): Column =
+    col(BloomAgg(ex(h), numBits, numHashes).toAggregateExpression())
+  def bloom_might_contain(filter: Column, h: Column): Column =
+    col(BloomMightContain(ex(filter), ex(h)))
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
@@ -300,6 +304,10 @@ object GraftFunctions {
     r("st_npoints") { case Seq(w) => StNPoints(w) }
     r("topk_sketch") { case Seq(i, cap, k) =>
       TopKSketch(i, litInt(cap, "capacity"), litInt(k, "k")).toAggregateExpression() }
+    r("bloom_agg") { case Seq(h, bits, k) =>
+      BloomAgg(h, litInt(bits, "numBits"), litInt(k, "numHashes"))
+        .toAggregateExpression() }
+    r("bloom_might_contain") { case Seq(f, h) => BloomMightContain(f, h) }
     r("rq_temporal_composite") { case Seq(b, m, n, op) =>
       RqTemporalComposite(b, kernelOf(m, n), litStr(op, "op"))
         .toAggregateExpression() }

@@ -93,6 +93,63 @@ object EmbedOps {
     org.apache.spark.sql.graft.IvfCodebook(cents)
   }
 
+  /** Distributed Lloyd's k-means over the FULL corpus — the
+    * cluster-then-curate primitive (SemDeDup-style per-cluster semantic
+    * dedup, diversity-balanced mixing, IVF training) when cluster QUALITY
+    * is the product. [[ivfTrain]] trains on a bounded driver sample (the
+    * faiss coarse-quantizer practice); this is the exact full-data variant.
+    *
+    * Scale shape, per iteration: assignment is the broadcast k×dim
+    * nearest-centroid kernel (`vec_ivf_cell`, codegen'd — no UDF); the
+    * update is ONE hash aggregate of (count, dim per-dimension partial
+    * sums) with map-side combine, so the shuffle carries ≤ k·(dim+1)
+    * doubles per map partition — corpus size never crosses the wire — and
+    * the driver holds k×dim doubles, nothing else. `iters` is a fixed
+    * small constant, so the job count is bounded. (Caveat: per-dimension
+    * sums are IEEE doubles — exact while Σ|x| stays under 2^53, which a
+    * quantized or unit-normalized corpus satisfies at any size.)
+    *
+    * Deterministic by construction (replayable, oracle-checkable): seeds =
+    * the k lowest-id vectors (swap in k-means‖ for production seeding —
+    * the seeding rule is orthogonal to the iteration plan), assignment
+    * ties break to the lower cluster id (`IvfCodebook.cell`), empty
+    * clusters keep their previous centroid (the faiss convention).
+    * Returns (idCol, cluster). */
+  def kmeansAssign(vecs: DataFrame, k: Int, dim: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
+    val seeds = vecs.orderBy(col(idCol).asc).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray.padTo(dim, 0.0))
+    require(seeds.length == k, s"need >= $k vectors, got ${seeds.length}")
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val cb = org.apache.spark.sql.graft.IvfCodebook(cents)
+      val sums = (0 until dim).map(d =>
+        sum(expr(s"CAST($vecCol[$d] AS DOUBLE)")).as(s"s$d"))
+      val rows = vecs
+        .groupBy(graft.functions.GraftFunctions.vec_ivf_cell(col(vecCol), cb)
+          .as("cluster"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0) {
+          var d = 0
+          while (d < dim) { next(c)(d) = r.getDouble(d + 2) / n; d += 1 }
+        }
+      }
+      cents = next
+      it += 1
+    }
+    val cb = org.apache.spark.sql.graft.IvfCodebook(cents)
+    vecs.select(col(idCol),
+      graft.functions.GraftFunctions.vec_ivf_cell(col(vecCol), cb).as("cluster"))
+  }
+
   /** Index build: one scan adding the inverted-list id. At scale this is
     * what you persist, partitioned/bucketed by `cell`. */
   def ivfIndex(corpus: DataFrame, cb: org.apache.spark.sql.graft.IvfCodebook): DataFrame =

@@ -611,4 +611,49 @@ object LlmOracles {
          count(b.line) AS n_dropped
        FROM l LEFT JOIN boiler b ON l.line = b.line
        GROUP BY 1"""
+
+  /** q199 — full-corpus k-means replayed round by round: quantized
+    * embeddings, seeds = 4 lowest vec_ids, two unrolled Lloyd iterations
+    * (assign → per-dimension integer-sum ÷ count centroids), final
+    * assignment with the round-2 centroids. Distances are ordered
+    * left-to-right list folds — the same fold IvfCodebook.cell runs —
+    * and all intermediate values are exact (integers, then integer÷count
+    * IEEE rationals), so argmin + lower-id tie-break agree exactly. */
+  val q199: String = {
+    def dist(cent: String): String =
+      s"""list_sum(list_transform(generate_series(1, 64),
+          i -> (v.e[i] - $cent.e[i]) * (v.e[i] - $cent.e[i])))"""
+    def assign(d: String): String =
+      s"""SELECT vec_id, e, c FROM (
+            SELECT vec_id, e, c,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+            FROM $d) WHERE rn = 1"""
+    def update(a: String, prev: String): String =
+      s"""SELECT $prev.c, coalesce(l.e, $prev.e) AS e
+          FROM $prev LEFT JOIN (
+            SELECT c, list(x ORDER BY i) AS e FROM (
+              SELECT c, i.i AS i, sum(e[i.i]) / count(*) AS x
+              FROM $a, range(1, 65) i(i) GROUP BY c, i.i)
+            GROUP BY c) l USING (c)"""
+    s"""WITH v AS (SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 64) AS DOUBLE)) AS e
+        FROM embeddings),
+        s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e FROM v
+               QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+        d1 AS (SELECT v.vec_id, v.e, s0.c, ${dist("s0")} AS dist
+               FROM v CROSS JOIN s0),
+        a1 AS (${assign("d1")}),
+        c1 AS (${update("a1", "s0")}),
+        d2 AS (SELECT v.vec_id, v.e, c1.c, ${dist("c1")} AS dist
+               FROM v CROSS JOIN c1),
+        a2 AS (${assign("d2")}),
+        c2 AS (${update("a2", "c1")}),
+        d3 AS (SELECT v.vec_id, c2.c, ${dist("c2")} AS dist
+               FROM v CROSS JOIN c2)
+        SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
+          SELECT vec_id, c,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+          FROM d3) WHERE rn = 1"""
+  }
 }

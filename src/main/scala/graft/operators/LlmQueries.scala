@@ -242,6 +242,16 @@ object LlmQueries {
     TextOps.contamination(d, d.filter(col("doc_id") % 13 === 0), minFrac = 0.5)
   }
 
+  /** q200 — the Bloom-pruned decontamination path must produce EXACTLY
+    * q67's verdict (false positives die in the exact residual join, false
+    * negatives cannot exist). Filter deliberately sized small (2^16 bits)
+    * so the fp path is genuinely exercised at sf scale, not vacuous. */
+  def q200BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.contaminationBloom(d, d.filter(col("doc_id") % 13 === 0),
+      minFrac = 0.5, numBits = 1 << 16, numHashes = 5)
+  }
+
   /** Weighted source mixing: five sources kept at descending rates, the
     * rest dropped ([[Curation.weightedMix]]); per-source keep stats. */
   /** Sequence packing ([[Curation.packSequences]]): every document
@@ -369,6 +379,20 @@ object LlmQueries {
       query.processAllAvailable()
     } finally query.stop()
     spark.table("q170_semdedup")
+  }
+
+  /** q199 — distributed FULL-corpus k-means (k=4, 2 Lloyd rounds + final
+    * assignment) over integer-quantized embeddings: round(x·64) makes
+    * round-1 distances exact-integer sums and round-2+ centroids identical
+    * IEEE rationals (exact integer sums ÷ counts), so the DuckDB oracle
+    * replays every round bit-for-bit — the per-dimension update sums are
+    * order-independent BECAUSE they are integer-valued. Seeds = the 4
+    * lowest vec_ids; assignment ties break to the lower cluster id. */
+  def q199Kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS DOUBLE))")
+        .as("embedding"))
+    EmbedOps.kmeansAssign(v, k = 4, dim = 64, iters = 2)
   }
 
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {

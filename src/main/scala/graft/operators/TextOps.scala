@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+
 /** Training-data-pipeline text operators (brief: dedup, near-dup, text
   * analysis as first-class engine components). Everything is built from
   * codegen'd built-ins — no UDFs — and every shape is bucketed/blocked so it
@@ -165,6 +167,39 @@ object TextOps {
     val evalSh = evalDocs.transform(shingles(_)).select("s").distinct()
     val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val hits = trainSh.join(broadcast(evalSh), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("overlap",
+        round(col("n_common").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated",
+        col("n_common").cast("double") / col("n_shingles") >= minFrac)
+  }
+
+  /** Decontamination with a BLOOM-pruned probe — the 100 TB shape of
+    * [[contamination]]. There the eval/benchmark shingle set is broadcast
+    * as an exact hash set; once the benchmark suite is itself large (many
+    * eval sets × languages), that broadcast stops fitting. Here it
+    * compresses to a self-describing Bloom filter (ONE mergeable hash
+    * aggregate — state is numBits/8 bytes regardless of input; ~10 bits
+    * per shingle at ~1% fp), and the train shingles stream through a
+    * codegen'd `bloom_might_contain` BEFORE the exact equi-join, so only
+    * candidates (true hits + the fp rate) ever reach the shuffle. False
+    * positives are removed by the exact join and false negatives cannot
+    * exist, so the verdict is EXACTLY [[contamination]]'s — same oracle. */
+  def contaminationBloom(train: DataFrame, evalDocs: DataFrame,
+      minFrac: Double = 0.5, numBits: Int = 1 << 23,
+      numHashes: Int = 5): DataFrame = {
+    val trainSh = shingles(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalSh = evalDocs.transform(shingles(_)).select("s").distinct()
+    val bloom = evalSh
+      .agg(bloom_agg(xxhash64(col("s")), numBits, numHashes).as("f"))
+      .head.getAs[Array[Byte]](0)
+    val cand = trainSh.filter(
+      bloom_might_contain(lit(bloom), xxhash64(col("s"))))
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = cand.join(evalSh, "s")
       .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
     sizes.join(hits, Seq("doc_id"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))

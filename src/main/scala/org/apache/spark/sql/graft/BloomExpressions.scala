@@ -1,0 +1,176 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types._
+
+/** Mergeable Bloom filter over 64-bit keys (Bloom 1970; probe positions by
+  * the Kirsch–Mitzenmacher double-hashing scheme, two splitmix64-derived
+  * hashes). The 100 TB decontamination/semi-join shape: an eval/benchmark
+  * shingle set too big to BROADCAST as an exact hash set compresses to
+  * ~10 bits per element at ~1% false positives; the probe side streams
+  * through a codegen'd membership test and only candidates reach the
+  * exact residual join — no false negatives ever, so exact-join answers
+  * are unchanged.
+  *
+  * Filter wire format (self-describing, so the probe needs no plan-time
+  * config): int32 numBits | int32 numHashes | bit words as big-endian
+  * int64s. Merge is a word-wise OR (requires equal geometry). */
+object Bloom {
+
+  /** splitmix64 finalizer — the public-domain mix from Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators" (also xxhash's
+    * avalanche core shape). */
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def headerBytes: Int = 8
+
+  def create(numBits: Int, numHashes: Int): Array[Byte] = {
+    val words = (numBits + 63) >>> 6
+    val b = new Array[Byte](headerBytes + words * 8)
+    writeInt(b, 0, numBits)
+    writeInt(b, 4, numHashes)
+    b
+  }
+
+  private def writeInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  def numBits(b: Array[Byte]): Int =
+    ((b(0) & 0xFF) << 24) | ((b(1) & 0xFF) << 16) | ((b(2) & 0xFF) << 8) | (b(3) & 0xFF)
+  def numHashes(b: Array[Byte]): Int =
+    ((b(4) & 0xFF) << 24) | ((b(5) & 0xFF) << 16) | ((b(6) & 0xFF) << 8) | (b(7) & 0xFF)
+
+  private def setBit(b: Array[Byte], bit: Int): Unit = {
+    val idx = headerBytes + (bit >>> 3)
+    b(idx) = (b(idx) | (1 << (bit & 7))).toByte
+  }
+
+  private def getBit(b: Array[Byte], bit: Int): Boolean = {
+    val idx = headerBytes + (bit >>> 3)
+    (b(idx) & (1 << (bit & 7))) != 0
+  }
+
+  def add(b: Array[Byte], h: Long): Unit = {
+    val m = numBits(b); val k = numHashes(b)
+    val h1 = mix(h)
+    val h2 = mix(h ^ 0xC2B2AE3D27D4EB4FL) | 1L
+    var i = 0
+    var g = h1
+    while (i < k) {
+      setBit(b, ((g % m + m) % m).toInt)
+      g += h2
+      i += 1
+    }
+  }
+
+  /** Static probe target for both interpreted eval and codegen. */
+  def mightContain(b: Array[Byte], h: Long): Boolean = {
+    val m = numBits(b); val k = numHashes(b)
+    val h1 = mix(h)
+    val h2 = mix(h ^ 0xC2B2AE3D27D4EB4FL) | 1L
+    var i = 0
+    var g = h1
+    while (i < k) {
+      if (!getBit(b, ((g % m + m) % m).toInt)) return false
+      g += h2
+      i += 1
+    }
+    true
+  }
+
+  def or(a: Array[Byte], b: Array[Byte]): Unit = {
+    require(a.length == b.length && numBits(a) == numBits(b) &&
+      numHashes(a) == numHashes(b), "bloom geometry mismatch in merge")
+    var i = headerBytes
+    while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+  }
+}
+
+/** bloom_agg(h) with plan-time (numBits, numHashes): builds the filter over
+  * a LONG key column (hash strings upstream with xxhash64). Mergeable —
+  * partials OR together — so it is ONE hash aggregate whose state is
+  * numBits/8 bytes regardless of input size. */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  require(numBits >= 64 && numBits <= (1 << 30),
+    s"numBits must be in [64, 2^30], got $numBits")
+  require(numHashes >= 1 && numHashes <= 16, s"numHashes in [1,16], got $numHashes")
+
+  override def prettyName: String = "bloom_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg expects BIGINT (hash upstream), got ${child.dataType.catalogString}")
+
+  override def createAggregationBuffer(): Array[Byte] =
+    Bloom.create(numBits, numHashes)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Bloom.add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    Bloom.or(buf, other)
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** bloom_might_contain(filter, h) — codegen'd membership probe; false
+  * positives possible at the filter's design rate, false negatives never. */
+case class BloomMightContain(left: Expression, right: Expression)
+  extends BinaryExpression with BinaryLike[Expression] {
+
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects (BINARY, BIGINT), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override protected def nullSafeEval(f: Any, h: Any): Any =
+    Bloom.mightContain(f.asInstanceOf[Array[Byte]], h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, h) =>
+      s"org.apache.spark.sql.graft.Bloom.mightContain($f, $h)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

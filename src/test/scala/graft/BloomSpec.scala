@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{bloom_agg, bloom_might_contain}
+import graft.operators.TextOps
+
+/** Mergeable Bloom filter: the broadcast-light semi-join/decontamination
+  * primitive. Properties that matter: NO false negatives ever, a sane
+  * false-positive rate at design load, merge = union, and the pruned
+  * decontamination path equal to the exact one. */
+class BloomSpec extends SparkSpec {
+
+  test("no false negatives; fp rate near design at 10 bits/element") {
+    val b = org.apache.spark.sql.graft.Bloom.create(10000, 5)
+    val keys = (0 until 1000).map(i => i.toLong * 0x9E3779B97F4A7C15L)
+    keys.foreach(org.apache.spark.sql.graft.Bloom.add(b, _))
+    keys.foreach(k =>
+      assert(org.apache.spark.sql.graft.Bloom.mightContain(b, k)))
+    // 10 bits/element, 5 hashes → ~1% design fp; allow generous slack
+    val probes = (0 until 20000).map(i => (i + 7777777).toLong * 0x5851F42D4C957F2DL)
+    val fp = probes.count(org.apache.spark.sql.graft.Bloom.mightContain(b, _))
+    assert(fp < 20000 * 0.05, s"fp=$fp of 20000")
+    assert(fp > 0, "a zero fp count at this load means the probe is broken")
+  }
+
+  test("merge ORs the bit arrays; geometry mismatch rejects") {
+    val a = org.apache.spark.sql.graft.Bloom.create(4096, 4)
+    val b = org.apache.spark.sql.graft.Bloom.create(4096, 4)
+    org.apache.spark.sql.graft.Bloom.add(a, 11L)
+    org.apache.spark.sql.graft.Bloom.add(b, 22L)
+    org.apache.spark.sql.graft.Bloom.or(a, b)
+    assert(org.apache.spark.sql.graft.Bloom.mightContain(a, 11L))
+    assert(org.apache.spark.sql.graft.Bloom.mightContain(a, 22L))
+    val c = org.apache.spark.sql.graft.Bloom.create(8192, 4)
+    intercept[IllegalArgumentException](org.apache.spark.sql.graft.Bloom.or(a, c))
+  }
+
+  test("bloom_agg is a distributed aggregate; probe column + SQL forms agree") {
+    import spark.implicits._
+    val df = spark.range(5000).toDF("id").repartition(8)
+      .withColumn("h", xxhash64(col("id")))
+    val filter = df.agg(bloom_agg(col("h"), 1 << 16, 5).as("f"))
+      .head.getAs[Array[Byte]](0)
+    // every inserted key hits (no false negatives across partial merges)
+    val misses = df.filter(!bloom_might_contain(lit(filter), col("h"))).count()
+    assert(misses == 0)
+    // SQL registration path
+    spark.range(10).toDF("id").createOrReplaceTempView("bloom_probe_t")
+    val viaSql = spark.sql(
+      "SELECT bloom_agg(xxhash64(id), 65536, 5) AS f FROM bloom_probe_t")
+      .head.getAs[Array[Byte]](0)
+    val hit = spark.sql(
+      s"SELECT bloom_might_contain(x'${viaSql.map("%02x".format(_)).mkString}', xxhash64(3L)) AS b")
+      .head.getBoolean(0)
+    assert(hit)
+  }
+
+  test("contaminationBloom equals exact contamination, tiny filter included") {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val eval = d.filter(col("doc_id") % 13 === 0)
+    val exact = TextOps.contamination(d, eval, minFrac = 0.5)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    // 2^12 bits over thousands of shingles → heavy fp load; result must
+    // STILL be exact because the residual join removes every fp
+    val pruned = TextOps.contaminationBloom(d, eval, minFrac = 0.5,
+      numBits = 1 << 12, numHashes = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(pruned.toSeq == exact.toSeq)
+  }
+}

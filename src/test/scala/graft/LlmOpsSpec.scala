@@ -11,6 +11,40 @@ class LlmOpsSpec extends SparkSpec {
   private def docs = Tables.documents(spark, sfDir).select("doc_id", "text")
   private def emb = Tables.embeddings(spark, sfDir)
 
+  test("kmeansAssign equals a driver-side Lloyd reference (ties, empty clusters)") {
+    // small 2-D corpus: two obvious groups + a midpoint whose distances to
+    // the round-2 centroids exercise the lower-cluster-id tie-break rule,
+    // and k=3 with a seed that goes empty after round 1 (keeps centroid)
+    val pts = Seq(
+      0L -> Array(0.0, 0.0), 1L -> Array(0.5, 0.0), 2L -> Array(0.25, 0.5),
+      3L -> Array(10.0, 0.0), 4L -> Array(10.5, 0.0), 5L -> Array(10.25, 0.5),
+      6L -> Array(5.25, 0.25))
+    val k = 3; val iters = 3; val dim = 2
+    // reference: the exact rules kmeansAssign documents
+    var cents = pts.sortBy(_._1).take(k).map(_._2.clone()).toArray
+    def cellOf(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.minBy(identity)._2
+    for (_ <- 0 until iters) {
+      val groups = pts.groupBy { case (_, v) => cellOf(v) }
+      cents = cents.zipWithIndex.map { case (c, i) =>
+        groups.get(i) match {
+          case Some(g) => Array.tabulate(dim)(d => g.map(_._2(d)).sum / g.size)
+          case None => c
+        }
+      }
+    }
+    val expected = pts.map { case (id, v) => id -> cellOf(v) }.toMap
+    import spark.implicits._
+    val df = pts.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val got = EmbedOps.kmeansAssign(df, k = k, dim = dim, iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    // the two groups actually separate and the seed-2 cluster is non-trivial
+    assert(expected.values.toSet.size >= 2)
+  }
+
   test("simhash near-dups: exact copies collide at hamming 0") {
     val corpus = docs.limit(50).unionByName(
       docs.limit(50).select((col("doc_id") + 1000).as("doc_id"), col("text")))
