@@ -219,6 +219,8 @@ object SparkEntry {
     "q198_dedup_clusters"   -> (graft.operators.MediaDedup.q198DedupClusters _),
     "q199_kmeans"           -> (LlmQueries.q199Kmeans _),
     "q200_bloom_decontam"   -> (LlmQueries.q200BloomContamination _),
+    "q201_pq_codes"         -> (LlmQueries.q201PqCodes _),
+    "q202_pq_adc"           -> (LlmQueries.q202PqAdc _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -498,6 +500,10 @@ object SparkEntry {
     "q199_kmeans"           -> LlmOracles.q199,
     // q200: the Bloom-pruned decontamination path is exact — q67's oracle
     "q200_bloom_decontam"   -> LlmOracles.q67,
+    // q201/q202: product quantization — per-sub-space training replayed
+    // in SQL; ADC scoring re-derived end to end
+    "q201_pq_codes"         -> LlmOracles.q201,
+    "q202_pq_adc"           -> LlmOracles.q202,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

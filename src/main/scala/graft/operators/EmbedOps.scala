@@ -117,9 +117,23 @@ object EmbedOps {
     * Returns (idCol, cluster). */
   def kmeansAssign(vecs: DataFrame, k: Int, dim: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = org.apache.spark.sql.graft.IvfCodebook(
+      kmeansTrain(vecs, k, dim, iters, idCol, vecCol))
+    vecs.select(col(idCol),
+      graft.functions.GraftFunctions.vec_ivf_cell(
+        expr(s"CAST(($vecCol) AS ARRAY<DOUBLE>)"), cb).as("cluster"))
+  }
+
+  /** The training loop behind [[kmeansAssign]] (and the per-sub-space
+    * trainer of [[pqTrain]]): returns the k×dim centroids after `iters`
+    * Lloyd rounds. `vecExpr` is any SQL expression yielding an
+    * array<double> (a column name, or a slice for PQ sub-spaces). */
+  def kmeansTrain(vecs: DataFrame, k: Int, dim: Int, iters: Int,
+      idCol: String = "vec_id",
+      vecExpr: String = "embedding"): Array[Array[Double]] = {
     require(k >= 1 && iters >= 0, s"k=$k iters=$iters")
     val seeds = vecs.orderBy(col(idCol).asc).limit(k)
-      .select(col(vecCol).cast("array<double>"))
+      .select(expr(s"CAST(($vecExpr) AS ARRAY<DOUBLE>)"))
       .collect().map(_.getSeq[Double](0).toArray.padTo(dim, 0.0))
     require(seeds.length == k, s"need >= $k vectors, got ${seeds.length}")
     var cents = seeds
@@ -127,10 +141,10 @@ object EmbedOps {
     while (it < iters) {
       val cb = org.apache.spark.sql.graft.IvfCodebook(cents)
       val sums = (0 until dim).map(d =>
-        sum(expr(s"CAST($vecCol[$d] AS DOUBLE)")).as(s"s$d"))
+        sum(expr(s"CAST(($vecExpr)[$d] AS DOUBLE)")).as(s"s$d"))
       val rows = vecs
-        .groupBy(graft.functions.GraftFunctions.vec_ivf_cell(col(vecCol), cb)
-          .as("cluster"))
+        .groupBy(graft.functions.GraftFunctions.vec_ivf_cell(
+          expr(s"CAST(($vecExpr) AS ARRAY<DOUBLE>)"), cb).as("cluster"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
       val next = cents.map(_.clone())
@@ -145,9 +159,90 @@ object EmbedOps {
       cents = next
       it += 1
     }
-    val cb = org.apache.spark.sql.graft.IvfCodebook(cents)
-    vecs.select(col(idCol),
-      graft.functions.GraftFunctions.vec_ivf_cell(col(vecCol), cb).as("cluster"))
+    cents
+  }
+
+  /** Product-quantization model: m sub-spaces of subDim dims, each with
+    * its own k-centroid codebook (m × k × subDim doubles — driver-tiny). */
+  final case class PqModel(subDim: Int,
+      codebooks: Array[org.apache.spark.sql.graft.IvfCodebook])
+    extends Serializable {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.nlist
+  }
+
+  /** Train a PQ model (Jégou/Douze/Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — the compressed-corpus ANN
+    * standard past the sizes where even SQ8 fits): dim splits into m
+    * sub-spaces and each gets an independent [[kmeansTrain]] codebook.
+    * m × iters bounded aggregate jobs; each is the kmeans shuffle shape
+    * (k·(subDim+1) doubles per partition). Deterministic like kmeans. */
+  def pqTrain(vecs: DataFrame, m: Int, k: Int, dim: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    require(dim % m == 0, s"dim=$dim not divisible into m=$m sub-spaces")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      org.apache.spark.sql.graft.IvfCodebook(kmeansTrain(
+        vecs, k, subDim, iters, idCol,
+        vecExpr = s"slice($vecCol, ${j * subDim + 1}, $subDim)"))
+    }.toArray
+    PqModel(subDim, books)
+  }
+
+  /** Encode the corpus: each vector becomes m small codes (nearest
+    * sub-space centroid ids) — ONE codegen'd projection, no shuffle. At
+    * m=8, k=256 a 64-dim float vector compresses 32×. */
+  def pqEncode(vecs: DataFrame, model: PqModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codeCols = (0 until model.m).map { j =>
+      graft.functions.GraftFunctions.vec_ivf_cell(
+        expr(s"CAST(slice($vecCol, ${j * model.subDim + 1}, ${model.subDim}) AS ARRAY<DOUBLE>)"),
+        model.codebooks(j))
+    }
+    vecs.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric-distance) top-k over a PQ-coded corpus: per query a
+    * driver-built m×k lookup table of (sub-query → centroid) squared
+    * distances rides a broadcast join; each corpus row scores with m
+    * table lookups folded left (`zip_with` + `aggregate`, codegen'd) — no
+    * float vector ever touches the corpus side again. Queries are assumed
+    * small (the [[cosineTopK]] contract); ranking ties break on vec_id. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, model: PqModel,
+      topK: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"),
+        expr(s"CAST(($vecCol) AS ARRAY<DOUBLE>)").as("qe"))
+      .collect()
+      .map { r =>
+        val q = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(model.m) { j =>
+          val cb = model.codebooks(j)
+          Array.tabulate(model.k) { c =>
+            var s = 0.0
+            var d = 0
+            while (d < model.subDim) {
+              val t = q(j * model.subDim + d) - cb.centroids(c)(d)
+              s += t * t
+              d += 1
+            }
+            s
+          }.toSeq
+        }.toSeq
+        (r.getLong(0), lut)
+      }
+    val luts = broadcast(qRows.toSeq.toDF("qid", "lut"))
+    val scored = codes.crossJoin(luts)
+      .withColumn("dist", round(expr(
+        """aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select("qid", "rank", idCol, "dist")
   }
 
   /** Index build: one scan adding the inverted-list id. At scale this is

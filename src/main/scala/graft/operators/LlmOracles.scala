@@ -612,48 +612,107 @@ object LlmOracles {
        FROM l LEFT JOIN boiler b ON l.line = b.line
        GROUP BY 1"""
 
-  /** q199 — full-corpus k-means replayed round by round: quantized
-    * embeddings, seeds = 4 lowest vec_ids, two unrolled Lloyd iterations
-    * (assign → per-dimension integer-sum ÷ count centroids), final
-    * assignment with the round-2 centroids. Distances are ordered
-    * left-to-right list folds — the same fold IvfCodebook.cell runs —
-    * and all intermediate values are exact (integers, then integer÷count
-    * IEEE rationals), so argmin + lower-id tie-break agree exactly. */
-  val q199: String = {
+  /** Shared quantized-embedding CTE for the kmeans/PQ oracles: round(x·64)
+    * makes round-1 distances exact-integer sums and later centroids
+    * identical IEEE rationals (exact integer sums ÷ counts), so every
+    * engine replays the runs bit-for-bit. */
+  private val quantVCte: String =
+    """v AS (SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 64) AS DOUBLE)) AS e
+       FROM embeddings)"""
+
+  /** Replay `iters` Lloyd rounds over dims [off+1 .. off+subDim] of the
+    * shared `v(vec_id, e)` CTE, prefix `p`: seeds {p}s0 (k lowest
+    * vec_ids), per-round {p}d{r}/{p}a{r}/{p}c{r}; final codebook
+    * {p}c{iters} and final assignment {p}a (vec_id, c). Distances are
+    * ordered left-to-right list folds — the same fold IvfCodebook.cell
+    * runs — with argmin ties to the lower cluster id. */
+  private def kmeansCtes(p: String, off: Int, subDim: Int, k: Int,
+      iters: Int): String = {
     def dist(cent: String): String =
-      s"""list_sum(list_transform(generate_series(1, 64),
-          i -> (v.e[i] - $cent.e[i]) * (v.e[i] - $cent.e[i])))"""
-    def assign(d: String): String =
-      s"""SELECT vec_id, e, c FROM (
-            SELECT vec_id, e, c,
-              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
-            FROM $d) WHERE rn = 1"""
-    def update(a: String, prev: String): String =
-      s"""SELECT $prev.c, coalesce(l.e, $prev.e) AS e
-          FROM $prev LEFT JOIN (
-            SELECT c, list(x ORDER BY i) AS e FROM (
-              SELECT c, i.i AS i, sum(e[i.i]) / count(*) AS x
-              FROM $a, range(1, 65) i(i) GROUP BY c, i.i)
-            GROUP BY c) l USING (c)"""
-    s"""WITH v AS (SELECT vec_id,
-          list_transform(embedding,
-            x -> CAST(round(CAST(x AS DOUBLE) * 64) AS DOUBLE)) AS e
-        FROM embeddings),
-        s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e FROM v
-               QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
-        d1 AS (SELECT v.vec_id, v.e, s0.c, ${dist("s0")} AS dist
-               FROM v CROSS JOIN s0),
-        a1 AS (${assign("d1")}),
-        c1 AS (${update("a1", "s0")}),
-        d2 AS (SELECT v.vec_id, v.e, c1.c, ${dist("c1")} AS dist
-               FROM v CROSS JOIN c1),
-        a2 AS (${assign("d2")}),
-        c2 AS (${update("a2", "c1")}),
-        d3 AS (SELECT v.vec_id, c2.c, ${dist("c2")} AS dist
-               FROM v CROSS JOIN c2)
-        SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM (
-          SELECT vec_id, c,
-            row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
-          FROM d3) WHERE rn = 1"""
+      s"""list_sum(list_transform(generate_series(1, $subDim),
+          i -> (v.e[$off + i] - $cent.e[i]) * (v.e[$off + i] - $cent.e[i])))"""
+    val sb = new StringBuilder
+    sb.append(
+      s"""${p}s0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+            e[${off + 1}:${off + subDim}] AS e FROM v
+          QUALIFY row_number() OVER (ORDER BY vec_id) <= $k)""")
+    for (r <- 1 to iters) {
+      val prev = if (r == 1) s"${p}s0" else s"${p}c${r - 1}"
+      sb.append(s""",
+        ${p}d$r AS (SELECT v.vec_id, $prev.c, ${dist(prev)} AS dist
+                    FROM v CROSS JOIN $prev),
+        ${p}a$r AS (SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+              ORDER BY dist ASC, c ASC) AS rn FROM ${p}d$r) WHERE rn = 1),
+        ${p}c$r AS (SELECT $prev.c, coalesce(l.e, $prev.e) AS e
+            FROM $prev LEFT JOIN (
+              SELECT c, list(x ORDER BY i) AS e FROM (
+                SELECT a.c, i.i AS i, sum(v.e[$off + i.i]) / count(*) AS x
+                FROM ${p}a$r a JOIN v USING (vec_id), range(1, ${subDim + 1}) i(i)
+                GROUP BY a.c, i.i)
+              GROUP BY c) l USING (c))""")
+    }
+    val fin = if (iters == 0) s"${p}s0" else s"${p}c$iters"
+    sb.append(s""",
+      ${p}fd AS (SELECT v.vec_id, $fin.c, ${dist(fin)} AS dist
+                 FROM v CROSS JOIN $fin),
+      ${p}a AS (SELECT vec_id, c FROM (
+          SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+            ORDER BY dist ASC, c ASC) AS rn FROM ${p}fd) WHERE rn = 1)""")
+    sb.toString
+  }
+
+  /** q199 — full-corpus k-means replayed round by round (see
+    * [[kmeansCtes]]): k=4 over all 64 dims, 2 Lloyd rounds, final
+    * assignment with the round-2 centroids. */
+  val q199: String =
+    s"""WITH $quantVCte,
+        ${kmeansCtes("m_", 0, 64, 4, 2)}
+        SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM m_a"""
+
+  /** q201 — PQ codes: 4 independent sub-space kmeans (16 dims each, k=4,
+    * 1 Lloyd round) replayed with [[kmeansCtes]]; every vector's 4 codes
+    * are the final sub-space assignments. */
+  val q201: String = {
+    val subs = (0 until 4).map(j =>
+      kmeansCtes(s"p${j}_", j * 16, 16, 4, 1)).mkString(",\n")
+    s"""WITH $quantVCte,
+        $subs
+        SELECT v.vec_id,
+          CAST(p0_a.c AS INTEGER) AS code_0, CAST(p1_a.c AS INTEGER) AS code_1,
+          CAST(p2_a.c AS INTEGER) AS code_2, CAST(p3_a.c AS INTEGER) AS code_3
+        FROM v JOIN p0_a USING (vec_id) JOIN p1_a USING (vec_id)
+          JOIN p2_a USING (vec_id) JOIN p3_a USING (vec_id)"""
+  }
+
+  /** q202 — PQ ADC top-10: per (query, sub-space, centroid) lookup-table
+    * distances (ordered folds), per corpus row the 4 table lookups sum in
+    * sub-space order, round(…, 6), rank by (dist, vec_id). Everything —
+    * training, codes, LUTs, scores — re-derived in SQL. */
+  val q202: String = {
+    val subs = (0 until 4).map(j =>
+      kmeansCtes(s"p${j}_", j * 16, 16, 4, 1)).mkString(",\n")
+    val codesLong = (0 until 4).map(j =>
+      s"SELECT vec_id, $j AS j, c FROM p${j}_a").mkString(" UNION ALL ")
+    val lutLong = (0 until 4).map(j =>
+      s"""SELECT q.vec_id AS qid, $j AS j, cb.c,
+          list_sum(list_transform(generate_series(1, 16),
+            i -> (q.e[${j * 16} + i] - cb.e[i]) * (q.e[${j * 16} + i] - cb.e[i]))) AS dist
+          FROM (SELECT * FROM v WHERE vec_id < 3) q CROSS JOIN p${j}_c1 cb""")
+      .mkString(" UNION ALL ")
+    s"""WITH $quantVCte,
+        $subs,
+        cl AS ($codesLong),
+        lt AS ($lutLong),
+        scored AS (SELECT cl.vec_id, lt.qid,
+            round(list_sum(list(lt.dist ORDER BY lt.j)), 6) AS dist
+          FROM cl JOIN lt ON cl.j = lt.j AND cl.c = lt.c
+          GROUP BY cl.vec_id, lt.qid)
+        SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id, dist FROM (
+          SELECT qid, vec_id, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+          FROM scored) WHERE rn <= 10"""
   }
 }

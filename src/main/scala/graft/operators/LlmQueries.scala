@@ -388,11 +388,33 @@ object LlmQueries {
     * replays every round bit-for-bit — the per-dimension update sums are
     * order-independent BECAUSE they are integer-valued. Seeds = the 4
     * lowest vec_ids; assignment ties break to the lower cluster id. */
-  def q199Kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir).select(col("vec_id"),
+  def q199Kmeans(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.kmeansAssign(quantEmb(spark, dir), k = 4, dim = 64, iters = 2)
+
+  /** Integer-quantized embedding view shared by the kmeans/PQ driver
+    * queries (see LlmOracles.quantVCte for why quantization makes the
+    * whole run SQL-replayable). */
+  private def quantEmb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS DOUBLE))")
         .as("embedding"))
-    EmbedOps.kmeansAssign(v, k = 4, dim = 64, iters = 2)
+
+  /** q201 — PQ codes: m=4 sub-spaces × k=4 centroids × 1 Lloyd round on
+    * the quantized corpus; the oracle replays each sub-space training. */
+  def q201PqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantEmb(spark, dir)
+    val model = EmbedOps.pqTrain(v, m = 4, k = 4, dim = 64, iters = 1)
+    EmbedOps.pqEncode(v, model).select(
+      col("vec_id") +: (0 until 4).map(j => col("codes")(j).as(s"code_$j")): _*)
+  }
+
+  /** q202 — PQ asymmetric-distance top-10 for 3 queries; oracle re-derives
+    * training, codes, LUTs and scores entirely in SQL. */
+  def q202PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantEmb(spark, dir)
+    val model = EmbedOps.pqTrain(v, m = 4, k = 4, dim = 64, iters = 1)
+    val codes = EmbedOps.pqEncode(v, model)
+    EmbedOps.pqTopK(v.filter(col("vec_id") < 3), codes, model, topK = 10)
   }
 
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.EmbedOps
+
+/** Product quantization: codes are valid sub-space assignments, ADC
+  * scoring equals a driver-side reference (same LUT fold), and on
+  * cluster-structured data the compressed search finds the right
+  * neighborhood. */
+class PqSpec extends SparkSpec {
+
+  private val dim = 8
+  // 40 vectors in two well-separated groups with small deterministic
+  // jitter — every sub-space sees the same two-cluster structure
+  private val pts = (0 until 40).map { i =>
+    val base = if (i % 2 == 0) 0.0 else 10.0
+    (i.toLong, Array.tabulate(dim)(d => base + ((i * 7 + d * 3) % 5) * 0.1))
+  }
+
+  test("codes are in range and deterministic; ADC matches a reference fold") {
+    import spark.implicits._
+    val df = pts.toDF("vec_id", "embedding")
+    val model = EmbedOps.pqTrain(df, m = 2, k = 2, dim = dim, iters = 3)
+    assert(model.m == 2 && model.k == 2 && model.subDim == 4)
+    val codes = EmbedOps.pqEncode(df, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size == 40)
+    codes.values.foreach(cs =>
+      assert(cs.length == 2 && cs.forall(c => c >= 0 && c < 2)))
+    // driver-side ADC reference for query 0: LUT in the same fold order
+    val q = pts(0)._2
+    def lutVal(j: Int, c: Int): Double = {
+      var s = 0.0
+      for (d <- 0 until model.subDim) {
+        val t = q(j * model.subDim + d) - model.codebooks(j).centroids(c)(d)
+        s += t * t
+      }
+      s
+    }
+    val expected = pts.map { case (id, _) =>
+      val cs = codes(id)
+      id -> BigDecimal(lutVal(0, cs(0)) + lutVal(1, cs(1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = EmbedOps.pqTopK(df.filter($"vec_id" === 0L), df
+      .transform(EmbedOps.pqEncode(_, model)), model, topK = 40)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got.size == 40)
+    expected.foreach { case (id, d) =>
+      assert(math.abs(got(id) - d) < 1e-9, s"id=$id got=${got(id)} want=$d")
+    }
+    // neighborhood sanity: every even id (query 0's group) must outrank
+    // every odd id under ADC — the groups are 10.0 apart, jitter 0.4
+    val ranked = EmbedOps.pqTopK(df.filter($"vec_id" === 0L), df
+      .transform(EmbedOps.pqEncode(_, model)), model, topK = 40)
+      .orderBy("rank").collect().map(_.getLong(2))
+    val (front, back) = ranked.splitAt(20)
+    assert(front.forall(_ % 2 == 0) && back.forall(_ % 2 == 1))
+  }
+}
