@@ -43,6 +43,10 @@ object PlanAudit {
       "q155_temporal_anom" -> RaquetQueries.q155TemporalAnomaly _,
       "q158_semdedup" -> LlmQueries.q158SemDedup _,
       "q172_contour_halo" -> RaquetQueries.q172ContourHalo _,
+      "q197_hamming_guard" -> graft.operators.MediaDedup.q197HammingGuard _,
+      "q199_kmeans" -> LlmQueries.q199Kmeans _,
+      "q200_bloom_decontam" -> LlmQueries.q200BloomContamination _,
+      "q203_ivfpq" -> LlmQueries.q203IvfPq _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(

@@ -221,6 +221,7 @@ object SparkEntry {
     "q200_bloom_decontam"   -> (LlmQueries.q200BloomContamination _),
     "q201_pq_codes"         -> (LlmQueries.q201PqCodes _),
     "q202_pq_adc"           -> (LlmQueries.q202PqAdc _),
+    "q203_ivfpq"            -> (LlmQueries.q203IvfPq _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -504,6 +505,8 @@ object SparkEntry {
     // in SQL; ADC scoring re-derived end to end
     "q201_pq_codes"         -> LlmOracles.q201,
     "q202_pq_adc"           -> LlmOracles.q202,
+    // q203: IVFADC — routing + probe selection + ADC, all replayed in SQL
+    "q203_ivfpq"            -> LlmOracles.q203,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -245,6 +245,69 @@ object EmbedOps {
       .select("qid", "rank", idCol, "dist")
   }
 
+  /** IVFADC index build: ONE codegen'd projection emitting the coarse
+    * cell (inverted-list id) and the m PQ codes per vector — at scale
+    * this is what you persist, partitioned/bucketed by `cell`, and it is
+    * the only thing the search ever scans (bytes, not float vectors). */
+  def ivfPqIndex(corpus: DataFrame, coarse: org.apache.spark.sql.graft.IvfCodebook,
+      model: PqModel, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val codeCols = (0 until model.m).map { j =>
+      graft.functions.GraftFunctions.vec_ivf_cell(
+        expr(s"CAST(slice($vecCol, ${j * model.subDim + 1}, ${model.subDim}) AS ARRAY<DOUBLE>)"),
+        model.codebooks(j))
+    }
+    corpus.select(col(idCol),
+      graft.functions.GraftFunctions.vec_ivf_cell(
+        expr(s"CAST(($vecCol) AS ARRAY<DOUBLE>)"), coarse).as("cell"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** IVF-routed ADC search — the IVFADC composition (Jégou et al., minus
+    * residual refinement): each query probes its `nprobe` nearest coarse
+    * cells and scores ONLY those inverted lists with its PQ lookup tables.
+    * Candidate volume is ~|corpus|·nprobe/k_coarse instead of a full scan,
+    * the probe is an equi-join on `cell` (broadcast query side — the
+    * partition-pruning shape when the index is bucketed by cell), and the
+    * scan reads byte codes, never float vectors. Ranking ties on vec_id. */
+  def ivfPqTopK(queries: DataFrame, index: DataFrame,
+      coarse: org.apache.spark.sql.graft.IvfCodebook, model: PqModel,
+      nprobe: Int, topK: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"),
+        expr(s"CAST(($vecCol) AS ARRAY<DOUBLE>)").as("qe"))
+      .collect()
+      .flatMap { r =>
+        val q = r.getSeq[Double](1).toArray
+        val lut = Array.tabulate(model.m) { j =>
+          val cb = model.codebooks(j)
+          Array.tabulate(model.k) { c =>
+            var s = 0.0
+            var d = 0
+            while (d < model.subDim) {
+              val t = q(j * model.subDim + d) - cb.centroids(c)(d)
+              s += t * t
+              d += 1
+            }
+            s
+          }.toSeq
+        }.toSeq
+        coarse.nearestCells(q, nprobe).map(cell => (r.getLong(0), cell, lut))
+      }
+    val probes = broadcast(qRows.toSeq.toDF("qid", "cell", "lut"))
+    val scored = index.join(probes, "cell")
+      .withColumn("dist", round(expr(
+        """aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select("qid", "rank", idCol, "dist")
+  }
+
   /** Index build: one scan adding the inverted-list id. At scale this is
     * what you persist, partitioned/bucketed by `cell`. */
   def ivfIndex(corpus: DataFrame, cb: org.apache.spark.sql.graft.IvfCodebook): DataFrame =

@@ -715,4 +715,45 @@ object LlmOracles {
             row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
           FROM scored) WHERE rn <= 10"""
   }
+
+  /** q203 — IVFADC: coarse routing (k=8, 1 round — g_a assigns every
+    * corpus vector its cell), per-query probe-cell selection (3 nearest
+    * coarse centroids, ties to the lower cell id), then ADC scoring
+    * restricted to the probed lists. */
+  val q203: String = {
+    val subs = (0 until 4).map(j =>
+      kmeansCtes(s"p${j}_", j * 16, 16, 4, 1)).mkString(",\n")
+    val coarse = kmeansCtes("g_", 0, 64, 8, 1)
+    val codesLong = (0 until 4).map(j =>
+      s"SELECT vec_id, $j AS j, c FROM p${j}_a").mkString(" UNION ALL ")
+    val lutLong = (0 until 4).map(j =>
+      s"""SELECT q.vec_id AS qid, $j AS j, cb.c,
+          list_sum(list_transform(generate_series(1, 16),
+            i -> (q.e[${j * 16} + i] - cb.e[i]) * (q.e[${j * 16} + i] - cb.e[i]))) AS dist
+          FROM (SELECT * FROM v WHERE vec_id < 3) q CROSS JOIN p${j}_c1 cb""")
+      .mkString(" UNION ALL ")
+    s"""WITH $quantVCte,
+        $coarse,
+        $subs,
+        cl AS ($codesLong),
+        lt AS ($lutLong),
+        pc AS (SELECT qid, cell FROM (
+            SELECT qid, cell,
+              row_number() OVER (PARTITION BY qid ORDER BY dist ASC, cell ASC) AS rn
+            FROM (SELECT q.vec_id AS qid, g_c1.c AS cell,
+                list_sum(list_transform(generate_series(1, 64),
+                  i -> (q.e[i] - g_c1.e[i]) * (q.e[i] - g_c1.e[i]))) AS dist
+              FROM (SELECT * FROM v WHERE vec_id < 3) q CROSS JOIN g_c1))
+          WHERE rn <= 3),
+        cand AS (SELECT pc.qid, a.vec_id FROM pc JOIN g_a a ON a.c = pc.cell),
+        scored AS (SELECT cl.vec_id, lt.qid,
+            round(list_sum(list(lt.dist ORDER BY lt.j)), 6) AS dist
+          FROM cl JOIN lt ON cl.j = lt.j AND cl.c = lt.c
+          JOIN cand ON cand.vec_id = cl.vec_id AND cand.qid = lt.qid
+          GROUP BY cl.vec_id, lt.qid)
+        SELECT qid, CAST(rn AS INTEGER) AS rank, vec_id, dist FROM (
+          SELECT qid, vec_id, dist,
+            row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
+          FROM scored) WHERE rn <= 10"""
+  }
 }

@@ -417,6 +417,21 @@ object LlmQueries {
     EmbedOps.pqTopK(v.filter(col("vec_id") < 3), codes, model, topK = 10)
   }
 
+  /** q203 — IVFADC (coarse routing + compressed scoring): k=8 coarse
+    * cells (1 Lloyd round) route the corpus; each of 3 queries probes its
+    * 3 nearest cells and ADC-scores ONLY those inverted lists. The oracle
+    * re-derives routing, probe-cell selection, codes, LUTs, scores and
+    * ranks entirely in SQL. */
+  def q203IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantEmb(spark, dir)
+    val coarse = org.apache.spark.sql.graft.IvfCodebook(
+      EmbedOps.kmeansTrain(v, k = 8, dim = 64, iters = 1))
+    val model = EmbedOps.pqTrain(v, m = 4, k = 4, dim = 64, iters = 1)
+    val index = EmbedOps.ivfPqIndex(v, coarse, model)
+    EmbedOps.ivfPqTopK(v.filter(col("vec_id") < 3), index, coarse, model,
+      nprobe = 3, topK = 10)
+  }
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

@@ -56,4 +56,24 @@ class PqSpec extends SparkSpec {
     val (front, back) = ranked.splitAt(20)
     assert(front.forall(_ % 2 == 0) && back.forall(_ % 2 == 1))
   }
+
+  test("IVFADC with nprobe = k_coarse equals the full PQ scan; pruning prunes") {
+    import spark.implicits._
+    val df = pts.toDF("vec_id", "embedding")
+    val coarse = org.apache.spark.sql.graft.IvfCodebook(
+      EmbedOps.kmeansTrain(df, k = 2, dim = dim, iters = 3))
+    val model = EmbedOps.pqTrain(df, m = 2, k = 2, dim = dim, iters = 3)
+    val index = EmbedOps.ivfPqIndex(df, coarse, model)
+    val q = df.filter($"vec_id" === 0L)
+    val full = EmbedOps.pqTopK(q, df.transform(EmbedOps.pqEncode(_, model)),
+      model, topK = 40).collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    val probedAll = EmbedOps.ivfPqTopK(q, index, coarse, model,
+      nprobe = 2, topK = 40).collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(probedAll == full)
+    // nprobe=1 scores only the query's own cell — with two clean clusters
+    // that is exactly the 20 even-id members (the pruning actually prunes)
+    val pruned = EmbedOps.ivfPqTopK(q, index, coarse, model,
+      nprobe = 1, topK = 40).collect().map(_.getLong(2)).toSet
+    assert(pruned.size == 20 && pruned.forall(_ % 2 == 0))
+  }
 }
