@@ -121,6 +121,8 @@ object SparkEntry {
     "q100_zonal_stats"      -> (RaquetQueries.q100ZonalStats _),
     "q101_zonal_fast"       -> (RaquetQueries.q101ZonalStatsFast _),
     "q102_focal_terrain"    -> (RaquetQueries.q102FocalTerrain _),
+    "q204_focal_tpi"        -> (RaquetQueries.q204FocalTpi _),
+    "q205_color_relief"     -> (RaquetQueries.q205ColorRelief _),
     "q103_tile_percentiles" -> (RaquetQueries.q103TilePercentiles _),
     "q104_rotated_pole"     -> (RaquetQueries.q104RotatedPole _),
     "q105_reclassify"       -> (RaquetQueries.q105Reclassify _),
@@ -557,6 +559,11 @@ object SparkEntry {
     // set, so the same oracle proves fast ≡ decode ≡ ground truth
     "q101_zonal_fast"       -> RaquetOracles.q100,
     "q102_focal_terrain"    -> RaquetOracles.q102,
+    // q204: gdaldem TPI/TRI/roughness — exact, no rounding slop (sqrt is
+    // correctly rounded; everything else integer-exact)
+    "q204_focal_tpi"        -> RaquetOracles.q204,
+    // q205: gdaldem color-relief — interpolation replayed verbatim
+    "q205_color_relief"     -> RaquetOracles.q205,
     "q103_tile_percentiles" -> RaquetOracles.q103,
     "q104_rotated_pole"     -> RaquetOracles.q104,
     // q173/q174: the q104 CORDEX grid through GRIB2/GRIB1 rotated-lat/lon

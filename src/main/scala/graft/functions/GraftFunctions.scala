@@ -85,6 +85,12 @@ object GraftFunctions {
       altitudeDeg: Double): Column =
     col(RqFocalTerrain(ex(band), ex(halos), BandKernel(meta, name), cell,
       azimuthDeg, altitudeDeg))
+  def rq_focal_tpi(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqFocalTpi(ex(band), ex(halos), BandKernel(meta, name)))
+  def rq_color_relief(band: Column, meta: RaquetMetadata, name: String,
+      breaks: Seq[Double], colors: Seq[(Int, Int, Int)]): Column =
+    col(RqColorRelief(ex(band), BandKernel(meta, name), breaks, colors))
   def rq_normalized_difference_stats(a: Column, b: Column, meta: RaquetMetadata,
       nameA: String, nameB: String): Column =
     col(RqNdStats(ex(a), ex(b),

@@ -74,6 +74,15 @@ object Focal {
         rq_focal_terrain(col(band), col("halos"), meta, band, cell,
           azimuthDeg, altitudeDeg).as("t"))
 
+  /** TPI + TRI (Riley) + roughness in one window pass — the rest of the
+    * gdaldem family ([[focalTerrain3x3]] covers slope/aspect/hillshade).
+    * Strict all-9-cells windows like slope; output (block, t) with
+    * t.tpi / t.tri / t.roughness float64 band blobs. */
+  def focalTpi3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_focal_tpi(col(band), col("halos"), meta, band).as("t"))
+
   /** Contour segments at `level` over the WHOLE dataset, cross-tile cells
     * included: the same halo exchange as the focal statistics supplies
     * the east/south neighbor pixels, and each cell is owned by the tile

@@ -208,6 +208,69 @@ object RaquetOracles {
   /** q102: terrain triple from the closed form — q98's scaffold plus
     * aspect (downslope azimuth from the raw atan2, normalized 0-360) and
     * Lambertian hillshade (sun az 315°, alt 45°, clamped at 0). */
+  /** q205 — gdaldem color-relief: the interpolation expression replayed
+    * verbatim (same division/multiplication/round shape as the kernel —
+    * all IEEE-identical on the integer field); holes → 0/0/0. */
+  val q205: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def chan(c: Seq[Int]): String =
+      s"""CAST(CASE WHEN v IS NULL THEN 0
+           WHEN v <= 0 THEN ${c(0)}
+           WHEN v >= 254 THEN ${c(3)}
+           WHEN v <= 100 THEN floor(${c(0)} + ((v - 0) / 100.0) * (${c(1)} - ${c(0)}) + 0.5)
+           WHEN v <= 200 THEN floor(${c(1)} + ((v - 100) / 100.0) * (${c(2)} - ${c(1)}) + 0.5)
+           ELSE floor(${c(2)} + ((v - 200) / 54.0) * (${c(3)} - ${c(2)}) + 0.5)
+           END AS BIGINT)"""
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        vals AS (SELECT block, pos,
+          CASE WHEN (gx+gy) % 31 <> 0
+            THEN CAST((7*gx + 13*gy) % 255 AS DOUBLE) END AS v
+          FROM px)
+        SELECT block, pos,
+          ${chan(Seq(0, 0, 255, 255))} AS r,
+          ${chan(Seq(0, 255, 255, 0))} AS g,
+          ${chan(Seq(255, 0, 0, 0))} AS b
+        FROM vals"""
+  }
+
+  /** q204 — gdaldem TPI/TRI/roughness over the gradient fixture: strict
+    * 3×3 windows on the closed-form field; every step exact on integers
+    * except sqrt, which IEEE rounds identically on both engines. Neighbor
+    * folds written in the same fixed a..i order the kernel runs. */
+  val q204: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def v(dx: Int, dy: Int): String =
+      s"""CASE WHEN gx+($dx) BETWEEN 512 AND 639 AND gy+($dy) BETWEEN 384 AND 511
+              AND (gx+($dx)+gy+($dy)) % 31 <> 0
+          THEN CAST((7*(gx+($dx)) + 13*(gy+($dy))) % 255 AS DOUBLE) END"""
+    val Seq(a, b, c, d, e, f, g, hh, i) =
+      for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield v(dx, dy)
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        w9 AS (SELECT block, pos,
+          $a AS a, $b AS b, $c AS c, $d AS d, $e AS e, $f AS f,
+          $g AS g, $hh AS h, $i AS i
+          FROM px),
+        ok AS (SELECT *,
+          (a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL
+           AND d IS NOT NULL AND e IS NOT NULL AND f IS NOT NULL
+           AND g IS NOT NULL AND h IS NOT NULL AND i IS NOT NULL) AS all9
+          FROM w9)
+        SELECT block, pos,
+          CASE WHEN all9 THEN e - (a+b+c+d+f+g+h+i)/8.0 END AS tpi,
+          CASE WHEN all9 THEN sqrt(
+            (e-a)*(e-a) + (e-b)*(e-b) + (e-c)*(e-c) + (e-d)*(e-d)
+            + (e-f)*(e-f) + (e-g)*(e-g) + (e-h)*(e-h) + (e-i)*(e-i)) END AS tri,
+          CASE WHEN all9 THEN greatest(a,b,c,d,e,f,g,h,i)
+            - least(a,b,c,d,e,f,g,h,i) END AS roughness
+        FROM ok"""
+  }
+
   val q102: String = {
     val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
       yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")

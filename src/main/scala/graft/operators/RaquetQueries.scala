@@ -220,6 +220,55 @@ object RaquetQueries {
         r7(col("col.hillshade")).as("hillshade"))
   }
 
+  /** q204 — the rest of the gdaldem family ([[Focal.focalTpi3x3]]): TPI
+    * (center − neighbor mean), TRI (Riley: sqrt of summed squared diffs)
+    * and roughness (window max − min) per pixel, strict windows. NO
+    * rounding slop: every step is exact on the integer band (sums of ≤8
+    * small integers, division by 8) and IEEE sqrt is correctly rounded, so
+    * the oracle matches bit-for-bit. */
+  def q204FocalTpi(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    def nn(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(c)
+    val k = Focal.outKernel(ds.meta)
+    Focal.focalTpi3x3(ds.data, ds.meta, "band_1")
+      .select(col("block"),
+        rq_decode(col("t.tpi"), k).as("tpi"),
+        rq_decode(col("t.tri"), k).as("tri"),
+        rq_decode(col("t.roughness"), k).as("roughness"))
+      .select(col("block"),
+        posexplode(expr("arrays_zip(tpi, tri, roughness)")))
+      .select(col("block"), col("pos"),
+        nn(col("col.tpi")).as("tpi"),
+        nn(col("col.tri")).as("tri"),
+        nn(col("col.roughness")).as("roughness"))
+  }
+
+  /** q205 — gdaldem color-relief: band_1 maps through a 4-entry color
+    * ramp (linear interpolation between entries, end-clamped, round half
+    * up, nodata → 0/0/0) into three first-class uint8 band blobs. The
+    * oracle replays the exact interpolation expression per pixel. */
+  def q205ColorRelief(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val breaks = Seq(0.0, 100.0, 200.0, 254.0)
+    val colors = Seq((0, 0, 255), (0, 255, 0), (255, 255, 0), (255, 0, 0))
+    val k8 = graft.raquet.BandKernel("uint8", Double.NaN,
+      ds.meta.blockWidth, ds.meta.blockHeight, 1.0, 0.0)
+    ds.data.filter(quadbin_zoom(col("block")) === ds.meta.maxZoom)
+      .select(col("block"),
+        rq_color_relief(col("band_1"), ds.meta, "band_1", breaks, colors)
+          .as("c"))
+      .select(col("block"),
+        rq_decode(col("c.r"), k8).as("r"),
+        rq_decode(col("c.g"), k8).as("g"),
+        rq_decode(col("c.b"), k8).as("b"))
+      .select(col("block"), posexplode(expr("arrays_zip(r, g, b)")))
+      .select(col("block"), col("pos"),
+        col("col.r").cast("bigint").as("r"),
+        col("col.g").cast("bigint").as("g"),
+        col("col.b").cast("bigint").as("b"))
+  }
+
   /** Exact per-tile percentiles (p50/p95) over valid pixels — pure
     * built-ins: decode → filter nodata/NaN → array_sort → index pick at
     * floor(q·(n−1)), all inside whole-stage codegen, no new kernel and no

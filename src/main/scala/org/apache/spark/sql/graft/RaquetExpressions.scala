@@ -257,6 +257,131 @@ object RqBridge {
         java.util.zip.Deflater.BEST_SPEED))
   }
 
+  val tpiSchema: StructType = StructType(Seq(
+    StructField("tpi", BinaryType),
+    StructField("tri", BinaryType),
+    StructField("roughness", BinaryType)))
+
+  /** gdaldem's remaining derived surfaces in one window pass: TPI (center
+    * minus the mean of its 8 neighbors), TRI (Riley et al. 1999, the
+    * gdaldem default algorithm: sqrt of the summed squared center-neighbor
+    * differences) and roughness (window max minus min). Strict window —
+    * any missing/nodata cell among the 9 → NaN for all three. Every step
+    * except sqrt is exact on integer bands and IEEE sqrt is correctly
+    * rounded, so an independent engine reproduces the values bit-for-bit
+    * (neighbor folds run in fixed a..i order on both sides). */
+  def tpiOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): InternalRow = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val tpi = new Array[Double](w * h)
+    val tri = new Array[Double](w * h)
+    val rough = new Array[Double](w * h)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        val base = jj * pw + ii
+        var ok = true
+        val win = new Array[Double](9)
+        var oy = 0
+        while (oy < 3 && ok) {
+          var ox = 0
+          while (ox < 3 && ok) {
+            val v = pad(base + oy * pw + ox)
+            if (java.lang.Double.isNaN(v) || (hasNd && v == nodata)) ok = false
+            else win(oy * 3 + ox) = v * k.scale + k.offset
+            ox += 1
+          }
+          oy += 1
+        }
+        val o = jj * w + ii
+        if (!ok) {
+          tpi(o) = Double.NaN; tri(o) = Double.NaN; rough(o) = Double.NaN
+        } else {
+          val c = win(4)
+          var sum = 0.0
+          var sq = 0.0
+          var mx = win(0)
+          var mn = win(0)
+          var t = 0
+          while (t < 9) {
+            val v = win(t)
+            if (v > mx) mx = v
+            if (v < mn) mn = v
+            if (t != 4) { sum += v; val d = c - v; sq += d * d }
+            t += 1
+          }
+          tpi(o) = c - sum / 8.0
+          tri(o) = math.sqrt(sq)
+          rough(o) = mx - mn
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    InternalRow(
+      graft.raquet.PixelCodec.encode(tpi, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      graft.raquet.PixelCodec.encode(tri, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      graft.raquet.PixelCodec.encode(rough, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED))
+  }
+
+  val colorReliefSchema: StructType = StructType(Seq(
+    StructField("r", BinaryType),
+    StructField("g", BinaryType),
+    StructField("b", BinaryType)))
+
+  /** gdaldem color-relief: physical values map through a color ramp to
+    * three uint8 band blobs. Linear interpolation between adjacent ramp
+    * entries (the gdaldem default), clamping to the end colors outside the
+    * ramp; round-half-up to integers (positive values — identical in any
+    * IEEE engine); missing/nodata pixels → 0 in all three channels (write
+    * the mask from the source band's stats if transparency is needed). */
+  def colorReliefOf(k: BandKernel, raw: Array[Byte], breaks: Array[Double],
+      colors: Array[Array[Double]]): InternalRow = {
+    val n = k.width * k.height
+    val px = k.decode(raw)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val out = Array.fill(3)(new Array[Double](n))
+    var i = 0
+    while (i < n) {
+      val dn = px(i)
+      if (java.lang.Double.isNaN(dn) || (hasNd && dn == nodata)) {
+        out(0)(i) = 0; out(1)(i) = 0; out(2)(i) = 0
+      } else {
+        val v = dn * k.scale + k.offset
+        var ch = 0
+        while (ch < 3) {
+          val c =
+            if (v <= breaks(0)) colors(0)(ch)
+            else if (v >= breaks(breaks.length - 1)) colors(breaks.length - 1)(ch)
+            else {
+              var s = 1
+              while (breaks(s) < v) s += 1
+              val f = (v - breaks(s - 1)) / (breaks(s) - breaks(s - 1))
+              colors(s - 1)(ch) + f * (colors(s)(ch) - colors(s - 1)(ch))
+            }
+          out(ch)(i) = math.floor(c + 0.5)
+          ch += 1
+        }
+      }
+      i += 1
+    }
+    InternalRow(
+      graft.raquet.PixelCodec.encode(out(0), "uint8", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      graft.raquet.PixelCodec.encode(out(1), "uint8", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      graft.raquet.PixelCodec.encode(out(2), "uint8", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED))
+  }
+
   /** Shared halo assembly: (w+2)×(h+2) padded raw-DN grid, NaN outside. */
   private def assemblePadded(k: BandKernel, raw: Array[Byte],
       halos: ArrayData): Array[Double] = {
@@ -1106,6 +1231,82 @@ case class RqFocalTerrain(band: Expression, halos: Expression,
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.terrainOf($k, ${b.value},
             ${hl.isNull} ? null : ${hl.value}, $cell, $azimuthDeg, $altitudeDeg);
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
+}
+
+/** rq_color_relief(band) → struct of r/g/b uint8 band blobs mapped
+  * through a plan-time color ramp (see [[RqBridge.colorReliefOf]]). */
+case class RqColorRelief(child: Expression, kernel: BandKernel,
+    breaks: Seq[Double], colors: Seq[(Int, Int, Int)])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(breaks.nonEmpty && breaks.length == colors.length,
+    s"ramp needs one color per break: ${breaks.length} vs ${colors.length}")
+  require(breaks.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "ramp breaks must be strictly increasing")
+  private val breaksArr = breaks.toArray
+  private val colorsArr = colors.map(c =>
+    Array(c._1.toDouble, c._2.toDouble, c._3.toDouble)).toArray
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = RqBridge.colorReliefSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_color_relief"
+  override def eval(input: InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) null
+    else RqBridge.colorReliefOf(kernel, raw.asInstanceOf[Array[Byte]],
+      breaksArr, colorsArr)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val br = ctx.addReferenceObj("breaks", breaksArr, "double[]")
+    val co = ctx.addReferenceObj("colors", colorsArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, raw =>
+      s"${ev.value} = ${RqBridge.B}.colorReliefOf($k, $raw, $br, $co);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** rq_focal_tpi(band, halos) → struct of TPI / TRI / roughness float64
+  * band blobs from one window pass (see [[RqBridge.tpiOf]]). Same halo
+  * contract as [[RqFocalMean]]. */
+case class RqFocalTpi(band: Expression, halos: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = RqBridge.tpiSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_focal_tpi"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.tpiOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.tpiOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value});
         }
       """)
   }

@@ -115,4 +115,48 @@ class FocalSpec extends SparkSpec {
       assert(s1(j * bs + i).isNaN === touchesNodata, s"pixel ($i, $j)")
     }
   }
+
+  test("tpi/tri/roughness: linear ramp has the analytic values, holes are NaN") {
+    val (x0, y0, z, bs, n) = (40L, 40L, 6, 16, 1)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = 1L)
+    // band_2 is linear (gx/4 + gy/8 + 16): TPI of any full window is 0
+    // (the 8-neighbor mean equals the center on a plane), TRI (Riley) is
+    // sqrt(2·(dx² + dy² + (dx+dy)² + (dx−dy)²)) with dx=.25, dy=.125
+    // (axis pairs + both diagonal pairs), and roughness is (max−min) over
+    // the window = 2·(dx+dy) = .75
+    val dx = 0.25; val dy = 0.125
+    val wantTri = math.sqrt(2 * (dx * dx + dy * dy +
+      (dx + dy) * (dx + dy) + (dx - dy) * (dx - dy)))
+    val k = Focal.outKernel(meta)
+    val rows = Focal.focalTpi3x3(tiles, meta, "band_2")
+      .select(rq_decode(col("t.tpi"), k).as("tpi"),
+        rq_decode(col("t.tri"), k).as("tri"),
+        rq_decode(col("t.roughness"), k).as("rough"))
+      .select(posexplode(expr("arrays_zip(tpi, tri, rough)")))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getStruct(1).getDouble(0),
+        r.getStruct(1).getDouble(1), r.getStruct(1).getDouble(2))).toMap
+    for (j <- 0 until bs; i <- 0 until bs) {
+      val (tpi, tri, rough) = rows(j * bs + i)
+      if (i == 0 || i == bs - 1 || j == 0 || j == bs - 1)
+        assert(tpi.isNaN && tri.isNaN && rough.isNaN, s"edge ($i, $j)")
+      else {
+        assert(math.abs(tpi) < 1e-12, s"tpi ($i, $j) = $tpi")
+        assert(math.abs(tri - wantTri) < 1e-12, s"tri ($i, $j) = $tri")
+        assert(math.abs(rough - 0.75) < 1e-12, s"rough ($i, $j) = $rough")
+      }
+    }
+    // nodata stripes: strict windows go NaN exactly where slope does
+    val t1 = Focal.focalTpi3x3(tiles, meta, "band_1")
+      .select(posexplode(rq_decode(col("t.tpi"), k)))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (j <- 1 until bs - 1; i <- 1 until bs - 1) {
+      val touchesNodata = (for (oy <- -1 to 1; ox <- -1 to 1) yield
+        FixtureGen.v1(16 * x0 + i + ox, 16 * y0 + j + oy))
+        .contains(FixtureGen.Band1Nodata)
+      assert(t1(j * bs + i).isNaN === touchesNodata, s"pixel ($i, $j)")
+    }
+  }
 }
