@@ -123,6 +123,7 @@ object SparkEntry {
     "q102_focal_terrain"    -> (RaquetQueries.q102FocalTerrain _),
     "q204_focal_tpi"        -> (RaquetQueries.q204FocalTpi _),
     "q205_color_relief"     -> (RaquetQueries.q205ColorRelief _),
+    "q206_zonal_majority"   -> (RaquetQueries.q206ZonalMajority _),
     "q103_tile_percentiles" -> (RaquetQueries.q103TilePercentiles _),
     "q104_rotated_pole"     -> (RaquetQueries.q104RotatedPole _),
     "q105_reclassify"       -> (RaquetQueries.q105Reclassify _),
@@ -564,6 +565,8 @@ object SparkEntry {
     "q204_focal_tpi"        -> RaquetOracles.q204,
     // q205: gdaldem color-relief — interpolation replayed verbatim
     "q205_color_relief"     -> RaquetOracles.q205,
+    // q206: zonal majority/minority — modal class, ties to lowest DN
+    "q206_zonal_majority"   -> RaquetOracles.q206,
     "q103_tile_percentiles" -> RaquetOracles.q103,
     "q104_rotated_pole"     -> RaquetOracles.q104,
     // q173/q174: the q104 CORDEX grid through GRIB2/GRIB1 rotated-lat/lon

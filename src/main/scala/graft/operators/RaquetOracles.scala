@@ -1613,6 +1613,41 @@ object RaquetOracles {
         GROUP BY cum.zid, p, tt.total"""
   }
 
+  /** q206 — zonal majority/minority/class-count: per-zone DN counts from
+    * the closed form, modal class with ties to the lowest DN, least-
+    * frequent class likewise. */
+  val q206: String = {
+    val clon = "((CAST(gx AS DOUBLE) + 0.5)/1024*360 - 180)"
+    val t = "((CAST(gy AS DOUBLE) + 0.5)/1024)"
+    val clat = s"degrees(atan((exp(pi()*(1 - 2*$t)) - exp(-pi()*(1 - 2*$t)))/2))"
+    s"""WITH zones(zid, w, e, s, n) AS (VALUES
+          (1, 5.6371, 11.9407, 24.7113, 30.2881),
+          (2, 2.0, 19.0, 5.0, 32.0),
+          (3, 25.0, 40.0, 2.0, 15.0)),
+        px AS (SELECT x*16+i AS gx, y*16+j AS gy
+          FROM range(32,40) a(x), range(24,32) b(y), range(16) c(i), range(16) d(j)),
+        pc AS (SELECT gx, gy, $clon AS clon, $clat AS clat FROM px),
+        zp AS (SELECT z.zid, $V1 AS v
+          FROM pc JOIN zones z
+            ON clon > z.w AND clon < z.e AND clat > z.s AND clat < z.n),
+        c AS (SELECT zid, CAST(v AS BIGINT) AS dn, count(*) AS n
+          FROM zp WHERE v IS NOT NULL GROUP BY 1, 2),
+        r AS (SELECT zid, dn, n,
+          row_number() OVER (PARTITION BY zid ORDER BY n DESC, dn ASC) AS rmaj,
+          row_number() OVER (PARTITION BY zid ORDER BY n ASC, dn ASC) AS rmin
+          FROM c),
+        agg AS (SELECT zid, count(*) AS n_classes, sum(n) AS n_total
+          FROM c GROUP BY 1)
+        SELECT CAST(r.zid AS BIGINT) AS zone_id,
+          CAST(max(CASE WHEN rmaj = 1 THEN dn END) AS BIGINT) AS majority_dn,
+          CAST(max(CASE WHEN rmaj = 1 THEN n END) AS BIGINT) AS n_majority,
+          CAST(max(CASE WHEN rmin = 1 THEN dn END) AS BIGINT) AS minority_dn,
+          CAST(agg.n_classes AS BIGINT) AS n_classes,
+          CAST(agg.n_total AS BIGINT) AS n_total
+        FROM r JOIN agg ON agg.zid = r.zid
+        GROUP BY r.zid, agg.n_classes, agg.n_total"""
+  }
+
   /** q119 spatial-join oracle: strict rectangle containment per
     * (point, zone) pair — blocking must be invisible. */
   val q119: String =

@@ -3534,21 +3534,22 @@ object RaquetQueries {
     * rows, and the integer percentile rule. No pixel sort anywhere; cost
     * is one pruned scan + a hash agg whose output is bounded by
     * zones × buckets regardless of raster size. */
-  def zonalPercentiles(data: DataFrame, meta: graft.raquet.RaquetMetadata,
-      band: String, zones: DataFrame, ps: Seq[Int],
-      histMin: Double = -0.5, histMax: Double = 255.5,
-      buckets: Int = 256): DataFrame = {
-    val spark = data.sparkSession
-    import spark.implicits._
+  /** Per-(zone, DN-class) pixel counts from the clip-histogram kernel —
+    * the shared base of [[zonalPercentiles]] and [[zonalMajority]]: one
+    * decode per tile no matter how many zones overlap it (zone list
+    * collected per cell, multi-zone kernel post-join), per-(tile, zone)
+    * histograms merged in one hash aggregate; no pixel list ever
+    * shuffles. */
+  private def zonalDnCounts(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String, zones: DataFrame, histMin: Double, histMax: Double,
+      buckets: Int): DataFrame = {
     val z = meta.maxZoom
-    // one decode per tile no matter how many zones overlap it: collect the
-    // zone list per cell, run the multi-zone kernel post-join
     val cells = zones
       .select(col("zone_id").cast("long").as("zid"), col("wkt"),
         explode(st_polyfill_col(col("wkt"), lit(z))).as("cell"))
       .groupBy("cell")
       .agg(collect_list(struct(col("zid"), col("wkt"))).as("zs"))
-    val counts = data
+    data
       .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
       .join(broadcast(cells), col("block") === col("cell"))
       .select(explode(rq_zonal_histograms(col(band), col("block"), col("zs"),
@@ -3557,6 +3558,16 @@ object RaquetQueries {
         posexplode(col("zh.h")).as(Seq("dn", "n")))
       .groupBy("zone_id", "dn").agg(sum("n").as("n"))
       .filter(col("n") > 0)
+  }
+
+  def zonalPercentiles(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String, zones: DataFrame, ps: Seq[Int],
+      histMin: Double = -0.5, histMax: Double = 255.5,
+      buckets: Int = 256): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val counts = zonalDnCounts(data, meta, band, zones, histMin, histMax,
+      buckets)
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("zone_id").orderBy("dn")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -3571,6 +3582,28 @@ object RaquetQueries {
       .agg(min(col("dn")).cast("long").as("v"), max("total").as("n_total"))
   }
 
+  /** Zonal MAJORITY (the rasterstats "majority" stat) + minority + class
+    * count per zone, from the same clip-histogram base as
+    * [[zonalPercentiles]] — modal DN class with ties to the LOWEST DN
+    * (deterministic), the least-frequent class (ties likewise), and the
+    * number of distinct classes. Integer-class rasters with the default
+    * unit buckets are exact. */
+  def zonalMajority(data: DataFrame, meta: graft.raquet.RaquetMetadata,
+      band: String, zones: DataFrame,
+      histMin: Double = -0.5, histMax: Double = 255.5,
+      buckets: Int = 256): DataFrame = {
+    val counts = zonalDnCounts(data, meta, band, zones, histMin, histMax,
+      buckets)
+    val majKey = struct(col("n"), (-col("dn")).as("nd"))
+    counts.groupBy("zone_id").agg(
+      max_by(col("dn"), majKey).cast("long").as("majority_dn"),
+      max_by(col("n"), majKey).as("n_majority"),
+      min_by(col("dn"), struct(col("n"), col("dn"))).cast("long")
+        .as("minority_dn"),
+      count(lit(1)).as("n_classes"),
+      sum("n").as("n_total"))
+  }
+
   /** Zonal-percentile driver proof: the q100 zone table, quartiles per
     * zone; the oracle enumerates every zone pixel from the closed form
     * and applies the identical integer rule. */
@@ -3580,6 +3613,15 @@ object RaquetQueries {
     val zones = Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt))
       .toDF("zone_id", "wkt")
     zonalPercentiles(ds.data, ds.meta, "band_1", zones, Seq(25, 50, 75))
+  }
+
+  /** q206 — zonal majority/minority/class-count over the q118 zones. */
+  def q206ZonalMajority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, Fixture)
+    val zones = Seq((1L, RegionWkt), (2L, FastRegionWkt), (3L, Zone3Wkt))
+      .toDF("zone_id", "wkt")
+    zonalMajority(ds.data, ds.meta, "band_1", zones)
   }
 
   /** Blocked point-in-polygon SPATIAL JOIN — never a cross join: zones
