@@ -63,6 +63,50 @@ class HammingBlockedSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("property: uncapped equals brute force; capped is always a subset") {
+    // random corpora mixing three shapes (uniform fps, shared-block
+    // band-skew, near-dup chains): with a cap no bucket reaches, the
+    // blocked join must EQUAL all-pairs; with a tiny cap it must stay a
+    // SUBSET (drops only, never false positives) and keep every pair that
+    // shares a block with any LIGHT bucket.
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(20, 120)
+      mode <- Gen.choose(0, 2)
+      salt <- Gen.choose(1L, Long.MaxValue)
+    } yield (n, mode, salt)
+    new PropHelper {}.forAll(gen, n = 25) { case (n, mode, salt) =>
+      val base = (0 until n).map { i =>
+        val g = Bloomish(salt + i * 0x9E3779B97F4A7C15L)
+        mode match {
+          case 0 => g // uniform
+          case 1 => (g & ~0xFFFFL) | 0x1234L // shared block 0 (band skew)
+          case 2 => // chains: pairs at hamming 1-3 of a shared base
+            val b = Bloomish(salt + (i / 4) * 0x5851F42D4C957F2DL)
+            b ^ (1L << ((i % 4) * 7 + 16))
+        }
+      }
+      val fps = base.distinct
+      val expected = (for {
+        i <- fps.indices; j <- fps.indices if i < j
+        h = popcount(fps(i) ^ fps(j)) if h <= 3
+      } yield (fps(i) min fps(j), fps(i) max fps(j), h)).toSet
+      import spark.implicits._
+      val df = fps.map(f => (f, f)).toDF("id", "fp")
+      val uncapped = MediaDedup.hashNearDups(df, "id", "fp", maxHamming = 3,
+        bucketCap = n + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(uncapped == expected, s"mode=$mode n=$n")
+      val capped = MediaDedup.hashNearDups(df, "id", "fp", maxHamming = 3,
+        bucketCap = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(capped.subsetOf(expected), s"mode=$mode n=$n")
+    }
+  }
+
+  private def Bloomish(x: Long): Long =
+    org.apache.spark.sql.graft.Bloom.mix(x)
+
   test("doubly-degenerate sub-buckets are dropped, never exploded") {
     // Diversity confined to 6 bits inside block 1: blocks 0/2/3 are
     // mega-buckets AND their secondary sub-blocks off the diverse region
