@@ -225,6 +225,10 @@ object SparkEntry {
     "q201_pq_codes"         -> (LlmQueries.q201PqCodes _),
     "q202_pq_adc"           -> (LlmQueries.q202PqAdc _),
     "q203_ivfpq"            -> (LlmQueries.q203IvfPq _),
+    "q207_bpe_tokens"       -> (LlmQueries.q207BpeTokens _),
+    "q208_dsir_score"       -> (LlmQueries.q208DsirScore _),
+    "q209_url_dedup"        -> (LlmQueries.q209UrlDedup _),
+    "q210_bpe_train"        -> (LlmQueries.q210BpeTrain _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -510,6 +514,18 @@ object SparkEntry {
     "q202_pq_adc"           -> LlmOracles.q202,
     // q203: IVFADC — routing + probe selection + ADC, all replayed in SQL
     "q203_ivfpq"            -> LlmOracles.q203,
+    // q207: real BPE tokenization — merges replayed in rank order via
+    // one replace pass per rule (≡ the greedy loop for a valid table)
+    "q207_bpe_tokens"       -> LlmOracles.q207,
+    // q208: DSIR importance resampling — both hashed unigram models, the
+    // micro-quantized log-ratios and the exact integer sums replayed
+    "q208_dsir_score"       -> LlmOracles.q208,
+    // q209: URL canonicalization + dedup — every normalization step
+    // (fragment, case, :80, utm_*, param order) replayed in SQL
+    "q209_url_dedup"        -> LlmOracles.q209,
+    // q210: BPE TRAINING — all 8 merge rounds (pair counts, deterministic
+    // top-1, replace pass) unrolled and replayed in SQL
+    "q210_bpe_train"        -> LlmOracles.q210(8),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

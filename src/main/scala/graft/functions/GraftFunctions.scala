@@ -209,6 +209,8 @@ object GraftFunctions {
     col(BloomAgg(ex(h), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(filter: Column, h: Column): Column =
     col(BloomMightContain(ex(filter), ex(h)))
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
+    col(BpeTokens(ex(text), merges.map { case (a, b) => s"$a $b" }.mkString(",")))
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
@@ -314,6 +316,7 @@ object GraftFunctions {
       BloomAgg(h, litInt(bits, "numBits"), litInt(k, "numHashes"))
         .toAggregateExpression() }
     r("bloom_might_contain") { case Seq(f, h) => BloomMightContain(f, h) }
+    r("rq_bpe_tokens") { case Seq(t, spec) => BpeTokens(t, litStr(spec, "merges")) }
     r("rq_temporal_composite") { case Seq(b, m, n, op) =>
       RqTemporalComposite(b, kernelOf(m, n), litStr(op, "op"))
         .toAggregateExpression() }

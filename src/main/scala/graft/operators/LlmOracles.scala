@@ -756,4 +756,138 @@ object LlmOracles {
             row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rn
           FROM scored) WHERE rn <= 10"""
   }
+
+  /** q207: full-algorithm BPE replay. Each word becomes a ' c '-wrapped
+    * character string, and the merges table is applied IN RANK ORDER, one
+    * left-to-right string-replace pass per rule — for a valid table (every
+    * operand a single char or an earlier output, enforced by
+    * BpeKernel.buildRanks) this is provably identical to the engine's
+    * greedy lowest-rank loop: a merge of rule m only ever creates pairs
+    * involving its output token, whose rules rank after m. Tokens end up
+    * '  '-separated, so both the count and the exact sequence are
+    * recoverable without any tokenizer library on the oracle side. */
+  val q207: String = {
+    val wrapped = "list_aggregate(list_transform(generate_series(1, len(e.w)), " +
+      "i -> ' ' || e.w[i] || ' '), 'string_agg', '')"
+    val replaced = TextOps.DefaultMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+      s"replace($s, ' $a  $b ', ' $a$b ')"
+    }
+    s"""WITH words AS (
+         SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(parts)),
+             i -> struct_pack(pos := i, w := parts[i]))) AS e
+         FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)),
+       enc AS (
+         SELECT doc_id, e.pos AS pos, trim($replaced) AS s
+         FROM words WHERE len(e.w) > 0),
+       tok AS (SELECT doc_id, pos, replace(s, '  ', '|') AS t FROM enc)
+       SELECT doc_id,
+         CAST(sum(len(string_split(t, '|'))) AS BIGINT) AS n_tokens,
+         string_agg(t, '|' ORDER BY pos) AS toks
+       FROM tok GROUP BY 1"""
+  }
+
+  /** q208: DSIR importance resampling re-derived — hashed-bucket unigram
+    * models (target = doc_id % 7 = 0, raw = all), add-1 smoothed
+    * log-likelihood-ratios quantized to integer micros per BUCKET, summed
+    * exactly per doc. ln() is computed once per bucket in each engine; the
+    * micro-quantization keeps the per-doc aggregate order-independent and
+    * integer-exact, the same determinism pattern as q107. */
+  val q208: String = {
+    val h = s"(${h60("w")} % 512)"
+    s"""WITH tok AS (
+         SELECT doc_id, $h AS h
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE len(w) > 0),
+       tgt AS (SELECT * FROM tok WHERE doc_id % 7 = 0),
+       cr AS (SELECT h, count(*) AS cr FROM tok GROUP BY 1),
+       ct AS (SELECT h, count(*) AS ct FROM tgt GROUP BY 1),
+       tot AS (SELECT (SELECT count(*) FROM tok) AS r,
+                      (SELECT count(*) FROM tgt) AS t),
+       lam AS (
+         SELECT cr.h,
+           CAST(round((ln(coalesce(ct.ct, 0) + 1.0) -
+                       ln(tot.t + 512.0) -
+                       ln(cr.cr + 1.0) +
+                       ln(tot.r + 512.0)) * 1e6) AS BIGINT) AS lam_micros
+         FROM cr LEFT JOIN ct ON cr.h = ct.h CROSS JOIN tot)
+       SELECT tok.doc_id,
+         count(*) AS n_toks,
+         CAST(sum(lam.lam_micros) AS BIGINT) AS score_micros,
+         CAST(sum(lam.lam_micros) AS BIGINT) > 0 AS selected
+       FROM tok JOIN lam ON tok.h = lam.h
+       GROUP BY 1"""
+  }
+
+  /** q210: distributed BPE TRAINING replayed round by round. Same
+    * representation as q207 (words as ' c '-wrapped strings); each round
+    * is three CTEs — adjacent-pair counts weighted by word frequency
+    * (ALL positions, the published overlapping count), top-1 by
+    * (count desc, pair asc), and a left-to-right replace pass applying
+    * the winner — unrolled `numMerges` times. The engine's per-round
+    * vocab-shuffle + one-row collect computes the identical sequence, so
+    * all four columns (rank, lhs, rhs, n) hash-match. */
+  def q210(numMerges: Int = 8): String = {
+    val wrap = "list_aggregate(list_transform(generate_series(1, len(w)), " +
+      "i -> ' ' || w[i] || ' '), 'string_agg', '')"
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"v${r - 1}"
+      s"""t$r AS (SELECT string_split(trim(s), '  ') AS toks, c FROM $prev
+            WHERE len(string_split(trim(s), '  ')) > 1),
+          p$r AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1])) AS pair, c FROM t$r),
+          b$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p$r
+            GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1),
+          v$r AS (SELECT replace(s,
+              ' ' || split_part(b.pair, ' ', 1) || '  ' || split_part(b.pair, ' ', 2) || ' ',
+              ' ' || replace(b.pair, ' ', '') || ' ') AS s, c
+            FROM $prev, b$r b)"""
+    }.mkString(",\n")
+    val out = (1 to numMerges).map { r =>
+      s"SELECT $r AS rank, split_part(pair, ' ', 1) AS lhs, " +
+        s"split_part(pair, ' ', 2) AS rhs, n FROM b$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH words AS (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 GROUP BY 1),
+       v0 AS (SELECT $wrap AS s, c FROM words),
+       $rounds
+       SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, n FROM ($out)"""
+  }
+
+  /** q209: URL canonicalization + dedup replayed step by step — fragment
+    * strip, scheme/host lowercase, :80 strip, utm_* drop, param sort.
+    * DuckDB's array_to_string([]) is NULL, hence the coalesce. */
+  val q209: String = {
+    val url = "url"
+    val rest = s"split_part(split_part($url, '#', 1), '://', 2)"
+    val auth = s"split_part($rest, '/', 1)"
+    val host = s"regexp_replace(lower($auth), ':80$$', '')"
+    val pathq = s"substr($rest, length($auth) + 1)"
+    val path = s"split_part($pathq, '?', 1)"
+    val query = s"CASE WHEN $pathq LIKE '%?%' THEN split_part($pathq, '?', 2) ELSE '' END"
+    val params = s"coalesce(array_to_string(list_sort(list_filter(" +
+      s"string_split($query, '&'), x -> x <> '' AND x NOT LIKE 'utm_%')), '&'), '')"
+    val canon = s"lower(split_part($url, '://', 1)) || '://' || $host || $path || " +
+      s"CASE WHEN $params = '' THEN '' ELSE '?' || $params END"
+    s"""WITH d AS (
+         SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN concat('http://example', CAST(doc_id % 37 AS VARCHAR),
+               '.com/p/', CAST(doc_id % 13 AS VARCHAR), '?b=2&a=1')
+             WHEN 1 THEN concat('HTTP://EXAMPLE', CAST(doc_id % 37 AS VARCHAR),
+               '.COM:80/p/', CAST(doc_id % 13 AS VARCHAR), '?a=1&b=2#frag')
+             ELSE concat('http://Example', CAST(doc_id % 37 AS VARCHAR),
+               '.com/p/', CAST(doc_id % 13 AS VARCHAR), '?utm_source=feed&b=2&a=1')
+           END AS url
+         FROM documents),
+       c AS (SELECT doc_id, url, $canon AS url_canon FROM d)
+       SELECT url_canon,
+         count(*) AS n_docs,
+         count(DISTINCT url) AS n_raw,
+         min(doc_id) AS canonical_id
+       FROM c GROUP BY 1"""
+  }
 }

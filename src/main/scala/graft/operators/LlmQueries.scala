@@ -432,6 +432,53 @@ object LlmQueries {
       nprobe = 3, topK = 10)
   }
 
+  /** q207 — real BPE tokenization ([[TextOps.bpeTokenize]]): the greedy
+    * lowest-rank merge loop per word, as a codegen'd Catalyst expression.
+    * The oracle replays the identical algorithm in SQL by applying the
+    * merges table IN RANK ORDER (one replace pass per rule over the
+    * wrapped character string) — provably the same result for a valid
+    * table, so token counts AND the exact token sequence hash-match. */
+  def q207BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTokenize(docs(spark, dir))
+
+  /** q208 — DSIR hashed importance resampling ([[TextOps.dsirScore]]):
+    * target model = every 7th doc, raw model = the whole corpus, 512
+    * hashed buckets, add-1 smoothing, per-bucket log-ratios quantized to
+    * integer micros so the per-doc sums are exact. The oracle re-derives
+    * both models, every λ, and every score in SQL. */
+  def q208DsirScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextOps.dsirScore(d, d.filter(col("doc_id") % 7 === 0))
+  }
+
+  /** Deterministic crawl-URL twin for q209: three raw variants per host/
+    * path pair (plain; uppercase + default :80 + fragment; utm-tracking +
+    * reordered params) that must all canonicalize identically. */
+  private[operators] val urlCorpusSpark =
+    "CASE CAST(doc_id % 3 AS INT) " +
+      "WHEN 0 THEN concat('http://example', CAST(doc_id % 37 AS STRING), " +
+      "'.com/p/', CAST(doc_id % 13 AS STRING), '?b=2&a=1') " +
+      "WHEN 1 THEN concat('HTTP://EXAMPLE', CAST(doc_id % 37 AS STRING), " +
+      "'.COM:80/p/', CAST(doc_id % 13 AS STRING), '?a=1&b=2#frag') " +
+      "ELSE concat('http://Example', CAST(doc_id % 37 AS STRING), " +
+      "'.com/p/', CAST(doc_id % 13 AS STRING), '?utm_source=feed&b=2&a=1') END"
+
+  /** q209 — URL canonicalization + dedup ([[TextOps.urlDupGroups]]): the
+    * crawl dedup key (fragment/port/case/tracking-param/param-order
+    * normalization) as one codegen'd string expression, grouped. The
+    * oracle replays every normalization step in SQL. */
+  def q209UrlDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.urlDupGroups(docs(spark, dir)
+      .select(col("doc_id"), expr(urlCorpusSpark).as("url")))
+
+  /** q210 — distributed BPE training ([[TextOps.bpeTrain]]): one
+    * corpus-scale word-frequency agg, then 8 vocabulary-sized merge
+    * rounds (pair explode → hash agg → deterministic top-1 → replace).
+    * The oracle unrolls all 8 rounds in SQL — every learned rule and its
+    * count must match exactly. */
+  def q210BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(docs(spark, dir), numMerges = 8)
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

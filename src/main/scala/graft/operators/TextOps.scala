@@ -519,6 +519,167 @@ object TextOps {
         expr("concat_ws(' ', ctoks)").as("chunk"))
   }
 
+  /** DSIR-style hashed importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): estimate
+    * target/raw unigram models over `numBuckets` hashed feature buckets
+    * (add-1 smoothing) and score every document by the sum of per-token
+    * log likelihood ratios. Exactly the published estimator, with one
+    * determinism twist borrowed from [[lmScore]]: each bucket's log-ratio
+    * is quantized ONCE to integer micros, so the per-document sum is an
+    * order-independent exact integer aggregate both engines replay
+    * bit-for-bit.
+    *
+    * Scale shape: explode → one tiny hash agg per model (`numBuckets`
+    * rows — broadcast back), one broadcast join on the bucket id, one
+    * final hash agg per doc. Linear in corpus tokens; the models are the
+    * only state and they are O(numBuckets) regardless of corpus size. */
+  def dsirScore(docs: DataFrame, target: DataFrame,
+      numBuckets: Int = 512): DataFrame = {
+    val tok = (d: DataFrame) => d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), (hash60(col("w")) % numBuckets).as("h"))
+    val raw = tok(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgt = tok(target)
+    val cntR = raw.groupBy("h").agg(count(lit(1)).as("cr"))
+    val cntT = tgt.groupBy("h").agg(count(lit(1)).as("ct"))
+    val totR = raw.count().toDouble
+    val totT = tgt.count().toDouble
+    // λ_micros[h] = round((ln(ct+1) - ln(T+D) - ln(cr+1) + ln(R+D))·1e6):
+    // one double log-ratio per BUCKET (not per token), quantized before the
+    // per-doc sum so summation order cannot matter.
+    val lam = cntR.join(cntT, Seq("h"), "left")
+      .select(col("h"), round(
+        (log(coalesce(col("ct"), lit(0L)) + 1.0) -
+          lit(math.log(totT + numBuckets)) -
+          log(col("cr") + 1.0) +
+          lit(math.log(totR + numBuckets))) * 1e6, 0).cast("long")
+        .as("lam_micros"))
+    raw.join(broadcast(lam), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum("lam_micros").as("score_micros"))
+      .withColumn("selected", col("score_micros") > 0L)
+  }
+
+  /** URL canonicalization (the web-crawl dedup key): strip the fragment,
+    * lowercase scheme and host, drop a default :80 port, drop utm_*
+    * tracking params, sort the remaining query params. Pure codegen'd
+    * string expression — linear, no shuffle — and every step is plain
+    * ANSI string algebra the oracle replays verbatim. `expr` column over
+    * `u` (a column name or SQL subexpression). */
+  def urlCanonSql(u: String): String = {
+    val rest = s"split_part(split_part($u, '#', 1), '://', 2)"
+    val auth = s"split_part($rest, '/', 1)"
+    val host = s"regexp_replace(lower($auth), ':80$$', '')"
+    val pathq = s"substr($rest, length($auth) + 1)"
+    val path = s"split_part($pathq, '?', 1)"
+    val query = s"CASE WHEN $pathq LIKE '%?%' THEN split_part($pathq, '?', 2) ELSE '' END"
+    val params = s"array_join(array_sort(filter(split($query, '&'), " +
+      s"x -> x <> '' AND NOT (x LIKE 'utm_%'))), '&')"
+    s"concat(lower(split_part($u, '://', 1)), '://', $host, $path, " +
+      s"CASE WHEN $params = '' THEN '' ELSE concat('?', $params) END)"
+  }
+
+  /** Canonical-URL duplicate groups: one hash aggregate keyed on the
+    * canonicalized URL — (url_canon, n_docs, n_raw variants, canonical
+    * doc). The crawl-scale dedup decision (linear, one shuffle). */
+  def urlDupGroups(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.groupBy(expr(urlCanonSql(urlCol)).as("url_canon"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(urlCol)).as("n_raw"),
+        min("doc_id").as("canonical_id"))
+
+  /** Reference BPE merges table for the driver proof: a VALID table (each
+    * operand is a single character or an earlier output — what a real BPE
+    * trainer emits) over the corpus' most frequent letter sequences, deep
+    * enough that multi-level merges (st+re → stre → strea → stream) and
+    * rank-priority interactions (e r before q u in "query") are genuinely
+    * exercised. Rank = position. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "s" -> "t", "a" -> "n", "r" -> "e", "o" -> "r", "e" -> "r",
+    "ta" -> "b", "s" -> "c", "an" -> "d", "h" -> "a", "ha" -> "s",
+    "has" -> "h", "or" -> "t", "s" -> "ort", "st" -> "re", "stre" -> "a",
+    "strea" -> "m", "c" -> "o", "co" -> "l", "u" -> "m", "q" -> "u",
+    "w" -> "i", "wi" -> "n", "win" -> "d", "g" -> "r", "gr" -> "o",
+    "gro" -> "u", "grou" -> "p")
+
+  /** Real byte-pair-encoding tokenization ([[org.apache.spark.sql.graft
+    * .BpeTokens]] — the GPT-2 greedy lowest-rank merge loop as a codegen'd
+    * Catalyst expression; the merges table ships once per executor as a
+    * codegen reference object). Pure projection: no shuffle, linear, and
+    * the per-row cost is bounded by word length — the 100 TB token-count /
+    * token-sequence shape without an external tokenizer process. */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)] = DefaultMerges): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.bpe_tokens(col("text"), merges).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        array_join(col("t"), "|").as("toks"))
+
+  /** Distributed BPE TRAINING (Sennrich et al. 2016): learn `numMerges`
+    * merge rules from the corpus. The classic algorithm, shaped for scale:
+    * ONE corpus-scale pass builds the distinct-word frequency table (a
+    * hash agg — the only thing that ever sees all tokens), then every
+    * merge round runs over the VOCABULARY (distinct words × counts), not
+    * the corpus: explode adjacent token pairs weighted by word count, one
+    * hash agg, top-1 by (count desc, pair asc — deterministic), apply the
+    * merge with a single left-to-right `replace` pass, repeat. Per round:
+    * one vocab-sized shuffle + a one-row collect (the learned rule — a
+    * training artifact, like [[EmbedOps.kmeansAssign]]'s centroids).
+    *
+    * Pair occurrences are counted at ALL adjacent positions (overlapping,
+    * the published counting); application is left-to-right non-overlapping
+    * — both exactly what the DuckDB oracle replays. Words are carried as
+    * the same ' c '-wrapped strings q207's oracle uses, so "apply rule"
+    * is one codegen'd `replace`. Returns (rank, lhs, rhs, n) — a VALID
+    * merges table by construction (operands are single chars or earlier
+    * outputs), directly feedable to [[bpeTokenize]]. */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // wrapped form: "cat" -> " c  a  t " (tokens '  '-separated, padded)
+    var vocab = words.select(
+      concat(lit(" "), array_join(expr(
+        "transform(split(w, ''), ch -> concat(ch, ' '))"), " "))
+        .as("s"),
+      col("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges) {
+      val pairs = vocab
+        .select(split(trim(col("s")), "  ").as("toks"), col("c"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("pair"), col("c"))
+      val best = pairs.groupBy("pair").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      require(best.nonEmpty, s"corpus exhausted after ${rank - 1} merges")
+      val pair = best(0).getString(0)
+      val n = best(0).getLong(1)
+      val sp = pair.indexOf(' ')
+      val a: String = pair.substring(0, sp)
+      val b: String = pair.substring(sp + 1)
+      learned += ((rank, a, b, n))
+      val prev = vocab
+      vocab = vocab.withColumn("s",
+        replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      vocab.count() // materialize before dropping the parent
+      prev.unpersist()
+      rank += 1
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    learned.toSeq.toDF("rank", "lhs", "rhs", "n")
+      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"), col("n"))
+  }
+
   /** Per-document language ID: (doc_id, lang, score). One projection —
     * codegen'd string arithmetic, no shuffle, trivially linear at scale. */
   def langId(docs: DataFrame): DataFrame = {

@@ -1,0 +1,146 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenizer (Sennrich et al. 2016 / the GPT-2 `bpe()`
+  * loop): per word, repeatedly merge the lowest-rank adjacent token pair,
+  * all occurrences left-to-right, until no ranked pair remains. The rank
+  * table is a plan-time constant shipped once per executor via a codegen
+  * reference object, so tokenization runs inside whole-stage codegen with
+  * zero per-row allocation beyond the token array itself — the 100 TB
+  * "token count / token sequence" shape (the reference's pipelines count
+  * tokens with an external tokenizer process; here it is a Catalyst
+  * expression like any other).
+  *
+  * The driver's oracle replays the identical algorithm in ANSI SQL by
+  * applying merges IN RANK ORDER, one string-replace pass per rule, over a
+  * `' c '`-wrapped character string. For a VALID merges table — each rule's
+  * operands are single characters or outputs of strictly earlier rules,
+  * enforced by [[BpeKernel.buildRanks]] — the two are provably identical:
+  * a merge of rule m creates only pairs involving its output token, whose
+  * rules (if any) rank after m, so once rules 1..k have been applied in
+  * order no pair of rank <= k can reappear, which is exactly the greedy
+  * loop's invariant.
+  */
+object BpeKernel {
+
+  /** Parse + validate a merges spec: rules comma-separated, operands
+    * space-separated, rank = position. Rejects tables whose operands are
+    * neither single characters nor earlier outputs (those are the tables
+    * for which greedy-by-rank and in-order-pass application can diverge,
+    * i.e. nothing a real BPE trainer emits). */
+  def buildRanks(spec: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    val outputs = new java.util.HashSet[String]()
+    var rank = 0
+    spec.split(',').foreach { rule =>
+      val ops = rule.split(' ')
+      require(ops.length == 2, s"BPE merge rule needs two operands: '$rule'")
+      ops.foreach { op =>
+        require(op.length == 1 || outputs.contains(op),
+          s"invalid BPE merges table: operand '$op' of rule $rank is " +
+            "neither a single character nor the output of an earlier rule")
+      }
+      val key = ops(0) + " " + ops(1)
+      require(!m.containsKey(key), s"duplicate BPE merge rule '$key'")
+      m.put(key, rank)
+      outputs.add(ops(0) + ops(1))
+      rank += 1
+    }
+    m
+  }
+
+  /** Greedy BPE over one word: start from single characters, merge the
+    * lowest-rank pair (all left-to-right non-overlapping occurrences)
+    * until no ranked pair remains. O(len^2) worst case on tiny words —
+    * the per-row cost is bounded by word length, not corpus size. */
+  def encodeWord(word: String, ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    var n = word.length
+    if (n == 0) return
+    var toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var done = false
+    while (!done && n > 1) {
+      var bestRank = Int.MaxValue
+      var bestKey: String = null
+      i = 0
+      while (i < n - 1) {
+        val r = ranks.get(toks(i) + " " + toks(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestKey = toks(i) + " " + toks(i + 1) }
+        i += 1
+      }
+      if (bestKey == null) done = true
+      else {
+        val sp = bestKey.indexOf(' ')
+        val x = bestKey.substring(0, sp)
+        val y = bestKey.substring(sp + 1)
+        val next = new Array[String](n)
+        var w = 0
+        i = 0
+        while (i < n) {
+          if (i < n - 1 && toks(i) == x && toks(i + 1) == y) {
+            next(w) = x + y; w += 1; i += 2
+          } else { next(w) = toks(i); w += 1; i += 1 }
+        }
+        toks = next; n = w
+      }
+    }
+    i = 0
+    while (i < n) { out.add(UTF8String.fromString(toks(i))); i += 1 }
+  }
+
+  /** Whole-text entry point used from codegen: whitespace-split words,
+    * each BPE-encoded, token arrays concatenated in document order. */
+  def encodeText(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val s = text.toString
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) encodeWord(s.substring(start, i), ranks, out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/** `rq_bpe_tokens(text, 'x y,ab c,...')` — BPE token array for `text`
+  * under the given merges table (rank = list position). */
+case class BpeTokens(child: Expression, mergesSpec: String)
+  extends UnaryExpression with UnaryLike[Expression] {
+
+  override def prettyName: String = "rq_bpe_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
+    BpeKernel.buildRanks(mergesSpec)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rq_bpe_tokens expects STRING, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(t: Any): Any =
+    BpeKernel.encodeText(t.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.BpeKernel.encodeText($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

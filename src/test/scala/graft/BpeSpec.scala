@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.GraftFunctions.bpe_tokens
+import graft.operators.TextOps
+
+/** Real BPE tokenization (greedy lowest-rank merge loop as a codegen'd
+  * Catalyst expression). Properties that matter: known words tokenize as
+  * the rank priorities dictate (multi-level merges included), the greedy
+  * loop equals the in-order one-pass-per-rule application the DuckDB
+  * oracle runs (the validity theorem, checked on random words), invalid
+  * merges tables reject loudly, and the interpreted and codegen paths
+  * agree through a DataFrame. */
+class BpeSpec extends SparkSpec with PropHelper {
+
+  private val ranks =
+    org.apache.spark.sql.graft.BpeKernel.buildRanks(
+      TextOps.DefaultMerges.map { case (a, b) => s"$a $b" }.mkString(","))
+
+  private def encode(word: String): Seq[String] = {
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    org.apache.spark.sql.graft.BpeKernel.encodeWord(word, ranks, out)
+    (0 until out.size()).map(out.get(_).toString)
+  }
+
+  /** The oracle's algorithm: merges applied in rank order, one
+    * left-to-right non-overlapping replace pass per rule, over the
+    * ' c '-wrapped character string. */
+  private def inOrderEncode(word: String): Seq[String] = {
+    var s = word.map(c => s" $c ").mkString
+    TextOps.DefaultMerges.foreach { case (a, b) =>
+      // left-to-right non-overlapping, continue after each replacement —
+      // java String.replace over non-regex literals has exactly these
+      // semantics (as does DuckDB's replace())
+      s = s.replace(s" $a  $b ", s" $a$b ")
+    }
+    val t = s.trim
+    if (t.isEmpty) Seq.empty else t.split("  ").toSeq
+  }
+
+  test("known words: multi-level merges and rank priority") {
+    assert(encode("stream") == Seq("stream")) // s+t, r+e, st+re, stre+a, strea+m
+    assert(encode("sort") == Seq("sort")) // o+r before s... chain to a single token
+    assert(encode("query") == Seq("qu", "er", "y")) // e+r (rank 5) beats q+u (rank 20)
+    assert(encode("order") == Seq("or", "d", "er"))
+    assert(encode("hash") == Seq("hash"))
+    assert(encode("table") == Seq("tab", "l", "e"))
+    assert(encode("group") == Seq("group"))
+    assert(encode("window") == Seq("wind", "o", "w"))
+    assert(encode("z") == Seq("z")) // unmergeable single char
+    assert(encode("") == Seq.empty)
+  }
+
+  test("left-to-right non-overlapping merge of repeated pairs") {
+    // rule (t,a): 'tatata' -> [ta,ta,ta]; 'tat' -> [ta,t]
+    assert(encode("tatata") == Seq("ta", "ta", "ta"))
+    assert(encode("tat") == Seq("ta", "t"))
+  }
+
+  test("greedy loop == in-order pass-per-rule on random words (the oracle equivalence)") {
+    val letters = Gen.oneOf("tasnreohbcdlumqwigp".toSeq)
+    val word = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, letters))
+      .map(_.mkString)
+    forAll(word, n = 500) { w =>
+      assert(encode(w) == inOrderEncode(w), s"word '$w'")
+    }
+  }
+
+  test("invalid merges tables reject loudly") {
+    intercept[IllegalArgumentException] {
+      // 'xy' is not a single char nor an earlier output
+      org.apache.spark.sql.graft.BpeKernel.buildRanks("xy z")
+    }
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.BpeKernel.buildRanks("a b,a b") // duplicate
+    }
+  }
+
+  test("DataFrame path (codegen) agrees with the kernel; bpeTokenize shape") {
+    import spark.implicits._
+    val df = Seq((1L, "the fast stream sort query"), (2L, "hash table group"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      bpe_tokens(col("text"), TextOps.DefaultMerges).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val expect1 = Seq("the", "fast", "stream", "sort", "query")
+      .flatMap(encode)
+    assert(got(1L) == expect1)
+    assert(got(2L) == Seq("hash", "tab", "l", "e", "group"))
+
+    val tok = TextOps.bpeTokenize(df)
+    val row = tok.filter(col("doc_id") === 2L).collect().head
+    assert(row.getLong(1) == 5L)
+    assert(row.getString(2) == "hash|tab|l|e|group")
+  }
+
+  test("bpeTrain: learns the expected merges on a known corpus; table is valid and feeds tokenize") {
+    import spark.implicits._
+    // 'aa' pair dominates (overlapping count: 'aaaa' contributes 3),
+    // then 'aa'+'aa', then the b-chain
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa bcd"),
+      (2L, "aaaa aaaa bcd bcd"),
+      (3L, "aa bc")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrain(docs, numMerges = 3).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) at all adjacent positions: 5 docs' words —
+    // 'aaaa'×5 → 3 each = 15, 'aa'×1 → 1 ⇒ 16
+    assert(m(0) == ((1, "a", "a", 16L)))
+    // after merge: 'aaaa' → [aa,aa] (left-to-right), 'aa' → [aa];
+    // round 2: (aa,aa) = 5 vs (b,c) = 4 ⇒ aa+aa wins
+    assert(m(1) == ((2, "aa", "aa", 5L)))
+    assert(m(2) == ((3, "b", "c", 4L)))
+    // the learned table is VALID (buildRanks accepts) and composes
+    val spec = m.map(t => s"${t._2} ${t._3}").mkString(",")
+    org.apache.spark.sql.graft.BpeKernel.buildRanks(spec)
+    val tok = TextOps.bpeTokenize(docs, m.map(t => t._2 -> t._3).toSeq)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(tok.getString(2) == "aaaa|aaaa|aaaa|bc|d")
+  }
+
+  test("SQL registration: rq_bpe_tokens with a literal merges spec") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Tuple1("stream sort")).toDF("text").createOrReplaceTempView("bpe_in")
+    val spec = TextOps.DefaultMerges.map { case (a, b) => s"$a $b" }.mkString(",")
+    val out = spark.sql(
+      s"SELECT rq_bpe_tokens(text, '$spec') AS t FROM bpe_in")
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("stream", "sort"))
+  }
+}

@@ -305,4 +305,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_email") + out(2L).getAs[Long]("n_ip") +
       out(2L).getAs[Long]("n_phone") === 0L)
   }
+
+  test("DSIR: target-like docs score above off-target docs; sums are exact integers") {
+    import spark.implicits._
+    val docs = (
+      (0L until 20L).map(i => i -> "good clean prose words here") ++
+      (20L until 40L).map(i => i -> "spam spam buy now click spam")).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") < 20L) // the quality proxy
+    val out = TextOps.dsirScore(docs, target, numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every target-distribution doc outranks every off-target doc
+    val tgtMin = (0L until 20L).map(out).min
+    val offMax = (20L until 40L).map(out).max
+    assert(tgtMin > offMax, s"tgtMin=$tgtMin offMax=$offMax")
+    // identical docs get identical integer scores (order-free exact sums)
+    assert((0L until 20L).map(out).toSet.size == 1)
+  }
+
+  test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
+    import spark.implicits._
+    val raw = Seq(
+      1L -> "http://example5.com/p/3?b=2&a=1",
+      2L -> "HTTP://EXAMPLE5.COM:80/p/3?a=1&b=2#frag",
+      3L -> "http://Example5.com/p/3?utm_source=feed&b=2&a=1",
+      4L -> "http://other.com/x", // no query at all
+      5L -> "https://example5.com:8080/p/3?a=1") // non-default port survives
+      .toDF("doc_id", "url")
+    val groups = TextOps.urlDupGroups(raw).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(groups("http://example5.com/p/3?a=1&b=2") == ((3L, 3L, 1L)))
+    assert(groups("http://other.com/x") == ((1L, 1L, 4L)))
+    assert(groups("https://example5.com:8080/p/3?a=1") == ((1L, 1L, 5L)))
+    assert(groups.size == 3)
+  }
 }
