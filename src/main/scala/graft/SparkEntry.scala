@@ -229,6 +229,11 @@ object SparkEntry {
     "q208_dsir_score"       -> (LlmQueries.q208DsirScore _),
     "q209_url_dedup"        -> (LlmQueries.q209UrlDedup _),
     "q210_bpe_train"        -> (LlmQueries.q210BpeTrain _),
+    "q211_domain_quota"     -> (LlmQueries.q211DomainQuota _),
+    "q212_sign_project"     -> (LlmQueries.q212SignProject _),
+    "q213_pagerank"         -> (LlmQueries.q213PageRank _),
+    "q214_bpe_pipeline"     -> (LlmQueries.q214BpePipeline _),
+    "q215_quality_clf"      -> (LlmQueries.q215QualityClassifier _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -526,6 +531,16 @@ object SparkEntry {
     // q210: BPE TRAINING — all 8 merge rounds (pair counts, deterministic
     // top-1, replace pass) unrolled and replayed in SQL
     "q210_bpe_train"        -> LlmOracles.q210(8),
+    // q211: per-domain quota — domain extraction, idHash fold, window replayed
+    "q211_domain_quota"     -> LlmOracles.q211,
+    // q212: JL sign projection — ±1 matrix re-derived from md5 parity in SQL
+    "q212_sign_project"     -> LlmOracles.q212,
+    // q213: integer PageRank — 3 floor-division rounds replayed
+    "q213_pagerank"         -> LlmOracles.q213(3),
+    // q214: BPE train→tokenize end to end — SQL re-trains AND re-tokenizes
+    "q214_bpe_pipeline"     -> LlmOracles.q214(8),
+    // q215: hashed linear classifier — both integer-GD rounds replayed
+    "q215_quality_clf"      -> LlmOracles.q215(64, 2),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

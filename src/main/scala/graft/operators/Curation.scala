@@ -69,6 +69,21 @@ object Curation {
       .drop("_h", "_rn", "_n")
   }
 
+  /** Per-group quota: keep at most `k` records of each group, chosen in
+    * deterministic hash order (ties to the lower id) — the crawl-curation
+    * domain-balancing primitive ("at most K pages per domain", so one
+    * mega-domain cannot dominate the training mix). One window shuffle on
+    * the group key; the kept `rn` (1..k) records the selection order. */
+  def quotaPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"quota must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", idHash(col(idCol)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("_h")
+  }
+
   /** Token-budget selection: per group (source/domain), greedily keeps the
     * highest-priority records until the group's token budget is spent.
     * `orderBy` ranks candidates (quality score, recency, …); the running

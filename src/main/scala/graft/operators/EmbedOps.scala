@@ -29,6 +29,33 @@ object EmbedOps {
     s"""aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
 
+  /** Johnson–Lindenstrauss sign random projection: dim → outDim with a
+    * fixed ±1 matrix derived from md5 parity — the deterministic,
+    * seed-free dimensionality reducer that preserves pairwise distances
+    * within (1±ε) and shrinks every downstream ANN/dedup shuffle by
+    * dim/outDim. Inputs are quantized to integers (round(x·64), the
+    * convention shared with [[kmeansAssign]]'s oracle), so each projected
+    * coordinate is an exact integer sum both engines replay bit-for-bit.
+    * Pure narrow projection — no shuffle; the sign matrix is plan-time
+    * constant (sign(i,j) = parity of the 60-bit md5 of "i_j", a
+    * definition any SQL engine can recompute). Output: (vec_id, j, p)
+    * long format, one row per projected coordinate. */
+  def signProject(vecs: DataFrame, dim: Int = 64, outDim: Int = 16): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Long = {
+      val hex = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 1) 1L else -1L
+    }
+    val q = (i: Int) =>
+      round(col("embedding")(i).cast("double") * 64, 0).cast("long")
+    val proj = (0 until outDim).map { j =>
+      (0 until dim).map(i => q(i) * lit(sign(i, j))).reduce(_ + _)
+    }
+    vecs.select(col("vec_id"), posexplode(array(proj: _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("j"), col("col").as("p"))
+  }
+
   /** Exact cosine top-k of `corpus` rows per `queries` row (queries assumed
     * small → broadcast; corpus side never shuffles more than k rows/query). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {

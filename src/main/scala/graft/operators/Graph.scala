@@ -96,4 +96,44 @@ object Graph {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** Deterministic integer PageRank over `edges(src, dst)` — the
+    * domain-authority score crawl curation ranks hosts by (CommonCrawl
+    * publishes exactly this kind of host-level rank). All arithmetic is
+    * integer floor division so a SQL oracle replays every round exactly:
+    *
+    *   rank₀ = scale;  rankᵣ(v) = (15·scale) div 100
+    *                            + (85 · Σ_{(u,v)∈E} (rankᵣ₋₁(u) div outdeg(u))) div 100
+    *
+    * Parallel edges each carry a contribution (outdeg counts multiplicity
+    * — edge weight by repetition); dangling-node mass is dropped (both
+    * engines replay the same formula, so the simplification is shared).
+    *
+    * Scale shape, per round: one join of the rank table (one row per
+    * node — broadcastable long after the edge list isn't) against the
+    * static edge list + one hash aggregate by dst. The edge list never
+    * re-shuffles; `localCheckpoint` truncates the growing plan. */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 3, scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("u")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val base = 15L * scale / 100
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val mass = e
+        .join(ranks, e("u") === ranks("node"))
+        .join(outdeg, "u")
+        .select(col("v"), expr("rank div outdeg").as("c"))
+        .groupBy(col("v")).agg(sum("c").as("in_mass"))
+      ranks = nodes
+        .join(mass, nodes("node") === mass("v"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(in_mass, 0L)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -828,7 +828,11 @@ object LlmOracles {
     * the winner — unrolled `numMerges` times. The engine's per-round
     * vocab-shuffle + one-row collect computes the identical sequence, so
     * all four columns (rank, lhs, rhs, n) hash-match. */
-  def q210(numMerges: Int = 8): String = {
+  /** Shared BPE-training CTE chain: words (distinct word × count), v0
+    * (wrapped form, word carried through), then per round r the CTEs
+    * t{r}/p{r}/b{r}/v{r}. v{numMerges} holds every distinct word's token
+    * sequence under the learned table. */
+  private def bpeTrainCtes(numMerges: Int): String = {
     val wrap = "list_aggregate(list_transform(generate_series(1, len(w)), " +
       "i -> ' ' || w[i] || ' '), 'string_agg', '')"
     val rounds = (1 to numMerges).map { r =>
@@ -839,22 +843,167 @@ object LlmOracles {
               i -> toks[i] || ' ' || toks[i+1])) AS pair, c FROM t$r),
           b$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p$r
             GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 1),
-          v$r AS (SELECT replace(s,
+          v$r AS (SELECT w, replace(s,
               ' ' || split_part(b.pair, ' ', 1) || '  ' || split_part(b.pair, ' ', 2) || ' ',
               ' ' || replace(b.pair, ' ', '') || ' ') AS s, c
             FROM $prev, b$r b)"""
     }.mkString(",\n")
+    s"""words AS (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 GROUP BY 1),
+       v0 AS (SELECT w, $wrap AS s, c FROM words),
+       $rounds"""
+  }
+
+  def q210(numMerges: Int = 8): String = {
     val out = (1 to numMerges).map { r =>
       s"SELECT $r AS rank, split_part(pair, ' ', 1) AS lhs, " +
         s"split_part(pair, ' ', 2) AS rhs, n FROM b$r"
     }.mkString(" UNION ALL ")
-    s"""WITH words AS (
-         SELECT w, count(*) AS c
-         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         WHERE len(w) > 0 GROUP BY 1),
-       v0 AS (SELECT $wrap AS s, c FROM words),
-       $rounds
+    s"""WITH ${bpeTrainCtes(numMerges)}
        SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, n FROM ($out)"""
+  }
+
+  /** q214: train→tokenize end to end. The training chain of q210 runs to
+    * v8 — every distinct word's token sequence under the 8 learned rules —
+    * then the corpus re-tokenizes by joining each document's words against
+    * v8 and re-assembling in position order (q207's tail). The engine
+    * trains distributed and tokenizes with the greedy kernel; the two
+    * tokenizations agree by the validity theorem (learned tables are
+    * valid by construction). */
+  def q214(numMerges: Int = 8): String =
+    s"""WITH ${bpeTrainCtes(numMerges)},
+       wp AS (
+         SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(parts)),
+             i -> struct_pack(pos := i, w := parts[i]))) AS e
+         FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)),
+       enc AS (
+         SELECT wp.doc_id, wp.e.pos AS pos, trim(v.s) AS s
+         FROM wp JOIN v$numMerges v ON wp.e.w = v.w
+         WHERE len(wp.e.w) > 0),
+       tok AS (SELECT doc_id, pos, replace(s, '  ', '|') AS t FROM enc)
+       SELECT doc_id,
+         CAST(sum(len(string_split(t, '|'))) AS BIGINT) AS n_tokens,
+         string_agg(t, '|' ORDER BY pos) AS toks
+       FROM tok GROUP BY 1"""
+
+  /** The q209/q211 deterministic crawl-URL twin, DuckDB form (same CASE
+    * as [[LlmQueries.urlCorpusSpark]]). */
+  private val urlCorpusDuck: String =
+    """CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN concat('http://example', CAST(doc_id % 37 AS VARCHAR),
+           '.com/p/', CAST(doc_id % 13 AS VARCHAR), '?b=2&a=1')
+         WHEN 1 THEN concat('HTTP://EXAMPLE', CAST(doc_id % 37 AS VARCHAR),
+           '.COM:80/p/', CAST(doc_id % 13 AS VARCHAR), '?a=1&b=2#frag')
+         ELSE concat('http://Example', CAST(doc_id % 37 AS VARCHAR),
+           '.com/p/', CAST(doc_id % 13 AS VARCHAR), '?utm_source=feed&b=2&a=1')
+       END"""
+
+  /** q211: per-domain quota sampling replayed — domain extraction from the
+    * raw URL, the idHash char fold, the (hash, id) window order, and the
+    * ≤k filter. */
+  val q211: String = {
+    val url = urlCorpusDuck
+    val domain = "lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))"
+    s"""WITH d AS (SELECT doc_id, $url AS url FROM documents),
+       g AS (SELECT doc_id, $domain AS domain, ${idHash("doc_id")} AS h FROM d),
+       r AS (SELECT doc_id, domain,
+           row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) AS rn
+         FROM g)
+       SELECT doc_id, domain, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5"""
+  }
+
+  /** q212: Johnson–Lindenstrauss sign projection replayed — the ±1 matrix
+    * re-derived in SQL from md5 parity of "i_j", inputs quantized to
+    * round(x·64) integers, each projected coordinate an exact integer
+    * sum. */
+  val q212: String =
+    s"""WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS e
+         FROM embeddings),
+       sgn AS (SELECT i.i AS i, j.j AS j,
+           CASE WHEN ('0x' || substr(md5(CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
+             THEN 1 ELSE -1 END AS s
+         FROM generate_series(0, 63) i(i), generate_series(0, 15) j(j))
+       SELECT vec_id, CAST(sgn.j AS INTEGER) AS j,
+         CAST(sum(sgn.s * e[sgn.i + 1]) AS BIGINT) AS p
+       FROM v, sgn GROUP BY 1, 2"""
+
+  /** q213: integer PageRank replayed round by round — the synthetic domain
+    * link graph, outdegrees with multiplicity, and three rounds of
+    * rank' = base + (85·Σ(rank div outdeg)) div 100, all floor division. */
+  def q213(iters: Int = 3, scale: Long = 1000000L): String = {
+    val base = 15L * scale / 100
+    val rounds = (1 to iters).map { r =>
+      val prev = s"r${r - 1}"
+      s"""m$r AS (SELECT e.v AS node, CAST(sum((p.rank // d.outdeg)) AS BIGINT) AS in_mass
+            FROM e JOIN $prev p ON e.u = p.node JOIN deg d ON e.u = d.u
+            GROUP BY 1),
+          r$r AS (SELECT n.node,
+              CAST($base + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN m$r m ON n.node = m.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+         SELECT CAST(doc_id % 37 AS BIGINT) AS u, CAST((doc_id * 3 + 1) % 37 AS BIGINT) AS v
+         FROM documents
+         UNION ALL
+         SELECT CAST(doc_id % 37 AS BIGINT), CAST((doc_id * 5 + 2) % 37 AS BIGINT)
+         FROM documents),
+       nodes AS (SELECT DISTINCT u AS node FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u)),
+       deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY 1),
+       r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+       $rounds
+       SELECT node, rank FROM r$iters"""
+  }
+
+  /** q215: hashed linear quality classifier — `iters` integer-GD rounds
+    * re-derived in SQL. w0 = 0 means round 1's probabilities are exactly
+    * 500000 micros; every later margin/p/err/gradient/weight is an exact
+    * integer. Integer division only ever runs on non-negative operands
+    * (|g| with the sign reapplied; the p dividend clamps at 0 after), so
+    * DuckDB's floor `//` and Spark's truncating `div` cannot diverge. */
+  def q215(numBuckets: Int = 64, iters: Int = 2): String = {
+    val h = s"(${h60("w")} % $numBuckets)"
+    val step = (g: String) =>
+      s"CASE WHEN $g >= 0 THEN $g // t ELSE -((-($g)) // t) END"
+    val rounds = (1 to iters).map { r =>
+      val margins =
+        if (r == 1)
+          s"""m$r AS (SELECT doc_id, y, CAST(500000 AS BIGINT) AS p
+                FROM (SELECT DISTINCT doc_id, y FROM tok))"""
+        else
+          s"""s$r AS (SELECT tok.doc_id, tok.y,
+                  CAST(sum(tok.x * w.wt) AS BIGINT) AS margin
+                FROM tok JOIN w${r - 1} w ON tok.h = w.h GROUP BY 1, 2),
+              m$r AS (SELECT doc_id, y,
+                  greatest(0, least(1000000, (2000000 + margin) // 4)) AS p
+                FROM s$r)"""
+      s"""$margins,
+          e$r AS (SELECT doc_id, p - y * 1000000 AS err FROM m$r),
+          g$r AS (SELECT tok.h, CAST(sum(tok.x * e.err) AS BIGINT) AS g
+            FROM tok JOIN e$r e ON tok.doc_id = e.doc_id GROUP BY 1),
+          w$r AS (SELECT b.h,
+              CAST(${if (r == 1) "0" else "b.wt"} - ${step("coalesce(g.g, 0)")} AS BIGINT) AS wt
+            FROM ${if (r == 1) "(SELECT DISTINCT h FROM tok)" else s"w${r - 1}"} b
+            LEFT JOIN g$r g ON b.h = g.h CROSS JOIN tot)"""
+    }.mkString(",\n")
+    s"""WITH tok AS (
+         SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y,
+           $h AS h, count(*) AS x
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE len(w) > 0 GROUP BY 1, 2, 3),
+       tot AS (SELECT CAST(sum(x) AS BIGINT) AS t FROM tok),
+       $rounds,
+       fin AS (SELECT tok.doc_id, tok.y, CAST(sum(tok.x) AS BIGINT) AS n_toks,
+           CAST(sum(tok.x * w.wt) AS BIGINT) AS margin_micros
+         FROM tok JOIN w$iters w ON tok.h = w.h GROUP BY 1, 2)
+       SELECT doc_id, n_toks, margin_micros,
+         greatest(0, least(1000000, (2000000 + margin_micros) // 4)) AS p_micros,
+         greatest(0, least(1000000, (2000000 + margin_micros) // 4)) > 500000 AS predicted
+       FROM fin"""
   }
 
   /** q209: URL canonicalization + dedup replayed step by step — fragment

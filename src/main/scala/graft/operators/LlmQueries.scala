@@ -479,6 +479,62 @@ object LlmQueries {
   def q210BpeTrain(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeTrain(docs(spark, dir), numMerges = 8)
 
+  /** q211 — per-domain quota sampling ([[Curation.quotaPerGroup]]): at
+    * most 5 pages per registrable domain, chosen in deterministic hash
+    * order — the crawl-balancing primitive. One window shuffle; the
+    * oracle replays domain extraction, the idHash fold, and the window. */
+  def q211DomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), expr(urlCorpusSpark).as("url"))
+      .withColumn("domain", lower(expr(
+        "split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1)")))
+    Curation.quotaPerGroup(d, "domain", "doc_id", k = 5)
+      .select("doc_id", "domain", "rn")
+  }
+
+  /** q212 — Johnson–Lindenstrauss sign projection
+    * ([[EmbedOps.signProject]]): 64 → 16 dims with the md5-parity ±1
+    * matrix over round(x·64)-quantized inputs — every projected
+    * coordinate an exact integer the oracle re-derives (including the
+    * sign matrix itself, from md5 in SQL). */
+  def q212SignProject(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.signProject(Tables.embeddings(spark, dir), dim = 64, outDim = 16)
+
+  /** q213 — deterministic integer PageRank ([[Graph.pageRank]]) over a
+    * synthetic domain link graph (two out-links per doc); 3 rounds of
+    * floor-division rank updates, all replayed in SQL. */
+  def q213PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val e1 = d.select((col("doc_id") % 37).as("src"),
+      ((col("doc_id") * 3 + 1) % 37).as("dst"))
+    val e2 = d.select((col("doc_id") % 37).as("src"),
+      ((col("doc_id") * 5 + 2) % 37).as("dst"))
+    Graph.pageRank(e1.union(e2), "src", "dst", iters = 3)
+  }
+
+  /** q214 — BPE train→tokenize END TO END: the 8-rule table learned by
+    * [[TextOps.bpeTrain]] (a driver-side training artifact, like
+    * centroids) feeds the greedy codegen'd tokenizer over the same
+    * corpus. The oracle re-trains in SQL (q210's CTE chain carries every
+    * distinct word's final token sequence) and re-tokenizes by joining
+    * words back to documents — greedy ≡ in-order by the validity
+    * theorem. */
+  def q214BpePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val merges = TextOps.bpeTrain(d, numMerges = 8).orderBy("rank")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toSeq
+    TextOps.bpeTokenize(d, merges)
+  }
+
+  /** q215 — hashed linear quality classifier ([[TextOps
+    * .qualityClassifier]]): 2 integer-GD rounds over 64 hashed unigram
+    * buckets, label = the q208 target proxy (doc_id % 7 = 0). Every
+    * margin, probability, gradient, and weight is an exact integer the
+    * oracle re-derives round by round. */
+  def q215QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityClassifier(docs(spark, dir),
+      target = col("doc_id") % 7 === 0, numBuckets = 64, iters = 2)
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

@@ -562,6 +562,72 @@ object TextOps {
       .withColumn("selected", col("score_micros") > 0L)
   }
 
+  /** Hashed linear quality classifier trained with integer full-batch
+    * gradient descent — the "train a quality filter, score the crawl"
+    * stage (the GPT-3/CCNet pipelines train exactly this kind of hashed
+    * linear model over a target corpus). Features are `numBuckets` hashed
+    * unigram counts; the link is the linearized logistic
+    * p = clamp(½ + margin/4, 0, 1) so EVERY quantity — margins,
+    * probabilities (micros), errors, gradients, weights — is an exact
+    * integer both engines replay bit-for-bit (no transcendental whose
+    * last ulp could differ between engines). Update per round:
+    *
+    *   margin_d = Σ_h x_dh · w[h]            (micros · counts)
+    *   p_d      = clamp((2000000 + margin_d) div 4, 0, 1e6)
+    *   err_d    = p_d − y_d·1e6
+    *   w'[h]    = w[h] − sign(g)·(|g| div totalTokens),  g = Σ_d err_d·x_dh
+    *
+    * Integer division appears only where the two engines' conventions
+    * cannot diverge: the p dividend is clamped at 0 afterwards (a
+    * negative dividend lands at 0 under floor OR truncate), and the
+    * gradient step divides |g| (non-negative, where floor = truncate)
+    * with the sign reapplied — Spark's `div` truncates while DuckDB's
+    * `//` floors, and this is the construction that makes them agree.
+    *
+    * Scale shape: tokenize once (persisted); per round one broadcast join
+    * of the O(numBuckets) weight table + one per-doc agg, then one
+    * corpus-scale equi-join of per-doc errors back onto tokens + one
+    * per-bucket agg — 2 shuffles per round, linear, model state
+    * O(numBuckets) regardless of corpus size. Returns per-doc
+    * (doc_id, n_toks, margin_micros, p_micros, predicted). */
+  def qualityClassifier(docs: DataFrame, target: Column,
+      numBuckets: Int = 64, iters: Int = 2): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), target.cast("long").as("y"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("y"), (hash60(col("w")) % numBuckets).as("h"))
+      .groupBy("doc_id", "y", "h").agg(count(lit(1)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totalTokens = tok.agg(sum("x")).head.getLong(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var w = (0 until numBuckets).map(h => (h.toLong, 0L)).toDF("h", "wt")
+    def scores(wts: DataFrame): DataFrame = tok
+      .join(broadcast(wts), "h")
+      .groupBy("doc_id", "y")
+      .agg(sum("x").as("n_toks"), sum(col("x") * col("wt")).as("margin_micros"))
+      .withColumn("p_micros", greatest(lit(0L),
+        least(lit(1000000L), expr("(2000000L + margin_micros) div 4"))))
+    for (_ <- 1 to iters) {
+      val err = scores(w)
+        .select(col("doc_id"), (col("p_micros") - col("y") * 1000000L).as("err"))
+      val grad = tok.join(err, "doc_id")
+        .groupBy("h").agg(sum(col("x") * col("err")).as("g"))
+      w = w.join(grad, Seq("h"), "left")
+        .select(col("h"),
+          (col("wt") - expr(
+            s"""CASE WHEN coalesce(g, 0L) >= 0L
+                  THEN coalesce(g, 0L) div ${totalTokens}L
+                  ELSE -((-coalesce(g, 0L)) div ${totalTokens}L) END"""))
+            .as("wt"))
+        .localCheckpoint()
+    }
+    scores(w)
+      .select(col("doc_id"), col("n_toks"), col("margin_micros"),
+        col("p_micros"), (col("p_micros") > 500000L).as("predicted"))
+  }
+
   /** URL canonicalization (the web-crawl dedup key): strip the fragment,
     * lowercase scheme and host, drop a default :80 port, drop utm_*
     * tracking params, sort the remaining query params. Pure codegen'd

@@ -53,6 +53,22 @@ class CurationSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("quotaPerGroup: caps each group at k, keeps small groups whole, " +
+    "deterministic under repartition") {
+    import spark.implicits._
+    val df = ((0L until 40L).map(i => i -> "big") ++
+      (100L until 103L).map(i => i -> "small")).toDF("doc_id", "grp")
+    val kept = Curation.quotaPerGroup(df, "grp", "doc_id", k = 5)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("big" -> 5L, "small" -> 3L))
+    // rn is 1..n within each group
+    assert(kept.filter(col("grp") === "small").select("rn")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    val again = Curation.quotaPerGroup(df.repartition(7), "grp", "doc_id", 5)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
   test("weightedMix: rate 1.0 keeps everything, rate 0 keeps nothing, " +
     "unlisted sources are dropped, deterministic") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)

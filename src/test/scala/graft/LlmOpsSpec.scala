@@ -322,6 +322,57 @@ class LlmOpsSpec extends SparkSpec {
     assert((0L until 20L).map(out).toSet.size == 1)
   }
 
+  test("signProject: one-hot inputs read the sign matrix directly; equal vectors project equally") {
+    import spark.implicits._
+    // one-hot at dim i scaled so round(x*64) = 64: p(j) = 64 * sign(i, j)
+    val oneHot = (i: Int) => Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    val vecs = Seq((1L, oneHot(0)), (2L, oneHot(7)), (3L, oneHot(0)))
+      .toDF("vec_id", "embedding")
+    val out = operators.EmbedOps.signProject(vecs, dim = 64, outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size == 3 * 16)
+    // every coordinate is exactly ±64 (the quantized one-hot times ±1)
+    assert(out.values.forall(p => p == 64L || p == -64L))
+    // identical inputs project identically; different one-hots differ somewhere
+    assert((0 until 16).forall(j => out((1L, j)) == out((3L, j))))
+    assert((0 until 16).exists(j => out((1L, j)) != out((2L, j))))
+  }
+
+  test("pageRank: uniform cycle stays uniform; star center outranks leaves") {
+    import spark.implicits._
+    // 4-cycle: every node has outdeg 1 and indeg 1 -> rank stays at the
+    // fixpoint base + 0.85*scale form, identical for all nodes
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val rc = operators.Graph.pageRank(cycle, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc.values.toSet.size == 1 && rc.size == 4)
+    // star: leaves 1..4 all point at 0; 0 points at 1
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L)).toDF("src", "dst")
+    val rs = operators.Graph.pageRank(star, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs(0L) > rs(2L) && rs(1L) > rs(2L)) // center and its target beat plain leaves
+    assert(rs(2L) == rs(3L) && rs(3L) == rs(4L))
+  }
+
+  test("qualityClassifier: separable corpora classify correctly after 2 integer-GD rounds") {
+    import spark.implicits._
+    val docs = (
+      (0L until 20L).map(i => i -> "good clean prose words here") ++
+      (20L until 40L).map(i => i -> "spam spam buy now click spam")).toDF("doc_id", "text")
+    val out = TextOps.qualityClassifier(docs, target = col("doc_id") < 20L,
+      numBuckets = 64, iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // all positives above all negatives; identical docs score identically
+    val posMin = (0L until 20L).map(out(_)._1).min
+    val negMax = (20L until 40L).map(out(_)._1).max
+    assert(posMin > negMax, s"posMin=$posMin negMax=$negMax")
+    assert((0L until 20L).forall(out(_)._3) && (20L until 40L).forall(!out(_)._3))
+    assert((0L until 20L).map(out).toSet.size == 1)
+    // p stays in [0, 1e6] micros
+    assert(out.values.forall(v => v._2 >= 0L && v._2 <= 1000000L))
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
