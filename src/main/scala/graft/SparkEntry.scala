@@ -234,6 +234,8 @@ object SparkEntry {
     "q213_pagerank"         -> (LlmQueries.q213PageRank _),
     "q214_bpe_pipeline"     -> (LlmQueries.q214BpePipeline _),
     "q215_quality_clf"      -> (LlmQueries.q215QualityClassifier _),
+    "q216_stream_quota"     -> (LlmQueries.q216StreamQuota _),
+    "q217_covariance"       -> (LlmQueries.q217Covariance _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -541,6 +543,11 @@ object SparkEntry {
     "q214_bpe_pipeline"     -> LlmOracles.q214(8),
     // q215: hashed linear classifier — both integer-GD rounds replayed
     "q215_quality_clf"      -> LlmOracles.q215(64, 2),
+    // q216: STREAMING per-domain quota — arrival order = hash order, so the
+    // batch q211 oracle verifies the stream verbatim
+    "q216_stream_quota"     -> LlmOracles.q211,
+    // q217: covariance — every integer numerator replayed in SQL
+    "q217_covariance"       -> LlmOracles.q217,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -56,6 +56,39 @@ object EmbedOps {
       .select(col("vec_id"), col("pos").cast("int").as("j"), col("col").as("p"))
   }
 
+  /** Exact covariance matrix over integer-quantized embeddings — the PCA /
+    * whitening / decorrelation input. Returns one row per (i ≤ j) pair
+    * with the exact integer numerator cov_num = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ (the
+    * n²-scaled covariance — divide by n² for the sample value), so both
+    * engines replay it with zero float drift.
+    *
+    * Scale shape: ONE pass over the corpus. Each vector explodes to
+    * dim·(dim+1)/2 product terms INSIDE the scan stage (generate →
+    * partial hash agg — nothing fat crosses the shuffle; the partial agg
+    * shrinks every partition to the 2,080-row upper triangle), plus a
+    * dim-row marginal aggregate broadcast back. The 100 TB covariance is
+    * exactly this map-side-combine shape. */
+  def covarianceMatrix(vecs: DataFrame, dim: Int = 64): DataFrame = {
+    val q = vecs.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS LONG))")
+      .as("e"))
+    val pairs = q.select(expr(
+      s"""explode(flatten(transform(sequence(0, ${dim - 1}), i ->
+            transform(sequence(i, ${dim - 1}), j ->
+              named_struct('i', i, 'j', j, 'p', e[i] * e[j]))))) AS t"""))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("p").as("sum_ij"))
+    val marg = q.select(posexplode(col("e")).as(Seq("d", "qd")))
+      .groupBy("d").agg(sum("qd").as("s"))
+    pairs
+      .join(broadcast(marg.select(col("d").as("i"), col("s").as("sum_i"))), "i")
+      .join(broadcast(marg.select(col("d").as("j"), col("s").as("sum_j"))), "j")
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("n"), col("sum_ij"), col("sum_i"), col("sum_j"),
+        (col("n") * col("sum_ij") - col("sum_i") * col("sum_j")).as("cov_num"))
+  }
+
   /** Exact cosine top-k of `corpus` rows per `queries` row (queries assumed
     * small → broadcast; corpus side never shuffles more than k rows/query). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {

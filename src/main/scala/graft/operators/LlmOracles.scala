@@ -1006,6 +1006,24 @@ object LlmOracles {
        FROM fin"""
   }
 
+  /** q217: covariance matrix replayed — quantized vectors cross-joined
+    * with the (i ≤ j) index grid; the exact integer numerator
+    * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ per pair. */
+  val q217: String =
+    s"""WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS e
+         FROM embeddings),
+       p AS (SELECT i.i AS i, j.j AS j, count(*) AS n,
+           CAST(sum(e[i.i + 1] * e[j.j + 1]) AS BIGINT) AS sum_ij
+         FROM v, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
+         WHERE j.j >= i.i GROUP BY 1, 2),
+       m AS (SELECT d.d AS d, CAST(sum(e[d.d + 1]) AS BIGINT) AS s
+         FROM v, generate_series(0, 63) d(d) GROUP BY 1)
+       SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+         p.n, p.sum_ij, mi.s AS sum_i, mj.s AS sum_j,
+         p.n * p.sum_ij - mi.s * mj.s AS cov_num
+       FROM p JOIN m mi ON p.i = mi.d JOIN m mj ON p.j = mj.d"""
+
   /** q209: URL canonicalization + dedup replayed step by step — fragment
     * strip, scheme/host lowercase, :80 strip, utm_* drop, param sort.
     * DuckDB's array_to_string([]) is NULL, hence the coalesce. */

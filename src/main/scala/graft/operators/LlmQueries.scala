@@ -535,6 +535,48 @@ object LlmQueries {
     TextOps.qualityClassifier(docs(spark, dir),
       target = col("doc_id") % 7 === 0, numBuckets = 64, iters = 2)
 
+  /** q216 — STREAMING per-domain quota ([[graft.streaming.StreamingTiles
+    * .quotaPerKey]]): the same URL corpus arrives as a 2-batch stream in
+    * (idHash, doc_id) order, so arrival-order admission ≡ the batch
+    * window's hash order and q211's oracle verifies the stream verbatim.
+    * State = one counter per domain. */
+  def q216StreamQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = 2147483647L
+    def h(id: Long): Long =
+      id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val corpus = docs(spark, dir)
+      .select(col("doc_id"), expr(urlCorpusSpark).as("url"))
+      .withColumn("domain", lower(expr(
+        "split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1)")))
+      .select(col("doc_id"), col("domain")).as[(Long, String)].collect()
+      .sortBy { case (id, _) => (h(id), id) }
+      .zipWithIndex.map { case ((id, d), i) => (i.toLong, id, d) }
+    val (first, rest) = corpus.splitAt(corpus.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val out = graft.streaming.StreamingTiles.quotaPerKey(
+      input.toDF().toDF("seq", "doc_id", "domain"),
+      "domain", "doc_id", "seq", k = 5)
+    val query = out.writeStream.format("memory").queryName("q216_quota")
+      .outputMode("append").start()
+    try {
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q216_quota")
+      .select(col("id").as("doc_id"), col("key").as("domain"), col("rn"))
+  }
+
+  /** q217 — exact covariance matrix ([[EmbedOps.covarianceMatrix]]): the
+    * PCA/whitening input over quantized embeddings, one map-side-combine
+    * pass; every integer numerator replayed in SQL. */
+  def q217Covariance(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.covarianceMatrix(Tables.embeddings(spark, dir), dim = 64)
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

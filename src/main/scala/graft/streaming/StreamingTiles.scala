@@ -167,6 +167,40 @@ object StreamingTiles {
       .toDF()
   }
 
+  /** One kept row of the streaming per-key quota. */
+  case class QuotaKept(key: String, id: Long, rn: Long)
+
+  /** Streaming per-key quota — the arrival-order twin of
+    * [[graft.operators.Curation.quotaPerGroup]]: keep the first `k`
+    * records of each key as they arrive, with `rn` recording the
+    * admission order. State is ONE counter per key (bounded by distinct
+    * keys, not stream length) and admission is append-only — the
+    * crawl-frontier politeness cap ("stop fetching a domain once K pages
+    * are in"). Rows carry an explicit `seq` arrival index so replays and
+    * multi-row micro-batches admit in a deterministic order (a stream
+    * that re-batches differently still admits the same rows). */
+  def quotaPerKey(rows: DataFrame, keyCol: String, idCol: String,
+      seqCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoders, Row}
+    require(k > 0, s"quota must be positive, got $k")
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[QuotaKept]
+    def fn(key: String, rows: Iterator[Row],
+        state: GroupState[Long]): Iterator[QuotaKept] = {
+      var taken = state.getOption.getOrElse(0L)
+      val kept = rows.toSeq.sortBy(_.getAs[Long](seqCol)).iterator
+        .takeWhile(_ => taken < k)
+        .map { r => taken += 1; QuotaKept(key, r.getAs[Long](idCol), taken) }
+        .toVector
+      state.update(taken)
+      kept.iterator
+    }
+    rows.groupByKey((r: Row) => r.getAs[String](keyCol))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** One streaming SemDeDup verdict row — the twin of a
     * [[graft.operators.EmbedOps.semDedup]] output row. */
   case class SemVerdict(vec_id: Long, bucket: Long,

@@ -373,6 +373,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v._2 >= 0L && v._2 <= 1000000L))
   }
 
+  test("covarianceMatrix: hand-computed integer numerators on a 2-vector corpus") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.EmbedOps.covarianceMatrix(vecs, dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    // q = [64, 32], [0, 64]; n=2
+    assert(got((0, 0)) == ((2L, 4096L, 4096L)))   // 2*4096 - 64^2
+    assert(got((0, 1)) == ((2L, 2048L, -2048L)))  // 2*2048 - 64*96
+    assert(got((1, 1)) == ((2L, 5120L, 1024L)))   // 2*5120 - 96^2
+    assert(got.size == 3) // upper triangle only
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(

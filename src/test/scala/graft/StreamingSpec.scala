@@ -189,6 +189,29 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("quotaPerKey: admits the first k per key across micro-batches, seq-ordered within a batch") {
+    val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlCtx
+    val input = MemoryStream[(Long, Long, String)] // (seq, id, key)
+    val out = StreamingTiles.quotaPerKey(
+      input.toDF().toDF("seq", "doc_id", "domain"), "domain", "doc_id", "seq", k = 2)
+    val query = out.writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      // batch 1: 'a' gets two rows OUT of seq order -> seq decides rn
+      input.addData((2L, 10L, "a"), (1L, 11L, "a"), (3L, 20L, "b"))
+      query.processAllAvailable()
+      // batch 2: 'a' is full (drop), 'b' takes one more then drops
+      input.addData((4L, 12L, "a"), (5L, 21L, "b"), (6L, 22L, "b"))
+      query.processAllAvailable()
+      val got = spark.table("quota").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 11L, 1L), ("a", 10L, 2L),
+        ("b", 20L, 1L), ("b", 21L, 2L)))
+    } finally query.stop()
+  }
+
   test("streaming ingest appends sorted micro-batches to a raquet directory") {
     val base = java.nio.file.Files.createTempDirectory("stream").toString
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
