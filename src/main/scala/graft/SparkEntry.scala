@@ -236,6 +236,7 @@ object SparkEntry {
     "q215_quality_clf"      -> (LlmQueries.q215QualityClassifier _),
     "q216_stream_quota"     -> (LlmQueries.q216StreamQuota _),
     "q217_covariance"       -> (LlmQueries.q217Covariance _),
+    "q218_pca_power"        -> (LlmQueries.q218PcaPower _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -548,6 +549,8 @@ object SparkEntry {
     "q216_stream_quota"     -> LlmOracles.q211,
     // q217: covariance — every integer numerator replayed in SQL
     "q217_covariance"       -> LlmOracles.q217,
+    // q218: integer power iteration — matvec/rescale/truncation replayed
+    "q218_pca_power"        -> LlmOracles.q218(3),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

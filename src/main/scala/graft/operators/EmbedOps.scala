@@ -89,6 +89,52 @@ object EmbedOps {
         (col("n") * col("sum_ij") - col("sum_i") * col("sum_j")).as("cov_num"))
   }
 
+  /** PCA top-eigenvector direction via INTEGER power iteration on the
+    * [[covarianceMatrix]] output — the "dominant axis of the embedding
+    * cloud" primitive behind whitening, ABTT-style postprocessing, and
+    * drift monitoring. Every step is exact integer arithmetic:
+    *
+    *   v₀ = 1;  uᵣ = C·vᵣ₋₁;  sᵣ = max(1, max_d |uᵣ[d]| div 2¹²);
+    *   vᵣ[d] = sign(uᵣ[d]) · (|uᵣ[d]| div sᵣ)
+    *
+    * — the rescale keeps |v| ≈ 2¹² so the next matvec stays in int64 for
+    * corpora to ~10⁵ vectors at the 64-quantization (|u| ≤
+    * dim·|cov|·2¹² = 64·4096n²·4096 < 2⁶³ ⇒ n ≲ 9·10⁴; beyond that,
+    * compute per-shard covariances and iterate on their mean), and
+    * division only ever sees non-negative operands (sign reapplied), the
+    * same truncate-vs-floor-proof construction as
+    * [[TextOps.qualityClassifier]]. Convergence to the dominant
+    * eigendirection is the classic power-iteration argument; the integer
+    * truncation is a ≤2⁻¹² relative perturbation per round.
+    *
+    * Scale shape: the corpus-scale work is covarianceMatrix's one pass;
+    * iteration then runs on dim² rows — broadcast-sized regardless of
+    * corpus. Returns (d, v) — the un-normalized integer direction. */
+  def pcaPowerIteration(vecs: DataFrame, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val cov = covarianceMatrix(vecs, dim)
+      .select(col("i"), col("j"), col("cov_num")).localCheckpoint()
+    // mirror the upper triangle into the full symmetric matrix
+    val full = cov.union(
+      cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var v = (0 until dim).map(d => (d, 1L)).toDF("d", "v")
+    for (_ <- 1 to iters) {
+      val u = full.join(broadcast(v), full("j") === v("d"))
+        .groupBy(full("i").as("d"))
+        .agg(sum(col("cov_num") * col("v")).as("u"))
+      val s = u.agg(greatest(lit(1L),
+        expr("max(CASE WHEN u >= 0L THEN u ELSE -u END) div 4096L")).as("s"))
+      v = u.crossJoin(broadcast(s))
+        .select(col("d"), expr(
+          "CASE WHEN u >= 0L THEN u div s ELSE -((-u) div s) END").as("v"))
+        .localCheckpoint()
+    }
+    v.select(col("d").cast("int").as("d"), col("v"))
+  }
+
   /** Exact cosine top-k of `corpus` rows per `queries` row (queries assumed
     * small → broadcast; corpus side never shuffles more than k rows/query). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {

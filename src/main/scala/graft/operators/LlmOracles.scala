@@ -1006,23 +1006,53 @@ object LlmOracles {
        FROM fin"""
   }
 
-  /** q217: covariance matrix replayed — quantized vectors cross-joined
-    * with the (i ≤ j) index grid; the exact integer numerator
-    * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ per pair. */
-  val q217: String =
-    s"""WITH v AS (SELECT vec_id,
+  /** Shared covariance CTEs: quantized vectors cross-joined with the
+    * (i ≤ j) index grid; `cov` holds the exact integer numerator
+    * n·Σqᵢqⱼ − Σqᵢ·Σqⱼ per upper-triangle pair. */
+  private val covCtes: String =
+    s"""cv AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS e
          FROM embeddings),
-       p AS (SELECT i.i AS i, j.j AS j, count(*) AS n,
+       cp AS (SELECT i.i AS i, j.j AS j, count(*) AS n,
            CAST(sum(e[i.i + 1] * e[j.j + 1]) AS BIGINT) AS sum_ij
-         FROM v, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
+         FROM cv, generate_series(0, 63) i(i), generate_series(0, 63) j(j)
          WHERE j.j >= i.i GROUP BY 1, 2),
-       m AS (SELECT d.d AS d, CAST(sum(e[d.d + 1]) AS BIGINT) AS s
-         FROM v, generate_series(0, 63) d(d) GROUP BY 1)
-       SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-         p.n, p.sum_ij, mi.s AS sum_i, mj.s AS sum_j,
-         p.n * p.sum_ij - mi.s * mj.s AS cov_num
-       FROM p JOIN m mi ON p.i = mi.d JOIN m mj ON p.j = mj.d"""
+       cm AS (SELECT d.d AS d, CAST(sum(e[d.d + 1]) AS BIGINT) AS s
+         FROM cv, generate_series(0, 63) d(d) GROUP BY 1),
+       cov AS (SELECT cp.i AS i, cp.j AS j, cp.n AS n, cp.sum_ij AS sum_ij,
+           mi.s AS sum_i, mj.s AS sum_j,
+           cp.n * cp.sum_ij - mi.s * mj.s AS cov_num
+         FROM cp JOIN cm mi ON cp.i = mi.d JOIN cm mj ON cp.j = mj.d)"""
+
+  /** q217: covariance matrix replayed from [[covCtes]]. */
+  val q217: String =
+    s"""WITH $covCtes
+       SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+         n, sum_ij, sum_i, sum_j, cov_num
+       FROM cov"""
+
+  /** q218: integer power iteration replayed — the mirrored full matrix,
+    * then per round the matvec, the max-|u| rescale (floor division on
+    * non-negative operands only), and the sign-reapplied shrink. */
+  def q218(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"pv${r - 1}"
+      s"""pu$r AS (SELECT f.i AS d, CAST(sum(f.cov_num * v.v) AS BIGINT) AS u
+            FROM f JOIN $prev v ON f.j = v.d GROUP BY 1),
+          ps$r AS (SELECT greatest(1, max(CASE WHEN u >= 0 THEN u ELSE -u END) // 4096) AS s
+            FROM pu$r),
+          pv$r AS (SELECT d,
+              CAST(CASE WHEN u >= 0 THEN u // s ELSE -((-u) // s) END AS BIGINT) AS v
+            FROM pu$r, ps$r)"""
+    }.mkString(",\n")
+    s"""WITH $covCtes,
+       f AS (SELECT i, j, cov_num FROM cov
+             UNION ALL
+             SELECT j, i, cov_num FROM cov WHERE i <> j),
+       pv0 AS (SELECT d.d AS d, CAST(1 AS BIGINT) AS v FROM generate_series(0, 63) d(d)),
+       $rounds
+       SELECT CAST(d AS INTEGER) AS d, v FROM pv$iters"""
+  }
 
   /** q209: URL canonicalization + dedup replayed step by step — fragment
     * strip, scheme/host lowercase, :80 strip, utm_* drop, param sort.

@@ -577,6 +577,12 @@ object LlmQueries {
   def q217Covariance(spark: SparkSession, dir: String): DataFrame =
     EmbedOps.covarianceMatrix(Tables.embeddings(spark, dir), dim = 64)
 
+  /** q218 — PCA dominant direction ([[EmbedOps.pcaPowerIteration]]):
+    * 3 integer power-iteration rounds on the q217 covariance; the
+    * matvec, rescale, and truncation all replayed in SQL. */
+  def q218PcaPower(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.pcaPowerIteration(Tables.embeddings(spark, dir), dim = 64, iters = 3)
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

@@ -387,6 +387,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.size == 3) // upper triangle only
   }
 
+  test("pcaPowerIteration: recovers a planted dominant axis") {
+    import spark.implicits._
+    // variance planted on dim 5 (values ±1), tiny noise on dim 20
+    val vecs = (0 until 40).map { n =>
+      val a = new Array[Float](64)
+      a(5) = if (n % 2 == 0) 1.0f else -1.0f
+      a(20) = if (n % 4 < 2) 0.1f else -0.1f
+      (n.toLong, a)
+    }.toDF("vec_id", "embedding")
+    val v = operators.EmbedOps.pcaPowerIteration(vecs, dim = 64, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(v.size == 64)
+    val dominant = v.maxBy { case (_, x) => math.abs(x) }._1
+    assert(dominant == 5, s"dominant=$dominant v5=${v(5)} v20=${v(20)}")
+    assert(math.abs(v(5)) > 10 * math.abs(v(20)))
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
