@@ -237,6 +237,7 @@ object SparkEntry {
     "q216_stream_quota"     -> (LlmQueries.q216StreamQuota _),
     "q217_covariance"       -> (LlmQueries.q217Covariance _),
     "q218_pca_power"        -> (LlmQueries.q218PcaPower _),
+    "q219_abtt"             -> (LlmQueries.q219Abtt _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -551,6 +552,8 @@ object SparkEntry {
     "q217_covariance"       -> LlmOracles.q217,
     // q218: integer power iteration — matvec/rescale/truncation replayed
     "q218_pca_power"        -> LlmOracles.q218(3),
+    // q219: ABTT residual — direction, |v|², dots, residuals all replayed
+    "q219_abtt"             -> LlmOracles.q219(3),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -135,6 +135,32 @@ object EmbedOps {
     v.select(col("d").cast("int").as("d"), col("v"))
   }
 
+  /** ABTT-style top-component removal (Mu & Viswanath 2018, "All-but-
+    * the-Top"): project every embedding orthogonal to the
+    * [[pcaPowerIteration]] dominant direction — the standard embedding
+    * postprocessing step before similarity search. To stay exact-integer
+    * the residual is |v|²-scaled: r_d = q_d·|v|² − (q·v)·v_d (divide by
+    * |v|² for the float value); every term is an int64-safe product of
+    * the quantized inputs and the integer direction.
+    *
+    * Scale shape: direction + |v|² are broadcast-sized; the corpus pays
+    * one per-vector dot aggregate and one join back — two shuffles,
+    * linear. Returns (vec_id, d, r) long format. */
+  def removeTopComponent(vecs: DataFrame, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val v = pcaPowerIteration(vecs, dim, iters).localCheckpoint()
+    val n2 = v.agg(sum(col("v") * col("v")).as("n2"))
+    val q = vecs.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS LONG))")
+      .as("e"))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("d", "q")))
+    val dot = q.join(broadcast(v), "d")
+      .groupBy("vec_id").agg(sum(col("q") * col("v")).as("dot"))
+    q.join(broadcast(v), "d").join(dot, "vec_id").crossJoin(broadcast(n2))
+      .select(col("vec_id"), col("d").cast("int").as("d"),
+        (col("q") * col("n2") - col("dot") * col("v")).as("r"))
+  }
+
   /** Exact cosine top-k of `corpus` rows per `queries` row (queries assumed
     * small → broadcast; corpus side never shuffles more than k rows/query). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {

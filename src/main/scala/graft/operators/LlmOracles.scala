@@ -1031,10 +1031,11 @@ object LlmOracles {
          n, sum_ij, sum_i, sum_j, cov_num
        FROM cov"""
 
-  /** q218: integer power iteration replayed — the mirrored full matrix,
-    * then per round the matvec, the max-|u| rescale (floor division on
-    * non-negative operands only), and the sign-reapplied shrink. */
-  def q218(iters: Int = 3): String = {
+  /** Power-iteration CTE chain on top of [[covCtes]]: the mirrored full
+    * matrix `f`, then per round the matvec, the max-|u| rescale (floor
+    * division on non-negative operands only), and the sign-reapplied
+    * shrink. `pv{iters}` holds the final integer direction. */
+  private def pcaCtes(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"pv${r - 1}"
       s"""pu$r AS (SELECT f.i AS d, CAST(sum(f.cov_num * v.v) AS BIGINT) AS u
@@ -1045,14 +1046,33 @@ object LlmOracles {
               CAST(CASE WHEN u >= 0 THEN u // s ELSE -((-u) // s) END AS BIGINT) AS v
             FROM pu$r, ps$r)"""
     }.mkString(",\n")
-    s"""WITH $covCtes,
+    s"""$covCtes,
        f AS (SELECT i, j, cov_num FROM cov
              UNION ALL
              SELECT j, i, cov_num FROM cov WHERE i <> j),
        pv0 AS (SELECT d.d AS d, CAST(1 AS BIGINT) AS v FROM generate_series(0, 63) d(d)),
-       $rounds
-       SELECT CAST(d AS INTEGER) AS d, v FROM pv$iters"""
+       $rounds"""
   }
+
+  /** q218: integer power iteration replayed via [[pcaCtes]]. */
+  def q218(iters: Int = 3): String =
+    s"""WITH ${pcaCtes(iters)}
+       SELECT CAST(d AS INTEGER) AS d, v FROM pv$iters"""
+
+  /** q219: ABTT top-component removal replayed — the q218 direction, its
+    * squared norm, each vector's integer dot with it, and the exact
+    * |v|²-scaled residual r = q·|v|² − (q·v)·v_d. */
+  def q219(iters: Int = 3): String =
+    s"""WITH ${pcaCtes(iters)},
+       nn AS (SELECT CAST(sum(v * v) AS BIGINT) AS n2 FROM pv$iters),
+       qx AS (SELECT vec_id, d.d AS d, e[d.d + 1] AS q
+         FROM cv, generate_series(0, 63) d(d)),
+       dt AS (SELECT qx.vec_id, CAST(sum(qx.q * p.v) AS BIGINT) AS dot
+         FROM qx JOIN pv$iters p ON qx.d = p.d GROUP BY 1)
+       SELECT qx.vec_id, CAST(qx.d AS INTEGER) AS d,
+         CAST(qx.q * nn.n2 - dt.dot * p.v AS BIGINT) AS r
+       FROM qx JOIN pv$iters p ON qx.d = p.d
+         JOIN dt ON qx.vec_id = dt.vec_id CROSS JOIN nn"""
 
   /** q209: URL canonicalization + dedup replayed step by step — fragment
     * strip, scheme/host lowercase, :80 strip, utm_* drop, param sort.

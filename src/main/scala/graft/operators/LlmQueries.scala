@@ -583,6 +583,12 @@ object LlmQueries {
   def q218PcaPower(spark: SparkSession, dir: String): DataFrame =
     EmbedOps.pcaPowerIteration(Tables.embeddings(spark, dir), dim = 64, iters = 3)
 
+  /** q219 — ABTT top-component removal ([[EmbedOps.removeTopComponent]]):
+    * the |v|²-scaled orthogonal residual against the q218 direction,
+    * every integer term replayed in SQL. */
+  def q219Abtt(spark: SparkSession, dir: String): DataFrame =
+    EmbedOps.removeTopComponent(Tables.embeddings(spark, dir), dim = 64, iters = 3)
+
   def q113EmbedClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val pairs = EmbedOps.bucketedTopK(emb, planes = 8, dim = 64, minCos = 0.2)

@@ -404,6 +404,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(v(5)) > 10 * math.abs(v(20)))
   }
 
+  test("removeTopComponent: residuals are EXACTLY orthogonal to the removed direction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map { n =>
+      val a = Array.tabulate(64)(d => (rnd.nextFloat() - 0.5f) * 0.4f)
+      a(3) = if (n % 2 == 0) 0.9f else -0.9f // dominant axis
+      (n, a)
+    }.toDF("vec_id", "embedding")
+    val v = operators.EmbedOps.pcaPowerIteration(vecs, 64, 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val res = operators.EmbedOps.removeTopComponent(vecs, 64, 3).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    // Σ_d r_d · v_d = 0 exactly, for every vector (integer identity)
+    res.foreach { case (id, rd) =>
+      val dot = (0 until 64).map(d => rd(d) * v(d)).sum
+      assert(dot == 0L, s"vec $id residual·v = $dot")
+    }
+    // the dominant dim's residual collapses relative to its input scale
+    assert(res.values.forall(rd => math.abs(rd(3)) <
+      (0 until 64).map(d => math.abs(rd(d))).max * 2))
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
