@@ -504,6 +504,18 @@ object Bench {
         graft.Tables.documents(s, dir).select("doc_id", "n_chars"),
         idCol = "doc_id", weightCol = "n_chars", budget = 4000L,
         buckets = 64)),
+    // BPE tokenization throughput: the greedy lowest-rank merge loop as a
+    // codegen'd projection — the hot path of any token-count/packing stage
+    "b_bpe_tokens" -> ((s: SparkSession, dir: String) =>
+      TextOps.bpeTokenize(Tables.documents(s, dir).select("doc_id", "text"))),
+    // hashed linear quality classifier: 2 integer-GD rounds (2 shuffles
+    // each) + the final scoring pass — the train-a-quality-filter stage
+    "b_quality_clf" -> ((s: SparkSession, dir: String) =>
+      TextOps.qualityClassifier(Tables.documents(s, dir).select("doc_id", "text"),
+        target = col("doc_id") % 7 === 0, numBuckets = 64, iters = 2)),
+    // exact covariance: one map-side-combine pass, 2,080-row partials
+    "b_covariance" -> ((s: SparkSession, dir: String) =>
+      EmbedOps.covarianceMatrix(Tables.embeddings(s, dir), dim = 64)),
     // GRIB2 ingest throughput: the q147 grid (240x512x3, simple packing +
     // bitmap) through the full scan->warp->pyramid->write pipeline; the
     // fixture encodes once per session
