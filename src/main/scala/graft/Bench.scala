@@ -605,6 +605,14 @@ object Bench {
       series("semdedup", Seq(nVecs, 2 * nVecs, 4 * nVecs),
         n => EmbedOps.semDedup(vecsTimes(vecs, (n / nVecs).toInt),
           planes = 8, dim = 64, tau = 0.35)),
+      // BPE tokenization is a pure projection — must read ~linear
+      series("bpe_tokens", Seq(nDocs, 2 * nDocs, 4 * nDocs),
+        n => TextOps.bpeTokenize(docsTimes(docs, (n / nDocs).toInt))),
+      // classifier training: per round one broadcast join + per-doc agg +
+      // one corpus err join + per-bucket agg — all linear passes
+      series("quality_clf", Seq(nDocs, 2 * nDocs, 4 * nDocs),
+        n => TextOps.qualityClassifier(docsTimes(docs, (n / nDocs).toInt),
+          target = col("doc_id") % 7 === 0, numBuckets = 64, iters = 2)),
       // probe sanity: an explicit all-pairs 64-dim dot-product cross join
       // must read quadratic — per-pair work is real array math, not a
       // codegen-trivial modulo the row overhead would swamp. Sizes are the

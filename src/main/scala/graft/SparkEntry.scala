@@ -238,6 +238,7 @@ object SparkEntry {
     "q217_covariance"       -> (LlmQueries.q217Covariance _),
     "q218_pca_power"        -> (LlmQueries.q218PcaPower _),
     "q219_abtt"             -> (LlmQueries.q219Abtt _),
+    "q220_stream_topk"      -> (LlmQueries.q220StreamTopk _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -554,6 +555,12 @@ object SparkEntry {
     "q218_pca_power"        -> LlmOracles.q218(3),
     // q219: ABTT residual — direction, |v|², dots, residuals all replayed
     "q219_abtt"             -> LlmOracles.q219(3),
+    // q220: STREAMING top-k sketch — the state-store merge across
+    // micro-batches must still equal q140's exact closed form
+    "q220_stream_topk" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

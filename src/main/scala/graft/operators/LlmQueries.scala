@@ -234,6 +234,37 @@ object LlmQueries {
       .select(col("t.token").as("token"), col("t.n").as("n"), col("t.err").as("err"))
   }
 
+  /** q220 — STREAMING top-k sketch: q140's space-saving aggregate over a
+    * 2-micro-batch document stream in Complete mode, so the state store
+    * carries the serialized sketch between batches and the cross-batch
+    * MERGE path is what's exercised. Capacity ≥ distinct tokens ⇒ exact ⇒
+    * q140's closed-form oracle verifies the stream verbatim. */
+  def q220StreamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.GraftFunctions.topk_sketch
+    val corpus = docs(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (first, rest) = corpus.splitAt(corpus.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .agg(topk_sketch(col("token"), capacity = 200000, k = 100).as("top"))
+    val query = out.writeStream.format("memory").queryName("q220_topk")
+      .outputMode("complete").start()
+    try {
+      input.addData(first.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(rest.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q220_topk")
+      .select(explode(col("top")).as("t"))
+      .select(col("t.token").as("token"), col("t.n").as("n"),
+        col("t.err").as("err"))
+  }
+
   /** Train/eval decontamination ([[TextOps.contamination]]): every 13th doc
     * plays the benchmark; those docs must come back 100% contaminated and
     * the rest score by genuine 3-gram overlap. */
