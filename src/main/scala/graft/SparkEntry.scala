@@ -239,6 +239,7 @@ object SparkEntry {
     "q218_pca_power"        -> (LlmQueries.q218PcaPower _),
     "q219_abtt"             -> (LlmQueries.q219Abtt _),
     "q220_stream_topk"      -> (LlmQueries.q220StreamTopk _),
+    "q221_cms"              -> (LlmQueries.q221Cms _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -561,6 +562,8 @@ object SparkEntry {
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
          GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
+    // q221: CMS — buckets, estimates, and the ≥-true guarantee replayed
+    "q221_cms"              -> LlmOracles.q221(20, 4, 1024),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

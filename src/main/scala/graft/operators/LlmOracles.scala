@@ -1074,6 +1074,32 @@ object LlmOracles {
        FROM qx JOIN pv$iters p ON qx.d = p.d
          JOIN dt ON qx.vec_id = dt.vec_id CROSS JOIN nn"""
 
+  /** q221: count-min sketch replayed — same hash family as minhash
+    * ((a_j·g + b_j) mod P mod width), the 4×1024 bucket-count table, the
+    * exact top-20 truth, and the min-over-rows estimate. */
+  def q221(k: Int = 20, depth: Int = 4, width: Int = 1024): String = {
+    val g = s"(${h60("tok")} % $P)"
+    s"""WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       tk AS (SELECT tok, $g AS g FROM toks WHERE len(tok) > 0),
+       ex AS (SELECT g, j.j AS j,
+           (j.j * 2654435761 + 1) % $P AS a, (j.j * 40503 + 7) % $P AS b
+         FROM tk, generate_series(0, ${depth - 1}) j(j)),
+       cms AS (SELECT j, ((a * g + b) % $P) % $width AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+         FROM ex GROUP BY 1, 2),
+       truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM tk
+         GROUP BY 1 ORDER BY n_true DESC, tok ASC LIMIT $k),
+       q AS (SELECT truth.tok, truth.n_true, j.j AS j,
+           ((((j.j * 2654435761 + 1) % $P) * ($g % $P) + (j.j * 40503 + 7) % $P) % $P) % $width AS bucket
+         FROM truth, generate_series(0, ${depth - 1}) j(j))
+       SELECT q.tok AS token, q.n_true,
+         CAST(min(cms.n) AS BIGINT) AS n_est,
+         CAST(min(cms.n) AS BIGINT) >= q.n_true AS overestimates
+       FROM q JOIN cms ON q.j = cms.j AND q.bucket = cms.bucket
+       GROUP BY 1, 2"""
+  }
+
   /** q209: URL canonicalization + dedup replayed step by step — fragment
     * strip, scheme/host lowercase, :80 strip, utm_* drop, param sort.
     * DuckDB's array_to_string([]) is NULL, hence the coalesce. */

@@ -265,6 +265,13 @@ object LlmQueries {
         col("t.err").as("err"))
   }
 
+  /** q221 — count-min sketch ([[TextOps.cmsSketch]]): the 4×1024 bucket
+    * table as ONE bounded hash agg, point-queried for the exact top-20
+    * tokens; the oracle re-derives every bucket, every estimate, and the
+    * one-sided error guarantee row by row. */
+  def q221Cms(spark: SparkSession, dir: String): DataFrame =
+    TextOps.cmsTopkEstimates(docs(spark, dir), k = 20, depth = 4, width = 1024)
+
   /** Train/eval decontamination ([[TextOps.contamination]]): every 13th doc
     * plays the benchmark; those docs must come back 100% contaminated and
     * the rest score by genuine 3-gram overlap. */

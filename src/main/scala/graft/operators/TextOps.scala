@@ -628,6 +628,51 @@ object TextOps {
         col("p_micros"), (col("p_micros") > 500000L).as("predicted"))
   }
 
+  /** Count-min sketch as a PLAIN AGGREGATE: the sketch table is just
+    * groupBy (row j, bucket) count over `depth` pairwise-independent
+    * hashes of the token stream — depth·width rows TOTAL regardless of
+    * corpus size, mergeable across shards by summing buckets (it's a
+    * count aggregate), no custom state needed. The Spark-native CMS: the
+    * "estimate any token's frequency without materializing the
+    * vocabulary" primitive (Cormode & Muthukrishnan 2005). Hash family
+    * reuses [[minhashSignatures]]' (a_j·g + b_j) mod P construction so
+    * the oracle re-derives every bucket. */
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select((hash60(col("tok")) % MersennePrime).as("g"))
+      .select(col("g"), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("a", (col("j") * 2654435761L + 1) % MersennePrime)
+      .withColumn("b", (col("j") * 40503L + 7) % MersennePrime)
+      .groupBy(col("j"), (((col("a") * col("g") + col("b")) % MersennePrime)
+        % width).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** CMS point queries against the exact top-k tokens: (token, n_true,
+    * n_est, overestimates) — est = min over rows of the token's bucket
+    * count, ≥ true by construction (the CMS one-sided error guarantee,
+    * which the driver oracle then checks row by row). */
+  def cmsTopkEstimates(docs: DataFrame, k: Int = 20, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val cms = cmsSketch(docs, depth, width)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("tok").asc).limit(k)
+    truth
+      .withColumn("g", hash60(col("tok")) % MersennePrime)
+      .withColumn("j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("a", (col("j") * 2654435761L + 1) % MersennePrime)
+      .withColumn("b", (col("j") * 40503L + 7) % MersennePrime)
+      .withColumn("bucket",
+        ((col("a") * col("g") + col("b")) % MersennePrime) % width)
+      .join(broadcast(cms), Seq("j", "bucket"))
+      .groupBy("tok", "n_true")
+      .agg(min("n").as("n_est"))
+      .select(col("tok").as("token"), col("n_true"), col("n_est"),
+        (col("n_est") >= col("n_true")).as("overestimates"))
+  }
+
   /** URL canonicalization (the web-crawl dedup key): strip the fragment,
     * lowercase scheme and host, drop a default :80 port, drop utm_*
     * tracking params, sort the remaining query params. Pure codegen'd

@@ -68,6 +68,15 @@ class BpeSpec extends SparkSpec with PropHelper {
     }
   }
 
+  test("tokenization is lossless: concatenated tokens rebuild the word") {
+    val letters = Gen.oneOf("tasnreohbcdlumqwigpzx_9".toSeq)
+    val word = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, letters))
+      .map(_.mkString)
+    forAll(word, n = 300) { w =>
+      assert(encode(w).mkString == w, s"word '$w'")
+    }
+  }
+
   test("invalid merges tables reject loudly") {
     intercept[IllegalArgumentException] {
       // 'xy' is not a single char nor an earlier output

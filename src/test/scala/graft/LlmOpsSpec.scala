@@ -428,6 +428,41 @@ class LlmOpsSpec extends SparkSpec {
       (0 until 64).map(d => math.abs(rd(d))).max * 2))
   }
 
+  test("CMS: never underestimates, and sharded sketches merge by bucket sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0L until 200L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+      .toDF("doc_id", "text")
+    val est = TextOps.cmsTopkEstimates(docs, k = 7, depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(est.length == 7)
+    est.foreach { case (t, (n, e, over)) =>
+      assert(over && e >= n, s"$t est=$e true=$n") }
+    // mergeability: sketch(all) == per-shard sketches summed by (j, bucket)
+    val whole = TextOps.cmsSketch(docs, 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shards = Seq(docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100))
+      .map(TextOps.cmsSketch(_, 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    val merged = (shards(0).keySet ++ shards(1).keySet).map(k =>
+      k -> (shards(0).getOrElse(k, 0L) + shards(1).getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
+  test("urlCanonSql is idempotent: canonicalizing a canonical URL is identity") {
+    import spark.implicits._
+    val raw = Seq(
+      "HTTP://A5.COM:80/x/y?z=1&utm_x=9#f", "https://b.org/p?b=2&a=1",
+      "http://c.net/solo", "https://D.com:8443/q?x=%20y&a=3#frag")
+      .toDF("url")
+    val once = raw.select(expr(TextOps.urlCanonSql("url")).as("url"))
+    val twice = once.select(expr(TextOps.urlCanonSql("url")).as("url"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
