@@ -558,10 +558,7 @@ object SparkEntry {
     "q219_abtt"             -> LlmOracles.q219(3),
     // q220: STREAMING top-k sketch — the state-store merge across
     // micro-batches must still equal q140's exact closed form
-    "q220_stream_topk" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
-         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
+    "q220_stream_topk"      -> LlmOracles.topkExact,
     // q221: CMS — buckets, estimates, and the ≥-true guarantee replayed
     "q221_cms"              -> LlmOracles.q221(20, 4, 1024),
     "q164_grib_reduced"     -> RaquetOracles.q164,
@@ -685,10 +682,7 @@ object SparkEntry {
     // q139: Douglas-Peucker outcomes vs hand-derived vertex counts/measures
     "q139_simplify"         -> RaquetOracles.q139,
     // q140: space-saving sketch at capacity ≥ distinct ≡ the exact top-k
-    "q140_topk_sketch" ->
-      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
-         GROUP BY token ORDER BY n DESC, token ASC LIMIT 100""",
+    "q140_topk_sketch"      -> LlmOracles.topkExact,
     // q141: EXIF read + all 8 orientation maps vs the closed-form indices
     "q141_exif_orient"      -> graft.operators.MediaDedup.oracleQ141,
     // same gaps-and-islands oracle as q54, without the session ordinal

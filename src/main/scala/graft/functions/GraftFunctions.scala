@@ -209,8 +209,19 @@ object GraftFunctions {
     col(BloomAgg(ex(h), numBits, numHashes).toAggregateExpression())
   def bloom_might_contain(filter: Column, h: Column): Column =
     col(BloomMightContain(ex(filter), ex(h)))
-  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column =
-    col(BpeTokens(ex(text), merges.map { case (a, b) => s"$a $b" }.mkString(",")))
+  /** Merges encode with US/RS separators so corpus-learned operands may
+    * contain ',' or ' ' (a comma/space-joined spec would mis-split them —
+    * the SQL-literal form remains available via `rq_bpe_tokens`). */
+  def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graft.BpeKernel.{OpSep, RuleSep}
+    merges.foreach { case (a, b) =>
+      require(a.indexOf(OpSep) < 0 && a.indexOf(RuleSep) < 0 &&
+        b.indexOf(OpSep) < 0 && b.indexOf(RuleSep) < 0,
+        "BPE merge operands may not contain the US/RS separator chars")
+    }
+    col(BpeTokens(ex(text),
+      merges.map { case (a, b) => s"$a$OpSep$b" }.mkString(RuleSep.toString)))
+  }
 
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))

@@ -780,11 +780,18 @@ object LlmOracles {
        enc AS (
          SELECT doc_id, e.pos AS pos, trim($replaced) AS s
          FROM words WHERE len(e.w) > 0),
-       tok AS (SELECT doc_id, pos, replace(s, '  ', '|') AS t FROM enc)
-       SELECT doc_id,
-         CAST(sum(len(string_split(t, '|'))) AS BIGINT) AS n_tokens,
-         string_agg(t, '|' ORDER BY pos) AS toks
-       FROM tok GROUP BY 1"""
+       -- n per word from the '  '-separated form (tokens cannot contain a
+       -- double space, but CAN contain '|'), so counts stay exact
+       tok AS (SELECT doc_id, pos, replace(s, '  ', '|') AS t,
+           len(string_split(s, '  ')) AS nt FROM enc),
+       agg AS (SELECT doc_id,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           string_agg(t, '|' ORDER BY pos) AS toks
+         FROM tok GROUP BY 1)
+       -- empty/whitespace-only docs still produce an engine row (0, '')
+       SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         coalesce(a.toks, '') AS toks
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
   }
 
   /** q208: DSIR importance resampling re-derived — hashed-bucket unigram
@@ -883,11 +890,15 @@ object LlmOracles {
          SELECT wp.doc_id, wp.e.pos AS pos, trim(v.s) AS s
          FROM wp JOIN v$numMerges v ON wp.e.w = v.w
          WHERE len(wp.e.w) > 0),
-       tok AS (SELECT doc_id, pos, replace(s, '  ', '|') AS t FROM enc)
-       SELECT doc_id,
-         CAST(sum(len(string_split(t, '|'))) AS BIGINT) AS n_tokens,
-         string_agg(t, '|' ORDER BY pos) AS toks
-       FROM tok GROUP BY 1"""
+       tok AS (SELECT doc_id, pos, replace(s, '  ', '|') AS t,
+           len(string_split(s, '  ')) AS nt FROM enc),
+       agg AS (SELECT doc_id,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           string_agg(t, '|' ORDER BY pos) AS toks
+         FROM tok GROUP BY 1)
+       SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         coalesce(a.toks, '') AS toks
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
   /** The q209/q211 deterministic crawl-URL twin, DuckDB form (same CASE
     * as [[LlmQueries.urlCorpusSpark]]). */
@@ -1074,6 +1085,14 @@ object LlmOracles {
        FROM qx JOIN pv$iters p ON qx.d = p.d
          JOIN dt ON qx.vec_id = dt.vec_id CROSS JOIN nn"""
 
+  /** q140/q220: the exact token top-100 the space-saving sketch must equal
+    * at capacity ≥ distinct — one definition for both the batch aggregate
+    * and its streaming Complete-mode twin. */
+  val topkExact: String =
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
+       GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""
+
   /** q221: count-min sketch replayed — same hash family as minhash
     * ((a_j·g + b_j) mod P mod width), the 4×1024 bucket-count table, the
     * exact top-20 truth, and the min-over-rows estimate. */
@@ -1112,19 +1131,11 @@ object LlmOracles {
     val path = s"split_part($pathq, '?', 1)"
     val query = s"CASE WHEN $pathq LIKE '%?%' THEN split_part($pathq, '?', 2) ELSE '' END"
     val params = s"coalesce(array_to_string(list_sort(list_filter(" +
-      s"string_split($query, '&'), x -> x <> '' AND x NOT LIKE 'utm_%')), '&'), '')"
+      s"string_split($query, '&'), x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '')"
     val canon = s"lower(split_part($url, '://', 1)) || '://' || $host || $path || " +
       s"CASE WHEN $params = '' THEN '' ELSE '?' || $params END"
     s"""WITH d AS (
-         SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN concat('http://example', CAST(doc_id % 37 AS VARCHAR),
-               '.com/p/', CAST(doc_id % 13 AS VARCHAR), '?b=2&a=1')
-             WHEN 1 THEN concat('HTTP://EXAMPLE', CAST(doc_id % 37 AS VARCHAR),
-               '.COM:80/p/', CAST(doc_id % 13 AS VARCHAR), '?a=1&b=2#frag')
-             ELSE concat('http://Example', CAST(doc_id % 37 AS VARCHAR),
-               '.com/p/', CAST(doc_id % 13 AS VARCHAR), '?utm_source=feed&b=2&a=1')
-           END AS url
+         SELECT doc_id, $urlCorpusDuck AS url
          FROM documents),
        c AS (SELECT doc_id, url, $canon AS url_canon FROM d)
        SELECT url_canon,

@@ -581,16 +581,17 @@ object LlmQueries {
   def q216StreamQuota(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val P = 2147483647L
-    def h(id: Long): Long =
-      id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    // arrival order = the SAME Curation.idHash the batch window uses — no
+    // hand-copied fold that could silently desynchronize from the oracle
     val corpus = docs(spark, dir)
       .select(col("doc_id"), expr(urlCorpusSpark).as("url"))
       .withColumn("domain", lower(expr(
         "split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1)")))
-      .select(col("doc_id"), col("domain")).as[(Long, String)].collect()
-      .sortBy { case (id, _) => (h(id), id) }
-      .zipWithIndex.map { case ((id, d), i) => (i.toLong, id, d) }
+      .select(col("doc_id"), col("domain"),
+        Curation.idHash(col("doc_id")).as("h"))
+      .as[(Long, String, Long)].collect()
+      .sortBy { case (id, _, h) => (h, id) }
+      .zipWithIndex.map { case ((id, d, _), i) => (i.toLong, id, d) }
     val (first, rest) = corpus.splitAt(corpus.length / 2)
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, String)]

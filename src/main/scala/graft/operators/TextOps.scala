@@ -599,7 +599,10 @@ object TextOps {
       .select(col("doc_id"), col("y"), (hash60(col("w")) % numBuckets).as("h"))
       .groupBy("doc_id", "y", "h").agg(count(lit(1)).as("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totalTokens = tok.agg(sum("x")).head.getLong(0)
+    val totalRow = tok.agg(sum("x")).head
+    require(!totalRow.isNullAt(0) && totalRow.getLong(0) > 0L,
+      "qualityClassifier: corpus has no non-empty tokens — nothing to train on")
+    val totalTokens = totalRow.getLong(0)
     val spark = docs.sparkSession
     import spark.implicits._
     var w = (0 until numBuckets).map(h => (h.toLong, 0L)).toDF("h", "wt")
@@ -686,8 +689,10 @@ object TextOps {
     val pathq = s"substr($rest, length($auth) + 1)"
     val path = s"split_part($pathq, '?', 1)"
     val query = s"CASE WHEN $pathq LIKE '%?%' THEN split_part($pathq, '?', 2) ELSE '' END"
+    // startswith, not LIKE 'utm_%': LIKE's '_' is a single-char wildcard,
+    // which would also strip legitimate params like 'utmx=1'
     val params = s"array_join(array_sort(filter(split($query, '&'), " +
-      s"x -> x <> '' AND NOT (x LIKE 'utm_%'))), '&')"
+      s"x -> x <> '' AND NOT startswith(x, 'utm_'))), '&')"
     s"concat(lower(split_part($u, '://', 1)), '://', $host, $path, " +
       s"CASE WHEN $params = '' THEN '' ELSE concat('?', $params) END)"
   }

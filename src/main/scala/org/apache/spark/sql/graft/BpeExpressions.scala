@@ -29,17 +29,29 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeKernel {
 
-  /** Parse + validate a merges spec: rules comma-separated, operands
-    * space-separated, rank = position. Rejects tables whose operands are
-    * neither single characters nor earlier outputs (those are the tables
-    * for which greedy-by-rank and in-order-pass application can diverge,
-    * i.e. nothing a real BPE trainer emits). */
+  /** Rule/operand separators for specs built from arbitrary corpus-learned
+    * tokens (US/RS control chars — cannot appear in text words, enforced
+    * below). The human-writable comma/space encoding stays supported for
+    * SQL literals whose operands contain neither. */
+  final val OpSep = '\u001f'
+  final val RuleSep = '\u001e'
+
+  /** Parse + validate a merges spec: rules comma-separated with
+    * space-separated operands (the SQL-literal form), or RS-separated with
+    * US-separated operands (the robust form [[graft.functions
+    * .GraftFunctions.bpe_tokens]] emits — needed when learned operands may
+    * contain ',' or ' '). Rank = position. Rejects tables whose operands
+    * are neither single characters nor earlier outputs (those are the
+    * tables for which greedy-by-rank and in-order-pass application can
+    * diverge, i.e. nothing a real BPE trainer emits). */
   def buildRanks(spec: String): java.util.HashMap[String, Integer] = {
+    val robust = spec.indexOf(RuleSep) >= 0 || spec.indexOf(OpSep) >= 0
+    val (ruleSep, opSep) = if (robust) (RuleSep, OpSep) else (',', ' ')
     val m = new java.util.HashMap[String, Integer]()
     val outputs = new java.util.HashSet[String]()
     var rank = 0
-    spec.split(',').foreach { rule =>
-      val ops = rule.split(' ')
+    spec.split(ruleSep).foreach { rule =>
+      val ops = rule.split(opSep)
       require(ops.length == 2, s"BPE merge rule needs two operands: '$rule'")
       ops.foreach { op =>
         require(op.length == 1 || outputs.contains(op),

@@ -101,6 +101,22 @@ class HammingBlockedSpec extends SparkSpec {
         bucketCap = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(capped.subsetOf(expected), s"mode=$mode n=$n")
+      // completeness half of the guarantee: any true pair agreeing on a
+      // block whose (block, value) bucket is LIGHT (≤ cap) rides the
+      // untouched light route and MUST be found — the guard only reroutes
+      // over-cap buckets
+      val bucketSize = fps
+        .flatMap(f => (0 until 4).map(b => (b, (f >>> (16 * b)) & 0xFFFFL)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val lightGuaranteed = expected.filter { case (x, y, _) =>
+        (0 until 4).exists { b =>
+          val vx = (x >>> (16 * b)) & 0xFFFFL
+          vx == ((y >>> (16 * b)) & 0xFFFFL) && bucketSize((b, vx)) <= 8
+        }
+      }
+      assert(lightGuaranteed.subsetOf(capped),
+        s"mode=$mode n=$n light-route pairs dropped: " +
+          s"${(lightGuaranteed -- capped).take(3)}")
     }
   }
 
