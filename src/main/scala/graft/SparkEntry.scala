@@ -240,6 +240,7 @@ object SparkEntry {
     "q219_abtt"             -> (LlmQueries.q219Abtt _),
     "q220_stream_topk"      -> (LlmQueries.q220StreamTopk _),
     "q221_cms"              -> (LlmQueries.q221Cms _),
+    "q222_budget_alloc"     -> (LlmQueries.q222BudgetAlloc _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -561,6 +562,8 @@ object SparkEntry {
     "q220_stream_topk"      -> LlmOracles.topkExact,
     // q221: CMS — buckets, estimates, and the ≥-true guarantee replayed
     "q221_cms"              -> LlmOracles.q221(20, 4, 1024),
+    // q222: largest-remainder allocation — quotas + leftover seats replayed
+    "q222_budget_alloc"     -> LlmOracles.q222,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -84,6 +84,39 @@ object Curation {
       .drop("_h")
   }
 
+  /** Proportional budget allocation across groups (the data-mixing "how
+    * many tokens from each source" step): weights w_g = ⌊√n_g⌋
+    * (temperature-0.5 sampling, the standard multilingual/multi-source
+    * re-balancing curve) or w_g = n_g (proportional), seats assigned by
+    * the LARGEST-REMAINDER method so Σ alloc = budget EXACTLY and every
+    * step is integer arithmetic both engines replay: base = ⌊B·w/W⌋,
+    * the B−Σbase leftover seats go to the largest remainders (ties to
+    * the lower key). ⌊√n⌋ via IEEE double sqrt is exact for n < 2⁵³
+    * (sqrt is correctly rounded; perfect squares return exactly).
+    * One tiny agg + one window over the GROUP table (domains, not docs)
+    * — broadcast-sized regardless of corpus. */
+  def allocateBudget(counts: DataFrame, keyCol: String, nCol: String,
+      budget: Long, sqrtTemp: Boolean = true): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val w0 = if (sqrtTemp)
+      floor(sqrt(col(nCol).cast("double"))).cast("long")
+    else col(nCol).cast("long")
+    val wtd = counts.select(col(keyCol), col(nCol), w0.as("w"))
+    val tot = wtd.agg(sum("w").as("tw"))
+    val based = wtd.crossJoin(broadcast(tot))
+      .select(col(keyCol), col(nCol), col("w"),
+        expr(s"(${budget}L * w) div tw").as("base"),
+        expr(s"(${budget}L * w) % tw").as("rem"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("lo"))
+    val rn = row_number().over(
+      Window.orderBy(col("rem").desc, col(keyCol).asc))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rn", rn)
+      .select(col(keyCol), col(nCol), col("w"),
+        (col("base") + when(col("rn") <= col("lo"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Token-budget selection: per group (source/domain), greedily keeps the
     * highest-priority records until the group's token budget is spent.
     * `orderBy` ranks candidates (quality score, recency, …); the running

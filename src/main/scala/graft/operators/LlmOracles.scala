@@ -1093,6 +1093,30 @@ object LlmOracles {
        SELECT token, count(*) AS n, CAST(0 AS BIGINT) AS err FROM t
        GROUP BY token ORDER BY n DESC, token ASC LIMIT 100"""
 
+  /** q222: largest-remainder budget allocation replayed — per-domain token
+    * counts, ⌊√n⌋ weights (IEEE sqrt exact below 2⁵³), integer quotas,
+    * remainder-ranked leftover seats. */
+  val q222: String = {
+    val domain = "lower(split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1))"
+    s"""WITH d AS (SELECT doc_id, $urlCorpusDuck AS url FROM documents),
+       t AS (SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS ntok
+         FROM documents),
+       c AS (SELECT $domain AS domain, CAST(sum(t.ntok) AS BIGINT) AS n
+         FROM d JOIN t ON d.doc_id = t.doc_id GROUP BY 1),
+       w AS (SELECT domain, n,
+           CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+       tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+       b AS (SELECT domain, n, w,
+           (100000 * w) // tw AS base, (100000 * w) % tw AS rem
+         FROM w, tw),
+       lo AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS lo FROM b),
+       r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, domain ASC) AS rn FROM b)
+       SELECT domain, n, w,
+         CAST(base + CASE WHEN rn <= lo.lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       FROM r, lo"""
+  }
+
   /** q221: count-min sketch replayed — same hash family as minhash
     * ((a_j·g + b_j) mod P mod width), the 4×1024 bucket-count table, the
     * exact top-20 truth, and the min-over-rows estimate. */

@@ -272,6 +272,21 @@ object LlmQueries {
   def q221Cms(spark: SparkSession, dir: String): DataFrame =
     TextOps.cmsTopkEstimates(docs(spark, dir), k = 20, depth = 4, width = 1024)
 
+  /** q222 — proportional budget allocation ([[Curation.allocateBudget]]):
+    * per-domain token counts → ⌊√n⌋ temperature weights → largest-
+    * remainder seats summing EXACTLY to the budget; every quota and
+    * remainder replayed in SQL. */
+  def q222BudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), expr(urlCorpusSpark).as("url"),
+        expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          .cast("long").as("ntok"))
+      .withColumn("domain", lower(expr(
+        "split_part(split_part(split_part(url, '://', 2), '/', 1), ':', 1)")))
+    val counts = d.groupBy("domain").agg(sum("ntok").as("n"))
+    Curation.allocateBudget(counts, "domain", "n", budget = 100000L)
+  }
+
   /** Train/eval decontamination ([[TextOps.contamination]]): every 13th doc
     * plays the benchmark; those docs must come back 100% contaminated and
     * the rest score by genuine 3-gram overlap. */

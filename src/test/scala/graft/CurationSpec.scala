@@ -69,6 +69,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("allocateBudget: seats sum EXACTLY to the budget; sqrt temp flattens ratios") {
+    import spark.implicits._
+    val counts = Seq(("big", 10000L), ("mid", 2500L), ("small", 100L), ("zero", 0L))
+      .toDF("domain", "n")
+    val a = Curation.allocateBudget(counts, "domain", "n", budget = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(a.values.map(_._2).sum == 1000L) // largest-remainder invariant
+    // weights are floor sqrt: 100, 50, 10, 0
+    assert(a("big")._1 == 100L && a("mid")._1 == 50L &&
+      a("small")._1 == 10L && a("zero")._1 == 0L)
+    // zero-weight groups get nothing; sqrt flattens: big/small alloc ratio
+    // is 10x (sqrt), not the 100x raw-count ratio
+    assert(a("zero")._2 == 0L)
+    assert(a("big")._2 < 15L * a("small")._2 && a("big")._2 > 5L * a("small")._2)
+    // proportional mode: ratios follow raw counts
+    val p = Curation.allocateBudget(counts, "domain", "n", budget = 1000L,
+      sqrtTemp = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(p.values.sum == 1000L)
+    assert(p("big") > 75L * p("small"))
+  }
+
   test("weightedMix: rate 1.0 keeps everything, rate 0 keeps nothing, " +
     "unlisted sources are dropped, deterministic") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)
