@@ -463,6 +463,34 @@ class LlmOpsSpec extends SparkSpec {
       twice.collect().map(_.getString(0)).toSeq)
   }
 
+  test("plan audit: signProject/bpeTokenize are shuffle-free projections; covariance is one partial agg") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
+    val projPlan = operators.EmbedOps.signProject(vecs, 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange"), s"signProject shuffles:\n$projPlan")
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val bpePlan = TextOps.bpeTokenize(docs)
+      .queryExecution.executedPlan.toString
+    assert(!bpePlan.contains("Exchange"), s"bpeTokenize shuffles:\n$bpePlan")
+    // covariance: the pair explode must sit UNDER a partial aggregate in
+    // the scan stage (map-side combine), with exactly one shuffle for the
+    // final agg plus the two broadcast marginal joins
+    val covPlan = operators.EmbedOps.covarianceMatrix(vecs, 64)
+      .queryExecution.executedPlan.toString
+    assert(covPlan.contains("partial_count") || covPlan.contains("HashAggregate"),
+      s"covariance lost its partial agg:\n$covPlan")
+    assert(!covPlan.contains("CartesianProduct"),
+      s"covariance has a cartesian:\n$covPlan")
+    val urlPlan = Seq(Tuple1("http://a.com/x")).toDF("url")
+      .select(expr(TextOps.urlCanonSql("url")))
+      .queryExecution.executedPlan.toString
+    // (a tiny local relation collapses the Project into the scan itself —
+    // the absence of any Exchange is the property that matters)
+    assert(!urlPlan.contains("Exchange"),
+      s"urlCanon is not shuffle-free:\n$urlPlan")
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
