@@ -241,6 +241,7 @@ object SparkEntry {
     "q220_stream_topk"      -> (LlmQueries.q220StreamTopk _),
     "q221_cms"              -> (LlmQueries.q221Cms _),
     "q222_budget_alloc"     -> (LlmQueries.q222BudgetAlloc _),
+    "q223_edit_neardups"    -> (LlmQueries.q223EditNearDups _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -564,6 +565,8 @@ object SparkEntry {
     "q221_cms"              -> LlmOracles.q221(20, 4, 1024),
     // q222: largest-remainder allocation — quotas + leftover seats replayed
     "q222_budget_alloc"     -> LlmOracles.q222,
+    // q223: LSH candidates gated by exact Levenshtein, full chain replayed
+    "q223_edit_neardups"    -> LlmOracles.q223,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -64,6 +64,34 @@ object LlmOracles {
                JOIN sizes sb ON sb.doc_id = m.db)
         SELECT da, db, n_common, jac FROM jj WHERE jac >= 0.5"""
 
+  /** q223: LSH candidates gated by exact Levenshtein — q27's candidate
+    * chain, then the classic DP distance both engines build in. */
+  val q223: String =
+    s"""WITH $NearDupCorpus,
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+                 WHERE len(string_split(text, ' ')) >= 3),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+               FROM toks),
+        g AS (SELECT doc_id, ${h60("s")} % $P AS g FROM sh),
+        mh AS (SELECT doc_id, j,
+                 min((((j*2654435761 + 1) % $P) * g + ((j*40503 + 7) % $P)) % $P) AS mh
+               FROM g, range(16) r(j) GROUP BY doc_id, j),
+        bands AS (SELECT doc_id, j // 4 AS band,
+                 sum((mh % 32768) * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 32768
+                   WHEN 2 THEN 1073741824 ELSE 35184372088832 END)) AS key
+               FROM mh GROUP BY doc_id, j // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT c.da, c.db,
+          CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS dist
+        FROM cand c
+        JOIN corpus ca ON ca.doc_id = c.da
+        JOIN corpus cb ON cb.doc_id = c.db
+        WHERE levenshtein(ca.text, cb.text) <= 40"""
+
   /** The q27 pipeline re-run to thresholded pairs, then the transitive
     * closure by recursive CTE, ending at `comp(id, cluster)` — shared by
     * q56 and the q120 pipeline capstone. */

@@ -272,6 +272,13 @@ object LlmQueries {
   def q221Cms(spark: SparkSession, dir: String): DataFrame =
     TextOps.cmsTopkEstimates(docs(spark, dir), k = 20, depth = 4, width = 1024)
 
+  /** q223 — edit-distance-verified near-dups ([[TextOps
+    * .editVerifiedNearDups]]): q27's LSH candidates gated by exact
+    * Levenshtein (both engines' built-in classic DP); only candidates pay
+    * the O(len²) distance. */
+  def q223EditNearDups(spark: SparkSession, dir: String): DataFrame =
+    TextOps.editVerifiedNearDups(withNearDups(docs(spark, dir)), maxDist = 40)
+
   /** q222 — proportional budget allocation ([[Curation.allocateBudget]]):
     * per-domain token counts → ⌊√n⌋ temperature weights → largest-
     * remainder seats summing EXACTLY to the budget; every quota and

@@ -90,6 +90,25 @@ object TextOps {
       .select("da", "db", "n_common", "jac")
   }
 
+  /** Edit-distance-VERIFIED near-duplicates (the Gopher/RefinedWeb "gate
+    * LSH candidates by exact Levenshtein" step): candidates come from the
+    * banded MinHash equi-join — never all-pairs — and only those pairs
+    * pay the O(len²) exact distance, computed by the engine-built-in
+    * classic DP (deterministic integer both engines implement
+    * identically). Returns (da, db, dist ≤ maxDist). */
+  def editVerifiedNearDups(docs: DataFrame, maxDist: Int = 40,
+      numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val cand = candidatePairs(
+      lshBands(minhashSignatures(shingles(docs), numHashes), rowsPerBand))
+    val txt = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact dedup by content hash (hash-partitioned groupBy, no collect). */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))

@@ -491,6 +491,24 @@ class LlmOpsSpec extends SparkSpec {
       s"urlCanon is not shuffle-free:\n$urlPlan")
   }
 
+  test("editVerifiedNearDups: planted near-dups pass the gate at their exact distance") {
+    import spark.implicits._
+    // long docs so a single-word edit keeps shingle-Jaccard high enough
+    // for the banded LSH to emit the candidate (deterministic: fixed corpus)
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> base.replace("w30", "w30x"),    // distance 1 (one char inserted)
+      3L -> base.replace("w41 ", "zq9 "),   // distance 3 (one word swapped)
+      4L -> (0 until 60).map(i => s"v$i").mkString(" ")) // disjoint vocab
+      .toDF("doc_id", "text")
+    val got = TextOps.editVerifiedNearDups(docs, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.get((1L, 2L)).contains(1L), s"got $got")
+    assert(got.get((1L, 3L)).contains(3L), s"got $got")
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
