@@ -186,8 +186,11 @@ object Curation {
     }
     // per-source salt so the kept sets of different sources are independent
     val b = hashBucket(concat(col(sourceCol), lit(":"), col(idCol)), 1000)
+    // round, don't truncate: 0.29*1000 = 289.99999... in IEEE double, and a
+    // bare cast would keep one per-mille bucket too few
     df.withColumn("_rate", rate)
-      .filter(col("_rate").isNotNull && b < (col("_rate") * 1000).cast("long"))
+      .filter(col("_rate").isNotNull &&
+        b < round(col("_rate") * 1000, 0).cast("long"))
       .drop("_rate")
   }
 }

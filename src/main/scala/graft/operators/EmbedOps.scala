@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object EmbedOps {
 
-  /** Σ a[i]·b[i] as an explicit left fold in double. */
+  /** Σ a[i]·b[i] over the FIRST `dim` components, as an explicit left fold
+    * in double (slice first — a padded or longer vector must not leak
+    * extra components into the score). */
   def dot(a: String, b: String, dim: Int): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+    s"""aggregate(zip_with(slice($a, 1, $dim), slice($b, 1, $dim),
+        (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
         CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
 
   def norm2(a: String): Column = expr(

@@ -71,8 +71,12 @@ object Graph {
       .localCheckpoint()
     var labels = nodes.select(col("u").as("id"), col("u").as("comp"))
       .localCheckpoint()
+    // sum() over an EMPTY label table is null (no edges at all — every
+    // fingerprint its own cluster, an in-contract input): treat as zero so
+    // the loop converges immediately instead of NPE-ing on compareTo
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -87,6 +87,10 @@ private[operators] object HammingBlocked {
     // ramp bench: 81 s vs ~3 s). One materialization of 4 narrow rows per
     // DISTINCT fingerprint is small by construction (the collapse already
     // happened). Same precedent as minhashNearDups' shingle persist.
+    // Lifecycle: the returned plan references this cache lazily, so it
+    // cannot be unpersisted here; Spark's ContextCleaner releases the
+    // blocks once the returned DataFrame becomes unreachable (repeat
+    // callers — e.g. the bench ladder — do not accumulate live caches).
     val chunks = uniq.select(col("fp"), explode(array(entries: _*)).as("e"))
       .select(col("fp"), col("e.c").as("c"), col("e.chunk").as("chunk"),
         col("e.subs").as("subs"))

@@ -17,13 +17,13 @@ object LlmOracles {
     """corpus AS (
        SELECT doc_id, text FROM documents
        UNION ALL
-       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+       SELECT doc_id + 1000000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
 
   private val NearDupCorpus =
     """corpus AS (
        SELECT doc_id, text FROM documents
        UNION ALL
-       SELECT doc_id + 100000 AS doc_id, replace(text, 'table', 'tbl') AS text
+       SELECT doc_id + 1000000000000 AS doc_id, replace(text, 'table', 'tbl') AS text
        FROM documents WHERE doc_id % 7 = 0)"""
 
   val q26: String =
@@ -198,7 +198,7 @@ object LlmOracles {
   val q48: String =
     s"""WITH docs2 AS (SELECT doc_id, text FROM documents
                UNION ALL
-               SELECT doc_id + 100000 AS doc_id, text FROM documents
+               SELECT doc_id + 1000000000000 AS doc_id, text FROM documents
                WHERE doc_id % 10 = 0),
         toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM docs2),
@@ -445,7 +445,7 @@ object LlmOracles {
        FROM a JOIN d3 ON a.doc_id = d3.doc_id"""
 
   /** q94 streaming-dedup oracle: first-seen canonical per content hash.
-    * Originals stream before copies and copies' ids are +100000, so the
+    * Originals stream before copies and copies' ids are +1e12, so the
     * streaming first-batch winner IS the global min doc_id. */
   val q94: String =
     s"""WITH $ExactDupCorpus

@@ -22,12 +22,12 @@ object LlmQueries {
   /** documents ∪ exact copies of every 10th doc (ingest-dup simulation). */
   private def withExactDups(d: DataFrame): DataFrame =
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
 
   /** documents ∪ one-word-mutated copies of every 7th doc. */
   private def withNearDups(d: DataFrame): DataFrame =
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + 1000000000000L).as("doc_id"),
         expr("replace(text, 'table', 'tbl')").as("text")))
 
   /** Exact dedup (hash groupBy): duplicate groups with canonical ids. */
@@ -166,14 +166,14 @@ object LlmQueries {
     * duplicate copies — so every copy's hash hits an existing state entry
     * and is suppressed ACROSS batches, not merely within one. Output equals
     * the batch `md5(text) → min(doc_id)` oracle because originals precede
-    * copies and copies' ids are originals' + 100000. */
+    * copies and copies' ids are originals' + 1e12 (far above any real doc_id). */
   def q94StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = withExactDups(docs(spark, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect()
-    val (originals, copies) = corpus.partition(_._1 < 100000L)
+    val (originals, copies) = corpus.partition(_._1 < 1000000000000L)
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val out = graft.streaming.StreamingTiles.dedupFirstSeen(

@@ -17,6 +17,13 @@ object Skew {
     * the plain equi-join. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
+    // right rows are REPLICATED per salt, so any join type that can emit
+    // an unmatched right row (right/full outer) would emit it `salts`
+    // times — refuse those loudly rather than silently duplicate
+    val safe = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(safe.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin replicates the right side; joinType '$joinType' would " +
+        "duplicate unmatched right rows — use the plain join for right/full outer")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
     val saltedRight = right.withColumn("__salt",

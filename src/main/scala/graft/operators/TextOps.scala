@@ -98,8 +98,12 @@ object TextOps {
     * identically). Returns (da, db, dist ≤ maxDist). */
   def editVerifiedNearDups(docs: DataFrame, maxDist: Int = 40,
       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cand = candidatePairs(
-      lshBands(minhashSignatures(shingles(docs), numHashes), rowsPerBand))
+    // bands feeds BOTH sides of candidatePairs' self-join: persist it so
+    // the tokenize→minhash→band chain runs once, not once per side (the
+    // same 1×-vs-N× input-IO reasoning as minhashNearDups' shingle persist)
+    val bands = lshBands(minhashSignatures(shingles(docs), numHashes), rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(bands)
     val txt = docs.select(col("doc_id"), col("text"))
     cand
       .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), "da")

@@ -63,7 +63,7 @@ object StreamingTiles {
     // gap behind the open session, so extending the open session backwards
     // (min below) is always the batch-equivalent answer; a longer delay
     // could require retroactively SPLITTING an emitted session
-    require(parseDelayMinutes(watermarkDelay).forall(_ <= gapMinutes),
+    require(parseDelayMinutes(watermarkDelay) <= gapMinutes,
       s"watermarkDelay $watermarkDelay must not exceed the $gapMinutes-minute gap")
     val gapUs = gapMinutes * 60L * 1000000L
     implicit val stateEnc = Encoders.product[SessionState]
@@ -113,16 +113,23 @@ object StreamingTiles {
       .toDF()
   }
 
-  private def parseDelayMinutes(delay: String): Option[Double] = {
-    val m = "([0-9.]+)\\s*(second|minute|hour|day)s?".r.findFirstMatchIn(delay.trim.toLowerCase)
-    m.map { g =>
-      val v = g.group(1).toDouble
-      g.group(2) match {
-        case "second" => v / 60
-        case "minute" => v
-        case "hour" => v * 60
-        case "day" => v * 1440
-      }
+  /** LOUD parse: an unrecognized delay string must fail here rather than
+    * silently skip the correctness-critical delay ≤ gap guard (Spark would
+    * happily accept e.g. "1 week" as a watermark while the guard's forall
+    * vacuously passed on None). */
+  private def parseDelayMinutes(delay: String): Double = {
+    val m = "([0-9.]+)\\s*(second|minute|hour|day|week)s?".r
+      .findFirstMatchIn(delay.trim.toLowerCase)
+    require(m.isDefined, s"unsupported watermark delay '$delay' — use " +
+      "'<n> seconds|minutes|hours|days|weeks' so the delay <= gap guard can check it")
+    val g = m.get
+    val v = g.group(1).toDouble
+    g.group(2) match {
+      case "second" => v / 60
+      case "minute" => v
+      case "hour" => v * 60
+      case "day" => v * 1440
+      case "week" => v * 10080
     }
   }
 
@@ -244,8 +251,14 @@ object StreamingTiles {
       val out = Seq.newBuilder[SemVerdict]
       rows.toSeq.sortBy(_.getAs[Long]("vec_id")).foreach { r =>
         val id = r.getAs[Long]("vec_id")
-        val emb = r.getSeq[Float](r.fieldIndex("embedding"))
-          .iterator.map(_.toDouble).toArray
+        // accept float OR double embedding columns (the batch twin casts in
+        // SQL; a hard getSeq[Float] would ClassCastException on doubles)
+        val emb = r.getSeq[Any](r.fieldIndex("embedding"))
+          .iterator.map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue
+            case n: Number => n.doubleValue
+          }.toArray
         var best = Double.NaN
         var any = false
         seen.foreach { e =>
@@ -295,6 +308,18 @@ object StreamingTiles {
     require(mz <= parentZoom, s"minZoom $mz must be <= parentZoom $parentZoom")
     def exists(d: String) =
       java.nio.file.Files.exists(java.nio.file.Paths.get(d))
+    // write-new-then-swap: the new state is FULLY on disk before the old
+    // directory goes away, so a mid-write failure (e.g. an executor dying
+    // with the only copy of a localCheckpoint block) leaves the previous
+    // durable state intact instead of a deleted-then-partial directory
+    def writeSwap(df: DataFrame, dir: String): Unit = {
+      val tmp = dir + ".tmp"
+      graft.raquet.RaquetIO.deleteTree(tmp)
+      df.write.mode("overwrite").parquet(tmp)
+      graft.raquet.RaquetIO.deleteTree(dir)
+      require(new java.io.File(tmp).renameTo(new java.io.File(dir)),
+        s"rename $tmp -> $dir failed")
+    }
     tiles.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -306,7 +331,7 @@ object StreamingTiles {
             spark.read.parquet(nativeDir)
               .join(b, Seq("block"), "left_anti").unionByName(b)
           else b).localCheckpoint()
-          native.write.mode("overwrite").parquet(nativeDir)
+          writeSwap(native, nativeDir)
           // walk the levels top-down: at each zoom only the parents whose
           // (transitive) child set changed rebuild, and the merged level
           // feeds the next one — the touched set shrinks 4x per level
@@ -325,7 +350,7 @@ object StreamingTiles {
               spark.read.parquet(dir)
                 .join(fresh, Seq("block"), "left_anti").unionByName(fresh)
             else fresh).localCheckpoint()
-            merged.write.mode("overwrite").parquet(dir)
+            writeSwap(merged, dir)
             childSource = merged
             if (z > mz)
               touched = touched
