@@ -210,8 +210,10 @@ object GraftFunctions {
   def bloom_might_contain(filter: Column, h: Column): Column =
     col(BloomMightContain(ex(filter), ex(h)))
   /** Merges encode with US/RS separators so corpus-learned operands may
-    * contain ',' or ' ' (a comma/space-joined spec would mis-split them —
-    * the SQL-literal form remains available via `rq_bpe_tokens`). */
+    * contain ',' (a comma-joined spec would mis-split them — the
+    * SQL-literal form remains available via `rq_bpe_tokens`). Operands
+    * containing ' ' are rejected by the kernel: words are space-split, so
+    * such an operand could never match a token. */
   def bpe_tokens(text: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.graft.BpeKernel.{OpSep, RuleSep}
     merges.foreach { case (a, b) =>

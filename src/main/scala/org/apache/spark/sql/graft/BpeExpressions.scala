@@ -45,16 +45,24 @@ object BpeKernel {
     * tables for which greedy-by-rank and in-order-pass application can
     * diverge, i.e. nothing a real BPE trainer emits). */
   def buildRanks(spec: String): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    if (spec.isEmpty) return m // zero-rule table = character tokenization
     val robust = spec.indexOf(RuleSep) >= 0 || spec.indexOf(OpSep) >= 0
     val (ruleSep, opSep) = if (robust) (RuleSep, OpSep) else (',', ' ')
-    val m = new java.util.HashMap[String, Integer]()
     val outputs = new java.util.HashSet[String]()
     var rank = 0
     spec.split(ruleSep).foreach { rule =>
       val ops = rule.split(opSep)
       require(ops.length == 2, s"BPE merge rule needs two operands: '$rule'")
       ops.foreach { op =>
-        require(op.length == 1 || outputs.contains(op),
+        // tokens come from space-split words, so a space-containing operand
+        // could never match — and it would make the space-joined rank key
+        // ambiguous. Reject it loudly. (length counts code points: a single
+        // supplementary character is a valid one-char operand.)
+        require(op.nonEmpty && !op.contains(' '),
+          s"invalid BPE merges table: operand '$op' of rule $rank is empty " +
+            "or contains a space (unmatchable: words are space-split)")
+        require(op.codePointCount(0, op.length) == 1 || outputs.contains(op),
           s"invalid BPE merges table: operand '$op' of rule $rank is " +
             "neither a single character nor the output of an earlier rule")
       }
@@ -67,32 +75,42 @@ object BpeKernel {
     m
   }
 
-  /** Greedy BPE over one word: start from single characters, merge the
+  /** Greedy BPE over one word: start from single CODE POINTS (splitting at
+    * UTF-16 units would tear a supplementary character into lone
+    * surrogates that UTF8String encodes as '?', corrupting tokens and
+    * diverging from the oracle's per-code-point replay), merge the
     * lowest-rank pair (all left-to-right non-overlapping occurrences)
-    * until no ranked pair remains. O(len^2) worst case on tiny words —
-    * the per-row cost is bounded by word length, not corpus size. */
+    * until no ranked pair remains. The winner is tracked by INDEX, so the
+    * scan allocates nothing beyond the probe keys. O(len^2) worst case on
+    * tiny words — the per-row cost is bounded by word length, not corpus
+    * size. */
   def encodeWord(word: String, ranks: java.util.HashMap[String, Integer],
       out: java.util.ArrayList[UTF8String]): Unit = {
-    var n = word.length
-    if (n == 0) return
+    if (word.isEmpty) return
+    var n = word.codePointCount(0, word.length)
     var toks = new Array[String](n)
+    var ci = 0
     var i = 0
-    while (i < n) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    while (ci < word.length) {
+      val w = Character.charCount(word.codePointAt(ci))
+      toks(i) = word.substring(ci, ci + w)
+      ci += w
+      i += 1
+    }
     var done = false
     while (!done && n > 1) {
       var bestRank = Int.MaxValue
-      var bestKey: String = null
+      var bestIdx = -1
       i = 0
       while (i < n - 1) {
         val r = ranks.get(toks(i) + " " + toks(i + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestKey = toks(i) + " " + toks(i + 1) }
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = i }
         i += 1
       }
-      if (bestKey == null) done = true
+      if (bestIdx < 0) done = true
       else {
-        val sp = bestKey.indexOf(' ')
-        val x = bestKey.substring(0, sp)
-        val y = bestKey.substring(sp + 1)
+        val x = toks(bestIdx)
+        val y = toks(bestIdx + 1)
         val next = new Array[String](n)
         var w = 0
         i = 0
@@ -108,7 +126,9 @@ object BpeKernel {
     while (i < n) { out.add(UTF8String.fromString(toks(i))); i += 1 }
   }
 
-  /** Whole-text entry point used from codegen: whitespace-split words,
+  /** Whole-text entry point used from codegen: words split on U+0020 ONLY
+    * (matching the corpus convention and the oracle's string_split — a
+    * tab or newline stays inside its word and tokenizes as a character),
     * each BPE-encoded, token arrays concatenated in document order. */
   def encodeText(text: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
     val out = new java.util.ArrayList[UTF8String]()
@@ -138,11 +158,21 @@ case class BpeTokens(child: Expression, mergesSpec: String)
   @transient private lazy val ranks: java.util.HashMap[String, Integer] =
     BpeKernel.buildRanks(mergesSpec)
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"rq_bpe_tokens expects STRING, got ${child.dataType.catalogString}")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"rq_bpe_tokens expects STRING, got ${child.dataType.catalogString}")
+    else
+      // the merges spec is a plan-time constant: validate it HERE so a
+      // malformed table is a clean AnalysisException, not a codegen-time
+      // crash (or per-task retry storm under interpreted fallback)
+      scala.util.Try(BpeKernel.buildRanks(mergesSpec)) match {
+        case scala.util.Success(_) => TypeCheckResult.TypeCheckSuccess
+        case scala.util.Failure(e) =>
+          TypeCheckResult.TypeCheckFailure(s"invalid BPE merges spec: ${e.getMessage}")
+      }
+  }
 
   override protected def nullSafeEval(t: Any): Any =
     BpeKernel.encodeText(t.asInstanceOf[UTF8String], ranks)

@@ -85,6 +85,38 @@ class BpeSpec extends SparkSpec with PropHelper {
     intercept[IllegalArgumentException] {
       org.apache.spark.sql.graft.BpeKernel.buildRanks("a b,a b") // duplicate
     }
+    intercept[IllegalArgumentException] {
+      // space-containing operand (robust encoding): unmatchable, rejected
+      org.apache.spark.sql.graft.BpeKernel.buildRanks("a b c")
+    }
+  }
+
+  test("supplementary-plane characters tokenize as whole code points (lossless)") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val got = encode("a" + emoji + "b")
+    assert(got == Seq("a", emoji, "b"))
+    assert(got.mkString == "a" + emoji + "b")
+  }
+
+  test("empty merges table = character tokenization; a lone supplementary char is a valid operand") {
+    val empty = org.apache.spark.sql.graft.BpeKernel.buildRanks("")
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    org.apache.spark.sql.graft.BpeKernel.encodeWord("abc", empty, out)
+    assert((0 until out.size()).map(out.get(_).toString) == Seq("a", "b", "c"))
+    // one supplementary character passes the single-char operand check
+    val emoji = new String(Character.toChars(0x1F600))
+    org.apache.spark.sql.graft.BpeKernel.buildRanks(s"$emoji b")
+  }
+
+  test("malformed spec is an ANALYSIS error, not a codegen crash") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Tuple1("x")).toDF("text").createOrReplaceTempView("bpe_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT rq_bpe_tokens(text, 'x y;ab c') FROM bpe_bad").collect()
+    }
+    assert(e.getMessage.contains("invalid BPE merges spec") ||
+      e.getMessage.contains("neither a single character"), e.getMessage)
   }
 
   test("DataFrame path (codegen) agrees with the kernel; bpeTokenize shape") {
