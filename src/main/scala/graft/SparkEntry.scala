@@ -242,6 +242,8 @@ object SparkEntry {
     "q221_cms"              -> (LlmQueries.q221Cms _),
     "q222_budget_alloc"     -> (LlmQueries.q222BudgetAlloc _),
     "q223_edit_neardups"    -> (LlmQueries.q223EditNearDups _),
+    "q224_corpus_delta"     -> (LlmQueries.q224CorpusDelta _),
+    "q225_leakage_split"    -> (LlmQueries.q225LeakageSafeSplit _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -567,6 +569,10 @@ object SparkEntry {
     "q222_budget_alloc"     -> LlmOracles.q222,
     // q223: LSH candidates gated by exact Levenshtein, full chain replayed
     "q223_edit_neardups"    -> LlmOracles.q223,
+    // q224: snapshot delta — the mutated twin + full-outer hash diff replayed
+    "q224_corpus_delta"     -> LlmOracles.q224,
+    // q225: leakage-safe split — cluster closure + split CASE replayed
+    "q225_leakage_split"    -> LlmOracles.q225,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1145,6 +1145,43 @@ object LlmOracles {
        FROM r, lo"""
   }
 
+  /** q224: snapshot delta replayed — the mutated twin snapshot and the
+    * full-outer hash diff. */
+  val q224: String =
+    """WITH oldc AS (SELECT doc_id, text FROM documents),
+       newc AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 11 = 3 THEN replace(text, 'the', 'thee')
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 13 <> 5
+         UNION ALL
+         SELECT doc_id + 2000000000000 AS doc_id, text || ' new' AS text
+         FROM documents WHERE doc_id % 17 = 2),
+       o AS (SELECT doc_id, md5(text) AS h_old FROM oldc),
+       n AS (SELECT doc_id, md5(text) AS h_new FROM newc)
+       SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h_old <> n.h_new THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         o.h_old, n.h_new
+       FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+  /** q225: leakage-safe split replayed — the q56 cluster closure, then the
+    * train/val/test CASE on the idHash of the CLUSTER id (so a whole
+    * near-dup cluster rides one split). */
+  val q225: String =
+    s"""WITH RECURSIVE $NearDupCorpus,
+        $nearDupCompCte,
+        alldocs AS (SELECT doc_id FROM corpus),
+        cl AS (SELECT a.doc_id, coalesce(c.cluster, a.doc_id) AS cluster
+          FROM alldocs a LEFT JOIN comp c ON a.doc_id = c.id),
+        bk AS (SELECT doc_id, cluster, ${idHash("cluster")} % 100 AS b FROM cl)
+        SELECT doc_id, cluster,
+          CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM bk"""
+
   /** q221: count-min sketch replayed — same hash family as minhash
     * ((a_j·g + b_j) mod P mod width), the 4×1024 bucket-count table, the
     * exact top-20 truth, and the min-over-rows estimate. */

@@ -279,6 +279,37 @@ object LlmQueries {
   def q223EditNearDups(spark: SparkSession, dir: String): DataFrame =
     TextOps.editVerifiedNearDups(withNearDups(docs(spark, dir)), maxDist = 40)
 
+  /** q224 — corpus snapshot delta ([[TextOps.corpusDelta]]): a mutated
+    * twin snapshot (every 13th doc dropped, every 11th edited, every 17th
+    * re-added under a new id) diffed by content hash; one full-outer join
+    * over (id, hash) — text never shuffles. */
+  def q224CorpusDelta(spark: SparkSession, dir: String): DataFrame = {
+    val old = docs(spark, dir)
+    val newSnap = old.filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), expr(
+        "CASE WHEN doc_id % 11 = 3 THEN replace(text, 'the', 'thee') ELSE text END")
+        .as("text"))
+      .unionByName(old.filter(col("doc_id") % 17 === 2)
+        .select((col("doc_id") + 2000000000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+    TextOps.corpusDelta(old, newSnap)
+  }
+
+  /** q225 — LEAKAGE-SAFE train/val/test split: the whole near-dup CLUSTER
+    * is assigned to one split by hashing the cluster id, so a document
+    * and its near-duplicate can never straddle train and test (Lee et
+    * al.'s dedup-before-split rule as an operator). Composition:
+    * q27 pairs → components → [[Curation.hashSplit]] on the cluster. */
+  def q225LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = withNearDups(docs(spark, dir))
+    val pairs = TextOps.minhashNearDups(d, threshold = 0.5).select("da", "db")
+    val comp = Graph.connectedComponents(pairs, "da", "db")
+    val cl = d.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+    Curation.hashSplit(cl, "cluster").select("doc_id", "cluster", "split")
+  }
+
   /** q222 — proportional budget allocation ([[Curation.allocateBudget]]):
     * per-domain token counts → ⌊√n⌋ temperature weights → largest-
     * remainder seats summing EXACTLY to the budget; every quota and

@@ -113,6 +113,24 @@ object TextOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Corpus snapshot DELTA — the incremental-reprocessing primitive: given
+    * two snapshots of the same logical corpus, classify every doc as
+    * added / removed / changed / unchanged by content hash, so a pipeline
+    * re-run touches only the delta instead of the full 100 TB. One
+    * full-outer equi-join on the id (both sides pre-reduced to
+    * (id, hash) — text never crosses the shuffle). */
+  def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("h_old"), col("h_new"))
+  }
+
   /** Exact dedup by content hash (hash-partitioned groupBy, no collect). */
   def exactDupGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))

@@ -509,6 +509,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("corpusDelta: added/removed/changed/unchanged classify correctly") {
+    import spark.implicits._
+    val old = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
+    val nw = Seq(1L -> "a", 2L -> "B", 4L -> "d").toDF("doc_id", "text")
+    val got = TextOps.corpusDelta(old, nw)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("leakage-safe split: every member of a near-dup cluster lands in ONE split") {
+    import spark.implicits._
+    val docs = (
+      (0L until 30L).map(i => i -> s"unique doc number $i with words w${i}a w${i}b w${i}c") ++
+      // a planted 3-doc near-dup cluster
+      Seq(100L -> "shared long content one two three four five six seven eight",
+          101L -> "shared long content one two three four five six seven eight",
+          102L -> "shared long content one two three four five six seven nine"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.minhashNearDups(docs, threshold = 0.5).select("da", "db")
+    val comp = operators.Graph.connectedComponents(pairs, "da", "db")
+    val cl = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+    val split = operators.Curation.hashSplit(cl, "cluster")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+    val clusterOf = split.toMap
+    assert(clusterOf(100L)._1 == 100L && clusterOf(101L)._1 == 100L &&
+      clusterOf(102L)._1 == 100L)
+    assert(Set(clusterOf(100L)._2, clusterOf(101L)._2, clusterOf(102L)._2).size == 1)
+    // split assignment is a pure function of the cluster id
+    assert(split.groupBy(_._2._1).forall { case (_, g) => g.map(_._2._2).toSet.size == 1 })
+  }
+
   test("URL canonicalization: case/port/fragment/utm/param-order all normalize") {
     import spark.implicits._
     val raw = Seq(
