@@ -244,6 +244,7 @@ object SparkEntry {
     "q223_edit_neardups"    -> (LlmQueries.q223EditNearDups _),
     "q224_corpus_delta"     -> (LlmQueries.q224CorpusDelta _),
     "q225_leakage_split"    -> (LlmQueries.q225LeakageSafeSplit _),
+    "q226_best_canonical"   -> (LlmQueries.q226BestCanonical _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -573,6 +574,8 @@ object SparkEntry {
     "q224_corpus_delta"     -> LlmOracles.q224,
     // q225: leakage-safe split — cluster closure + split CASE replayed
     "q225_leakage_split"    -> LlmOracles.q225,
+    // q226: quality-aware canonical — closure + longest-member window replayed
+    "q226_best_canonical"   -> LlmOracles.q226,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1182,6 +1182,20 @@ object LlmOracles {
                ELSE 'test' END AS split
         FROM bk"""
 
+  /** q226: quality-aware canonical — the q56 closure, then keep = the
+    * longest member per cluster (ties to the lower id). */
+  val q226: String =
+    s"""WITH RECURSIVE $NearDupCorpus,
+        $nearDupCompCte,
+        cl AS (SELECT c0.doc_id, CAST(len(c0.text) AS BIGINT) AS n_chars,
+            coalesce(c.cluster, c0.doc_id) AS cluster
+          FROM corpus c0 LEFT JOIN comp c ON c0.doc_id = c.id),
+        r AS (SELECT doc_id, cluster, n_chars,
+            row_number() OVER (PARTITION BY cluster
+              ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM cl)
+        SELECT doc_id, cluster, n_chars, rn = 1 AS keep FROM r"""
+
   /** q221: count-min sketch replayed — same hash family as minhash
     * ((a_j·g + b_j) mod P mod width), the 4×1024 bucket-count table, the
     * exact top-20 truth, and the min-over-rows estimate. */

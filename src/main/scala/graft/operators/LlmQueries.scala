@@ -310,6 +310,24 @@ object LlmQueries {
     Curation.hashSplit(cl, "cluster").select("doc_id", "cluster", "split")
   }
 
+  /** q226 — QUALITY-AWARE canonical selection: within each near-dup
+    * cluster keep the LONGEST member (ties to the lower id) — the "keep
+    * the most complete duplicate" dedup decision, vs q56's min-id rule.
+    * One window over the cluster key after the components join. */
+  def q226BestCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val d = withNearDups(docs(spark, dir))
+    val pairs = TextOps.minhashNearDups(d, threshold = 0.5).select("da", "db")
+    val comp = Graph.connectedComponents(pairs, "da", "db")
+    val cl = d.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    cl.withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("n_chars"), col("keep"))
+  }
+
   /** q222 — proportional budget allocation ([[Curation.allocateBudget]]):
     * per-domain token counts → ⌊√n⌋ temperature weights → largest-
     * remainder seats summing EXACTLY to the budget; every quota and
