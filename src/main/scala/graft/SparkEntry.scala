@@ -245,6 +245,7 @@ object SparkEntry {
     "q224_corpus_delta"     -> (LlmQueries.q224CorpusDelta _),
     "q225_leakage_split"    -> (LlmQueries.q225LeakageSafeSplit _),
     "q226_best_canonical"   -> (LlmQueries.q226BestCanonical _),
+    "q227_fill_nodata"      -> (RaquetQueries.q227FillNodata _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -576,6 +577,8 @@ object SparkEntry {
     "q225_leakage_split"    -> LlmOracles.q225,
     // q226: quality-aware canonical — closure + longest-member window replayed
     "q226_best_canonical"   -> LlmOracles.q226,
+    // q227: gdal_fillnodata — IDW fill replayed as the identical IEEE chain
+    "q227_fill_nodata"      -> RaquetOracles.q227,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

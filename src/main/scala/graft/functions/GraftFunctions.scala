@@ -77,6 +77,9 @@ object GraftFunctions {
   def rq_focal_mean(band: Column, halos: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqFocalMean(ex(band), ex(halos), BandKernel(meta, name)))
+  def rq_fill_nodata(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqFillNodata(ex(band), ex(halos), BandKernel(meta, name)))
   def rq_focal_slope(band: Column, halos: Column, meta: RaquetMetadata,
       name: String, cell: Double): Column =
     col(RqFocalSlope(ex(band), ex(halos), BandKernel(meta, name), cell))

@@ -52,6 +52,17 @@ object Focal {
       .select(col("block"),
         rq_focal_mean(col(band), col("halos"), meta, band).as("vals"))
 
+  /** gdal_fillnodata-style hole filling over every native-zoom tile:
+    * valid pixels pass through; nodata pixels become the IDW mean of
+    * their valid 3×3 neighbors (weight 1 edge, 1/√2 diagonal), NaN when
+    * the whole window is invalid — run iteratively to close larger holes
+    * (each pass extends the fill front one pixel). Same halo exchange as
+    * [[focalMean3x3]]: only edge strips shuffle. */
+  def fillNodata3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_fill_nodata(col(band), col("halos"), meta, band).as("vals"))
+
   /** Horn's-method slope in degrees over every native-zoom tile ([[outKernel]]
     * float64 blob output); NaN where the window has any missing/nodata cell
     * (strict GIS convention). `cell` is the ground distance per pixel in

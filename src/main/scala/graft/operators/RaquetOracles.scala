@@ -170,6 +170,39 @@ object RaquetOracles {
         FROM nb GROUP BY 1, 2"""
   }
 
+  /** q227: fillnodata from the closed form — valid pixels pass through;
+    * nodata pixels get the IDW mean over valid neighbors built as the
+    * SAME left-associated row-major chain the kernel accumulates (invalid
+    * terms contribute +0, x+0 ≡ x in IEEE), with weights 1 and 1/sqrt(2)
+    * (both correctly rounded in both engines) — bit-identical doubles. */
+  val q227: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def valid(dx: Int, dy: Int): String =
+      s"""(gx+($dx) BETWEEN 512 AND 639 AND gy+($dy) BETWEEN 384 AND 511
+          AND (gx+($dx)+gy+($dy)) % 31 <> 0)"""
+    def vl(dx: Int, dy: Int): String =
+      s"CAST((7*(gx+($dx)) + 13*(gy+($dy))) % 255 AS DOUBLE)"
+    def wt(dx: Int, dy: Int): String =
+      if (dx == 0 || dy == 0) "CAST(1 AS DOUBLE)"
+      else "(1 / sqrt(CAST(2 AS DOUBLE)))"
+    val nbs = for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1)
+      if dx != 0 || dy != 0 } yield (dx, dy)
+    val num = nbs.map { case (dx, dy) =>
+      s"coalesce(CASE WHEN ${valid(dx, dy)} THEN ${vl(dx, dy)} * ${wt(dx, dy)} END, 0)"
+    }.reduce((a, b) => s"($a + $b)")
+    val den = nbs.map { case (dx, dy) =>
+      s"CASE WHEN ${valid(dx, dy)} THEN ${wt(dx, dy)} ELSE CAST(0 AS DOUBLE) END"
+    }.reduce((a, b) => s"($a + $b)")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j))
+        SELECT block, pos,
+          CASE WHEN (gx+gy) % 31 <> 0 THEN CAST((7*gx + 13*gy) % 255 AS DOUBLE)
+               WHEN $den > 0 THEN $num / $den END AS v
+        FROM px"""
+  }
+
   /** q98: Horn slope from the closed form. The 9 window cells are inline
     * CASE expressions (in-bounds + non-nodata, else NULL); slope only where
     * all 9 are present — NULL propagation through the arithmetic gives that

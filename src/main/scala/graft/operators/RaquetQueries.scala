@@ -183,6 +183,20 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** gdal_fillnodata over the fixture ([[Focal.fillNodata3x3]]): valid
+    * pixels pass through, nodata pixels IDW-fill from valid 3×3 neighbors
+    * (weight 1 edge / 1/√2 diagonal, row-major accumulation — the oracle
+    * replays the identical left-associated chain, so doubles match
+    * bit-for-bit). */
+  def q227FillNodata(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    Focal.fillNodata3x3(ds.data, ds.meta, "band_1")
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(ds.meta))))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
+  }
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

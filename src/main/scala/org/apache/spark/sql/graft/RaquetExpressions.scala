@@ -132,6 +132,61 @@ object RqBridge {
       java.util.zip.Deflater.BEST_SPEED)
   }
 
+  /** gdal_fillnodata-style hole filling over one tile + halo strips (same
+    * exchange/label contract as [[focalOf]]): valid pixels pass through as
+    * physical values; a nodata/missing pixel becomes the inverse-distance-
+    * weighted mean of its VALID 3×3 neighbors (weight 1 edge-adjacent,
+    * 1/√2 diagonal), NaN if the whole window is invalid (an iterative
+    * caller re-runs until holes close). Accumulation is row-major with
+    * invalid terms contributing +0.0 — algebraically the oracle's
+    * left-associated coalesce(·,0) chain, so with IEEE-exact weights
+    * (sqrt and divide are correctly rounded) both engines produce
+    * bit-identical doubles. */
+  def fillOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): Array[Byte] = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val wDiag = 1.0 / math.sqrt(2.0)
+    @inline def valid(v: Double): Boolean =
+      !java.lang.Double.isNaN(v) && !(hasNd && v == nodata)
+    val out = new Array[Double](w * h)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        val c = pad((jj + 1) * pw + ii + 1)
+        if (valid(c)) out(jj * w + ii) = c * k.scale + k.offset
+        else {
+          var num = 0.0
+          var den = 0.0
+          var oy = 0
+          while (oy < 3) {
+            var ox = 0
+            while (ox < 3) {
+              if (ox != 1 || oy != 1) {
+                val v = pad((jj + oy) * pw + ii + ox)
+                if (valid(v)) {
+                  val wt = if (ox == 1 || oy == 1) 1.0 else wDiag
+                  num += (v * k.scale + k.offset) * wt
+                  den += wt
+                }
+              }
+              ox += 1
+            }
+            oy += 1
+          }
+          out(jj * w + ii) = if (den > 0) num / den else Double.NaN
+        }
+        ii += 1
+      }
+      jj += 1
+    }
+    graft.raquet.PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
   /** Horn's-method slope (degrees) over one tile + halo strips (same
     * exchange/label contract as [[focalOf]]). Window cells a..i row-major:
     * dz/dx = ((c+2f+i)−(a+2d+g))/(8·cell), dz/dy = ((g+2h+i)−(a+2b+c))/
@@ -1142,6 +1197,49 @@ case class RqFocalMean(band: Expression, halos: Expression, kernel: BandKernel)
         if (!${b.isNull}) {
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.focalOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
+}
+
+/** rq_fill_nodata(band, halos) → float64 band blob with nodata pixels
+  * IDW-filled from their valid 3×3 neighbors (see [[RqBridge.fillOf]]).
+  * Same halo contract as [[RqFocalMean]]. */
+case class RqFillNodata(band: Expression, halos: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_fill_nodata"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.fillOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.fillOf($k, ${b.value},
             ${hl.isNull} ? null : ${hl.value});
         }
       """)

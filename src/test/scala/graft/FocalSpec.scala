@@ -47,6 +47,41 @@ class FocalSpec extends SparkSpec {
     }
   }
 
+  test("fillNodata: valid pixels pass through; holes fill with IDW of valid neighbors; all-invalid stays NaN") {
+    val (x0, y0, z, n, bs) = (40L, 40L, 6, 2, 16)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = n.toLong * n)
+    val got = Focal.fillNodata3x3(tiles, meta, "band_1")
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val wDiag = 1.0 / math.sqrt(2.0)
+    got.foreach { case ((block, pos), v) =>
+      val gx = Quadbin.tileX(block) * bs + pos % bs
+      val gy = Quadbin.tileY(block) * bs + pos / bs
+      val c = FixtureGen.v1(gx, gy)
+      if (c != FixtureGen.Band1Nodata) assert(v === c.toDouble)
+      else {
+        var num = 0.0; var den = 0.0
+        for (oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0) {
+          val nx = gx + ox; val ny = gy + oy
+          if (nx >= bs * x0 && nx < bs * (x0 + n) &&
+              ny >= bs * y0 && ny < bs * (y0 + n)) {
+            val nv = FixtureGen.v1(nx, ny)
+            if (nv != FixtureGen.Band1Nodata) {
+              val w = if (ox == 0 || oy == 0) 1.0 else wDiag
+              num += nv * w; den += w
+            }
+          }
+        }
+        if (den > 0) assert(v === num / den, s"hole ($gx, $gy)")
+        else assert(v.isNaN, s"isolated hole ($gx, $gy)")
+      }
+    }
+  }
+
   test("isolated tile (null halos) truncates every window to the tile") {
     check(1)
   }
