@@ -246,6 +246,7 @@ object SparkEntry {
     "q225_leakage_split"    -> (LlmQueries.q225LeakageSafeSplit _),
     "q226_best_canonical"   -> (LlmQueries.q226BestCanonical _),
     "q227_fill_nodata"      -> (RaquetQueries.q227FillNodata _),
+    "q228_proximity"        -> (RaquetQueries.q228Proximity _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -579,6 +580,9 @@ object SparkEntry {
     "q226_best_canonical"   -> LlmOracles.q226,
     // q227: gdal_fillnodata — IDW fill replayed as the identical IEEE chain
     "q227_fill_nodata"      -> RaquetOracles.q227,
+    // q228: chamfer proximity — 3 relaxation rounds replayed (min is
+    // order-independent, so every distance double matches)
+    "q228_proximity"        -> RaquetOracles.q228(3),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -80,6 +80,12 @@ object GraftFunctions {
   def rq_fill_nodata(band: Column, halos: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqFillNodata(ex(band), ex(halos), BandKernel(meta, name)))
+  def rq_chamfer_seed(band: Column, meta: RaquetMetadata, name: String,
+      target: Double): Column =
+    col(RqChamferSeed(ex(band), BandKernel(meta, name), target))
+  def rq_chamfer_relax(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqChamferRelax(ex(band), ex(halos), BandKernel(meta, name)))
   def rq_focal_slope(band: Column, halos: Column, meta: RaquetMetadata,
       name: String, cell: Double): Column =
     col(RqFocalSlope(ex(band), ex(halos), BandKernel(meta, name), cell))

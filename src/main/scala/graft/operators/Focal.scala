@@ -63,6 +63,31 @@ object Focal {
       .select(col("block"),
         rq_fill_nodata(col(band), col("halos"), meta, band).as("vals"))
 
+  /** gdal_proximity-style chamfer-(1, √2) distance transform: per-pixel
+    * distance (in pixel units) to the nearest VALID pixel whose physical
+    * value equals `target`, exact along paths of ≤ `rounds` king moves —
+    * pixels farther than the relaxation horizon stay +∞ (null after
+    * decode). ITERATIVE halo exchange: each round is one cross-tile
+    * strip shuffle over the float64 distance raster, so the wavefront
+    * advances one pixel per round and total cost is rounds × (one focal
+    * pass) — never a global all-pixels shuffle. min is order-independent,
+    * so every distance double is exactly SQL-replayable. */
+  def proximity(data: DataFrame, meta: RaquetMetadata, band: String,
+      target: Double, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val z = meta.maxZoom
+    val dMeta = outMeta(meta, Seq(band))
+    var d = data
+      .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
+      .select(col("block"),
+        rq_chamfer_seed(col(band), meta, band, target).as(band))
+    for (_ <- 1 to rounds)
+      d = withHalos(d, dMeta, band)
+        .select(col("block"),
+          rq_chamfer_relax(col(band), col("halos"), dMeta, band).as(band))
+    d.select(col("block"), col(band).as("vals"))
+  }
+
   /** Horn's-method slope in degrees over every native-zoom tile ([[outKernel]]
     * float64 blob output); NaN where the window has any missing/nodata cell
     * (strict GIS convention). `cell` is the ground distance per pixel in

@@ -203,6 +203,35 @@ object RaquetOracles {
         FROM px"""
   }
 
+  /** q228: chamfer proximity replayed round by round — seed where the
+    * closed-form value is 0 (and valid), then 3 relaxation rounds of
+    * least(d, min(neighbor d + weight)); min/least are order-independent,
+    * so the doubles match the kernel exactly. */
+  def q228(rounds: Int = 3): String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT p.block, p.pos, p.gx, p.gy,
+            least(p.d, min(n.d +
+              CASE WHEN o.ox = 0 OR o.oy = 0 THEN CAST(1 AS DOUBLE)
+                   ELSE sqrt(CAST(2 AS DOUBLE)) END)) AS d
+          FROM d${r - 1} p
+          CROSS JOIN o
+          LEFT JOIN d${r - 1} n ON n.gx = p.gx + o.ox AND n.gy = p.gy + o.oy
+          GROUP BY p.block, p.pos, p.gx, p.gy, p.d)"""
+    }.mkString(",\n")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        o(ox, oy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),(-1,1),(0,1),(1,1)),
+        d0 AS (SELECT block, pos, gx, gy,
+            CASE WHEN (gx+gy) % 31 <> 0 AND (7*gx + 13*gy) % 255 = 0
+                 THEN CAST(0 AS DOUBLE) END AS d
+          FROM px),
+        $rs
+        SELECT block, pos, d AS dist FROM d$rounds"""
+  }
+
   /** q98: Horn slope from the closed form. The 9 window cells are inline
     * CASE expressions (in-bounds + non-nodata, else NULL); slope only where
     * all 9 are present — NULL propagation through the arithmetic gives that

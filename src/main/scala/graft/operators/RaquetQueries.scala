@@ -183,6 +183,21 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** gdal_proximity over the fixture ([[Focal.proximity]]): chamfer-(1,√2)
+    * distance to the nearest target-valued pixel via 3 ITERATIVE halo-
+    * exchange relaxation rounds; pixels beyond the horizon decode +∞ →
+    * NULL. min is order-independent, so the oracle's round-by-round
+    * replay matches every double bit-for-bit. */
+  def q228Proximity(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    Focal.proximity(ds.data, ds.meta, "band_1", target = 0.0, rounds = 3)
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(ds.meta))))
+      .select(col("block"), col("pos"),
+        when(col("col") < lit(Double.PositiveInfinity), col("col"))
+          .as("dist"))
+  }
+
   /** gdal_fillnodata over the fixture ([[Focal.fillNodata3x3]]): valid
     * pixels pass through, nodata pixels IDW-fill from valid 3×3 neighbors
     * (weight 1 edge / 1/√2 diagonal, row-major accumulation — the oracle

@@ -187,6 +187,72 @@ object RqBridge {
       java.util.zip.Deflater.BEST_SPEED)
   }
 
+  /** Seed raster for the chamfer distance transform: 0 where the pixel is
+    * valid and its PHYSICAL value equals `target`, +∞ elsewhere (float64
+    * blob — ∞ survives the gzip round-trip; NaN-padded halos read as ∞ in
+    * [[chamferRelax]]). */
+  def chamferSeedOf(k: BandKernel, raw: Array[Byte], target: Double): Array[Byte] = {
+    val n = k.width * k.height
+    val vals = k.decode(raw)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = vals(i)
+      out(i) =
+        if (!java.lang.Double.isNaN(v) && !(hasNd && v == nodata) &&
+          v * k.scale + k.offset == target) 0.0
+        else Double.PositiveInfinity
+      i += 1
+    }
+    graft.raquet.PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  /** One chamfer-(1, √2) relaxation round over a distance raster + halo
+    * strips (same exchange contract as [[focalOf]]):
+    * d' = min(d, min over 8 neighbors of (dₙ + w)), w = 1 edge-adjacent,
+    * √2 diagonal; NaN pad cells (outside the raster) act as ∞. Run k
+    * rounds for exact chamfer distance along paths of ≤ k king moves —
+    * the gdal_proximity shape, with min's order-independence making every
+    * double bit-replayable in SQL. */
+  def chamferRelaxOf(k: BandKernel, raw: Array[Byte], halos: ArrayData): Array[Byte] = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val diag = math.sqrt(2.0)
+    val out = new Array[Double](w * h)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        var best = pad((jj + 1) * pw + ii + 1)
+        if (java.lang.Double.isNaN(best)) best = Double.PositiveInfinity
+        var oy = 0
+        while (oy < 3) {
+          var ox = 0
+          while (ox < 3) {
+            if (ox != 1 || oy != 1) {
+              val v = pad((jj + oy) * pw + ii + ox)
+              if (!java.lang.Double.isNaN(v)) {
+                val c = v + (if (ox == 1 || oy == 1) 1.0 else diag)
+                if (c < best) best = c
+              }
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        out(jj * w + ii) = best
+        ii += 1
+      }
+      jj += 1
+    }
+    graft.raquet.PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
   /** Horn's-method slope (degrees) over one tile + halo strips (same
     * exchange/label contract as [[focalOf]]). Window cells a..i row-major:
     * dz/dx = ((c+2f+i)−(a+2d+g))/(8·cell), dz/dy = ((g+2h+i)−(a+2b+c))/
@@ -1240,6 +1306,67 @@ case class RqFillNodata(band: Expression, halos: Expression, kernel: BandKernel)
         if (!${b.isNull}) {
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.fillOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
+}
+
+/** rq_chamfer_seed(band) → float64 blob: 0 at target-valued valid pixels,
+  * +∞ elsewhere (see [[RqBridge.chamferSeedOf]]). */
+case class RqChamferSeed(band: Expression, kernel: BandKernel, target: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def child: Expression = band
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "rq_chamfer_seed"
+  override protected def nullSafeEval(raw: Any): Any =
+    RqBridge.chamferSeedOf(kernel, raw.asInstanceOf[Array[Byte]], target)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, c => s"${RqBridge.B}.chamferSeedOf($k, $c, $target)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(band = c)
+}
+
+/** rq_chamfer_relax(dband, halos) → one chamfer-(1, √2) relaxation round
+  * (see [[RqBridge.chamferRelaxOf]]). Same halo contract as
+  * [[RqFocalMean]]. */
+case class RqChamferRelax(band: Expression, halos: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_chamfer_relax"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.chamferRelaxOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.chamferRelaxOf($k, ${b.value},
             ${hl.isNull} ? null : ${hl.value});
         }
       """)

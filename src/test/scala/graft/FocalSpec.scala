@@ -82,6 +82,51 @@ class FocalSpec extends SparkSpec {
     }
   }
 
+  test("proximity: chamfer distances match a brute-force relaxation, horizon stays +inf") {
+    val (x0, y0, z, n, bs) = (40L, 40L, 6, 2, 16)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = n.toLong * n)
+    val rounds = 3
+    val got = Focal.proximity(tiles, meta, "band_1", target = 0.0, rounds)
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // brute-force replay on the global grid
+    val lo = bs * x0; val hiX = bs * (x0 + n)
+    val loY = bs * y0; val hiY = bs * (y0 + n)
+    val W = (hiX - lo).toInt; val H = (hiY - loY).toInt
+    var d = Array.tabulate(H, W) { (r, c) =>
+      val v = FixtureGen.v1(lo + c, loY + r)
+      if (v != FixtureGen.Band1Nodata && v == 0.0) 0.0 else Double.PositiveInfinity
+    }
+    val diag = math.sqrt(2.0)
+    for (_ <- 1 to rounds) {
+      val nd = Array.tabulate(H, W) { (r, c) =>
+        var best = d(r)(c)
+        for (oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0) {
+          val rr = r + oy; val cc = c + ox
+          if (rr >= 0 && rr < H && cc >= 0 && cc < W) {
+            val cand = d(rr)(cc) + (if (ox == 0 || oy == 0) 1.0 else diag)
+            if (cand < best) best = cand
+          }
+        }
+        best
+      }
+      d = nd
+    }
+    assert(got.size == W * H)
+    var reached = 0
+    got.foreach { case ((block, pos), v) =>
+      val c = (Quadbin.tileX(block) * bs + pos % bs - lo).toInt
+      val r = (Quadbin.tileY(block) * bs + pos / bs - loY).toInt
+      assert(v == d(r)(c), s"pixel ($c, $r): got $v want ${d(r)(c)}")
+      if (!v.isInfinite) reached += 1
+    }
+    assert(reached > 0 && reached < W * H) // both fronts and horizon exist
+  }
+
   test("isolated tile (null halos) truncates every window to the tile") {
     check(1)
   }
