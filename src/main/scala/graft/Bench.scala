@@ -347,6 +347,17 @@ object Bench {
       val ds = RaquetIO.read(s, RasterDir)
       graft.operators.Focal.focalMean3x3(ds.data, ds.meta, "band_1")
     }),
+    "b_fill_nodata" -> ((s: SparkSession, _: String) => {
+      // same halo shape as b_focal_mean, IDW fill kernel
+      val ds = RaquetIO.read(s, RasterDir)
+      graft.operators.Focal.fillNodata3x3(ds.data, ds.meta, "band_1")
+    }),
+    "b_proximity" -> ((s: SparkSession, _: String) => {
+      // ITERATIVE halo exchange: 3 relaxation rounds = 3 strip shuffles
+      val ds = RaquetIO.read(s, RasterDir)
+      graft.operators.Focal.proximity(ds.data, ds.meta, "band_1",
+        target = 0.0, rounds = 3)
+    }),
     "b_contour" -> ((s: SparkSession, _: String) => {
       // whole-dataset marching squares at the median-ish level: the focal
       // halo shape with a segment-list output instead of a blob

@@ -77,14 +77,20 @@ object Focal {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val z = meta.maxZoom
     val dMeta = outMeta(meta, Seq(band))
+    // localCheckpoint between rounds: withHalos references its input twice
+    // (strip emission + the join back), so an unchecked chain re-executes
+    // the whole prefix 2^k times — measured 18 s vs 4 s for 3 rounds on
+    // the 1,024-tile bench raster. One blob per tile: checkpoint is cheap.
     var d = data
       .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
       .select(col("block"),
         rq_chamfer_seed(col(band), meta, band, target).as(band))
+      .localCheckpoint()
     for (_ <- 1 to rounds)
       d = withHalos(d, dMeta, band)
         .select(col("block"),
           rq_chamfer_relax(col(band), col("halos"), dMeta, band).as(band))
+        .localCheckpoint()
     d.select(col("block"), col(band).as("vals"))
   }
 
