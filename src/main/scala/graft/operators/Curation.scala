@@ -103,10 +103,24 @@ object Curation {
     else col(nCol).cast("long")
     val wtd = counts.select(col(keyCol), col(nCol), w0.as("w"))
     val tot = wtd.agg(sum("w").as("tw"))
+    // loud failure on the two silent-corruption modes: (a) tw = 0 with a
+    // positive budget would make every `div tw` NULL (quotas silently
+    // vanish); (b) budget·w is computed in int64, and w = ⌊√n⌋ can reach
+    // ~9.4e7, so a large caller-supplied budget would silently wrap —
+    // guard per row with the division-form overflow test.
+    def guarded(op: String): String =
+      if (budget == 0L) "0L"
+      else s"""CASE
+        WHEN tw <= 0L THEN CAST(raise_error(
+          'allocateBudget: total weight is 0 with positive budget') AS BIGINT)
+        WHEN w > 0L AND ${budget}L > ${Long.MaxValue}L div w
+          THEN CAST(raise_error(
+          'allocateBudget: budget*w overflows int64 — lower the budget or pre-scale weights') AS BIGINT)
+        ELSE (${budget}L * w) $op tw END"""
     val based = wtd.crossJoin(broadcast(tot))
       .select(col(keyCol), col(nCol), col("w"),
-        expr(s"(${budget}L * w) div tw").as("base"),
-        expr(s"(${budget}L * w) % tw").as("rem"))
+        expr(guarded("div")).as("base"),
+        expr(guarded("%")).as("rem"))
     val leftover = based.agg((lit(budget) - sum("base")).as("lo"))
     val rn = row_number().over(
       Window.orderBy(col("rem").desc, col(keyCol).asc))

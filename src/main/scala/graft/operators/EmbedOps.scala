@@ -28,8 +28,12 @@ object EmbedOps {
         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
         CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
 
-  def norm2(a: String): Column = expr(
-    s"""aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+  /** Σ a[i]² over the FIRST `dim` components — sliced exactly like [[dot]],
+    * so a padded or longer vector cannot deflate cosine through the
+    * denominator while the numerator ignores the extra components. */
+  def norm2(a: String, dim: Int): Column = expr(
+    s"""aggregate(transform(slice($a, 1, $dim),
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
         CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
 
   /** Johnson–Lindenstrauss sign random projection: dim → outDim with a
@@ -171,7 +175,7 @@ object EmbedOps {
     val c = corpus.select(col("vec_id"), col("embedding").as("ce"), col("label"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", round(
-        dot("qe", "ce", dim) / (sqrt(norm2("qe")) * sqrt(norm2("ce"))), 6))
+        dot("qe", "ce", dim) / (sqrt(norm2("qe", dim)) * sqrt(norm2("ce", dim))), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "cos", "label")
@@ -465,7 +469,7 @@ object EmbedOps {
       .select(col("cell"), col("vec_id"), col("embedding").as("ce"), col("label"))
     val scored = c.join(broadcast(probes), "cell")
       .withColumn("cos", round(
-        dot("qe", "ce", dim) / (sqrt(norm2("qe")) * sqrt(norm2("ce"))), 6))
+        dot("qe", "ce", dim) / (sqrt(norm2("qe", dim)) * sqrt(norm2("ce", dim))), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "cos", "label")
@@ -479,7 +483,7 @@ object EmbedOps {
     val r = b.select(col("bucket"), col("vec_id").as("idb"), col("embedding").as("eb"))
     l.join(r, "bucket").filter(col("ida") < col("idb"))
       .withColumn("cos", round(
-        dot("ea", "eb", dim) / (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))
+        dot("ea", "eb", dim) / (sqrt(norm2("ea", dim)) * sqrt(norm2("eb", dim))), 6))
       .filter(col("cos") >= minCos)
       .select("ida", "idb", "bucket", "cos")
   }
@@ -507,7 +511,7 @@ object EmbedOps {
       .select(col("bucket"), col("vec_id"), col("embedding").as("eb"))
       .join(earlier, col("ba") === col("bucket") && col("ida") < col("vec_id"))
       .withColumn("cos", round(
-        dot("ea", "eb", dim) / (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 6))
+        dot("ea", "eb", dim) / (sqrt(norm2("ea", dim)) * sqrt(norm2("eb", dim))), 6))
       .groupBy(col("vec_id").as("vid"))
       .agg(max(col("cos")).as("max_prior_cos"))
     b.select(col("vec_id"), col("bucket"))

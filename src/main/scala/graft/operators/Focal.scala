@@ -55,13 +55,32 @@ object Focal {
   /** gdal_fillnodata-style hole filling over every native-zoom tile:
     * valid pixels pass through; nodata pixels become the IDW mean of
     * their valid 3×3 neighbors (weight 1 edge, 1/√2 diagonal), NaN when
-    * the whole window is invalid — run iteratively to close larger holes
-    * (each pass extends the fill front one pixel). Same halo exchange as
-    * [[focalMean3x3]]: only edge strips shuffle. */
-  def fillNodata3x3(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame =
-    withHalos(data, meta, band)
+    * the whole window is invalid. `rounds` > 1 closes larger holes by
+    * extending the fill front one pixel per pass — the re-runs thread
+    * the DERIVED float64 metadata ([[outMeta]]) internally, because the
+    * first pass re-types the band (a caller re-invoking with the source
+    * `meta` would decode the float64 blob with the wrong type/scale/
+    * nodata — the exact trap [[proximity]] avoids the same way). Same
+    * halo exchange as [[focalMean3x3]]: only edge strips shuffle;
+    * localCheckpoint between rounds stops the 2^k re-execution of the
+    * doubly-referenced halo input. */
+  def fillNodata3x3(data: DataFrame, meta: RaquetMetadata, band: String,
+      rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = withHalos(data, meta, band)
       .select(col("block"),
-        rq_fill_nodata(col(band), col("halos"), meta, band).as("vals"))
+        rq_fill_nodata(col(band), col("halos"), meta, band).as(band))
+    if (rounds > 1) {
+      val dMeta = outMeta(meta, Seq(band))
+      cur = cur.localCheckpoint()
+      for (_ <- 2 to rounds)
+        cur = withHalos(cur, dMeta, band)
+          .select(col("block"),
+            rq_fill_nodata(col(band), col("halos"), dMeta, band).as(band))
+          .localCheckpoint()
+    }
+    cur.select(col("block"), col(band).as("vals"))
+  }
 
   /** gdal_proximity-style chamfer-(1, √2) distance transform: per-pixel
     * distance (in pixel units) to the nearest VALID pixel whose physical

@@ -1223,13 +1223,19 @@ object LlmOracles {
   }
 
   /** q209: URL canonicalization + dedup replayed step by step — fragment
-    * strip, scheme/host lowercase, :80 strip, utm_* drop, param sort.
-    * DuckDB's array_to_string([]) is NULL, hence the coalesce. */
+    * strip, scheme/host lowercase, scheme-default port strip (:80 only
+    * for http, :443 only for https), utm_* drop, param sort. DuckDB's
+    * array_to_string([]) is NULL, hence the coalesce. */
   val q209: String = {
     val url = "url"
+    val scheme = s"lower(split_part($url, '://', 1))"
     val rest = s"split_part(split_part($url, '#', 1), '://', 2)"
     val auth = s"split_part($rest, '/', 1)"
-    val host = s"regexp_replace(lower($auth), ':80$$', '')"
+    val host = s"""CASE WHEN $scheme = 'http'
+         THEN regexp_replace(lower($auth), ':80$$', '')
+       WHEN $scheme = 'https'
+         THEN regexp_replace(lower($auth), ':443$$', '')
+       ELSE lower($auth) END"""
     val pathq = s"substr($rest, length($auth) + 1)"
     val path = s"split_part($pathq, '?', 1)"
     val query = s"CASE WHEN $pathq LIKE '%?%' THEN split_part($pathq, '?', 2) ELSE '' END"

@@ -120,12 +120,20 @@ object TextOps {
     * full-outer equi-join on the id (both sides pre-reduced to
     * (id, hash) — text never crosses the shuffle). */
   def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("h_old"))
-    val n = newDocs.select(col("doc_id"), md5(col("text")).as("h_new"))
+    // presence is an explicit marker per side, NOT hash nullness: a doc
+    // whose text is NULL in either snapshot would otherwise carry a NULL
+    // hash and be misclassified as added/removed (and NULL-vs-value =!=
+    // is NULL, falling through to "unchanged") — the oracle classifies by
+    // doc_id presence, so the engine must too. Hashes use coalesce so a
+    // null-text vs value-text change still reads "changed".
+    val o = oldDocs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("h_old"), lit(true).as("in_old"))
+    val n = newDocs.select(col("doc_id"),
+      md5(coalesce(col("text"), lit(""))).as("h_new"), lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_old").isNull, "added")
-          .when(col("h_new").isNull, "removed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
           .when(col("h_old") =!= col("h_new"), "changed")
           .otherwise("unchanged").as("status"),
         col("h_old"), col("h_new"))
@@ -718,15 +726,22 @@ object TextOps {
   }
 
   /** URL canonicalization (the web-crawl dedup key): strip the fragment,
-    * lowercase scheme and host, drop a default :80 port, drop utm_*
-    * tracking params, sort the remaining query params. Pure codegen'd
-    * string expression — linear, no shuffle — and every step is plain
-    * ANSI string algebra the oracle replays verbatim. `expr` column over
-    * `u` (a column name or SQL subexpression). */
+    * lowercase scheme and host, drop the scheme's DEFAULT port only
+    * (:80 for http, :443 for https — 'https://h:80/x' is a genuinely
+    * distinct resource and must NOT merge with 'https://h/x'), drop
+    * utm_* tracking params, sort the remaining query params. Pure
+    * codegen'd string expression — linear, no shuffle — and every step is
+    * plain ANSI string algebra the oracle replays verbatim. `expr` column
+    * over `u` (a column name or SQL subexpression). */
   def urlCanonSql(u: String): String = {
+    val scheme = s"lower(split_part($u, '://', 1))"
     val rest = s"split_part(split_part($u, '#', 1), '://', 2)"
     val auth = s"split_part($rest, '/', 1)"
-    val host = s"regexp_replace(lower($auth), ':80$$', '')"
+    val host = s"""CASE WHEN $scheme = 'http'
+         THEN regexp_replace(lower($auth), ':80$$', '')
+       WHEN $scheme = 'https'
+         THEN regexp_replace(lower($auth), ':443$$', '')
+       ELSE lower($auth) END"""
     val pathq = s"substr($rest, length($auth) + 1)"
     val path = s"split_part($pathq, '?', 1)"
     val query = s"CASE WHEN $pathq LIKE '%?%' THEN split_part($pathq, '?', 2) ELSE '' END"

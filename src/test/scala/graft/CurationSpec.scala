@@ -91,6 +91,27 @@ class CurationSpec extends SparkSpec {
     assert(p("big") > 75L * p("small"))
   }
 
+  test("allocateBudget: fails LOUDLY on zero total weight and on budget*w int64 overflow") {
+    import spark.implicits._
+    // all weights zero with positive budget: quotas must not silently NULL
+    val zeros = Seq(("a", 0L), ("b", 0L)).toDF("domain", "n")
+    val e1 = intercept[Exception] {
+      Curation.allocateBudget(zeros, "domain", "n", budget = 100L).collect()
+    }
+    assert(e1.getMessage.contains("total weight is 0"), e1.getMessage)
+    // w = floor(sqrt(4e9)) ~ 63245; budget near Long.Max/63245 overflows
+    val big = Seq(("a", 4000000000L), ("b", 1L)).toDF("domain", "n")
+    val e2 = intercept[Exception] {
+      Curation.allocateBudget(big, "domain", "n",
+        budget = Long.MaxValue / 1000L).collect()
+    }
+    assert(e2.getMessage.contains("overflows"), e2.getMessage)
+    // budget 0 with zero weights is legal: every alloc is 0
+    val z = Curation.allocateBudget(zeros, "domain", "n", budget = 0L)
+      .collect().map(_.getLong(3))
+    assert(z.forall(_ == 0L))
+  }
+
   test("weightedMix: rate 1.0 keeps everything, rate 0 keeps nothing, " +
     "unlisted sources are dropped, deterministic") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)

@@ -82,6 +82,58 @@ class FocalSpec extends SparkSpec {
     }
   }
 
+  test("fillNodata rounds: internal reruns thread the derived float64 meta and extend the fill front") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val (x0, y0, z, bs) = (40L, 40L, 6, 16)
+    val meta = FixtureGen.metadata(z, x0, y0, 1, 1, bs, minZoom = z,
+      numBlocks = 1L)
+    // one tile with a 5x5 nodata square centered at (8,8): each pass fills
+    // one ring (outer ring, then the 3x3 ring, then the center), so the
+    // center pixel needs rounds=3 — and rounds 2-3 only work if they
+    // decode the previous pass's float64 blob with the DERIVED metadata
+    // (the source uint8 meta would misread it)
+    val vals = Array.tabulate(bs * bs) { p =>
+      val x = p % bs; val y = p / bs
+      if (x >= 6 && x <= 10 && y >= 6 && y <= 10) FixtureGen.Band1Nodata
+      else ((3 * x + 5 * y) % 200).toDouble
+    }
+    val blob = graft.raquet.PixelCodec.encode(vals, "uint8", gzip = true)
+    val block = Quadbin.tileToCell(x0, y0, z)
+    val tiles = spark.createDataFrame(
+      java.util.List.of(Row(java.lang.Long.valueOf(block), blob)),
+      StructType(Seq(StructField("block", LongType, nullable = false),
+        StructField("band_1", BinaryType))))
+    def decoded(rounds: Int): Map[Int, Double] =
+      Focal.fillNodata3x3(tiles, meta, "band_1", rounds)
+        .select(posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val r1 = decoded(1)
+    val r2 = decoded(2)
+    val r3 = decoded(3)
+    val center = 8 * bs + 8
+    val ring2 = 7 * bs + 8 // middle-ring pixel, 2 king-moves from valid
+    assert(r1(center).isNaN && r1(ring2).isNaN,
+      "1 round only fills the outer hole ring")
+    assert(!r2(ring2).isNaN && r2(center).isNaN,
+      "2 rounds reach the middle ring but not the center")
+    assert(!r3(center).isNaN && r3(center) > 0.0,
+      "3 rounds must fill the center from round 2's fill front")
+    // valid pixels pass through unchanged in both
+    assert(r1(0) === vals(0) && r2(0) === vals(0))
+    // rounds=2 must equal a manual second pass with the derived meta
+    val dMeta = Focal.outMeta(meta, Seq("band_1"))
+    val once = Focal.fillNodata3x3(tiles, meta, "band_1")
+      .select(col("block"), col("vals").as("band_1"))
+    val manual = Focal.fillNodata3x3(once, dMeta, "band_1")
+      .select(posexplode(rq_decode(col("vals"), Focal.outKernel(meta))))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    r2.foreach { case (p, v) =>
+      val m = manual(p)
+      assert((v.isNaN && m.isNaN) || v === m, s"pixel $p: auto $v vs manual $m")
+    }
+  }
+
   test("proximity: chamfer distances match a brute-force relaxation, horizon stays +inf") {
     val (x0, y0, z, n, bs) = (40L, 40L, 6, 2, 16)
     val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)

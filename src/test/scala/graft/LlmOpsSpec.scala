@@ -122,6 +122,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(graft.functions.GraftExtensions.injected.size >= 18)
   }
 
+  test("cosine is padding-invariant: extra components beyond dim affect neither numerator nor denominator") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), "a"),
+      (2L, Array(0.6f, 0.8f, 0.0f, 0.0f), "b"),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), "c"))
+      .toDF("vec_id", "embedding", "label")
+    // pad corpus vectors with junk past dim=4: norm2 must slice like dot,
+    // or cosine deflates and the ranking flips (the r11 ADVICE defect)
+    val padded = base.select(col("vec_id"),
+      expr("concat(embedding, array(CAST(9.0 AS FLOAT), CAST(-9.0 AS FLOAT)))")
+        .as("embedding"), col("label"))
+    val q = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f), "q"))
+      .toDF("vec_id", "embedding", "label")
+    def ranks(c: org.apache.spark.sql.DataFrame) =
+      graft.operators.EmbedOps.cosineTopK(q, c, k = 3, dim = 4)
+        .select("rank", "vec_id", "cos").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(ranks(padded) == ranks(base))
+    assert(ranks(base).head._3 == 1.0) // identical vector scores exactly 1
+  }
+
   test("IVF: full probe equals brute force; partial probe keeps high recall; no cross join") {
     val cb = graft.operators.EmbedOps.ivfTrain(emb, nlist = 16, dim = 64)
     assert(cb.nlist == 16 && cb.dim == 64)
@@ -463,6 +485,21 @@ class LlmOpsSpec extends SparkSpec {
       twice.collect().map(_.getString(0)).toSeq)
   }
 
+  test("urlCanonSql strips only the scheme's DEFAULT port") {
+    import spark.implicits._
+    val got = Seq(
+      "http://h.com:80/x",   // default for http → stripped
+      "https://h.com:80/x",  // NON-default for https → kept (distinct resource)
+      "https://h.com:443/x", // default for https → stripped
+      "http://h.com:443/x",  // NON-default for http → kept
+      "ftp://h.com:80/x")    // unknown scheme → ports never stripped
+      .toDF("url").select(expr(TextOps.urlCanonSql("url")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "http://h.com/x", "https://h.com:80/x", "https://h.com/x",
+      "http://h.com:443/x", "ftp://h.com:80/x"), got.toString)
+  }
+
   test("plan audit: signProject/bpeTokenize are shuffle-free projections; covariance is one partial agg") {
     import spark.implicits._
     val vecs = Seq((1L, Array.fill(64)(0.1f))).toDF("vec_id", "embedding")
@@ -517,6 +554,21 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
+  }
+
+  test("corpusDelta: NULL text means presence, not absence") {
+    import spark.implicits._
+    // doc 1: null in both → unchanged (not added+removed); doc 2:
+    // null → value → changed; doc 3: value → null → changed; doc 5
+    // genuinely absent from old → added.
+    val old = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, null: String), (2L, "y"), (3L, null: String),
+      (5L, null: String)).toDF("doc_id", "text")
+    val got = TextOps.corpusDelta(old, nw)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "changed", 5L -> "added"))
   }
 
   test("leakage-safe split: every member of a near-dup cluster lands in ONE split") {
