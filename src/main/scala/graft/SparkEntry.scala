@@ -247,6 +247,8 @@ object SparkEntry {
     "q226_best_canonical"   -> (LlmQueries.q226BestCanonical _),
     "q227_fill_nodata"      -> (RaquetQueries.q227FillNodata _),
     "q228_proximity"        -> (RaquetQueries.q228Proximity _),
+    "q229_substring_dedup"  -> (LlmQueries.q229SubstringDedup _),
+    "q230_gopher_rules"     -> (LlmQueries.q230GopherRules _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -583,6 +585,10 @@ object SparkEntry {
     // q228: chamfer proximity — 3 relaxation rounds replayed (min is
     // order-independent, so every distance double matches)
     "q228_proximity"        -> RaquetOracles.q228(3),
+    // q229: substring dedup — gram hashes, dup set, and span merge replayed
+    "q229_substring_dedup"  -> LlmOracles.q229,
+    // q230: Gopher rules — all-integer metrics and thresholds replayed
+    "q230_gopher_rules"     -> LlmOracles.q230,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -1253,4 +1253,56 @@ object LlmOracles {
          min(doc_id) AS canonical_id
        FROM c GROUP BY 1"""
   }
+
+  /** q229: exact substring dedup replayed — positions + 6-gram hashes,
+    * the duplicated-gram set, and the gaps-and-islands span merge. */
+  val q229: String = {
+    val n = 6
+    s"""WITH $NearDupCorpus,
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+                WHERE len(string_split(text, ' ')) >= $n),
+       g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - ${n - 1}),
+               i -> {'p': i - 1, 'g': array_to_string(t[i:i+${n - 1}], ' ')})) AS s
+             FROM toks),
+       gh AS (SELECT doc_id, s.p AS p, ${h60("s.g")} AS h FROM g),
+       dup AS (SELECT h FROM gh GROUP BY h HAVING count(*) > 1),
+       hits AS (SELECT gh.doc_id, gh.p FROM gh JOIN dup USING (h)),
+       i1 AS (SELECT doc_id, p,
+                CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $n
+                     THEN 1 ELSE 0 END AS brk FROM hits),
+       i2 AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS UNBOUNDED PRECEDING) AS island FROM i1)
+       SELECT doc_id, CAST(min(p) AS BIGINT) AS start_tok,
+         CAST(max(p) + ${n - 1} AS BIGINT) AS end_tok,
+         count(*) AS n_dup_grams
+       FROM i2 GROUP BY doc_id, island"""
+  }
+
+  /** q230: Gopher rules replayed — every metric an exact integer and
+    * every threshold the same integer inequality as the engine. */
+  val q230: String =
+    """WITH d AS (SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+       FROM documents),
+       m AS (SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS BIGINT) AS n_word_chars,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+         CAST((length(text) - length(replace(text, '#', ''))) +
+              ((length(text) - length(replace(text, '...', ''))) // 3) AS BIGINT) AS n_sym,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(t, s))) AS BIGINT) AS n_stop
+       FROM d)
+       SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_sym, n_stop,
+         (n_words >= 50 AND n_words <= 100000) AS pass_words,
+         (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words) AS pass_word_len,
+         (10 * n_sym <= n_words) AS pass_symbol,
+         (5 * n_alpha_words >= 4 * n_words) AS pass_alpha,
+         (n_stop >= 2) AS pass_stop,
+         ((n_words >= 50 AND n_words <= 100000)
+           AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+           AND (10 * n_sym <= n_words)
+           AND (5 * n_alpha_words >= 4 * n_words)
+           AND (n_stop >= 2)) AS pass
+       FROM m"""
 }

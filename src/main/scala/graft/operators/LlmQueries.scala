@@ -328,6 +328,19 @@ object LlmQueries {
       .select(col("doc_id"), col("cluster"), col("n_chars"), col("keep"))
   }
 
+  /** q229 — exact substring dedup ([[TextOps.duplicatedSpans]], the Lee
+    * et al. ExactSubstr mode): maximal duplicated 6-gram token spans over
+    * the near-dup twin corpus — mutated twins share long runs broken at
+    * the edit sites, so the span-merge window is genuinely exercised. */
+  def q229SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    TextOps.duplicatedSpans(withNearDups(docs(spark, dir)), n = 6)
+
+  /** q230 — Gopher quality rules ([[TextOps.gopherRules]]): the Rae et
+    * al. document filter set with every threshold recast as exact
+    * integer arithmetic; per-rule verdicts + the overall pass flag. */
+  def q230GopherRules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(docs(spark, dir))
+
   /** q222 — proportional budget allocation ([[Curation.allocateBudget]]):
     * per-domain token counts → ⌊√n⌋ temperature weights → largest-
     * remainder seats summing EXACTLY to the budget; every quota and

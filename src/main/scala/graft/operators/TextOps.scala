@@ -113,6 +113,93 @@ object TextOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Exact substring dedup (the ExactSubstr mode of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * MAXIMAL token span covered by word n-grams occurring more than once
+    * in the corpus (self-repeats count, as in the published algorithm).
+    * The reference tool builds a parallel suffix array; the distributed
+    * equivalent explodes each doc's n-grams WITH positions, keeps grams
+    * with a second occurrence anywhere (map-side-combinable hash agg),
+    * equi-joins the duplicated-gram set back, and merges each doc's hit
+    * positions into maximal spans with one gaps-and-islands window — all
+    * intervals have the fixed length n, so consecutive starts ≤ n apart
+    * overlap or touch, and an island IS a maximal duplicated span.
+    * Output: (doc_id, start_tok, end_tok, n_dup_grams), token units.
+    *
+    * Scale shape: two wide shuffles (the gram-hash aggregate over ~token
+    * cardinality — the same volume a suffix-array build touches — and
+    * the hit join) plus one per-doc window; linear in corpus tokens,
+    * never all-pairs. The gram table feeds both sides of the dup join,
+    * so it persists (the minhash/LSH 1×-vs-2× input-IO reasoning). */
+  def duplicatedSpans(docs: DataFrame, n: Int = 6): DataFrame = {
+    require(n >= 2, s"n-gram length must be >= 2, got $n")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
+        .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"), hash60(col("g")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    grams.join(dup, "h")
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) > n, 1).otherwise(0))
+      .withColumn("island", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("p").cast("long").as("start_tok"),
+        (max("p") + n - 1).cast("long").as("end_tok"),
+        count(lit(1)).as("n_dup_grams"))
+      .select("doc_id", "start_tok", "end_tok", "n_dup_grams")
+  }
+
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — the document
+    * filter set every large-scale text pipeline starts from), with each
+    * threshold recast as EXACT integer arithmetic so both engines decide
+    * identically with zero float drift:
+    *   - word count within [minWords, maxWords]
+    *   - mean word length in [3, 10]  ⇔  3·n_words ≤ n_word_chars ≤ 10·n_words
+    *   - symbol-to-word ratio ('#' and '...') ≤ 0.1  ⇔  10·n_sym ≤ n_words
+    *   - ≥ 80% of words contain an alphabetic char  ⇔  5·n_alpha ≥ 4·n_words
+    *   - at least 2 distinct stop words present
+    * One codegen'd projection — no shuffle, linear. Returns the metrics,
+    * the per-rule verdicts, and the overall pass flag. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopArr = stops.map(s => s"'$s'").mkString("array(", ", ", ")")
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_word_chars", expr(
+        "aggregate(toks, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("n_alpha_words", expr(
+        "CAST(size(filter(toks, x -> x RLIKE '[a-zA-Z]')) AS BIGINT)"))
+      .withColumn("n_sym", expr(
+        """CAST((length(text) - length(replace(text, '#', ''))) +
+           ((length(text) - length(replace(text, '...', ''))) div 3) AS BIGINT)"""))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter($stopArr, s -> array_contains(toks, s))) AS BIGINT)"))
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        col("n_alpha_words"), col("n_sym"), col("n_stop"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .as("pass_words"),
+        (lit(3) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10) * col("n_words")).as("pass_word_len"),
+        (lit(10) * col("n_sym") <= col("n_words")).as("pass_symbol"),
+        (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words"))
+          .as("pass_alpha"),
+        (col("n_stop") >= 2).as("pass_stop"))
+      .withColumn("pass",
+        col("pass_words") && col("pass_word_len") && col("pass_symbol") &&
+          col("pass_alpha") && col("pass_stop"))
+  }
+
   /** Corpus snapshot DELTA — the incremental-reprocessing primitive: given
     * two snapshots of the same logical corpus, classify every doc as
     * added / removed / changed / unchanged by content hash, so a pipeline

@@ -546,6 +546,53 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("duplicatedSpans: maximal spans merge, gaps split, self-repeats count, unique docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",                // shares a..h with doc 2
+      2L -> "x a b c d e f g h y",
+      3L -> "q r s t q r s t",                    // self-repeat
+      4L -> "unique words only here nothing repeats",
+      5L -> "a b c z1 z2 z3 z4 a b c")            // two islands, gap > n
+      .toDF("doc_id", "text")
+    val got = TextOps.duplicatedSpans(docs, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: 3-grams p0..p5 duplicated (abc..fgh) -> one span [0,7] of 6
+    // doc 2: same grams at p1..p6 -> [1,8] of 6
+    // doc 3: qrs (p0,p4), rst (p1,p5); gap p4-p1=3 == n -> ONE span [0,7]
+    // doc 5: abc at p0 and p7; gap 7 > 3 -> two 1-gram spans
+    assert(got == Set(
+      (1L, 0L, 7L, 6L), (2L, 1L, 8L, 6L), (3L, 0L, 7L, 4L),
+      (5L, 0L, 2L, 1L), (5L, 7L, 9L, 1L)), got.toString)
+  }
+
+  test("gopherRules: each rule trips on exactly its designed violation") {
+    import spark.implicits._
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ") + " the of"
+    val docs = Seq(
+      1L -> fifty,                                      // passes everything
+      2L -> "the of too short",                         // fails word count
+      3L -> ((1 to 48).map(_ => "extraordinarily-long-token").mkString(" ") + " the of"),
+      4L -> ((1 to 48).map(_ => "w").mkString(" ") + " the of"), // mean len < 3
+      5L -> (fifty + " " + (1 to 10).map(_ => "#").mkString(" ")), // symbols
+      6L -> ((1 to 48).map(i => s"$i").mkString(" ") + " the of"), // numeric words
+      7L -> (1 to 50).map(i => s"word$i").mkString(" ")) // no stop words
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, minWords = 50)
+      .collect().map(r => r.getLong(0) -> (
+        r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9),
+        r.getBoolean(10), r.getBoolean(11))).toMap
+    // (pass_words, pass_word_len, pass_symbol, pass_alpha, pass_stop, pass)
+    assert(got(1L) == ((true, true, true, true, true, true)))
+    assert(!got(2L)._1 && !got(2L)._6)
+    assert(!got(3L)._2 && !got(3L)._6) // mean word length > 10
+    assert(!got(4L)._2 && !got(4L)._6) // mean word length < 3
+    assert(!got(5L)._3 && !got(5L)._6) // 10 symbols vs 60 words
+    assert(!got(6L)._4 && !got(6L)._6) // 48/50 words have no alpha char
+    assert(!got(7L)._5 && !got(7L)._6) // zero stop words
+  }
+
   test("corpusDelta: added/removed/changed/unchanged classify correctly") {
     import spark.implicits._
     val old = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
