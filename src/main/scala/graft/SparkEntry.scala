@@ -249,6 +249,7 @@ object SparkEntry {
     "q228_proximity"        -> (RaquetQueries.q228Proximity _),
     "q229_substring_dedup"  -> (LlmQueries.q229SubstringDedup _),
     "q230_gopher_rules"     -> (LlmQueries.q230GopherRules _),
+    "q231_idw_grid"         -> (RaquetQueries.q231IdwGrid _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -589,6 +590,8 @@ object SparkEntry {
     "q229_substring_dedup"  -> LlmOracles.q229,
     // q230: Gopher rules — all-integer metrics and thresholds replayed
     "q230_gopher_rules"     -> LlmOracles.q230,
+    // q231: IDW gridding — every pixel's 40-term 1/d2 chain replayed
+    "q231_idw_grid"         -> RaquetOracles.q231,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -58,6 +58,9 @@ object GraftFunctions {
     col(RqFocalContour(ex(band), ex(halos), BandKernel(meta, name), level))
   def rq_rasterize(block: Column, zones: Column, kernel: BandKernel): Column =
     col(RqRasterize(ex(block), ex(zones), kernel))
+  def rq_idw_grid(block: Column, points: Column, kernel: BandKernel,
+      radius: Long): Column =
+    col(RqIdwGrid(ex(block), ex(points), kernel, radius))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
       min: Double, max: Double, buckets: Int): Column =
     col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))

@@ -203,6 +203,41 @@ object RaquetOracles {
         FROM px"""
   }
 
+  /** q231: IDW gridding from the closed form — per pixel, the 40-point
+    * inverse-distance-squared chain in pid order, each term the SAME
+    * v·(1/d²) shape the kernel accumulates (out-of-radius terms +0,
+    * x+0 ≡ x in IEEE), exact hits returned directly. Bit-identical
+    * doubles, like q227. */
+  val q231: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    val pts = (0 until 40).map { k =>
+      val px = 512L + (k * 37) % 128
+      val py = 384L + (k * 53) % 128
+      (px, py, (7 * px + 13 * py) % 255)
+    }
+    def d2(px: Long, py: Long): String =
+      s"((gx-$px)*(gx-$px) + (gy-$py)*(gy-$py))"
+    val num = pts.map { case (px, py, v) =>
+      s"coalesce(CASE WHEN ${d2(px, py)} > 0 AND ${d2(px, py)} <= 36 " +
+        s"THEN CAST($v AS DOUBLE) * (CAST(1 AS DOUBLE) / CAST(${d2(px, py)} AS DOUBLE)) END, 0)"
+    }.reduce((a, b) => s"($a + $b)")
+    val den = pts.map { case (px, py, _) =>
+      s"CASE WHEN ${d2(px, py)} > 0 AND ${d2(px, py)} <= 36 " +
+        s"THEN (CAST(1 AS DOUBLE) / CAST(${d2(px, py)} AS DOUBLE)) ELSE CAST(0 AS DOUBLE) END"
+    }.reduce((a, b) => s"($a + $b)")
+    val hit = "coalesce(" + pts.map { case (px, py, v) =>
+      s"CASE WHEN gx = $px AND gy = $py THEN CAST($v AS DOUBLE) END"
+    }.mkString(", ") + ")"
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j))
+        SELECT block, pos,
+          CASE WHEN $hit IS NOT NULL THEN $hit
+               WHEN $den > 0 THEN $num / $den END AS v
+        FROM px"""
+  }
+
   /** q228: chamfer proximity replayed round by round — seed where the
     * closed-form value is 0 (and valid), then 3 relaxation rounds of
     * least(d, min(neighbor d + weight)); min/least are order-independent,

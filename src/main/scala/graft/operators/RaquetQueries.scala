@@ -212,6 +212,27 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** q231 — gdal_grid IDW interpolation ([[Gridding.idwGrid]],
+    * invdist:power=2:radius=6): 40 deterministic integer-coordinate
+    * points over the q227 8×8-tile zone-6 window; every extent tile
+    * emits (all-NaN where no point is in reach), decoded per pixel.
+    * The oracle replays each pixel's 40-term IDW chain in pid order —
+    * identical left-associated IEEE arithmetic, bit-exact doubles. */
+  def q231IdwGrid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = (0 until 40).map { k =>
+      val px = 512L + (k * 37) % 128
+      val py = 384L + (k * 53) % 128
+      (k.toLong, px, py, ((7 * px + 13 * py) % 255).toDouble)
+    }.toDF("pid", "px", "py", "v")
+    val kernel = graft.raquet.BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+    Gridding.idwGrid(pts, z = 6, x0 = 32, y0 = 24, nx = 8, ny = 8,
+      kernel, radius = 6)
+      .select(col("block"), posexplode(rq_decode(col("band_1"), kernel)))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
+  }
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

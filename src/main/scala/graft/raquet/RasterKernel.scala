@@ -223,6 +223,53 @@ final case class BandKernel(
     PixelCodec.encode(va, dtype, gzip = true)
   }
 
+  /** IDW point interpolation (the `gdal_grid invdist:power=2` shape) over
+    * GLOBAL zoom-z pixel coordinates: each output pixel is the
+    * inverse-distance-squared weighted mean of the points within
+    * `radius` pixels (Euclidean), an EXACT coordinate hit returns that
+    * point's value directly (gdal_grid's zero-distance rule; first in
+    * array order wins), and pixels with no point in radius are NaN.
+    * The accumulation is a LEFT-ASSOCIATED chain in array order with
+    * w = 1/d² formed before the multiply — callers pass points sorted by
+    * id so any IEEE engine (the DuckDB oracle) replays every double
+    * bit-for-bit, the same contract as [[fillOf]]'s row-major chain.
+    * Returns a float64 gzip blob. */
+  def idwGrid(block: Long, pxs: Array[Long], pys: Array[Long],
+      vals: Array[Double], radius: Long): Array[Byte] = {
+    val tx = Quadbin.tileX(block)
+    val ty = Quadbin.tileY(block)
+    val out = new Array[Double](width * height)
+    val r2 = radius * radius
+    var j = 0
+    while (j < height) {
+      val gy = ty * height + j
+      var i = 0
+      while (i < width) {
+        val gx = tx * width + i
+        var num = 0.0; var den = 0.0
+        var exact = Double.NaN; var hasExact = false
+        var k = 0
+        while (k < pxs.length) {
+          val dx = gx - pxs(k); val dy = gy - pys(k)
+          val d2 = dx * dx + dy * dy
+          if (d2 == 0) { if (!hasExact) { exact = vals(k); hasExact = true } }
+          else if (d2 <= r2) {
+            val w = 1.0 / d2.toDouble
+            num += vals(k) * w
+            den += w
+          }
+          k += 1
+        }
+        out(j * width + i) =
+          if (hasExact) exact else if (den > 0) num / den else Double.NaN
+        i += 1
+      }
+      j += 1
+    }
+    PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
   /** Rasterize (vector burn-in, the `gdal_rasterize` shape): paint each
     * zone's value onto every pixel whose CENTER falls inside its geometry
     * (the same center rule as [[clipStats]]); overlaps resolve

@@ -564,6 +564,25 @@ object RqBridge {
   /** Unpack the per-tile zone list (value, wkt) and burn it into a fresh
     * band blob. Zone counts per tile are small (polyfill join), so the
     * per-row WKT parse is bounded by the zone list, not the pixel count. */
+  def idwGridOf(k: BandKernel, block: Long, points: ArrayData,
+      radius: Long): Array[Byte] = {
+    val n = points.numElements()
+    val pxs = new Array[Long](n)
+    val pys = new Array[Long](n)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = points.getStruct(i, 4)
+      // field 0 is the point id — only its ORDER matters (the caller
+      // sorts the array by it so the IDW chain is deterministic)
+      pxs(i) = row.getLong(1)
+      pys(i) = row.getLong(2)
+      vals(i) = row.getDouble(3)
+      i += 1
+    }
+    k.idwGrid(block, pxs, pys, vals, radius)
+  }
+
   def rasterizeOf(k: BandKernel, block: Long, zones: ArrayData): Array[Byte] = {
     val n = zones.numElements()
     val vals = new Array[Double](n)
@@ -772,6 +791,36 @@ case class RqFocalContour(band: Expression, halos: Expression,
   * ARRAY<STRUCT<value DOUBLE, wkt STRING>> a polyfill join + collect_list
   * produces — the vector→raster half of the engine (gdal_rasterize shape,
   * inverse of rq_clip). */
+/** rq_idw_grid(block, points) → float64 blob: gdal_grid invdist:power=2
+  * over global pixel coordinates (see [[graft.raquet.BandKernel.idwGrid]]).
+  * Points must arrive sorted by their id field — the accumulation chain
+  * is array-order-deterministic so the oracle replays it bit-for-bit. */
+case class RqIdwGrid(block: Expression, points: Expression,
+    kernel: BandKernel, radius: Long)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = points
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType,
+    ArrayType(StructType(Seq(
+      StructField("pid", LongType, nullable = false),
+      StructField("px", LongType, nullable = false),
+      StructField("py", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_idw_grid"
+  override protected def nullSafeEval(b: Any, ps: Any): Any =
+    RqBridge.idwGridOf(kernel, b.asInstanceOf[Long],
+      ps.asInstanceOf[ArrayData], radius)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, ps) =>
+      s"${RqBridge.B}.idwGridOf($k, $b, $ps, ${radius}L)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, points = r)
+}
+
 case class RqRasterize(block: Expression, zones: Expression, kernel: BandKernel)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def left: Expression = block

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.operators.Gridding
+import graft.quadbin.Quadbin
+import graft.raquet.BandKernel
+
+/** IDW gridding: brute-force per-pixel replay on a small extent, the
+  * zero-distance and out-of-reach rules, and the plan shape (equi-join on
+  * block, no cartesian). */
+class GriddingSpec extends SparkSpec {
+
+  private val kernel = BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+
+  test("idwGrid matches brute force; exact hits win; empty tiles are all-NaN") {
+    import spark.implicits._
+    val (z, x0, y0, nx, ny, bs, r) = (6, 32L, 24L, 2, 2, 16, 5)
+    // 6 points, including one OUTSIDE the extent whose disk reaches in,
+    // and one far outside (must be filtered, not crash the sequence)
+    val pts = Seq(
+      (0L, 520L, 390L, 10.0),
+      (1L, 525L, 395L, 50.0),
+      (2L, 540L, 400L, 99.0),
+      (3L, 512L, 384L, 7.0),    // exact corner pixel
+      (4L, 510L, 390L, 33.0),   // left of extent, within reach
+      (5L, 5000L, 5000L, 1.0))  // far away
+      .toDF("pid", "px", "py", "v")
+    val got = Gridding.idwGrid(pts, z, x0, y0, nx, ny, kernel, r)
+      .select(col("block"), posexplode(rq_decode(col("band_1"), kernel)))
+      .collect()
+      .map(rr => (rr.getLong(0), rr.getInt(1)) -> rr.getDouble(2)).toMap
+    assert(got.size == nx * ny * bs * bs)
+    val p = Seq((520L, 390L, 10.0), (525L, 395L, 50.0), (540L, 400L, 99.0),
+      (512L, 384L, 7.0), (510L, 390L, 33.0), (5000L, 5000L, 1.0))
+    got.foreach { case ((block, pos), v) =>
+      val gx = Quadbin.tileX(block) * bs + pos % bs
+      val gy = Quadbin.tileY(block) * bs + pos / bs
+      var num = 0.0; var den = 0.0
+      var exact = Double.NaN; var hasExact = false
+      p.foreach { case (px, py, pv) =>
+        val d2 = (gx - px) * (gx - px) + (gy - py) * (gy - py)
+        if (d2 == 0) { if (!hasExact) { exact = pv; hasExact = true } }
+        else if (d2 <= r.toLong * r) { val w = 1.0 / d2; num += pv * w; den += w }
+      }
+      val want = if (hasExact) exact else if (den > 0) num / den else Double.NaN
+      assert((v.isNaN && want.isNaN) || v == want,
+        s"pixel ($gx, $gy): got $v want $want")
+    }
+    // the exact-hit pixel carries the point value
+    val corner = Quadbin.tileToCell(32L, 24L, 6)
+    assert(got((corner, 0)) == 7.0)
+    // a far tile is all-NaN but PRESENT
+    val far = Quadbin.tileToCell(33L, 25L, 6)
+    assert(got.keys.count(_._1 == far) == 256)
+  }
+
+  test("idwGrid plan: equi-join on block, no cartesian, candidates bounded per point") {
+    import spark.implicits._
+    val pts = Seq((0L, 520L, 390L, 10.0)).toDF("pid", "px", "py", "v")
+    val df = Gridding.idwGrid(pts, 6, 32L, 24L, 8, 8, kernel, radius = 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+    // radius 6 < tile size 16: one point touches at most 4 tiles, and the
+    // extent join still emits all 64 extent tiles
+    assert(df.count() == 64)
+    val nonEmpty = df
+      .select(col("block"), posexplode(rq_decode(col("band_1"), kernel)))
+      .filter(!isnan(col("col"))).select("block").distinct().count()
+    assert(nonEmpty >= 1 && nonEmpty <= 4, s"point touched $nonEmpty tiles")
+  }
+}
