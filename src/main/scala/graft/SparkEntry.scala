@@ -250,6 +250,7 @@ object SparkEntry {
     "q229_substring_dedup"  -> (LlmQueries.q229SubstringDedup _),
     "q230_gopher_rules"     -> (LlmQueries.q230GopherRules _),
     "q231_idw_grid"         -> (RaquetQueries.q231IdwGrid _),
+    "q232_region_sieve"     -> (RaquetQueries.q232RegionSieve _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -592,6 +593,8 @@ object SparkEntry {
     "q230_gopher_rules"     -> LlmOracles.q230,
     // q231: IDW gridding — every pixel's 40-term 1/d2 chain replayed
     "q231_idw_grid"         -> RaquetOracles.q231,
+    // q232: region labeling + sieve — the recursive min-label closure
+    "q232_region_sieve"     -> RaquetOracles.q232,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -61,6 +61,12 @@ object GraftFunctions {
   def rq_idw_grid(block: Column, points: Column, kernel: BandKernel,
       radius: Long): Column =
     col(RqIdwGrid(ex(block), ex(points), kernel, radius))
+  def rq_region_label(block: Column, band: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqRegionLabel(ex(block), ex(band), BandKernel(meta, name)))
+  def rq_edge_strips(labels: Column, band: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqEdgeStrips(ex(labels), ex(band), BandKernel(meta, name)))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
       min: Double, max: Double, buckets: Int): Column =
     col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))

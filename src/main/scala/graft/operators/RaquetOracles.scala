@@ -238,6 +238,39 @@ object RaquetOracles {
         FROM px"""
   }
 
+  /** q232: region labeling + sieve from the closed form — the recursive
+    * min-label closure over the 4-connected equal-class pixel graph of
+    * the reclassified 2×2-tile window; labels are min global pixel ids
+    * (gy·2³² + gx), sizes recounted, the same < 20 px flag. */
+  val q232: String = {
+    val tiles = (for { x <- 32L to 33L; y <- 24L to 25L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH RECURSIVE t(block, x, y) AS (VALUES $tiles),
+        px0 AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        px AS (SELECT block, pos, gx, gy,
+            gy*4294967296 + gx AS gid,
+            CASE WHEN (7*gx+13*gy)%255 < 64 THEN 10
+                 WHEN (7*gx+13*gy)%255 < 128 THEN 20
+                 WHEN (7*gx+13*gy)%255 < 192 THEN 30 ELSE 40 END AS class
+          FROM px0 WHERE (gx+gy)%31 <> 0),
+        e AS (SELECT p.gid AS ga, q.gid AS gb FROM px p JOIN px q
+          ON p.class = q.class AND
+             ((abs(p.gx - q.gx) = 1 AND p.gy = q.gy) OR
+              (p.gx = q.gx AND abs(p.gy - q.gy) = 1))),
+        lbl AS (
+          SELECT gid, gid AS l FROM px
+          UNION
+          SELECT e.gb AS gid, lbl.l FROM lbl JOIN e ON e.ga = lbl.gid),
+        fin AS (SELECT gid, min(l) AS label FROM lbl GROUP BY gid),
+        lab AS (SELECT px.block, px.pos, f.label
+          FROM px JOIN fin f USING (gid)),
+        sz AS (SELECT label, count(*) AS n_px FROM lab GROUP BY label)
+        SELECT lab.block, lab.pos, CAST(lab.label AS BIGINT) AS label,
+          sz.n_px, sz.n_px < 20 AS small
+        FROM lab JOIN sz USING (label)"""
+  }
+
   /** q228: chamfer proximity replayed round by round — seed where the
     * closed-form value is 0 (and valid), then 3 relaxation rounds of
     * least(d, min(neighbor d + weight)); min/least are order-independent,

@@ -233,6 +233,26 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** q232 — gdal_sieve region labeling ([[Regions.regionLabels]] +
+    * [[Regions.sieveFlags]]): the fixture's 2×2-tile window reclassified
+    * into 4 classes (so equal-value regions are real shapes that CROSS
+    * tile boundaries), labeled by the per-tile-union-find → boundary-
+    * strip-graph → pointer-jumping composition, then sized and flagged
+    * small (< 20 px). The oracle re-derives every label as the min
+    * global pixel id of the 4-connected equal-class closure. */
+  def q232RegionSieve(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val breaks = Array(64.0, 128.0, 192.0)
+    val classes = Array(10.0, 20.0, 30.0, 40.0)
+    val sub = ds.data.filter(quadbin_zoom(col("block")) === 6 &&
+        quadbin_tile_x(col("block")) < 34 && quadbin_tile_y(col("block")) < 26)
+      .select(col("block"),
+        rq_reclassify(col("band_1"), ds.meta, "band_1", breaks, classes)
+          .as("band_1"))
+    Regions.sieveFlags(
+      Regions.regionLabels(sub, ds.meta, "band_1"), minPixels = 20L)
+  }
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

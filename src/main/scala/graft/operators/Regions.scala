@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.raquet.RaquetMetadata
+
+/** Global raster region labeling + sieve (the `gdal_sieve` tool family;
+  * reference reach: GDAL delegation — the reference ships rasters GDAL
+  * already sieved, this engine labels natively). A "region" is a
+  * 4-connected component of EQUAL decoded value over valid pixels.
+  *
+  * The scale-correct composition (NO per-pixel iteration, no dependence
+  * on region diameter in pixels):
+  *   1. per-tile exact union-find labels — one embarrassingly parallel
+  *      codegen'd projection ([[graft.raquet.BandKernel.regionLabel]]);
+  *   2. cross-tile merge edges from the 4 boundary strips only
+  *      (~2(w+h) rows per tile, never pixel volume) — opposing strips of
+  *      adjacent tiles equi-join on (tileA, tileB, axis, offset);
+  *   3. [[Graph.connectedComponents]] pointer-jumping on the LABEL graph
+  *      (nodes = tile-local regions, orders of magnitude smaller than
+  *      pixels; O(log diameter-in-TILES) rounds).
+  * A 100 TB raster labels in one pass + a tiny graph solve — the same
+  * two-level structure as the HammingBlocked dedup tier. */
+object Regions {
+
+  /** Per-pixel global region labels: (block, pos, label) for every valid
+    * native-zoom pixel, label = global pixel id (gy·2³² + gx) of the
+    * region's row-major-min pixel — the deterministic canonical id any
+    * SQL engine re-derives. */
+  def regionLabels(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    val z = meta.maxZoom
+    val native = data.filter(col("block") =!= 0L &&
+      quadbin_zoom(col("block")) === z)
+    // localCheckpoint: labeled feeds the strip extraction AND the final
+    // relabel join — unchecked, the per-tile union-find would run twice
+    val labeled = native
+      .select(col("block"), col(band),
+        rq_region_label(col("block"), col(band), meta, band).as("lab"))
+      .localCheckpoint()
+    val strips = labeled
+      .select(col("block"),
+        quadbin_tile_x(col("block")).as("tx"),
+        quadbin_tile_y(col("block")).as("ty"),
+        explode(rq_edge_strips(col("lab"), col(band), meta, band)).as("s"))
+      .select(col("block"), col("tx"), col("ty"),
+        col("s.dir").as("dir"), col("s.idx").as("idx"),
+        col("s.lab").as("lab"), col("s.v").as("v"))
+    // pair opposing strips: the A-side tile OWNS the boundary it emits
+    // east/south; the B-side is its neighbor's west/north strip. axis 0 =
+    // vertical boundary (E↔W, idx = row), axis 1 = horizontal (S↔N,
+    // idx = column). Raster-edge strips simply find no partner.
+    val maxT = (1L << z) - 1
+    val aSide = strips.filter(col("dir") === 0 && col("tx") < maxT)
+      .select(col("block").as("ka"),
+        quadbin_from_tile(col("tx") + 1, col("ty"), lit(z)).as("kb"),
+        lit(0).as("axis"), col("idx"), col("lab").as("la"), col("v").as("va"))
+      .unionByName(strips.filter(col("dir") === 1 && col("ty") < maxT)
+        .select(col("block").as("ka"),
+          quadbin_from_tile(col("tx"), col("ty") + 1, lit(z)).as("kb"),
+          lit(1).as("axis"), col("idx"), col("lab").as("la"), col("v").as("va")))
+    val bSide = strips.filter(col("dir") === 2 && col("tx") > 0)
+      .select(quadbin_from_tile(col("tx") - 1, col("ty"), lit(z)).as("ka"),
+        col("block").as("kb"),
+        lit(0).as("axis"), col("idx"), col("lab").as("lb"), col("v").as("vb"))
+      .unionByName(strips.filter(col("dir") === 3 && col("ty") > 0)
+        .select(quadbin_from_tile(col("tx"), col("ty") - 1, lit(z)).as("ka"),
+          col("block").as("kb"),
+          lit(1).as("axis"), col("idx"), col("lab").as("lb"), col("v").as("vb")))
+    val edges = aSide.join(bSide, Seq("ka", "kb", "axis", "idx"))
+      .filter(col("va") === col("vb"))
+      .select(col("la"), col("lb")).distinct()
+    val comp = Graph.connectedComponents(edges, "la", "lb")
+    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
+      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
+    labeled
+      .select(col("block"), posexplode(rq_decode(col("lab"), labKernel)))
+      .filter(!isnan(col("col")))
+      .select(col("block"), col("pos"), col("col").cast("long").as("l"))
+      .join(comp, col("l") === col("id"), "left")
+      .select(col("block"), col("pos"),
+        coalesce(col("comp"), col("l")).as("label"))
+  }
+
+  /** gdal_sieve's decision table: every labeled pixel with its region's
+    * pixel count and the `small` flag (count < minPixels) — the mask a
+    * sieve pass applies. One hash aggregate over labels. */
+  def sieveFlags(labels: DataFrame, minPixels: Long): DataFrame = {
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_px"))
+    labels.join(sizes, "label")
+      .select(col("block"), col("pos"), col("label"), col("n_px"),
+        (col("n_px") < minPixels).as("small"))
+  }
+}

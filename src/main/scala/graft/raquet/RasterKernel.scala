@@ -223,6 +223,94 @@ final case class BandKernel(
     PixelCodec.encode(va, dtype, gzip = true)
   }
 
+  /** Per-tile connected-component labels (the within-tile stage of the
+    * `gdal_sieve` / region-labeling pipeline): 4-connected components of
+    * EQUAL decoded value over valid pixels, each pixel labeled with the
+    * GLOBAL pixel id `gid = gy·2³² + gx` of its component's row-major-min
+    * pixel (union-find, smaller root wins, so the root IS the min index).
+    * Invalid pixels are NaN. Returned as a float64 blob — gid stays
+    * exactly representable while gy < 2²¹ (zoom+log₂(tile) ≤ 21, true for
+    * every web-mercator raster this engine targets). Cross-tile merging
+    * happens OUTSIDE via [[edgeStrips]] + the label graph — this kernel
+    * never sees a neighbor, so the 100 TB version is one embarrassingly
+    * parallel pass. */
+  def regionLabel(block: Long, raw: Array[Byte]): Array[Byte] = {
+    val tx = Quadbin.tileX(block)
+    val ty = Quadbin.tileY(block)
+    val v = decode(raw)
+    val n = width * height
+    @inline def valid(x: Double): Boolean =
+      !java.lang.Double.isNaN(x) && !(!nodata.isNaN && x == nodata)
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    var p = 0
+    while (p < n) {
+      val cur = v(p)
+      if (valid(cur)) {
+        val i = p % width
+        if (i > 0 && valid(v(p - 1)) && v(p - 1) == cur) union(p, p - 1)
+        if (p >= width && valid(v(p - width)) && v(p - width) == cur)
+          union(p, p - width)
+      }
+      p += 1
+    }
+    val out = new Array[Double](n)
+    p = 0
+    while (p < n) {
+      if (valid(v(p))) {
+        val r = find(p)
+        val gx = tx * width + r % width
+        val gy = ty * height + r / width
+        out(p) = gy.toDouble * 4294967296.0 + gx.toDouble
+      } else out(p) = Double.NaN
+      p += 1
+    }
+    PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  /** Boundary strips for the cross-tile label merge: every VALID pixel on
+    * the tile's four edges as (dir, idx, lab, v) — dir 0=E (i=w−1),
+    * 1=S (j=h−1), 2=W (i=0), 3=N (j=0); idx is the along-edge coordinate
+    * (j for E/W, i for N/S); `lab` from the [[regionLabel]] float64 blob
+    * (exact long); `v` the decoded value. The caller equi-joins opposing
+    * strips of adjacent tiles (E↔W, S↔N) and keeps equal-value pairs —
+    * the label-graph edges, ~2(w+h) rows per tile instead of pixels. */
+  def edgeStrips(labRaw: Array[Byte], valRaw: Array[Byte]): Array[(Int, Int, Long, Double)] = {
+    val lab = PixelCodec.decode(labRaw, "float64")
+    val v = decode(valRaw)
+    @inline def valid(x: Double): Boolean =
+      !java.lang.Double.isNaN(x) && !(!nodata.isNaN && x == nodata)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    var j = 0
+    while (j < height) {
+      val pe = j * width + (width - 1)
+      if (valid(v(pe))) out += ((0, j, lab(pe).toLong, v(pe)))
+      val pw = j * width
+      if (valid(v(pw))) out += ((2, j, lab(pw).toLong, v(pw)))
+      j += 1
+    }
+    var i = 0
+    while (i < width) {
+      val ps = (height - 1) * width + i
+      if (valid(v(ps))) out += ((1, i, lab(ps).toLong, v(ps)))
+      val pn = i
+      if (valid(v(pn))) out += ((3, i, lab(pn).toLong, v(pn)))
+      i += 1
+    }
+    out.toArray
+  }
+
   /** IDW point interpolation (the `gdal_grid invdist:power=2` shape) over
     * GLOBAL zoom-z pixel coordinates: each output pixel is the
     * inverse-distance-squared weighted mean of the points within

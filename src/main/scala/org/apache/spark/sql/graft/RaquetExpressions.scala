@@ -564,6 +564,16 @@ object RqBridge {
   /** Unpack the per-tile zone list (value, wkt) and burn it into a fresh
     * band blob. Zone counts per tile are small (polyfill join), so the
     * per-row WKT parse is bounded by the zone list, not the pixel count. */
+  def regionLabelOf(k: BandKernel, block: Long, raw: Array[Byte]): Array[Byte] =
+    k.regionLabel(block, raw)
+
+  def edgeStripsOf(k: BandKernel, labRaw: Array[Byte],
+      valRaw: Array[Byte]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      k.edgeStrips(labRaw, valRaw).map { case (dir, idx, lab, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(dir, idx, lab, v): Any
+      })
+
   def idwGridOf(k: BandKernel, block: Long, points: ArrayData,
       radius: Long): Array[Byte] = {
     val n = points.numElements()
@@ -791,6 +801,53 @@ case class RqFocalContour(band: Expression, halos: Expression,
   * ARRAY<STRUCT<value DOUBLE, wkt STRING>> a polyfill join + collect_list
   * produces — the vector→raster half of the engine (gdal_rasterize shape,
   * inverse of rq_clip). */
+/** rq_region_label(block, band) → float64 blob of per-tile 4-connected
+  * equal-value component labels (global-pixel-id of each component's min
+  * pixel; see [[graft.raquet.BandKernel.regionLabel]]). */
+case class RqRegionLabel(block: Expression, band: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = band
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_region_label"
+  override protected def nullSafeEval(b: Any, raw: Any): Any =
+    RqBridge.regionLabelOf(kernel, b.asInstanceOf[Long], raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, raw) => s"${RqBridge.B}.regionLabelOf($k, $b, $raw)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, band = r)
+}
+
+/** rq_edge_strips(labels, band) → ARRAY<STRUCT<dir, idx, lab, v>> of the
+  * tile's valid boundary pixels (see [[graft.raquet.BandKernel.edgeStrips]]);
+  * the cross-tile label-merge edges come from equi-joining opposing strips. */
+case class RqEdgeStrips(labels: Expression, band: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = labels
+  override def right: Expression = band
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("dir", IntegerType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("lab", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_edge_strips"
+  override protected def nullSafeEval(l: Any, raw: Any): Any =
+    RqBridge.edgeStripsOf(kernel, l.asInstanceOf[Array[Byte]],
+      raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (l, raw) => s"${RqBridge.B}.edgeStripsOf($k, $l, $raw)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(labels = l, band = r)
+}
+
 /** rq_idw_grid(block, points) → float64 blob: gdal_grid invdist:power=2
   * over global pixel coordinates (see [[graft.raquet.BandKernel.idwGrid]]).
   * Points must arrive sorted by their id field — the accumulation chain

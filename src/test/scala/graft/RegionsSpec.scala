@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Regions
+import graft.quadbin.Quadbin
+import graft.raquet.{BandMeta, PixelCodec, RaquetMetadata}
+
+/** Region labeling: brute-force BFS replay on a 2×2-tile raster whose
+  * regions cross all four tile boundaries, nodata exclusion, sieve
+  * flags, and the plan shape (strip joins, no cartesian). */
+class RegionsSpec extends SparkSpec {
+
+  private val bs = 8
+  private val (x0, y0, z) = (10L, 10L, 5)
+
+  // global 16×16 grid: value 1 on a plus shape through the center
+  // (crosses all 4 tiles), 2 on an isolated 2×2 blob, 0 background,
+  // 255 = nodata on one diagonal
+  private def v(gx: Long, gy: Long): Int = {
+    val lx = gx - x0 * bs; val ly = gy - y0 * bs
+    if (lx == ly && lx % 5 == 0) 255
+    else if (lx >= 6 && lx <= 9 || ly >= 6 && ly <= 9) 1
+    else if (lx >= 1 && lx <= 2 && ly >= 12 && ly <= 13) 2
+    else 0
+  }
+
+  private def meta: RaquetMetadata = RaquetMetadata(
+    version = "0.5.0", width = 2L * bs, height = 2L * bs,
+    crs = "EPSG:3857",
+    bounds = Array(0.0, 0.0, 1.0, 1.0),
+    compression = Some("gzip"), blockWidth = bs, blockHeight = bs,
+    minZoom = z, maxZoom = z, pixelZoom = z + 3, numBlocks = 4L,
+    bandLayout = "sequential",
+    bands = Seq(BandMeta("band_1", "uint8", Some(255.0), None, None, None, None)),
+    time = None)
+
+  private def tiles = {
+    val rows = for (ty <- 0 until 2; tx <- 0 until 2) yield {
+      val vals = Array.tabulate(bs * bs) { p =>
+        v((x0 + tx) * bs + p % bs, (y0 + ty) * bs + p / bs).toDouble
+      }
+      Row(java.lang.Long.valueOf(Quadbin.tileToCell(x0 + tx, y0 + ty, z)),
+        PixelCodec.encode(vals, "uint8", gzip = true))
+    }
+    spark.createDataFrame(java.util.List.of(rows: _*),
+      StructType(Seq(StructField("block", LongType, nullable = false),
+        StructField("band_1", BinaryType))))
+  }
+
+  test("regionLabels equals a global BFS; labels are min global pixel ids; sieve flags sizes") {
+    val labels = Regions.regionLabels(tiles, meta, "band_1")
+    val got = Regions.sieveFlags(labels, minPixels = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // brute force: BFS over the global grid
+    val W = 2 * bs
+    val cls = Array.tabulate(W, W)((y, x) => v(x0 * bs + x, y0 * bs + y))
+    val lbl = Array.fill(W, W)(-1L)
+    for (sy <- 0 until W; sx <- 0 until W
+         if cls(sy)(sx) != 255 && lbl(sy)(sx) < 0) {
+      // min-gid flood fill: collect the whole component first
+      val comp = scala.collection.mutable.ArrayBuffer((sx, sy))
+      val seen = scala.collection.mutable.Set((sx, sy))
+      var qi = 0
+      while (qi < comp.size) {
+        val (cx, cy) = comp(qi); qi += 1
+        for ((dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))) {
+          val nx = cx + dx; val ny = cy + dy
+          if (nx >= 0 && nx < W && ny >= 0 && ny < W && !seen((nx, ny)) &&
+              cls(ny)(nx) == cls(cy)(cx)) {
+            seen += ((nx, ny)); comp += ((nx, ny))
+          }
+        }
+      }
+      val gid = comp.map { case (cx, cy) =>
+        (y0 * bs + cy) * 4294967296L + (x0 * bs + cx) }.min
+      comp.foreach { case (cx, cy) => lbl(cy)(cx) = gid }
+    }
+    val sizes = lbl.flatten.filter(_ >= 0).groupBy(identity).map {
+      case (k, a) => k -> a.length.toLong }
+    var checked = 0
+    for (gy <- 0 until W; gx <- 0 until W if cls(gy)(gx) != 255) {
+      val tx = x0 + gx / bs; val ty = y0 + gy / bs
+      val block = Quadbin.tileToCell(tx, ty, z)
+      val pos = (gy % bs) * bs + gx % bs
+      val (l, n, small) = got((block, pos))
+      assert(l == lbl(gy)(gx), s"label at ($gx, $gy)")
+      assert(n == sizes(l) && small == (n < 10), s"size at ($gx, $gy)")
+      checked += 1
+    }
+    assert(checked == got.size)
+    // the plus-shaped region spans all four tiles under ONE label,
+    // and the isolated 2x2 blob is flagged small
+    val plusLabel = lbl(6)(0)
+    val plusTiles = got.collect { case ((b, _), (l, _, _)) if l == plusLabel => b }.toSet
+    assert(plusTiles.size == 4, s"plus region must cross all 4 tiles: $plusTiles")
+    val blob = got((Quadbin.tileToCell(x0, y0 + 1, z), (12 % bs) * bs + 1))
+    assert(blob._2 == 4L && blob._3, s"2x2 blob must be small: $blob")
+  }
+
+  test("regionLabels plan: strip equi-joins only, no cartesian") {
+    val df = Regions.regionLabels(tiles, meta, "band_1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+  }
+}
