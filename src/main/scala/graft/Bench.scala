@@ -455,6 +455,21 @@ object Bench {
       val native = ds.data.filter(quadbin_zoom(col("block")) === 10)
         .drop("metadata")
       graft.raquet.Pyramid.buildLevel(native, ds.meta, 9)
+    }),
+    "b_region_sieve" -> ((s: SparkSession, _: String) => {
+      // gdal_sieve DECISION path over the full 32x32-tile raster (67M px):
+      // per-tile union-find -> boundary strips -> label-graph CC -> the
+      // fragment-size aggregate. Pixel volume never shuffles — only
+      // fragment tables and strips do (the 100 TB sieve shape).
+      val ds = RaquetIO.read(s, RasterDir)
+      val sub = ds.data.filter(quadbin_zoom(col("block")) === 10)
+        .select(col("block"), graft.functions.GraftFunctions.rq_reclassify(
+          col("band_1"), ds.meta, "band_1",
+          Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0))
+          .as("band_1"))
+      graft.operators.Regions.regionSizes(sub, ds.meta, "band_1")
+        .groupBy((col("n_px") < 100L).as("small"))
+        .agg(count(lit(1)).as("n_regions"), sum("n_px").as("px"))
     }))
 
   /** `k` mutually-DISSIMILAR synthetic copies of the document corpus
@@ -546,6 +561,10 @@ object Bench {
     // exact covariance: one map-side-combine pass, 2,080-row partials
     "b_covariance" -> ((s: SparkSession, dir: String) =>
       EmbedOps.covarianceMatrix(Tables.embeddings(s, dir), dim = 64)),
+    // exact substring dedup: gram agg + dup join + per-doc span window
+    "b_substring_dedup" -> ((s: SparkSession, dir: String) =>
+      TextOps.duplicatedSpans(
+        Tables.documents(s, dir).select("doc_id", "text"), n = 6)),
     // GRIB2 ingest throughput: the q147 grid (240x512x3, simple packing +
     // bitmap) through the full scan->warp->pyramid->write pipeline; the
     // fixture encodes once per session
@@ -643,6 +662,10 @@ object Bench {
       series("quality_clf", Seq(nDocs, 2 * nDocs, 4 * nDocs),
         n => TextOps.qualityClassifier(docsTimes(docs, (n / nDocs).toInt),
           target = col("doc_id") % 7 === 0, numBuckets = 64, iters = 2)),
+      // substring dedup: gram hash agg + dup equi-join + per-doc span
+      // window — linear in corpus tokens by construction
+      series("substring_dedup", Seq(nDocs, 2 * nDocs, 4 * nDocs),
+        n => TextOps.duplicatedSpans(docsTimes(docs, (n / nDocs).toInt), n = 6)),
       // probe sanity: an explicit all-pairs 64-dim dot-product cross join
       // must read quadratic — per-pair work is real array math, not a
       // codegen-trivial modulo the row overhead would swamp. Sizes are the

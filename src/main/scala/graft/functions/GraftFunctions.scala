@@ -64,9 +64,12 @@ object GraftFunctions {
   def rq_region_label(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqRegionLabel(ex(block), ex(band), BandKernel(meta, name)))
-  def rq_edge_strips(labels: Column, band: Column, meta: RaquetMetadata,
+  def rq_region_strips(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
-    col(RqEdgeStrips(ex(labels), ex(band), BandKernel(meta, name)))
+    col(RqRegionStrips(ex(block), ex(band), BandKernel(meta, name)))
+  def rq_region_sizes(block: Column, band: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqRegionSizes(ex(block), ex(band), BandKernel(meta, name)))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
       min: Double, max: Double, buckets: Int): Column =
     col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))

@@ -30,20 +30,56 @@ object Regions {
     * region's row-major-min pixel — the deterministic canonical id any
     * SQL engine re-derives. */
   def regionLabels(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    val (native, comp) = labeledAndComp(data, meta, band)
+    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
+      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
+    native
+      .select(col("block"),
+        rq_region_label(col("block"), col(band), meta, band).as("lab"))
+      .select(col("block"), posexplode(rq_decode(col("lab"), labKernel)))
+      .filter(!isnan(col("col")))
+      .select(col("block"), col("pos"), col("col").cast("long").as("l"))
+      .join(comp, col("l") === col("id"), "left")
+      .select(col("block"), col("pos"),
+        coalesce(col("comp"), col("l")).as("label"))
+  }
+
+  /** Global region SIZE table without pixel explosion: per-tile fragment
+    * counts ([[graft.raquet.BandKernel.regionSizes]] — ≤ fragments rows
+    * per tile, never pixel volume) mapped through the label-graph
+    * components and hash-aggregated. The 100 TB sieve DECISION (which
+    * regions are small) runs entirely at this cardinality; only callers
+    * that need the per-pixel mask pay [[regionLabels]]' explode. Output:
+    * (label, n_px). */
+  def regionSizes(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    val (native, comp) = labeledAndComp(data, meta, band)
+    native
+      .select(col("block"),
+        explode(rq_region_sizes(col("block"), col(band), meta, band)).as("f"))
+      .select(col("f.lab").as("l"), col("f.n").as("n"))
+      .join(comp, col("l") === col("id"), "left")
+      .groupBy(coalesce(col("comp"), col("l")).as("label"))
+      .agg(sum("n").as("n_px"))
+  }
+
+  /** Shared stages: the native-zoom input (checkpointed) and the
+    * label-graph components from the boundary-strip equi-join. */
+  private def labeledAndComp(data: DataFrame, meta: RaquetMetadata,
+      band: String): (DataFrame, DataFrame) = {
     val z = meta.maxZoom
     val native = data.filter(col("block") =!= 0L &&
       quadbin_zoom(col("block")) === z)
-    // localCheckpoint: labeled feeds the strip extraction AND the final
-    // relabel join — unchecked, the per-tile union-find would run twice
-    val labeled = native
-      .select(col("block"), col(band),
-        rq_region_label(col("block"), col(band), meta, band).as("lab"))
+      // checkpoint the INPUT tiles: they feed the strip extraction and the
+      // caller's per-tile kernel (labels or sizes), and `data` is often the
+      // tail of a derivation (reclassify) that must not run per consumer
       .localCheckpoint()
-    val strips = labeled
+    // strips come straight from the value blob (union-find inline) — the
+    // float64 label blob is only materialized by regionLabels' output path
+    val strips = native
       .select(col("block"),
         quadbin_tile_x(col("block")).as("tx"),
         quadbin_tile_y(col("block")).as("ty"),
-        explode(rq_edge_strips(col("lab"), col(band), meta, band)).as("s"))
+        explode(rq_region_strips(col("block"), col(band), meta, band)).as("s"))
       .select(col("block"), col("tx"), col("ty"),
         col("s.dir").as("dir"), col("s.idx").as("idx"),
         col("s.lab").as("lab"), col("s.v").as("v"))
@@ -71,16 +107,7 @@ object Regions {
     val edges = aSide.join(bSide, Seq("ka", "kb", "axis", "idx"))
       .filter(col("va") === col("vb"))
       .select(col("la"), col("lb")).distinct()
-    val comp = Graph.connectedComponents(edges, "la", "lb")
-    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
-      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
-    labeled
-      .select(col("block"), posexplode(rq_decode(col("lab"), labKernel)))
-      .filter(!isnan(col("col")))
-      .select(col("block"), col("pos"), col("col").cast("long").as("l"))
-      .join(comp, col("l") === col("id"), "left")
-      .select(col("block"), col("pos"),
-        coalesce(col("comp"), col("l")).as("label"))
+    (native, Graph.connectedComponents(edges, "la", "lb"))
   }
 
   /** gdal_sieve's decision table: every labeled pixel with its region's

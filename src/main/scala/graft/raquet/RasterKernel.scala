@@ -234,10 +234,10 @@ final case class BandKernel(
     * happens OUTSIDE via [[edgeStrips]] + the label graph — this kernel
     * never sees a neighbor, so the 100 TB version is one embarrassingly
     * parallel pass. */
-  def regionLabel(block: Long, raw: Array[Byte]): Array[Byte] = {
-    val tx = Quadbin.tileX(block)
-    val ty = Quadbin.tileY(block)
-    val v = decode(raw)
+  /** Union-find roots per pixel for 4-connected equal-value components;
+    * -1 for invalid pixels. Roots are row-major-min by construction
+    * (smaller root wins every union). */
+  private def regionRoots(v: Array[Double]): Array[Int] = {
     val n = width * height
     @inline def valid(x: Double): Boolean =
       !java.lang.Double.isNaN(x) && !(!nodata.isNaN && x == nodata)
@@ -264,48 +264,83 @@ final case class BandKernel(
       }
       p += 1
     }
-    val out = new Array[Double](n)
+    val roots = new Array[Int](n)
     p = 0
     while (p < n) {
-      if (valid(v(p))) {
-        val r = find(p)
-        val gx = tx * width + r % width
-        val gy = ty * height + r / width
-        out(p) = gy.toDouble * 4294967296.0 + gx.toDouble
-      } else out(p) = Double.NaN
+      roots(p) = if (valid(v(p))) find(p) else -1
+      p += 1
+    }
+    roots
+  }
+
+  @inline private def rootGid(block: Long, r: Int): Long = {
+    val gx = Quadbin.tileX(block) * width + r % width
+    val gy = Quadbin.tileY(block) * height + r / width
+    gy * 4294967296L + gx
+  }
+
+  def regionLabel(block: Long, raw: Array[Byte]): Array[Byte] = {
+    val roots = regionRoots(decode(raw))
+    val out = new Array[Double](roots.length)
+    var p = 0
+    while (p < roots.length) {
+      out(p) =
+        if (roots(p) >= 0) rootGid(block, roots(p)).toDouble else Double.NaN
       p += 1
     }
     PixelCodec.encode(out, "float64", gzip = true,
       java.util.zip.Deflater.BEST_SPEED)
   }
 
-  /** Boundary strips for the cross-tile label merge: every VALID pixel on
+  /** Per-tile fragment size table: one (lab, n) row per tile-local
+    * region — the pixel-volume-free sizes path. At 100 TB the region
+    * SIZE aggregation never explodes pixels into rows: each tile
+    * contributes ≤ fragments rows, and the global size is one hash agg
+    * over fragment labels mapped through the label-graph components. */
+  def regionSizes(block: Long, raw: Array[Byte]): Array[(Long, Long)] = {
+    val roots = regionRoots(decode(raw))
+    val counts = new java.util.HashMap[Integer, Long]()
+    var p = 0
+    while (p < roots.length) {
+      if (roots(p) >= 0) counts.merge(roots(p), 1L, (a, b) => a + b)
+      p += 1
+    }
+    val out = new Array[(Long, Long)](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = (rootGid(block, e.getKey), e.getValue)
+      i += 1
+    }
+    out.sortBy(_._1)
+  }
+
+  /** Boundary strips for the cross-tile label merge, straight from the
+    * VALUE blob (union-find runs inline — the expensive float64 label
+    * blob never materializes on the sizes path): every valid pixel on
     * the tile's four edges as (dir, idx, lab, v) — dir 0=E (i=w−1),
-    * 1=S (j=h−1), 2=W (i=0), 3=N (j=0); idx is the along-edge coordinate
-    * (j for E/W, i for N/S); `lab` from the [[regionLabel]] float64 blob
-    * (exact long); `v` the decoded value. The caller equi-joins opposing
-    * strips of adjacent tiles (E↔W, S↔N) and keeps equal-value pairs —
-    * the label-graph edges, ~2(w+h) rows per tile instead of pixels. */
-  def edgeStrips(labRaw: Array[Byte], valRaw: Array[Byte]): Array[(Int, Int, Long, Double)] = {
-    val lab = PixelCodec.decode(labRaw, "float64")
+    * 1=S (j=h−1), 2=W (i=0), 3=N (j=0); idx the along-edge coordinate
+    * (j for E/W, i for N/S); `lab` the fragment's [[regionLabel]] gid.
+    * The caller equi-joins opposing strips of adjacent tiles (E↔W, S↔N)
+    * and keeps equal-value pairs — the label-graph edges, ~2(w+h) rows
+    * per tile instead of pixels. */
+  def regionStrips(block: Long, valRaw: Array[Byte]): Array[(Int, Int, Long, Double)] = {
     val v = decode(valRaw)
-    @inline def valid(x: Double): Boolean =
-      !java.lang.Double.isNaN(x) && !(!nodata.isNaN && x == nodata)
+    val roots = regionRoots(v)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    @inline def emit(dir: Int, idx: Int, p: Int): Unit =
+      if (roots(p) >= 0) out += ((dir, idx, rootGid(block, roots(p)), v(p)))
     var j = 0
     while (j < height) {
-      val pe = j * width + (width - 1)
-      if (valid(v(pe))) out += ((0, j, lab(pe).toLong, v(pe)))
-      val pw = j * width
-      if (valid(v(pw))) out += ((2, j, lab(pw).toLong, v(pw)))
+      emit(0, j, j * width + (width - 1))
+      emit(2, j, j * width)
       j += 1
     }
     var i = 0
     while (i < width) {
-      val ps = (height - 1) * width + i
-      if (valid(v(ps))) out += ((1, i, lab(ps).toLong, v(ps)))
-      val pn = i
-      if (valid(v(pn))) out += ((3, i, lab(pn).toLong, v(pn)))
+      emit(1, i, (height - 1) * width + i)
+      emit(3, i, i)
       i += 1
     }
     out.toArray

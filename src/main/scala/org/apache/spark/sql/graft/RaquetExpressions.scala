@@ -567,11 +567,17 @@ object RqBridge {
   def regionLabelOf(k: BandKernel, block: Long, raw: Array[Byte]): Array[Byte] =
     k.regionLabel(block, raw)
 
-  def edgeStripsOf(k: BandKernel, labRaw: Array[Byte],
+  def regionStripsOf(k: BandKernel, block: Long,
       valRaw: Array[Byte]): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      k.edgeStrips(labRaw, valRaw).map { case (dir, idx, lab, v) =>
+      k.regionStrips(block, valRaw).map { case (dir, idx, lab, v) =>
         org.apache.spark.sql.catalyst.InternalRow(dir, idx, lab, v): Any
+      })
+
+  def regionSizesOf(k: BandKernel, block: Long, raw: Array[Byte]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      k.regionSizes(block, raw).map { case (lab, n) =>
+        org.apache.spark.sql.catalyst.InternalRow(lab, n): Any
       })
 
   def idwGridOf(k: BandKernel, block: Long, points: ArrayData,
@@ -822,30 +828,54 @@ case class RqRegionLabel(block: Expression, band: Expression, kernel: BandKernel
     copy(block = l, band = r)
 }
 
-/** rq_edge_strips(labels, band) → ARRAY<STRUCT<dir, idx, lab, v>> of the
-  * tile's valid boundary pixels (see [[graft.raquet.BandKernel.edgeStrips]]);
-  * the cross-tile label-merge edges come from equi-joining opposing strips. */
-case class RqEdgeStrips(labels: Expression, band: Expression, kernel: BandKernel)
+/** rq_region_sizes(block, band) → ARRAY<STRUCT<lab, n>> per-tile fragment
+  * size table (see [[graft.raquet.BandKernel.regionSizes]]) — the
+  * pixel-volume-free path for global region sizes. */
+case class RqRegionSizes(block: Expression, band: Expression, kernel: BandKernel)
     extends BinaryExpression with ImplicitCastInputTypes {
-  override def left: Expression = labels
+  override def left: Expression = block
   override def right: Expression = band
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lab", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_region_sizes"
+  override protected def nullSafeEval(b: Any, raw: Any): Any =
+    RqBridge.regionSizesOf(kernel, b.asInstanceOf[Long], raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, raw) => s"${RqBridge.B}.regionSizesOf($k, $b, $raw)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, band = r)
+}
+
+/** rq_region_strips(block, band) → ARRAY<STRUCT<dir, idx, lab, v>> of the
+  * tile's valid boundary pixels with their fragment labels (see
+  * [[graft.raquet.BandKernel.regionStrips]]); the cross-tile label-merge
+  * edges come from equi-joining opposing strips. */
+case class RqRegionStrips(block: Expression, band: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = band
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("dir", IntegerType, nullable = false),
     StructField("idx", IntegerType, nullable = false),
     StructField("lab", LongType, nullable = false),
     StructField("v", DoubleType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "rq_edge_strips"
-  override protected def nullSafeEval(l: Any, raw: Any): Any =
-    RqBridge.edgeStripsOf(kernel, l.asInstanceOf[Array[Byte]],
+  override def prettyName: String = "rq_region_strips"
+  override protected def nullSafeEval(b: Any, raw: Any): Any =
+    RqBridge.regionStripsOf(kernel, b.asInstanceOf[Long],
       raw.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
-    defineCodeGen(ctx, ev, (l, raw) => s"${RqBridge.B}.edgeStripsOf($k, $l, $raw)")
+    defineCodeGen(ctx, ev, (b, raw) => s"${RqBridge.B}.regionStripsOf($k, $b, $raw)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(labels = l, band = r)
+    copy(block = l, band = r)
 }
 
 /** rq_idw_grid(block, points) → float64 blob: gdal_grid invdist:power=2
