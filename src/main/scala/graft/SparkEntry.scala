@@ -251,6 +251,7 @@ object SparkEntry {
     "q230_gopher_rules"     -> (LlmQueries.q230GopherRules _),
     "q231_idw_grid"         -> (RaquetQueries.q231IdwGrid _),
     "q232_region_sieve"     -> (RaquetQueries.q232RegionSieve _),
+    "q233_sieve_apply"      -> (RaquetQueries.q233SieveApply _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -595,6 +596,8 @@ object SparkEntry {
     "q231_idw_grid"         -> RaquetOracles.q231,
     // q232: region labeling + sieve — the recursive min-label closure
     "q232_region_sieve"     -> RaquetOracles.q232,
+    // q233: sieve apply — closure + adjacency + argmax-neighbor remap
+    "q233_sieve_apply"      -> RaquetOracles.q233,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

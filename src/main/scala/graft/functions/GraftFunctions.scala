@@ -70,6 +70,9 @@ object GraftFunctions {
   def rq_region_sizes(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqRegionSizes(ex(block), ex(band), BandKernel(meta, name)))
+  def rq_region_neighbors(block: Column, band: Column, meta: RaquetMetadata,
+      name: String): Column =
+    col(RqRegionNeighbors(ex(block), ex(band), BandKernel(meta, name)))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
       min: Double, max: Double, buckets: Int): Column =
     col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))

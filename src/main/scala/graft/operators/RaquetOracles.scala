@@ -271,6 +271,55 @@ object RaquetOracles {
         FROM lab JOIN sz USING (label)"""
   }
 
+  /** q233: sieve APPLY from the closed form — q232's min-label closure,
+    * then sizes, the cross-class pixel adjacency lifted to region pairs,
+    * the (size desc, label asc) argmax neighbor for small regions, and
+    * the per-pixel value remap. */
+  val q233: String = {
+    val tiles = (for { x <- 32L to 33L; y <- 24L to 25L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH RECURSIVE t(block, x, y) AS (VALUES $tiles),
+        px0 AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        px AS (SELECT block, pos, gx, gy,
+            gy*4294967296 + gx AS gid,
+            CASE WHEN (7*gx+13*gy)%255 < 64 THEN 10
+                 WHEN (7*gx+13*gy)%255 < 128 THEN 20
+                 WHEN (7*gx+13*gy)%255 < 192 THEN 30 ELSE 40 END AS class
+          FROM px0 WHERE (gx+gy)%31 <> 0),
+        e AS (SELECT p.gid AS ga, q.gid AS gb FROM px p JOIN px q
+          ON p.class = q.class AND
+             ((abs(p.gx - q.gx) = 1 AND p.gy = q.gy) OR
+              (p.gx = q.gx AND abs(p.gy - q.gy) = 1))),
+        lbl AS (
+          SELECT gid, gid AS l FROM px
+          UNION
+          SELECT e.gb AS gid, lbl.l FROM lbl JOIN e ON e.ga = lbl.gid),
+        fin AS (SELECT gid, min(l) AS label FROM lbl GROUP BY gid),
+        labpx AS (SELECT px.block, px.pos, px.gx, px.gy, px.class, f.label
+          FROM px JOIN fin f USING (gid)),
+        sz AS (SELECT label, count(*) AS n_px FROM labpx GROUP BY label),
+        rv AS (SELECT label, min(class) AS class FROM labpx GROUP BY label),
+        adjp AS (SELECT DISTINCT a.label AS ra, b.label AS rb
+          FROM labpx a JOIN labpx b
+            ON a.class <> b.class AND
+               ((abs(a.gx - b.gx) = 1 AND a.gy = b.gy) OR
+                (a.gx = b.gx AND abs(a.gy - b.gy) = 1))),
+        cand AS (SELECT s.label AS ra, adjp.rb, z2.n_px AS nb_n,
+            r2.class AS nb_v
+          FROM sz s JOIN adjp ON adjp.ra = s.label
+          JOIN sz z2 ON z2.label = adjp.rb
+          JOIN rv r2 ON r2.label = adjp.rb
+          WHERE s.n_px < 20),
+        ch AS (SELECT ra, nb_v FROM (
+            SELECT ra, nb_v, row_number() OVER (
+              PARTITION BY ra ORDER BY nb_n DESC, rb ASC) AS rn FROM cand)
+          WHERE rn = 1)
+        SELECT l.block, l.pos,
+          CAST(coalesce(ch.nb_v, l.class) AS BIGINT) AS v
+        FROM labpx l LEFT JOIN ch ON ch.ra = l.label"""
+  }
+
   /** q228: chamfer proximity replayed round by round — seed where the
     * closed-form value is 0 (and valid), then 3 relaxation rounds of
     * least(d, min(neighbor d + weight)); min/least are order-independent,

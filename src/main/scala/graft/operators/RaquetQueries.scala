@@ -253,6 +253,24 @@ object RaquetQueries {
       Regions.regionLabels(sub, ds.meta, "band_1"), minPixels = 20L)
   }
 
+  /** q233 — full gdal_sieve APPLY ([[Regions.sieveApply]]): q232's window,
+    * but small regions (< 20 px) actually take their largest neighbor's
+    * value (original sizes, ties to the lower label; no-neighbor regions
+    * keep theirs). Output = the sieved per-pixel values; the oracle
+    * replays labeling closure, sizes, the cross-value adjacency graph,
+    * and the argmax-neighbor choice. */
+  def q233SieveApply(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val sub = ds.data.filter(quadbin_zoom(col("block")) === 6 &&
+        quadbin_tile_x(col("block")) < 34 && quadbin_tile_y(col("block")) < 26)
+      .select(col("block"),
+        rq_reclassify(col("band_1"), ds.meta, "band_1",
+          Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0))
+          .as("band_1"))
+    Regions.sieveApply(sub, ds.meta, "band_1", minPixels = 20L)
+      .select(col("block"), col("pos"), col("v").cast("long").as("v"))
+  }
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

@@ -30,18 +30,9 @@ object Regions {
     * region's row-major-min pixel — the deterministic canonical id any
     * SQL engine re-derives. */
   def regionLabels(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
-    val (native, comp) = labeledAndComp(data, meta, band)
-    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
-      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
-    native
-      .select(col("block"),
-        rq_region_label(col("block"), col(band), meta, band).as("lab"))
-      .select(col("block"), posexplode(rq_decode(col("lab"), labKernel)))
-      .filter(!isnan(col("col")))
-      .select(col("block"), col("pos"), col("col").cast("long").as("l"))
-      .join(comp, col("l") === col("id"), "left")
-      .select(col("block"), col("pos"),
-        coalesce(col("comp"), col("l")).as("label"))
+    val native = nativeTiles(data, meta)
+    val comp = compOf(stripPairs(native, meta, band))
+    labelsFrom(native, comp, meta, band)
   }
 
   /** Global region SIZE table without pixel explosion: per-tile fragment
@@ -52,29 +43,97 @@ object Regions {
     * that need the per-pixel mask pay [[regionLabels]]' explode. Output:
     * (label, n_px). */
   def regionSizes(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
-    val (native, comp) = labeledAndComp(data, meta, band)
-    native
-      .select(col("block"),
-        explode(rq_region_sizes(col("block"), col(band), meta, band)).as("f"))
-      .select(col("f.lab").as("l"), col("f.n").as("n"))
-      .join(comp, col("l") === col("id"), "left")
-      .groupBy(coalesce(col("comp"), col("l")).as("label"))
-      .agg(sum("n").as("n_px"))
+    val native = nativeTiles(data, meta)
+    val comp = compOf(stripPairs(native, meta, band))
+    regionTable(native, comp, meta, band).select("label", "n_px")
   }
 
-  /** Shared stages: the native-zoom input (checkpointed) and the
-    * label-graph components from the boundary-strip equi-join. */
-  private def labeledAndComp(data: DataFrame, meta: RaquetMetadata,
-      band: String): (DataFrame, DataFrame) = {
-    val z = meta.maxZoom
-    val native = data.filter(col("block") =!= 0L &&
-      quadbin_zoom(col("block")) === z)
-      // checkpoint the INPUT tiles: they feed the strip extraction and the
-      // caller's per-tile kernel (labels or sizes), and `data` is often the
-      // tail of a derivation (reclassify) that must not run per consumer
+  /** gdal_sieve's decision table: every labeled pixel with its region's
+    * pixel count and the `small` flag (count < minPixels) — the mask a
+    * sieve pass applies. One hash aggregate over labels. */
+  def sieveFlags(labels: DataFrame, minPixels: Long): DataFrame = {
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_px"))
+    labels.join(sizes, "label")
+      .select(col("block"), col("pos"), col("label"), col("n_px"),
+        (col("n_px") < minPixels).as("small"))
+  }
+
+  /** Full gdal_sieve APPLY: pixels of regions smaller than `minPixels`
+    * take the value of the region's LARGEST neighbor (by original pixel
+    * count, ties to the lower label; regions with no neighbor keep their
+    * value). One-pass semantics — neighbor sizes are the ORIGINAL
+    * labeling's, so the result is deterministic and order-free (GDAL's
+    * progressive in-place merge can cascade; this is the declarative
+    * equivalent, documented divergence). Output: (block, pos, v) — the
+    * sieved per-pixel values.
+    *
+    * Scale shape: everything except the final per-pixel value join runs
+    * at REGION cardinality — fragment tables, the within-tile adjacency
+    * pairs ([[graft.raquet.BandKernel.regionNeighbors]], distinct pairs
+    * per tile), the cross-tile strip pairs, the argmax-neighbor window.
+    * Pixel volume appears exactly once: labels → (region → value) join. */
+  def sieveApply(data: DataFrame, meta: RaquetMetadata, band: String,
+      minPixels: Long): DataFrame = {
+    val native = nativeTiles(data, meta)
+    // strip pairs feed BOTH the merge edges (equal values) and the
+    // cross-tile adjacency (different values): checkpoint once
+    val pairs = stripPairs(native, meta, band).localCheckpoint()
+    val comp = compOf(pairs)
+    val regions = regionTable(native, comp, meta, band).localCheckpoint()
+    // region-level adjacency: within-tile different-value fragment pairs
+    // + cross-tile different-value strip pairs, both ends mapped through
+    // the components, symmetrized
+    val adjFrag = native
+      .select(explode(rq_region_neighbors(col("block"), col(band), meta, band)).as("e"))
+      .select(col("e.la").as("la"), col("e.lb").as("lb"))
+      .unionByName(pairs.filter(col("va") =!= col("vb"))
+        .select(col("la"), col("lb")))
+    val mapped = adjFrag
+      .join(comp.select(col("id").as("la"), col("comp").as("ca")), Seq("la"), "left")
+      .join(comp.select(col("id").as("lb"), col("comp").as("cb")), Seq("lb"), "left")
+      .select(coalesce(col("ca"), col("la")).as("ra"),
+        coalesce(col("cb"), col("lb")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+    val adj = mapped
+      .unionByName(mapped.select(col("rb").as("ra"), col("ra").as("rb")))
+      .distinct()
+    // largest neighbor per small region (original sizes, ties low label)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ra")).orderBy(col("nb_n").desc, col("rb").asc)
+    val chosen = regions.filter(col("n_px") < minPixels)
+      .select(col("label").as("ra"))
+      .join(adj, "ra")
+      .join(regions.select(col("label").as("rb"), col("n_px").as("nb_n"),
+        col("v").as("nb_v")), "rb")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ra").as("label"), col("nb_v").as("new_v"))
+    val finalVal = regions.join(chosen, Seq("label"), "left")
+      .select(col("label"), coalesce(col("new_v"), col("v")).as("v"))
+    labelsFrom(native, comp, meta, band)
+      .join(finalVal, "label")
+      .select(col("block"), col("pos"), col("v"))
+  }
+
+  /** Native-zoom input tiles, checkpointed: they feed the strip
+    * extraction and the caller's per-tile kernel, and `data` is often
+    * the tail of a derivation (reclassify) that must not re-run per
+    * consumer. */
+  private def nativeTiles(data: DataFrame, meta: RaquetMetadata): DataFrame =
+    data.filter(col("block") =!= 0L &&
+      quadbin_zoom(col("block")) === meta.maxZoom)
       .localCheckpoint()
-    // strips come straight from the value blob (union-find inline) — the
-    // float64 label blob is only materialized by regionLabels' output path
+
+  /** Cross-tile strip pairs (la, lb, va, vb) for every 4-adjacent valid
+    * pixel pair straddling a tile boundary. Strips come straight from
+    * the value blob (union-find inline) — the float64 label blob is only
+    * materialized by [[regionLabels]]' output path. The A-side tile owns
+    * the boundary it emits east/south; the B-side is its neighbor's
+    * west/north strip. axis 0 = vertical boundary (E↔W, idx = row),
+    * axis 1 = horizontal (S↔N, idx = column). Raster-edge strips simply
+    * find no partner. */
+  private def stripPairs(native: DataFrame, meta: RaquetMetadata,
+      band: String): DataFrame = {
+    val z = meta.maxZoom
     val strips = native
       .select(col("block"),
         quadbin_tile_x(col("block")).as("tx"),
@@ -83,10 +142,6 @@ object Regions {
       .select(col("block"), col("tx"), col("ty"),
         col("s.dir").as("dir"), col("s.idx").as("idx"),
         col("s.lab").as("lab"), col("s.v").as("v"))
-    // pair opposing strips: the A-side tile OWNS the boundary it emits
-    // east/south; the B-side is its neighbor's west/north strip. axis 0 =
-    // vertical boundary (E↔W, idx = row), axis 1 = horizontal (S↔N,
-    // idx = column). Raster-edge strips simply find no partner.
     val maxT = (1L << z) - 1
     val aSide = strips.filter(col("dir") === 0 && col("tx") < maxT)
       .select(col("block").as("ka"),
@@ -104,19 +159,42 @@ object Regions {
         .select(quadbin_from_tile(col("tx"), col("ty") - 1, lit(z)).as("ka"),
           col("block").as("kb"),
           lit(1).as("axis"), col("idx"), col("lab").as("lb"), col("v").as("vb")))
-    val edges = aSide.join(bSide, Seq("ka", "kb", "axis", "idx"))
-      .filter(col("va") === col("vb"))
-      .select(col("la"), col("lb")).distinct()
-    (native, Graph.connectedComponents(edges, "la", "lb"))
+    aSide.join(bSide, Seq("ka", "kb", "axis", "idx"))
+      .select(col("la"), col("lb"), col("va"), col("vb"))
   }
 
-  /** gdal_sieve's decision table: every labeled pixel with its region's
-    * pixel count and the `small` flag (count < minPixels) — the mask a
-    * sieve pass applies. One hash aggregate over labels. */
-  def sieveFlags(labels: DataFrame, minPixels: Long): DataFrame = {
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_px"))
-    labels.join(sizes, "label")
-      .select(col("block"), col("pos"), col("label"), col("n_px"),
-        (col("n_px") < minPixels).as("small"))
+  /** Label-graph components over the EQUAL-value strip pairs. */
+  private def compOf(pairs: DataFrame): DataFrame =
+    Graph.connectedComponents(
+      pairs.filter(col("va") === col("vb"))
+        .select(col("la"), col("lb")).distinct(),
+      "la", "lb")
+
+  /** Per-pixel (block, pos, label) from the label blob + components. */
+  private def labelsFrom(native: DataFrame, comp: DataFrame,
+      meta: RaquetMetadata, band: String): DataFrame = {
+    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
+      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
+    native
+      .select(col("block"),
+        rq_region_label(col("block"), col(band), meta, band).as("lab"))
+      .select(col("block"), posexplode(rq_decode(col("lab"), labKernel)))
+      .filter(!isnan(col("col")))
+      .select(col("block"), col("pos"), col("col").cast("long").as("l"))
+      .join(comp, col("l") === col("id"), "left")
+      .select(col("block"), col("pos"),
+        coalesce(col("comp"), col("l")).as("label"))
   }
+
+  /** Region table (label, n_px, v) at region cardinality: fragment size
+    * tables mapped through the components, one hash aggregate. */
+  private def regionTable(native: DataFrame, comp: DataFrame,
+      meta: RaquetMetadata, band: String): DataFrame =
+    native
+      .select(col("block"),
+        explode(rq_region_sizes(col("block"), col(band), meta, band)).as("f"))
+      .select(col("f.lab").as("l"), col("f.n").as("n"), col("f.v").as("v"))
+      .join(comp, col("l") === col("id"), "left")
+      .groupBy(coalesce(col("comp"), col("l")).as("label"))
+      .agg(sum("n").as("n_px"), min("v").as("v"))
 }

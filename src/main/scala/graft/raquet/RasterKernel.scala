@@ -297,23 +297,54 @@ final case class BandKernel(
     * SIZE aggregation never explodes pixels into rows: each tile
     * contributes ≤ fragments rows, and the global size is one hash agg
     * over fragment labels mapped through the label-graph components. */
-  def regionSizes(block: Long, raw: Array[Byte]): Array[(Long, Long)] = {
-    val roots = regionRoots(decode(raw))
+  def regionSizes(block: Long, raw: Array[Byte]): Array[(Long, Long, Double)] = {
+    val v = decode(raw)
+    val roots = regionRoots(v)
     val counts = new java.util.HashMap[Integer, Long]()
     var p = 0
     while (p < roots.length) {
       if (roots(p) >= 0) counts.merge(roots(p), 1L, (a, b) => a + b)
       p += 1
     }
-    val out = new Array[(Long, Long)](counts.size)
+    val out = new Array[(Long, Long, Double)](counts.size)
     var i = 0
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out(i) = (rootGid(block, e.getKey), e.getValue)
+      // the fragment's constant value rides along (v at the root pixel) —
+      // the sieve APPLY step needs each region's class without a decode
+      out(i) = (rootGid(block, e.getKey), e.getValue, v(e.getKey))
       i += 1
     }
     out.sortBy(_._1)
+  }
+
+  /** Within-tile region ADJACENCY pairs: distinct (la, lb) fragment-label
+    * pairs of 4-adjacent valid pixels with DIFFERENT values (the
+    * cross-value neighbor graph gdal_sieve merges along; equal-value
+    * neighbors are by definition the same fragment). Cross-tile
+    * adjacency comes from [[regionStrips]] pairs. */
+  def regionNeighbors(block: Long, raw: Array[Byte]): Array[(Long, Long)] = {
+    val v = decode(raw)
+    val roots = regionRoots(v)
+    val seen = new java.util.HashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    @inline def emit(a: Int, b: Int): Unit = {
+      if (roots(a) >= 0 && roots(b) >= 0 && v(a) != v(b)) {
+        val key = math.min(roots(a), roots(b)).toLong * (width * height) +
+          math.max(roots(a), roots(b))
+        if (seen.add(key))
+          out += ((rootGid(block, roots(a)), rootGid(block, roots(b))))
+      }
+    }
+    var p = 0
+    while (p < roots.length) {
+      val i = p % width
+      if (i + 1 < width) emit(p, p + 1)
+      if (p + width < roots.length) emit(p, p + width)
+      p += 1
+    }
+    out.toArray
   }
 
   /** Boundary strips for the cross-tile label merge, straight from the

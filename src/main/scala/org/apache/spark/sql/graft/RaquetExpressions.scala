@@ -576,8 +576,14 @@ object RqBridge {
 
   def regionSizesOf(k: BandKernel, block: Long, raw: Array[Byte]): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      k.regionSizes(block, raw).map { case (lab, n) =>
-        org.apache.spark.sql.catalyst.InternalRow(lab, n): Any
+      k.regionSizes(block, raw).map { case (lab, n, v) =>
+        org.apache.spark.sql.catalyst.InternalRow(lab, n, v): Any
+      })
+
+  def regionNeighborsOf(k: BandKernel, block: Long, raw: Array[Byte]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      k.regionNeighbors(block, raw).map { case (la, lb) =>
+        org.apache.spark.sql.catalyst.InternalRow(la, lb): Any
       })
 
   def idwGridOf(k: BandKernel, block: Long, points: ArrayData,
@@ -838,7 +844,8 @@ case class RqRegionSizes(block: Expression, band: Expression, kernel: BandKernel
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("lab", LongType, nullable = false),
-    StructField("n", LongType, nullable = false))), containsNull = false)
+    StructField("n", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rq_region_sizes"
   override protected def nullSafeEval(b: Any, raw: Any): Any =
@@ -846,6 +853,31 @@ case class RqRegionSizes(block: Expression, band: Expression, kernel: BandKernel
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
     defineCodeGen(ctx, ev, (b, raw) => s"${RqBridge.B}.regionSizesOf($k, $b, $raw)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, band = r)
+}
+
+/** rq_region_neighbors(block, band) → ARRAY<STRUCT<la, lb>> of distinct
+  * within-tile adjacent fragment pairs with DIFFERENT values (see
+  * [[graft.raquet.BandKernel.regionNeighbors]]) — the cross-value
+  * neighbor graph the sieve APPLY step merges along. */
+case class RqRegionNeighbors(block: Expression, band: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = band
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("la", LongType, nullable = false),
+    StructField("lb", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_region_neighbors"
+  override protected def nullSafeEval(b: Any, raw: Any): Any =
+    RqBridge.regionNeighborsOf(kernel, b.asInstanceOf[Long],
+      raw.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, raw) => s"${RqBridge.B}.regionNeighborsOf($k, $b, $raw)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(block = l, band = r)

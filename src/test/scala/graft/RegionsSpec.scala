@@ -102,6 +102,29 @@ class RegionsSpec extends SparkSpec {
     assert(blob._2 == 4L && blob._3, s"2x2 blob must be small: $blob")
   }
 
+  test("sieveApply: small regions take the largest neighbor's value, others unchanged") {
+    val got = Regions.sieveApply(tiles, meta, "band_1", minPixels = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val W = 2 * bs
+    var blobRemapped = 0
+    for (gy <- 0 until W; gx <- 0 until W) {
+      val c = v(x0 * bs + gx, y0 * bs + gy)
+      if (c != 255) {
+        val block = Quadbin.tileToCell(x0 + gx / bs, y0 + gy / bs, z)
+        val pos = (gy % bs) * bs + gx % bs
+        val out = got((block, pos))
+        if (c == 2) {
+          // the 4-px blob is small; its only neighbor is the big class-0
+          // background -> every blob pixel becomes 0
+          assert(out == 0.0, s"blob pixel ($gx, $gy) -> $out")
+          blobRemapped += 1
+        } else assert(out == c.toDouble, s"pixel ($gx, $gy) class $c -> $out")
+      }
+    }
+    assert(blobRemapped == 4)
+  }
+
   test("regionLabels plan: strip equi-joins only, no cartesian") {
     val df = Regions.regionLabels(tiles, meta, "band_1")
     val plan = df.queryExecution.executedPlan.toString
