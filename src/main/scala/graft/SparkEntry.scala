@@ -252,6 +252,8 @@ object SparkEntry {
     "q231_idw_grid"         -> (RaquetQueries.q231IdwGrid _),
     "q232_region_sieve"     -> (RaquetQueries.q232RegionSieve _),
     "q233_sieve_apply"      -> (RaquetQueries.q233SieveApply _),
+    "q234_cluster_sample"   -> (LlmQueries.q234ClusterSample _),
+    "q235_source_overlap"   -> (LlmQueries.q235SourceOverlap _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -598,6 +600,10 @@ object SparkEntry {
     "q232_region_sieve"     -> RaquetOracles.q232,
     // q233: sieve apply — closure + adjacency + argmax-neighbor remap
     "q233_sieve_apply"      -> RaquetOracles.q233,
+    // q234: cluster-balanced sample — kmeans rounds + quota window replayed
+    "q234_cluster_sample"   -> LlmOracles.q234,
+    // q235: source-overlap matrix — shingle join + exact Jaccard replayed
+    "q235_source_overlap"   -> LlmOracles.q235,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

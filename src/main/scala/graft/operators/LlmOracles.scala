@@ -1254,6 +1254,36 @@ object LlmOracles {
        FROM c GROUP BY 1"""
   }
 
+  /** q234: cluster-balanced sampling replayed — q199's two Lloyd rounds,
+    * the final assignment, then the per-cluster id-hash quota window. */
+  val q234: String =
+    s"""WITH $quantVCte,
+        ${kmeansCtes("m_", 0, 64, 4, 2)},
+        asg AS (SELECT vec_id, CAST(c AS INTEGER) AS cluster FROM m_a),
+        r AS (SELECT vec_id, cluster,
+            row_number() OVER (PARTITION BY cluster
+              ORDER BY ${idHash("vec_id")}, vec_id) AS rn
+          FROM asg)
+        SELECT vec_id, cluster, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 50"""
+
+  /** q235: source-overlap matrix replayed — distinct shingles per source,
+    * the pairwise intersection join, exact Jaccard. */
+  val q235: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= 3),
+       sh AS (SELECT DISTINCT source,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks),
+       sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       c AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         GROUP BY 1, 2)
+       SELECT c.src_a, c.src_b, za.n AS na, zb.n AS nb, c.n_common,
+         round(CAST(c.n_common AS DOUBLE) / (za.n + zb.n - c.n_common), 6) AS jaccard
+       FROM c JOIN sizes za ON za.source = c.src_a
+       JOIN sizes zb ON zb.source = c.src_b"""
+
   /** q229: exact substring dedup replayed — positions + 6-gram hashes,
     * the duplicated-gram set, and the gaps-and-islands span merge. */
   val q229: String = {

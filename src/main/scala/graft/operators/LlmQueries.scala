@@ -341,6 +341,38 @@ object LlmQueries {
   def q230GopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherRules(docs(spark, dir))
 
+  /** q234 — CLUSTER-BALANCED sampling (the diversity-sampling step of a
+    * curation pipeline: cap how much any one embedding cluster
+    * contributes): q199's k-means assignment composed with
+    * [[Curation.quotaPerGroup]] — at most 50 vectors per cluster, chosen
+    * by the deterministic id-hash order. The oracle replays both Lloyd
+    * rounds AND the quota window. */
+  def q234ClusterSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.quotaPerGroup(
+      EmbedOps.kmeansAssign(quantEmb(spark, dir), k = 4, dim = 64, iters = 2),
+      "cluster", "vec_id", k = 50)
+
+  /** q235 — SOURCE OVERLAP matrix (corpus-composition reporting: how much
+    * shingle content two sources share — the cross-source contamination /
+    * redundancy signal): distinct 3-gram shingles per source, pairwise
+    * intersection via ONE equi-join on the shingle (sources × sources
+    * never materializes), exact Jaccard. */
+  def q235SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("text"))
+    val sh = TextOps.shingles(d, idCol = "source").distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("source").as("src_a"), col("s"))
+      .join(sh.select(col("source").as("src_b"), col("s")), "s")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+  }
+
   /** q222 — proportional budget allocation ([[Curation.allocateBudget]]):
     * per-domain token counts → ⌊√n⌋ temperature weights → largest-
     * remainder seats summing EXACTLY to the budget; every quota and
