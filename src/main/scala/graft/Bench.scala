@@ -696,10 +696,17 @@ object Bench {
       foreign: Double, throttled: Long, own: Double, gcMs: Long,
       fromChild: Boolean = false)
 
-  /** Times `names` in a FRESH child JVM (same classpath, same JVM flags,
-    * SPARK_GRAFT_CHILD=1 + BENCH_ONLY=names) and parses its BENCHQ lines.
-    * None on any failure — caller falls back in-process. The child
-    * inherits stderr so its Spark logs and warnings stay visible. */
+  /** Times each of `names` in its OWN fresh child JVM (same classpath,
+    * same JVM flags, SPARK_GRAFT_CHILD=1 + BENCH_ONLY=one name) and
+    * parses the BENCHQ lines. Per-QUERY isolation, not per-tier: a
+    * shared child reproduced the exact churn the fork exists to kill —
+    * one full-tier run read bL_image_dedup 46.5 s after bL_fullscan's
+    * 17 GB reps, where the same query alone in a fresh JVM reads 5.3 s
+    * (and fullscan alone 12.0 s with gc_ms 0.4 s vs 30 s with 59 s GC
+    * shared). ~15 s JVM+session startup per query is the price of
+    * numbers that mean something. None on any failure — caller falls
+    * back in-process. Children inherit stderr so their Spark logs and
+    * warnings stay visible. */
   private def forkedTier(names: Seq[String]): Option[Seq[QRes]] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
@@ -708,30 +715,34 @@ object Bench {
       .getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
     if (cp == null || cp.isEmpty) return None
-    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-    val pb = new ProcessBuilder(cmd)
-    pb.environment().put("SPARK_GRAFT_CHILD", "1")
-    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    System.err.println(s"[bench] timing ${names.size} bL_ queries in a " +
-      "fresh JVM")
-    val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val rc = proc.waitFor()
-    val rs = out.linesIterator.filter(_.startsWith("BENCHQ\t")).map { line =>
-      val f = line.split('\t')
-      QRes(f(1), f(2).toDouble,
-        if (f(7) == "-") None
-        else Some(new String(java.util.Base64.getDecoder.decode(f(7)), "UTF-8")),
-        f(3).toDouble, f(4).toLong, f(5).toDouble, f(6).toLong,
-        fromChild = true)
-    }.toSeq
-    val byName = rs.map(r => r.name -> r).toMap
-    if (rc != 0 || !names.forall(byName.contains)) {
-      System.err.println(s"[bench] fresh-JVM tier rc=$rc, got " +
-        s"${rs.size}/${names.size} results")
-      None
-    } else Some(names.map(byName))
+    val rs = names.map { name =>
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      System.err.println(s"[bench] timing $name in a fresh JVM")
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val parsed = out.linesIterator.filter(_.startsWith("BENCHQ\t"))
+        .map { line =>
+          val f = line.split('\t')
+          QRes(f(1), f(2).toDouble,
+            if (f(7) == "-") None
+            else Some(new String(
+              java.util.Base64.getDecoder.decode(f(7)), "UTF-8")),
+            f(3).toDouble, f(4).toLong, f(5).toDouble, f(6).toLong,
+            fromChild = true)
+        }.toSeq
+      if (rc != 0 || parsed.size != 1 || parsed.head.name != name) {
+        System.err.println(s"[bench] fresh-JVM run for $name rc=$rc, got " +
+          s"${parsed.size} results")
+        return None
+      }
+      parsed.head
+    }
+    Some(rs)
   } catch { case scala.util.control.NonFatal(e) =>
     System.err.println(s"[bench] fresh-JVM tier failed to launch: $e")
     None

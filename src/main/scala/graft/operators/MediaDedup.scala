@@ -52,7 +52,15 @@ object MediaDedup {
   def hashNearDups(fps: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3,
       bucketCap: Int = HammingBlocked.DefaultBucketCap): DataFrame = {
+    // persist the (id, fp) table: it feeds FIVE consumers below (distinct
+    // + two sides of each join), and `fps` is typically the tail of an
+    // expensive fingerprint derivation (decode -> dHash). Without this,
+    // whether the derivation runs 1x or 5x depends on exchange reuse the
+    // optimizer does not guarantee — a same-query flip measured 5.5 s vs
+    // 51 s on the 200k-image bench corpus (the minhashNearDups persist
+    // reasoning, made non-negotiable by observed variance).
     val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = m.select(col("fp")).distinct()
     val fpPairs = HammingBlocked.fpPairs(uniq, totalBits = 64,
       maxHamming = maxHamming, bucketCap = bucketCap)
@@ -201,7 +209,10 @@ object MediaDedup {
   def hashDedupClusters(fps: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3,
       bucketCap: Int = HammingBlocked.DefaultBucketCap): DataFrame = {
+    // same 1x-vs-Nx persist contract as hashNearDups: m feeds the distinct
+    // AND the final member-assignment join
     val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = m.select(col("fp")).distinct()
     val fpPairs = HammingBlocked.fpPairs(uniq, totalBits = 64,
       maxHamming = maxHamming, bucketCap = bucketCap)
