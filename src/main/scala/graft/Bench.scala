@@ -785,6 +785,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .map(o => all.filter { case (n, _) => o(n) })
       .getOrElse(all)
+    val childMode = sys.env.get("SPARK_GRAFT_CHILD").contains("1")
+
     def timeQueries(
         qs: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QRes] =
       qs.map { case (name, fn) =>
@@ -798,9 +800,16 @@ object Bench {
       // b_contour 23.4 s full-suite vs 2.5 s in a 3-query subset). Same
       // total executions per query (1 warm + reps), strictly better placed;
       // it also stops running every bL_ scan one extra, redundant time.
-      try once(fn)
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] warm-up $name failed: $e") }
+      // A fresh per-query child JVM additionally pays the C2 ramp of the
+      // whole parquet/decode path — two warm passes there, or a ~1 s query
+      // reads 3x its steady state (bL_region_stats_60390: 3.2 s with one
+      // warm-up in its own JVM vs 1.0 s warm in a shared session).
+      val warmups = if (childMode) 2 else 1
+      (1 to warmups).foreach { _ =>
+        try once(fn)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] warm-up $name failed: $e") }
+      }
       var err: String = null
       // median-of-5 for the 15 GB-class scans (their ±30-40% run-to-run
       // variance cost a judge re-run in r7), median-of-3 elsewhere
@@ -841,7 +850,6 @@ object Bench {
     // regression, 2.89 s driver vs 0.98 s warm, was exactly this)
     val ordered = queries.toSeq
       .sortBy { case (name, _) => (name.startsWith("bL_"), name) }
-    val childMode = sys.env.get("SPARK_GRAFT_CHILD").contains("1")
 
     if (childMode) {
       // fresh-JVM tier worker (see below): time the BENCH_ONLY-filtered
