@@ -696,53 +696,58 @@ object Bench {
       foreign: Double, throttled: Long, own: Double, gcMs: Long,
       fromChild: Boolean = false)
 
-  /** Times each of `names` in its OWN fresh child JVM (same classpath,
-    * same JVM flags, SPARK_GRAFT_CHILD=1 + BENCH_ONLY=one name) and
-    * parses the BENCHQ lines. Per-QUERY isolation, not per-tier: a
-    * shared child reproduced the exact churn the fork exists to kill —
-    * one full-tier run read bL_image_dedup 46.5 s after bL_fullscan's
-    * 17 GB reps, where the same query alone in a fresh JVM reads 5.3 s
-    * (and fullscan alone 12.0 s with gc_ms 0.4 s vs 30 s with 59 s GC
-    * shared). ~15 s JVM+session startup per query is the price of
-    * numbers that mean something. None on any failure — caller falls
-    * back in-process. Children inherit stderr so their Spark logs and
-    * warnings stay visible. */
+  /** Times `names` in ONE fresh child JVM (same classpath, same JVM
+    * flags plus a pinned -Xms, SPARK_GRAFT_CHILD=1 + BENCH_ONLY=names)
+    * and parses the BENCHQ lines. One child for the tier, not one per
+    * query: a fresh JVM per query pays the whole C2/footer-cache ramp
+    * per query (bL_region_stats_60390 read 2-13 s in its own JVM vs
+    * ~1 s once a sibling scan had warmed the JVM), while the two
+    * failure modes the fork exists to kill are fixed at the root —
+    * cold-heap G1 churn by the pinned -Xms below, and the 5.5 s ↔ 51 s
+    * bL_image_dedup flip by hashNearDups' persist (it was exchange-reuse
+    * nondeterminism, not cross-query churn). None on any failure —
+    * caller falls back in-process. The child inherits stderr so its
+    * Spark logs and warnings stay visible. */
   private def forkedTier(names: Seq[String]): Option[Seq[QRes]] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
+    // pin the child heap: with the default tiny -Xms, G1 grows the heap
+    // under Spark's first allocation burst and its resize/concurrent-mark
+    // churn showed up as 8-21 s of gc_ms on 1-second queries — the same
+    // child read 1.2 s or 15.2 s run to run. -Xms = -Xmx (children run one
+    // at a time; pages commit lazily) makes the heap geometry fixed.
+    val jvmArgs = inherited ++ (if (inherited.exists(_.startsWith("-Xms"))) Nil
+      else inherited.collectFirst { case a if a.startsWith("-Xmx") =>
+        "-Xms" + a.stripPrefix("-Xmx") }.toSeq)
     val cp = System.getProperty("java.class.path")
     if (cp == null || cp.isEmpty) return None
-    val rs = names.map { name =>
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_CHILD", "1")
-      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      System.err.println(s"[bench] timing $name in a fresh JVM")
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val rc = proc.waitFor()
-      val parsed = out.linesIterator.filter(_.startsWith("BENCHQ\t"))
-        .map { line =>
-          val f = line.split('\t')
-          QRes(f(1), f(2).toDouble,
-            if (f(7) == "-") None
-            else Some(new String(
-              java.util.Base64.getDecoder.decode(f(7)), "UTF-8")),
-            f(3).toDouble, f(4).toLong, f(5).toDouble, f(6).toLong,
-            fromChild = true)
-        }.toSeq
-      if (rc != 0 || parsed.size != 1 || parsed.head.name != name) {
-        System.err.println(s"[bench] fresh-JVM run for $name rc=$rc, got " +
-          s"${parsed.size} results")
-        return None
-      }
-      parsed.head
-    }
-    Some(rs)
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_CHILD", "1")
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    System.err.println(s"[bench] timing ${names.size} bL_ queries in a " +
+      "fresh JVM")
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val rc = proc.waitFor()
+    val rs = out.linesIterator.filter(_.startsWith("BENCHQ\t")).map { line =>
+      val f = line.split('\t')
+      QRes(f(1), f(2).toDouble,
+        if (f(7) == "-") None
+        else Some(new String(java.util.Base64.getDecoder.decode(f(7)), "UTF-8")),
+        f(3).toDouble, f(4).toLong, f(5).toDouble, f(6).toLong,
+        fromChild = true)
+    }.toSeq
+    val byName = rs.map(r => r.name -> r).toMap
+    if (rc != 0 || !names.forall(byName.contains)) {
+      System.err.println(s"[bench] fresh-JVM tier rc=$rc, got " +
+        s"${rs.size}/${names.size} results")
+      None
+    } else Some(names.map(byName))
   } catch { case scala.util.control.NonFatal(e) =>
     System.err.println(s"[bench] fresh-JVM tier failed to launch: $e")
     None
@@ -789,7 +794,7 @@ object Bench {
 
     def timeQueries(
         qs: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QRes] =
-      qs.map { case (name, fn) =>
+      qs.zipWithIndex.map { case ((name, fn), qi) =>
       // fixed cache-state protocol for EVERY query: one untimed pass of THE
       // SAME query immediately before its timed runs, so each query measures
       // the warm-cache/warm-codegen shape regardless of what ran before it.
@@ -800,11 +805,13 @@ object Bench {
       // b_contour 23.4 s full-suite vs 2.5 s in a 3-query subset). Same
       // total executions per query (1 warm + reps), strictly better placed;
       // it also stops running every bL_ scan one extra, redundant time.
-      // A fresh per-query child JVM additionally pays the C2 ramp of the
-      // whole parquet/decode path — two warm passes there, or a ~1 s query
-      // reads 3x its steady state (bL_region_stats_60390: 3.2 s with one
-      // warm-up in its own JVM vs 1.0 s warm in a shared session).
-      val warmups = if (childMode) 2 else 1
+      // A fresh child JVM additionally pays the whole C2 + G1-adaptation
+      // ramp on its FIRST query: with one warm pass, bL_fullscan (first in
+      // the tier) read 20 s with 18 s of gc_ms while the equally heavy
+      // bL_top20 right after read 11.8 s with 0.2 s — the ramp is a
+      // first-query property, not a query property. Four warm passes for
+      // the child's first query, two for the rest, one in parent mode.
+      val warmups = if (childMode && qi == 0) 4 else if (childMode) 2 else 1
       (1 to warmups).foreach { _ =>
         try once(fn)
         catch { case scala.util.control.NonFatal(e) =>
