@@ -88,6 +88,21 @@ object Bench {
       case _ => -1L
     }
 
+  /** Hypervisor steal jiffies (/proc/stat field 8): CPU the HOST took
+    * from this VM for other tenants. Counted inside foreign_cores too
+    * (it is contention), but named separately because the remedy differs
+    * — in-VM foreign load is something the operator can kill; steal is
+    * the host being noisy, and a window with high steal just has to be
+    * re-run later (this round measured 0-18 stolen cores minute to
+    * minute with a completely idle VM). -1 when unreadable. */
+  private def stealJiffies(): Long = {
+    try {
+      val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+")
+      if (f.length > 8) f(8).toLong else -1L
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
   /** Foreign cores consumed over a window: (machine busy − our busy) /
     * wall. ~0 on an idle machine; a competing sbt/Spark JVM shows up as
     * multiple cores. Returns -1 when /proc/stat is unavailable. */
@@ -107,6 +122,7 @@ object Bench {
     private val j0 = machineBusyJiffies(); private val c0 = ourCpuNanos()
     private val u0 = throttledUsec(cgroupRoot)
     private val g0 = gcMillis()
+    private val s0 = stealJiffies()
     private val t0 = System.nanoTime()
     def foreignCores(): Double = {
       if (j0 < 0 || c0 < 0) return -1.0
@@ -142,6 +158,15 @@ object Bench {
     def gcDeltaMs(): Long = {
       val g1 = gcMillis()
       if (g0 < 0 || g1 < 0) -1L else g1 - g0
+    }
+    /** Hypervisor-stolen cores over the window (see [[stealJiffies]]);
+      * -1 when unreadable. */
+    def stealCores(): Double = {
+      val s1 = stealJiffies()
+      if (s0 < 0 || s1 < 0) return -1.0
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (wall <= 0.05) return -1.0
+      (s1 - s0) / 100.0 / wall
     }
   }
 
@@ -694,7 +719,7 @@ object Bench {
     * marks windows timed in the fresh bL-tier JVM. */
   final case class QRes(name: String, sec: Double, err: Option[String],
       foreign: Double, throttled: Long, own: Double, gcMs: Long,
-      fromChild: Boolean = false)
+      steal: Double, fromChild: Boolean = false)
 
   /** Times `names` in ONE fresh child JVM (same classpath, same JVM
     * flags plus a pinned -Xms, SPARK_GRAFT_CHILD=1 + BENCH_ONLY=names)
@@ -737,10 +762,10 @@ object Bench {
     val rs = out.linesIterator.filter(_.startsWith("BENCHQ\t")).map { line =>
       val f = line.split('\t')
       QRes(f(1), f(2).toDouble,
-        if (f(7) == "-") None
-        else Some(new String(java.util.Base64.getDecoder.decode(f(7)), "UTF-8")),
+        if (f(8) == "-") None
+        else Some(new String(java.util.Base64.getDecoder.decode(f(8)), "UTF-8")),
         f(3).toDouble, f(4).toLong, f(5).toDouble, f(6).toLong,
-        fromChild = true)
+        f(7).toDouble, fromChild = true)
     }.toSeq
     val byName = rs.map(r => r.name -> r).toMap
     if (rc != 0 || !names.forall(byName.contains)) {
@@ -838,6 +863,7 @@ object Bench {
       val own = probe.ownCores()
       val throttled = probe.throttledDeltaUsec()
       val gcMs = probe.gcDeltaMs()
+      val steal = probe.stealCores()
       if (foreign > ContendedCores)
         System.err.println(f"[bench] WARNING: $name timed with $foreign%.1f " +
           "foreign cores active — its number is not comparable")
@@ -848,7 +874,7 @@ object Bench {
         System.err.println(s"[bench] WARNING: $name ran under cgroup CPU " +
           s"throttling (${throttled / 1000} ms) — its number is not comparable")
       QRes(name, if (ts.contains(-1.0)) -1.0 else median(ts), Option(err),
-        foreign, throttled, own, gcMs)
+        foreign, throttled, own, gcMs, steal)
     }
 
     // run the 15 GB-class bL_ scans LAST: alphabetical order put them first,
@@ -867,7 +893,7 @@ object Bench {
         val errB64 = r.err.map(e => java.util.Base64.getEncoder
           .encodeToString(e.take(500).getBytes("UTF-8"))).getOrElse("-")
         println(f"BENCHQ\t${r.name}\t${r.sec}%.6f\t${r.foreign}%.4f\t" +
-          f"${r.throttled}\t${r.own}%.4f\t${r.gcMs}\t$errB64")
+          f"${r.throttled}\t${r.own}%.4f\t${r.gcMs}\t${r.steal}%.4f\t$errB64")
       }
       System.out.flush()
       return
@@ -901,7 +927,7 @@ object Bench {
     } + "\""
     val qs = results.map(r => "\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
-    val errs = results.collect { case QRes(k, _, Some(e), _, _, _, _, _) =>
+    val errs = results.collect { case QRes(k, _, Some(e), _, _, _, _, _, _) =>
       "\"" + k + "\":" + jstr(e.take(500)) }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
@@ -936,7 +962,7 @@ object Bench {
     // verdict #2); fresh_jvm marks windows timed by the forked bL tier
     val probeField = results.map { r =>
       "\"" + r.name + "\":{" +
-        f""""foreign_cores":${r.foreign}%.2f,"own_cores":${r.own}%.2f,"throttled_usec":${r.throttled},"gc_ms":${r.gcMs}}"""
+        f""""foreign_cores":${r.foreign}%.2f,"own_cores":${r.own}%.2f,"throttled_usec":${r.throttled},"gc_ms":${r.gcMs},"steal_cores":${r.steal}%.2f}"""
     }.mkString(""","probe":{""", ",", "}")
     // record the thread count: heavy scans are decode-bound and scale with
     // cores, so an 8-thread record vs a 32-thread record differs 3-4x on
