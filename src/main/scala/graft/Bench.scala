@@ -709,8 +709,9 @@ object Bench {
     val fc = probe.foreignCores()
     val oc = probe.ownCores()
     val thr = probe.throttledDeltaUsec()
+    val st = probe.stealCores()
     entries.mkString("{", ",",
-      f""","probe":{"foreign_cores":$fc%.2f,"own_cores":$oc%.2f,"throttled_usec":$thr}}""")
+      f""","probe":{"foreign_cores":$fc%.2f,"own_cores":$oc%.2f,"throttled_usec":$thr,"steal_cores":$st%.2f}}""")
   }
 
   /** One timed query window: median seconds plus the per-window probe
