@@ -254,6 +254,7 @@ object SparkEntry {
     "q233_sieve_apply"      -> (RaquetQueries.q233SieveApply _),
     "q234_cluster_sample"   -> (LlmQueries.q234ClusterSample _),
     "q235_source_overlap"   -> (LlmQueries.q235SourceOverlap _),
+    "q236_region_extents"   -> (RaquetQueries.q236RegionExtents _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -604,6 +605,8 @@ object SparkEntry {
     "q234_cluster_sample"   -> LlmOracles.q234,
     // q235: source-overlap matrix — shingle join + exact Jaccard replayed
     "q235_source_overlap"   -> LlmOracles.q235,
+    // q236: region extents — closure + per-label bbox/count/class replayed
+    "q236_region_extents"   -> RaquetOracles.q236,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

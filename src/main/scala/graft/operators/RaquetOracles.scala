@@ -320,6 +320,37 @@ object RaquetOracles {
         FROM labpx l LEFT JOIN ch ON ch.ra = l.label"""
   }
 
+  /** q236: region extents from the closed form — the q232 closure, then
+    * per-label count + class + min/max global pixel coordinates. */
+  val q236: String = {
+    val tiles = (for { x <- 32L to 33L; y <- 24L to 25L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH RECURSIVE t(block, x, y) AS (VALUES $tiles),
+        px0 AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        px AS (SELECT block, pos, gx, gy,
+            gy*4294967296 + gx AS gid,
+            CASE WHEN (7*gx+13*gy)%255 < 64 THEN 10
+                 WHEN (7*gx+13*gy)%255 < 128 THEN 20
+                 WHEN (7*gx+13*gy)%255 < 192 THEN 30 ELSE 40 END AS class
+          FROM px0 WHERE (gx+gy)%31 <> 0),
+        e AS (SELECT p.gid AS ga, q.gid AS gb FROM px p JOIN px q
+          ON p.class = q.class AND
+             ((abs(p.gx - q.gx) = 1 AND p.gy = q.gy) OR
+              (p.gx = q.gx AND abs(p.gy - q.gy) = 1))),
+        lbl AS (
+          SELECT gid, gid AS l FROM px
+          UNION
+          SELECT e.gb AS gid, lbl.l FROM lbl JOIN e ON e.ga = lbl.gid),
+        fin AS (SELECT gid, min(l) AS label FROM lbl GROUP BY gid)
+        SELECT f.label, CAST(min(px.class) AS BIGINT) AS v,
+          count(*) AS n_px,
+          min(px.gx) AS gx0, min(px.gy) AS gy0,
+          max(px.gx) AS gx1, max(px.gy) AS gy1
+        FROM px JOIN fin f USING (gid)
+        GROUP BY f.label"""
+  }
+
   /** q228: chamfer proximity replayed round by round — seed where the
     * closed-form value is 0 (and valid), then 3 relaxation rounds of
     * least(d, min(neighbor d + weight)); min/least are order-independent,

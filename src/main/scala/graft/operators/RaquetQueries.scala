@@ -271,6 +271,24 @@ object RaquetQueries {
       .select(col("block"), col("pos"), col("v").cast("long").as("v"))
   }
 
+  /** q236 — polygonize-lite region inventory ([[Regions.regionExtents]]):
+    * one row per region of the q232 window with its class value, pixel
+    * count and EXACT global-pixel bounding box — fragment bboxes
+    * min/max-merge at region cardinality; the oracle recomputes every
+    * extent from the min-label closure. */
+  def q236RegionExtents(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val sub = ds.data.filter(quadbin_zoom(col("block")) === 6 &&
+        quadbin_tile_x(col("block")) < 34 && quadbin_tile_y(col("block")) < 26)
+      .select(col("block"),
+        rq_reclassify(col("band_1"), ds.meta, "band_1",
+          Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0))
+          .as("band_1"))
+    Regions.regionExtents(sub, ds.meta, "band_1")
+      .select(col("label"), col("v").cast("long").as("v"), col("n_px"),
+        col("gx0"), col("gy0"), col("gx1"), col("gy1"))
+  }
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

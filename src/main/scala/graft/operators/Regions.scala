@@ -48,6 +48,19 @@ object Regions {
     regionTable(native, comp, meta, band).select("label", "n_px")
   }
 
+  /** Polygonize-lite: one row per region with its value, pixel count and
+    * EXACT global-pixel bounding box — the region inventory gdal_polygonize
+    * feeds into vector pipelines, at region cardinality (fragment bboxes
+    * min/max-merge through the same one hash aggregate as the sizes;
+    * pixel volume never shuffles). Output: (label, v, n_px, gx0, gy0,
+    * gx1, gy1). */
+  def regionExtents(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    val native = nativeTiles(data, meta)
+    val comp = compOf(stripPairs(native, meta, band))
+    regionTable(native, comp, meta, band)
+      .select("label", "v", "n_px", "gx0", "gy0", "gx1", "gy1")
+  }
+
   /** gdal_sieve's decision table: every labeled pixel with its region's
     * pixel count and the `small` flag (count < minPixels) — the mask a
     * sieve pass applies. One hash aggregate over labels. */
@@ -186,15 +199,20 @@ object Regions {
         coalesce(col("comp"), col("l")).as("label"))
   }
 
-  /** Region table (label, n_px, v) at region cardinality: fragment size
-    * tables mapped through the components, one hash aggregate. */
+  /** Region table (label, n_px, v, bbox) at region cardinality: fragment
+    * tables mapped through the components, one hash aggregate (counts
+    * sum; bounding boxes min/max-merge). */
   private def regionTable(native: DataFrame, comp: DataFrame,
       meta: RaquetMetadata, band: String): DataFrame =
     native
       .select(col("block"),
         explode(rq_region_sizes(col("block"), col(band), meta, band)).as("f"))
-      .select(col("f.lab").as("l"), col("f.n").as("n"), col("f.v").as("v"))
+      .select(col("f.lab").as("l"), col("f.n").as("n"), col("f.v").as("v"),
+        col("f.gx0").as("gx0"), col("f.gy0").as("gy0"),
+        col("f.gx1").as("gx1"), col("f.gy1").as("gy1"))
       .join(comp, col("l") === col("id"), "left")
       .groupBy(coalesce(col("comp"), col("l")).as("label"))
-      .agg(sum("n").as("n_px"), min("v").as("v"))
+      .agg(sum("n").as("n_px"), min("v").as("v"),
+        min("gx0").as("gx0"), min("gy0").as("gy0"),
+        max("gx1").as("gx1"), max("gy1").as("gy1"))
 }

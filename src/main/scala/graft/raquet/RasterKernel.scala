@@ -297,26 +297,37 @@ final case class BandKernel(
     * SIZE aggregation never explodes pixels into rows: each tile
     * contributes ≤ fragments rows, and the global size is one hash agg
     * over fragment labels mapped through the label-graph components. */
-  def regionSizes(block: Long, raw: Array[Byte]): Array[(Long, Long, Double)] = {
+  def regionSizes(block: Long, raw: Array[Byte]): Array[RegionFragment] = {
     val v = decode(raw)
     val roots = regionRoots(v)
-    val counts = new java.util.HashMap[Integer, Long]()
+    // per-root: count + global-pixel bounding box (the polygonize-lite
+    // extent — mergeable across tiles by min/max)
+    val acc = new java.util.HashMap[Integer, RegionFragment]()
+    val tx = Quadbin.tileX(block); val ty = Quadbin.tileY(block)
     var p = 0
     while (p < roots.length) {
-      if (roots(p) >= 0) counts.merge(roots(p), 1L, (a, b) => a + b)
+      if (roots(p) >= 0) {
+        val gx = tx * width + p % width
+        val gy = ty * height + p / width
+        val cur = acc.get(roots(p))
+        if (cur == null)
+          acc.put(roots(p), RegionFragment(
+            rootGid(block, roots(p)), 1L, v(roots(p)), gx, gy, gx, gy))
+        else {
+          cur.n += 1
+          if (gx < cur.gx0) cur.gx0 = gx
+          if (gy < cur.gy0) cur.gy0 = gy
+          if (gx > cur.gx1) cur.gx1 = gx
+          if (gy > cur.gy1) cur.gy1 = gy
+        }
+      }
       p += 1
     }
-    val out = new Array[(Long, Long, Double)](counts.size)
+    val out = new Array[RegionFragment](acc.size)
     var i = 0
-    val it = counts.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      // the fragment's constant value rides along (v at the root pixel) —
-      // the sieve APPLY step needs each region's class without a decode
-      out(i) = (rootGid(block, e.getKey), e.getValue, v(e.getKey))
-      i += 1
-    }
-    out.sortBy(_._1)
+    val it = acc.values().iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out.sortBy(_.lab)
   }
 
   /** Within-tile region ADJACENCY pairs: distinct (la, lb) fragment-label
@@ -572,6 +583,12 @@ final case class BandKernel(
     v
   }
 }
+
+/** One tile-local region fragment: label gid, pixel count, constant
+  * value, and the fragment's global-pixel bounding box (mutable — built
+  * in one pass by [[BandKernel.regionSizes]]). */
+final case class RegionFragment(lab: Long, var n: Long, v: Double,
+    var gx0: Long, var gy0: Long, var gx1: Long, var gy1: Long)
 
 object BandKernel {
 

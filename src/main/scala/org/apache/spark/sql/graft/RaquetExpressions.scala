@@ -576,8 +576,9 @@ object RqBridge {
 
   def regionSizesOf(k: BandKernel, block: Long, raw: Array[Byte]): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      k.regionSizes(block, raw).map { case (lab, n, v) =>
-        org.apache.spark.sql.catalyst.InternalRow(lab, n, v): Any
+      k.regionSizes(block, raw).map { f =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          f.lab, f.n, f.v, f.gx0, f.gy0, f.gx1, f.gy1): Any
       })
 
   def regionNeighborsOf(k: BandKernel, block: Long, raw: Array[Byte]): ArrayData =
@@ -845,7 +846,11 @@ case class RqRegionSizes(block: Expression, band: Expression, kernel: BandKernel
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("lab", LongType, nullable = false),
     StructField("n", LongType, nullable = false),
-    StructField("v", DoubleType, nullable = false))), containsNull = false)
+    StructField("v", DoubleType, nullable = false),
+    StructField("gx0", LongType, nullable = false),
+    StructField("gy0", LongType, nullable = false),
+    StructField("gx1", LongType, nullable = false),
+    StructField("gy1", LongType, nullable = false))), containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rq_region_sizes"
   override protected def nullSafeEval(b: Any, raw: Any): Any =
