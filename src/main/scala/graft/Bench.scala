@@ -118,11 +118,35 @@ object Bench {
     if (ts.isEmpty) -1L else ts.sum
   }
 
+  /** Single-thread spin calibration: wall ms for a fixed 2²⁵-iteration
+    * xorshift loop (~100M ALU ops). The one probe that catches the mode
+    * every other signal is blind to — the HOST running this VM's vCPUs
+    * slower (frequency scaling / oversubscription without visible
+    * steal): idle windows this round read identical foreign≈0, steal≈0,
+    * gc≈0 yet 2-5× wall on CPU-bound work. A reader compares spin_ms
+    * across records: same code + same data + 2× spin = slower cycles,
+    * not a regression. Warmed once at startup so JIT is out of the
+    * number. */
+  def spinMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < (1 << 25)) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) System.err.print("") // defeat dead-code elimination
+    ms
+  }
+
   final class ContentionProbe(cgroupRoot: String = "/sys/fs/cgroup") {
     private val j0 = machineBusyJiffies(); private val c0 = ourCpuNanos()
     private val u0 = throttledUsec(cgroupRoot)
     private val g0 = gcMillis()
     private val s0 = stealJiffies()
+    /** Spin calibration taken as the window OPENS (see [[spinMs]]). */
+    val spinAtStart: Double = spinMs()
     private val t0 = System.nanoTime()
     def foreignCores(): Double = {
       if (j0 < 0 || c0 < 0) return -1.0
@@ -641,11 +665,18 @@ object Bench {
     }
     def series(name: String, ns: Seq[Long], run: Long => DataFrame): String = {
       try time(run(ns.head)) catch { case scala.util.control.NonFatal(_) => () }
+      // per-SERIES probe: a steal burst hitting one series averages to
+      // nothing over the whole ladder window (a storm that turned the
+      // image rungs 5x read 0.13 foreign ladder-wide) — each series
+      // carries its own window so a reader rejects exactly the
+      // contaminated exponents
+      val probe = new ContentionProbe
       val ts = ns.map(n => time(run(n)))
+      val fc = probe.foreignCores(); val st = probe.stealCores()
       val e = fitExp(ns, ts)
       s""""$name":{"n":[${ns.mkString(",")}],""" +
         s""""sec":[${ts.map(t => f"$t%.3f").mkString(",")}],""" +
-        f""""exponent":$e%.2f}"""
+        f""""exponent":$e%.2f,"foreign_cores":$fc%.2f,"steal_cores":$st%.2f,"spin_ms":${probe.spinAtStart}%.1f}"""
     }
     val probe = new ContentionProbe
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
@@ -691,6 +722,23 @@ object Bench {
       // window — linear in corpus tokens by construction
       series("substring_dedup", Seq(nDocs, 2 * nDocs, 4 * nDocs),
         n => TextOps.duplicatedSpans(docsTimes(docs, (n / nDocs).toInt), n = 6)),
+      // region labeling/sieve decision path: per-tile union-find + strips
+      // + label-graph CC + fragment agg — linear in TILES (the CC rounds
+      // grow with log of raster diameter, invisible at these sizes)
+      series("region_sieve", Seq(64L, 256L, 1024L), { n =>
+        val k = math.sqrt(n.toDouble).toInt
+        val z = 10
+        val tiles = FixtureGen.nativeTiles(spark, z, 512, 512, k, k, 256)
+        val meta = FixtureGen.metadata(z, 512, 512, k, k, 256, minZoom = z,
+          numBlocks = n)
+        val sub = tiles.select(col("block"),
+          graft.functions.GraftFunctions.rq_reclassify(
+            col("band_1"), meta, "band_1",
+            Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0))
+            .as("band_1"))
+        graft.operators.Regions.regionSizes(sub, meta, "band_1")
+          .agg(count(lit(1)).as("n_regions"), sum("n_px").as("px"))
+      }),
       // probe sanity: an explicit all-pairs 64-dim dot-product cross join
       // must read quadratic — per-pair work is real array math, not a
       // codegen-trivial modulo the row overhead would swamp. Sizes are the
@@ -720,7 +768,7 @@ object Bench {
     * marks windows timed in the fresh bL-tier JVM. */
   final case class QRes(name: String, sec: Double, err: Option[String],
       foreign: Double, throttled: Long, own: Double, gcMs: Long,
-      steal: Double, fromChild: Boolean = false)
+      steal: Double, spinMs: Double, fromChild: Boolean = false)
 
   /** Times `names` in ONE fresh child JVM (same classpath, same JVM
     * flags plus a pinned -Xms, SPARK_GRAFT_CHILD=1 + BENCH_ONLY=names)
@@ -763,10 +811,10 @@ object Bench {
     val rs = out.linesIterator.filter(_.startsWith("BENCHQ\t")).map { line =>
       val f = line.split('\t')
       QRes(f(1), f(2).toDouble,
-        if (f(8) == "-") None
-        else Some(new String(java.util.Base64.getDecoder.decode(f(8)), "UTF-8")),
+        if (f(9) == "-") None
+        else Some(new String(java.util.Base64.getDecoder.decode(f(9)), "UTF-8")),
         f(3).toDouble, f(4).toLong, f(5).toDouble, f(6).toLong,
-        f(7).toDouble, fromChild = true)
+        f(7).toDouble, f(8).toDouble, fromChild = true)
     }.toSeq
     val byName = rs.map(r => r.name -> r).toMap
     if (rc != 0 || !names.forall(byName.contains)) {
@@ -792,6 +840,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spinMs(); spinMs() // JIT-warm the calibration loop before any window
     val envAtStart = cpuEnvJson()
     val jvmsAtStart = contendingJvms()
     if (jvmsAtStart.nonEmpty)
@@ -865,6 +914,7 @@ object Bench {
       val throttled = probe.throttledDeltaUsec()
       val gcMs = probe.gcDeltaMs()
       val steal = probe.stealCores()
+      val spin = probe.spinAtStart
       if (foreign > ContendedCores)
         System.err.println(f"[bench] WARNING: $name timed with $foreign%.1f " +
           "foreign cores active — its number is not comparable")
@@ -875,7 +925,7 @@ object Bench {
         System.err.println(s"[bench] WARNING: $name ran under cgroup CPU " +
           s"throttling (${throttled / 1000} ms) — its number is not comparable")
       QRes(name, if (ts.contains(-1.0)) -1.0 else median(ts), Option(err),
-        foreign, throttled, own, gcMs, steal)
+        foreign, throttled, own, gcMs, steal, spin)
     }
 
     // run the 15 GB-class bL_ scans LAST: alphabetical order put them first,
@@ -894,7 +944,8 @@ object Bench {
         val errB64 = r.err.map(e => java.util.Base64.getEncoder
           .encodeToString(e.take(500).getBytes("UTF-8"))).getOrElse("-")
         println(f"BENCHQ\t${r.name}\t${r.sec}%.6f\t${r.foreign}%.4f\t" +
-          f"${r.throttled}\t${r.own}%.4f\t${r.gcMs}\t${r.steal}%.4f\t$errB64")
+          f"${r.throttled}\t${r.own}%.4f\t${r.gcMs}\t${r.steal}%.4f\t" +
+          f"${r.spinMs}%.1f\t$errB64")
       }
       System.out.flush()
       return
@@ -928,8 +979,8 @@ object Bench {
     } + "\""
     val qs = results.map(r => "\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
-    val errs = results.collect { case QRes(k, _, Some(e), _, _, _, _, _, _) =>
-      "\"" + k + "\":" + jstr(e.take(500)) }
+    val errs = results.collect { case r if r.err.isDefined =>
+      "\"" + r.name + "\":" + jstr(r.err.get.take(500)) }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.map(_.sec).filter(_ >= 0).sum
@@ -963,7 +1014,7 @@ object Bench {
     // verdict #2); fresh_jvm marks windows timed by the forked bL tier
     val probeField = results.map { r =>
       "\"" + r.name + "\":{" +
-        f""""foreign_cores":${r.foreign}%.2f,"own_cores":${r.own}%.2f,"throttled_usec":${r.throttled},"gc_ms":${r.gcMs},"steal_cores":${r.steal}%.2f}"""
+        f""""foreign_cores":${r.foreign}%.2f,"own_cores":${r.own}%.2f,"throttled_usec":${r.throttled},"gc_ms":${r.gcMs},"steal_cores":${r.steal}%.2f,"spin_ms":${r.spinMs}%.1f}"""
     }.mkString(""","probe":{""", ",", "}")
     // record the thread count: heavy scans are decode-bound and scale with
     // cores, so an 8-thread record vs a 32-thread record differs 3-4x on

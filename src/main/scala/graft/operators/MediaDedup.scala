@@ -54,11 +54,12 @@ object MediaDedup {
       bucketCap: Int = HammingBlocked.DefaultBucketCap): DataFrame = {
     // persist the (id, fp) table: it feeds FIVE consumers below (distinct
     // + two sides of each join), and `fps` is typically the tail of an
-    // expensive fingerprint derivation (decode -> dHash). Without this,
-    // whether the derivation runs 1x or 5x depends on exchange reuse the
-    // optimizer does not guarantee — a same-query flip measured 5.5 s vs
-    // 51 s on the 200k-image bench corpus (the minhashNearDups persist
-    // reasoning, made non-negotiable by observed variance).
+    // expensive fingerprint derivation (decode -> dHash) that must run
+    // once, not once per consumer. persist, NOT localCheckpoint: the
+    // eager-checkpoint variant was tried and turned the clusters bench
+    // 20x slower in an otherwise clean window (lineage-cut stats changed
+    // the downstream join planning for the worse), while persist measures
+    // stable across repeated idle runs.
     val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = m.select(col("fp")).distinct()
@@ -209,8 +210,8 @@ object MediaDedup {
   def hashDedupClusters(fps: DataFrame, idCol: String, fpCol: String,
       maxHamming: Int = 3,
       bucketCap: Int = HammingBlocked.DefaultBucketCap): DataFrame = {
-    // same 1x-vs-Nx persist contract as hashNearDups: m feeds the distinct
-    // AND the final member-assignment join
+    // same 1x-execution persist contract as hashNearDups: m feeds the
+    // distinct AND the final member-assignment join
     val m = fps.select(col(idCol).as("mid"), col(fpCol).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = m.select(col("fp")).distinct()
