@@ -1311,8 +1311,8 @@ object LlmOracles {
   /** q230: Gopher rules replayed — every metric an exact integer and
     * every threshold the same integer inequality as the engine. */
   val q230: String =
-    """WITH d AS (SELECT doc_id, text,
-         list_filter(string_split(text, ' '), x -> x <> '') AS t
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS t
        FROM documents),
        m AS (SELECT doc_id,
          CAST(len(t) AS BIGINT) AS n_words,

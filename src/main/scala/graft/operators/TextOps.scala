@@ -139,6 +139,9 @@ object TextOps {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(toks)-$n), i -> concat_ws(' ', slice(toks, i+1, $n)))"))
         .as(Seq("p", "g")))
+      // released lazily by the ContextCleaner once the plan is collected
+      // (the HammingBlocked convention — callers that time repeated runs,
+      // e.g. the bench ladder, clearCache() between runs instead)
       .select(col("doc_id"), col("p"), hash60(col("g")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("cnt"))
@@ -174,6 +177,11 @@ object TextOps {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val stopArr = stops.map(s => s"'$s'").mkString("array(", ", ", ")")
     docs
+      // NULL text reads as an empty doc (n_words = 0, every count 0) in
+      // BOTH engines — without the coalesce, split(NULL) → size = -1 here
+      // vs NULL metrics in SQL, the same NULL-text divergence corpusDelta
+      // guards against with its presence markers
+      .withColumn("text", coalesce(col("text"), lit("")))
       .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_word_chars", expr(
