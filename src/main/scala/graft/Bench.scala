@@ -585,6 +585,23 @@ object Bench {
     }.reduce(_ unionByName _)
   }
 
+  /** Wide-vocabulary synthetic corpus for the bpe_train ladder: the sf
+    * documents table has only ~31 distinct words (capacity ~107 merges),
+    * far below the 1k+ rules the series probes. Each doc is 30 words
+    * drawn deterministically from a 50,000-word pool (6 base-26 chars of
+    * the word id), so distinct words ≈ tens of thousands and merge
+    * capacity ≈ 5×that. */
+  def bpeCorpus(spark: SparkSession, nDocs: Long): DataFrame = {
+    val w = "pmod(hash(id, k), 50000L)"
+    val word = (0 until 6).map(d =>
+      s"substring('abcdefghijklmnopqrstuvwxyz', " +
+        s"1 + CAST(($w div ${math.pow(26, d).toLong}L) % 26 AS INT), 1)")
+      .mkString("concat(", ", ", ")")
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      expr(s"concat_ws(' ', transform(sequence(0, 29), k -> $word))")
+        .as("text"))
+  }
+
   /** `k` copies of the embedding corpus with per-copy sign flips on a
     * quarter-ish of the dimensions — copies land in different hyperplane
     * buckets, keeping per-bucket load scale-invariant. */
@@ -767,6 +784,13 @@ object Bench {
       // BPE tokenization is a pure projection — must read ~linear
       series("bpe_tokens", Seq(nDocs, 2 * nDocs, 4 * nDocs),
         n => TextOps.bpeTokenize(docsTimes(docs, (n / nDocs).toInt))),
+      // BATCHED BPE training: n here is MERGES learned (fixed corpus,
+      // 32/round after the symbol-pool ramp) — rounds ≈ merges/batch, so
+      // the series must read ~linear in merges, vs the unbatched trainer's
+      // one full vocabulary pass PER merge (32x the passes at batch 32)
+      series("bpe_train", Seq(256L, 512L, 1024L),
+        m => TextOps.bpeTrainBatched(bpeCorpus(spark, 2000L), m.toInt,
+          batch = 32)),
       // classifier training: per round one broadcast join + per-doc agg +
       // one corpus err join + per-bucket agg — all linear passes
       series("quality_clf", Seq(nDocs, 2 * nDocs, 4 * nDocs),

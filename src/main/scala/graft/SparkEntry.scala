@@ -255,6 +255,7 @@ object SparkEntry {
     "q234_cluster_sample"   -> (LlmQueries.q234ClusterSample _),
     "q235_source_overlap"   -> (LlmQueries.q235SourceOverlap _),
     "q236_region_extents"   -> (RaquetQueries.q236RegionExtents _),
+    "q237_bpe_batched"      -> (LlmQueries.q237BpeTrainBatched _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -607,6 +608,9 @@ object SparkEntry {
     "q235_source_overlap"   -> LlmOracles.q235,
     // q236: region extents — closure + per-label bbox/count/class replayed
     "q236_region_extents"   -> RaquetOracles.q236,
+    // q237: batched BPE training — both rounds with every greedy
+    // symbol-disjoint pick (and its exclusions) replayed in SQL
+    "q237_bpe_batched"      -> LlmOracles.q237(2, 3),
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -104,15 +104,19 @@ object EmbedOps {
     *   v₀ = 1;  uᵣ = C·vᵣ₋₁;  sᵣ = max(1, max_d |uᵣ[d]| div 2¹²);
     *   vᵣ[d] = sign(uᵣ[d]) · (|uᵣ[d]| div sᵣ)
     *
-    * — the rescale keeps |v| ≈ 2¹² so the next matvec stays in int64 for
-    * corpora to ~10⁵ vectors at the 64-quantization (|u| ≤
-    * dim·|cov|·2¹² = 64·4096n²·4096 < 2⁶³ ⇒ n ≲ 9·10⁴; beyond that,
-    * compute per-shard covariances and iterate on their mean), and
-    * division only ever sees non-negative operands (sign reapplied), the
-    * same truncate-vs-floor-proof construction as
-    * [[TextOps.qualityClassifier]]. Convergence to the dominant
-    * eigendirection is the classic power-iteration argument; the integer
-    * truncation is a ≤2⁻¹² relative perturbation per round.
+    * — the rescale keeps |v| ≈ 2¹², and the matvec accumulates in
+    * DECIMAL(38,0) (exact integers to 10³⁸), so the iteration is exact
+    * for any corpus whose covariance entries fit int64: |cov| ≤ 4096n²
+    * < 2⁶³ ⇒ n ≲ 1.5·10⁹ vectors at the 64-quantization — four orders
+    * past the previous all-int64 bound of ~9·10⁴, where dim·|cov|·2¹²
+    * overflowed the matvec. Division only ever sees non-negative
+    * operands (sign reapplied via the x − x%s construction, floor ≡
+    * truncate there), the same proof shape as
+    * [[TextOps.qualityClassifier]]; values are bit-identical to the
+    * previous long arithmetic wherever that didn't overflow.
+    * Convergence to the dominant eigendirection is the classic
+    * power-iteration argument; the integer truncation is a ≤2⁻¹²
+    * relative perturbation per round.
     *
     * Scale shape: the corpus-scale work is covarianceMatrix's one pass;
     * iteration then runs on dim² rows — broadcast-sized regardless of
@@ -121,22 +125,40 @@ object EmbedOps {
       iters: Int = 3): DataFrame = {
     val cov = covarianceMatrix(vecs, dim)
       .select(col("i"), col("j"), col("cov_num")).localCheckpoint()
+    powerIterationOn(cov, dim, iters)
+  }
+
+  /** Power iteration on an explicit (i, j, cov_num) upper-triangle
+    * matrix — [[pcaPowerIteration]]'s iteration stage, exposed so the
+    * overflow headroom is testable without a 10⁹-vector corpus. */
+  def powerIterationOn(cov: DataFrame, dim: Int, iters: Int): DataFrame = {
     // mirror the upper triangle into the full symmetric matrix
     val full = cov.union(
       cov.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
-    val spark = vecs.sparkSession
+    val spark = cov.sparkSession
     import spark.implicits._
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     var v = (0 until dim).map(d => (d, 1L)).toDF("d", "v")
     for (_ <- 1 to iters) {
+      // decimal accumulate: |term| ≤ |cov|·2¹³ and dim ≤ 2⁷ terms stay
+      // far inside 38 digits for any int64 cov entry
       val u = full.join(broadcast(v), full("j") === v("d"))
         .groupBy(full("i").as("d"))
-        .agg(sum(col("cov_num") * col("v")).as("u"))
-      val s = u.agg(greatest(lit(1L),
-        expr("max(CASE WHEN u >= 0L THEN u ELSE -u END) div 4096L")).as("s"))
+        .agg(sum(col("cov_num").cast(dec38) * col("v").cast(dec38)).as("u"))
+      // s = max(1, floor(max|u| / 4096)), all-decimal: x − x%4096 is an
+      // exact multiple, so the division is an exact integer (no decimal
+      // rounding anywhere); the long `div` it replaces overflowed at
+      // |u| > 2⁶³ and its result at > 2⁶³·2⁻¹²
+      val s = u.agg(max(expr("CASE WHEN u >= 0 THEN u ELSE -u END")).as("m"))
+        .select(greatest(lit(1).cast(dec38),
+          ((col("m") - pmod(col("m"), lit(4096))) / lit(4096)).cast(dec38))
+          .as("s"))
+      // |u| div s ≤ ~2¹³ — safely back to long
       v = u.crossJoin(broadcast(s))
         .select(col("d"), expr(
-          "CASE WHEN u >= 0L THEN u div s ELSE -((-u) div s) END").as("v"))
+          """CASE WHEN u >= 0 THEN CAST((u - (u % s)) / s AS BIGINT)
+             ELSE -CAST(((-u) - ((-u) % s)) / s AS BIGINT) END""").as("v"))
         .localCheckpoint()
     }
     v.select(col("d").cast("int").as("d"), col("v"))

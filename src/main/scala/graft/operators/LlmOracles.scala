@@ -928,6 +928,61 @@ object LlmOracles {
          coalesce(a.toks, '') AS toks
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
+  /** q237: BATCHED BPE training replayed — per round, `batch` greedy
+    * symbol-disjoint picks from the count-ordered pair list (pick k is a
+    * CTE excluding both symbols of every earlier pick this round), then
+    * ONE nested replace pass applying the batch in rank order. Symbol-
+    * disjointness makes the pre-round counts exact for every pick (see
+    * [[TextOps.bpeTrainBatched]]), so all four columns replay exactly. */
+  def q237(rounds: Int = 2, batch: Int = 3): String = {
+    val wrap = "list_aggregate(list_transform(generate_series(1, len(w)), " +
+      "i -> ' ' || w[i] || ' '), 'string_agg', '')"
+    def disjoint(x: String) =
+      s"""a.pair IS NOT NULL
+          AND split_part(a.pair, ' ', 1) <> split_part($x.pair, ' ', 1)
+          AND split_part(a.pair, ' ', 1) <> split_part($x.pair, ' ', 2)
+          AND split_part(a.pair, ' ', 2) <> split_part($x.pair, ' ', 1)
+          AND split_part(a.pair, ' ', 2) <> split_part($x.pair, ' ', 2)"""
+    val roundsSql = (1 to rounds).map { r =>
+      val prev = s"v${r - 1}"
+      val picks = (1 to batch).map { k =>
+        val excl = (1 until k).map(m => s"b${r}_$m")
+        val from = (s"a$r a" +: excl.zipWithIndex.map { case (e, i) =>
+          s"$e x$i" }).mkString(", ")
+        val where =
+          if (excl.isEmpty) ""
+          else "WHERE " + excl.indices.map(i => disjoint(s"x$i")).mkString(" AND ")
+        s"""b${r}_$k AS (SELECT a.pair AS pair, a.n AS n FROM $from
+            $where ORDER BY a.n DESC, a.pair ASC LIMIT 1)"""
+      }.mkString(",\n")
+      val applies = (1 to batch).foldLeft("s") { (acc, k) =>
+        s"""replace($acc,
+            ' ' || split_part(p$k.pair, ' ', 1) || '  ' || split_part(p$k.pair, ' ', 2) || ' ',
+            ' ' || replace(p$k.pair, ' ', '') || ' ')"""
+      }
+      val pickFroms = (1 to batch).map(k => s"b${r}_$k p$k").mkString(", ")
+      s"""t$r AS (SELECT string_split(trim(s), '  ') AS toks, c FROM $prev
+            WHERE len(string_split(trim(s), '  ')) > 1),
+          p$r AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1])) AS pair, c FROM t$r),
+          a$r AS (SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p$r GROUP BY 1),
+          $picks,
+          v$r AS (SELECT w, $applies AS s, c FROM $prev, $pickFroms)"""
+    }.mkString(",\n")
+    val out = (for (r <- 1 to rounds; k <- 1 to batch) yield
+      s"SELECT ${(r - 1) * batch + k} AS rank, " +
+        s"split_part(pair, ' ', 1) AS lhs, " +
+        s"split_part(pair, ' ', 2) AS rhs, n FROM b${r}_$k")
+      .mkString(" UNION ALL ")
+    s"""WITH words AS (
+         SELECT w, count(*) AS c
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 GROUP BY 1),
+       v0 AS (SELECT w, $wrap AS s, c FROM words),
+       $roundsSql
+       SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, n FROM ($out)"""
+  }
+
   /** The q209/q211 deterministic crawl-URL twin, DuckDB form (same CASE
     * as [[LlmQueries.urlCorpusSpark]]). */
   private val urlCorpusDuck: String =

@@ -633,6 +633,14 @@ object LlmQueries {
   def q210BpeTrain(spark: SparkSession, dir: String): DataFrame =
     TextOps.bpeTrain(docs(spark, dir), numMerges = 8)
 
+  /** q237 — BATCHED BPE training ([[TextOps.bpeTrainBatched]]): 6 rules
+    * learned 3 per round, each round one pair-count pass + a greedy
+    * symbol-disjoint top-3 — the production-vocab shape (32k rules ≈
+    * 32k/batch vocabulary passes). The oracle replays both rounds,
+    * including every greedy exclusion, in SQL. */
+  def q237BpeTrainBatched(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrainBatched(docs(spark, dir), numMerges = 6, batch = 3)
+
   /** q211 — per-domain quota sampling ([[Curation.quotaPerGroup]]): at
     * most 5 pages per registrable domain, chosen in deterministic hash
     * order — the crawl-balancing primitive. One window shuffle; the

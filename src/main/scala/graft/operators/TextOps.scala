@@ -902,7 +902,33 @@ object TextOps {
     * is one codegen'd `replace`. Returns (rank, lhs, rhs, n) — a VALID
     * merges table by construction (operands are single chars or earlier
     * outputs), directly feedable to [[bpeTokenize]]. */
-  def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame =
+    bpeTrainBatched(docs, numMerges, batch = 1)
+
+  /** BATCHED distributed BPE training — the production-vocab scale path
+    * (32k merges at batch 1 would pay 32k vocabulary passes): each ROUND
+    * counts pairs once, then greedily takes up to `batch` merges from the
+    * count-ordered pair list, skipping any pair that shares a SYMBOL with
+    * one already taken this round. Symbol-disjoint pairs cannot create or
+    * destroy each other's occurrences (a replace of " a  b " only touches
+    * spans containing a or b), so every taken pair's pre-round count is
+    * still exact when it applies — applying the batch in rank order is
+    * identical to recounting between them. `batch = 1` IS the classic
+    * algorithm ([[bpeTrain]] delegates), so q210 stays exact; `batch > 1`
+    * is the standard batched approximation (the classic run may instead
+    * pick a pair BUILT FROM an earlier merge in the batch — documented
+    * divergence, rules are still valid-by-construction).
+    *
+    * Scale shape: merges/round ≈ batch, so a 32k-rule vocabulary costs
+    * ~32k/batch vocabulary passes instead of 32k. The greedy runs on a
+    * bounded collected PREFIX of the ordered pair table, re-collected 4×
+    * larger until either `batch` picks are found or the whole table was
+    * scanned — the driver never holds more than the prefix, and the
+    * result equals the full-table greedy by construction. A round with
+    * no pairs left ends training (the classic corpus-exhausted case). */
+  def bpeTrainBatched(docs: DataFrame, numMerges: Int,
+      batch: Int): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
@@ -916,32 +942,57 @@ object TextOps {
       col("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var rank = 1
-    while (rank <= numMerges) {
-      val pairs = vocab
+    var exhausted = false
+    while (learned.size < numMerges && !exhausted) {
+      val pairCounts = vocab
         .select(split(trim(col("s")), "  ").as("toks"), col("c"))
         .filter(size(col("toks")) >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
           .as("pair"), col("c"))
-      val best = pairs.groupBy("pair").agg(sum("c").as("n"))
-        .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
-      require(best.nonEmpty, s"corpus exhausted after ${rank - 1} merges")
-      val pair = best(0).getString(0)
-      val n = best(0).getLong(1)
-      val sp = pair.indexOf(' ')
-      val a: String = pair.substring(0, sp)
-      val b: String = pair.substring(sp + 1)
-      learned += ((rank, a, b, n))
-      val prev = vocab
-      vocab = vocab.withColumn("s",
-        replace(col("s"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+        .groupBy("pair").agg(sum("c").as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      vocab.count() // materialize before dropping the parent
-      prev.unpersist()
-      rank += 1
+      val want = math.min(batch, numMerges - learned.size)
+      // greedy over the count-ordered list: prefix-collect, widen until the
+      // picks are provably the full-table greedy (found `want`, or saw all)
+      var picks = Seq.empty[(String, String, Long)]
+      var prefix = math.max(8 * want, 64)
+      var sawAll = false
+      while (picks.size < want && !sawAll) {
+        val rows = pairCounts
+          .orderBy(col("n").desc, col("pair").asc).limit(prefix).collect()
+        sawAll = rows.length < prefix
+        val used = scala.collection.mutable.Set.empty[String]
+        picks = rows.iterator.flatMap { r =>
+          val pair = r.getString(0)
+          val sp = pair.indexOf(' ')
+          val a = pair.substring(0, sp)
+          val b = pair.substring(sp + 1)
+          if (!used(a) && !used(b)) { used += a; used += b; Some((a, b, r.getLong(1))) }
+          else None
+        }.take(want).toSeq
+        prefix *= 4
+      }
+      pairCounts.unpersist()
+      if (picks.isEmpty) exhausted = true
+      else {
+        picks.foreach { case (a, b, n) =>
+          learned += ((learned.size + 1, a, b, n))
+        }
+        val prev = vocab
+        // apply the batch in rank order (≡ any order: symbol-disjoint)
+        vocab = vocab.withColumn("s",
+          picks.foldLeft(col("s")) { case (c, (a, b, _)) =>
+            replace(c, lit(s" $a  $b "), lit(s" ${a + b} "))
+          })
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vocab.count() // materialize before dropping the parent
+        prev.unpersist()
+      }
     }
     vocab.unpersist()
+    require(learned.size == numMerges,
+      s"corpus exhausted after ${learned.size} merges")
     import spark.implicits._
     learned.toSeq.toDF("rank", "lhs", "rhs", "n")
       .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"), col("n"))

@@ -162,6 +162,110 @@ class BpeSpec extends SparkSpec with PropHelper {
     assert(tok.getString(2) == "aaaa|aaaa|aaaa|bc|d")
   }
 
+  /** Local replay of the batched trainer's documented algorithm (pair
+    * counts at all adjacent positions, greedy symbol-disjoint top-B by
+    * (count desc, pair asc), batch applied in rank order via the same
+    * left-to-right replace) — the spec-side oracle for bpeTrainBatched. */
+  private def replayBatched(corpus: Seq[String], numMerges: Int,
+      batch: Int): Seq[(Int, String, String, Long)] = {
+    val counts = corpus.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var vocab: Map[String, Long] =
+      counts.map { case (w, c) => w.map(ch => s" $ch ").mkString -> c }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (learned.size < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (s, c) =>
+        val toks = s.trim.split("  ")
+        if (toks.length > 1)
+          toks.sliding(2).foreach(p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c)
+      }
+      val ordered = pc.toSeq.sortBy { case ((a, b), n) => (-n, s"$a $b") }
+      val used = scala.collection.mutable.Set.empty[String]
+      val picks = ordered.iterator.collect {
+        case ((a, b), n) if !used(a) && !used(b) =>
+          used += a; used += b; (a, b, n)
+      }.take(math.min(batch, numMerges - learned.size)).toSeq
+      if (picks.isEmpty) exhausted = true
+      else {
+        picks.foreach { case (a, b, n) =>
+          learned += ((learned.size + 1, a, b, n)) }
+        vocab = vocab.map { case (s, c) =>
+          picks.foldLeft(s) { case (acc, (a, b, _)) =>
+            acc.replace(s" $a  $b ", s" ${a + b} ") } -> c }
+          .groupBy(_._1).map { case (s, g) => s -> g.values.sum } // keys can collide post-merge
+      }
+    }
+    learned.toSeq
+  }
+
+  test("bpeTrainBatched(batch=1) == bpeTrain, rule for rule") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa bcd"),
+      (2L, "aaaa aaaa bcd bcd"),
+      (3L, "aa bc")).toDF("doc_id", "text")
+    val classic = TextOps.bpeTrain(docs, numMerges = 3).orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val b1 = TextOps.bpeTrainBatched(docs, numMerges = 3, batch = 1)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(classic.toSeq == b1.toSeq)
+  }
+
+  test("bpeTrainBatched: greedy symbol-disjoint rounds match the local replay; table is valid") {
+    import spark.implicits._
+    val corpus = Seq(
+      "stream stream stream sort sort group group group",
+      "query window hash table order stream sort",
+      "the fast stream sorts the group by hash",
+      "window window order order order table")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (batch <- Seq(2, 3, 5)) {
+      val got = TextOps.bpeTrainBatched(docs, numMerges = 10, batch = batch)
+        .orderBy("rank")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(got.toSeq == replayBatched(corpus, 10, batch), s"batch=$batch")
+      // within each round, picks share no symbol (the invariance guarantee)
+      got.grouped(batch).foreach { round =>
+        val syms = round.flatMap(t => Seq(t._2, t._3))
+        assert(syms.distinct.size == syms.size,
+          s"batch=$batch round shares a symbol: $round")
+      }
+      // learned table is VALID by construction — buildRanks accepts it
+      org.apache.spark.sql.graft.BpeKernel.buildRanks(
+        got.map(t => s"${t._2} ${t._3}").mkString(","))
+    }
+  }
+
+  test("bpeTrainBatched: corpus exhaustion fails loudly with the learned count") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text") // capacity: 1 merge
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeTrainBatched(docs, numMerges = 5, batch = 2)
+    }
+    assert(e.getMessage.contains("corpus exhausted after 1 merges"), e.getMessage)
+  }
+
+  test("bpeTrainBatched at depth: the ladder corpus sustains hundreds of rules, all valid") {
+    import org.apache.spark.sql.functions.countDistinct
+    val docs = Bench.bpeCorpus(spark, 400L)
+    // vocabulary must be wide enough that capacity >> merges
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect().head.getLong(0)
+    assert(words > 5000, s"bpeCorpus vocabulary too small: $words")
+    val m = TextOps.bpeTrainBatched(docs, numMerges = 192, batch = 32)
+      .orderBy("rank").collect()
+    assert(m.length == 192)
+    assert(m.map(_.getInt(0)).toSeq == (1 to 192))
+    // valid table by construction
+    org.apache.spark.sql.graft.BpeKernel.buildRanks(
+      m.map(r => s"${r.getString(1)} ${r.getString(2)}").mkString(","))
+  }
+
   test("SQL registration: rq_bpe_tokens with a literal merges spec") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

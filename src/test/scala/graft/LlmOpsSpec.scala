@@ -426,6 +426,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(v(5)) > 10 * math.abs(v(20)))
   }
 
+  test("powerIterationOn: exact past the old int64 matvec bound (decimal accumulate)") {
+    import spark.implicits._
+    val dim = 8
+    // entries ~2^56: dim·|cov|·2^12 ≈ 2^71 — the previous all-long matvec
+    // wrapped here (its bound was n ≲ 9·10^4 vectors ⇔ |cov| ≲ 2^45); the
+    // decimal path must match an overflow-free BigInt replay exactly
+    def c(i: Int, j: Int): Long = {
+      val base = (1L << 59) / 8
+      val sign = if ((i * 31 + j * 17) % 3 == 0) -1 else 1
+      sign * (base + i * 1000003L + j * 7919L)
+    }
+    val cov = (for (i <- 0 until dim; j <- i until dim) yield (i, j, c(i, j)))
+      .toDF("i", "j", "cov_num")
+    val got = operators.EmbedOps.powerIterationOn(cov, dim, iters = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val full = Array.tabulate(dim, dim)((i, j) =>
+      BigInt(if (i <= j) c(i, j) else c(j, i)))
+    var v = Array.fill(dim)(BigInt(1))
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(dim)(d =>
+        (0 until dim).map(j => full(d)(j) * v(j)).sum)
+      val s = BigInt(1).max(u.map(_.abs).max / 4096)
+      v = u.map(x => x.signum * (x.abs / s))
+    }
+    (0 until dim).foreach(d => assert(BigInt(got(d)) == v(d),
+      s"d=$d got=${got(d)} want=${v(d)}"))
+    // sanity: the magnitudes really exceeded the old headroom mid-iteration
+    assert(full(0).map(_.abs).max * 4096 > BigInt(Long.MaxValue))
+  }
+
   test("removeTopComponent: residuals are EXACTLY orthogonal to the removed direction") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
