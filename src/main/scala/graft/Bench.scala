@@ -564,6 +564,24 @@ object Bench {
       graft.operators.Regions.regionSizes(sub, ds.meta, "band_1")
         .groupBy((col("n_px") < 100L).as("small"))
         .agg(count(lit(1)).as("n_regions"), sum("n_px").as("px"))
+    }),
+    // gdal_sieve APPLY path (the 6-join pipeline: labels + sizes +
+    // adjacency + argmax-neighbor + the single label->value pixel join),
+    // reduced to a checksum so the noop sink forces every pixel. A 16x16-
+    // tile window (16.7M px): the apply path materializes per-pixel labels
+    // AND values, ~4x the decision path's work per tile — the full 32x32
+    // raster read 33 s/run, too heavy for a median-of-3 interactive slot
+    "b_region_apply" -> ((s: SparkSession, _: String) => {
+      val ds = RaquetIO.read(s, RasterDir)
+      val sub = ds.data.filter(quadbin_zoom(col("block")) === 10 &&
+          quadbin_tile_x(col("block")) < 528 && quadbin_tile_y(col("block")) < 528)
+        .select(col("block"), graft.functions.GraftFunctions.rq_reclassify(
+          col("band_1"), ds.meta, "band_1",
+          Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0))
+          .as("band_1"))
+      graft.operators.Regions.sieveApply(sub, ds.meta, "band_1",
+          minPixels = 100L)
+        .agg(count(lit(1)).as("n_px"), sum("v").as("vsum"))
     }))
 
   /** `k` mutually-DISSIMILAR synthetic copies of the document corpus

@@ -42,6 +42,7 @@ object Cli {
       |           decodes one codestream on the driver — use the directory
       |           form for archives
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
+      |      [--overview-resampling average|mode|bilinear|near]  (TIFF path)
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
       |      [--compression gzip|none|jpeg|webp] [--quality 0-100]
@@ -324,7 +325,8 @@ object Cli {
         rowGroupBytes = f.getOrElse("row-group-bytes", "0").toLong,
         compression = f.getOrElse("compression", "gzip"),
         bandLayout = f.getOrElse("band-layout", "sequential"),
-        quality = f.get("quality").map(_.toInt))
+        quality = f.get("quality").map(_.toInt),
+        overviewResampling = f.getOrElse("overview-resampling", "average"))
       println(s"converted $in -> $out")
     case "export" =>
       val (pos, f) = parseArgs(args.tail, Set("no-overviews"))

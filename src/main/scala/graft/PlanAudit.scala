@@ -47,7 +47,11 @@ object PlanAudit {
       "q199_kmeans" -> LlmQueries.q199Kmeans _,
       "q200_bloom_decontam" -> LlmQueries.q200BloomContamination _,
       "q203_ivfpq" -> LlmQueries.q203IvfPq _,
-      "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build")) ++
+      "q231_idw_grid" -> RaquetQueries.q231IdwGrid _,
+      "q232_region_sieve" -> RaquetQueries.q232RegionSieve _,
+      "q233_sieve_apply" -> RaquetQueries.q233SieveApply _,
+      "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build"),
+      "b_region_apply" -> Bench.rasterQueries("b_region_apply")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
       (if (java.nio.file.Files.exists(
            java.nio.file.Paths.get(Bench.LargeRasterDir)))

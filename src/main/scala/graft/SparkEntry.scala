@@ -256,6 +256,8 @@ object SparkEntry {
     "q235_source_overlap"   -> (LlmQueries.q235SourceOverlap _),
     "q236_region_extents"   -> (RaquetQueries.q236RegionExtents _),
     "q237_bpe_batched"      -> (LlmQueries.q237BpeTrainBatched _),
+    "q238_pyramid_mode"     -> (RaquetQueries.q238PyramidMode _),
+    "q239_pyramid_bilinear" -> (RaquetQueries.q239PyramidBilinear _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -611,6 +613,10 @@ object SparkEntry {
     // q237: batched BPE training — both rounds with every greedy
     // symbol-disjoint pick (and its exclusions) replayed in SQL
     "q237_bpe_batched"      -> LlmOracles.q237(2, 3),
+    // q238/q239: overview resampling variants — every parent pixel's
+    // majority / strict 4-tap mean re-derived from the native closed form
+    "q238_pyramid_mode"     -> RaquetOracles.q238,
+    "q239_pyramid_bilinear" -> RaquetOracles.q239,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -182,8 +182,9 @@ object GraftFunctions {
     * by `quadbin_ancestor(block, z)` and fold each child into its quadrant
     * map-side, so Morton-sorted inputs shuffle one buffer per parent. */
   def rq_parent_tile(block: Column, band: Column, meta: RaquetMetadata,
-      name: String): Column =
-    col(RqParentTile(ex(block), ex(band), BandKernel(meta, name)).toAggregateExpression())
+      name: String, resampling: String = "average"): Column =
+    col(RqParentTile(ex(block), ex(band), BandKernel(meta, name), resampling)
+      .toAggregateExpression())
 
   /** Per-pixel composite across a tile stack's time axis (group by block):
     * op ∈ mean | sum | min | max | count. Emits a float64 gzip band blob

@@ -614,6 +614,55 @@ object RaquetOracles {
         FROM sh GROUP BY block, z"""
   }
 
+  /** band_1 raw value of the NATIVE pixel at explicit global coords. */
+  private def v1At(gx: String, gy: String): String =
+    s"""CASE WHEN (($gx)+($gy))%31=0 THEN NULL
+        ELSE CAST((7*($gx)+13*($gy))%255 AS DOUBLE) END"""
+
+  /** q238/q239 shared frame: one row per zoom-5 parent pixel with its four
+    * native child DNs (c0..c3, NULL at nodata) — parents x 16-19, y 12-15
+    * cover exactly the fixture's native window, so no child is absent. */
+  private def parentCells: String =
+    s"""t AS (SELECT ${cellExpr("(16+tx)", "(12+ty)", 5)} AS block,
+          (16+tx)*16 AS px0, (12+ty)*16 AS py0
+        FROM range(4) a(tx), range(4) b(ty)),
+      px AS (SELECT block, CAST(j*16+i AS BIGINT) AS pos,
+          (px0+i)*2 AS cgx, (py0+j)*2 AS cgy
+        FROM t, range(16) a(i), range(16) b(j)),
+      c AS (SELECT block, pos,
+          ${v1At("cgx", "cgy")} AS c0, ${v1At("cgx+1", "cgy")} AS c1,
+          ${v1At("cgx", "cgy+1")} AS c2, ${v1At("cgx+1", "cgy+1")} AS c3
+        FROM px)"""
+
+  /** q238: mode overview — majority of the valid children, ties to the
+    * LOWEST value (sorted by (-count, value)), all-invalid → nodata 255. */
+  val q238: String =
+    s"""WITH $parentCells,
+       l AS (SELECT block, pos,
+           list_filter([c0, c1, c2, c3], x -> x IS NOT NULL) AS v FROM c)
+       SELECT block, pos,
+         CAST(CASE WHEN len(v) = 0 THEN 255.0
+              ELSE list_sort(list_transform(v, x ->
+                [CAST(-len(list_filter(v, y -> y = x)) AS DOUBLE), x]))[1][2]
+              END AS BIGINT) AS dn
+       FROM l"""
+
+  /** q239: bilinear overview — strict 4-tap mean with half-even integer
+    * rounding (floor + parity on the remainder), NULL tap → nodata 255. */
+  val q239: String =
+    s"""WITH $parentCells,
+       s AS (SELECT block, pos, c0 IS NULL OR c1 IS NULL OR c2 IS NULL
+           OR c3 IS NULL AS hole,
+           CAST(coalesce(c0,0) + coalesce(c1,0) + coalesce(c2,0)
+             + coalesce(c3,0) AS BIGINT) AS tot FROM c)
+       SELECT block, pos,
+         CASE WHEN hole THEN CAST(255 AS BIGINT)
+              ELSE tot // 4 + (CASE WHEN tot % 4 = 3 THEN 1
+                               WHEN tot % 4 = 2 THEN (tot // 4) % 2
+                               ELSE 0 END)
+         END AS dn
+       FROM s"""
+
   val q24: String = {
     // value at zoom 6-k, global pixel g = native v2 at (2^k·g + 2^(k-1) - 0.5)
     def e(g: String) =

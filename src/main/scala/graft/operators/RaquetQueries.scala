@@ -289,6 +289,35 @@ object RaquetQueries {
         col("gx0"), col("gy0"), col("gx1"), col("gy1"))
   }
 
+  /** q238 — MODE (majority) overview resampling ([[graft.raquet.Pyramid
+    * .buildLevel]] with resampling = "mode"): the categorical-safe kernel
+    * (most frequent valid child per 2×2, ties to the LOWEST value, never
+    * an invented class) over band_1, whose nodata speckle makes partial
+    * cells real. Per-pixel DN output; the oracle re-derives every parent
+    * pixel's majority from the native closed form. */
+  def q238PyramidMode(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    graft.raquet.Pyramid.buildLevel(native, ds.meta, 5, "mode")
+      .select(col("block"),
+        posexplode(rq_decode(col("band_1"), ds.meta, "band_1")))
+      .select(col("block"), col("pos"), col("col").cast("long").as("dn"))
+  }
+
+  /** q239 — BILINEAR overview resampling (strict 4-tap: the parent pixel
+    * center sits on its 4 children's shared corner, equal weights; ANY
+    * invalid tap → nodata instead of smearing across the hole). Integer
+    * band → half-even rounding, replayed exactly by the oracle's
+    * floor-plus-parity arithmetic. */
+  def q239PyramidBilinear(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    graft.raquet.Pyramid.buildLevel(native, ds.meta, 5, "bilinear")
+      .select(col("block"),
+        posexplode(rq_decode(col("band_1"), ds.meta, "band_1")))
+      .select(col("block"), col("pos"), col("col").cast("long").as("dn"))
+  }
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

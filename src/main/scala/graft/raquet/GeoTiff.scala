@@ -1426,7 +1426,11 @@ object GeoTiff {
       targetFileBytes: Long = 0, rowGroupBytes: Long = 0,
       compression: String = "gzip",
       bandLayout: String = "sequential",
-      quality: Option[Int] = None): RaquetMetadata = {
+      quality: Option[Int] = None,
+      overviewResampling: String = "average"): RaquetMetadata = {
+    require(Downsample.Resamplings(overviewResampling),
+      s"overview resampling must be one of " +
+        s"${Downsample.Resamplings.mkString("/")}, got $overviewResampling")
     quality.foreach { q =>
       require(q >= 0 && q <= 100, s"quality must be 0-100, got $q")
       require(compression == "jpeg" || compression == "webp",
@@ -1563,7 +1567,7 @@ object GeoTiff {
     // reduce operates on sequential band columns only
     val all =
       if (srcOverviews.isEmpty && bandLayout == "sequential")
-        Pyramid.build(native, meta, minZoom)
+        Pyramid.build(native, meta, minZoom, overviewResampling)
       else {
         val sources = (0, src) +: srcOverviews.zipWithIndex.map { case (o, i) => (i + 1, o) }
         (minZoom until zoom).foldLeft(native) { (acc, z) =>

@@ -27,13 +27,14 @@ object Pyramid {
     * partial completes each parent locally and one dtype-encoded buffer per
     * parent crosses the exchange (vs four full child rows + a Row-encoder
     * round-trip in the groupByKey shape). */
-  def buildLevel(level: DataFrame, meta: RaquetMetadata, parentZoom: Int): DataFrame = {
+  def buildLevel(level: DataFrame, meta: RaquetMetadata, parentZoom: Int,
+      resampling: String = "average"): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     import graft.functions.GraftFunctions.{quadbin_ancestor, rq_parent_tile}
     val schema = level.schema
     val bandNames = meta.bands.map(_.name)
     val aggs = bandNames.map(n =>
-      rq_parent_tile(col("block"), col(n), meta, n).as(s"_p_$n"))
+      rq_parent_tile(col("block"), col(n), meta, n, resampling).as(s"_p_$n"))
     val grouped = level
       .groupBy(quadbin_ancestor(col("block"), lit(parentZoom)).as("block"))
       .agg(aggs.head, aggs.tail: _*)
@@ -80,13 +81,14 @@ object Pyramid {
         bandNames.map(n => rq_child_tile(col(n), col("q"), meta, n).as(n)): _*)
   }
 
-  def build(native: DataFrame, meta: RaquetMetadata, minZoom: Int): DataFrame = {
+  def build(native: DataFrame, meta: RaquetMetadata, minZoom: Int,
+      resampling: String = "average"): DataFrame = {
     val nativeZoom = meta.maxZoom
     var all = native
     var level = native
     var z = nativeZoom - 1
     while (z >= minZoom) {
-      level = buildLevel(level, meta, z)
+      level = buildLevel(level, meta, z, resampling)
       // small levels: cache to avoid recomputing the whole chain per union
       level = level.localCheckpoint(eager = false)
       all = all.unionByName(level)

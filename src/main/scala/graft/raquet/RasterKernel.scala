@@ -762,46 +762,89 @@ final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializab
 
 /** Nodata-aware 2×2 downsampling for pyramid/overview builds (M5): four child
   * tiles (Morton order: (0,0),(1,0),(0,1),(1,1); null = absent/empty child)
-  * reduce to one parent tile at zoom-1. Mean of valid children per 2×2 cell;
-  * integer dtypes round half-even; all-invalid cells become nodata (or NaN
-  * for float bands without nodata). Replaces the reference's GDAL-warp
-  * recursive descent (`raster2raquet.py:1066-1187`) with a pure reduce.
+  * reduce to one parent tile at zoom-1. Resampling kernels (the reference
+  * exposes GDAL's overview list, `raster2raquet.py:82-101`):
+  *  - "average" (default): mean of VALID children per 2×2 cell; integer
+  *    dtypes round half-even; all-invalid cells become nodata (or NaN for
+  *    float bands without nodata)
+  *  - "mode": most frequent VALID child value, ties to the LOWEST value —
+  *    categorical-safe (never invents a class); all-invalid → nodata
+  *  - "bilinear": strict 4-tap — the parent pixel center sits on the
+  *    corner of its 4 children, equal weights; ANY invalid tap → nodata
+  *    (interpolating across a hole would smear it)
+  *  - "near": the top-left child pixel passes through, nodata included
+  * Replaces the reference's GDAL-warp recursive descent
+  * (`raster2raquet.py:1066-1187`) with a pure reduce.
   */
 object Downsample {
+  val Resamplings: Set[String] = Set("average", "mode", "bilinear", "near")
+
   def parentTile(k: BandKernel,
-      c00: Array[Byte], c10: Array[Byte], c01: Array[Byte], c11: Array[Byte]): Array[Byte] = {
+      c00: Array[Byte], c10: Array[Byte], c01: Array[Byte], c11: Array[Byte],
+      resampling: String = "average"): Array[Byte] = {
+    require(Resamplings(resampling),
+      s"overview resampling must be one of ${Resamplings.mkString("/")}, " +
+        s"got $resampling")
     val w = k.width; val h = k.height
     val kids = Array(c00, c10, c01, c11).map(r => if (r == null) null else k.decode(r))
     val out = new Array[Double](w * h)
     val isInt = k.dtype != "float16" && k.dtype != "float32" && k.dtype != "float64"
     val fill = if (!k.nodata.isNaN) k.nodata else Double.NaN
+    val cell = new Array[Double](4)
+    @inline def valid(v: Double): Boolean =
+      !java.lang.Double.isNaN(v) && !(!k.nodata.isNaN && v == k.nodata)
     var j = 0
     while (j < h) {
       var i = 0
       while (i < w) {
         // source child: (i div (w/2), j div (h/2)); source pixel 2*(i mod w/2)+d
         val child = kids((if (j >= h / 2) 2 else 0) + (if (i >= w / 2) 1 else 0))
-        var sum = 0.0
+        val si = 2 * (i % (w / 2)); val sj = 2 * (j % (h / 2))
         var cnt = 0
         if (child != null) {
-          val si = 2 * (i % (w / 2)); val sj = 2 * (j % (h / 2))
           var dj = 0
           while (dj < 2) {
             var di = 0
             while (di < 2) {
               val v = child((sj + dj) * w + (si + di))
-              if (!java.lang.Double.isNaN(v) && !(!k.nodata.isNaN && v == k.nodata)) {
-                sum += v; cnt += 1
-              }
+              if (valid(v)) { cell(cnt) = v; cnt += 1 }
               di += 1
             }
             dj += 1
           }
         }
-        out(j * w + i) =
-          if (cnt == 0) fill
-          else if (isInt) math.rint(sum / cnt)
-          else sum / cnt
+        out(j * w + i) = resampling match {
+          case "average" =>
+            if (cnt == 0) fill
+            else {
+              var s = 0.0; var x = 0
+              while (x < cnt) { s += cell(x); x += 1 }
+              if (isInt) math.rint(s / cnt) else s / cnt
+            }
+          case "bilinear" =>
+            if (cnt < 4) fill
+            else {
+              val s = cell(0) + cell(1) + cell(2) + cell(3)
+              if (isInt) math.rint(s / 4) else s / 4
+            }
+          case "mode" =>
+            if (cnt == 0) fill
+            else {
+              // max count, ties to the lowest value — 4 values, plain scans
+              var best = Double.NaN; var bestN = 0
+              var x = 0
+              while (x < cnt) {
+                val v = cell(x)
+                var n = 0; var y = 0
+                while (y < cnt) { if (cell(y) == v) n += 1; y += 1 }
+                if (n > bestN || (n == bestN && v < best)) { best = v; bestN = n }
+                x += 1
+              }
+              best
+            }
+          case _ => // near: top-left child pixel, nodata passes through
+            if (child == null) fill else child(sj * w + si)
+        }
         i += 1
       }
       j += 1

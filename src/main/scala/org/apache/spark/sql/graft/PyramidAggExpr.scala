@@ -35,6 +35,7 @@ case class RqParentTile(
     block: Expression,
     blob: Expression,
     kernel: BandKernel,
+    resampling: String = "average",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ParentTileBuffer] with BinaryLike[Expression] {
@@ -79,7 +80,7 @@ case class RqParentTile(
 
   override def eval(buf: ParentTileBuffer): Any = {
     val tile = Downsample.parentTile(kernel,
-      buf.blobs(0), buf.blobs(1), buf.blobs(2), buf.blobs(3))
+      buf.blobs(0), buf.blobs(1), buf.blobs(2), buf.blobs(3), resampling)
     // stats from the DECODED tile (post dtype rounding), exactly as the
     // writer computes them — keeps parents and natives comparable
     val s = PixelCodec.maskedStats(kernel.decode(tile), kernel.nodata, null)

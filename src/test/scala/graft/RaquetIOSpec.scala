@@ -265,6 +265,37 @@ class RaquetIOSpec extends SparkSpec {
       PixelCodec.decode(expect, "uint8").toSeq)
   }
 
+  test("overview resampling kernels: mode ties low, bilinear strict 4-tap, near passthrough") {
+    // 2x2 child tiles of width 2: parent pixel (i,j) reads one 2x2 block
+    val k = BandKernel("uint8", 255.0, 2, 2, 1.0, 0.0)
+    def enc(v: Double*) = PixelCodec.encode(v.toArray, "uint8", gzip = true)
+    def dec(b: Array[Byte]) = PixelCodec.decode(b, "uint8").toSeq
+    // c00 = [10,10,20,30]: mode 10 (count 2); c10 = [5,7,7,5]: 2-2 tie → 5;
+    // c01 has one nodata → mode of the rest; c11 all nodata → 255
+    val mode = Downsample.parentTile(k,
+      enc(10, 10, 20, 30), enc(5, 7, 7, 5),
+      enc(255, 9, 9, 4), enc(255, 255, 255, 255), "mode")
+    assert(dec(mode) == Seq(10.0, 5.0, 9.0, 255.0))
+    // bilinear: any nodata tap (or absent child) → 255; else half-even mean
+    val bil = Downsample.parentTile(k,
+      enc(10, 10, 20, 30), enc(1, 2, 2, 1),     // 70/4=17.5 → 18 (even); 6/4=1.5 → 2
+      enc(255, 9, 9, 4), null, "bilinear")
+    assert(dec(bil) == Seq(18.0, 2.0, 255.0, 255.0))
+    // half-even down: [1,2,2,1] rounds 1.5 → 2; [0,1,1,0] → 0.5 → 0
+    val bil2 = Downsample.parentTile(k,
+      enc(0, 1, 1, 0), enc(3, 3, 3, 3), enc(0, 0, 0, 2), enc(9, 9, 9, 9),
+      "bilinear")
+    assert(dec(bil2) == Seq(0.0, 3.0, 0.0, 9.0)) // 0.5→0 (even), 3, 0.5→0, 9
+    // near: top-left child pixel passes through, nodata included
+    val near = Downsample.parentTile(k,
+      enc(10, 10, 20, 30), enc(255, 7, 7, 5), enc(4, 9, 9, 4), null, "near")
+    assert(dec(near) == Seq(10.0, 255.0, 4.0, 255.0))
+    // unknown kernel fails loudly
+    intercept[IllegalArgumentException] {
+      Downsample.parentTile(k, enc(1, 1, 1, 1), null, null, null, "cubic")
+    }
+  }
+
   test("normalized difference matches per-pixel formula") {
     val meta = RaquetIO.readMetadata(spark, fixture)
     val ds = RaquetIO.read(spark, fixture)
