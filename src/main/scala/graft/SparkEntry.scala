@@ -258,6 +258,7 @@ object SparkEntry {
     "q237_bpe_batched"      -> (LlmQueries.q237BpeTrainBatched _),
     "q238_pyramid_mode"     -> (RaquetQueries.q238PyramidMode _),
     "q239_pyramid_bilinear" -> (RaquetQueries.q239PyramidBilinear _),
+    "q240_polygonize"       -> (RaquetQueries.q240Polygonize _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -617,6 +618,9 @@ object SparkEntry {
     // majority / strict 4-tap mean re-derived from the native closed form
     "q238_pyramid_mode"     -> RaquetOracles.q238,
     "q239_pyramid_bilinear" -> RaquetOracles.q239,
+    // q240: full polygonize — labels, segments, square-tracing successors,
+    // ring closure, the ordered walk, and the WKT assembly all replayed
+    "q240_polygonize"       -> RaquetOracles.q240,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

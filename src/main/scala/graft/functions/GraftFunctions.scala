@@ -73,6 +73,9 @@ object GraftFunctions {
   def rq_region_neighbors(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqRegionNeighbors(ex(block), ex(band), BandKernel(meta, name)))
+  def rq_region_segments(block: Column, band: Column, halos: Column,
+      meta: RaquetMetadata, name: String): Column =
+    col(RqRegionSegments(ex(block), ex(band), ex(halos), BandKernel(meta, name)))
   def rq_histogram(band: Column, meta: RaquetMetadata, name: String,
       min: Double, max: Double, buckets: Int): Column =
     col(RqHistogram(ex(band), BandKernel(meta, name), min, max, buckets))

@@ -159,8 +159,9 @@ object Focal {
           .as("segments"))
 
   /** Native tiles left-joined with their collected halo strips (column
-    * `halos`; NULL for an isolated tile). */
-  private def withHalos(data: DataFrame, meta: RaquetMetadata,
+    * `halos`; NULL for an isolated tile). Shared with [[Regions]]'
+    * polygonize segment kernel. */
+  private[operators] def withHalos(data: DataFrame, meta: RaquetMetadata,
       band: String): DataFrame = {
     val w = meta.blockWidth
     val h = meta.blockHeight

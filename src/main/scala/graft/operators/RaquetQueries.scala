@@ -289,6 +289,26 @@ object RaquetQueries {
         col("gx0"), col("gy0"), col("gx1"), col("gy1"))
   }
 
+  /** q240 — FULL polygonize ([[Regions.regionRings]]): every boundary ring
+    * of the q232 window's regions as an ordered, collinear-collapsed,
+    * closed WKT point list with exact signed area and outer/hole
+    * classification — per-tile segment kernels over the focal halo
+    * exchange, ring identity by pointer-jumping on the successor
+    * permutation, ring ORDER by pointer-doubling list ranking. The oracle
+    * re-derives labels (min-gid closure), every boundary segment, the
+    * square-tracing successor, ring membership, the ordered walk, and the
+    * WKT strings in SQL. */
+  def q240Polygonize(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val sub = ds.data.filter(quadbin_zoom(col("block")) === 6 &&
+        quadbin_tile_x(col("block")) < 34 && quadbin_tile_y(col("block")) < 26)
+      .select(col("block"),
+        rq_reclassify(col("band_1"), ds.meta, "band_1",
+          Array(64.0, 128.0, 192.0), Array(10.0, 20.0, 30.0, 40.0))
+          .as("band_1"))
+    Regions.regionRings(sub, ds.meta, "band_1")
+  }
+
   /** q238 — MODE (majority) overview resampling ([[graft.raquet.Pyramid
     * .buildLevel]] with resampling = "mode"): the categorical-safe kernel
     * (most frequent valid child per 2×2, ties to the LOWEST value, never

@@ -236,8 +236,10 @@ final case class BandKernel(
     * parallel pass. */
   /** Union-find roots per pixel for 4-connected equal-value components;
     * -1 for invalid pixels. Roots are row-major-min by construction
-    * (smaller root wins every union). */
-  private def regionRoots(v: Array[Double]): Array[Int] = {
+    * (smaller root wins every union). Public: the polygonize segment
+    * kernel ([[org.apache.spark.sql.graft.RqRegionSegments]]) labels its
+    * boundary segments with the same roots. */
+  def regionRoots(v: Array[Double]): Array[Int] = {
     val n = width * height
     @inline def valid(x: Double): Boolean =
       !java.lang.Double.isNaN(x) && !(!nodata.isNaN && x == nodata)

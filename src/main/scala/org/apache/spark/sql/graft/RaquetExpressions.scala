@@ -68,6 +68,100 @@ object RqBridge {
       segs.map(s => ArrayData.toArrayData(s): Any))
   }
 
+  /** Polygonize stage 1 (gdal_polygonize reach): every directed boundary
+    * edge of this tile's valid pixels as (x, y, dir, sx, sy, sdir, lab) —
+    * start vertex on the global pixel-CORNER lattice, dir 0=E/1=S/2=W/3=N
+    * (interior on the RIGHT walking the edge), successor (sx, sy, sdir) =
+    * the next edge of the same ring, and lab = the owner pixel's tile-
+    * local union-find gid (the [[graft.raquet.BandKernel.regionLabel]]
+    * roots, mapped to global regions by the caller's component join).
+    *
+    * An edge exists where a pixel's 4-neighbor (via the focal halo for
+    * cross-tile sides) is absent/nodata or carries a DIFFERENT value. The
+    * successor is a PURE LOCAL function of the ≤4 pixel values around the
+    * end vertex — square tracing: turn right if the ahead-right pixel
+    * leaves the region, else straight if ahead-left leaves it, else turn
+    * left (ahead-left is 4-connected to the owner through ahead-right, so
+    * the ring never jumps regions; at a diagonal pinch the tight right
+    * turn keeps each contour simple). Successor edges always exist and
+    * the successor map is a permutation, so segments decompose into
+    * disjoint rings; with this orientation the shoelace sum is POSITIVE
+    * for outer rings and negative for holes. */
+  def regionSegmentsOf(k: BandKernel, block: Long, raw: Array[Byte],
+      halos: ArrayData): ArrayData = {
+    val w = k.width; val h = k.height; val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata; val hasNd = !nodata.isNaN
+    @inline def validV(v: Double): Boolean =
+      !java.lang.Double.isNaN(v) && !(hasNd && v == nodata)
+    val interior = new Array[Double](w * h)
+    var j = 0
+    while (j < h) {
+      System.arraycopy(pad, (j + 1) * pw + 1, interior, j * w, w)
+      j += 1
+    }
+    val roots = k.regionRoots(interior)
+    val tx = graft.quadbin.Quadbin.tileX(block)
+    val ty = graft.quadbin.Quadbin.tileY(block)
+    val gx0 = tx * w; val gy0 = ty * h
+    @inline def at(px: Long, py: Long): Double = {
+      val ix = px - gx0 + 1; val iy = py - gy0 + 1
+      if (ix < 0 || ix > w + 1 || iy < 0 || iy > h + 1) Double.NaN
+      else pad((iy * pw + ix).toInt)
+    }
+    @inline def inV(px: Long, py: Long, v: Double): Boolean = {
+      val q = at(px, py); validV(q) && q == v
+    }
+    // ahead-right / ahead-left pixels at end vertex (vx, vy) per heading
+    @inline def succDir(vx: Long, vy: Long, d: Int, v: Double): Int = {
+      val arIn = d match {
+        case 0 => inV(vx, vy, v)
+        case 1 => inV(vx - 1, vy, v)
+        case 2 => inV(vx - 1, vy - 1, v)
+        case _ => inV(vx, vy - 1, v)
+      }
+      if (!arIn) return (d + 1) % 4
+      val alIn = d match {
+        case 0 => inV(vx, vy - 1, v)
+        case 1 => inV(vx, vy, v)
+        case 2 => inV(vx - 1, vy, v)
+        case _ => inV(vx - 1, vy - 1, v)
+      }
+      if (!alIn) d else (d + 3) % 4
+    }
+    val dxs = Array(1L, 0L, -1L, 0L); val dys = Array(0L, 1L, 0L, -1L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = 0
+    while (p < w * h) {
+      if (roots(p) >= 0) {
+        val v = interior(p)
+        val i = p % w; val jj = p / w
+        val px = gx0 + i; val py = gy0 + jj
+        val r = roots(p)
+        val lab = (ty * h + r / w) * 4294967296L + (tx * w + r % w)
+        // sides in N,E,S,W order → edge dirs E,S,W,N
+        var s = 0
+        while (s < 4) {
+          val (nbx, nby, x0, y0) = s match {
+            case 0 => (px, py - 1, px, py)          // N neighbor → E edge
+            case 1 => (px + 1, py, px + 1, py)      // E neighbor → S edge
+            case 2 => (px, py + 1, px + 1, py + 1)  // S neighbor → W edge
+            case _ => (px - 1, py, px, py + 1)      // W neighbor → N edge
+          }
+          if (!inV(nbx, nby, v)) {
+            val d = s // dir == side index by construction of the tables
+            val ex = x0 + dxs(d); val ey = y0 + dys(d)
+            out += new GenericInternalRow(Array[Any](
+              x0, y0, d, ex, ey, succDir(ex, ey, d, v), lab))
+          }
+          s += 1
+        }
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   def ndiffOf(k: BandPairKernel, a: Array[Byte], b: Array[Byte]): ArrayData =
     ArrayData.toArrayData(k.normalizedDifference(a, b))
 
@@ -913,6 +1007,62 @@ case class RqRegionStrips(block: Expression, band: Expression, kernel: BandKerne
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(block = l, band = r)
+}
+
+/** rq_region_segments(block, band, halos) → boundary segments + successor
+  * links for polygonize (see [[RqBridge.regionSegmentsOf]]). Halos use the
+  * focal-exchange layout and may be NULL (isolated tile). */
+case class RqRegionSegments(block: Expression, band: Expression,
+    halos: Expression, kernel: BandKernel)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = block
+  override def second: Expression = band
+  override def third: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false),
+    StructField("dir", IntegerType, nullable = false),
+    StructField("sx", LongType, nullable = false),
+    StructField("sy", LongType, nullable = false),
+    StructField("sdir", IntegerType, nullable = false),
+    StructField("lab", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_region_segments"
+  override def eval(input: InternalRow): Any = {
+    val b = block.eval(input)
+    val raw = band.eval(input)
+    if (b == null || raw == null) null
+    else RqBridge.regionSegmentsOf(kernel, b.asInstanceOf[Long],
+      raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val bl = block.genCode(ctx)
+    val bd = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${bl.code}
+        ${bd.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${bl.isNull} && !${bd.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.regionSegmentsOf($k, ${bl.value},
+            ${bd.value}, ${hl.isNull} ? null : ${hl.value});
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(block = f, band = s, halos = t)
 }
 
 /** rq_idw_grid(block, points) → float64 blob: gdal_grid invdist:power=2

@@ -125,6 +125,121 @@ class RegionsSpec extends SparkSpec {
     assert(blobRemapped == 4)
   }
 
+  test("regionRings: full polygonize equals a local square-tracing replay; holes negative; WKT closed") {
+    val W = 2 * bs
+    // -1 = invalid (outside window or nodata)
+    def valAt(gx: Long, gy: Long): Int = {
+      val lx = gx - x0 * bs; val ly = gy - y0 * bs
+      if (lx < 0 || lx >= W || ly < 0 || ly >= W) -1
+      else { val c = v(gx, gy); if (c == 255) -1 else c }
+    }
+    // labels: min-gid flood fill (as in the labels test), keyed globally
+    val lbl = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (sy <- 0 until W; sx <- 0 until W) {
+      val gx = x0 * bs + sx; val gy = y0 * bs + sy
+      if (valAt(gx, gy) >= 0 && !lbl.contains((gx, gy))) {
+        val comp = scala.collection.mutable.ArrayBuffer((gx, gy))
+        val seen = scala.collection.mutable.Set((gx, gy))
+        var qi = 0
+        while (qi < comp.size) {
+          val (cx, cy) = comp(qi); qi += 1
+          for ((dx, dy) <- Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))) {
+            val n = (cx + dx, cy + dy)
+            if (!seen(n) && valAt(n._1, n._2) == valAt(cx, cy)) {
+              seen += n; comp += n
+            }
+          }
+        }
+        val gid = comp.map { case (cx, cy) => cy * 4294967296L + cx }.min
+        comp.foreach(p => lbl(p) = gid)
+      }
+    }
+    // segments + square-tracing successor (the engine's documented rule)
+    case class Seg(x: Long, y: Long, dir: Int)
+    def key(s: Seg): Long = (s.y * 2147483648L + s.x) * 4 + s.dir
+    def succ(s: Seg, vv: Int): Seg = {
+      val (ex, ey) = s.dir match {
+        case 0 => (s.x + 1, s.y); case 1 => (s.x, s.y + 1)
+        case 2 => (s.x - 1, s.y); case _ => (s.x, s.y - 1)
+      }
+      val ar = s.dir match {
+        case 0 => (ex, ey); case 1 => (ex - 1, ey)
+        case 2 => (ex - 1, ey - 1); case _ => (ex, ey - 1)
+      }
+      val al = s.dir match {
+        case 0 => (ex, ey - 1); case 1 => (ex, ey)
+        case 2 => (ex - 1, ey); case _ => (ex - 1, ey - 1)
+      }
+      val nd =
+        if (valAt(ar._1, ar._2) != vv) (s.dir + 1) % 4
+        else if (valAt(al._1, al._2) != vv) s.dir
+        else (s.dir + 3) % 4
+      Seg(ex, ey, nd)
+    }
+    val owner = scala.collection.mutable.Map.empty[Seg, (Int, Long)] // seg -> (value, label)
+    for (sy <- 0 until W; sx <- 0 until W) {
+      val gx = x0 * bs + sx; val gy = y0 * bs + sy
+      val vv = valAt(gx, gy)
+      if (vv >= 0) {
+        val l = lbl((gx, gy))
+        if (valAt(gx, gy - 1) != vv) owner(Seg(gx, gy, 0)) = (vv, l)
+        if (valAt(gx + 1, gy) != vv) owner(Seg(gx + 1, gy, 1)) = (vv, l)
+        if (valAt(gx, gy + 1) != vv) owner(Seg(gx + 1, gy + 1, 2)) = (vv, l)
+        if (valAt(gx - 1, gy) != vv) owner(Seg(gx, gy + 1, 3)) = (vv, l)
+      }
+    }
+    // trace rings
+    val visited = scala.collection.mutable.Set.empty[Seg]
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Boolean, Long, Long, String)]
+    owner.keys.toSeq.sortBy(key).foreach { start =>
+      if (!visited(start)) {
+        val vv = owner(start)._1
+        val cycle = scala.collection.mutable.ArrayBuffer(start)
+        var cur = succ(start, vv)
+        while (cur != start) { cycle += cur; cur = succ(cur, vv) }
+        cycle.foreach(visited += _)
+        val rep = cycle.minBy(key)
+        val at = cycle.indexOf(rep)
+        val ordered = (cycle.drop(at) ++ cycle.take(at)).toSeq
+        ordered.foreach(s => assert(owner(s)._2 == owner(rep)._2,
+          "ring crosses region labels"))
+        val a2 = ordered.map { s =>
+          val dx = Seq(1L, 0L, -1L, 0L)(s.dir); val dy = Seq(0L, 1L, 0L, -1L)(s.dir)
+          s.x * dy - dx * s.y
+        }.sum
+        val keepPts = ordered.zipWithIndex.collect {
+          case (s, 0) => s
+          case (s, i) if s.dir != ordered(i - 1).dir => s
+        }
+        val pts = keepPts.map(s => s"${s.x} ${s.y}")
+        val wkt = pts.mkString("(", ", ", s", ${pts.head})")
+        expect += ((owner(rep)._2, vv.toLong, key(rep), a2 > 0,
+          keepPts.size.toLong, a2, wkt))
+      }
+    }
+    val got = Regions.regionRings(tiles, meta, "band_1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSet
+    assert(got == expect.toSet,
+      s"missing=${expect.toSet -- got}\nextra=${got -- expect.toSet}")
+    // topology: every label has EXACTLY one outer ring; the 2x2 blob sits
+    // INSIDE a background corner region, so that region carries a hole
+    // ring with the blob's outline in reversed orientation (area2 = -8)
+    // — the nodata diagonal pixels all touch ≥2 regions, so they are
+    // boundary notches, not holes
+    val byLabel = expect.groupBy(_._1)
+    byLabel.foreach { case (l, rs) =>
+      assert(rs.count(_._4) == 1, s"label $l outer rings: $rs") }
+    assert(expect.exists(r => !r._4 && r._6 == -8L),
+      s"no hole ring around the 2x2 blob: ${expect.filter(!_._4)}")
+    // every WKT closes on its first point and has >= 4 distinct vertices
+    expect.foreach { case (_, _, _, _, nPts, _, wkt) =>
+      val body = wkt.stripPrefix("(").stripSuffix(")").split(", ")
+      assert(body.head == body.last && nPts >= 4, wkt)
+    }
+  }
+
   test("regionLabels plan: strip equi-joins only, no cartesian") {
     val df = Regions.regionLabels(tiles, meta, "band_1")
     val plan = df.queryExecution.executedPlan.toString
