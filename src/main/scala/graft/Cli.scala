@@ -42,7 +42,8 @@ object Cli {
       |           decodes one codestream on the driver — use the directory
       |           form for archives
       |      [--zoom-strategy auto|lower|upper] [--resampling near|average|...]
-      |      [--overview-resampling average|mode|bilinear|near]  (TIFF path)
+      |      [--overview-resampling average|mode|bilinear|near|min|max|med|
+      |                              q1|q3|rms|sum|cubic|cubicspline|lanczos]
       |      [--block-size 256] [--overviews auto|none] [--min-zoom N]
       |      [--tile-stats] [--target-size BYTES] [--row-group-bytes BYTES]
       |      [--compression gzip|none|jpeg|webp] [--quality 0-100]

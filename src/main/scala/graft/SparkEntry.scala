@@ -259,6 +259,11 @@ object SparkEntry {
     "q238_pyramid_mode"     -> (RaquetQueries.q238PyramidMode _),
     "q239_pyramid_bilinear" -> (RaquetQueries.q239PyramidBilinear _),
     "q240_polygonize"       -> (RaquetQueries.q240Polygonize _),
+    "q241_pyramid_order"    -> (RaquetQueries.q241PyramidOrder _),
+    "q242_pyramid_rms_sum"  -> (RaquetQueries.q242PyramidRmsSum _),
+    "q243_pyramid_cubic"    -> (RaquetQueries.q243PyramidCubic _),
+    "q244_pyramid_cubicspline" -> (RaquetQueries.q244PyramidCubicspline _),
+    "q245_pyramid_lanczos"  -> (RaquetQueries.q245PyramidLanczos _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -621,6 +626,16 @@ object SparkEntry {
     // q240: full polygonize — labels, segments, square-tracing successors,
     // ring closure, the ordered walk, and the WKT assembly all replayed
     "q240_polygonize"       -> RaquetOracles.q240,
+    // q241/q242: order-statistic + rms/sum overview kernels — every parent
+    // pixel re-derived by sorting/summing the closed-form child lists
+    "q241_pyramid_order"    -> RaquetOracles.q241,
+    "q242_pyramid_rms_sum"  -> RaquetOracles.q242,
+    // q243-q245: convolution overviews (cubic/cubicspline/lanczos) — every
+    // tap window replayed from the closed form in the engine's own IEEE
+    // summation order, including the cross-tile halo taps
+    "q243_pyramid_cubic"    -> RaquetOracles.q243,
+    "q244_pyramid_cubicspline" -> RaquetOracles.q244,
+    "q245_pyramid_lanczos"  -> RaquetOracles.q245,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

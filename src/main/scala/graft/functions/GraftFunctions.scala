@@ -189,6 +189,13 @@ object GraftFunctions {
     col(RqParentTile(ex(block), ex(band), BandKernel(meta, name), resampling)
       .toAggregateExpression())
 
+  /** Convolution pyramid parent from collected child blobs + halo strips
+    * (cubic / cubicspline / lanczos — [[graft.raquet.Pyramid.buildLevel]]'s
+    * halo path assembles the contribution list). */
+  def rq_conv_parent(contribs: Column, meta: RaquetMetadata, name: String,
+      resampling: String): Column =
+    col(RqConvParent(ex(contribs), BandKernel(meta, name), resampling))
+
   /** Per-pixel composite across a tile stack's time axis (group by block):
     * op ∈ mean | sum | min | max | count. Emits a float64 gzip band blob
     * ([[graft.operators.Focal.outKernel]] decodes it). */

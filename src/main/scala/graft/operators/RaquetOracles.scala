@@ -763,6 +763,100 @@ object RaquetOracles {
          END AS dn
        FROM s"""
 
+  /** q241: order-statistic overviews — the sorted valid-children list
+    * indexed nearest-rank-lower (min 0, max n−1, med (n−1)/2, q1 (n−1)/4,
+    * q3 3(n−1)/4; DuckDB lists are 1-based), all-invalid → nodata 255. */
+  val q241: String =
+    s"""WITH $parentCells,
+       l AS (SELECT block, pos,
+           list_sort(list_filter([c0, c1, c2, c3], x -> x IS NOT NULL)) AS v
+         FROM c),
+       k AS (SELECT unnest(['min','max','med','q1','q3']) AS kernel)
+       SELECT k.kernel, l.block, l.pos,
+         CAST(CASE WHEN len(v) = 0 THEN 255.0
+              ELSE CASE k.kernel
+                WHEN 'min' THEN v[1]
+                WHEN 'max' THEN v[len(v)]
+                WHEN 'med' THEN v[(len(v)-1)//2 + 1]
+                WHEN 'q1'  THEN v[(len(v)-1)//4 + 1]
+                ELSE            v[3*(len(v)-1)//4 + 1]
+              END END AS BIGINT) AS dn
+       FROM l, k"""
+
+  /** q242: rms (half-even rint of a correctly-rounded sqrt — bit-exact in
+    * both engines) + sum saturated at the uint8 range. */
+  val q242: String =
+    s"""WITH $parentCells,
+       l AS (SELECT block, pos,
+           list_filter([c0, c1, c2, c3], x -> x IS NOT NULL) AS v FROM c),
+       m AS (SELECT block, pos, len(v) AS n,
+           CAST(list_sum(list_transform(v, x -> x*x)) AS DOUBLE) AS ss,
+           CAST(list_sum(v) AS DOUBLE) AS s FROM l),
+       r AS (SELECT block, pos, sqrt(ss / n) AS x FROM m WHERE n > 0)
+       SELECT 'rms' AS kernel, m.block, m.pos,
+         CASE WHEN m.n = 0 THEN CAST(255 AS BIGINT)
+              ELSE CAST(floor(r.x) AS BIGINT)
+                + (CASE WHEN r.x - floor(r.x) > 0.5 THEN 1
+                        WHEN r.x - floor(r.x) = 0.5
+                          THEN abs(CAST(floor(r.x) AS BIGINT) % 2)
+                        ELSE 0 END)
+         END AS dn
+       FROM m LEFT JOIN r ON m.block = r.block AND m.pos = r.pos
+       UNION ALL
+       SELECT 'sum', block, pos,
+         CASE WHEN n = 0 THEN CAST(255 AS BIGINT)
+              ELSE CAST(least(s, 255.0) AS BIGINT) END AS dn
+       FROM m"""
+
+  /** q243/q244/q245: convolution overviews. Every parent pixel re-derives
+    * its full tap window from the closed form — taps outside the native
+    * window (gx∉[512,640) / gy∉[384,512)) or on the %31 nodata speckle
+    * contribute 0 to num AND den, exactly like the engine's skip-adds
+    * (x + 0.0 ≡ x in IEEE); the per-tap weight literals are the engine's
+    * own `weights(b)*weights(a)` doubles printed shortest-round-trip, and
+    * the term order is the engine's row-major accumulation, so num/den —
+    * and the half-even rint + clamp — are bit-exact replays. */
+  private def convOracle(resampling: String): String = {
+    val weights = graft.raquet.Downsample.ConvWeights(resampling)
+    val rr = weights.length / 2 - 1
+    val terms = for { b <- weights.indices; a <- weights.indices } yield {
+      val wgt = weights(b) * weights(a)
+      val gx = s"(2*p + ${a - rr})"
+      val gy = s"(2*q + ${b - rr})"
+      val valid = s"$gx >= 512 AND $gx < 640 AND $gy >= 384 AND $gy < 512" +
+        s" AND ($gx + $gy) % 31 <> 0"
+      val v = s"CAST((7*$gx + 13*$gy) % 255 AS DOUBLE)"
+      (s"(CASE WHEN $valid THEN $wgt * $v ELSE 0.0 END)",
+        s"(CASE WHEN $valid THEN CAST($wgt AS DOUBLE) ELSE 0.0 END)")
+    }
+    val num = terms.map(_._1).mkString("\n           + ")
+    val den = terms.map(_._2).mkString("\n           + ")
+    s"""WITH t AS (SELECT ${cellExpr("(16+tx)", "(12+ty)", 5)} AS block,
+          (16+tx)*16 AS px0, (12+ty)*16 AS py0
+        FROM range(4) a(tx), range(4) b(ty)),
+       px AS (SELECT block, CAST(j*16+i AS BIGINT) AS pos,
+           px0+i AS p, py0+j AS q
+         FROM t, range(16) a(i), range(16) b(j)),
+       s AS (SELECT block, pos,
+           $num AS num,
+           $den AS den
+         FROM px),
+       r AS (SELECT block, pos, den, num/den AS x FROM s)
+       SELECT '$resampling' AS kernel, block, pos,
+         CASE WHEN den <= 0.0 THEN CAST(255 AS BIGINT)
+              ELSE least(greatest(CAST(floor(x) AS BIGINT)
+                + (CASE WHEN x - floor(x) > 0.5 THEN 1
+                        WHEN x - floor(x) = 0.5
+                          THEN abs(CAST(floor(x) AS BIGINT) % 2)
+                        ELSE 0 END), 0), 255)
+         END AS dn
+       FROM r"""
+  }
+
+  val q243: String = convOracle("cubic")
+  val q244: String = convOracle("cubicspline")
+  val q245: String = convOracle("lanczos")
+
   val q24: String = {
     // value at zoom 6-k, global pixel g = native v2 at (2^k·g + 2^(k-1) - 0.5)
     def e(g: String) =

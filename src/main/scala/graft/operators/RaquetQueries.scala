@@ -338,6 +338,54 @@ object RaquetQueries {
       .select(col("block"), col("pos"), col("col").cast("long").as("dn"))
   }
 
+  /** One resampling variant's zoom-5 overview as (kernel, block, pos, dn). */
+  private def pyramidVariant(spark: SparkSession, resampling: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    graft.raquet.Pyramid.buildLevel(native, ds.meta, 5, resampling)
+      .select(lit(resampling).as("kernel"), col("block"),
+        posexplode(rq_decode(col("band_1"), ds.meta, "band_1")))
+      .select(col("kernel"), col("block"), col("pos"),
+        col("col").cast("long").as("dn"))
+  }
+
+  /** q241 — ORDER-STATISTIC overview resampling (min/max/med/q1/q3,
+    * [[graft.raquet.Downsample]]): sorted valid children, nearest-rank-lower
+    * index — deterministic and categorical-safe (never interpolates). The
+    * oracle sorts the same closed-form child lists and indexes them. */
+  def q241PyramidOrder(spark: SparkSession, dir: String): DataFrame =
+    Seq("min", "max", "med", "q1", "q3").map(pyramidVariant(spark, _))
+      .reduce(_ unionByName _)
+
+  /** q242 — RMS + SUM overview resampling: sqrt-of-mean-square with
+    * half-even integer rounding (oracle replays rint via floor-plus-parity;
+    * sqrt is correctly rounded IEEE in both engines, so exact), and the
+    * dtype-SATURATED sum (GDAL's SUM overview clamps the same way — an
+    * unclamped uint8 sum would alias through encode's wraparound). */
+  def q242PyramidRmsSum(spark: SparkSession, dir: String): DataFrame =
+    Seq("rms", "sum").map(pyramidVariant(spark, _)).reduce(_ unionByName _)
+
+  /** q243 — CUBIC (Catmull-Rom) overview resampling through
+    * [[graft.raquet.Pyramid.buildLevelConvolved]]'s halo exchange: 4×4 taps
+    * per parent pixel at half-pixel phase (weights 9/16, −1/16 — exact
+    * binary), invalid taps renormalized (num/den over valid, den ≤ 0 →
+    * nodata), half-even rint + dtype clamp. Taps cross tile edges, so this
+    * also driver-proves the ring-strip halo shuffle: the oracle re-derives
+    * every tap from the closed form with the SAME IEEE summation order. */
+  def q243PyramidCubic(spark: SparkSession, dir: String): DataFrame =
+    pyramidVariant(spark, "cubic")
+
+  /** q244 — CUBICSPLINE (cubic B-spline: 23/48, 1/48): same halo path as
+    * q243 with an always-positive kernel (no overshoot, heavier smoothing). */
+  def q244PyramidCubicspline(spark: SparkSession, dir: String): DataFrame =
+    pyramidVariant(spark, "cubicspline")
+
+  /** q245 — LANCZOS a=3: 6×6 taps (R = 2 halo pixels), weights 6/π²,
+    * −4/(3π²), 6/(25π²) shared between engine and oracle as the same IEEE
+    * doubles, renormalized over valid taps. */
+  def q245PyramidLanczos(spark: SparkSession, dir: String): DataFrame =
+    pyramidVariant(spark, "lanczos")
+
   /** Horn's-method slope over the fixture ([[Focal.focalSlope3x3]]), same
     * halo exchange as q97 but with the strict all-9-cells window (any
     * missing/nodata neighbor → NULL). Everything before atan is IEEE-exact

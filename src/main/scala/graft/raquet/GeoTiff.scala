@@ -1428,9 +1428,11 @@ object GeoTiff {
       bandLayout: String = "sequential",
       quality: Option[Int] = None,
       overviewResampling: String = "average"): RaquetMetadata = {
-    require(Downsample.Resamplings(overviewResampling),
+    require(Downsample.Resamplings(overviewResampling) ||
+        Downsample.ConvWeights.contains(overviewResampling),
       s"overview resampling must be one of " +
-        s"${Downsample.Resamplings.mkString("/")}, got $overviewResampling")
+        s"${(Downsample.Resamplings ++ Downsample.ConvWeights.keySet)
+          .mkString("/")}, got $overviewResampling")
     quality.foreach { q =>
       require(q >= 0 && q <= 100, s"quality must be 0-100, got $q")
       require(compression == "jpeg" || compression == "webp",

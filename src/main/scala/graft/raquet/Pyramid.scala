@@ -1,6 +1,6 @@
 package graft.raquet
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Overview (pyramid) build as a bottom-up Spark reduce (M5).
   *
@@ -29,17 +29,26 @@ object Pyramid {
     * round-trip in the groupByKey shape). */
   def buildLevel(level: DataFrame, meta: RaquetMetadata, parentZoom: Int,
       resampling: String = "average"): DataFrame = {
+    if (Downsample.ConvWeights.contains(resampling))
+      return buildLevelConvolved(level, meta, parentZoom, resampling)
     import org.apache.spark.sql.functions.{col, lit}
     import graft.functions.GraftFunctions.{quadbin_ancestor, rq_parent_tile}
-    val schema = level.schema
     val bandNames = meta.bands.map(_.name)
     val aggs = bandNames.map(n =>
       rq_parent_tile(col("block"), col(n), meta, n, resampling).as(s"_p_$n"))
     val grouped = level
       .groupBy(quadbin_ancestor(col("block"), lit(parentZoom)).as("block"))
       .agg(aggs.head, aggs.tail: _*)
-    // project back to the input column order/names; non-band extras (e.g.
-    // the metadata string column) are null on parent rows
+    projectLevel(grouped, level.schema, bandNames)
+  }
+
+  /** Project `block` + per-band `_p_<band>` structs back to the input
+    * column order/names; non-band extras (e.g. the metadata string column)
+    * are null on parent rows. Shared by the reduce and convolved paths. */
+  private def projectLevel(grouped: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      bandNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val statNames = Set("count", "min", "max", "sum", "mean", "stddev")
     val out = schema.fields.map { f =>
       val s = f.name
@@ -53,6 +62,95 @@ object Pyramid {
       else lit(null).cast(f.dataType).as(s)
     }
     grouped.select(out.toIndexedSeq: _*)
+  }
+
+  /** One level through a CONVOLUTION kernel (cubic / cubicspline / lanczos,
+    * [[Downsample.ConvWeights]]): a tap window can cross a tile edge, so
+    * alongside its 4 children each parent collects R-pixel halo strips from
+    * the 12 ring tiles around its 2×2 child block — every child emits
+    * exactly 4 contributions (own / horizontal / vertical / diagonal
+    * neighbor parent; a child always sits at a corner of its parent's 2×2).
+    * ONE shuffle like the reduce path: strips are pre-sliced map-side from a
+    * single decode (≤ R·max(w,h) doubles each) and own children cross the
+    * exchange still encoded, so exchange bytes stay ≈ the input data. The
+    * assembled (2w+2R)×(2h+2R) mosaic convolves per parent post-shuffle
+    * ([[org.apache.spark.sql.graft.RqConvParent]]). */
+  def buildLevelConvolved(level: DataFrame, meta: RaquetMetadata,
+      parentZoom: Int, resampling: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions._
+    val weights = Downsample.ConvWeights(resampling)
+    val r = weights.length / 2 - 1
+    val w = meta.blockWidth
+    val h = meta.blockHeight
+    require(2 * r <= w && 2 * r <= h,
+      s"convolution radius $r needs tiles of at least ${2 * r} px, got ${w}x$h")
+    val bands = meta.bands.map(_.name)
+    val dec = level.filter(col("block") =!= 0L).select(
+      Seq(quadbin_tile_x(col("block")).as("tx"),
+        quadbin_tile_y(col("block")).as("ty")) ++
+        bands.map(b => col(b).as(s"_b_$b")) ++
+        bands.map(b => rq_decode(col(b), meta, b).as(s"_d_$b")): _*)
+    val qx = (col("tx") % 2).cast("int")
+    val qy = (col("ty") % 2).cast("int")
+    val ptx = expr("tx div 2")
+    val pty = expr("ty div 2")
+    val nullBin = lit(null).cast("binary")
+    val nullArr = lit(null).cast("array<double>")
+    // row-major sw×sh sub-rect of the decoded tile at (c0, r0)
+    def rect(b: String, c0: Int, r0: Int, sw: Int, sh: Int): Column =
+      expr(s"transform(sequence(0, ${sw * sh - 1}), " +
+        s"q -> _d_$b[($r0 + q div $sw) * $w + $c0 + (q % $sw)])")
+    def emit(ntx: Column, nty: Column, sx: Column, sy: Column, sw: Int,
+        sh: Int, blob: String => Column, vals: String => Column): Column =
+      struct(Seq(ntx.cast("long").as("ntx"), nty.cast("long").as("nty"),
+        sx.cast("int").as("sx"), sy.cast("int").as("sy"),
+        lit(sw).as("sw"), lit(sh).as("sh")) ++
+        bands.flatMap(b => Seq(blob(b).as(s"b_$b"), vals(b).as(s"v_$b"))): _*)
+    // mosaic offsets: a child at (ctx,cty) starts at (R + (ctx−2·Px)·w,
+    // R + (cty−2·Py)·h) in parent P's (2w+2R)×(2h+2R) frame
+    val own = emit(ptx, pty, lit(r) + qx * w, lit(r) + qy * h, w, h,
+      b => col(s"_b_$b"), _ => nullArr)
+    val horiz = emit(ptx + qx * 2 - 1, pty,
+      when(qx === 0, r + 2 * w).otherwise(0), lit(r) + qy * h, r, h,
+      _ => nullBin,
+      b => when(qx === 0, rect(b, 0, 0, r, h))
+        .otherwise(rect(b, w - r, 0, r, h)))
+    val vert = emit(ptx, pty + qy * 2 - 1,
+      lit(r) + qx * w, when(qy === 0, r + 2 * h).otherwise(0), w, r,
+      _ => nullBin,
+      b => when(qy === 0, rect(b, 0, 0, w, r))
+        .otherwise(rect(b, 0, h - r, w, r)))
+    val diag = emit(ptx + qx * 2 - 1, pty + qy * 2 - 1,
+      when(qx === 0, r + 2 * w).otherwise(0),
+      when(qy === 0, r + 2 * h).otherwise(0), r, r,
+      _ => nullBin,
+      b => when(qx === 0 && qy === 0, rect(b, 0, 0, r, r))
+        .when(qx === 1 && qy === 0, rect(b, w - r, 0, r, r))
+        .when(qx === 0 && qy === 1, rect(b, 0, h - r, r, r))
+        .otherwise(rect(b, w - r, h - r, r, r)))
+    val zMax = 1L << parentZoom
+    val contrib = dec
+      .select(explode(array(own, horiz, vert, diag)).as("c"))
+      .select(col("c.*"))
+      .filter(col("ntx") >= 0 && col("ntx") < zMax &&
+        col("nty") >= 0 && col("nty") < zMax)
+    val aggFields = Seq(col("sx"), col("sy"), col("sw"), col("sh")) ++
+      bands.flatMap(b => Seq(col(s"b_$b"), col(s"v_$b")))
+    val grouped = contrib
+      .groupBy(quadbin_from_tile(col("ntx"), col("nty"), lit(parentZoom))
+        .as("block"))
+      .agg(collect_list(struct(aggFields: _*)).as("contribs"))
+    val withTiles = grouped.select(
+      col("block") +: bands.map { b =>
+        rq_conv_parent(
+          transform(col("contribs"), c => struct(c("sx"), c("sy"), c("sw"),
+            c("sh"), c(s"b_$b").as("blob"), c(s"v_$b").as("vals"))),
+          meta, b, resampling).as(s"_p_$b")
+      }: _*)
+      // a parent with only foreign halo strips must not materialize
+      .filter(col(s"_p_${bands.head}").isNotNull)
+    projectLevel(withTiles, level.schema, bands)
   }
 
   /** Full pyramid: native tiles + all levels down to `minZoom`, unioned.

@@ -775,11 +775,107 @@ final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializab
   *    corner of its 4 children, equal weights; ANY invalid tap → nodata
   *    (interpolating across a hole would smear it)
   *  - "near": the top-left child pixel passes through, nodata included
+  *  - "min" / "max" / "med" / "q1" / "q3": order statistics over the VALID
+  *    children — sorted ascending, index 0 / n−1 / (n−1)/2 / (n−1)/4 /
+  *    3(n−1)/4 (nearest-rank-lower: deterministic, never interpolates, so
+  *    categorical bands stay categorical); all-invalid → nodata
+  *  - "rms": sqrt(mean of squares) of the VALID children; integer dtypes
+  *    round half-even; all-invalid → nodata
+  *  - "sum": sum of the VALID children, SATURATED at the dtype range
+  *    (encode wraps, so un-clamped uint8 sums would alias) — GDAL's SUM
+  *    overview clamps the same way; all-invalid → nodata
+  * The cubic/cubicspline/lanczos convolution kernels need neighbor-tile
+  * halos and live in [[Pyramid.buildLevel]]'s convolved path, not here.
   * Replaces the reference's GDAL-warp recursive descent
   * (`raster2raquet.py:1066-1187`) with a pure reduce.
   */
 object Downsample {
-  val Resamplings: Set[String] = Set("average", "mode", "bilinear", "near")
+  val Resamplings: Set[String] = Set("average", "mode", "bilinear", "near",
+    "min", "max", "med", "q1", "q3", "rms", "sum")
+
+  /** Per-axis tap weights for the separable convolution overview kernels
+    * (cubic = Catmull-Rom, cubicspline = cubic B-spline, lanczos a=3). A 2×
+    * downsample always lands the parent pixel center half a source pixel
+    * from the nearest tap, so the weights are the SAME for every pixel:
+    * kernel K evaluated at |x| = 0.5, 1.5 (and 2.5 for lanczos), ordered by
+    * ascending source index. Like the strict 4-tap bilinear these are the
+    * interpolation-mode taps (not GDAL-warp's 2×-stretched anti-aliased
+    * window); invalid taps renormalize — num/den over the VALID taps only,
+    * den ≤ 0 → nodata — GDAL's convolution nodata semantics. Kernels that
+    * need neighbor-tile pixels (radius ≥ 1) are driven by
+    * [[Pyramid.buildLevel]]'s halo-exchange path, not the 2×2 reduce. */
+  val ConvWeights: Map[String, Array[Double]] = {
+    val p2 = math.Pi * math.Pi
+    Map(
+      // Catmull-Rom: w(0.5) = 9/16, w(1.5) = -1/16 — exact binary
+      "cubic" -> Array(-0.0625, 0.5625, 0.5625, -0.0625),
+      // cubic B-spline: B(0.5) = 23/48, B(1.5) = 1/48
+      "cubicspline" -> Array(0.125 / 6.0, 2.875 / 6.0, 2.875 / 6.0, 0.125 / 6.0),
+      // lanczos a=3: L(x) = sinc(x)·sinc(x/3) at 0.5/1.5/2.5 —
+      // 6/π², −4/(3π²), 6/(25π²); renormalization makes Σw = 1 moot
+      "lanczos" -> Array(6.0 / (25.0 * p2), -4.0 / (3.0 * p2), 6.0 / p2,
+        6.0 / p2, -4.0 / (3.0 * p2), 6.0 / (25.0 * p2)))
+  }
+
+  /** Saturation bounds for integer dtypes (encode wraps, so convolution
+    * overshoot and SUM overviews must clamp before encoding). */
+  def dtypeRange(dtype: String): (Double, Double) = dtype match {
+    case "uint8"  => (0.0, 255.0)
+    case "int8"   => (-128.0, 127.0)
+    case "uint16" => (0.0, 65535.0)
+    case "int16"  => (-32768.0, 32767.0)
+    case "uint32" => (0.0, 4294967295.0)
+    case "int32"  => (Int.MinValue.toDouble, Int.MaxValue.toDouble)
+    case "uint64" => (0.0, 1.8446744073709552E19)
+    case "int64"  => (Long.MinValue.toDouble, Long.MaxValue.toDouble)
+    case _        => (Double.NegativeInfinity, Double.PositiveInfinity)
+  }
+
+  /** Separable convolution over an assembled (2w+2R)×(2h+2R) source mosaic
+    * (NaN = absent/invalid) → one encoded parent tile. Tap accumulation is
+    * row-major so the oracle can replay the exact IEEE summation order. */
+  def convolveParent(k: BandKernel, weights: Array[Double],
+      mosaic: Array[Double]): Array[Byte] = {
+    val w = k.width; val h = k.height
+    val r = weights.length / 2 - 1
+    val mw = 2 * w + 2 * r
+    val isInt = k.dtype != "float16" && k.dtype != "float32" && k.dtype != "float64"
+    val fill = if (!k.nodata.isNaN) k.nodata else Double.NaN
+    val (dtMin, dtMax) = dtypeRange(k.dtype)
+    @inline def valid(v: Double): Boolean =
+      !java.lang.Double.isNaN(v) && !(!k.nodata.isNaN && v == k.nodata)
+    val out = new Array[Double](w * h)
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        // taps at source (2i−r+a, 2j−r+b) = mosaic (2i+a, 2j+b)
+        var num = 0.0
+        var den = 0.0
+        var b = 0
+        while (b < weights.length) {
+          val wy = weights(b)
+          val row = (2 * j + b) * mw + 2 * i
+          var a = 0
+          while (a < weights.length) {
+            val v = mosaic(row + a)
+            if (valid(v)) { val wt = wy * weights(a); num += wt * v; den += wt }
+            a += 1
+          }
+          b += 1
+        }
+        out(j * w + i) =
+          if (den <= 0.0) fill
+          else {
+            val x = num / den
+            if (isInt) math.min(math.max(math.rint(x), dtMin), dtMax) else x
+          }
+        i += 1
+      }
+      j += 1
+    }
+    PixelCodec.encode(out, k.dtype, gzip = true)
+  }
 
   def parentTile(k: BandKernel,
       c00: Array[Byte], c10: Array[Byte], c01: Array[Byte], c11: Array[Byte],
@@ -792,6 +888,14 @@ object Downsample {
     val out = new Array[Double](w * h)
     val isInt = k.dtype != "float16" && k.dtype != "float32" && k.dtype != "float64"
     val fill = if (!k.nodata.isNaN) k.nodata else Double.NaN
+    // hoist the kernel dispatch out of the pixel loop (one branch per pixel,
+    // not a string-equals chain)
+    val op = resampling match {
+      case "average" => 0; case "bilinear" => 1; case "mode" => 2
+      case "near" => 3; case "min" => 4; case "max" => 5; case "med" => 6
+      case "q1" => 7; case "q3" => 8; case "rms" => 9; case "sum" => 10
+    }
+    val (dtMin, dtMax) = dtypeRange(k.dtype)
     val cell = new Array[Double](4)
     @inline def valid(v: Double): Boolean =
       !java.lang.Double.isNaN(v) && !(!k.nodata.isNaN && v == k.nodata)
@@ -815,21 +919,21 @@ object Downsample {
             dj += 1
           }
         }
-        out(j * w + i) = resampling match {
-          case "average" =>
+        out(j * w + i) = op match {
+          case 0 => // average
             if (cnt == 0) fill
             else {
               var s = 0.0; var x = 0
               while (x < cnt) { s += cell(x); x += 1 }
               if (isInt) math.rint(s / cnt) else s / cnt
             }
-          case "bilinear" =>
+          case 1 => // bilinear
             if (cnt < 4) fill
             else {
               val s = cell(0) + cell(1) + cell(2) + cell(3)
               if (isInt) math.rint(s / 4) else s / 4
             }
-          case "mode" =>
+          case 2 => // mode
             if (cnt == 0) fill
             else {
               // max count, ties to the lowest value — 4 values, plain scans
@@ -843,6 +947,39 @@ object Downsample {
                 x += 1
               }
               best
+            }
+          case 4 | 5 | 6 | 7 | 8 => // order statistics over the valid cells
+            if (cnt == 0) fill
+            else {
+              // insertion sort of ≤4 values
+              var x = 1
+              while (x < cnt) {
+                val v = cell(x); var y = x - 1
+                while (y >= 0 && cell(y) > v) { cell(y + 1) = cell(y); y -= 1 }
+                cell(y + 1) = v; x += 1
+              }
+              cell(op match {
+                case 4 => 0             // min
+                case 5 => cnt - 1       // max
+                case 6 => (cnt - 1) / 2 // med (lower median)
+                case 7 => (cnt - 1) / 4 // q1
+                case _ => 3 * (cnt - 1) / 4 // q3
+              })
+            }
+          case 9 => // rms
+            if (cnt == 0) fill
+            else {
+              var s = 0.0; var x = 0
+              while (x < cnt) { s += cell(x) * cell(x); x += 1 }
+              val r = math.sqrt(s / cnt)
+              if (isInt) math.rint(r) else r
+            }
+          case 10 => // sum, saturated at the dtype range (encode wraps)
+            if (cnt == 0) fill
+            else {
+              var s = 0.0; var x = 0
+              while (x < cnt) { s += cell(x); x += 1 }
+              math.min(math.max(s, dtMin), dtMax)
             }
           case _ => // near: top-left child pixel, nodata passes through
             if (child == null) fill else child(sj * w + si)

@@ -146,3 +146,106 @@ object RqParentTile {
     StructField("mean", DoubleType, nullable = true),
     StructField("stddev", DoubleType, nullable = true)))
 }
+
+/** rq_conv_parent(contribs) — one overview parent tile from a COLLECTED
+  * list of source contributions: its ≤4 children (still-encoded blobs) plus
+  * the R-pixel halo strips from the 12 ring tiles around the 2×2 child
+  * block, each tagged with its offset in the (2w+2R)×(2h+2R) source mosaic.
+  * This is the convolution-resampling path (cubic / cubicspline / lanczos,
+  * [[graft.raquet.Downsample.ConvWeights]]): unlike the 2×2 reduce, a
+  * convolution tap can cross a tile edge, so [[graft.raquet.Pyramid]]
+  * shuffles boundary strips alongside the children — strips are tiny
+  * (≤ R·w doubles), and the dominant own-child stream crosses the exchange
+  * still compressed, so shuffle volume stays ≈ the average-kernel path.
+  *
+  * Contribution struct: (sx, sy, sw, sh, blob, vals) — blob set (and vals
+  * null) for own children, vals set for strips. NULL out (parent absent)
+  * when no contribution is an own child: a parent with only foreign halo
+  * strips must not materialize. Output struct = [[RqParentTile.schema]].
+  */
+case class RqConvParent(contribs: Expression, kernel: BandKernel,
+    resampling: String)
+    extends UnaryExpression {
+  override def child: Expression = contribs
+  override def dataType: DataType = RqParentTile.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_conv_parent"
+  override def eval(input: InternalRow): Any = {
+    val arr = contribs.eval(input)
+    if (arr == null) null
+    else RqConvParent.assemble(kernel, resampling,
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val c = contribs.genCode(ctx)
+    val row = ctx.freshName("convRow")
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${c.isNull}) {
+          InternalRow $row = org.apache.spark.sql.graft.RqConvParent.assemble(
+            $k, "$resampling", ${c.value});
+          if ($row != null) { ${ev.isNull} = false; ${ev.value} = $row; }
+        }
+      """)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(contribs = c)
+}
+
+object RqConvParent {
+  /** Paste every contribution into the NaN-initialized source mosaic, then
+    * convolve ([[graft.raquet.Downsample.convolveParent]]) and recompute the
+    * writer's stats from the decoded result (decode-after-encode, so parent
+    * stats reflect the stored dtype exactly like the average path). */
+  def assemble(k: BandKernel, resampling: String,
+      list: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val weights = Downsample.ConvWeights(resampling)
+    val r = weights.length / 2 - 1
+    val w = k.width; val h = k.height
+    val mw = 2 * w + 2 * r
+    val mosaic = new Array[Double]((2 * h + 2 * r) * mw)
+    java.util.Arrays.fill(mosaic, Double.NaN)
+    var hasOwn = false
+    var i = 0
+    val n = list.numElements()
+    while (i < n) {
+      val c = list.getStruct(i, 6)
+      val sx = c.getInt(0); val sy = c.getInt(1)
+      val sw = c.getInt(2); val sh = c.getInt(3)
+      // an own child with a NULL blob (empty tile) still anchors the
+      // parent — the average path materializes an all-fill parent there too
+      if (sw == w && sh == h) hasOwn = true
+      val vals: Array[Double] =
+        if (!c.isNullAt(4)) k.decode(c.getBinary(4))
+        else if (!c.isNullAt(5)) c.getArray(5).toDoubleArray()
+        else null
+      if (vals != null) {
+        var q = 0
+        val m = sw * sh
+        while (q < m) {
+          mosaic((sy + q / sw) * mw + sx + q % sw) = vals(q)
+          q += 1
+        }
+      }
+      i += 1
+    }
+    if (!hasOwn) null
+    else {
+      val tile = Downsample.convolveParent(k, weights, mosaic)
+      val s = PixelCodec.maskedStats(k.decode(tile), k.nodata, null)
+      if (s == null)
+        new GenericInternalRow(Array[Any](tile, 0L, null, null, null, null, null))
+      else
+        new GenericInternalRow(Array[Any](tile, s(0).toLong, s(1), s(2), s(3),
+          PixelCodec.statsMean(s), PixelCodec.statsStddev(s)))
+    }
+  }
+}

@@ -290,9 +290,76 @@ class RaquetIOSpec extends SparkSpec {
     val near = Downsample.parentTile(k,
       enc(10, 10, 20, 30), enc(255, 7, 7, 5), enc(4, 9, 9, 4), null, "near")
     assert(dec(near) == Seq(10.0, 255.0, 4.0, 255.0))
-    // unknown kernel fails loudly
+    // unknown kernel fails loudly (convolution kernels live in
+    // Pyramid.buildLevel's halo path, not in the 2x2 reduce)
     intercept[IllegalArgumentException] {
-      Downsample.parentTile(k, enc(1, 1, 1, 1), null, null, null, "cubic")
+      Downsample.parentTile(k, enc(1, 1, 1, 1), null, null, null, "gauss")
+    }
+  }
+
+  test("order-statistic / rms / sum overview kernels") {
+    val k = BandKernel("uint8", 255.0, 2, 2, 1.0, 0.0)
+    def enc(v: Double*) = PixelCodec.encode(v.toArray, "uint8", gzip = true)
+    def dec(b: Array[Byte]) = PixelCodec.decode(b, "uint8").toSeq
+    // cells (valid values): [10,30,20,40], [5,7] (2 nodata), [9] , []
+    val c00 = enc(10, 30, 20, 40); val c10 = enc(5, 255, 255, 7)
+    val c01 = enc(255, 9, 255, 255); val c11 = enc(255, 255, 255, 255)
+    def run(r: String) = dec(Downsample.parentTile(k, c00, c10, c01, c11, r))
+    assert(run("min") == Seq(10.0, 5.0, 9.0, 255.0))
+    assert(run("max") == Seq(40.0, 7.0, 9.0, 255.0))
+    // sorted [10,20,30,40]: med idx (4-1)/2=1 → 20; q1 idx 0 → 10;
+    // q3 idx 3*3/4=2 → 30. n=2: med/q1 idx 0, q3 idx 0 (3*1/4=0).
+    assert(run("med") == Seq(20.0, 5.0, 9.0, 255.0))
+    assert(run("q1") == Seq(10.0, 5.0, 9.0, 255.0))
+    assert(run("q3") == Seq(30.0, 5.0, 9.0, 255.0))
+    // rms: sqrt((100+900+400+1600)/4)=sqrt(750)=27.386→27 (half-even rint);
+    // sqrt((25+49)/2)=sqrt(37)=6.08→6
+    assert(run("rms") == Seq(27.0, 6.0, 9.0, 255.0))
+    // sum saturates at the uint8 range instead of wrapping through encode
+    assert(run("sum") == Seq(100.0, 12.0, 9.0, 255.0))
+    val big = enc(200, 200, 200, 200)
+    assert(dec(Downsample.parentTile(k, big, null, null, null, "sum")).head == 255.0)
+  }
+
+  test("convolution overviews equal a brute-force global replay (halo taps included)") {
+    // independent reference: evaluate the fixture's closed form over the
+    // whole native window and convolve with no tile structure at all —
+    // cross-tile taps are then exercised by construction
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    def v1(gx: Long, gy: Long): Double =
+      if ((gx + gy) % 31 == 0) Double.NaN else ((7 * gx + 13 * gy) % 255).toDouble
+    def expectTile(resampling: String, px: Long, py: Long): Seq[Double] = {
+      val wts = Downsample.ConvWeights(resampling)
+      val rr = wts.length / 2 - 1
+      (for (j <- 0 until 16; i <- 0 until 16) yield {
+        var num = 0.0; var den = 0.0
+        for (b <- wts.indices; a <- wts.indices) {
+          val gx = 2 * (px * 16 + i) + a - rr
+          val gy = 2 * (py * 16 + j) + b - rr
+          val v = if (gx >= 512 && gx < 640 && gy >= 384 && gy < 512) v1(gx, gy)
+                  else Double.NaN
+          if (!v.isNaN) { val wt = wts(b) * wts(a); num += wt * v; den += wt }
+        }
+        if (den <= 0.0) 255.0
+        else math.min(math.max(math.rint(num / den), 0.0), 255.0)
+      }).toSeq
+    }
+    for (resampling <- Seq("cubic", "cubicspline", "lanczos")) {
+      val parents = graft.raquet.Pyramid
+        .buildLevel(native, meta, 5, resampling)
+        .select("block", "band_1").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      // exactly the 16 parents anchored by an own child — halo-only
+      // neighbors (e.g. x=15) must not materialize
+      assert(parents.keySet ==
+        (for (x <- 16L to 19L; y <- 12L to 15L) yield Quadbin.tileToCell(x, y, 5)).toSet)
+      // corner parent (dataset edge: absent halo renormalizes) + interior
+      for ((px, py) <- Seq((16L, 12L), (17L, 13L))) {
+        val got = PixelCodec.decode(parents(Quadbin.tileToCell(px, py, 5)), "uint8").toSeq
+        assert(got == expectTile(resampling, px, py), s"$resampling ($px,$py)")
+      }
     }
   }
 
