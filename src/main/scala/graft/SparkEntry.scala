@@ -264,6 +264,8 @@ object SparkEntry {
     "q243_pyramid_cubic"    -> (RaquetQueries.q243PyramidCubic _),
     "q244_pyramid_cubicspline" -> (RaquetQueries.q244PyramidCubicspline _),
     "q245_pyramid_lanczos"  -> (RaquetQueries.q245PyramidLanczos _),
+    "q246_c4_rules"         -> (LlmQueries.q246C4Rules _),
+    "q247_bm25"             -> (LlmQueries.q247Bm25 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -636,6 +638,12 @@ object SparkEntry {
     "q243_pyramid_cubic"    -> RaquetOracles.q243,
     "q244_pyramid_cubicspline" -> RaquetOracles.q244,
     "q245_pyramid_lanczos"  -> RaquetOracles.q245,
+    // q246: C4 cleaning — webification + every line/page rule + the
+    // rejoined clean text replayed in SQL
+    "q246_c4_rules"         -> LlmOracles.q246,
+    // q247: BM25 — tf/df/dl/avgdl, Lucene idf, micro-unit integer
+    // contributions (order-independent), deterministic ranking
+    "q247_bm25"             -> LlmOracles.q247,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

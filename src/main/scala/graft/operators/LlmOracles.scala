@@ -1390,4 +1390,85 @@ object LlmOracles {
            AND (5 * n_alpha_words >= 4 * n_words)
            AND (n_stop >= 2)) AS pass
        FROM m"""
+
+  /** q246: the webification AND every C4 rule replayed — line keep (≥ 5
+    * words, terminal punct, no "javascript"), page drop (lorem ipsum /
+    * '{' / < 3 kept lines), and the rejoined clean text. */
+  val q246: String =
+    """WITH d AS (SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS t
+       FROM documents),
+       web AS (SELECT doc_id, concat(
+           array_to_string(list_transform(
+             range(0, greatest((len(t) - 1) // 8, 0) + 1),
+             g -> concat(array_to_string(t[g*8+1 : g*8+8], ' '),
+               CASE (doc_id + g) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?'
+                    WHEN 2 THEN '' ELSE ' javascript.' END)),
+             chr(10)),
+           CASE WHEN doc_id % 13 = 0
+                THEN concat(chr(10), 'Lorem ipsum dolor sit amet and more filler.')
+                ELSE '' END,
+           CASE WHEN doc_id % 17 = 0
+                THEN concat(chr(10), 'function f() { return 1; } trailing words.')
+                ELSE '' END) AS text
+         FROM d),
+       l AS (SELECT doc_id, text,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+         FROM web),
+       k AS (SELECT doc_id, text, lines,
+           list_filter(lines, x ->
+             len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+             AND regexp_matches(x, '[.!?"]$')
+             AND NOT contains(lower(x), 'javascript')) AS kept
+         FROM l)
+       SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         contains(text, '{') AS has_brace,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+         (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+           AND NOT contains(text, '{')) AS pass
+       FROM k"""
+
+  /** q247: BM25 replayed — tf/df/dl/avgdl, the Lucene idf, the SAME
+    * left-associated contribution formula rounded to integer micro-units
+    * before the per-doc sum (aggregation-order-independent), and the
+    * deterministic (score, doc_id) ranking. */
+  val q247: String =
+    """WITH toks AS (SELECT doc_id, unnest(
+           list_filter(string_split(lower(coalesce(text, '')), ' '),
+             w -> w <> '')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         FROM toks GROUP BY 1, 2),
+       dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       dfp AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         FROM tf GROUP BY 1),
+       q AS (SELECT * FROM (VALUES (0, 'table scan fast'),
+           (1, 'join spark window'), (2, 'customer order value'))
+           t(query_id, q_text)),
+       qt AS (SELECT DISTINCT query_id, unnest(
+           list_filter(string_split(lower(q_text), ' '), w -> w <> '')) AS term
+         FROM q),
+       c AS (SELECT qt.query_id, tf.doc_id,
+           CAST(round(
+             ln(1 + (st.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))
+               * 1e6) AS BIGINT) AS cm
+         FROM tf JOIN qt USING (term) JOIN dfp USING (term)
+           JOIN dl USING (doc_id), st),
+       s AS (SELECT query_id, doc_id, CAST(sum(cm) AS BIGINT) AS score_micro,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+         FROM c GROUP BY 1, 2),
+       r AS (SELECT query_id, doc_id, score_micro, n_terms_hit,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id ASC) AS rk
+         FROM s)
+       SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rk AS BIGINT) AS rk,
+         doc_id, score_micro, n_terms_hit
+       FROM r WHERE rk <= 10"""
 }

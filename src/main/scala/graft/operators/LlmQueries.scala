@@ -341,6 +341,49 @@ object LlmQueries {
   def q230GopherRules(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherRules(docs(spark, dir))
 
+  /** The documents table re-shaped as web pages so the C4 line rules have
+    * something to decide: tokens regrouped into 8-word lines whose ending
+    * punctuation cycles by (doc_id + line) % 4 — '.', '?', none (fails the
+    * terminal-punct rule), ' javascript.' (fails the javascript rule) —
+    * plus a 'Lorem ipsum …' page-killer line on every 13th doc and a
+    * '{'-bearing code line on every 17th. Pure deterministic SQL, replayed
+    * verbatim by the oracle. */
+  private def webDocs(d: DataFrame): DataFrame =
+    d.withColumn("toks",
+        expr("filter(split(coalesce(text, ''), ' '), w -> w <> '')"))
+      .select(col("doc_id"), expr(
+        """concat(
+             array_join(
+               transform(sequence(0, greatest(CAST((size(toks) - 1) div 8 AS INT), 0)),
+                 g -> concat(array_join(slice(toks, g * 8 + 1, 8), ' '),
+                   CASE (doc_id + g) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?'
+                        WHEN 2 THEN '' ELSE ' javascript.' END)),
+               '\n'),
+             CASE WHEN doc_id % 13 = 0
+                  THEN concat('\n', 'Lorem ipsum dolor sit amet and more filler.')
+                  ELSE '' END,
+             CASE WHEN doc_id % 17 = 0
+                  THEN concat('\n', 'function f() { return 1; } trailing words.')
+                  ELSE '' END)""").as("text"))
+
+  /** q246 — C4 cleaning rules ([[TextOps.c4Rules]], Raffel et al. 2020):
+    * line-level keep (≥ 5 words, terminal punctuation, no "javascript") +
+    * page-level drop (lorem ipsum / '{' / < 3 kept lines), returning the
+    * CLEANED text alongside the verdicts. Runs over [[webDocs]]; the
+    * oracle replays the webification and every rule. */
+  def q246C4Rules(spark: SparkSession, dir: String): DataFrame =
+    TextOps.c4Rules(webDocs(docs(spark, dir)))
+
+  /** q247 — BM25 top-10 retrieval ([[TextOps.bm25TopK]]): three query
+    * strings ranked against the corpus, Lucene-default idf, per-term
+    * contributions rounded to integer micro-units pre-sum (the lmScore
+    * exactness pattern) so ranking is aggregation-order-independent. */
+  def q247Bm25(spark: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(docs(spark, dir), Seq(
+      (0L, "table scan fast"),
+      (1L, "join spark window"),
+      (2L, "customer order value")), k = 10)
+
   /** q234 — CLUSTER-BALANCED sampling (the diversity-sampling step of a
     * curation pipeline: cap how much any one embedding cluster
     * contributes): q199's k-means assignment composed with

@@ -208,6 +208,88 @@ object TextOps {
           col("pass_alpha") && col("pass_stop"))
   }
 
+  /** C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other canonical
+    * first-pass web filter next to [[gopherRules]]), line-level + page-level:
+    *   - keep only lines with ≥ 5 words AND ending in terminal punctuation
+    *     (. ! ? ") AND not containing the word "javascript"
+    *   - drop pages containing "lorem ipsum" (case-insensitive) or '{'
+    *     (code), or with fewer than 3 retained lines
+    * Returns the line metrics, per-rule verdicts, the overall pass flag,
+    * and the CLEANED text (retained lines rejoined) — C4 is a transform,
+    * not just a filter. One codegen'd projection — no shuffle, linear;
+    * NULL text reads as an empty page in both engines. */
+  def c4Rules(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .withColumn("lines", expr("filter(split(text, '\n'), x -> x <> '')"))
+      .withColumn("kept", expr(
+        """filter(lines, x ->
+             size(filter(split(x, ' '), w -> w <> '')) >= 5
+             AND x RLIKE '[.!?"]$'
+             AND NOT contains(lower(x), 'javascript'))"""))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("contains(lower(text), 'lorem ipsum')").as("has_lorem"),
+        expr("contains(text, '{')").as("has_brace"),
+        expr("array_join(kept, '\n')").as("clean_text"))
+      .withColumn("pass",
+        col("n_kept") >= 3 && !col("has_lorem") && !col("has_brace"))
+
+  /** BM25 top-k retrieval (Robertson/Okapi, the Lucene-default variant
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))): rank the corpus against a
+    * handful of query strings — the retrieval primitive behind
+    * contamination triage ("which train docs score suspiciously high
+    * against a benchmark prompt") and retrieval-based data selection.
+    *
+    * Exactness: like [[lmScore]], each (query-term, doc) contribution is
+    * rounded to integer MICRO-units before the per-doc sum, so the score
+    * is independent of aggregation order and hash-matches the oracle.
+    * Scale shape: tokenize once (one hash agg for tf, one for df), the
+    * query side is a literal broadcast, ranking is one per-query window
+    * over docs that match ≥ 1 term — no corpus×query cross join. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(coalesce(text, '')), ' '), x -> x <> '')"))
+          .as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // tf feeds df, dl and the score join — tokenize once
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df_count"))
+    val q = queries.toDF("query_id", "q_text")
+      .select(col("query_id"),
+        explode(expr("filter(split(lower(q_text), ' '), x -> x <> '')"))
+          .as("term")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(broadcast(q), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df_count") + 0.5) /
+          (col("df_count") + 0.5)))
+      .withColumn("contrib_micro",
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+          * 1e6).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"), col("doc_id"),
+        col("score_micro"), col("n_terms_hit"))
+  }
+
   /** Corpus snapshot DELTA — the incremental-reprocessing primitive: given
     * two snapshots of the same logical corpus, classify every doc as
     * added / removed / changed / unchanged by content hash, so a pipeline

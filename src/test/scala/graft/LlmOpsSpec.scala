@@ -623,6 +623,71 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got(7L)._5 && !got(7L)._6) // zero stop words
   }
 
+  test("c4Rules: line keeps and page drops trip on exactly their designed violations") {
+    import spark.implicits._
+    val good = "one two three four five six words here."
+    val docs = Seq(
+      1L -> s"$good\n$good\n$good",               // 3 kept lines → pass
+      2L -> s"$good\n$good",                      // only 2 kept → fail
+      3L -> s"$good\n$good\n$good\nlorem ipsum",  // page killer (not a kept line)
+      4L -> s"$good\n$good\n$good\ncode { x }",   // brace page killer
+      5L -> s"$good\n$good\n$good\nsome Javascript line with many words.",
+      6L -> s"$good\n$good\nshort line.\nno terminal punctuation at all",
+      7L -> null.asInstanceOf[String])            // NULL text = empty page
+      .toDF("doc_id", "text")
+    val got = TextOps.c4Rules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(6) && got(1L).getLong(2) == 3)
+    assert(!got(2L).getBoolean(6) && got(2L).getLong(2) == 2)
+    assert(!got(3L).getBoolean(6) && got(3L).getBoolean(3)) // has_lorem
+    assert(!got(4L).getBoolean(6) && got(4L).getBoolean(4)) // has_brace
+    // the javascript LINE drops but the page rule is per-line, so n_kept=3 → pass
+    assert(got(5L).getLong(2) == 3 && got(5L).getBoolean(6))
+    assert(!got(5L).getString(5).toLowerCase.contains("javascript"))
+    // short + unterminated lines both drop
+    assert(got(6L).getLong(2) == 2 && got(6L).getLong(1) == 4)
+    assert(got(7L).getLong(1) == 0 && !got(7L).getBoolean(6))
+    assert(got(7L).getString(5) == "")
+  }
+
+  test("bm25TopK equals a driver-side reference (idf, length norm, micro-rounding, ties)") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "spark table scan",            // short doc, hits 2 terms
+      2L -> "spark spark spark join join", // tf saturation
+      3L -> "table join table join window window window table",
+      4L -> "scan scan scan scan scan scan scan scan scan scan",
+      5L -> "unrelated words only here")
+    val queries = Seq((0L, "spark join"), (1L, "scan"))
+    val got = TextOps.bm25TopK(corpus.toDF("doc_id", "text"), queries, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // reference replay
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+    val n = toks.size.toDouble
+    val avgdl = toks.map(_._2.length).sum.toDouble / toks.size
+    def dfOf(term: String) = toks.count(_._2.contains(term))
+    def scoreOf(qts: Seq[String], id: Long): Option[(Long, Long)] = {
+      val tks = toks.toMap.apply(id)
+      val hits = qts.filter(t => tks.contains(t))
+      if (hits.isEmpty) None
+      else Some((hits.map { t =>
+        val tf = tks.count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+        math.rint(idf * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * tks.length / avgdl)) * 1e6).toLong
+      }.sum, hits.size.toLong))
+    }
+    for ((qid, qs) <- Seq(0L -> Seq("spark", "join"), 1L -> Seq("scan"))) {
+      val expect = corpus.map(_._1)
+        .flatMap(id => scoreOf(qs, id).map(s => (id, s._1, s._2)))
+        .sortBy { case (id, s, _) => (-s, id) }.take(3)
+      expect.zipWithIndex.foreach { case ((id, s, nh), i) =>
+        assert(got((qid, i + 1L)) == ((id, s, nh)), s"q$qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("corpusDelta: added/removed/changed/unchanged classify correctly") {
     import spark.implicits._
     val old = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("doc_id", "text")
