@@ -50,6 +50,10 @@ object PlanAudit {
       "q231_idw_grid" -> RaquetQueries.q231IdwGrid _,
       "q232_region_sieve" -> RaquetQueries.q232RegionSieve _,
       "q233_sieve_apply" -> RaquetQueries.q233SieveApply _,
+      "q240_polygonize" -> RaquetQueries.q240Polygonize _,
+      "q243_pyramid_cubic" -> RaquetQueries.q243PyramidCubic _,
+      "q246_c4_rules" -> LlmQueries.q246C4Rules _,
+      "q247_bm25" -> LlmQueries.q247Bm25 _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build"),
       "b_region_apply" -> Bench.rasterQueries("b_region_apply")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
