@@ -550,6 +550,16 @@ object Bench {
         .drop("metadata")
       graft.raquet.Pyramid.buildLevel(native, ds.meta, 9)
     }),
+    "b_pyramid_conv" -> ((s: SparkSession, _: String) => {
+      // the convolution-overview halo path (lanczos a=3: R=2 strips to the
+      // 12 ring tiles + 36-tap renormalized kernel) on the same level as
+      // b_pyramid_build — the delta prices the halo exchange + convolution
+      // vs the plain 2x2 reduce
+      val ds = RaquetIO.read(s, RasterDir)
+      val native = ds.data.filter(quadbin_zoom(col("block")) === 10)
+        .drop("metadata")
+      graft.raquet.Pyramid.buildLevel(native, ds.meta, 9, "lanczos")
+    }),
     "b_region_sieve" -> ((s: SparkSession, _: String) => {
       // gdal_sieve DECISION path over the full 32x32-tile raster (67M px):
       // per-tile union-find -> boundary strips -> label-graph CC -> the
@@ -658,6 +668,10 @@ object Bench {
       TextOps.lmScore(Tables.documents(s, dir).select("doc_id", "text"))),
     "b_dup_clusters" -> (graft.operators.LlmQueries.q56DupClusters _),
     "b_ivf_knn" -> (graft.operators.LlmQueries.q51IvfKnn _),
+    "b_bm25" -> ((s: SparkSession, dir: String) =>
+      TextOps.bm25TopK(Tables.documents(s, dir).select("doc_id", "text"),
+        Seq((0L, "table scan fast"), (1L, "join spark window"),
+          (2L, "customer order value")), k = 10)),
     // SemDeDup verdict: bucket equi-join, Σ per-bucket n² candidates
     "b_semdedup" -> ((s: SparkSession, dir: String) =>
       EmbedOps.semDedup(Tables.embeddings(s, dir), planes = 8, dim = 64,

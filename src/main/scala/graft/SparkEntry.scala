@@ -266,6 +266,9 @@ object SparkEntry {
     "q245_pyramid_lanczos"  -> (RaquetQueries.q245PyramidLanczos _),
     "q246_c4_rules"         -> (LlmQueries.q246C4Rules _),
     "q247_bm25"             -> (LlmQueries.q247Bm25 _),
+    "q248_footprint"        -> (RaquetQueries.q248Footprint _),
+    "q249_translate"        -> (RaquetQueries.q249Translate _),
+    "q250_pansharpen"       -> (RaquetQueries.q250Pansharpen _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -644,6 +647,13 @@ object SparkEntry {
     // q247: BM25 — tf/df/dl/avgdl, Lucene idf, micro-unit integer
     // contributions (order-independent), deterministic ranking
     "q247_bm25"             -> LlmOracles.q247,
+    // q248: footprint — the q240 ring replay over the valid-pixel mask
+    "q248_footprint"        -> RaquetOracles.q248,
+    // q249: translate -scale/-ot — integer rescale maps + clamp replayed
+    "q249_translate"        -> RaquetOracles.q249,
+    // q250: Brovey pansharpen — overview closed forms, NN upsample,
+    // physical scaling, and the exact ratio tree replayed bit-for-bit
+    "q250_pansharpen"       -> RaquetOracles.q250,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -50,6 +50,15 @@ object GraftFunctions {
   def rq_composite(a: Column, b: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqComposite(ex(a), ex(b), BandKernel(meta, name)))
+  def rq_translate(band: Column, meta: RaquetMetadata, name: String,
+      outDtype: String, outNodata: Double, a: Double, b: Double): Column =
+    col(RqTranslate(ex(band), BandKernel(meta, name), outDtype, outNodata, a, b))
+
+  def rq_brovey(pan: Column, mi: Column, mj: Column, meta: RaquetMetadata,
+      panBand: String, miBand: String, mjBand: String): Column =
+    col(RqBrovey(ex(pan), ex(mi), ex(mj), BandKernel(meta, panBand),
+      BandKernel(meta, miBand), BandKernel(meta, mjBand)))
+
   def rq_contour(band: Column, meta: RaquetMetadata, name: String,
       level: Double): Column =
     col(RqContour(ex(band), BandKernel(meta, name), level))

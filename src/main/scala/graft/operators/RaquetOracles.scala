@@ -362,7 +362,17 @@ object RaquetOracles {
     * MATERIALIZED: without the hint DuckDB re-evaluates the whole
     * label-closure pipeline inside every recursion step of the ring
     * closure (>10 min vs 0.8 s). */
-  val q240: String = {
+  val q240: String = ringsOracle(
+    """CASE WHEN (7*gx+13*gy)%255 < 64 THEN 10
+            WHEN (7*gx+13*gy)%255 < 128 THEN 20
+            WHEN (7*gx+13*gy)%255 < 192 THEN 30 ELSE 40 END""")
+
+  /** q248: gdal_footprint — the q240 ring machinery over the VALID-pixel
+    * mask (every valid pixel class 1): the outer rings are the dataset's
+    * valid-data footprint polygons, the holes its nodata speckles. */
+  val q248: String = ringsOracle("1")
+
+  private def ringsOracle(classExpr: String): String = {
     val tiles = (for { x <- 32L to 33L; y <- 24L to 25L }
       yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
     s"""WITH RECURSIVE t(block, x, y) AS (VALUES $tiles),
@@ -370,9 +380,7 @@ object RaquetOracles {
           FROM t, range(16) a(i), range(16) b(j)),
         m AS MATERIALIZED (SELECT gx, gy,
             gy*4294967296 + gx AS gid,
-            CASE WHEN (7*gx+13*gy)%255 < 64 THEN 10
-                 WHEN (7*gx+13*gy)%255 < 128 THEN 20
-                 WHEN (7*gx+13*gy)%255 < 192 THEN 30 ELSE 40 END AS class
+            $classExpr AS class
           FROM px0 WHERE (gx+gy)%31 <> 0),
         e AS (SELECT p.gid AS ga, q.gid AS gb FROM m p JOIN m q
           ON p.class = q.class AND
@@ -449,6 +457,67 @@ object RaquetOracles {
           CAST(ring AS BIGINT) AS ring, area2 > 0 AS is_outer,
           n_pts, area2, '(' || pts || ', ' || p0 || ')' AS wkt
         FROM ragg"""
+  }
+
+  /** q249: gdal_translate -scale/-ot replayed — both rescales are integer
+    * maps on the closed-form DNs (×257 promotion; 2·v−100 with the clamp
+    * engaged on both ends), nodata → the output nodata. */
+  val q249: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy,
+            CAST(j*16+i AS BIGINT) AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        v AS (SELECT block, pos,
+            CASE WHEN (gx+gy)%31 <> 0 THEN (7*gx+13*gy)%255 END AS dn0
+          FROM px)
+        SELECT 'u16_promote' AS variant, block, pos,
+          CAST(CASE WHEN dn0 IS NULL THEN 65535 ELSE 257*dn0 END AS BIGINT) AS dn
+        FROM v
+        UNION ALL
+        SELECT 'u8_stretch', block, pos,
+          CAST(CASE WHEN dn0 IS NULL THEN 255
+               ELSE least(greatest(2*dn0 - 100, 0), 255) END AS BIGINT)
+        FROM v"""
+  }
+
+  /** q250: Brovey pansharpen replayed — the z5 band_1 average (half-even
+    * rint over the valid 2×2 children), band_2's closed-form overview
+    * (px5 + py5/2 + 0.375, dyadic-exact), NN upsample (integer halving),
+    * physical scaling, and the exact ratio expression tree. */
+  val q250: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy,
+            CAST(j*16+i AS BIGINT) AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        base AS (SELECT block, pos, gx, gy,
+            (gx//2)*2 AS bx, (gy//2)*2 AS by FROM px),
+        c AS (SELECT block, pos, gx, gy,
+            ${v1At("bx", "by")} AS c0, ${v1At("bx+1", "by")} AS c1,
+            ${v1At("bx", "by+1")} AS c2, ${v1At("bx+1", "by+1")} AS c3
+          FROM base),
+        m AS (SELECT block, pos, gx, gy,
+            len(list_filter([c0, c1, c2, c3], v -> v IS NOT NULL)) AS n1,
+            coalesce(c0, 0) + coalesce(c1, 0) + coalesce(c2, 0)
+              + coalesce(c3, 0) AS s1,
+            CAST(gx//2 AS DOUBLE) + (gy//2)/2.0 + 0.375 AS m2dn
+          FROM c),
+        ph AS (SELECT block, pos,
+            CASE WHEN n1 = 0 THEN NULL
+                 ELSE floor(s1/n1) + (CASE WHEN s1/n1 - floor(s1/n1) > 0.5 THEN 1
+                      WHEN s1/n1 - floor(s1/n1) = 0.5
+                        THEN abs(CAST(floor(s1/n1) AS BIGINT) % 2)
+                      ELSE 0 END) END AS m1p,
+            m2dn * 0.5 + 16 AS m2p,
+            ${v1At("gx", "gy")} AS pan
+          FROM m)
+        SELECT block, pos,
+          m1p * pan / ((m1p + m2p) / 2) AS sharp1,
+          m2p * pan / ((m2p + m1p) / 2) AS sharp2
+        FROM ph"""
   }
 
   /** q228: chamfer proximity replayed round by round — seed where the

@@ -309,6 +309,75 @@ object RaquetQueries {
     Regions.regionRings(sub, ds.meta, "band_1")
   }
 
+  /** q248 — gdal_footprint: the valid-data footprint polygons of the q240
+    * window as WKT rings — [[Regions.regionRings]] over the VALID-pixel
+    * mask (reclassify with zero breaks maps every valid pixel to class 1,
+    * nodata stays nodata). Outer rings = footprint, holes = the nodata
+    * speckles; same halo-exchange segment machinery as q240. */
+  def q248Footprint(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val sub = ds.data.filter(quadbin_zoom(col("block")) === 6 &&
+        quadbin_tile_x(col("block")) < 34 && quadbin_tile_y(col("block")) < 26)
+      .select(col("block"),
+        rq_reclassify(col("band_1"), ds.meta, "band_1",
+          Array.empty[Double], Array(1.0)).as("band_1"))
+    Regions.regionRings(sub, ds.meta, "band_1")
+  }
+
+  /** q249 — gdal_translate -scale/-ot ([[graft.functions.GraftFunctions
+    * .rq_translate]]): linear DN rescale re-encoded to a new dtype, one
+    * codegen'd kernel, no shuffle. Two variants over the whole fixture:
+    * uint8→uint16 promotion (×257, so 255→65535 — the classic 8→16-bit
+    * stretch) and an in-dtype contrast stretch (2·v − 100) that engages
+    * the range clamp on both ends. Nodata maps to the output nodata. */
+  def q249Translate(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    def variant(name: String, outDtype: String, outNodata: Double,
+        a: Double, b: Double): DataFrame = {
+      val outK = graft.raquet.BandKernel(outDtype, outNodata,
+        ds.meta.blockWidth, ds.meta.blockHeight, 1.0, 0.0)
+      native.select(lit(name).as("variant"), col("block"),
+        posexplode(rq_decode(
+          rq_translate(col("band_1"), ds.meta, "band_1", outDtype,
+            outNodata, a, b), outK)))
+        .select(col("variant"), col("block"), col("pos"),
+          col("col").cast("long").as("dn"))
+    }
+    variant("u16_promote", "uint16", 65535.0, 257.0, 0.0)
+      .unionByName(variant("u8_stretch", "uint8", 255.0, 2.0, -100.0))
+  }
+
+  /** q250 — gdal_pansharpen (Brovey): build the z5 multispectral overview
+    * (average), upsample it back to the z6 pan grid (NN ×2,
+    * [[graft.raquet.Pyramid.upsampleLevel]] — zero shuffle), stack with
+    * the pan band by ONE block equi-join, and apply the weighted-ratio
+    * kernel sharp_i = M_i·P/mean(M) over physical values
+    * ([[graft.raquet.Pansharpen.brovey]]). Every input is dyadic-exact
+    * (the z5 averages have closed forms), so the oracle replays the exact
+    * expression tree bit-for-bit; invalid pan pixels → NULL. */
+  def q250Pansharpen(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    val ms = graft.raquet.Pyramid.buildLevel(native, ds.meta, 5)
+    val up = graft.raquet.Pyramid.upsampleLevel(ms, ds.meta, 6)
+      .select(col("block"), col("band_1").as("m1"), col("band_2").as("m2"))
+    val outK = graft.operators.Focal.outKernel(ds.meta)
+    native.select(col("block"), col("band_1").as("pan"))
+      .join(up, "block")
+      .select(col("block"),
+        rq_decode(rq_brovey(col("pan"), col("m1"), col("m2"), ds.meta,
+          "band_1", "band_1", "band_2"), outK).as("s1"),
+        rq_decode(rq_brovey(col("pan"), col("m2"), col("m1"), ds.meta,
+          "band_1", "band_2", "band_1"), outK).as("s2"))
+      .select(col("block"), posexplode(arrays_zip(col("s1"), col("s2"))))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col.s1")), lit(null)).otherwise(col("col.s1"))
+          .as("sharp1"),
+        when(isnan(col("col.s2")), lit(null)).otherwise(col("col.s2"))
+          .as("sharp2"))
+  }
+
   /** q238 — MODE (majority) overview resampling ([[graft.raquet.Pyramid
     * .buildLevel]] with resampling = "mode"): the categorical-safe kernel
     * (most frequent valid child per 2×2, ties to the LOWEST value, never

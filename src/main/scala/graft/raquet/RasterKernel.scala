@@ -150,6 +150,31 @@ final case class BandKernel(
     * falls in the upper bin. Nodata/NaN pixels pass through untouched; the
     * output blob keeps the band's dtype + nodata and is gzip-encoded, so it
     * feeds every existing kernel (stats, clip, focal) unchanged. */
+  /** gdal_translate's -scale/-ot: linear rescale a·DN + b re-encoded as
+    * `outDtype` (half-even rint + range clamp for integer outputs — encode
+    * wraps); nodata pixels map to `outNodata`. Operates on raw DNs like
+    * gdal_translate (src/dst bounds are DNs, not physical values). */
+  def translate(raw: Array[Byte], outDtype: String, outNodata: Double,
+      a: Double, b: Double): Array[Byte] = {
+    val v = decode(raw)
+    val isInt = outDtype != "float16" && outDtype != "float32" &&
+      outDtype != "float64"
+    val (mn, mx) = Downsample.dtypeRange(outDtype)
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      v(i) =
+        if (java.lang.Double.isNaN(x) || (!nodata.isNaN && x == nodata))
+          outNodata
+        else {
+          val p = a * x + b
+          if (isInt) math.min(math.max(math.rint(p), mn), mx) else p
+        }
+      i += 1
+    }
+    PixelCodec.encode(v, outDtype, gzip = true)
+  }
+
   def reclassify(raw: Array[Byte], breaks: Array[Double],
       classes: Array[Double]): Array[Byte] = {
     require(classes.length == breaks.length + 1,
@@ -759,6 +784,37 @@ final case class BandPairKernel(a: BandKernel, b: BandKernel) extends Serializab
       i += 1
     }
     if (cnt == 0L) null else Array(cnt.toDouble, mn, mx, sum, sumSq)
+  }
+}
+
+/** gdal_pansharpen (Brovey weighted-ratio): sharp_i = M_i · P / mean(M) over
+  * PHYSICAL values (scale/offset applied) — the multispectral bands are
+  * upsampled to the pan grid first ([[Pyramid.upsampleLevel]]), so this is a
+  * pure per-pixel kernel: no shuffle beyond the one block equi-join that
+  * stacks the bands. Any invalid input (nodata/absent) → NaN. Output is a
+  * float64 gzip blob ([[graft.operators.Focal.outKernel]] decodes it). */
+object Pansharpen {
+  def brovey(kp: BandKernel, ki: BandKernel, kj: BandKernel,
+      pan: Array[Byte], mi: Array[Byte], mj: Array[Byte]): Array[Byte] = {
+    val p = kp.decode(pan)
+    val a = ki.decode(mi)
+    val b = kj.decode(mj)
+    @inline def phys(k: BandKernel, v: Double): Double =
+      if (java.lang.Double.isNaN(v) || (!k.nodata.isNaN && v == k.nodata))
+        Double.NaN
+      else v * k.scale + k.offset
+    val out = new Array[Double](p.length)
+    var i = 0
+    while (i < p.length) {
+      val pp = phys(kp, p(i))
+      val ai = phys(ki, a(i))
+      val bj = phys(kj, b(i))
+      // NaN propagates from any invalid input; the oracle replays the
+      // exact expression tree, so doubles match bit-for-bit
+      out(i) = ai * pp / ((ai + bj) / 2)
+      i += 1
+    }
+    PixelCodec.encode(out, "float64", gzip = true)
   }
 }
 

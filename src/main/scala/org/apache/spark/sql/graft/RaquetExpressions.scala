@@ -839,6 +839,56 @@ case class RqReclassify(child: Expression, kernel: BandKernel,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rq_translate(band) — gdal_translate's -scale/-ot as a codegen'd kernel:
+  * linear DN rescale a·v + b re-encoded to `outDtype` (half-even rint +
+  * range clamp for integer outputs), nodata → `outNodata`. No shuffle. */
+case class RqTranslate(child: Expression, kernel: BandKernel,
+    outDtype: String, outNodata: Double, a: Double, b: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_translate"
+  override protected def nullSafeEval(raw: Any): Any =
+    kernel.translate(raw.asInstanceOf[Array[Byte]], outDtype, outNodata, a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val nd = if (outNodata.isNaN) "Double.NaN" else s"${outNodata}D"
+    defineCodeGen(ctx, ev, raw =>
+      s"""$k.translate($raw, "$outDtype", $nd, ${a}D, ${b}D)""")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** rq_brovey(pan, mi, mj) — gdal_pansharpen's Brovey ratio for band i:
+  * M_i · P / ((M_i + M_j)/2) over physical values, NaN on any invalid
+  * input; float64 gzip blob out ([[graft.raquet.Pansharpen.brovey]]). */
+case class RqBrovey(pan: Expression, mi: Expression, mj: Expression,
+    kp: BandKernel, ki: BandKernel, kj: BandKernel)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def first: Expression = pan
+  override def second: Expression = mi
+  override def third: Expression = mj
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(BinaryType, BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_brovey"
+  override protected def nullSafeEval(p: Any, a: Any, b: Any): Any =
+    graft.raquet.Pansharpen.brovey(kp, ki, kj, p.asInstanceOf[Array[Byte]],
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("kp", kp, classOf[BandKernel].getName)
+    val i = ctx.addReferenceObj("ki", ki, classOf[BandKernel].getName)
+    val j = ctx.addReferenceObj("kj", kj, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (pn, a, b) =>
+      s"graft.raquet.Pansharpen.brovey($p, $i, $j, $pn, $a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      p: Expression, a: Expression, b: Expression): Expression =
+    copy(pan = p, mi = a, mj = b)
+}
+
 /** rq_contour(band) with a plan-time `level` → ARRAY<ARRAY<DOUBLE>> of
   * [x1,y1,x2,y2] marching-squares segments in fractional pixel
   * coordinates (the gdal_contour shape; see [[BandKernel.contour]]). */

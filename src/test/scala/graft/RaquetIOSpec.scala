@@ -321,6 +321,35 @@ class RaquetIOSpec extends SparkSpec {
     assert(dec(Downsample.parentTile(k, big, null, null, null, "sum")).head == 255.0)
   }
 
+  test("translate kernel: rescale, dtype promote, clamp, nodata map") {
+    val k = BandKernel("uint8", 255.0, 2, 2, 1.0, 0.0)
+    val in = PixelCodec.encode(Array(0.0, 100.0, 254.0, 255.0), "uint8", gzip = true)
+    // uint8 -> uint16 promotion x257: nodata 255 -> 65535
+    val up = PixelCodec.decode(k.translate(in, "uint16", 65535.0, 257.0, 0.0), "uint16")
+    assert(up.toSeq == Seq(0.0, 25700.0, 65278.0, 65535.0))
+    // in-dtype stretch 2v-100 clamps both ends; nodata passes through as 255
+    val st = PixelCodec.decode(k.translate(in, "uint8", 255.0, 2.0, -100.0), "uint8")
+    assert(st.toSeq == Seq(0.0, 100.0, 255.0, 255.0))
+    // float output: nodata -> NaN, no rounding of the linear map
+    val fl = PixelCodec.decode(k.translate(in, "float64", Double.NaN, 0.5, 0.25), "float64")
+    assert(fl(0) == 0.25 && fl(1) == 50.25 && fl(3).isNaN)
+  }
+
+  test("brovey pansharpen kernel: ratio, physical scaling, NaN propagation") {
+    import graft.raquet.Pansharpen
+    val kp = BandKernel("uint8", 255.0, 2, 2, 1.0, 0.0)
+    val ki = BandKernel("uint8", 255.0, 2, 2, 1.0, 0.0)
+    val kj = BandKernel("float32", Double.NaN, 2, 2, 0.5, 16.0)
+    val pan = PixelCodec.encode(Array(100.0, 255.0, 40.0, 10.0), "uint8", gzip = true)
+    val mi = PixelCodec.encode(Array(50.0, 60.0, 255.0, 20.0), "uint8", gzip = true)
+    val mj = PixelCodec.encode(Array(8.0, 8.0, 8.0, 8.0), "float32", gzip = true) // phys 20
+    val out = PixelCodec.decode(Pansharpen.brovey(kp, ki, kj, pan, mi, mj), "float64")
+    assert(out(0) == 50.0 * 100.0 / ((50.0 + 20.0) / 2)) // ≈142.857
+    assert(out(1).isNaN) // pan nodata
+    assert(out(2).isNaN) // mi nodata
+    assert(out(3) == 20.0 * 10.0 / ((20.0 + 20.0) / 2)) // 10
+  }
+
   test("convolution overviews equal a brute-force global replay (halo taps included)") {
     // independent reference: evaluate the fixture's closed form over the
     // whole native window and convolve with no tile structure at all —
