@@ -832,6 +832,22 @@ object Bench {
       // window — linear in corpus tokens by construction
       series("substring_dedup", Seq(nDocs, 2 * nDocs, 4 * nDocs),
         n => TextOps.duplicatedSpans(docsTimes(docs, (n / nDocs).toInt), n = 6)),
+      // BM25: tokenize + tf/df hash aggs + broadcast score join + per-query
+      // window — all linear passes over corpus tokens
+      series("bm25", Seq(nDocs, 2 * nDocs, 4 * nDocs),
+        n => TextOps.bm25TopK(docsTimes(docs, (n / nDocs).toInt),
+          Seq((0L, "table scan fast"), (1L, "join spark window")), k = 10)),
+      // convolution pyramid: one explode + ONE shuffle at child
+      // cardinality (own blobs + ring strips) — linear in TILES like the
+      // 2x2 reduce path
+      series("pyramid_conv", Seq(64L, 256L, 1024L), { n =>
+        val k = math.sqrt(n.toDouble).toInt
+        val z = 10
+        val tiles = FixtureGen.nativeTiles(spark, z, 512, 512, k, k, 256)
+        val meta = FixtureGen.metadata(z, 512, 512, k, k, 256, minZoom = z,
+          numBlocks = n)
+        graft.raquet.Pyramid.buildLevelConvolved(tiles, meta, z - 1, "lanczos")
+      }),
       // region labeling/sieve decision path: per-tile union-find + strips
       // + label-graph CC + fragment agg — linear in TILES (the CC rounds
       // grow with log of raster diameter, invisible at these sizes)

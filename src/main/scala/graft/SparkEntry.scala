@@ -269,6 +269,8 @@ object SparkEntry {
     "q248_footprint"        -> (RaquetQueries.q248Footprint _),
     "q249_translate"        -> (RaquetQueries.q249Translate _),
     "q250_pansharpen"       -> (RaquetQueries.q250Pansharpen _),
+    "q251_hillshade_md"     -> (RaquetQueries.q251HillshadeMd _),
+    "q252_media_curation"   -> (graft.operators.MediaDedup.q252MediaCuration _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -654,6 +656,12 @@ object SparkEntry {
     // q250: Brovey pansharpen — overview closed forms, NN upsample,
     // physical scaling, and the exact ratio tree replayed bit-for-bit
     "q250_pansharpen"       -> RaquetOracles.q250,
+    // q251: multidirectional hillshade — four azimuth terms in kernel
+    // order, sin^2 weights, round(7) absorbing the libm spread
+    "q251_hillshade_md"     -> RaquetOracles.q251,
+    // q252: media-curation capstone — fp-cluster closure, canonical
+    // argmin, and the per-source quota window replayed end to end
+    "q252_media_curation"   -> graft.operators.MediaDedup.oracleQ252,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -121,6 +121,10 @@ object GraftFunctions {
       altitudeDeg: Double): Column =
     col(RqFocalTerrain(ex(band), ex(halos), BandKernel(meta, name), cell,
       azimuthDeg, altitudeDeg))
+  def rq_focal_hillshade_md(band: Column, halos: Column, meta: RaquetMetadata,
+      name: String, cell: Double, altitudeDeg: Double): Column =
+    col(RqFocalHillshadeMd(ex(band), ex(halos), BandKernel(meta, name), cell,
+      altitudeDeg))
   def rq_focal_tpi(band: Column, halos: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqFocalTpi(ex(band), ex(halos), BandKernel(meta, name)))

@@ -135,6 +135,17 @@ object Focal {
         rq_focal_terrain(col(band), col("halos"), meta, band, cell,
           azimuthDeg, altitudeDeg).as("t"))
 
+  /** gdaldem's MULTIDIRECTIONAL hillshade (`-multidirectional`, Mark 1992):
+    * four sun azimuths 225/270/315/360° weighted by sin²(aspect − azimuth),
+    * normalized by the exact weight sum 2. Same strict-window halo exchange
+    * as [[focalTerrain3x3]]; output (block, vals) float64 blobs. */
+  def focalHillshadeMd3x3(data: DataFrame, meta: RaquetMetadata, band: String,
+      cell: Double = 1.0, altitudeDeg: Double = 45.0): DataFrame =
+    withHalos(data, meta, band)
+      .select(col("block"),
+        rq_focal_hillshade_md(col(band), col("halos"), meta, band, cell,
+          altitudeDeg).as("vals"))
+
   /** TPI + TRI (Riley) + roughness in one window pass — the rest of the
     * gdaldem family ([[focalTerrain3x3]] covers slope/aspect/hillshade).
     * Strict all-9-cells windows like slope; output (block, t) with

@@ -280,6 +280,57 @@ object MediaDedup {
        m AS (SELECT fp, min(comp) AS comp FROM reach GROUP BY fp)
        SELECT f.id, f.fp, m.comp AS cluster FROM f JOIN m USING (fp)"""
 
+  /** q252 — MEDIA CURATION capstone (the q120 text-capstone shape for the
+    * image/audio modality): fingerprint near-dup CLUSTERS
+    * ([[hashDedupClusters]] — fp-graph components, linear even on
+    * clique-degenerate corpora) → one canonical per cluster (min id) →
+    * per-source diversity quota ([[graft.operators.Curation
+    * .quotaPerGroup]], deterministic id-hash order). Union of the stages'
+    * scale shapes; nothing quadratic. The oracle replays the closure, the
+    * canonical argmin, and the quota window end to end. */
+  def q252MediaCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val fps = spark.range(480).toDF("id").selectExpr("id",
+      """((((id div 8) * 2654435761) % 140737488355328) * 65536 + 51)
+         ^ shiftleft(CAST(3 AS BIGINT), CAST(16 + id % 8 AS INT)) AS fp""",
+      "id % 5 AS source")
+    val clusters = hashDedupClusters(fps.select("id", "fp"), "id", "fp")
+    val canon = clusters.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.min(col("id")).as("id"))
+      .join(fps.select("id", "source"), "id")
+    Curation.quotaPerGroup(canon, "source", "id", k = 4)
+      .select(col("id"), col("cluster"), col("source"), col("rn"))
+  }
+
+  val oracleQ252: String =
+    """WITH RECURSIVE f AS (SELECT id,
+         xor((((id // 8) * 2654435761) % 140737488355328) * 65536 + 51,
+             (CAST(3 AS BIGINT) << CAST(16 + id % 8 AS INT))) AS fp,
+         id % 5 AS source
+       FROM range(480) t(id)),
+       u AS (SELECT DISTINCT fp FROM f),
+       e AS (SELECT a.fp AS src, b.fp AS dst FROM u a JOIN u b
+             ON bit_count(xor(a.fp, b.fp)) <= 3),
+       reach(fp, comp) AS (
+         SELECT fp, fp FROM u
+         UNION
+         SELECT e.src, r.comp FROM reach r JOIN e ON e.dst = r.fp),
+       m AS (SELECT fp, min(comp) AS comp FROM reach GROUP BY fp),
+       cl AS (SELECT f.id, m.comp AS cluster, f.source
+         FROM f JOIN m USING (fp)),
+       canon AS (SELECT cluster, min(id) AS id FROM cl GROUP BY cluster),
+       cs AS (SELECT canon.id, canon.cluster, cl.source
+         FROM canon JOIN cl ON cl.id = canon.id),
+       r AS (SELECT id, cluster, source,
+           row_number() OVER (PARTITION BY source ORDER BY
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all(CAST(id AS VARCHAR), '.'),
+                 c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 31 + b) % 2147483647), id) AS rn
+         FROM cs)
+       SELECT id, cluster, source, CAST(rn AS BIGINT) AS rn
+       FROM r WHERE rn <= 4"""
+
   /** Minimal JPEG shell carrying an EXIF APP1 with orientation `o` —
     * the metadata carrier for q141 (orientation reading never decodes
     * pixels, so the shell needs no scan data). */

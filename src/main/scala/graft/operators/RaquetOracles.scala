@@ -693,6 +693,52 @@ object RaquetOracles {
         FROM hs"""
   }
 
+  /** q251: multidirectional hillshade — q102's scaffold, four azimuth
+    * terms in the kernel's fixed order (225/270/315/360), each clamped at
+    * 0 then weighted by sin²(aspect − azimuth), total / 2 (the exact
+    * weight sum). round(7) absorbs the libm spread. */
+  val q251: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def v(dx: Int, dy: Int): String =
+      s"""CASE WHEN gx+($dx) BETWEEN 512 AND 639 AND gy+($dy) BETWEEN 384 AND 511
+              AND (gx+($dx)+gy+($dy)) % 31 <> 0
+          THEN CAST((7*(gx+($dx)) + 13*(gy+($dy))) % 255 AS DOUBLE) END"""
+    val Seq(a, b, c, d, _, f, g, hh, i) =
+      for { dy <- Seq(-1, 0, 1); dx <- Seq(-1, 0, 1) } yield v(dx, dy)
+    def term(az: Int): String =
+      s"""(sin(arad - radians($az)) * sin(arad - radians($az)) *
+          (CASE WHEN 255 * (cos(radians(45)) * cos(srad)
+             + sin(radians(45)) * sin(srad) * cos(radians($az) - arad)) < 0
+           THEN 0.0
+           ELSE 255 * (cos(radians(45)) * cos(srad)
+             + sin(radians(45)) * sin(srad) * cos(radians($az) - arad))
+           END))"""
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        w9 AS (SELECT block, pos,
+          $a AS a, $b AS b, $c AS c, $d AS d, $f AS f,
+          $g AS g, $hh AS h, $i AS i
+          FROM px),
+        ctr AS (SELECT block, pos, a, b, c, d, f, g, h, i,
+          CASE WHEN (gx+gy) % 31 <> 0 THEN 1 END AS e_ok
+          FROM w9 JOIN px USING (block, pos)),
+        dz AS (SELECT block, pos, e_ok,
+          ((c + 2*f + i) - (a + 2*d + g)) / 8.0 AS dzdx,
+          ((g + 2*h + i) - (a + 2*b + c)) / 8.0 AS dzdy
+          FROM ctr),
+        tr AS (SELECT block, pos, e_ok,
+          atan(sqrt(dzdx*dzdx + dzdy*dzdy)) AS srad,
+          atan2(-dzdx, dzdy) AS arad
+          FROM dz)
+        SELECT block, pos,
+          CASE WHEN e_ok = 1 THEN
+            round((${term(225)} + ${term(270)} + ${term(315)} + ${term(360)})
+              / 2, 7) END AS v
+        FROM tr"""
+  }
+
   /** q103: exact per-tile p50/p95 from the closed form — rank the valid
     * pixel values per tile and pick by position; selection by rank makes
     * tie order among equal values irrelevant. */

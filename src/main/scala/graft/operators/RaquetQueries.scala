@@ -348,6 +348,21 @@ object RaquetQueries {
       .unionByName(variant("u8_stretch", "uint8", 255.0, 2.0, -100.0))
   }
 
+  /** q251 — gdaldem MULTIDIRECTIONAL hillshade ([[Focal
+    * .focalHillshadeMd3x3]], the `-multidirectional` flag — Mark 1992):
+    * four sun azimuths weighted by sin²(aspect − azimuth) over the same
+    * strict-window halo exchange as q102; round(7) on both engines
+    * absorbs the ≤2-ulp libm spread of the trig calls. */
+  def q251HillshadeMd(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    Focal.focalHillshadeMd3x3(ds.data, ds.meta, "band_1")
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(ds.meta))))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null))
+          .otherwise(round(col("col"), 7)).as("v"))
+  }
+
   /** q250 — gdal_pansharpen (Brovey): build the z5 multispectral overview
     * (average), upsample it back to the z6 pan grid (NN ×2,
     * [[graft.raquet.Pyramid.upsampleLevel]] — zero shuffle), stack with

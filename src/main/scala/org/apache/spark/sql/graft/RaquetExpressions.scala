@@ -472,6 +472,71 @@ object RqBridge {
         java.util.zip.Deflater.BEST_SPEED))
   }
 
+  /** gdaldem's MULTIDIRECTIONAL hillshade (Mark 1992 / USGS, the
+    * `-multidirectional` flag): four sun azimuths 225/270/315/360° at the
+    * given altitude, each Lambertian shade clamped at 0, weighted by
+    * sin²(aspect − azimuth) and normalized by the EXACT weight sum 2
+    * (Σ sin²(x − az) over two perpendicular azimuth pairs is 2 for any x,
+    * so no per-pixel weight normalization pass is needed; flat cells get
+    * aspect atan2(±0, 0) — every directional shade is equal there, so the
+    * weights cannot matter). Accumulation order is the fixed azimuth
+    * order, replayed left-associated by the oracle. */
+  def hillshadeMdOf(k: BandKernel, raw: Array[Byte], halos: ArrayData,
+      cell: Double, altitudeDeg: Double): Array[Byte] = {
+    val w = k.width; val h = k.height
+    val pw = w + 2
+    val pad = assemblePadded(k, raw, halos)
+    val nodata = k.nodata
+    val hasNd = !nodata.isNaN
+    val out = new Array[Double](w * h)
+    val zenRad = math.toRadians(90.0 - altitudeDeg)
+    val azs = Array(225.0, 270.0, 315.0, 360.0).map(math.toRadians)
+    var jj = 0
+    while (jj < h) {
+      var ii = 0
+      while (ii < w) {
+        val base = jj * pw + ii
+        var ok = true
+        val win = new Array[Double](9)
+        var oy = 0
+        while (oy < 3 && ok) {
+          var ox = 0
+          while (ox < 3 && ok) {
+            val v = pad(base + oy * pw + ox)
+            if (java.lang.Double.isNaN(v) || (hasNd && v == nodata)) ok = false
+            else win(oy * 3 + ox) = v * k.scale + k.offset
+            ox += 1
+          }
+          oy += 1
+        }
+        out(jj * w + ii) =
+          if (!ok) Double.NaN
+          else {
+            val dzdx = ((win(2) + 2.0 * win(5) + win(8)) -
+              (win(0) + 2.0 * win(3) + win(6))) / (8.0 * cell)
+            val dzdy = ((win(6) + 2.0 * win(7) + win(8)) -
+              (win(0) + 2.0 * win(1) + win(2))) / (8.0 * cell)
+            val sRad = math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy))
+            val aRad = math.atan2(-dzdx, dzdy)
+            var acc = 0.0
+            var d = 0
+            while (d < 4) {
+              val hs = 255.0 * (math.cos(zenRad) * math.cos(sRad) +
+                math.sin(zenRad) * math.sin(sRad) * math.cos(azs(d) - aRad))
+              val sw = math.sin(aRad - azs(d))
+              acc += sw * sw * (if (hs < 0.0) 0.0 else hs)
+              d += 1
+            }
+            acc / 2.0
+          }
+        ii += 1
+      }
+      jj += 1
+    }
+    graft.raquet.PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
   val tpiSchema: StructType = StructType(Seq(
     StructField("tpi", BinaryType),
     StructField("tri", BinaryType),
@@ -1785,6 +1850,50 @@ case class RqFocalSlope(band: Expression, halos: Expression,
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.slopeOf($k, ${b.value},
             ${hl.isNull} ? null : ${hl.value}, $cell);
+        }
+      """)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(band = l, halos = r)
+}
+
+/** rq_focal_hillshade_md(band, halos) → gdaldem's multidirectional
+  * hillshade as a float64 blob ([[RqBridge.hillshadeMdOf]]). Same halo
+  * contract as [[RqFocalMean]]. */
+case class RqFocalHillshadeMd(band: Expression, halos: Expression,
+    kernel: BandKernel, cell: Double, altitudeDeg: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = band
+  override def right: Expression = halos
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("dx", IntegerType),
+      StructField("dy", IntegerType),
+      StructField("vals", ArrayType(DoubleType, containsNull = true)))),
+      containsNull = true))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_focal_hillshade_md"
+  override def eval(input: InternalRow): Any = {
+    val raw = band.eval(input)
+    if (raw == null) null
+    else RqBridge.hillshadeMdOf(kernel, raw.asInstanceOf[Array[Byte]],
+      halos.eval(input).asInstanceOf[ArrayData], cell, altitudeDeg)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    val b = band.genCode(ctx)
+    val hl = halos.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${b.code}
+        ${hl.code}
+        boolean ${ev.isNull} = true;
+        byte[] ${ev.value} = null;
+        if (!${b.isNull}) {
+          ${ev.isNull} = false;
+          ${ev.value} = ${RqBridge.B}.hillshadeMdOf($k, ${b.value},
+            ${hl.isNull} ? null : ${hl.value}, $cell, $altitudeDeg);
         }
       """)
   }

@@ -341,6 +341,24 @@ class GeoTiffSpec extends SparkSpec {
     assert(RaquetIO.read(spark, outZ4).data.count() == 20) // 16 native + 4 z4
   }
 
+  test("convert with a convolution overview kernel matches a direct halo build") {
+    import graft.functions.GraftFunctions.quadbin_zoom
+    val out = tmp("eu_cubic.parquet")
+    val meta = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",
+      out, overviewResampling = "cubic")
+    val ds = RaquetIO.read(spark, out)
+    def tiles(z: Int, df: org.apache.spark.sql.DataFrame) = df
+      .filter(quadbin_zoom(col("block")) === z)
+      .select("block", "band_1").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val native = ds.data.filter(quadbin_zoom(col("block")) === meta.maxZoom)
+    val expect = tiles(meta.maxZoom - 1, graft.raquet.Pyramid
+      .buildLevelConvolved(native, meta, meta.maxZoom - 1, "cubic"))
+    val got = tiles(meta.maxZoom - 1, ds.data)
+    assert(got.keySet == expect.keySet)
+    assert(got.keySet.forall(k => got(k) == expect(k)), "overview blobs differ")
+  }
+
   test("target-size convert writes a Morton-sorted multi-file directory") {
     val out = tmp("eu_split")
     val meta = GeoTiff.convert(spark, "/root/reference/examples/europe.tif",

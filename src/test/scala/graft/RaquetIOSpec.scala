@@ -321,6 +321,38 @@ class RaquetIOSpec extends SparkSpec {
     assert(dec(Downsample.parentTile(k, big, null, null, null, "sum")).head == 255.0)
   }
 
+  test("convolution overviews: band_2 (float32, no nodata) through the same halo exchange") {
+    // the driver queries cover band_1 only; this pins the multi-band path
+    // and the float dtype (no rint, float32 encode rounding) — band_2's
+    // closed form is DN = gx/2 + gy/4, valid everywhere in the window
+    val meta = RaquetIO.readMetadata(spark, fixture)
+    val ds = RaquetIO.read(spark, fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    val wts = Downsample.ConvWeights("cubicspline")
+    val rr = wts.length / 2 - 1
+    val parents = graft.raquet.Pyramid.buildLevel(native, meta, 5, "cubicspline")
+      .select("block", "band_2").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((px, py) <- Seq((16L, 12L), (19L, 15L))) {
+      val got = PixelCodec.decode(parents(Quadbin.tileToCell(px, py, 5)), "float32").toSeq
+      val expect = (for (j <- 0 until 16; i <- 0 until 16) yield {
+        var num = 0.0; var den = 0.0
+        for (b <- wts.indices; a <- wts.indices) {
+          val gx = 2 * (px * 16 + i) + a - rr
+          val gy = 2 * (py * 16 + j) + b - rr
+          if (gx >= 512 && gx < 640 && gy >= 384 && gy < 512) {
+            val wt = wts(b) * wts(a)
+            num += wt * (gx / 2.0 + gy / 4.0)
+            den += wt
+          }
+        }
+        // engine encodes float32: round-trip the double the same way
+        (num / den).toFloat.toDouble
+      }).toSeq
+      assert(got == expect, s"band_2 cubicspline ($px,$py)")
+    }
+  }
+
   test("translate kernel: rescale, dtype promote, clamp, nodata map") {
     val k = BandKernel("uint8", 255.0, 2, 2, 1.0, 0.0)
     val in = PixelCodec.encode(Array(0.0, 100.0, 254.0, 255.0), "uint8", gzip = true)
