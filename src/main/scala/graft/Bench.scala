@@ -758,6 +758,8 @@ object Bench {
       num / den
     }
     def series(name: String, ns: Seq[Long], run: Long => DataFrame): String = {
+      // progress marker: a ladder crash (the r13 OOM) must name its series
+      System.err.println(s"[bench] ladder series $name")
       try time(run(ns.head)) catch { case scala.util.control.NonFatal(_) => () }
       spark.sqlContext.clearCache()
       // per-SERIES probe: a steal burst hitting one series averages to

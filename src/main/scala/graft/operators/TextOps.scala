@@ -1062,14 +1062,19 @@ object TextOps {
           learned += ((learned.size + 1, a, b, n))
         }
         val prev = vocab
-        // apply the batch in rank order (≡ any order: symbol-disjoint)
+        // apply the batch in rank order (≡ any order: symbol-disjoint).
+        // localCheckpoint (eager), NOT persist: persist caches the data but
+        // the LOGICAL plan still stacks `batch` nested replaces per round —
+        // at 32 rounds the analyzed-plan string alone OOM'd a 19 GB heap
+        // (the r13 ladder finding); checkpointing truncates the lineage so
+        // every round starts from a flat scan of the previous state
         vocab = vocab.withColumn("s",
           picks.foldLeft(col("s")) { case (c, (a, b, _)) =>
             replace(c, lit(s" $a  $b "), lit(s" ${a + b} "))
           })
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        vocab.count() // materialize before dropping the parent
-        prev.unpersist()
+          .localCheckpoint() // eager: materializes before dropping the parent
+        prev.unpersist() // no-op after round 1 (checkpoint RDDs are
+        // unreferenced -> ContextCleaner), real for the round-0 persist
       }
     }
     vocab.unpersist()
