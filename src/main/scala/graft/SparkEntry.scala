@@ -271,6 +271,7 @@ object SparkEntry {
     "q250_pansharpen"       -> (RaquetQueries.q250Pansharpen _),
     "q251_hillshade_md"     -> (RaquetQueries.q251HillshadeMd _),
     "q252_media_curation"   -> (graft.operators.MediaDedup.q252MediaCuration _),
+    "q253_slope_zt"         -> (RaquetQueries.q253SlopeZt _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -662,6 +663,9 @@ object SparkEntry {
     // q252: media-curation capstone — fp-cluster closure, canonical
     // argmin, and the per-source quota window replayed end to end
     "q252_media_curation"   -> graft.operators.MediaDedup.oracleQ252,
+    // q253: Zevenbergen-Thorne slope — 4-edge-neighbor central
+    // differences, 5-cell strict window, round(7)
+    "q253_slope_zt"         -> RaquetOracles.q253,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

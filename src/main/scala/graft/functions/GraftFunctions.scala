@@ -114,8 +114,8 @@ object GraftFunctions {
       name: String): Column =
     col(RqChamferRelax(ex(band), ex(halos), BandKernel(meta, name)))
   def rq_focal_slope(band: Column, halos: Column, meta: RaquetMetadata,
-      name: String, cell: Double): Column =
-    col(RqFocalSlope(ex(band), ex(halos), BandKernel(meta, name), cell))
+      name: String, cell: Double, zt: Boolean = false): Column =
+    col(RqFocalSlope(ex(band), ex(halos), BandKernel(meta, name), cell, zt))
   def rq_focal_terrain(band: Column, halos: Column, meta: RaquetMetadata,
       name: String, cell: Double, azimuthDeg: Double,
       altitudeDeg: Double): Column =

@@ -118,10 +118,14 @@ object Focal {
     * (strict GIS convention). `cell` is the ground distance per pixel in
     * value units. */
   def focalSlope3x3(data: DataFrame, meta: RaquetMetadata, band: String,
-      cell: Double = 1.0): DataFrame =
+      cell: Double = 1.0, alg: String = "horn"): DataFrame = {
+    require(alg == "horn" || alg == "zt",
+      s"slope alg must be horn or zt (ZevenbergenThorne), got $alg")
     withHalos(data, meta, band)
       .select(col("block"),
-        rq_focal_slope(col(band), col("halos"), meta, band, cell).as("vals"))
+        rq_focal_slope(col(band), col("halos"), meta, band, cell,
+          zt = alg == "zt").as("vals"))
+  }
 
   /** Slope + aspect + hillshade in one window pass ([[focalSlope3x3]]'s
     * strict-window semantics; GDAL-style defaults: sun azimuth 315°,

@@ -739,6 +739,34 @@ object RaquetOracles {
         FROM tr"""
   }
 
+  /** q253: Zevenbergen–Thorne slope — q98's scaffold reduced to the 4 edge
+    * neighbors (corners ignored): dz = central differences / 2, validity =
+    * center + the 4 edge cells (NULL propagation does the window check). */
+  val q253: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    def v(dx: Int, dy: Int): String =
+      s"""CASE WHEN gx+($dx) BETWEEN 512 AND 639 AND gy+($dy) BETWEEN 384 AND 511
+              AND (gx+($dx)+gy+($dy)) % 31 <> 0
+          THEN CAST((7*(gx+($dx)) + 13*(gy+($dy))) % 255 AS DOUBLE) END"""
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        w5 AS (SELECT block, pos,
+          ${v(0, -1)} AS b, ${v(-1, 0)} AS d, ${v(1, 0)} AS f,
+          ${v(0, 1)} AS h,
+          CASE WHEN (gx+gy) % 31 <> 0 THEN 1 END AS e_ok
+          FROM px),
+        dz AS (SELECT block, pos, e_ok,
+          (f - d) / 2.0 AS dzdx,
+          (h - b) / 2.0 AS dzdy
+          FROM w5)
+        SELECT block, pos,
+          CASE WHEN e_ok = 1 THEN
+            round(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))), 7) END AS v
+        FROM dz"""
+  }
+
   /** q103: exact per-tile p50/p95 from the closed form — rank the valid
     * pixel values per tile and pick by position; selection by rank makes
     * tie order among equal values irrelevant. */

@@ -363,6 +363,21 @@ object RaquetQueries {
           .otherwise(round(col("col"), 7)).as("v"))
   }
 
+  /** q253 — Zevenbergen–Thorne slope (gdaldem's `-alg ZevenbergenThorne`,
+    * [[Focal.focalSlope3x3]] with alg = "zt"): simple central differences
+    * over the 4 EDGE neighbors — corners are ignored, so the strict window
+    * needs only center + 4 edge cells (more pixels survive near nodata
+    * than Horn's 9-cell window). round(7) absorbs the atan libm spread. */
+  def q253SlopeZt(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, Fixture)
+    Focal.focalSlope3x3(ds.data, ds.meta, "band_1", alg = "zt")
+      .select(col("block"),
+        posexplode(rq_decode(col("vals"), Focal.outKernel(ds.meta))))
+      .select(col("block"), col("pos"),
+        when(isnan(col("col")), lit(null))
+          .otherwise(round(col("col"), 7)).as("v"))
+  }
+
   /** q250 — gdal_pansharpen (Brovey): build the z5 multispectral overview
     * (average), upsample it back to the z6 pan grid (NN ×2,
     * [[graft.raquet.Pyramid.upsampleLevel]] — zero shuffle), stack with

@@ -356,14 +356,19 @@ object RqBridge {
     * dyadic rasters every op before atan is IEEE-exact, so engines agree
     * to atan's correctly-rounded-input ulp. Output: float64 band blob
     * (same first-class-raster contract as [[focalOf]]). */
+  /** Slope via Horn (default: full 3×3, the gdaldem default) or
+    * Zevenbergen–Thorne (`zt = true`, gdaldem's `-alg ZevenbergenThorne`):
+    * simple central differences over the 4 EDGE neighbors — corners are
+    * ignored, so the strict window needs only the center + 4 edge cells. */
   def slopeOf(k: BandKernel, raw: Array[Byte], halos: ArrayData,
-      cell: Double): Array[Byte] = {
+      cell: Double, zt: Boolean): Array[Byte] = {
     val w = k.width; val h = k.height
     val pw = w + 2
     val pad = assemblePadded(k, raw, halos)
     val nodata = k.nodata
     val hasNd = !nodata.isNaN
     val out = new Array[Double](w * h)
+    val need = if (zt) Array(1, 3, 4, 5, 7) else Array(0, 1, 2, 3, 4, 5, 6, 7, 8)
     var jj = 0
     while (jj < h) {
       var ii = 0
@@ -371,20 +376,21 @@ object RqBridge {
         val base = jj * pw + ii
         var ok = true
         val win = new Array[Double](9)
-        var oy = 0
-        while (oy < 3 && ok) {
-          var ox = 0
-          while (ox < 3 && ok) {
-            val v = pad(base + oy * pw + ox)
-            if (java.lang.Double.isNaN(v) || (hasNd && v == nodata)) ok = false
-            else win(oy * 3 + ox) = v * k.scale + k.offset
-            ox += 1
-          }
-          oy += 1
+        var t = 0
+        while (t < need.length && ok) {
+          val p = need(t)
+          val v = pad(base + (p / 3) * pw + (p % 3))
+          if (java.lang.Double.isNaN(v) || (hasNd && v == nodata)) ok = false
+          else win(p) = v * k.scale + k.offset
+          t += 1
         }
         out(jj * w + ii) =
           if (!ok) Double.NaN
-          else {
+          else if (zt) {
+            val dzdx = (win(5) - win(3)) / (2.0 * cell)
+            val dzdy = (win(7) - win(1)) / (2.0 * cell)
+            math.toDegrees(math.atan(math.sqrt(dzdx * dzdx + dzdy * dzdy)))
+          } else {
             val dzdx = ((win(2) + 2.0 * win(5) + win(8)) -
               (win(0) + 2.0 * win(3) + win(6))) / (8.0 * cell)
             val dzdy = ((win(6) + 2.0 * win(7) + win(8)) -
@@ -1817,7 +1823,7 @@ case class RqChamferRelax(band: Expression, halos: Expression, kernel: BandKerne
   * degrees (see [[RqBridge.slopeOf]]); NaN where the 3×3 window has any
   * missing or nodata cell. Same halo contract as [[RqFocalMean]]. */
 case class RqFocalSlope(band: Expression, halos: Expression,
-    kernel: BandKernel, cell: Double)
+    kernel: BandKernel, cell: Double, zt: Boolean = false)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def left: Expression = band
   override def right: Expression = halos
@@ -1834,7 +1840,7 @@ case class RqFocalSlope(band: Expression, halos: Expression,
     val raw = band.eval(input)
     if (raw == null) null
     else RqBridge.slopeOf(kernel, raw.asInstanceOf[Array[Byte]],
-      halos.eval(input).asInstanceOf[ArrayData], cell)
+      halos.eval(input).asInstanceOf[ArrayData], cell, zt)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
@@ -1849,7 +1855,7 @@ case class RqFocalSlope(band: Expression, halos: Expression,
         if (!${b.isNull}) {
           ${ev.isNull} = false;
           ${ev.value} = ${RqBridge.B}.slopeOf($k, ${b.value},
-            ${hl.isNull} ? null : ${hl.value}, $cell);
+            ${hl.isNull} ? null : ${hl.value}, $cell, $zt);
         }
       """)
   }
