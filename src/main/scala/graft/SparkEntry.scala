@@ -272,6 +272,7 @@ object SparkEntry {
     "q251_hillshade_md"     -> (RaquetQueries.q251HillshadeMd _),
     "q252_media_curation"   -> (graft.operators.MediaDedup.q252MediaCuration _),
     "q253_slope_zt"         -> (RaquetQueries.q253SlopeZt _),
+    "q254_stream_c4"        -> (LlmQueries.q254StreamC4 _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -666,6 +667,9 @@ object SparkEntry {
     // q253: Zevenbergen-Thorne slope — 4-edge-neighbor central
     // differences, 5-cell strict window, round(7)
     "q253_slope_zt"         -> RaquetOracles.q253,
+    // q254: STREAMING C4 — stateless projection, so the batch q246
+    // oracle verbatim regardless of micro-batching
+    "q254_stream_c4"        -> LlmOracles.q246,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -384,6 +384,31 @@ object LlmQueries {
       (1L, "join spark window"),
       (2L, "customer order value")), k = 10)
 
+  /** q254 — STREAMING C4 filter (§2.10 twin of q246): the same
+    * [[TextOps.c4Rules]] projection over a MemoryStream fed as two
+    * micro-batches — a stateless filter needs no state store, so the
+    * ingest-time quality gate is the batch expression verbatim and the
+    * output must equal the batch oracle regardless of batching. */
+  def q254StreamC4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = webDocs(docs(spark, dir))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (evens, odds) = corpus.partition(_._1 % 2 == 0)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = TextOps.c4Rules(input.toDF().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("q254_c4")
+      .outputMode("append").start()
+    try {
+      input.addData(evens.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(odds.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q254_c4")
+  }
+
   /** q234 — CLUSTER-BALANCED sampling (the diversity-sampling step of a
     * curation pipeline: cap how much any one embedding cluster
     * contributes): q199's k-means assignment composed with
