@@ -273,6 +273,7 @@ object SparkEntry {
     "q252_media_curation"   -> (graft.operators.MediaDedup.q252MediaCuration _),
     "q253_slope_zt"         -> (RaquetQueries.q253SlopeZt _),
     "q254_stream_c4"        -> (LlmQueries.q254StreamC4 _),
+    "q255_grid_stats"       -> (RaquetQueries.q255GridStats _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -670,6 +671,9 @@ object SparkEntry {
     // q254: STREAMING C4 — stateless projection, so the batch q246
     // oracle verbatim regardless of micro-batching
     "q254_stream_c4"        -> LlmOracles.q246,
+    // q255: gdal_grid average/nearest/count — pid-order average chain,
+    // integer-key nearest argmin, in-radius count replayed per pixel
+    "q255_grid_stats"       -> RaquetOracles.q255,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

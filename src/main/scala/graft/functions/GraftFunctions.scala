@@ -70,6 +70,9 @@ object GraftFunctions {
   def rq_idw_grid(block: Column, points: Column, kernel: BandKernel,
       radius: Long): Column =
     col(RqIdwGrid(ex(block), ex(points), kernel, radius))
+  def rq_grid_stat(block: Column, points: Column, kernel: BandKernel,
+      radius: Long, mode: Int): Column =
+    col(RqGridStat(ex(block), ex(points), kernel, radius, mode))
   def rq_region_label(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqRegionLabel(ex(block), ex(band), BandKernel(meta, name)))

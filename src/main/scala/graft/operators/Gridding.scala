@@ -33,7 +33,55 @@ object Gridding {
     * tiles · candidates), never O(points × pixels). Requires x0, y0 ≥ 0
     * (global pixel coords; `div` truncation == floor on non-negatives). */
   def idwGrid(points: DataFrame, z: Int, x0: Long, y0: Long, nx: Int,
-      ny: Int, kernel: BandKernel, radius: Int): DataFrame = {
+      ny: Int, kernel: BandKernel, radius: Int): DataFrame =
+    grid(points, z, x0, y0, nx, ny, kernel, radius)(Seq(
+      "band_1" -> ((blk, pts) => rq_idw_grid(blk, pts, kernel, radius.toLong))))
+
+  /** The rest of the `gdal_grid` algorithm family over the identical
+    * candidate machinery as [[idwGrid]] — `mode` ∈ `average` (mean of the
+    * in-radius points, NaN where none), `nearest` (closest point's value,
+    * ties to the lowest pid via the pid-sorted array, NaN where none) and
+    * `count` (the gdal_grid data-metrics point-density raster, 0 where
+    * none). Same scale shape as [[idwGrid]]: replicate-to-touched-tiles
+    * explode, one hash aggregate, one codegen'd per-tile kernel. */
+  def statGrid(points: DataFrame, z: Int, x0: Long, y0: Long, nx: Int,
+      ny: Int, kernel: BandKernel, radius: Int, mode: String): DataFrame =
+    statGridBands(points, z, x0, y0, nx, ny, kernel, radius, Seq(mode))
+      .withColumnRenamed(s"band_$mode", "band_1")
+
+  /** Several gdal_grid algorithms in ONE pass — the candidate replicate +
+    * per-tile aggregate runs once and each mode is one more codegen'd
+    * kernel column over the shared pid-sorted array (a multi-band grid
+    * raster, `band_<mode>` per requested mode). */
+  def statGridBands(points: DataFrame, z: Int, x0: Long, y0: Long, nx: Int,
+      ny: Int, kernel: BandKernel, radius: Int,
+      modes: Seq[String]): DataFrame = {
+    require(modes.nonEmpty, "at least one gdal_grid mode required")
+    val bands = modes.map { mode =>
+      val m = mode match {
+        case "average" => 0
+        case "nearest" => 1
+        case "count"   => 2
+        case other => throw new IllegalArgumentException(
+          s"unknown gdal_grid mode '$other' (average | nearest | count)")
+      }
+      (s"band_$mode",
+        (blk: org.apache.spark.sql.Column, pts: org.apache.spark.sql.Column)
+          => rq_grid_stat(blk, pts, kernel, radius.toLong, m))
+    }
+    grid(points, z, x0, y0, nx, ny, kernel, radius)(bands)
+  }
+
+  /** Shared gdal_grid scaffolding: extent-tile enumeration, the
+    * replicate-to-touched-tiles explode (an equi-join key, never a cross
+    * join), and the per-tile pid-sorted candidate aggregate; each
+    * `bands` entry is (output column name, per-tile band expression
+    * builder from (block, pts)). */
+  private def grid(points: DataFrame, z: Int, x0: Long, y0: Long, nx: Int,
+      ny: Int, kernel: BandKernel, radius: Int)(
+      bands: Seq[(String,
+        (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column)]): DataFrame = {
     require(radius >= 1, s"radius must be >= 1 pixel, got $radius")
     require(x0 >= 0 && y0 >= 0, s"extent origin must be >= 0, got ($x0, $y0)")
     val bw = kernel.width; val bh = kernel.height
@@ -64,11 +112,10 @@ object Gridding {
         struct(col("pid"), col("px"), col("py"), col("v")).as("pt"))
       .groupBy("block")
       .agg(sort_array(collect_list(col("pt"))).as("pts"))
+    val ptsCol = coalesce(col("pts"), expr(
+      "CAST(array() AS ARRAY<STRUCT<pid: BIGINT, px: BIGINT, py: BIGINT, v: DOUBLE>>)"))
     tiles.join(cand, Seq("block"), "left")
-      .select(col("block"),
-        rq_idw_grid(col("block"),
-          coalesce(col("pts"), expr(
-            "CAST(array() AS ARRAY<STRUCT<pid: BIGINT, px: BIGINT, py: BIGINT, v: DOUBLE>>)")),
-          kernel, radius.toLong).as("band_1"))
+      .select(col("block") +: bands.map { case (name, kernelCol) =>
+        kernelCol(col("block"), ptsCol).as(name) }: _*)
   }
 }

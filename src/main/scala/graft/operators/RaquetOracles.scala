@@ -238,6 +238,48 @@ object RaquetOracles {
         FROM px"""
   }
 
+  /** q255: the gdal_grid average / nearest / count algorithms from the
+    * closed form — per pixel over the 40-point set: the average's
+    * left-associated pid-order sum (in-radius terms, +0 elsewhere ≡ the
+    * kernel's += chain), the nearest argmin decoded through the exact
+    * integer key d²·64+pid (unique per point; min key ⇔ min (d², pid),
+    * the kernel's first-in-array tie rule on the pid-sorted array), and
+    * the integer in-radius count. All doubles are integer-valued or
+    * exact integer ratios, so the hash comparison is bit-exact. */
+  val q255: String = {
+    val tiles = (for { x <- 32L to 39L; y <- 24L to 31L }
+      yield s"(${Quadbin.tileToCell(x, y, 6)}, $x, $y)").mkString(", ")
+    val pts = (0 until 40).map { k =>
+      val px = 512L + (k * 37) % 128
+      val py = 384L + (k * 53) % 128
+      (k, px, py, (7 * px + 13 * py) % 255)
+    }
+    def d2(px: Long, py: Long): String =
+      s"((gx-$px)*(gx-$px) + (gy-$py)*(gy-$py))"
+    val sum = pts.map { case (_, px, py, v) =>
+      s"coalesce(CASE WHEN ${d2(px, py)} <= 36 THEN CAST($v AS DOUBLE) END, 0)"
+    }.reduce((a, b) => s"($a + $b)")
+    val cnt = pts.map { case (_, px, py, _) =>
+      s"CASE WHEN ${d2(px, py)} <= 36 THEN 1 ELSE 0 END"
+    }.reduce((a, b) => s"($a + $b)")
+    def key(k: Int, px: Long, py: Long): String =
+      s"CASE WHEN ${d2(px, py)} <= 36 THEN ${d2(px, py)}*64 + $k ELSE 9999 END"
+    val minKey = "least(" +
+      pts.map { case (k, px, py, _) => key(k, px, py) }.mkString(", ") + ")"
+    val nearV = "coalesce(" + pts.map { case (k, px, py, v) =>
+      s"CASE WHEN mk = ${key(k, px, py)} AND mk < 9999 THEN CAST($v AS DOUBLE) END"
+    }.mkString(", ") + ")"
+    s"""WITH t(block, x, y) AS (VALUES $tiles),
+        px AS (SELECT block, x*16+i AS gx, y*16+j AS gy, j*16+i AS pos
+          FROM t, range(16) a(i), range(16) b(j)),
+        k AS (SELECT block, pos, gx, gy, $minKey AS mk FROM px)
+        SELECT block, pos,
+          CASE WHEN $cnt > 0 THEN $sum / CAST($cnt AS DOUBLE) END AS avg_v,
+          $nearV AS near_v,
+          CAST($cnt AS BIGINT) AS cnt
+        FROM k"""
+  }
+
   /** q232: region labeling + sieve from the closed form — the recursive
     * min-label closure over the 4-connected equal-class pixel graph of
     * the reclassified 2×2-tile window; labels are min global pixel ids

@@ -233,6 +233,37 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** q255 — the rest of the gdal_grid algorithm family
+    * ([[Gridding.statGridBands]]): average / nearest / count over the
+    * q231 point set and extent, all three computed from ONE candidate
+    * replicate + per-tile aggregate (a multi-band grid raster). The
+    * oracle replays the average's left-associated pid-order chain, the
+    * nearest argmin through the exact integer key d²·64+pid (ties to the
+    * lowest pid, the kernel's first-in-array rule), and the integer
+    * in-radius count. */
+  def q255GridStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = (0 until 40).map { k =>
+      val px = 512L + (k * 37) % 128
+      val py = 384L + (k * 53) % 128
+      (k.toLong, px, py, ((7 * px + 13 * py) % 255).toDouble)
+    }.toDF("pid", "px", "py", "v")
+    val kernel = graft.raquet.BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+    def nn(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(c)
+    Gridding.statGridBands(pts, z = 6, x0 = 32, y0 = 24, nx = 8, ny = 8,
+        kernel, radius = 6, Seq("average", "nearest", "count"))
+      .select(col("block"),
+        rq_decode(col("band_average"), kernel).as("a"),
+        rq_decode(col("band_nearest"), kernel).as("n"),
+        rq_decode(col("band_count"), kernel).as("c"))
+      .select(col("block"),
+        posexplode(arrays_zip(col("a"), col("n"), col("c"))))
+      .select(col("block"), col("pos"),
+        nn(col("col.a")).as("avg_v"), nn(col("col.n")).as("near_v"),
+        col("col.c").cast("long").as("cnt"))
+  }
+
   /** q232 — gdal_sieve region labeling ([[Regions.regionLabels]] +
     * [[Regions.sieveFlags]]): the fixture's 2×2-tile window reclassified
     * into 4 classes (so equal-value regions are real shapes that CROSS

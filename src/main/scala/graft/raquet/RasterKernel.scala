@@ -462,6 +462,56 @@ final case class BandKernel(
       java.util.zip.Deflater.BEST_SPEED)
   }
 
+  /** The rest of the `gdal_grid` algorithm family over the same
+    * global-pixel-coordinate frame as [[idwGrid]] — mode 0 = `average`
+    * (arithmetic mean of the points within `radius`, including an exact
+    * coordinate hit; no points → NaN), mode 1 = `nearest` (the value of
+    * the closest point by squared Euclidean distance, ties to the FIRST
+    * point in array order — callers pass points sorted by id, so "first"
+    * means lowest id; nothing in radius → NaN), mode 2 = the `count`
+    * data metric (number of points in radius, 0 where none — a complete
+    * density raster, not a sparse one). The average accumulates a
+    * left-associated chain in array order like [[idwGrid]], so a SQL
+    * oracle replays every double bit-for-bit. Returns a float64 gzip
+    * blob. Reference reach: GDAL delegation (`raquet/raster2raquet.py`)
+    * — gdal_grid's average/nearest/count algorithms. */
+  def gridStat(block: Long, pxs: Array[Long], pys: Array[Long],
+      vals: Array[Double], radius: Long, mode: Int): Array[Byte] = {
+    val tx = Quadbin.tileX(block)
+    val ty = Quadbin.tileY(block)
+    val out = new Array[Double](width * height)
+    val r2 = radius * radius
+    var j = 0
+    while (j < height) {
+      val gy = ty * height + j
+      var i = 0
+      while (i < width) {
+        val gx = tx * width + i
+        var sum = 0.0; var cnt = 0L
+        var bestD2 = Long.MaxValue; var bestV = Double.NaN
+        var k = 0
+        while (k < pxs.length) {
+          val dx = gx - pxs(k); val dy = gy - pys(k)
+          val d2 = dx * dx + dy * dy
+          if (d2 <= r2) {
+            sum += vals(k); cnt += 1
+            if (d2 < bestD2) { bestD2 = d2; bestV = vals(k) }
+          }
+          k += 1
+        }
+        out(j * width + i) = mode match {
+          case 0 => if (cnt > 0) sum / cnt.toDouble else Double.NaN
+          case 1 => bestV
+          case _ => cnt.toDouble
+        }
+        i += 1
+      }
+      j += 1
+    }
+    PixelCodec.encode(out, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
   /** Rasterize (vector burn-in, the `gdal_rasterize` shape): paint each
     * zone's value onto every pixel whose CENTER falls inside its geometry
     * (the same center rule as [[clipStats]]); overlaps resolve

@@ -771,6 +771,23 @@ object RqBridge {
     k.idwGrid(block, pxs, pys, vals, radius)
   }
 
+  def gridStatOf(k: BandKernel, block: Long, points: ArrayData,
+      radius: Long, mode: Int): Array[Byte] = {
+    val n = points.numElements()
+    val pxs = new Array[Long](n)
+    val pys = new Array[Long](n)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = points.getStruct(i, 4)
+      pxs(i) = row.getLong(1)
+      pys(i) = row.getLong(2)
+      vals(i) = row.getDouble(3)
+      i += 1
+    }
+    k.gridStat(block, pxs, pys, vals, radius, mode)
+  }
+
   def rasterizeOf(k: BandKernel, block: Long, zones: ArrayData): Array[Byte] = {
     val n = zones.numElements()
     val vals = new Array[Double](n)
@@ -1211,6 +1228,37 @@ case class RqIdwGrid(block: Expression, points: Expression,
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
     defineCodeGen(ctx, ev, (b, ps) =>
       s"${RqBridge.B}.idwGridOf($k, $b, $ps, ${radius}L)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, points = r)
+}
+
+/** rq_grid_stat(block, points) → float64 blob: the gdal_grid
+  * average / nearest / count algorithms (see
+  * [[graft.raquet.BandKernel.gridStat]]). Points must arrive sorted by
+  * their id field — the average chain is array-order-deterministic and
+  * nearest ties resolve to the first (= lowest-id) point. */
+case class RqGridStat(block: Expression, points: Expression,
+    kernel: BandKernel, radius: Long, mode: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = points
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType,
+    ArrayType(StructType(Seq(
+      StructField("pid", LongType, nullable = false),
+      StructField("px", LongType, nullable = false),
+      StructField("py", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_grid_stat"
+  override protected def nullSafeEval(b: Any, ps: Any): Any =
+    RqBridge.gridStatOf(kernel, b.asInstanceOf[Long],
+      ps.asInstanceOf[ArrayData], radius, mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, ps) =>
+      s"${RqBridge.B}.gridStatOf($k, $b, $ps, ${radius}L, $mode)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(block = l, points = r)
