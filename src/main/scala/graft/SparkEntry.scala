@@ -274,6 +274,7 @@ object SparkEntry {
     "q253_slope_zt"         -> (RaquetQueries.q253SlopeZt _),
     "q254_stream_c4"        -> (LlmQueries.q254StreamC4 _),
     "q255_grid_stats"       -> (RaquetQueries.q255GridStats _),
+    "q256_viewshed"         -> (RaquetQueries.q256Viewshed _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -674,6 +675,9 @@ object SparkEntry {
     // q255: gdal_grid average/nearest/count — pid-order average chain,
     // integer-key nearest argmin, in-radius count replayed per pixel
     "q255_grid_stats"       -> RaquetOracles.q255,
+    // q256: gdal_viewshed — exact cross-multiplied angle test along the
+    // nearest-lattice sightline, replayed per (observer, target)
+    "q256_viewshed"         -> RaquetOracles.q256,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -280,6 +280,44 @@ object RaquetOracles {
         FROM k"""
   }
 
+  /** q256: gdal_viewshed from the closed form — for each observer and
+    * ring offset, the target's ground elevation, the observer's eye
+    * elevation, and the bool_or over intermediate sightline samples of
+    * the cross-multiplied angle test (es − ho)·n > (et − ho)·k; sample
+    * coordinates replay floor(k·d/n + 0.5) with the identical
+    * double-divide-then-floor arithmetic. Nodata (the %31 speckle) gives
+    * NULL targets and non-blocking samples, exactly like the engine. */
+  val q256: String = {
+    def elev(x: String, y: String): String =
+      s"CASE WHEN ($x + $y) % 31 <> 0 THEN CAST((7*($x) + 13*($y)) % 255 AS DOUBLE) END"
+    s"""WITH obs(oid, ox, oy, oh) AS (VALUES
+          (1, 576, 448, CAST(10 AS DOUBLE)), (2, 560, 465, CAST(3 AS DOUBLE))),
+        tgt AS (SELECT oid, ox, oy, oh,
+            ${elev("ox", "oy")} + oh AS ho,
+            dx, dy, greatest(abs(dx), abs(dy)) AS n,
+            ox + dx AS tx, oy + dy AS ty,
+            ${elev("ox + dx", "oy + dy")} AS et
+          FROM obs, range(-40, 41) a(dx), range(-40, 41) b(dy)
+          WHERE NOT (dx = 0 AND dy = 0)),
+        smp AS (SELECT oid, tx, ty,
+            ox + CAST(floor(CAST(k*dx AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS sx,
+            oy + CAST(floor(CAST(k*dy AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS sy,
+            ho, et, n, k
+          FROM tgt, range(1, 40) c(k) WHERE n >= 2 AND k <= n - 1),
+        blocked AS (SELECT oid, tx, ty,
+            max(CASE WHEN ${elev("sx", "sy")} IS NOT NULL AND et IS NOT NULL
+                  AND ho IS NOT NULL
+                  AND (${elev("sx", "sy")} - ho) * n > (et - ho) * k
+                THEN 1 ELSE 0 END) AS b
+          FROM smp GROUP BY oid, tx, ty)
+        SELECT CAST(t.oid AS BIGINT) AS oid, CAST(t.tx AS BIGINT) AS gx,
+          CAST(t.ty AS BIGINT) AS gy,
+          CASE WHEN t.et IS NULL OR t.ho IS NULL THEN NULL
+               ELSE coalesce(bl.b, 0) = 0 END AS visible
+        FROM tgt t LEFT JOIN blocked bl
+          ON t.oid = bl.oid AND t.tx = bl.tx AND t.ty = bl.ty"""
+  }
+
   /** q232: region labeling + sieve from the closed form — the recursive
     * min-label closure over the 4-connected equal-class pixel graph of
     * the reclassified 2×2-tile window; labels are min global pixel ids

@@ -264,6 +264,22 @@ object RaquetQueries {
         col("col.c").cast("long").as("cnt"))
   }
 
+  /** q256 — gdal_viewshed ([[Viewshed.viewshed]]): two observers over the
+    * fixture's zoom-6 DEM, Chebyshev radius 40 (both disks fully inside
+    * the raster), eye heights +10 and +3. Every verdict is the exact
+    * cross-multiplied integer angle test along the nearest-lattice-point
+    * sightline, so the oracle replays each target's blocking set from the
+    * closed form — nodata targets (the fixture's %31 speckle lines) are
+    * NULL, nodata samples never block, grazing (equal-angle) rays pass. */
+  def q256Viewshed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = RaquetIO.read(spark, Fixture)
+    val native = ds.data.filter(quadbin_zoom(col("block")) === 6)
+    val obs = Seq((1L, 576L, 448L, 10.0), (2L, 560L, 465L, 3.0))
+      .toDF("oid", "ox", "oy", "oh")
+    Viewshed.viewshed(native, ds.meta, "band_1", obs, z = 6, radius = 40)
+  }
+
   /** q232 — gdal_sieve region labeling ([[Regions.regionLabels]] +
     * [[Regions.sieveFlags]]): the fixture's 2×2-tile window reclassified
     * into 4 classes (so equal-value regions are real shapes that CROSS

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Viewshed
+import graft.quadbin.Quadbin
+import graft.raquet.{BandKernel, FixtureGen, PixelCodec}
+
+/** gdal_viewshed (exact R3 sightlines): a brute-force per-target replay
+  * over the synthetic fixture (covers nodata targets/samples via the %31
+  * speckle), and a hand-built wall raster proving occlusion, wall-top
+  * visibility, the equal-angle grazing rule, non-blocking nodata samples
+  * and NULL nodata targets. */
+class ViewshedSpec extends SparkSpec {
+
+  private val bs = 16
+
+  /** The operator's exact model, replayed imperatively: nearest-lattice
+    * samples at floor(k·d/n + 0.5), cross-multiplied angle test, nodata
+    * samples never block. */
+  private def brute(e: (Long, Long) => Option[Double], ox: Long, oy: Long,
+      oh: Double, dx: Int, dy: Int): Option[Boolean] = {
+    val n = math.max(math.abs(dx), math.abs(dy))
+    val ho = e(ox, oy).map(_ + oh)
+    val et = e(ox + dx, oy + dy)
+    if (ho.isEmpty || et.isEmpty) return None
+    val blocked = (1 until n).exists { k =>
+      val sx = ox + math.floor(k.toDouble * dx / n + 0.5).toLong
+      val sy = oy + math.floor(k.toDouble * dy / n + 0.5).toLong
+      e(sx, sy).exists(es => (es - ho.get) * n > (et.get - ho.get) * k)
+    }
+    Some(!blocked)
+  }
+
+  test("viewshed matches the brute-force R3 replay over the fixture (nodata speckle included)") {
+    import spark.implicits._
+    val (x0, y0, z, n) = (40L, 40L, 6, 4)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = n.toLong * n)
+    val (ox, oy, oh, r) = (672L, 672L, 7.0, 12)
+    val obs = Seq((1L, ox, oy, oh)).toDF("oid", "ox", "oy", "oh")
+    val got = Viewshed.viewshed(tiles, meta, "band_1", obs, z, r)
+      .collect()
+      .map(rr => (rr.getLong(1), rr.getLong(2)) ->
+        (if (rr.isNullAt(3)) None else Some(rr.getBoolean(3)))).toMap
+    assert(got.size == (2 * r + 1) * (2 * r + 1) - 1)
+    def e(gx: Long, gy: Long): Option[Double] = {
+      val v = FixtureGen.v1(gx, gy)
+      if (v == FixtureGen.Band1Nodata) None else Some(v)
+    }
+    // the observer cell must be valid or every verdict degenerates to None
+    assert(e(ox, oy).isDefined)
+    var sawNull = false; var sawBlocked = false
+    got.foreach { case ((gx, gy), v) =>
+      val want = brute(e, ox, oy, oh, (gx - ox).toInt, (gy - oy).toInt)
+      assert(v == want, s"target ($gx, $gy): got $v want $want")
+      if (v.isEmpty) sawNull = true
+      if (v.contains(false)) sawBlocked = true
+    }
+    assert(sawNull, "fixture speckle should produce NULL verdicts")
+    assert(sawBlocked, "fixture relief should occlude something")
+  }
+
+  test("wall occludes; wall top visible; equal-angle grazing passes; nodata rules") {
+    import spark.implicits._
+    val (tx, ty, z) = (40L, 40L, 6)
+    val block = Quadbin.tileToCell(tx, ty, z)
+    // flat 0 ground; wall of height 50 along local x=6; a grazing target
+    // at (8,8) whose angle EQUALS the wall top's; nodata at (4,5) (a
+    // sightline sample) and (4,2) (a target)
+    val g = Array.fill(bs * bs)(0.0)
+    for (j <- 0 until bs) g(j * bs + 6) = 50.0
+    g(8 * bs + 8) = 95.0
+    g(5 * bs + 4) = Double.NaN
+    g(2 * bs + 4) = Double.NaN
+    val raw = PixelCodec.encode(g, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+    val data = Seq((block, raw)).toDF("block", "band_1")
+    val kernel = BandKernel("float64", Double.NaN, bs, bs, 1.0, 0.0)
+    // observer at local (4,8), eye +5 → ho = 5
+    val obs = Seq((1L, tx * bs + 4, ty * bs + 8, 5.0)).toDF("oid", "ox", "oy", "oh")
+    val got = Viewshed.viewshed(data, kernel, "band_1", obs, z, radius = 7)
+      .collect()
+      .map(rr => (rr.getLong(1) - tx * bs, rr.getLong(2) - ty * bs) ->
+        (if (rr.isNullAt(3)) None else Some(rr.getBoolean(3)))).toMap
+    assert(got((6L, 8L)).contains(true),  "wall top must be visible")
+    assert(got((10L, 8L)).contains(false), "behind the wall must be occluded")
+    // (8,8): wall sample angle (50-5)/2 vs target (95-5)/4 — equal; passes
+    assert(got((8L, 8L)).contains(true), "equal-angle grazing must pass")
+    // nodata target → NULL; the nodata sample at (4,5) must NOT block the
+    // all-zero ray north of it (e.g. target (4,1) sees only 0-elevation)
+    assert(got((4L, 2L)).isEmpty, "nodata target must be NULL")
+    assert(got((4L, 1L)).contains(true), "nodata sample must not block")
+    // off-raster ring targets (outside the single tile) are NULL
+    assert(got((-3L, 8L)).isEmpty, "off-raster target must be NULL")
+  }
+}
