@@ -275,6 +275,7 @@ object SparkEntry {
     "q254_stream_c4"        -> (LlmQueries.q254StreamC4 _),
     "q255_grid_stats"       -> (RaquetQueries.q255GridStats _),
     "q256_viewshed"         -> (RaquetQueries.q256Viewshed _),
+    "q257_kn_lm"            -> (LlmQueries.q257KnScore _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -678,6 +679,9 @@ object SparkEntry {
     // q256: gdal_viewshed — exact cross-multiplied angle test along the
     // nearest-lattice sightline, replayed per (observer, target)
     "q256_viewshed"         -> RaquetOracles.q256,
+    // q257: interpolated Kneser-Ney bigram LM — full model re-derived
+    // (counts, continuation types, B) with the fixed association order
+    "q257_kn_lm"            -> LlmOracles.q257,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -572,6 +572,34 @@ object LlmOracles {
        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nm) AS BIGINT) AS nll_micros
        FROM sc GROUP BY doc_id"""
 
+  /** q257: the whole interpolated Kneser–Ney bigram pipeline re-derived —
+    * bigram/context counts, right/left continuation type counts (N1+),
+    * the distinct-bigram total B, and the probability in the engine's
+    * exact association order (max(c−D,0)/cw1 + ((D·n1f)/cw1)·(n1b/B),
+    * every constant dyadic so decimals-vs-doubles cannot drift), rounded
+    * to micro-nats per bigram and integer-summed per doc. */
+  val q257: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1])) AS b
+              FROM toks WHERE len(t) >= 2),
+       p AS (SELECT doc_id, b, split_part(b, ' ', 1) AS w1,
+               split_part(b, ' ', 2) AS w2 FROM bg),
+       cb AS (SELECT b, count(*) AS cb FROM p GROUP BY b),
+       h AS (SELECT w1, count(*) AS cw1, count(DISTINCT w2) AS n1f
+             FROM p GROUP BY w1),
+       r AS (SELECT w2, count(DISTINCT w1) AS n1b FROM p GROUP BY w2),
+       bt AS (SELECT count(DISTINCT b) AS bt FROM p),
+       sc AS (SELECT p.doc_id,
+               CAST(round(-ln(
+                 greatest(cb.cb - CAST(0.75 AS DOUBLE), 0.0) / h.cw1
+                 + CAST(0.75 AS DOUBLE) * h.n1f / h.cw1
+                   * (r.n1b / CAST((SELECT bt FROM bt) AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS nm
+              FROM p JOIN cb USING (b) JOIN h USING (w1) JOIN r USING (w2))
+       SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nm) AS BIGINT) AS nll_micros
+       FROM sc GROUP BY doc_id"""
+
   /** q115: chunk boundaries re-derived — same integer-ceiling chunk count
     * (stride 48 = 64 − 16) and the 1-based inclusive slice
     * t[k·48+1 : min(k·48+64, n)] ≡ Spark slice(t, k·48+1, 64). */

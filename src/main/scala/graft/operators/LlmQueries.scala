@@ -502,6 +502,14 @@ object LlmQueries {
   def q107LmScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(docs(spark, dir))
 
+  /** Interpolated Kneser–Ney bigram scoring ([[TextOps.knScore]]): the
+    * oracle re-derives the ENTIRE model — bigram counts, context counts,
+    * left/right continuation type counts, the distinct-bigram total, the
+    * fixed-association interpolated probability, micro-nat rounding,
+    * integer doc totals — from scratch in SQL. */
+  def q257KnScore(spark: SparkSession, dir: String): DataFrame =
+    TextOps.knScore(docs(spark, dir))
+
   /** Cross-doc duplicated-window fractions ([[TextOps.dupWindowFraction]]):
     * the oracle re-derives the whole pipeline (8-token windows, per-doc
     * distinct, cross-doc counts) in SQL. */

@@ -663,6 +663,54 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("nm").as("nll_micros"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995, in
+    * Chen & Goodman 1998's interpolated form with a fixed discount
+    * D = 0.75) — the stronger sibling of [[lmScore]]'s add-one model and
+    * the smoothing family behind the CCNet perplexity filter (Wenzek et
+    * al. 2020 rank documents by a corpus-trained KenLM; KenLM is modified
+    * KN). Self-trained on the corpus:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + D·N1+(w1·)/c(w1·) · N1+(·w2)/B
+    *
+    * where c(w1·) is w1's CONTEXT count (bigram tokens with history w1),
+    * N1+(w1·)/N1+(·w2) are the right/left continuation type counts, and
+    * B is the number of distinct bigram types (so the continuation
+    * distribution Σ_w2 N1+(·w2)/B = 1 — the novel-continuation prior
+    * that distinguishes KN from frequency back-off). Scored bigrams are
+    * corpus bigrams, so c(w1w2) ≥ 1 and every probability is positive.
+    *
+    * Exactness: the [[lmScore]] micro-nat pattern — each −ln P rounds to
+    * integer micro-nats before the per-doc integer sum, and the
+    * probability expression is written in one fixed association order so
+    * the oracle's doubles match bit-for-bit. Scale shape: tokenize once
+    * (the bigram table persists across its consumers), THREE hash aggs
+    * for the count tables (c+N1+ over w1 fuse into one), three equi-joins
+    * back, one per-doc agg — linear in corpus tokens, no all-pairs; B is
+    * a driver scalar (the tfidf nDocs pattern). */
+  def knScore(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .withColumn("bs", expr(
+        "transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .withColumn("w1", expr("split_part(b, ' ', 1)"))
+      .withColumn("w2", expr("split_part(b, ' ', 2)"))
+      .persist()
+    val btot = bg.select(countDistinct(col("b"))).head.getLong(0)
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    val hist = bg.groupBy("w1").agg(count(lit(1)).as("cw1"),
+      countDistinct(col("w2")).as("n1f"))
+    val cont = bg.groupBy("w2").agg(countDistinct(col("w1")).as("n1b"))
+    bg.join(cb, "b").join(hist, "w1").join(cont, "w2")
+      .withColumn("nm", round(-log(
+        greatest(col("cb") - discount, lit(0.0)) / col("cw1") +
+          lit(discount) * col("n1f") / col("cw1") *
+          (col("n1b") / lit(btot.toDouble))) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nm").as("nll_micros"))
+  }
+
   /** Cross-document exact-substring duplication signal (the public
     * ExactSubstr idea from "Deduplicating Training Data Makes Language
     * Models Better" re-expressed relationally): per doc, the fraction of

@@ -227,6 +227,59 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("knScore: hand-computed interpolated KN on a tiny corpus; per-history mass sums to 1; rounding margins hold") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a b c"), (2L, "b a b"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    // bigram tokens: (a b)×3, (b a)×2, (b c), (c a) → B = 4 types
+    // histories: c(a·)=3 n1f(a)=1 | c(b·)=3 n1f(b)=2 | c(c·)=1 n1f(c)=1
+    // continuations: n1b(a)=2 {b,c} | n1b(b)=1 {a} | n1b(c)=1 {b}
+    val got = TextOps.knScore(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val D = 0.75; val B = 4.0
+    def p(cb: Long, cw1: Long, n1f: Long, n1b: Long): Double =
+      math.max(cb - D, 0.0) / cw1 + D * n1f / cw1 * (n1b / B)
+    def nm(pp: Double): Long = math.round(-math.log(pp) * 1e6)
+    val pab = p(3, 3, 1, 1); val pba = p(2, 3, 2, 2)
+    val pbc = p(1, 3, 2, 1); val pca = p(1, 1, 1, 2)
+    assert(got(1L) == ((4L, 2 * nm(pab) + nm(pba) + nm(pbc))))
+    assert(got(2L) == ((2L, nm(pba) + nm(pab))))
+    assert(got(3L) == ((1L, nm(pca))))
+    // the KN invariant: Σ_w2∈V p(w2|w1) = 1 — observed mass (discounted)
+    // plus the continuation prior exactly reconstitute the distribution
+    val massB = pba + pbc + D * 2 / 3.0 * (1 / B) // unobserved (b b)
+    assert(math.abs(massB - 1.0) < 1e-12, s"history-b mass $massB")
+    // micro-nat rounding margins on the real corpora (the q107 guard:
+    // a cross-libm ln() ulp must not sit at a .5 rounding boundary)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val d = Tables.documents(spark, sf).select("doc_id", "text")
+      val bg = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
+        .withColumn("bs", expr(
+          "transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"))
+        .select(explode(col("bs")).as("b"))
+        .withColumn("w1", expr("split_part(b, ' ', 1)"))
+        .withColumn("w2", expr("split_part(b, ' ', 2)"))
+      val btot = bg.select(countDistinct(col("b"))).head.getLong(0)
+      val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+      val hist = bg.groupBy("w1").agg(count(lit(1)).as("cw1"),
+        countDistinct(col("w2")).as("n1f"))
+      val cont = bg.groupBy("w2").agg(countDistinct(col("w1")).as("n1b"))
+      val m = cb.withColumn("w1", expr("split_part(b, ' ', 1)"))
+        .withColumn("w2", expr("split_part(b, ' ', 2)"))
+        .join(hist, "w1").join(cont, "w2")
+        .withColumn("x", -log(
+          greatest(col("cb") - D, lit(0.0)) / col("cw1") +
+            lit(D) * col("n1f") / col("cw1") *
+            (col("n1b") / lit(btot.toDouble))) * 1e6)
+        .withColumn("margin", abs(col("x") - floor(col("x")) - 0.5))
+        .agg(min("margin").as("m"), count(lit(1)).as("n")).head()
+      assert(m.getLong(1) > 0, s"$sf: no bigrams")
+      assert(m.getDouble(0) > 1e-6,
+        s"$sf: a KN micro-nat value is ${m.getDouble(0)} from a rounding boundary")
+    }
+  }
+
   test("sequence packing: capacity, coverage, and repartition invariance") {
     import graft.operators.Curation
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
