@@ -276,6 +276,7 @@ object SparkEntry {
     "q255_grid_stats"       -> (RaquetQueries.q255GridStats _),
     "q256_viewshed"         -> (RaquetQueries.q256Viewshed _),
     "q257_kn_lm"            -> (LlmQueries.q257KnScore _),
+    "q258_wordpiece"        -> (LlmQueries.q258Wordpiece _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -682,6 +683,9 @@ object SparkEntry {
     // q257: interpolated Kneser-Ney bigram LM — full model re-derived
     // (counts, continuation types, B) with the fixed association order
     "q257_kn_lm"            -> LlmOracles.q257,
+    // q258: WordPiece — vocab derivation AND the greedy longest-match
+    // walk replayed (recursive CTE over a best-match-per-position table)
+    "q258_wordpiece"        -> LlmOracles.q258,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -276,6 +276,17 @@ object GraftFunctions {
       merges.map { case (a, b) => s"$a$OpSep$b" }.mkString(RuleSep.toString)))
   }
 
+  /** WordPiece vocab pieces join with the RS separator (pieces may
+    * contain anything except spaces/RS — the kernel validates). */
+  def wordpiece_tokens(text: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.BpeKernel.RuleSep
+    vocab.foreach { p =>
+      require(p.indexOf(RuleSep) < 0,
+        "WordPiece vocab pieces may not contain the RS separator char")
+    }
+    col(WordPieceTokens(ex(text), vocab.mkString(RuleSep.toString)))
+  }
+
   def mm_u8_sum(bin: Column): Column = col(MmU8Sum(ex(bin)))
   def mm_u8_pack(values: Column): Column = col(MmU8Pack(ex(values)))
   def mm_exif_orientation(jpeg: Column): Column = col(MmExifOrientation(ex(jpeg)))
@@ -381,6 +392,8 @@ object GraftFunctions {
         .toAggregateExpression() }
     r("bloom_might_contain") { case Seq(f, h) => BloomMightContain(f, h) }
     r("rq_bpe_tokens") { case Seq(t, spec) => BpeTokens(t, litStr(spec, "merges")) }
+    r("rq_wordpiece_tokens") { case Seq(t, spec) =>
+      WordPieceTokens(t, litStr(spec, "vocab")) }
     r("rq_temporal_composite") { case Seq(b, m, n, op) =>
       RqTemporalComposite(b, kernelOf(m, n), litStr(op, "op"))
         .toAggregateExpression() }

@@ -600,6 +600,69 @@ object LlmOracles {
        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(nm) AS BIGINT) AS nll_micros
        FROM sc GROUP BY doc_id"""
 
+  /** q258: WordPiece re-derived end to end — the vocabulary (top-10 words
+    * by (count desc, word asc), their 2-char prefixes, their ## 2-char
+    * suffixes, the corpus charset ± ## forms), a best-longest-match table
+    * per (distinct word, position) — word-initial probes match the piece
+    * verbatim (huggingface's raw lookup, so literal "##" word starts
+    * could match continuation pieces), word-internal probes require the
+    * ## prefix — and the greedy walk as a recursive CTE; any failed
+    * position (or a >100-char word) collapses the word to [UNK]. Piece
+    * uniqueness per (word, position, length) makes arg_max tie-free. */
+  val q258: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       wrd0 AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS wid,
+                  unnest(t) AS word FROM toks),
+       wrd AS (SELECT * FROM wrd0 WHERE len(word) > 0),
+       topw AS (SELECT word AS w FROM wrd GROUP BY word
+                ORDER BY count(*) DESC, word ASC LIMIT 10),
+       dw AS (SELECT DISTINCT word FROM wrd),
+       chars AS (SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS c
+                 FROM dw, range(1, 128) r(i) WHERE i <= len(word)),
+       vocab AS (
+         SELECT w AS piece FROM topw
+         UNION SELECT substr(w, 1, 2) FROM topw WHERE len(w) >= 2
+         UNION SELECT '##' || substr(w, len(w) - 1, 2) FROM topw WHERE len(w) >= 3
+         UNION SELECT c FROM chars
+         UNION SELECT '##' || c FROM chars),
+       cand AS (SELECT d.word, s.s, v.piece,
+           CASE WHEN s.s = 0 THEN len(v.piece) ELSE len(v.piece) - 2 END AS rawlen
+         FROM dw d, range(0, 128) s(s), vocab v
+         WHERE s.s < len(d.word)
+           AND ((s.s = 0 AND substr(d.word, 1, len(v.piece)) = v.piece)
+             OR (s.s > 0 AND v.piece LIKE '##%' AND len(v.piece) > 2
+                 AND substr(d.word, CAST(s.s + 1 AS INT), len(v.piece) - 2)
+                   = substr(v.piece, 3)))),
+       best AS (SELECT word, s, arg_max(piece, rawlen) AS piece,
+                  max(rawlen) AS rawlen
+                FROM cand GROUP BY word, s),
+       walk AS (
+         SELECT doc_id, wid, word, 0 AS s, 0 AS ord,
+           CAST(NULL AS VARCHAR) AS piece, FALSE AS failed FROM wrd
+         UNION ALL
+         SELECT w.doc_id, w.wid, w.word,
+           CASE WHEN b.piece IS NULL THEN len(w.word)
+                ELSE w.s + b.rawlen END AS s,
+           w.ord + 1 AS ord,
+           coalesce(b.piece, '[UNK]') AS piece,
+           b.piece IS NULL AS failed
+         FROM walk w LEFT JOIN best b ON b.word = w.word AND b.s = w.s
+         WHERE w.s < len(w.word) AND NOT w.failed),
+       fin AS (SELECT doc_id, wid,
+                 bool_or(failed) OR max(len(word)) > 100 AS f
+               FROM walk GROUP BY doc_id, wid),
+       pieces AS (
+         SELECT w.doc_id, w.wid, w.ord, w.piece
+         FROM walk w JOIN fin USING (doc_id, wid)
+         WHERE NOT f AND w.ord >= 1
+         UNION ALL
+         SELECT doc_id, wid, 1 AS ord, '[UNK]' AS piece FROM fin WHERE f)
+       SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wid, ord) - 1
+           AS BIGINT) AS pos,
+         piece AS token
+       FROM pieces"""
+
   /** q115: chunk boundaries re-derived — same integer-ceiling chunk count
     * (stride 48 = 64 − 16) and the 1-based inclusive slice
     * t[k·48+1 : min(k·48+64, n)] ≡ Spark slice(t, k·48+1, 64). */

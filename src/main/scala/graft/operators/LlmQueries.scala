@@ -510,6 +510,13 @@ object LlmQueries {
   def q257KnScore(spark: SparkSession, dir: String): DataFrame =
     TextOps.knScore(docs(spark, dir))
 
+  /** WordPiece tokenization ([[TextOps.wordpieceTokenize]]): the oracle
+    * re-derives the vocabulary (top-10 words, prefixes, ## suffixes,
+    * charset) AND replays the greedy longest-match walk per word as a
+    * recursive CTE over a precomputed best-match-per-position table. */
+  def q258Wordpiece(spark: SparkSession, dir: String): DataFrame =
+    TextOps.wordpieceTokenize(docs(spark, dir))
+
   /** Cross-doc duplicated-window fractions ([[TextOps.dupWindowFraction]]):
     * the oracle re-derives the whole pipeline (8-token windows, per-doc
     * distinct, cross-doc counts) in SQL. */

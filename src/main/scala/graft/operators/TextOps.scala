@@ -711,6 +711,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("nm").as("nll_micros"))
   }
 
+  /** WordPiece tokenization with a corpus-derived vocabulary (Wu et al.
+    * 2016; the BERT tokenizer's greedy longest-match-first algorithm —
+    * the second production tokenizer family next to [[bpeTokens]]'
+    * merge-rank loop). Vocabulary: the corpus's `topK` most frequent
+    * words (count desc, word asc — a total order) as whole pieces, their
+    * 2-char word-initial prefixes, their `##` 2-char continuation
+    * suffixes, and every corpus character (word-initial and `##` form) as
+    * the character fallback — so frequent words emit one token, the rest
+    * decompose through real longest-match choices, and `[UNK]` only
+    * appears for out-of-charset words. Output: (doc_id, pos, token).
+    *
+    * Scale shape: the vocab derivation is two bounded collects (topK
+    * rows + the corpus charset — the kmeans/ivfTrain "bounded model"
+    * pattern); tokenization itself is ONE codegen'd projection with the
+    * vocab as a plan-time constant, zero shuffles beyond the explode. */
+  def wordpieceTokenize(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(topK)
+      .collect().map(_.getString(0))
+    val chars = words.select(explode(split(col("w"), "")).as("c"))
+      .filter(length(col("c")) > 0).distinct()
+      .collect().map(_.getString(0)).sorted
+    val vocab = (top.toSeq ++
+      top.filter(_.length >= 2).map(_.substring(0, 2)) ++
+      top.filter(_.length >= 3).map(w => "##" + w.substring(w.length - 2)) ++
+      chars ++ chars.map("##" + _)).distinct
+    docs.select(col("doc_id"), posexplode(
+        graft.functions.GraftFunctions.wordpiece_tokens(col("text"), vocab)))
+      .select(col("doc_id"), col("pos"), col("col").as("token"))
+  }
+
   /** Cross-document exact-substring duplication signal (the public
     * ExactSubstr idea from "Deduplicating Training Data Makes Language
     * Models Better" re-expressed relationally): per doc, the fraction of

@@ -147,6 +147,122 @@ object BpeKernel {
   }
 }
 
+/** WordPiece tokenizer (Wu et al. 2016's BERT variant, as implemented by
+  * the huggingface `WordpieceTokenizer`): per word, GREEDY LONGEST-MATCH
+  * — the longest vocab piece matching at the current position wins;
+  * word-internal positions probe with the `##` continuation prefix; a
+  * position with no match turns the WHOLE word into `[UNK]` (as does a
+  * word longer than 100 code points). Word-initial probes use the raw
+  * substring, so a vocab piece literally starting with "##" can match a
+  * word that literally starts with "##" — huggingface's exact lookup
+  * semantics, mirrored by the oracle. Same plan-time-constant +
+  * whole-stage-codegen shape as [[BpeKernel]]. */
+object WordPieceKernel {
+
+  final val Unk = "[UNK]"
+  final val MaxWordCp = 100
+
+  /** Vocab spec: pieces separated by [[BpeKernel.RuleSep]] (US/RS-free,
+    * space-safe — learned pieces may contain anything else). */
+  def buildVocab(spec: String): java.util.HashSet[String] = {
+    val v = new java.util.HashSet[String]()
+    if (spec.isEmpty) return v
+    spec.split(BpeKernel.RuleSep).foreach { p =>
+      require(p.nonEmpty && !p.contains(' '),
+        s"invalid WordPiece vocab: piece '$p' is empty or contains a space")
+      require(!(p.startsWith("##") && p.length == 2),
+        "invalid WordPiece vocab: bare '##' continuation piece")
+      v.add(p)
+    }
+    v
+  }
+
+  def encodeWord(word: String, vocab: java.util.HashSet[String],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    if (word.isEmpty) return
+    if (word.codePointCount(0, word.length) > MaxWordCp) {
+      out.add(UTF8String.fromString(Unk)); return
+    }
+    val pieces = new java.util.ArrayList[String]()
+    var start = 0
+    while (start < word.length) {
+      var end = word.length
+      var cur: String = null
+      while (end > start && cur == null) {
+        val sub0 = word.substring(start, end)
+        val sub = if (start > 0) "##" + sub0 else sub0
+        if (vocab.contains(sub)) cur = sub
+        else {
+          end -= 1
+          // never split a surrogate pair: back off to the boundary
+          if (end > start && Character.isLowSurrogate(word.charAt(end))) end -= 1
+        }
+      }
+      if (cur == null) { out.add(UTF8String.fromString(Unk)); return }
+      pieces.add(cur)
+      start += (if (start > 0) cur.length - 2 else cur.length)
+    }
+    var i = 0
+    while (i < pieces.size()) {
+      out.add(UTF8String.fromString(pieces.get(i))); i += 1
+    }
+  }
+
+  /** Words split on U+0020 only, like [[BpeKernel.encodeText]]. */
+  def encodeText(text: UTF8String, vocab: java.util.HashSet[String]): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    val s = text.toString
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) encodeWord(s.substring(start, i), vocab, out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+}
+
+/** `rq_wordpiece_tokens(text)` with a plan-time vocab — WordPiece token
+  * array under greedy longest-match (see [[WordPieceKernel]]). */
+case class WordPieceTokens(child: Expression, vocabSpec: String)
+  extends UnaryExpression with UnaryLike[Expression] {
+
+  override def prettyName: String = "rq_wordpiece_tokens"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vocab: java.util.HashSet[String] =
+    WordPieceKernel.buildVocab(vocabSpec)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"rq_wordpiece_tokens expects STRING, got ${child.dataType.catalogString}")
+    else
+      scala.util.Try(WordPieceKernel.buildVocab(vocabSpec)) match {
+        case scala.util.Success(_) => TypeCheckResult.TypeCheckSuccess
+        case scala.util.Failure(e) =>
+          TypeCheckResult.TypeCheckFailure(s"invalid WordPiece vocab: ${e.getMessage}")
+      }
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    WordPieceKernel.encodeText(t.asInstanceOf[UTF8String], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wpVocab", vocab, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.WordPieceKernel.encodeText($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `rq_bpe_tokens(text, 'x y,ab c,...')` — BPE token array for `text`
   * under the given merges table (rank = list position). */
 case class BpeTokens(child: Expression, mergesSpec: String)

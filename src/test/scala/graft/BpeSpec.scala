@@ -276,4 +276,56 @@ class BpeSpec extends SparkSpec with PropHelper {
       .collect().head.getSeq[String](0)
     assert(out == Seq("stream", "sort"))
   }
+
+  private def wpEncode(word: String, vocab: Seq[String]): Seq[String] = {
+    val v = org.apache.spark.sql.graft.WordPieceKernel.buildVocab(
+      vocab.mkString(org.apache.spark.sql.graft.BpeKernel.RuleSep.toString))
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String]()
+    org.apache.spark.sql.graft.WordPieceKernel.encodeWord(word, v, out)
+    (0 until out.size()).map(out.get(_).toString)
+  }
+
+  test("wordpiece: greedy longest match, ## continuation, UNK rules") {
+    val vocab = Seq("un", "##able", "##bl", "##a", "##b", "##l", "##e",
+      "u", "n", "a", "b", "l", "e", "unable")
+    // whole-word piece wins over any decomposition
+    assert(wpEncode("unable", vocab) == Seq("unable"))
+    // the longest match wins at EVERY position: "unable" swallows the
+    // whole prefix of "unablee"; without it, ##able beats ##a/##bl chains
+    assert(wpEncode("unablee", vocab) == Seq("unable", "##e"))
+    assert(wpEncode("unablee", vocab.filterNot(_ == "unable")) ==
+      Seq("un", "##able", "##e"))
+    // missing continuation char → whole word is UNK even though a prefix
+    // matched ('x' not in vocab)
+    assert(wpEncode("unx", vocab) == Seq("[UNK]"))
+    // word-initial probe is the RAW piece: a literal "##..." word matches
+    // the continuation piece VERBATIM, ## included (huggingface's exact
+    // lookup semantics — the oracle's s=0 branch mirrors this)
+    assert(wpEncode("##able", vocab) == Seq("##able"))
+    // >100-code-point words collapse to UNK without scanning
+    assert(wpEncode("a" * 101, vocab) == Seq("[UNK]"))
+    assert(wpEncode("a" * 100, Seq("a", "##a")).length == 100)
+    // supplementary-plane chars never split into surrogates
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(wpEncode("a" + emoji, Seq("a", "##" + emoji)) ==
+      Seq("a", "##" + emoji))
+    assert(wpEncode("a" + emoji, Seq("a", "##a")) == Seq("[UNK]"))
+  }
+
+  test("wordpiece DataFrame path (codegen) agrees with the kernel; empty and multi-space text") {
+    import spark.implicits._
+    val vocab = Seq("ab", "##c", "a", "b", "c", "##a", "##b")
+    val got = Seq("abc ab  c", "", "a").toDF("text")
+      .select(graft.functions.GraftFunctions
+        .wordpiece_tokens(col("text"), vocab).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("ab", "##c", "ab", "c"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq("a"))
+    // invalid vocab (bare ## / embedded space) is an analysis-time error
+    intercept[Exception] {
+      Seq("x").toDF("text").select(graft.functions.GraftFunctions
+        .wordpiece_tokens(col("text"), Seq("a b")).as("t")).collect()
+    }
+  }
 }
