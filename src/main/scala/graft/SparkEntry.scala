@@ -277,6 +277,7 @@ object SparkEntry {
     "q256_viewshed"         -> (RaquetQueries.q256Viewshed _),
     "q257_kn_lm"            -> (LlmQueries.q257KnScore _),
     "q258_wordpiece"        -> (LlmQueries.q258Wordpiece _),
+    "q259_unimax"           -> (LlmQueries.q259Unimax _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -686,6 +687,9 @@ object SparkEntry {
     // q258: WordPiece — vocab derivation AND the greedy longest-match
     // walk replayed (recursive CTE over a best-match-per-position table)
     "q258_wordpiece"        -> LlmOracles.q258,
+    // q259: UniMax — water-filling allocation (monotone prefix predicate,
+    // floored equal share) + hash-order selection prefix replayed
+    "q259_unimax"           -> LlmOracles.q259,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -145,6 +145,65 @@ object Curation {
       .filter(col("cum_weight") <= budget)
   }
 
+  /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a total training budget across languages as
+    * uniformly as possible subject to a per-language epoch cap — small
+    * languages contribute everything up to `epochs` passes over their
+    * corpus, the rest split the remainder equally. The paper's sequential
+    * greedy (ascending corpus size, each language takes
+    * min(cap, remaining/langs-left)) has a WATER-FILLING closed form:
+    * once a language's cap exceeds the running fair share, taking exactly
+    * the fair share leaves the share constant for every later (larger)
+    * language — so with caps ascending, the capped set is a PREFIX, the
+    * prefix predicate cap_i·(L−i+1) ≤ B − cumcap_{i−1} is monotone, and
+    * the whole allocation is two window passes + one tiny aggregate, no
+    * driver loop. The equal share floors to an integer (exact in both
+    * engines).
+    *
+    * Selection then takes each group's docs in deterministic [[idHash]]
+    * order until its allocation is exhausted (the [[tokenBudgetSelect]]
+    * prefix rule). Returns (id, group, weight, alloc_weight, cum_weight)
+    * for kept docs.
+    *
+    * Scale shape: the allocation table is GROUP-cardinality (a
+    * single-partition window over ~languages rows — bounded by the
+    * number of languages, not the corpus); the selection is one
+    * broadcast join + one per-group window over the data, the same
+    * shape as [[tokenBudgetSelect]]. */
+  def unimaxSelect(df: DataFrame, groupCol: String, weightCol: String,
+      idCol: String, budget: Long, epochs: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val ord = Window.orderBy(col("cap").asc, col(groupCol).asc)
+    val t = df.groupBy(col(groupCol)).agg(sum(col(weightCol)).as("sz"))
+      .withColumn("cap", col("sz") * epochs)
+      .withColumn("i", row_number().over(ord))
+      .withColumn("cum", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nl", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("flag", col("cap") * (col("nl") - col("i") + 1) <=
+        lit(budget) - (col("cum") - col("cap")))
+    val k = t.agg(
+      sum(when(col("flag"), 1L).otherwise(0L)).as("k"),
+      coalesce(sum(when(col("flag"), col("cap"))), lit(0L)).as("cumk"),
+      max(col("nl")).as("nl2"))
+    val alloc = t.crossJoin(broadcast(k))
+      .withColumn("alloc", when(col("i") <= col("k"), col("cap"))
+        .otherwise(floor((lit(budget) - col("cumk")) /
+          (col("nl2") - col("k"))).cast("long")))
+      .select(col(groupCol), col("alloc"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(idHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(alloc), Seq(groupCol))
+      .withColumn("cum_weight", sum(col(weightCol)).over(w))
+      .filter(col("cum_weight") <= col("alloc"))
+      .select(col(idCol), col(groupCol), col(weightCol),
+        col("alloc").as("alloc_weight"), col("cum_weight"))
+  }
+
   /** Sequence packing — the context-window assembly stage of a training
     * pipeline: each record (a tokenized document) is assigned to a
     * fixed-capacity bin (one training context of `budget` tokens), bins

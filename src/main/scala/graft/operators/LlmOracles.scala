@@ -663,6 +663,39 @@ object LlmOracles {
          piece AS token
        FROM pieces"""
 
+  /** q259: UniMax re-derived — per-language sizes, the ascending-caps
+    * water-filling prefix (cap·(L−i+1) ≤ B − cumcap_{i−1}, provably
+    * monotone so the capped set is the flag count), the floored equal
+    * share for uncapped languages, and the idHash-order selection
+    * prefix per language. All integers; the share division mirrors the
+    * engine's double-divide-then-floor exactly. */
+  val q259: String =
+    s"""WITH l AS (SELECT lang, sum(n_chars) AS sz FROM documents GROUP BY lang),
+        t AS (SELECT lang, sz, sz * 1 AS cap,
+            row_number() OVER (ORDER BY sz * 1 ASC, lang ASC) AS i,
+            sum(sz * 1) OVER (ORDER BY sz * 1 ASC, lang ASC
+              ROWS UNBOUNDED PRECEDING) AS cum,
+            count(*) OVER () AS nl
+          FROM l),
+        f AS (SELECT *, cap * (nl - i + 1) <= 100000 - (cum - cap) AS flag FROM t),
+        kk AS (SELECT sum(CASE WHEN flag THEN 1 ELSE 0 END) AS k,
+            coalesce(sum(CASE WHEN flag THEN cap END), 0) AS cumk,
+            max(nl) AS nl2 FROM f),
+        a AS (SELECT f.lang,
+            CASE WHEN f.i <= kk.k THEN f.cap
+                 ELSE CAST(floor(CAST(100000 - kk.cumk AS DOUBLE)
+                   / CAST(kk.nl2 - kk.k AS DOUBLE)) AS BIGINT) END AS alloc
+          FROM f, kk),
+        d AS (SELECT doc_id, lang, n_chars,
+            sum(n_chars) OVER (PARTITION BY lang
+              ORDER BY ${idHash("doc_id")}, doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents)
+        SELECT d.doc_id, d.lang, d.n_chars,
+          CAST(a.alloc AS BIGINT) AS alloc_weight,
+          CAST(d.cum AS BIGINT) AS cum_weight
+        FROM d JOIN a USING (lang) WHERE d.cum <= a.alloc"""
+
   /** q115: chunk boundaries re-derived — same integer-ceiling chunk count
     * (stride 48 = 64 − 16) and the 1-based inclusive slice
     * t[k·48+1 : min(k·48+64, n)] ≡ Spark slice(t, k·48+1, 64). */

@@ -517,6 +517,17 @@ object LlmQueries {
   def q258Wordpiece(spark: SparkSession, dir: String): DataFrame =
     TextOps.wordpieceTokenize(docs(spark, dir))
 
+  /** UniMax budget allocation + selection ([[Curation.unimaxSelect]]):
+    * 100k chars across the 5 languages at epoch cap 1 — the smallest
+    * language caps (takes its whole corpus), the rest floor-split the
+    * remainder; the oracle replays the water-filling prefix predicate,
+    * the floored equal share, and the hash-order selection prefix. */
+  def q259Unimax(spark: SparkSession, dir: String): DataFrame =
+    Curation.unimaxSelect(
+      Tables.documents(spark, dir).select("doc_id", "lang", "n_chars"),
+      groupCol = "lang", weightCol = "n_chars", idCol = "doc_id",
+      budget = 100000L, epochs = 1)
+
   /** Cross-doc duplicated-window fractions ([[TextOps.dupWindowFraction]]):
     * the oracle re-derives the whole pipeline (8-token windows, per-doc
     * distinct, cross-doc counts) in SQL. */

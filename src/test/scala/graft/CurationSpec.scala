@@ -123,4 +123,60 @@ class CurationSpec extends SparkSpec {
     val again = Curation.weightedMix(docs.repartition(5), "source", "doc_id", rates)
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
+
+  test("unimaxSelect: closed-form water-filling equals the sequential UniMax greedy; selection respects allocations") {
+    import spark.implicits._
+    // random-ish deterministic corpora: per-group sizes spanning capped
+    // and uncapped regimes, several budgets and epoch caps
+    val sizes = Seq("a" -> 120L, "b" -> 300L, "c" -> 2000L, "d" -> 2500L,
+      "e" -> 90L, "f" -> 5000L)
+    val rows = sizes.flatMap { case (g, tot) =>
+      // split each group's mass into ~7 docs (deterministic remainders)
+      val n = 7
+      (0 until n).map { i =>
+        val w = tot / n + (if (i < (tot % n)) 1L else 0L)
+        (s"$g-$i", g, w)
+      }
+    }
+    val df = rows.toDF("doc_id", "grp", "w")
+    for (budget <- Seq(500L, 3000L, 7000L, 50000L); epochs <- Seq(1, 2)) {
+      val kept = Curation.unimaxSelect(df, "grp", "w", "doc_id", budget, epochs)
+        .collect()
+      val allocByGrp = kept.map(r => r.getString(1) -> r.getLong(3)).toMap
+      // the paper's sequential greedy with exact real arithmetic
+      val caps = sizes.map { case (g, t) => (g, t * epochs) }
+        .sortBy { case (g, c) => (c, g) }
+      var r = budget.toDouble
+      var left = caps.length
+      val greedy = caps.map { case (g, c) =>
+        val fair = r / left
+        val take = math.min(c.toDouble, fair)
+        r -= take; left -= 1
+        g -> take
+      }.toMap
+      // capped groups take exact caps; uncapped get floor(equal share)
+      caps.foreach { case (g, c) =>
+        val want =
+          if (greedy(g) == c.toDouble) c
+          else math.floor(greedy(g) + 1e-9).toLong
+        // groups with alloc too small to fit any doc never appear in the
+        // output; the allocation itself is checked where visible
+        allocByGrp.get(g).foreach { got =>
+          assert(got == want, s"group $g budget $budget epochs $epochs: " +
+            s"alloc $got want $want (greedy ${greedy(g)})")
+        }
+      }
+      // per-group kept weight never exceeds the allocation
+      kept.groupBy(_.getString(1)).foreach { case (g, rs) =>
+        val tot = rs.map(_.getLong(2)).sum
+        assert(tot <= allocByGrp(g), s"group $g kept $tot > alloc")
+        assert(rs.map(_.getLong(4)).max == tot, "cum_weight inconsistent")
+      }
+      // B >= sum(caps): everything capped, the full corpus survives
+      if (budget == 50000L && epochs == 1) {
+        val total = kept.map(_.getLong(2)).sum
+        assert(total == sizes.map(_._2).sum, "full corpus must survive")
+      }
+    }
+  }
 }
