@@ -278,6 +278,7 @@ object SparkEntry {
     "q257_kn_lm"            -> (LlmQueries.q257KnScore _),
     "q258_wordpiece"        -> (LlmQueries.q258Wordpiece _),
     "q259_unimax"           -> (LlmQueries.q259Unimax _),
+    "q260_stream_wordpiece" -> (LlmQueries.q260StreamWordpiece _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -690,6 +691,9 @@ object SparkEntry {
     // q259: UniMax — water-filling allocation (monotone prefix predicate,
     // floored equal share) + hash-order selection prefix replayed
     "q259_unimax"           -> LlmOracles.q259,
+    // q260: STREAMING WordPiece — stateless projection under a
+    // pretrained vocab, so the batch q258 oracle verifies it verbatim
+    "q260_stream_wordpiece" -> LlmOracles.q258,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -409,6 +409,32 @@ object LlmQueries {
     spark.table("q254_c4")
   }
 
+  /** q260 — STREAMING WordPiece (§2.10 twin of q258): the vocab trains on
+    * the batch corpus (the "pretrained tokenizer"), then tokenization is
+    * a stateless codegen'd projection over a MemoryStream in two
+    * micro-batches — ingest-time tokenization needs no state store, and
+    * the output is identical to the batch path, so the q258 oracle
+    * verifies it verbatim. */
+  def q260StreamWordpiece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vocab = TextOps.wordpieceVocab(docs(spark, dir))
+    val corpus = docs(spark, dir).as[(Long, String)].collect()
+    val (evens, odds) = corpus.partition(_._1 % 2 == 0)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = TextOps.wordpieceApply(input.toDF().toDF("doc_id", "text"), vocab)
+    val query = out.writeStream.format("memory").queryName("q260_wp")
+      .outputMode("append").start()
+    try {
+      input.addData(evens.toIndexedSeq)
+      query.processAllAvailable()
+      input.addData(odds.toIndexedSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table("q260_wp")
+  }
+
   /** q234 — CLUSTER-BALANCED sampling (the diversity-sampling step of a
     * curation pipeline: cap how much any one embedding cluster
     * contributes): q199's k-means assignment composed with

@@ -726,7 +726,13 @@ object TextOps {
     * rows + the corpus charset — the kmeans/ivfTrain "bounded model"
     * pattern); tokenization itself is ONE codegen'd projection with the
     * vocab as a plan-time constant, zero shuffles beyond the explode. */
-  def wordpieceTokenize(docs: DataFrame, topK: Int = 10): DataFrame = {
+  def wordpieceTokenize(docs: DataFrame, topK: Int = 10): DataFrame =
+    wordpieceApply(docs, wordpieceVocab(docs, topK))
+
+  /** The vocab derivation alone — the "train the tokenizer" step; feed
+    * the result to [[wordpieceApply]] (e.g. over a STREAM: a pretrained
+    * vocab makes tokenization a stateless ingest-time projection). */
+  def wordpieceVocab(docs: DataFrame, topK: Int = 10): Seq[String] = {
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val top = words.groupBy("w").agg(count(lit(1)).as("c"))
@@ -735,14 +741,18 @@ object TextOps {
     val chars = words.select(explode(split(col("w"), "")).as("c"))
       .filter(length(col("c")) > 0).distinct()
       .collect().map(_.getString(0)).sorted
-    val vocab = (top.toSeq ++
+    (top.toSeq ++
       top.filter(_.length >= 2).map(_.substring(0, 2)) ++
       top.filter(_.length >= 3).map(w => "##" + w.substring(w.length - 2)) ++
       chars ++ chars.map("##" + _)).distinct
+  }
+
+  /** Tokenize with a FIXED vocab — one codegen'd projection, batch or
+    * streaming. */
+  def wordpieceApply(docs: DataFrame, vocab: Seq[String]): DataFrame =
     docs.select(col("doc_id"), posexplode(
         graft.functions.GraftFunctions.wordpiece_tokens(col("text"), vocab)))
       .select(col("doc_id"), col("pos"), col("col").as("token"))
-  }
 
   /** Cross-document exact-substring duplication signal (the public
     * ExactSubstr idea from "Deduplicating Training Data Makes Language
