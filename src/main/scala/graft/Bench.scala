@@ -592,6 +592,22 @@ object Bench {
       graft.operators.Regions.sieveApply(sub, ds.meta, "band_1",
           minPixels = 100L)
         .agg(count(lit(1)).as("n_px"), sum("v").as("vsum"))
+    }),
+    // gdal_viewshed: 4 observers, Chebyshev radius 150 — ~360k targets,
+    // ~27M sightline samples generated by bounded lateral explodes, ONE
+    // coordinate equi-join against the decoded observer-disk pixels and
+    // one hash agg per target; checksum sink forces every verdict
+    "b_viewshed" -> ((s: SparkSession, _: String) => {
+      import s.implicits._
+      val ds = RaquetIO.read(s, RasterDir)
+      val native = ds.data.filter(quadbin_zoom(col("block")) === 10)
+      val obs = Seq((1L, 133000L, 133000L, 10.0), (2L, 136000L, 134500L, 10.0),
+        (3L, 134000L, 137000L, 10.0), (4L, 137500L, 136500L, 10.0))
+        .toDF("oid", "ox", "oy", "oh")
+      graft.operators.Viewshed.viewshed(native, ds.meta, "band_1", obs,
+          z = 10, radius = 150)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("visible"), 1L).otherwise(0L)).as("n_visible"))
     }))
 
   /** `k` mutually-DISSIMILAR synthetic copies of the document corpus
@@ -704,6 +720,15 @@ object Bench {
     // exact covariance: one map-side-combine pass, 2,080-row partials
     "b_covariance" -> ((s: SparkSession, dir: String) =>
       EmbedOps.covarianceMatrix(Tables.embeddings(s, dir), dim = 64)),
+    // interpolated Kneser-Ney: 3 count aggregates + 3 equi-joins back —
+    // the CCNet-style perplexity filter (vs b_lm_score's add-one twin)
+    "b_kn_lm" -> ((s: SparkSession, dir: String) =>
+      TextOps.knScore(Tables.documents(s, dir).select("doc_id", "text"))),
+    // WordPiece throughput: greedy longest-match as a codegen'd
+    // projection under a corpus-trained vocab (vs b_bpe_tokens' merge loop)
+    "b_wordpiece" -> ((s: SparkSession, dir: String) =>
+      TextOps.wordpieceTokenize(
+        Tables.documents(s, dir).select("doc_id", "text"), topK = 50)),
     // exact substring dedup: gram agg + dup join + per-doc span window
     "b_substring_dedup" -> ((s: SparkSession, dir: String) =>
       TextOps.duplicatedSpans(

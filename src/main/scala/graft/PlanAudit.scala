@@ -54,6 +54,11 @@ object PlanAudit {
       "q243_pyramid_cubic" -> RaquetQueries.q243PyramidCubic _,
       "q246_c4_rules" -> LlmQueries.q246C4Rules _,
       "q247_bm25" -> LlmQueries.q247Bm25 _,
+      "q255_grid_stats" -> RaquetQueries.q255GridStats _,
+      "q256_viewshed" -> RaquetQueries.q256Viewshed _,
+      "q257_kn_lm" -> LlmQueries.q257KnScore _,
+      "q258_wordpiece" -> LlmQueries.q258Wordpiece _,
+      "q259_unimax" -> LlmQueries.q259Unimax _,
       "b_pyramid_build" -> Bench.rasterQueries("b_pyramid_build"),
       "b_region_apply" -> Bench.rasterQueries("b_region_apply")) ++
       // the 15 GB-class shapes, when the cached bench raster exists
