@@ -279,6 +279,7 @@ object SparkEntry {
     "q258_wordpiece"        -> (LlmQueries.q258Wordpiece _),
     "q259_unimax"           -> (LlmQueries.q259Unimax _),
     "q260_stream_wordpiece" -> (LlmQueries.q260StreamWordpiece _),
+    "q261_temporal_trend"   -> (RaquetQueries.q261TemporalTrend _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -694,6 +695,9 @@ object SparkEntry {
     // q260: STREAMING WordPiece — stateless projection under a
     // pretrained vocab, so the batch q258 oracle verifies it verbatim
     "q260_stream_wordpiece" -> LlmOracles.q258,
+    // q261: per-pixel OLS trend — dropped steps, epoch recodes, exact
+    // accumulators and the engine's division order replayed
+    "q261_temporal_trend"   -> RaquetOracles.q261,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

@@ -219,6 +219,13 @@ object GraftFunctions {
       op: String): Column =
     col(RqTemporalComposite(ex(band), BandKernel(meta, name), op)
       .toAggregateExpression())
+  /** Per-pixel OLS trend across a tile stack's time axis (group by
+    * block): STRUCT(slope, intercept) of float64 gzip band blobs. */
+  def rq_temporal_trend(band: Column, time: Column, kernel: BandKernel): Column =
+    col(RqTemporalTrend(ex(band), ex(time), kernel).toAggregateExpression())
+  def rq_temporal_trend(band: Column, time: Column, meta: RaquetMetadata,
+      name: String): Column =
+    rq_temporal_trend(band, time, BandKernel(meta, name))
 
   // --- CF time + multimodal ---
 

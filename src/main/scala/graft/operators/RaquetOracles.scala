@@ -1199,6 +1199,36 @@ object RaquetOracles {
         FROM px"""
   }
 
+  /** q261: per-pixel OLS trend from the closed form — the same dropped
+    * timesteps ((x+y+t) % 5 = 0), the same epoch recodes, exact integer/
+    * dyadic accumulators, and the slope/intercept divisions written in
+    * the engine's exact operand order (slope first, intercept through
+    * the already-rounded slope — bit-identical doubles). */
+  val q261: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH d AS (SELECT DISTINCT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FT') WHERE block <> 0),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y
+          FROM d),
+        px AS (SELECT block, x, y, CAST(j*16 + i AS BIGINT) AS pos,
+            CAST(x*16+i AS DOUBLE)/2 + CAST(y*16+j AS DOUBLE)/4 AS base
+          FROM xy, range(16) a(i), range(16) b(j)),
+        obs AS (SELECT block, pos, base, t,
+            CASE WHEN t <= 1 THEN (base + 16*t)
+                 WHEN t <= 3 THEN 2*(base + 16*t) - 10
+                 ELSE 3*(base + 16*t) + 5 END AS v
+          FROM px, range(0, 6) r(t) WHERE (x + y + t) % 5 <> 0),
+        acc AS (SELECT block, pos, count(*) AS n,
+            sum(CAST(t AS DOUBLE)) AS st, sum(v) AS sv,
+            sum(t * v) AS stv, sum(CAST(t*t AS DOUBLE)) AS stt
+          FROM obs GROUP BY block, pos),
+        sl AS (SELECT block, pos, n, st, sv,
+            (n*stv - st*sv) / (n*stt - st*st) AS slope
+          FROM acc)
+        SELECT block, pos, slope, (sv - slope*st) / n AS icept
+        FROM sl"""
+  }
+
   /** q155: anomaly = observation − temporal mean = 16·(time_cf/1440) − 40
     * on the time fixture, identical at every pixel of every block. */
   val q155: String = {

@@ -928,6 +928,38 @@ object RaquetQueries {
         sum(col("a")).as("a_sum"))
   }
 
+  /** q261 — per-pixel temporal OLS trend ([[graft.operators.Temporal
+    * .trend]]): the time fixture reshaped into a non-trivial regression —
+    * each tile drops the timesteps with (x+y+t) % 5 = 0 (so the design
+    * matrix varies per tile, n ∈ {4,5}) and three epoch branches recode
+    * values linearly (s,o) = (1,0)/(2,−10)/(3,5) via rq_translate, making
+    * the per-pixel slope depend on the pixel's base value. Every
+    * accumulator is dyadic-exact, so slope AND intercept hash-match the
+    * closed-form oracle bit-for-bit. */
+  def q261TemporalTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val tStep = col("time_cf") / lit(1440.0)
+    val kept = ds.data.filter(
+      ((quadbin_tile_x(col("block")) + quadbin_tile_y(col("block")) +
+        tStep.cast("long")) % 5) =!= 0)
+    def branch(lo: Int, hi: Int, a: Double, b: Double): DataFrame =
+      kept.filter(tStep >= lo && tStep <= hi)
+        .select(col("block"), col("time_cf"),
+          rq_translate(col("band_1"), ds.meta, "band_1", "float64",
+            Double.NaN, a, b).as("v"))
+    val stack = branch(0, 1, 1.0, 0.0)
+      .unionByName(branch(2, 3, 2.0, -10.0))
+      .unionByName(branch(4, 5, 3.0, 5.0))
+    val k64 = graft.raquet.BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+    graft.operators.Temporal.trend(stack, k64, "v", col("time_cf") / lit(1440.0))
+      .select(col("block"),
+        rq_decode(col("slope"), k64).as("s"),
+        rq_decode(col("intercept"), k64).as("ic"))
+      .select(col("block"), posexplode(arrays_zip(col("s"), col("ic"))))
+      .select(col("block"), col("pos").cast("long").as("pos"),
+        col("col.s").as("slope"), col("col.ic").as("icept"))
+  }
+
   /** Streaming twin of q154 — [[graft.operators.Temporal.composite]] is a
     * plain block-grouped aggregate, so it runs UNCHANGED on a stream: the
     * six timesteps arrive over three micro-batches, the composite

@@ -31,6 +31,26 @@ object Temporal {
     data.groupBy(col("block")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-pixel OLS linear trend over the time axis — the EO
+    * change-analysis layer ("NDVI trend", "warming rate"): fits
+    * v = slope·t + intercept per pixel over the timesteps where the
+    * pixel is valid (see [[org.apache.spark.sql.graft.RqTemporalTrend]]
+    * for the formulas and exactness contract). `timeCol` is the DOUBLE
+    * regressor (e.g. `col("time_cf") / 1440` for daily step indexes).
+    * Returns (block, slope, intercept) — two first-class float64 blobs.
+    * ONE partial-mergeable hash aggregate on `block`, like
+    * [[composite]]. */
+  def trend(data: DataFrame, kernel: graft.raquet.BandKernel, band: String,
+      timeCol: org.apache.spark.sql.Column): DataFrame =
+    data.groupBy(col("block"))
+      .agg(rq_temporal_trend(col(band), timeCol, kernel).as("t"))
+      .select(col("block"), col("t.slope").as("slope"),
+        col("t.intercept").as("intercept"))
+
+  def trend(data: DataFrame, meta: RaquetMetadata, band: String,
+      timeCol: org.apache.spark.sql.Column): DataFrame =
+    trend(data, graft.raquet.BandKernel(meta, band), band, timeCol)
+
   /** Per-pixel anomaly: each timestep's tile minus the block's temporal
     * mean (climatology) — the deseasonalized-signal shape. One aggregate
     * (the climatology) + one equi-join back on `block`: the composite is

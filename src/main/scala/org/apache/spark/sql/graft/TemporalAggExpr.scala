@@ -191,3 +191,168 @@ case class RqTemporalComposite(
 object RqTemporalComposite {
   val Ops: Set[String] = Set("mean", "sum", "min", "max", "count")
 }
+
+/** Per-pixel OLS accumulators for [[RqTemporalTrend]]. */
+final class TrendBuffer(var n: Array[Int], var st: Array[Double],
+    var sv: Array[Double], var stv: Array[Double], var stt: Array[Double])
+
+/** rq_temporal_trend(band, t) — per-PIXEL ordinary-least-squares linear
+  * trend of a tile stack across its time axis (grouped by `block`): the
+  * EO change-analysis shape ("NDVI trend per pixel", "warming rate per
+  * cell"). For each pixel, fits v = slope·t + intercept over the
+  * timesteps where the pixel is valid; emits a STRUCT of two float64
+  * gzip band blobs (slope, intercept), NaN where fewer than two valid
+  * observations (or a degenerate time design, n·Σt² = (Σt)²).
+  *
+  *   slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²)
+  *   intercept = (Σv − slope·Σt) / n
+  *
+  * Exactness: with integer-step times and dyadic-exact pixel values
+  * (the fixture convention) every accumulator is exact in IEEE double
+  * regardless of accumulation order, so a SQL oracle replays slope and
+  * intercept bit-for-bit; on general data the sums are order-dependent
+  * like any float aggregate (the A3 stats-merge caveat applies).
+  *
+  * Scale shape: same partial-mergeable block-grouped aggregate as
+  * [[RqTemporalComposite]] — ~36 B/px of accumulators cross the
+  * exchange (gzip-framed), never T decoded planes. */
+case class RqTemporalTrend(
+    blob: Expression,
+    time: Expression,
+    kernel: BandKernel,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TrendBuffer] {
+
+  private val npx = kernel.width * kernel.height
+
+  override def prettyName: String = "rq_temporal_trend"
+  override def children: Seq[Expression] = Seq(blob, time)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("slope", BinaryType, nullable = false),
+    StructField("intercept", BinaryType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (blob.dataType == BinaryType && time.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rq_temporal_trend expects (BINARY band, DOUBLE time), got " +
+        s"(${blob.dataType.catalogString}, ${time.dataType.catalogString})")
+
+  override def createAggregationBuffer(): TrendBuffer =
+    new TrendBuffer(null, null, null, null, null)
+
+  private def ensure(buf: TrendBuffer): Unit =
+    if (buf.n == null) {
+      buf.n = new Array[Int](npx)
+      buf.st = new Array[Double](npx)
+      buf.sv = new Array[Double](npx)
+      buf.stv = new Array[Double](npx)
+      buf.stt = new Array[Double](npx)
+    }
+
+  override def update(buf: TrendBuffer, input: InternalRow): TrendBuffer = {
+    val raw = blob.eval(input).asInstanceOf[Array[Byte]]
+    val tAny = time.eval(input)
+    if (raw == null || tAny == null) return buf
+    val t = tAny.asInstanceOf[Double]
+    val vals = kernel.decode(raw)
+    require(vals.length == npx,
+      s"tile carries ${vals.length} pixels, kernel expects $npx")
+    ensure(buf)
+    val nod = kernel.nodata
+    val hasNod = !nod.isNaN
+    var i = 0
+    while (i < npx) {
+      val v = vals(i)
+      if (!(java.lang.Double.isNaN(v) || (hasNod && v == nod))) {
+        val pv = v * kernel.scale + kernel.offset
+        buf.n(i) += 1
+        buf.st(i) += t
+        buf.sv(i) += pv
+        buf.stv(i) += t * pv
+        buf.stt(i) += t * t
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: TrendBuffer, other: TrendBuffer): TrendBuffer = {
+    if (other.n == null) return buf
+    ensure(buf)
+    var i = 0
+    while (i < npx) {
+      buf.n(i) += other.n(i)
+      buf.st(i) += other.st(i)
+      buf.sv(i) += other.sv(i)
+      buf.stv(i) += other.stv(i)
+      buf.stt(i) += other.stt(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TrendBuffer): Any = {
+    val slope = new Array[Double](npx)
+    val icept = new Array[Double](npx)
+    var i = 0
+    while (i < npx) {
+      val n = if (buf.n == null) 0 else buf.n(i)
+      if (n >= 2) {
+        val den = n * buf.stt(i) - buf.st(i) * buf.st(i)
+        if (den != 0.0) {
+          val s = (n * buf.stv(i) - buf.st(i) * buf.sv(i)) / den
+          slope(i) = s
+          icept(i) = (buf.sv(i) - s * buf.st(i)) / n
+        } else { slope(i) = Double.NaN; icept(i) = Double.NaN }
+      } else { slope(i) = Double.NaN; icept(i) = Double.NaN }
+      i += 1
+    }
+    InternalRow(
+      PixelCodec.encode(slope, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED),
+      PixelCodec.encode(icept, "float64", gzip = true,
+        java.util.zip.Deflater.BEST_SPEED))
+  }
+
+  /** [has byte][n][st][sv][stv][stt], gzip-framed (BEST_SPEED). */
+  override def serialize(buf: TrendBuffer): Array[Byte] = {
+    if (buf.n == null)
+      return PixelCodec.gzipCompress(Array[Byte](0),
+        java.util.zip.Deflater.BEST_SPEED)
+    val bb = java.nio.ByteBuffer.allocate(1 + npx * (4 + 4 * 8))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte)
+    var i = 0; while (i < npx) { bb.putInt(buf.n(i)); i += 1 }
+    i = 0; while (i < npx) { bb.putDouble(buf.st(i)); i += 1 }
+    i = 0; while (i < npx) { bb.putDouble(buf.sv(i)); i += 1 }
+    i = 0; while (i < npx) { bb.putDouble(buf.stv(i)); i += 1 }
+    i = 0; while (i < npx) { bb.putDouble(buf.stt(i)); i += 1 }
+    PixelCodec.gzipCompress(bb.array(), java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  override def deserialize(bytes: Array[Byte]): TrendBuffer = {
+    val raw = PixelCodec.gzipDecompress(bytes)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val buf = new TrendBuffer(null, null, null, null, null)
+    if (bb.get() != 0) {
+      ensure(buf)
+      var i = 0; while (i < npx) { buf.n(i) = bb.getInt(); i += 1 }
+      i = 0; while (i < npx) { buf.st(i) = bb.getDouble(); i += 1 }
+      i = 0; while (i < npx) { buf.sv(i) = bb.getDouble(); i += 1 }
+      i = 0; while (i < npx) { buf.stv(i) = bb.getDouble(); i += 1 }
+      i = 0; while (i < npx) { buf.stt(i) = bb.getDouble(); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RqTemporalTrend =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RqTemporalTrend =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(blob = newChildren(0), time = newChildren(1))
+}

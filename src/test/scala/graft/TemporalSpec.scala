@@ -85,4 +85,40 @@ class TemporalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("median"))
   }
+
+  test("temporal trend: per-pixel OLS with holes, degenerate designs, partition-merge invariant") {
+    val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
+    val rows = Seq(
+      // px0: perfect line 5+3t over t=0..3 → slope 3, icept 5
+      // px1: holes at t=1,2 (nodata) → only t=0,3 → slope from 2 points
+      // px2: valid ONCE → NaN/NaN (n < 2)
+      // px3: values 1,2,2,1 → slope 0 by symmetry, icept = mean = 1.5
+      Row(b1, 0.0, blob(5, 10, 255, 1)),
+      Row(b1, 1.0, blob(8, 255, 255, 2)),
+      Row(b1, 2.0, blob(11, 255, 9, 2)),
+      Row(b1, 3.0, blob(14, 40, 255, 1)))
+    val schema = StructType(Seq(
+      StructField("block", LongType), StructField("time_cf", DoubleType),
+      StructField("band_1", BinaryType)))
+    for (parts <- Seq(1, 5)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      val out = Temporal.trend(df, meta, "band_1", col("time_cf")).collect()
+      assert(out.length == 1)
+      val k = Focal.outKernel(meta)
+      val slope = k.decode(out(0).getAs[Array[Byte]](1))
+      val icept = k.decode(out(0).getAs[Array[Byte]](2))
+      assert(slope(0) == 3.0 && icept(0) == 5.0)
+      assert(slope(1) == 10.0 && icept(1) == 10.0) // (0,10)→(3,40)
+      assert(slope(2).isNaN && icept(2).isNaN)
+      assert(slope(3) == 0.0 && icept(3) == 1.5)
+    }
+    // single DISTINCT timestep repeated: n >= 2 but degenerate design
+    val rows2 = Seq(Row(b1, 2.0, blob(5, 5, 5, 5)), Row(b1, 2.0, blob(9, 9, 9, 9)))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2, 2), schema)
+    val out2 = Temporal.trend(df2, meta, "band_1", col("time_cf")).collect()
+    val s2 = Focal.outKernel(meta).decode(out2(0).getAs[Array[Byte]](1))
+    assert(s2.forall(_.isNaN), "degenerate time design must be NaN")
+  }
 }
