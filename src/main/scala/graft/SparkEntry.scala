@@ -280,6 +280,7 @@ object SparkEntry {
     "q259_unimax"           -> (LlmQueries.q259Unimax _),
     "q260_stream_wordpiece" -> (LlmQueries.q260StreamWordpiece _),
     "q261_temporal_trend"   -> (RaquetQueries.q261TemporalTrend _),
+    "q262_temporal_fill"    -> (RaquetQueries.q262TemporalGapFill _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -698,6 +699,9 @@ object SparkEntry {
     // q261: per-pixel OLS trend — dropped steps, epoch recodes, exact
     // accumulators and the engine's division order replayed
     "q261_temporal_trend"   -> RaquetOracles.q261,
+    // q262: temporal gap fill — epoch masks, IGNORE-NULLS neighbor
+    // windows, fixed-order interpolation replayed per (pixel, timestep)
+    "q262_temporal_fill"    -> RaquetOracles.q262,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

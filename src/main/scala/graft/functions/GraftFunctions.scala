@@ -219,6 +219,15 @@ object GraftFunctions {
       op: String): Column =
     col(RqTemporalComposite(ex(band), BandKernel(meta, name), op)
       .toAggregateExpression())
+  def rq_mask_range(band: Column, kernel: BandKernel, lo: Double,
+      hi: Double): Column =
+    col(RqMaskRange(ex(band), kernel, lo, hi))
+  def rq_mask_range(band: Column, meta: RaquetMetadata, name: String,
+      lo: Double, hi: Double): Column =
+    rq_mask_range(band, BandKernel(meta, name), lo, hi)
+  /** Linear time-axis gap fill of a sorted (t, blob) stack. */
+  def rq_temporal_fill(stack: Column, kernel: BandKernel): Column =
+    col(RqTemporalFill(ex(stack), kernel))
   /** Per-pixel OLS trend across a tile stack's time axis (group by
     * block): STRUCT(slope, intercept) of float64 gzip band blobs. */
   def rq_temporal_trend(band: Column, time: Column, kernel: BandKernel): Column =

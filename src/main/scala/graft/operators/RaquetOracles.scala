@@ -1229,6 +1229,47 @@ object RaquetOracles {
         FROM sl"""
   }
 
+  /** q262: temporal gap fill from the closed form — the same epoch value
+    * masks, validity per (pixel, t), nearest valid neighbors via
+    * IGNORE NULLS window frames, and the interpolation written in the
+    * kernel's exact order pv + (nv − pv)·((t − pt)/(nt − pt));
+    * leading/trailing gaps NULL. */
+  val q262: String = {
+    val FT = RaquetQueries.FixtureTime
+    def prevW(e: String): String =
+      s"""last_value($e IGNORE NULLS) OVER (PARTITION BY block, pos ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
+    def nextW(e: String): String =
+      s"""first_value($e IGNORE NULLS) OVER (PARTITION BY block, pos ORDER BY t
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"""
+    s"""WITH d AS (SELECT DISTINCT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FT') WHERE block <> 0),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y
+          FROM d),
+        px AS (SELECT block, CAST(j*16 + i AS BIGINT) AS pos,
+            CAST(x*16+i AS DOUBLE)/2 + CAST(y*16+j AS DOUBLE)/4 AS base
+          FROM xy, range(16) a(i), range(16) b(j)),
+        obs AS (SELECT block, pos, t, base + 16*t AS v,
+            CASE WHEN t = 0 THEN base >= 400 AND base < 410
+                 WHEN t = 2 OR t = 3
+                   THEN base + 16*t >= 420 AND base + 16*t < 460
+                 WHEN t = 5 THEN base + 80 >= 500 AND base + 80 < 520
+                 ELSE FALSE END AS hole
+          FROM px, range(0, 6) r(t)),
+        w AS (SELECT block, pos, t, v, hole,
+            ${prevW("CASE WHEN NOT hole THEN v END")} AS pv,
+            ${prevW("CASE WHEN NOT hole THEN CAST(t AS DOUBLE) END")} AS pt,
+            ${nextW("CASE WHEN NOT hole THEN v END")} AS nv,
+            ${nextW("CASE WHEN NOT hole THEN CAST(t AS DOUBLE) END")} AS nt
+          FROM obs)
+        SELECT block, pos, CAST(t AS DOUBLE) AS t,
+          CASE WHEN NOT hole THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * ((CAST(t AS DOUBLE) - pt) / (nt - pt))
+          END AS v
+        FROM w"""
+  }
+
   /** q155: anomaly = observation − temporal mean = 16·(time_cf/1440) − 40
     * on the time fixture, identical at every pixel of every block. */
   val q155: String = {

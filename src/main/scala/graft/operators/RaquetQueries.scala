@@ -960,6 +960,33 @@ object RaquetQueries {
         col("col.s").as("slope"), col("col.ic").as("icept"))
   }
 
+  /** q262 — temporal linear gap fill ([[graft.operators.Temporal
+    * .gapFill]]): the time fixture with deterministic per-pixel cloud
+    * holes punched by [[graft.functions.GraftFunctions.rq_mask_range]]
+    * (value-window masks per epoch: t=0 [400,410), t∈{2,3} [420,460),
+    * t=5 [500,520)) — yielding single and double interior gaps (filled
+    * by the straight line between the nearest valid observations),
+    * leading gaps and trailing gaps (stay NULL — no extrapolation). The
+    * oracle replays the masks and the fixed-order interpolation
+    * expression per (pixel, timestep), bit-exact. */
+  def q262TemporalGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val tStep = col("time_cf") / lit(1440.0)
+    def branch(ts: Seq[Int], lo: Double, hi: Double): DataFrame =
+      ds.data.filter(tStep.cast("int").isin(ts: _*))
+        .select(col("block"), col("time_cf"),
+          rq_mask_range(col("band_1"), ds.meta, "band_1", lo, hi).as("v"))
+    val stack = branch(Seq(0), 400, 410)
+      .unionByName(branch(Seq(1, 4), 0, 0))
+      .unionByName(branch(Seq(2, 3), 420, 460))
+      .unionByName(branch(Seq(5), 500, 520))
+    val k64 = graft.raquet.BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+    graft.operators.Temporal.gapFill(stack, k64, "v", tStep)
+      .select(col("block"), col("t"), posexplode(rq_decode(col("v"), k64)))
+      .select(col("block"), col("pos").cast("long").as("pos"), col("t"),
+        when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
+  }
+
   /** Streaming twin of q154 — [[graft.operators.Temporal.composite]] is a
     * plain block-grouped aggregate, so it runs UNCHANGED on a stream: the
     * six timesteps arrive over three micro-batches, the composite

@@ -51,6 +51,31 @@ object Temporal {
       timeCol: org.apache.spark.sql.Column): DataFrame =
     trend(data, graft.raquet.BandKernel(meta, band), band, timeCol)
 
+  /** Linear time-axis gap filling — the cloud-mask interpolation stage of
+    * an EO time-series pipeline: per pixel, each invalid timestep takes
+    * the straight line between its nearest valid observations in time;
+    * leading/trailing gaps stay nodata (strict interior interpolation,
+    * see [[graft.raquet.BandKernel.temporalFill]]). Returns one row per
+    * (block, t) with the filled float64 blob.
+    *
+    * Shape: ONE hash aggregate on `block` collects the stack (sorted by
+    * t — `sort_array` on the struct keys the time first), then a single
+    * codegen'd kernel fills and an explode re-emits the timesteps.
+    * Per-group memory is the stack height × one tile — bounded by T,
+    * never by the corpus. */
+  def gapFill(data: DataFrame, kernel: graft.raquet.BandKernel, band: String,
+      timeCol: org.apache.spark.sql.Column): DataFrame =
+    data.groupBy(col("block"))
+      .agg(sort_array(collect_list(struct(timeCol.as("t"),
+        col(band).as("b")))).as("stack"))
+      .select(col("block"),
+        explode(rq_temporal_fill(col("stack"), kernel)).as("s"))
+      .select(col("block"), col("s.t").as("t"), col("s.vals").as(band))
+
+  def gapFill(data: DataFrame, meta: RaquetMetadata, band: String,
+      timeCol: org.apache.spark.sql.Column): DataFrame =
+    gapFill(data, graft.raquet.BandKernel(meta, band), band, timeCol)
+
   /** Per-pixel anomaly: each timestep's tile minus the block's temporal
     * mean (climatology) — the deseasonalized-signal shape. One aggregate
     * (the climatology) + one equi-join back on `block`: the composite is

@@ -175,6 +175,64 @@ final case class BandKernel(
     PixelCodec.encode(v, outDtype, gzip = true)
   }
 
+  /** Range mask (the gdal_calc "mask out a DN interval" shape — cloud DN
+    * windows, saturated ranges): pixels with v ∈ [lo, hi) become NaN,
+    * nodata stays NaN, everything else passes through; returns a float64
+    * gzip blob (NaN nodata — the derived-raster convention). */
+  def maskRange(raw: Array[Byte], lo: Double, hi: Double): Array[Byte] = {
+    val v = decode(raw)
+    val hasNod = !nodata.isNaN
+    var i = 0
+    while (i < v.length) {
+      val x = v(i)
+      v(i) = if (java.lang.Double.isNaN(x) || (hasNod && x == nodata) ||
+        (x >= lo && x < hi)) Double.NaN else x
+      i += 1
+    }
+    PixelCodec.encode(v, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  /** Linear gap fill along the TIME axis of one block's tile stack (the
+    * EO time-series gap-filling stage — cloud-masked NDVI interpolation):
+    * per pixel, each invalid timestep takes the straight line between its
+    * nearest valid neighbors in time, v_j + (v_k − v_j)·((t_i − t_j) /
+    * (t_k − t_j)) — a single fixed-order expression a SQL oracle replays
+    * bit-for-bit. Leading/trailing gaps (no neighbor on one side) stay
+    * NaN — strict interior interpolation, no extrapolation. Neighbors
+    * come from the OBSERVED planes only (fills never chain). `ts` must
+    * be sorted ascending. Returns float64 gzip blobs, one per input. */
+  def temporalFill(ts: Array[Double], blobs: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val T = blobs.length
+    val planes = blobs.map(decode)
+    val npx = width * height
+    val hasNod = !nodata.isNaN
+    @inline def valid(x: Double): Boolean =
+      !(java.lang.Double.isNaN(x) || (hasNod && x == nodata))
+    val out = Array.tabulate(T)(i => planes(i).clone())
+    var p = 0
+    while (p < npx) {
+      var i = 0
+      while (i < T) {
+        if (!valid(planes(i)(p))) {
+          var j = i - 1
+          while (j >= 0 && !valid(planes(j)(p))) j -= 1
+          var k = i + 1
+          while (k < T && !valid(planes(k)(p))) k += 1
+          out(i)(p) =
+            if (j >= 0 && k < T)
+              planes(j)(p) + (planes(k)(p) - planes(j)(p)) *
+                ((ts(i) - ts(j)) / (ts(k) - ts(j)))
+            else Double.NaN
+        }
+        i += 1
+      }
+      p += 1
+    }
+    out.map(PixelCodec.encode(_, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED))
+  }
+
   def reclassify(raw: Array[Byte], breaks: Array[Double],
       classes: Array[Double]): Array[Byte] = {
     require(classes.length == breaks.length + 1,

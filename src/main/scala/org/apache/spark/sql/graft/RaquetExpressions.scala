@@ -771,6 +771,27 @@ object RqBridge {
     k.idwGrid(block, pxs, pys, vals, radius)
   }
 
+  def temporalFillOf(k: BandKernel, stack: ArrayData): ArrayData = {
+    val n = stack.numElements()
+    val ts = new Array[Double](n)
+    val blobs = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val row = stack.getStruct(i, 2)
+      ts(i) = row.getDouble(0)
+      blobs(i) = row.getBinary(1)
+      i += 1
+    }
+    val filled = k.temporalFill(ts, blobs)
+    val rows = new Array[AnyRef](n)
+    i = 0
+    while (i < n) {
+      rows(i) = InternalRow(ts(i), filled(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   def gridStatOf(k: BandKernel, block: Long, points: ArrayData,
       radius: Long, mode: Int): Array[Byte] = {
     val n = points.numElements()
@@ -1231,6 +1252,49 @@ case class RqIdwGrid(block: Expression, points: Expression,
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(block = l, points = r)
+}
+
+/** rq_mask_range(band) → float64 blob: v ∈ [lo, hi) → NaN, nodata → NaN,
+  * else pass-through (see [[graft.raquet.BandKernel.maskRange]]). */
+case class RqMaskRange(child: Expression, kernel: BandKernel,
+    lo: Double, hi: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_mask_range"
+  override protected def nullSafeEval(raw: Any): Any =
+    kernel.maskRange(raw.asInstanceOf[Array[Byte]], lo, hi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, raw => s"$k.maskRange($raw, $lo, $hi)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** rq_temporal_fill(stack) — linear time-axis gap fill of one block's
+  * sorted (t, blob) stack (see [[graft.raquet.BandKernel.temporalFill]]);
+  * returns (t, float64 blob) pairs in the same order. */
+case class RqTemporalFill(child: Expression, kernel: BandKernel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(StructType(Seq(
+      StructField("t", DoubleType, nullable = false),
+      StructField("b", BinaryType, nullable = false))), containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", DoubleType, nullable = false),
+    StructField("vals", BinaryType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_temporal_fill"
+  override protected def nullSafeEval(stack: Any): Any =
+    RqBridge.temporalFillOf(kernel, stack.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, stack => s"${RqBridge.B}.temporalFillOf($k, $stack)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** rq_grid_stat(block, points) → float64 blob: the gdal_grid

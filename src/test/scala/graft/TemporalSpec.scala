@@ -86,6 +86,38 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage.contains("median"))
   }
 
+  test("temporal gap fill: interior lines, double gaps, no extrapolation, fills never chain") {
+    val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
+    val rows = Seq(
+      // px0: 10,_,_,40 → double interior gap: t1=20, t2=30
+      // px1: _,6,_,12  → leading NaN, interior t2=9 (from t1=6, t3=12)
+      // px2: 3,9,_,_   → interior? no — t2,t3 trailing → NaN, NaN
+      // px3: _,_,_,_   → all nodata stays NaN
+      Row(b1, 0.0, blob(10, 255, 3, 255)),
+      Row(b1, 1.0, blob(255, 6, 9, 255)),
+      Row(b1, 2.0, blob(255, 255, 255, 255)),
+      Row(b1, 3.0, blob(40, 12, 255, 255)))
+    val schema = StructType(Seq(
+      StructField("block", LongType), StructField("time_cf", DoubleType),
+      StructField("band_1", BinaryType)))
+    for (parts <- Seq(1, 4)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema)
+      val out = Temporal.gapFill(df, meta, "band_1", col("time_cf"))
+        .collect().map(r => r.getDouble(1) ->
+          graft.operators.Focal.outKernel(meta)
+            .decode(r.getAs[Array[Byte]](2))).toMap
+      assert(out.size == 4)
+      assert(out(0.0)(0) == 10.0 && out(1.0)(0) == 20.0 &&
+        out(2.0)(0) == 30.0 && out(3.0)(0) == 40.0)
+      assert(out(0.0)(1).isNaN && out(1.0)(1) == 6.0 &&
+        out(2.0)(1) == 9.0 && out(3.0)(1) == 12.0)
+      assert(out(0.0)(2) == 3.0 && out(1.0)(2) == 9.0 &&
+        out(2.0)(2).isNaN && out(3.0)(2).isNaN)
+      assert((0 to 3).forall(t => out(t.toDouble)(3).isNaN))
+    }
+  }
+
   test("temporal trend: per-pixel OLS with holes, degenerate designs, partition-merge invariant") {
     val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
     val rows = Seq(
