@@ -281,6 +281,7 @@ object SparkEntry {
     "q260_stream_wordpiece" -> (LlmQueries.q260StreamWordpiece _),
     "q261_temporal_trend"   -> (RaquetQueries.q261TemporalTrend _),
     "q262_temporal_fill"    -> (RaquetQueries.q262TemporalGapFill _),
+    "q263_robust_trend"     -> (RaquetQueries.q263RobustTrend _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -702,6 +703,9 @@ object SparkEntry {
     // q262: temporal gap fill — epoch masks, IGNORE-NULLS neighbor
     // windows, fixed-order interpolation replayed per (pixel, timestep)
     "q262_temporal_fill"    -> RaquetOracles.q262,
+    // q263: Theil-Sen + Mann-Kendall — exact pair enumeration, sorted
+    // slope median (odd/even rules), integer S and tau-a replayed
+    "q263_robust_trend"     -> RaquetOracles.q263,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

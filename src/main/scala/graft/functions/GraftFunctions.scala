@@ -228,6 +228,9 @@ object GraftFunctions {
   /** Linear time-axis gap fill of a sorted (t, blob) stack. */
   def rq_temporal_fill(stack: Column, kernel: BandKernel): Column =
     col(RqTemporalFill(ex(stack), kernel))
+  /** Theil–Sen slope + Mann–Kendall S/tau of a sorted (t, blob) stack. */
+  def rq_theilsen_mk(stack: Column, kernel: BandKernel): Column =
+    col(RqTheilSenMk(ex(stack), kernel))
   /** Per-pixel OLS trend across a tile stack's time axis (group by
     * block): STRUCT(slope, intercept) of float64 gzip band blobs. */
   def rq_temporal_trend(band: Column, time: Column, kernel: BandKernel): Column =

@@ -1270,6 +1270,52 @@ object RaquetOracles {
         FROM w"""
   }
 
+  /** q263: Theil–Sen + Mann–Kendall from the closed form — the dropped
+    * steps, the epoch recodes, the middle-epoch hole mask, then per
+    * pixel the exact i<j pair enumeration: S as a sign sum, tau-a over
+    * n(n−1)/2, and the median of the sorted pairwise slopes with the
+    * engine's (a+b)/2 even rule. n<2 pixels are NULL through the left
+    * join. */
+  val q263: String = {
+    val FT = RaquetQueries.FixtureTime
+    s"""WITH d AS (SELECT DISTINCT block, ((block >> 40) & 4095) AS m
+          FROM read_parquet('$FT') WHERE block <> 0),
+        xy AS (SELECT block, ${compact("m", 0)} AS x, ${compact("m", 1)} AS y
+          FROM d),
+        px AS (SELECT block, x, y, CAST(j*16 + i AS BIGINT) AS pos,
+            CAST(x*16+i AS DOUBLE)/2 + CAST(y*16+j AS DOUBLE)/4 AS base
+          FROM xy, range(16) a(i), range(16) b(j)),
+        obs AS (SELECT block, pos, t, v FROM (
+            SELECT block, pos, t,
+              CASE WHEN t <= 1 THEN base + 16*t
+                   WHEN t <= 3 THEN (-1) * (base + 16*t) + 900
+                   ELSE 2 * (base + 16*t) - 300 END AS v
+            FROM px, range(0, 6) r(t)
+            WHERE (x + y + t) % 7 <> 0)
+          WHERE NOT (t IN (2, 3) AND v >= 480 AND v < 500)),
+        nn AS (SELECT block, pos, count(*) AS n FROM obs GROUP BY block, pos),
+        pr AS (SELECT o1.block, o1.pos, o2.v - o1.v AS dv,
+            CAST(o2.t - o1.t AS DOUBLE) AS dt
+          FROM obs o1 JOIN obs o2
+            ON o1.block = o2.block AND o1.pos = o2.pos AND o2.t > o1.t),
+        st AS (SELECT block, pos,
+            sum(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END) AS s,
+            list_sort(list(dv / dt)) AS sl, count(*) AS m
+          FROM pr GROUP BY block, pos)
+        SELECT p.block, p.pos,
+          CASE WHEN st.m % 2 = 1 THEN st.sl[CAST((st.m+1)//2 AS INT)]
+               ELSE (st.sl[CAST(st.m//2 AS INT)]
+                     + st.sl[CAST(st.m//2 + 1 AS INT)]) / 2 END AS slope,
+          CAST(st.s AS DOUBLE) AS mk_s,
+          CAST(st.s AS DOUBLE)
+            / CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE) AS tau
+        FROM px p
+        LEFT JOIN nn ON nn.block = p.block AND nn.pos = p.pos
+          AND nn.n >= 2
+        LEFT JOIN st ON st.block = p.block AND st.pos = p.pos
+          AND nn.n >= 2"""
+  }
+
   /** q155: anomaly = observation − temporal mean = 16·(time_cf/1440) − 40
     * on the time fixture, identical at every pixel of every block. */
   val q155: String = {

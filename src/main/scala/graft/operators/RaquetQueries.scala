@@ -987,6 +987,43 @@ object RaquetQueries {
         when(isnan(col("col")), lit(null)).otherwise(col("col")).as("v"))
   }
 
+  /** q263 — Theil–Sen + Mann–Kendall robust trend ([[graft.operators
+    * .Temporal.robustTrend]]): the time fixture made NON-monotone (epoch
+    * recodes (1,0)/(−1,900)/(2,−300) — pairwise signs now depend on the
+    * pixel's base value), with per-tile dropped timesteps ((x+y+t)%7=0)
+    * and per-pixel cloud holes (mask [480,500) on the middle epoch) so n
+    * varies per pixel. The oracle enumerates the same i<j pairs, sorts
+    * the same pairwise slopes, takes the same odd/even median, and
+    * replays S and tau-a as exact integers. */
+  def q263RobustTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val tStep = col("time_cf") / lit(1440.0)
+    val kept = ds.data.filter(
+      ((quadbin_tile_x(col("block")) + quadbin_tile_y(col("block")) +
+        tStep.cast("long")) % 7) =!= 0)
+    val k64 = graft.raquet.BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+    def branch(ts: Seq[Int], a: Double, b: Double, lo: Double,
+        hi: Double): DataFrame =
+      kept.filter(tStep.cast("int").isin(ts: _*))
+        .select(col("block"), col("time_cf"),
+          rq_mask_range(rq_translate(col("band_1"), ds.meta, "band_1",
+            "float64", Double.NaN, a, b), k64, lo, hi).as("v"))
+    val stack = branch(Seq(0, 1), 1, 0, 0, 0)
+      .unionByName(branch(Seq(2, 3), -1, 900, 480, 500))
+      .unionByName(branch(Seq(4, 5), 2, -300, 0, 0))
+    def nn(c: org.apache.spark.sql.Column) =
+      when(isnan(c), lit(null)).otherwise(c)
+    graft.operators.Temporal.robustTrend(stack, k64, "v", tStep)
+      .select(col("block"),
+        rq_decode(col("slope"), k64).as("s"),
+        rq_decode(col("mk_s"), k64).as("m"),
+        rq_decode(col("tau"), k64).as("ta"))
+      .select(col("block"), posexplode(arrays_zip(col("s"), col("m"), col("ta"))))
+      .select(col("block"), col("pos").cast("long").as("pos"),
+        nn(col("col.s")).as("slope"), nn(col("col.m")).as("mk_s"),
+        nn(col("col.ta")).as("tau"))
+  }
+
   /** Streaming twin of q154 — [[graft.operators.Temporal.composite]] is a
     * plain block-grouped aggregate, so it runs UNCHANGED on a stream: the
     * six timesteps arrive over three micro-batches, the composite

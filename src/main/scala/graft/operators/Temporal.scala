@@ -76,6 +76,27 @@ object Temporal {
       timeCol: org.apache.spark.sql.Column): DataFrame =
     gapFill(data, graft.raquet.BandKernel(meta, band), band, timeCol)
 
+  /** Robust trend per pixel — Theil–Sen median slope + the Mann–Kendall
+    * S statistic and tau-a (see [[graft.raquet.BandKernel.theilSenMk]]):
+    * the outlier-resistant sibling of [[trend]]'s OLS, the standard
+    * trend-detection pair in climate/EO analysis. Same stack-collect
+    * shape as [[gapFill]] (one hash aggregate, per-group memory bounded
+    * by stack height); O(T²) pairwise work per pixel — fine for the
+    * tens-of-timesteps stacks this targets. Returns (block, slope,
+    * mk_s, tau) float64 blobs. */
+  def robustTrend(data: DataFrame, kernel: graft.raquet.BandKernel,
+      band: String, timeCol: org.apache.spark.sql.Column): DataFrame =
+    data.groupBy(col("block"))
+      .agg(sort_array(collect_list(struct(timeCol.as("t"),
+        col(band).as("b")))).as("stack"))
+      .select(col("block"), rq_theilsen_mk(col("stack"), kernel).as("r"))
+      .select(col("block"), col("r.slope").as("slope"),
+        col("r.mk_s").as("mk_s"), col("r.tau").as("tau"))
+
+  def robustTrend(data: DataFrame, meta: RaquetMetadata, band: String,
+      timeCol: org.apache.spark.sql.Column): DataFrame =
+    robustTrend(data, graft.raquet.BandKernel(meta, band), band, timeCol)
+
   /** Per-pixel anomaly: each timestep's tile minus the block's temporal
     * mean (climatology) — the deseasonalized-signal shape. One aggregate
     * (the climatology) + one equi-join back on `block`: the composite is

@@ -233,6 +233,71 @@ final case class BandKernel(
       java.util.zip.Deflater.BEST_SPEED))
   }
 
+  /** Theil–Sen slope + Mann–Kendall statistic along the TIME axis of one
+    * block's stack — the ROBUST trend pair (Theil 1950/Sen 1968;
+    * Mann 1945/Kendall): per pixel over its valid observations,
+    *  - slope = MEDIAN of the pairwise slopes (v_j − v_i)/(t_j − t_i),
+    *    i < j, equal-time pairs excluded; even count → the average of
+    *    the two middle values, (a + b) / 2;
+    *  - S = Σ sign(v_j − v_i) (an exact integer — the MK trend stat);
+    *  - tau = S / (n·(n−1)/2) (tau-a, no tie correction).
+    * NaN where n < 2 (or no finite-slope pair for the median). Pair
+    * enumeration is i<j in time order and the median comes from a full
+    * sort, so a SQL oracle replays every double exactly. `ts` sorted
+    * ascending. Returns (slope, s, tau) float64 gzip blobs. */
+  def theilSenMk(ts: Array[Double], blobs: Array[Array[Byte]])
+      : (Array[Byte], Array[Byte], Array[Byte]) = {
+    val T = blobs.length
+    val planes = blobs.map(decode)
+    val npx = width * height
+    val hasNod = !nodata.isNaN
+    @inline def valid(x: Double): Boolean =
+      !(java.lang.Double.isNaN(x) || (hasNod && x == nodata))
+    val slope = new Array[Double](npx)
+    val mkS = new Array[Double](npx)
+    val tau = new Array[Double](npx)
+    val vt = new Array[Double](T); val vv = new Array[Double](T)
+    val sl = new Array[Double](T * (T - 1) / 2)
+    var p = 0
+    while (p < npx) {
+      var n = 0
+      var i = 0
+      while (i < T) {
+        val x = planes(i)(p)
+        if (valid(x)) { vt(n) = ts(i); vv(n) = x; n += 1 }
+        i += 1
+      }
+      if (n < 2) {
+        slope(p) = Double.NaN; mkS(p) = Double.NaN; tau(p) = Double.NaN
+      } else {
+        var s = 0L; var m = 0
+        i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dv = vv(j) - vv(i)
+            s += (if (dv > 0) 1 else if (dv < 0) -1 else 0)
+            if (vt(j) != vt(i)) { sl(m) = dv / (vt(j) - vt(i)); m += 1 }
+            j += 1
+          }
+          i += 1
+        }
+        if (m == 0) slope(p) = Double.NaN
+        else {
+          java.util.Arrays.sort(sl, 0, m)
+          slope(p) =
+            if (m % 2 == 1) sl(m / 2) else (sl(m / 2 - 1) + sl(m / 2)) / 2
+        }
+        mkS(p) = s.toDouble
+        tau(p) = s.toDouble / (n.toLong * (n - 1) / 2).toDouble
+      }
+      p += 1
+    }
+    def enc(a: Array[Double]) = PixelCodec.encode(a, "float64", gzip = true,
+      java.util.zip.Deflater.BEST_SPEED)
+    (enc(slope), enc(mkS), enc(tau))
+  }
+
   def reclassify(raw: Array[Byte], breaks: Array[Double],
       classes: Array[Double]): Array[Byte] = {
     require(classes.length == breaks.length + 1,

@@ -792,6 +792,21 @@ object RqBridge {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  def theilSenMkOf(k: BandKernel, stack: ArrayData): InternalRow = {
+    val n = stack.numElements()
+    val ts = new Array[Double](n)
+    val blobs = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val row = stack.getStruct(i, 2)
+      ts(i) = row.getDouble(0)
+      blobs(i) = row.getBinary(1)
+      i += 1
+    }
+    val (slope, s, tau) = k.theilSenMk(ts, blobs)
+    InternalRow(slope, s, tau)
+  }
+
   def gridStatOf(k: BandKernel, block: Long, points: ArrayData,
       radius: Long, mode: Int): Array[Byte] = {
     val n = points.numElements()
@@ -1292,6 +1307,31 @@ case class RqTemporalFill(child: Expression, kernel: BandKernel)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
     defineCodeGen(ctx, ev, stack => s"${RqBridge.B}.temporalFillOf($k, $stack)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** rq_theilsen_mk(stack) — Theil–Sen median slope + Mann–Kendall S/tau
+  * along one block's sorted (t, blob) stack (see
+  * [[graft.raquet.BandKernel.theilSenMk]]). */
+case class RqTheilSenMk(child: Expression, kernel: BandKernel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    ArrayType(StructType(Seq(
+      StructField("t", DoubleType, nullable = false),
+      StructField("b", BinaryType, nullable = false))), containsNull = false))
+  override def dataType: DataType = StructType(Seq(
+    StructField("slope", BinaryType, nullable = false),
+    StructField("mk_s", BinaryType, nullable = false),
+    StructField("tau", BinaryType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_theilsen_mk"
+  override protected def nullSafeEval(stack: Any): Any =
+    RqBridge.theilSenMkOf(kernel, stack.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, stack => s"${RqBridge.B}.theilSenMkOf($k, $stack)")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -118,6 +118,51 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("theil-sen + mann-kendall: medians (odd/even), sign ties, equal-time pairs excluded, n<2 NaN") {
+    val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
+    val rows = Seq(
+      // px0: 1,5,3,9 → 6 pair slopes 4,1,8/3,-2,2,6 → sorted
+      //   [-2,1,2,8/3,4,6] → even median (2+8/3)/2; S = 5-1 = 4, tau 4/6
+      // px1: 7,7,7,1 → slopes 0,0,-2,0,-3,-6 → sorted [-6,-3,-2,0,0,0]
+      //   → even median (-2+0)/2 = -1; S = -3 (three ties), tau -0.5
+      // px2: holes at t=1,2 → 2 obs 4,10 → one pair: slope 2, S=1, tau 1
+      // px3: valid once → NaN
+      Row(b1, 0.0, blob(1, 7, 4, 255)),
+      Row(b1, 1.0, blob(5, 7, 255, 2)),
+      Row(b1, 2.0, blob(3, 7, 255, 255)),
+      Row(b1, 3.0, blob(9, 1, 10, 255)))
+    val schema = StructType(Seq(
+      StructField("block", LongType), StructField("time_cf", DoubleType),
+      StructField("band_1", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val out = Temporal.robustTrend(df, meta, "band_1", col("time_cf")).collect()
+    assert(out.length == 1)
+    val k = Focal.outKernel(meta)
+    val slope = k.decode(out(0).getAs[Array[Byte]](1))
+    val s = k.decode(out(0).getAs[Array[Byte]](2))
+    val tau = k.decode(out(0).getAs[Array[Byte]](3))
+    assert(slope(0) == (2.0 + 8.0 / 3.0) / 2 && s(0) == 4.0 &&
+      tau(0) == 4.0 / 6.0)
+    assert(slope(1) == -1.0 && s(1) == -3.0 && tau(1) == -0.5)
+    assert(slope(2) == 2.0 && s(2) == 1.0 && tau(2) == 1.0)
+    assert(slope(3).isNaN && s(3).isNaN && tau(3).isNaN)
+    // equal-time rows: the duplicate-t pair is excluded from the slope
+    // list but its sign still counts toward S (and n counts both)
+    val rows2 = Seq(Row(b1, 0.0, blob(1, 1, 1, 1)),
+      Row(b1, 2.0, blob(5, 5, 5, 5)), Row(b1, 2.0, blob(5, 5, 5, 5)))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2, 2), schema)
+    val o2 = Temporal.robustTrend(df2, meta, "band_1", col("time_cf")).collect()
+    val sl2 = k.decode(o2(0).getAs[Array[Byte]](1))
+    val s2 = k.decode(o2(0).getAs[Array[Byte]](2))
+    // slopes from t=0: (5-1)/2 twice → median 2 (the equal-time pair is
+    // excluded from the list); S = +1+1+0 (the tied pair still counts a
+    // zero sign and n counts both rows) → tau = 2/3
+    assert(sl2(0) == 2.0 && s2(0) == 2.0 &&
+      k.decode(o2(0).getAs[Array[Byte]](3))(0) == 2.0 / 3.0)
+  }
+
   test("temporal trend: per-pixel OLS with holes, degenerate designs, partition-merge invariant") {
     val b1 = graft.quadbin.Quadbin.tileToCell(1, 1, 3)
     val rows = Seq(
