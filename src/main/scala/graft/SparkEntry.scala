@@ -282,6 +282,7 @@ object SparkEntry {
     "q261_temporal_trend"   -> (RaquetQueries.q261TemporalTrend _),
     "q262_temporal_fill"    -> (RaquetQueries.q262TemporalGapFill _),
     "q263_robust_trend"     -> (RaquetQueries.q263RobustTrend _),
+    "q264_stream_trend"     -> (RaquetQueries.q264StreamTrend _),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column aliases). */
@@ -706,6 +707,9 @@ object SparkEntry {
     // q263: Theil-Sen + Mann-Kendall — exact pair enumeration, sorted
     // slope median (odd/even rules), integer S and tau-a replayed
     "q263_robust_trend"     -> RaquetOracles.q263,
+    // q264: STREAMING OLS trend — complete-mode state-store accumulation
+    // over 3 micro-batches, so the batch q261 oracle verifies verbatim
+    "q264_stream_trend"     -> RaquetOracles.q261,
     "q164_grib_reduced"     -> RaquetOracles.q164,
     // q165 is q164's grid through the edition-1 container — same oracle
     "q165_grib1_reduced"    -> RaquetOracles.q164,

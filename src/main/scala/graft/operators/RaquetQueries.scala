@@ -1024,6 +1024,53 @@ object RaquetQueries {
         nn(col("col.ta")).as("tau"))
   }
 
+  /** q264 — STREAMING per-pixel OLS trend (§2.10 twin of q261): the same
+    * reshaped stack (dropped steps + epoch recodes, all stateless
+    * projections over the stream), the same partial-mergeable trend
+    * aggregate accumulating in the state store across three
+    * micro-batches, complete-mode output after the last batch ≡ the
+    * batch q261 oracle verbatim. */
+  def q264StreamTrend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ds = RaquetIO.read(spark, FixtureTime)
+    val rows = ds.data.select(col("block"), col("time_cf"), col("band_1"))
+      .as[(Long, Double, Array[Byte])].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double, Array[Byte])]
+    val tiles = input.toDF().toDF("block", "time_cf", "band_1")
+    val tStep = col("time_cf") / lit(1440.0)
+    val kept = tiles.filter(
+      ((quadbin_tile_x(col("block")) + quadbin_tile_y(col("block")) +
+        tStep.cast("long")) % 5) =!= 0)
+    def branch(lo: Int, hi: Int, a: Double, b: Double): DataFrame =
+      kept.filter(tStep >= lo && tStep <= hi)
+        .select(col("block"), col("time_cf"),
+          rq_translate(col("band_1"), ds.meta, "band_1", "float64",
+            Double.NaN, a, b).as("v"))
+    val stack = branch(0, 1, 1.0, 0.0)
+      .unionByName(branch(2, 3, 2.0, -10.0))
+      .unionByName(branch(4, 5, 3.0, 5.0))
+    val k64 = graft.raquet.BandKernel("float64", Double.NaN, 16, 16, 1.0, 0.0)
+    val tr = graft.operators.Temporal.trend(stack, k64, "v",
+      col("time_cf") / lit(1440.0))
+    val q = tr.writeStream.format("memory").queryName("q264_trend")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("q264_trend")
+      .select(col("block"),
+        rq_decode(col("slope"), k64).as("s"),
+        rq_decode(col("intercept"), k64).as("ic"))
+      .select(col("block"), posexplode(arrays_zip(col("s"), col("ic"))))
+      .select(col("block"), col("pos").cast("long").as("pos"),
+        col("col.s").as("slope"), col("col.ic").as("icept"))
+  }
+
   /** Streaming twin of q154 — [[graft.operators.Temporal.composite]] is a
     * plain block-grouped aggregate, so it runs UNCHANGED on a stream: the
     * six timesteps arrive over three micro-batches, the composite
