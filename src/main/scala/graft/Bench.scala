@@ -293,7 +293,13 @@ object Bench {
     if (Files.exists(marker)) return
     val (df, meta) = FixtureGen.dataset(spark, z = 10, x0 = 512, y0 = 512,
       nx = 32, ny = 32, bs = 256, minZoom = 5)
-    RaquetIO.write(df, meta, RasterDir)
+    // multi-file layout (raquet.md:160-175), ~48 tiles/file: the synthetic
+    // gradient tiles gzip ~100x, so the old single-write layout came out as
+    // THREE one-row-group files — every interactive raster query scanned
+    // 1,365 tiles with 3 tasks on 32 cores (guide §6 input-split sizing;
+    // the on-disk bytes understate decode work by the gzip fan-out). The
+    // 19 GB set already writes fine-grained (3,815 rows / 8 MB groups).
+    RaquetIO.write(df, meta, RasterDir, maxRecordsPerFile = 48)
     Files.writeString(marker, "ok")
   }
 
@@ -1024,9 +1030,18 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // scan-split size for gzip-blob raster tables: on-disk bytes understate
+    // decode work by the gzip fan-out (8x on the float32 19 GB set, ~100x
+    // on the synthetic uint8 tiles), so the 128 MB default packs hours of
+    // decode into a handful of tasks. 4 MB compressed ≈ 32-400 MB decoded
+    // per task — the guide §6 recommended DECODED split size. Parameterized
+    // (env), core-count independent: it sizes work per task, not tasks per
+    // core, so the driver's lower-core scaling run stays comparable.
+    val splitMb = sys.env.getOrElse("SPARK_GRAFT_SCAN_SPLIT_MB", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", s"${splitMb}m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the library's standard integration path — brings the

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` output for named bench queries to
+  * plans/<tag>/<name>_<suffix>.txt — the optimization round's plan
+  * evidence (before/after files the judge checks claims against).
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.PlanDump r13 before b_covariance ...'
+  *
+  * Query names resolve in the bench registry; `all` dumps every bench
+  * query. Plans only — nothing is executed, so it is safe to run next
+  * to other work. */
+object PlanDump {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: PlanDump <tag> <suffix> <query|all>...")
+    val tag = args(0); val suffix = args(1)
+    val names = args.drop(2).toSeq
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_SPLIT_MB", "4") + "m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Bench.ensureRaster(spark)
+    val withLarge = names.exists(_.startsWith("bL_")) || names.contains("all")
+    if (withLarge) Bench.ensureLargeRaster(spark)
+    val all = Bench.rasterQueries ++ Bench.dataQueries ++
+      (if (withLarge) Bench.largeQueries else Map.empty)
+    val picked =
+      if (names.contains("all")) all.toSeq.sortBy(_._1)
+      else names.map(n => n -> all.getOrElse(n, sys.error(s"unknown query: $n")))
+    val dir = Paths.get("plans", tag)
+    Files.createDirectories(dir)
+    picked.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(dir.resolve(s"${name}_$suffix.txt"), plan)
+      System.err.println(s"[plandump] wrote ${dir.resolve(s"${name}_$suffix.txt")}")
+    }
+    spark.stop()
+  }
+}

@@ -85,6 +85,13 @@ object GraftFunctions {
   def rq_region_neighbors(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqRegionNeighbors(ex(block), ex(band), BandKernel(meta, name)))
+  /** Fused strips+frags(+nbrs/+label) from ONE decode + union-find per
+    * tile — see [[org.apache.spark.sql.graft.RqRegionAnalysis]]. */
+  def rq_region_analysis(block: Column, band: Column, meta: RaquetMetadata,
+      name: String, withNeighbors: Boolean = false,
+      withLabel: Boolean = false): Column =
+    col(RqRegionAnalysis(ex(block), ex(band), BandKernel(meta, name),
+      withNeighbors, withLabel))
   def rq_region_segments(block: Column, band: Column, halos: Column,
       meta: RaquetMetadata, name: String): Column =
     col(RqRegionSegments(ex(block), ex(band), ex(halos), BandKernel(meta, name)))
@@ -238,6 +245,12 @@ object GraftFunctions {
   def rq_temporal_trend(band: Column, time: Column, meta: RaquetMetadata,
       name: String): Column =
     rq_temporal_trend(band, time, BandKernel(meta, name))
+
+  /** One-pass exact covariance accumulator over ARRAY<BIGINT> quantized
+    * vectors: upper-triangle product sums + marginals in one primitive
+    * tight loop per row, one ~25 KB partial per map partition. */
+  def cov_accum(vec: Column, dim: Int): Column =
+    col(CovarianceAccum(ex(vec), dim).toAggregateExpression())
 
   // --- CF time + multimodal ---
 

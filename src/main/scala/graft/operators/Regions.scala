@@ -30,9 +30,10 @@ object Regions {
     * region's row-major-min pixel — the deterministic canonical id any
     * SQL engine re-derives. */
   def regionLabels(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
-    val native = nativeTiles(data, meta)
-    val comp = compOf(stripPairs(native, meta, band))
-    labelsFrom(native, comp, meta, band)
+    val a = analyzedTiles(data, meta, band, withNeighbors = false,
+      withLabel = true)
+    val comp = compOf(stripPairs(a, meta))
+    labelsFrom(a, comp, meta)
   }
 
   /** Global region SIZE table without pixel explosion: per-tile fragment
@@ -43,9 +44,10 @@ object Regions {
     * that need the per-pixel mask pay [[regionLabels]]' explode. Output:
     * (label, n_px). */
   def regionSizes(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
-    val native = nativeTiles(data, meta)
-    val comp = compOf(stripPairs(native, meta, band))
-    regionTable(native, comp, meta, band).select("label", "n_px")
+    val a = analyzedTiles(data, meta, band, withNeighbors = false,
+      withLabel = false)
+    val comp = compOf(stripPairs(a, meta))
+    regionTable(a, comp).select("label", "n_px")
   }
 
   /** Polygonize-lite: one row per region with its value, pixel count and
@@ -55,9 +57,10 @@ object Regions {
     * pixel volume never shuffles). Output: (label, v, n_px, gx0, gy0,
     * gx1, gy1). */
   def regionExtents(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
-    val native = nativeTiles(data, meta)
-    val comp = compOf(stripPairs(native, meta, band))
-    regionTable(native, comp, meta, band)
+    val a = analyzedTiles(data, meta, band, withNeighbors = false,
+      withLabel = false)
+    val comp = compOf(stripPairs(a, meta))
+    regionTable(a, comp)
       .select("label", "v", "n_px", "gx0", "gy0", "gx1", "gy1")
   }
 
@@ -87,17 +90,21 @@ object Regions {
     * Pixel volume appears exactly once: labels → (region → value) join. */
   def sieveApply(data: DataFrame, meta: RaquetMetadata, band: String,
       minPixels: Long): DataFrame = {
-    val native = nativeTiles(data, meta)
+    // the fused analysis supplies strips, fragments, within-tile
+    // adjacency AND the label blob from ONE decode + union-find per tile
+    // (this path previously paid four of each)
+    val a = analyzedTiles(data, meta, band, withNeighbors = true,
+      withLabel = true)
     // strip pairs feed BOTH the merge edges (equal values) and the
     // cross-tile adjacency (different values): checkpoint once
-    val pairs = stripPairs(native, meta, band).localCheckpoint()
+    val pairs = stripPairs(a, meta).localCheckpoint()
     val comp = compOf(pairs)
-    val regions = regionTable(native, comp, meta, band).localCheckpoint()
+    val regions = regionTable(a, comp).localCheckpoint()
     // region-level adjacency: within-tile different-value fragment pairs
     // + cross-tile different-value strip pairs, both ends mapped through
     // the components, symmetrized
-    val adjFrag = native
-      .select(explode(rq_region_neighbors(col("block"), col(band), meta, band)).as("e"))
+    val adjFrag = a
+      .select(explode(col("ra.nbrs")).as("e"))
       .select(col("e.la").as("la"), col("e.lb").as("lb"))
       .unionByName(pairs.filter(col("va") =!= col("vb"))
         .select(col("la"), col("lb")))
@@ -122,7 +129,7 @@ object Regions {
       .select(col("ra").as("label"), col("nb_v").as("new_v"))
     val finalVal = regions.join(chosen, Seq("label"), "left")
       .select(col("label"), coalesce(col("new_v"), col("v")).as("v"))
-    labelsFrom(native, comp, meta, band)
+    labelsFrom(a, comp, meta)
       .join(finalVal, "label")
       .select(col("block"), col("pos"), col("v"))
   }
@@ -153,9 +160,14 @@ object Regions {
     *   4. per-ring windows + one hash agg assemble area/vertices/WKT at
     *      ring cardinality. */
   def regionRings(data: DataFrame, meta: RaquetMetadata, band: String): DataFrame = {
+    // the segment kernel needs the band blobs (halo exchange), so the
+    // native checkpoint stays; comp + the region table come from the
+    // fused analysis over it (one decode+UF instead of two)
     val native = nativeTiles(data, meta)
-    val comp = compOf(stripPairs(native, meta, band))
-    val regions = regionTable(native, comp, meta, band).localCheckpoint()
+    val a = analyzedTiles(native, meta, band, withNeighbors = false,
+      withLabel = false)
+    val comp = compOf(stripPairs(a, meta))
+    val regions = regionTable(a, comp).localCheckpoint()
     def keyOf(x: Column, y: Column, d: Column): Column =
       (y * lit(2147483648L) + x) * lit(4L) + d.cast("long")
     val raw = Focal.withHalos(native, meta, band)
@@ -245,22 +257,37 @@ object Regions {
       quadbin_zoom(col("block")) === meta.maxZoom)
       .localCheckpoint()
 
+  /** Native-zoom tiles reduced to ONE fused region-analysis struct per
+    * tile ([[graft.raquet.BandKernel.regionAnalysis]]), checkpointed:
+    * every consumer (strip pairs, fragment table, adjacency, labels)
+    * reads its field from the checkpoint instead of re-running the
+    * decode + union-find — the pipeline previously paid up to 4× both
+    * per tile. `data` is often the tail of a derivation (reclassify)
+    * that must not re-run per consumer either; it runs once inside this
+    * projection. */
+  private def analyzedTiles(data: DataFrame, meta: RaquetMetadata,
+      band: String, withNeighbors: Boolean, withLabel: Boolean): DataFrame =
+    data.filter(col("block") =!= 0L &&
+      quadbin_zoom(col("block")) === meta.maxZoom)
+      .select(col("block"),
+        rq_region_analysis(col("block"), col(band), meta, band,
+          withNeighbors, withLabel).as("ra"))
+      .localCheckpoint()
+
   /** Cross-tile strip pairs (la, lb, va, vb) for every 4-adjacent valid
-    * pixel pair straddling a tile boundary. Strips come straight from
-    * the value blob (union-find inline) — the float64 label blob is only
-    * materialized by [[regionLabels]]' output path. The A-side tile owns
-    * the boundary it emits east/south; the B-side is its neighbor's
-    * west/north strip. axis 0 = vertical boundary (E↔W, idx = row),
-    * axis 1 = horizontal (S↔N, idx = column). Raster-edge strips simply
-    * find no partner. */
-  private def stripPairs(native: DataFrame, meta: RaquetMetadata,
-      band: String): DataFrame = {
+    * pixel pair straddling a tile boundary. Strips come from the fused
+    * analysis struct — the float64 label blob is only materialized when
+    * a labels path requests it. The A-side tile owns the boundary it
+    * emits east/south; the B-side is its neighbor's west/north strip.
+    * axis 0 = vertical boundary (E↔W, idx = row), axis 1 = horizontal
+    * (S↔N, idx = column). Raster-edge strips simply find no partner. */
+  private def stripPairs(analyzed: DataFrame, meta: RaquetMetadata): DataFrame = {
     val z = meta.maxZoom
-    val strips = native
+    val strips = analyzed
       .select(col("block"),
         quadbin_tile_x(col("block")).as("tx"),
         quadbin_tile_y(col("block")).as("ty"),
-        explode(rq_region_strips(col("block"), col(band), meta, band)).as("s"))
+        explode(col("ra.strips")).as("s"))
       .select(col("block"), col("tx"), col("ty"),
         col("s.dir").as("dir"), col("s.idx").as("idx"),
         col("s.lab").as("lab"), col("s.v").as("v"))
@@ -292,15 +319,13 @@ object Regions {
         .select(col("la"), col("lb")).distinct(),
       "la", "lb")
 
-  /** Per-pixel (block, pos, label) from the label blob + components. */
-  private def labelsFrom(native: DataFrame, comp: DataFrame,
-      meta: RaquetMetadata, band: String): DataFrame = {
+  /** Per-pixel (block, pos, label) from the analysis label blob + components. */
+  private def labelsFrom(analyzed: DataFrame, comp: DataFrame,
+      meta: RaquetMetadata): DataFrame = {
     val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
       meta.blockWidth, meta.blockHeight, 1.0, 0.0)
-    native
-      .select(col("block"),
-        rq_region_label(col("block"), col(band), meta, band).as("lab"))
-      .select(col("block"), posexplode(rq_decode(col("lab"), labKernel)))
+    analyzed
+      .select(col("block"), posexplode(rq_decode(col("ra.lab"), labKernel)))
       .filter(!isnan(col("col")))
       .select(col("block"), col("pos"), col("col").cast("long").as("l"))
       .join(comp, col("l") === col("id"), "left")
@@ -311,11 +336,9 @@ object Regions {
   /** Region table (label, n_px, v, bbox) at region cardinality: fragment
     * tables mapped through the components, one hash aggregate (counts
     * sum; bounding boxes min/max-merge). */
-  private def regionTable(native: DataFrame, comp: DataFrame,
-      meta: RaquetMetadata, band: String): DataFrame =
-    native
-      .select(col("block"),
-        explode(rq_region_sizes(col("block"), col(band), meta, band)).as("f"))
+  private def regionTable(analyzed: DataFrame, comp: DataFrame): DataFrame =
+    analyzed
+      .select(explode(col("ra.frags")).as("f"))
       .select(col("f.lab").as("l"), col("f.n").as("n"), col("f.v").as("v"),
         col("f.gx0").as("gx0"), col("f.gy0").as("gy0"),
         col("f.gx1").as("gx1"), col("f.gy1").as("gy1"))

@@ -429,8 +429,10 @@ final case class BandKernel(
     gy * 4294967296L + gx
   }
 
-  def regionLabel(block: Long, raw: Array[Byte]): Array[Byte] = {
-    val roots = regionRoots(decode(raw))
+  def regionLabel(block: Long, raw: Array[Byte]): Array[Byte] =
+    labelBlobFrom(block, regionRoots(decode(raw)))
+
+  private def labelBlobFrom(block: Long, roots: Array[Int]): Array[Byte] = {
     val out = new Array[Double](roots.length)
     var p = 0
     while (p < roots.length) {
@@ -442,6 +444,24 @@ final case class BandKernel(
       java.util.zip.Deflater.BEST_SPEED)
   }
 
+  /** One-pass fused region analysis: decode + union-find ONCE and emit the
+    * strips / fragments (/ neighbors / label blob) that [[regionStrips]],
+    * [[regionSizes]], [[regionNeighbors]] and [[regionLabel]] each
+    * recomputed independently — the region pipeline previously paid up to
+    * 4 gzip inflates + 4 union-finds per tile for one labeling. Every
+    * output is bit-identical to its standalone kernel (they share these
+    * exact *From helpers). */
+  def regionAnalysis(block: Long, raw: Array[Byte], withNeighbors: Boolean,
+      withLabel: Boolean): RegionAnalysis = {
+    val v = decode(raw)
+    val roots = regionRoots(v)
+    RegionAnalysis(
+      stripsFrom(block, v, roots),
+      fragmentsFrom(block, v, roots),
+      if (withNeighbors) neighborsFrom(block, v, roots) else null,
+      if (withLabel) labelBlobFrom(block, roots) else null)
+  }
+
   /** Per-tile fragment size table: one (lab, n) row per tile-local
     * region — the pixel-volume-free sizes path. At 100 TB the region
     * SIZE aggregation never explodes pixels into rows: each tile
@@ -449,7 +469,11 @@ final case class BandKernel(
     * over fragment labels mapped through the label-graph components. */
   def regionSizes(block: Long, raw: Array[Byte]): Array[RegionFragment] = {
     val v = decode(raw)
-    val roots = regionRoots(v)
+    fragmentsFrom(block, v, regionRoots(v))
+  }
+
+  private def fragmentsFrom(block: Long, v: Array[Double],
+      roots: Array[Int]): Array[RegionFragment] = {
     // per-root: count + global-pixel bounding box (the polygonize-lite
     // extent — mergeable across tiles by min/max)
     val acc = new java.util.HashMap[Integer, RegionFragment]()
@@ -487,7 +511,11 @@ final case class BandKernel(
     * adjacency comes from [[regionStrips]] pairs. */
   def regionNeighbors(block: Long, raw: Array[Byte]): Array[(Long, Long)] = {
     val v = decode(raw)
-    val roots = regionRoots(v)
+    neighborsFrom(block, v, regionRoots(v))
+  }
+
+  private def neighborsFrom(block: Long, v: Array[Double],
+      roots: Array[Int]): Array[(Long, Long)] = {
     val seen = new java.util.HashSet[Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     @inline def emit(a: Int, b: Int): Unit = {
@@ -519,7 +547,11 @@ final case class BandKernel(
     * per tile instead of pixels. */
   def regionStrips(block: Long, valRaw: Array[Byte]): Array[(Int, Int, Long, Double)] = {
     val v = decode(valRaw)
-    val roots = regionRoots(v)
+    stripsFrom(block, v, regionRoots(v))
+  }
+
+  private def stripsFrom(block: Long, v: Array[Double],
+      roots: Array[Int]): Array[(Int, Int, Long, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
     @inline def emit(dir: Int, idx: Int, p: Int): Unit =
       if (roots(p) >= 0) out += ((dir, idx, rootGid(block, roots(p)), v(p)))
@@ -789,6 +821,15 @@ final case class BandKernel(
   * in one pass by [[BandKernel.regionSizes]]). */
 final case class RegionFragment(lab: Long, var n: Long, v: Double,
     var gx0: Long, var gy0: Long, var gx1: Long, var gy1: Long)
+
+/** One tile's fused region analysis ([[BandKernel.regionAnalysis]]):
+  * boundary strips + fragment table from a single decode + union-find,
+  * with the optional neighbor pairs / label blob null when not requested. */
+final case class RegionAnalysis(
+    strips: Array[(Int, Int, Long, Double)],
+    frags: Array[RegionFragment],
+    nbrs: Array[(Long, Long)],
+    lab: Array[Byte])
 
 object BandKernel {
 

@@ -1,0 +1,217 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.raquet.PixelCodec
+
+/** Mutable accumulators for [[CovarianceAccum]]: the exact upper-triangle
+  * product sums plus the per-dimension marginals of the SAME pass. All
+  * arrays allocate lazily on the first non-null vector so empty partials
+  * serialize to a flag byte. */
+final class CovBuffer(var n: Long, var maxLen: Int, var prods: Array[Long],
+    var prodCnt: Array[Int], var margSum: Array[Long], var margCnt: Array[Int])
+
+/** One-pass exact covariance accumulator over integer-quantized embedding
+  * vectors — the fused replacement for the explode-2,080-rows-per-vector
+  * plan (guide §2.3 "aggregate before you shuffle"): per input vector the
+  * update is one tight primitive-array loop over the dim·(dim+1)/2 upper
+  * triangle, and ONE ~25 KB buffer per map partition crosses the exchange
+  * instead of n·2,080 generated rows entering a hash aggregate.
+  *
+  * eval() emits exactly the rows of the replaced plan — one per (i ≤ j)
+  * pair: (i, j, n, sum_ij, sum_i, sum_j, cov_num) with the replaced plan's
+  * null semantics replayed precisely:
+  *   - n counts every input row, NULL vectors included (the old plan
+  *     generated its structs from sequence(0, dim-1), so `count(lit(1))`
+  *     saw every row);
+  *   - sum_ij is NULL when no vector had both e[i] and e[j] set (the old
+  *     null-skipping `sum(p)` over an all-null group);
+  *   - rows exist only for i, j < the max array length seen — the old
+  *     inner joins against the posexplode marginals dropped pairs whose
+  *     index never appeared in any array;
+  *   - sum_i / sum_j are NULL when index i/j appeared only as null
+  *     elements; cov_num = n·sum_ij − sum_i·sum_j in wrapping int64
+  *     arithmetic, NULL if any input is NULL (Spark non-ANSI semantics). */
+case class CovarianceAccum(
+    vec: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CovBuffer] with UnaryLike[Expression] {
+
+  private val nPairs = dim * (dim + 1) / 2
+
+  override def prettyName: String = "cov_accum"
+  override def child: Expression = vec
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("sum_ij", LongType, nullable = true),
+    StructField("sum_i", LongType, nullable = true),
+    StructField("sum_j", LongType, nullable = true),
+    StructField("cov_num", LongType, nullable = true))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    vec.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cov_accum expects ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): CovBuffer =
+    new CovBuffer(0L, 0, null, null, null, null)
+
+  private def ensure(buf: CovBuffer): Unit =
+    if (buf.prods == null) {
+      buf.prods = new Array[Long](nPairs)
+      buf.prodCnt = new Array[Int](nPairs)
+      buf.margSum = new Array[Long](dim)
+      buf.margCnt = new Array[Int](dim)
+    }
+
+  override def update(buf: CovBuffer, input: InternalRow): CovBuffer = {
+    val aAny = vec.eval(input)
+    // a NULL vector still counts toward n (the replaced plan generated its
+    // (i, j) structs from sequence(0, dim-1), not from the array, so
+    // count(lit(1)) saw every row) — it just contributes no sums
+    buf.n += 1
+    if (aAny == null) return buf
+    val a = aAny.asInstanceOf[ArrayData]
+    ensure(buf)
+    val len = math.min(a.numElements(), dim)
+    if (len > buf.maxLen) buf.maxLen = len
+    // pull elements out of ArrayData once; nulls flagged alongside
+    val els = new Array[Long](len)
+    val nul = new Array[Boolean](len)
+    var i = 0
+    while (i < len) {
+      if (a.isNullAt(i)) nul(i) = true else els(i) = a.getLong(i)
+      i += 1
+    }
+    i = 0
+    while (i < len) {
+      if (!nul(i)) {
+        val ei = els(i)
+        buf.margSum(i) += ei
+        buf.margCnt(i) += 1
+        // row base of the (i, j >= i) span in the packed upper triangle
+        val base = i * dim - i * (i - 1) / 2 - i
+        var j = i
+        while (j < len) {
+          if (!nul(j)) {
+            buf.prods(base + j) += ei * els(j)
+            buf.prodCnt(base + j) += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(buf: CovBuffer, other: CovBuffer): CovBuffer = {
+    buf.n += other.n
+    if (other.prods == null) return buf
+    ensure(buf)
+    if (other.maxLen > buf.maxLen) buf.maxLen = other.maxLen
+    var k = 0
+    while (k < nPairs) {
+      buf.prods(k) += other.prods(k)
+      buf.prodCnt(k) += other.prodCnt(k)
+      k += 1
+    }
+    k = 0
+    while (k < dim) {
+      buf.margSum(k) += other.margSum(k)
+      buf.margCnt(k) += other.margCnt(k)
+      k += 1
+    }
+    buf
+  }
+
+  override def eval(buf: CovBuffer): Any = {
+    if (buf.n == 0L || buf.maxLen == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val m = buf.maxLen
+    val out = new Array[Any](m * (m + 1) / 2)
+    var r = 0
+    var i = 0
+    while (i < m) {
+      val base = i * dim - i * (i - 1) / 2 - i
+      var j = i
+      while (j < m) {
+        val k = base + j
+        val sumIj: Any = if (buf.prodCnt(k) > 0) buf.prods(k) else null
+        val sumI: Any = if (buf.margCnt(i) > 0) buf.margSum(i) else null
+        val sumJ: Any = if (buf.margCnt(j) > 0) buf.margSum(j) else null
+        val cov: Any =
+          if (buf.prodCnt(k) > 0 && buf.margCnt(i) > 0 && buf.margCnt(j) > 0)
+            buf.n * buf.prods(k) - buf.margSum(i) * buf.margSum(j)
+          else null
+        out(r) = InternalRow(i, j, buf.n, sumIj, sumI, sumJ, cov)
+        r += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [has byte][n][maxLen][prods][prodCnt][margSum][margCnt], gzip-framed;
+    * n is carried even when no non-null vector allocated the arrays. */
+  override def serialize(buf: CovBuffer): Array[Byte] = {
+    if (buf.prods == null) {
+      val bb0 = java.nio.ByteBuffer.allocate(9)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb0.put(0.toByte)
+      bb0.putLong(buf.n)
+      return PixelCodec.gzipCompress(bb0.array(),
+        java.util.zip.Deflater.BEST_SPEED)
+    }
+    val bb = java.nio.ByteBuffer.allocate(1 + 8 + 4 + nPairs * 12 + dim * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte)
+    bb.putLong(buf.n)
+    bb.putInt(buf.maxLen)
+    var k = 0; while (k < nPairs) { bb.putLong(buf.prods(k)); k += 1 }
+    k = 0; while (k < nPairs) { bb.putInt(buf.prodCnt(k)); k += 1 }
+    k = 0; while (k < dim) { bb.putLong(buf.margSum(k)); k += 1 }
+    k = 0; while (k < dim) { bb.putInt(buf.margCnt(k)); k += 1 }
+    PixelCodec.gzipCompress(bb.array(), java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  override def deserialize(bytes: Array[Byte]): CovBuffer = {
+    val raw = PixelCodec.gzipDecompress(bytes)
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val buf = createAggregationBuffer()
+    if (bb.get() == 0) {
+      buf.n = bb.getLong()
+    } else {
+      buf.n = bb.getLong()
+      buf.maxLen = bb.getInt()
+      ensure(buf)
+      var k = 0; while (k < nPairs) { buf.prods(k) = bb.getLong(); k += 1 }
+      k = 0; while (k < nPairs) { buf.prodCnt(k) = bb.getInt(); k += 1 }
+      k = 0; while (k < dim) { buf.margSum(k) = bb.getLong(); k += 1 }
+      k = 0; while (k < dim) { buf.margCnt(k) = bb.getInt(); k += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CovarianceAccum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CovarianceAccum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}

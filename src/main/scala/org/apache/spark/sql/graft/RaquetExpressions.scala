@@ -752,6 +752,30 @@ object RqBridge {
         org.apache.spark.sql.catalyst.InternalRow(la, lb): Any
       })
 
+  /** Fused region analysis (one decode + one union-find per tile): the
+    * strips/frags/neighbors/label outputs the four standalone kernels
+    * above each recomputed independently. */
+  def regionAnalysisOf(k: BandKernel, block: Long, raw: Array[Byte],
+      withNeighbors: Boolean, withLabel: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val ra = k.regionAnalysis(block, raw, withNeighbors, withLabel)
+    org.apache.spark.sql.catalyst.InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ra.strips.map { case (dir, idx, lab, v) =>
+          org.apache.spark.sql.catalyst.InternalRow(dir, idx, lab, v): Any
+        }),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ra.frags.map { f =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            f.lab, f.n, f.v, f.gx0, f.gy0, f.gx1, f.gy1): Any
+        }),
+      if (ra.nbrs == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ra.nbrs.map { case (la, lb) =>
+          org.apache.spark.sql.catalyst.InternalRow(la, lb): Any
+        }),
+      ra.lab)
+  }
+
   def idwGridOf(k: BandKernel, block: Long, points: ArrayData,
       radius: Long): Array[Byte] = {
     val n = points.numElements()
@@ -1178,6 +1202,54 @@ case class RqRegionStrips(block: Expression, band: Expression, kernel: BandKerne
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
     defineCodeGen(ctx, ev, (b, raw) => s"${RqBridge.B}.regionStripsOf($k, $b, $raw)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(block = l, band = r)
+}
+
+/** rq_region_analysis(block, band) → STRUCT<strips, frags, nbrs, lab> —
+  * the fused one-decode one-union-find evaluation of rq_region_strips +
+  * rq_region_sizes (+ optionally rq_region_neighbors / rq_region_label;
+  * those fields are NULL when not requested). Each field is bit-identical
+  * to its standalone kernel's output; [[graft.operators.Regions]]
+  * checkpoints ONE such struct per tile instead of re-decoding the band
+  * blob per consumer. */
+case class RqRegionAnalysis(block: Expression, band: Expression,
+    kernel: BandKernel, withNeighbors: Boolean, withLabel: Boolean)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = block
+  override def right: Expression = band
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("strips", ArrayType(StructType(Seq(
+      StructField("dir", IntegerType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("lab", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false),
+      nullable = false),
+    StructField("frags", ArrayType(StructType(Seq(
+      StructField("lab", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("gx0", LongType, nullable = false),
+      StructField("gy0", LongType, nullable = false),
+      StructField("gx1", LongType, nullable = false),
+      StructField("gy1", LongType, nullable = false))), containsNull = false),
+      nullable = false),
+    StructField("nbrs", ArrayType(StructType(Seq(
+      StructField("la", LongType, nullable = false),
+      StructField("lb", LongType, nullable = false))), containsNull = false),
+      nullable = true),
+    StructField("lab", BinaryType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_region_analysis"
+  override protected def nullSafeEval(b: Any, raw: Any): Any =
+    RqBridge.regionAnalysisOf(kernel, b.asInstanceOf[Long],
+      raw.asInstanceOf[Array[Byte]], withNeighbors, withLabel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (b, raw) =>
+      s"${RqBridge.B}.regionAnalysisOf($k, $b, $raw, $withNeighbors, $withLabel)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(block = l, band = r)

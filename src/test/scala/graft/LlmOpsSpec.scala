@@ -448,6 +448,64 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v._2 >= 0L && v._2 <= 1000000L))
   }
 
+  test("covarianceMatrix: fused accumulator equals the explode-plan replica " +
+      "on nulls, short arrays and empty corpora; partition-merge invariant") {
+    import spark.implicits._
+    // the plan covarianceMatrix replaced, replayed inline: its output is
+    // the fused aggregate's correctness contract (incl. null semantics)
+    def replica(vecs: org.apache.spark.sql.DataFrame, dim: Int) = {
+      val q = vecs.select(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS LONG))")
+        .as("e"))
+      val pairs = q.select(expr(
+        s"""explode(flatten(transform(sequence(0, ${dim - 1}), i ->
+              transform(sequence(i, ${dim - 1}), j ->
+                named_struct('i', i, 'j', j, 'p', e[i] * e[j]))))) AS t"""))
+        .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+        .groupBy("i", "j")
+        .agg(count(lit(1)).as("n"), sum("p").as("sum_ij"))
+      val marg = q.select(posexplode(col("e")).as(Seq("d", "qd")))
+        .groupBy("d").agg(sum("qd").as("s"))
+      pairs
+        .join(broadcast(marg.select(col("d").as("i"), col("s").as("sum_i"))), "i")
+        .join(broadcast(marg.select(col("d").as("j"), col("s").as("sum_j"))), "j")
+        .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+          col("n"), col("sum_ij"), col("sum_i"), col("sum_j"),
+          (col("n") * col("sum_ij") - col("sum_i") * col("sum_j")).as("cov_num"))
+    }
+    def key(r: org.apache.spark.sql.Row) = (r.getInt(0), r.getInt(1))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => key(r) -> r.toSeq.drop(2)).toMap
+    // adversarial corpus: a null embedding and a null element, plus regular
+    // vectors — the old plan's null semantics (arrays SHORTER than dim were
+    // out-of-contract for it too: ANSI e[i] throws on an invalid index)
+    val adversarial = Seq(
+      (1L, Array[java.lang.Float](1.0f, 0.5f, 2.0f)),
+      (2L, Array[java.lang.Float](0.0f, null, 1.0f)),
+      (3L, Array[java.lang.Float](3.0f, 1.0f, 0.0f)),
+      (4L, null)).toDF("vec_id", "embedding")
+    val got = canon(operators.EmbedOps.covarianceMatrix(adversarial, dim = 3))
+    val want = canon(replica(adversarial, 3))
+    assert(got == want, s"$got vs $want")
+    // fused superset contract: indices past a short array are simply absent
+    // (never thrown) — dim=5 over 3-long arrays equals the dim=3 result
+    assert(canon(operators.EmbedOps.covarianceMatrix(adversarial, dim = 5))
+      == got)
+    // empty corpus → empty result (the old plan's empty-group behavior)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(operators.EmbedOps.covarianceMatrix(empty, dim = 4).count() == 0L)
+    // partial-merge invariance: 1 vs 7 partitions, bit-identical
+    val wide = (0 until 50).map(n =>
+      (n.toLong, Array.tabulate(8)(i => ((n * 31 + i * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val one = canon(operators.EmbedOps.covarianceMatrix(
+      wide.coalesce(1), dim = 8))
+    val many = canon(operators.EmbedOps.covarianceMatrix(
+      wide.repartition(7), dim = 8))
+    assert(one == many)
+    assert(one == canon(replica(wide, 8)))
+  }
+
   test("covarianceMatrix: hand-computed integer numerators on a 2-vector corpus") {
     import spark.implicits._
     val vecs = Seq((1L, Array(1.0f, 0.5f)), (2L, Array(0.0f, 1.0f)))

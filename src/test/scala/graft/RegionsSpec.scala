@@ -240,6 +240,42 @@ class RegionsSpec extends SparkSpec {
     }
   }
 
+  test("rq_region_analysis: every fused field equals its standalone kernel") {
+    import graft.functions.GraftFunctions._
+    val m = meta
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = tiles.select(col("block"),
+      rq_region_analysis(col("block"), col("band_1"), m, "band_1",
+        withNeighbors = true, withLabel = true).as("ra"))
+    // strips
+    assert(sortedRows(full.select(col("block"), explode(col("ra.strips")))) ==
+      sortedRows(tiles.select(col("block"),
+        explode(rq_region_strips(col("block"), col("band_1"), m, "band_1")))))
+    // fragments
+    assert(sortedRows(full.select(col("block"), explode(col("ra.frags")))) ==
+      sortedRows(tiles.select(col("block"),
+        explode(rq_region_sizes(col("block"), col("band_1"), m, "band_1")))))
+    // neighbors
+    assert(sortedRows(full.select(col("block"), explode(col("ra.nbrs")))) ==
+      sortedRows(tiles.select(col("block"),
+        explode(rq_region_neighbors(col("block"), col("band_1"), m, "band_1")))))
+    // label blob: bit-identical bytes
+    val gotLab = full.select(col("block"), col("ra.lab")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val wantLab = tiles.select(col("block"),
+      rq_region_label(col("block"), col("band_1"), m, "band_1")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(gotLab == wantLab)
+    // unrequested fields are NULL (no label-blob encode paid on the
+    // sizes/extents path)
+    val slim = tiles.select(rq_region_analysis(col("block"), col("band_1"),
+      m, "band_1").as("ra"))
+      .select(col("ra.nbrs").isNull.as("a"), col("ra.lab").isNull.as("b"))
+      .collect()
+    assert(slim.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   test("regionLabels plan: strip equi-joins only, no cartesian") {
     val df = Regions.regionLabels(tiles, meta, "band_1")
     val plan = df.queryExecution.executedPlan.toString
