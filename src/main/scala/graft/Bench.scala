@@ -1030,18 +1030,31 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // scan-split size for gzip-blob raster tables: on-disk bytes understate
+    // file-open cost for gzip-blob raster tables: on-disk bytes understate
     // decode work by the gzip fan-out (8x on the float32 19 GB set, ~100x
-    // on the synthetic uint8 tiles), so the 128 MB default packs hours of
-    // decode into a handful of tasks. 4 MB compressed ≈ 32-400 MB decoded
-    // per task — the guide §6 recommended DECODED split size. Parameterized
-    // (env), core-count independent: it sizes work per task, not tasks per
-    // core, so the driver's lower-core scaling run stays comparable.
-    val splitMb = sys.env.getOrElse("SPARK_GRAFT_SCAN_SPLIT_MB", "4")
+    // on the synthetic uint8 tiles), so the default 4 MB open cost packed
+    // the whole 1,365-tile interactive raster (29 small files) into ONE
+    // scan task on 32 cores. Charging each small file ~its decoded weight
+    // (64 MB) makes one task per file; big files are untouched — they
+    // split at the default 128 MB, so the 19 GB set keeps its committed
+    // 156-task layout. (Shrinking maxPartitionBytes instead was measured
+    // WORSE: a 4 MB split shredded the pruned 19 GB region-stats scans
+    // into ~4,900 mostly-empty tasks, 0.5 s → 10 s.) Parameterized (env),
+    // core-count independent: it sizes work per task, not tasks per core,
+    // so the driver's lower-core scaling run stays comparable.
+    val openCostMb = sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_MB", "64")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", s"${splitMb}m")
+      .config("spark.sql.files.openCostInBytes", s"${openCostMb}m")
+      // same decoded-bytes reasoning at the SHUFFLE level: AQE's 1 MB
+      // minimum coalesced-partition size packed a 2.5 MB shuffle of
+      // gzip label blobs into TWO post-shuffle tasks, serializing a 16M-
+      // pixel explode; 64 KB compressed ≈ 0.5-6 MB decoded keeps such
+      // stages parallel while leaving large shuffles untouched (256 KB:
+      // small enough to spread blob shuffles, big enough not to shred the
+      // label-table loops into per-task overhead)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the library's standard integration path — brings the

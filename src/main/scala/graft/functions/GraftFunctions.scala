@@ -85,6 +85,11 @@ object GraftFunctions {
   def rq_region_neighbors(block: Column, band: Column, meta: RaquetMetadata,
       name: String): Column =
     col(RqRegionNeighbors(ex(block), ex(band), BandKernel(meta, name)))
+  /** Per-tile label-blob remap through an O(1) hash table — see
+    * [[org.apache.spark.sql.graft.RqLabelRemap]]. */
+  def rq_label_remap(lab: Column, kv: Column, kernel: BandKernel,
+      asLong: Boolean): Column =
+    col(RqLabelRemap(ex(lab), ex(kv), kernel, asLong))
   /** Fused strips+frags(+nbrs/+label) from ONE decode + union-find per
     * tile — see [[org.apache.spark.sql.graft.RqRegionAnalysis]]. */
   def rq_region_analysis(block: Column, band: Column, meta: RaquetMetadata,

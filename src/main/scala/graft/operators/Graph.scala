@@ -56,7 +56,12 @@ object Graph {
     // expensive pair-generation pipeline (minhash/simhash/LSH), and the
     // symmetrize + nodes + label-init plans below reference it four times —
     // without this checkpoint the whole upstream pipeline re-executes per
-    // reference (~4x the pair-gen cost before the first round even runs)
+    // reference (~4x the pair-gen cost before the first round even runs).
+    // EAGER for these multi-referenced tables: a lazy checkpoint
+    // materializes inside the first consumer job, where the double
+    // references (e0 in its own symmetrized union) make concurrent tasks
+    // block on the BlockManager computing the same partition — measured
+    // slower (run ≫ cpu, lock wait) than paying the checkpoint's own job.
     val e0 = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
     // symmetrize + add self-loops: one join+agg then computes
     // min(label over {self} ∪ neighbors) in a single pass
@@ -86,11 +91,16 @@ object Graph {
         .agg(min(col("comp")).as("comp"))
       // pointer jump: comp ← comp(comp). Labels are always node ids (they
       // start as ids and only min-combine), so the inner self-join is total.
+      // LAZY checkpoint: the labelSum action right below materializes it,
+      // so each round costs ONE job instead of two (eager checkpoint +
+      // separate sum) — the loop's wall time is mostly sequential job
+      // latency on small label tables (guide §1.2 step 1: the b_region_*
+      // queries spend seconds in this loop at millisecond data sizes).
       val next = prop
         .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

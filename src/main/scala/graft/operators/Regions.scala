@@ -129,9 +129,13 @@ object Regions {
       .select(col("ra").as("label"), col("nb_v").as("new_v"))
     val finalVal = regions.join(chosen, Seq("label"), "left")
       .select(col("label"), coalesce(col("new_v"), col("v")).as("v"))
-    labelsFrom(a, comp, meta)
-      .join(finalVal, "label")
-      .select(col("block"), col("pos"), col("v"))
+    // label → value resolves at FRAGMENT cardinality, then one per-tile
+    // map attaches to the label blob: the pixel explode never shuffles
+    // (it previously fed a 16M-row sort-merge join)
+    applyTileMap(a,
+      localToGlobal(a, comp).join(finalVal, "label")
+        .select(col("block"), col("l"), col("v").as("o")),
+      meta, "v", asLong = false)
   }
 
   /** FULL polygonize (the `gdal_polygonize` shape): every boundary RING of
@@ -272,6 +276,9 @@ object Regions {
       .select(col("block"),
         rq_region_analysis(col("block"), col(band), meta, band,
           withNeighbors, withLabel).as("ra"))
+      // EAGER: the strip-pair join scans this twice concurrently; a lazy
+      // checkpoint materializing inside that job serializes on the
+      // BlockManager lock (measured slower than the extra job)
       .localCheckpoint()
 
   /** Cross-tile strip pairs (la, lb, va, vb) for every 4-adjacent valid
@@ -283,6 +290,14 @@ object Regions {
     * (S↔N, idx = column). Raster-edge strips simply find no partner. */
   private def stripPairs(analyzed: DataFrame, meta: RaquetMetadata): DataFrame = {
     val z = meta.maxZoom
+    val maxT = (1L << z) - 1
+    // ONE scan + ONE hash aggregate: the previous A-side/B-side self-join
+    // deserialized the full analysis checkpoint twice (the dominant cost
+    // of the sizes path — 2×104 MB reads on the bench raster) and paid
+    // the join's two exchanges; every boundary (ka, kb, axis, idx) key
+    // has at most one A row (owner's E/S edge) and one B row (neighbor's
+    // W/N edge), so a grouped max-by-side reconstructs exactly the old
+    // inner join's pairs.
     val strips = analyzed
       .select(col("block"),
         quadbin_tile_x(col("block")).as("tx"),
@@ -291,24 +306,27 @@ object Regions {
       .select(col("block"), col("tx"), col("ty"),
         col("s.dir").as("dir"), col("s.idx").as("idx"),
         col("s.lab").as("lab"), col("s.v").as("v"))
-    val maxT = (1L << z) - 1
-    val aSide = strips.filter(col("dir") === 0 && col("tx") < maxT)
-      .select(col("block").as("ka"),
-        quadbin_from_tile(col("tx") + 1, col("ty"), lit(z)).as("kb"),
-        lit(0).as("axis"), col("idx"), col("lab").as("la"), col("v").as("va"))
-      .unionByName(strips.filter(col("dir") === 1 && col("ty") < maxT)
-        .select(col("block").as("ka"),
-          quadbin_from_tile(col("tx"), col("ty") + 1, lit(z)).as("kb"),
-          lit(1).as("axis"), col("idx"), col("lab").as("la"), col("v").as("va")))
-    val bSide = strips.filter(col("dir") === 2 && col("tx") > 0)
-      .select(quadbin_from_tile(col("tx") - 1, col("ty"), lit(z)).as("ka"),
-        col("block").as("kb"),
-        lit(0).as("axis"), col("idx"), col("lab").as("lb"), col("v").as("vb"))
-      .unionByName(strips.filter(col("dir") === 3 && col("ty") > 0)
-        .select(quadbin_from_tile(col("tx"), col("ty") - 1, lit(z)).as("ka"),
-          col("block").as("kb"),
-          lit(1).as("axis"), col("idx"), col("lab").as("lb"), col("v").as("vb")))
-    aSide.join(bSide, Seq("ka", "kb", "axis", "idx"))
+      .filter((col("dir") === 0 && col("tx") < maxT) ||
+        (col("dir") === 1 && col("ty") < maxT) ||
+        (col("dir") === 2 && col("tx") > 0) ||
+        (col("dir") === 3 && col("ty") > 0))
+    val keyed = strips.select(
+      when(col("dir") === 0 || col("dir") === 1, col("block"))
+        .when(col("dir") === 2, quadbin_from_tile(col("tx") - 1, col("ty"), lit(z)))
+        .otherwise(quadbin_from_tile(col("tx"), col("ty") - 1, lit(z))).as("ka"),
+      when(col("dir") === 0, quadbin_from_tile(col("tx") + 1, col("ty"), lit(z)))
+        .when(col("dir") === 1, quadbin_from_tile(col("tx"), col("ty") + 1, lit(z)))
+        .otherwise(col("block")).as("kb"),
+      when(col("dir") === 0 || col("dir") === 2, lit(0)).otherwise(lit(1)).as("axis"),
+      col("idx"),
+      (col("dir") <= 1).as("isA"),
+      col("lab"), col("v"))
+    keyed.groupBy("ka", "kb", "axis", "idx")
+      .agg(max(when(col("isA"), col("lab"))).as("la"),
+        max(when(!col("isA"), col("lab"))).as("lb"),
+        max(when(col("isA"), col("v"))).as("va"),
+        max(when(!col("isA"), col("v"))).as("vb"))
+      .filter(col("la").isNotNull && col("lb").isNotNull)
       .select(col("la"), col("lb"), col("va"), col("vb"))
   }
 
@@ -319,19 +337,46 @@ object Regions {
         .select(col("la"), col("lb")).distinct(),
       "la", "lb")
 
-  /** Per-pixel (block, pos, label) from the analysis label blob + components. */
-  private def labelsFrom(analyzed: DataFrame, comp: DataFrame,
-      meta: RaquetMetadata): DataFrame = {
+  /** Fragment table (block, l, label) — every tile-local label with its
+    * global region id, at FRAGMENT cardinality. */
+  private def localToGlobal(analyzed: DataFrame, comp: DataFrame): DataFrame =
+    analyzed.select(col("block"), explode(col("ra.frags")).as("f"))
+      .select(col("block"), col("f.lab").as("l"))
+      .join(comp, col("l") === col("id"), "left")
+      .select(col("block"), col("l"), coalesce(col("comp"), col("l")).as("label"))
+
+  /** Per-pixel (block, pos, <out>) by attaching a per-TILE list of
+    * tile-local label → output value and exploding the label blob through
+    * a per-tile O(1) hash table ([[graft.functions.GraftFunctions.rq_label_remap]])
+    * — the guide-§8 shape: every decision joins at fragment/region
+    * cardinality, and the 16M-row pixel explode never crosses an exchange
+    * (previously it was shuffled + sorted into a pixel-cardinality
+    * sort-merge join — ~2/3 of sieveApply's runtime; a Catalyst-map
+    * element_at variant then spent its time in per-pixel LINEAR key
+    * scans). `byLocal` is (block, l, o); `asLong` emits o as exact longs
+    * (labels < 2^53). */
+  private def applyTileMap(analyzed: DataFrame, byLocal: DataFrame,
+      meta: RaquetMetadata, out: String, asLong: Boolean): DataFrame = {
     val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
       meta.blockWidth, meta.blockHeight, 1.0, 0.0)
-    analyzed
-      .select(col("block"), posexplode(rq_decode(col("ra.lab"), labKernel)))
-      .filter(!isnan(col("col")))
-      .select(col("block"), col("pos"), col("col").cast("long").as("l"))
-      .join(comp, col("l") === col("id"), "left")
-      .select(col("block"), col("pos"),
-        coalesce(col("comp"), col("l")).as("label"))
+    val m = byLocal
+      .groupBy("block")
+      .agg(collect_list(struct(col("l").as("l"),
+        col("o").cast("double").as("o"))).as("kv"))
+    analyzed.join(m, "block")
+      .select(col("block"),
+        explode(rq_label_remap(col("ra.lab"), col("kv"), labKernel,
+          asLong)).as("e"))
+      .select(col("block"), col("e.pos").as("pos"), col("e.v").as(out))
   }
+
+  /** Per-pixel (block, pos, label) from the analysis label blob + components. */
+  private def labelsFrom(analyzed: DataFrame, comp: DataFrame,
+      meta: RaquetMetadata): DataFrame =
+    applyTileMap(analyzed,
+      localToGlobal(analyzed, comp).select(col("block"), col("l"),
+        col("label").as("o")),
+      meta, "label", asLong = true)
 
   /** Region table (label, n_px, v, bbox) at region cardinality: fragment
     * tables mapped through the components, one hash aggregate (counts

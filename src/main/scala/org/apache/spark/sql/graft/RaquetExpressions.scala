@@ -752,6 +752,45 @@ object RqBridge {
         org.apache.spark.sql.catalyst.InternalRow(la, lb): Any
       })
 
+  /** Label-blob remap-and-explode: decode one float64 label blob, map
+    * every valid pixel's label through a per-tile O(1) hash table built
+    * once per row, and emit (pos, v) structs. Replaces the
+    * rq_decode → posexplode → filter(NaN) → element_at(map) chain whose
+    * Catalyst map lookup is a LINEAR key scan per pixel (65k pixels ×
+    * ~hundreds of fragment keys per tile dominated the sieve-apply
+    * output stage). `vals` are doubles; `asLong` emits them as exact
+    * longs (labels are < 2^53 by construction). */
+  def labelRemapOf(k: BandKernel, lab: Array[Byte], kv: ArrayData,
+      asLong: Boolean): ArrayData = {
+    val n = kv.numElements()
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Double](n * 2)
+    var i = 0
+    while (i < n) {
+      val row = kv.getStruct(i, 2)
+      m.put(row.getLong(0), row.getDouble(1))
+      i += 1
+    }
+    val px = k.decode(lab)
+    val out = new Array[Any](px.length)
+    var cnt = 0
+    var p = 0
+    while (p < px.length) {
+      val x = px(p)
+      if (!java.lang.Double.isNaN(x)) {
+        val v = m.get(java.lang.Long.valueOf(x.toLong))
+        out(cnt) = org.apache.spark.sql.catalyst.InternalRow(p,
+          if (v == null) null
+          else if (asLong) java.lang.Long.valueOf(v.doubleValue().toLong)
+          else v)
+        cnt += 1
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (cnt == out.length) out
+      else { val t = new Array[Any](cnt); System.arraycopy(out, 0, t, 0, cnt); t })
+  }
+
   /** Fused region analysis (one decode + one union-find per tile): the
     * strips/frags/neighbors/label outputs the four standalone kernels
     * above each recomputed independently. */
@@ -1253,6 +1292,36 @@ case class RqRegionAnalysis(block: Expression, band: Expression,
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(block = l, band = r)
+}
+
+/** rq_label_remap(lab, kv) → ARRAY<STRUCT<pos, v>> — per-tile label-blob
+  * remap through an O(1) hash table (see [[RqBridge.labelRemapOf]]);
+  * `asLong` picks BIGINT output (exact for labels < 2^53), else DOUBLE. */
+case class RqLabelRemap(lab: Expression, kv: Expression, kernel: BandKernel,
+    asLong: Boolean)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = lab
+  override def right: Expression = kv
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("l", LongType),
+      StructField("o", DoubleType))), containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", if (asLong) LongType else DoubleType, nullable = true))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_label_remap"
+  override protected def nullSafeEval(l: Any, k: Any): Any =
+    RqBridge.labelRemapOf(kernel, l.asInstanceOf[Array[Byte]],
+      k.asInstanceOf[ArrayData], asLong)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (l, kv) =>
+      s"${RqBridge.B}.labelRemapOf($k, $l, $kv, $asLong)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lab = l, kv = r)
 }
 
 /** rq_region_segments(block, band, halos) → boundary segments + successor
