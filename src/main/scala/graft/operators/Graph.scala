@@ -91,16 +91,15 @@ object Graph {
         .agg(min(col("comp")).as("comp"))
       // pointer jump: comp ← comp(comp). Labels are always node ids (they
       // start as ids and only min-combine), so the inner self-join is total.
-      // LAZY checkpoint: the labelSum action right below materializes it,
-      // so each round costs ONE job instead of two (eager checkpoint +
-      // separate sum) — the loop's wall time is mostly sequential job
-      // latency on small label tables (guide §1.2 step 1: the b_region_*
-      // queries spend seconds in this loop at millisecond data sizes).
+      // EAGER checkpoint here too: a lazy one (tried this round to save
+      // one job/round) did not reliably pin the partitions, and every
+      // subsequent round recomputed the whole upstream pair-generation
+      // chain — the image-dedup ladder rungs read 3-14x worse.
       val next = prop
         .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("comp") === col("cid"))
         .select(col("id"), col("ccomp").as("comp"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
