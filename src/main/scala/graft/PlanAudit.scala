@@ -10,9 +10,9 @@ import graft.operators.{LlmQueries, RaquetQueries, Relational}
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
+    val spark = SessionDefaults.tuned(SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.shuffle.partitions", 4))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

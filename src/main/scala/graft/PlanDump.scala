@@ -21,12 +21,9 @@ object PlanDump {
     val names = args.drop(2).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionDefaults.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_MB", "64") + "m")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -35,15 +32,31 @@ object PlanDump {
     Bench.ensureRaster(spark)
     val withLarge = names.exists(_.startsWith("bL_")) || names.contains("all")
     if (withLarge) Bench.ensureLargeRaster(spark)
+    // bench registry first; declared SparkEntry queries (qNNN_*) as a
+    // fallback so non-bench optimization targets (e.g. q232's fused
+    // sieve flags) can leave plan evidence too
     val all = Bench.rasterQueries ++ Bench.dataQueries ++
       (if (withLarge) Bench.largeQueries else Map.empty)
     val picked =
       if (names.contains("all")) all.toSeq.sortBy(_._1)
-      else names.map(n => n -> all.getOrElse(n, sys.error(s"unknown query: $n")))
+      else names.map(n => n -> all.getOrElse(n,
+        SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n"))))
     val dir = Paths.get("plans", tag)
     Files.createDirectories(dir)
     picked.foreach { case (name, fn) =>
-      val df = fn(spark, sfDir)
+      // iterative pipelines execute their loop bodies during query
+      // construction; the PlanHook sink captures each round's EXECUTED
+      // (AQE-final) plan, which the final-stage explain below can't show
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      PlanHook.sink = (label, ldf) => {
+        val k = seen.getOrElse(label, 0); seen(label) = k + 1
+        val occ = if (k == 0) label else s"${label}_$k"
+        val f = dir.resolve(s"${name}_${occ}_$suffix.txt")
+        Files.writeString(f, ldf.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        System.err.println(s"[plandump] wrote $f")
+      }
+      val df = try fn(spark, sfDir) finally PlanHook.sink = null
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(dir.resolve(s"${name}_$suffix.txt"), plan)

@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-evidence hook for ITERATIVE pipelines: their loop bodies execute
+  * during query CONSTRUCTION (each round materializes eagerly), so the
+  * final-stage `explain` a plan dump captures shows none of them — r13's
+  * per-round exchange-count claims were uncheckable from the dumps.
+  * When a sink is set (only [[PlanDump]] sets one), each loop round
+  * reports its EXECUTED DataFrame here right after materialization, so
+  * the dump shows the AQE-final per-round plan. Zero overhead when
+  * unset (a null check per round). */
+object PlanHook {
+  @volatile var sink: (String, DataFrame) => Unit = null
+
+  def capture(label: String, df: DataFrame): Unit = {
+    val s = sink
+    if (s != null) s(label, df)
+  }
+}

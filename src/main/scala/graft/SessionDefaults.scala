@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library-level session defaults for gzip-blob raster workloads — ONE
+  * definition used by every graft entrypoint (Bench, Profile, PlanDump,
+  * PlanAudit) and documented in the README for users who embed the
+  * engine in their own session.
+  *
+  * Why these exist (guide §6 input-split sizing, measured in r13):
+  * gzip raster blobs understate the work a scan task does by their
+  * decode fan-out (8× on the float32 19 GB bench set, ~100× on the
+  * synthetic uint8 tiles), so every BYTE-based Spark sizing decision
+  * misreads them:
+  *
+  *   - `spark.sql.files.openCostInBytes` = 64 MB: each SMALL gzip-raster
+  *     file is charged ~its decoded weight, giving one scan task per
+  *     file; big files are untouched — they still split at the default
+  *     128 MB `maxPartitionBytes`. (Shrinking `maxPartitionBytes`
+  *     instead was measured WORSE: a 4 MB split shredded pruned scans
+  *     into thousands of mostly-empty tasks, 0.5 s → 10 s.)
+  *   - `spark.sql.adaptive.coalescePartitions.minPartitionSize` =
+  *     256 KB: AQE's 1 MB default packed a 2.5 MB shuffle of gzip label
+  *     blobs into TWO post-shuffle tasks, serializing a 16M-pixel
+  *     explode; 256 KB compressed ≈ 0.5–6 MB decoded keeps such stages
+  *     parallel (64 KB was measured worse — it shredded small label-
+  *     table loops into per-task overhead).
+  *
+  * Both size work per TASK, not tasks per core, so they are valid at
+  * any core count / cluster size; `SPARK_GRAFT_OPEN_COST_MB` overrides
+  * the open cost for corpora with a different decode fan-out. */
+object SessionDefaults {
+
+  def openCostInBytes: String =
+    sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_MB", "64") + "m"
+
+  val minPartitionSize: String = "256k"
+
+  /** Apply the raster-aware defaults to a session builder. */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.files.openCostInBytes", openCostInBytes)
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      minPartitionSize)
+}
