@@ -15,41 +15,84 @@ import org.apache.spark.sql.functions._
   * id; each round every node takes the min of its label and its neighbors'
   * labels; at fixpoint each component is labeled by its smallest node id.
   *
-  * Scale shape, per round: one equi-join + one hash aggregate (both
-  * map-side partial). Self-loops are folded into the symmetrized edge list
-  * up front, so "min over neighbors and self" is that single pass — no
-  * second left-join to merge a node's own label back in. While the label
-  * table fits the broadcast threshold (it is one (id, comp) pair per node —
-  * far smaller than the corpus it indexes), the join is a broadcast hash
-  * join and the edge list never shuffles at all; past that size it
-  * degrades to the standard shuffle join, which is what GraphFrames-style
-  * propagation does every round too. (Pre-partitioning the edges does NOT
-  * help: `localCheckpoint` drops outputPartitioning, verified against the
-  * physical plan — the Exchange reappears.) `localCheckpoint` between
-  * rounds truncates the growing plan (as in the pyramid build).
+  * Two regimes. Edge lists that fit one task's memory (the common case:
+  * label graphs are fragment/pair cardinality, orders of magnitude below
+  * the corpus) skip iteration entirely — per-partition union-find →
+  * one-task merge union-find, ONE driver job (see `localMaxEdges`): these
+  * loops' wall is sequential driver-job scheduling, not data (measured
+  * core-scaling ≈ 1), so the win is job COUNT, not bytes.
   *
-  * Convergence is detected without a labels-vs-labels join: per-node labels
-  * only ever decrease, so the label SUM is strictly monotonically
-  * decreasing until fixpoint, and one Decimal(38,0) aggregate per round
-  * (exact — no double rounding, no bigint overflow on 2^60-range ids)
-  * decides termination.
+  * Past that size, min-label propagation: per round one equi-join + one
+  * hash aggregate (both map-side partial). Self-loops are folded into the
+  * symmetrized edge list up front, so "min over neighbors and self" is
+  * that single pass — no second left-join to merge a node's own label
+  * back in; the self-loop row also carries each node's OLD label out of
+  * the same join, so convergence (zero labels changed — labels only ever
+  * decrease) is counted by an accumulator INSIDE the round's one
+  * materialization job ([[org.apache.spark.sql.graft.LoopOps]]) instead
+  * of a second sum-aggregate action. The shuffle join is what
+  * GraphFrames-style propagation does every round too.
   *
   * Each round is one propagation (min over neighbors) plus one POINTER
-  * JUMP (comp ← comp's comp — every label is a node id, so the lookup is
-  * a self-join on the label table): the jump halves remaining label-chain
-  * length, so rounds = O(log diameter), not O(diameter). That matters in
-  * practice, not just adversarially: fingerprint graphs DO produce long
-  * paths (hamming-adjacent dHash chains from ramp/gradient content made
-  * plain propagation blow past 25 rounds on a 103-node graph), while
-  * duplicate clusters proper (stars/cliques, diameter ≤ 2-3) still
-  * converge in ~2 rounds and only pay one extra small-table join.
+  * JUMP (comp ← label of the propagated label — every label is a node
+  * id, so the lookup is a label-table join): two label applications per
+  * round double the compressed reach, so rounds = O(log diameter), not
+  * O(diameter). That matters in practice, not just adversarially:
+  * fingerprint graphs DO produce long paths (hamming-adjacent dHash
+  * chains from ramp/gradient content made plain propagation blow past
+  * 25 rounds on a 103-node graph), while duplicate clusters proper
+  * (stars/cliques, diameter ≤ 2-3) still converge in ~2 rounds and only
+  * pay one extra small-table join.
   */
 object Graph {
+
+  /** Strategy switch: edge lists at or under this count skip the loop
+    * entirely — a per-partition union-find reduces each input split to
+    * (node, partition-local min) pairs and ONE single-task union-find
+    * merges them (two-level aggregation, §2.3): one driver job total,
+    * where each doubling round of the loop costs one. Above it, the
+    * iterative shuffle loop runs — the merge table is bounded by 2×edges
+    * entries (~48 B each in the open-addressed map: 2M edges ≈ ≤192 MB
+    * one-task state, the same order as the broadcast the loop variant
+    * would have built). Session-conf `graft.cc.localMaxEdges`, env
+    * fallback SPARK_GRAFT_CC_LOCAL_MAX_EDGES. */
+  private def localMaxEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.cc.localMaxEdges")
+      .orElse(sys.env.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES"))
+      .getOrElse("2000000").toLong
+
+  /** Consume (a, b) pairs, emit (node, min id of its local component)
+    * for every node seen. Union-by-min-root keeps each root the
+    * component minimum at all times, so emission is one find() per node. */
+  private def unionFindEntries(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp) // halving: amortized near-constant
+        x = p; p = gp
+      }
+      x
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+  }
 
   /** Components of the undirected graph given by `edges(src, dst)`.
     * Returns (id, comp) for every node APPEARING IN AN EDGE; callers add
     * isolated nodes back with a left join (see q56). Deterministic:
-    * comp = min node id of the component. */
+    * comp = min node id of the component — the unique fixpoint of
+    * min-label propagation, independent of the iteration schedule (the
+    * two per-round schedules below reach it in different intermediate
+    * states; see the jump note). */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
       maxIter: Int = 25): DataFrame = {
     // materialize the INPUT once: `edges` is typically the tail of an
@@ -63,8 +106,33 @@ object Graph {
     // block on the BlockManager computing the same partition — measured
     // slower (run ≫ cpu, lock wait) than paying the checkpoint's own job.
     val e0 = edges.select(col(src).as("u"), col(dst).as("v")).localCheckpoint()
-    // symmetrize + add self-loops: one join+agg then computes
-    // min(label over {self} ∪ neighbors) in a single pass
+    // one cheap count on the checkpointed edge table picks the strategy
+    val spark = edges.sparkSession
+    if (e0.count() <= localMaxEdges(spark)) {
+      // SMALL graphs: NO loop. Per-partition union-find reduces each
+      // split to (node, local-min) pairs in parallel, one single-task
+      // union-find merges the forests — ≤ 2 entries per input edge reach
+      // the merge task regardless of component shape. The whole solve is
+      // ONE driver job (two stages), where the loop pays ~1 job per
+      // doubling round + broadcast builds; at the bench's label graphs
+      // (~15-25 sequential sub-second jobs per region/dedup query, the
+      // measured wall — core-scaling ≈ 1) this is the §2.3 two-level
+      // aggregate applied to connectivity. Result identical by
+      // construction: comp = min node id of the component.
+      import spark.implicits._
+      val labels = e0.as[(Long, Long)]
+        .mapPartitions(unionFindEntries)
+        .repartition(1)
+        .mapPartitions(unionFindEntries)
+        .toDF("id", "comp")
+        .localCheckpoint()
+      graft.PlanHook.capture("cc_unionfind", labels)
+      return labels
+    }
+    // BIG graphs: the iterative min-label loop — the label table is loop
+    // state that fits neither one task nor a broadcast. Symmetrize + add
+    // self-loops: one join+agg then computes min(label over {self} ∪
+    // neighbors) in a single pass.
     val nodes = e0.select(col("u"))
       .unionByName(e0.select(col("v").as("u")))
       .distinct()
@@ -75,35 +143,39 @@ object Graph {
       .distinct()
       .localCheckpoint()
     var labels = nodes.select(col("u").as("id"), col("u").as("comp"))
-      .localCheckpoint()
-    // sum() over an EMPTY label table is null (no edges at all — every
-    // fingerprint its own cluster, an in-contract input): treat as zero so
-    // the loop converges immediately instead of NPE-ing on compareTo
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      Option(l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // propagation: min(label over {self} ∪ neighbors) in one pass; the
+      // self-loop row (u,u) additionally carries u's OLD label out of the
+      // same join, so convergence is decided inside the materialization
+      // job (LoopOps) instead of a second sum-aggregate action per round.
       val prop = und.join(labels, und("v") === labels("id"))
-        .groupBy(und("u").as("id"))
-        .agg(min(col("comp")).as("comp"))
-      // pointer jump: comp ← comp(comp). Labels are always node ids (they
-      // start as ids and only min-combine), so the inner self-join is total.
-      // EAGER checkpoint here too: a lazy one (tried this round to save
-      // one job/round) did not reliably pin the partitions, and every
-      // subsequent round recomputed the whole upstream pair-generation
-      // chain — the image-dedup ladder rungs read 3-14x worse.
-      val next = prop
-        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"))
-        .select(col("id"), col("ccomp").as("comp"))
-        .localCheckpoint()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+        .groupBy(und("u").as("nid"))
+        .agg(min(col("comp")).as("m"),
+          max(when(und("v") === und("u"), col("comp"))).as("oldc"))
+      // pointer jump: comp ← prop(m) — every label is a node id, so the
+      // inner self-join is total, and it reuses the aggregate's shuffle
+      // for the build side. Two label applications per round double the
+      // compressed reach (rounds = O(log diameter)), and the fixpoint —
+      // the component min — is schedule-independent.
+      val jumped = prop
+        .join(prop.select(col("nid").as("cid"), col("m").as("cm")),
+          col("m") === col("cid"))
+        .select(col("nid").as("id"), col("cm").as("comp"), col("oldc"))
+      // ONE driver job per round: materialize + persist the next label
+      // table AND count changed labels (zero changes ⇔ fixpoint — labels
+      // only ever decrease, so a round that changes nothing is converged)
+      val (next, changed, rdd) =
+        org.apache.spark.sql.graft.LoopOps.materializeCountingChanges(jumped)
+      // per-round plan evidence (no-op outside PlanDump): `jumped` has
+      // executed, so this captures the AQE-final loop-body plan
+      graft.PlanHook.capture(s"cc_round$iter", jumped)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
       labels = next
+      converged = changed == 0L
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

@@ -1,0 +1,47 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+/** Driver-job plumbing for iterative label-propagation loops
+  * ([[graft.operators.Graph.connectedComponents]]): each round used to
+  * pay TWO driver actions — a `localCheckpoint` to materialize the next
+  * label table and a decimal-sum aggregate to detect convergence — and
+  * the sum's correctness needed Decimal(38,0) arithmetic. Fusing the
+  * two into one job halves the sequential driver-job floor that
+  * dominates these loops (the per-round data is milliseconds; DAG
+  * scheduling, task serialization and AQE re-planning are the wall). */
+object LoopOps {
+
+  /** Materialize a (id: long, comp: long, oldc: long) plan as a
+    * persisted internal-row RDD of (id, comp) — the plan-truncation role
+    * `localCheckpoint` played — while counting rows with comp != oldc
+    * into an accumulator DURING the same job. Returns (truncated-plan
+    * DataFrame, changed-row count, the RDD for explicit unpersist).
+    *
+    * Retry/speculation-safe: a re-run task can only ADD to the count,
+    * and the loop only tests `changed == 0` — a round with zero changes
+    * counts zero in every attempt, and a nonzero count stays nonzero. */
+  def materializeCountingChanges(df: DataFrame): (DataFrame, Long, RDD[_]) = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val acc = spark.sparkContext.longAccumulator("graft.cc.changes")
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      val proj = UnsafeProjection.create(Array[DataType](LongType, LongType))
+      it.map { r =>
+        if (r.getLong(1) != r.getLong(2)) acc.add(1L)
+        proj(r).copy(): InternalRow
+      }
+    }
+    rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // the ONE job: materializes the cache and fills acc
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("comp", LongType, nullable = false)))
+    (spark.internalCreateDataFrame(rdd, schema), acc.value, rdd)
+  }
+}

@@ -195,6 +195,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(5L) == 1L && got(13L) == 10L && got(21L) == 20L && got(33L) == 30L)
   }
 
+  test("connected components: shuffle loop ≡ two-level union-find (long path + empty input)") {
+    import spark.implicits._
+    // a 64-node path (multi-round pointer jumping in loop mode) + a
+    // clique + isolated edges; run once per strategy — the edge-count
+    // threshold (graft.cc.localMaxEdges) picks union-find below, the
+    // iterative shuffle loop above
+    val edges = ((1L to 63L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L)))
+      .toDF("a", "b")
+    def run(): Map[Long, Long] =
+      graft.operators.Graph.connectedComponents(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = run()
+    spark.conf.set("graft.cc.localMaxEdges", "0")
+    val shuffled = try run()
+    finally spark.conf.unset("graft.cc.localMaxEdges")
+    assert(uf == shuffled)
+    assert(uf(64L) == 1L && uf(102L) == 100L && uf(201L) == 200L)
+    // empty edge list: converges immediately, returns an empty table
+    val empty = graft.operators.Graph.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(empty.count() == 0L)
+  }
+
   test("q107 micro-nat values keep a margin from rounding boundaries") {
     // The bigram-LM contract rounds -ln(p)*1e6 to an integer on BOTH
     // engines; a libm ulp difference at an exact half boundary would flip
@@ -650,7 +674,14 @@ class LlmOpsSpec extends SparkSpec {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val bpePlan = TextOps.bpeTokenize(docs)
       .queryExecution.executedPlan.toString
-    assert(!bpePlan.contains("Exchange"), s"bpeTokenize shuffles:\n$bpePlan")
+    // the ONE deliberate round-robin spread of an under-split input
+    // (Tables.spreadForCpu) is allowed; any other exchange (a join or
+    // aggregate shuffle) would mean the merge loop stopped being a
+    // projection
+    assert(bpePlan.sliding("Exchange".length).count(_ == "Exchange") ==
+      bpePlan.sliding("RoundRobinPartitioning".length)
+        .count(_ == "RoundRobinPartitioning"),
+      s"bpeTokenize has a non-spread shuffle:\n$bpePlan")
     // covariance: the pair explode must sit UNDER a partial aggregate in
     // the scan stage (map-side combine), with exactly one shuffle for the
     // final agg plus the two broadcast marginal joins
