@@ -90,6 +90,16 @@ object GraftFunctions {
   def rq_label_remap(lab: Column, kv: Column, kernel: BandKernel,
       asLong: Boolean): Column =
     col(RqLabelRemap(ex(lab), ex(kv), kernel, asLong))
+  /** Two-output label remap — see
+    * [[org.apache.spark.sql.graft.RqLabelRemap2]]. */
+  def rq_label_remap2(lab: Column, kv: Column, kernel: BandKernel): Column =
+    col(RqLabelRemap2(ex(lab), ex(kv), kernel))
+  /** One observer's full viewshed verdict set from its dense disk —
+    * see [[org.apache.spark.sql.graft.RqViewshedDisk]]. */
+  def rq_viewshed_disk(entries: Column, oh: Column, ox: Column, oy: Column,
+      radius: Int): Column =
+    col(org.apache.spark.sql.graft.RqViewshedDisk(ex(entries), ex(oh),
+      ex(ox), ex(oy), radius))
   /** Fused strips+frags(+nbrs/+label) from ONE decode + union-find per
     * tile — see [[org.apache.spark.sql.graft.RqRegionAnalysis]]. */
   def rq_region_analysis(block: Column, band: Column, meta: RaquetMetadata,

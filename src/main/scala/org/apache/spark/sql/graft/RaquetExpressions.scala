@@ -767,7 +767,58 @@ object RqBridge {
     var i = 0
     while (i < n) {
       val row = kv.getStruct(i, 2)
-      m.put(row.getLong(0), row.getDouble(1))
+      // a NULL 'o' stays NULL (the replaced inner-join path kept the row
+      // with a NULL value — getDouble would silently read it as 0.0)
+      m.put(row.getLong(0),
+        if (row.isNullAt(1)) null else java.lang.Double.valueOf(row.getDouble(1)))
+      i += 1
+    }
+    val px = k.decode(lab)
+    val out = new Array[Any](px.length)
+    var cnt = 0
+    var p = 0
+    while (p < px.length) {
+      val x = px(p)
+      if (!java.lang.Double.isNaN(x)) {
+        val key = java.lang.Long.valueOf(x.toLong)
+        val v = m.get(key)
+        if (v != null) {
+          out(cnt) = org.apache.spark.sql.catalyst.InternalRow(p,
+            if (asLong) java.lang.Long.valueOf(v.doubleValue().toLong) else v)
+          cnt += 1
+        } else if (m.containsKey(key)) { // present but NULL-valued
+          out(cnt) = org.apache.spark.sql.catalyst.InternalRow(p, null)
+          cnt += 1
+        }
+        // else: label absent from the map — the replaced labelsFrom +
+        // inner-join path DROPPED such pixels, so a partial map skips
+        // them instead of emitting (pos, null) rows
+      }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (cnt == out.length) out
+      else { val t = new Array[Any](cnt); System.arraycopy(out, 0, t, 0, cnt); t })
+  }
+
+  /** Two-output variant of [[labelRemapOf]] — kv = (l, o, o2), emits
+    * (pos, v, v2) with both outputs as exact longs (callers map labels
+    * < 2^53 and pixel counts). One decode + one hash probe per pixel
+    * resolves BOTH per-region attributes, so e.g. the sieve-flag path
+    * (per-pixel label AND region size) needs no second explode and no
+    * pixel-cardinality join. Same partial-map/null semantics: absent
+    * labels drop their pixels, a NULL o/o2 stays NULL. */
+  def labelRemap2Of(k: BandKernel, lab: Array[Byte], kv: ArrayData): ArrayData = {
+    val n = kv.numElements()
+    val m = new java.util.HashMap[java.lang.Long, Array[Any]](n * 2)
+    var i = 0
+    while (i < n) {
+      val row = kv.getStruct(i, 3)
+      m.put(row.getLong(0), Array[Any](
+        if (row.isNullAt(1)) null
+        else java.lang.Long.valueOf(row.getDouble(1).toLong),
+        if (row.isNullAt(2)) null
+        else java.lang.Long.valueOf(row.getDouble(2).toLong)))
       i += 1
     }
     val px = k.decode(lab)
@@ -778,11 +829,10 @@ object RqBridge {
       val x = px(p)
       if (!java.lang.Double.isNaN(x)) {
         val v = m.get(java.lang.Long.valueOf(x.toLong))
-        out(cnt) = org.apache.spark.sql.catalyst.InternalRow(p,
-          if (v == null) null
-          else if (asLong) java.lang.Long.valueOf(v.doubleValue().toLong)
-          else v)
-        cnt += 1
+        if (v != null) {
+          out(cnt) = org.apache.spark.sql.catalyst.InternalRow(p, v(0), v(1))
+          cnt += 1
+        }
       }
       p += 1
     }
@@ -1319,6 +1369,38 @@ case class RqLabelRemap(lab: Expression, kv: Expression, kernel: BandKernel,
     val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
     defineCodeGen(ctx, ev, (l, kv) =>
       s"${RqBridge.B}.labelRemapOf($k, $l, $kv, $asLong)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(lab = l, kv = r)
+}
+
+/** rq_label_remap2(lab, kv) → ARRAY<STRUCT<pos, v, v2>> — the two-output
+  * label remap (see [[RqBridge.labelRemap2Of]]): one decode + one probe
+  * per pixel resolves two per-region attributes at once, both emitted as
+  * exact longs. */
+case class RqLabelRemap2(lab: Expression, kv: Expression, kernel: BandKernel)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def left: Expression = lab
+  override def right: Expression = kv
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType,
+    ArrayType(StructType(Seq(
+      StructField("l", LongType),
+      StructField("o", DoubleType),
+      StructField("o2", DoubleType))), containsNull = false))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("v", LongType, nullable = true),
+    StructField("v2", LongType, nullable = true))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rq_label_remap2"
+  override protected def nullSafeEval(l: Any, k: Any): Any =
+    RqBridge.labelRemap2Of(kernel, l.asInstanceOf[Array[Byte]],
+      k.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("kernel", kernel, classOf[BandKernel].getName)
+    defineCodeGen(ctx, ev, (l, kv) =>
+      s"${RqBridge.B}.labelRemap2Of($k, $l, $kv)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(lab = l, kv = r)

@@ -1,0 +1,117 @@
+// Compiled inside the org.apache.spark.sql namespace so the expression can
+// use catalyst scaffolding directly (InternalRow, GenericArrayData).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+object ViewshedBridge {
+
+  /** All (2R+1)²−1 per-target verdicts of ONE observer from its dense
+    * Chebyshev-disk elevation array — the guide-§8 shape: the O(R³)
+    * sightline-sample test is radius-bounded, never data-dependent, so
+    * it runs as a tight per-observer loop over a ~(2R+1)²-double array
+    * instead of materializing ~R³ sample rows into a shuffled equi-join
+    * (27M rows / 577 MB at the bench's R=150).
+    *
+    * EXACT replay of the relational formulation it replaces
+    * ([[graft.operators.Viewshed]] pre-r14; ViewshedSpec pins the
+    * equivalence): sample coordinate = floor(k·d/n + 0.5) with the same
+    * int-multiply → double-divide IEEE ops, blocking test
+    * (e_s − h_o)·n > (e_t − h_o)·k with the same double·int products,
+    * nodata/missing samples never block, target-or-observer
+    * nodata/missing ⇒ NULL verdict, equal angles pass.
+    *
+    * `entries` = (i, e) pairs, i = (dy+R)·(2R+1)+(dx+R), valid pixels
+    * only (missing/nodata cells stay NaN); null `entries` = an observer
+    * whose disk touched no pixels (every verdict NULL, rows still
+    * emitted — the old left joins did the same). */
+  def verdicts(entries: ArrayData, oh: Any, ox: Long, oy: Long,
+      radius: Int): ArrayData = {
+    val side = 2 * radius + 1
+    val disk = new Array[Double](side * side)
+    java.util.Arrays.fill(disk, Double.NaN)
+    if (entries != null) {
+      var i = 0
+      val n = entries.numElements()
+      while (i < n) {
+        val row = entries.getStruct(i, 2)
+        disk(row.getInt(0)) = row.getDouble(1)
+        i += 1
+      }
+    }
+    val center = disk(radius * side + radius)
+    val hoValid = oh != null && !java.lang.Double.isNaN(center)
+    val ho = if (hoValid) center + oh.asInstanceOf[Double] else 0.0
+    val out = new Array[Any](side * side - 1)
+    var cnt = 0
+    var dy = -radius
+    while (dy <= radius) {
+      var dx = -radius
+      while (dx <= radius) {
+        if (dx != 0 || dy != 0) {
+          val et = disk((dy + radius) * side + (dx + radius))
+          val visible: Any =
+            if (!hoValid || java.lang.Double.isNaN(et)) null
+            else {
+              val n = math.max(math.abs(dx), math.abs(dy))
+              var blocked = false
+              var k = 1
+              while (k < n && !blocked) {
+                // identical IEEE ops to the SQL form floor(k*dx/n + 0.5):
+                // int multiply, double divide, +0.5, floor
+                val sx = math.floor(k * dx / n.toDouble + 0.5).toInt
+                val sy = math.floor(k * dy / n.toDouble + 0.5).toInt
+                val es = disk((sy + radius) * side + (sx + radius))
+                if (!java.lang.Double.isNaN(es) &&
+                    (es - ho) * n > (et - ho) * k) blocked = true
+                k += 1
+              }
+              java.lang.Boolean.valueOf(!blocked)
+            }
+          out(cnt) = InternalRow(ox + dx, oy + dy, visible)
+          cnt += 1
+        }
+        dx += 1
+      }
+      dy += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** rq_viewshed_disk(entries, oh, ox, oy) → ARRAY<STRUCT<gx, gy, visible>>
+  * — one observer's full Chebyshev-ring verdict set (see
+  * [[ViewshedBridge.verdicts]]). NOT null-intolerant: a null `entries`
+  * (observer disk off-raster) still emits every ring offset with NULL
+  * verdicts. CodegenFallback: evaluated once per OBSERVER row (a
+  * handful), each call doing the radius-bounded O(R³) work — codegen
+  * would win nothing. */
+case class RqViewshedDisk(entries: Expression, oh: Expression,
+    ox: Expression, oy: Expression, radius: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(entries, oh, ox, oy)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gx", LongType, nullable = false),
+    StructField("gy", LongType, nullable = false),
+    StructField("visible", BooleanType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rq_viewshed_disk"
+  override def eval(input: InternalRow): Any = {
+    val oxV = ox.eval(input)
+    val oyV = oy.eval(input)
+    // out-of-contract null coordinates: the replaced explode-of-sequence
+    // dropped the observer's rows entirely; null array (explode drops)
+    if (oxV == null || oyV == null) return null
+    ViewshedBridge.verdicts(
+      entries.eval(input).asInstanceOf[ArrayData], oh.eval(input),
+      oxV.asInstanceOf[Long], oyV.asInstanceOf[Long], radius)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(entries = cs(0), oh = cs(1), ox = cs(2), oy = cs(3))
+}
