@@ -23,14 +23,18 @@ import graft.raquet.{BandKernel, RaquetMetadata}
   * Sample coordinates are floor(k·d/n + 0.5) — nearest lattice point on
   * the ideal line, identical IEEE arithmetic in any engine.
   *
-  * Scale shape (the 100-TB story): sightline samples are generated by
-  * per-observer lateral explodes (offsets ≤ (2R+1)², samples O(R³) per
-  * observer — bounded, never data-dependent); pixel elevations come from
-  * ONE decode of the tiles any observer disk touches (replicate-to-tiles
-  * semi-join, the [[Gridding]] pattern) and join samples by global pixel
-  * coordinate — an equi-join, never a cross join; verdicts collapse in
-  * one hash aggregate per target. Many observers = more sample rows, the
-  * same three-stage plan. */
+  * Scale shape (the 100-TB story): pixel elevations come from ONE decode
+  * of the tiles any observer disk touches (replicate-to-tiles semi-join,
+  * the [[Gridding]] pattern); each observer's Chebyshev disk gathers
+  * into one dense (2R+1)² elevation array (radius-bounded, never
+  * data-dependent — ~725 KB at R=150), and ALL of that observer's O(R³)
+  * sightline-sample tests run as one tight kernel loop over the array
+  * ([[org.apache.spark.sql.graft.RqViewshedDisk]], the guide-§8 "decide
+  * on a lightweight proxy" shape). The pre-r14 formulation materialized
+  * every sample as a row into a shuffled equi-join (27M rows / 577 MB
+  * shuffle at the bench's R=150) — it survives below as
+  * [[viewshedReference]], the spec's equivalence oracle. Many observers
+  * = more disk rows, the same three-stage plan. */
 object Viewshed {
 
   /** Per-observer viewshed over the single-zoom raster `data`.
@@ -48,9 +52,37 @@ object Viewshed {
   def viewshed(data: DataFrame, kernel: BandKernel, band: String,
       observers: DataFrame, z: Int, radius: Int): DataFrame = {
     require(radius >= 1, s"radius must be >= 1 pixel, got $radius")
+    val pix = diskPixels(data, kernel, band, observers, z, radius)
+    // gather each observer's Chebyshev disk into ONE dense-index entry
+    // list: every decision joins at disk cardinality ((2R+1)² per
+    // observer), and the O(R³) sample volume never becomes rows at all
+    val side = 2 * radius + 1
+    val entries = pix
+      .join(broadcast(observers.select(col("oid"), col("ox"), col("oy"))),
+        col("gx") >= col("ox") - radius && col("gx") <= col("ox") + radius &&
+          col("gy") >= col("oy") - radius && col("gy") <= col("oy") + radius)
+      .filter(col("e").isNotNull) // nodata cells stay NaN in the array
+      .select(col("oid"),
+        ((col("gy") - col("oy") + radius) * side +
+          (col("gx") - col("ox") + radius)).cast("int").as("i"),
+        col("e"))
+      .groupBy("oid")
+      .agg(collect_list(struct(col("i"), col("e"))).as("disk"))
+    // LEFT: an observer whose disk touches no pixel still emits its ring
+    // (all-NULL verdicts), exactly like the replaced left joins
+    observers.join(entries, Seq("oid"), "left")
+      .select(col("oid"), explode(rq_viewshed_disk(col("disk"), col("oh"),
+        col("ox"), col("oy"), radius)).as("t"))
+      .select(col("oid"), col("t.gx").as("gx"), col("t.gy").as("gy"),
+        col("t.visible").as("visible"))
+  }
+
+  /** Decoded (gx, gy, e) for every pixel of every tile any observer disk
+    * touches; nodata → NULL e. */
+  private def diskPixels(data: DataFrame, kernel: BandKernel, band: String,
+      observers: DataFrame, z: Int, radius: Int): DataFrame = {
     val bw = kernel.width; val bh = kernel.height
     val nod = kernel.nodata
-
     // tiles any observer disk touches — tiny per observer, broadcast semi
     val blocks = observers
       .withColumn("tx", explode(sequence(
@@ -59,24 +91,26 @@ object Viewshed {
         expr(s"(oy - $radius) div $bh"), expr(s"(oy + $radius) div $bh"))))
       .select(quadbin_from_tile(col("tx"), col("ty"), lit(z)).as("block"))
       .distinct()
-    // one decode of the touched tiles → (gx, gy, e) with nodata → NULL;
-    // persisted: three consumers (observer ground, targets, samples) —
-    // released lazily by the ContextCleaner like HammingBlocked's tables
-    val pix = data.join(broadcast(blocks), Seq("block"), "left_semi")
+    data.join(broadcast(blocks), Seq("block"), "left_semi")
       .select(col("block"), posexplode(rq_decode(col(band), kernel)))
       .select(
         (quadbin_tile_x(col("block")) * bw + col("pos") % bw).as("gx"),
         (quadbin_tile_y(col("block")) * bh + expr(s"pos div $bw")).as("gy"),
         when(isnan(col("col")) || col("col") === lit(nod), lit(null))
           .otherwise(col("col")).as("e"))
-      .persist()
+  }
 
-    // observer eye elevation: ground + oh (NULL ground → NULL verdicts).
-    // The ground lookup semi-joins pix against the broadcast observer
-    // coordinates first: the previous direct left join shuffled every
-    // decoded disk pixel to probe a HANDFUL of observer rows (guide §3.1
-    // — broadcast the side that fits; observers are broadcast-sized by
-    // the operator's contract, they explode to (2R+1)² rows each anyway).
+  /** The pre-r14 relational formulation — kept ONLY as ViewshedSpec's
+    * equivalence oracle for the kernel path above (every sample
+    * coordinate and blocking verdict is the same IEEE arithmetic; the
+    * spec pins row-set equality on rasters with nodata holes, off-raster
+    * observers and grazing sightlines). Do not call from query paths:
+    * it shuffles the O(R³) sample table the kernel path avoids. */
+  private[graft] def viewshedReference(data: DataFrame, kernel: BandKernel,
+      band: String, observers: DataFrame, z: Int, radius: Int): DataFrame = {
+    val pix = diskPixels(data, kernel, band, observers, z, radius).persist()
+
+    // observer eye elevation: ground + oh (NULL ground → NULL verdicts)
     val obsGround = pix.join(broadcast(observers
         .select(col("ox").as("gx"), col("oy").as("gy"))),
         Seq("gx", "gy"), "left_semi")
@@ -100,11 +134,7 @@ object Viewshed {
 
     // intermediate sightline samples: nearest lattice point at parameter
     // k/n; the blocking test cross-multiplies the two angles' rise/run so
-    // every verdict is integer-exact (nodata samples never block).
-    // SHUFFLE_HASH on the pixel side (guide §3.1): the default sort-merge
-    // sorted the O(R³) sample table — tens of core-seconds at the bench's
-    // 27M samples — to probe a per-partition hash build of disk pixels
-    // that is bounded by the observer disks, never data-dependent.
+    // every verdict is integer-exact (nodata samples never block)
     val pixS = pix.select(col("gx").as("sx"), col("gy").as("sy"),
       col("e").as("es"))
     val blockedBy = tgt.filter(col("n") >= 2)

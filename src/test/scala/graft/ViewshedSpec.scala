@@ -95,4 +95,32 @@ class ViewshedSpec extends SparkSpec {
     // off-raster ring targets (outside the single tile) are NULL
     assert(got((-3L, 8L)).isEmpty, "off-raster target must be NULL")
   }
+
+  test("kernel path ≡ the relational R3 reference (row-set equality, multi-observer)") {
+    import spark.implicits._
+    val (x0, y0, z, n) = (40L, 40L, 6, 4)
+    val tiles = FixtureGen.nativeTiles(spark, z, x0, y0, n, n, bs)
+    val meta = FixtureGen.metadata(z, x0, y0, n, n, bs, minZoom = z,
+      numBlocks = n.toLong * n)
+    // two in-raster observers (nodata speckle in range), one whose disk
+    // hangs off the raster edge, one entirely OFF-raster (null everything,
+    // rows still emitted), mixed radii-relevant eye heights
+    val obs = Seq(
+      (1L, 672L, 672L, 7.0),
+      (2L, 660L, 680L, 0.5),
+      (3L, 40L * bs + 2, 40L * bs + 2, 3.0),
+      (4L, 10L, 10L, 5.0)).toDF("oid", "ox", "oy", "oh")
+    val kernel = BandKernel(meta, "band_1")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getBoolean(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toSeq
+    val got = canon(Viewshed.viewshed(tiles, meta, "band_1", obs, z, 12))
+    val want = canon(Viewshed.viewshedReference(tiles, kernel, "band_1",
+      obs, z, 12))
+    assert(got == want)
+    // the off-raster observer really exercises the null-disk branch
+    assert(got.count(t => t._1 == 4L) == 25 * 25 - 1)
+    assert(got.filter(_._1 == 4L).forall(_._4 == null))
+  }
 }
