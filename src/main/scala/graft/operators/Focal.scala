@@ -100,6 +100,11 @@ object Focal {
     // (strip emission + the join back), so an unchecked chain re-executes
     // the whole prefix 2^k times — measured 18 s vs 4 s for 3 rounds on
     // the 1,024-tile bench raster. One blob per tile: checkpoint is cheap.
+    // NOT repartitioned to session width: widening the rounds from the
+    // 17-task scan split count to 32 was measured WORSE (2.44→2.78 s/rep,
+    // per-round CPU doubled — the hash scatter broke the file-ordered
+    // spatial locality the strip/relax stages run at), so the rounds
+    // keep the scan-inherited partitioning
     var d = data
       .filter(col("block") =!= 0L && quadbin_zoom(col("block")) === z)
       .select(col("block"),

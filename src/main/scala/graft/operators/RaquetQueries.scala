@@ -296,8 +296,7 @@ object RaquetQueries {
       .select(col("block"),
         rq_reclassify(col("band_1"), ds.meta, "band_1", breaks, classes)
           .as("band_1"))
-    Regions.sieveFlags(
-      Regions.regionLabels(sub, ds.meta, "band_1"), minPixels = 20L)
+    Regions.sieveFlags(sub, ds.meta, "band_1", minPixels = 20L)
   }
 
   /** q233 — full gdal_sieve APPLY ([[Regions.sieveApply]]): q232's window,

@@ -66,12 +66,50 @@ object Regions {
 
   /** gdal_sieve's decision table: every labeled pixel with its region's
     * pixel count and the `small` flag (count < minPixels) — the mask a
-    * sieve pass applies. One hash aggregate over labels. */
+    * sieve pass applies. One hash aggregate over labels.
+    *
+    * Per-pixel-input form, kept for callers that already hold a label
+    * table; it aggregates and joins at PIXEL cardinality. Callers with
+    * raster input should use the (data, meta, band) overload below,
+    * whose per-pixel stage never crosses an exchange. */
   def sieveFlags(labels: DataFrame, minPixels: Long): DataFrame = {
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_px"))
     labels.join(sizes, "label")
       .select(col("block"), col("pos"), col("label"), col("n_px"),
         (col("n_px") < minPixels).as("small"))
+  }
+
+  /** Fused sieve decision table from the raster: same output rows as
+    * `sieveFlags(regionLabels(data, ...), minPixels)`, but region sizes
+    * come from the FRAGMENT table (region cardinality — fragment counts
+    * sum through one hash aggregate, exactly [[regionSizes]]) and both
+    * per-pixel attributes (label, n_px) resolve through ONE per-tile
+    * hash remap ([[graft.functions.GraftFunctions.rq_label_remap2]]).
+    * The replaced composition aggregated 16M per-pixel label rows and
+    * sort-merge-joined the sizes back at pixel cardinality — two
+    * pixel-volume exchanges this shape never pays (the applyTileMap
+    * treatment; guide §2). */
+  def sieveFlags(data: DataFrame, meta: RaquetMetadata, band: String,
+      minPixels: Long): DataFrame = {
+    val a = analyzedTiles(data, meta, band, withNeighbors = false,
+      withLabel = true)
+    val comp = compOf(stripPairs(a, meta))
+    val sizes = regionTable(a, comp).select(col("label"), col("n_px"))
+    // (block, l) → (global label, region size), at fragment cardinality
+    val byLocal = localToGlobal(a, comp)
+      .join(sizes, "label")
+      .select(col("block"), col("l"), col("label").cast("double").as("o"),
+        col("n_px").cast("double").as("o2"))
+    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
+      meta.blockWidth, meta.blockHeight, 1.0, 0.0)
+    val m = byLocal.groupBy("block")
+      .agg(collect_list(struct(col("l"), col("o"), col("o2"))).as("kv"))
+    // same exchange-free co-partitioned join shape as applyTileMap
+    a.join(m.hint("shuffle_hash"), "block")
+      .select(col("block"),
+        explode(rq_label_remap2(col("ra.lab"), col("kv"), labKernel)).as("e"))
+      .select(col("block"), col("e.pos").as("pos"), col("e.v").as("label"),
+        col("e.v2").as("n_px"), (col("e.v2") < minPixels).as("small"))
   }
 
   /** Full gdal_sieve APPLY: pixels of regions smaller than `minPixels`
@@ -262,24 +300,47 @@ object Regions {
       .localCheckpoint()
 
   /** Native-zoom tiles reduced to ONE fused region-analysis struct per
-    * tile ([[graft.raquet.BandKernel.regionAnalysis]]), checkpointed:
+    * tile ([[graft.raquet.BandKernel.regionAnalysis]]), materialized:
     * every consumer (strip pairs, fragment table, adjacency, labels)
-    * reads its field from the checkpoint instead of re-running the
-    * decode + union-find — the pipeline previously paid up to 4× both
-    * per tile. `data` is often the tail of a derivation (reclassify)
-    * that must not re-run per consumer either; it runs once inside this
-    * projection. */
+    * reads its field from the cache instead of re-running the decode +
+    * union-find — the pipeline previously paid up to 4× both per tile.
+    * `data` is often the tail of a derivation (reclassify) that must not
+    * re-run per consumer either; it runs once inside this projection.
+    *
+    * LABEL paths (withLabel — sieveApply, regionLabels, fused sieve
+    * flags) are partitioned by block BEFORE the analysis projection: the
+    * exchange moves only the raw gzip tiles, runs the decode+union-find
+    * at the session's full width instead of the byte-sized scan split
+    * count (gzip understates its work, guide §6), and replaces the
+    * STRICTLY LARGER analyzed-struct exchange [[applyTileMap]]'s
+    * per-tile kv join would otherwise pay on this side (structs ⊃ raw
+    * blob + fragment tables). SIZES paths (withLabel = false —
+    * regionSizes/regionExtents, the bL_region_stats family) never join
+    * by block downstream, so for them the same repartition is pure
+    * full-raster shuffle overhead — measured 0.99 → 3.6 s on the
+    * 60,390-tile rung — and is skipped: they keep the scan-inherited
+    * partitioning. A `persist()` variant that would also have kept
+    * hashpartitioning(block) without the exchange was measured and
+    * REVERTED: DataFrame persist stores COLUMNAR batches, and
+    * columnarizing the nested analysis structs tripled scan CPU and
+    * added seconds of GC. EAGER checkpoint, as before: the strip-pair
+    * join scans this twice concurrently, and a lazy variant serializes
+    * on the BlockManager lock. */
   private def analyzedTiles(data: DataFrame, meta: RaquetMetadata,
-      band: String, withNeighbors: Boolean, withLabel: Boolean): DataFrame =
-    data.filter(col("block") =!= 0L &&
+      band: String, withNeighbors: Boolean, withLabel: Boolean): DataFrame = {
+    val native = data.filter(col("block") =!= 0L &&
       quadbin_zoom(col("block")) === meta.maxZoom)
-      .select(col("block"),
+    val part =
+      if (withLabel) {
+        val p = data.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt
+        native.repartition(p, col("block"))
+      } else native
+    part.select(col("block"),
         rq_region_analysis(col("block"), col(band), meta, band,
           withNeighbors, withLabel).as("ra"))
-      // EAGER: the strip-pair join scans this twice concurrently; a lazy
-      // checkpoint materializing inside that job serializes on the
-      // BlockManager lock (measured slower than the extra job)
       .localCheckpoint()
+  }
 
   /** Cross-tile strip pairs (la, lb, va, vb) for every 4-adjacent valid
     * pixel pair straddling a tile boundary. Strips come from the fused
@@ -297,7 +358,10 @@ object Regions {
     // the join's two exchanges; every boundary (ka, kb, axis, idx) key
     // has at most one A row (owner's E/S edge) and one B row (neighbor's
     // W/N edge), so a grouped max-by-side reconstructs exactly the old
-    // inner join's pairs.
+    // inner join's pairs. REQUIRES one tile row per block (holds via
+    // analyzedTiles' checkpointed native-zoom filter over raquet tables,
+    // which are unique by block): duplicate-block input would silently
+    // max-merge strips where the self-join emitted one pair per duplicate.
     val strips = analyzed
       .select(col("block"),
         quadbin_tile_x(col("block")).as("tx"),
@@ -363,7 +427,14 @@ object Regions {
       .groupBy("block")
       .agg(collect_list(struct(col("l").as("l"),
         col("o").cast("double").as("o"))).as("kv"))
-    analyzed.join(m, "block")
+    // SHUFFLE_HASH with the kv lists as build side: both sides are
+    // already hashpartitioned by block (analyzed via its persisted
+    // repartition, m via its aggregate), so the join is exchange-free
+    // and the fat struct side is never sorted, broadcast, or re-shuffled
+    // (the planner's stats-blind alternative broadcast the 104 MB
+    // analysis table through the driver and ran the pixel remap at the
+    // kv exchange's byte-coalesced width)
+    analyzed.join(m.hint("shuffle_hash"), "block")
       .select(col("block"),
         explode(rq_label_remap(col("ra.lab"), col("kv"), labKernel,
           asLong)).as("e"))

@@ -282,4 +282,53 @@ class RegionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
   }
+
+  test("fused sieveFlags ≡ sieveFlags ∘ regionLabels (row sets, q232 shape)") {
+    val viaLabels = Regions.sieveFlags(
+      Regions.regionLabels(tiles, meta, "band_1"), minPixels = 10L)
+    val fused = Regions.sieveFlags(tiles, meta, "band_1", minPixels = 10L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(canon(fused) == canon(viaLabels))
+    assert(fused.columns.toSeq ==
+      Seq("block", "pos", "label", "n_px", "small"))
+  }
+
+  test("rq_label_remap: partial maps drop unmapped pixels; NULL values stay NULL") {
+    import graft.functions.GraftFunctions._
+    val m = meta
+    // one tile's label blob + its fragment labels
+    val one = tiles.limit(1).select(col("block"),
+      rq_region_analysis(col("block"), col("band_1"), m, "band_1",
+        withNeighbors = false, withLabel = true).as("ra"))
+    val labs = one.select(explode(col("ra.frags")).as("f"))
+      .select(col("f.lab")).collect().map(_.getLong(0)).sorted
+    assert(labs.length >= 2, "fixture tile should have 2+ fragments")
+    val dropped = labs.head
+    val nulled = labs.last
+    val labKernel = graft.raquet.BandKernel("float64", Double.NaN,
+      m.blockWidth, m.blockHeight, 1.0, 0.0)
+    // kv: every label maps to itself EXCEPT `dropped` (absent — the old
+    // inner-join semantics: its pixels vanish) and `nulled` (NULL value —
+    // the old join kept the row with a NULL output)
+    val kvExpr = labs.filter(_ != dropped).map { l =>
+      val o = if (l == nulled) "CAST(NULL AS DOUBLE)" else s"CAST($l AS DOUBLE)"
+      s"named_struct('l', ${l}L, 'o', $o)"
+    }.mkString("array(", ", ", ")")
+    val out = one.select(explode(rq_label_remap(col("ra.lab"),
+        expr(kvExpr), labKernel, asLong = false)).as("e"))
+      .select(col("e.pos"), col("e.v")).collect()
+    // reference: decode the label blob directly
+    val px = one.select(rq_decode(col("ra.lab"), labKernel)).head
+      .getSeq[Double](0)
+    val wantPos = px.zipWithIndex.collect {
+      case (x, p) if !x.isNaN && x.toLong != dropped => p }.toSet
+    assert(out.map(_.getInt(0)).toSet == wantPos, "unmapped labels must drop")
+    out.foreach { r =>
+      val lab = px(r.getInt(0)).toLong
+      if (lab == nulled) assert(r.isNullAt(1), "NULL-valued map entry must stay NULL")
+      else assert(r.getDouble(1) == lab.toDouble)
+    }
+  }
 }
