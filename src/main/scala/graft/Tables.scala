@@ -42,6 +42,30 @@ object Tables {
       case _ => raw
     }
   }
+  /** Spread an under-split scan for ONE CPU-heavy single-pass consumer:
+    * the LLM-ops tables ship as ONE small parquet file each, so byte-
+    * based split sizing — which cannot see per-row work — plans a 1-2-
+    * task scan at ANY core count, serializing operators whose cost is
+    * per-row CPU (tokenizers, 64-dim vector math; the same misreading
+    * the gzip decode fan-out causes on the raster side, guide §6). A
+    * round-robin exchange spreads the heavy pass; inputs that already
+    * plan >= shuffle-partitions splits (the 100 TB case) pass through
+    * untouched, so nothing big ever re-shuffles.
+    *
+    * TARGETED, not table-global: a blanket spread of documents()/
+    * embeddings() was measured and REVERTED — it pays one extra exchange
+    * and shuffle-partitions-sized stages on every downstream path, which
+    * single-heavy-pass operators win back (bm25 1.55→1.17 s, semdedup
+    * 1.32→0.76 s, covariance 0.37→0.24 s at sf0.1/32c) but multi-short-
+    * stage and iterative ones lose outright (dedup_exact 0.20→0.44 s,
+    * kmeans 0.76→1.17 s, dup_clusters 2.40→3.30 s: per-stage scheduling
+    * overhead dwarfs their milliseconds of data). Call sites are the
+    * measured winners only. */
+  private[graft] def spreadForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -84,7 +84,11 @@ object EmbedOps {
     // rows through Generate+HashAggregate — 3.4 s at sf0.1, vs ~0.3 s
     // fused) with bit-identical output rows: CovarianceAccum.eval replays
     // the old plan's count/sum/inner-join null semantics exactly.
-    val q = vecs.select(expr(
+    // the per-vector triangle loop runs INSIDE the scan stage; an under-
+    // split input serializes it (see Tables.spreadForCpu — measured
+    // 0.37→0.24 s at sf0.1/32c). Partial merge is exact int64 sums, so
+    // partitioning cannot change the result.
+    val q = graft.Tables.spreadForCpu(vecs).select(expr(
       "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 64) AS LONG))")
       .as("e"))
     q.agg(graft.functions.GraftFunctions.cov_accum(col("e"), dim).as("c"))
@@ -190,7 +194,11 @@ object EmbedOps {
     * small → broadcast; corpus side never shuffles more than k rows/query). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = corpus.select(col("vec_id"), col("embedding").as("ce"), col("label"))
+    // dim-length dot products against every broadcast query run inside
+    // the corpus scan stage; spread an under-split corpus (see
+    // Tables.spreadForCpu — measured 0.48→0.40 s at sf0.1/32c)
+    val c = graft.Tables.spreadForCpu(corpus)
+      .select(col("vec_id"), col("embedding").as("ce"), col("label"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", round(
         dot("qe", "ce", dim) / (sqrt(norm2("qe", dim)) * sqrt(norm2("ce", dim))), 6))
@@ -522,7 +530,10 @@ object EmbedOps {
     * the best cosine against any smaller-id bucket-mate (NULL if alone),
     * keep ⇔ that maximum is NULL or < τ. */
   def semDedup(vecs: DataFrame, planes: Int, dim: Int, tau: Double): DataFrame = {
-    val b = hyperplaneBuckets(vecs, planes, dim)
+    // the Σn² dot-product join probes a BROADCAST build, so the whole
+    // chain inherits the scan's split count; an under-split input
+    // serializes it (see Tables.spreadForCpu — measured 1.32→0.76 s)
+    val b = hyperplaneBuckets(graft.Tables.spreadForCpu(vecs), planes, dim)
     val earlier = b.select(col("bucket").as("ba"), col("vec_id").as("ida"),
       col("embedding").as("ea"))
     val prior = b

@@ -83,6 +83,10 @@ object TextOps {
     * per consumer (the difference between 1× and 4× input IO at scale). */
   def minhashNearDups(docs: DataFrame, numHashes: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // NOT spread (Tables.spreadForCpu): measured 0.93→1.28 s at
+    // sf0.1/32c — the shingle pass is heavy but its persisted output
+    // feeds 4 short LSH stages whose per-stage overhead at spread width
+    // outweighs the pass's parallelism gain
     val sh = shingles(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
@@ -252,7 +256,9 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = docs
+    // tokenization is the one heavy pass; under-split inputs serialize it
+    // (see Tables.spreadForCpu — measured 1.55→1.17 s at sf0.1/32c)
+    val tf = graft.Tables.spreadForCpu(docs)
       .select(col("doc_id"),
         explode(expr("filter(split(lower(coalesce(text, '')), ' '), x -> x <> '')"))
           .as("term"))
@@ -644,10 +650,17 @@ object TextOps {
     * driver scalar (one exact distinct count, the tfidf nDocs pattern).
     * Docs with <2 tokens have no bigrams and drop out. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    // tokenize+explode is the heavy pass; under-split inputs serialize it
+    // (see Tables.spreadForCpu — measured 1.10→0.82 s at sf0.1/32c)
+    val toks = graft.Tables.spreadForCpu(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
     val uni = toks.select(explode(col("t")).as("w"))
-    val cw = uni.groupBy("w").agg(count(lit(1)).as("cw"))
-    val v = uni.select(countDistinct(col("w"))).head.getLong(0)
+    // persist the VOCAB-cardinality count table and read V off it as its
+    // row count: the old countDistinct over `uni` re-tokenized the whole
+    // corpus for one scalar (a third full tokenize pass; §1.2 don't
+    // recompute) — V = |distinct w| = |cw| by construction, same value
+    val cw = uni.groupBy("w").agg(count(lit(1)).as("cw")).persist()
+    val v = cw.count()
     val bg = toks.filter(size(col("t")) >= 2)
       .withColumn("bs", expr(
         "transform(sequence(1, size(t)-1), i -> concat(t[i-1], ' ', t[i]))"))
@@ -697,8 +710,12 @@ object TextOps {
       .withColumn("w1", expr("split_part(b, ' ', 1)"))
       .withColumn("w2", expr("split_part(b, ' ', 2)"))
       .persist()
-    val btot = bg.select(countDistinct(col("b"))).head.getLong(0)
-    val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+    // persist the bigram-TYPE count table and read B off it as its row
+    // count: the old countDistinct ran a second full aggregate over the
+    // persisted occurrence table for one scalar — B = |distinct b| = |cb|
+    // by construction, same value
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("cb")).persist()
+    val btot = cb.count()
     val hist = bg.groupBy("w1").agg(count(lit(1)).as("cw1"),
       countDistinct(col("w2")).as("n1f"))
     val cont = bg.groupBy("w2").agg(countDistinct(col("w1")).as("n1b"))
@@ -1051,7 +1068,9 @@ object TextOps {
     * the per-row cost is bounded by word length — the 100 TB token-count /
     * token-sequence shape without an external tokenizer process. */
   def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)] = DefaultMerges): DataFrame =
-    docs.select(col("doc_id"),
+    // shuffle-free projection: an under-split input serializes the whole
+    // merge loop (see Tables.spreadForCpu — measured 0.38→0.20 s)
+    graft.Tables.spreadForCpu(docs).select(col("doc_id"),
       graft.functions.GraftFunctions.bpe_tokens(col("text"), merges).as("t"))
       .select(col("doc_id"),
         size(col("t")).cast("long").as("n_tokens"),
